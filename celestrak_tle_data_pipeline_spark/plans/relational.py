@@ -1,0 +1,403 @@
+"""Core relational layer: scans, filters, joins, aggregates, dedup
+(SURVEY.md §2.1, §2.3-2.6). The star-schema analytics the reference's
+warehouse exists to serve (README.md:80-81) — fact↔dim joins, group-by
+aggregates, anti-join idempotency checks — expressed Spark-first.
+
+Plan notes (100 TB):
+- dims (region/nation/supplier/part/customer at dim scale) are
+  broadcast; the fact side never shuffles for those joins.
+- aggregates are partial (map-side combine) by construction.
+- filters sit directly on the scan → parquet predicate pushdown; at
+  scale the date predicates become partition pruning on a
+  date-partitioned fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import register
+from .common import davg, dec, dsum, t
+
+
+# --- TPC-H Q1 shape: the canonical groupBy().agg() (SURVEY.md §2.5) ---------
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))
+                    * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    price = dec("l_extendedprice")
+    one_minus_d = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    one_plus_t = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(price * one_minus_d).cast("double").alias("sum_disc_price"),
+        F.sum(price * one_minus_d * one_plus_t).cast("double").alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount", 4, 2).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --- TPC-H Q3 shape: star join + top-k (J4 + sort/limit, §2.7) ---------------
+@register(
+    "top_revenue_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def top_revenue_orders(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    l = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(4,2)"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --- TPC-H Q5 shape: multi-dim snowflake join (J4 chain) ---------------------
+@register(
+    "region_revenue",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def region_revenue(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    revenue = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(4,2)"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- anti-joins: the reference's idempotency core (J1-J3, P6) ----------------
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "antijoin_composite_key",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM lineitem b
+    WHERE b.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem r
+        WHERE r.l_returnflag = 'R'
+          AND r.l_orderkey = b.l_orderkey
+          AND r.l_linenumber = b.l_linenumber)
+    """,
+)
+def antijoin_composite_key(spark, sf_dir):
+    # J3: composite-key anti-join (norad_id, epoch_utc) analog — native
+    # multi-column join, not the reference's string-concat workaround
+    # (script.py:163-164).
+    l = t(spark, sf_dir, "lineitem")
+    batch = l.where(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    existing = l.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber"
+    )
+    return batch.join(
+        existing, ["l_orderkey", "l_linenumber"], "left_anti"
+    ).select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+@register(
+    "semijoin_exists",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 45)
+    """,
+)
+def semijoin_exists(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    l = t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    return s.join(l, s.s_suppkey == l.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+# --- distinct-on-key with deterministic survivor (D1) ------------------------
+@register(
+    "first_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+)
+def first_order_per_customer(spark, sf_dir):
+    from ..operators.dedup import distinct_on_key
+
+    o = t(spark, sf_dir, "orders")
+    return distinct_on_key(
+        o.select("o_custkey", "o_orderkey", "o_orderdate"),
+        ["o_custkey"],
+        order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+    )
+
+
+# --- scan with pushed projection + predicate (S3-S5, P1-P5) ------------------
+@register(
+    "pruned_scan_recent",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    WHERE e.ts > (SELECT MAX(ts) FROM events) - INTERVAL 3 DAY
+    """,
+)
+def pruned_scan_recent(spark, sf_dir):
+    # The reference's 3-day probe (script.py:159) with a deterministic
+    # anchor (max ts) instead of wall-clock NOW() so the oracle matches.
+    e = t(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("mx"))
+    return (
+        e.join(F.broadcast(anchor))
+        .where(F.col("ts") > F.col("mx") - F.expr("INTERVAL 3 DAYS"))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+# --- set operations (§2.7) ---------------------------------------------------
+@register(
+    "set_ops_nations",
+    oracle="""
+    SELECT 'both' AS side, x.n FROM (
+      SELECT c_nationkey AS n FROM customer
+      INTERSECT SELECT s_nationkey AS n FROM supplier) x
+    UNION ALL
+    SELECT 'customer_only' AS side, y.n FROM (
+      SELECT c_nationkey AS n FROM customer
+      EXCEPT SELECT s_nationkey AS n FROM supplier) y
+    """,
+)
+def set_ops_nations(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n"))
+    both = c.intersect(s).select(F.lit("both").alias("side"), "n")
+    only = c.exceptAll(s).distinct().select(
+        F.lit("customer_only").alias("side"), "n"
+    )
+    return both.unionAll(only)
+
+
+# --- rollup / grouping sets (§2.5) -------------------------------------------
+@register(
+    "rollup_order_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_prio,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_status(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").alias("g_status"),
+        F.grouping("o_orderpriority").alias("g_prio"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", 14, 2).alias("total"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n", "total"
+    )
+
+
+# --- pivot (§2.7) --------------------------------------------------------------
+@register(
+    "pivot_status_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_o,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_f,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_counts(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (priority,status) combo is absent;
+    # conditional-aggregation COUNT yields 0 — align to the SQL shape.
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+# --- scalar function bundle (F2, F10-F12, string ops — §2.8) -----------------
+@register(
+    "scalar_functions_bundle",
+    oracle="""
+    SELECT p_partkey,
+           TRIM(p_name) AS name_trim,
+           UPPER(p_brand) AS brand_upper,
+           SPLIT_PART(p_name, ' ', 1) AS first_token,
+           LENGTH(p_name) AS name_len,
+           CAST(p_partkey AS VARCHAR) || '_' || CAST(p_size AS VARCHAR) AS composite_key,
+           CAST('0.' || CAST(p_size AS VARCHAR) AS DOUBLE) AS implied_decimal,
+           CASE WHEN p_size % 100 < 57 THEN p_size % 100 + 2000
+                ELSE p_size % 100 + 1900 END AS pivot_year,
+           SUBSTRING(p_type, 3, 4) AS type_mid
+    FROM part
+    """,
+)
+def scalar_functions_bundle(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    yy = F.col("p_size") % 100
+    return p.select(
+        "p_partkey",
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.substring_index(F.col("p_name"), " ", 1).alias("first_token"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.concat_ws(
+            "_", F.col("p_partkey").cast("string"), F.col("p_size").cast("string")
+        ).alias("composite_key"),
+        F.concat(F.lit("0."), F.col("p_size").cast("string"))
+        .cast("double")
+        .alias("implied_decimal"),
+        F.when(yy < 57, yy + 2000).otherwise(yy + 1900).alias("pivot_year"),
+        F.substring(F.col("p_type"), 3, 4).alias("type_mid"),
+    )
+
+
+# --- JSON access (F14 / X4 typed-metadata) -----------------------------------
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           event_type
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def json_props_extract(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.select("event_id", k.alias("k_value"), "event_type")
+        .where(F.col("k_value") >= 50)
+    )
+
+
+# --- empty-batch guard semantics (P7) as a query: count-style probe ----------
+@register(
+    "batch_counts",
+    oracle="""
+    SELECT 'orders' AS tbl, COUNT(*) AS n FROM orders
+    UNION ALL SELECT 'lineitem' AS tbl, COUNT(*) AS n FROM lineitem
+    UNION ALL SELECT 'events' AS tbl, COUNT(*) AS n FROM events
+    """,
+)
+def batch_counts(spark, sf_dir):
+    rows = []
+    for name in ("orders", "lineitem", "events"):
+        rows.append(
+            t(spark, sf_dir, name).agg(
+                F.lit(name).alias("tbl"), F.count(F.lit(1)).alias("n")
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

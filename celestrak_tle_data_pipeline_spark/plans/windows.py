@@ -1,0 +1,315 @@
+"""Window / time-series layer (SURVEY.md §2.7, §2.9 batch equivalents).
+
+This is the analytics the reference's warehouse was built FOR
+("long-term historical analysis ... of orbital decay mechanics",
+reference README.md:4, README.md:71): per-entity ordered windows,
+deltas via lag, running aggregates, top-k per group, daily tumbling
+rollups, sessionization, as-of enrichment joins.
+
+The ``events`` table stands in for ``fact_telemetry`` (user_id ≈
+norad_id, ts ≈ epoch_utc, value ≈ mean_motion — FIXTURES.md §A role
+mapping).
+
+Scale notes: every window partitions by the entity key (one shuffle,
+then linear in-partition work); hot entities are AQE-skew-handled.
+Daily rollups pre-aggregate map-side. No driver-side collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import register
+from .common import dec, dsum, t
+
+# --- flagship: per-entity decay indicator (lag + windowed delta) -------------
+DECAY_ORACLE = """
+    WITH deltas AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,6))
+             - LAG(CAST(value AS DECIMAL(18,6)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(delta) AS n_deltas,
+           CAST(SUM(delta) AS DOUBLE) / COUNT(delta) AS decay_rate
+    FROM deltas
+    WHERE delta IS NOT NULL
+    GROUP BY user_id
+    ORDER BY decay_rate, user_id
+    LIMIT 20
+"""
+
+
+@register("decay_indicator", oracle=DECAY_ORACLE)
+def decay_indicator(spark, sf_dir):
+    """Per-satellite orbital-decay indicator (SURVEY.md §7 flagship):
+    lag(mean_motion) per entity over epoch order → mean delta → top-k
+    most-negative (decaying) entities."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = dec("value", 18, 6)
+    deltas = e.select(
+        "user_id", (v - F.lag(v).over(w)).alias("delta")
+    ).where(F.col("delta").isNotNull())
+    return (
+        deltas.groupBy("user_id")
+        .agg(
+            F.count("delta").alias("n_deltas"),
+            (F.sum("delta").cast("double") / F.count("delta")).alias("decay_rate"),
+        )
+        .orderBy(F.asc("decay_rate"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+# --- running (cumulative) aggregate ------------------------------------------
+@register(
+    "running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def running_customer_spend(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice", 14, 2)).over(w).cast("double").alias(
+            "running_spend"
+        ),
+    )
+
+
+# --- top-k per group (window + rank; §2.7) -----------------------------------
+@register(
+    "top_orders_per_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def top_orders_per_status(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+# --- rank family over entity history ------------------------------------------
+@register(
+    "rank_functions",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4)     OVER (PARTITION BY l_suppkey
+                              ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS quartile,
+           LEAD(l_quantity) OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_shipdate, l_orderkey, l_linenumber) AS next_qty
+    FROM lineitem
+    WHERE l_suppkey <= 3
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity DESC)
+    """,
+)
+def rank_functions(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 3)
+    w_qty = Window.partitionBy("l_suppkey").orderBy(F.desc("l_quantity"))
+    w_tile = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_quantity"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    w_time = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w_qty).alias("rnk"),
+        F.dense_rank().over(w_qty).alias("drnk"),
+        F.ntile(4).over(w_tile).alias("quartile"),
+        F.lead("l_quantity").over(w_time).alias("next_qty"),
+    )
+
+
+# --- daily tumbling rollup (weather-grain; §2.9 batch equivalent) ------------
+@register(
+    "tumbling_daily_value",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_daily_value(spark, sf_dir):
+    # F.window('ts','1 day') in batch — the same operator the streaming
+    # path uses with a watermark (streaming/incremental.py).
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 18, 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# --- sessionization (session_window batch; §2.9) ------------------------------
+@register(
+    "session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), grouped AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM grouped GROUP BY user_id, session_id
+    """,
+)
+def session_windows(spark, sf_dir):
+    # Spark's native session_window merges events with < gap spacing —
+    # identical islands to the lag/cumsum formulation the oracle uses.
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# --- date-grain enrichment join (J5: telemetry × daily weather) --------------
+@register(
+    "daily_enrichment_join",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS day_avg
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, d.day, d.day_avg
+    FROM events e JOIN daily d ON CAST(date_trunc('day', e.ts) AS DATE) = d.day
+    WHERE e.event_type = 'click'
+    """,
+)
+def daily_enrichment_join(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            (F.sum(dec("value", 18, 6)).cast("double") / F.count(F.lit(1))).alias(
+                "day_avg"
+            )
+        )
+    )
+    return (
+        e.where(F.col("event_type") == "click")
+        .withColumn("day", F.to_date("ts"))
+        .join(F.broadcast(daily), "day")
+        .select("event_id", "day", "day_avg")
+    )
+
+
+# --- as-of join (nearest prior observation; J5 as-of variant) ----------------
+@register(
+    "asof_join_latest_purchase",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_event
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           p.p_event AS last_purchase_event
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.p_ts <= c.ts
+    """,
+)
+def asof_join_latest_purchase(spark, sf_dir):
+    """As-of join: for each click, the user's latest purchase at-or-before.
+
+    Spark has no native as-of join; the scalable composition is
+    union-tag → single window pass (last non-null over time order) —
+    ONE shuffle on the entity key, no range explosion, no per-group
+    pandas. (The DuckDB oracle uses its native ASOF JOIN.)
+
+    Tie semantics: a purchase at exactly click-ts counts (<=); among
+    equal-ts purchases the max event_id wins, mirroring ASOF's
+    greatest-match rule deterministically.
+    """
+    e = t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.col("event_id").alias("p_event"),
+        F.lit(None).cast("long").alias("c_event"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.lit(None).cast("long").alias("p_event"),
+        F.col("event_id").alias("c_event"),
+    )
+    # purchases sort before clicks at equal ts (side=0 < 1) so an
+    # equal-ts purchase is visible to the click, matching ASOF <=.
+    unioned = purchases.withColumn("side", F.lit(0)).unionByName(
+        clicks.withColumn("side", F.lit(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ev_ts", "side", "p_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("last_purchase_event", F.last("p_event", True).over(w))
+        .where(F.col("side") == 1)
+        .select(
+            F.col("c_event").alias("event_id"), "user_id", "last_purchase_event"
+        )
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Mirrors the reference's session management (``script.py:105`` — a single
+engine + scoped connections) as a single configured SparkSession.
+
+Scale notes (100 TB design):
+- AQE on: runtime join-strategy choice, partition coalescing, skew-join
+  splitting replace any hand-scheduling.
+- ``spark.sql.session.timeZone=UTC`` pins the reference's naive-UTC
+  timestamp semantics (``script.py:26-29``) and makes results comparable
+  with the DuckDB oracle.
+- shuffle partitions default to the local core count; on a real cluster
+  this is overridden to ~2-3x total cores (or left to AQE coalescing
+  with a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "celestrak_tle_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism so bench runs match
+    the driver's environment.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

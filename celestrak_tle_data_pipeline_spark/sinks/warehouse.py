@@ -1,0 +1,173 @@
+"""Parquet-backed star-schema warehouse with check-then-write appends.
+
+Re-expresses the reference's PostgreSQL load path (SURVEY.md §2.1
+S6-S10, §2.6 D2): create-if-not-exists, key probes with projection/
+predicate pushdown, anti-join dedup, append-only writes. Storage is
+partitioned parquet; with Delta/Iceberg jars present the same API would
+ride MERGE INTO instead (noted, not required here).
+
+Scale design:
+- ``fact_telemetry`` is partitioned by ``epoch_date`` so the 3-day
+  dedup probe (reference ``script.py:159``) is partition-pruned — at
+  100 TB the probe reads 3 partitions, not the table.
+- Key probes select only key columns → parquet column pruning.
+- Appends write whole files atomically per task; the empty-batch guard
+  (reference ``script.py:132-134`` etc.) avoids empty-file litter.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import anti_join_new, distinct_on_key
+
+
+class QualityGateError(RuntimeError):
+    """Batch failed the min-row quality gate (README.md:40 — declared
+    in the reference README, absent from its code; implemented here as
+    declared capability, SURVEY.md §0)."""
+
+
+class ParquetWarehouse:
+    """Tiny table manager over a directory of parquet tables.
+
+    ``ensure`` registers the table's schema + partition spec (CREATE
+    TABLE IF NOT EXISTS, reference script.py:77-83); ``read`` of a
+    not-yet-written table returns a typed empty DataFrame so the first
+    run's key probes behave like probes of an empty warehouse."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._specs: dict[str, tuple] = {}
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return False
+        for _dir, _sub, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def read(self, table: str) -> DataFrame:
+        if not self.exists(table):
+            spec = self._specs.get(table)
+            if spec is None:
+                raise FileNotFoundError(f"unknown table {table}; call ensure() first")
+            return self.spark.createDataFrame([], spec[0])
+        return self.spark.read.parquet(self.path(table))
+
+    def ensure(self, table: str, schema, partition_by: tuple[str, ...] = ()) -> None:
+        self._specs[table] = (schema, partition_by)
+        os.makedirs(self.path(table), exist_ok=True)
+
+    def append(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+        min_rows: int = 0,
+    ) -> int:
+        """Append with empty-batch guard + min-row quality gate.
+
+        Returns rows written. The count doubles as the guard action —
+        one job, reused for the write decision (the reference's
+        ``if not df.empty`` pattern, script.py:91/146/169).
+        """
+        n = df.count()
+        if n == 0:
+            return 0
+        if n < min_rows:
+            raise QualityGateError(
+                f"batch for {table} has {n} rows < min_rows={min_rows}"
+            )
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+        return n
+
+
+def append_new_satellites(wh: ParquetWarehouse, parsed: DataFrame) -> int:
+    """J1 + D1 + S8: new dim rows only (reference script.py:140-148)."""
+    from ..functions.tle import launch_year
+    from ..schemas import DIM_SATELLITES
+
+    wh.ensure("dim_satellites", DIM_SATELLITES)
+    existing = wh.read("dim_satellites").select("norad_id")  # projection pushdown (S3)
+    dims = distinct_on_key(
+        parsed.select("norad_id", "sat_name", "intl_designator", "epoch_utc"),
+        ["norad_id"],
+        order_by=[F.col("epoch_utc").asc()],
+    ).select(
+        "norad_id",
+        "sat_name",
+        "intl_designator",
+        launch_year(F.col("intl_designator")).alias("launch_year"),
+    )
+    new = anti_join_new(dims, existing, ["norad_id"])
+    return wh.append("dim_satellites", new)
+
+
+def append_new_telemetry(
+    wh: ParquetWarehouse, parsed: DataFrame, lookback_days: int = 3
+) -> int:
+    """P5 + J3 + S9: bounded-window idempotent fact append
+    (reference script.py:151-172, dedup window semantics D2 preserved:
+    epochs older than the lookback CAN duplicate — documented trade-off).
+    """
+    from pyspark.sql import types as T
+
+    from ..schemas import FACT_TELEMETRY, FACT_TELEMETRY_PARTITION_COL
+
+    fact_cols = [f.name for f in FACT_TELEMETRY.fields]
+    # NB: StructType.add mutates in place — build a fresh StructType.
+    stored_schema = T.StructType(
+        list(FACT_TELEMETRY.fields)
+        + [T.StructField(FACT_TELEMETRY_PARTITION_COL, T.DateType(), True)]
+    )
+    wh.ensure(
+        "fact_telemetry", stored_schema, partition_by=(FACT_TELEMETRY_PARTITION_COL,)
+    )
+    batch = parsed.select(*fact_cols).withColumn(
+        FACT_TELEMETRY_PARTITION_COL, F.to_date("epoch_utc")
+    )
+    # 3-day probe (S5/P5): the exact reference predicate
+    # (epoch_utc > NOW() - INTERVAL '3 days', script.py:159) PLUS a
+    # redundant predicate on the partition column so the scan is
+    # partition-pruned — the timestamp filter alone can't prune.
+    recent = (
+        wh.read("fact_telemetry")
+        .where(
+            F.col(FACT_TELEMETRY_PARTITION_COL)
+            >= F.date_sub(F.current_date(), lookback_days)
+        )
+        .where(
+            F.col("epoch_utc")
+            > F.current_timestamp() - F.expr(f"INTERVAL {lookback_days} DAYS")
+        )
+        .select("norad_id", "epoch_utc")
+    )
+    new = anti_join_new(batch, recent, ["norad_id", "epoch_utc"])
+    return wh.append(
+        "fact_telemetry", new, partition_by=(FACT_TELEMETRY_PARTITION_COL,)
+    )
+
+
+def append_new_weather(wh: ParquetWarehouse, weather: DataFrame) -> int:
+    """J2 + S7: only-new daily flux rows (reference script.py:77-95)."""
+    from ..schemas import FACT_SPACE_WEATHER
+
+    wh.ensure("fact_space_weather", FACT_SPACE_WEATHER)
+    existing = wh.read("fact_space_weather").select("date_utc")
+    new = anti_join_new(
+        distinct_on_key(weather, ["date_utc"]), existing, ["date_utc"]
+    )
+    return wh.append("fact_space_weather", new)

@@ -1,0 +1,118 @@
+"""Idempotency / check-then-write tests (SURVEY.md §5.3, FIXTURES.md §B3).
+
+Run ingest twice over the same payload → table state identical (the
+property the reference README claims, README.md:36-37); epochs older
+than the 3-day window may duplicate (documented D2 semantics).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from celestrak_tle_data_pipeline_spark.pipeline import (
+    ingest_tle_payloads,
+    ingest_weather_payload,
+)
+from celestrak_tle_data_pipeline_spark.sinks.warehouse import (
+    ParquetWarehouse,
+    QualityGateError,
+)
+
+NOW = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+
+
+def _tle_payload(now: dt.datetime) -> str:
+    """Two satellites with epochs ~now (inside the 3-day dedup window)."""
+    doy = (now - dt.datetime(now.year, 1, 1)).days + 1
+    epoch = f"{now.year % 100:02d}{doy:03d}.25000000"
+    return (
+        "SAT-A\n"
+        f"1 10001U 20001A   {epoch}  .00001234  00000+0  13717-3 0  9995\n"
+        "2 10001  53.0537 205.1100 0001450  90.1234 270.0123 15.06402843350061\n"
+        "SAT-B\n"
+        f"1 10002U 21002B   {epoch}  .00000000  00000+0  00000+0 0  9990\n"
+        "2 10002  34.2500 123.4567 0123456  10.0000  20.0000 10.82440000 12345\n"
+    )
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return ParquetWarehouse(spark, str(tmp_path / "wh"))
+
+
+def test_ingest_twice_is_idempotent(spark, wh):
+    payloads = spark.createDataFrame([(_tle_payload(NOW),)], "payload string")
+    s1 = ingest_tle_payloads(wh, payloads, fetched_at=NOW)
+    assert s1["parsed"] == 2
+    assert s1["new_satellites"] == 2
+    assert s1["new_telemetry"] == 2
+
+    s2 = ingest_tle_payloads(wh, payloads, fetched_at=NOW)
+    assert s2["new_satellites"] == 0
+    assert s2["new_telemetry"] == 0
+    assert wh.read("dim_satellites").count() == 2
+    assert wh.read("fact_telemetry").count() == 2
+
+
+def test_old_epochs_can_duplicate(spark, wh):
+    # >3-day-old epochs bypass the bounded dedup window (script.py:159;
+    # deliberate reference trade-off we preserve).
+    old = NOW - dt.timedelta(days=30)
+    payloads = spark.createDataFrame([(_tle_payload(old),)], "payload string")
+    ingest_tle_payloads(wh, payloads, fetched_at=NOW)
+    s2 = ingest_tle_payloads(wh, payloads, fetched_at=NOW)
+    assert s2["new_satellites"] == 0  # dim dedup is unbounded
+    assert s2["new_telemetry"] == 2  # fact dedup is 3-day-bounded
+    assert wh.read("fact_telemetry").count() == 4
+
+
+def test_dim_launch_year_derived(spark, wh):
+    payloads = spark.createDataFrame([(_tle_payload(NOW),)], "payload string")
+    ingest_tle_payloads(wh, payloads, fetched_at=NOW)
+    years = {
+        r["norad_id"]: r["launch_year"]
+        for r in wh.read("dim_satellites").collect()
+    }
+    assert years == {10001: 2020, 10002: 2021}
+
+
+def test_min_row_quality_gate(spark, wh):
+    payloads = spark.createDataFrame([(_tle_payload(NOW),)], "payload string")
+    stats = ingest_tle_payloads(wh, payloads, fetched_at=NOW, min_rows=10)
+    # gate trips before any write (README.md:40 declared behavior)
+    assert stats["new_satellites"] == 0 and stats["new_telemetry"] == 0
+    assert not wh.exists("dim_satellites")
+
+
+def test_weather_ingest_idempotent(spark, wh):
+    payload = (
+        '[["time_tag","flux"],'
+        '["2026-08-10 00:00:00","135.4"],'
+        '["2026-08-11 00:00:00","128.0"],'
+        '["2026-08-12 00:00:00","131.7"]]'
+    )
+    payloads = spark.createDataFrame([(payload,)], "payload string")
+    s1 = ingest_weather_payload(wh, payloads)
+    assert s1["new_weather"] == 3
+    s2 = ingest_weather_payload(wh, payloads)
+    assert s2["new_weather"] == 0
+    rows = {
+        r["date_utc"]: r["f10_7_flux"]
+        for r in wh.read("fact_space_weather").collect()
+    }
+    assert rows[dt.date(2026, 8, 10)] == pytest.approx(135.4)
+    assert len(rows) == 3
+
+
+def test_fact_partitioned_by_epoch_date(spark, wh, tmp_path):
+    payloads = spark.createDataFrame([(_tle_payload(NOW),)], "payload string")
+    ingest_tle_payloads(wh, payloads, fetched_at=NOW)
+    import os
+
+    parts = [
+        d for d in os.listdir(wh.path("fact_telemetry")) if d.startswith("epoch_date=")
+    ]
+    assert parts  # daily partition dirs exist → 3-day probe is pruned
