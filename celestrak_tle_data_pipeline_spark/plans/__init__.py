@@ -28,9 +28,6 @@ _ORACLES: dict[str, str] = {}
 _MODULES = (
     "relational",
     "windows",
-    "tle_domain",
-    "ext_text",
-    "ext_vectors",
 )
 
 

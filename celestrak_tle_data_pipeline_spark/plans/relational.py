@@ -264,9 +264,9 @@ def set_ops_nations(spark, sf_dir):
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n"))
     both = c.intersect(s).select(F.lit("both").alias("side"), "n")
-    only = c.exceptAll(s).distinct().select(
-        F.lit("customer_only").alias("side"), "n"
-    )
+    # set EXCEPT (distinct difference) — exceptAll is bag difference and
+    # wrongly keeps any key with more customers than suppliers.
+    only = c.subtract(s).select(F.lit("customer_only").alias("side"), "n")
     return both.unionAll(only)
 
 
