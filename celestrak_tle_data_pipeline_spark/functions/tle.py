@@ -126,6 +126,7 @@ def parse_tle_triples(
     l2_col: str = "line2",
     fetched_at=None,
     bstar_mode: str = "compat",
+    passthrough: tuple[str, ...] = (),
 ):
     """Parse assembled TLE triples into the typed telemetry schema.
 
@@ -177,6 +178,7 @@ def parse_tle_triples(
     fetched = F.lit(fetched_at).cast("timestamp") if fetched_at is not None else F.lit(None).cast("timestamp")
 
     out = df.select(
+        *[F.col(c) for c in passthrough],
         F.when(required_ok, norad).alias("norad_id"),
         F.trim(F.col(name_col)).alias("sat_name"),
         F.trim(F.substring(l1, 10, 8)).alias("intl_designator"),

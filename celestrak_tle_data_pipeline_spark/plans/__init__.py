@@ -28,6 +28,7 @@ _ORACLES: dict[str, str] = {}
 _MODULES = (
     "relational",
     "windows",
+    "tle_domain",
 )
 
 

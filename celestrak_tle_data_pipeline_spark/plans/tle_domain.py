@@ -1,0 +1,327 @@
+"""TLE-domain queries: the reference's parse bundle under the oracle gate.
+
+The reference's core competence is fixed-width TLE parsing
+(``script.py:22-59``) with the B* sci-notation decode
+(``script.py:11-20``), the 57-pivot two-digit year (``script.py:28``)
+and fractional day-of-year epoch arithmetic (``script.py:29``). The
+golden pytest fixtures cover those functions directly; these queries put
+them under the driver's DuckDB gate too.
+
+Strategy: synthesize deterministic fixed-width TLE lines from
+``orders.o_orderkey`` (pure column expressions — ``format_string`` over
+modular arithmetic), run the real parse bundle
+(``functions/tle.py:parse_tle_triples``), and have the DuckDB oracle
+compute the expected *outputs* arithmetically from the same key — no
+string parsing on the oracle side, so the two engines take fully
+independent paths to the same values.
+
+Numeric design for bit-exact cross-engine equality:
+- every synthesized numeric is a single division of an integer by a
+  power of ten (both engines produce the nearest double of the same
+  decimal), or an exact dyadic fraction (``k%128/128`` — 7 decimal
+  digits, exactly representable, so format→parse is lossless);
+- epoch micros stay integers: ``(k%364)*86_400_000_000 +
+  (k%128)*675_000_000`` (86.4e9/128 = 675e6 exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.tle import launch_year, parse_tle_triples, valid_record
+from ..operators.assembly import assemble_from_payloads
+from . import register
+from .common import t
+
+_FETCHED_AT = "2026-01-01 00:00:00"
+
+
+def _synth_fields(k):
+    """Deterministic TLE field values from an integer key (shared spec —
+    the oracle SQL mirrors these exact formulas)."""
+    return {
+        "norad": k % 100000,
+        "yy": (k * 7) % 100,
+        "day_i": F.lit(1) + (k % 364),
+        "day_frac_num": k % 128,  # /128 — dyadic, 7 decimal digits
+        "intl_num": k % 777,
+        "incl": (k % 1800) / F.lit(10.0),
+        "raan": (k % 3600) / F.lit(10.0),
+        "ecc7": (k * 13) % 10000000,
+        "argp": ((k * 3) % 3600) / F.lit(10.0),
+        "ma": ((k * 7) % 3600) / F.lit(10.0),
+        "mm": (F.lit(10000000) + (k * 3) % 9000000) / F.lit(1000000.0),
+        "rev": (k * 11) % 100000,
+    }
+
+
+def _bstar_variant(k):
+    """8-char B* field cycling through the decode's behavior classes
+    (sci +/-, the reference's negative-mantissa NULL quirk, plain
+    float, blank)."""
+    return (
+        F.when(k % 5 == 0, F.lit(" 12345-4"))
+        .when(k % 5 == 1, F.lit(" 12345+4"))
+        .when(k % 5 == 2, F.lit("-11606-4"))
+        .when(k % 5 == 3, F.lit(" 0.00123"))
+        .otherwise(F.lit("        "))
+    )
+
+
+def _synth_lines(df, corrupt=False):
+    """Key column ``k`` → (sat_name_raw, line1, line2) at the reference's
+    exact field offsets (``script.py:24-40``)."""
+    k = F.col("k")
+    f = _synth_fields(k)
+    norad_str = F.format_string("%05d", f["norad"])
+    if corrupt:
+        # an unparsable norad field nulls the whole record downstream
+        norad_str = F.when(k % 97 == 0, F.lit("XXXXX")).otherwise(norad_str)
+    day_str = F.format_string(
+        "%012.7f", f["day_i"].cast("double") + f["day_frac_num"] / F.lit(128.0)
+    )
+    intl_str = F.format_string("%02d%03dA  ", f["yy"] % 100, f["intl_num"])
+    line1 = F.format_string(
+        "1 %sU %s %02d%s  .00000000  00000-0 %s 0  9990",
+        norad_str,
+        intl_str,
+        f["yy"],
+        day_str,
+        _bstar_variant(k),
+    )
+    line2 = F.format_string(
+        "2 %s %s %s %07d %s %s %s%05d",
+        norad_str,
+        F.format_string("%08.4f", f["incl"]),
+        F.format_string("%08.4f", f["raan"]),
+        f["ecc7"],
+        F.format_string("%08.4f", f["argp"]),
+        F.format_string("%08.4f", f["ma"]),
+        F.format_string("%011.7f", f["mm"]),
+        f["rev"],
+    )
+    return df.select(
+        k.alias("k"),
+        F.format_string("SAT-%d", k).alias("sat_name_raw"),
+        line1.alias("line1"),
+        line2.alias("line2"),
+    )
+
+
+def _keys(spark, sf_dir, n=2000):
+    return (
+        t(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .orderBy("k")
+        .limit(n)
+    )
+
+
+# Oracle-side mirror of _synth_fields / the parse outputs. The year
+# pivot (script.py:28), epoch arithmetic (script.py:29) and B* decode
+# (script.py:11-20) are recomputed arithmetically — independent of the
+# Spark string round-trip.
+_ORACLE_PARSE = """
+WITH keys AS (
+    SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 2000
+),
+fields AS (
+    SELECT k,
+           k % 100000 AS norad,
+           (k * 7) % 100 AS yy,
+           1 + (k % 364) AS day_i,
+           k % 128 AS day_frac_num,
+           k % 777 AS intl_num
+    FROM keys
+)
+SELECT CAST(norad AS BIGINT) AS norad_id,
+       'SAT-' || CAST(k AS VARCHAR) AS sat_name,
+       lpad(CAST(yy AS VARCHAR), 2, '0')
+         || lpad(CAST(intl_num AS VARCHAR), 3, '0') || 'A' AS intl_designator,
+       make_timestamp(
+           epoch_us(CAST(make_date(
+               CASE WHEN yy < 57 THEN 2000 + yy ELSE 1900 + yy END, 1, 1
+           ) AS TIMESTAMP))
+           + (day_i - 1) * 86400000000 + day_frac_num * 675000000
+       ) AS epoch_utc,
+       TIMESTAMP '2026-01-01 00:00:00' AS fetched_at_utc,
+       (k % 1800) / 10.0 AS inclination,
+       (k % 3600) / 10.0 AS raan,
+       ((k * 13) % 10000000) / 10000000.0 AS eccentricity,
+       ((k * 3) % 3600) / 10.0 AS arg_perigee,
+       ((k * 7) % 3600) / 10.0 AS mean_anomaly,
+       (10000000 + (k * 3) % 9000000) / 1000000.0 AS mean_motion,
+       CASE k % 5
+           WHEN 0 THEN 0.12345 * power(10.0, -4)
+           WHEN 1 THEN 0.12345 * power(10.0, 4)
+           WHEN 3 THEN 0.00123
+           ELSE NULL
+       END AS b_star_drag,
+       CAST((k * 11) % 100000 AS BIGINT) AS rev_number,
+       CAST(CASE WHEN yy < 57 THEN 2000 + yy ELSE 1900 + yy END AS INT)
+           AS launch_year
+FROM fields
+WHERE k % 97 <> 0
+"""
+
+
+@register("tle_parse_telemetry", oracle=_ORACLE_PARSE)
+def tle_parse_telemetry(spark, sf_dir):
+    """F1-F9 + P4 end-to-end: synthesized fixed-width lines → the full
+    Catalyst parse bundle → typed telemetry rows; records with a
+    corrupted norad field null out and are dropped (script.py:57-59,
+    129-130). Plus the README-declared derived ``launch_year``
+    (SURVEY.md §0). Scale note: pure whole-stage-codegen expressions on
+    a scan — no shuffle, no UDF; the same plan shape parses a 100 TB
+    landing zone."""
+    triples = _synth_lines(_keys(spark, sf_dir), corrupt=True)
+    parsed = parse_tle_triples(triples, fetched_at=_FETCHED_AT)
+    return parsed.where(valid_record()).withColumn(
+        "launch_year", launch_year(F.col("intl_designator"))
+    )
+
+
+_ORACLE_BSTAR = """
+WITH keys AS (
+    SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 2000
+)
+SELECT k,
+       CASE k % 7
+           WHEN 0 THEN '12345-4' WHEN 1 THEN '12345+4'
+           WHEN 2 THEN '-11606-4' WHEN 3 THEN '+23456-4'
+           WHEN 4 THEN '0.00123' WHEN 5 THEN '' ELSE '12345'
+       END AS bstar_raw,
+       CASE k % 7
+           WHEN 0 THEN 0.12345 * power(10.0, -4)
+           WHEN 1 THEN 0.12345 * power(10.0, 4)
+           WHEN 4 THEN 0.00123
+           WHEN 6 THEN 12345.0
+           ELSE NULL
+       END AS bstar_compat,
+       CASE k % 7
+           WHEN 0 THEN 0.12345 * power(10.0, -4)
+           WHEN 1 THEN 0.12345 * power(10.0, 4)
+           WHEN 2 THEN -0.11606 * power(10.0, -4)
+           WHEN 3 THEN 0.23456 * power(10.0, -4)
+           WHEN 4 THEN 0.00123
+           WHEN 6 THEN 12345.0
+           ELSE NULL
+       END AS bstar_corrected
+FROM keys
+"""
+
+
+@register("tle_bstar_decode", oracle=_ORACLE_BSTAR)
+def tle_bstar_decode(spark, sf_dir):
+    """F6 both variants side-by-side: the reference-faithful decode
+    (negative/signed mantissa → NULL, script.py:11-20 quirk verified by
+    execution) vs the sign-aware corrected decode."""
+    from ..functions.tle import bstar_compat, bstar_corrected
+
+    k = F.col("k")
+    raw = (
+        F.when(k % 7 == 0, F.lit(" 12345-4"))
+        .when(k % 7 == 1, F.lit(" 12345+4"))
+        .when(k % 7 == 2, F.lit("-11606-4"))
+        .when(k % 7 == 3, F.lit("+23456-4"))
+        .when(k % 7 == 4, F.lit(" 0.00123"))
+        .when(k % 7 == 5, F.lit("        "))
+        .otherwise(F.lit("   12345"))
+    )
+    return _keys(spark, sf_dir).select(
+        k,
+        F.trim(raw).alias("bstar_raw"),
+        bstar_compat(raw).alias("bstar_compat"),
+        bstar_corrected(raw).alias("bstar_corrected"),
+    )
+
+
+_ORACLE_EPOCH = """
+WITH yys AS (
+    SELECT DISTINCT o_orderkey % 100 AS yy FROM orders
+)
+SELECT yy,
+       CAST(CASE WHEN yy < 57 THEN 2000 + yy ELSE 1900 + yy END AS INT)
+           AS year,
+       make_timestamp(
+           epoch_us(CAST(make_date(
+               CASE WHEN yy < 57 THEN 2000 + yy ELSE 1900 + yy END, 1, 1
+           ) AS TIMESTAMP)) + 31 * 86400000000 + 43200000000
+       ) AS epoch_utc
+FROM yys
+"""
+
+
+@register("tle_epoch_pivot_sweep", oracle=_ORACLE_EPOCH)
+def tle_epoch_pivot_sweep(spark, sf_dir):
+    """F7+F8 isolated: the 57-pivot across every two-digit year that
+    occurs in the data (both sides of the 1957 boundary) with a
+    half-day fractional epoch (day 32.5 → Feb 1 12:00, µs-exact)."""
+    from ..functions.tle import epoch_timestamp, year_pivot
+
+    yy = F.col("yy")
+    yys = (
+        t(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 100).alias("yy"))
+        .distinct()
+    )
+    year = year_pivot(yy)
+    return yys.select(
+        yy,
+        year.cast("int").alias("year"),
+        epoch_timestamp(year, F.lit(32.5)).alias("epoch_utc"),
+    )
+
+
+_ORACLE_ASSEMBLY = """
+WITH keys AS (
+    SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 2000
+)
+SELECT k // 50 AS payload_id,
+       COUNT(*) AS n_triples,
+       MIN(k % 100000) AS min_norad,
+       MAX(k % 100000) AS max_norad
+FROM keys
+GROUP BY k // 50
+"""
+
+
+@register("tle_assembly_stride3", oracle=_ORACLE_ASSEMBLY)
+def tle_assembly_stride3(spark, sf_dir):
+    """R1 end-to-end: pack synthesized records into multi-line payloads
+    (50 triples each, plus a trailing incomplete line that must be
+    dropped — script.py:124), run the zero-shuffle stride-3 assembly,
+    parse, and profile per payload. The assembly itself never shuffles:
+    lines are split and regrouped inside one row via higher-order array
+    functions (operators/assembly.py)."""
+    lines = _synth_lines(_keys(spark, sf_dir))
+    packed = (
+        lines.withColumn("payload_id", F.expr("k div 50"))
+        .groupBy("payload_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("k", "sat_name_raw", "line1", "line2")
+                        )
+                    ),
+                    lambda s: F.concat_ws(
+                        "\n", s.sat_name_raw, s.line1, s.line2
+                    ),
+                ),
+            ).alias("payload")
+        )
+        # trailing incomplete triple: one stray name line at the end
+        .withColumn("payload", F.concat(F.col("payload"), F.lit("\nSAT-STRAY")))
+    )
+    triples = assemble_from_payloads(packed)
+    parsed = parse_tle_triples(
+        triples, fetched_at=_FETCHED_AT, passthrough=("payload_id",)
+    )
+    return parsed.groupBy(F.col("payload_id")).agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.min("norad_id").alias("min_norad"),
+        F.max("norad_id").alias("max_norad"),
+    )

@@ -33,7 +33,7 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.10g}"
+        return f"{v:.17g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
