@@ -29,6 +29,7 @@ _MODULES = (
     "relational",
     "windows",
     "tle_domain",
+    "ext_text",
 )
 
 

@@ -1,0 +1,558 @@
+"""[EXT] Text dedup + analysis over the ``documents`` table (SURVEY.md
+§2.11 X1/X3) — the LLM-training-data operator set.
+
+No reference counterpart (the reference is a TLE ETL script); mandated
+by BASELINE.json's north star. Everything here is built scale-first:
+
+- all per-doc features are whole-stage-codegen column expressions /
+  higher-order functions over one scan — no Python UDFs, no shuffle;
+- dedup never compares payloads: exact dedup shuffles 16-byte md5
+  digests; near-dup goes through bounded buckets (per-source pairs,
+  simhash LSH bands) or MinHashLSH — never unbounded all-pairs;
+- the one hash both engines share bit-for-bit is md5, so fingerprints
+  (simhash / rolling hash) derive 60-bit integers from the first 15
+  md5 hex chars — deterministic and oracle-checkable in DuckDB.
+
+Tokenization contract: ``split(text, ' ')`` — the synthetic documents
+are single-space separated; both engines split identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import register
+from .common import t
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+def _docs(spark, sf_dir):
+    return t(spark, sf_dir, "documents")
+
+
+def _tokens(col="text"):
+    return F.split(F.col(col), " ")
+
+
+def _tok_hash(col):
+    """Shared-with-DuckDB 60-bit token hash: first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# --------------------------------------------------------------------------
+# X3: per-document profile
+# --------------------------------------------------------------------------
+@register(
+    "text_profile",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, n_chars, length(text) AS text_len,
+               string_split(text, ' ') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(text_len AS BIGINT) AS text_len,
+           CAST(list_sum(list_transform(toks, s -> length(s))) AS BIGINT)
+               AS total_token_chars,
+           list_sum(list_transform(toks, s -> length(s)))::DOUBLE / len(toks)
+               AS avg_token_len,
+           text_len = n_chars AS chars_match
+    FROM d
+    """,
+)
+def text_profile(spark, sf_dir):
+    """Per-doc token counting + length stats (X3): token count, distinct
+    tokens (vocab richness), char totals via a higher-order sum — one
+    projection over the scan, no shuffle at any scale."""
+    toks = _tokens()
+    total = F.aggregate(
+        F.transform(toks, lambda s: F.length(s)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.length("text").cast("bigint").alias("text_len"),
+        total.cast("bigint").alias("total_token_chars"),
+        (total.cast("double") / F.size(toks)).alias("avg_token_len"),
+        (F.length("text") == F.col("n_chars")).alias("chars_match"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X3: corpus profile by language label
+# --------------------------------------------------------------------------
+@register(
+    "text_language_profile",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           SUM(length(text))::DOUBLE / COUNT(*) AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(MIN(len(string_split(text,' '))) AS BIGINT) AS min_tokens,
+           CAST(MAX(len(string_split(text,' '))) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_language_profile(spark, sf_dir):
+    """Corpus rollup by language label (X3). Partial aggregation
+    map-side; the shuffle carries 5 grouping keys, not documents."""
+    toks = _tokens()
+    return _docs(spark, sf_dir).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+        F.countDistinct("source").alias("n_sources"),
+        F.min(F.size(toks)).cast("bigint").alias("min_tokens"),
+        F.max(F.size(toks)).cast("bigint").alias("max_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X3: quality scoring
+# --------------------------------------------------------------------------
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_filter(toks, s -> s IN ({_STOP_SQL}))) AS n_stop,
+               len(list_distinct(toks)) AS n_distinct
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           n_stop::DOUBLE / n_tokens AS stop_ratio,
+           n_distinct::DOUBLE / n_tokens AS type_token_ratio,
+           0.4 * least(1.0, n_tokens / 50.0)
+             + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens)
+             + 0.3 * (n_distinct::DOUBLE / n_tokens) AS quality,
+           (0.4 * least(1.0, n_tokens / 50.0)
+             + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens)
+             + 0.3 * (n_distinct::DOUBLE / n_tokens)) >= 0.7 AS is_quality
+    FROM s
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic quality scoring (X3): length score, stopword ratio,
+    type/token ratio → weighted composite + keep/drop flag. The exact
+    filter an LLM-data pipeline runs before training; expression-only."""
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda s: s.isin(*_STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    ttr = n_distinct.cast("double") / n_tokens
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * ttr
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        ttr.alias("type_token_ratio"),
+        quality.alias("quality"),
+        (quality >= 0.7).alias("is_quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X3: language-ID heuristic (character n-gram rate) + confusion matrix
+# --------------------------------------------------------------------------
+@register(
+    "lang_id_ngram",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               ((length(text) - length(replace(text, 'th', ''))) / 2
+                + (length(text) - length(replace(text, 'er', ''))) / 2
+                + (length(text) - length(replace(text, 'an', ''))) / 2)
+               / length(text) AS en_rate
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN en_rate > 0.03 THEN 'en' ELSE 'other' END AS pred_lang,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN en_rate > 0.03 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pred_en
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def lang_id_ngram(spark, sf_dir):
+    """Language-ID by character-bigram rate (X3): occurrence rate of
+    English-typical bigrams ('th','er','an') per char → threshold
+    classifier → confusion matrix against the lang label. The n-gram
+    counting trick (length delta / gram width) is pure string
+    expressions — no tokenizer, no UDF."""
+
+    def hits(g):
+        return (
+            F.length("text") - F.length(F.regexp_replace("text", g, ""))
+        ) / F.lit(2)
+
+    rate = (hits("th") + hits("er") + hits("an")) / F.length("text")
+    pred = F.when(rate > 0.03, F.lit("en")).otherwise(F.lit("other"))
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("pred_lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pred_en"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X1: exact dedup — digest groups over a corpus with synthesized dups
+# --------------------------------------------------------------------------
+# The driver corpus has no natural duplicates, so the dedup queries
+# build a deterministic superset: every doc_id % 5 == 0 gets an exact
+# copy (+100000), every doc_id % 7 == 0 a near-copy with a suffix
+# (+200000) that exact dedup must NOT collapse.
+_CORPUS_SQL = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 200000, text || ' extra' FROM documents
+        WHERE doc_id % 7 = 0
+"""
+
+
+def _corpus(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    return d.unionAll(dup).unionAll(near)
+
+
+def _digest(col="text"):
+    """Normalize (lowercase, collapse whitespace, trim) then md5 — the
+    16-byte value that gets shuffled instead of document payloads."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+    return F.md5(norm)
+
+
+_NORM_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+@register(
+    "exact_dup_groups",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    g AS (
+        SELECT {_NORM_SQL} AS digest,
+               COUNT(*) AS group_size,
+               MIN(doc_id) AS min_doc_id,
+               MAX(doc_id) AS max_doc_id
+        FROM corpus GROUP BY 1
+    )
+    SELECT digest, group_size, min_doc_id, max_doc_id
+    FROM g WHERE group_size > 1
+    """,
+)
+def exact_dup_groups(spark, sf_dir):
+    """Exact dedup tier (X1): md5-of-normalized-text groups with >1
+    member. Scale: the groupBy shuffles 16-byte digests + ids only —
+    payload bytes never cross the wire; identical plan at 100 TB."""
+    return (
+        _corpus(spark, sf_dir)
+        .select(_digest().alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT doc_id, {_NORM_SQL} AS digest,
+           COUNT(*) OVER (PARTITION BY {_NORM_SQL}) AS group_size
+    FROM corpus
+    QUALIFY row_number() OVER (PARTITION BY {_NORM_SQL} ORDER BY doc_id) = 1
+    """,
+)
+def dedup_survivors(spark, sf_dir):
+    """Deterministic survivor selection (X1 + D1 semantics): lowest
+    doc_id wins per digest via an explicit row_number ordering — never
+    dropDuplicates' arbitrary-row choice (SURVEY.md §7 hard part d)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("digest")
+    return (
+        _corpus(spark, sf_dir)
+        .select("doc_id", _digest().alias("digest"))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "rn",
+            F.row_number().over(w.orderBy("doc_id")),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# X1: near-dup by token-set Jaccard within bounded buckets
+# --------------------------------------------------------------------------
+@register(
+    "token_jaccard_pairs",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           len(list_intersect(a.toks, b.toks))::DOUBLE
+             / (len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks))) AS jaccard
+    FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+            / (len(a.toks) + len(b.toks)
+               - len(list_intersect(a.toks, b.toks))) >= 0.9
+    """,
+)
+def token_jaccard_pairs(spark, sf_dir):
+    """Near-dup candidate pairs by exact token-set Jaccard ≥ 0.9,
+    bucketed by source (X1). Scale note: the quadratic blowup is
+    bounded per bucket; for unbucketed corpora use minhash_near_dup
+    below (banded LSH) — this exact variant is the verifier the LSH
+    recall is measured against."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.array_distinct(_tokens()).alias("toks")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.9)
+    )
+
+
+# --------------------------------------------------------------------------
+# X1: SimHash fingerprint + banded LSH near-dup pairs
+# --------------------------------------------------------------------------
+_SIMHASH_SQL = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), h AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM tok
+    ), votes AS (
+        SELECT doc_id, i,
+               SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h, (SELECT unnest(generate_series(0, 59)) AS i) bits
+        GROUP BY doc_id, i
+    ), fp AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=_SIMHASH_SQL
+    + """
+    SELECT doc_id, CAST(simhash AS BIGINT) AS simhash
+    FROM fp
+    """,
+)
+def simhash_fingerprints(spark, sf_dir):
+    """60-bit SimHash per document (X1): per-token 60-bit md5-derived
+    hash, per-bit majority vote over the token multiset. Entirely
+    explode + groupBy integer arithmetic — deterministic, engine-
+    independent, and linear in corpus size (60 vote rows per token)."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_tokens()).alias("tok"))
+        .select("doc_id", _tok_hash("tok").alias("h"))
+    )
+    votes = (
+        toks.select(
+            "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("i")
+        )
+        .groupBy("doc_id", "i")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> i) & 1") == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias("v")
+        )
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("shiftleft(1L, i)")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("simhash")
+        )
+    )
+
+
+@register(
+    "simhash_near_dup",
+    oracle=_SIMHASH_SQL
+    + """
+    , bands AS (
+        SELECT doc_id, simhash, b, (simhash >> (b * 12)) & 4095 AS band_val
+        FROM fp, (SELECT unnest(generate_series(0, 4)) AS b) bs
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    """,
+)
+def simhash_near_dup(spark, sf_dir):
+    """Banded SimHash LSH (X1 scale path): 5 bands × 12 bits; hamming
+    distance ≤ 4 guarantees (pigeonhole) at least one identical band, so
+    the banded equi-join finds every such pair without an all-pairs
+    scan. The join key is (band index, 12-bit value) — broadcastable,
+    skew-bounded; this is the shape that survives 100 TB."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("b"),
+    ).withColumn("band_val", F.expr("(simhash >> (b * 12)) & 4095"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 4)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# X3: rolling-hash document fingerprint
+# --------------------------------------------------------------------------
+@register(
+    "doc_fingerprint_rolling",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(
+                   0::BIGINT,
+                   list_transform(
+                       string_split(text, ' '),
+                       s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                            % 1000000007
+                   )
+               ),
+               (acc, x) -> (acc * 131 + x) % 1000000007
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint_rolling(spark, sf_dir):
+    """Order-sensitive rolling-hash fingerprint (X3): polynomial hash
+    over the token sequence, mod 1e9+7 so the accumulator never
+    overflows int64 in either engine. Unlike the digest (order-free
+    md5), this distinguishes permuted documents."""
+    fp = F.aggregate(
+        F.transform(_tokens(), lambda s: _tok_hash(s) % 1000000007),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 131 + x) % 1000000007,
+    )
+    return _docs(spark, sf_dir).select("doc_id", fp.alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# X1: MinHash LSH near-dup (MLlib scale path; rows-only check)
+# --------------------------------------------------------------------------
+@register("minhash_near_dup")  # no SQL oracle: MLlib LSH internals
+def minhash_near_dup(spark, sf_dir):
+    """MinHashLSH near-dup candidate pairs (X1): distinct tokens →
+    1024-dim binary term vectors → 5 seeded min-hash tables →
+    approxSimilarityJoin at Jaccard distance ≤ 0.3. Seeded, so
+    deterministic; rows-only correctness check (the exact verifier is
+    token_jaccard_pairs). At scale this is the default near-dup path:
+    candidate generation is a bucket equi-join on hash bands, never
+    all-pairs."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(_tokens()).alias("toks")
+    )
+    tf = HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=1024, binary=True
+    )
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=5, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a_id"),
+            F.col("datasetB.doc_id").alias("b_id"),
+            F.col("jaccard_dist"),
+        )
+    )
