@@ -30,6 +30,7 @@ _MODULES = (
     "windows",
     "tle_domain",
     "ext_text",
+    "ext_vectors",
 )
 
 

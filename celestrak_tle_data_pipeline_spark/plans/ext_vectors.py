@@ -1,0 +1,345 @@
+"""[EXT] Similarity search over the ``embeddings`` table (SURVEY.md
+§2.11 X2) — ANN for LLM-data pipelines.
+
+Four tiers, scale-first:
+
+- ``cosine_topk_exact``: brute-force cosine top-k — the baseline every
+  ANN variant's recall is measured against. One broadcastable query
+  side × a linear scan; no shuffle of the corpus.
+- ``ann_ivf_topk``: IVF-style two-stage search — coarse-quantize every
+  vector to its nearest leader (a deterministic codebook), probe only
+  the query's 2 nearest buckets. The 100 TB shape: candidate
+  generation is an equi-join on bucket id, so cost scales with probed
+  buckets, not corpus size.
+- ``ann_lsh_bucketed`` (rows-only): MLlib BucketedRandomProjectionLSH —
+  seeded random hyperplanes, banded bucket join.
+- ``embedding_cosine_near_dup``: cosine ≥ 0.95 within label buckets
+  over a corpus with synthesized duplicates — the embedding tier of
+  the dedup stack (ext_text holds the token tiers).
+
+Numeric parity contract (bit-exact across Spark and DuckDB): every dot
+product is a *sequential left fold* over elements cast to DOUBLE before
+multiplying — ``aggregate(zip_with(...))`` in Spark, ``list_reduce``
+in DuckDB — so float-summation order is pinned and identical. Never use
+engine-native cosine helpers (summation order unspecified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import register
+from .common import t
+
+_DIM = 64
+
+
+def _dot(a, b):
+    """Sequential-fold dot product in doubles (order-pinned)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, {_DIM}), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _vecs(spark, sf_dir):
+    return t(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# exact brute-force cosine top-k
+# --------------------------------------------------------------------------
+_ORACLE_TOPK = f"""
+WITH d AS (
+    SELECT vec_id, embedding,
+           sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+    FROM embeddings
+),
+q AS (SELECT * FROM d WHERE vec_id % 100 = 0),
+scored AS (
+    SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+           {_dot_sql('q.embedding', 'd.embedding')} / (q.nrm * d.nrm)
+               AS cosine
+    FROM q JOIN d ON q.vec_id <> d.vec_id
+)
+SELECT q_id, n_id, cosine,
+       CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY cosine DESC, n_id
+       ) AS BIGINT) AS rank
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) <= 10
+"""
+
+
+@register("cosine_topk_exact", oracle=_ORACLE_TOPK)
+def cosine_topk_exact(spark, sf_dir):
+    """Brute-force cosine top-10 for each query vector (vec_id % 100 =
+    0). Plan: tiny query side is broadcast; the corpus is scanned once,
+    scored in whole-stage codegen, then only (q, candidate, score)
+    triples — never vectors — go through the top-k window shuffle."""
+    d = _vecs(spark, sf_dir).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    q = d.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = (_dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )).alias("cosine")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        d.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), cos)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-style probed search
+# --------------------------------------------------------------------------
+_ORACLE_IVF = f"""
+WITH d AS (
+    SELECT vec_id, embedding,
+           sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+    FROM embeddings
+),
+leaders AS (SELECT * FROM d WHERE vec_id % 31 = 0),
+assign AS (
+    SELECT d.vec_id, d.embedding, d.nrm, l.vec_id AS bucket
+    FROM d JOIN leaders l ON TRUE
+    QUALIFY row_number() OVER (
+        PARTITION BY d.vec_id
+        ORDER BY {_dot_sql('d.embedding', 'l.embedding')} / (d.nrm * l.nrm)
+                 DESC,
+                 l.vec_id
+    ) = 1
+),
+q AS (SELECT * FROM d WHERE vec_id % 100 = 0),
+probes AS (
+    SELECT q.vec_id AS q_id, q.embedding AS q_emb, q.nrm AS q_nrm,
+           l.vec_id AS bucket
+    FROM q JOIN leaders l ON TRUE
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_dot_sql('q.embedding', 'l.embedding')} / (q.nrm * l.nrm)
+                 DESC,
+                 l.vec_id
+    ) <= 2
+),
+cand AS (
+    SELECT p.q_id, a.vec_id AS n_id,
+           {_dot_sql('p.q_emb', 'a.embedding')} / (p.q_nrm * a.nrm) AS cosine
+    FROM probes p JOIN assign a ON p.bucket = a.bucket
+    WHERE p.q_id <> a.vec_id
+)
+SELECT q_id, n_id, cosine,
+       CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY cosine DESC, n_id
+       ) AS BIGINT) AS rank
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) <= 5
+"""
+
+
+@register("ann_ivf_topk", oracle=_ORACLE_IVF)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN (X2 scale path): a deterministic leader codebook
+    (every 31st vector), one coarse-quantization pass assigning each
+    vector to its nearest leader, then queries probe only their 2
+    nearest buckets. The expensive exact scoring runs on probed buckets
+    only — the equi-join on bucket id is what makes this survive a
+    corpus 1000× larger (cost ∝ probed fraction, not corpus)."""
+    d = _vecs(spark, sf_dir).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    leaders = d.where(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("l_id"),
+        F.col("embedding").alias("l_emb"),
+        F.col("nrm").alias("l_nrm"),
+    )
+    lcos = _dot(F.col("embedding"), F.col("l_emb")) / (
+        F.col("nrm") * F.col("l_nrm")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("lcos"), F.asc("l_id"))
+    assign = (
+        d.join(F.broadcast(leaders))
+        .withColumn("lcos", lcos)
+        .withColumn("r", F.row_number().over(aw))
+        .where(F.col("r") == 1)
+        .select("vec_id", "embedding", "nrm", F.col("l_id").alias("bucket"))
+    )
+    q = d.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    qcos = _dot(F.col("q_emb"), F.col("l_emb")) / (
+        F.col("q_nrm") * F.col("l_nrm")
+    )
+    pw = Window.partitionBy("q_id").orderBy(F.desc("qcos"), F.asc("l_id"))
+    probes = (
+        q.join(F.broadcast(leaders))
+        .withColumn("qcos", qcos)
+        .withColumn("r", F.row_number().over(pw))
+        .where(F.col("r") <= 2)
+        .select("q_id", "q_emb", "q_nrm", F.col("l_id").alias("bucket"))
+    )
+    cos = (_dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )).alias("cosine")
+    kw = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        assign.join(F.broadcast(probes), "bucket")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), cos)
+        .withColumn("rank", F.row_number().over(kw).cast("bigint"))
+        .where(F.col("rank") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (dedup tier)
+# --------------------------------------------------------------------------
+_ORACLE_NEAR_DUP = f"""
+WITH corpus AS (
+    SELECT vec_id, label, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, label, embedding FROM embeddings
+    WHERE vec_id % 10 = 0
+),
+d AS (
+    SELECT vec_id, label, embedding,
+           sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+    FROM corpus
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.95
+"""
+
+
+@register("embedding_cosine_near_dup", oracle=_ORACLE_NEAR_DUP)
+def embedding_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the dedup stack's vector
+    tier): cosine ≥ 0.95 within label buckets, over a corpus with
+    synthesized exact copies (vec_id % 10 → +100000) since the driver
+    corpus is random. Bucketing bounds the pair blowup; the unbucketed
+    scale path is ann_lsh_bucketed."""
+    base = _vecs(spark, sf_dir).select("vec_id", "label", "embedding")
+    copies = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
+    )
+    d = (
+        base.unionAll(copies)
+        .withColumn("nrm", _norm(F.col("embedding")))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.95)
+    )
+
+
+# --------------------------------------------------------------------------
+# per-label corpus stats
+# --------------------------------------------------------------------------
+@register(
+    "embedding_label_stats",
+    oracle=f"""
+    WITH d AS (
+        SELECT label, sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(nrm AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+               AS avg_norm,
+           MIN(nrm) AS min_norm,
+           MAX(nrm) AS max_norm
+    FROM d GROUP BY label
+    """,
+)
+def embedding_label_stats(spark, sf_dir):
+    """Per-label corpus profile. The norm average goes through a
+    fixed-scale decimal sum (order-independent — plans/common.py
+    rationale) so the aggregate is reproducible on any partitioning."""
+    d = _vecs(spark, sf_dir).select(
+        "label", _norm(F.col("embedding")).alias("nrm")
+    )
+    return d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum(F.col("nrm").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (MLlib; rows-only)
+# --------------------------------------------------------------------------
+@register("ann_lsh_bucketed")  # no SQL oracle: MLlib LSH internals
+def ann_lsh_bucketed(spark, sf_dir):
+    """BucketedRandomProjectionLSH similarity join (X2 scale path,
+    rows-only check): seeded random hyperplanes hash vectors into
+    buckets; candidate pairs come from a bucket equi-join, scored
+    exactly, filtered at euclidean distance ≤ 1.0. Deterministic via
+    the fixed seed; exact-recall reference is cosine_topk_exact."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    base = _vecs(spark, sf_dir).select("vec_id", "embedding")
+    copies = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    d = base.unionAll(copies).select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.5,
+        numHashTables=4,
+        seed=42,
+    )
+    model = lsh.fit(d)
+    pairs = model.approxSimilarityJoin(d, d, 1.0, distCol="eucl_dist")
+    return pairs.where(
+        F.col("datasetA.vec_id") < F.col("datasetB.vec_id")
+    ).select(
+        F.col("datasetA.vec_id").alias("a_id"),
+        F.col("datasetB.vec_id").alias("b_id"),
+        F.col("eucl_dist"),
+    )
