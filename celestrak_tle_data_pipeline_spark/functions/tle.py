@@ -168,7 +168,12 @@ def parse_tle_triples(
         & epoch_day.isNotNull()
         & _num(cols["inclination_raw"]).isNotNull()
         & _num(cols["raan_raw"]).isNotNull()
-        & (F.trim(cols["ecc_digits_raw"])).try_cast("bigint").isNotNull()
+        # the reference does NOT strip the ecc digit field — it builds
+        # float("0." + line2[26:33]) from the raw slice (script.py:36),
+        # so a leading-space-padded field raises (internal space) and
+        # drops the record, while trailing spaces survive (float strips
+        # them). concat+try_cast reproduces both behaviors exactly.
+        & F.concat(F.lit("0."), cols["ecc_digits_raw"]).try_cast("double").isNotNull()
         & _num(cols["arg_perigee_raw"]).isNotNull()
         & _num(cols["mean_anomaly_raw"]).isNotNull()
         & _num(cols["mean_motion_raw"]).isNotNull()
@@ -186,10 +191,11 @@ def parse_tle_triples(
         fetched.alias("fetched_at_utc"),
         F.when(required_ok, _num(cols["inclination_raw"])).alias("inclination"),
         F.when(required_ok, _num(cols["raan_raw"])).alias("raan"),
-        # implied decimal point: float("0." + digits) (script.py:36)
+        # implied decimal point: float("0." + digits) on the RAW slice,
+        # no strip — bug-for-bug with script.py:36 (see required_ok note)
         F.when(
             required_ok,
-            F.concat(F.lit("0."), F.trim(cols["ecc_digits_raw"])).try_cast("double"),
+            F.concat(F.lit("0."), cols["ecc_digits_raw"]).try_cast("double"),
         ).alias("eccentricity"),
         F.when(required_ok, _num(cols["arg_perigee_raw"])).alias("arg_perigee"),
         F.when(required_ok, _num(cols["mean_anomaly_raw"])).alias("mean_anomaly"),

@@ -16,7 +16,10 @@ from pyspark.sql import functions as F
 
 
 def anti_join_new(
-    batch: DataFrame, existing_keys: DataFrame, keys: Sequence[str], broadcast: bool = True
+    batch: DataFrame,
+    existing_keys: DataFrame,
+    keys: Sequence[str],
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Rows of ``batch`` whose key is absent from ``existing_keys``.
 
@@ -26,6 +29,12 @@ def anti_join_new(
     pandas workaround we do not replicate: Spark anti-joins natively on
     multiple columns. Null-safe equality is used so NULL keys behave like
     pandas isin (NULL == NULL matches) rather than SQL's never-match.
+
+    ``broadcast=None`` (default) leaves the join strategy to Catalyst/
+    AQE, which size-gates the broadcast at runtime — an unconditional
+    broadcast would OOM when the probe side is 3 days of a 100 TB fact
+    table. Pass ``broadcast=True`` only when the caller *knows* the
+    probe is a small dim key set.
     """
     probe = existing_keys.select(*keys).dropDuplicates(list(keys))
     if broadcast:
@@ -63,7 +72,11 @@ def exact_duplicates(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     aggregation map-side, one shuffle on the hash key. ([EXT] X1 exact
     tier; at 100 TB, group on a 256-bit digest of the normalized
     payload, never the payload itself.)"""
-    digest = F.sha2(F.concat_ws("", *[F.col(c).cast("string") for c in cols]), 256)
+    # to_json(struct(...)) is an unambiguous encoding: field names
+    # delimit columns and NULLs stay explicit, so ('a', NULL) vs
+    # ('a','') and separator-containing values can't collide (a
+    # concat_ws drops NULLs and trusts its separator).
+    digest = F.sha2(F.to_json(F.struct(*[F.col(c) for c in cols])), 256)
     return (
         df.withColumn("dup_key", digest)
         .groupBy("dup_key")

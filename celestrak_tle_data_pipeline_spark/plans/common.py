@@ -2,34 +2,16 @@
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+from ..sources.tables import load_table
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table; normalizes parquet TIMESTAMP(NANOS) columns.
-
-    The driver's ``events.parquet`` stores ``ts`` as nanosecond
-    timestamps, which Spark's vectorized parquet reader rejects
-    (PARQUET_TYPE_ILLEGAL). Reading under
-    ``spark.sql.legacy.parquet.nanosAsLong`` yields the raw int64 nanos,
-    which we truncate to µs with integer arithmetic (``div 1000`` — a
-    double division would lose precision above 2^53 ns) — bit-identical
-    to DuckDB's native ns→µs truncation, so oracle value-hashes match.
-    The conf is per-session and harmless for µs-timestamp tables, so it
-    is simply left on.
-    """
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    """Registry-local alias for ``sources.load_table`` (the single
+    loader that also normalizes the events nanos-timestamp quirk)."""
+    return load_table(spark, sf_dir, name)
 
 
 def dec(col, precision: int = 12, scale: int = 2) -> Column:

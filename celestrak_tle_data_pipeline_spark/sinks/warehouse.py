@@ -77,22 +77,48 @@ class ParquetWarehouse:
     ) -> int:
         """Append with empty-batch guard + min-row quality gate.
 
-        Returns rows written. The count doubles as the guard action —
-        one job, reused for the write decision (the reference's
-        ``if not df.empty`` pattern, script.py:91/146/169).
+        Returns rows written. The batch DAG executes ONCE: the row
+        count piggybacks on the write via ``Observation`` (an
+        accumulator filled by the write job itself), never a separate
+        ``count()`` that would re-run the upstream anti-join/parse at
+        100 TB. The empty guard is a limit-1 probe (cheap short-circuit,
+        the reference's ``if not df.empty``, script.py:91/146/169).
+
+        A positive ``min_rows`` gate must veto the write *before* it
+        happens (README.md:40 semantics), which forces pre-counting —
+        that path pins the batch with ``persist()`` so the DAG still
+        runs once (count materializes the cache, the write reads it).
         """
-        n = df.count()
-        if n == 0:
+        from pyspark import StorageLevel
+        from pyspark.sql import Observation
+
+        if min_rows > 0:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                n = df.count()
+                if n < min_rows:
+                    raise QualityGateError(
+                        f"batch for {table} has {n} rows < min_rows={min_rows}"
+                    )
+                if n == 0:
+                    return 0
+                w = df.write.mode("append")
+                if partition_by:
+                    w = w.partitionBy(*partition_by)
+                w.parquet(self.path(table))
+                return n
+            finally:
+                df.unpersist()
+
+        if df.isEmpty():
             return 0
-        if n < min_rows:
-            raise QualityGateError(
-                f"batch for {table} has {n} rows < min_rows={min_rows}"
-            )
-        w = df.write.mode("append")
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        w = observed.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
-        return n
+        return obs.get["n"]
 
 
 def append_new_satellites(wh: ParquetWarehouse, parsed: DataFrame) -> int:
@@ -112,7 +138,8 @@ def append_new_satellites(wh: ParquetWarehouse, parsed: DataFrame) -> int:
         "intl_designator",
         launch_year(F.col("intl_designator")).alias("launch_year"),
     )
-    new = anti_join_new(dims, existing, ["norad_id"])
+    # dim key set is small by construction → force broadcast
+    new = anti_join_new(dims, existing, ["norad_id"], broadcast=True)
     return wh.append("dim_satellites", new)
 
 
@@ -155,6 +182,9 @@ def append_new_telemetry(
         )
         .select("norad_id", "epoch_utc")
     )
+    # the probe is 3 days of the fact table — can be huge at scale, so
+    # the join strategy stays size-gated by Catalyst/AQE (no forced
+    # broadcast)
     new = anti_join_new(batch, recent, ["norad_id", "epoch_utc"])
     return wh.append(
         "fact_telemetry", new, partition_by=(FACT_TELEMETRY_PARTITION_COL,)
@@ -167,7 +197,9 @@ def append_new_weather(wh: ParquetWarehouse, weather: DataFrame) -> int:
 
     wh.ensure("fact_space_weather", FACT_SPACE_WEATHER)
     existing = wh.read("fact_space_weather").select("date_utc")
+    # daily-grain date keys — tiny probe → force broadcast
     new = anti_join_new(
-        distinct_on_key(weather, ["date_utc"]), existing, ["date_utc"]
+        distinct_on_key(weather, ["date_utc"]), existing, ["date_utc"],
+        broadcast=True,
     )
     return wh.append("fact_space_weather", new)

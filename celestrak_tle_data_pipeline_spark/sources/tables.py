@@ -4,6 +4,9 @@ Column pruning and predicate pushdown are Catalyst built-ins — callers
 ``select``/``filter`` and the parquet scan reads only what is needed
 (this replaces the reference's hand-rolled projection pushdown,
 ``script.py:141``, ``script.py:85``, ``script.py:159``; SURVEY.md §4).
+
+This module is the ONE place that normalizes physical-type quirks of
+the driver's parquet files; ``plans.common.t`` delegates here.
 """
 
 from __future__ import annotations
@@ -11,12 +14,33 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import DRIVER_TABLES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one driver table; normalizes parquet TIMESTAMP(NANOS).
+
+    Some SF dirs store ``events.ts`` as nanosecond timestamps, which
+    Spark's vectorized parquet reader rejects (PARQUET_TYPE_ILLEGAL);
+    others store µs. Reading under
+    ``spark.sql.legacy.parquet.nanosAsLong`` yields raw int64 nanos for
+    the former (and changes nothing for the latter), which we truncate
+    to µs with integer arithmetic (``div 1000`` — a double division
+    would lose precision above 2^53 ns) — bit-identical to DuckDB's
+    native ns→µs truncation, so oracle value-hashes match. The conf is
+    session-wide and harmless for µs tables, so it is simply left on.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
