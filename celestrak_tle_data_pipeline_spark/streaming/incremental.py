@@ -1,0 +1,119 @@
+"""Incremental ingest as Structured Streaming (SURVEY.md §2.9).
+
+The reference runs as cron micro-batches (3×/day,
+``data-pipeline.yml:8``) with check-then-write idempotency over a
+3-day lookback (``script.py:159-166``). The streaming mapping keeps
+every one of those semantics, constant for constant:
+
+| reference behavior            | here                                   |
+|-------------------------------|----------------------------------------|
+| cron micro-batch              | ``readStream`` over the landing dir +  |
+|                               | ``Trigger.AvailableNow()``             |
+| 3-day dedup lookback          | ``withWatermark('epoch_utc','3 days')``|
+| check-then-write idempotency  | ``dropDuplicatesWithinWatermark`` (in- |
+|                               | stream) + ``foreachBatch`` anti-join   |
+|                               | append (cross-run, warehouse probe)    |
+| >3-day-old data may duplicate | identical: events older than the       |
+|                               | watermark bypass state — documented,   |
+|                               | not hidden (reference D2 trade-off)    |
+
+Scale notes: state is keyed on (norad_id, epoch_utc) and bounded by the
+watermark horizon — ~3 days of keys, not history; the landing source
+lists only new files per trigger; the ``foreachBatch`` sink reuses the
+batch warehouse path (partition-pruned 3-day probe, size-gated join).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.tle import parse_tle_triples, valid_record
+from ..operators.assembly import assemble_from_payloads
+from ..sinks.warehouse import (
+    ParquetWarehouse,
+    append_new_satellites,
+    append_new_telemetry,
+)
+
+DEDUP_HORIZON = "3 days"  # the reference's lookback constant (script.py:159)
+
+
+def incremental_tle_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    fetched_at: dt.datetime | None = None,
+    bstar_mode: str = "compat",
+) -> DataFrame:
+    """Streaming DataFrame of parsed, in-stream-deduplicated telemetry.
+
+    The landing reader is the ``binaryFile`` streaming source — one row
+    per landed payload file (the streaming text source ignores
+    ``wholetext`` and would shred payloads into boundary-less lines,
+    breaking order-exact assembly). Whole-payload rows keep the stride-3
+    assembly shuffle-free (operators/assembly.py) — identical plan to
+    the batch path, just incremental.
+    """
+    from pyspark.sql import functions as F
+
+    fetched_at = fetched_at or dt.datetime.now(dt.timezone.utc).replace(
+        tzinfo=None
+    )
+    payloads = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path STRING, modificationTime TIMESTAMP, "
+            "length LONG, content BINARY"
+        )
+        .load(landing_dir)
+        .select(F.decode(F.col("content"), "UTF-8").alias("payload"))
+    )
+    triples = assemble_from_payloads(payloads)
+    parsed = parse_tle_triples(
+        triples, fetched_at=fetched_at, bstar_mode=bstar_mode
+    ).where(valid_record())
+    # in-stream dedup, state bounded by the reference's 3-day horizon
+    return parsed.withWatermark("epoch_utc", DEDUP_HORIZON).dropDuplicatesWithinWatermark(
+        ["norad_id", "epoch_utc"]
+    )
+
+
+def run_incremental_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    lookback_days: int = 3,
+    **stream_kw,
+) -> None:
+    """One ``Trigger.AvailableNow()`` pass: process every not-yet-seen
+    landing file, then stop — the exact cron-micro-batch shape of the
+    reference, with exactly-once file tracking from the checkpoint.
+
+    Cross-run idempotency: each micro-batch goes through the same
+    check-then-write warehouse appends as the batch pipeline (dim
+    anti-join + 3-day-pruned fact probe), so re-landing a payload within
+    the horizon is a no-op and the reference's bounded-window semantics
+    hold end to end.
+    """
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()  # two consumers (dim + fact)
+        try:
+            if batch_df.isEmpty():
+                return
+            append_new_satellites(wh, batch_df)
+            append_new_telemetry(wh, batch_df, lookback_days=lookback_days)
+        finally:
+            batch_df.unpersist()
+
+    stream = incremental_tle_stream(spark, landing_dir, **stream_kw)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

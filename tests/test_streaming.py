@@ -1,0 +1,76 @@
+"""Structured Streaming incremental path (SURVEY.md §2.9).
+
+Semantics under test, each mirroring a reference behavior:
+- ``Trigger.AvailableNow`` processes all landed files then stops (cron
+  micro-batch shape, data-pipeline.yml:8);
+- checkpointed file tracking → re-running without new files is a no-op
+  (exactly-once over the landing dir);
+- a re-landed copy of an already-ingested payload within the 3-day
+  horizon is deduplicated by the check-then-write sink
+  (script.py:159-166);
+- a genuinely new payload lands incrementally.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from celestrak_tle_data_pipeline_spark.sinks.warehouse import ParquetWarehouse
+from celestrak_tle_data_pipeline_spark.streaming import run_incremental_ingest
+
+NOW = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+
+
+def _payload(norad: int, now: dt.datetime) -> str:
+    doy = (now - dt.datetime(now.year, 1, 1)).days + 1
+    epoch = f"{now.year % 100:02d}{doy:03d}.25000000"
+    return (
+        f"SAT-{norad}\n"
+        f"1 {norad:05d}U 20001A   {epoch}  .00001234  00000+0  13717-3 0  9995\n"
+        f"2 {norad:05d}  53.0537 205.1100 0001450  90.1234 270.0123 15.06402843350061\n"
+    )
+
+
+def test_incremental_ingest_available_now(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    whroot = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    (landing / "b1.txt").write_text(_payload(20001, NOW))
+    run_incremental_ingest(spark, str(landing), whroot, ckpt)
+    wh = ParquetWarehouse(spark, whroot)
+    assert wh.read("fact_telemetry").count() == 1
+    assert wh.read("dim_satellites").count() == 1
+
+    # no new files → no-op pass (checkpoint remembers b1)
+    run_incremental_ingest(spark, str(landing), whroot, ckpt)
+    assert wh.read("fact_telemetry").count() == 1
+
+    # re-land the SAME payload under a new name + one new satellite:
+    # the copy dedups (within-horizon check-then-write), the new row lands
+    (landing / "b2.txt").write_text(_payload(20001, NOW) + _payload(20002, NOW))
+    run_incremental_ingest(spark, str(landing), whroot, ckpt)
+    fact = wh.read("fact_telemetry")
+    assert fact.count() == 2
+    assert sorted(
+        r.norad_id for r in fact.select("norad_id").collect()
+    ) == [20001, 20002]
+    assert wh.read("dim_satellites").count() == 2
+
+
+def test_in_stream_dedup_within_batch(spark, tmp_path):
+    """Duplicate (norad, epoch) rows inside ONE trigger are collapsed by
+    dropDuplicatesWithinWatermark before the sink sees them."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    whroot = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    p = _payload(30001, NOW)
+    (landing / "dup1.txt").write_text(p)
+    (landing / "dup2.txt").write_text(p)
+    run_incremental_ingest(spark, str(landing), whroot, ckpt)
+    wh = ParquetWarehouse(spark, whroot)
+    assert wh.read("fact_telemetry").count() == 1
