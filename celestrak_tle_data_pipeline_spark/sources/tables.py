@@ -32,6 +32,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     would lose precision above 2^53 ns) — bit-identical to DuckDB's
     native ns→µs truncation, so oracle value-hashes match. The conf is
     session-wide and harmless for µs tables, so it is simply left on.
+
+    Pushdown caveat: on a nanos file the normalized ``ts`` is a computed
+    column, so static ``ts`` predicates cannot reach the parquet scan
+    (µs files are unaffected — no conversion happens). At scale the
+    time-pruning path is the warehouse's date-partitioned layout
+    (sinks/warehouse.py), not row-group filters on a misencoded file.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
