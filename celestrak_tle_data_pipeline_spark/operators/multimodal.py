@@ -1,0 +1,151 @@
+"""Multimodal column plumbing (SURVEY.md §2.11 X4).
+
+Images/audio/video ride Spark as opaque ``BinaryType`` payload columns
+with typed metadata (``MapType(string,string)``), processed by
+Arrow-batched pandas functions over ``mapInPandas`` — the only part of
+this engine where Python touches row data, because media codecs are
+per-buffer library calls that no Catalyst expression can express.
+
+The decode kernels here are STUBS: this container has no image/audio
+libraries (no PIL/ffmpeg), so the "decode" derives deterministic
+pseudo-metadata and features from the payload bytes (documented
+inline). The Spark-side plumbing — schemas, Arrow batch shapes, UDF
+signatures, one-to-many frame expansion, binaryFile source — is real
+and tested; swapping a stub body for ``PIL.Image.open`` changes no
+plan shape.
+
+Scale notes: payloads never shuffle through these paths (mapInPandas
+is a narrow map over the scan); frame expansion multiplies rows, not
+bytes-per-row; metadata-only queries project the map column and prune
+the binary payload out of the scan entirely.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("checksum60", T.LongType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame_checksum60", T.LongType()),
+    ]
+)
+
+
+def _md5_60(payload: bytes) -> int:
+    """First 15 md5 hex chars as int — the same 60-bit digest DuckDB
+    computes with ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``, so
+    stub outputs stay oracle-checkable."""
+    return int(hashlib.md5(payload).hexdigest()[:15], 16)
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """Arrow-batched "decode" of binary payloads via ``mapInPandas``.
+
+    PRODUCTION: the loop body would call the codec
+    (``PIL.Image.open(io.BytesIO(payload))`` etc.) and emit real
+    dimensions. STUB (no media libs in this container): dimensions are
+    derived deterministically from the payload length and bytes —
+    width = 16 + len % 64, height = 16 + (len * 7) % 64 — and the
+    checksum is the md5-derived 60-bit digest. Plan shape is identical
+    either way: one narrow Arrow pass over the scan.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            lens = payloads.map(len)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": lens,
+                    "width": 16 + lens % 64,
+                    "height": 16 + (lens * 7) % 64,
+                    "checksum60": payloads.map(_md5_60),
+                }
+            )
+
+    return assets.mapInPandas(kernel, DECODED_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame, frame_bytes: int = 32, stride: int = 2
+) -> DataFrame:
+    """One-to-many frame sampling via ``mapInPandas``: split each
+    payload into fixed-size pseudo-frames, keep every ``stride``-th.
+
+    PRODUCTION: ffmpeg keyframe extraction per buffer. STUB: frames are
+    consecutive ``frame_bytes`` slices — which exercises the real
+    plumbing this operator is about: an Arrow batch in, a *longer*
+    Arrow batch out (row expansion inside the map, no shuffle, no
+    explode of a materialized array of frames).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "frame_idx": [],
+                "frame_len": [],
+                "frame_checksum60": [],
+            }
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    frame = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    out["asset_id"].append(asset_id)
+                    out["frame_idx"].append(i)
+                    out["frame_len"].append(len(frame))
+                    out["frame_checksum60"].append(_md5_60(frame))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+# NB: the return type is a type OBJECT, not a DDL string — parsing a
+# DDL string inside pandas_udf needs an active SparkSession, which does
+# not exist when an executor re-imports this module.
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def extract_features(payload: pd.Series) -> pd.Series:
+    """Scalar pandas UDF: binary payload → fixed-width feature vector.
+
+    PRODUCTION: an embedding model over the decoded media. STUB: the
+    first 8 bytes scaled to [0,1) — deterministic, and exercises the
+    Arrow binary→array<float> path end to end.
+    """
+    return payload.map(
+        lambda b: [x / 256.0 for x in (b[:8] + b"\x00" * 8)[:8]]
+    )
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Landing reader for media files: Spark's binaryFile source — one
+    row per file with (path, modificationTime, length, content). The
+    schema is fixed by the source; column pruning drops ``content``
+    when only metadata is queried."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

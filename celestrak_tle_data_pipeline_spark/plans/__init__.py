@@ -31,6 +31,7 @@ _MODULES = (
     "tle_domain",
     "ext_text",
     "ext_vectors",
+    "ext_multimodal",
 )
 
 

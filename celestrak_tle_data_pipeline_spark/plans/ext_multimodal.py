@@ -1,0 +1,158 @@
+"""[EXT] Multimodal-column queries (SURVEY.md §2.11 X4).
+
+The ``documents`` table stands in as the asset store: each text payload
+is UTF-8-encoded to a real ``BinaryType`` column with a
+``MapType(string,string)`` metadata map — exactly how image/audio/video
+ride a 100 TB lakehouse (opaque bytes + typed metadata). The decode /
+frame-sample kernels are mapInPandas stubs (operators/multimodal.py)
+whose outputs are *still oracle-checkable*: the payload is the UTF-8
+text, so DuckDB's ``md5(text)`` equals the kernel's
+``hashlib.md5(payload)`` and every derived value can be recomputed in
+SQL.
+
+Also home to the MapType tier of X4: ``from_json`` of ``events.props``
+into a real map column (the earlier ``json_props_extract`` query uses
+path extraction only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.multimodal import decode_assets, sample_frames
+from . import register
+from .common import t
+
+_MD5_60_SQL = "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)"
+
+
+def _assets(spark, sf_dir):
+    """documents → (asset_id, media_type, payload BINARY, meta MAP)."""
+    d = t(spark, sf_dir, "documents")
+    media = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("video/mp4"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("image/png"))
+        .otherwise(F.lit("audio/wav"))
+    )
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        media.alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"),
+            F.lit("source"), F.col("source"),
+            F.lit("n_chars"), F.col("n_chars").cast("string"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "props_maptype",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           json_keys(props)[1] AS first_key
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+    """,
+)
+def props_maptype(spark, sf_dir):
+    """X4 MapType tier: ``from_json`` of the props JSON into a real
+    ``MapType(string,string)`` column, then map-native access
+    (map_keys, element_at). Unlike get_json_object path extraction,
+    the map is a first-class nested value downstream operators can
+    explode, filter, or merge."""
+    e = t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), T.MapType(T.StringType(), T.StringType()))
+    out = e.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").cast("bigint").alias("k_value"),
+        F.map_keys(m).getItem(0).alias("first_key"),
+    )
+    return out.where(F.col("k_value") % 7 == 0)
+
+
+@register(
+    "multimodal_meta_profile",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'video/mp4'
+                WHEN doc_id % 3 = 1 THEN 'image/png'
+                ELSE 'audio/wav' END AS media_type,
+           lang,
+           COUNT(*) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_meta_profile(spark, sf_dir):
+    """Metadata-only rollup: groups by media type + a map entry. The
+    binary payload participates only via length — at scale Parquet
+    column pruning keeps payload bytes out of this scan entirely when
+    sizes are precomputed; here octet counting is the plumbing proof."""
+    a = _assets(spark, sf_dir)
+    return a.groupBy(
+        "media_type", F.element_at("meta", "lang").alias("lang")
+    ).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.octet_length("payload")).cast("bigint").alias("total_bytes"),
+    )
+
+
+@register(
+    "multimodal_decode_stub",
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'video/mp4'
+                WHEN doc_id % 3 = 1 THEN 'image/png'
+                ELSE 'audio/wav' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
+           CAST(16 + (octet_length(encode(text)) * 7) % 64 AS BIGINT)
+               AS height,
+           {_MD5_60_SQL} AS checksum60
+    FROM documents
+    """,
+)
+def multimodal_decode_stub(spark, sf_dir):
+    """X4 decode path: binary payloads through the Arrow-batched
+    mapInPandas kernel (STUBBED codec — deterministic dims + md5-60
+    checksum; see operators/multimodal.py). The oracle recomputes every
+    output in SQL, so the whole Python batch path — Arrow transfer, UDF
+    signature, schema — is under the correctness gate."""
+    return decode_assets(_assets(spark, sf_dir))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH v AS (
+        SELECT doc_id AS asset_id, text,
+               octet_length(encode(text)) AS blen
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT asset_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(least(32, blen - i * 32) AS BIGINT) AS frame_len,
+           CAST(('0x' || substr(md5(substr(text, i * 32 + 1, 32)), 1, 15))
+                AS BIGINT) AS frame_checksum60
+    FROM v, LATERAL (
+        SELECT unnest(generate_series(0, CAST(ceil(blen / 32.0) AS INT) - 1))
+            AS i
+    ) s
+    WHERE i % 2 = 0
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """X4 frame sampling: every 2nd 32-byte pseudo-frame of each
+    'video' asset via the one-to-many mapInPandas kernel (row expansion
+    inside the Arrow batch — no materialized frame arrays, no shuffle).
+    ASCII payloads make byte slices == char slices, so DuckDB can
+    recompute each frame's checksum independently."""
+    videos = _assets(spark, sf_dir).where(
+        F.col("media_type") == "video/mp4"
+    )
+    return sample_frames(videos, frame_bytes=32, stride=2)
