@@ -32,6 +32,7 @@ _MODULES = (
     "ext_text",
     "ext_vectors",
     "ext_multimodal",
+    "stats",
 )
 
 

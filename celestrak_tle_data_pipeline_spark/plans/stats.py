@@ -1,0 +1,278 @@
+"""Advanced aggregate / window / set-op coverage (SURVEY.md §2.5, §2.7):
+cube, grouping sets, statistical moments, distinct counting, ntile/lead,
+range (theta) joins, bag set-ops.
+
+Determinism discipline (plans/__init__ contract): every double-valued
+aggregate is reconstructed from *exact decimal power sums* (Σx, Σx²,
+Σxy — order-independent by construction) with the final floating-point
+arithmetic written in the same operation order in both engines. Native
+single-pass stddev/corr implementations are NOT used in oracle-gated
+queries — their merge order varies by partitioning, so their low bits
+are not reproducible; the one approximate-by-design query
+(approx_count_distinct, an HLL sketch) is rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import register
+from .common import dec, dsum, t
+
+
+# --------------------------------------------------------------------------
+# CUBE with grouping ids (§2.5)
+# --------------------------------------------------------------------------
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark, sf_dir):
+    """Full CUBE over (status, priority) with grouping_id to tell
+    roll-up NULLs from data NULLs. Partial-aggregable; the cube factor
+    (4 grouping sets) multiplies map-side output, not the scan."""
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (§2.5)
+# --------------------------------------------------------------------------
+@register(
+    "grouping_sets_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_status_priority(spark, sf_dir):
+    """Explicit GROUPING SETS — the two marginals plus the grand total,
+    without the full cube's cross products."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# statistical moments from exact power sums (§2.5)
+# --------------------------------------------------------------------------
+@register(
+    "stats_moments_by_flag",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                        * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sx / n AS avg_qty,
+           (n * sxx - sx * sx) / (n * (n - 1.0)) AS var_qty,
+           sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS stddev_qty,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def stats_moments_by_flag(spark, sf_dir):
+    """Sample variance / stddev / Pearson correlation per return flag,
+    rebuilt from exact decimal power sums so the result is identical on
+    any partitioning (native one-pass stddev/corr merge order is not).
+    Single scan, single shuffle of 5 power sums per group."""
+    l = t(spark, sf_dir, "lineitem")
+    q = dec("l_quantity")
+    p = dec("l_extendedprice", 14, 2)
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sxx = F.col("sx"), F.col("sxx")
+    sy, syy = F.col("sy"), F.col("syy")
+    sxy = F.col("sxy")
+    var = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("avg_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        corr.alias("corr_qty_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# exact + approximate distinct counting (§2.5)
+# --------------------------------------------------------------------------
+@register(
+    "distinct_part_counts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_part_counts(spark, sf_dir):
+    """Exact multi-column COUNT(DISTINCT) — Spark expands to one
+    aggregate per distinct column (expand + two-phase agg), still one
+    scan."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("approx_distinct_hll")  # rows-only: HLL sketches differ by engine
+def approx_distinct_hll(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++): the 100 TB path for
+    distinct counting — fixed-size sketch, mergeable, no expand. The
+    estimate is engine-specific by design, so this is a rows-only
+    check; the exact twin above is the oracle-gated reference."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ntile / lead / lag windows (§2.7)
+# --------------------------------------------------------------------------
+@register(
+    "ntile_lead_lag_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4) OVER w AS quartile,
+           lead(o_totalprice) OVER w AS next_price,
+           lag(o_totalprice)  OVER w AS prev_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def ntile_lead_lag_orders(spark, sf_dir):
+    """ntile/lead/lag over a total order (date + key tiebreak — window
+    determinism contract). One shuffle on the partition key, linear
+    in-partition work."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# range (theta) join (§2.4 J-family extension)
+# --------------------------------------------------------------------------
+@register(
+    "range_band_join",
+    oracle="""
+    WITH bands AS (
+        SELECT unnest(generate_series(0, 5)) AS band
+    )
+    SELECT b.band,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS band_total
+    FROM orders o
+    JOIN bands b
+      ON o.o_totalprice >= b.band * 100000.0
+     AND o.o_totalprice <  (b.band + 1) * 100000.0
+    GROUP BY b.band
+    """,
+)
+def range_band_join(spark, sf_dir):
+    """Range/theta join: orders matched into price bands by interval
+    containment. The band side is 6 rows → broadcast nested-loop with
+    the range predicate evaluated in codegen; at scale the same shape
+    handles calendar/SLA-window joins (small interval dim × huge
+    fact)."""
+    o = t(spark, sf_dir, "orders")
+    bands = spark.range(0, 6).select(F.col("id").cast("bigint").alias("band"))
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("band") * 100000.0)
+            & (F.col("o_totalprice") < (F.col("band") + 1) * 100000.0),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("band_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# bag semantics set-ops (§2.7 — set_ops_nations covers the distinct kind)
+# --------------------------------------------------------------------------
+@register(
+    "bag_set_ops",
+    oracle="""
+    SELECT 'intersect_all' AS op, x.n FROM (
+        SELECT c_nationkey AS n FROM customer
+        INTERSECT ALL SELECT s_nationkey AS n FROM supplier) x
+    UNION ALL
+    SELECT 'except_all' AS op, y.n FROM (
+        SELECT s_nationkey AS n FROM supplier
+        EXCEPT ALL SELECT c_nationkey AS n FROM customer) y
+    """,
+)
+def bag_set_ops(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL — multiplicity-preserving set ops
+    (min/ difference of per-key counts), complementing the distinct
+    variants in set_ops_nations."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n"))
+    ia = c.intersectAll(s).select(F.lit("intersect_all").alias("op"), "n")
+    ea = s.exceptAll(c).select(F.lit("except_all").alias("op"), "n")
+    return ia.unionAll(ea)
