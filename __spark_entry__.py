@@ -20,9 +20,12 @@ from celestrak_tle_data_pipeline_spark import plans
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §7): per-satellite orbital-decay
-    indicator — lag(mean_motion)-style windowed delta per entity over
-    the events table at sf0.001; driver checks rows>0."""
-    return plans.all_queries()["decay_indicator"](spark, "/root/testdata/sf0.001")
+    indicator — raw TLE lines → Catalyst expression parse →
+    lag(mean_motion) per satellite over epoch order → mean decay rate;
+    one lazy DAG at sf0.001; driver checks rows>0."""
+    return plans.all_queries()["tle_decay_flagship"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -25,7 +25,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # (scan/agg, star join, window, set op, TLE parse, text dedup/analysis,
 # vector search). Kept to ~a dozen so the bench stays a feedback loop.
 QUERIES = [
-    "decay_indicator",          # flagship: window lag/delta per entity
+    "tle_decay_flagship",       # flagship: TLE parse -> decay window
+    "decay_indicator",          # events twin: window lag/delta per entity
     "pricing_summary",          # TPC-H Q1 shape groupBy/agg
     "top_revenue_orders",       # star join + top-k
     "region_revenue",           # snowflake join chain

@@ -36,11 +36,13 @@ from .common import t
 _FETCHED_AT = "2026-01-01 00:00:00"
 
 
-def _synth_fields(k):
+def _synth_fields(k, norad_mod=100000):
     """Deterministic TLE field values from an integer key (shared spec —
-    the oracle SQL mirrors these exact formulas)."""
+    the oracle SQL mirrors these exact formulas). ``norad_mod`` < the
+    key range folds multiple epochs onto each satellite (flagship
+    time-series shape)."""
     return {
-        "norad": k % 100000,
+        "norad": k % norad_mod,
         "yy": (k * 7) % 100,
         "day_i": F.lit(1) + (k % 364),
         "day_frac_num": k % 128,  # /128 — dyadic, 7 decimal digits
@@ -68,11 +70,11 @@ def _bstar_variant(k):
     )
 
 
-def _synth_lines(df, corrupt=False):
+def _synth_lines(df, corrupt=False, norad_mod=100000):
     """Key column ``k`` → (sat_name_raw, line1, line2) at the reference's
     exact field offsets (``script.py:24-40``)."""
     k = F.col("k")
-    f = _synth_fields(k)
+    f = _synth_fields(k, norad_mod)
     norad_str = F.format_string("%05d", f["norad"])
     if corrupt:
         # an unparsable norad field nulls the whole record downstream
@@ -324,4 +326,71 @@ def tle_assembly_stride3(spark, sf_dir):
         F.count(F.lit(1)).alias("n_triples"),
         F.min("norad_id").alias("min_norad"),
         F.max("norad_id").alias("max_norad"),
+    )
+
+
+_ORACLE_FLAGSHIP = """
+WITH keys AS (
+    SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 2000
+),
+f AS (
+    SELECT k,
+           k % 50 AS norad,
+           make_timestamp(
+               epoch_us(CAST(make_date(
+                   CASE WHEN (k * 7) % 100 < 57 THEN 2000 + (k * 7) % 100
+                        ELSE 1900 + (k * 7) % 100 END, 1, 1
+               ) AS TIMESTAMP))
+               + (k % 364) * 86400000000 + (k % 128) * 675000000
+           ) AS epoch_utc,
+           (10000000 + (k * 3) % 9000000) / 1000000.0 AS mm
+    FROM keys
+),
+d AS (
+    SELECT norad,
+           mm - LAG(mm) OVER (PARTITION BY norad ORDER BY epoch_utc) AS delta
+    FROM f
+)
+SELECT CAST(norad AS BIGINT) AS norad_id,
+       COUNT(delta) AS n_deltas,
+       CAST(SUM(CAST(delta AS DECIMAL(18,12))) AS DOUBLE) / COUNT(delta)
+           AS decay_rate
+FROM d
+WHERE delta IS NOT NULL
+GROUP BY norad
+"""
+
+
+@register("tle_decay_flagship", oracle=_ORACLE_FLAGSHIP)
+def tle_decay_flagship(spark, sf_dir):
+    """The SURVEY.md §7 flagship, end to end in one plan: synthesized
+    raw TLE lines (40 epochs per satellite) → the full Catalyst parse
+    bundle → per-satellite ``lag(mean_motion)`` over epoch order →
+    mean decay rate per satellite. This is the question the reference's
+    warehouse exists to answer (README.md:71 'orbital decay mechanics')
+    expressed as one lazy DataFrame DAG: scan → expression parse (no
+    UDF) → one shuffle on norad_id → linear window pass → partial agg.
+    The delta average goes through a fixed-scale decimal sum (order-
+    independent); the oracle recomputes everything arithmetically."""
+    from pyspark.sql import Window
+
+    triples = _synth_lines(_keys(spark, sf_dir), norad_mod=50)
+    parsed = parse_tle_triples(triples, fetched_at=_FETCHED_AT)
+    w = Window.partitionBy("norad_id").orderBy("epoch_utc")
+    deltas = parsed.where(valid_record()).select(
+        "norad_id",
+        (
+            F.col("mean_motion") - F.lag("mean_motion").over(w)
+        ).alias("delta"),
+    )
+    return (
+        deltas.where(F.col("delta").isNotNull())
+        .groupBy("norad_id")
+        .agg(
+            F.count("delta").alias("n_deltas"),
+            (
+                F.sum(F.col("delta").cast("decimal(18,12)")).cast("double")
+                / F.count("delta")
+            ).alias("decay_rate"),
+        )
     )

@@ -65,8 +65,30 @@ class ParquetWarehouse:
         return self.spark.read.parquet(self.path(table))
 
     def ensure(self, table: str, schema, partition_by: tuple[str, ...] = ()) -> None:
+        """CREATE TABLE IF NOT EXISTS (reference script.py:77-83): records
+        the schema + partition spec, creates the storage location, and
+        registers the table in the session catalog so ``spark.sql``
+        can address it by name. The catalog entry is external parquet —
+        dropping it never touches data files."""
         self._specs[table] = (schema, partition_by)
         os.makedirs(self.path(table), exist_ok=True)
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        part = (
+            f" PARTITIONED BY ({', '.join(f'`{c}`' for c in partition_by)})"
+            if partition_by
+            else ""
+        )
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS `{table}` ({cols}) USING parquet"
+            f"{part} LOCATION '{self.path(table)}'"
+        )
+
+    def refresh(self, table: str) -> None:
+        """Sync catalog metadata after an append (partition discovery)."""
+        self.spark.sql(f"MSCK REPAIR TABLE `{table}`")
+        self.spark.catalog.refreshTable(table)
 
     def append(
         self,
