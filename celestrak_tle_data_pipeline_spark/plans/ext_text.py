@@ -556,3 +556,153 @@ def minhash_near_dup(spark, sf_dir):
             F.col("jaccard_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X1: 3-gram shingle Jaccard near-dup (the MinHash candidate's exact twin)
+# --------------------------------------------------------------------------
+@register(
+    "ngram_shingle_jaccard",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, source,
+               regexp_replace(text, '^[a-z]+ ', '')
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    d AS (
+        SELECT doc_id, source,
+               list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                              for i in range(1, len(s) - 1)]) AS sh
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS s
+              FROM corpus)
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             AS jaccard
+    FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= 0.8
+    """,
+)
+def ngram_shingle_jaccard(spark, sf_dir):
+    """Word-trigram shingle Jaccard ≥ 0.8 within source buckets (X1):
+    the order-sensitive near-dup metric (token sets miss reorderings;
+    shingles don't), over a corpus with synthesized near-copies (first
+    token dropped → shingle overlap (n-1)/n). Shingling is a
+    higher-order transform over the split array — no explode, no
+    shuffle until the bounded pair join."""
+    base = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    near = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "source",
+        F.regexp_replace("text", r"^[a-z]+ ", "").alias("text"),
+    )
+    corpus = base.unionAll(near)
+    toks = _tokens()
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    d = corpus.select("doc_id", "source", shingles.alias("sh"))
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    jac = inter.cast("double") / (
+        F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.8)
+    )
+
+
+# --------------------------------------------------------------------------
+# X3: TF-IDF top terms per document
+# --------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               round(tf.tf * ln(n.n_docs / df.df), 9) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        WHERE tf.doc_id % 25 = 0
+    )
+    SELECT doc_id, term, tf, df, tfidf,
+           CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term
+           ) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+    ) <= 5
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF with exact corpus document frequencies: top-5 terms per
+    sampled document, deterministic tiebreak on the term. Two
+    aggregations over one exploded scan + a broadcastable term-df join;
+    idf = ln(N/df) is bit-reproducible (correctly-rounded ln in both
+    engines, verified)."""
+    from pyspark.sql import Window
+
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(_tokens()).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = _docs(spark, sf_dir).count()
+    scored = (
+        tf.where(F.col("doc_id") % 25 == 0)
+        .join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            # ln differs from DuckDB's by 1 ulp for some args (Java
+            # Math.log is <=1 ulp, not correctly rounded), so the score
+            # is rounded to 9 decimals in BOTH engines and ranked on
+            # the rounded value.
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
