@@ -33,6 +33,7 @@ _MODULES = (
     "ext_vectors",
     "ext_multimodal",
     "stats",
+    "weather_domain",
 )
 
 

@@ -706,3 +706,38 @@ def tfidf_top_terms(spark, sf_dir):
         .where(F.col("rank") <= 5)
         .select("doc_id", "term", "tf", "df", "tfidf", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# X3: token counting — whitespace vs BPE-ish regex subword units
+# --------------------------------------------------------------------------
+@register(
+    "token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+'))
+                AS BIGINT) AS subword_tokens,
+           length(text)::DOUBLE
+             / len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+'))
+             AS chars_per_subword
+    FROM documents
+    """,
+)
+def token_count_regex(spark, sf_dir):
+    """Token counting two ways (X3): whitespace tokens (the cheap
+    estimator) and a BPE-ish regex segmentation (vowel/consonant
+    cluster units — a stand-in for merge-rule subwords that both
+    engines tokenize identically). chars-per-subword is the
+    compression-ratio feature LLM pipelines budget with. Expression-
+    only; the regex runs inside codegen, not a UDF."""
+    pat = "[aeiou]+|[^aeiou ]+"
+    subwords = F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(_tokens()).cast("bigint").alias("ws_tokens"),
+        F.size(subwords).cast("bigint").alias("subword_tokens"),
+        (F.length("text").cast("double") / F.size(subwords)).alias(
+            "chars_per_subword"
+        ),
+    )

@@ -276,3 +276,48 @@ def bag_set_ops(spark, sf_dir):
     ia = c.intersectAll(s).select(F.lit("intersect_all").alias("op"), "n")
     ea = s.exceptAll(c).select(F.lit("except_all").alias("op"), "n")
     return ia.unionAll(ea)
+
+
+# --------------------------------------------------------------------------
+# skew-resistant two-phase aggregation (X5 scale technique, oracle-gated)
+# --------------------------------------------------------------------------
+@register(
+    "salted_heavy_hitters",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    QUALIFY row_number() OVER (ORDER BY COUNT(*) DESC, o_custkey) <= 20
+    """,
+)
+def salted_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter customers via explicit two-phase salted
+    aggregation: phase 1 aggregates on (key, salt=orderkey%8) — a hot
+    key's rows land on 8 different reducers — phase 2 merges the 8
+    partials per key. For plain count/sum Spark's map-side partial agg
+    already defuses skew (this query exists to keep the pattern under
+    the correctness gate); the salt becomes load-bearing when the agg
+    state doesn't partial-combine (collect_list, exact distinct) on a
+    skewed key. Result is identical to the direct groupBy by
+    construction."""
+    o = t(spark, sf_dir, "orders")
+    phase1 = (
+        o.withColumn("salt", (F.col("o_orderkey") % 8).cast("int"))
+        .groupBy("o_custkey", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(dec("o_totalprice")).alias("psum"),
+        )
+    )
+    phase2 = phase1.groupBy("o_custkey").agg(
+        F.sum("pn").alias("n_orders"),
+        F.sum("psum").cast("double").alias("total_spend"),
+    )
+    w = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    return (
+        phase2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
