@@ -11,8 +11,8 @@ Layout
 ------
 - ``session``    SparkSession factory (UTC, AQE, tuned shuffle partitions)
 - ``schemas``    explicit StructTypes for the warehouse + driver tables
-- ``functions``  column-expression bundles (TLE parse, weather, text, vectors)
-- ``operators``  composed DataFrame operators (assembly, dedup, similarity)
+- ``functions``  column-expression bundles (TLE parse, weather flux)
+- ``operators``  composed DataFrame operators (assembly, dedup, multimodal)
 - ``sources``    readers (TLE text payloads, weather JSON, parquet tables)
 - ``sinks``      idempotent check-then-write append sinks
 - ``plans``      analytics query layer (star joins, windows, top-k)

@@ -28,9 +28,13 @@ def parse_flux_payload(payloads: DataFrame, payload_col: str = "payload") -> Dat
     out = (
         payloads.select(F.explode(rows).alias("r"))
         .select(
-            F.to_date(F.substring_index(F.col("r").getItem(0), " ", 1)).alias(
-                "date_utc"
-            ),
+            # try_cast, NOT to_date: under ANSI mode (Spark 4 default)
+            # to_date THROWS on a malformed date token, killing the
+            # whole batch — the reference drops the row (script.py:97-98
+            # permissive containment).
+            F.substring_index(F.col("r").getItem(0), " ", 1)
+            .try_cast("date")
+            .alias("date_utc"),
             (F.col("r").getItem(1)).try_cast("double").alias("f10_7_flux"),
         )
         .where(F.col("date_utc").isNotNull())

@@ -117,3 +117,47 @@ def run_incremental_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def run_incremental_weather(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+) -> None:
+    """Weather branch as a stream (SURVEY.md §2.9 last row): landed
+    NOAA JSON payloads → flux parse → daily-grain check-then-write.
+
+    The reference's weather grain is already daily rows
+    (script.py:85-92), so the "tumbling daily window" is an in-batch
+    date dedup + anti-join against stored dates — ``foreachBatch``
+    reuses the exact batch sink. AvailableNow + checkpoint give the
+    cron-shaped exactly-once file tracking."""
+    from pyspark.sql import functions as F
+
+    from ..functions.weather import parse_flux_payload
+    from ..sinks.warehouse import append_new_weather
+
+    wh = ParquetWarehouse(spark, warehouse_root)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            append_new_weather(wh, batch_df)
+
+    payloads = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path STRING, modificationTime TIMESTAMP, "
+            "length LONG, content BINARY"
+        )
+        .load(landing_dir)
+        .select(F.decode(F.col("content"), "UTF-8").alias("payload"))
+    )
+    weather = parse_flux_payload(payloads)
+    q = (
+        weather.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -74,3 +74,40 @@ def test_in_stream_dedup_within_batch(spark, tmp_path):
     run_incremental_ingest(spark, str(landing), whroot, ckpt)
     wh = ParquetWarehouse(spark, whroot)
     assert wh.read("fact_telemetry").count() == 1
+
+
+def test_incremental_weather(spark, tmp_path):
+    """Weather stream: JSON payload -> daily rows; re-landed dates dedup."""
+    import json
+
+    from celestrak_tle_data_pipeline_spark.streaming.incremental import (
+        run_incremental_weather,
+    )
+
+    landing = tmp_path / "wland"
+    landing.mkdir()
+    whroot = str(tmp_path / "wwh")
+    ckpt = str(tmp_path / "wckpt")
+
+    p1 = json.dumps(
+        [["time_tag", "flux"], ["2026-08-01 12:00", "140.5"],
+         ["2026-08-02 12:00", "141.0"]]
+    )
+    (landing / "w1.json").write_text(p1)
+    run_incremental_weather(spark, str(landing), whroot, ckpt)
+    wh = ParquetWarehouse(spark, whroot)
+    assert wh.read("fact_space_weather").count() == 2
+
+    # overlapping re-land: one known date + one new date
+    p2 = json.dumps(
+        [["time_tag", "flux"], ["2026-08-02 12:00", "141.0"],
+         ["2026-08-03 12:00", "150.25"]]
+    )
+    (landing / "w2.json").write_text(p2)
+    run_incremental_weather(spark, str(landing), whroot, ckpt)
+    rows = {
+        r.date_utc.isoformat(): r.f10_7_flux
+        for r in wh.read("fact_space_weather").collect()
+    }
+    assert len(rows) == 3
+    assert rows["2026-08-03"] == 150.25
