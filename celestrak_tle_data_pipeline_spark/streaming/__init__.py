@@ -1,4 +1,6 @@
 from .incremental import (  # noqa: F401
     incremental_tle_stream,
     run_incremental_ingest,
+    run_incremental_weather,
 )
+from .stateful import decay_tracker  # noqa: F401

@@ -111,3 +111,62 @@ def test_incremental_weather(spark, tmp_path):
     }
     assert len(rows) == 3
     assert rows["2026-08-03"] == 150.25
+
+
+def test_stateful_decay_tracker(spark, tmp_path):
+    """applyInPandasWithState carries (last_epoch, last_mm) across
+    micro-batches: the delta for an epoch landing in batch 2 is taken
+    against the epoch from batch 1 via the state store."""
+    from pyspark.sql import functions as SF
+
+    from celestrak_tle_data_pipeline_spark.streaming.incremental import (
+        incremental_tle_stream,
+    )
+    from celestrak_tle_data_pipeline_spark.streaming.stateful import (
+        decay_tracker,
+    )
+
+    landing = tmp_path / "sland"
+    landing.mkdir()
+    ckpt = str(tmp_path / "sckpt")
+    out_rows = []
+
+    def run_pass():
+        stream = incremental_tle_stream(spark, str(landing))
+        tracked = decay_tracker(stream)
+        q = (
+            tracked.writeStream.foreachBatch(
+                lambda df, _id: out_rows.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def payload(mm: str, doy: int) -> str:
+        epoch = f"{NOW.year % 100:02d}{doy:03d}.50000000"
+        return (
+            "SAT-S\n"
+            f"1 60001U 20001A   {epoch}  .00001234  00000+0  13717-3 0  9995\n"
+            f"2 60001  53.0537 205.1100 0001450  90.1234 270.0123 {mm}350061\n"
+        )
+
+    doy = (NOW - dt.datetime(NOW.year, 1, 1)).days + 1
+    (landing / "s1.txt").write_text(payload("15.06402843", doy - 2))
+    run_pass()
+    assert len(out_rows) == 1
+    assert out_rows[0].mm_delta is None and out_rows[0].n_seen == 1
+
+    # batch 2, one day later, lower mean motion -> negative delta vs STATE
+    (landing / "s2.txt").write_text(payload("15.06302843", doy - 1))
+    run_pass()
+    assert len(out_rows) == 2
+    d = out_rows[1]
+    assert d.n_seen == 2
+    assert abs(d.mm_delta - (15.06302843 - 15.06402843)) < 1e-9
+
+    # batch 3 re-lands an OLD epoch: state only moves forward -> no row
+    (landing / "s3.txt").write_text(payload("15.99999999", doy - 2))
+    run_pass()
+    assert len(out_rows) == 2
