@@ -225,3 +225,33 @@ def append_new_weather(wh: ParquetWarehouse, weather: DataFrame) -> int:
         broadcast=True,
     )
     return wh.append("fact_space_weather", new)
+
+
+def write_bucketed(
+    wh: ParquetWarehouse,
+    table: str,
+    df: DataFrame,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 8,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "append",
+) -> None:
+    """Bucketed catalog table (X5 co-location): hash-bucket the data by
+    ``bucket_cols`` at write time so every later join/groupBy on those
+    columns reads pre-partitioned files and skips its Exchange — the
+    shuffle is paid once at load instead of per query. ``sort_cols``
+    additionally orders within buckets (sort-merge-ready for window
+    scans like the decay flagship).
+
+    At 100 TB this is the difference between re-shuffling the fact
+    table for every per-satellite analysis and never shuffling it at
+    all; the trade-off (fixed bucket count, catalog-managed layout) is
+    why it is a separate opt-in path from the plain partitioned append.
+    """
+    writer = df.write.format("parquet").mode(mode).option(
+        "path", wh.path(table)
+    )
+    writer = writer.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
