@@ -451,7 +451,7 @@ def simhash_fingerprints(spark, sf_dir):
         FROM fp, (SELECT unnest(generate_series(0, 4)) AS b) bs
     )
     SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM bands a JOIN bands b
       ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
@@ -481,7 +481,9 @@ def simhash_near_dup(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").alias(
+                "hamming"
+            ),
         )
         .where(F.col("hamming") <= 4)
         .distinct()

@@ -286,8 +286,8 @@ def set_ops_nations(spark, sf_dir):
 def rollup_order_status(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.grouping("o_orderstatus").alias("g_status"),
-        F.grouping("o_orderpriority").alias("g_prio"),
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
         F.count(F.lit(1)).alias("n"),
         dsum("o_totalprice", 14, 2).alias("total"),
     ).select(
@@ -348,7 +348,7 @@ def scalar_functions_bundle(spark, sf_dir):
         F.trim(F.col("p_name")).alias("name_trim"),
         F.upper(F.col("p_brand")).alias("brand_upper"),
         F.substring_index(F.col("p_name"), " ", 1).alias("first_token"),
-        F.length(F.col("p_name")).alias("name_len"),
+        F.length(F.col("p_name")).cast("bigint").alias("name_len"),
         F.concat_ws(
             "_", F.col("p_partkey").cast("string"), F.col("p_size").cast("string")
         ).alias("composite_key"),

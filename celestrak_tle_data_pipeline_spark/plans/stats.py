@@ -187,7 +187,7 @@ def approx_distinct_hll(spark, sf_dir):
     "ntile_lead_lag_orders",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
-           ntile(4) OVER w AS quartile,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
            lead(o_totalprice) OVER w AS next_price,
            lag(o_totalprice)  OVER w AS prev_price
     FROM orders
@@ -204,7 +204,7 @@ def ntile_lead_lag_orders(spark, sf_dir):
     return o.select(
         "o_orderkey",
         "o_orderstatus",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.lead("o_totalprice").over(w).alias("next_price"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
     )

@@ -114,7 +114,7 @@ def top_orders_per_status(spark, sf_dir):
             "o_orderstatus",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
         )
         .where(F.col("rn") <= 3)
     )
@@ -149,9 +149,9 @@ def rank_functions(spark, sf_dir):
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.rank().over(w_qty).alias("rnk"),
-        F.dense_rank().over(w_qty).alias("drnk"),
-        F.ntile(4).over(w_tile).alias("quartile"),
+        F.rank().over(w_qty).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w_qty).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w_tile).cast("bigint").alias("quartile"),
         F.lead("l_quantity").over(w_time).alias("next_qty"),
     )
 
