@@ -116,3 +116,21 @@ def test_fact_partitioned_by_epoch_date(spark, wh, tmp_path):
         d for d in os.listdir(wh.path("fact_telemetry")) if d.startswith("epoch_date=")
     ]
     assert parts  # daily partition dirs exist → 3-day probe is pruned
+
+
+def test_exact_duplicates_digest_unambiguous(spark):
+    """('a', NULL) vs ('a','') and separator-bearing values must not
+    collide in the dedup digest (to_json struct encoding)."""
+    from celestrak_tle_data_pipeline_spark.operators.dedup import (
+        exact_duplicates,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", ""), ("ab", "c"), ("a", "bc"),
+         ("x", "y"), ("x", "y")],
+        "c1 string, c2 string",
+    )
+    dups = exact_duplicates(df, ["c1", "c2"]).collect()
+    # only the genuine ('x','y') pair is a duplicate group
+    assert len(dups) == 1
+    assert dups[0].dup_count == 2 and dups[0].first_value == "x"
