@@ -149,3 +149,44 @@ def read_binary_dir(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("out_width", T.LongType()),
+        T.StructField("out_height", T.LongType()),
+        T.StructField("out_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_assets(assets: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Arrow-batched "resize" via ``mapInPandas``: binary in, binary out.
+
+    PRODUCTION: decode → interpolate → re-encode per buffer. STUB (no
+    codecs here): the payload is truncated/zero-padded to exactly
+    ``width*height`` bytes — deterministic, and exercises the part that
+    matters for the engine: a binary→binary kernel whose OUTPUT is
+    again a payload column (resize pipelines chain; the schema must
+    round-trip through Arrow in both directions).
+    """
+    target = width * height
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: (b[:target] + b"\x00" * target)[:target]
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": resized,
+                    "out_width": width,
+                    "out_height": height,
+                    "out_bytes": resized.map(len),
+                }
+            )
+
+    return assets.mapInPandas(kernel, RESIZED_SCHEMA)

@@ -67,3 +67,29 @@ def test_frame_sampling_expansion(spark):
     assert frames[2].frame_checksum60 == int(
         hashlib.md5(payload[64:70]).hexdigest()[:15], 16
     )
+
+
+def test_resize_binary_roundtrip(spark):
+    """resize: binary->binary kernel; output payloads chain into the
+    decode kernel (schema round-trips through Arrow both directions)."""
+    from celestrak_tle_data_pipeline_spark.operators.multimodal import (
+        resize_assets,
+    )
+
+    assets = spark.createDataFrame(
+        [(1, "image/png", bytearray(b"\xab" * 100)),
+         (2, "image/png", bytearray(b"\xcd" * 10))],
+        "asset_id long, media_type string, payload binary",
+    )
+    out = {r.asset_id: r for r in resize_assets(assets, 4, 8).collect()}
+    assert out[1].out_bytes == 32 and bytes(out[1].payload) == b"\xab" * 32
+    assert out[2].out_bytes == 32
+    assert bytes(out[2].payload) == b"\xcd" * 10 + b"\x00" * 22
+
+    # chain: resized payloads feed the decode kernel unchanged
+    chained = decode_assets(
+        resize_assets(assets, 4, 8).selectExpr(
+            "asset_id", "'image/png' AS media_type", "payload"
+        )
+    ).collect()
+    assert all(r.byte_len == 32 for r in chained)
