@@ -39,6 +39,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     time-pruning path is the warehouse's date-partitioned layout
     (sinks/warehouse.py), not row-group filters on a misencoded file.
     """
+    # The engine's timestamp contract is naive-UTC (SURVEY.md §1.4).
+    # Registry queries may run on a CALLER-OWNED session (the driver's),
+    # so the contract is pinned here, not only in our session factory —
+    # on a non-UTC session every timestamp literal and collected value
+    # would shift against the DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
