@@ -407,41 +407,46 @@ _SIMHASH_SQL = """
 )
 def simhash_fingerprints(spark, sf_dir):
     """60-bit SimHash per document (X1): per-token 60-bit md5-derived
-    hash, per-bit majority vote over the token multiset — computed
-    entirely with higher-order functions inside ONE projection: fold
-    the token array into a 60-slot vote vector (zip_with add), then
-    fold votes into the fingerprint. Zero shuffle, zero explode — the
-    scan is the whole plan, at any corpus size. (The DuckDB oracle
-    computes the same thing the explode+groupBy way — two independent
-    formulations, same bits.)"""
-    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(60)])
+    hash, per-bit majority vote over the token multiset, via explode +
+    two codegen'd hash aggregations (token-bit votes, then bit
+    recombination).
 
-    def bits_of(tok):
-        h = _tok_hash(tok)
-        # bit test via mask AND (no variable shifts in HOF lambdas)
-        return F.transform(
-            masks,
-            lambda p: F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
+    Why explode+groupBy and NOT a higher-order-function fold: HOF
+    lambdas (aggregate/transform/zip_with) are evaluated by the
+    interpreted expression path — a pure-HOF formulation measured ~20x
+    slower cold at sf0.1 (58s vs 2.8s) despite its shuffle-free plan.
+    The shuffle here carries three small integers per (doc, bit) —
+    cheap — while every arithmetic op stays inside whole-stage codegen.
+    """
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_tokens()).alias("tok"))
+        .select("doc_id", _tok_hash("tok").alias("h"))
+    )
+    votes = (
+        toks.select(
+            "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("i")
         )
-
-    votes = F.aggregate(
-        _tokens(),
-        F.array_repeat(F.lit(0), 60),
-        lambda acc, tok: F.zip_with(acc, bits_of(tok), lambda a, b: a + b),
+        .groupBy("doc_id", "i")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> i) & 1") == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias("v")
+        )
     )
-    simhash = F.aggregate(
-        F.zip_with(
-            votes,
-            masks,
-            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return _docs(spark, sf_dir).select(
-        "doc_id", simhash.cast("bigint").alias("simhash")
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("shiftleft(1L, i)")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("simhash")
+        )
     )
 
 
