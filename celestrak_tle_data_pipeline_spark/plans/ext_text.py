@@ -537,27 +537,38 @@ def doc_fingerprint_rolling(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register("minhash_near_dup")  # no SQL oracle: MLlib LSH internals
 def minhash_near_dup(spark, sf_dir):
-    """MinHashLSH near-dup candidate pairs (X1): distinct tokens →
-    1024-dim binary term vectors → 5 seeded min-hash tables →
-    approxSimilarityJoin at Jaccard distance ≤ 0.3. Seeded, so
-    deterministic; rows-only correctness check (the exact verifier is
-    token_jaccard_pairs). At scale this is the default near-dup path:
-    candidate generation is a bucket equi-join on hash bands, never
-    all-pairs."""
+    """MinHashLSH near-dup candidate pairs (X1), the full
+    shingle→minhash→band→bucket-join pipeline: word-trigram shingles →
+    4096-dim binary shingle vectors → 5 seeded min-hash tables →
+    approxSimilarityJoin at Jaccard distance ≤ 0.5. Seeded, so
+    deterministic; rows-only correctness check (the exact verifiers are
+    ngram_shingle_jaccard / token_jaccard_pairs). At scale this is the
+    default near-dup path: candidate generation is a bucket equi-join
+    on hash bands, never all-pairs."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.array_distinct(_tokens()).alias("toks")
+    toks = _tokens()
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
     )
+    docs = _docs(spark, sf_dir).select("doc_id", shingles.alias("toks"))
     tf = HashingTF(
-        inputCol="toks", outputCol="features", numFeatures=1024, binary=True
+        inputCol="toks", outputCol="features", numFeatures=4096, binary=True
     )
     feats = tf.transform(docs)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=5, seed=42
     )
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
     return (
         pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(

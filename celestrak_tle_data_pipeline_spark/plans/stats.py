@@ -321,3 +321,36 @@ def salted_heavy_hitters(spark, sf_dir):
         .where(F.col("rn") <= 20)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# exact percentiles / median (§2.5)
+# --------------------------------------------------------------------------
+@register(
+    "percentile_quartiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.25) AS q1,
+           median(o_totalprice) AS med,
+           quantile_cont(o_totalprice, 0.75) AS q3,
+           quantile_cont(o_totalprice, 0.75)
+             - quantile_cont(o_totalprice, 0.25) AS iqr
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_quartiles(spark, sf_dir):
+    """Exact continuous-interpolation quartiles + IQR per status —
+    Spark's exact `percentile` matches DuckDB's quantile_cont
+    bit-for-bit (verified at %.17g). Exact percentile sorts within
+    the aggregation buffer; the approximate scale path for heavy
+    groups is percentile_approx (a KLL-style sketch, engine-specific
+    like the HLL twin)."""
+    o = t(spark, sf_dir, "orders")
+    q1 = F.expr("percentile(o_totalprice, 0.25)")
+    q3 = F.expr("percentile(o_totalprice, 0.75)")
+    return o.groupBy("o_orderstatus").agg(
+        q1.alias("q1"),
+        F.median("o_totalprice").alias("med"),
+        q3.alias("q3"),
+        (q3 - q1).alias("iqr"),
+    )
