@@ -174,3 +174,26 @@ def test_merge_upsert_telemetry(spark, tmp_path):
     assert by_epoch[old_epoch].mean_motion == 15.5       # upserted
     assert by_epoch[old_epoch].fetched_at_utc == t1
     assert by_epoch[other_epoch].mean_motion == 14.0     # untouched
+
+
+def test_fetch_and_land_chain(spark, tmp_path):
+    """S1 end to end: fetch (file:// stands in for HTTP) -> atomic land
+    -> batch ingest from the landing dir."""
+    from celestrak_tle_data_pipeline_spark.pipeline import (
+        ingest_tle_landing_dir,
+    )
+    from celestrak_tle_data_pipeline_spark.sources.fetch import (
+        fetch_and_land,
+    )
+
+    src = tmp_path / "remote.txt"
+    src.write_text(_tle_payload(NOW))
+    landing = tmp_path / "landing"
+
+    path = fetch_and_land(str(landing), url=src.as_uri(), prefix="tle")
+    assert path.endswith(".txt") and not path.endswith(".tmp")
+    assert len(list(landing.glob("*.tmp"))) == 0  # atomic: no temp litter
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    stats = ingest_tle_landing_dir(wh, spark, str(landing))
+    assert stats["parsed"] == 2 and stats["new_satellites"] == 2
