@@ -99,11 +99,12 @@ def grouping_sets_status_priority(spark, sf_dir):
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           sx / n AS avg_qty,
-           (n * sxx - sx * sx) / (n * (n - 1.0)) AS var_qty,
-           sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS stddev_qty,
-           (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+           round(sx / n, 9) AS avg_qty,
+           round((n * sxx - sx * sx) / (n * (n - 1.0)), 9) AS var_qty,
+           round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 9)
+               AS stddev_qty,
+           round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
              AS corr_qty_price
     FROM s
     """,
@@ -132,13 +133,16 @@ def stats_moments_by_flag(spark, sf_dir):
     corr = (n * sxy - sx * sy) / (
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
+    # rounded to 9 decimals in BOTH engines: the decimal->double cast of
+    # large power sums can differ by 1 ulp between JVM BigDecimal and
+    # DuckDB int128 conversion (observed at sf0.001).
     return s.select(
         "l_returnflag",
         "n",
-        (sx / n).alias("avg_qty"),
-        var.alias("var_qty"),
-        F.sqrt(var).alias("stddev_qty"),
-        corr.alias("corr_qty_price"),
+        F.round(sx / n, 9).alias("avg_qty"),
+        F.round(var, 9).alias("var_qty"),
+        F.round(F.sqrt(var), 9).alias("stddev_qty"),
+        F.round(corr, 9).alias("corr_qty_price"),
     )
 
 
