@@ -394,3 +394,78 @@ def tle_decay_flagship(spark, sf_dir):
             ).alias("decay_rate"),
         )
     )
+
+
+_ORACLE_REGIMES = """
+WITH keys AS (
+    SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 2000
+),
+f AS (
+    SELECT k,
+           (k * 7) % 100 AS yy,
+           (k % 1800) / 10.0 AS incl,
+           ((k * 13) % 10000000) / 10000000.0 AS ecc,
+           (10000000 + (k * 3) % 9000000) / 1000000.0 AS mm
+    FROM keys
+    WHERE k % 97 <> 0
+)
+SELECT CAST((CASE WHEN yy < 57 THEN 2000 + yy ELSE 1900 + yy END) // 10 * 10
+            AS INT) AS launch_decade,
+       CASE WHEN incl < 30.0 THEN 'low-inclination'
+            WHEN incl < 60.0 THEN 'mid-inclination'
+            WHEN incl < 100.0 THEN 'polar'
+            ELSE 'retrograde' END AS regime,
+       COUNT(*) AS n_sats,
+       CAST(SUM(CAST(ecc AS DECIMAL(10,8))) AS DOUBLE) / COUNT(*)
+           AS avg_eccentricity,
+       MIN(mm) AS min_mean_motion,
+       MAX(mm) AS max_mean_motion
+FROM f
+GROUP BY 1, 2
+"""
+
+
+@register("tle_orbital_regimes", oracle=_ORACLE_REGIMES)
+def tle_orbital_regimes(spark, sf_dir):
+    """Orbital-regime rollup — the 'analytics-ready data' the reference
+    warehouse exists to serve (README.md:80-81): parsed telemetry
+    classified into inclination regimes × launch decades with
+    decimal-safe eccentricity averages. Runs on the REAL parse output
+    (synthesized lines → expression bundle), so the whole
+    parse→classify→aggregate DAG sits under the oracle gate; one scan,
+    one partial-aggregated shuffle of ~40 group keys."""
+    from ..functions.tle import launch_year
+
+    triples = _synth_lines(_keys(spark, sf_dir), corrupt=True)
+    parsed = parse_tle_triples(triples, fetched_at=_FETCHED_AT).where(
+        valid_record()
+    )
+    regime = (
+        F.when(F.col("inclination") < 30.0, F.lit("low-inclination"))
+        .when(F.col("inclination") < 60.0, F.lit("mid-inclination"))
+        .when(F.col("inclination") < 100.0, F.lit("polar"))
+        .otherwise(F.lit("retrograde"))
+    )
+    decade = (
+        (launch_year(F.col("intl_designator")) / 10).cast("int") * 10
+    ).cast("int")
+    return (
+        parsed.select(
+            decade.alias("launch_decade"),
+            regime.alias("regime"),
+            "eccentricity",
+            "mean_motion",
+        )
+        .groupBy("launch_decade", "regime")
+        .agg(
+            F.count(F.lit(1)).alias("n_sats"),
+            (
+                F.sum(F.col("eccentricity").cast("decimal(10,8)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("avg_eccentricity"),
+            F.min("mean_motion").alias("min_mean_motion"),
+            F.max("mean_motion").alias("max_mean_motion"),
+        )
+    )
