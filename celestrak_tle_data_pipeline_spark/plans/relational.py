@@ -401,3 +401,56 @@ def batch_counts(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# --- full outer join with coalesced keys (J-family completion) ---------------
+@register(
+    "outer_join_nation_coverage",
+    oracle="""
+    WITH c AS (
+        SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+        FROM customer GROUP BY 1
+    ),
+    s AS (
+        SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+        FROM supplier GROUP BY 1
+    )
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(c.n_customers, 0) AS n_customers,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers,
+           CASE WHEN c.nk IS NULL THEN 'supplier_only'
+                WHEN s.nk IS NULL THEN 'customer_only'
+                ELSE 'both' END AS coverage
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def outer_join_nation_coverage(spark, sf_dir):
+    """FULL OUTER join of per-nation customer vs supplier counts with
+    coalesced keys and a coverage indicator — the outer-join
+    null-semantics completion of the join family (inner/anti/semi/
+    as-of/range are covered elsewhere). Both sides pre-aggregate to
+    ~25 keys before the join, so the outer join is over group keys,
+    never raw fact rows."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .alias("c")
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+        .alias("s")
+    )
+    coverage = (
+        F.when(F.col("c.nk").isNull(), F.lit("supplier_only"))
+        .when(F.col("s.nk").isNull(), F.lit("customer_only"))
+        .otherwise(F.lit("both"))
+    )
+    return c.join(s, F.col("c.nk") == F.col("s.nk"), "full_outer").select(
+        F.coalesce(F.col("c.nk"), F.col("s.nk")).alias("nationkey"),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        coverage.alias("coverage"),
+    )

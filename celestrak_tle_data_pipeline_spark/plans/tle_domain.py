@@ -469,3 +469,77 @@ def tle_orbital_regimes(spark, sf_dir):
             F.max("mean_motion").alias("max_mean_motion"),
         )
     )
+
+
+# x = seconds since 1950-01-01 (positive for every TLE epoch, so the
+# integer `div` truncation is floor in both engines; pre-1970 epochs
+# would make div-vs-// diverge on negatives).
+_EPOCH_1950_US = -631152000000000
+
+
+_ORACLE_SLOPE = """
+WITH keys AS (
+    SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 2000
+),
+f AS (
+    SELECT k % 50 AS norad,
+           (epoch_us(CAST(make_date(
+                CASE WHEN (k * 7) % 100 < 57 THEN 2000 + (k * 7) % 100
+                     ELSE 1900 + (k * 7) % 100 END, 1, 1) AS TIMESTAMP))
+             + (k % 364) * 86400000000 + (k % 128) * 675000000
+             + 631152000000000) // 1000000 AS x,
+           (10000000 + (k * 3) % 9000000) / 1000000.0 AS y
+    FROM keys
+),
+s AS (
+    SELECT norad,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+           -- DECIMAL(19)*DECIMAL(19) = 38 digits: the max DuckDB can
+           -- multiply (narrower casts execute in int64 and overflow)
+           CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y AS DECIMAL(9,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(9,6)))
+                AS DOUBLE) AS sxy
+    FROM f GROUP BY norad
+)
+SELECT CAST(norad AS BIGINT) AS norad_id, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0, 12)
+           AS slope_mm_per_day
+FROM s
+"""
+
+
+@register("tle_decay_slope", oracle=_ORACLE_SLOPE)
+def tle_decay_slope(spark, sf_dir):
+    """Per-satellite decay rate as a least-squares regression slope of
+    mean_motion over epoch time (the 'windowed regression slope'
+    SURVEY.md §2.7 names as the decay-mechanics analysis): closed-form
+    slope from exact decimal power sums — one scan over the parsed
+    telemetry, one shuffle of 4 sums per satellite, no per-group
+    iteration. The slope is rescaled to rev/day² and rounded to 12
+    decimals on both engines (the power sums exceed 2^53, so their
+    double casts carry the usual 1-ulp conversion hazard)."""
+    triples = _synth_lines(_keys(spark, sf_dir), norad_mod=50)
+    parsed = parse_tle_triples(triples, fetched_at=_FETCHED_AT).where(
+        valid_record()
+    )
+    x = (
+        (F.unix_micros(F.col("epoch_utc")) - F.lit(_EPOCH_1950_US))
+        / F.lit(1000000)
+    ).cast("long").cast("decimal(12,0)")
+    y = F.col("mean_motion").cast("decimal(9,6)")
+    s = parsed.groupBy(F.col("norad_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sxx, sy, sxy = F.col("sx"), F.col("sxx"), F.col("sy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) * F.lit(86400.0)
+    return s.select(
+        "norad_id", "n", F.round(slope, 12).alias("slope_mm_per_day")
+    )
