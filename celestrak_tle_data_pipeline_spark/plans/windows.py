@@ -313,3 +313,55 @@ def asof_join_latest_purchase(spark, sf_dir):
             F.col("c_event").alias("event_id"), "user_id", "last_purchase_event"
         )
     )
+
+
+# --- bounded window frames: trailing ROWS + time RANGE (§2.7) ---------------
+@register(
+    "moving_avg_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE)
+           / COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ) AS trailing4_avg,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+               RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS sum_30d
+    FROM orders
+    """,
+)
+def moving_avg_spend(spark, sf_dir):
+    """Bounded window frames, both kinds: a trailing-4 ROWS frame
+    (order + tiebreak → deterministic row set) and a 30-day RANGE frame
+    over the µs epoch (peer rows included by value, deterministic under
+    ties by construction). Spark's rangeBetween takes numeric offsets,
+    so the time range rides unix_micros — same 2.592e12 µs constant as
+    the oracle. Frame sums go through the decimal cast (exact within
+    any frame)."""
+    o = t(spark, sf_dir, "orders")
+    rows_w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    range_w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30 * 86400 * 1000000, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(dec("o_totalprice")).over(rows_w).cast("double")
+            / F.count(F.lit(1)).over(rows_w)
+        ).alias("trailing4_avg"),
+        F.sum(dec("o_totalprice")).over(range_w).cast("double").alias(
+            "sum_30d"
+        ),
+    )
