@@ -365,3 +365,47 @@ def moving_avg_spend(spark, sf_dir):
             "sum_30d"
         ),
     )
+
+
+# --- sequential custom operator: applyInPandas EWMA (§2.10) ------------------
+@register(
+    "ewma_anomaly_by_user",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    -- NB: scalar folds only. A single struct-state fold
+    -- ((acc,x) -> CASE ... {'e':..., 'c':...}) hits a DuckDB
+    -- vectorization bug: the same query returns different anomaly
+    -- counts with vs without an outer filter. Per-prefix scalar
+    -- list_reduce is O(n^2) but bit-identical to the sequential
+    -- kernel and stable.
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           list_reduce(vals, (a, v) -> 0.875 * a + 0.125 * v)
+               AS final_ewma,
+           CAST(len(list_filter(
+               range(2, len(vals) + 1),
+               i -> abs(vals[i]
+                        - list_reduce(list_slice(vals, 1, i - 1),
+                                      (a, v) -> 0.875 * a + 0.125 * v))
+                    > 3.0 * abs(list_reduce(list_slice(vals, 1, i - 1),
+                                            (a, v) -> 0.875 * a + 0.125 * v))
+           )) AS BIGINT) AS n_anomalies
+    FROM ordered
+    """,
+)
+def ewma_anomaly_by_user(spark, sf_dir):
+    """Sequential per-entity EWMA + online anomaly count via
+    ``applyInPandas`` (operators/grouped.py) — the one computation class
+    where row i needs row i-1's RESULT, which no window function
+    expresses (windows lag inputs, not outputs). alpha=1/8 keeps every
+    step the same two IEEE ops, so the DuckDB oracle replays the exact
+    fold with list_reduce and matches bit-for-bit — the Python grouped
+    kernel sits fully under the correctness gate."""
+    from ..operators.grouped import ewma_by_group
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return ewma_by_group(e)
