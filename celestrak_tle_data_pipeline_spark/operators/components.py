@@ -1,0 +1,76 @@
+"""Iterative connected components (label propagation) — the dedup
+cluster closure.
+
+Pairwise dedup (exact digests, MinHash/SimHash candidates, cosine
+pairs) yields EDGES; what a pipeline keeps is one survivor per
+CLUSTER, i.e. per connected component of the pair graph — a transitive
+closure no single join computes. This is the engine's one genuinely
+iterative operator: small-step min-label propagation driven by a
+driver-side loop (the standard Pregel-without-Pregel shape).
+
+Scale notes: each iteration is one join + one aggregation, all
+DataFrame ops — rows never come to the driver except the single
+`isEmpty` convergence probe. Iteration count is bounded by component
+DIAMETER (dup clusters are near-cliques: a handful of rounds), not
+component size. ``localCheckpoint`` truncates the growing lineage so
+iteration i+1 does not replan/re-execute iterations 1..i.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(a,b) undirected edges → (node, component) with component = the
+    minimum node id reachable from ``node``. Deterministic by
+    construction (min is order-free)."""
+    sym = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            updated = (
+                labels.join(
+                    neighbor_min, labels.node == neighbor_min.src, "left"
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_component"), F.col("component")),
+                    ).alias("component"),
+                    (
+                        F.coalesce(F.col("nbr_component"), F.col("component"))
+                        < F.col("component")
+                    ).alias("changed"),
+                )
+                .localCheckpoint()  # truncate lineage each round
+            )
+            converged = updated.where(F.col("changed")).isEmpty()
+            labels = updated.drop("changed")
+            if converged:
+                break
+        return labels
+    finally:
+        sym.unpersist()

@@ -762,3 +762,77 @@ def token_count_regex(spark, sf_dir):
             "chars_per_subword"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# X1: dup-cluster closure — iterative connected components over pair edges
+# --------------------------------------------------------------------------
+_CLUSTER_CORPUS_SQL = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 300000, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@register(
+    "dup_cluster_components",
+    oracle=f"""
+    WITH corpus AS ({_CLUSTER_CORPUS_SQL}),
+    g AS (
+        SELECT doc_id, {_NORM_SQL} AS digest,
+               MIN(doc_id) OVER (PARTITION BY {_NORM_SQL}) AS component,
+               COUNT(*) OVER (PARTITION BY {_NORM_SQL}) AS cluster_size
+        FROM corpus
+    )
+    SELECT doc_id, component, cluster_size
+    FROM g WHERE cluster_size > 1
+    """,
+)
+def dup_cluster_components(spark, sf_dir):
+    """Dedup cluster closure (X1): chain-link the members of each
+    digest group (a PATH, not a clique — so transitivity must be
+    EARNED), then run iterative min-label propagation
+    (operators/components.py) until fixpoint. Clusters of size 3
+    (doc % 10: original + two generations of copies) need multi-hop
+    propagation. The oracle derives components from digest-group
+    membership directly — fully independent of the edge-walking
+    algorithm under test."""
+    from pyspark.sql import Window
+
+    from ..operators.components import connected_components
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = (
+        d.unionAll(
+            d.where(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        ).unionAll(
+            d.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"), "text"
+            )
+        )
+    ).select("doc_id", _digest().alias("digest"))
+
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    members = corpus.withColumn("rn", F.row_number().over(w))
+    nxt = members.select(
+        F.col("digest").alias("digest2"),
+        (F.col("rn") - 1).alias("rn2"),
+        F.col("doc_id").alias("b"),
+    )
+    # consecutive-member chain edges within each digest group
+    edges = members.join(
+        nxt,
+        (members.digest == nxt.digest2) & (members.rn == nxt.rn2),
+    ).select(F.col("doc_id").alias("a"), "b")
+
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(F.broadcast(sizes), "component").select(
+        F.col("node").alias("doc_id"), "component", "cluster_size"
+    )

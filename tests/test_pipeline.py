@@ -197,3 +197,19 @@ def test_fetch_and_land_chain(spark, tmp_path):
     wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
     stats = ingest_tle_landing_dir(wh, spark, str(landing))
     assert stats["parsed"] == 2 and stats["new_satellites"] == 2
+
+
+def test_connected_components_long_chain(spark):
+    """A 7-node path (diameter 6) plus a disjoint pair: label
+    propagation must walk multiple hops, not just one join."""
+    from celestrak_tle_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 16)] + [(100, 101)],
+        "a long, b long",
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert all(comp[n] == 10 for n in range(10, 17))
+    assert comp[100] == 100 and comp[101] == 100
