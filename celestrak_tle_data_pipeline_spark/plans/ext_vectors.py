@@ -343,3 +343,131 @@ def ann_lsh_bucketed(spark, sf_dir):
         F.col("datasetB.vec_id").alias("b_id"),
         F.col("eucl_dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# int8 scalar quantization + recall@k against the exact baseline
+# --------------------------------------------------------------------------
+def _sq_sql(col: str) -> str:
+    """Quantize-reconstruct in SQL: clamp to [-0.5, 0.5], scale to
+    [-127, 127], round, rescale — the int8 storage codec."""
+    return (
+        f"list_transform({col}, v -> "
+        f"round(least(greatest(v::DOUBLE, -0.5), 0.5) * 254.0) / 254.0)"
+    )
+
+
+_ORACLE_SQ = f"""
+WITH d AS (
+    SELECT vec_id, embedding,
+           {_sq_sql('embedding')} AS sq,
+           sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+    FROM embeddings
+),
+dq AS (
+    SELECT vec_id, sq,
+           sqrt(list_reduce(list_prepend(0.0, list_transform(
+               generate_series(1, {_DIM}), i -> sq[i] * sq[i])),
+               (x, y) -> x + y)) AS qnrm
+    FROM d
+),
+q AS (SELECT * FROM d WHERE vec_id % 100 = 0),
+exact_k AS (
+    SELECT q.vec_id AS q_id, d.vec_id AS n_id
+    FROM q JOIN d ON q.vec_id <> d.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_dot_sql('q.embedding', 'd.embedding')} / (q.nrm * d.nrm)
+                 DESC, d.vec_id
+    ) <= 10
+),
+qq AS (SELECT * FROM dq WHERE vec_id % 100 = 0),
+sq_k AS (
+    SELECT qq.vec_id AS q_id, dq.vec_id AS n_id
+    FROM qq JOIN dq ON qq.vec_id <> dq.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY qq.vec_id
+        ORDER BY list_reduce(list_prepend(0.0, list_transform(
+                     generate_series(1, {_DIM}),
+                     i -> qq.sq[i] * dq.sq[i])), (x, y) -> x + y)
+                 / (qq.qnrm * dq.qnrm) DESC, dq.vec_id
+    ) <= 10
+)
+SELECT e.q_id,
+       CAST(COUNT(s.n_id) AS BIGINT) AS n_overlap,
+       COUNT(s.n_id) / 10.0 AS recall_at_10
+FROM exact_k e LEFT JOIN sq_k s
+  ON e.q_id = s.q_id AND e.n_id = s.n_id
+GROUP BY e.q_id
+"""
+
+
+@register("embedding_sq8_recall", oracle=_ORACLE_SQ)
+def embedding_sq8_recall(spark, sf_dir):
+    """int8 scalar quantization (the embedding-compression codec a
+    100 TB vector store runs: 4x smaller than float32, cheaper dot
+    products) measured honestly: top-10 under quantized cosine vs the
+    exact float baseline → recall@10 per query. Quantization is a
+    fixed-scale clamp+round (no data-dependent calibration pass), so
+    the whole codec + recall computation is deterministic and
+    oracle-checked."""
+    sq = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(
+            F.least(F.greatest(v.cast("double"), F.lit(-0.5)), F.lit(0.5))
+            * 254.0,
+            0,
+        )
+        / 254.0,
+    )
+    d = _vecs(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        sq.alias("sq"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    d = d.withColumn(
+        "qnrm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("sq"), F.col("sq"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+
+    def topk(score_from, emb_col, nrm_col):
+        q = d.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("q_id"),
+            F.col(emb_col).alias("q_emb"),
+            F.col(nrm_col).alias("q_nrm"),
+        )
+        cos = _dot(F.col("q_emb"), F.col(emb_col)) / (
+            F.col("q_nrm") * F.col(nrm_col)
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc("cosine"), F.asc("n_id")
+        )
+        return (
+            d.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+            .select("q_id", F.col("vec_id").alias("n_id"), cos.alias("cosine"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 10)
+            .select("q_id", "n_id")
+        )
+
+    exact_k = topk("exact", "embedding", "nrm")
+    sq_k = topk("sq", "sq", "qnrm").withColumnRenamed("n_id", "s_n_id")
+    return (
+        exact_k.join(
+            sq_k,
+            (exact_k.q_id == sq_k.q_id) & (exact_k.n_id == sq_k.s_n_id),
+            "left",
+        )
+        .groupBy(exact_k.q_id)
+        .agg(
+            F.count("s_n_id").alias("n_overlap"),
+            (F.count("s_n_id") / F.lit(10.0)).alias("recall_at_10"),
+        )
+    )
