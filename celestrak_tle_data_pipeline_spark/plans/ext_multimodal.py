@@ -156,3 +156,34 @@ def multimodal_frame_sample(spark, sf_dir):
         F.col("media_type") == "video/mp4"
     )
     return sample_frames(videos, frame_bytes=32, stride=2)
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           list_transform(
+               generate_series(1, 8),
+               i -> CASE WHEN i <= length(text)
+                         THEN ascii(substr(text, i, 1)) / 256.0
+                         ELSE 0.0 END
+           ) AS features
+    FROM documents
+    """,
+)
+def multimodal_feature_extract(spark, sf_dir):
+    """The scalar pandas_udf path under the gate: binary payload →
+    8-dim feature vector (stub: first bytes scaled to [0,1);
+    production: an embedding model). Payloads are ASCII text bytes, so
+    DuckDB recomputes each feature from character codes — the Arrow
+    binary→array<float> UDF round-trip is value-checked end to end.
+    Note the float32 cast on the oracle side is implicit: the UDF
+    returns array<float>, and [0,1) multiples of 1/256 are exact in
+    float32, so no precision is lost crossing the types."""
+    from ..operators.multimodal import extract_features
+
+    a = _assets(spark, sf_dir)
+    return a.select(
+        "asset_id",
+        extract_features(F.col("payload")).alias("features"),
+    )
