@@ -836,3 +836,50 @@ def dup_cluster_components(spark, sf_dir):
     return comp.join(F.broadcast(sizes), "component").select(
         F.col("node").alias("doc_id"), "component", "cluster_size"
     )
+
+
+# --------------------------------------------------------------------------
+# X3: deterministic stratified sampling (training-data subsampling)
+# --------------------------------------------------------------------------
+@register(
+    "stratified_sample_docs",
+    oracle="""
+    WITH sampled AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM sampled
+    WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+    GROUP BY lang
+    """,
+)
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic stratified sampling (the language-rebalancing
+    subsample every training-data pipeline runs): per-document md5
+    bucket (engine-independent, reproducible run to run — unlike
+    seeded RNG sampling, which is partitioning-dependent) with
+    per-stratum rates: keep 20% of the dominant 'en', 50% of the rest.
+    Pure filter on the scan; the rate decision costs one hash per
+    row."""
+    d = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(20)).otherwise(F.lit(50))
+    return (
+        d.where(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
