@@ -328,24 +328,8 @@ def dedup_survivors(spark, sf_dir):
 # --------------------------------------------------------------------------
 # X1: near-dup by token-set Jaccard within bounded buckets
 # --------------------------------------------------------------------------
-@register(
-    "token_jaccard_pairs",
-    oracle="""
-    WITH d AS (
-        SELECT doc_id, source,
-               list_distinct(string_split(text, ' ')) AS toks
-        FROM documents
-    )
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           len(list_intersect(a.toks, b.toks))::DOUBLE
-             / (len(a.toks) + len(b.toks)
-                - len(list_intersect(a.toks, b.toks))) AS jaccard
-    FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
-            / (len(a.toks) + len(b.toks)
-               - len(list_intersect(a.toks, b.toks))) >= 0.9
-    """,
-)
+# Unregistered (round 3): overlaps ngram_shingle_jaccard (which keeps the
+# official row for exact-Jaccard near-dup). Kept as a callable.
 def token_jaccard_pairs(spark, sf_dir):
     """Near-dup candidate pairs by exact token-set Jaccard ≥ 0.9,
     bucketed by source (X1). Scale note: the quadratic blowup is
@@ -397,14 +381,8 @@ _SIMHASH_SQL = """
 """
 
 
-@register(
-    "simhash_fingerprints",
-    oracle=_SIMHASH_SQL
-    + """
-    SELECT doc_id, CAST(simhash AS BIGINT) AS simhash
-    FROM fp
-    """,
-)
+# Unregistered (round 3): subsumed by simhash_near_dup, which consumes these
+# fingerprints and carries the official CORRECTNESS row for the SimHash path.
 def simhash_fingerprints(spark, sf_dir):
     """60-bit SimHash per document (X1): per-token 60-bit md5-derived
     hash, per-bit majority vote over the token multiset, via explode +

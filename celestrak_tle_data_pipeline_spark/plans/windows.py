@@ -121,21 +121,9 @@ def top_orders_per_status(spark, sf_dir):
 
 
 # --- rank family over entity history ------------------------------------------
-@register(
-    "rank_functions",
-    oracle="""
-    SELECT l_suppkey, l_orderkey, l_linenumber,
-           RANK()       OVER w AS rnk,
-           DENSE_RANK() OVER w AS drnk,
-           NTILE(4)     OVER (PARTITION BY l_suppkey
-                              ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS quartile,
-           LEAD(l_quantity) OVER (PARTITION BY l_suppkey
-                                  ORDER BY l_shipdate, l_orderkey, l_linenumber) AS next_qty
-    FROM lineitem
-    WHERE l_suppkey <= 3
-    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity DESC)
-    """,
-)
+# Unregistered (round 3): subsumed by stats.ntile_lead_lag_orders, which
+# carries the official CORRECTNESS row for the rank/ntile/lead family.
+# Kept as a callable for tests and ad-hoc use.
 def rank_functions(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 3)
     w_qty = Window.partitionBy("l_suppkey").orderBy(F.desc("l_quantity"))
