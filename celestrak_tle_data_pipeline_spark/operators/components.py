@@ -43,6 +43,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     try:
         for _ in range(max_iter):
             neighbor_min = (
@@ -71,6 +72,15 @@ def connected_components(
             labels = updated.drop("changed")
             if converged:
                 break
+        if not converged:
+            # Partially-propagated labels would silently split one real
+            # cluster into several — downstream dedup would keep extra
+            # "survivors". Fail loud instead.
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations (component diameter exceeds max_iter); "
+                "raise max_iter"
+            )
         return labels
     finally:
         sym.unpersist()

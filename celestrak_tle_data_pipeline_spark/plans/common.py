@@ -8,10 +8,17 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def t(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_min_us: int | None = None,
+) -> DataFrame:
     """Registry-local alias for ``sources.load_table`` (the single
-    loader that also normalizes the events nanos-timestamp quirk)."""
-    return load_table(spark, sf_dir, name)
+    loader that also normalizes the events nanos-timestamp quirk).
+    ``ts_min_us`` pushes a ``ts`` lower bound into the scan in the
+    file's physical domain (see load_table)."""
+    return load_table(spark, sf_dir, name, ts_min_us=ts_min_us)
 
 
 def dec(col, precision: int = 12, scale: int = 2) -> Column:

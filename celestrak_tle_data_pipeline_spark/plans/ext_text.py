@@ -681,10 +681,17 @@ def tfidf_top_terms(spark, sf_dir):
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = _docs(spark, sf_dir).count()
+    # Corpus size N stays INSIDE the lazy DAG: a one-row aggregate
+    # broadcast-cross-joined onto the scored rows. An eager .count()
+    # here would serialize a full corpus scan ahead of the pipeline at
+    # 100 TB; this way Catalyst schedules it as one more (tiny) stage.
+    n = _docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
     scored = (
         tf.where(F.col("doc_id") % 25 == 0)
         .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "term",
@@ -695,7 +702,7 @@ def tfidf_top_terms(spark, sf_dir):
             # is rounded to 9 decimals in BOTH engines and ranked on
             # the rounded value.
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 9
             ).alias("tfidf"),
         )
     )

@@ -238,12 +238,18 @@ def first_order_per_customer(spark, sf_dir):
 def pruned_scan_recent(spark, sf_dir):
     # The reference's 3-day probe (script.py:159) with a deterministic
     # anchor (max ts) instead of wall-clock NOW() so the oracle matches.
+    # Two-phase scan: a ts-only scalar aggregate resolves the anchor
+    # (column-pruned — parquet reads one column), then the main scan
+    # runs with the bound as a LITERAL in the file's physical domain so
+    # it reaches parquet row-group pruning (the previous broadcast-join
+    # formulation kept the predicate post-scan: a join output can never
+    # be a pushed filter). The anchor value is the only thing the driver
+    # sees — this is scan-bound resolution, not a data collect.
     e = t(spark, sf_dir, "events")
-    anchor = e.agg(F.max("ts").alias("mx"))
-    return (
-        e.join(F.broadcast(anchor))
-        .where(F.col("ts") > F.col("mx") - F.expr("INTERVAL 3 DAYS"))
-        .select("event_id", "user_id", "event_type")
+    mx_us = e.agg(F.unix_micros(F.max("ts"))).first()[0]
+    ts_min_us = mx_us - 3 * 86_400 * 1_000_000
+    return t(spark, sf_dir, "events", ts_min_us=ts_min_us).select(
+        "event_id", "user_id", "event_type"
     )
 
 

@@ -118,12 +118,15 @@ class ParquetWarehouse:
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
             try:
                 n = df.count()
+                # An empty batch is "nothing fetched" — a no-op, as in the
+                # reference's `if not df.empty` guard — not a quality
+                # failure; the gate vetoes only non-empty-but-thin batches.
+                if n == 0:
+                    return 0
                 if n < min_rows:
                     raise QualityGateError(
                         f"batch for {table} has {n} rows < min_rows={min_rows}"
                     )
-                if n == 0:
-                    return 0
                 w = df.write.mode("append")
                 if partition_by:
                     w = w.partitionBy(*partition_by)
@@ -273,7 +276,7 @@ def merge_upsert_telemetry(wh: ParquetWarehouse, parsed: DataFrame) -> int:
     (``partitionOverwriteMode=dynamic``), and survivor choice is an
     explicit row_number order — never arbitrary.
     """
-    from pyspark.sql import Window, types as T
+    from pyspark.sql import Observation, Window, types as T
 
     from ..schemas import FACT_TELEMETRY, FACT_TELEMETRY_PARTITION_COL
 
@@ -290,25 +293,34 @@ def merge_upsert_telemetry(wh: ParquetWarehouse, parsed: DataFrame) -> int:
     affected = [r[0] for r in batch.select(pcol).distinct().collect()]
 
     existing = wh.read("fact_telemetry").where(F.col(pcol).isin(affected))
+    # Survivor order: freshest fetched_at wins; on a full tie the INCOMING
+    # batch row wins (source marker 1 > stored 0) — deterministic, never
+    # arbitrary, and matches upsert intuition ("the write you just did").
     w = Window.partitionBy("norad_id", "epoch_utc").orderBy(
-        F.desc_nulls_last("fetched_at_utc"), F.desc(F.lit(1))
+        F.desc_nulls_last("fetched_at_utc"), F.desc("__src")
     )
     merged = (
-        batch.unionByName(existing)
+        batch.withColumn("__src", F.lit(1))
+        .unionByName(existing.withColumn("__src", F.lit(0)))
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__src")
     )
 
     spark = wh.spark
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        # overwrite rewrites ONLY partitions present in `merged`
-        n = merged.count()
-        merged.write.mode("overwrite").partitionBy(pcol).parquet(
+        # overwrite rewrites ONLY partitions present in `merged`; the row
+        # count piggybacks on the write via Observation so the merged DAG
+        # (union + window dedup over the affected partitions) runs ONCE —
+        # at 100 TB a separate count() would double the partition rewrite
+        # read path.
+        obs = Observation()
+        observed = merged.observe(obs, F.count(F.lit(1)).alias("n"))
+        observed.write.mode("overwrite").partitionBy(pcol).parquet(
             wh.path("fact_telemetry")
         )
-        return n
+        return obs.get["n"]
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)

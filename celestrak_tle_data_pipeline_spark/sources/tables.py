@@ -20,37 +20,72 @@ from pyspark.sql import types as T
 from ..schemas import DRIVER_TABLES
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_min_us: int | None = None,
+) -> DataFrame:
     """Load one driver table; normalizes parquet TIMESTAMP(NANOS).
 
     Some SF dirs store ``events.ts`` as nanosecond timestamps, which
     Spark's vectorized parquet reader rejects (PARQUET_TYPE_ILLEGAL);
-    others store µs. Reading under
-    ``spark.sql.legacy.parquet.nanosAsLong`` yields raw int64 nanos for
-    the former (and changes nothing for the latter), which we truncate
-    to µs with integer arithmetic (``div 1000`` — a double division
-    would lose precision above 2^53 ns) — bit-identical to DuckDB's
-    native ns→µs truncation, so oracle value-hashes match. The conf is
-    session-wide and harmless for µs tables, so it is simply left on.
+    others store µs. The events read happens under
+    ``spark.sql.legacy.parquet.nanosAsLong`` — yielding raw int64 nanos
+    for the former (and changing nothing for the latter) — which we
+    truncate to µs with integer arithmetic (``div 1000``; a double
+    division would lose precision above 2^53 ns), bit-identical to
+    DuckDB's native ns→µs truncation, so oracle value-hashes match.
+    The conf is scoped set/restore around the ``spark.read.parquet``
+    call: the relation captures it at read time (verified — execution
+    after restore succeeds), so other nanos parquet the CALLER reads in
+    the same session is unaffected.
 
-    Pushdown caveat: on a nanos file the normalized ``ts`` is a computed
-    column, so static ``ts`` predicates cannot reach the parquet scan
-    (µs files are unaffected — no conversion happens). At scale the
-    time-pruning path is the warehouse's date-partitioned layout
-    (sinks/warehouse.py), not row-group filters on a misencoded file.
+    ``ts_min_us`` (events only) is a lower-bound predicate in integer
+    epoch-µs applied in the file's PHYSICAL domain — on the raw int64
+    nanos BEFORE conversion, or on the native µs timestamp — so it is
+    a literal comparison the scan can push into parquet row-group
+    pruning. Predicates on the post-conversion ``ts`` of a nanos file
+    cannot prune; this parameter is how callers keep time-range scans
+    pruned regardless of encoding. (At warehouse scale the primary
+    pruning path is the date-partitioned layout, sinks/warehouse.py.)
+
+    API contract (session-wide, intentionally NOT restored): the
+    engine's timestamp semantics are naive-UTC (SURVEY.md §1.4), so
+    this loader pins ``spark.sql.session.timeZone=UTC``. Unlike the
+    nanos conf, the timezone is consulted at EXECUTION time by
+    timestamp expressions, so scoping it to the read would corrupt
+    lazily-executed plans; callers needing another zone must set it
+    back after materializing these tables.
     """
-    # The engine's timestamp contract is naive-UTC (SURVEY.md §1.4).
-    # Registry queries may run on a CALLER-OWNED session (the driver's),
-    # so the contract is pinned here, not only in our session factory —
-    # on a non-UTC session every timestamp literal and collected value
-    # would shift against the DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        prev = spark.conf.get(_NANOS_CONF, None)
+        spark.conf.set(_NANOS_CONF, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(_NANOS_CONF)
+            else:
+                spark.conf.set(_NANOS_CONF, prev)
         if isinstance(df.schema["ts"].dataType, T.LongType):
+            if ts_min_us is not None:
+                # Pushed row-group pruner on the raw nanos (a superset:
+                # trunc(ns/1000) > m implies ns > m*1000), then the exact
+                # strict-µs predicate after conversion.
+                df = df.where(F.col("ts") > F.lit(ts_min_us * 1000))
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            if ts_min_us is not None:
+                df = df.where(
+                    F.col("ts") > F.timestamp_micros(F.lit(ts_min_us))
+                )
+        elif ts_min_us is not None:
+            df = df.where(F.col("ts") > F.timestamp_micros(F.lit(ts_min_us)))
         return df
     return spark.read.parquet(path)
 
