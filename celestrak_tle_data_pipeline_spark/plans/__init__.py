@@ -81,7 +81,7 @@ _PRIORITY = (
     "lang_id_ngram",
     "exact_dup_groups",
     "simhash_near_dup",
-    "minhash_near_dup",
+    "minhash_lsh_recall",
     "ngram_shingle_jaccard",
     "tfidf_top_terms",
     "token_count_regex",
@@ -92,7 +92,7 @@ _PRIORITY = (
     "ann_ivf_topk",
     "embedding_cosine_near_dup",
     "embedding_sq8_recall",
-    "ann_lsh_bucketed",
+    "ann_lsh_recall",
     # multimodal / semi-structured
     "props_maptype",
     "multimodal_meta_profile",

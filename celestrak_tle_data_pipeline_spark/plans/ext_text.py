@@ -560,9 +560,7 @@ def minhash_near_dup(spark, sf_dir):
 # --------------------------------------------------------------------------
 # X1: 3-gram shingle Jaccard near-dup (the MinHash candidate's exact twin)
 # --------------------------------------------------------------------------
-@register(
-    "ngram_shingle_jaccard",
-    oracle="""
+_NGRAM_PAIRS_SQL = """
     WITH corpus AS (
         SELECT doc_id, source, text FROM documents
         UNION ALL
@@ -585,15 +583,14 @@ def minhash_near_dup(spark, sf_dir):
     WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
           >= 0.8
-    """,
-)
-def ngram_shingle_jaccard(spark, sf_dir):
-    """Word-trigram shingle Jaccard ≥ 0.8 within source buckets (X1):
-    the order-sensitive near-dup metric (token sets miss reorderings;
-    shingles don't), over a corpus with synthesized near-copies (first
-    token dropped → shingle overlap (n-1)/n). Shingling is a
-    higher-order transform over the split array — no explode, no
-    shuffle until the bounded pair join."""
+    """
+
+
+def _shingle_corpus(spark, sf_dir):
+    """Augmented corpus (base docs + synthesized near-copies with the
+    first token dropped) as (doc_id, source, sh) word-trigram shingle
+    sets. Shared by the exact-Jaccard verifier and the MinHash recall
+    gate so both measure the same population."""
     base = _docs(spark, sf_dir).select("doc_id", "source", "text")
     near = base.where(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -613,7 +610,13 @@ def ngram_shingle_jaccard(spark, sf_dir):
             ),
         )
     )
-    d = corpus.select("doc_id", "source", shingles.alias("sh"))
+    return corpus.select("doc_id", "source", shingles.alias("sh"))
+
+
+def _exact_shingle_pairs(d, threshold: float = 0.8):
+    """All same-source pairs with exact shingle-set Jaccard ≥ threshold
+    → (a_id, b_id, jaccard). Per-bucket quadratic — the ground-truth
+    verifier; the scale path is the LSH candidate join it gates."""
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     jac = inter.cast("double") / (
@@ -630,8 +633,51 @@ def ngram_shingle_jaccard(spark, sf_dir):
             F.col("b.doc_id").alias("b_id"),
             jac.alias("jaccard"),
         )
-        .where(F.col("jaccard") >= 0.8)
+        .where(F.col("jaccard") >= threshold)
     )
+
+
+@register("ngram_shingle_jaccard", oracle=_NGRAM_PAIRS_SQL)
+def ngram_shingle_jaccard(spark, sf_dir):
+    """Word-trigram shingle Jaccard ≥ 0.8 within source buckets (X1):
+    the order-sensitive near-dup metric (token sets miss reorderings;
+    shingles don't), over a corpus with synthesized near-copies (first
+    token dropped → shingle overlap (n-1)/n). Shingling is a
+    higher-order transform over the split array — no explode, no
+    shuffle until the bounded pair join."""
+    return _exact_shingle_pairs(_shingle_corpus(spark, sf_dir))
+
+
+@register("minhash_lsh_recall", oracle=_NGRAM_PAIRS_SQL)
+def minhash_lsh_recall(spark, sf_dir):
+    """Recall gate for the MinHash LSH path (X1), value-checked: the
+    exact shingle-Jaccard ≥ 0.8 pairs left-SEMI-joined with the seeded
+    MinHashLSH candidate set over the SAME augmented corpus. The oracle
+    is the full exact-pair set, so a hash match asserts candidates ⊇
+    exact pairs — recall 1.0 under this seed/data; any LSH regression
+    (lost band, changed hashing) surfaces as a row-count mismatch
+    instead of passing silently. Same protocol as embedding_sq8_recall
+    (ext_vectors.py); complements the rows-only minhash_near_dup, which
+    exposes the raw candidate surface."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = _shingle_corpus(spark, sf_dir)
+    exact = _exact_shingle_pairs(d)
+    feats = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=4096, binary=True
+    ).transform(d.select("doc_id", "sh"))
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=5, seed=42
+    ).fit(feats)
+    cand = (
+        model.approxSimilarityJoin(feats, feats, 0.5, distCol="jd")
+        .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a_id"),
+            F.col("datasetB.doc_id").alias("b_id"),
+        )
+    )
+    return exact.join(cand, ["a_id", "b_id"], "left_semi")
 
 
 # --------------------------------------------------------------------------

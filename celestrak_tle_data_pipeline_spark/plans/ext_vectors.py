@@ -346,6 +346,97 @@ def ann_lsh_bucketed(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# LSH recall gate: exact euclidean pairs ⊆ LSH candidates, value-checked
+# --------------------------------------------------------------------------
+_EUCL_PAIRS_SQL = f"""
+WITH corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 10 = 0
+),
+p AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           sqrt(list_reduce(list_prepend(0.0, list_transform(
+               generate_series(1, {_DIM}),
+               i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+                    * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE))),
+               (x, y) -> x + y)) AS eucl_dist
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, eucl_dist FROM p WHERE eucl_dist <= 1.0
+"""
+
+
+@register("ann_lsh_recall", oracle=_EUCL_PAIRS_SQL)
+def ann_lsh_recall(spark, sf_dir):
+    """Recall gate for the random-projection LSH path (X2),
+    value-checked: exact euclidean-distance ≤ 1.0 pairs (order-pinned
+    fold, squared via multiplication — pow() is a 1-ulp trap across
+    engines) left-SEMI-joined with the seeded
+    BucketedRandomProjectionLSH candidate set over the same augmented
+    corpus (copies of every 10th vector injected as known dups). The
+    oracle is the full exact-pair set, so a hash match asserts
+    candidates ⊇ exact pairs — recall 1.0 under this seed/data; a
+    regression in the LSH path shows up as missing rows, not a silent
+    pass. The exact all-pairs side is the VERIFIER (bounded corpus);
+    the bucket equi-join inside approxSimilarityJoin is the 100 TB
+    shape. Complements rows-only ann_lsh_bucketed (raw candidate
+    surface)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    base = _vecs(spark, sf_dir).select("vec_id", "embedding")
+    copies = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionAll(copies)
+
+    a, b = corpus.alias("a"), corpus.alias("b")
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("a.embedding"),
+                F.col("b.embedding"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    exact = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            dist.alias("eucl_dist"),
+        )
+        .where(F.col("eucl_dist") <= 1.0)
+    )
+
+    d = corpus.select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.5,
+        numHashTables=4,
+        seed=42,
+    )
+    cand = (
+        lsh.fit(d)
+        .approxSimilarityJoin(d, d, 1.0, distCol="dist")
+        .where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("a_id"),
+            F.col("datasetB.vec_id").alias("b_id"),
+        )
+    )
+    return exact.join(cand, ["a_id", "b_id"], "left_semi")
+
+
+# --------------------------------------------------------------------------
 # int8 scalar quantization + recall@k against the exact baseline
 # --------------------------------------------------------------------------
 def _sq_sql(col: str) -> str:
