@@ -38,6 +38,8 @@ QUERIES = [
     "simhash_near_dup",         # banded LSH near-dup
     "cosine_topk_exact",        # brute-force ANN baseline
     "ann_ivf_topk",             # probed ANN
+    "stats_moments_by_flag",    # advanced agg (skew/kurtosis moments)
+    "multimodal_decode_stub",   # Arrow-batched mapInPandas kernel
 ]
 
 
