@@ -914,3 +914,187 @@ def stratified_sample_docs(spark, sf_dir):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X3: benchmark decontamination — n-gram collision against an eval set
+# --------------------------------------------------------------------------
+@register(
+    "decontamination_overlap",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS s FROM documents
+    ),
+    bench AS (
+        SELECT doc_id AS bench_id,
+               unnest(list_distinct(
+                   [array_to_string(s[i:i+4], ' ')
+                    for i in range(3, least(8, len(s) - 4) + 1)])) AS ng
+        FROM s WHERE doc_id % 20 = 0
+    ),
+    train AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [array_to_string(s[i:i+4], ' ')
+                    for i in range(1, len(s) - 3)])) AS ng
+        FROM s
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.ng) AS BIGINT) AS n_hit_ngrams,
+           CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM train t JOIN bench b ON t.ng = b.ng
+    GROUP BY t.doc_id
+    """,
+)
+def decontamination_overlap(spark, sf_dir):
+    """Benchmark decontamination (X3): flag training documents sharing
+    any word 5-gram with a held-out eval set — the contamination check
+    every LLM training pipeline runs before a data release. The eval
+    set is a deterministic excerpt slice (words 3..12 of every 20th
+    document), so each bench doc's source is contaminated by
+    construction and exact/near copies of it are caught transitively.
+
+    Scale shape: distinct n-grams explode from both sides into a plain
+    equi-join on the gram (shuffle keyed by gram — at 100 TB you'd key
+    on xxhash64(gram) to shrink shuffle width; semantics identical),
+    then one aggregation per flagged doc. The eval side is tiny and
+    broadcast-eligible; Catalyst/AQE picks the strategy."""
+    s = F.split(F.col("text"), " ")
+    five = lambda i: F.concat_ws(  # noqa: E731 — local gram builder
+        " ",
+        F.element_at(s, i),
+        F.element_at(s, i + 1),
+        F.element_at(s, i + 2),
+        F.element_at(s, i + 3),
+        F.element_at(s, i + 4),
+    )
+    d = _docs(spark, sf_dir)
+    bench = (
+        d.where(F.col("doc_id") % 20 == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(3), F.least(F.lit(8), F.size(s) - 4)
+                        ),
+                        five,
+                    )
+                )
+            ).alias("ng"),
+        )
+    )
+    train = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(1), F.size(s) - 4), five)
+            )
+        ).alias("ng"),
+    )
+    return (
+        train.join(bench, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("ng").alias("n_hit_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X3: repetition profile — Gopher-style top-bigram mass per document
+# --------------------------------------------------------------------------
+@register(
+    "repetition_profile",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS s FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest([s[i] || ' ' || s[i+1]
+                       for i in range(1, len(s))]) AS bg
+        FROM s
+    ),
+    cnt AS (
+        SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY doc_id, bg
+    ),
+    top AS (
+        SELECT doc_id, bg AS top_bigram, n AS top_bigram_n
+        FROM cnt
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY n DESC, bg
+        ) = 1
+    ),
+    base AS (
+        SELECT doc_id,
+               CAST(len(s) - 1 AS BIGINT) AS n_bigrams,
+               len(list_distinct(s)) / len(s)::DOUBLE AS distinct_token_ratio
+        FROM s
+    )
+    SELECT b.doc_id, t.top_bigram,
+           CAST(t.top_bigram_n AS BIGINT) AS top_bigram_n,
+           b.n_bigrams,
+           t.top_bigram_n / b.n_bigrams::DOUBLE AS top_bigram_frac,
+           b.distinct_token_ratio
+    FROM base b JOIN top t USING (doc_id)
+    """,
+)
+def repetition_profile(spark, sf_dir):
+    """Repetition quality signal (X3, the Gopher-report family): the
+    fraction of a document's bigrams taken by its single most frequent
+    bigram, plus the distinct-token ratio — the two cheapest detectors
+    of degenerate/looped text that LLM pipelines filter on. Exact
+    argmax with a deterministic tiebreak (lexicographically first
+    bigram). Ratios are exact small-int divisions — bit-identical
+    across engines, no decimal pinning needed.
+
+    Scale shape: one explode + hash aggregation keyed (doc, bigram),
+    one per-doc window for the argmax, and per-doc scalars computed
+    expression-only on the base scan (no extra shuffle)."""
+    from pyspark.sql import Window
+
+    toks = _tokens()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    d = _docs(spark, sf_dir)
+    cnt = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("bg"))
+    top = (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("bg").alias("top_bigram"),
+            F.col("n").cast("bigint").alias("top_bigram_n"),
+        )
+    )
+    base = d.select(
+        "doc_id",
+        (F.size(toks) - 1).cast("bigint").alias("n_bigrams"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("distinct_token_ratio"),
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "top_bigram",
+        "top_bigram_n",
+        "n_bigrams",
+        (
+            F.col("top_bigram_n").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("top_bigram_frac"),
+        "distinct_token_ratio",
+    )
