@@ -8,8 +8,11 @@ aggregate is reconstructed from *exact decimal power sums* (Σx, Σx²,
 arithmetic written in the same operation order in both engines. Native
 single-pass stddev/corr implementations are NOT used in oracle-gated
 queries — their merge order varies by partitioning, so their low bits
-are not reproducible; the one approximate-by-design query
-(approx_count_distinct, an HLL sketch) is rows-only.
+are not reproducible. The approximate-by-design sketches
+(approx_count_distinct, percentile_approx) carry self-certifying
+error-bound gates: the query returns exact companions plus a boolean
+asserting the sketch met its own contract, and the oracle expects
+TRUE — an out-of-bound estimate fails the value hash.
 """
 
 from __future__ import annotations
@@ -171,16 +174,35 @@ def distinct_part_counts(spark, sf_dir):
     )
 
 
-@register("approx_distinct_hll")  # rows-only: HLL sketches differ by engine
+@register(
+    "approx_distinct_hll",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_3rsd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_hll(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++): the 100 TB path for
     distinct counting — fixed-size sketch, mergeable, no expand. The
-    estimate is engine-specific by design, so this is a rows-only
-    check; the exact twin above is the oracle-gated reference."""
+    estimate itself is engine-specific by design, so the value check is
+    a SELF-CERTIFYING error-bound gate: the query returns the exact
+    count plus a boolean asserting |approx − exact| ≤ 3·rsd·exact
+    (measured error at rsd=0.02 is ~1%, so the 6% gate has margin but
+    still catches a broken sketch); the oracle expects TRUE, so an
+    out-of-bound estimate flips the row and fails the hash — the same
+    protocol as the LSH recall gates."""
     l = t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02)
+                - F.countDistinct("l_partkey")
+            ).cast("double")
+            <= F.lit(0.06) * F.countDistinct("l_partkey").cast("double")
+        ).alias("within_3rsd"),
     )
 
 
@@ -357,4 +379,52 @@ def percentile_quartiles(spark, sf_dir):
         F.median("o_totalprice").alias("med"),
         q3.alias("q3"),
         (q3 - q1).alias("iqr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# approximate quantile with a rank-tolerance gate (§2.5 scale path)
+# --------------------------------------------------------------------------
+@register(
+    "approx_quantile_bounds",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS within_rank_tol
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def approx_quantile_bounds(spark, sf_dir):
+    """percentile_approx (Greenwald-Khanna sketch, accuracy=1000): the
+    mergeable quantile path heavy groups use at 100 TB. The sketch
+    value is engine-specific, so — like approx_distinct_hll — the gate
+    is SELF-CERTIFYING against the sketch's own contract: the rank of
+    the returned approximate median must sit within eps·n of n/2
+    (eps = 1/accuracy, widened 4x for safety; measured slack is far
+    smaller). The rank is recomputed exactly with a conditional count
+    against a broadcast of the per-group sketch outputs; the oracle
+    expects TRUE, so a sketch whose error exceeds its contract fails
+    the value hash."""
+    o = t(spark, sf_dir, "orders")
+    ap = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("apx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    joined = o.select("o_orderstatus", "o_totalprice").join(
+        F.broadcast(ap), "o_orderstatus"
+    )
+    agg = joined.groupBy("o_orderstatus").agg(
+        F.first("n_rows").alias("n_rows"),
+        F.sum((F.col("o_totalprice") <= F.col("apx")).cast("bigint"))
+        .cast("double")
+        .alias("rank_apx"),
+    )
+    n = F.col("n_rows").cast("double")
+    tol = F.greatest(F.lit(1.0), n * F.lit(4.0 / 1000.0))
+    return agg.select(
+        "o_orderstatus",
+        "n_rows",
+        (F.abs(F.col("rank_apx") - n / F.lit(2.0)) <= tol).alias(
+            "within_rank_tol"
+        ),
     )
