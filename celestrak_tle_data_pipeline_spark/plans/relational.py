@@ -454,3 +454,40 @@ def outer_join_nation_coverage(spark, sf_dir):
         F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
         coverage.alias("coverage"),
     )
+
+
+# --- unpivot / melt: wide -> long reshaping (P-family completion) ------------
+@register(
+    "unpivot_price_bands",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderstatus,
+             CAST(SUM(CASE WHEN o_totalprice < 50000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS small,
+             CAST(SUM(CASE WHEN o_totalprice >= 50000
+                            AND o_totalprice < 150000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS medium,
+             CAST(SUM(CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS large
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, band, n
+    FROM wide UNPIVOT (n FOR band IN (small, medium, large))
+    """,
+)
+def unpivot_price_bands(spark, sf_dir):
+    """Wide→long reshaping (`DataFrame.unpivot`, the inverse of the
+    pivot query): per-status price-band counts melted into
+    (status, band, n) rows. Unpivot is a zero-shuffle projection —
+    each input row expands to k output rows map-side; the only
+    shuffle here is the upstream aggregation's."""
+    o = t(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.sum((p < 50000).cast("bigint")).alias("small"),
+        F.sum(((p >= 50000) & (p < 150000)).cast("bigint")).alias("medium"),
+        F.sum((p >= 150000).cast("bigint")).alias("large"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"], ["small", "medium", "large"], "band", "n"
+    )

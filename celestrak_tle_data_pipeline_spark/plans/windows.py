@@ -397,3 +397,33 @@ def ewma_anomaly_by_user(spark, sf_dir):
 
     e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     return ewma_by_group(e)
+
+
+# --- distribution window functions: percent_rank / cume_dist -----------------
+@register(
+    "window_distribution_functions",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_functions(spark, sf_dir):
+    """percent_rank / cume_dist over a total order (§2.7 completion):
+    the normalized-rank family used for percentile bucketing of
+    entities. Both are rank/(n-1)-style exact rational divisions of
+    integer ranks, so the doubles are bit-identical across engines.
+    One shuffle on the partition key."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
