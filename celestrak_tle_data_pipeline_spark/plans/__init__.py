@@ -34,6 +34,7 @@ _MODULES = (
     "ext_multimodal",
     "stats",
     "weather_domain",
+    "ext_udf",
 )
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries, so
