@@ -1,0 +1,67 @@
+"""Plan-shape regression tests: the 100 TB properties.
+
+Correctness says what a query returns; these tests pin HOW — pushed
+filters reach the scan, dims broadcast instead of shuffling the fact
+side, zero-shuffle operators stay zero-shuffle. A refactor that keeps
+results right but regresses a plan to a full-shuffle shape fails here,
+at sf0.001 plan-build cost.
+"""
+
+from __future__ import annotations
+
+from celestrak_tle_data_pipeline_spark import plans
+
+from conftest import SF_DIR
+
+
+def _plan(spark, name, sf=SF_DIR):
+    df = plans.all_queries()[name](spark, sf)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    # count shuffle exchanges only; BroadcastExchange is the cheap kind
+    return sum(
+        plan.count(f"Exchange {kind}")
+        for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+    )
+
+
+def test_pruned_scan_pushes_ts_into_parquet(spark):
+    plan = _plan(spark, "pruned_scan_recent")
+    # the 3-day bound reaches the parquet scan as a literal comparison
+    # (raw int64 nanos on nanos-encoded files) — row-group pruning works
+    assert "GreaterThan(ts" in plan
+    assert _shuffles(plan) == 0
+
+
+def test_antijoin_is_broadcast_no_shuffle(spark):
+    plan = _plan(spark, "antijoin_composite_key")
+    assert _shuffles(plan) == 0
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stride3_assembly_is_shuffle_free(spark):
+    plan = _plan(spark, "tle_assembly_stride3")
+    assert _shuffles(plan) == 0
+
+
+def test_star_joins_broadcast_dims(spark):
+    top = _plan(spark, "top_revenue_orders")
+    # customer dim must broadcast — the fact side never shuffles for it
+    assert top.count("BroadcastHashJoin") >= 1
+    region = _plan(spark, "region_revenue")
+    # customer, nation, region (and supplier-free chain) all broadcast
+    assert region.count("BroadcastHashJoin") >= 3
+
+
+def test_exact_dedup_shuffles_digests_once(spark):
+    plan = _plan(spark, "exact_dup_groups")
+    assert _shuffles(plan) == 1
+
+
+def test_tfidf_corpus_size_stays_lazy(spark):
+    # n_docs must be an aggregate INSIDE the plan (broadcast cross-join),
+    # not a literal baked in by an eager driver-side count()
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "n_docs" in plan
