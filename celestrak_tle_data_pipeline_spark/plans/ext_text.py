@@ -1098,3 +1098,155 @@ def repetition_profile(spark, sf_dir):
         ).alias("top_bigram_frac"),
         "distinct_token_ratio",
     )
+
+
+# --------------------------------------------------------------------------
+# X3: sequence packing — concat-and-chunk into fixed context windows
+# --------------------------------------------------------------------------
+@register(
+    "sequence_packing_chunks",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM d
+    )
+    SELECT doc_id, source, n_tokens,
+           cum - n_tokens AS start_offset,
+           (cum - n_tokens) // 512 AS first_chunk,
+           (cum - 1) // 512 AS last_chunk,
+           (cum - 1) // 512 - (cum - n_tokens) // 512 + 1
+               AS n_chunks_spanned
+    FROM c
+    """,
+)
+def sequence_packing_chunks(spark, sf_dir):
+    """Sequence packing (X3): the concat-and-chunk layout LLM
+    pretraining uses — documents are concatenated per source shard in a
+    deterministic order and cut into fixed 512-token context windows;
+    each doc reports its global token offset and the chunk ids it
+    spans (boundary-crossing docs span >1). All integer arithmetic.
+
+    Scale shape: the running offset is a per-source window (one
+    shuffle on source, linear scan within) — the per-shard packing
+    real pipelines do, NOT a single global cumsum (an
+    Exchange SinglePartition bottleneck at 100 TB)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(_tokens()).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    first = F.expr("(cum - n_tokens) div 512")
+    last = F.expr("(cum - 1) div 512")
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start.alias("start_offset"),
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + F.lit(1)).alias("n_chunks_spanned"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X3: mixture/budget sampling plan — deterministic per-source rates
+# --------------------------------------------------------------------------
+@register(
+    "mixture_budget_plan",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 10000 AS bucket
+        FROM documents
+    ),
+    totals AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(n_tokens) AS tokens_total,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_sources
+        FROM d GROUP BY source
+    ),
+    rates AS (
+        SELECT source, n_docs, tokens_total,
+               least(1.0, (100000.0 / n_sources) / tokens_total::DOUBLE)
+                   AS rate
+        FROM totals
+    )
+    SELECT r.source, r.n_docs, r.tokens_total, r.rate,
+           CAST(COUNT(*) FILTER (d.bucket < r.rate * 10000.0) AS BIGINT)
+               AS n_selected,
+           CAST(COALESCE(SUM(d.n_tokens)
+                    FILTER (d.bucket < r.rate * 10000.0), 0) AS BIGINT)
+               AS tokens_selected
+    FROM rates r JOIN d ON d.source = r.source
+    GROUP BY r.source, r.n_docs, r.tokens_total, r.rate
+    """,
+)
+def mixture_budget_plan(spark, sf_dir):
+    """Data mixing under a token budget (X3): give each source an equal
+    share of a 100k-token budget, derive its deterministic sampling
+    rate (≤ 1), select documents by md5-bucket — the
+    partitioning-independent coin the stratified sampler uses — and
+    report the realized mixture. This is the planning step of
+    temperature/weighted mixing in LLM data pipelines, value-checked
+    end to end.
+
+    Scale shape: one aggregation for per-source totals (tiny result,
+    broadcast back), selection is a pure filter on the scan — no
+    second shuffle of documents."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(_tokens()).cast("bigint").alias("n_tokens"),
+        (_tok_hash(F.col("doc_id").cast("string")) % 10000).alias("bucket"),
+    )
+    totals = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_total"),
+    )
+    n_sources = totals.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources")
+    )
+    rates = totals.crossJoin(F.broadcast(n_sources)).select(
+        "source",
+        "n_docs",
+        "tokens_total",
+        F.least(
+            F.lit(1.0),
+            (F.lit(100000.0) / F.col("n_sources"))
+            / F.col("tokens_total").cast("double"),
+        ).alias("rate"),
+    )
+    sel = F.col("bucket") < F.col("rate") * F.lit(10000.0)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "tokens_total", "rate")
+        .agg(
+            F.sum(sel.cast("bigint")).alias("n_selected"),
+            F.coalesce(
+                F.sum(F.when(sel, F.col("n_tokens"))), F.lit(0)
+            ).cast("bigint").alias("tokens_selected"),
+        )
+        .select(
+            "source", "n_docs", "tokens_total", "rate",
+            "n_selected", "tokens_selected",
+        )
+    )
