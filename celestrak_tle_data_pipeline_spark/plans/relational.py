@@ -491,3 +491,35 @@ def unpivot_price_bands(spark, sf_dir):
     return wide.unpivot(
         ["o_orderstatus"], ["small", "medium", "large"], "band", "n"
     )
+
+
+# --- pure-SQL surface: the engine as a SQL engine (§1.4) ---------------------
+@register(
+    "sql_api_revenue_filter",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS promo_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def sql_api_revenue_filter(spark, sf_dir):
+    """TPC-H Q6 shape executed through the pure-SQL surface:
+    ``createOrReplaceTempView`` + ``spark.sql`` — certifying that a SQL
+    user of the engine gets the same Catalyst plan and the same
+    decimal-exact arithmetic as the DataFrame API (it is the same
+    analyzer). Filter sits on the scan; single partial-aggregated
+    one-row result."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("sql_lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                   AS promo_revenue,
+               COUNT(*) AS n_items
+        FROM sql_lineitem
+        WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """
+    )

@@ -428,3 +428,63 @@ def approx_quantile_bounds(spark, sf_dir):
             "within_rank_tol"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# robust outlier filter: median absolute deviation per entity
+# --------------------------------------------------------------------------
+@register(
+    "mad_outlier_filter",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, median(value) AS med
+        FROM events GROUP BY user_id
+    ),
+    dev AS (
+        SELECT e.user_id, e.event_id, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN m USING (user_id)
+    ),
+    mad AS (
+        SELECT user_id, median(adev) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN abs(d.value - d.med) > 6.0 * t.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad t USING (user_id)
+    GROUP BY d.user_id
+    """,
+)
+def mad_outlier_filter(spark, sf_dir):
+    """Robust per-entity outlier detection (the telemetry-cleaning step
+    before decay analysis): median + median-absolute-deviation per
+    entity, flag |x − med| > 6·MAD. Medians are exact (Spark
+    ``median`` = DuckDB ``median``, both continuous-interpolation —
+    bit-equal, proven by percentile_quartiles); the deviations are
+    plain double subtractions of identical operands, so the flags are
+    deterministic.
+
+    Scale shape: two grouped aggregations on the entity key and two
+    broadcast joins of tiny per-entity statistics back onto the scan —
+    the fact rows shuffle once (same key both aggs; Catalyst reuses
+    the partitioning)."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    med = e.groupBy("user_id").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(6.0) * F.col("mad")
+                ).cast("bigint")
+            ).alias("n_outliers"),
+        )
+    )
