@@ -35,6 +35,7 @@ _MODULES = (
     "stats",
     "weather_domain",
     "ext_udf",
+    "ext_pipeline",
 )
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries, so

@@ -1,0 +1,282 @@
+"""[EXT] Training-data / warehouse pipeline operators (SURVEY.md §2.11):
+continuous-aggregate rollup cascade, deterministic dataset splitting,
+PII detection + redaction, equi-width histogram binning.
+
+These have no counterpart in the reference's 180-line ETL script; they
+are the operations a large-scale training-data pipeline needs on top of
+it. Each is expression-only (whole-stage codegen, no Python in the hot
+path) and oracle-gated against DuckDB.
+
+Determinism discipline (plans/__init__ contract): money/value sums go
+through fixed-scale DECIMAL; bucket arithmetic is integer; the dataset
+split uses a transparent multiplicative (Knuth/Fibonacci) hash in
+64-bit integer arithmetic, identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import register
+from .common import dec, dsum, t
+
+
+# --------------------------------------------------------------------------
+# continuous-aggregate rollup cascade (hypertable-style)
+# --------------------------------------------------------------------------
+@register(
+    "rollup_cascade_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+               AS active_hours
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_cascade_daily(spark, sf_dir):
+    """Daily rollup computed FROM an hourly rollup (TimescaleDB
+    continuous-aggregate / materialized-cascade pattern), not from raw
+    events. The oracle computes daily directly from raw — hash equality
+    proves the cascade is lossless for the re-aggregable stats
+    (count/sum/min/max + distinct-hour count, which at the daily grain
+    is just the number of hourly rows).
+
+    Scale shape: at 100 TB the hourly layer is what you materialize
+    incrementally (streaming tumbling window, streaming/incremental.py);
+    every coarser grain then reads the ~1000x smaller rollup, never the
+    raw fact. Sums stay DECIMAL through both levels (order-independent),
+    cast to DOUBLE only at the end; one shuffle per level, and the
+    day-level shuffle moves pre-aggregated rows only.
+    """
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 18, 6)).alias("sv"),  # stays DECIMAL
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return hourly.groupBy(
+        F.col("hour").cast("date").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sv").cast("double").alias("total_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+        F.count(F.lit(1)).alias("active_hours"),
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic train/val/test split (multiplicative hash)
+# --------------------------------------------------------------------------
+_KNUTH = 2654435761  # 2^32 / phi, the Fibonacci-hash multiplier
+_M32 = 4294967296
+
+
+@register(
+    "dataset_split_assign",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT source, n_chars,
+               (doc_id * {_KNUTH}) % {_M32} AS h,
+               CASE WHEN (doc_id * {_KNUTH}) % {_M32} % 1000 < 800
+                        THEN 'train'
+                    WHEN (doc_id * {_KNUTH}) % {_M32} % 1000 < 900
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def dataset_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by a
+    multiplicative (Knuth) hash of the stable doc_id — the standard
+    trick for a split that is (a) reproducible across runs and engines,
+    (b) stable under re-partitioning and appends (a new doc never moves
+    an old doc's split), (c) computed without any shuffle: the assign
+    itself is a pure projection; only the verification summary below
+    aggregates.
+
+    xxhash64/md5 would also work in Spark, but the multiplicative hash
+    is the one both engines express in plain 64-bit integer arithmetic,
+    so the oracle verifies the ACTUAL assignment, not a lookalike.
+    (doc_id * K fits: max doc_id ~ 2^40 at 100 TB x K < 2^32 -> < 2^72
+    would overflow; guard by reducing doc_id mod 2^32 first if ids grow
+    past 2^31 — driver ids are dense small ints.)
+    """
+    d = t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_M32) % F.lit(1000)
+    assigned = d.withColumn(
+        "split",
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise(
+            "test"
+        ),
+    )
+    return assigned.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII detection + redaction (regex scrub)
+# --------------------------------------------------------------------------
+_PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_EMAIL_RE = "[A-Za-z0-9.#]+@[A-Za-z0-9.]+"
+
+
+@register(
+    "pii_scrub_contacts",
+    oracle=f"""
+    WITH rec AS (
+        SELECT c_custkey,
+               c_name || ' segment ' || c_mktsegment
+                 || CASE WHEN c_custkey % 3 <> 0
+                         THEN ' call ' || printf('%02d-%03d-%03d-%04d',
+                                  10 + c_custkey % 90,
+                                  (c_custkey * 7) % 1000,
+                                  (c_custkey * 13) % 1000,
+                                  (c_custkey * 31) % 10000)
+                         ELSE '' END
+                 || CASE WHEN c_custkey % 2 = 0
+                         THEN ' mail ' || lower(c_name) || '@example.com'
+                         ELSE '' END AS raw
+        FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(string_split_regex(raw, '{_PHONE_RE}')) - 1 AS INT)
+               AS n_phone,
+           CAST(len(string_split_regex(raw, '{_EMAIL_RE}')) - 1 AS INT)
+               AS n_email,
+           regexp_replace(regexp_replace(raw, '{_PHONE_RE}', '[PHONE]', 'g'),
+                          '{_EMAIL_RE}', '[EMAIL]', 'g') AS clean,
+           CAST(length(raw)
+                - length(regexp_replace(regexp_replace(raw, '{_PHONE_RE}',
+                                                       '', 'g'),
+                                        '{_EMAIL_RE}', '', 'g'))
+                AS BIGINT) AS pii_chars
+    FROM rec
+    """,
+)
+def pii_scrub_contacts(spark, sf_dir):
+    """PII scrub: detect and redact phone-shaped and email-shaped
+    substrings, count each, and report how many characters were
+    removed. The driver's slimmed customer table carries no contact
+    fields, so the record text is SYNTHESIZED deterministically from
+    the keys inside the query (identically in both engines — a fixture
+    step, stated here); the operator under test is the two-pattern
+    detect/redact pass, which the oracle verifies byte-for-byte
+    including the redacted output. Both patterns live in the common
+    subset of Java regex (Spark) and RE2 (DuckDB) so the same automaton
+    runs on both sides. Rows vary: ~2/3 have a phone, 1/2 an email.
+
+    Scale shape: pure per-row projection — no shuffle, no Python; the
+    regexes run inside whole-stage codegen. At 100 TB this is the
+    map-only scrub pass before tokenization; real deployments add more
+    patterns (SSN, IP, credit card) to the same single pass.
+    """
+    c = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d",
+        (F.lit(10) + k % 90).cast("int"),
+        ((k * 7) % 1000).cast("int"),
+        ((k * 13) % 1000).cast("int"),
+        ((k * 31) % 10000).cast("int"),
+    )
+    raw = F.concat(
+        F.col("c_name"),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+        F.when(k % 3 != 0, F.concat(F.lit(" call "), phone)).otherwise(""),
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit(" mail "), F.lower("c_name"),
+                     F.lit("@example.com")),
+        ).otherwise(""),
+    ).alias("raw")
+    rec = c.select("c_custkey", raw)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("raw", _PHONE_RE, "[PHONE]"), _EMAIL_RE, "[EMAIL]"
+    )
+    stripped = F.regexp_replace(
+        F.regexp_replace("raw", _PHONE_RE, ""), _EMAIL_RE, ""
+    )
+    return rec.select(
+        "c_custkey",
+        F.regexp_count("raw", F.lit(_PHONE_RE)).cast("int").alias("n_phone"),
+        F.regexp_count("raw", F.lit(_EMAIL_RE)).cast("int").alias("n_email"),
+        scrubbed.alias("clean"),
+        (F.length("raw") - F.length(stripped)).cast("bigint").alias(
+            "pii_chars"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# equi-width histogram (integer bucket arithmetic)
+# --------------------------------------------------------------------------
+@register(
+    "histogram_order_totals",
+    oracle="""
+    WITH b AS (
+        SELECT LEAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                          AS BIGINT) // 3000000, 19) AS bucket,
+               o_totalprice
+        FROM orders
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(bucket * 30000 AS DOUBLE) AS lo,
+           CAST((bucket + 1) * 30000 AS DOUBLE) AS hi,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total
+    FROM b GROUP BY 1, 2, 3
+    """,
+)
+def histogram_order_totals(spark, sf_dir):
+    """Equi-width histogram of order totals: 20 buckets of width 30000
+    over [0, 600000), top bucket clamped open. Bucketing is exact
+    integer arithmetic (decimal cents DIV width-in-cents) — no float
+    boundary ambiguity, so both engines bin identically.
+
+    Scale shape: single scan + one shuffle of <=20 partial rows per
+    task (map-side combine collapses everything); this is the profile
+    pass that sizes downstream length-bucketed batching. Fixed bounds
+    keep it one-pass — a data-driven min/max would need a separate
+    tiny aggregate first (see mixture_budget_plan for that shape).
+    """
+    o = t(spark, sf_dir, "orders")
+    b = o.select(
+        F.least(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+                " DIV 3000000"
+            ),
+            F.lit(19),
+        ).alias("bucket"),
+        "o_totalprice",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total"),
+    ).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        (F.col("bucket") * 30000).cast("double").alias("lo"),
+        ((F.col("bucket") + 1) * 30000).cast("double").alias("hi"),
+        "n",
+        "total",
+    )

@@ -65,3 +65,25 @@ def test_tfidf_corpus_size_stays_lazy(spark):
     # not a literal baked in by an eager driver-side count()
     plan = _plan(spark, "tfidf_top_terms")
     assert "n_docs" in plan
+
+
+def test_pii_scrub_is_map_only(spark):
+    # detect/redact is a pure projection: no shuffle, no Python
+    plan = _plan(spark, "pii_scrub_contacts")
+    assert _shuffles(plan) == 0
+    assert "Python" not in plan
+
+
+def test_dataset_split_assign_is_single_shuffle(spark):
+    # the hash assignment itself is projection-only; the verification
+    # summary adds exactly one partial-agg shuffle
+    plan = _plan(spark, "dataset_split_assign")
+    assert _shuffles(plan) == 1
+
+
+def test_rollup_cascade_second_level_reads_rollup(spark):
+    # two grains -> two agg shuffles; the day level must aggregate the
+    # hourly rollup, never re-scan raw events (exactly one scan)
+    plan = _plan(spark, "rollup_cascade_daily")
+    assert _shuffles(plan) == 2
+    assert plan.count("Scan parquet") == 1
