@@ -3,4 +3,8 @@ from .incremental import (  # noqa: F401
     run_incremental_ingest,
     run_incremental_weather,
 )
+from .joins import (  # noqa: F401
+    enriched_telemetry_stream,
+    run_enrichment_join,
+)
 from .stateful import decay_tracker  # noqa: F401

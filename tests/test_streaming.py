@@ -170,3 +170,59 @@ def test_stateful_decay_tracker(spark, tmp_path):
     (landing / "s3.txt").write_text(payload("15.99999999", doy - 2))
     run_pass()
     assert len(out_rows) == 2
+
+
+def test_stream_stream_enrichment_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks: a telemetry row whose
+    weather row arrives in a LATER micro-batch joins against the state
+    store (and vice versa), exactly once per pair."""
+    import json
+
+    from celestrak_tle_data_pipeline_spark.streaming import (
+        run_enrichment_join,
+    )
+
+    tle_land = tmp_path / "jtle"
+    w_land = tmp_path / "jweather"
+    tle_land.mkdir()
+    w_land.mkdir()
+    ckpt = str(tmp_path / "jckpt")
+    out_rows = []
+
+    def sink(df, _id):
+        out_rows.extend(df.collect())
+
+    def run_pass():
+        run_enrichment_join(spark, str(tle_land), str(w_land), ckpt, sink)
+
+    day = (NOW - dt.timedelta(days=1)).date()
+    prev = day - dt.timedelta(days=1)
+
+    # batch 1: telemetry for `day`, weather only for `prev` -> no match
+    # yet; the telemetry row parks in the join state
+    (tle_land / "t1.txt").write_text(_payload(70001, NOW - dt.timedelta(days=1)))
+    (w_land / "w1.json").write_text(
+        json.dumps([["time_tag", "flux"], [f"{prev} 12:00", "101.0"]])
+    )
+    run_pass()
+    assert out_rows == []
+
+    # batch 2: the matching weather day lands -> the batch-1 telemetry
+    # row joins FROM STATE, with the new flux value
+    (w_land / "w2.json").write_text(
+        json.dumps([["time_tag", "flux"], [f"{day} 12:00", "140.5"]])
+    )
+    run_pass()
+    assert len(out_rows) == 1
+    r = out_rows[0]
+    assert r.norad_id == 70001
+    assert r.f10_7_flux == 140.5
+    assert r.date_utc == day
+
+    # batch 3: a second satellite on the same day joins the ALREADY
+    # SEEN weather row from state — no re-landing needed
+    (tle_land / "t2.txt").write_text(_payload(70002, NOW - dt.timedelta(days=1)))
+    run_pass()
+    assert len(out_rows) == 2
+    assert {r.norad_id for r in out_rows} == {70001, 70002}
+    assert all(r.f10_7_flux == 140.5 for r in out_rows)
