@@ -1250,3 +1250,56 @@ def mixture_budget_plan(spark, sf_dir):
             "n_selected", "tokens_selected",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# edit-distance fuzzy pairs (the typo tier of the dedup stack)
+# --------------------------------------------------------------------------
+@register(
+    "levenshtein_fuzzy_pairs",
+    oracle="""
+    WITH c AS (
+        SELECT c_name, c_mktsegment FROM customer WHERE c_custkey <= 300
+    )
+    SELECT a.c_mktsegment AS seg, a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM c a JOIN c b
+      ON a.c_mktsegment = b.c_mktsegment AND a.c_name < b.c_name
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def levenshtein_fuzzy_pairs(spark, sf_dir):
+    """Edit-distance near-match pairs within a blocking key: the typo /
+    OCR-noise tier of the fuzzy-dedup stack (the token tiers catch
+    reorderings, SimHash/MinHash catch scale; Levenshtein catches
+    single-character corruption the set-based tiers are blind to).
+    Classic entity-resolution shape: block on a cheap key
+    (mktsegment), compare only within blocks, keep distance <= 1.
+
+    Scale shape: per-block quadratic — the verifier tier, same
+    discipline as token_jaccard_pairs: at 100 TB you run it only on
+    LSH/blocking candidates, never all-pairs (the blocking join here IS
+    that candidate generation). Levenshtein's DP definition is
+    engine-independent, so the oracle matches exactly; `<` on names
+    gives each unordered pair exactly once.
+    """
+    c = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 300)
+        .select("c_name", "c_mktsegment")
+    )
+    a = c.select(
+        F.col("c_mktsegment").alias("seg"), F.col("c_name").alias("name_a")
+    )
+    b = c.select(
+        F.col("c_mktsegment").alias("seg"), F.col("c_name").alias("name_b")
+    )
+    return (
+        a.join(b, on="seg")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .where(F.col("dist") <= 1)
+        .select("seg", "name_a", "name_b", "dist")
+    )

@@ -562,3 +562,58 @@ def embedding_sq8_recall(spark, sf_dir):
             (F.count("s_n_id") / F.lit(10.0)).alias("recall_at_10"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# higher-order-function vector kernel bundle
+# --------------------------------------------------------------------------
+_ORACLE_HOF = f"""
+WITH d AS (
+    SELECT vec_id, embedding,
+           sqrt({_dot_sql('embedding', 'embedding')}) AS nrm,
+           list_reduce(list_prepend(0.0, list_transform(
+               generate_series(1, {_DIM}), i -> embedding[i]::DOUBLE)),
+               (x, y) -> x + y) AS el_sum,
+           {_dot_sql('embedding', 'list_reverse(embedding)')} AS rev_dot
+    FROM embeddings
+)
+SELECT vec_id,
+       nrm,
+       CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS el_min,
+       CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS el_max,
+       el_sum,
+       embedding[1]::DOUBLE / nrm AS unit_first,
+       rev_dot
+FROM d
+"""
+
+
+@register("vector_hof_bundle", oracle=_ORACLE_HOF)
+def vector_hof_bundle(spark, sf_dir):
+    """Array higher-order-function kernel bundle over the embedding
+    column: L2 norm (sequential fold), element min/max, pinned-order
+    element sum, first element of the unit-normalized vector, and a
+    zip_with against the REVERSED vector (rev_dot) — the building
+    blocks of vector math (normalize, center, project) expressed
+    entirely in Catalyst HOFs.
+
+    Scale shape: pure per-row projection in whole-stage codegen — no
+    shuffle, no Python, no UDF. This is the vectorized alternative to a
+    NumPy pandas_udf for element-wise kernels: at 100 TB it runs where
+    the data is, with zero Arrow transfer cost. Every float reduction
+    is an order-pinned sequential fold so DuckDB reproduces it
+    bit-for-bit (module contract above).
+    """
+    e = F.col("embedding")
+    nrm = _norm(e)
+    return _vecs(spark, sf_dir).select(
+        "vec_id",
+        nrm.alias("nrm"),
+        F.array_min(e).cast("double").alias("el_min"),
+        F.array_max(e).cast("double").alias("el_max"),
+        F.aggregate(
+            e, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ).alias("el_sum"),
+        (F.element_at(e, 1).cast("double") / nrm).alias("unit_first"),
+        _dot(e, F.reverse(e)).alias("rev_dot"),
+    )

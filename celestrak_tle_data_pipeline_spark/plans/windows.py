@@ -427,3 +427,67 @@ def window_distribution_functions(spark, sf_dir):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume_dist"),
     )
+
+
+# --- temporal gap fill / calendar resample ------------------------------------
+@register(
+    "gap_fill_daily_user",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS sv, COUNT(*) AS n
+        FROM events WHERE user_id < 20 GROUP BY 1, 2
+    ), span AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), cal AS (
+        SELECT s.user_id, CAST(g.g AS DATE) AS day
+        FROM span s,
+             LATERAL unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+                                            CAST(s.d1 AS TIMESTAMP),
+                                            INTERVAL 1 DAY)) AS g(g)
+    )
+    SELECT c.user_id, c.day,
+           CAST(COALESCE(d.sv, 0) AS DOUBLE) AS total_value,
+           COALESCE(d.n, 0) AS n_events,
+           d.n IS NULL AS is_gap
+    FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+    """,
+)
+def gap_fill_daily_user(spark, sf_dir):
+    """Calendar resample with gap fill: per user, a dense daily series
+    from their first to last active day — silent days materialized as
+    zero rows flagged ``is_gap`` — the shape time-series stores call
+    gap-filling / interpolation scaffolding (and what a training
+    pipeline uses to build fixed-frequency activity features).
+
+    Plan: aggregate to daily grain FIRST (one shuffle of partial
+    sums), derive each user's [min, max] span from the daily rollup
+    (not the raw scan), then ``sequence() + explode`` generates the
+    calendar rows — output-sized work, no Python, no driver loop. The
+    left join back to the rollup is user+day equi-join; at 100 TB both
+    sides are already partitioned on user_id from the same upstream
+    shuffle, so AQE plans it without a second full exchange of the raw
+    fact."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(dec("value", 18, 6)).alias("sv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+        )
+    )
+    return cal.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("sv"), F.lit(0)).cast("double").alias(
+            "total_value"
+        ),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+    )
