@@ -151,3 +151,51 @@ def udtf_ngram_expand(spark, sf_dir):
         GROUP BY doc_id
         """
     )
+
+
+# --------------------------------------------------------------------------
+# mapInArrow: zero-copy Arrow batch transform
+# --------------------------------------------------------------------------
+@register(
+    "arrow_batch_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def arrow_batch_token_stats(spark, sf_dir):
+    """Per-document token/char counts computed INSIDE Arrow record
+    batches via ``mapInArrow`` — the third Python-kernel surface next
+    to mapInPandas (multimodal) and pandas_udf (UDAF): no pandas
+    conversion at all, just ``pyarrow.compute`` calls on the columnar
+    buffers. The kernel is exact integer counting on the same
+    single-space tokenization the oracle's ``string_split`` uses, so
+    the gate is bit-for-bit.
+
+    Scale shape: Arrow batches stream through the Python worker with
+    zero-copy columnar transfer and vectorized compute — the preferred
+    shape when a kernel genuinely needs Python but the data is large;
+    still slower than staying JVM-side (the expression twin is
+    ``token_count_regex``), so production paths default to
+    expressions and this certifies the plumbing."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for b in batches:
+            text = b.column("text")
+            toks = pc.list_value_length(
+                pc.split_pattern(text, pattern=" ")
+            ).cast(pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), toks,
+                 pc.utf8_length(text).cast(pa.int64())],
+                ["doc_id", "n_tokens", "n_chars"],
+            )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        kernel, "doc_id bigint, n_tokens bigint, n_chars bigint"
+    )

@@ -488,3 +488,42 @@ def mad_outlier_filter(spark, sf_dir):
             ).alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# approx_top_k under-capacity exactness gate (§2.5 sketch family)
+# --------------------------------------------------------------------------
+@register(
+    "approx_topk_events",
+    oracle="""
+    SELECT event_type, COUNT(*) AS est_n, COUNT(*) AS exact_n, TRUE AS ok
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_topk_events(spark, sf_dir):
+    """Frequent-items sketch (``approx_top_k``) under its exactness
+    contract: with maxItemsTracked (10000) >= the column's distinct
+    count, the sketch degenerates to exact counting — so the estimate
+    joined against the exact per-key counts must agree row-for-row,
+    and the oracle simply expects the exact counts with ok=TRUE. Same
+    self-certifying pattern as approx_distinct_hll: an estimate that
+    violates the sketch's own contract fails the value hash.
+
+    Scale shape: the sketch side is a single-pass partial-aggregable
+    accumulator (one bounded map per task, merged once — no per-key
+    shuffle); the exact side shuffles 5 partial counts. At 100 TB with
+    high-cardinality keys you keep ONLY the sketch side and size
+    maxItemsTracked to the memory budget; the join here is the gate,
+    not the production shape.
+    """
+    e = t(spark, sf_dir, "events")
+    sk = e.select(
+        F.expr("inline(approx_top_k(event_type, 5, 10000))")
+    ).select(F.col("item").alias("event_type"), F.col("count").alias("est_n"))
+    exact = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        "est_n",
+        "exact_n",
+        (F.col("est_n") == F.col("exact_n")).alias("ok"),
+    )

@@ -87,3 +87,33 @@ def test_rollup_cascade_second_level_reads_rollup(spark):
     plan = _plan(spark, "rollup_cascade_daily")
     assert _shuffles(plan) == 2
     assert plan.count("Scan parquet") == 1
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Catalyst injects a bloom-filter runtime filter on the probe side
+    of a selective shuffle join — the scan-reduction path that matters
+    when neither side broadcasts at 100 TB. Session AQE+bloom confs
+    must keep this reachable (thresholds here only shrink the
+    trigger sizes to test scale)."""
+    from pyspark.sql import functions as F
+
+    from celestrak_tle_data_pipeline_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF_DIR, "orders")
+        li = load_table(spark, SF_DIR, "lineitem")
+        sel = o.where(F.col("o_totalprice") > 400000)
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
