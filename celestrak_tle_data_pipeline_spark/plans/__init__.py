@@ -36,6 +36,7 @@ _MODULES = (
     "weather_domain",
     "ext_udf",
     "ext_pipeline",
+    "analytics",
 )
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries, so

@@ -145,6 +145,85 @@ class ParquetWarehouse:
         w.parquet(self.path(table))
         return obs.get["n"]
 
+    def compact(
+        self,
+        table: str,
+        partition_col: str,
+        target_file_bytes: int = 128 << 20,
+        cluster_by: tuple[str, ...] = (),
+    ) -> dict[str, int]:
+        """Small-file compaction: rewrite each partition of ``table``
+        into ``ceil(partition_bytes / target_file_bytes)`` files,
+        optionally sorted within files by ``cluster_by`` so parquet
+        row-group min/max stats cluster (Z-order-lite: point/range
+        probes on the cluster key skip row groups after compaction).
+
+        The warehouse's check-then-write appends produce one-file-per-
+        micro-batch (3x/day cron, reference data-pipeline.yml:8) — at
+        100 TB that is thousands of KB-sized files per partition within
+        months, and scan throughput dies on open() overhead, so
+        compaction is a first-class maintenance op, not housekeeping.
+
+        Mechanics: per-partition dynamic overwrite (only listed
+        partitions rewrite; content is identical rows, so a crash
+        mid-job leaves a correct table with some partitions still
+        uncompacted — idempotent, re-runnable). Partition file sizes
+        come from driver-side directory metadata (bounded: one stat
+        call per file, no data read). Returns {partition_value:
+        files_written}.
+        """
+        import math
+
+        out: dict[str, int] = {}
+        base = self.path(table)
+        parts = [
+            d
+            for d in sorted(os.listdir(base))
+            if d.startswith(f"{partition_col}=")
+            and os.path.isdir(os.path.join(base, d))
+        ]
+        old_mode = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode"
+        )
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            for d in parts:
+                pdir = os.path.join(base, d)
+                files = [
+                    f for f in os.listdir(pdir) if f.endswith(".parquet")
+                ]
+                size = sum(
+                    os.path.getsize(os.path.join(pdir, f)) for f in files
+                )
+                n_files = max(1, math.ceil(size / target_file_bytes))
+                if len(files) <= n_files:
+                    continue  # already compact
+                value = d.split("=", 1)[1]
+                part = self.spark.read.parquet(base).where(
+                    F.col(partition_col).cast("string") == value
+                )
+                rewritten = part.coalesce(n_files)
+                if cluster_by:
+                    # lead with the partition col: the partitioned writer
+                    # requires rows ordered by it and would re-sort (un-
+                    # stably) otherwise, destroying the cluster order
+                    rewritten = rewritten.sortWithinPartitions(
+                        partition_col, *cluster_by
+                    )
+                (
+                    rewritten.write.mode("overwrite")
+                    .partitionBy(partition_col)
+                    .parquet(base)
+                )
+                out[value] = n_files
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", old_mode
+            )
+        return out
+
 
 def append_new_satellites(wh: ParquetWarehouse, parsed: DataFrame) -> int:
     """J1 + D1 + S8: new dim rows only (reference script.py:140-148)."""

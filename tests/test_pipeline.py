@@ -213,3 +213,54 @@ def test_connected_components_long_chain(spark):
     comp = {r.node: r.component for r in connected_components(edges).collect()}
     assert all(comp[n] == 10 for n in range(10, 17))
     assert comp[100] == 100 and comp[101] == 100
+
+
+def test_compaction_rewrites_small_files(spark, tmp_path):
+    """compact(): many one-file-per-batch appends collapse to one file
+    per partition, rows byte-identical, and cluster_by sorting shows in
+    the parquet row-group stats (min==first, max==last ordering)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from celestrak_tle_data_pipeline_spark.sinks.warehouse import (
+        ParquetWarehouse,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "cwh"))
+    os.makedirs(wh.root, exist_ok=True)
+    base = wh.path("t")
+    # 6 micro-batch appends x 2 partitions -> 6 files per partition
+    for b in range(6):
+        df = spark.createDataFrame(
+            [(b * 100 + i, f"d{d}") for d in (1, 2) for i in range(50)],
+            "k long, day string",
+        )
+        df.repartition(1).write.mode("append").partitionBy("day").parquet(
+            base
+        )
+    files_before = {
+        d: len([f for f in os.listdir(f"{base}/day={d}") if f.endswith(".parquet")])
+        for d in ("d1", "d2")
+    }
+    assert files_before == {"d1": 6, "d2": 6}
+    before = sorted(
+        (r.k, r.day) for r in spark.read.parquet(base).collect()
+    )
+
+    done = wh.compact("t", "day", cluster_by=("k",))
+    assert set(done) == {"d1", "d2"} and all(n == 1 for n in done.values())
+    for d in ("d1", "d2"):
+        pfiles = [
+            f for f in os.listdir(f"{base}/day={d}") if f.endswith(".parquet")
+        ]
+        assert len(pfiles) == 1
+        # clustered: the single file's k column is globally sorted
+        col = pq.read_table(f"{base}/day={d}/{pfiles[0]}")["k"].to_pylist()
+        assert col == sorted(col)
+    after = sorted((r.k, r.day) for r in spark.read.parquet(base).collect())
+    assert after == before
+
+    # idempotent: a second pass is a no-op (already compact)
+    assert wh.compact("t", "day") == {}
