@@ -10,6 +10,7 @@ partitioning.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import register
@@ -47,45 +48,53 @@ def cohort_retention(spark, sf_dir):
     tracked by distinct activity in each subsequent week — the
     triangle matrix every growth dashboard is built on.
 
-    Plan: one scan → distinct (user, week) pairs (the only shuffle of
-    raw-ish data, already deduplicated to at most users x weeks rows);
-    cohorts derive from that same distinct set (no second scan); the
-    matrix join is on user_id, co-partitioned with the distinct's own
-    hash — AQE reuses the exchange. The tiny per-cohort sizes side is
-    broadcast. Week arithmetic is integer days DIV 7 on Monday-anchored
-    date_trunc, identical in both engines.
+    Plan — deliberately single-scan (the naive distinct + two
+    self-joins shape scans events 3x and shuffles 6x; audited and
+    rewritten): one groupBy(user_id) collapses each user to their
+    distinct week set AND cohort week in the same shuffle
+    (collect_set + min), explode rebuilds (user, week) rows already
+    carrying the cohort, and the matrix aggregation shuffles only
+    pre-collapsed rows. Cohort sizes need no extra branch: every user
+    is active at offset 0, so cohort_n IS the offset-0 cell, read back
+    with a window over the tiny matrix. Total: 1 scan, 1 full shuffle
+    + 2 tiny ones, no join. Week arithmetic is integer days DIV 7 on
+    Monday-anchored date_trunc, identical in both engines.
     """
-    act = (
+    per_user = (
         t(spark, sf_dir, "events")
         .select(
             "user_id",
             F.date_trunc("week", "ts").cast("date").alias("wk"),
         )
-        .distinct()
-    )
-    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    sizes = cohort.groupBy("cohort_wk").agg(
-        F.count(F.lit(1)).alias("cohort_n")
+        .groupBy("user_id")
+        .agg(
+            F.collect_set("wk").alias("wks"),
+            F.min("wk").alias("cohort_wk"),
+        )
     )
     mat = (
-        act.join(cohort, "user_id")
+        per_user.select(
+            "user_id", "cohort_wk", F.explode("wks").alias("wk")
+        )
         .groupBy(
             "cohort_wk",
             (F.datediff("wk", "cohort_wk") / 7)
             .cast("bigint")
             .alias("week_offset"),
         )
-        .agg(F.count_distinct("user_id").alias("n_active"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )
-    return mat.join(F.broadcast(sizes), "cohort_wk").select(
+    w = Window.partitionBy("cohort_wk")
+    return mat.select(
         "cohort_wk",
         "week_offset",
         "n_active",
-        "cohort_n",
-        (
-            F.col("n_active").cast("double")
-            / F.col("cohort_n").cast("double")
-        ).alias("retention"),
+        F.max(
+            F.when(F.col("week_offset") == 0, F.col("n_active"))
+        ).over(w).alias("cohort_n"),
+    ).withColumn(
+        "retention",
+        F.col("n_active").cast("double") / F.col("cohort_n").cast("double"),
     )
 
 
@@ -122,46 +131,53 @@ def funnel_conversion(spark, sf_dir):
     previous stage (the standard product-funnel semantics — a purchase
     before any view does not count).
 
-    Plan: the events scan feeds three stage aggregations; each stage
-    joins the previous stage's per-user anchor (all stages are
-    per-user aggregates, so every join is co-partitioned on user_id —
-    one logical shuffle reused down the chain under AQE). Output is a
-    single summary row; the division is one double op.
+    Plan — deliberately single-scan (the naive per-stage
+    aggregate-and-join shape scans events 6x; audited and rewritten):
+    the pushed ``event_type IN (view, click, purchase)`` filter feeds
+    ONE shuffle on user_id, over which three chained window minima
+    resolve the stage anchors in the same sorted partition (each
+    stage's predicate references the previous stage's column — no
+    joins, no recomputation); a per-user collapse and a singleton
+    summary aggregate finish on already-tiny data. The division is one
+    double op.
     """
-    e = t(spark, sf_dir, "events")
-    v = (
-        e.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    stages = ("view", "click", "purchase")
+    e = t(spark, sf_dir, "events").where(F.col("event_type").isin(*stages))
+    w = Window.partitionBy("user_id")
+    with_view = e.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
     )
-    c = (
-        e.join(v, "user_id")
-        .where(
-            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    with_click = with_view.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    p = (
-        e.join(c, "user_id")
-        .where(
-            (F.col("event_type") == "purchase")
-            & (F.col("ts") > F.col("t_click"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_buy"))
+    with_buy = with_click.withColumn(
+        "t_buy",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    counts = (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_buy")))
+    per_user = with_buy.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_buy").alias("t_buy"),
     )
-    return counts.select(
-        "n_view",
-        "n_view_click",
-        "n_view_click_buy",
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_buy").alias("n_view_click_buy"),
         (
-            F.col("n_view_click_buy").cast("double")
-            / F.col("n_view").cast("double")
+            F.count("t_buy").cast("double") / F.count("t_view").cast("double")
         ).alias("conversion"),
     )

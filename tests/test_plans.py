@@ -117,3 +117,16 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_funnel_is_single_scan_single_shuffle(spark):
+    plan = _plan(spark, "funnel_conversion")
+    assert plan.count("Scan parquet") == 1
+    assert _shuffles(plan) <= 2  # user_id window + singleton agg
+    assert "In(event_type" in plan  # stage filter pushed to the scan
+
+
+def test_cohort_retention_is_single_scan(spark):
+    plan = _plan(spark, "cohort_retention")
+    assert plan.count("Scan parquet") == 1
+    assert _shuffles(plan) <= 3  # user collapse + tiny matrix + window
