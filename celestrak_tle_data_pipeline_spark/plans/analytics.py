@@ -181,3 +181,129 @@ def funnel_conversion(spark, sf_dir):
             F.count("t_buy").cast("double") / F.count("t_view").cast("double")
         ).alias("conversion"),
     )
+
+
+# --------------------------------------------------------------------------
+# event transition matrix (Markov bigrams)
+# --------------------------------------------------------------------------
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ), counts AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           n::DOUBLE / (SUM(n) OVER (PARTITION BY prev_type))::DOUBLE AS p
+    FROM counts
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    sequence: count (prev -> next) bigrams, normalize per source state
+    — the behavioral-model / anomalous-flow primitive.
+
+    Plan: one scan, one shuffle on user_id for the lag window (total
+    order: ts then event_id, so ties are deterministic), then a tiny
+    5x5 aggregation and an in-partition window for the row
+    normalization. The division is the only double op.
+    """
+    seq = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    counts = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.withColumn(
+        "p",
+        F.col("n").cast("double")
+        / F.sum("n").over(Window.partitionBy("prev_type")).cast("double"),
+    )
+
+
+# --------------------------------------------------------------------------
+# gaps-and-islands -> SCD Type 2 state history
+# --------------------------------------------------------------------------
+@register(
+    "scd2_state_history",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               )
+               - row_number() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS island
+        FROM events WHERE user_id < 50
+    ), runs AS (
+        SELECT user_id, event_type, MIN(ts) AS valid_from,
+               COUNT(*) AS n_events
+        FROM seq GROUP BY user_id, event_type, island
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from
+           ) AS valid_to,
+           LEAD(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from
+           ) IS NULL AS is_current,
+           n_events
+    FROM runs
+    """,
+)
+def scd2_state_history(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) state history built from an
+    event log with the gaps-and-islands pattern: consecutive runs of
+    the same event_type per user collapse to one versioned row with
+    [valid_from, valid_to) effectivity and an is_current flag — the
+    dimension-history build every warehouse needs, from nothing but
+    window functions.
+
+    Plan: one scan; the two row_numbers AND the run aggregation all
+    partition by user_id (the second row_number's (user_id, event_type)
+    partitioning is a subset sort, not a new exchange) — so the whole
+    history builds on a single shuffle. Every ordering carries the
+    (ts, event_id) total-order tiebreak; valid_from values within a
+    user are distinct (min of disjoint runs), so the LEAD is
+    deterministic too."""
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_state = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    seq = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            (F.row_number().over(w_user) - F.row_number().over(w_state))
+            .alias("island"),
+        )
+    )
+    runs = seq.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_hist = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_hist).alias("valid_to"),
+        F.lead("valid_from").over(w_hist).isNull().alias("is_current"),
+        "n_events",
+    )

@@ -280,3 +280,182 @@ def histogram_order_totals(spark, sf_dir):
         "n",
         "total",
     )
+
+
+# --------------------------------------------------------------------------
+# declarative data-quality audit (expectation suite)
+# --------------------------------------------------------------------------
+@register(
+    "data_quality_audit",
+    oracle="""
+    WITH scan AS (
+        SELECT COUNT(*) FILTER (WHERE o_custkey IS NULL) AS null_custkey,
+               COUNT(*) FILTER (WHERE o_totalprice <= 0) AS nonpos_price,
+               COUNT(*) FILTER (
+                   WHERE o_orderdate >= TIMESTAMP '2031-01-01'
+               ) AS future_date,
+               COUNT(*) AS n_rows
+        FROM orders
+    ), orphans AS (
+        SELECT COUNT(*) AS n FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+        )
+    )
+    SELECT rule, n_violations, n_rows FROM (
+        SELECT 'null_custkey' AS rule, null_custkey AS n_violations,
+               n_rows FROM scan
+        UNION ALL
+        SELECT 'nonpos_price', nonpos_price, n_rows FROM scan
+        UNION ALL
+        SELECT 'future_date', future_date, n_rows FROM scan
+        UNION ALL
+        SELECT 'orphan_custkey', orphans.n, scan.n_rows
+        FROM orphans, scan
+    )
+    """,
+)
+def data_quality_audit(spark, sf_dir):
+    """Declarative expectation suite over the orders fact: null-key,
+    non-positive-amount, future-date, and referential-integrity
+    (orphan o_custkey vs the customer dim) violation counts, one row
+    per rule — the pre-load contract gate a pipeline runs before
+    publishing a batch (the engine's QualityGateError generalized from
+    row-count to rule-based).
+
+    Plan: all scalar rules ride ONE scan as conditional counts (a
+    single partial-aggregable pass); the referential rule is a
+    broadcast anti-join against the dim's key projection. Counting
+    violations instead of failing fast keeps it one job — the caller
+    compares to thresholds.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    scan = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias(
+            "null_custkey"
+        ),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+            "nonpos_price"
+        ),
+        F.count(
+            F.when(F.col("o_orderdate") >= F.lit("2031-01-01").cast(
+                "timestamp"
+            ), 1)
+        ).alias("future_date"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    orphans = (
+        o.join(
+            F.broadcast(c),
+            o.o_custkey == c.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    melted = scan.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("null_custkey").alias("rule"),
+                    F.col("null_custkey").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("nonpos_price").alias("rule"),
+                    F.col("nonpos_price").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("future_date").alias("rule"),
+                    F.col("future_date").alias("n_violations"),
+                ),
+            )
+        ).alias("kv"),
+        "n_rows",
+    ).select("kv.rule", "kv.n_violations", "n_rows")
+    orphan_row = orphans.crossJoin(scan.select("n_rows")).select(
+        F.lit("orphan_custkey").alias("rule"),
+        F.col("n").alias("n_violations"),
+        "n_rows",
+    )
+    return melted.unionByName(orphan_row)
+
+
+# --------------------------------------------------------------------------
+# snapshot diff (CDC between two dimension versions)
+# --------------------------------------------------------------------------
+@register(
+    "snapshot_diff_dim",
+    oracle="""
+    WITH a AS (
+        SELECT c_custkey, c_acctbal FROM customer
+    ), b AS (
+        -- synthesized next snapshot (fixture, stated in the docstring):
+        -- keys %97==0 deleted, %13==0 rebalanced, +5 new keys appended
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 13 = 0
+                    THEN round(c_acctbal + 10.0, 2) ELSE c_acctbal
+               END AS c_acctbal
+        FROM customer WHERE c_custkey % 97 <> 0
+        UNION ALL
+        SELECT 1000000 + g.g, 0.0
+        FROM unnest(generate_series(1, 5)) AS g(g)
+    )
+    SELECT CASE WHEN b.c_custkey IS NULL THEN 'removed'
+                WHEN a.c_custkey IS NULL THEN 'added'
+                WHEN a.c_acctbal <> b.c_acctbal THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           COUNT(*) AS n
+    FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+    GROUP BY 1
+    """,
+)
+def snapshot_diff_dim(spark, sf_dir):
+    """Snapshot-to-snapshot CDC: classify every key of two dimension
+    versions as added / removed / changed / unchanged via one
+    full-outer join — the diff that feeds SCD maintenance and
+    incremental replication when the upstream can't emit a changelog.
+    The "next" snapshot is SYNTHESIZED deterministically from the
+    current one inside the query (deletes %97, rebalances %13, appends
+    5 rows — a fixture step, identical in both engines); the operator
+    under test is the full-outer-join classification.
+
+    Plan: full outer join on the key — both sides shuffle once on
+    c_custkey (no broadcast: outer joins need both sides' unmatched
+    rows), then a 4-row aggregate. At 100 TB both snapshots would be
+    bucketed on the key and the exchange disappears entirely
+    (tests/test_bucketing.py demonstrates exactly that layout).
+    """
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    a = cust
+    b = cust.where(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 13 == 0,
+            F.round(F.col("c_acctbal") + 10.0, 2),
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    ).unionByName(
+        spark.range(1, 6).select(
+            (F.lit(1000000) + F.col("id")).alias("c_custkey"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    a2 = a.select(
+        F.col("c_custkey").alias("a_key"), F.col("c_acctbal").alias("a_bal")
+    )
+    b2 = b.select(
+        F.col("c_custkey").alias("b_key"), F.col("c_acctbal").alias("b_bal")
+    )
+    return (
+        a2.join(b2, a2.a_key == b2.b_key, "full_outer")
+        .select(
+            F.when(F.col("b_key").isNull(), "removed")
+            .when(F.col("a_key").isNull(), "added")
+            .when(F.col("a_bal") != F.col("b_bal"), "changed")
+            .otherwise("unchanged")
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
