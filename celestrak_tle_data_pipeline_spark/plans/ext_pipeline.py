@@ -323,15 +323,20 @@ def data_quality_audit(spark, sf_dir):
     publishing a batch (the engine's QualityGateError generalized from
     row-count to rule-based).
 
-    Plan: all scalar rules ride ONE scan as conditional counts (a
-    single partial-aggregable pass); the referential rule is a
-    broadcast anti-join against the dim's key projection. Counting
-    violations instead of failing fast keeps it one job — the caller
-    compares to thresholds.
+    Plan: truly ONE scan of orders — the referential rule rides the
+    same pass as the scalar rules via a broadcast LEFT join against
+    the dim's key projection (orphan = unmatched), so all four
+    violation counts are conditional aggregates of one joined
+    relation: 1 scan, 1 broadcast, 0 shuffles, then a 4-row melt of
+    the single summary row. Counting violations instead of failing
+    fast keeps it one job — the caller compares to thresholds.
     """
     o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer").select("c_custkey")
-    scan = o.agg(
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck")
+    )
+    joined = o.join(F.broadcast(c), o.o_custkey == c.ck, "left")
+    scan = joined.agg(
         F.count(F.when(F.col("o_custkey").isNull(), 1)).alias(
             "null_custkey"
         ),
@@ -343,41 +348,28 @@ def data_quality_audit(spark, sf_dir):
                 "timestamp"
             ), 1)
         ).alias("future_date"),
+        F.count(F.when(F.col("ck").isNull(), 1)).alias("orphan_custkey"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    orphans = (
-        o.join(
-            F.broadcast(c),
-            o.o_custkey == c.c_custkey,
-            "left_anti",
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    melted = scan.select(
+    return scan.select(
         F.explode(
             F.array(
-                F.struct(
-                    F.lit("null_custkey").alias("rule"),
-                    F.col("null_custkey").alias("n_violations"),
-                ),
-                F.struct(
-                    F.lit("nonpos_price").alias("rule"),
-                    F.col("nonpos_price").alias("n_violations"),
-                ),
-                F.struct(
-                    F.lit("future_date").alias("rule"),
-                    F.col("future_date").alias("n_violations"),
-                ),
+                *(
+                    F.struct(
+                        F.lit(rule).alias("rule"),
+                        F.col(rule).alias("n_violations"),
+                    )
+                    for rule in (
+                        "null_custkey",
+                        "nonpos_price",
+                        "future_date",
+                        "orphan_custkey",
+                    )
+                )
             )
         ).alias("kv"),
         "n_rows",
     ).select("kv.rule", "kv.n_violations", "n_rows")
-    orphan_row = orphans.crossJoin(scan.select("n_rows")).select(
-        F.lit("orphan_custkey").alias("rule"),
-        F.col("n").alias("n_violations"),
-        "n_rows",
-    )
-    return melted.unionByName(orphan_row)
 
 
 # --------------------------------------------------------------------------

@@ -201,8 +201,13 @@ class ParquetWarehouse:
                 if len(files) <= n_files:
                     continue  # already compact
                 value = d.split("=", 1)[1]
-                part = self.spark.read.parquet(base).where(
-                    F.col(partition_col).cast("string") == value
+                # typed literal comparison (cast the LITERAL, never the
+                # column): a cast on the partition column would defeat
+                # partition pruning and rescan the whole table per loop
+                full = self.spark.read.parquet(base)
+                ptype = full.schema[partition_col].dataType
+                part = full.where(
+                    F.col(partition_col) == F.lit(value).cast(ptype)
                 )
                 rewritten = part.coalesce(n_files)
                 if cluster_by:
