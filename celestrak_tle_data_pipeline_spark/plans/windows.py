@@ -491,3 +491,51 @@ def gap_fill_daily_user(spark, sf_dir):
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+# --- sliding (hopping) window aggregation -------------------------------------
+@register(
+    "sliding_weekly_value",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,6))) AS sv
+        FROM events GROUP BY 1
+    )
+    SELECT daily.d - CAST(g.k AS INT) AS win_start,
+           daily.d - CAST(g.k AS INT) + 7 AS win_end,
+           SUM(n) AS n_events,
+           CAST(SUM(sv) AS DOUBLE) AS total_value
+    FROM daily, LATERAL unnest(generate_series(0, 6)) AS g(k)
+    GROUP BY 1, 2
+    """,
+)
+def sliding_weekly_value(spark, sf_dir):
+    """Sliding 7-day window, hopping by 1 day (``F.window(ts, '7
+    days', '1 day')``): each event contributes to the 7 overlapping
+    windows that contain it — the rolling-weekly-volume view, and the
+    exact batch twin of a streaming hopping-window aggregation.
+
+    The oracle reproduces Spark's epoch-aligned window semantics
+    relationally: a window starting at day D-k (k in 0..6) contains
+    day D, so the daily rollup cross-joined with the 7 offsets and
+    re-aggregated is the same window set (windows with zero events
+    don't exist in either engine). Plan: the 7x fan-out happens
+    map-side AFTER nothing — Spark expands window instances before the
+    single aggregation shuffle; sums stay decimal until the end.
+    """
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 18, 6)).alias("sv"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("win_start"),
+            F.col("w.end").cast("date").alias("win_end"),
+            "n_events",
+            F.col("sv").cast("double").alias("total_value"),
+        )
+    )
