@@ -229,6 +229,39 @@ class ParquetWarehouse:
             )
         return out
 
+    def expire_partitions(
+        self, table: str, partition_col: str, keep_from: str
+    ) -> list[str]:
+        """Retention: drop whole partitions with value < ``keep_from``
+        (string compare on the partition directory value — correct for
+        ISO dates, the engine's partition grain). Deleting a partition
+        directory is an O(files) metadata operation that never reads
+        or rewrites data — THE reason the fact table is date-partitioned:
+        at 100 TB, retention by row-level DELETE would rewrite the
+        table; retention by partition drop is instant.
+
+        Returns the dropped partition values. The catalog is refreshed
+        so subsequent reads don't see dangling partitions.
+        """
+        import shutil
+
+        base = self.path(table)
+        dropped: list[str] = []
+        for d in sorted(os.listdir(base)):
+            if not d.startswith(f"{partition_col}="):
+                continue
+            value = d.split("=", 1)[1]
+            if value < keep_from:
+                shutil.rmtree(os.path.join(base, d))
+                dropped.append(value)
+        if dropped:
+            try:
+                self.spark.sql(f"MSCK REPAIR TABLE `{table}` DROP PARTITIONS")
+                self.spark.catalog.refreshTable(table)
+            except Exception:  # noqa: BLE001 — table may be path-only
+                self.spark.catalog.clearCache()
+        return dropped
+
 
 def append_new_satellites(wh: ParquetWarehouse, parsed: DataFrame) -> int:
     """J1 + D1 + S8: new dim rows only (reference script.py:140-148)."""

@@ -8,3 +8,7 @@ from .joins import (  # noqa: F401
     run_enrichment_join,
 )
 from .stateful import decay_tracker  # noqa: F401
+from .windowed import (  # noqa: F401
+    daily_flux_aggregate_stream,
+    run_daily_flux_aggregate,
+)

@@ -264,3 +264,29 @@ def test_compaction_rewrites_small_files(spark, tmp_path):
 
     # idempotent: a second pass is a no-op (already compact)
     assert wh.compact("t", "day") == {}
+
+
+def test_expire_partitions_drops_old_days(spark, tmp_path):
+    """Retention = partition directory drop: old days vanish without
+    touching surviving files; reads after refresh see only kept data."""
+    from celestrak_tle_data_pipeline_spark.sinks.warehouse import (
+        ParquetWarehouse,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "rwh"))
+    base = wh.path("t")
+    df = spark.createDataFrame(
+        [(i, f"2026-08-{d:02d}") for d in (1, 2, 3, 4) for i in range(10)],
+        "k long, day string",
+    )
+    df.write.partitionBy("day").parquet(base)
+
+    dropped = wh.expire_partitions("t", "day", keep_from="2026-08-03")
+    assert dropped == ["2026-08-01", "2026-08-02"]
+    left = spark.read.parquet(base)
+    assert sorted(str(r.day) for r in left.select("day").distinct().collect()) == [
+        "2026-08-03", "2026-08-04",
+    ]
+    assert left.count() == 20
+    # idempotent
+    assert wh.expire_partitions("t", "day", keep_from="2026-08-03") == []

@@ -226,3 +226,54 @@ def test_stream_stream_enrichment_join(spark, tmp_path):
     assert len(out_rows) == 2
     assert {r.norad_id for r in out_rows} == {70001, 70002}
     assert all(r.f10_7_flux == 140.5 for r in out_rows)
+
+
+def test_windowed_aggregate_append_late_data(spark, tmp_path):
+    """Append-mode watermark semantics: a day's aggregate is emitted
+    exactly once (when the watermark passes its end), and a late row
+    beyond the 3-day horizon is dropped, never merged or re-emitted."""
+    import json
+
+    from celestrak_tle_data_pipeline_spark.streaming import (
+        run_daily_flux_aggregate,
+    )
+
+    landing = tmp_path / "aland"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ackpt")
+    out_rows = []
+
+    def sink(df, _id):
+        out_rows.extend(df.collect())
+
+    def run_pass():
+        run_daily_flux_aggregate(spark, str(landing), ckpt, sink)
+
+    def payload(rows):
+        return json.dumps([["time_tag", "flux"], *rows])
+
+    d = dt.date(2026, 8, 1)
+
+    def day(off):
+        return str(d + dt.timedelta(days=off))
+
+    # pass 1: two rows on day 0, one on day 1 — watermark ends at
+    # day1 - 3d, no window closed yet
+    (landing / "a1.json").write_text(
+        payload([[f"{day(0)} 06:00", "100.0"], [f"{day(0)} 18:00", "110.0"],
+                 [f"{day(1)} 12:00", "120.0"]])
+    )
+    run_pass()
+    assert out_rows == []
+
+    # pass 2: day 6 arrives -> watermark = day 3 -> closes days 0 and 1
+    (landing / "a2.json").write_text(payload([[f"{day(6)} 12:00", "130.0"]]))
+    run_pass()
+    got = {str(r.day): (r.n, r.mean_flux) for r in out_rows}
+    assert got == {day(0): (2, 105.0), day(1): (1, 120.0)}
+
+    # pass 3: a LATE day-0 row (behind the day-3 watermark) is dropped —
+    # no new output, the closed day-0 aggregate never updates
+    (landing / "a3.json").write_text(payload([[f"{day(0)} 23:00", "999.0"]]))
+    run_pass()
+    assert len(out_rows) == 2
