@@ -377,6 +377,33 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def export_sorted_shards(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_shards: int,
+) -> None:
+    """Globally range-sharded, within-shard-sorted export: shard k
+    holds a contiguous slice of the ``sort_col`` domain (sampled range
+    boundaries via ``repartitionByRange``) and is sorted inside — so
+    the shard set reads as one globally ordered dataset without any
+    consumer-side merge. This is the training-data delivery shape:
+    deterministic shard assignment for a dataloader, range-prunable
+    files for everyone else (each file's parquet min/max covers a
+    disjoint slice).
+
+    Scale notes: one range-exchange (sampling pass + shuffle) and a
+    per-shard sort — the same cost as any total ordering, paid once at
+    export. No driver collect; shard count = task count.
+    """
+    (
+        df.repartitionByRange(n_shards, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def merge_upsert_telemetry(wh: ParquetWarehouse, parsed: DataFrame) -> int:
     """True upsert (the MERGE INTO equivalent on plain parquet): rewrite
     ONLY the date partitions the batch touches, keeping one row per

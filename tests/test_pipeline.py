@@ -290,3 +290,40 @@ def test_expire_partitions_drops_old_days(spark, tmp_path):
     assert left.count() == 20
     # idempotent
     assert wh.expire_partitions("t", "day", keep_from="2026-08-03") == []
+
+
+def test_export_sorted_shards_disjoint_ranges(spark, tmp_path):
+    """Range-sharded export: every parquet file covers a disjoint
+    sort-key slice (checked from file-level min/max stats) and is
+    sorted inside — a globally ordered dataset with no merge step."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from celestrak_tle_data_pipeline_spark.sinks.warehouse import (
+        export_sorted_shards,
+    )
+
+    df = spark.range(0, 10000).selectExpr(
+        "(id * 2654435761) % 10007 AS k", "id AS v"
+    )
+    out = str(tmp_path / "shards")
+    export_sorted_shards(df, out, "k", n_shards=8)
+
+    spans = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(out, f))
+        ks = t["k"].to_pylist()
+        assert ks == sorted(ks)  # sorted within shard
+        spans.append((min(ks), max(ks)))
+    assert len(spans) == 8
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # disjoint, contiguous global order
+    total = sum(
+        pq.read_metadata(os.path.join(out, f)).num_rows
+        for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert total == 10000
