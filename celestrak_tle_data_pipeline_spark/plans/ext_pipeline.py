@@ -82,6 +82,27 @@ _KNUTH = 2654435761  # 2^32 / phi, the Fibonacci-hash multiplier
 _M32 = 4294967296
 
 
+def split_label(id_col) -> "F.Column":
+    """80/10/10 split label for a stable integer id — a pure
+    column-expression function of the id alone (no shuffle, no state),
+    which is what makes the assignment reproducible across engines,
+    runs, partitionings, and appends. Python twin: ``split_label_py``.
+    """
+    c = id_col if isinstance(id_col, F.Column) else F.col(id_col)
+    bucket = (c * F.lit(_KNUTH)) % F.lit(_M32) % F.lit(1000)
+    return (
+        F.when(bucket < 800, "train")
+        .when(bucket < 900, "val")
+        .otherwise("test")
+    )
+
+
+def split_label_py(doc_id: int) -> str:
+    """Reference implementation of ``split_label`` in plain Python."""
+    b = (doc_id * _KNUTH) % _M32 % 1000
+    return "train" if b < 800 else ("val" if b < 900 else "test")
+
+
 @register(
     "dataset_split_assign",
     oracle=f"""
@@ -118,13 +139,7 @@ def dataset_split_assign(spark, sf_dir):
     past 2^31 — driver ids are dense small ints.)
     """
     d = t(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_M32) % F.lit(1000)
-    assigned = d.withColumn(
-        "split",
-        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise(
-            "test"
-        ),
-    )
+    assigned = d.withColumn("split", split_label("doc_id"))
     return assigned.groupBy("split", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),

@@ -119,3 +119,39 @@ def test_assembly_triple_count_property(spark, payload_lines):
               .withColumnRenamed("count", "n").collect()}
     for pid, want in expected:
         assert counts.get(pid, 0) == want, (pid, counts.get(pid, 0), want)
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.integers(0, 2**31 - 1), min_size=50, max_size=200, unique=True
+    )
+)
+def test_dataset_split_is_pure_and_partition_invariant(spark, ids):
+    """The split label is a pure function of the id: Spark agrees with
+    the plain-Python twin on arbitrary ids, and re-running on any
+    re-partitioning (or subset) never moves an id's assignment."""
+    from pyspark.sql import functions as F
+
+    from celestrak_tle_data_pipeline_spark.plans.ext_pipeline import (
+        split_label,
+        split_label_py,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", split_label("doc_id").alias("s")
+        ).collect()
+    }
+    assert got == {i: split_label_py(i) for i in ids}
+
+    # partitioning invariance: 1 partition vs 16, same labels
+    got16 = {
+        r.doc_id: r.s
+        for r in df.repartition(16)
+        .select("doc_id", split_label("doc_id").alias("s"))
+        .collect()
+    }
+    assert got16 == got
