@@ -327,3 +327,59 @@ def test_export_sorted_shards_disjoint_ranges(spark, tmp_path):
         for f in os.listdir(out) if f.endswith(".parquet")
     )
     assert total == 10000
+
+
+def test_full_lifecycle_ingest_compact_expire_export(spark, wh, tmp_path):
+    """Composition smoke: ingest 3 micro-batches across 3 days ->
+    compact the fact -> expire the oldest day -> export range-sharded.
+    Proves the lifecycle ops compose on the real warehouse layout."""
+    import os
+
+    from celestrak_tle_data_pipeline_spark.sinks.warehouse import (
+        export_sorted_shards,
+    )
+
+    def one_sat_payload(norad: int, when: dt.datetime) -> str:
+        doy = (when - dt.datetime(when.year, 1, 1)).days + 1
+        epoch = f"{when.year % 100:02d}{doy:03d}.25000000"
+        return (
+            f"SAT-{norad}\n"
+            f"1 {norad:05d}U 20001A   {epoch}  .00001234  00000+0  13717-3 0  9995\n"
+            f"2 {norad:05d}  53.0537 205.1100 0001450  90.1234 270.0123 15.06402843350061\n"
+        )
+
+    days = [NOW - dt.timedelta(days=d) for d in (5, 4, 1)]
+    # two appends for the oldest day -> small files to compact
+    batches = [
+        (40001, days[0]), (40002, days[0]), (40003, days[1]), (40004, days[2]),
+    ]
+    for norad, when in batches:
+        payloads = spark.createDataFrame(
+            [(one_sat_payload(norad, when),)], "payload string"
+        )
+        ingest_tle_payloads(wh, payloads, fetched_at=NOW, lookback_days=30)
+    assert wh.read("fact_telemetry").count() == 4
+
+    base = wh.path("fact_telemetry")
+    oldest = f"epoch_date={days[0].date()}"
+    n_before = len([
+        f for f in os.listdir(os.path.join(base, oldest))
+        if f.endswith(".parquet")
+    ])
+    assert n_before == 2  # one file per micro-batch append
+
+    done = wh.compact("fact_telemetry", "epoch_date", cluster_by=("norad_id",))
+    assert str(days[0].date()) in done
+    assert wh.read("fact_telemetry").count() == 4  # lossless
+
+    dropped = wh.expire_partitions(
+        "fact_telemetry", "epoch_date", keep_from=str(days[1].date())
+    )
+    assert dropped == [str(days[0].date())]
+    kept = wh.read("fact_telemetry")
+    assert sorted(r.norad_id for r in kept.collect()) == [40003, 40004]
+
+    out = str(tmp_path / "shards")
+    export_sorted_shards(kept, out, "norad_id", n_shards=2)
+    back = spark.read.parquet(out)
+    assert sorted(r.norad_id for r in back.collect()) == [40003, 40004]
