@@ -130,3 +130,43 @@ def test_cohort_retention_is_single_scan(spark):
     plan = _plan(spark, "cohort_retention")
     assert plan.count("Scan parquet") == 1
     assert _shuffles(plan) <= 3  # user collapse + tiny matrix + window
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling: a hot key that swamps one shuffle
+    partition is split at runtime (SortMergeJoin(skew=true) +
+    'skewed' AQEShuffleRead) — the engine's answer to hot-satellite /
+    hot-document keys at 100 TB, complementing the explicit salting
+    pattern (salted_heavy_hitters). Thresholds here only shrink the
+    trigger sizes to test scale."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin"
+        ".skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 2_000_000).select(
+            F.when(F.col("id") % 10 < 9, 7)
+            .otherwise(F.col("id") + F.lit(10**9))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        assert len(j.toPandas()) == 1_800_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
