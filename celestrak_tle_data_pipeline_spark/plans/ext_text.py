@@ -1303,3 +1303,166 @@ def levenshtein_fuzzy_pairs(spark, sf_dir):
         .where(F.col("dist") <= 1)
         .select("seg", "name_a", "name_b", "dist")
     )
+
+
+# --------------------------------------------------------------------------
+# X1: MinHash LSH implemented NATIVELY in Catalyst expressions
+# --------------------------------------------------------------------------
+_MH_P = 2147483647  # Mersenne prime 2^31-1: universal-hash modulus
+_MH_K = 12          # 12 permutations = 3 bands x 4 rows
+_NATIVE_MINHASH_SQL = """
+    WITH corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, source,
+               regexp_replace(text, '^[a-z]+ ', '')
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    d AS (
+        SELECT doc_id, source,
+               list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                              for i in range(1, len(s) - 1)]) AS sh
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS s
+              FROM corpus)
+    ),
+    hm AS (
+        SELECT doc_id, source, sh,
+               list_transform(sh,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                        % 2147483647) AS hv
+        FROM d
+    ),
+    sig AS (
+        SELECT doc_id, source, sh,
+               [list_min(list_transform(hv,
+                    h -> ((1000003 * i + 7) * h + 999983 * i + 11)
+                         % 2147483647))
+                for i in range(0, 12)] AS m
+        FROM hm
+    ),
+    bands AS (
+        SELECT doc_id, source,
+               g.band_id,
+               array_to_string(m[g.band_id * 4 + 1 : g.band_id * 4 + 4],
+                               '-') AS band_val
+        FROM sig, LATERAL unnest([0, 1, 2]) AS g(band_id)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.source = b.source AND a.band_id = b.band_id
+         AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           len(list_intersect(x.sh, y.sh))::DOUBLE
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+             AS jaccard
+    FROM cand c
+    JOIN d x ON x.doc_id = c.a_id
+    JOIN d y ON y.doc_id = c.b_id
+    WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+          >= 0.8
+    """
+
+
+@register("minhash_native_near_dup", oracle=_NATIVE_MINHASH_SQL)
+def minhash_native_near_dup(spark, sf_dir):
+    """MinHash LSH near-dup detection implemented ENTIRELY in Catalyst
+    expressions — no MLlib, no Python — and therefore value-checked
+    end-to-end (the MLlib twin `minhash_near_dup` can only be
+    rows-only + recall-gated because its hashing is JVM-internal):
+
+    - shingle -> 60-bit integer via md5 prefix (same bytes both
+      engines), reduced mod P = 2^31-1;
+    - 12 universal-hash permutations h_i = (a_i*h + b_i) mod P with
+      fixed integer coefficients — signature = per-document min of
+      each (classic MinHash: P[min_a == min_b] = Jaccard);
+    - 3 bands x 4 rows: band value = joined 4 minima; candidates =
+      same-source band-value equi-join (bucketed, never all-pairs);
+    - candidates verified by exact shingle Jaccard >= 0.8.
+
+    All arithmetic is int64-exact, so the oracle reproduces the
+    pipeline bit-for-bit — LSH itself under the hash gate.
+
+    Scale shape: signatures are one groupBy-free projection (array
+    HOFs over each doc's shingles — small arrays, the HOF-vs-explode
+    measured exception documented at ext_text.py:413); the band join
+    shuffles 3 short band keys per doc; the quadratic exact check runs
+    only inside candidate buckets. This is the same plan family as
+    simhash_near_dup with MinHash's multiset semantics."""
+    d = _shingle_corpus(spark, sf_dir)
+    hv = F.transform(
+        F.col("sh"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("bigint") % _MH_P,
+    )
+
+    def perm(i):
+        # NB: must be a ONE-argument lambda — a second parameter (even
+        # defaulted) makes pyspark pass the array INDEX into it
+        return lambda h: (
+            (F.lit(1000003 * i + 7) * h + F.lit(999983 * i + 11)) % _MH_P
+        )
+
+    sig = d.select(
+        "doc_id",
+        "source",
+        "sh",
+        F.array(
+            *(
+                F.array_min(F.transform(hv, perm(i)))
+                for i in range(_MH_K)
+            )
+        ).alias("m"),
+    )
+    bands = sig.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "-",
+                            *(
+                                F.element_at("m", b * 4 + r + 1)
+                                for r in range(4)
+                            ),
+                        ).alias("band_val"),
+                    )
+                    for b in range(3)
+                )
+            )
+        ).alias("bv"),
+    ).select("doc_id", "source", "bv.band_id", "bv.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    x = d.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("ash"))
+    y = d.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("bsh"))
+    inter = F.size(F.array_intersect("ash", "bsh")).cast("double")
+    union = (
+        F.size("ash") + F.size("bsh")
+        - F.size(F.array_intersect("ash", "bsh"))
+    ).cast("double")
+    return (
+        cand.join(x, "a_id")
+        .join(y, "b_id")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= 0.8)
+        .select("a_id", "b_id", "jaccard")
+    )
