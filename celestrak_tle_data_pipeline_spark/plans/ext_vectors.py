@@ -617,3 +617,233 @@ def vector_hof_bundle(spark, sf_dir):
         (F.element_at(e, 1).cast("double") / nrm).alias("unit_first"),
         _dot(e, F.reverse(e)).alias("rev_dot"),
     )
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ/ADC) recall gate
+# --------------------------------------------------------------------------
+_PQ_SUBS = 4
+_PQ_LEN = _DIM // _PQ_SUBS
+
+
+def _pq_slice_sql(col: str, s: int) -> str:
+    lo = s * _PQ_LEN + 1
+    return f"{col}[{lo}:{lo + _PQ_LEN - 1}]"
+
+
+def _pq_fold_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, {_PQ_LEN}), i -> {expr})), (x, y) -> x + y)"
+    )
+
+
+_PQ_SUB_UNION = " UNION ALL ".join(
+    f"SELECT vec_id, {s} AS sub_id, "
+    f"list_transform({_pq_slice_sql('embedding', s)}, v -> v::DOUBLE) AS sl "
+    f"FROM d"
+    for s in range(_PQ_SUBS)
+)
+
+_ORACLE_PQ = f"""
+WITH d AS (
+    SELECT vec_id, embedding,
+           sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+    FROM embeddings
+),
+slices AS ({_PQ_SUB_UNION}),
+leaders AS (
+    SELECT vec_id AS leader_id, sub_id, sl AS cs
+    FROM slices WHERE vec_id % 31 = 0
+),
+assign AS (
+    SELECT s.vec_id, s.sub_id, l.leader_id, l.cs
+    FROM slices s JOIN leaders l ON s.sub_id = l.sub_id
+    QUALIFY row_number() OVER (
+        PARTITION BY s.vec_id, s.sub_id
+        ORDER BY {_pq_fold_sql('(s.sl[i] - l.cs[i]) * (s.sl[i] - l.cs[i])')}
+                 ASC, l.leader_id
+    ) = 1
+),
+codenorm AS (
+    SELECT vec_id,
+           sqrt(SUM({_pq_fold_sql('cs[i] * cs[i]')})) AS cnrm
+    FROM assign GROUP BY vec_id
+),
+qs AS (SELECT * FROM slices WHERE vec_id % 100 = 0),
+qn AS (SELECT vec_id, nrm FROM d WHERE vec_id % 100 = 0),
+adc AS (
+    SELECT q.vec_id AS q_id, a.vec_id AS n_id,
+           SUM({_pq_fold_sql('q.sl[i] * a.cs[i]')}) AS dot
+    FROM qs q JOIN assign a ON q.sub_id = a.sub_id
+    WHERE q.vec_id <> a.vec_id
+    GROUP BY 1, 2
+),
+pq_k AS (
+    SELECT adc.q_id, adc.n_id
+    FROM adc
+    JOIN qn ON qn.vec_id = adc.q_id
+    JOIN codenorm c ON c.vec_id = adc.n_id
+    QUALIFY row_number() OVER (
+        PARTITION BY adc.q_id
+        ORDER BY adc.dot / (qn.nrm * c.cnrm) DESC, adc.n_id
+    ) <= 10
+),
+q AS (SELECT * FROM d WHERE vec_id % 100 = 0),
+exact_k AS (
+    SELECT q.vec_id AS q_id, d.vec_id AS n_id
+    FROM q JOIN d ON q.vec_id <> d.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_dot_sql('q.embedding', 'd.embedding')} / (q.nrm * d.nrm)
+                 DESC, d.vec_id
+    ) <= 10
+)
+SELECT e.q_id,
+       CAST(COUNT(s.n_id) AS BIGINT) AS n_overlap,
+       COUNT(s.n_id) / 10.0 AS recall_at_10
+FROM exact_k e LEFT JOIN pq_k s
+  ON e.q_id = s.q_id AND e.n_id = s.n_id
+GROUP BY e.q_id
+"""
+
+
+@register("embedding_pq_recall", oracle=_ORACLE_PQ)
+def embedding_pq_recall(spark, sf_dir):
+    """Product quantization with asymmetric distance (PQ/ADC) — the
+    OTHER standard vector-store codec next to SQ8: each vector is
+    split into 4 subvectors, each subvector replaced by its nearest
+    entry of a per-subspace codebook (here: the deterministic leader
+    set, vec_id % 31), and query-to-vector similarity is the sum of
+    exact query-subvector x code dot products. Memory per vector drops
+    to 4 code ids; score cost to 4 table lookups at serving time.
+    Measured honestly as recall@10 against the exact float top-10,
+    same protocol as embedding_sq8_recall.
+
+    Everything is deterministic (argmin with leader-id tiebreak,
+    order-pinned folds), so codebook assignment, ADC scores, and the
+    recall matrix all sit under the value gate in both engines.
+
+    Scale shape: assignment is a broadcast join vs the tiny codebook
+    (cost linear in corpus x codebook); ADC scoring joins each query's
+    4 subvectors against pre-assigned codes — at 100 TB the codes are
+    16x smaller than the floats they replace, which is the point.
+    """
+
+    def sub_slices(df, id_alias):
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.explode(
+                F.array(
+                    *(
+                        F.struct(
+                            F.lit(s).alias("sub_id"),
+                            F.transform(
+                                F.slice(
+                                    "embedding", s * _PQ_LEN + 1, _PQ_LEN
+                                ),
+                                lambda v: v.cast("double"),
+                            ).alias("sl"),
+                        )
+                        for s in range(_PQ_SUBS)
+                    )
+                )
+            ).alias("p"),
+        ).select(id_alias, "p.sub_id", "p.sl")
+
+    d = _vecs(spark, sf_dir).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    slices = sub_slices(d, "vec_id")
+    leaders = (
+        slices.where(F.col("vec_id") % 31 == 0)
+        .select(
+            F.col("vec_id").alias("leader_id"),
+            "sub_id",
+            F.col("sl").alias("cs"),
+        )
+    )
+    l2 = F.aggregate(
+        F.zip_with("sl", "cs", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vec_id", "sub_id").orderBy(
+        F.asc("l2d"), F.asc("leader_id")
+    )
+    assign = (
+        slices.join(F.broadcast(leaders), "sub_id")
+        .withColumn("l2d", l2)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "sub_id", "cs")
+    )
+    codenorm = assign.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum(
+                F.aggregate(
+                    F.zip_with("cs", "cs", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        ).alias("cnrm")
+    )
+    qs = slices.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "sub_id", F.col("sl").alias("qsl")
+    )
+    qn = d.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("nrm").alias("q_nrm")
+    )
+    sub_dot = F.aggregate(
+        F.zip_with("qsl", "cs", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adc = (
+        F.broadcast(qs)
+        .join(assign, "sub_id")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .withColumn("sd", sub_dot)
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(F.sum("sd").alias("dot"))
+    )
+    w_pq = Window.partitionBy("q_id").orderBy(
+        F.desc("pq_cos"), F.asc("n_id")
+    )
+    pq_k = (
+        adc.join(F.broadcast(qn), "q_id")
+        .join(codenorm.withColumnRenamed("vec_id", "n_id"), "n_id")
+        .withColumn("pq_cos", F.col("dot") / (F.col("q_nrm") * F.col("cnrm")))
+        .withColumn("rk", F.row_number().over(w_pq))
+        .where(F.col("rk") <= 10)
+        .select("q_id", F.col("n_id").alias("p_n_id"))
+    )
+    q = d.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    w_ex = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    exact_k = (
+        d.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w_ex))
+        .where(F.col("rk") <= 10)
+        .select("q_id", "n_id")
+    )
+    return (
+        exact_k.join(
+            pq_k,
+            (exact_k.q_id == pq_k.q_id) & (exact_k.n_id == pq_k.p_n_id),
+            "left",
+        )
+        .groupBy(exact_k.q_id)
+        .agg(
+            F.count("p_n_id").alias("n_overlap"),
+            (F.count("p_n_id") / F.lit(10.0)).alias("recall_at_10"),
+        )
+    )
