@@ -40,6 +40,8 @@ QUERIES = [
     "ann_ivf_topk",             # probed ANN
     "stats_moments_by_flag",    # advanced agg (skew/kurtosis moments)
     "multimodal_decode_stub",   # Arrow-batched mapInPandas kernel
+    "funnel_conversion",        # product analytics: chained window minima
+    "rollup_cascade_daily",     # continuous-aggregate cascade
 ]
 
 
