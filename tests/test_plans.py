@@ -170,3 +170,12 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_native_minhash_single_shuffle(spark):
+    # signature construction is projection-only (array HOFs); the only
+    # full shuffle is the final candidate distinct — band matching and
+    # jaccard-verify joins all broadcast at dim scale
+    plan = _plan(spark, "minhash_native_near_dup")
+    assert _shuffles(plan) <= 2
+    assert "BroadcastHashJoin" in plan
