@@ -45,6 +45,7 @@ def incremental_tle_stream(
     landing_dir: str,
     fetched_at: dt.datetime | None = None,
     bstar_mode: str = "compat",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming DataFrame of parsed, in-stream-deduplicated telemetry.
 
@@ -60,14 +61,18 @@ def incremental_tle_stream(
     fetched_at = fetched_at or dt.datetime.now(dt.timezone.utc).replace(
         tzinfo=None
     )
-    payloads = (
-        spark.readStream.format("binaryFile")
-        .schema(
-            "path STRING, modificationTime TIMESTAMP, "
-            "length LONG, content BINARY"
-        )
-        .load(landing_dir)
-        .select(F.decode(F.col("content"), "UTF-8").alias("payload"))
+    reader = spark.readStream.format("binaryFile").schema(
+        "path STRING, modificationTime TIMESTAMP, "
+        "length LONG, content BINARY"
+    )
+    if max_files_per_trigger is not None:
+        # micro-batch sizing: bounds per-trigger work (and executor
+        # memory) when a backlog of landed files piles up — under
+        # AvailableNow the backlog drains as MULTIPLE batches instead
+        # of one giant one, each passing through the same dedup state
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    payloads = reader.load(landing_dir).select(
+        F.decode(F.col("content"), "UTF-8").alias("payload")
     )
     triples = assemble_from_payloads(payloads)
     parsed = parse_tle_triples(

@@ -277,3 +277,35 @@ def test_windowed_aggregate_append_late_data(spark, tmp_path):
     (landing / "a3.json").write_text(payload([[f"{day(0)} 23:00", "999.0"]]))
     run_pass()
     assert len(out_rows) == 2
+
+
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """Micro-batch sizing: with maxFilesPerTrigger=1, an AvailableNow
+    run drains a 3-file backlog as 3 bounded batches (not one giant
+    one), and the in-stream dedup state still spans them."""
+    from celestrak_tle_data_pipeline_spark.streaming import (
+        incremental_tle_stream,
+    )
+
+    landing = tmp_path / "bland"
+    landing.mkdir()
+    ckpt = str(tmp_path / "bckpt")
+    for i, norad in enumerate((50001, 50002, 50001)):  # 3rd is a dup
+        (landing / f"f{i}.txt").write_text(_payload(norad, NOW))
+
+    batches, rows = [], []
+    stream = incremental_tle_stream(
+        spark, str(landing), max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: (batches.append(bid), rows.extend(df.collect()))
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) == 3  # one batch per file
+    # dedup state spans batches: the re-landed (norad, epoch) is dropped
+    assert sorted(r.norad_id for r in rows) == [50001, 50002]
