@@ -15,6 +15,7 @@ split uses a transparent multiplicative (Knuth/Fibonacci) hash in
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import register
@@ -465,4 +466,61 @@ def snapshot_diff_dim(spark, sf_dir):
         )
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# systematic weighted sampling (size-proportional, integer-exact)
+# --------------------------------------------------------------------------
+@register(
+    "systematic_weighted_sample",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, source, n_chars,
+               SUM(n_chars) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+               (SELECT SUM(n_chars) FROM documents) AS total
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(cum // (total // 100) AS BIGINT)
+               - CAST((cum - n_chars) // (total // 100) AS BIGINT)
+               AS n_picks
+    FROM c
+    WHERE cum // (total // 100) > (cum - n_chars) // (total // 100)
+    """,
+)
+def systematic_weighted_sample(spark, sf_dir):
+    """Systematic sampling proportional to document size: lay all
+    documents end-to-end on the integer character axis (cumulative sum
+    in doc_id order), drop a tick every ``total/100`` characters, and
+    keep each document once per tick inside its span — longer
+    documents are proportionally likelier (and can be picked multiple
+    times: n_picks is the multiplicity, the standard PPS-sampling
+    output). The token-budget-proportional sampler a mixture pipeline
+    uses where uniform row sampling would under-weight long documents.
+
+    Everything is int64 arithmetic (cumsum, integer division) — no
+    RNG, no floats — so the sample is reproducible anywhere and the
+    oracle matches exactly. Plan: one scan; the cumulative sum is a
+    single-ordering window (at 100 TB: range-partition by doc_id and
+    carry per-partition offsets — the same two-pass pattern
+    sequence_packing_chunks documents); the grand total rides a
+    broadcast one-row aggregate, lazy in the same DAG.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    total = d.agg(F.sum("n_chars").alias("total"))
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = (
+        d.withColumn("cum", F.sum("n_chars").over(w))
+        .crossJoin(F.broadcast(total))
+        .withColumn("stride", F.expr("total DIV 100"))
+    )
+    picks = F.expr("cum DIV stride") - F.expr("(cum - n_chars) DIV stride")
+    return (
+        c.withColumn("n_picks", picks.cast("bigint"))
+        .where(F.col("n_picks") > 0)
+        .select("doc_id", "source", "n_chars", "n_picks")
     )
