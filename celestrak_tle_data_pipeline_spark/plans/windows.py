@@ -539,3 +539,68 @@ def sliding_weekly_value(spark, sf_dir):
             F.col("sv").cast("double").alias("total_value"),
         )
     )
+
+
+# --- dynamic-gap sessionization -----------------------------------------------
+@register(
+    "dynamic_gap_sessions",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+                    ELSE INTERVAL 30 MINUTE END AS gap
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, event_id, gap,
+               CASE WHEN MAX(ts + gap) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                 OR ts >= MAX(ts + gap) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+               THEN 1 ELSE 0 END AS new_session
+        FROM e
+    ), grouped AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM grouped GROUP BY user_id, session_id
+    """,
+)
+def dynamic_gap_sessions(spark, sf_dir):
+    """Sessionization with a PER-EVENT gap: purchases hold a session
+    open for 60 minutes, everything else 30 — Spark's
+    ``session_window`` with a dynamic gap-duration expression, the
+    operator behind activity models where different actions have
+    different decay.
+
+    The oracle reproduces the merge rule relationally: an event starts
+    a new session iff it begins at/after the running max of every
+    previous event's (ts + its own gap) — running-max-end is exactly
+    "my window overlaps the merged window so far". Hash equality
+    certifies Spark's native session merge against that definition.
+    Plan: one shuffle on user_id (same as fixed-gap session_windows);
+    the dynamic gap costs nothing extra — it's an expression input to
+    the same streaming-capable operator."""
+    e = t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", gap).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
