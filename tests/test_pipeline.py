@@ -383,3 +383,21 @@ def test_full_lifecycle_ingest_compact_expire_export(spark, wh, tmp_path):
     export_sorted_shards(kept, out, "norad_id", n_shards=2)
     back = spark.read.parquet(out)
     assert sorted(r.norad_id for r in back.collect()) == [40003, 40004]
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Appends that ADD a column are readable: mergeSchema unifies old
+    and new files; pre-evolution rows surface NULL for the new column
+    (the additive-only evolution contract a parquet warehouse gives)."""
+    base = str(tmp_path / "evo")
+    spark.createDataFrame(
+        [(1, "a")], "k long, s string"
+    ).write.mode("append").parquet(base)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, s string, score double"
+    ).write.mode("append").parquet(base)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"k", "s", "score"}
+    rows = {r.k: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
