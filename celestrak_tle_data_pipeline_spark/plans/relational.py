@@ -523,3 +523,107 @@ def sql_api_revenue_filter(spark, sf_dir):
         WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
         """
     )
+
+
+# --------------------------------------------------------------------------
+# classic OLAP: TPC-H Q6 (selective scan + single agg)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 on the driver tables: the canonical
+    selective-scan-plus-aggregate — every predicate (ship year,
+    discount band, quantity cap) pushes into the parquet scan, the
+    aggregate is a single partial-combinable decimal sum, zero
+    joins. The query that benchmarks predicate pushdown + row-group
+    pruning in isolation; at 100 TB it reads only matching row groups
+    and ships 2 numbers per task."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice", 14, 2) * dec("l_discount", 4, 2))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# classic OLAP: TPC-H Q3 (shipping priority: 3-way join + top-k)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * (1.00 - CAST(l.l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 (shipping priority) on the driver tables: segment
+    filter on the customer dim, date bounds on both fact sides, 3-way
+    join, revenue = Σ price·(1-discount) in exact decimals, top-10
+    with a full tiebreak (revenue, orderdate, orderkey — determinism
+    contract).
+
+    Plan: the filtered BUILDING customer keys broadcast into orders;
+    the filtered orders broadcast into lineitem (both dims shrink far
+    below the broadcast gate after their predicates) — the fact side
+    never shuffles for a join; one aggregation shuffle on orderkey,
+    then a 10-row total-order sort."""
+    c = t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.sum(
+        dec("l_extendedprice", 14, 2)
+        * (F.lit(1.00).cast("decimal(4,2)") - dec("l_discount", 4, 2))
+    ).cast("double")
+    return (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
