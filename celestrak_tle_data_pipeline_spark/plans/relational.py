@@ -627,3 +627,61 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# classic OLAP: TPC-H Q18 shape (HAVING + join-back)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): aggregate the fact to
+    find orders whose total quantity clears a threshold (GROUP BY +
+    HAVING), then join BACK to orders and customer for the detail
+    rows — the aggregate-then-rejoin pattern behind every "top
+    entities by computed measure, with attributes" report.
+
+    Plan: one aggregation shuffle on l_orderkey produces the (small,
+    post-HAVING) key set; it then broadcasts into orders, and the
+    filtered orders join broadcasts into customer's dim — detail
+    retrieval never reshuffles a fact. The HAVING predicate is exact
+    decimal so the survivor set is engine-independent."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .where(F.col("q") > 150)
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )

@@ -179,3 +179,15 @@ def test_native_minhash_single_shuffle(spark):
     plan = _plan(spark, "minhash_native_near_dup")
     assert _shuffles(plan) <= 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q6_is_zero_shuffle_pushed_scan(spark):
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    assert _shuffles(plan) == 0
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # range pushed
+
+
+def test_tpch_q3_broadcasts_filtered_dims(spark):
+    plan = _plan(spark, "tpch_q3_shipping_priority")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert _shuffles(plan) <= 2  # agg + top-10 sort; fact never re-shuffles
