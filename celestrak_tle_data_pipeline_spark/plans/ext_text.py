@@ -1466,3 +1466,78 @@ def minhash_native_near_dup(spark, sf_dir):
         .where(F.col("jaccard") >= 0.8)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# graph metric: triangle count over the fuzzy-match edge set
+# --------------------------------------------------------------------------
+@register(
+    "dup_graph_triangles",
+    oracle="""
+    WITH c AS (
+        SELECT c_name, c_mktsegment FROM customer WHERE c_custkey <= 300
+    ), edges AS (
+        SELECT a.c_mktsegment AS seg, a.c_name AS u, b.c_name AS v
+        FROM c a JOIN c b
+          ON a.c_mktsegment = b.c_mktsegment AND a.c_name < b.c_name
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    )
+    SELECT e1.seg,
+           COUNT(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.seg = e2.seg AND e1.v = e2.u
+    JOIN edges e3 ON e1.seg = e3.seg AND e3.u = e1.u AND e3.v = e2.v
+    GROUP BY e1.seg
+    """,
+)
+def dup_graph_triangles(spark, sf_dir):
+    """Triangle count per blocking segment over the Levenshtein<=1
+    match graph — the standard duplicate-cluster QA metric: triangles
+    mean transitively-consistent matches (a~b, b~c AND a~c), while
+    edge-rich-triangle-poor blocks signal chains of borderline matches
+    that connected-components would over-merge.
+
+    The canonical multi-way self-join: edges ordered u < v, triangle =
+    e1(u,v) x e2(v,w) x e3(u,w) — each triangle counted exactly once
+    by the ordering invariant. Plan: the edge set is derived once per
+    alias (bounded: intra-block pairs), joins are equi-joins on node
+    ids; at scale you'd materialize the edge list first and the same
+    three-way join runs on the bucketed table."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 300)
+        .select("c_name", "c_mktsegment")
+    )
+    a = c.select(F.col("c_mktsegment").alias("seg"), F.col("c_name").alias("u"))
+    b = c.select(F.col("c_mktsegment").alias("seg"), F.col("c_name").alias("v"))
+    edges = (
+        a.join(b, on="seg")
+        .where(
+            (F.col("u") < F.col("v"))
+            & (F.levenshtein("u", "v") <= 1)
+        )
+        .select("seg", "u", "v")
+    )
+    e1 = edges.select("seg", "u", "v")
+    e2 = edges.select(
+        F.col("seg").alias("seg2"), F.col("u").alias("v2"),
+        F.col("v").alias("w2"),
+    )
+    e3 = edges.select(
+        F.col("seg").alias("seg3"), F.col("u").alias("u3"),
+        F.col("v").alias("w3"),
+    )
+    return (
+        e1.join(
+            e2,
+            (F.col("seg") == F.col("seg2")) & (F.col("v") == F.col("v2")),
+        )
+        .join(
+            e3,
+            (F.col("seg") == F.col("seg3"))
+            & (F.col("u3") == F.col("u"))
+            & (F.col("w3") == F.col("w2")),
+        )
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
