@@ -26,6 +26,7 @@ Numeric design for bit-exact cross-engine equality:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.tle import launch_year, parse_tle_triples, valid_record
@@ -542,4 +543,89 @@ def tle_decay_slope(spark, sf_dir):
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) * F.lit(86400.0)
     return s.select(
         "norad_id", "n", F.round(slope, 12).alias("slope_mm_per_day")
+    )
+
+
+# --------------------------------------------------------------------------
+# nearest orbital neighbor within regime bands (conjunction pre-screen)
+# --------------------------------------------------------------------------
+_ORACLE_NEIGHBORS = """
+WITH keys AS (
+    SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 2000
+),
+f AS (
+    SELECT k % 100000 AS norad_id,
+           (k % 1800) / 10.0 AS incl,
+           (10000000 + (k * 3) % 9000000) / 1000000.0 AS mm
+    FROM keys WHERE k % 97 <> 0
+),
+banded AS (
+    SELECT norad_id, incl, mm,
+           CAST(floor(incl / 10) AS INT) AS incl_band
+    FROM f
+)
+SELECT a.norad_id, a.incl_band,
+       b.norad_id AS neighbor_id,
+       abs(a.mm - b.mm) AS mm_delta
+FROM banded a JOIN banded b
+  ON a.incl_band = b.incl_band AND a.norad_id <> b.norad_id
+QUALIFY row_number() OVER (
+    PARTITION BY a.norad_id
+    ORDER BY abs(a.mm - b.mm), b.norad_id
+) = 1
+"""
+
+
+@register("tle_regime_neighbors", oracle=_ORACLE_NEIGHBORS)
+def tle_regime_neighbors(spark, sf_dir):
+    """Nearest orbital neighbor per satellite within its 10-degree
+    inclination band, by mean-motion distance — the conjunction-screen
+    pre-filter shape: you never compare satellites across regimes, so
+    candidate pairs are bucketed (band equi-join) rather than
+    all-pairs, and each satellite keeps exactly one deterministic
+    nearest neighbor (delta, then id tiebreak).
+
+    Runs on the REAL parse output (synthesized lines → expression
+    bundle), so parse→band→self-join→argmin all sit under the oracle
+    gate; the oracle recomputes the fixture arithmetically. Plan: one
+    parse pass, band equi-join (bounded buckets), one window argmin
+    per satellite — the same bucket-then-rank discipline every fuzzy
+    self-join in the repo uses."""
+    triples = _synth_lines(_keys(spark, sf_dir), corrupt=True)
+    parsed = parse_tle_triples(triples, fetched_at=_FETCHED_AT).where(
+        valid_record()
+    )
+    banded = parsed.select(
+        "norad_id",
+        "mean_motion",
+        F.floor(F.col("inclination") / 10).cast("int").alias("incl_band"),
+    )
+    a = banded.select(
+        F.col("norad_id").alias("a_id"),
+        F.col("mean_motion").alias("a_mm"),
+        "incl_band",
+    )
+    b = banded.select(
+        F.col("norad_id").alias("neighbor_id"),
+        F.col("mean_motion").alias("b_mm"),
+        F.col("incl_band").alias("b_band"),
+    )
+    w = Window.partitionBy("a_id").orderBy(
+        F.asc("mm_delta"), F.asc("neighbor_id")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("incl_band") == F.col("b_band"))
+            & (F.col("a_id") != F.col("neighbor_id")),
+        )
+        .withColumn("mm_delta", F.abs(F.col("a_mm") - F.col("b_mm")))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("a_id").alias("norad_id"),
+            "incl_band",
+            "neighbor_id",
+            "mm_delta",
+        )
     )
