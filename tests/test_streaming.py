@@ -309,3 +309,57 @@ def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
     assert len(batches) == 3  # one batch per file
     # dedup state spans batches: the re-landed (norad, epoch) is dropped
     assert sorted(r.norad_id for r in rows) == [50001, 50002]
+
+
+def test_stream_static_join_rereads_dim(spark, tmp_path):
+    """Stream-static join: the static side is re-read every
+    micro-batch, so dim rows added BETWEEN passes enrich later
+    batches — the live-dimension semantics batch joins can't give."""
+    landing = tmp_path / "ssland"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ssckpt")
+    dim_dir = str(tmp_path / "ssdim")
+    out_rows = []
+
+    from celestrak_tle_data_pipeline_spark.streaming import (
+        incremental_tle_stream,
+    )
+
+    def run_pass():
+        stream = incremental_tle_stream(spark, str(landing))
+        dim = spark.read.parquet(dim_dir)
+        joined = stream.join(dim, "norad_id", "left").select(
+            "norad_id", "label"
+        )
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda df, _id: out_rows.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(80001, "known")], "norad_id long, label string"
+    ).write.mode("overwrite").parquet(dim_dir)
+
+    (landing / "s1.txt").write_text(_payload(80001, NOW))
+    (landing / "s2.txt").write_text(_payload(80002, NOW))
+    run_pass()
+    got = {r.norad_id: r.label for r in out_rows}
+    assert got == {80001: "known", 80002: None}  # 80002 not in dim yet
+
+    # grow the dim between passes; a new stream row for 80002 now joins
+    spark.createDataFrame(
+        [(80001, "known"), (80002, "late-dim")],
+        "norad_id long, label string",
+    ).write.mode("overwrite").parquet(dim_dir)
+    (landing / "s3.txt").write_text(
+        _payload(80002, NOW + dt.timedelta(days=1))
+    )
+    run_pass()
+    assert {r.label for r in out_rows if r.norad_id == 80002} == {
+        None, "late-dim",
+    }
