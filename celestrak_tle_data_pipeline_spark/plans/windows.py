@@ -604,3 +604,66 @@ def dynamic_gap_sessions(spark, sf_dir):
             "n_events",
         )
     )
+
+
+# --- LOCF forward fill (last observation carried forward) ---------------------
+@register(
+    "locf_forward_fill",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events WHERE user_id < 20
+    ), marked AS (
+        SELECT user_id, ts, event_id, v,
+               COUNT(v) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS grp
+        FROM e
+    )
+    SELECT user_id, ts, event_id, v,
+           MAX(v) OVER (PARTITION BY user_id, grp) AS v_filled,
+           v IS NULL AS was_filled
+    FROM marked
+    """,
+)
+def locf_forward_fill(spark, sf_dir):
+    """Forward fill (LOCF): gaps in a sensor series (here: every 7th
+    event's value nulled as the fixture, stated) take the most recent
+    non-null observation for the same entity — the standard
+    time-series repair before feature extraction, and the complement
+    of gap_fill_daily_user (which materializes missing ROWS; this
+    fills missing VALUES).
+
+    Implemented with the portable count-marker trick instead of
+    last_value(IGNORE NULLS): a running COUNT of non-null values is
+    constant across a null run, so (user, count) groups each null with
+    its preceding observation and MAX over that group is the carried
+    value — deterministic, engine-independent, one shuffle on user_id
+    (the second window reuses the same partitioning)."""
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_id") % 7 == 0, None)
+            .otherwise(F.col("value"))
+            .alias("v"),
+        )
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = e.withColumn("grp", F.count("v").over(w_run))
+    w_grp = Window.partitionBy("user_id", "grp")
+    return marked.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "v",
+        F.max("v").over(w_grp).alias("v_filled"),
+        F.col("v").isNull().alias("was_filled"),
+    )
