@@ -13,6 +13,16 @@ Determinism contract (what makes value hashes match):
   dependence.
 - Every LIMIT/top-k ranks with a total order (explicit tiebreak keys).
 - Timestamp arithmetic is integer-µs; session timezone pinned UTC.
+
+Driver-canonicalizer contract (priority-window queries): result
+columns must be SCALAR types only — no array/map/struct columns. The
+driver canonicalizes results by sorting a pandas frame, and pandas
+cannot order list cells (``TypeError: unhashable type: 'list'`` took
+down ``multimodal_feature_extract`` in round 3 despite correct
+values). Project vectors to ``f1..fN`` columns via ``element_at`` or
+explode to (id, idx, value) rows before returning;
+``tests/test_registry.py::test_priority_outputs_are_scalar`` enforces
+this at test time.
 """
 
 from __future__ import annotations
@@ -45,56 +55,68 @@ _MODULES = (
 # windows, TLE parse bundle, text/dedup, vectors, multimodal, weather) —
 # are emitted first. Everything else registered stays available after them
 # as bonus coverage. ``tests/test_registry.py`` pins this list.
+#
+# Round-4 rotation: 18 twice/once-green stalwarts (top_revenue_orders,
+# semijoin_exists, first_order_per_customer, rollup_order_status,
+# pivot_status_counts, outer_join_nation_coverage, cube_status_priority,
+# grouping_sets_status_priority, percentile_quartiles, bag_set_ops,
+# ntile_lead_lag_orders, running_customer_spend, tumbling_daily_value,
+# text_profile, lang_id_ngram, doc_fingerprint_rolling, tfidf_top_terms,
+# token_count_regex — all green in CORRECTNESS_r02/r03, still registered
+# after the window) rotated out for the round-3 operators that had
+# judge-only verification, so cumulative official coverage keeps growing.
 _PRIORITY = (
     # relational / joins / scans
     "pricing_summary",
-    "top_revenue_orders",
     "antijoin_composite_key",
-    "semijoin_exists",
-    "first_order_per_customer",
     "pruned_scan_recent",
-    "rollup_order_status",
-    "pivot_status_counts",
     "scalar_functions_bundle",
-    "outer_join_nation_coverage",
-    # advanced aggregation / stats
-    "cube_status_priority",
-    "grouping_sets_status_priority",
+    # TPC-H classics (rotated in r4)
+    "tpch_q6_forecast_revenue",
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_orders",
+    # advanced aggregation / stats / sketches
     "stats_moments_by_flag",
-    "percentile_quartiles",
-    "bag_set_ops",
     "range_band_join",
     "salted_heavy_hitters",
-    "ntile_lead_lag_orders",
+    "approx_distinct_hll",
+    "approx_quantile_bounds",
+    "systematic_weighted_sample",
     # window functions / temporal
-    "running_customer_spend",
-    "tumbling_daily_value",
     "session_windows",
     "asof_join_latest_purchase",
     "ewma_anomaly_by_user",
+    "sliding_weekly_value",
+    "dynamic_gap_sessions",
+    "locf_forward_fill",
+    # product analytics (rotated in r4)
+    "cohort_retention",
+    "funnel_conversion",
+    "scd2_state_history",
+    # governance
+    "data_quality_audit",
     # TLE domain (fixed-width parse bundle)
     "tle_parse_telemetry",
     "tle_bstar_decode",
     "tle_epoch_pivot_sweep",
     "tle_assembly_stride3",
     "tle_decay_flagship",
+    "tle_regime_neighbors",
     # text analysis / dedup
-    "text_profile",
     "text_quality_score",
-    "lang_id_ngram",
     "exact_dup_groups",
     "simhash_near_dup",
     "minhash_lsh_recall",
+    "minhash_native_near_dup",
     "ngram_shingle_jaccard",
-    "tfidf_top_terms",
-    "token_count_regex",
-    "doc_fingerprint_rolling",
     "dup_cluster_components",
+    "dup_graph_triangles",
     # similarity search / vectors
     "cosine_topk_exact",
     "ann_ivf_topk",
     "embedding_cosine_near_dup",
     "embedding_sq8_recall",
+    "embedding_pq_recall",
     "ann_lsh_recall",
     # multimodal / semi-structured
     "props_maptype",
@@ -104,6 +126,7 @@ _PRIORITY = (
     "multimodal_feature_extract",
     # weather domain
     "flux_parse",
+    "flux_rotation_anomaly",
 )
 
 

@@ -162,12 +162,14 @@ def multimodal_frame_sample(spark, sf_dir):
     "multimodal_feature_extract",
     oracle="""
     SELECT doc_id AS asset_id,
-           list_transform(
-               generate_series(1, 8),
-               i -> CASE WHEN i <= length(text)
-                         THEN ascii(substr(text, i, 1)) / 256.0
-                         ELSE 0.0 END
-           ) AS features
+           """
+    + ",\n           ".join(
+        f"CASE WHEN {i} <= length(text)"
+        f" THEN ascii(substr(text, {i}, 1)) / 256.0"
+        f" ELSE 0.0 END AS f{i}"
+        for i in range(1, 9)
+    )
+    + """
     FROM documents
     """,
 )
@@ -177,13 +179,22 @@ def multimodal_feature_extract(spark, sf_dir):
     production: an embedding model). Payloads are ASCII text bytes, so
     DuckDB recomputes each feature from character codes — the Arrow
     binary→array<float> UDF round-trip is value-checked end to end.
-    Note the float32 cast on the oracle side is implicit: the UDF
-    returns array<float>, and [0,1) multiples of 1/256 are exact in
-    float32, so no precision is lost crossing the types."""
+
+    Output shape: the vector is projected to eight scalar columns
+    ``f1..f8`` (``element_at`` on the UDF's array<float>, cast to
+    double). The driver's pandas canonicalizer sorts result cells and
+    cannot order Python lists, so priority-window queries must emit
+    scalar columns only (see the registry docstring); multiples of
+    1/256 in [0,1) are exact in float32, so the float→double cast
+    loses nothing and matches DuckDB bit-for-bit."""
     from ..operators.multimodal import extract_features
 
     a = _assets(spark, sf_dir)
+    feats = extract_features(F.col("payload"))
     return a.select(
         "asset_id",
-        extract_features(F.col("payload")).alias("features"),
+        *[
+            F.element_at(feats, i).cast("double").alias(f"f{i}")
+            for i in range(1, 9)
+        ],
     )

@@ -968,30 +968,30 @@ def decontamination_overlap(spark, sf_dir):
         F.element_at(s, i + 3),
         F.element_at(s, i + 4),
     )
+    # F.sequence(a, b) yields a DESCENDING run when b < a (never an empty
+    # array), so a doc shorter than the gram span would produce 0/negative
+    # element_at indexes — a runtime error under Spark 4 ANSI mode, where
+    # DuckDB's range() simply returns empty. Guard with when(): short docs
+    # contribute no grams, matching the oracle's empty-range semantics.
+    def _grams(lo, hi, min_tokens):
+        return F.when(
+            F.size(s) >= min_tokens,
+            F.array_distinct(F.transform(F.sequence(lo, hi), five)),
+        ).otherwise(F.array().cast("array<string>"))
+
     d = _docs(spark, sf_dir)
     bench = (
         d.where(F.col("doc_id") % 20 == 0)
         .select(
             F.col("doc_id").alias("bench_id"),
             F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(
-                            F.lit(3), F.least(F.lit(8), F.size(s) - 4)
-                        ),
-                        five,
-                    )
-                )
+                _grams(F.lit(3), F.least(F.lit(8), F.size(s) - 4), 7)
             ).alias("ng"),
         )
     )
     train = d.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(F.sequence(F.lit(1), F.size(s) - 4), five)
-            )
-        ).alias("ng"),
+        F.explode(_grams(F.lit(1), F.size(s) - 4, 5)).alias("ng"),
     )
     return (
         train.join(bench, "ng")
@@ -1057,12 +1057,19 @@ def repetition_profile(spark, sf_dir):
     from pyspark.sql import Window
 
     toks = _tokens()
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    # Same short-doc guard as decontamination_overlap: sequence(1, 0) is
+    # the descending [1, 0], not empty, so a 1-token doc must bypass the
+    # transform entirely (it then has no bigram rows and drops out of the
+    # inner join exactly like the oracle's empty list comprehension).
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     d = _docs(spark, sf_dir)
     cnt = (
         d.select("doc_id", F.explode(bigrams).alias("bg"))

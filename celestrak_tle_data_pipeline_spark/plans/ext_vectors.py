@@ -638,6 +638,22 @@ def _pq_fold_sql(expr: str) -> str:
     )
 
 
+def _pq_pinned_sum_sql(expr: str, sub_ref: str = "sub_id") -> str:
+    """Order-pinned sum of the 4 per-subspace folds.
+
+    A plain SUM() over the 4 doubles reduces in shuffle/scan-arrival
+    order — an ulp difference vs the other engine can flip a top-10
+    near-tie. Each conditional SUM aggregates exactly ONE row (exact
+    regardless of order); the outer additions are a fixed
+    left-associative expression, identical in Spark and DuckDB.
+    """
+    fold = _pq_fold_sql(expr)
+    return " + ".join(
+        f"SUM(CASE WHEN {sub_ref} = {s} THEN {fold} END)"
+        for s in range(_PQ_SUBS)
+    )
+
+
 _PQ_SUB_UNION = " UNION ALL ".join(
     f"SELECT vec_id, {s} AS sub_id, "
     f"list_transform({_pq_slice_sql('embedding', s)}, v -> v::DOUBLE) AS sl "
@@ -667,14 +683,14 @@ assign AS (
 ),
 codenorm AS (
     SELECT vec_id,
-           sqrt(SUM({_pq_fold_sql('cs[i] * cs[i]')})) AS cnrm
+           sqrt({_pq_pinned_sum_sql('cs[i] * cs[i]')}) AS cnrm
     FROM assign GROUP BY vec_id
 ),
 qs AS (SELECT * FROM slices WHERE vec_id % 100 = 0),
 qn AS (SELECT vec_id, nrm FROM d WHERE vec_id % 100 = 0),
 adc AS (
     SELECT q.vec_id AS q_id, a.vec_id AS n_id,
-           SUM({_pq_fold_sql('q.sl[i] * a.cs[i]')}) AS dot
+           {_pq_pinned_sum_sql('q.sl[i] * a.cs[i]', 'q.sub_id')} AS dot
     FROM qs q JOIN assign a ON q.sub_id = a.sub_id
     WHERE q.vec_id <> a.vec_id
     GROUP BY 1, 2
@@ -778,16 +794,26 @@ def embedding_pq_recall(spark, sf_dir):
         .where(F.col("rk") == 1)
         .select("vec_id", "sub_id", "cs")
     )
-    codenorm = assign.groupBy("vec_id").agg(
-        F.sqrt(
-            F.sum(
-                F.aggregate(
-                    F.zip_with("cs", "cs", lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-        ).alias("cnrm")
+    # Order-pinned reduction over the 4 subspaces (mirrors the oracle's
+    # _pq_pinned_sum_sql): each conditional sum sees exactly one row per
+    # group, and the outer additions are a fixed left-associative
+    # expression — no shuffle-arrival-order float dependence.
+    sub_sq = F.aggregate(
+        F.zip_with("cs", "cs", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _pinned(col):
+        total = F.sum(F.when(F.col("sub_id") == 0, col))
+        for s in range(1, _PQ_SUBS):
+            total = total + F.sum(F.when(F.col("sub_id") == s, col))
+        return total
+
+    codenorm = (
+        assign.withColumn("sq", sub_sq)
+        .groupBy("vec_id")
+        .agg(F.sqrt(_pinned(F.col("sq"))).alias("cnrm"))
     )
     qs = slices.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), "sub_id", F.col("sl").alias("qsl")
@@ -806,7 +832,7 @@ def embedding_pq_recall(spark, sf_dir):
         .where(F.col("q_id") != F.col("vec_id"))
         .withColumn("sd", sub_dot)
         .groupBy("q_id", F.col("vec_id").alias("n_id"))
-        .agg(F.sum("sd").alias("dot"))
+        .agg(_pinned(F.col("sd")).alias("dot"))
     )
     w_pq = Window.partitionBy("q_id").orderBy(
         F.desc("pq_cos"), F.asc("n_id")

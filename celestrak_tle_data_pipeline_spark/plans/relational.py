@@ -245,12 +245,16 @@ def pruned_scan_recent(spark, sf_dir):
     # formulation kept the predicate post-scan: a join output can never
     # be a pushed filter). The anchor value is the only thing the driver
     # sees — this is scan-bound resolution, not a data collect.
+    # NOTE: building this query runs one scalar Spark job (the anchor
+    # aggregate). On an EMPTY events table MAX(ts) is NULL — degrade to
+    # the zero-row selection instead of raising on None arithmetic.
     e = t(spark, sf_dir, "events")
     mx_us = e.agg(F.unix_micros(F.max("ts"))).first()[0]
+    cols = ["event_id", "user_id", "event_type"]
+    if mx_us is None:
+        return e.select(*cols).where(F.lit(False))
     ts_min_us = mx_us - 3 * 86_400 * 1_000_000
-    return t(spark, sf_dir, "events", ts_min_us=ts_min_us).select(
-        "event_id", "user_id", "event_type"
-    )
+    return t(spark, sf_dir, "events", ts_min_us=ts_min_us).select(*cols)
 
 
 # --- set operations (§2.7) ---------------------------------------------------

@@ -164,15 +164,23 @@ class ParquetWarehouse:
         months, and scan throughput dies on open() overhead, so
         compaction is a first-class maintenance op, not housekeeping.
 
-        Mechanics: per-partition dynamic overwrite (only listed
-        partitions rewrite; content is identical rows, so a crash
-        mid-job leaves a correct table with some partitions still
-        uncompacted — idempotent, re-runnable). Partition file sizes
-        come from driver-side directory metadata (bounded: one stat
-        call per file, no data read). Returns {partition_value:
-        files_written}.
+        Mechanics: each partition is rewritten into a hidden temp
+        sibling directory (``.compact_tmp_<value>`` — dot-prefixed, so
+        concurrent readers never list it), then swapped in with two
+        directory renames once the write has fully committed. Never
+        read-and-overwrite the same path in one job: that only works
+        today because the DataFrameWriter path happens to skip Spark's
+        self-overwrite guard and the committer defers deletion — a
+        Spark upgrade or a non-local committer could delete the
+        partition mid-read. The rename swap keeps the old data on disk
+        until the replacement is complete, so a crash at any point
+        leaves a readable partition (idempotent, re-runnable).
+        Partition file sizes come from driver-side directory metadata
+        (bounded: one stat call per file, no data read). Returns
+        {partition_value: files_written}.
         """
         import math
+        import shutil
 
         out: dict[str, int] = {}
         base = self.path(table)
@@ -182,51 +190,40 @@ class ParquetWarehouse:
             if d.startswith(f"{partition_col}=")
             and os.path.isdir(os.path.join(base, d))
         ]
-        old_mode = self.spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode"
-        )
-        self.spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
-            for d in parts:
-                pdir = os.path.join(base, d)
-                files = [
-                    f for f in os.listdir(pdir) if f.endswith(".parquet")
-                ]
-                size = sum(
-                    os.path.getsize(os.path.join(pdir, f)) for f in files
-                )
-                n_files = max(1, math.ceil(size / target_file_bytes))
-                if len(files) <= n_files:
-                    continue  # already compact
-                value = d.split("=", 1)[1]
-                # typed literal comparison (cast the LITERAL, never the
-                # column): a cast on the partition column would defeat
-                # partition pruning and rescan the whole table per loop
-                full = self.spark.read.parquet(base)
-                ptype = full.schema[partition_col].dataType
-                part = full.where(
-                    F.col(partition_col) == F.lit(value).cast(ptype)
-                )
-                rewritten = part.coalesce(n_files)
-                if cluster_by:
-                    # lead with the partition col: the partitioned writer
-                    # requires rows ordered by it and would re-sort (un-
-                    # stably) otherwise, destroying the cluster order
-                    rewritten = rewritten.sortWithinPartitions(
-                        partition_col, *cluster_by
-                    )
-                (
-                    rewritten.write.mode("overwrite")
-                    .partitionBy(partition_col)
-                    .parquet(base)
-                )
-                out[value] = n_files
-        finally:
-            self.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", old_mode
+        for d in parts:
+            pdir = os.path.join(base, d)
+            files = [
+                f for f in os.listdir(pdir) if f.endswith(".parquet")
+            ]
+            size = sum(
+                os.path.getsize(os.path.join(pdir, f)) for f in files
             )
+            n_files = max(1, math.ceil(size / target_file_bytes))
+            if len(files) <= n_files:
+                continue  # already compact
+            value = d.split("=", 1)[1]
+            # typed literal comparison (cast the LITERAL, never the
+            # column): a cast on the partition column would defeat
+            # partition pruning and rescan the whole table per loop.
+            # The partition column is dropped before writing — hive
+            # layout encodes it in the directory name, not the files.
+            full = self.spark.read.parquet(base)
+            ptype = full.schema[partition_col].dataType
+            part = full.where(
+                F.col(partition_col) == F.lit(value).cast(ptype)
+            ).drop(partition_col)
+            rewritten = part.coalesce(n_files)
+            if cluster_by:
+                rewritten = rewritten.sortWithinPartitions(*cluster_by)
+            tmp = os.path.join(base, f".compact_tmp_{value}")
+            old = os.path.join(base, f".compact_old_{value}")
+            shutil.rmtree(tmp, ignore_errors=True)  # stale crash debris
+            shutil.rmtree(old, ignore_errors=True)
+            rewritten.write.mode("overwrite").parquet(tmp)
+            os.rename(pdir, old)
+            os.rename(tmp, pdir)
+            shutil.rmtree(old)
+            out[value] = n_files
         return out
 
     def expire_partitions(

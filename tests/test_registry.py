@@ -36,13 +36,39 @@ def test_family_representation_in_window():
     window = set(_PRIORITY)
     families = {
         "relational": {"pricing_summary", "antijoin_composite_key"},
-        "aggs": {"cube_status_priority", "grouping_sets_status_priority"},
+        "tpch": {"tpch_q6_forecast_revenue", "tpch_q3_shipping_priority"},
+        "aggs": {"stats_moments_by_flag", "salted_heavy_hitters"},
+        "sketches": {"approx_distinct_hll", "approx_quantile_bounds"},
         "windows": {"session_windows", "asof_join_latest_purchase"},
+        "analytics": {"cohort_retention", "funnel_conversion"},
         "tle": {"tle_parse_telemetry", "tle_decay_flagship"},
-        "text": {"exact_dup_groups", "tfidf_top_terms"},
-        "vectors": {"cosine_topk_exact", "embedding_sq8_recall"},
+        "text": {"exact_dup_groups", "minhash_native_near_dup"},
+        "vectors": {"cosine_topk_exact", "embedding_pq_recall"},
         "multimodal": {"multimodal_decode_stub", "props_maptype"},
-        "weather": {"flux_parse"},
+        "weather": {"flux_parse", "flux_rotation_anomaly"},
     }
     for family, reps in families.items():
         assert reps <= window, f"family {family} missing from first-50 window"
+
+
+def test_priority_outputs_are_scalar(spark):
+    # Driver-canonicalizer contract (see plans/__init__.py docstring):
+    # the driver sorts result cells with pandas, which cannot order
+    # list/dict cells — a single array-typed output column makes an
+    # otherwise-correct query officially RED (round 3's
+    # multimodal_feature_extract). Build every priority query's plan
+    # and reject nested types in its result schema.
+    from pyspark.sql import types as T
+
+    from conftest import SF_DIR
+
+    qs = plans.all_queries()
+    bad = []
+    for name in _PRIORITY:
+        schema = qs[name](spark, SF_DIR).schema
+        for f in schema.fields:
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"non-scalar output columns in priority window: {bad}"
