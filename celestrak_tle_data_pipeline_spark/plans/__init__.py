@@ -47,6 +47,7 @@ _MODULES = (
     "ext_udf",
     "ext_pipeline",
     "analytics",
+    "tpch",
 )
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries, so

@@ -217,3 +217,28 @@ def test_events_nanos_pushdown_is_raw_int64(spark):
     assert f"GreaterThan(ts,{ts_min_us * 1000})" in full, full[-2000:]
     # and the exact strict-µs predicate still guards post-conversion
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+
+
+def test_tpch_q5_cycle_join_broadcasts_all_dims(spark):
+    plan = _plan(spark, "tpch_q5_local_supplier_volume")
+    # region->nation->supplier and customer legs all broadcast; the
+    # only shuffle is the 25-group aggregation — the fact side never
+    # sort-merge-joins
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert _shuffles(plan) <= 2
+
+
+def test_tpch_q10_single_agg_shuffle(spark):
+    plan = _plan(spark, "tpch_q10_returned_items")
+    assert "SortMergeJoin" not in plan
+    # quarter + returnflag predicates reach the scans
+    assert "isnotnull(l_returnflag" in plan or "l_returnflag" in plan
+    assert _shuffles(plan) <= 2  # agg + top-20 sort
+
+
+def test_tpch_q13_preaggregates_orders_before_outer_join(spark):
+    plan = _plan(spark, "tpch_q13_customer_distribution")
+    # the outer join input must be the (custkey, count) pre-aggregate,
+    # not raw orders: exactly one HashAggregate pair below the join
+    assert plan.count("Exchange hashpartitioning") <= 2
