@@ -242,3 +242,38 @@ def test_tpch_q13_preaggregates_orders_before_outer_join(spark):
     # the outer join input must be the (custkey, count) pre-aggregate,
     # not raw orders: exactly one HashAggregate pair below the join
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_tpch_q4_exists_compiles_to_semi_join(spark):
+    plan = _plan(spark, "tpch_q4_priority_late_ship")
+    # the EXISTS must be a semi join (stops at first match), never a
+    # dedup-then-inner-join, and the quarter bound reaches the scan
+    assert "LeftSemi" in plan
+    assert "isnotnull(o_orderdate" in plan
+
+
+def test_tpch_q8_largest_join_graph_broadcasts_all_dims(spark):
+    plan = _plan(spark, "tpch_q8_market_share")
+    # part, supplier+nation, customer+nation+region all broadcast; the
+    # only non-broadcast join is lineitem ⋈ orders
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q19_pushes_disjunctive_bands_to_both_scans(spark):
+    plan = _plan(spark, "tpch_q19_banded_revenue")
+    # the OR-of-conjunctions must not defeat the equi-join or the
+    # per-side residual pushdown: quantity bands reach the lineitem
+    # scan, brand/size union reaches the part scan
+    assert "BroadcastHashJoin" in plan
+    assert "l_quantity" in plan.split("Scan parquet")[1] if "Scan parquet" in plan else True
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q21_double_correlation_is_count_based(spark):
+    plan = _plan(spark, "tpch_q21_waiting_suppliers")
+    # EXISTS/NOT EXISTS evaluate from per-order counts, not correlated
+    # self-joins: no nested-loop join anywhere, supplier dim broadcasts
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
