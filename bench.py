@@ -42,6 +42,7 @@ QUERIES = [
     "multimodal_decode_stub",   # Arrow-batched mapInPandas kernel
     "funnel_conversion",        # product analytics: chained window minima
     "rollup_cascade_daily",     # continuous-aggregate cascade
+    "tpch_q8_market_share",     # classic OLAP: 8-relation join graph
 ]
 
 

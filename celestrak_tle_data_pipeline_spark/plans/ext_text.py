@@ -123,6 +123,47 @@ def text_language_profile(spark, sf_dir):
 _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 
+def _quality_expr():
+    """(n_tokens, stop_ratio, ttr, quality) columns for the heuristic
+    composite — shared by text_quality_score and the relative
+    per-language filter so both score documents identically."""
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda s: s.isin(*_STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    ttr = n_distinct.cast("double") / n_tokens
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * ttr
+    )
+    return n_tokens, stop_ratio, ttr, quality
+
+
+# the composite, rendered once for every oracle that rescores docs
+_QUALITY_SQL = """
+    WITH d AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id, lang,
+               len(toks) AS n_tokens,
+               len(list_filter(toks, s -> s IN ({stop}))) AS n_stop,
+               len(list_distinct(toks)) AS n_distinct
+        FROM d
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               0.4 * least(1.0, n_tokens / 50.0)
+                 + 0.3 * (1.0 - n_stop::DOUBLE / n_tokens)
+                 + 0.3 * (n_distinct::DOUBLE / n_tokens) AS quality
+        FROM s
+    )
+""".format(stop=_STOP_SQL)
+
+
 @register(
     "text_quality_score",
     oracle=f"""
@@ -153,17 +194,7 @@ def text_quality_score(spark, sf_dir):
     """Heuristic quality scoring (X3): length score, stopword ratio,
     type/token ratio → weighted composite + keep/drop flag. The exact
     filter an LLM-data pipeline runs before training; expression-only."""
-    toks = _tokens()
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda s: s.isin(*_STOPWORDS)))
-    n_distinct = F.size(F.array_distinct(toks))
-    stop_ratio = n_stop.cast("double") / n_tokens
-    ttr = n_distinct.cast("double") / n_tokens
-    quality = (
-        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(50.0))
-        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
-        + F.lit(0.3) * ttr
-    )
+    n_tokens, stop_ratio, ttr, quality = _quality_expr()
     return _docs(spark, sf_dir).select(
         "doc_id",
         n_tokens.cast("bigint").alias("n_tokens"),
@@ -1547,4 +1578,120 @@ def dup_graph_triangles(spark, sf_dir):
         )
         .groupBy("seg")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+# --------------------------------------------------------------------------
+# X3b: relative quality filtering — keep docs above their language median
+# --------------------------------------------------------------------------
+
+
+@register(
+    "per_group_quality_filter",
+    oracle=_QUALITY_SQL + """
+    , med AS (
+        SELECT lang, quantile_cont(quality, 0.5) AS lang_median
+        FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.quality, m.lang_median
+    FROM scored s JOIN med m ON s.lang = m.lang
+    WHERE s.quality >= m.lang_median
+    """,
+)
+def per_group_quality_filter(spark, sf_dir):
+    """Relative quality filtering (X3b): keep documents scoring at or
+    above their OWN language's median quality — the per-group-threshold
+    curation step real pipelines use instead of one global cutoff
+    (a fixed threshold would gut low-resource languages whose score
+    distribution sits lower).
+
+    Plan: documents are scored once in whole-stage codegen
+    (`_quality_expr`, the same composite as text_quality_score); the
+    per-language exact median is ONE map-side-combined aggregation over
+    ~|languages| groups, broadcast back into the scored scan for the
+    filter — the corpus itself never shuffles. Spark's `percentile`
+    and DuckDB's `quantile_cont` both linearly interpolate over
+    identical doubles, so the threshold is engine-exact."""
+    _, _, _, quality = _quality_expr()
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", "lang", quality.alias("quality")
+    )
+    med = scored.groupBy(F.col("lang").alias("mlang")).agg(
+        F.percentile(F.col("quality"), F.lit(0.5)).alias("lang_median")
+    )
+    return (
+        scored.join(F.broadcast(med), F.col("lang") == F.col("mlang"))
+        .where(F.col("quality") >= F.col("lang_median"))
+        .select("doc_id", "lang", "quality", "lang_median")
+    )
+
+
+# --------------------------------------------------------------------------
+# X3c: vocabulary build + out-of-vocabulary rate
+# --------------------------------------------------------------------------
+
+
+@register(
+    "vocab_oov_rate",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS doc_freq
+        FROM tok GROUP BY tok
+    ),
+    vocab AS (
+        SELECT tok FROM df ORDER BY doc_freq DESC, tok LIMIT 100
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def vocab_oov_rate(spark, sf_dir):
+    """Vocabulary build + OOV rate (X3c): derive a top-100
+    document-frequency vocabulary from the corpus itself, then score
+    every document's out-of-vocabulary token rate — the
+    tokenizer-coverage check run before committing to a vocab/merges
+    file (high-OOV docs are either noise or a domain the tokenizer
+    underserves).
+
+    Plan: doc frequencies aggregate over exploded DISTINCT tokens (one
+    shuffle on the token key, map-side combined); the top-100 is a
+    total-order (freq desc, token) take that collapses to one tiny
+    sorted partition; the vocabulary then BROADCASTS into the exploded
+    token stream — membership is a broadcast left join, so the big
+    explode never reshuffles — and per-doc rates are one final
+    aggregation on doc_id. At 100 TB the vocab would be 10^5-10^6 rows:
+    still broadcast-sized, which is the whole design."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_tokens()).alias("tok"))
+    )
+    vocab = (
+        toks.distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("tok"))
+        .limit(100)
+        .select(F.col("tok").alias("vtok"))
+    )
+    oov = F.when(F.col("vtok").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), F.col("tok") == F.col("vtok"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+            (F.sum(oov).cast("double") / F.count(F.lit(1))).alias(
+                "oov_rate"
+            ),
+        )
     )

@@ -873,3 +873,73 @@ def embedding_pq_recall(spark, sf_dir):
             (F.count("p_n_id") / F.lit(10.0)).alias("recall_at_10"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X2b: contrastive hard-negative mining
+# --------------------------------------------------------------------------
+_ORACLE_HARD_NEG = f"""
+WITH d AS (
+    SELECT vec_id, label, embedding,
+           sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+    FROM embeddings
+),
+q AS (SELECT * FROM d WHERE vec_id % 100 = 0),
+scored AS (
+    SELECT q.vec_id AS q_id, q.label AS q_label,
+           d.vec_id AS n_id, d.label AS n_label,
+           {_dot_sql('q.embedding', 'd.embedding')} / (q.nrm * d.nrm)
+               AS cosine
+    FROM q JOIN d ON q.label <> d.label
+)
+SELECT q_id, q_label, n_id, n_label, cosine,
+       CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY cosine DESC, n_id
+       ) AS BIGINT) AS rank
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) <= 3
+"""
+
+
+@register("hard_negative_mining", oracle=_ORACLE_HARD_NEG)
+def hard_negative_mining(spark, sf_dir):
+    """Contrastive hard-negative mining (X2b): for each query vector,
+    the 3 most-cosine-similar vectors carrying a DIFFERENT label — the
+    pairs a contrastive/embedding trainer wants as negatives precisely
+    because the current geometry confuses them. (The different-label
+    predicate is what separates this from cosine_topk_exact: nearest
+    SAME-label neighbors are easy positives, nearest different-label
+    neighbors are the gradient-rich examples.)
+
+    Plan: identical scale shape to the exact top-k baseline — the tiny
+    query side broadcasts, the corpus scans once with the label
+    inequality fused into the broadcast join condition (rows die before
+    scoring), scores stay (id, id, double) triples through the top-3
+    window shuffle; vectors never shuffle. At production scale the same
+    query swaps its corpus scan for the IVF-bucketed candidate set."""
+    d = _vecs(spark, sf_dir).select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    q = d.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = (
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (F.col("q_nrm") * F.col("nrm"))
+    ).alias("cosine")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        d.join(F.broadcast(q), F.col("q_label") != F.col("label"))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("n_id"),
+            F.col("label").alias("n_label"),
+            cos,
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+    )
