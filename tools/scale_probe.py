@@ -51,6 +51,9 @@ QUERIES = (
     "rollup_cascade_daily",   # two-level agg cascade
     "exact_dup_groups",       # digest shuffle
     "simhash_near_dup",       # banded LSH self-join
+    "tpch_q8_market_share",   # 8-relation join graph, 1 fact-fact shuffle
+    "tpch_q21_waiting_suppliers",  # double correlation via per-order counts
+    "vocab_oov_rate",         # explode + df agg + broadcast vocab
 )
 
 
