@@ -556,19 +556,9 @@ def minhash_near_dup(spark, sf_dir):
     on hash bands, never all-pairs."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    toks = _tokens()
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _trigram_shingles(_tokens()).alias("toks")
     )
-    docs = _docs(spark, sf_dir).select("doc_id", shingles.alias("toks"))
     tf = HashingTF(
         inputCol="toks", outputCol="features", numFeatures=4096, binary=True
     )
@@ -617,6 +607,29 @@ _NGRAM_PAIRS_SQL = """
     """
 
 
+def _trigram_shingles(toks):
+    """Distinct word-trigram shingles of a token array. Guarded like
+    decontamination_overlap's gram builder: F.sequence(1, n-2) runs
+    DESCENDING when n < 3 (never empty), so element_at would see
+    0/negative indexes — an ANSI-mode runtime error where the DuckDB
+    twin's range()/comprehension yields no shingles. Short docs map to
+    an empty shingle set instead."""
+    return F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _shingle_corpus(spark, sf_dir):
     """Augmented corpus (base docs + synthesized near-copies with the
     first token dropped) as (doc_id, source, sh) word-trigram shingle
@@ -629,19 +642,9 @@ def _shingle_corpus(spark, sf_dir):
         F.regexp_replace("text", r"^[a-z]+ ", "").alias("text"),
     )
     corpus = base.unionAll(near)
-    toks = _tokens()
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
+    return corpus.select(
+        "doc_id", "source", _trigram_shingles(_tokens()).alias("sh")
     )
-    return corpus.select("doc_id", "source", shingles.alias("sh"))
 
 
 def _exact_shingle_pairs(d, threshold: float = 0.8):

@@ -155,3 +155,26 @@ def test_dataset_split_is_pure_and_partition_invariant(spark, ids):
         .collect()
     }
     assert got16 == got
+
+
+def test_short_docs_shingle_to_empty_not_error(spark):
+    # ANSI-mode regression guard (round-4 hardening, same class as the
+    # decontamination_overlap fix): F.sequence(1, n-2) runs DESCENDING
+    # for n < 3, so unguarded trigram builders would element_at index 0
+    # and crash on 1-2-token docs. The guarded builder must yield an
+    # empty shingle set instead.
+    from pyspark.sql import functions as F
+
+    from celestrak_tle_data_pipeline_spark.plans.ext_text import (
+        _trigram_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [("", ), ("one", ), ("one two", ), ("one two three", ),
+         ("a b c d", )],
+        ["text"],
+    ).select(_trigram_shingles(F.split(F.col("text"), " ")).alias("sh"))
+    rows = [r.sh for r in df.collect()]
+    assert rows[0] == [] and rows[1] == [] and rows[2] == []
+    assert rows[3] == ["one two three"]
+    assert rows[4] == ["a b c", "b c d"]
