@@ -198,3 +198,52 @@ def multimodal_feature_extract(spark, sf_dir):
             for i in range(1, 9)
         ],
     )
+
+
+@register(
+    "props_variant_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.absent')
+                         IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing_path
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def props_variant_rollup(spark, sf_dir):
+    """X4 Variant tier (Spark 4): the props JSON ingested ONCE as a
+    VariantType value — the open-schema semi-structured encoding that
+    replaces per-path get_json_object re-parsing — then typed path
+    extraction (`variant_get` '$.k' as bigint), safe access to an
+    absent path (`try_variant_get` → SQL NULL, no error), and a rollup
+    per event type.
+
+    Three semi-structured tiers now certified side by side: string
+    path extraction (JSON access in scalar bundles), MapType
+    materialization (`props_maptype`), and Variant — the tier that
+    scales to heterogeneous 100 TB JSON because the binary encoding
+    parses once at ingest and every downstream path read is a cheap
+    typed probe, not a string re-parse. Expression-only; one
+    aggregation shuffle over 5 groups."""
+    e = t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    absent = F.try_variant_get(v, "$.absent", "string")
+    return (
+        e.select("event_type", k.alias("k"), absent.alias("absent"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.sum(F.when(F.col("absent").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing_path"),
+        )
+    )
