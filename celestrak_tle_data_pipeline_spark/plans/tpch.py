@@ -815,10 +815,15 @@ def tpch_q11_important_parts(spark, sf_dir):
     docstring); fraction 0.002 plays Q11's 0.0001/SF role.
 
     Plan: the nation's suppliers broadcast into lineitem; ONE shuffle
-    aggregates per part; the global total is a one-row re-aggregation
-    of the per-part sums (not a second scan) broadcast-cross-joined
-    into the HAVING filter. Exact decimal sums both sides of the
-    comparison — threshold semantics identical across engines."""
+    aggregates per part; the global total is an unpartitioned window
+    SUM over the aggregated part-grain rows — a re-aggregation branch
+    (the naive decorrelation) would scan lineitem twice since
+    ReuseExchange doesn't fire across the two consumers, while the
+    window pays one single-partition exchange of ~|parts| skinny rows.
+    Exact decimal sums both sides of the comparison — threshold
+    semantics identical across engines."""
+    from pyspark.sql import Window
+
     s = (
         t(spark, sf_dir, "supplier")
         .join(
@@ -842,11 +847,12 @@ def tpch_q11_important_parts(spark, sf_dir):
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(v).alias("pv"))
     )
-    total = per_part.agg(
-        (F.sum("pv") * F.lit(0.002).cast("decimal(6,3)")).alias("cutoff")
+    cutoff = (
+        F.sum("pv").over(Window.partitionBy())
+        * F.lit(0.002).cast("decimal(6,3)")
     )
     return (
-        per_part.crossJoin(F.broadcast(total))
+        per_part.withColumn("cutoff", cutoff)
         .where(F.col("pv") > F.col("cutoff"))
         .select(
             "p_partkey", F.col("pv").cast("double").alias("part_value")
@@ -947,10 +953,15 @@ def tpch_q15_top_supplier(spark, sf_dir):
     supplier just lacks address/phone output columns.
 
     Plan: the quarter predicate pushes into the scan; ONE aggregation
-    builds the revenue view; the MAX is a one-row re-aggregation of
-    the view broadcast-cross-joined back (the view is computed once —
-    Spark reuses the exchange for both consumers); equality compare on
+    builds the revenue view; the scalar MAX is a global window over
+    the AGGREGATED view (one row per supplier — a separate
+    re-aggregation branch would make Spark scan lineitem twice, since
+    ReuseExchange doesn't canonicalize the two consumers here; the
+    window costs one single-partition exchange of supplier-grain rows
+    instead, which stays small at any fact scale). Equality compare on
     exact decimals keeps ties, like the SQL."""
+    from pyspark.sql import Window
+
     li = t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -961,10 +972,11 @@ def tpch_q15_top_supplier(spark, sf_dir):
             * (F.lit(1.00).cast("decimal(4,2)") - dec("l_discount", 4, 2))
         ).alias("total_rev")
     )
-    mx = revenue.agg(F.max("total_rev").alias("mx"))
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        revenue.crossJoin(F.broadcast(mx))
+        revenue.withColumn(
+            "mx", F.max("total_rev").over(Window.partitionBy())
+        )
         .where(F.col("total_rev") == F.col("mx"))
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select(
@@ -1294,33 +1306,44 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
     module docstring); the count grain is distinct (order, supplier)
     pairs, pinned identically in both engines via the `late` CTE.
 
-    Plan: instead of two correlated self-joins, both quantifiers
-    evaluate from per-order COUNTS — `n_all` distinct suppliers on the
-    order and `n_late` distinct late suppliers: EXISTS(other supplier)
-    ⇔ n_all ≥ 2, NOT EXISTS(other late) ⇔ n_late = 1 (l1 itself is
-    late). Two map-side-combined aggregations on the order key plus
-    one join replace the O(lineitem²) nested-loop shape; the supplier
-    dim broadcasts; top-100 ranked by (numwait desc, name)."""
+    Plan: instead of two correlated self-joins, ONE pass computes per
+    (order, supplier) whether that supplier shipped late, then an
+    order-keyed window derives both quantifier counts — `n_all`
+    suppliers on the order and `n_late` late suppliers:
+    EXISTS(other supplier) ⇔ n_all ≥ 2, NOT EXISTS(other late) ⇔
+    n_late = 1 (l1 itself is late). lineitem and orders are each
+    scanned ONCE (the naive late/all/counts formulation scans lineitem
+    three times — ReuseExchange doesn't rescue it); total cost is the
+    pair aggregation shuffle plus one order-keyed window exchange of
+    pair-grain rows. The supplier dim broadcasts; top-100 ranked by
+    (numwait desc, name)."""
+    from pyspark.sql import Window
+
     o = t(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    late = (
+    pair = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .where(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 180)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+                    > 180
+                ).cast("int")
+            ).alias("is_late")
+        )
     )
-    n_all = (
-        li.select("l_orderkey", "l_suppkey")
-        .distinct()
-        .groupBy(F.col("l_orderkey").alias("ak"))
-        .agg(F.count(F.lit(1)).alias("n_all"))
-    )
-    n_late = late.groupBy(F.col("l_orderkey").alias("lk")).agg(
-        F.count(F.lit(1)).alias("n_late")
+    w = Window.partitionBy("l_orderkey")
+    pair = pair.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.count(F.lit(1)).over(w).alias("n_all"),
+        F.sum("is_late").over(w).alias("n_late"),
     )
     s = (
         t(spark, sf_dir, "supplier")
@@ -1335,10 +1358,12 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
         .select("s_suppkey", "s_name")
     )
     return (
-        late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
-        .join(n_all, F.col("l_orderkey") == F.col("ak"))
-        .join(n_late, F.col("l_orderkey") == F.col("lk"))
-        .where((F.col("n_all") >= 2) & (F.col("n_late") == 1))
+        pair.where(
+            (F.col("is_late") == 1)
+            & (F.col("n_all") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))

@@ -270,6 +270,21 @@ def test_tpch_q19_pushes_disjunctive_bands_to_both_scans(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_tpch_scalar_subqueries_scan_each_table_once(spark):
+    # Q11/Q15/Q21 derive their scalar/quantifier values via windows
+    # over already-aggregated rows, NOT via a re-aggregation branch —
+    # the naive decorrelation scans the fact twice (ReuseExchange does
+    # not canonicalize the consumers). Pin total scan counts = number
+    # of distinct tables in each query.
+    for name, n_tables in (
+        ("tpch_q15_top_supplier", 2),
+        ("tpch_q11_important_parts", 3),
+        ("tpch_q21_waiting_suppliers", 4),
+    ):
+        plan = _plan(spark, name)
+        assert plan.count("Scan parquet") == n_tables, name
+
+
 def test_tpch_q21_double_correlation_is_count_based(spark):
     plan = _plan(spark, "tpch_q21_waiting_suppliers")
     # EXISTS/NOT EXISTS evaluate from per-order counts, not correlated
