@@ -513,11 +513,14 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     cost := s_acctbal (module docstring).
 
     Plan: part filter broadcasts into the supply pairs; the EUROPE
-    supplier dim broadcasts; the per-part MIN is an aggregate on the
-    part grain re-joined to the qualified rows (Catalyst's decorrelated
-    form of the subquery) — ties keep ALL minimal suppliers, exactly
-    like the SQL. Top-100 ranked by a total order (acctbal desc,
-    partkey, name)."""
+    supplier dim broadcasts; the per-part MIN is a part-keyed WINDOW
+    over the qualified rows — the aggregate-and-rejoin decorrelation
+    would compute the whole candidate subtree twice (10 scans vs 5;
+    ReuseExchange doesn't canonicalize the consumers) — and ties keep
+    ALL minimal suppliers, exactly like the SQL. Top-100 ranked by a
+    total order (acctbal desc, partkey, name)."""
+    from pyspark.sql import Window
+
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     esupp = (
@@ -539,15 +542,10 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .join(F.broadcast(esupp), F.col("l_suppkey") == esupp.s_suppkey)
     )
-    min_bal = cand.groupBy(F.col("l_partkey").alias("mk")).agg(
-        F.min("s_acctbal").alias("min_bal")
-    )
+    min_bal = F.min("s_acctbal").over(Window.partitionBy("l_partkey"))
     return (
-        cand.join(
-            F.broadcast(min_bal),
-            (F.col("l_partkey") == F.col("mk"))
-            & (F.col("s_acctbal") == F.col("min_bal")),
-        )
+        cand.withColumn("min_bal", min_bal)
+        .where(F.col("s_acctbal") == F.col("min_bal"))
         .select(
             "s_acctbal",
             "s_name",
@@ -1088,22 +1086,25 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
     the cross-multiplied EXACT form `5 * qty * cnt < sum_qty` in
     decimals — same rows everywhere, no float boundary ties.
 
-    Plan: the per-part aggregate is ONE map-side-combined shuffle on
-    the part key re-joined to the brand-filtered lines (Catalyst's
-    decorrelation shape); the final sum is a one-row exact decimal."""
+    Plan: the brand filter broadcasts into lineitem FIRST — the
+    correlated stats are per part, and brand is a part attribute, so
+    restricting before aggregating is lossless and shrinks the stats
+    to only the brand's parts — then cnt/sumq come from a part-keyed
+    WINDOW over that single scan (the aggregate-and-rejoin shape reads
+    lineitem twice); the final sum is a one-row exact decimal."""
+    from pyspark.sql import Window
+
     li = t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
-    )
-    per_part = li.groupBy(F.col("l_partkey").alias("ak")).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(dec("l_quantity", 8, 2)).alias("sumq"),
     )
     p = t(spark, sf_dir, "part").where(
         F.col("p_brand") == "Brand#7"
     ).select("p_partkey")
+    w = Window.partitionBy("l_partkey")
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
-        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("ak"))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .withColumn("sumq", F.sum(dec("l_quantity", 8, 2)).over(w))
         .where(
             F.lit(5.00).cast("decimal(4,2)")
             * dec("l_quantity", 8, 2)

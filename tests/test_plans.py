@@ -278,8 +278,10 @@ def test_tpch_scalar_subqueries_scan_each_table_once(spark):
     # of distinct tables in each query.
     for name, n_tables in (
         ("tpch_q15_top_supplier", 2),
+        ("tpch_q17_small_quantity_revenue", 2),
         ("tpch_q11_important_parts", 3),
         ("tpch_q21_waiting_suppliers", 4),
+        ("tpch_q2_min_cost_supplier", 5),
     ):
         plan = _plan(spark, name)
         assert plan.count("Scan parquet") == n_tables, name
