@@ -307,3 +307,172 @@ def scd2_state_history(spark, sf_dir):
         F.lead("valid_from").over(w_hist).isNull().alias("is_current"),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation — broadcast percentile cutoffs, not a global ntile
+# --------------------------------------------------------------------------
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey AS c_custkey,
+               datediff('day', MAX(o_orderdate),
+                        TIMESTAMP '2002-01-01') AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+        SELECT quantile_cont(recency_days::DOUBLE, [0.25, 0.5, 0.75]) AS rc,
+               quantile_cont(frequency::DOUBLE, [0.25, 0.5, 0.75]) AS fc,
+               quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc
+        FROM per_cust
+    )
+    SELECT c_custkey, recency_days, frequency, monetary,
+           5 - (CASE WHEN recency_days <= rc[1] THEN 1
+                     WHEN recency_days <= rc[2] THEN 2
+                     WHEN recency_days <= rc[3] THEN 3 ELSE 4 END)
+               AS r_score,
+           CASE WHEN frequency <= fc[1] THEN 1
+                WHEN frequency <= fc[2] THEN 2
+                WHEN frequency <= fc[3] THEN 3 ELSE 4 END AS f_score,
+           CASE WHEN monetary <= mc[1] THEN 1
+                WHEN monetary <= mc[2] THEN 2
+                WHEN monetary <= mc[3] THEN 3 ELSE 4 END AS m_score
+    FROM per_cust, cuts
+    """,
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM segmentation (X17): score every customer 1-4 on Recency /
+    Frequency / Monetary quartiles — the classic CRM cut of a customer
+    base.
+
+    Plan — the 100 TB point of this query: quartiling is NOT done with
+    ``ntile(4) OVER (ORDER BY metric)``, which Spark executes as a
+    SINGLE-PARTITION window over the whole customer grain (the
+    canonical driver-melting anti-pattern for global ranks). Instead
+    the three cutoff triples come from Spark's DISTRIBUTED exact-
+    `percentile` aggregate (partial digests per partition, one final
+    row) broadcast-cross-joined back, and each score is a CASE
+    comparison. The cutoff branch does re-aggregate orders (Catalyst
+    doesn't reuse the exchange across the two consumers): two
+    map-side-combined passes over three pruned columns — deliberately
+    chosen over materializing the customer grain into one partition,
+    which stops scaling first. Interpolated cutoffs over identical
+    doubles match `quantile_cont` exactly; monetary is an exact
+    decimal sum read as double."""
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(
+                F.lit("2002-01-01").cast("timestamp"),
+                F.max("o_orderdate"),
+            ).alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    cuts = per_cust.agg(
+        F.percentile(F.col("recency_days").cast("double"), qs).alias("rc"),
+        F.percentile(F.col("frequency").cast("double"), qs).alias("fc"),
+        F.percentile(F.col("monetary"), qs).alias("mc"),
+    )
+
+    def bucket(col, c):
+        x = F.col(col).cast("double")
+        return (
+            F.when(x <= F.element_at(F.col(c), 1), 1)
+            .when(x <= F.element_at(F.col(c), 2), 2)
+            .when(x <= F.element_at(F.col(c), 3), 3)
+            .otherwise(4)
+        )
+
+    return per_cust.crossJoin(F.broadcast(cuts)).select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(5) - bucket("recency_days", "rc")).alias("r_score"),
+        bucket("frequency", "fc").alias("f_score"),
+        bucket("monetary", "mc").alias("m_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# lag-1 autocorrelation per user — exact-decimal moment sums
+# --------------------------------------------------------------------------
+@register(
+    "autocorr_lag1_by_user",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               CAST(value AS DECIMAL(12,4)) AS x,
+               CAST(lag(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS DECIMAL(12,4)) AS y
+        FROM events
+    ),
+    m AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sx2,
+               CAST(SUM(y * y) AS DOUBLE) AS sy2
+        FROM p WHERE y IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, n_pairs,
+           (n_pairs * sxy - sx * sy)
+           / sqrt((n_pairs * sx2 - sx * sx) * (n_pairs * sy2 - sy * sy))
+               AS autocorr_lag1
+    FROM m
+    """,
+)
+def autocorr_lag1_by_user(spark, sf_dir):
+    """Per-user lag-1 autocorrelation of event values (X17): Pearson r
+    between consecutive observations — the burstiness/persistence
+    screen for behavioral time series.
+
+    Determinism: built-in corr() is a float aggregation whose result
+    depends on shuffle arrival order. Here every moment (Σx, Σy, Σxy,
+    Σx², Σy²) is an EXACT fixed-scale decimal sum, each cast to double
+    once, and the Pearson formula is the same IEEE expression DAG in
+    both engines — bit-identical at any partitioning. The lag pairing
+    is pinned by the (ts, event_id) total order.
+
+    Plan: one window exchange on user_id computes the lag, and the
+    moments aggregate reuses that partitioning (no second shuffle of
+    event rows)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = F.col("value").cast("decimal(12,4)")
+    p = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            x.alias("x"),
+            F.lag(x).over(w).alias("y"),
+        )
+        .where(F.col("y").isNotNull())
+    )
+    m = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("sy2"),
+    )
+    n = F.col("n_pairs")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sx2") - F.col("sx") * F.col("sx"))
+        * (n * F.col("sy2") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("user_id", "n_pairs", r.alias("autocorr_lag1"))
