@@ -629,3 +629,82 @@ def tle_regime_neighbors(spark, sf_dir):
             "mm_delta",
         )
     )
+
+
+_ORACLE_DECAY_FIT = """
+WITH keys AS (
+    SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 2000
+),
+f AS (
+    SELECT k % 50 AS norad,
+           (epoch_us(CAST(make_date(
+                CASE WHEN (k * 7) % 100 < 57 THEN 2000 + (k * 7) % 100
+                     ELSE 1900 + (k * 7) % 100 END, 1, 1
+            ) AS TIMESTAMP))
+            + (k % 364) * 86400000000 + (k % 128) * 675000000)
+           // 675000000 AS t,
+           (10000000 + (k * 3) % 9000000) / 1000000.0 AS mm
+    FROM keys
+),
+m AS (
+    SELECT norad,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(CAST(t AS DECIMAL(20,0))) AS DOUBLE) AS st,
+           CAST(SUM(CAST(mm AS DECIMAL(14,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(t AS DECIMAL(20,0))
+                    * CAST(mm AS DECIMAL(14,6))) AS DOUBLE) AS sty,
+           CAST(SUM(CAST(t AS DECIMAL(20,0))
+                    * CAST(t AS DECIMAL(20,0))) AS DOUBLE) AS st2
+    FROM f GROUP BY norad
+)
+SELECT CAST(norad AS BIGINT) AS norad_id, n_obs,
+       128.0 * (n_obs * sty - st * sy) / (n_obs * st2 - st * st)
+           AS slope_per_day
+FROM m
+"""
+
+
+@register("tle_decay_rate_fit", oracle=_ORACLE_DECAY_FIT)
+def tle_decay_rate_fit(spark, sf_dir):
+    """Per-satellite least-squares decay-rate fit: the closed-form OLS
+    slope of mean_motion against epoch time, per satellite — the
+    regression upgrade of the flagship's mean-of-deltas decay rate
+    (a fit over all epochs is robust to one missing observation where
+    consecutive deltas are not).
+
+    No MLlib, no iteration: slope = (nΣty − ΣtΣy)/(nΣt² − (Σt)²) from
+    FIVE moment sums in one aggregation pass. Determinism: the
+    synthesized epoch grid lives on an exact 675 ms lattice
+    (86.4e9/128), so t := epoch_µs div 675e6 is an exact integer
+    tick; Σt, Σt², Σty are fixed-scale DECIMAL sums (order-independent
+    — Σt² ≈ 6e20 would overflow int64 but fits decimal(38,0)), each
+    cast to double ONCE and combined in the same IEEE expression DAG
+    in both engines; ×128 rescales ticks to days.
+
+    Plan: scan → expression parse → ONE map-side-combined shuffle on
+    norad_id. Cites reference script.py:22-59 (the parse bundle whose
+    output feeds the fit)."""
+    triples = _synth_lines(_keys(spark, sf_dir), norad_mod=50)
+    parsed = parse_tle_triples(triples, fetched_at=_FETCHED_AT)
+    tick = F.expr("unix_micros(epoch_utc) div 675000000")
+    dt = tick.cast("decimal(20,0)")
+    dy = F.col("mean_motion").cast("decimal(14,6)")
+    m = (
+        parsed.where(valid_record())
+        .select("norad_id", dt.alias("t"), dy.alias("y"))
+        .groupBy("norad_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum("t").cast("double").alias("st"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("t") * F.col("y")).cast("double").alias("sty"),
+            F.sum(F.col("t") * F.col("t")).cast("double").alias("st2"),
+        )
+    )
+    n = F.col("n_obs")
+    slope = (
+        F.lit(128.0)
+        * (n * F.col("sty") - F.col("st") * F.col("sy"))
+        / (n * F.col("st2") - F.col("st") * F.col("st"))
+    )
+    return m.select("norad_id", "n_obs", slope.alias("slope_per_day"))
