@@ -1698,3 +1698,124 @@ def vocab_oov_rate(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# graph metric: integer PageRank over the fuzzy-match edge set
+# --------------------------------------------------------------------------
+@register(
+    "dup_graph_pagerank",
+    oracle="""
+    WITH c AS (
+        SELECT c_name, c_mktsegment FROM customer WHERE c_custkey <= 300
+    ), half AS (
+        SELECT a.c_mktsegment AS seg, a.c_name AS u, b.c_name AS v
+        FROM c a JOIN c b
+          ON a.c_mktsegment = b.c_mktsegment AND a.c_name < b.c_name
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ), edges AS (
+        SELECT seg, u, v FROM half
+        UNION ALL SELECT seg, v AS u, u AS v FROM half
+    ), deg AS (
+        SELECT seg, u, CAST(COUNT(*) AS BIGINT) AS d
+        FROM edges GROUP BY seg, u
+    ), r0 AS (
+        SELECT seg, u AS node, CAST(1000000000000 AS BIGINT) AS r
+        FROM deg
+    ), it1 AS (
+        SELECT n.seg, n.node,
+               150000000000 + (85 * COALESCE(s.c, 0)) // 100 AS r
+        FROM r0 n LEFT JOIN (
+            SELECT e.seg, e.v AS node, SUM(r.r // d.d) AS c
+            FROM edges e
+            JOIN r0 r  ON e.seg = r.seg AND e.u = r.node
+            JOIN deg d ON e.seg = d.seg AND e.u = d.u
+            GROUP BY e.seg, e.v
+        ) s ON n.seg = s.seg AND n.node = s.node
+    ), it2 AS (
+        SELECT n.seg, n.node,
+               150000000000 + (85 * COALESCE(s.c, 0)) // 100 AS r
+        FROM it1 n LEFT JOIN (
+            SELECT e.seg, e.v AS node, SUM(r.r // d.d) AS c
+            FROM edges e
+            JOIN it1 r ON e.seg = r.seg AND e.u = r.node
+            JOIN deg d ON e.seg = d.seg AND e.u = d.u
+            GROUP BY e.seg, e.v
+        ) s ON n.seg = s.seg AND n.node = s.node
+    ), it3 AS (
+        SELECT n.seg, n.node,
+               150000000000 + (85 * COALESCE(s.c, 0)) // 100 AS r
+        FROM it2 n LEFT JOIN (
+            SELECT e.seg, e.v AS node, SUM(r.r // d.d) AS c
+            FROM edges e
+            JOIN it2 r ON e.seg = r.seg AND e.u = r.node
+            JOIN deg d ON e.seg = d.seg AND e.u = d.u
+            GROUP BY e.seg, e.v
+        ) s ON n.seg = s.seg AND n.node = s.node
+    )
+    SELECT seg, node, r AS rank_micro FROM it3
+    """,
+)
+def dup_graph_pagerank(spark, sf_dir):
+    """3-iteration PageRank over the segment-blocked Levenshtein match
+    graph — ranks the 'hub' records that fuzzy-match many others (the
+    records to canonicalize FIRST when resolving duplicate clusters).
+
+    Determinism — the reason this is value-gated where float PageRank
+    couldn't be: ranks are INTEGER micro-units (start 10^12), each
+    contribution is floor(r / degree) and each damping step is
+    150e9 + (85·Σ)//100 — pure bigint arithmetic, so partial-aggregate
+    order cannot perturb a single bit in either engine.
+
+    Plan: the symmetrized edge list joins the current rank vector on
+    the source node and aggregates contributions on the destination —
+    per iteration one join + one shuffle, the standard distributed-PR
+    shape. Iterations UNROLL into one lazy DAG (3 fixed steps; the
+    open-ended variant with convergence checks + localCheckpoint
+    lineage truncation is operators/components.py)."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 300)
+        .select("c_name", "c_mktsegment")
+    )
+    a = c.select(F.col("c_mktsegment").alias("seg"), F.col("c_name").alias("u"))
+    b = c.select(F.col("c_mktsegment").alias("seg"), F.col("c_name").alias("v"))
+    half = (
+        a.join(b, on="seg")
+        .where((F.col("u") < F.col("v")) & (F.levenshtein("u", "v") <= 1))
+        .select("seg", "u", "v")
+    )
+    edges = half.unionAll(
+        half.select("seg", F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy("seg", "u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ranks = deg.select(
+        "seg", F.col("u").alias("node"), F.lit(10**12).cast("bigint").alias("r")
+    )
+    ed = edges.join(deg, on=["seg", "u"])
+    for _ in range(3):
+        contrib = (
+            ed.join(
+                ranks,
+                (ed.seg == ranks.seg) & (ed.u == ranks.node),
+            )
+            .select(ed.seg, F.col("v"), F.expr("r div d").alias("c"))
+            .groupBy("seg", "v")
+            .agg(F.sum("c").alias("c"))
+            .withColumnRenamed("v", "node")
+        )
+        ranks = (
+            ranks.select("seg", "node")
+            .join(contrib, on=["seg", "node"], how="left")
+            .select(
+                "seg",
+                "node",
+                (
+                    F.lit(150000000000).cast("bigint")
+                    + F.expr("(85 * coalesce(c, 0L)) div 100")
+                ).alias("r"),
+            )
+        )
+    return ranks.select("seg", "node", F.col("r").alias("rank_micro"))
