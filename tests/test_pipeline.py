@@ -401,3 +401,43 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"k", "s", "score"}
     rows = {r.k: r.score for r in merged.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_tle_datasource_matches_expression_assembly(spark, tmp_path):
+    # The Spark 4 Python DataSource must agree triple-for-triple with
+    # the production expression path on the same landing zone, and
+    # must fan out one partition per landed file.
+    from celestrak_tle_data_pipeline_spark.operators.assembly import (
+        assemble_from_payloads,
+    )
+    from celestrak_tle_data_pipeline_spark.sources.tle_datasource import (
+        register_tle_source,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    p1 = _tle_payload(NOW)
+    # second file: one triple plus a trailing stray name line (dropped)
+    p2 = "\n".join(p1.split("\n")[:3]) + "\nSAT-STRAY"
+    (landing / "tle-1.txt").write_text(p1)
+    (landing / "tle-2.txt").write_text(p2)
+
+    register_tle_source(spark)
+    ds = spark.read.format("tle").load(str(landing))
+    assert ds.rdd.getNumPartitions() == 2
+
+    expr = assemble_from_payloads(
+        spark.read.text(str(landing), wholetext=True).withColumnRenamed(
+            "value", "payload"
+        )
+    )
+    got = sorted(
+        (r.sat_name_raw, r.line1, r.line2)
+        for r in ds.select("sat_name_raw", "line1", "line2").collect()
+    )
+    want = sorted(
+        (r.sat_name_raw, r.line1, r.line2) for r in expr.collect()
+    )
+    assert got == want and len(got) == 3
+    # registration is idempotent
+    register_tle_source(spark)
