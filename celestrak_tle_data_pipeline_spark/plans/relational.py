@@ -689,3 +689,37 @@ def tpch_q18_large_orders(spark, sf_dir):
             "total_qty",
         )
     )
+
+
+@register(
+    "sql_parameterized_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 400000.0
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def sql_parameterized_top_orders(spark, sf_dir):
+    """Spark 4 parameterized SQL: ``spark.sql(query, args={...})`` with
+    named ``:param`` markers — the injection-safe SQL surface (literals
+    bind in the ANALYZER, so the parameter is a true typed literal:
+    constant-folded, pushed into the scan, never string-spliced).
+
+    The certified behaviors: a string parameter in an equality, a
+    numeric parameter in a range predicate reaching PushedFilters, and
+    a parameter inside LIMIT's total-order top-k."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("sql_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS total_price
+        FROM sql_orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :min_total
+        ORDER BY total_price DESC, o_orderkey
+        LIMIT :k
+        """,
+        args={"status": "F", "min_total": 400000.0, "k": 25},
+    )
