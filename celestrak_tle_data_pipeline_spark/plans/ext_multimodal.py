@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.multimodal import decode_assets, sample_frames
+from ..operators.multimodal import (
+    decode_assets,
+    decode_ppm_assets,
+    sample_frames,
+)
 from . import register
 from .common import t
 
@@ -247,3 +251,62 @@ def props_variant_rollup(spark, sf_dir):
             .alias("n_missing_path"),
         )
     )
+
+
+@register(
+    "multimodal_ppm_decode",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id AS asset_id,
+               4 + doc_id % 8 AS w,
+               3 + doc_id % 5 AS h,
+               text,
+               length(text) AS n
+        FROM documents
+    )
+    SELECT asset_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(list_sum(list_transform(range(0, w * h),
+                j -> ascii(text[((3 * j + 0) % n) + 1]))) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, w * h),
+                j -> ascii(text[((3 * j + 1) % n) + 1]))) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, w * h),
+                j -> ascii(text[((3 * j + 2) % n) + 1]))) AS BIGINT) AS sum_b
+    FROM img
+    """,
+)
+def multimodal_ppm_decode(spark, sf_dir):
+    """X4, REAL codec tier: binary P6 PPM images decoded by the
+    production numpy kernel (header parse → frombuffer → reshape →
+    vectorized channel sums; operators/multimodal.py:decode_ppm_assets)
+    — no stub anywhere in this path, and every output value is under
+    the DuckDB gate.
+
+    The images are synthesized in pure Catalyst expressions: per doc a
+    w×h canvas (w = 4 + id%8, h = 3 + id%5) whose pixel bytes are the
+    doc's ASCII text cycled to w*h*3 bytes, prefixed with the real
+    ``P6\\n<w> <h>\\n255\\n`` header and cast to binary. The oracle
+    never sees the binary: it recomputes each channel sum
+    arithmetically from the text — the two engines reach the same
+    bigints through completely independent paths (bytes → numpy vs
+    chars → list fold).
+
+    Scale shape: synthesis and decode are one narrow Arrow pass over
+    the documents scan; payloads never shuffle; the result is skinny
+    scalars."""
+    d = t(spark, sf_dir, "documents")
+    w = F.lit(4) + F.col("doc_id") % 8
+    h = F.lit(3) + F.col("doc_id") % 5
+    nbytes = (w * h * 3).cast("int")
+    reps = F.ceil(nbytes / F.length("text")).cast("int")
+    body = F.substring(F.repeat(F.col("text"), reps), 1, nbytes)
+    # ASCII text ⇒ chars == bytes, so the string cast is the byte buffer
+    payload = F.concat(
+        F.format_string("P6\n%d %d\n255\n", w, h), body
+    ).cast("binary")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("payload")
+    )
+    return decode_ppm_assets(assets)

@@ -93,3 +93,25 @@ def test_resize_binary_roundtrip(spark):
         )
     ).collect()
     assert all(r.byte_len == 32 for r in chained)
+
+
+def test_ppm_decoder_drops_malformed_payloads(spark):
+    # real-codec policy: bad magic / truncated pixels / garbage header
+    # are dropped, well-formed assets decode with exact channel sums
+    from celestrak_tle_data_pipeline_spark.operators.multimodal import (
+        decode_ppm_assets,
+    )
+
+    good = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"JFIF not a ppm")),
+        (3, bytearray(b"P6\n4 4\n255\n" + b"\x01" * 5)),  # truncated
+        (4, bytearray(b"P6\nx y\n255\n" + b"\x01" * 48)),  # bad dims
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {r.asset_id: r for r in decode_ppm_assets(df).collect()}
+    assert list(out) == [1]
+    r = out[1]
+    assert (r.width, r.height, r.n_px) == (2, 1, 2)
+    assert (r.sum_r, r.sum_g, r.sum_b) == (10 + 40, 20 + 50, 30 + 60)
