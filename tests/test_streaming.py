@@ -13,6 +13,7 @@ Semantics under test, each mirroring a reference behavior:
 
 from __future__ import annotations
 
+import pytest
 import datetime as dt
 import os
 
@@ -363,3 +364,82 @@ def test_stream_static_join_rereads_dim(spark, tmp_path):
     assert {r.label for r in out_rows if r.norad_id == 80002} == {
         None, "late-dim",
     }
+
+
+def test_stateful_decay_tracker_v2_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API) carries
+    the same per-satellite state across micro-batches as the v1
+    applyInPandasWithState tracker, on the RocksDB state store.
+
+    The TWS Python runner requires protobuf (its driver-worker
+    handshake is proto-serialized); containers without it can only run
+    the v1 tracker, so this test self-skips there."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState runner needs protobuf; v1 tracker "
+        "covers this container",
+    )
+    from celestrak_tle_data_pipeline_spark.streaming.incremental import (
+        incremental_tle_stream,
+    )
+    from celestrak_tle_data_pipeline_spark.streaming.stateful_v2 import (
+        decay_tracker_v2,
+    )
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        landing = tmp_path / "v2land"
+        landing.mkdir()
+        ckpt = str(tmp_path / "v2ckpt")
+        out_rows = []
+
+        def run_pass():
+            stream = incremental_tle_stream(spark, str(landing))
+            tracked = decay_tracker_v2(stream)
+            q = (
+                tracked.writeStream.foreachBatch(
+                    lambda df, _id: out_rows.extend(df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        def payload(mm: str, doy: int) -> str:
+            epoch = f"{NOW.year % 100:02d}{doy:03d}.50000000"
+            return (
+                "SAT-V\n"
+                f"1 61001U 20001A   {epoch}  .00001234  00000+0  13717-3 0  9995\n"
+                f"2 61001  53.0537 205.1100 0001450  90.1234 270.0123 {mm}350061\n"
+            )
+
+        doy = (NOW - dt.datetime(NOW.year, 1, 1)).days + 1
+        (landing / "v1.txt").write_text(payload("15.06402843", doy - 2))
+        run_pass()
+        assert len(out_rows) == 1
+        assert out_rows[0].mm_delta is None and out_rows[0].n_seen == 1
+
+        (landing / "v2.txt").write_text(payload("15.06302843", doy - 1))
+        run_pass()
+        assert len(out_rows) == 2
+        d = out_rows[1]
+        assert d.n_seen == 2
+        assert abs(d.mm_delta - (15.06302843 - 15.06402843)) < 1e-9
+
+        # stale epoch re-land: forward-only state, no new row
+        (landing / "v3.txt").write_text(payload("15.99999999", doy - 2))
+        run_pass()
+        assert len(out_rows) == 2
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior
+            )
