@@ -199,3 +199,61 @@ def arrow_batch_token_stats(spark, sf_dir):
     return d.mapInArrow(
         kernel, "doc_id bigint, n_tokens bigint, n_chars bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF with analyze(): schema decided from the call site
+# --------------------------------------------------------------------------
+@register(
+    "udtf_dynamic_split_fields",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS f1,
+           string_split(text, ' ')[2] AS f2,
+           string_split(text, ' ')[3] AS f3
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+)
+def udtf_dynamic_split_fields(spark, sf_dir):
+    """Dynamic-schema Python UDTF (Spark 4 ``analyze()``): the output
+    columns f1..fN do not exist until the CALL SITE — ``analyze`` reads
+    the constant N argument at plan time and manufactures the schema,
+    the dispatch every fixed-width splitter wants (the reference's
+    12-field TLE slice, script.py:24-40, is exactly this shape: one
+    line in, N typed fields out, N known per format). eval() then
+    emits one N-field row per input. Certifies the analyze-time
+    contract: a non-constant N is a PLANNING error, not a runtime
+    surprise."""
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @F.udtf
+    class SplitFields:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument):
+            if not n.isConstantExpression:
+                raise ValueError("n must be a constant")
+            width = int(n.value)
+            return AnalyzeResult(
+                schema=T.StructType(
+                    [
+                        T.StructField(f"f{i + 1}", T.StringType())
+                        for i in range(width)
+                    ]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(n)
+            )
+
+    spark.udtf.register("split_fields", SplitFields)
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    docs.createOrReplaceTempView("udtf_split_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, s.f1, s.f2, s.f3
+        FROM udtf_split_docs, LATERAL split_fields(text, 3) AS s
+        """
+    )

@@ -723,3 +723,78 @@ def sql_parameterized_top_orders(spark, sf_dir):
         """,
         args={"status": "F", "min_total": 400000.0, "k": 25},
     )
+
+
+@register(
+    "sorted_string_agg_segments",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           string_agg(c_name, ',' ORDER BY c_name) AS member_names
+    FROM customer
+    WHERE c_custkey <= 40
+    GROUP BY c_mktsegment
+    """,
+)
+def sorted_string_agg_segments(spark, sf_dir):
+    """Deterministic list/string aggregation: per-segment roster as a
+    comma-joined NAME-SORTED string. ``collect_list`` alone is
+    partition-order-nondeterministic — the pattern that makes it
+    hash-stable on any partitioning is collect → ``array_sort`` →
+    ``array_join``, the exact semantics of SQL's
+    ``string_agg(... ORDER BY ...)``. Bounded group size (a roster
+    report), so the collected array is small by construction."""
+    return (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 40)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.array_join(
+                F.array_sort(F.collect_list("c_name")), ","
+            ).alias("member_names"),
+        )
+    )
+
+
+@register(
+    "try_arithmetic_bundle",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DOUBLE)
+               / nullif(CAST(l_quantity AS DOUBLE), 0.0) AS unit_price,
+           CAST(len(regexp_extract_all(l_returnflag || l_linestatus,
+                                       '[A-Z]')) AS BIGINT) AS n_upper,
+           CAST(bit_count(CAST(l_orderkey AS BIGINT)) AS INT)
+               AS key_popcount,
+           CAST(l_orderkey % 1000 AS BIGINT) AS key_bucket
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    """,
+)
+def try_arithmetic_bundle(spark, sf_dir):
+    """Error-safe scalar surface (ANSI mode's companions): under Spark
+    4's default ANSI semantics a division by zero is a runtime ERROR,
+    so pipelines use ``try_divide`` (NULL on zero — matching SQL
+    NULLIF), plus ``regexp_count`` and ``bit_count`` from the modern
+    function set. All expression-only, pushed-filter scan, no
+    shuffle."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 2000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.try_divide(
+                F.col("l_extendedprice").cast("double"),
+                F.col("l_quantity").cast("double"),
+            ).alias("unit_price"),
+            F.regexp_count(
+                F.concat("l_returnflag", "l_linestatus"), F.lit("[A-Z]")
+            ).cast("bigint").alias("n_upper"),
+            F.bit_count(F.col("l_orderkey").cast("bigint")).alias(
+                "key_popcount"
+            ),
+            (F.col("l_orderkey") % 1000).cast("bigint").alias("key_bucket"),
+        )
+    )
