@@ -667,3 +667,146 @@ def locf_forward_fill(spark, sf_dir):
         F.max("v").over(w_grp).alias("v_filled"),
         F.col("v").isNull().alias("was_filled"),
     )
+
+
+@register(
+    "asof_join_with_tolerance",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_event
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           CASE WHEN p.p_ts >= c.ts - INTERVAL 7 DAY
+                THEN p.p_event END AS last_purchase_event,
+           CASE WHEN p.p_ts >= c.ts - INTERVAL 7 DAY
+                THEN datediff('day', p.p_ts, c.ts) END AS days_since
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.p_ts <= c.ts
+    """,
+)
+def asof_join_with_tolerance(spark, sf_dir):
+    """Tolerance-bounded as-of join (pandas ``merge_asof(tolerance=)``
+    semantics): each click takes the user's latest at-or-before
+    purchase ONLY if it happened within the last 7 days — stale
+    matches become NULL, the click row survives.
+
+    Same scalable composition as the unbounded as-of (union-tag → one
+    window pass, ONE shuffle on the entity key, no range explosion):
+    the window also carries the matched purchase's timestamp, and the
+    tolerance is a post-window CASE — zero extra shuffles over the
+    unbounded version."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event"),
+        F.lit(None).cast("long").alias("c_event"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("long").alias("p_event"),
+        F.col("event_id").alias("c_event"),
+    )
+    unioned = purchases.withColumn("side", F.lit(0)).unionByName(
+        clicks.withColumn("side", F.lit(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ev_ts", "side", "p_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "user_id",
+        "ev_ts",
+        "c_event",
+        F.last("p_event", ignorenulls=True).over(w).alias("m_event"),
+        F.last("p_ts", ignorenulls=True).over(w).alias("m_ts"),
+    ).where(F.col("c_event").isNotNull())
+    fresh = F.col("m_ts") >= F.col("ev_ts") - F.expr("INTERVAL 7 DAYS")
+    return carried.select(
+        F.col("c_event").alias("event_id"),
+        "user_id",
+        F.when(fresh, F.col("m_event")).alias("last_purchase_event"),
+        F.when(fresh, F.datediff(F.col("ev_ts"), F.col("m_ts")))
+        .alias("days_since"),
+    )
+
+
+@register(
+    "interval_overlap_join_bucketed",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, event_id AS signup_id, ts AS s
+        FROM events WHERE event_type = 'signup'
+    ), pu AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT su.signup_id, su.user_id,
+           CAST(COUNT(pu.ts) AS BIGINT) AS n_purchases,
+           CAST(COALESCE(SUM(CAST(pu.value AS DECIMAL(12,4))), 0.00)
+                AS DOUBLE) AS purchase_value
+    FROM su LEFT JOIN pu
+      ON su.user_id = pu.user_id
+     AND pu.ts >= su.s AND pu.ts < su.s + INTERVAL 24 HOURS
+    GROUP BY 1, 2
+    """,
+)
+def interval_overlap_join_bucketed(spark, sf_dir):
+    """Interval-overlap join, bucket-blocked: same-user purchases
+    falling in each signup's 24-hour attribution window — the
+    interval/theta join that naive engines execute as a per-key range
+    NESTED LOOP. The scale move: a 24 h window overlaps at most TWO
+    calendar days, so each window explodes into ≤2 (user, day) bucket
+    rows, each purchase carries its ONE (user, day) bucket, and the
+    join becomes a plain EQUI-join on (user_id, day) with the exact
+    range as a residual filter. No pair is duplicated (a purchase's
+    bucket is unique) and no dedup pass is needed; zero-match signups
+    survive via the left join. Purchase values sum as exact decimals.
+    """
+    e = t(spark, sf_dir, "events")
+    su = e.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s"),
+    )
+    end = F.col("s") + F.expr("INTERVAL 24 HOURS")
+    su_b = su.select(
+        "user_id",
+        "signup_id",
+        "s",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.date_trunc("DAY", F.col("s")).cast("date"),
+                    F.date_trunc("DAY", end).cast("date"),
+                )
+            )
+        ).alias("day"),
+    )
+    pu = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.date_trunc("DAY", F.col("ts")).cast("date").alias("p_day"),
+        F.col("value").cast("decimal(12,4)").alias("p_value"),
+    )
+    joined = su_b.join(
+        pu,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("day") == F.col("p_day"))
+        & (F.col("p_ts") >= F.col("s"))
+        & (F.col("p_ts") < F.col("s") + F.expr("INTERVAL 24 HOURS")),
+        "left",
+    )
+    return joined.groupBy("signup_id", "user_id").agg(
+        F.count("p_ts").cast("bigint").alias("n_purchases"),
+        F.coalesce(
+            F.sum("p_value"), F.lit(0).cast("decimal(12,4)")
+        ).cast("double").alias("purchase_value"),
+    )
