@@ -1791,10 +1791,17 @@ def dup_graph_pagerank(spark, sf_dir):
     deg = edges.groupBy("seg", "u").agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
+    # LAZY lineage truncation: every iteration references the edge+degree
+    # relation AND the prior rank vector, and unrolled lineage would
+    # re-derive both per step (the plan showed 40 customer scans without
+    # this). localCheckpoint with eager=False keeps the query
+    # protocol-pure (nothing executes at build time) but materializes
+    # each base once on first action — the same remedy components.py
+    # applies to its open-ended loop.
     ranks = deg.select(
         "seg", F.col("u").alias("node"), F.lit(10**12).cast("bigint").alias("r")
-    )
-    ed = edges.join(deg, on=["seg", "u"])
+    ).localCheckpoint(eager=False)
+    ed = edges.join(deg, on=["seg", "u"]).localCheckpoint(eager=False)
     for _ in range(3):
         contrib = (
             ed.join(
