@@ -1826,3 +1826,76 @@ def dup_graph_pagerank(spark, sf_dir):
             )
         )
     return ranks.select("seg", "node", F.col("r").alias("rank_micro"))
+
+
+# --------------------------------------------------------------------------
+# X1d: cross-split leakage audit — dedup × split assignment
+# --------------------------------------------------------------------------
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    assigned AS (
+        SELECT doc_id, {_NORM_SQL} AS digest,
+               CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 800
+                        THEN 'train'
+                    WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 900
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM corpus
+    ),
+    spans AS (
+        SELECT digest, COUNT(DISTINCT split) AS n_splits
+        FROM assigned GROUP BY digest
+    ),
+    leaks AS (
+        SELECT a.digest,
+               string_agg(DISTINCT a.split, ',' ORDER BY a.split)
+                   AS split_set,
+               COUNT(*) AS n_copies
+        FROM assigned a
+        JOIN spans s ON a.digest = s.digest AND s.n_splits > 1
+        GROUP BY a.digest
+    )
+    SELECT split_set,
+           CAST(COUNT(*) AS BIGINT) AS n_leaked_groups,
+           CAST(SUM(n_copies) AS BIGINT) AS n_leaked_docs
+    FROM leaks
+    GROUP BY split_set
+    """,
+)
+def split_leakage_audit(spark, sf_dir):
+    """Cross-split leakage audit (X1d): exact-duplicate groups whose
+    copies landed in DIFFERENT train/val/test splits — the eval-
+    contamination check every dataset release runs after splitting
+    (a test doc with a training-set twin silently inflates eval). Runs
+    on the synthesized-duplicates corpus, whose +100000 exact copies
+    get different doc_ids and therefore (hash-split by id) sometimes
+    different splits — real leakage by construction.
+
+    Plan: one digest+split projection (no payloads shuffle — digests
+    do), ONE aggregation to the digest grain computing the distinct-
+    split count and the sorted split set together, then a re-
+    aggregation of group-grain rows to the report. The split set is a
+    sorted array_join — deterministic on any partitioning."""
+    from .ext_pipeline import split_label
+
+    assigned = _corpus(spark, sf_dir).select(
+        _digest().alias("digest"),
+        split_label("doc_id").alias("split"),
+    )
+    groups = assigned.groupBy("digest").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.collect_list("split"))), ","
+        ).alias("split_set"),
+    )
+    return (
+        groups.where(F.col("n_splits") > 1)
+        .groupBy("split_set")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_leaked_groups"),
+            F.sum("n_copies").cast("bigint").alias("n_leaked_docs"),
+        )
+    )

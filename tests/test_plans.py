@@ -287,6 +287,14 @@ def test_tpch_scalar_subqueries_scan_each_table_once(spark):
         assert plan.count("Scan parquet") == n_tables, name
 
 
+def test_interval_join_is_bucketed_equi_join(spark):
+    plan = _plan(spark, "interval_overlap_join_bucketed")
+    # the 24h-window overlap must run as an equi-join on (user, day)
+    # with the range residual — never a nested-loop theta join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tpch_q21_double_correlation_is_count_based(spark):
     plan = _plan(spark, "tpch_q21_waiting_suppliers")
     # EXISTS/NOT EXISTS evaluate from per-order counts, not correlated
