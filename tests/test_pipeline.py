@@ -441,3 +441,42 @@ def test_tle_datasource_matches_expression_assembly(spark, tmp_path):
     assert got == want and len(got) == 3
     # registration is idempotent
     register_tle_source(spark)
+
+
+def test_orc_and_csv_roundtrip_parity(spark, tmp_path):
+    # Second/third storage formats beside parquet: ORC (columnar,
+    # built-in) for facts and headered CSV (schema-explicit read — no
+    # inference in production paths) for dim exports. Byte-exact value
+    # parity both ways.
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+    orc_dir = str(tmp_path / "orc")
+    src.write.mode("overwrite").orc(orc_dir)
+    back_orc = spark.read.orc(orc_dir)
+    assert back_orc.schema == src.schema
+    assert sorted(map(tuple, back_orc.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+    csv_dir = str(tmp_path / "csv")
+    csv_src = src.withColumn(
+        "o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    )
+    csv_src.write.mode("overwrite").option("header", True).csv(csv_dir)
+    back_csv = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate string"
+        )
+        .option("header", True)
+        .csv(csv_dir)
+    )
+    assert sorted(map(tuple, back_csv.collect())) == sorted(
+        map(tuple, csv_src.collect())
+    )
