@@ -178,3 +178,184 @@ def test_short_docs_shingle_to_empty_not_error(spark):
     assert rows[0] == [] and rows[1] == [] and rows[2] == []
     assert rows[3] == ["one two three"]
     assert rows[4] == ["a b c", "b c d"]
+
+
+PPM_CASES = st.lists(
+    st.tuples(
+        st.integers(1, 9),                      # width
+        st.integers(1, 7),                      # height
+        st.integers(0, 255),                    # pixel seed
+        st.integers(0, 16),                     # trailing junk bytes
+    ),
+    min_size=8,
+    max_size=24,
+)
+
+
+@settings(max_examples=1, deadline=None)
+@given(PPM_CASES)
+def test_ppm_decoder_matches_numpy_reference(spark, cases):
+    # build arbitrary P6 buffers in plain Python (incl. trailing junk
+    # after the pixel block, which a tolerant decoder must ignore) and
+    # compare the kernel's sums against an independent computation
+    import numpy as np
+
+    from celestrak_tle_data_pipeline_spark.operators.multimodal import (
+        decode_ppm_assets,
+    )
+
+    rows, want = [], {}
+    for i, (w, h, seed, junk) in enumerate(cases):
+        n = w * h * 3
+        px = bytes((seed + 7 * j) % 256 for j in range(n))
+        buf = f"P6\n{w} {h}\n255\n".encode() + px + b"\xff" * junk
+        rows.append((i, bytearray(buf)))
+        arr = np.frombuffer(px, np.uint8).reshape(w * h, 3)
+        want[i] = (
+            w, h, w * h,
+            int(arr[:, 0].sum()), int(arr[:, 1].sum()), int(arr[:, 2].sum()),
+        )
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {
+        r.asset_id: (r.width, r.height, r.n_px, r.sum_r, r.sum_g, r.sum_b)
+        for r in decode_ppm_assets(df).collect()
+    }
+    assert got == want
+
+
+EVENT_CASES = st.lists(
+    st.tuples(
+        st.integers(0, 5),        # user
+        st.integers(0, 2_000_000),  # seconds offset within ~23 days
+        st.booleans(),            # signup (True) vs purchase
+        st.integers(1, 500),      # value cents-ish
+    ),
+    min_size=20,
+    max_size=80,
+    unique=True,
+)
+
+
+@settings(max_examples=1, deadline=None)
+@given(EVENT_CASES)
+def test_bucketed_interval_join_matches_naive_theta(spark, cases):
+    # the bucket-blocked equi-join must agree with the naive O(n^2)
+    # theta join on arbitrary event layouts (incl. windows crossing
+    # midnight and empty windows)
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            u,
+            base + dt.timedelta(seconds=s),
+            "signup" if is_su else "purchase",
+            float(v),
+        )
+        for i, (u, s, is_su, v) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+    su = df.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s")
+    )
+    su_b = su.select(
+        "user_id", "signup_id", "s",
+        F.explode(F.array_distinct(F.array(
+            F.date_trunc("DAY", F.col("s")).cast("date"),
+            F.date_trunc("DAY", F.col("s") + F.expr("INTERVAL 24 HOURS"))
+            .cast("date"),
+        ))).alias("day"),
+    )
+    pu = df.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.date_trunc("DAY", F.col("ts")).cast("date").alias("p_day"),
+    )
+    got = {
+        (r.signup_id): r.n
+        for r in su_b.join(
+            pu,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("day") == F.col("p_day"))
+            & (F.col("p_ts") >= F.col("s"))
+            & (F.col("p_ts") < F.col("s") + F.expr("INTERVAL 24 HOURS")),
+            "left",
+        )
+        .groupBy("signup_id")
+        .agg(F.count("p_ts").alias("n"))
+        .collect()
+    }
+    # naive reference
+    pus = [(r[1], r[2]) for r in rows if r[3] == "purchase"]
+    want = {
+        sid: sum(
+            1
+            for (pu_u, pts) in pus
+            if pu_u == u and s <= pts < s + dt.timedelta(hours=24)
+        )
+        for (sid, u, s) in [(r[0], r[1], r[2]) for r in rows if r[3] == "signup"]
+    }
+    assert got == want
+
+
+GRAPH_CASES = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=5,
+    max_size=30,
+)
+
+
+@settings(max_examples=1, deadline=None)
+@given(GRAPH_CASES)
+def test_integer_pagerank_matches_python_reference(spark, pairs):
+    # the Spark unrolled integer PageRank must agree bit-for-bit with a
+    # plain-Python implementation of the same integer recurrence
+    from pyspark.sql import functions as F
+
+    edges_half = sorted({(a, b) for a, b in pairs if a != b})
+    if not edges_half:
+        return
+    edges = edges_half + [(b, a) for a, b in edges_half]
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    ranks = {u: 10**12 for u in deg}
+    for _ in range(3):
+        contrib = {}
+        for u, v in edges:
+            contrib[v] = contrib.get(v, 0) + ranks[u] // deg[u]
+        ranks = {
+            u: 150_000_000_000 + (85 * contrib.get(u, 0)) // 100
+            for u in deg
+        }
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    dd = df.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    r = dd.select("u", F.lit(10**12).cast("bigint").alias("r"))
+    ed = df.join(dd, on="u")
+    for _ in range(3):
+        c = (
+            ed.join(r.withColumnRenamed("u", "src"), F.col("u") == F.col("src"))
+            .select(F.col("v").alias("node"), F.expr("r div d").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        r = (
+            dd.select(F.col("u"))
+            .join(c, dd.u == c.node, "left")
+            .select(
+                "u",
+                (
+                    F.lit(150_000_000_000).cast("bigint")
+                    + F.expr("(85 * coalesce(c, 0L)) div 100")
+                ).alias("r"),
+            )
+        )
+    got = {row.u: row.r for row in r.collect()}
+    assert got == ranks
