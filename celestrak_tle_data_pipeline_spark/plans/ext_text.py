@@ -1899,3 +1899,286 @@ def split_leakage_audit(spark, sf_dir):
             F.sum("n_copies").cast("bigint").alias("n_leaked_docs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X40: unigram language-model scoring (perplexity-style quality filter)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "unigram_lm_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    model AS (
+        SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS t_total,
+               CAST(COUNT(*) AS BIGINT) AS v_size
+        FROM model
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               round(-ln((m.cnt + 1)::DOUBLE
+                         / (s.t_total + s.v_size)::DOUBLE), 9) AS nll
+        FROM tok t JOIN model m ON t.tok = m.tok CROSS JOIN tot s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(nll AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+               AS cross_entropy
+    FROM scored GROUP BY doc_id
+    """,
+)
+def unigram_lm_score(spark, sf_dir):
+    """Unigram language-model scoring (X40): train an add-one-smoothed
+    unigram model on the corpus itself (token count / total), then
+    score every document by its mean negative log-likelihood — the
+    log-space form of perplexity, the filter real LLM pipelines
+    threshold on (CCNet/Gopher use a KenLM score; the unigram model is
+    its exactly-reproducible distributed skeleton).
+
+    Determinism: each token's -ln p is rounded to 9 decimals (ln is
+    correctly rounded in both engines — same contract as tfidf's idf),
+    then summed as DECIMAL(28,9) so the per-doc total is
+    order-independent; the final division is one double op written
+    identically in both engines.
+
+    Scale shape: one token shuffle builds the model (map-side partial
+    counts -> ~|vocab| rows); the one-row totals aggregate is
+    broadcast; scoring re-joins tokens with the model on the token key
+    (equi-join, digests not payloads) and the per-doc rollup is the
+    second and last shuffle. At 100 TB the model join is the standard
+    shape — or cap the vocab to top-K and broadcast it, turning
+    scoring into a map-only pass (the vocab_oov_rate shape)."""
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    )
+    model = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = model.agg(
+        F.sum("cnt").cast("bigint").alias("t_total"),
+        F.count(F.lit(1)).cast("bigint").alias("v_size"),
+    )
+    nll = F.round(
+        -F.log(
+            (F.col("cnt") + 1).cast("double")
+            / (F.col("t_total") + F.col("v_size")).cast("double")
+        ),
+        9,
+    )
+    scored = (
+        tok.join(model, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", nll.alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        (
+            F.sum(F.col("nll").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cross_entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X41: BM25 ranked retrieval over the corpus
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bm25_topk_docs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dlen
+        FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    df AS (
+        SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM tok GROUP BY tok
+    ),
+    qterms AS (
+        SELECT tok, doc_freq FROM df
+        WHERE length(tok) >= 4
+        ORDER BY doc_freq DESC, tok LIMIT 3
+    ),
+    tf AS (
+        SELECT t.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok t JOIN qterms q ON t.tok = q.tok
+        GROUP BY t.doc_id, t.tok
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               round(
+                   ln(1.0 + (s.n_docs - q.doc_freq + 0.5)
+                            / (q.doc_freq + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dlen / s.avgdl)),
+                   9) AS term_score
+        FROM tf
+        JOIN qterms q ON tf.tok = q.tok
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(CAST(term_score AS DECIMAL(28,9))) AS DOUBLE)
+                   AS bm25
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM agg
+    QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= 10
+    """,
+)
+def bm25_topk_docs(spark, sf_dir):
+    """BM25 ranked retrieval (X41): score every document against a
+    3-term query (the corpus's highest-document-frequency tokens of
+    length >= 4 — a deterministic, content-independent query choice)
+    with the classic Okapi BM25 (k1=1.2, b=0.75), return the top 10.
+
+    Determinism: idf and the tf saturation are doubles written with
+    identical literals, association, and evaluation order in both
+    engines; each (doc, term) score is rounded to 9 decimals and the
+    <=3 per-doc terms are summed as DECIMAL(28,9) (order-free); the
+    final ranking totals-orders on (bm25 DESC, doc_id).
+
+    Scale shape: doc lengths and document frequencies are the same
+    one-token-shuffle aggregates the LM scorer uses; the query-term
+    table is 3 rows -> broadcast, so candidate generation is a
+    broadcast semi-filter on the token stream (docs without query
+    terms die before any shuffle); the final top-10 windows over
+    at-most-|matching docs| score rows, never text payloads."""
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(_tokens()).alias("tok")
+    )
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dlen")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum("dlen").cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    df_ = tok.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("doc_freq")
+    )
+    qterms = (
+        df_.where(F.length("tok") >= 4)
+        .orderBy(F.desc("doc_freq"), F.asc("tok"))
+        .limit(3)
+        .select(F.col("tok").alias("qtok"), "doc_freq")
+    )
+    tf = (
+        tok.join(
+            F.broadcast(qterms.select("qtok")),
+            F.col("tok") == F.col("qtok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+        / (F.col("doc_freq") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dlen") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(
+            F.broadcast(qterms), F.col("tok") == F.col("qtok")
+        )
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * (F.col("tf") * F.lit(2.2)) / denom, 9).alias(
+                "term_score"
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(F.col("term_score").cast("decimal(28,9)"))
+        .cast("double")
+        .alias("bm25"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+    )
+
+
+# --------------------------------------------------------------------------
+# X42: exact-k-per-stratum reservoir sampling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "reservoir_sample_per_source",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS coin
+        FROM documents
+    )
+    SELECT doc_id, source, coin,
+           CAST(row_number() OVER (
+               PARTITION BY source ORDER BY coin, doc_id
+           ) AS BIGINT) AS draw
+    FROM h
+    QUALIFY row_number() OVER (
+        PARTITION BY source ORDER BY coin, doc_id
+    ) <= 20
+    """,
+)
+def reservoir_sample_per_source(spark, sf_dir):
+    """Exact-k uniform sample per stratum (X42): keep the 20 documents
+    with the smallest md5-derived coin within each source — the
+    distributed, rerun-stable equivalent of per-stratum reservoir
+    sampling. Unlike rate-based selection (mixture_budget_plan), the
+    output size is EXACTLY min(k, |stratum|) rows per source, which is
+    what eval-set carving and per-source caps need.
+
+    The coin is the 60-bit md5 prefix of the stable doc_id — uniform,
+    partitioning-independent, identical on any cluster layout, and
+    totally ordered with the doc_id tiebreak, so the sample is a pure
+    function of the data.
+
+    Scale shape: the rank window shuffles only (doc_id, source, coin)
+    triples — payloads stay behind and are fetched by id afterwards if
+    needed; at extreme stratum skew the same coin supports a two-level
+    take (per-partition top-k, then global top-k of candidates)."""
+    h = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        _tok_hash(F.col("doc_id").cast("string")).alias("coin"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("coin", "doc_id")
+    return (
+        h.withColumn("draw", F.row_number().over(w).cast("bigint"))
+        .where(F.col("draw") <= 20)
+    )
