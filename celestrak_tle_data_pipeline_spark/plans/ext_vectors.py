@@ -943,3 +943,156 @@ def hard_negative_mining(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# X43: integer-exact Lloyd k-means (2 unrolled iterations, value-gated)
+# --------------------------------------------------------------------------
+
+_KM_DIST = (
+    "CAST(list_sum(list_transform(generate_series(1, 64), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+)
+
+_ORACLE_KMEANS = f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               v -> CAST(floor(v::DOUBLE * 1000000) AS BIGINT)) AS qa
+    FROM embeddings
+),
+idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+c0 AS (
+    SELECT vec_id AS cluster, qa AS cvec FROM q ORDER BY vec_id LIMIT 4
+),
+s1 AS (
+    SELECT q.vec_id, c.cluster,
+           {_KM_DIST.format(a='q.qa', b='c.cvec')} AS d2
+    FROM q CROSS JOIN c0 c
+),
+a1 AS (
+    SELECT vec_id, cluster, d2 FROM s1
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY d2, cluster
+    ) = 1
+),
+e1 AS (
+    SELECT a.cluster, i.i, q.qa[i.i] AS val
+    FROM a1 a JOIN q ON a.vec_id = q.vec_id CROSS JOIN idx i
+),
+m1 AS (
+    SELECT cluster, i,
+           CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS cval
+    FROM e1 GROUP BY cluster, i
+),
+c1 AS (
+    SELECT cluster, list(cval ORDER BY i) AS cvec FROM m1 GROUP BY cluster
+),
+s2 AS (
+    SELECT q.vec_id, c.cluster,
+           {_KM_DIST.format(a='q.qa', b='c.cvec')} AS d2
+    FROM q CROSS JOIN c1 c
+),
+a2 AS (
+    SELECT vec_id, cluster, d2 FROM s2
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY d2, cluster
+    ) = 1
+)
+SELECT a1.vec_id,
+       a1.cluster AS cluster_it1,
+       a2.cluster AS cluster_it2,
+       a2.d2 AS dist2_micro
+FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
+"""
+
+
+def _km_assign(q, cents):
+    """One Lloyd assignment step: nearest centroid by exact bigint
+    squared distance, ties to the lowest cluster id."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qa"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cluster", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cluster")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cluster").alias("cluster"),
+            F.col("m.d2").alias("d2"),
+        )
+    )
+
+
+@register("kmeans_lloyd_integer", oracle=_ORACLE_KMEANS)
+def kmeans_lloyd_integer(spark, sf_dir):
+    """Integer-exact Lloyd k-means (X43): k=4, two unrolled iterations,
+    every quantity exact — the clustering twin of the integer PageRank.
+    Float k-means can't sit under a cross-engine value gate (centroid
+    means are order-sensitive float sums); quantizing each vector to
+    bigint micro-units (floor(v*1e6)) makes distances exact bigint
+    sums (order-free), centroid updates exact floor-div means, and
+    argmin assignment a total order with a cluster-id tiebreak — so
+    the WHOLE iterative algorithm is bit-reproducible on any
+    partitioning, in both engines.
+
+    Shapes, per iteration: the k=4 centroid table is broadcast, so
+    assignment is a map-only scored scan + a partial-aggregated argmin
+    (one row per vector through the shuffle, never the vector);
+    centroid update explodes assigned vectors to (cluster, dim, val)
+    rows and hash-aggregates k*64 cells (map-side combine does the
+    heavy lifting), then rebuilds the k arrays. The floor-div mean is
+    safe in doubles: |sum| < 2^53 and the true quotient is either
+    exact or >= 1/n away from an integer, so floor() cannot straddle.
+
+    The driver sees nothing: two fixed iterations, no convergence
+    loop, no collect — at scale you iterate by re-running the same
+    two-stage round with the previous round's k-row centroid table."""
+    q = _vecs(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") * 1000000).cast("bigint"),
+        ).alias("qa"),
+    )
+    c0 = (
+        q.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("cluster"), F.col("qa").alias("cvec"))
+    )
+    a1 = _km_assign(q, c0)
+    e1 = (
+        a1.select("vec_id", "cluster")
+        .join(q, "vec_id")
+        .select("cluster", F.posexplode("qa").alias("pos", "val"))
+    )
+    m1 = e1.groupBy("cluster", "pos").agg(
+        F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("cval")
+    )
+    c1 = m1.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("cvec")
+    )
+    a2 = _km_assign(q, c1)
+    return (
+        a1.select("vec_id", F.col("cluster").alias("cluster_it1"))
+        .join(
+            a2.select(
+                "vec_id",
+                F.col("cluster").alias("cluster_it2"),
+                F.col("d2").alias("dist2_micro"),
+            ),
+            "vec_id",
+        )
+    )
