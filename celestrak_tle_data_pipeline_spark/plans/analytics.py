@@ -476,3 +476,56 @@ def autocorr_lag1_by_user(spark, sf_dir):
         * (n * F.col("sy2") - F.col("sy") * F.col("sy"))
     )
     return m.select("user_id", "n_pairs", r.alias("autocorr_lag1"))
+
+
+# --------------------------------------------------------------------------
+# X46: event-type co-occurrence mining (market-basket lite)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "event_cooccurrence_pairs",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    ORDER BY n_users DESC, type_a, type_b
+    LIMIT 15
+    """,
+)
+def event_cooccurrence_pairs(spark, sf_dir):
+    """Pairwise co-occurrence mining (X46): for every unordered pair
+    of event types, how many users performed both — the support
+    counts behind market-basket / feature-co-usage analysis, and the
+    first stage of association-rule mining.
+
+    Shape: distinct (user, type) first (one shuffle — this also
+    bounds the blow-up: a user contributes each type once no matter
+    how many raw events), then a self-equi-join on user_id whose
+    fan-out is quadratic only in the user's DISTINCT type count
+    (bounded by the small event-type domain, not by event volume),
+    the `a < b` predicate halves the pairs, and the pair rollup is
+    map-side combined. Top-15 is totally ordered (count DESC, then
+    both type names) so the cut is deterministic. Counts only —
+    exact in any engine at any partitioning."""
+    ut = t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select(
+        F.col("user_id").alias("uid_b"), F.col("event_type").alias("type_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("uid_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("type_a"), F.asc("type_b"))
+        .limit(15)
+    )

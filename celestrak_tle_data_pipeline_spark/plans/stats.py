@@ -527,3 +527,173 @@ def approx_topk_events(spark, sf_dir):
         "exact_n",
         (F.col("est_n") == F.col("exact_n")).alias("ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# X44: 2-D Pareto frontier (skyline) over orders
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pareto_frontier_orders",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+    ),
+    grp AS (
+        SELECT o_totalprice AS price, MAX(o_orderdate) AS mx_date
+        FROM pts GROUP BY o_totalprice
+    ),
+    run AS (
+        SELECT price,
+               MAX(mx_date) OVER (
+                   ORDER BY price DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS dom_date
+        FROM grp
+    )
+    SELECT p.o_orderkey, p.o_totalprice, p.o_orderdate
+    FROM pts p JOIN run r ON p.o_totalprice = r.price
+    WHERE r.dom_date IS NULL OR p.o_orderdate >= r.dom_date
+    """,
+)
+def pareto_frontier_orders(spark, sf_dir):
+    """2-D skyline (X44): orders not dominated on (totalprice,
+    orderdate) — a point is dominated iff some other order has BOTH a
+    strictly higher price AND a strictly later date. The classic
+    "best trade-off set" query (maximal vectors), done without any
+    pairwise O(n^2) comparison.
+
+    Rewrite: group points by price (the max date per price is the only
+    candidate that matters), sort the price groups descending, and
+    take the running max of date over STRICTLY higher price groups
+    (rows-frame ending at 1 PRECEDING). A point survives iff that
+    running max is NULL or not strictly later than its own date. All
+    comparisons are exact (double equality on grouped keys, date
+    order) — no float arithmetic at all.
+
+    Scale shape: one hash aggregation to price grain, then an ordered
+    window over the ~|distinct prices| grouped table (far smaller than
+    the fact), then an equi-join back to the scan on price. The global
+    sort IS the skyline's sequential step; at 100 TB you run the same
+    plan per partition first and merge frontiers (the skyline operator
+    is associative: frontier(A ∪ B) = frontier(frontier(A) ∪
+    frontier(B))), which this per-price pre-aggregation already
+    approximates by collapsing duplicates before the sort."""
+    pts = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    grp = pts.groupBy(F.col("o_totalprice").alias("price")).agg(
+        F.max("o_orderdate").alias("mx_date")
+    )
+    w = Window.orderBy(F.desc("price")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run = grp.select("price", F.max("mx_date").over(w).alias("dom_date"))
+    return (
+        pts.join(run, pts["o_totalprice"] == run["price"])
+        .where(
+            F.col("dom_date").isNull()
+            | (F.col("o_orderdate") >= F.col("dom_date"))
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+# --------------------------------------------------------------------------
+# X45: winsorized robust statistics per group
+# --------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_stats_by_status",
+    oracle="""
+    WITH th AS (
+        SELECT o_orderstatus AS status,
+               quantile_cont(o_totalprice, 0.01) AS p01,
+               quantile_cont(o_totalprice, 0.99) AS p99
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           t.p01, t.p99,
+           round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS raw_mean,
+           round(CAST(SUM(CAST(least(greatest(o.o_totalprice, t.p01),
+                                     t.p99) AS DECIMAL(28,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS winsor_mean,
+           CAST(SUM(CASE WHEN o.o_totalprice < t.p01
+                           OR o.o_totalprice > t.p99
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM orders o JOIN th t ON o.o_orderstatus = t.status
+    GROUP BY o.o_orderstatus, t.p01, t.p99
+    """,
+)
+def winsorized_stats_by_status(spark, sf_dir):
+    """Winsorized robust mean per order status (X45): clip each value
+    into its own group's [p01, p99] band before averaging — the
+    outlier-robust aggregate real metric pipelines use when a handful
+    of extreme rows would otherwise drag the mean (MAD flags outliers;
+    winsorization neutralizes them while keeping the row count).
+
+    Determinism: the cutoffs are exact interpolated percentiles
+    (Spark `percentile` ≡ DuckDB `quantile_cont` on identical
+    doubles — the per_group_quality_filter contract); clipping is
+    least/greatest (picks one of two exact doubles); both means are
+    order-free DECIMAL(28,9) sums divided once. The sums run to ~19
+    significant digits — beyond double's exact range — and the two
+    engines round the DECIMAL→DOUBLE conversion differently at the
+    last ulp, so the means are rounded to 6 decimals after the
+    division (same contract as tfidf's rounded scores).
+
+    Scale shape: one pass computes per-group cutoffs (percentile
+    needs the group's values — at 100 TB swap in approx_percentile
+    with the X7 error-gate pattern, or a two-pass exact selection);
+    the tiny per-status cutoff table is broadcast back into the scan,
+    so the clip + final aggregate is map-side-combined with no extra
+    fact shuffle."""
+    o = t(spark, sf_dir, "orders")
+    th = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.percentile("o_totalprice", F.lit(0.01)).alias("p01"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99")
+    )
+    return (
+        o.join(
+            F.broadcast(th), F.col("o_orderstatus") == F.col("status")
+        )
+        .groupBy("o_orderstatus", "p01", "p99")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(dec("o_totalprice", 28, 9)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("raw_mean"),
+            F.round(
+                F.sum(clipped.cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("winsor_mean"),
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") < F.col("p01"))
+                    | (F.col("o_totalprice") > F.col("p99")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            "n",
+            "p01",
+            "p99",
+            "raw_mean",
+            "winsor_mean",
+            "n_clipped",
+        )
+    )
