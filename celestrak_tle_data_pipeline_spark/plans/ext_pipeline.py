@@ -524,3 +524,85 @@ def systematic_weighted_sample(spark, sf_dir):
         .where(F.col("n_picks") > 0)
         .select("doc_id", "source", "n_chars", "n_picks")
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) multi-dimensional clustering + data-skipping gate
+# --------------------------------------------------------------------------
+def _morton_sql(x: str, y: str) -> str:
+    """16-bit Morton code: interleave the low 8 bits of x and y."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ORACLE_ZORDER = f"""
+WITH pts AS (
+    SELECT o_orderkey,
+           CAST(o_custkey % 256 AS BIGINT) AS x,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS y
+    FROM orders
+),
+coded AS (
+    SELECT o_orderkey, x, y, CAST({_morton_sql('x', 'y')} AS BIGINT) AS morton
+    FROM pts
+)
+SELECT CAST(morton >> 8 AS BIGINT) AS tile,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(x) AS min_x, MAX(x) AS max_x,
+       MIN(y) AS min_y, MAX(y) AS max_y,
+       (MAX(x) - MIN(x) <= 15 AND MAX(y) - MIN(y) <= 15) AS skippable
+FROM coded
+GROUP BY 1
+"""
+
+
+@register("zorder_morton_layout", oracle=_ORACLE_ZORDER)
+def zorder_morton_layout(spark, sf_dir):
+    """Z-order (Morton-curve) multi-dimensional clustering — the layout
+    primitive behind Delta ``OPTIMIZE ZORDER BY`` and Iceberg's sort
+    orders, built from pure integer bit-interleaving (no library): the
+    low 8 bits of two independent dimensions (customer, order-day)
+    interleave into a 16-bit Morton code; sorting/partitioning the
+    table by that code co-locates rows that are close in BOTH
+    dimensions.
+
+    The query emits the proof a file-skipping engine relies on: group
+    by the code's high byte (a 16x16 "tile" = what lands in one file
+    after a Z-ordered write) and show every tile's per-dimension
+    min/max span is <= 15 — i.e. a predicate on EITHER dimension prunes
+    ~15/16 of tiles by footer stats alone, where a single-column linear
+    sort bounds only one dimension. ``skippable`` is the self-asserting
+    gate (TRUE everywhere, verified by the oracle, not just claimed).
+
+    Scale shape: the code is a map-side expression in whole-stage
+    codegen; the rollup is one partial-aggregated shuffle of 256 tile
+    cells. A real 100 TB layout job would ``repartitionByRange(morton)``
+    then write — same expression, same bound."""
+    o = t(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).cast("bigint")
+    y = (
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        % 256
+    ).cast("bigint")
+    pts = o.select(
+        "o_orderkey", x.alias("x"), y.alias("y")
+    ).withColumn("morton", F.expr(_morton_sql("x", "y")).cast("bigint"))
+    return (
+        pts.groupBy(F.shiftright("morton", 8).cast("bigint").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .withColumn(
+            "skippable",
+            (F.col("max_x") - F.col("min_x") <= 15)
+            & (F.col("max_y") - F.col("min_y") <= 15),
+        )
+    )

@@ -798,3 +798,64 @@ def try_arithmetic_bundle(spark, sf_dir):
             (F.col("l_orderkey") % 1000).cast("bigint").alias("key_bucket"),
         )
     )
+
+
+@register(
+    "recursive_cte_subtree_rollup",
+    oracle="""
+    WITH RECURSIVE tree AS (
+        SELECT c_custkey AS node, c_custkey AS root,
+               CAST(0 AS INT) AS depth, c_acctbal
+        FROM customer
+        WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, t.root, t.depth + 1, c.c_acctbal
+        FROM customer c JOIN tree t ON c.c_custkey // 10 = t.node
+        WHERE c.c_custkey >= 10
+    )
+    SELECT root,
+           CAST(COUNT(*) AS BIGINT) AS subtree_nodes,
+           CAST(MAX(depth) AS INT) AS max_depth,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               AS subtree_balance
+    FROM tree
+    GROUP BY root
+    """,
+)
+def recursive_cte_subtree_rollup(spark, sf_dir):
+    """SQL:1999 recursive CTE (Spark 4 ``WITH RECURSIVE``) — transitive
+    closure of a synthetic customer hierarchy (parent = custkey DIV 10,
+    roots below 10) followed by a per-root subtree rollup: node count,
+    max depth, and the decimal-exact subtree balance.
+
+    This is the declarative replacement for the driver-side iteration
+    the engine otherwise hand-unrolls (components/PageRank): Catalyst
+    plans each recursion level as an equi-join of the previous level
+    against the base relation and unions the levels, terminating when a
+    level is empty. Depth is logarithmic in the key domain (log10 N
+    levels here), so the plan is a SHORT chain of joins, not an
+    unbounded loop; ``spark.sql.cteRecursionLevelLimit`` guards
+    runaways. At 100 TB hierarchies are dimension-sized — each level's
+    join broadcasts, and only (node, root, depth) triples ever move."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("rcte_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+            SELECT c_custkey AS node, c_custkey AS root,
+                   CAST(0 AS INT) AS depth, c_acctbal
+            FROM rcte_customer
+            WHERE c_custkey < 10
+            UNION ALL
+            SELECT c.c_custkey, t.root, t.depth + 1, c.c_acctbal
+            FROM rcte_customer c JOIN tree t ON c.c_custkey DIV 10 = t.node
+            WHERE c.c_custkey >= 10
+        )
+        SELECT root,
+               COUNT(*) AS subtree_nodes,
+               CAST(MAX(depth) AS INT) AS max_depth,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   AS subtree_balance
+        FROM tree
+        GROUP BY root
+        """
+    )
