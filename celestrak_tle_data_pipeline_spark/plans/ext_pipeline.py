@@ -119,7 +119,7 @@ def split_label_py(doc_id: int) -> str:
     )
     SELECT split, source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM assigned GROUP BY 1, 2
     """,
 )
@@ -541,9 +541,10 @@ def _morton_sql(x: str, y: str) -> str:
 _ORACLE_ZORDER = f"""
 WITH pts AS (
     SELECT o_orderkey,
-           CAST(o_custkey % 256 AS BIGINT) AS x,
-           CAST(date_diff('day', DATE '1995-01-01',
-                          CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS y
+           CAST(((o_custkey % 256) + 256) % 256 AS BIGINT) AS x,
+           CAST(((date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) % 256) + 256) % 256
+                AS BIGINT) AS y
     FROM orders
 ),
 coded AS (
@@ -575,18 +576,23 @@ def zorder_morton_layout(spark, sf_dir):
     after a Z-ordered write) and show every tile's per-dimension
     min/max span is <= 15 — i.e. a predicate on EITHER dimension prunes
     ~15/16 of tiles by footer stats alone, where a single-column linear
-    sort bounds only one dimension. ``skippable`` is the self-asserting
-    gate (TRUE everywhere, verified by the oracle, not just claimed).
+    sort bounds only one dimension. The oracle verifies engine
+    agreement on the values; the invariant itself (every tile
+    skippable) is asserted directly by
+    ``tests/test_plans.py::test_zorder_tiles_all_skippable``, so a
+    layout break fails the suite rather than passing silently. Both
+    dimensions go through non-negative modular folds (pmod), so the
+    epoch anchor is arbitrary — no date-domain assumption.
 
     Scale shape: the code is a map-side expression in whole-stage
     codegen; the rollup is one partial-aggregated shuffle of 256 tile
     cells. A real 100 TB layout job would ``repartitionByRange(morton)``
     then write — same expression, same bound."""
     o = t(spark, sf_dir, "orders")
-    x = (F.col("o_custkey") % 256).cast("bigint")
-    y = (
-        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
-        % 256
+    x = F.pmod(F.col("o_custkey"), F.lit(256)).cast("bigint")
+    y = F.pmod(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")),
+        F.lit(256),
     ).cast("bigint")
     pts = o.select(
         "o_orderkey", x.alias("x"), y.alias("y")

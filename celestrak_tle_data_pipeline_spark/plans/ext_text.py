@@ -1161,11 +1161,11 @@ def repetition_profile(spark, sf_dir):
         FROM d
     )
     SELECT doc_id, source, n_tokens,
-           cum - n_tokens AS start_offset,
-           (cum - n_tokens) // 512 AS first_chunk,
-           (cum - 1) // 512 AS last_chunk,
-           (cum - 1) // 512 - (cum - n_tokens) // 512 + 1
-               AS n_chunks_spanned
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS first_chunk,
+           CAST((cum - 1) // 512 AS BIGINT) AS last_chunk,
+           CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1
+               AS BIGINT) AS n_chunks_spanned
     FROM c
     """,
 )
@@ -1221,7 +1221,7 @@ def sequence_packing_chunks(spark, sf_dir):
     totals AS (
         SELECT source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               SUM(n_tokens) AS tokens_total,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
                CAST(COUNT(*) OVER () AS BIGINT) AS n_sources
         FROM d GROUP BY source
     ),
@@ -1753,7 +1753,7 @@ def vocab_oov_rate(spark, sf_dir):
             GROUP BY e.seg, e.v
         ) s ON n.seg = s.seg AND n.node = s.node
     )
-    SELECT seg, node, r AS rank_micro FROM it3
+    SELECT seg, node, CAST(r AS BIGINT) AS rank_micro FROM it3
     """,
 )
 def dup_graph_pagerank(spark, sf_dir):

@@ -505,7 +505,7 @@ def gap_fill_daily_user(spark, sf_dir):
     )
     SELECT daily.d - CAST(g.k AS INT) AS win_start,
            daily.d - CAST(g.k AS INT) + 7 AS win_end,
-           SUM(n) AS n_events,
+           CAST(SUM(n) AS BIGINT) AS n_events,
            CAST(SUM(sv) AS DOUBLE) AS total_value
     FROM daily, LATERAL unnest(generate_series(0, 6)) AS g(k)
     GROUP BY 1, 2

@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet TIMESTAMP(isAdjustedToUTC=false) must read as LTZ
+        # (naive-UTC engine semantics, SURVEY.md §1.4) — Spark 4 would
+        # otherwise infer TIMESTAMP_NTZ and break timestamp expressions
+        # (unix_micros) and oracle comparison. load_table re-pins this
+        # for driver-owned sessions.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -62,6 +62,14 @@ def load_table(
     back after materializing these tables.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Naive-UTC semantics for ALL parquet timestamps: files written with
+    # isAdjustedToUTC=false (every driver table since round 5) must read
+    # as session-tz TIMESTAMP, not TIMESTAMP_NTZ — NTZ rejects
+    # unix_micros/epoch arithmetic and diverges from the DuckDB oracle
+    # protocol. Runtime conf, consulted at read-time schema inference;
+    # set here (not only in session.py) because the driver smoke test
+    # passes its OWN SparkSession.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         prev = spark.conf.get(_NANOS_CONF, None)
@@ -86,8 +94,23 @@ def load_table(
                 )
         elif ts_min_us is not None:
             df = df.where(F.col("ts") > F.timestamp_micros(F.lit(ts_min_us)))
-        return df
-    return spark.read.parquet(path)
+        return _ltz(df)
+    return _ltz(spark.read.parquet(path))
+
+
+def _ltz(df: DataFrame) -> DataFrame:
+    """Fallback normalization: cast any TIMESTAMP_NTZ column to
+    session-tz TIMESTAMP (exact under the pinned UTC zone — same int64
+    µs, different logical type). No-op when inferTimestampNTZ=false
+    already took effect at inference time."""
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -198,25 +198,52 @@ def test_tpch_q3_broadcasts_filtered_dims(spark):
     assert _shuffles(plan) <= 2  # agg + top-10 sort; fact never re-shuffles
 
 
-def test_events_nanos_pushdown_is_raw_int64(spark):
+def test_events_nanos_pushdown_is_raw_int64(spark, tmp_path):
     # Round-2 fix, pinned: on a nanos-encoded events file the 3-day
     # bound must be pushed in the file's PHYSICAL domain — a literal
     # comparison on the raw int64 nanos (ts > ts_min_us*1000), BEFORE
     # the µs conversion — or parquet row-group pruning never happens
-    # (a predicate on the converted timestamp is post-scan). Assert the
-    # raw-long literal appears in the scan's pushed/data filters.
+    # (a predicate on the converted timestamp is post-scan). The driver
+    # switched the testdata encoding to µs in round 5, so the nanos
+    # path is pinned against a synthesized nanos file instead of
+    # whatever encoding the current testdata happens to use.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
     from celestrak_tle_data_pipeline_spark.sources.tables import load_table
 
     ts_min_us = 1_600_000_000_000_000  # arbitrary fixed anchor
-    df = load_table(spark, SF_DIR, "events", ts_min_us=ts_min_us)
-    import pyspark.sql.types as T
-
-    raw = df._jdf.queryExecution()
-    # verbose string includes the FileSourceScan with PushedFilters
-    full = raw.toString()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [ts_min_us * 1000 - 5, ts_min_us * 1000 + 5],
+                pa.timestamp("ns"),
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet", version="2.6")
+    df = load_table(spark, str(tmp_path), "events", ts_min_us=ts_min_us)
+    full = df._jdf.queryExecution().toString()
     assert f"GreaterThan(ts,{ts_min_us * 1000})" in full, full[-2000:]
     # and the exact strict-µs predicate still guards post-conversion
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+
+
+def test_events_micros_pushdown_and_ltz(spark):
+    # The µs-encoded driver file: the bound pushes as a plain timestamp
+    # predicate on the scan, and the NTZ-inference override keeps the
+    # column session-tz TIMESTAMP (naive-UTC semantics).
+    import pyspark.sql.types as T
+
+    from celestrak_tle_data_pipeline_spark.sources.tables import load_table
+
+    ts_min_us = 1_600_000_000_000_000
+    df = load_table(spark, SF_DIR, "events", ts_min_us=ts_min_us)
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    full = df._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(ts), GreaterThan(ts," in full, full[-2000:]
 
 
 def test_tpch_q5_cycle_join_broadcasts_all_dims(spark):
@@ -302,3 +329,13 @@ def test_tpch_q21_double_correlation_is_count_based(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_tiles_all_skippable(spark):
+    # the Morton-layout invariant itself, not just engine agreement:
+    # every 16x16 tile's per-dimension span must be <= 15, so a
+    # min/max-footer predicate on either dimension prunes ~15/16 of
+    # tiles. pmod keeps both dims in [0, 255] for any date domain.
+    df = plans.all_queries()["zorder_morton_layout"](spark, SF_DIR)
+    bad = df.where(~df.skippable).count()
+    assert bad == 0
