@@ -43,6 +43,8 @@ QUERIES = [
     "funnel_conversion",        # product analytics: chained window minima
     "rollup_cascade_daily",     # continuous-aggregate cascade
     "tpch_q8_market_share",     # classic OLAP: 8-relation join graph
+    "duplicate_ngram_spans",    # cross-doc span-dup gram pipeline (r5)
+    "item_cooccurrence_cosine", # capped item-item similarity self-join (r5)
 ]
 
 

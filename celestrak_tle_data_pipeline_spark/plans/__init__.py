@@ -48,86 +48,88 @@ _MODULES = (
     "ext_pipeline",
     "analytics",
     "tpch",
+    "ext_ml",
 )
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries, so
-# ordering is part of the contract: these 50 names — at least one official
-# representative per SURVEY.md §2 family (sources, relational, joins, aggs,
-# windows, TLE parse bundle, text/dedup, vectors, multimodal, weather) —
-# are emitted first. Everything else registered stays available after them
-# as bonus coverage. ``tests/test_registry.py`` pins this list.
+# ordering is part of the contract: the 50 names emitted first are that
+# round's official window. Everything else registered stays available after
+# them as bonus coverage. ``tests/test_registry.py`` pins this list.
 #
-# Round-4 rotation: 18 twice/once-green stalwarts (top_revenue_orders,
-# semijoin_exists, first_order_per_customer, rollup_order_status,
-# pivot_status_counts, outer_join_nation_coverage, cube_status_priority,
-# grouping_sets_status_priority, percentile_quartiles, bag_set_ops,
-# ntile_lead_lag_orders, running_customer_spend, tumbling_daily_value,
-# text_profile, lang_id_ngram, doc_fingerprint_rolling, tfidf_top_terms,
-# token_count_regex — all green in CORRECTNESS_r02/r03, still registered
-# after the window) rotated out for the round-3 operators that had
-# judge-only verification, so cumulative official coverage keeps growing.
+# Round-5 rotation: every name in the r4 window is officially green in
+# CORRECTNESS_r04 (sliding_weekly_value's HUGEINT-cast fix landed this
+# round), so the whole window rotates: 45 queries that had judge-only
+# verification (added in rounds 3-4, all green under tools/check.py's
+# protocol mirror) plus the 5 new round-5 operators (ext_ml.py). Cumulative
+# official coverage after this round: 82 + 50 = 132 of 154 registry
+# entries. Remaining never-official backlog (21, for round 6): 10 TPC-H
+# (q4 q5 q7 q8 q10 q11 q12 q14 q16 q19) + unpivot_price_bands,
+# sql_api_revenue_filter, window_distribution_functions,
+# gap_fill_daily_user, distinct_part_counts, mad_outlier_filter,
+# approx_topk_events, histogram_order_totals, embedding_label_stats,
+# per_group_quality_filter, repetition_profile.
 _PRIORITY = (
-    # relational / joins / scans
-    "pricing_summary",
-    "antijoin_composite_key",
-    "pruned_scan_recent",
-    "scalar_functions_bundle",
-    # TPC-H classics (rotated in r4)
-    "tpch_q6_forecast_revenue",
-    "tpch_q3_shipping_priority",
-    "tpch_q18_large_orders",
-    # advanced aggregation / stats / sketches
-    "stats_moments_by_flag",
-    "range_band_join",
-    "salted_heavy_hitters",
-    "approx_distinct_hll",
-    "approx_quantile_bounds",
-    "systematic_weighted_sample",
-    # window functions / temporal
-    "session_windows",
-    "asof_join_latest_purchase",
-    "ewma_anomaly_by_user",
-    "sliding_weekly_value",
-    "dynamic_gap_sessions",
-    "locf_forward_fill",
-    # product analytics (rotated in r4)
-    "cohort_retention",
-    "funnel_conversion",
-    "scd2_state_history",
-    # governance
-    "data_quality_audit",
-    # TLE domain (fixed-width parse bundle)
-    "tle_parse_telemetry",
-    "tle_bstar_decode",
-    "tle_epoch_pivot_sweep",
-    "tle_assembly_stride3",
-    "tle_decay_flagship",
-    "tle_regime_neighbors",
-    # text analysis / dedup
-    "text_quality_score",
-    "exact_dup_groups",
-    "simhash_near_dup",
-    "minhash_lsh_recall",
-    "minhash_native_near_dup",
-    "ngram_shingle_jaccard",
-    "dup_cluster_components",
-    "dup_graph_triangles",
-    # similarity search / vectors
-    "cosine_topk_exact",
-    "ann_ivf_topk",
-    "embedding_cosine_near_dup",
-    "embedding_sq8_recall",
-    "embedding_pq_recall",
-    "ann_lsh_recall",
+    # SQL surface / relational extensions
+    "sql_parameterized_top_orders",
+    "sorted_string_agg_segments",
+    "try_arithmetic_bundle",
+    "recursive_cte_subtree_rollup",
+    # temporal joins
+    "asof_join_with_tolerance",
+    "interval_overlap_join_bucketed",
+    # TLE domain
+    "tle_decay_rate_fit",
+    # text / dedup / training-data ops
+    "decontamination_overlap",
+    "sequence_packing_chunks",
+    "mixture_budget_plan",
+    "levenshtein_fuzzy_pairs",
+    "vocab_oov_rate",
+    "dup_graph_pagerank",
+    "split_leakage_audit",
+    "unigram_lm_score",
+    "bm25_topk_docs",
+    "reservoir_sample_per_source",
+    "duplicate_ngram_spans",
+    "token_vote_classifier",
+    # vectors / ML
+    "vector_hof_bundle",
+    "hard_negative_mining",
+    "kmeans_lloyd_integer",
+    "item_cooccurrence_cosine",
     # multimodal / semi-structured
-    "props_maptype",
-    "multimodal_meta_profile",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "multimodal_feature_extract",
-    # weather domain
-    "flux_parse",
-    "flux_rotation_anomaly",
+    "props_variant_rollup",
+    "multimodal_ppm_decode",
+    # stats
+    "pareto_frontier_orders",
+    "winsorized_stats_by_status",
+    "seasonal_dow_decompose",
+    # UDF/UDTF/Arrow surfaces
+    "udaf_gini_quantity",
+    "udtf_ngram_expand",
+    "arrow_batch_token_stats",
+    "udtf_dynamic_split_fields",
+    # pipeline / governance / layout
+    "rollup_cascade_daily",
+    "dataset_split_assign",
+    "pii_scrub_contacts",
+    "snapshot_diff_dim",
+    "zorder_morton_layout",
+    "incremental_agg_merge",
+    # product analytics
+    "event_transition_matrix",
+    "rfm_segmentation",
+    "autocorr_lag1_by_user",
+    "event_cooccurrence_pairs",
+    # TPC-H classics (second tranche)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_supply",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
 )
 
 

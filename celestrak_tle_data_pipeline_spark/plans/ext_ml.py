@@ -1,0 +1,440 @@
+"""ML-adjacent pipeline operators (round 5): integer-exact
+classification, incremental aggregate maintenance, seasonal
+decomposition, cross-document span duplication, and item-item
+co-occurrence similarity.
+
+All five are the kinds of jobs a training-data/analytics platform runs
+beside the core ETL (reference scope: the loader's quality gates,
+``script.py:141-171``, generalized to corpus-level statistics), kept
+deterministic under the DuckDB value gate:
+
+- aggregates of doubles go through fixed-scale DECIMAL (exact in any
+  engine at any partitioning);
+- every ratio/similarity is a SINGLE IEEE division (or sqrt) of two
+  exactly-computed numbers — correctly rounded, bit-identical across
+  engines — never a float accumulation;
+- every argmax ranks with a total order (explicit tiebreak keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import register
+from .common import dec, t
+
+
+# --------------------------------------------------------------------------
+# integer-exact token-vote classifier (naive-Bayes-shaped, no logs)
+# --------------------------------------------------------------------------
+@register(
+    "token_vote_classifier",
+    oracle="""
+    WITH toks AS (
+        SELECT d.doc_id, d.lang, u.tok
+        FROM documents d,
+             UNNEST(list_filter(string_split(d.text, ' '),
+                                x -> x <> '')) AS u(tok)
+    ),
+    counts AS (SELECT tok, lang, COUNT(*) AS n_tl FROM toks GROUP BY 1, 2),
+    totals AS (SELECT lang, COUNT(*) AS n_l FROM toks GROUP BY 1),
+    champ AS (
+        SELECT tok, lang AS pred_tok,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tok
+                   ORDER BY CAST(n_tl AS DOUBLE) / CAST(n_l AS DOUBLE) DESC,
+                            lang
+               ) AS rn
+        FROM counts JOIN totals USING (lang)
+    ),
+    c1 AS (SELECT tok, pred_tok FROM champ WHERE rn = 1),
+    votes AS (
+        SELECT t.doc_id, t.lang, c.pred_tok, COUNT(*) AS nv
+        FROM toks t JOIN c1 c USING (tok) GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT doc_id, lang, pred_tok,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY nv DESC, pred_tok
+               ) AS rn
+        FROM votes
+    )
+    SELECT lang, pred_tok AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def token_vote_classifier(spark, sf_dir):
+    """Train-and-apply a corpus classifier with NO floating-point
+    accumulation: each token "votes" for the class where its relative
+    frequency is highest, and a document's prediction is the majority
+    vote — the multinomial-naive-Bayes decision shape without the
+    log-likelihood sums that make cross-engine float determinism
+    impossible (``ln`` is libm-dependent; a ratio of two exact integers
+    is one correctly-rounded IEEE division everywhere).
+
+    Training = one aggregation over the exploded token stream (the
+    per-class token counts ARE the model); inference = a map-side
+    equi-join of the token stream against the champion table. At 100 TB
+    the champion table is bounded by vocabulary size — it broadcasts,
+    so scoring is a single scan with no shuffle of the corpus; the
+    confusion-matrix rollup shuffles `|classes|^2` rows. Output is the
+    (actual, predicted) confusion matrix over the ``lang`` label.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok", "lang").agg(F.count(F.lit(1)).alias("n_tl"))
+    # class totals ride a window over the (tok, lang) counts — one
+    # subtree, so the corpus scans exactly twice (train + inference);
+    # a separate totals aggregate would re-run the counts lineage
+    # (ReuseExchange does not canonicalize across the two consumers)
+    rel = counts.withColumn(
+        "n_l", F.sum("n_tl").over(Window.partitionBy("lang"))
+    ).withColumn(
+        "freq", F.col("n_tl").cast("double") / F.col("n_l").cast("double")
+    )
+    w_tok = Window.partitionBy("tok").orderBy(
+        F.col("freq").desc(), F.col("lang").asc()
+    )
+    champ = (
+        rel.withColumn("rn", F.row_number().over(w_tok))
+        .where(F.col("rn") == 1)
+        .select("tok", F.col("lang").alias("pred_tok"))
+    )
+    votes = (
+        toks.join(F.broadcast(champ), "tok")
+        .groupBy("doc_id", "lang", "pred_tok")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("nv").desc(), F.col("pred_tok").asc()
+    )
+    pred = votes.withColumn("rn", F.row_number().over(w_doc)).where(
+        F.col("rn") == 1
+    )
+    return pred.groupBy("lang", F.col("pred_tok").alias("pred_lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental aggregate maintenance (partial-state merge)
+# --------------------------------------------------------------------------
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us
+    FROM events GROUP BY user_id
+    """,
+)
+def incremental_agg_merge(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance: per-user partial
+    states (count, decimal sum, min/max) are computed separately for the
+    "historical" slice (everything before a 7-day-from-max cut) and the
+    "new batch" slice, then MERGED by re-aggregating the union of
+    states — sum-of-sums, min-of-mins — never rescanning history rows.
+    The oracle is the from-scratch aggregation over all rows: the merge
+    being exactly equal IS the incremental-view-maintenance contract
+    (decimal addition is associative, so partial + partial = total,
+    bit-for-bit).
+
+    Scale shape: this is how a 100 TB rollup stays cheap — the
+    historical state table is `|users|` rows (re-aggregated, never the
+    raw fact), and only the new partition is scanned at event grain.
+    Both slice filters are literal timestamp bounds pushed into the
+    parquet scan; the cut anchor resolves via one scalar aggregate
+    (scan-bound resolution, same pattern as ``pruned_scan_recent``).
+    """
+    e = t(spark, sf_dir, "events")
+    mx_us = e.agg(F.unix_micros(F.max("ts"))).first()[0]
+    if mx_us is None:
+        cut = F.lit(None).cast("timestamp")
+    else:
+        cut = F.timestamp_micros(F.lit(mx_us - 7 * 86_400 * 1_000_000))
+
+    def partial(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value", 18, 6)).alias("sv"),
+            F.min(F.unix_micros("ts")).alias("mn"),
+            F.max(F.unix_micros("ts")).alias("mx"),
+        )
+
+    state = partial(e.where(F.col("ts") < cut))
+    delta = partial(e.where(~(F.col("ts") < cut)))
+    return (
+        state.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("sv").cast("double").alias("total_value"),
+            F.min("mn").cast("bigint").alias("first_us"),
+            F.max("mx").cast("bigint").alias("last_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# day-of-week seasonal decomposition (no transcendental math)
+# --------------------------------------------------------------------------
+@register(
+    "seasonal_dow_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               SUM(CAST(value AS DECIMAL(18,6))) AS sv
+        FROM events GROUP BY 1
+    ),
+    x AS (
+        SELECT d,
+               CAST(((date_diff('day', DATE '1970-01-01', d) % 7) + 7) % 7
+                    AS INT) AS dow,
+               sv
+        FROM daily
+    )
+    SELECT d, dow,
+           CAST(sv AS DOUBLE) AS daily_total,
+           CAST(SUM(sv) OVER (PARTITION BY dow) AS DOUBLE)
+               / CAST(COUNT(*) OVER (PARTITION BY dow) AS DOUBLE) AS dow_mean,
+           CAST(sv AS DOUBLE)
+               - CAST(SUM(sv) OVER (PARTITION BY dow) AS DOUBLE)
+                 / CAST(COUNT(*) OVER (PARTITION BY dow) AS DOUBLE)
+               AS residual
+    FROM x
+    """,
+)
+def seasonal_dow_decompose(spark, sf_dir):
+    """Weekly-seasonality decomposition of the daily value series:
+    seasonal component = same-day-of-week mean, residual = daily total
+    minus its seasonal mean — the first step of an STL-style anomaly
+    view, built entirely from exact decimal sums plus ONE division and
+    ONE subtraction per row (both IEEE-deterministic; no float
+    accumulation anywhere).
+
+    Day-of-week is ``pmod(days_since_epoch, 7)`` — pure integer
+    arithmetic, identical in every engine, no locale/weekstart
+    convention. Plan: one event-grain aggregation shuffle down to
+    days, then a 7-partition window over the tiny daily series; at
+    100 TB the event->day rollup is the only data-sized stage and it
+    partial-aggregates map-side.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.sum(dec("value", 18, 6)).alias("sv"))
+    x = daily.withColumn(
+        "dow",
+        F.pmod(
+            F.datediff("d", F.lit("1970-01-01").cast("date")), F.lit(7)
+        ).cast("int"),
+    )
+    w = Window.partitionBy("dow")
+    dow_mean = F.sum("sv").over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w).cast("double")
+    return x.select(
+        "d",
+        "dow",
+        F.col("sv").cast("double").alias("daily_total"),
+        dow_mean.alias("dow_mean"),
+        (F.col("sv").cast("double") - dow_mean).alias("residual"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cross-document duplicated-span profile (8-token grams)
+# --------------------------------------------------------------------------
+@register(
+    "duplicate_ngram_spans",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    g8 AS (
+        SELECT doc_id, source,
+               UNNEST(CASE WHEN len(toks) >= 8 THEN
+                   list_transform(generate_series(1, len(toks) - 7),
+                                  i -> array_to_string(toks[i:i+7], ' '))
+               ELSE [] END) AS gram
+        FROM tk
+    ),
+    gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g8 GROUP BY 1)
+    SELECT g.doc_id, g.source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN gd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams,
+           CAST(SUM(CASE WHEN gd.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+    FROM g8 g JOIN gd ON g.gram = gd.gram
+    GROUP BY 1, 2
+    """,
+)
+def duplicate_ngram_spans(spark, sf_dir):
+    """Per-document duplicated-span profile at 8-token granularity: the
+    fraction of a document's token-gram positions whose exact 8-gram
+    also appears in ANOTHER document — the bounded-window form of
+    exact-substring training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better": suffix-array spans >=
+    50 tokens; grams are the shuffle-friendly relaxation — a duplicated
+    span of length L >= 8 implies L-7 duplicated grams, so span dup is
+    detected with a fixed-width key an equi-join can bucket on).
+
+    Scale shape: grams never carry payloads beyond the gram key itself;
+    in production the gram string is replaced by ``xxhash64(gram)`` so
+    only 8-byte digests shuffle (kept as text here for oracle parity —
+    the plan shape is identical). One groupBy(gram) for corpus counts,
+    one gram-keyed join back, one per-doc rollup. Documents shorter
+    than 8 tokens have no gram positions and drop out of the profile
+    (both engines).
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 8 THEN "
+                "  transform(sequence(1, size(toks) - 7), "
+                "            i -> concat_ws(' ', slice(toks, i, 8))) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    gd = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    dup = F.sum((F.col("nd") > 1).cast("bigint"))
+    return (
+        grams.join(gd, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            dup.cast("bigint").alias("n_dup_grams"),
+            (
+                dup.cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# item-item co-occurrence cosine (frequency-capped blocking)
+# --------------------------------------------------------------------------
+@register(
+    "item_cooccurrence_cosine",
+    oracle="""
+    WITH cp AS (
+        SELECT DISTINCT l.l_partkey AS part, o.o_custkey AS cust
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    pop AS (SELECT part, COUNT(*) AS n FROM cp GROUP BY 1),
+    top AS (
+        SELECT part, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, part) AS rn
+        FROM pop QUALIFY rn <= 50
+    ),
+    cpt AS (SELECT c.part, c.cust, t.n FROM cp c JOIN top t USING (part)),
+    pairs AS (
+        SELECT a.part AS part1, b.part AS part2,
+               a.n AS na, b.n AS nb, COUNT(*) AS n_co
+        FROM cpt a JOIN cpt b ON a.cust = b.cust AND a.part < b.part
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(part1 AS BIGINT) AS part1,
+           CAST(part2 AS BIGINT) AS part2,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(n_co AS BIGINT) AS n_co,
+           CAST(n_co AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE))
+               AS cosine_sim
+    FROM pairs
+    """,
+)
+def item_cooccurrence_cosine(spark, sf_dir):
+    """Item-item collaborative-filtering similarity: cosine over binary
+    customer-purchase vectors, co_count / sqrt(n_a * n_b) — one sqrt
+    and one division per pair, both correctly-rounded IEEE ops, on
+    exactly-counted integers.
+
+    The all-pairs explosion is tamed by FREQUENCY-CAPPED BLOCKING: only
+    the top-50 most-purchased items (total-ordered: count desc, key
+    asc) enter the pair join, so the self-join on customer produces at
+    most C(50,2) aggregated pairs regardless of catalog size — the
+    standard candidate-capping trick in item-item recommenders. Plan:
+    fact-fact equi-join to customer-part pairs, distinct, a tiny
+    popularity rollup whose top-k broadcasts back, then a
+    customer-keyed self-join of the capped stream (at 100 TB: salt
+    mega-customers or cap basket size — documented, not needed at
+    bench scale). No driver-side collect anywhere; the top-k is a
+    window over an aggregated 1-row-per-item frame.
+
+    The distinct (part, cust) set feeds FOUR subtrees (popularity,
+    capped stream, both self-join sides); Spark's ReuseExchange does
+    not canonicalize across them, so without materialization the fact
+    join runs four times (verified: 8 parquet scans). ``persist()``
+    pins it to one computation — the local stand-in for what a 100 TB
+    job does by writing the distinct pair set to a bucketed
+    intermediate table and self-joining that.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_partkey").alias("part"), F.col("o_custkey").alias("cust")
+        )
+        .distinct()
+        .persist()
+    )
+    pop = cp.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("part").asc())
+    top = (
+        pop.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("part", "n")
+    )
+    cpt = cp.join(F.broadcast(top), "part")
+    a = cpt.alias("a")
+    b = cpt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("part1"),
+            F.col("b.part").alias("part2"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    return pairs.select(
+        F.col("part1").cast("bigint"),
+        F.col("part2").cast("bigint"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("n_co").cast("bigint"),
+        (
+            F.col("n_co").cast("double")
+            / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+        ).alias("cosine_sim"),
+    )

@@ -339,3 +339,28 @@ def test_zorder_tiles_all_skippable(spark):
     df = plans.all_queries()["zorder_morton_layout"](spark, SF_DIR)
     bad = df.where(~df.skippable).count()
     assert bad == 0
+
+
+def test_token_vote_scans_corpus_exactly_twice(spark):
+    # train pass + inference pass — class totals must ride a window
+    # over the (tok, lang) counts, not a third corpus aggregation
+    plan = _plan(spark, "token_vote_classifier")
+    assert plan.count("Scan parquet") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_item_cooccurrence_materializes_shared_pairs(spark):
+    # the distinct (part, cust) set feeds four subtrees; without
+    # persist() the fact join runs four times (8 scans). All four
+    # consumers must read the InMemoryRelation, and the pair join must
+    # stay an equi-join.
+    plan = _plan(spark, "item_cooccurrence_cosine")
+    assert plan.count("InMemoryTableScan") == 4
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_duplicate_ngram_spans_is_gram_equi_join(spark):
+    plan = _plan(spark, "duplicate_ngram_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

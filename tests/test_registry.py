@@ -33,19 +33,28 @@ def test_first_50_oracle_coverage():
 
 
 def test_family_representation_in_window():
+    # Round-5 window: every r4 name went officially green, so the whole
+    # window rotated to judge-only queries + the new ext_ml operators.
+    # Families whose every member is already officially green (weather,
+    # the TLE parse bundle, sketches, core relational) have no r5
+    # representative by design — cumulative official coverage is the
+    # contract, not per-round family presence.
     window = set(_PRIORITY)
     families = {
-        "relational": {"pricing_summary", "antijoin_composite_key"},
-        "tpch": {"tpch_q6_forecast_revenue", "tpch_q3_shipping_priority"},
-        "aggs": {"stats_moments_by_flag", "salted_heavy_hitters"},
-        "sketches": {"approx_distinct_hll", "approx_quantile_bounds"},
-        "windows": {"session_windows", "asof_join_latest_purchase"},
-        "analytics": {"cohort_retention", "funnel_conversion"},
-        "tle": {"tle_parse_telemetry", "tle_decay_flagship"},
-        "text": {"exact_dup_groups", "minhash_native_near_dup"},
-        "vectors": {"cosine_topk_exact", "embedding_pq_recall"},
-        "multimodal": {"multimodal_decode_stub", "props_maptype"},
-        "weather": {"flux_parse", "flux_rotation_anomaly"},
+        "sql-surface": {"sql_parameterized_top_orders", "try_arithmetic_bundle"},
+        "tpch": {"tpch_q2_min_cost_supplier", "tpch_q21_waiting_suppliers"},
+        "stats": {"winsorized_stats_by_status", "pareto_frontier_orders"},
+        "temporal-joins": {
+            "asof_join_with_tolerance",
+            "interval_overlap_join_bucketed",
+        },
+        "analytics": {"rfm_segmentation", "event_transition_matrix"},
+        "tle": {"tle_decay_rate_fit"},
+        "text": {"duplicate_ngram_spans", "unigram_lm_score"},
+        "vectors-ml": {"item_cooccurrence_cosine", "kmeans_lloyd_integer"},
+        "multimodal": {"multimodal_ppm_decode", "props_variant_rollup"},
+        "pipeline": {"zorder_morton_layout", "dataset_split_assign"},
+        "udf-surfaces": {"udaf_gini_quantity", "arrow_batch_token_stats"},
     }
     for family, reps in families.items():
         assert reps <= window, f"family {family} missing from first-50 window"
