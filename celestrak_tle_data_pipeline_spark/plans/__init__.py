@@ -61,13 +61,15 @@ _MODULES = (
 # round), so the whole window rotates: 45 queries that had judge-only
 # verification (added in rounds 3-4, all green under tools/check.py's
 # protocol mirror) plus the 5 new round-5 operators (ext_ml.py). Cumulative
-# official coverage after this round: 82 + 50 = 132 of 154 registry
-# entries. Remaining never-official backlog (21, for round 6): 10 TPC-H
+# official coverage after this round: 82 + 50 = 132 of 158 registry
+# entries. Remaining never-official backlog (25, for round 6): 10 TPC-H
 # (q4 q5 q7 q8 q10 q11 q12 q14 q16 q19) + unpivot_price_bands,
 # sql_api_revenue_filter, window_distribution_functions,
 # gap_fill_daily_user, distinct_part_counts, mad_outlier_filter,
 # approx_topk_events, histogram_order_totals, embedding_label_stats,
-# per_group_quality_filter, repetition_profile.
+# per_group_quality_filter, repetition_profile + the round-5 bonus ops
+# (dedup_best_quality_survivor, dup_graph_bfs3,
+# sorted_neighborhood_pairs, equidepth_histogram).
 _PRIORITY = (
     # SQL surface / relational extensions
     "sql_parameterized_top_orders",

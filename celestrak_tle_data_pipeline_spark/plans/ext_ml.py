@@ -438,3 +438,285 @@ def item_cooccurrence_cosine(spark, sf_dir):
             / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
         ).alias("cosine_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# quality-aware dedup survivor selection
+# --------------------------------------------------------------------------
+@register(
+    "dedup_best_quality_survivor",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+                   AS digest,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS quality
+        FROM d WHERE len(toks) > 0
+    ),
+    ranked AS (
+        SELECT digest, doc_id, quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY digest ORDER BY quality DESC, doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY digest) AS n_members
+        FROM scored
+    )
+    SELECT digest, CAST(n_members AS BIGINT) AS n_members,
+           CAST(doc_id AS BIGINT) AS survivor_doc_id,
+           quality AS survivor_quality
+    FROM ranked WHERE rn = 1 AND n_members > 1
+    """,
+)
+def dedup_best_quality_survivor(spark, sf_dir):
+    """Quality-aware dedup survivor selection: within each duplicate
+    group, keep the member with the best quality signal (distinct-token
+    ratio — one division of two exact integers) instead of an arbitrary
+    first-seen row — the policy step between duplicate DETECTION
+    (exact_dup_groups / the LSH tiers) and corpus rewrite, where a real
+    training-data pipeline keeps the best-formatted copy of a page.
+
+    Groups form on a BAG-OF-WORDS fingerprint (md5 of the sorted
+    distinct token set): documents built from the same vocabulary are
+    one group even when token order/repetition differs — exactly the
+    near-dup tier where survivor quality varies and the policy has
+    something to choose (byte-exact dups all score identically).
+    Deterministic: quality ties break on doc_id, so the survivor is
+    unique under any partitioning. Plan: one scan, the fingerprint and
+    score are map-side expressions, one digest-keyed window — digests
+    and scalar scores shuffle, payloads don't. Emits only groups with
+    >1 member (where the policy does something).
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    scored = d.where(F.size("toks") > 0).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct("toks")))
+        ).alias("digest"),
+        (
+            F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks").cast("double")
+        ).alias("quality"),
+    )
+    w = Window.partitionBy("digest").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("digest")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .where((F.col("rn") == 1) & (F.col("n_members") > 1))
+        .select(
+            "digest",
+            F.col("n_members").cast("bigint"),
+            F.col("doc_id").cast("bigint").alias("survivor_doc_id"),
+            F.col("quality").alias("survivor_quality"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# bounded-depth BFS over the fuzzy-match graph (unrolled min-distance)
+# --------------------------------------------------------------------------
+@register(
+    "dup_graph_bfs3",
+    oracle="""
+    WITH c AS (
+        SELECT c_name, c_mktsegment FROM customer WHERE c_custkey <= 300
+    ), half AS (
+        SELECT a.c_mktsegment AS seg, a.c_name AS u, b.c_name AS v
+        FROM c a JOIN c b
+          ON a.c_mktsegment = b.c_mktsegment AND a.c_name < b.c_name
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ), edges AS (
+        SELECT seg, u, v FROM half
+        UNION ALL SELECT seg, v AS u, u AS v FROM half
+    ), nodes AS (
+        SELECT DISTINCT seg, u AS node FROM edges
+    ), seed AS (
+        SELECT seg, MIN(node) AS node FROM nodes GROUP BY seg
+    ), d0 AS (
+        SELECT n.seg, n.node,
+               CASE WHEN s.node = n.node THEN 0 END AS dist
+        FROM nodes n JOIN seed s ON n.seg = s.seg
+    ), d1 AS (
+        SELECT n.seg, n.node,
+               LEAST(n.dist, m.md + 1) AS dist
+        FROM d0 n LEFT JOIN (
+            SELECT e.seg, e.v AS node, MIN(r.dist) AS md
+            FROM edges e JOIN d0 r ON e.seg = r.seg AND e.u = r.node
+            WHERE r.dist IS NOT NULL GROUP BY e.seg, e.v
+        ) m ON n.seg = m.seg AND n.node = m.node
+    ), d2 AS (
+        SELECT n.seg, n.node,
+               LEAST(n.dist, m.md + 1) AS dist
+        FROM d1 n LEFT JOIN (
+            SELECT e.seg, e.v AS node, MIN(r.dist) AS md
+            FROM edges e JOIN d1 r ON e.seg = r.seg AND e.u = r.node
+            WHERE r.dist IS NOT NULL GROUP BY e.seg, e.v
+        ) m ON n.seg = m.seg AND n.node = m.node
+    ), d3 AS (
+        SELECT n.seg, n.node,
+               LEAST(n.dist, m.md + 1) AS dist
+        FROM d2 n LEFT JOIN (
+            SELECT e.seg, e.v AS node, MIN(r.dist) AS md
+            FROM edges e JOIN d2 r ON e.seg = r.seg AND e.u = r.node
+            WHERE r.dist IS NOT NULL GROUP BY e.seg, e.v
+        ) m ON n.seg = m.seg AND n.node = m.node
+    )
+    SELECT seg, node, CAST(dist AS BIGINT) AS dist
+    FROM d3 WHERE dist IS NOT NULL
+    """,
+)
+def dup_graph_bfs3(spark, sf_dir):
+    """Bounded-depth (3-hop) BFS reachability from a per-segment seed
+    over the blocked fuzzy-match graph — the "how far does this
+    duplicate cluster extend from its representative" probe, and the
+    engine's iterative-graph-traversal certification alongside the
+    integer PageRank (same edge set: segment-blocked Levenshtein<=1
+    pairs, never all-pairs).
+
+    Frontier relaxation is UNROLLED min-distance: dist_{k+1}(v) =
+    least(dist_k(v), 1 + min over in-edges of dist_k(u)) — pure
+    integers, associative mins, so any partitioning gives the same
+    fixpoint prefix. Three rounds = three join+agg stages in ONE lazy
+    DAG (at unbounded depth you'd localCheckpoint per round like the
+    connected-components operator; 3 rounds doesn't need lineage
+    truncation). Unreached nodes drop out at the end, both engines.
+    """
+    c = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 300)
+        .select("c_name", "c_mktsegment")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_name") < F.col("b.c_name")),
+        )
+        .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .select(
+            F.col("a.c_mktsegment").alias("seg"),
+            F.col("a.c_name").alias("u"),
+            F.col("b.c_name").alias("v"),
+        )
+    )
+    edges = half.unionByName(
+        half.select("seg", F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = edges.select("seg", F.col("u").alias("node")).distinct()
+    seed = nodes.groupBy("seg").agg(F.min("node").alias("snode"))
+    dist = nodes.join(seed, "seg").select(
+        "seg",
+        "node",
+        F.when(F.col("node") == F.col("snode"), F.lit(0)).alias("dist"),
+    )
+    for _ in range(3):
+        relax = (
+            edges.join(
+                dist.where(F.col("dist").isNotNull()).withColumnRenamed(
+                    "node", "u"
+                ),
+                ["seg", "u"],
+            )
+            .groupBy("seg", F.col("v").alias("node"))
+            .agg(F.min("dist").alias("md"))
+        )
+        dist = dist.join(relax, ["seg", "node"], "left").select(
+            "seg",
+            "node",
+            F.least(F.col("dist"), F.col("md") + 1).alias("dist"),
+        )
+    return dist.where(F.col("dist").isNotNull()).select(
+        "seg", "node", F.col("dist").cast("bigint").alias("dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# sorted-neighborhood entity-resolution blocking
+# --------------------------------------------------------------------------
+@register(
+    "sorted_neighborhood_pairs",
+    oracle="""
+    WITH s AS (
+        SELECT c_custkey, c_name,
+               LEAD(c_name, 1) OVER (ORDER BY c_name, c_custkey) AS n1,
+               LEAD(c_custkey, 1) OVER (ORDER BY c_name, c_custkey) AS k1,
+               LEAD(c_name, 2) OVER (ORDER BY c_name, c_custkey) AS n2,
+               LEAD(c_custkey, 2) OVER (ORDER BY c_name, c_custkey) AS k2
+        FROM customer
+    ),
+    cand AS (
+        SELECT c_custkey AS key1, k1 AS key2, c_name AS name1, n1 AS name2,
+               levenshtein(c_name, n1) AS dist
+        FROM s WHERE n1 IS NOT NULL
+        UNION ALL
+        SELECT c_custkey, k2, c_name, n2, levenshtein(c_name, n2)
+        FROM s WHERE n2 IS NOT NULL
+    )
+    SELECT CAST(key1 AS BIGINT) AS key1, CAST(key2 AS BIGINT) AS key2,
+           name1, name2, CAST(dist AS BIGINT) AS dist
+    FROM cand WHERE dist <= 2
+    """,
+)
+def sorted_neighborhood_pairs(spark, sf_dir):
+    """Sorted-neighborhood entity-resolution blocking: sort records by
+    the match key, compare each record only to its next w=2 neighbors
+    in sort order (lead(1), lead(2)) — the classic SNM alternative to
+    hash blocking, catching near-matches that share a sort prefix
+    without any all-pairs product. Candidate pairs that survive a
+    Levenshtein<=2 verify are emitted with their edit distance.
+
+    Total order (name, key) makes the neighbor set — and therefore the
+    output — partition-independent. The global-order window runs
+    single-partition here (1.5k dim rows); at 100 TB SNM is
+    range-partitioned on the sort key with w rows of boundary
+    replication per partition — same window expression, no global
+    sort barrier; the classic multi-pass variant re-runs it under a
+    second key ordering to catch prefix-divergent matches.
+    """
+    cst = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    w = Window.orderBy(F.col("c_name").asc(), F.col("c_custkey").asc())
+    s = cst.select(
+        "c_custkey",
+        "c_name",
+        F.lead("c_name", 1).over(w).alias("n1"),
+        F.lead("c_custkey", 1).over(w).alias("k1"),
+        F.lead("c_name", 2).over(w).alias("n2"),
+        F.lead("c_custkey", 2).over(w).alias("k2"),
+    )
+    c1 = s.where(F.col("n1").isNotNull()).select(
+        F.col("c_custkey").alias("key1"),
+        F.col("k1").alias("key2"),
+        F.col("c_name").alias("name1"),
+        F.col("n1").alias("name2"),
+        F.levenshtein("c_name", "n1").alias("dist"),
+    )
+    c2 = s.where(F.col("n2").isNotNull()).select(
+        F.col("c_custkey").alias("key1"),
+        F.col("k2").alias("key2"),
+        F.col("c_name").alias("name1"),
+        F.col("n2").alias("name2"),
+        F.levenshtein("c_name", "n2").alias("dist"),
+    )
+    return (
+        c1.unionByName(c2)
+        .where(F.col("dist") <= 2)
+        .select(
+            F.col("key1").cast("bigint"),
+            F.col("key2").cast("bigint"),
+            "name1",
+            "name2",
+            F.col("dist").cast("bigint"),
+        )
+    )

@@ -697,3 +697,57 @@ def winsorized_stats_by_status(spark, sf_dir):
             "n_clipped",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# equi-depth (quantile-bucketed) histogram
+# --------------------------------------------------------------------------
+@register(
+    "equidepth_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS bucket_total
+    FROM b GROUP BY 1
+    """,
+)
+def equidepth_histogram(spark, sf_dir):
+    """Equi-depth (equal-population) histogram over order totals — the
+    selectivity-estimation structure query optimizers keep in
+    statistics catalogs, complementing the fixed-width variant
+    (``histogram_order_totals``): bucket BOUNDARIES adapt to the
+    distribution, so every bucket holds n/10 rows and skewed ranges get
+    proportionally more buckets.
+
+    ``ntile`` over a TOTAL order (value, key) distributes remainder
+    rows to the leading buckets by the same rule in Spark and DuckDB,
+    so bucket membership is exactly reproducible — no quantile
+    interpolation convention involved. The global-order window is the
+    scale caveat: at 100 TB you compute boundary values with
+    ``approx_percentile`` (or exact distributed ``percentile``) and
+    assign buckets with a broadcast range lookup instead — same output
+    contract, no single-partition sort; this query certifies the exact
+    semantics the approximate path is graded against.
+    """
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum(dec("o_totalprice", 18, 4)).cast("double").alias(
+                "bucket_total"
+            ),
+        )
+    )

@@ -364,3 +364,15 @@ def test_duplicate_ngram_spans_is_gram_equi_join(spark):
     plan = _plan(spark, "duplicate_ngram_spans")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sorted_neighborhood_no_product_join(spark):
+    # SNM generates candidates from lead() windows, never a pair join
+    plan = _plan(spark, "sorted_neighborhood_pairs")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # no join operator at all — window only
+
+
+def test_bfs3_stays_equi_join(spark):
+    plan = _plan(spark, "dup_graph_bfs3")
+    assert "CartesianProduct" not in plan
