@@ -14,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import register
-from .common import t
+from .common import dec, t
 
 
 # --------------------------------------------------------------------------
@@ -528,4 +528,115 @@ def event_cooccurrence_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy(F.desc("n_users"), F.asc("type_a"), F.asc("type_b"))
         .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# rolling 7-day active users (sliding exact count-distinct)
+# --------------------------------------------------------------------------
+@register(
+    "rolling_weekly_active_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    )
+    SELECT ud.d - CAST(g.k AS INT) AS win_start,
+           ud.d - CAST(g.k AS INT) + 7 AS win_end,
+           CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+    FROM ud, LATERAL unnest(generate_series(0, 6)) AS g(k)
+    GROUP BY 1, 2
+    """,
+)
+def rolling_weekly_active_users(spark, sf_dir):
+    """Rolling 7-day active users (WAU), hopping daily — the
+    growth-dashboard headline metric, and the EXACT-distinct twin of
+    ``sliding_weekly_value``'s additive rollup: distinct users cannot
+    be summed across overlapping windows, so each (user, day) pair
+    fans out to the 7 windows containing it and the count-distinct
+    runs per window.
+
+    Plan: the event stream collapses to distinct (user, day) FIRST —
+    the 7x expansion happens on day-grain pairs, never on raw events —
+    then one aggregation with a distinct on the bounded fan-out. At
+    100 TB the same plan holds because |users|x|days| is orders of
+    magnitude below event count; the approximate path swaps the exact
+    distinct for per-window HLL sketches merged across days
+    (approx_distinct_hll certifies those error bounds).
+    """
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    return (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+            "d",
+        )
+        .select(
+            "user_id",
+            F.date_sub("d", F.col("k")).alias("win_start"),
+        )
+        .groupBy("win_start")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+        .select(
+            "win_start",
+            F.date_add("win_start", 7).alias("win_end"),
+            "wau",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# week-over-week growth rate
+# --------------------------------------------------------------------------
+@register(
+    "weekly_growth_rate",
+    oracle="""
+    WITH wk AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT week, n_events,
+           CAST(sv AS DOUBLE) AS total_value,
+           CAST(LAG(sv) OVER (ORDER BY week) AS DOUBLE) AS prev_value,
+           CAST(sv - LAG(sv) OVER (ORDER BY week) AS DOUBLE)
+               / CAST(LAG(sv) OVER (ORDER BY week) AS DOUBLE) AS wow_growth
+    FROM wk
+    """,
+)
+def weekly_growth_rate(spark, sf_dir):
+    """Week-over-week growth of total event value — the trend line
+    beside the WAU level metric. The delta is computed in DECIMAL
+    (exact subtraction of exact sums) and only the final growth ratio
+    is a double division, so the value is bit-identical in both
+    engines; the first week's growth is NULL by lag semantics.
+
+    ISO weeks via ``date_trunc('week')`` — Monday start in Spark and
+    DuckDB alike (same convention cohort_retention relies on). The
+    ordering window runs over one row per week — single-partition by
+    construction and trivially safe at any scale (a century is ~5,200
+    rows).
+    """
+    e = t(spark, sf_dir, "events")
+    wk = e.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week")
+    ).agg(
+        F.sum(dec("value", 18, 6)).alias("sv"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("sv").over(w)
+    return wk.select(
+        "week",
+        "n_events",
+        F.col("sv").cast("double").alias("total_value"),
+        prev.cast("double").alias("prev_value"),
+        ((F.col("sv") - prev).cast("double") / prev.cast("double")).alias(
+            "wow_growth"
+        ),
     )

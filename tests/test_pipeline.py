@@ -480,3 +480,47 @@ def test_orc_and_csv_roundtrip_parity(spark, tmp_path):
     assert sorted(map(tuple, back_csv.collect())) == sorted(
         map(tuple, csv_src.collect())
     )
+
+
+def test_jsonl_roundtrip_parity(spark, tmp_path):
+    # Fourth storage format: newline-delimited JSON — the landing
+    # format most external feeds arrive in. Write with explicit
+    # timestamp formatting, read back with an EXPLICIT schema (no
+    # inference in production paths — inference samples the data and
+    # can flip types between runs). Byte-exact value parity.
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+        .limit(100)
+        .withColumn(
+            "o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+        )
+    )
+    jdir = str(tmp_path / "jsonl")
+    src.write.mode("overwrite").json(jdir)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string"
+    ).json(jdir)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+    # corrupt-record tolerance: a malformed line lands in the
+    # _corrupt_record column under PERMISSIVE (default), instead of
+    # failing the batch — the quality-gate behavior the reference's
+    # row-level null-parse filter implements for TLE triples
+    bad = tmp_path / "jsonl" / "bad.json"
+    bad.write_text('{"o_orderkey": "not-a-number}\n')
+    # (.cache() required: Spark disallows queries that reference ONLY
+    # the internal corrupt-record column of a raw JSON scan)
+    tolerant = (
+        spark.read.schema("o_orderkey bigint, _corrupt_record string")
+        .json(jdir)
+        .cache()
+    )
+    n_bad = tolerant.where(F.col("_corrupt_record").isNotNull()).count()
+    tolerant.unpersist()
+    assert n_bad == 1
