@@ -54,6 +54,11 @@ QUERIES = (
     "tpch_q8_market_share",   # 8-relation join graph, 1 fact-fact shuffle
     "tpch_q21_waiting_suppliers",  # double correlation via per-order counts
     "vocab_oov_rate",         # explode + df agg + broadcast vocab
+    # round-5 shapes
+    "duplicate_ngram_spans",        # gram equi-join (span-dup, not all-pairs)
+    "item_cooccurrence_cosine",     # capped self-join via persisted pairs
+    "token_vote_classifier",        # 2-scan train+infer, broadcast champion
+    "rolling_weekly_active_users",  # 7x day-grain fan-out + count-distinct
 )
 
 
