@@ -751,3 +751,100 @@ def equidepth_histogram(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch with overcount-invariant gate
+# --------------------------------------------------------------------------
+@register(
+    "countmin_heavy_hitters",
+    oracle="""
+    WITH u AS (
+        SELECT CAST(user_id AS VARCHAR) AS ukey, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    keyed AS (
+        SELECT u.ukey, u.n, g.i,
+               CAST(('0x' || substr(md5(g.i || ':' || u.ukey), 1, 15))
+                    AS BIGINT) % 256 AS bucket
+        FROM u, LATERAL unnest([1, 2, 3]) AS g(i)
+    ),
+    counters AS (
+        SELECT i, bucket, SUM(n) AS cnt FROM keyed GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT k.ukey, MIN(c.cnt) AS cm_est
+        FROM keyed k JOIN counters c ON k.i = c.i AND k.bucket = c.bucket
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT u.ukey, u.n, e.cm_est,
+               ROW_NUMBER() OVER (ORDER BY u.n DESC, u.ukey) AS rn
+        FROM u JOIN est e ON u.ukey = e.ukey
+    )
+    SELECT ukey AS user_key, CAST(n AS BIGINT) AS exact_n,
+           CAST(cm_est AS BIGINT) AS cm_estimate,
+           cm_est >= n AS never_undercounts
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def countmin_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch (d=3 rows x w=256 counters) over per-user event
+    counts, reported for the exact top-20 heavy hitters beside their
+    exact counts — the fixed-size frequency sketch whose counter matrix
+    is MERGEABLE (cell-wise sum) across partitions, batches, and days,
+    which is what makes it the streaming/distributed answer to "top
+    talkers" when exact per-key state would be unbounded.
+
+    Hash rows use the engines' shared md5-prefix integer hash (same
+    idiom as the native MinHash), so the sketch is bit-identical in
+    Spark and DuckDB and sits fully under the value gate. The
+    deterministic CM property — estimates NEVER undercount (a key's
+    cell contains its own count plus nonnegative collision mass) — is
+    emitted as a per-row ``never_undercounts`` gate and asserted TRUE
+    in ``tests/test_plans.py::test_countmin_never_undercounts``; the
+    probabilistic eps-N error bound is a distributional claim and is
+    deliberately NOT asserted row-wise.
+
+    Scale shape: the sketch is built from the per-key rollup (one
+    shuffle); the counter matrix is d*w = 768 rows — broadcast
+    everywhere it is consumed; top-k ranks a 1-row-per-key aggregate
+    with a total order.
+    """
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy(
+        F.col("user_id").cast("string").alias("ukey")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    keyed = u.select(
+        "ukey",
+        "n",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("i"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("i"), F.col("ukey"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 256,
+    )
+    counters = keyed.groupBy("i", "bucket").agg(F.sum("n").alias("cnt"))
+    est = (
+        keyed.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("ukey")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("ukey").asc())
+    return (
+        u.join(est, "ukey")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select(
+            F.col("ukey").alias("user_key"),
+            F.col("n").cast("bigint").alias("exact_n"),
+            F.col("cm_est").cast("bigint").alias("cm_estimate"),
+            (F.col("cm_est") >= F.col("n")).alias("never_undercounts"),
+        )
+    )

@@ -376,3 +376,37 @@ def test_sorted_neighborhood_no_product_join(spark):
 def test_bfs3_stays_equi_join(spark):
     plan = _plan(spark, "dup_graph_bfs3")
     assert "CartesianProduct" not in plan
+
+
+def test_countmin_never_undercounts(spark):
+    # the deterministic CM property: every estimate >= the exact count
+    df = plans.all_queries()["countmin_heavy_hitters"](spark, SF_DIR)
+    bad = df.where(~df.never_undercounts).count()
+    assert bad == 0
+
+
+def test_qgram_prefix_filter_complete(spark):
+    # the prefix-filtering guarantee: the blocked join finds EVERY pair
+    # the quadratic baseline finds (no false negatives) — verified
+    # against brute force at sf0.001
+    from pyspark.sql import functions as F
+
+    from celestrak_tle_data_pipeline_spark.sources.tables import load_table
+
+    got = (
+        plans.all_queries()["qgram_prefix_filter_pairs"](spark, SF_DIR)
+        .select("key1", "key2")
+        .collect()
+    )
+    p = load_table(spark, SF_DIR, "part").select("p_partkey", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    want = (
+        a.join(b, F.col("a.p_name") < F.col("b.p_name"))
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        .select(
+            F.col("a.p_partkey").alias("key1"),
+            F.col("b.p_partkey").alias("key2"),
+        )
+        .collect()
+    )
+    assert set(map(tuple, got)) == set(map(tuple, want))

@@ -26,7 +26,10 @@ DEFAULT = [
     "tle_decay_flagship", "pricing_summary", "top_revenue_orders",
     "region_revenue", "antijoin_composite_key", "session_windows",
     "exact_dup_groups", "simhash_near_dup", "cosine_topk_exact",
-    "ann_ivf_topk", "token_jaccard_pairs", "tfidf_top_terms",
+    "ann_ivf_topk", "ngram_shingle_jaccard", "tfidf_top_terms",
+    # round-5 shapes
+    "duplicate_ngram_spans", "item_cooccurrence_cosine",
+    "token_vote_classifier", "rolling_weekly_active_users",
 ]
 
 
