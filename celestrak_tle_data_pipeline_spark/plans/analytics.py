@@ -640,3 +640,144 @@ def weekly_growth_rate(spark, sf_dir):
             "wow_growth"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# first/last-touch marketing attribution
+# --------------------------------------------------------------------------
+@register(
+    "attribution_first_last_touch",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               FIRST_VALUE(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS first_touch,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_touch
+        FROM events
+    )
+    SELECT first_touch, last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS attributed_value
+    FROM e
+    WHERE event_type = 'purchase'
+      AND first_touch IS NOT NULL AND last_touch IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def attribution_first_last_touch(spark, sf_dir):
+    """First-touch / last-touch purchase attribution: every purchase is
+    credited to the earliest and the most recent non-purchase
+    interaction that PRECEDES it in the user's (ts, event_id)-ordered
+    stream — the two classic single-touch marketing attribution models,
+    reported as a (first_touch, last_touch) matrix with purchase counts
+    and exact-decimal attributed value.
+
+    Both touches come from ONE window pass (first/last with
+    ignorenulls over the strictly-preceding frame), so the plan is a
+    single scan + one user-keyed window shuffle — no self-join against
+    the interaction history, which is the naive formulation that
+    re-shuffles the event stream per touch model. Purchases with no
+    preceding interaction drop out (both engines).
+    """
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    enriched = e.select(
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return (
+        enriched.where(
+            (F.col("event_type") == "purchase")
+            & F.col("first_touch").isNotNull()
+            & F.col("last_touch").isNotNull()
+        )
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(dec("value", 18, 6))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# share-of-parent contribution rollup
+# --------------------------------------------------------------------------
+@register(
+    "share_of_parent_rollup",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS nrev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(nrev AS DOUBLE) AS nation_rev,
+           CAST(SUM(nrev) OVER (PARTITION BY region) AS DOUBLE)
+               AS region_rev,
+           CAST(nrev AS DOUBLE)
+               / CAST(SUM(nrev) OVER (PARTITION BY region) AS DOUBLE)
+               AS share_of_region
+    FROM rev
+    """,
+)
+def share_of_parent_rollup(spark, sf_dir):
+    """Share-of-parent contribution: each nation's revenue as a
+    fraction of its region's total — the drill-down decoration every
+    OLAP hierarchy view carries (percent-of-parent), computed WITHOUT a
+    second aggregation-and-rejoin: the parent total rides a window over
+    the child rollup rows.
+
+    Revenue sums are exact decimals at every level (the region total
+    is a window SUM over already-exact nation decimals, so child/parent
+    are consistent by construction — no double-rounding drift between
+    levels); the share is the single terminal division. Plan: fact
+    scans once, dims broadcast, one aggregation shuffle to nation
+    grain, one 25-row window.
+    """
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(dec("o_totalprice", 18, 4)).alias("nrev"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        F.col("nrev").cast("double").alias("nation_rev"),
+        F.sum("nrev").over(w).cast("double").alias("region_rev"),
+        (
+            F.col("nrev").cast("double")
+            / F.sum("nrev").over(w).cast("double")
+        ).alias("share_of_region"),
+    )
