@@ -68,8 +68,12 @@ _MODULES = (
 # gap_fill_daily_user, distinct_part_counts, mad_outlier_filter,
 # approx_topk_events, histogram_order_totals, embedding_label_stats,
 # per_group_quality_filter, repetition_profile + the round-5 bonus ops
-# (dedup_best_quality_survivor, dup_graph_bfs3,
-# sorted_neighborhood_pairs, equidepth_histogram).
+# registered after the window (dedup_best_quality_survivor,
+# dup_graph_bfs3, sorted_neighborhood_pairs, equidepth_histogram,
+# rolling_weekly_active_users, weekly_growth_rate,
+# countmin_heavy_hitters, qgram_prefix_filter_pairs,
+# attribution_first_last_touch, share_of_parent_rollup,
+# rolling_weekly_median, cohort_cumulative_ltv).
 _PRIORITY = (
     # SQL surface / relational extensions
     "sql_parameterized_top_orders",

@@ -781,3 +781,152 @@ def share_of_parent_rollup(spark, sf_dir):
             / F.sum("nrev").over(w).cast("double")
         ).alias("share_of_region"),
     )
+
+
+# --------------------------------------------------------------------------
+# rolling weekly exact median
+# --------------------------------------------------------------------------
+@register(
+    "rolling_weekly_median",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS dv
+        FROM events GROUP BY 1
+    )
+    SELECT daily.d - CAST(g.k AS INT) AS win_start,
+           daily.d - CAST(g.k AS INT) + 7 AS win_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           median(dv) AS median_daily_value
+    FROM daily, LATERAL unnest(generate_series(0, 6)) AS g(k)
+    GROUP BY 1, 2
+    """,
+)
+def rolling_weekly_median(spark, sf_dir):
+    """Exact rolling 7-day median of daily value — the robust-center
+    twin of ``sliding_weekly_value``'s additive total. Medians are not
+    mergeable across overlapping windows, so (like the WAU
+    count-distinct) each day fans out to the 7 hopping windows
+    containing it and an exact ``percentile(0.5)`` runs per window over
+    at most 7 day-grain values.
+
+    Inputs to the median are exact (decimal day sums cast once to
+    double), and Spark's ``percentile`` uses the same linear
+    interpolation as DuckDB's ``median``/``quantile_cont`` (the
+    equivalence ``percentile_quartiles`` already certifies), so the
+    midpoint average of two exact doubles is bit-stable. Plan: one
+    event->day shuffle, then a 7x fan-out on day-grain rows only.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.sum(dec("value", 18, 6)).cast("double").alias("dv"))
+    return (
+        daily.select(
+            "dv", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "d"
+        )
+        .select("dv", F.date_sub("d", F.col("k")).alias("win_start"))
+        .groupBy("win_start")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.expr("percentile(dv, 0.5d)").alias("median_daily_value"),
+        )
+        .select(
+            "win_start",
+            F.date_add("win_start", 7).alias("win_end"),
+            "n_days",
+            "median_daily_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# cohort cumulative LTV curve
+# --------------------------------------------------------------------------
+@register(
+    "cohort_cumulative_ltv",
+    oracle="""
+    WITH uw AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+               SUM(CAST(value AS DECIMAL(18,6))) AS rev
+        FROM events GROUP BY 1, 2
+    ),
+    coh AS (
+        SELECT user_id, wk, rev,
+               MIN(wk) OVER (PARTITION BY user_id) AS cohort_wk
+        FROM uw
+    ),
+    mat AS (
+        SELECT cohort_wk,
+               CAST((wk - cohort_wk) // 7 AS BIGINT) AS week_offset,
+               SUM(rev) AS wk_rev,
+               COUNT(DISTINCT user_id) AS n_active
+        FROM coh GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_wk, week_offset, n_active,
+               SUM(wk_rev) OVER (
+                   PARTITION BY cohort_wk ORDER BY week_offset
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_rev,
+               MAX(CASE WHEN week_offset = 0 THEN n_active END) OVER (
+                   PARTITION BY cohort_wk
+               ) AS cohort_n
+        FROM mat
+    )
+    SELECT cohort_wk, week_offset,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(cohort_n AS BIGINT) AS cohort_n,
+           CAST(cum_rev AS DOUBLE) AS cum_revenue,
+           CAST(cum_rev AS DOUBLE) / CAST(cohort_n AS DOUBLE)
+               AS ltv_per_user
+    FROM cum
+    """,
+)
+def cohort_cumulative_ltv(spark, sf_dir):
+    """Cumulative lifetime-value curve per weekly cohort: for each
+    cohort and week offset, total revenue accumulated since the cohort
+    week divided by cohort size — the payback-period view grafted onto
+    the retention triangle (``cohort_retention``).
+
+    Revenue stays DECIMAL through the per-week rollup AND the running
+    cumulative (exact at every prefix; only the per-user ratio at the
+    end is a double division). Cohort size needs no extra scan: every
+    user is active at offset 0, so the offset-0 row carries it, read
+    back with a window over the tiny matrix — same trick as the
+    retention query. Plan: one event->user-week shuffle, a user window,
+    the matrix aggregation, then windows over matrix-grain rows.
+    """
+    e = t(spark, sf_dir, "events")
+    uw = e.groupBy(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).agg(F.sum(dec("value", 18, 6)).alias("rev"))
+    coh = uw.withColumn(
+        "cohort_wk", F.min("wk").over(Window.partitionBy("user_id"))
+    )
+    mat = coh.groupBy(
+        "cohort_wk",
+        (F.datediff("wk", "cohort_wk") / 7).cast("bigint").alias(
+            "week_offset"
+        ),
+    ).agg(
+        F.sum("rev").alias("wk_rev"),
+        F.count_distinct("user_id").alias("n_active"),
+    )
+    wc = Window.partitionBy("cohort_wk")
+    wcum = wc.orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = mat.select(
+        "cohort_wk",
+        "week_offset",
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.max(
+            F.when(F.col("week_offset") == 0, F.col("n_active"))
+        ).over(wc).cast("bigint").alias("cohort_n"),
+        F.sum("wk_rev").over(wcum).cast("double").alias("cum_revenue"),
+    )
+    return cum.withColumn(
+        "ltv_per_user",
+        F.col("cum_revenue") / F.col("cohort_n").cast("double"),
+    )
