@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 from ..operators.multimodal import (
     decode_assets,
     decode_ppm_assets,
+    decode_wav_assets,
     sample_frames,
 )
 from . import register
@@ -310,3 +311,80 @@ def multimodal_ppm_decode(spark, sf_dir):
         F.col("doc_id").alias("asset_id"), payload.alias("payload")
     )
     return decode_ppm_assets(assets)
+
+
+# --------------------------------------------------------------------------
+# X4, REAL codec tier #2: RIFF/WAVE PCM audio
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH au AS (
+        SELECT doc_id AS asset_id,
+               32 + doc_id % 60 AS ns,
+               text,
+               length(text) AS n
+        FROM documents
+    )
+    SELECT asset_id,
+           CAST(ns AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(list_sum(list_transform(range(0, ns),
+                j -> ascii(text[(j % n) + 1]))) AS BIGINT) AS sum_amp,
+           CAST(list_max(list_transform(range(0, ns),
+                j -> ascii(text[(j % n) + 1]))) AS BIGINT) AS peak,
+           CAST(list_min(list_transform(range(0, ns),
+                j -> ascii(text[(j % n) + 1]))) AS BIGINT) AS trough
+    FROM au
+    """,
+)
+def multimodal_wav_decode(spark, sf_dir):
+    """X4, REAL codec tier #2: RIFF/WAVE PCM audio decoded by the
+    production struct+numpy kernel (little-endian header unpack →
+    validation → frombuffer → exact amplitude stats;
+    operators/multimodal.py:decode_wav_assets) — the audio twin of the
+    P6 PPM image path, with no stub anywhere and every output under
+    the DuckDB gate.
+
+    The payloads are synthesized in pure Catalyst expressions: a
+    canonical 44-byte mono 8-bit 8 kHz WAV header (every multi-byte
+    little-endian field chosen so each byte stays < 0x80 — ``char()``
+    emits single-byte UTF-8, so the string cast IS the byte buffer)
+    followed by 32 + id%60 PCM samples taken from the doc's ASCII text
+    cycled. The oracle never sees the binary: it recomputes
+    sum/peak/trough arithmetically from the text, so the two engines
+    reach the same bigints through completely independent paths
+    (bytes → struct/numpy vs chars → list folds). The parsed
+    ``sample_rate`` column proves the header fields really travel
+    through the binary format.
+
+    Scale shape: synthesis and decode are one narrow Arrow pass over
+    the documents scan; payloads never shuffle; skinny scalar output.
+    """
+    d = t(spark, sf_dir, "documents")
+    ns = (F.lit(32) + F.col("doc_id") % 60).cast("int")
+    chunk = (F.lit(36) + ns).cast("int")
+
+    def ch(x):
+        col = F.lit(x) if isinstance(x, int) else x
+        return F.char(col)
+
+    header = F.concat(
+        F.lit("RIFF"), ch(chunk), ch(0), ch(0), ch(0),
+        F.lit("WAVE"),
+        F.lit("fmt "), ch(16), ch(0), ch(0), ch(0),
+        ch(1), ch(0),                       # audio_format = 1 (PCM)
+        ch(1), ch(0),                       # mono
+        ch(64), ch(31), ch(0), ch(0),       # sample_rate 8000 = 0x1F40 LE
+        ch(64), ch(31), ch(0), ch(0),       # byte_rate = 8000 (mono 8-bit)
+        ch(1), ch(0),                       # block_align
+        ch(8), ch(0),                       # bits_per_sample
+        F.lit("data"), ch(ns), ch(0), ch(0), ch(0),
+    )
+    reps = F.ceil(ns / F.length("text")).cast("int")
+    body = F.substring(F.repeat(F.col("text"), reps), 1, ns)
+    payload = F.concat(header, body).cast("binary")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("payload")
+    )
+    return decode_wav_assets(assets)

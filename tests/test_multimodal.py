@@ -115,3 +115,39 @@ def test_ppm_decoder_drops_malformed_payloads(spark):
     r = out[1]
     assert (r.width, r.height, r.n_px) == (2, 1, 2)
     assert (r.sum_r, r.sum_g, r.sum_b) == (10 + 40, 20 + 50, 30 + 60)
+
+
+def test_wav_decoder_drops_malformed_payloads(spark):
+    # real-codec policy for the audio tier: bad magic / non-PCM /
+    # stereo / truncated data are dropped; a well-formed mono 8-bit
+    # file parses header fields and exact amplitude stats
+    import struct
+
+    from celestrak_tle_data_pipeline_spark.operators.multimodal import (
+        decode_wav_assets,
+    )
+
+    def wav(samples, afmt=1, n_ch=1, bits=8, data_sz=None):
+        data = bytes(samples)
+        ds = len(data) if data_sz is None else data_sz
+        return (
+            b"RIFF" + struct.pack("<I", 36 + ds) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, afmt, n_ch, 8000,
+                                    8000 * n_ch * bits // 8,
+                                    n_ch * bits // 8, bits)
+            + b"data" + struct.pack("<I", ds) + data
+        )
+
+    rows = [
+        (1, bytearray(wav([100, 200, 50]))),
+        (2, bytearray(b"OggS not a wav")),
+        (3, bytearray(wav([1, 2, 3], afmt=3))),        # float, not PCM
+        (4, bytearray(wav([1, 2, 3], n_ch=2))),        # stereo
+        (5, bytearray(wav([1, 2], data_sz=100))),      # truncated
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {r.asset_id: r for r in decode_wav_assets(df).collect()}
+    assert list(out) == [1]
+    r = out[1]
+    assert (r.n_samples, r.sample_rate) == (3, 8000)
+    assert (r.sum_amp, r.peak, r.trough) == (350, 200, 50)
