@@ -332,3 +332,95 @@ def decode_wav_assets(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(kernel, WAV_SCHEMA)
+
+
+Y4M_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("sum_y", T.LongType()),
+        T.StructField("sum_u", T.LongType()),
+        T.StructField("sum_v", T.LongType()),
+    ]
+)
+
+
+def demux_y4m_assets(assets: DataFrame) -> DataFrame:
+    """REAL video demuxing (not a stub): binary YUV4MPEG2 (.y4m)
+    streams → one row PER FRAME with exact per-plane sums, via numpy in
+    an Arrow-batched ``mapInPandas`` kernel — the video member of the
+    real-codec trio (P6 image, WAV audio, Y4M video), and the
+    one-to-many expansion the frame-sampling stub only simulates.
+
+    Y4M is the uncompressed interchange format ffmpeg/mplayer speak: an
+    ASCII stream header ``YUV4MPEG2 W<w> H<h> F25:1 C444\\n`` followed
+    by repeated ``FRAME\\n`` markers each carrying w*h*3 plane bytes
+    (Y, then U, then V at C444). The kernel parses the header tags,
+    walks the frame markers, bounds-checks every frame body, and sums
+    each plane exactly (int64). Malformed streams (bad magic, missing
+    W/H tags, non-C444 color, torn FRAME marker, truncated body) are
+    dropped whole — corrupt-asset policy at the asset grain.
+
+    Scale: one narrow Arrow pass; payloads never shuffle; output is
+    skinny scalars, one row per frame.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "frame_idx", "width", "height",
+                "sum_y", "sum_u", "sum_v",
+            )}
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                buf = bytes(buf)
+                if not buf.startswith(b"YUV4MPEG2 "):
+                    continue
+                try:
+                    hdr_end = buf.index(b"\n")
+                except ValueError:
+                    continue
+                w = h = None
+                c444 = False
+                for tag in buf[10:hdr_end].split():
+                    if tag[:1] == b"W":
+                        w = int(tag[1:])
+                    elif tag[:1] == b"H":
+                        h = int(tag[1:])
+                    elif tag[:1] == b"C":
+                        c444 = tag[1:] == b"444"
+                if not w or not h or w <= 0 or h <= 0 or not c444:
+                    continue
+                wh = w * h
+                pos = hdr_end + 1
+                frames = []
+                ok = True
+                while pos < len(buf):
+                    if buf[pos:pos + 6] != b"FRAME\n":
+                        ok = False
+                        break
+                    pos += 6
+                    if pos + 3 * wh > len(buf):
+                        ok = False  # truncated frame body
+                        break
+                    planes = np.frombuffer(
+                        buf, np.uint8, offset=pos, count=3 * wh
+                    ).reshape(3, wh)
+                    frames.append(planes.sum(axis=1, dtype=np.int64))
+                    pos += 3 * wh
+                if not ok:
+                    continue
+                for idx, sums in enumerate(frames):
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_y"].append(int(sums[0]))
+                    out["sum_u"].append(int(sums[1]))
+                    out["sum_v"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(kernel, Y4M_SCHEMA)

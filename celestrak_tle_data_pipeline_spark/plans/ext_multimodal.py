@@ -24,6 +24,7 @@ from ..operators.multimodal import (
     decode_assets,
     decode_ppm_assets,
     decode_wav_assets,
+    demux_y4m_assets,
     sample_frames,
 )
 from . import register
@@ -388,3 +389,95 @@ def multimodal_wav_decode(spark, sf_dir):
         F.col("doc_id").alias("asset_id"), payload.alias("payload")
     )
     return decode_wav_assets(assets)
+
+
+# --------------------------------------------------------------------------
+# X4, REAL codec tier #3: YUV4MPEG2 video demux (one row per frame)
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_y4m_frames",
+    oracle="""
+    WITH vid AS (
+        SELECT doc_id AS asset_id,
+               2 + doc_id % 3 AS w,
+               2 + doc_id % 2 AS h,
+               2 + doc_id % 3 AS nf,
+               text,
+               length(text) AS n
+        FROM documents
+    ),
+    fr AS (
+        SELECT asset_id, w, h, n, text,
+               UNNEST(range(0, nf)) AS f
+        FROM vid
+    )
+    SELECT asset_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(list_sum(list_transform(range(0, w * h),
+                j -> ascii(text[((f * 3 * w * h + j) % n) + 1])))
+               AS BIGINT) AS sum_y,
+           CAST(list_sum(list_transform(range(0, w * h),
+                j -> ascii(text[((f * 3 * w * h + w * h + j) % n) + 1])))
+               AS BIGINT) AS sum_u,
+           CAST(list_sum(list_transform(range(0, w * h),
+                j -> ascii(text[((f * 3 * w * h + 2 * w * h + j) % n) + 1])))
+               AS BIGINT) AS sum_v
+    FROM fr
+    """,
+)
+def multimodal_y4m_frames(spark, sf_dir):
+    """X4, REAL codec tier #3: YUV4MPEG2 video streams demuxed by the
+    production numpy kernel (header-tag parse → FRAME-marker walk →
+    per-plane exact sums, one output row per frame;
+    operators/multimodal.py:demux_y4m_assets). Completes the real-codec
+    trio — P6 image, WAV audio, Y4M video — with the one-to-many
+    frame expansion the earlier sampling stub only simulated, and
+    every value under the DuckDB gate.
+
+    Streams are synthesized in pure Catalyst: per doc a w x h C444
+    clip of nf = 2 + id%3 frames; frame f's 3*w*h plane bytes are the
+    doc's ASCII text cycled starting at absolute offset f*3*w*h, each
+    frame prefixed with the literal ``FRAME\\n`` marker behind a real
+    ``YUV4MPEG2 W.. H.. F25:1 C444`` header. The oracle never sees the
+    binary: it recomputes every plane sum arithmetically from the text
+    with the same modular offsets — independent paths, identical
+    bigints.
+
+    Scale shape: synthesis and demux are one narrow Arrow pass over the
+    documents scan; payloads never shuffle; output is one skinny row
+    per frame.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = (F.lit(2) + F.col("doc_id") % 3).cast("int")
+    h = (F.lit(2) + F.col("doc_id") % 2).cast("int")
+    nf = (F.lit(2) + F.col("doc_id") % 3).cast("int")
+    wh3 = (w * h * 3).cast("int")
+    total = (nf * wh3).cast("int")
+    reps = F.ceil(total / F.length("text")).cast("int")
+    staged = d.select(
+        F.col("doc_id").alias("asset_id"),
+        w.alias("w"),
+        h.alias("h"),
+        nf.alias("nf"),
+        wh3.alias("wh3"),
+        F.substring(F.repeat(F.col("text"), reps), 1, total).alias("cycled"),
+    )
+    assets = staged.select(
+        "asset_id",
+        F.concat(
+            F.format_string(
+                "YUV4MPEG2 W%d H%d F25:1 C444\n", F.col("w"), F.col("h")
+            ),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(0, nf - 1),"
+                    " f -> concat('FRAME\n',"
+                    "             substring(cycled, f * wh3 + 1, wh3)))"
+                ),
+                "",
+            ),
+        ).cast("binary").alias("payload"),
+    )
+    return demux_y4m_assets(assets)

@@ -151,3 +151,37 @@ def test_wav_decoder_drops_malformed_payloads(spark):
     r = out[1]
     assert (r.n_samples, r.sample_rate) == (3, 8000)
     assert (r.sum_amp, r.peak, r.trough) == (350, 200, 50)
+
+
+def test_y4m_demuxer_drops_malformed_streams(spark):
+    # video-tier corrupt-asset policy: bad magic / non-C444 / torn
+    # FRAME marker / truncated body drop the WHOLE asset; a well-formed
+    # 2-frame clip demuxes to one row per frame with exact plane sums
+    from celestrak_tle_data_pipeline_spark.operators.multimodal import (
+        demux_y4m_assets,
+    )
+
+    wh = 2 * 2
+    f0 = bytes(range(1, 13))            # planes sum: Y=1+2+3+4 etc.
+    f1 = bytes(range(13, 25))
+    good = (
+        b"YUV4MPEG2 W2 H2 F25:1 C444\n"
+        + b"FRAME\n" + f0 + b"FRAME\n" + f1
+    )
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"RIFF not a y4m")),
+        (3, bytearray(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + f0)),
+        (4, bytearray(b"YUV4MPEG2 W2 H2 F25:1 C444\nFRAMX\n" + f0)),
+        (5, bytearray(b"YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n" + f0[:5])),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = demux_y4m_assets(df).collect()
+    assert sorted({r.asset_id for r in out}) == [1]
+    frames = {r.frame_idx: r for r in out}
+    assert sorted(frames) == [0, 1]
+    assert (frames[0].sum_y, frames[0].sum_u, frames[0].sum_v) == (
+        sum(range(1, 5)), sum(range(5, 9)), sum(range(9, 13))
+    )
+    assert frames[1].sum_y == sum(range(13, 17))
+    assert all((r.width, r.height) == (2, 2) for r in out)
