@@ -930,3 +930,93 @@ def cohort_cumulative_ltv(spark, sf_dir):
         "ltv_per_user",
         F.col("cum_revenue") / F.col("cohort_n").cast("double"),
     )
+
+
+# --------------------------------------------------------------------------
+# time-bounded funnel (conversion deadlines per stage)
+# --------------------------------------------------------------------------
+@register(
+    "funnel_time_bounded",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts > v.t_view
+          AND e.ts <= v.t_view + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_buy
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > c.t_click
+          AND e.ts <= c.t_click + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_7d,
+           (SELECT COUNT(*) FROM p) AS n_buy_7d,
+           (SELECT COUNT(*) FROM p)::DOUBLE
+               / (SELECT COUNT(*) FROM v)::DOUBLE AS bounded_conversion
+    """,
+)
+def funnel_time_bounded(spark, sf_dir):
+    """Deadline funnel: view -> click within 7 days -> purchase within
+    7 days of the click. The unbounded funnel (``funnel_conversion``)
+    overcounts conversions that took months; product teams report the
+    time-boxed variant, and the deadline is what lets a STREAMING
+    funnel expire its state (the watermark horizon = the stage
+    deadline — this batch query is that streaming job's exact twin).
+
+    Same single-scan shape as the unbounded funnel: one pushed
+    event-type filter, one user_id shuffle, chained window minima whose
+    stage predicates add the upper bound (integer-microsecond interval
+    arithmetic, identical in both engines), then a per-user collapse
+    and singleton summary.
+    """
+    stages = ("view", "click", "purchase")
+    e = t(spark, sf_dir, "events").where(F.col("event_type").isin(*stages))
+    w = Window.partitionBy("user_id")
+    bound = F.expr("INTERVAL 7 DAYS")
+    with_view = e.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    with_click = with_view.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t_view"))
+                & (F.col("ts") <= F.col("t_view") + bound),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    with_buy = with_click.withColumn(
+        "t_buy",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click"))
+                & (F.col("ts") <= F.col("t_click") + bound),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = with_buy.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_buy").alias("t_buy"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_7d"),
+        F.count("t_buy").alias("n_buy_7d"),
+        (
+            F.count("t_buy").cast("double") / F.count("t_view").cast("double")
+        ).alias("bounded_conversion"),
+    )

@@ -612,3 +612,63 @@ def zorder_morton_layout(spark, sf_dir):
             & (F.col("max_y") - F.col("min_y") <= 15),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity risk audit
+# --------------------------------------------------------------------------
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH q AS (
+        SELECT c_mktsegment,
+               c_nationkey,
+               length(c_name) AS name_len,
+               COUNT(*) AS grp_n
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_groups,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+               AS n_risky_rows,
+           CAST(MIN(grp_n) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(grp_n) AS DOUBLE) AS risky_row_frac
+    FROM q GROUP BY 1
+    """,
+)
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity release audit (k=5): rows whose quasi-identifier
+    combination (market segment, nation, name length — the classic
+    linkage-attack columns) lands in a group smaller than k are
+    re-identifiable by joining public attributes; this reports, per
+    segment, how many quasi-identifier groups and rows fall below the
+    threshold and the worst (smallest) group size — the release gate a
+    privacy review runs beside the PII scrub (``pii_scrub_contacts``).
+
+    Two-level aggregation, both partial-aggregated map-side: row ->
+    quasi-identifier group (the only data-sized shuffle), then group ->
+    segment summary over group-grain rows. All counts integer-exact;
+    the risky-row fraction is the single terminal division.
+    """
+    c = t(spark, sf_dir, "customer")
+    q = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.length("c_name").alias("name_len"),
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    risky = F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0))
+    return q.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum((F.col("grp_n") < 5).cast("int"))
+        .cast("bigint")
+        .alias("n_risky_groups"),
+        risky.cast("bigint").alias("n_risky_rows"),
+        F.min("grp_n").cast("bigint").alias("min_group_size"),
+        (risky.cast("double") / F.sum("grp_n").cast("double")).alias(
+            "risky_row_frac"
+        ),
+    )
