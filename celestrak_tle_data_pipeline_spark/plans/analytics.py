@@ -1020,3 +1020,113 @@ def funnel_time_bounded(spark, sf_dir):
             F.count("t_buy").cast("double") / F.count("t_view").cast("double")
         ).alias("bounded_conversion"),
     )
+
+
+# --------------------------------------------------------------------------
+# clickstream path mining (top 3-step paths per session)
+# --------------------------------------------------------------------------
+@register(
+    "session_path_analysis",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE
+                 OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    grouped AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    seqs AS (
+        SELECT user_id, session_id,
+               list(event_type ORDER BY ts, event_id) AS seq
+        FROM grouped GROUP BY 1, 2
+    ),
+    paths AS (
+        SELECT UNNEST(CASE WHEN len(seq) >= 3 THEN
+                   list_transform(generate_series(1, len(seq) - 2),
+                                  i -> array_to_string(seq[i:i+2], '>'))
+               ELSE [] END) AS path
+        FROM seqs
+    ),
+    counted AS (
+        SELECT path, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rn
+        FROM paths GROUP BY path
+    )
+    SELECT path, CAST(n AS BIGINT) AS n_occurrences
+    FROM counted WHERE rn <= 10
+    """,
+)
+def session_path_analysis(spark, sf_dir):
+    """Clickstream path mining: the 10 most common 3-step event-type
+    sequences WITHIN a session (30-minute-gap sessionization, same rule
+    as ``session_windows``) — the "what do users actually do"
+    exploration query behind every product-flow diagram.
+
+    Each session collapses to its time-ordered event-type sequence in
+    ONE aggregation (sort_array of (ts, event_id, type) structs — the
+    shuffle-stable way to get an ordered list without a second window
+    pass), 3-gram paths explode from session-grain rows only, and the
+    path rollup + total-ordered top-10 run on the tiny path domain.
+    Paths never cross a session boundary by construction — the gram
+    window slides inside each session's sequence, which is what
+    separates this from a naive global 3-gram over the event stream.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (
+            prev.isNull()
+            | (
+                F.col("ts").cast("long") - prev.cast("long")
+                > 30 * 60
+            )
+        )
+        .cast("int")
+        .alias("new_session"),
+    )
+    grouped = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    seqs = grouped.groupBy("user_id", "session_id").agg(
+        F.expr(
+            "transform(sort_array(collect_list("
+            "  struct(ts, event_id, event_type))),"
+            " x -> x.event_type)"
+        ).alias("seq")
+    )
+    paths = seqs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(seq) >= 3 THEN "
+                "  transform(sequence(1, size(seq) - 2),"
+                "            i -> concat_ws('>', slice(seq, i, 3))) "
+                "ELSE array() END"
+            )
+        ).alias("path")
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= 10)
+        .select("path", F.col("n").cast("bigint").alias("n_occurrences"))
+    )

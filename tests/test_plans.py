@@ -410,3 +410,37 @@ def test_qgram_prefix_filter_complete(spark):
         .collect()
     )
     assert set(map(tuple, got)) == set(map(tuple, want))
+
+
+def test_parquet_aggregate_pushdown_v2(spark):
+    """MIN/MAX/COUNT over a parquet scan can resolve from footer
+    statistics without reading data pages — Spark's DSv2 aggregate
+    pushdown. Not enabled session-wide (the engine's plan pins assume
+    the v1 scan strings); this pins that the capability is one conf
+    flip away for metadata-only probes at 100 TB."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.sources.useV1SourceList": "",
+        "spark.sql.parquet.aggregatePushdown": "true",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = spark.read.parquet(f"{SF_DIR}/orders.parquet").agg(
+            F.min("o_orderkey"), F.max("o_orderkey"), F.count(F.lit(1))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan, plan[-1500:]
+        row = tuple(df.collect()[0])
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    # footer-stats answer must equal the data-page answer
+    base = tuple(
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .agg(F.min("o_orderkey"), F.max("o_orderkey"), F.count(F.lit(1)))
+        .collect()[0]
+    )
+    assert row == base and base[2] > 0
