@@ -444,3 +444,29 @@ def test_parquet_aggregate_pushdown_v2(spark):
         .collect()[0]
     )
     assert row == base and base[2] > 0
+
+
+def test_incremental_merge_pushes_both_slice_bounds(spark):
+    # history and new-batch slices must reach the scans as literal
+    # timestamp predicates (LessThan / GreaterThanOrEqual)
+    plan = _plan(spark, "incremental_agg_merge")
+    assert "LessThan(ts," in plan
+    assert "GreaterThanOrEqual(ts," in plan
+
+
+def test_attribution_is_single_scan_single_window(spark):
+    plan = _plan(spark, "attribution_first_last_touch")
+    assert plan.count("Scan parquet") == 1
+    assert _shuffles(plan) <= 2  # user window + tiny matrix agg
+
+
+def test_funnel_time_bounded_single_scan(spark):
+    plan = _plan(spark, "funnel_time_bounded")
+    assert plan.count("Scan parquet") == 1
+    assert "In(event_type" in plan  # stage filter pushed
+
+
+def test_session_path_no_product_join(spark):
+    plan = _plan(spark, "session_path_analysis")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 1
