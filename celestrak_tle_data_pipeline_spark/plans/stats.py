@@ -848,3 +848,181 @@ def countmin_heavy_hitters(spark, sf_dir):
             (F.col("cm_est") >= F.col("n")).alias("never_undercounts"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Herfindahl-Hirschman market concentration (exact squares trick)
+# --------------------------------------------------------------------------
+@register(
+    "market_concentration_hhi",
+    oracle="""
+    WITH cr AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev) AS DOUBLE) AS total_rev,
+           CAST(CAST(ROUND(SUM(rev * rev), 0) AS DECIMAL(18,0)) AS DOUBLE)
+               / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
+               AS hhi
+    FROM cr GROUP BY 1
+    """,
+)
+def market_concentration_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index of revenue across
+    customers within each market segment — the antitrust/portfolio
+    concentration metric (1/n = perfectly even, 1.0 = monopoly).
+
+    The naive form sums SQUARED SHARES — a float accumulation whose
+    result depends on partition order. This uses the algebraic
+    identity HHI = sum(r_i^2) / (sum(r_i))^2: both sums stay exact
+    DECIMAL (squares at scale (38,8) — still exact), and only the final
+    quotient touches doubles. One subtlety the value gate caught: a
+    wide DECIMAL whose scaled integer exceeds 2^53 casts to DOUBLE with
+    DOUBLE ROUNDING in DuckDB (int128 -> double, then the scale
+    divide) — off by one ulp from Spark's correctly-rounded BigDecimal
+    path. The squared sum is therefore rounded to scale 0 (a ~2e14
+    integer, exactly representable) before the cast; the relative
+    error introduced is < 1e-14 and the value is bit-identical in both
+    engines. Plan: customer-grain rollup (one shuffle of the fact),
+    then the segment summary over 1-row-per-customer partials; dim
+    broadcasts.
+    """
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cr = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.sum(dec("o_totalprice", 18, 4)).alias("rev"))
+    )
+    tot = F.sum("rev")
+    sq = (
+        F.round(F.sum(F.col("rev") * F.col("rev")), 0)
+        .cast("decimal(18,0)")
+        .cast("double")
+    )
+    return cr.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        tot.cast("double").alias("total_rev"),
+        (sq / (tot.cast("double") * tot.cast("double"))).alias("hhi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+        SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                      1, 1) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+               / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS frac
+    FROM d GROUP BY digit
+    """,
+)
+def benford_first_digit(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data screen (natural multiplicative data leads with
+    digit 1 ~30.1% of the time; uniform-ish synthetic data shows up
+    flat, which is itself the finding on this generator).
+
+    The leading digit comes from floor -> bigint -> string -> first
+    char: ``floor`` pins the truncation direction (a bare double->int
+    CAST truncates in Spark but ROUNDS in DuckDB — the kind of silent
+    cross-engine trap the value gate exists to catch), and the grand
+    total for the fraction rides an unpartitioned window over the
+    9-row digit rollup, not a second scan. One shuffle of digit keys.
+    """
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    return counts.select(
+        "digit",
+        F.col("n").cast("bigint"),
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias(
+            "frac"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto 80/20 decile analysis
+# --------------------------------------------------------------------------
+@register(
+    "pareto_decile_analysis",
+    oracle="""
+    WITH cr AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT rev, NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+        FROM cr
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev) AS DOUBLE) AS decile_rev,
+           CAST(SUM(rev) AS DOUBLE)
+               / CAST(SUM(SUM(rev)) OVER () AS DOUBLE) AS rev_share,
+           CAST(SUM(SUM(rev)) OVER (
+                    ORDER BY decile ROWS UNBOUNDED PRECEDING
+               ) AS DOUBLE)
+               / CAST(SUM(SUM(rev)) OVER () AS DOUBLE) AS cum_share
+    FROM ranked GROUP BY decile
+    """,
+)
+def pareto_decile_analysis(spark, sf_dir):
+    """Pareto (80/20) revenue concentration: customers ranked into
+    revenue deciles (total order: revenue desc, key asc — ntile
+    remainder semantics identical in both engines), each decile's
+    share and the cumulative share curve. cum_share at decile 2 ~ "the
+    top 20% of customers hold X% of revenue" — the number the 80/20
+    rule asks for.
+
+    Every sum is exact DECIMAL through both grouping levels and both
+    windows (cumulative included); shares are terminal single
+    divisions. Plan: customer rollup (the only data-sized shuffle),
+    then a 10-row decile aggregate with unpartitioned windows over it.
+    """
+    o = t(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice", 18, 4)).alias("rev")
+    )
+    wd = Window.orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
+    ranked = cr.withColumn("decile", F.ntile(10).over(wd))
+    agg = ranked.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev").alias("drev"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return agg.select(
+        "decile",
+        "n_customers",
+        F.col("drev").cast("double").alias("decile_rev"),
+        (
+            F.col("drev").cast("double")
+            / F.sum("drev").over(wall).cast("double")
+        ).alias("rev_share"),
+        (
+            F.sum("drev").over(wcum).cast("double")
+            / F.sum("drev").over(wall).cast("double")
+        ).alias("cum_share"),
+    )
