@@ -810,3 +810,162 @@ def interval_overlap_join_bucketed(spark, sf_dir):
             F.sum("p_value"), F.lit(0).cast("decimal(12,4)")
         ).cast("double").alias("purchase_value"),
     )
+
+
+# --- forward as-of join (time-to-next-event) ----------------------------------
+@register(
+    "asof_join_forward",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_event
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           p.p_event AS next_purchase_event,
+           datediff('day', c.ts, p.p_ts) AS days_until
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.p_ts >= c.ts
+    """,
+)
+def asof_join_forward(spark, sf_dir):
+    """FORWARD as-of join (pandas ``merge_asof(direction='forward')``):
+    each click takes the user's EARLIEST purchase at-or-after it — the
+    time-to-conversion join, the mirror of the backward variant that
+    answers "how long after each touch did the purchase land".
+
+    Same one-shuffle union-tag composition as the backward as-of, with
+    the window frame flipped: first-non-null over
+    (currentRow, unboundedFollowing), ordered so that a purchase at
+    the exact click timestamp sorts after the click row and is
+    therefore eligible (inclusive >= bound, matching DuckDB's ASOF).
+    Unmatched clicks survive with NULLs (left semantics). No range
+    explosion, no join — the event stream shuffles once on user_id.
+    """
+    e = t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event"),
+        F.lit(None).cast("long").alias("c_event"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("long").alias("p_event"),
+        F.col("event_id").alias("c_event"),
+    )
+    unioned = clicks.withColumn("side", F.lit(0)).unionByName(
+        purchases.withColumn("side", F.lit(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ev_ts", "side", "p_event")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        unioned.select(
+            "user_id",
+            "ev_ts",
+            "c_event",
+            F.first("p_event", ignorenulls=True).over(w).alias(
+                "next_purchase_event"
+            ),
+            F.first("p_ts", ignorenulls=True).over(w).alias("m_ts"),
+        )
+        .where(F.col("c_event").isNotNull())
+        .select(
+            F.col("c_event").alias("event_id"),
+            "user_id",
+            "next_purchase_event",
+            F.datediff(F.col("m_ts"), F.col("ev_ts")).alias("days_until"),
+        )
+    )
+
+
+# --- event-time lateness audit (watermark design aid) -------------------------
+@register(
+    "event_lateness_audit",
+    oracle="""
+    WITH arr AS (
+        SELECT user_id, ts,
+               MAX(ts) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS high_water
+        FROM events
+    ),
+    late AS (
+        SELECT CAST(date_diff('second', ts, high_water) AS BIGINT) AS late_s
+        FROM arr
+    )
+    SELECT CASE WHEN late_s = 0 THEN 0
+                WHEN late_s <= 60 THEN 1
+                WHEN late_s <= 3600 THEN 2
+                WHEN late_s <= 86400 THEN 3
+                ELSE 4 END AS lateness_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(late_s) AS BIGINT) AS max_late_s,
+           CAST(COUNT(*) AS DOUBLE)
+               / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS frac
+    FROM late GROUP BY 1
+    """,
+)
+def event_lateness_audit(spark, sf_dir):
+    """Event-time lateness audit — the measurement that DESIGNS a
+    watermark instead of guessing one: treating event_id as arrival
+    order, each event's lateness is the per-user high-water mark (the
+    running max event time at its arrival) minus its own event time.
+    The bucketed histogram (on-time / <=1 min / <=1 h / <=1 day /
+    worse) with the max observed lateness tells you exactly what
+    fraction of data a candidate ``withWatermark`` horizon would drop —
+    the batch twin of the tradeoff every streaming job in
+    streaming/windowed.py makes.
+
+    Integer-second arithmetic throughout; the running max is one
+    user-keyed window in arrival order (at 100 TB arrival order is the
+    ingest file/offset order — same window, same shape); the rollup is
+    at most 5 bucket rows and the fraction denominator rides a window
+    over them. On the driver's generator, event_id order IS timestamp
+    order, so everything lands in bucket 0 with max_late_s = 0 — that
+    degenerate histogram is itself the audit's (gated) finding: this
+    feed needs no lateness allowance; ``tests/test_streaming.py``
+    exercises the genuinely-late path.
+    """
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late_s = (
+        F.max(F.col("ts").cast("long")).over(w) - F.col("ts").cast("long")
+    )
+    bucket = (
+        F.when(late_s == 0, 0)
+        .when(late_s <= 60, 1)
+        .when(late_s <= 3600, 2)
+        .when(late_s <= 86400, 3)
+        .otherwise(4)
+    )
+    counts = (
+        e.select(bucket.alias("lateness_bucket"), late_s.alias("late_s"))
+        .groupBy("lateness_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("late_s").cast("bigint").alias("max_late_s"),
+        )
+    )
+    wall = Window.partitionBy()
+    return counts.select(
+        "lateness_bucket",
+        F.col("n").cast("bigint").alias("n_events"),
+        "max_late_s",
+        (F.col("n").cast("double") / F.sum("n").over(wall).cast("double")).alias(
+            "frac"
+        ),
+    )
