@@ -61,19 +61,19 @@ _MODULES = (
 # round), so the whole window rotates: 45 queries that had judge-only
 # verification (added in rounds 3-4, all green under tools/check.py's
 # protocol mirror) plus the 5 new round-5 operators (ext_ml.py). Cumulative
-# official coverage after this round: 82 + 50 = 132 of 158 registry
-# entries. Remaining never-official backlog (25, for round 6): 10 TPC-H
+# official coverage after this round: 82 + 50 = 132 of 176 registry
+# entries. Remaining never-official backlog (44, spread over rounds
+# 6-7): 10 TPC-H
 # (q4 q5 q7 q8 q10 q11 q12 q14 q16 q19) + unpivot_price_bands,
 # sql_api_revenue_filter, window_distribution_functions,
 # gap_fill_daily_user, distinct_part_counts, mad_outlier_filter,
 # approx_topk_events, histogram_order_totals, embedding_label_stats,
 # per_group_quality_filter, repetition_profile + the round-5 bonus ops
-# registered after the window (dedup_best_quality_survivor,
-# dup_graph_bfs3, sorted_neighborhood_pairs, equidepth_histogram,
-# rolling_weekly_active_users, weekly_growth_rate,
-# countmin_heavy_hitters, qgram_prefix_filter_pairs,
-# attribution_first_last_touch, share_of_parent_rollup,
-# rolling_weekly_median, cohort_cumulative_ltv).
+# registered after the window (survivor selection, BFS, SNM blocking,
+# equi-depth histogram, WAU, WoW growth, Count-Min, q-gram prefix
+# filter, attribution, share-of-parent, rolling median, LTV,
+# WAV/Y4M codecs, k-anonymity, bounded funnel, path mining, HHI,
+# Benford, Pareto deciles, forward as-of, lateness audit).
 _PRIORITY = (
     # SQL surface / relational extensions
     "sql_parameterized_top_orders",
