@@ -859,3 +859,91 @@ def recursive_cte_subtree_rollup(spark, sf_dir):
         GROUP BY root
         """
     )
+
+
+# --- explicit cross join: dense coverage matrix with zero-fill ----------------
+@register(
+    "cross_join_coverage_matrix",
+    oracle="""
+    WITH spine AS (
+        SELECT r.r_name AS region, d.dow
+        FROM region r CROSS JOIN (
+            SELECT UNNEST(generate_series(0, 6)) AS dow
+        ) d
+    ),
+    obs AS (
+        SELECT r.r_name AS region,
+               CAST(((date_diff('day', DATE '1970-01-01',
+                                CAST(o.o_orderdate AS DATE)) % 7) + 7) % 7
+                    AS BIGINT) AS dow,
+               COUNT(*) AS n,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nt  ON c.c_nationkey = nt.n_nationkey
+        JOIN region r   ON nt.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT s.region, CAST(s.dow AS INT) AS dow,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(o.rev, 0.0000) AS DOUBLE) AS revenue
+    FROM spine s LEFT JOIN obs o
+      ON s.region = o.region AND s.dow = o.dow
+    """,
+)
+def cross_join_coverage_matrix(spark, sf_dir):
+    """Dense coverage matrix via an EXPLICIT cross join: every (region,
+    day-of-week) cell exists with zero-filled counts even when no order
+    lands there — the dense-spine pattern every reporting layer needs
+    (sparse GROUP BY output breaks charts and diff-based alerting),
+    and the registry's deliberate ``crossJoin`` API certification: the
+    one join type the optimizer must never pick on its own is here on
+    purpose, dims-only (5 regions x 7 dows = 35 rows), never touching
+    the fact side.
+
+    The fact side aggregates FIRST (region x dow grain, decimal-exact),
+    then left-joins onto the broadcast spine — the cross product never
+    multiplies data rows. pmod day-of-week, engine-independent.
+    """
+    r = t(spark, sf_dir, "region").select(F.col("r_name").alias("region"))
+    dows = spark.range(7).select(F.col("id").cast("int").alias("dow"))
+    spine = r.crossJoin(dows)
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    obs = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.pmod(
+                F.datediff(
+                    F.to_date("o_orderdate"),
+                    F.lit("1970-01-01").cast("date"),
+                ),
+                F.lit(7),
+            )
+            .cast("bigint")
+            .alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice", 18, 4)).alias("rev"),
+        )
+    )
+    return spine.join(
+        obs,
+        (spine.region == obs.region) & (spine.dow == obs.dow),
+        "left",
+    ).select(
+        spine.region,
+        spine.dow.cast("int").alias("dow"),
+        F.coalesce(obs.n, F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce(obs.rev, F.lit(0).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )

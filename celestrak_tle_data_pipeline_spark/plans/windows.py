@@ -969,3 +969,83 @@ def event_lateness_audit(spark, sf_dir):
             "frac"
         ),
     )
+
+
+# --- integer-exact interpolating resample -------------------------------------
+@register(
+    "resample_hourly_interpolate",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               SUM(CAST(value AS DECIMAL(18,6))) AS sv
+        FROM events GROUP BY 1
+    ),
+    seg AS (
+        SELECT d, sv,
+               LEAD(sv) OVER (ORDER BY d) AS nxt,
+               LEAD(d) OVER (ORDER BY d) AS nd
+        FROM daily
+    ),
+    pairs AS (
+        SELECT d, sv, nxt FROM seg
+        WHERE nxt IS NOT NULL AND nd = d + 1
+    )
+    SELECT d, CAST(g.h AS INT) AS hour,
+           CAST(CAST(sv * 1000000 AS BIGINT)
+                + (CAST((nxt - sv) * 1000000 AS BIGINT) * g.h) // 24
+                AS BIGINT) AS value_micro
+    FROM pairs, LATERAL unnest(generate_series(0, 23)) AS g(h)
+    """,
+)
+def resample_hourly_interpolate(spark, sf_dir):
+    """Upsampling resample: the daily value series linearly
+    interpolated to hourly grain — the time-series alignment step
+    before joining series of different frequencies (the inverse of the
+    rollup cascade). Interpolation is where float determinism usually
+    dies (v0 + (v1-v0)*h/24 accumulates differently per engine), so
+    the entire ramp is integer micro-units: exact decimal day totals
+    scaled by 1e6 to bigint, the fraction as a FLOOR-DIVIDED integer
+    product ((delta_micro * h) DIV 24) — bit-identical everywhere,
+    monotone along each segment by construction.
+
+    Only adjacent-day segments interpolate (a gap in the daily series
+    does not fabricate a ramp across it — gap semantics belong to
+    gap_fill_daily_user / LOCF). Plan: one event->day shuffle, a lead
+    window over the tiny daily series, then a 24x fan-out on day-grain
+    rows only.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.sum(dec("value", 18, 6)).alias("sv"))
+    w = Window.orderBy("d")
+    seg = daily.select(
+        "d",
+        "sv",
+        F.lead("sv").over(w).alias("nxt"),
+        F.lead("d").over(w).alias("nd"),
+    ).where(
+        F.col("nxt").isNotNull() & (F.col("nd") == F.date_add("d", 1))
+    )
+    return (
+        seg.select(
+            "d",
+            (F.col("sv") * 1_000_000).cast("bigint").alias("base_units"),
+            ((F.col("nxt") - F.col("sv")) * 1_000_000)
+            .cast("bigint")
+            .alias("delta_units"),
+        )
+        .select(
+            "d",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hour"),
+            "base_units",
+            "delta_units",
+        )
+        .select(
+            "d",
+            F.col("hour").cast("int").alias("hour"),
+            F.expr("base_units + (delta_units * hour) DIV 24")
+            .cast("bigint")
+            .alias("value_micro"),
+        )
+    )
