@@ -936,7 +936,7 @@ def cross_join_coverage_matrix(spark, sf_dir):
         )
     )
     return spine.join(
-        obs,
+        F.broadcast(obs),
         (spine.region == obs.region) & (spine.dow == obs.dow),
         "left",
     ).select(
