@@ -14,6 +14,7 @@ Plan notes (100 TB):
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import register
@@ -946,4 +947,79 @@ def cross_join_coverage_matrix(spark, sf_dir):
         F.coalesce(obs.rev, F.lit(0).cast("decimal(18,4)"))
         .cast("double")
         .alias("revenue"),
+    )
+
+
+# --- NULL-semantics certification bundle --------------------------------------
+@register(
+    "null_semantics_bundle",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_id % 5 = 0 THEN NULL
+                    ELSE CAST(value AS DECIMAL(18,6)) END AS val
+        FROM events
+    ),
+    lagged AS (
+        SELECT event_type, val,
+               LAG(val) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_val
+        FROM v
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(val) AS BIGINT) AS n_nonnull,
+           CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct_nonnull,
+           CAST(SUM(val) AS DOUBLE) AS sum_ignoring_nulls,
+           CAST(SUM(COALESCE(val, 0)) AS DOUBLE) AS sum_coalesced,
+           CAST(SUM(CASE WHEN val IS DISTINCT FROM prev_val
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN val IS NOT DISTINCT FROM prev_val
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+    FROM lagged GROUP BY event_type
+    """,
+)
+def null_semantics_bundle(spark, sf_dir):
+    """NULL-semantics certification in one gated query — the family of
+    behaviors that silently differ across engines and break migrated
+    workloads: ``COUNT(*)`` vs ``COUNT(col)`` (the latter skips
+    nulls), ``COUNT(DISTINCT)`` ignoring nulls entirely, ``SUM``
+    skipping nulls vs ``SUM(COALESCE(x, 0))``, and three-valued-logic-
+    free comparison via ``IS [NOT] DISTINCT FROM`` (Spark's ``<=>``)
+    counted across per-user lag transitions, where NULL->value and
+    value->NULL changes MUST register as transitions (a plain ``<>``
+    returns NULL there and undercounts).
+
+    A fifth of values are nulled deterministically (event_id % 5) so
+    every code path is exercised with known density. One scan, one
+    user-keyed window for the lag, one event_type rollup; all counts
+    integer, the two sums exact decimal.
+    """
+    e = t(spark, sf_dir, "events")
+    val = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+        dec("value", 18, 6)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.select(
+        "event_type",
+        val.alias("val"),
+        F.lag(val).over(w).alias("prev_val"),
+    )
+    same = F.col("val").eqNullSafe(F.col("prev_val"))
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("val").cast("bigint").alias("n_nonnull"),
+        F.sum(F.col("val").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_null"),
+        F.count_distinct("val").cast("bigint").alias("n_distinct_nonnull"),
+        F.sum("val").cast("double").alias("sum_ignoring_nulls"),
+        F.sum(F.coalesce("val", F.lit(0).cast("decimal(18,6)")))
+        .cast("double")
+        .alias("sum_coalesced"),
+        F.sum((~same).cast("int")).cast("bigint").alias("n_transitions"),
+        F.sum(same.cast("int")).cast("bigint").alias("n_same"),
     )
