@@ -1023,3 +1023,49 @@ def null_semantics_bundle(spark, sf_dir):
         F.sum((~same).cast("int")).cast("bigint").alias("n_transitions"),
         F.sum(same.cast("int")).cast("bigint").alias("n_same"),
     )
+
+
+# --- pure-SQL surface: FILTER clause aggregates -------------------------------
+@register(
+    "sql_filter_clause_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+               AS n_bulk,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)))
+                FILTER (WHERE l_linestatus = 'F') AS DOUBLE)
+               AS finished_price,
+           CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 25)
+                AS BIGINT) AS n_bulk_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_filter_clause_aggregates(spark, sf_dir):
+    """Pure-SQL surface certification for the standard ``FILTER
+    (WHERE ...)`` aggregate modifier — the ANSI form of conditional
+    aggregation that replaces CASE-inside-SUM pivot idioms, including
+    its composition with ``COUNT(DISTINCT)`` (which a CASE rewrite
+    cannot express without a second aggregation). The query text runs
+    through ``spark.sql`` verbatim-shaped to the DuckDB oracle, so
+    this certifies the shared SQL dialect surface, not a DataFrame
+    translation.
+
+    Same single-scan partial-agg plan as any grouped aggregate — the
+    FILTER predicates are per-row input gates, not separate branches.
+    """
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+                   AS n_bulk,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)))
+                    FILTER (WHERE l_linestatus = 'F') AS DOUBLE)
+                   AS finished_price,
+               CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 25)
+                    AS BIGINT) AS n_bulk_suppliers
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )

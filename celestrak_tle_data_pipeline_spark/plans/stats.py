@@ -1026,3 +1026,88 @@ def pareto_decile_analysis(spark, sf_dir):
             / F.sum("drev").over(wall).cast("double")
         ).alias("cum_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# rollup with grouping_id (subtotal-row disambiguation)
+# --------------------------------------------------------------------------
+@register(
+    "rollup_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_grouping_id(spark, sf_dir):
+    """ROLLUP with ``grouping()`` flags — the disambiguation every
+    production rollup needs and most migrations break: a NULL in a
+    rollup output column is ambiguous between "subtotal row" and "the
+    group whose key IS NULL"; the grouping flag (1 = this column is
+    rolled up on this row) is the only reliable discriminator, and
+    BI layers key their drill-down logic on it.
+
+    Engine subtlety certified here: Spark's ``grouping()`` returns
+    byte/int and DuckDB's returns BIGINT — both cast to INT explicitly
+    so the driver's schema compare sees one type. Same single-shuffle
+    partial-agg plan as the plain rollup (`rollup_order_status`).
+    """
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority").agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(dec("o_totalprice", 18, 4)).cast("double").alias("rev"),
+        )
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n", "rev"
+    )
+
+
+# --------------------------------------------------------------------------
+# exact percentile over a sliding window frame
+# --------------------------------------------------------------------------
+@register(
+    "trailing_median_per_user",
+    oracle="""
+    SELECT user_id, event_id,
+           median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS trailing_median
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def trailing_median_per_user(spark, sf_dir):
+    """Exact median over a trailing 5-row window per user — the robust
+    rolling center used for spike detection where a rolling MEAN is
+    dragged by the outlier it is supposed to find (complements
+    ewma_anomaly_by_user / mad_outlier_filter).
+
+    Certifies Spark's aggregate-as-window-function path for exact
+    ``percentile`` with a bounded ROWS frame against DuckDB's windowed
+    ``median`` — the same double-domain interpolation equivalence
+    percentile_quartiles certifies, now inside a moving frame. (Inputs
+    deliberately stay DOUBLE: DuckDB's median over DECIMAL computes
+    the exact decimal midpoint before any cast, while Spark
+    interpolates in double — feeding decimals would diverge by an ulp
+    on even-sized frames.) One user-keyed window shuffle; the frame is
+    O(1) rows per position.
+    """
+    e = t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.expr("percentile(value, 0.5d)").over(w).alias("trailing_median"),
+    )
