@@ -1049,3 +1049,52 @@ def resample_hourly_interpolate(spark, sf_dir):
             .alias("value_micro"),
         )
     )
+
+
+# --- numeric RANGE frame (value-based window, not row- or time-based) ---------
+@register(
+    "value_range_frame_sum",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_near,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               AS near_total
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_orderstatus ORDER BY o_totalprice
+        RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING
+    )
+    """,
+)
+def value_range_frame_sum(spark, sf_dir):
+    """Numeric RANGE frame: for every order, the count and exact total
+    of same-status orders whose price lies within +-1000 of ITS price —
+    a value-based neighborhood, the third window frame mode beside
+    ROWS (position) and calendar RANGE (time, flux_rotation_anomaly).
+    This is the frame that prices "how crowded is my price point" and
+    kernel-density-style local mass without a self-join; the
+    equivalent theta join (|a.price - b.price| <= 1000) is quadratic,
+    while the RANGE frame is one sort per partition with a sliding
+    boundary.
+
+    RANGE frames peer on the ORDER BY VALUE, so ties share identical
+    frames in both engines — no tiebreak key is needed (and adding one
+    is illegal: multi-column ORDER BY with a value RANGE is rejected).
+    Decimal-exact sums, one partition-keyed window shuffle.
+    """
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_near"),
+        F.sum(dec("o_totalprice", 18, 4))
+        .over(w)
+        .cast("double")
+        .alias("near_total"),
+    )
