@@ -385,13 +385,18 @@ def demux_y4m_assets(assets: DataFrame) -> DataFrame:
                     continue
                 w = h = None
                 c444 = False
-                for tag in buf[10:hdr_end].split():
-                    if tag[:1] == b"W":
-                        w = int(tag[1:])
-                    elif tag[:1] == b"H":
-                        h = int(tag[1:])
-                    elif tag[:1] == b"C":
-                        c444 = tag[1:] == b"444"
+                try:
+                    for tag in buf[10:hdr_end].split():
+                        if tag[:1] == b"W":
+                            w = int(tag[1:])
+                        elif tag[:1] == b"H":
+                            h = int(tag[1:])
+                        elif tag[:1] == b"C":
+                            c444 = tag[1:] == b"444"
+                except ValueError:
+                    # non-numeric W/H tag: drop the asset like every other
+                    # malformed-header case instead of failing the task
+                    continue
                 if not w or not h or w <= 0 or h <= 0 or not c444:
                     continue
                 wh = w * h

@@ -56,86 +56,79 @@ _MODULES = (
 # round's official window. Everything else registered stays available after
 # them as bonus coverage. ``tests/test_registry.py`` pins this list.
 #
-# Round-5 rotation: every name in the r4 window is officially green in
-# CORRECTNESS_r04 (sliding_weekly_value's HUGEINT-cast fix landed this
-# round), so the whole window rotates: 45 queries that had judge-only
-# verification (added in rounds 3-4, all green under tools/check.py's
-# protocol mirror) plus the 5 new round-5 operators (ext_ml.py). Cumulative
-# official coverage after this round: 82 + 50 = 132 of 176 registry
-# entries. Remaining never-official backlog (44, spread over rounds
-# 6-7): 10 TPC-H
-# (q4 q5 q7 q8 q10 q11 q12 q14 q16 q19) + unpivot_price_bands,
-# sql_api_revenue_filter, window_distribution_functions,
-# gap_fill_daily_user, distinct_part_counts, mad_outlier_filter,
-# approx_topk_events, histogram_order_totals, embedding_label_stats,
-# per_group_quality_filter, repetition_profile + the round-5 bonus ops
-# registered after the window (survivor selection, BFS, SNM blocking,
-# equi-depth histogram, WAU, WoW growth, Count-Min, q-gram prefix
-# filter, attribution, share-of-parent, rolling median, LTV,
-# WAV/Y4M codecs, k-anonymity, bounded funnel, path mining, HHI,
-# Benford, Pareto deciles, forward as-of, lateness audit).
+# Round-6 rotation: CORRECTNESS_r05 is 50/50 green, so the whole r5 window
+# rotates out. In: 49 of the 50 oracle-paired registry entries that have
+# never appeared in an official driver window (all mirror-green under
+# tools/check.py), plus ``sliding_weekly_value``, whose ONLY official
+# record is the r4 hash FAIL (fixed in round 5, mirror-green since) — a
+# failing official record outranks a missing one. Registry at the end of
+# round 5: 183 entries, 181 oracle-paired. Cumulative official coverage
+# after this round: 136 + 50 - 1 re-certification = 185 name-rounds over
+# 184 distinct names ⇒ every oracle-paired entry official except
+# ``histogram_order_totals`` (deferred to round 7 to make room for the
+# re-certification) and rows-only-by-design ``minhash_near_dup`` /
+# ``ann_lsh_bucketed`` (recall-1.0 twins gate their MLlib internals).
+# Round-7 window seed: histogram_order_totals + whatever round 6 registers.
 _PRIORITY = (
+    # official-FAIL re-certification (r4 hash mismatch, fixed in r5)
+    "sliding_weekly_value",
     # SQL surface / relational extensions
-    "sql_parameterized_top_orders",
-    "sorted_string_agg_segments",
-    "try_arithmetic_bundle",
-    "recursive_cte_subtree_rollup",
-    # temporal joins
-    "asof_join_with_tolerance",
-    "interval_overlap_join_bucketed",
-    # TLE domain
-    "tle_decay_rate_fit",
+    "sql_api_revenue_filter",
+    "sql_filter_clause_aggregates",
+    "null_semantics_bundle",
+    "unpivot_price_bands",
+    "cross_join_coverage_matrix",
+    "distinct_part_counts",
+    "rollup_grouping_id",
+    # windows / temporal
+    "window_distribution_functions",
+    "value_range_frame_sum",
+    "gap_fill_daily_user",
+    "resample_hourly_interpolate",
+    "trailing_median_per_user",
+    "rolling_weekly_median",
+    "asof_join_forward",
+    "event_lateness_audit",
     # text / dedup / training-data ops
-    "decontamination_overlap",
-    "sequence_packing_chunks",
-    "mixture_budget_plan",
-    "levenshtein_fuzzy_pairs",
-    "vocab_oov_rate",
-    "dup_graph_pagerank",
-    "split_leakage_audit",
-    "unigram_lm_score",
-    "bm25_topk_docs",
-    "reservoir_sample_per_source",
-    "duplicate_ngram_spans",
-    "token_vote_classifier",
-    # vectors / ML
-    "vector_hof_bundle",
-    "hard_negative_mining",
-    "kmeans_lloyd_integer",
-    "item_cooccurrence_cosine",
-    # multimodal / semi-structured
-    "props_variant_rollup",
-    "multimodal_ppm_decode",
-    # stats
-    "pareto_frontier_orders",
-    "winsorized_stats_by_status",
-    "seasonal_dow_decompose",
-    # UDF/UDTF/Arrow surfaces
-    "udaf_gini_quantity",
-    "udtf_ngram_expand",
-    "arrow_batch_token_stats",
-    "udtf_dynamic_split_fields",
-    # pipeline / governance / layout
-    "rollup_cascade_daily",
-    "dataset_split_assign",
-    "pii_scrub_contacts",
-    "snapshot_diff_dim",
-    "zorder_morton_layout",
-    "incremental_agg_merge",
+    "repetition_profile",
+    "per_group_quality_filter",
+    "qgram_prefix_filter_pairs",
+    "dedup_best_quality_survivor",
+    # vectors / ML / ER
+    "embedding_label_stats",
+    "dup_graph_bfs3",
+    "sorted_neighborhood_pairs",
+    # multimodal codecs
+    "multimodal_wav_decode",
+    "multimodal_y4m_frames",
+    # stats / sketches
+    "mad_outlier_filter",
+    "equidepth_histogram",
+    "benford_first_digit",
+    "countmin_heavy_hitters",
+    "approx_topk_events",
     # product analytics
-    "event_transition_matrix",
-    "rfm_segmentation",
-    "autocorr_lag1_by_user",
-    "event_cooccurrence_pairs",
-    # TPC-H classics (second tranche)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_excess_supply",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
+    "session_path_analysis",
+    "funnel_time_bounded",
+    "attribution_first_last_touch",
+    "rolling_weekly_active_users",
+    "weekly_growth_rate",
+    "cohort_cumulative_ltv",
+    "share_of_parent_rollup",
+    "pareto_decile_analysis",
+    "market_concentration_hhi",
+    "k_anonymity_audit",
+    # TPC-H classics (final tranche)
+    "tpch_q4_priority_late_ship",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_line_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_parts_supplier_counts",
+    "tpch_q19_banded_revenue",
 )
 
 

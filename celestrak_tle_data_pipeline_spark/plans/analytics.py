@@ -1091,9 +1091,12 @@ def session_path_analysis(spark, sf_dir):
         "event_type",
         (
             prev.isNull()
+            # integer-µs compare == the oracle's ``> INTERVAL 30 MINUTE``
+            # exactly; a second-truncated cast("long") diff disagrees with
+            # the interval semantics for gaps inside [1800s, 1801s).
             | (
-                F.col("ts").cast("long") - prev.cast("long")
-                > 30 * 60
+                F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+                > 30 * 60 * 1_000_000
             )
         )
         .cast("int")

@@ -247,8 +247,12 @@ def daily_enrichment_join(spark, sf_dir):
     "asof_join_latest_purchase",
     oracle="""
     WITH purchases AS (
-      SELECT user_id, ts AS p_ts, event_id AS p_event
+      -- tie-stable: collapse equal-ts purchases to MAX(event_id) so the
+      -- ASOF join (arbitrary row among ts ties) is deterministic and
+      -- matches Spark's last-over-ascending-p_event tie-break
+      SELECT user_id, ts AS p_ts, MAX(event_id) AS p_event
       FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
     ), clicks AS (
       SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
     )
@@ -817,8 +821,12 @@ def interval_overlap_join_bucketed(spark, sf_dir):
     "asof_join_forward",
     oracle="""
     WITH purchases AS (
-      SELECT user_id, ts AS p_ts, event_id AS p_event
+      -- tie-stable: collapse equal-ts purchases to MIN(event_id) so the
+      -- ASOF join (which picks an arbitrary row among ts ties) is
+      -- deterministic and matches Spark's ascending p_event tie-break
+      SELECT user_id, ts AS p_ts, MIN(event_id) AS p_event
       FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
     ), clicks AS (
       SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
     )

@@ -174,6 +174,7 @@ def test_y4m_demuxer_drops_malformed_streams(spark):
         (3, bytearray(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + f0)),
         (4, bytearray(b"YUV4MPEG2 W2 H2 F25:1 C444\nFRAMX\n" + f0)),
         (5, bytearray(b"YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n" + f0[:5])),
+        (6, bytearray(b"YUV4MPEG2 Wabc H2 F25:1 C444\nFRAME\n" + f0)),
     ]
     df = spark.createDataFrame(rows, "asset_id long, payload binary")
     out = demux_y4m_assets(df).collect()

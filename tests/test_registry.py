@@ -33,28 +33,24 @@ def test_first_50_oracle_coverage():
 
 
 def test_family_representation_in_window():
-    # Round-5 window: every r4 name went officially green, so the whole
-    # window rotated to judge-only queries + the new ext_ml operators.
-    # Families whose every member is already officially green (weather,
-    # the TLE parse bundle, sketches, core relational) have no r5
-    # representative by design — cumulative official coverage is the
-    # contract, not per-round family presence.
+    # Round-6 window: every r5 name went officially green, so the whole
+    # window rotated to the never-official backlog plus the
+    # sliding_weekly_value re-certification. Families whose every member
+    # is already officially green (weather, TLE parse, UDF surfaces,
+    # pipeline/governance) have no r6 representative by design —
+    # cumulative official coverage is the contract, not per-round family
+    # presence.
     window = set(_PRIORITY)
     families = {
-        "sql-surface": {"sql_parameterized_top_orders", "try_arithmetic_bundle"},
-        "tpch": {"tpch_q2_min_cost_supplier", "tpch_q21_waiting_suppliers"},
-        "stats": {"winsorized_stats_by_status", "pareto_frontier_orders"},
-        "temporal-joins": {
-            "asof_join_with_tolerance",
-            "interval_overlap_join_bucketed",
-        },
-        "analytics": {"rfm_segmentation", "event_transition_matrix"},
-        "tle": {"tle_decay_rate_fit"},
-        "text": {"duplicate_ngram_spans", "unigram_lm_score"},
-        "vectors-ml": {"item_cooccurrence_cosine", "kmeans_lloyd_integer"},
-        "multimodal": {"multimodal_ppm_decode", "props_variant_rollup"},
-        "pipeline": {"zorder_morton_layout", "dataset_split_assign"},
-        "udf-surfaces": {"udaf_gini_quantity", "arrow_batch_token_stats"},
+        "recertification": {"sliding_weekly_value"},
+        "sql-surface": {"sql_api_revenue_filter", "null_semantics_bundle"},
+        "tpch": {"tpch_q8_market_share", "tpch_q19_banded_revenue"},
+        "stats-sketches": {"equidepth_histogram", "countmin_heavy_hitters"},
+        "temporal-windows": {"asof_join_forward", "value_range_frame_sum"},
+        "analytics": {"session_path_analysis", "cohort_cumulative_ltv"},
+        "text": {"repetition_profile", "qgram_prefix_filter_pairs"},
+        "vectors-ml": {"embedding_label_stats", "sorted_neighborhood_pairs"},
+        "multimodal": {"multimodal_wav_decode", "multimodal_y4m_frames"},
     }
     for family, reps in families.items():
         assert reps <= window, f"family {family} missing from first-50 window"
