@@ -720,3 +720,110 @@ def sorted_neighborhood_pairs(spark, sf_dir):
             F.col("dist").cast("bigint"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sorted-neighborhood blocking, range-partitioned form (the 100 TB plan)
+# --------------------------------------------------------------------------
+@register(
+    "sorted_neighborhood_ranged",
+    oracle="""
+    WITH s AS (
+        SELECT c_custkey, c_name,
+               LEAD(c_name, 1) OVER (ORDER BY c_name, c_custkey) AS n1,
+               LEAD(c_custkey, 1) OVER (ORDER BY c_name, c_custkey) AS k1,
+               LEAD(c_name, 2) OVER (ORDER BY c_name, c_custkey) AS n2,
+               LEAD(c_custkey, 2) OVER (ORDER BY c_name, c_custkey) AS k2
+        FROM customer
+    ),
+    cand AS (
+        SELECT c_custkey AS key1, k1 AS key2, c_name AS name1, n1 AS name2,
+               levenshtein(c_name, n1) AS dist
+        FROM s WHERE n1 IS NOT NULL
+        UNION ALL
+        SELECT c_custkey, k2, c_name, n2, levenshtein(c_name, n2)
+        FROM s WHERE n2 IS NOT NULL
+    )
+    SELECT CAST(key1 AS BIGINT) AS key1, CAST(key2 AS BIGINT) AS key2,
+           name1, name2, CAST(dist AS BIGINT) AS dist
+    FROM cand WHERE dist <= 2
+    """,
+)
+def sorted_neighborhood_ranged(spark, sf_dir):
+    """Sorted-neighborhood blocking, scale-safe twin of
+    ``sorted_neighborhood_pairs`` — identical output contract (the
+    oracle is the same global-sort SQL), but NO single-partition
+    global-order window. The 100 TB shape the global form's docstring
+    promises, implemented:
+
+    1. ``repartitionByRange`` on the sort key (Spark samples range
+       boundaries; every key in partition p sorts strictly before
+       every key in p+1 — the (name, key) tuple is unique, so the
+       order is total and seam-free).
+    2. Each partition's first w=2 rows are REPLICATED into the
+       preceding partition (tagged ``carry``) so neighbor pairs that
+       straddle a partition boundary are still seen.
+    3. ``lead(1..2)`` runs per-partition (``partitionBy(pid)``), and
+       pairs are emitted only where the LEFT row is a partition-native
+       row — carry rows get their own pairs in their home partition,
+       so nothing is duplicated and nothing is missed.
+
+    Invariant (documented, as in every production SNM): each non-final
+    range partition must hold ≥ w rows, guaranteed whenever
+    N/partitions ≫ w. ``tests/test_stats_scale_twins.py`` asserts the
+    output is row-identical to the global-sort form; the plan shows
+    ``rangepartitioning`` exchanges only — no ``SinglePartition``.
+    """
+    cst = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    order = [F.col("c_name").asc(), F.col("c_custkey").asc()]
+    s = cst.repartitionByRange(8, *order).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wp = Window.partitionBy("pid").orderBy(*order)
+    carry = (
+        s.withColumn("rn", F.row_number().over(wp))
+        .where((F.col("rn") <= 2) & (F.col("pid") > 0))
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("pid") - 1).alias("pid"),
+            F.lit(True).alias("carry"),
+        )
+    )
+    u = s.select(
+        "c_custkey", "c_name", "pid", F.lit(False).alias("carry")
+    ).unionByName(carry)
+    leads = u.select(
+        "c_custkey",
+        "c_name",
+        "carry",
+        F.lead("c_name", 1).over(wp).alias("n1"),
+        F.lead("c_custkey", 1).over(wp).alias("k1"),
+        F.lead("c_name", 2).over(wp).alias("n2"),
+        F.lead("c_custkey", 2).over(wp).alias("k2"),
+    ).where(~F.col("carry"))
+    c1 = leads.where(F.col("n1").isNotNull()).select(
+        F.col("c_custkey").alias("key1"),
+        F.col("k1").alias("key2"),
+        F.col("c_name").alias("name1"),
+        F.col("n1").alias("name2"),
+        F.levenshtein("c_name", "n1").alias("dist"),
+    )
+    c2 = leads.where(F.col("n2").isNotNull()).select(
+        F.col("c_custkey").alias("key1"),
+        F.col("k2").alias("key2"),
+        F.col("c_name").alias("name1"),
+        F.col("n2").alias("name2"),
+        F.levenshtein("c_name", "n2").alias("dist"),
+    )
+    return (
+        c1.unionByName(c2)
+        .where(F.col("dist") <= 2)
+        .select(
+            F.col("key1").cast("bigint"),
+            F.col("key2").cast("bigint"),
+            "name1",
+            "name2",
+            F.col("dist").cast("bigint"),
+        )
+    )

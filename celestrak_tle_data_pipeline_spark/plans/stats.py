@@ -754,6 +754,82 @@ def equidepth_histogram(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# equi-depth histogram, boundary-broadcast form (the 100 TB plan)
+# --------------------------------------------------------------------------
+@register(
+    "equidepth_histogram_bounded",
+    oracle="""
+    WITH bounds AS (
+        SELECT quantile_cont(o_totalprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS bs
+        FROM orders
+    ),
+    assigned AS (
+        SELECT CAST(1 + len(list_filter(b.bs, x -> o.o_totalprice > x))
+                    AS INT) AS bucket,
+               o.o_totalprice
+        FROM orders o CROSS JOIN bounds b
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS bucket_total
+    FROM assigned GROUP BY 1
+    """,
+)
+def equidepth_histogram_bounded(spark, sf_dir):
+    """Equi-depth histogram, scale-safe twin of ``equidepth_histogram``:
+    decile BOUNDARIES come from one exact ``percentile`` aggregate
+    (partial-merge, map-side combined — no global sort), the 9-value
+    boundary row is broadcast back into the scan, and bucket assignment
+    is a pure range lookup (``1 + size(filter(bs, b -> v > b))``, ties
+    to the lower bucket). This is the plan that survives 100 TB: the
+    only shuffles are an aggregate's partial merge and the final
+    10-group rollup — NO ``ntile`` over an unpartitioned total-order
+    window pushing every row through one partition (the ``ntile`` form
+    stays registered as the rank-semantics certification; this is the
+    plan you actually run). ``tests/test_plans.py`` pins the absence of
+    a single-partition window exchange and
+    ``tests/test_stats_scale_twins.py`` certifies per-bucket agreement
+    with the ``ntile`` form.
+
+    Determinism: boundaries are exact interpolated percentiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont`` on identical doubles —
+    the winsorized/per_group_quality_filter contract); assignment
+    compares doubles; bucket_total is an order-free DECIMAL(18,4) sum.
+    At a scale where exact percentile partials get heavy,
+    ``approx_percentile`` drops in with the X7 error-gate pattern.
+    """
+    o = t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.percentile(
+            "o_totalprice",
+            F.array(*[F.lit(i / 10) for i in range(1, 10)]),
+        ).alias("bs")
+    )
+    assigned = o.crossJoin(F.broadcast(bounds)).select(
+        (
+            F.lit(1)
+            + F.size(
+                F.filter("bs", lambda b: F.col("o_totalprice") > b)
+            )
+        )
+        .cast("int")
+        .alias("bucket"),
+        "o_totalprice",
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.sum(dec("o_totalprice", 18, 4)).cast("double").alias("bucket_total"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Count-Min sketch with overcount-invariant gate
 # --------------------------------------------------------------------------
 @register(
