@@ -1125,11 +1125,13 @@ def session_path_analysis(spark, sf_dir):
             )
         ).alias("path")
     )
-    wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    # total-ordered top-10 via orderBy().limit() → TakeOrderedAndProject
+    # (per-partition heaps, k-row merge) — no single-partition window
+    # exchange over the path domain
     return (
         paths.groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= 10)
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
         .select("path", F.col("n").cast("bigint").alias("n_occurrences"))
     )

@@ -404,10 +404,12 @@ def item_cooccurrence_cosine(spark, sf_dir):
         .persist()
     )
     pop = cp.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("part").asc())
+    # total-ordered top-k via orderBy().limit() compiles to
+    # TakeOrderedAndProject — per-partition heaps + one k-row merge, no
+    # single-partition window exchange over the item frame
     top = (
-        pop.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 50)
+        pop.orderBy(F.col("n").desc(), F.col("part").asc())
+        .limit(50)
         .select("part", "n")
     )
     cpt = cp.join(F.broadcast(top), "part")

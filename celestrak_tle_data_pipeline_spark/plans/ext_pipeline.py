@@ -615,6 +615,74 @@ def zorder_morton_layout(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Z-order data-skipping gate (driver-asserted invariant)
+# --------------------------------------------------------------------------
+_ORACLE_ZORDER_GATE = f"""
+WITH pts AS (
+    SELECT CAST(((o_custkey % 256) + 256) % 256 AS BIGINT) AS x,
+           CAST(((date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) % 256) + 256) % 256
+                AS BIGINT) AS y
+    FROM orders
+),
+tiles AS (
+    SELECT CAST({_morton_sql('x', 'y')} AS BIGINT) >> 8 AS tile,
+           COUNT(*) AS n_rows,
+           MAX(x) - MIN(x) AS span_x, MAX(y) - MIN(y) AS span_y
+    FROM pts GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(MAX(span_x) AS BIGINT) AS max_span_x,
+       CAST(MAX(span_y) AS BIGINT) AS max_span_y,
+       TRUE AS all_skippable
+FROM tiles
+"""
+
+
+@register("zorder_skipping_gate", oracle=_ORACLE_ZORDER_GATE)
+def zorder_skipping_gate(spark, sf_dir):
+    """One-row certification that the Z-order layout's skipping
+    invariant HOLDS — the assertion ``zorder_morton_layout`` can't make
+    through the oracle alone. That query computes ``skippable``
+    identically in both engines, so a layout break would go FALSE in
+    both and still hash-match (round-4 ADVICE finding); here the
+    ORACLE pins ``TRUE AS all_skippable`` as a literal while Spark
+    computes ``bool_and(span <= 15)`` from the data. If any 16x16 tile
+    ever exceeds a 15-wide span in either dimension, Spark emits FALSE
+    against the oracle's pinned TRUE and the driver's hash gate fails —
+    the invariant is now asserted by the correctness gate itself, not
+    only by ``tests/test_plans.py::test_zorder_tiles_all_skippable``.
+
+    Same map-side Morton expression and 256-cell rollup as the layout
+    query, collapsed to one summary row (n_tiles / n_rows keep the
+    cross-engine value check honest; max spans show the margin)."""
+    o = t(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(256)).cast("bigint")
+    y = F.pmod(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")),
+        F.lit(256),
+    ).cast("bigint")
+    pts = o.select(x.alias("x"), y.alias("y")).withColumn(
+        "morton", F.expr(_morton_sql("x", "y")).cast("bigint")
+    )
+    tiles = pts.groupBy(F.shiftright("morton", 8).alias("tile")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.max("x") - F.min("x")).alias("span_x"),
+        (F.max("y") - F.min("y")).alias("span_y"),
+    )
+    return tiles.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tiles"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.max("span_x").cast("bigint").alias("max_span_x"),
+        F.max("span_y").cast("bigint").alias("max_span_y"),
+        F.bool_and(
+            (F.col("span_x") <= 15) & (F.col("span_y") <= 15)
+        ).alias("all_skippable"),
+    )
+
+
+# --------------------------------------------------------------------------
 # k-anonymity risk audit
 # --------------------------------------------------------------------------
 @register(

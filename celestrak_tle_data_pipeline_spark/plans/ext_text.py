@@ -2123,10 +2123,17 @@ def bm25_topk_docs(spark, sf_dir):
     )
     from pyspark.sql import Window
 
+    # TakeOrderedAndProject bounds the doc-grain frame to k=10 rows
+    # BEFORE any window — per-partition heaps + one k-row merge, no
+    # single-partition exchange of the scored corpus. The rank column
+    # is then a global window over the 10 surviving rows; its input is
+    # already one k-row partition, so the plan has NO exchange under
+    # the Window (the planner's no-partition warning refers to k rows).
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
-        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= 10)
+        agg.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )
 
 

@@ -470,3 +470,22 @@ def test_session_path_no_product_join(spark):
     plan = _plan(spark, "session_path_analysis")
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_topk_takes_compile_to_take_ordered(spark):
+    # r5 verdict #7: total-ordered top-k selections must compile to
+    # TakeOrderedAndProject (per-partition heaps + one k-row merge),
+    # never a row_number() over an unpartitioned window that exchanges
+    # the whole frame to a single partition first.
+    for name in (
+        "item_cooccurrence_cosine",
+        "session_path_analysis",
+        "bm25_topk_docs",
+    ):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+    # the two rank-free queries must carry no single-partition exchange
+    # at all (bm25 keeps a scalar-aggregate merge for corpus stats, and
+    # its rank window reads the already-limited k-row output)
+    for name in ("item_cooccurrence_cosine", "session_path_analysis"):
+        assert "Exchange SinglePartition" not in _plan(spark, name), name
