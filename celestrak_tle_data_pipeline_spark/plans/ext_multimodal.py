@@ -25,6 +25,7 @@ from ..operators.multimodal import (
     decode_ppm_assets,
     decode_wav_assets,
     demux_y4m_assets,
+    resize_ppm_assets,
     sample_frames,
 )
 from . import register
@@ -312,6 +313,73 @@ def multimodal_ppm_decode(spark, sf_dir):
         F.col("doc_id").alias("asset_id"), payload.alias("payload")
     )
     return decode_ppm_assets(assets)
+
+
+# --------------------------------------------------------------------------
+# X4, REAL codec tier: nearest-neighbor resize (binary → binary → gate)
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_ppm_resize",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id AS asset_id,
+               4 + doc_id % 8 AS w,
+               3 + doc_id % 5 AS h,
+               text,
+               length(text) AS n
+        FROM documents
+    )
+    SELECT asset_id,
+           CAST(4 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           CAST(16 AS BIGINT) AS n_px,
+           CAST(list_sum(list_transform(range(0, 16), j ->
+                ascii(text[((3 * ((((j // 4) * h) // 4) * w
+                                  + (((j % 4) * w) // 4)) + 0) % n) + 1])))
+                AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, 16), j ->
+                ascii(text[((3 * ((((j // 4) * h) // 4) * w
+                                  + (((j % 4) * w) // 4)) + 1) % n) + 1])))
+                AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, 16), j ->
+                ascii(text[((3 * ((((j // 4) * h) // 4) * w
+                                  + (((j % 4) * w) // 4)) + 2) % n) + 1])))
+                AS BIGINT) AS sum_b
+    FROM img
+    """,
+)
+def multimodal_ppm_resize(spark, sf_dir):
+    """X4, REAL resize tier: the ``resize_ppm_assets`` nearest-neighbor
+    kernel under the full value gate. Same Catalyst-synthesized P6
+    images as ``multimodal_ppm_decode`` (w = 4+id%8, h = 3+id%5, pixel
+    bytes = the doc's ASCII text cycled), resized to a fixed 4x4 —
+    DOWN-scaling for wide/tall inputs and UP-scaling for the 4x3 case,
+    both directions of the gather — then decoded again by the real PPM
+    decoder, so the gate covers decode → resize → re-encode → decode.
+
+    The oracle recomputes every resized channel sum arithmetically:
+    output pixel (r, c) maps to source pixel (r*h//4, c*w//4) (the
+    kernel's integer floor mapping), whose channel-k byte is the text
+    character at (3*(R*w + C) + k) mod n — two engines, same bigints,
+    completely independent paths (numpy fancy-indexed gather vs a
+    16-element list fold).
+
+    Scale shape: synthesize → resize → decode is ONE narrow Arrow
+    pass over the documents scan; payloads never shuffle."""
+    d = t(spark, sf_dir, "documents")
+    w = F.lit(4) + F.col("doc_id") % 8
+    h = F.lit(3) + F.col("doc_id") % 5
+    nbytes = (w * h * 3).cast("int")
+    reps = F.ceil(nbytes / F.length("text")).cast("int")
+    body = F.substring(F.repeat(F.col("text"), reps), 1, nbytes)
+    payload = F.concat(
+        F.format_string("P6\n%d %d\n255\n", w, h), body
+    ).cast("binary")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"), payload.alias("payload")
+    )
+    resized = resize_ppm_assets(assets, 4, 4).select("asset_id", "payload")
+    return decode_ppm_assets(resized)
 
 
 # --------------------------------------------------------------------------

@@ -95,6 +95,57 @@ def test_resize_binary_roundtrip(spark):
     assert all(r.byte_len == 32 for r in chained)
 
 
+def test_ppm_resize_nearest_neighbor_exact(spark):
+    # REAL resize path: nearest-neighbor gather with the integer floor
+    # mapping src = (i * in) // out, verified pixel-by-pixel both ways
+    from celestrak_tle_data_pipeline_spark.operators.multimodal import (
+        decode_ppm_assets,
+        resize_ppm_assets,
+    )
+
+    # 4x4 image, pixel (r, c) = (16r+c, 100+16r+c, 200 - 16r - c)
+    px = bytes(
+        b for r in range(4) for c in range(4)
+        for b in (16 * r + c, 100 + 16 * r + c, 200 - 16 * r - c)
+    )
+    good = b"P6\n4 4\n255\n" + px
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"JFIF not a ppm")),
+        (3, bytearray(b"P6\n4 4\n255\n" + b"\x01" * 5)),   # truncated
+        (4, bytearray(b"P6\nx y\n255\n" + b"\x01" * 48)),  # bad dims
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+
+    # downscale 4x4 -> 2x2: rows (0,2), cols (0,2) survive
+    out = {r.asset_id: r for r in resize_ppm_assets(df, 2, 2).collect()}
+    assert list(out) == [1]
+    body = bytes(out[1].payload)
+    assert body.startswith(b"P6\n2 2\n255\n")
+    got = body[len(b"P6\n2 2\n255\n"):]
+    want = bytes(
+        b for r in (0, 2) for c in (0, 2)
+        for b in (16 * r + c, 100 + 16 * r + c, 200 - 16 * r - c)
+    )
+    assert got == want
+    assert (out[1].out_width, out[1].out_height, out[1].out_bytes) == (
+        2, 2, len(body)
+    )
+
+    # upscale 4x4 -> 8x8 and round-trip through the real decoder:
+    # each source pixel replicates 2x2, so sums scale exactly by 4
+    dec = decode_ppm_assets(
+        resize_ppm_assets(df, 8, 8).select("asset_id", "payload")
+    ).collect()
+    assert len(dec) == 1
+    r = dec[0]
+    assert (r.width, r.height, r.n_px) == (8, 8, 64)
+    sum_r = sum(16 * rr + c for rr in range(4) for c in range(4))
+    sum_g = sum(100 + 16 * rr + c for rr in range(4) for c in range(4))
+    sum_b = sum(200 - 16 * rr - c for rr in range(4) for c in range(4))
+    assert (r.sum_r, r.sum_g, r.sum_b) == (4 * sum_r, 4 * sum_g, 4 * sum_b)
+
+
 def test_ppm_decoder_drops_malformed_payloads(spark):
     # real-codec policy: bad magic / truncated pixels / garbage header
     # are dropped, well-formed assets decode with exact channel sums
