@@ -68,7 +68,10 @@ _MODULES = (
 # ``histogram_order_totals`` (deferred to round 7 to make room for the
 # re-certification) and rows-only-by-design ``minhash_near_dup`` /
 # ``ann_lsh_bucketed`` (recall-1.0 twins gate their MLlib internals).
-# Round-7 window seed: histogram_order_totals + whatever round 6 registers.
+# Round-7 window seed: histogram_order_totals + the round-6 registrations
+# (equidepth_histogram_bounded, sorted_neighborhood_ranged,
+# zorder_skipping_gate, multimodal_ppm_resize, winnowing_fingerprints,
+# bloom_membership_sketch).
 _PRIORITY = (
     # official-FAIL re-certification (r4 hash mismatch, fixed in r5)
     "sliding_weekly_value",

@@ -2300,3 +2300,100 @@ def qgram_prefix_filter_pairs(spark, sf_dir):
             "dist",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (MOSS local fingerprint selection)
+# --------------------------------------------------------------------------
+@register(
+    "winnowing_fingerprints",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        WHERE len(string_split(text, ' ')) >= 8
+    ),
+    grams AS (
+        SELECT doc_id,
+               len(ts) - 4 AS n_grams,
+               g.i AS gpos,
+               (CAST(('0x' || substr(md5(
+                    array_to_string(ts[g.i + 1 : g.i + 5], ' ')), 1, 15))
+                    AS BIGINT) % 1099511627776) * 131072 + g.i AS p
+        FROM toks, LATERAL unnest(generate_series(0, len(ts) - 5)) AS g(i)
+    ),
+    wm AS (
+        SELECT doc_id, n_grams, gpos,
+               MIN(p) OVER (PARTITION BY doc_id ORDER BY gpos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM grams
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, n_grams, wmin
+        FROM wm WHERE gpos <= n_grams - 4
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(wmin % 1000000007) AS BIGINT) AS fp_checksum,
+           CAST(COUNT(*) AS DOUBLE) / n_grams AS density
+    FROM sel GROUP BY doc_id, n_grams
+    """,
+)
+def winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every 5-token gram, slide a w=4 window over
+    the gram-hash sequence, keep each window's MINIMUM — the selected
+    set is a position-robust fingerprint with guaranteed density
+    (any shared substring of >= w+k-1 tokens yields a shared
+    fingerprint) at ~2/(w+1) the gram count. This is the fingerprint
+    tier between the order-sensitive whole-doc rolling hash
+    (``doc_fingerprint_rolling``) and full gram-set dedup
+    (``duplicate_ngram_spans``): small enough to index, local enough
+    to survive edits.
+
+    Determinism across engines: the windowed argmin is made total by
+    PACKING (hash, position) into one int64 — ``(h % 2^40) * 2^17 +
+    gpos`` — so ties on hash value resolve to the leftmost position
+    identically everywhere; the checksum sums residues mod 1e9+7
+    (bounded, no int64 overflow in either engine).
+
+    Scale shape: grams explode map-side from the scan; the ONLY
+    shuffle is the per-doc window (doc-keyed, short sequences), and
+    selection + rollup stay in that partitioning — at 100 TB this is
+    one pass, and the fingerprint set joins downstream dedup tiers by
+    equi-join on ``wmin``."""
+    d = _docs(spark, sf_dir)
+    packed = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 5), i -> "
+        "(CAST(conv(substring(md5(concat_ws(' ', "
+        "slice(split(text, ' '), i + 1, 5))), 1, 15), 16, 10) AS BIGINT) "
+        "% 1099511627776) * 131072 + i)"
+    )
+    rows = (
+        d.where(F.size(F.split(F.col("text"), " ")) >= 8)
+        .select(
+            "doc_id",
+            (F.size(F.split(F.col("text"), " ")) - 4).alias("n_grams"),
+            F.posexplode(packed).alias("gpos", "p"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("gpos").rowsBetween(0, 3)
+    sel = (
+        rows.withColumn("wmin", F.min("p").over(w))
+        .where(F.col("gpos") <= F.col("n_grams") - 4)
+        .select("doc_id", "n_grams", "wmin")
+        .distinct()
+    )
+    return (
+        sel.groupBy("doc_id", "n_grams")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+            F.sum(F.col("wmin") % 1000000007)
+            .cast("bigint")
+            .alias("fp_checksum"),
+            (F.count(F.lit(1)).cast("double") / F.col("n_grams")).alias(
+                "density"
+            ),
+        )
+        .withColumn("n_grams", F.col("n_grams").cast("bigint"))
+    )

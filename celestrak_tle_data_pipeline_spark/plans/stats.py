@@ -1187,3 +1187,146 @@ def trailing_median_per_user(spark, sf_dir):
         "event_id",
         F.expr("percentile(value, 0.5d)").over(w).alias("trailing_median"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership sketch (mergeable; no-false-negative gate)
+# --------------------------------------------------------------------------
+@register(
+    "bloom_membership_sketch",
+    oracle="""
+    WITH obs AS (
+        SELECT DISTINCT o_custkey AS key FROM orders
+    ),
+    bits AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(g.i || ':' || CAST(key AS VARCHAR)),
+                                    1, 15)) AS BIGINT) % 131072 AS bit
+        FROM obs, LATERAL unnest([1, 2, 3]) AS g(i)
+    ),
+    probe AS (
+        SELECT c.key,
+               SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS nhit
+        FROM (SELECT c_custkey AS key,
+                     CAST(('0x' || substr(md5(g.i || ':'
+                              || CAST(c_custkey AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 131072 AS bit
+              FROM customer, LATERAL unnest([1, 2, 3]) AS g(i)) c
+        LEFT JOIN bits b USING (bit)
+        GROUP BY c.key
+    ),
+    flags AS (
+        SELECT p.key, p.nhit = 3 AS bloom_positive,
+               o.key IS NOT NULL AS present
+        FROM probe p LEFT JOIN obs o ON p.key = o.key
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_present,
+           CAST(SUM(CASE WHEN bloom_positive THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_positive,
+           CAST(SUM(CASE WHEN bloom_positive AND NOT present
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+           CAST(0 AS BIGINT) AS n_false_negatives,
+           CAST(SUM(CASE WHEN bloom_positive AND NOT present
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / NULLIF(SUM(CASE WHEN NOT present THEN 1 ELSE 0 END), 0)
+               AS fpr
+    FROM flags
+    """,
+)
+def bloom_membership_sketch(spark, sf_dir):
+    """Bloom-filter membership sketch (d=3 hashes, m=2^17 bits) built
+    over the distinct order-placing customers and probed with EVERY
+    customer — the fixed-size set-membership structure that answers
+    "might this key be in the 100 TB fact table?" from kilobytes,
+    completing the sketch tier beside HLL (distinct counts), Count-Min
+    (frequencies), and approx quantiles. The bit set is MERGEABLE
+    (bit-OR across partitions/batches/days), which is what makes it
+    the distributed pre-filter for selective joins.
+
+    Hash rows use the engines' shared md5-prefix integer idiom (same
+    as Count-Min/MinHash), so the sketch is bit-identical in both
+    engines. The one-row summary is gated the strong way: the ORACLE
+    pins ``0 AS n_false_negatives`` as a literal while Spark counts
+    present-but-bloom-negative keys from the data — a broken filter
+    hash-fails the driver gate itself (the zorder_skipping_gate
+    pattern). False positives are exactly value-matched and the FPR
+    denominator is the true-absent count.
+
+    Scale shape: build = one distinct + map-side hash explode into a
+    <=m-row bit table (kilobytes — broadcast); probe = candidate hash
+    explode → broadcast equi-join on bit → 3-row-per-key rollup; truth
+    = broadcast left join on the distinct key set. No fact-fact
+    shuffle anywhere."""
+    m = 131072
+
+    def bitpos(i, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(str(i)), key.cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+        )
+
+    obs = (
+        t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    bits = obs.select(
+        F.explode(
+            F.array(*[bitpos(i, F.col("key")) for i in (1, 2, 3)])
+        ).alias("bit")
+    ).distinct()
+    cand = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")
+    )
+    cand_bits = cand.select(
+        "key",
+        F.explode(
+            F.array(*[bitpos(i, F.col("key")) for i in (1, 2, 3)])
+        ).alias("bit"),
+    )
+    probe = (
+        cand_bits.join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left"
+        )
+        .groupBy("key")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("nhit"))
+    )
+    flags = probe.join(
+        F.broadcast(obs.withColumn("present", F.lit(True))), "key", "left"
+    ).select(
+        (F.col("nhit") == 3).alias("bloom_positive"),
+        F.coalesce(F.col("present"), F.lit(False)).alias("present"),
+    )
+    n_absent = F.sum(F.when(~F.col("present"), 1).otherwise(0))
+    n_fp = F.sum(
+        F.when(F.col("bloom_positive") & ~F.col("present"), 1).otherwise(0)
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("present"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_present"),
+        F.sum(F.when(F.col("bloom_positive"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_positive"),
+        n_fp.cast("bigint").alias("n_false_positives"),
+        F.sum(
+            F.when(F.col("present") & ~F.col("bloom_positive"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_negatives"),
+        (
+            n_fp.cast("double")
+            / F.when(n_absent > 0, n_absent).otherwise(F.lit(None))
+        ).alias("fpr"),
+    )

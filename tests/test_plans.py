@@ -446,6 +446,52 @@ def test_parquet_aggregate_pushdown_v2(spark):
     assert row == base and base[2] > 0
 
 
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Spark's InjectRuntimeFilter: a selective filter on one join side
+    builds a bloom filter at runtime and pushes might_contain() into
+    the OTHER side's scan — the mechanism that turns a 100 TB
+    fact-fact shuffle join into a pre-filtered one without bucketing.
+    Not exercised by the engine's default plans (dims broadcast, and
+    the application-side threshold is 10 GB); this pins that the
+    capability is a conf flip away and that the filtered result is
+    identical."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # bench-SF scans are far below the 10 GB production threshold
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1b",
+        # force a shuffle join: broadcast joins get no runtime filter
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+
+    def q():
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        return (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q()
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[-1500:]
+        filtered = {tuple(r) for r in df.collect()}
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    base = {tuple(r) for r in q().collect()}
+    assert filtered == base and len(base) == 1
+
+
 def test_incremental_merge_pushes_both_slice_bounds(spark):
     # history and new-batch slices must reach the scans as literal
     # timestamp predicates (LessThan / GreaterThanOrEqual)
