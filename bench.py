@@ -45,6 +45,8 @@ QUERIES = [
     "tpch_q8_market_share",     # classic OLAP: 8-relation join graph
     "duplicate_ngram_spans",    # cross-doc span-dup gram pipeline (r5)
     "item_cooccurrence_cosine", # capped item-item similarity self-join (r5)
+    "equidepth_histogram_bounded",  # boundary-broadcast scale twin (r6)
+    "winnowing_fingerprints",   # MOSS fingerprint selection (r6)
 ]
 
 

@@ -492,6 +492,60 @@ def test_runtime_bloom_filter_join_pruning(spark):
     assert filtered == base and len(base) == 1
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join certification: a 90%-hot key makes one shuffle
+    partition dwarf the median, and AQE splits it into parallel
+    sub-partitions at runtime — `SortMergeJoin(skew=true)` over an
+    `AQEShuffleRead skewed` in the FINAL plan. This is the no-code
+    answer to join skew at 100 TB (manual salting — X13,
+    salted_heavy_hitters — remains for aggregations, where AQE cannot
+    split). Caveat pinned here by construction: skew splitting only
+    applies when nothing downstream requires the join's output
+    partitioning — a groupBy on the join key right after the join
+    disables it (ENSURE_REQUIREMENTS), which is why this test ends in
+    a projection."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+
+    def q():
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id"))
+            .alias("key"),
+            F.col("id").alias("val"),
+        )
+        right = spark.range(0, 2000).select(
+            F.col("id").alias("key"), (F.col("id") * 2).alias("rv")
+        )
+        return left.join(right, "key").select(
+            (F.col("val") + F.col("rv")).alias("s")
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q()
+        n = df.count()
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    # split partitions must not change the join result
+    assert n == q().count() == 270200
+
+
 def test_incremental_merge_pushes_both_slice_bounds(spark):
     # history and new-batch slices must reach the scans as literal
     # timestamp predicates (LessThan / GreaterThanOrEqual)

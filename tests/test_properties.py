@@ -359,3 +359,98 @@ def test_integer_pagerank_matches_python_reference(spark, pairs):
         )
     got = {row.u: row.r for row in r.collect()}
     assert got == ranks
+
+
+# --------------------------------------------------------------------------
+# winnowing guarantee: a shared run of >= w + k - 1 tokens yields a
+# shared selected gram HASH (Schleimer et al. theorem 1)
+# --------------------------------------------------------------------------
+TOKEN = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(TOKEN, min_size=8, max_size=20),   # shared run (>= w+k-1 = 8)
+    st.lists(TOKEN, min_size=4, max_size=12),   # doc-a prefix
+    st.lists(TOKEN, min_size=4, max_size=12),   # doc-b suffix
+)
+def test_winnowing_shared_substring_guarantee(spark, shared, pre, suf):
+    from celestrak_tle_data_pipeline_spark.plans import all_queries
+    import os
+    import tempfile
+
+    # two documents embedding the same token run at DIFFERENT offsets
+    doc_a = " ".join(pre + shared)
+    doc_b = " ".join(shared + suf)
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(1, doc_a, "en", "s", len(doc_a)), (2, doc_b, "en", "s", len(doc_b))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        # reuse the registered query's exact selection logic, but keep
+        # the raw selected set: recompute wmin distinct per doc
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        d = spark.read.parquet(os.path.join(tmp, "documents.parquet"))
+        packed = F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 5), i -> "
+            "(CAST(conv(substring(md5(concat_ws(' ', "
+            "slice(split(text, ' '), i + 1, 5))), 1, 15), 16, 10) AS BIGINT) "
+            "% 1099511627776) * 131072 + i)"
+        )
+        rows = d.where(F.size(F.split(F.col("text"), " ")) >= 8).select(
+            "doc_id",
+            (F.size(F.split(F.col("text"), " ")) - 4).alias("n_grams"),
+            F.posexplode(packed).alias("gpos", "p"),
+        )
+        w = Window.partitionBy("doc_id").orderBy("gpos").rowsBetween(0, 3)
+        sel = (
+            rows.withColumn("wmin", F.min("p").over(w))
+            .where(F.col("gpos") <= F.col("n_grams") - 4)
+            # fingerprint identity for MATCHING is the hash (drop pos)
+            .select("doc_id", F.expr("wmin div 131072").alias("fp"))
+            .distinct()
+            .collect()
+        )
+    fps = {1: set(), 2: set()}
+    for r in sel:
+        fps[r.doc_id].add(r.fp)
+    # the guarantee: the embedded shared run must produce at least one
+    # common fingerprint hash regardless of its offset in each doc
+    assert fps[1] & fps[2], (doc_a, doc_b)
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+)
+def test_ppm_resize_dims_property(spark, in_w, in_h, out_w, out_h):
+    # any input dims -> exactly the target dims, payload well-formed,
+    # every output pixel drawn from the source by the floor mapping
+    from celestrak_tle_data_pipeline_spark.operators.multimodal import (
+        resize_ppm_assets,
+    )
+
+    px = bytes(
+        (7 * i + c) % 256 for i in range(in_w * in_h) for c in range(3)
+    )
+    buf = b"P6\n%d %d\n255\n" % (in_w, in_h) + px
+    df = spark.createDataFrame(
+        [(1, bytearray(buf))], "asset_id long, payload binary"
+    )
+    out = resize_ppm_assets(df, out_w, out_h).collect()
+    assert len(out) == 1
+    body = bytes(out[0].payload)
+    hdr = b"P6\n%d %d\n255\n" % (out_w, out_h)
+    assert body.startswith(hdr)
+    got = body[len(hdr):]
+    assert len(got) == 3 * out_w * out_h
+    for r in range(out_h):
+        for c in range(out_w):
+            sr, sc = (r * in_h) // out_h, (c * in_w) // out_w
+            src = px[3 * (sr * in_w + sc): 3 * (sr * in_w + sc) + 3]
+            assert got[3 * (r * out_w + c): 3 * (r * out_w + c) + 3] == src
