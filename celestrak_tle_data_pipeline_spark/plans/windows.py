@@ -179,9 +179,13 @@ def tumbling_daily_value(spark, sf_dir):
     "session_windows",
     oracle="""
     WITH flagged AS (
+      -- >= matches Spark's half-open session windows exactly: an event
+      -- at precisely prev_ts + gap begins a NEW session ([start, end)
+      -- does not contain its end) — same boundary convention as the
+      -- dynamic_gap_sessions oracle
       SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
+                       >= INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
