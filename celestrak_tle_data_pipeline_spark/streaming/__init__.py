@@ -10,5 +10,7 @@ from .joins import (  # noqa: F401
 from .stateful import decay_tracker  # noqa: F401
 from .windowed import (  # noqa: F401
     daily_flux_aggregate_stream,
+    observation_sessions_stream,
     run_daily_flux_aggregate,
+    run_observation_sessions,
 )

@@ -81,3 +81,54 @@ def run_daily_flux_aggregate(
         .start()
     )
     q.awaitTermination()
+
+
+def observation_sessions_stream(
+    spark: SparkSession, landing_dir: str
+) -> DataFrame:
+    """Streaming session-window aggregation (the FOURTH windowing shape
+    beside tumbling, sliding, and dedup-horizon state): per-satellite
+    observation BURSTS — runs of telemetry whose epoch gaps stay under
+    12 hours merge into one session; a longer quiet gap closes it.
+    Emits (norad_id, session_start, session_end, n_obs) once per
+    finalized session in append mode.
+
+    Session state merges across micro-batches (Spark keeps per-key
+    open sessions and fuses overlapping windows); the 3-day watermark
+    both finalizes sessions and bounds state — identical constants and
+    parse path to the batch engine (`incremental_tle_stream`), so the
+    batch `session_windows` query and this stream share semantics
+    end-to-end. Half-open boundary convention pinned by the batch
+    oracle (>= gap starts a new session)."""
+    from .incremental import incremental_tle_stream
+
+    parsed = incremental_tle_stream(spark, landing_dir)
+    agg = parsed.groupBy(
+        F.session_window("epoch_utc", "12 hours").alias("w"), "norad_id"
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    return agg.select(
+        "norad_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_obs",
+    )
+
+
+def run_observation_sessions(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    sink,
+) -> None:
+    """One AvailableNow pass in APPEND mode: ``sink`` receives only
+    sessions the watermark has CLOSED; open sessions persist in the
+    checkpoint and keep absorbing events on later passes."""
+    q = (
+        observation_sessions_stream(spark, landing_dir)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -443,3 +443,68 @@ def test_stateful_decay_tracker_v2_transform_with_state(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prior
             )
+
+
+def test_streaming_session_windows_merge_and_close(spark, tmp_path):
+    """Session-window streaming: per-satellite observation bursts merge
+    across micro-batches, close only when the watermark passes the
+    session end (last epoch + 12h gap), and emit exactly once."""
+    from celestrak_tle_data_pipeline_spark.streaming import (
+        run_observation_sessions,
+    )
+
+    landing = tmp_path / "sland"
+    landing.mkdir()
+    ckpt = str(tmp_path / "sckpt")
+    out_rows = []
+
+    def sink(df, _id):
+        out_rows.extend(df.collect())
+
+    base = dt.datetime(2026, 8, 1)  # midnight, exact day fractions
+
+    def payload_at(norad: int, at: dt.datetime) -> str:
+        doy = (at - dt.datetime(at.year, 1, 1)).days + 1
+        frac = (at - at.replace(hour=0, minute=0, second=0)).seconds / 86400
+        epoch = f"{at.year % 100:02d}{doy:03d}.{round(frac * 1e8):08d}"
+        return (
+            f"SAT-{norad}\n"
+            f"1 {norad:05d}U 20001A   {epoch}  .00001234  00000+0"
+            f"  13717-3 0  9995\n"
+            f"2 {norad:05d}  53.0537 205.1100 0001450  90.1234 270.0123"
+            f" 15.06402843350061\n"
+        )
+
+    # burst 1: obs at +0h, +6h, +9h (gaps < 12h -> one session);
+    # then +30h (21h after the 9h obs -> NEW session). All in pass 1:
+    # watermark = 30h - 3d < 0 -> nothing closes yet.
+    for i, off in enumerate((0, 6, 9, 30)):
+        (landing / f"s{i}.txt").write_text(
+            payload_at(90001, base + dt.timedelta(hours=off))
+        )
+    run_observation_sessions(spark, str(landing), ckpt, sink)
+    assert out_rows == []
+
+    # pass 2: a flusher obs 10 days out advances the watermark to +7d,
+    # closing both sessions; the flusher's own session stays open.
+    (landing / "flush.txt").write_text(
+        payload_at(90002, base + dt.timedelta(days=10))
+    )
+    run_observation_sessions(spark, str(landing), ckpt, sink)
+    got = {
+        (r.norad_id, r.session_start, r.session_end, r.n_obs)
+        for r in out_rows
+    }
+    assert got == {
+        (90001, base, base + dt.timedelta(hours=21), 3),
+        (
+            90001,
+            base + dt.timedelta(hours=30),
+            base + dt.timedelta(hours=42),
+            1,
+        ),
+    }
+
+    # pass 3: nothing new -> no re-emission (append-once contract)
+    run_observation_sessions(spark, str(landing), ckpt, sink)
+    assert len(out_rows) == 2

@@ -59,6 +59,11 @@ QUERIES = (
     "item_cooccurrence_cosine",     # capped self-join via persisted pairs
     "token_vote_classifier",        # 2-scan train+infer, broadcast champion
     "rolling_weekly_active_users",  # 7x day-grain fan-out + count-distinct
+    # round-6 shapes
+    "equidepth_histogram_bounded",  # percentile agg + broadcast range lookup
+    "sorted_neighborhood_ranged",   # range-partitioned SNM + boundary carry
+    "winnowing_fingerprints",       # gram explode + doc-keyed window min
+    "bloom_membership_sketch",      # bit-set build + broadcast probe
 )
 
 
