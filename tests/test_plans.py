@@ -589,3 +589,40 @@ def test_topk_takes_compile_to_take_ordered(spark):
     # its rank window reads the already-limited k-row output)
     for name in ("item_cooccurrence_cosine", "session_path_analysis"):
         assert "Exchange SinglePartition" not in _plan(spark, name), name
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """Hive-style partition pruning: a predicate on the partition
+    column must land in PartitionFilters (directory-level pruning —
+    at 100 TB the difference between listing one day and scanning a
+    year), and the pruned read must touch only the matching
+    partition's files."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "pt")
+    spark.createDataFrame(
+        [(i, f"2026-08-{d:02d}") for d in (1, 2, 3) for i in range(20)],
+        "k long, day string",
+    ).write.partitionBy("day").parquet(base)
+
+    # poison a SIBLING partition: a pruned read never opens the file,
+    # an unpruned scan would throw on it — behavioral proof, not just
+    # plan text (inputFiles() lists pre-pruning and can't distinguish)
+    import os
+
+    with open(
+        os.path.join(base, "day=2026-08-01", "garbage.parquet"), "wb"
+    ) as fh:
+        fh.write(b"not a parquet file")
+
+    # explicit schema: no footer-driven schema inference (which would
+    # itself open every file — the production discipline at 100 TB)
+    df = (
+        spark.read.schema("k long, day string")
+        .parquet(base)
+        .where(F.col("day") == "2026-08-02")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2026-08-02" in plan, plan[-1200:]
+    assert df.count() == 20
+    assert [r.k for r in df.orderBy("k").collect()] == list(range(20))
