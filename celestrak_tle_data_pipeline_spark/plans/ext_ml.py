@@ -778,8 +778,14 @@ def sorted_neighborhood_ranged(spark, sf_dir):
     """
     cst = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     order = [F.col("c_name").asc(), F.col("c_custkey").asc()]
-    s = cst.repartitionByRange(8, *order).withColumn(
-        "pid", F.spark_partition_id()
+    # persist() pins ONE range-partitioned computation for both the
+    # carry branch and the base rows — pid assignment is deterministic
+    # either way (RangePartitioner samples with fixed seeds), but a
+    # single materialization makes the seam-freedom unconditional
+    s = (
+        cst.repartitionByRange(8, *order)
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
     wp = Window.partitionBy("pid").orderBy(*order)
     carry = (

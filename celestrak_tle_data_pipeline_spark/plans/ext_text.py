@@ -2471,9 +2471,18 @@ def ppjoin_token_sets(spark, sf_dir):
     candidate join; arrays travel ONLY on the candidates-grain verify
     join — never through the blocking shuffle."""
     d = _docs(spark, sf_dir)
-    s = d.select(
-        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
-    ).withColumn("n", F.size("toks"))
+    # the token-set frame feeds FOUR subtrees (gram explode, frequency
+    # rollup, both verify sides); persist() pins it to one computation —
+    # the local stand-in for materializing the tokenized corpus once
+    # (the item_cooccurrence_cosine precedent)
+    s = (
+        d.select(
+            "doc_id",
+            F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+        )
+        .withColumn("n", F.size("toks"))
+        .persist()
+    )
     g = s.select("doc_id", "n", F.explode("toks").alias("tok"))
     freq = g.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
     r = g.join(freq, "tok").withColumn(
