@@ -740,3 +740,86 @@ def k_anonymity_audit(spark, sf_dir):
             "risky_row_frac"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# functional-dependency violation profiling (data-quality mining)
+# --------------------------------------------------------------------------
+def _fd_sql(tab: str, lhs: str, rhs: str) -> str:
+    """One candidate FD profiled as a one-row summary (DuckDB side)."""
+    return f"""
+    SELECT '{tab}.{lhs} -> {rhs}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN grp_rows ELSE 0 END) AS BIGINT)
+               AS n_rows_in_violating,
+           SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS violation_rate
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs,
+                 COUNT(*) AS grp_rows
+          FROM {tab} GROUP BY {lhs})
+    """
+
+
+_FD_CANDIDATES = (
+    ("part", "p_brand", "p_type"),
+    ("part", "p_type", "p_size"),
+    ("customer", "c_name", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+)
+
+
+@register(
+    "fd_violation_profile",
+    oracle=" UNION ALL ".join(_fd_sql(*c) for c in _FD_CANDIDATES),
+)
+def fd_violation_profile(spark, sf_dir):
+    """Functional-dependency violation profiling (the Metanome-style
+    data-quality miner): for each candidate FD ``lhs -> rhs``, how many
+    lhs groups carry more than one distinct rhs, how many rows sit in
+    those violating groups, and whether the dependency HOLDS — the
+    discovery pass schema-cleanup and normalization decisions start
+    from, complementing ``data_quality_audit`` (which checks declared
+    rules; this MINES undeclared structure). The candidate set spans a
+    holding FD (c_name -> c_mktsegment: names are unique) and
+    fully/mostly violated ones, so both branches of every aggregate
+    are exercised under the value gate.
+
+    Each FD is one group-rollup (count-distinct rhs per lhs) collapsed
+    to a one-row summary and unioned — per-FD cost is one
+    partial-aggregated shuffle of (lhs, rhs) pairs, the same shape at
+    any scale; candidate FDs are independent so the union evaluates
+    them in parallel. violation_rate is one integer-ratio division."""
+    out = None
+    for tab, lhs, rhs in _FD_CANDIDATES:
+        grp = (
+            t(spark, sf_dir, tab)
+            .groupBy(lhs)
+            .agg(
+                F.countDistinct(rhs).alias("n_rhs"),
+                F.count(F.lit(1)).alias("grp_rows"),
+            )
+        )
+        viol = F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+        summary = grp.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+            viol.cast("bigint").alias("n_violating"),
+            F.sum(F.when(F.col("n_rhs") > 1, F.col("grp_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_in_violating"),
+            (viol == 0).alias("holds"),
+            (viol.cast("double") / F.count(F.lit(1))).alias(
+                "violation_rate"
+            ),
+        ).select(
+            F.lit(f"{tab}.{lhs} -> {rhs}").alias("fd"),
+            "n_lhs",
+            "n_violating",
+            "n_rows_in_violating",
+            "holds",
+            "violation_rate",
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out
