@@ -508,3 +508,45 @@ def test_streaming_session_windows_merge_and_close(spark, tmp_path):
     # pass 3: nothing new -> no re-emission (append-once contract)
     run_observation_sessions(spark, str(landing), ckpt, sink)
     assert len(out_rows) == 2
+
+
+def test_scheduled_cycle_is_idempotent(spark, tmp_path):
+    """The cron-unit artifact (orchestration.run_scheduled_cycle):
+    one cycle drains both landing dirs into the warehouse; a second
+    cycle with nothing new is a no-op; a third with one new payload
+    appends exactly the new rows — the reference's 3x/day schedule as
+    repeated idempotent AvailableNow passes."""
+    import json
+
+    from celestrak_tle_data_pipeline_spark.orchestration import (
+        run_scheduled_cycle,
+    )
+    from celestrak_tle_data_pipeline_spark.sinks.warehouse import (
+        ParquetWarehouse,
+    )
+
+    root = str(tmp_path / "croot")
+    run_scheduled_cycle(spark, root)  # creates layout; empty no-op
+
+    tle_land = tmp_path / "croot" / "landing" / "tle"
+    wx_land = tmp_path / "croot" / "landing" / "weather"
+    (tle_land / "t1.txt").write_text(_payload(60001, NOW))
+    (wx_land / "w1.json").write_text(
+        json.dumps([["time_tag", "flux"], ["2026-08-01 12:00", "101.5"]])
+    )
+    run_scheduled_cycle(spark, root)
+    wh = ParquetWarehouse(spark, str(tmp_path / "croot" / "warehouse"))
+    assert wh.read("fact_telemetry").count() == 1
+    assert wh.read("dim_satellites").count() == 1
+    assert wh.read("fact_space_weather").count() == 1
+
+    # cycle with nothing new: checkpoints remember both files
+    run_scheduled_cycle(spark, root)
+    assert wh.read("fact_telemetry").count() == 1
+    assert wh.read("fact_space_weather").count() == 1
+
+    # one new satellite lands; only it appends
+    (tle_land / "t2.txt").write_text(_payload(60002, NOW))
+    run_scheduled_cycle(spark, root)
+    assert wh.read("fact_telemetry").count() == 2
+    assert wh.read("dim_satellites").count() == 2
