@@ -1330,3 +1330,72 @@ def bloom_membership_sketch(spark, sf_dir):
             / F.when(n_absent > 0, n_absent).otherwise(F.lit(None))
         ).alias("fpr"),
     )
+
+
+# --------------------------------------------------------------------------
+# HLL sketch-union rollup (mergeability certification)
+# --------------------------------------------------------------------------
+@register(
+    "hll_sketch_union_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS union_is_lossless,
+           TRUE AS within_3rsd
+    FROM events GROUP BY 1
+    """,
+)
+def hll_sketch_union_rollup(spark, sf_dir):
+    """Sketch MERGEABILITY under the gate — the property that makes
+    approximate distinct counting the 100 TB rollup path: weekly
+    distinct users computed by UNIONING per-day HLL sketches
+    (`hll_sketch_agg` per day, `hll_union_agg` up to weeks) must equal
+    the direct weekly sketch — the exact algebraic-rollup shape of
+    rollup_cascade_daily, but for the NON-ADDITIVE distinct count that
+    plain sums cannot cascade. Both estimates and the equality flag are
+    computed Spark-side; the ORACLE pins ``TRUE`` literals for
+    losslessness AND the 3·rsd error contract against its exact count
+    (rsd ≈ 1.04/√2¹² ≈ 1.6% at the default lgConfigK=12) — a sketch
+    that stops merging cleanly or drifts out of bound hash-fails the
+    driver gate (the approx_distinct_hll / zorder-gate pattern).
+
+    Scale shape: day-grain sketches are what you MATERIALIZE (each a
+    few KB); every coarser grain unions sketches and never re-touches
+    raw events — the second aggregation's input is one row per day."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+    )
+    weekly_merged = daily.groupBy(
+        F.date_trunc("week", F.col("day").cast("timestamp"))
+        .cast("date")
+        .alias("week")
+    ).agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_merged")
+    )
+    weekly_direct = e.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week")
+    ).agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias(
+            "est_direct"
+        ),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    rsd3 = 3 * 1.04 / (2 ** 6)  # 3 * 1.04/sqrt(2^12)
+    return (
+        weekly_merged.join(weekly_direct, "week")
+        .select(
+            "week",
+            "exact_users",
+            (F.col("est_merged") == F.col("est_direct")).alias(
+                "union_is_lossless"
+            ),
+            (
+                F.abs(
+                    F.col("est_merged").cast("double")
+                    - F.col("exact_users").cast("double")
+                )
+                <= F.lit(rsd3) * F.col("exact_users").cast("double")
+            ).alias("within_3rsd"),
+        )
+    )
