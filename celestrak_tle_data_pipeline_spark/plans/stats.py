@@ -1399,3 +1399,164 @@ def hll_sketch_union_rollup(spark, sf_dir):
             ).alias("within_3rsd"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch with intersection estimation
+# --------------------------------------------------------------------------
+@register(
+    "kmv_intersection_estimate",
+    oracle="""
+    WITH a AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                             1, 15)) AS BIGINT) AS h
+        FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                             1, 15)) AS BIGINT) AS h
+        FROM events WHERE event_type = 'purchase'
+    ),
+    ka AS (SELECT h FROM a ORDER BY h LIMIT 256),
+    kb AS (SELECT h FROM b ORDER BY h LIMIT 256),
+    ku AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+           ORDER BY h LIMIT 256),
+    rho AS (
+        SELECT COUNT(*) AS both_n
+        FROM ku
+        WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+    ),
+    ests AS (
+        SELECT
+          -- small-set rule: a sketch holding the whole set IS the
+          -- exact count; the (k-1)/h_k estimator applies only at k
+          (SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                       ELSE round(255.0 * 1152921504606846976 / MAX(h), 6)
+                  END FROM ka) AS est_a,
+          (SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                       ELSE round(255.0 * 1152921504606846976 / MAX(h), 6)
+                  END FROM kb) AS est_b,
+          (SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                       ELSE round(255.0 * 1152921504606846976 / MAX(h), 6)
+                  END FROM ku) AS est_union,
+          (SELECT CAST(COUNT(*) AS DOUBLE) FROM ku) AS ku_n,
+          (SELECT both_n FROM rho) AS both_n
+    ),
+    exacts AS (
+        SELECT
+          (SELECT COUNT(*) FROM a) AS exact_a,
+          (SELECT COUNT(*) FROM b) AS exact_b,
+          (SELECT COUNT(*) FROM (SELECT h FROM a INTERSECT SELECT h FROM b))
+              AS exact_inter
+    )
+    SELECT CAST(exact_a AS BIGINT) AS exact_a,
+           CAST(exact_b AS BIGINT) AS exact_b,
+           CAST(exact_inter AS BIGINT) AS exact_inter,
+           est_a, est_b,
+           round(both_n / ku_n * est_union, 6) AS est_inter,
+           TRUE AS within_15pct
+    FROM ests, exacts
+    """,
+)
+def kmv_intersection_estimate(spark, sf_dir):
+    """KMV (k-minimum-values, k=256) sketches over clicking and
+    purchasing users, with INTERSECTION estimation — the set-operation
+    capability HLL lacks (sketch tier #5 beside HLL / Count-Min /
+    quantiles / Bloom): est(|S|) = (k−1)·2⁶⁰/h₍ₖ₎ from the k smallest
+    60-bit md5 hashes, and |A∩B| ≈ ρ·est(|A∪B|) where ρ counts union-
+    sketch members present in BOTH input sketches. KMV sketches are
+    MERGEABLE (union = k smallest of concatenated sketches — exactly
+    the min-k the query takes), and every estimate is DETERMINISTIC
+    (md5 order, no RNG), so both engines compute bit-identical
+    estimates and the gate value-matches them directly; the 15% error
+    contract rides the pinned-TRUE pattern on top.
+
+    Scale shape: per-set min-k compiles to TakeOrderedAndProject
+    (per-partition heaps over the distinct-hash shuffle, k-row merge);
+    the membership checks join 256-row broadcast frames. At 100 TB the
+    sketches are the materialization unit — set algebra happens on
+    k-row frames, raw events are touched once."""
+    k = 256
+    scale = float(2**60)
+    e = t(spark, sf_dir, "events")
+
+    def hashes(etype):
+        return (
+            e.where(F.col("event_type") == etype)
+            .select(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 15
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h")
+            )
+            .distinct()
+        )
+
+    a, b = hashes("click").persist(), hashes("purchase").persist()
+    ka = a.orderBy("h").limit(k).persist()
+    kb = b.orderBy("h").limit(k).persist()
+    ku = a.unionByName(b).distinct().orderBy("h").limit(k)
+
+    def est(sketch):
+        # small-set rule: a sketch holding the whole set IS the exact
+        # count; the (k-1)/h_k estimator applies only at capacity k
+        n = F.count(F.lit(1))
+        return F.when(n < k, n.cast("double")).otherwise(
+            F.round(
+                F.lit(float(k - 1))
+                * F.lit(scale)
+                / F.max("h").cast("double"),
+                6,
+            )
+        )
+
+    ests_a = ka.agg(est(ka).alias("est_a"))
+    ests_b = kb.agg(est(kb).alias("est_b"))
+    both = (
+        ku.join(ka.withColumnRenamed("h", "ha"), F.col("h") == F.col("ha"))
+        .join(kb.withColumnRenamed("h", "hb"), F.col("h") == F.col("hb"))
+    )
+    ests_u = ku.agg(
+        est(ku).alias("est_union"),
+        F.count(F.lit(1)).cast("double").alias("ku_n"),
+    ).crossJoin(both.agg(F.count(F.lit(1)).alias("both_n")))
+    exacts = (
+        a.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b")))
+        .crossJoin(
+            a.join(b, "h").agg(
+                F.count(F.lit(1)).cast("bigint").alias("exact_inter")
+            )
+        )
+    )
+    est_inter = F.round(
+        F.col("both_n").cast("double") / F.col("ku_n") * F.col("est_union"),
+        6,
+    )
+    return (
+        exacts.crossJoin(ests_a)
+        .crossJoin(ests_b)
+        .crossJoin(ests_u)
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+            "est_a",
+            "est_b",
+            est_inter.alias("est_inter"),
+            (
+                F.abs(
+                    F.col("both_n").cast("double")
+                    / F.col("ku_n")
+                    * F.col("est_union")
+                    - F.col("exact_inter").cast("double")
+                )
+                <= F.lit(0.15) * F.col("exact_inter").cast("double")
+            ).alias("within_15pct"),
+        )
+    )
