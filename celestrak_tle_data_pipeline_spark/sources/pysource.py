@@ -1,0 +1,92 @@
+"""Custom Python data source (Spark 4 ``pyspark.sql.datasource`` API):
+``spark.read.format("tle")`` over a landing directory, one input
+partition per payload file.
+
+The reference reads its TLE payload with driver-side Python
+(script.py:119-127); Spark has no native TLE format. The engine's
+primary path lands payloads and assembles DISTRIBUTED with pure
+Catalyst expressions (operators/assembly.py — zero Python in the hot
+loop). This module certifies the third option the Spark 4 API opens:
+a first-class pluggable FORMAT whose reader runs in Python workers with
+file-grain parallelism — the shape to wrap any bespoke format (proto
+logs, instrument dumps) as a real catalog-addressable source.
+
+Assembly semantics are IDENTICAL to the Catalyst path by contract
+(payload .strip() → per-line .strip() → stride-3 over line positions →
+trailing partial dropped — script.py:119-127);
+``tests/test_pysource.py`` pins row-level equality between the two
+paths so they cannot drift apart.
+
+Scale: partitions() lists files (driver metadata only); each worker
+reads whole files independently — same parallelism model as
+``binaryFile``, no shuffle. Register once per session:
+``spark.dataSource.register(TLEDataSource)``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+
+def split_triples(payload: str) -> list[tuple[str, str, str]]:
+    """Pure-Python twin of ``assemble_from_payloads`` (same rule as
+    reference script.py:119-127): strip payload, split on newline,
+    strip each line, group by stride 3 over LINE POSITIONS, drop the
+    trailing incomplete triple."""
+    lines = [ln.strip() for ln in payload.strip().split("\n")]
+    if len(lines) < 3:
+        return []
+    return [
+        (lines[i], lines[i + 1], lines[i + 2])
+        for i in range(0, 3 * (len(lines) // 3), 3)
+    ]
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class TLEFileReader(DataSourceReader):
+    def __init__(self, options):
+        self._root = options.get("path")
+        if not self._root:
+            raise ValueError("tle source requires a 'path' option")
+
+    def partitions(self):
+        return [
+            _FilePartition(p)
+            for p in sorted(glob.glob(os.path.join(self._root, "*")))
+            if os.path.isfile(p)
+        ]
+
+    def read(self, partition):
+        with open(partition.path, encoding="utf-8") as fh:
+            payload = fh.read()
+        fname = os.path.basename(partition.path)
+        for name, l1, l2 in split_triples(payload):
+            yield (name, l1, l2, fname)
+
+
+class TLEDataSource(DataSource):
+    """``spark.read.format("tle").option("path", dir)`` → triples."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tle"
+
+    def schema(self) -> str:
+        return (
+            "sat_name_raw string, line1 string, line2 string, "
+            "src_file string"
+        )
+
+    def reader(self, schema):
+        return TLEFileReader(self.options)

@@ -1,0 +1,80 @@
+"""Custom Python data source (Spark 4 API): format("tle") must agree
+row-for-row with the Catalyst assembly path on the same landing files,
+parallelize per file, and feed the full parse pipeline unchanged."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+NOW = dt.datetime(2026, 8, 1)
+
+
+def _payload(norad: int) -> str:
+    doy = (NOW - dt.datetime(NOW.year, 1, 1)).days + 1
+    epoch = f"{NOW.year % 100:02d}{doy:03d}.25000000"
+    return (
+        f"SAT-{norad}\n"
+        f"1 {norad:05d}U 20001A   {epoch}  .00001234  00000+0  13717-3 0  9995\n"
+        f"2 {norad:05d}  53.0537 205.1100 0001450  90.1234 270.0123 15.06402843350061\n"
+    )
+
+
+def _register(spark):
+    from celestrak_tle_data_pipeline_spark.sources.pysource import (
+        TLEDataSource,
+    )
+
+    spark.dataSource.register(TLEDataSource)
+
+
+def test_tle_format_matches_catalyst_assembly(spark, tmp_path):
+    from celestrak_tle_data_pipeline_spark.operators.assembly import (
+        assemble_from_payloads,
+        read_payloads,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    # two files; second carries two sats, messy whitespace, and a
+    # trailing partial triple that must drop
+    (land / "a.txt").write_text(_payload(41001))
+    (land / "b.txt").write_text(
+        "  " + _payload(41002) + _payload(41003) + "DANGLING-NAME\n1 droppp"
+    )
+
+    _register(spark)
+    via_source = (
+        spark.read.format("tle")
+        .option("path", str(land))
+        .load()
+        .select("sat_name_raw", "line1", "line2")
+    )
+    via_catalyst = assemble_from_payloads(
+        read_payloads(spark, str(land))
+    ).select("sat_name_raw", "line1", "line2")
+    assert sorted(map(tuple, via_source.collect())) == sorted(
+        map(tuple, via_catalyst.collect())
+    )
+    assert via_source.count() == 3
+
+    # file-grain parallelism: one input partition per landing file
+    assert via_source.rdd.getNumPartitions() == 2
+
+
+def test_tle_format_feeds_parse_pipeline(spark, tmp_path):
+    from celestrak_tle_data_pipeline_spark.functions.tle import (
+        parse_tle_triples,
+        valid_record,
+    )
+
+    land = tmp_path / "pland"
+    land.mkdir()
+    (land / "a.txt").write_text(_payload(42001))
+    _register(spark)
+    triples = spark.read.format("tle").option("path", str(land)).load()
+    parsed = parse_tle_triples(triples, fetched_at=NOW).where(valid_record())
+    rows = parsed.select("norad_id", "epoch_utc").collect()
+    assert [r.norad_id for r in rows] == [42001]
+    assert rows[0].epoch_utc == dt.datetime(2026, 8, 1, 6, 0, 0)
