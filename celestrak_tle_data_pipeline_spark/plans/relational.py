@@ -1069,3 +1069,55 @@ def sql_filter_clause_aggregates(spark, sf_dir):
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+# --------------------------------------------------------------------------
+# SQL LATERAL correlated subquery (top-n per group, pure SQL surface)
+# --------------------------------------------------------------------------
+@register(
+    "sql_lateral_topn_per_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, t.o_orderkey,
+           t.total_price
+    FROM (SELECT DISTINCT c_mktsegment FROM customer) c,
+    LATERAL (
+        SELECT o.o_orderkey,
+               CAST(o.o_totalprice AS DOUBLE) AS total_price
+        FROM orders o JOIN customer cc ON o.o_custkey = cc.c_custkey
+        WHERE cc.c_mktsegment = c.c_mktsegment
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 3
+    ) t
+    """,
+)
+def sql_lateral_topn_per_segment(spark, sf_dir):
+    """LATERAL correlated subquery (Spark 4 SQL surface): the top-3
+    orders PER market segment written as "for each segment row, run
+    this ordered-limit subquery against it" — the SQL-standard shape
+    for dependent per-row queries that window functions can't always
+    express (arbitrary correlated logic, here an ordered LIMIT against
+    a join). Both engines run their native LATERAL; Catalyst
+    decorrelates it into a ranked join rather than N subquery
+    executions — the plan you want when the outer side is millions of
+    rows, and the reason LATERAL is not a driver-side loop.
+
+    Total order inside the subquery (price desc, orderkey) makes the
+    emitted triple-set deterministic; price re-emitted as DOUBLE for
+    hash stability."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS segment, t.o_orderkey, t.total_price
+        FROM (SELECT DISTINCT c_mktsegment FROM lat_customer) c,
+        LATERAL (
+            SELECT o.o_orderkey,
+                   CAST(o.o_totalprice AS DOUBLE) AS total_price
+            FROM lat_orders o JOIN lat_customer cc
+              ON o.o_custkey = cc.c_custkey
+            WHERE cc.c_mktsegment = c.c_mktsegment
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 3
+        ) t
+        """
+    )
