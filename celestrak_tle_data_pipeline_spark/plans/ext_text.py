@@ -2540,3 +2540,140 @@ def ppjoin_token_sets(spark, sf_dir):
             F.round(jac, 9).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# corpus curation funnel (the stages COMPOSED, one DAG)
+# --------------------------------------------------------------------------
+@register(
+    "corpus_curation_funnel",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id, text, n_chars,
+               len(string_split(text, ' ')) AS n_toks
+        FROM documents
+    ),
+    quality AS (
+        SELECT * FROM raw WHERE n_chars >= 200 AND n_toks >= 30
+    ),
+    survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ),
+    dedup AS (
+        SELECT q.* FROM quality q JOIN survivors s USING (doc_id)
+    ),
+    holdout_grams AS (
+        SELECT DISTINCT array_to_string(ts[g.i + 1 : g.i + 8], ' ') AS gram
+        FROM (SELECT string_split(text, ' ') AS ts FROM raw
+              WHERE doc_id % 97 = 0) h,
+        LATERAL unnest(generate_series(0, len(h.ts) - 8)) AS g(i)
+        WHERE len(h.ts) >= 8
+    ),
+    contaminated AS (
+        SELECT DISTINCT d.doc_id
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM dedup) d,
+        LATERAL unnest(generate_series(0, len(d.ts) - 8)) AS g(i)
+        WHERE len(d.ts) >= 8
+          AND array_to_string(d.ts[g.i + 1 : g.i + 8], ' ')
+              IN (SELECT gram FROM holdout_grams)
+    ),
+    clean AS (
+        SELECT * FROM dedup
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    train AS (
+        SELECT * FROM clean
+        WHERE (doc_id * 2654435761) % 4294967296 % 1000 < 800
+    ),
+    funnel AS (
+        SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+               SUM(n_chars) AS n_chars FROM raw
+        UNION ALL SELECT '1_quality', COUNT(*), SUM(n_chars) FROM quality
+        UNION ALL SELECT '2_exact_dedup', COUNT(*), SUM(n_chars) FROM dedup
+        UNION ALL SELECT '3_decontaminated', COUNT(*), SUM(n_chars)
+                  FROM clean
+        UNION ALL SELECT '4_train_split', COUNT(*), SUM(n_chars) FROM train
+    )
+    SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM funnel
+    """,
+)
+def corpus_curation_funnel(spark, sf_dir):
+    """The training-corpus stages COMPOSED into one lazy DAG — the
+    end-to-end shape every individual tier query certifies in
+    isolation, now certified to compose: quality gate (length + token
+    floor) → exact dedup (md5 digest, min-id survivor) → benchmark
+    decontamination (drop docs sharing any 8-token gram with the
+    deterministic ``doc_id % 97`` holdout, holdout itself excluded) →
+    train-split selection (the engine's Knuth-hash 80% rule). Emits the
+    funnel: (stage, surviving docs, surviving chars) per stage — the
+    per-stage attrition report every curation run publishes.
+
+    Scale shape: one documents scan feeds the chain; quality and split
+    are map-side predicates, dedup is one digest shuffle, and
+    decontamination is the gram equi-join of ``decontamination_overlap``
+    restricted to dedup survivors (gram→digest at 100 TB, string grams
+    here for oracle parity). Stage counts are side aggregations of the
+    same lineage — Spark recomputes the cheap upstream predicates per
+    stage rather than caching the corpus, the right trade when the
+    corpus is 100 TB and the funnel is five numbers."""
+    from .ext_pipeline import split_label
+
+    d = t(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_toks"),
+    )
+    quality = raw.where(
+        (F.col("n_chars") >= 200) & (F.col("n_toks") >= 30)
+    )
+    survivors = quality.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dedup = quality.join(survivors.select("doc_id"), "doc_id")
+
+    def grams(frame):
+        return frame.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(text, ' ')) >= 8 THEN "
+                    "transform(sequence(0, size(split(text, ' ')) - 8), "
+                    "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 8)))"
+                    " ELSE array() END"
+                )
+            ).alias("gram"),
+        )
+
+    holdout_grams = (
+        grams(raw.where(F.col("doc_id") % 97 == 0)).select("gram").distinct()
+    )
+    contaminated = (
+        grams(dedup)
+        .join(F.broadcast(holdout_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = dedup.where(F.col("doc_id") % 97 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    train = clean.where(split_label("doc_id") == "train")
+
+    def stage(name, frame):
+        return frame.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        ).select("stage", "n_docs", "n_chars")
+
+    return (
+        stage("0_raw", raw)
+        .unionByName(stage("1_quality", quality))
+        .unionByName(stage("2_exact_dedup", dedup))
+        .unionByName(stage("3_decontaminated", clean))
+        .unionByName(stage("4_train_split", train))
+    )
