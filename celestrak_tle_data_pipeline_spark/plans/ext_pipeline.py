@@ -823,3 +823,79 @@ def fd_violation_profile(spark, sf_dir):
         )
         out = summary if out is None else out.unionByName(summary)
     return out
+
+
+# --------------------------------------------------------------------------
+# split representativeness: entropy + KL divergence vs corpus
+# --------------------------------------------------------------------------
+@register(
+    "split_distribution_divergence",
+    oracle="""
+    WITH assigned AS (
+        SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 800
+                    THEN 'train'
+                    WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 900
+                    THEN 'val' ELSE 'test' END AS split,
+               lang
+        FROM documents
+    ),
+    corpus AS (
+        SELECT lang, COUNT(*) AS cn,
+               SUM(COUNT(*)) OVER () AS ct
+        FROM assigned GROUP BY lang
+    ),
+    per_split AS (
+        SELECT split, lang, COUNT(*) AS n,
+               SUM(COUNT(*)) OVER (PARTITION BY split) AS tot
+        FROM assigned GROUP BY split, lang
+    )
+    SELECT s.split,
+           CAST(SUM(s.n) AS BIGINT) AS n_docs,
+           round(-SUM((s.n / CAST(s.tot AS DOUBLE))
+                      * ln(s.n / CAST(s.tot AS DOUBLE))), 9) AS entropy,
+           round(SUM((s.n / CAST(s.tot AS DOUBLE))
+                     * ln((s.n / CAST(s.tot AS DOUBLE))
+                          / (c.cn / CAST(c.ct AS DOUBLE)))), 9)
+               AS kl_vs_corpus
+    FROM per_split s JOIN corpus c USING (lang)
+    GROUP BY s.split
+    """,
+)
+def split_distribution_divergence(spark, sf_dir):
+    """Split-representativeness audit: per train/val/test split (the
+    engine's Knuth-hash assignment), the language-distribution Shannon
+    entropy and the KL divergence against the corpus distribution —
+    the drift check that catches a split whose hash accidentally
+    correlates with a covariate (KL ≈ 0 for all three splits is the
+    acceptance signature; a biased assignment shows up as a split with
+    materially positive KL). The same audit generalizes to any
+    categorical covariate (source, length bucket).
+
+    Determinism: probabilities are exact integer ratios divided once;
+    ln terms sum over ≤ |langs| values and round to 9 decimals — the
+    unigram_lm_score ln-rounding contract. Plan: one scan, one
+    (split, lang) rollup; corpus marginals ride a window over the
+    lang rollup; the divergence join is lang-grain (tiny)."""
+    d = t(spark, sf_dir, "documents")
+    assigned = d.select(split_label("doc_id").alias("split"), "lang")
+    corpus = (
+        assigned.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .withColumn("ct", F.sum("cn").over(Window.partitionBy()))
+    )
+    per_split = (
+        assigned.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tot", F.sum("n").over(Window.partitionBy("split")))
+    )
+    p = F.col("n") / F.col("tot").cast("double")
+    q = F.col("cn") / F.col("ct").cast("double")
+    return (
+        per_split.join(corpus, "lang")
+        .groupBy("split")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.round(-F.sum(p * F.log(p)), 9).alias("entropy"),
+            F.round(F.sum(p * F.log(p / q)), 9).alias("kl_vs_corpus"),
+        )
+    )
