@@ -1135,3 +1135,165 @@ def session_path_analysis(spark, sf_dir):
         .limit(10)
         .select("path", F.col("n").cast("bigint").alias("n_occurrences"))
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival curve (censored session durations)
+# --------------------------------------------------------------------------
+@register(
+    "kaplan_meier_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE
+                 OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    grouped AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    bounds AS (SELECT MAX(ts) AS mx FROM events),
+    sessions AS (
+        SELECT date_diff('minute', MIN(ts), MAX(ts)) AS dur,
+               MAX(ts) <= (SELECT mx FROM bounds) - INTERVAL 30 MINUTE
+                   AS completed
+        FROM grouped GROUP BY user_id, session_id
+    ),
+    by_dur AS (
+        SELECT dur,
+               SUM(CASE WHEN completed THEN 1 ELSE 0 END) AS d_events,
+               COUNT(*) AS n_ending
+        FROM sessions GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d_events,
+               SUM(n_ending) OVER (
+                   ORDER BY dur DESC ROWS UNBOUNDED PRECEDING
+               ) AS n_at_risk
+        FROM by_dur
+    ),
+    km AS (
+        -- d_events = n_at_risk only at the maximal duration (everyone
+        -- left dies there): survival is exactly 0, and ln is guarded
+        SELECT dur, d_events, n_at_risk,
+               SUM(CASE WHEN d_events < n_at_risk
+                        THEN ln(1.0 - d_events / CAST(n_at_risk AS DOUBLE))
+                        ELSE 0.0 END) OVER (
+                   ORDER BY dur ROWS UNBOUNDED PRECEDING
+               ) AS log_s
+        FROM risk
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_min,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d_events AS BIGINT) AS d_events,
+           CASE WHEN d_events = n_at_risk THEN 0.0
+                ELSE round(exp(log_s), 9) END AS survival
+    FROM km WHERE d_events > 0
+    """,
+)
+def kaplan_meier_sessions(spark, sf_dir):
+    """Kaplan-Meier survival estimator over SESSION durations — the
+    censoring-aware answer to "what fraction of sessions last past
+    minute d" (a plain duration histogram is biased: sessions still
+    open at the corpus high-water mark have unknown true length and
+    must be CENSORED, not counted as ended): a session whose last
+    event sits within 30 minutes of the corpus end could still be
+    running, so it enters the at-risk counts but never the death
+    counts. S(d) = Π_{d'<=d} (1 − deaths(d')/at_risk(d')), the
+    product-limit estimator.
+
+    Determinism: the 30-min sessionization is the session_windows
+    lag/cumsum rule (same oracle CTE); durations are integer
+    minute-boundary counts (date_diff('minute') ≡ µs DIV truncation
+    on minute-aligned diffs — both engines integer); deaths/at-risk
+    are exact integers (reverse-cumulative window over the day-grain
+    rollup); the product is exp of a cumulative ln sum in the SAME
+    ascending order in both engines, rounded to 9. Plan: one
+    user-keyed session shuffle, a session-grain rollup, then two
+    windows over the tiny duration domain."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wu)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        (
+            prev.isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+                > 30 * 60 * 1_000_000
+            )
+        )
+        .cast("int")
+        .alias("new_session"),
+    )
+    grouped = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    bounds = e.agg(F.max("ts").alias("mx"))
+    sessions = (
+        grouped.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                F.unix_micros(F.date_trunc("minute", "e_ts"))
+                - F.unix_micros(F.date_trunc("minute", "s_ts"))
+            )
+            .cast("long")
+            .alias("us_dur"),
+            (
+                F.col("e_ts") <= F.col("mx") - F.expr("INTERVAL 30 MINUTES")
+            ).alias("completed"),
+        )
+        .select(
+            (F.col("us_dur") / 60_000_000).cast("long").alias("dur"),
+            "completed",
+        )
+    )
+    by_dur = sessions.groupBy("dur").agg(
+        F.sum(F.when(F.col("completed"), 1).otherwise(0)).alias("d_events"),
+        F.count(F.lit(1)).alias("n_ending"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("dur").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = by_dur.withColumn("n_at_risk", F.sum("n_ending").over(w_desc))
+    w_asc = (
+        Window.orderBy(F.col("dur").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    km = risk.withColumn(
+        "log_s",
+        F.sum(
+            F.when(
+                F.col("d_events") < F.col("n_at_risk"),
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d_events") / F.col("n_at_risk").cast("double")
+                ),
+            ).otherwise(F.lit(0.0))
+        ).over(w_asc),
+    )
+    return km.where(F.col("d_events") > 0).select(
+        F.col("dur").cast("bigint").alias("duration_min"),
+        F.col("n_at_risk").cast("bigint"),
+        F.col("d_events").cast("bigint"),
+        F.when(F.col("d_events") == F.col("n_at_risk"), F.lit(0.0))
+        .otherwise(F.round(F.exp("log_s"), 9))
+        .alias("survival"),
+    )
