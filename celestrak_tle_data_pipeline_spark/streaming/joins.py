@@ -113,3 +113,25 @@ def run_enrichment_join(
         .start()
     )
     q.awaitTermination()
+
+
+def labeled_telemetry_stream(
+    spark: SparkSession,
+    tle_landing_dir: str,
+    dim: DataFrame,
+    fetched_at: dt.datetime | None = None,
+) -> DataFrame:
+    """Stream-STATIC join (the third join shape beside batch-batch and
+    stream-stream): the incremental telemetry stream left-joined to a
+    static dimension on norad_id — no watermark needed on the static
+    side and no state store involvement: Spark re-evaluates the static
+    side per micro-batch (so a refreshed dim parquet is picked up on
+    the next trigger) and broadcasts it into each batch's join.
+
+    Unmatched satellites survive with NULL labels (left semantics) —
+    the late-arriving-dimension tolerance every enrichment pipeline
+    needs; the batch twin is the warehouse's dim anti-join."""
+    tele = incremental_tle_stream(
+        spark, tle_landing_dir, fetched_at=fetched_at
+    )
+    return tele.join(F.broadcast(dim), on="norad_id", how="left")

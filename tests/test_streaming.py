@@ -550,3 +550,56 @@ def test_scheduled_cycle_is_idempotent(spark, tmp_path):
     run_scheduled_cycle(spark, root)
     assert wh.read("fact_telemetry").count() == 2
     assert wh.read("dim_satellites").count() == 2
+
+
+def test_stream_static_join_labels_telemetry(spark, tmp_path):
+    """Stream-static join: telemetry enriched against a static dim per
+    micro-batch — matched rows labeled, unmatched survive with NULLs,
+    and a dim refresh is visible to the NEXT AvailableNow pass."""
+    from celestrak_tle_data_pipeline_spark.streaming.joins import (
+        labeled_telemetry_stream,
+    )
+
+    landing = tmp_path / "ssland"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ssckpt")
+    dim_path = str(tmp_path / "ssdim")
+    out_rows = []
+
+    def run_pass():
+        dim = spark.read.schema("norad_id long, label string").parquet(
+            dim_path
+        )
+        q = (
+            labeled_telemetry_stream(spark, str(landing), dim)
+            .writeStream.foreachBatch(
+                lambda df, _id: out_rows.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(50001, "starlink")], "norad_id long, label string"
+    ).write.mode("overwrite").parquet(dim_path)
+    (landing / "s1.txt").write_text(
+        _payload(50001, NOW) + _payload(50002, NOW)
+    )
+    run_pass()
+    got = {r.norad_id: r.label for r in out_rows}
+    assert got == {50001: "starlink", 50002: None}
+
+    # dim refresh: the next pass (new file) sees the new label
+    spark.createDataFrame(
+        [(50001, "starlink"), (50003, "oneweb")],
+        "norad_id long, label string",
+    ).write.mode("overwrite").parquet(dim_path)
+    (landing / "s2.txt").write_text(
+        _payload(50003, NOW + dt.timedelta(hours=1))
+    )
+    run_pass()
+    got = {r.norad_id: r.label for r in out_rows}
+    assert got[50003] == "oneweb"
+    assert len(out_rows) == 3
