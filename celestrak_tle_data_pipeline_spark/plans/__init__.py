@@ -13,6 +13,10 @@ Determinism contract (what makes value hashes match):
   dependence.
 - Every LIMIT/top-k ranks with a total order (explicit tiebreak keys).
 - Timestamp arithmetic is integer-µs; session timezone pinned UTC.
+- Rounded columns whose exact value can sit just below zero append
+  ``+ 0.0`` in BOTH engines: ``round`` propagates IEEE negative zero
+  and the driver canonicalizer renders ``-0`` ≠ ``0``
+  (tle_j2_secular_rates' critical-inclination row found this).
 
 Driver-canonicalizer contract (priority-window queries): result
 columns must be SCALAR types only — no array/map/struct columns. The

@@ -852,10 +852,13 @@ def fd_violation_profile(spark, sf_dir):
     SELECT s.split,
            CAST(SUM(s.n) AS BIGINT) AS n_docs,
            round(-SUM((s.n / CAST(s.tot AS DOUBLE))
-                      * ln(s.n / CAST(s.tot AS DOUBLE))), 9) AS entropy,
+                      * ln(s.n / CAST(s.tot AS DOUBLE))), 9) + 0.0
+               AS entropy,
+           -- + 0.0 normalizes IEEE negative zero: a representative
+           -- split's KL is a tiny signed float sum that can round to -0
            round(SUM((s.n / CAST(s.tot AS DOUBLE))
                      * ln((s.n / CAST(s.tot AS DOUBLE))
-                          / (c.cn / CAST(c.ct AS DOUBLE)))), 9)
+                          / (c.cn / CAST(c.ct AS DOUBLE)))), 9) + 0.0
                AS kl_vs_corpus
     FROM per_split s JOIN corpus c USING (lang)
     GROUP BY s.split
@@ -895,7 +898,9 @@ def split_distribution_divergence(spark, sf_dir):
         .groupBy("split")
         .agg(
             F.sum("n").cast("bigint").alias("n_docs"),
-            F.round(-F.sum(p * F.log(p)), 9).alias("entropy"),
-            F.round(F.sum(p * F.log(p / q)), 9).alias("kl_vs_corpus"),
+            (F.round(-F.sum(p * F.log(p)), 9) + 0.0).alias("entropy"),
+            (F.round(F.sum(p * F.log(p / q)), 9) + 0.0).alias(
+                "kl_vs_corpus"
+            ),
         )
     )

@@ -708,3 +708,104 @@ def tle_decay_rate_fit(spark, sf_dir):
         / (n * F.col("st2") - F.col("st") * F.col("st"))
     )
     return m.select("norad_id", "n_obs", slope.alias("slope_per_day"))
+
+
+# --------------------------------------------------------------------------
+# J2 secular perturbation rates (astrodynamics-native derived columns)
+# --------------------------------------------------------------------------
+_ORACLE_J2 = """
+WITH keys AS (
+    SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 2000
+),
+f AS (
+    SELECT k, k % 100000 AS norad,
+           radians((k % 1800) / 10.0) AS inc_rad,
+           ((k * 13) % 10000000) / 10000000.0 AS ecc,
+           (10000000 + (k * 3) % 9000000) / 1000000.0 AS mm
+    FROM keys WHERE k % 97 <> 0
+),
+g AS (
+    SELECT *, mm * 2 * pi() / 86400.0 AS n_rad
+    FROM f WHERE ecc < 0.25
+),
+h AS (
+    SELECT *, cbrt(398600.4418 / (n_rad * n_rad)) AS a_km FROM g
+),
+j AS (
+    SELECT *,
+           1.5 * 0.00108262668 * (6378.137 / (a_km * (1 - ecc * ecc)))
+               * (6378.137 / (a_km * (1 - ecc * ecc))) * n_rad AS fac
+    FROM h
+)
+SELECT CAST(norad AS BIGINT) AS norad_id,
+       round(a_km, 6) AS a_km,
+       -- + 0.0 normalizes IEEE negative zero (argp drift crosses 0 at
+       -- the 63.4-degree critical inclination; -0 vs 0 hash-differs)
+       round(-fac * cos(inc_rad) * (180.0 / pi()) * 86400.0, 6) + 0.0
+           AS raan_drift_deg_day,
+       round(0.5 * fac * (5 * cos(inc_rad) * cos(inc_rad) - 1)
+             * (180.0 / pi()) * 86400.0, 6) + 0.0 AS argp_drift_deg_day
+FROM j
+"""
+
+
+@register("tle_j2_secular_rates", oracle=_ORACLE_J2)
+def tle_j2_secular_rates(spark, sf_dir):
+    """J2 secular perturbation rates — the astrodynamics-native derived
+    columns a TLE warehouse exists to serve: from each parsed
+    satellite's (n, e, i), the semi-major axis via Kepler's third law
+    (a = (μ/n²)^⅓) and the Earth-oblateness secular drifts
+    Ω̇ = −1.5·J2·(Re/p)²·n·cos i (nodal regression — the rate that
+    makes sun-synchronous orbits work) and
+    ω̇ = 0.75·J2·(Re/p)²·n·(5cos²i − 1) (apsidal rotation, zero at the
+    63.4° critical inclination). This is the physics layer above the
+    parse bundle: runs on the REAL parse output of synthesized lines
+    (the tle_orbital_regimes pattern), so parse → element extraction →
+    propagation math all sit under the value gate, with the oracle
+    recomputing every rate arithmetically from the key formulas —
+    engine-independent of the parse entirely.
+
+    Near-circular filter (e < 0.25) keeps (Re/p)² in a regime where
+    the 6-decimal rounding contract absorbs libm last-ulp differences
+    (μ = 398600.4418 km³/s², Re = 6378.137 km, J2 = 1.08262668e-3).
+    Map-side trig in whole-stage codegen; no shuffle at all."""
+    triples = _synth_lines(_keys(spark, sf_dir), corrupt=True)
+    parsed = parse_tle_triples(triples, fetched_at=_FETCHED_AT).where(
+        valid_record()
+    )
+    base = parsed.where(F.col("eccentricity") < 0.25).select(
+        "norad_id",
+        F.radians("inclination").alias("inc_rad"),
+        F.col("eccentricity").alias("ecc"),
+        (F.col("mean_motion") * 2 * F.lit(3.141592653589793) / 86400.0).alias(
+            "n_rad"
+        ),
+    )
+    a_km = F.cbrt(F.lit(398600.4418) / (F.col("n_rad") * F.col("n_rad")))
+    with_a = base.withColumn("a_km", a_km)
+    p_km = F.col("a_km") * (1 - F.col("ecc") * F.col("ecc"))
+    fac = (
+        F.lit(1.5)
+        * F.lit(0.00108262668)
+        * (F.lit(6378.137) / p_km)
+        * (F.lit(6378.137) / p_km)
+        * F.col("n_rad")
+    )
+    deg_day = F.lit(180.0 / 3.141592653589793) * F.lit(86400.0)
+    return with_a.select(
+        "norad_id",
+        F.round("a_km", 6).alias("a_km"),
+        (F.round(-fac * F.cos("inc_rad") * deg_day, 6) + 0.0).alias(
+            "raan_drift_deg_day"
+        ),
+        (
+            F.round(
+                F.lit(0.5)
+                * fac
+                * (5 * F.cos("inc_rad") * F.cos("inc_rad") - 1)
+                * deg_day,
+                6,
+            )
+            + 0.0
+        ).alias("argp_drift_deg_day"),
+    )
