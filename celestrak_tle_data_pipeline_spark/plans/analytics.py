@@ -1297,3 +1297,110 @@ def kaplan_meier_sessions(spark, sf_dir):
         .otherwise(F.round(F.exp("log_s"), 9))
         .alias("survival"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time (AS OF) lookup
+# --------------------------------------------------------------------------
+@register(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               )
+               - row_number() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS island
+        FROM events WHERE user_id < 50
+    ), runs AS (
+        SELECT user_id, event_type, MIN(ts) AS valid_from,
+               COUNT(*) AS n_events
+        FROM seq GROUP BY user_id, event_type, island
+    ), hist AS (
+        SELECT user_id, event_type, valid_from, n_events,
+               LEAD(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY valid_from
+               ) AS valid_to
+        FROM runs
+    ), pit AS (
+        SELECT MIN(epoch_us(ts))
+               + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS t_us
+        FROM events WHERE user_id < 50
+    )
+    SELECT h.user_id, h.event_type AS state_at_t,
+           h.valid_from, h.valid_to,
+           CAST(h.n_events AS BIGINT) AS n_events
+    FROM hist h, pit
+    WHERE epoch_us(h.valid_from) <= pit.t_us
+      AND (h.valid_to IS NULL OR epoch_us(h.valid_to) > pit.t_us)
+    """,
+)
+def scd2_asof_lookup(spark, sf_dir):
+    """Point-in-time (AS OF) read over the SCD2 history — the query
+    side of the temporal table ``scd2_state_history`` builds: each
+    user's effective state row at time T, selected by the half-open
+    effectivity predicate ``valid_from <= T < valid_to`` (open-ended
+    current rows via NULL valid_to). T is derived from the data
+    itself — the integer-µs midpoint of the observed window — so the
+    lookup is deterministic under any regenerated corpus, and exactly
+    one row per user qualifies by construction (effectivity intervals
+    partition each user's timeline).
+
+    Plan: the history build is the single-shuffle gaps-and-islands
+    DAG; the AS OF selection is a map-side predicate against a
+    broadcast one-row bound — at 100 TB this is the query you answer
+    from the MATERIALIZED history table with partition pruning on
+    valid_from, never by rebuilding history."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_state = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (F.row_number().over(w_user) - F.row_number().over(w_state)).alias(
+            "island"
+        ),
+    )
+    runs = seq.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_hist = Window.partitionBy("user_id").orderBy("valid_from")
+    hist = runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "n_events",
+        F.lead("valid_from").over(w_hist).alias("valid_to"),
+    )
+    pit = e.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.floor(
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 2
+            )
+        ).alias("t_us")
+    )
+    return (
+        hist.crossJoin(F.broadcast(pit))
+        .where(
+            (F.unix_micros("valid_from") <= F.col("t_us"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.unix_micros("valid_to") > F.col("t_us"))
+            )
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state_at_t"),
+            "valid_from",
+            "valid_to",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
