@@ -72,16 +72,13 @@ _MODULES = (
 # ``histogram_order_totals`` (deferred to round 7 to make room for the
 # re-certification) and rows-only-by-design ``minhash_near_dup`` /
 # ``ann_lsh_bucketed`` (recall-1.0 twins gate their MLlib internals).
-# Round-7 window seed (16 never-official oracle-paired names):
-# histogram_order_totals + the round-6 registrations
-# (equidepth_histogram_bounded, sorted_neighborhood_ranged,
-# zorder_skipping_gate, multimodal_ppm_resize, winnowing_fingerprints,
-# bloom_membership_sketch, ppjoin_token_sets, fd_violation_profile,
-# hll_sketch_union_rollup, kmv_intersection_estimate,
-# sql_lateral_topn_per_segment, corpus_curation_funnel,
-# split_distribution_divergence, kaplan_meier_sessions,
-# tle_j2_secular_rates) — recount at rotation time; round 6 kept
-# registering after this comment was first written.
+# Round-7 window seed: histogram_order_totals + every round-6
+# registration (the registry entries not in this round's _PRIORITY and
+# absent from all CORRECTNESS_r* files). Compute the authoritative list
+# at rotation time:
+#   officials = union of keys of CORRECTNESS_r0*.json
+#   backlog   = [n for n in all_oracles() if n not in officials
+#                and n not in _PRIORITY]
 _PRIORITY = (
     # official-FAIL re-certification (r4 hash mismatch, fixed in r5)
     "sliding_weekly_value",
