@@ -53,6 +53,7 @@ _MODULES = (
     "analytics",
     "tpch",
     "ext_ml",
+    "stats_tests",
 )
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries, so

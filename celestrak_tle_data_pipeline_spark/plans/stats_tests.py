@@ -1,0 +1,213 @@
+"""Hypothesis tests as distributed aggregations — the statistical
+testing tier (chi-squared independence, Mann-Whitney U): the checks an
+experimentation or data-drift pipeline runs at warehouse scale, each a
+handful of exact integer rollups plus one final float expression.
+
+Determinism discipline (plans/__init__ contract): observed counts and
+rank sums are exact integers (average ranks carried as 2x-scaled
+integers so ties stay rational); only the final statistic is floating
+point, computed in the same operation order in both engines and
+rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import register
+from .common import t
+
+
+# --------------------------------------------------------------------------
+# chi-squared test of independence (event_type x day-of-week)
+# --------------------------------------------------------------------------
+@register(
+    "chi2_independence_type_dow",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type,
+               CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INT) AS dow,
+               COUNT(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, dow, o,
+               SUM(o) OVER (PARTITION BY event_type) AS row_t,
+               SUM(o) OVER (PARTITION BY dow) AS col_t,
+               SUM(o) OVER () AS n
+        FROM obs
+    )
+    SELECT CAST(SUM(o) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_dow,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof,
+           round(SUM(
+               (o - row_t * col_t / CAST(n AS DOUBLE))
+               * (o - row_t * col_t / CAST(n AS DOUBLE))
+               / (row_t * col_t / CAST(n AS DOUBLE))
+           ), 6) AS chi2
+    FROM tot
+    """,
+)
+def chi2_independence_type_dow(spark, sf_dir):
+    """Pearson chi-squared test of independence between event type and
+    day-of-week — the contingency-table drift test every
+    experimentation pipeline runs ("did behavior mix shift across
+    days?"): observed cell counts vs expected = row·col/N, χ² =
+    Σ(o−e)²/e with (r−1)(c−1) degrees of freedom. A χ² far above dof
+    rejects independence (the judge of whether dow is a legitimate
+    stratification key for the mixture plans).
+
+    Observed counts, marginals, and dof are exact integers (dow from
+    the epoch-µs day number, Thursday-anchored ⇒ locale-free and
+    identical in both engines); expected values and the χ² sum are the
+    only float arithmetic, summed over ≤ r·c cells and rounded to 6.
+    Plan: one (type, dow) rollup; marginals ride windows over the
+    ≤ r·c cell frame — raw events shuffle once."""
+    e = t(spark, sf_dir, "events")
+    dow = (
+        (F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7
+    ).cast("int")
+    obs = e.groupBy(
+        "event_type", dow.alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = (
+        obs.withColumn(
+            "row_t", F.sum("o").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("col_t", F.sum("o").over(Window.partitionBy("dow")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    expected = F.col("row_t") * F.col("col_t") / F.col("n").cast("double")
+    return tot.agg(
+        F.sum("o").cast("bigint").alias("n_events"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.countDistinct("dow").cast("bigint").alias("n_dow"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.round(
+            F.sum(
+                (F.col("o") - expected) * (F.col("o") - expected) / expected
+            ),
+            6,
+        ).alias("chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (click vs purchase values)
+# --------------------------------------------------------------------------
+@register(
+    "mann_whitney_u_values",
+    oracle="""
+    WITH pool AS (
+        SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    ranked AS (
+        -- average rank carried as an exact 2x-scaled integer:
+        -- 2*avg_rank = min_rank + max_rank over the tie group
+        SELECT g1,
+               CAST(RANK() OVER (ORDER BY value) AS BIGINT) * 2
+               + CAST(COUNT(*) OVER (PARTITION BY value) AS BIGINT) - 1
+                   AS rank2
+        FROM pool
+    ),
+    sums AS (
+        SELECT CAST(SUM(CASE WHEN g1 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN g1 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2,
+               CAST(SUM(CASE WHEN g1 = 1 THEN rank2 ELSE 0 END) AS BIGINT)
+                   AS r1_2
+        FROM ranked
+    )
+    SELECT n1, n2,
+           CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u1_2,
+           CAST(2 * n1 * n2 - (r1_2 - n1 * (n1 + 1)) AS BIGINT) AS u2_2,
+           round((r1_2 - n1 * (n1 + 1)) / 2.0
+                 - n1 * n2 / 2.0, 6) AS u_minus_mean
+    FROM sums
+    """,
+)
+def mann_whitney_u_values(spark, sf_dir):
+    """Mann-Whitney U rank-sum test: do click values and purchase
+    values come from the same distribution? — the nonparametric
+    two-sample test (no normality assumption, robust to outliers) that
+    drift monitoring uses where a t-test would lie. U₁ = R₁ −
+    n₁(n₁+1)/2 with AVERAGE ranks on ties; U₁ + U₂ = n₁n₂ is emitted
+    as the built-in self-check (both U values derive from one rank
+    sum, so the identity holds by construction in any engine).
+
+    Exactness: average ranks are rationals with denominator 2, carried
+    as 2x-scaled integers (2·avg_rank = min_rank + max_rank of the tie
+    group, via RANK() + tie-count − 1), so every rank sum and both U
+    statistics are EXACT integers at any partitioning — only the final
+    centered statistic divides.
+
+    Plan — global ranking WITHOUT a single-partition sort (the ranged
+    pattern shared with sorted_neighborhood_ranged): the pool
+    range-partitions on value (equal values land in ONE partition, so
+    tie groups never split), ranks compute per partition, and each
+    partition's rank offset is the broadcast prefix-sum of partition
+    counts; global_rank = local_rank + offset exactly. The final rank
+    sums are one summary aggregation."""
+    e = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pool = (
+        e.select(
+            "value",
+            (F.col("event_type") == "click").cast("int").alias("g1"),
+        )
+        .repartitionByRange(8, F.col("value").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = pool.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
+    w_pref = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("pn").over(w_pref), F.lit(0)).alias("offset"),
+    )
+    local_rank = F.rank().over(
+        Window.partitionBy("pid").orderBy("value")
+    )
+    rank2 = (
+        (local_rank.cast("bigint") + F.col("offset")) * 2
+        + F.count(F.lit(1))
+        .over(Window.partitionBy("pid", "value"))
+        .cast("bigint")
+        - 1
+    )
+    ranked = pool.join(F.broadcast(offsets), "pid").select(
+        "g1", rank2.alias("rank2")
+    )
+    sums = ranked.agg(
+        F.sum(F.when(F.col("g1") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("g1") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("g1") == 1, F.col("rank2")).otherwise(0))
+        .cast("bigint")
+        .alias("r1_2"),
+    )
+    u1_2 = F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)
+    return sums.select(
+        "n1",
+        "n2",
+        u1_2.cast("bigint").alias("u1_2"),
+        (2 * F.col("n1") * F.col("n2") - u1_2).cast("bigint").alias("u2_2"),
+        F.round(
+            u1_2 / 2.0 - F.col("n1") * F.col("n2") / 2.0, 6
+        ).alias("u_minus_mean"),
+    )
