@@ -211,3 +211,108 @@ def mann_whitney_u_values(spark, sf_dir):
             u1_2 / 2.0 - F.col("n1") * F.col("n2") / 2.0, 6
         ).alias("u_minus_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample test (exact integer D)
+# --------------------------------------------------------------------------
+@register(
+    "ks_two_sample_values",
+    oracle="""
+    WITH pool AS (
+        SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    tots AS (
+        SELECT CAST(SUM(g1) AS BIGINT) AS n1,
+               CAST(SUM(1 - g1) AS BIGINT) AS n2
+        FROM pool
+    ),
+    by_val AS (
+        SELECT value, SUM(g1) AS c1, SUM(1 - g1) AS c2
+        FROM pool GROUP BY value
+    ),
+    cum AS (
+        SELECT SUM(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+                   AS cum1,
+               SUM(c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+                   AS cum2
+        FROM by_val
+    )
+    SELECT t.n1, t.n2,
+           CAST(MAX(ABS(c.cum1 * t.n2 - c.cum2 * t.n1)) AS BIGINT)
+               AS d_scaled,
+           round(MAX(ABS(c.cum1 * t.n2 - c.cum2 * t.n1))
+                 / CAST(t.n1 * t.n2 AS DOUBLE), 9) AS d_stat
+    FROM cum c, tots t
+    GROUP BY t.n1, t.n2
+    """,
+)
+def ks_two_sample_values(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test (click vs purchase values):
+    D = max |F₁(x) − F₂(x)|, the distribution-drift statistic that
+    sees SHAPE differences the rank-sum test is blind to (a variance
+    shift with equal medians moves D, not U). The CDF gap is kept
+    EXACT by cross-multiplication — max |cum₁·n₂ − cum₂·n₁| is pure
+    integer arithmetic; D divides once at the end (the exact-rational
+    discipline of the MWU ranks, applied to CDFs).
+
+    Plan — same single-partition-free shape as mann_whitney_u_values:
+    the (value, group) counts range-partition on value, per-partition
+    cumulative sums get broadcast per-partition prefix-sum offsets per
+    GROUP, and the max gap is one summary aggregation. Value-grain
+    rows (not events) flow through the windows."""
+    e = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    by_val = (
+        e.select(
+            "value",
+            (F.col("event_type") == "click").cast("long").alias("g1"),
+        )
+        .groupBy("value")
+        .agg(
+            F.sum("g1").alias("c1"),
+            F.sum(1 - F.col("g1")).alias("c2"),
+        )
+        .repartitionByRange(8, F.col("value").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    part_tots = by_val.groupBy("pid").agg(
+        F.sum("c1").alias("p1"), F.sum("c2").alias("p2")
+    )
+    w_pref = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = part_tots.select(
+        "pid",
+        F.coalesce(F.sum("p1").over(w_pref), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("p2").over(w_pref), F.lit(0)).alias("off2"),
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = by_val.join(F.broadcast(offsets), "pid").select(
+        (F.sum("c1").over(w_local) + F.col("off1")).alias("cum1"),
+        (F.sum("c2").over(w_local) + F.col("off2")).alias("cum2"),
+    )
+    tots = by_val.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    gap = F.abs(
+        F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tots))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(gap).cast("bigint").alias("d_scaled"),
+            F.round(
+                F.max(gap) / (F.col("n1") * F.col("n2")).cast("double"), 9
+            ).alias("d_stat"),
+        )
+    )
