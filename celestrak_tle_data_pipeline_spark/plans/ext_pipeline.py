@@ -904,3 +904,81 @@ def split_distribution_divergence(spark, sf_dir):
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CDC apply-changes (MERGE-style change-log compaction)
+# --------------------------------------------------------------------------
+@register(
+    "cdc_apply_changes",
+    oracle="""
+    WITH log AS (
+        SELECT user_id % 500 AS key, value, ts, event_id,
+               CASE WHEN event_id % 10 = 0 THEN 'D'
+                    WHEN event_id % 3 = 0 THEN 'I'
+                    ELSE 'U' END AS op
+        FROM events
+    ),
+    ranked AS (
+        SELECT key, value, ts, op,
+               ROW_NUMBER() OVER (
+                   PARTITION BY key ORDER BY ts DESC, event_id DESC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY key) AS n_changes
+        FROM log
+    )
+    SELECT CAST(key AS BIGINT) AS key,
+           value AS current_value,
+           ts AS updated_at,
+           op AS last_op,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_changes(spark, sf_dir):
+    """CDC apply-changes — the MERGE/APPLY CHANGES INTO semantics of a
+    change-data-capture compaction, as a pure query: a keyed change log
+    (insert/update/delete ops in event-time order, synthesized
+    deterministically from the events stream) collapses to current
+    state — the LATEST op per key wins, and a terminal delete removes
+    the key from the result entirely (the part a plain
+    latest-row-per-key dedup gets wrong). This is the batch twin of
+    the warehouse's check-then-write upsert and the read-side
+    complement of scd2_state_history (which keeps every version; this
+    keeps the head).
+
+    One key-partitioned window (row_number over the change order,
+    DESC with event_id tiebreak) + the per-key change count in the
+    same shuffle; survivors filter map-side after the window. At
+    100 TB this is exactly Delta/Iceberg MERGE compaction shape —
+    state grain bounded by live keys, not log length."""
+    e = t(spark, sf_dir, "events")
+    log = e.select(
+        (F.col("user_id") % 500).alias("key"),
+        "value",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, "D")
+        .when(F.col("event_id") % 3 == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = log.select(
+        "key",
+        "value",
+        "ts",
+        "op",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("key")).alias("n_changes"),
+    )
+    return ranked.where((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        F.col("key").cast("bigint").alias("key"),
+        F.col("value").alias("current_value"),
+        F.col("ts").alias("updated_at"),
+        F.col("op").alias("last_op"),
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+    )

@@ -131,7 +131,10 @@ def chi2_independence_type_dow(spark, sf_dir):
            CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u1_2,
            CAST(2 * n1 * n2 - (r1_2 - n1 * (n1 + 1)) AS BIGINT) AS u2_2,
            round((r1_2 - n1 * (n1 + 1)) / 2.0
-                 - n1 * n2 / 2.0, 6) AS u_minus_mean
+                 - n1 * n2 / 2.0, 6) AS u_minus_mean,
+           round((r1_2 - n1 * (n1 + 1))
+                 / CAST(n1 * n2 AS DOUBLE) - 1.0, 9) + 0.0
+               AS cliffs_delta
     FROM sums
     """,
 )
@@ -210,6 +213,14 @@ def mann_whitney_u_values(spark, sf_dir):
         F.round(
             u1_2 / 2.0 - F.col("n1") * F.col("n2") / 2.0, 6
         ).alias("u_minus_mean"),
+        # Cliff's delta effect size = 2U1/(n1*n2) - 1 (u1_2 is 2*U1);
+        # + 0.0 normalizes IEEE -0 when the groups are balanced
+        (
+            F.round(
+                u1_2 / (F.col("n1") * F.col("n2")).cast("double") - 1.0, 9
+            )
+            + 0.0
+        ).alias("cliffs_delta"),
     )
 
 
