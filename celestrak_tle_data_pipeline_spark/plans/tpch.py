@@ -813,15 +813,15 @@ def tpch_q11_important_parts(spark, sf_dir):
     docstring); fraction 0.002 plays Q11's 0.0001/SF role.
 
     Plan: the nation's suppliers broadcast into lineitem; ONE shuffle
-    aggregates per part; the global total is an unpartitioned window
-    SUM over the aggregated part-grain rows — a re-aggregation branch
-    (the naive decorrelation) would scan lineitem twice since
-    ReuseExchange doesn't fire across the two consumers, while the
-    window pays one single-partition exchange of ~|parts| skinny rows.
-    Exact decimal sums both sides of the comparison — threshold
-    semantics identical across engines."""
-    from pyspark.sql import Window
-
+    aggregates per part; the part-grain frame is persisted once and
+    feeds BOTH the global-total scalar aggregate (broadcast back as a
+    one-row cross join) and the threshold filter — no second lineitem
+    scan (ReuseExchange would not fire across the two consumers) and
+    no single-partition exchange of part-grain rows (the window form
+    this replaces pushed ~|parts| rows through one partition; at
+    SF-100k that is 20M rows on one task for no reason). Exact decimal
+    sums both sides of the comparison — threshold semantics identical
+    across engines."""
     s = (
         t(spark, sf_dir, "supplier")
         .join(
@@ -845,12 +845,14 @@ def tpch_q11_important_parts(spark, sf_dir):
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(v).alias("pv"))
     )
-    cutoff = (
-        F.sum("pv").over(Window.partitionBy())
-        * F.lit(0.002).cast("decimal(6,3)")
+    per_part = per_part.persist()
+    total = per_part.agg(
+        (
+            F.sum("pv") * F.lit(0.002).cast("decimal(6,3)")
+        ).alias("cutoff")
     )
     return (
-        per_part.withColumn("cutoff", cutoff)
+        per_part.crossJoin(F.broadcast(total))
         .where(F.col("pv") > F.col("cutoff"))
         .select(
             "p_partkey", F.col("pv").cast("double").alias("part_value")
@@ -951,15 +953,13 @@ def tpch_q15_top_supplier(spark, sf_dir):
     supplier just lacks address/phone output columns.
 
     Plan: the quarter predicate pushes into the scan; ONE aggregation
-    builds the revenue view; the scalar MAX is a global window over
-    the AGGREGATED view (one row per supplier — a separate
-    re-aggregation branch would make Spark scan lineitem twice, since
-    ReuseExchange doesn't canonicalize the two consumers here; the
-    window costs one single-partition exchange of supplier-grain rows
-    instead, which stays small at any fact scale). Equality compare on
-    exact decimals keeps ties, like the SQL."""
-    from pyspark.sql import Window
-
+    builds the revenue view, persisted once so the scalar MAX (a
+    one-row aggregate broadcast back as a cross join) and the equality
+    filter share a single computation — no second lineitem scan
+    (ReuseExchange would not canonicalize the two consumers) and no
+    single-partition exchange of supplier-grain rows (the window form
+    this replaces). Equality compare on exact decimals keeps ties,
+    like the SQL."""
     li = t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -971,10 +971,10 @@ def tpch_q15_top_supplier(spark, sf_dir):
         ).alias("total_rev")
     )
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = revenue.persist()
+    mx = revenue.agg(F.max("total_rev").alias("mx"))
     return (
-        revenue.withColumn(
-            "mx", F.max("total_rev").over(Window.partitionBy())
-        )
+        revenue.crossJoin(F.broadcast(mx))
         .where(F.col("total_rev") == F.col("mx"))
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select(
