@@ -672,3 +672,17 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     assert "PartitionFilters" in plan and "2026-08-02" in plan, plan[-1200:]
     assert df.count() == 20
     assert [r.k for r in df.orderBy("k").collect()] == list(range(20))
+
+
+def test_tpch_q11_q15_no_entity_grain_global_window(spark):
+    # round-6 rewrite: global total / scalar max come from a persisted
+    # one-row aggregate broadcast back, never a window that exchanges
+    # the part-/supplier-grain frame to a single partition
+    import re
+
+    for name in ("tpch_q11_important_parts", "tpch_q15_top_supplier"):
+        plan = _plan(spark, name)
+        for m in re.finditer(r"Exchange SinglePartition", plan):
+            ctx = plan[max(0, m.start() - 500):m.start()]
+            assert "Window" not in ctx, name
+        assert "InMemoryTableScan" in plan, name  # persisted shared frame
