@@ -982,3 +982,117 @@ def cdc_apply_changes(spark, sf_dir):
         F.col("op").alias("last_op"),
         F.col("n_changes").cast("bigint").alias("n_changes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman allocation with Hamilton (largest-remainder) rounding
+# --------------------------------------------------------------------------
+@register(
+    "neyman_allocation_sources",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               COUNT(*) AS n_h,
+               CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(n_chars AS DECIMAL(18,2))
+                        * CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_h,
+               n_h * sqrt((n_h * sxx - sx * sx) / (n_h * (n_h - 1.0)))
+                   AS nh_sh
+        FROM s
+    ),
+    q AS (
+        SELECT source, n_h,
+               1000.0 * nh_sh / SUM(nh_sh) OVER () AS quota
+        FROM w
+    ),
+    seats AS (
+        SELECT source, n_h, quota,
+               CAST(FLOOR(quota) AS BIGINT) AS base,
+               ROW_NUMBER() OVER (
+                   ORDER BY quota - FLOOR(quota) DESC, source
+               ) AS frac_rank,
+               1000 - SUM(CAST(FLOOR(quota) AS BIGINT)) OVER () AS remainder
+        FROM q
+    )
+    SELECT source,
+           CAST(n_h AS BIGINT) AS n_docs,
+           round(quota, 6) AS quota,
+           CAST(base + CASE WHEN frac_rank <= remainder THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM seats
+    """,
+)
+def neyman_allocation_sources(spark, sf_dir):
+    """Neyman optimal allocation of a 1000-document annotation budget
+    across sources — the survey-sampling answer to "how many samples
+    per stratum": n_h ∝ N_h·S_h (stratum size × stratum stddev of doc
+    length), which minimizes the variance of the stratified estimate;
+    a high-variance source gets proportionally more budget than plain
+    proportional allocation gives it. Fractional quotas become exact
+    integers by HAMILTON largest-remainder apportionment: floor every
+    quota, hand the remaining seats to the largest fractional parts
+    (total-ordered tiebreak) — allocations sum to exactly 1000 by
+    construction, the classic apportionment algorithm as a window
+    expression.
+
+    Determinism: stratum stddevs come from exact decimal power sums
+    (the stats_moments contract — identical doubles in both engines);
+    quotas divide once; floor/rank/remainder are integer arithmetic
+    on those shared doubles. Plan: one (source) rollup, then windows
+    over the handful of stratum rows."""
+    d = t(spark, sf_dir, "documents")
+    x = dec("n_chars", 18, 2)
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    nh_sh = F.col("n_h") * F.sqrt(
+        (F.col("n_h") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / (F.col("n_h") * (F.col("n_h") - F.lit(1.0)))
+    )
+    w = s.select("source", "n_h", nh_sh.alias("nh_sh"))
+    q = w.select(
+        "source",
+        "n_h",
+        (
+            F.lit(1000.0)
+            * F.col("nh_sh")
+            / F.sum("nh_sh").over(Window.partitionBy())
+        ).alias("quota"),
+    )
+    seats = q.select(
+        "source",
+        "n_h",
+        "quota",
+        F.floor("quota").cast("bigint").alias("base"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                (F.col("quota") - F.floor("quota")).desc(),
+                F.col("source").asc(),
+            )
+        )
+        .alias("frac_rank"),
+        (
+            F.lit(1000)
+            - F.sum(F.floor("quota").cast("bigint")).over(
+                Window.partitionBy()
+            )
+        ).alias("remainder"),
+    )
+    return seats.select(
+        "source",
+        F.col("n_h").cast("bigint").alias("n_docs"),
+        F.round("quota", 6).alias("quota"),
+        (
+            F.col("base")
+            + F.when(F.col("frac_rank") <= F.col("remainder"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
