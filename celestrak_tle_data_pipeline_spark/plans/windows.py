@@ -1110,3 +1110,98 @@ def value_range_frame_sum(spark, sf_dir):
         .cast("double")
         .alias("near_total"),
     )
+
+
+# --- debounce: first event per (user, type) burst --------------------------
+@register(
+    "debounce_first_per_burst",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_type, ts, event_id, value,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id)
+                        >= INTERVAL 5 MINUTE
+                 OR LAG(ts) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS new_burst
+        FROM events
+    ),
+    bursts AS (
+        SELECT user_id, event_type, ts, event_id, value,
+               SUM(new_burst) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS burst_id
+        FROM flagged
+    ),
+    firsts AS (
+        SELECT user_id, event_type, burst_id, ts,
+               FIRST_VALUE(event_id) OVER (
+                   PARTITION BY user_id, event_type, burst_id
+                   ORDER BY ts, event_id
+               ) AS first_eid
+        FROM bursts
+    )
+    SELECT user_id, event_type,
+           MIN(ts) AS first_ts,
+           CAST(MIN(first_eid) AS BIGINT) AS first_event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_suppressed
+    FROM firsts
+    GROUP BY user_id, event_type, burst_id
+    """,
+)
+def debounce_first_per_burst(spark, sf_dir):
+    """Debounce / alert-throttle: for each (user, event_type), emit the
+    FIRST event of every burst and count what the throttle suppressed —
+    a repeat within 5 minutes of the previous arrival stays silent and
+    RESETS the timer (trailing debounce), so a steady drip never
+    re-fires until a full quiet gap passes. The alert-dedup /
+    rate-limit semantics every notification pipeline needs, expressed
+    as gaps-and-islands: bursts are 5-minute-gap sessions per
+    (user, type), the emitted row is each island's first element.
+
+    Gap rule uses integer-µs >= (the session_windows half-open
+    convention); the burst's first element is the (ts, event_id)
+    argmin — total order, no arbitrary pick. One composite-keyed
+    window shuffle carries flagging, island numbering, AND the final
+    per-burst collapse."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            prev.isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+                >= 5 * 60 * 1_000_000
+            )
+        )
+        .cast("int")
+        .alias("new_burst"),
+    )
+    bursts = flagged.withColumn(
+        "burst_id",
+        F.sum("new_burst").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    wf = Window.partitionBy("user_id", "event_type", "burst_id").orderBy(
+        "ts", "event_id"
+    )
+    firsts = bursts.withColumn(
+        "first_eid", F.first("event_id").over(wf)
+    )
+    return (
+        firsts.groupBy("user_id", "event_type", "burst_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.min("first_eid").cast("bigint").alias("first_event_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_suppressed"),
+        )
+        .drop("burst_id")
+    )

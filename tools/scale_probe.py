@@ -64,6 +64,10 @@ QUERIES = (
     "sorted_neighborhood_ranged",   # range-partitioned SNM + boundary carry
     "winnowing_fingerprints",       # gram explode + doc-keyed window min
     "bloom_membership_sketch",      # bit-set build + broadcast probe
+    "mann_whitney_u_values",        # range-partitioned exact ranking
+    "ks_two_sample_values",         # range-partitioned CDF prefix sums
+    "cdc_apply_changes",            # keyed change-log head compaction
+    "ppjoin_token_sets",            # prefix-filtered set-similarity join
 )
 
 
