@@ -2677,3 +2677,62 @@ def corpus_curation_funnel(spark, sf_dir):
         .unionByName(stage("3_decontaminated", clean))
         .unionByName(stage("4_train_split", train))
     )
+
+
+# --------------------------------------------------------------------------
+# context-length bucketing (batch-inference padding waste)
+# --------------------------------------------------------------------------
+@register(
+    "length_bucket_padding_waste",
+    oracle="""
+    WITH toks AS (
+        SELECT len(string_split(text, ' ')) AS n_toks FROM documents
+    ),
+    bucketed AS (
+        SELECT n_toks,
+               CAST(POWER(2, CEIL(LOG2(GREATEST(n_toks, 1))))
+                    AS BIGINT) AS bucket
+        FROM toks
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS real_tokens,
+           CAST(SUM(bucket - n_toks) AS BIGINT) AS pad_tokens,
+           round(SUM(bucket - n_toks)
+                 / CAST(SUM(bucket) AS DOUBLE), 9) AS waste_ratio
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def length_bucket_padding_waste(spark, sf_dir):
+    """Context-length bucketing for batched inference: documents round
+    up to power-of-two token buckets (the shape compilers and serving
+    stacks pad to), and each bucket reports the PADDING TAX — real vs
+    pad tokens and the waste ratio — the number that decides whether
+    another bucket boundary pays for its extra compiled graph. The
+    serving-side complement of ``sequence_packing_chunks`` (training
+    packs sequences to eliminate padding; serving buckets them to
+    bound it).
+
+    Integer-exact: bucket = 2^ceil(log2(n)) computed on integers ≥ 1
+    (log2 of an exact power of two is exact in IEEE double, so the
+    ceiling never wobbles at boundaries); sums are integer; one float
+    division per bucket row at the end. One scan, one ≤ log₂(max_len)
+    -row rollup."""
+    d = _docs(spark, sf_dir)
+    n_toks = F.size(F.split(F.col("text"), " "))
+    bucket = F.pow(
+        F.lit(2.0), F.ceil(F.log2(F.greatest(n_toks, F.lit(1))))
+    ).cast("bigint")
+    b = d.select(n_toks.alias("n_toks"), bucket.alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("real_tokens"),
+        F.sum(F.col("bucket") - F.col("n_toks"))
+        .cast("bigint")
+        .alias("pad_tokens"),
+        F.round(
+            F.sum(F.col("bucket") - F.col("n_toks"))
+            / F.sum("bucket").cast("double"),
+            9,
+        ).alias("waste_ratio"),
+    )
