@@ -67,7 +67,6 @@ QUERIES = (
     "mann_whitney_u_values",        # range-partitioned exact ranking
     "ks_two_sample_values",         # range-partitioned CDF prefix sums
     "cdc_apply_changes",            # keyed change-log head compaction
-    "ppjoin_token_sets",            # prefix-filtered set-similarity join
 )
 
 
