@@ -1096,3 +1096,149 @@ def neyman_allocation_sources(spark, sf_dir):
         .cast("bigint")
         .alias("alloc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve clustering (the locality upgrade over Morton)
+# --------------------------------------------------------------------------
+def _hilbert_steps():
+    """Unrolled xy2d Hilbert transform (order 8, 256x256 grid) as per-
+    step (rx, ry, d-increment, x-next, y-next) SQL expressions in the
+    shared SQL dialect subset (&, CASE, integer arithmetic) — one
+    generator feeds BOTH engines verbatim, so the transform cannot
+    diverge. Standard algorithm: quadrant bits top-down, gray-code the
+    quadrant index, flip+swap rotates the frame for the next level."""
+    steps = []
+    s = 128
+    while s >= 1:
+        rx = f"CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END"
+        ry = f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END"
+        quad = (
+            f"CASE WHEN rx = 0 AND ry = 0 THEN 0 "
+            f"WHEN rx = 0 THEN 1 WHEN ry = 0 THEN 3 ELSE 2 END"
+        )
+        d_inc = f"d + {s * s} * ({quad})"
+        x_next = (
+            f"CASE WHEN ry = 0 THEN "
+            f"(CASE WHEN rx = 1 THEN {s} - 1 - y ELSE y END) "
+            f"ELSE x END"
+        )
+        y_next = (
+            f"CASE WHEN ry = 0 THEN "
+            f"(CASE WHEN rx = 1 THEN {s} - 1 - x ELSE x END) "
+            f"ELSE y END"
+        )
+        steps.append((rx, ry, d_inc, x_next, y_next))
+        s //= 2
+    return steps
+
+
+def _hilbert_oracle() -> str:
+    inner = """
+        SELECT o_orderkey,
+               CAST(((o_custkey % 256) + 256) % 256 AS BIGINT) AS x,
+               CAST(((date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) % 256) + 256)
+                    % 256 AS BIGINT) AS y,
+               CAST(0 AS BIGINT) AS d
+        FROM orders
+    """
+    q = f"({inner})"
+    for rx, ry, d_inc, x_next, y_next in _hilbert_steps():
+        q = (
+            f"(SELECT o_orderkey, {x_next} AS x, {y_next} AS y, "
+            f"{d_inc} AS d FROM "
+            f"(SELECT o_orderkey, x, y, d, {rx} AS rx, {ry} AS ry "
+            f"FROM {q}))"
+        )
+    return f"""
+    WITH coded AS (
+        SELECT o_orderkey, d FROM {q}
+    ),
+    pts AS (
+        SELECT o_orderkey,
+               CAST(((o_custkey % 256) + 256) % 256 AS BIGINT) AS x0,
+               CAST(((date_diff('day', DATE '1970-01-01',
+                                CAST(o_orderdate AS DATE)) % 256) + 256)
+                    % 256 AS BIGINT) AS y0
+        FROM orders
+    )
+    SELECT CAST(c.d // 256 AS BIGINT) AS tile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(p.x0) AS min_x, MAX(p.x0) AS max_x,
+           MIN(p.y0) AS min_y, MAX(p.y0) AS max_y,
+           (MAX(p.x0) - MIN(p.x0) <= 31 AND MAX(p.y0) - MIN(p.y0) <= 31)
+               AS skippable
+    FROM coded c JOIN pts p USING (o_orderkey)
+    GROUP BY 1
+    """
+
+
+@register("hilbert_curve_layout", oracle=_hilbert_oracle())
+def hilbert_curve_layout(spark, sf_dir):
+    """Hilbert-curve clustering over (customer-fold, day-fold) — the
+    locality UPGRADE over the Morton layout (`zorder_morton_layout`):
+    the Hilbert curve never takes the long diagonal jumps Z-order
+    takes between quadrants, so consecutive index ranges map to
+    tighter spatial neighborhoods (every 256-cell Hilbert tile is a
+    connected region; Morton tiles are not). Same certification
+    contract as the Morton query: group by the index's high byte (one
+    "file" per tile after a curve-ordered write) and emit per-tile
+    min/max spans — footer-stat skipping bounds. Every 256-cell
+    ALIGNED Hilbert segment is exactly one 16x16 subquadrant (the
+    order-4 subtree), so spans are <=15 like Morton's — what Hilbert
+    adds is that the curve enters and leaves each tile through
+    ADJACENT cells (no Z-jumps), so consecutive tiles are themselves
+    neighbors: range scans over the index touch spatially contiguous
+    file runs, which Morton cannot promise. The oracle pins the
+    <=31-slack flag TRUE per tile; the pytest pins the exact <=15
+    subquadrant bound.
+
+    The unrolled 8-level xy2d transform is generated ONCE in the
+    shared SQL dialect (&, CASE, integer arithmetic) and consumed
+    verbatim by both engines — the transform is bit-identical by
+    construction. Map-side integer expressions in whole-stage codegen;
+    one 256-tile rollup shuffle; the tile-span join is o_orderkey
+    1:1."""
+    o = t(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(256)).cast("bigint")
+    y = F.pmod(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")),
+        F.lit(256),
+    ).cast("bigint")
+    cur = o.select(
+        "o_orderkey",
+        x.alias("x"),
+        y.alias("y"),
+        F.lit(0).cast("bigint").alias("d"),
+    )
+    for rx, ry, d_inc, x_next, y_next in _hilbert_steps():
+        cur = cur.withColumns(
+            {"rx": F.expr(rx), "ry": F.expr(ry)}
+        ).withColumns(
+            {
+                "d": F.expr(d_inc),
+                "x": F.expr(x_next),
+                "y": F.expr(y_next),
+            }
+        ).drop("rx", "ry")
+    pts = o.select(
+        "o_orderkey", x.alias("x0"), y.alias("y0")
+    )
+    return (
+        cur.select("o_orderkey", "d")
+        .join(pts, "o_orderkey")
+        .groupBy(F.expr("d div 256").cast("bigint").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("x0").alias("min_x"),
+            F.max("x0").alias("max_x"),
+            F.min("y0").alias("min_y"),
+            F.max("y0").alias("max_y"),
+        )
+        .withColumn(
+            "skippable",
+            (F.col("max_x") - F.col("min_x") <= 31)
+            & (F.col("max_y") - F.col("min_y") <= 31),
+        )
+    )

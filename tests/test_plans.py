@@ -686,3 +686,18 @@ def test_tpch_q11_q15_no_entity_grain_global_window(spark):
             ctx = plan[max(0, m.start() - 500):m.start()]
             assert "Window" not in ctx, name
         assert "InMemoryTableScan" in plan, name  # persisted shared frame
+
+
+def test_hilbert_tiles_are_exact_subquadrants(spark):
+    # every 256-cell aligned Hilbert segment is one 16x16 subquadrant:
+    # per-dimension span exactly <= 15 on every tile (the same bound as
+    # Morton's high-byte tiles, with adjacency continuity on top)
+    from pyspark.sql import functions as F
+
+    df = plans.all_queries()["hilbert_curve_layout"](spark, SF_DIR)
+    bad = df.where(
+        (F.col("max_x") - F.col("min_x") > 15)
+        | (F.col("max_y") - F.col("min_y") > 15)
+        | ~F.col("skippable")
+    ).count()
+    assert bad == 0
