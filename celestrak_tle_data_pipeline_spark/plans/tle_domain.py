@@ -809,3 +809,86 @@ def tle_j2_secular_rates(spark, sf_dir):
             + 0.0
         ).alias("argp_drift_deg_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust decay slope (median of pairwise slopes)
+# --------------------------------------------------------------------------
+_ORACLE_THEIL_SEN = """
+WITH keys AS (
+    SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 2000
+),
+f AS (
+    SELECT k % 50 AS norad,
+           (epoch_us(CAST(make_date(
+                CASE WHEN (k * 7) % 100 < 57 THEN 2000 + (k * 7) % 100
+                     ELSE 1900 + (k * 7) % 100 END, 1, 1
+            ) AS TIMESTAMP))
+            + (k % 364) * 86400000000 + (k % 128) * 675000000)
+           // 675000000 AS t,
+           (10000000 + (k * 3) % 9000000) / 1000000.0 AS mm
+    FROM keys
+),
+pairs AS (
+    SELECT a.norad,
+           CAST(CAST(b.mm AS DECIMAL(14,6)) - CAST(a.mm AS DECIMAL(14,6))
+                AS DOUBLE) * 128.0 / CAST(b.t - a.t AS DOUBLE) AS slope
+    FROM f a JOIN f b ON a.norad = b.norad AND a.t < b.t
+)
+SELECT CAST(norad AS BIGINT) AS norad_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(median(slope), 9) + 0.0 AS theil_sen_slope
+FROM pairs GROUP BY norad
+"""
+
+
+@register("tle_theil_sen_decay", oracle=_ORACLE_THEIL_SEN)
+def tle_theil_sen_decay(spark, sf_dir):
+    """Theil-Sen robust decay slope per satellite: the MEDIAN of all
+    pairwise (Δmean_motion/Δt) slopes — the estimator that shrugs off
+    the outliers that drag the OLS fit (`tle_decay_rate_fit`): up to
+    ~29% of corrupted epochs leave the Theil-Sen slope untouched,
+    which is exactly the robustness a TLE feed with occasional bad
+    elements needs. Completes the trend-estimator pair: OLS for
+    efficiency on clean series, Theil-Sen for breakdown resistance.
+
+    Pairwise slopes are a per-satellite self-join on the epoch tick
+    (t_a < t_b excludes degenerate pairs identically in both engines)
+    — fan-out is C(h,2) in the per-entity HISTORY LENGTH h, bounded by
+    TLE cadence, never by fleet size; the join key is norad_id so the
+    pair explosion stays inside each satellite's partition. Slope =
+    exact DECIMAL Δmm cast to double once, divided by the integer tick
+    delta, ×128 ticks→days; the median is the certified double-domain
+    interpolation (trailing_median contract), rounded to 9 with -0
+    normalized."""
+    triples = _synth_lines(_keys(spark, sf_dir), norad_mod=50)
+    parsed = parse_tle_triples(triples, fetched_at=_FETCHED_AT)
+    tick = F.expr("unix_micros(epoch_utc) div 675000000")
+    base = (
+        parsed.where(valid_record())
+        .select(
+            "norad_id",
+            tick.alias("t"),
+            F.col("mean_motion").cast("decimal(14,6)").alias("mm"),
+        )
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.norad_id") == F.col("b.norad_id"))
+        & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.norad_id").alias("norad_id"),
+        (
+            (F.col("b.mm") - F.col("a.mm")).cast("double")
+            * F.lit(128.0)
+            / (F.col("b.t") - F.col("a.t")).cast("double")
+        ).alias("slope"),
+    )
+    return pairs.groupBy("norad_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (
+            F.round(F.expr("percentile(slope, 0.5d)"), 9) + 0.0
+        ).alias("theil_sen_slope"),
+    )
