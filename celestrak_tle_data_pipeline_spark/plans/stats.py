@@ -1560,3 +1560,95 @@ def kmv_intersection_estimate(spark, sf_dir):
             ).alias("within_15pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min inner product: self-join size (F2) estimation
+# --------------------------------------------------------------------------
+@register(
+    "cm_selfjoin_size_estimate",
+    oracle="""
+    WITH u AS (
+        SELECT CAST(user_id AS VARCHAR) AS ukey, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    keyed AS (
+        SELECT u.n, g.i,
+               CAST(('0x' || substr(md5(g.i || ':' || u.ukey), 1, 15))
+                    AS BIGINT) % 256 AS bucket
+        FROM u, LATERAL unnest([1, 2, 3]) AS g(i)
+    ),
+    counters AS (
+        SELECT i, bucket, SUM(n) AS cnt FROM keyed GROUP BY 1, 2
+    ),
+    rows_est AS (
+        SELECT i, SUM(cnt * cnt) AS est FROM counters GROUP BY i
+    ),
+    exact AS (
+        SELECT CAST(SUM(n * n) AS BIGINT) AS f2,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM u
+    )
+    SELECT e.n_keys, e.f2 AS exact_selfjoin_rows,
+           CAST((SELECT MIN(est) FROM rows_est) AS BIGINT)
+               AS cm_estimate,
+           TRUE AS never_undercounts
+    FROM exact e
+    """,
+)
+def cm_selfjoin_size_estimate(spark, sf_dir):
+    """Join-size estimation by Count-Min INNER PRODUCT — the sketch
+    algebra behind cardinality estimators: the size of the events
+    self-join on user_id is the second frequency moment F₂ = Σ cnt(u)²
+    (also THE skew diagnostic — a hot key dominates this sum), and the
+    CM estimate is min over hash rows of Σ_b C[i,b]² — computable from
+    two mergeable 3×256 counter matrices WITHOUT touching row data
+    again. The estimator never undercounts (collisions only add cross
+    terms), pinned the strong way: the oracle hard-codes TRUE while
+    Spark compares est ≥ F₂ from the data. Both the exact moment and
+    the estimate are deterministic integers (shared md5 hash idiom), so
+    the gate value-matches them outright.
+
+    At 100 TB this is how a planner prices a fact-fact join before
+    running it: per-side CM sketches maintained incrementally
+    (cell-wise sums), inner product on 768 counters. One key rollup +
+    one 768-cell rollup; everything after is arithmetic on sketch
+    rows."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy(F.col("user_id").cast("string").alias("ukey")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    keyed = u.select(
+        "ukey",
+        "n",
+        F.explode(F.array(*[F.lit(i) for i in (1, 2, 3)])).alias("i"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("i"), F.col("ukey"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 256,
+    )
+    counters = keyed.groupBy("i", "bucket").agg(F.sum("n").alias("cnt"))
+    rows_est = counters.groupBy("i").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("est")
+    )
+    est = rows_est.agg(F.min("est").alias("cm_estimate"))
+    exact = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias(
+            "exact_selfjoin_rows"
+        ),
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_keys",
+        "exact_selfjoin_rows",
+        F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
+        (F.col("cm_estimate") >= F.col("exact_selfjoin_rows")).alias(
+            "never_undercounts"
+        ),
+    )
