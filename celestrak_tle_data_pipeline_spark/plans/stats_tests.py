@@ -327,3 +327,139 @@ def ks_two_sample_values(spark, sf_dir):
             ).alias("d_stat"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout (hash assignment -> Welch t + Wilson interval)
+# --------------------------------------------------------------------------
+@register(
+    "ab_experiment_readout",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               (user_id * 2654435761) % 4294967296 % 2 AS arm,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS tv,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(tv AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(tv AS DECIMAL(28,9))
+                        * CAST(tv AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+               SUM(converted) AS conv
+        FROM per_user GROUP BY arm
+    ),
+    stats AS (
+        SELECT arm, n, conv,
+               sx / n AS mean_v,
+               (n * sxx - sx * sx) / (n * (n - 1.0)) AS var_v,
+               conv / CAST(n AS DOUBLE) AS p
+        FROM arms
+    ),
+    welch AS (
+        SELECT (MAX(CASE WHEN arm = 0 THEN mean_v END)
+                - MAX(CASE WHEN arm = 1 THEN mean_v END))
+               / sqrt(MAX(CASE WHEN arm = 0 THEN var_v / n END)
+                      + MAX(CASE WHEN arm = 1 THEN var_v / n END)) AS t
+        FROM stats
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(n AS BIGINT) AS n_users,
+           round(mean_v, 6) AS mean_value,
+           round(p, 9) AS conversion,
+           round((p + 1.9208 / n
+                  - 1.96 * sqrt(p * (1 - p) / n + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 9) AS wilson_lo,
+           round((p + 1.9208 / n
+                  + 1.96 * sqrt(p * (1 - p) / n + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 9) AS wilson_hi,
+           round((SELECT t FROM welch), 6) + 0.0 AS welch_t
+    FROM stats
+    """,
+)
+def ab_experiment_readout(spark, sf_dir):
+    """End-to-end A/B readout — assignment through inference in one
+    DAG: users split into two arms by the engine's Knuth multiplicative
+    hash (deterministic, partition-stable — the dataset_split_assign
+    contract applied to experimentation), then per arm the user-grain
+    value metric (mean with sample variance from exact power sums),
+    conversion with its 95% WILSON score interval (the binomial CI
+    that behaves at small n and extreme p where the normal interval
+    breaks), and the WELCH t statistic for the value difference
+    (unequal-variance form — the correct default). Complements the
+    nonparametric tier (MWU/KS): this is the parametric readout an
+    experimentation platform prints per metric.
+
+    Determinism: assignment and conversion are integer arithmetic;
+    value sums are DECIMAL power sums cast once (the stats_moments
+    contract); Wilson and Welch are fixed closed-form expressions over
+    those shared doubles, rounded (z = 1.96 constants squared inline:
+    3.8416, 1.9208, 0.9604); -0 normalized on the t statistic. Plan:
+    one user-grain shuffle, a 2-row arm rollup, windows/cross join on
+    2 rows."""
+    from .ext_pipeline import _KNUTH, _M32
+
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("tv"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    ).select(
+        ((F.col("user_id") * _KNUTH) % _M32 % 2).alias("arm"),
+        "tv",
+        "converted",
+    )
+    tvd = F.col("tv").cast("decimal(28,9)")
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(tvd).cast("double").alias("sx"),
+        F.sum(tvd * tvd).cast("double").alias("sxx"),
+        F.sum("converted").alias("conv"),
+    )
+    n = F.col("n")
+    stats = arms.select(
+        "arm",
+        "n",
+        "conv",
+        (F.col("sx") / n).alias("mean_v"),
+        (
+            (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / (n * (n - F.lit(1.0)))
+        ).alias("var_v"),
+        (F.col("conv") / n.cast("double")).alias("p"),
+    )
+    welch = stats.agg(
+        (
+            (
+                F.max(F.when(F.col("arm") == 0, F.col("mean_v")))
+                - F.max(F.when(F.col("arm") == 1, F.col("mean_v")))
+            )
+            / F.sqrt(
+                F.max(F.when(F.col("arm") == 0, F.col("var_v") / F.col("n")))
+                + F.max(
+                    F.when(F.col("arm") == 1, F.col("var_v") / F.col("n"))
+                )
+            )
+        ).alias("t")
+    )
+    p = F.col("p")
+    denom = 1 + F.lit(3.8416) / n
+    center = p + F.lit(1.9208) / n
+    hw = F.lit(1.96) * F.sqrt(
+        p * (1 - p) / n + F.lit(0.9604) / (n * n)
+    )
+    return stats.crossJoin(F.broadcast(welch)).select(
+        F.col("arm").cast("bigint").alias("arm"),
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round("mean_v", 6).alias("mean_value"),
+        F.round(p, 9).alias("conversion"),
+        F.round((center - hw) / denom, 9).alias("wilson_lo"),
+        F.round((center + hw) / denom, 9).alias("wilson_hi"),
+        (F.round(F.col("t"), 6) + 0.0).alias("welch_t"),
+    )
