@@ -47,7 +47,14 @@ from .common import t
                (o - row_t * col_t / CAST(n AS DOUBLE))
                * (o - row_t * col_t / CAST(n AS DOUBLE))
                / (row_t * col_t / CAST(n AS DOUBLE))
-           ), 6) AS chi2
+           ), 6) AS chi2,
+           round(sqrt(SUM(
+               (o - row_t * col_t / CAST(n AS DOUBLE))
+               * (o - row_t * col_t / CAST(n AS DOUBLE))
+               / (row_t * col_t / CAST(n AS DOUBLE))
+           ) / (MAX(n) * (LEAST(COUNT(DISTINCT event_type),
+                                COUNT(DISTINCT dow)) - 1))), 9)
+               AS cramers_v
     FROM tot
     """,
 )
@@ -96,6 +103,28 @@ def chi2_independence_type_dow(spark, sf_dir):
             ),
             6,
         ).alias("chi2"),
+        # Cramér's V effect size: sqrt(chi2 / (N * (min(r,c) - 1))) —
+        # the [0,1]-normalized association strength dof can't give
+        F.round(
+            F.sqrt(
+                F.sum(
+                    (F.col("o") - expected)
+                    * (F.col("o") - expected)
+                    / expected
+                )
+                / (
+                    F.max("n")
+                    * (
+                        F.least(
+                            F.countDistinct("event_type"),
+                            F.countDistinct("dow"),
+                        )
+                        - 1
+                    )
+                )
+            ),
+            9,
+        ).alias("cramers_v"),
     )
 
 
@@ -462,4 +491,77 @@ def ab_experiment_readout(spark, sf_dir):
         F.round((center - hw) / denom, 9).alias("wilson_lo"),
         F.round((center + hw) / denom, 9).alias("wilson_hi"),
         (F.round(F.col("t"), 6) + 0.0).alias("welch_t"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hill tail-exponent estimator (heavy-tail diagnostics)
+# --------------------------------------------------------------------------
+@register(
+    "hill_tail_exponent",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    topk AS (
+        SELECT n FROM counts ORDER BY n DESC, user_id LIMIT 101
+    ),
+    xmin AS (
+        SELECT MIN(n) AS xk, COUNT(*) AS k FROM topk
+    )
+    SELECT CAST((SELECT COUNT(*) FROM counts) AS BIGINT) AS n_keys,
+           CAST(x.k - 1 AS BIGINT) AS k_order_stats,
+           CAST(x.xk AS BIGINT) AS x_min,
+           round(1.0 / (SUM(ln(t.n / CAST(x.xk AS DOUBLE)))
+                        / (x.k - 1)), 6) AS hill_alpha
+    FROM topk t, xmin x
+    WHERE t.n > 0
+    GROUP BY x.k, x.xk
+    """,
+)
+def hill_tail_exponent(spark, sf_dir):
+    """Hill estimator of the activity distribution's tail exponent —
+    the heavy-tail diagnostic that tells a capacity planner whether
+    per-key load (events per user; read: documents per domain, rows
+    per satellite) decays like a power law and HOW fast: α̂ = 1 /
+    mean(ln(x_i / x_(k))) over the top-k order statistics. α ≤ 2 means
+    infinite variance — salting territory (X13) — while α > 3 behaves
+    like light tails; the number that justifies the skew playbook
+    instead of guessing.
+
+    Determinism: the top-k order statistics come from a total-ordered
+    TakeOrderedAndProject (count desc, key tiebreak; k+1 rows so
+    x_(k) is the threshold and the k larger values feed the sum);
+    ratios are exact-integer quotients under ln, summed over k=100
+    values and rounded (the ln-contract). Single key rollup + a
+    101-row reduction."""
+    e = t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    topk = counts.orderBy(F.col("n").desc(), F.col("user_id").asc()).limit(
+        101
+    )
+    xmin = topk.agg(
+        F.min("n").alias("xk"), F.count(F.lit(1)).alias("k")
+    )
+    n_keys = counts.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    return (
+        topk.crossJoin(F.broadcast(xmin))
+        .crossJoin(F.broadcast(n_keys))
+        .groupBy("n_keys", "k", "xk")
+        .agg(
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.sum(F.log(F.col("n") / F.col("xk").cast("double")))
+                    / (F.col("k") - 1)
+                ),
+                6,
+            ).alias("hill_alpha")
+        )
+        .select(
+            "n_keys",
+            (F.col("k") - 1).cast("bigint").alias("k_order_stats"),
+            F.col("xk").cast("bigint").alias("x_min"),
+            "hill_alpha",
+        )
     )
