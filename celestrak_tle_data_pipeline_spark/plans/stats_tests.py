@@ -565,3 +565,135 @@ def hill_tail_exponent(spark, sf_dir):
             "hill_alpha",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PSI: population stability index (production drift monitoring)
+# --------------------------------------------------------------------------
+@register(
+    "psi_value_drift",
+    oracle="""
+    WITH bounds_t AS (
+        SELECT MIN(epoch_us(ts))
+               + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS mid
+        FROM events
+    ),
+    tagged AS (
+        SELECT value,
+               CASE WHEN epoch_us(ts) < (SELECT mid FROM bounds_t)
+                    THEN 1 ELSE 0 END AS is_ref
+        FROM events
+    ),
+    qs AS (
+        SELECT quantile_cont(value,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS bs
+        FROM tagged WHERE is_ref = 1
+    ),
+    binned AS (
+        SELECT CAST(1 + len(list_filter(q.bs, x -> t.value > x)) AS INT)
+                   AS bin,
+               t.is_ref
+        FROM tagged t CROSS JOIN qs q
+    ),
+    cells AS (
+        SELECT bin,
+               SUM(is_ref) AS n_ref,
+               SUM(1 - is_ref) AS n_cur,
+               SUM(SUM(is_ref)) OVER () AS t_ref,
+               SUM(SUM(1 - is_ref)) OVER () AS t_cur
+        FROM binned GROUP BY bin
+    ),
+    contrib AS (
+        SELECT bin, n_ref, n_cur,
+               n_ref / CAST(t_ref AS DOUBLE) AS p_ref,
+               n_cur / CAST(t_cur AS DOUBLE) AS p_cur,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                   (n_ref / CAST(t_ref AS DOUBLE)
+                    - n_cur / CAST(t_cur AS DOUBLE))
+                   * ln((n_ref / CAST(t_ref AS DOUBLE))
+                        / (n_cur / CAST(t_cur AS DOUBLE)))
+               ELSE 0.0 END AS c
+        FROM cells
+    )
+    SELECT bin,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round(p_ref, 9) AS p_ref,
+           round(p_cur, 9) AS p_cur,
+           round(c, 9) + 0.0 AS psi_contribution,
+           round(SUM(c) OVER (), 9) + 0.0 AS psi_total
+    FROM contrib
+    """,
+)
+def psi_value_drift(spark, sf_dir):
+    """PSI (population stability index) — the drift metric production
+    scoring pipelines actually page on (PSI < 0.1 stable, > 0.25
+    shifted): the event-value distribution of the SECOND half of the
+    observed window scored against decile bins fitted on the FIRST
+    half. Bin boundaries use the boundary-broadcast equi-depth
+    machinery (exact percentiles on the reference period, broadcast,
+    range lookup — no global sort); PSI = Σ (p_ref − p_cur)·ln(p_ref/
+    p_cur) per bin, with empty-cell terms dropped (the standard
+    convention, stated). Completes the drift tier: KS sees shape, KL
+    audits categorical splits, PSI is the binned production monitor.
+
+    Determinism: the period split is the integer-µs midpoint (the
+    scd2_asof anchor pattern); shares are exact-integer ratios divided
+    once; ln terms sum over ≤10 bins and round to 9 with -0
+    normalized. One scan, one 10-cell rollup, windows on the cell
+    frame."""
+    e = t(spark, sf_dir, "events")
+    mid = e.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.floor(
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 2
+            )
+        ).alias("mid")
+    )
+    tagged = e.crossJoin(F.broadcast(mid)).select(
+        "value",
+        (F.unix_micros("ts") < F.col("mid")).cast("int").alias("is_ref"),
+    )
+    qs = tagged.where(F.col("is_ref") == 1).agg(
+        F.percentile(
+            "value", F.array(*[F.lit(i / 10) for i in range(1, 10)])
+        ).alias("bs")
+    )
+    binned = tagged.crossJoin(F.broadcast(qs)).select(
+        (
+            F.lit(1)
+            + F.size(F.filter("bs", lambda b: F.col("value") > b))
+        )
+        .cast("int")
+        .alias("bin"),
+        "is_ref",
+    )
+    cells = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).alias("n_cur"),
+        )
+        .withColumn("t_ref", F.sum("n_ref").over(Window.partitionBy()))
+        .withColumn("t_cur", F.sum("n_cur").over(Window.partitionBy()))
+    )
+    p_ref = F.col("n_ref") / F.col("t_ref").cast("double")
+    p_cur = F.col("n_cur") / F.col("t_cur").cast("double")
+    c = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        (p_ref - p_cur) * F.log(p_ref / p_cur),
+    ).otherwise(F.lit(0.0))
+    contrib = cells.withColumn("c", c)
+    return contrib.select(
+        "bin",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(p_ref, 9).alias("p_ref"),
+        F.round(p_cur, 9).alias("p_cur"),
+        (F.round("c", 9) + 0.0).alias("psi_contribution"),
+        (
+            F.round(F.sum("c").over(Window.partitionBy()), 9) + 0.0
+        ).alias("psi_total"),
+    )
