@@ -128,3 +128,33 @@ def test_theil_sen_pair_counts_are_choose_two(spark):
     # are excluded, so <= rather than ==)
     for r in rows:
         assert r.n_pairs >= 1
+
+
+def test_psi_contributions_sum_to_total(spark):
+    rows = _run(spark, "psi_value_drift").collect()
+    assert rows
+    total = rows[0].psi_total
+    assert all(abs(r.psi_total - total) < 1e-12 for r in rows)
+    assert abs(sum(r.psi_contribution for r in rows) - total) < 1e-6
+    assert total >= 0.0  # PSI is a sum of (p-q)ln(p/q) >= 0 terms
+    # shares are distributions
+    assert abs(sum(r.p_ref for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r.p_cur for r in rows) - 1.0) < 1e-6
+
+
+def test_hill_alpha_positive_with_k_order_stats(spark):
+    r = _run(spark, "hill_tail_exponent").collect()[0]
+    # k caps at 100 when there are enough keys; sf0.001 has only 15
+    assert 1 <= r.k_order_stats <= 100
+    assert r.k_order_stats == min(100, r.n_keys - 1)
+    assert r.x_min >= 1
+    assert r.hill_alpha > 0
+
+
+def test_ab_readout_interval_brackets_conversion(spark):
+    rows = _run(spark, "ab_experiment_readout").collect()
+    assert {r.arm for r in rows} == {0, 1}
+    for r in rows:
+        assert 0.0 <= r.wilson_lo <= r.conversion <= r.wilson_hi <= 1.0
+    # both rows carry the same Welch t
+    assert rows[0].welch_t == rows[1].welch_t
