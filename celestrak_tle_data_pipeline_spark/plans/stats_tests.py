@@ -697,3 +697,103 @@ def psi_value_drift(spark, sf_dir):
             F.round(F.sum("c").over(Window.partitionBy()), 9) + 0.0
         ).alias("psi_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# distribution-free median CI from exact order statistics
+# --------------------------------------------------------------------------
+@register(
+    "median_ci_order_stats",
+    oracle="""
+    WITH n_t AS (
+        SELECT COUNT(*) AS n FROM orders
+    ),
+    ranks AS (
+        SELECT n,
+               CAST(FLOOR(n / 2.0 - 1.96 * sqrt(n) / 2.0) AS BIGINT) AS r_lo,
+               CAST(CEIL(1 + n / 2.0 + 1.96 * sqrt(n) / 2.0) AS BIGINT)
+                   AS r_hi,
+               (n + 1) // 2 AS r_med
+        FROM n_t
+    ),
+    ranked AS (
+        SELECT o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS r
+        FROM orders
+    )
+    SELECT r.n,
+           r.r_lo, r.r_med, r.r_hi,
+           MAX(CASE WHEN k.r = r.r_lo THEN k.o_totalprice END) AS v_lo,
+           MAX(CASE WHEN k.r = r.r_med THEN k.o_totalprice END) AS v_med,
+           MAX(CASE WHEN k.r = r.r_hi THEN k.o_totalprice END) AS v_hi
+    FROM ranked k, ranks r
+    WHERE k.r IN (r.r_lo, r.r_med, r.r_hi)
+    GROUP BY r.n, r.r_lo, r.r_med, r.r_hi
+    """,
+)
+def median_ci_order_stats(spark, sf_dir):
+    """Distribution-free 95% confidence interval for the median from
+    EXACT order statistics — no normality, no bootstrap, no RNG: the
+    interval [x_(⌊n/2 − 1.96√n/2⌋), x_(⌈1 + n/2 + 1.96√n/2⌉)] covers
+    the true median with ≥95% probability for ANY continuous
+    distribution (the binomial argument on signs). The inference
+    companion to the robust point estimators (MAD, winsorized,
+    Theil-Sen): a number plus how sure.
+
+    Rank selection runs on the range-partitioned global-rank machinery
+    (third use, after MWU and KS): repartitionByRange on value,
+    per-partition row_numbers, broadcast prefix-sum offsets — the
+    three target ranks are exact and NO single-partition sort touches
+    the order-grain frame. Output is one row: n, the three ranks, and
+    the three order-statistic values (exact doubles, no
+    interpolation)."""
+    o = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    n_t = o.agg(F.count(F.lit(1)).alias("n"))
+    ranks = n_t.select(
+        "n",
+        F.floor(
+            F.col("n") / 2.0 - F.lit(1.96) * F.sqrt("n") / 2.0
+        ).cast("bigint").alias("r_lo"),
+        F.ceil(
+            1 + F.col("n") / 2.0 + F.lit(1.96) * F.sqrt("n") / 2.0
+        ).cast("bigint").alias("r_hi"),
+        F.floor((F.col("n") + 1) / 2).cast("bigint").alias("r_med"),
+    )
+    pool = (
+        o.repartitionByRange(
+            8, F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = pool.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
+    w_pref = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("pn").over(w_pref), F.lit(0)).alias("offset"),
+    )
+    local = F.row_number().over(
+        Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    )
+    ranked = pool.join(F.broadcast(offsets), "pid").select(
+        "o_totalprice",
+        (local.cast("bigint") + F.col("offset")).alias("r"),
+    )
+    hit = ranked.crossJoin(F.broadcast(ranks)).where(
+        (F.col("r") == F.col("r_lo"))
+        | (F.col("r") == F.col("r_med"))
+        | (F.col("r") == F.col("r_hi"))
+    )
+    return hit.groupBy("n", "r_lo", "r_med", "r_hi").agg(
+        F.max(
+            F.when(F.col("r") == F.col("r_lo"), F.col("o_totalprice"))
+        ).alias("v_lo"),
+        F.max(
+            F.when(F.col("r") == F.col("r_med"), F.col("o_totalprice"))
+        ).alias("v_med"),
+        F.max(
+            F.when(F.col("r") == F.col("r_hi"), F.col("o_totalprice"))
+        ).alias("v_hi"),
+    )
