@@ -2736,3 +2736,158 @@ def length_bucket_padding_waste(spark, sf_dir):
             9,
         ).alias("waste_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps' law fit (vocabulary growth exponent)
+# --------------------------------------------------------------------------
+@register(
+    "heaps_law_fit",
+    oracle="""
+    WITH d AS (
+        SELECT len(string_split(text, ' ')) AS n_toks,
+               len(list_distinct(string_split(text, ' '))) AS n_types
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    pts AS (
+        SELECT ln(CAST(n_toks AS DOUBLE)) AS x,
+               ln(CAST(n_types AS DOUBLE)) AS y
+        FROM d
+    ),
+    s AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+               AS heaps_beta,
+           round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n), 6) AS heaps_k
+    FROM s
+    """,
+)
+def heaps_law_fit(spark, sf_dir):
+    """Heaps' law fit — vocabulary growth V(n) ≈ K·n^β estimated by
+    log-log OLS over (tokens, distinct types) per document: the corpus
+    statistic that predicts how vocabulary (and therefore tokenizer
+    coverage, embedding-table pressure, and OOV rates) scales as a
+    corpus grows — β ≈ 0.5 for natural text; β near 1 screams
+    synthetic or ID-heavy data. Companion to `vocab_oov_rate` (which
+    measures coverage at one size; this extrapolates it).
+
+    Closed-form OLS from five sums — no iteration; ln terms are
+    float-summed (the one float accumulation in the engine's contract
+    family, acceptable here: the slope divides two O(n)-term sums
+    whose ulp noise is ~1e-13 relative, then rounds to 9). One scan,
+    map-side ln, a five-number aggregate."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    ).where(F.col("n_toks") >= 2)
+    pts = base.select(
+        F.log(F.col("n_toks").cast("double")).alias("x"),
+        F.log(F.col("n_types").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        n.cast("bigint").alias("n_docs"),
+        F.round(slope, 9).alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("sy") - slope * F.col("sx")) / n), 6
+        ).alias("heaps_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf slope over the token frequency spectrum
+# --------------------------------------------------------------------------
+@register(
+    "zipf_slope_tokens",
+    oracle="""
+    WITH freq AS (
+        SELECT tok, COUNT(*) AS f
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ),
+    topk AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r
+        FROM freq ORDER BY f DESC, tok LIMIT 100
+    ),
+    pts AS (
+        SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+        FROM topk
+    ),
+    s AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS k_ranks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+               AS zipf_slope
+    FROM s
+    """,
+)
+def zipf_slope_tokens(spark, sf_dir):
+    """Zipf slope of the token frequency spectrum: log-log OLS of
+    frequency against rank over the top-100 tokens — natural language
+    sits near −1; a flat slope means templated/duplicated text and a
+    steep one means a degenerate vocabulary, so the single number is a
+    cheap corpus-health fingerprint beside `repetition_profile` (which
+    looks inside documents; this looks across the vocabulary).
+
+    The top-k ranks come from a total-ordered TakeOrderedAndProject
+    over the token rollup (frequency desc, token tiebreak — rank is
+    deterministic); the fit is the same five-sum closed form as
+    heaps_law_fit over exactly 100 points. One token-rollup shuffle,
+    then arithmetic on 100 rows."""
+    d = _docs(spark, sf_dir)
+    freq = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    topk = (
+        freq.orderBy(F.col("f").desc(), F.col("tok").asc())
+        .limit(100)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("f").desc(), F.col("tok").asc())
+            ),
+        )
+    )
+    pts = topk.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        n.cast("bigint").alias("k_ranks"),
+        F.round(slope, 9).alias("zipf_slope"),
+    )
