@@ -1242,3 +1242,139 @@ def hilbert_curve_layout(spark, sf_dir):
             & (F.col("max_y") - F.col("min_y") <= 31),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity release audit (companion to k_anonymity_audit)
+# --------------------------------------------------------------------------
+@register(
+    "l_diversity_audit",
+    oracle="""
+    WITH q AS (
+        SELECT c_mktsegment,
+               length(c_name) AS name_len,
+               COUNT(*) AS grp_n,
+               COUNT(DISTINCT c_nationkey) AS l
+        FROM customer
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_diversity_groups,
+           CAST(SUM(CASE WHEN l < 3 THEN grp_n ELSE 0 END) AS BIGINT)
+               AS n_exposed_rows,
+           CAST(SUM(CASE WHEN l < 3 THEN grp_n ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(grp_n) AS DOUBLE) AS exposed_row_frac
+    FROM q GROUP BY 1
+    """,
+)
+def l_diversity_audit(spark, sf_dir):
+    """l-diversity release audit (l=3): k-anonymity's stronger sibling
+    (Machanavajjhala et al., ICDE'06). A quasi-identifier group can be
+    large (k-anonymous) yet still leak if every row in it shares the
+    same sensitive value — here the quasi-identifiers are (market
+    segment, name length) and the sensitive attribute is the nation.
+    Groups with fewer than l distinct sensitive values let an attacker
+    who knows the quasi-identifiers infer the sensitive attribute with
+    near certainty; this reports, per segment, the worst group's
+    diversity and how many rows sit in under-diverse groups — run
+    beside ``k_anonymity_audit`` before any data release.
+
+    Plan mirrors the k-anonymity audit: row -> quasi-identifier group
+    (the one data-sized shuffle; COUNT(DISTINCT sensitive) expands to
+    a two-phase exact distinct inside the same aggregation), then a
+    group-grain rollup to segments. All counts integer-exact; the
+    exposed-row fraction is the single terminal division."""
+    c = t(spark, sf_dir, "customer")
+    q = c.groupBy(
+        "c_mktsegment", F.length("c_name").alias("name_len")
+    ).agg(
+        F.count(F.lit(1)).alias("grp_n"),
+        F.countDistinct("c_nationkey").alias("l"),
+    )
+    exposed = F.sum(F.when(F.col("l") < 3, F.col("grp_n")).otherwise(0))
+    return q.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.sum((F.col("l") < 3).cast("int"))
+        .cast("bigint")
+        .alias("n_low_diversity_groups"),
+        exposed.cast("bigint").alias("n_exposed_rows"),
+        (exposed.cast("double") / F.sum("grp_n").cast("double")).alias(
+            "exposed_row_frac"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# order-independent table fingerprint (content digest per source)
+# --------------------------------------------------------------------------
+@register(
+    "rowhash_table_digest",
+    oracle="""
+    WITH h AS (
+        SELECT source,
+               CAST(concat('0x',
+                    substr(md5(concat_ws('|', doc_id, lang, source,
+                                         n_chars)), 1, 15))
+                    AS BIGINT) AS v
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(v) AS BIGINT) AS digest_xor,
+           CAST(SUM(CAST(v AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+               AS digest_sum_mod,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_hashes
+    FROM h GROUP BY 1
+    """,
+)
+def rowhash_table_digest(spark, sf_dir):
+    """Order-independent content fingerprint of the documents table,
+    one digest row per source: each row's canonical serialization
+    (key metadata joined with '|') is MD5-hashed, the first 60 bits
+    become an integer, and two commutative aggregates — XOR and SUM
+    mod the Mersenne prime 2^61-1 — fold the rows into digests that
+    are identical under ANY partitioning, row order, or engine. This
+    is how a 100 TB pipeline certifies replica equality (source vs
+    migrated table, pre- vs post-compaction, two cluster runs) without
+    sorting or moving the data: compare one digest row per partition.
+    ``n_distinct_hashes`` doubling as an exact-duplicate detector.
+
+    Exactness across engines: MD5 of the identical serialized string
+    is byte-identical everywhere; the hex->int fold keeps 15 hex chars
+    (60 bits, safely inside int64); XOR is exact; the modular sum runs
+    over DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so it never
+    overflows before the mod. Plan: pure map-side expression work plus
+    one source-keyed partial-aggregated shuffle — linear, no windows,
+    no UDFs."""
+    d = t(spark, sf_dir, "documents")
+    v = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    "lang",
+                    "source",
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    h = d.select("source", v.alias("v"))
+    mersenne61 = F.lit(2305843009213693951).cast("decimal(38,0)")
+    return h.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.bit_xor("v").cast("bigint").alias("digest_xor"),
+        F.pmod(F.sum(F.col("v").cast("decimal(38,0)")), mersenne61)
+        .cast("bigint")
+        .alias("digest_sum_mod"),
+        F.countDistinct("v").cast("bigint").alias("n_distinct_hashes"),
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import register
-from .common import t
+from .common import dec, t
 
 
 # --------------------------------------------------------------------------
@@ -796,4 +796,467 @@ def median_ci_order_stats(spark, sf_dir):
         F.max(
             F.when(F.col("r") == F.col("r_hi"), F.col("o_totalprice"))
         ).alias("v_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout
+# --------------------------------------------------------------------------
+@register(
+    "cuped_adjusted_ab",
+    oracle="""
+    WITH days AS (
+        SELECT user_id,
+               epoch_us(ts) // 86400000000 AS d,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+    ),
+    bounds AS (
+        SELECT (MIN(d) + MAX(d) + 1) // 2 AS split_d FROM days
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INT) AS arm,
+               COALESCE(SUM(CASE WHEN d < split_d THEN v END),
+                        CAST(0 AS DECIMAL(18,2))) AS x,
+               COALESCE(SUM(CASE WHEN d >= split_d THEN v END),
+                        CAST(0 AS DECIMAL(18,2))) AS y
+        FROM days, bounds
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS n1,
+               CAST(SUM(CASE WHEN arm = 1 THEN y END) AS DOUBLE) AS sy1,
+               CAST(SUM(CASE WHEN arm = 1 THEN x END) AS DOUBLE) AS sx1,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS n0,
+               CAST(SUM(CASE WHEN arm = 0 THEN y END) AS DOUBLE) AS sy0,
+               CAST(SUM(CASE WHEN arm = 0 THEN x END) AS DOUBLE) AS sx0
+        FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(n1 AS BIGINT) AS n_treat,
+           CAST(n0 AS BIGINT) AS n_ctrl,
+           round(sy1 / n1 - sy0 / n0, 6) AS raw_diff,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS theta,
+           round((sy1 / n1 - sy0 / n0)
+                 - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                   * (sx1 / n1 - sx0 / n0), 6) AS adj_diff,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+               AS var_reduction
+    FROM m
+    """,
+)
+def cuped_adjusted_ab(spark, sf_dir):
+    """CUPED (Controlled-experiment Using Pre-Experiment Data,
+    Deng et al., WSDM'13) variance-reduced A/B readout: the experiment
+    window is the second half of the event calendar, the pre-period is
+    the first half, and each user's pre-period spend is the covariate.
+    adjusted_metric = Y - theta * (X - mean(X)) with the pooled OLS
+    theta = cov(X,Y)/var(X); ``var_reduction`` is the squared X,Y
+    correlation — exactly the fraction of metric variance CUPED
+    removes, the number an experimentation platform quotes when it says
+    "CUPED cut required sample size by r²".
+
+    Exactness: per-user pre/post sums are fixed-scale DECIMALs (exact,
+    order-free); the moment sums Σx, Σy, Σx², Σy², Σxy are exact
+    DECIMAL(38,4) rollups. Every downstream statistic is computed from
+    those (already-exact) scalars cast to DOUBLE with an identical
+    expression tree in both engines, so the IEEE results match bitwise
+    before rounding.
+
+    Plan: calendar bounds are one tiny agg broadcast into the row
+    scan; per-user sums are one user-keyed shuffle (map-side partials);
+    the moment rollup is a second, scalar-sized aggregation. No
+    windows, no UDFs — survives any scale the user-grain agg survives.
+    """
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("d"),
+        dec("value", 18, 2).alias("v"),
+    )
+    bounds = days.agg(
+        F.floor((F.min("d") + F.max("d") + 1) / F.lit(2)).alias("split_d")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    per_user = (
+        days.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", F.pmod("user_id", F.lit(2)).cast("int").alias("arm"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("d") < F.col("split_d"), F.col("v"))),
+                zero,
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("d") >= F.col("split_d"), F.col("v"))),
+                zero,
+            ).alias("y"),
+        )
+    )
+    d38 = lambda c: c.cast("decimal(38,4)")
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(d38(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d38(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(d38(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y"))).cast("double").alias("sy1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x"))).cast("double").alias("sx1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y"))).cast("double").alias("sy0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x"))).cast("double").alias("sx0"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    n1, sy1, sx1 = F.col("n1"), F.col("sy1"), F.col("sx1")
+    n0, sy0, sx0 = F.col("n0"), F.col("sy0"), F.col("sx0")
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.cast("bigint").alias("n_users"),
+        n1.cast("bigint").alias("n_treat"),
+        n0.cast("bigint").alias("n_ctrl"),
+        F.round(sy1 / n1 - sy0 / n0, 6).alias("raw_diff"),
+        F.round(theta, 9).alias("theta"),
+        F.round(
+            (sy1 / n1 - sy0 / n0) - theta * (sx1 / n1 - sx0 / n0), 6
+        ).alias("adj_diff"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            9,
+        ).alias("var_reduction"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa inter-rater agreement
+# --------------------------------------------------------------------------
+@register(
+    "cohens_kappa_agreement",
+    oracle="""
+    WITH r AS (
+        SELECT CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS a,
+               CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
+                         >= 25
+                    THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS n11,
+               CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS n00,
+               CAST(SUM(a) AS DOUBLE) AS na1,
+               CAST(SUM(b) AS DOUBLE) AS nb1
+        FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(n11 AS BIGINT) AS n_both_pos,
+           CAST(n00 AS BIGINT) AS n_both_neg,
+           round((n11 + n00) / n, 9) AS p_observed,
+           round((na1 * nb1 + (n - na1) * (n - nb1)) / (n * n), 9)
+               AS p_expected,
+           round(((n11 + n00) / n
+                  - (na1 * nb1 + (n - na1) * (n - nb1)) / (n * n))
+                 / (1.0 - (na1 * nb1 + (n - na1) * (n - nb1)) / (n * n)),
+                 9) AS kappa
+    FROM c
+    """,
+)
+def cohens_kappa_agreement(spark, sf_dir):
+    """Cohen's kappa chance-corrected agreement between two cheap
+    document-quality raters — rater A flags docs with >= 150 chars,
+    rater B flags docs with >= 25 whitespace tokens. kappa =
+    (p_o - p_e) / (1 - p_e) where p_e is the agreement two independent
+    raters with these marginals would reach by chance; it is the
+    standard answer to "are two labeling heuristics (or annotators)
+    actually agreeing, or just both saying yes a lot?" — the gate a
+    training-data curation run puts on any new auto-labeler before
+    trusting its labels.
+
+    All four contingency cells and both marginals are exact integer
+    counts from ONE full-scan aggregation (no shuffle beyond the final
+    scalar combine); p_o, p_e, kappa are computed from those scalars
+    with an identical double expression tree in both engines.
+    """
+    d = t(spark, sf_dir, "documents")
+    tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    r = d.select(
+        (F.col("n_chars") >= 150).cast("int").alias("a"),
+        (tokens >= 25).cast("int").alias("b"),
+    )
+    c = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("int"))
+        .cast("double")
+        .alias("n11"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 0)).cast("int"))
+        .cast("double")
+        .alias("n00"),
+        F.sum("a").cast("double").alias("na1"),
+        F.sum("b").cast("double").alias("nb1"),
+    )
+    n, n11, n00 = F.col("n"), F.col("n11"), F.col("n00")
+    na1, nb1 = F.col("na1"), F.col("nb1")
+    po = (n11 + n00) / n
+    pe = (na1 * nb1 + (n - na1) * (n - nb1)) / (n * n)
+    return c.select(
+        n.cast("bigint").alias("n_docs"),
+        n11.cast("bigint").alias("n_both_pos"),
+        n00.cast("bigint").alias("n_both_neg"),
+        F.round(po, 9).alias("p_observed"),
+        F.round(pe, 9).alias("p_expected"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 9).alias("kappa"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ROC AUC of a scalar score vs a binary label (rank formulation)
+# --------------------------------------------------------------------------
+@register(
+    "auc_rank_score",
+    oracle="""
+    WITH s AS (
+        SELECT n_chars AS score,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos,
+               CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS neg
+        FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT pos, neg,
+               COALESCE(SUM(neg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cneg
+        FROM s
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           CAST(SUM(pos * (2 * cneg + neg)) AS BIGINT) AS auc_num_2x,
+           round(SUM(pos * (2 * cneg + neg))
+                 / (2.0 * SUM(pos) * SUM(neg)), 9) AS auc
+    FROM w
+    """,
+)
+def auc_rank_score(spark, sf_dir):
+    """ROC AUC of the document length score predicting lang='en', via
+    the rank (Mann-Whitney) formulation: AUC = P(score_pos > score_neg)
+    + P(tie)/2 = sum over distinct score values of
+    pos_v * (negatives strictly below + neg_v / 2), normalized by
+    n_pos * n_neg. This is the classifier-eval twin of
+    ``mann_whitney_u_values`` — the number a quality-filter model is
+    graded on before its threshold gets to delete corpus documents.
+
+    Exactness: the numerator is carried 2x-scaled so tie halves stay
+    integral — ``auc_num_2x`` is an exact BIGINT at any partitioning;
+    only the final normalization divides.
+
+    Plan: one hash aggregation collapses the corpus to per-score
+    (pos, neg) counts. The cumulative window that follows runs on the
+    collapsed frame, whose size is bounded by the SCORE DOMAIN (~500
+    distinct char counts), not the corpus — at 100 TB it is still a
+    few hundred rows, so the unpartitioned running sum is a constant,
+    not a scale risk (same bounded-domain argument as the chi-squared
+    cell frame)."""
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy(F.col("n_chars").alias("score")).agg(
+        F.sum((F.col("lang") == "en").cast("int")).cast("bigint").alias("pos"),
+        F.sum((F.col("lang") != "en").cast("int")).cast("bigint").alias("neg"),
+    )
+    w = s.withColumn(
+        "cneg",
+        F.coalesce(
+            F.sum("neg").over(
+                Window.orderBy("score").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    num2x = F.sum(F.col("pos") * (2 * F.col("cneg") + F.col("neg")))
+    return w.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        num2x.cast("bigint").alias("auc_num_2x"),
+        F.round(
+            num2x / (F.lit(2.0) * F.sum("pos") * F.sum("neg")), 9
+        ).alias("auc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# mutual information between event type and day-of-week
+# --------------------------------------------------------------------------
+@register(
+    "mutual_information_type_dow",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type,
+               CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INT) AS dow,
+               CAST(COUNT(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY 1),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    hx AS (
+        SELECT -SUM((r / n.n) * ln(r / n.n)) AS h FROM rt, n
+    ),
+    hy AS (
+        SELECT -SUM((c / n.n) * ln(c / n.n)) AS h FROM ct, n
+    ),
+    mi AS (
+        SELECT SUM((o / n.n) * ln((o * n.n) / (r * c))) AS mi
+        FROM obs
+        JOIN rt USING (event_type)
+        JOIN ct USING (dow)
+        CROSS JOIN n
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_events,
+           round(mi.mi, 6) AS mi_nats,
+           round(hx.h, 6) AS h_type,
+           round(hy.h, 6) AS h_dow,
+           round(mi.mi / sqrt(hx.h * hy.h), 6) AS nmi
+    FROM n, mi, hx, hy
+    """,
+)
+def mutual_information_type_dow(spark, sf_dir):
+    """Mutual information (nats) between event type and day-of-week,
+    with both marginal entropies and the sqrt-normalized NMI — the
+    information-theoretic companion to ``chi2_independence_type_dow``:
+    chi-squared answers "is there dependence?", MI answers "how many
+    bits of one variable the other carries", the criterion feature
+    selection and stratification-key choice actually rank by.
+
+    Cell counts and marginals are exact integers; the log terms are
+    floats summed over the ≤ |types| x 7 cell frame (domain-bounded,
+    like the chi-squared cells) and rounded to 6 — the same
+    order-noise-absorbing discipline chi2 uses. Plan: one event-grain
+    rollup to cells, then marginals and entropies over the tiny cell
+    frame; raw events shuffle exactly once."""
+    e = t(spark, sf_dir, "events")
+    dow = ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7).cast(
+        "int"
+    )
+    obs = (
+        e.groupBy("event_type", dow.alias("dow"))
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+        .persist()
+    )
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    nn = obs.agg(F.sum("o").alias("n"))
+    joined = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(nn))
+    )
+    mi = joined.agg(
+        F.sum(
+            (F.col("o") / F.col("n"))
+            * F.log((F.col("o") * F.col("n")) / (F.col("r") * F.col("c")))
+        ).alias("mi"),
+        F.max("n").alias("n"),
+    )
+    hx = rt.crossJoin(F.broadcast(nn)).agg(
+        (-F.sum((F.col("r") / F.col("n")) * F.log(F.col("r") / F.col("n"))))
+        .alias("h_type")
+    )
+    hy = ct.crossJoin(F.broadcast(nn)).agg(
+        (-F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))))
+        .alias("h_dow")
+    )
+    out = mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    return out.select(
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round("mi", 6).alias("mi_nats"),
+        F.round("h_type", 6).alias("h_type"),
+        F.round("h_dow", 6).alias("h_dow"),
+        F.round(
+            F.col("mi") / F.sqrt(F.col("h_type") * F.col("h_dow")), 6
+        ).alias("nmi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# score calibration / reliability bins with Brier decomposition
+# --------------------------------------------------------------------------
+@register(
+    "score_calibration_bins",
+    oracle="""
+    WITH b AS (
+        SELECT LEAST(n_chars // 60, 9) AS bin,
+               n_chars,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(SUM(n_chars) / (600.0 * COUNT(*)), 9) AS mean_score,
+           round(SUM(y) / CAST(COUNT(*) AS DOUBLE), 9) AS pos_rate,
+           round(SUM((n_chars - 600 * y) * (n_chars - 600 * y))
+                 / (360000.0 * COUNT(*)), 9) AS brier
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def score_calibration_bins(spark, sf_dir):
+    """Calibration (reliability-diagram) bins for a document quality
+    score — score = n_chars/600 clipped into 10 equal-width bins,
+    label = lang='en'. Per bin: mean predicted score vs observed
+    positive rate (their gap is the calibration error the diagram
+    plots) and the per-bin Brier score. The check a filtering model
+    must pass before its scores are treated as probabilities in
+    mixture weighting.
+
+    Exactness without decimals: score is the ratio of two integers, so
+    Σ(score - y)² = Σ(n_chars - 600·y)² / 360000 — the numerator is an
+    EXACT integer aggregate, and each output is one terminal division.
+    Plan: a single hash aggregation by bin (10 groups, map-side
+    partials); nothing else."""
+    d = t(spark, sf_dir, "documents")
+    b = d.select(
+        F.expr("least(n_chars div 60, 9)").alias("bin"),
+        "n_chars",
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    resid = F.col("n_chars") - 600 * F.col("y")
+    return (
+        b.groupBy(F.col("bin").cast("bigint").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("n_chars") / (F.lit(600.0) * F.count(F.lit(1))), 9
+            ).alias("mean_score"),
+            F.round(
+                F.sum("y") / F.count(F.lit(1)).cast("double"), 9
+            ).alias("pos_rate"),
+            F.round(
+                F.sum(resid * resid)
+                / (F.lit(360000.0) * F.count(F.lit(1))),
+                9,
+            ).alias("brier"),
+        )
+        .orderBy("bin")
     )
