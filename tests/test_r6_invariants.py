@@ -158,3 +158,108 @@ def test_ab_readout_interval_brackets_conversion(spark):
         assert 0.0 <= r.wilson_lo <= r.conversion <= r.wilson_hi <= 1.0
     # both rows carry the same Welch t
     assert rows[0].welch_t == rows[1].welch_t
+
+
+def test_cuped_variance_reduction_is_squared_correlation(spark):
+    r = _run(spark, "cuped_adjusted_ab").collect()[0]
+    assert r.n_users == r.n_treat + r.n_ctrl
+    # r^2 of (X, Y) lives in [0, 1]
+    assert 0.0 <= r.var_reduction <= 1.0
+    import math
+
+    assert math.isfinite(r.theta) and math.isfinite(r.adj_diff)
+
+
+def test_kappa_bounds_and_cell_consistency(spark):
+    r = _run(spark, "cohens_kappa_agreement").collect()[0]
+    assert r.n_both_pos + r.n_both_neg <= r.n_docs
+    assert 0.0 <= r.p_observed <= 1.0
+    assert 0.0 < r.p_expected < 1.0
+    assert -1.0 <= r.kappa <= 1.0
+
+
+def test_auc_bounds_and_normalization_identity(spark):
+    r = _run(spark, "auc_rank_score").collect()[0]
+    assert 0.0 <= r.auc <= 1.0
+    assert 0 <= r.auc_num_2x <= 2 * r.n_pos * r.n_neg
+    assert abs(r.auc - r.auc_num_2x / (2.0 * r.n_pos * r.n_neg)) < 1e-8
+
+
+def test_mutual_information_bounded_by_marginal_entropies(spark):
+    r = _run(spark, "mutual_information_type_dow").collect()[0]
+    # MI >= 0 and MI <= min(H(X), H(Y)); rounding gives 1e-6 slack
+    assert r.mi_nats >= -1e-6
+    assert r.mi_nats <= min(r.h_type, r.h_dow) + 1e-6
+    assert -1e-6 <= r.nmi <= 1.0 + 1e-6
+
+
+def test_calibration_bins_partition_the_corpus(spark):
+    from celestrak_tle_data_pipeline_spark.plans.common import t
+
+    rows = _run(spark, "score_calibration_bins").collect()
+    assert [r.bin for r in rows] == sorted(r.bin for r in rows)
+    assert all(0 <= r.bin <= 9 for r in rows)
+    assert all(r.brier >= 0.0 for r in rows)
+    assert all(0.0 <= r.pos_rate <= 1.0 for r in rows)
+    total = t(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+
+
+def test_l_diversity_exposure_within_bounds(spark):
+    rows = _run(spark, "l_diversity_audit").collect()
+    assert rows
+    for r in rows:
+        assert r.min_l >= 1
+        assert r.n_low_diversity_groups <= r.n_groups
+        assert 0.0 <= r.exposed_row_frac <= 1.0
+
+
+def test_table_digest_is_partitioning_invariant(spark):
+    """The certifying property: recompute the same fold over a
+    deliberately different partitioning and row order; XOR and the
+    modular sum must not move."""
+    from pyspark.sql import functions as F
+
+    from celestrak_tle_data_pipeline_spark.plans.common import t
+
+    base = {r.source: r for r in _run(spark, "rowhash_table_digest").collect()}
+    d = t(spark, SF_DIR, "documents").repartition(13).sortWithinPartitions(
+        F.desc("doc_id")
+    )
+    v = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    "lang",
+                    "source",
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    alt = (
+        d.select("source", v.alias("v"))
+        .groupBy("source")
+        .agg(
+            F.bit_xor("v").alias("x"),
+            F.pmod(
+                F.sum(F.col("v").cast("decimal(38,0)")),
+                F.lit(2305843009213693951).cast("decimal(38,0)"),
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+        .collect()
+    )
+    for r in alt:
+        assert base[r.source].digest_xor == r.x
+        assert base[r.source].digest_sum_mod == r.s
+    for r in base.values():
+        assert r.n_distinct_hashes <= r.n_rows
+        assert 0 <= r.digest_sum_mod < 2305843009213693951
