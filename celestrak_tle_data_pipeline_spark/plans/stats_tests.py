@@ -1260,3 +1260,212 @@ def score_calibration_bins(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# sample-ratio-mismatch (SRM) guardrail
+# --------------------------------------------------------------------------
+@register(
+    "srm_guardrail_check",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type AS cohort,
+               (user_id * 2654435761) % 4294967296 % 2 AS arm
+        FROM events GROUP BY event_type, user_id
+    ),
+    overall AS (
+        SELECT '_all' AS cohort,
+               (user_id * 2654435761) % 4294967296 % 2 AS arm
+        FROM events GROUP BY user_id
+    ),
+    u AS (SELECT * FROM per_type UNION ALL SELECT * FROM overall),
+    c AS (
+        SELECT cohort,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_treat,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ctrl
+        FROM u GROUP BY cohort
+    )
+    SELECT cohort, n_treat, n_ctrl,
+           round((n_treat - n_ctrl) * (n_treat - n_ctrl)
+                 / CAST(n_treat + n_ctrl AS DOUBLE), 6) AS chi2_srm,
+           (n_treat - n_ctrl) * (n_treat - n_ctrl)
+               / CAST(n_treat + n_ctrl AS DOUBLE) > 10.828 AS srm_flag
+    FROM c
+    """,
+)
+def srm_guardrail_check(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail: under a 50/50 split the arm
+    counts should satisfy chi2 = (n1-n0)^2/(n1+n0) ~ chi2(1); a value
+    above 10.828 (alpha = 0.001 — SRM checks use a strict alpha
+    because a triggered SRM voids the whole experiment) flags broken
+    assignment, logging loss, or a bot filter eating one arm. Checked
+    per event-type cohort (users who emitted that type — where
+    trigger-based SRM usually hides) and for the overall population
+    ('_all'), using the same Knuth-hash assignment as
+    ``ab_experiment_readout`` so a flag here indicts that readout.
+
+    Counts are exact distinct-user integers (one distinct-collapse
+    per cohort, map-side partial); the statistic is one terminal
+    division per cohort row."""
+    from .ext_pipeline import _KNUTH, _M32
+
+    e = t(spark, sf_dir, "events")
+    arm = (F.col("user_id") * _KNUTH) % _M32 % 2
+    per_type = (
+        e.groupBy("event_type", "user_id")
+        .agg(F.lit(1))
+        .select(F.col("event_type").alias("cohort"), arm.alias("arm"))
+    )
+    overall = (
+        e.groupBy("user_id")
+        .agg(F.lit(1))
+        .select(F.lit("_all").alias("cohort"), arm.alias("arm"))
+    )
+    c = per_type.unionByName(overall).groupBy("cohort").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_treat"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ctrl"),
+    )
+    d = F.col("n_treat") - F.col("n_ctrl")
+    chi2 = d * d / (F.col("n_treat") + F.col("n_ctrl")).cast("double")
+    return c.select(
+        "cohort",
+        "n_treat",
+        "n_ctrl",
+        F.round(chi2, 6).alias("chi2_srm"),
+        (chi2 > 10.828).alias("srm_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Newcombe score interval for the conversion difference
+# --------------------------------------------------------------------------
+@register(
+    "ab_difference_newcombe",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               (user_id * 2654435761) % 4294967296 % 2 AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, COUNT(*) AS n, SUM(converted) AS conv
+        FROM per_user GROUP BY arm
+    ),
+    w AS (
+        SELECT arm,
+               n,
+               conv / CAST(n AS DOUBLE) AS p,
+               (conv / CAST(n AS DOUBLE) + 1.9208 / n
+                - 1.96 * sqrt(conv / CAST(n AS DOUBLE)
+                              * (1 - conv / CAST(n AS DOUBLE)) / n
+                              + 0.9604 / (n * n)))
+               / (1 + 3.8416 / n) AS lo,
+               (conv / CAST(n AS DOUBLE) + 1.9208 / n
+                + 1.96 * sqrt(conv / CAST(n AS DOUBLE)
+                              * (1 - conv / CAST(n AS DOUBLE)) / n
+                              + 0.9604 / (n * n)))
+               / (1 + 3.8416 / n) AS hi
+        FROM arms
+    ),
+    x AS (
+        SELECT MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 1 THEN p END) AS p1,
+               MAX(CASE WHEN arm = 0 THEN p END) AS p0,
+               MAX(CASE WHEN arm = 1 THEN lo END) AS l1,
+               MAX(CASE WHEN arm = 0 THEN lo END) AS l0,
+               MAX(CASE WHEN arm = 1 THEN hi END) AS h1,
+               MAX(CASE WHEN arm = 0 THEN hi END) AS h0
+        FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_treat,
+           CAST(n0 AS BIGINT) AS n_ctrl,
+           round(p1, 9) AS p_treat,
+           round(p0, 9) AS p_ctrl,
+           round(p1 - p0, 9) AS diff,
+           round(p1 - p0
+                 - sqrt((p1 - l1) * (p1 - l1) + (h0 - p0) * (h0 - p0)),
+                 9) AS diff_lo,
+           round(p1 - p0
+                 + sqrt((h1 - p1) * (h1 - p1) + (p0 - l0) * (p0 - l0)),
+                 9) AS diff_hi,
+           NOT (p1 - p0
+                - sqrt((p1 - l1) * (p1 - l1) + (h0 - p0) * (h0 - p0))
+                <= 0.0
+                AND 0.0 <=
+                p1 - p0
+                + sqrt((h1 - p1) * (h1 - p1) + (p0 - l0) * (p0 - l0)))
+               AS significant
+    FROM x
+    """,
+)
+def ab_difference_newcombe(spark, sf_dir):
+    """Newcombe hybrid score interval for the conversion-rate
+    DIFFERENCE between arms (Newcombe 1998, method 10) — the decision
+    quantity ``ab_experiment_readout`` stops short of: each arm's 95%
+    Wilson bounds combine as diff ± sqrt of the squared one-sided
+    Wilson margins, giving an interval for p1−p0 that keeps Wilson's
+    small-n / extreme-p behavior (a plain Wald interval on the
+    difference collapses there). ``significant`` is TRUE iff the
+    interval excludes zero — the ship/no-ship bit.
+
+    Same Knuth-hash assignment and integer conversion counts as the
+    readout; every float is a fixed closed-form expression over the
+    two (n, conv) pairs, identical trees in both engines, rounded.
+    Plan: one user-grain shuffle, a 2-row arm rollup, then scalar
+    algebra."""
+    from .ext_pipeline import _KNUTH, _M32
+
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        ((F.col("user_id") * _KNUTH) % _M32 % 2).alias("arm"), "converted"
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    p = F.col("conv") / F.col("n").cast("double")
+    n = F.col("n")
+    margin = F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    w = arms.select(
+        "arm",
+        "n",
+        p.alias("p"),
+        ((p + 1.9208 / n - 1.96 * margin) / (1 + 3.8416 / n)).alias("lo"),
+        ((p + 1.9208 / n + 1.96 * margin) / (1 + 3.8416 / n)).alias("hi"),
+    )
+    x = w.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("p"))).alias("p1"),
+        F.max(F.when(F.col("arm") == 0, F.col("p"))).alias("p0"),
+        F.max(F.when(F.col("arm") == 1, F.col("lo"))).alias("l1"),
+        F.max(F.when(F.col("arm") == 0, F.col("lo"))).alias("l0"),
+        F.max(F.when(F.col("arm") == 1, F.col("hi"))).alias("h1"),
+        F.max(F.when(F.col("arm") == 0, F.col("hi"))).alias("h0"),
+    )
+    p1, p0 = F.col("p1"), F.col("p0")
+    l1, l0, h1, h0 = F.col("l1"), F.col("l0"), F.col("h1"), F.col("h0")
+    lo = p1 - p0 - F.sqrt((p1 - l1) * (p1 - l1) + (h0 - p0) * (h0 - p0))
+    hi = p1 - p0 + F.sqrt((h1 - p1) * (h1 - p1) + (p0 - l0) * (p0 - l0))
+    return x.select(
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("n0").cast("bigint").alias("n_ctrl"),
+        F.round(p1, 9).alias("p_treat"),
+        F.round(p0, 9).alias("p_ctrl"),
+        F.round(p1 - p0, 9).alias("diff"),
+        F.round(lo, 9).alias("diff_lo"),
+        F.round(hi, 9).alias("diff_hi"),
+        (~((lo <= 0.0) & (F.lit(0.0) <= hi))).alias("significant"),
+    )

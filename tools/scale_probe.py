@@ -67,6 +67,11 @@ QUERIES = (
     "mann_whitney_u_values",        # range-partitioned exact ranking
     "ks_two_sample_values",         # range-partitioned CDF prefix sums
     "cdc_apply_changes",            # keyed change-log head compaction
+    # experimentation/eval tier
+    "cuped_adjusted_ab",            # user-keyed moments + scalar combine
+    "auc_rank_score",               # corpus collapse to score domain
+    "rowhash_table_digest",         # map-side fold + source-keyed agg
+    "mutual_information_type_dow",  # cell rollup + tiny-frame entropies
 )
 
 
