@@ -1404,3 +1404,137 @@ def scd2_asof_lookup(spark, sf_dir):
             F.col("n_events").cast("bigint").alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# cumulative distinct users (all-time reach curve)
+# --------------------------------------------------------------------------
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    fs AS (SELECT user_id, MIN(d) AS first_d FROM ud GROUP BY 1),
+    nu AS (SELECT first_d AS d, COUNT(*) AS new_users FROM fs GROUP BY 1),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY 1)
+    SELECT dau.d,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(COALESCE(nu.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY dau.d)
+                AS BIGINT) AS cum_users
+    FROM dau LEFT JOIN nu ON dau.d = nu.d
+    """,
+)
+def cumulative_distinct_users(spark, sf_dir):
+    """All-time reach curve: per day, the active users (DAU), the
+    users seen for the FIRST time, and the cumulative distinct user
+    count — the growth chart every product review opens with. A
+    running COUNT(DISTINCT) is not windowable directly; the standard
+    exact rewrite counts each user once at their first-seen day and
+    cumulative-sums those first-seen counts, which this implements.
+
+    Plan: events collapse to distinct (user, day), then to user-grain
+    first-seen days (the two data-sized shuffles, both partial-
+    aggregated); the left join and running sum operate on the DAY-grain
+    frame, whose size is the calendar span (bounded domain — ~10^4 rows
+    after 30 years), so the unpartitioned cumulative window is a
+    constant, not a scale risk."""
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    fs = ud.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    nu = fs.groupBy(F.col("first_d").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    joined = dau.join(F.broadcast(nu), "d", "left").select(
+        "d",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.withColumn(
+        "cum_users", F.sum("new_users").over(w).cast("bigint")
+    )
+
+
+# --------------------------------------------------------------------------
+# seasonal-naive forecast baseline with MASE
+# --------------------------------------------------------------------------
+@register(
+    "seasonal_naive_mase",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT abs(a.v - b.v) AS e
+        FROM daily a JOIN daily b ON a.d = b.d + 7
+    ),
+    n1 AS (
+        SELECT abs(a.v - b.v) AS e
+        FROM daily a JOIN daily b ON a.d = b.d + 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_forecast_days,
+           round(CAST((SELECT SUM(e) FROM s) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM s), 6) AS mae_seasonal,
+           round(CAST((SELECT SUM(e) FROM n1) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM n1), 6) AS mae_naive1,
+           round((CAST((SELECT SUM(e) FROM s) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM s))
+                 / (CAST((SELECT SUM(e) FROM n1) AS DOUBLE)
+                    / (SELECT COUNT(*) FROM n1)), 6) AS mase
+    """,
+)
+def seasonal_naive_mase(spark, sf_dir):
+    """Seasonal-naive forecast baseline with MASE (mean absolute
+    scaled error, Hyndman & Koehler 2006): forecast each day's total
+    value with the value seven days earlier, and scale its MAE by the
+    one-step-naive MAE — MASE < 1 means weekly seasonality genuinely
+    predicts (the bar any real forecasting model must clear before
+    replacing the naive baseline; ``seasonal_dow_decompose`` measures
+    the same structure, this scores it as a forecaster).
+
+    Both lags are CALENDAR joins (d = d-7 / d = d-1), not row lags, so
+    missing days cannot silently misalign the season. Daily totals and
+    absolute errors are DECIMAL-exact; each MAE is one terminal
+    division. Plan: one event->day rollup (the only data-sized
+    shuffle), then self-joins and scalar rollups on the
+    calendar-bounded day frame."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.sum(dec("value", 18, 2)).alias("v"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(
+        F.broadcast(b), F.col("a.d") == F.date_add(F.col("b.d"), 7)
+    ).select(F.abs(F.col("a.v") - F.col("b.v")).alias("e"))
+    n1 = a.join(
+        F.broadcast(b), F.col("a.d") == F.date_add(F.col("b.d"), 1)
+    ).select(F.abs(F.col("a.v") - F.col("b.v")).alias("e"))
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    ss = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_forecast_days"),
+        F.sum("e").cast("double").alias("se7"),
+    )
+    s1 = n1.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum("e").cast("double").alias("se1"),
+    )
+    out = nd.crossJoin(F.broadcast(ss)).crossJoin(F.broadcast(s1))
+    mae7 = F.col("se7") / F.col("n_forecast_days")
+    mae1 = F.col("se1") / F.col("n1")
+    return out.select(
+        "n_days",
+        "n_forecast_days",
+        F.round(mae7, 6).alias("mae_seasonal"),
+        F.round(mae1, 6).alias("mae_naive1"),
+        F.round(mae7 / mae1, 6).alias("mase"),
+    )

@@ -263,3 +263,58 @@ def test_table_digest_is_partitioning_invariant(spark):
     for r in base.values():
         assert r.n_distinct_hashes <= r.n_rows
         assert 0 <= r.digest_sum_mod < 2305843009213693951
+
+
+def test_srm_cohorts_and_overall_consistent(spark):
+    rows = {r.cohort: r for r in _run(spark, "srm_guardrail_check").collect()}
+    assert "_all" in rows
+    for r in rows.values():
+        assert r.n_treat >= 0 and r.n_ctrl >= 0
+        assert r.chi2_srm >= 0.0
+        assert r.srm_flag == (r.chi2_srm > 10.828)
+    # any per-type cohort is a subset of the overall population
+    overall = rows["_all"].n_treat + rows["_all"].n_ctrl
+    for c, r in rows.items():
+        if c != "_all":
+            assert r.n_treat + r.n_ctrl <= overall
+    # Knuth-hash assignment should not trip the strict SRM alarm
+    assert not rows["_all"].srm_flag
+
+
+def test_newcombe_interval_brackets_difference(spark):
+    r = _run(spark, "ab_difference_newcombe").collect()[0]
+    assert r.diff_lo <= r.diff <= r.diff_hi
+    assert abs(r.diff - (r.p_treat - r.p_ctrl)) < 1e-8
+    assert r.significant == (not (r.diff_lo <= 0.0 <= r.diff_hi))
+    # arm sizes match the ab readout's population
+    ab = {x.arm: x for x in _run(spark, "ab_experiment_readout").collect()}
+    assert r.n_treat == ab[1].n_users
+    assert r.n_ctrl == ab[0].n_users
+
+
+def test_reach_curve_monotone_and_consistent(spark):
+    rows = sorted(
+        _run(spark, "cumulative_distinct_users").collect(),
+        key=lambda r: r.d,
+    )
+    assert rows
+    cum = 0
+    for r in rows:
+        cum += r.new_users
+        assert r.cum_users == cum
+        assert r.new_users <= r.dau  # first-seen users were active
+    from celestrak_tle_data_pipeline_spark.plans.common import t
+
+    total_users = (
+        t(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert rows[-1].cum_users == total_users
+    # day 1: everyone active is new
+    assert rows[0].new_users == rows[0].dau
+
+
+def test_mase_ratio_identity(spark):
+    r = _run(spark, "seasonal_naive_mase").collect()[0]
+    assert r.n_forecast_days == max(0, r.n_days - 7)
+    assert r.mae_seasonal >= 0.0 and r.mae_naive1 > 0.0
+    assert abs(r.mase - r.mae_seasonal / r.mae_naive1) < 1e-4
