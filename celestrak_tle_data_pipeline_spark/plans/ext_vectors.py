@@ -1096,3 +1096,162 @@ def kmeans_lloyd_integer(spark, sf_dir):
             "vec_id",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversified top-k retrieval (integer-exact greedy)
+# --------------------------------------------------------------------------
+@register(
+    "mmr_diversified_topk",
+    oracle="""
+    WITH RECURSIVE
+    qv AS (
+        SELECT list_transform(embedding,
+               x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS q
+        FROM embeddings WHERE vec_id = 0
+    ),
+    cand AS (
+        SELECT e.vec_id,
+               CAST(list_dot_product(
+                   list_transform(e.embedding,
+                       x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)), qv.q)
+                   AS BIGINT) AS rel,
+               list_transform(e.embedding,
+                   x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS qe
+        FROM embeddings e, qv
+        WHERE e.vec_id <> 0
+        ORDER BY rel DESC, e.vec_id
+        LIMIT 50
+    ),
+    sims AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS s
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel AS (
+        SELECT 1 AS k,
+               (SELECT vec_id FROM cand ORDER BY rel DESC, vec_id
+                LIMIT 1) AS picked,
+               [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id
+                 LIMIT 1)] AS ids
+        UNION ALL
+        SELECT k + 1 AS k,
+               (SELECT c.vec_id
+                FROM cand c
+                WHERE NOT list_contains(sel.ids, c.vec_id)
+                ORDER BY c.rel - (SELECT MAX(s.s) FROM sims s
+                                  WHERE s.ia = c.vec_id
+                                    AND list_contains(sel.ids, s.ib))
+                         DESC,
+                         c.vec_id
+                LIMIT 1) AS picked,
+               list_append(sel.ids,
+                   (SELECT c.vec_id
+                    FROM cand c
+                    WHERE NOT list_contains(sel.ids, c.vec_id)
+                    ORDER BY c.rel - (SELECT MAX(s.s) FROM sims s
+                                      WHERE s.ia = c.vec_id
+                                        AND list_contains(sel.ids, s.ib))
+                             DESC,
+                             c.vec_id
+                    LIMIT 1)) AS ids
+        FROM sel WHERE k < 10
+    )
+    SELECT CAST(sel.k AS BIGINT) AS rank,
+           CAST(sel.picked AS BIGINT) AS vec_id,
+           c.rel AS rel_q6,
+           CAST(COALESCE((SELECT MAX(s.s) FROM sims s
+                JOIN sel s2 ON s2.k = sel.k - 1
+                WHERE s.ia = sel.picked
+                  AND list_contains(s2.ids, s.ib)), 0)
+               AS BIGINT) AS max_sim_q6
+    FROM sel JOIN cand c ON c.vec_id = sel.picked
+    ORDER BY rank
+    """,
+)
+def mmr_diversified_topk(spark, sf_dir):
+    """Maximal-marginal-relevance diversified top-10 (Carbonell &
+    Goldstein, SIGIR'98): plain top-k returns near-duplicates of the
+    best hit; MMR greedily picks argmax of rel(c) − max_sim(c,
+    selected) (the λ=1/2 criterion up to positive scaling), trading
+    relevance against redundancy — the selection rule retrieval uses
+    to build a diverse context and curation uses to pick
+    representative training examples from a dense cluster.
+
+    A greedy sequential argmax is not order-independent float-safe, so
+    the whole query runs on INTEGER-quantized vectors (q6 =
+    round(x·1e6)): every relevance and pairwise similarity is an exact
+    int64 dot (|dot| ≤ 64·(0.6e6)² ≈ 2.3e13 < 2^53, so even an engine
+    computing through doubles is exact), every argmax breaks ties on
+    vec_id, and the selected sequence is bit-reproducible in any
+    engine — the DuckDB oracle replays the same greedy as a recursive
+    CTE.
+
+    Plan: relevance is one JVM-side aggregate(zip_with) map pass; the
+    candidate pool compiles to TakeOrderedAndProject (top-50, no
+    single-partition exchange); only the greedy itself — inherently
+    sequential, pool-sized, 50×50 int dots — runs in ONE Arrow batch
+    via applyInPandas. At 100 TB the pool is still 50 rows: the scan
+    scales, the kernel is a constant."""
+    import numpy as np
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings")
+    q6 = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1000000).cast("bigint"),
+    )
+    vecs = e.select("vec_id", q6.alias("qe"))
+    qv = vecs.where(F.col("vec_id") == 0).select(
+        F.col("qe").alias("q_emb")
+    )
+    idot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    pool = (
+        vecs.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", "qe", idot(F.col("qe"), F.col("q_emb")).alias("rel")
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(50)
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.array(pdf["qe"].tolist(), dtype=np.int64)
+        rel = pdf["rel"].to_numpy(np.int64)
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        S = M @ M.T
+        n = len(ids)
+        mask = np.ones(n, dtype=bool)
+        ms = np.zeros(n, dtype=np.int64)  # k=1 scores by rel alone
+        out = []
+        for k in range(1, min(10, n) + 1):
+            idx = np.flatnonzero(mask)
+            sc = rel[idx] - ms[idx]
+            best = sc.max()
+            tied = idx[sc == best]
+            pick = tied[np.argmin(ids[tied])]
+            out.append(
+                (k, ids[pick], rel[pick], ms[pick] if k > 1 else 0)
+            )
+            mask[pick] = False
+            if k == 1:
+                ms = S[:, pick].copy()  # true max-sims from now on
+            else:
+                np.maximum(ms, S[:, pick], out=ms)
+        return pd.DataFrame(
+            out, columns=["rank", "vec_id", "rel_q6", "max_sim_q6"]
+        )
+
+    return (
+        pool.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            greedy,
+            schema="rank long, vec_id long, rel_q6 long, max_sim_q6 long",
+        )
+    )

@@ -318,3 +318,39 @@ def test_mase_ratio_identity(spark):
     assert r.n_forecast_days == max(0, r.n_days - 7)
     assert r.mae_seasonal >= 0.0 and r.mae_naive1 > 0.0
     assert abs(r.mase - r.mae_seasonal / r.mae_naive1) < 1e-4
+
+
+def test_mmr_greedy_structure(spark):
+    from pyspark.sql import functions as F
+
+    from celestrak_tle_data_pipeline_spark.plans.common import t
+
+    rows = sorted(
+        _run(spark, "mmr_diversified_topk").collect(), key=lambda r: r.rank
+    )
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len({r.vec_id for r in rows}) == len(rows)
+    assert rows[0].max_sim_q6 == 0
+    # rank 1 is the globally most relevant candidate: recompute the
+    # exact integer relevance independently
+    e = t(spark, SF_DIR, "embeddings")
+    q6 = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1000000).cast("bigint"),
+    )
+    vecs = e.select("vec_id", q6.alias("qe"))
+    qv = vecs.where(F.col("vec_id") == 0).select(F.col("qe").alias("q"))
+    rel = F.aggregate(
+        F.zip_with("qe", "q", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    top = (
+        vecs.where(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select("vec_id", rel.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .first()
+    )
+    assert rows[0].vec_id == top.vec_id
+    assert rows[0].rel_q6 == top.rel
