@@ -2891,3 +2891,112 @@ def zipf_slope_tokens(spark, sf_dir):
         n.cast("bigint").alias("k_ranks"),
         F.round(slope, 9).alias("zipf_slope"),
     )
+
+
+# --------------------------------------------------------------------------
+# interpolated bigram LM perplexity (the unigram model's stronger sibling)
+# --------------------------------------------------------------------------
+@register(
+    "bigram_lm_perplexity",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(ts) AS tok FROM d
+    ),
+    uni AS (SELECT tok, COUNT(*) AS cu FROM tok GROUP BY tok),
+    tot AS (
+        SELECT CAST(SUM(cu) AS BIGINT) AS t_total,
+               CAST(COUNT(*) AS BIGINT) AS v_size
+        FROM uni
+    ),
+    bi AS (
+        SELECT d.doc_id, ts[g.i - 1] AS prev, ts[g.i] AS tok
+        FROM d, LATERAL unnest(generate_series(2, len(ts))) AS g(i)
+        WHERE len(ts) >= 2
+    ),
+    bc AS (SELECT prev, tok, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+    pc AS (SELECT prev, SUM(cb) AS cp FROM bc GROUP BY 1),
+    scored AS (
+        SELECT b.doc_id,
+               round(-ln(0.5 * bc.cb / CAST(pc.cp AS DOUBLE)
+                         + 0.5 * (uni.cu + 1)
+                           / CAST(s.t_total + s.v_size AS DOUBLE)),
+                     9) AS nll
+        FROM bi b
+        JOIN bc ON b.prev = bc.prev AND b.tok = bc.tok
+        JOIN pc ON b.prev = pc.prev
+        JOIN uni ON b.tok = uni.tok
+        CROSS JOIN tot s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(nll AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)
+               AS cross_entropy,
+           round(exp(CAST(SUM(CAST(nll AS DECIMAL(28,9))) AS DOUBLE)
+                     / COUNT(*)), 6) AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_lm_perplexity(spark, sf_dir):
+    """Jelinek-Mercer interpolated bigram language model scoring every
+    document with its perplexity — one rung up the KenLM ladder from
+    ``unigram_lm_score``: p(w|v) = λ·c(vw)/c(v·) + (1−λ)·p_uni(w)
+    with λ = 1/2 and the add-one unigram as the backoff mass, so
+    unseen bigrams never zero out. Perplexity = exp(mean NLL), the
+    actual units quality-filtering thresholds are quoted in
+    (CCNet keeps the best-perplexity tercile).
+
+    Determinism contract (the unigram query's, one model deeper):
+    every count is an exact integer; each bigram's −ln p is rounded to
+    9 decimals then summed as DECIMAL(28,9), so per-doc totals are
+    order-independent; cross-entropy and exp() are identical terminal
+    expressions. Plan: token and bigram models are two hash
+    aggregations; scoring joins the bigram stream against (bigram,
+    context, unigram) counts — all equi-joins on token keys that AQE
+    can broadcast when the model is small and sort-merge when it is
+    not; docs shorter than 2 tokens drop out before the explode."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    toks = d.select(F.explode("ts").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    tot = uni.agg(
+        F.sum("cu").cast("bigint").alias("t_total"),
+        F.count(F.lit(1)).cast("bigint").alias("v_size"),
+    )
+    bi = (
+        d.where(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(ts)),"
+                    " i -> struct(ts[i-2] AS prev, ts[i-1] AS tok))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.prev", "b.tok")
+    )
+    bc = bi.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
+    pc = bc.groupBy("prev").agg(F.sum("cb").alias("cp"))
+    p = 0.5 * F.col("cb") / F.col("cp").cast("double") + 0.5 * (
+        F.col("cu") + 1
+    ) / (F.col("t_total") + F.col("v_size")).cast("double")
+    scored = (
+        bi.join(bc, ["prev", "tok"])
+        .join(pc, "prev")
+        .join(uni, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(-F.log(p), 9).cast("decimal(28,9)").alias("nll"),
+        )
+    )
+    ce = F.sum("nll").cast("double") / F.count(F.lit(1))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        ce.alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("perplexity"),
+    )

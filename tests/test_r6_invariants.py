@@ -354,3 +354,29 @@ def test_mmr_greedy_structure(spark):
     )
     assert rows[0].vec_id == top.vec_id
     assert rows[0].rel_q6 == top.rel
+
+
+def test_bigram_perplexity_dominates_on_seen_text(spark):
+    import math
+
+    rows = _run(spark, "bigram_lm_perplexity").collect()
+    assert rows
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert r.cross_entropy > 0.0
+        assert abs(r.perplexity - round(math.exp(r.cross_entropy), 6)) < 1e-6
+    # interpolated p >= 0.5 * p_bigram and every bigram was seen in
+    # training (scored on the training corpus itself), so perplexity
+    # is bounded by exp(ln 2 + max entropy) — sanity ceiling: vocab
+    from celestrak_tle_data_pipeline_spark.plans.common import t
+    from pyspark.sql import functions as F
+
+    v = (
+        t(spark, SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .select("tok")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert r.perplexity <= 2.0 * (v + 1)
