@@ -47,6 +47,10 @@ QUERIES = [
     "item_cooccurrence_cosine", # capped item-item similarity self-join (r5)
     "equidepth_histogram_bounded",  # boundary-broadcast scale twin (r6)
     "winnowing_fingerprints",   # MOSS fingerprint selection (r6)
+    "cuped_adjusted_ab",        # experimentation: user-grain moments (r6)
+    "rowhash_table_digest",     # scan-bound integrity fold (r6)
+    "bigram_lm_perplexity",     # LM scoring: model joins over grams (r6)
+    "mmr_diversified_topk",     # bounded-pool Arrow greedy kernel (r6)
 ]
 
 
