@@ -492,3 +492,96 @@ def demux_y4m_assets(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(kernel, Y4M_SCHEMA)
+
+
+Y4M_SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("sum_y", T.LongType()),
+        T.StructField("sad_prev_y", T.LongType()),
+    ]
+)
+
+
+def y4m_scene_stats_assets(assets: DataFrame) -> DataFrame:
+    """Scene-change statistics over binary Y4M streams: the demux walk
+    of ``demux_y4m_assets`` (same header/marker/bounds validation and
+    whole-asset drop policy), but the kernel RETAINS each frame's luma
+    plane and emits the sum of absolute per-pixel Y differences
+    against the previous frame (``sad_prev_y``, 0 for frame 0) — the
+    SAD measure hardware encoders and shot-boundary detectors use.
+    Policy (what counts as a cut) stays OUT of the kernel; callers
+    threshold downstream.
+
+    Exactness: uint8 planes widen to int64 before subtraction; SAD is
+    an exact integer at any batch shape. Scale: identical to the
+    demuxer — one narrow Arrow pass, payloads never shuffle, the
+    previous-frame state lives inside the per-asset loop (frames of
+    one asset never split across batches because each input ROW is one
+    whole asset)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "frame_idx", "width", "height",
+                "sum_y", "sad_prev_y",
+            )}
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                buf = bytes(buf)
+                if not buf.startswith(b"YUV4MPEG2 "):
+                    continue
+                try:
+                    hdr_end = buf.index(b"\n")
+                except ValueError:
+                    continue
+                w = h = None
+                c444 = False
+                try:
+                    for tag in buf[10:hdr_end].split():
+                        if tag[:1] == b"W":
+                            w = int(tag[1:])
+                        elif tag[:1] == b"H":
+                            h = int(tag[1:])
+                        elif tag[:1] == b"C":
+                            c444 = tag[1:] == b"444"
+                except ValueError:
+                    continue
+                if not w or not h or w <= 0 or h <= 0 or not c444:
+                    continue
+                wh = w * h
+                pos = hdr_end + 1
+                lumas = []
+                ok = True
+                while pos < len(buf):
+                    if buf[pos:pos + 6] != b"FRAME\n":
+                        ok = False
+                        break
+                    pos += 6
+                    if pos + 3 * wh > len(buf):
+                        ok = False
+                        break
+                    lumas.append(
+                        np.frombuffer(buf, np.uint8, offset=pos, count=wh)
+                        .astype(np.int64)
+                    )
+                    pos += 3 * wh
+                if not ok:
+                    continue
+                prev = None
+                for idx, y in enumerate(lumas):
+                    sad = 0 if prev is None else int(np.abs(y - prev).sum())
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_y"].append(int(y.sum()))
+                    out["sad_prev_y"].append(sad)
+                    prev = y
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(kernel, Y4M_SCENE_SCHEMA)

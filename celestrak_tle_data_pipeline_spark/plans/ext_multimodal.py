@@ -27,6 +27,7 @@ from ..operators.multimodal import (
     demux_y4m_assets,
     resize_ppm_assets,
     sample_frames,
+    y4m_scene_stats_assets,
 )
 from . import register
 from .common import t
@@ -549,3 +550,103 @@ def multimodal_y4m_frames(spark, sf_dir):
         ).cast("binary").alias("payload"),
     )
     return demux_y4m_assets(assets)
+
+
+@register(
+    "y4m_scene_cuts",
+    oracle="""
+    WITH vid AS (
+        SELECT doc_id AS asset_id,
+               2 + doc_id % 3 AS w,
+               2 + doc_id % 2 AS h,
+               2 + doc_id % 3 AS nf,
+               text,
+               length(text) AS n
+        FROM documents
+    ),
+    fr AS (
+        SELECT asset_id, w, h, n, text,
+               UNNEST(range(0, nf)) AS f
+        FROM vid
+    )
+    SELECT asset_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(CASE WHEN f = 0 THEN 0 ELSE list_sum(
+               list_transform(range(0, w * h),
+                   j -> abs(ascii(text[((f * 3 * w * h + j) % n) + 1])
+                          - ascii(text[(((f - 1) * 3 * w * h + j) % n)
+                                       + 1]))))
+               END AS BIGINT) AS sad_prev_y,
+           CASE WHEN f = 0 THEN FALSE ELSE list_sum(
+               list_transform(range(0, w * h),
+                   j -> abs(ascii(text[((f * 3 * w * h + j) % n) + 1])
+                          - ascii(text[(((f - 1) * 3 * w * h + j) % n)
+                                       + 1])))) >= 30 * w * h
+               END AS is_cut
+    FROM fr
+    """,
+)
+def y4m_scene_cuts(spark, sf_dir):
+    """Shot-boundary (scene-cut) detection over binary Y4M video: the
+    ``multimodal_y4m_frames`` synthesis feeds the scene-stats kernel
+    (operators/multimodal.py:y4m_scene_stats_assets), which retains
+    each frame's luma plane and emits the exact sum of absolute
+    per-pixel Y differences vs the previous frame; a frame is a cut
+    when SAD >= 30 per pixel — the classic threshold detector every
+    video-ingest pipeline runs to pick keyframes for captioning and to
+    split clips at shot boundaries before sampling training frames.
+
+    The DuckDB oracle never decodes binary: it recomputes each SAD
+    arithmetically from the document text with the same modular
+    offsets the synthesis used — independent paths, identical bigints
+    (uint8 planes widen to int64 before subtraction in the kernel, so
+    both sides are exact integer arithmetic).
+
+    Scale shape: identical to the demux certification — one narrow
+    Arrow pass over the documents scan, payloads never shuffle,
+    previous-frame state is kernel-local to each asset row."""
+    d = t(spark, sf_dir, "documents")
+    w = (F.lit(2) + F.col("doc_id") % 3).cast("int")
+    h = (F.lit(2) + F.col("doc_id") % 2).cast("int")
+    nf = (F.lit(2) + F.col("doc_id") % 3).cast("int")
+    wh3 = (w * h * 3).cast("int")
+    total = (nf * wh3).cast("int")
+    reps = F.ceil(total / F.length("text")).cast("int")
+    staged = d.select(
+        F.col("doc_id").alias("asset_id"),
+        w.alias("w"),
+        h.alias("h"),
+        nf.alias("nf"),
+        wh3.alias("wh3"),
+        F.substring(F.repeat(F.col("text"), reps), 1, total).alias("cycled"),
+    )
+    assets = staged.select(
+        "asset_id",
+        F.concat(
+            F.format_string(
+                "YUV4MPEG2 W%d H%d F25:1 C444\n", F.col("w"), F.col("h")
+            ),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(0, nf - 1),"
+                    " f -> concat('FRAME\n',"
+                    "             substring(cycled, f * wh3 + 1, wh3)))"
+                ),
+                "",
+            ),
+        ).cast("binary").alias("payload"),
+    )
+    stats = y4m_scene_stats_assets(assets)
+    return stats.select(
+        "asset_id",
+        "frame_idx",
+        "width",
+        "height",
+        "sad_prev_y",
+        (
+            (F.col("frame_idx") > 0)
+            & (F.col("sad_prev_y") >= 30 * F.col("width") * F.col("height"))
+        ).alias("is_cut"),
+    )

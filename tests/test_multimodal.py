@@ -237,3 +237,31 @@ def test_y4m_demuxer_drops_malformed_streams(spark):
     )
     assert frames[1].sum_y == sum(range(13, 17))
     assert all((r.width, r.height) == (2, 2) for r in out)
+
+
+def test_y4m_scene_stats_sad_exact_and_drop_policy(spark):
+    # scene-stats kernel: same corrupt-asset policy as the demuxer,
+    # frame 0 SAD = 0, later SADs are exact |Y_f - Y_{f-1}| sums
+    from celestrak_tle_data_pipeline_spark.operators.multimodal import (
+        y4m_scene_stats_assets,
+    )
+
+    f0 = bytes(range(1, 13))
+    f1 = bytes(range(13, 25))
+    good = (
+        b"YUV4MPEG2 W2 H2 F25:1 C444\n"
+        + b"FRAME\n" + f0 + b"FRAME\n" + f1
+    )
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"RIFF not a y4m")),
+        (3, bytearray(b"YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n" + f0[:5])),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {r.frame_idx: r for r in y4m_scene_stats_assets(df).collect()}
+    assert sorted(out) == [0, 1]
+    assert out[0].sad_prev_y == 0
+    # every luma pixel moved by exactly 12 between the frames
+    assert out[1].sad_prev_y == 12 * 4
+    assert out[0].sum_y == sum(range(1, 5))
+    assert out[1].sum_y == sum(range(13, 17))
