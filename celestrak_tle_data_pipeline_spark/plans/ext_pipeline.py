@@ -1378,3 +1378,73 @@ def rowhash_table_digest(spark, sf_dir):
         .alias("digest_sum_mod"),
         F.countDistinct("v").cast("bigint").alias("n_distinct_hashes"),
     )
+
+
+# --------------------------------------------------------------------------
+# sampled join-cardinality estimation (optimizer tooling)
+# --------------------------------------------------------------------------
+@register(
+    "join_size_sample_estimate",
+    oracle="""
+    WITH exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_size
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    samp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS sample_size
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE (o.o_orderkey * 2654435761) % 4294967296 % 100 < 10
+    )
+    SELECT exact.exact_size,
+           samp.sample_size,
+           CAST(samp.sample_size * 10 AS BIGINT) AS est_size,
+           round(abs(samp.sample_size * 10 - exact.exact_size)
+                 / CAST(exact.exact_size AS DOUBLE), 6) AS rel_error,
+           abs(samp.sample_size * 10 - exact.exact_size)
+               / CAST(exact.exact_size AS DOUBLE) <= 0.10 AS within_10pct
+    FROM exact, samp
+    """,
+)
+def join_size_sample_estimate(spark, sf_dir):
+    """Join-cardinality estimation by deterministic KEY sampling — the
+    optimizer probe that answers "how big is orders ⋈ lineitem?"
+    without running it: keep the ~10% of join keys whose Knuth hash
+    lands in buckets 0-9 (BOTH sides keep the same keys, so sampled
+    groups survive intact — row-level Bernoulli sampling would bias
+    the estimate by p² on matched pairs), count the sampled join, and
+    scale by 1/p. E[estimate] = Σ_k a_k·b_k exactly because each key
+    group contributes all-or-nothing. The companion to the sketch
+    estimator (``cm_selfjoin_size_estimate``): sampling reads 10% of
+    the data but is unbiased with data-dependent accuracy; the sketch
+    reads everything once with worst-case guarantees.
+
+    Everything is exact integer arithmetic (hash, counts, scaling);
+    the relative error is the one terminal division, asserted ≤ 10%
+    at the gate. Plan: the sample predicate is a pure key expression,
+    so it PUSHES DOWN to both scans — at 100 TB the probe join touches
+    ~10% of each side, and AQE sizes the shuffle from the sampled
+    volume."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    exact = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_size"))
+    )
+    keep = (F.col("o_orderkey") * _KNUTH) % _M32 % 100 < 10
+    keep_l = (F.col("l_orderkey") * _KNUTH) % _M32 % 100 < 10
+    samp = (
+        o.where(keep)
+        .join(l.where(keep_l), o.o_orderkey == l.l_orderkey)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sample_size"))
+    )
+    out = exact.crossJoin(F.broadcast(samp))
+    err = F.abs(F.col("sample_size") * 10 - F.col("exact_size")) / F.col(
+        "exact_size"
+    ).cast("double")
+    return out.select(
+        "exact_size",
+        "sample_size",
+        (F.col("sample_size") * 10).cast("bigint").alias("est_size"),
+        F.round(err, 6).alias("rel_error"),
+        (err <= 0.10).alias("within_10pct"),
+    )

@@ -380,3 +380,13 @@ def test_bigram_perplexity_dominates_on_seen_text(spark):
     )
     for r in rows:
         assert r.perplexity <= 2.0 * (v + 1)
+
+
+def test_join_size_estimator_unbiased_shape(spark):
+    r = _run(spark, "join_size_sample_estimate").collect()[0]
+    assert r.est_size == r.sample_size * 10
+    assert r.within_10pct == (
+        abs(r.est_size - r.exact_size) / r.exact_size <= 0.10
+    )
+    assert r.within_10pct  # key-sampled estimator lands inside 10%
+    assert 0 < r.sample_size < r.exact_size
