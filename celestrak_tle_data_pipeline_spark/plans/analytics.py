@@ -1538,3 +1538,157 @@ def seasonal_naive_mase(spark, sf_dir):
         F.round(mae1, 6).alias("mae_naive1"),
         F.round(mae7 / mae1, 6).alias("mase"),
     )
+
+
+# --------------------------------------------------------------------------
+# per-user running-peak drawdown
+# --------------------------------------------------------------------------
+@register(
+    "user_value_drawdown",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id,
+               SUM(CASE WHEN event_type IN ('purchase', 'signup')
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE -CAST(value AS DECIMAL(18,2)) END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM events
+    ),
+    p AS (
+        SELECT user_id, cum,
+               MAX(cum) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS peak
+        FROM c
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(cum) AS DOUBLE) AS peak_value,
+           CAST(MAX(peak - cum) AS DOUBLE) AS max_drawdown
+    FROM p GROUP BY user_id
+    """,
+)
+def user_value_drawdown(spark, sf_dir):
+    """Running-peak drawdown per user: cumulative value over the
+    user's event sequence, its running maximum, and the largest
+    peak-to-trough drop — the engagement-collapse detector (finance's
+    max-drawdown applied to activity curves): a user whose drawdown
+    approaches their peak effectively restarted from zero, the signal
+    churn models key on. The series is SIGNED engagement: purchases
+    and signups add value, friction events (clicks, views, errors)
+    subtract it, so peaks and troughs genuinely alternate.
+
+    NOTE the second window orders by event_id ALONE (not ts,
+    event_id): the cumulative series is already built in (ts,
+    event_id) order, and event_id is unique per user here, so both
+    engines take the identical total order — a deliberate match with
+    the oracle. All arithmetic is DECIMAL-exact end to end; the
+    DOUBLE casts at output are exact decimal→double conversions.
+    Plan: both windows and the final rollup share ONE user-keyed
+    shuffle (same partition key), no single-partition exchange."""
+    e = t(spark, sf_dir, "events")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    signed = F.when(
+        F.col("event_type").isin("purchase", "signup"), dec("value", 18, 2)
+    ).otherwise(-dec("value", 18, 2))
+    c = e.select(
+        "user_id",
+        "event_id",
+        F.sum(signed).over(w_cum).alias("cum"),
+    )
+    w_peak = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = c.select(
+        "user_id", "cum", F.max("cum").over(w_peak).alias("peak")
+    )
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("cum").cast("double").alias("peak_value"),
+        F.max(F.col("peak") - F.col("cum"))
+        .cast("double")
+        .alias("max_drawdown"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quantile treatment effects (distributional A/B readout)
+# --------------------------------------------------------------------------
+@register(
+    "quantile_treatment_effect",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               (user_id * 2654435761) % 4294967296 % 2 AS arm,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tv
+        FROM events GROUP BY user_id
+    ),
+    a AS (
+        SELECT arm,
+               COUNT(*) AS n,
+               quantile_cont(tv, 0.25) AS q25,
+               median(tv) AS med,
+               quantile_cont(tv, 0.75) AS q75
+        FROM per_user GROUP BY arm
+    )
+    SELECT CAST(MAX(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_treat,
+           CAST(MAX(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_ctrl,
+           MAX(CASE WHEN arm = 1 THEN med END) AS med_treat,
+           MAX(CASE WHEN arm = 0 THEN med END) AS med_ctrl,
+           MAX(CASE WHEN arm = 1 THEN q25 END)
+               - MAX(CASE WHEN arm = 0 THEN q25 END) AS qte_25,
+           MAX(CASE WHEN arm = 1 THEN med END)
+               - MAX(CASE WHEN arm = 0 THEN med END) AS qte_50,
+           MAX(CASE WHEN arm = 1 THEN q75 END)
+               - MAX(CASE WHEN arm = 0 THEN q75 END) AS qte_75
+    FROM a
+    """,
+)
+def quantile_treatment_effect(spark, sf_dir):
+    """Quantile treatment effects: the difference between treatment
+    and control at the 25th/50th/75th percentile of per-user total
+    value — the distributional A/B readout that catches what a mean
+    difference hides (a feature that moves only the whales shows
+    qte_75 >> qte_50 ≈ 0). Same Knuth-hash arms as
+    ``ab_experiment_readout``; per-user totals are DECIMAL-exact then
+    cast once, and Spark's exact ``percentile`` matches DuckDB's
+    quantile_cont bit-for-bit on the identical multiset (the
+    percentile_quartiles contract).
+
+    Plan: one user-grain shuffle, then a 2-group exact-percentile
+    aggregation (sort within aggregation buffers — the documented
+    exact path; heavy-group scale swaps in percentile_approx) and a
+    2-row pivot."""
+    from .ext_pipeline import _KNUTH, _M32
+
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(dec("value", 18, 2)).cast("double").alias("tv")
+    ).select(
+        ((F.col("user_id") * _KNUTH) % _M32 % 2).alias("arm"), "tv"
+    )
+    a = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(tv, 0.25)").alias("q25"),
+        F.median("tv").alias("med"),
+        F.expr("percentile(tv, 0.75)").alias("q75"),
+    )
+    g = lambda arm, col: F.max(F.when(F.col("arm") == arm, F.col(col)))
+    return a.agg(
+        g(1, "n").cast("bigint").alias("n_treat"),
+        g(0, "n").cast("bigint").alias("n_ctrl"),
+        g(1, "med").alias("med_treat"),
+        g(0, "med").alias("med_ctrl"),
+        (g(1, "q25") - g(0, "q25")).alias("qte_25"),
+        (g(1, "med") - g(0, "med")).alias("qte_50"),
+        (g(1, "q75") - g(0, "q75")).alias("qte_75"),
+    )

@@ -390,3 +390,23 @@ def test_join_size_estimator_unbiased_shape(spark):
     )
     assert r.within_10pct  # key-sampled estimator lands inside 10%
     assert 0 < r.sample_size < r.exact_size
+
+
+def test_drawdown_bounds(spark):
+    rows = _run(spark, "user_value_drawdown").collect()
+    assert rows
+    saw_positive_dd = False
+    for r in rows:
+        assert r.max_drawdown >= 0.0
+        assert r.n_events >= 1
+        if r.max_drawdown > 0.0:
+            saw_positive_dd = True
+    # the signed series makes drawdown non-degenerate somewhere
+    assert saw_positive_dd
+
+
+def test_qte_consistent_with_median_pivot(spark):
+    r = _run(spark, "quantile_treatment_effect").collect()[0]
+    assert abs(r.qte_50 - (r.med_treat - r.med_ctrl)) < 1e-9
+    ab = {x.arm: x for x in _run(spark, "ab_experiment_readout").collect()}
+    assert r.n_treat == ab[1].n_users and r.n_ctrl == ab[0].n_users
