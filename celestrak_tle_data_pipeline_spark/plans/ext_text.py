@@ -3000,3 +3000,143 @@ def bigram_lm_perplexity(spark, sf_dir):
         ce.alias("cross_entropy"),
         F.round(F.exp(ce), 6).alias("perplexity"),
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyphrase extraction (stopword islands + degree/frequency scores)
+# --------------------------------------------------------------------------
+@register(
+    "rake_keyphrases",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, g.i AS pos, ts[g.i] AS tok
+        FROM d, LATERAL unnest(generate_series(1, len(ts))) AS g(i)
+    ),
+    stop AS (
+        SELECT tok FROM (
+            SELECT tok,
+                   row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+            FROM tok GROUP BY tok
+        ) WHERE rn <= 20
+    ),
+    isl AS (
+        SELECT doc_id, pos, tok,
+               pos - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS run
+        FROM tok WHERE tok NOT IN (SELECT tok FROM stop)
+    ),
+    isl2 AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY doc_id, run) AS plen
+        FROM isl
+    ),
+    ws AS (
+        SELECT tok,
+               CAST(round(SUM(plen) * 1000000.0 / COUNT(*)) AS BIGINT)
+                   AS ppm
+        FROM isl2 GROUP BY tok
+    ),
+    ph AS (
+        SELECT i.doc_id, i.run,
+               string_agg(i.tok, ' ' ORDER BY i.pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               MIN(i.pos) AS p0,
+               CAST(SUM(ws.ppm) AS BIGINT) AS score_ppm
+        FROM isl2 i JOIN ws ON i.tok = ws.tok
+        GROUP BY i.doc_id, i.run
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rank, phrase, n_words,
+           score_ppm
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score_ppm DESC, phrase, p0) AS rnk
+        FROM ph
+    ) WHERE rnk <= 3
+    """,
+)
+def rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of non-stopword tokens (the stopword list is the
+    corpus's own top-20 tokens — data-derived, deterministic), each
+    word scores degree/frequency over the phrase graph, and a phrase
+    scores the sum of its word scores; top-3 phrases per document.
+    The unsupervised keyword tagger curation pipelines run to index
+    and cluster corpora when no model is available.
+
+    Two determinism moves: (1) phrase segmentation is the
+    gaps-and-islands rewrite (run = pos − row_number over surviving
+    tokens) — pure windows, no UDF; (2) word scores are carried as
+    ppm INTEGERS (round(degree·1e6/freq)) so phrase scores sum and
+    RANK exactly, with phrase-text and first-position tiebreaks —
+    float ranking across engines would be undefined at ties.
+
+    Plan: token explode → one hash agg for the stopword top-20
+    (broadcast back), doc-keyed windows for islands (the only
+    data-sized shuffles, all on doc_id), a token-keyed word-stats agg,
+    and a doc-keyed top-3 window. No single-partition exchange."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    tok = d.select(
+        "doc_id", F.posexplode("ts").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    stop = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(20)
+        .select("tok")
+    )
+    isl = (
+        tok.join(F.broadcast(stop), "tok", "left_anti")
+        .withColumn(
+            "run",
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+    )
+    isl2 = isl.withColumn(
+        "plen", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "run"))
+    )
+    ws = isl2.groupBy("tok").agg(
+        F.round(F.sum("plen") * 1000000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("ppm")
+    )
+    ph = (
+        isl2.join(ws, "tok")
+        .groupBy("doc_id", "run")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.min("pos").alias("p0"),
+            F.sum("ppm").cast("bigint").alias("score_ppm"),
+        )
+    )
+    ranked = ph.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.desc("score_ppm"), F.asc("phrase"), F.asc("p0")
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= 3).select(
+        "doc_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "phrase",
+        "n_words",
+        "score_ppm",
+    )

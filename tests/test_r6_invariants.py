@@ -410,3 +410,33 @@ def test_qte_consistent_with_median_pivot(spark):
     assert abs(r.qte_50 - (r.med_treat - r.med_ctrl)) < 1e-9
     ab = {x.arm: x for x in _run(spark, "ab_experiment_readout").collect()}
     assert r.n_treat == ab[1].n_users and r.n_ctrl == ab[0].n_users
+
+
+def test_rake_phrases_exclude_stopwords(spark):
+    from pyspark.sql import functions as F
+
+    from celestrak_tle_data_pipeline_spark.plans.common import t
+
+    rows = _run(spark, "rake_keyphrases").collect()
+    assert rows
+    top20 = set(
+        r.tok
+        for r in t(spark, SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(20)
+        .collect()
+    )
+    by_doc = {}
+    for r in rows:
+        assert 1 <= r.rank <= 3
+        assert r.n_words == len(r.phrase.split(" "))
+        assert not (set(r.phrase.split(" ")) & top20)
+        assert r.score_ppm >= 1000000 * r.n_words  # degree/freq >= 1
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.rank)
+        scores = [r.score_ppm for r in rs]
+        assert scores == sorted(scores, reverse=True)
