@@ -603,3 +603,59 @@ def test_stream_static_join_labels_telemetry(spark, tmp_path):
     got = {r.norad_id: r.label for r in out_rows}
     assert got[50003] == "oneweb"
     assert len(out_rows) == 3
+
+
+def test_streaming_digest_equals_batch_digest(spark, tmp_path):
+    # the digest fold is a commutative group, so maintaining it one
+    # micro-batch at a time must land on EXACTLY the batch-built
+    # digest of the union — the incremental replica-equality audit
+    from pyspark.sql import functions as F
+
+    from celestrak_tle_data_pipeline_spark.plans.common import t
+    from celestrak_tle_data_pipeline_spark.streaming.integrity import (
+        digest_of,
+        run_digest_stream,
+    )
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    landing = tmp_path / "digest_landing"
+    landing.mkdir()
+    # three disjoint slices land as separate files -> separate batches
+    for i in range(3):
+        docs.where(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(landing / f"slice{i}"))
+    # stream each slice dir through one AvailableNow drain apiece so
+    # the sink genuinely merges across micro-batches
+    sink = None
+    for i in range(3):
+        s = run_digest_stream(
+            spark, str(landing / f"slice{i}"), str(tmp_path / f"ck{i}")
+        )
+        if sink is None:
+            sink = s
+        else:
+            for src, (n, x, m) in s.state.items():
+                n0, x0, m0 = sink.state.get(src, (0, 0, 0))
+                sink.state[src] = (
+                    n0 + n, x0 ^ x, (m0 + m) % 2305843009213693951
+                )
+    got = {
+        r.source: (r.n_rows, r.digest_xor, r.digest_sum_mod)
+        for r in sink.to_df(spark).collect()
+    }
+    want = {
+        r.source: (r.n_rows, r.digest_xor, r.digest_sum_mod)
+        for r in digest_of(docs).collect()
+    }
+    assert got == want
+    # and it agrees with the registry query's digests
+    from celestrak_tle_data_pipeline_spark import plans
+
+    reg = {
+        r.source: (r.n_rows, r.digest_xor, r.digest_sum_mod)
+        for r in plans.all_queries()["rowhash_table_digest"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert reg == want
