@@ -1692,3 +1692,117 @@ def quantile_treatment_effect(spark, sf_dir):
         (g(1, "med") - g(0, "med")).alias("qte_50"),
         (g(1, "q75") - g(0, "q75")).alias("qte_75"),
     )
+
+
+# --------------------------------------------------------------------------
+# association rules over order baskets (support / confidence / lift)
+# --------------------------------------------------------------------------
+@register(
+    "association_rules_parts",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+        FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders
+          FROM basket),
+    item_c AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM basket GROUP BY 1
+    ),
+    pair_c AS (
+        SELECT a.item AS pa, b.item AS pb,
+               CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM basket a JOIN basket b
+          ON a.ok = b.ok AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT pa, pb, c_ab,
+           ia.c AS c_a, ib.c AS c_b,
+           round(c_ab / CAST(n.n_orders AS DOUBLE), 9) AS support,
+           round(c_ab / CAST(ia.c AS DOUBLE), 9) AS confidence,
+           round(c_ab * CAST(n.n_orders AS DOUBLE) / (ia.c * ib.c), 6)
+               AS lift
+    FROM pair_c
+    JOIN item_c ia ON ia.item = pa
+    JOIN item_c ib ON ib.item = pb
+    CROSS JOIN n
+    ORDER BY c_ab DESC, lift DESC, pa, pb
+    LIMIT 100
+    """,
+)
+def association_rules_parts(spark, sf_dir):
+    """Market-basket association rules over order baskets: for part
+    pairs bought together in at least 2 orders, support (P(a,b)),
+    confidence (P(b|a)), and lift (P(a,b)/(P(a)P(b)) — the
+    independence-normalized strength a recommender thresholds on).
+    Top-100 strongest rules, ranked by co-count then lift with full
+    key tiebreaks.
+
+    Scale shape — the reason basket mining is tractable at 100 TB:
+    the pair join is WITHIN-basket (equi-join on the order key), so
+    each basket of size k contributes C(k,2) pairs — TPC-H baskets cap
+    at 7 lines, bounding the blow-up at 21x order count, linear
+    overall (same bounded-fan-out argument as
+    ``item_cooccurrence_cosine``'s top-50 cap). Counts are exact
+    integers; support/confidence/lift are terminal divisions; the
+    final ranking compiles to TakeOrderedAndProject."""
+    l = t(spark, sf_dir, "lineitem")
+    basket = l.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n = basket.agg(
+        F.countDistinct("ok").cast("bigint").alias("n_orders")
+    )
+    item_c = basket.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pair_c = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("pa"), F.col("b.item").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .where(F.col("c_ab") >= 2)
+    )
+    ia = item_c.select(
+        F.col("item").alias("pa"), F.col("c").alias("c_a")
+    )
+    ib = item_c.select(
+        F.col("item").alias("pb"), F.col("c").alias("c_b")
+    )
+    out = (
+        pair_c.join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        out.select(
+            "pa",
+            "pb",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.col("c_ab") / F.col("n_orders").cast("double"), 9
+            ).alias("support"),
+            F.round(
+                F.col("c_ab") / F.col("c_a").cast("double"), 9
+            ).alias("confidence"),
+            F.round(
+                F.col("c_ab")
+                * F.col("n_orders").cast("double")
+                / (F.col("c_a") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.desc("c_ab"), F.desc("lift"), F.asc("pa"), F.asc("pb")
+        )
+        .limit(100)
+    )

@@ -440,3 +440,16 @@ def test_rake_phrases_exclude_stopwords(spark):
         rs.sort(key=lambda r: r.rank)
         scores = [r.score_ppm for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_association_rules_probability_bounds(spark):
+    rows = _run(spark, "association_rules_parts").collect()
+    assert rows
+    for r in rows:
+        assert r.pa < r.pb
+        assert 2 <= r.c_ab <= min(r.c_a, r.c_b)
+        assert 0.0 < r.support <= 1.0
+        assert 0.0 < r.confidence <= 1.0
+        assert r.lift > 0.0
+    counts = [(r.c_ab, r.lift) for r in rows]
+    assert counts == sorted(counts, key=lambda x: (-x[0], -x[1]))
