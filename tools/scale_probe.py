@@ -72,6 +72,11 @@ QUERIES = (
     "auc_rank_score",               # corpus collapse to score domain
     "rowhash_table_digest",         # map-side fold + source-keyed agg
     "mutual_information_type_dow",  # cell rollup + tiny-frame entropies
+    "bigram_lm_perplexity",         # gram-model equi-joins
+    "rake_keyphrases",              # islands windows + token-keyed aggs
+    "association_rules_parts",      # within-basket bounded pair join
+    "user_value_drawdown",          # shared-shuffle window pair
+    "y4m_scene_cuts",               # Arrow codec kernel, frame expansion
 )
 
 
