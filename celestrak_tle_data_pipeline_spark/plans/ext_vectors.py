@@ -1255,3 +1255,157 @@ def mmr_diversified_topk(spark, sf_dir):
             schema="rank long, vec_id long, rel_q6 long, max_sim_q6 long",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# nearest-centroid classification, integer-exact (confusion matrix)
+# --------------------------------------------------------------------------
+@register(
+    "centroid_classifier_confusion",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(round(x::DOUBLE * 100) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    el AS (
+        SELECT v.vec_id, v.label, g.i AS pos, q[g.i] AS qv
+        FROM v, LATERAL unnest(generate_series(1, len(q))) AS g(i)
+    ),
+    s AS (
+        SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS sv
+        FROM el GROUP BY 1, 2
+    ),
+    nl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+    s2 AS (
+        SELECT label, CAST(SUM(sv * sv) AS BIGINT) AS snorm2
+        FROM s GROUP BY 1
+    ),
+    xn AS (
+        SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS xnorm2
+        FROM el GROUP BY 1
+    ),
+    dots AS (
+        SELECT el.vec_id, s.label, CAST(SUM(el.qv * s.sv) AS BIGINT) AS dot
+        FROM el JOIN s ON el.pos = s.pos GROUP BY 1, 2
+    ),
+    da AS (
+        SELECT d.vec_id, d.label,
+               CAST(nl.n * nl.n * xn.xnorm2 - 2 * nl.n * d.dot + s2.snorm2
+                    AS BIGINT) AS a,
+               nl.n AS n
+        FROM dots d
+        JOIN nl ON nl.label = d.label
+        JOIN s2 ON s2.label = d.label
+        JOIN xn ON xn.vec_id = d.vec_id
+    ),
+    loss AS (
+        SELECT a.vec_id, a.label,
+               SUM(CASE WHEN CAST(a.a AS HUGEINT) * b.n * b.n
+                             > CAST(b.a AS HUGEINT) * a.n * a.n
+                          OR (CAST(a.a AS HUGEINT) * b.n * b.n
+                              = CAST(b.a AS HUGEINT) * a.n * a.n
+                              AND a.label > b.label)
+                        THEN 1 ELSE 0 END) AS losses
+        FROM da a JOIN da b
+          ON a.vec_id = b.vec_id AND a.label <> b.label
+        GROUP BY 1, 2
+    ),
+    pred AS (SELECT vec_id, label AS pred_label FROM loss WHERE losses = 0)
+    SELECT v.label, p.pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM v JOIN pred p USING (vec_id)
+    GROUP BY 1, 2
+    """,
+)
+def centroid_classifier_confusion(spark, sf_dir):
+    """Nearest-centroid classification with its full confusion matrix
+    — the zero-parameter baseline every embedding-quality audit runs
+    ("do the labels cluster at all?"): each vector goes to the label
+    whose mean embedding is nearest in Euclidean distance, and the
+    (label, predicted) counts expose exactly which classes the
+    embedding space separates.
+
+    Exactness at every step: vectors quantize to round(x·100) ints;
+    the centroid comparison avoids BOTH the mean division and the
+    sqrt by comparing n²·d² = n²|x|² − 2n(x·S) + |S|² (S = label SUM
+    vector) cross-multiplied pairwise (A_a·n_b² vs A_b·n_a²,
+    DECIMAL(38)/HUGEINT — no float anywhere), and the argmin is a
+    pairwise TOURNAMENT: the label with zero losses under
+    (value, label) order — total, deterministic, any label set, no
+    N-way product blow-up.
+
+    Plan: element explode → (label, pos) centroid partials (map-side
+    combined), vector-grain dot/norm aggs, then the tournament on the
+    |vecs|×L² pair frame — L is the label DOMAIN (bounded), so the
+    whole DAG is linear in vectors. No windows, no UDFs, no
+    single-partition exchange."""
+    e = t(spark, sf_dir, "embeddings")
+    q2 = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 100).cast("bigint"),
+    )
+    v = e.select("vec_id", "label", q2.alias("q"))
+    el = v.select(
+        "vec_id", "label", F.posexplode("q").alias("pos", "qv")
+    ).persist()  # shared by centroid, norm, and dot branches
+    s = el.groupBy("label", "pos").agg(
+        F.sum("qv").cast("bigint").alias("sv")
+    )
+    nl = v.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s2 = s.groupBy("label").agg(
+        F.sum(F.col("sv") * F.col("sv")).cast("bigint").alias("snorm2")
+    )
+    xn = el.groupBy("vec_id").agg(
+        F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("xnorm2")
+    )
+    dots = (
+        el.select("vec_id", "pos", "qv")
+        .join(F.broadcast(s), "pos")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("qv") * F.col("sv")).cast("bigint").alias("dot"))
+    )
+    da = (
+        dots.join(F.broadcast(nl), "label")
+        .join(F.broadcast(s2), "label")
+        .join(xn, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.col("n") * F.col("n") * F.col("xnorm2")
+                - 2 * F.col("n") * F.col("dot")
+                + F.col("snorm2")
+            )
+            .cast("bigint")
+            .alias("a"),
+            "n",
+        )
+        .persist()  # both sides of the tournament self-join
+    )
+    a, b = da.alias("a"), da.alias("b")
+    d38 = lambda c: c.cast("decimal(38,0)")
+    lhs = d38(F.col("a.a")) * F.col("b.n") * F.col("b.n")
+    rhs = d38(F.col("b.a")) * F.col("a.n") * F.col("a.n")
+    loss = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.label") != F.col("b.label")),
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_id"), F.col("a.label").alias("label"))
+        .agg(
+            F.sum(
+                (
+                    (lhs > rhs)
+                    | ((lhs == rhs) & (F.col("a.label") > F.col("b.label")))
+                ).cast("int")
+            ).alias("losses")
+        )
+    )
+    pred = loss.where(F.col("losses") == 0).select(
+        "vec_id", F.col("label").alias("pred_label")
+    )
+    return v.join(pred, "vec_id").groupBy("label", "pred_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )

@@ -453,3 +453,16 @@ def test_association_rules_probability_bounds(spark):
         assert r.lift > 0.0
     counts = [(r.c_ab, r.lift) for r in rows]
     assert counts == sorted(counts, key=lambda x: (-x[0], -x[1]))
+
+
+def test_centroid_classifier_partitions_and_beats_chance(spark):
+    from celestrak_tle_data_pipeline_spark.plans.common import t
+
+    rows = _run(spark, "centroid_classifier_confusion").collect()
+    total = sum(r.n_vecs for r in rows)
+    n_emb = t(spark, SF_DIR, "embeddings").count()
+    assert total == n_emb  # tournament yields exactly one winner each
+    labels = {r.label for r in rows}
+    diag = sum(r.n_vecs for r in rows if r.label == r.pred_label)
+    # nearest-centroid must beat uniform chance on its own training set
+    assert diag / total > 1.0 / len(labels)
