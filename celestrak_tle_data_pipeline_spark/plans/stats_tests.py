@@ -1469,3 +1469,168 @@ def ab_difference_newcombe(spark, sf_dir):
         F.round(hi, 9).alias("diff_hi"),
         (~((lo <= 0.0) & (F.lit(0.0) <= hi))).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# coarsened-exact-matching ATT estimate
+# --------------------------------------------------------------------------
+@register(
+    "cem_matched_att",
+    oracle="""
+    WITH days AS (
+        SELECT user_id,
+               epoch_us(ts) // 86400000000 AS d,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+    ),
+    bounds AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS split_d FROM days),
+    per_user AS (
+        SELECT user_id,
+               CAST((user_id * 2654435761) % 4294967296 % 2 AS INT) AS arm,
+               COALESCE(SUM(CASE WHEN d < split_d THEN v END),
+                        CAST(0 AS DECIMAL(18,2))) AS x,
+               COALESCE(SUM(CASE WHEN d >= split_d THEN v END),
+                        CAST(0 AS DECIMAL(18,2))) AS y
+        FROM days, bounds GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *,
+               CAST(FLOOR(x / 50) AS BIGINT) AS stratum,
+               row_number() OVER (
+                   PARTITION BY CAST(FLOOR(x / 50) AS BIGINT), arm
+                   ORDER BY x, user_id) AS rn
+        FROM per_user
+    ),
+    pairs AS (
+        SELECT t.stratum, t.x AS xt, c.x AS xc, t.y AS yt, c.y AS yc
+        FROM ranked t JOIN ranked c
+          ON t.stratum = c.stratum AND t.rn = c.rn
+        WHERE t.arm = 1 AND c.arm = 0
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+               CAST(SUM(yt - yc) AS DOUBLE) AS s_diff,
+               CAST(SUM(xt - xc) AS DOUBLE) AS s_imb
+        FROM pairs
+    ),
+    arms AS (
+        SELECT CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_treat,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ctrl,
+               CAST(SUM(CASE WHEN arm = 1 THEN y END) AS DOUBLE) AS sy1,
+               CAST(SUM(CASE WHEN arm = 0 THEN y END) AS DOUBLE) AS sy0
+        FROM per_user
+    )
+    SELECT arms.n_treat, arms.n_ctrl, m.n_matched,
+           round(m.n_matched / CAST(arms.n_treat AS DOUBLE), 6)
+               AS match_rate,
+           round(arms.sy1 / arms.n_treat - arms.sy0 / arms.n_ctrl, 6)
+               AS naive_diff,
+           round(m.s_diff / m.n_matched, 6) AS att,
+           round(m.s_imb / m.n_matched, 6) AS mean_covariate_gap
+    FROM arms, m
+    """,
+)
+def cem_matched_att(spark, sf_dir):
+    """Average treatment effect on the treated via Coarsened Exact
+    Matching (Iacus, King & Porro 2012): the pre-period covariate is
+    coarsened into width-50 strata, and within each stratum treated
+    and control users pair off by covariate rank — every comparison is
+    between users with near-identical pre-period behavior, removing
+    the selection bias the naive arm difference (also emitted)
+    absorbs. ``mean_covariate_gap`` reports the residual within-pair
+    imbalance the coarsening left behind; unmatched treated users
+    (stratum exhausted) drop, reported via ``match_rate``.
+
+    Same calendar split, Knuth arms, and DECIMAL-exact per-user sums
+    as ``cuped_adjusted_ab``; pairing is deterministic ((x, user_id)
+    rank within stratum). Plan: one user-grain shuffle, then
+    stratum-partitioned windows and a (stratum, rank) equi-join —
+    matching without ANY global sort, the property that lets CEM run
+    where nearest-neighbor matching's total order cannot."""
+    from .ext_pipeline import _KNUTH, _M32
+
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("d"),
+        dec("value", 18, 2).alias("v"),
+    )
+    bounds = days.agg(
+        F.floor((F.min("d") + F.max("d") + 1) / F.lit(2)).alias("split_d")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    per_user = (
+        days.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "user_id",
+            ((F.col("user_id") * _KNUTH) % _M32 % 2)
+            .cast("int")
+            .alias("arm"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("d") < F.col("split_d"), F.col("v"))),
+                zero,
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("d") >= F.col("split_d"), F.col("v"))),
+                zero,
+            ).alias("y"),
+        )
+    )
+    ranked = per_user.withColumn(
+        "stratum", F.floor(F.col("x") / 50).cast("bigint")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("stratum", "arm").orderBy("x", "user_id")
+        ),
+    ).persist()
+    tr = ranked.where(F.col("arm") == 1).select(
+        "stratum", "rn",
+        F.col("x").alias("xt"), F.col("y").alias("yt"),
+    )
+    ct = ranked.where(F.col("arm") == 0).select(
+        "stratum", "rn",
+        F.col("x").alias("xc"), F.col("y").alias("yc"),
+    )
+    pairs = tr.join(ct, ["stratum", "rn"])
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.sum(F.col("yt") - F.col("yc")).cast("double").alias("s_diff"),
+        F.sum(F.col("xt") - F.col("xc")).cast("double").alias("s_imb"),
+    )
+    arms = ranked.agg(
+        F.sum((F.col("arm") == 1).cast("int"))
+        .cast("bigint")
+        .alias("n_treat"),
+        F.sum((F.col("arm") == 0).cast("int"))
+        .cast("bigint")
+        .alias("n_ctrl"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")))
+        .cast("double")
+        .alias("sy1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")))
+        .cast("double")
+        .alias("sy0"),
+    )
+    out = arms.crossJoin(F.broadcast(m))
+    return out.select(
+        "n_treat",
+        "n_ctrl",
+        "n_matched",
+        F.round(
+            F.col("n_matched") / F.col("n_treat").cast("double"), 6
+        ).alias("match_rate"),
+        F.round(
+            F.col("sy1") / F.col("n_treat")
+            - F.col("sy0") / F.col("n_ctrl"),
+            6,
+        ).alias("naive_diff"),
+        F.round(F.col("s_diff") / F.col("n_matched"), 6).alias("att"),
+        F.round(F.col("s_imb") / F.col("n_matched"), 6).alias(
+            "mean_covariate_gap"
+        ),
+    )

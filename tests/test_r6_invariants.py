@@ -466,3 +466,12 @@ def test_centroid_classifier_partitions_and_beats_chance(spark):
     diag = sum(r.n_vecs for r in rows if r.label == r.pred_label)
     # nearest-centroid must beat uniform chance on its own training set
     assert diag / total > 1.0 / len(labels)
+
+
+def test_cem_matching_bounds_and_balance(spark):
+    r = _run(spark, "cem_matched_att").collect()[0]
+    assert 0 < r.n_matched <= min(r.n_treat, r.n_ctrl)
+    assert abs(r.match_rate - r.n_matched / r.n_treat) < 1e-6
+    # within-stratum rank pairing keeps pre-period covariates within
+    # one stratum width of each other on average
+    assert abs(r.mean_covariate_gap) < 50.0
