@@ -1634,3 +1634,113 @@ def cem_matched_att(spark, sf_dir):
             "mean_covariate_gap"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# gains chart: cumulative capture and lift by score decile
+# --------------------------------------------------------------------------
+_GAINS_QS = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "gains_chart_deciles",
+    oracle="""
+    WITH b AS (
+        SELECT {qcols}
+        FROM documents
+    ),
+    assigned AS (
+        SELECT CAST(11 - (1 + {gtsum}) AS BIGINT) AS decile,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents, b
+    ),
+    g AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM assigned GROUP BY decile
+    )
+    SELECT decile, n_docs, n_pos,
+           round(SUM(n_pos) OVER w / CAST((SELECT SUM(y) FROM assigned)
+                                          AS DOUBLE), 9) AS cum_capture,
+           round((SUM(n_pos) OVER w
+                  / CAST((SELECT SUM(y) FROM assigned) AS DOUBLE))
+                 / (SUM(n_docs) OVER w
+                    / CAST((SELECT COUNT(*) FROM assigned) AS DOUBLE)),
+                 6) AS cum_lift
+    FROM g
+    WINDOW w AS (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """.format(
+        qcols=", ".join(
+            f"quantile_cont(n_chars, {q}) AS b{i}"
+            for i, q in enumerate(_GAINS_QS)
+        ),
+        gtsum=" + ".join(
+            f"CASE WHEN n_chars > b{i} THEN 1 ELSE 0 END"
+            for i in range(len(_GAINS_QS))
+        ),
+    ),
+)
+def gains_chart_deciles(spark, sf_dir):
+    """Gains chart (cumulative capture and lift by score decile) for
+    the length score predicting lang='en' — the third leg of the
+    classifier-eval tier: AUC summarizes ranking, calibration checks
+    probabilities, the gains chart answers the operational question
+    "if I only keep the top k/10 of documents by score, what fraction
+    of the positives do I capture, and at what lift over random?" —
+    how quality-filter thresholds actually get picked.
+
+    Decile boundaries come from exact percentiles (the
+    percentile = quantile_cont bit-for-bit contract) BROADCAST into
+    the scan — the boundary-broadcast equidepth pattern, no ntile, no
+    global sort; decile 1 is the best-scoring tenth. Counts are exact
+    integers; the cumulative window runs on the 10-row decile frame.
+    """
+    d = t(spark, sf_dir, "documents")
+    b = d.agg(
+        *[
+            F.expr(f"percentile(n_chars, {q})").alias(f"b{i}")
+            for i, q in enumerate(_GAINS_QS)
+        ]
+    )
+    decile = 11 - (
+        1
+        + sum(
+            (F.col("n_chars") > F.col(f"b{i}")).cast("int")
+            for i in range(len(_GAINS_QS))
+        )
+    )
+    assigned = d.crossJoin(F.broadcast(b)).select(
+        decile.cast("bigint").alias("decile"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    tot = assigned.agg(
+        F.sum("y").cast("bigint").alias("t_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("t_docs"),
+    )
+    g = assigned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    out = g.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        (F.sum("n_pos").over(w) / F.col("t_pos").cast("double")).alias(
+            "capture_raw"
+        ),
+        (F.sum("n_docs").over(w) / F.col("t_docs").cast("double")).alias(
+            "share_raw"
+        ),
+    )
+    return out.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        F.round("capture_raw", 9).alias("cum_capture"),
+        F.round(F.col("capture_raw") / F.col("share_raw"), 6).alias(
+            "cum_lift"
+        ),
+    )

@@ -475,3 +475,18 @@ def test_cem_matching_bounds_and_balance(spark):
     # within-stratum rank pairing keeps pre-period covariates within
     # one stratum width of each other on average
     assert abs(r.mean_covariate_gap) < 50.0
+
+
+def test_gains_chart_monotone_capture_ending_at_one(spark):
+    rows = sorted(
+        _run(spark, "gains_chart_deciles").collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, len(rows) + 1))
+    caps = [r.cum_capture for r in rows]
+    assert caps == sorted(caps)
+    assert abs(caps[-1] - 1.0) < 1e-9
+    assert rows[-1].cum_lift == 1.0  # full population has lift 1
+    # equi-depth deciles: each holds ~1/10 of the corpus
+    total = sum(r.n_docs for r in rows)
+    for r in rows:
+        assert abs(r.n_docs - total / 10) <= total * 0.05
