@@ -77,6 +77,9 @@ QUERIES = (
     "association_rules_parts",      # within-basket bounded pair join
     "user_value_drawdown",          # shared-shuffle window pair
     "y4m_scene_cuts",               # Arrow codec kernel, frame expansion
+    "centroid_classifier_confusion",  # element aggs + pairwise tournament
+    "cem_matched_att",              # stratum windows + rank equi-join
+    "gains_chart_deciles",          # percentile broadcast + decile rollup
 )
 
 
