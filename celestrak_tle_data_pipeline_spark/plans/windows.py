@@ -1205,3 +1205,95 @@ def debounce_first_per_burst(spark, sf_dir):
         )
         .drop("burst_id")
     )
+
+
+# --------------------------------------------------------------------------
+# clamped running balance (Lindley recursion via Skorokhod reflection)
+# --------------------------------------------------------------------------
+@register(
+    "clamped_running_balance",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type IN ('purchase', 'signup')
+                    THEN CAST(value AS DECIMAL(18,2))
+                    ELSE -CAST(value AS DECIMAL(18,2)) END AS v
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, event_id, v,
+               SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM s
+    ),
+    c2 AS (
+        SELECT user_id, v, cum,
+               MIN(cum) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS runmin
+        FROM c
+    ),
+    b AS (
+        SELECT user_id, v,
+               cum - LEAST(CAST(0 AS DECIMAL(38,2)), runmin) AS bal
+        FROM c2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(MAX(bal) AS DECIMAL(18,2)) AS DOUBLE)
+               AS peak_balance,
+           CAST(SUM(CASE WHEN bal = 0 AND v < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_floor_hits
+    FROM b GROUP BY user_id
+    """,
+)
+def clamped_running_balance(spark, sf_dir):
+    """Running balance clamped at zero — the Lindley recursion
+    b_t = max(0, b_{t-1} + v_t) that models inventory, prepaid
+    credit, queue backlogs, and rate-limiter tokens. It LOOKS like a
+    non-windowable sequential recurrence, but the Skorokhod
+    reflection identity solves it in closed form:
+    b_t = cum_t − min(0, min_{s≤t} cum_s) — two stacked windows, no
+    kernel, no iteration, exact for any one-sided clamp. (The
+    two-sided clamp — floor AND cap — has no such form; that is the
+    true boundary where an applyInPandas kernel becomes necessary.)
+
+    Signed engagement series (the ``user_value_drawdown`` convention),
+    all DECIMAL-exact; per user: event count, peak clamped balance,
+    and how often a drop landed on the floor (the stock-out /
+    credit-exhausted counter). Both windows and the rollup share ONE
+    user-keyed shuffle."""
+    e = t(spark, sf_dir, "events")
+    signed = F.when(
+        F.col("event_type").isin("purchase", "signup"),
+        F.col("value").cast("decimal(18,2)"),
+    ).otherwise(-F.col("value").cast("decimal(18,2)"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        e.select("user_id", "event_id", "ts", signed.alias("v"))
+        .withColumn("cum", F.sum("v").over(w))
+        .drop("ts")
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = c.withColumn("runmin", F.min("cum").over(w2)).withColumn(
+        "bal",
+        F.col("cum")
+        - F.least(F.lit(0).cast("decimal(38,2)"), F.col("runmin")),
+    )
+    return b.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("bal").cast("decimal(18,2)").cast("double")
+        .alias("peak_balance"),
+        F.sum(((F.col("bal") == 0) & (F.col("v") < 0)).cast("int"))
+        .cast("bigint")
+        .alias("n_floor_hits"),
+    )

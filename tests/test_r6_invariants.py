@@ -490,3 +490,38 @@ def test_gains_chart_monotone_capture_ending_at_one(spark):
     total = sum(r.n_docs for r in rows)
     for r in rows:
         assert abs(r.n_docs - total / 10) <= total * 0.05
+
+
+def test_clamped_balance_reflection_identity(spark):
+    """Re-verify the Skorokhod reflection against a direct sequential
+    replay of the Lindley recurrence in plain Python."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from celestrak_tle_data_pipeline_spark.plans.common import t
+
+    rows = {r.user_id: r for r in _run(spark, "clamped_running_balance").collect()}
+    ev = (
+        t(spark, SF_DIR, "events")
+        .select(
+            "user_id", "ts", "event_id", "event_type",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        sign = 1 if r.event_type in ("purchase", "signup") else -1
+        series[r.user_id].append(sign * r.v)
+    for uid, vs in series.items():
+        bal, peak, floor_hits = 0, 0, 0
+        for v in vs:
+            bal = max(0, bal + v)
+            peak = max(peak, bal)
+            if v < 0 and bal == 0:
+                floor_hits += 1
+        r = rows[uid]
+        assert r.n_events == len(vs)
+        assert float(r.peak_balance) == float(peak)
+        assert r.n_floor_hits == floor_hits
