@@ -1806,3 +1806,83 @@ def association_rules_parts(spark, sf_dir):
         )
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# signup -> purchase conversion latency quartiles
+# --------------------------------------------------------------------------
+@register(
+    "time_to_convert_quartiles",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS s_us
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_us
+        GROUP BY e.user_id
+    ),
+    d AS (
+        SELECT p.user_id, p.p_us - s.s_us AS delta_us
+        FROM p JOIN s ON p.user_id = s.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signups,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           round(COUNT(*) / CAST((SELECT COUNT(*) FROM s) AS DOUBLE), 6)
+               AS conversion_rate,
+           round(quantile_cont(delta_us, 0.25) / 3600e6, 6) AS q1_hours,
+           round(median(delta_us) / 3600e6, 6) AS med_hours,
+           round(quantile_cont(delta_us, 0.75) / 3600e6, 6) AS q3_hours
+    FROM d
+    """,
+)
+def time_to_convert_quartiles(spark, sf_dir):
+    """Signup-to-first-purchase latency distribution: for each user
+    who purchased at or after their first signup, the integer-µs
+    delta between first signup and first subsequent purchase;
+    reported as exact quartiles in hours plus the conversion rate —
+    the activation-speed readout growth teams track next to the
+    funnel (median answers "how long does activation take?", the IQR
+    answers "how variable?").
+
+    Deltas are exact integer microseconds; exact percentile matches
+    quantile_cont bit-for-bit on the identical multiset; each output
+    is one terminal division. Plan: two user-grain min-aggregations
+    (signups, then purchases gated to >= the user's signup via one
+    broadcast-joined bound) and a scalar quartile rollup."""
+    e = t(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("s_us"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.unix_micros("ts") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("p_us"))
+    )
+    d = p.join(s, "user_id").select(
+        (F.col("p_us") - F.col("s_us")).alias("delta_us")
+    )
+    ns = s.agg(F.count(F.lit(1)).cast("bigint").alias("n_signups"))
+    agg = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.expr("percentile(delta_us, 0.25)").alias("q1"),
+        F.median("delta_us").alias("med"),
+        F.expr("percentile(delta_us, 0.75)").alias("q3"),
+    )
+    out = ns.crossJoin(F.broadcast(agg))
+    return out.select(
+        "n_signups",
+        "n_converted",
+        F.round(
+            F.col("n_converted") / F.col("n_signups").cast("double"), 6
+        ).alias("conversion_rate"),
+        F.round(F.col("q1") / F.lit(3600e6), 6).alias("q1_hours"),
+        F.round(F.col("med") / F.lit(3600e6), 6).alias("med_hours"),
+        F.round(F.col("q3") / F.lit(3600e6), 6).alias("q3_hours"),
+    )

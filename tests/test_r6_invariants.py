@@ -525,3 +525,10 @@ def test_clamped_balance_reflection_identity(spark):
         assert r.n_events == len(vs)
         assert float(r.peak_balance) == float(peak)
         assert r.n_floor_hits == floor_hits
+
+
+def test_time_to_convert_ordering_and_rate(spark):
+    r = _run(spark, "time_to_convert_quartiles").collect()[0]
+    assert 0 < r.n_converted <= r.n_signups
+    assert abs(r.conversion_rate - r.n_converted / r.n_signups) < 1e-6
+    assert 0.0 <= r.q1_hours <= r.med_hours <= r.q3_hours
