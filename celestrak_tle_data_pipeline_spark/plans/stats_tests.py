@@ -1744,3 +1744,145 @@ def gains_chart_deciles(spark, sf_dir):
             "cum_lift"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# one-way ANOVA: value by day-of-week
+# --------------------------------------------------------------------------
+@register(
+    "anova_value_by_dow",
+    oracle="""
+    WITH g AS (
+        SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INT) AS dow,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss,
+               SUM(s * s / n) AS sb
+        FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n_events,
+           CAST(k AS BIGINT) AS n_groups,
+           round(sb - s * s / n, 6) AS ss_between,
+           round(ss - sb, 6) AS ss_within,
+           round(((sb - s * s / n) / (k - 1))
+                 / ((ss - sb) / (n - k)), 6) AS f_stat
+    FROM m
+    """,
+)
+def anova_value_by_dow(spark, sf_dir):
+    """One-way ANOVA of event value across days of the week — the
+    k-group generalization of the Welch t in
+    ``ab_experiment_readout``: F = (SS_between/(k−1)) /
+    (SS_within/(n−k)). An F near 1 says day-of-week explains no value
+    variance (the precondition for pooling days in mixture plans); a
+    large F says the seasonal decomposition is load-bearing.
+
+    Group count/sum/sum-of-squares are DECIMAL-exact partial-
+    aggregated rollups; every downstream quantity derives from those
+    k=7 scalars cast to DOUBLE with identical expression trees
+    (including SS_between = Σs²/n − S²/N, the power-sum identity that
+    avoids a second pass over centered values). Plan: ONE shuffle of
+    event-grain data to 7 groups, then scalar algebra."""
+    e = t(spark, sf_dir, "events")
+    dow = ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7).cast(
+        "int"
+    )
+    vd = dec("value", 18, 2)
+    g = e.groupBy(dow.alias("dow")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(vd).cast("double").alias("s"),
+        F.sum(vd * vd).cast("double").alias("ss"),
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb"),
+    )
+    k, n, s_, ss, sb = (
+        F.col("k"), F.col("n"), F.col("s"), F.col("ss"), F.col("sb")
+    )
+    return m.select(
+        n.cast("bigint").alias("n_events"),
+        k.cast("bigint").alias("n_groups"),
+        F.round(sb - s_ * s_ / n, 6).alias("ss_between"),
+        F.round(ss - sb, 6).alias("ss_within"),
+        F.round(
+            ((sb - s_ * s_ / n) / (k - 1)) / ((ss - sb) / (n - k)), 6
+        ).alias("f_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# standardized residuals for the chi-squared contingency cells
+# --------------------------------------------------------------------------
+@register(
+    "chi2_cell_residuals",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type,
+               CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INT) AS dow,
+               CAST(COUNT(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, dow, o,
+               SUM(o) OVER (PARTITION BY event_type) AS r,
+               SUM(o) OVER (PARTITION BY dow) AS c,
+               SUM(o) OVER () AS n
+        FROM obs
+    )
+    SELECT event_type, dow,
+           CAST(o AS BIGINT) AS observed,
+           round(r * c / n, 6) AS expected,
+           round((o - r * c / n)
+                 / sqrt((r * c / n) * (1 - r / n) * (1 - c / n)), 6)
+               + 0.0 AS std_residual
+    FROM tot
+    """,
+)
+def chi2_cell_residuals(spark, sf_dir):
+    """Standardized (adjusted) Pearson residuals for every cell of the
+    chi-squared contingency table — the drill-down
+    ``chi2_independence_type_dow`` needs when it rejects: residual =
+    (o − e) / sqrt(e(1 − r/N)(1 − c/N)) is approximately N(0,1) under
+    independence, so |residual| > 2 names exactly WHICH (event type,
+    day) cells drive the dependence and in which direction. One row
+    per cell, -0 normalized on the rounded residual.
+
+    Same exact integer cells and marginals as the test itself; the
+    residual is the single float expression per cell, identical trees
+    both engines. Plan: one event-grain rollup; marginal windows ride
+    the ≤ r·c cell frame."""
+    e = t(spark, sf_dir, "events")
+    dow = ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7).cast(
+        "int"
+    )
+    obs = e.groupBy("event_type", dow.alias("dow")).agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    tot = (
+        obs.withColumn(
+            "r", F.sum("o").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("c", F.sum("o").over(Window.partitionBy("dow")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    ex = F.col("r") * F.col("c") / F.col("n")
+    resid = (F.col("o") - ex) / F.sqrt(
+        ex * (1 - F.col("r") / F.col("n")) * (1 - F.col("c") / F.col("n"))
+    )
+    return tot.select(
+        "event_type",
+        "dow",
+        F.col("o").cast("bigint").alias("observed"),
+        F.round(ex, 6).alias("expected"),
+        (F.round(resid, 6) + 0.0).alias("std_residual"),
+    )

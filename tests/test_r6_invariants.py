@@ -532,3 +532,22 @@ def test_time_to_convert_ordering_and_rate(spark):
     assert 0 < r.n_converted <= r.n_signups
     assert abs(r.conversion_rate - r.n_converted / r.n_signups) < 1e-6
     assert 0.0 <= r.q1_hours <= r.med_hours <= r.q3_hours
+
+
+def test_anova_sum_of_squares_partition(spark):
+    r = _run(spark, "anova_value_by_dow").collect()[0]
+    assert r.n_groups == 7
+    assert r.ss_between >= 0.0 and r.ss_within >= 0.0
+    assert r.f_stat >= 0.0
+
+
+def test_chi2_residuals_reconstruct_statistic(spark):
+    rows = _run(spark, "chi2_cell_residuals").collect()
+    chi = _run(spark, "chi2_independence_type_dow").collect()[0]
+    assert len(rows) <= chi.n_types * chi.n_dow
+    assert sum(r.observed for r in rows) == chi.n_events
+    # plain (unadjusted) Pearson residuals squared sum back to chi2
+    total = sum(
+        (r.observed - r.expected) ** 2 / r.expected for r in rows
+    )
+    assert abs(total - chi.chi2) < 0.01
