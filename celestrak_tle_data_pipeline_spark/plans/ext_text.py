@@ -3140,3 +3140,127 @@ def rake_keyphrases(spark, sf_dir):
         "n_words",
         "score_ppm",
     )
+
+
+# --------------------------------------------------------------------------
+# graph metric: local clustering coefficient per node
+# --------------------------------------------------------------------------
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH c AS (
+        SELECT c_name, c_mktsegment FROM customer WHERE c_custkey <= 300
+    ),
+    edges AS (
+        SELECT a.c_mktsegment AS seg, a.c_name AS u, b.c_name AS v
+        FROM c a JOIN c b
+          ON a.c_mktsegment = b.c_mktsegment AND a.c_name < b.c_name
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    adj AS (
+        SELECT seg, u AS x, v AS y FROM edges
+        UNION ALL
+        SELECT seg, v AS x, u AS y FROM edges
+    ),
+    deg AS (
+        SELECT seg, x, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM adj GROUP BY 1, 2
+    ),
+    tri AS (
+        SELECT a1.seg, a1.x, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM adj a1
+        JOIN adj a2 ON a1.seg = a2.seg AND a1.x = a2.x AND a1.y < a2.y
+        JOIN edges e ON e.seg = a1.seg AND e.u = a1.y AND e.v = a2.y
+        GROUP BY 1, 2
+    )
+    SELECT d.seg, d.x AS node, d.degree,
+           CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           round(2.0 * COALESCE(t.n_tri, 0)
+                 / (d.degree * (d.degree - 1)), 6) AS lcc
+    FROM deg d LEFT JOIN tri t ON d.seg = t.seg AND d.x = t.x
+    WHERE d.degree >= 2
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient per node of the Levenshtein<=1
+    match graph — the per-node drill-down of ``dup_graph_triangles``:
+    lcc = 2T/(d(d−1)) is the fraction of a node's neighbor pairs that
+    are themselves connected. In duplicate-cluster QA, lcc≈1 nodes
+    sit in clean cliques (safe to merge); lcc≈0 hubs are the chain
+    centers connected-components over-merges through — the exact
+    nodes an ER pipeline routes to review.
+
+    Triangles-per-node via the symmetric adjacency list joined
+    against the ordered edge set (each neighbor pair tested once by
+    the y1 < y2 invariant); degrees and triangle counts are exact
+    integers and the coefficient is one terminal division. Plan: the
+    same bounded intra-block edge derivation as the triangle count,
+    then node-keyed equi-joins — at scale the edge list is
+    materialized once and every join is bucketed on node id."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 300)
+        .select("c_name", "c_mktsegment")
+    )
+    a = c.select(
+        F.col("c_mktsegment").alias("seg"), F.col("c_name").alias("u")
+    )
+    b = c.select(
+        F.col("c_mktsegment").alias("seg"), F.col("c_name").alias("v")
+    )
+    edges = (
+        a.join(b, on="seg")
+        .where((F.col("u") < F.col("v")) & (F.levenshtein("u", "v") <= 1))
+        .select("seg", "u", "v")
+        .persist()  # shared by adjacency (twice) and the closing join
+    )
+    adj = edges.select("seg", F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+        edges.select("seg", F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    deg = adj.groupBy("seg", "x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    a1 = adj.select("seg", "x", F.col("y").alias("y1"))
+    a2 = adj.select(
+        F.col("seg").alias("seg2"), F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    e3 = edges.select(
+        F.col("seg").alias("seg3"), F.col("u").alias("eu"),
+        F.col("v").alias("ev"),
+    )
+    tri = (
+        a1.join(
+            a2,
+            (F.col("seg") == F.col("seg2"))
+            & (F.col("x") == F.col("x2"))
+            & (F.col("y1") < F.col("y2")),
+        )
+        .join(
+            e3,
+            (F.col("seg") == F.col("seg3"))
+            & (F.col("eu") == F.col("y1"))
+            & (F.col("ev") == F.col("y2")),
+        )
+        .groupBy("seg", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    out = (
+        deg.where(F.col("degree") >= 2)
+        .join(tri, ["seg", "x"], "left")
+        .select(
+            "seg",
+            F.col("x").alias("node"),
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.round(
+                2.0
+                * F.coalesce("n_tri", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("lcc"),
+        )
+    )
+    return out

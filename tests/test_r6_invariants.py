@@ -551,3 +551,22 @@ def test_chi2_residuals_reconstruct_statistic(spark):
         (r.observed - r.expected) ** 2 / r.expected for r in rows
     )
     assert abs(total - chi.chi2) < 0.01
+
+
+def test_clustering_coefficient_consistent_with_triangles(spark):
+    rows = _run(spark, "graph_clustering_coefficient").collect()
+    assert rows
+    for r in rows:
+        assert r.degree >= 2
+        assert 0 <= r.n_triangles <= r.degree * (r.degree - 1) // 2
+        assert 0.0 <= r.lcc <= 1.0
+    # per-node triangle incidences sum to 3x the per-segment counts
+    seg_tri = {}
+    for r in rows:
+        seg_tri[r.seg] = seg_tri.get(r.seg, 0) + r.n_triangles
+    tri = {
+        r.seg: r.n_triangles
+        for r in _run(spark, "dup_graph_triangles").collect()
+    }
+    for seg, n in tri.items():
+        assert seg_tri.get(seg, 0) == 3 * n
