@@ -3264,3 +3264,87 @@ def graph_clustering_coefficient(spark, sf_dir):
         )
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# vocabulary coverage curve (tokenizer budget planning)
+# --------------------------------------------------------------------------
+def _cov_sql(k: int) -> str:
+    return f"""
+        SELECT {k} AS k, SUM(cnt) AS covered
+        FROM (SELECT cnt FROM vocab ORDER BY cnt DESC, tok LIMIT {k})
+    """
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS v_size
+        FROM vocab
+    ),
+    ks AS (
+        {k10} UNION ALL {k100} UNION ALL {k1000}
+    )
+    SELECT CAST(ks.k AS BIGINT) AS vocab_budget,
+           tot.v_size,
+           CAST(ks.covered AS BIGINT) AS covered_tokens,
+           round(ks.covered / CAST(tot.n_tokens AS DOUBLE), 9)
+               AS coverage,
+           round(1.0 - ks.covered / CAST(tot.n_tokens AS DOUBLE), 9)
+               AS oov_rate
+    FROM ks, tot
+    """.format(
+        k10=_cov_sql(10), k100=_cov_sql(100), k1000=_cov_sql(1000)
+    ),
+)
+def vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage curve: the fraction of all token
+    occurrences covered by the top-10 / top-100 / top-1000 most
+    frequent tokens — the tokenizer-budget planning view (Heaps' law
+    fits the growth exponent; this reads off the operating points a
+    vocab-size decision actually compares, with the OOV rate each
+    budget would leave behind).
+
+    Each budget's covered mass comes from an ``ORDER BY cnt DESC,
+    tok LIMIT k`` over the vocab frame — TakeOrderedAndProject per
+    branch, deterministic under count ties via the token tiebreak, NO
+    global sort or rank window over the (unbounded) vocabulary. Counts
+    are exact integers; coverage is one terminal division. Plan: one
+    token explode + hash agg builds the vocab once (persisted), three
+    top-k reductions ride it."""
+    d = t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    tot = vocab.agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("v_size"),
+    )
+    branches = []
+    for k in (10, 100, 1000):
+        topk = (
+            vocab.orderBy(F.desc("cnt"), F.asc("tok"))
+            .limit(k)
+            .agg(F.sum("cnt").alias("covered"))
+            .select(F.lit(k).alias("k"), "covered")
+        )
+        branches.append(topk)
+    ks = branches[0].unionByName(branches[1]).unionByName(branches[2])
+    out = ks.crossJoin(F.broadcast(tot))
+    cov = F.col("covered") / F.col("n_tokens").cast("double")
+    return out.select(
+        F.col("k").cast("bigint").alias("vocab_budget"),
+        "v_size",
+        F.col("covered").cast("bigint").alias("covered_tokens"),
+        F.round(cov, 9).alias("coverage"),
+        F.round(1.0 - cov, 9).alias("oov_rate"),
+    )

@@ -1886,3 +1886,82 @@ def chi2_cell_residuals(spark, sf_dir):
         F.round(ex, 6).alias("expected"),
         (F.round(resid, 6) + 0.0).alias("std_residual"),
     )
+
+
+# --------------------------------------------------------------------------
+# experiment power analysis: minimum detectable effect + required n
+# --------------------------------------------------------------------------
+@register(
+    "power_analysis_mde",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS tv
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(tv AS DECIMAL(28,9))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(tv AS DECIMAL(28,9))
+                        * CAST(tv AS DECIMAL(28,9))) AS DOUBLE) AS ss
+        FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(s / n, 6) AS mean_value,
+           round((n * ss - s * s) / (n * (n - 1.0)), 6) AS var_value,
+           round((1.96 + 0.8416)
+                 * sqrt(2 * ((n * ss - s * s) / (n * (n - 1.0)))
+                        / (n / 2.0)), 6) AS mde_abs,
+           round((1.96 + 0.8416)
+                 * sqrt(2 * ((n * ss - s * s) / (n * (n - 1.0)))
+                        / (n / 2.0)) / (s / n), 6) AS mde_rel,
+           CAST(ceil(2 * (1.96 + 0.8416) * (1.96 + 0.8416)
+                     * ((n * ss - s * s) / (n * (n - 1.0)))
+                     / ((0.05 * s / n) * (0.05 * s / n)))
+                AS BIGINT) AS n_per_arm_for_5pct
+    FROM m
+    """,
+)
+def power_analysis_mde(spark, sf_dir):
+    """Experiment power analysis from the metric's own moments: with
+    the current population split 50/50, the minimum detectable effect
+    at alpha = 0.05 (two-sided) and 80% power is MDE =
+    (z_{0.975} + z_{0.80}) * sqrt(2 sigma^2 / n_arm) — the question
+    every experiment review asks BEFORE launch ("can this test even
+    see a 5% move?"), answered beside the required per-arm sample
+    size for a 5% relative effect. z constants inlined (1.96,
+    0.8416), matching the Wilson/Welch convention of the readout
+    queries.
+
+    Variance comes from the same DECIMAL-exact power sums as
+    ``ab_experiment_readout``; every output is closed-form algebra
+    over (n, S, SS) cast once to DOUBLE. Plan: one user-grain
+    shuffle, one scalar rollup."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("tv")
+    )
+    tvd = F.col("tv").cast("decimal(28,9)")
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(tvd).cast("double").alias("s"),
+        F.sum(tvd * tvd).cast("double").alias("ss"),
+    )
+    n, s_, ss = F.col("n"), F.col("s"), F.col("ss")
+    var = (n * ss - s_ * s_) / (n * (n - 1.0))
+    z = 1.96 + 0.8416
+    mde = z * F.sqrt(2 * var / (n / 2.0))
+    return m.select(
+        n.cast("bigint").alias("n_users"),
+        F.round(s_ / n, 6).alias("mean_value"),
+        F.round(var, 6).alias("var_value"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / (s_ / n), 6).alias("mde_rel"),
+        F.ceil(
+            2 * z * z * var / ((0.05 * s_ / n) * (0.05 * s_ / n))
+        )
+        .cast("bigint")
+        .alias("n_per_arm_for_5pct"),
+    )

@@ -570,3 +570,29 @@ def test_clustering_coefficient_consistent_with_triangles(spark):
     }
     for seg, n in tri.items():
         assert seg_tri.get(seg, 0) == 3 * n
+
+
+def test_power_analysis_consistent_with_readout(spark):
+    r = _run(spark, "power_analysis_mde").collect()[0]
+    assert r.var_value > 0.0
+    assert r.mde_abs > 0.0
+    assert abs(r.mde_rel - r.mde_abs / r.mean_value) < 1e-6
+    assert r.n_per_arm_for_5pct >= 1
+    ab = _run(spark, "ab_experiment_readout").collect()
+    assert r.n_users == sum(x.n_users for x in ab)
+
+
+def test_vocab_coverage_monotone(spark):
+    rows = sorted(
+        _run(spark, "vocab_coverage_curve").collect(),
+        key=lambda r: r.vocab_budget,
+    )
+    assert [r.vocab_budget for r in rows] == [10, 100, 1000]
+    covs = [r.coverage for r in rows]
+    assert covs == sorted(covs)
+    for r in rows:
+        assert abs(r.coverage + r.oov_rate - 1.0) < 1e-8
+        assert 0.0 < r.coverage <= 1.0
+    # budget >= vocabulary means full coverage
+    if rows[-1].vocab_budget >= rows[-1].v_size:
+        assert rows[-1].coverage == 1.0
