@@ -80,6 +80,9 @@ QUERIES = (
     "centroid_classifier_confusion",  # element aggs + pairwise tournament
     "cem_matched_att",              # stratum windows + rank equi-join
     "gains_chart_deciles",          # percentile broadcast + decile rollup
+    "clamped_running_balance",      # reflection identity window pair
+    "vocab_coverage_curve",         # vocab agg + three top-k reductions
+    "time_to_convert_quartiles",    # two gated min-aggs + scalar rollup
 )
 
 
