@@ -708,3 +708,42 @@ def test_hilbert_tiles_are_exact_subquadrants(spark):
         | ~F.col("skippable")
     ).count()
     assert bad == 0
+
+
+def test_digest_is_one_shuffle_no_window(spark):
+    # the replica-equality digest must stay a pure map-side fold plus
+    # one source-keyed partial aggregation: no windows, no sorts, no
+    # single-partition exchange — that shape is WHY it works at 100 TB
+    plan = _plan(spark, "rowhash_table_digest")
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # source-keyed agg + the (source, v) pre-aggregation the exact
+    # distinct-hash count adds; nothing else
+    assert _shuffles(plan) == 2
+
+
+def test_mmr_pool_compiles_to_take_ordered(spark):
+    # the candidate pool must be a TakeOrderedAndProject (top-50), and
+    # only the bounded greedy runs in Python (one ArrowEvalPython-free
+    # FlatMapGroupsInPandas over the 50-row pool)
+    plan = _plan(spark, "mmr_diversified_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_cuped_has_no_window_and_two_aggregations(spark):
+    plan = _plan(spark, "cuped_adjusted_ab")
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") <= 2  # events + broadcast bounds
+    # the only hash exchange is the user-grain rollup; everything
+    # after it is scalar-sized
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_clamped_balance_windows_share_one_shuffle(spark):
+    # both reflection windows and the rollup run on the same user
+    # partitioning: exactly one data-sized exchange
+    plan = _plan(spark, "clamped_running_balance")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
