@@ -1297,3 +1297,112 @@ def clamped_running_balance(spark, sf_dir):
         .cast("bigint")
         .alias("n_floor_hits"),
     )
+
+
+# --------------------------------------------------------------------------
+# session entry/exit transition matrix
+# --------------------------------------------------------------------------
+@register(
+    "session_entry_exit_matrix",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    grouped AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                 AS session_id
+      FROM flagged
+    ),
+    bounds AS (
+      SELECT user_id, session_id,
+             first_value(event_type) OVER w AS entry_type,
+             last_value(event_type) OVER w AS exit_type,
+             COUNT(*) OVER (PARTITION BY user_id, session_id)
+                 AS n_events
+      FROM grouped
+      WINDOW w AS (PARTITION BY user_id, session_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING)
+    ),
+    sessions AS (
+      SELECT DISTINCT user_id, session_id, entry_type, exit_type,
+             n_events
+      FROM bounds
+    )
+    SELECT entry_type, exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           round(SUM(n_events) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS avg_session_len,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces
+    FROM sessions GROUP BY 1, 2
+    """,
+)
+def session_entry_exit_matrix(spark, sf_dir):
+    """Session entry/exit transition matrix: for every (first event
+    type, last event type) pair, how many sessions start and end that
+    way, their average length, and how many are single-event bounces
+    — the landing/abandonment view ("sessions that start with an
+    error and end with an error are bounces; sessions entered via
+    view and exited via purchase are the funnel working") product
+    analytics reads next to ``session_path_analysis``.
+
+    Same session convention as ``session_windows`` (30-minute
+    half-open gap on full-microsecond timestamps, (ts, event_id)
+    total order); entry/exit via first/last_value over the fully
+    framed session window, so ties cannot exist. Plan: all four
+    windows and the session collapse run on the ONE user-keyed
+    shuffle; the final matrix is a tiny (|types|²) rollup."""
+    e = t(spark, sf_dir, "events")
+    ow = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(ow))
+    flagged = e.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).withColumn(
+        "new_session",
+        F.when(
+            (gap_us >= 1800 * 1_000_000) | gap_us.isNull(), 1
+        ).otherwise(0),
+    )
+    grouped = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            ow.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sw = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    bounds = grouped.select(
+        "user_id",
+        "session_id",
+        F.first("event_type").over(sw).alias("entry_type"),
+        F.last("event_type").over(sw).alias("exit_type"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id", "session_id"))
+        .alias("n_events"),
+    ).distinct()
+    return bounds.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.round(
+            F.sum("n_events") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_session_len"),
+        F.sum((F.col("n_events") == 1).cast("int"))
+        .cast("bigint")
+        .alias("n_bounces"),
+    )

@@ -596,3 +596,15 @@ def test_vocab_coverage_monotone(spark):
     # budget >= vocabulary means full coverage
     if rows[-1].vocab_budget >= rows[-1].v_size:
         assert rows[-1].coverage == 1.0
+
+
+def test_entry_exit_matrix_reconciles_with_sessions(spark):
+    rows = _run(spark, "session_entry_exit_matrix").collect()
+    sessions = _run(spark, "session_windows").collect()
+    assert sum(r.n_sessions for r in rows) == len(sessions)
+    assert sum(r.n_events for r in rows) == sum(s.n_events for s in sessions)
+    for r in rows:
+        assert r.n_bounces <= r.n_sessions
+        assert r.avg_session_len >= 1.0
+        if r.entry_type != r.exit_type:
+            assert r.n_bounces == 0  # a bounce enters and exits alike
