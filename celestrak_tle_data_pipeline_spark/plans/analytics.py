@@ -1886,3 +1886,98 @@ def time_to_convert_quartiles(spark, sf_dir):
         F.round(F.col("med") / F.lit(3600e6), 6).alias("med_hours"),
         F.round(F.col("q3") / F.lit(3600e6), 6).alias("q3_hours"),
     )
+
+
+# --------------------------------------------------------------------------
+# linear multi-touch attribution
+# --------------------------------------------------------------------------
+@register(
+    "attribution_linear_touch",
+    oracle="""
+    WITH conv AS (
+        SELECT event_id AS conv_id, user_id, ts AS c_ts,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, ts AS t_ts, event_type
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    touched AS (
+        SELECT c.conv_id, c.v, t.event_type
+        FROM conv c JOIN touch t
+          ON c.user_id = t.user_id
+         AND t.t_ts <= c.c_ts
+         AND t.t_ts > c.c_ts - INTERVAL 7 DAY
+    ),
+    per_conv AS (
+        SELECT conv_id, COUNT(*) AS k FROM touched GROUP BY 1
+    ),
+    credits AS (
+        SELECT t.event_type,
+               t.conv_id,
+               CAST(round(t.v / p.k, 6) AS DECIMAL(18,6)) AS credit
+        FROM touched t JOIN per_conv p ON t.conv_id = p.conv_id
+    )
+    SELECT event_type AS touch_type,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT)
+               AS n_conversions_touched,
+           CAST(COUNT(*) AS BIGINT) AS n_credited_touches,
+           CAST(SUM(credit) AS DOUBLE) AS credited_value
+    FROM credits GROUP BY 1
+    """,
+)
+def attribution_linear_touch(spark, sf_dir):
+    """Linear multi-touch attribution: every click/view in the 7 days
+    before a purchase shares the conversion value EQUALLY (value/k to
+    each of the k touches) — the model between the extremes
+    ``attribution_first_last_touch`` certifies, and the one marketing
+    mix reviews default to when neither endpoint deserves full
+    credit. Per touch channel: conversions it participated in,
+    credited touch count, and total credited value.
+
+    Determinism: k is an exact integer per conversion; each touch's
+    credit is value/k rounded to 6 and then summed as DECIMAL(18,6)
+    (the rounded-then-exact-sum contract), so channel totals are
+    order-independent. Plan: the conversion-touch join is user-keyed
+    with a 7-day range predicate (bounded fan-out per conversion);
+    per-conversion touch counts and channel rollups are two more
+    hash aggregations on the same keys."""
+    e = t(spark, sf_dir, "events")
+    conv = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        dec("value", 18, 2).alias("v"),
+    )
+    touch = e.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("ts").alias("t_ts"), "event_type"
+    )
+    touched = conv.join(
+        touch,
+        (conv.user_id == touch.user_id)
+        & (F.col("t_ts") <= F.col("c_ts"))
+        & (
+            F.unix_micros("t_ts")
+            > F.unix_micros("c_ts") - 7 * 86_400 * 1_000_000
+        ),
+    ).select("conv_id", "v", "event_type")
+    per_conv = touched.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    credits = touched.join(per_conv, "conv_id").select(
+        "event_type",
+        "conv_id",
+        F.round(F.col("v") / F.col("k"), 6)
+        .cast("decimal(18,6)")
+        .alias("credit"),
+    )
+    return credits.groupBy(
+        F.col("event_type").alias("touch_type")
+    ).agg(
+        F.countDistinct("conv_id")
+        .cast("bigint")
+        .alias("n_conversions_touched"),
+        F.count(F.lit(1)).cast("bigint").alias("n_credited_touches"),
+        F.sum("credit").cast("double").alias("credited_value"),
+    )

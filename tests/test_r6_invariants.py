@@ -608,3 +608,41 @@ def test_entry_exit_matrix_reconciles_with_sessions(spark):
         assert r.avg_session_len >= 1.0
         if r.entry_type != r.exit_type:
             assert r.n_bounces == 0  # a bounce enters and exits alike
+
+
+def test_linear_attribution_conserves_value_approximately(spark):
+    from pyspark.sql import functions as F
+
+    from celestrak_tle_data_pipeline_spark.plans.common import t
+
+    rows = _run(spark, "attribution_linear_touch").collect()
+    assert {r.touch_type for r in rows} <= {"click", "view"}
+    credited = sum(r.credited_value for r in rows)
+    # credited value telescopes back to the total value of touched
+    # conversions (up to the 1e-6 per-touch rounding)
+    e = t(spark, SF_DIR, "events")
+    conv = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cid"), "user_id",
+        F.col("ts").alias("cts"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    touch = e.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("ts").alias("tts")
+    )
+    touched_total = (
+        conv.join(
+            touch,
+            (conv.user_id == touch.user_id)
+            & (F.col("tts") <= F.col("cts"))
+            & (
+                F.unix_micros("tts")
+                > F.unix_micros("cts") - 7 * 86_400 * 1_000_000
+            ),
+        )
+        .select("cid", "v")
+        .distinct()
+        .agg(F.sum("v"))
+        .collect()[0][0]
+    )
+    n_touches = sum(r.n_credited_touches for r in rows)
+    assert abs(credited - float(touched_total)) <= n_touches * 1e-6
