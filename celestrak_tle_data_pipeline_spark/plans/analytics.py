@@ -1981,3 +1981,79 @@ def attribution_linear_touch(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_credited_touches"),
         F.sum("credit").cast("double").alias("credited_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# discount -> quantity elasticity (per-shipmode OLS)
+# --------------------------------------------------------------------------
+@register(
+    "discount_quantity_elasticity",
+    oracle="""
+    WITH p AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sxx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS syy,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sxy
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag AS returnflag,
+           CAST(n AS BIGINT) AS n_lines,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                          * sx / n, 6) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+               AS r2
+    FROM p
+    """,
+)
+def discount_quantity_elasticity(spark, sf_dir):
+    """Discount-to-quantity elasticity per return flag: the OLS fit of
+    line quantity on discount — slope answers "does a deeper discount
+    move more units?" (the demand-response readout a pricing review
+    runs on TPC-H-shaped sales data), r² says whether discount
+    explains any quantity variance at all, a near-zero r² warning
+    against causal readings of the slope. Grouped by return flag (the
+    generated lineitem carries no shipmode column).
+
+    Same closed-form five-sum OLS as the decay-rate and Heaps fits:
+    per-group n, Σx, Σy, Σx², Σy², Σxy are DECIMAL-exact
+    partial-aggregated rollups; slope/intercept/r² are identical
+    double expression trees over those scalars. Plan: ONE shuffle of
+    lineitem to |shipmodes| groups, then scalar algebra."""
+    l = t(spark, sf_dir, "lineitem")
+    x = dec("l_discount", 18, 2)
+    y = dec("l_quantity", 18, 2)
+    p = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return p.select(
+        F.col("l_returnflag").alias("returnflag"),
+        n.cast("bigint").alias("n_lines"),
+        F.round(slope, 6).alias("slope"),
+        F.round(sy / n - slope * sx / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            9,
+        ).alias("r2"),
+    )

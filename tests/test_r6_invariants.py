@@ -646,3 +646,14 @@ def test_linear_attribution_conserves_value_approximately(spark):
     )
     n_touches = sum(r.n_credited_touches for r in rows)
     assert abs(credited - float(touched_total)) <= n_touches * 1e-6
+
+
+def test_elasticity_r2_bounds(spark):
+    rows = _run(spark, "discount_quantity_elasticity").collect()
+    assert rows
+    for r in rows:
+        assert r.n_lines > 2
+        assert 0.0 <= r.r2 <= 1.0
+        import math
+
+        assert math.isfinite(r.slope) and math.isfinite(r.intercept)
