@@ -2057,3 +2057,115 @@ def discount_quantity_elasticity(spark, sf_dir):
             9,
         ).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Holt double-exponential smoothing (iterative forecast, replayed oracle)
+# --------------------------------------------------------------------------
+@register(
+    "holt_linear_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT d, y, row_number() OVER (ORDER BY d) AS i FROM daily
+    ),
+    h AS (
+        SELECT i, y,
+               y AS level,
+               CAST(0.0 AS DOUBLE) AS trend,
+               CAST(NULL AS DOUBLE) AS forecast
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT x.i, x.y,
+               0.5 * x.y + 0.5 * (h.level + h.trend),
+               0.5 * ((0.5 * x.y + 0.5 * (h.level + h.trend)) - h.level)
+                   + 0.5 * h.trend,
+               h.level + h.trend
+        FROM h JOIN idx x ON x.i = h.i + 1
+    )
+    SELECT idx.d,
+           round(h.y, 6) AS y,
+           round(h.level, 6) AS level,
+           round(h.trend, 6) AS trend,
+           round(h.forecast, 6) AS one_step_forecast
+    FROM h JOIN idx ON idx.i = h.i
+    """,
+)
+def holt_linear_forecast(spark, sf_dir):
+    """Holt double-exponential smoothing (level + trend, α = β = 1/2)
+    over the daily value series — the first real forecaster above the
+    seasonal-naive baseline ``seasonal_naive_mase`` scores: level
+    tracks the local mean, trend the local slope, and
+    ``one_step_forecast`` is what the model would have predicted for
+    each day (its error series is the thing MASE compares).
+
+    An exponential smoother is a SEQUENTIAL recurrence with no
+    closed-form window rewrite (unlike the clamped balance), so this
+    is the designed showcase of the engine's recurrence pattern: the
+    calendar-bounded day frame (one aggregation shuffle collapses the
+    events) flows through ONE Arrow batch whose kernel runs the
+    recursion in plain IEEE doubles, and the DuckDB oracle REPLAYS
+    the identical recursion as a recursive CTE — same operation
+    order, bitwise-equal doubles, the same independent-replay
+    contract as ``mmr_diversified_topk``. α = β = 1/2 keeps every
+    multiply exact, narrowing the float story to identically-ordered
+    additions. At 100 TB the recursion length is the calendar span —
+    a constant — while the data-sized work stays in the day rollup."""
+    import pandas as pd
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.sum(dec("value", 18, 2)).cast("double").alias("y"))
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        level, trend, fc = [], [], []
+        l = b = None
+        for _, row in pdf.iterrows():
+            y = float(row["y"])
+            if l is None:
+                l, b = y, 0.0
+                fc.append(None)
+            else:
+                fc.append(l + b)
+                l_new = 0.5 * y + 0.5 * (l + b)
+                b = 0.5 * (l_new - l) + 0.5 * b
+                l = l_new
+            level.append(l)
+            trend.append(b)
+        # raw doubles out; the outer select applies F.round so the
+        # half-away rounding convention matches the SQL oracle's
+        # (pandas/python round are half-even and disagree on exact
+        # binary midpoints like 166246.9765625)
+        return pd.DataFrame(
+            {
+                "d": pdf["d"],
+                "y": pdf["y"],
+                "level": level,
+                "trend": trend,
+                "one_step_forecast": fc,
+            }
+        )
+
+    raw = (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            smooth,
+            schema="d date, y double, level double, trend double,"
+            " one_step_forecast double",
+        )
+    )
+    return raw.select(
+        "d",
+        F.round("y", 6).alias("y"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("one_step_forecast", 6).alias("one_step_forecast"),
+    )

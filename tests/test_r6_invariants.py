@@ -657,3 +657,22 @@ def test_elasticity_r2_bounds(spark):
         import math
 
         assert math.isfinite(r.slope) and math.isfinite(r.intercept)
+
+
+def test_holt_replays_the_recurrence(spark):
+    rows = sorted(
+        _run(spark, "holt_linear_forecast").collect(), key=lambda r: r.d
+    )
+    assert rows
+    assert rows[0].one_step_forecast is None
+    assert rows[0].trend == 0.0 and rows[0].level == rows[0].y
+    # replay the recurrence in pure python; level/trend must agree to
+    # rounding tolerance
+    l, b = rows[0].y, 0.0
+    for r in rows[1:]:
+        assert abs(r.one_step_forecast - (l + b)) < 1e-5
+        l_new = 0.5 * r.y + 0.5 * (l + b)
+        b = 0.5 * (l_new - l) + 0.5 * b
+        l = l_new
+        assert abs(r.level - l) < 1e-5
+        assert abs(r.trend - b) < 1e-5
