@@ -1652,3 +1652,61 @@ def cm_selfjoin_size_estimate(spark, sf_dir):
             "never_undercounts"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# quantity-weighted price quantiles (percentile with frequency)
+# --------------------------------------------------------------------------
+@register(
+    "weighted_price_quantiles",
+    oracle="""
+    WITH expanded AS (
+        SELECT l_returnflag, l_extendedprice
+        FROM lineitem, unnest(range(CAST(l_quantity AS BIGINT)))
+    )
+    SELECT l_returnflag,
+           CAST((SELECT COUNT(*) FROM lineitem li
+                 WHERE li.l_returnflag = expanded.l_returnflag)
+                AS BIGINT) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS total_weight,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS wq25,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS wmedian,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS wq75
+    FROM expanded GROUP BY l_returnflag
+    """,
+)
+def weighted_price_quantiles(spark, sf_dir):
+    """Quantity-WEIGHTED price quantiles per return flag: the median
+    price a unit actually sold at (not the median line) — the
+    difference between "half our order lines are under X" and "half
+    our volume moved under X", which is the number pricing and
+    inventory planning want. Certifies Spark's three-argument
+    ``percentile(col, p, frequency)`` — each row replicated by its
+    integer weight inside the aggregation buffer — against a DuckDB
+    oracle that EXPANDS rows by weight (unnest(range(qty))) and runs
+    plain quantile_cont on the multiset: two independent mechanisms,
+    same interpolation.
+
+    Weights are exact integers; the Spark side never materializes the
+    expansion (the frequency path aggregates (value, weight) pairs),
+    which is the 100 TB story: weighted quantiles at scan cost, no
+    row blow-up — the oracle's expansion is the semantics
+    specification, not the plan."""
+    l = t(spark, sf_dir, "lineitem")
+    freq = F.col("l_quantity").cast("bigint")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(freq).cast("bigint").alias("total_weight"),
+        F.round(
+            F.expr("percentile(l_extendedprice, 0.25,"
+                   " CAST(l_quantity AS BIGINT))"), 6
+        ).alias("wq25"),
+        F.round(
+            F.expr("percentile(l_extendedprice, 0.5,"
+                   " CAST(l_quantity AS BIGINT))"), 6
+        ).alias("wmedian"),
+        F.round(
+            F.expr("percentile(l_extendedprice, 0.75,"
+                   " CAST(l_quantity AS BIGINT))"), 6
+        ).alias("wq75"),
+    )

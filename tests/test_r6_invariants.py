@@ -676,3 +676,25 @@ def test_holt_replays_the_recurrence(spark):
         l = l_new
         assert abs(r.level - l) < 1e-5
         assert abs(r.trend - b) < 1e-5
+
+
+def test_weighted_quantiles_ordered_and_weight_dominates(spark):
+    rows = _run(spark, "weighted_price_quantiles").collect()
+    assert rows
+    for r in rows:
+        assert r.total_weight > r.n_lines  # quantities exceed 1
+        assert r.wq25 <= r.wmedian <= r.wq75
+    # weighted median differs from the unweighted one somewhere
+    # (otherwise the frequency argument certifies nothing)
+    from pyspark.sql import functions as F
+
+    from celestrak_tle_data_pipeline_spark.plans.common import t
+
+    unw = {
+        x.l_returnflag: x.m
+        for x in t(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.median("l_extendedprice").alias("m"))
+        .collect()
+    }
+    assert any(abs(unw[r.l_returnflag] - r.wmedian) > 1e-9 for r in rows)
