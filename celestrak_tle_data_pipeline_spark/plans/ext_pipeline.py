@@ -1448,3 +1448,91 @@ def join_size_sample_estimate(spark, sf_dir):
         F.round(err, 6).alias("rel_error"),
         (err <= 0.10).alias("within_10pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# mixture interleave schedule (deterministic dataloader plan)
+# --------------------------------------------------------------------------
+@register(
+    "mixture_interleave_schedule",
+    oracle="""
+    WITH w AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM w),
+    grid AS (
+        SELECT w.source, w.n_docs, g.k
+        FROM w, tot, LATERAL unnest(generate_series(1, 1000)) AS g(k)
+        WHERE (g.k * w.n_docs) // tot.n
+              > ((g.k - 1) * w.n_docs) // tot.n
+    ),
+    gaps AS (
+        SELECT source, n_docs, k,
+               k - LAG(k) OVER (PARTITION BY source ORDER BY k) AS gap
+        FROM grid
+    )
+    SELECT source,
+           n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_steps,
+           CAST(MIN(k) AS BIGINT) AS first_step,
+           CAST(MAX(k) AS BIGINT) AS last_step,
+           CAST(MAX(gap) AS BIGINT) AS max_gap,
+           round(COUNT(*) / 1000.0, 6) AS achieved_share,
+           round(n_docs / CAST((SELECT n FROM tot) AS DOUBLE), 6)
+               AS target_share
+    FROM gaps GROUP BY source, n_docs
+    """,
+)
+def mixture_interleave_schedule(spark, sf_dir):
+    """Deterministic mixture-interleave schedule — the dataloader
+    side of ``mixture_budget_plan``: given per-source corpus shares,
+    assign each of 1000 global training steps to sources by the
+    integer Bresenham rule (source s fires at step k iff
+    floor(k·n_s/N) increments), which guarantees every source's step
+    count is within 1 of its exact quota and its assignments are
+    maximally evenly spaced — no RNG, reproducible across runs,
+    restartable from any step. Reports per source the achieved vs
+    target share, the first/last step, and the largest gap (the
+    starvation metric an interleaving dataloader is judged on).
+
+    All schedule arithmetic is exact integer floors on a
+    (steps × sources) grid whose size is a CONFIG constant (1000·|S|
+    rows at any corpus scale); the only data-sized work is the
+    per-source count. Per-source gap windows partition on source."""
+    d = t(spark, sf_dir, "documents")
+    w = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = w.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    grid = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(1000))).alias("k"),
+        )
+        .where(
+            # integer div matches the oracle's // exactly — a double
+            # division + floor can land an ulp below an exact multiple
+            F.expr("(k * n_docs) div n") > F.expr("((k - 1) * n_docs) div n")
+        )
+    )
+    gaps = grid.withColumn(
+        "gap",
+        F.col("k")
+        - F.lag("k").over(Window.partitionBy("source").orderBy("k")),
+    )
+    return gaps.groupBy("source", "n_docs").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+        F.min("k").cast("bigint").alias("first_step"),
+        F.max("k").cast("bigint").alias("last_step"),
+        F.max("gap").cast("bigint").alias("max_gap"),
+        F.round(F.count(F.lit(1)) / F.lit(1000.0), 6).alias(
+            "achieved_share"
+        ),
+        F.round(
+            F.max("n_docs") / F.max("n").cast("double"), 6
+        ).alias("target_share"),
+    )

@@ -698,3 +698,19 @@ def test_weighted_quantiles_ordered_and_weight_dominates(spark):
         .collect()
     }
     assert any(abs(unw[r.l_returnflag] - r.wmedian) > 1e-9 for r in rows)
+
+
+def test_interleave_schedule_bresenham_fairness(spark):
+    rows = _run(spark, "mixture_interleave_schedule").collect()
+    assert rows
+    assert sum(r.n_steps for r in rows) == 1000
+    for r in rows:
+        # Bresenham bound: achieved steps within 1 of the exact quota
+        assert abs(r.n_steps - 1000 * r.target_share) <= 1.0 + 1e-6
+        # even spacing: largest gap can't exceed ceil(1/share) + 1
+        import math
+
+        if r.target_share > 0:
+            assert r.max_gap is None or r.max_gap <= math.ceil(
+                1.0 / r.target_share
+            ) + 1
