@@ -122,3 +122,52 @@ def run_digest_stream(
     )
     q.awaitTermination()
     return sink
+
+
+class StreamingReach:
+    """foreachBatch sink counting FIRST-SEEN users per micro-batch.
+
+    The stream is deduplicated upstream with an UNWATERMARKED
+    ``dropDuplicates`` — state holds every user id ever seen, the
+    correct tool for an all-time reach counter (the state size is the
+    answer's cardinality, so it cannot be bounded tighter; contrast
+    the 3-day watermarked dedup in streaming/incremental.py whose
+    state is horizon-bounded by design). The sink itself keeps only
+    the running total.
+    """
+
+    def __init__(self) -> None:
+        self.total = 0
+        self.per_batch: list[int] = []
+
+    def count_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        self.per_batch.append(n)
+        self.total += n
+
+
+def run_reach_stream(
+    spark: SparkSession, landing_dir: str, checkpoint_dir: str
+) -> StreamingReach:
+    """Drain a parquet landing dir through dropDuplicates(user) and
+    count first-seen users — the streaming form of the
+    ``cumulative_distinct_users`` reach curve."""
+    sink = StreamingReach()
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        )
+        .parquet(landing_dir)
+        .select("user_id")
+        .dropDuplicates(["user_id"])
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink.count_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return sink

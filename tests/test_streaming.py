@@ -659,3 +659,57 @@ def test_streaming_digest_equals_batch_digest(spark, tmp_path):
         ).collect()
     }
     assert reg == want
+
+
+def test_streaming_reach_matches_batch_first_seen(spark, tmp_path):
+    # unwatermarked dropDuplicates state: first-seen user counts across
+    # micro-batches must telescope to the batch reach curve's total,
+    # and users split across batches are counted exactly once
+    from pyspark.sql import functions as F
+
+    from celestrak_tle_data_pipeline_spark import plans
+    from celestrak_tle_data_pipeline_spark.plans.common import t
+    from celestrak_tle_data_pipeline_spark.streaming.integrity import (
+        run_reach_stream,
+    )
+
+    ev = t(spark, "/root/testdata/sf0.001", "events")
+    landing = tmp_path / "reach_landing"
+    landing.mkdir()
+    # time-sliced landing files; the SAME users recur across slices
+    days = [r[0] for r in ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct().orderBy("d").collect()]
+    cut = days[len(days) // 2]
+    ev.where(F.date_trunc("day", "ts").cast("date") <= F.lit(cut)).write.mode(
+        "overwrite"
+    ).parquet(str(landing / "early"))
+    ev.where(F.date_trunc("day", "ts").cast("date") > F.lit(cut)).write.mode(
+        "overwrite"
+    ).parquet(str(landing / "late"))
+
+    sink = run_reach_stream(
+        spark, str(landing / "early"), str(tmp_path / "rck")
+    )
+    early_total = sink.total
+    # resume from the SAME checkpoint on the second slice: dedup state
+    # must persist, so recurring users are not recounted — point the
+    # source at a dir containing both slices' files
+    import shutil
+
+    merged = landing / "merged"
+    merged.mkdir()
+    for sub in ("early", "late"):
+        for f in (landing / sub).glob("*.parquet"):
+            shutil.copy(f, merged / f"{sub}_{f.name}")
+    sink2 = run_reach_stream(
+        spark, str(merged), str(tmp_path / "rck2")
+    )
+    curve = sorted(
+        plans.all_queries()["cumulative_distinct_users"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.d,
+    )
+    assert sink2.total == curve[-1].cum_users
+    assert early_total <= sink2.total
