@@ -2169,3 +2169,84 @@ def holt_linear_forecast(spark, sf_dir):
         F.round("trend", 6).alias("trend"),
         F.round("one_step_forecast", 6).alias("one_step_forecast"),
     )
+
+
+# --------------------------------------------------------------------------
+# open-order backlog curve (sweep-line interval counting)
+# --------------------------------------------------------------------------
+@register(
+    "open_order_backlog_sweep",
+    oracle="""
+    WITH spans AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS start_d,
+               MAX(CAST(l.l_shipdate AS DATE)) AS end_d
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    deltas AS (
+        SELECT start_d AS d, 1 AS delta FROM spans
+        UNION ALL
+        SELECT end_d + 1 AS d, -1 AS delta FROM spans
+    ),
+    daily AS (
+        SELECT d,
+               CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_opened,
+               CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_closed,
+               SUM(delta) AS net
+        FROM deltas GROUP BY d
+    )
+    SELECT d, n_opened, n_closed,
+           CAST(SUM(net) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS backlog
+    FROM daily
+    """,
+)
+def open_order_backlog_sweep(spark, sf_dir):
+    """Open-order backlog over time by SWEEP-LINE interval counting:
+    each order is an interval [orderdate, last shipdate]; instead of
+    joining every day against every order (quadratic), each interval
+    emits a +1 delta at its start and a −1 the day after its end, and
+    the running sum of daily nets IS the number of concurrently open
+    orders — the WIP/backlog curve operations dashboards track, and
+    the canonical O(n) rewrite of "how many intervals cover each
+    point".
+
+    Plan: one order-grain aggregation finds each order's last
+    shipment (the only data-sized shuffle), the delta union collapses
+    to the day grain, and the cumulative window runs on the
+    calendar-bounded day frame. All integers; no interval join
+    anywhere."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("start_d"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("end_d"))
+    )
+    deltas = spans.select(
+        F.col("start_d").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            F.date_add("end_d", 1).alias("d"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = deltas.groupBy("d").agg(
+        F.sum((F.col("delta") == 1).cast("int"))
+        .cast("bigint")
+        .alias("n_opened"),
+        F.sum((F.col("delta") == -1).cast("int"))
+        .cast("bigint")
+        .alias("n_closed"),
+        F.sum("delta").alias("net"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d",
+        "n_opened",
+        "n_closed",
+        F.sum("net").over(w).cast("bigint").alias("backlog"),
+    )

@@ -714,3 +714,31 @@ def test_interleave_schedule_bresenham_fairness(spark):
             assert r.max_gap is None or r.max_gap <= math.ceil(
                 1.0 / r.target_share
             ) + 1
+
+
+def test_backlog_sweep_telescopes_and_stays_nonnegative(spark):
+    from pyspark.sql import functions as F
+
+    from celestrak_tle_data_pipeline_spark.plans.common import t
+
+    rows = sorted(
+        _run(spark, "open_order_backlog_sweep").collect(),
+        key=lambda r: r.d,
+    )
+    assert rows
+    run = 0
+    for r in rows:
+        run += r.n_opened - r.n_closed
+        assert r.backlog == run
+        assert r.backlog >= 0  # an order closes only after it opened
+    assert rows[-1].backlog == 0  # every order eventually ships
+    # total opened equals the number of orders with lineitems
+    o = t(spark, SF_DIR, "orders")
+    l = t(spark, SF_DIR, "lineitem")
+    n_orders = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select("o_orderkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_opened for r in rows) == n_orders
