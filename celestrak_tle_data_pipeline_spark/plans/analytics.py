@@ -2250,3 +2250,71 @@ def open_order_backlog_sweep(spark, sf_dir):
         "n_closed",
         F.sum("net").over(w).cast("bigint").alias("backlog"),
     )
+
+
+# --------------------------------------------------------------------------
+# shipping SLA attainment tiers per order priority
+# --------------------------------------------------------------------------
+@register(
+    "shipping_sla_attainment",
+    oracle="""
+    WITH lines AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(l.l_shipdate AS DATE)
+                   - CAST(o.o_orderdate AS DATE) AS lag_days
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_30d,
+           CAST(SUM(CASE WHEN lag_days <= 60 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_60d,
+           CAST(SUM(CASE WHEN lag_days <= 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_90d,
+           round(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS sla_30d,
+           round(SUM(CASE WHEN lag_days <= 90 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS sla_90d,
+           CAST(MAX(lag_days) AS BIGINT) AS worst_lag_days
+    FROM lines GROUP BY priority
+    """,
+)
+def shipping_sla_attainment(spark, sf_dir):
+    """Shipping SLA attainment per order priority: the fraction of
+    line items shipped within 30/60/90 days of order placement, plus
+    the worst observed lag — the tiered service-level scorecard an
+    operations review reads next to the backlog curve
+    (``open_order_backlog_sweep``); a premium priority whose 30-day
+    attainment trails a lower tier is the misrouting signal.
+
+    Lag is an exact integer day difference; every tier count is an
+    integer aggregate and each attainment rate one terminal division.
+    Plan: the orders↔lineitem equi-join (AQE picks broadcast or
+    sort-merge by size) feeding ONE partial-aggregated rollup to the
+    five priority groups."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    lines = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("lag_days"),
+    )
+    tier = lambda d: F.sum((F.col("lag_days") <= d).cast("int")).cast(
+        "bigint"
+    )
+    return lines.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        tier(30).alias("n_within_30d"),
+        tier(60).alias("n_within_60d"),
+        tier(90).alias("n_within_90d"),
+        F.round(
+            tier(30) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("sla_30d"),
+        F.round(
+            tier(90) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("sla_90d"),
+        F.max("lag_days").cast("bigint").alias("worst_lag_days"),
+    )

@@ -742,3 +742,13 @@ def test_backlog_sweep_telescopes_and_stays_nonnegative(spark):
         .count()
     )
     assert sum(r.n_opened for r in rows) == n_orders
+
+
+def test_sla_tiers_are_nested(spark):
+    rows = _run(spark, "shipping_sla_attainment").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_within_30d <= r.n_within_60d <= r.n_within_90d
+        assert r.n_within_90d <= r.n_lines
+        assert 0.0 <= r.sla_30d <= r.sla_90d <= 1.0
+        assert r.worst_lag_days >= 0
