@@ -502,19 +502,48 @@ def systematic_weighted_sample(spark, sf_dir):
 
     Everything is int64 arithmetic (cumsum, integer division) — no
     RNG, no floats — so the sample is reproducible anywhere and the
-    oracle matches exactly. Plan: one scan; the cumulative sum is a
-    single-ordering window (at 100 TB: range-partition by doc_id and
-    carry per-partition offsets — the same two-pass pattern
-    sequence_packing_chunks documents); the grand total rides a
-    broadcast one-row aggregate, lazy in the same DAG.
+    oracle matches exactly. Plan — the cumulative character axis is
+    built WITHOUT a single-partition total-order window (the r6
+    verdict's X22 scale-killer): the scan range-partitions on doc_id
+    (a total order across partitions), the running sum computes per
+    partition, and each partition's starting offset is the broadcast
+    prefix-sum of per-partition character totals — global cum =
+    local cum + offset, exactly (the pid-offset pattern shared with
+    mann_whitney_u_values / sorted_neighborhood_ranged,
+    stats_tests.py:170-240). The grand total rides a broadcast
+    one-row aggregate in the same DAG. No row-grain data ever
+    serializes through one task; the offsets frame is
+    |partitions| rows. tests/test_plans.py pins the absence of a
+    single-partition window exchange.
     """
     d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     total = d.agg(F.sum("n_chars").alias("total"))
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    pool = (
+        d.repartitionByRange(8, F.col("doc_id").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = pool.groupBy("pid").agg(F.sum("n_chars").alias("pchars"))
+    # prefix offsets via a triangular self-join over the |partitions|-row
+    # totals frame — not even a bounded-domain window, so the
+    # single-partition audit stays at zero for this plan
+    prior = psums.select(
+        F.col("pid").alias("bpid"), F.col("pchars").alias("bchars")
+    )
+    offsets = (
+        psums.select("pid")
+        .join(prior, F.col("bpid") < F.col("pid"), "left")
+        .groupBy("pid")
+        .agg(F.coalesce(F.sum("bchars"), F.lit(0)).alias("offset"))
+    )
+    local_cum = F.sum("n_chars").over(
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = (
-        d.withColumn("cum", F.sum("n_chars").over(w))
+        pool.join(F.broadcast(offsets), "pid")
+        .withColumn("cum", local_cum + F.col("offset"))
         .crossJoin(F.broadcast(total))
         .withColumn("stride", F.expr("total DIV 100"))
     )

@@ -65,3 +65,68 @@ def test_equidepth_bounded_agrees_with_ntile_form(spark):
     assert sum(ntile.values()) == sum(bounded.values())
     for b in ntile:
         assert abs(ntile[b] - bounded[b]) <= 1, (b, ntile[b], bounded[b])
+
+
+def test_pareto_decile_ranged_plan_is_window_free(spark):
+    # the ntile form's defining flaw (r6 verdict X73) is NTILE over an
+    # unpartitioned customer-grain window; the ranged twin must carry
+    # no window operator at all — boundaries broadcast back, the
+    # cumulative curve is a triangular self-join over the 10-row
+    # decile aggregate
+    plan = _plan(spark, "pareto_decile_ranged")
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan  # boundary row broadcasts
+
+
+def test_pareto_decile_ranged_agrees_with_ntile_form(spark):
+    # rank-split (ntile) vs value-split (percentile boundary) decile
+    # populations differ by at most 1 per decile on distinct revenues:
+    # ntile places remainder rows in leading deciles, quantile_cont
+    # cuts at 1+(N-1)q. Certify that bound plus identical totals and
+    # a monotone cumulative-share curve ending at 1.
+    ntile = {
+        r["decile"]: r["n_customers"]
+        for r in _df(spark, "pareto_decile_analysis").collect()
+    }
+    ranged_rows = _df(spark, "pareto_decile_ranged").collect()
+    ranged = {r["decile"]: r["n_customers"] for r in ranged_rows}
+    assert set(ntile) == set(ranged) == set(range(1, 11))
+    assert sum(ntile.values()) == sum(ranged.values())
+    for d in ntile:
+        assert abs(ntile[d] - ranged[d]) <= 1, (d, ntile[d], ranged[d])
+    cum = [r["cum_share"] for r in sorted(ranged_rows, key=lambda r: r["decile"])]
+    assert all(a <= b for a, b in zip(cum, cum[1:]))
+    assert abs(cum[-1] - 1.0) < 1e-12
+
+
+def _no_window_or_sort_over_single_partition(plan):
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        ctx = plan[max(0, m.start() - 500):m.start()]
+        assert "Window" not in ctx
+        assert not ("Sort " in ctx and "TakeOrdered" not in ctx)
+
+
+def test_systematic_sample_plan_has_no_global_cumsum(spark):
+    # r6 verdict X22: the cumulative character axis must not be an
+    # unpartitioned running-sum window. The rewrite range-partitions
+    # on doc_id, cumsums per partition, and adds broadcast prefix
+    # offsets built with a triangular self-join — the only
+    # SinglePartition exchange left is the grand-total scalar merge
+    # (one row), never under a Window or Sort.
+    plan = _plan(spark, "systematic_weighted_sample")
+    assert "Exchange rangepartitioning" in plan
+    _no_window_or_sort_over_single_partition(plan)
+
+
+def test_pareto_frontier_plan_merges_partition_frontiers(spark):
+    # r6 verdict X44: the skyline's running max must not sort the
+    # near-continuous price grain through one partition. The rewrite
+    # range-partitions the price-grain aggregate, runs the
+    # strictly-preceding max per partition, and folds in a broadcast
+    # per-partition carry (frontier(A∪B) = frontier(frontier(A) ∪
+    # frontier(B))).
+    plan = _plan(spark, "pareto_frontier_orders")
+    assert "Exchange rangepartitioning" in plan
+    _no_window_or_sort_over_single_partition(plan)
