@@ -1547,7 +1547,7 @@ def seasonal_naive_mase(spark, sf_dir):
     "user_value_drawdown",
     oracle="""
     WITH c AS (
-        SELECT user_id, event_id,
+        SELECT user_id, event_id, ts,
                SUM(CASE WHEN event_type IN ('purchase', 'signup')
                         THEN CAST(value AS DECIMAL(18,2))
                         ELSE -CAST(value AS DECIMAL(18,2)) END) OVER (
@@ -1559,7 +1559,7 @@ def seasonal_naive_mase(spark, sf_dir):
     p AS (
         SELECT user_id, cum,
                MAX(cum) OVER (
-                   PARTITION BY user_id ORDER BY event_id
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS peak
         FROM c
@@ -1581,11 +1581,12 @@ def user_value_drawdown(spark, sf_dir):
     and signups add value, friction events (clicks, views, errors)
     subtract it, so peaks and troughs genuinely alternate.
 
-    NOTE the second window orders by event_id ALONE (not ts,
-    event_id): the cumulative series is already built in (ts,
-    event_id) order, and event_id is unique per user here, so both
-    engines take the identical total order — a deliberate match with
-    the oracle. All arithmetic is DECIMAL-exact end to end; the
+    BOTH windows order by (ts, event_id) — the same total order the
+    cumulative series is built in, so the running peak is the true
+    time-ordered peak regardless of how event ids were assigned (an
+    event_id-alone ordering would only coincide if ids happened to be
+    ts-monotone per user — the r6 advisor's silent-semantics hazard).
+    All arithmetic is DECIMAL-exact end to end; the
     DOUBLE casts at output are exact decimal→double conversions.
     Plan: both windows and the final rollup share ONE user-keyed
     shuffle (same partition key), no single-partition exchange."""
@@ -1601,11 +1602,12 @@ def user_value_drawdown(spark, sf_dir):
     c = e.select(
         "user_id",
         "event_id",
+        "ts",
         F.sum(signed).over(w_cum).alias("cum"),
     )
     w_peak = (
         Window.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     p = c.select(

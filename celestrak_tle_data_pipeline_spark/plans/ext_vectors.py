@@ -1292,8 +1292,9 @@ def mmr_diversified_topk(spark, sf_dir):
     ),
     da AS (
         SELECT d.vec_id, d.label,
-               CAST(nl.n * nl.n * xn.xnorm2 - 2 * nl.n * d.dot + s2.snorm2
-                    AS BIGINT) AS a,
+               CAST(nl.n AS HUGEINT) * nl.n * xn.xnorm2
+                   - 2 * CAST(nl.n AS HUGEINT) * d.dot
+                   + s2.snorm2 AS a,
                nl.n AS n
         FROM dots d
         JOIN nl ON nl.label = d.label
@@ -1372,13 +1373,21 @@ def centroid_classifier_confusion(spark, sf_dir):
         .select(
             "vec_id",
             "label",
+            # a = n²|x|² − 2n(x·S) + |S|² carried as DECIMAL(38,0)
+            # end-to-end (HUGEINT in the oracle): with q = round(x·100)
+            # 64-dim vectors, n²·|x|² ≈ n²·2.3e5 overflows int64 once a
+            # label holds ~2-3M vectors — far inside the 100 TB story
+            # (r6 advisor). decimal(38,0) is exact to n ≈ 1e8 even
+            # through the n⁴-scale cross-multiplied comparison below.
             (
-                F.col("n") * F.col("n") * F.col("xnorm2")
-                - 2 * F.col("n") * F.col("dot")
+                F.col("n").cast("decimal(38,0)")
+                * F.col("n")
+                * F.col("xnorm2")
+                - F.lit(2)
+                * F.col("n").cast("decimal(38,0)")
+                * F.col("dot")
                 + F.col("snorm2")
-            )
-            .cast("bigint")
-            .alias("a"),
+            ).alias("a"),
             "n",
         )
         .persist()  # both sides of the tournament self-join

@@ -816,7 +816,7 @@ def median_ci_order_stats(spark, sf_dir):
     ),
     per_user AS (
         SELECT user_id,
-               CAST(user_id % 2 AS INT) AS arm,
+               CAST((user_id * 2654435761) % 4294967296 % 2 AS INT) AS arm,
                COALESCE(SUM(CASE WHEN d < split_d THEN v END),
                         CAST(0 AS DECIMAL(18,2))) AS x,
                COALESCE(SUM(CASE WHEN d >= split_d THEN v END),
@@ -888,9 +888,20 @@ def cuped_adjusted_ab(spark, sf_dir):
         F.floor((F.min("d") + F.max("d") + 1) / F.lit(2)).alias("split_d")
     )
     zero = F.lit(0).cast("decimal(18,2)")
+    from .ext_pipeline import _KNUTH, _M32
+
     per_user = (
         days.crossJoin(F.broadcast(bounds))
-        .groupBy("user_id", F.pmod("user_id", F.lit(2)).cast("int").alias("arm"))
+        .groupBy(
+            "user_id",
+            # the SAME Knuth-hash arm every other experimentation query
+            # uses (ab_experiment_readout, srm_guardrail_check, …) — the
+            # SRM guardrail audits exactly the assignment CUPED reads,
+            # so a flag there indicts this readout too (r6 advisor)
+            ((F.col("user_id") * _KNUTH) % _M32 % 2)
+            .cast("int")
+            .alias("arm"),
+        )
         .agg(
             F.coalesce(
                 F.sum(F.when(F.col("d") < F.col("split_d"), F.col("v"))),

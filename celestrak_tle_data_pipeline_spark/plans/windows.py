@@ -1221,7 +1221,7 @@ def debounce_first_per_burst(spark, sf_dir):
         FROM events
     ),
     c AS (
-        SELECT user_id, event_id, v,
+        SELECT user_id, event_id, ts, v,
                SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING
                             AND CURRENT ROW) AS cum
@@ -1229,7 +1229,7 @@ def debounce_first_per_burst(spark, sf_dir):
     ),
     c2 AS (
         SELECT user_id, v, cum,
-               MIN(cum) OVER (PARTITION BY user_id ORDER BY event_id
+               MIN(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS runmin
         FROM c
@@ -1274,14 +1274,16 @@ def clamped_running_balance(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    c = (
-        e.select("user_id", "event_id", "ts", signed.alias("v"))
-        .withColumn("cum", F.sum("v").over(w))
-        .drop("ts")
+    c = e.select("user_id", "event_id", "ts", signed.alias("v")).withColumn(
+        "cum", F.sum("v").over(w)
     )
+    # the running min MUST take the same (ts, event_id) total order the
+    # cumulative series was built in — ordering by event_id alone is
+    # only equivalent when ids happen to be ts-monotone per user (the
+    # r6 advisor's silent-semantics hazard)
     w2 = (
         Window.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     b = c.withColumn("runmin", F.min("cum").over(w2)).withColumn(

@@ -674,6 +674,7 @@ def test_streaming_reach_matches_batch_first_seen(spark, tmp_path):
     )
 
     ev = t(spark, "/root/testdata/sf0.001", "events")
+    staging = tmp_path / "reach_staging"
     landing = tmp_path / "reach_landing"
     landing.mkdir()
     # time-sliced landing files; the SAME users recur across slices
@@ -683,33 +684,45 @@ def test_streaming_reach_matches_batch_first_seen(spark, tmp_path):
     cut = days[len(days) // 2]
     ev.where(F.date_trunc("day", "ts").cast("date") <= F.lit(cut)).write.mode(
         "overwrite"
-    ).parquet(str(landing / "early"))
+    ).parquet(str(staging / "early"))
     ev.where(F.date_trunc("day", "ts").cast("date") > F.lit(cut)).write.mode(
         "overwrite"
-    ).parquet(str(landing / "late"))
-
-    sink = run_reach_stream(
-        spark, str(landing / "early"), str(tmp_path / "rck")
-    )
-    early_total = sink.total
-    # resume from the SAME checkpoint on the second slice: dedup state
-    # must persist, so recurring users are not recounted — point the
-    # source at a dir containing both slices' files
+    ).parquet(str(staging / "late"))
     import shutil
 
-    merged = landing / "merged"
-    merged.mkdir()
-    for sub in ("early", "late"):
-        for f in (landing / sub).glob("*.parquet"):
-            shutil.copy(f, merged / f"{sub}_{f.name}")
-    sink2 = run_reach_stream(
-        spark, str(merged), str(tmp_path / "rck2")
-    )
+    for f in (staging / "early").glob("*.parquet"):
+        shutil.copy(f, landing / f"early_{f.name}")
+
+    ckpt = str(tmp_path / "rck")
+    sink = run_reach_stream(spark, str(landing), ckpt)
+    early_total = sink.total
+    assert early_total > 0
+
+    # drop the second slice into the SAME landing dir and resume from
+    # the SAME checkpoint: the file-source log must skip the
+    # already-processed early files, and the dropDuplicates state must
+    # survive the restart so users recurring from the first slice are
+    # NOT recounted — the resumed drain contributes exactly the
+    # never-before-seen users
+    for f in (staging / "late").glob("*.parquet"):
+        shutil.copy(f, landing / f"late_{f.name}")
+    sink2 = run_reach_stream(spark, str(landing), ckpt)
+
     curve = sorted(
         plans.all_queries()["cumulative_distinct_users"](
             spark, "/root/testdata/sf0.001"
         ).collect(),
         key=lambda r: r.d,
     )
-    assert sink2.total == curve[-1].cum_users
-    assert early_total <= sink2.total
+    total_reach = curve[-1].cum_users
+    assert early_total + sink2.total == total_reach
+    # recurring users exist in the second slice, so a state wipe would
+    # overshoot: the resumed increment must be strictly smaller than
+    # the slice's own distinct-user count
+    late_distinct = (
+        spark.read.parquet(str(staging / "late"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sink2.total < late_distinct
