@@ -61,85 +61,87 @@ _MODULES = (
 # round's official window. Everything else registered stays available after
 # them as bonus coverage. ``tests/test_registry.py`` pins this list.
 #
-# Round-6 rotation: CORRECTNESS_r05 is 50/50 green, so the whole r5 window
-# rotates out. In: 49 of the 50 oracle-paired registry entries that have
-# never appeared in an official driver window (all mirror-green under
-# tools/check.py), plus ``sliding_weekly_value``, whose ONLY official
-# record is the r4 hash FAIL (fixed in round 5, mirror-green since) — a
-# failing official record outranks a missing one. Registry at the end of
-# round 5: 183 entries, 181 oracle-paired. Cumulative official coverage
-# after this round: 136 + 50 - 1 re-certification = 185 name-rounds over
-# 184 distinct names ⇒ every oracle-paired entry official except
-# ``histogram_order_totals`` (deferred to round 7 to make room for the
-# re-certification) and rows-only-by-design ``minhash_near_dup`` /
-# ``ann_lsh_bucketed`` (recall-1.0 twins gate their MLlib internals).
-# Round-7 window seed: histogram_order_totals + every round-6
-# registration (the registry entries not in this round's _PRIORITY and
-# absent from all CORRECTNESS_r* files). Compute the authoritative list
-# at rotation time:
-#   officials = union of keys of CORRECTNESS_r0*.json
-#   backlog   = [n for n in all_oracles() if n not in officials
-#                and n not in _PRIORITY]
+# Round-7 rotation: CORRECTNESS_r06 is 50/50 green, so the whole r6 window
+# rotates out. The never-official oracle-paired backlog at the end of round
+# 6 was 70 names (= all_oracles() minus the union of CORRECTNESS_r0*.json
+# keys minus the r6 window) — more than one 50-slot window, so this round
+# prioritizes per the r6 verdict: (a) the scale-twin / gate certifications
+# whose whole point is an official row, (b) the full experimentation /
+# statistical-testing tier, (c) the codec/text additions, plus
+# ``histogram_order_totals`` (deferred in r5 and r6), plus the four queries
+# the r6 advisor's fixes touched (drawdown, clamped balance, CUPED,
+# centroid confusion — an official row should certify the FIXED
+# semantics). The documented round-8 remainder is the 20 deferred names
+# (sql_lateral_topn_per_segment, debounce_first_per_burst,
+# session_entry_exit_matrix, tle_j2_secular_rates, tle_theil_sen_decay,
+# fd_violation_profile, neyman_allocation_sources, l_diversity_audit,
+# join_size_sample_estimate, kaplan_meier_sessions, scd2_asof_lookup,
+# cumulative_distinct_users, seasonal_naive_mase, association_rules_parts,
+# time_to_convert_quartiles, attribution_linear_touch,
+# discount_quantity_elasticity, holt_linear_forecast,
+# open_order_backlog_sweep, shipping_sla_attainment) plus round-7's few
+# new registrations — comfortably one final window.
 _PRIORITY = (
-    # official-FAIL re-certification (r4 hash mismatch, fixed in r5)
-    "sliding_weekly_value",
-    # SQL surface / relational extensions
-    "sql_api_revenue_filter",
-    "sql_filter_clause_aggregates",
-    "null_semantics_bundle",
-    "unpivot_price_bands",
-    "cross_join_coverage_matrix",
-    "distinct_part_counts",
-    "rollup_grouping_id",
-    # windows / temporal
-    "window_distribution_functions",
-    "value_range_frame_sum",
-    "gap_fill_daily_user",
-    "resample_hourly_interpolate",
-    "trailing_median_per_user",
-    "rolling_weekly_median",
-    "asof_join_forward",
-    "event_lateness_audit",
-    # text / dedup / training-data ops
-    "repetition_profile",
-    "per_group_quality_filter",
-    "qgram_prefix_filter_pairs",
-    "dedup_best_quality_survivor",
-    # vectors / ML / ER
-    "embedding_label_stats",
-    "dup_graph_bfs3",
-    "sorted_neighborhood_pairs",
-    # multimodal codecs
-    "multimodal_wav_decode",
-    "multimodal_y4m_frames",
-    # stats / sketches
-    "mad_outlier_filter",
-    "equidepth_histogram",
-    "benford_first_digit",
-    "countmin_heavy_hitters",
-    "approx_topk_events",
-    # product analytics
-    "session_path_analysis",
-    "funnel_time_bounded",
-    "attribution_first_last_touch",
-    "rolling_weekly_active_users",
-    "weekly_growth_rate",
-    "cohort_cumulative_ltv",
-    "share_of_parent_rollup",
-    "pareto_decile_analysis",
-    "market_concentration_hhi",
-    "k_anonymity_audit",
-    # TPC-H classics (final tranche)
-    "tpch_q4_priority_late_ship",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_line_priority",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_parts_supplier_counts",
-    "tpch_q19_banded_revenue",
+    # (a) scale-twin / gate certifications (r6 verdict priority 1a)
+    "equidepth_histogram_bounded",
+    "sorted_neighborhood_ranged",
+    "zorder_skipping_gate",
+    "hilbert_curve_layout",
+    "rowhash_table_digest",
+    # twice-deferred fixed-width histogram
+    "histogram_order_totals",
+    # (b) experimentation / statistical-testing tier
+    "ab_experiment_readout",
+    "cuped_adjusted_ab",
+    "srm_guardrail_check",
+    "ab_difference_newcombe",
+    "quantile_treatment_effect",
+    "cem_matched_att",
+    "power_analysis_mde",
+    "mann_whitney_u_values",
+    "ks_two_sample_values",
+    "chi2_independence_type_dow",
+    "chi2_cell_residuals",
+    "anova_value_by_dow",
+    "mutual_information_type_dow",
+    "cohens_kappa_agreement",
+    "auc_rank_score",
+    "score_calibration_bins",
+    "gains_chart_deciles",
+    # (c) codec / text additions
+    "y4m_scene_cuts",
+    "multimodal_ppm_resize",
+    "winnowing_fingerprints",
+    "ppjoin_token_sets",
+    "bigram_lm_perplexity",
+    "rake_keyphrases",
+    # advisor-touched queries (official row certifies the fixed form)
+    "user_value_drawdown",
+    "clamped_running_balance",
+    "centroid_classifier_confusion",
+    # sketches (mergeability certifications)
+    "bloom_membership_sketch",
+    "hll_sketch_union_rollup",
+    "kmv_intersection_estimate",
+    "cm_selfjoin_size_estimate",
+    # stats / order statistics
+    "weighted_price_quantiles",
+    "median_ci_order_stats",
+    "psi_value_drift",
+    "hill_tail_exponent",
+    # text / corpus / training-data ops
+    "corpus_curation_funnel",
+    "heaps_law_fit",
+    "zipf_slope_tokens",
+    "vocab_coverage_curve",
+    "length_bucket_padding_waste",
+    "split_distribution_divergence",
+    "mixture_interleave_schedule",
+    # vectors / ML / graph
+    "mmr_diversified_topk",
+    "graph_clustering_coefficient",
+    # CDC surface
+    "cdc_apply_changes",
 )
 
 

@@ -33,24 +33,43 @@ def test_first_50_oracle_coverage():
 
 
 def test_family_representation_in_window():
-    # Round-6 window: every r5 name went officially green, so the whole
-    # window rotated to the never-official backlog plus the
-    # sliding_weekly_value re-certification. Families whose every member
-    # is already officially green (weather, TLE parse, UDF surfaces,
-    # pipeline/governance) have no r6 representative by design —
+    # Round-7 window: every r6 name went officially green, so the whole
+    # window rotates onto the 70-name never-official backlog, prioritized
+    # per the r6 verdict — scale-twin/gate certifications, the
+    # experimentation tier, codec/text additions, the twice-deferred
+    # histogram, and the four advisor-touched queries whose official row
+    # should certify the FIXED semantics. Families whose every member is
+    # already officially green have no r7 representative by design —
     # cumulative official coverage is the contract, not per-round family
     # presence.
     window = set(_PRIORITY)
     families = {
-        "recertification": {"sliding_weekly_value"},
-        "sql-surface": {"sql_api_revenue_filter", "null_semantics_bundle"},
-        "tpch": {"tpch_q8_market_share", "tpch_q19_banded_revenue"},
-        "stats-sketches": {"equidepth_histogram", "countmin_heavy_hitters"},
-        "temporal-windows": {"asof_join_forward", "value_range_frame_sum"},
-        "analytics": {"session_path_analysis", "cohort_cumulative_ltv"},
-        "text": {"repetition_profile", "qgram_prefix_filter_pairs"},
-        "vectors-ml": {"embedding_label_stats", "sorted_neighborhood_pairs"},
-        "multimodal": {"multimodal_wav_decode", "multimodal_y4m_frames"},
+        "scale-twins-gates": {
+            "equidepth_histogram_bounded",
+            "sorted_neighborhood_ranged",
+            "zorder_skipping_gate",
+            "hilbert_curve_layout",
+            "rowhash_table_digest",
+        },
+        "deferred": {"histogram_order_totals"},
+        "experimentation": {
+            "ab_experiment_readout",
+            "cuped_adjusted_ab",
+            "srm_guardrail_check",
+            "mann_whitney_u_values",
+            "ks_two_sample_values",
+            "power_analysis_mde",
+        },
+        "advisor-fixed": {
+            "user_value_drawdown",
+            "clamped_running_balance",
+            "centroid_classifier_confusion",
+        },
+        "codecs": {"y4m_scene_cuts", "multimodal_ppm_resize"},
+        "text": {"winnowing_fingerprints", "bigram_lm_perplexity"},
+        "sketches": {"bloom_membership_sketch", "hll_sketch_union_rollup"},
+        "vectors-ml": {"mmr_diversified_topk", "graph_clustering_coefficient"},
+        "cdc": {"cdc_apply_changes"},
     }
     for family, reps in families.items():
         assert reps <= window, f"family {family} missing from first-50 window"
