@@ -8,7 +8,18 @@ import pytest
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
+from celestrak_tle_data_pipeline_spark import compat  # noqa: E402
 from celestrak_tle_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# Driver-side protobuf shim + worker-side PYTHONPATH (tools/pbshim's
+# sitecustomize) — must happen BEFORE the SparkSession exists so
+# local-mode Python workers inherit the env. No-op where a real
+# protobuf is installed; see compat.py.
+HAVE_PROTOBUF = compat.ensure_protobuf()
+if HAVE_PROTOBUF:
+    import os
+
+    os.environ["PYTHONPATH"] = compat.worker_pythonpath()
 
 SF_DIR = "/root/testdata/sf0.001"
 SF_DIR_001 = "/root/testdata/sf0.01"
@@ -16,10 +27,16 @@ SF_DIR_001 = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    extra = {"spark.driver.memory": "4g"}
+    if HAVE_PROTOBUF:
+        # the TWS driver-worker's PYTHONPATH is rebuilt by the JVM from
+        # executorEnv, not inherited from the driver process env — both
+        # must carry the pbshim dir for workers to see the shim
+        extra["spark.executorEnv.PYTHONPATH"] = compat.worker_pythonpath()
     s = get_spark(
         app_name="tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf=extra,
     )
     yield s
