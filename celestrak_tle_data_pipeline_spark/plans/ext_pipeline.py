@@ -19,7 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import register
-from .common import dec, dsum, t
+from .common import dec, dsum, prefix_offsets, t
 
 
 # --------------------------------------------------------------------------
@@ -524,18 +524,7 @@ def systematic_weighted_sample(spark, sf_dir):
         .persist()
     )
     psums = pool.groupBy("pid").agg(F.sum("n_chars").alias("pchars"))
-    # prefix offsets via a triangular self-join over the |partitions|-row
-    # totals frame — not even a bounded-domain window, so the
-    # single-partition audit stays at zero for this plan
-    prior = psums.select(
-        F.col("pid").alias("bpid"), F.col("pchars").alias("bchars")
-    )
-    offsets = (
-        psums.select("pid")
-        .join(prior, F.col("bpid") < F.col("pid"), "left")
-        .groupBy("pid")
-        .agg(F.coalesce(F.sum("bchars"), F.lit(0)).alias("offset"))
-    )
+    offsets = prefix_offsets(psums, {"offset": "pchars"})
     local_cum = F.sum("n_chars").over(
         Window.partitionBy("pid")
         .orderBy("doc_id")

@@ -16,7 +16,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import register
-from .common import dec, t
+from .common import dec, prefix_offsets, t
 
 
 # --------------------------------------------------------------------------
@@ -202,13 +202,7 @@ def mann_whitney_u_values(spark, sf_dir):
         .persist()
     )
     counts = pool.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
-    w_pref = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "pid",
-        F.coalesce(F.sum("pn").over(w_pref), F.lit(0)).alias("offset"),
-    )
+    offsets = prefix_offsets(counts, {"offset": "pn"})
     local_rank = F.rank().over(
         Window.partitionBy("pid").orderBy("value")
     )
@@ -322,14 +316,7 @@ def ks_two_sample_values(spark, sf_dir):
     part_tots = by_val.groupBy("pid").agg(
         F.sum("c1").alias("p1"), F.sum("c2").alias("p2")
     )
-    w_pref = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = part_tots.select(
-        "pid",
-        F.coalesce(F.sum("p1").over(w_pref), F.lit(0)).alias("off1"),
-        F.coalesce(F.sum("p2").over(w_pref), F.lit(0)).alias("off2"),
-    )
+    offsets = prefix_offsets(part_tots, {"off1": "p1", "off2": "p2"})
     w_local = (
         Window.partitionBy("pid")
         .orderBy("value")
@@ -767,13 +754,7 @@ def median_ci_order_stats(spark, sf_dir):
         .persist()
     )
     counts = pool.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
-    w_pref = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "pid",
-        F.coalesce(F.sum("pn").over(w_pref), F.lit(0)).alias("offset"),
-    )
+    offsets = prefix_offsets(counts, {"offset": "pn"})
     local = F.row_number().over(
         Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
     )

@@ -1,0 +1,36 @@
+"""CI gate: no new row-grain single-partition windows, ever.
+
+The r6 verdict adjudicated every flag the plan audit raises — bounded
+domain frames and deliberate certification forms are benign; row-grain
+total-order windows are the canonical 100x scale killer (three were
+found and rewritten in r7: systematic_weighted_sample,
+pareto_frontier_orders, pareto_decile_analysis's twin). This test runs
+the full-registry sweep inside the suite so the NEXT such window fails
+CI at introduction time, and compares against the tool's annotated
+allowlist in BOTH directions — an unexplained new flag fails, and a
+stale allowlist entry (fixed query, lingering excuse) fails too.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+from audit_single_partition import ALLOWED, audit  # noqa: E402
+
+
+def test_registry_single_partition_flags_match_allowlist(spark):
+    hits = audit(spark)
+    errors = sorted(n for n, k in hits.items() if k < 0)
+    assert not errors, f"plan build failed for: {errors}"
+    flagged = set(hits)
+    new = sorted(flagged - set(ALLOWED))
+    assert not new, (
+        "new window/sort over Exchange SinglePartition — either rewrite "
+        "with the range-partition + prefix_offsets pattern or add an "
+        f"annotated allowlist entry: {new}"
+    )
+    stale = sorted(set(ALLOWED) - flagged)
+    assert not stale, f"stale allowlist entries (query no longer flags): {stale}"

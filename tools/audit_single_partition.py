@@ -7,17 +7,23 @@ unbounded frame through one task at scale. Scalar-aggregate merges
 (one-row results) also use SinglePartition and are fine; the heuristic
 separates the two by context.
 
-Known, accepted flags (bounded domains or documented certifications):
-  - global-sort SEMANTICS certifications whose scale twins exist
-    (sorted_neighborhood_pairs, equidepth_histogram, systematic PPS)
-  - windows over domains bounded by construction: lateness buckets,
-    calendar weeks/days, contingency cells, range-partition ids,
-    duration minutes, the 2000-key TLE synth frames
-Anything NEW this tool flags should either get a bounded-domain
-justification in its docstring or a rewrite (persist + scalar-agg
-broadcast replaced the q11/q15 entity-grain windows in round 6).
+Since round 7 this is a REGRESSION GATE, not just a report:
+``ALLOWED`` below is the complete adjudicated allowlist — every entry
+names WHY its flagged window is bounded (domain-bounded frame) or
+deliberate (a global-sort semantics certification whose scale twin
+ships alongside). ``tests/test_partition_audit.py`` runs the sweep in
+CI and fails on any flag not in the allowlist AND on any stale
+allowlist entry, so a new row-grain single-partition window breaks the
+build instead of waiting for a judge, and the list can't rot.
+
+Row-grain prefix sums never need the windowed form at all:
+``plans/common.py::prefix_offsets`` computes range-partition offsets
+with a triangular self-join (used by the global-rank machinery —
+mann_whitney / ks / median_ci / systematic PPS / pareto frontier), so
+those plans audit at zero.
 
 Usage: python tools/audit_single_partition.py [name ...]
+Exit status 1 if any non-allowlisted flag is found (full sweeps only).
 """
 
 from __future__ import annotations
@@ -31,6 +37,77 @@ sys.path.insert(0, ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
 
+# name -> why the flagged window/sort is bounded or deliberate.
+# Two admissible justification shapes:
+#   domain-bounded frame — the window runs over a frame whose size is a
+#     DOMAIN (calendar, buckets, category set), constant in data volume;
+#   retained certification — the global-sort form is kept as the exact
+#     rank-semantics certification and a range-partitioned /
+#     boundary-broadcast scale twin ships beside it.
+ALLOWED: dict[str, str] = {
+    "chi2_independence_type_dow": (
+        "window over the event-type x weekday contingency frame "
+        "(7x5 cells — domain-bounded)"
+    ),
+    "chi2_cell_residuals": (
+        "window over the same 7x5 contingency-cell frame (domain-bounded)"
+    ),
+    "auc_rank_score": (
+        "running negative count over the per-score rollup; frame size is "
+        "the score DOMAIN (~hundreds of distinct char counts), not the "
+        "corpus"
+    ),
+    "gains_chart_deciles": "cumulative window over the 10-row decile frame",
+    "psi_value_drift": "windows over the 10-bin histogram frame",
+    "split_distribution_divergence": (
+        "corpus-marginal window over the language-domain rollup "
+        "(|langs| rows)"
+    ),
+    "event_lateness_audit": "window over the 5-bucket lateness rollup",
+    "resample_hourly_interpolate": (
+        "lead window over the day-grain series; frame is the calendar "
+        "span (domain-bounded), fan-out to hours happens after"
+    ),
+    "tle_j2_secular_rates": (
+        "synthesis-side ordering of the 2000-key TLE synthetic frame, "
+        "not a data-path window"
+    ),
+    "equidepth_histogram": (
+        "retained ntile rank-semantics certification; scale twin "
+        "equidepth_histogram_bounded (boundary broadcast, window-free) "
+        "ships and is pinned equivalent"
+    ),
+    "benford_first_digit": "window over the 9-value first-digit domain",
+    "pareto_decile_analysis": (
+        "retained ntile rank-semantics certification; scale twin "
+        "pareto_decile_ranged (boundary broadcast, window-free) ships "
+        "and is pinned equivalent"
+    ),
+    "neyman_allocation_sources": (
+        "Hamilton largest-remainder apportionment window over the "
+        "source-domain stratum frame (|sources| rows)"
+    ),
+    "weekly_growth_rate": (
+        "ordering window over one row per calendar week (a century is "
+        "~5,200 rows)"
+    ),
+    "kaplan_meier_sessions": (
+        "risk-set / survival-product windows over the session-duration "
+        "domain (minutes grid — domain-bounded)"
+    ),
+    "cumulative_distinct_users": (
+        "running sum over the calendar-day frame (~10^4 rows after 30 "
+        "years)"
+    ),
+    "open_order_backlog_sweep": (
+        "sweep-line cumulative window over the calendar-day delta frame"
+    ),
+    "sorted_neighborhood_pairs": (
+        "retained global-sort semantics certification; range-partitioned "
+        "twin sorted_neighborhood_ranged ships, pinned row-identical"
+    ),
+}
+
 
 def flagged_contexts(plan: str) -> int:
     n = 0
@@ -41,15 +118,13 @@ def flagged_contexts(plan: str) -> int:
     return n
 
 
-def main(argv):
+def audit(spark, names=None):
+    """Return {name: flag_count} for flagged queries (errors -> -1)."""
     from celestrak_tle_data_pipeline_spark import plans
-    from celestrak_tle_data_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="sp-audit")
     qs = plans.all_queries()
-    names = argv or list(qs)
-    hits = []
-    for name in names:
+    hits: dict[str, int] = {}
+    for name in names or list(qs):
         try:
             plan = (
                 qs[name](spark, SF_DIR)
@@ -59,13 +134,33 @@ def main(argv):
             )
         except Exception as ex:  # noqa: BLE001 — report and continue
             print(f"ERR   {name}: {str(ex)[:100]}")
+            hits[name] = -1
             continue
         k = flagged_contexts(plan)
         if k:
-            hits.append((name, k))
-    for name, k in hits:
-        print(f"FLAG  {name}: {k} window/sort-over-SinglePartition")
-    print(f"{len(hits)} flagged of {len(names)} audited")
+            hits[name] = k
+    return hits
+
+
+def main(argv):
+    from celestrak_tle_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="sp-audit")
+    full_sweep = not argv
+    hits = audit(spark, argv or None)
+    new = []
+    for name, k in sorted(hits.items()):
+        status = "allow" if name in ALLOWED else "FLAG "
+        print(f"{status} {name}: {k} window/sort-over-SinglePartition")
+        if name not in ALLOWED:
+            new.append(name)
+    print(f"{len(hits)} flagged of {len(argv) if argv else 'all'} audited"
+          f" ({len(new)} outside allowlist)")
+    if full_sweep:
+        stale = sorted(set(ALLOWED) - set(hits))
+        if stale:
+            print(f"STALE allowlist entries (no longer flag): {stale}")
+        return 1 if new or stale else 0
     return 0
 
 
