@@ -82,6 +82,23 @@ def main() -> int:
     # `value` is the best-warm total, `cold_sec` discloses
     # compile-inclusive time.
     WARM_PASSES = 3
+
+    # Measured harness overhead floor: best of several empty-plan
+    # py4j + Arrow round-trips. Any query whose best-warm time is at or
+    # under ~this floor is CONSTANT-DOMINATED — its reading tracks the
+    # environment (scheduler/py4j/Arrow constants, ~30-90 ms on this
+    # box), not data work, and cross-round comparisons should weight it
+    # accordingly (the r5->r6 "regressions" were exactly this; see
+    # SCALING.md). Reported as `overhead_floor_sec` with the affected
+    # names in `constant_dominated`.
+    floor = float("inf")
+    trivial = spark.range(1).selectExpr("id")
+    for _ in range(5):
+        t0 = time.time()
+        trivial.toPandas()
+        floor = min(floor, time.time() - t0)
+    floor = round(floor, 3)
+
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -107,20 +124,26 @@ def main() -> int:
         except ValueError:
             pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "cold_sec": round(sum(cold.values()), 3),
-                "cold_queries": cold,
-                "rows": rows,
-                "sf": sf,
-            }
-        )
-    )
+    # ONE compact line, explicitly flushed, as the final stdout of the
+    # run — BENCH_r06.json's `parsed: null` came from the driver's tail
+    # capture truncating long output, so keep the line tight (compact
+    # separators) and last.
+    payload = {
+        "metric": "total_query_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "cold_sec": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        "rows": rows,
+        "sf": sf,
+        "overhead_floor_sec": floor,
+        "constant_dominated": sorted(
+            n for n, v in times.items() if v <= 2 * floor
+        ),
+    }
+    sys.stdout.flush()
+    print(json.dumps(payload, separators=(",", ":")), flush=True)
     return 0
 
 
