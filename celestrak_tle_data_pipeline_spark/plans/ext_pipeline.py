@@ -15,7 +15,7 @@ split uses a transparent multiplicative (Knuth/Fibonacci) hash in
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import register
@@ -999,6 +999,195 @@ def cdc_apply_changes(spark, sf_dir):
         F.col("ts").alias("updated_at"),
         F.col("op").alias("last_op"),
         F.col("n_changes").cast("bigint").alias("n_changes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC -> warehouse MERGE round-trip (writer audit under the value gate)
+# --------------------------------------------------------------------------
+@register(
+    "cdc_warehouse_roundtrip",
+    oracle="""
+    WITH log AS (
+        SELECT user_id % 500 AS key, value, ts, event_id,
+               CASE WHEN event_id % 10 = 0 THEN 'D'
+                    WHEN event_id % 3 = 0 THEN 'I'
+                    ELSE 'U' END AS op,
+               epoch_us(ts) // 86400000000 AS d
+        FROM events
+    ),
+    b AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS mid FROM log),
+    half AS (
+        SELECT key, value, ts, op,
+               ROW_NUMBER() OVER (
+                   PARTITION BY key ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM log, b WHERE d < mid
+    ),
+    fullh AS (
+        SELECT key, value, ts, op,
+               ROW_NUMBER() OVER (
+                   PARTITION BY key ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM log
+    ),
+    state AS (
+        SELECT DISTINCT key, value, ts FROM (
+            SELECT key, value, ts FROM half WHERE rn = 1 AND op <> 'D'
+            UNION ALL
+            SELECT key, value, ts FROM fullh WHERE rn = 1 AND op <> 'D'
+        )
+    ),
+    h AS (
+        SELECT key,
+               CAST(concat('0x', substr(md5(concat_ws('|',
+                        key, epoch_us(ts),
+                        CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT))), 1, 15))
+                    AS BIGINT) AS v
+        FROM state
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys,
+           CAST(bit_xor(v) AS BIGINT) AS digest_xor,
+           CAST(SUM(CAST(v AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+               AS digest_sum_mod
+    FROM h
+    """,
+)
+def cdc_warehouse_roundtrip(spark, sf_dir):
+    """CDC -> MERGE-sink -> digest round-trip: the writer audit that
+    puts ``merge_upsert_telemetry`` (sinks/warehouse.py — the
+    partition-selective parquet MERGE) under the driver's VALUE gate,
+    closing the one structural surface pytest covered but no oracle
+    did (r6 verdict ask #8). Two change-data snapshots of the keyed
+    event log — current state as of the calendar midpoint, then
+    current state of the full log (the ``cdc_apply_changes``
+    compaction, same op synthesis) — are applied through the sink in
+    sequence as MERGE batches into a fresh warehouse; the table read
+    BACK from parquet is folded into the X128 order-independent
+    digest (md5 60-bit -> XOR + SUM mod 2^61-1).
+
+    The oracle computes the digest of the EXPECTED post-merge state in
+    pure SQL — the deduplicated union of the two snapshots (for a key
+    whose head row didn't change between waves the rows coincide and
+    MERGE must keep exactly one; changed heads land at a new epoch
+    grain and both versions persist, per the (norad_id, epoch_utc)
+    merge key) — so the driver's hash compare IS the proof that the
+    sink's dynamic-partition rewrite preserved every untouched row,
+    deduplicated every matched key, and lost/duplicated nothing.
+    Tombstone caveat, stated: a key deleted only in the second half of
+    the log keeps its wave-1 row (a parquet upsert sink has no DELETE
+    propagation — that is Delta/Iceberg MERGE ... WHEN MATCHED THEN
+    DELETE territory), and the expected-state SQL mirrors exactly
+    that.
+
+    Scale shape: each wave is one key-partitioned window over the log
+    slice; the sink's affected-partition probe is date METADATA and
+    the rewrite touches only those partitions (Delta-file-pruning
+    shape); the digest is map-side expression work + a scalar fold.
+    The mid-point bound and affected-date list are the only driver
+    round-trips, both O(1)/O(days)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks.warehouse import ParquetWarehouse, merge_upsert_telemetry
+
+    log = _cdc_log(t(spark, sf_dir, "events"))
+    mid = log.agg(
+        F.floor((F.min("d") + F.max("d") + 1) / F.lit(2))
+    ).first()[0]
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cdc_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    wh = ParquetWarehouse(spark, root)
+    merge_upsert_telemetry(
+        wh, _cdc_as_telemetry(_cdc_head(log.where(F.col("d") < mid)))
+    )
+    merge_upsert_telemetry(wh, _cdc_as_telemetry(_cdc_head(log)))
+    return _cdc_digest(wh.read("fact_telemetry"))
+
+
+def _cdc_log(events: DataFrame) -> DataFrame:
+    """Keyed change log, same deterministic op synthesis as
+    ``cdc_apply_changes``."""
+    return events.select(
+        (F.col("user_id") % 500).alias("key"),
+        "value",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, "D")
+        .when(F.col("event_id") % 3 == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("d"),
+    )
+
+
+def _cdc_head(slice_df: DataFrame) -> DataFrame:
+    """Current state of a change-log slice (latest op wins; terminal
+    delete removes the key)."""
+    w = Window.partitionBy("key").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        slice_df.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("key", "value", "ts")
+    )
+
+
+def _cdc_as_telemetry(snapshot: DataFrame) -> DataFrame:
+    """Map a CDC snapshot onto the fact_telemetry merge schema."""
+    return snapshot.select(
+        F.col("key").cast("long").alias("norad_id"),
+        F.col("ts").alias("epoch_utc"),
+        F.col("ts").alias("fetched_at_utc"),
+        F.lit(None).cast("double").alias("inclination"),
+        F.lit(None).cast("double").alias("raan"),
+        F.lit(None).cast("double").alias("eccentricity"),
+        F.lit(None).cast("double").alias("arg_perigee"),
+        F.lit(None).cast("double").alias("mean_anomaly"),
+        F.col("value").alias("mean_motion"),
+        F.lit(None).cast("double").alias("b_star_drag"),
+        F.lit(None).cast("long").alias("rev_number"),
+    )
+
+
+def _cdc_digest(stored: DataFrame) -> DataFrame:
+    """X128 order-independent digest of the stored telemetry state."""
+    v = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("norad_id").cast("string"),
+                    F.unix_micros("epoch_utc").cast("string"),
+                    (dec("mean_motion", 18, 2) * 100)
+                    .cast("bigint")
+                    .cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return stored.select(F.col("norad_id").alias("key"), v.alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct(F.col("key")).cast("bigint").alias("n_keys"),
+        F.bit_xor("v").cast("bigint").alias("digest_xor"),
+        F.pmod(
+            F.sum(F.col("v").cast("decimal(38,0)")),
+            F.lit(2305843009213693951).cast("decimal(38,0)"),
+        )
+        .cast("bigint")
+        .alias("digest_sum_mod"),
     )
 
 
