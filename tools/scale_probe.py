@@ -83,6 +83,11 @@ QUERIES = (
     "clamped_running_balance",      # reflection identity window pair
     "vocab_coverage_curve",         # vocab agg + three top-k reductions
     "time_to_convert_quartiles",    # two gated min-aggs + scalar rollup
+    # round-7 scale-killer rewrites (r6 verdict X22/X44/X73)
+    "systematic_weighted_sample",   # ranged cumsum + triangular offsets
+    "pareto_frontier_orders",       # per-partition frontier + carry merge
+    "pareto_decile_ranged",         # percentile-boundary decile twin
+    "median_ci_order_stats",        # ranged global ranks, no pid window
 )
 
 
