@@ -732,3 +732,154 @@ def test_streaming_reach_matches_batch_first_seen(spark, tmp_path):
         .count()
     )
     assert sink2.total < late_distinct
+
+
+def test_session_finalizer_v2_timers_match_batch_sessionization(
+    spark, tmp_path
+):
+    """transformWithState EVENT-TIME TIMERS close trailing sessions when
+    the watermark passes session_end + gap; in-batch gaps close inline.
+    Parity: emitted sessions over a multi-micro-batch AvailableNow drain
+    == batch sessionization of the same data, minus exactly the per-user
+    trailing sessions the final watermark hasn't released."""
+    from conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        pytest.skip(
+            "no protobuf wheel and no vendored gcloud runtime; timer "
+            "path needs the TWS runner"
+        )
+    import time as _time
+
+    from pyspark.sql import Window, functions as F
+
+    from celestrak_tle_data_pipeline_spark.plans.common import t
+    from celestrak_tle_data_pipeline_spark.streaming.stateful_v2 import (
+        session_finalizer_v2,
+    )
+
+    GAP_MIN = 30
+    gap_us = GAP_MIN * 60_000_000
+
+    ev = t(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 40
+    )
+    landing = tmp_path / "sess_land"
+    landing.mkdir()
+    days = sorted(
+        r[0]
+        for r in ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("d")
+        ).distinct().collect()
+    )
+    # one file per day, written in day order (mod-time ascending), so
+    # maxFilesPerTrigger=1 yields one micro-batch per day and the
+    # watermark genuinely advances between batches — timers for users
+    # who go quiet fire MID-RUN, not just at the terminal batch
+    for i, d in enumerate(days):
+        ev.where(
+            F.date_trunc("day", "ts").cast("date") == F.lit(d)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(landing / f"day_{i:03d}")
+        )
+        _time.sleep(0.05)
+
+    prior = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out_rows = []
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing / "day_*"))
+        )
+        q = (
+            session_finalizer_v2(stream, gap_minutes=GAP_MIN)
+            .writeStream.foreachBatch(
+                lambda df, _id: out_rows.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "sess_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior
+            )
+
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events,
+         r.total_cents)
+        for r in out_rows
+    }
+    assert len(got) == len(out_rows), "a session emitted twice"
+
+    # batch truth: gap sessionization over the identical frame
+    base = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts_us")
+    sess = (
+        base.withColumn(
+            "new_s",
+            (
+                F.col("ts_us") - F.lag("ts_us").over(wo) >= gap_us
+            ).cast("int"),
+        )
+        .withColumn(
+            "sid",
+            F.coalesce(
+                F.sum("new_s").over(
+                    wo.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(0),
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts_us").alias("s_us"),
+            F.max("ts_us").alias("e_us"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+    ).collect()
+    wm_ms = max(r.e_us for r in sess) // 1000  # delay 0
+    last_sid = {}
+    for r in sess:
+        last_sid[r.user_id] = max(last_sid.get(r.user_id, -1), r.sid)
+    want = {
+        (r.user_id, r.s_us, r.e_us, r.n, r.cents)
+        for r in sess
+        if r.sid < last_sid[r.user_id]
+        or (r.e_us // 1000 + GAP_MIN * 60_000) <= wm_ms
+    }
+    assert want, "test data produced no closeable sessions"
+    assert got == want
+    # the timer path must actually have fired: some user's TRAILING
+    # session (never closed by an in-batch gap) must be in the output
+    trailing_emitted = {
+        k for k in got
+        if any(
+            r.user_id == k[0] and r.sid == last_sid[r.user_id]
+            and (r.s_us, r.e_us) == (k[1], k[2])
+            for r in sess
+        )
+    }
+    assert trailing_emitted, "no trailing session closed by a timer"
