@@ -883,3 +883,120 @@ def test_session_finalizer_v2_timers_match_batch_sessionization(
         )
     }
     assert trailing_emitted, "no trailing session closed by a timer"
+
+
+def test_trailing_median_v2_liststate_matches_batch_window(spark, tmp_path):
+    """ListState ring buffer carries the last-5 rows per user across
+    micro-batches: the streaming trailing median over a 2-slice drain is
+    bit-identical to the batch ROWS-frame median (2x-scaled integer
+    cents), including windows that SPAN the batch boundary."""
+    from conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        pytest.skip("TWS runner needs protobuf")
+    from pyspark.sql import functions as F
+
+    from celestrak_tle_data_pipeline_spark.plans.common import t
+    from celestrak_tle_data_pipeline_spark.streaming.stateful_v2 import (
+        trailing_median_v2,
+    )
+
+    ev = t(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 30
+    )
+    landing = tmp_path / "med_land"
+    landing.mkdir()
+    days = sorted(
+        r[0]
+        for r in ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("d")
+        ).distinct().collect()
+    )
+    cut = days[len(days) // 2]
+    for i, pred in enumerate(
+        (
+            F.date_trunc("day", "ts").cast("date") <= F.lit(cut),
+            F.date_trunc("day", "ts").cast("date") > F.lit(cut),
+        )
+    ):
+        ev.where(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(landing / f"slice_{i}")
+        )
+
+    prior = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out_rows = []
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing / "slice_*"))
+        )
+        q = (
+            trailing_median_v2(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: out_rows.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "med_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior
+            )
+
+    got = {r.event_id: (r.n_window, r.median_cents_x2) for r in out_rows}
+    assert len(got) == len(out_rows)
+
+    # batch truth in plain Python over the identical integer cents
+    base = sorted(
+        (
+            (r.user_id, r.ts_us, r.event_id, r.cents)
+            for r in ev.select(
+                "user_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "event_id",
+                (F.col("value").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            ).collect()
+        ),
+        key=lambda x: (x[0], x[1], x[2]),
+    )
+    want = {}
+    hist: dict[int, list[int]] = {}
+    spans_boundary = 0
+    import datetime as _dt
+
+    cut_us = int(
+        _dt.datetime.combine(
+            cut, _dt.time.min, tzinfo=_dt.timezone.utc
+        ).timestamp() * 1_000_000
+    )
+    for uid, ts_us, eid, cents in base:
+        h = hist.setdefault(uid, [])
+        h.append((ts_us, cents))
+        wnd = sorted(c for _, c in h[-5:])
+        n = len(wnd)
+        m2 = 2 * wnd[n // 2] if n % 2 else wnd[n // 2 - 1] + wnd[n // 2]
+        want[eid] = (n, m2)
+        if ts_us > cut_us + 86_400_000_000 and any(
+            t0 <= cut_us + 86_400_000_000 for t0, _ in h[-5:][:-1]
+        ):
+            spans_boundary += 1
+    assert spans_boundary > 0, "no window spans the batch boundary"
+    assert got == want
