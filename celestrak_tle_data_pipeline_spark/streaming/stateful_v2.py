@@ -310,3 +310,137 @@ def trailing_median_v2(events: DataFrame) -> DataFrame:
         "append",
         "none",
     )
+
+
+# --------------------------------------------------------------------------
+# MapState: per-key categorical distribution, maintained incrementally
+# --------------------------------------------------------------------------
+
+TYPEMIX_OUTPUT_SCHEMA = (
+    "user_id long, n_types long, n_events long, modal_type string,"
+    " modal_n long"
+)
+
+
+class TypeMixProcessor(StatefulProcessor):
+    """Per-user event-type distribution carried in transformWithState
+    MAP state — the named-state shape for keyed sub-dictionaries: the
+    counter for ONE event type updates without rewriting the user's
+    whole distribution (contrast a ValueState holding the serialized
+    map, which pays a full read-modify-write per event at the state
+    store). State size per user is bounded by the event-type DOMAIN,
+    not the stream.
+
+    After each batch that touches a user, emits the user's current
+    (distinct types, total events, modal type) with the deterministic
+    count-desc/name-asc tiebreak — the same convention as the batch
+    rollups. Incremental correctness is exactly map-merge
+    commutativity: counts accumulated across any micro-batch slicing
+    equal the batch groupBy, pinned by the parity test.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState(
+            "counts", "event_type string", "n long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        for pdf in rows:
+            for etype, n in pdf["event_type"].value_counts().items():
+                prior = (
+                    self._counts.getValue((etype,))
+                    if self._counts.containsKey((etype,))
+                    else None
+                )
+                self._counts.updateValue(
+                    (etype,), (int(n) + (int(prior[0]) if prior else 0),)
+                )
+        dist = [
+            (k[0], int(v[0])) for k, v in self._counts.iterator()
+        ]
+        modal_type, modal_n = min(
+            ((t_, n_) for t_, n_ in dist), key=lambda kv: (-kv[1], kv[0])
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                "n_types": [len(dist)],
+                "n_events": [sum(n_ for _, n_ in dist)],
+                "modal_type": [modal_type],
+                "modal_n": [modal_n],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def type_mix_v2(events: DataFrame) -> DataFrame:
+    """events stream → per-user current event-type mix, MapState-backed."""
+    return events.select(
+        "user_id", "event_type"
+    ).groupBy("user_id").transformWithStateInPandas(
+        TypeMixProcessor(),
+        TYPEMIX_OUTPUT_SCHEMA,
+        "append",
+        "none",
+    )
+
+
+# --------------------------------------------------------------------------
+# State TTL: suppression window that forgets on wall-clock expiry
+# --------------------------------------------------------------------------
+
+SUPPRESS_OUTPUT_SCHEMA = "norad_id long, emitted long"
+
+
+class TTLSuppressorProcessor(StatefulProcessor):
+    """First-seen emitter whose memory EXPIRES: a key emits once, is
+    suppressed while its ValueState lives, and emits again after the
+    state's TTL lapses — the alert-dedup / re-notification shape
+    ("page once per incident per hour"), and the state-store-native
+    alternative to dropDuplicatesWithinWatermark when the horizon is
+    wall-clock (operational) rather than event-time.
+
+    The TTL is declared ON THE STATE (``getValueState(..,
+    ttlDurationMs)``) and enforced by the store itself — no timer
+    bookkeeping, no manual sweep; expired values read back as absent.
+    State per key is one int64 under a TTL bound, so the live state
+    set is bounded by keys-active-per-TTL-window, not stream history.
+    """
+
+    def __init__(self, ttl_ms: int):
+        self._ttl_ms = int(ttl_ms)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._seen = handle.getValueState(
+            "seen", "n long", ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (norad_id,) = key
+        n = sum(len(pdf) for pdf in rows)
+        if self._seen.get() is None:
+            self._seen.update((1,))
+            yield pd.DataFrame(
+                {"norad_id": [int(norad_id)], "emitted": [int(n)]}
+            )
+        # else: suppressed — state alive within TTL; nothing emitted
+
+    def close(self) -> None:
+        pass
+
+
+def ttl_suppressor_v2(parsed: DataFrame, ttl_ms: int) -> DataFrame:
+    """parsed telemetry stream → one row per satellite per TTL window."""
+    # TTL is wall-clock by definition, so the operator must run in
+    # processingTime mode (NoTime rejects TTL'd state at init)
+    return parsed.select("norad_id").groupBy(
+        "norad_id"
+    ).transformWithStateInPandas(
+        TTLSuppressorProcessor(ttl_ms),
+        SUPPRESS_OUTPUT_SCHEMA,
+        "append",
+        "processingTime",
+    )

@@ -1000,3 +1000,196 @@ def test_trailing_median_v2_liststate_matches_batch_window(spark, tmp_path):
             spans_boundary += 1
     assert spans_boundary > 0, "no window spans the batch boundary"
     assert got == want
+
+
+def test_type_mix_v2_mapstate_accumulates_across_batches(spark, tmp_path):
+    """MapState per-type counters merge across micro-batches: each
+    user's LAST emitted row equals the batch groupBy distribution, with
+    the deterministic modal tiebreak."""
+    from conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        pytest.skip("TWS runner needs protobuf")
+    from pyspark.sql import functions as F
+
+    from celestrak_tle_data_pipeline_spark.plans.common import t
+    from celestrak_tle_data_pipeline_spark.streaming.stateful_v2 import (
+        type_mix_v2,
+    )
+
+    ev = t(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 25
+    )
+    landing = tmp_path / "mix_land"
+    landing.mkdir()
+    days = sorted(
+        r[0]
+        for r in ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("d")
+        ).distinct().collect()
+    )
+    cut = days[len(days) // 2]
+    for i, pred in enumerate(
+        (
+            F.date_trunc("day", "ts").cast("date") <= F.lit(cut),
+            F.date_trunc("day", "ts").cast("date") > F.lit(cut),
+        )
+    ):
+        ev.where(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(landing / f"slice_{i}")
+        )
+
+    prior = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        batches: list[list] = []
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing / "slice_*"))
+        )
+        q = (
+            type_mix_v2(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: batches.append(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "mix_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior
+            )
+
+    last = {}
+    for b in batches:
+        for r in b:
+            last[r.user_id] = (r.n_types, r.n_events, r.modal_type, r.modal_n)
+
+    want_rows = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_user: dict[int, list] = {}
+    for r in want_rows:
+        per_user.setdefault(r.user_id, []).append((r.event_type, r.n))
+    want = {}
+    for uid, dist in per_user.items():
+        mt, mn = min(dist, key=lambda kv: (-kv[1], kv[0]))
+        want[uid] = (len(dist), sum(n for _, n in dist), mt, mn)
+    assert last == want
+    # multi-batch users must exist, or merge-across-batches is untested
+    multi = [
+        b for b in batches[1:] if b
+    ]
+    assert multi, "second micro-batch emitted nothing"
+
+
+def test_ttl_suppressor_v2_state_expires(spark, tmp_path):
+    """ValueState TTL: a key emits, is suppressed while state lives,
+    and emits AGAIN once the TTL lapses — enforced by the store, no
+    timers."""
+    from conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        pytest.skip("TWS runner needs protobuf")
+    import time as _time
+
+    from celestrak_tle_data_pipeline_spark.streaming.incremental import (
+        incremental_tle_stream,
+    )
+    from celestrak_tle_data_pipeline_spark.streaming.stateful_v2 import (
+        ttl_suppressor_v2,
+    )
+
+    landing = tmp_path / "ttl_land"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ttl_ck")
+    prior = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    out_rows = []
+
+    # ONE live query: wall-clock TTL requires a running query by
+    # nature (in processingTime mode the store schedules cleanup
+    # batches continuously, so neither availableNow nor
+    # processAllAvailable() ever quiesces — both were tried and hang).
+    # Landings are asserted by polling with deadlines against the
+    # source's cumulative input-row progress.
+    stream = incremental_tle_stream(spark, str(landing))
+    q = (
+        ttl_suppressor_v2(stream, ttl_ms=15_000)
+        .writeStream.foreachBatch(
+            lambda df, _id: out_rows.extend(df.collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def _emitted(norad: int) -> int:
+        return sum(1 for r in out_rows if r.norad_id == norad)
+
+    def _wait(pred, desc, deadline_s=90):
+        t0 = _time.time()
+        while _time.time() - t0 < deadline_s:
+            if pred():
+                return
+            _time.sleep(0.5)
+        raise AssertionError(f"timed out waiting for {desc}")
+
+    # every landing uses a DISTINCT epoch: the upstream
+    # incremental_tle_stream dedups (norad, epoch) within its
+    # watermark, so identical payloads would never even reach the TTL
+    # processor — the suppression under test must be the TTL state's
+    # own doing
+    try:
+        (landing / "a1.txt").write_text(_payload(90001, NOW))
+        _wait(lambda: _emitted(90001) == 1, "first emission")
+
+        # immediate re-land of 90001 (new epoch) plus a fresh SENTINEL
+        # key: when the sentinel's emission appears, the batch holding
+        # both is definitely processed — and 90001 must have been
+        # suppressed by its still-live state.
+        later = NOW - dt.timedelta(days=1)
+        (landing / "a2.txt").write_text(
+            _payload(90001, later) + _payload(90002, later)
+        )
+        _wait(lambda: _emitted(90002) == 1, "second landing sentinel")
+        assert _emitted(90001) == 1
+
+        # wait out the TTL; the store must read the state as absent
+        _time.sleep(20)
+        latest = NOW - dt.timedelta(days=2)
+        (landing / "a3.txt").write_text(
+            _payload(90001, latest) + _payload(90003, latest)
+        )
+        _wait(lambda: _emitted(90003) == 1, "third landing sentinel")
+        _wait(lambda: _emitted(90001) == 2, "post-TTL re-emission")
+    finally:
+        q.stop()
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior
+            )
