@@ -51,6 +51,8 @@ QUERIES = [
     "rowhash_table_digest",     # scan-bound integrity fold (r6)
     "bigram_lm_perplexity",     # LM scoring: model joins over grams (r6)
     "mmr_diversified_topk",     # bounded-pool Arrow greedy kernel (r6)
+    "systematic_weighted_sample",   # ranged PPS cumsum, no global window (r7)
+    "pareto_decile_ranged",     # boundary-broadcast decile twin (r7)
 ]
 
 
