@@ -1198,9 +1198,15 @@ def pareto_decile_ranged(spark, sf_dir):
     decile on distinct revenues — remainder vs interpolated-cut
     placement) and pins the window-free physical plan."""
     o = t(spark, sf_dir, "orders")
+    # the customer rollup feeds boundary computation AND assignment;
+    # the decile aggregate feeds totals, the cumulative join, and the
+    # final projection — persist both so the plan scans the fact once
+    # per consumer-tree instead of re-deriving the rollup per branch
+    # (at 100 TB: one fact scan + one user-grain shuffle, cached at
+    # customer grain, then 10-row frames everywhere)
     cr = o.groupBy("o_custkey").agg(
         F.sum(dec("o_totalprice", 18, 4)).alias("rev")
-    )
+    ).persist()
     bounds = cr.agg(
         F.percentile(
             F.col("rev").cast("double"),
@@ -1227,6 +1233,7 @@ def pareto_decile_ranged(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
             F.sum("rev").alias("drev"),
         )
+        .persist()
     )
     total = agg.agg(F.sum("drev").alias("total"))
     a2 = agg.select(
