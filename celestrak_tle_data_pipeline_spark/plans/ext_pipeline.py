@@ -1099,9 +1099,14 @@ def cdc_warehouse_roundtrip(spark, sf_dir):
         F.floor((F.min("d") + F.max("d") + 1) / F.lit(2))
     ).first()[0]
 
+    # scope the scratch warehouse by application id: concurrent Spark
+    # sessions (driver gate + local mirror) must not share a path, and
+    # within one session repeated builds stay idempotent via the rmtree
     root = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_cdc_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+        "spark_graft_cdc_roundtrip_"
+        f"{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
     )
     shutil.rmtree(root, ignore_errors=True)
     wh = ParquetWarehouse(spark, root)
