@@ -1138,7 +1138,7 @@ def test_ttl_suppressor_v2_state_expires(spark, tmp_path):
     # source's cumulative input-row progress.
     stream = incremental_tle_stream(spark, str(landing))
     q = (
-        ttl_suppressor_v2(stream, ttl_ms=15_000)
+        ttl_suppressor_v2(stream, ttl_ms=30_000)
         .writeStream.foreachBatch(
             lambda df, _id: out_rows.extend(df.collect())
         )
@@ -1178,7 +1178,10 @@ def test_ttl_suppressor_v2_state_expires(spark, tmp_path):
         assert _emitted(90001) == 1
 
         # wait out the TTL; the store must read the state as absent
-        _time.sleep(20)
+        # (TTL sized generously: suppression only holds while the second
+        # landing processes inside the TTL window, and a loaded box can
+        # take several seconds per file discovery + batch)
+        _time.sleep(35)
         latest = NOW - dt.timedelta(days=2)
         (landing / "a3.txt").write_text(
             _payload(90001, latest) + _payload(90003, latest)
