@@ -176,12 +176,16 @@ class SessionFinalizerProcessor(StatefulProcessor):
                 cents += c
                 last_us = ts_us if last_us is None else max(last_us, ts_us)
 
-        self._sess.update((first_us, last_us, n, cents))
-        # one close timer per user, re-armed to the open session's
-        # gap-extended end
-        for tms in self._handle.listTimers():
-            self._handle.deleteTimer(tms)
-        self._handle.registerTimer(last_us // 1000 + self._gap_ms)
+        # guard: a key can surface with an empty row iterator (e.g. all
+        # its rows filtered upstream in this batch) — leave state and
+        # timer untouched rather than writing a null session
+        if last_us is not None:
+            self._sess.update((first_us, last_us, n, cents))
+            # one close timer per user, re-armed to the open session's
+            # gap-extended end
+            for tms in self._handle.listTimers():
+                self._handle.deleteTimer(tms)
+            self._handle.registerTimer(last_us // 1000 + self._gap_ms)
         for r in closed:
             yield pd.DataFrame(r)
 
@@ -359,6 +363,8 @@ class TypeMixProcessor(StatefulProcessor):
         dist = [
             (k[0], int(v[0])) for k, v in self._counts.iterator()
         ]
+        if not dist:  # empty row iterator for this key in this batch
+            return
         modal_type, modal_n = min(
             ((t_, n_) for t_, n_ in dist), key=lambda kv: (-kv[1], kv[0])
         )
