@@ -450,3 +450,57 @@ def ttl_suppressor_v2(parsed: DataFrame, ttl_ms: int) -> DataFrame:
         "append",
         "processingTime",
     )
+
+
+# --------------------------------------------------------------------------
+# Initial state: bootstrap the tracker from a batch frame (warehouse)
+# --------------------------------------------------------------------------
+
+BOOTSTRAP_STATE_SCHEMA = "norad_id long, epoch_us long, mean_motion double, n_seen long"
+
+
+class BootstrappedDecayTracker(DecayTrackerProcessor):
+    """Decay tracker whose state store is SEEDED from a batch frame —
+    the batch→stream migration path: a pipeline that has loaded years
+    of telemetry into the warehouse starts its streaming tracker from
+    the warehouse's per-satellite head state instead of re-streaming
+    history. ``handleInitialState`` runs once per key before any input
+    row, so the first streamed epoch for a known satellite computes its
+    delta against the WAREHOUSE state (and bumps its n_seen), while
+    unseen satellites start cold — exactly the semantics a resumed
+    pipeline needs, pinned by the bootstrap test.
+    """
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        row = initialState
+        if hasattr(row, "iloc"):  # pandas frame (InPandas variant)
+            row = row.iloc[0]
+        self._track.update(
+            (
+                int(row["epoch_us"]),
+                float(row["mean_motion"]),
+                int(row["n_seen"]),
+            )
+        )
+
+
+def decay_tracker_v2_bootstrapped(
+    parsed: DataFrame, initial_state: DataFrame
+) -> DataFrame:
+    """parsed telemetry stream → decay deltas, with per-satellite state
+    pre-seeded from ``initial_state`` (norad_id, epoch_us, mean_motion,
+    n_seen — e.g. the warehouse's head state)."""
+    from pyspark.sql import functions as F
+
+    src = parsed.select(
+        "norad_id",
+        F.unix_micros("epoch_utc").alias("epoch_us"),
+        "mean_motion",
+    )
+    return src.groupBy("norad_id").transformWithStateInPandas(
+        BootstrappedDecayTracker(),
+        OUTPUT_SCHEMA,
+        "append",
+        "none",
+        initialState=initial_state.groupBy("norad_id"),
+    )

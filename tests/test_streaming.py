@@ -1303,3 +1303,79 @@ def test_session_finalizer_v2_timers_survive_restart(spark, tmp_path):
         for r in run1 + run2
     ]
     assert len(all_keys) == len(set(all_keys))
+
+
+def test_decay_tracker_v2_bootstrapped_initial_state(spark, tmp_path):
+    """handleInitialState seeds the state store from a batch frame: the
+    first streamed epoch of a KNOWN satellite deltas against the
+    bootstrapped warehouse state (n_seen continues), an unseen
+    satellite starts cold."""
+    from conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        pytest.skip("TWS runner needs protobuf")
+    from celestrak_tle_data_pipeline_spark.streaming.incremental import (
+        incremental_tle_stream,
+    )
+    from celestrak_tle_data_pipeline_spark.streaming.stateful_v2 import (
+        decay_tracker_v2_bootstrapped,
+    )
+
+    landing = tmp_path / "bs_land"
+    landing.mkdir()
+    ckpt = str(tmp_path / "bs_ck")
+    prior = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    # warehouse head state: sat 61001 last seen 2 days ago at mm=15.5,
+    # 3 observations on record
+    two_days_ago = NOW - dt.timedelta(days=2)
+    seed_epoch_us = int(
+        two_days_ago.replace(
+            hour=6, minute=0, second=0, microsecond=0
+        ).timestamp() * 1_000_000
+    )
+    init = spark.createDataFrame(
+        [(61001, seed_epoch_us, 15.5, 3)],
+        "norad_id long, epoch_us long, mean_motion double, n_seen long",
+    )
+
+    # stream: a NEW epoch for the known sat + one unseen sat
+    (landing / "b1.txt").write_text(
+        _payload(61001, NOW) + _payload(61002, NOW)
+    )
+    out_rows = []
+    try:
+        stream = incremental_tle_stream(spark, str(landing))
+        q = (
+            decay_tracker_v2_bootstrapped(stream, init)
+            .writeStream.foreachBatch(
+                lambda df, _id: out_rows.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior
+            )
+
+    by_sat = {r.norad_id: r for r in out_rows}
+    assert set(by_sat) == {61001, 61002}
+    known = by_sat[61001]
+    # the payload's mm is 15.06402843; delta against the SEEDED 15.5
+    assert known.n_seen == 4
+    assert abs(known.mm_delta - (15.06402843 - 15.5)) < 1e-9
+    cold = by_sat[61002]
+    assert cold.n_seen == 1 and cold.mm_delta is None
