@@ -588,11 +588,24 @@ def pareto_frontier_orders(spark, sf_dir):
     pts = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderdate"
     )
-    grp = pts.groupBy(F.col("o_totalprice").alias("price")).agg(
-        F.max("o_orderdate").alias("mx_date")
+    return skyline_2d(
+        pts, "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+
+
+def skyline_2d(
+    pts, key: str, x: str, y: str, n_parts: int = 8
+):
+    """Distributed 2-D skyline core (shared by the registered query and
+    the property test): rows of ``pts`` not dominated on (x, y) — a row
+    is dominated iff some other row has BOTH strictly higher x AND
+    strictly higher y. Per-partition frontier + broadcast carry; see
+    ``pareto_frontier_orders`` for the full plan narrative."""
+    grp = pts.groupBy(F.col(x).alias("price")).agg(
+        F.max(y).alias("mx_date")
     )
     gp = (
-        grp.repartitionByRange(8, F.col("price").desc())
+        grp.repartitionByRange(n_parts, F.col("price").desc())
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )
@@ -616,12 +629,12 @@ def pareto_frontier_orders(spark, sf_dir):
         ).alias("dom_date"),
     )
     return (
-        pts.join(run, pts["o_totalprice"] == run["price"])
+        pts.join(run, pts[x] == run["price"])
         .where(
             F.col("dom_date").isNull()
-            | (F.col("o_orderdate") >= F.col("dom_date"))
+            | (F.col(y) >= F.col("dom_date"))
         )
-        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .select(key, x, y)
     )
 
 

@@ -454,3 +454,85 @@ def test_ppm_resize_dims_property(spark, in_w, in_h, out_w, out_h):
             sr, sc = (r * in_h) // out_h, (c * in_w) // out_w
             src = px[3 * (sr * in_w + sc): 3 * (sr * in_w + sc) + 3]
             assert got[3 * (r * out_w + c): 3 * (r * out_w + c) + 3] == src
+
+
+# --------------------------------------------------------------------------
+# round-7: range-partitioned prefix offsets == plain cumulative sum
+# --------------------------------------------------------------------------
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 10**6)),
+        min_size=40,
+        max_size=120,
+        unique_by=lambda kv: kv[0],
+    )
+)
+def test_prefix_offsets_reconstruct_global_cumsum(spark, kvs):
+    """The triangular-join prefix offsets plus per-partition running
+    sums must reproduce the global cumulative sum EXACTLY for every
+    partition count — the invariant all the ranged global-rank/cumsum
+    rewrites (X22, MWU, KS, median-CI) stand on."""
+    from pyspark.sql import Window, functions as F
+
+    from celestrak_tle_data_pipeline_spark.plans.common import prefix_offsets
+
+    want = {}
+    run = 0
+    for k, v in sorted(kvs):
+        run += v
+        want[k] = run
+
+    df = spark.createDataFrame(kvs, "k long, v long")
+    for n_parts in (1, 3, 8):
+        pool = (
+            df.repartitionByRange(n_parts, F.col("k").asc())
+            .withColumn("pid", F.spark_partition_id())
+            .persist()
+        )
+        psums = pool.groupBy("pid").agg(F.sum("v").alias("pv"))
+        offsets = prefix_offsets(psums, {"off": "pv"})
+        local = F.sum("v").over(
+            Window.partitionBy("pid")
+            .orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        got = {
+            r.k: r.cum
+            for r in pool.join(F.broadcast(offsets), "pid")
+            .select("k", (local + F.col("off")).alias("cum"))
+            .collect()
+        }
+        pool.unpersist()
+        assert got == want, f"n_parts={n_parts}"
+
+
+# --------------------------------------------------------------------------
+# round-7: distributed skyline == brute-force dominance reference
+# --------------------------------------------------------------------------
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        min_size=30,
+        max_size=100,
+    )
+)
+def test_skyline_2d_matches_bruteforce(spark, xys):
+    """The per-partition-frontier + broadcast-carry skyline must equal
+    the O(n^2) dominance definition on arbitrary point sets — including
+    duplicate x values, duplicate points, and ties on both axes (the
+    cases a sorted-sweep implementation typically gets wrong)."""
+    from celestrak_tle_data_pipeline_spark.plans.stats import skyline_2d
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(xys)]
+    want = {
+        (i, x, y)
+        for i, x, y in rows
+        if not any(x2 > x and y2 > y for _, x2, y2 in rows)
+    }
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        tuple(r) for r in skyline_2d(df, "id", "x", "y", n_parts=4).collect()
+    }
+    assert got == want
