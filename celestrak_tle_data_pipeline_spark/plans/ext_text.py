@@ -3348,3 +3348,82 @@ def vocab_coverage_curve(spark, sf_dir):
         F.round(cov, 9).alias("coverage"),
         F.round(1.0 - cov, 9).alias("oov_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# overlapping document chunker (RAG / pretraining chunk grid)
+# --------------------------------------------------------------------------
+@register(
+    "document_chunks_overlap",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, text, length(text) AS n,
+               CASE WHEN length(text) <= 500 THEN 1
+                    ELSE CAST(ceil((length(text) - 500) / 400.0)
+                              AS BIGINT) + 1 END AS n_chunks
+        FROM documents
+    ),
+    g AS (
+        SELECT p.doc_id, i.i AS chunk_idx, p.n,
+               i.i * 400 AS start,
+               least(500, p.n - i.i * 400) AS chunk_len,
+               substr(p.text, i.i * 400 + 1,
+                      least(500, p.n - i.i * 400)) AS chunk
+        FROM p, LATERAL unnest(generate_series(0, p.n_chunks - 1))
+                 AS i(i)
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start,
+           CAST(chunk_len AS BIGINT) AS chunk_len,
+           md5(chunk) AS chunk_md5
+    FROM g
+    """,
+)
+def document_chunks_overlap(spark, sf_dir):
+    """Overlapping fixed-size chunk grid over documents — the
+    chunk-then-embed primitive every RAG index and long-document
+    pretraining pipeline runs first: windows of 500 characters with
+    100 overlap (stride 400), the final window allowed to run short,
+    single-chunk documents emitted whole. Complements
+    ``sequence_packing_chunks`` (which packs multiple docs INTO fixed
+    sequences; this splits one doc ACROSS windows).
+
+    The oracle gate certifies CONTENT, not just arithmetic: each
+    chunk's md5 over the actual extracted substring must match across
+    engines, so 1-based substring indexing, the short-final-window
+    rule, and the ceil-based chunk count are all pinned bit-exact.
+    All boundary math is integer (ceil via (n - size + stride - 1) DIV
+    stride + 1).
+
+    Scale shape: pure map-side work — sequence() + explode fan-out of
+    the chunk index grid, substring + md5 inside whole-stage codegen,
+    no shuffle at all (the 100 TB chunker is scan-bound by
+    construction; downstream embedding is where the cost lives)."""
+    size, overlap = 500, 100
+    stride = size - overlap
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    # integer DIV ceil: expr form keeps it in codegen
+    n_chunks = F.when(F.col("n") <= size, F.lit(1).cast("bigint")).otherwise(
+        F.expr(f"(n - {size} + {stride} - 1) DIV {stride} + 1")
+    )
+    chunks = d.withColumn(
+        "chunk_idx",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)),
+    )
+    start = F.col("chunk_idx") * stride
+    chunk_len = F.least(F.lit(size).cast("bigint"), F.col("n") - start)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        start.cast("bigint").alias("start"),
+        chunk_len.cast("bigint").alias("chunk_len"),
+        F.md5(
+            F.substring(
+                "text",
+                (start + 1).cast("int"),
+                chunk_len.cast("int"),
+            )
+        ).alias("chunk_md5"),
+    )
