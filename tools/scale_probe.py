@@ -88,6 +88,7 @@ QUERIES = (
     "pareto_frontier_orders",       # per-partition frontier + carry merge
     "pareto_decile_ranged",         # percentile-boundary decile twin
     "median_ci_order_stats",        # ranged global ranks, no pid window
+    "document_chunks_overlap",      # zero-shuffle chunk grid + md5
 )
 
 
