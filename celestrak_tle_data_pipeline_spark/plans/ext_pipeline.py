@@ -1748,3 +1748,136 @@ def mixture_interleave_schedule(spark, sf_dir):
             F.max("n_docs") / F.max("n").cast("double"), 6
         ).alias("target_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# streaming sessionization under the VALUE gate (timers vs SQL oracle)
+# --------------------------------------------------------------------------
+@register(
+    "streaming_sessions_finalized",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE user_id < 150
+    ),
+    flagged AS (
+        SELECT user_id, ts_us, cents,
+               CASE WHEN ts_us - LAG(ts_us) OVER (
+                        PARTITION BY user_id ORDER BY ts_us
+                    ) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        FROM base
+    ),
+    grouped AS (
+        SELECT user_id, ts_us, cents,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id, sid,
+               MIN(ts_us) AS s_us, MAX(ts_us) AS e_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM grouped GROUP BY 1, 2
+    ),
+    wm AS (SELECT MAX(ts_us) // 1000 AS wm_ms FROM base),
+    lastsid AS (SELECT user_id, MAX(sid) AS last_sid FROM sess GROUP BY 1)
+    SELECT s.user_id,
+           CAST(s.s_us AS BIGINT) AS session_start_us,
+           CAST(s.e_us AS BIGINT) AS session_end_us,
+           s.n_events, s.total_cents
+    FROM sess s JOIN lastsid l USING (user_id) CROSS JOIN wm
+    WHERE s.sid < l.last_sid
+       OR (s.e_us // 1000 + 1800000) <= wm.wm_ms
+    """,
+)
+def streaming_sessions_finalized(spark, sf_dir):
+    """The timer-closed streaming sessionizer (X159) run UNDER THE
+    DRIVER'S VALUE GATE — the oracle is not a weaker rows-only check
+    but a full SQL statement of transformWithState's emission
+    semantics: every session closed by an in-batch gap, plus each
+    user's trailing session iff its event-time timer (session_end +
+    gap, ms grain) is <= the final watermark — the exact `timer_ts <=
+    wm` rule Spark's TimerStateImpl.getExpiredTimers applies
+    (verified against the 4.1.2 bytecode), with the watermark at
+    floor(max event µs / 1000) under a 0-second delay. A hash match
+    therefore certifies the processor's gap splits, integer-cents
+    sums, timer arithmetic, and the no-data-batch timer sweep,
+    bit-for-bit against batch SQL.
+
+    Runs on ANY session — the driver's included — because (a) the
+    processor class is cloudpickle'd BY VALUE
+    (``make_session_finalizer``'s nested class; workers need only
+    pyspark), and (b) the protobuf runtime the TWS handshake needs is
+    applied at build time: ``compat.ensure_protobuf()`` on the driver
+    plus ``sc.environment['PYTHONPATH']`` for the workers (propagates
+    to worker launch env without touching session creation).
+
+    Scale shape is the operator's own: one user-keyed shuffle into the
+    stateful operator, 4 int64s state + one timer per live user; the
+    drain here collects session-grain rows to the driver only because
+    the gate compares a result frame — a production run writes the
+    emissions to a sink table instead."""
+    import os
+    import shutil
+    import tempfile
+
+    from .. import compat
+
+    if not compat.ensure_protobuf():
+        raise RuntimeError(
+            "transformWithStateInPandas needs a protobuf runtime "
+            "(none installed and no vendored gcloud runtime found)"
+        )
+    spark.sparkContext.environment["PYTHONPATH"] = compat.worker_pythonpath()
+
+    from ..streaming.stateful_v2 import (
+        SESSION_OUTPUT_SCHEMA,
+        session_finalizer_v2,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_sessions_"
+        f"{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    landing = os.path.join(root, "landing")
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") < 150)
+    ev.select("user_id", "ts", "value").coalesce(1).write.parquet(
+        os.path.join(landing, "slice_0")
+    )
+
+    prior = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    out_rows: list = []
+    try:
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(os.path.join(landing, "slice_*"))
+        q = (
+            session_finalizer_v2(stream, gap_minutes=30)
+            .writeStream.foreachBatch(
+                lambda df, _id: out_rows.extend(df.collect())
+            )
+            .option("checkpointLocation", os.path.join(root, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior
+            )
+    return spark.createDataFrame(out_rows, SESSION_OUTPUT_SCHEMA)

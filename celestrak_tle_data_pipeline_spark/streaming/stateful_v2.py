@@ -104,103 +104,116 @@ SESSION_OUTPUT_SCHEMA = (
 )
 
 
-class SessionFinalizerProcessor(StatefulProcessor):
-    """Gap-based sessionizer built on transformWithState EVENT-TIME
-    TIMERS — the state-lifecycle feature the decay tracker doesn't
-    exercise: sessions that close *inside* a batch (an in-batch gap)
-    emit inline, while each user's trailing open session is finalized
-    by ``handleExpiredTimer`` when the WATERMARK passes its
-    gap-extended end — the streaming answer to "a session is over only
-    once late data can no longer extend it". Timer hygiene matters:
-    every batch re-arms the user's single close timer at
-    last_event + gap (delete-then-register), so a user active across
-    many batches never fires early and holds exactly one timer.
+def make_session_finalizer(gap_ms: int) -> StatefulProcessor:
+    """Build a SessionFinalizerProcessor instance whose CLASS is defined
+    inside this function on purpose: cloudpickle serializes dynamically
+    defined classes BY VALUE, so the processor runs on Python workers
+    that cannot import this package (any externally created
+    SparkSession — the driver's own session included — ships only
+    pyspark on the worker path; module-level classes pickle by
+    reference and die with ModuleNotFoundError there). The nested
+    mapInPandas kernels in operators/multimodal.py rely on the same
+    property for plain functions."""
 
-    State is 4 int64s per user (money carried as integer cents — no
-    floats in state); timers are one per live user. Ordering contract:
-    event-time order is total per user ACROSS batches at the gap
-    granularity (time-sliced landing files — the standard incremental
-    ingest layout). A session split across an out-of-order batch
-    boundary would need merge-on-read (Spark's built-in
-    ``session_window`` semantics, streaming/windowed.py); this
-    operator documents the in-order contract instead of silently
-    approximating the merge.
+    class SessionFinalizerProcessor(StatefulProcessor):
+        """Gap-based sessionizer built on transformWithState EVENT-TIME
+        TIMERS — the state-lifecycle feature the decay tracker doesn't
+        exercise: sessions that close *inside* a batch (an in-batch gap)
+        emit inline, while each user's trailing open session is finalized
+        by ``handleExpiredTimer`` when the WATERMARK passes its
+        gap-extended end — the streaming answer to "a session is over only
+        once late data can no longer extend it". Timer hygiene matters:
+        every batch re-arms the user's single close timer at
+        last_event + gap (delete-then-register), so a user active across
+        many batches never fires early and holds exactly one timer.
 
-    Parity (tests/test_streaming.py): emitted sessions across a
-    multi-batch AvailableNow drain == the batch sessionization of the
-    same data, minus exactly the per-user trailing sessions the final
-    watermark hasn't released — computed from the same frame, asserted
-    equal.
-    """
+        State is 4 int64s per user (money carried as integer cents — no
+        floats in state); timers are one per live user. Ordering contract:
+        event-time order is total per user ACROSS batches at the gap
+        granularity (time-sliced landing files — the standard incremental
+        ingest layout). A session split across an out-of-order batch
+        boundary would need merge-on-read (Spark's built-in
+        ``session_window`` semantics, streaming/windowed.py); this
+        operator documents the in-order contract instead of silently
+        approximating the merge.
 
-    def __init__(self, gap_ms: int):
-        self._gap_ms = int(gap_ms)
+        Parity (tests/test_streaming.py): emitted sessions across a
+        multi-batch AvailableNow drain == the batch sessionization of the
+        same data, minus exactly the per-user trailing sessions the final
+        watermark hasn't released — computed from the same frame, asserted
+        equal.
+        """
 
-    def init(self, handle: StatefulProcessorHandle) -> None:
-        self._handle = handle
-        self._sess = handle.getValueState("sess", SESSION_STATE_SCHEMA)
+        def __init__(self, gap_ms: int):
+            self._gap_ms = int(gap_ms)
 
-    @staticmethod
-    def _row(user_id, first_us, last_us, n, cents):
-        return {
-            "user_id": [int(user_id)],
-            "session_start_us": [int(first_us)],
-            "session_end_us": [int(last_us)],
-            "n_events": [int(n)],
-            "total_cents": [int(cents)],
-        }
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState("sess", SESSION_STATE_SCHEMA)
 
-    def handleInputRows(self, key, rows, timerValues):
-        (user_id,) = key
-        gap_us = self._gap_ms * 1000
-        cur = self._sess.get()
-        if cur is not None:
-            first_us, last_us, n, cents = cur
-        else:
-            first_us = last_us = None
-            n = cents = 0
+        @staticmethod
+        def _row(user_id, first_us, last_us, n, cents):
+            return {
+                "user_id": [int(user_id)],
+                "session_start_us": [int(first_us)],
+                "session_end_us": [int(last_us)],
+                "n_events": [int(n)],
+                "total_cents": [int(cents)],
+            }
 
-        closed: list[dict] = []
-        for pdf in rows:
-            pdf = pdf.sort_values("ts_us")
-            for ts_us, c in zip(pdf["ts_us"], pdf["cents"]):
-                ts_us, c = int(ts_us), int(c)
-                if last_us is not None and ts_us - last_us >= gap_us:
-                    closed.append(
-                        self._row(user_id, first_us, last_us, n, cents)
-                    )
-                    first_us, n, cents = None, 0, 0
-                if first_us is None:
-                    first_us = ts_us
-                n += 1
-                cents += c
-                last_us = ts_us if last_us is None else max(last_us, ts_us)
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            gap_us = self._gap_ms * 1000
+            cur = self._sess.get()
+            if cur is not None:
+                first_us, last_us, n, cents = cur
+            else:
+                first_us = last_us = None
+                n = cents = 0
 
-        # guard: a key can surface with an empty row iterator (e.g. all
-        # its rows filtered upstream in this batch) — leave state and
-        # timer untouched rather than writing a null session
-        if last_us is not None:
-            self._sess.update((first_us, last_us, n, cents))
-            # one close timer per user, re-armed to the open session's
-            # gap-extended end
-            for tms in self._handle.listTimers():
-                self._handle.deleteTimer(tms)
-            self._handle.registerTimer(last_us // 1000 + self._gap_ms)
-        for r in closed:
-            yield pd.DataFrame(r)
+            closed: list[dict] = []
+            for pdf in rows:
+                pdf = pdf.sort_values("ts_us")
+                for ts_us, c in zip(pdf["ts_us"], pdf["cents"]):
+                    ts_us, c = int(ts_us), int(c)
+                    if last_us is not None and ts_us - last_us >= gap_us:
+                        closed.append(
+                            self._row(user_id, first_us, last_us, n, cents)
+                        )
+                        first_us, n, cents = None, 0, 0
+                    if first_us is None:
+                        first_us = ts_us
+                    n += 1
+                    cents += c
+                    last_us = ts_us if last_us is None else max(last_us, ts_us)
 
-    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        (user_id,) = key
-        cur = self._sess.get()
-        if cur is not None:
-            first_us, last_us, n, cents = cur
-            self._sess.clear()
-            yield pd.DataFrame(
-                self._row(user_id, first_us, last_us, n, cents)
-            )
+            # guard: a key can surface with an empty row iterator (e.g. all
+            # its rows filtered upstream in this batch) — leave state and
+            # timer untouched rather than writing a null session
+            if last_us is not None:
+                self._sess.update((first_us, last_us, n, cents))
+                # one close timer per user, re-armed to the open session's
+                # gap-extended end
+                for tms in self._handle.listTimers():
+                    self._handle.deleteTimer(tms)
+                self._handle.registerTimer(last_us // 1000 + self._gap_ms)
+            for r in closed:
+                yield pd.DataFrame(r)
 
-    def close(self) -> None:
-        pass
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            cur = self._sess.get()
+            if cur is not None:
+                first_us, last_us, n, cents = cur
+                self._sess.clear()
+                yield pd.DataFrame(
+                    self._row(user_id, first_us, last_us, n, cents)
+                )
+
+        def close(self) -> None:
+            pass
+
+    return SessionFinalizerProcessor(gap_ms)
 
 
 def session_finalizer_v2(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
@@ -220,7 +233,7 @@ def session_finalizer_v2(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
     )
     return src.groupBy("user_id").transformWithStateInPandas(
-        SessionFinalizerProcessor(gap_minutes * 60_000),
+        make_session_finalizer(gap_minutes * 60_000),
         SESSION_OUTPUT_SCHEMA,
         "append",
         "eventTime",
