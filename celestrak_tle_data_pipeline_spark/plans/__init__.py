@@ -79,10 +79,11 @@ _MODULES = (
 # cumulative_distinct_users, seasonal_naive_mase, association_rules_parts,
 # time_to_convert_quartiles, attribution_linear_touch,
 # discount_quantity_elasticity, holt_linear_forecast,
-# open_order_backlog_sweep, shipping_sla_attainment) plus round-7's four
+# open_order_backlog_sweep, shipping_sla_attainment) plus round-7's five
 # new registrations (pareto_decile_ranged, cdc_warehouse_roundtrip,
-# document_chunks_overlap, streaming_sessions_finalized) = 24 names —
-# comfortably one final window.
+# document_chunks_overlap, streaming_sessions_finalized,
+# streaming_trailing_median) = 25 names — exactly one final window; no
+# further round-7 registrations so the cap holds.
 _PRIORITY = (
     # (a) scale-twin / gate certifications (r6 verdict priority 1a)
     "equidepth_histogram_bounded",

@@ -1881,3 +1881,104 @@ def streaming_sessions_finalized(spark, sf_dir):
                 "spark.sql.streaming.stateStore.providerClass", prior
             )
     return spark.createDataFrame(out_rows, SESSION_OUTPUT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# ListState streaming trailing median under the VALUE gate
+# --------------------------------------------------------------------------
+@register(
+    "streaming_trailing_median",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE user_id < 100
+    )
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER win AS BIGINT) AS n_window,
+           CAST(2 * median(cents) OVER win AS BIGINT) AS median_cents_x2
+    FROM base
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def streaming_trailing_median(spark, sf_dir):
+    """The ListState ring-buffer trailing median (X160) under the
+    driver's VALUE gate: the streaming operator's per-event output must
+    hash-match the batch ROWS-frame median in SQL — certifying the
+    ring-buffer trim, the (ts, event_id) total order, and the
+    2x-scaled integer median rule (sum of the two middle cents; twice
+    the middle for odd windows) bit-for-bit. Exactness note: the
+    oracle's ``2 * median(cents)`` is exact in IEEE doubles because
+    a+b for cent values sits far inside 2^52.
+
+    Same any-session machinery as ``streaming_sessions_finalized``:
+    by-value processor class (``make_trailing_median``) + build-time
+    protobuf shim. timeMode "none" — no watermark dependence, so the
+    emitted set is independent of micro-batch slicing (each event
+    emits exactly once; state carries the last 5 rows per user).
+
+    Scale shape: one user-keyed shuffle into the stateful operator,
+    state bounded at 5 rows/key by construction; collection to the
+    driver exists only because the gate compares a result frame."""
+    import os
+    import shutil
+    import tempfile
+
+    from .. import compat
+
+    if not compat.ensure_protobuf():
+        raise RuntimeError(
+            "transformWithStateInPandas needs a protobuf runtime"
+        )
+    spark.sparkContext.environment["PYTHONPATH"] = compat.worker_pythonpath()
+
+    from ..streaming.stateful_v2 import (
+        MEDIAN_OUTPUT_SCHEMA,
+        trailing_median_v2,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_median_"
+        f"{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    landing = os.path.join(root, "landing")
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    ev.select("user_id", "ts", "event_id", "value").coalesce(1).write.parquet(
+        os.path.join(landing, "slice_0")
+    )
+
+    prior = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    out_rows: list = []
+    try:
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, value double"
+        ).parquet(os.path.join(landing, "slice_*"))
+        q = (
+            trailing_median_v2(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: out_rows.extend(df.collect())
+            )
+            .option("checkpointLocation", os.path.join(root, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior
+            )
+    return spark.createDataFrame(out_rows, MEDIAN_OUTPUT_SCHEMA)

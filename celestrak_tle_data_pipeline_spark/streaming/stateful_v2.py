@@ -250,62 +250,70 @@ MEDIAN_OUTPUT_SCHEMA = (
 )
 
 
-class TrailingMedianProcessor(StatefulProcessor):
-    """Streaming twin of the batch ``trailing_median_per_user`` query
-    (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW exact median), carried
-    across micro-batches by a transformWithState LIST state — the
-    named-state shape the ValueState trackers can't express: the
-    operator needs the last N (ts, event_id, value) rows per key, not
-    a fold of them, and ListState stores exactly that ring buffer
-    (appendValue per event, put() to trim to the window width — state
-    is bounded at N rows per key BY CONSTRUCTION, independent of
-    stream length).
+def make_trailing_median() -> StatefulProcessor:
+    """Build a TrailingMedianProcessor whose class is defined inside
+    this function so cloudpickle ships it BY VALUE — runnable on any
+    session's workers without this package on their path (the
+    make_session_finalizer contract)."""
 
-    The median is emitted 2x-scaled over integer cents (sum of the two
-    middle elements; 2x the middle for odd windows) so every emitted
-    value is an exact int64 — the same scaled-integer convention as
-    the Mann-Whitney ranks — and batch parity is bit-exact, not
-    tolerance-based. Ordering contract as SessionFinalizerProcessor:
-    per-key event-time order across batches (time-sliced landing).
-    """
+    class TrailingMedianProcessor(StatefulProcessor):
+        """Streaming twin of the batch ``trailing_median_per_user`` query
+        (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW exact median), carried
+        across micro-batches by a transformWithState LIST state — the
+        named-state shape the ValueState trackers can't express: the
+        operator needs the last N (ts, event_id, value) rows per key, not
+        a fold of them, and ListState stores exactly that ring buffer
+        (appendValue per event, put() to trim to the window width — state
+        is bounded at N rows per key BY CONSTRUCTION, independent of
+        stream length).
 
-    WINDOW = 5
+        The median is emitted 2x-scaled over integer cents (sum of the two
+        middle elements; 2x the middle for odd windows) so every emitted
+        value is an exact int64 — the same scaled-integer convention as
+        the Mann-Whitney ranks — and batch parity is bit-exact, not
+        tolerance-based. Ordering contract as SessionFinalizerProcessor:
+        per-key event-time order across batches (time-sliced landing).
+        """
 
-    def init(self, handle: StatefulProcessorHandle) -> None:
-        self._ring = handle.getListState("ring", RING_STATE_SCHEMA)
+        WINDOW = 5
 
-    def handleInputRows(self, key, rows, timerValues):
-        (user_id,) = key
-        buf = [tuple(r) for r in self._ring.get()] if self._ring.exists() else []
-        out: dict[str, list] = {
-            "user_id": [],
-            "event_id": [],
-            "n_window": [],
-            "median_cents_x2": [],
-        }
-        for pdf in rows:
-            pdf = pdf.sort_values(["ts_us", "event_id"])
-            for ts_us, event_id, c in zip(
-                pdf["ts_us"], pdf["event_id"], pdf["cents"]
-            ):
-                buf.append((int(ts_us), int(event_id), int(c)))
-                buf = buf[-self.WINDOW:]
-                vals = sorted(v for _, _, v in buf)
-                n = len(vals)
-                m2 = (
-                    2 * vals[n // 2]
-                    if n % 2
-                    else vals[n // 2 - 1] + vals[n // 2]
-                )
-                out["user_id"].append(int(user_id))
-                out["event_id"].append(int(event_id))
-                out["n_window"].append(n)
-                out["median_cents_x2"].append(m2)
-        self._ring.put(buf)
-        yield pd.DataFrame(out)
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._ring = handle.getListState("ring", RING_STATE_SCHEMA)
 
-    def close(self) -> None:
-        pass
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            buf = [tuple(r) for r in self._ring.get()] if self._ring.exists() else []
+            out: dict[str, list] = {
+                "user_id": [],
+                "event_id": [],
+                "n_window": [],
+                "median_cents_x2": [],
+            }
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts_us", "event_id"])
+                for ts_us, event_id, c in zip(
+                    pdf["ts_us"], pdf["event_id"], pdf["cents"]
+                ):
+                    buf.append((int(ts_us), int(event_id), int(c)))
+                    buf = buf[-self.WINDOW:]
+                    vals = sorted(v for _, _, v in buf)
+                    n = len(vals)
+                    m2 = (
+                        2 * vals[n // 2]
+                        if n % 2
+                        else vals[n // 2 - 1] + vals[n // 2]
+                    )
+                    out["user_id"].append(int(user_id))
+                    out["event_id"].append(int(event_id))
+                    out["n_window"].append(n)
+                    out["median_cents_x2"].append(m2)
+            self._ring.put(buf)
+            yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return TrailingMedianProcessor()
 
 
 def trailing_median_v2(events: DataFrame) -> DataFrame:
@@ -322,7 +330,7 @@ def trailing_median_v2(events: DataFrame) -> DataFrame:
         .alias("cents"),
     )
     return src.groupBy("user_id").transformWithStateInPandas(
-        TrailingMedianProcessor(),
+        make_trailing_median(),
         MEDIAN_OUTPUT_SCHEMA,
         "append",
         "none",
