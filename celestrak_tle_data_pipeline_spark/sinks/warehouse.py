@@ -448,7 +448,15 @@ def merge_upsert_telemetry(wh: ParquetWarehouse, parsed: DataFrame) -> int:
         .drop("__rn", "__src")
     )
 
-    spark = wh.spark
+    # The session that EXECUTES the write is the batch frame's, not
+    # necessarily the warehouse's: under foreachBatch Spark hands the
+    # sink a frame bound to a CLONED micro-batch session whose conf
+    # was snapshotted at query start. Setting dynamic mode on wh.spark
+    # alone leaves the clone on `static`, and a static overwrite wipes
+    # every partition the batch doesn't touch (caught by
+    # tests/test_cdc_stream.py — rows in untouched date partitions
+    # vanished on the second streamed merge).
+    spark = parsed.sparkSession
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
