@@ -129,6 +129,33 @@ def read_state(
     return _flatten(df) if flatten else df
 
 
+def read_state_changes(
+    spark: SparkSession,
+    checkpoint: str,
+    *,
+    operator_id: int = 0,
+    start_batch_id: int = 0,
+    end_batch_id: int | None = None,
+    flatten: bool = True,
+) -> DataFrame:
+    """The state CHANGE FEED: per-batch (batch_id, change_type, key,
+    value) upsert/delete records between two committed batches — the
+    incremental view of state, sized by what each batch TOUCHED rather
+    than by total state. This is the replication/debug primitive: ship
+    state deltas to a replica, or answer "which keys did batch N
+    rewrite" without diffing two full snapshots."""
+    reader = (
+        spark.read.format("statestore")
+        .option("operatorId", operator_id)
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", start_batch_id)
+    )
+    if end_batch_id is not None:
+        reader = reader.option("changeEndBatchId", end_batch_id)
+    df = reader.load(checkpoint)
+    return _flatten(df) if flatten else df
+
+
 def read_timers(
     spark: SparkSession,
     checkpoint: str,

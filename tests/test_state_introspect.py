@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from celestrak_tle_data_pipeline_spark.plans.common import t
 from celestrak_tle_data_pipeline_spark.streaming.introspect import (
     read_state,
+    read_state_changes,
     read_timers,
     state_metadata,
     state_skew_profile,
@@ -133,6 +134,20 @@ def test_agg_state_offline_equals_batch(spark, tmp_path):
     }
     assert got0 == want0
     assert got0 != got  # the second drain genuinely advanced state
+
+    # change feed: replaying the per-batch upserts (last write per key
+    # wins, in batch order) reconstructs the latest snapshot — and
+    # batch 1's delta touches EXACTLY the keys the late slice updated,
+    # not the whole keyspace (the delta is touched-sized, the point)
+    feed = read_state_changes(spark, ckpt).collect()
+    assert {r.change_type for r in feed} == {"update"}
+    replay: dict[int, int] = {}
+    for r in sorted(feed, key=lambda r: r.batch_id):
+        replay[r.key_user_id] = r.value_sum
+    assert set(replay.items()) == want
+    batch1_keys = {r.key_user_id for r in feed if r.batch_id == 1}
+    late_keys = {r[0] for r in late.select("user_id").distinct().collect()}
+    assert batch1_keys == late_keys
 
     # skew audit: row total reconciles; ratio bounded (hash-spread keys)
     prof = state_skew_profile(read_state(spark, ckpt)).collect()[0]
