@@ -1,0 +1,152 @@
+"""Warehouse table maintenance: the small-files problem, measured and
+fixed (the OPTIMIZE/compaction surface a plain-parquet warehouse needs).
+
+Every incremental writer in this engine — the append sinks, the MERGE
+upsert, the foreachBatch CDC apply — adds files per run. At cron
+cadence that is the classic parquet failure mode: a year of 15-minute
+micro-batches turns a date partition into tens of thousands of
+KB-sized files, and scan cost becomes file-open cost (driver listing,
+footer reads, task-per-file scheduling) instead of byte cost.
+
+Two operations, both partition-selective:
+
+- :func:`partition_file_profile` — per-partition (file_count,
+  total_bytes, avg/min file size) built from the ``_metadata`` hidden
+  column of the file source, so the inventory is computed
+  DISTRIBUTED by the scan itself: no driver-side directory walk, no
+  filesystem listing loop — the same plan shape at 10 files or 10
+  million. One row per file leaves the executors (metadata-sized).
+- :func:`compact_partitions` — rewrite ONLY the partitions whose file
+  count exceeds a threshold, each to ``ceil(bytes/target)`` files via
+  per-partition ``repartition``, through the same
+  dynamic-partition-overwrite path the MERGE sink uses. Untouched
+  partitions keep their exact files (pinned by test on file paths);
+  compacted ones keep their exact ROWS (pinned on full row sets).
+
+Non-transactional caveat, stated: plain parquet has no snapshot
+isolation — a reader racing the overwrite of one partition can see it
+mid-rewrite. That is the Delta/Iceberg boundary; the scheduling story
+here is the reference's own (a cron window owns the table during
+maintenance, reference data-pipeline.yml).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .warehouse import ParquetWarehouse
+
+
+def _with_file_meta(wh: ParquetWarehouse, table: str) -> DataFrame:
+    """The table plus its physical file path/size, from the hidden
+    ``_metadata`` struct (populated per-row by the scan itself)."""
+    return wh.spark.read.parquet(wh.path(table)).select(
+        "*",
+        F.col("_metadata.file_path").alias("__file"),
+        F.col("_metadata.file_size").alias("__bytes"),
+    )
+
+
+def partition_file_profile(
+    wh: ParquetWarehouse, table: str, partition_col: str
+) -> DataFrame:
+    """One row per partition value: file_count, total_bytes,
+    avg_file_bytes, min_file_bytes. Two tiny hash aggregations (rows →
+    distinct files → partitions); nothing row-sized leaves the scan."""
+    files = (
+        _with_file_meta(wh, table)
+        .select(partition_col, "__file", "__bytes")
+        .groupBy(partition_col, "__file")
+        .agg(
+            F.first("__bytes").alias("bytes"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+    )
+    return files.groupBy(partition_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("file_count"),
+        F.sum("rows").cast("bigint").alias("row_count"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.avg("bytes").cast("bigint").alias("avg_file_bytes"),
+        F.min("bytes").cast("bigint").alias("min_file_bytes"),
+    )
+
+
+def compact_partitions(
+    wh: ParquetWarehouse,
+    table: str,
+    partition_col: str,
+    *,
+    max_files_per_partition: int = 4,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite every partition holding more than
+    ``max_files_per_partition`` files down to ``ceil(bytes/target)``
+    files; leave the rest physically untouched.
+
+    The rewrite reads ONLY the flagged partitions (partition-pruned
+    scan), repartitions by the partition column so each output
+    partition writes its own files, and overwrites through
+    ``partitionOverwriteMode=dynamic`` — the exact write path
+    ``merge_upsert_telemetry`` certifies. Returns
+    ``{"compacted_partitions", "files_before", "files_after"}``."""
+    profile = partition_file_profile(wh, table, partition_col)
+    flagged = [
+        (r[0], int(r.file_count), int(r.row_count), int(r.total_bytes))
+        for r in profile.where(
+            F.col("file_count") > max_files_per_partition
+        ).collect()  # partition-count-sized
+    ]
+    if not flagged:
+        return {
+            "compacted_partitions": 0,
+            "files_before": 0,
+            "files_after": 0,
+        }
+
+    values = [v for v, _, _, _ in flagged]
+    # target file size in ROWS, from measured bytes/row over the
+    # flagged partitions (the writer caps files by records, not bytes;
+    # small-file parquet overstates bytes/row, so this lands UNDER the
+    # byte target — the safe side)
+    tot_rows = sum(n for _, _, n, _ in flagged)
+    tot_bytes = sum(b for _, _, _, b in flagged)
+    rows_per_file = max(1, math.floor(target_file_bytes * tot_rows / tot_bytes))
+
+    src = (
+        wh.spark.read.parquet(wh.path(table))
+        .where(F.col(partition_col).isin(values))
+    )
+    spark = wh.spark
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            # one shuffle keyed by the partition column: every row of a
+            # flagged partition lands in the task writing that
+            # partition, and maxRecordsPerFile re-splits any partition
+            # that outgrows one target file
+            src.repartition(len(values), F.col(partition_col))
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", rows_per_file)
+            .partitionBy(partition_col)
+            .parquet(wh.path(table))
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", old_mode
+        )
+
+    after = {
+        r[0]: int(r.file_count)
+        for r in partition_file_profile(wh, table, partition_col)
+        .where(F.col(partition_col).isin(values))
+        .collect()
+    }
+    return {
+        "compacted_partitions": len(flagged),
+        "files_before": sum(c for _, c, _, _ in flagged),
+        "files_after": sum(after.values()),
+    }

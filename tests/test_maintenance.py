@@ -1,0 +1,130 @@
+"""Warehouse maintenance (sinks/maintenance.py): small-file profile +
+partition-selective compaction.
+
+Pins: the profile counts files/rows/bytes per partition from the
+``_metadata`` scan column; compaction rewrites ONLY over-threshold
+partitions (untouched partitions keep their exact physical files),
+preserves row sets exactly, and splits an oversized partition into
+multiple target-sized files via the records cap.
+"""
+
+from __future__ import annotations
+
+import datetime as dtm
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from celestrak_tle_data_pipeline_spark.sinks.maintenance import (
+    compact_partitions,
+    partition_file_profile,
+)
+from celestrak_tle_data_pipeline_spark.sinks.warehouse import ParquetWarehouse
+
+
+def _write_fragmented(spark, path, date, n_files, rows_per_file, start=0):
+    """Append n_files one-by-one into a date partition (the cron-writer
+    fragmentation shape)."""
+    for i in range(n_files):
+        base = start + i * rows_per_file
+        df = spark.createDataFrame(
+            [(base + j, date, float(base + j)) for j in range(rows_per_file)],
+            "id long, d string, v double",
+        )
+        df.coalesce(1).write.mode("append").partitionBy("d").parquet(path)
+
+
+def _files(path, part):
+    return sorted(
+        glob.glob(os.path.join(path, f"d={part}", "*.parquet"))
+    )
+
+
+D1 = dtm.date(2024, 1, 1)
+D2 = dtm.date(2024, 1, 2)
+
+
+def _rows(spark, path):
+    return {
+        (r.id, r.d, r.v)
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_profile_and_selective_compaction(spark, tmp_path):
+    whroot = str(tmp_path / "wh")
+    wh = ParquetWarehouse(spark, whroot)
+    tpath = wh.path("frag")
+
+    # partition A: 8 tiny files (fragmented); partition B: 2 files (fine)
+    _write_fragmented(spark, tpath, "2024-01-01", 8, 5)
+    _write_fragmented(spark, tpath, "2024-01-02", 2, 5, start=1000)
+    before_rows = _rows(spark, tpath)
+    b_files_before = _files(tpath, "2024-01-02")
+
+    prof = {
+        r.d: r
+        for r in partition_file_profile(wh, "frag", "d").collect()
+    }
+    assert prof[D1].file_count == 8
+    assert prof[D1].row_count == 40
+    assert prof[D2].file_count == 2
+    assert prof[D2].row_count == 10
+    assert prof[D1].total_bytes > 0
+
+    stats = compact_partitions(
+        wh, "frag", "d", max_files_per_partition=4
+    )
+    assert stats["compacted_partitions"] == 1
+    assert stats["files_before"] == 8
+    assert stats["files_after"] == 1
+
+    # rows exactly preserved; the healthy partition physically untouched
+    assert _rows(spark, tpath) == before_rows
+    assert _files(tpath, "2024-01-02") == b_files_before
+    assert len(_files(tpath, "2024-01-01")) == 1
+
+    # idempotent: nothing left over threshold
+    again = compact_partitions(wh, "frag", "d", max_files_per_partition=4)
+    assert again["compacted_partitions"] == 0
+    assert _rows(spark, tpath) == before_rows
+
+
+def test_compaction_splits_to_target_size(spark, tmp_path):
+    """An oversized partition compacts to MULTIPLE files: the records
+    cap (derived from measured bytes/row and the byte target) re-splits
+    inside the single writer task."""
+    whroot = str(tmp_path / "wh2")
+    wh = ParquetWarehouse(spark, whroot)
+    tpath = wh.path("big")
+
+    _write_fragmented(spark, tpath, "2024-02-01", 6, 200)
+    before_rows = _rows(spark, tpath)
+
+    # measure bytes/row, then target ~1/3 of the partition per file
+    prof = partition_file_profile(wh, "big", "d").collect()[0]
+    target = int(prof.total_bytes / 3)
+
+    stats = compact_partitions(
+        wh,
+        "big",
+        "d",
+        max_files_per_partition=4,
+        target_file_bytes=target,
+    )
+    assert stats["compacted_partitions"] == 1
+    # fewer files than before, more than one (the split happened)
+    assert 1 < stats["files_after"] < 6
+    assert _rows(spark, tpath) == before_rows
+
+    # every compacted file respects the records cap implied by target
+    per_file = (
+        spark.read.parquet(tpath)
+        .groupBy(F.col("_metadata.file_path"))
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in per_file) <= max(
+        1, (target * 1200) // prof.total_bytes
+    )
