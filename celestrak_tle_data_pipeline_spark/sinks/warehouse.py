@@ -57,11 +57,18 @@ class ParquetWarehouse:
         return False
 
     def read(self, table: str) -> DataFrame:
+        spec = self._specs.get(table)
         if not self.exists(table):
-            spec = self._specs.get(table)
             if spec is None:
                 raise FileNotFoundError(f"unknown table {table}; call ensure() first")
             return self.spark.createDataFrame([], spec[0])
+        if spec is not None:
+            # schema-on-read from ONE authority (the registered spec):
+            # files written before an evolve() null-fill the added
+            # columns, and no footer merging happens — mergeSchema
+            # reads EVERY parquet footer (O(files) metadata I/O at
+            # 100 TB) where the catalog schema is O(1)
+            return self.spark.read.schema(spec[0]).parquet(self.path(table))
         return self.spark.read.parquet(self.path(table))
 
     def ensure(self, table: str, schema, partition_by: tuple[str, ...] = ()) -> None:
@@ -84,6 +91,49 @@ class ParquetWarehouse:
             f"CREATE TABLE IF NOT EXISTS `{table}` ({cols}) USING parquet"
             f"{part} LOCATION '{self.path(table)}'"
         )
+
+    def evolve(self, table: str, new_schema) -> list[str]:
+        """Additive schema evolution (ALTER TABLE ADD COLUMNS): the
+        long-lived-pipeline operation the reference's fixed DDL
+        (script.py:77-83) can't express. Contract:
+
+        - every existing field persists with an IDENTICAL type —
+          renames, drops, and retypes are rejected (those are
+          rewrite-the-table migrations, not evolution);
+        - every added field must be nullable (old files have no value
+          to give it).
+
+        Files already on disk are never touched: ``read`` projects the
+        updated catalog spec, so pre-evolve files null-fill the new
+        columns at scan time. Returns the added column names."""
+        spec = self._specs.get(table)
+        if spec is None:
+            raise FileNotFoundError(f"unknown table {table}; call ensure() first")
+        old_schema, partition_by = spec
+        old = {f.name: f for f in old_schema.fields}
+        new = {f.name: f for f in new_schema.fields}
+        missing = [n for n in old if n not in new]
+        if missing:
+            raise ValueError(f"evolve cannot drop columns: {missing}")
+        retyped = [
+            n for n, f in old.items()
+            if new[n].dataType != f.dataType
+        ]
+        if retyped:
+            raise ValueError(f"evolve cannot change column types: {retyped}")
+        added = [f for f in new_schema.fields if f.name not in old]
+        not_null = [f.name for f in added if not f.nullable]
+        if not_null:
+            raise ValueError(
+                f"added columns must be nullable: {not_null}"
+            )
+        self._specs[table] = (new_schema, partition_by)
+        if added:
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in added
+            )
+            self.spark.sql(f"ALTER TABLE `{table}` ADD COLUMNS ({cols})")
+        return [f.name for f in added]
 
     def refresh(self, table: str) -> None:
         """Sync catalog metadata after an append (partition discovery)."""
