@@ -78,3 +78,51 @@ def test_tle_format_feeds_parse_pipeline(spark, tmp_path):
     rows = parsed.select("norad_id", "epoch_utc").collect()
     assert [r.norad_id for r in rows] == [42001]
     assert rows[0].epoch_utc == dt.datetime(2026, 8, 1, 6, 0, 0)
+
+
+def test_tle_stream_reader_incremental_and_batch_parity(spark, tmp_path):
+    """Streaming half of the pluggable format: the landing-dir tail is
+    exactly-once across drains of one checkpoint (offset = consumed
+    file set), a restart with no new files is a no-op, and the union
+    of streamed batches equals the BATCH read of the same directory
+    row-for-row (shared split_triples contract)."""
+    land = tmp_path / "sland"
+    land.mkdir()
+    ckpt = str(tmp_path / "sck")
+    _register(spark)
+
+    got: list = []
+
+    def drain():
+        src = (
+            spark.readStream.format("tle")
+            .option("path", str(land))
+            .load()
+        )
+        q = (
+            src.writeStream.foreachBatch(
+                lambda df, _id: got.extend(map(tuple, df.collect()))
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    (land / "a.txt").write_text(_payload(43001))
+    drain()
+    assert len(got) == 1 and got[0][3] == "a.txt"
+
+    # second file lands; same checkpoint consumes ONLY the new file
+    (land / "b.txt").write_text(_payload(43002) + _payload(43003))
+    drain()
+    assert len(got) == 3
+
+    # restart with nothing new: no duplicates
+    drain()
+    assert len(got) == 3
+
+    batch = (
+        spark.read.format("tle").option("path", str(land)).load()
+    )
+    assert sorted(got) == sorted(map(tuple, batch.collect()))
