@@ -129,6 +129,30 @@ def read_state(
     return _flatten(df) if flatten else df
 
 
+def read_join_state(
+    spark: SparkSession,
+    checkpoint: str,
+    side: str,
+    *,
+    operator_id: int = 0,
+    flatten: bool = True,
+) -> DataFrame:
+    """One side's buffered rows of a stream-stream join
+    (``side`` ∈ {'left','right'}). A symmetric hash join keeps every
+    in-watermark input row of BOTH sides in four internal stores; this
+    read answers the production question "who is waiting on whom" —
+    rows buffered on one side with no counterpart yet on the other are
+    exactly the join's open obligations, and their volume per side is
+    the state-growth early warning."""
+    df = (
+        spark.read.format("statestore")
+        .option("operatorId", operator_id)
+        .option("joinSide", side)
+        .load(checkpoint)
+    )
+    return _flatten(df) if flatten else df
+
+
 def read_state_changes(
     spark: SparkSession,
     checkpoint: str,

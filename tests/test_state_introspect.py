@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from celestrak_tle_data_pipeline_spark.plans.common import t
 from celestrak_tle_data_pipeline_spark.streaming.introspect import (
+    read_join_state,
     read_state,
     read_state_changes,
     read_timers,
@@ -345,3 +346,62 @@ def test_tws_timer_registry_one_per_open_session(spark, tmp_path, rocksdb):
     gap_ms = GAP_MIN * 60_000
     for u, (expiry,) in per_user.items():
         assert expiry == last_ms[u] + gap_ms
+
+
+def test_join_state_shows_buffered_sides(spark, tmp_path):
+    """Stream-stream join state, per side: the four symmetricHashJoin
+    stores surface in metadata, and the joinSide read exposes each
+    side's buffered rows — including the row waiting for a counterpart
+    that never arrived (the open obligation the audit exists to find)."""
+    l1 = tmp_path / "jl"
+    l2 = tmp_path / "jr"
+    l1.mkdir()
+    l2.mkdir()
+    ckpt = str(tmp_path / "jck")
+    (l1 / "a.json").write_text(
+        '{"k":"a","ts":"2024-01-01 00:00:00","v":1}\n'
+        '{"k":"b","ts":"2024-01-01 00:00:00","v":2}\n'
+    )
+    (l2 / "a.json").write_text(
+        '{"k":"a","ts":"2024-01-01 00:00:00","w":10}\n'
+    )
+    left = (
+        spark.readStream.schema("k string, ts timestamp, v long")
+        .json(str(l1))
+        .withWatermark("ts", "1 hour")
+    )
+    right = (
+        spark.readStream.schema("k string, ts timestamp, w long")
+        .json(str(l2))
+        .withWatermark("ts", "1 hour")
+        .withColumnRenamed("k", "k2")
+        .withColumnRenamed("ts", "ts2")
+    )
+    joined = left.join(
+        right,
+        (F.col("k") == F.col("k2")) & (F.col("ts") == F.col("ts2")),
+        "inner",
+    )
+    _drain(joined, ckpt, mode="append")
+
+    meta = state_metadata(spark, ckpt).collect()
+    assert {m.operatorName for m in meta} == {"symmetricHashJoin"}
+    assert {m.stateStoreName for m in meta} == {
+        "left-keyToNumValues",
+        "left-keyWithIndexToValue",
+        "right-keyToNumValues",
+        "right-keyWithIndexToValue",
+    }
+
+    lrows = {
+        (r.value_k, r.value_v)
+        for r in read_join_state(spark, ckpt, "left").collect()
+    }
+    rrows = {
+        (r.value_k2, r.value_w)
+        for r in read_join_state(spark, ckpt, "right").collect()
+    }
+    assert lrows == {("a", 1), ("b", 2)}
+    assert rrows == {("a", 10)}
+    # the open obligation: b buffered left, nothing buffered right
+    assert {k for k, _ in lrows} - {k for k, _ in rrows} == {"b"}
