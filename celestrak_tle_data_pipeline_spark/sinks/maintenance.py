@@ -74,6 +74,43 @@ def partition_file_profile(
     )
 
 
+MERSENNE61 = 2305843009213693951  # 2^61 − 1 (the X128 digest group)
+
+
+def table_digest(df: DataFrame) -> tuple[int, int, int]:
+    """(row_count, xor-fold, sum-fold mod 2^61−1) over 60-bit row
+    hashes of EVERY column — order- and partitioning-independent by
+    construction (both combiners are commutative groups), so it is the
+    right equality for "did a rewrite preserve the rows" at any scale:
+    one map-side fold, nothing row-sized reaches the driver. Nulls are
+    distinguished from empty strings by an explicit marker."""
+    cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit("␀"))
+        for c in sorted(df.columns)
+    ]
+    v = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+    ).cast("bigint")
+    row = (
+        df.select(v.alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.bit_xor("v"), F.lit(0)).alias("x"),
+            # sum in decimal(38,0) — the bigint sum overflows under
+            # ANSI at ~2^63/2^60 ≈ 8 rows (integrity.py's convention)
+            F.coalesce(
+                F.pmod(
+                    F.sum(F.col("v").cast("decimal(38,0)")),
+                    F.lit(MERSENNE61).cast("decimal(38,0)"),
+                ).cast("bigint"),
+                F.lit(0),
+            ).alias("s"),
+        )
+        .collect()[0]
+    )
+    return int(row.n), int(row.x), int(row.s)
+
+
 def compact_partitions(
     wh: ParquetWarehouse,
     table: str,
@@ -81,6 +118,7 @@ def compact_partitions(
     *,
     max_files_per_partition: int = 4,
     target_file_bytes: int = 128 * 1024 * 1024,
+    verify: bool = True,
 ) -> dict:
     """Rewrite every partition holding more than
     ``max_files_per_partition`` files down to ``ceil(bytes/target)``
@@ -119,6 +157,14 @@ def compact_partitions(
         wh.spark.read.parquet(wh.path(table))
         .where(F.col(partition_col).isin(values))
     )
+    # digest BEFORE the rewrite (one extra scan of the flagged
+    # partitions — bounded by what is being rewritten anyway); with
+    # ``verify`` the same digest must come back from the compacted
+    # files, or we raise. Detection, not prevention: parquet has no
+    # transaction to roll back, so a mismatch means "restore from the
+    # upstream" — but it means you KNOW, instead of serving a
+    # maintenance-corrupted table.
+    before = table_digest(src) if verify else None
     spark = wh.spark
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -138,6 +184,18 @@ def compact_partitions(
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", old_mode
         )
+
+    if verify:
+        after_digest = table_digest(
+            wh.spark.read.parquet(wh.path(table)).where(
+                F.col(partition_col).isin(values)
+            )
+        )
+        if after_digest != before:
+            raise RuntimeError(
+                f"compaction digest mismatch on {table}: "
+                f"{before} -> {after_digest}"
+            )
 
     after = {
         r[0]: int(r.file_count)

@@ -128,3 +128,30 @@ def test_compaction_splits_to_target_size(spark, tmp_path):
     assert max(r["count"] for r in per_file) <= max(
         1, (target * 1200) // prof.total_bytes
     )
+
+
+def test_table_digest_order_independent_and_sensitive(spark, tmp_path):
+    """The maintenance digest is partitioning/order-independent (the
+    property that makes it a valid rewrite-equality) and changes when
+    any row changes."""
+    from celestrak_tle_data_pipeline_spark.sinks.maintenance import (
+        table_digest,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}", float(i) / 7) for i in range(100)],
+        "id long, s string, v double",
+    )
+    d1 = table_digest(df)
+    d2 = table_digest(df.repartition(7).sortWithinPartitions("v"))
+    assert d1 == d2 and d1[0] == 100
+
+    tampered = df.withColumn(
+        "v", F.when(F.col("id") == 42, 0.0).otherwise(F.col("v"))
+    )
+    assert table_digest(tampered) != d1
+
+    # null is not the empty string
+    a = spark.createDataFrame([(1, None)], "id long, s string")
+    b = spark.createDataFrame([(1, "")], "id long, s string")
+    assert table_digest(a) != table_digest(b)
