@@ -405,3 +405,92 @@ def test_join_state_shows_buffered_sides(spark, tmp_path):
     assert rrows == {("a", 10)}
     # the open obligation: b buffered left, nothing buffered right
     assert {k for k, _ in lrows} - {k for k, _ in rrows} == {"b"}
+
+
+def test_tws_under_changelog_checkpointing(spark, tmp_path, rocksdb):
+    """The RocksDB changelog-checkpointing knob (upload per-batch
+    change logs instead of full snapshots — the large-state production
+    configuration): the X160 ring processor produces IDENTICAL output
+    across a two-drain checkpointed run, restart recovery included,
+    and the offline state read still sees the ring. Certifies the
+    engine's stateful surface doesn't silently depend on full-snapshot
+    checkpoints."""
+    from conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        pytest.skip("TWS runner needs protobuf")
+    from celestrak_tle_data_pipeline_spark.streaming.stateful_v2 import (
+        trailing_median_v2,
+    )
+
+    key = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        ev, early, late = _events_slices(spark, n_users=30)
+        landing = tmp_path / "clc_land"
+        landing.mkdir()
+        ckpt = str(tmp_path / "clc_ck")
+        got: list = []
+
+        def drain():
+            src = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+                str(landing / "slice_*")
+            )
+            q = (
+                trailing_median_v2(src)
+                .writeStream.foreachBatch(
+                    lambda df, _id: got.extend(map(tuple, df.collect()))
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        early.coalesce(1).write.mode("overwrite").parquet(
+            str(landing / "slice_0")
+        )
+        drain()
+        late.coalesce(1).write.mode("overwrite").parquet(
+            str(landing / "slice_1")
+        )
+        drain()  # restart: recovery must replay changelogs, not snapshots
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+    # one output row per input event, exact batch-median parity
+    assert len(got) == ev.count()
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    batch = (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            _cents().alias("cents"),
+        )
+        .withColumn("n_window", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "median_cents_x2",
+            (2 * F.expr("percentile(cents, 0.5)").over(w))
+            .cast("bigint"),
+        )
+    )
+    want = {
+        (r.user_id, r.event_id, r.n_window, r.median_cents_x2)
+        for r in batch.collect()
+    }
+    assert set(got) == want
+
+    # offline read still works over changelog-built checkpoints
+    ring = read_state(spark, ckpt, state_var="ring")
+    assert ring.count() > 0
