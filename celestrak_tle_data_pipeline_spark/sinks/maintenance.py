@@ -208,3 +208,104 @@ def compact_partitions(
         "files_before": sum(c for _, c, _, _ in flagged),
         "files_after": sum(after.values()),
     }
+
+
+def _morton16(x: str, y: str) -> str:
+    """16-bit Morton interleave of the low 8 bits of two columns — the
+    same expression `plans/ext_pipeline.py::_morton_sql` certifies
+    against the DuckDB oracle (X85); duplicated here because plans
+    already imports sinks (no cycle allowed)."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def file_pruning_ratio(
+    wh: ParquetWarehouse, table: str, col: str, lo, hi
+) -> tuple[int, int]:
+    """(total_files, files a footer-stats reader must OPEN for
+    ``col BETWEEN lo AND hi``) — per-file min/max built from the
+    ``_metadata`` column, i.e. the exact statistics a parquet scan
+    prunes on, measured distributed."""
+    per_file = (
+        _with_file_meta(wh, table)
+        .groupBy("__file")
+        .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+    )
+    row = per_file.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("mx") >= F.lit(lo)) & (F.col("mn") <= F.lit(hi)),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("hit"),
+    ).collect()[0]
+    return int(row.n), int(row.hit)
+
+
+def recluster_zorder(
+    wh: ParquetWarehouse,
+    table: str,
+    dim_cols: tuple[str, str],
+    *,
+    n_files: int = 16,
+    verify: bool = True,
+) -> dict:
+    """OPTIMIZE ZORDER equivalent on plain parquet: rewrite the table
+    range-partitioned by the 16-bit Morton code of two (modular-folded)
+    dimensions, so each output file covers one compact 2-D tile and a
+    range predicate on EITHER dimension prunes most files by footer
+    stats alone (X85's invariant, applied as a maintenance op instead
+    of a query-side demonstration).
+
+    Mechanics: one `repartitionByRange` shuffle on the code (the
+    expression is map-side codegen), write to a sibling temp dir, then
+    swap directories. The swap is the plain-parquet transactional
+    boundary — a reader racing it can fail to list; the cron window
+    owns the table during maintenance (same caveat as
+    :func:`compact_partitions`, stated). With ``verify``, the X128
+    digest over all columns must match across the rewrite.
+
+    Returns {"n_files", "digest"} for the maintenance log."""
+    import os
+    import shutil
+
+    cx, cy = dim_cols
+    src = wh.spark.read.parquet(wh.path(table))
+    before = table_digest(src) if verify else None
+
+    x = F.pmod(F.col(cx).cast("bigint"), F.lit(256))
+    y = F.pmod(F.col(cy).cast("bigint"), F.lit(256))
+    coded = src.withColumn("__zx", x).withColumn("__zy", y).withColumn(
+        "__z", F.expr(_morton16("__zx", "__zy")).cast("bigint")
+    )
+    tmp = wh.path(table) + ".__recluster_tmp"
+    (
+        coded.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__zx", "__zy", "__z")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = wh.path(table) + ".__recluster_old"
+    os.rename(wh.path(table), old)
+    os.rename(tmp, wh.path(table))
+    shutil.rmtree(old)
+    # drop any cached file listing for the swapped directory
+    wh.spark.catalog.refreshByPath(wh.path(table))
+
+    if verify:
+        after = table_digest(wh.spark.read.parquet(wh.path(table)))
+        if after != before:
+            raise RuntimeError(
+                f"recluster digest mismatch on {table}: "
+                f"{before} -> {after}"
+            )
+    n, _ = file_pruning_ratio(wh, table, cx, -(2**62), 2**62)
+    return {"n_files": n, "digest": before}

@@ -155,3 +155,46 @@ def test_table_digest_order_independent_and_sensitive(spark, tmp_path):
     a = spark.createDataFrame([(1, None)], "id long, s string")
     b = spark.createDataFrame([(1, "")], "id long, s string")
     assert table_digest(a) != table_digest(b)
+
+
+def test_recluster_zorder_improves_file_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER as a maintenance op: before reclustering, a
+    narrow range predicate on either dimension must open (almost)
+    every file; after the Morton rewrite, per-file footer stats prune
+    most files on BOTH dimensions — measured with the same _metadata
+    min/max a real scan prunes on. Rows digest-identical across the
+    rewrite (verify=True raises otherwise)."""
+    from celestrak_tle_data_pipeline_spark.sinks.maintenance import (
+        file_pruning_ratio,
+        recluster_zorder,
+        table_digest,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "whz"))
+    tpath = wh.path("zt")
+
+    # deterministic scatter: both dims decorrelated from row order, so
+    # insertion-ordered files have ~full min/max spans on each
+    n = 1 << 14
+    df = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 256).alias("cx"),
+        ((F.col("id") * 40503 + 17) % 256).alias("cy"),
+    )
+    df.repartition(8).write.parquet(tpath)
+    d0 = table_digest(spark.read.parquet(tpath))
+
+    files0, hit0 = file_pruning_ratio(wh, "zt", "cx", 0, 15)
+    assert files0 == 8 and hit0 == 8  # every file must be opened
+
+    stats = recluster_zorder(wh, "zt", ("cx", "cy"), n_files=16)
+    assert stats["digest"] == d0
+    assert table_digest(spark.read.parquet(tpath)) == d0
+
+    fx, hx = file_pruning_ratio(wh, "zt", "cx", 0, 15)
+    fy, hy = file_pruning_ratio(wh, "zt", "cy", 0, 15)
+    assert fx == fy == stats["n_files"] >= 8
+    # a 1/16-wide predicate on EITHER dimension prunes at least half
+    # the files (Z-order bounds both dims; a linear sort bounds one)
+    assert hx <= fx // 2
+    assert hy <= fy // 2
