@@ -28,6 +28,19 @@ isolation — a reader racing the overwrite of one partition can see it
 mid-rewrite. That is the Delta/Iceberg boundary; the scheduling story
 here is the reference's own (a cron window owns the table during
 maintenance, reference data-pipeline.yml).
+
+Relation to ``ParquetWarehouse.compact`` (warehouse.py:198), which
+predates this module and stays: that is the per-partition,
+crash-safest form — driver-side directory metadata (fine at partition
+grain on one filesystem), one rename-swapped rewrite per partition, a
+readable partition at every instant. This module is the
+cluster-inventory form: the file census is computed BY THE SCAN
+(``_metadata``, no driver listing — works when "list the table" is
+itself a distributed problem), all flagged partitions rewrite in ONE
+shuffle, and the rewrite is digest-verified. Different failure/scale
+trade-offs, deliberately both kept; ``recluster_zorder`` below
+supersedes neither — it is the multi-dimensional layout op
+(``compact``'s ``cluster_by`` sorts within files on one axis).
 """
 
 from __future__ import annotations
