@@ -322,3 +322,40 @@ def recluster_zorder(
             )
     n, _ = file_pruning_ratio(wh, table, cx, -(2**62), 2**62)
     return {"n_files": n, "digest": before}
+
+
+def vacuum_maintenance_debris(wh: ParquetWarehouse) -> list[str]:
+    """Remove leftovers of CRASHED maintenance jobs — the plain-parquet
+    analog of Delta VACUUM's narrow, safe core. Every maintenance
+    rewrite in this engine stages into a sibling directory first
+    (``.compact_tmp_<value>`` inside the table dir,
+    ``<table>.__recluster_tmp`` / ``.__recluster_old`` beside it), so a
+    crash can strand a stale copy that costs storage and — for the
+    dot-free recluster dirs — could be mistaken for a table by path
+    listings. Live readers never reference these names (dot-prefixed
+    dirs are never listed by the scan; the swap renames are atomic), so
+    deleting them is always safe. Returns the removed paths.
+
+    Scale shape: one directory listing per table — maintenance debris
+    is table-count-sized, never data-sized."""
+    import os
+    import shutil
+
+    removed: list[str] = []
+    root = wh.root
+    for entry in sorted(os.listdir(root)):
+        full = os.path.join(root, entry)
+        if not os.path.isdir(full):
+            continue
+        if entry.endswith(".__recluster_tmp") or entry.endswith(
+            ".__recluster_old"
+        ):
+            shutil.rmtree(full)
+            removed.append(full)
+            continue
+        for sub in sorted(os.listdir(full)):
+            if sub.startswith(".compact_tmp_"):
+                p = os.path.join(full, sub)
+                shutil.rmtree(p)
+                removed.append(p)
+    return removed

@@ -198,3 +198,35 @@ def test_recluster_zorder_improves_file_skipping(spark, tmp_path):
     # the files (Z-order bounds both dims; a linear sort bounds one)
     assert hx <= fx // 2
     assert hy <= fy // 2
+
+
+def test_vacuum_removes_only_maintenance_debris(spark, tmp_path):
+    """Crashed-maintenance leftovers (staged temp/old dirs) are
+    removed; real tables and their files are untouched."""
+    import os
+
+    from celestrak_tle_data_pipeline_spark.sinks.maintenance import (
+        table_digest,
+        vacuum_maintenance_debris,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "whv"))
+    tpath = wh.path("keep")
+    spark.createDataFrame(
+        [(1, "a")], "id long, s string"
+    ).write.parquet(tpath)
+    d0 = table_digest(spark.read.parquet(tpath))
+
+    # simulate three crash residues
+    os.makedirs(wh.path("keep") + ".__recluster_tmp")
+    os.makedirs(wh.path("keep") + ".__recluster_old")
+    os.makedirs(os.path.join(tpath, ".compact_tmp_2024-01-01"))
+
+    removed = vacuum_maintenance_debris(wh)
+    assert len(removed) == 3
+    assert not os.path.exists(wh.path("keep") + ".__recluster_tmp")
+    assert not os.path.exists(
+        os.path.join(tpath, ".compact_tmp_2024-01-01")
+    )
+    assert table_digest(spark.read.parquet(tpath)) == d0
+    assert vacuum_maintenance_debris(wh) == []  # idempotent
