@@ -84,9 +84,9 @@ _MODULES = (
 # document_chunks_overlap, streaming_sessions_finalized,
 # streaming_trailing_median) = 25 names — exactly one final window; no
 # further round-7 registrations so the cap holds. The late-round-7 ops
-# surfaces (X167-X173: state introspection, exactly-once CDC apply,
+# surfaces (X167-X175: state introspection, exactly-once CDC apply,
 # compaction, schema evolution, streaming Python source, quality gate,
-# ops-loop composition) are deliberately pytest-gated, NOT registry
+# ops-loop composition, Z-order recluster, maintenance vacuum) are deliberately pytest-gated, NOT registry
 # queries, so the 25-name cap stands; round 8 therefore has ~25 free
 # window slots for any new oracle-paired registrations.
 _PRIORITY = (
