@@ -536,3 +536,48 @@ def test_skyline_2d_matches_bruteforce(spark, xys):
         tuple(r) for r in skyline_2d(df, "id", "x", "y", n_parts=4).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# round-7: maintenance digest is a commutative-group homomorphism
+# --------------------------------------------------------------------------
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10**9),
+            st.one_of(st.none(), st.text(max_size=8)),
+        ),
+        min_size=0,
+        max_size=120,
+    ),
+    st.integers(0, 120),
+)
+def test_table_digest_mergeable_and_partition_invariant(spark, rows, cut):
+    """digest(A ∪ B) must equal the group-fold of digest(A) and
+    digest(B) — the property that lets a 100 TB replica check combine
+    per-shard digests instead of re-scanning — and any repartitioning
+    must leave the digest untouched. Includes None vs '' rows and the
+    empty frame (identity element)."""
+    from celestrak_tle_data_pipeline_spark.sinks.maintenance import (
+        MERSENNE61,
+        table_digest,
+    )
+
+    cut = min(cut, len(rows))
+    schema = "k long, s string"
+    whole = spark.createDataFrame(rows, schema)
+    a = spark.createDataFrame(rows[:cut], schema)
+    b = spark.createDataFrame(rows[cut:], schema)
+
+    dw = table_digest(whole)
+    da, db = table_digest(a), table_digest(b)
+    folded = (
+        da[0] + db[0],
+        da[1] ^ db[1],
+        (da[2] + db[2]) % MERSENNE61,
+    )
+    assert dw == folded
+    assert table_digest(whole.repartition(7)) == dw
+    if cut == 0:
+        assert da == (0, 0, 0)  # identity
