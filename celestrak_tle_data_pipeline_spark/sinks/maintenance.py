@@ -289,6 +289,21 @@ def recluster_zorder(
     import os
     import shutil
 
+    # a hive-partitioned table would silently FLATTEN here (the
+    # directory-encoded partition column becomes a data column and
+    # partition pruning dies); recluster those per-partition instead
+    part_dirs = [
+        d
+        for d in os.listdir(wh.path(table))
+        if "=" in d and os.path.isdir(os.path.join(wh.path(table), d))
+    ]
+    if part_dirs:
+        raise ValueError(
+            f"{table} is hive-partitioned ({part_dirs[0]}, ...): "
+            "recluster_zorder would flatten the layout — recluster "
+            "within partitions or compact first"
+        )
+
     cx, cy = dim_cols
     src = wh.spark.read.parquet(wh.path(table))
     before = table_digest(src) if verify else None

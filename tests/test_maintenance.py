@@ -230,3 +230,22 @@ def test_vacuum_removes_only_maintenance_debris(spark, tmp_path):
     )
     assert table_digest(spark.read.parquet(tpath)) == d0
     assert vacuum_maintenance_debris(wh) == []  # idempotent
+
+
+def test_recluster_refuses_hive_partitioned_tables(spark, tmp_path):
+    """recluster_zorder on a hive-partitioned table would silently
+    flatten the directory-encoded partition column into a data column
+    and kill partition pruning — it must refuse instead."""
+    import pytest as _pytest
+
+    from celestrak_tle_data_pipeline_spark.sinks.maintenance import (
+        recluster_zorder,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "whp"))
+    spark.createDataFrame(
+        [(1, "2024-01-01", 2)], "id long, d string, v long"
+    ).write.partitionBy("d").parquet(wh.path("pt"))
+
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        recluster_zorder(wh, "pt", ("id", "v"))
