@@ -18,8 +18,8 @@ Two operations, both partition-selective:
   million. One row per file leaves the executors (metadata-sized).
 - :func:`compact_partitions` — rewrite ONLY the partitions whose file
   count exceeds a threshold, each to ``ceil(bytes/target)`` files via
-  per-partition ``repartition``, through the same
-  dynamic-partition-overwrite path the MERGE sink uses. Untouched
+  per-partition ``repartition``, staged into a sibling directory and
+  rename-swapped per partition once fully committed. Untouched
   partitions keep their exact files (pinned by test on file paths);
   compacted ones keep their exact ROWS (pinned on full row sets).
 
@@ -139,9 +139,11 @@ def compact_partitions(
 
     The rewrite reads ONLY the flagged partitions (partition-pruned
     scan), repartitions by the partition column so each output
-    partition writes its own files, and overwrites through
-    ``partitionOverwriteMode=dynamic`` — the exact write path
-    ``merge_upsert_telemetry`` certifies. Returns
+    partition writes its own files, stages the result into a sibling
+    ``<table>.__compact_stage`` directory, and rename-swaps each
+    partition in once the staged copy is fully committed (the
+    crash-safe discipline of ``ParquetWarehouse.compact`` and
+    ``recluster_zorder``). Returns
     ``{"compacted_partitions", "files_before", "files_after"}``."""
     profile = partition_file_profile(wh, table, partition_col)
     flagged = [
@@ -178,25 +180,45 @@ def compact_partitions(
     # upstream" — but it means you KNOW, instead of serving a
     # maintenance-corrupted table.
     before = table_digest(src) if verify else None
-    spark = wh.spark
-    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            # one shuffle keyed by the partition column: every row of a
-            # flagged partition lands in the task writing that
-            # partition, and maxRecordsPerFile re-splits any partition
-            # that outgrows one target file
-            src.repartition(len(values), F.col(partition_col))
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", rows_per_file)
-            .partitionBy(partition_col)
-            .parquet(wh.path(table))
-        )
-    finally:
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", old_mode
-        )
+    import os
+    import shutil
+
+    base = wh.path(table)
+    # Stage the rewrite into a SIBLING directory, then rename-swap each
+    # partition — never read-and-overwrite the same path in one job
+    # (the committer-dependent pattern ParquetWarehouse.compact's
+    # docstring forbids: it survives only while the local committer
+    # defers deletion; a committer change could delete the partition
+    # mid-read, and the digest verify would detect but not restore).
+    # The staged copy is complete ON DISK before any live directory
+    # moves, so a crash at any point leaves every partition readable
+    # (stale stage debris is vacuum_maintenance_debris's job).
+    stage = base + ".__compact_stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        # one shuffle keyed by the partition column: every row of a
+        # flagged partition lands in the task writing that partition,
+        # and maxRecordsPerFile re-splits any partition that outgrows
+        # one target file
+        src.repartition(len(values), F.col(partition_col))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_file)
+        .partitionBy(partition_col)
+        .parquet(stage)
+    )
+    # swap in each staged partition (dir names come from the stage
+    # listing itself, so hive value-escaping never needs re-deriving)
+    for d in sorted(os.listdir(stage)):
+        if not d.startswith(f"{partition_col}="):
+            continue
+        pdir = os.path.join(base, d)
+        old = os.path.join(base, ".compact_old_" + d.split("=", 1)[1])
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(pdir, old)
+        os.rename(os.path.join(stage, d), pdir)
+        shutil.rmtree(old)
+    shutil.rmtree(stage)
+    wh.spark.catalog.refreshByPath(base)
 
     if verify:
         after_digest = table_digest(
@@ -344,7 +366,8 @@ def vacuum_maintenance_debris(wh: ParquetWarehouse) -> list[str]:
     analog of Delta VACUUM's narrow, safe core. Every maintenance
     rewrite in this engine stages into a sibling directory first
     (``.compact_tmp_<value>`` inside the table dir,
-    ``<table>.__recluster_tmp`` / ``.__recluster_old`` beside it), so a
+    ``<table>.__compact_stage`` / ``<table>.__recluster_tmp`` /
+    ``.__recluster_old`` beside it), so a
     crash can strand a stale copy that costs storage and — for the
     dot-free recluster dirs — could be mistaken for a table by path
     listings. Live readers never reference these names (dot-prefixed
@@ -362,9 +385,11 @@ def vacuum_maintenance_debris(wh: ParquetWarehouse) -> list[str]:
         full = os.path.join(root, entry)
         if not os.path.isdir(full):
             continue
-        if entry.endswith(".__recluster_tmp") or entry.endswith(
-            ".__recluster_old"
-        ):
+        if entry.endswith((
+            ".__recluster_tmp",
+            ".__recluster_old",
+            ".__compact_stage",
+        )):
             shutil.rmtree(full)
             removed.append(full)
             continue

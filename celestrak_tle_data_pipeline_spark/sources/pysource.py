@@ -96,21 +96,40 @@ class TLESimpleStreamReader(SimpleDataSourceStreamReader):
     landing-dir-sized feeds (the reference's cron fetch is one file
     per cycle, script.py:100-117); a firehose-scale source would use
     the partition-planned ``DataSourceStreamReader`` with the same
-    offset algebra."""
+    offset algebra.
+
+    Landing contract: producers must land files by ATOMIC RENAME
+    (write to a dot/temp name, rename into place) — list-then-read is
+    not atomic, so a file still being written when listed would be
+    consumed truncated and its name committed to the offset forever
+    (bytes appended after the listing silently lost). For producers
+    that append in place instead, set the ``settleSeconds`` option
+    (> 0): files whose mtime is within the settle window are left OUT
+    of the listing — and therefore out of the committed end offset —
+    until a later batch observes them quiescent, trading one settle
+    window of latency for loss-free ingestion."""
 
     def __init__(self, options):
         self._root = options.get("path")
         if not self._root:
             raise ValueError("tle source requires a 'path' option")
+        self._settle_s = float(options.get("settleSeconds", 0) or 0)
 
     def initialOffset(self) -> dict:
         return {"files": []}
 
     def _listing(self) -> list[str]:
+        import time
+
+        cutoff = time.time() - self._settle_s
         return sorted(
             os.path.basename(p)
             for p in glob.glob(os.path.join(self._root, "*"))
             if os.path.isfile(p)
+            # settle gate: an mtime inside the window means the file may
+            # still be growing — keep it out of this batch AND out of
+            # the end offset so a later batch picks it up whole
+            and (self._settle_s <= 0 or os.path.getmtime(p) <= cutoff)
         )
 
     def _rows_of(self, fname: str):

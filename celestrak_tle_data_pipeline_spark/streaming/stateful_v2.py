@@ -48,8 +48,18 @@ class DecayTrackerProcessor(StatefulProcessor):
         out: dict[str, list] = {c: [] for c in (
             "norad_id", "epoch_us", "mean_motion", "mm_delta", "n_seen"
         )}
-        for pdf in rows:
-            pdf = pdf.sort_values("epoch_us")
+        # Buffer the whole iterator before sorting: a key's batch rows
+        # arrive as MULTIPLE Arrow chunks (maxRecordsPerBatch slices, or
+        # interleaved map-task outputs) with no cross-chunk ordering
+        # guarantee — sorting each chunk independently would fold rows
+        # out of event-time order whenever a key spans chunks.
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values("epoch_us")
             for epoch_us, mm in zip(pdf["epoch_us"], pdf["mean_motion"]):
                 epoch_us = int(epoch_us)
                 mm = float(mm)
@@ -172,9 +182,18 @@ def make_session_finalizer(gap_ms: int) -> StatefulProcessor:
                 n = cents = 0
 
             closed: list[dict] = []
-            for pdf in rows:
-                pdf = pdf.sort_values("ts_us")
-                for ts_us, c in zip(pdf["ts_us"], pdf["cents"]):
+            # Buffer ALL chunks, then sort once per key: a key's batch
+            # rows span multiple Arrow chunks (maxRecordsPerBatch / map
+            # task interleave) with no cross-chunk order — per-chunk
+            # sorting would compute wrong gap splits and first_us.
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                merged = (
+                    pd.concat(chunks, ignore_index=True)
+                    if len(chunks) > 1
+                    else chunks[0]
+                ).sort_values("ts_us")
+                for ts_us, c in zip(merged["ts_us"], merged["cents"]):
                     ts_us, c = int(ts_us), int(c)
                     if last_us is not None and ts_us - last_us >= gap_us:
                         closed.append(
@@ -289,10 +308,18 @@ def make_trailing_median() -> StatefulProcessor:
                 "n_window": [],
                 "median_cents_x2": [],
             }
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts_us", "event_id"])
+            # Buffer all Arrow chunks and sort once per key (cross-chunk
+            # row order is not guaranteed; per-chunk sorting would feed
+            # the ring buffer out of event order).
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                merged = (
+                    pd.concat(chunks, ignore_index=True)
+                    if len(chunks) > 1
+                    else chunks[0]
+                ).sort_values(["ts_us", "event_id"])
                 for ts_us, event_id, c in zip(
-                    pdf["ts_us"], pdf["event_id"], pdf["cents"]
+                    merged["ts_us"], merged["event_id"], merged["cents"]
                 ):
                     buf.append((int(ts_us), int(event_id), int(c)))
                     buf = buf[-self.WINDOW:]

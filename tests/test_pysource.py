@@ -126,3 +126,41 @@ def test_tle_stream_reader_incremental_and_batch_parity(spark, tmp_path):
         spark.read.format("tle").option("path", str(land)).load()
     )
     assert sorted(got) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_reader_settle_window_defers_fresh_files(tmp_path):
+    """settleSeconds > 0: a file whose mtime is inside the settle
+    window is absent from BOTH the batch rows and the committed end
+    offset, then consumed whole once quiescent — the loss-free mode
+    for producers that append in place instead of atomic-renaming."""
+    import os
+    import time
+
+    from celestrak_tle_data_pipeline_spark.sources.pysource import (
+        TLESimpleStreamReader,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "old.tle").write_text(_payload(11111))
+    (land / "fresh.tle").write_text(_payload(22222))
+    past = time.time() - 3600
+    os.utime(land / "old.tle", (past, past))  # long settled
+
+    rdr = TLESimpleStreamReader(
+        {"path": str(land), "settleSeconds": "30"}
+    )
+    rows, end = rdr.read(rdr.initialOffset())
+    assert [r[3] for r in rows] == ["old.tle"]
+    assert end == {"files": ["old.tle"]}  # fresh file NOT committed
+
+    # once the file settles, the next batch picks it up whole
+    os.utime(land / "fresh.tle", (past, past))
+    rows2, end2 = rdr.read(end)
+    assert [r[3] for r in rows2] == ["fresh.tle"]
+    assert end2 == {"files": ["fresh.tle", "old.tle"]}
+
+    # settle off (default): everything visible immediately
+    rdr0 = TLESimpleStreamReader({"path": str(land)})
+    rows0, _ = rdr0.read(rdr0.initialOffset())
+    assert sorted(r[3] for r in rows0) == ["fresh.tle", "old.tle"]
