@@ -1,13 +1,25 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "total_query_sec", "value": N, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": <sf>, "rows": {...}}
+Prints TWO JSON lines, detail first and a compact summary LAST:
+  line 1: {"metric": "total_query_sec_detail", ... full per-query
+           cold/rows/floor-subtracted maps ...}
+  line 2: {"metric": "total_query_sec", "value": N, "unit": "sec",
+           "queries": {...median warm sec...}, "sf": <sf>, ...}
+
+The summary line is intentionally small (≤ ~1 KB): the driver's tail
+capture truncates long output and rounds 6–7 lost the headline metric
+to a single oversized line (`parsed: null`); the final line alone is
+fully self-contained.
 
 Each query's full plan is executed (collect) after a shared warm-up
 pass that touches every table file once, so timings measure execution,
-not first-touch page cache or session startup.
+not first-touch page cache or session startup. Warm time is the
+MEDIAN of three repetitions (best-of hides tail noise one way,
+mean smears hiccups the other; the r7 cross-round "1.6x" was pure
+box constant at ±40% run-to-run), and `floor_subtracted` restates
+each query net of the measured py4j/Arrow overhead floor so
+constant-dominated entries compare as ~0 across rounds.
 """
 
 from __future__ import annotations
@@ -78,10 +90,11 @@ def main() -> int:
     # Catalyst analysis + whole-stage-codegen (Janino) compilation —
     # a per-plan constant (~1-2 s) that is noise at bench SF and fully
     # amortized on any real workload; the next three are warm passes and
-    # the BEST of the three is reported, so a 30-90 ms scheduler hiccup
-    # on a sub-second query cannot masquerade as a round-over-round plan
-    # regression (round 3's "1.26x slower" was unattributable with n=1).
-    # `value` is the best-warm total, `cold_sec` discloses
+    # the MEDIAN of the three is reported: robust to a one-off scheduler
+    # hiccup (which best-of also rejects) AND to a one-off lucky cache
+    # hit (which best-of keeps — round 3's "1.26x slower" and round 7's
+    # "1.6x" were both unattributable single-sample artifacts).
+    # `value` is the median-warm total, `cold_sec` discloses
     # compile-inclusive time.
     WARM_PASSES = 3
 
@@ -111,12 +124,13 @@ def main() -> int:
         # row-at-a-time Python Row materialization.
         rows[name] = len(df.toPandas())
         cold[name] = round(time.time() - t0, 3)
-        best = float("inf")
+        samples = []
         for _ in range(WARM_PASSES):
             t1 = time.time()
             df.toPandas()
-            best = min(best, time.time() - t1)
-        times[name] = round(best, 3)
+            samples.append(time.time() - t1)
+        samples.sort()
+        times[name] = round(samples[len(samples) // 2], 3)
 
     sf = None
     tail = os.path.basename(SF_DIR.rstrip("/"))
@@ -126,26 +140,40 @@ def main() -> int:
         except ValueError:
             pass
 
-    # ONE compact line, explicitly flushed, as the final stdout of the
-    # run — BENCH_r06.json's `parsed: null` came from the driver's tail
-    # capture truncating long output, so keep the line tight (compact
-    # separators) and last.
-    payload = {
+    constant_dominated = sorted(
+        n for n, v in times.items() if v <= 2 * floor
+    )
+    floor_sub = {
+        n: round(max(0.0, v - floor), 3) for n, v in times.items()
+    }
+    # Detail line FIRST (bulky maps: cold, rows, floor-subtracted) —
+    # safe to truncate. The driver's tail capture (~2.2 KB) lost the
+    # single ~4.5 KB payload line in rounds 6–7 (`parsed: null`), so
+    # the LAST line is a compact, fully self-contained summary that
+    # fits the capture on its own.
+    detail = {
+        "metric": "total_query_sec_detail",
+        "cold_sec": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        "rows": rows,
+        "floor_subtracted": floor_sub,
+        "constant_dominated": constant_dominated,
+    }
+    summary = {
         "metric": "total_query_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
-        "cold_sec": round(sum(cold.values()), 3),
-        "cold_queries": cold,
-        "rows": rows,
         "sf": sf,
+        "cold_sec": round(sum(cold.values()), 3),
         "overhead_floor_sec": floor,
-        "constant_dominated": sorted(
-            n for n, v in times.items() if v <= 2 * floor
-        ),
+        "floor_subtracted_total_sec": round(sum(floor_sub.values()), 3),
+        "constant_dominated_n": len(constant_dominated),
+        "warm_stat": "median_of_3",
     }
     sys.stdout.flush()
-    print(json.dumps(payload, separators=(",", ":")), flush=True)
+    print(json.dumps(detail, separators=(",", ":")), flush=True)
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
     return 0
 
 

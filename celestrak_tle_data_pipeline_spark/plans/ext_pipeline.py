@@ -1830,7 +1830,12 @@ def streaming_sessions_finalized(spark, sf_dir):
             "transformWithStateInPandas needs a protobuf runtime "
             "(none installed and no vendored gcloud runtime found)"
         )
-    spark.sparkContext.environment["PYTHONPATH"] = compat.worker_pythonpath()
+    # session-global worker-env mutation: restored in the finally below,
+    # symmetrically with the state-store provider conf — a registry
+    # query must leave the session exactly as it found it
+    env = spark.sparkContext.environment
+    prior_pp = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = compat.worker_pythonpath()
 
     from ..streaming.stateful_v2 import (
         SESSION_OUTPUT_SCHEMA,
@@ -1880,6 +1885,10 @@ def streaming_sessions_finalized(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prior
             )
+        if prior_pp is None:
+            env.pop("PYTHONPATH", None)
+        else:
+            env["PYTHONPATH"] = prior_pp
     return spark.createDataFrame(out_rows, SESSION_OUTPUT_SCHEMA)
 
 
@@ -1931,7 +1940,10 @@ def streaming_trailing_median(spark, sf_dir):
         raise RuntimeError(
             "transformWithStateInPandas needs a protobuf runtime"
         )
-    spark.sparkContext.environment["PYTHONPATH"] = compat.worker_pythonpath()
+    # restored in the finally below (no session mutation may survive)
+    env = spark.sparkContext.environment
+    prior_pp = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = compat.worker_pythonpath()
 
     from ..streaming.stateful_v2 import (
         MEDIAN_OUTPUT_SCHEMA,
@@ -1981,4 +1993,8 @@ def streaming_trailing_median(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prior
             )
+        if prior_pp is None:
+            env.pop("PYTHONPATH", None)
+        else:
+            env["PYTHONPATH"] = prior_pp
     return spark.createDataFrame(out_rows, MEDIAN_OUTPUT_SCHEMA)

@@ -146,3 +146,33 @@ def test_decay_tracker_merges_chunks_before_forward_fold():
     assert out.mm_delta.iloc[0] is None or pd.isna(out.mm_delta.iloc[0])
     assert out.mm_delta.iloc[1] == 1.0
     assert handle._states["track"].get() == (20 * SEC, 2.0, 2)
+
+
+def test_streaming_gate_queries_restore_session_state(spark):
+    """streaming_sessions_finalized sets a session-global worker env
+    var (sc.environment['PYTHONPATH']) and the state-store provider
+    conf; BOTH must be restored on exit — a registry query may not
+    leave hidden session mutations behind (r7 ADVICE)."""
+    import pytest
+
+    from celestrak_tle_data_pipeline_spark import compat, plans
+
+    if not compat.ensure_protobuf():
+        pytest.skip("no protobuf runtime for transformWithState")
+    from conftest import SF_DIR
+
+    qs = plans.all_queries()
+    env = spark.sparkContext.environment
+    before_env = dict(env)
+    before_conf = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    df = qs["streaming_sessions_finalized"](spark, SF_DIR)
+    assert df.count() >= 0
+    assert dict(env) == before_env
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        == before_conf
+    )
