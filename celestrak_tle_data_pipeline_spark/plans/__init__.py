@@ -61,95 +61,45 @@ _MODULES = (
 # round's official window. Everything else registered stays available after
 # them as bonus coverage. ``tests/test_registry.py`` pins this list.
 #
-# Round-7 rotation: CORRECTNESS_r06 is 50/50 green, so the whole r6 window
-# rotates out. The never-official oracle-paired backlog at the end of round
-# 6 was 70 names (= all_oracles() minus the union of CORRECTNESS_r0*.json
-# keys minus the r6 window) — more than one 50-slot window, so this round
-# prioritizes per the r6 verdict: (a) the scale-twin / gate certifications
-# whose whole point is an official row, (b) the full experimentation /
-# statistical-testing tier, (c) the codec/text additions, plus
-# ``histogram_order_totals`` (deferred in r5 and r6), plus the four queries
-# the r6 advisor's fixes touched (drawdown, clamped balance, CUPED,
-# centroid confusion — an official row should certify the FIXED
-# semantics). The documented round-8 remainder is the 20 deferred names
-# (sql_lateral_topn_per_segment, debounce_first_per_burst,
-# session_entry_exit_matrix, tle_j2_secular_rates, tle_theil_sen_decay,
-# fd_violation_profile, neyman_allocation_sources, l_diversity_audit,
-# join_size_sample_estimate, kaplan_meier_sessions, scd2_asof_lookup,
-# cumulative_distinct_users, seasonal_naive_mase, association_rules_parts,
-# time_to_convert_quartiles, attribution_linear_touch,
-# discount_quantity_elasticity, holt_linear_forecast,
-# open_order_backlog_sweep, shipping_sla_attainment) plus round-7's five
-# new registrations (pareto_decile_ranged, cdc_warehouse_roundtrip,
-# document_chunks_overlap, streaming_sessions_finalized,
-# streaming_trailing_median) = 25 names — exactly one final window; no
-# further round-7 registrations so the cap holds. The late-round-7 ops
-# surfaces (X167-X175: state introspection, exactly-once CDC apply,
-# compaction, schema evolution, streaming Python source, quality gate,
-# ops-loop composition, Z-order recluster, maintenance vacuum) are deliberately pytest-gated, NOT registry
-# queries, so the 25-name cap stands; round 8 therefore has ~25 free
-# window slots for any new oracle-paired registrations.
+# Round-8 rotation (the FINAL backlog window): CORRECTNESS_r07 is 50/50
+# green, so the whole r7 window rotates out. The never-official
+# oracle-paired backlog entering round 8 is EXACTLY 25 names (verified =
+# all_oracles() minus the union of CORRECTNESS_r0*.json keys): the 20
+# names pledged by the r6/r7 rotation comments plus round-7's five new
+# registrations. All 25 head this window, closing the three-round
+# official-green debt; the remaining 25 slots are round-8's budget for
+# NEW registrations, so new work lands official in the same round
+# (``tests/test_registry.py`` pins that new-name count stays within the
+# free slots — the invariant that keeps the debt from recurring).
 _PRIORITY = (
-    # (a) scale-twin / gate certifications (r6 verdict priority 1a)
-    "equidepth_histogram_bounded",
-    "sorted_neighborhood_ranged",
-    "zorder_skipping_gate",
-    "hilbert_curve_layout",
-    "rowhash_table_digest",
-    # twice-deferred fixed-width histogram
-    "histogram_order_totals",
-    # (b) experimentation / statistical-testing tier
-    "ab_experiment_readout",
-    "cuped_adjusted_ab",
-    "srm_guardrail_check",
-    "ab_difference_newcombe",
-    "quantile_treatment_effect",
-    "cem_matched_att",
-    "power_analysis_mde",
-    "mann_whitney_u_values",
-    "ks_two_sample_values",
-    "chi2_independence_type_dow",
-    "chi2_cell_residuals",
-    "anova_value_by_dow",
-    "mutual_information_type_dow",
-    "cohens_kappa_agreement",
-    "auc_rank_score",
-    "score_calibration_bins",
-    "gains_chart_deciles",
-    # (c) codec / text additions
-    "y4m_scene_cuts",
-    "multimodal_ppm_resize",
-    "winnowing_fingerprints",
-    "ppjoin_token_sets",
-    "bigram_lm_perplexity",
-    "rake_keyphrases",
-    # advisor-touched queries (official row certifies the fixed form)
-    "user_value_drawdown",
-    "clamped_running_balance",
-    "centroid_classifier_confusion",
-    # sketches (mergeability certifications)
-    "bloom_membership_sketch",
-    "hll_sketch_union_rollup",
-    "kmv_intersection_estimate",
-    "cm_selfjoin_size_estimate",
-    # stats / order statistics
-    "weighted_price_quantiles",
-    "median_ci_order_stats",
-    "psi_value_drift",
-    "hill_tail_exponent",
-    # text / corpus / training-data ops
-    "corpus_curation_funnel",
-    "heaps_law_fit",
-    "zipf_slope_tokens",
-    "vocab_coverage_curve",
-    "length_bucket_padding_waste",
-    "split_distribution_divergence",
-    "mixture_interleave_schedule",
-    # vectors / ML / graph
-    "mmr_diversified_topk",
-    "graph_clustering_coefficient",
-    # CDC surface
-    "cdc_apply_changes",
+    # --- the 25-name backlog: 20 pledged names (r6/r7 rotation comments) ---
+    "sql_lateral_topn_per_segment",
+    "debounce_first_per_burst",
+    "session_entry_exit_matrix",
+    "tle_j2_secular_rates",
+    "tle_theil_sen_decay",
+    "fd_violation_profile",
+    "neyman_allocation_sources",
+    "l_diversity_audit",
+    "join_size_sample_estimate",
+    "kaplan_meier_sessions",
+    "scd2_asof_lookup",
+    "cumulative_distinct_users",
+    "seasonal_naive_mase",
+    "association_rules_parts",
+    "time_to_convert_quartiles",
+    "attribution_linear_touch",
+    "discount_quantity_elasticity",
+    "holt_linear_forecast",
+    "open_order_backlog_sweep",
+    "shipping_sla_attainment",
+    # --- ... plus round-7's five registrations ---
+    "pareto_decile_ranged",
+    "cdc_warehouse_roundtrip",
+    "document_chunks_overlap",
+    "streaming_sessions_finalized",
+    "streaming_trailing_median",
+    # --- round-8 registrations (new work lands official same-round) ---
 )
 
 

@@ -1,19 +1,57 @@
 """Registry ordering contract.
 
 The driver's correctness gate evaluates the first 50 entries of
-``queries()`` in iteration order, so the ordering is load-bearing: every
-SURVEY.md §2 family must surface at least one representative inside that
-window. ``plans._PRIORITY`` pins the window; these tests keep it honest.
+``queries()`` in iteration order, so the ordering is load-bearing.
+``plans._PRIORITY`` pins the window; these tests keep it honest.
+
+Round-8 shape: the window BEGINS with the full 25-name never-official
+backlog (20 names pledged by the r6/r7 rotation comments + round-7's
+five registrations), and every NEW round-8 registration must land
+inside the remaining free slots — the no-new-debt invariant below is
+the machine-checked form of the rotation comment's promise that a
+query never sits mirror-green without an official row for multiple
+rounds again.
 """
+
+import glob
+import json
 
 from celestrak_tle_data_pipeline_spark import plans
 from celestrak_tle_data_pipeline_spark.plans import _PRIORITY
 
+BACKLOG_25 = (
+    "sql_lateral_topn_per_segment",
+    "debounce_first_per_burst",
+    "session_entry_exit_matrix",
+    "tle_j2_secular_rates",
+    "tle_theil_sen_decay",
+    "fd_violation_profile",
+    "neyman_allocation_sources",
+    "l_diversity_audit",
+    "join_size_sample_estimate",
+    "kaplan_meier_sessions",
+    "scd2_asof_lookup",
+    "cumulative_distinct_users",
+    "seasonal_naive_mase",
+    "association_rules_parts",
+    "time_to_convert_quartiles",
+    "attribution_linear_touch",
+    "discount_quantity_elasticity",
+    "holt_linear_forecast",
+    "open_order_backlog_sweep",
+    "shipping_sla_attainment",
+    "pareto_decile_ranged",
+    "cdc_warehouse_roundtrip",
+    "document_chunks_overlap",
+    "streaming_sessions_finalized",
+    "streaming_trailing_median",
+)
 
-def test_priority_is_exactly_the_first_50():
+
+def test_priority_heads_the_registry_within_the_50_window():
     names = list(plans.all_queries().keys())
-    assert len(_PRIORITY) == 50
-    assert names[:50] == list(_PRIORITY)
+    assert len(_PRIORITY) <= 50
+    assert names[: len(_PRIORITY)] == list(_PRIORITY)
 
 
 def test_priority_names_unique_and_registered():
@@ -22,57 +60,32 @@ def test_priority_names_unique_and_registered():
     assert all(n in registered for n in _PRIORITY)
 
 
+def test_window_opens_with_the_full_backlog():
+    # the three-round official-green debt closes THIS round: the 25
+    # never-official names occupy the head of the window, in the order
+    # the rotation comments pledged them.
+    assert _PRIORITY[:25] == BACKLOG_25
+
+
+def test_no_new_official_debt():
+    # Every oracle-paired registry name is either already officially
+    # green (appears in some CORRECTNESS_r*.json) or inside this
+    # round's 50-slot window. A name failing this check would be
+    # registered-but-never-officially-checked — the debt class rounds
+    # 5-7 spent three rotation windows paying down.
+    official: set[str] = set()
+    for f in glob.glob("CORRECTNESS_r*.json"):
+        official |= set(json.load(open(f)))
+    oracles = set(plans.all_oracles())
+    debt = oracles - official - set(_PRIORITY)
+    assert not debt, f"oracle-paired but never-official and unwindowed: {sorted(debt)}"
+
+
 def test_first_50_oracle_coverage():
-    # Every priority query is value-checked against DuckDB: the MLlib
-    # LSH paths are represented by their recall gates
-    # (minhash_lsh_recall / ann_lsh_recall); the raw candidate surfaces
-    # (minhash_near_dup / ann_lsh_bucketed) stay registered after the
-    # window as rows-only bonus coverage.
+    # Every priority query is value-checked against DuckDB; rows-only
+    # surfaces stay registered after the window as bonus coverage.
     oracles = plans.all_oracles()
     assert all(n in oracles for n in _PRIORITY)
-
-
-def test_family_representation_in_window():
-    # Round-7 window: every r6 name went officially green, so the whole
-    # window rotates onto the 70-name never-official backlog, prioritized
-    # per the r6 verdict — scale-twin/gate certifications, the
-    # experimentation tier, codec/text additions, the twice-deferred
-    # histogram, and the four advisor-touched queries whose official row
-    # should certify the FIXED semantics. Families whose every member is
-    # already officially green have no r7 representative by design —
-    # cumulative official coverage is the contract, not per-round family
-    # presence.
-    window = set(_PRIORITY)
-    families = {
-        "scale-twins-gates": {
-            "equidepth_histogram_bounded",
-            "sorted_neighborhood_ranged",
-            "zorder_skipping_gate",
-            "hilbert_curve_layout",
-            "rowhash_table_digest",
-        },
-        "deferred": {"histogram_order_totals"},
-        "experimentation": {
-            "ab_experiment_readout",
-            "cuped_adjusted_ab",
-            "srm_guardrail_check",
-            "mann_whitney_u_values",
-            "ks_two_sample_values",
-            "power_analysis_mde",
-        },
-        "advisor-fixed": {
-            "user_value_drawdown",
-            "clamped_running_balance",
-            "centroid_classifier_confusion",
-        },
-        "codecs": {"y4m_scene_cuts", "multimodal_ppm_resize"},
-        "text": {"winnowing_fingerprints", "bigram_lm_perplexity"},
-        "sketches": {"bloom_membership_sketch", "hll_sketch_union_rollup"},
-        "vectors-ml": {"mmr_diversified_topk", "graph_clustering_coefficient"},
-        "cdc": {"cdc_apply_changes"},
-    }
-    for family, reps in families.items():
-        assert reps <= window, f"family {family} missing from first-50 window"
 
 
 def test_priority_outputs_are_scalar(spark):
