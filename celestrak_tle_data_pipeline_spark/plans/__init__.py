@@ -100,6 +100,8 @@ _PRIORITY = (
     "streaming_sessions_finalized",
     "streaming_trailing_median",
     # --- round-8 registrations (new work lands official same-round) ---
+    "streaming_dedup_within_watermark",
+    "streaming_outer_join_nulls",
 )
 
 

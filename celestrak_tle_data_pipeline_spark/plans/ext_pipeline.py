@@ -1998,3 +1998,271 @@ def streaming_trailing_median(spark, sf_dir):
         else:
             env["PYTHONPATH"] = prior_pp
     return spark.createDataFrame(out_rows, MEDIAN_OUTPUT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark under the VALUE gate
+# --------------------------------------------------------------------------
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    WITH RECURSIVE occ AS (
+        SELECT DISTINCT user_id, event_type,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        FROM events WHERE user_id < 200 AND event_id % 29 = 0
+    ),
+    wkseq AS (
+        -- the stream's global week sequence: the eviction watermark a
+        -- batch runs under is derived from the slice TWO positions
+        -- back (state sweep at end of batch s uses the wm computed
+        -- from batches <= s-1, which is max event of slices <= s-2
+        -- minus the 3-day delay; calibrated, see query docstring)
+        SELECT wk, LAG(wk, 2) OVER (ORDER BY wk) AS wm_base
+        FROM (SELECT DISTINCT wk FROM occ)
+    ),
+    numbered AS (
+        SELECT o.user_id, o.event_type, o.wk, s.wm_base,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o.user_id, o.event_type ORDER BY o.wk
+               ) AS rn
+        FROM occ o JOIN wkseq s USING (wk)
+    ),
+    walk AS (
+        -- greedy replay of the dedup state machine per key: first
+        -- occurrence emits; a later one emits iff the state of the
+        -- last emission was evicted first (wm_base - 3d delay has
+        -- passed last_emit + 3d delay)
+        SELECT user_id, event_type, wk, rn, TRUE AS emitted,
+               wk AS last_emit
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT n.user_id, n.event_type, n.wk, n.rn,
+               n.wm_base IS NOT NULL
+                   AND n.wm_base > w.last_emit + INTERVAL 6 DAY,
+               CASE WHEN n.wm_base IS NOT NULL
+                         AND n.wm_base > w.last_emit + INTERVAL 6 DAY
+                    THEN n.wk ELSE w.last_emit END
+        FROM walk w
+        JOIN numbered n
+          ON n.user_id = w.user_id AND n.event_type = w.event_type
+         AND n.rn = w.rn + 1
+    )
+    SELECT user_id, event_type, wk AS burst_wk
+    FROM walk WHERE emitted
+    """,
+)
+def streaming_dedup_within_watermark(spark, sf_dir):
+    """``dropDuplicatesWithinWatermark`` under the driver's VALUE gate
+    — the streaming dedup the ingest path uses for the reference's
+    3-day check-then-write idempotency (``streaming/incremental.py``,
+    reference script.py:159-166), certified bit-for-bit instead of
+    pytest-only: a weekly-sliced multi-batch AvailableNow drain over
+    the events stream, keyed on (user_id, event_type), and the oracle
+    is a full SQL replay of the operator's state machine.
+
+    The replay encodes Spark's ACTUAL eviction timing, established by
+    calibration on synthetic streams (three independent key
+    trajectories, each matching): state for a key stored at event time
+    p is swept at the END of batch s under the watermark computed from
+    batches <= s-1 (max event time of slices <= s-2, minus the
+    delay), so with slice width W and delay D a suppressed-then-
+    re-landed key RE-EMITS iff its gap since the last emission exceeds
+    2W + 2D (here 14 + 6 = 20 days; gaps are week-multiples, so no
+    boundary ties with either a strict or inclusive sweep). Rows are
+    projected to (key, week) BEFORE the stream so every emitted column
+    is functionally determined by the dedup key + slice — the emitted
+    representative of a within-batch duplicate group is
+    order-dependent in general, and this projection is what makes the
+    drain value-deterministic.
+
+    Scale shape: dedup state is one entry per live key bounded by the
+    watermark horizon (the operator's whole point at 100 TB/day);
+    the drain collects emission-grain rows only because the gate
+    compares a result frame."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .where((F.col("user_id") < 200) & (F.col("event_id") % 29 == 0))
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("week", "ts").alias("wk"),
+        )
+    )
+    weeks = sorted(r[0] for r in ev.select("wk").distinct().collect())
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_dedup_"
+        f"{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    landing = os.path.join(root, "landing")
+    for i, wk in enumerate(weeks):
+        # one slice per stream week, written in order (the file
+        # source's batch order follows modification time)
+        ev.where(F.col("wk") == F.lit(wk)).coalesce(1).write.parquet(
+            os.path.join(landing, f"slice_{i:03d}")
+        )
+
+    out_rows: list = []
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, wk timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "slice_*"))
+    )
+    dedup = stream.withWatermark("wk", "3 days").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    q = (
+        dedup.writeStream.foreachBatch(
+            lambda df, _id: out_rows.extend(df.collect())
+        )
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        out_rows, "user_id long, event_type string, wk timestamp"
+    ).select(
+        "user_id", "event_type", F.col("wk").alias("burst_wk")
+    )
+
+
+# --------------------------------------------------------------------------
+# stream-stream LEFT OUTER join under the VALUE gate
+# --------------------------------------------------------------------------
+@register(
+    "streaming_outer_join_nulls",
+    oracle="""
+    WITH l AS (
+        SELECT event_id AS view_id, user_id, ts AS view_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    r AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cut AS (
+        SELECT least((SELECT max(view_ts) FROM l),
+                     (SELECT max(purchase_ts) FROM r))
+               - INTERVAL 1 HOUR AS wm
+    ),
+    matched AS (
+        SELECT l.view_id, l.user_id, l.view_ts,
+               r.purchase_id, r.purchase_ts
+        FROM l JOIN r
+          ON l.user_id = r.user_id
+         AND r.purchase_ts >= l.view_ts
+         AND r.purchase_ts <= l.view_ts + INTERVAL 2 HOUR
+    ),
+    unmatched AS (
+        SELECT l.view_id, l.user_id, l.view_ts,
+               CAST(NULL AS BIGINT) AS purchase_id,
+               CAST(NULL AS TIMESTAMP) AS purchase_ts
+        FROM l
+        WHERE NOT EXISTS (
+            SELECT 1 FROM r
+            WHERE r.user_id = l.user_id
+              AND r.purchase_ts >= l.view_ts
+              AND r.purchase_ts <= l.view_ts + INTERVAL 2 HOUR
+        )
+        AND l.view_ts + INTERVAL 2 HOUR < (SELECT wm FROM cut)
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def streaming_outer_join_nulls(spark, sf_dir):
+    """Stream-stream LEFT OUTER join with watermark eviction, under
+    the VALUE gate — the uncovered streaming join shape (inner and
+    stream-static are pytest-pinned in tests/test_streaming.py): views
+    left-outer-joined to same-user purchases within a [0, 2h] event-
+    time band, 1-hour watermarks on both sides.
+
+    The oracle states the operator's full emission rule: (a) every
+    matched pair emits exactly once (plain SQL inner join); (b) an
+    unmatched view emits with NULL purchase columns iff no future
+    purchase could still match it — its band end (view_ts + 2h) is
+    below the final global watermark, min(max view_ts, max
+    purchase_ts) - 1h; (c) views whose band straddles the final
+    watermark are HELD in state and never emit in an AvailableNow
+    drain. Rule (b)/(c)'s cutoff (band END vs row time, and the final
+    no-data flush batch advancing the watermark over ALL data) is
+    calibrated on synthetic streams; timestamps are microsecond-grain
+    so the strict/inclusive boundary cannot tie.
+
+    Scale shape: state per side is bounded by the watermark horizon
+    (~1h + 2h band of rows), the 100 TB/day property; the collect is
+    gate-only."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = t(spark, sf_dir, "events")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_outer_"
+        f"{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("view_ts"),
+    ).coalesce(1).write.parquet(os.path.join(root, "left", "slice_0"))
+    ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("purchase_ts"),
+    ).coalesce(1).write.parquet(os.path.join(root, "right", "slice_0"))
+
+    ls = (
+        spark.readStream.schema(
+            "view_id long, l_user long, view_ts timestamp"
+        )
+        .parquet(os.path.join(root, "left", "slice_*"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    rs = (
+        spark.readStream.schema(
+            "purchase_id long, r_user long, purchase_ts timestamp"
+        )
+        .parquet(os.path.join(root, "right", "slice_*"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = ls.join(
+        rs,
+        (ls.l_user == rs.r_user)
+        & (rs.purchase_ts >= ls.view_ts)
+        & (rs.purchase_ts <= ls.view_ts + F.expr("INTERVAL 2 HOURS")),
+        "leftOuter",
+    ).select(
+        "view_id",
+        F.col("l_user").alias("user_id"),
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+    out_rows: list = []
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, _id: out_rows.extend(df.collect())
+        )
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        out_rows,
+        "view_id long, user_id long, view_ts timestamp,"
+        " purchase_id long, purchase_ts timestamp",
+    )

@@ -46,16 +46,25 @@ def enriched_telemetry_stream(
     tle_landing_dir: str,
     weather_landing_dir: str,
     fetched_at: dt.datetime | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Streaming (norad_id, epoch_utc, mean_motion, b_star_drag,
-    date_utc, f10_7_flux): inner stream-stream join of the parsed TLE
+    date_utc, f10_7_flux): stream-stream join of the parsed TLE
     stream with the parsed flux stream on the telemetry's UTC day.
 
     A telemetry row whose flux row arrives in a LATER micro-batch (or
     vice versa) joins against the state store, exactly-once per pair;
     rows older than the 3-day watermark are evicted unjoined — the same
     bounded-horizon trade-off the batch dedup path documents.
-    """
+
+    ``how="leftOuter"`` adds watermark-gated NULL emission: a telemetry
+    day whose flux never arrives emits ONCE with NULL weather columns,
+    and only after the watermark passes the end of its day window (no
+    earlier flux could still land) — never before, pinned by
+    ``tests/test_streaming.py::test_stream_stream_left_outer_null_emission``.
+    Until then the row is held in state; eviction-on-emission makes
+    re-emission impossible. Both modes share one plan shape; the state
+    bound is identical (watermark horizon per side)."""
     # Only ONE event-time column may survive per stream: the 1-day
     # window (carrying the epoch_utc watermark) is it. epoch_utc itself
     # is kept as a value via integer-µs reconstruction, which strips the
@@ -81,7 +90,7 @@ def enriched_telemetry_stream(
         )
     )
 
-    return tele.join(weather, on="day_w", how="inner").select(
+    return tele.join(weather, on="day_w", how=how).select(
         "norad_id",
         "epoch_utc",
         "mean_motion",
@@ -98,13 +107,18 @@ def run_enrichment_join(
     checkpoint_dir: str,
     sink,
     fetched_at: dt.datetime | None = None,
+    how: str = "inner",
 ) -> None:
     """One ``Trigger.AvailableNow()`` pass of the enrichment join;
     ``sink(batch_df, batch_id)`` receives each joined micro-batch.
     Join state (unmatched rows within the watermark) persists in the
     checkpoint across passes — the cron-micro-batch shape."""
     stream = enriched_telemetry_stream(
-        spark, tle_landing_dir, weather_landing_dir, fetched_at=fetched_at
+        spark,
+        tle_landing_dir,
+        weather_landing_dir,
+        fetched_at=fetched_at,
+        how=how,
     )
     q = (
         stream.writeStream.foreachBatch(sink)

@@ -1379,3 +1379,83 @@ def test_decay_tracker_v2_bootstrapped_initial_state(spark, tmp_path):
     assert abs(known.mm_delta - (15.06402843 - 15.5)) < 1e-9
     cold = by_sat[61002]
     assert cold.n_seen == 1 and cold.mm_delta is None
+
+
+def test_stream_stream_left_outer_null_emission(spark, tmp_path):
+    """LEFT OUTER stream-stream join with watermark eviction: a
+    telemetry day whose flux never lands emits with NULL weather
+    columns EXACTLY ONCE, and only after the watermark passes its day
+    window — never before (pinned across micro-batch boundaries:
+    pass 1 holds it in state, pass 2's watermark advance flushes it,
+    pass 3 must not re-emit it)."""
+    import json
+
+    from celestrak_tle_data_pipeline_spark.streaming import (
+        run_enrichment_join,
+    )
+
+    tle_land = tmp_path / "otle"
+    w_land = tmp_path / "oweather"
+    tle_land.mkdir()
+    w_land.mkdir()
+    ckpt = str(tmp_path / "ockpt")
+    out_rows = []
+
+    def sink(df, _id):
+        out_rows.extend(df.collect())
+
+    def run_pass():
+        run_enrichment_join(
+            spark, str(tle_land), str(w_land), ckpt, sink, how="leftOuter"
+        )
+
+    day = (NOW - dt.timedelta(days=1)).date()
+
+    # pass 1: telemetry for `day`, weather only for day-1 -> NOTHING
+    # emits: no match, and the watermark has not passed the telemetry
+    # day's window, so the NULL row would be premature
+    (tle_land / "t1.txt").write_text(
+        _payload(70001, NOW - dt.timedelta(days=1))
+    )
+    (w_land / "w1.json").write_text(
+        json.dumps(
+            [["time_tag", "flux"], [f"{day - dt.timedelta(days=1)} 12:00", "101.0"]]
+        )
+    )
+    run_pass()
+    assert out_rows == []
+
+    # pass 2: BOTH sides advance (the join watermark is the MIN over
+    # the two streams — weather alone cannot move it): weather for
+    # day+10 and telemetry for day+9 land, pushing the global
+    # watermark (3-day delay) past the day-window of the held row ->
+    # it flushes with NULL weather, exactly once. The day+9 telemetry
+    # is itself unmatched but its window still straddles the
+    # watermark, so it stays held — "never before" on display.
+    far = day + dt.timedelta(days=10)
+    (w_land / "w2.json").write_text(
+        json.dumps([["time_tag", "flux"], [f"{far} 12:00", "141.0"]])
+    )
+    (tle_land / "t_adv.txt").write_text(
+        _payload(70002, NOW + dt.timedelta(days=8))
+    )
+    run_pass()
+    nulls = [r for r in out_rows if r.f10_7_flux is None]
+    assert len(out_rows) == 1 and len(nulls) == 1
+    assert nulls[0].norad_id == 70001
+    assert nulls[0].date_utc is None
+    assert nulls[0].mean_motion is not None  # left columns intact
+
+    # pass 3: telemetry for day+10 joins the day+10 flux FROM STATE
+    # (matched path still works after the flush) and the NULL row is
+    # NOT re-emitted
+    (tle_land / "t2.txt").write_text(
+        _payload(70003, NOW + dt.timedelta(days=9))
+    )
+    run_pass()
+    assert len(out_rows) == 2
+    matched = [r for r in out_rows if r.f10_7_flux is not None]
+    assert len(matched) == 1
+    assert matched[0].norad_id == 70003
+    assert matched[0].f10_7_flux == 141.0
+    assert sum(1 for r in out_rows if r.f10_7_flux is None) == 1
