@@ -102,6 +102,11 @@ _PRIORITY = (
     # --- round-8 registrations (new work lands official same-round) ---
     "streaming_dedup_within_watermark",
     "streaming_outer_join_nulls",
+    "spearman_rank_corr",
+    "bh_fdr_correction",
+    "cusum_changepoint_scan",
+    "partial_correlation_controls",
+    "cochran_armitage_trend",
 )
 
 

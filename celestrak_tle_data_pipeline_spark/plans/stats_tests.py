@@ -1957,3 +1957,608 @@ def power_analysis_mde(spark, sf_dir):
         .cast("bigint")
         .alias("n_per_arm_for_5pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation (exact 2x-scaled average ranks)
+# --------------------------------------------------------------------------
+@register(
+    "spearman_rank_corr",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS y
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT CAST(RANK() OVER (ORDER BY x) AS BIGINT) * 2
+               + CAST(COUNT(*) OVER (PARTITION BY x) AS BIGINT) - 1
+                   AS rx2,
+               CAST(RANK() OVER (ORDER BY y) AS BIGINT) * 2
+               + CAST(COUNT(*) OVER (PARTITION BY y) AS BIGINT) - 1
+                   AS ry2
+        FROM per_user
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx2) AS BIGINT) AS sa,
+               CAST(SUM(ry2) AS BIGINT) AS sb,
+               CAST(SUM(rx2 * rx2) AS BIGINT) AS saa,
+               CAST(SUM(ry2 * ry2) AS BIGINT) AS sbb,
+               CAST(SUM(rx2 * ry2) AS BIGINT) AS sab
+        FROM ranked
+    )
+    SELECT n AS n_users,
+           round((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+                 / sqrt((CAST(n AS DOUBLE) * saa
+                         - CAST(sa AS DOUBLE) * sa)
+                        * (CAST(n AS DOUBLE) * sbb
+                           - CAST(sb AS DOUBLE) * sb)), 9)
+               + 0.0 AS rho
+    FROM sums
+    """,
+)
+def spearman_rank_corr(spark, sf_dir):
+    """Spearman rank correlation between a user's activity (event
+    count) and spend (total value) — the monotone-association measure
+    drift/quality monitoring uses where Pearson is distorted by heavy
+    tails. ρ = Pearson over average ranks; the 2x factor of the
+    scaled ranks cancels in the correlation, so carrying 2·avg_rank
+    (= min_rank + max_rank of the tie group) keeps every rank sum an
+    EXACT integer under ties — the same scaled-rank device as
+    ``mann_whitney_u_values``, applied twice (one ranking per
+    variable).
+
+    Plan: user-grain rollup (one shuffle), then each variable ranks
+    with the ranged pattern — range-partition on the value, rank per
+    partition, add the broadcast prefix-count offset (no
+    single-partition sort; ``prefix_offsets``); the five power sums
+    of the two rank vectors reduce in one aggregation and only the
+    final ρ divides in floating point (−0 normalized)."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        (F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("y"),
+    )
+
+    def rank2_of(df, col, out):
+        pool = (
+            df.repartitionByRange(8, F.col(col).asc())
+            .withColumn("pid", F.spark_partition_id())
+            .persist()
+        )
+        counts = pool.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
+        offsets = prefix_offsets(counts, {"offset": "pn"})
+        local_rank = F.rank().over(Window.partitionBy("pid").orderBy(col))
+        r2 = (
+            (local_rank.cast("bigint") + F.col("offset")) * 2
+            + F.count(F.lit(1))
+            .over(Window.partitionBy("pid", col))
+            .cast("bigint")
+            - 1
+        )
+        return pool.join(F.broadcast(offsets), "pid").select(
+            "user_id", r2.alias(out)
+        )
+
+    rx = rank2_of(per_user.select("user_id", "x"), "x", "rx2")
+    ry = rank2_of(per_user.select("user_id", "y"), "y", "ry2")
+    sums = (
+        rx.join(ry, "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("rx2").cast("bigint").alias("sa"),
+            F.sum("ry2").cast("bigint").alias("sb"),
+            F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("saa"),
+            F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("sbb"),
+            F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sab"),
+        )
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    saa, sbb, sab = F.col("saa"), F.col("sbb"), F.col("sab")
+    rho = (n.cast("double") * sab - sa.cast("double") * sb) / F.sqrt(
+        (n.cast("double") * saa - sa.cast("double") * sa)
+        * (n.cast("double") * sbb - sb.cast("double") * sb)
+    )
+    return sums.select(
+        n.alias("n_users"),
+        (F.round(rho, 9) + 0.0).alias("rho"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over the contingency-cell z family
+# --------------------------------------------------------------------------
+
+# two-sided normal tail p = 1 - erf(|z| / sqrt(2)) via the
+# Abramowitz-Stegun 7.1.26 polynomial (|eps| < 1.5e-7) — neither
+# engine ships erf in SQL, and an IDENTICAL Horner expression tree on
+# IEEE doubles is bit-reproducible across both
+_AS_ERFC_SQL = (
+    "(((((1.061405429 * __t - 1.453152027) * __t + 1.421413741) * __t"
+    " - 0.284496736) * __t + 0.254829592) * __t) * exp(-__x * __x)"
+)
+
+
+def _p_two_sided_sql(z_expr: str) -> str:
+    x = f"(abs({z_expr}) / 1.4142135623730951)"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    return (
+        _AS_ERFC_SQL.replace("__t", t).replace("__x", x)
+    )
+
+
+@register(
+    "bh_fdr_correction",
+    oracle=f"""
+    WITH obs AS (
+        SELECT event_type,
+               CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INT) AS dow,
+               CAST(COUNT(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, dow, o,
+               SUM(o) OVER (PARTITION BY event_type) AS r,
+               SUM(o) OVER (PARTITION BY dow) AS c,
+               SUM(o) OVER () AS n
+        FROM obs
+    ),
+    z AS (
+        SELECT event_type, dow,
+               (o - r * c / n)
+               / sqrt((r * c / n) * (1 - r / n) * (1 - c / n)) AS z
+        FROM tot
+    ),
+    p AS (
+        SELECT event_type, dow, z,
+               {_p_two_sided_sql('z')} AS p
+        FROM z
+    ),
+    ranked AS (
+        SELECT event_type, dow, z, p,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY p, event_type, dow
+               ) AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM p
+    ),
+    cutoff AS (
+        SELECT COALESCE(MAX(CASE WHEN p <= 0.10 * i / m THEN i END), 0)
+                   AS istar
+        FROM ranked
+    )
+    SELECT event_type, dow,
+           round(z, 6) + 0.0 AS z,
+           round(p, 9) AS p_value,
+           i AS bh_rank,
+           CAST(CASE WHEN i <= (SELECT istar FROM cutoff)
+                     THEN 1 ELSE 0 END AS INT) AS rejected
+    FROM ranked
+    """,
+)
+def bh_fdr_correction(spark, sf_dir):
+    """Benjamini-Hochberg FDR control over a test FAMILY — the
+    multiple-comparisons step every experimentation readout with more
+    than one metric needs: the 35 standardized contingency residuals
+    (event_type × day-of-week, the ``chi2_cell_residuals`` family)
+    become two-sided p-values, and BH rejects the i* smallest where
+    i* = max{{i : p_(i) ≤ q·i/m}} at q = 0.10 — adaptive to how many
+    signals are real, unlike Bonferroni's flat q/m.
+
+    The normal tail has no SQL builtin in either engine, so p = 1 −
+    erf(|z|/√2) is computed by the Abramowitz-Stegun 7.1.26 polynomial
+    as an IDENTICAL Horner tree on IEEE doubles — bit-reproducible,
+    |ε| < 1.5e-7 (the reject decision compares unrounded doubles, so
+    both engines decide identically). The sort/rank frame is the
+    5×7-cell family — a bounded test-family domain, never data-sized;
+    the event-grain work is one contingency rollup."""
+    e = t(spark, sf_dir, "events")
+    dow = ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7).cast(
+        "int"
+    )
+    obs = e.groupBy("event_type", dow.alias("dow")).agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    tot = (
+        obs.withColumn(
+            "r", F.sum("o").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("c", F.sum("o").over(Window.partitionBy("dow")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    ex = F.col("r") * F.col("c") / F.col("n")
+    z = (F.col("o") - ex) / F.sqrt(
+        ex * (1 - F.col("r") / F.col("n")) * (1 - F.col("c") / F.col("n"))
+    )
+    x = F.abs(F.col("z")) / 1.4142135623730951
+    tpoly = 1.0 / (1.0 + 0.3275911 * x)
+    p = (
+        (
+            (
+                ((1.061405429 * tpoly - 1.453152027) * tpoly + 1.421413741)
+                * tpoly
+                - 0.284496736
+            )
+            * tpoly
+            + 0.254829592
+        )
+        * tpoly
+    ) * F.exp(-x * x)
+    zp = tot.select("event_type", "dow", z.alias("z")).withColumn("p", p)
+    wrank = Window.orderBy("p", "event_type", "dow")
+    ranked = zp.select(
+        "event_type",
+        "dow",
+        "z",
+        "p",
+        F.row_number().over(wrank).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("m"),
+    )
+    istar = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p") <= 0.10 * F.col("i") / F.col("m"), F.col("i")
+                )
+            ),
+            F.lit(0),
+        ).alias("istar")
+    )
+    return ranked.crossJoin(F.broadcast(istar)).select(
+        "event_type",
+        "dow",
+        (F.round("z", 6) + 0.0).alias("z"),
+        F.round("p", 9).alias("p_value"),
+        F.col("i").alias("bh_rank"),
+        (F.col("i") <= F.col("istar")).cast("int").alias("rejected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint scan over the daily value series
+# --------------------------------------------------------------------------
+@register(
+    "cusum_changepoint_scan",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS v
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(v) AS BIGINT) AS tv,
+               CAST(SUM(v * v) AS BIGINT) AS tvv
+        FROM daily
+    ),
+    walk AS (
+        SELECT d,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i,
+               CAST(SUM(v) OVER (
+                   ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW
+               ) AS BIGINT) AS cs
+        FROM daily
+    ),
+    scaled AS (
+        SELECT w.d, w.i,
+               CAST(t.nd * w.cs - w.i * t.tv AS BIGINT) AS s_scaled
+        FROM walk w CROSS JOIN tot t
+    ),
+    peak AS (
+        SELECT d, i, s_scaled,
+               ROW_NUMBER() OVER (
+                   ORDER BY abs(s_scaled) DESC, d
+               ) AS pk
+        FROM scaled
+    )
+    SELECT t.nd AS n_days,
+           CAST(to_timestamp((p.d * 86400)) AS TIMESTAMP) AS cp_day,
+           CAST(abs(p.s_scaled) AS BIGINT) AS peak_scaled,
+           round(abs(p.s_scaled) / CAST(t.nd AS DOUBLE)
+                 / sqrt((CAST(t.nd AS DOUBLE) * t.tvv
+                         - CAST(t.tv AS DOUBLE) * t.tv)
+                        / (t.nd * (t.nd - 1.0)))
+                 / sqrt(CAST(t.nd AS DOUBLE)), 6) AS cusum_stat
+    FROM peak p CROSS JOIN tot t WHERE p.pk = 1
+    """,
+)
+def cusum_changepoint_scan(spark, sf_dir):
+    """CUSUM changepoint scan over the daily revenue series — the
+    level-shift detector a pipeline health monitor runs on every
+    rollup: S_t = Σ_{d≤t}(v_d − mean) peaks at the most likely shift
+    point; the normalized peak max|S|/(σ̂·√n) is the test statistic
+    (≳1.36 rejects "no shift" at 5% by the Kolmogorov bound).
+
+    Exactness: daily totals are integer cents; S_t is carried
+    n-scaled (n·cumsum_t − t·total — integers, no mean division), so
+    the argmax day is decided on EXACT integers with a calendar
+    tiebreak, and only the final normalization divides. The
+    cumsum/argmax frames are the ~30-row daily series — a bounded
+    calendar domain (the audit-allowlisted class), never event-grain;
+    the event scan is one day rollup."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg((F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("v"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("v").cast("bigint").alias("tv"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("tvv"),
+    )
+    wday = Window.orderBy("d")
+    walk = daily.select(
+        "d",
+        F.row_number().over(wday).cast("bigint").alias("i"),
+        F.sum("v")
+        .over(wday.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cs"),
+    )
+    scaled = walk.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "i",
+        (F.col("nd") * F.col("cs") - F.col("i") * F.col("tv"))
+        .cast("bigint")
+        .alias("s_scaled"),
+        "nd",
+        "tv",
+        "tvv",
+    )
+    peak = scaled.withColumn(
+        "pk",
+        F.row_number().over(
+            Window.orderBy(F.abs(F.col("s_scaled")).desc(), F.col("d"))
+        ),
+    ).where(F.col("pk") == 1)
+    nd, tv, tvv = F.col("nd"), F.col("tv"), F.col("tvv")
+    var = (nd.cast("double") * tvv - tv.cast("double") * tv) / (
+        nd * (nd - 1.0)
+    )
+    return peak.select(
+        nd.alias("n_days"),
+        F.timestamp_seconds(F.col("d") * 86400).alias("cp_day"),
+        F.abs(F.col("s_scaled")).cast("bigint").alias("peak_scaled"),
+        F.round(
+            F.abs(F.col("s_scaled"))
+            / nd.cast("double")
+            / F.sqrt(var)
+            / F.sqrt(nd.cast("double")),
+            6,
+        ).alias("cusum_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# partial correlation with a control variable
+# --------------------------------------------------------------------------
+@register(
+    "partial_correlation_controls",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END) AS BIGINT) AS y,
+               CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000)
+                    AS BIGINT) AS z
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(z) AS DOUBLE) AS sz,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy,
+               CAST(SUM(z * z) AS DOUBLE) AS szz,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * z) AS DOUBLE) AS sxz,
+               CAST(SUM(y * z) AS DOUBLE) AS syz
+        FROM per_user
+    ),
+    r AS (
+        SELECT n,
+               (n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+               (n * sxz - sx * sz)
+               / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+               (n * syz - sy * sz)
+               / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(rxy, 9) + 0.0 AS r_spend_purchases,
+           round(rxz, 9) + 0.0 AS r_spend_days,
+           round(ryz, 9) + 0.0 AS r_purchases_days,
+           round((rxy - rxz * ryz)
+                 / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 9)
+               + 0.0 AS partial_r
+    FROM r
+    """,
+)
+def partial_correlation_controls(spark, sf_dir):
+    """First-order partial correlation: does spend correlate with
+    purchase count once ACTIVITY (distinct active days) is controlled
+    for? r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — the
+    confound check an experimentation platform applies before
+    reporting a raw correlation as signal.
+
+    All three Pearson correlations derive from ONE pass of exact
+    integer power sums (cents, counts, day counts — no float
+    accumulation), combined in identical expression trees; −0
+    normalized on every rounded output. Plan: user-grain rollup (one
+    shuffle), one 10-scalar aggregation, scalar algebra."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        (F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("y"),
+        F.countDistinct(
+            F.floor(F.unix_micros("ts") / 86_400_000_000)
+        )
+        .cast("bigint")
+        .alias("z"),
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("z").cast("double").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("double").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("double").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("double").alias("syz"),
+    )
+    n = F.col("n")
+    rxy = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    rxz = (n * F.col("sxz") - F.col("sx") * F.col("sz")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("szz") - F.col("sz") * F.col("sz"))
+    )
+    ryz = (n * F.col("syz") - F.col("sy") * F.col("sz")) / F.sqrt(
+        (n * F.col("syy") - F.col("sy") * F.col("sy"))
+        * (n * F.col("szz") - F.col("sz") * F.col("sz"))
+    )
+    r = s.select(n.alias("n"), rxy.alias("rxy"), rxz.alias("rxz"), ryz.alias("ryz"))
+    return r.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        (F.round("rxy", 9) + 0.0).alias("r_spend_purchases"),
+        (F.round("rxz", 9) + 0.0).alias("r_spend_days"),
+        (F.round("ryz", 9) + 0.0).alias("r_purchases_days"),
+        (
+            F.round(
+                (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+                / F.sqrt(
+                    (1 - F.col("rxz") * F.col("rxz"))
+                    * (1 - F.col("ryz") * F.col("ryz"))
+                ),
+                9,
+            )
+            + 0.0
+        ).alias("partial_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cochran-Armitage trend test across ordered exposure levels
+# --------------------------------------------------------------------------
+@register(
+    "cochran_armitage_trend",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               LEAST(GREATEST(CAST(FLOOR(
+                   (CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+                         AS DOUBLE) / COUNT(*) - 4000.0) / 800.0
+               ) AS BIGINT), 0), 4) AS lvl,
+               CASE WHEN 5 * SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) >= COUNT(*)
+                    THEN 1 ELSE 0 END AS conv
+        FROM events GROUP BY user_id
+    ),
+    lv AS (
+        SELECT lvl,
+               CAST(COUNT(*) AS BIGINT) AS n_l,
+               CAST(SUM(conv) AS BIGINT) AS r_l
+        FROM per_user GROUP BY lvl
+    ),
+    s AS (
+        SELECT CAST(SUM(n_l) AS DOUBLE) AS n,
+               CAST(SUM(r_l) AS DOUBLE) AS r,
+               CAST(SUM(lvl * r_l) AS DOUBLE) AS sr,
+               CAST(SUM(lvl * n_l) AS DOUBLE) AS sn,
+               CAST(SUM(lvl * lvl * n_l) AS DOUBLE) AS ssn,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM lv
+    )
+    SELECT k AS n_levels,
+           CAST(n AS BIGINT) AS n_users,
+           CAST(r AS BIGINT) AS n_converted,
+           round((n * sr - r * sn)
+                 / sqrt(r * (n - r) * (n * ssn - sn * sn) / n), 6)
+               + 0.0 AS ca_z
+    FROM s
+    """,
+)
+def cochran_armitage_trend(spark, sf_dir):
+    """Cochran-Armitage trend test: does conversion probability rise
+    MONOTONICALLY with spend level (per-user average value bucketed
+    into ordered exposure levels 0–4)? — the dose-response test a chi-squared
+    can't express: chi2 sees any deviation, CA spends all its power
+    on the ordered trend (Z ~ N(0,1) under no-trend, with the
+    per-level scores as doses).
+
+    Z = (NΣs·r_ℓ − RΣs·n_ℓ)/√(R(N−R)(NΣs²n_ℓ − (Σs·n_ℓ)²)/N) — every
+    Σ is an exact integer from a two-level rollup (user grain, then
+    ≤5 levels); the level assignment floors an identically-ordered
+    double expression (cents/count) in both engines, and the
+    statistic is one float expression, −0 normalized. The outcome
+    (purchase share ≥ 20%) and dose buckets are RATIOS, so neither
+    degenerates as events-per-user grows with SF. Plan: one
+    user-grain shuffle, one bounded-domain rollup."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.least(
+            F.greatest(
+                F.floor(
+                    (
+                        (F.sum(dec("value", 18, 2)) * 100).cast("double")
+                        / F.count(F.lit(1))
+                        - 4000.0
+                    )
+                    / 800.0
+                ).cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(4),
+        ).alias("lvl"),
+        (
+            5 * F.sum((F.col("event_type") == "purchase").cast("int"))
+            >= F.count(F.lit(1))
+        )
+        .cast("int")
+        .alias("conv"),
+    )
+    lv = per_user.groupBy("lvl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_l"),
+        F.sum("conv").cast("bigint").alias("r_l"),
+    )
+    s = lv.agg(
+        F.sum("n_l").cast("double").alias("n"),
+        F.sum("r_l").cast("double").alias("r"),
+        F.sum(F.col("lvl") * F.col("r_l")).cast("double").alias("sr"),
+        F.sum(F.col("lvl") * F.col("n_l")).cast("double").alias("sn"),
+        F.sum(F.col("lvl") * F.col("lvl") * F.col("n_l"))
+        .cast("double")
+        .alias("ssn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    n, r = F.col("n"), F.col("r")
+    sr, sn, ssn = F.col("sr"), F.col("sn"), F.col("ssn")
+    return s.select(
+        F.col("k").alias("n_levels"),
+        n.cast("bigint").alias("n_users"),
+        r.cast("bigint").alias("n_converted"),
+        (
+            F.round(
+                (n * sr - r * sn)
+                / F.sqrt(r * (n - r) * (n * ssn - sn * sn) / n),
+                6,
+            )
+            + 0.0
+        ).alias("ca_z"),
+    )

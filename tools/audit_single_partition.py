@@ -106,6 +106,15 @@ ALLOWED: dict[str, str] = {
         "retained global-sort semantics certification; range-partitioned "
         "twin sorted_neighborhood_ranged ships, pinned row-identical"
     ),
+    "bh_fdr_correction": (
+        "rank + count windows over the 5x7 contingency test FAMILY "
+        "(m = 35 p-values — domain-bounded; BH is defined on the "
+        "family, never row grain)"
+    ),
+    "cusum_changepoint_scan": (
+        "cumsum/argmax windows over the calendar-day series "
+        "(domain-bounded; the event-grain pass is one day rollup)"
+    ),
 }
 
 
