@@ -107,6 +107,11 @@ _PRIORITY = (
     "cusum_changepoint_scan",
     "partial_correlation_controls",
     "cochran_armitage_trend",
+    "user_activity_streaks",
+    "interval_coalesce_union",
+    "asof_join_nearest",
+    "referential_integrity_audit",
+    "quantile_normalize_by_source",
 )
 
 

@@ -2320,3 +2320,209 @@ def shipping_sla_attainment(spark, sf_dir):
         ).alias("sla_90d"),
         F.max("lag_days").cast("bigint").alias("worst_lag_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# referential-integrity audit across the star schema
+# --------------------------------------------------------------------------
+
+_RI_CHECK_SQL = """
+        SELECT '{fk}' AS fk,
+               CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child,
+               CAST((SELECT COUNT(*) FROM {child} ch
+                     WHERE NOT EXISTS (
+                         SELECT 1 FROM {parent} pa
+                         WHERE pa.{pk} = ch.{fkcol}
+                     )) AS BIGINT) AS n_orphans"""
+
+_RI_CHECKS = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("events.user_id->customer", "events", "user_id",
+     "customer", "c_custkey"),
+)
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="WITH checks AS (" + "\n        UNION ALL".join(
+        _RI_CHECK_SQL.format(fk=fk, child=c, fkcol=fc, parent=p, pk=pk)
+        for fk, c, fc, p, pk in _RI_CHECKS
+    ) + """
+    )
+    SELECT fk, n_child, n_orphans,
+           CAST(FLOOR(n_orphans * 1000000.0 / n_child) AS BIGINT)
+               AS orphan_ppm
+    FROM checks
+    """,
+)
+def referential_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit: orphan counts for every foreign-key
+    edge of the star schema (lineitem→orders/part/supplier,
+    orders→customer, customer/supplier→nation) plus the deliberately
+    leaky events.user_id→customer edge — the data-quality sweep a
+    warehouse runs after every load, and the empirical basis for
+    treating a join as lossless (the TPC-H edges audit to 0 orphans;
+    the events edge does NOT, which is why event queries never inner-
+    join customer without saying so).
+
+    Each check is a broadcast LEFT ANTI join count (dim side is
+    small); the child tables scan ONCE per edge with only the FK
+    column read (column pruning), and the 7-row result is
+    relationship-grain. Orphan rate is reported as integer ppm —
+    no float in the comparison surface."""
+    results = []
+    for fk, child, fkcol, parent, pk in _RI_CHECKS:
+        ch = t(spark, sf_dir, child).select(F.col(fkcol).alias("__fk"))
+        pa = t(spark, sf_dir, parent).select(F.col(pk).alias("__pk"))
+        n_child = ch.count()
+        n_orphans = ch.join(
+            F.broadcast(pa), ch["__fk"] == pa["__pk"], "left_anti"
+        ).count()
+        results.append((fk, n_child, n_orphans))
+    out = spark.createDataFrame(
+        results, "fk string, n_child long, n_orphans long"
+    )
+    return out.select(
+        "fk",
+        "n_child",
+        "n_orphans",
+        F.floor(F.col("n_orphans") * 1_000_000.0 / F.col("n_child"))
+        .cast("bigint")
+        .alias("orphan_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quantile normalization audit by source
+# --------------------------------------------------------------------------
+@register(
+    "quantile_normalize_by_source",
+    oracle="""
+    WITH counts AS (
+        SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, n_chars
+    ),
+    cum AS (
+        SELECT source, n_chars, c,
+               CAST(SUM(c) OVER (
+                   PARTITION BY source ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cc,
+               CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM counts
+    ),
+    deciles AS (SELECT UNNEST(range(1, 10)) AS d),
+    src_q AS (
+        SELECT cum.source, d.d,
+               CAST(MIN(cum.n_chars) AS BIGINT) AS src_q
+        FROM cum CROSS JOIN deciles d
+        WHERE cum.cc >= CAST(CEIL(cum.n * d.d / 10.0) AS BIGINT)
+        GROUP BY cum.source, d.d
+    ),
+    gcum AS (
+        SELECT n_chars,
+               CAST(SUM(c) OVER (
+                   ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cc,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM (SELECT n_chars, CAST(SUM(c) AS BIGINT) AS c
+              FROM counts GROUP BY n_chars)
+    ),
+    glob_q AS (
+        SELECT d.d, CAST(MIN(g.n_chars) AS BIGINT) AS glob_q
+        FROM gcum g CROSS JOIN deciles d
+        WHERE g.cc >= CAST(CEIL(g.n * d.d / 10.0) AS BIGINT)
+        GROUP BY d.d
+    )
+    SELECT s.source, s.d AS decile, s.src_q, g.glob_q,
+           CAST(s.src_q - g.glob_q AS BIGINT) AS shift
+    FROM src_q s JOIN glob_q g ON s.d = g.d
+    """,
+)
+def quantile_normalize_by_source(spark, sf_dir):
+    """Quantile-normalization audit: per-source document-length
+    deciles aligned against the corpus-global deciles — the
+    batch-effect diagnosis (and the lookup table for the actual
+    normalization map) a multi-source training-data pipeline needs
+    before mixing: a source whose decile curve sits uniformly above
+    the global one contributes systematically longer documents, and
+    `shift` quantifies it per decile.
+
+    Exact order statistics with NO data-grain sort: lengths roll up
+    to (source, n_chars) counts first, cumulative counts ride the
+    LENGTH-DOMAIN frame (distinct character counts — domain-bounded,
+    the ``auc_rank_score`` class, never corpus-sized), and decile d's
+    value is min{length : cum ≥ ⌈n·d/10⌉} via a 9-way threshold join.
+    Integer arithmetic throughout; the ceil threshold is an exact
+    integer in both engines."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select(
+        "source",
+        "n_chars",
+        "c",
+        F.sum("c").over(wsrc).cast("bigint").alias("cc"),
+        F.sum("c")
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").alias("d"))
+    src_q = (
+        cum.crossJoin(F.broadcast(deciles))
+        .where(
+            F.col("cc")
+            >= F.ceil(F.col("n") * F.col("d") / 10.0).cast("bigint")
+        )
+        .groupBy("source", "d")
+        .agg(F.min("n_chars").cast("bigint").alias("src_q"))
+    )
+    gcounts = counts.groupBy("n_chars").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+    wg = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gcum = gcounts.select(
+        "n_chars",
+        F.sum("c").over(wg).cast("bigint").alias("cc"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    glob_q = (
+        gcum.crossJoin(F.broadcast(deciles))
+        .where(
+            F.col("cc")
+            >= F.ceil(F.col("n") * F.col("d") / 10.0).cast("bigint")
+        )
+        .groupBy("d")
+        .agg(F.min("n_chars").cast("bigint").alias("glob_q"))
+    )
+    return (
+        src_q.join(F.broadcast(glob_q), "d")
+        .select(
+            "source",
+            F.col("d").alias("decile"),
+            "src_q",
+            "glob_q",
+            (F.col("src_q") - F.col("glob_q")).cast("bigint").alias("shift"),
+        )
+    )

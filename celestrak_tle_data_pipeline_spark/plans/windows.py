@@ -1408,3 +1408,308 @@ def session_entry_exit_matrix(spark, sf_dir):
         .cast("bigint")
         .alias("n_bounces"),
     )
+
+
+# --- gaps-and-islands: consecutive-active-day streaks ------------------------
+@register(
+    "user_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+        FROM events
+    ),
+    grp AS (
+        SELECT user_id, d,
+               d - ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d
+               ) AS g
+        FROM days
+    ),
+    islands AS (
+        SELECT user_id, g,
+               CAST(COUNT(*) AS BIGINT) AS len,
+               CAST(MIN(d) AS BIGINT) AS start_d
+        FROM grp GROUP BY user_id, g
+    ),
+    ranked AS (
+        SELECT user_id, len, start_d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY len DESC, start_d
+               ) AS rn,
+               CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_active_days,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_streaks
+        FROM islands
+    )
+    SELECT user_id, n_active_days, n_streaks,
+           len AS longest_streak, start_d AS longest_start_day
+    FROM ranked WHERE rn = 1
+    """,
+)
+def user_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: each user's consecutive-active-day streaks —
+    the classic retention shape (duolingo-style "longest streak")
+    that needs islands, not windowsized frames: island id = active_day
+    − row_number(per user, day order), constant exactly while days
+    are consecutive. Longest streak picked with a (length DESC, start
+    ASC) total order so ties are deterministic.
+
+    All arithmetic is integer epoch-days; every window partitions by
+    user_id (one shuffle, linear in-partition) and the island rollup
+    is user-grain — nothing global, nothing data-sized in a frame."""
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d"),
+    ).distinct()
+    g = days.withColumn(
+        "g",
+        F.col("d")
+        - F.row_number().over(
+            Window.partitionBy("user_id").orderBy("d")
+        ),
+    )
+    islands = g.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("d").cast("bigint").alias("start_d"),
+    )
+    wu = Window.partitionBy("user_id")
+    ranked = islands.select(
+        "user_id",
+        "len",
+        "start_d",
+        F.row_number()
+        .over(wu.orderBy(F.col("len").desc(), F.col("start_d")))
+        .alias("rn"),
+        F.sum("len").over(wu).cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).over(wu).cast("bigint").alias("n_streaks"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "user_id",
+        "n_active_days",
+        "n_streaks",
+        F.col("len").alias("longest_streak"),
+        F.col("start_d").alias("longest_start_day"),
+    )
+
+
+# --- interval union: merge overlapping coverage windows ----------------------
+@register(
+    "interval_coalesce_union",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS s,
+               CAST(epoch_us(ts) + 1800000000 AS BIGINT) AS e
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), -1) THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islanded AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS isl
+        FROM marked
+    ),
+    merged AS (
+        SELECT user_id, isl,
+               MIN(s) AS ms, MAX(e) AS me
+        FROM islanded GROUP BY user_id, isl
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_us,
+           CAST(MAX(me - ms) AS BIGINT) AS longest_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def interval_coalesce_union(spark, sf_dir):
+    """Interval union (coalesce overlapping ranges): every event opens
+    a 30-minute attention window; per user, overlapping/touching
+    windows merge and the TOTAL covered time is reported — the
+    double-count-free utilization measure (machine uptime, ad
+    exposure, session coverage) that a plain SUM of durations gets
+    wrong. Sweep: an interval starts a new island iff its start
+    exceeds the running MAX end of all earlier intervals (handles
+    nested intervals that a lag-based check misses); island id is the
+    running sum of starts.
+
+    Integer-µs arithmetic end to end; both windows partition by
+    user_id with a (start, event_id) total order — one shuffle,
+    linear in-partition, no global frame."""
+    e = t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").cast("bigint").alias("s"),
+        (F.unix_micros("ts") + 1_800_000_000).cast("bigint").alias("e"),
+    )
+    wseq = Window.partitionBy("user_id").orderBy("s", "event_id")
+    marked = iv.withColumn(
+        "new_island",
+        (
+            F.col("s")
+            > F.coalesce(
+                F.max("e").over(
+                    wseq.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(-1),
+            )
+        ).cast("int"),
+    )
+    islanded = marked.withColumn(
+        "isl",
+        F.sum("new_island").over(
+            Window.partitionBy("user_id")
+            .orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = islanded.groupBy("user_id", "isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("covered_us"),
+        F.max(F.col("me") - F.col("ms")).cast("bigint").alias("longest_us"),
+    )
+
+
+# --- as-of join, NEAREST direction (third mode beside backward/forward) -----
+@register(
+    "asof_join_nearest",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts AS p_ts, MAX(event_id) AS p_event
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ),
+    errors AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'error'
+    ),
+    back AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               p.p_event AS b_event, p.p_ts AS b_ts
+        FROM errors e
+        ASOF LEFT JOIN purchases p
+          ON e.user_id = p.user_id AND p.p_ts <= e.ts
+    ),
+    paired AS (
+        SELECT b.event_id, b.user_id, b.ts, b.b_event, b.b_ts,
+               p.p_event AS f_event, p.p_ts AS f_ts
+        FROM back b
+        ASOF LEFT JOIN purchases p
+          ON b.user_id = p.user_id AND p.p_ts >= b.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN b_event IS NOT NULL AND (f_event IS NULL OR
+                     epoch_us(ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(ts))
+                THEN b_event ELSE f_event END AS nearest_purchase_event,
+           CASE WHEN b_event IS NOT NULL AND (f_event IS NULL OR
+                     epoch_us(ts) - epoch_us(b_ts)
+                     <= epoch_us(f_ts) - epoch_us(ts))
+                THEN CAST(epoch_us(b_ts) - epoch_us(ts) AS BIGINT)
+                ELSE CAST(epoch_us(f_ts) - epoch_us(ts) AS BIGINT)
+           END AS diff_us
+    FROM paired
+    """,
+)
+def asof_join_nearest(spark, sf_dir):
+    """As-of join, NEAREST mode — the third direction completing the
+    backward (``asof_join_latest_purchase``) / forward
+    (``asof_join_forward``) pair: each error event pairs with the
+    closest purchase in absolute event time, ties to the earlier
+    (backward) side; users with no purchase at all emit NULLs.
+
+    Composition: ONE union-tag pooled stream, scanned twice with
+    per-user ordered windows — ascending (last purchase ≤ ts; an
+    equal-ts purchase sorts before the error, so ≤ holds) and
+    descending (first purchase > ts; at equal ts the error sorts
+    first in the reversed scan, so the tie stays backward-side).
+    Candidate choice is pure integer-µs comparison. Two shuffles on
+    user_id total, no range explosion, no per-group pandas. (DuckDB
+    oracle: native ASOF both directions — its ``>=`` forward may
+    surface an equal-ts tie the engine assigns backward, but a 0-µs
+    tie picks the backward candidate in both engines, so the CASE
+    resolves identically.)"""
+    e = t(spark, sf_dir, "events")
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_event"))
+        .select(
+            "user_id",
+            F.col("ts").alias("ev_ts"),
+            "p_event",
+            F.lit(None).cast("long").alias("err_event"),
+        )
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.lit(None).cast("long").alias("p_event"),
+        F.col("event_id").alias("err_event"),
+    )
+    pooled = purchases.withColumn("side", F.lit(0)).unionByName(
+        errors.withColumn("side", F.lit(1))
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ev_ts", "side", "p_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ev_ts").desc(), F.col("side").desc(),
+            F.col("p_event").desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scanned = (
+        pooled.withColumn("b_event", F.last("p_event", True).over(wb))
+        .withColumn(
+            "b_ts",
+            F.last(
+                F.when(F.col("side") == 0, F.unix_micros("ev_ts")), True
+            ).over(wb),
+        )
+        .withColumn("f_event", F.last("p_event", True).over(wf))
+        .withColumn(
+            "f_ts",
+            F.last(
+                F.when(F.col("side") == 0, F.unix_micros("ev_ts")), True
+            ).over(wf),
+        )
+        .where(F.col("side") == 1)
+    )
+    ets = F.unix_micros("ev_ts")
+    pick_back = F.col("b_event").isNotNull() & (
+        F.col("f_event").isNull()
+        | (ets - F.col("b_ts") <= F.col("f_ts") - ets)
+    )
+    return scanned.select(
+        F.col("err_event").alias("event_id"),
+        "user_id",
+        F.when(pick_back, F.col("b_event"))
+        .otherwise(F.col("f_event"))
+        .alias("nearest_purchase_event"),
+        F.when(pick_back, F.col("b_ts") - ets)
+        .otherwise(F.col("f_ts") - ets)
+        .cast("bigint")
+        .alias("diff_us"),
+    )

@@ -115,6 +115,12 @@ ALLOWED: dict[str, str] = {
         "cumsum/argmax windows over the calendar-day series "
         "(domain-bounded; the event-grain pass is one day rollup)"
     ),
+    "quantile_normalize_by_source": (
+        "global-decile cumulative window over the LENGTH-DOMAIN "
+        "rollup (distinct character counts — the auc_rank_score "
+        "class, never corpus-sized; per-source windows partition "
+        "by source)"
+    ),
 }
 
 
