@@ -112,6 +112,11 @@ _PRIORITY = (
     "asof_join_nearest",
     "referential_integrity_audit",
     "quantile_normalize_by_source",
+    "t_closeness_audit",
+    "ols_normal_equations",
+    "gini_split_threshold",
+    "weighted_sample_no_replacement",
+    "nelson_aalen_hazard",
 )
 
 

@@ -2526,3 +2526,163 @@ def quantile_normalize_by_source(spark, sf_dir):
             (F.col("src_q") - F.col("glob_q")).cast("bigint").alias("shift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (sibling of kaplan_meier_sessions)
+# --------------------------------------------------------------------------
+@register(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE
+                 OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    grouped AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    bounds AS (SELECT MAX(ts) AS mx FROM events),
+    sessions AS (
+        SELECT date_diff('minute', MIN(ts), MAX(ts)) AS dur,
+               MAX(ts) <= (SELECT mx FROM bounds) - INTERVAL 30 MINUTE
+                   AS completed
+        FROM grouped GROUP BY user_id, session_id
+    ),
+    by_dur AS (
+        SELECT dur,
+               SUM(CASE WHEN completed THEN 1 ELSE 0 END) AS d_events,
+               COUNT(*) AS n_ending
+        FROM sessions GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d_events,
+               SUM(n_ending) OVER (
+                   ORDER BY dur DESC ROWS UNBOUNDED PRECEDING
+               ) AS n_at_risk
+        FROM by_dur
+    ),
+    na AS (
+        SELECT dur, d_events, n_at_risk,
+               SUM(d_events / CAST(n_at_risk AS DOUBLE)) OVER (
+                   ORDER BY dur ROWS UNBOUNDED PRECEDING
+               ) AS h,
+               SUM(d_events / (CAST(n_at_risk AS DOUBLE) * n_at_risk))
+                   OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS v
+        FROM risk
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_min,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d_events AS BIGINT) AS d_events,
+           round(h, 9) AS cum_hazard,
+           round(v, 9) AS hazard_var
+    FROM na WHERE d_events > 0
+    """,
+)
+def nelson_aalen_hazard(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard over session durations — the
+    estimator survival analysis pairs with ``kaplan_meier_sessions``
+    when the HAZARD (instantaneous end-rate), not the survival curve,
+    is the quantity of interest: H(d) = Σ_{d'≤d} deaths/at_risk, with
+    the standard variance Σ d/(n²). Near-identical small-sample
+    behavior to −ln S_KM but defined even where KM's product hits 0,
+    and additive — the natural form for comparing hazard between
+    cohorts.
+
+    Same censoring rule, sessionization, and exact integer
+    deaths/at-risk rollups as the KM query (one user-keyed shuffle +
+    duration-domain windows); the hazard sum accumulates in the SAME
+    ascending duration order in both engines, rounded at 9."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wu)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        (
+            prev.isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+                > 30 * 60 * 1_000_000
+            )
+        )
+        .cast("int")
+        .alias("new_session"),
+    )
+    grouped = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    bounds = e.agg(F.max("ts").alias("mx"))
+    sessions = (
+        grouped.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                (
+                    F.unix_micros(F.date_trunc("minute", "e_ts"))
+                    - F.unix_micros(F.date_trunc("minute", "s_ts"))
+                )
+                / 60_000_000
+            )
+            .cast("bigint")
+            .alias("dur"),
+            (
+                F.col("e_ts")
+                <= F.col("mx") - F.expr("INTERVAL 30 MINUTES")
+            ).alias("completed"),
+        )
+    )
+    by_dur = sessions.groupBy("dur").agg(
+        F.sum(F.col("completed").cast("int")).alias("d_events"),
+        F.count(F.lit(1)).alias("n_ending"),
+    )
+    risk = by_dur.select(
+        "dur",
+        "d_events",
+        F.sum("n_ending")
+        .over(
+            Window.orderBy(F.col("dur").desc()).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("n_at_risk"),
+    )
+    wasc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    na = risk.select(
+        "dur",
+        "d_events",
+        "n_at_risk",
+        F.sum(
+            F.col("d_events") / F.col("n_at_risk").cast("double")
+        )
+        .over(wasc)
+        .alias("h"),
+        F.sum(
+            F.col("d_events")
+            / (F.col("n_at_risk").cast("double") * F.col("n_at_risk"))
+        )
+        .over(wasc)
+        .alias("v"),
+    )
+    return na.where(F.col("d_events") > 0).select(
+        F.col("dur").cast("bigint").alias("duration_min"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d_events").cast("bigint").alias("d_events"),
+        F.round("h", 9).alias("cum_hazard"),
+        F.round("v", 9).alias("hazard_var"),
+    )

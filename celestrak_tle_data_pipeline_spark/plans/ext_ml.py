@@ -835,3 +835,312 @@ def sorted_neighborhood_ranged(spark, sf_dir):
             F.col("dist").cast("bigint"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# OLS by normal equations (closed-form 3x3 Cramer solve)
+# --------------------------------------------------------------------------
+@register(
+    "ols_normal_equations",
+    oracle="""
+    WITH obs AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS x1,
+               CAST(l_discount AS DOUBLE) AS x2,
+               CAST(l_extendedprice AS DOUBLE) AS y,
+               CAST(l_quantity AS BIGINT) AS qi,
+               CAST(l_discount * 100 AS BIGINT) AS di,
+               CAST(l_extendedprice * 100 AS BIGINT) AS pi
+        FROM lineitem
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(qi) AS DOUBLE) AS s1,
+               CAST(SUM(di) AS DOUBLE) / 100 AS s2,
+               CAST(SUM(pi) AS DOUBLE) / 100 AS sy,
+               CAST(SUM(qi * qi) AS DOUBLE) AS s11,
+               CAST(SUM(qi * di) AS DOUBLE) / 100 AS s12,
+               CAST(SUM(di * di) AS DOUBLE) / 10000 AS s22,
+               CAST(SUM(qi * pi) AS DOUBLE) / 100 AS s1y,
+               CAST(SUM(di * pi) AS DOUBLE) / 10000 AS s2y,
+               CAST(SUM(pi * pi) AS DOUBLE) / 10000 AS syy
+        FROM obs
+    ),
+    solved AS (
+        SELECT n, sy, syy, s1y, s2y,
+               (n * (s11 * s22 - s12 * s12)
+                - s1 * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s12 - s11 * s2)) AS det,
+               (sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+               (n * (s1y * s22 - s12 * s2y)
+                - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2)) AS det1,
+               (n * (s11 * s2y - s1y * s12)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2)) AS det2
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(det0 / det, 6) AS beta0,
+           round(det1 / det, 6) AS beta1,
+           round(det2 / det, 6) AS beta2,
+           round(1 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                      - (det2 / det) * s2y)
+                     / (syy - sy * sy / n), 9) AS r2
+    FROM solved
+    """,
+)
+def ols_normal_equations(spark, sf_dir):
+    """Multiple linear regression by normal equations, solved in
+    CLOSED FORM — price ~ β0 + β1·quantity + β2·discount over
+    lineitem: the distributed-ML primitive where the entire fit is
+    one aggregation (the Gram matrix XᵀX and moment vector Xᵀy are
+    sums — embarrassingly parallel, map-side combinable) and the
+    3×3 solve is scalar Cramer's-rule algebra on the driver row. At
+    100 TB the plan is a single scan + one 10-scalar reduce; no
+    gradient iterations, no collect of data.
+
+    Exactness: quantity/discount/price are fixed-point (integer
+    units / cents), so every power sum is an EXACT integer before
+    one descaling division; the determinant algebra runs in
+    identical expression trees both engines. R² = 1 − SSE/SST with
+    SSE = Σy² − βᵀXᵀy (the normal-equation identity — no second
+    pass over residuals)."""
+    li = t(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.col("l_quantity").cast("bigint").alias("qi"),
+        (dec("l_discount", 12, 2) * 100).cast("bigint").alias("di"),
+        (dec("l_extendedprice", 12, 2) * 100).cast("bigint").alias("pi"),
+    )
+    s = obs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("qi").cast("double").alias("s1"),
+        (F.sum("di").cast("double") / 100).alias("s2"),
+        (F.sum("pi").cast("double") / 100).alias("sy"),
+        F.sum(F.col("qi") * F.col("qi")).cast("double").alias("s11"),
+        (F.sum(F.col("qi") * F.col("di")).cast("double") / 100).alias(
+            "s12"
+        ),
+        (F.sum(F.col("di") * F.col("di")).cast("double") / 10000).alias(
+            "s22"
+        ),
+        (F.sum(F.col("qi") * F.col("pi")).cast("double") / 100).alias(
+            "s1y"
+        ),
+        (F.sum(F.col("di") * F.col("pi")).cast("double") / 10000).alias(
+            "s2y"
+        ),
+        (F.sum(F.col("pi") * F.col("pi")).cast("double") / 10000).alias(
+            "syy"
+        ),
+    )
+    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    solved = s.select(
+        n.alias("n"), sy.alias("sy"), syy.alias("syy"),
+        s1y.alias("s1y"), s2y.alias("s2y"),
+        s1.alias("s1"),
+        det.alias("det"), det0.alias("det0"),
+        det1.alias("det1"), det2.alias("det2"),
+    )
+    b0 = F.col("det0") / F.col("det")
+    b1 = F.col("det1") / F.col("det")
+    b2 = F.col("det2") / F.col("det")
+    return solved.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(b0, 6).alias("beta0"),
+        F.round(b1, 6).alias("beta1"),
+        F.round(b2, 6).alias("beta2"),
+        F.round(
+            1
+            - (
+                F.col("syy")
+                - b0 * F.col("sy")
+                - b1 * F.col("s1y")
+                - b2 * F.col("s2y")
+            )
+            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+            9,
+        ).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# decision-stump split finder (weighted Gini over the value domain)
+# --------------------------------------------------------------------------
+@register(
+    "gini_split_threshold",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events
+    ),
+    dv AS (
+        SELECT v,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(pos) AS BIGINT) AS p
+        FROM pts GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               CAST(SUM(c) OVER w AS BIGINT) AS cn,
+               CAST(SUM(p) OVER w AS BIGINT) AS cp,
+               CAST(SUM(c) OVER () AS BIGINT) AS n,
+               CAST(SUM(p) OVER () AS BIGINT) AS np
+        FROM dv
+        WINDOW w AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+        SELECT v, cn, cp, n, np,
+               (CAST(cn AS DOUBLE) / n)
+               * (1 - (CAST(cp AS DOUBLE) / cn)
+                     * (CAST(cp AS DOUBLE) / cn)
+                   - (CAST(cn - cp AS DOUBLE) / cn)
+                     * (CAST(cn - cp AS DOUBLE) / cn))
+               + (CAST(n - cn AS DOUBLE) / n)
+               * (1 - (CAST(np - cp AS DOUBLE) / (n - cn))
+                     * (CAST(np - cp AS DOUBLE) / (n - cn))
+                   - (CAST((n - cn) - (np - cp) AS DOUBLE) / (n - cn))
+                     * (CAST((n - cn) - (np - cp) AS DOUBLE) / (n - cn)))
+                   AS wg
+        FROM cum WHERE cn < n
+    ),
+    best AS (
+        SELECT v, wg, n, np,
+               ROW_NUMBER() OVER (ORDER BY wg, v) AS rn
+        FROM scored
+    )
+    SELECT CAST(v AS BIGINT) AS threshold_cents,
+           round(wg, 9) AS weighted_gini,
+           round((1 - (CAST(np AS DOUBLE) / n) * (CAST(np AS DOUBLE) / n)
+                    - (CAST(n - np AS DOUBLE) / n)
+                      * (CAST(n - np AS DOUBLE) / n)), 9) AS base_gini,
+           n AS n_rows
+    FROM best WHERE rn = 1
+    """,
+)
+def gini_split_threshold(spark, sf_dir):
+    """Decision-stump split finder: the single value threshold that
+    best separates purchases from other events by WEIGHTED GINI
+    impurity — the inner loop of distributed decision-tree training
+    (every tree library evaluates exactly this cumulative-class-count
+    scan per feature), here as a pure Catalyst plan: candidate
+    thresholds are the distinct value cents, class counts cumulate
+    over that ordered VALUE DOMAIN (a price grid — domain-bounded,
+    never event-grain), and the argmin ranks with a (gini, value)
+    total order.
+
+    Counts stay exact integers through the cumulative frame; the
+    impurity is computed from identical expression trees in both
+    engines, so the argmin row matches bit-for-bit. The event-grain
+    work is one value rollup."""
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        (dec("value", 18, 2) * 100).cast("bigint").alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("pos"),
+    )
+    dv = pts.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dv.select(
+        "v",
+        F.sum("c").over(w).cast("bigint").alias("cn"),
+        F.sum("p").over(w).cast("bigint").alias("cp"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
+        F.sum("p").over(Window.partitionBy()).cast("bigint").alias("np"),
+    ).where(F.col("cn") < F.col("n"))
+    cn, cp, n, np_ = F.col("cn"), F.col("cp"), F.col("n"), F.col("np")
+    lf = cn.cast("double") / n
+    p1l = cp.cast("double") / cn
+    p0l = (cn - cp).cast("double") / cn
+    rf = (n - cn).cast("double") / n
+    p1r = (np_ - cp).cast("double") / (n - cn)
+    p0r = ((n - cn) - (np_ - cp)).cast("double") / (n - cn)
+    wg = lf * (1 - p1l * p1l - p0l * p0l) + rf * (1 - p1r * p1r - p0r * p0r)
+    scored = cum.select("v", "n", "np", wg.alias("wg"))
+    best = scored.withColumn(
+        "rn", F.row_number().over(Window.orderBy("wg", "v"))
+    ).where(F.col("rn") == 1)
+    pb = np_.cast("double") / n
+    qb = (n - np_).cast("double") / n
+    return best.select(
+        F.col("v").cast("bigint").alias("threshold_cents"),
+        F.round("wg", 9).alias("weighted_gini"),
+        F.round(1 - pb * pb - qb * qb, 9).alias("base_gini"),
+        F.col("n").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis, one pass)
+# --------------------------------------------------------------------------
+@register(
+    "weighted_sample_no_replacement",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ln(((doc_id * 2654435761) % 4294967296 + 0.5)
+                  / 4294967296.0) / n_chars AS k
+        FROM documents
+    )
+    SELECT doc_id, n_chars, round(k, 9) AS es_key
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 50
+    """,
+)
+def weighted_sample_no_replacement(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, one distributed pass —
+    the Efraimidis-Spirakis A-Res scheme: each document draws key
+    ln(u)/w (u uniform, w = its length weight) and the k largest keys
+    ARE a weight-proportional sample without replacement. This is the
+    standard way to take a length-weighted corpus subsample in one
+    scan + one top-k (TakeOrdered — no global sort), where rejection
+    or inverse-CDF sampling would need the total weight up front.
+
+    Determinism: u derives from the transparent Knuth multiplicative
+    hash of doc_id ((id·2654435761) mod 2³², +0.5 to dodge ln 0),
+    identical integer arithmetic in both engines; the top-50 ranks
+    with a (key, doc_id) total order. At 100 TB the plan is scan →
+    per-partition top-k → driver merge of 50-row candidates."""
+    d = t(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+        + 0.5
+    ) / 4294967296.0
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.col("k").desc(), F.col("doc_id"))
+        .limit(50)
+        .select("doc_id", "n_chars", F.round("k", 9).alias("es_key"))
+    )

@@ -2266,3 +2266,165 @@ def streaming_outer_join_nulls(spark, sf_dir):
         "view_id long, user_id long, view_ts timestamp,"
         " purchase_id long, purchase_ts timestamp",
     )
+
+
+# --------------------------------------------------------------------------
+# t-closeness release audit (ordered EMD, exact integer numerators)
+# --------------------------------------------------------------------------
+@register(
+    "t_closeness_audit",
+    oracle="""
+    WITH rows_b AS (
+        SELECT c_mktsegment AS seg, length(c_name) AS name_len,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS b
+        FROM customer
+    ),
+    buckets AS (SELECT DISTINCT b FROM rows_b),
+    grps AS (
+        SELECT seg, name_len, CAST(COUNT(*) AS BIGINT) AS gn
+        FROM rows_b GROUP BY seg, name_len
+    ),
+    cells AS (
+        SELECT seg, name_len, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM rows_b GROUP BY seg, name_len, b
+    ),
+    grid AS (
+        SELECT g.seg, g.name_len, g.gn, bk.b, COALESCE(c.c, 0) AS c
+        FROM grps g CROSS JOIN buckets bk
+        LEFT JOIN cells c
+          ON c.seg = g.seg AND c.name_len = g.name_len AND c.b = bk.b
+    ),
+    cum AS (
+        SELECT seg, name_len, gn, b,
+               CAST(SUM(c) OVER (
+                   PARTITION BY seg, name_len ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cp
+        FROM grid
+    ),
+    gcum AS (
+        SELECT b,
+               CAST(SUM(c) OVER (
+                   ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cq,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM (SELECT b, CAST(COUNT(*) AS BIGINT) AS c
+              FROM rows_b GROUP BY b)
+    ),
+    emd AS (
+        SELECT cum.seg, cum.name_len, cum.gn,
+               CAST(SUM(ABS(cum.cp * g.n - g.cq * cum.gn)) AS BIGINT)
+                   AS num,
+               CAST(MAX(g.n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM cum JOIN gcum g ON cum.b = g.b
+        GROUP BY cum.seg, cum.name_len, cum.gn
+    )
+    SELECT seg AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           round(MAX(num / (CAST(gn AS DOUBLE) * n * (m - 1))), 9)
+               AS max_t,
+           CAST(SUM(CASE WHEN num / (CAST(gn AS DOUBLE) * n * (m - 1))
+                              > 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_over_t,
+           CAST(SUM(CASE WHEN num / (CAST(gn AS DOUBLE) * n * (m - 1))
+                              > 0.25 THEN gn ELSE 0 END) AS BIGINT)
+               AS n_exposed_rows
+    FROM emd GROUP BY seg
+    """,
+)
+def t_closeness_audit(spark, sf_dir):
+    """t-closeness release audit (t = 0.25) — the third rung of the
+    release-audit ladder after ``k_anonymity_audit`` and
+    ``l_diversity_audit`` (Li et al., ICDE'07): a quasi-identifier
+    group can be k-anonymous AND l-diverse yet still leak if its
+    SENSITIVE-VALUE DISTRIBUTION differs sharply from the table's
+    (e.g. a group holding only the top account-balance bracket).
+    Distance is the ordered-domain Earth Mover's Distance over
+    $1000 balance brackets: EMD = Σ|CumP − CumQ| / (m−1).
+
+    Exactness: the per-bucket term is |cp·N − cq·gn| — an EXACT
+    integer (cross-multiplied cumulative counts), so the only float
+    is one terminal division per group; group EMDs compare
+    identically in both engines. Plan: row→group rollup (the one
+    data-sized shuffle), a group×bucket grid join (groups ×
+    ~11 ordered brackets — bounded), cumulative windows partitioned
+    per group over the bracket domain, and a segment-grain rollup."""
+    c = t(spark, sf_dir, "customer")
+    rows_b = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.length("c_name").alias("name_len"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("b"),
+    )
+    buckets = rows_b.select("b").distinct()
+    grps = rows_b.groupBy("seg", "name_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gn")
+    )
+    cells = rows_b.groupBy("seg", "name_len", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grid = (
+        grps.crossJoin(F.broadcast(buckets))
+        .join(cells, ["seg", "name_len", "b"], "left")
+        .select(
+            "seg",
+            "name_len",
+            "gn",
+            "b",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    cum = grid.select(
+        "seg",
+        "name_len",
+        "gn",
+        "b",
+        F.sum("c")
+        .over(
+            Window.partitionBy("seg", "name_len")
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("cp"),
+    )
+    gb = rows_b.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    gcum = gb.select(
+        "b",
+        F.sum("c")
+        .over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("cq"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    emd = (
+        cum.join(F.broadcast(gcum), "b")
+        .groupBy("seg", "name_len", "gn")
+        .agg(
+            F.sum(
+                F.abs(F.col("cp") * F.col("n") - F.col("cq") * F.col("gn"))
+            )
+            .cast("bigint")
+            .alias("num"),
+            F.max("n").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+        )
+    )
+    tval = F.col("num") / (
+        F.col("gn").cast("double") * F.col("n") * (F.col("m") - 1)
+    )
+    return emd.groupBy(F.col("seg").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.round(F.max(tval), 9).alias("max_t"),
+        F.sum((tval > 0.25).cast("int"))
+        .cast("bigint")
+        .alias("n_groups_over_t"),
+        F.sum(F.when(tval > 0.25, F.col("gn")).otherwise(0))
+        .cast("bigint")
+        .alias("n_exposed_rows"),
+    )

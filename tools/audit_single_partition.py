@@ -115,6 +115,20 @@ ALLOWED: dict[str, str] = {
         "cumsum/argmax windows over the calendar-day series "
         "(domain-bounded; the event-grain pass is one day rollup)"
     ),
+    "gini_split_threshold": (
+        "cumulative class counts over the distinct-VALUE-cents grid "
+        "(a price domain — the auc_rank_score class; event-grain work "
+        "is one value rollup)"
+    ),
+    "nelson_aalen_hazard": (
+        "deaths/at-risk windows over the session-duration minutes "
+        "grid (domain-bounded — same frames as kaplan_meier_sessions)"
+    ),
+    "t_closeness_audit": (
+        "global cumulative over the ~11-bracket balance domain "
+        "(ordered-EMD marginal; per-group windows partition by "
+        "quasi-identifier)"
+    ),
     "quantile_normalize_by_source": (
         "global-decile cumulative window over the LENGTH-DOMAIN "
         "rollup (distinct character counts — the auc_rank_score "
