@@ -67,10 +67,11 @@ _MODULES = (
 # all_oracles() minus the union of CORRECTNESS_r0*.json keys): the 20
 # names pledged by the r6/r7 rotation comments plus round-7's five new
 # registrations. All 25 head this window, closing the three-round
-# official-green debt; the remaining 25 slots are round-8's budget for
-# NEW registrations, so new work lands official in the same round
-# (``tests/test_registry.py`` pins that new-name count stays within the
-# free slots — the invariant that keeps the debt from recurring).
+# official-green debt; the other 25 slots are filled by round-8's 25
+# NEW registrations — the window is exactly full and the registered-
+# but-never-official set is EMPTY by construction
+# (``tests/test_registry.py::test_no_new_official_debt`` machine-checks
+# this, so the debt class cannot recur silently).
 _PRIORITY = (
     # --- the 25-name backlog: 20 pledged names (r6/r7 rotation comments) ---
     "sql_lateral_topn_per_segment",
@@ -117,6 +118,14 @@ _PRIORITY = (
     "gini_split_threshold",
     "weighted_sample_no_replacement",
     "nelson_aalen_hazard",
+    "gopher_quality_rules",
+    "bpe_pair_merge_step",
+    "chi2_discriminative_terms",
+    "tokenizer_fertility_profile",
+    "mcnemar_paired_outcomes",
+    "levene_brown_forsythe",
+    "runs_test_randomness",
+    "grubbs_max_outlier",
 )
 
 

@@ -3427,3 +3427,298 @@ def document_chunks_overlap(spark, sf_dir):
             )
         ).alias("chunk_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rule battery (per-source pass rates)
+# --------------------------------------------------------------------------
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT source,
+               len(toks) AS n_tok,
+               list_sum(list_transform(toks, s -> length(s))) AS sum_len,
+               list_max(list_transform(toks, s -> length(s))) AS max_len,
+               len(list_filter(toks, s -> s IN ({_STOP_SQL}))) AS n_stop,
+               len(list_distinct(toks)) AS n_distinct
+        FROM d
+    ),
+    rules AS (
+        SELECT source,
+               CASE WHEN n_tok BETWEEN 3 AND 500 THEN 1 ELSE 0 END AS r1,
+               CASE WHEN sum_len >= 2 * n_tok
+                     AND sum_len <= 10 * n_tok THEN 1 ELSE 0 END AS r2,
+               CASE WHEN 50 * n_stop >= n_tok THEN 1 ELSE 0 END AS r3,
+               CASE WHEN max_len <= 12 THEN 1 ELSE 0 END AS r4,
+               CASE WHEN 5 * n_distinct >= n_tok THEN 1 ELSE 0 END AS r5
+        FROM s
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r1) AS BIGINT) AS pass_word_count,
+           CAST(SUM(r2) AS BIGINT) AS pass_mean_word_len,
+           CAST(SUM(r3) AS BIGINT) AS pass_stopword_floor,
+           CAST(SUM(r4) AS BIGINT) AS pass_max_word_len,
+           CAST(SUM(r5) AS BIGINT) AS pass_type_token,
+           CAST(SUM(r1 * r2 * r3 * r4 * r5) AS BIGINT) AS pass_all
+    FROM rules GROUP BY source
+    """,
+)
+def gopher_quality_rules(spark, sf_dir):
+    """Gopher-style quality rule battery (Rae et al. 2021, the
+    rule-filter stage every LLM corpus pipeline reimplements): word
+    count in [3, 500], mean word length in [2, 10], stopword fraction
+    ≥ 2%, no overlong token (> 12 chars), type/token ratio ≥ 0.2 —
+    reported as per-source pass COUNTS per rule plus the all-rules
+    intersection, i.e. the dashboard that says WHICH rule is eating a
+    source's documents.
+
+    Every per-doc feature is a higher-order-function expression over
+    ONE scan (no UDFs, no shuffle before the source rollup); all rule
+    thresholds compare cross-multiplied INTEGERS (50·n_stop ≥ n_tok,
+    not a float ratio), so pass/fail is engine-exact."""
+    toks = _tokens()
+    lens = F.transform(toks, lambda s: F.length(s))
+    s = _docs(spark, sf_dir).select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.aggregate(lens, F.lit(0), lambda a, x: a + x).alias("sum_len"),
+        F.array_max(lens).alias("max_len"),
+        F.size(
+            F.filter(toks, lambda s: s.isin(*_STOPWORDS))
+        ).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    r1 = (F.col("n_tok").between(3, 500)).cast("int")
+    r2 = (
+        (F.col("sum_len") >= 2 * F.col("n_tok"))
+        & (F.col("sum_len") <= 10 * F.col("n_tok"))
+    ).cast("int")
+    r3 = (50 * F.col("n_stop") >= F.col("n_tok")).cast("int")
+    r4 = (F.col("max_len") <= 12).cast("int")
+    r5 = (5 * F.col("n_distinct") >= F.col("n_tok")).cast("int")
+    rules = s.select(
+        "source",
+        r1.alias("r1"),
+        r2.alias("r2"),
+        r3.alias("r3"),
+        r4.alias("r4"),
+        r5.alias("r5"),
+    )
+    return rules.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("r1").cast("bigint").alias("pass_word_count"),
+        F.sum("r2").cast("bigint").alias("pass_mean_word_len"),
+        F.sum("r3").cast("bigint").alias("pass_stopword_floor"),
+        F.sum("r4").cast("bigint").alias("pass_max_word_len"),
+        F.sum("r5").cast("bigint").alias("pass_type_token"),
+        F.sum(
+            F.col("r1") * F.col("r2") * F.col("r3") * F.col("r4")
+            * F.col("r5")
+        )
+        .cast("bigint")
+        .alias("pass_all"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE first merge step: corpus-wide adjacent character-pair counts
+# --------------------------------------------------------------------------
+@register(
+    "bpe_pair_merge_step",
+    oracle="""
+    WITH words AS (
+        SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair
+        FROM words, UNNEST(range(1, length(w))) AS t(i)
+        WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_pair_merge_step(spark, sf_dir):
+    """The first merge step of BPE vocabulary learning: corpus-wide
+    counts of ADJACENT CHARACTER PAIRS within words — the quantity
+    byte-pair encoding maximizes on every merge iteration (Sennrich
+    et al. 2016). Distributed shape: the pair explosion is the only
+    fan-out (chars-per-corpus rows, map-side), the count is one
+    hash aggregation with map-side combine, and the top-20 is a
+    TakeOrdered with a (count, pair) total order — no global sort.
+    A full BPE trainer is this query in a driver loop with the merge
+    applied between iterations; the per-iteration plan is what has to
+    scale and is what's certified here."""
+    d = _docs(spark, sf_dir)
+    words = d.select(F.explode(_tokens()).alias("w")).where(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        "w",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+    ).select(F.expr("substring(w, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# class-discriminative terms by chi-squared (feature selection)
+# --------------------------------------------------------------------------
+@register(
+    "chi2_discriminative_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT source, UNNEST(string_split(text, ' ')) AS tk
+        FROM documents
+    ),
+    cell AS (
+        SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS a
+        FROM tok GROUP BY source, tk
+    ),
+    marg AS (
+        SELECT source, tk, a,
+               CAST(SUM(a) OVER (PARTITION BY tk) AS BIGINT) AS tok_t,
+               CAST(SUM(a) OVER (PARTITION BY source) AS BIGINT) AS src_t,
+               CAST(SUM(a) OVER () AS BIGINT) AS n
+        FROM cell
+    )
+    SELECT source, tk AS token, a AS n_in_source,
+           round(CAST(n AS DOUBLE)
+                 * (CAST(a AS DOUBLE) * (n - tok_t - src_t + a)
+                    - CAST(tok_t - a AS DOUBLE) * (src_t - a))
+                 * (CAST(a AS DOUBLE) * (n - tok_t - src_t + a)
+                    - CAST(tok_t - a AS DOUBLE) * (src_t - a))
+                 / (CAST(tok_t AS DOUBLE) * (n - tok_t)
+                    * src_t * (n - src_t)), 6) AS chi2,
+           CAST(CASE WHEN a * n > tok_t * src_t THEN 1 ELSE -1 END
+                AS INT) AS direction
+    FROM marg
+    """,
+)
+def chi2_discriminative_terms(spark, sf_dir):
+    """Chi-squared term-class association — the classic feature-
+    selection score (which tokens are over/under-represented per
+    source): for each (source, token), the 2×2 chi2 of token-vs-rest
+    against source-vs-rest, computed from the contingency identity
+    χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)), with the direction sign
+    (over- vs under-represented) decided on the exact integer cross
+    product a·N vs tok_total·src_total.
+
+    One token explosion → one (source, token) rollup; the marginal
+    windows ride the CELL frame (|sources| × |vocab| — vocabulary-
+    domain-bounded, the corpus rows never enter a window). All cells
+    and marginals are exact integers; χ² is one float expression."""
+    d = _docs(spark, sf_dir)
+    cell = (
+        d.select("source", F.explode(_tokens()).alias("tk"))
+        .groupBy("source", "tk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    )
+    marg = cell.select(
+        "source",
+        "tk",
+        "a",
+        F.sum("a").over(Window.partitionBy("tk")).cast("bigint").alias("tok_t"),
+        F.sum("a")
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("src_t"),
+        F.sum("a").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    a, tok_t, src_t, n = (
+        F.col("a"), F.col("tok_t"), F.col("src_t"), F.col("n"),
+    )
+    adbc = a.cast("double") * (n - tok_t - src_t + a) - (
+        tok_t - a
+    ).cast("double") * (src_t - a)
+    chi2 = (
+        n.cast("double")
+        * adbc
+        * adbc
+        / (
+            tok_t.cast("double")
+            * (n - tok_t)
+            * src_t
+            * (n - src_t)
+        )
+    )
+    return marg.select(
+        "source",
+        F.col("tk").alias("token"),
+        a.alias("n_in_source"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(a * n > tok_t * src_t, 1)
+        .otherwise(-1)
+        .cast("int")
+        .alias("direction"),
+    )
+
+
+# --------------------------------------------------------------------------
+# fixed-chunk tokenizer fertility profile
+# --------------------------------------------------------------------------
+@register(
+    "tokenizer_fertility_profile",
+    oracle="""
+    WITH w AS (
+        SELECT source, UNNEST(string_split(text, ' ')) AS tk
+        FROM documents
+    ),
+    s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(length(tk)) AS BIGINT) AS n_chars,
+               CAST(SUM((length(tk) + 3) // 4) AS BIGINT) AS n_subwords
+        FROM w GROUP BY source
+    )
+    SELECT source, n_words, n_chars, n_subwords,
+           round(CAST(n_subwords AS DOUBLE) / n_words, 9) AS fertility,
+           round(CAST(n_chars AS DOUBLE) / n_subwords, 9)
+               AS chars_per_token
+    FROM s
+    """,
+)
+def tokenizer_fertility_profile(spark, sf_dir):
+    """Tokenizer fertility (subword tokens emitted per whitespace
+    word) and compression (chars per token) per source — the budget
+    metric that converts a corpus audit into a TRAINING-TOKEN count,
+    and the per-source comparison that flags sources a tokenizer
+    handles poorly. The tokenizer here is the deterministic
+    fixed-4-char-chunk stub (⌈len/4⌉ subwords per word — the honest
+    SQL-expressible stand-in for a BPE vocab, whose merge-step
+    learning is certified separately by ``bpe_pair_merge_step``).
+
+    One token explosion, integer sums only, two terminal divisions.
+    At 100 TB this is a map-side explode + one source-grain rollup."""
+    d = _docs(spark, sf_dir)
+    w = d.select("source", F.explode(_tokens()).alias("tk"))
+    s = w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.length("tk")).cast("bigint").alias("n_chars"),
+        F.sum(F.floor((F.length("tk") + 3) / 4))
+        .cast("bigint")
+        .alias("n_subwords"),
+    )
+    return s.select(
+        "source",
+        "n_words",
+        "n_chars",
+        "n_subwords",
+        F.round(
+            F.col("n_subwords").cast("double") / F.col("n_words"), 9
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_subwords"), 9
+        ).alias("chars_per_token"),
+    )

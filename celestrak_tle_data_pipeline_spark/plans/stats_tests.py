@@ -2562,3 +2562,407 @@ def cochran_armitage_trend(spark, sf_dir):
             + 0.0
         ).alias("ca_z"),
     )
+
+
+# --------------------------------------------------------------------------
+# McNemar paired test (within-user before/after conversion flip)
+# --------------------------------------------------------------------------
+@register(
+    "mcnemar_paired_outcomes",
+    oracle="""
+    WITH halves AS (
+        SELECT user_id,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                              AND epoch_us(ts) // 86400000000 < 19737
+                             THEN 1 ELSE 0 END)
+                    >= SUM(CASE WHEN event_type = 'click'
+                                 AND epoch_us(ts) // 86400000000 < 19737
+                                THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS first_half,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                              AND epoch_us(ts) // 86400000000 >= 19737
+                             THEN 1 ELSE 0 END)
+                    >= SUM(CASE WHEN event_type = 'click'
+                                 AND epoch_us(ts) // 86400000000 >= 19737
+                                THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS second_half
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT CAST(SUM(first_half * (1 - second_half)) AS BIGINT) AS b,
+               CAST(SUM((1 - first_half) * second_half) AS BIGINT) AS c,
+               CAST(SUM(first_half * second_half) AS BIGINT) AS both_n,
+               CAST(SUM((1 - first_half) * (1 - second_half)) AS BIGINT)
+                   AS neither_n
+        FROM halves
+    )
+    SELECT b AS n_lost, c AS n_gained, both_n, neither_n,
+           round((b - c) * (b - c) / CAST(b + c AS DOUBLE), 6)
+               AS mcnemar_chi2,
+           round((abs(b - c) - 1) * (abs(b - c) - 1)
+                 / CAST(b + c AS DOUBLE), 6) AS mcnemar_cc_chi2
+    FROM cells
+    """,
+)
+def mcnemar_paired_outcomes(spark, sf_dir):
+    """McNemar's test for PAIRED binary outcomes — did each user's
+    purchase-dominance state (more purchases than clicks in the
+    half — a ratio outcome, scale-free in events-per-user) flip
+    between the first and second half of the window? The within-subject design two independent proportions
+    can't express: only the DISCORDANT users (converted→lapsed b,
+    non→converted c) carry information, χ² = (b−c)²/(b+c), with the
+    Edwards continuity-corrected variant beside it. The half-split
+    day boundary (epoch day 19737 = 2024-01-15) is a fixed constant,
+    so the pairing is reproducible.
+
+    One user-grain rollup (exact 0/1 cells), one 4-scalar reduce,
+    one float expression per statistic."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000)
+    is_p = F.col("event_type") == "purchase"
+    is_c = F.col("event_type") == "click"
+    halves = e.groupBy("user_id").agg(
+        (
+            F.sum((is_p & (day < 19737)).cast("int"))
+            >= F.sum((is_c & (day < 19737)).cast("int"))
+        )
+        .cast("int")
+        .alias("first_half"),
+        (
+            F.sum((is_p & (day >= 19737)).cast("int"))
+            >= F.sum((is_c & (day >= 19737)).cast("int"))
+        )
+        .cast("int")
+        .alias("second_half"),
+    )
+    fh, sh = F.col("first_half"), F.col("second_half")
+    cells = halves.agg(
+        F.sum(fh * (1 - sh)).cast("bigint").alias("b"),
+        F.sum((1 - fh) * sh).cast("bigint").alias("c"),
+        F.sum(fh * sh).cast("bigint").alias("both_n"),
+        F.sum((1 - fh) * (1 - sh)).cast("bigint").alias("neither_n"),
+    )
+    b, c = F.col("b"), F.col("c")
+    return cells.select(
+        b.alias("n_lost"),
+        c.alias("n_gained"),
+        "both_n",
+        "neither_n",
+        F.round((b - c) * (b - c) / (b + c).cast("double"), 6).alias(
+            "mcnemar_chi2"
+        ),
+        F.round(
+            (F.abs(b - c) - 1) * (F.abs(b - c) - 1)
+            / (b + c).cast("double"),
+            6,
+        ).alias("mcnemar_cc_chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe (median-centered Levene) variance homogeneity test
+# --------------------------------------------------------------------------
+@register(
+    "levene_brown_forsythe",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events
+    ),
+    dv AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pts GROUP BY g, v
+    ),
+    cum AS (
+        SELECT g, v,
+               CAST(SUM(c) OVER (
+                   PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cc,
+               CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM dv
+    ),
+    med AS (
+        SELECT g, CAST(MIN(v) AS BIGINT) AS med
+        FROM cum WHERE 2 * cc >= n GROUP BY g
+    ),
+    z AS (
+        SELECT p.g, ABS(p.v - m.med) AS z
+        FROM pts p JOIN med m ON p.g = m.g
+    ),
+    grp AS (
+        SELECT g,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(z) AS DOUBLE) AS s,
+               CAST(SUM(z * z) AS DOUBLE) AS ss
+        FROM z GROUP BY g
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss,
+               SUM(s * s / n) AS sb
+        FROM grp
+    )
+    SELECT CAST(n AS BIGINT) AS n_events,
+           CAST(k AS BIGINT) AS n_groups,
+           round(((sb - s * s / n) / (k - 1))
+                 / ((ss - sb) / (n - k)), 6) AS bf_f_stat
+    FROM m
+    """,
+)
+def levene_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe test (median-centered Levene): do the five
+    event types have EQUAL VALUE VARIANCE? — the homogeneity
+    precondition ANOVA assumes, tested robustly: score each value by
+    its absolute deviation from the GROUP MEDIAN (median centering is
+    what makes it Brown-Forsythe — robust where mean-centered Levene
+    is wrecked by the same heavy tails it is testing for), then
+    one-way ANOVA on the scores.
+
+    Group medians are EXACT lower medians computed on the integer
+    cents domain (cumulative counts per group over the distinct-value
+    grid — the gini_split_threshold device, partitioned by group);
+    deviations |v − med| are exact integers, so the F statistic's
+    power sums are integer-exact and only the final ratio divides."""
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        F.col("event_type").alias("g"),
+        (dec("value", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+    dv = pts.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = dv.select(
+        "g",
+        "v",
+        F.sum("c")
+        .over(
+            Window.partitionBy("g")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy("g")).cast("bigint").alias("n"),
+    )
+    med = (
+        cum.where(2 * F.col("cc") >= F.col("n"))
+        .groupBy("g")
+        .agg(F.min("v").cast("bigint").alias("med"))
+    )
+    z = pts.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    grp = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("z").cast("double").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("double").alias("ss"),
+    )
+    m = grp.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb"),
+    )
+    k, n, s_, ss, sb = (
+        F.col("k"), F.col("n"), F.col("s"), F.col("ss"), F.col("sb"),
+    )
+    return m.select(
+        n.cast("bigint").alias("n_events"),
+        k.cast("bigint").alias("n_groups"),
+        F.round(
+            ((sb - s_ * s_ / n) / (k - 1)) / ((ss - sb) / (n - k)), 6
+        ).alias("bf_f_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily up/down sequence
+# --------------------------------------------------------------------------
+@register(
+    "runs_test_randomness",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS v
+        FROM events GROUP BY 1
+    ),
+    signs AS (
+        SELECT d,
+               CASE WHEN v >= LAG(v) OVER (ORDER BY d)
+                    THEN 1 ELSE 0 END AS up
+        FROM daily
+        QUALIFY LAG(v) OVER (ORDER BY d) IS NOT NULL
+    ),
+    runs AS (
+        SELECT up,
+               CASE WHEN up <> LAG(up) OVER (ORDER BY d)
+                     OR LAG(up) OVER (ORDER BY d) IS NULL
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signs
+    ),
+    s AS (
+        SELECT CAST(SUM(up) AS DOUBLE) AS n1,
+               CAST(SUM(1 - up) AS DOUBLE) AS n2,
+               CAST(SUM(new_run) AS BIGINT) AS r
+        FROM runs
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_up,
+           CAST(n2 AS BIGINT) AS n_down,
+           r AS n_runs,
+           round((r - (2 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 6)
+               + 0.0 AS runs_z
+    FROM s
+    """,
+)
+def runs_test_randomness(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the daily revenue direction
+    sequence: too FEW runs of consecutive up/down days means
+    persistence (trend/autocorrelation), too many means oscillation —
+    the nonparametric "is this series random?" check a forecast
+    pipeline runs before trusting an i.i.d.-assuming model.
+    Z = (R − μ)/σ with μ = 2n₁n₂/(n₁+n₂) + 1.
+
+    Up/down decided on exact integer cents (ties count as up,
+    stated); run boundaries and counts are integer window logic over
+    the calendar-day frame (domain-bounded, the cusum class); one
+    float expression at the end, −0 normalized."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg((F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("v"))
+    wd = Window.orderBy("d")
+    signs = (
+        daily.select(
+            "d",
+            F.col("v"),
+            F.lag("v").over(wd).alias("pv"),
+        )
+        .where(F.col("pv").isNotNull())
+        .select(
+            "d", (F.col("v") >= F.col("pv")).cast("int").alias("up")
+        )
+    )
+    runs = signs.select(
+        "up",
+        F.when(
+            F.lag("up").over(wd).isNull()
+            | (F.col("up") != F.lag("up").over(wd)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    s = runs.agg(
+        F.sum("up").cast("double").alias("n1"),
+        F.sum(1 - F.col("up")).cast("double").alias("n2"),
+        F.sum("new_run").cast("bigint").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    sig = F.sqrt(
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return s.select(
+        n1.cast("bigint").alias("n_up"),
+        n2.cast("bigint").alias("n_down"),
+        r.alias("n_runs"),
+        (F.round((r - mu) / sig, 6) + 0.0).alias("runs_z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grubbs maximum-outlier test on daily totals
+# --------------------------------------------------------------------------
+@register(
+    "grubbs_max_outlier",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS v
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(v) AS DOUBLE) AS sv,
+               CAST(SUM(v * v) AS DOUBLE) AS svv
+        FROM daily
+    ),
+    scored AS (
+        SELECT d.d, d.v, s.n,
+               ABS(d.v * s.n - s.sv) AS dev_scaled
+        FROM daily d CROSS JOIN s
+    ),
+    peak AS (
+        SELECT d, v, n, dev_scaled,
+               ROW_NUMBER() OVER (ORDER BY dev_scaled DESC, d) AS rn
+        FROM scored
+    )
+    SELECT CAST(p.n AS BIGINT) AS n_days,
+           CAST(p.d * 86400000000 AS BIGINT) AS outlier_day_us,
+           CAST(p.v AS BIGINT) AS outlier_cents,
+           round((p.dev_scaled / p.n)
+                 / sqrt((s.n * s.svv - s.sv * s.sv)
+                        / (s.n * (s.n - 1.0))), 6) AS grubbs_g
+    FROM peak p CROSS JOIN s WHERE p.rn = 1
+    """,
+)
+def grubbs_max_outlier(spark, sf_dir):
+    """Grubbs' test for a single outlier in the daily revenue series:
+    G = max|x − x̄|/s — the "is the worst day statistically
+    anomalous, or just the tail of normal variation?" check that
+    gates an alerting pipeline's loudest alarm. The argmax is decided
+    on |v·n − Σv| — EXACT integers (n-scaled deviation, no mean
+    division), with a calendar tiebreak; G itself is one float
+    expression from integer power sums.
+
+    Day totals are one event-grain rollup; the scan for the peak
+    rides the bounded calendar frame. Emits the day, its total, and
+    G (compare to the n-dependent critical value offline)."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg((F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("v"))
+    s = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("v").cast("double").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("svv"),
+    )
+    scored = daily.crossJoin(F.broadcast(s)).select(
+        "d",
+        "v",
+        "n",
+        "sv",
+        "svv",
+        F.abs(F.col("v") * F.col("n") - F.col("sv")).alias("dev_scaled"),
+    )
+    peak = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("dev_scaled").desc(), F.col("d"))
+        ),
+    ).where(F.col("rn") == 1)
+    return peak.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        (F.col("d") * 86_400_000_000).cast("bigint").alias("outlier_day_us"),
+        F.col("v").cast("bigint").alias("outlier_cents"),
+        F.round(
+            (F.col("dev_scaled") / F.col("n"))
+            / F.sqrt(
+                (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv"))
+                / (F.col("n") * (F.col("n") - 1.0))
+            ),
+            6,
+        ).alias("grubbs_g"),
+    )

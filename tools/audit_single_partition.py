@@ -115,6 +115,15 @@ ALLOWED: dict[str, str] = {
         "cumsum/argmax windows over the calendar-day series "
         "(domain-bounded; the event-grain pass is one day rollup)"
     ),
+    "chi2_discriminative_terms": (
+        "token-marginal window over the (source x vocabulary) cell "
+        "frame (vocabulary-domain-bounded; corpus rows never enter "
+        "a window)"
+    ),
+    "runs_test_randomness": (
+        "lag/run-boundary windows over the calendar-day series "
+        "(domain-bounded, the cusum class)"
+    ),
     "gini_split_threshold": (
         "cumulative class counts over the distinct-VALUE-cents grid "
         "(a price domain — the auc_rank_score class; event-grain work "
