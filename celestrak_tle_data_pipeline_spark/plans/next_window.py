@@ -1,0 +1,1166 @@
+"""Round-9 pre-staged registrations (the "next-window" bank).
+
+The round-8 official window is exactly full: `plans._PRIORITY` holds the
+25-name backlog plus the 25 round-8 registrations, and
+``tests/test_registry.py::test_no_new_official_debt`` forbids any
+oracle-paired registration that is neither official nor windowed — the
+machine-checked form of the r7 verdict's rule that a query must land in
+its own round's official window or carry an explicit next-window tag.
+
+This module IS that next-window tag, as code: nine fully-built,
+oracle-paired queries kept OUTSIDE the live registry (not in
+``plans._MODULES``; local decorator, not ``plans.register``) so the
+debt invariant stays machine-true this round. They are verified today
+by ``tests/test_next_window.py`` with the exact canon/hash compare the
+driver gate uses (`tools/check.py`), at two scale factors. Round 9
+flips them live mechanically: import ``register`` from ``.`` instead of
+the local stub, add ``"next_window"`` to ``_MODULES``, and append the
+nine names to the fresh ``_PRIORITY`` window.
+
+Every plan here is window-free (no unbounded ``Window.orderBy``): the
+time-series shapes (ACF, EWMA, Mann-Kendall) use bounded lag/triangular
+joins on the day-grain calendar domain; ranking reuses the
+range-partition + ``prefix_offsets`` global-rank machinery; medians use
+the cumulative-count value-grid device — so none of them add entries to
+the single-partition audit allowlist when they go live.
+
+Determinism discipline (plans/__init__ contract): day rollups are
+integer cents; rank sums are 2x-scaled integers; ACF/EWMA numerators
+are n-scaled DECIMAL(38,0) integer folds; per-group float terms are
+rounded to fixed scale before any cross-group sum; every final float
+rounds and every possibly-negative-zero column appends ``+ 0.0``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .common import dec, prefix_offsets, t
+
+NEXT_QUERIES: dict = {}
+NEXT_ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Local stand-in for ``plans.register`` — see module docstring."""
+
+    def deco(fn):
+        NEXT_QUERIES[name] = fn
+        if oracle is not None:
+            NEXT_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H (rank one-way ANOVA across all five event types)
+# --------------------------------------------------------------------------
+@register(
+    "kruskal_wallis_values",
+    oracle="""
+    WITH pool AS (SELECT event_type AS g, value FROM events),
+    ranked AS (
+        SELECT g,
+               CAST(RANK() OVER (ORDER BY value) AS BIGINT) * 2
+               + CAST(COUNT(*) OVER (PARTITION BY value) AS BIGINT) - 1
+                   AS rank2
+        FROM pool
+    ),
+    grp AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(rank2) AS BIGINT) AS r2
+        FROM ranked GROUP BY g
+    ),
+    ties AS (
+        SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS t3
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+              FROM pool GROUP BY value)
+    ),
+    terms AS (
+        SELECT CAST(SUM(ng) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(CAST(round(
+                   CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+                   / (4.0 * ng), 8) AS DECIMAL(38,8))) AS s
+        FROM grp
+    )
+    SELECT n AS n_events, k AS n_groups,
+           CAST(k - 1 AS BIGINT) AS dof,
+           round(12.0 * CAST(s AS DOUBLE) / (n * (n + 1.0))
+                 - 3.0 * (n + 1.0), 6) + 0.0 AS h_stat,
+           round((12.0 * CAST(s AS DOUBLE) / (n * (n + 1.0))
+                  - 3.0 * (n + 1.0))
+                 / (1.0 - CAST(t.t3 AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * n * n - n)), 6) + 0.0
+               AS h_adj
+    FROM terms, ties t
+    """,
+)
+def kruskal_wallis_values(spark, sf_dir):
+    """Kruskal-Wallis H: do the five event types draw their values
+    from one distribution? — the k-group generalization of
+    ``mann_whitney_u_values`` (rank one-way ANOVA, no normality
+    assumption): H = 12/(N(N+1)) · Σ R_i²/n_i − 3(N+1), with the tie
+    correction H/C, C = 1 − Σ(t³−t)/(N³−N).
+
+    Exactness: average ranks are 2x-scaled integers (rank + tie-count
+    − 1), so every group rank sum R2_i = 2·R_i is an EXACT integer at
+    any partitioning; Σ R_i²/n_i = Σ R2_i²/(4n_i) is folded as
+    per-group terms rounded to 1e-8 and summed in DECIMAL — exact,
+    order-free — and the tie term is pure integers. Only the final H
+    normalization is float.
+
+    Plan — the ``mann_whitney_u_values`` ranged-rank machinery over
+    ALL types: range-partition on value (tie groups co-located),
+    per-partition ranks + broadcast prefix-sum offsets, one group
+    rollup, one value-grid tie rollup; no single-partition exchange."""
+    e = t(spark, sf_dir, "events")
+    pool = (
+        e.select(F.col("event_type").alias("g"), "value")
+        .repartitionByRange(8, F.col("value").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = pool.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
+    offsets = prefix_offsets(counts, {"offset": "pn"})
+    local_rank = F.rank().over(Window.partitionBy("pid").orderBy("value"))
+    rank2 = (
+        (local_rank.cast("bigint") + F.col("offset")) * 2
+        + F.count(F.lit(1))
+        .over(Window.partitionBy("pid", "value"))
+        .cast("bigint")
+        - 1
+    )
+    ranked = pool.join(F.broadcast(offsets), "pid").select(
+        "g", rank2.alias("rank2")
+    )
+    grp = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("rank2").cast("bigint").alias("r2"),
+    )
+    ties = (
+        pool.groupBy("value")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.sum(
+                F.col("c") * F.col("c") * F.col("c") - F.col("c")
+            )
+            .cast("bigint")
+            .alias("t3")
+        )
+    )
+    terms = grp.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.round(
+                F.col("r2").cast("double")
+                * F.col("r2").cast("double")
+                / (4.0 * F.col("ng")),
+                8,
+            ).cast("decimal(38,8)")
+        ).alias("s"),
+    )
+    n, k = F.col("n"), F.col("k")
+    h = 12.0 * F.col("s").cast("double") / (n * (n + F.lit(1.0))) - 3.0 * (
+        n + F.lit(1.0)
+    )
+    c_corr = 1.0 - F.col("t3").cast("double") / (
+        n.cast("double") * n * n - n
+    )
+    return terms.crossJoin(F.broadcast(ties)).select(
+        n.alias("n_events"),
+        k.alias("n_groups"),
+        (k - 1).cast("bigint").alias("dof"),
+        (F.round(h, 6) + 0.0).alias("h_stat"),
+        (F.round(h / c_corr, 6) + 0.0).alias("h_adj"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Welch's heteroscedastic one-way ANOVA (event types, unequal variances)
+# --------------------------------------------------------------------------
+@register(
+    "welch_anova_types",
+    oracle="""
+    WITH grp AS (
+        SELECT event_type AS g, CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)
+                        * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                               AS BIGINT)) AS DECIMAL(38,0)) AS ss
+        FROM events GROUP BY 1
+    ),
+    wg AS (
+        SELECT g, ng, s,
+               CAST(s AS DOUBLE) / ng AS m,
+               (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / ng)
+                   / (ng - 1) AS var,
+               ng / ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / ng)
+                     / (ng - 1)) AS w
+        FROM grp
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(ng) AS BIGINT) AS n,
+               SUM(CAST(round(w, 8) AS DECIMAL(38,8))) AS sw,
+               SUM(CAST(round(w * m, 4) AS DECIMAL(38,4))) AS swm
+        FROM wg
+    ),
+    num AS (
+        SELECT f.k, f.n,
+               SUM(CAST(round(
+                   g.w * (g.m - CAST(f.swm AS DOUBLE)
+                                / CAST(f.sw AS DOUBLE))
+                       * (g.m - CAST(f.swm AS DOUBLE)
+                                / CAST(f.sw AS DOUBLE)), 4)
+                   AS DECIMAL(38,4))) AS a,
+               SUM(CAST(round(
+                   (1.0 - g.w / CAST(f.sw AS DOUBLE))
+                   * (1.0 - g.w / CAST(f.sw AS DOUBLE))
+                   / (g.ng - 1), 12) AS DECIMAL(38,12))) AS b
+        FROM wg g, fold f GROUP BY f.k, f.n
+    )
+    SELECT n AS n_events, k AS n_groups,
+           round(CAST(a AS DOUBLE) / (k - 1)
+                 / (1.0 + 2.0 * (k - 2.0) / (k * k - 1.0)
+                          * CAST(b AS DOUBLE)), 6) + 0.0
+               AS welch_f,
+           round((k * k - 1.0) / (3.0 * CAST(b AS DOUBLE)), 4)
+               AS df2
+    FROM num
+    """,
+)
+def welch_anova_types(spark, sf_dir):
+    """Welch's heteroscedastic one-way ANOVA: do the five event types
+    have equal MEAN value, without assuming equal variances? — the
+    test to run when ``levene_brown_forsythe`` rejects homogeneity
+    (classic ANOVA's F is anticonservative under unequal variances
+    and unequal group sizes). F* = Σw_i(m_i − m̄_w)²/(k−1) over
+    1 + 2(k−2)/(k²−1)·Λ, with w_i = n_i/s_i², Welch-Satterthwaite
+    df₂ = (k²−1)/(3Λ).
+
+    Exactness: per-group count/sum/sum-of-squares are exact integer
+    cents folds (the repo's power-sum discipline), so means and
+    variances are single float expressions from exact integers; the
+    cross-group folds (Σw, Σwm, the two quadratic terms) are rounded
+    to fixed scales and summed in DECIMAL — order-free. Plan: ONE
+    hash aggregate over events, then all algebra on the 5-row group
+    frame with the scalar fold broadcast back."""
+    e = t(spark, sf_dir, "events")
+    v = (dec("value", 18, 2) * 100).cast("bigint")
+    grp = e.groupBy(F.col("event_type").alias("g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum(v).cast("bigint").alias("s"),
+        F.sum(v * v).cast("decimal(38,0)").alias("ss"),
+    )
+    m = F.col("s").cast("double") / F.col("ng")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("ng")
+    ) / (F.col("ng") - 1)
+    wg = grp.select(
+        "g", "ng", "s", m.alias("m"), var.alias("var"),
+        (F.col("ng") / var).alias("w"),
+    )
+    fold = wg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("w"), 8).cast("decimal(38,8)")).alias("sw"),
+        F.sum(
+            F.round(F.col("w") * F.col("m"), 4).cast("decimal(38,4)")
+        ).alias("swm"),
+    )
+    mw = F.col("swm").cast("double") / F.col("sw").cast("double")
+    num = wg.crossJoin(F.broadcast(fold)).groupBy("k", "n").agg(
+        F.sum(
+            F.round(
+                F.col("w") * (F.col("m") - mw) * (F.col("m") - mw), 4
+            ).cast("decimal(38,4)")
+        ).alias("a"),
+        F.sum(
+            F.round(
+                (1.0 - F.col("w") / F.col("sw").cast("double"))
+                * (1.0 - F.col("w") / F.col("sw").cast("double"))
+                / (F.col("ng") - 1),
+                12,
+            ).cast("decimal(38,12)")
+        ).alias("b"),
+    )
+    k = F.col("k")
+    lam = F.col("b").cast("double")
+    return num.select(
+        F.col("n").alias("n_events"),
+        k.alias("n_groups"),
+        (
+            F.round(
+                F.col("a").cast("double")
+                / (k - 1)
+                / (1.0 + 2.0 * (k - F.lit(2.0)) / (k * k - F.lit(1.0)) * lam),
+                6,
+            )
+            + 0.0
+        ).alias("welch_f"),
+        F.round((k * k - F.lit(1.0)) / (3.0 * lam), 4).alias("df2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b on a bounded bucket grid (activity vs spend)
+# --------------------------------------------------------------------------
+@register(
+    "kendall_tau_b_bucketed",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               LEAST(CAST(COUNT(*) AS BIGINT), 12) AS a,
+               LEAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                   AS BIGINT)) AS BIGINT) // 5000,
+                     CAST(9 AS BIGINT)) AS b
+        FROM events GROUP BY 1
+    ),
+    cells AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM u GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN (x.a < y.a AND x.b < y.b)
+                               OR (x.a > y.a AND x.b > y.b)
+                      THEN x.c * y.c ELSE 0 END) AS BIGINT) AS conc2,
+               CAST(SUM(CASE WHEN (x.a < y.a AND x.b > y.b)
+                               OR (x.a > y.a AND x.b < y.b)
+                      THEN x.c * y.c ELSE 0 END) AS BIGINT) AS disc2
+        FROM cells x JOIN cells y
+          ON x.a < y.a OR (x.a = y.a AND x.b <> y.b)
+    ),
+    marg AS (
+        SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM cells) AS n,
+               (SELECT CAST(SUM(cnt * (cnt - 1)) AS BIGINT) FROM (
+                    SELECT CAST(SUM(c) AS BIGINT) AS cnt
+                    FROM cells GROUP BY a)) AS ta2,
+               (SELECT CAST(SUM(cnt * (cnt - 1)) AS BIGINT) FROM (
+                    SELECT CAST(SUM(c) AS BIGINT) AS cnt
+                    FROM cells GROUP BY b)) AS tb2
+    )
+    SELECT m.n AS n_users, p.conc2 AS concordant, p.disc2 AS discordant,
+           round(2.0 * (p.conc2 - p.disc2)
+                 / sqrt((CAST(m.n AS DOUBLE) * (m.n - 1) - m.ta2)
+                        * (CAST(m.n AS DOUBLE) * (m.n - 1) - m.tb2)),
+                 9) + 0.0 AS tau_b
+    FROM pairs p, marg m
+    """,
+)
+def kendall_tau_b_bucketed(spark, sf_dir):
+    """Kendall tau-b between per-user activity and spend on a FIXED
+    bucket grid — the ordinal-association companion to
+    ``spearman_rank_corr`` (tau's pairwise-concordance semantics are
+    what survey/ordinal methodology asks for, and its b-variant
+    corrects for the ties a coarse grid creates). Buckets are fixed
+    VALUE grids (activity capped at 12, spend in $50 brackets capped
+    at bracket 9), NOT rank-derived — so bucket ids are engine-free
+    constants and the contingency grid is ≤ 13×10 cells by
+    construction.
+
+    Concordant/discordant pair MASSES come from the cell-pair
+    triangular join over that bounded grid (≤ C(130,2) cell pairs —
+    never user pairs): C = Σ c_x·c_y over concordant cell pairs,
+    doubled consistently in both engines; tau-b = (C−D)/√((M−T_a)(M−T_b))
+    with M = n(n−1) and the tie masses from the marginals. All
+    integers until the final ratio.
+
+    Plan: one user rollup (hash agg), one ≤130-row cell rollup, a
+    broadcast triangular cell join, two marginal folds — the 100 TB
+    cost is the user rollup; everything after is constant-sized."""
+    e = t(spark, sf_dir, "events")
+    cents = (dec("value", 18, 2) * 100).cast("bigint")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(cents).cast("bigint").alias("sc"),
+        )
+        .select(
+            F.least(F.col("cnt"), F.lit(12).cast("bigint")).alias("a"),
+            F.least(
+                F.expr("sc DIV 5000"), F.lit(9).cast("bigint")
+            ).alias("b"),
+        )
+    )
+    cells = (
+        u.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    x, y = cells.alias("x"), cells.alias("y")
+    xa, xb, xc = F.col("x.a"), F.col("x.b"), F.col("x.c")
+    ya, yb, yc = F.col("y.a"), F.col("y.b"), F.col("y.c")
+    pairs = (
+        x.join(
+            F.broadcast(y),
+            (xa < ya) | ((xa == ya) & (xb != yb)),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    ((xa < ya) & (xb < yb)) | ((xa > ya) & (xb > yb)),
+                    xc * yc,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conc2"),
+            F.sum(
+                F.when(
+                    ((xa < ya) & (xb > yb)) | ((xa > ya) & (xb < yb)),
+                    xc * yc,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("disc2"),
+        )
+    )
+    n_tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    ta = (
+        cells.groupBy("a")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt") * (F.col("cnt") - 1))
+            .cast("bigint")
+            .alias("ta2")
+        )
+    )
+    tb = (
+        cells.groupBy("b")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt") * (F.col("cnt") - 1))
+            .cast("bigint")
+            .alias("tb2")
+        )
+    )
+    m = F.col("n").cast("double") * (F.col("n") - 1)
+    return (
+        pairs.crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("conc2").alias("concordant"),
+            F.col("disc2").alias("discordant"),
+            (
+                F.round(
+                    2.0
+                    * (F.col("conc2") - F.col("disc2"))
+                    / F.sqrt(
+                        (m - F.col("ta2")) * (m - F.col("tb2"))
+                    ),
+                    9,
+                )
+                + 0.0
+            ).alias("tau_b"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test over the daily revenue series
+# --------------------------------------------------------------------------
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN y.v > x.v THEN 1
+                             WHEN y.v < x.v THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM daily x JOIN daily y ON x.d < y.d
+    ),
+    ties AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tv
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+              FROM daily GROUP BY v)
+    )
+    SELECT t.n AS n_days, s.s AS s_stat,
+           round((CAST(t.n AS DOUBLE) * (t.n - 1) * (2 * t.n + 5)
+                  - t.tv) / 18.0, 6) AS var_s,
+           round(CASE WHEN s.s > 0 THEN (s.s - 1)
+                      WHEN s.s < 0 THEN (s.s + 1)
+                      ELSE 0 END
+                 / sqrt((CAST(t.n AS DOUBLE) * (t.n - 1) * (2 * t.n + 5)
+                         - t.tv) / 18.0), 6) + 0.0 AS z_stat
+    FROM s, ties t
+    """,
+)
+def mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall trend test on the daily revenue series: S =
+    Σ_{i<j} sign(v_j − v_i) — the nonparametric monotone-trend
+    detector (no linearity or distribution assumption) that pairs
+    with ``cusum_changepoint_scan``: CUSUM asks "did the level
+    shift once?", Mann-Kendall asks "does it drift monotonically?".
+    Z uses the standard continuity correction and the tie-adjusted
+    variance (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18.
+
+    S and the tie fold are EXACT integers; only the final variance
+    and Z divide. Plan: one day rollup from the event scan, then the
+    triangular self-join runs on the ~month-grain daily frame — a
+    bounded calendar domain (≤ n_days² comparison rows, never
+    event-grain) with the small side broadcast; no window operator
+    at all."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.floor(F.unix_micros("ts") / 86_400_000_000)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg((F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("v"))
+        .persist()
+    )
+    x, y = daily.alias("x"), daily.alias("y")
+    s = x.join(F.broadcast(y), F.col("x.d") < F.col("y.d")).agg(
+        F.sum(
+            F.when(F.col("y.v") > F.col("x.v"), 1)
+            .when(F.col("y.v") < F.col("x.v"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s")
+    )
+    ties = (
+        daily.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+            )
+            .cast("bigint")
+            .alias("tv"),
+        )
+    )
+    n = F.col("n")
+    var_s = (
+        n.cast("double") * (n - 1) * (2 * n + 5) - F.col("tv")
+    ) / 18.0
+    s_corr = (
+        F.when(F.col("s") > 0, F.col("s") - 1)
+        .when(F.col("s") < 0, F.col("s") + 1)
+        .otherwise(0)
+    )
+    return s.crossJoin(F.broadcast(ties)).select(
+        n.alias("n_days"),
+        F.col("s").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        (F.round(s_corr / F.sqrt(var_s), 6) + 0.0).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function + Ljung-Box Q (daily revenue, lags 1..7)
+# --------------------------------------------------------------------------
+@register(
+    "acf_ljung_box",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s
+        FROM daily
+    ),
+    num AS (
+        SELECT (y.d - x.d) AS lag,
+               SUM(CAST((x.v * t.n - t.s) AS DECIMAL(38,0))
+                   * CAST((y.v * t.n - t.s) AS DECIMAL(38,0))) AS nk
+        FROM daily x
+        JOIN daily y ON y.d - x.d BETWEEN 1 AND 7
+        CROSS JOIN tot t
+        GROUP BY 1
+    ),
+    den AS (
+        SELECT SUM(CAST((v * t.n - t.s) AS DECIMAL(38,0))
+                   * CAST((v * t.n - t.s) AS DECIMAL(38,0))) AS d0
+        FROM daily, tot t
+    )
+    SELECT CAST(num.lag AS BIGINT) AS lag,
+           round(CAST(num.nk AS DOUBLE) / CAST(den.d0 AS DOUBLE), 9)
+               + 0.0 AS acf,
+           round(t.n * (t.n + 2.0)
+                 * CAST(SUM(CAST(round(
+                       CAST(num.nk AS DOUBLE) * CAST(num.nk AS DOUBLE)
+                       / (CAST(den.d0 AS DOUBLE) * den.d0)
+                       / (t.n - num.lag), 12) AS DECIMAL(38,12)))
+                   OVER (ORDER BY num.lag
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6)
+               AS ljung_box_q
+    FROM num, den, tot t
+    ORDER BY lag
+    """,
+)
+def acf_ljung_box(spark, sf_dir):
+    """Autocorrelation of the daily revenue series at lags 1..7 plus
+    the cumulative Ljung-Box Q — the "is this series white noise?"
+    panel a forecast pipeline reads before fitting anything (a
+    significant Q at lag 7 says yesterday predicts today; ACF says
+    at which lag). r_k = Σ(x_t−x̄)(x_{t+k}−x̄)/Σ(x_t−x̄)², Q_k =
+    n(n+2)Σ_{j≤k} r_j²/(n−j).
+
+    Exactness: the series is integer cents; centering is n-SCALED
+    (x·n − S — integers, no float mean), so every lag numerator and
+    the lag-0 denominator are exact DECIMAL(38,0) integer folds at
+    any partitioning; r_k is one float division, and the Q fold sums
+    per-lag terms rounded to 1e-12 over the 7-row lag frame. Plan:
+    one day rollup, a bounded band self-join (lag ≤ 7) on the
+    ~month-grain calendar frame with the small side broadcast, and
+    the cumulative Q comes from a triangular join over the 7-row LAG
+    domain — window-free by construction."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.floor(F.unix_micros("ts") / 86_400_000_000)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg((F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("v"))
+        .persist()
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+    x, y = daily.alias("x"), daily.alias("y")
+    cx = (F.col("x.v") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    cy = (F.col("y.v") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    num = (
+        x.join(
+            F.broadcast(y),
+            (F.col("y.d") - F.col("x.d")).between(1, 7),
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy((F.col("y.d") - F.col("x.d")).alias("lag"))
+        .agg(F.sum(cx * cy).alias("nk"))
+    )
+    cv = (F.col("v") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    den = daily.crossJoin(F.broadcast(tot)).agg(
+        F.sum(cv * cv).alias("d0")
+    )
+    joined = num.crossJoin(F.broadcast(den)).crossJoin(F.broadcast(tot))
+    acf = F.col("nk").cast("double") / F.col("d0").cast("double")
+    term = F.round(
+        F.col("nk").cast("double")
+        * F.col("nk").cast("double")
+        / (F.col("d0").cast("double") * F.col("d0").cast("double"))
+        / (F.col("n") - F.col("lag")),
+        12,
+    ).cast("decimal(38,12)")
+    lags = joined.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        (F.round(acf, 9) + 0.0).alias("acf"),
+        term.alias("term"),
+        F.col("n"),
+    ).persist()
+    # cumulative Q without a window: triangular join over the 7-row
+    # lag frame (the prefix_offsets device, inlined on a tiny domain)
+    xl, yl = lags.alias("xl"), lags.alias("yl")
+    return (
+        xl.join(
+            F.broadcast(yl), F.col("yl.lag") <= F.col("xl.lag")
+        )
+        .groupBy(
+            F.col("xl.lag").alias("lag"),
+            F.col("xl.acf").alias("acf"),
+            F.col("xl.n").alias("n"),
+        )
+        .agg(F.sum(F.col("yl.term")).alias("qsum"))
+        .select(
+            "lag",
+            "acf",
+            F.round(
+                F.col("n")
+                * (F.col("n") + F.lit(2.0))
+                * F.col("qsum").cast("double"),
+                6,
+            ).alias("ljung_box_q"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# EWMA control chart with exact rational weights (daily revenue)
+# --------------------------------------------------------------------------
+@register(
+    "ewma_control_chart",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s,
+               CAST(SUM(v * v) AS DECIMAL(38,0)) AS ss
+        FROM daily
+    ),
+    w AS (
+        SELECT x.d,
+               x.v,
+               SUM(CAST(power(8, CAST(x.d - y.d AS INT))
+                        * power(10, CAST(15 - (x.d - y.d) AS INT))
+                        AS DECIMAL(38,0)) * y.v) AS num,
+               SUM(CAST(power(8, CAST(x.d - y.d AS INT))
+                        * power(10, CAST(15 - (x.d - y.d) AS INT))
+                        AS DECIMAL(38,0))) AS den
+        FROM daily x JOIN daily y
+          ON x.d - y.d BETWEEN 0 AND 15
+        GROUP BY 1, 2
+    )
+    SELECT w.d AS d, w.v AS revenue_cents,
+           round(CAST(w.num AS DOUBLE) / CAST(w.den AS DOUBLE), 4)
+               AS ewma_cents,
+           CAST(CASE WHEN abs(w.v - CAST(w.num AS DOUBLE)
+                                    / CAST(w.den AS DOUBLE))
+                          * sqrt((2.0 - 0.2) / 0.2)
+                          > 3.0 * sqrt((CAST(t.ss AS DOUBLE)
+                                        - CAST(t.s AS DOUBLE) * t.s / t.n)
+                                       / (t.n - 1))
+                     THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+    FROM w, tot t
+    ORDER BY d
+    """,
+)
+def ewma_control_chart(spark, sf_dir):
+    """EWMA control chart over daily revenue (λ = 0.2, truncated at
+    16 taps): the drift-sensitive process-control monitor that
+    catches small persistent shifts a Shewhart 3σ rule misses.
+    ewma_t = Σ_{j≤15} 0.8^j·v_{t−j} / Σ 0.8^j (self-normalizing at
+    the series head), flagged when |v_t − ewma_t| exceeds 3σ̂ scaled
+    by √((2−λ)/λ) — the steady-state EWMA limit.
+
+    Exactness trick: the geometric weights are EXACT INTEGERS —
+    0.8^j·10^15 = 8^j·10^(15−j), so numerator and denominator are
+    DECIMAL(38,0) integer folds (weight·cents ≤ 10^15·10^12 fits)
+    and the EWMA is ONE float division per day, identical at any
+    partitioning and in any engine. σ̂ comes from the exact power
+    sums. Plan: one day rollup, then a 16-tap band self-join on the
+    ~month-grain calendar frame (≤ 16·n_days rows, broadcast small
+    side) — the closed-form replacement for the sequential recursion
+    a streaming EWMA would use; no window operator."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.floor(F.unix_micros("ts") / 86_400_000_000)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg((F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("v"))
+        .persist()
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("decimal(38,0)").alias("ss"),
+    )
+    x, y = daily.alias("x"), daily.alias("y")
+    j = (F.col("x.d") - F.col("y.d")).cast("int")
+    weight = (
+        F.pow(F.lit(8.0), j) * F.pow(F.lit(10.0), 15 - j)
+    ).cast("decimal(38,0)")
+    w = (
+        x.join(F.broadcast(y), (F.col("x.d") - F.col("y.d")).between(0, 15))
+        .groupBy(F.col("x.d").alias("d"), F.col("x.v").alias("v"))
+        .agg(
+            F.sum(weight * F.col("y.v")).alias("num"),
+            F.sum(weight).alias("den"),
+        )
+    )
+    ewma = F.col("num").cast("double") / F.col("den").cast("double")
+    sigma = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    steady = F.sqrt((F.lit(2.0) - 0.2) / 0.2)
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.col("v").alias("revenue_cents"),
+            F.round(ewma, 4).alias("ewma_cents"),
+            F.when(
+                F.abs(F.col("v") - ewma) * steady > 3.0 * sigma, 1
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("out_of_control"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MAD robust outlier census per event type
+# --------------------------------------------------------------------------
+@register(
+    "mad_robust_outliers",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events
+    ),
+    cum AS (
+        SELECT g, v,
+               SUM(c) OVER (PARTITION BY g ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cc,
+               SUM(c) OVER (PARTITION BY g) AS n
+        FROM (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM pts GROUP BY 1, 2)
+    ),
+    med AS (
+        SELECT g, CAST(MIN(v) AS BIGINT) AS med
+        FROM cum WHERE 2 * cc >= n GROUP BY g
+    ),
+    devs AS (
+        SELECT p.g, p.v, abs(p.v - m.med) AS z
+        FROM pts p JOIN med m ON p.g = m.g
+    ),
+    dcum AS (
+        SELECT g, z,
+               SUM(c) OVER (PARTITION BY g ORDER BY z
+                            ROWS UNBOUNDED PRECEDING) AS cc,
+               SUM(c) OVER (PARTITION BY g) AS n
+        FROM (SELECT g, z, CAST(COUNT(*) AS BIGINT) AS c
+              FROM devs GROUP BY 1, 2)
+    ),
+    mad AS (
+        SELECT g, CAST(MIN(z) AS BIGINT) AS mad
+        FROM dcum WHERE 2 * cc >= n GROUP BY g
+    )
+    SELECT d.g AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(m2.med) AS BIGINT) AS median_cents,
+           CAST(MAX(a.mad) AS BIGINT) AS mad_cents,
+           CAST(SUM(CASE WHEN 6745 * d.z > 35000 * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(MAX(CASE WHEN 6745 * d.z > 35000 * a.mad
+                         THEN d.v ELSE NULL END) AS BIGINT)
+               AS worst_value_cents
+    FROM devs d JOIN mad a ON d.g = a.g JOIN med m2 ON d.g = m2.g
+    GROUP BY 1
+    """,
+)
+def mad_robust_outliers(spark, sf_dir):
+    """Robust outlier census per event type via the median absolute
+    deviation: an event is an outlier when its modified z-score
+    0.6745·|v − med|/MAD exceeds 3.5 (Iglewicz-Hoaglin) — the
+    alerting rule that survives the heavy tails that wreck
+    mean/stddev z-scores (one whale purchase inflates σ and hides
+    every other anomaly; the MAD doesn't move).
+
+    Exactness: group medians and MADs are exact lower medians on the
+    integer-cents grid (the ``levene_brown_forsythe`` cumulative-
+    count device, applied twice); the 3.5 threshold is decided by
+    integer cross-multiplication (6745·z > 35000·MAD — no float
+    compare at the boundary). Plan: two value-grid rollups + two
+    broadcast joins; windows ride the per-group distinct-value grid,
+    never raw events."""
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        F.col("event_type").alias("g"),
+        (dec("value", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+
+    def lower_median(df, col, out):
+        dv = df.groupBy("g", col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        cum = dv.select(
+            "g",
+            col,
+            F.sum("c")
+            .over(
+                Window.partitionBy("g")
+                .orderBy(col)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .cast("bigint")
+            .alias("cc"),
+            F.sum("c")
+            .over(Window.partitionBy("g"))
+            .cast("bigint")
+            .alias("n"),
+        )
+        return (
+            cum.where(2 * F.col("cc") >= F.col("n"))
+            .groupBy("g")
+            .agg(F.min(col).cast("bigint").alias(out))
+        )
+
+    med = lower_median(pts, "v", "med")
+    devs = pts.join(F.broadcast(med), "g").select(
+        "g", "v", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    mad = lower_median(devs.select("g", F.col("z").alias("v")), "v", "mad")
+    out = F.lit(6745) * F.col("z") > F.lit(35000) * F.col("mad")
+    return (
+        devs.join(F.broadcast(mad), "g")
+        .join(F.broadcast(med), "g")
+        .groupBy(F.col("g").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("med").cast("bigint").alias("median_cents"),
+            F.max("mad").cast("bigint").alias("mad_cents"),
+            F.sum(F.when(out, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max(F.when(out, F.col("v")))
+            .cast("bigint")
+            .alias("worst_value_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition rules (top-ngram / duplicate-word mass per doc)
+# --------------------------------------------------------------------------
+@register(
+    "gopher_repetition_rules",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws,
+               len(string_split(text, ' ')) AS nw
+        FROM documents
+    ),
+    uw AS (SELECT doc_id, UNNEST(ws) AS w FROM toks),
+    uni AS (
+        SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top1
+        FROM (SELECT doc_id, w, COUNT(*) AS c
+              FROM uw GROUP BY doc_id, w) GROUP BY doc_id
+    ),
+    big AS (
+        SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2
+        FROM (
+            SELECT t.doc_id,
+                   ws[i.i] || ' ' || ws[i.i + 1] AS bg,
+                   COUNT(*) AS c
+            FROM toks t, LATERAL (
+                SELECT UNNEST(generate_series(1, t.nw - 1)) AS i) i
+            GROUP BY 1, 2
+        ) GROUP BY doc_id
+    ),
+    dw AS (
+        SELECT doc_id,
+               CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_words
+        FROM (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+              FROM uw GROUP BY doc_id, w) GROUP BY doc_id
+    ),
+    per_doc AS (
+        SELECT t.doc_id, t.source, t.nw,
+               u.top1, b.top2, d.dup_words,
+               CASE WHEN 10 * u.top1 <= 2 * t.nw THEN 1 ELSE 0 END
+                   AS pass_top1,
+               CASE WHEN 10 * b.top2 <= 1 * (t.nw - 1) THEN 1 ELSE 0 END
+                   AS pass_top2,
+               CASE WHEN 10 * d.dup_words <= 3 * t.nw THEN 1 ELSE 0 END
+                   AS pass_dup
+        FROM toks t JOIN uni u USING (doc_id)
+        JOIN big b USING (doc_id) JOIN dw d USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pass_top1) AS BIGINT) AS pass_top_unigram,
+           CAST(SUM(pass_top2) AS BIGINT) AS pass_top_bigram,
+           CAST(SUM(pass_dup) AS BIGINT) AS pass_dup_words,
+           CAST(SUM(pass_top1 * pass_top2 * pass_dup) AS BIGINT)
+               AS pass_all
+    FROM per_doc GROUP BY 1
+    """,
+)
+def gopher_repetition_rules(spark, sf_dir):
+    """The REPETITION half of the Gopher rule battery (Rae et al.
+    2021 §A1.1 — `gopher_quality_rules` covers the
+    length/stopword/type-token half): a document fails when repeated
+    content dominates — top unigram > 20% of tokens, top bigram >
+    10% of bigrams, or duplicate-word mass (occurrences beyond each
+    word's first) > 30% of tokens. Reported per source as pass
+    counts per rule + the intersection, the same
+    which-rule-eats-this-source dashboard shape as X193.
+
+    Every ratio test is decided by INTEGER cross-multiplication
+    (10·top1 ≤ 2·n — no float at the boundary). Plan: the unigram
+    and bigram explosions fan out map-side from the scan and
+    collapse in doc-keyed hash aggregates; three per-doc frames
+    equi-join on doc_id; one final source rollup — no windows, no
+    cross-document work."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("ws"),
+        F.size(F.split("text", " ")).cast("bigint").alias("nw"),
+    ).persist()
+    uni = (
+        toks.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("bigint").alias("top1"),
+            (F.sum("c") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("dup_words"),
+        )
+    )
+    bg = F.expr(
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> concat(ws[i - 1], ' ', ws[i]))"
+    )
+    big = (
+        toks.select("doc_id", F.explode(bg).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("bigint").alias("top2"))
+    )
+    per_doc = (
+        toks.select("doc_id", "source", "nw")
+        .join(uni, "doc_id")
+        .join(big, "doc_id")
+        .select(
+            "source",
+            F.when(10 * F.col("top1") <= 2 * F.col("nw"), 1)
+            .otherwise(0)
+            .alias("p1"),
+            F.when(10 * F.col("top2") <= (F.col("nw") - 1), 1)
+            .otherwise(0)
+            .alias("p2"),
+            F.when(10 * F.col("dup_words") <= 3 * F.col("nw"), 1)
+            .otherwise(0)
+            .alias("p3"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("p1").cast("bigint").alias("pass_top_unigram"),
+        F.sum("p2").cast("bigint").alias("pass_top_bigram"),
+        F.sum("p3").cast("bigint").alias("pass_dup_words"),
+        F.sum(F.col("p1") * F.col("p2") * F.col("p3"))
+        .cast("bigint")
+        .alias("pass_all"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-document boilerplate chunk flagging (CCNet-style shared chunks)
+# --------------------------------------------------------------------------
+@register(
+    "boilerplate_chunk_flagging",
+    oracle="""
+    WITH chunks AS (
+        SELECT t.doc_id, t.source,
+               md5(array_to_string(ws[(c.k - 1) * 10 + 1 :
+                                      (c.k - 1) * 10 + 10], ' '))
+                   AS h
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) // 10 AS nc
+              FROM documents) t,
+             LATERAL (SELECT UNNEST(generate_series(1, t.nc)) AS k) c
+        WHERE t.nc >= 1
+    ),
+    shared AS (
+        SELECT h FROM chunks
+        GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    per_doc AS (
+        SELECT c.doc_id, c.source,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bp_chunks
+        FROM chunks c LEFT JOIN shared s ON c.h = s.h
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(bp_chunks) AS BIGINT) AS boilerplate_chunks,
+           CAST(SUM(CASE WHEN 2 * bp_chunks >= n_chunks
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_mostly_boilerplate
+    FROM per_doc GROUP BY 1
+    """,
+)
+def boilerplate_chunk_flagging(spark, sf_dir):
+    """Cross-document boilerplate detection at chunk grain — the
+    CCNet/RefinedWeb move the document-grain dedup tiers can't make:
+    split every document into non-overlapping 10-word chunks, digest
+    each, and call a chunk BOILERPLATE when it appears in MORE THAN
+    ONE document (shared headers, templates, navigation residue).
+    Per source: total chunks, boilerplate chunk mass, and documents
+    that are ≥50% boilerplate (2·bp ≥ n — integer compare), i.e. the
+    removal candidates document-level exact dedup leaves behind.
+
+    Plan: the chunk explosion is map-side from the scan (X164's
+    sequence/slice device, non-overlapping stride); boilerplate
+    status is ONE digest hash-aggregate (count distinct docs per
+    digest > 1) joined back by digest equi-join; per-doc and
+    per-source rollups are hash aggregates. Chunk digests shuffle —
+    never text — and no window appears anywhere."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("ws"),
+        (F.size(F.split("text", " ")) / 10)
+        .cast("bigint")
+        .alias("nc"),
+    ).where(F.col("nc") >= 1)
+    chunk = F.expr(
+        "transform(sequence(1, cast(nc as int)), "
+        "k -> md5(array_join(slice(ws, (k - 1) * 10 + 1, 10), ' ')))"
+    )
+    chunks = base.select(
+        "doc_id", "source", F.explode(chunk).alias("h")
+    ).persist()
+    shared = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h", F.lit(1).alias("bp"))
+    )
+    per_doc = (
+        chunks.join(shared, "h", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("bp"), F.lit(0)))
+            .cast("bigint")
+            .alias("bp_chunks"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+        F.sum("bp_chunks").cast("bigint").alias("boilerplate_chunks"),
+        F.sum(
+            F.when(2 * F.col("bp_chunks") >= F.col("n_chunks"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("docs_mostly_boilerplate"),
+    )
