@@ -63,8 +63,13 @@ def enriched_telemetry_stream(
     earlier flux could still land) — never before, pinned by
     ``tests/test_streaming.py::test_stream_stream_left_outer_null_emission``.
     Until then the row is held in state; eviction-on-emission makes
-    re-emission impossible. Both modes share one plan shape; the state
-    bound is identical (watermark horizon per side)."""
+    re-emission impossible. ``rightOuter`` mirrors it (a flux day with
+    no telemetry emits once with NULL TLE columns) and ``fullOuter``
+    emits each side's unmatched rows exactly once — the full
+    Structured Streaming join matrix, each shape pinned across
+    micro-batch boundaries by the three ``test_stream_stream_*``
+    tests. All modes share one plan shape; the state bound is
+    identical (watermark horizon per side)."""
     # Only ONE event-time column may survive per stream: the 1-day
     # window (carrying the epoch_utc watermark) is it. epoch_utc itself
     # is kept as a value via integer-µs reconstruction, which strips the

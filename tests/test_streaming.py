@@ -1459,3 +1459,151 @@ def test_stream_stream_left_outer_null_emission(spark, tmp_path):
     assert matched[0].norad_id == 70003
     assert matched[0].f10_7_flux == 141.0
     assert sum(1 for r in out_rows if r.f10_7_flux is None) == 1
+
+
+def test_stream_stream_right_outer_null_emission(spark, tmp_path):
+    """RIGHT OUTER stream-stream join: the mirror of the left-outer
+    pin — a flux day whose telemetry never lands emits with NULL TLE
+    columns exactly once, after the global (min-over-streams)
+    watermark passes its day window, and matched pairs still join
+    from state afterward."""
+    import json
+
+    from celestrak_tle_data_pipeline_spark.streaming import (
+        run_enrichment_join,
+    )
+
+    tle_land = tmp_path / "rtle"
+    w_land = tmp_path / "rweather"
+    tle_land.mkdir()
+    w_land.mkdir()
+    ckpt = str(tmp_path / "rckpt")
+    out_rows = []
+
+    def sink(df, _id):
+        out_rows.extend(df.collect())
+
+    def run_pass():
+        run_enrichment_join(
+            spark, str(tle_land), str(w_land), ckpt, sink, how="rightOuter"
+        )
+
+    day = (NOW - dt.timedelta(days=1)).date()
+
+    # pass 1: weather for `day`, telemetry for day-1 -> nothing can
+    # emit yet (no match; watermark has not passed day's window)
+    (w_land / "w1.json").write_text(
+        json.dumps([["time_tag", "flux"], [f"{day} 12:00", "99.5"]])
+    )
+    (tle_land / "t1.txt").write_text(
+        _payload(80001, NOW - dt.timedelta(days=2))
+    )
+    run_pass()
+    assert out_rows == []
+
+    # pass 2: BOTH streams advance 10 days -> the held flux row
+    # flushes with NULL telemetry columns, exactly once
+    far = day + dt.timedelta(days=10)
+    (w_land / "w2.json").write_text(
+        json.dumps([["time_tag", "flux"], [f"{far} 12:00", "142.0"]])
+    )
+    (tle_land / "t2.txt").write_text(
+        _payload(80002, NOW + dt.timedelta(days=8))
+    )
+    run_pass()
+    nulls = [r for r in out_rows if r.norad_id is None]
+    assert len(out_rows) == 1 and len(nulls) == 1
+    assert nulls[0].f10_7_flux == 99.5  # right columns intact
+    assert nulls[0].mean_motion is None and nulls[0].epoch_utc is None
+
+    # pass 3: telemetry for day+10 matches the day+10 flux from
+    # state; the NULL row is not re-emitted
+    (tle_land / "t3.txt").write_text(
+        _payload(80003, NOW + dt.timedelta(days=9))
+    )
+    run_pass()
+    matched = [r for r in out_rows if r.norad_id is not None]
+    assert len(out_rows) == 2 and len(matched) == 1
+    assert matched[0].norad_id == 80003
+    assert matched[0].f10_7_flux == 142.0
+    assert sum(1 for r in out_rows if r.norad_id is None) == 1
+
+
+def test_stream_stream_full_outer_both_sides_emit(spark, tmp_path):
+    """FULL OUTER stream-stream join — the last uncovered join shape:
+    an unmatched telemetry day AND an unmatched flux day EACH emit
+    exactly once with the other side NULL, both only after the
+    watermark passes their windows; a matched pair emits exactly once
+    with both sides populated."""
+    import json
+
+    from celestrak_tle_data_pipeline_spark.streaming import (
+        run_enrichment_join,
+    )
+
+    tle_land = tmp_path / "ftle"
+    w_land = tmp_path / "fweather"
+    tle_land.mkdir()
+    w_land.mkdir()
+    ckpt = str(tmp_path / "fckpt")
+    out_rows = []
+
+    def sink(df, _id):
+        out_rows.extend(df.collect())
+
+    def run_pass():
+        run_enrichment_join(
+            spark, str(tle_land), str(w_land), ckpt, sink, how="fullOuter"
+        )
+
+    day = (NOW - dt.timedelta(days=1)).date()
+
+    # pass 1: unmatched telemetry on day-2, unmatched flux on day-3
+    # (disjoint days), plus a MATCHED pair on `day` (both sides) ->
+    # only the match emits now
+    (tle_land / "t1.txt").write_text(
+        _payload(90001, NOW - dt.timedelta(days=2))
+        + _payload(90002, NOW - dt.timedelta(days=1))
+    )
+    (w_land / "w1.json").write_text(
+        json.dumps(
+            [
+                ["time_tag", "flux"],
+                [f"{day} 12:00", "88.0"],
+                [f"{day - dt.timedelta(days=3)} 12:00", "77.0"],
+            ]
+        )
+    )
+    run_pass()
+    assert len(out_rows) == 1
+    assert out_rows[0].norad_id == 90002
+    assert out_rows[0].f10_7_flux == 88.0
+
+    # pass 2: both streams jump 10 days -> the two held unmatched
+    # rows flush, one per side, each exactly once
+    far = day + dt.timedelta(days=10)
+    (w_land / "w2.json").write_text(
+        json.dumps([["time_tag", "flux"], [f"{far} 12:00", "150.0"]])
+    )
+    (tle_land / "t2.txt").write_text(
+        _payload(90003, NOW + dt.timedelta(days=8))
+    )
+    run_pass()
+    null_weather = [
+        r
+        for r in out_rows
+        if r.f10_7_flux is None and r.norad_id is not None
+    ]
+    null_tle = [
+        r
+        for r in out_rows
+        if r.norad_id is None and r.f10_7_flux is not None
+    ]
+    assert len(null_weather) == 1 and null_weather[0].norad_id == 90001
+    assert len(null_tle) == 1 and null_tle[0].f10_7_flux == 77.0
+    # exactly one matched + one NULL per side so far
+    assert len(out_rows) == 3
+
+    # pass 3: nothing new -> no re-emission of anything
+    run_pass()
+    assert len(out_rows) == 3
