@@ -918,22 +918,38 @@ def ols_normal_equations(spark, sf_dir):
         F.sum("qi").cast("double").alias("s1"),
         (F.sum("di").cast("double") / 100).alias("s2"),
         (F.sum("pi").cast("double") / 100).alias("sy"),
-        F.sum(F.col("qi") * F.col("qi")).cast("double").alias("s11"),
-        (F.sum(F.col("qi") * F.col("di")).cast("double") / 100).alias(
-            "s12"
-        ),
-        (F.sum(F.col("di") * F.col("di")).cast("double") / 10000).alias(
-            "s22"
-        ),
-        (F.sum(F.col("qi") * F.col("pi")).cast("double") / 100).alias(
-            "s1y"
-        ),
-        (F.sum(F.col("di") * F.col("pi")).cast("double") / 10000).alias(
-            "s2y"
-        ),
-        (F.sum(F.col("pi") * F.col("pi")).cast("double") / 10000).alias(
-            "syy"
-        ),
+        # second-order sums ride DECIMAL(38,0): Σp² overflows BIGINT
+        # already at sf0.1 (~1e14/row × 6e5 rows), caught by the 8x
+        # probe under ANSI mode — decimal partials stay exact and
+        # map-side combinable at any scale factor
+        F.sum((F.col("qi") * F.col("qi")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s11"),
+        (
+            F.sum((F.col("qi") * F.col("di")).cast("decimal(38,0)"))
+            .cast("double")
+            / 100
+        ).alias("s12"),
+        (
+            F.sum((F.col("di") * F.col("di")).cast("decimal(38,0)"))
+            .cast("double")
+            / 10000
+        ).alias("s22"),
+        (
+            F.sum((F.col("qi") * F.col("pi")).cast("decimal(38,0)"))
+            .cast("double")
+            / 100
+        ).alias("s1y"),
+        (
+            F.sum((F.col("di") * F.col("pi")).cast("decimal(38,0)"))
+            .cast("double")
+            / 10000
+        ).alias("s2y"),
+        (
+            F.sum((F.col("pi") * F.col("pi")).cast("decimal(38,0)"))
+            .cast("double")
+            / 10000
+        ).alias("syy"),
     )
     n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
     s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
@@ -1105,7 +1121,8 @@ def gini_split_threshold(spark, sf_dir):
     oracle="""
     WITH keyed AS (
         SELECT doc_id, n_chars,
-               ln(((doc_id * 2654435761) % 4294967296 + 0.5)
+               ln((CAST((CAST(doc_id AS HUGEINT) * 2654435761)
+                        % 4294967296 AS BIGINT) + 0.5)
                   / 4294967296.0) / n_chars AS k
         FROM documents
     )
@@ -1130,8 +1147,15 @@ def weighted_sample_no_replacement(spark, sf_dir):
     with a (key, doc_id) total order. At 100 TB the plan is scan →
     per-partition top-k → driver merge of 50-row candidates."""
     d = t(spark, sf_dir, "documents")
+    # the Knuth multiply rides DECIMAL(38,0): id·2654435761 overflows
+    # int64 for ids ≥ ~3.5e9 (any key-shifted replica or real-world
+    # 64-bit id space — caught by the 8x probe under ANSI mode); the
+    # mod-2^32 result is exact and fits a double bit-for-bit
     u = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+        (
+            (F.col("doc_id").cast("decimal(38,0)") * F.lit(2654435761))
+            % F.lit(4294967296)
+        ).cast("double")
         + 0.5
     ) / 4294967296.0
     keyed = d.select(

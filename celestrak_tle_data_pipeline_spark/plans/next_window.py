@@ -1164,3 +1164,338 @@ def boilerplate_chunk_flagging(spark, sf_dir):
         .cast("bigint")
         .alias("docs_mostly_boilerplate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over each user's event-type sequence
+# --------------------------------------------------------------------------
+@register(
+    "markov_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS a,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id
+               ) AS b
+        FROM events
+    ),
+    trans AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT a AS from_type, b AS to_type, c AS n_transitions,
+           round(CAST(c AS DOUBLE)
+                 / SUM(c) OVER (PARTITION BY a), 9) AS p_transition
+    FROM trans
+    """,
+)
+def markov_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over each user's
+    event-type sequence — the behavioral fingerprint session analysis
+    and bot detection read (a user whose view→purchase probability is
+    10x the population's is either a whale or a replay): P(b|a) =
+    count(a→b)/count(a→·), adjacency by event time with event_id as
+    the deterministic tiebreak.
+
+    Counts are exact integers; each row probability is one division.
+    Plan: the LEAD runs in user-keyed windows (the sessionization
+    shuffle — co-partitioned, never global), transitions collapse in
+    one ≤ k² cell hash-aggregate, and the row-normalizing window
+    rides the ≤ k² cell frame. One shuffle on user_id, one on the
+    cell grid."""
+    e = t(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(wseq).alias("b"),
+    ).where(F.col("b").isNotNull())
+    trans = seq.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return trans.select(
+        F.col("a").alias("from_type"),
+        F.col("b").alias("to_type"),
+        F.col("c").alias("n_transitions"),
+        F.round(
+            F.col("c").cast("double")
+            / F.sum("c").over(Window.partitionBy("a")),
+            9,
+        ).alias("p_transition"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shannon entropy + Simpson index of the token distribution per source
+# --------------------------------------------------------------------------
+@register(
+    "shannon_simpson_diversity",
+    oracle="""
+    WITH uw AS (
+        SELECT source, UNNEST(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    tc AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM uw GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v,
+               CAST(SUM(c * (c - 1)) AS BIGINT) AS s2
+        FROM tc GROUP BY 1
+    ),
+    ent AS (
+        SELECT tc.source,
+               SUM(CAST(round(
+                   CAST(tc.c AS DOUBLE) / t.n
+                   * ln(CAST(tc.c AS DOUBLE) / t.n), 12)
+                   AS DECIMAL(38,12))) AS h_neg
+        FROM tc JOIN tot t ON tc.source = t.source
+        GROUP BY 1
+    )
+    SELECT t.source, t.n AS n_tokens, t.v AS vocab,
+           round(-CAST(e.h_neg AS DOUBLE), 6) AS shannon_nats,
+           round(1.0 - CAST(t.s2 AS DOUBLE)
+                       / (CAST(t.n AS DOUBLE) * (t.n - 1)), 9)
+               AS simpson_index,
+           round(-CAST(e.h_neg AS DOUBLE) / ln(CAST(t.v AS DOUBLE)), 9)
+               AS pielou_evenness
+    FROM tot t JOIN ent e ON t.source = e.source
+    """,
+)
+def shannon_simpson_diversity(spark, sf_dir):
+    """Token-distribution diversity per source: Shannon entropy
+    (nats), the unbiased Simpson diversity 1 − Σc(c−1)/(n(n−1)), and
+    Pielou evenness H/ln(V) — the corpus-health panel that
+    distinguishes a source with rich vocabulary from one repeating a
+    template (low entropy, low evenness) BEFORE the mixture weights
+    are chosen; complements Heaps/Zipf (X-series) which fit growth,
+    not balance.
+
+    Simpson is EXACT integer arithmetic until one division; Shannon
+    folds per-token p·ln(p) terms rounded to 1e-12 into a DECIMAL sum
+    — order-free, identical in both engines (each term is computed
+    from exact integer counts by one expression). Plan: token explode
+    collapses in a (source, token) hash aggregate; the entropy fold
+    is a second source-keyed aggregate over the vocab-grain frame."""
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    tot = tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("s2"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (
+        tc.join(F.broadcast(tot.select("source", "n")), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.round(p * F.log(p), 12).cast("decimal(38,12)")
+            ).alias("h_neg")
+        )
+    )
+    return tot.join(ent, "source").select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("vocab"),
+        F.round(-F.col("h_neg").cast("double"), 6).alias("shannon_nats"),
+        F.round(
+            1.0
+            - F.col("s2").cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1)),
+            9,
+        ).alias("simpson_index"),
+        F.round(
+            -F.col("h_neg").cast("double") / F.log(F.col("v").cast("double")),
+            9,
+        ).alias("pielou_evenness"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lincoln-Petersen capture-recapture population estimate
+# --------------------------------------------------------------------------
+@register(
+    "capture_recapture_lincoln",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi
+        FROM events
+    ),
+    marked AS (
+        SELECT DISTINCT user_id FROM events, bounds
+        WHERE 2 * epoch_us(ts) < lo + hi
+    ),
+    recap AS (
+        SELECT DISTINCT user_id FROM events, bounds
+        WHERE 2 * epoch_us(ts) >= lo + hi
+    ),
+    counts AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM marked) AS n1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM recap) AS n2,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM marked JOIN recap USING (user_id)) AS m
+    )
+    SELECT n1 AS first_half_users, n2 AS second_half_users,
+           m AS seen_in_both,
+           CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT)
+               AS chapman_estimate,
+           round(sqrt(CAST((n1 + 1) AS DOUBLE) * (n2 + 1) * (n1 - m)
+                      * (n2 - m)
+                      / ((m + 1.0) * (m + 1) * (m + 2))), 4)
+               AS std_error
+    FROM counts
+    """,
+)
+def capture_recapture_lincoln(spark, sf_dir):
+    """Chapman-corrected Lincoln-Petersen capture-recapture estimate
+    of the TOTAL user population from two observation windows (first
+    vs second half of the event range, split at the exact µs
+    midpoint): N̂ = (n₁+1)(n₂+1)/(m+1) − 1, with the standard error
+    of the Chapman estimator. The ecology estimator applied to its
+    warehouse use: how many users EXIST beyond the ones any single
+    window observes — the denominator reach/coverage metrics silently
+    need.
+
+    The midpoint split is integer-µs (2·ts < lo+hi — no float
+    midpoint), marked/recaptured are distinct-key sets, m is one
+    semi-join count; the estimate is integer DIV (exact in both
+    engines) and only the SE is float. Plan: one bounds aggregate
+    broadcast into two distinct-key passes + a key equi-join count —
+    all key-grain, no window."""
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.unix_micros("ts")).cast("bigint").alias("lo"),
+        F.max(F.unix_micros("ts")).cast("bigint").alias("hi"),
+    )
+    eb = e.crossJoin(F.broadcast(bounds))
+    marked = (
+        eb.where(2 * F.unix_micros("ts") < F.col("lo") + F.col("hi"))
+        .select("user_id")
+        .distinct()
+    )
+    recap = (
+        eb.where(2 * F.unix_micros("ts") >= F.col("lo") + F.col("hi"))
+        .select("user_id")
+        .distinct()
+    )
+    n1 = marked.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    n2 = recap.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    m = (
+        marked.join(recap, "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    c = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+    n1c, n2c, mc = F.col("n1"), F.col("n2"), F.col("m")
+    return c.select(
+        n1c.alias("first_half_users"),
+        n2c.alias("second_half_users"),
+        mc.alias("seen_in_both"),
+        F.expr("(n1 + 1) * (n2 + 1) DIV (m + 1) - 1")
+        .cast("bigint")
+        .alias("chapman_estimate"),
+        F.round(
+            F.sqrt(
+                (n1c + 1).cast("double")
+                * (n2c + 1)
+                * (n1c - mc)
+                * (n2c - mc)
+                / ((mc + F.lit(1.0)) * (mc + 1) * (mc + 2))
+            ),
+            4,
+        ).alias("std_error"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gumbel block maxima fit over weekly revenue peaks
+# --------------------------------------------------------------------------
+@register(
+    "gumbel_block_maxima",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    weekly AS (
+        SELECT d // 7 AS wk, CAST(MAX(v) AS BIGINT) AS mx
+        FROM daily GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(mx) AS BIGINT) AS s,
+               CAST(SUM(mx * mx) AS DECIMAL(38,0)) AS ss
+        FROM weekly
+    )
+    SELECT k AS n_blocks,
+           round(sqrt(6.0 * ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / k)
+                             / (k - 1))) / pi(), 4) AS gumbel_beta,
+           round(CAST(s AS DOUBLE) / k
+                 - 0.5772156649015329
+                   * sqrt(6.0 * ((CAST(ss AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * s / k)
+                                 / (k - 1))) / pi(), 4) AS gumbel_mu,
+           round(CAST(s AS DOUBLE) / k
+                 - 0.5772156649015329
+                   * sqrt(6.0 * ((CAST(ss AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * s / k)
+                                 / (k - 1))) / pi()
+                 - sqrt(6.0 * ((CAST(ss AS DOUBLE)
+                                - CAST(s AS DOUBLE) * s / k)
+                               / (k - 1))) / pi()
+                   * ln(-ln(1.0 - 1.0 / 52.0)), 2)
+               AS one_year_return_level_cents
+    FROM mom
+    """,
+)
+def gumbel_block_maxima(spark, sf_dir):
+    """Extreme-value analysis of revenue peaks: weekly block maxima of
+    the daily revenue series, Gumbel parameters by the method of
+    moments (β = s·√6/π, μ = x̄ − γβ with Euler-Mascheroni γ), and
+    the 52-week return level μ − β·ln(−ln(1−1/52)) — "the biggest
+    day to expect in a year", the capacity-planning number a mean+3σ
+    rule understates because daily revenue maxima are Gumbel-, not
+    normal-tailed.
+
+    Block maxima and both power sums are exact integers (cents);
+    the three outputs are single float expressions from them. Plan:
+    day rollup → week-max rollup → one 3-scalar moment fold; nothing
+    after the first aggregate exceeds the weekly frame."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg((F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("v"))
+    weekly = daily.groupBy(F.expr("d DIV 7").alias("wk")).agg(
+        F.max("v").cast("bigint").alias("mx")
+    )
+    mom = weekly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("mx").cast("bigint").alias("s"),
+        F.sum(F.col("mx") * F.col("mx")).cast("decimal(38,0)").alias("ss"),
+    )
+    k, s, ss = F.col("k"), F.col("s"), F.col("ss")
+    var = (ss.cast("double") - s.cast("double") * s / k) / (k - 1)
+    import math
+
+    beta = F.sqrt(6.0 * var) / math.pi
+    mu = s.cast("double") / k - 0.5772156649015329 * beta
+    return mom.select(
+        k.alias("n_blocks"),
+        F.round(beta, 4).alias("gumbel_beta"),
+        F.round(mu, 4).alias("gumbel_mu"),
+        F.round(
+            mu - beta * math.log(-math.log(1.0 - 1.0 / 52.0)), 2
+        ).alias("one_year_return_level_cents"),
+    )

@@ -127,8 +127,13 @@ def timed(qs, name, spark, sf_dir) -> float:
 
 
 def main(argv) -> int:
+    # usage: scale_probe.py [N [name ...]] — names override the routine
+    # QUERIES list; names not in the live registry fall back to the
+    # pre-staged next-window bank (plans/next_window.py).
     n = int(argv[0]) if argv else 8
+    names = tuple(argv[1:]) or QUERIES
     from celestrak_tle_data_pipeline_spark import plans
+    from celestrak_tle_data_pipeline_spark.plans import next_window
     from celestrak_tle_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="scale_probe")
@@ -137,9 +142,10 @@ def main(argv) -> int:
         print(f"building {n}x dataset under {out_dir} ...", file=sys.stderr)
         build_scaled(spark, n, out_dir)
 
-    qs = plans.all_queries()
+    qs = dict(next_window.NEXT_QUERIES)
+    qs.update(plans.all_queries())
     report = {}
-    for name in QUERIES:
+    for name in names:
         t1 = timed(qs, name, spark, BASE)
         tn = timed(qs, name, spark, out_dir)
         report[name] = {
