@@ -7,15 +7,20 @@ oracle-paired registration that is neither official nor windowed — the
 machine-checked form of the r7 verdict's rule that a query must land in
 its own round's official window or carry an explicit next-window tag.
 
-This module IS that next-window tag, as code: nine fully-built,
+This module IS that next-window tag, as code: fully-built,
 oracle-paired queries kept OUTSIDE the live registry (not in
 ``plans._MODULES``; local decorator, not ``plans.register``) so the
 debt invariant stays machine-true this round. They are verified today
 by ``tests/test_next_window.py`` with the exact canon/hash compare the
-driver gate uses (`tools/check.py`), at two scale factors. Round 9
-flips them live mechanically: import ``register`` from ``.`` instead of
-the local stub, add ``"next_window"`` to ``_MODULES``, and append the
-nine names to the fresh ``_PRIORITY`` window.
+driver gate uses (`tools/check.py`), at two scale factors, and probed
+at 8x (SCALING.md). Round 9 flips them live mechanically: import
+``register`` from ``.`` instead of the local stub, add
+``"next_window"`` to ``_MODULES``, and append the names to the fresh
+``_PRIORITY`` window. Names are checked against the live registry by
+the bank tests — a draft duplicating the already-registered
+``benford_first_digit`` was caught exactly that way, and drafts
+overlapping ``event_transition_matrix`` / ``mad_outlier_filter`` were
+dropped during review rather than shipped as padding.
 
 Every plan here is window-free (no unbounded ``Window.orderBy``): the
 time-series shapes (ACF, EWMA, Mann-Kendall) use bounded lag/triangular
@@ -746,7 +751,10 @@ def acf_ljung_box(spark, sf_dir):
 def ewma_control_chart(spark, sf_dir):
     """EWMA control chart over daily revenue (λ = 0.2, truncated at
     16 taps): the drift-sensitive process-control monitor that
-    catches small persistent shifts a Shewhart 3σ rule misses.
+    catches small persistent shifts a Shewhart 3σ rule misses. (The
+    per-user sequential EWMA kernel is ``ewma_anomaly_by_user`` —
+    applyInPandas, row i needs row i−1's result; this chart is its
+    series-level CLOSED-FORM sibling, JVM-only and window-free.)
     ewma_t = Σ_{j≤15} 0.8^j·v_{t−j} / Σ 0.8^j (self-normalizing at
     the series head), flagged when |v_t − ewma_t| exceeds 3σ̂ scaled
     by √((2−λ)/λ) — the steady-state EWMA limit.
@@ -809,129 +817,6 @@ def ewma_control_chart(spark, sf_dir):
             .otherwise(0)
             .cast("bigint")
             .alias("out_of_control"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# MAD robust outlier census per event type
-# --------------------------------------------------------------------------
-@register(
-    "mad_robust_outliers",
-    oracle="""
-    WITH pts AS (
-        SELECT event_type AS g,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-        FROM events
-    ),
-    cum AS (
-        SELECT g, v,
-               SUM(c) OVER (PARTITION BY g ORDER BY v
-                            ROWS UNBOUNDED PRECEDING) AS cc,
-               SUM(c) OVER (PARTITION BY g) AS n
-        FROM (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
-              FROM pts GROUP BY 1, 2)
-    ),
-    med AS (
-        SELECT g, CAST(MIN(v) AS BIGINT) AS med
-        FROM cum WHERE 2 * cc >= n GROUP BY g
-    ),
-    devs AS (
-        SELECT p.g, p.v, abs(p.v - m.med) AS z
-        FROM pts p JOIN med m ON p.g = m.g
-    ),
-    dcum AS (
-        SELECT g, z,
-               SUM(c) OVER (PARTITION BY g ORDER BY z
-                            ROWS UNBOUNDED PRECEDING) AS cc,
-               SUM(c) OVER (PARTITION BY g) AS n
-        FROM (SELECT g, z, CAST(COUNT(*) AS BIGINT) AS c
-              FROM devs GROUP BY 1, 2)
-    ),
-    mad AS (
-        SELECT g, CAST(MIN(z) AS BIGINT) AS mad
-        FROM dcum WHERE 2 * cc >= n GROUP BY g
-    )
-    SELECT d.g AS event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(MAX(m2.med) AS BIGINT) AS median_cents,
-           CAST(MAX(a.mad) AS BIGINT) AS mad_cents,
-           CAST(SUM(CASE WHEN 6745 * d.z > 35000 * a.mad
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-           CAST(MAX(CASE WHEN 6745 * d.z > 35000 * a.mad
-                         THEN d.v ELSE NULL END) AS BIGINT)
-               AS worst_value_cents
-    FROM devs d JOIN mad a ON d.g = a.g JOIN med m2 ON d.g = m2.g
-    GROUP BY 1
-    """,
-)
-def mad_robust_outliers(spark, sf_dir):
-    """Robust outlier census per event type via the median absolute
-    deviation: an event is an outlier when its modified z-score
-    0.6745·|v − med|/MAD exceeds 3.5 (Iglewicz-Hoaglin) — the
-    alerting rule that survives the heavy tails that wreck
-    mean/stddev z-scores (one whale purchase inflates σ and hides
-    every other anomaly; the MAD doesn't move).
-
-    Exactness: group medians and MADs are exact lower medians on the
-    integer-cents grid (the ``levene_brown_forsythe`` cumulative-
-    count device, applied twice); the 3.5 threshold is decided by
-    integer cross-multiplication (6745·z > 35000·MAD — no float
-    compare at the boundary). Plan: two value-grid rollups + two
-    broadcast joins; windows ride the per-group distinct-value grid,
-    never raw events."""
-    e = t(spark, sf_dir, "events")
-    pts = e.select(
-        F.col("event_type").alias("g"),
-        (dec("value", 18, 2) * 100).cast("bigint").alias("v"),
-    )
-
-    def lower_median(df, col, out):
-        dv = df.groupBy("g", col).agg(
-            F.count(F.lit(1)).cast("bigint").alias("c")
-        )
-        cum = dv.select(
-            "g",
-            col,
-            F.sum("c")
-            .over(
-                Window.partitionBy("g")
-                .orderBy(col)
-                .rowsBetween(Window.unboundedPreceding, 0)
-            )
-            .cast("bigint")
-            .alias("cc"),
-            F.sum("c")
-            .over(Window.partitionBy("g"))
-            .cast("bigint")
-            .alias("n"),
-        )
-        return (
-            cum.where(2 * F.col("cc") >= F.col("n"))
-            .groupBy("g")
-            .agg(F.min(col).cast("bigint").alias(out))
-        )
-
-    med = lower_median(pts, "v", "med")
-    devs = pts.join(F.broadcast(med), "g").select(
-        "g", "v", F.abs(F.col("v") - F.col("med")).alias("z")
-    )
-    mad = lower_median(devs.select("g", F.col("z").alias("v")), "v", "mad")
-    out = F.lit(6745) * F.col("z") > F.lit(35000) * F.col("mad")
-    return (
-        devs.join(F.broadcast(mad), "g")
-        .join(F.broadcast(med), "g")
-        .groupBy(F.col("g").alias("event_type"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.max("med").cast("bigint").alias("median_cents"),
-            F.max("mad").cast("bigint").alias("mad_cents"),
-            F.sum(F.when(out, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_outliers"),
-            F.max(F.when(out, F.col("v")))
-            .cast("bigint")
-            .alias("worst_value_cents"),
         )
     )
 
@@ -1163,65 +1048,6 @@ def boilerplate_chunk_flagging(spark, sf_dir):
         )
         .cast("bigint")
         .alias("docs_mostly_boilerplate"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Markov transition matrix over each user's event-type sequence
-# --------------------------------------------------------------------------
-@register(
-    "markov_transition_matrix",
-    oracle="""
-    WITH seq AS (
-        SELECT user_id, event_type AS a,
-               LEAD(event_type) OVER (
-                   PARTITION BY user_id
-                   ORDER BY ts, event_id
-               ) AS b
-        FROM events
-    ),
-    trans AS (
-        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
-        FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
-    )
-    SELECT a AS from_type, b AS to_type, c AS n_transitions,
-           round(CAST(c AS DOUBLE)
-                 / SUM(c) OVER (PARTITION BY a), 9) AS p_transition
-    FROM trans
-    """,
-)
-def markov_transition_matrix(spark, sf_dir):
-    """First-order Markov transition matrix over each user's
-    event-type sequence — the behavioral fingerprint session analysis
-    and bot detection read (a user whose view→purchase probability is
-    10x the population's is either a whale or a replay): P(b|a) =
-    count(a→b)/count(a→·), adjacency by event time with event_id as
-    the deterministic tiebreak.
-
-    Counts are exact integers; each row probability is one division.
-    Plan: the LEAD runs in user-keyed windows (the sessionization
-    shuffle — co-partitioned, never global), transitions collapse in
-    one ≤ k² cell hash-aggregate, and the row-normalizing window
-    rides the ≤ k² cell frame. One shuffle on user_id, one on the
-    cell grid."""
-    e = t(spark, sf_dir, "events")
-    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select(
-        F.col("event_type").alias("a"),
-        F.lead("event_type").over(wseq).alias("b"),
-    ).where(F.col("b").isNotNull())
-    trans = seq.groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    return trans.select(
-        F.col("a").alias("from_type"),
-        F.col("b").alias("to_type"),
-        F.col("c").alias("n_transitions"),
-        F.round(
-            F.col("c").cast("double")
-            / F.sum("c").over(Window.partitionBy("a")),
-            9,
-        ).alias("p_transition"),
     )
 
 
