@@ -1513,8 +1513,9 @@ def bloom_membership_sketch(spark, sf_dir):
     oracle="""
     SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           TRUE AS union_is_lossless,
-           TRUE AS within_3rsd
+           TRUE AS merged_within_3rsd,
+           TRUE AS direct_within_3rsd,
+           TRUE AS union_drift_under_1pct
     FROM events GROUP BY 1
     """,
 )
@@ -1525,12 +1526,21 @@ def hll_sketch_union_rollup(spark, sf_dir):
     (`hll_sketch_agg` per day, `hll_union_agg` up to weeks) must equal
     the direct weekly sketch — the exact algebraic-rollup shape of
     rollup_cascade_daily, but for the NON-ADDITIVE distinct count that
-    plain sums cannot cascade. Both estimates and the equality flag are
-    computed Spark-side; the ORACLE pins ``TRUE`` literals for
-    losslessness AND the 3·rsd error contract against its exact count
-    (rsd ≈ 1.04/√2¹² ≈ 1.6% at the default lgConfigK=12) — a sketch
-    that stops merging cleanly or drifts out of bound hash-fails the
-    driver gate (the approx_distinct_hll / zorder-gate pattern).
+    plain sums cannot cascade. Both estimates and the drift flags are
+    computed Spark-side; the ORACLE pins ``TRUE`` literals for the
+    3·rsd error contract of BOTH estimates against its exact count
+    (rsd ≈ 1.04/√2¹² ≈ 1.6% at the default lgConfigK=12) plus a ≤1%
+    merged-vs-direct drift bound — a sketch that stops merging cleanly
+    or drifts out of bound hash-fails the driver gate (the
+    approx_distinct_hll / zorder-gate pattern).
+
+    The union is NOT pinned bit-lossless: the sf0.1 sweep caught the
+    DataSketches union gadget (HLL_8 internal registers) estimating
+    ~0.4% below a directly-built HLL_4 sketch of the same keys
+    (1488 vs 1494 on 1500 exact) once cardinality leaves sparse mode
+    — a representation artifact sparse-mode small SFs masked, not
+    data loss; both estimates stay well inside the 3·rsd contract,
+    which is the bound a 100 TB rollup actually relies on.
 
     Scale shape: day-grain sketches are what you MATERIALIZE (each a
     few KB); every coarser grain unions sketches and never re-touches
@@ -1560,16 +1570,27 @@ def hll_sketch_union_rollup(spark, sf_dir):
         .select(
             "week",
             "exact_users",
-            (F.col("est_merged") == F.col("est_direct")).alias(
-                "union_is_lossless"
-            ),
             (
                 F.abs(
                     F.col("est_merged").cast("double")
                     - F.col("exact_users").cast("double")
                 )
                 <= F.lit(rsd3) * F.col("exact_users").cast("double")
-            ).alias("within_3rsd"),
+            ).alias("merged_within_3rsd"),
+            (
+                F.abs(
+                    F.col("est_direct").cast("double")
+                    - F.col("exact_users").cast("double")
+                )
+                <= F.lit(rsd3) * F.col("exact_users").cast("double")
+            ).alias("direct_within_3rsd"),
+            (
+                F.abs(
+                    F.col("est_merged").cast("double")
+                    - F.col("est_direct").cast("double")
+                )
+                <= 0.01 * F.col("exact_users").cast("double")
+            ).alias("union_drift_under_1pct"),
         )
     )
 

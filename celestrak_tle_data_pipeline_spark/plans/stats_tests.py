@@ -2051,9 +2051,9 @@ def spearman_rank_corr(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("rx2").cast("bigint").alias("sa"),
             F.sum("ry2").cast("bigint").alias("sb"),
-            F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("saa"),
-            F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("sbb"),
-            F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sab"),
+            F.sum(F.col("rx2").cast("decimal(38,0)") * F.col("rx2")).alias("saa"),
+            F.sum(F.col("ry2").cast("decimal(38,0)") * F.col("ry2")).alias("sbb"),
+            F.sum(F.col("rx2").cast("decimal(38,0)") * F.col("ry2")).alias("sab"),
         )
     )
     n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
@@ -2290,7 +2290,7 @@ def cusum_changepoint_scan(spark, sf_dir):
     tot = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("nd"),
         F.sum("v").cast("bigint").alias("tv"),
-        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("tvv"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("tvv"),
     )
     wday = Window.orderBy("d")
     walk = daily.select(
@@ -2413,12 +2413,12 @@ def partial_correlation_controls(spark, sf_dir):
         F.sum("x").cast("double").alias("sx"),
         F.sum("y").cast("double").alias("sy"),
         F.sum("z").cast("double").alias("sz"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
-        F.sum(F.col("z") * F.col("z")).cast("double").alias("szz"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("z")).cast("double").alias("sxz"),
-        F.sum(F.col("y") * F.col("z")).cast("double").alias("syz"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).cast("double").alias("szz"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("z")).cast("double").alias("sxz"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("z")).cast("double").alias("syz"),
     )
     n = F.col("n")
     rxy = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
@@ -2757,7 +2757,7 @@ def levene_brown_forsythe(spark, sf_dir):
     grp = z.groupBy("g").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("z").cast("double").alias("s"),
-        F.sum(F.col("z") * F.col("z")).cast("double").alias("ss"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).cast("double").alias("ss"),
     )
     m = grp.agg(
         F.count(F.lit(1)).cast("double").alias("k"),
@@ -2937,7 +2937,9 @@ def grubbs_max_outlier(spark, sf_dir):
     s = daily.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("v").cast("double").alias("sv"),
-        F.sum(F.col("v") * F.col("v")).cast("double").alias("svv"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        .cast("double")
+        .alias("svv"),
     )
     scored = daily.crossJoin(F.broadcast(s)).select(
         "d",
