@@ -1325,3 +1325,121 @@ def gumbel_block_maxima(spark, sf_dir):
             mu - beta * math.log(-math.log(1.0 - 1.0 / 52.0)), 2
         ).alias("one_year_return_level_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Friedman test (blocked rank ANOVA: event types ranked within days)
+# --------------------------------------------------------------------------
+@register(
+    "friedman_blocked_ranks",
+    oracle="""
+    WITH cell AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               event_type AS g,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    complete AS (
+        SELECT d FROM cell GROUP BY d
+        HAVING COUNT(*) = (SELECT COUNT(DISTINCT g) FROM cell)
+    ),
+    ranked AS (
+        SELECT c.d, c.g,
+               CAST(RANK() OVER (PARTITION BY c.d ORDER BY c.v)
+                    AS BIGINT) * 2
+               + CAST(COUNT(*) OVER (PARTITION BY c.d, c.v) AS BIGINT)
+               - 1 AS rank2
+        FROM cell c JOIN complete USING (d)
+    ),
+    rsum AS (
+        SELECT g, CAST(SUM(rank2) AS BIGINT) AS r2
+        FROM ranked GROUP BY g
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(r2 * r2) AS BIGINT) AS sq,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM complete) AS n
+        FROM rsum
+    )
+    SELECT n AS n_blocks, k AS n_treatments,
+           CAST(k - 1 AS BIGINT) AS dof,
+           round(3.0 * CAST(sq AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * k * (k + 1))
+                 - 3.0 * n * (k + 1), 6) + 0.0 AS friedman_chi2
+    FROM fold
+    """,
+)
+def friedman_blocked_ranks(spark, sf_dir):
+    """Friedman test — the BLOCKED nonparametric ANOVA the k-sample
+    tests can't replace: within every complete day (block), the five
+    event types (treatments) are ranked by their daily revenue, and
+    χ²_F = 12/(nk(k+1))·Σ R_j² − 3n(k+1) asks whether any type
+    systematically out-ranks the others ACROSS days — day-level
+    volume shifts cancel by construction, which is exactly what the
+    unblocked Kruskal-Wallis cannot do (a high-traffic day inflates
+    every type's values together and drowns the between-type
+    signal). Days missing any type are excluded (complete-block
+    design), k from the data.
+
+    Exactness: per-cell revenues are integer cents; within-day ranks
+    are 2x-scaled integers (ties → average rank, exact), so Σ R_j² =
+    Σ R2_j²/4 folds as pure integers — the 12/4 = 3 coefficient in
+    the final expression is that substitution, computed identically
+    in both engines. Plan: one (day, type) rollup, a semi-join on
+    complete days, ranks in day-partitioned windows over the ≤ k-row
+    per-day frames, one treatment rollup — no global sort, no
+    single-partition exchange."""
+    e = t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d"),
+        F.col("event_type").alias("g"),
+    ).agg((F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("v"))
+    cell = cell.persist()
+    k_all = cell.agg(
+        F.countDistinct("g").cast("bigint").alias("k_all")
+    )
+    complete = (
+        cell.groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+        .crossJoin(F.broadcast(k_all))
+        .where(F.col("nt") == F.col("k_all"))
+        .select("d")
+    )
+    wday = Window.partitionBy("d").orderBy("v")
+    rank2 = (
+        F.rank().over(wday).cast("bigint") * 2
+        + F.count(F.lit(1))
+        .over(Window.partitionBy("d", "v"))
+        .cast("bigint")
+        - 1
+    )
+    ranked = cell.join(complete, "d").select(
+        "g", rank2.alias("rank2")
+    )
+    rsum = ranked.groupBy("g").agg(
+        F.sum("rank2").cast("bigint").alias("r2")
+    )
+    nb = complete.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    fold = rsum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("r2") * F.col("r2")).cast("bigint").alias("sq"),
+    ).crossJoin(F.broadcast(nb))
+    n, k = F.col("n"), F.col("k")
+    return fold.select(
+        n.alias("n_blocks"),
+        k.alias("n_treatments"),
+        (k - 1).cast("bigint").alias("dof"),
+        (
+            F.round(
+                3.0
+                * F.col("sq").cast("double")
+                / (n.cast("double") * k * (k + 1))
+                - 3.0 * n * (k + 1),
+                6,
+            )
+            + 0.0
+        ).alias("friedman_chi2"),
+    )
