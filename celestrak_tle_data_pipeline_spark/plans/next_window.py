@@ -1443,3 +1443,208 @@ def friedman_blocked_ranks(spark, sf_dir):
             + 0.0
         ).alias("friedman_chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Log-rank test between weekend- and weekday-started session cohorts
+# --------------------------------------------------------------------------
+@register(
+    "log_rank_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE
+                 OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    grouped AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    bounds AS (SELECT MAX(ts) AS mx FROM events),
+    sessions AS (
+        SELECT date_diff('minute', MIN(ts), MAX(ts)) AS dur,
+               CASE WHEN MAX(ts) <= (SELECT mx FROM bounds)
+                                    - INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS completed,
+               CASE WHEN CAST(epoch_us(MIN(ts)) // 86400000000 + 4 AS
+                             BIGINT) % 7 >= 5
+                    THEN 1 ELSE 0 END AS wkend
+        FROM grouped GROUP BY user_id, session_id
+    ),
+    grid AS (
+        SELECT dur,
+               CAST(SUM(CASE WHEN wkend = 1 AND completed = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+               CAST(SUM(completed) AS BIGINT) AS d,
+               CAST(SUM(wkend) AS BIGINT) AS e1,
+               CAST(COUNT(*) AS BIGINT) AS e
+        FROM sessions GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d1, d,
+               SUM(e1) OVER (ORDER BY dur DESC
+                             ROWS UNBOUNDED PRECEDING) AS n1,
+               SUM(e) OVER (ORDER BY dur DESC
+                            ROWS UNBOUNDED PRECEDING) AS n
+        FROM grid
+    ),
+    fold AS (
+        SELECT SUM(CAST(round(d1 - d * CAST(n1 AS DOUBLE) / n, 9)
+                        AS DECIMAL(38,9))) AS oe,
+               SUM(CAST(round(
+                   CASE WHEN n > 1 THEN
+                       d * (CAST(n1 AS DOUBLE) / n)
+                         * (1.0 - CAST(n1 AS DOUBLE) / n)
+                         * (n - d) / (n - 1)
+                   ELSE 0 END, 9) AS DECIMAL(38,9))) AS v,
+               CAST(SUM(d1) AS BIGINT) AS deaths_wkend,
+               CAST(SUM(d) AS BIGINT) AS deaths_total
+        FROM risk WHERE d > 0
+    )
+    SELECT deaths_wkend, deaths_total,
+           round(CAST(oe AS DOUBLE), 6) + 0.0 AS o_minus_e,
+           round(CAST(oe AS DOUBLE) / sqrt(CAST(v AS DOUBLE)), 6) + 0.0
+               AS log_rank_z
+    FROM fold
+    """,
+)
+def log_rank_sessions(spark, sf_dir):
+    """Log-rank test between weekend-started and weekday-started
+    session cohorts — the two-sample companion the survival pair
+    (``kaplan_meier_sessions`` / ``nelson_aalen_hazard``) needs to
+    say whether two survival curves DIFFER, not just what each looks
+    like: at every distinct session duration with deaths, O₁−E₁ =
+    d₁ − d·n₁/n against the hypergeometric variance, Z = Σ(O−E)/√ΣV.
+    Session grain, censoring rule (alive within 30 min of the window
+    edge), and the 30-minute gap are IDENTICAL to the KM query, so
+    the three read as one survival-analysis surface; the cohort flag
+    (first event on Sat/Sun, Thursday-anchored epoch-day arithmetic —
+    locale-free) is decided per session at birth.
+
+    Exactness: per-duration death/ending counts and both risk-set
+    suffix sums are exact integers; each duration's O−E and V terms
+    are rounded to 1e-9 and folded in DECIMAL (order-free); Z is one
+    float expression. Plan: the sessionization shuffle (user-keyed
+    windows), one (duration, cohort) rollup, suffix sums on the
+    duration GRID (domain-bounded, ~minutes — the calendar-class
+    frame), one fold."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    grouped = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    mx = e.agg(F.max(F.unix_micros("ts")).alias("mx_us"))
+    sessions = (
+        grouped.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s_ts"),
+            F.max("ts").alias("e_ts"),
+        )
+        .withColumn("lo_us", F.unix_micros("s_ts"))
+        .withColumn("hi_us", F.unix_micros("e_ts"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            # minute-BOUNDARY count (DuckDB date_diff semantics), the
+            # same rule kaplan_meier_sessions pins — not floored elapsed
+            (
+                (
+                    F.unix_micros(F.date_trunc("minute", "e_ts"))
+                    - F.unix_micros(F.date_trunc("minute", "s_ts"))
+                )
+                / 60_000_000
+            )
+            .cast("bigint")
+            .alias("dur"),
+            F.when(
+                F.col("hi_us") <= F.col("mx_us") - 30 * 60 * 1_000_000, 1
+            )
+            .otherwise(0)
+            .alias("completed"),
+            F.when(
+                (F.floor(F.col("lo_us") / 86_400_000_000) + 4) % 7 >= 5, 1
+            )
+            .otherwise(0)
+            .alias("wkend"),
+        )
+    )
+    grid = sessions.groupBy("dur").agg(
+        F.sum(F.col("wkend") * F.col("completed"))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("completed").cast("bigint").alias("d"),
+        F.sum("wkend").cast("bigint").alias("e1"),
+        F.count(F.lit(1)).cast("bigint").alias("e"),
+    )
+    wrev = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = grid.select(
+        "dur",
+        "d1",
+        "d",
+        F.sum("e1").over(wrev).cast("bigint").alias("n1"),
+        F.sum("e").over(wrev).cast("bigint").alias("n"),
+    ).where(F.col("d") > 0)
+    p1 = F.col("n1").cast("double") / F.col("n")
+    fold = risk.agg(
+        F.sum(
+            F.round(F.col("d1") - F.col("d") * p1, 9).cast(
+                "decimal(38,9)"
+            )
+        ).alias("oe"),
+        F.sum(
+            F.round(
+                F.when(
+                    F.col("n") > 1,
+                    F.col("d")
+                    * p1
+                    * (1.0 - p1)
+                    * (F.col("n") - F.col("d"))
+                    / (F.col("n") - 1),
+                ).otherwise(0.0),
+                9,
+            ).cast("decimal(38,9)")
+        ).alias("v"),
+        F.sum("d1").cast("bigint").alias("deaths_wkend"),
+        F.sum("d").cast("bigint").alias("deaths_total"),
+    )
+    return fold.select(
+        "deaths_wkend",
+        "deaths_total",
+        (F.round(F.col("oe").cast("double"), 6) + 0.0).alias("o_minus_e"),
+        (
+            F.round(
+                F.col("oe").cast("double")
+                / F.sqrt(F.col("v").cast("double")),
+                6,
+            )
+            + 0.0
+        ).alias("log_rank_z"),
+    )
