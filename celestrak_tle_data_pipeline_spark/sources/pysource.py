@@ -31,6 +31,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -156,10 +157,73 @@ class TLESimpleStreamReader(SimpleDataSourceStreamReader):
                 yield from self._rows_of(n)
 
 
+class TLEPartitionedStreamReader(DataSourceStreamReader):
+    """The FIREHOSE half the simple reader's scale note promises: the
+    partition-planned ``DataSourceStreamReader`` with the SAME offset
+    algebra (offset = sorted consumed-file set, batch = end − start),
+    but where the driver only ever LISTS — every file in a batch
+    becomes one ``InputPartition`` and its bytes are opened, read, and
+    parsed on EXECUTORS, file-grain parallel, exactly like the batch
+    ``TLEFileReader``.
+
+    Contrast with ``TLESimpleStreamReader`` (driver-side prefetch,
+    right for one-file-per-cron feeds): here a micro-batch of 10,000
+    landed files fans out as 10,000 partitions across the cluster and
+    the driver's cost stays O(listing). Offset determinism is
+    identical — ``partitions(start, end)`` derives purely from the two
+    offsets, so a crash-replayed batch plans the same partitions and
+    yields the same rows (exactly-once under the micro-batch
+    contract). The ``settleSeconds`` landing contract is shared via
+    the same listing gate."""
+
+    def __init__(self, options):
+        self._root = options.get("path")
+        if not self._root:
+            raise ValueError("tle source requires a 'path' option")
+        self._settle_s = float(options.get("settleSeconds", 0) or 0)
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _listing(self) -> list[str]:
+        import time
+
+        cutoff = time.time() - self._settle_s
+        return sorted(
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(self._root, "*"))
+            if os.path.isfile(p)
+            and (self._settle_s <= 0 or os.path.getmtime(p) <= cutoff)
+        )
+
+    def latestOffset(self) -> dict:
+        return {"files": self._listing()}
+
+    def partitions(self, start: dict, end: dict):
+        seen = set(start["files"])
+        return [
+            _FilePartition(os.path.join(self._root, n))
+            for n in end["files"]
+            if n not in seen
+        ]
+
+    def read(self, partition):
+        # executor-side: open + parse ONE landed file (the driver never
+        # touches payload bytes on this path)
+        with open(partition.path, encoding="utf-8") as fh:
+            payload = fh.read()
+        fname = os.path.basename(partition.path)
+        for name, l1, l2 in split_triples(payload):
+            yield (name, l1, l2, fname)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; nothing source-side
+
+
 class TLEDataSource(DataSource):
     """``spark.read.format("tle").option("path", dir)`` → triples;
     ``spark.readStream.format("tle")`` tails the same directory with
-    identical parse semantics."""
+    identical parse semantics (driver-prefetch simple reader)."""
 
     @classmethod
     def name(cls) -> str:
@@ -176,3 +240,29 @@ class TLEDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return TLESimpleStreamReader(self.options)
+
+
+class TLEFirehoseDataSource(DataSource):
+    """``spark.readStream.format("tle_firehose")`` — the same TLE
+    landing-dir stream through the partition-planned reader
+    (executor-side reads, file-grain parallelism). A separate format
+    name because Spark prefers ``streamReader`` over
+    ``simpleStreamReader`` when both exist on one source; keeping two
+    names keeps both paths independently certifiable. Batch reads are
+    identical to ``tle`` (same ``TLEFileReader``)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tle_firehose"
+
+    def schema(self) -> str:
+        return (
+            "sat_name_raw string, line1 string, line2 string, "
+            "src_file string"
+        )
+
+    def reader(self, schema):
+        return TLEFileReader(self.options)
+
+    def streamReader(self, schema):
+        return TLEPartitionedStreamReader(self.options)

@@ -164,3 +164,81 @@ def test_stream_reader_settle_window_defers_fresh_files(tmp_path):
     rdr0 = TLESimpleStreamReader({"path": str(land)})
     rows0, _ = rdr0.read(rdr0.initialOffset())
     assert sorted(r[3] for r in rows0) == ["fresh.tle", "old.tle"]
+
+
+def test_firehose_stream_partition_planned_parity(spark, tmp_path):
+    """The partition-planned firehose reader: same offset algebra as
+    the simple reader, but every landed file is read on EXECUTORS as
+    its own InputPartition. Pins: exactly-once across drains of one
+    checkpoint, restart no-op, stream union == batch read, and
+    file-grain partition planning (partitions(start, end) = one per
+    new file, derived purely from the offsets)."""
+    from celestrak_tle_data_pipeline_spark.sources.pysource import (
+        TLEFirehoseDataSource,
+        TLEPartitionedStreamReader,
+    )
+
+    spark.dataSource.register(TLEFirehoseDataSource)
+    land = tmp_path / "fland"
+    land.mkdir()
+    ckpt = str(tmp_path / "fck")
+
+    got: list = []
+
+    def drain():
+        src = (
+            spark.readStream.format("tle_firehose")
+            .option("path", str(land))
+            .load()
+        )
+        q = (
+            src.writeStream.foreachBatch(
+                lambda df, _id: got.extend(map(tuple, df.collect()))
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    (land / "a.txt").write_text(_payload(45001))
+    drain()
+    assert len(got) == 1 and got[0][3] == "a.txt"
+
+    # two more files in one batch; same checkpoint reads ONLY them
+    (land / "b.txt").write_text(_payload(45002) + _payload(45003))
+    (land / "c.txt").write_text(_payload(45004))
+    drain()
+    assert len(got) == 4
+
+    # restart with nothing new: no duplicates
+    drain()
+    assert len(got) == 4
+
+    batch = (
+        spark.read.format("tle_firehose")
+        .option("path", str(land))
+        .load()
+    )
+    assert sorted(got) == sorted(map(tuple, batch.collect()))
+
+    # partition planning is pure offset algebra: end − start, one
+    # partition per NEW file, independent of disk state ordering
+    r = TLEPartitionedStreamReader({"path": str(land)})
+    parts = r.partitions(
+        {"files": ["a.txt"]}, {"files": ["a.txt", "b.txt", "c.txt"]}
+    )
+    assert sorted(p.path.split("/")[-1] for p in parts) == [
+        "b.txt",
+        "c.txt",
+    ]
+    assert r.partitions({"files": []}, {"files": []}) == []
+
+    # replay determinism: the same (start, end) pair plans the same
+    # partitions and re-reading them yields the same rows
+    again = r.partitions(
+        {"files": ["a.txt"]}, {"files": ["a.txt", "b.txt", "c.txt"]}
+    )
+    rows1 = sorted(row for p in parts for row in r.read(p))
+    rows2 = sorted(row for p in again for row in r.read(p))
+    assert rows1 == rows2 and len(rows1) == 3
