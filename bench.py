@@ -65,6 +65,10 @@ QUERIES = [
     "mmr_diversified_topk",     # bounded-pool Arrow greedy kernel (r6)
     "systematic_weighted_sample",   # ranged PPS cumsum, no global window (r7)
     "pareto_decile_ranged",     # boundary-broadcast decile twin (r7)
+    "referential_integrity_audit",  # six anti-join FK orphan counts (r8)
+    "interval_coalesce_union",  # running-max interval sweep (r8)
+    "spearman_rank_corr",       # double ranged-rank machinery (r8)
+    "bpe_pair_merge_step",      # pair explode + hash agg + TakeOrdered (r8)
 ]
 
 
