@@ -1648,3 +1648,252 @@ def log_rank_sessions(spark, sf_dir):
             + 0.0
         ).alias("log_rank_z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Jarque-Bera normality test on event values
+# --------------------------------------------------------------------------
+@register(
+    "jarque_bera_normality",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM events
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s1,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+                   AS s2,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * x)
+                    AS DECIMAL(38,0)) AS s3,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * x * x)
+                    AS DECIMAL(38,0)) AS s4
+        FROM v
+    ),
+    cm AS (
+        SELECT n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   AS m2,
+               CAST(s3 AS DOUBLE) / n
+                   - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s2 AS DOUBLE) / n)
+                   + 2.0 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n) AS m3,
+               CAST(s4 AS DOUBLE) / n
+                   - 4.0 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s3 AS DOUBLE) / n)
+                   + 6.0 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s2 AS DOUBLE) / n)
+                   - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n) AS m4
+        FROM mom
+    )
+    SELECT n AS n_events,
+           round(m3 / (m2 * sqrt(m2)), 9) + 0.0 AS skewness,
+           round(m4 / (m2 * m2), 9) AS kurtosis,
+           round(n / 6.0 * ((m3 / (m2 * sqrt(m2)))
+                            * (m3 / (m2 * sqrt(m2)))
+                            + (m4 / (m2 * m2) - 3.0)
+                              * (m4 / (m2 * m2) - 3.0) / 4.0), 6)
+               AS jarque_bera
+    FROM cm
+    """,
+)
+def jarque_bera_normality(spark, sf_dir):
+    """Jarque-Bera normality test on event values — the one check no
+    registered query makes: skewness S = m₃/m₂^1.5 and kurtosis K =
+    m₄/m₂² from the first four power sums, JB = n/6·(S² + (K−3)²/4).
+    The gate a pipeline runs BEFORE trusting mean±kσ alerting or a
+    t-test on raw values (the heavy-tailed event values here fail it
+    spectacularly — which is precisely the point: it justifies the
+    registry's rank/robust tier).
+
+    Exactness: all four raw power sums are exact integers on cents —
+    x⁴ rides DECIMAL(38,0) from the first multiply (cents⁴ overflows
+    int64 per ROW at ~$2k values; Σx⁴ stays < 10³⁸ through ~10¹³
+    rows); the central-moment conversion and JB are one identical
+    float expression tree in both engines. Plan: ONE hash aggregate
+    over events, scalar algebra on the 1-row fold."""
+    e = t(spark, sf_dir, "events")
+    x = (dec("value", 18, 2) * 100).cast("bigint")
+    xd = x.cast("decimal(38,0)")
+    mom = e.select(x.alias("x"), xd.alias("xd")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("xd") * F.col("x")).alias("s2"),
+        F.sum(F.col("xd") * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(
+            F.col("xd") * F.col("x") * F.col("x") * F.col("x")
+        ).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - mu * mu
+    m3 = r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu
+    m4 = r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu
+    s = m3 / (m2 * F.sqrt(m2))
+    k = m4 / (m2 * m2)
+    return mom.select(
+        n.alias("n_events"),
+        (F.round(s, 9) + 0.0).alias("skewness"),
+        F.round(k, 9).alias("kurtosis"),
+        F.round(
+            n / 6.0 * (s * s + (k - 3.0) * (k - 3.0) / 4.0), 6
+        ).alias("jarque_bera"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Durbin-Watson statistic on daily-revenue trend residuals
+# --------------------------------------------------------------------------
+@register(
+    "durbin_watson_trend_residuals",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d) AS BIGINT) AS sd,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(d AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                   AS sdy,
+               CAST(SUM(CAST(d AS DECIMAL(38,0)) * d) AS DECIMAL(38,0))
+                   AS sdd
+        FROM daily
+    ),
+    beta AS (
+        SELECT n,
+               (n * CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * sy)
+               / (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd)
+                   AS b,
+               (CAST(sy AS DOUBLE)
+                - (n * CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * sy)
+                  / (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd)
+                  * sd) / n AS a
+        FROM fit
+    ),
+    resid AS (
+        SELECT daily.d, daily.y - (beta.a + beta.b * daily.d) AS e
+        FROM daily, beta
+    ),
+    folds AS (
+        SELECT
+            (SELECT SUM(CAST(round(e * e, 6) AS DECIMAL(38,6)))
+             FROM resid) AS sse,
+            (SELECT SUM(CAST(round((r2.e - r1.e) * (r2.e - r1.e), 6)
+                             AS DECIMAL(38,6)))
+             FROM resid r1 JOIN resid r2 ON r2.d = r1.d + 1) AS sdiff,
+            (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM resid r1 JOIN resid r2 ON r2.d = r1.d + 1)
+                AS n_consecutive
+    )
+    SELECT (SELECT n FROM beta) AS n_days, n_consecutive,
+           round((SELECT b FROM beta), 6) + 0.0 AS trend_slope,
+           round(CAST(sdiff AS DOUBLE) / CAST(sse AS DOUBLE), 6)
+               AS durbin_watson
+    FROM folds
+    """,
+)
+def durbin_watson_trend_residuals(spark, sf_dir):
+    """Durbin-Watson statistic on the residuals of the daily-revenue
+    linear trend — the serial-correlation check that tells you
+    whether the OLS trend line's error bars are lies: DW =
+    Σ(e_t−e_{t−1})²/Σe_t² ≈ 2(1−ρ₁); DW ≪ 2 means positively
+    autocorrelated residuals (the usual case on business series) and
+    every naive confidence interval on the slope is too narrow.
+    Closes the regression loop: `ols_normal_equations` fits,
+    `acf_ljung_box` tests the raw series, THIS tests what remains
+    after detrending.
+
+    Exactness: the trend fit comes from exact integer sums (day index
+    × cents ride DECIMAL(38,0)); residuals are one identical float
+    expression per day; both folds (SSE and the consecutive-day
+    difference sum) round terms to 1e-6 and sum in DECIMAL —
+    order-free. Consecutive pairs come from a d = d+1 self-join on
+    the day grid (gaps excluded in both engines identically — no lag
+    window). Plan: one day rollup, a 5-scalar fit broadcast back, a
+    bounded calendar-grid self-join."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.floor(F.unix_micros("ts") / 86_400_000_000)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg((F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("y"))
+        .persist()
+    )
+    fit = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("y")).alias("sdy"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("sdd"),
+    )
+    n = F.col("n")
+    b = (
+        n * F.col("sdy").cast("double")
+        - F.col("sd").cast("double") * F.col("sy")
+    ) / (
+        n * F.col("sdd").cast("double")
+        - F.col("sd").cast("double") * F.col("sd")
+    )
+    beta = fit.select(
+        "n", b.alias("b"),
+        (
+            (F.col("sy").cast("double") - b * F.col("sd")) / n
+        ).alias("a"),
+    )
+    resid = daily.crossJoin(F.broadcast(beta)).select(
+        "d",
+        (F.col("y") - (F.col("a") + F.col("b") * F.col("d"))).alias("e"),
+        "n",
+        "b",
+    ).persist()
+    sse = resid.agg(
+        F.sum(
+            F.round(F.col("e") * F.col("e"), 6).cast("decimal(38,6)")
+        ).alias("sse")
+    )
+    r1, r2 = resid.alias("r1"), resid.alias("r2")
+    diff = r1.join(
+        F.broadcast(r2), F.col("r2.d") == F.col("r1.d") + 1
+    ).agg(
+        F.sum(
+            F.round(
+                (F.col("r2.e") - F.col("r1.e"))
+                * (F.col("r2.e") - F.col("r1.e")),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("sdiff"),
+        F.count(F.lit(1)).cast("bigint").alias("n_consecutive"),
+    )
+    nb = resid.select("n", "b").limit(1)
+    return (
+        sse.crossJoin(F.broadcast(diff))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("n").alias("n_days"),
+            "n_consecutive",
+            (F.round(F.col("b"), 6) + 0.0).alias("trend_slope"),
+            F.round(
+                F.col("sdiff").cast("double")
+                / F.col("sse").cast("double"),
+                6,
+            ).alias("durbin_watson"),
+        )
+    )
