@@ -1897,3 +1897,140 @@ def durbin_watson_trend_residuals(spark, sf_dir):
             ).alias("durbin_watson"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding dimension covariance / correlation block (drift + whitening)
+# --------------------------------------------------------------------------
+@register(
+    "embedding_dim_covariance",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id, i.i AS i,
+               CAST(embedding[i.i] AS DECIMAL(18,9)) AS x
+        FROM embeddings,
+             LATERAL (SELECT UNNEST(generate_series(1, 8)) AS i) i
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM el),
+    pair AS (
+        SELECT a.i AS i, b.i AS j,
+               SUM(a.x * b.x) AS sxy
+        FROM el a JOIN el b
+          ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+    ),
+    mean AS (
+        SELECT i, SUM(x) AS sx FROM el GROUP BY 1
+    ),
+    cov AS (
+        -- sxy is DECIMAL scale 18: its scaled integer exceeds 2^53,
+        -- where DuckDB's decimal->double path double-rounds; round to
+        -- scale 12 first (same op both engines) so the cast is exact
+        SELECT p.i, p.j,
+               CAST(CAST(round(p.sxy, 12) AS DECIMAL(38,12)) AS DOUBLE)
+                   / n.n
+               - (CAST(ma.sx AS DOUBLE) / n.n)
+                 * (CAST(mb.sx AS DOUBLE) / n.n) AS c
+        FROM pair p
+        JOIN mean ma ON p.i = ma.i
+        JOIN mean mb ON p.j = mb.i
+        CROSS JOIN n
+    )
+    SELECT CAST(c1.i AS BIGINT) AS dim_i, CAST(c1.j AS BIGINT) AS dim_j,
+           round(c1.c, 9) + 0.0 AS covariance,
+           -- correlation from the ROUND-9 covariances: the unrounded
+           -- doubles can differ in the last ulps across engines (float
+           -- cast ties), and the ratio amplifies that past round(9);
+           -- the rounded inputs are bit-identical by the line above
+           round(round(c1.c, 9)
+                 / sqrt(round(dii.c, 9) * round(djj.c, 9)), 9) + 0.0
+               AS correlation
+    FROM cov c1
+    JOIN cov dii ON dii.i = c1.i AND dii.j = c1.i
+    JOIN cov djj ON djj.i = c1.j AND djj.j = c1.j
+    """,
+)
+def embedding_dim_covariance(spark, sf_dir):
+    """Embedding-dimension covariance/correlation block (dims 1-8,
+    upper triangle) — the drift/whitening primitive the vector tier
+    lacked: correlated dimensions mean the embedding space is not
+    isotropic (PCA-whitening or learned projections change recall),
+    and a covariance SHIFT between two snapshots is embedding-model
+    drift the per-dimension means miss. The 8×8 block certifies the
+    plan; the full d×d Gram is the identical shape (the d² cell
+    count, not the row count, bounds the output).
+
+    Exactness: float32 elements cast to DECIMAL(18,9) (deterministic
+    double→decimal rounding, the repo's `dec` doctrine), so Σx and
+    Σx·y are EXACT decimal folds at any partitioning; covariance and
+    correlation are identical float expressions from them. Plan: one
+    8-way posexplode (map-side), one vec_id-keyed self-join for the
+    36 pair products collapsing straight into a (i,j) hash aggregate,
+    means and the diagonal joined on the 36-row cell frame. At 100 TB
+    the only data-sized cost is the explode + hash agg — the
+    covariance accumulates map-side exactly like the OLS Gram."""
+    emb = t(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "xf")
+    ).where(F.col("p") < 8).select(
+        "vec_id",
+        (F.col("p") + 1).cast("bigint").alias("i"),
+        F.col("xf").cast("decimal(18,9)").alias("x"),
+    ).persist()
+    n = el.agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n")
+    )
+    a, b = el.alias("a"), el.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.i") <= F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"))
+    )
+    mean = el.groupBy("i").agg(F.sum("x").alias("sx"))
+    ma = mean.select(F.col("i").alias("i"), F.col("sx").alias("sxa"))
+    mb = mean.select(F.col("i").alias("j"), F.col("sx").alias("sxb"))
+    nn = F.col("n")
+    cov = (
+        pair.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (
+                F.round(F.col("sxy"), 12).cast("double") / nn
+                - (F.col("sxa").cast("double") / nn)
+                * (F.col("sxb").cast("double") / nn)
+            ).alias("c"),
+        )
+        .persist()
+    )
+    diag = cov.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("dd"), F.col("c").alias("cd")
+    )
+    dii = diag.select(F.col("dd").alias("i"), F.col("cd").alias("cii"))
+    djj = diag.select(F.col("dd").alias("j"), F.col("cd").alias("cjj"))
+    return (
+        cov.join(F.broadcast(dii), "i")
+        .join(F.broadcast(djj), "j")
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            (F.round(F.col("c"), 9) + 0.0).alias("covariance"),
+            (
+                F.round(
+                    F.round(F.col("c"), 9)
+                    / F.sqrt(
+                        F.round(F.col("cii"), 9)
+                        * F.round(F.col("cjj"), 9)
+                    ),
+                    9,
+                )
+                + 0.0
+            ).alias("correlation"),
+        )
+    )
