@@ -72,6 +72,12 @@ _MODULES = (
 # but-never-official set is EMPTY by construction
 # (``tests/test_registry.py::test_no_new_official_debt`` machine-checks
 # this, so the debt class cannot recur silently).
+#
+# Work produced AFTER the window filled is pre-staged in
+# ``plans/next_window.py`` (16 oracle-paired queries, gate-mirror
+# verified at two SFs by ``tests/test_next_window.py``, 8x/64x-probed)
+# and registers in round 9 — see that module's docstring for the
+# mechanical flip.
 _PRIORITY = (
     # --- the 25-name backlog: 20 pledged names (r6/r7 rotation comments) ---
     "sql_lateral_topn_per_segment",
