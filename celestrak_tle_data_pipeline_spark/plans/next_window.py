@@ -22,12 +22,16 @@ the bank tests — a draft duplicating the already-registered
 overlapping ``event_transition_matrix`` / ``mad_outlier_filter`` were
 dropped during review rather than shipped as padding.
 
-Every plan here is window-free (no unbounded ``Window.orderBy``): the
-time-series shapes (ACF, EWMA, Mann-Kendall) use bounded lag/triangular
-joins on the day-grain calendar domain; ranking reuses the
-range-partition + ``prefix_offsets`` global-rank machinery; medians use
-the cumulative-count value-grid device — so none of them add entries to
-the single-partition audit allowlist when they go live.
+Every plan here is window-free (no unbounded ``Window.orderBy``) with
+ONE named exception: the time-series shapes (ACF, EWMA, Mann-Kendall)
+use bounded lag/triangular joins on the day-grain calendar domain;
+ranking reuses the range-partition + ``prefix_offsets`` global-rank
+machinery; medians use the cumulative-count value-grid device. The
+exception is ``log_rank_sessions``' risk-set suffix sums, which ride an
+unpartitioned window over the session-duration GRID (domain-bounded —
+the same calendar-class frame kaplan_meier_sessions is allowlisted
+for); registering it in round 9 requires one ``ALLOWED`` entry in
+``tools/audit_single_partition.py`` with that justification.
 
 Determinism discipline (plans/__init__ contract): day rollups are
 integer cents; rank sums are 2x-scaled integers; ACF/EWMA numerators
@@ -143,7 +147,8 @@ def kruskal_wallis_values(spark, sf_dir):
     )
     grp = ranked.groupBy("g").agg(
         F.count(F.lit(1)).cast("bigint").alias("ng"),
-        F.sum("rank2").cast("bigint").alias("r2"),
+        # rank sums grow ~N^2: decimal partials, exact past int64
+        F.sum(F.col("rank2").cast("decimal(38,0)")).alias("r2"),
     )
     ties = (
         pool.groupBy("value")
@@ -261,7 +266,7 @@ def welch_anova_types(spark, sf_dir):
     grp = e.groupBy(F.col("event_type").alias("g")).agg(
         F.count(F.lit(1)).cast("bigint").alias("ng"),
         F.sum(v).cast("bigint").alias("s"),
-        F.sum(v * v).cast("decimal(38,0)").alias("ss"),
+        F.sum((v * v).cast("decimal(38,0)")).alias("ss"),
     )
     m = F.col("s").cast("double") / F.col("ng")
     var = (
@@ -489,7 +494,7 @@ def kendall_tau_b_bucketed(spark, sf_dir):
         FROM daily x JOIN daily y ON x.d < y.d
     ),
     ties AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
                CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tv
         FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
               FROM daily GROUP BY v)
@@ -544,7 +549,9 @@ def mann_kendall_trend(spark, sf_dir):
         daily.groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
+            # n = Σ group sizes = the DAY count (a distinct-value count
+            # here would undercount whenever two days tie in revenue)
+            F.sum("c").cast("bigint").alias("n"),
             F.sum(
                 F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
             )
@@ -647,8 +654,8 @@ def acf_ljung_box(spark, sf_dir):
         F.sum("v").cast("bigint").alias("s"),
     )
     x, y = daily.alias("x"), daily.alias("y")
-    cx = (F.col("x.v") * F.col("n") - F.col("s")).cast("decimal(38,0)")
-    cy = (F.col("y.v") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    cx = F.col("x.v").cast("decimal(38,0)") * F.col("n") - F.col("s")
+    cy = F.col("y.v").cast("decimal(38,0)") * F.col("n") - F.col("s")
     num = (
         x.join(
             F.broadcast(y),
@@ -658,7 +665,7 @@ def acf_ljung_box(spark, sf_dir):
         .groupBy((F.col("y.d") - F.col("x.d")).alias("lag"))
         .agg(F.sum(cx * cy).alias("nk"))
     )
-    cv = (F.col("v") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    cv = F.col("v").cast("decimal(38,0)") * F.col("n") - F.col("s")
     den = daily.crossJoin(F.broadcast(tot)).agg(
         F.sum(cv * cv).alias("d0")
     )
@@ -781,7 +788,7 @@ def ewma_control_chart(spark, sf_dir):
     tot = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("v").cast("bigint").alias("s"),
-        F.sum(F.col("v") * F.col("v")).cast("decimal(38,0)").alias("ss"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("ss"),
     )
     x, y = daily.alias("x"), daily.alias("y")
     j = (F.col("x.d") - F.col("y.d")).cast("int")
@@ -912,9 +919,14 @@ def gopher_repetition_rules(spark, sf_dir):
             .alias("dup_words"),
         )
     )
+    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being
+    # empty like DuckDB's generate_series(1, 0) — a 1-token doc must
+    # produce no bigrams in both engines (it then drops from the inner
+    # join identically)
     bg = F.expr(
-        "transform(sequence(1, size(ws) - 1), "
-        "i -> concat(ws[i - 1], ' ', ws[i]))"
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), "
+        "i -> concat(ws[i - 1], ' ', ws[i])) "
+        "ELSE array() END"
     )
     big = (
         toks.select("doc_id", F.explode(bg).alias("bg"))
@@ -1309,7 +1321,7 @@ def gumbel_block_maxima(spark, sf_dir):
     mom = weekly.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("mx").cast("bigint").alias("s"),
-        F.sum(F.col("mx") * F.col("mx")).cast("decimal(38,0)").alias("ss"),
+        F.sum(F.col("mx").cast("decimal(38,0)") * F.col("mx")).alias("ss"),
     )
     k, s, ss = F.col("k"), F.col("s"), F.col("ss")
     var = (ss.cast("double") - s.cast("double") * s / k) / (k - 1)
@@ -1474,7 +1486,7 @@ def friedman_blocked_ranks(spark, sf_dir):
                CASE WHEN MAX(ts) <= (SELECT mx FROM bounds)
                                     - INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS completed,
-               CASE WHEN CAST(epoch_us(MIN(ts)) // 86400000000 + 4 AS
+               CASE WHEN CAST(epoch_us(MIN(ts)) // 86400000000 + 3 AS
                              BIGINT) % 7 >= 5
                     THEN 1 ELSE 0 END AS wkend
         FROM grouped GROUP BY user_id, session_id
@@ -1587,8 +1599,10 @@ def log_rank_sessions(spark, sf_dir):
             )
             .otherwise(0)
             .alias("completed"),
+            # +3 anchor: epoch day 0 = Thursday, so (d+3)%7 maps
+            # Sat -> 5, Sun -> 6 (a +4 anchor would flag Fri/Sat)
             F.when(
-                (F.floor(F.col("lo_us") / 86_400_000_000) + 4) % 7 >= 5, 1
+                (F.floor(F.col("lo_us") / 86_400_000_000) + 3) % 7 >= 5, 1
             )
             .otherwise(0)
             .alias("wkend"),

@@ -2049,8 +2049,9 @@ def spearman_rank_corr(spark, sf_dir):
         rx.join(ry, "user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("rx2").cast("bigint").alias("sa"),
-            F.sum("ry2").cast("bigint").alias("sb"),
+            # first-order rank sums also grow ~N^2 — decimal partials
+            F.sum(F.col("rx2").cast("decimal(38,0)")).alias("sa"),
+            F.sum(F.col("ry2").cast("decimal(38,0)")).alias("sb"),
             F.sum(F.col("rx2").cast("decimal(38,0)") * F.col("rx2")).alias("saa"),
             F.sum(F.col("ry2").cast("decimal(38,0)") * F.col("ry2")).alias("sbb"),
             F.sum(F.col("rx2").cast("decimal(38,0)") * F.col("ry2")).alias("sab"),
