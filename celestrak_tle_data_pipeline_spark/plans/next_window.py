@@ -2050,3 +2050,416 @@ def embedding_dim_covariance(spark, sf_dir):
             ).alias("correlation"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bartlett's test for homogeneity of variances (event types)
+# --------------------------------------------------------------------------
+@register(
+    "bartlett_variance_test",
+    oracle="""
+    WITH grp AS (
+        SELECT event_type AS g, CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)
+                        * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                               AS BIGINT)) AS DECIMAL(38,0)) AS ss
+        FROM events GROUP BY 1
+    ),
+    v AS (
+        SELECT g, ng,
+               (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / ng)
+                   / (ng - 1) AS var
+        FROM grp
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(ng) AS BIGINT) AS n,
+               SUM(CAST(round((ng - 1) * var, 2) AS DECIMAL(38,2)))
+                   AS pooled_num,
+               SUM(CAST(round((ng - 1) * ln(var), 8) AS DECIMAL(38,8)))
+                   AS sln,
+               SUM(CAST(round(1.0 / (ng - 1), 12) AS DECIMAL(38,12)))
+                   AS sinv
+        FROM v
+    )
+    SELECT n AS n_events, k AS n_groups, CAST(k - 1 AS BIGINT) AS dof,
+           round(CAST(pooled_num AS DOUBLE) / (n - k), 4) AS pooled_var,
+           round(((n - k) * ln(CAST(pooled_num AS DOUBLE) / (n - k))
+                  - CAST(sln AS DOUBLE))
+                 / (1.0 + (CAST(sinv AS DOUBLE) - 1.0 / (n - k))
+                          / (3.0 * (k - 1))), 6) + 0.0 AS t_stat
+    FROM fold
+    """,
+)
+def bartlett_variance_test(spark, sf_dir):
+    """Bartlett's test: do the five event types share one variance?
+    T = ((N−k)·ln Sp² − Σ(n_i−1)·ln S_i²) / C with
+    C = 1 + (Σ1/(n_i−1) − 1/(N−k)) / (3(k−1)) — the
+    likelihood-ratio counterpart of the already-registered
+    ``levene_brown_forsythe`` (Levene is robust to non-normality;
+    Bartlett is the more powerful parametric form, and a pipeline
+    reports both). Pairs with ``welch_anova_types``: Bartlett decides
+    whether Welch's unequal-variance correction is even needed.
+
+    Exactness: per-group n/Σx/Σx² are exact integer/decimal folds in
+    cents (Σx² through DECIMAL(38,0) — per-event cents² can overflow
+    int64 at scale); each group's variance is then an identical IEEE
+    double in both engines, and the cross-group folds of
+    (n_i−1)·S_i², (n_i−1)·ln S_i², 1/(n_i−1) are rounded to fixed
+    scale and summed in DECIMAL — order-free. Plan: one hash
+    aggregate over the event scan (partial map-side combine), then a
+    5-row fold; no window, no shuffle beyond the group-by."""
+    e = t(spark, sf_dir, "events")
+    cents = (dec("value", 18, 2) * 100).cast("bigint")
+    grp = e.groupBy(F.col("event_type").alias("g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum(cents).cast("bigint").alias("s"),
+        F.sum(cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    ng = F.col("ng").cast("double")
+    var = (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / ng) / (
+        ng - 1
+    )
+    v = grp.select("g", "ng", var.alias("var"))
+    fold = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum(
+            F.round((F.col("ng") - 1) * F.col("var"), 2).cast("decimal(38,2)")
+        ).alias("pooled_num"),
+        F.sum(
+            F.round((F.col("ng") - 1) * F.log(F.col("var")), 8).cast(
+                "decimal(38,8)"
+            )
+        ).alias("sln"),
+        F.sum(
+            F.round(F.lit(1.0) / (F.col("ng") - 1), 12).cast("decimal(38,12)")
+        ).alias("sinv"),
+    )
+    n, k = F.col("n"), F.col("k")
+    pooled = F.col("pooled_num").cast("double") / (n - k)
+    c_corr = 1.0 + (F.col("sinv").cast("double") - 1.0 / (n - k)) / (
+        3.0 * (k - F.lit(1))
+    )
+    return fold.select(
+        n.alias("n_events"),
+        k.alias("n_groups"),
+        (k - 1).cast("bigint").alias("dof"),
+        F.round(pooled, 4).alias("pooled_var"),
+        (
+            F.round(
+                ((n - k) * F.log(pooled) - F.col("sln").cast("double")) / c_corr,
+                6,
+            )
+            + 0.0
+        ).alias("t_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Poisson dispersion index of daily event counts (per event type)
+# --------------------------------------------------------------------------
+@register(
+    "poisson_dispersion_index",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+        FROM events
+    ),
+    types AS (SELECT DISTINCT event_type AS g FROM events),
+    cnt AS (
+        SELECT event_type AS g,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT ty.g, dy.d, COALESCE(c.c, 0) AS c
+        FROM types ty CROSS JOIN days dy
+        LEFT JOIN cnt c ON c.g = ty.g AND c.d = dy.d
+    ),
+    agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS ss
+        FROM grid GROUP BY g
+    )
+    SELECT g AS event_type, nd AS n_days,
+           round(CAST(s AS DOUBLE) / nd, 6) AS mean_daily,
+           round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / nd)
+                 / (nd - 1) / (CAST(s AS DOUBLE) / nd), 6) + 0.0
+               AS dispersion_index,
+           round((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / nd)
+                 / (CAST(s AS DOUBLE) / nd), 6) + 0.0 AS chi2_stat
+    FROM agg
+    ORDER BY event_type
+    """,
+)
+def poisson_dispersion_index(spark, sf_dir):
+    """Index of dispersion for each event type's DAILY arrival
+    counts: D = s²/c̄ (1 under a Poisson process; >1 overdispersed /
+    bursty, <1 regular), with the classic dispersion chi-square
+    Σ(c−c̄)²/c̄ on n_days−1 dof. The arrival-process health check a
+    capacity planner runs before assuming Poisson traffic — and the
+    count-data complement of ``runs_test_randomness`` (which tests
+    sign patterns, not rates).
+
+    The day grid is the GLOBAL observed-day calendar cross-joined
+    with the type dimension and zero-filled — a type with no events
+    on a day must contribute c=0, not silently drop the day (both
+    engines build the identical grid). Counts/Σc/Σc² are exact
+    integers; only the two final ratios are float. Plan: one
+    hash-aggregate day×type rollup, a broadcast cross of two tiny
+    dims, one more hash aggregate — no window, bounded by the
+    calendar domain."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+    cnt = (
+        e.groupBy(F.col("event_type").alias("g"), day.alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    days = cnt.select("d").distinct()
+    types = cnt.select("g").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(F.broadcast(cnt), ["g", "d"], "left")
+        .select("g", "d", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    agg = grid.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    nd = F.col("nd").cast("double")
+    s = F.col("s").cast("double")
+    css = F.col("ss").cast("double") - s * s / nd
+    mean = s / nd
+    return (
+        agg.select(
+            F.col("g").alias("event_type"),
+            F.col("nd").alias("n_days"),
+            F.round(mean, 6).alias("mean_daily"),
+            (F.round(css / (nd - 1) / mean, 6) + 0.0).alias(
+                "dispersion_index"
+            ),
+            (F.round(css / mean, 6) + 0.0).alias("chi2_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pettitt changepoint test on the daily revenue series
+# --------------------------------------------------------------------------
+@register(
+    "pettitt_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT x.d AS di, y.d AS dj,
+               CASE WHEN x.v > y.v THEN 1
+                    WHEN x.v < y.v THEN -1 ELSE 0 END AS sg
+        FROM daily x JOIN daily y ON x.d < y.d
+    ),
+    ut AS (
+        SELECT t.d AS td, CAST(COALESCE(SUM(p.sg), 0) AS BIGINT) AS u
+        FROM daily t LEFT JOIN pairs p
+          ON p.di <= t.d AND t.d < p.dj
+        GROUP BY t.d
+    ),
+    nk AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n,
+               CAST(MAX(ABS(u)) AS BIGINT) AS k,
+               CAST(MIN(CASE WHEN ABS(u) = (SELECT MAX(ABS(u)) FROM ut)
+                             THEN td END) AS BIGINT) AS t_star
+        FROM ut
+    )
+    SELECT n AS n_days, k AS k_stat, t_star AS t_star_day,
+           round(-6.0 * CAST(k AS DOUBLE) * k
+                 / (CAST(n AS DOUBLE) * n * n
+                    + CAST(n AS DOUBLE) * n), 9) + 0.0 AS ln_half_p,
+           round(2.0 * exp(-6.0 * CAST(k AS DOUBLE) * k
+                 / (CAST(n AS DOUBLE) * n * n
+                    + CAST(n AS DOUBLE) * n)), 9) + 0.0 AS p_approx
+    FROM nk
+    """,
+)
+def pettitt_changepoint(spark, sf_dir):
+    """Pettitt's nonparametric changepoint test on daily revenue:
+    U_t = Σ_{i≤t<j} sign(v_i − v_j), K = max_t |U_t|, the most
+    likely single break at t* = argmin-day attaining K, with the
+    standard approximation p ≈ 2·exp(−6K²/(n³+n²)). Completes the
+    regime-shift triad: ``cusum_changepoint_scan`` needs a known
+    target mean, ``mann_kendall_trend`` detects monotone drift —
+    Pettitt LOCATES a rank-level step without either assumption.
+
+    Every U_t is an exact integer (signs of exact cent totals summed
+    over day pairs); t* tie-breaks deterministically to the earliest
+    day; only the closing exp is float, reported with its exact-form
+    exponent (ln_half_p) beside it because K² grows ~n⁴ and the
+    p-value underflows to a rounded 0 on strongly-shifted series.
+    Plan: one day rollup off the event scan, then a triangular pair
+    join and a prefix membership join both on the ~n_days calendar
+    grid (≤ n³ grid-grain rows, never event-grain), small sides
+    broadcast; no window operator."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.floor(F.unix_micros("ts") / 86_400_000_000)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg((F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("v"))
+        .persist()
+    )
+    x, y = daily.alias("x"), daily.alias("y")
+    pairs = x.join(F.broadcast(y), F.col("x.d") < F.col("y.d")).select(
+        F.col("x.d").alias("di"),
+        F.col("y.d").alias("dj"),
+        F.when(F.col("x.v") > F.col("y.v"), 1)
+        .when(F.col("x.v") < F.col("y.v"), -1)
+        .otherwise(0)
+        .alias("sg"),
+    )
+    ut = (
+        daily.select(F.col("d").alias("td"))
+        .join(
+            F.broadcast(pairs),
+            (F.col("di") <= F.col("td")) & (F.col("td") < F.col("dj")),
+            "left",
+        )
+        .groupBy("td")
+        .agg(F.coalesce(F.sum("sg"), F.lit(0)).cast("bigint").alias("u"))
+    )
+    nk = ut.agg(
+        F.max(F.abs(F.col("u"))).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    tstar = (
+        ut.join(F.broadcast(nk), F.abs(F.col("u")) == F.col("k"))
+        .agg(F.min("td").cast("bigint").alias("t_star"))
+    )
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    expo = -6.0 * k * k / (n * n * n + n * n)
+    return nk.crossJoin(F.broadcast(tstar)).select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("k_stat"),
+        F.col("t_star").alias("t_star_day"),
+        (F.round(expo, 9) + 0.0).alias("ln_half_p"),
+        (F.round(2.0 * F.exp(expo), 9) + 0.0).alias("p_approx"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cochran's Q: do the five event types occur equally often per user-day?
+# --------------------------------------------------------------------------
+@register(
+    "cochran_q_test",
+    oracle="""
+    WITH x AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               event_type
+        FROM events
+    ),
+    row_tot AS (
+        SELECT user_id, d, CAST(COUNT(*) AS BIGINT) AS r
+        FROM x GROUP BY user_id, d
+    ),
+    col_tot AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM x GROUP BY event_type
+    ),
+    kk AS (
+        SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+        FROM events
+    ),
+    rf AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS b,
+               CAST(SUM(r) AS BIGINT) AS n,
+               CAST(SUM(r * r) AS BIGINT) AS sr2
+        FROM row_tot
+    ),
+    cf AS (SELECT CAST(SUM(c * c) AS BIGINT) AS sc2 FROM col_tot)
+    SELECT rf.b AS n_subjects, kk.k AS k_treatments,
+           CAST(kk.k - 1 AS BIGINT) AS dof,
+           rf.n AS n_marks,
+           round((kk.k - 1.0)
+                 * (kk.k * CAST(cf.sc2 AS DOUBLE)
+                    - CAST(rf.n AS DOUBLE) * rf.n)
+                 / (kk.k * CAST(rf.n AS DOUBLE) - rf.sr2), 6) + 0.0
+               AS q_stat
+    FROM rf, cf, kk
+    """,
+)
+def cochran_q_test(spark, sf_dir):
+    """Cochran's Q over user-day "blocks": treating each (user, day)
+    with any activity as a subject and each of the five event types
+    as a binary treatment response (did that type occur for that
+    user that day?), Q = (k−1)(k·ΣC_j² − N²)/(k·N − ΣR_i²) tests
+    whether the five types have equal occurrence probability within
+    blocks — the k-treatment generalization of the registered
+    ``mcnemar_paired_outcomes`` (k=2 Cochran IS McNemar without
+    continuity correction), completing the paired-categorical
+    surface. Blocks whose row total equals k still enter all sums;
+    subjects are exactly the user-days present in the data, a
+    definition both engines construct identically.
+
+    Every term (ΣC², ΣR², N, b, k) is an exact integer; Q alone is
+    float, rounded once. Plan: one DISTINCT over (user, day, type) —
+    a hash aggregate on the event scan — then two tiny rollups and a
+    3-way broadcast cross of single-row frames; no window, no
+    event-grain join."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+    x = (
+        e.select("user_id", day.alias("d"), "event_type")
+        .distinct()
+        .persist()
+    )
+    row_tot = x.groupBy("user_id", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r")
+    )
+    col_tot = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    kk = e.agg(
+        F.countDistinct("event_type").cast("bigint").alias("k")
+    )
+    rf = row_tot.agg(
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+        F.sum("r").cast("bigint").alias("n"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sr2"),
+    )
+    cf = col_tot.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2")
+    )
+    k = F.col("k").cast("double")
+    n = F.col("n").cast("double")
+    q = (
+        (k - 1.0)
+        * (k * F.col("sc2").cast("double") - n * n)
+        / (k * n - F.col("sr2").cast("double"))
+    )
+    return (
+        rf.crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(kk))
+        .select(
+            F.col("b").alias("n_subjects"),
+            F.col("k").alias("k_treatments"),
+            (F.col("k") - 1).cast("bigint").alias("dof"),
+            F.col("n").alias("n_marks"),
+            (F.round(q, 6) + 0.0).alias("q_stat"),
+        )
+    )
