@@ -2463,3 +2463,698 @@ def cochran_q_test(spark, sf_dir):
             (F.round(q, 6) + 0.0).alias("q_stat"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Periodogram of daily revenue at candidate periods 2..14 days
+# --------------------------------------------------------------------------
+@register(
+    "periodogram_dft_peaks",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s,
+               CAST(MIN(d) AS BIGINT) AS d0
+        FROM daily
+    ),
+    terms AS (
+        SELECT p.p,
+               SUM(CAST((dd.v * t.n - t.s) AS DECIMAL(38,0))
+                   * CAST(round(cos(2 * pi() * ((dd.d - t.d0) % p.p)
+                                    / p.p), 9) AS DECIMAL(12,9))) AS sc,
+               SUM(CAST((dd.v * t.n - t.s) AS DECIMAL(38,0))
+                   * CAST(round(sin(2 * pi() * ((dd.d - t.d0) % p.p)
+                                    / p.p), 9) AS DECIMAL(12,9))) AS ss
+        FROM daily dd
+        CROSS JOIN tot t
+        CROSS JOIN (SELECT UNNEST(generate_series(2, 14)) AS p) p
+        GROUP BY p.p
+    ),
+    den AS (
+        SELECT SUM(CAST((v * t.n - t.s) AS DECIMAL(38,0))
+                   * CAST((v * t.n - t.s) AS DECIMAL(38,0))) AS dsq
+        FROM daily, tot t
+    ),
+    pw AS (
+        SELECT p,
+               CAST(round(
+                   (CAST(round(sc, 0) AS DOUBLE)
+                        * CAST(round(sc, 0) AS DOUBLE)
+                    + CAST(round(ss, 0) AS DOUBLE)
+                        * CAST(round(ss, 0) AS DOUBLE))
+                   / (CAST(t.n AS DOUBLE)
+                      * CAST(round(den.dsq, 0) AS DOUBLE)), 9)
+               AS DECIMAL(18,9)) AS power_ratio
+        FROM terms, tot t, den
+    )
+    SELECT CAST(p AS BIGINT) AS period_days,
+           CAST(power_ratio AS DOUBLE) + 0.0 AS power_ratio,
+           round(CAST(power_ratio AS DOUBLE)
+                 / CAST(SUM(power_ratio) OVER () AS DOUBLE), 6) + 0.0
+               AS power_frac
+    FROM pw
+    ORDER BY period_days
+    """,
+)
+def periodogram_dft_peaks(spark, sf_dir):
+    """Discrete-Fourier periodogram of the daily revenue series at
+    candidate periods 2..14 days: I(p) = ((Σw·cos θ)² + (Σw·sin θ)²)
+    / n with θ = 2π((d−d₀) mod p)/p — the spectral complement of
+    ``acf_ljung_box`` (ACF answers "is there memory?", the
+    periodogram answers "at WHICH period?", e.g. the weekly cycle
+    ``seasonal_dow_decompose`` assumes is strongest at p=7).
+
+    Exactness: deviations are the n-scaled integers u_d = v_d·n − S
+    (exact at any partitioning); each cos/sin factor is rounded to
+    1e-9 DECIMAL before the multiply, so every product and both sums
+    are exact decimals — order-free. Power is reported as the
+    dimensionless variance ratio ((Σu·cos)² + (Σu·sin)²)/(n·Σu²) —
+    normalizing by Σu² keeps the statistic in [0,1] at ANY data
+    scale (an absolute power in cents² outgrows double precision and
+    the driver's 6-decimal rounding); the wide DECIMAL sums round to
+    scale 0 before the DOUBLE cast (the DuckDB int128 double-round
+    hazard), and the ratio rounds to a 1e-9 DECIMAL before the
+    13-term normalizing fraction so that sum is order-free too. The angle grid has at most p ≤ 14 distinct
+    values per period — libm cos/sin disagreement across engines is
+    confined to 1 ulp on 104 angles, absorbed by the 1e-9 rounding.
+    Plan: one day rollup, a broadcast cross with the 13-row period
+    dim and the 1-row total frame, one hash aggregate; no window at
+    event grain (the final frac window runs on the 13-row period
+    frame)."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg((F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("v"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.min("d").cast("bigint").alias("d0"),
+    )
+    periods = spark.range(2, 15).select(F.col("id").alias("p"))
+    import math
+
+    theta = (
+        2.0
+        * math.pi
+        * ((F.col("d") - F.col("d0")) % F.col("p"))
+        / F.col("p")
+    )
+    u = (F.col("v") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    terms = (
+        daily.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(periods))
+        .groupBy("p")
+        .agg(
+            F.sum(u * F.round(F.cos(theta), 9).cast("decimal(12,9)")).alias(
+                "sc"
+            ),
+            F.sum(u * F.round(F.sin(theta), 9).cast("decimal(12,9)")).alias(
+                "ss"
+            ),
+        )
+    )
+    uv = (F.col("v") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    den = daily.crossJoin(F.broadcast(tot)).agg(F.sum(uv * uv).alias("dsq"))
+    n = F.col("n").cast("double")
+    sc0 = F.round(F.col("sc"), 0).cast("double")
+    ss0 = F.round(F.col("ss"), 0).cast("double")
+    power = F.round(
+        (sc0 * sc0 + ss0 * ss0)
+        / (n * F.round(F.col("dsq"), 0).cast("double")),
+        9,
+    ).cast("decimal(18,9)")
+    pw = (
+        terms.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(den))
+        .select(F.col("p"), power.alias("power_ratio"))
+    )
+    tot_pw = pw.agg(F.sum("power_ratio").alias("tp"))
+    return (
+        pw.crossJoin(F.broadcast(tot_pw))
+        .select(
+            F.col("p").cast("bigint").alias("period_days"),
+            (F.col("power_ratio").cast("double") + 0.0).alias(
+                "power_ratio"
+            ),
+            (
+                F.round(
+                    F.col("power_ratio").cast("double")
+                    / F.col("tp").cast("double"),
+                    6,
+                )
+                + 0.0
+            ).alias("power_frac"),
+        )
+        .orderBy("period_days")
+    )
+
+
+# --------------------------------------------------------------------------
+# Partial autocorrelation (Durbin-Levinson) of daily revenue, lags 1..3
+# --------------------------------------------------------------------------
+@register(
+    "pacf_durbin_levinson",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s
+        FROM daily
+    ),
+    num AS (
+        SELECT (y.d - x.d) AS lag,
+               SUM(CAST((x.v * t.n - t.s) AS DECIMAL(38,0))
+                   * CAST((y.v * t.n - t.s) AS DECIMAL(38,0))) AS nk
+        FROM daily x
+        JOIN daily y ON y.d - x.d BETWEEN 1 AND 3
+        CROSS JOIN tot t
+        GROUP BY 1
+    ),
+    den AS (
+        SELECT SUM(CAST((v * t.n - t.s) AS DECIMAL(38,0))
+                   * CAST((v * t.n - t.s) AS DECIMAL(38,0))) AS d0
+        FROM daily, tot t
+    ),
+    rho AS (
+        SELECT
+            round(CAST(MAX(CASE WHEN lag = 1 THEN nk END) AS DOUBLE)
+                  / CAST(den.d0 AS DOUBLE), 9) AS r1,
+            round(CAST(MAX(CASE WHEN lag = 2 THEN nk END) AS DOUBLE)
+                  / CAST(den.d0 AS DOUBLE), 9) AS r2,
+            round(CAST(MAX(CASE WHEN lag = 3 THEN nk END) AS DOUBLE)
+                  / CAST(den.d0 AS DOUBLE), 9) AS r3
+        FROM num, den GROUP BY den.d0
+    ),
+    phi AS (
+        SELECT r1, r2, r3,
+               r1 AS p11,
+               (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22,
+               r1 * (1.0 - r2) / (1.0 - r1 * r1) AS p21
+        FROM rho
+    )
+    SELECT CAST(1 AS BIGINT) AS lag, r1 AS acf,
+           round(p11, 6) + 0.0 AS pacf FROM phi
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), r2, round(p22, 6) + 0.0 FROM phi
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), r3,
+           round((r3 - p21 * r2 - p22 * r1)
+                 / (1.0 - p21 * r1 - p22 * r2), 6) + 0.0 FROM phi
+    ORDER BY lag
+    """,
+)
+def pacf_durbin_levinson(spark, sf_dir):
+    """Partial autocorrelation of daily revenue at lags 1..3 via the
+    closed-form Durbin-Levinson recursion: φ11 = ρ1, φ22 =
+    (ρ2−ρ1²)/(1−ρ1²), φ33 from the order-2 prediction coefficients
+    φ21 = ρ1(1−ρ2)/(1−ρ1²). The AR-order-selection companion to
+    ``acf_ljung_box``: ACF tails off for AR processes — PACF CUTS
+    OFF at the true order, which is the statistic an auto-ARIMA
+    pipeline actually thresholds.
+
+    The ρk numerators/denominator are exact DECIMAL folds of
+    n-scaled integer deviations (the ACF device); each ρk rounds to
+    1e-9 BEFORE entering the recursion so both engines feed
+    identical doubles through the same closed form; final PACFs
+    round at 1e-6. Plan: day rollup → bounded lag-3 self-join on the
+    calendar grid → one-row pivot; the 3-row output is a UNION of
+    scalar selects — no window anywhere."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg((F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("v"))
+    daily = daily.persist()
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+    x, y = daily.alias("x"), daily.alias("y")
+    ux = (F.col("x.v") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    uy = (F.col("y.v") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    num = (
+        x.join(
+            F.broadcast(y),
+            (F.col("y.d") - F.col("x.d")).between(1, 3),
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy((F.col("y.d") - F.col("x.d")).alias("lag"))
+        .agg(F.sum(ux * uy).alias("nk"))
+    )
+    uv = (F.col("v") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    den = daily.crossJoin(F.broadcast(tot)).agg(F.sum(uv * uv).alias("d0"))
+    rho = (
+        num.crossJoin(F.broadcast(den))
+        .groupBy("d0")
+        .agg(
+            *[
+                F.round(
+                    F.max(
+                        F.when(F.col("lag") == k, F.col("nk"))
+                    ).cast("double")
+                    / F.col("d0").cast("double"),
+                    9,
+                ).alias(f"r{k}")
+                for k in (1, 2, 3)
+            ]
+        )
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p11 = r1
+    p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    p21 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    p33 = (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+    phi = rho.select(
+        "r1",
+        "r2",
+        "r3",
+        p11.alias("p11"),
+        p22.alias("p22"),
+        p33.alias("p33"),
+    )
+    rows = phi.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("bigint").alias("lag"),
+                    r1.alias("acf"),
+                    (F.round(F.col("p11"), 6) + 0.0).alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(2).cast("bigint").alias("lag"),
+                    r2.alias("acf"),
+                    (F.round(F.col("p22"), 6) + 0.0).alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(3).cast("bigint").alias("lag"),
+                    r3.alias("acf"),
+                    (F.round(F.col("p33"), 6) + 0.0).alias("pacf"),
+                ),
+            )
+        ).alias("r")
+    )
+    return rows.select("r.lag", "r.acf", "r.pacf").orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis of daily revenue
+# --------------------------------------------------------------------------
+@register(
+    "hurst_rs_exponent",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT a.d, a.v, CAST(COUNT(*) AS BIGINT) AS i
+        FROM daily a JOIN daily b ON b.d <= a.d
+        GROUP BY a.d, a.v
+    ),
+    sized AS (
+        SELECT m.m, (x.i - 1) // m.m AS b, x.i, x.v
+        FROM idx x
+        CROSS JOIN (SELECT UNNEST([5, 10, 15]) AS m) m
+    ),
+    blk AS (
+        SELECT m, b, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(v) AS BIGINT) AS s,
+               SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)))
+                   AS ss
+        FROM sized GROUP BY m, b
+    ),
+    full_blk AS (SELECT * FROM blk WHERE c = m),
+    z AS (
+        SELECT s.m, s.b, s.i,
+               CAST(f.m AS BIGINT) * CAST(SUM(s2.v) AS BIGINT)
+                   - (s.i - s.b * f.m) * f.s AS mz
+        FROM sized s
+        JOIN full_blk f ON f.m = s.m AND f.b = s.b
+        JOIN sized s2 ON s2.m = s.m AND s2.b = s.b AND s2.i <= s.i
+        GROUP BY s.m, s.b, s.i, f.m, f.s
+    ),
+    rs AS (
+        SELECT z.m, z.b,
+               CAST(round(
+                   (CAST(MAX(z.mz) - MIN(z.mz) AS DOUBLE) / f.m)
+                   / sqrt((CAST(f.ss AS DOUBLE) - CAST(f.s AS DOUBLE)
+                           * f.s / f.m) / f.m), 9)
+               AS DECIMAL(18,9)) AS rsb
+        FROM z JOIN full_blk f ON f.m = z.m AND f.b = z.b
+        GROUP BY z.m, z.b, f.m, f.s, f.ss
+    ),
+    per_m AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               round(CAST(SUM(rsb) AS DOUBLE) / COUNT(*), 9) AS mean_rs
+        FROM rs GROUP BY m
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(CAST(round(ln(m), 9) AS DECIMAL(18,9))) AS sx,
+               SUM(CAST(round(ln(mean_rs), 9) AS DECIMAL(18,9))) AS sy,
+               SUM(CAST(round(ln(m) * ln(mean_rs), 9)
+                   AS DECIMAL(18,9))) AS sxy,
+               SUM(CAST(round(ln(m) * ln(m), 9) AS DECIMAL(18,9))) AS sxx
+        FROM per_m
+    )
+    SELECT CAST(p.m AS BIGINT) AS block_size, p.n_blocks, p.mean_rs,
+           round((f.k * CAST(f.sxy AS DOUBLE)
+                  - CAST(f.sx AS DOUBLE) * CAST(f.sy AS DOUBLE))
+                 / (f.k * CAST(f.sxx AS DOUBLE)
+                    - CAST(f.sx AS DOUBLE) * CAST(f.sx AS DOUBLE)), 6)
+               + 0.0 AS hurst_exponent
+    FROM per_m p, fit f
+    ORDER BY block_size
+    """,
+)
+def hurst_rs_exponent(spark, sf_dir):
+    """Hurst exponent of the daily revenue series by rescaled-range
+    analysis: split the day sequence into complete blocks of 5/10/15
+    days, compute each block's R/S (range of cumulative mean
+    deviations over population std), and fit H as the log-log slope
+    of mean R/S vs block size. H≈0.5 is a random walk, H>0.5
+    long-range persistence — the long-memory diagnostic that decides
+    whether ``acf_ljung_box``'s short-lag view is the whole story.
+
+    Exactness: block prefix deviations are kept m-scaled — m·Z_t =
+    m·P_t − t_local·S_b is an exact integer, so R·m = max−min is
+    exact; per-block R/S rounds to 1e-9 DECIMAL before the per-size
+    mean; the 3-point OLS folds ln terms rounded at 1e-9. Plan: day
+    rollup, a day²-bounded triangular index join, block prefix sums
+    via a within-block triangular join (block size ≤ 15 rows), all
+    on the calendar grid — no window operator, nothing event-grain
+    past the first rollup."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.floor(F.unix_micros("ts") / 86_400_000_000)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg((F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("v"))
+        .persist()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    idx = (
+        a.join(F.broadcast(b), F.col("b.d") <= F.col("a.d"))
+        .groupBy(F.col("a.d").alias("d"), F.col("a.v").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    sizes = spark.createDataFrame([(5,), (10,), (15,)], "m int").select(
+        F.col("m").cast("bigint").alias("m")
+    )
+    sized = (
+        idx.crossJoin(F.broadcast(sizes))
+        .select(
+            "m",
+            ((F.col("i") - 1) / F.col("m")).cast("bigint").alias("b"),
+            "i",
+            "v",
+        )
+        .persist()
+    )
+    blk = sized.groupBy("m", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(38,0)") * F.col("v").cast("decimal(38,0)")
+        ).alias("ss"),
+    )
+    full_blk = blk.where(F.col("c") == F.col("m")).select(
+        F.col("m").alias("fm"),
+        F.col("b").alias("fb"),
+        "s",
+        "ss",
+    )
+    s2 = sized.select(
+        F.col("m").alias("m2"),
+        F.col("b").alias("b2"),
+        F.col("i").alias("i2"),
+        F.col("v").alias("v2"),
+    )
+    z = (
+        sized.join(
+            F.broadcast(full_blk),
+            (F.col("fm") == F.col("m")) & (F.col("fb") == F.col("b")),
+        )
+        .join(
+            F.broadcast(s2),
+            (F.col("m2") == F.col("m"))
+            & (F.col("b2") == F.col("b"))
+            & (F.col("i2") <= F.col("i")),
+        )
+        .groupBy("m", "b", "i", "fm", "s")
+        .agg(
+            (
+                F.col("fm") * F.sum("v2").cast("bigint")
+                - (F.col("i") - F.col("b") * F.col("fm")) * F.col("s")
+            ).alias("mz")
+        )
+    )
+    rs = (
+        z.groupBy("m", "b", "fm", "s")
+        .agg(
+            (F.max("mz") - F.min("mz")).cast("double").alias("rng"),
+        )
+        .join(
+            F.broadcast(
+                full_blk.select(
+                    F.col("fm").alias("gm"),
+                    F.col("fb").alias("gb"),
+                    "ss",
+                )
+            ),
+            (F.col("gm") == F.col("m")) & (F.col("gb") == F.col("b")),
+        )
+        .select(
+            "m",
+            "b",
+            F.round(
+                (F.col("rng") / F.col("fm"))
+                / F.sqrt(
+                    (
+                        F.col("ss").cast("double")
+                        - F.col("s").cast("double")
+                        * F.col("s")
+                        / F.col("fm")
+                    )
+                    / F.col("fm")
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("rsb"),
+        )
+    )
+    per_m = rs.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.round(
+            F.sum("rsb").cast("double") / F.count(F.lit(1)), 9
+        ).alias("mean_rs"),
+    )
+    lx = F.round(F.log(F.col("m")), 9).cast("decimal(18,9)")
+    ly = F.round(F.log(F.col("mean_rs")), 9).cast("decimal(18,9)")
+    lxy = F.round(F.log(F.col("m")) * F.log(F.col("mean_rs")), 9).cast(
+        "decimal(18,9)"
+    )
+    lxx = F.round(F.log(F.col("m")) * F.log(F.col("m")), 9).cast(
+        "decimal(18,9)"
+    )
+    fit = per_m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lxy).alias("sxy"),
+        F.sum(lxx).alias("sxx"),
+    )
+    kk = F.col("k").cast("double")
+    slope = (
+        kk * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        kk * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return (
+        per_m.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("m").cast("bigint").alias("block_size"),
+            F.col("n_blocks"),
+            F.col("mean_rs"),
+            (F.round(slope, 6) + 0.0).alias("hurst_exponent"),
+        )
+        .orderBy("block_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank: per-user first-half vs second-half spend
+# --------------------------------------------------------------------------
+@register(
+    "wilcoxon_signed_rank",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(epoch_us(ts) // 86400000000) + 15 AS BIGINT)
+            AS hb
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 >= b.hb
+                             THEN CAST(CAST(value AS DECIMAL(18,2))
+                                       * 100 AS BIGINT)
+                             ELSE -CAST(CAST(value AS DECIMAL(18,2))
+                                        * 100 AS BIGINT) END)
+                    AS BIGINT) AS diff
+        FROM events, bounds b
+        GROUP BY user_id
+    ),
+    nz AS (SELECT user_id, diff, ABS(diff) AS ad
+           FROM per_user WHERE diff <> 0),
+    ranked AS (
+        SELECT diff,
+               CAST(RANK() OVER (ORDER BY ad) AS BIGINT) * 2
+               + CAST(COUNT(*) OVER (PARTITION BY ad) AS BIGINT) - 1
+                   AS rank2
+        FROM nz
+    ),
+    ties AS (
+        SELECT CAST(COALESCE(SUM(c * c * c - c), 0) AS BIGINT) AS t3
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nz GROUP BY ad)
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN diff > 0 THEN rank2 ELSE 0 END)
+                    AS DECIMAL(38,0)) AS w2p
+        FROM ranked
+    ),
+    zc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nz_users
+           FROM per_user WHERE diff = 0)
+    SELECT f.n AS n_pairs, z.nz_users AS n_zero_dropped,
+           round(CAST(f.w2p AS DOUBLE) / 2.0, 1) AS w_plus,
+           round((CAST(f.w2p AS DOUBLE) / 2.0
+                  - CAST(f.n AS DOUBLE) * (f.n + 1) / 4.0)
+                 / sqrt(CAST(f.n AS DOUBLE) * (f.n + 1)
+                        * (2.0 * f.n + 1) / 24.0
+                        - CAST(t.t3 AS DOUBLE) / 48.0), 6) + 0.0
+               AS z_stat
+    FROM fold f, ties t, zc z
+    """,
+)
+def wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank test pairing each user's SECOND-half
+    spend against their FIRST-half spend (calendar split at min day
+    + 15): d_u = Σcents(back half) − Σcents(front half), zero
+    differences dropped per the standard procedure, W+ = sum of
+    |d|-ranks where d > 0, with the tie-corrected normal
+    approximation σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48. The PAIRED
+    companion to ``mann_whitney_u_values`` (two independent samples)
+    — the within-subject before/after test an experimentation
+    pipeline needs when the same users appear on both sides.
+
+    Exactness: per-user differences are one signed integer-cents
+    aggregate (a single pass — the sign flips inside the SUM);
+    average ranks are 2x-scaled integers via the
+    ``kruskal_wallis_values`` range-partition + broadcast
+    prefix-offset machinery, so W2+ = 2·W+ folds exactly in
+    DECIMAL(38,0) (rank sums grow ~N²); only the closing z divides.
+    Plan: event scan → user rollup → range-partitioned rank on |d|
+    with no single-partition exchange; tie rollup on the |d| value
+    grid."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+    cents = (dec("value", 18, 2) * 100).cast("bigint")
+    bounds = e.agg((F.min(day) + 15).cast("bigint").alias("hb"))
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(day >= F.col("hb"), cents).otherwise(-cents))
+            .cast("bigint")
+            .alias("diff")
+        )
+        .persist()
+    )
+    nz = (
+        per_user.where(F.col("diff") != 0)
+        .select("diff", F.abs(F.col("diff")).alias("ad"))
+        .repartitionByRange(8, F.col("ad").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = nz.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
+    offsets = prefix_offsets(counts, {"offset": "pn"})
+    local_rank = F.rank().over(Window.partitionBy("pid").orderBy("ad"))
+    rank2 = (
+        (local_rank.cast("bigint") + F.col("offset")) * 2
+        + F.count(F.lit(1))
+        .over(Window.partitionBy("pid", "ad"))
+        .cast("bigint")
+        - 1
+    )
+    ranked = nz.join(F.broadcast(offsets), "pid").select(
+        "diff", rank2.alias("rank2")
+    )
+    ties = (
+        nz.groupBy("ad")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("c") * F.col("c") * F.col("c") - F.col("c")
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("t3")
+        )
+    )
+    fold = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("diff") > 0, F.col("rank2")).otherwise(0).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("w2p"),
+    )
+    zc = per_user.where(F.col("diff") == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nz_users")
+    )
+    n = F.col("n").cast("double")
+    w_plus = F.col("w2p").cast("double") / 2.0
+    var = n * (n + 1) * (2.0 * n + 1) / 24.0 - F.col("t3").cast(
+        "double"
+    ) / 48.0
+    return (
+        fold.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(zc))
+        .select(
+            F.col("n").alias("n_pairs"),
+            F.col("nz_users").alias("n_zero_dropped"),
+            F.round(w_plus, 1).alias("w_plus"),
+            (
+                F.round(
+                    (w_plus - n * (n + 1) / 4.0) / F.sqrt(var), 6
+                )
+                + 0.0
+            ).alias("z_stat"),
+        )
+    )
