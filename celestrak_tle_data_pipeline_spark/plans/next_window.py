@@ -3158,3 +3158,890 @@ def wilcoxon_signed_rank(spark, sf_dir):
             ).alias("z_stat"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered-trend test (price across order priorities)
+# --------------------------------------------------------------------------
+@register(
+    "jonckheere_terpstra_trend",
+    oracle="""
+    WITH pool AS (
+        SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    grid AS (
+        SELECT v,
+               CAST(COUNT(*) FILTER (g = 1) AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (g = 2) AS BIGINT) AS c2,
+               CAST(COUNT(*) FILTER (g = 3) AS BIGINT) AS c3,
+               CAST(COUNT(*) FILTER (g = 4) AS BIGINT) AS c4,
+               CAST(COUNT(*) FILTER (g = 5) AS BIGINT) AS c5
+        FROM pool GROUP BY v
+    ),
+    cum AS (
+        SELECT v, c1, c2, c3, c4, c5,
+               SUM(c1) OVER w - c1 AS l1,
+               SUM(c2) OVER w - c2 AS l2,
+               SUM(c3) OVER w - c3 AS l3,
+               SUM(c4) OVER w - c4 AS l4
+        FROM grid
+        WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    jt AS (
+        SELECT SUM(
+            CAST(c2 AS DECIMAL(38,0)) * (2 * l1 + c1)
+            + CAST(c3 AS DECIMAL(38,0)) * (2 * (l1 + l2) + c1 + c2)
+            + CAST(c4 AS DECIMAL(38,0))
+                * (2 * (l1 + l2 + l3) + c1 + c2 + c3)
+            + CAST(c5 AS DECIMAL(38,0))
+                * (2 * (l1 + l2 + l3 + l4) + c1 + c2 + c3 + c4)
+        ) AS jt2
+        FROM cum
+    ),
+    gs AS (
+        SELECT CAST(SUM(cg) AS BIGINT) AS n,
+               SUM(CAST(cg AS DECIMAL(38,0)) * cg) AS sn2,
+               SUM(CAST(cg AS DECIMAL(38,0)) * (cg - 1) * (2 * cg + 5))
+                   AS sa,
+               SUM(CAST(cg AS DECIMAL(38,0)) * (cg - 1) * (cg - 2))
+                   AS sb,
+               SUM(CAST(cg AS DECIMAL(38,0)) * (cg - 1)) AS sc
+        FROM (SELECT g, CAST(COUNT(*) AS BIGINT) AS cg
+              FROM pool GROUP BY g)
+    ),
+    ts AS (
+        SELECT SUM(CAST(tv AS DECIMAL(38,0)) * (tv - 1) * (2 * tv + 5))
+                   AS ta,
+               SUM(CAST(tv AS DECIMAL(38,0)) * (tv - 1) * (tv - 2))
+                   AS tb,
+               SUM(CAST(tv AS DECIMAL(38,0)) * (tv - 1)) AS tc
+        FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS tv
+              FROM pool GROUP BY v)
+    )
+    SELECT g.n AS n_orders,
+           round(CAST(jt.jt2 AS DOUBLE) / 2.0, 1) AS jt_stat,
+           round((CAST(g.n AS DOUBLE) * g.n - CAST(g.sn2 AS DOUBLE))
+                 / 4.0, 2) AS mean_jt,
+           round((CAST(g.n AS DOUBLE) * (g.n - 1) * (2 * g.n + 5)
+                  - CAST(g.sa AS DOUBLE) - CAST(t.ta AS DOUBLE)) / 72.0
+                 + CAST(g.sb AS DOUBLE) * CAST(t.tb AS DOUBLE)
+                   / (36.0 * g.n * (g.n - 1.0) * (g.n - 2.0))
+                 + CAST(g.sc AS DOUBLE) * CAST(t.tc AS DOUBLE)
+                   / (8.0 * g.n * (g.n - 1.0)), 4) AS var_jt,
+           round((CAST(jt.jt2 AS DOUBLE) / 2.0
+                  - (CAST(g.n AS DOUBLE) * g.n
+                     - CAST(g.sn2 AS DOUBLE)) / 4.0)
+                 / sqrt((CAST(g.n AS DOUBLE) * (g.n - 1) * (2 * g.n + 5)
+                         - CAST(g.sa AS DOUBLE)
+                         - CAST(t.ta AS DOUBLE)) / 72.0
+                        + CAST(g.sb AS DOUBLE) * CAST(t.tb AS DOUBLE)
+                          / (36.0 * g.n * (g.n - 1.0) * (g.n - 2.0))
+                        + CAST(g.sc AS DOUBLE) * CAST(t.tc AS DOUBLE)
+                          / (8.0 * g.n * (g.n - 1.0))), 6) + 0.0
+               AS z_stat
+    FROM jt, gs g, ts t
+    """,
+)
+def jonckheere_terpstra_trend(spark, sf_dir):
+    """Jonckheere-Terpstra test for an ORDERED alternative: does
+    order price trend monotonically across the five priority levels
+    1-URGENT → 5-LOW? JT = Σ_{a<b} U_ab (pairwise Mann-Whitney
+    counts taken in priority order, ties counted half) with the full
+    tie-corrected moments — strictly more powerful than
+    ``kruskal_wallis_values`` when the alternative is ordered, which
+    is exactly the "does priority buy anything?" question.
+
+    Device: pivot the cents value grid into per-priority count
+    columns c1..c5, take strictly-below cumulatives per column over
+    the grid, then JT2 = 2·JT = Σ_v Σ_b c_b·(2·Σ_{a<b}lt_a + Σ_{a<b}
+    c_a) folds exactly in DECIMAL(38,0) (grows ~n²; the moment
+    folds Σn(n−1)(2n+5) etc. grow ~n³ and widen the same way —
+    the sf0.1 overflow class). The Spark side computes the grid
+    cumulatives with the range-partition + ``prefix_offsets``
+    5-column machinery — ranks never leave their partition, no
+    single-partition exchange; the DuckDB oracle uses one ordered
+    window over the same grid. Only the closing mean/var/z are
+    float."""
+    o = t(spark, sf_dir, "orders")
+    pool = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("g"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
+    ).persist()
+    cs = [
+        F.sum(F.when(F.col("g") == i, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"c{i}")
+        for i in (1, 2, 3, 4, 5)
+    ]
+    grid = (
+        pool.groupBy("v")
+        .agg(*cs)
+        .repartitionByRange(8, F.col("v").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    ptot = grid.groupBy("pid").agg(
+        *[F.sum(f"c{i}").alias(f"p{i}") for i in (1, 2, 3, 4)]
+    )
+    offsets = prefix_offsets(
+        ptot, {f"o{i}": f"p{i}" for i in (1, 2, 3, 4)}
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.join(F.broadcast(offsets), "pid").select(
+        "v",
+        *[F.col(f"c{i}") for i in (1, 2, 3, 4, 5)],
+        *[
+            (
+                F.sum(f"c{i}").over(w).cast("bigint")
+                + F.col(f"o{i}")
+                - F.col(f"c{i}")
+            ).alias(f"l{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    c = {i: F.col(f"c{i}") for i in (1, 2, 3, 4, 5)}
+    lt = {i: F.col(f"l{i}") for i in (1, 2, 3, 4)}
+    contrib = (
+        c[2].cast("decimal(38,0)") * (2 * lt[1] + c[1])
+        + c[3].cast("decimal(38,0)") * (2 * (lt[1] + lt[2]) + c[1] + c[2])
+        + c[4].cast("decimal(38,0)")
+        * (2 * (lt[1] + lt[2] + lt[3]) + c[1] + c[2] + c[3])
+        + c[5].cast("decimal(38,0)")
+        * (2 * (lt[1] + lt[2] + lt[3] + lt[4]) + c[1] + c[2] + c[3] + c[4])
+    )
+    jt = cum.agg(F.sum(contrib).alias("jt2"))
+    cg = F.col("cg").cast("decimal(38,0)")
+    gs = (
+        pool.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cg"))
+        .agg(
+            F.sum("cg").cast("bigint").alias("n"),
+            F.sum(cg * F.col("cg")).alias("sn2"),
+            F.sum(cg * (F.col("cg") - 1) * (2 * F.col("cg") + 5)).alias(
+                "sa"
+            ),
+            F.sum(cg * (F.col("cg") - 1) * (F.col("cg") - 2)).alias("sb"),
+            F.sum(cg * (F.col("cg") - 1)).alias("sc"),
+        )
+    )
+    tv = F.col("tv").cast("decimal(38,0)")
+    ts = (
+        pool.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tv"))
+        .agg(
+            F.sum(tv * (F.col("tv") - 1) * (2 * F.col("tv") + 5)).alias(
+                "ta"
+            ),
+            F.sum(tv * (F.col("tv") - 1) * (F.col("tv") - 2)).alias("tb"),
+            F.sum(tv * (F.col("tv") - 1)).alias("tc"),
+        )
+    )
+    n = F.col("n").cast("double")
+    jt_stat = F.col("jt2").cast("double") / 2.0
+    mean_jt = (n * n - F.col("sn2").cast("double")) / 4.0
+    var_jt = (
+        (
+            n * (n - 1) * (2 * n + 5)
+            - F.col("sa").cast("double")
+            - F.col("ta").cast("double")
+        )
+        / 72.0
+        + F.col("sb").cast("double")
+        * F.col("tb").cast("double")
+        / (36.0 * n * (n - 1.0) * (n - 2.0))
+        + F.col("sc").cast("double")
+        * F.col("tc").cast("double")
+        / (8.0 * n * (n - 1.0))
+    )
+    return (
+        jt.crossJoin(F.broadcast(gs))
+        .crossJoin(F.broadcast(ts))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.round(jt_stat, 1).alias("jt_stat"),
+            F.round(mean_jt, 2).alias("mean_jt"),
+            F.round(var_jt, 4).alias("var_jt"),
+            (
+                F.round((jt_stat - mean_jt) / F.sqrt(var_jt), 6) + 0.0
+            ).alias("z_stat"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Average precision + P@k/R@k of the value-ranked purchase retrieval
+# --------------------------------------------------------------------------
+@register(
+    "average_precision_ranking",
+    oracle="""
+    WITH pool AS (
+        SELECT event_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    ranked AS (
+        SELECT y,
+               CAST(ROW_NUMBER() OVER (ORDER BY s DESC, event_id)
+                    AS BIGINT) AS r,
+               CAST(SUM(y) OVER (ORDER BY s DESC, event_id
+                                 ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS pc
+        FROM pool
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS np
+        FROM pool
+    ),
+    ap AS (
+        SELECT SUM(CAST(round(CAST(pc AS DOUBLE) / r, 12)
+                   AS DECIMAL(38,12))) AS aps
+        FROM ranked WHERE y = 1
+    ),
+    atk AS (
+        SELECT CAST(SUM(y) AS BIGINT) AS p100
+        FROM ranked WHERE r <= 100
+    )
+    SELECT t.n AS n_events, t.np AS n_pos,
+           round(CAST(ap.aps AS DOUBLE) / t.np, 9) + 0.0
+               AS average_precision,
+           round(CAST(atk.p100 AS DOUBLE) / 100.0, 6) + 0.0
+               AS precision_at_100,
+           round(CAST(atk.p100 AS DOUBLE) / t.np, 6) + 0.0
+               AS recall_at_100
+    FROM tot t, ap, atk
+    """,
+)
+def average_precision_ranking(spark, sf_dir):
+    """Average precision of "retrieve purchases by ranking events on
+    value": AP = (1/P)·Σ_{k relevant} precision@k over the unique
+    total order (cents desc, event_id asc), plus precision/recall at
+    k=100. The threshold-free ranking metric that complements the
+    registered ``auc_rank_score`` (AUC weighs all pairs equally; AP
+    front-loads the top of the ranking, which is what a
+    hard-negative miner or retrieval eval actually optimizes) and
+    ``gains_chart_deciles`` (decile-grain vs per-hit grain).
+
+    The tie-break on event_id makes every rank a deterministic
+    integer at any partitioning; ranks and cumulative positives come
+    from the range-partition + ``prefix_offsets`` machinery (two
+    offset sums: row count and positive count), so no
+    single-partition exchange; each hit's precision rounds to 1e-12
+    DECIMAL before the order-free fold. Only the three final ratios
+    are float."""
+    e = t(spark, sf_dir, "events")
+    pool = e.select(
+        "event_id",
+        (dec("value", 18, 2) * 100).cast("bigint").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    rp = (
+        pool.repartitionByRange(
+            8, F.col("s").desc(), F.col("event_id").asc()
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    ptot = rp.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("y").alias("pp")
+    )
+    offsets = prefix_offsets(ptot, {"on": "pn", "op": "pp"})
+    w = Window.partitionBy("pid").orderBy(
+        F.col("s").desc(), F.col("event_id").asc()
+    )
+    ranked = rp.join(F.broadcast(offsets), "pid").select(
+        "y",
+        (F.row_number().over(w).cast("bigint") + F.col("on")).alias("r"),
+        (
+            F.sum("y")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint")
+            + F.col("op")
+        ).alias("pc"),
+    ).persist()
+    tot = rp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("np"),
+    )
+    ap = ranked.where(F.col("y") == 1).agg(
+        F.sum(
+            F.round(F.col("pc").cast("double") / F.col("r"), 12).cast(
+                "decimal(38,12)"
+            )
+        ).alias("aps")
+    )
+    atk = ranked.where(F.col("r") <= 100).agg(
+        F.sum("y").cast("bigint").alias("p100")
+    )
+    return (
+        tot.crossJoin(F.broadcast(ap))
+        .crossJoin(F.broadcast(atk))
+        .select(
+            F.col("n").alias("n_events"),
+            F.col("np").alias("n_pos"),
+            (
+                F.round(
+                    F.col("aps").cast("double") / F.col("np"), 9
+                )
+                + 0.0
+            ).alias("average_precision"),
+            (
+                F.round(F.col("p100").cast("double") / 100.0, 6) + 0.0
+            ).alias("precision_at_100"),
+            (
+                F.round(
+                    F.col("p100").cast("double") / F.col("np"), 6
+                )
+                + 0.0
+            ).alias("recall_at_100"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out target encoding of suppliers by return rate
+# --------------------------------------------------------------------------
+@register(
+    "target_encoding_loo",
+    oracle="""
+    WITH li AS (
+        SELECT l_suppkey,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+               l_returnflag
+        FROM lineitem
+    ),
+    grp AS (
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(y) AS BIGINT) AS sg
+        FROM li GROUP BY l_suppkey
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sp
+        FROM li
+    ),
+    enc AS (
+        SELECT li.l_returnflag,
+               CAST(round(
+                   (g.sg - li.y + 20.0 * t.sp / t.n)
+                   / (g.ng - 1 + 20.0), 9) AS DECIMAL(18,9)) AS e
+        FROM li JOIN grp g USING (l_suppkey) CROSS JOIN tot t
+    )
+    SELECT e.l_returnflag AS returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(CAST(SUM(e.e) AS DOUBLE) / COUNT(*), 9) + 0.0
+               AS mean_encoding,
+           round(CAST(t.sp AS DOUBLE) / t.n, 9) AS global_prior
+    FROM enc e, tot t
+    GROUP BY e.l_returnflag, t.sp, t.n
+    ORDER BY returnflag
+    """,
+)
+def target_encoding_loo(spark, sf_dir):
+    """Leave-one-out target encoding with additive smoothing — the
+    standard leakage-safe categorical feature for tree/linear models
+    over high-cardinality keys: enc_i = (S_g − y_i + m·prior)/(n_g −
+    1 + m), m = 20, encoding supplier by lineitem return rate
+    (y = returnflag 'R'). Subtracting the row's own label prevents
+    the target leak a naive group-mean encoder bakes in; the audit
+    groups mean encoding by actual returnflag, so a correct encoder
+    must show returned rows decoding HIGHER than kept rows by
+    1/(n_g−1+m) per own-label exclusion.
+
+    n_g/S_g/N/ΣY are exact integers; each row's encoding is one
+    deterministic double expression rounded to 1e-9 DECIMAL before
+    the order-free group fold. Plan: lineitem scan → supplier hash
+    rollup → equi-join back on l_suppkey (dimension-sized right
+    side; at 100 TB this is the standard shuffle-hash equi-join on
+    the encoding key, never row-pairs) → one 3-group rollup."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_returnflag",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    grp = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("y").cast("bigint").alias("sg"),
+    )
+    tot = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sp"),
+    )
+    enc_val = F.round(
+        (
+            F.col("sg")
+            - F.col("y")
+            + 20.0 * F.col("sp") / F.col("n")
+        )
+        / (F.col("ng") - 1 + 20.0),
+        9,
+    ).cast("decimal(18,9)")
+    enc = (
+        li.join(grp, "l_suppkey")
+        .crossJoin(F.broadcast(tot))
+        .select("l_returnflag", F.col("sp"), F.col("n"), enc_val.alias("e"))
+    )
+    return (
+        enc.groupBy(
+            F.col("l_returnflag").alias("returnflag"), "sp", "n"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (
+                F.round(
+                    F.sum("e").cast("double") / F.count(F.lit(1)), 9
+                )
+                + 0.0
+            ).alias("mean_encoding"),
+        )
+        .select(
+            "returnflag",
+            "n_rows",
+            "mean_encoding",
+            F.round(
+                F.col("sp").cast("double") / F.col("n"), 9
+            ).alias("global_prior"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Mahalanobis outlier census on (order price, lineitem count)
+# --------------------------------------------------------------------------
+@register(
+    "mahalanobis_outliers_2d",
+    oracle="""
+    WITH pts AS (
+        SELECT o.o_orderkey,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS x,
+               c.y
+        FROM orders o
+        JOIN (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS y
+              FROM lineitem GROUP BY l_orderkey) c
+          ON c.l_orderkey = o.o_orderkey
+    ),
+    f AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                   AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS syy,
+               SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS sxy
+        FROM pts
+    ),
+    ab AS (
+        SELECT n,
+               CAST(round(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 0)
+                    AS DOUBLE) AS axx,
+               CAST(round(n * syy - CAST(sy AS DECIMAL(38,0)) * sy, 0)
+                    AS DOUBLE) AS ayy,
+               CAST(round(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy, 0)
+                    AS DOUBLE) AS axy,
+               sx, sy
+        FROM f
+    ),
+    d2 AS (
+        SELECT ab.n, ab.axx, ab.ayy, ab.axy,
+               round((ab.n - 1.0)
+                     * (ab.ayy * (p.x * ab.n - ab.sx)
+                            * (p.x * ab.n - ab.sx)
+                        - 2.0 * ab.axy * (p.x * ab.n - ab.sx)
+                              * (p.y * ab.n - ab.sy)
+                        + ab.axx * (p.y * ab.n - ab.sy)
+                              * (p.y * ab.n - ab.sy))
+                     / (CAST(ab.n AS DOUBLE) * ab.n
+                        * (ab.axx * ab.ayy - ab.axy * ab.axy)), 9)
+                   AS d2
+        FROM pts p, ab
+    )
+    SELECT MAX(n) AS n_orders,
+           round(MAX(axy / sqrt(axx * ayy)), 6) + 0.0 AS corr_xy,
+           round(MAX(d2), 6) AS max_d2,
+           CAST(SUM(CASE WHEN d2 > 4.605170 THEN 1 ELSE 0 END)
+                AS BIGINT) AS cnt_gt90,
+           CAST(SUM(CASE WHEN d2 > 5.991465 THEN 1 ELSE 0 END)
+                AS BIGINT) AS cnt_gt95,
+           CAST(SUM(CASE WHEN d2 > 9.210340 THEN 1 ELSE 0 END)
+                AS BIGINT) AS cnt_gt99
+    FROM d2
+    """,
+)
+def mahalanobis_outliers_2d(spark, sf_dir):
+    """Mahalanobis-distance outlier census over the 2-D feature
+    (order price, lineitem count), with the 2×2 covariance inverted
+    in closed form: d²_i = (n−1)·(A_yy·DX² − 2A_xy·DX·DY +
+    A_xx·DY²)/(n²·det A), DX = x_i·n − Σx. The CORRELATION-AWARE
+    multivariate upgrade of the univariate ``mad_outlier_filter`` /
+    ``grubbs_max_outlier``: a cheap order with many lines is normal,
+    an expensive order with one line is the outlier, and no
+    per-axis rule sees that. Census rows count d² beyond the χ²(2)
+    90/95/99% quantiles.
+
+    A_xx/A_yy/A_xy are exact n-scaled DECIMAL(38,0) folds (cents²
+    sums overflow int64 — the sf0.1 class); they reach DOUBLE via a
+    scale-0 cast (no DuckDB double-round). Each row's d² is then one
+    deterministic double expression from exact integers — identical
+    in both engines — rounded at 1e-9 before the threshold compare.
+    Plan: one lineitem rollup, a key equi-join to orders, one global
+    fold broadcast back over the point set; no window, nothing
+    beyond the join shuffle."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    pts = o.select(
+        "o_orderkey",
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("x"),
+    ).join(cnt, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "x", "y"
+    ).persist()
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    f = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    ab = f.select(
+        "n",
+        "sx",
+        "sy",
+        F.round(F.col("n") * F.col("sxx") - sxd * F.col("sx"), 0)
+        .cast("double")
+        .alias("axx"),
+        F.round(F.col("n") * F.col("syy") - syd * F.col("sy"), 0)
+        .cast("double")
+        .alias("ayy"),
+        F.round(F.col("n") * F.col("sxy") - sxd * F.col("sy"), 0)
+        .cast("double")
+        .alias("axy"),
+    )
+    nd = F.col("n").cast("double")
+    dx = (F.col("x") * F.col("n") - F.col("sx")).cast("double")
+    dy = (F.col("y") * F.col("n") - F.col("sy")).cast("double")
+    d2 = F.round(
+        (nd - 1.0)
+        * (
+            F.col("ayy") * dx * dx
+            - 2.0 * F.col("axy") * dx * dy
+            + F.col("axx") * dy * dy
+        )
+        / (
+            nd
+            * nd
+            * (
+                F.col("axx") * F.col("ayy")
+                - F.col("axy") * F.col("axy")
+            )
+        ),
+        9,
+    )
+    pd2 = pts.crossJoin(F.broadcast(ab)).select(
+        "n", "axx", "ayy", "axy", d2.alias("d2")
+    )
+    return pd2.agg(
+        F.max("n").alias("n_orders"),
+        (
+            F.round(
+                F.max(
+                    F.col("axy")
+                    / F.sqrt(F.col("axx") * F.col("ayy"))
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("corr_xy"),
+        F.round(F.max("d2"), 6).alias("max_d2"),
+        F.sum(F.when(F.col("d2") > 4.605170, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_gt90"),
+        F.sum(F.when(F.col("d2") > 5.991465, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_gt95"),
+        F.sum(F.when(F.col("d2") > 9.210340, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_gt99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Closed-form 2x2 PCA of (order price, lineitem count)
+# --------------------------------------------------------------------------
+@register(
+    "pca_2x2_closed_form",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS x,
+               c.y
+        FROM orders o
+        JOIN (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS y
+              FROM lineitem GROUP BY l_orderkey) c
+          ON c.l_orderkey = o.o_orderkey
+    ),
+    f AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                   AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS syy,
+               SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS sxy
+        FROM pts
+    ),
+    ab AS (
+        SELECT n,
+               CAST(round(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 0)
+                    AS DOUBLE) AS a,
+               CAST(round(n * syy - CAST(sy AS DECIMAL(38,0)) * sy, 0)
+                    AS DOUBLE) AS c,
+               CAST(round(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy, 0)
+                    AS DOUBLE) AS b
+        FROM f
+    ),
+    eig AS (
+        SELECT n, a, b, c,
+               (a + c) / 2.0 + sqrt((a - c) * (a - c) / 4.0 + b * b)
+                   AS l1,
+               (a + c) / 2.0 - sqrt((a - c) * (a - c) / 4.0 + b * b)
+                   AS l2
+        FROM ab
+    )
+    SELECT n AS n_orders,
+           round(b / sqrt(a * c), 6) + 0.0 AS corr_xy,
+           round(l1 / (l1 + l2), 6) AS evr1,
+           round(l2 / (l1 + l2), 6) + 0.0 AS evr2,
+           round(l1 / l2, 6) AS condition_number,
+           round(0.5 * atan2(2.0 * b, a - c), 6) + 0.0 AS theta_radians
+    FROM eig
+    """,
+)
+def pca_2x2_closed_form(spark, sf_dir):
+    """Principal-component decomposition of the 2-D feature (order
+    price cents, lineitem count) with the 2×2 eigenproblem solved in
+    CLOSED FORM: λ± = (a+c)/2 ± √(((a−c)/2)² + b²), principal-axis
+    angle θ = ½·atan2(2b, a−c). Reported as dimensionless shape
+    statistics — explained-variance ratios, condition number, axis
+    angle — the quantities a feature-engineering pipeline reads to
+    decide whether two features are one direction in disguise. The
+    closed form is what makes this oracle-exact: no power iteration,
+    no convergence tolerance — the same two IEEE expressions run in
+    both engines (the staged ``embedding_dim_covariance`` produces
+    the matrix for d>2; this completes the d=2 spectral step).
+
+    a/b/c are exact n-scaled DECIMAL(38,0) covariance folds (cents²
+    overflows int64 — the sf0.1 class) reaching DOUBLE via scale-0
+    casts; every output is a ratio of same-scale quantities, so the
+    n-scaling cancels. Plan: lineitem rollup → key equi-join →
+    single global fold; one scalar row out, no window."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    pts = (
+        o.select(
+            "o_orderkey",
+            (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("x"),
+        )
+        .join(cnt, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("x", "y")
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    f = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    ab = f.select(
+        "n",
+        F.round(F.col("n") * F.col("sxx") - sxd * F.col("sx"), 0)
+        .cast("double")
+        .alias("a"),
+        F.round(F.col("n") * F.col("syy") - syd * F.col("sy"), 0)
+        .cast("double")
+        .alias("c"),
+        F.round(F.col("n") * F.col("sxy") - sxd * F.col("sy"), 0)
+        .cast("double")
+        .alias("b"),
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    disc = F.sqrt((a - c) * (a - c) / 4.0 + b * b)
+    l1 = (a + c) / 2.0 + disc
+    l2 = (a + c) / 2.0 - disc
+    return ab.select(
+        F.col("n").alias("n_orders"),
+        (F.round(b / F.sqrt(a * c), 6) + 0.0).alias("corr_xy"),
+        F.round(l1 / (l1 + l2), 6).alias("evr1"),
+        (F.round(l2 / (l1 + l2), 6) + 0.0).alias("evr2"),
+        F.round(l1 / l2, 6).alias("condition_number"),
+        (F.round(0.5 * F.atan2(2.0 * b, a - c), 6) + 0.0).alias(
+            "theta_radians"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Delta-method CI for the ratio metric revenue-per-event (A/B split)
+# --------------------------------------------------------------------------
+@register(
+    "delta_method_ratio_ci",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS grp,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                   AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS syy,
+               SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS sxy
+        FROM per_user GROUP BY grp
+    ),
+    v AS (
+        SELECT grp, n,
+               CAST(sy AS DOUBLE) / sx AS r,
+               ((CAST(round(syy, 0) AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * sy / n)
+                - 2.0 * (CAST(sy AS DOUBLE) / sx)
+                      * (CAST(round(sxy, 0) AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sy / n)
+                + (CAST(sy AS DOUBLE) / sx)
+                      * (CAST(sy AS DOUBLE) / sx)
+                      * (CAST(round(sxx, 0) AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx / n))
+               / (n - 1)
+               / (n * (CAST(sx AS DOUBLE) / n)
+                      * (CAST(sx AS DOUBLE) / n)) AS var_r
+        FROM g
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n_a,
+               MAX(CASE WHEN grp = 1 THEN n END) AS n_b,
+               MAX(CASE WHEN grp = 0 THEN r END) AS r_a,
+               MAX(CASE WHEN grp = 1 THEN r END) AS r_b,
+               MAX(CASE WHEN grp = 0 THEN var_r END) AS v_a,
+               MAX(CASE WHEN grp = 1 THEN var_r END) AS v_b
+        FROM v
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_users_a,
+           CAST(n_b AS BIGINT) AS n_users_b,
+           round(r_a, 6) AS ratio_a, round(r_b, 6) AS ratio_b,
+           round(r_b - r_a, 6) + 0.0 AS diff,
+           round(sqrt(v_a + v_b), 6) AS se,
+           round((r_b - r_a) / sqrt(v_a + v_b), 6) + 0.0 AS z_stat,
+           round(r_b - r_a - 1.959964 * sqrt(v_a + v_b), 6) + 0.0
+               AS ci_low,
+           round(r_b - r_a + 1.959964 * sqrt(v_a + v_b), 6) + 0.0
+               AS ci_high
+    FROM wide
+    """,
+)
+def delta_method_ratio_ci(spark, sf_dir):
+    """Delta-method variance and CI for the RATIO metric
+    revenue-per-event under the user_id-parity A/B split: R = Σy/Σx
+    with user-level clustering, Var(R) ≈ (s_y² − 2R·s_xy + R²·s_x²)
+    /(n·x̄²) — the correct standard error when the randomization
+    unit (user) differs from the analysis unit (event), where the
+    naive per-event t-test ``ab_experiment_readout`` runs is
+    anti-conservative. The missing ratio-metric member of the
+    experimentation tier (CUPED, SRM, Newcombe, MDE are all
+    mean-metric shapes).
+
+    Per-user x/y are exact integers off one rollup; per-group
+    Σx/Σy/Σx²/Σy²/Σxy fold exactly (cents² through DECIMAL(38,0),
+    scale-0 cast to DOUBLE); R, the three central moments, and the
+    z/CI are then identical IEEE expressions in both engines,
+    rounded once at 1e-6. Plan: event scan → user rollup → 2-group
+    rollup → 1-row pivot; no window, no join."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        (F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("y"),
+    ).select(
+        (F.col("user_id") % 2).alias("grp"), "x", "y"
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    g = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    r = F.col("sy").cast("double") / F.col("sx")
+    cyy = F.round(F.col("syy"), 0).cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy") / n
+    cxy = F.round(F.col("sxy"), 0).cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy") / n
+    cxx = F.round(F.col("sxx"), 0).cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx") / n
+    xbar = F.col("sx").cast("double") / n
+    var_r = (cyy - 2.0 * r * cxy + r * r * cxx) / (n - 1) / (
+        n * xbar * xbar
+    )
+    v = g.select("grp", "n", r.alias("r"), var_r.alias("var_r"))
+    wide = v.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 0, F.col("r"))).alias("r_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("r"))).alias("r_b"),
+        F.max(F.when(F.col("grp") == 0, F.col("var_r"))).alias("v_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("var_r"))).alias("v_b"),
+    )
+    diff = F.col("r_b") - F.col("r_a")
+    se = F.sqrt(F.col("v_a") + F.col("v_b"))
+    return wide.select(
+        F.col("n_a").cast("bigint").alias("n_users_a"),
+        F.col("n_b").cast("bigint").alias("n_users_b"),
+        F.round(F.col("r_a"), 6).alias("ratio_a"),
+        F.round(F.col("r_b"), 6).alias("ratio_b"),
+        (F.round(diff, 6) + 0.0).alias("diff"),
+        F.round(se, 6).alias("se"),
+        (F.round(diff / se, 6) + 0.0).alias("z_stat"),
+        (F.round(diff - 1.959964 * se, 6) + 0.0).alias("ci_low"),
+        (F.round(diff + 1.959964 * se, 6) + 0.0).alias("ci_high"),
+    )
