@@ -4045,3 +4045,795 @@ def delta_method_ratio_ci(spark, sf_dir):
         (F.round(diff - 1.959964 * se, 6) + 0.0).alias("ci_low"),
         (F.round(diff + 1.959964 * se, 6) + 0.0).alias("ci_high"),
     )
+
+
+# --------------------------------------------------------------------------
+# NDCG@10/@100 of the value-ranked event retrieval (graded relevance)
+# --------------------------------------------------------------------------
+@register(
+    "ndcg_at_k_ranking",
+    oracle="""
+    WITH pool AS (
+        SELECT event_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS s,
+               CASE event_type WHEN 'purchase' THEN 7 WHEN 'signup' THEN 3
+                    WHEN 'click' THEN 1 WHEN 'view' THEN 1
+                    ELSE 0 END AS gg
+        FROM events
+    ),
+    cnt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN gg = 7 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c7,
+               CAST(SUM(CASE WHEN gg = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c3,
+               CAST(SUM(CASE WHEN gg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1
+        FROM pool
+    ),
+    top AS (
+        SELECT gg,
+               CAST(ROW_NUMBER() OVER (ORDER BY s DESC, event_id)
+                    AS BIGINT) AS r
+        FROM pool
+        ORDER BY s DESC, event_id LIMIT 100
+    ),
+    dcg AS (
+        SELECT SUM(CAST(round(gg / log2(r + 1.0), 12)
+                        AS DECIMAL(38,12))) FILTER (r <= 10) AS d10,
+               SUM(CAST(round(gg / log2(r + 1.0), 12)
+                        AS DECIMAL(38,12))) AS d100
+        FROM top
+    ),
+    ideal AS (
+        SELECT SUM(CAST(round(
+                   (CASE WHEN u.r <= c.c7 THEN 7
+                         WHEN u.r <= c.c7 + c.c3 THEN 3
+                         WHEN u.r <= c.c7 + c.c3 + c.c1 THEN 1
+                         ELSE 0 END) / log2(u.r + 1.0), 12)
+                   AS DECIMAL(38,12))) FILTER (u.r <= 10) AS i10,
+               SUM(CAST(round(
+                   (CASE WHEN u.r <= c.c7 THEN 7
+                         WHEN u.r <= c.c7 + c.c3 THEN 3
+                         WHEN u.r <= c.c7 + c.c3 + c.c1 THEN 1
+                         ELSE 0 END) / log2(u.r + 1.0), 12)
+                   AS DECIMAL(38,12))) AS i100
+        FROM cnt c, (SELECT unnest(range(1, 101)) AS r) u
+    )
+    SELECT c.n AS n_events,
+           CAST(c.c7 + c.c3 + c.c1 AS BIGINT) AS n_relevant,
+           round(CAST(d.d10 AS DOUBLE), 9) AS dcg_10,
+           round(CAST(i.i10 AS DOUBLE), 9) AS idcg_10,
+           round(CAST(d.d10 AS DOUBLE) / CAST(i.i10 AS DOUBLE), 9)
+               + 0.0 AS ndcg_10,
+           round(CAST(d.d100 AS DOUBLE), 9) AS dcg_100,
+           round(CAST(i.i100 AS DOUBLE), 9) AS idcg_100,
+           round(CAST(d.d100 AS DOUBLE) / CAST(i.i100 AS DOUBLE), 9)
+               + 0.0 AS ndcg_100
+    FROM cnt c, dcg d, ideal i
+    """,
+)
+def ndcg_at_k_ranking(spark, sf_dir):
+    """NDCG@10/@100 of "retrieve valuable events by ranking on cents
+    value" with GRADED relevance (purchase gain 7, signup 3,
+    click/view 1, error 0 — the 2^rel−1 gains): DCG@k =
+    Σ_{r≤k} gain_r/log2(r+1), normalized by the ideal DCG of the
+    relevance-sorted ordering. The graded complement of the staged
+    binary ``average_precision_ranking`` (AP treats all positives
+    alike; NDCG rewards putting purchases above signups above
+    clicks) — the metric retrieval and reranker evals actually
+    report.
+
+    Scale shape: the engine never ranks the corpus — the top-100
+    pool comes from ``orderBy().limit()`` (TakeOrderedAndProject:
+    per-partition heaps + one 100-row merge, no global sort, audit-
+    clean), ranks within the pool come from a broadcast triangular
+    join over the 100-row frame, and IDCG needs only the per-grade
+    COUNTS (one rollup) walked down a constant 1..100 position
+    domain. Every DCG term rounds to 1e-12 DECIMAL before the
+    order-free fold; the tie-break on event_id makes the ranking a
+    deterministic total order."""
+    e = t(spark, sf_dir, "events")
+    gg = (
+        F.when(F.col("event_type") == "purchase", 7)
+        .when(F.col("event_type") == "signup", 3)
+        .when(F.col("event_type").isin("click", "view"), 1)
+        .otherwise(0)
+    )
+    pool = e.select(
+        "event_id",
+        (dec("value", 18, 2) * 100).cast("bigint").alias("s"),
+        gg.alias("gg"),
+    )
+    cnt = pool.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("gg") == 7, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c7"),
+        F.sum(F.when(F.col("gg") == 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c3"),
+        F.sum(F.when(F.col("gg") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    top = (
+        pool.orderBy(F.col("s").desc(), F.col("event_id"))
+        .limit(100)
+        .persist()
+    )
+    a, b = top.alias("a"), top.alias("b")
+    earlier = (F.col("b.s") > F.col("a.s")) | (
+        (F.col("b.s") == F.col("a.s"))
+        & (F.col("b.event_id") < F.col("a.event_id"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), earlier, "left")
+        .groupBy(F.col("a.event_id"), F.col("a.gg"))
+        .agg((F.count(F.col("b.event_id")) + 1).alias("r"))
+    )
+    term = F.round(
+        F.col("gg") / F.log2(F.col("r") + 1.0), 12
+    ).cast("decimal(38,12)")
+    dcg = ranked.agg(
+        F.sum(F.when(F.col("r") <= 10, term)).alias("d10"),
+        F.sum(term).alias("d100"),
+    )
+    igain = (
+        F.when(F.col("r") <= F.col("c7"), 7)
+        .when(F.col("r") <= F.col("c7") + F.col("c3"), 3)
+        .when(
+            F.col("r") <= F.col("c7") + F.col("c3") + F.col("c1"), 1
+        )
+        .otherwise(0)
+    )
+    iterm = F.round(igain / F.log2(F.col("r") + 1.0), 12).cast(
+        "decimal(38,12)"
+    )
+    ideal = (
+        cnt.select(
+            "c7",
+            "c3",
+            "c1",
+            F.explode(F.sequence(F.lit(1), F.lit(100))).alias("r"),
+        )
+        .agg(
+            F.sum(F.when(F.col("r") <= 10, iterm)).alias("i10"),
+            F.sum(iterm).alias("i100"),
+        )
+    )
+    return (
+        cnt.crossJoin(F.broadcast(dcg))
+        .crossJoin(F.broadcast(ideal))
+        .select(
+            F.col("n").alias("n_events"),
+            (F.col("c7") + F.col("c3") + F.col("c1"))
+            .cast("bigint")
+            .alias("n_relevant"),
+            F.round(F.col("d10").cast("double"), 9).alias("dcg_10"),
+            F.round(F.col("i10").cast("double"), 9).alias("idcg_10"),
+            (
+                F.round(
+                    F.col("d10").cast("double")
+                    / F.col("i10").cast("double"),
+                    9,
+                )
+                + 0.0
+            ).alias("ndcg_10"),
+            F.round(F.col("d100").cast("double"), 9).alias("dcg_100"),
+            F.round(F.col("i100").cast("double"), 9).alias(
+                "idcg_100"
+            ),
+            (
+                F.round(
+                    F.col("d100").cast("double")
+                    / F.col("i100").cast("double"),
+                    9,
+                )
+                + 0.0
+            ).alias("ndcg_100"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Jackknife (leave-one-out) SE of revenue-per-event (A/B split)
+# --------------------------------------------------------------------------
+@register(
+    "jackknife_ratio_se",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id % 2 AS grp,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy
+        FROM per_user GROUP BY grp
+    ),
+    loo AS (
+        SELECT p.grp,
+               CAST(round(
+                   CAST(g.sy - p.y AS DOUBLE) / (g.sx - p.x)
+                   - CAST(g.sy AS DOUBLE) / g.sx, 15)
+                   AS DECIMAL(38,15)) AS d,
+               CAST(round(
+                   (CAST(g.sy - p.y AS DOUBLE) / (g.sx - p.x)
+                    - CAST(g.sy AS DOUBLE) / g.sx)
+                   * (CAST(g.sy - p.y AS DOUBLE) / (g.sx - p.x)
+                      - CAST(g.sy AS DOUBLE) / g.sx), 18)
+                   AS DECIMAL(38,18)) AS d2
+        FROM per_user p JOIN g USING (grp)
+    ),
+    v AS (
+        SELECT l.grp, g.n, CAST(g.sy AS DOUBLE) / g.sx AS r,
+               (g.n - 1.0) / g.n
+               * (CAST(SUM(l.d2) AS DOUBLE)
+                  - CAST(SUM(l.d) AS DOUBLE)
+                    * CAST(SUM(l.d) AS DOUBLE) / g.n) AS var_j
+        FROM loo l JOIN g USING (grp)
+        GROUP BY l.grp, g.n, g.sx, g.sy
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n_a,
+               MAX(CASE WHEN grp = 1 THEN n END) AS n_b,
+               MAX(CASE WHEN grp = 0 THEN r END) AS r_a,
+               MAX(CASE WHEN grp = 1 THEN r END) AS r_b,
+               MAX(CASE WHEN grp = 0 THEN var_j END) AS v_a,
+               MAX(CASE WHEN grp = 1 THEN var_j END) AS v_b
+        FROM v
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_users_a,
+           CAST(n_b AS BIGINT) AS n_users_b,
+           round(r_a, 6) AS ratio_a, round(r_b, 6) AS ratio_b,
+           round(sqrt(v_a), 6) AS jk_se_a,
+           round(sqrt(v_b), 6) AS jk_se_b,
+           round(sqrt(v_a + v_b), 6) AS se_diff
+    FROM wide
+    """,
+)
+def jackknife_ratio_se(spark, sf_dir):
+    """Leave-one-out jackknife standard error of the ratio metric
+    revenue-per-event under the user_id-parity A/B split: θ_(i) =
+    (Σy−y_i)/(Σx−x_i), Var_J = (n−1)/n · Σ(θ_(i) − θ̄_(.))² — the
+    RESAMPLING cross-check of the closed-form delta method staged as
+    ``delta_method_ratio_ci`` (when the two disagree materially the
+    ratio is too skewed for either asymptotic, which is itself the
+    finding). Fully deterministic: the jackknife enumerates all n
+    leave-one-out replicates, no RNG — the resampling family's
+    member that a reproducible pipeline can actually gate on.
+
+    Each replicate is ONE arithmetic expression of the row and two
+    group scalars (no per-replicate pass — the O(n²) naive form
+    collapses because the ratio's LOO update is closed-form); the
+    tiny deviations d_i = θ_(i) − R fold exactly at 1e-15/1e-18
+    DECIMAL (centering on the full ratio R kills the cancellation
+    that Σθ² − nθ̄² would hit in float). Plan: user rollup →
+    broadcast 2-row group totals → one more rollup; no window, no
+    shuffle beyond the user rollup."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        (F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("y"),
+    ).select((F.col("user_id") % 2).alias("grp"), "x", "y")
+    g = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    dexpr = (F.col("sy") - F.col("y")).cast("double") / (
+        F.col("sx") - F.col("x")
+    ) - F.col("sy").cast("double") / F.col("sx")
+    loo = per_user.join(F.broadcast(g), "grp").select(
+        "grp",
+        "n",
+        "sx",
+        "sy",
+        F.round(dexpr, 15).cast("decimal(38,15)").alias("d"),
+        F.round(dexpr * dexpr, 18).cast("decimal(38,18)").alias("d2"),
+    )
+    n = F.col("n")
+    var_j = (
+        (n - 1.0)
+        / n
+        * (
+            F.sum("d2").cast("double")
+            - F.sum("d").cast("double")
+            * F.sum("d").cast("double")
+            / n
+        )
+    )
+    v = loo.groupBy("grp", "n", "sx", "sy").agg(var_j.alias("var_j"))
+    r = F.col("sy").cast("double") / F.col("sx")
+    wide = v.select("grp", "n", r.alias("r"), "var_j").agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 0, F.col("r"))).alias("r_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("r"))).alias("r_b"),
+        F.max(F.when(F.col("grp") == 0, F.col("var_j"))).alias("v_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("var_j"))).alias("v_b"),
+    )
+    return wide.select(
+        F.col("n_a").cast("bigint").alias("n_users_a"),
+        F.col("n_b").cast("bigint").alias("n_users_b"),
+        F.round(F.col("r_a"), 6).alias("ratio_a"),
+        F.round(F.col("r_b"), 6).alias("ratio_b"),
+        F.round(F.sqrt(F.col("v_a")), 6).alias("jk_se_a"),
+        F.round(F.sqrt(F.col("v_b")), 6).alias("jk_se_b"),
+        F.round(F.sqrt(F.col("v_a") + F.col("v_b")), 6).alias(
+            "se_diff"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Flesch reading ease / FK grade per document source
+# --------------------------------------------------------------------------
+@register(
+    "flesch_reading_ease",
+    oracle="""
+    WITH docs AS (
+        SELECT source,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS ws,
+               GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+                   AS sent
+        FROM documents
+    ),
+    wtok AS (
+        SELECT source, unnest(ws) AS w FROM docs
+    ),
+    wstats AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS nw,
+               CAST(SUM(GREATEST(1,
+                        len(regexp_extract_all(w, '[aeiouy]+'))))
+                    AS BIGINT) AS ny
+        FROM wtok WHERE w <> '' GROUP BY source
+    ),
+    dstats AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(sent) AS BIGINT) AS ns
+        FROM docs GROUP BY source
+    )
+    SELECT d.source AS source, d.nd AS n_docs, w.nw AS n_words,
+           d.ns AS n_sentences, w.ny AS n_syllables,
+           round(206.835 - 1.015 * (CAST(w.nw AS DOUBLE) / d.ns)
+                 - 84.6 * (CAST(w.ny AS DOUBLE) / w.nw), 6) + 0.0
+               AS flesch_ease,
+           round(0.39 * (CAST(w.nw AS DOUBLE) / d.ns)
+                 + 11.8 * (CAST(w.ny AS DOUBLE) / w.nw) - 15.59, 6)
+               + 0.0 AS fk_grade
+    FROM dstats d JOIN wstats w USING (source)
+    ORDER BY source
+    """,
+)
+def flesch_reading_ease(spark, sf_dir):
+    """Flesch reading ease and Flesch-Kincaid grade level per
+    document source — the classic readability pair (206.835 −
+    1.015·W/S − 84.6·Y/W) over corpus totals, with words from a
+    whitespace split, sentences from terminal-punctuation runs
+    ([.!?]+, floored at 1 per doc), and syllables estimated as
+    vowel-group runs per word (floored at 1 — the standard
+    dictionary-free heuristic). Readability is a stock quality-
+    filtering signal (too-low = telegraphic boilerplate, too-high =
+    run-on garbage) that complements the staged Gopher repetition
+    rules and the registered stopword/length quality scores.
+
+    W/S/Y are exact integer folds (token explode → hash rollup, the
+    corpus-linear shape every text query here uses; both engines run
+    the same two regexes on identical strings); the two closing
+    formulas are single float expressions per source rounded at
+    1e-6. Plan: explode → per-source rollup → 20-row join; no
+    window, nothing super-linear."""
+    d = t(spark, sf_dir, "documents")
+    docs = d.select(
+        "source",
+        F.split(F.trim(F.lower("text")), r"\s+").alias("ws"),
+        F.greatest(
+            F.lit(1), F.regexp_count("text", F.lit(r"[.!?]+"))
+        )
+        .cast("bigint")
+        .alias("sent"),
+    ).persist()
+    wtok = docs.select(
+        "source", F.explode("ws").alias("w")
+    ).where(F.col("w") != "")
+    wstats = wtok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nw"),
+        F.sum(
+            F.greatest(
+                F.lit(1), F.regexp_count("w", F.lit("[aeiouy]+"))
+            )
+        )
+        .cast("bigint")
+        .alias("ny"),
+    )
+    dstats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("sent").cast("bigint").alias("ns"),
+    )
+    wps = F.col("nw").cast("double") / F.col("ns")
+    spw = F.col("ny").cast("double") / F.col("nw")
+    return (
+        dstats.join(wstats, "source")
+        .select(
+            "source",
+            F.col("nd").alias("n_docs"),
+            F.col("nw").alias("n_words"),
+            F.col("ns").alias("n_sentences"),
+            F.col("ny").alias("n_syllables"),
+            (
+                F.round(206.835 - 1.015 * wps - 84.6 * spw, 6) + 0.0
+            ).alias("flesch_ease"),
+            (
+                F.round(0.39 * wps + 11.8 * spw - 15.59, 6) + 0.0
+            ).alias("fk_grade"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-correlation (daily event count vs daily revenue, lags -7..7)
+# --------------------------------------------------------------------------
+@register(
+    "cross_correlation_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS sc,
+               CAST(SUM(v) AS BIGINT) AS sv
+        FROM daily
+    ),
+    den AS (
+        SELECT SUM(CAST((c * t.n - t.sc) AS DECIMAL(38,0))
+                   * CAST((c * t.n - t.sc) AS DECIMAL(38,0))) AS dc,
+               SUM(CAST((v * t.n - t.sv) AS DECIMAL(38,0))
+                   * CAST((v * t.n - t.sv) AS DECIMAL(38,0))) AS dv
+        FROM daily, tot t
+    ),
+    num AS (
+        SELECT (y.d - x.d) AS lag,
+               SUM(CAST((x.c * t.n - t.sc) AS DECIMAL(38,0))
+                   * CAST((y.v * t.n - t.sv) AS DECIMAL(38,0))) AS nk
+        FROM daily x
+        JOIN daily y ON y.d - x.d BETWEEN -7 AND 7
+        CROSS JOIN tot t
+        GROUP BY 1
+    )
+    SELECT CAST(num.lag AS BIGINT) AS lag,
+           round(CAST(num.nk AS DOUBLE)
+                 / sqrt(CAST(den.dc AS DOUBLE)
+                        * CAST(den.dv AS DOUBLE)), 9) + 0.0 AS ccf
+    FROM num, den
+    ORDER BY lag
+    """,
+)
+def cross_correlation_daily(spark, sf_dir):
+    """Sample cross-correlation between the daily EVENT-COUNT series
+    and the daily REVENUE series at lags −7..+7: r_xy(k) =
+    Σ(x_t−x̄)(y_{t+k}−ȳ) / √(Σ(x−x̄)²·Σ(y−ȳ)²) — the lead/lag panel
+    behind "does traffic predict revenue, and by how many days?".
+    Negative lags test revenue leading traffic; the asymmetry of the
+    two tails is the direction finding. Completes the staged
+    time-series block: ``acf_ljung_box`` correlates a series with
+    itself, THIS correlates the two series the events table actually
+    carries.
+
+    Same exactness device as the ACF: both series are integer
+    (counts, cents), centering is n-SCALED (x·n − S: integers, no
+    float mean), so every lag numerator and both denominators are
+    exact DECIMAL(38,0) folds at any partitioning; the n² scaling
+    cancels in the ratio, and the denominator product is formed in
+    DOUBLE (each factor cast first — their DECIMAL product would
+    overflow 38 digits). Plan: one day rollup, a ±7 band self-join
+    on the calendar frame with the small side broadcast; 15 rows
+    out, no window."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.floor(F.unix_micros("ts") / 86_400_000_000)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            (F.sum(dec("value", 18, 2)) * 100)
+            .cast("bigint")
+            .alias("v"),
+        )
+        .persist()
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum("v").cast("bigint").alias("sv"),
+    )
+    cc = F.col("c").cast("decimal(38,0)") * F.col("n") - F.col("sc")
+    cv = F.col("v").cast("decimal(38,0)") * F.col("n") - F.col("sv")
+    den = daily.crossJoin(F.broadcast(tot)).agg(
+        F.sum(cc * cc).alias("dc"), F.sum(cv * cv).alias("dv")
+    )
+    cx = F.col("x.c").cast("decimal(38,0)") * F.col("n") - F.col("sc")
+    cy = F.col("y.v").cast("decimal(38,0)") * F.col("n") - F.col("sv")
+    x, y = daily.alias("x"), daily.alias("y")
+    num = (
+        x.join(
+            F.broadcast(y),
+            (F.col("y.d") - F.col("x.d")).between(-7, 7),
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy((F.col("y.d") - F.col("x.d")).alias("lag"))
+        .agg(F.sum(cx * cy).alias("nk"))
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            (
+                F.round(
+                    F.col("nk").cast("double")
+                    / F.sqrt(
+                        F.col("dc").cast("double")
+                        * F.col("dv").cast("double")
+                    ),
+                    9,
+                )
+                + 0.0
+            ).alias("ccf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Tukey-Kramer HSD pairwise comparison of price across priorities
+# --------------------------------------------------------------------------
+@register(
+    "tukey_hsd_pairwise",
+    oracle="""
+    WITH pool AS (
+        SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS x
+        FROM orders
+    ),
+    grp AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(x) AS BIGINT) AS sg,
+               SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                   AS ssg
+        FROM pool GROUP BY g
+    ),
+    mse AS (
+        SELECT CAST(SUM(ng) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(round(
+                   (CAST(ssg AS DOUBLE) * ng
+                    - CAST(sg AS DECIMAL(38,0)) * sg) / ng, 4)
+                   AS DECIMAL(38,4))) AS DOUBLE)
+               / (SUM(ng) - COUNT(*)) AS mse
+        FROM grp
+    )
+    SELECT a.g AS g_lo, b.g AS g_hi, a.ng AS n_lo, b.ng AS n_hi,
+           round(CAST(a.sg AS DOUBLE) / a.ng
+                 - CAST(b.sg AS DOUBLE) / b.ng, 4) + 0.0
+               AS mean_diff_cents,
+           round(sqrt(m.mse / 2.0
+                      * (1.0 / a.ng + 1.0 / b.ng)), 6) AS se_pair,
+           round(abs(CAST(a.sg AS DOUBLE) / a.ng
+                     - CAST(b.sg AS DOUBLE) / b.ng)
+                 / sqrt(m.mse / 2.0 * (1.0 / a.ng + 1.0 / b.ng)), 6)
+               AS q_stat,
+           CAST(CASE WHEN
+                abs(CAST(a.sg AS DOUBLE) / a.ng
+                    - CAST(b.sg AS DOUBLE) / b.ng)
+                / sqrt(m.mse / 2.0 * (1.0 / a.ng + 1.0 / b.ng))
+                > 3.858 THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM grp a JOIN grp b ON a.g < b.g, mse m
+    ORDER BY g_lo, g_hi
+    """,
+)
+def tukey_hsd_pairwise(spark, sf_dir):
+    """Tukey-Kramer HSD post-hoc: which PAIRS of order priorities
+    actually differ in mean price, after an omnibus ANOVA says
+    something does? q_ij = |m_i − m_j| / √(MSE/2·(1/n_i+1/n_j)) for
+    all 10 pairs, flagged against the studentized-range critical
+    value q(k=5, df=∞, α=.05) = 3.858. The pairwise follow-up the
+    staged ``welch_anova_types`` / ``kruskal_wallis_values`` omnibus
+    tests demand — an omnibus rejection without a post-hoc is an
+    unactionable finding, and running 10 naive t-tests instead is
+    exactly the multiplicity mistake HSD exists to prevent.
+
+    n_g/S_g/SS_g are exact integer folds; each group's error sum
+    SS_g·n_g − S_g² is an exact n-scaled DECIMAL(38,0) integer whose
+    /n_g quotient rounds to 1e-4 DECIMAL before the 5-term MSE fold;
+    means, SEs, and q are then identical IEEE expressions in both
+    engines. Plan: one orders rollup to FIVE rows, a broadcast
+    triangular self-join over them, one scalar MSE broadcast; the
+    corpus is touched exactly once."""
+    o = t(spark, sf_dir, "orders")
+    pool = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("g"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("x"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    grp = pool.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("x").cast("bigint").alias("sg"),
+        F.sum(xd * xd).alias("ssg"),
+    ).persist()
+    sgd = F.col("sg").cast("decimal(38,0)")
+    sse_term = F.round(
+        (F.col("ssg").cast("double") * F.col("ng") - (sgd * F.col("sg")).cast("double"))
+        / F.col("ng"),
+        4,
+    ).cast("decimal(38,4)")
+    mse = grp.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(sse_term).alias("sse"),
+    ).select(
+        (
+            F.col("sse").cast("double") / (F.col("n") - F.col("k"))
+        ).alias("mse")
+    )
+    a, b = grp.alias("a"), grp.alias("b")
+    md = F.col("a.sg").cast("double") / F.col("a.ng") - F.col(
+        "b.sg"
+    ).cast("double") / F.col("b.ng")
+    se = F.sqrt(
+        F.col("mse")
+        / 2.0
+        * (1.0 / F.col("a.ng") + 1.0 / F.col("b.ng"))
+    )
+    q = F.abs(md) / se
+    return (
+        a.join(F.broadcast(b), F.col("a.g") < F.col("b.g"))
+        .crossJoin(F.broadcast(mse))
+        .select(
+            F.col("a.g").alias("g_lo"),
+            F.col("b.g").alias("g_hi"),
+            F.col("a.ng").alias("n_lo"),
+            F.col("b.ng").alias("n_hi"),
+            (F.round(md, 4) + 0.0).alias("mean_diff_cents"),
+            F.round(se, 6).alias("se_pair"),
+            F.round(q, 6).alias("q_stat"),
+            F.when(q > 3.858, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("significant"),
+        )
+        .orderBy("g_lo", "g_hi")
+    )
+
+
+# --------------------------------------------------------------------------
+# One-way random-effects ICC(1) of quantity within suppliers
+# --------------------------------------------------------------------------
+@register(
+    "icc_oneway_suppliers",
+    oracle="""
+    WITH li AS (
+        SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem
+    ),
+    grp AS (
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(q) AS BIGINT) AS sg
+        FROM li GROUP BY l_suppkey
+    ),
+    gf AS (
+        SELECT CAST(SUM(ng) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS g,
+               SUM(CAST(ng AS DECIMAL(38,0)) * ng) AS sn2,
+               SUM(CAST(round(
+                   CAST(CAST(sg AS DECIMAL(38,0)) * sg AS DOUBLE)
+                   / ng, 6) AS DECIMAL(38,6))) AS sbg
+        FROM grp
+    ),
+    tf AS (
+        SELECT CAST(SUM(q) AS BIGINT) AS s,
+               SUM(CAST(q AS DECIMAL(38,0)) * q) AS ssq
+        FROM li
+    ),
+    ms AS (
+        SELECT gf.n, gf.g,
+               (CAST(gf.sbg AS DOUBLE)
+                - CAST(CAST(tf.s AS DECIMAL(38,0)) * tf.s AS DOUBLE)
+                  / gf.n) / (gf.g - 1) AS msb,
+               (CAST(tf.ssq AS DOUBLE) - CAST(gf.sbg AS DOUBLE))
+                   / (gf.n - gf.g) AS msw,
+               (gf.n - CAST(gf.sn2 AS DOUBLE) / gf.n)
+                   / (gf.g - 1) AS k0
+        FROM gf, tf
+    )
+    SELECT n AS n_rows, g AS n_suppliers,
+           round(msb, 6) AS ms_between,
+           round(msw, 6) AS ms_within,
+           round(k0, 6) AS k0,
+           round((msb - msw) / (msb + (k0 - 1.0) * msw), 9) + 0.0
+               AS icc1
+    FROM ms
+    """,
+)
+def icc_oneway_suppliers(spark, sf_dir):
+    """One-way random-effects intraclass correlation ICC(1): what
+    fraction of quantity variance is BETWEEN suppliers vs noise
+    within a supplier? From the one-way ANOVA decomposition with the
+    unequal-group-size correction k₀ = (N − Σn_g²/N)/(G−1): ICC =
+    (MSB − MSW)/(MSB + (k₀−1)·MSW). The variance-DECOMPOSITION
+    reading the omnibus tier lacks: ANOVA/Kruskal answer "do groups
+    differ?", ICC answers "how much does the grouping explain?" —
+    near zero here is itself the calibrated finding (quantities are
+    assigned, not supplier-driven). Also the standard reliability
+    coefficient when groups are raters.
+
+    Σq, Σq², per-group S_g, n_g, Σn_g² are exact integer/DECIMAL
+    folds; each group's S_g²/n_g rounds to 1e-6 DECIMAL before the
+    between-groups fold (exact, order-free across ~G groups); the
+    three mean squares and ICC are closing float expressions. Plan:
+    two hash rollups (supplier grain, then scalar) over one scan —
+    no window, no join back, ICC is read off six scalars."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    grp = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("q").cast("bigint").alias("sg"),
+    )
+    ngd = F.col("ng").cast("decimal(38,0)")
+    sgd = F.col("sg").cast("decimal(38,0)")
+    gf = grp.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+        F.sum(ngd * F.col("ng")).alias("sn2"),
+        F.sum(
+            F.round(
+                (sgd * F.col("sg")).cast("double") / F.col("ng"), 6
+            ).cast("decimal(38,6)")
+        ).alias("sbg"),
+    )
+    qd = F.col("q").cast("decimal(38,0)")
+    tf = li.agg(
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(qd * F.col("q")).alias("ssq"),
+    )
+    sd = F.col("s").cast("decimal(38,0)")
+    msb = (
+        F.col("sbg").cast("double")
+        - (sd * F.col("s")).cast("double") / F.col("n")
+    ) / (F.col("g") - 1)
+    msw = (
+        F.col("ssq").cast("double") - F.col("sbg").cast("double")
+    ) / (F.col("n") - F.col("g"))
+    k0 = (F.col("n") - F.col("sn2").cast("double") / F.col("n")) / (
+        F.col("g") - 1
+    )
+    return (
+        gf.crossJoin(F.broadcast(tf))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("g").alias("n_suppliers"),
+            F.round(msb, 6).alias("ms_between"),
+            F.round(msw, 6).alias("ms_within"),
+            F.round(k0, 6).alias("k0"),
+            (
+                F.round(
+                    (msb - msw) / (msb + (k0 - 1.0) * msw), 9
+                )
+                + 0.0
+            ).alias("icc1"),
+        )
+    )
