@@ -4837,3 +4837,704 @@ def icc_oneway_suppliers(spark, sf_dir):
             ).alias("icc1"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Chow test: structural break in the daily-revenue trend at midpoint
+# --------------------------------------------------------------------------
+@register(
+    "chow_structural_break",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    rng AS (
+        SELECT CAST(MIN(d) AS BIGINT) AS dmin,
+               CAST((MAX(d) - MIN(d)) // 2 AS BIGINT) AS tmid
+        FROM daily
+    ),
+    seg AS (
+        SELECT CASE WHEN d - r.dmin <= r.tmid THEN 1 ELSE 2 END AS s,
+               d - r.dmin AS x, y
+        FROM daily, rng r
+    ),
+    folds AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        FROM seg GROUP BY s
+    ),
+    pooled AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(sx) AS BIGINT) AS sx,
+               CAST(SUM(sy) AS BIGINT) AS sy,
+               SUM(sxx) AS sxx, SUM(sxy) AS sxy, SUM(syy) AS syy
+        FROM folds
+    ),
+    sse AS (
+        SELECT s,
+               round((CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy
+                           AS DOUBLE)
+                      - CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy
+                             AS DOUBLE)
+                        * CAST(n * sxy
+                               - CAST(sx AS DECIMAL(38,0)) * sy
+                               AS DOUBLE)
+                        / CAST(n * sxx
+                               - CAST(sx AS DECIMAL(38,0)) * sx
+                               AS DOUBLE)) / n, 4) AS sse,
+               round(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy
+                          AS DOUBLE)
+                     / CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx
+                            AS DOUBLE), 9) AS slope
+        FROM (SELECT 0 AS s, * FROM pooled
+              UNION ALL SELECT s, n, sx, sy, sxx, sxy, syy FROM folds)
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN s = 0 THEN sse END) AS ssep,
+               MAX(CASE WHEN s = 1 THEN sse END) AS sse1,
+               MAX(CASE WHEN s = 2 THEN sse END) AS sse2,
+               MAX(CASE WHEN s = 1 THEN slope END) AS slope1,
+               MAX(CASE WHEN s = 2 THEN slope END) AS slope2
+        FROM sse
+    )
+    SELECT p.n AS n_days, r.tmid + r.dmin AS break_day,
+           round(w.slope1, 9) + 0.0 AS slope_pre,
+           round(w.slope2, 9) + 0.0 AS slope_post,
+           round((w.ssep - w.sse1 - w.sse2) / 2.0
+                 / ((w.sse1 + w.sse2) / (p.n - 4.0)), 6) + 0.0
+               AS chow_f
+    FROM wide w, pooled p, rng r
+    """,
+)
+def chow_structural_break(spark, sf_dir):
+    """Chow test for a structural break in the daily-revenue linear
+    trend at a KNOWN breakpoint (the calendar midpoint of the order
+    history): fit OLS on each half and pooled, F = ((SSE_p − SSE₁ −
+    SSE₂)/k) / ((SSE₁+SSE₂)/(n−2k)), k = 2. The known-break
+    regression complement of the staged ``pettitt_changepoint``
+    (unknown break, distribution-free) and ``durbin_watson_trend_
+    residuals`` (no break, serial correlation): together they are
+    the trend-stability panel.
+
+    Exactness: day-grain cents revenue; per-segment power sums
+    n/Σx/Σy/Σx²/Σxy/Σy² fold exactly (squares through
+    DECIMAL(38,0) — the sf0.1 class), SSE = (n·Syy − Sy² −
+    (n·Sxy − SxSy)²/(n·Sxx − Sx²))/n is one IEEE expression per
+    segment from those integers (each n-scaled factor cast to
+    DOUBLE before squaring — the square would overflow 38 digits),
+    rounded at 1e-4 before the F ratio. Plan: one orders rollup to
+    the bounded calendar frame, a 2-row broadcast min/max, one
+    3-group fold; no window."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            (F.sum(dec("o_totalprice", 18, 2)) * 100)
+            .cast("bigint")
+            .alias("y")
+        )
+        .persist()
+    )
+    rng = daily.agg(
+        F.min("d").cast("bigint").alias("dmin"),
+        F.floor((F.max("d") - F.min("d")) / 2)
+        .cast("bigint")
+        .alias("tmid"),
+    )
+    seg = daily.crossJoin(F.broadcast(rng)).select(
+        F.when(F.col("d") - F.col("dmin") <= F.col("tmid"), 1)
+        .otherwise(2)
+        .alias("s"),
+        (F.col("d") - F.col("dmin")).alias("x"),
+        "y",
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    folds = seg.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(yd * F.col("y")).alias("syy"),
+    ).persist()
+    pooled = folds.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sx").cast("bigint").alias("sx"),
+        F.sum("sy").cast("bigint").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("syy").alias("syy"),
+    )
+    both = folds.select(
+        "s", "n", "sx", "sy", "sxx", "sxy", "syy"
+    ).unionByName(pooled.select(F.lit(0).alias("s"), "*"))
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    syy_c = (F.col("n") * F.col("syy") - syd * F.col("sy")).cast(
+        "double"
+    )
+    sxy_c = (F.col("n") * F.col("sxy") - sxd * F.col("sy")).cast(
+        "double"
+    )
+    sxx_c = (F.col("n") * F.col("sxx") - sxd * F.col("sx")).cast(
+        "double"
+    )
+    sse = both.select(
+        "s",
+        F.round(
+            (syy_c - sxy_c * sxy_c / sxx_c) / F.col("n"), 4
+        ).alias("sse"),
+        F.round(sxy_c / sxx_c, 9).alias("slope"),
+    )
+    wide = sse.agg(
+        F.max(F.when(F.col("s") == 0, F.col("sse"))).alias("ssep"),
+        F.max(F.when(F.col("s") == 1, F.col("sse"))).alias("sse1"),
+        F.max(F.when(F.col("s") == 2, F.col("sse"))).alias("sse2"),
+        F.max(F.when(F.col("s") == 1, F.col("slope"))).alias(
+            "slope1"
+        ),
+        F.max(F.when(F.col("s") == 2, F.col("slope"))).alias(
+            "slope2"
+        ),
+    )
+    return (
+        wide.crossJoin(F.broadcast(pooled.select("n")))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            F.col("n").alias("n_days"),
+            (F.col("tmid") + F.col("dmin")).alias("break_day"),
+            (F.round(F.col("slope1"), 9) + 0.0).alias("slope_pre"),
+            (F.round(F.col("slope2"), 9) + 0.0).alias("slope_post"),
+            (
+                F.round(
+                    (F.col("ssep") - F.col("sse1") - F.col("sse2"))
+                    / 2.0
+                    / (
+                        (F.col("sse1") + F.col("sse2"))
+                        / (F.col("n") - 4.0)
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("chow_f"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cook's distance / leverage diagnostics on the daily-revenue trend
+# --------------------------------------------------------------------------
+@register(
+    "cooks_distance_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    f AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(d AS DECIMAL(38,0)) * d) AS sxx,
+               SUM(CAST(d AS DECIMAL(38,0)) * y) AS sxy,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        FROM daily
+    ),
+    c AS (
+        SELECT n,
+               CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx
+                    AS DOUBLE) AS sxxc,
+               CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy
+                    AS DOUBLE) AS sxyc,
+               CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy
+                    AS DOUBLE) AS syyc,
+               sx, sy
+        FROM f
+    ),
+    pt AS (
+        SELECT c.n,
+               round((CAST(p.y * c.n - c.sy AS DOUBLE)
+                      - (c.sxyc / c.sxxc)
+                        * CAST(p.d * c.n - c.sx AS DOUBLE)) / c.n,
+                     9) AS e,
+               1.0 / c.n
+               + CAST(p.d * c.n - c.sx AS DOUBLE)
+                 * CAST(p.d * c.n - c.sx AS DOUBLE)
+                 / (c.n * c.sxxc) AS h,
+               (c.syyc - c.sxyc * c.sxyc / c.sxxc) / c.n
+                   / (c.n - 2.0) AS s2,
+               p.d
+        FROM daily p, c
+    ),
+    dd AS (
+        SELECT n, d,
+               round(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)),
+                     9) AS cd
+        FROM pt
+    )
+    SELECT MAX(n) AS n_days,
+           round(MAX(cd), 9) AS max_cooks_d,
+           CAST(MIN(CASE WHEN cd = m.mx THEN d END) AS BIGINT)
+               AS argmax_day,
+           CAST(SUM(CASE WHEN cd > 4.0 / n THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_influential
+    FROM dd, (SELECT MAX(cd) AS mx FROM dd) m
+    GROUP BY m.mx
+    """,
+)
+def cooks_distance_trend(spark, sf_dir):
+    """Cook's distance influence census on the daily-revenue OLS
+    trend: D_t = e_t²·h_t / (p·s²·(1−h_t)²) with leverage h_t = 1/n
+    + (t−t̄)²/S_xx, p = 2 — which DAYS single-handedly steer the
+    fitted trend, and how many exceed the 4/n influence rule. The
+    regression-DIAGNOSTIC member of the outlier family: MAD/Grubbs
+    flag extreme values, Mahalanobis flags extreme points, Cook
+    flags points that extremity makes INFLUENTIAL on a fit.
+
+    Power sums fold exactly (squares via DECIMAL(38,0) — the sf0.1
+    class; n-scaled centered forms cast to DOUBLE before any
+    square); each day's residual (n-scaled, rounded 1e-9) and
+    leverage are closed-form from six broadcast scalars, so D_t is
+    one deterministic expression per row; the argmax is decided on
+    the ROUNDED D with calendar tiebreak (min day). Plan: one
+    orders rollup to the bounded calendar frame, scalar fold,
+    broadcast back; two tiny aggregates close; no window."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            (F.sum(dec("o_totalprice", 18, 2)) * 100)
+            .cast("bigint")
+            .alias("y")
+        )
+        .persist()
+    )
+    xd = F.col("d").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    f = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * F.col("d")).alias("sxx"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(yd * F.col("y")).alias("syy"),
+    )
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    c = f.select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxx") - sxd * F.col("sx"))
+        .cast("double")
+        .alias("sxxc"),
+        (F.col("n") * F.col("sxy") - sxd * F.col("sy"))
+        .cast("double")
+        .alias("sxyc"),
+        (F.col("n") * F.col("syy") - syd * F.col("sy"))
+        .cast("double")
+        .alias("syyc"),
+    )
+    nd = F.col("n").cast("double")
+    e = F.round(
+        (
+            (F.col("y") * F.col("n") - F.col("sy")).cast("double")
+            - (F.col("sxyc") / F.col("sxxc"))
+            * (F.col("d") * F.col("n") - F.col("sx")).cast("double")
+        )
+        / nd,
+        9,
+    )
+    h = 1.0 / nd + (
+        F.col("d") * F.col("n") - F.col("sx")
+    ).cast("double") * (
+        F.col("d") * F.col("n") - F.col("sx")
+    ).cast(
+        "double"
+    ) / (
+        nd * F.col("sxxc")
+    )
+    s2 = (
+        (F.col("syyc") - F.col("sxyc") * F.col("sxyc") / F.col("sxxc"))
+        / nd
+        / (nd - 2.0)
+    )
+    dd = daily.crossJoin(F.broadcast(c)).select(
+        "n",
+        "d",
+        F.round(
+            e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 9
+        ).alias("cd"),
+    ).persist()
+    mx = dd.agg(F.max("cd").alias("mx"))
+    return (
+        dd.crossJoin(F.broadcast(mx))
+        .groupBy("mx")
+        .agg(
+            F.max("n").alias("n_days"),
+            F.round(F.max("cd"), 9).alias("max_cooks_d"),
+            F.min(F.when(F.col("cd") == F.col("mx"), F.col("d")))
+            .cast("bigint")
+            .alias("argmax_day"),
+            F.sum(
+                F.when(F.col("cd") > 4.0 / F.col("n"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_influential"),
+        )
+        .drop("mx")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cronbach's alpha: internal consistency of weekday spend "items"
+# --------------------------------------------------------------------------
+@register(
+    "cronbachs_alpha_dow",
+    oracle="""
+    WITH cd AS (
+        SELECT o_custkey,
+               CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   % 7 AS dow,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS s
+        FROM orders GROUP BY 1, 2
+    ),
+    custs AS (
+        SELECT o_custkey, CAST(SUM(s) AS BIGINT) AS tot
+        FROM cd GROUP BY o_custkey
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM custs),
+    items AS (
+        SELECT SUM(CAST(round(
+                   (CAST(ssi AS DOUBLE) * n.n
+                    - CAST(si AS DOUBLE) * si) / n.n / (n.n - 1),
+                   6) AS DECIMAL(38,6))) AS sum_vi
+        FROM (SELECT dow, CAST(SUM(s) AS BIGINT) AS si,
+                     SUM(CAST(s AS DECIMAL(38,0)) * s) AS ssi
+              FROM cd GROUP BY dow), nn n
+    ),
+    tv AS (
+        SELECT (CAST(stt AS DOUBLE) * n.n
+                - CAST(st AS DOUBLE) * st) / n.n / (n.n - 1)
+                   AS v_tot
+        FROM (SELECT CAST(SUM(tot) AS BIGINT) AS st,
+                     SUM(CAST(tot AS DECIMAL(38,0)) * tot) AS stt
+              FROM custs), nn n
+    )
+    SELECT n.n AS n_customers, CAST(7 AS BIGINT) AS k_items,
+           CAST(round(i.sum_vi, 0) AS DOUBLE) AS sum_item_var,
+           round(t.v_tot, 4) AS total_var,
+           round(7.0 / 6.0
+                 * (1.0 - CAST(round(i.sum_vi, 0) AS DOUBLE)
+                          / t.v_tot), 9)
+               + 0.0 AS cronbach_alpha
+    FROM nn n, items i, tv t
+    """,
+)
+def cronbachs_alpha_dow(spark, sf_dir):
+    """Cronbach's alpha treating the seven weekday spend totals as a
+    7-item scale over customers: α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total).
+    The internal-consistency reliability coefficient — near zero
+    here is the calibrated reading (weekday spends don't measure one
+    latent "spend propensity"; TPC-H dates are uniform), and the
+    estimator is the workhorse for any per-subject multi-column
+    score sheet (rater items, rubric dimensions, quiz questions).
+    Completes the reliability pair with the staged
+    ``icc_oneway_suppliers`` (ICC = agreement of repeated measures
+    within groups; alpha = coherence of items across subjects).
+
+    Missing (customer, weekday) cells are true zeros, handled
+    WITHOUT densifying: item variances use the full customer count
+    N with zero-fill algebra (Σs over present rows only — absent
+    rows add 0 to both Σs and Σs²). All moments are exact integer/
+    DECIMAL folds; the seven per-item variances round to 1e-6
+    DECIMAL before their 7-row sum. Plan: one (cust,dow) rollup,
+    re-rolled to customers and to the 7-item frame; scalar close,
+    no window, weekday from epoch-day % 7 (no locale)."""
+    o = t(spark, sf_dir, "orders")
+    cd = (
+        o.groupBy(
+            "o_custkey",
+            (
+                F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+                .cast("bigint")
+                % 7
+            ).alias("dow"),
+        )
+        .agg(
+            (F.sum(dec("o_totalprice", 18, 2)) * 100)
+            .cast("bigint")
+            .alias("s")
+        )
+        .persist()
+    )
+    custs = cd.groupBy("o_custkey").agg(
+        F.sum("s").cast("bigint").alias("tot")
+    )
+    nn = custs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sd = F.col("s").cast("decimal(38,0)")
+    item_f = cd.groupBy("dow").agg(
+        F.sum("s").cast("bigint").alias("si"),
+        F.sum(sd * F.col("s")).alias("ssi"),
+    )
+    vi = F.round(
+        (
+            F.col("ssi").cast("double") * F.col("n")
+            - F.col("si").cast("double") * F.col("si")
+        )
+        / F.col("n")
+        / (F.col("n") - 1),
+        6,
+    ).cast("decimal(38,6)")
+    items = item_f.crossJoin(F.broadcast(nn)).agg(
+        F.sum(vi).alias("sum_vi")
+    )
+    td = F.col("tot").cast("decimal(38,0)")
+    tf = custs.agg(
+        F.sum("tot").cast("bigint").alias("st"),
+        F.sum(td * F.col("tot")).alias("stt"),
+    )
+    v_tot = (
+        F.col("stt").cast("double") * F.col("n")
+        - F.col("st").cast("double") * F.col("st")
+    ) / F.col("n") / (F.col("n") - 1)
+    return (
+        nn.crossJoin(F.broadcast(items))
+        .crossJoin(F.broadcast(tf))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.lit(7).cast("bigint").alias("k_items"),
+            F.round(F.col("sum_vi"), 0)
+            .cast("double")
+            .alias("sum_item_var"),
+            F.round(v_tot, 4).alias("total_var"),
+            (
+                F.round(
+                    7.0
+                    / 6.0
+                    * (
+                        1.0
+                        - F.round(F.col("sum_vi"), 0).cast("double")
+                        / v_tot
+                    ),
+                    9,
+                )
+                + 0.0
+            ).alias("cronbach_alpha"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Distance correlation (daily traffic vs revenue, day-domain V-statistic)
+# --------------------------------------------------------------------------
+@register(
+    "distance_correlation_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    pairs AS (
+        SELECT i.d AS di,
+               CAST(abs(i.c - j.c) AS BIGINT) AS a,
+               CAST(abs(i.v - j.v) AS BIGINT) AS b
+        FROM daily i, daily j
+    ),
+    rows_ AS (
+        SELECT di, CAST(SUM(a) AS BIGINT) AS ra,
+               CAST(SUM(b) AS BIGINT) AS rb,
+               SUM(CAST(a AS DECIMAL(38,0)) * b) AS s1ab,
+               SUM(CAST(a AS DECIMAL(38,0)) * a) AS s1aa,
+               SUM(CAST(b AS DECIMAL(38,0)) * b) AS s1bb
+        FROM pairs GROUP BY di
+    ),
+    tot AS (
+        SELECT CAST(SUM(ra) AS BIGINT) AS ga,
+               CAST(SUM(rb) AS BIGINT) AS gb,
+               SUM(s1ab) AS s1ab, SUM(s1aa) AS s1aa,
+               SUM(s1bb) AS s1bb,
+               SUM(CAST(ra AS DECIMAL(38,0)) * rb) AS t2ab,
+               SUM(CAST(ra AS DECIMAL(38,0)) * ra) AS t2aa,
+               SUM(CAST(rb AS DECIMAL(38,0)) * rb) AS t2bb
+        FROM rows_
+    ),
+    dc AS (
+        SELECT n.n,
+               CAST(t.s1ab AS DOUBLE) / (n.n * n.n)
+               - 2.0 * CAST(t.t2ab AS DOUBLE) / (n.n * n.n * n.n)
+               + CAST(t.ga AS DOUBLE) * t.gb
+                 / (CAST(n.n AS DOUBLE) * n.n * n.n * n.n) AS vab,
+               CAST(t.s1aa AS DOUBLE) / (n.n * n.n)
+               - 2.0 * CAST(t.t2aa AS DOUBLE) / (n.n * n.n * n.n)
+               + CAST(t.ga AS DOUBLE) * t.ga
+                 / (CAST(n.n AS DOUBLE) * n.n * n.n * n.n) AS vaa,
+               CAST(t.s1bb AS DOUBLE) / (n.n * n.n)
+               - 2.0 * CAST(t.t2bb AS DOUBLE) / (n.n * n.n * n.n)
+               + CAST(t.gb AS DOUBLE) * t.gb
+                 / (CAST(n.n AS DOUBLE) * n.n * n.n * n.n) AS vbb
+        FROM tot t, nn n
+    ),
+    pear AS (
+        SELECT round(
+            CAST(SUM(CAST(c * n.n - t.sc AS DECIMAL(38,0))
+                     * CAST(v * n.n - t.sv AS DECIMAL(38,0)))
+                 AS DOUBLE)
+            / sqrt(CAST(SUM(CAST(c * n.n - t.sc AS DECIMAL(38,0))
+                            * CAST(c * n.n - t.sc AS DECIMAL(38,0)))
+                        AS DOUBLE)
+                   * CAST(SUM(CAST(v * n.n - t.sv AS DECIMAL(38,0))
+                              * CAST(v * n.n - t.sv
+                                     AS DECIMAL(38,0)))
+                          AS DOUBLE)), 9) AS r
+        FROM daily, nn n,
+             (SELECT CAST(SUM(c) AS BIGINT) AS sc,
+                     CAST(SUM(v) AS BIGINT) AS sv FROM daily) t
+    )
+    SELECT d.n AS n_days,
+           round(p.r, 9) + 0.0 AS pearson_r,
+           round(sqrt(d.vab / sqrt(d.vaa * d.vbb)), 9) AS dcor
+    FROM dc d, pear p
+    """,
+)
+def distance_correlation_daily(spark, sf_dir):
+    """Székely's distance correlation between the daily event-count
+    and daily revenue series — the dependence measure that is ZERO
+    iff the series are independent (Pearson only catches linear,
+    Kendall/Spearman only monotone): dCov²(X,Y) = S₁ − 2S₂ + S₃
+    over the pairwise |xᵢ−xⱼ| distance matrices, dCor =
+    dCov/√(dVar_x·dVar_y). Reported beside Pearson r on the same
+    frame — the gap between them is the nonlinear-dependence
+    finding. Completes the dependence tier (Pearson/Spearman/
+    Kendall/τ-b/MI are all registered or staged).
+
+    The O(n²) pair frame is over the DAY DOMAIN (the observed
+    window is a fixed ~30-day span — a few hundred pairs, the same
+    calendar-bounded class as the ACF band join), never event
+    grain. All three S₁ sums, the row sums, and their T₂ products
+    fold exactly in integer/DECIMAL(38,0); the three V-statistics
+    and the closing ratio are IEEE expressions from those integers.
+    Plan: one events rollup, one broadcast day×day self-join, two
+    folds; no window."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.floor(F.unix_micros("ts") / 86_400_000_000)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            (F.sum(dec("value", 18, 2)) * 100)
+            .cast("bigint")
+            .alias("v"),
+        )
+        .persist()
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    i, j = daily.alias("i"), daily.alias("j")
+    pairs = i.crossJoin(F.broadcast(j)).select(
+        F.col("i.d").alias("di"),
+        F.abs(F.col("i.c") - F.col("j.c"))
+        .cast("bigint")
+        .alias("a"),
+        F.abs(F.col("i.v") - F.col("j.v"))
+        .cast("bigint")
+        .alias("b"),
+    )
+    ad = F.col("a").cast("decimal(38,0)")
+    bd = F.col("b").cast("decimal(38,0)")
+    rows_ = pairs.groupBy("di").agg(
+        F.sum("a").cast("bigint").alias("ra"),
+        F.sum("b").cast("bigint").alias("rb"),
+        F.sum(ad * F.col("b")).alias("s1ab"),
+        F.sum(ad * F.col("a")).alias("s1aa"),
+        F.sum(bd * F.col("b")).alias("s1bb"),
+    )
+    rad = F.col("ra").cast("decimal(38,0)")
+    rbd = F.col("rb").cast("decimal(38,0)")
+    tot = rows_.agg(
+        F.sum("ra").cast("bigint").alias("ga"),
+        F.sum("rb").cast("bigint").alias("gb"),
+        F.sum("s1ab").alias("s1ab"),
+        F.sum("s1aa").alias("s1aa"),
+        F.sum("s1bb").alias("s1bb"),
+        F.sum(rad * F.col("rb")).alias("t2ab"),
+        F.sum(rad * F.col("ra")).alias("t2aa"),
+        F.sum(rbd * F.col("rb")).alias("t2bb"),
+    )
+    n = F.col("n").cast("double")
+
+    def vstat(s1, t2, g1, g2):
+        return (
+            F.col(s1).cast("double") / (n * n)
+            - 2.0 * F.col(t2).cast("double") / (n * n * n)
+            + F.col(g1).cast("double")
+            * F.col(g2)
+            / (n * n * n * n)
+        )
+
+    dc = tot.crossJoin(F.broadcast(nn)).select(
+        F.col("n"),
+        vstat("s1ab", "t2ab", "ga", "gb").alias("vab"),
+        vstat("s1aa", "t2aa", "ga", "ga").alias("vaa"),
+        vstat("s1bb", "t2bb", "gb", "gb").alias("vbb"),
+    )
+    st = daily.agg(
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum("v").cast("bigint").alias("sv"),
+    )
+    cc = F.col("c").cast("decimal(38,0)") * F.col("n") - F.col("sc")
+    cv = F.col("v").cast("decimal(38,0)") * F.col("n") - F.col("sv")
+    pear = (
+        daily.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(st))
+        .agg(
+            F.round(
+                F.sum(cc * cv).cast("double")
+                / F.sqrt(
+                    F.sum(cc * cc).cast("double")
+                    * F.sum(cv * cv).cast("double")
+                ),
+                9,
+            ).alias("r")
+        )
+    )
+    return dc.crossJoin(F.broadcast(pear)).select(
+        F.col("n").cast("bigint").alias("n_days"),
+        (F.round(F.col("r"), 9) + 0.0).alias("pearson_r"),
+        F.round(
+            F.sqrt(
+                F.col("vab")
+                / F.sqrt(F.col("vaa") * F.col("vbb"))
+            ),
+            9,
+        ).alias("dcor"),
+    )
