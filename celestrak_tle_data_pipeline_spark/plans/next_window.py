@@ -5538,3 +5538,510 @@ def distance_correlation_daily(spark, sf_dir):
             9,
         ).alias("dcor"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise source vocabulary overlap (Jaccard matrix over the source domain)
+# --------------------------------------------------------------------------
+@register(
+    "source_vocab_jaccard",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT source, w
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w <> ''
+    ),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+        FROM vocab GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM vocab a JOIN vocab b
+          ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b,
+           sa.v AS v_a, sb.v AS v_b, i.n_common,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.v + sb.v - i.n_common), 9) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def source_vocab_jaccard(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between every pair of document
+    sources — the corpus-mixing heatmap: which sources speak the
+    same language and which contribute genuinely new vocabulary?
+    Reads directly on dedup/mixture planning (two sources with
+    Jaccard ≈ 1 are near-redundant for vocabulary coverage; the
+    registered ``vocab_coverage_curve`` ranks tokens globally, THIS
+    localizes overlap to source pairs; ``split_distribution_
+    divergence`` compares distributions, not identity of types).
+
+    Scale shape: the pair frame is over the SOURCE domain (20
+    sources → 190 rows), never document pairs — the intersection
+    count comes from a TOKEN-keyed equi-join of the distinct
+    (source, token) vocabulary with itself, whose per-token fanout
+    is bounded by the source domain (≤ 20), so the join output is
+    ≤ 20× the vocabulary, linear in corpus vocabulary. Counts are
+    exact integers; Jaccard is one float division rounded 1e-9."""
+    d = t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .distinct()
+        .persist()
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("v").alias("v_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("v").alias("v_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "v_a",
+            "v_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("v_a") + F.col("v_b") - F.col("n_common")),
+                9,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Character-class census per source (mojibake / encoding-quality signal)
+# --------------------------------------------------------------------------
+@register(
+    "charset_class_profile",
+    oracle="""
+    WITH per AS (
+        SELECT source,
+               CAST(length(text) AS BIGINT) AS nc,
+               CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT)
+                   AS lo,
+               CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT)
+                   AS up,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+                   AS dg,
+               CAST(len(regexp_extract_all(text, '[ ]')) AS BIGINT)
+                   AS sp,
+               CAST(len(regexp_extract_all(text, '[.!?,;:]'))
+                    AS BIGINT) AS pu
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           round(CAST(SUM(lo) AS DOUBLE) / SUM(nc), 9) AS frac_lower,
+           round(CAST(SUM(up) AS DOUBLE) / SUM(nc), 9) + 0.0
+               AS frac_upper,
+           round(CAST(SUM(dg) AS DOUBLE) / SUM(nc), 9) + 0.0
+               AS frac_digit,
+           round(CAST(SUM(sp) AS DOUBLE) / SUM(nc), 9) AS frac_space,
+           round(CAST(SUM(pu) AS DOUBLE) / SUM(nc), 9) + 0.0
+               AS frac_punct,
+           round(CAST(SUM(nc - lo - up - dg - sp - pu) AS DOUBLE)
+                 / SUM(nc), 9) + 0.0 AS frac_other
+    FROM per GROUP BY source
+    ORDER BY source
+    """,
+)
+def charset_class_profile(spark, sf_dir):
+    """Character-class census per source: fractions of lowercase,
+    uppercase, digit, space, terminal/clause punctuation, and OTHER
+    characters. ``frac_other`` is the cheap mojibake/encoding-damage
+    detector every ingest pipeline wants before spending tokenizer
+    time (bytes that are none of the expected classes are control
+    chars, replacement chars, or markup bleed); the class mix also
+    feeds the quality tier (``text_quality_score``,
+    ``gopher_quality_rules``) with signals none of them compute
+    (digit-heavy = tables/logs, upper-heavy = shouting/headers).
+
+    Six exact integer counts per document (single-char-class
+    regexes behave identically in both engines), summed per source;
+    OTHER is the exact complement so the six fractions partition
+    1.0 by construction. Plan: one scan, per-doc counting inside
+    codegen, one 20-row rollup; no explode, no shuffle beyond the
+    rollup."""
+    d = t(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        F.length("text").cast("bigint").alias("nc"),
+        F.regexp_count("text", F.lit("[a-z]"))
+        .cast("bigint")
+        .alias("lo"),
+        F.regexp_count("text", F.lit("[A-Z]"))
+        .cast("bigint")
+        .alias("up"),
+        F.regexp_count("text", F.lit("[0-9]"))
+        .cast("bigint")
+        .alias("dg"),
+        F.regexp_count("text", F.lit("[ ]"))
+        .cast("bigint")
+        .alias("sp"),
+        F.regexp_count("text", F.lit("[.!?,;:]"))
+        .cast("bigint")
+        .alias("pu"),
+    )
+    nc = F.sum("nc").cast("double")
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+            F.round(F.sum("lo") / nc, 9).alias("frac_lower"),
+            (F.round(F.sum("up") / nc, 9) + 0.0).alias("frac_upper"),
+            (F.round(F.sum("dg") / nc, 9) + 0.0).alias("frac_digit"),
+            F.round(F.sum("sp") / nc, 9).alias("frac_space"),
+            (F.round(F.sum("pu") / nc, 9) + 0.0).alias("frac_punct"),
+            (
+                F.round(
+                    F.sum(
+                        F.col("nc")
+                        - F.col("lo")
+                        - F.col("up")
+                        - F.col("dg")
+                        - F.col("sp")
+                        - F.col("pu")
+                    )
+                    / nc,
+                    9,
+                )
+                + 0.0
+            ).alias("frac_other"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sentence-length distribution + burstiness per source
+# --------------------------------------------------------------------------
+@register(
+    "sentence_length_burstiness",
+    oracle="""
+    WITH frags AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(f, '[^ ]+')) AS BIGINT)
+                   AS w
+        FROM (SELECT source,
+                     unnest(regexp_split_to_array(text, '[.!?]+'))
+                         AS f
+              FROM documents)
+    ),
+    s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS ns,
+               CAST(SUM(w) AS BIGINT) AS sw,
+               SUM(CAST(w AS DECIMAL(38,0)) * w) AS sww,
+               CAST(MAX(w) AS BIGINT) AS mx
+        FROM frags WHERE w > 0 GROUP BY source
+    )
+    SELECT source, ns AS n_sentences,
+           round(CAST(sw AS DOUBLE) / ns, 6) AS mean_words,
+           round((CAST(sww AS DOUBLE) * ns
+                  - CAST(sw AS DOUBLE) * sw)
+                 / (CAST(ns AS DOUBLE) * ns), 6) AS var_words,
+           mx AS max_words,
+           round((sqrt((CAST(sww AS DOUBLE) * ns
+                        - CAST(sw AS DOUBLE) * sw)
+                       / (CAST(ns AS DOUBLE) * ns))
+                  - CAST(sw AS DOUBLE) / ns)
+                 / (sqrt((CAST(sww AS DOUBLE) * ns
+                          - CAST(sw AS DOUBLE) * sw)
+                         / (CAST(ns AS DOUBLE) * ns))
+                    + CAST(sw AS DOUBLE) / ns), 9) + 0.0
+               AS burstiness
+    FROM s
+    ORDER BY source
+    """,
+)
+def sentence_length_burstiness(spark, sf_dir):
+    """Sentence-length distribution per source — mean/variance/max
+    words per sentence plus the Goh-Barabási burstiness index B =
+    (σ−μ)/(σ+μ) ∈ (−1, 1): B → −1 is metronomic uniform sentence
+    lengths (template/boilerplate text), B ≈ 0 Poisson-like, B → 1
+    heavy-tailed mixing of fragments and run-ons (scrape damage).
+    The sentence-GRAIN complement of ``flesch_reading_ease`` (which
+    reads corpus totals): two sources can share words-per-sentence
+    means and differ wildly in burstiness, and it's the variance
+    that flags extraction bugs.
+
+    Sentences split on [.!?]+ runs, words counted as non-space runs
+    per fragment, empty fragments dropped — all exact integers in
+    both engines; population variance folds via n-scaled
+    DECIMAL(38,0) power sums (the overflow class), σ and B close in
+    float rounded 1e-6/1e-9. Plan: fragment explode → 20-row
+    rollup; corpus-linear, no window."""
+    d = t(spark, sf_dir, "documents")
+    frags = d.select(
+        "source",
+        F.explode(F.split("text", r"[.!?]+")).alias("f"),
+    ).select(
+        "source",
+        F.regexp_count("f", F.lit(r"[^ ]+")).cast("bigint").alias("w"),
+    )
+    wd = F.col("w").cast("decimal(38,0)")
+    s = (
+        frags.where(F.col("w") > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("ns"),
+            F.sum("w").cast("bigint").alias("sw"),
+            F.sum(wd * F.col("w")).alias("sww"),
+            F.max("w").cast("bigint").alias("mx"),
+        )
+    )
+    nsd = F.col("ns").cast("double")
+    mean = F.col("sw").cast("double") / nsd
+    var = (
+        F.col("sww").cast("double") * F.col("ns")
+        - F.col("sw").cast("double") * F.col("sw")
+    ) / (nsd * nsd)
+    sig = F.sqrt(var)
+    return s.select(
+        "source",
+        F.col("ns").alias("n_sentences"),
+        F.round(mean, 6).alias("mean_words"),
+        F.round(var, 6).alias("var_words"),
+        F.col("mx").alias("max_words"),
+        (F.round((sig - mean) / (sig + mean), 9) + 0.0).alias(
+            "burstiness"
+        ),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Feature-hashing collision audit (1024-bucket hashing-trick census)
+# --------------------------------------------------------------------------
+@register(
+    "feature_hash_collisions",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT w
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w <> ''
+    ),
+    buckets AS (
+        SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)
+                   % 1024 AS b,
+               CAST(COUNT(*) AS BIGINT) AS load
+        FROM vocab GROUP BY 1
+    ),
+    f AS (
+        SELECT CAST(SUM(load) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS used,
+               CAST(MAX(load) AS BIGINT) AS mx,
+               CAST(SUM(load * load) AS BIGINT) AS s2
+        FROM buckets
+    )
+    SELECT v AS vocab_size,
+           CAST(1024 AS BIGINT) AS n_buckets,
+           used AS buckets_used,
+           mx AS max_load,
+           CAST(v - used AS BIGINT) AS n_collisions,
+           round(CAST(v - used AS DOUBLE) / v, 9) AS collision_rate,
+           round(1024.0 * s2 / v - v, 6) AS chi2_uniformity
+    FROM f
+    """,
+)
+def feature_hash_collisions(spark, sf_dir):
+    """Hashing-trick collision audit: map the corpus vocabulary into
+    1024 hash buckets (the md5-based 60-bit token hash shared with
+    the fingerprint/winnowing tier, mod 1024) and census the damage
+    a hashed feature space would do — buckets used, max load,
+    collided-type count V − used, collision rate, and the χ²
+    uniformity statistic 1024·Σload²/V − V (≈ 1023 under a uniform
+    hash; a large value means the hash is biased on THIS
+    vocabulary). The audit to run before shipping a HashingTF-style
+    featurizer (the registered ``minhash_near_dup`` path hashes
+    into 4096 dims; this measures what such hashing costs).
+
+    Distinct-type rollup → bucket rollup → scalar fold, all exact
+    integers (load² ≤ V² fits int64 comfortably at any corpus with
+    V ≤ 3e9 types); two closing float ratios. Empty buckets enter
+    χ² through the closed form, not a densify. Plan: explode →
+    two hash rollups; corpus-linear, no window."""
+    d = t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    buckets = vocab.select(
+        (
+            F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast(
+                "long"
+            )
+            % 1024
+        ).alias("b")
+    ).groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("load"))
+    f = buckets.agg(
+        F.sum("load").cast("bigint").alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("used"),
+        F.max("load").cast("bigint").alias("mx"),
+        F.sum(F.col("load") * F.col("load"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    return f.select(
+        F.col("v").alias("vocab_size"),
+        F.lit(1024).cast("bigint").alias("n_buckets"),
+        F.col("used").alias("buckets_used"),
+        F.col("mx").alias("max_load"),
+        (F.col("v") - F.col("used")).cast("bigint").alias(
+            "n_collisions"
+        ),
+        F.round(
+            (F.col("v") - F.col("used")).cast("double") / F.col("v"),
+            9,
+        ).alias("collision_rate"),
+        F.round(
+            1024.0 * F.col("s2") / F.col("v") - F.col("v"), 6
+        ).alias("chi2_uniformity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Good-Turing unseen mass + Chao1 richness (frequency-of-frequencies)
+# --------------------------------------------------------------------------
+@register(
+    "good_turing_vocab",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                       for i in range(1, len(s) - 1)]) AS w
+        FROM (SELECT string_split(text, ' ') AS s FROM documents)
+    ),
+    tf AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY w
+    ),
+    fof AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v2
+        FROM tf
+    )
+    SELECT n AS n_tokens, v AS vocab_size,
+           v1 AS n_singletons, v2 AS n_doubletons,
+           round(CAST(v1 AS DOUBLE) / n, 9) AS gt_unseen_mass,
+           round(1.0 - CAST(v1 AS DOUBLE) / n, 9) AS gt_coverage,
+           round(CASE WHEN v1 > 0 THEN 2.0 * v2 / v1 ELSE 0.0 END,
+                 9) AS gt_adjusted_r1,
+           round(v + CAST(v1 AS DOUBLE) * (v1 - 1)
+                     / (2.0 * (v2 + 1)), 4) AS chao1_richness
+    FROM fof
+    """,
+)
+def good_turing_vocab(spark, sf_dir):
+    """Good-Turing unseen-probability mass and Chao1 richness from
+    the frequency-of-frequencies of word-TRIGRAM types: P₀ = V₁/N
+    (the probability the NEXT trigram is a never-seen type — the
+    quantity n-gram LM smoothing redistributes; the corpus's
+    whitespace UNIGRAM vocabulary is a closed 31-word set with
+    V₁ = 0, which is why the panel runs at the grain
+    ``bigram_lm_perplexity`` actually smooths), Simple-GT adjusted
+    count r*₁ = 2V₂/V₁ (0 when V₁ = 0), and the bias-corrected
+    Chao1 floor on TRUE type richness V + V₁(V₁−1)/(2(V₂+1)). The
+    "how much corpus is enough" panel: coverage 1−V₁/N says when
+    more data stops adding types, Chao1 says how many remain to
+    find — the abundance-based complement of ``heaps_law_fit``
+    (growth curve) and the staged ``capture_recapture_lincoln``
+    (two-sample overlap).
+
+    Trigram explode → count rollup → one scalar
+    frequency-of-frequencies fold — everything before the four
+    closing float expressions is exact integers. Corpus-linear
+    (≤ one trigram per token position), no window."""
+    d = t(spark, sf_dir, "documents")
+    s = F.split("text", " ")
+    # sequence(1, 0) DESCENDS in Spark — guard docs under 3 tokens
+    # with an explicit empty array (matches DuckDB's empty range).
+    idx = F.when(
+        F.size(s) >= 3, F.sequence(F.lit(1), F.size(s) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    tri = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(s, i),
+            F.element_at(s, i + 1),
+            F.element_at(s, i + 2),
+        ),
+    )
+    tf = (
+        d.select(F.explode(tri).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    fof = tf.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v2"),
+    )
+    return fof.select(
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("vocab_size"),
+        F.col("v1").alias("n_singletons"),
+        F.col("v2").alias("n_doubletons"),
+        F.round(F.col("v1").cast("double") / F.col("n"), 9).alias(
+            "gt_unseen_mass"
+        ),
+        F.round(
+            1.0 - F.col("v1").cast("double") / F.col("n"), 9
+        ).alias("gt_coverage"),
+        F.round(
+            F.when(
+                F.col("v1") > 0, 2.0 * F.col("v2") / F.col("v1")
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("gt_adjusted_r1"),
+        F.round(
+            F.col("v")
+            + F.col("v1").cast("double")
+            * (F.col("v1") - 1)
+            / (2.0 * (F.col("v2") + 1)),
+            4,
+        ).alias("chao1_richness"),
+    )
