@@ -54,6 +54,8 @@ _MODULES = (
     "tpch",
     "ext_ml",
     "stats_tests",
+    "next_window",
+    "graph_ops",
 )
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries, so
@@ -61,77 +63,68 @@ _MODULES = (
 # round's official window. Everything else registered stays available after
 # them as bonus coverage. ``tests/test_registry.py`` pins this list.
 #
-# Round-8 rotation (the FINAL backlog window): CORRECTNESS_r07 is 50/50
-# green, so the whole r7 window rotates out. The never-official
-# oracle-paired backlog entering round 8 is EXACTLY 25 names (verified =
-# all_oracles() minus the union of CORRECTNESS_r0*.json keys): the 20
-# names pledged by the r6/r7 rotation comments plus round-7's five new
-# registrations. All 25 head this window, closing the three-round
-# official-green debt; the other 25 slots are filled by round-8's 25
-# NEW registrations — the window is exactly full and the registered-
-# but-never-official set is EMPTY by construction
-# (``tests/test_registry.py::test_no_new_official_debt`` machine-checks
-# this, so the debt class cannot recur silently).
+# Round-9 rotation: CORRECTNESS_r08 is 50/50 green, so the whole r8 window
+# rotates out. This window flips the round-8 staged bank live — ALL 45
+# queries of ``plans/next_window.py`` (the count is generated from
+# ``sorted(next_window.NEXT_QUERIES)``, never from a prose inventory; two
+# stale prose counts of 16 and 36 were exactly the trap the r8 verdict
+# flagged) — plus round-9's 5 fresh registrations, filling the 50 slots
+# exactly. Each bank name was already gate-mirror verified at sf0.001 AND
+# sf0.01 by ``tests/test_next_window.py`` before flipping, so the window
+# enters the round green-by-construction; the registered-but-never-official
+# set stays EMPTY (``tests/test_registry.py::test_no_new_official_debt``).
 #
-# Work produced AFTER the window filled is pre-staged in
-# ``plans/next_window.py`` (16 oracle-paired queries, gate-mirror
-# verified at two SFs by ``tests/test_next_window.py``, 8x/64x-probed)
-# and registers in round 9 — see that module's docstring for the
-# mechanical flip.
+# Round-9 work beyond the 5 free slots goes into a fresh bank module
+# (``plans/bank_r10.py``, same local-decorator pattern) in the same commit
+# that writes it, and flips in round 10.
 _PRIORITY = (
-    # --- the 25-name backlog: 20 pledged names (r6/r7 rotation comments) ---
-    "sql_lateral_topn_per_segment",
-    "debounce_first_per_burst",
-    "session_entry_exit_matrix",
-    "tle_j2_secular_rates",
-    "tle_theil_sen_decay",
-    "fd_violation_profile",
-    "neyman_allocation_sources",
-    "l_diversity_audit",
-    "join_size_sample_estimate",
-    "kaplan_meier_sessions",
-    "scd2_asof_lookup",
-    "cumulative_distinct_users",
-    "seasonal_naive_mase",
-    "association_rules_parts",
-    "time_to_convert_quartiles",
-    "attribution_linear_touch",
-    "discount_quantity_elasticity",
-    "holt_linear_forecast",
-    "open_order_backlog_sweep",
-    "shipping_sla_attainment",
-    # --- ... plus round-7's five registrations ---
-    "pareto_decile_ranged",
-    "cdc_warehouse_roundtrip",
-    "document_chunks_overlap",
-    "streaming_sessions_finalized",
-    "streaming_trailing_median",
-    # --- round-8 registrations (new work lands official same-round) ---
-    "streaming_dedup_within_watermark",
-    "streaming_outer_join_nulls",
-    "spearman_rank_corr",
-    "bh_fdr_correction",
-    "cusum_changepoint_scan",
-    "partial_correlation_controls",
-    "cochran_armitage_trend",
-    "user_activity_streaks",
-    "interval_coalesce_union",
-    "asof_join_nearest",
-    "referential_integrity_audit",
-    "quantile_normalize_by_source",
-    "t_closeness_audit",
-    "ols_normal_equations",
-    "gini_split_threshold",
-    "weighted_sample_no_replacement",
-    "nelson_aalen_hazard",
-    "gopher_quality_rules",
-    "bpe_pair_merge_step",
-    "chi2_discriminative_terms",
-    "tokenizer_fertility_profile",
-    "mcnemar_paired_outcomes",
-    "levene_brown_forsythe",
-    "runs_test_randomness",
-    "grubbs_max_outlier",
+    # --- the 45 flipped bank names (sorted(next_window.NEXT_QUERIES)) ---
+    "acf_ljung_box",
+    "average_precision_ranking",
+    "bartlett_variance_test",
+    "boilerplate_chunk_flagging",
+    "capture_recapture_lincoln",
+    "charset_class_profile",
+    "chow_structural_break",
+    "cochran_q_test",
+    "cooks_distance_trend",
+    "cronbachs_alpha_dow",
+    "cross_correlation_daily",
+    "delta_method_ratio_ci",
+    "distance_correlation_daily",
+    "durbin_watson_trend_residuals",
+    "embedding_dim_covariance",
+    "ewma_control_chart",
+    "feature_hash_collisions",
+    "flesch_reading_ease",
+    "friedman_blocked_ranks",
+    "good_turing_vocab",
+    "gopher_repetition_rules",
+    "gumbel_block_maxima",
+    "hurst_rs_exponent",
+    "icc_oneway_suppliers",
+    "jackknife_ratio_se",
+    "jarque_bera_normality",
+    "jonckheere_terpstra_trend",
+    "kendall_tau_b_bucketed",
+    "kruskal_wallis_values",
+    "log_rank_sessions",
+    "mahalanobis_outliers_2d",
+    "mann_kendall_trend",
+    "ndcg_at_k_ranking",
+    "pacf_durbin_levinson",
+    "pca_2x2_closed_form",
+    "periodogram_dft_peaks",
+    "pettitt_changepoint",
+    "poisson_dispersion_index",
+    "sentence_length_burstiness",
+    "shannon_simpson_diversity",
+    "source_vocab_jaccard",
+    "target_encoding_loo",
+    "tukey_hsd_pairwise",
+    "welch_anova_types",
+    "wilcoxon_signed_rank",
+    # --- round-9 fresh registrations (fill the window to 50) ---
 )
 
 

@@ -1,23 +1,22 @@
-"""Round-9 pre-staged registrations (the "next-window" bank).
+"""Round-8-staged queries, LIVE since round 9 (X201-X245 in SURVEY §2.11).
 
-The round-8 official window is exactly full: `plans._PRIORITY` holds the
-25-name backlog plus the 25 round-8 registrations, and
-``tests/test_registry.py::test_no_new_official_debt`` forbids any
-oracle-paired registration that is neither official nor windowed — the
-machine-checked form of the r7 verdict's rule that a query must land in
-its own round's official window or carry an explicit next-window tag.
+These 45 oracle-paired queries were built during round 8 after that
+round's 50-slot official window filled, and were pre-staged here
+outside the live registry (the machine-checked no-new-debt discipline
+— see ``tests/test_registry.py::test_no_new_official_debt``). Round 9
+flipped them live exactly as the r8 verdict prescribed: the module now
+registers through ``plans.register`` (while still recording every name
+in ``NEXT_QUERIES``/``NEXT_ORACLES`` so ``tests/test_next_window.py``
+keeps running the driver-gate canon/hash compare on the bank at two
+scale factors), ``"next_window"`` is in ``plans._MODULES``, and the
+round-9 ``_PRIORITY`` window is built from ``sorted(NEXT_QUERIES)`` —
+45 bank names + 5 fresh round-9 registrations = exactly 50.
 
-This module IS that next-window tag, as code: fully-built,
-oracle-paired queries kept OUTSIDE the live registry (not in
-``plans._MODULES``; local decorator, not ``plans.register``) so the
-debt invariant stays machine-true this round. They are verified today
-by ``tests/test_next_window.py`` with the exact canon/hash compare the
-driver gate uses (`tools/check.py`), at two scale factors, and probed
-at 8x (SCALING.md). Round 9 flips them live mechanically: import
-``register`` from ``.`` instead of the local stub, add
-``"next_window"`` to ``_MODULES``, and append the names to the fresh
-``_PRIORITY`` window. Names are checked against the live registry by
-the bank tests — a draft duplicating the already-registered
+Every query here was verified BEFORE registration by
+``tests/test_next_window.py`` with the exact canon/hash compare the
+driver gate uses (`tools/check.py`), at sf0.001 AND sf0.01, and probed
+at 8x/64x (SCALING.md). Names were checked against the live registry
+by the bank tests — a draft duplicating the already-registered
 ``benford_first_digit`` was caught exactly that way, and drafts
 overlapping ``event_transition_matrix`` / ``mad_outlier_filter`` were
 dropped during review rather than shipped as padding.
@@ -30,8 +29,8 @@ machinery; medians use the cumulative-count value-grid device. The
 exception is ``log_rank_sessions``' risk-set suffix sums, which ride an
 unpartitioned window over the session-duration GRID (domain-bounded —
 the same calendar-class frame kaplan_meier_sessions is allowlisted
-for); registering it in round 9 requires one ``ALLOWED`` entry in
-``tools/audit_single_partition.py`` with that justification.
+for); its ``ALLOWED`` entry in ``tools/audit_single_partition.py``
+carries that justification.
 
 Determinism discipline (plans/__init__ contract): day rollups are
 integer cents; rank sums are 2x-scaled integers; ACF/EWMA numerators
@@ -45,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from . import register as _live_register
 from .common import dec, prefix_offsets, t
 
 NEXT_QUERIES: dict = {}
@@ -52,13 +52,17 @@ NEXT_ORACLES: dict = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Local stand-in for ``plans.register`` — see module docstring."""
+    """Registers live via ``plans.register`` AND records the name in the
+    bank dicts so ``tests/test_next_window.py`` keeps gate-mirroring the
+    whole flipped set independently of the registry (see docstring)."""
+
+    live = _live_register(name, oracle)
 
     def deco(fn):
         NEXT_QUERIES[name] = fn
         if oracle is not None:
             NEXT_ORACLES[name] = oracle
-        return fn
+        return live(fn)
 
     return deco
 
