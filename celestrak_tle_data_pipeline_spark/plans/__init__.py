@@ -63,68 +63,26 @@ _MODULES = (
 # round's official window. Everything else registered stays available after
 # them as bonus coverage. ``tests/test_registry.py`` pins this list.
 #
-# Round-9 rotation: CORRECTNESS_r08 is 50/50 green, so the whole r8 window
-# rotates out. This window flips the round-8 staged bank live — ALL 45
-# queries of ``plans/next_window.py`` (the count is generated from
-# ``sorted(next_window.NEXT_QUERIES)``, never from a prose inventory; two
-# stale prose counts of 16 and 36 were exactly the trap the r8 verdict
-# flagged) — plus round-9's 5 fresh registrations, filling the 50 slots
-# exactly. Each bank name was already gate-mirror verified at sf0.001 AND
-# sf0.01 by ``tests/test_next_window.py`` before flipping, so the window
-# enters the round green-by-construction; the registered-but-never-official
-# set stays EMPTY (``tests/test_registry.py::test_no_new_official_debt``).
-#
-# Round-9 work beyond the 5 free slots goes into a fresh bank module
-# (``plans/bank_r10.py``, same local-decorator pattern) in the same commit
-# that writes it, and flips in round 10.
+# Round-10 rotation: CORRECTNESS_r09 is 50/50 green (the 45 flipped bank
+# names plus 5 registration-order fall-throughs), so the whole r9 window
+# rotates out and every r10 slot turns over to FIRST-TIME names — the five
+# graph-analytics registrations that round 9 promised but never built
+# (``plans/graph_ops.py``, X246-X250) plus round-10's fresh work
+# (``plans/round10.py``). ``tests/test_registry.py::
+# test_window_is_all_first_time_names`` machine-checks that no slot recycles
+# an already-official name, and ``test_no_new_official_debt`` keeps the
+# registered-but-never-official set empty. If the round ends with fewer than
+# 50 fresh names, the remaining slots fall through to registration order
+# (re-greens of round-2 core queries) — documented fall-through, never
+# silent.
 _PRIORITY = (
-    # --- the 45 flipped bank names (sorted(next_window.NEXT_QUERIES)) ---
-    "acf_ljung_box",
-    "average_precision_ranking",
-    "bartlett_variance_test",
-    "boilerplate_chunk_flagging",
-    "capture_recapture_lincoln",
-    "charset_class_profile",
-    "chow_structural_break",
-    "cochran_q_test",
-    "cooks_distance_trend",
-    "cronbachs_alpha_dow",
-    "cross_correlation_daily",
-    "delta_method_ratio_ci",
-    "distance_correlation_daily",
-    "durbin_watson_trend_residuals",
-    "embedding_dim_covariance",
-    "ewma_control_chart",
-    "feature_hash_collisions",
-    "flesch_reading_ease",
-    "friedman_blocked_ranks",
-    "good_turing_vocab",
-    "gopher_repetition_rules",
-    "gumbel_block_maxima",
-    "hurst_rs_exponent",
-    "icc_oneway_suppliers",
-    "jackknife_ratio_se",
-    "jarque_bera_normality",
-    "jonckheere_terpstra_trend",
-    "kendall_tau_b_bucketed",
-    "kruskal_wallis_values",
-    "log_rank_sessions",
-    "mahalanobis_outliers_2d",
-    "mann_kendall_trend",
-    "ndcg_at_k_ranking",
-    "pacf_durbin_levinson",
-    "pca_2x2_closed_form",
-    "periodogram_dft_peaks",
-    "pettitt_changepoint",
-    "poisson_dispersion_index",
-    "sentence_length_burstiness",
-    "shannon_simpson_diversity",
-    "source_vocab_jaccard",
-    "target_encoding_loo",
-    "tukey_hsd_pairwise",
-    "welch_anova_types",
-    "wilcoxon_signed_rank",
-    # --- round-9 fresh registrations (fill the window to 50) ---
+    # --- round-10 graph analytics (X246-X250, graph_ops.GRAPH_QUERIES) ---
+    "trade_bipartite_degree_profile",
+    "copurchase_projection_weighted",
+    "copurchase_components_gated",
+    "copurchase_kcore_peel",
+    "seeded_ppr_copurchase",
+    # --- round-10 fresh registrations (plans/round10.py) ---
 )
 
 

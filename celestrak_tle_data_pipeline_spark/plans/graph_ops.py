@@ -1,14 +1,33 @@
-"""Round-9 fresh registrations: graph analytics over the TPC-H trade graph.
+"""Round-10 registrations: graph analytics over the TPC-H trade graph.
 
 The reference has no graph surface; these are [EXT] components
 (X246-X250 in SURVEY §2.11) giving the engine the graph-shaped
 operators a training-data/analytics platform needs — link analysis,
-cohesion, fuzzy matching — all as pure DataFrame plans with exact
-DECIMAL arithmetic so the DuckDB oracle hashes match bit-for-bit.
+cohesion decomposition, seeded relevance — all as pure DataFrame plans
+with exact integer arithmetic so the DuckDB oracle hashes match
+bit-for-bit.
 
-Queries register here as they are built this round; the round-9
-official window is the 45 flipped bank names (plans/next_window.py)
-plus these, 50 exactly.
+Two trade graphs, both derived from facts (never synthesized):
+
+- the supplier<->customer BIPARTITE graph: distinct (l_suppkey,
+  o_custkey) pairs that actually traded (lineitem x orders);
+- the part co-purchase graph: part pairs appearing in the SAME order,
+  weighted by co-order count. Pair generation fans out only within an
+  order (order size is domain-bounded — TPC-H max 7 lineitems, real
+  carts are O(10)), so the self-join is map-side-bounded and never
+  all-pairs; the weight gate (>=2 / >=3 co-orders) is applied straight
+  after the pair aggregation, before any graph algorithm touches the
+  edge list.
+
+Iterative algorithms follow the engine's two established shapes
+(SURVEY §2.11 X34/X53, plans/ext_text.py:1705, ext_ml.py:531):
+fixed-step loops UNROLL into one lazy DAG with
+``localCheckpoint(eager=False)`` lineage truncation per round; the
+open-ended fixpoint (connected components) reuses
+``operators/components.py`` — small-step min-label propagation with a
+driver-side convergence probe. All ranks/degrees are integers (micro-
+unit PageRank mass, bigint degrees), so partial-aggregate order cannot
+perturb a bit in either engine.
 """
 
 from __future__ import annotations
@@ -16,4 +35,422 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import register
-from .common import dec, t
+from .common import t
+
+# Shared SQL fragments (oracle side). The Spark side builds the same
+# edge lists with DataFrame ops inside each query.
+_HALF_W2 = """
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+"""
+
+_HALF_W3 = _HALF_W2.replace(">= 2", ">= 3")
+
+
+def _half_edges(spark, sf_dir, min_w: int):
+    """Co-purchase half-edges (p1 < p2) gated at ``min_w`` co-orders."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p2")
+    )
+    return (
+        a.join(b, "okey")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= min_w)
+    )
+
+
+def _sym(half):
+    """Symmetrize half-edges into a directed (u, v) edge list."""
+    return half.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionAll(half.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+
+
+# --------------------------------------------------------------------------
+# X246: supplier<->customer bipartite degree profile
+# --------------------------------------------------------------------------
+@register(
+    "trade_bipartite_degree_profile",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), sd AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY s
+    ), cd AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY c
+    )
+    SELECT 'supplier' AS side, degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM sd GROUP BY degree
+    UNION ALL
+    SELECT 'customer' AS side, degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM cd GROUP BY degree
+    """,
+)
+def trade_bipartite_degree_profile(spark, sf_dir):
+    """Degree histogram of BOTH sides of the supplier<->customer trade
+    graph — the first QA view of any bipartite interaction graph
+    (recommender co-engagement, author<->paper, doc<->shard): a heavy
+    right tail on one side means hub-dominated propagation and skewed
+    joins downstream.
+
+    Plan: one fact-fact equi-join on the order key, one distinct on
+    the edge pair (hash agg with map-side combine), then two tiny
+    degree rollups unioned. The distinct is the only real shuffle and
+    it is keyed on the (suppkey, custkey) pair — uniform at any scale.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    sd = e.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
+    cd = e.groupBy("c").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        sd.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.lit("supplier").alias("side"), "degree", "n_nodes")
+        .unionAll(
+            cd.groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .select(F.lit("customer").alias("side"), "degree", "n_nodes")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X247: weighted co-purchase projection
+# --------------------------------------------------------------------------
+@register(
+    "copurchase_projection_weighted",
+    oracle="""
+    WITH half AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               a.l_orderkey AS okey
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT h.p1, h.p2,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+    FROM half h JOIN orders o ON h.okey = o.o_orderkey
+    GROUP BY h.p1, h.p2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def copurchase_projection_weighted(spark, sf_dir):
+    """Weighted one-mode projection of the order<->part bipartite graph
+    onto parts: for every part pair bought together in >= 3 orders, the
+    co-order count AND the distinct-customer reach of the pair (the
+    standard market-basket edge weights; reach < count flags pairs
+    driven by one repeat buyer).
+
+    Plan: pair fan-out only within an order (bounded cart size), then
+    one enrich join to orders for the customer key and a single hash
+    aggregation computing both weights. The weight gate lands directly
+    on the aggregation (HAVING) — no second pass over the pair list.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    a = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p2")
+    )
+    return (
+        a.join(b, "okey")
+        .where(F.col("p1") < F.col("p2"))
+        .join(o, F.col("okey") == o.o_orderkey)
+        .groupBy("p1", "p2")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .where(F.col("n_orders") >= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# X248: connected components of the gated co-purchase graph
+# --------------------------------------------------------------------------
+@register(
+    "copurchase_components_gated",
+    oracle=f"""
+    WITH RECURSIVE half AS ({_HALF_W3}
+    ), edges AS (
+        SELECT p1 AS u, p2 AS v FROM half
+        UNION ALL
+        SELECT p2 AS u, p1 AS v FROM half
+    ), reach(node, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+    ), comp AS (
+        SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    ), sizes AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS component_size
+        FROM comp GROUP BY component
+    )
+    SELECT c.node AS part, c.component, s.component_size
+    FROM comp c JOIN sizes s ON c.component = s.component
+    """,
+)
+def copurchase_components_gated(spark, sf_dir):
+    """Connected components of the value-gated co-purchase graph
+    (edges = part pairs with >= 3 co-orders): the product-affinity
+    clusters a basket recommender or assortment planner starts from,
+    and the trade-graph certification of the engine's one genuinely
+    iterative operator.
+
+    Plan: ``operators/components.py`` min-label propagation — per
+    round one join + one agg, rows never reach the driver except the
+    single ``isEmpty`` convergence probe, ``localCheckpoint`` lineage
+    truncation per round. Iteration count is bounded by component
+    DIAMETER, not size. The oracle derives the same labels from a
+    recursive-CTE reachability closure — a completely independent
+    algorithm, so agreement certifies the propagation, not the SQL.
+    """
+    from ..operators.components import connected_components
+
+    half = _half_edges(spark, sf_dir, 3)
+    comp = connected_components(half, a="p1", b="p2")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return comp.join(F.broadcast(sizes), "component").select(
+        F.col("node").alias("part"), "component", "component_size"
+    )
+
+
+# --------------------------------------------------------------------------
+# X249: 3-core of the co-purchase graph (bounded peel)
+# --------------------------------------------------------------------------
+_KCORE_ROUNDS = 10
+
+
+def _kcore_round_sql(i: int) -> str:
+    # AS MATERIALIZED is load-bearing: DuckDB inlines CTEs by default,
+    # and every round references the previous alive set TWICE (both
+    # edge endpoints), so an inlined 10-round chain expands 2^10-fold.
+    prev = "a0" if i == 1 else f"a{i - 1}"
+    return f"""a{i} AS MATERIALIZED (
+        SELECT e.u AS node FROM edges e
+        JOIN {prev} x ON e.u = x.node
+        JOIN {prev} y ON e.v = y.node
+        GROUP BY e.u HAVING COUNT(*) >= 3
+    )"""
+
+
+@register(
+    "copurchase_kcore_peel",
+    oracle=f"""
+    WITH half AS MATERIALIZED ({_HALF_W2}
+    ), edges AS MATERIALIZED (
+        SELECT p1 AS u, p2 AS v FROM half
+        UNION ALL
+        SELECT p2 AS u, p1 AS v FROM half
+    ), a0 AS MATERIALIZED (
+        SELECT DISTINCT u AS node FROM edges
+    ), {", ".join(_kcore_round_sql(i) for i in range(1, _KCORE_ROUNDS + 1))}
+    SELECT e.u AS part, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM edges e
+    JOIN a{_KCORE_ROUNDS} x ON e.u = x.node
+    JOIN a{_KCORE_ROUNDS} y ON e.v = y.node
+    GROUP BY e.u
+    """,
+)
+def copurchase_kcore_peel(spark, sf_dir):
+    """3-core of the co-purchase graph (>= 2 co-orders): iterative
+    peel — drop every node with fewer than 3 surviving neighbors,
+    recompute degrees, repeat — for 10 fixed rounds
+    (fixpoint is reached by round 8 at sf0.01 and round 1 at sf0.001;
+    both engines run the identical bounded peel, so the contract is
+    exact regardless). The 3-core is the cohesion kernel: the subgraph
+    where every product keeps >= 3 strong affinities after all
+    peripheral chains are peeled away — the dense heart a merchandiser
+    or graph-sampling stage actually wants.
+
+    Plan: each round = alive-set semi-join on both edge endpoints +
+    one degree agg; ``localCheckpoint(eager=False)`` truncates lineage
+    per round (protocol-pure: nothing executes at build time), the
+    dup_graph_pagerank shape. Output: surviving parts with their
+    within-core degree.
+    """
+    half = _half_edges(spark, sf_dir, 2)
+    edges = _sym(half).localCheckpoint(eager=False)
+    alive = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        alive = (
+            edges.join(alive.withColumnRenamed("node", "u"), "u")
+            .join(
+                alive.withColumnRenamed("node", "v"),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= 3)
+            .select(F.col("u").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        edges.join(alive.withColumnRenamed("node", "u"), "u")
+        .join(alive.withColumnRenamed("node", "v"), "v")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("u").alias("part"), "core_degree")
+    )
+
+
+# --------------------------------------------------------------------------
+# X250: seeded (personalized) PageRank over the co-purchase graph
+# --------------------------------------------------------------------------
+@register(
+    "seeded_ppr_copurchase",
+    oracle=f"""
+    WITH half AS ({_HALF_W2}
+    ), edges AS (
+        SELECT p1 AS u, p2 AS v FROM half
+        UNION ALL
+        SELECT p2 AS u, p1 AS v FROM half
+    ), deg AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u
+    ), seeds AS (
+        SELECT d.u FROM deg d
+        JOIN part p ON d.u = p.p_partkey AND p.p_brand = 'Brand#4'
+    ), r0 AS (
+        SELECT d.u AS node,
+               CASE WHEN s.u IS NOT NULL
+                    THEN CAST(1000000000000 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS r,
+               CASE WHEN s.u IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+        FROM deg d LEFT JOIN seeds s ON d.u = s.u
+    ), it1 AS (
+        SELECT n.node, n.is_seed,
+               n.is_seed * 150000000000
+                 + (85 * COALESCE(s.c, 0)) // 100 AS r
+        FROM r0 n LEFT JOIN (
+            SELECT e.v AS node, SUM(r.r // d.d) AS c
+            FROM edges e
+            JOIN r0 r ON e.u = r.node
+            JOIN deg d ON e.u = d.u
+            GROUP BY e.v
+        ) s ON n.node = s.node
+    ), it2 AS (
+        SELECT n.node, n.is_seed,
+               n.is_seed * 150000000000
+                 + (85 * COALESCE(s.c, 0)) // 100 AS r
+        FROM it1 n LEFT JOIN (
+            SELECT e.v AS node, SUM(r.r // d.d) AS c
+            FROM edges e
+            JOIN it1 r ON e.u = r.node
+            JOIN deg d ON e.u = d.u
+            GROUP BY e.v
+        ) s ON n.node = s.node
+    ), it3 AS (
+        SELECT n.node, n.is_seed,
+               n.is_seed * 150000000000
+                 + (85 * COALESCE(s.c, 0)) // 100 AS r
+        FROM it2 n LEFT JOIN (
+            SELECT e.v AS node, SUM(r.r // d.d) AS c
+            FROM edges e
+            JOIN it2 r ON e.u = r.node
+            JOIN deg d ON e.u = d.u
+            GROUP BY e.v
+        ) s ON n.node = s.node
+    )
+    SELECT node AS part, CAST(r AS BIGINT) AS rank_micro
+    FROM it3 WHERE r > 0
+    """,
+)
+def seeded_ppr_copurchase(spark, sf_dir):
+    """3-iteration PERSONALIZED PageRank over the co-purchase graph,
+    seeded at one brand's parts (Brand#4): restart mass returns only
+    to the seed set, so rank measures affinity TO the brand — the
+    'customers who buy this brand also gravitate to…' relevance score,
+    and the seeded-retrieval primitive (topic-sensitive PR, Haveliwala
+    2002) a curation pipeline uses to expand a trusted seed corpus.
+
+    Determinism: integer micro-units end-to-end — start mass 10^12 on
+    seeds, contributions floor(r / degree), damping
+    seed*150e9 + (85*Σ)//100 — pure bigint, so partial-agg order
+    cannot perturb a bit (the dup_graph_pagerank contract,
+    plans/ext_text.py:1705). Nodes never reached by seed mass (rank
+    exactly 0) drop out in both engines.
+
+    Plan: per iteration one rank-vector join on the source node + one
+    contribution agg on the destination; fixed 3 steps unroll into one
+    lazy DAG with ``localCheckpoint(eager=False)`` lineage truncation.
+    """
+    half = _half_edges(spark, sf_dir, 2)
+    edges = _sym(half)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    seeds = deg.join(
+        F.broadcast(
+            t(spark, sf_dir, "part")
+            .where(F.col("p_brand") == "Brand#4")
+            .select(F.col("p_partkey").alias("u"))
+        ),
+        "u",
+    ).select("u")
+    ranks = (
+        deg.join(seeds.withColumn("s", F.lit(1)), "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.when(F.col("s") == 1, F.lit(10**12).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("r"),
+            F.coalesce("s", F.lit(0)).cast("bigint").alias("is_seed"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ed = edges.join(deg, "u").localCheckpoint(eager=False)
+    for _ in range(3):
+        contrib = (
+            ed.join(ranks, ed.u == ranks.node)
+            .select(F.col("v"), F.expr("r div d").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("c"))
+            .withColumnRenamed("v", "node")
+        )
+        ranks = (
+            ranks.select("node", "is_seed")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "is_seed",
+                (
+                    F.col("is_seed") * F.lit(150000000000).cast("bigint")
+                    + F.expr("(85 * coalesce(c, 0L)) div 100")
+                ).alias("r"),
+            )
+        )
+    return ranks.where(F.col("r") > 0).select(
+        F.col("node").alias("part"), F.col("r").alias("rank_micro")
+    )
+
+
+GRAPH_QUERIES = (
+    "trade_bipartite_degree_profile",
+    "copurchase_projection_weighted",
+    "copurchase_components_gated",
+    "copurchase_kcore_peel",
+    "seeded_ppr_copurchase",
+)

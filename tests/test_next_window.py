@@ -48,13 +48,19 @@ def test_bank_is_fully_oracle_paired():
     assert len(next_window.NEXT_QUERIES) >= 9
 
 
-def test_bank_is_not_in_the_live_registry():
-    # the no-new-debt invariant (test_registry.py) only stays
-    # machine-true if the bank never registers itself this round.
+def test_bank_is_live_since_the_round9_flip():
+    # Round 9 flipped the whole bank into the live registry (the
+    # module registers via ``plans.register`` and sits in
+    # ``plans._MODULES``); the flipped invariant is that every bank
+    # name IS live and oracle-paired — the inverse of the pre-flip
+    # "never registers itself" guard this test used to be.
     from celestrak_tle_data_pipeline_spark import plans
 
     live = set(plans.all_queries())
-    assert not live & set(next_window.NEXT_QUERIES)
+    oracles = set(plans.all_oracles())
+    bank = set(next_window.NEXT_QUERIES)
+    assert bank <= live
+    assert bank <= oracles
 
 
 @pytest.mark.parametrize("name", sorted(next_window.NEXT_QUERIES))

@@ -60,11 +60,34 @@ def test_priority_names_unique_and_registered():
     assert all(n in registered for n in _PRIORITY)
 
 
-def test_window_opens_with_the_full_backlog():
-    # the three-round official-green debt closes THIS round: the 25
-    # never-official names occupy the head of the window, in the order
-    # the rotation comments pledged them.
-    assert _PRIORITY[:25] == BACKLOG_25
+def test_r8_window_closed_the_backlog():
+    # Historical invariant (was the live round-8 window pin): the 25
+    # never-official backlog names headed the r8 window and all went
+    # officially green there. Checked against the recorded gate output
+    # rather than today's _PRIORITY, which rotates every round.
+    r8 = set(json.load(open("CORRECTNESS_r08.json")))
+    assert set(BACKLOG_25) <= r8
+
+
+def test_r9_window_flipped_the_bank():
+    # Historical invariant for the round-9 rotation: the staged bank
+    # (plans/next_window.py) flipped live and every bank name has an
+    # official green row in CORRECTNESS_r09.json.
+    from celestrak_tle_data_pipeline_spark.plans import next_window
+
+    r9 = set(json.load(open("CORRECTNESS_r09.json")))
+    assert set(next_window.NEXT_QUERIES) <= r9
+
+
+def test_window_is_all_first_time_names():
+    # Round-10 rotation invariant: the previous window is 50/50 green,
+    # so every slot turns over to work never officially gated before —
+    # no recycled re-greens padding the window.
+    official: set[str] = set()
+    for f in glob.glob("CORRECTNESS_r*.json"):
+        official |= set(json.load(open(f)))
+    recycled = [n for n in _PRIORITY if n in official]
+    assert not recycled, f"recycled already-official names: {recycled}"
 
 
 def test_no_new_official_debt():

@@ -144,6 +144,12 @@ ALLOWED: dict[str, str] = {
         "class, never corpus-sized; per-source windows partition "
         "by source)"
     ),
+    "log_rank_sessions": (
+        "at-risk suffix sums over the session-duration minutes grid "
+        "(domain-bounded — the same calendar-class frame as "
+        "kaplan_meier_sessions / nelson_aalen_hazard; event-grain "
+        "work is one duration rollup before the window)"
+    ),
 }
 
 
