@@ -56,6 +56,7 @@ _MODULES = (
     "stats_tests",
     "next_window",
     "graph_ops",
+    "round10",
 )
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries, so
@@ -82,7 +83,14 @@ _PRIORITY = (
     "copurchase_components_gated",
     "copurchase_kcore_peel",
     "seeded_ppr_copurchase",
-    # --- round-10 fresh registrations (plans/round10.py) ---
+    # --- round-10 fresh registrations (plans/round10.py, X251+) ---
+    "dickey_fuller_unit_root",
+    "kpss_level_stationarity",
+    "breusch_pagan_koenker",
+    "granger_causality_lag1",
+    "arch_effect_mcleod_li",
+    "spectral_entropy_daily",
+    "turning_points_randomness",
 )
 
 

@@ -144,6 +144,11 @@ ALLOWED: dict[str, str] = {
         "class, never corpus-sized; per-source windows partition "
         "by source)"
     ),
+    "kpss_level_stationarity": (
+        "partial-sum cumulative window over the calendar-day frame "
+        "(~2,400 rows; the cusum_changepoint_scan class — order-grain "
+        "work is one day rollup before the window)"
+    ),
     "log_rank_sessions": (
         "at-risk suffix sums over the session-duration minutes grid "
         "(domain-bounded — the same calendar-class frame as "
