@@ -91,6 +91,14 @@ _PRIORITY = (
     "arch_effect_mcleod_li",
     "spectral_entropy_daily",
     "turning_points_randomness",
+    "sign_test_paired",
+    "moods_median_test",
+    "cliffs_delta_bucketed",
+    "cohens_d_panel",
+    "mcc_confusion_panel",
+    "youden_j_threshold_scan",
+    "brier_murphy_decomposition",
+    "ansari_bradley_scale",
 )
 
 

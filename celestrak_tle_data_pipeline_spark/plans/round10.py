@@ -988,6 +988,1007 @@ def turning_points_randomness(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# X258: paired sign test on per-user half-window spend
+# --------------------------------------------------------------------------
+_USER_HALVES_SQL = """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN CAST(epoch_us(ts) // 86400000000
+                                       AS BIGINT) < dmin + 15
+                             THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                       AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS front,
+               CAST(SUM(CASE WHEN CAST(epoch_us(ts) // 86400000000
+                                       AS BIGINT) >= dmin + 15
+                             THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                       AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS back
+        FROM events,
+             (SELECT CAST(MIN(epoch_us(ts) // 86400000000) AS BIGINT)
+                  AS dmin FROM events) r
+        GROUP BY user_id
+"""
+
+
+@register(
+    "sign_test_paired",
+    oracle=f"""
+    WITH halves AS ({_USER_HALVES_SQL}),
+    d AS (
+        SELECT back - front AS diff FROM halves WHERE back <> front
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b
+        FROM d
+    )
+    SELECT m AS n_nonzero_pairs, b AS n_positive,
+           round((b - m / 2.0) / sqrt(m / 4.0), 6) + 0.0 AS z_plain,
+           round((abs(b - m / 2.0) - 0.5) / sqrt(m / 4.0), 6) + 0.0
+               AS z_continuity
+    FROM s
+    """,
+)
+def sign_test_paired(spark, sf_dir):
+    """Paired SIGN test on each user's second-half vs first-half spend
+    (the same calendar pairing as `wilcoxon_signed_rank`: split at
+    min day + 15). The sign test uses only the DIRECTION of each
+    user's change — it trades power for total robustness (valid under
+    any asymmetric, heavy-tailed within-user distribution where the
+    signed-rank's symmetry assumption breaks), so the pair of tests
+    brackets the conclusion: signed-rank significant + sign test not
+    = the effect lives in the magnitudes, not the directions.
+
+    Exactness: per-user half sums are exact integer cents (one fold
+    over events with a broadcast min-day scalar); zero diffs drop in
+    both engines identically; b and m are plain counts and both z
+    forms (plain and continuity-corrected) are single IEEE
+    expressions. Plan: scalar broadcast, one user-grain fold, one
+    scalar fold; no window, no join beyond the broadcast.
+    """
+    e = t(spark, sf_dir, "events")
+    r = e.agg(
+        F.min(
+            F.floor(F.unix_micros("ts") / 86_400_000_000)
+        )
+        .cast("bigint")
+        .alias("dmin")
+    )
+    cents = (dec("value", 18, 2) * 100).cast("bigint")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+    halves = (
+        e.crossJoin(F.broadcast(r))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(day < F.col("dmin") + 15, cents).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("front"),
+            F.sum(
+                F.when(day >= F.col("dmin") + 15, cents).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("back"),
+        )
+    )
+    s = halves.where(F.col("back") != F.col("front")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(
+            F.when(F.col("back") - F.col("front") > 0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+    )
+    m, b = F.col("m"), F.col("b")
+    return s.select(
+        m.alias("n_nonzero_pairs"),
+        b.alias("n_positive"),
+        (F.round((b - m / 2.0) / F.sqrt(m / 4.0), 6) + 0.0).alias(
+            "z_plain"
+        ),
+        (
+            F.round(
+                (F.abs(b - m / 2.0) - 0.5) / F.sqrt(m / 4.0), 6
+            )
+            + 0.0
+        ).alias("z_continuity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X259: Mood's median test across event types
+# --------------------------------------------------------------------------
+@register(
+    "moods_median_test",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events
+    ),
+    grid AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cc,
+               SUM(c) OVER () AS n
+        FROM grid
+    ),
+    med AS (
+        SELECT CAST(MIN(v) AS BIGINT) AS med FROM cum
+        WHERE 2 * cc >= n
+    ),
+    cells AS (
+        SELECT g,
+               CAST(SUM(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_above,
+               CAST(SUM(CASE WHEN v <= med THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_le
+        FROM pts, med GROUP BY g
+    ),
+    marg AS (
+        SELECT CAST(SUM(n_above) AS BIGINT) AS ta,
+               CAST(SUM(n_le) AS BIGINT) AS tl,
+               CAST(SUM(n_above + n_le) AS BIGINT) AS n
+        FROM cells
+    ),
+    chi AS (
+        SELECT SUM(round(
+            pow(n_above - (n_above + n_le) * (ta * 1.0 / n), 2)
+              / ((n_above + n_le) * (ta * 1.0 / n))
+            + pow(n_le - (n_above + n_le) * (tl * 1.0 / n), 2)
+              / ((n_above + n_le) * (tl * 1.0 / n)), 9)) AS chi2
+        FROM cells, marg
+    )
+    SELECT c.g AS event_type, c.n_above, c.n_le,
+           round((c.n_above + c.n_le) * (m.ta * 1.0 / m.n), 6)
+               AS expected_above,
+           d.med AS grand_median_cents,
+           round(h.chi2, 6) + 0.0 AS chi2_total
+    FROM cells c, marg m, med d, chi h
+    """,
+)
+def moods_median_test(spark, sf_dir):
+    """Mood's median test: do the five event types share one MEDIAN?
+    Dichotomize every value at the grand median and chi-square the
+    resulting type x {above, <=} contingency table. The crudest and
+    most assumption-free of the k-sample location tests — the one to
+    trust when `kruskal_wallis_values` is distorted by radically
+    different group shapes (KW tests dominance, Mood tests only the
+    median split).
+
+    Exactness: the grand median is the exact LOWER median on the
+    integer cents grid (cumulative counts over the distinct-value
+    frame — the gini_split_threshold device; the grid is bounded by
+    the price DOMAIN, never corpus-sized — allowlisted); cells are
+    plain counts; chi2 folds per-cell IEEE terms rounded at 1e-9.
+    Plan: one value-grid rollup + bounded window, one broadcast median
+    scalar, one type-grain fold.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        F.col("event_type").alias("g"),
+        (dec("value", 18, 2) * 100).cast("bigint").alias("v"),
+    ).persist()
+    grid = pts.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "v",
+        F.sum("c").over(w).alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    med = (
+        cum.where(2 * F.col("cc") >= F.col("n"))
+        .agg(F.min("v").cast("bigint").alias("med"))
+    )
+    cells = (
+        pts.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.sum(F.when(F.col("v") > F.col("med"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above"),
+            F.sum(F.when(F.col("v") <= F.col("med"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_le"),
+        )
+        .persist()
+    )
+    marg = cells.agg(
+        F.sum("n_above").cast("bigint").alias("ta"),
+        F.sum("n_le").cast("bigint").alias("tl"),
+        F.sum(F.col("n_above") + F.col("n_le")).cast("bigint").alias("n"),
+    )
+    rowtot = F.col("n_above") + F.col("n_le")
+    ea = rowtot * (F.col("ta") * 1.0 / F.col("n"))
+    el = rowtot * (F.col("tl") * 1.0 / F.col("n"))
+    chi = cells.crossJoin(F.broadcast(marg)).agg(
+        F.sum(
+            F.round(
+                F.pow(F.col("n_above") - ea, F.lit(2.0)) / ea
+                + F.pow(F.col("n_le") - el, F.lit(2.0)) / el,
+                9,
+            )
+        ).alias("chi2")
+    )
+    return (
+        cells.crossJoin(F.broadcast(marg))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            F.col("g").alias("event_type"),
+            "n_above",
+            "n_le",
+            F.round(ea, 6).alias("expected_above"),
+            F.col("med").alias("grand_median_cents"),
+            (F.round(F.col("chi2"), 6) + 0.0).alias("chi2_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X260: Cliff's delta ordinal effect size (bucketed)
+# --------------------------------------------------------------------------
+@register(
+    "cliffs_delta_bucketed",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id % 2 AS grp,
+               CAST(FLOOR(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                               AS BIGINT) / 100) AS BIGINT) AS b
+        FROM events
+    ),
+    g1 AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM pts
+        WHERE grp = 1 GROUP BY b
+    ),
+    g0 AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM pts
+        WHERE grp = 0 GROUP BY b
+    ),
+    x AS (
+        SELECT CAST(SUM(CASE WHEN a.b > z.b
+                        THEN CAST(a.c AS DECIMAL(38,0)) * z.c
+                        ELSE 0 END) AS DECIMAL(38,0)) AS gt,
+               CAST(SUM(CASE WHEN a.b < z.b
+                        THEN CAST(a.c AS DECIMAL(38,0)) * z.c
+                        ELSE 0 END) AS DECIMAL(38,0)) AS lt
+        FROM g1 a, g0 z
+    ),
+    n AS (
+        SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM g1) AS n1,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM g0) AS n0
+    )
+    SELECT n1, n0,
+           round((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+                 / (CAST(n1 AS DOUBLE) * n0), 9) + 0.0 AS cliffs_delta,
+           CASE WHEN abs((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+                         / (CAST(n1 AS DOUBLE) * n0)) < 0.147
+                    THEN 'negligible'
+                WHEN abs((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+                         / (CAST(n1 AS DOUBLE) * n0)) < 0.33
+                    THEN 'small'
+                WHEN abs((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+                         / (CAST(n1 AS DOUBLE) * n0)) < 0.474
+                    THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM x, n
+    """,
+)
+def cliffs_delta_bucketed(spark, sf_dir):
+    """Cliff's delta between the user-parity A/B groups on event
+    value — the ORDINAL effect size: P(x > y) − P(x < y) over all
+    cross-group pairs, the measure to report when `cohens_d_panel`'s
+    standardized difference is distorted by outliers (delta is
+    invariant to any monotone transform). Romano et al. magnitude
+    bands (0.147/0.33/0.474) attached.
+
+    Exactness: values land on the whole-dollar bucket grid (the
+    kendall_tau_b_bucketed device) so all pair counting is a
+    491x491 grid cross-product of exact integer counts — products
+    ride DECIMAL(38,0) (n1*n0 is the sf0.1 overflow class). Pairs in
+    the same bucket count as ties (dropped from both numerator
+    terms) — the documented bucketed variant. Plan: two grid rollups,
+    one bounded grid join, one scalar fold; event rows are touched
+    exactly once each.
+    """
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.floor(
+            (dec("value", 18, 2) * 100).cast("bigint") / 100
+        )
+        .cast("bigint")
+        .alias("b"),
+    )
+    g1 = (
+        pts.where(F.col("grp") == 1)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    g0 = (
+        pts.where(F.col("grp") == 0)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a, z = g1.alias("a"), g0.alias("z")
+    x = a.crossJoin(F.broadcast(z)).agg(
+        F.sum(
+            F.when(
+                F.col("a.b") > F.col("z.b"),
+                F.col("a.c").cast("decimal(38,0)") * F.col("z.c"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("gt"),
+        F.sum(
+            F.when(
+                F.col("a.b") < F.col("z.b"),
+                F.col("a.c").cast("decimal(38,0)") * F.col("z.c"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("lt"),
+    )
+    n1 = g1.agg(F.sum("c").cast("bigint").alias("n1"))
+    n0 = g0.agg(F.sum("c").cast("bigint").alias("n0"))
+    delta = (
+        F.col("gt").cast("double") - F.col("lt").cast("double")
+    ) / (F.col("n1").cast("double") * F.col("n0"))
+    return (
+        x.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n0))
+        .select(
+            "n1",
+            "n0",
+            (F.round(delta, 9) + 0.0).alias("cliffs_delta"),
+            F.when(F.abs(delta) < 0.147, "negligible")
+            .when(F.abs(delta) < 0.33, "small")
+            .when(F.abs(delta) < 0.474, "medium")
+            .otherwise("large")
+            .alias("magnitude"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X261: Cohen's d / Hedges' g / Glass's delta effect-size panel
+# --------------------------------------------------------------------------
+@register(
+    "cohens_d_panel",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id % 2 AS grp,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events
+    ),
+    m AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s,
+               SUM(CAST(v AS DECIMAL(38,0)) * v) AS ss
+        FROM pts GROUP BY grp
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+               MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+               MAX(CASE WHEN grp = 1 THEN s END) AS s1,
+               MAX(CASE WHEN grp = 0 THEN s END) AS s0,
+               MAX(CASE WHEN grp = 1 THEN CAST(ss AS DOUBLE) END) AS ss1,
+               MAX(CASE WHEN grp = 0 THEN CAST(ss AS DOUBLE) END) AS ss0
+        FROM m
+    ),
+    stats AS (
+        SELECT n1, n0,
+               CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0
+                   AS mdiff,
+               (ss1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1,
+               (ss0 - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1) AS v0
+        FROM wide
+    )
+    SELECT n1 AS n_treatment, n0 AS n_control,
+           round(mdiff / 100.0, 6) + 0.0 AS mean_diff_dollars,
+           round(mdiff / sqrt(((n1 - 1) * v1 + (n0 - 1) * v0)
+                              / (n1 + n0 - 2)), 6) + 0.0 AS cohens_d,
+           round(mdiff / sqrt(((n1 - 1) * v1 + (n0 - 1) * v0)
+                              / (n1 + n0 - 2))
+                 * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0)), 6) + 0.0
+               AS hedges_g,
+           round(mdiff / sqrt(v0), 6) + 0.0 AS glass_delta
+    FROM stats
+    """,
+)
+def cohens_d_panel(spark, sf_dir):
+    """Standardized effect-size panel for the user-parity A/B split on
+    event value: Cohen's d (pooled SD), Hedges' g (small-sample bias
+    correction 1 − 3/(4N−9)), and Glass's Δ (control-group SD — the
+    one to read when the treatment changes the variance too). The
+    size-free companion the significance tests need: `mann_whitney_u_
+    values` says WHETHER the groups differ, this panel says by HOW
+    MANY standard deviations (what a meta-analysis or power planner
+    consumes).
+
+    Exactness: per-group n/Σv/Σv² on integer cents through
+    DECIMAL(38,0); means, variances, and all three ratios are single
+    IEEE expressions from those integers. Plan: one two-group fold, a
+    2-row pivot, one scalar projection; no join, no window.
+    """
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        (F.col("user_id") % 2).alias("grp"),
+        (dec("value", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+    m = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("ss"),
+    )
+    wide = m.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("grp") == 0, F.col("s"))).alias("s0"),
+        F.max(
+            F.when(F.col("grp") == 1, F.col("ss").cast("double"))
+        ).alias("ss1"),
+        F.max(
+            F.when(F.col("grp") == 0, F.col("ss").cast("double"))
+        ).alias("ss0"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    mdiff = F.col("s1").cast("double") / n1 - F.col("s0").cast(
+        "double"
+    ) / n0
+    v1 = (
+        F.col("ss1") - F.col("s1").cast("double") * F.col("s1") / n1
+    ) / (n1 - 1)
+    v0 = (
+        F.col("ss0") - F.col("s0").cast("double") * F.col("s0") / n0
+    ) / (n0 - 1)
+    sp = F.sqrt(((n1 - 1) * v1 + (n0 - 1) * v0) / (n1 + n0 - 2))
+    return wide.select(
+        n1.alias("n_treatment"),
+        n0.alias("n_control"),
+        (F.round(mdiff / 100.0, 6) + 0.0).alias("mean_diff_dollars"),
+        (F.round(mdiff / sp, 6) + 0.0).alias("cohens_d"),
+        (
+            F.round(
+                mdiff / sp * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0)), 6
+            )
+            + 0.0
+        ).alias("hedges_g"),
+        (F.round(mdiff / F.sqrt(v0), 6) + 0.0).alias("glass_delta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X262: confusion-matrix panel with Matthews correlation
+# --------------------------------------------------------------------------
+@register(
+    "mcc_confusion_panel",
+    oracle="""
+    WITH pts AS (
+        SELECT CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT) >= 10000
+                    THEN 1 ELSE 0 END AS pred,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    c AS (
+        SELECT CAST(SUM(pred * y) AS BIGINT) AS tp,
+               CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
+               CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
+               CAST(SUM((1 - pred) * (1 - y)) AS BIGINT) AS tn
+        FROM pts
+    )
+    SELECT tp, fp, fn, tn,
+           round(tp * 1.0 / (tp + fp), 6) AS precision_pos,
+           round(tp * 1.0 / (tp + fn), 6) AS recall_pos,
+           round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+           round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / sqrt((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)
+                        * (CAST(tn AS DOUBLE) + fp)
+                        * (CAST(tn AS DOUBLE) + fn)), 6) + 0.0 AS mcc,
+           round(tp * 1.0 / (tp + fn) + tn * 1.0 / (tn + fp) - 1.0, 6)
+               + 0.0 AS informedness
+    FROM c
+    """,
+)
+def mcc_confusion_panel(spark, sf_dir):
+    """Full confusion-matrix evaluation of the value-threshold
+    purchase classifier (predict 'purchase' when value >= $100):
+    precision/recall/F1 plus the two class-imbalance-robust scores the
+    F1 habit hides — Matthews correlation (the only single number
+    using all four cells) and Youden informedness (TPR + TNR − 1).
+    With ~20% positives F1 can look respectable while MCC exposes a
+    near-random rule; this panel is the honest readout the
+    `score_calibration_bins` / `auc_rank_score` tier feeds into.
+
+    Exactness: four integer cells from one fold; every metric is one
+    IEEE expression from them (the MCC product crosses int64 at scale,
+    so each factor casts to DOUBLE before multiplying — exact inputs,
+    deterministic expression). Plan: one pass, one scalar projection;
+    no join, no window.
+    """
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        F.when(
+            (dec("value", 18, 2) * 100).cast("bigint") >= 10000, 1
+        )
+        .otherwise(0)
+        .alias("pred"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    c = pts.agg(
+        F.sum(F.col("pred") * F.col("y")).cast("bigint").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("y"))).cast("bigint").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("y")).cast("bigint").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("y")))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    tpd, fpd, tnd = (
+        tp.cast("double"),
+        fp.cast("double"),
+        tn.cast("double"),
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(tp * 1.0 / (tp + fp), 6).alias("precision_pos"),
+        F.round(tp * 1.0 / (tp + fn), 6).alias("recall_pos"),
+        F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
+        (
+            F.round(
+                (tpd * tn - fpd * fn)
+                / F.sqrt(
+                    (tpd + fp) * (tpd + fn) * (tnd + fp) * (tnd + fn)
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("mcc"),
+        (
+            F.round(
+                tp * 1.0 / (tp + fn) + tn * 1.0 / (tn + fp) - 1.0, 6
+            )
+            + 0.0
+        ).alias("informedness"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X263: Youden-J threshold scan over the score grid
+# --------------------------------------------------------------------------
+@register(
+    "youden_j_threshold_scan",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(FLOOR(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                               AS BIGINT) / 100) AS BIGINT) AS b,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    grid AS (
+        SELECT b, CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(SUM(1 - y) AS BIGINT) AS neg
+        FROM pts GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS p,
+               CAST(SUM(neg) AS BIGINT) AS q
+        FROM grid
+    ),
+    scan AS (
+        SELECT th.t,
+               CAST(COALESCE(SUM(CASE WHEN g.b >= th.t THEN g.pos END), 0)
+                    AS BIGINT) AS tp,
+               CAST(COALESCE(SUM(CASE WHEN g.b >= th.t THEN g.neg END), 0)
+                    AS BIGINT) AS fp
+        FROM (SELECT UNNEST(range(0, 500, 10)) AS t) th
+        LEFT JOIN grid g ON true
+        GROUP BY th.t
+    ),
+    best AS (
+        SELECT t FROM scan, tot
+        ORDER BY CAST(tp AS DECIMAL(38,0)) * q
+                 - CAST(fp AS DECIMAL(38,0)) * p DESC, t ASC
+        LIMIT 1
+    )
+    SELECT s.t AS threshold_dollars,
+           round(s.tp * 1.0 / o.p, 6) AS tpr,
+           round(s.fp * 1.0 / o.q, 6) AS fpr,
+           round(s.tp * 1.0 / o.p - s.fp * 1.0 / o.q, 6) + 0.0
+               AS youden_j,
+           CASE WHEN s.t = b.t THEN 1 ELSE 0 END AS is_best
+    FROM scan s, tot o, best b
+    """,
+)
+def youden_j_threshold_scan(spark, sf_dir):
+    """ROC threshold scan on the whole-dollar score grid (0, 10, ...,
+    490): TPR/FPR/Youden-J of "predict purchase when value >= t" at
+    every candidate cutoff, with the J-optimal threshold flagged —
+    the operating-point chooser that turns `auc_rank_score`'s
+    ranking quality into a deployable rule. The argmax is decided on
+    the EXACT integer cross-product tp*N⁻ − fp*N⁺ (same ordering as
+    J, no float comparison), tiebroken toward the lower threshold.
+
+    Exactness: one bucket-grid rollup (501-value price domain), a
+    50-row threshold dim joined against it (bounded 50x491 cells),
+    integer tp/fp everywhere; ratios are display-only. Plan: one
+    rollup, one broadcast grid join, a 1-row TakeOrdered argmax
+    broadcast back; event rows touched once.
+    """
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        F.floor((dec("value", 18, 2) * 100).cast("bigint") / 100)
+        .cast("bigint")
+        .alias("b"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    grid = pts.groupBy("b").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+    ).persist()
+    tot = grid.agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum("neg").cast("bigint").alias("q"),
+    )
+    th = spark.range(0, 500, 10).select(F.col("id").alias("t"))
+    scan = (
+        th.crossJoin(grid)
+        .groupBy("t")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("b") >= F.col("t"), F.col("pos"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.coalesce(
+                F.sum(F.when(F.col("b") >= F.col("t"), F.col("neg"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("fp"),
+        )
+        .persist()
+    )
+    best = (
+        scan.crossJoin(F.broadcast(tot))
+        .orderBy(
+            (
+                F.col("tp").cast("decimal(38,0)") * F.col("q")
+                - F.col("fp").cast("decimal(38,0)") * F.col("p")
+            ).desc(),
+            F.col("t").asc(),
+        )
+        .select(F.col("t").alias("bt"))
+        .limit(1)
+    )
+    return (
+        scan.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(best))
+        .select(
+            F.col("t").alias("threshold_dollars"),
+            F.round(F.col("tp") * 1.0 / F.col("p"), 6).alias("tpr"),
+            F.round(F.col("fp") * 1.0 / F.col("q"), 6).alias("fpr"),
+            (
+                F.round(
+                    F.col("tp") * 1.0 / F.col("p")
+                    - F.col("fp") * 1.0 / F.col("q"),
+                    6,
+                )
+                + 0.0
+            ).alias("youden_j"),
+            F.when(F.col("t") == F.col("bt"), 1)
+            .otherwise(0)
+            .alias("is_best"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X264: Brier score with Murphy decomposition
+# --------------------------------------------------------------------------
+@register(
+    "brier_murphy_decomposition",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS p,
+               CAST(round(SUM(CAST(round(
+                   (cents / 50000.0 - y) * (cents / 50000.0 - y), 9)
+                   AS DECIMAL(20,9))), 9) AS DOUBLE) AS bs_sum
+        FROM pts
+    ),
+    bins AS (
+        SELECT cents // 5000 AS k,
+               CAST(COUNT(*) AS BIGINT) AS nk,
+               CAST(SUM(cents) AS BIGINT) AS sc,
+               CAST(SUM(y) AS BIGINT) AS ok
+        FROM pts GROUP BY 1
+    ),
+    dec_ AS (
+        SELECT CAST(round(SUM(CAST(round(
+                   nk * (sc / (50000.0 * nk) - ok * 1.0 / nk)
+                      * (sc / (50000.0 * nk) - ok * 1.0 / nk), 9)
+                   AS DECIMAL(20,9))), 9) AS DOUBLE) AS rel,
+               CAST(round(SUM(CAST(round(
+                   nk * (ok * 1.0 / nk - t.p * 1.0 / t.n)
+                      * (ok * 1.0 / nk - t.p * 1.0 / t.n), 9)
+                   AS DECIMAL(20,9))), 9) AS DOUBLE) AS res
+        FROM bins, tot t
+    )
+    SELECT t.n AS n_events,
+           round(t.bs_sum / t.n, 6) AS brier_score,
+           round(d.rel / t.n, 6) AS reliability,
+           round(d.res / t.n, 6) AS resolution,
+           round((t.p * 1.0 / t.n) * (1.0 - t.p * 1.0 / t.n), 6)
+               AS uncertainty
+    FROM tot t, dec_ d
+    """,
+)
+def brier_murphy_decomposition(spark, sf_dir):
+    """Brier score of the normalized value score s = value/$500 as a
+    purchase-probability forecast, with the Murphy decomposition over
+    ten equal score bins: BS ≈ reliability − resolution + uncertainty.
+    Reliability (want 0) is the calibration gap `score_calibration_
+    bins` plots, resolution (want large) is the sharpness the
+    calibration plot can't show, uncertainty is the outcome-entropy
+    floor no forecaster beats — the panel that says whether a score
+    is bad because it's MIScalibrated or because it's UNinformative.
+
+    Exactness: s is the exact rational cents/50000 evaluated as one
+    IEEE expression; the BS fold and both decomposition folds sum
+    1e-9-rounded terms in fixed-scale DECIMAL (bin means are doubles
+    from exact integer sums); bins are the integer grid cents//5000.
+    Plan: two folds over one rollup pass + a 10-row decomposition
+    fold; no join beyond scalar broadcasts, no window.
+    """
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        (dec("value", 18, 2) * 100).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    ).persist()
+    s = F.col("cents") / 50000.0
+    tot = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("p"),
+        F.round(
+            F.sum(
+                F.round(
+                    (s - F.col("y")) * (s - F.col("y")), 9
+                ).cast("decimal(20,9)")
+            ),
+            9,
+        )
+        .cast("double")
+        .alias("bs_sum"),
+    )
+    bins = pts.groupBy(
+        F.expr("cents div 5000").alias("k")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.sum("cents").cast("bigint").alias("sc"),
+        F.sum("y").cast("bigint").alias("ok"),
+    )
+    sbar = F.col("sc") / (50000.0 * F.col("nk"))
+    obar_k = F.col("ok") * 1.0 / F.col("nk")
+    obar = F.col("p") * 1.0 / F.col("n")
+    decomp = bins.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("nk") * (sbar - obar_k) * (sbar - obar_k), 9
+                ).cast("decimal(20,9)")
+            ),
+            9,
+        )
+        .cast("double")
+        .alias("rel"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("nk") * (obar_k - obar) * (obar_k - obar), 9
+                ).cast("decimal(20,9)")
+            ),
+            9,
+        )
+        .cast("double")
+        .alias("res"),
+    )
+    return tot.crossJoin(F.broadcast(decomp)).select(
+        F.col("n").alias("n_events"),
+        F.round(F.col("bs_sum") / F.col("n"), 6).alias("brier_score"),
+        F.round(F.col("rel") / F.col("n"), 6).alias("reliability"),
+        F.round(F.col("res") / F.col("n"), 6).alias("resolution"),
+        F.round(obar * (1.0 - obar), 6).alias("uncertainty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X265: Ansari-Bradley scale test (weekend vs weekday values)
+# --------------------------------------------------------------------------
+@register(
+    "ansari_bradley_scale",
+    oracle="""
+    WITH pts AS (
+        SELECT CASE WHEN (CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                          + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events
+    ),
+    grid AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(g) AS BIGINT) AS c1
+        FROM pts GROUP BY v
+    ),
+    cum AS (
+        SELECT v, c, c1,
+               SUM(c) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cc
+        FROM grid
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS N,
+               CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c - c1) AS BIGINT) AS n2,
+               (CAST(SUM(c) AS BIGINT) + 1) // 2 AS m
+        FROM grid
+    ),
+    blocks AS (
+        SELECT c, c1,
+               CAST((CASE WHEN cc <= m THEN cc * (cc + 1) // 2 ELSE m * (m + 1) // 2 + (N + 1) * (cc - m) - (cc * (cc + 1) // 2 - m * (m + 1) // 2) END) - (CASE WHEN (cc - c) <= m THEN (cc - c) * ((cc - c) + 1) // 2 ELSE m * (m + 1) // 2 + (N + 1) * ((cc - c) - m) - ((cc - c) * ((cc - c) + 1) // 2 - m * (m + 1) // 2) END) AS DOUBLE) / c AS abar
+        FROM cum, tot
+    ),
+    folds AS (
+        SELECT CAST(round(SUM(CAST(round(c1 * abar, 6)
+                                   AS DECIMAL(38,6))), 6) AS DOUBLE)
+                   AS w,
+               CAST(round(SUM(CAST(round(c * abar * abar, 0)
+                                   AS DECIMAL(38,0))), 0) AS DOUBLE)
+                   AS sb
+        FROM blocks
+    )
+    SELECT t.n1 AS n_weekend, t.n2 AS n_weekday,
+           round(f.w, 2) AS ab_statistic,
+           round(t.n1 * CAST((CASE WHEN N <= m THEN N * (N + 1) // 2 ELSE m * (m + 1) // 2 + (N + 1) * (N - m) - (N * (N + 1) // 2 - m * (m + 1) // 2) END) AS DOUBLE) / t.N, 4)
+               AS expected_w,
+           round((f.w - t.n1 * CAST((CASE WHEN N <= m THEN N * (N + 1) // 2 ELSE m * (m + 1) // 2 + (N + 1) * (N - m) - (N * (N + 1) // 2 - m * (m + 1) // 2) END) AS DOUBLE) / t.N)
+                 / sqrt(t.n1 * CAST(t.n2 AS DOUBLE)
+                        * (f.sb - CAST((CASE WHEN N <= m THEN N * (N + 1) // 2 ELSE m * (m + 1) // 2 + (N + 1) * (N - m) - (N * (N + 1) // 2 - m * (m + 1) // 2) END) AS DOUBLE)
+                                  * (CASE WHEN N <= m THEN N * (N + 1) // 2 ELSE m * (m + 1) // 2 + (N + 1) * (N - m) - (N * (N + 1) // 2 - m * (m + 1) // 2) END) / t.N)
+                        / (CAST(t.N AS DOUBLE) * (t.N - 1))), 6) + 0.0
+               AS z_score
+    FROM folds f, tot t
+    """,
+)
+def ansari_bradley_scale(spark, sf_dir):
+    """Ansari-Bradley test: do weekend and weekday event values differ
+    in SCALE (dispersion) around a common center? Ranks are assigned
+    from BOTH ends of the pooled order (score min(r, N+1−r)), so small
+    scores mark extreme values — a group collecting small scores is
+    the more dispersed one. The rank-based companion to
+    `levene_brown_forsythe`/`bartlett_variance_test`: valid with no
+    moment assumptions at all, and the only one of the three that is
+    also a proper two-sample test against dispersion alternatives.
+
+    Exactness: tied blocks get their exact MID-SCORE via the closed
+    form T(k) = Σ_{r<=k} min(r, N+1−r) (pure integer arithmetic,
+    evaluated at the block's cumulative boundaries on the value-grid
+    rollup — no per-row ranking); W and the tie-exact variance fold
+    1e-6/1-rounded terms in fixed-scale DECIMAL. The cumulative window
+    runs over the distinct-value grid (price-domain-bounded — the
+    auc_rank_score class, allowlisted). Plan: one grid rollup +
+    bounded window, scalar broadcasts, one fold.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        F.when(
+            (
+                (
+                    F.floor(F.unix_micros("ts") / 86_400_000_000).cast(
+                        "bigint"
+                    )
+                    + 4
+                )
+                % 7
+            ).isin(0, 6),
+            1,
+        )
+        .otherwise(0)
+        .alias("g"),
+        (dec("value", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+    grid = pts.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("g").cast("bigint").alias("c1"),
+    ).persist()
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select("v", "c", "c1", F.sum("c").over(w).alias("cc"))
+    tot = grid.agg(
+        F.sum("c").cast("bigint").alias("N"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("bigint").alias("n2"),
+    ).select(
+        "N", "n1", "n2", F.expr("(N + 1) div 2").alias("m")
+    )
+
+    def T(k):
+        return F.expr(
+            f"CASE WHEN {k} <= m THEN {k} * ({k} + 1) div 2 "
+            f"ELSE m * (m + 1) div 2 + (N + 1) * ({k} - m) "
+            f"- ({k} * ({k} + 1) div 2 - m * (m + 1) div 2) END"
+        )
+
+    blocks = cum.crossJoin(F.broadcast(tot)).select(
+        "c",
+        "c1",
+        ((T("cc") - T("(cc - c)")).cast("double") / F.col("c")).alias(
+            "abar"
+        ),
+    )
+    folds = blocks.agg(
+        F.round(
+            F.sum(
+                F.round(F.col("c1") * F.col("abar"), 6).cast(
+                    "decimal(38,6)"
+                )
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("w"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("c") * F.col("abar") * F.col("abar"), 0
+                ).cast("decimal(38,0)")
+            ),
+            0,
+        )
+        .cast("double")
+        .alias("sb"),
+    )
+    tn = T("N").cast("double")
+    ew = F.col("n1") * tn / F.col("N")
+    var = (
+        F.col("n1")
+        * F.col("n2").cast("double")
+        * (F.col("sb") - tn * tn / F.col("N"))
+        / (F.col("N").cast("double") * (F.col("N") - 1))
+    )
+    return folds.crossJoin(F.broadcast(tot)).select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.round(F.col("w"), 2).alias("ab_statistic"),
+        F.round(ew, 4).alias("expected_w"),
+        (F.round((F.col("w") - ew) / F.sqrt(var), 6) + 0.0).alias(
+            "z_score"
+        ),
+    )
+
+
 R10_QUERIES = (
     "dickey_fuller_unit_root",
     "kpss_level_stationarity",
@@ -996,4 +1997,12 @@ R10_QUERIES = (
     "arch_effect_mcleod_li",
     "spectral_entropy_daily",
     "turning_points_randomness",
+    "sign_test_paired",
+    "moods_median_test",
+    "cliffs_delta_bucketed",
+    "cohens_d_panel",
+    "mcc_confusion_panel",
+    "youden_j_threshold_scan",
+    "brier_murphy_decomposition",
+    "ansari_bradley_scale",
 )

@@ -144,6 +144,16 @@ ALLOWED: dict[str, str] = {
         "class, never corpus-sized; per-source windows partition "
         "by source)"
     ),
+    "moods_median_test": (
+        "grand-median cumulative over the distinct-value-cents grid "
+        "(price-domain-bounded — the gini_split_threshold class; "
+        "event-grain work is one value rollup)"
+    ),
+    "ansari_bradley_scale": (
+        "both-ends rank cumulative over the distinct-value-cents grid "
+        "(price-domain-bounded — the auc_rank_score class; tie blocks "
+        "scored in closed form, never per-row ranks)"
+    ),
     "kpss_level_stationarity": (
         "partial-sum cumulative window over the calendar-day frame "
         "(~2,400 rows; the cusum_changepoint_scan class — order-grain "
