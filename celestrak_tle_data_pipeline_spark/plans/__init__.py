@@ -99,6 +99,14 @@ _PRIORITY = (
     "youden_j_threshold_scan",
     "brier_murphy_decomposition",
     "ansari_bradley_scale",
+    "mrr_reciprocal_rank",
+    "rank_biased_overlap_parts",
+    "customer_inequality_panel",
+    "fisher_price_index_monthly",
+    "abc_xyz_inventory_grid",
+    "interpurchase_gap_profile",
+    "power_user_curve",
+    "monthly_growth_yoy_panel",
 )
 
 

@@ -1989,6 +1989,899 @@ def ansari_bradley_scale(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# X266: mean reciprocal rank of first purchase per user
+# --------------------------------------------------------------------------
+@register(
+    "mrr_reciprocal_rank",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                 AS BIGINT) DESC, event_id ASC) AS r
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, CAST(MIN(r) AS BIGINT) AS fr
+        FROM ranked WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(round(SUM(CAST(round(1.0 / fr, 9)
+                                   AS DECIMAL(20,9))), 9) AS DOUBLE)
+                   AS rr_sum,
+               CAST(SUM(fr) AS BIGINT) AS fr_sum
+        FROM firsts
+    )
+    SELECT n_users AS n_users_with_purchase,
+           round(rr_sum / n_users, 6) AS mrr,
+           round(fr_sum * 1.0 / n_users, 4) AS mean_first_rank
+    FROM s
+    """,
+)
+def mrr_reciprocal_rank(spark, sf_dir):
+    """Mean reciprocal rank of "retrieve each user's purchases by
+    ranking their events on value": per user, rank events by (cents
+    desc, event_id asc — the unique total order) and take 1/rank of
+    the first purchase; MRR averages over users with at least one
+    purchase. The single-relevant-item eval metric completing the
+    ranking panel — `average_precision_ranking` grades the whole
+    list, `ndcg_at_k_ranking` grades graded gains, MRR grades time-
+    to-first-hit (the navigational-query / dedup-survivor-lookup
+    regime).
+
+    Exactness: ranks come from a user-PARTITIONED row_number (bounded
+    per-user frames — audit-clean); reciprocal ranks round to 1e-9
+    and fold in DECIMAL. Plan: one partitioned window pass, one
+    user-grain min, one scalar fold.
+    """
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        (dec("value", 18, 2) * 100).cast("bigint").desc(),
+        F.col("event_id").asc(),
+    )
+    ranked = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("r")
+    )
+    firsts = (
+        ranked.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("r").cast("bigint").alias("fr"))
+    )
+    s = firsts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(
+            F.sum(F.round(1.0 / F.col("fr"), 9).cast("decimal(20,9)")),
+            9,
+        )
+        .cast("double")
+        .alias("rr_sum"),
+        F.sum("fr").cast("bigint").alias("fr_sum"),
+    )
+    return s.select(
+        F.col("n_users").alias("n_users_with_purchase"),
+        F.round(F.col("rr_sum") / F.col("n_users"), 6).alias("mrr"),
+        F.round(F.col("fr_sum") * 1.0 / F.col("n_users"), 4).alias(
+            "mean_first_rank"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# X267: rank-biased overlap of the quantity vs revenue part rankings
+# --------------------------------------------------------------------------
+@register(
+    "rank_biased_overlap_parts",
+    oracle="""
+    WITH parts AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                             AS BIGINT)) AS BIGINT) AS qty,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    qa AS (
+        SELECT l_partkey FROM parts
+        ORDER BY qty DESC, l_partkey ASC LIMIT 20
+    ),
+    rb AS (
+        SELECT l_partkey FROM parts
+        ORDER BY rev DESC, l_partkey ASC LIMIT 20
+    ),
+    qr AS (
+        SELECT a.l_partkey,
+               CAST((SELECT COUNT(*) FROM qa x, parts px, parts pa
+                     WHERE x.l_partkey = px.l_partkey
+                       AND a.l_partkey = pa.l_partkey
+                       AND (px.qty > pa.qty OR (px.qty = pa.qty
+                            AND x.l_partkey <= a.l_partkey)))
+                    AS BIGINT) AS ra
+        FROM qa a
+    ),
+    rr AS (
+        SELECT a.l_partkey,
+               CAST((SELECT COUNT(*) FROM rb x, parts px, parts pa
+                     WHERE x.l_partkey = px.l_partkey
+                       AND a.l_partkey = pa.l_partkey
+                       AND (px.rev > pa.rev OR (px.rev = pa.rev
+                            AND x.l_partkey <= a.l_partkey)))
+                    AS BIGINT) AS rb_
+        FROM rb a
+    ),
+    ov AS (
+        SELECT d.d,
+               CAST(COUNT(j.l_partkey) AS BIGINT) AS inter
+        FROM (SELECT UNNEST(range(1, 21)) AS d) d
+        LEFT JOIN (SELECT q.l_partkey, q.ra, r.rb_
+                   FROM qr q JOIN rr r ON q.l_partkey = r.l_partkey) j
+          ON j.ra <= d.d AND j.rb_ <= d.d
+        GROUP BY d.d
+    ),
+    rbo AS (
+        SELECT CAST(round(SUM(CAST(round(
+                   0.1 * pow(0.9, d - 1) * inter / d, 9)
+                   AS DECIMAL(20,9))), 9) AS DOUBLE) AS rbo20
+        FROM ov
+    )
+    SELECT round(r.rbo20, 6) AS rbo_p09_depth20,
+           (SELECT inter FROM ov WHERE d = 20) AS overlap_at_20,
+           (SELECT round(inter / 20.0, 4) FROM ov WHERE d = 20)
+               AS jaccard_proxy_at_20
+    FROM rbo r
+    """,
+)
+def rank_biased_overlap_parts(spark, sf_dir):
+    """Rank-biased overlap (Webber et al. 2010, truncated at depth 20,
+    p = 0.9) between the two natural part leaderboards — by total
+    quantity vs by total revenue. RBO is the top-weighted list
+    comparison a ranking-eval pipeline needs when Kendall/Spearman
+    over-weight the tail: it answers "do the two rankings agree WHERE
+    IT MATTERS (the head)?" with geometric depth discounting.
+
+    Exactness: both top-20 lists come from TakeOrderedAndProject with
+    the unique total order (metric desc, partkey asc); ranks WITHIN
+    each 20-row list are recomputed by a triangular count against the
+    same total order (no window — a 20x20 self-join), so the plan is
+    window-free end to end; per-depth intersections are exact integer
+    counts over the 20-row depth dim, and the 20-term RBO series
+    folds 1e-9-rounded terms in DECIMAL. Plan: one part rollup, two
+    TakeOrdered heads, bounded joins only.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity", 12, 2).cast("bigint"))
+        .cast("bigint")
+        .alias("qty"),
+        (F.sum(dec("l_extendedprice", 18, 2)) * 100)
+        .cast("bigint")
+        .alias("rev"),
+    ).persist()
+    qa = parts.orderBy(
+        F.col("qty").desc(), F.col("l_partkey").asc()
+    ).limit(20)
+    rb = parts.orderBy(
+        F.col("rev").desc(), F.col("l_partkey").asc()
+    ).limit(20)
+
+    def with_rank(top, metric):
+        x = top.select(
+            F.col("l_partkey").alias("k"),
+            F.col(metric).alias("mx"),
+        )
+        a = top.select(
+            F.col("l_partkey").alias("pk"), F.col(metric).alias("ma")
+        )
+        return (
+            a.crossJoin(x)
+            .where(
+                (F.col("mx") > F.col("ma"))
+                | (
+                    (F.col("mx") == F.col("ma"))
+                    & (F.col("k") <= F.col("pk"))
+                )
+            )
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+        )
+
+    qr = with_rank(qa, "qty").withColumnRenamed("r", "ra")
+    rr = with_rank(rb, "rev").withColumnRenamed("r", "rb_")
+    j = qr.join(rr, "pk")
+    depths = spark.range(1, 21).select(F.col("id").alias("d"))
+    ov = (
+        depths.join(
+            j,
+            (F.col("ra") <= F.col("d")) & (F.col("rb_") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d")
+        .agg(F.count(F.col("pk")).cast("bigint").alias("inter"))
+        .persist()
+    )
+    rbo = ov.agg(
+        F.round(
+            F.sum(
+                F.round(
+                    0.1
+                    * F.pow(F.lit(0.9), F.col("d") - 1)
+                    * F.col("inter")
+                    / F.col("d"),
+                    9,
+                ).cast("decimal(20,9)")
+            ),
+            9,
+        )
+        .cast("double")
+        .alias("rbo20")
+    )
+    at20 = ov.where(F.col("d") == 20).select(
+        F.col("inter").alias("overlap_at_20"),
+        F.round(F.col("inter") / 20.0, 4).alias("jaccard_proxy_at_20"),
+    )
+    return rbo.crossJoin(F.broadcast(at20)).select(
+        F.round(F.col("rbo20"), 6).alias("rbo_p09_depth20"),
+        "overlap_at_20",
+        "jaccard_proxy_at_20",
+    )
+
+
+# --------------------------------------------------------------------------
+# X268: customer revenue inequality panel (Theil / Hoover / Atkinson)
+# --------------------------------------------------------------------------
+@register(
+    "customer_inequality_panel",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS xs
+        FROM cust
+    ),
+    terms AS (
+        SELECT CAST(round(SUM(CAST(round(
+                   (x * 1.0 / xs) * ln(x * CAST(n AS DOUBLE) / xs), 9)
+                   AS DECIMAL(20,9))), 9) AS DOUBLE) AS theil_t,
+               CAST(round(SUM(CAST(round(
+                   ln(CAST(xs AS DOUBLE) / (CAST(n AS DOUBLE) * x)), 9)
+                   AS DECIMAL(28,9))), 9) AS DOUBLE) AS lsum,
+               CAST(round(SUM(CAST(round(
+                   abs(x * 1.0 / xs - 1.0 / n), 12)
+                   AS DECIMAL(20,12))), 12) AS DOUBLE) AS hsum,
+               CAST(round(SUM(CAST(round(ln(CAST(x AS DOUBLE)), 9)
+                   AS DECIMAL(28,9))), 9) AS DOUBLE) AS lnx
+        FROM cust, tot
+    )
+    SELECT t.n AS n_customers,
+           round(m.theil_t, 6) + 0.0 AS theil_t,
+           round(m.lsum / t.n, 6) + 0.0 AS theil_l,
+           round(m.hsum / 2.0, 6) AS hoover_index,
+           round(1.0 - exp(m.lnx / t.n)
+                 / (CAST(t.xs AS DOUBLE) / t.n), 6) + 0.0
+               AS atkinson_1
+    FROM tot t, terms m
+    """,
+)
+def customer_inequality_panel(spark, sf_dir):
+    """Revenue-concentration inequality panel over customer lifetime
+    spend: Theil T (top-sensitive, decomposable by segment), Theil L /
+    mean log deviation (bottom-sensitive), Hoover (the share of
+    revenue that would have to move to equalize), and Atkinson(ε=1)
+    (1 − geometric/arithmetic mean ratio). Four axioms-apart views of
+    the same concentration `market_concentration_hhi` and the Gini
+    summarize with one number each — together they say WHERE the
+    inequality lives (head vs tail), which is what a mixture-weights
+    or account-risk decision actually needs.
+
+    Exactness: per-customer cents are exact integers; every
+    entropy/log term is one IEEE expression rounded at 1e-9/1e-12 and
+    folded in fixed-scale DECIMAL; the four indices are scalar
+    expressions from those folds. Plan: one customer rollup, one
+    broadcast total, one fold; no window, no join beyond the scalar.
+    """
+    o = t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        (F.sum(dec("o_totalprice", 18, 2)) * 100)
+        .cast("bigint")
+        .alias("x")
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("xs"),
+    )
+    xd = F.col("x") * 1.0
+    nd = F.col("n").cast("double")
+    xsd = F.col("xs").cast("double")
+    terms = cust.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            F.sum(
+                F.round(
+                    (xd / F.col("xs")) * F.log(xd * nd / F.col("xs")),
+                    9,
+                ).cast("decimal(20,9)")
+            ),
+            9,
+        )
+        .cast("double")
+        .alias("theil_t"),
+        F.round(
+            F.sum(
+                F.round(F.log(xsd / (nd * F.col("x"))), 9).cast(
+                    "decimal(28,9)"
+                )
+            ),
+            9,
+        )
+        .cast("double")
+        .alias("lsum"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.abs(xd / F.col("xs") - 1.0 / F.col("n")), 12
+                ).cast("decimal(20,12)")
+            ),
+            12,
+        )
+        .cast("double")
+        .alias("hsum"),
+        F.round(
+            F.sum(
+                F.round(F.log(F.col("x").cast("double")), 9).cast(
+                    "decimal(28,9)"
+                )
+            ),
+            9,
+        )
+        .cast("double")
+        .alias("lnx"),
+    )
+    return tot.crossJoin(F.broadcast(terms)).select(
+        F.col("n").alias("n_customers"),
+        (F.round(F.col("theil_t"), 6) + 0.0).alias("theil_t"),
+        (F.round(F.col("lsum") / F.col("n"), 6) + 0.0).alias("theil_l"),
+        F.round(F.col("hsum") / 2.0, 6).alias("hoover_index"),
+        (
+            F.round(
+                1.0
+                - F.exp(F.col("lnx") / F.col("n"))
+                / (F.col("xs").cast("double") / F.col("n")),
+                6,
+            )
+            + 0.0
+        ).alias("atkinson_1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X269: Laspeyres / Paasche / Fisher monthly price indices
+# --------------------------------------------------------------------------
+@register(
+    "fisher_price_index_monthly",
+    oracle="""
+    WITH pm AS (
+        SELECT l_partkey AS p,
+               CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS revc,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                             AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT p, revc AS rev0, qty AS qty0
+        FROM pm WHERE m = (SELECT MIN(m) FROM pm)
+    ),
+    joined AS (
+        SELECT c.m, c.p,
+               CAST(c.revc AS DOUBLE) / c.qty AS pt,
+               CAST(b.rev0 AS DOUBLE) / b.qty0 AS p0,
+               b.qty0, c.qty AS qt
+        FROM pm c JOIN base b ON c.p = b.p
+        WHERE c.m > (SELECT MIN(m) FROM pm)
+    ),
+    folds AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS n_common_parts,
+               CAST(round(SUM(CAST(round(pt * qty0, 4)
+                    AS DECIMAL(38,4))), 4) AS DOUBLE) AS l_num,
+               CAST(round(SUM(CAST(round(p0 * qty0, 4)
+                    AS DECIMAL(38,4))), 4) AS DOUBLE) AS l_den,
+               CAST(round(SUM(CAST(round(pt * qt, 4)
+                    AS DECIMAL(38,4))), 4) AS DOUBLE) AS p_num,
+               CAST(round(SUM(CAST(round(p0 * qt, 4)
+                    AS DECIMAL(38,4))), 4) AS DOUBLE) AS p_den
+        FROM joined GROUP BY m
+    )
+    SELECT m AS month, n_common_parts,
+           round(l_num / l_den, 6) AS laspeyres,
+           round(p_num / p_den, 6) AS paasche,
+           round(sqrt((l_num / l_den) * (p_num / p_den)), 6) AS fisher
+    FROM folds
+    """,
+)
+def fisher_price_index_monthly(spark, sf_dir):
+    """Laspeyres, Paasche, and Fisher price indices of the part
+    catalogue by ship month against the first month as base: L fixes
+    the base-month basket (overstates inflation under substitution),
+    P fixes the current basket (understates), Fisher is their
+    geometric mean — the superlative index national statistics
+    agencies publish. Per (part, month) the price is the realized
+    unit price Σ revenue / Σ quantity; only parts present in BOTH the
+    base and current month enter (the matched-model rule).
+
+    Exactness: revenue cents and whole-unit quantities are exact
+    integers per (part, month); unit prices are per-row IEEE ratios;
+    the four basket sums fold 1e-4-rounded terms in DECIMAL(38,4) per
+    month. Plan: one (part, month) rollup, a broadcast base-month
+    join keyed on part, one month-grain fold — the month frame is
+    calendar-bounded. No window.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("p"),
+        F.date_trunc("month", "l_shipdate").cast("date").alias("m"),
+    ).agg(
+        (F.sum(dec("l_extendedprice", 18, 2)) * 100)
+        .cast("bigint")
+        .alias("revc"),
+        F.sum(dec("l_quantity", 12, 2).cast("bigint"))
+        .cast("bigint")
+        .alias("qty"),
+    ).persist()
+    m0 = pm.agg(F.min("m").alias("m0"))
+    base = (
+        pm.crossJoin(F.broadcast(m0))
+        .where(F.col("m") == F.col("m0"))
+        .select(
+            "p",
+            F.col("revc").alias("rev0"),
+            F.col("qty").alias("qty0"),
+        )
+    )
+    joined = (
+        pm.crossJoin(F.broadcast(m0))
+        .where(F.col("m") > F.col("m0"))
+        .join(F.broadcast(base), "p")
+        .select(
+            "m",
+            (F.col("revc").cast("double") / F.col("qty")).alias("pt"),
+            (F.col("rev0").cast("double") / F.col("qty0")).alias("p0"),
+            "qty0",
+            F.col("qty").alias("qt"),
+        )
+    )
+
+    def fold(expr, name):
+        return (
+            F.round(
+                F.sum(F.round(expr, 4).cast("decimal(38,4)")), 4
+            )
+            .cast("double")
+            .alias(name)
+        )
+
+    folds = joined.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common_parts"),
+        fold(F.col("pt") * F.col("qty0"), "l_num"),
+        fold(F.col("p0") * F.col("qty0"), "l_den"),
+        fold(F.col("pt") * F.col("qt"), "p_num"),
+        fold(F.col("p0") * F.col("qt"), "p_den"),
+    )
+    lasp = F.col("l_num") / F.col("l_den")
+    paas = F.col("p_num") / F.col("p_den")
+    return folds.select(
+        F.col("m").alias("month"),
+        "n_common_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X270: ABC / XYZ inventory classification grid
+# --------------------------------------------------------------------------
+@register(
+    "abc_xyz_inventory_grid",
+    oracle="""
+    WITH wk AS (
+        SELECT l_partkey AS p,
+               CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) // 7
+                   AS w,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                             AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    parts AS (
+        SELECT w.p,
+               CAST(COUNT(*) AS BIGINT) AS nw,
+               CAST(SUM(q) AS BIGINT) AS sq,
+               SUM(CAST(q AS DECIMAL(38,0)) * q) AS sqq,
+               r.rev
+        FROM wk w
+        JOIN (SELECT l_partkey AS p,
+                     CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM lineitem GROUP BY 1) r ON w.p = r.p
+        GROUP BY w.p, r.rev
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(SUM(rev) AS BIGINT) AS trev
+        FROM parts
+    ),
+    classed AS (
+        SELECT CASE WHEN rev * CAST(np AS DECIMAL(38,0)) >= 2 * trev
+                        THEN 'A'
+                    WHEN 2 * rev * CAST(np AS DECIMAL(38,0)) >= trev
+                        THEN 'B'
+                    ELSE 'C' END AS abc,
+               CASE WHEN nw < 2 THEN 'Z'
+                    WHEN sqrt((nw * CAST(sqq AS DOUBLE)
+                               - CAST(sq AS DOUBLE) * sq)
+                              / (CAST(nw AS DOUBLE) * (nw - 1)))
+                         * nw / sq <= 0.5 THEN 'X'
+                    WHEN sqrt((nw * CAST(sqq AS DOUBLE)
+                               - CAST(sq AS DOUBLE) * sq)
+                              / (CAST(nw AS DOUBLE) * (nw - 1)))
+                         * nw / sq <= 1.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz,
+               rev
+        FROM parts, tot
+    )
+    SELECT c.abc AS abc_class, c.xyz AS xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(SUM(CAST(c.rev AS DECIMAL(38,0)))
+                 * 10000 / t.trev / 100.0, 4) AS revenue_share_pct
+    FROM classed c, tot t
+    GROUP BY c.abc, c.xyz, t.trev
+    """,
+)
+def abc_xyz_inventory_grid(spark, sf_dir):
+    """ABC/XYZ inventory grid: every part classed by revenue
+    importance (A = at least twice the mean part revenue, B = at
+    least half, C = tail — the threshold form of the classic 80/15/5
+    cut, chosen because it needs NO global ranking pass) and by
+    weekly-demand stability (coefficient of variation of weekly
+    quantities: X <= 0.5, Y <= 1.0, Z above or under two weeks of
+    history). The 3x3 grid with part counts and revenue share is the
+    planner's one-page view: AX funds automation, CZ is the
+    discontinue list.
+
+    Exactness: weekly quantities and revenue are exact integers; the
+    ABC split compares rev*n_parts vs 2*total in DECIMAL(38,0) (no
+    float shares); CV is one IEEE expression per part from integer
+    moments; the revenue-share output is an exact scaled-decimal
+    ratio. Plan: two part-grain rollups joined on the part key, a
+    broadcast total, one grid fold — every stage keyed on part;
+    window-free (the threshold-vs-mean design is exactly what makes
+    this 100 TB-safe where a cumulative-share ABC would serialize).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    wk = li.groupBy(
+        F.col("l_partkey").alias("p"),
+        F.expr(
+            "CAST(floor(unix_micros(l_shipdate) / 86400000000)"
+            " AS BIGINT) div 7"
+        ).alias("w"),
+    ).agg(
+        F.sum(dec("l_quantity", 12, 2).cast("bigint"))
+        .cast("bigint")
+        .alias("q")
+    )
+    rev = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        (F.sum(dec("l_extendedprice", 18, 2)) * 100)
+        .cast("bigint")
+        .alias("rev")
+    )
+    parts = (
+        wk.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nw"),
+            F.sum("q").cast("bigint").alias("sq"),
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias(
+                "sqq"
+            ),
+        )
+        .join(rev, "p")
+    )
+    tot = parts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum("rev").cast("bigint").alias("trev"),
+    )
+    cv = (
+        F.sqrt(
+            (
+                F.col("nw") * F.col("sqq").cast("double")
+                - F.col("sq").cast("double") * F.col("sq")
+            )
+            / (F.col("nw").cast("double") * (F.col("nw") - 1))
+        )
+        * F.col("nw")
+        / F.col("sq")
+    )
+    classed = parts.crossJoin(F.broadcast(tot)).select(
+        F.when(
+            F.col("rev") * F.col("np").cast("decimal(38,0)")
+            >= 2 * F.col("trev"),
+            "A",
+        )
+        .when(
+            2 * F.col("rev") * F.col("np").cast("decimal(38,0)")
+            >= F.col("trev"),
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc"),
+        F.when(F.col("nw") < 2, "Z")
+        .when(cv <= 0.5, "X")
+        .when(cv <= 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+        "rev",
+        "trev",
+    )
+    return classed.groupBy(
+        F.col("abc").alias("abc_class"),
+        F.col("xyz").alias("xyz_class"),
+        "trev",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(
+            F.sum(F.col("rev").cast("decimal(38,0)"))
+            * 10000
+            / F.col("trev")
+            / 100.0,
+            4,
+        ).alias("revenue_share_pct"),
+    ).drop("trev")
+
+
+# --------------------------------------------------------------------------
+# X271: interpurchase-gap distribution
+# --------------------------------------------------------------------------
+@register(
+    "interpurchase_gap_profile",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+               LAG(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS pd
+        FROM orders
+    ),
+    gaps AS (
+        SELECT d - pd AS gap FROM seq WHERE pd IS NOT NULL
+    ),
+    bucketed AS (
+        SELECT CASE WHEN gap = 0 THEN '0_same_day'
+                    WHEN gap <= 7 THEN '1_within_week'
+                    WHEN gap <= 30 THEN '2_within_month'
+                    WHEN gap <= 90 THEN '3_within_quarter'
+                    WHEN gap <= 365 THEN '4_within_year'
+                    ELSE '5_over_year' END AS bucket,
+               gap
+        FROM gaps
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gaps)
+    SELECT b.bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           round(SUM(b.gap) * 1.0 / COUNT(*), 4) AS avg_gap_days,
+           round(COUNT(*) * 1.0 / t.n, 6) AS share
+    FROM bucketed b, tot t
+    GROUP BY b.bucket, t.n
+    """,
+)
+def interpurchase_gap_profile(spark, sf_dir):
+    """Interpurchase-interval distribution: the day gap between each
+    customer's consecutive orders, bucketed on the standard lifecycle
+    grid (same-day through over-a-year), with count, share, and mean
+    gap per bucket. The repeat-purchase cadence that churn models,
+    next-order forecasts, and `time_to_convert_quartiles`' event-side
+    twin all start from — and the empirical input a reorder-point
+    planner sets lead-time buffers against.
+
+    Exactness: gaps are integer day differences from a LAG over the
+    (customer) partition with the unique (date, orderkey) total order
+    — bounded per-customer frames, audit-clean; buckets and all
+    outputs are integer folds. Plan: one partitioned-window pass over
+    orders, one bucket fold; no unpartitioned window, no join beyond
+    the broadcast total.
+    """
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    d = F.floor(F.unix_micros("o_orderdate") / 86_400_000_000).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = o.select(
+        d.alias("d"), F.lag(d).over(w).alias("pd")
+    )
+    gaps = seq.where(F.col("pd").isNotNull()).select(
+        (F.col("d") - F.col("pd")).alias("gap")
+    ).persist()
+    bucketed = gaps.select(
+        F.when(F.col("gap") == 0, "0_same_day")
+        .when(F.col("gap") <= 7, "1_within_week")
+        .when(F.col("gap") <= 30, "2_within_month")
+        .when(F.col("gap") <= 90, "3_within_quarter")
+        .when(F.col("gap") <= 365, "4_within_year")
+        .otherwise("5_over_year")
+        .alias("bucket"),
+        "gap",
+    )
+    tot = gaps.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy("bucket", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(
+                F.sum("gap") * 1.0 / F.count(F.lit(1)), 4
+            ).alias("avg_gap_days"),
+            F.round(F.count(F.lit(1)) * 1.0 / F.col("n"), 6).alias(
+                "share"
+            ),
+        )
+        .drop("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# X272: power-user activity curve
+# --------------------------------------------------------------------------
+@register(
+    "power_user_curve",
+    oracle="""
+    WITH ud AS (
+        SELECT user_id,
+               CAST(COUNT(DISTINCT CAST(epoch_us(ts) // 86400000000
+                                        AS BIGINT)) AS BIGINT)
+                   AS active_days
+        FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM ud)
+    SELECT u.active_days, CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(COUNT(*) * 1.0 / t.nu, 6) AS user_share
+    FROM ud u, tot t
+    GROUP BY u.active_days, t.nu
+    """,
+)
+def power_user_curve(spark, sf_dir):
+    """The power-user curve (the "L30 histogram"): how many users were
+    active on exactly k distinct days of the window. Its SHAPE is the
+    engagement diagnosis — a smile (mass at both ends) means a
+    casual+core split, a left wall means drive-by traffic; it is the
+    distribution behind every DAU/MAU-style ratio and the segment
+    grid `rfm_segmentation` cuts. Deceptively simple, structurally
+    distinct from `rolling_weekly_active_users` (which counts users
+    per window, not days per user).
+
+    Exactness: pure integer counts (distinct day numbers per user,
+    then a histogram fold). Plan: one two-level hash aggregation
+    (user x day distinct, then day-count histogram) — both keyed,
+    both map-side combinable; no window, no join beyond the broadcast
+    total.
+    """
+    e = t(spark, sf_dir, "events")
+    ud = e.groupBy("user_id").agg(
+        F.countDistinct(
+            F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("active_days")
+    )
+    tot = ud.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    return (
+        ud.crossJoin(F.broadcast(tot))
+        .groupBy("active_days", "nu")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            "active_days",
+            "n_users",
+            F.round(F.col("n_users") * 1.0 / F.col("nu"), 6).alias(
+                "user_share"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X273: month-over-month and year-over-year growth panel
+# --------------------------------------------------------------------------
+@register(
+    "monthly_growth_yoy_panel",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) * 12
+                   + month(o_orderdate) - 1 AS mk,
+               MIN(CAST(date_trunc('month', o_orderdate) AS DATE))
+                   AS month,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    )
+    SELECT c.month,
+           round(c.y / 100.0, 2) AS revenue_dollars,
+           round((c.y - p.y) * 100.0 / p.y, 4) + 0.0 AS mom_pct,
+           round((c.y - q.y) * 100.0 / q.y, 4) + 0.0 AS yoy_pct
+    FROM monthly c
+    LEFT JOIN monthly p ON p.mk = c.mk - 1
+    LEFT JOIN monthly q ON q.mk = c.mk - 12
+    """,
+)
+def monthly_growth_yoy_panel(spark, sf_dir):
+    """The BI growth panel: monthly revenue with month-over-month and
+    year-over-year percentage growth. YoY compares like-for-like
+    calendar months (the seasonality-neutral read), MoM is the
+    early-warning read; months without a comparable get NULL in both
+    engines. The month-key twin of `weekly_growth_rate`, built
+    window-free: prior months attach by mk = mk−1 / mk−12 equi-joins
+    on the calendar-bounded month frame instead of a LAG (no
+    single-partition exchange even on a century of months).
+
+    Exactness: month revenue is exact integer cents keyed on the
+    integer month index year*12+month−1; growth ratios are IEEE
+    expressions rounded at 1e-4 with the +0.0 negative-zero guard.
+    Plan: one month rollup, two self-equi-joins on the bounded month
+    frame; no window.
+    """
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (
+            F.year("o_orderdate").cast("bigint") * 12
+            + F.month("o_orderdate")
+            - 1
+        ).alias("mk")
+    ).agg(
+        F.min(
+            F.date_trunc("month", "o_orderdate").cast("date")
+        ).alias("month"),
+        (F.sum(dec("o_totalprice", 18, 2)) * 100)
+        .cast("bigint")
+        .alias("y"),
+    ).persist()
+    c = monthly.alias("c")
+    p = monthly.select(
+        F.col("mk").alias("pmk"), F.col("y").alias("py")
+    )
+    q = monthly.select(
+        F.col("mk").alias("qmk"), F.col("y").alias("qy")
+    )
+    return (
+        c.join(p, F.col("pmk") == F.col("mk") - 1, "left")
+        .join(q, F.col("qmk") == F.col("mk") - 12, "left")
+        .select(
+            "month",
+            F.round(F.col("y") / 100.0, 2).alias("revenue_dollars"),
+            (
+                F.round(
+                    (F.col("y") - F.col("py")) * 100.0 / F.col("py"), 4
+                )
+                + 0.0
+            ).alias("mom_pct"),
+            (
+                F.round(
+                    (F.col("y") - F.col("qy")) * 100.0 / F.col("qy"), 4
+                )
+                + 0.0
+            ).alias("yoy_pct"),
+        )
+    )
+
+
 R10_QUERIES = (
     "dickey_fuller_unit_root",
     "kpss_level_stationarity",
@@ -2005,4 +2898,12 @@ R10_QUERIES = (
     "youden_j_threshold_scan",
     "brier_murphy_decomposition",
     "ansari_bradley_scale",
+    "mrr_reciprocal_rank",
+    "rank_biased_overlap_parts",
+    "customer_inequality_panel",
+    "fisher_price_index_monthly",
+    "abc_xyz_inventory_grid",
+    "interpurchase_gap_profile",
+    "power_user_curve",
+    "monthly_growth_yoy_panel",
 )
