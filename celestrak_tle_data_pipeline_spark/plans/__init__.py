@@ -107,6 +107,12 @@ _PRIORITY = (
     "interpurchase_gap_profile",
     "power_user_curve",
     "monthly_growth_yoy_panel",
+    "yule_k_lexical_richness",
+    "bigram_entropy_rate",
+    "ngram_novelty_rate",
+    "pmi_collocations_topk",
+    "lsh_band_tuning_curve",
+    "jl_projection_distortion",
 )
 
 

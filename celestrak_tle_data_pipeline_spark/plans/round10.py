@@ -2882,6 +2882,807 @@ def monthly_growth_yoy_panel(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# X274: Yule's K and the lexical-richness constants
+# --------------------------------------------------------------------------
+@register(
+    "yule_k_lexical_richness",
+    oracle="""
+    WITH tc AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v,
+               SUM(CAST(c AS DECIMAL(38,0)) * c) AS c2,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v2
+        FROM tc GROUP BY 1
+    )
+    SELECT source, n AS n_tokens, v AS vocab,
+           round(10000.0 * (CAST(c2 AS DOUBLE) - n)
+                 / (CAST(n AS DOUBLE) * n), 6) AS yule_k,
+           round(ln(CAST(v AS DOUBLE)) / ln(CAST(n AS DOUBLE)), 6)
+               AS herdan_c,
+           round(v / sqrt(CAST(n AS DOUBLE)), 6) AS guiraud_r,
+           round(v2 * 1.0 / v, 6) AS sichel_s
+    FROM s
+    """,
+)
+def yule_k_lexical_richness(spark, sf_dir):
+    """Lexical-richness constants per source: Yule's K (repeat-rate —
+    10⁴·(Σc²−N)/N², the length-invariant repetitiousness measure),
+    Herdan's C (ln V/ln N), Guiraud's R (V/√N), and Sichel's S (share
+    of dis legomena). These are the SIZE-ROBUST vocabulary numbers —
+    raw type/token ratio collapses as N grows, which is why corpus
+    dashboards comparing sources of different sizes need K/C/R
+    instead; complements `heaps_law_fit` (growth curve) and
+    `good_turing_vocab` (unseen mass) with the closed-form constants.
+
+    Exactness: all inputs are exact integer count-of-count moments
+    (Σc² rides DECIMAL(38,0)); each constant is one IEEE expression.
+    Plan: one (source, token) hash agg, one source fold; token
+    explode is map-side, everything keyed.
+    """
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    s = tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("c2"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v2"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("vocab"),
+        F.round(
+            10000.0 * (F.col("c2").cast("double") - F.col("n")) / (nd * nd),
+            6,
+        ).alias("yule_k"),
+        F.round(
+            F.log(F.col("v").cast("double")) / F.log(nd), 6
+        ).alias("herdan_c"),
+        F.round(F.col("v") / F.sqrt(nd), 6).alias("guiraud_r"),
+        F.round(F.col("v2") * 1.0 / F.col("v"), 6).alias("sichel_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X275: token bigram entropy rate per source
+# --------------------------------------------------------------------------
+@register(
+    "bigram_entropy_rate",
+    oracle="""
+    WITH d AS (
+        SELECT source, string_split(text, ' ') AS ts FROM documents
+    ),
+    bi AS (
+        SELECT source, ts[g.i - 1] AS prev, ts[g.i] AS tok
+        FROM d, LATERAL unnest(generate_series(2, len(ts))) AS g(i)
+        WHERE len(ts) >= 2
+    ),
+    bc AS (
+        SELECT source, prev, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bi GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM bc GROUP BY 1
+    ),
+    hb AS (
+        SELECT b.source,
+               SUM(CAST(round(CAST(b.c AS DOUBLE) / t.n
+                              * ln(CAST(b.c AS DOUBLE) / t.n), 12)
+                   AS DECIMAL(38,12))) AS hxy_neg
+        FROM bc b JOIN tot t ON b.source = t.source GROUP BY 1
+    ),
+    pcnt AS (
+        SELECT source, prev, CAST(SUM(c) AS BIGINT) AS cp
+        FROM bc GROUP BY 1, 2
+    ),
+    hx AS (
+        SELECT p.source,
+               SUM(CAST(round(CAST(p.cp AS DOUBLE) / t.n
+                              * ln(CAST(p.cp AS DOUBLE) / t.n), 12)
+                   AS DECIMAL(38,12))) AS hx_neg
+        FROM pcnt p JOIN tot t ON p.source = t.source GROUP BY 1
+    )
+    SELECT t.source, t.n AS n_bigrams,
+           round(-CAST(b.hxy_neg AS DOUBLE), 6) AS bigram_entropy,
+           round(-CAST(x.hx_neg AS DOUBLE), 6) AS context_entropy,
+           round(-CAST(b.hxy_neg AS DOUBLE)
+                 + CAST(x.hx_neg AS DOUBLE), 6) AS entropy_rate
+    FROM tot t
+    JOIN hb b ON t.source = b.source
+    JOIN hx x ON t.source = x.source
+    """,
+)
+def bigram_entropy_rate(spark, sf_dir):
+    """Token-level entropy RATE per source: H(next | current) =
+    H(bigram) − H(context), the first-order approximation of the
+    source's per-token information content. Where `shannon_simpson_
+    diversity` measures the unigram distribution (ignoring order),
+    the entropy rate measures PREDICTABILITY — templated/boilerplate
+    sources score low even with a rich vocabulary, which is exactly
+    the signal an LLM-corpus mixer wants (low-rate text trains
+    little). The information-theoretic twin of
+    `bigram_lm_perplexity`'s model view.
+
+    Exactness: bigram and context counts are exact integers from the
+    in-array adjacency explode (the bigram_lm device); both entropy
+    folds sum 1e-12-rounded p·ln p terms in DECIMAL — order-free.
+    Plan: one adjacency explode into a (source, prev, tok) hash agg,
+    two source-keyed folds; everything map-side combinable.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("ts")
+    )
+    bi = (
+        d.where(F.size("ts") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(ts)),"
+                    " i -> struct(ts[i-2] AS prev, ts[i-1] AS tok))"
+                )
+            ).alias("b"),
+        )
+        .select("source", "b.prev", "b.tok")
+    )
+    bc = bi.groupBy("source", "prev", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    tot = bc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+
+    def ent(df, cnt, out):
+        p = F.col(cnt).cast("double") / F.col("n")
+        return (
+            df.join(tot, "source")
+            .groupBy("source")
+            .agg(
+                F.sum(
+                    F.round(p * F.log(p), 12).cast("decimal(38,12)")
+                ).alias(out)
+            )
+        )
+
+    hb = ent(bc, "c", "hxy_neg")
+    pcnt = bc.groupBy("source", "prev").agg(
+        F.sum("c").cast("bigint").alias("cp")
+    )
+    hx = ent(pcnt, "cp", "hx_neg")
+    return (
+        tot.join(hb, "source")
+        .join(hx, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_bigrams"),
+            F.round(-F.col("hxy_neg").cast("double"), 6).alias(
+                "bigram_entropy"
+            ),
+            F.round(-F.col("hx_neg").cast("double"), 6).alias(
+                "context_entropy"
+            ),
+            F.round(
+                -F.col("hxy_neg").cast("double")
+                + F.col("hx_neg").cast("double"),
+                6,
+            ).alias("entropy_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X276: bigram novelty rate in corpus order
+# --------------------------------------------------------------------------
+@register(
+    "ngram_novelty_rate",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ts
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, source,
+               ts[g.i - 1] || ' ' || ts[g.i] AS bg
+        FROM d, LATERAL unnest(generate_series(2, len(ts))) AS g(i)
+        WHERE len(ts) >= 2
+    ),
+    db AS (
+        SELECT doc_id, source, bg, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bi GROUP BY 1, 2, 3
+    ),
+    first_ AS (
+        SELECT bg, CAST(MIN(doc_id) AS BIGINT) AS fdoc FROM db
+        GROUP BY bg
+    ),
+    per_doc AS (
+        SELECT b.doc_id, b.source,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(CASE WHEN f.fdoc = b.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM db b JOIN first_ f ON b.bg = f.bg
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_distinct) AS BIGINT) AS distinct_bigram_slots,
+           CAST(SUM(n_novel) AS BIGINT) AS first_occurrences,
+           round(SUM(n_novel) * 1.0 / SUM(n_distinct), 6)
+               AS novelty_rate,
+           round(SUM(CAST(round(n_novel * 1.0 / n_distinct, 9)
+                          AS DECIMAL(20,9))) * 1.0 / COUNT(*), 6)
+               AS mean_doc_novelty
+    FROM per_doc GROUP BY source
+    """,
+)
+def ngram_novelty_rate(spark, sf_dir):
+    """Bigram novelty in corpus order: for every document, the share
+    of its distinct bigrams whose FIRST corpus occurrence (minimum
+    doc_id) is that document — aggregated per source as both the
+    pooled rate and the mean per-doc rate. This is the marginal-value
+    curve of a training corpus: sources whose documents keep
+    introducing first-seen n-grams still add information; a source
+    whose novelty rate has collapsed duplicates what the corpus
+    already has (the dedup tier catches copies, THIS catches
+    redundancy without copying).
+
+    Exactness: all counts are exact integers; first-occurrence is an
+    associative MIN over doc_ids (order-free at any partitioning);
+    the per-doc mean folds 1e-9-rounded ratios in DECIMAL. Plan: one
+    adjacency explode into a (doc, bigram) hash agg, a bigram-keyed
+    MIN + equi-join back (shuffle keyed on the bigram — uniform), two
+    folds.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ts")
+    )
+    bi = (
+        d.where(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(ts)),"
+                    " i -> concat(ts[i-2], ' ', ts[i-1]))"
+                )
+            ).alias("bg"),
+        )
+    )
+    db = bi.groupBy("doc_id", "source", "bg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    first_ = db.groupBy("bg").agg(
+        F.min("doc_id").cast("bigint").alias("fdoc")
+    )
+    per_doc = (
+        db.join(first_, "bg")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(
+                F.when(F.col("fdoc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_distinct").cast("bigint").alias("distinct_bigram_slots"),
+        F.sum("n_novel").cast("bigint").alias("first_occurrences"),
+        F.round(
+            F.sum("n_novel") * 1.0 / F.sum("n_distinct"), 6
+        ).alias("novelty_rate"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("n_novel") * 1.0 / F.col("n_distinct"), 9
+                ).cast("decimal(20,9)")
+            )
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_doc_novelty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X277: PMI collocations (top-20)
+# --------------------------------------------------------------------------
+@register(
+    "pmi_collocations_topk",
+    oracle="""
+    WITH d AS (
+        SELECT string_split(text, ' ') AS ts FROM documents
+    ),
+    bi AS (
+        SELECT ts[g.i - 1] AS w1, ts[g.i] AS w2
+        FROM d, LATERAL unnest(generate_series(2, len(ts))) AS g(i)
+        WHERE len(ts) >= 2
+    ),
+    bc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cxy
+        FROM bi GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM bc),
+    u1 AS (SELECT w1 AS w, CAST(SUM(cxy) AS BIGINT) AS c FROM bc
+           GROUP BY 1),
+    u2 AS (SELECT w2 AS w, CAST(SUM(cxy) AS BIGINT) AS c FROM bc
+           GROUP BY 1),
+    scored AS (
+        SELECT b.w1, b.w2, b.cxy,
+               round(ln(CAST(b.cxy AS DOUBLE) * t.n
+                        / (CAST(a.c AS DOUBLE) * z.c)), 9) AS pmi,
+               round(ln(CAST(b.cxy AS DOUBLE) * t.n
+                        / (CAST(a.c AS DOUBLE) * z.c))
+                     / (-ln(CAST(b.cxy AS DOUBLE) / t.n)), 9) AS npmi
+        FROM bc b
+        JOIN u1 a ON b.w1 = a.w
+        JOIN u2 z ON b.w2 = z.w
+        CROSS JOIN tot t
+        WHERE b.cxy >= 5
+    )
+    SELECT w1, w2, cxy AS n_cooccur, pmi + 0.0 AS pmi,
+           npmi + 0.0 AS npmi
+    FROM scored
+    ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
+    """,
+)
+def pmi_collocations_topk(spark, sf_dir):
+    """Top-20 collocations by pointwise mutual information (count
+    floor 5): PMI = ln(c(xy)·N / (c(x·)·c(·y))) over adjacent token
+    pairs, with the normalized NPMI ∈ [−1,1] alongside. The classic
+    collocation extractor (Church & Hanks 1990) — the phrase-mining
+    primitive behind tokenizer vocab curation and stop-phrase lists;
+    `rake_keyphrases` scores candidate PHRASES, PMI scores the GLUE
+    between adjacent tokens, and `chi2_discriminative_terms` ranks
+    tokens by class — three orthogonal views of term importance.
+
+    Exactness: all counts are exact integers from the adjacency
+    explode; positional marginals c(x·)/c(·y) derive from the bigram
+    table itself (one pass over the corpus); PMI/NPMI are per-row
+    IEEE expressions rounded at 1e-9 BEFORE the top-k order, whose
+    tiebreak (pmi desc, w1, w2) is total. Plan: one bigram hash agg,
+    two marginal rollups joined back on token keys, TakeOrdered 20.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("ts")
+    )
+    bi = (
+        d.where(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(ts)),"
+                    " i -> struct(ts[i-2] AS w1, ts[i-1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    bc = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cxy")
+    ).persist()
+    tot = bc.agg(F.sum("cxy").cast("bigint").alias("n"))
+    u1 = bc.groupBy("w1").agg(F.sum("cxy").cast("bigint").alias("c1"))
+    u2 = bc.groupBy("w2").agg(F.sum("cxy").cast("bigint").alias("c2"))
+    raw = (
+        F.col("cxy").cast("double")
+        * F.col("n")
+        / (F.col("c1").cast("double") * F.col("c2"))
+    )
+    pmi = F.round(F.log(raw), 9)
+    npmi = F.round(
+        F.log(raw) / (-F.log(F.col("cxy").cast("double") / F.col("n"))),
+        9,
+    )
+    scored = (
+        bc.where(F.col("cxy") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("cxy").alias("n_cooccur"),
+            (pmi + 0.0).alias("pmi"),
+            (npmi + 0.0).alias("npmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(20)
+
+
+# --------------------------------------------------------------------------
+# X278: MinHash LSH band-tuning design curve
+# --------------------------------------------------------------------------
+@register(
+    "lsh_band_tuning_curve",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ts[g.i - 2] || ' ' || ts[g.i - 1] || ' ' || ts[g.i]
+                   AS s
+        FROM d, LATERAL unnest(generate_series(3, len(ts))) AS g(i)
+        WHERE len(ts) >= 3
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh
+        GROUP BY 1
+    ),
+    inter AS (
+        SELECT a.doc_id AS da,
+               CAST(COUNT(*) AS BIGINT) AS ix
+        FROM sh a JOIN sh b
+          ON b.doc_id = a.doc_id + 1 AND a.s = b.s
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT sa.doc_id,
+               COALESCE(i.ix, 0) AS ix,
+               sa.sz + sb.sz - COALESCE(i.ix, 0) AS un
+        FROM sizes sa
+        JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+        LEFT JOIN inter i ON i.da = sa.doc_id
+    ),
+    hist AS (
+        SELECT LEAST(10 * ix // un, 9) AS k,
+               CAST(COUNT(*) AS BIGINT) AS nk
+        FROM pairs GROUP BY 1
+    ),
+    grid AS (
+        SELECT UNNEST([4, 8, 16, 32, 64]) AS b,
+               UNNEST([32, 16, 8, 4, 2]) AS r
+    ),
+    curve AS (
+        SELECT g.b, g.r,
+               CAST(round(SUM(CAST(round(
+                   h.nk * (1.0 - pow(1.0 - pow((h.k + 0.5) / 10.0,
+                                              g.r), g.b)), 9)
+                   AS DECIMAL(28,9))), 9) AS DOUBLE)
+                   AS expected_candidates,
+               CAST(SUM(h.nk) AS BIGINT) AS n_pairs
+        FROM grid g, hist h
+        GROUP BY g.b, g.r
+    )
+    SELECT b AS bands, r AS rows_per_band, n_pairs,
+           round(expected_candidates, 4) AS expected_candidates,
+           round(1.0 - pow(1.0 - pow(0.5, r), b), 6) AS p_catch_at_s05,
+           round(1.0 - pow(1.0 - pow(0.8, r), b), 6) AS p_catch_at_s08
+    FROM curve
+    """,
+)
+def lsh_band_tuning_curve(spark, sf_dir):
+    """MinHash LSH banding design curve: for every (bands, rows) split
+    of a 128-hash signature, the S-curve catch probability
+    P(s) = 1 − (1 − s^r)^b evaluated against THIS corpus's observed
+    3-shingle Jaccard distribution (measured exactly on the bounded
+    consecutive-doc-id pair sample) — yielding the expected candidate
+    count per setting plus the catch probability at s = 0.5 and 0.8.
+    This is the query a dedup engineer runs BEFORE the full
+    `minhash_native_near_dup` pass at 100 TB: banding chosen from the
+    corpus's own similarity histogram, not folklore.
+
+    Exactness: shingle intersections/unions are exact integers over
+    the (doc, doc+1) pair sample (joined on the shingle key, never
+    all-pairs); the histogram bin is the integer expression
+    least(10·ix // un, 9); S-curve terms are per-row IEEE pow
+    expressions rounded at 1e-9 and folded in DECIMAL over the 5x10
+    design-grid frame. Plan: one distinct-shingle explode, one
+    shingle-keyed join on adjacent ids, a 10-bin histogram, a 50-cell
+    design fold.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    sh = (
+        d.where(F.size("ts") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(3, size(ts)),"
+                    " i -> concat(ts[i-3], ' ', ts[i-2], ' ', ts[i-1]))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    a, b_ = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b_,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("a.s") == F.col("b.s")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ix"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")
+    )
+    pairs = (
+        sa.join(sb, F.col("doc_b") == F.col("doc_id") + 1)
+        .join(inter, F.col("da") == F.col("doc_id"), "left")
+        .select(
+            F.coalesce(F.col("ix"), F.lit(0)).alias("ix"),
+            (
+                F.col("sz")
+                + F.col("szb")
+                - F.coalesce(F.col("ix"), F.lit(0))
+            ).alias("un"),
+        )
+    )
+    hist = pairs.groupBy(
+        F.least(F.expr("10 * ix div un"), F.lit(9)).alias("k")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("nk"))
+    grid = spark.createDataFrame(
+        [(4, 32), (8, 16), (16, 8), (32, 4), (64, 2)], ["b", "r"]
+    )
+    p_mid = 1.0 - F.pow(
+        1.0 - F.pow((F.col("k") + 0.5) / 10.0, F.col("r")), F.col("b")
+    )
+    curve = (
+        F.broadcast(grid)
+        .crossJoin(hist)
+        .groupBy("b", "r")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("nk") * p_mid, 9).cast(
+                        "decimal(28,9)"
+                    )
+                ),
+                9,
+            )
+            .cast("double")
+            .alias("expected_candidates"),
+            F.sum("nk").cast("bigint").alias("n_pairs"),
+        )
+    )
+    return curve.select(
+        F.col("b").alias("bands"),
+        F.col("r").alias("rows_per_band"),
+        "n_pairs",
+        F.round(F.col("expected_candidates"), 4).alias(
+            "expected_candidates"
+        ),
+        F.round(
+            1.0 - F.pow(1.0 - F.pow(F.lit(0.5), F.col("r")), F.col("b")),
+            6,
+        ).alias("p_catch_at_s05"),
+        F.round(
+            1.0 - F.pow(1.0 - F.pow(F.lit(0.8), F.col("r")), F.col("b")),
+            6,
+        ).alias("p_catch_at_s08"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X279: Johnson-Lindenstrauss random-projection distortion audit
+# --------------------------------------------------------------------------
+@register(
+    "jl_projection_distortion",
+    oracle="""
+    WITH elems AS (
+        SELECT vec_id, g.i - 1 AS i, embedding[g.i] AS x
+        FROM embeddings,
+             LATERAL unnest(generate_series(1, len(embedding))) AS g(i)
+    ),
+    signs AS (
+        SELECT i.i, o.o,
+               CASE WHEN CAST(('0x' || substr(md5(i.i || ':' || o.o),
+                                              1, 15)) AS BIGINT)
+                         % 2 = 0
+                    THEN 1 ELSE -1 END AS sg
+        FROM (SELECT UNNEST(range(0, 64)) AS i) i,
+             (SELECT UNNEST(range(0, 8)) AS o) o
+    ),
+    proj AS (
+        SELECT e.vec_id, s.o,
+               CAST(SUM(CAST(round(s.sg * e.x, 6) AS DECIMAL(20,6)))
+                    AS DOUBLE) AS p
+        FROM elems e JOIN signs s ON e.i = s.i
+        GROUP BY 1, 2
+    ),
+    pdiff AS (
+        SELECT a.vec_id,
+               CAST(round(SUM(CAST(round((a.p - b.p) * (a.p - b.p), 6)
+                    AS DECIMAL(28,6))), 6) AS DOUBLE) AS dp
+        FROM proj a JOIN proj b
+          ON b.vec_id = a.vec_id + 1 AND a.o = b.o
+        GROUP BY 1
+    ),
+    odiff AS (
+        SELECT a.vec_id,
+               CAST(round(SUM(CAST(round((a.x - b.x) * (a.x - b.x), 9)
+                    AS DECIMAL(28,9))), 9) AS DOUBLE) AS dx
+        FROM elems a JOIN elems b
+          ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+        GROUP BY 1
+    ),
+    ratios AS (
+        SELECT round(p.dp / (8.0 * o.dx), 9) AS ratio
+        FROM pdiff p JOIN odiff o ON p.vec_id = o.vec_id
+        WHERE o.dx > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(ratio AS DECIMAL(20,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_ratio,
+           round(MIN(ratio), 6) AS min_ratio,
+           round(MAX(ratio), 6) AS max_ratio,
+           round(SUM(CASE WHEN ratio >= 0.8 AND ratio <= 1.25
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS share_within_25pct
+    FROM ratios
+    """,
+)
+def jl_projection_distortion(spark, sf_dir):
+    """Johnson-Lindenstrauss distortion audit of a 64→8 Rademacher
+    (deterministic ±1) random projection: for consecutive-id embedding
+    pairs, the ratio ‖R(a−b)‖²/(k·‖a−b‖²) whose concentration around
+    1 is the JL lemma. The audit to run BEFORE shipping a projected
+    index (`ann_ivf_topk` at 8x fewer bytes): mean/min/max distortion
+    and the share of pairs within ±25% say whether 8 dims is enough
+    for THIS embedding distribution or the tails will wreck recall.
+
+    Exactness: the sign matrix is the md5-parity hash of (in_dim,
+    out_dim) — reproducible everywhere, no RNG; projections fold
+    1e-6-rounded sign*x terms in DECIMAL over the dimension key (an
+    explode + broadcast-join + keyed agg, the Spark-native matrix
+    multiply for skinny fixed matrices); squared distances fold
+    rounded products the same way; ratios are per-pair IEEE
+    expressions. Plan: one element explode, one 512-row broadcast
+    join, keyed aggregations, one consecutive-id equi-join per
+    distance — no window, nothing quadratic.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "x"),
+    )
+    dims = spark.range(0, 64).select(F.col("id").alias("i"))
+    outs = spark.range(0, 8).select(F.col("id").alias("o"))
+    signs = (
+        dims.crossJoin(outs)
+        .select(
+            "i",
+            "o",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(":", F.col("i"), F.col("o"))
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("sg"),
+        )
+    )
+    proj = (
+        elems.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "o")
+        .agg(
+            F.sum(
+                F.round(F.col("sg") * F.col("x"), 6).cast(
+                    "decimal(20,6)"
+                )
+            )
+            .cast("double")
+            .alias("p")
+        )
+        .persist()
+    )
+    pa, pb = proj.alias("pa"), proj.alias("pb")
+    pdiff = (
+        pa.join(
+            pb,
+            (F.col("pb.vec_id") == F.col("pa.vec_id") + 1)
+            & (F.col("pa.o") == F.col("pb.o")),
+        )
+        .groupBy(F.col("pa.vec_id").alias("vec_id"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        (F.col("pa.p") - F.col("pb.p"))
+                        * (F.col("pa.p") - F.col("pb.p")),
+                        6,
+                    ).cast("decimal(28,6)")
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("dp")
+        )
+    )
+    ea, eb = elems.alias("ea"), elems.alias("eb")
+    odiff = (
+        ea.join(
+            eb,
+            (F.col("eb.vec_id") == F.col("ea.vec_id") + 1)
+            & (F.col("ea.i") == F.col("eb.i")),
+        )
+        .groupBy(F.col("ea.vec_id").alias("vec_id"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        (F.col("ea.x") - F.col("eb.x"))
+                        * (F.col("ea.x") - F.col("eb.x")),
+                        9,
+                    ).cast("decimal(28,9)")
+                ),
+                9,
+            )
+            .cast("double")
+            .alias("dx")
+        )
+    )
+    ratios = (
+        pdiff.join(odiff, "vec_id")
+        .where(F.col("dx") > 0)
+        .select(
+            F.round(F.col("dp") / (8.0 * F.col("dx")), 9).alias("ratio")
+        )
+    )
+    return ratios.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("ratio").cast("decimal(20,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("ratio") >= 0.8) & (F.col("ratio") <= 1.25),
+                    1,
+                ).otherwise(0)
+            )
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("share_within_25pct"),
+    )
+
+
 R10_QUERIES = (
     "dickey_fuller_unit_root",
     "kpss_level_stationarity",
@@ -2906,4 +3707,10 @@ R10_QUERIES = (
     "interpurchase_gap_profile",
     "power_user_curve",
     "monthly_growth_yoy_panel",
+    "yule_k_lexical_richness",
+    "bigram_entropy_rate",
+    "ngram_novelty_rate",
+    "pmi_collocations_topk",
+    "lsh_band_tuning_curve",
+    "jl_projection_distortion",
 )
