@@ -113,6 +113,17 @@ _PRIORITY = (
     "pmi_collocations_topk",
     "lsh_band_tuning_curve",
     "jl_projection_distortion",
+    "copurchase_degree_assortativity",
+    "copurchase_linkpred_scores",
+    "lin_ccc_naive_forecast",
+    "mantel_haenszel_weekday_strata",
+    "page_trend_test",
+    "weighted_kappa_agreement",
+    "somers_d_gamma_panel",
+    "sprt_purchase_rate_monitor",
+    "vif_collinearity_audit",
+    "retention_powerlaw_fit",
+    "seasonal_esd_outliers",
 )
 
 

@@ -3683,6 +3683,1469 @@ def jl_projection_distortion(spark, sf_dir):
     )
 
 
+# Graph helpers shared with plans/graph_ops.py (same edge definitions).
+from .graph_ops import _HALF_W2 as _HALF_W2_R10
+from .graph_ops import _half_edges as _half_edges_r10
+from .graph_ops import _sym as _sym_r10
+
+# --------------------------------------------------------------------------
+# X280: degree assortativity of the co-purchase graph
+# --------------------------------------------------------------------------
+@register(
+    "copurchase_degree_assortativity",
+    oracle=f"""
+    WITH half AS ({_HALF_W2_R10}
+    ), edges AS (
+        SELECT p1 AS u, p2 AS v FROM half
+        UNION ALL
+        SELECT p2 AS u, p1 AS v FROM half
+    ), deg AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u
+    ), de AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM edges e
+        JOIN deg du ON e.u = du.u
+        JOIN deg dv ON e.v = dv.u
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        FROM de
+    )
+    SELECT n AS n_directed_edges,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy)), 6) + 0.0
+               AS assortativity_r
+    FROM m
+    """,
+)
+def copurchase_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph (>= 2 co-orders):
+    the Pearson correlation of endpoint degrees over all directed
+    edges (Newman 2002). Positive r = hubs buy with hubs (a rich-club
+    core — LSH-style blocking will concentrate load there), negative
+    r = hub-and-spoke (broadcast the hubs instead). The one-number
+    structural profile that decides which skew mitigation the
+    graph-algorithm tier (X246-X250) needs at scale.
+
+    Exactness: degrees and all five moments are exact integers
+    (products through DECIMAL(38,0)); r is one IEEE expression. Plan:
+    the bounded pair fan-out, one degree rollup joined back on each
+    endpoint (two keyed joins), one scalar fold; no window.
+    """
+    half = _half_edges_r10(spark, sf_dir, 2)
+    edges = _sym_r10(half)
+    deg = edges.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    du = deg.select(F.col("u").alias("ku"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("kv"), F.col("d").alias("y"))
+    de = (
+        edges.join(du, F.col("u") == F.col("ku"))
+        .join(dv, F.col("v") == F.col("kv"))
+        .select("x", "y")
+    )
+    m = de.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    dx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    dy = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        (F.round(num / F.sqrt(dx * dy), 6) + 0.0).alias(
+            "assortativity_r"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# X281: link-prediction scores on the co-purchase graph
+# --------------------------------------------------------------------------
+@register(
+    "copurchase_linkpred_scores",
+    oracle=f"""
+    WITH half AS ({_HALF_W2_R10}
+    ), edges AS (
+        SELECT p1 AS u, p2 AS v FROM half
+        UNION ALL
+        SELECT p2 AS u, p1 AS v FROM half
+    ), deg AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u
+    ), wedges AS (
+        SELECT a.u AS u, b.v AS v,
+               CAST(COUNT(*) AS BIGINT) AS cn,
+               CAST(round(SUM(CAST(round(1.0 / ln(CAST(dw.d AS DOUBLE)),
+                                         9) AS DECIMAL(20,9))), 9)
+                    AS DOUBLE) AS aa
+        FROM edges a
+        JOIN edges b ON a.v = b.u AND a.u < b.v
+        JOIN deg dw ON a.v = dw.u
+        GROUP BY a.u, b.v
+    ), cand AS (
+        SELECT w.u, w.v, w.cn, w.aa, du.d AS dv_u, dv.d AS dv_v
+        FROM wedges w
+        JOIN deg du ON w.u = du.u
+        JOIN deg dv ON w.v = dv.u
+        WHERE NOT EXISTS (SELECT 1 FROM half h
+                          WHERE h.p1 = w.u AND h.p2 = w.v)
+    )
+    SELECT u AS part_a, v AS part_b, cn AS common_neighbors,
+           round(cn * 1.0 / (dv_u + dv_v - cn), 6) AS jaccard,
+           round(aa, 6) AS adamic_adar
+    FROM cand
+    ORDER BY cn DESC, round(aa, 6) DESC, u ASC, v ASC
+    LIMIT 20
+    """,
+)
+def copurchase_linkpred_scores(spark, sf_dir):
+    """Link prediction on the co-purchase graph: the top-20
+    NON-adjacent part pairs by common-neighbor count, with
+    neighborhood Jaccard and Adamic-Adar (Σ 1/ln deg(w) — common
+    neighbors discounted by their hubness) — "products that should
+    co-sell but don't yet", the classic recommendation candidate
+    generator (Liben-Nowell & Kleinberg 2003) and the missing-edge
+    counterpart of X247's observed projection.
+
+    Exactness: wedges come from one edge-edge join through the shared
+    middle (fan-out Σd² — degree-bounded by the co-order gate, with
+    the frequency-cap discipline of the fuzzy-match tier); the u < v
+    canonical orientation counts each pair once; existing edges drop
+    by anti-join against the half-edge list; Adamic-Adar folds
+    1e-9-rounded terms in DECIMAL so the (cn desc, aa desc, u, v)
+    top-20 order is total. Plan: pair fan-out, one wedge join, two
+    degree joins, one anti-join, TakeOrdered 20.
+    """
+    half = _half_edges_r10(spark, sf_dir, 2).persist()
+    edges = _sym_r10(half)
+    deg = edges.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    ).persist()
+    a = edges.select(F.col("u").alias("wu"), F.col("v").alias("wm"))
+    b = edges.select(F.col("u").alias("bm"), F.col("v").alias("wv"))
+    dw = deg.select(F.col("u").alias("dm"), F.col("d").alias("dmid"))
+    wedges = (
+        a.join(b, (F.col("wm") == F.col("bm")) & (F.col("wu") < F.col("wv")))
+        .join(dw, F.col("wm") == F.col("dm"))
+        .groupBy("wu", "wv")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.round(
+                F.sum(
+                    F.round(
+                        1.0 / F.log(F.col("dmid").cast("double")), 9
+                    ).cast("decimal(20,9)")
+                ),
+                9,
+            )
+            .cast("double")
+            .alias("aa"),
+        )
+    )
+    du = deg.select(F.col("u").alias("ju"), F.col("d").alias("dv_u"))
+    dv = deg.select(F.col("u").alias("jv"), F.col("d").alias("dv_v"))
+    cand = (
+        wedges.join(
+            half.select(
+                F.col("p1").alias("wu"), F.col("p2").alias("wv")
+            ),
+            ["wu", "wv"],
+            "left_anti",
+        )
+        .join(du, F.col("wu") == F.col("ju"))
+        .join(dv, F.col("wv") == F.col("jv"))
+    )
+    return (
+        cand.select(
+            F.col("wu").alias("part_a"),
+            F.col("wv").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.round(
+                F.col("cn")
+                * 1.0
+                / (F.col("dv_u") + F.col("dv_v") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("aa"), 6).alias("adamic_adar"),
+            F.round(F.col("aa"), 6).alias("aa_key"),
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(),
+            F.col("aa_key").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(20)
+        .drop("aa_key")
+    )
+
+
+# --------------------------------------------------------------------------
+# X282: Lin's concordance of the naive one-day forecast
+# --------------------------------------------------------------------------
+@register(
+    "lin_ccc_naive_forecast",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    pairs AS (
+        SELECT a.y AS x, b.y AS y
+        FROM daily a JOIN daily b ON b.d = a.d + 1
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        FROM pairs
+    ),
+    c AS (
+        SELECT n,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                   AS cxy,
+               (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                   AS cxx,
+               (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                   AS cyy,
+               (CAST(sx AS DOUBLE) - sy) AS dsum,
+               CAST(sy AS DOUBLE) - sx AS msum
+        FROM m
+    )
+    SELECT n AS n_pairs,
+           round(cxy / sqrt(cxx * cyy), 6) + 0.0 AS pearson_r,
+           round(2.0 * cxy / (cxx + cyy + dsum * dsum), 6) + 0.0
+               AS lin_ccc,
+           round(msum / n / 100.0, 4) + 0.0 AS mean_bias_dollars
+    FROM c
+    """,
+)
+def lin_ccc_naive_forecast(spark, sf_dir):
+    """Lin's concordance correlation between the naive one-day-lag
+    forecast (predict today = yesterday) and the actual daily
+    revenue: CCC = 2·S_xy / (S_xx + S_yy + (x̄−ȳ)²·n²) penalizes BOTH
+    scatter and systematic bias, so CCC ≪ Pearson r flags a forecast
+    that tracks the shape but sits off the 45° line — the agreement
+    statistic `seasonal_naive_mase` (pure error size) and Pearson
+    (pure shape) each miss. Mean bias in dollars attached.
+
+    Exactness: the chow-pattern integer moments over consecutive-day
+    pairs (DECIMAL(38,0) products), every statistic one IEEE
+    expression from the n-scaled centered forms (the (x̄−ȳ)² term
+    appears as n-scaled dsum² so all three denominator terms share
+    the same scaling). Plan: one rollup, one bounded self-join, one
+    fold; no window.
+    """
+    daily = _daily_orders(spark, sf_dir)
+    a, b_ = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b_, F.col("b.d") == F.col("a.d") + 1).select(
+        F.col("a.y").alias("x"), F.col("b.y").alias("y")
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cxy = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    cxx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    cyy = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    dsum = F.col("sx").cast("double") - F.col("sy")
+    msum = F.col("sy").cast("double") - F.col("sx")
+    return m.select(
+        F.col("n").alias("n_pairs"),
+        (F.round(cxy / F.sqrt(cxx * cyy), 6) + 0.0).alias("pearson_r"),
+        (
+            F.round(2.0 * cxy / (cxx + cyy + dsum * dsum), 6) + 0.0
+        ).alias("lin_ccc"),
+        (F.round(msum / n / 100.0, 4) + 0.0).alias("mean_bias_dollars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X283: Mantel-Haenszel stratified odds ratio + CMH test
+# --------------------------------------------------------------------------
+@register(
+    "mantel_haenszel_weekday_strata",
+    oracle="""
+    WITH pts AS (
+        SELECT (CAST(epoch_us(ts) // 86400000000 AS BIGINT) + 4) % 7
+                   AS stratum,
+               CAST(user_id % 2 AS BIGINT) AS exposed,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    cells AS (
+        SELECT stratum,
+               CAST(SUM(exposed * y) AS BIGINT) AS a,
+               CAST(SUM(exposed * (1 - y)) AS BIGINT) AS b,
+               CAST(SUM((1 - exposed) * y) AS BIGINT) AS c,
+               CAST(SUM((1 - exposed) * (1 - y)) AS BIGINT) AS d
+        FROM pts GROUP BY stratum
+    ),
+    folds AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(round(SUM(CAST(round(
+                   CAST(a AS DOUBLE) * d / (a + b + c + d), 9)
+                   AS DECIMAL(28,9))), 9) AS DOUBLE) AS rnum,
+               CAST(round(SUM(CAST(round(
+                   CAST(b AS DOUBLE) * c / (a + b + c + d), 9)
+                   AS DECIMAL(28,9))), 9) AS DOUBLE) AS rden,
+               CAST(SUM(a) AS BIGINT) AS asum,
+               CAST(round(SUM(CAST(round(
+                   CAST(a + b AS DOUBLE) * (a + c) / (a + b + c + d), 9)
+                   AS DECIMAL(28,9))), 9) AS DOUBLE) AS esum,
+               CAST(round(SUM(CAST(round(
+                   CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+                   / (CAST(a + b + c + d AS DOUBLE)
+                      * (a + b + c + d)
+                      * (a + b + c + d - 1)), 9)
+                   AS DECIMAL(28,9))), 9) AS DOUBLE) AS vsum
+        FROM cells
+    )
+    SELECT n_strata,
+           round(rnum / rden, 6) AS or_mantel_haenszel,
+           round(pow(abs(asum - esum) - 0.5, 2) / vsum, 6)
+               AS cmh_chi2
+    FROM folds
+    """,
+)
+def mantel_haenszel_weekday_strata(spark, sf_dir):
+    """Mantel-Haenszel weekday-stratified odds ratio of purchasing for
+    the user-parity exposure, with the continuity-corrected
+    Cochran-Mantel-Haenszel chi-square. THE confounder-adjusted
+    two-proportion comparison: if weekday mix differs between arms, a
+    crude pooled odds ratio is Simpson-paradox bait — MH pools the
+    per-stratum evidence on a common-odds-ratio scale instead.
+    Completes the A/B tier: `srm_guardrail_check` validates the
+    split, `ab_difference_newcombe` reads the crude difference, MH
+    reads the adjusted one.
+
+    Exactness: the 7 strata's 2x2 cells are exact integer counts; the
+    four MH folds sum 1e-9-rounded per-stratum IEEE terms in DECIMAL
+    over the 7-row weekday frame. Plan: one fold to cells, one 7-row
+    fold, one scalar projection; no window, no join.
+    """
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        (
+            (
+                F.floor(F.unix_micros("ts") / 86_400_000_000).cast(
+                    "bigint"
+                )
+                + 4
+            )
+            % 7
+        ).alias("stratum"),
+        (F.col("user_id") % 2).cast("bigint").alias("exposed"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    cells = pts.groupBy("stratum").agg(
+        F.sum(F.col("exposed") * F.col("y")).cast("bigint").alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("y")))
+        .cast("bigint")
+        .alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("y"))
+        .cast("bigint")
+        .alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("y")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    nj = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+
+    def fold(expr, name):
+        return (
+            F.round(
+                F.sum(F.round(expr, 9).cast("decimal(28,9)")), 9
+            )
+            .cast("double")
+            .alias(name)
+        )
+
+    folds = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        fold(F.col("a").cast("double") * F.col("d") / nj, "rnum"),
+        fold(F.col("b").cast("double") * F.col("c") / nj, "rden"),
+        F.sum("a").cast("bigint").alias("asum"),
+        fold(
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("a") + F.col("c"))
+            / nj,
+            "esum",
+        ),
+        fold(
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+            / (nj.cast("double") * nj * (nj - 1)),
+            "vsum",
+        ),
+    )
+    return folds.select(
+        "n_strata",
+        F.round(F.col("rnum") / F.col("rden"), 6).alias(
+            "or_mantel_haenszel"
+        ),
+        F.round(
+            F.pow(
+                F.abs(F.col("asum") - F.col("esum")) - 0.5, F.lit(2.0)
+            )
+            / F.col("vsum"),
+            6,
+        ).alias("cmh_chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X284: Page's L ordered-trend test on blocked day ranks
+# --------------------------------------------------------------------------
+@register(
+    "page_trend_test",
+    oracle="""
+    WITH dt AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               event_type AS g,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    complete AS (
+        SELECT d FROM dt GROUP BY d HAVING COUNT(*) = 5
+    ),
+    blocks AS (
+        SELECT dt.d, dt.g, dt.v FROM dt JOIN complete c ON dt.d = c.d
+    ),
+    r2 AS (
+        SELECT a.d, a.g,
+               CAST(2 * SUM(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+                    + SUM(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) + 1
+                    AS BIGINT) AS rr2
+        FROM blocks a JOIN blocks b ON a.d = b.d AND a.g <> b.g
+        GROUP BY a.d, a.g
+    ),
+    colsum AS (
+        SELECT g, CAST(SUM(rr2) AS BIGINT) AS r2sum FROM r2 GROUP BY g
+    ),
+    l AS (
+        SELECT CAST(SUM(CASE g WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                         WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+                         ELSE 5 END * r2sum) AS BIGINT) AS l2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM complete) AS b
+        FROM colsum
+    )
+    SELECT b AS n_blocks,
+           round(l2 / 2.0, 2) AS page_l,
+           round(b * 5 * 36 / 4.0, 2) AS expected_l,
+           round((l2 / 2.0 - b * 5 * 36 / 4.0)
+                 / sqrt(b * 25.0 * 36 * 4 / 144.0), 6) + 0.0
+               AS z_score
+    FROM l
+    """,
+)
+def page_trend_test(spark, sf_dir):
+    """Page's L test for an ORDERED alternative across the five event
+    types within day blocks: where `friedman_blocked_ranks` asks "do
+    the treatments differ at all?", Page's L asks "do they trend
+    MONOTONICALLY in the hypothesized order?" (here the fixed
+    alphabetical coding click < error < purchase < signup < view —
+    the test statistic is defined against a pre-registered order, and
+    the coding is the registry's canonical one). L = Σ j·R_j over the
+    per-type rank-column sums; z from μ = bk(k+1)²/4 and
+    σ² = bk²(k+1)²(k−1)/144.
+
+    Exactness: within-block mid-ranks are computed DOUBLED as the
+    integers 2·#less + #tied + 1 (the friedman device — no .5
+    rationals until the final display), from a 5x5 within-day
+    self-join (no window); complete blocks only; everything to the
+    z-numerator is integer. Plan: one (day, type) rollup, a bounded
+    per-day join, two folds.
+    """
+    e = t(spark, sf_dir, "events")
+    dt = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d"),
+        F.col("event_type").alias("g"),
+    ).agg(
+        (F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("v")
+    ).persist()
+    complete = dt.groupBy("d").agg(F.count(F.lit(1)).alias("k")).where(
+        F.col("k") == 5
+    ).select("d")
+    blocks = dt.join(complete, "d")
+    a, b_ = blocks.alias("a"), blocks.alias("b")
+    r2 = (
+        a.join(
+            b_,
+            (F.col("a.d") == F.col("b.d")) & (F.col("a.g") != F.col("b.g")),
+        )
+        .groupBy(F.col("a.d").alias("d"), F.col("a.g").alias("g"))
+        .agg(
+            (
+                2
+                * F.sum(
+                    F.when(F.col("b.v") < F.col("a.v"), 1).otherwise(0)
+                )
+                + F.sum(
+                    F.when(F.col("b.v") == F.col("a.v"), 1).otherwise(0)
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("rr2")
+        )
+    )
+    colsum = r2.groupBy("g").agg(F.sum("rr2").cast("bigint").alias("r2sum"))
+    j = (
+        F.when(F.col("g") == "click", 1)
+        .when(F.col("g") == "error", 2)
+        .when(F.col("g") == "purchase", 3)
+        .when(F.col("g") == "signup", 4)
+        .otherwise(5)
+    )
+    nb = complete.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    l = colsum.agg(F.sum(j * F.col("r2sum")).cast("bigint").alias("l2"))
+    return l.crossJoin(F.broadcast(nb)).select(
+        F.col("b").alias("n_blocks"),
+        F.round(F.col("l2") / 2.0, 2).alias("page_l"),
+        F.round(F.col("b") * 5 * 36 / 4.0, 2).alias("expected_l"),
+        (
+            F.round(
+                (F.col("l2") / 2.0 - F.col("b") * 5 * 36 / 4.0)
+                / F.sqrt(F.col("b") * 25.0 * 36 * 4 / 144.0),
+                6,
+            )
+            + 0.0
+        ).alias("z_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X285: weighted Cohen's kappa (value class vs event-type ordinal)
+# --------------------------------------------------------------------------
+@register(
+    "weighted_kappa_agreement",
+    oracle="""
+    WITH pts AS (
+        SELECT CASE WHEN cents < 5000 THEN 0
+                    WHEN cents < 15000 THEN 1
+                    WHEN cents < 30000 THEN 2 ELSE 3 END AS i,
+               CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                    WHEN 'signup' THEN 2 ELSE 3 END AS j
+        FROM (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents, event_type
+              FROM events WHERE event_type <> 'error')
+    ),
+    o AS (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pts GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM o),
+    ri AS (SELECT i, CAST(SUM(c) AS BIGINT) AS r FROM o GROUP BY i),
+    cj AS (SELECT j, CAST(SUM(c) AS BIGINT) AS s FROM o GROUP BY j),
+    num AS (
+        SELECT CAST(SUM((i - j) * (i - j) * c) AS BIGINT) AS oq,
+               CAST(SUM(abs(i - j) * c) AS BIGINT) AS ol,
+               CAST(SUM(CASE WHEN i = j THEN c ELSE 0 END) AS BIGINT)
+                   AS diag
+        FROM o
+    ),
+    den AS (
+        SELECT SUM(CAST(ri.r AS DECIMAL(38,0)) * cj.s
+                   * (ri.i - cj.j) * (ri.i - cj.j)) AS eq,
+               SUM(CAST(ri.r AS DECIMAL(38,0)) * cj.s
+                   * abs(ri.i - cj.j)) AS el
+        FROM ri, cj
+    )
+    SELECT n.n AS n_events,
+           round(num.diag * 1.0 / n.n, 6) AS observed_agreement,
+           round(1.0 - CAST(num.ol AS DOUBLE) * n.n
+                       / CAST(den.el AS DOUBLE), 6) + 0.0
+               AS kappa_linear,
+           round(1.0 - CAST(num.oq AS DOUBLE) * n.n
+                       / CAST(den.eq AS DOUBLE), 6) + 0.0
+               AS kappa_quadratic
+    FROM n, num, den
+    """,
+)
+def weighted_kappa_agreement(spark, sf_dir):
+    """Weighted Cohen's kappa between two ordinal "raters" of the same
+    event: the value class (four fixed dollar bands) and the
+    engagement class (view < click < signup < purchase; errors
+    excluded). Linear and quadratic disagreement weights — quadratic
+    κ_w is equivalent to an ICC and punishes far-off-diagonal
+    disagreements the unweighted `cohens_kappa_agreement` treats the
+    same as near-misses. The ordinal-label QA statistic an annotation
+    pipeline reports when classes are graded, not nominal.
+
+    Exactness: κ_w = 1 − N·Σw_ij·O_ij / Σw_ij·R_i·S_j needs only
+    integer cell counts, integer weights (i−j)², and margin products
+    through DECIMAL(38,0) — no float until the final ratio. Plan: one
+    fold to the 16-cell table, margin rollups, one 16-cell cross of
+    the margins; no window, no event-grain join.
+    """
+    e = t(spark, sf_dir, "events")
+    cents = (dec("value", 18, 2) * 100).cast("bigint")
+    pts = e.where(F.col("event_type") != "error").select(
+        F.when(cents < 5000, 0)
+        .when(cents < 15000, 1)
+        .when(cents < 30000, 2)
+        .otherwise(3)
+        .alias("i"),
+        F.when(F.col("event_type") == "view", 0)
+        .when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "signup", 2)
+        .otherwise(3)
+        .alias("j"),
+    )
+    o = pts.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    n = o.agg(F.sum("c").cast("bigint").alias("n"))
+    ri = o.groupBy("i").agg(F.sum("c").cast("bigint").alias("r"))
+    cj = o.groupBy("j").agg(F.sum("c").cast("bigint").alias("s"))
+    num = o.agg(
+        F.sum((F.col("i") - F.col("j")) * (F.col("i") - F.col("j")) * F.col("c"))
+        .cast("bigint")
+        .alias("oq"),
+        F.sum(F.abs(F.col("i") - F.col("j")) * F.col("c"))
+        .cast("bigint")
+        .alias("ol"),
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("diag"),
+    )
+    den = ri.crossJoin(cj).agg(
+        F.sum(
+            F.col("r").cast("decimal(38,0)")
+            * F.col("s")
+            * (F.col("i") - F.col("j"))
+            * (F.col("i") - F.col("j"))
+        ).alias("eq"),
+        F.sum(
+            F.col("r").cast("decimal(38,0)")
+            * F.col("s")
+            * F.abs(F.col("i") - F.col("j"))
+        ).alias("el"),
+    )
+    return (
+        n.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("n").alias("n_events"),
+            F.round(F.col("diag") * 1.0 / F.col("n"), 6).alias(
+                "observed_agreement"
+            ),
+            (
+                F.round(
+                    1.0
+                    - F.col("ol").cast("double")
+                    * F.col("n")
+                    / F.col("el").cast("double"),
+                    6,
+                )
+                + 0.0
+            ).alias("kappa_linear"),
+            (
+                F.round(
+                    1.0
+                    - F.col("oq").cast("double")
+                    * F.col("n")
+                    / F.col("eq").cast("double"),
+                    6,
+                )
+                + 0.0
+            ).alias("kappa_quadratic"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X286: Goodman-Kruskal gamma and Somers' D panel
+# --------------------------------------------------------------------------
+@register(
+    "somers_d_gamma_panel",
+    oracle="""
+    WITH per_user AS (
+        SELECT LEAST(CAST(COUNT(*) AS BIGINT) // 8, 12) AS i,
+               LEAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                   AS BIGINT)) AS BIGINT) // 50000, 12)
+                   AS j
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS c
+        FROM per_user GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN b.i > a.i AND b.j > a.j
+                        THEN CAST(a.c AS DECIMAL(38,0)) * b.c
+                        ELSE 0 END) AS DECIMAL(38,0)) AS conc,
+               CAST(SUM(CASE WHEN b.i > a.i AND b.j < a.j
+                        THEN CAST(a.c AS DECIMAL(38,0)) * b.c
+                        ELSE 0 END) AS DECIMAL(38,0)) AS disc,
+               CAST(SUM(CASE WHEN b.i = a.i AND b.j > a.j
+                        THEN CAST(a.c AS DECIMAL(38,0)) * b.c
+                        ELSE 0 END) AS DECIMAL(38,0)) AS tx,
+               CAST(SUM(CASE WHEN b.j = a.j AND b.i > a.i
+                        THEN CAST(a.c AS DECIMAL(38,0)) * b.c
+                        ELSE 0 END) AS DECIMAL(38,0)) AS ty
+        FROM cells a, cells b
+    )
+    SELECT CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           CAST(tx AS BIGINT) AS ties_x_only,
+           CAST(ty AS BIGINT) AS ties_y_only,
+           round((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+                 / nullif(CAST(conc AS DOUBLE) + CAST(disc AS DOUBLE),
+                          0.0), 6)
+               + 0.0 AS gamma,
+           round((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+                 / (CAST(conc AS DOUBLE) + CAST(disc AS DOUBLE)
+                    + CAST(ty AS DOUBLE)), 6) + 0.0 AS somers_d_yx,
+           round((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+                 / (CAST(conc AS DOUBLE) + CAST(disc AS DOUBLE)
+                    + CAST(tx AS DOUBLE)), 6) + 0.0 AS somers_d_xy
+    FROM pairs
+    """,
+)
+def somers_d_gamma_panel(spark, sf_dir):
+    """Goodman-Kruskal gamma and both Somers' D asymmetries between
+    per-user activity (events//5, capped ordinal) and spend
+    ($100-bucket, capped ordinal): gamma ignores all ties (the
+    optimist), D_yx charges ties on the RESPONSE against the
+    association (the regression-flavored measure — what an ordinal
+    churn model's ranking power actually is). Together with
+    `kendall_tau_b_bucketed` (which charges both tie kinds) the three
+    tie treatments bracket the ordinal association; the spread
+    BETWEEN them says how much of the signal lives in ties.
+
+    Exactness: concordant/discordant/tied pair masses are exact
+    integer products over the <=100-cell contingency cross
+    (DECIMAL(38,0) — user-pair counts are the sf0.1 overflow class);
+    the three ratios are IEEE expressions. Plan: one user rollup, one
+    10x10 cell fold, one bounded cell cross; no window.
+    """
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.least(F.expr("CAST(COUNT(*) AS BIGINT) div 8"), F.lit(12)).alias(
+            "i"
+        ),
+        F.least(
+            F.expr(
+                "CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)) AS BIGINT) div 50000"
+            ),
+            F.lit(12),
+        ).alias("j"),
+    )
+    cells = per_user.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a, b_ = cells.alias("a"), cells.alias("b")
+    prod = F.col("a.c").cast("decimal(38,0)") * F.col("b.c")
+    zero = F.lit(0).cast("decimal(38,0)")
+    pairs = a.crossJoin(F.broadcast(b_)).agg(
+        F.sum(
+            F.when(
+                (F.col("b.i") > F.col("a.i"))
+                & (F.col("b.j") > F.col("a.j")),
+                prod,
+            ).otherwise(zero)
+        ).alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("b.i") > F.col("a.i"))
+                & (F.col("b.j") < F.col("a.j")),
+                prod,
+            ).otherwise(zero)
+        ).alias("disc"),
+        F.sum(
+            F.when(
+                (F.col("b.i") == F.col("a.i"))
+                & (F.col("b.j") > F.col("a.j")),
+                prod,
+            ).otherwise(zero)
+        ).alias("tx"),
+        F.sum(
+            F.when(
+                (F.col("b.j") == F.col("a.j"))
+                & (F.col("b.i") > F.col("a.i")),
+                prod,
+            ).otherwise(zero)
+        ).alias("ty"),
+    )
+    cd, dd = F.col("conc").cast("double"), F.col("disc").cast("double")
+    txd, tyd = F.col("tx").cast("double"), F.col("ty").cast("double")
+    return pairs.select(
+        F.col("conc").cast("bigint").alias("concordant"),
+        F.col("disc").cast("bigint").alias("discordant"),
+        F.col("tx").cast("bigint").alias("ties_x_only"),
+        F.col("ty").cast("bigint").alias("ties_y_only"),
+        (
+            F.round((cd - dd) / F.nullif(cd + dd, F.lit(0.0)), 6) + 0.0
+        ).alias("gamma"),
+        (F.round((cd - dd) / (cd + dd + tyd), 6) + 0.0).alias(
+            "somers_d_yx"
+        ),
+        (F.round((cd - dd) / (cd + dd + txd), 6) + 0.0).alias(
+            "somers_d_xy"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# X287: SPRT sequential purchase-rate monitor
+# --------------------------------------------------------------------------
+@register(
+    "sprt_purchase_rate_monitor",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END) AS BIGINT) AS k
+        FROM events GROUP BY 1
+    ),
+    llr AS (
+        SELECT d, n, k,
+               round(k * ln(0.22 / 0.18)
+                     + (n - k) * ln(0.78 / 0.82), 9) AS step
+        FROM daily
+    ),
+    cum AS (
+        SELECT a.d, a.n, a.k, a.step,
+               CAST(round(SUM(CAST(round(b.step, 9) AS DECIMAL(28,9))),
+                          9) AS DOUBLE) AS cum_llr
+        FROM llr a JOIN llr b ON b.d <= a.d
+        GROUP BY a.d, a.n, a.k, a.step
+    )
+    SELECT d AS day_number, n AS n_events, k AS n_purchases,
+           round(step, 6) + 0.0 AS daily_llr,
+           round(cum_llr, 6) + 0.0 AS cumulative_llr,
+           CASE WHEN cum_llr >= ln(19.0) THEN 'reject_h0'
+                WHEN cum_llr <= -ln(19.0) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum
+    """,
+)
+def sprt_purchase_rate_monitor(spark, sf_dir):
+    """Wald's sequential probability ratio test run day-by-day on the
+    purchase rate: H0 p = 0.18 vs H1 p = 0.22, α = β = 0.05 (Wald
+    bounds ±ln 19). Each day contributes k·ln(p1/p0) +
+    (n−k)·ln(q1/q0) to the cumulative log-likelihood ratio; the
+    decision column shows when the monitor would have STOPPED — the
+    always-valid sequential alternative to the fixed-horizon tests
+    (`power_analysis_mde` plans the fixed test; SPRT replaces it when
+    peeking daily is the operational reality).
+
+    Exactness: daily (n, k) are exact integers; each LLR step is one
+    IEEE expression rounded at 1e-9; the cumulative sum is a
+    TRIANGULAR join over the calendar-day frame (d' <= d) folding the
+    rounded decimals — window-free by construction (the
+    prefix_offsets discipline), bounded by the calendar domain.
+    Plan: one rollup, one bounded triangular join, one projection.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("k"),
+    )
+    llr = daily.select(
+        "d",
+        "n",
+        "k",
+        F.round(
+            F.col("k") * math.log(0.22 / 0.18)
+            + (F.col("n") - F.col("k")) * math.log(0.78 / 0.82),
+            9,
+        ).alias("step"),
+    ).persist()
+    a, b_ = llr.alias("a"), llr.alias("b")
+    cum = (
+        a.join(b_, F.col("b.d") <= F.col("a.d"))
+        .groupBy(
+            F.col("a.d").alias("d"),
+            F.col("a.n").alias("n"),
+            F.col("a.k").alias("k"),
+            F.col("a.step").alias("step"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("b.step"), 9).cast("decimal(28,9)")
+                ),
+                9,
+            )
+            .cast("double")
+            .alias("cum_llr")
+        )
+    )
+    bound = math.log(19.0)
+    return cum.select(
+        F.col("d").alias("day_number"),
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_purchases"),
+        (F.round(F.col("step"), 6) + 0.0).alias("daily_llr"),
+        (F.round(F.col("cum_llr"), 6) + 0.0).alias("cumulative_llr"),
+        F.when(F.col("cum_llr") >= bound, "reject_h0")
+        .when(F.col("cum_llr") <= -bound, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X288: variance-inflation-factor collinearity audit
+# --------------------------------------------------------------------------
+@register(
+    "vif_collinearity_audit",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    z AS (
+        SELECT CAST(c AS DOUBLE) AS x,
+               round(CAST(y AS DOUBLE) / c, 6) AS w,
+               CASE WHEN (d + 4) % 7 IN (0, 6) THEN 1.0 ELSE 0.0 END
+                   AS k
+        FROM daily
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(round(SUM(CAST(round(x, 4) AS DECIMAL(28,4))), 4)
+                    AS DOUBLE) AS sx,
+               CAST(round(SUM(CAST(round(w, 4) AS DECIMAL(28,4))), 4)
+                    AS DOUBLE) AS sw,
+               CAST(round(SUM(CAST(round(k, 4) AS DECIMAL(28,4))), 4)
+                    AS DOUBLE) AS sk,
+               CAST(round(SUM(CAST(round(x * x, 4) AS DECIMAL(38,4))),
+                          4) AS DOUBLE) AS sxx,
+               CAST(round(SUM(CAST(round(w * w, 4) AS DECIMAL(38,4))),
+                          4) AS DOUBLE) AS sww,
+               CAST(round(SUM(CAST(round(k * k, 4) AS DECIMAL(28,4))),
+                          4) AS DOUBLE) AS skk,
+               CAST(round(SUM(CAST(round(x * w, 4) AS DECIMAL(38,4))),
+                          4) AS DOUBLE) AS sxw,
+               CAST(round(SUM(CAST(round(x * k, 4) AS DECIMAL(38,4))),
+                          4) AS DOUBLE) AS sxk,
+               CAST(round(SUM(CAST(round(w * k, 4) AS DECIMAL(38,4))),
+                          4) AS DOUBLE) AS swk
+        FROM z
+    ),
+    r AS (
+        SELECT (n * sxw - sx * sw)
+                 / sqrt((n * sxx - sx * sx) * (n * sww - sw * sw))
+                   AS rxw,
+               (n * sxk - sx * sk)
+                 / sqrt((n * sxx - sx * sx) * (n * skk - sk * sk))
+                   AS rxk,
+               (n * swk - sw * sk)
+                 / sqrt((n * sww - sw * sw) * (n * skk - sk * sk))
+                   AS rwk
+        FROM m
+    ),
+    r2 AS (
+        SELECT 'order_count' AS regressor,
+               (rxw * rxw + rxk * rxk - 2 * rxw * rxk * rwk)
+                 / (1 - rwk * rwk) AS r2_others FROM r
+        UNION ALL
+        SELECT 'mean_order_cents',
+               (rxw * rxw + rwk * rwk - 2 * rxw * rwk * rxk)
+                 / (1 - rxk * rxk) FROM r
+        UNION ALL
+        SELECT 'weekend_flag',
+               (rxk * rxk + rwk * rwk - 2 * rxk * rwk * rxw)
+                 / (1 - rxw * rxw) FROM r
+    )
+    SELECT regressor,
+           round(r2_others, 6) + 0.0 AS r2_on_others,
+           round(1.0 / (1.0 - r2_others), 6) AS vif
+    FROM r2
+    """,
+)
+def vif_collinearity_audit(spark, sf_dir):
+    """Variance-inflation factors for the three natural daily-revenue
+    regressors — order count, mean order value, weekend flag — each
+    regressed (in closed form via the 3x3 correlation matrix) on the
+    other two: VIF_j = 1/(1−R²_j). The pre-flight check BEFORE
+    trusting any multiple regression's coefficient table
+    (`ols_normal_equations`, `granger_causality_lag1`): VIF > 5-10
+    means the design matrix is too collinear for the coefficients to
+    mean anything individually.
+
+    Exactness: all nine moments fold 1e-4-rounded per-day terms in
+    fixed-scale DECIMAL (the day frame is calendar-bounded, so these
+    magnitudes never grow with data volume); pairwise correlations
+    and the closed-form R² are IEEE expressions. Plan: one rollup,
+    one fold, a 3-row projection union; no window.
+    """
+    daily = _daily_orders(spark, sf_dir)
+    z = daily.select(
+        F.col("c").cast("double").alias("x"),
+        F.round(F.col("y").cast("double") / F.col("c"), 6).alias("w"),
+        F.when(((F.col("d") + 4) % 7).isin(0, 6), 1.0)
+        .otherwise(0.0)
+        .alias("k"),
+    )
+
+    def fold(expr, name, scale="decimal(38,4)"):
+        return (
+            F.round(F.sum(F.round(expr, 4).cast(scale)), 4)
+            .cast("double")
+            .alias(name)
+        )
+
+    m = z.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fold(F.col("x"), "sx", "decimal(28,4)"),
+        fold(F.col("w"), "sw", "decimal(28,4)"),
+        fold(F.col("k"), "sk", "decimal(28,4)"),
+        fold(F.col("x") * F.col("x"), "sxx"),
+        fold(F.col("w") * F.col("w"), "sww"),
+        fold(F.col("k") * F.col("k"), "skk", "decimal(28,4)"),
+        fold(F.col("x") * F.col("w"), "sxw"),
+        fold(F.col("x") * F.col("k"), "sxk"),
+        fold(F.col("w") * F.col("k"), "swk"),
+    )
+    n = F.col("n").cast("double")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (n * F.col(sab) - F.col(sa) * F.col(sb)) / F.sqrt(
+            (n * F.col(saa) - F.col(sa) * F.col(sa))
+            * (n * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+
+    r = m.select(
+        corr("sxw", "sx", "sw", "sxx", "sww").alias("rxw"),
+        corr("sxk", "sx", "sk", "sxx", "skk").alias("rxk"),
+        corr("swk", "sw", "sk", "sww", "skk").alias("rwk"),
+    ).persist()
+
+    def row(name, ra, rb, rc):
+        # R^2 of the regressor whose correlations with the other two
+        # are ra, rb, and rc is the correlation BETWEEN the other two.
+        r2 = (
+            F.col(ra) * F.col(ra)
+            + F.col(rb) * F.col(rb)
+            - 2 * F.col(ra) * F.col(rb) * F.col(rc)
+        ) / (1 - F.col(rc) * F.col(rc))
+        return r.select(
+            F.lit(name).alias("regressor"),
+            (F.round(r2, 6) + 0.0).alias("r2_on_others"),
+            F.round(1.0 / (1.0 - r2), 6).alias("vif"),
+        )
+
+    return (
+        row("order_count", "rxw", "rxk", "rwk")
+        .unionAll(row("mean_order_cents", "rxw", "rwk", "rxk"))
+        .unionAll(row("weekend_flag", "rxk", "rwk", "rxw"))
+    )
+
+
+# --------------------------------------------------------------------------
+# X289: cohort retention curve with power-law fit
+# --------------------------------------------------------------------------
+@register(
+    "retention_powerlaw_fit",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               (CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                - (SELECT CAST(MIN(epoch_us(ts) // 86400000000)
+                        AS BIGINT) FROM events)) // 7 AS w
+        FROM events
+    ),
+    u0 AS (
+        SELECT user_id, CAST(MIN(w) AS BIGINT) AS w0 FROM ud
+        GROUP BY user_id
+    ),
+    wmax AS (SELECT CAST(MAX(w) AS BIGINT) AS wm FROM ud),
+    offs AS (
+        SELECT ud.user_id, ud.w - u0.w0 AS k
+        FROM ud JOIN u0 ON ud.user_id = u0.user_id
+        WHERE ud.w > u0.w0
+    ),
+    act AS (
+        SELECT k, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active
+        FROM offs GROUP BY k
+    ),
+    elig AS (
+        SELECT g.k,
+               CAST(COUNT(*) AS BIGINT) AS eligible
+        FROM u0, wmax, LATERAL (SELECT UNNEST(range(1, wm + 1)) AS k) g
+        WHERE u0.w0 + g.k <= wm
+        GROUP BY g.k
+    ),
+    curve AS (
+        SELECT e.k, e.eligible, COALESCE(a.active, 0) AS active,
+               round(COALESCE(a.active, 0) * 1.0 / e.eligible, 9) AS r
+        FROM elig e LEFT JOIN act a ON e.k = a.k
+    ),
+    fitpts AS (
+        SELECT ln(CAST(k AS DOUBLE)) AS lx, ln(r) AS ly
+        FROM curve WHERE r > 0
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(round(SUM(CAST(round(lx, 9) AS DECIMAL(20,9))), 9)
+                    AS DOUBLE) AS sx,
+               CAST(round(SUM(CAST(round(ly, 9) AS DECIMAL(20,9))), 9)
+                    AS DOUBLE) AS sy,
+               CAST(round(SUM(CAST(round(lx * ly, 9)
+                    AS DECIMAL(20,9))), 9) AS DOUBLE) AS sxy,
+               CAST(round(SUM(CAST(round(lx * lx, 9)
+                    AS DECIMAL(20,9))), 9) AS DOUBLE) AS sxx
+        FROM fitpts
+    )
+    SELECT c.k AS week_offset, c.eligible, c.active,
+           round(c.r, 6) AS retention_rate,
+           round((f.n * f.sxy - f.sx * f.sy)
+                 / (f.n * f.sxx - f.sx * f.sx), 6) + 0.0
+               AS power_beta,
+           round(exp((f.sy - (f.n * f.sxy - f.sx * f.sy)
+                             / (f.n * f.sxx - f.sx * f.sx) * f.sx)
+                     / f.n), 6) AS power_alpha
+    FROM curve c, fit f
+    """,
+)
+def retention_powerlaw_fit(spark, sf_dir):
+    """Pooled weekly retention curve with a power-law fit: r_k = share
+    of eligible users active exactly k weeks after their first week,
+    and the log-log OLS r_k ≈ α·k^β. Retention curves empirically
+    follow power laws (the "shifted-Beta-geometric lite" of growth
+    analytics); β is THE one-number health metric — shallower than
+    −1 means a sticky product — and extrapolating the fitted curve is
+    how LTV models project beyond observed history
+    (`cohort_retention` reports the observed triangle; this fits and
+    names its law).
+
+    Exactness: active/eligible are exact integer counts (eligibility
+    = cohort observable at offset k, the right-censoring rule);
+    retention ratios round at 1e-9; the tiny log-log fit folds
+    rounded terms over the bounded week-offset frame. Plan: two
+    user-grain rollups, a bounded offset grid, one fold; no window.
+    """
+    e = t(spark, sf_dir, "events")
+    dmin = e.agg(
+        F.min(F.floor(F.unix_micros("ts") / 86_400_000_000))
+        .cast("bigint")
+        .alias("dmin")
+    )
+    ud = (
+        e.crossJoin(F.broadcast(dmin))
+        .select(
+            "user_id",
+            F.expr(
+                "(CAST(floor(unix_micros(ts) / 86400000000) AS BIGINT)"
+                " - dmin) div 7"
+            ).alias("w"),
+        )
+        .distinct()
+        .persist()
+    )
+    u0 = ud.groupBy("user_id").agg(F.min("w").cast("bigint").alias("w0"))
+    wmax = ud.agg(F.max("w").cast("bigint").alias("wm"))
+    offs = (
+        ud.join(u0, "user_id")
+        .where(F.col("w") > F.col("w0"))
+        .select("user_id", (F.col("w") - F.col("w0")).alias("k"))
+    )
+    act = offs.groupBy("k").agg(
+        F.countDistinct("user_id").cast("bigint").alias("active")
+    )
+    ks = (
+        wmax.crossJoin(
+            spark.range(1, 100).select(F.col("id").alias("k"))
+        )
+        .where(F.col("k") <= F.col("wm"))
+        .select("k", "wm")
+    )
+    elig = (
+        u0.crossJoin(F.broadcast(ks))
+        .where(F.col("w0") + F.col("k") <= F.col("wm"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("eligible"))
+    )
+    curve = (
+        elig.join(act, "k", "left")
+        .select(
+            "k",
+            "eligible",
+            F.coalesce(F.col("active"), F.lit(0))
+            .cast("bigint")
+            .alias("active"),
+            F.round(
+                F.coalesce(F.col("active"), F.lit(0))
+                * 1.0
+                / F.col("eligible"),
+                9,
+            ).alias("r"),
+        )
+        .persist()
+    )
+    fitpts = curve.where(F.col("r") > 0).select(
+        F.log(F.col("k").cast("double")).alias("lx"),
+        F.log("r").alias("ly"),
+    )
+
+    def fold(expr, name):
+        return (
+            F.round(
+                F.sum(F.round(expr, 9).cast("decimal(20,9)")), 9
+            )
+            .cast("double")
+            .alias(name)
+        )
+
+    fit = fitpts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fold(F.col("lx"), "sx"),
+        fold(F.col("ly"), "sy"),
+        fold(F.col("lx") * F.col("ly"), "sxy"),
+        fold(F.col("lx") * F.col("lx"), "sxx"),
+    )
+    n = F.col("n").cast("double")
+    beta = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return curve.crossJoin(F.broadcast(fit)).select(
+        F.col("k").alias("week_offset"),
+        "eligible",
+        "active",
+        F.round(F.col("r"), 6).alias("retention_rate"),
+        (F.round(beta, 6) + 0.0).alias("power_beta"),
+        F.round(
+            F.exp((F.col("sy") - beta * F.col("sx")) / n), 6
+        ).alias("power_alpha"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X290: seasonal-ESD outlier scan (3 unrolled rounds)
+# --------------------------------------------------------------------------
+@register(
+    "seasonal_esd_outliers",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    dowm AS (
+        SELECT (d + 4) % 7 AS dow,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM daily GROUP BY 1
+    ),
+    r0 AS MATERIALIZED (
+        SELECT d, y - CAST(m.sy AS DOUBLE) / m.nd AS e
+        FROM daily, dowm m WHERE (daily.d + 4) % 7 = m.dow
+    ),
+    s1 AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(round(SUM(CAST(round(e, 4) AS DECIMAL(28,4))), 4)
+                    AS DOUBLE) AS se,
+               CAST(round(SUM(CAST(round(e * e, 4) AS DECIMAL(38,4))),
+                          4) AS DOUBLE) AS see
+        FROM r0
+    ),
+    f1 AS MATERIALIZED (
+        SELECT p.d, p.e,
+               abs(p.e - s.se / s.n)
+                 / sqrt((s.see - s.n * (s.se / s.n) * (s.se / s.n))
+                        / (s.n - 1)) AS stat
+        FROM r0 p, s1 s
+        ORDER BY round(abs(p.e - s.se / s.n)
+                 / sqrt((s.see - s.n * (s.se / s.n) * (s.se / s.n))
+                        / (s.n - 1)), 9) DESC, p.d ASC
+        LIMIT 1
+    ),
+    r1 AS MATERIALIZED (
+        SELECT p.d, p.e FROM r0 p
+        WHERE p.d NOT IN (SELECT d FROM f1)
+    ),
+    s2 AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(round(SUM(CAST(round(e, 4) AS DECIMAL(28,4))), 4)
+                    AS DOUBLE) AS se,
+               CAST(round(SUM(CAST(round(e * e, 4) AS DECIMAL(38,4))),
+                          4) AS DOUBLE) AS see
+        FROM r1
+    ),
+    f2 AS MATERIALIZED (
+        SELECT p.d, p.e,
+               abs(p.e - s.se / s.n)
+                 / sqrt((s.see - s.n * (s.se / s.n) * (s.se / s.n))
+                        / (s.n - 1)) AS stat
+        FROM r1 p, s2 s
+        ORDER BY round(abs(p.e - s.se / s.n)
+                 / sqrt((s.see - s.n * (s.se / s.n) * (s.se / s.n))
+                        / (s.n - 1)), 9) DESC, p.d ASC
+        LIMIT 1
+    ),
+    r2 AS MATERIALIZED (
+        SELECT p.d, p.e FROM r1 p
+        WHERE p.d NOT IN (SELECT d FROM f2)
+    ),
+    s3 AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(round(SUM(CAST(round(e, 4) AS DECIMAL(28,4))), 4)
+                    AS DOUBLE) AS se,
+               CAST(round(SUM(CAST(round(e * e, 4) AS DECIMAL(38,4))),
+                          4) AS DOUBLE) AS see
+        FROM r2
+    ),
+    f3 AS MATERIALIZED (
+        SELECT p.d, p.e,
+               abs(p.e - s.se / s.n)
+                 / sqrt((s.see - s.n * (s.se / s.n) * (s.se / s.n))
+                        / (s.n - 1)) AS stat
+        FROM r2 p, s3 s
+        ORDER BY round(abs(p.e - s.se / s.n)
+                 / sqrt((s.see - s.n * (s.se / s.n) * (s.se / s.n))
+                        / (s.n - 1)), 9) DESC, p.d ASC
+        LIMIT 1
+    ),
+    r3 AS MATERIALIZED (
+        SELECT p.d, p.e FROM r2 p
+        WHERE p.d NOT IN (SELECT d FROM f3)
+    ),
+    flagged AS (
+        SELECT 1 AS round_no, d, e, stat FROM f1
+        UNION ALL SELECT 2, d, e, stat FROM f2
+        UNION ALL SELECT 3, d, e, stat FROM f3
+    )
+    SELECT round_no, d AS day_number,
+           round(e / 100.0, 2) + 0.0 AS residual_dollars,
+           round(stat, 6) AS esd_stat,
+           CASE WHEN stat > 3.0 THEN 1 ELSE 0 END AS exceeds_z3
+    FROM flagged
+    """,
+)
+def seasonal_esd_outliers(spark, sf_dir):
+    """Seasonal-ESD outlier scan (the Twitter anomaly-detection
+    shape, Hochenbaum et al. 2017, bounded to 3 rounds): remove the
+    day-of-week mean, then iteratively flag the most extreme
+    studentized residual and RE-COMPUTE mean/sd without it — the
+    re-estimation is the point, since a single huge anomaly inflates
+    sd enough to mask the second and third (`grubbs_max_outlier`
+    finds one; ESD finds the masked ones). Flagged days with their
+    stats and a z > 3 exceedance verdict.
+
+    Exactness: DOW means come from exact integer sums; residuals are
+    per-day IEEE expressions; each round's mean/sd fold 1e-4-rounded
+    terms in DECIMAL over the calendar frame, and each argmax is a
+    1-row TakeOrdered on the total order (rounded stat desc, day
+    asc). Three rounds unroll into one DAG in both engines (the
+    kcore/BFS3 device; oracle CTEs are MATERIALIZED against DuckDB's
+    exponential CTE inlining). Plan: one rollup, per round one fold +
+    one 1-row argmax + one anti-join on the bounded day frame.
+    """
+    daily = _daily_orders(spark, sf_dir)
+    dowm = daily.groupBy(((F.col("d") + 4) % 7).alias("dow")).agg(
+        F.sum("y").cast("bigint").alias("sy"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    r = (
+        daily.join(
+            F.broadcast(dowm), ((F.col("d") + 4) % 7) == F.col("dow")
+        )
+        .select(
+            "d",
+            (
+                F.col("y")
+                - F.col("sy").cast("double") / F.col("nd")
+            ).alias("e"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    flagged = []
+    for i in range(1, 4):
+        s = r.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.round(F.col("e"), 4).cast("decimal(28,4)")), 4
+            )
+            .cast("double")
+            .alias("se"),
+            F.round(
+                F.sum(
+                    F.round(F.col("e") * F.col("e"), 4).cast(
+                        "decimal(38,4)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("see"),
+        )
+        mu = F.col("se") / F.col("n")
+        sd = F.sqrt(
+            (F.col("see") - F.col("n") * mu * mu) / (F.col("n") - 1)
+        )
+        stat = F.abs(F.col("e") - mu) / sd
+        f = (
+            r.crossJoin(F.broadcast(s))
+            .select("d", "e", stat.alias("stat"))
+            .orderBy(F.round(F.col("stat"), 9).desc(), F.col("d").asc())
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        flagged.append(
+            f.select(
+                F.lit(i).alias("round_no"), "d", "e", "stat"
+            )
+        )
+        r = r.join(
+            f.select("d"), "d", "left_anti"
+        ).localCheckpoint(eager=False)
+    out = flagged[0].unionAll(flagged[1]).unionAll(flagged[2])
+    return out.select(
+        "round_no",
+        F.col("d").alias("day_number"),
+        (F.round(F.col("e") / 100.0, 2) + 0.0).alias(
+            "residual_dollars"
+        ),
+        F.round(F.col("stat"), 6).alias("esd_stat"),
+        F.when(F.col("stat") > 3.0, 1).otherwise(0).alias("exceeds_z3"),
+    )
+
+
 R10_QUERIES = (
     "dickey_fuller_unit_root",
     "kpss_level_stationarity",
@@ -3713,4 +5176,15 @@ R10_QUERIES = (
     "pmi_collocations_topk",
     "lsh_band_tuning_curve",
     "jl_projection_distortion",
+    "copurchase_degree_assortativity",
+    "copurchase_linkpred_scores",
+    "lin_ccc_naive_forecast",
+    "mantel_haenszel_weekday_strata",
+    "page_trend_test",
+    "weighted_kappa_agreement",
+    "somers_d_gamma_panel",
+    "sprt_purchase_rate_monitor",
+    "vif_collinearity_audit",
+    "retention_powerlaw_fit",
+    "seasonal_esd_outliers",
 )
