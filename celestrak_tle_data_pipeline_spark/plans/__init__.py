@@ -124,6 +124,11 @@ _PRIORITY = (
     "vif_collinearity_audit",
     "retention_powerlaw_fit",
     "seasonal_esd_outliers",
+    "naive_forecast_coverage_backtest",
+    "component_overmerge_audit",
+    "weekend_effect_ols",
+    "hodges_lehmann_shift",
+    "theil_u2_forecast_skill",
 )
 
 

@@ -3685,6 +3685,7 @@ def jl_projection_distortion(spark, sf_dir):
 
 # Graph helpers shared with plans/graph_ops.py (same edge definitions).
 from .graph_ops import _HALF_W2 as _HALF_W2_R10
+from .graph_ops import _HALF_W3 as _HALF_W3_R10
 from .graph_ops import _half_edges as _half_edges_r10
 from .graph_ops import _sym as _sym_r10
 
@@ -5146,6 +5147,569 @@ def seasonal_esd_outliers(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# X291: naive-forecast interval coverage backtest
+# --------------------------------------------------------------------------
+@register(
+    "naive_forecast_coverage_backtest",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    pairs AS (
+        SELECT b.y - a.y AS z
+        FROM daily a JOIN daily b ON b.d = a.d + 1
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(z) AS BIGINT) AS sz,
+               SUM(CAST(z AS DECIMAL(38,0)) * z) AS szz
+        FROM pairs
+    ),
+    sd AS (
+        SELECT n,
+               sqrt((n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz)
+                    / (CAST(n AS DOUBLE) * (n - 1))) AS s
+        FROM m
+    ),
+    grid AS (
+        SELECT CAST(UNNEST([1.0, 1.96, 2.58]) AS DOUBLE) AS zm,
+               CAST(UNNEST([0.682689, 0.95, 0.99]) AS DOUBLE)
+                   AS nominal
+    )
+    SELECT g.zm AS z_multiplier,
+           g.nominal AS nominal_coverage,
+           round(SUM(CASE WHEN abs(p.z) <= g.zm * d.s THEN 1
+                          ELSE 0 END) * 1.0 / d.n, 6)
+               AS empirical_coverage,
+           d.n AS n_pairs
+    FROM pairs p, sd d, grid g
+    GROUP BY g.zm, g.nominal, d.n
+    """,
+)
+def naive_forecast_coverage_backtest(spark, sf_dir):
+    """Interval-coverage backtest of the naive daily forecast
+    (predict today = yesterday, error bars ± z·sd(Δy)): at each
+    standard z the EMPIRICAL share of days landing inside the
+    interval vs the Gaussian nominal. Under-coverage at 1.96
+    (empirical ≪ 0.95) means fat-tailed day-over-day changes — every
+    normal-theory prediction interval downstream (`holt_linear_
+    forecast`, the EWMA limits) is then too narrow by a measurable
+    factor. The calibration half of forecast eval; `seasonal_naive_
+    mase` is the accuracy half.
+
+    Exactness: day deltas are exact integer cents; the sd comes from
+    DECIMAL(38,0) moments; the coverage comparison |Δ| <= z·sd is the
+    identical IEEE predicate in both engines; counts are integers.
+    Plan: one rollup, one bounded self-join, a 3-row grid fold.
+    """
+    daily = _daily_orders(spark, sf_dir)
+    a, b_ = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b_, F.col("b.d") == F.col("a.d") + 1).select(
+        (F.col("b.y") - F.col("a.y")).alias("z")
+    ).persist()
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("szz"),
+    )
+    n = F.col("n").cast("double")
+    sd = m.select(
+        "n",
+        F.sqrt(
+            (
+                n * F.col("szz").cast("double")
+                - F.col("sz").cast("double") * F.col("sz")
+            )
+            / (n * (F.col("n") - 1))
+        ).alias("s"),
+    )
+    grid = spark.createDataFrame(
+        [(1.0, 0.682689), (1.96, 0.95), (2.58, 0.99)],
+        ["zm", "nominal"],
+    )
+    return (
+        pairs.crossJoin(F.broadcast(sd))
+        .crossJoin(F.broadcast(grid))
+        .groupBy("zm", "nominal", "n")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("z")) <= F.col("zm") * F.col("s"), 1
+                    ).otherwise(0)
+                )
+                * 1.0
+                / F.col("n"),
+                6,
+            ).alias("empirical_coverage")
+        )
+        .select(
+            F.col("zm").alias("z_multiplier"),
+            F.col("nominal").alias("nominal_coverage"),
+            "empirical_coverage",
+            F.col("n").alias("n_pairs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X292: dup-component over-merge audit (density per component)
+# --------------------------------------------------------------------------
+@register(
+    "component_overmerge_audit",
+    oracle=f"""
+    WITH RECURSIVE half AS ({_HALF_W3_R10}
+    ), edges AS (
+        SELECT p1 AS u, p2 AS v FROM half
+        UNION ALL
+        SELECT p2 AS u, p1 AS v FROM half
+    ), reach(node, lbl) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+    ), comp AS (
+        SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    ), csize AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM comp GROUP BY component
+    ), cedges AS (
+        SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM half h JOIN comp c ON h.p1 = c.node
+        GROUP BY c.component
+    )
+    SELECT s.component, s.n_nodes, e.n_edges,
+           round(200.0 * e.n_edges
+                 / (CAST(s.n_nodes AS DOUBLE) * (s.n_nodes - 1)), 4)
+               AS density_pct,
+           CASE WHEN 2.0 * e.n_edges
+                     < 0.5 * CAST(s.n_nodes AS DOUBLE) * (s.n_nodes - 1)
+                THEN 1 ELSE 0 END AS overmerge_flag
+    FROM csize s JOIN cedges e ON s.component = e.component
+    WHERE s.n_nodes >= 3
+    """,
+)
+def component_overmerge_audit(spark, sf_dir):
+    """Over-merge audit of the gated co-purchase components
+    (X248): per component of size >= 3, the edge count and pairwise
+    density 2E/(n(n−1)), flagging sparse components (< 50% dense).
+    Transitivity is EARNED edge by edge in a dup/affinity cluster —
+    a big, sparse component is the chain-of-borderline-links failure
+    mode where connected-components glues together things no single
+    edge supports (the `dup_graph_triangles` warning, made
+    per-cluster and actionable: flagged clusters need a stricter
+    within-cluster re-verify before a dedup keep/drop decision).
+
+    Exactness: node and edge counts are exact integers (each
+    half-edge lies entirely inside one component by construction, so
+    a single p1-keyed join assigns it); density is one IEEE ratio.
+    The component labels reuse operators/components.py; the oracle
+    re-derives them independently via the recursive closure. Plan:
+    the X248 propagation + two keyed rollups and one join.
+    """
+    from ..operators.components import connected_components
+
+    half = _half_edges_r10(spark, sf_dir, 3).persist()
+    comp = connected_components(half, a="p1", b="p2")
+    csize = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    cedges = (
+        half.join(
+            comp.select(F.col("node").alias("p1"), "component"), "p1"
+        )
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+    nn = F.col("n_nodes").cast("double")
+    return (
+        csize.join(cedges, "component")
+        .where(F.col("n_nodes") >= 3)
+        .select(
+            "component",
+            "n_nodes",
+            "n_edges",
+            F.round(
+                200.0 * F.col("n_edges") / (nn * (F.col("n_nodes") - 1)),
+                4,
+            ).alias("density_pct"),
+            F.when(
+                2.0 * F.col("n_edges")
+                < 0.5 * nn * (F.col("n_nodes") - 1),
+                1,
+            )
+            .otherwise(0)
+            .alias("overmerge_flag"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X293: weekend-effect dummy regression with trend control
+# --------------------------------------------------------------------------
+@register(
+    "weekend_effect_ols",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    z AS (
+        SELECT d - (SELECT MIN(d) FROM daily) AS x1,
+               CASE WHEN (d + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS x2,
+               y
+        FROM daily
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1,
+               CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x1 AS DECIMAL(38,0)) * x1) AS s11,
+               SUM(CAST(x1 AS DECIMAL(38,0)) * x2) AS s12,
+               SUM(CAST(x2 AS DECIMAL(38,0)) * x2) AS s22,
+               SUM(CAST(x1 AS DECIMAL(38,0)) * y) AS s1y,
+               SUM(CAST(x2 AS DECIMAL(38,0)) * y) AS s2y,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        FROM z
+    ),
+    c AS (
+        SELECT n,
+               n * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 AS c11,
+               n * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 AS c12,
+               n * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 AS c22,
+               n * CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy AS c1y,
+               n * CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy AS c2y,
+               n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy AS cyy
+        FROM m
+    ),
+    fit AS (
+        SELECT n,
+               (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b,
+               (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS w,
+               (cyy - ((c22 * c1y - c12 * c2y) * c1y
+                       + (c11 * c2y - c12 * c1y) * c2y)
+                      / (c11 * c22 - c12 * c12)) / n AS rss,
+               cyy, c11, c22, c12
+        FROM c
+    )
+    SELECT n AS n_days,
+           round(b, 9) + 0.0 AS trend_slope_cents,
+           round(w / 100.0, 4) + 0.0 AS weekend_lift_dollars,
+           round(w / sqrt(rss / (n - 3) * c11 * n
+                          / (c11 * c22 - c12 * c12)), 6) + 0.0
+               AS weekend_t_stat,
+           round(1.0 - rss / (cyy / n), 6) AS r_squared
+    FROM fit
+    """,
+)
+def weekend_effect_ols(spark, sf_dir):
+    """Weekend effect on daily revenue, estimated the RIGHT way — a
+    dummy-variable regression y = a + b·t + c·weekend that CONTROLS
+    for the long-run trend (the naive weekend-vs-weekday mean gap
+    conflates the effect with drift whenever weekends are unevenly
+    distributed across a trending span). Reports the adjusted lift in
+    dollars, its t-statistic from the closed-form 2-regressor
+    covariance, and R². The intervention-analysis primitive: swap the
+    dummy for any calendar event and this is an event study.
+
+    Exactness: the ten power sums are exact integers through
+    DECIMAL(38,0); coefficients, RSS, Var(ĉ) = s²·c11·n/det, and the
+    t-ratio are IEEE expressions from the n-scaled centered moments
+    (the granger_causality_lag1 algebra with a dummy regressor).
+    Plan: one rollup, a broadcast min-day scalar, one fold.
+    """
+    daily = _daily_orders(spark, sf_dir)
+    dmin = daily.agg(F.min("d").cast("bigint").alias("dmin"))
+    z = daily.crossJoin(F.broadcast(dmin)).select(
+        (F.col("d") - F.col("dmin")).alias("x1"),
+        F.when(((F.col("d") + 4) % 7).isin(0, 6), 1)
+        .otherwise(0)
+        .alias("x2"),
+        "y",
+    )
+    x1d = F.col("x1").cast("decimal(38,0)")
+    x2d = F.col("x2").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    m = z.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(x1d * F.col("x1")).alias("s11"),
+        F.sum(x1d * F.col("x2")).alias("s12"),
+        F.sum(x2d * F.col("x2")).alias("s22"),
+        F.sum(x1d * F.col("y")).alias("s1y"),
+        F.sum(x2d * F.col("y")).alias("s2y"),
+        F.sum(yd * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+
+    def cc(sab, sa, sb):
+        return n * F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb)
+
+    c11, c12, c22 = cc("s11", "s1", "s1"), cc("s12", "s1", "s2"), cc(
+        "s22", "s2", "s2"
+    )
+    c1y, c2y, cyy = cc("s1y", "s1", "sy"), cc("s2y", "s2", "sy"), cc(
+        "syy", "sy", "sy"
+    )
+    det = c11 * c22 - c12 * c12
+    b = (c22 * c1y - c12 * c2y) / det
+    w = (c11 * c2y - c12 * c1y) / det
+    rss = (cyy - (b * c1y + w * c2y)) / n
+    return m.select(
+        F.col("n").alias("n_days"),
+        (F.round(b, 9) + 0.0).alias("trend_slope_cents"),
+        (F.round(w / 100.0, 4) + 0.0).alias("weekend_lift_dollars"),
+        (
+            F.round(
+                w
+                / F.sqrt(rss / (n - 3) * c11 * n / det),
+                6,
+            )
+            + 0.0
+        ).alias("weekend_t_stat"),
+        F.round(1.0 - rss / (cyy / n), 6).alias("r_squared"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X294: Hodges-Lehmann shift estimate (bucketed)
+# --------------------------------------------------------------------------
+@register(
+    "hodges_lehmann_shift",
+    oracle="""
+    WITH pts AS (
+        SELECT CASE WHEN (CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                          + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 100 AS b
+        FROM events
+    ),
+    g1 AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM pts
+           WHERE g = 1 GROUP BY b),
+    g0 AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM pts
+           WHERE g = 0 GROUP BY b),
+    diffs AS (
+        SELECT a.b - z.b AS dd,
+               CAST(SUM(CAST(a.c AS DECIMAL(38,0)) * z.c)
+                    AS DECIMAL(38,0)) AS w
+        FROM g1 a, g0 z
+        GROUP BY a.b - z.b
+    ),
+    tot AS (SELECT CAST(SUM(w) AS DECIMAL(38,0)) AS n FROM diffs),
+    cum AS (
+        SELECT a.dd,
+               CAST(SUM(b.w) AS DECIMAL(38,0)) AS cw
+        FROM diffs a JOIN diffs b ON b.dd <= a.dd
+        GROUP BY a.dd
+    ),
+    med AS (
+        SELECT CAST(MIN(dd) AS BIGINT) AS hl
+        FROM cum, tot WHERE 2 * cw >= n
+    ),
+    mean_ AS (
+        SELECT CAST(round(SUM(CAST(dd AS DECIMAL(38,0)) * w)
+                          / (SELECT n FROM tot), 6) AS DOUBLE) AS md
+        FROM diffs
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_pairs,
+           m.hl AS hl_shift_dollars,
+           round(e.md, 4) + 0.0 AS mean_diff_dollars
+    FROM tot t, med m, mean_ e
+    """,
+)
+def hodges_lehmann_shift(spark, sf_dir):
+    """Hodges-Lehmann shift between weekend and weekday event values
+    (whole-dollar buckets): the MEDIAN of all cross-group pairwise
+    differences — the robust "how much more do weekend events run?"
+    answer whose breakdown point a mean difference can't touch, and
+    the location estimate that inverts `mann_whitney_u_values` (the
+    test and this estimator are the same rank machinery; together
+    they give test + effect size in original units).
+
+    Exactness: the pair mass per integer difference is an exact
+    DECIMAL(38,0) product fold over the bucket-grid cross (the
+    cliffs_delta device — n1·n0 pairs counted, never materialized);
+    the weighted LOWER median resolves on a triangular join over the
+    bounded difference grid (<= 981 rows — window-free); the mean
+    difference is an exact scaled-decimal ratio. Plan: two grid
+    rollups, one grid cross, one triangular fold.
+    """
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        F.when(
+            (
+                (
+                    F.floor(F.unix_micros("ts") / 86_400_000_000).cast(
+                        "bigint"
+                    )
+                    + 4
+                )
+                % 7
+            ).isin(0, 6),
+            1,
+        )
+        .otherwise(0)
+        .alias("g"),
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"
+        ).alias("b"),
+    )
+    g1 = (
+        pts.where(F.col("g") == 1)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    g0 = (
+        pts.where(F.col("g") == 0)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a, z = g1.alias("ga"), g0.alias("gz")
+    diffs = (
+        a.crossJoin(F.broadcast(z))
+        .groupBy((F.col("ga.b") - F.col("gz.b")).alias("dd"))
+        .agg(
+            F.sum(
+                F.col("ga.c").cast("decimal(38,0)") * F.col("gz.c")
+            ).alias("w")
+        )
+        .persist()
+    )
+    tot = diffs.agg(F.sum("w").alias("n"))
+    d2 = diffs.select(F.col("dd").alias("dd2"), F.col("w").alias("w2"))
+    cum = (
+        diffs.join(F.broadcast(d2), F.col("dd2") <= F.col("dd"))
+        .groupBy("dd")
+        .agg(F.sum("w2").alias("cw"))
+    )
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(2 * F.col("cw") >= F.col("n"))
+        .agg(F.min("dd").cast("bigint").alias("hl"))
+    )
+    mean_ = diffs.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            F.sum(F.col("dd").cast("decimal(38,0)") * F.col("w"))
+            / F.max("n"),
+            6,
+        )
+        .cast("double")
+        .alias("md")
+    )
+    return (
+        tot.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mean_))
+        .select(
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.col("hl").alias("hl_shift_dollars"),
+            (F.round(F.col("md"), 4) + 0.0).alias("mean_diff_dollars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X295: Theil's U2 — seasonal model vs naive benchmark
+# --------------------------------------------------------------------------
+@register(
+    "theil_u2_forecast_skill",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    dowm AS (
+        SELECT (d + 4) % 7 AS dow,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM daily GROUP BY 1
+    ),
+    pairs AS (
+        SELECT b.y AS y, a.y AS yprev,
+               CAST(m.sy AS DOUBLE) / m.nd AS f
+        FROM daily a
+        JOIN daily b ON b.d = a.d + 1
+        JOIN dowm m ON (b.d + 4) % 7 = m.dow
+    ),
+    folds AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(round(SUM(CAST(round((f - y) * (f - y), 2)
+                    AS DECIMAL(38,2))), 2) AS DOUBLE) AS sse_model,
+               CAST(SUM(CAST(y - yprev AS DECIMAL(38,0))
+                        * (y - yprev)) AS DOUBLE) AS sse_naive
+        FROM pairs
+    )
+    SELECT n AS n_days,
+           round(sqrt(sse_model / sse_naive), 6) AS theil_u2,
+           round(sqrt(sse_model / n) / 100.0, 4) AS rmse_model_dollars,
+           round(sqrt(sse_naive / n) / 100.0, 4) AS rmse_naive_dollars
+    FROM folds
+    """,
+)
+def theil_u2_forecast_skill(spark, sf_dir):
+    """Theil's U2 forecast-skill ratio for the day-of-week seasonal
+    model against the no-change naive benchmark: U2 =
+    √(Σ(f−y)² / Σ(y_t−y_{t−1})²). U2 < 1 means the seasonal means
+    genuinely beat "predict yesterday" — the GO/NO-GO gate every
+    fancier model must pass before shipping (`seasonal_naive_mase`
+    benchmarks against seasonal-naive; U2 is the harder-nosed
+    benchmark against pure persistence, and the pair brackets the
+    model). RMSEs of both in dollars for the absolute read.
+
+    Exactness: the naive SSE is pure integer arithmetic through
+    DECIMAL(38,0); the model SSE folds 1e-2-rounded IEEE terms (the
+    DOW-mean forecast is a per-row double from exact integer sums)
+    in fixed-scale DECIMAL; the skill ratio is one expression. Plan:
+    one rollup, a 7-row broadcast, one bounded self-join, one fold.
+    """
+    daily = _daily_orders(spark, sf_dir)
+    dowm = daily.groupBy(((F.col("d") + 4) % 7).alias("dow")).agg(
+        F.sum("y").cast("bigint").alias("sy"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    a, b_ = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(b_, F.col("b.d") == F.col("a.d") + 1)
+        .join(
+            F.broadcast(dowm),
+            ((F.col("b.d") + 4) % 7) == F.col("dow"),
+        )
+        .select(
+            F.col("b.y").alias("y"),
+            F.col("a.y").alias("yprev"),
+            (F.col("sy").cast("double") / F.col("nd")).alias("f"),
+        )
+    )
+    folds = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("f") - F.col("y")) * (F.col("f") - F.col("y")),
+                    2,
+                ).cast("decimal(38,2)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("sse_model"),
+        F.sum(
+            (F.col("y") - F.col("yprev")).cast("decimal(38,0)")
+            * (F.col("y") - F.col("yprev"))
+        )
+        .cast("double")
+        .alias("sse_naive"),
+    )
+    return folds.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            F.sqrt(F.col("sse_model") / F.col("sse_naive")), 6
+        ).alias("theil_u2"),
+        F.round(
+            F.sqrt(F.col("sse_model") / F.col("n")) / 100.0, 4
+        ).alias("rmse_model_dollars"),
+        F.round(
+            F.sqrt(F.col("sse_naive") / F.col("n")) / 100.0, 4
+        ).alias("rmse_naive_dollars"),
+    )
+
+
 R10_QUERIES = (
     "dickey_fuller_unit_root",
     "kpss_level_stationarity",
@@ -5187,4 +5751,9 @@ R10_QUERIES = (
     "vif_collinearity_audit",
     "retention_powerlaw_fit",
     "seasonal_esd_outliers",
+    "naive_forecast_coverage_backtest",
+    "component_overmerge_audit",
+    "weekend_effect_ols",
+    "hodges_lehmann_shift",
+    "theil_u2_forecast_skill",
 )
