@@ -6,11 +6,14 @@ $SPARK_GRAFT_SF_DIR says (default sf0.1) — the round-8 lesson is that
 int64-overflow bugs in power sums only show up at sf0.1+, so bank
 queries get the sf0.1 sweep BEFORE they flip into the live registry.
 
-Usage: python tools/bank_check.py [name ...]     (default: all bank)
+Usage: python tools/bank_check.py [--module MOD] [name ...]
+(default module: bank_r11 — the currently-staged bank; pass
+``--module next_window`` to re-sweep the round-8 bank's dicts)
 """
 
 from __future__ import annotations
 
+import importlib
 import os
 import sys
 import time
@@ -26,11 +29,22 @@ def main(argv) -> int:
 
     from check import TABLES, canon
 
-    from celestrak_tle_data_pipeline_spark.plans import next_window
     from celestrak_tle_data_pipeline_spark.session import get_spark
 
+    mod_name = "bank_r11"
+    if argv and argv[0] == "--module":
+        mod_name = argv[1]
+        argv = argv[2:]
+    mod = importlib.import_module(
+        f"celestrak_tle_data_pipeline_spark.plans.{mod_name}"
+    )
+    queries = getattr(mod, "BANK_QUERIES", None)
+    oracles = getattr(mod, "BANK_ORACLES", None)
+    if queries is None:
+        queries, oracles = mod.NEXT_QUERIES, mod.NEXT_ORACLES
+
     spark = get_spark(app_name="bank_check")
-    names = argv or sorted(next_window.NEXT_QUERIES)
+    names = argv or sorted(queries)
 
     con = duckdb.connect()
     for tname in TABLES:
@@ -45,10 +59,10 @@ def main(argv) -> int:
     for name in names:
         t0 = time.time()
         try:
-            df = next_window.NEXT_QUERIES[name](spark, SF_DIR)
+            df = queries[name](spark, SF_DIR)
             cols = df.columns
             rows = [tuple(r) for r in df.collect()]
-            res = con.execute(next_window.NEXT_ORACLES[name])
+            res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
             ok = (
