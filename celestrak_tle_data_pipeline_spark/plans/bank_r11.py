@@ -527,3 +527,613 @@ def quantile_shape_panel(spark, sf_dir):
             ((q[0.875] - q[0.625]) + (q[0.375] - q[0.125])) / iqr, 6
         ).alias("moors_kurt"),
     )
+
+
+# --------------------------------------------------------------------------
+# shared: day-grain orders revenue in exact cents (the round10 device)
+# --------------------------------------------------------------------------
+_DAILY_SQL = """
+    daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    )
+"""
+
+
+def _daily(spark, sf_dir):
+    """Orders rolled to day grain: (d, y cents) — exact integers; the
+    calendar frame (~2.4k rows at any SF) every series query below
+    rides (domain-bounded: constant in data volume)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            (F.sum(dec("o_totalprice", 18, 2)) * 100)
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sample entropy of the daily revenue series (m=2, integer tolerance)
+# --------------------------------------------------------------------------
+@register(
+    "sample_entropy_daily",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    tol AS (
+        SELECT CAST(floor(0.2 * sqrt(
+                   CAST(COUNT(*) * SUM(CAST(y AS DECIMAL(38,0)) * y)
+                        - SUM(CAST(y AS DECIMAL(38,0)))
+                          * SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+                   / (COUNT(*) * CAST(COUNT(*) - 1 AS DOUBLE))))
+               AS BIGINT) AS r
+        FROM daily
+    ),
+    t2 AS (
+        SELECT a.d, a.y AS y0, b.y AS y1, c.y AS y2
+        FROM daily a
+        JOIN daily b ON b.d = a.d + 1
+        LEFT JOIN daily c ON c.d = a.d + 2
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN ABS(i.y0 - j.y0) <= r.r
+                              AND ABS(i.y1 - j.y1) <= r.r
+                         THEN 1 ELSE 0 END) AS BIGINT) AS b_pairs,
+               CAST(SUM(CASE WHEN ABS(i.y0 - j.y0) <= r.r
+                              AND ABS(i.y1 - j.y1) <= r.r
+                              AND i.y2 IS NOT NULL AND j.y2 IS NOT NULL
+                              AND ABS(i.y2 - j.y2) <= r.r
+                         THEN 1 ELSE 0 END) AS BIGINT) AS a_pairs
+        FROM t2 i JOIN t2 j ON i.d < j.d, tol r
+        GROUP BY r.r
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           r.r AS r_cents, p.b_pairs, p.a_pairs,
+           round(-ln(p.a_pairs / CAST(p.b_pairs AS DOUBLE)), 6)
+               AS sampen
+    FROM pairs p, tol r
+    """,
+)
+def sample_entropy_daily(spark, sf_dir):
+    """Sample entropy (SampEn, m=2) of the daily-revenue series — the
+    regularity/complexity measure: −ln(A/B) where B counts day pairs
+    whose 2-day templates match within tolerance r and A counts those
+    whose 3-day extensions still match. Low SampEn = repetitive,
+    predictable dynamics; high = noise. The anomaly-monitoring
+    complement to the spectral/ACF views (a regime change moves SampEn
+    before it moves the mean).
+
+    Determinism: the series is exact integer cents; the tolerance is
+    an INTEGER — r = floor(0.2·sd), sd from exact integer power sums
+    (n·Σy² − (Σy)² as DECIMAL(38,0), one double sqrt at the end) — so
+    every template comparison is integer-exact. Templates use calendar
+    lags (d+1, d+2 must exist); the template self-join is over the
+    day-grain frame only (domain-bounded ~2.4k rows — pair count is a
+    calendar constant, NOT data-volume-scaled; at 100 TB the fact scan
+    still reduces to the same 2.4k-row frame first)."""
+    daily = _daily(spark, sf_dir).persist()
+    tol = daily.agg(
+        F.floor(
+            0.2
+            * F.sqrt(
+                (
+                    F.count(F.lit(1))
+                    * F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+                    - F.sum(F.col("y").cast("decimal(38,0)"))
+                    * F.sum(F.col("y").cast("decimal(38,0)"))
+                ).cast("double")
+                / (
+                    F.count(F.lit(1))
+                    * (F.count(F.lit(1)) - 1).cast("double")
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("r")
+    )
+    b1 = daily.select(
+        (F.col("d") - 1).alias("d"), F.col("y").alias("y1")
+    )
+    c2 = daily.select(
+        (F.col("d") - 2).alias("d"), F.col("y").alias("y2")
+    )
+    t2 = (
+        daily.withColumnRenamed("y", "y0")
+        .join(b1, "d")
+        .join(c2, "d", "left")
+        .crossJoin(F.broadcast(tol))
+    )
+    i = t2.select(
+        F.col("d").alias("di"),
+        F.col("y0").alias("i0"),
+        F.col("y1").alias("i1"),
+        F.col("y2").alias("i2"),
+        "r",
+    )
+    j = t2.select(
+        F.col("d").alias("dj"),
+        F.col("y0").alias("j0"),
+        F.col("y1").alias("j1"),
+        F.col("y2").alias("j2"),
+    )
+    m2 = (F.abs(F.col("i0") - F.col("j0")) <= F.col("r")) & (
+        F.abs(F.col("i1") - F.col("j1")) <= F.col("r")
+    )
+    m3 = (
+        m2
+        & F.col("i2").isNotNull()
+        & F.col("j2").isNotNull()
+        & (F.abs(F.col("i2") - F.col("j2")) <= F.col("r"))
+    )
+    pairs = (
+        i.join(j, F.col("di") < F.col("dj"))
+        .groupBy("r")
+        .agg(
+            F.sum(m2.cast("long")).cast("bigint").alias("b_pairs"),
+            F.sum(m3.cast("long")).cast("bigint").alias("a_pairs"),
+        )
+    )
+    n_days = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            F.col("r").alias("r_cents"),
+            "b_pairs",
+            "a_pairs",
+            F.round(
+                -F.log(
+                    F.col("a_pairs") / F.col("b_pairs").cast("double")
+                ),
+                6,
+            ).alias("sampen"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Permutation entropy (Bandt-Pompe, m=3) of the daily revenue series
+# --------------------------------------------------------------------------
+@register(
+    "permutation_entropy_daily",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    w AS (
+        SELECT a.y AS v0, b.y AS v1, c.y AS v2
+        FROM daily a
+        JOIN daily b ON b.d = a.d + 1
+        JOIN daily c ON c.d = a.d + 2
+    ),
+    pat AS (
+        SELECT CASE
+            WHEN v0 <= v1 AND v1 <= v2 THEN '012'
+            WHEN v0 <= v2 AND v2 < v1  THEN '021'
+            WHEN v1 < v0  AND v0 <= v2 THEN '102'
+            WHEN v2 < v0  AND v0 <= v1 THEN '120'
+            WHEN v1 <= v2 AND v2 < v0  THEN '201'
+            ELSE '210' END AS pattern
+        FROM w
+    ),
+    cnt AS (
+        SELECT pattern, CAST(COUNT(*) AS BIGINT) AS c FROM pat GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+    h AS (
+        SELECT CAST(SUM(CAST(round(c / CAST(t.n AS DOUBLE)
+                                   * ln(c / CAST(t.n AS DOUBLE)), 12)
+                        AS DECIMAL(38,12))) AS DOUBLE) AS hneg
+        FROM cnt, tot t
+    )
+    SELECT c.pattern, c.c AS n_windows,
+           round(c.c / CAST(t.n AS DOUBLE), 6) AS share,
+           round(-h.hneg, 6) AS perm_entropy,
+           round(-h.hneg / ln(6), 6) AS perm_entropy_norm
+    FROM cnt c, tot t, h
+    """,
+)
+def permutation_entropy_daily(spark, sf_dir):
+    """Bandt-Pompe permutation entropy (order m=3) of daily revenue:
+    classify every 3 consecutive calendar days by the ORDINAL pattern
+    of their values (6 possible orderings, ties broken toward the
+    earlier day — the Bandt-Pompe stable-sort convention, expressed as
+    <=/< comparisons on exact cents), then the Shannon entropy of the
+    pattern distribution. A pure trend shows only '012'/'210';
+    white noise shows all six equally (entropy → ln 6). The
+    complexity view that is invariant to any monotone transform of
+    the values — robust where SampEn's amplitude tolerance is not.
+
+    Output: one row per observed pattern with its count and share,
+    plus the (identical-per-row) entropy and ln(6)-normalized entropy.
+    Counts are exact; the ≤6 p·ln p terms round to 12 before the
+    DECIMAL fold. Plan: two calendar lag joins + one 6-cell rollup."""
+    daily = _daily(spark, sf_dir)
+    b1 = daily.select((F.col("d") - 1).alias("d"), F.col("y").alias("v1"))
+    c2 = daily.select((F.col("d") - 2).alias("d"), F.col("y").alias("v2"))
+    w = (
+        daily.withColumnRenamed("y", "v0")
+        .join(b1, "d")
+        .join(c2, "d")
+    )
+    v0, v1, v2 = F.col("v0"), F.col("v1"), F.col("v2")
+    pattern = (
+        F.when((v0 <= v1) & (v1 <= v2), "012")
+        .when((v0 <= v2) & (v2 < v1), "021")
+        .when((v1 < v0) & (v0 <= v2), "102")
+        .when((v2 < v0) & (v0 <= v1), "120")
+        .when((v1 <= v2) & (v2 < v0), "201")
+        .otherwise("210")
+    )
+    cnt = w.groupBy(pattern.alias("pattern")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot_n = cnt.agg(F.sum("c").cast("bigint").alias("n"))
+    h = (
+        cnt.crossJoin(F.broadcast(tot_n))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("c")
+                    / F.col("n").cast("double")
+                    * F.log(F.col("c") / F.col("n").cast("double")),
+                    12,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("hneg")
+        )
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot_n))
+        .crossJoin(F.broadcast(h))
+        .select(
+            "pattern",
+            F.col("c").alias("n_windows"),
+            F.round(F.col("c") / F.col("n").cast("double"), 6).alias(
+                "share"
+            ),
+            F.round(-F.col("hneg"), 6).alias("perm_entropy"),
+            F.round(-F.col("hneg") / F.log(F.lit(6.0)), 6).alias(
+                "perm_entropy_norm"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Lo-MacKinlay variance-ratio test on daily log revenue (q = 5)
+# --------------------------------------------------------------------------
+@register(
+    "variance_ratio_daily",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    x AS (
+        SELECT d, CAST(round(ln(y), 9) AS DECIMAL(18,9)) AS x FROM daily
+    ),
+    d1 AS (
+        SELECT b.x - a.x AS dx FROM x a JOIN x b ON b.d = a.d + 1
+    ),
+    dq AS (
+        SELECT b.x - a.x AS dx FROM x a JOIN x b ON b.d = a.d + 5
+    ),
+    m1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dx) AS DECIMAL(38,9)) AS s,
+               CAST(SUM(dx * dx) AS DECIMAL(38,18)) AS q
+        FROM d1
+    ),
+    mq AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dx) AS DECIMAL(38,9)) AS s,
+               CAST(SUM(dx * dx) AS DECIMAL(38,18)) AS q
+        FROM dq
+    ),
+    v AS (
+        SELECT m1.n AS n1, mq.n AS nq,
+               (CAST(m1.q AS DOUBLE)
+                - CAST(m1.s AS DOUBLE) * CAST(m1.s AS DOUBLE) / m1.n)
+               / (m1.n - 1) AS var1,
+               (CAST(mq.q AS DOUBLE)
+                - CAST(mq.s AS DOUBLE) * CAST(mq.s AS DOUBLE) / mq.n)
+               / (mq.n - 1) AS varq
+        FROM m1, mq
+    )
+    SELECT n1, nq,
+           round(var1, 9) AS var_1d,
+           round(varq, 9) AS var_5d,
+           round(varq / (5 * var1), 6) AS vr_5,
+           round((varq / (5 * var1) - 1)
+                 / sqrt(2.0 * (2 * 5 - 1) * (5 - 1)
+                        / (3.0 * 5 * nq)), 6) + 0.0 AS z_iid
+    FROM v
+    """,
+)
+def variance_ratio_daily(spark, sf_dir):
+    """Lo-MacKinlay variance-ratio test (q = 5) on daily log revenue:
+    under a random walk, the variance of 5-day log changes is exactly
+    5x the variance of 1-day changes — VR(5) ≈ 1. VR < 1 flags mean
+    reversion (negative serial correlation), VR > 1 momentum/trending.
+    The series-diagnostics complement to the unit-root pair
+    (dickey_fuller / kpss): those test the LEVEL's persistence, VR
+    tests the INCREMENTS' aggregation law. z uses the iid null
+    (documented convention; the heteroscedastic-robust correction
+    needs per-lag fourth moments).
+
+    Determinism: per-day ln rounds to 9 and every sum/power-sum is an
+    exact DECIMAL fold of those rounded values; the two variances
+    combine in doubles in the same operation order in both engines.
+    Plan: day rollup + two calendar lag joins (d+1, d+5) + two scalar
+    folds — all on the bounded day frame."""
+    daily = _daily(spark, sf_dir)
+    x = daily.select(
+        "d", F.round(F.log("y"), 9).cast("decimal(18,9)").alias("x")
+    ).persist()
+
+    def _diff_moments(lag):
+        b = x.select((F.col("d") - lag).alias("d"), F.col("x").alias("xb"))
+        dx = x.join(b, "d").select((F.col("xb") - F.col("x")).alias("dx"))
+        return dx.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("dx").cast("decimal(38,9)").alias("s"),
+            F.sum(F.col("dx") * F.col("dx"))
+            .cast("decimal(38,18)")
+            .alias("q"),
+        )
+
+    m1 = _diff_moments(1).select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("q").alias("q1")
+    )
+    mq = _diff_moments(5).select(
+        F.col("n").alias("nq"), F.col("s").alias("sq"), F.col("q").alias("qq")
+    )
+    var1 = (
+        F.col("q1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    varq = (
+        F.col("qq").cast("double")
+        - F.col("sq").cast("double") * F.col("sq").cast("double") / F.col("nq")
+    ) / (F.col("nq") - 1)
+    vr = varq / (5 * var1)
+    return m1.crossJoin(F.broadcast(mq)).select(
+        "n1",
+        "nq",
+        F.round(var1, 9).alias("var_1d"),
+        F.round(varq, 9).alias("var_5d"),
+        F.round(vr, 6).alias("vr_5"),
+        (
+            F.round(
+                (vr - 1)
+                / F.sqrt(
+                    2.0 * (2 * 5 - 1) * (5 - 1) / (3.0 * 5 * F.col("nq"))
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("z_iid"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Empirical variogram / madogram of daily revenue (lags 1..14)
+# --------------------------------------------------------------------------
+@register(
+    "variogram_daily_lags",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                   AS q
+        FROM daily
+    ),
+    pairs AS (
+        SELECT b.d - a.d AS lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CAST(b.y - a.y AS DECIMAL(38,0))
+                        * (b.y - a.y)) AS DECIMAL(38,0)) AS ss,
+               CAST(SUM(ABS(CAST(b.y - a.y AS DECIMAL(38,0))))
+                   AS DECIMAL(38,0)) AS sa
+        FROM daily a JOIN daily b
+          ON b.d - a.d BETWEEN 1 AND 14
+        GROUP BY 1
+    )
+    SELECT p.lag, p.n_pairs,
+           round(CAST(p.ss AS DOUBLE) / (2 * p.n_pairs) / 1e16, 6)
+               AS gamma_mdollars2,
+           round(CAST(p.sa AS DOUBLE) / (2 * p.n_pairs) / 100.0, 4)
+               AS madogram_dollars,
+           round(CAST(p.ss AS DOUBLE) / (2 * p.n_pairs)
+                 / ((CAST(m.q AS DOUBLE)
+                     - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE) / m.n)
+                    / (m.n - 1)), 6) AS gamma_over_var
+    FROM pairs p, mom m
+    """,
+)
+def variogram_daily_lags(spark, sf_dir):
+    """Empirical semivariogram γ(h) = Σ(y_{d+h} − y_d)²/(2·N_h) of
+    daily revenue for lags 1–14, with the robust madogram
+    (mean |Δ|/2) and the sill-normalized ratio γ(h)/s² (γ reported in
+    (million dollars)² so the rounded magnitude stays far inside
+    double precision at any SF — a raw cents² γ overflows stable
+    rounding, the DECIMAL->DOUBLE gotcha class) — the
+    geostatistics view of temporal structure: γ rises toward the sill
+    (sample variance) as autocorrelation dies; a γ/s² plateau below 1
+    reveals periodicity (the 7-day dip shows weekly seasonality
+    directly). The madogram column is the outlier-resistant twin.
+
+    All pair sums are exact DECIMAL(38,0) integer folds of cents;
+    each lag divides once. Plan: one banded self-join on the bounded
+    day frame (14 lags x ~2.4k days — a calendar constant), one
+    grouped fold, one broadcast variance frame."""
+    daily = _daily(spark, sf_dir).persist()
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("decimal(38,0)").alias(
+            "s"
+        ),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    a = daily.select(
+        "d", "y", F.explode(F.sequence(F.lit(1), F.lit(14))).alias("lag")
+    )
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    diff = F.col("yb") - F.col("y")
+    pairs = (
+        a.join(b, F.col("db") == F.col("d") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(diff.cast("decimal(38,0)") * diff)
+            .cast("decimal(38,0)")
+            .alias("ss"),
+            F.sum(F.abs(diff.cast("decimal(38,0)")))
+            .cast("decimal(38,0)")
+            .alias("sa"),
+        )
+    )
+    var = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    gamma = F.col("ss").cast("double") / (2 * F.col("n_pairs"))
+    return pairs.crossJoin(F.broadcast(mom)).select(
+        "lag",
+        "n_pairs",
+        F.round(gamma / 1e16, 6).alias("gamma_mdollars2"),
+        F.round(
+            F.col("sa").cast("double") / (2 * F.col("n_pairs")) / 100.0, 4
+        ).alias("madogram_dollars"),
+        F.round(gamma / var, 6).alias("gamma_over_var"),
+    )
+
+
+# --------------------------------------------------------------------------
+# GPD peaks-over-threshold fit by probability-weighted moments
+# --------------------------------------------------------------------------
+@register(
+    "pot_gpd_pwm_fit",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    thr AS (
+        SELECT CAST(round(quantile_cont(y, 0.9), 1) AS DECIMAL(38,1)) AS u,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily
+    ),
+    exc AS (
+        SELECT d.d, CAST(d.y AS DECIMAL(38,1)) - t.u AS e
+        FROM daily d, thr t WHERE CAST(d.y AS DECIMAL(38,1)) > t.u
+    ),
+    rk AS (
+        SELECT a.e,
+               CAST(1 + COUNT(CASE WHEN b.e < a.e
+                              OR (b.e = a.e AND b.d < a.d)
+                              THEN 1 END) AS BIGINT) AS r
+        FROM exc a LEFT JOIN exc b
+          ON b.e < a.e OR (b.e = a.e AND b.d < a.d)
+        GROUP BY a.e, a.d
+    ),
+    pwm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(e) AS DECIMAL(38,1)) AS se,
+               CAST(SUM((
+                   SELECT CAST(MAX(m2.m) AS BIGINT)
+                   FROM (SELECT COUNT(*) AS m FROM rk) m2
+               ) * e - r * e) AS DECIMAL(38,1)) AS swd
+        FROM rk
+    ),
+    fit AS (
+        SELECT m,
+               CAST(se AS DOUBLE) / m AS a0,
+               CAST(swd AS DOUBLE) / (CAST(m AS DOUBLE) * (m - 1)) AS a1
+        FROM pwm
+    )
+    SELECT t.n_days, f.m AS n_exceed,
+           round(CAST(t.u AS DOUBLE) / 100.0, 2) AS u_dollars,
+           round(f.a0 / 100.0, 2) AS mean_excess_dollars,
+           round(2.0 - f.a0 / (f.a0 - 2 * f.a1), 6) + 0.0 AS xi_shape,
+           round(2.0 * f.a0 * f.a1 / (f.a0 - 2 * f.a1) / 100.0, 2)
+               AS sigma_dollars
+    FROM fit f, thr t
+    """,
+)
+def pot_gpd_pwm_fit(spark, sf_dir):
+    """Peaks-over-threshold extreme-value fit: daily revenues above
+    the 90th percentile, fitted to a Generalized Pareto by
+    probability-weighted moments (Hosking-Wallis 1987) — a₀ = mean
+    excess, a₁ = (1/(m(m−1)))·Σ(m−rᵢ)·e₍ᵢ₎ with ascending ranks, then
+    ξ = 2 − a₀/(a₀−2a₁) and σ = 2a₀a₁/(a₀−2a₁). ξ > 0 means
+    heavy-tailed peak risk (no exponential moment); ξ < 0 a bounded
+    tail. The tail-risk calibration view next to hill_tail_exponent
+    (which needs a log-scale regime) and gumbel_block_maxima (which
+    wastes all non-maximal extremes POT keeps).
+
+    Determinism: the threshold is quantile_cont/percentile (shared
+    interpolation, the weighted_price_quantiles precedent) rounded to
+    one decimal — exact, because the interpolation fraction at p=0.9
+    is always a multiple of 0.1 on an integer-cents grid. Excesses are
+    exact DECIMAL(38,1); ranks are unique under the (e, d) total
+    order via a triangular join on the excess frame (~10% of the
+    bounded day grid — a calendar constant); both PWMs are exact
+    decimal folds with single final divisions."""
+    daily = _daily(spark, sf_dir)
+    thr = daily.agg(
+        F.round(F.expr("percentile(y, 0.9)"), 1)
+        .cast("decimal(38,1)")
+        .alias("u"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    exc = (
+        daily.crossJoin(F.broadcast(thr))
+        .where(F.col("y").cast("decimal(38,1)") > F.col("u"))
+        .select("d", (F.col("y").cast("decimal(38,1)") - F.col("u")).alias("e"))
+        .persist()
+    )
+    b = exc.select(F.col("d").alias("db"), F.col("e").alias("eb"))
+    rk = (
+        exc.join(
+            b,
+            (F.col("eb") < F.col("e"))
+            | ((F.col("eb") == F.col("e")) & (F.col("db") < F.col("d"))),
+            "left",
+        )
+        .groupBy("d", "e")
+        .agg((1 + F.count("db")).cast("bigint").alias("r"))
+    )
+    m_tot = exc.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    pwm = (
+        rk.crossJoin(F.broadcast(m_tot))
+        .agg(
+            F.max("m").alias("m"),
+            F.sum("e").cast("decimal(38,1)").alias("se"),
+            F.sum((F.col("m") - F.col("r")) * F.col("e"))
+            .cast("decimal(38,1)")
+            .alias("swd"),
+        )
+    )
+    a0 = F.col("se").cast("double") / F.col("m")
+    a1 = F.col("swd").cast("double") / (
+        F.col("m").cast("double") * (F.col("m") - 1)
+    )
+    return pwm.crossJoin(F.broadcast(thr)).select(
+        "n_days",
+        F.col("m").alias("n_exceed"),
+        F.round(F.col("u").cast("double") / 100.0, 2).alias("u_dollars"),
+        F.round(a0 / 100.0, 2).alias("mean_excess_dollars"),
+        (F.round(2.0 - a0 / (a0 - 2 * a1), 6) + 0.0).alias("xi_shape"),
+        F.round(2.0 * a0 * a1 / (a0 - 2 * a1) / 100.0, 2).alias(
+            "sigma_dollars"
+        ),
+    )
