@@ -1137,3 +1137,672 @@ def pot_gpd_pwm_fit(spark, sf_dir):
             "sigma_dollars"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# shared: (source, term) counts + per-source token totals
+# --------------------------------------------------------------------------
+_SRC_TERMS_SQL = """
+    toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    st AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    stot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY 1
+    )
+"""
+
+
+def _src_terms(spark, sf_dir):
+    """(source, term, c) term counts per source — one explode + one
+    hash agg; the (source x vocabulary) frame every stylometry query
+    below rides (vocabulary-domain-bounded)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Hapax-based lexical richness panel (Honoré R, Sichel S)
+# --------------------------------------------------------------------------
+@register(
+    "hapax_richness_panel",
+    oracle=f"""
+    WITH {_SRC_TERMS_SQL}
+    SELECT s.source,
+           t.n AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN s.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v1_hapax,
+           CAST(SUM(CASE WHEN s.c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v2_dis,
+           round(SUM(CASE WHEN s.c = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio,
+           round(SUM(CASE WHEN s.c = 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS sichel_s,
+           round(100.0 * ln(t.n)
+                 / NULLIF(1.0 - SUM(CASE WHEN s.c = 1 THEN 1 ELSE 0 END)
+                          / CAST(COUNT(*) AS DOUBLE), 0.0), 4)
+               AS honore_r
+    FROM st s JOIN stot t ON s.source = t.source
+    GROUP BY s.source, t.n
+    """,
+)
+def hapax_richness_panel(spark, sf_dir):
+    """Hapax-legomena lexical-richness panel per source: V₁ (words
+    seen once), V₂ (twice), Sichel's S = V₂/V and Honoré's
+    R = 100·ln(N)/(1 − V₁/V) — the vocabulary-growth statistics that
+    discriminate template/boilerplate-heavy sources (low hapax share)
+    from organic text, and the standard authorship-attribution
+    features next to Yule's K (which weights the OTHER end of the
+    frequency spectrum). A training-data curation view: sources whose
+    hapax ratio collapses are near-duplicate factories.
+
+    Counts are exact integers off one (source, term) rollup; the two
+    ratios and Honoré's single ln are final-expression floats
+    (NULLIF-guarded where V₁ = V). Plan: explode + two hash aggs."""
+    st = _src_terms(spark, sf_dir)
+    stot = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    v1 = F.sum((F.col("c") == 1).cast("long"))
+    v2 = F.sum((F.col("c") == 2).cast("long"))
+    return (
+        st.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            v1.cast("bigint").alias("v1_hapax"),
+            v2.cast("bigint").alias("v2_dis"),
+        )
+        .join(stot, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            "vocab",
+            "v1_hapax",
+            "v2_dis",
+            F.round(
+                F.col("v1_hapax") / F.col("vocab").cast("double"), 6
+            ).alias("hapax_ratio"),
+            F.round(
+                F.col("v2_dis") / F.col("vocab").cast("double"), 6
+            ).alias("sichel_s"),
+            F.round(
+                100.0
+                * F.log("n")
+                / F.nullif(
+                    1.0
+                    - F.col("v1_hapax") / F.col("vocab").cast("double"),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("honore_r"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Burrows' Delta stylometric distance between sources
+# --------------------------------------------------------------------------
+@register(
+    "burrows_delta_sources",
+    oracle=f"""
+    WITH {_SRC_TERMS_SQL},
+    corpus AS (
+        SELECT term, CAST(SUM(c) AS BIGINT) AS ct FROM st GROUP BY 1
+    ),
+    topm AS (
+        SELECT term FROM corpus
+        ORDER BY ct DESC, term LIMIT 30
+    ),
+    f AS (
+        SELECT x.source, m.term,
+               CAST(round(COALESCE(s.c, 0) / CAST(x.n AS DOUBLE), 12)
+                    AS DECIMAL(18,12)) AS f
+        FROM stot x CROSS JOIN topm m
+        LEFT JOIN st s ON s.source = x.source AND s.term = m.term
+    ),
+    mom AS (
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(f) AS DOUBLE) AS sf,
+               CAST(SUM(f * f) AS DOUBLE) AS qf
+        FROM f GROUP BY 1
+    ),
+    z AS (
+        SELECT f.source, f.term,
+               CAST(round((CAST(f.f AS DOUBLE) - m.sf / m.k)
+                          / sqrt((m.qf - m.sf * m.sf / m.k) / (m.k - 1)),
+                          9) AS DECIMAL(18,9)) AS z
+        FROM f JOIN mom m ON f.term = m.term
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           round(CAST(SUM(ABS(a.z - b.z)) AS DOUBLE) / 30.0, 6)
+               AS burrows_delta
+    FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def burrows_delta_sources(spark, sf_dir):
+    """Burrows' Delta between every source pair: z-score each source's
+    relative frequency of the corpus's 30 most-common terms (the
+    function-word proxy on this vocabulary), then Delta = mean |z_a −
+    z_b| — THE classical stylometric distance (Burrows 2002): low
+    Delta = same authorial/template fingerprint. As a pipeline view it
+    clusters sources by style so near-duplicate FEEDS (not documents)
+    surface — the provenance-level dedup the document-level MinHash
+    tier can't see.
+
+    Determinism: frequencies round to 12 and z-scores to 9 BEFORE the
+    pairwise |z_a − z_b| DECIMAL fold (round-before-fold); the top-30
+    term set is integer-ranked with a term tiebreak. Plan: one
+    (source, term) rollup, a broadcast 30-term list, a 600-cell
+    z frame, and a 30x190 pair join — all vocabulary/domain-bounded."""
+    st = _src_terms(spark, sf_dir).persist()
+    stot = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    topm = (
+        st.groupBy("term")
+        .agg(F.sum("c").cast("bigint").alias("ct"))
+        .orderBy(F.col("ct").desc(), "term")
+        .limit(30)
+        .select("term")
+    )
+    f = (
+        stot.crossJoin(F.broadcast(topm))
+        .join(st, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            F.round(
+                F.coalesce("c", F.lit(0)) / F.col("n").cast("double"), 12
+            )
+            .cast("decimal(18,12)")
+            .alias("f"),
+        )
+    )
+    mom = f.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("f").cast("double").alias("sf"),
+        F.sum(F.col("f") * F.col("f")).cast("double").alias("qf"),
+    )
+    z = f.join(F.broadcast(mom), "term").select(
+        "source",
+        "term",
+        F.round(
+            (F.col("f").cast("double") - F.col("sf") / F.col("k"))
+            / F.sqrt(
+                (F.col("qf") - F.col("sf") * F.col("sf") / F.col("k"))
+                / (F.col("k") - 1)
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("z"),
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), "term", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), "term", F.col("z").alias("zb")
+    )
+    return (
+        a.join(b, "term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("za") - F.col("zb"))).cast("double")
+                / 30.0,
+                6,
+            ).alias("burrows_delta")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon divergence between source unigram distributions
+# --------------------------------------------------------------------------
+@register(
+    "js_divergence_sources",
+    oracle=f"""
+    WITH {_SRC_TERMS_SQL},
+    f AS (
+        SELECT s.source, s.term,
+               CAST(round(s.c / CAST(t.n AS DOUBLE), 12)
+                    AS DECIMAL(18,12)) AS p
+        FROM st s JOIN stot t ON s.source = t.source
+    ),
+    ptot AS (
+        SELECT source, CAST(SUM(p) AS DECIMAL(18,12)) AS ptot
+        FROM f GROUP BY 1
+    ),
+    co AS (
+        SELECT a.source AS sa, b.source AS sb,
+               CAST(COUNT(*) AS BIGINT) AS n_shared,
+               CAST(SUM(a.p) AS DECIMAL(18,12)) AS pa_co,
+               CAST(SUM(b.p) AS DECIMAL(18,12)) AS pb_co,
+               SUM(CAST(round(CAST(a.p AS DOUBLE)
+                       * ln(2.0 * CAST(a.p AS DOUBLE)
+                            / CAST(a.p + b.p AS DOUBLE)), 12)
+                   AS DECIMAL(38,12))) AS da_co,
+               SUM(CAST(round(CAST(b.p AS DOUBLE)
+                       * ln(2.0 * CAST(b.p AS DOUBLE)
+                            / CAST(a.p + b.p AS DOUBLE)), 12)
+                   AS DECIMAL(38,12))) AS db_co
+        FROM f a JOIN f b ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT c.sa AS source_a, c.sb AS source_b, c.n_shared,
+           round(0.5 * (CAST(c.da_co AS DOUBLE)
+                        + CAST(pa.ptot - c.pa_co AS DOUBLE) * ln(2.0)
+                        + CAST(c.db_co AS DOUBLE)
+                        + CAST(pb.ptot - c.pb_co AS DOUBLE) * ln(2.0)),
+                 6) AS jsd,
+           round(0.5 * (CAST(c.da_co AS DOUBLE)
+                        + CAST(pa.ptot - c.pa_co AS DOUBLE) * ln(2.0)
+                        + CAST(c.db_co AS DOUBLE)
+                        + CAST(pb.ptot - c.pb_co AS DOUBLE) * ln(2.0))
+                 / ln(2.0), 6) AS jsd_bits
+    FROM co c
+    JOIN ptot pa ON c.sa = pa.source
+    JOIN ptot pb ON c.sb = pb.source
+    """,
+)
+def js_divergence_sources(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the SYMMETRIC, always-finite distribution distance
+    (KL, split_distribution_divergence's device, is infinite on
+    non-overlapping support; JSD is bounded by ln 2), the standard
+    corpus-mixture health view: a JSD matrix near 0 means redundant
+    sources, near ln 2 means disjoint vocabularies.
+
+    Zero-handling is ANALYTIC, not smoothed: terms present in a only
+    contribute p·ln(2p/(p+0)) = p·ln 2, so JSD = ½[Σ_co p·ln(2p/(p+q))
+    + (P_a − P_a^co)·ln 2 + (same for b)] — only the CO-OCCURRING term
+    join is ever materialized (per-term fanout bounded by the 20-source
+    domain). Frequencies round to 12; per-term ln terms round to 12
+    before the DECIMAL fold; the mass complements are exact decimal
+    sums. Output: 190 source pairs with shared-vocab size, JSD (nats)
+    and JSD in bits."""
+    st = _src_terms(spark, sf_dir)
+    stot = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    f = st.join(stot, "source").select(
+        "source",
+        "term",
+        F.round(F.col("c") / F.col("n").cast("double"), 12)
+        .cast("decimal(18,12)")
+        .alias("p"),
+    ).persist()
+    ptot = f.groupBy("source").agg(
+        F.sum("p").cast("decimal(18,12)").alias("ptot")
+    )
+    a = f.select(F.col("source").alias("sa"), "term", F.col("p").alias("pa"))
+    b = f.select(F.col("source").alias("sb"), "term", F.col("p").alias("pb"))
+    pa, pb = F.col("pa"), F.col("pb")
+    co = (
+        a.join(b, "term")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum(pa).cast("decimal(18,12)").alias("pa_co"),
+            F.sum(pb).cast("decimal(18,12)").alias("pb_co"),
+            F.sum(
+                F.round(
+                    pa.cast("double")
+                    * F.log(
+                        2.0 * pa.cast("double") / (pa + pb).cast("double")
+                    ),
+                    12,
+                ).cast("decimal(38,12)")
+            ).alias("da_co"),
+            F.sum(
+                F.round(
+                    pb.cast("double")
+                    * F.log(
+                        2.0 * pb.cast("double") / (pa + pb).cast("double")
+                    ),
+                    12,
+                ).cast("decimal(38,12)")
+            ).alias("db_co"),
+        )
+    )
+    ln2 = F.log(F.lit(2.0))
+    jsd = 0.5 * (
+        F.col("da_co").cast("double")
+        + (F.col("pta") - F.col("pa_co")).cast("double") * ln2
+        + F.col("db_co").cast("double")
+        + (F.col("ptb") - F.col("pb_co")).cast("double") * ln2
+    )
+    return (
+        co.join(
+            ptot.select(
+                F.col("source").alias("sa"), F.col("ptot").alias("pta")
+            ),
+            "sa",
+        )
+        .join(
+            ptot.select(
+                F.col("source").alias("sb"), F.col("ptot").alias("ptb")
+            ),
+            "sb",
+        )
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_shared",
+            F.round(jsd, 6).alias("jsd"),
+            F.round(jsd / ln2, 6).alias("jsd_bits"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Modified Kneser-Ney discount estimation from count-of-counts
+# --------------------------------------------------------------------------
+@register(
+    "kneser_ney_discounts",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    uni AS (
+        SELECT ts[g.i] AS w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM d, LATERAL unnest(generate_series(1, len(ts))) AS g(i)
+        GROUP BY 1
+    ),
+    bi AS (
+        SELECT ts[g.i - 1] AS w1, ts[g.i] AS w2,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM d, LATERAL unnest(generate_series(2, len(ts))) AS g(i)
+        WHERE len(ts) >= 2
+        GROUP BY 1, 2
+    ),
+    coc AS (
+        SELECT 'unigram' AS ngram_order,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+               CAST(SUM(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        FROM uni
+        UNION ALL
+        SELECT 'bigram',
+               CAST(SUM(c) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM bi
+    )
+    SELECT ngram_order, n_tokens, n_types, n1, n2, n3, n4,
+           round(n1 / NULLIF(n1 + 2.0 * n2, 0.0), 6) AS y_factor,
+           round(1.0 - 2.0 * (n1 / NULLIF(n1 + 2.0 * n2, 0.0)) * n2
+                 / CAST(NULLIF(n1, 0) AS DOUBLE), 6) AS d1,
+           round(2.0 - 3.0 * (n1 / NULLIF(n1 + 2.0 * n2, 0.0)) * n3
+                 / CAST(NULLIF(n2, 0) AS DOUBLE), 6) AS d2,
+           round(3.0 - 4.0 * (n1 / NULLIF(n1 + 2.0 * n2, 0.0)) * n4
+                 / CAST(NULLIF(n3, 0) AS DOUBLE), 6) AS d3p
+    FROM coc
+    """,
+)
+def kneser_ney_discounts(spark, sf_dir):
+    """Modified Kneser-Ney discount estimation (Chen-Goodman 1998)
+    from n-gram count-of-counts: n_k = #{grams seen exactly k times},
+    Y = n₁/(n₁+2n₂), D₁ = 1 − 2Y·n₂/n₁, D₂ = 2 − 3Y·n₃/n₂,
+    D₃₊ = 3 − 4Y·n₄/n₃ — the closed-form smoothing parameters the
+    production LM tier (unigram_lm_score / bigram_lm_perplexity uses
+    add-k) would need to upgrade to KN smoothing, and a corpus-health
+    readout in their own right: D₁ near 1 means a hapax-dominated
+    (fragmented) gram distribution.
+
+    Everything except the four final ratios is an exact integer
+    rollup; rows for unigram and bigram orders. Plan: one explode +
+    one positional self-join (the bigram device) + two count-of-count
+    rollups."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    toks = d.select(
+        "doc_id", F.posexplode("ts").alias("i", "w")
+    ).persist()
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    nxt = toks.select(
+        "doc_id", (F.col("i") - 1).alias("i"), F.col("w").alias("w2")
+    )
+    bi = (
+        toks.join(nxt, ["doc_id", "i"])
+        .groupBy("w", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+    def _coc(cnt, label):
+        return cnt.agg(
+            F.lit(label).alias("ngram_order"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum((F.col("c") == 1).cast("long")).cast("bigint").alias("n1"),
+            F.sum((F.col("c") == 2).cast("long")).cast("bigint").alias("n2"),
+            F.sum((F.col("c") == 3).cast("long")).cast("bigint").alias("n3"),
+            F.sum((F.col("c") == 4).cast("long")).cast("bigint").alias("n4"),
+        )
+
+    coc = _coc(uni, "unigram").unionAll(_coc(bi, "bigram"))
+    y = F.col("n1") / F.nullif(
+        F.col("n1") + 2.0 * F.col("n2"), F.lit(0.0)
+    )
+    yy = y
+    return coc.select(
+        "ngram_order",
+        "n_tokens",
+        "n_types",
+        "n1",
+        "n2",
+        "n3",
+        "n4",
+        F.round(y, 6).alias("y_factor"),
+        F.round(
+            1.0
+            - 2.0 * yy * F.col("n2")
+            / F.nullif(F.col("n1"), F.lit(0)).cast("double"),
+            6,
+        ).alias("d1"),
+        F.round(
+            2.0
+            - 3.0 * yy * F.col("n3")
+            / F.nullif(F.col("n2"), F.lit(0)).cast("double"),
+            6,
+        ).alias("d2"),
+        F.round(
+            3.0
+            - 4.0 * yy * F.col("n4")
+            / F.nullif(F.col("n3"), F.lit(0)).cast("double"),
+            6,
+        ).alias("d3p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Monroe log-odds with informative Dirichlet prior (top terms per source)
+# --------------------------------------------------------------------------
+@register(
+    "log_odds_dirichlet_terms",
+    oracle=f"""
+    WITH {_SRC_TERMS_SQL},
+    corpus AS (
+        SELECT term, CAST(SUM(c) AS BIGINT) AS ct FROM st GROUP BY 1
+    ),
+    gtot AS (SELECT CAST(SUM(ct) AS BIGINT) AS g FROM corpus),
+    cell AS (
+        SELECT s.source, s.term, s.c AS y, t.n,
+               g.g - t.n AS n_rest,
+               co.ct - s.c AS y_rest,
+               100.0 * co.ct / g.g AS alpha
+        FROM st s
+        JOIN stot t ON s.source = t.source
+        JOIN corpus co ON s.term = co.term
+        CROSS JOIN gtot g
+    ),
+    z AS (
+        SELECT source, term, y,
+               round((ln((y + alpha)
+                         / (n + 100.0 - y - alpha))
+                      - ln((y_rest + alpha)
+                           / (n_rest + 100.0 - y_rest - alpha)))
+                     / sqrt(1.0 / (y + alpha) + 1.0 / (y_rest + alpha)),
+                     9) AS z
+        FROM cell
+    ),
+    ranked AS (
+        SELECT source, term, y, z,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY z DESC, term) AS rk
+        FROM z
+    )
+    SELECT source, rk AS rank, term, CAST(y AS BIGINT) AS y_count,
+           z + 0.0 AS log_odds_z
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def log_odds_dirichlet_terms(spark, sf_dir):
+    """Monroe-Colaresi-Quinn (2008) log-odds with an informative
+    Dirichlet prior: for each source vs the rest of the corpus,
+    δ_t = ln((y+α_t)/(n+α₀−y−α_t)) − ln((y_r+α_t)/(n_r+α₀−y_r−α_t)),
+    z = δ/√(1/(y+α_t) + 1/(y_r+α_t)), with α_t = α₀·c_t/G (corpus-
+    proportional prior, α₀ = 100). The discriminative-term extractor
+    that fixes BOTH failure modes of its neighbors: tf-idf over-weights
+    rare terms, plain chi2 over-weights frequent ones — the prior
+    shrinks exactly the low-evidence cells. Top-3 terms per source by
+    z (term tiebreak).
+
+    Every z is a PER-ROW scalar expression (no cross-partition float
+    fold at all — the safest determinism class); ranking uses the
+    rounded z. Plan: three hash aggs + broadcast joins on the
+    (source x vocabulary) frame; top-3 via a per-source window over
+    the vocabulary-domain frame."""
+    st = _src_terms(spark, sf_dir).persist()
+    stot = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    corpus = st.groupBy("term").agg(F.sum("c").cast("bigint").alias("ct"))
+    gtot = corpus.agg(F.sum("ct").cast("bigint").alias("g"))
+    cell = (
+        st.join(stot, "source")
+        .join(F.broadcast(corpus), "term")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            "term",
+            F.col("c").alias("y"),
+            "n",
+            (F.col("g") - F.col("n")).alias("n_rest"),
+            (F.col("ct") - F.col("c")).alias("y_rest"),
+            (100.0 * F.col("ct") / F.col("g")).alias("alpha"),
+        )
+    )
+    y, a = F.col("y"), F.col("alpha")
+    yr, nr = F.col("y_rest"), F.col("n_rest")
+    z = F.round(
+        (
+            F.log((y + a) / (F.col("n") + 100.0 - y - a))
+            - F.log((yr + a) / (nr + 100.0 - yr - a))
+        )
+        / F.sqrt(1.0 / (y + a) + 1.0 / (yr + a)),
+        9,
+    )
+    ranked = cell.select(
+        "source", "term", "y", z.alias("z")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("z").desc(), "term"
+            )
+        ),
+    )
+    return ranked.where(F.col("rk") <= 3).select(
+        "source",
+        F.col("rk").cast("bigint").alias("rank"),
+        "term",
+        F.col("y").cast("bigint").alias("y_count"),
+        (F.col("z") + 0.0).alias("log_odds_z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mean segmental type-token ratio (MSTTR-50) per source
+# --------------------------------------------------------------------------
+@register(
+    "msttr_segmental_ttr",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ts
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, source, g.i - 1 AS idx, ts[g.i] AS w
+        FROM d, LATERAL unnest(generate_series(1, len(ts))) AS g(i)
+    ),
+    seg AS (
+        SELECT source, doc_id, idx // 50 AS seg,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS n_typ
+        FROM toks GROUP BY 1, 2, 3
+        HAVING COUNT(*) = 50
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           round(CAST(SUM(CAST(n_typ AS DECIMAL(10,2)) / 50)
+                      AS DOUBLE) / COUNT(*), 6) AS msttr_50,
+           round(AVG(CAST(n_typ AS DOUBLE)), 6) AS mean_types_per_seg
+    FROM seg GROUP BY source
+    """,
+)
+def msttr_segmental_ttr(spark, sf_dir):
+    """Mean segmental type-token ratio (MSTTR-50) per source: split
+    each document's token stream into consecutive FULL 50-token
+    segments, take each segment's type/token ratio, average per
+    source. The length-controlled lexical-diversity measure — raw TTR
+    falls mechanically with document length (Heaps' law), so
+    cross-source TTR comparisons are meaningless; fixed-length
+    segmentation removes exactly that bias (the standard
+    corpus-linguistics device, next to heaps_law_fit which MODELS the
+    bias instead).
+
+    Per-segment TTR = types/50 is an exact 2-decimal rational
+    (DECIMAL-carried); the per-source mean divides the exact sum once.
+    Partial trailing segments are dropped (HAVING = 50), both engines
+    alike. Plan: posexplode + one (doc, segment) distinct-count agg +
+    one source rollup — all hash aggs on composite keys."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ts")
+    )
+    toks = d.select(
+        "doc_id", "source", F.posexplode("ts").alias("idx", "w")
+    )
+    seg = (
+        toks.groupBy(
+            "source", "doc_id", (F.col("idx") / 50).cast("bigint").alias("seg")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.countDistinct("w").cast("bigint").alias("n_typ"),
+        )
+        .where(F.col("n_tok") == 50)
+    )
+    return seg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.round(
+            F.sum(F.col("n_typ").cast("decimal(10,2)") / 50).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("msttr_50"),
+        F.round(F.avg(F.col("n_typ").cast("double")), 6).alias(
+            "mean_types_per_seg"
+        ),
+    )
