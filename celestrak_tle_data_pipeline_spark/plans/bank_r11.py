@@ -1806,3 +1806,496 @@ def msttr_segmental_ttr(spark, sf_dir):
             "mean_types_per_seg"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Fleiss' kappa: do the five event types agree on which days are busy?
+# --------------------------------------------------------------------------
+@register(
+    "fleiss_kappa_days",
+    oracle="""
+    WITH dc AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT event_type, d,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY c, d) AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS nd
+        FROM dc
+    ),
+    rated AS (
+        SELECT d, event_type, (3 * (r - 1)) // nd AS cat FROM rk
+    ),
+    cell AS (
+        SELECT d, cat, CAST(COUNT(*) AS BIGINT) AS nic
+        FROM rated GROUP BY 1, 2
+    ),
+    pi AS (
+        SELECT d, CAST(SUM(nic * nic) AS BIGINT) AS ss,
+               CAST(SUM(nic) AS BIGINT) AS k
+        FROM cell GROUP BY d
+    ),
+    pbar AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(MAX(k) AS BIGINT) AS k,
+               CAST(SUM(ss - k) AS BIGINT) AS num
+        FROM pi
+    ),
+    pe AS (
+        SELECT CAST(SUM(cn * cn) AS BIGINT) AS pe2
+        FROM (SELECT CAST(SUM(nic) AS BIGINT) AS cn
+              FROM cell GROUP BY cat)
+    )
+    SELECT b.n_items, b.k AS n_raters,
+           round(b.num / (b.n_items * b.k * CAST(b.k - 1 AS DOUBLE)), 6)
+               AS p_observed,
+           round(e.pe2 / (CAST(b.n_items AS DOUBLE) * b.n_items
+                          * b.k * b.k), 6) AS p_expected,
+           round((b.num / (b.n_items * b.k * CAST(b.k - 1 AS DOUBLE))
+                  - e.pe2 / (CAST(b.n_items AS DOUBLE) * b.n_items
+                             * b.k * b.k))
+                 / (1.0 - e.pe2 / (CAST(b.n_items AS DOUBLE) * b.n_items
+                                   * b.k * b.k)), 6) + 0.0
+               AS fleiss_kappa
+    FROM pbar b, pe e
+    """,
+)
+def fleiss_kappa_days(spark, sf_dir):
+    """Fleiss' kappa for MULTI-rater agreement: treat the five event
+    types as five raters, each classifying every calendar day into its
+    own activity tercile (low/mid/high by that type's daily-count
+    ranks — exact integer ranks, (day, count) total order); kappa
+    measures whether the types agree on WHICH days are busy beyond
+    chance. The k>2-rater generalization the pairwise kappas
+    (cohens_kappa_agreement, weighted_kappa_agreement) can't express —
+    the canonical multi-annotator QA statistic for labeling pipelines.
+
+    κ = (P̄ − P_e)/(1 − P_e) with P̄ from Σ_c n_ic² per item and
+    P_e = Σ_c p_c² — every numerator is an exact integer (category
+    cells, squared sums); three final divisions. Plan: one (type, day)
+    rollup, per-type rank windows over the 30-day calendar frame
+    (domain-bounded), two integer folds."""
+    e = t(spark, sf_dir, "events")
+    dc = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wt = Window.partitionBy("event_type")
+    rk = dc.select(
+        "event_type",
+        "d",
+        F.row_number()
+        .over(wt.orderBy("c", "d"))
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("nd"),
+    )
+    rated = rk.select(
+        "d",
+        "event_type",
+        ((3 * (F.col("r") - 1)) / F.col("nd"))
+        .cast("bigint")
+        .alias("cat"),
+    )
+    cell = rated.groupBy("d", "cat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nic")
+    )
+    pi = cell.groupBy("d").agg(
+        F.sum(F.col("nic") * F.col("nic")).cast("bigint").alias("ss"),
+        F.sum("nic").cast("bigint").alias("k"),
+    )
+    pbar = pi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.max("k").cast("bigint").alias("k"),
+        F.sum(F.col("ss") - F.col("k")).cast("bigint").alias("num"),
+    )
+    pe = (
+        cell.groupBy("cat")
+        .agg(F.sum("nic").cast("bigint").alias("cn"))
+        .agg(F.sum(F.col("cn") * F.col("cn")).cast("bigint").alias("pe2"))
+    )
+    po = F.col("num") / (
+        F.col("n_items") * F.col("k") * (F.col("k") - 1).cast("double")
+    )
+    pexp = F.col("pe2") / (
+        F.col("n_items").cast("double")
+        * F.col("n_items")
+        * F.col("k")
+        * F.col("k")
+    )
+    return pbar.crossJoin(F.broadcast(pe)).select(
+        "n_items",
+        F.col("k").alias("n_raters"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pexp, 6).alias("p_expected"),
+        (F.round((po - pexp) / (1.0 - pexp), 6) + 0.0).alias(
+            "fleiss_kappa"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences 2x2 panel (BUILDING segment, 1998 split)
+# --------------------------------------------------------------------------
+@register(
+    "did_2x2_panel",
+    oracle="""
+    WITH cells AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS treated,
+               CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)
+                        * CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT)) AS DECIMAL(38,0)) AS q
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT treated, post, n,
+               s / (100.0 * n) AS mean_d,
+               (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+               / (n - 1.0) / 10000.0 AS var_d
+        FROM cells
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_d END) AS t1,
+            MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_d END) AS t0,
+            MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_d END) AS c1,
+            MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_d END) AS c0,
+            MAX(CASE WHEN treated = 1 AND post = 1 THEN var_d / n END)
+                AS v11,
+            MAX(CASE WHEN treated = 1 AND post = 0 THEN var_d / n END)
+                AS v10,
+            MAX(CASE WHEN treated = 0 AND post = 1 THEN var_d / n END)
+                AS v01,
+            MAX(CASE WHEN treated = 0 AND post = 0 THEN var_d / n END)
+                AS v00,
+            CAST(SUM(n) AS BIGINT) AS n_orders
+        FROM m
+    )
+    SELECT n_orders,
+           round(t0, 2) AS treated_pre,
+           round(t1, 2) AS treated_post,
+           round(c0, 2) AS control_pre,
+           round(c1, 2) AS control_post,
+           round((t1 - t0) - (c1 - c0), 4) + 0.0 AS did_dollars,
+           round(sqrt(v11 + v10 + v01 + v00), 4) AS se_dollars,
+           round(((t1 - t0) - (c1 - c0))
+                 / sqrt(v11 + v10 + v01 + v00), 6) + 0.0 AS t_stat
+    FROM wide
+    """,
+)
+def did_2x2_panel(spark, sf_dir):
+    """Difference-in-differences 2x2 estimator: BUILDING-segment
+    customers (treated) vs all others, pre/post the 1998-01-01 split —
+    DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) on order value,
+    with the four-cell Welch SE (√Σ var_cell/n_cell) and t. THE
+    workhorse quasi-experimental estimator (the control group's trend
+    nets out the common time shock a naive pre/post comparison
+    swallows); on this synthetic data the readout certifies the
+    estimator mechanics, not a causal claim (docstring-documented
+    convention, same as weekend_effect_ols).
+
+    All four cell means/variances come from exact integer-cents power
+    sums (one broadcast-joined hash agg); the estimator combines in
+    doubles in the same order both engines. Plan: fact-dim broadcast
+    join + 4-cell rollup — one shuffle."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("treated"),
+    )
+    cents = (dec("o_totalprice", 18, 2) * 100).cast("bigint")
+    cells = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy(
+            "treated",
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+            .cast("int")
+            .alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("s"),
+            F.sum(cents.cast("decimal(38,0)") * cents)
+            .cast("decimal(38,0)")
+            .alias("q"),
+        )
+    )
+    m = cells.select(
+        "treated",
+        "post",
+        "n",
+        (F.col("s") / (100.0 * F.col("n"))).alias("mean_d"),
+        (
+            (
+                F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            / (F.col("n") - 1.0)
+            / 10000.0
+        ).alias("var_d"),
+    )
+
+    def _cell(tr, po, col):
+        return F.max(
+            F.when((F.col("treated") == tr) & (F.col("post") == po), col)
+        )
+
+    wide = m.agg(
+        _cell(1, 1, F.col("mean_d")).alias("t1"),
+        _cell(1, 0, F.col("mean_d")).alias("t0"),
+        _cell(0, 1, F.col("mean_d")).alias("c1"),
+        _cell(0, 0, F.col("mean_d")).alias("c0"),
+        _cell(1, 1, F.col("var_d") / F.col("n")).alias("v11"),
+        _cell(1, 0, F.col("var_d") / F.col("n")).alias("v10"),
+        _cell(0, 1, F.col("var_d") / F.col("n")).alias("v01"),
+        _cell(0, 0, F.col("var_d") / F.col("n")).alias("v00"),
+        F.sum("n").cast("bigint").alias("n_orders"),
+    )
+    did = (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0"))
+    se = F.sqrt(
+        F.col("v11") + F.col("v10") + F.col("v01") + F.col("v00")
+    )
+    return wide.select(
+        "n_orders",
+        F.round(F.col("t0"), 2).alias("treated_pre"),
+        F.round(F.col("t1"), 2).alias("treated_post"),
+        F.round(F.col("c0"), 2).alias("control_pre"),
+        F.round(F.col("c1"), 2).alias("control_post"),
+        (F.round(did, 4) + 0.0).alias("did_dollars"),
+        F.round(se, 4).alias("se_dollars"),
+        (F.round(did / se, 6) + 0.0).alias("t_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Regression discontinuity: local linear fit at the mid-month cutoff
+# --------------------------------------------------------------------------
+@register(
+    "rdd_local_linear",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    x AS (
+        SELECT CAST(EXTRACT(day FROM CAST(to_timestamp(d * 86400)
+                                          AS TIMESTAMP)) AS BIGINT) - 16
+                   AS x,
+               y
+        FROM daily
+    ),
+    band AS (SELECT x, y FROM x WHERE x BETWEEN -7 AND 6),
+    fit AS (
+        SELECT CASE WHEN x >= 0 THEN 1 ELSE 0 END AS side,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+                   AS sxy
+        FROM band GROUP BY 1
+    ),
+    coef AS (
+        SELECT side, n,
+               (CAST(sy AS DOUBLE) * sxx - CAST(sxy AS DOUBLE) * sx)
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                   AS intercept,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                   AS slope
+        FROM fit
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN side = 0 THEN n END) AS n_left,
+            MAX(CASE WHEN side = 1 THEN n END) AS n_right,
+            MAX(CASE WHEN side = 0 THEN intercept END) AS b0_left,
+            MAX(CASE WHEN side = 1 THEN intercept END) AS b0_right,
+            MAX(CASE WHEN side = 0 THEN slope END) AS m_left,
+            MAX(CASE WHEN side = 1 THEN slope END) AS m_right
+        FROM coef
+    )
+    SELECT n_left, n_right,
+           round(b0_left / 100.0, 2) AS yhat_left_dollars,
+           round(b0_right / 100.0, 2) AS yhat_right_dollars,
+           round((b0_right - b0_left) / 100.0, 4) + 0.0 AS jump_dollars,
+           round(m_left / 100.0, 4) + 0.0 AS slope_left,
+           round(m_right / 100.0, 4) + 0.0 AS slope_right
+    FROM wide
+    """,
+)
+def rdd_local_linear(spark, sf_dir):
+    """Sharp regression-discontinuity estimator at the mid-month
+    cutoff (day-of-month 16, bandwidth ±7): fit a separate OLS line to
+    daily revenue on each side of the cutoff and read the jump between
+    the two intercepts AT the cutoff — the local-linear RD device
+    (separate slopes, the Imbens-Lemieux standard) that a billing or
+    promo pipeline uses when a rule changes at a threshold. On this
+    synthetic calendar the true jump is ~0 — the null certification.
+
+    Exactness: x = day-of-month − 16 is a small integer, y is integer
+    cents, so all five OLS sums per side are exact integer/DECIMAL
+    folds; the closed-form intercept/slope divide once in doubles in
+    the same order both engines (ols_normal_equations discipline).
+    Plan: day rollup + one 2-cell grouped fold."""
+    daily = _daily(spark, sf_dir)
+    x = daily.select(
+        (F.dayofmonth(F.timestamp_seconds(F.col("d") * 86400)) - 16)
+        .cast("bigint")
+        .alias("x"),
+        "y",
+    ).where(F.col("x").between(-7, 6))
+    fit = x.groupBy(
+        (F.col("x") >= 0).cast("int").alias("side")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    det = (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    coef = fit.select(
+        "side",
+        "n",
+        (
+            (
+                F.col("sy").cast("double") * F.col("sxx")
+                - F.col("sxy").cast("double") * F.col("sx")
+            )
+            / det
+        ).alias("intercept"),
+        (
+            (
+                F.col("n") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / det
+        ).alias("slope"),
+    )
+    wide = coef.agg(
+        F.max(F.when(F.col("side") == 0, F.col("n"))).alias("n_left"),
+        F.max(F.when(F.col("side") == 1, F.col("n"))).alias("n_right"),
+        F.max(F.when(F.col("side") == 0, F.col("intercept"))).alias(
+            "b0_left"
+        ),
+        F.max(F.when(F.col("side") == 1, F.col("intercept"))).alias(
+            "b0_right"
+        ),
+        F.max(F.when(F.col("side") == 0, F.col("slope"))).alias("m_left"),
+        F.max(F.when(F.col("side") == 1, F.col("slope"))).alias("m_right"),
+    )
+    return wide.select(
+        "n_left",
+        "n_right",
+        F.round(F.col("b0_left") / 100.0, 2).alias("yhat_left_dollars"),
+        F.round(F.col("b0_right") / 100.0, 2).alias("yhat_right_dollars"),
+        (
+            F.round((F.col("b0_right") - F.col("b0_left")) / 100.0, 4)
+            + 0.0
+        ).alias("jump_dollars"),
+        (F.round(F.col("m_left") / 100.0, 4) + 0.0).alias("slope_left"),
+        (F.round(F.col("m_right") / 100.0, 4) + 0.0).alias("slope_right"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Inspection paradox audit on inter-event gaps
+# --------------------------------------------------------------------------
+@register(
+    "inspection_paradox_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT CAST((epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)))
+                   // 1000000 AS BIGINT) AS g
+        FROM events
+    ),
+    ok AS (SELECT g FROM gaps WHERE g IS NOT NULL AND g > 0),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(g) AS BIGINT) AS s,
+               CAST(SUM(CAST(g AS DECIMAL(38,0)) * g) AS DECIMAL(38,0))
+                   AS q
+        FROM ok
+    )
+    SELECT n AS n_gaps,
+           round(s / CAST(n AS DOUBLE), 3) AS mean_gap_s,
+           round(CAST(q AS DOUBLE) / s, 3) AS sizebiased_mean_s,
+           round(CAST(q AS DOUBLE) * n / (CAST(s AS DOUBLE) * s), 6)
+               AS inspection_ratio,
+           round(CAST(q AS DOUBLE) * n / (CAST(s AS DOUBLE) * s) - 1.0,
+                 6) + 0.0 AS implied_cv2
+    FROM mom
+    """,
+)
+def inspection_paradox_gaps(spark, sf_dir):
+    """Inspection-paradox audit on per-user inter-event gaps: the mean
+    gap a RANDOM ARRIVAL lands in is the size-biased mean Σg²/Σg, not
+    the plain mean Σg/n — their ratio is exactly 1 + CV². A ratio near
+    2 (exponential gaps) is healthy Poisson traffic; >> 2 means
+    heavy-tailed burstiness, the regime where 'average latency
+    between events' wildly misleads samplers and SLA probes (the
+    waiting-time paradox every monitoring pipeline trips over). This
+    is the distribution-free companion to ewma/burstiness views.
+
+    Gaps are exact integer seconds (µs floor-div); all three moments
+    are exact integer/DECIMAL folds; the two ratios divide once.
+    Plan: one user-partitioned lag window (row-grain but USER-keyed —
+    scales by user parallelism) + one scalar fold."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        (
+            F.unix_micros("ts")
+            - F.unix_micros(F.lag("ts").over(wu))
+        )
+        / F.lit(1_000_000)
+    ).cast("bigint")
+    gaps = (
+        e.select(g.alias("g"))
+        .where(F.col("g").isNotNull() & (F.col("g") > 0))
+    )
+    mom = gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("s"),
+        F.sum(F.col("g").cast("decimal(38,0)") * F.col("g"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    ratio = (
+        F.col("q").cast("double")
+        * F.col("n")
+        / (F.col("s").cast("double") * F.col("s"))
+    )
+    return mom.select(
+        F.col("n").alias("n_gaps"),
+        F.round(F.col("s") / F.col("n").cast("double"), 3).alias(
+            "mean_gap_s"
+        ),
+        F.round(F.col("q").cast("double") / F.col("s"), 3).alias(
+            "sizebiased_mean_s"
+        ),
+        F.round(ratio, 6).alias("inspection_ratio"),
+        (F.round(ratio - 1.0, 6) + 0.0).alias("implied_cv2"),
+    )
