@@ -2299,3 +2299,588 @@ def inspection_paradox_gaps(spark, sf_dir):
         F.round(ratio, 6).alias("inspection_ratio"),
         (F.round(ratio - 1.0, 6) + 0.0).alias("implied_cv2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rich-club coefficient of the co-purchase graph
+# --------------------------------------------------------------------------
+@register(
+    "rich_club_coefficient",
+    oracle="""
+    WITH half AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT p1 AS u FROM half
+              UNION ALL SELECT p2 AS u FROM half)
+        GROUP BY u
+    ),
+    ks AS (SELECT unnest(generate_series(1, 8)) AS k),
+    nodes AS (
+        SELECT k.k, CAST(COUNT(*) AS BIGINT) AS n_k
+        FROM ks k JOIN deg ON deg.d > k.k
+        GROUP BY k.k
+    ),
+    edges AS (
+        SELECT k.k, CAST(COUNT(*) AS BIGINT) AS e_k
+        FROM ks k
+        JOIN half h ON TRUE
+        JOIN deg d1 ON h.p1 = d1.u AND d1.d > k.k
+        JOIN deg d2 ON h.p2 = d2.u AND d2.d > k.k
+        GROUP BY k.k
+    )
+    SELECT n.k AS k_threshold, n.n_k AS n_nodes,
+           COALESCE(e.e_k, 0) AS n_edges,
+           round(2.0 * COALESCE(e.e_k, 0)
+                 / NULLIF(n.n_k * CAST(n.n_k - 1 AS DOUBLE), 0.0), 6)
+               AS phi
+    FROM nodes n LEFT JOIN edges e ON n.k = e.k
+    """,
+)
+def rich_club_coefficient(spark, sf_dir):
+    """Rich-club coefficient φ(k) of the co-purchase graph (edges =
+    part pairs with ≥2 co-orders): among nodes of degree > k, the
+    realized fraction of possible edges — a rising φ(k) means the
+    hubs preferentially trade with each other (a 'rich club'), the
+    topology signature that decides whether hub-removal fragments the
+    graph (supply-chain / recommender robustness) and whether degree-
+    based sampling is biased. Thresholds k = 1..8 (the degree domain
+    at every SF; raw φ only — the colt null-model normalization needs
+    degree-preserving rewiring, out of SQL scope, documented).
+
+    Counts are exact; one division per threshold. Plan: the bounded
+    within-order pair fan-out (graph_ops discipline), a degree rollup,
+    then threshold-exploded semi-joins — edges join degrees twice,
+    both broadcastable at dimension scale."""
+    from .graph_ops import _half_edges
+
+    half = _half_edges(spark, sf_dir, 2).select("p1", "p2").persist()
+    deg = (
+        half.select(F.col("p1").alias("u"))
+        .unionAll(half.select(F.col("p2").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    ks = spark.range(1, 9).select(F.col("id").alias("k"))
+    nodes = (
+        ks.join(deg, deg.d > ks.k)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_k"))
+    )
+    d1 = deg.select(F.col("u").alias("p1"), F.col("d").alias("dd1"))
+    d2 = deg.select(F.col("u").alias("p2"), F.col("d").alias("dd2"))
+    edges = (
+        half.join(F.broadcast(d1), "p1")
+        .join(F.broadcast(d2), "p2")
+        .crossJoin(F.broadcast(ks))
+        .where((F.col("dd1") > F.col("k")) & (F.col("dd2") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_k"))
+    )
+    return (
+        nodes.join(edges, "k", "left")
+        .select(
+            F.col("k").alias("k_threshold"),
+            F.col("n_k").alias("n_nodes"),
+            F.coalesce("e_k", F.lit(0)).cast("bigint").alias("n_edges"),
+            F.round(
+                2.0
+                * F.coalesce("e_k", F.lit(0))
+                / F.nullif(
+                    F.col("n_k") * (F.col("n_k") - 1).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("phi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding anisotropy via the sum-vector identity (no pairwise join)
+# --------------------------------------------------------------------------
+@register(
+    "embedding_anisotropy_panel",
+    oracle="""
+    WITH nrm AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               sqrt(list_sum(list_transform(embedding,
+                                            x -> CAST(x AS DOUBLE)
+                                                 * CAST(x AS DOUBLE))))
+                   AS nv
+        FROM embeddings
+    ),
+    u AS (
+        SELECT e.vec_id, n.label, g.i AS idx,
+               CAST(round(CAST(e.embedding[g.i] AS DOUBLE) / n.nv, 9)
+                    AS DECIMAL(18,9)) AS ui
+        FROM embeddings e
+        JOIN nrm n ON e.vec_id = n.vec_id,
+        LATERAL unnest(generate_series(1, len(e.embedding))) AS g(i)
+    ),
+    self_sq AS (
+        SELECT label, vec_id,
+               CAST(SUM(ui * ui) AS DECIMAL(38,18)) AS uu
+        FROM u GROUP BY 1, 2
+    ),
+    per_label AS (
+        SELECT label, idx, CAST(SUM(ui) AS DECIMAL(38,9)) AS si
+        FROM u GROUP BY 1, 2
+    ),
+    lbl AS (
+        SELECT p.label,
+               CAST(SUM(p.si * p.si) AS DOUBLE) AS s2,
+               MAX(c.n) AS n,
+               MAX(c.uu_sum) AS uu_sum
+        FROM per_label p
+        JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(uu) AS DOUBLE) AS uu_sum
+              FROM self_sq GROUP BY 1) c ON p.label = c.label
+        GROUP BY p.label
+    ),
+    allv AS (
+        SELECT CAST(SUM(si_all * si_all) AS DOUBLE) AS s2,
+               MAX(n_all) AS n, MAX(uu_all) AS uu_sum
+        FROM (SELECT idx, CAST(SUM(si) AS DECIMAL(38,9)) AS si_all
+              FROM per_label GROUP BY idx),
+             (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+                     CAST(SUM(uu) AS DOUBLE) AS uu_all
+              FROM self_sq)
+    )
+    SELECT CAST(label AS VARCHAR) AS grp, n AS n_vecs,
+           round((s2 - uu_sum) / (n * CAST(n - 1 AS DOUBLE)), 6) + 0.0
+               AS mean_pairwise_cos,
+           round(sqrt(s2) / n, 6) AS mean_vector_norm
+    FROM lbl
+    UNION ALL
+    SELECT 'all', n,
+           round((s2 - uu_sum) / (n * CAST(n - 1 AS DOUBLE)), 6) + 0.0,
+           round(sqrt(s2) / n, 6)
+    FROM allv
+    """,
+)
+def embedding_anisotropy_panel(spark, sf_dir):
+    """Embedding-space anisotropy: the mean pairwise cosine among
+    normalized vectors, per label and corpus-wide, via the SUM-VECTOR
+    identity Σ_{i≠j} cos(uᵢ,uⱼ) = ‖Σu‖² − Σ‖u‖² — O(n·d) with NO
+    pairwise join at all (the n² materialization every naive version
+    pays). High anisotropy (mean cos ≫ 0) is the classic 'narrow
+    cone' pathology of contextual embeddings — cosine similarities
+    all inflate, ANN recall curves lie — and the per-label rows show
+    whether classes collapse into sub-cones. ‖Σu‖/n is the mean
+    resultant length (directional concentration, Rayleigh's statistic).
+
+    Determinism: normalized components round to 9 → every element sum
+    and self-dot is an exact DECIMAL fold; the label →'all' rollup
+    reuses the per-label element sums (one extra tiny agg). Plan:
+    explode to (vec, idx) → two hash aggs on (label, idx) — shuffle
+    keyed on the 64-dim x label grid."""
+    emb = t(spark, sf_dir, "embeddings")
+    nrm = emb.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        "embedding",
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("nv"),
+    )
+    u = nrm.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("idx0", "x"),
+        "nv",
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("idx0") + 1).alias("idx"),
+        F.round(F.col("x").cast("double") / F.col("nv"), 9)
+        .cast("decimal(18,9)")
+        .alias("ui"),
+    ).persist()
+    self_sq = u.groupBy("label", "vec_id").agg(
+        F.sum(F.col("ui") * F.col("ui")).cast("decimal(38,18)").alias("uu")
+    )
+    per_label = u.groupBy("label", "idx").agg(
+        F.sum("ui").cast("decimal(38,9)").alias("si")
+    ).persist()
+    cnt = self_sq.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("uu").cast("double").alias("uu_sum"),
+    )
+    lbl = (
+        per_label.groupBy("label")
+        .agg(F.sum(F.col("si") * F.col("si")).cast("double").alias("s2"))
+        .join(cnt, "label")
+    )
+    all_si = per_label.groupBy("idx").agg(
+        F.sum("si").cast("decimal(38,9)").alias("si_all")
+    )
+    all_cnt = self_sq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("uu").cast("double").alias("uu_sum"),
+    )
+    allv = (
+        all_si.agg(
+            F.sum(F.col("si_all") * F.col("si_all"))
+            .cast("double")
+            .alias("s2")
+        )
+        .crossJoin(F.broadcast(all_cnt))
+    )
+    mean_cos = (F.col("s2") - F.col("uu_sum")) / (
+        F.col("n") * (F.col("n") - 1).cast("double")
+    )
+    res_len = F.sqrt(F.col("s2")) / F.col("n")
+    lbl_rows = lbl.select(
+        F.col("label").cast("string").alias("grp"),
+        F.col("n").alias("n_vecs"),
+        (F.round(mean_cos, 6) + 0.0).alias("mean_pairwise_cos"),
+        F.round(res_len, 6).alias("mean_vector_norm"),
+    )
+    all_rows = allv.select(
+        F.lit("all").alias("grp"),
+        F.col("n").alias("n_vecs"),
+        (F.round(mean_cos, 6) + 0.0).alias("mean_pairwise_cos"),
+        F.round(res_len, 6).alias("mean_vector_norm"),
+    )
+    return lbl_rows.unionAll(all_rows)
+
+
+# --------------------------------------------------------------------------
+# Net dollar retention by first-order cohort
+# --------------------------------------------------------------------------
+@register(
+    "net_dollar_retention_cohort",
+    oracle="""
+    WITH om AS (
+        SELECT o_custkey AS ck,
+               CAST(EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    first_m AS (
+        SELECT ck, CAST(MIN(m) AS BIGINT) AS cohort FROM om GROUP BY ck
+    ),
+    rev AS (
+        SELECT f.cohort, o.m - f.cohort AS offs,
+               CAST(SUM(o.cents) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT o.ck) AS BIGINT) AS active
+        FROM om o JOIN first_m f ON o.ck = f.ck
+        WHERE o.m - f.cohort <= 12
+        GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT cohort, r AS r0 FROM rev WHERE offs = 0
+    )
+    SELECT CAST(v.cohort // 12 AS BIGINT) AS cohort_year,
+           CAST(v.cohort % 12 + 1 AS BIGINT) AS cohort_month,
+           v.offs AS month_offset,
+           v.active AS n_active_customers,
+           round(v.r / 100.0, 2) AS revenue_dollars,
+           round(v.r / CAST(b.r0 AS DOUBLE), 6) AS ndr
+    FROM rev v JOIN base b ON v.cohort = b.cohort
+    """,
+)
+def net_dollar_retention_cohort(spark, sf_dir):
+    """Net dollar retention by acquisition cohort: customers grouped
+    by their FIRST order month; for offsets 0–12 months, the cohort's
+    total spend relative to its month-0 spend — the REVENUE-weighted
+    retention curve (cohort_retention counts heads; NDR weighs
+    wallets, so expansion can push it above 1 even as heads churn —
+    the metric every subscription/marketplace board deck leads with).
+
+    Revenue is exact integer cents throughout; NDR divides once per
+    (cohort, offset) cell. Plan: month rollup, a min-month cohort
+    rollup (one user-keyed shuffle), a cohort-offset hash agg, and a
+    broadcast-sized month-0 base join."""
+    o = t(spark, sf_dir, "orders")
+    om = o.select(
+        F.col("o_custkey").alias("ck"),
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        )
+        .cast("bigint")
+        .alias("m"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("cents"),
+    )
+    first_m = om.groupBy("ck").agg(F.min("m").cast("bigint").alias("cohort"))
+    rev = (
+        om.join(first_m, "ck")
+        .where(F.col("m") - F.col("cohort") <= 12)
+        .groupBy("cohort", (F.col("m") - F.col("cohort")).alias("offs"))
+        .agg(
+            F.sum("cents").cast("bigint").alias("r"),
+            F.countDistinct("ck").cast("bigint").alias("active"),
+        )
+    )
+    base = rev.where(F.col("offs") == 0).select(
+        "cohort", F.col("r").alias("r0")
+    )
+    return rev.join(F.broadcast(base), "cohort").select(
+        (F.col("cohort") / 12).cast("bigint").alias("cohort_year"),
+        (F.col("cohort") % 12 + 1).cast("bigint").alias("cohort_month"),
+        F.col("offs").alias("month_offset"),
+        F.col("active").alias("n_active_customers"),
+        F.round(F.col("r") / 100.0, 2).alias("revenue_dollars"),
+        F.round(F.col("r") / F.col("r0").cast("double"), 6).alias("ndr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-invoice heuristic (same payer, same amount, within 7 days)
+# --------------------------------------------------------------------------
+@register(
+    "duplicate_invoice_heuristic",
+    oracle="""
+    WITH inv AS (
+        SELECT o_orderkey AS okey, o_custkey AS ck,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d
+        FROM orders
+    )
+    SELECT a.ck AS custkey,
+           a.okey AS orderkey_a, b.okey AS orderkey_b,
+           round(a.cents / 100.0, 2) AS amount_dollars,
+           b.d - a.d AS day_gap
+    FROM inv a JOIN inv b
+      ON a.ck = b.ck AND a.cents = b.cents AND a.okey < b.okey
+    WHERE b.d - a.d BETWEEN -7 AND 7
+    """,
+)
+def duplicate_invoice_heuristic(spark, sf_dir):
+    """Duplicate-payment audit: order pairs with the SAME customer,
+    the SAME amount (exact cents), placed within ±7 days — the
+    standard accounts-payable double-billing screen (exact-amount +
+    short-window is the highest-precision rule in every AP audit
+    toolkit; fuzzier tiers hand off to the Levenshtein/ER machinery).
+    Emits the pair evidence rows (payer, both keys, amount, gap) for
+    case review, keyed a<b so the set is deterministic.
+
+    Plan: self-equi-join on (custkey, cents) — the blocking key — so
+    pair generation is per-(payer, amount) bucket, never all-pairs;
+    the ±7-day band filters after the bucket join. Scale shape: a
+    payer repeating the same amount k times fans k²/2 within the
+    bucket only (the frequency-cap class; real AP data is sparse at
+    exact-cents grain)."""
+    o = t(spark, sf_dir, "orders")
+    inv = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ck"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("cents"),
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d"),
+    )
+    a = inv.select(
+        "ck",
+        "cents",
+        F.col("okey").alias("okey_a"),
+        F.col("d").alias("da"),
+    )
+    b = inv.select(
+        "ck",
+        "cents",
+        F.col("okey").alias("okey_b"),
+        F.col("d").alias("db"),
+    )
+    return (
+        a.join(b, ["ck", "cents"])
+        .where(
+            (F.col("okey_a") < F.col("okey_b"))
+            & (F.col("db") - F.col("da")).between(-7, 7)
+        )
+        .select(
+            F.col("ck").alias("custkey"),
+            F.col("okey_a").alias("orderkey_a"),
+            F.col("okey_b").alias("orderkey_b"),
+            F.round(F.col("cents") / 100.0, 2).alias("amount_dollars"),
+            (F.col("db") - F.col("da")).alias("day_gap"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Harrell's C-index: does session activity predict session survival?
+# --------------------------------------------------------------------------
+@register(
+    "harrell_c_index_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE
+                 OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    grouped AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    bounds AS (SELECT MAX(ts) AS mx FROM events),
+    sessions AS (
+        SELECT CAST(date_diff('minute', MIN(ts), MAX(ts)) AS BIGINT)
+                   AS dur,
+               CAST(COUNT(*) AS BIGINT) AS score,
+               CASE WHEN MAX(ts) <= (SELECT mx FROM bounds)
+                                    - INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS ev
+        FROM grouped GROUP BY user_id, session_id
+    ),
+    cells AS (
+        SELECT dur, score, ev, CAST(COUNT(*) AS BIGINT) AS c
+        FROM sessions GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+        SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS comparable,
+               CAST(SUM(CASE WHEN b.score > a.score
+                        THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+               CAST(SUM(CASE WHEN b.score = a.score
+                        THEN a.c * b.c ELSE 0 END) AS BIGINT) AS ties
+        FROM cells a JOIN cells b ON b.dur > a.dur
+        WHERE a.ev = 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sessions) AS n_sessions,
+           (SELECT CAST(SUM(ev) AS BIGINT) FROM sessions) AS n_events,
+           p.comparable AS n_comparable_pairs,
+           p.conc AS n_concordant,
+           p.ties AS n_score_ties,
+           round((2 * p.conc + p.ties)
+                 / (2.0 * p.comparable), 6) AS c_index
+    FROM pairs p
+    """,
+)
+def harrell_c_index_sessions(spark, sf_dir):
+    """Harrell's concordance index: does a session's event count
+    predict how long it survives? Comparable pairs = (i, j) with
+    dur_i < dur_j and session i COMPLETED (a censored short session
+    tells nothing — the at-risk discipline of kaplan_meier_sessions
+    applied to ranking); concordant when the longer-lived session has
+    the higher activity score, score ties count ½. C = 0.5 is a
+    coin-flip predictor, 1.0 perfect ranking — THE standard
+    discrimination metric for survival models and churn scorers,
+    censoring-aware where plain AUC is not.
+
+    Scale shape: sessions NEVER pair row-to-row — they roll up to
+    (duration, score, completed) CELLS first (both axes domain-
+    bounded grids: minutes x per-session event counts), and the pair
+    count is a weighted cell-pair join (c_i·c_j products, exact
+    integers). One user-keyed session shuffle + one bounded cell
+    join; C divides once via the 2x-scaled integer trick."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wu)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        (
+            prev.isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+                > 30 * 60 * 1_000_000
+            )
+        )
+        .cast("int")
+        .alias("new_session"),
+    )
+    grouped = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    bounds = e.agg(F.max("ts").alias("mx"))
+    sessions = (
+        grouped.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+            F.count(F.lit(1)).cast("bigint").alias("score"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                F.floor(F.unix_micros("t1") / 60_000_000)
+                - F.floor(F.unix_micros("t0") / 60_000_000)
+            )
+            .cast("bigint")
+            .alias("dur"),
+            "score",
+            (
+                F.unix_micros("t1")
+                <= F.unix_micros("mx") - 30 * 60 * 1_000_000
+            )
+            .cast("int")
+            .alias("ev"),
+        )
+        .persist()
+    )
+    cells = sessions.groupBy("dur", "score", "ev").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = cells.where(F.col("ev") == 1).select(
+        F.col("dur").alias("da"), F.col("score").alias("sa"),
+        F.col("c").alias("ca"),
+    )
+    b = cells.select(
+        F.col("dur").alias("db"), F.col("score").alias("sb"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias(
+                "comparable"
+            ),
+            F.sum(
+                F.when(
+                    F.col("sb") > F.col("sa"), F.col("ca") * F.col("cb")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("conc"),
+            F.sum(
+                F.when(
+                    F.col("sb") == F.col("sa"), F.col("ca") * F.col("cb")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("ties"),
+        )
+    )
+    tot = sessions.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("ev").cast("bigint").alias("n_events"),
+    )
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        "n_sessions",
+        "n_events",
+        F.col("comparable").alias("n_comparable_pairs"),
+        F.col("conc").alias("n_concordant"),
+        F.col("ties").alias("n_score_ties"),
+        F.round(
+            (2 * F.col("conc") + F.col("ties"))
+            / (2.0 * F.col("comparable")),
+            6,
+        ).alias("c_index"),
+    )
