@@ -2884,3 +2884,564 @@ def harrell_c_index_sessions(spark, sf_dir):
             6,
         ).alias("c_index"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kendall's W: do the five event types rank weekdays concordantly?
+# --------------------------------------------------------------------------
+@register(
+    "kendalls_w_concordance",
+    oracle="""
+    WITH cell AS (
+        SELECT event_type,
+               CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                   AS dow,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT dow,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY v, dow) AS BIGINT) AS r
+        FROM cell
+    ),
+    rsum AS (
+        SELECT dow, CAST(SUM(r) AS BIGINT) AS ri FROM rk GROUP BY dow
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rsum),
+    s AS (
+        SELECT nn.n,
+               CAST(SUM((2 * ri - 5 * (nn.n + 1))
+                        * (2 * ri - 5 * (nn.n + 1)))
+                    AS BIGINT) AS s4
+        FROM rsum, nn
+        GROUP BY nn.n
+    )
+    SELECT n AS n_objects, CAST(5 AS BIGINT) AS m_judges,
+           s4 / 4 AS s_stat,
+           round(12.0 * (s4 / 4.0)
+                 / (25.0 * (n * n * n - n)), 6) AS kendalls_w,
+           round(5 * (n - 1) * 12.0 * (s4 / 4.0)
+                 / (25.0 * (n * n * n - n)), 6) AS chi2_stat
+    FROM s
+    """,
+)
+def kendalls_w_concordance(spark, sf_dir):
+    """Kendall's coefficient of concordance W: five 'judges' (the
+    event types) each rank the seven weekdays by total event value;
+    W = 12S/(m²(n³−n)) with S = Σ(Rᵢ − m(n+1)/2)² measures whether
+    the judges agree on the weekly rhythm (W = 1 identical rankings,
+    0 none). The m-ranking generalization of Spearman (it IS the mean
+    pairwise Spearman, linearly transformed) — Fleiss kappa's ordinal
+    sibling on this panel. Ranks are unique by the (value, dow) total
+    order (exact integer cents), so S·4 = Σ(2Rᵢ − m(n+1))² is an
+    exact BIGINT and W/χ² divide once. Plan: one 35-cell rollup +
+    rank windows over the weekday domain."""
+    e = t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        "event_type",
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("bigint")
+        .alias("dow"),
+    ).agg(
+        F.sum((dec("value", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    rk = cell.select(
+        "dow",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("v", "dow"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    rsum = rk.groupBy("dow").agg(F.sum("r").cast("bigint").alias("ri"))
+    nn = rsum.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = (
+        rsum.crossJoin(F.broadcast(nn))
+        .groupBy("n")
+        .agg(
+            F.sum(
+                (2 * F.col("ri") - 5 * (F.col("n") + 1))
+                * (2 * F.col("ri") - 5 * (F.col("n") + 1))
+            )
+            .cast("bigint")
+            .alias("s4")
+        )
+    )
+    n = F.col("n")
+    w = (
+        12.0
+        * (F.col("s4") / 4.0)
+        / (25.0 * (n * n * n - n))
+    )
+    return s.select(
+        n.alias("n_objects"),
+        F.lit(5).cast("bigint").alias("m_judges"),
+        (F.col("s4") / 4).cast("bigint").alias("s_stat"),
+        F.round(w, 6).alias("kendalls_w"),
+        F.round(5 * (n - 1) * w, 6).alias("chi2_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quade test (weighted blocked ranks: dow blocks x event-type treatments)
+# --------------------------------------------------------------------------
+@register(
+    "quade_test",
+    oracle="""
+    WITH cell AS (
+        SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                   AS blk,
+               event_type AS trt,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT blk, trt,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY blk ORDER BY v, trt) AS BIGINT) AS r
+        FROM cell
+    ),
+    rng AS (
+        SELECT blk, CAST(MAX(v) - MIN(v) AS BIGINT) AS range_v
+        FROM cell GROUP BY blk
+    ),
+    q AS (
+        SELECT blk,
+               CAST(ROW_NUMBER() OVER (ORDER BY range_v, blk) AS BIGINT)
+                   AS qb
+        FROM rng
+    ),
+    s2 AS (
+        SELECT rk.trt, q.qb * (2 * rk.r - 6) AS s2
+        FROM rk JOIN q ON rk.blk = q.blk
+    ),
+    f2 AS (
+        SELECT CAST(SUM(s2 * s2) AS BIGINT) AS a4 FROM s2
+    ),
+    f3 AS (
+        SELECT CAST(SUM(tj * tj) AS BIGINT) AS sb4
+        FROM (SELECT trt, CAST(SUM(s2) AS BIGINT) AS tj
+              FROM s2 GROUP BY trt)
+    )
+    SELECT CAST(7 AS BIGINT) AS n_blocks, CAST(5 AS BIGINT) AS k_treatments,
+           f2.a4 / 4.0 AS a_term,
+           round(f3.sb4 / 28.0, 4) AS b_term,
+           round((7 - 1) * (f3.sb4 / 28.0)
+                 / NULLIF(f2.a4 / 4.0 - f3.sb4 / 28.0, 0.0), 6)
+               AS quade_f
+    FROM f2, f3
+    """,
+)
+def quade_test(spark, sf_dir):
+    """Quade test: the blocked rank test that WEIGHTS blocks by their
+    range — weekday blocks where event types differ a lot count more
+    than flat blocks (Friedman, its unweighted sibling already
+    certified, throws that information away; for k ≤ 5 treatments
+    Quade dominates it in power). Blocks = 7 weekdays, treatments =
+    5 event types, observation = total value cents. S_ij = Q_b·(r_ij
+    − (k+1)/2) with within-block ranks and range-ranked block weights
+    (both unique under (value, key) total orders) → F = (n−1)·B/(A−B),
+    A = ΣS², B = ΣS_j²/n.
+
+    2x-scaled: S2 = Q·(2r − (k+1)) is an exact integer, so A·4 and
+    B·4n are exact BIGINTs and F divides once. Plan: one 35-cell
+    rollup, two rank windows over weekday/treatment domains, two
+    integer folds."""
+    e = t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("bigint")
+        .alias("blk"),
+        F.col("event_type").alias("trt"),
+    ).agg(
+        F.sum((dec("value", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    ).persist()
+    rk = cell.select(
+        "blk",
+        "trt",
+        F.row_number()
+        .over(Window.partitionBy("blk").orderBy("v", "trt"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    rng = cell.groupBy("blk").agg(
+        (F.max("v") - F.min("v")).cast("bigint").alias("range_v")
+    )
+    # block-weight ranks via a triangular join on the 7-row block
+    # frame (window-free: keeps the single-partition audit at zero)
+    rb = rng.select(
+        F.col("blk").alias("blk2"),
+        F.col("range_v").alias("range2"),
+    )
+    q = (
+        rng.join(
+            rb,
+            (F.col("range2") < F.col("range_v"))
+            | (
+                (F.col("range2") == F.col("range_v"))
+                & (F.col("blk2") < F.col("blk"))
+            ),
+            "left",
+        )
+        .groupBy("blk")
+        .agg((1 + F.count("blk2")).cast("bigint").alias("qb"))
+    )
+    s2 = rk.join(q, "blk").select(
+        "trt", (F.col("qb") * (2 * F.col("r") - 6)).alias("s2")
+    ).persist()
+    a4 = s2.agg(
+        F.sum(F.col("s2") * F.col("s2")).cast("bigint").alias("a4")
+    )
+    sb4 = (
+        s2.groupBy("trt")
+        .agg(F.sum("s2").cast("bigint").alias("tj"))
+        .agg(F.sum(F.col("tj") * F.col("tj")).cast("bigint").alias("sb4"))
+    )
+    a_term = F.col("a4") / 4.0
+    b_term = F.col("sb4") / 28.0
+    return a4.crossJoin(F.broadcast(sb4)).select(
+        F.lit(7).cast("bigint").alias("n_blocks"),
+        F.lit(5).cast("bigint").alias("k_treatments"),
+        a_term.alias("a_term"),
+        F.round(b_term, 4).alias("b_term"),
+        F.round(
+            (7 - 1) * b_term / F.nullif(a_term - b_term, F.lit(0.0)), 6
+        ).alias("quade_f"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal/trend strength (Hyndman F_s, F_t) of daily revenue
+# --------------------------------------------------------------------------
+@register(
+    "seasonal_strength_panel",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    ma AS (
+        SELECT a.d, a.y,
+               CAST(COUNT(b.d) AS BIGINT) AS k,
+               CAST(round(SUM(b.y) / 7.0, 4) AS DECIMAL(38,4)) AS tr
+        FROM daily a JOIN daily b ON b.d BETWEEN a.d - 3 AND a.d + 3
+        GROUP BY a.d, a.y
+        HAVING COUNT(b.d) = 7
+    ),
+    detr AS (
+        SELECT d, CAST((d + 4) % 7 AS BIGINT) AS dow,
+               CAST(y AS DECIMAL(38,4)) - tr AS s_plus_r,
+               CAST(y AS DECIMAL(38,4)) AS y4, tr
+        FROM ma
+    ),
+    seas AS (
+        SELECT dow,
+               CAST(round(CAST(SUM(s_plus_r) AS DOUBLE) / COUNT(*), 4)
+                    AS DECIMAL(38,4)) AS s
+        FROM detr GROUP BY dow
+    ),
+    comp AS (
+        SELECT d.s_plus_r, d.s_plus_r - s.s AS r,
+               d.y4 - s.s AS t_plus_r
+        FROM detr d JOIN seas s ON d.dow = s.dow
+    ),
+    v AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r * r) AS DECIMAL(38,8)) AS qr,
+               CAST(SUM(r) AS DECIMAL(38,4)) AS sr,
+               CAST(SUM(s_plus_r * s_plus_r) AS DECIMAL(38,8)) AS qsr,
+               CAST(SUM(s_plus_r) AS DECIMAL(38,4)) AS ssr,
+               CAST(SUM(t_plus_r * t_plus_r) AS DECIMAL(38,8)) AS qtr,
+               CAST(SUM(t_plus_r) AS DECIMAL(38,4)) AS str
+        FROM comp
+    )
+    SELECT n AS n_days_used,
+           round((CAST(qr AS DOUBLE)
+                  - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n)
+                 / (n - 1) / 1e8, 6) AS var_resid_mdollars2,
+           round(GREATEST(0.0, 1.0
+                 - (CAST(qr AS DOUBLE)
+                    - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n)
+                   / (CAST(qsr AS DOUBLE)
+                      - CAST(ssr AS DOUBLE) * CAST(ssr AS DOUBLE) / n)),
+                 6) AS f_seasonal,
+           round(GREATEST(0.0, 1.0
+                 - (CAST(qr AS DOUBLE)
+                    - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n)
+                   / (CAST(qtr AS DOUBLE)
+                      - CAST(str AS DOUBLE) * CAST(str AS DOUBLE) / n)),
+                 6) AS f_trend
+    FROM v
+    """,
+)
+def seasonal_strength_panel(spark, sf_dir):
+    """Hyndman's seasonal/trend STRENGTH measures from a classical
+    additive decomposition of daily revenue: trend = centered 7-day
+    moving average, seasonal = weekday means of the detrended series,
+    remainder = what's left; then F_seasonal = max(0, 1 −
+    Var(R)/Var(S+R)) and F_trend = max(0, 1 − Var(R)/Var(T+R)) — the
+    [0,1] scores the tsfeatures/forecastability literature uses to
+    route series to seasonal vs non-seasonal models. The single-number
+    summary seasonal_dow_decompose (which emits the components) does
+    not give.
+
+    Determinism: the MA and seasonal means round to 4 decimals, so
+    every component is an exact DECIMAL(38,4) and all power sums are
+    exact DECIMAL(38,8) folds; the three variances combine in doubles
+    identically. Plan: a ±3-day band join on the bounded day frame
+    (full 7-day windows only), one weekday rollup, one fold."""
+    daily = _daily(spark, sf_dir)
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    ma = (
+        daily.join(b, F.col("db").between(F.col("d") - 3, F.col("d") + 3))
+        .groupBy("d", "y")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.round(F.sum("yb") / 7.0, 4)
+            .cast("decimal(38,4)")
+            .alias("tr"),
+        )
+        .where(F.col("k") == 7)
+    )
+    detr = ma.select(
+        "d",
+        ((F.col("d") + 4) % 7).cast("bigint").alias("dow"),
+        (F.col("y").cast("decimal(38,4)") - F.col("tr")).alias("s_plus_r"),
+        F.col("y").cast("decimal(38,4)").alias("y4"),
+        "tr",
+    )
+    seas = detr.groupBy("dow").agg(
+        F.round(
+            F.sum("s_plus_r").cast("double") / F.count(F.lit(1)), 4
+        )
+        .cast("decimal(38,4)")
+        .alias("s")
+    )
+    comp = detr.join(F.broadcast(seas), "dow").select(
+        "s_plus_r",
+        (F.col("s_plus_r") - F.col("s")).alias("r"),
+        (F.col("y4") - F.col("s")).alias("t_plus_r"),
+    )
+    v = comp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r") * F.col("r")).cast("decimal(38,8)").alias("qr"),
+        F.sum("r").cast("decimal(38,4)").alias("sr"),
+        F.sum(F.col("s_plus_r") * F.col("s_plus_r"))
+        .cast("decimal(38,8)")
+        .alias("qsr"),
+        F.sum("s_plus_r").cast("decimal(38,4)").alias("ssr"),
+        F.sum(F.col("t_plus_r") * F.col("t_plus_r"))
+        .cast("decimal(38,8)")
+        .alias("qtr"),
+        F.sum("t_plus_r").cast("decimal(38,4)").alias("str"),
+    )
+
+    def _var(q, sm):
+        return (
+            F.col(q).cast("double")
+            - F.col(sm).cast("double") * F.col(sm).cast("double") / F.col("n")
+        )
+
+    vr = _var("qr", "sr")
+    return v.select(
+        F.col("n").alias("n_days_used"),
+        F.round(vr / (F.col("n") - 1) / 1e8, 6).alias(
+            "var_resid_mdollars2"
+        ),
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - vr / _var("qsr", "ssr")), 6
+        ).alias("f_seasonal"),
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - vr / _var("qtr", "str")), 6
+        ).alias("f_trend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# V-shape pattern detection on daily revenue (MATCH_RECOGNIZE-class)
+# --------------------------------------------------------------------------
+@register(
+    "pattern_vshape_daily",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    w AS (
+        SELECT c.d, a.y AS ym2, b.y AS ym1, c.y AS y0,
+               e.y AS yp1, f.y AS yp2
+        FROM daily c
+        JOIN daily a ON a.d = c.d - 2
+        JOIN daily b ON b.d = c.d - 1
+        JOIN daily e ON e.d = c.d + 1
+        JOIN daily f ON f.d = c.d + 2
+    ),
+    vs AS (
+        SELECT d, y0,
+               (LEAST(ym2, yp2) - y0) * 1000000 // y0 AS depth_ppm
+        FROM w
+        WHERE ym2 > ym1 AND ym1 > y0 AND y0 < yp1 AND yp1 < yp2
+          AND (LEAST(ym2, yp2) - y0) * 10 >= y0
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_v FROM vs)
+    SELECT CAST(strftime(CAST(to_timestamp(v.d * 86400) AS TIMESTAMP),
+                         '%Y-%m-%d') AS VARCHAR) AS dip_date,
+           round(v.y0 / 100.0, 2) AS dip_dollars,
+           round(v.depth_ppm / 10000.0, 2) AS depth_pct,
+           t.n_v AS n_vshapes_total
+    FROM vs v, tot t
+    ORDER BY v.depth_ppm DESC, v.d
+    LIMIT 10
+    """,
+)
+def pattern_vshape_daily(spark, sf_dir):
+    """Row-pattern detection (the MATCH_RECOGNIZE surface, expressed
+    relationally): find V-shaped dips in daily revenue — two strictly
+    falling days into a trough, two strictly rising days out, with
+    relative depth ≥ 10% of the trough. Emits the 10 deepest dips
+    (date, trough value, depth) plus the corpus-wide V count — the
+    anomaly shape a revenue-incident review starts from, and the
+    pattern class (down-down-up-up over an ordered partition) that
+    SQL:2016 row-pattern matching exists for.
+
+    Determinism: the pattern predicate is pure integer comparisons;
+    depth ranks by an exact integer key (ppm via floor-div
+    cross-multiplication — never a float sort); the 10% gate is the
+    cross-multiplied integer inequality. Plan: four calendar lag
+    joins on the bounded day frame + TakeOrderedAndProject."""
+    daily = _daily(spark, sf_dir)
+
+    def lag_frame(k, name):
+        return daily.select(
+            (F.col("d") - k).alias("d"), F.col("y").alias(name)
+        )
+
+    w = (
+        daily.withColumnRenamed("y", "y0")
+        .join(lag_frame(-2, "ym2"), "d")
+        .join(lag_frame(-1, "ym1"), "d")
+        .join(lag_frame(1, "yp1"), "d")
+        .join(lag_frame(2, "yp2"), "d")
+    )
+    lo = F.least("ym2", "yp2")
+    vs = (
+        w.where(
+            (F.col("ym2") > F.col("ym1"))
+            & (F.col("ym1") > F.col("y0"))
+            & (F.col("y0") < F.col("yp1"))
+            & (F.col("yp1") < F.col("yp2"))
+            & ((lo - F.col("y0")) * 10 >= F.col("y0"))
+        )
+        .select(
+            "d",
+            "y0",
+            F.floor((lo - F.col("y0")) * 1_000_000 / F.col("y0"))
+            .cast("bigint")
+            .alias("depth_ppm"),
+        )
+        .persist()
+    )
+    tot = vs.agg(F.count(F.lit(1)).cast("bigint").alias("n_v"))
+    return (
+        vs.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("depth_ppm").desc(), "d")
+        .limit(10)
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("d") * 86400), "yyyy-MM-dd"
+            ).alias("dip_date"),
+            F.round(F.col("y0") / 100.0, 2).alias("dip_dollars"),
+            F.round(F.col("depth_ppm") / 10000.0, 2).alias("depth_pct"),
+            F.col("n_v").alias("n_vshapes_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Record-counts randomness test on daily revenue
+# --------------------------------------------------------------------------
+@register(
+    "record_counts_test",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    scan AS (
+        SELECT a.d, a.y,
+               CAST(COUNT(b.d) AS BIGINT) + 1 AS k,
+               CAST(COUNT(CASE WHEN b.y >= a.y THEN 1 END) AS BIGINT)
+                   AS n_geq
+        FROM daily a LEFT JOIN daily b ON b.d < a.d
+        GROUP BY a.d, a.y
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN n_geq = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_records,
+               CAST(SUM(CAST(round(1.0 / k, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS h1,
+               CAST(SUM(CAST(round(1.0 / (CAST(k AS DOUBLE) * k), 12)
+                    AS DECIMAL(38,12))) AS DOUBLE) AS h2
+        FROM scan
+    )
+    SELECT n AS n_days, n_records,
+           round(h1, 6) AS expected_records,
+           round((n_records - h1) / sqrt(h1 - h2), 6) + 0.0 AS z_stat
+    FROM fold
+    """,
+)
+def record_counts_test(spark, sf_dir):
+    """Record-counts randomness test: count the days whose revenue is
+    a running all-time high. Under exchangeability the k-th
+    observation is a record with probability exactly 1/k, so
+    E[records] = H_n (harmonic) ≈ ln n and Var = H_n − H_n⁽²⁾ —
+    DISTRIBUTION-FREE, no parameters at all. Far more records than
+    H_n = upward drift; far fewer = early peak / decline. The
+    classical record-theory complement to turning_points_randomness
+    (which tests local wiggle; records test global growth structure).
+
+    The record flag and the day index k both come from ONE triangular
+    join on the bounded day frame (b.d < a.d): records = rows with no
+    earlier y ≥ y₀, k = earlier-count + 1; the harmonic sums fold
+    per-row rounded 1/k terms (round-before-fold). One final z."""
+    daily = _daily(spark, sf_dir)
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    scan = (
+        daily.join(b, F.col("db") < F.col("d"), "left")
+        .groupBy("d", "y")
+        .agg(
+            (F.count("db") + 1).cast("bigint").alias("k"),
+            F.count(F.when(F.col("yb") >= F.col("y"), 1))
+            .cast("bigint")
+            .alias("n_geq"),
+        )
+    )
+    fold = scan.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("n_geq") == 0).cast("long"))
+        .cast("bigint")
+        .alias("n_records"),
+        F.sum(
+            F.round(1.0 / F.col("k"), 12).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("h1"),
+        F.sum(
+            F.round(
+                1.0 / (F.col("k").cast("double") * F.col("k")), 12
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("h2"),
+    )
+    return fold.select(
+        F.col("n").alias("n_days"),
+        "n_records",
+        F.round(F.col("h1"), 6).alias("expected_records"),
+        (
+            F.round(
+                (F.col("n_records") - F.col("h1"))
+                / F.sqrt(F.col("h1") - F.col("h2")),
+                6,
+            )
+            + 0.0
+        ).alias("z_stat"),
+    )
