@@ -3445,3 +3445,586 @@ def record_counts_test(spark, sf_dir):
             + 0.0
         ).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Transfer entropy: daily order count -> next-day average order value
+# --------------------------------------------------------------------------
+@register(
+    "transfer_entropy_daily",
+    oracle="""
+    WITH daily2 AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    thr AS (
+        SELECT CAST(round(quantile_cont(c, 1.0/3), 6) AS DOUBLE) AS c1,
+               CAST(round(quantile_cont(c, 2.0/3), 6) AS DOUBLE) AS c2,
+               CAST(round(quantile_cont(y * 1.0 / c, 1.0/3), 6)
+                    AS DOUBLE) AS a1,
+               CAST(round(quantile_cont(y * 1.0 / c, 2.0/3), 6)
+                    AS DOUBLE) AS a2
+        FROM daily2
+    ),
+    disc AS (
+        SELECT d,
+               CASE WHEN c <= t.c1 THEN 0
+                    WHEN c <= t.c2 THEN 1 ELSE 2 END AS x,
+               CASE WHEN y * 1.0 / c <= t.a1 THEN 0
+                    WHEN y * 1.0 / c <= t.a2 THEN 1 ELSE 2 END AS yv
+        FROM daily2, thr t
+    ),
+    tri AS (
+        SELECT b.yv AS yn, a.yv AS yc, a.x AS xc,
+               CAST(COUNT(*) AS BIGINT) AS n3
+        FROM disc a JOIN disc b ON b.d = a.d + 1
+        GROUP BY 1, 2, 3
+    ),
+    m_yx AS (
+        SELECT yc, xc, CAST(SUM(n3) AS BIGINT) AS n2 FROM tri
+        GROUP BY 1, 2
+    ),
+    m_yy AS (
+        SELECT yn, yc, CAST(SUM(n3) AS BIGINT) AS nyy FROM tri
+        GROUP BY 1, 2
+    ),
+    m_y AS (
+        SELECT yc, CAST(SUM(n3) AS BIGINT) AS ny FROM tri GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n3) AS BIGINT) AS n FROM tri),
+    te AS (
+        SELECT SUM(CAST(round(
+                   t.n3 * 1.0 / x.n *
+                   ln((t.n3 * 1.0 / a.n2) / (b.nyy * 1.0 / c.ny)),
+                   12) AS DECIMAL(38,12))) AS te_nats
+        FROM tri t
+        JOIN m_yx a ON t.yc = a.yc AND t.xc = a.xc
+        JOIN m_yy b ON t.yn = b.yn AND t.yc = b.yc
+        JOIN m_y c ON t.yc = c.yc
+        CROSS JOIN tot x
+    )
+    SELECT x.n AS n_transitions,
+           round(CAST(e.te_nats AS DOUBLE), 6) + 0.0 AS te_nats,
+           round(CAST(e.te_nats AS DOUBLE) / ln(2.0), 6) + 0.0 AS te_bits
+    FROM te e, tot x
+    """,
+)
+def transfer_entropy_daily(spark, sf_dir):
+    """Transfer entropy TE(X→Y) from daily ORDER COUNT to next-day
+    AVERAGE ORDER VALUE, both tercile-discretized: TE = Σ p(y⁺,y,x)·
+    ln[p(y⁺|y,x)/p(y⁺|y)] — the directed, model-free dependence
+    measure: does knowing today's volume improve tomorrow's
+    value-mix prediction beyond value's own history? Zero for Markov-
+    independent drivers; the asymmetric upgrade of cross-correlation
+    (cross_correlation_daily is symmetric and linear-only).
+
+    Determinism: tercile thresholds are rounded interpolated
+    percentiles (shared semantics) broadcast to the day frame; every
+    probability in the TE ratio reduces to exact integer counts —
+    the expression folds per-cell rounded terms over ≤27 triple
+    cells. Plan: day rollup + one lag join + four tiny rollups."""
+    o = t(spark, sf_dir, "orders")
+    daily2 = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        (F.sum(dec("o_totalprice", 18, 2) * 100))
+        .cast("bigint")
+        .alias("y"),
+    )
+    thr = daily2.agg(
+        F.round(F.expr("percentile(c, 1.0D/3)"), 6).alias("c1"),
+        F.round(F.expr("percentile(c, 2.0D/3)"), 6).alias("c2"),
+        F.round(F.expr("percentile(y * 1.0D / c, 1.0D/3)"), 6).alias("a1"),
+        F.round(F.expr("percentile(y * 1.0D / c, 2.0D/3)"), 6).alias("a2"),
+    )
+    av = F.col("y") * 1.0 / F.col("c")
+    disc = daily2.crossJoin(F.broadcast(thr)).select(
+        "d",
+        F.when(F.col("c") <= F.col("c1"), 0)
+        .when(F.col("c") <= F.col("c2"), 1)
+        .otherwise(2)
+        .alias("x"),
+        F.when(av <= F.col("a1"), 0)
+        .when(av <= F.col("a2"), 1)
+        .otherwise(2)
+        .alias("yv"),
+    )
+    nxt = disc.select(
+        (F.col("d") - 1).alias("d"), F.col("yv").alias("yn")
+    )
+    tri = (
+        disc.join(nxt, "d")
+        .groupBy(
+            F.col("yn"), F.col("yv").alias("yc"), F.col("x").alias("xc")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n3"))
+        .persist()
+    )
+    m_yx = tri.groupBy("yc", "xc").agg(
+        F.sum("n3").cast("bigint").alias("n2")
+    )
+    m_yy = tri.groupBy("yn", "yc").agg(
+        F.sum("n3").cast("bigint").alias("nyy")
+    )
+    m_y = tri.groupBy("yc").agg(F.sum("n3").cast("bigint").alias("ny"))
+    tot = tri.agg(F.sum("n3").cast("bigint").alias("n"))
+    te = (
+        tri.join(F.broadcast(m_yx), ["yc", "xc"])
+        .join(F.broadcast(m_yy), ["yn", "yc"])
+        .join(F.broadcast(m_y), "yc")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("n3")
+                    * 1.0
+                    / F.col("n")
+                    * F.log(
+                        (F.col("n3") * 1.0 / F.col("n2"))
+                        / (F.col("nyy") * 1.0 / F.col("ny"))
+                    ),
+                    12,
+                ).cast("decimal(38,12)")
+            ).alias("te_nats")
+        )
+    )
+    return te.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_transitions"),
+        (F.round(F.col("te_nats").cast("double"), 6) + 0.0).alias(
+            "te_nats"
+        ),
+        (
+            F.round(
+                F.col("te_nats").cast("double") / F.log(F.lit(2.0)), 6
+            )
+            + 0.0
+        ).alias("te_bits"),
+    )
+
+
+# --------------------------------------------------------------------------
+# One-step Huber M-estimate of location per event type
+# --------------------------------------------------------------------------
+@register(
+    "huber_one_step_location",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(round(quantile_cont(value, 0.5), 6) AS DOUBLE) AS med
+        FROM events GROUP BY 1
+    ),
+    madd AS (
+        SELECT e.event_type,
+               CAST(round(quantile_cont(ABS(e.value - b.med), 0.5), 6)
+                    AS DOUBLE) AS mad
+        FROM events e JOIN base b ON e.event_type = b.event_type
+        GROUP BY 1
+    ),
+    clipped AS (
+        SELECT e.event_type, b.med, m.mad,
+               CAST(round(
+                   GREATEST(b.med - 1.345 * 1.4826 * m.mad,
+                            LEAST(b.med + 1.345 * 1.4826 * m.mad,
+                                  e.value)), 6) AS DECIMAL(18,6)) AS w
+        FROM events e
+        JOIN base b ON e.event_type = b.event_type
+        JOIN madd m ON e.event_type = m.event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(MAX(med), 4) AS median,
+           round(MAX(mad) * 1.4826, 4) AS mad_sigma,
+           round(CAST(SUM(w) AS DOUBLE) / COUNT(*), 4) AS huber_location
+    FROM clipped GROUP BY event_type
+    """,
+)
+def huber_one_step_location(spark, sf_dir):
+    """One-step Huber M-estimate of location per event type: start at
+    the median, clip every value into [med − c·σ̂, med + c·σ̂] with
+    σ̂ = 1.4826·MAD and c = 1.345 (95% Gaussian efficiency), and
+    average the clipped values — the robust mean that keeps Gaussian
+    efficiency while bounding any single outlier's influence (the
+    winsorized panel clips at fixed QUANTILES; Huber clips at a
+    scale-calibrated width, the estimator actual robust pipelines
+    iterate — one step from the median is the standard 95%-efficient
+    shortcut).
+
+    Median and MAD are exact interpolated percentiles rounded to 6;
+    clipped values round to 6 into DECIMAL so the final mean is an
+    exact fold + one division. Plan: three grouped passes over events
+    (median → MAD → clipped mean), each a 5-group agg."""
+    e = t(spark, sf_dir, "events")
+    base = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("med")
+    )
+    madd = (
+        e.join(F.broadcast(base), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.expr("percentile(abs(value - med), 0.5D)"), 6
+            ).alias("mad")
+        )
+    )
+    c = 1.345 * 1.4826
+    clipped = (
+        e.join(F.broadcast(base), "event_type")
+        .join(F.broadcast(madd), "event_type")
+        .select(
+            "event_type",
+            "med",
+            "mad",
+            F.round(
+                F.greatest(
+                    F.col("med") - c * F.col("mad"),
+                    F.least(
+                        F.col("med") + c * F.col("mad"), F.col("value")
+                    ),
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.max("med"), 4).alias("median"),
+        F.round(F.max("mad") * 1.4826, 4).alias("mad_sigma"),
+        F.round(
+            F.sum("w").cast("double") / F.count(F.lit(1)), 4
+        ).alias("huber_location"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Simpson's paradox audit: value-vs-weekday slope, overall vs per type
+# --------------------------------------------------------------------------
+@register(
+    "simpsons_paradox_audit",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type AS g,
+               CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS x,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        FROM events
+    ),
+    strat AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pts GROUP BY g
+    ),
+    slopes AS (
+        SELECT g,
+               round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     / (n * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sx) / 100.0, 6) + 0.0
+                   AS slope
+        FROM strat
+    ),
+    overall AS (
+        SELECT round((SUM(n) * CAST(SUM(sxy) AS DOUBLE)
+                      - CAST(SUM(sx) AS DOUBLE) * SUM(sy))
+                     / (SUM(n) * CAST(SUM(sxx) AS DOUBLE)
+                        - CAST(SUM(sx) AS DOUBLE) * SUM(sx)) / 100.0,
+                     6) + 0.0 AS slope_all
+        FROM strat
+    )
+    SELECT s.g AS stratum, s.slope AS stratum_slope,
+           o.slope_all AS overall_slope,
+           CASE WHEN s.slope * o.slope_all < 0 THEN 1 ELSE 0 END
+               AS sign_reversed
+    FROM slopes s, overall o
+    """,
+)
+def simpsons_paradox_audit(spark, sf_dir):
+    """Simpson's-paradox audit on the value-vs-weekday gradient: the
+    OLS slope of event value on weekday index, computed overall AND
+    within each event-type stratum, flagging strata whose slope sign
+    OPPOSES the pooled slope — the amalgamation-reversal check every
+    metrics review needs before quoting a pooled trend (a pooled
+    positive drift can coexist with every stratum trending negative
+    when stratum mix shifts across the week). The reversal-detection
+    companion to mantel_haenszel_weekday_strata (which pools
+    assuming homogeneity; this audits that assumption's sign side).
+
+    All five OLS sums are exact integers per stratum, and the pooled
+    fit reuses the SAME stratum sums (one pass over events); slopes
+    divide once, rounded with ``+ 0.0``. Plan: one 5-group fold +
+    a broadcast scalar."""
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        F.col("event_type").alias("g"),
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("bigint")
+        .alias("x"),
+        (dec("value", 18, 2) * 100).cast("bigint").alias("y"),
+    )
+    strat = pts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    ).persist()
+
+    def _slope(n, sx, sxx, sy, sxy):
+        return (
+            (n * sxy.cast("double") - sx.cast("double") * sy)
+            / (n * sxx.cast("double") - sx.cast("double") * sx)
+            / 100.0
+        )
+
+    slopes = strat.select(
+        "g",
+        (
+            F.round(
+                _slope(
+                    F.col("n"),
+                    F.col("sx"),
+                    F.col("sxx"),
+                    F.col("sy"),
+                    F.col("sxy"),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("slope"),
+    )
+    overall = strat.agg(
+        (
+            F.round(
+                _slope(
+                    F.sum("n"),
+                    F.sum("sx"),
+                    F.sum("sxx"),
+                    F.sum("sy"),
+                    F.sum("sxy"),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("slope_all")
+    )
+    return slopes.crossJoin(F.broadcast(overall)).select(
+        F.col("g").alias("stratum"),
+        F.col("slope").alias("stratum_slope"),
+        F.col("slope_all").alias("overall_slope"),
+        F.when(F.col("slope") * F.col("slope_all") < 0, 1)
+        .otherwise(0)
+        .alias("sign_reversed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Poisson rate-ratio: weekend vs weekday event intensity
+# --------------------------------------------------------------------------
+@register(
+    "poisson_rate_ratio_weekend",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    g AS (
+        SELECT CASE WHEN (d + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS wk,
+               CAST(SUM(c) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS expo
+        FROM days GROUP BY 1
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN wk = 1 THEN x END) AS x1,
+               MAX(CASE WHEN wk = 1 THEN expo END) AS e1,
+               MAX(CASE WHEN wk = 0 THEN x END) AS x0,
+               MAX(CASE WHEN wk = 0 THEN expo END) AS e0
+        FROM g
+    )
+    SELECT x1 AS weekend_events, e1 AS weekend_days,
+           x0 AS weekday_events, e0 AS weekday_days,
+           round((x1 * 1.0 / e1) / (x0 * 1.0 / e0), 6) AS rate_ratio,
+           round(ln((x1 * 1.0 / e1) / (x0 * 1.0 / e0))
+                 / sqrt(1.0 / x1 + 1.0 / x0), 6) + 0.0 AS z_log_rr,
+           round(exp(ln((x1 * 1.0 / e1) / (x0 * 1.0 / e0))
+                     - 1.959963984540054
+                       * sqrt(1.0 / x1 + 1.0 / x0)), 6) AS rr_ci_lo,
+           round(exp(ln((x1 * 1.0 / e1) / (x0 * 1.0 / e0))
+                     + 1.959963984540054
+                       * sqrt(1.0 / x1 + 1.0 / x0)), 6) AS rr_ci_hi
+    FROM wide
+    """,
+)
+def poisson_rate_ratio_weekend(spark, sf_dir):
+    """Poisson rate-ratio readout: weekend vs weekday event intensity
+    per EXPOSURE day — RR = (x₁/e₁)/(x₀/e₀) with the log-scale Wald
+    interval exp(ln RR ± 1.96·√(1/x₁+1/x₀)), the standard
+    epidemiology/SRE comparison for count processes with unequal
+    exposure windows (a raw count comparison is meaningless when one
+    arm has 2 days per week and the other 5 — exposure offset is the
+    whole point). Complements poisson_dispersion_index (fit) and
+    ab_difference_newcombe (proportions, not rates).
+
+    Counts and exposures are exact integers; RR, z, and the CI are
+    one final expression chain. Plan: day rollup + 2-cell fold."""
+    e = t(spark, sf_dir, "events")
+    days = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    g = days.groupBy(
+        ((F.col("d") + 4) % 7).isin(0, 6).cast("int").alias("wk")
+    ).agg(
+        F.sum("c").cast("bigint").alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("expo"),
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("wk") == 1, F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("wk") == 1, F.col("expo"))).alias("e1"),
+        F.max(F.when(F.col("wk") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("wk") == 0, F.col("expo"))).alias("e0"),
+    )
+    rr = (F.col("x1") * 1.0 / F.col("e1")) / (
+        F.col("x0") * 1.0 / F.col("e0")
+    )
+    se = F.sqrt(1.0 / F.col("x1") + 1.0 / F.col("x0"))
+    zcrit = 1.959963984540054
+    return wide.select(
+        F.col("x1").alias("weekend_events"),
+        F.col("e1").alias("weekend_days"),
+        F.col("x0").alias("weekday_events"),
+        F.col("e0").alias("weekday_days"),
+        F.round(rr, 6).alias("rate_ratio"),
+        (F.round(F.log(rr) / se, 6) + 0.0).alias("z_log_rr"),
+        F.round(F.exp(F.log(rr) - zcrit * se), 6).alias("rr_ci_lo"),
+        F.round(F.exp(F.log(rr) + zcrit * se), 6).alias("rr_ci_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Entropy rate of the per-user event-type Markov chain
+# --------------------------------------------------------------------------
+@register(
+    "markov_entropy_rate_events",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    tr AS (
+        SELECT event_type AS s, nxt AS s2,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    row_t AS (
+        SELECT s, CAST(SUM(c) AS BIGINT) AS rc FROM tr GROUP BY s
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tr),
+    hrate AS (
+        SELECT SUM(CAST(round(
+                   t.c * 1.0 / x.n * ln(t.c * 1.0 / r.rc), 12)
+               AS DECIMAL(38,12))) AS hneg
+        FROM tr t JOIN row_t r ON t.s = r.s CROSS JOIN tot x
+    ),
+    hzero AS (
+        SELECT SUM(CAST(round(
+                   r.rc * 1.0 / x.n * ln(r.rc * 1.0 / x.n), 12)
+               AS DECIMAL(38,12))) AS h0neg
+        FROM row_t r CROSS JOIN tot x
+    )
+    SELECT x.n AS n_transitions,
+           round(-CAST(z.h0neg AS DOUBLE), 6) AS h0_marginal,
+           round(-CAST(h.hneg AS DOUBLE), 6) AS h1_entropy_rate,
+           round(1.0 - (-CAST(h.hneg AS DOUBLE))
+                 / (-CAST(z.h0neg AS DOUBLE)), 6) + 0.0
+               AS predictability_gain
+    FROM hrate h, hzero z, tot x
+    """,
+)
+def markov_entropy_rate_events(spark, sf_dir):
+    """Entropy RATE of the per-user event-type Markov chain:
+    h₁ = −Σ_s π̂(s)·Σ_t P̂(t|s)·ln P̂(t|s) (empirical transition
+    weights), against the marginal entropy h₀ of the same states —
+    the gain 1 − h₁/h₀ is how much knowing the CURRENT event type
+    compresses the next one, i.e. the sequential predictability of
+    user behavior (event_transition_matrix emits the P̂ matrix; this
+    is its single-number information summary, the behavioral sibling
+    of the text tier's bigram entropy rate).
+
+    Transition counts are exact (user-keyed lead window); both
+    entropies fold per-cell rounded p·ln p terms over the ≤25-cell
+    type x type frame. Plan: one user-partitioned sequence window +
+    three tiny rollups."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(wu).alias("s2"),
+    ).where(F.col("s2").isNotNull())
+    tr = seq.groupBy("s", "s2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    row_t = tr.groupBy("s").agg(F.sum("c").cast("bigint").alias("rc"))
+    tot = tr.agg(F.sum("c").cast("bigint").alias("n"))
+    hrate = (
+        tr.join(F.broadcast(row_t), "s")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("c")
+                    * 1.0
+                    / F.col("n")
+                    * F.log(F.col("c") * 1.0 / F.col("rc")),
+                    12,
+                ).cast("decimal(38,12)")
+            ).alias("hneg")
+        )
+    )
+    hzero = (
+        row_t.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("rc")
+                    * 1.0
+                    / F.col("n")
+                    * F.log(F.col("rc") * 1.0 / F.col("n")),
+                    12,
+                ).cast("decimal(38,12)")
+            ).alias("h0neg")
+        )
+    )
+    return (
+        hrate.crossJoin(F.broadcast(hzero))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_transitions"),
+            F.round(-F.col("h0neg").cast("double"), 6).alias(
+                "h0_marginal"
+            ),
+            F.round(-F.col("hneg").cast("double"), 6).alias(
+                "h1_entropy_rate"
+            ),
+            (
+                F.round(
+                    1.0
+                    - (-F.col("hneg").cast("double"))
+                    / (-F.col("h0neg").cast("double")),
+                    6,
+                )
+                + 0.0
+            ).alias("predictability_gain"),
+        )
+    )
