@@ -4028,3 +4028,436 @@ def markov_entropy_rate_events(spark, sf_dir):
             ).alias("predictability_gain"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pinball-loss backtest of trailing-window quantile forecasts
+# --------------------------------------------------------------------------
+@register(
+    "pinball_loss_backtest",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    win AS (
+        SELECT a.d, a.y,
+               CAST(COUNT(b.d) AS BIGINT) AS k,
+               CAST(round(quantile_cont(b.y, 0.1), 1) AS DECIMAL(38,1))
+                   AS q10,
+               CAST(round(quantile_cont(b.y, 0.5), 1) AS DECIMAL(38,1))
+                   AS q50,
+               CAST(round(quantile_cont(b.y, 0.9), 1) AS DECIMAL(38,1))
+                   AS q90
+        FROM daily a JOIN daily b ON b.d BETWEEN a.d - 28 AND a.d - 1
+        GROUP BY a.d, a.y
+        HAVING COUNT(b.d) = 28
+    ),
+    longf AS (
+        SELECT d, y, CAST(0.1 AS DOUBLE) AS tau, q10 AS q FROM win
+        UNION ALL SELECT d, y, CAST(0.5 AS DOUBLE), q50 FROM win
+        UNION ALL SELECT d, y, CAST(0.9 AS DOUBLE), q90 FROM win
+    ),
+    loss AS (
+        SELECT tau,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN CAST(y AS DECIMAL(38,1)) >= q
+                        THEN (CAST(y AS DECIMAL(38,1)) - q) * tau
+                        ELSE (q - CAST(y AS DECIMAL(38,1))) * (1 - tau)
+                        END) AS DECIMAL(38,3)) AS sl,
+               CAST(SUM(CASE WHEN CAST(y AS DECIMAL(38,1)) <= q
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+        FROM longf GROUP BY tau
+    )
+    SELECT tau, n_days,
+           round(CAST(sl AS DOUBLE) / n_days / 100.0, 4)
+               AS mean_pinball_dollars,
+           round(n_cov / CAST(n_days AS DOUBLE), 6) AS empirical_coverage
+    FROM loss
+    """,
+)
+def pinball_loss_backtest(spark, sf_dir):
+    """Pinball (quantile) loss backtest: forecast each day's revenue
+    quantiles q10/q50/q90 from the trailing 28 days' EMPIRICAL
+    quantiles, then score with the pinball loss L_τ = τ·(y−q)⁺ +
+    (1−τ)·(q−y)⁺ and report empirical coverage per τ — the proper
+    scoring rule for quantile forecasts (coverage alone can be gamed
+    by widening; pinball is minimized ONLY by the true quantile).
+    naive_forecast_coverage_backtest checks a parametric interval;
+    this scores the non-parametric quantile forecaster a capacity
+    planner actually runs.
+
+    Trailing quantiles are interpolated percentiles on 28 integer
+    values — the fraction grid is tenths, so rounding to one decimal
+    is EXACT and every loss term is an exact DECIMAL(38,1) product
+    folded at scale 3; one division per τ. Plan: ±28-day band join on
+    the day frame, per-day percentile agg, 3-row loss fold."""
+    daily = _daily(spark, sf_dir)
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    win = (
+        daily.join(
+            b, F.col("db").between(F.col("d") - 28, F.col("d") - 1)
+        )
+        .groupBy("d", "y")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.round(F.expr("percentile(yb, 0.1D)"), 1)
+            .cast("decimal(38,1)")
+            .alias("q10"),
+            F.round(F.expr("percentile(yb, 0.5D)"), 1)
+            .cast("decimal(38,1)")
+            .alias("q50"),
+            F.round(F.expr("percentile(yb, 0.9D)"), 1)
+            .cast("decimal(38,1)")
+            .alias("q90"),
+        )
+        .where(F.col("k") == 28)
+    )
+    longf = None
+    for tau, qc in ((0.1, "q10"), (0.5, "q50"), (0.9, "q90")):
+        part = win.select(
+            F.lit(tau).alias("tau"),
+            F.col("y").cast("decimal(38,1)").alias("y1"),
+            F.col(qc).alias("q"),
+        )
+        longf = part if longf is None else longf.unionAll(part)
+    loss = longf.groupBy("tau").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("y1") >= F.col("q"),
+                (F.col("y1") - F.col("q")) * F.col("tau"),
+            ).otherwise((F.col("q") - F.col("y1")) * (1 - F.col("tau")))
+        )
+        .cast("decimal(38,3)")
+        .alias("sl"),
+        F.sum((F.col("y1") <= F.col("q")).cast("long"))
+        .cast("bigint")
+        .alias("n_cov"),
+    )
+    return loss.select(
+        "tau",
+        "n_days",
+        F.round(
+            F.col("sl").cast("double") / F.col("n_days") / 100.0, 4
+        ).alias("mean_pinball_dollars"),
+        F.round(
+            F.col("n_cov") / F.col("n_days").cast("double"), 6
+        ).alias("empirical_coverage"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Syntetos-Boylan intermittent-demand classification (ADI x CV² grid)
+# --------------------------------------------------------------------------
+@register(
+    "intermittent_demand_sbc",
+    oracle="""
+    WITH dd AS (
+        SELECT l_partkey AS pk,
+               CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+        FROM lineitem GROUP BY 1, 2
+    ),
+    per_part AS (
+        SELECT pk,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(MAX(d) - MIN(d) AS BIGINT) AS span,
+               CAST(SUM(s) AS BIGINT) AS ss,
+               CAST(SUM(s * s) AS BIGINT) AS qq
+        FROM dd GROUP BY pk
+        HAVING COUNT(*) >= 2
+    ),
+    cls AS (
+        SELECT pk, k,
+               span * 1.0 / (k - 1) AS adi,
+               k * 1.0 * (k * qq - ss * ss) / ((k - 1.0) * ss * ss)
+                   AS cv2,
+               CASE WHEN span * 100 < 132 * (k - 1) THEN 'freq'
+                    ELSE 'intermit' END AS adi_side,
+               CASE WHEN 100 * k * (k * qq - ss * ss)
+                         < 49 * (k - 1) * ss * ss THEN 'stable'
+                    ELSE 'variable' END AS cv_side
+        FROM per_part
+    )
+    SELECT CASE
+             WHEN adi_side = 'freq' AND cv_side = 'stable'
+                 THEN 'smooth'
+             WHEN adi_side = 'intermit' AND cv_side = 'stable'
+                 THEN 'intermittent'
+             WHEN adi_side = 'freq' AND cv_side = 'variable'
+                 THEN 'erratic'
+             ELSE 'lumpy' END AS sbc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(CAST(SUM(CAST(round(adi, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 4) AS mean_adi,
+           round(CAST(SUM(CAST(round(cv2, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 4) AS mean_cv2
+    FROM cls GROUP BY 1
+    """,
+)
+def intermittent_demand_sbc(spark, sf_dir):
+    """Syntetos-Boylan demand classification: every part lands in the
+    ADI x CV² quadrant grid — smooth (frequent, stable), intermittent
+    (sparse, stable), erratic (frequent, spiky), lumpy (sparse,
+    spiky) — THE router of inventory forecasting (smooth → exp.
+    smoothing, intermittent → Croston, lumpy → bootstrap), with the
+    canonical cutoffs ADI 1.32 and CV² 0.49. ADI = demand-day span /
+    (k−1); CV² = day-demand variance over squared mean.
+
+    The quadrant boundaries are decided by EXACT cross-multiplied
+    integer inequalities (span·100 < 132·(k−1); 100k(kΣs²−(Σs)²) <
+    49(k−1)(Σs)²) — no float ever picks a side; the reported means
+    fold per-part rounded values. Plan: (part, day) rollup → per-part
+    fold → 4-row grid. Part-keyed throughout — embarrassingly
+    parallel at any scale."""
+    li = t(spark, sf_dir, "lineitem")
+    dd = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.floor(F.unix_micros("l_shipdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("s"))
+    per_part = (
+        dd.groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            (F.max("d") - F.min("d")).cast("bigint").alias("span"),
+            F.sum("s").cast("bigint").alias("ss"),
+            F.sum(F.col("s") * F.col("s")).cast("bigint").alias("qq"),
+        )
+        .where(F.col("k") >= 2)
+    )
+    k, span = F.col("k"), F.col("span")
+    ss, qq = F.col("ss"), F.col("qq")
+    adi = span * 1.0 / (k - 1)
+    cv2 = k * 1.0 * (k * qq - ss * ss) / ((k - 1.0) * ss * ss)
+    freq = span * 100 < 132 * (k - 1)
+    stable = 100 * k * (k * qq - ss * ss) < 49 * (k - 1) * ss * ss
+    cls = per_part.select(
+        F.when(freq & stable, "smooth")
+        .when(~freq & stable, "intermittent")
+        .when(freq & ~stable, "erratic")
+        .otherwise("lumpy")
+        .alias("sbc_class"),
+        F.round(adi, 6).cast("decimal(18,6)").alias("adi_r"),
+        F.round(cv2, 6).cast("decimal(18,6)").alias("cv2_r"),
+    )
+    return cls.groupBy("sbc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(
+            F.sum("adi_r").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_adi"),
+        F.round(
+            F.sum("cv2_r").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_cv2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# One-sample KS + chi-squared GOF: day-of-month uniformity (days 1-28)
+# --------------------------------------------------------------------------
+@register(
+    "ks_uniform_dayofmonth",
+    oracle="""
+    WITH dom AS (
+        SELECT CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS i,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders
+        WHERE EXTRACT(day FROM o_orderdate) <= 28
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM dom),
+    cum AS (
+        SELECT i, c,
+               CAST(SUM(c) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS f
+        FROM dom
+    ),
+    ks AS (
+        SELECT CAST(MAX(ABS(28 * c.f - c.i * t.n)) AS BIGINT) AS d28n
+        FROM cum c, tots_alias t
+    ),
+    tots_alias AS (SELECT n FROM tot),
+    chi AS (
+        SELECT CAST(SUM((28 * c - t.n) * (28 * c - t.n)) AS BIGINT)
+                   AS chinum
+        FROM dom, tot t
+        GROUP BY t.n
+    )
+    SELECT t.n AS n_orders,
+           k.d28n AS d_scaled,
+           round(k.d28n / (28.0 * t.n), 9) AS ks_d,
+           round(c.chinum / (28.0 * t.n), 6) AS chi2,
+           CAST(27 AS BIGINT) AS dof
+    FROM ks k, tot t, chi c
+    """,
+)
+def ks_uniform_dayofmonth(spark, sf_dir):
+    """One-sample goodness-of-fit against the discrete uniform:
+    are orders evenly spread over days-of-month 1–28 (29–31 dropped
+    so every month contributes each cell equally)? Reports BOTH the
+    one-sample KS statistic D = max|F̂(i) − i/28| (sensitive to
+    cumulative drift — e.g. front-loaded billing) and the χ² GOF
+    (sensitive to any single hot day). The one-sample counterpart of
+    ks_two_sample_values; billing/batch pipelines run exactly this
+    audit to catch month-boundary artifacts.
+
+    Exactness: D's numerator max|28·F − i·n| and χ²'s numerator
+    Σ(28c − n)² are pure integers (χ² = Σ(o−e)²/e with e = n/28
+    constant → Σ(28c−n)²/(28n)); one division each. Plan: a 28-cell
+    rollup + cumulative over the 28-row domain."""
+    o = t(spark, sf_dir, "orders")
+    dom = (
+        o.select(F.dayofmonth("o_orderdate").cast("bigint").alias("i"))
+        .where(F.col("i") <= 28)
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    tot = dom.agg(F.sum("c").cast("bigint").alias("n"))
+    b = dom.select(F.col("i").alias("i2"), F.col("c").alias("c2"))
+    cum = (
+        dom.join(b, F.col("i2") <= F.col("i"))
+        .groupBy("i", "c")
+        .agg(F.sum("c2").cast("bigint").alias("f"))
+    )
+    ks = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(F.abs(28 * F.col("f") - F.col("i") * F.col("n")))
+            .cast("bigint")
+            .alias("d28n")
+        )
+    )
+    chi = (
+        dom.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.sum(
+                (28 * F.col("c") - F.col("n"))
+                * (28 * F.col("c") - F.col("n"))
+            )
+            .cast("bigint")
+            .alias("chinum")
+        )
+    )
+    return (
+        ks.crossJoin(F.broadcast(chi))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.col("d28n").alias("d_scaled"),
+            F.round(F.col("d28n") / (28.0 * F.col("n")), 9).alias("ks_d"),
+            F.round(F.col("chinum") / (28.0 * F.col("n")), 6).alias(
+                "chi2"
+            ),
+            F.lit(27).cast("bigint").alias("dof"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding effective dimensionality (variance participation ratio)
+# --------------------------------------------------------------------------
+@register(
+    "dimension_participation_ratio",
+    oracle="""
+    WITH x AS (
+        SELECT g.i AS idx,
+               CAST(round(CAST(e.embedding[g.i] AS DOUBLE), 9)
+                    AS DECIMAL(18,9)) AS v
+        FROM embeddings e,
+        LATERAL unnest(generate_series(1, len(e.embedding))) AS g(i)
+    ),
+    per_dim AS (
+        SELECT idx,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS DECIMAL(38,9)) AS s,
+               CAST(SUM(v * v) AS DECIMAL(38,18)) AS q
+        FROM x GROUP BY idx
+    ),
+    vr AS (
+        SELECT idx,
+               CAST(round((CAST(q AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                          / (n - 1), 9) AS DECIMAL(18,9)) AS var9
+        FROM per_dim
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS dim,
+               CAST(SUM(var9) AS DECIMAL(38,9)) AS sv,
+               CAST(SUM(var9 * var9) AS DECIMAL(38,18)) AS sv2,
+               CAST(MAX(var9) AS DECIMAL(18,9)) AS vmax
+        FROM vr
+    )
+    SELECT dim AS n_dims,
+           round(CAST(sv AS DOUBLE), 6) AS total_variance,
+           round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                 / CAST(sv2 AS DOUBLE), 4) AS participation_ratio,
+           round(CAST(vmax AS DOUBLE) / CAST(sv AS DOUBLE), 6)
+               AS top_dim_share
+    FROM fold
+    """,
+)
+def dimension_participation_ratio(spark, sf_dir):
+    """Effective dimensionality of the embedding space via the
+    variance participation ratio PR = (Σᵢvᵢ)²/Σᵢvᵢ² over per-dimension
+    variances — d when variance is spread evenly, → 1 when one
+    dimension dominates (the 'rogue dimension' pathology of trained
+    embeddings that wrecks cosine retrieval). The eigen-free
+    diagnostic: PR over COORDINATE variances needs no iteration (the
+    full spectral version needs eigensolvers — out of declarative
+    scope), yet catches the dominant failure mode, complementing
+    embedding_dim_covariance (pairwise) and anisotropy (mean vector).
+
+    Per-dim variances come from exact DECIMAL power-sum folds of
+    9-rounded components, are THEMSELVES rounded to 9, and PR folds
+    those exactly; three final divisions. Plan: explode + 64-cell
+    rollup + scalar fold."""
+    emb = t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode("embedding").alias("idx0", "xv")
+    ).select(
+        (F.col("idx0") + 1).alias("idx"),
+        F.round(F.col("xv").cast("double"), 9)
+        .cast("decimal(18,9)")
+        .alias("v"),
+    )
+    per_dim = x.groupBy("idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("decimal(38,9)").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("decimal(38,18)").alias("q"),
+    )
+    vr = per_dim.select(
+        "idx",
+        F.round(
+            (
+                F.col("q").cast("double")
+                - F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("var9"),
+    )
+    fold = vr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("dim"),
+        F.sum("var9").cast("decimal(38,9)").alias("sv"),
+        F.sum(F.col("var9") * F.col("var9"))
+        .cast("decimal(38,18)")
+        .alias("sv2"),
+        F.max("var9").cast("decimal(18,9)").alias("vmax"),
+    )
+    return fold.select(
+        F.col("dim").alias("n_dims"),
+        F.round(F.col("sv").cast("double"), 6).alias("total_variance"),
+        F.round(
+            F.col("sv").cast("double")
+            * F.col("sv").cast("double")
+            / F.col("sv2").cast("double"),
+            4,
+        ).alias("participation_ratio"),
+        F.round(
+            F.col("vmax").cast("double") / F.col("sv").cast("double"), 6
+        ).alias("top_dim_share"),
+    )
