@@ -4461,3 +4461,575 @@ def dimension_participation_ratio(spark, sf_dir):
             F.col("vmax").cast("double") / F.col("sv").cast("double"), 6
         ).alias("top_dim_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-sample Anderson-Darling across all five event types
+# --------------------------------------------------------------------------
+_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "anderson_darling_k_sample",
+    oracle="""
+    WITH by_val AS (
+        SELECT value,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS c2,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c3,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c4
+        FROM events GROUP BY value
+    ),
+    cum AS (
+        SELECT c0 + c1 + c2 + c3 + c4 AS h,
+               SUM(c0) OVER w AS f0, SUM(c1) OVER w AS f1,
+               SUM(c2) OVER w AS f2, SUM(c3) OVER w AS f3,
+               SUM(c4) OVER w AS f4
+        FROM by_val
+        WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)
+    ),
+    tots AS (
+        SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+               CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(c3) AS BIGINT) AS n3,
+               CAST(SUM(c4) AS BIGINT) AS n4,
+               CAST(SUM(c0 + c1 + c2 + c3 + c4) AS BIGINT) AS n
+        FROM by_val
+    ),
+    terms AS (
+        SELECT
+            CAST(round(c.h * (
+                (t.n * c.f0 - t.n0 * hh.hc) * (t.n * c.f0 - t.n0 * hh.hc)
+                    / (t.n0 * 1.0)
+              + (t.n * c.f1 - t.n1 * hh.hc) * (t.n * c.f1 - t.n1 * hh.hc)
+                    / (t.n1 * 1.0)
+              + (t.n * c.f2 - t.n2 * hh.hc) * (t.n * c.f2 - t.n2 * hh.hc)
+                    / (t.n2 * 1.0)
+              + (t.n * c.f3 - t.n3 * hh.hc) * (t.n * c.f3 - t.n3 * hh.hc)
+                    / (t.n3 * 1.0)
+              + (t.n * c.f4 - t.n4 * hh.hc) * (t.n * c.f4 - t.n4 * hh.hc)
+                    / (t.n4 * 1.0)
+            ) / (hh.hc * 1.0 * (t.n - hh.hc)), 9) AS DECIMAL(38,9))
+                AS term
+        FROM (SELECT h, f0, f1, f2, f3, f4,
+                     f0 + f1 + f2 + f3 + f4 AS hc FROM cum) c(h, f0, f1,
+                     f2, f3, f4, hc),
+             LATERAL (SELECT c.hc AS hc) hh,
+             tots t
+        WHERE hh.hc < t.n
+    ),
+    fold AS (SELECT SUM(term) AS sd FROM terms)
+    SELECT t.n AS n_total, CAST(5 AS BIGINT) AS k_samples,
+           round(CAST(f.sd AS DOUBLE) / t.n, 6) AS ad_a2kn,
+           round(CAST(f.sd AS DOUBLE) / t.n / 4.0, 6) AS a2_per_dof
+    FROM fold f, tots t
+    """,
+)
+def anderson_darling_k_sample(spark, sf_dir):
+    """k-sample Anderson-Darling (Scholz-Stephens 1987) across ALL
+    FIVE event types at once: A²_kN = (1/N)·Σᵢ(1/nᵢ)·Σⱼ hⱼ·(N·Fᵢⱼ −
+    nᵢ·Hⱼ)²/(Hⱼ(N−Hⱼ)) — the omnibus 'do these k groups share one
+    value distribution' test, tail-weighted like its 2-sample sibling
+    but answering in ONE test what 10 pairwise tests would (with 10x
+    the false-positive budget). A²/(k−1) near 1 is the null's scale.
+
+    The five per-sample cumulative counts ride ONE pass of the
+    pooled-value ECDF device (pivoted to fixed type columns — the
+    event-type domain is closed); every numerator is an exact integer
+    and each distinct value contributes one 9-rounded term to the
+    DECIMAL fold. Plan: one (value) rollup + ranged cumsums + fold."""
+    e = t(spark, sf_dir, "events")
+    aggs = [
+        F.sum((F.col("event_type") == ty).cast("long")).alias(f"c{i}")
+        for i, ty in enumerate(_TYPES)
+    ]
+    by_val = (
+        e.groupBy("value")
+        .agg(*aggs)
+        .repartitionByRange(8, F.col("value").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    part_tots = by_val.groupBy("pid").agg(
+        *[F.sum(f"c{i}").alias(f"p{i}") for i in range(5)]
+    )
+    offsets = prefix_offsets(
+        part_tots, {f"off{i}": f"p{i}" for i in range(5)}
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = by_val.join(F.broadcast(offsets), "pid").select(
+        sum(F.col(f"c{i}") for i in range(5)).alias("h"),
+        *[
+            (F.sum(f"c{i}").over(w_local) + F.col(f"off{i}")).alias(
+                f"f{i}"
+            )
+            for i in range(5)
+        ],
+    )
+    tots = by_val.agg(
+        *[F.sum(f"c{i}").cast("bigint").alias(f"n{i}") for i in range(5)],
+        sum(
+            [F.sum(f"c{i}").cast("bigint") for i in range(5)],
+            F.lit(0).cast("bigint"),
+        ).alias("n"),
+    )
+    hc = sum(F.col(f"f{i}") for i in range(5))
+    inner = sum(
+        (F.col("n") * F.col(f"f{i}") - F.col(f"n{i}") * hc)
+        * (F.col("n") * F.col(f"f{i}") - F.col(f"n{i}") * hc)
+        / (F.col(f"n{i}") * 1.0)
+        for i in range(5)
+    )
+    term = F.round(
+        F.col("h") * inner / (hc * 1.0 * (F.col("n") - hc)), 9
+    ).cast("decimal(38,9)")
+    fold = (
+        cum.crossJoin(F.broadcast(tots))
+        .where(hc < F.col("n"))
+        .groupBy("n")
+        .agg(F.sum(term).alias("sd"))
+    )
+    return fold.select(
+        F.col("n").alias("n_total"),
+        F.lit(5).cast("bigint").alias("k_samples"),
+        F.round(F.col("sd").cast("double") / F.col("n"), 6).alias(
+            "ad_a2kn"
+        ),
+        F.round(F.col("sd").cast("double") / F.col("n") / 4.0, 6).alias(
+            "a2_per_dof"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal Mann-Kendall trend test (within-weekday pairs)
+# --------------------------------------------------------------------------
+@register(
+    "seasonal_mann_kendall",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    dowed AS (
+        SELECT d, (d + 4) % 7 AS dow, y FROM daily
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM dowed a JOIN dowed b
+          ON a.dow = b.dow AND b.d > a.d
+    ),
+    vv AS (
+        SELECT CAST(SUM(nd * (nd - 1) * (2 * nd + 5)) AS BIGINT) AS v18
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS nd
+              FROM dowed GROUP BY dow)
+    )
+    SELECT s.s_stat, s.n_pairs,
+           round(v.v18 / 18.0, 2) AS var_s,
+           round(CASE WHEN s.s_stat > 0
+                      THEN (s.s_stat - 1) / sqrt(v.v18 / 18.0)
+                      WHEN s.s_stat < 0
+                      THEN (s.s_stat + 1) / sqrt(v.v18 / 18.0)
+                      ELSE 0.0 END, 6) + 0.0 AS z_stat
+    FROM s, vv v
+    """,
+)
+def seasonal_mann_kendall(spark, sf_dir):
+    """Seasonal Mann-Kendall trend test (Hirsch-Slack): the
+    monotone-trend S statistic summed ONLY over same-weekday day
+    pairs, so the weekly cycle can never masquerade as (or mask) a
+    trend — the deseasonalized upgrade of the already-certified
+    mann_kendall_trend, and the standard environmental-statistics
+    device for cyclic series. Var(S) = Σ_season n(n−1)(2n+5)/18
+    (no-ties form, documented; cents ties contribute sign 0), z with
+    the ±1 continuity correction.
+
+    S and the pair count are exact integers from one same-dow
+    triangular join on the bounded day frame (pairs are a calendar
+    constant); one sqrt at the end."""
+    daily = _daily(spark, sf_dir)
+    dowed = daily.select(
+        "d", ((F.col("d") + 4) % 7).alias("dow"), "y"
+    ).persist()
+    b = dowed.select(
+        F.col("dow"), F.col("d").alias("db"), F.col("y").alias("yb")
+    )
+    s = (
+        dowed.join(b, "dow")
+        .where(F.col("db") > F.col("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("y"), 1)
+                .when(F.col("yb") < F.col("y"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    vv = (
+        dowed.groupBy("dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+        .agg(
+            F.sum(
+                F.col("nd") * (F.col("nd") - 1) * (2 * F.col("nd") + 5)
+            )
+            .cast("bigint")
+            .alias("v18")
+        )
+    )
+    sd = F.sqrt(F.col("v18") / 18.0)
+    return s.crossJoin(F.broadcast(vv)).select(
+        "s_stat",
+        "n_pairs",
+        F.round(F.col("v18") / 18.0, 2).alias("var_s"),
+        (
+            F.round(
+                F.when(
+                    F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd
+                )
+                .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+                .otherwise(F.lit(0.0)),
+                6,
+            )
+            + 0.0
+        ).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Held-out unigram cross-entropy (train on even docs, score odd docs)
+# --------------------------------------------------------------------------
+@register(
+    "heldout_unigram_crossent",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    train AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+        WHERE doc_id % 2 = 0 GROUP BY w
+    ),
+    trn AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS nt,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM train
+    ),
+    test AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+        WHERE doc_id % 2 = 1 GROUP BY w
+    ),
+    scored AS (
+        SELECT te.c,
+               COALESCE(tr.c, 0) AS ctr,
+               CASE WHEN tr.c IS NULL THEN te.c ELSE 0 END AS oov
+        FROM test te LEFT JOIN train tr ON te.w = tr.w
+    ),
+    fold AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_test,
+               CAST(SUM(oov) AS BIGINT) AS n_oov,
+               CAST(SUM(c * CAST(round(
+                   ln((ctr + 1.0) / (t.nt + t.v + 1)), 12)
+                   AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS ll
+        FROM scored, trn t
+        GROUP BY t.nt, t.v
+    )
+    SELECT t.nt AS n_train_tokens, t.v AS train_vocab,
+           f.n_test AS n_test_tokens,
+           round(f.n_oov / CAST(f.n_test AS DOUBLE), 6) AS oov_rate,
+           round(-CAST(f.ll AS DOUBLE) / f.n_test, 6) AS crossent_nats,
+           round(exp(-CAST(f.ll AS DOUBLE) / f.n_test), 4) AS perplexity
+    FROM fold f, trn t
+    """,
+)
+def heldout_unigram_crossent(spark, sf_dir):
+    """HELD-OUT language-model evaluation: train an add-1-smoothed
+    unigram LM on even-numbered documents, score the odd ones —
+    cross-entropy and perplexity on data the model never saw (the
+    in-sample perplexities of the LM tier flatter the model by
+    construction; generalization is the number that matters for
+    mixture weighting and quality gating). OOV tokens fall into the
+    single add-1 UNK bucket p = 1/(N+V+1); the OOV rate is reported
+    alongside so the two failure modes (sharp-but-narrow vs
+    broad-but-flat) stay distinguishable.
+
+    The deterministic doc_id parity split needs no RNG (the
+    dataset_split_assign discipline); counts are exact; each distinct
+    test term folds c·round(ln p, 12) into a DECIMAL sum. Plan:
+    explode + two count rollups + one term-keyed left join."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).persist()
+    train = (
+        toks.where(F.col("doc_id") % 2 == 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    trn = train.agg(
+        F.sum("c").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    test = (
+        toks.where(F.col("doc_id") % 2 == 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+    )
+    scored = test.join(
+        train.withColumnRenamed("c", "ctr"), "w", "left"
+    ).select(
+        "tc",
+        F.coalesce("ctr", F.lit(0)).alias("ctr"),
+        F.when(F.col("ctr").isNull(), F.col("tc"))
+        .otherwise(F.lit(0))
+        .alias("oov"),
+    )
+    fold = (
+        scored.crossJoin(F.broadcast(trn))
+        .groupBy("nt", "v")
+        .agg(
+            F.sum("tc").cast("bigint").alias("n_test"),
+            F.sum("oov").cast("bigint").alias("n_oov"),
+            F.sum(
+                F.col("tc")
+                * F.round(
+                    F.log(
+                        (F.col("ctr") + 1.0)
+                        / (F.col("nt") + F.col("v") + 1)
+                    ),
+                    12,
+                ).cast("decimal(38,12)")
+            )
+            .cast("decimal(38,12)")
+            .alias("ll"),
+        )
+    )
+    h = -F.col("ll").cast("double") / F.col("n_test")
+    return fold.select(
+        F.col("nt").alias("n_train_tokens"),
+        F.col("v").alias("train_vocab"),
+        F.col("n_test").alias("n_test_tokens"),
+        F.round(
+            F.col("n_oov") / F.col("n_test").cast("double"), 6
+        ).alias("oov_rate"),
+        F.round(h, 6).alias("crossent_nats"),
+        F.round(F.exp(h), 4).alias("perplexity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Upper-tail dependence between daily volume and average order value
+# --------------------------------------------------------------------------
+@register(
+    "upper_tail_dependence_daily",
+    oracle="""
+    WITH daily2 AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    thr AS (
+        SELECT CAST(round(quantile_cont(c, 0.9), 6) AS DOUBLE) AS qc,
+               CAST(round(quantile_cont(y * 1.0 / c, 0.9), 6) AS DOUBLE)
+                   AS qa
+        FROM daily2
+    ),
+    flags AS (
+        SELECT CASE WHEN c > t.qc THEN 1 ELSE 0 END AS xc,
+               CASE WHEN y * 1.0 / c > t.qa THEN 1 ELSE 0 END AS xa
+        FROM daily2, thr t
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xc) AS BIGINT) AS nc,
+               CAST(SUM(xa) AS BIGINT) AS na,
+               CAST(SUM(xc * xa) AS BIGINT) AS nboth
+        FROM flags
+    )
+    SELECT n AS n_days, nc AS n_hot_volume, na AS n_hot_value,
+           nboth AS n_joint,
+           round(nboth / CAST(nc AS DOUBLE), 6) AS lambda_upper,
+           round(na / CAST(n AS DOUBLE), 6) AS independence_baseline,
+           round(nboth * CAST(n AS DOUBLE) / (nc * CAST(na AS DOUBLE)),
+                 6) AS lift
+    FROM fold
+    """,
+)
+def upper_tail_dependence_daily(spark, sf_dir):
+    """Upper-tail dependence between daily order VOLUME and daily
+    average order VALUE: λ̂_U = P(value in its top decile | volume in
+    its top decile) against the independence baseline P(value hot) —
+    the copula-tail question ('do extremes co-occur?') that
+    correlation cannot answer (ρ is dominated by the middle of both
+    distributions; joint-tail risk is what capacity planning and
+    revenue-at-risk actually care about). Lift > 1 = hot days
+    compound; < 1 = extremes repel (mix-shift).
+
+    Thresholds are rounded interpolated percentiles broadcast to the
+    day frame; every output numerator is an exact count. Plan: day
+    rollup + scalar threshold frame + 1-row fold."""
+    o = t(spark, sf_dir, "orders")
+    daily2 = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    thr = daily2.agg(
+        F.round(F.expr("percentile(c, 0.9D)"), 6).alias("qc"),
+        F.round(F.expr("percentile(y * 1.0D / c, 0.9D)"), 6).alias("qa"),
+    )
+    flags = daily2.crossJoin(F.broadcast(thr)).select(
+        (F.col("c") > F.col("qc")).cast("long").alias("xc"),
+        (F.col("y") * 1.0 / F.col("c") > F.col("qa"))
+        .cast("long")
+        .alias("xa"),
+    )
+    fold = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xc").cast("bigint").alias("nc"),
+        F.sum("xa").cast("bigint").alias("na"),
+        F.sum(F.col("xc") * F.col("xa")).cast("bigint").alias("nboth"),
+    )
+    return fold.select(
+        F.col("n").alias("n_days"),
+        F.col("nc").alias("n_hot_volume"),
+        F.col("na").alias("n_hot_value"),
+        F.col("nboth").alias("n_joint"),
+        F.round(F.col("nboth") / F.col("nc").cast("double"), 6).alias(
+            "lambda_upper"
+        ),
+        F.round(F.col("na") / F.col("n").cast("double"), 6).alias(
+            "independence_baseline"
+        ),
+        F.round(
+            F.col("nboth")
+            * F.col("n").cast("double")
+            / (F.col("nc") * F.col("na").cast("double")),
+            6,
+        ).alias("lift"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Month-over-month churn of the top-20 revenue parts (set stability)
+# --------------------------------------------------------------------------
+@register(
+    "topk_churn_monthly",
+    oracle="""
+    WITH pm AS (
+        SELECT CAST(EXTRACT(year FROM l_shipdate) * 12
+                    + EXTRACT(month FROM l_shipdate) - 1 AS BIGINT) AS m,
+               l_partkey AS pk,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem GROUP BY 1, 2
+    ),
+    topk AS (
+        SELECT m, pk FROM (
+            SELECT m, pk,
+                   ROW_NUMBER() OVER (PARTITION BY m
+                                      ORDER BY r DESC, pk) AS rk
+            FROM pm
+        ) WHERE rk <= 20
+    ),
+    inter AS (
+        SELECT b.m,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM topk a JOIN topk b ON a.pk = b.pk AND b.m = a.m + 1
+        GROUP BY b.m
+    ),
+    months AS (SELECT DISTINCT m FROM topk),
+    pairs AS (
+        SELECT mm.m FROM months mm JOIN months prev ON prev.m = mm.m - 1
+    )
+    SELECT CAST(p.m // 12 AS BIGINT) AS year,
+           CAST(p.m % 12 + 1 AS BIGINT) AS month,
+           COALESCE(i.n_common, 0) AS n_common,
+           CAST(20 - COALESCE(i.n_common, 0) AS BIGINT) AS n_new,
+           round(COALESCE(i.n_common, 0)
+                 / CAST(40 - COALESCE(i.n_common, 0) AS DOUBLE), 6)
+               AS jaccard
+    FROM pairs p LEFT JOIN inter i ON p.m = i.m
+    """,
+)
+def topk_churn_monthly(spark, sf_dir):
+    """Top-k set stability: the month-over-month churn of the top-20
+    revenue parts — Jaccard overlap between consecutive months' top
+    sets and the count of new entrants. The leaderboard-stability view
+    every 'top products' dashboard needs before anyone reads meaning
+    into rank moves (high churn ⇒ the top-20 is noise-dominated at
+    this grain), and the set-valued counterpart of
+    rank_biased_overlap_parts (which compares two FIXED rankings —
+    this tracks the set through time).
+
+    Ranking is integer revenue cents with a partkey tiebreak
+    (total order, month-partitioned window); overlap counts are
+    exact; Jaccard = |∩|/(40−|∩|) divides once. Months with no
+    predecessor are excluded; empty intersections still emit rows
+    (LEFT join + COALESCE)."""
+    li = t(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("bigint")
+        .alias("m"),
+        F.col("l_partkey").alias("pk"),
+    ).agg(
+        F.sum((dec("l_extendedprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("r")
+    )
+    topk = (
+        pm.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("m").orderBy(F.col("r").desc(), "pk")
+            ),
+        )
+        .where(F.col("rk") <= 20)
+        .select("m", "pk")
+        .persist()
+    )
+    nxt = topk.select((F.col("m") - 1).alias("m"), F.col("pk"))
+    inter = (
+        topk.join(nxt, ["m", "pk"])
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .select((F.col("m") + 1).alias("m"), "n_common")
+    )
+    months = topk.select("m").distinct()
+    prev = months.select((F.col("m") + 1).alias("m"))
+    pairs = months.join(prev, "m")
+    res = pairs.join(inter, "m", "left").select(
+        (F.col("m") / 12).cast("bigint").alias("year"),
+        (F.col("m") % 12 + 1).cast("bigint").alias("month"),
+        F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+        (20 - F.coalesce("n_common", F.lit(0)))
+        .cast("bigint")
+        .alias("n_new"),
+        F.round(
+            F.coalesce("n_common", F.lit(0))
+            / (40 - F.coalesce("n_common", F.lit(0))).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+    return res
