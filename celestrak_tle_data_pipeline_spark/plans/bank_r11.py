@@ -5033,3 +5033,682 @@ def topk_churn_monthly(spark, sf_dir):
         ).alias("jaccard"),
     )
     return res
+
+
+# --------------------------------------------------------------------------
+# Chao1 unseen-vocabulary richness estimator per source
+# --------------------------------------------------------------------------
+@register(
+    "chao1_vocabulary_estimate",
+    oracle=f"""
+    WITH {_SRC_TERMS_SQL}
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS observed_vocab,
+           CAST(SUM(CASE WHEN s.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f1,
+           CAST(SUM(CASE WHEN s.c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f2,
+           round(COUNT(*)
+                 + SUM(CASE WHEN s.c = 1 THEN 1 ELSE 0 END)
+                   * CAST(SUM(CASE WHEN s.c = 1 THEN 1 ELSE 0 END)
+                          - 1 AS DOUBLE)
+                   / (2.0 * (SUM(CASE WHEN s.c = 2 THEN 1 ELSE 0 END)
+                             + 1)), 4) AS chao1_estimate,
+           round((COUNT(*)
+                  + SUM(CASE WHEN s.c = 1 THEN 1 ELSE 0 END)
+                    * CAST(SUM(CASE WHEN s.c = 1 THEN 1 ELSE 0 END)
+                           - 1 AS DOUBLE)
+                    / (2.0 * (SUM(CASE WHEN s.c = 2 THEN 1 ELSE 0 END)
+                              + 1)))
+                 / COUNT(*), 4) AS coverage_deficit_ratio
+    FROM st s
+    GROUP BY s.source
+    """,
+)
+def chao1_vocabulary_estimate(spark, sf_dir):
+    """Chao1 richness estimator per source: how many vocabulary types
+    does the source REALLY have, including the ones not yet sampled?
+    Ŝ = V + f₁(f₁−1)/(2(f₂+1)) (bias-corrected form — defined even at
+    f₂ = 0) from the singleton/doubleton counts — the ecology
+    species-richness estimator that corpus work re-uses to decide
+    whether more crawling will keep finding new vocabulary
+    (deficit ratio ≈ 1 means the source is exhausted; ≫ 1 means the
+    crawl has barely scratched it). Complements good_turing_vocab
+    (probability mass of the unseen) with the COUNT of the unseen.
+
+    f₁/f₂/V are exact integers off the (source, term) rollup; the
+    estimator is one final expression. Plan: one hash agg."""
+    st = _src_terms(spark, sf_dir)
+    f1 = F.sum((F.col("c") == 1).cast("long")).cast("bigint")
+    f2 = F.sum((F.col("c") == 2).cast("long")).cast("bigint")
+    v = F.count(F.lit(1)).cast("bigint")
+    chao1 = v + f1 * (f1 - 1).cast("double") / (2.0 * (f2 + 1))
+    return st.groupBy("source").agg(
+        v.alias("observed_vocab"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+        F.round(chao1, 4).alias("chao1_estimate"),
+        F.round(chao1 / v, 4).alias("coverage_deficit_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Proportional reporting ratio: error-event signal by weekday
+# --------------------------------------------------------------------------
+@register(
+    "prr_error_by_weekday",
+    oracle="""
+    WITH cell AS (
+        SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                   AS dow,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS ta,
+               CAST(SUM(n) AS BIGINT) AS tn
+        FROM cell
+    )
+    SELECT c.dow,
+           c.a AS n_errors, c.n AS n_events,
+           round((c.a * 1.0 / c.n)
+                 / ((t.ta - c.a) * 1.0 / (t.tn - c.n)), 6) AS prr,
+           round(ln((c.a * 1.0 / c.n)
+                    / ((t.ta - c.a) * 1.0 / (t.tn - c.n)))
+                 / sqrt(1.0 / c.a - 1.0 / c.n
+                        + 1.0 / (t.ta - c.a) - 1.0 / (t.tn - c.n)),
+                 6) + 0.0 AS z_log_prr,
+           CASE WHEN (c.a * 1.0 / c.n)
+                     / ((t.ta - c.a) * 1.0 / (t.tn - c.n)) > 2.0
+                 AND c.a >= 3 THEN 1 ELSE 0 END AS signal_flag
+    FROM cell c, tot t
+    """,
+)
+def prr_error_by_weekday(spark, sf_dir):
+    """Proportional reporting ratio (PRR) for error events by
+    weekday: for each day-of-week, the error share THERE vs the error
+    share everywhere ELSE — the pharmacovigilance signal-detection
+    statistic (Evans 2001) repurposed for operational anomaly
+    screening, with the classic decision rule PRR > 2 with ≥3 cases.
+    Unlike the chi-squared panel (which says 'the table is not
+    independent'), PRR localizes WHICH cell is hot, with a log-scale
+    z per cell.
+
+    All cell and complement counts are exact integers; PRR and its z
+    are one final expression per weekday row. Plan: one 7-cell
+    rollup + broadcast totals."""
+    e = t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("bigint")
+        .alias("dow"),
+    ).agg(
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("bigint")
+        .alias("a"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    tot = cell.agg(
+        F.sum("a").cast("bigint").alias("ta"),
+        F.sum("n").cast("bigint").alias("tn"),
+    )
+    a, n = F.col("a"), F.col("n")
+    ta, tn = F.col("ta"), F.col("tn")
+    prr = (a * 1.0 / n) / ((ta - a) * 1.0 / (tn - n))
+    se = F.sqrt(
+        1.0 / a - 1.0 / n + 1.0 / (ta - a) - 1.0 / (tn - n)
+    )
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        a.alias("n_errors"),
+        n.alias("n_events"),
+        F.round(prr, 6).alias("prr"),
+        (F.round(F.log(prr) / se, 6) + 0.0).alias("z_log_prr"),
+        F.when((prr > 2.0) & (a >= 3), 1).otherwise(0).alias(
+            "signal_flag"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Split-half reliability of per-user value (Spearman-Brown corrected)
+# --------------------------------------------------------------------------
+@register(
+    "split_half_reliability_users",
+    oracle="""
+    WITH halves AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 % 2 = 0
+                        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT) ELSE 0 END) AS BIGINT) AS xe,
+               CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 % 2 = 1
+                        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT) ELSE 0 END) AS BIGINT) AS xo
+        FROM events GROUP BY user_id
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xe) AS BIGINT) AS se,
+               CAST(SUM(xo) AS BIGINT) AS so,
+               CAST(SUM(CAST(xe AS DECIMAL(38,0)) * xe) AS DECIMAL(38,0))
+                   AS qee,
+               CAST(SUM(CAST(xo AS DECIMAL(38,0)) * xo) AS DECIMAL(38,0))
+                   AS qoo,
+               CAST(SUM(CAST(xe AS DECIMAL(38,0)) * xo) AS DECIMAL(38,0))
+                   AS qeo
+        FROM halves
+    ),
+    r AS (
+        SELECT n,
+               (n * CAST(qeo AS DOUBLE) - CAST(se AS DOUBLE) * so)
+               / (sqrt(n * CAST(qee AS DOUBLE) - CAST(se AS DOUBLE) * se)
+                  * sqrt(n * CAST(qoo AS DOUBLE)
+                         - CAST(so AS DOUBLE) * so)) AS rh
+        FROM mom
+    )
+    SELECT n AS n_users,
+           round(rh, 6) + 0.0 AS split_half_r,
+           round(2.0 * rh / (1.0 + rh), 6) + 0.0 AS spearman_brown
+    FROM r
+    """,
+)
+def split_half_reliability_users(spark, sf_dir):
+    """Split-half reliability of per-user total value: split each
+    user's events by even/odd calendar day, correlate the two half
+    totals across users, and apply the Spearman-Brown prophecy
+    r_full = 2r/(1+r) — psychometrics' internal-consistency device
+    answering a data question every per-user metric needs answered
+    first: is 'user value' a stable USER property or mostly sampling
+    noise? (r_SB near 0 means segmenting users on this metric is
+    segmentation on noise.) The two-administration sibling of
+    cronbachs_alpha_dow.
+
+    The day-parity split is deterministic; half totals are exact
+    cents; the Pearson r comes from exact DECIMAL power sums with
+    the sqrt pair applied in the same order. Plan: one user rollup +
+    one scalar fold."""
+    e = t(spark, sf_dir, "events")
+    even = (
+        F.floor(F.unix_micros("ts") / 86_400_000_000) % 2 == 0
+    )
+    cents = (dec("value", 18, 2) * 100).cast("bigint")
+    halves = e.groupBy("user_id").agg(
+        F.sum(F.when(even, cents).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("xe"),
+        F.sum(F.when(~even, cents).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("xo"),
+    )
+    mom = halves.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xe").cast("bigint").alias("se"),
+        F.sum("xo").cast("bigint").alias("so"),
+        F.sum(F.col("xe").cast("decimal(38,0)") * F.col("xe"))
+        .cast("decimal(38,0)")
+        .alias("qee"),
+        F.sum(F.col("xo").cast("decimal(38,0)") * F.col("xo"))
+        .cast("decimal(38,0)")
+        .alias("qoo"),
+        F.sum(F.col("xe").cast("decimal(38,0)") * F.col("xo"))
+        .cast("decimal(38,0)")
+        .alias("qeo"),
+    )
+    n = F.col("n")
+    rh = (
+        n * F.col("qeo").cast("double")
+        - F.col("se").cast("double") * F.col("so")
+    ) / (
+        F.sqrt(
+            n * F.col("qee").cast("double")
+            - F.col("se").cast("double") * F.col("se")
+        )
+        * F.sqrt(
+            n * F.col("qoo").cast("double")
+            - F.col("so").cast("double") * F.col("so")
+        )
+    )
+    return mom.select(
+        n.alias("n_users"),
+        (F.round(rh, 6) + 0.0).alias("split_half_r"),
+        (F.round(2.0 * rh / (1.0 + rh), 6) + 0.0).alias(
+            "spearman_brown"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cramér's V association matrix across categorical order dimensions
+# --------------------------------------------------------------------------
+@register(
+    "categorical_association_matrix",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS prio, o_orderstatus AS status,
+               CAST(EXTRACT(month FROM o_orderdate) AS VARCHAR) AS mon,
+               CAST((epoch_us(o_orderdate) // 86400000000 + 4) % 7
+                    AS VARCHAR) AS dow
+        FROM orders
+    ),
+    pairs AS (
+        SELECT 'priority_x_status' AS pair, prio AS a, status AS b
+        FROM base
+        UNION ALL
+        SELECT 'priority_x_month', prio, mon FROM base
+        UNION ALL
+        SELECT 'priority_x_dow', prio, dow FROM base
+        UNION ALL
+        SELECT 'status_x_month', status, mon FROM base
+        UNION ALL
+        SELECT 'status_x_dow', status, dow FROM base
+        UNION ALL
+        SELECT 'month_x_dow', mon, dow FROM base
+    ),
+    obs AS (
+        SELECT pair, a, b, CAST(COUNT(*) AS BIGINT) AS o
+        FROM pairs GROUP BY 1, 2, 3
+    ),
+    marg AS (
+        SELECT o.pair, o.a, o.b, o.o, ra.rt, cb.ct, t.n, t.r, t.c
+        FROM obs o
+        JOIN (SELECT pair, a, CAST(SUM(o) AS BIGINT) AS rt
+              FROM obs GROUP BY 1, 2) ra
+          ON o.pair = ra.pair AND o.a = ra.a
+        JOIN (SELECT pair, b, CAST(SUM(o) AS BIGINT) AS ct
+              FROM obs GROUP BY 1, 2) cb
+          ON o.pair = cb.pair AND o.b = cb.b
+        JOIN (SELECT pair, CAST(SUM(o) AS BIGINT) AS n,
+                     CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+                     CAST(COUNT(DISTINCT b) AS BIGINT) AS c
+              FROM obs GROUP BY 1) t
+          ON o.pair = t.pair
+    )
+    SELECT pair,
+           MAX(r) AS r_levels, MAX(c) AS c_levels,
+           round(SUM((o - rt * ct / CAST(n AS DOUBLE))
+                     * (o - rt * ct / CAST(n AS DOUBLE))
+                     / (rt * ct / CAST(n AS DOUBLE))), 4) AS chi2,
+           round(sqrt(SUM((o - rt * ct / CAST(n AS DOUBLE))
+                          * (o - rt * ct / CAST(n AS DOUBLE))
+                          / (rt * ct / CAST(n AS DOUBLE)))
+                      / (MAX(n) * (LEAST(MAX(r), MAX(c)) - 1))), 6)
+               AS cramers_v
+    FROM marg GROUP BY pair
+    """,
+)
+def categorical_association_matrix(spark, sf_dir):
+    """Cramér's V association matrix over every pair of categorical
+    order dimensions (priority, status, month, weekday) — the
+    categorical EDA screen (the 'dython association heatmap'): which
+    nominal columns carry redundant information, which are candidate
+    stratification keys, which are independent. One query emits all
+    six pairwise χ²/V rows, where chi2_independence_type_dow
+    certifies a single pair in depth.
+
+    Each pair's contingency cells/marginals are exact integers (one
+    long-form union over the fact scan → one rollup per pair); χ²
+    and V are per-pair final folds over ≤ r·c cells. Plan: 6-way
+    long-form union + three hash aggs, all on the pair x level
+    domain."""
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+        F.month("o_orderdate").cast("string").alias("mon"),
+        ((F.floor(F.unix_micros("o_orderdate") / 86_400_000_000) + 4) % 7)
+        .cast("string")
+        .alias("dow"),
+    )
+    combos = (
+        ("priority_x_status", "prio", "status"),
+        ("priority_x_month", "prio", "mon"),
+        ("priority_x_dow", "prio", "dow"),
+        ("status_x_month", "status", "mon"),
+        ("status_x_dow", "status", "dow"),
+        ("month_x_dow", "mon", "dow"),
+    )
+    pairs = None
+    for name, ca, cb in combos:
+        p = base.select(
+            F.lit(name).alias("pair"),
+            F.col(ca).alias("a"),
+            F.col(cb).alias("b"),
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    obs = pairs.groupBy("pair", "a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    ).persist()
+    ra = obs.groupBy("pair", "a").agg(
+        F.sum("o").cast("bigint").alias("rt")
+    )
+    cb_ = obs.groupBy("pair", "b").agg(
+        F.sum("o").cast("bigint").alias("ct")
+    )
+    tt = obs.groupBy("pair").agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("a").cast("bigint").alias("r"),
+        F.countDistinct("b").cast("bigint").alias("c"),
+    )
+    marg = (
+        obs.join(ra, ["pair", "a"])
+        .join(cb_, ["pair", "b"])
+        .join(F.broadcast(tt), "pair")
+    )
+    expected = F.col("rt") * F.col("ct") / F.col("n").cast("double")
+    chi2 = F.sum(
+        (F.col("o") - expected) * (F.col("o") - expected) / expected
+    )
+    return marg.groupBy("pair").agg(
+        F.max("r").alias("r_levels"),
+        F.max("c").alias("c_levels"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.max("n")
+                    * (F.least(F.max("r"), F.max("c")) - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exponential retention half-life per acquisition cohort
+# --------------------------------------------------------------------------
+@register(
+    "retention_half_life_cohorts",
+    oracle="""
+    WITH om AS (
+        SELECT o_custkey AS ck,
+               CAST(EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m
+        FROM orders
+    ),
+    first_m AS (
+        SELECT ck, CAST(MIN(m) AS BIGINT) AS cohort FROM om GROUP BY ck
+    ),
+    span AS (SELECT CAST(MAX(m) AS BIGINT) AS mx FROM om),
+    act AS (
+        SELECT f.cohort, o.m - f.cohort AS k,
+               CAST(COUNT(DISTINCT o.ck) AS BIGINT) AS active
+        FROM om o JOIN first_m f ON o.ck = f.ck
+        WHERE o.m - f.cohort BETWEEN 0 AND 6
+        GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT cohort, active AS n0 FROM act WHERE k = 0
+    ),
+    pts AS (
+        SELECT a.cohort, a.k,
+               CAST(round(ln(a.active * 1.0 / b.n0), 9)
+                    AS DECIMAL(18,9)) AS lr
+        FROM act a
+        JOIN base b ON a.cohort = b.cohort
+        JOIN span s ON a.cohort + 6 <= s.mx
+        WHERE a.k >= 1
+    ),
+    fit AS (
+        SELECT cohort,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS sx,
+               CAST(SUM(k * k) AS BIGINT) AS sxx,
+               CAST(SUM(lr) AS DECIMAL(38,9)) AS sy,
+               CAST(SUM(k * lr) AS DECIMAL(38,9)) AS sxy
+        FROM pts GROUP BY cohort
+        HAVING COUNT(*) >= 3
+    ),
+    sl AS (
+        SELECT f.cohort, b.n0, f.n,
+               (f.n * CAST(f.sxy AS DOUBLE) - f.sx * CAST(f.sy AS DOUBLE))
+               / (f.n * CAST(f.sxx AS DOUBLE)
+                  - CAST(f.sx AS DOUBLE) * f.sx) AS slope
+        FROM fit f JOIN base b ON f.cohort = b.cohort
+    )
+    SELECT CAST(cohort // 12 AS BIGINT) AS cohort_year,
+           CAST(cohort % 12 + 1 AS BIGINT) AS cohort_month,
+           n0 AS cohort_size, n AS n_points,
+           round(slope, 6) + 0.0 AS decay_slope,
+           CASE WHEN round(slope, 6) < 0
+                THEN round(-ln(2.0) / round(slope, 6), 2)
+           END AS half_life_months
+    FROM sl
+    """,
+)
+def retention_half_life_cohorts(spark, sf_dir):
+    """Exponential retention half-life per acquisition cohort: fit
+    ln(retention_k) = a + b·k over month offsets 1–6 (cohorts with a
+    full 6-month runway only) and convert the decay slope to a
+    half-life −ln2/b — the single number that makes cohorts
+    COMPARABLE across acquisition channels and vintages (raw
+    retention matrices don't rank; half-lives do). Cohort-level
+    sibling of retention_powerlaw_fit (corpus-wide, power-law): the
+    exponential-vs-power contrast across the two is itself the churn
+    regime diagnostic.
+
+    ln-retention points round to 9 then fold exactly in the
+    closed-form OLS; slope divides once; positive-slope cohorts emit
+    NULL half-life in both engines. Plan: month rollup → cohort
+    grid (bounded) → per-cohort fold."""
+    o = t(spark, sf_dir, "orders")
+    om = o.select(
+        F.col("o_custkey").alias("ck"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("m"),
+    )
+    first_m = om.groupBy("ck").agg(
+        F.min("m").cast("bigint").alias("cohort")
+    )
+    span = om.agg(F.max("m").cast("bigint").alias("mx"))
+    act = (
+        om.join(first_m, "ck")
+        .where((F.col("m") - F.col("cohort")).between(0, 6))
+        .groupBy("cohort", (F.col("m") - F.col("cohort")).alias("k"))
+        .agg(F.countDistinct("ck").cast("bigint").alias("active"))
+        .persist()
+    )
+    base = act.where(F.col("k") == 0).select(
+        "cohort", F.col("active").alias("n0")
+    )
+    pts = (
+        act.where(F.col("k") >= 1)
+        .join(F.broadcast(base), "cohort")
+        .crossJoin(F.broadcast(span))
+        .where(F.col("cohort") + 6 <= F.col("mx"))
+        .select(
+            "cohort",
+            "k",
+            F.round(
+                F.log(F.col("active") * 1.0 / F.col("n0")), 9
+            )
+            .cast("decimal(18,9)")
+            .alias("lr"),
+        )
+    )
+    fit = (
+        pts.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sx"),
+            F.sum(F.col("k") * F.col("k")).cast("bigint").alias("sxx"),
+            F.sum("lr").cast("decimal(38,9)").alias("sy"),
+            F.sum(F.col("k") * F.col("lr"))
+            .cast("decimal(38,9)")
+            .alias("sxy"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    slope = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx") * F.col("sy").cast("double")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    sl = fit.join(F.broadcast(base), "cohort").select(
+        "cohort", "n0", "n", slope.alias("slope")
+    )
+    return sl.select(
+        (F.col("cohort") / 12).cast("bigint").alias("cohort_year"),
+        (F.col("cohort") % 12 + 1).cast("bigint").alias("cohort_month"),
+        F.col("n0").alias("cohort_size"),
+        F.col("n").alias("n_points"),
+        (F.round(F.col("slope"), 6) + 0.0).alias("decay_slope"),
+        # half-life from the ROUNDED slope: the raw slope near 0 is
+        # engine-noise-scaled and its reciprocal diverges (caught by
+        # the sf0.001 mirror); the rounded slope is bit-identical
+        F.when(
+            F.round(F.col("slope"), 6) < 0,
+            F.round(
+                -F.log(F.lit(2.0)) / F.round(F.col("slope"), 6), 2
+            ),
+        ).alias("half_life_months"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Theil inequality decomposition: between vs within nations
+# --------------------------------------------------------------------------
+@register(
+    "theil_between_within_nations",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_nationkey AS nk,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey, c.c_nationkey
+    ),
+    grp AS (
+        SELECT nk,
+               CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(x) AS BIGINT) AS sg,
+               CAST(SUM(x * CAST(round(ln(x), 9) AS DECIMAL(18,9)))
+                    AS DECIMAL(38,9)) AS lg
+        FROM spend GROUP BY nk
+    ),
+    tot AS (
+        SELECT CAST(SUM(ng) AS BIGINT) AS n,
+               CAST(SUM(sg) AS BIGINT) AS s,
+               CAST(SUM(lg) AS DECIMAL(38,9)) AS l
+        FROM grp
+    ),
+    parts AS (
+        SELECT
+            SUM(CAST(round(g.sg * 1.0 / t.s
+                           * ln((g.sg * 1.0 / g.ng)
+                                / (t.s * 1.0 / t.n)), 12)
+                AS DECIMAL(38,12))) AS t_between,
+            SUM(CAST(round(g.sg * 1.0 / t.s
+                           * (CAST(g.lg AS DOUBLE) / g.sg
+                              - ln(g.sg * 1.0 / g.ng)), 12)
+                AS DECIMAL(38,12))) AS t_within
+        FROM grp g, tot t
+    )
+    SELECT t.n AS n_customers,
+           round(CAST(t.l AS DOUBLE) / t.s - ln(t.s * 1.0 / t.n), 6)
+               AS theil_total,
+           round(CAST(p.t_between AS DOUBLE), 6) + 0.0 AS theil_between,
+           round(CAST(p.t_within AS DOUBLE), 6) AS theil_within,
+           round(CAST(p.t_between AS DOUBLE)
+                 / (CAST(t.l AS DOUBLE) / t.s - ln(t.s * 1.0 / t.n)),
+                 4) + 0.0 AS between_share
+    FROM tot t, parts p
+    """,
+)
+def theil_between_within_nations(spark, sf_dir):
+    """Theil-T inequality decomposition of customer spend BY NATION:
+    T_total = T_between + T_within exactly (Theil's additive
+    decomposability — the property Gini famously lacks and the reason
+    development economics uses Theil for group accounting): how much
+    spend inequality is across-country差 vs within-country. Uses the
+    identity T = Σx·ln(x)/S − ln(S/N) so the whole statistic needs
+    only three folds (N, S, Σx·ln x) globally and per group.
+    Extends customer_inequality_panel (corpus-wide scalars) with the
+    grouped accounting view.
+
+    Per-customer ln terms round to 9 and fold exactly weighted by
+    integer cents; the between/within terms fold per-nation rounded
+    contributions (25-row domain). Plan: fact-dim broadcast join →
+    (customer, nation) rollup → 25-row group fold → scalars."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    spend = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy("o_custkey", "nk")
+        .agg(
+            F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    grp = spend.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("x").cast("bigint").alias("sg"),
+        F.sum(
+            F.col("x")
+            * F.round(F.log("x"), 9).cast("decimal(18,9)")
+        )
+        .cast("decimal(38,9)")
+        .alias("lg"),
+    ).persist()
+    tot = grp.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sg").cast("bigint").alias("s"),
+        F.sum("lg").cast("decimal(38,9)").alias("l"),
+    )
+    g = grp.crossJoin(F.broadcast(tot))
+    t_between = F.sum(
+        F.round(
+            F.col("sg")
+            * 1.0
+            / F.col("s")
+            * F.log(
+                (F.col("sg") * 1.0 / F.col("ng"))
+                / (F.col("s") * 1.0 / F.col("n"))
+            ),
+            12,
+        ).cast("decimal(38,12)")
+    )
+    t_within = F.sum(
+        F.round(
+            F.col("sg")
+            * 1.0
+            / F.col("s")
+            * (
+                F.col("lg").cast("double") / F.col("sg")
+                - F.log(F.col("sg") * 1.0 / F.col("ng"))
+            ),
+            12,
+        ).cast("decimal(38,12)")
+    )
+    parts = g.agg(
+        t_between.alias("t_between"), t_within.alias("t_within")
+    )
+    theil_total = F.col("l").cast("double") / F.col("s") - F.log(
+        F.col("s") * 1.0 / F.col("n")
+    )
+    return tot.crossJoin(F.broadcast(parts)).select(
+        F.col("n").alias("n_customers"),
+        F.round(theil_total, 6).alias("theil_total"),
+        (F.round(F.col("t_between").cast("double"), 6) + 0.0).alias(
+            "theil_between"
+        ),
+        F.round(F.col("t_within").cast("double"), 6).alias(
+            "theil_within"
+        ),
+        (
+            F.round(
+                F.col("t_between").cast("double") / theil_total, 4
+            )
+            + 0.0
+        ).alias("between_share"),
+    )
