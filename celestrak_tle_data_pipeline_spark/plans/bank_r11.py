@@ -1,10 +1,20 @@
-"""Round-11 pre-staged bank (candidate X296+): built during round 10
-AFTER the official 50-slot window filled, staged OUTSIDE the live
-registry so ``tests/test_registry.py::test_no_new_official_debt``
-never sees an oracle-paired name without an official row. Round 11
-flips this module into ``plans._MODULES`` exactly like round 9 flipped
-``next_window.py`` (same local-decorator discipline; see that module's
-docstring for the flip protocol).
+"""Round-10-staged bank, LIVE since round 11 (X296-X344 in SURVEY
+§2.11): built during round 10 AFTER the official 50-slot window
+filled, staged OUTSIDE the live registry so ``tests/test_registry.py::
+test_no_new_official_debt`` never saw an oracle-paired name without an
+official row. Round 11 flipped the module into ``plans._MODULES``
+exactly like round 9 flipped ``next_window.py``: the decorator now
+registers through ``plans.register`` while still recording every name
+in ``BANK_QUERIES``/``BANK_ORACLES`` so ``tests/test_bank_r11.py``
+keeps gate-mirroring the whole flipped set at two scale factors, and
+the round-11 ``_PRIORITY`` window is the 49 bank names in registration
+order plus the rows-only registry name ``ann_lsh_bucketed`` the r10
+verdict directed into the window tail = exactly 50 (the verdict also
+named ``minhash_near_dup``, but that one already has its official
+rows-only record from CORRECTNESS_r02). The bank's last three queries
+(X345-X347, including the two pooled-ECDF latecomers whose
+duplicate-``tots`` oracles round 11 fixed) deferred to
+``plans/bank_r12.py`` to make the arithmetic work.
 
 Every query lands here only after passing the driver-gate compare
 (``tools/check.py`` canon/hash) at sf0.001 AND sf0.01 via
@@ -43,6 +53,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from . import register as _live_register
 from .common import dec, prefix_offsets, t
 
 BANK_QUERIES: dict = {}
@@ -50,15 +61,18 @@ BANK_ORACLES: dict = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Stage-only decorator: records the query in the bank dicts and
-    deliberately does NOT touch the live registry (pre-flip
-    discipline — ``tests/test_bank_r11.py`` asserts the separation)."""
+    """Registers live via ``plans.register`` AND records the name in
+    the bank dicts so ``tests/test_bank_r11.py`` keeps gate-mirroring
+    the whole flipped set independently of the registry (see module
+    docstring for the flip protocol)."""
+
+    live = _live_register(name, oracle)
 
     def deco(fn):
         BANK_QUERIES[name] = fn
         if oracle is not None:
             BANK_ORACLES[name] = oracle
-        return fn
+        return live(fn)
 
     return deco
 
@@ -5417,6 +5431,7 @@ def categorical_association_matrix(spark, sf_dir):
     )
 
 
+
 # --------------------------------------------------------------------------
 # Exponential retention half-life per acquisition cohort
 # --------------------------------------------------------------------------
@@ -5570,417 +5585,3 @@ def retention_half_life_cohorts(spark, sf_dir):
         ).alias("half_life_months"),
     )
 
-
-# --------------------------------------------------------------------------
-# Theil inequality decomposition: between vs within nations
-# --------------------------------------------------------------------------
-@register(
-    "theil_between_within_nations",
-    oracle="""
-    WITH spend AS (
-        SELECT c.c_nationkey AS nk,
-               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
-                             AS BIGINT)) AS BIGINT) AS x
-        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        GROUP BY o.o_custkey, c.c_nationkey
-    ),
-    grp AS (
-        SELECT nk,
-               CAST(COUNT(*) AS BIGINT) AS ng,
-               CAST(SUM(x) AS BIGINT) AS sg,
-               CAST(SUM(x * CAST(round(ln(x), 9) AS DECIMAL(18,9)))
-                    AS DECIMAL(38,9)) AS lg
-        FROM spend GROUP BY nk
-    ),
-    tot AS (
-        SELECT CAST(SUM(ng) AS BIGINT) AS n,
-               CAST(SUM(sg) AS BIGINT) AS s,
-               CAST(SUM(lg) AS DECIMAL(38,9)) AS l
-        FROM grp
-    ),
-    parts AS (
-        SELECT
-            SUM(CAST(round(g.sg * 1.0 / t.s
-                           * ln((g.sg * 1.0 / g.ng)
-                                / (t.s * 1.0 / t.n)), 12)
-                AS DECIMAL(38,12))) AS t_between,
-            SUM(CAST(round(g.sg * 1.0 / t.s
-                           * (CAST(g.lg AS DOUBLE) / g.sg
-                              - ln(g.sg * 1.0 / g.ng)), 12)
-                AS DECIMAL(38,12))) AS t_within
-        FROM grp g, tot t
-    )
-    SELECT t.n AS n_customers,
-           round(CAST(t.l AS DOUBLE) / t.s - ln(t.s * 1.0 / t.n), 6)
-               AS theil_total,
-           round(CAST(p.t_between AS DOUBLE), 6) + 0.0 AS theil_between,
-           round(CAST(p.t_within AS DOUBLE), 6) AS theil_within,
-           round(CAST(p.t_between AS DOUBLE)
-                 / (CAST(t.l AS DOUBLE) / t.s - ln(t.s * 1.0 / t.n)),
-                 4) + 0.0 AS between_share
-    FROM tot t, parts p
-    """,
-)
-def theil_between_within_nations(spark, sf_dir):
-    """Theil-T inequality decomposition of customer spend BY NATION:
-    T_total = T_between + T_within exactly (Theil's additive
-    decomposability — the property Gini famously lacks and the reason
-    development economics uses Theil for group accounting): how much
-    spend inequality is across-country差 vs within-country. Uses the
-    identity T = Σx·ln(x)/S − ln(S/N) so the whole statistic needs
-    only three folds (N, S, Σx·ln x) globally and per group.
-    Extends customer_inequality_panel (corpus-wide scalars) with the
-    grouped accounting view.
-
-    Per-customer ln terms round to 9 and fold exactly weighted by
-    integer cents; the between/within terms fold per-nation rounded
-    contributions (25-row domain). Plan: fact-dim broadcast join →
-    (customer, nation) rollup → 25-row group fold → scalars."""
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("o_custkey"),
-        F.col("c_nationkey").alias("nk"),
-    )
-    spend = (
-        o.join(F.broadcast(c), "o_custkey")
-        .groupBy("o_custkey", "nk")
-        .agg(
-            F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("x")
-        )
-    )
-    grp = spend.groupBy("nk").agg(
-        F.count(F.lit(1)).cast("bigint").alias("ng"),
-        F.sum("x").cast("bigint").alias("sg"),
-        F.sum(
-            F.col("x")
-            * F.round(F.log("x"), 9).cast("decimal(18,9)")
-        )
-        .cast("decimal(38,9)")
-        .alias("lg"),
-    ).persist()
-    tot = grp.agg(
-        F.sum("ng").cast("bigint").alias("n"),
-        F.sum("sg").cast("bigint").alias("s"),
-        F.sum("lg").cast("decimal(38,9)").alias("l"),
-    )
-    g = grp.crossJoin(F.broadcast(tot))
-    t_between = F.sum(
-        F.round(
-            F.col("sg")
-            * 1.0
-            / F.col("s")
-            * F.log(
-                (F.col("sg") * 1.0 / F.col("ng"))
-                / (F.col("s") * 1.0 / F.col("n"))
-            ),
-            12,
-        ).cast("decimal(38,12)")
-    )
-    t_within = F.sum(
-        F.round(
-            F.col("sg")
-            * 1.0
-            / F.col("s")
-            * (
-                F.col("lg").cast("double") / F.col("sg")
-                - F.log(F.col("sg") * 1.0 / F.col("ng"))
-            ),
-            12,
-        ).cast("decimal(38,12)")
-    )
-    parts = g.agg(
-        t_between.alias("t_between"), t_within.alias("t_within")
-    )
-    theil_total = F.col("l").cast("double") / F.col("s") - F.log(
-        F.col("s") * 1.0 / F.col("n")
-    )
-    return tot.crossJoin(F.broadcast(parts)).select(
-        F.col("n").alias("n_customers"),
-        F.round(theil_total, 6).alias("theil_total"),
-        (F.round(F.col("t_between").cast("double"), 6) + 0.0).alias(
-            "theil_between"
-        ),
-        F.round(F.col("t_within").cast("double"), 6).alias(
-            "theil_within"
-        ),
-        (
-            F.round(
-                F.col("t_between").cast("double") / theil_total, 4
-            )
-            + 0.0
-        ).alias("between_share"),
-    )
-
-
-# --------------------------------------------------------------------------
-# Batch X346+: distribution geometry on the pooled two-sample ECDF —
-# Wasserstein-1, energy distance, Brunner-Munzel, Cuzick trend, Yuen
-# trimmed-Welch. Shared device: value-grain counts + prefix counts +
-# prefix VALUE SUMS per group (the _ecdf2 shape extended with exact
-# decimal(38,6) running sums so E|X-Y|-class pair sums never touch a
-# pair join).
-# --------------------------------------------------------------------------
-_POOLS_SQL = _POOL_SQL + """,
-    cum2 AS (
-        SELECT value, CAST(value AS DECIMAL(18,6)) AS dv, c1, c2,
-               SUM(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
-                   AS f1,
-               SUM(c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
-                   AS f2,
-               CAST(SUM(c1 * CAST(value AS DECIMAL(18,6)))
-                    OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
-                    AS DECIMAL(38,6)) AS s1,
-               CAST(SUM(c2 * CAST(value AS DECIMAL(18,6)))
-                    OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
-                    AS DECIMAL(38,6)) AS s2
-        FROM by_val
-    )
-"""
-
-
-def _ecdf2cs(spark, sf_dir):
-    """(value, dv, c1, c2, f1, f2, s1, s2) at distinct-value grain plus
-    broadcast totals (n1, n2): the `_ecdf2` device extended with
-    per-group counts AT the value (c1/c2) and exact decimal(38,6)
-    prefix sums of the value itself (s1/s2) — enough to evaluate any
-    Σ|x-y|-class pair statistic from per-row closed forms, with the
-    same no-single-partition ranged construction."""
-    e = t(spark, sf_dir, "events").where(
-        F.col("event_type").isin("click", "purchase")
-    )
-    by_val = (
-        e.select(
-            "value",
-            (F.col("event_type") == "click").cast("long").alias("g1"),
-        )
-        .groupBy("value")
-        .agg(
-            F.sum("g1").alias("c1"),
-            F.sum(1 - F.col("g1")).alias("c2"),
-        )
-        .withColumn("dv", dec("value", 18, 6))
-        .repartitionByRange(8, F.col("value").asc())
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
-    )
-    part_tots = by_val.groupBy("pid").agg(
-        F.sum("c1").alias("p1"),
-        F.sum("c2").alias("p2"),
-        F.sum(F.col("c1") * F.col("dv")).alias("q1"),
-        F.sum(F.col("c2") * F.col("dv")).alias("q2"),
-    )
-    offsets = prefix_offsets(
-        part_tots,
-        {"off1": "p1", "off2": "p2", "soff1": "q1", "soff2": "q2"},
-    )
-    w_local = (
-        Window.partitionBy("pid")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = by_val.join(F.broadcast(offsets), "pid").select(
-        "value",
-        "dv",
-        "c1",
-        "c2",
-        (F.sum("c1").over(w_local) + F.col("off1")).alias("f1"),
-        (F.sum("c2").over(w_local) + F.col("off2")).alias("f2"),
-        (F.sum(F.col("c1") * F.col("dv")).over(w_local) + F.col("soff1"))
-        .cast("decimal(38,6)")
-        .alias("s1"),
-        (F.sum(F.col("c2") * F.col("dv")).over(w_local) + F.col("soff2"))
-        .cast("decimal(38,6)")
-        .alias("s2"),
-    )
-    tots = by_val.agg(
-        F.sum("c1").cast("bigint").alias("n1"),
-        F.sum("c2").cast("bigint").alias("n2"),
-    )
-    return cum.crossJoin(F.broadcast(tots))
-
-
-@register(
-    "wasserstein1_two_sample",
-    oracle="WITH " + _POOLS_SQL + """,
-    tots AS (
-        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
-               CAST(SUM(c2) AS BIGINT) AS n2
-        FROM by_val
-    ),
-    fold AS (
-        SELECT
-            CAST(SUM(dv * (abs((f1 - c1) * t.n2 - (f2 - c2) * t.n1)
-                           - abs(f1 * t.n2 - f2 * t.n1)))
-                 AS DECIMAL(38,6)) AS sw,
-            CAST(SUM(dv * (((f1 - c1) * t.n2 - (f2 - c2) * t.n1)
-                           - (f1 * t.n2 - f2 * t.n1)))
-                 AS DECIMAL(38,6)) AS ss
-        FROM cum2, tots t
-        GROUP BY t.n1, t.n2
-    )
-    SELECT t.n1, t.n2,
-           round(CAST(sw AS DOUBLE)
-                 / (t.n1 * CAST(t.n2 AS DOUBLE)), 6) AS w1_distance,
-           round(CAST(ss AS DOUBLE)
-                 / (t.n1 * CAST(t.n2 AS DOUBLE)), 6) + 0.0
-               AS mean_gap
-    FROM fold, tots t
-    """,
-)
-def wasserstein1_two_sample(spark, sf_dir):
-    """1-Wasserstein (earth-mover) distance between the click and
-    purchase value distributions: W1 = ∫|F1(v) − F2(v)|dv, the metric
-    that measures HOW FAR mass must move (KS/CvM/AD only measure
-    whether the ECDFs differ — W1 is the one with units of value, the
-    standard drift magnitude for feature monitoring). The piecewise-
-    constant integral telescopes to a PER-ROW closed form: with grid
-    values v_i and d_i = F1(v_i) − F2(v_i), W1 = Σ_i v_i·(|d_{i-1}| −
-    |d_i|), and d_{i-1} at row i is just (f−c)-based — so no lead/lag
-    window is needed at all. Numerators stay exact integers
-    (f·n cross-multiplied), the v·Δ|d| product is an exact
-    decimal(38,6) fold, and the single division happens at the end.
-    The signed companion Σ v_i·(d_{i-1} − d_i) = E[purchase] −
-    E[click] ships as a mean-gap cross-check.
-
-    Plan: value-grain rollup → ranged prefix device → one decimal
-    fold. No pair join, no single-partition window, shuffle bounded
-    by the distinct-value grid."""
-    cum = _ecdf2cs(spark, sf_dir)
-    d_cur = (
-        F.col("f1").cast("decimal(38,0)") * F.col("n2")
-        - F.col("f2").cast("decimal(38,0)") * F.col("n1")
-    )
-    d_prev = (
-        (F.col("f1") - F.col("c1")).cast("decimal(38,0)") * F.col("n2")
-        - (F.col("f2") - F.col("c2")).cast("decimal(38,0)") * F.col("n1")
-    )
-    fold = cum.groupBy("n1", "n2").agg(
-        F.sum(F.col("dv") * (F.abs(d_prev) - F.abs(d_cur)))
-        .cast("decimal(38,6)")
-        .alias("sw"),
-        F.sum(F.col("dv") * (d_prev - d_cur))
-        .cast("decimal(38,6)")
-        .alias("ss"),
-    )
-    nn = F.col("n1") * F.col("n2").cast("double")
-    return fold.select(
-        "n1",
-        "n2",
-        F.round(F.col("sw").cast("double") / nn, 6).alias("w1_distance"),
-        (F.round(F.col("ss").cast("double") / nn, 6) + 0.0).alias(
-            "mean_gap"
-        ),
-    )
-
-
-@register(
-    "energy_distance_two_sample",
-    oracle="WITH " + _POOLS_SQL + """,
-    tots AS (
-        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
-               CAST(SUM(c2) AS BIGINT) AS n2
-        FROM by_val
-    ),
-    fold AS (
-        SELECT
-            CAST(SUM(c1 * ((f2 - c2) * dv - (s2 - c2 * dv))
-                     + c2 * ((f1 - c1) * dv - (s1 - c1 * dv)))
-                 AS DECIMAL(38,6)) AS sc,
-            CAST(SUM(c1 * ((f1 - c1) * dv - (s1 - c1 * dv)))
-                 AS DECIMAL(38,6)) AS sw1,
-            CAST(SUM(c2 * ((f2 - c2) * dv - (s2 - c2 * dv)))
-                 AS DECIMAL(38,6)) AS sw2
-        FROM cum2
-    )
-    SELECT t.n1, t.n2,
-           round(CAST(sc AS DOUBLE) / (t.n1 * CAST(t.n2 AS DOUBLE)), 6)
-               AS mean_abs_gap,
-           round(2.0 * CAST(sw1 AS DOUBLE)
-                 / (t.n1 * CAST(t.n1 - 1 AS DOUBLE)), 6)
-               AS gini_md_click,
-           round(2.0 * CAST(sw2 AS DOUBLE)
-                 / (t.n2 * CAST(t.n2 - 1 AS DOUBLE)), 6)
-               AS gini_md_purchase,
-           round(2.0 * CAST(sc AS DOUBLE) / (t.n1 * CAST(t.n2 AS DOUBLE))
-                 - 2.0 * CAST(sw1 AS DOUBLE)
-                   / (t.n1 * CAST(t.n1 AS DOUBLE))
-                 - 2.0 * CAST(sw2 AS DOUBLE)
-                   / (t.n2 * CAST(t.n2 AS DOUBLE)), 6) + 0.0
-               AS energy_distance,
-           round((t.n1 * CAST(t.n2 AS DOUBLE) / (t.n1 + t.n2))
-                 * (2.0 * CAST(sc AS DOUBLE)
-                    / (t.n1 * CAST(t.n2 AS DOUBLE))
-                    - 2.0 * CAST(sw1 AS DOUBLE)
-                      / (t.n1 * CAST(t.n1 AS DOUBLE))
-                    - 2.0 * CAST(sw2 AS DOUBLE)
-                      / (t.n2 * CAST(t.n2 AS DOUBLE))), 6) + 0.0
-               AS e_stat
-    FROM fold, tots t
-    """,
-)
-def energy_distance_two_sample(spark, sf_dir):
-    """Székely-Rizzo energy distance between click and purchase
-    values: D² = 2E|X−Y| − E|X−X'| − E|Y−Y'| (V-statistic convention,
-    documented), plus the test statistic n1n2/(n1+n2)·D² and the two
-    Gini mean differences (U-statistic within-group E|X−X'|) as
-    named outputs — the distance that is zero IFF the distributions
-    are equal, sensitive to ANY difference (location, scale, shape),
-    where KS-class sup tests lose power against tail alternatives.
-    Every pair sum collapses to the sorted-prefix closed form
-    Σ_pairs|x−y| = Σ_v c_v·(F_prev·v − S_prev): exact bigint prefix
-    counts, exact decimal(38,6) prefix value sums, one decimal fold —
-    no O(n²) pair join at any scale.
-
-    Plan: value-grain rollup → ranged prefix device (counts + value
-    sums) → one decimal fold; divisions only in the final projection."""
-    cum = _ecdf2cs(spark, sf_dir)
-    f1p = F.col("f1") - F.col("c1")
-    f2p = F.col("f2") - F.col("c2")
-    s1p = F.col("s1") - F.col("c1") * F.col("dv")
-    s2p = F.col("s2") - F.col("c2") * F.col("dv")
-    fold = cum.groupBy("n1", "n2").agg(
-        F.sum(
-            F.col("c1") * (f2p * F.col("dv") - s2p)
-            + F.col("c2") * (f1p * F.col("dv") - s1p)
-        )
-        .cast("decimal(38,6)")
-        .alias("sc"),
-        F.sum(F.col("c1") * (f1p * F.col("dv") - s1p))
-        .cast("decimal(38,6)")
-        .alias("sw1"),
-        F.sum(F.col("c2") * (f2p * F.col("dv") - s2p))
-        .cast("decimal(38,6)")
-        .alias("sw2"),
-    )
-    n1d = F.col("n1").cast("double")
-    n2d = F.col("n2").cast("double")
-    a = F.col("sc").cast("double") / (F.col("n1") * n2d)
-    b = 2.0 * F.col("sw1").cast("double") / (F.col("n1") * n1d)
-    c = 2.0 * F.col("sw2").cast("double") / (F.col("n2") * n2d)
-    edist = 2.0 * a - b - c
-    return fold.select(
-        "n1",
-        "n2",
-        F.round(a, 6).alias("mean_abs_gap"),
-        F.round(
-            2.0 * F.col("sw1").cast("double")
-            / (F.col("n1") * (n1d - 1.0)),
-            6,
-        ).alias("gini_md_click"),
-        F.round(
-            2.0 * F.col("sw2").cast("double")
-            / (F.col("n2") * (n2d - 1.0)),
-            6,
-        ).alias("gini_md_purchase"),
-        (F.round(edist, 6) + 0.0).alias("energy_distance"),
-        (
-            F.round(
-                (F.col("n1") * n2d / (F.col("n1") + F.col("n2")))
-                * edist,
-                6,
-            )
-            + 0.0
-        ).alias("e_stat"),
-    )

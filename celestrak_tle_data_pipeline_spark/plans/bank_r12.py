@@ -1,0 +1,936 @@
+"""Round-12 pre-staged bank (candidate X344+): STAGED, not in the live
+registry, under the same no-new-debt discipline as ``bank_r11`` was in
+round 10 (``tests/test_registry.py::test_no_new_official_debt`` never
+sees an oracle-paired name without an official row or a window slot).
+
+Seeded at round-11 flip time with the three queries that could not fit
+the 50-slot round-11 window: the round-10 bank grew to 52 queries and
+the r10 verdict additionally directed the rows-only registry name
+``ann_lsh_bucketed`` into the round-11 window tail (its twin
+``minhash_near_dup`` already had an official rows-only record from
+round 2), leaving 49 slots for the bank — so X345 (the last of the
+documented batch) and X346/X347 (the pooled-ECDF latecomers whose
+duplicate-``tots`` oracles round 11 fixed) defer here. Round-11 fresh
+work appends below them; round 12 flips the module live exactly like
+round 9 flipped ``next_window`` and round 11 flipped ``bank_r11``.
+
+Every query lands here only after passing the driver-gate compare
+(``tools/check.py`` canon/hash) at sf0.001 AND sf0.01 via
+``tests/test_bank_r12.py``, plus the sf0.1 sweep through
+``tools/bank_check.py --module bank_r12``.
+
+Determinism and scale disciplines are inherited unchanged from
+``bank_r11`` (see that module's docstring): exact integer/DECIMAL
+folds, round-before-fold for float terms, ``+ 0.0`` on possibly
+negative-zero outputs, total-order top-k, and no unpartitioned window
+over row-grain data (the pooled-ECDF device below is the ranged
+global-cumsum construction from ``plans/common.prefix_offsets``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .bank_r11 import _POOL_SQL
+from .common import dec, prefix_offsets, t
+
+BANK_QUERIES: dict = {}
+BANK_ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Stage-only decorator: records the query in the bank dicts and
+    deliberately does NOT touch the live registry (pre-flip
+    discipline — ``tests/test_bank_r12.py`` asserts the separation)."""
+
+    def deco(fn):
+        BANK_QUERIES[name] = fn
+        if oracle is not None:
+            BANK_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Theil inequality decomposition: between vs within nations
+# --------------------------------------------------------------------------
+@register(
+    "theil_between_within_nations",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_nationkey AS nk,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey, c.c_nationkey
+    ),
+    grp AS (
+        SELECT nk,
+               CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(x) AS BIGINT) AS sg,
+               CAST(SUM(x * CAST(round(ln(x), 9) AS DECIMAL(18,9)))
+                    AS DECIMAL(38,9)) AS lg
+        FROM spend GROUP BY nk
+    ),
+    tot AS (
+        SELECT CAST(SUM(ng) AS BIGINT) AS n,
+               CAST(SUM(sg) AS BIGINT) AS s,
+               CAST(SUM(lg) AS DECIMAL(38,9)) AS l
+        FROM grp
+    ),
+    parts AS (
+        SELECT
+            SUM(CAST(round(g.sg * 1.0 / t.s
+                           * ln((g.sg * 1.0 / g.ng)
+                                / (t.s * 1.0 / t.n)), 12)
+                AS DECIMAL(38,12))) AS t_between,
+            SUM(CAST(round(g.sg * 1.0 / t.s
+                           * (CAST(g.lg AS DOUBLE) / g.sg
+                              - ln(g.sg * 1.0 / g.ng)), 12)
+                AS DECIMAL(38,12))) AS t_within
+        FROM grp g, tot t
+    )
+    SELECT t.n AS n_customers,
+           round(CAST(t.l AS DOUBLE) / t.s - ln(t.s * 1.0 / t.n), 6)
+               AS theil_total,
+           round(CAST(p.t_between AS DOUBLE), 6) + 0.0 AS theil_between,
+           round(CAST(p.t_within AS DOUBLE), 6) AS theil_within,
+           round(CAST(p.t_between AS DOUBLE)
+                 / (CAST(t.l AS DOUBLE) / t.s - ln(t.s * 1.0 / t.n)),
+                 4) + 0.0 AS between_share
+    FROM tot t, parts p
+    """,
+)
+def theil_between_within_nations(spark, sf_dir):
+    """Theil-T inequality decomposition of customer spend BY NATION:
+    T_total = T_between + T_within exactly (Theil's additive
+    decomposability — the property Gini famously lacks and the reason
+    development economics uses Theil for group accounting): how much
+    spend inequality is across-country差 vs within-country. Uses the
+    identity T = Σx·ln(x)/S − ln(S/N) so the whole statistic needs
+    only three folds (N, S, Σx·ln x) globally and per group.
+    Extends customer_inequality_panel (corpus-wide scalars) with the
+    grouped accounting view.
+
+    Per-customer ln terms round to 9 and fold exactly weighted by
+    integer cents; the between/within terms fold per-nation rounded
+    contributions (25-row domain). Plan: fact-dim broadcast join →
+    (customer, nation) rollup → 25-row group fold → scalars."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    spend = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy("o_custkey", "nk")
+        .agg(
+            F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    grp = spend.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("x").cast("bigint").alias("sg"),
+        F.sum(
+            F.col("x")
+            * F.round(F.log("x"), 9).cast("decimal(18,9)")
+        )
+        .cast("decimal(38,9)")
+        .alias("lg"),
+    ).persist()
+    tot = grp.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sg").cast("bigint").alias("s"),
+        F.sum("lg").cast("decimal(38,9)").alias("l"),
+    )
+    g = grp.crossJoin(F.broadcast(tot))
+    t_between = F.sum(
+        F.round(
+            F.col("sg")
+            * 1.0
+            / F.col("s")
+            * F.log(
+                (F.col("sg") * 1.0 / F.col("ng"))
+                / (F.col("s") * 1.0 / F.col("n"))
+            ),
+            12,
+        ).cast("decimal(38,12)")
+    )
+    t_within = F.sum(
+        F.round(
+            F.col("sg")
+            * 1.0
+            / F.col("s")
+            * (
+                F.col("lg").cast("double") / F.col("sg")
+                - F.log(F.col("sg") * 1.0 / F.col("ng"))
+            ),
+            12,
+        ).cast("decimal(38,12)")
+    )
+    parts = g.agg(
+        t_between.alias("t_between"), t_within.alias("t_within")
+    )
+    theil_total = F.col("l").cast("double") / F.col("s") - F.log(
+        F.col("s") * 1.0 / F.col("n")
+    )
+    return tot.crossJoin(F.broadcast(parts)).select(
+        F.col("n").alias("n_customers"),
+        F.round(theil_total, 6).alias("theil_total"),
+        (F.round(F.col("t_between").cast("double"), 6) + 0.0).alias(
+            "theil_between"
+        ),
+        F.round(F.col("t_within").cast("double"), 6).alias(
+            "theil_within"
+        ),
+        (
+            F.round(
+                F.col("t_between").cast("double") / theil_total, 4
+            )
+            + 0.0
+        ).alias("between_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch X346+: distribution geometry on the pooled two-sample ECDF —
+# Wasserstein-1, energy distance, Brunner-Munzel, Cuzick trend, Yuen
+# trimmed-Welch. Shared device: value-grain counts + prefix counts +
+# prefix VALUE SUMS per group (the _ecdf2 shape extended with exact
+# decimal(38,6) running sums so E|X-Y|-class pair sums never touch a
+# pair join).
+# --------------------------------------------------------------------------
+_POOLS_SQL = _POOL_SQL + """,
+    cum2 AS (
+        SELECT value, CAST(value AS DECIMAL(18,6)) AS dv, c1, c2,
+               SUM(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+                   AS f1,
+               SUM(c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+                   AS f2,
+               CAST(SUM(c1 * CAST(value AS DECIMAL(18,6)))
+                    OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+                    AS DECIMAL(38,6)) AS s1,
+               CAST(SUM(c2 * CAST(value AS DECIMAL(18,6)))
+                    OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+                    AS DECIMAL(38,6)) AS s2
+        FROM by_val
+    )
+"""
+
+
+def _ecdf2cs(spark, sf_dir):
+    """(value, dv, c1, c2, f1, f2, s1, s2) at distinct-value grain plus
+    broadcast totals (n1, n2): the `_ecdf2` device extended with
+    per-group counts AT the value (c1/c2) and exact decimal(38,6)
+    prefix sums of the value itself (s1/s2) — enough to evaluate any
+    Σ|x-y|-class pair statistic from per-row closed forms, with the
+    same no-single-partition ranged construction."""
+    e = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    by_val = (
+        e.select(
+            "value",
+            (F.col("event_type") == "click").cast("long").alias("g1"),
+        )
+        .groupBy("value")
+        .agg(
+            F.sum("g1").alias("c1"),
+            F.sum(1 - F.col("g1")).alias("c2"),
+        )
+        .withColumn("dv", dec("value", 18, 6))
+        .repartitionByRange(8, F.col("value").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    part_tots = by_val.groupBy("pid").agg(
+        F.sum("c1").alias("p1"),
+        F.sum("c2").alias("p2"),
+        F.sum(F.col("c1") * F.col("dv")).alias("q1"),
+        F.sum(F.col("c2") * F.col("dv")).alias("q2"),
+    )
+    offsets = prefix_offsets(
+        part_tots,
+        {"off1": "p1", "off2": "p2", "soff1": "q1", "soff2": "q2"},
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = by_val.join(F.broadcast(offsets), "pid").select(
+        "value",
+        "dv",
+        "c1",
+        "c2",
+        (F.sum("c1").over(w_local) + F.col("off1")).alias("f1"),
+        (F.sum("c2").over(w_local) + F.col("off2")).alias("f2"),
+        (F.sum(F.col("c1") * F.col("dv")).over(w_local) + F.col("soff1"))
+        .cast("decimal(38,6)")
+        .alias("s1"),
+        (F.sum(F.col("c2") * F.col("dv")).over(w_local) + F.col("soff2"))
+        .cast("decimal(38,6)")
+        .alias("s2"),
+    )
+    tots = by_val.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    return cum.crossJoin(F.broadcast(tots))
+
+
+@register(
+    "wasserstein1_two_sample",
+    oracle="WITH " + _POOLS_SQL + """,
+    fold AS (
+        SELECT
+            CAST(SUM(dv * (abs((f1 - c1) * t.n2 - (f2 - c2) * t.n1)
+                           - abs(f1 * t.n2 - f2 * t.n1)))
+                 AS DECIMAL(38,6)) AS sw,
+            CAST(SUM(dv * (((f1 - c1) * t.n2 - (f2 - c2) * t.n1)
+                           - (f1 * t.n2 - f2 * t.n1)))
+                 AS DECIMAL(38,6)) AS ss
+        FROM cum2, tots t
+        GROUP BY t.n1, t.n2
+    )
+    SELECT t.n1, t.n2,
+           round(CAST(sw AS DOUBLE)
+                 / (t.n1 * CAST(t.n2 AS DOUBLE)), 6) AS w1_distance,
+           round(CAST(ss AS DOUBLE)
+                 / (t.n1 * CAST(t.n2 AS DOUBLE)), 6) + 0.0
+               AS mean_gap
+    FROM fold, tots t
+    """,
+)
+def wasserstein1_two_sample(spark, sf_dir):
+    """1-Wasserstein (earth-mover) distance between the click and
+    purchase value distributions: W1 = ∫|F1(v) − F2(v)|dv, the metric
+    that measures HOW FAR mass must move (KS/CvM/AD only measure
+    whether the ECDFs differ — W1 is the one with units of value, the
+    standard drift magnitude for feature monitoring). The piecewise-
+    constant integral telescopes to a PER-ROW closed form: with grid
+    values v_i and d_i = F1(v_i) − F2(v_i), W1 = Σ_i v_i·(|d_{i-1}| −
+    |d_i|), and d_{i-1} at row i is just (f−c)-based — so no lead/lag
+    window is needed at all. Numerators stay exact integers
+    (f·n cross-multiplied), the v·Δ|d| product is an exact
+    decimal(38,6) fold, and the single division happens at the end.
+    The signed companion Σ v_i·(d_{i-1} − d_i) = E[purchase] −
+    E[click] ships as a mean-gap cross-check.
+
+    Plan: value-grain rollup → ranged prefix device → one decimal
+    fold. No pair join, no single-partition window, shuffle bounded
+    by the distinct-value grid."""
+    cum = _ecdf2cs(spark, sf_dir)
+    d_cur = (
+        F.col("f1").cast("decimal(38,0)") * F.col("n2")
+        - F.col("f2").cast("decimal(38,0)") * F.col("n1")
+    )
+    d_prev = (
+        (F.col("f1") - F.col("c1")).cast("decimal(38,0)") * F.col("n2")
+        - (F.col("f2") - F.col("c2")).cast("decimal(38,0)") * F.col("n1")
+    )
+    fold = cum.groupBy("n1", "n2").agg(
+        F.sum(F.col("dv") * (F.abs(d_prev) - F.abs(d_cur)))
+        .cast("decimal(38,6)")
+        .alias("sw"),
+        F.sum(F.col("dv") * (d_prev - d_cur))
+        .cast("decimal(38,6)")
+        .alias("ss"),
+    )
+    nn = F.col("n1") * F.col("n2").cast("double")
+    return fold.select(
+        "n1",
+        "n2",
+        F.round(F.col("sw").cast("double") / nn, 6).alias("w1_distance"),
+        (F.round(F.col("ss").cast("double") / nn, 6) + 0.0).alias(
+            "mean_gap"
+        ),
+    )
+
+
+@register(
+    "energy_distance_two_sample",
+    oracle="WITH " + _POOLS_SQL + """,
+    fold AS (
+        SELECT
+            CAST(SUM(c1 * ((f2 - c2) * dv - (s2 - c2 * dv))
+                     + c2 * ((f1 - c1) * dv - (s1 - c1 * dv)))
+                 AS DECIMAL(38,6)) AS sc,
+            CAST(SUM(c1 * ((f1 - c1) * dv - (s1 - c1 * dv)))
+                 AS DECIMAL(38,6)) AS sw1,
+            CAST(SUM(c2 * ((f2 - c2) * dv - (s2 - c2 * dv)))
+                 AS DECIMAL(38,6)) AS sw2
+        FROM cum2
+    )
+    SELECT t.n1, t.n2,
+           round(CAST(sc AS DOUBLE) / (t.n1 * CAST(t.n2 AS DOUBLE)), 6)
+               AS mean_abs_gap,
+           round(2.0 * CAST(sw1 AS DOUBLE)
+                 / (t.n1 * CAST(t.n1 - 1 AS DOUBLE)), 6)
+               AS gini_md_click,
+           round(2.0 * CAST(sw2 AS DOUBLE)
+                 / (t.n2 * CAST(t.n2 - 1 AS DOUBLE)), 6)
+               AS gini_md_purchase,
+           round(2.0 * CAST(sc AS DOUBLE) / (t.n1 * CAST(t.n2 AS DOUBLE))
+                 - 2.0 * CAST(sw1 AS DOUBLE)
+                   / (t.n1 * CAST(t.n1 AS DOUBLE))
+                 - 2.0 * CAST(sw2 AS DOUBLE)
+                   / (t.n2 * CAST(t.n2 AS DOUBLE)), 6) + 0.0
+               AS energy_distance,
+           round((t.n1 * CAST(t.n2 AS DOUBLE) / (t.n1 + t.n2))
+                 * (2.0 * CAST(sc AS DOUBLE)
+                    / (t.n1 * CAST(t.n2 AS DOUBLE))
+                    - 2.0 * CAST(sw1 AS DOUBLE)
+                      / (t.n1 * CAST(t.n1 AS DOUBLE))
+                    - 2.0 * CAST(sw2 AS DOUBLE)
+                      / (t.n2 * CAST(t.n2 AS DOUBLE))), 6) + 0.0
+               AS e_stat
+    FROM fold, tots t
+    """,
+)
+def energy_distance_two_sample(spark, sf_dir):
+    """Székely-Rizzo energy distance between click and purchase
+    values: D² = 2E|X−Y| − E|X−X'| − E|Y−Y'| (V-statistic convention,
+    documented), plus the test statistic n1n2/(n1+n2)·D² and the two
+    Gini mean differences (U-statistic within-group E|X−X'|) as
+    named outputs — the distance that is zero IFF the distributions
+    are equal, sensitive to ANY difference (location, scale, shape),
+    where KS-class sup tests lose power against tail alternatives.
+    Every pair sum collapses to the sorted-prefix closed form
+    Σ_pairs|x−y| = Σ_v c_v·(F_prev·v − S_prev): exact bigint prefix
+    counts, exact decimal(38,6) prefix value sums, one decimal fold —
+    no O(n²) pair join at any scale.
+
+    Plan: value-grain rollup → ranged prefix device (counts + value
+    sums) → one decimal fold; divisions only in the final projection."""
+    cum = _ecdf2cs(spark, sf_dir)
+    f1p = F.col("f1") - F.col("c1")
+    f2p = F.col("f2") - F.col("c2")
+    s1p = F.col("s1") - F.col("c1") * F.col("dv")
+    s2p = F.col("s2") - F.col("c2") * F.col("dv")
+    fold = cum.groupBy("n1", "n2").agg(
+        F.sum(
+            F.col("c1") * (f2p * F.col("dv") - s2p)
+            + F.col("c2") * (f1p * F.col("dv") - s1p)
+        )
+        .cast("decimal(38,6)")
+        .alias("sc"),
+        F.sum(F.col("c1") * (f1p * F.col("dv") - s1p))
+        .cast("decimal(38,6)")
+        .alias("sw1"),
+        F.sum(F.col("c2") * (f2p * F.col("dv") - s2p))
+        .cast("decimal(38,6)")
+        .alias("sw2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    a = F.col("sc").cast("double") / (F.col("n1") * n2d)
+    b = 2.0 * F.col("sw1").cast("double") / (F.col("n1") * n1d)
+    c = 2.0 * F.col("sw2").cast("double") / (F.col("n2") * n2d)
+    edist = 2.0 * a - b - c
+    return fold.select(
+        "n1",
+        "n2",
+        F.round(a, 6).alias("mean_abs_gap"),
+        F.round(
+            2.0 * F.col("sw1").cast("double")
+            / (F.col("n1") * (n1d - 1.0)),
+            6,
+        ).alias("gini_md_click"),
+        F.round(
+            2.0 * F.col("sw2").cast("double")
+            / (F.col("n2") * (n2d - 1.0)),
+            6,
+        ).alias("gini_md_purchase"),
+        (F.round(edist, 6) + 0.0).alias("energy_distance"),
+        (
+            F.round(
+                (F.col("n1") * n2d / (F.col("n1") + F.col("n2")))
+                * edist,
+                6,
+            )
+            + 0.0
+        ).alias("e_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-11 fresh work, batch 1: classical homogeneity / randomness tests
+# on the daily-revenue series (X348+). Shared device: the bounded orders
+# calendar (~2.4k rows at any SF) indexed by a triangular self-join —
+# sequence position i, cumulative cents cy — so no window operator ever
+# appears; O(|days|^2) pairs is a DOMAIN constant, not a data volume.
+# Distinct from the live pettitt_changepoint (rank-based), cusum scan
+# (windowed cusum class) and runs test (direction runs): these are the
+# other four canonical homogeneity batteries (WMO hydrology practice
+# runs Buishand + SNHT + Pettitt + von Neumann together) plus the two
+# classic sequence-randomness signs.
+# --------------------------------------------------------------------------
+from .round10 import _DAILY_ORDERS_SQL, _daily_orders
+
+_DAYS_IDX_SQL = f"""
+    daily AS ({_DAILY_ORDERS_SQL}),
+    idx AS (
+        SELECT a.d, a.y, CAST(COUNT(*) AS BIGINT) AS i,
+               CAST(SUM(b.y) AS DECIMAL(38,0)) AS cy
+        FROM daily a JOIN daily b ON b.d <= a.d
+        GROUP BY a.d, a.y
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        FROM daily
+    )
+"""
+
+
+def _days_idx(spark, sf_dir):
+    """(d, y cents, i sequence position, cy cumulative cents) over the
+    day grid — exact integers via one triangular self-join (the
+    turning_points adjacency device extended with position + prefix
+    sum); frame size is the calendar DOMAIN, constant in data volume."""
+    daily = _daily_orders(spark, sf_dir)
+    a, b = daily.alias("a"), daily.alias("b")
+    return (
+        a.join(b, F.col("b.d") <= F.col("a.d"))
+        .groupBy(F.col("a.d").alias("d"), F.col("a.y").alias("y"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("i"),
+            F.sum(F.col("b.y").cast("decimal(38,0)")).alias("cy"),
+        )
+    )
+
+
+def _days_tot(spark, sf_dir):
+    """Broadcast 1-row scalars over the day grid: n, Σy, Σy² (exact;
+    the dickey_fuller power-sum shape)."""
+    return _daily_orders(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+
+
+@register(
+    "buishand_range_test",
+    oracle=f"""
+    WITH {_DAYS_IDX_SQL},
+    sk AS (SELECT i, cy * n - i * sy AS s FROM idx, tot)
+    SELECT t.n AS n_days,
+           round(CAST(MAX(sk.s) AS DOUBLE)
+                 / sqrt(CAST(t.n * t.syy - t.sy * t.sy AS DOUBLE)), 6)
+               + 0.0 AS smax_over_s,
+           round(CAST(MIN(sk.s) AS DOUBLE)
+                 / sqrt(CAST(t.n * t.syy - t.sy * t.sy AS DOUBLE)), 6)
+               + 0.0 AS smin_over_s,
+           round(CAST(MAX(sk.s) - MIN(sk.s) AS DOUBLE)
+                 / sqrt(CAST(t.n * t.syy - t.sy * t.sy AS DOUBLE))
+                 / sqrt(t.n), 6) AS rb_stat
+    FROM sk, tot t
+    GROUP BY t.n, t.sy, t.syy
+    """,
+)
+def buishand_range_test(spark, sf_dir):
+    """Buishand range test for series homogeneity: rescaled adjusted
+    partial sums S_k = Σ_{i<=k}(y_i − ȳ) of daily revenue, with the
+    range R = max S − min S reported as R/(s·√n) — the WMO-standard
+    break detector that complements the live `pettitt_changepoint`
+    (rank-based) and `cusum_changepoint_scan` (argmax scan): Buishand
+    is the parametric RANGE form, most powerful for a single mid-series
+    mean shift. S_k is kept exact by n-scaling: S*_k = n·cy_k − k·Σy
+    (integer cents, DECIMAL(38,0)), so S_k = S*_k/n and every division
+    happens once, in the final double projection (the n factors cancel
+    against s·√n). max/min of exact integers — no float order anywhere.
+
+    Plan: day rollup → one triangular self-join on the bounded
+    calendar (position + prefix sum, no window) → scalar fold."""
+    cum = _days_idx(spark, sf_dir)
+    tot = _days_tot(spark, sf_dir)
+    sk = cum.crossJoin(F.broadcast(tot)).select(
+        (F.col("cy") * F.col("n") - F.col("i") * F.col("sy")).alias("s"),
+        "n",
+        "sy",
+        "syy",
+    )
+    denom = F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return (
+        sk.groupBy("n", "sy", "syy")
+        .agg(F.max("s").alias("smax"), F.min("s").alias("smin"))
+        .select(
+            F.col("n").alias("n_days"),
+            (
+                F.round(F.col("smax").cast("double") / denom, 6) + 0.0
+            ).alias("smax_over_s"),
+            (
+                F.round(F.col("smin").cast("double") / denom, 6) + 0.0
+            ).alias("smin_over_s"),
+            F.round(
+                (F.col("smax") - F.col("smin")).cast("double")
+                / denom
+                / F.sqrt(F.col("n")),
+                6,
+            ).alias("rb_stat"),
+        )
+    )
+
+
+@register(
+    "snht_homogeneity_scan",
+    oracle=f"""
+    WITH {_DAYS_IDX_SQL},
+    tk AS (
+        SELECT i,
+               CAST(cy * n - i * sy AS DOUBLE)
+               * CAST(cy * n - i * sy AS DOUBLE) * n
+               / (CAST(n * syy - sy * sy AS DOUBLE) * i * (n - i))
+                   AS tvv
+        FROM idx, tot
+        WHERE i < (SELECT n FROM tot)
+    ),
+    mx AS (SELECT MAX(tvv) AS tmax FROM tk)
+    SELECT (SELECT n FROM tot) AS n_days,
+           round(mx.tmax, 6) AS t_max,
+           MIN(tk.i) AS break_position
+    FROM tk, mx
+    WHERE tk.tvv = mx.tmax
+    GROUP BY mx.tmax
+    """,
+)
+def snht_homogeneity_scan(spark, sf_dir):
+    """Standard Normal Homogeneity Test (Alexandersson): T_k =
+    k·z̄₁² + (n−k)·z̄₂² scanned over every split position of the daily
+    revenue series, reporting T_max and the break position — the
+    third member of the WMO homogeneity battery (most sensitive to
+    breaks near the series ENDS, where Buishand/Pettitt lose power).
+    Algebra: with S*_k = n·cy_k − k·Σy, T_k collapses to
+    n·S*_k²/((nΣy²−(Σy)²)·k·(n−k)) — the z-means never need to be
+    formed. S*_k is an exact integer; T_k is evaluated in ONE double
+    expression identical in both engines (decimal→double rounding is
+    deterministic), so max/argmax agree bit-for-bit; position ties
+    break to the smallest k.
+
+    Plan: day rollup → triangular position/prefix device → per-row
+    closed form → scalar max + equality argmax. No window."""
+    cum = _days_idx(spark, sf_dir)
+    tot = _days_tot(spark, sf_dir)
+    s = (F.col("cy") * F.col("n") - F.col("i") * F.col("sy")).cast(
+        "double"
+    )
+    # The division is wrapped in a short-circuiting WHEN rather than
+    # relying on the i<n filter alone: Catalyst folds the later
+    # tvv=tmax equality's isnotnull(tvv) probe into a join CONDITION
+    # where the division can evaluate before the i<n conjunct, and
+    # ANSI mode turns the i=n row into DIVIDE_BY_ZERO (observed).
+    tvv = F.when(
+        F.col("i") < F.col("n"),
+        s
+        * s
+        * F.col("n")
+        / (
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+            * F.col("i")
+            * (F.col("n") - F.col("i"))
+        ),
+    )
+    tk = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("i") < F.col("n"))
+        .select("i", "n", tvv.alias("tvv"))
+    )
+    mx = tk.agg(F.max("tvv").alias("tmax"))
+    return (
+        tk.crossJoin(F.broadcast(mx))
+        .where(F.col("tvv") == F.col("tmax"))
+        .groupBy("n", "tmax")
+        .agg(F.min("i").alias("break_position"))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(F.col("tmax"), 6).alias("t_max"),
+            "break_position",
+        )
+    )
+
+
+@register(
+    "von_neumann_ratio_test",
+    oracle=f"""
+    WITH {_DAYS_IDX_SQL},
+    dd AS (
+        SELECT SUM(CAST(b.y - a.y AS DECIMAL(38,0)) * (b.y - a.y))
+                   AS sd2
+        FROM idx a JOIN idx b ON b.i = a.i + 1
+    )
+    SELECT t.n AS n_days,
+           round(CAST(dd.sd2 AS DOUBLE) * t.n
+                 / CAST(t.n * t.syy - t.sy * t.sy AS DOUBLE), 6) AS eta,
+           round((CAST(dd.sd2 AS DOUBLE) * t.n
+                  / CAST(t.n * t.syy - t.sy * t.sy AS DOUBLE) - 2.0)
+                 / sqrt(4.0 * (t.n - 2)
+                        / (CAST(t.n AS DOUBLE) * t.n - 1)), 6)
+               + 0.0 AS z_score
+    FROM dd, tot t
+    """,
+)
+def von_neumann_ratio_test(spark, sf_dir):
+    """Von Neumann ratio test for serial independence of daily
+    revenue: η = Σ(y_{i+1}−y_i)² / Σ(y−ȳ)², the successive-difference
+    statistic with E[η]≈2 under independence — η<2 flags positive
+    autocorrelation (trend/persistence), η>2 oscillation. The
+    variance-based sibling of the rank tests around it (Bartels is
+    exactly this on ranks) and the classical pre-test for the OLS
+    trend fits already live (`durbin_watson_trend_residuals` tests
+    RESIDUALS; this tests the raw series). z uses the exact null
+    variance 4(n−2)/(n²−1).
+
+    Exactness: adjacent pairs by sequence position (triangular-join
+    index, no window); the difference square widens through
+    DECIMAL(38,0) BEFORE the multiply (day totals squared is the
+    round-8 overflow class); Σ(y−ȳ)² enters as the exact integer form
+    (nΣy²−(Σy)²)/n, so η = n·Σd²/(nΣy²−(Σy)²) divides once, in the
+    final double. Plan: day rollup → position device → i+1 equi-join
+    → scalar folds."""
+    cum = _days_idx(spark, sf_dir).select("i", "y")
+    tot = _days_tot(spark, sf_dir)
+    a, b = cum.alias("a"), cum.alias("b")
+    dd = (
+        a.join(b, F.col("b.i") == F.col("a.i") + 1)
+        .select(
+            (
+                (F.col("b.y") - F.col("a.y")).cast("decimal(38,0)")
+                * (F.col("b.y") - F.col("a.y"))
+            ).alias("d2")
+        )
+        .agg(F.sum("d2").alias("sd2"))
+    )
+    eta = (
+        F.col("sd2").cast("double")
+        * F.col("n")
+        / (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return dd.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_days"),
+        F.round(eta, 6).alias("eta"),
+        (
+            F.round(
+                (eta - 2.0)
+                / F.sqrt(
+                    4.0
+                    * (F.col("n") - 2)
+                    / (F.col("n").cast("double") * F.col("n") - 1)
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "bartels_rank_test",
+    oracle=f"""
+    WITH {_DAYS_IDX_SQL},
+    rnk AS (
+        SELECT a.i,
+               CAST(SUM(CASE WHEN b.y < a.y THEN 2
+                             WHEN b.y = a.y THEN 1 ELSE 0 END) + 1
+                    AS BIGINT) AS r2
+        FROM idx a JOIN idx b ON TRUE
+        GROUP BY a.i
+    ),
+    num AS (
+        SELECT SUM(CAST(b.r2 - a.r2 AS DECIMAL(38,0)) * (b.r2 - a.r2))
+                   AS nm
+        FROM rnk a JOIN rnk b ON b.i = a.i + 1
+    ),
+    den AS (
+        SELECT SUM(CAST(r2 - n - 1 AS DECIMAL(38,0)) * (r2 - n - 1))
+                   AS dn
+        FROM rnk, tot
+    )
+    SELECT t.n AS n_days,
+           round(CAST(num.nm AS DOUBLE) / CAST(den.dn AS DOUBLE), 6)
+               AS rvn,
+           round((CAST(num.nm AS DOUBLE) / CAST(den.dn AS DOUBLE) - 2.0)
+                 / sqrt(4.0 * (t.n - 2)
+                        * (5.0 * t.n * t.n - 2 * t.n - 9)
+                        / (5.0 * t.n * (t.n + 1)
+                           * CAST((t.n - 1) AS DOUBLE) * (t.n - 1))), 6)
+               + 0.0 AS z_score
+    FROM num, den, tot t
+    """,
+)
+def bartels_rank_test(spark, sf_dir):
+    """Bartels rank version of the von Neumann ratio: RVN =
+    Σ(r_{i+1}−r_i)² / Σ(r−r̄)² over the RANKS of daily revenue — the
+    distribution-free trend/oscillation test that stays valid under
+    the heavy-tailed daily totals where the raw-value η loses its
+    nominal level (Bartels 1982). Complements `runs_test_randomness`
+    (direction runs), `turning_points_randomness` (local extrema) and
+    the raw `von_neumann_ratio_test`: four different departures, one
+    bounded calendar frame.
+
+    Exactness: 2x-scaled midranks r₂ = 2·#{y_j<y_i}+#{y_j=y_i}+1 are
+    exact integers from one domain-bounded cross join (the scale
+    factor cancels in the ratio); mean(r₂) = n+1 exactly, so the
+    denominator folds exact integers too; z uses Bartels' null
+    variance 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²). Plan: day rollup →
+    rank + position devices (both triangular, domain-bounded) →
+    i+1 equi-join → scalar folds. No window."""
+    cum = _days_idx(spark, sf_dir).select("i", "y")
+    tot = _days_tot(spark, sf_dir)
+    a, b = cum.alias("a"), cum.alias("b")
+    rnk = (
+        a.crossJoin(b)
+        .groupBy(F.col("a.i").alias("i"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("b.y") < F.col("a.y"), 2)
+                    .when(F.col("b.y") == F.col("a.y"), 1)
+                    .otherwise(0)
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("r2")
+        )
+        .persist()
+    )
+    ra, rb = rnk.alias("ra"), rnk.alias("rb")
+    num = (
+        ra.join(rb, F.col("rb.i") == F.col("ra.i") + 1)
+        .select(
+            (
+                (F.col("rb.r2") - F.col("ra.r2")).cast("decimal(38,0)")
+                * (F.col("rb.r2") - F.col("ra.r2"))
+            ).alias("d2")
+        )
+        .agg(F.sum("d2").alias("nm"))
+    )
+    den = (
+        rnk.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("r2") - F.col("n") - 1).cast("decimal(38,0)")
+                * (F.col("r2") - F.col("n") - 1)
+            ).alias("e2")
+        )
+        .agg(F.sum("e2").alias("dn"))
+    )
+    rvn = F.col("nm").cast("double") / F.col("dn").cast("double")
+    nd = F.col("n").cast("double")
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(rvn, 6).alias("rvn"),
+            (
+                F.round(
+                    (rvn - 2.0)
+                    / F.sqrt(
+                        4.0
+                        * (F.col("n") - 2)
+                        * (5.0 * F.col("n") * F.col("n")
+                           - 2 * F.col("n") - 9)
+                        / (
+                            5.0
+                            * F.col("n")
+                            * (F.col("n") + 1)
+                            * (nd - 1)
+                            * (F.col("n") - 1)
+                        )
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("z_score"),
+        )
+    )
+
+
+@register(
+    "cox_stuart_trend_test",
+    oracle=f"""
+    WITH {_DAYS_IDX_SQL},
+    pairs AS (
+        SELECT CASE WHEN b.y > a.y THEN 1 ELSE 0 END AS plus,
+               CASE WHEN b.y < a.y THEN 1 ELSE 0 END AS minus
+        FROM idx a JOIN idx b
+             ON b.i = a.i + (SELECT (n + 1) // 2 FROM tot)
+        WHERE a.i <= (SELECT n // 2 FROM tot)
+    ),
+    s AS (
+        SELECT CAST(SUM(plus) AS BIGINT) AS np,
+               CAST(SUM(minus) AS BIGINT) AS nm,
+               CAST(SUM(plus + minus) AS BIGINT) AS nt
+        FROM pairs
+    )
+    SELECT t.n AS n_days, s.np AS n_plus, s.nm AS n_minus,
+           round((2.0 * s.np - s.nt) / sqrt(s.nt), 6) + 0.0 AS z_score
+    FROM s, tot t
+    """,
+)
+def cox_stuart_trend_test(spark, sf_dir):
+    """Cox-Stuart sign test for monotone trend: pair day i with day
+    i+⌈n/2⌉ (first half against second half, middle day dropped when n
+    is odd), count sign(y_late − y_early), and test S⁺ against
+    Binomial(N, ½) via z = (2S⁺−N)/√N — the assumption-free trend
+    detector whose power concentrates on LEVEL SHIFTS between halves,
+    complementing `mann_kendall_trend` (all-pairs concordance) and
+    `seasonal_mann_kendall` (within-weekday). Exact-tie pairs drop in
+    both engines identically (integer cents equality).
+
+    Plan: day rollup → position device → one offset equi-join on the
+    bounded calendar → scalar fold. All-integer until the final z."""
+    cum = _days_idx(spark, sf_dir).select("i", "y")
+    tot = _days_tot(spark, sf_dir)
+    a, b = cum.alias("a"), cum.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(tot))
+        .where(F.col("a.i") <= F.floor(F.col("n") / 2))
+        .join(
+            b,
+            F.col("b.i")
+            == F.col("a.i") + F.floor((F.col("n") + 1) / 2),
+        )
+        .select(
+            F.when(F.col("b.y") > F.col("a.y"), 1)
+            .otherwise(0)
+            .alias("plus"),
+            F.when(F.col("b.y") < F.col("a.y"), 1)
+            .otherwise(0)
+            .alias("minus"),
+            "n",
+        )
+    )
+    s = pairs.groupBy("n").agg(
+        F.sum("plus").cast("bigint").alias("np"),
+        F.sum("minus").cast("bigint").alias("nm"),
+        F.sum(F.col("plus") + F.col("minus")).cast("bigint").alias("nt"),
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.col("np").alias("n_plus"),
+        F.col("nm").alias("n_minus"),
+        (
+            F.round(
+                (2.0 * F.col("np") - F.col("nt")) / F.sqrt(F.col("nt")),
+                6,
+            )
+            + 0.0
+        ).alias("z_score"),
+    )

@@ -1,10 +1,13 @@
-"""Round-11 bank verification (plans/bank_r11.py, LIVE since round 11).
+"""Round-12 bank verification (plans/bank_r12.py — STAGED, not live).
 
-Each bank query runs against its DuckDB oracle with EXACTLY the
+Each pre-staged query runs against its DuckDB oracle with EXACTLY the
 driver-gate compare (`tools/check.py` norm/canon: row count, column
-set, order-insensitive value hash), at two scale factors. Pre-flip
-(round 10) this proved the staged bank gate-ready; post-flip it keeps
-gate-mirroring the whole flipped set independently of the registry.
+set, order-insensitive value hash), at two scale factors — so when
+round 12 flips the bank into the live registry the queries are already
+gate-green, and the no-new-debt invariant never sees them unverified.
+
+Seeded with the three round-10 bank queries (X345-X347) that could not
+fit the round-11 window; round-11 fresh work appends after them.
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
 from check import TABLES, canon  # noqa: E402
 
-from celestrak_tle_data_pipeline_spark.plans import bank_r11  # noqa: E402
+from celestrak_tle_data_pipeline_spark.plans import bank_r12  # noqa: E402
 
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
 
@@ -43,22 +46,21 @@ def _oracle_rows(sf_dir, sql):
 
 def test_bank_is_fully_oracle_paired():
     # every bank query must carry an oracle: the whole point of
-    # pre-staging is landing in round 11's window gate-ready.
-    assert set(bank_r11.BANK_QUERIES) == set(bank_r11.BANK_ORACLES)
-    assert len(bank_r11.BANK_QUERIES) >= 5
+    # pre-staging is landing in round 12's window gate-ready.
+    assert set(bank_r12.BANK_QUERIES) == set(bank_r12.BANK_ORACLES)
+    assert len(bank_r12.BANK_QUERIES) >= 3
 
 
-def test_bank_is_live_and_fully_windowed():
-    # Round-11 flip (inverts the pre-flip separation test): every bank
-    # name registers live through plans.register, the module is in
-    # plans._MODULES, and — the no-new-debt arithmetic — every flipped
-    # oracle-paired name sits inside the round-11 _PRIORITY window.
+def test_bank_is_not_in_the_live_registry():
+    # Pre-flip discipline: a staged name must not collide with (or
+    # leak into) the live registry until round 12 flips the module
+    # into plans._MODULES — otherwise test_no_new_official_debt would
+    # see an oracle-paired name without an official correctness row.
     from celestrak_tle_data_pipeline_spark import plans
 
     live = set(plans.all_queries())
-    assert set(bank_r11.BANK_QUERIES) <= live
-    assert "bank_r11" in plans._MODULES
-    assert set(bank_r11.BANK_QUERIES) <= set(plans._PRIORITY)
+    assert not live & set(bank_r12.BANK_QUERIES)
+    assert "bank_r12" not in plans._MODULES
 
 
 def test_bank_outputs_are_scalar(spark):
@@ -69,7 +71,7 @@ def test_bank_outputs_are_scalar(spark):
     from conftest import SF_DIR
 
     bad = []
-    for name, fn in bank_r11.BANK_QUERIES.items():
+    for name, fn in bank_r12.BANK_QUERIES.items():
         schema = fn(spark, SF_DIR).schema
         for f in schema.fields:
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
@@ -77,13 +79,13 @@ def test_bank_outputs_are_scalar(spark):
     assert not bad, f"non-scalar bank outputs: {bad}"
 
 
-@pytest.mark.parametrize("name", sorted(bank_r11.BANK_QUERIES))
+@pytest.mark.parametrize("name", sorted(bank_r12.BANK_QUERIES))
 @pytest.mark.parametrize("sf_dir", SFS)
 def test_bank_query_matches_oracle(spark, name, sf_dir):
-    df = bank_r11.BANK_QUERIES[name](spark, sf_dir)
+    df = bank_r12.BANK_QUERIES[name](spark, sf_dir)
     cols = df.columns
     rows = [tuple(r) for r in df.collect()]
-    ocols, orows = _oracle_rows(sf_dir, bank_r11.BANK_ORACLES[name])
+    ocols, orows = _oracle_rows(sf_dir, bank_r12.BANK_ORACLES[name])
     assert sorted(cols) == sorted(ocols), f"{name}: column mismatch"
     assert len(rows) == len(orows), f"{name}: row count mismatch"
     assert canon(rows, cols) == canon(orows, ocols), (

@@ -180,11 +180,20 @@ def flagged_contexts(plan: str) -> int:
 def audit(spark, names=None):
     """Return {name: flag_count} for flagged queries (errors -> -1)."""
     from celestrak_tle_data_pipeline_spark import plans
-    from celestrak_tle_data_pipeline_spark.plans import bank_r11, next_window
+    from celestrak_tle_data_pipeline_spark.plans import (
+        bank_r11,
+        bank_r12,
+        next_window,
+    )
 
     qs = plans.all_queries()
     if names:  # explicit names may come from the pre-staged banks
-        qs = {**bank_r11.BANK_QUERIES, **next_window.NEXT_QUERIES, **qs}
+        qs = {
+            **bank_r11.BANK_QUERIES,
+            **bank_r12.BANK_QUERIES,
+            **next_window.NEXT_QUERIES,
+            **qs,
+        }
     hits: dict[str, int] = {}
     for name in names or list(qs):
         try:

@@ -7,8 +7,9 @@ int64-overflow bugs in power sums only show up at sf0.1+, so bank
 queries get the sf0.1 sweep BEFORE they flip into the live registry.
 
 Usage: python tools/bank_check.py [--module MOD] [name ...]
-(default module: bank_r11 — the currently-staged bank; pass
-``--module next_window`` to re-sweep the round-8 bank's dicts)
+(default module: bank_r12 — the currently-staged bank; pass
+``--module bank_r11`` / ``--module next_window`` to re-sweep the
+flipped rounds' bank dicts)
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ def main(argv) -> int:
 
     from celestrak_tle_data_pipeline_spark.session import get_spark
 
-    mod_name = "bank_r11"
+    mod_name = "bank_r12"
     if argv and argv[0] == "--module":
         mod_name = argv[1]
         argv = argv[2:]
