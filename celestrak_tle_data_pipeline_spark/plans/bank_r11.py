@@ -2933,11 +2933,11 @@ def harrell_c_index_sessions(spark, sf_dir):
         GROUP BY nn.n
     )
     SELECT n AS n_objects, CAST(5 AS BIGINT) AS m_judges,
-           s4 / 4 AS s_stat,
+           s4 // 4 AS s_stat,
            round(12.0 * (s4 / 4.0)
                  / (25.0 * (n * n * n - n)), 6) AS kendalls_w,
-           round(5 * (n - 1) * 12.0 * (s4 / 4.0)
-                 / (25.0 * (n * n * n - n)), 6) AS chi2_stat
+           round(5 * (n - 1) * (12.0 * (s4 / 4.0)
+                 / (25.0 * (n * n * n - n))), 6) AS chi2_stat
     FROM s
     """,
 )

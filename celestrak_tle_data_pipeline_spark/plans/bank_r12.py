@@ -1,4 +1,4 @@
-"""Round-12 pre-staged bank (candidate X344+): STAGED, not in the live
+"""Round-12 pre-staged bank (candidate X345+): STAGED, not in the live
 registry, under the same no-new-debt discipline as ``bank_r11`` was in
 round 10 (``tests/test_registry.py::test_no_new_official_debt`` never
 sees an oracle-paired name without an official row or a window slot).

@@ -15,6 +15,7 @@ rounds again.
 
 import glob
 import json
+import re
 
 from celestrak_tle_data_pipeline_spark import plans
 from celestrak_tle_data_pipeline_spark.plans import _PRIORITY
@@ -79,21 +80,36 @@ def test_r9_window_flipped_the_bank():
     assert set(next_window.NEXT_QUERIES) <= r9
 
 
-def test_window_is_all_first_time_names():
-    # Rotation invariant: the previous window is 50/50 green, so every
-    # slot turns over to work never officially gated before — no
-    # recycled re-greens padding the window. Era-proofed per the r10
-    # verdict: the invariant is "first-time as of the window's own
-    # round", so rounds >= plans.WINDOW_ROUND are excluded from the
-    # glob — once the driver writes THIS round's CORRECTNESS file the
-    # window names are official by construction, and the naive glob
-    # made the test self-invalidating the moment the round ended.
+def _official_green_before(window_round: int) -> set[str]:
+    """Names with a GREEN official record before ``window_round``.
+
+    Green = hash-matched against the oracle, or a rows-only record for
+    a by-design no-oracle name (err == "no_oracle"). A hash-FAILED
+    official record does NOT retire a name — re-greening it is exactly
+    what a window slot is for (r11 verdict item 1:
+    ``kendalls_w_concordance`` hash-failed r11 on an oracle dtype and
+    re-windows in r12). Rounds >= window_round are excluded (r10
+    era-proofing): once the driver writes this round's own file the
+    window names are official by construction. Non-canonical filenames
+    (e.g. a stray CORRECTNESS_r11_backup.json) are skipped, not fatal.
+    """
     official: set[str] = set()
     for f in glob.glob("CORRECTNESS_r*.json"):
-        rnd = int(f.removeprefix("CORRECTNESS_r").removesuffix(".json"))
-        if rnd >= plans.WINDOW_ROUND:
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)
+        if not m or int(m.group(1)) >= window_round:
             continue
-        official |= set(json.load(open(f)))
+        for name, rec in json.load(open(f)).items():
+            if rec.get("hash_match") or rec.get("err") == "no_oracle":
+                official.add(name)
+    return official
+
+
+def test_window_is_all_first_time_names():
+    # Rotation invariant: the previous window is green, so every slot
+    # turns over to work never officially GREEN before — no recycled
+    # re-greens padding the window, while a hash-failed name stays
+    # eligible for the re-green slot it needs.
+    official = _official_green_before(plans.WINDOW_ROUND)
     recycled = [n for n in _PRIORITY if n in official]
     assert not recycled, f"recycled already-official names: {recycled}"
 

@@ -35,6 +35,55 @@ TABLES = (
     "documents embeddings"
 ).split()
 
+# Type families for the Spark-schema vs DuckDB-oracle cross-check. An
+# int-family column on one side paired with a float-family column on the
+# other renders differently under the driver's pandas canonicalizer even
+# when every value is whole (int64 "484" vs float64 "484.0") — the class
+# that took down kendalls_w_concordance in CORRECTNESS_r11 while the
+# %.17g-based local mirror stayed green. The cross-check needs only the
+# Spark plan's LAZY schema (analysis, no execution) and DuckDB's relation
+# types (planning only), so sweeping the whole registry is cheap.
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE"}
+
+
+def duckdb_family(t: str) -> str:
+    t = str(t).upper()
+    if t in _DUCK_INT:
+        return "int"
+    if t in _DUCK_FLOAT:
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return t  # exact name for everything else (VARCHAR, DATE, ...)
+
+
+def spark_family(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    return dt.simpleString().upper()
+
+
+def cross_check_families(spark_schema, duck_cols, duck_types) -> list[str]:
+    """Return int-vs-float family clashes between a Spark result schema
+    and a DuckDB oracle relation's column types (matched by column name,
+    which the driver's compare also keys on)."""
+    sf = {f.name: spark_family(f.dataType) for f in spark_schema.fields}
+    clashes = []
+    for c, t in zip(duck_cols, duck_types):
+        a, b = sf.get(c), duckdb_family(t)
+        if a is not None and {a, b} == {"int", "float"}:
+            clashes.append(f"{c}: spark={a} vs oracle={b} ({t})")
+    return clashes
+
+
 # DuckDB types that survive the driver's pandas round-trip bit-stably.
 SAFE = {
     "BOOLEAN",
@@ -56,8 +105,16 @@ def main(argv):
 
     import __spark_entry__ as e
 
+    cross = "--cross" in argv
+    argv = [a for a in argv if a != "--cross"]
     oracles = e.oracle_sql()
     names = argv or sorted(oracles)
+    qs = e.queries() if cross else None
+    spark = None
+    if cross:
+        from celestrak_tle_data_pipeline_spark.session import get_spark
+
+        spark = get_spark(app_name="audit_oracle_types")
 
     con = duckdb.connect()
     for tname in TABLES:
@@ -95,6 +152,17 @@ def main(argv):
             flagged += 1
             cols = ", ".join(f"{c}:{t}" for c, t in bad)
             print(f"FLAG  {name}: {cols}")
+        if cross:
+            try:
+                schema = qs[name](spark, SF_DIR).schema
+                clashes = cross_check_families(schema, rel.columns, rel.types)
+            except Exception as exc:  # noqa: BLE001
+                print(f"ERROR {name}: cross-check: {exc}")
+                flagged += 1
+                continue
+            if clashes:
+                flagged += 1
+                print(f"CLASH {name}: {'; '.join(clashes)}")
     print(f"{len(names)} oracles audited, {flagged} flagged")
     return 1 if flagged else 0
 

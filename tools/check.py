@@ -33,7 +33,16 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.17g}"
+        s = f"{v:.17g}"
+        # Guarantee a float marker so the int/float dtype family is part
+        # of the canon: %.17g renders 484.0 as "484", identical to the
+        # BIGINT 484, which masked exactly the dtype-mismatch class the
+        # driver's canonicalizer rejects (kendalls_w_concordance,
+        # CORRECTNESS_r11 — mirror-green, officially RED). A trailing
+        # ".0" makes the mirror and the driver agree on this class.
+        if not any(c in s for c in ".einf"):
+            s += ".0"
+        return s
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
