@@ -934,3 +934,555 @@ def cox_stuart_trend_test(spark, sf_dir):
             + 0.0
         ).alias("z_score"),
     )
+
+
+# ==========================================================================
+# Round-12 fresh batch (authored in round 12 for the r12 window flip):
+# X353+ candidates. Same pre-flip discipline, same determinism contract.
+# ==========================================================================
+
+
+# --------------------------------------------------------------------------
+# Chatterjee's xi correlation (daily count -> daily value)
+# --------------------------------------------------------------------------
+@register(
+    "chatterjee_xi_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_ev,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    rk AS (
+        SELECT day, n_ev,
+               CAST(ROW_NUMBER() OVER (ORDER BY v, day) AS BIGINT) AS r
+        FROM daily
+    ),
+    seq AS (
+        SELECT r,
+               LEAD(r) OVER (ORDER BY n_ev, day) AS r_next
+        FROM rk
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN r_next IS NULL THEN 0
+                             ELSE abs(r_next - r) END) AS BIGINT) AS sd
+        FROM seq
+    )
+    SELECT n AS n_days, sd AS sum_abs_rank_delta,
+           round(1.0 - 3.0 * sd / (CAST(n AS DOUBLE) * n - 1.0), 9) + 0.0
+               AS xi_stat
+    FROM s
+    """,
+)
+def chatterjee_xi_daily(spark, sf_dir):
+    """Chatterjee's xi coefficient (2020) between daily event COUNT and
+    daily total VALUE: sort days by count, take the ranks of value in
+    that order, and xi = 1 - 3*sum|r_{i+1}-r_i| / (n^2-1). Unlike
+    Pearson/Spearman (both live in the registry) xi is asymmetric and
+    consistent for testing whether value is a measurable FUNCTION of
+    count — it converges to 0 under independence and 1 under any
+    deterministic dependence, monotone or not. Ranks are made unique by
+    the (v, day) / (n_ev, day) total orders (exact integer cents and
+    counts), so both engines walk the identical permutation and the
+    statistic is an exact integer until one terminal division. Plan:
+    one day-grain rollup, then rank/lead windows over the bounded
+    calendar frame (~30 rows at any SF — days don't grow with data)."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        F.sum((dec("value", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v"),
+    )
+    rk = daily.select(
+        "day",
+        "n_ev",
+        F.row_number().over(Window.orderBy("v", "day")).cast("bigint")
+        .alias("r"),
+    )
+    seq = rk.select(
+        "r", F.lead("r").over(Window.orderBy("n_ev", "day")).alias("r_next")
+    )
+    s = seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("r_next").isNull(), 0).otherwise(
+                F.abs(F.col("r_next") - F.col("r"))
+            )
+        )
+        .cast("bigint")
+        .alias("sd"),
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.col("sd").alias("sum_abs_rank_delta"),
+        (
+            F.round(
+                1.0
+                - 3.0
+                * F.col("sd")
+                / (F.col("n").cast("double") * F.col("n") - 1.0),
+                9,
+            )
+            + 0.0
+        ).alias("xi_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bowker's test of symmetry on the event-type transition matrix
+# --------------------------------------------------------------------------
+@register(
+    "bowker_symmetry_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    cnt AS (
+        SELECT prev AS a, cur AS b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT x.a, x.b,
+               x.n AS nij, COALESCE(y.n, 0) AS nji
+        FROM cnt x LEFT JOIN cnt y ON x.a = y.b AND x.b = y.a
+        WHERE x.a < x.b
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(round(SUM(CAST(round(
+                   (nij - nji) * (nij - nji)
+                       / CAST(nij + nji AS DOUBLE), 9)
+                   AS DECIMAL(28,9))), 9) AS DOUBLE) AS chi2
+        FROM pairs WHERE nij + nji > 0
+    )
+    SELECT df AS df_pairs, round(chi2, 6) + 0.0 AS chi2_stat FROM s
+    """,
+)
+def bowker_symmetry_transitions(spark, sf_dir):
+    """Bowker's test of symmetry (the k-category generalization of
+    McNemar, which the registry has for 2x2) on the event-type
+    transition matrix: n_ij counts per-user consecutive transitions
+    i->j, and chi2 = sum_{i<j} (n_ij - n_ji)^2 / (n_ij + n_ji) with one
+    df per off-diagonal pair — rejects when the session flow is
+    directional (e.g. view->purchase happens, purchase->view doesn't).
+    Transition counts are exact integers from a per-user lag; each
+    pair's term is one IEEE division rounded at 1e-9 and folded in
+    DECIMAL over the <= C(5,2)=10 pair rows. Plan: one user-partitioned
+    lag (the event_transition_matrix shape), a 25-cell rollup, then a
+    self-join on the bounded type domain."""
+    e = t(spark, sf_dir, "events")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    cnt = seq.groupBy(
+        F.col("prev").alias("a"), F.col("cur").alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    other = cnt.select(
+        F.col("a").alias("b2"), F.col("b").alias("a2"),
+        F.col("n").alias("n_rev"),
+    )
+    pairs = (
+        cnt.join(
+            F.broadcast(other),
+            (F.col("a") == F.col("a2")) & (F.col("b") == F.col("b2")),
+            "left",
+        )
+        .where(F.col("a") < F.col("b"))
+        .select(
+            F.col("n").alias("nij"),
+            F.coalesce(F.col("n_rev"), F.lit(0)).alias("nji"),
+        )
+    )
+    s = pairs.where(F.col("nij") + F.col("nji") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("nij") - F.col("nji"))
+                    * (F.col("nij") - F.col("nji"))
+                    / (F.col("nij") + F.col("nji")).cast("double"),
+                    9,
+                ).cast("decimal(28,9)")
+            ),
+            9,
+        )
+        .cast("double")
+        .alias("chi2"),
+    )
+    return s.select(
+        F.col("df").alias("df_pairs"),
+        (F.round(F.col("chi2"), 6) + 0.0).alias("chi2_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Goodman-Kruskal lambda (proportional reduction in prediction error)
+# --------------------------------------------------------------------------
+@register(
+    "goodman_kruskal_lambda",
+    oracle="""
+    WITH cell AS (
+        SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    rowmax AS (
+        SELECT dow, CAST(MAX(n) AS BIGINT) AS m FROM cell GROUP BY dow
+    ),
+    colmax AS (
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS m
+        FROM cell GROUP BY event_type
+    ),
+    colsum AS (
+        SELECT event_type, CAST(SUM(n) AS BIGINT) AS s
+        FROM cell GROUP BY event_type
+    ),
+    rowsum AS (
+        SELECT dow, CAST(SUM(n) AS BIGINT) AS s FROM cell GROUP BY dow
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               (SELECT CAST(SUM(m) AS BIGINT) FROM rowmax) AS srm,
+               (SELECT CAST(SUM(m) AS BIGINT) FROM colmax) AS scm,
+               (SELECT CAST(MAX(s) AS BIGINT) FROM colsum) AS mc,
+               (SELECT CAST(MAX(s) AS BIGINT) FROM rowsum) AS mr
+        FROM cell
+    )
+    SELECT n AS n_events,
+           round((srm - mc) / CAST(n - mc AS DOUBLE), 9) + 0.0
+               AS lambda_type_given_dow,
+           round((scm - mr) / CAST(n - mr AS DOUBLE), 9) + 0.0
+               AS lambda_dow_given_type,
+           round((srm - mc + scm - mr)
+                 / CAST(2 * n - mc - mr AS DOUBLE), 9) + 0.0
+               AS lambda_symmetric
+    FROM tot
+    """,
+)
+def goodman_kruskal_lambda(spark, sf_dir):
+    """Goodman-Kruskal lambda: the proportional reduction in
+    prediction error for event_type when the weekday is known (and
+    vice versa, plus the symmetric average). lambda = (sum of row
+    maxima - modal column total) / (N - modal column total) — 0 means
+    the weekday tells you nothing about which event fires, 1 means it
+    determines it. The PRE counterpart of the chi2 / Cramer's V /
+    mutual-information panel already in the registry (association
+    strength in probability terms rather than test-statistic terms).
+    Every input is an exact integer count over the bounded 35-cell
+    (dow x type) grid; MAX needs no tiebreak (it is a value, not an
+    argmax). Plan: one 35-cell rollup, four domain-frame folds, one
+    scalar select."""
+    e = t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("bigint")
+        .alias("dow"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n")).persist()
+    rowmax = cell.groupBy("dow").agg(F.max("n").alias("m"))
+    colmax = cell.groupBy("event_type").agg(F.max("n").alias("m"))
+    colsum = cell.groupBy("event_type").agg(F.sum("n").alias("s"))
+    rowsum = cell.groupBy("dow").agg(F.sum("n").alias("s"))
+    tot = (
+        cell.agg(F.sum("n").cast("bigint").alias("n"))
+        .crossJoin(
+            F.broadcast(rowmax.agg(F.sum("m").cast("bigint").alias("srm")))
+        )
+        .crossJoin(
+            F.broadcast(colmax.agg(F.sum("m").cast("bigint").alias("scm")))
+        )
+        .crossJoin(
+            F.broadcast(colsum.agg(F.max("s").cast("bigint").alias("mc")))
+        )
+        .crossJoin(
+            F.broadcast(rowsum.agg(F.max("s").cast("bigint").alias("mr")))
+        )
+    )
+    return tot.select(
+        F.col("n").alias("n_events"),
+        (
+            F.round(
+                (F.col("srm") - F.col("mc"))
+                / (F.col("n") - F.col("mc")).cast("double"),
+                9,
+            )
+            + 0.0
+        ).alias("lambda_type_given_dow"),
+        (
+            F.round(
+                (F.col("scm") - F.col("mr"))
+                / (F.col("n") - F.col("mr")).cast("double"),
+                9,
+            )
+            + 0.0
+        ).alias("lambda_dow_given_type"),
+        (
+            F.round(
+                (F.col("srm") - F.col("mc") + F.col("scm") - F.col("mr"))
+                / (2 * F.col("n") - F.col("mc") - F.col("mr")).cast(
+                    "double"
+                ),
+                9,
+            )
+            + 0.0
+        ).alias("lambda_symmetric"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Renyi entropy spectrum over the event-type distribution
+# --------------------------------------------------------------------------
+@register(
+    "renyi_entropy_spectrum",
+    oracle="""
+    WITH cnt AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(MAX(c) AS BIGINT) AS mx
+            FROM cnt),
+    folds AS (
+        SELECT
+            CAST(round(SUM(CAST(round(sqrt(c * 1.0 / t.n), 12)
+                AS DECIMAL(20,12))), 12) AS DOUBLE) AS s_half,
+            CAST(round(SUM(CAST(round(
+                -(c * 1.0 / t.n) * ln(c * 1.0 / t.n), 12)
+                AS DECIMAL(20,12))), 12) AS DOUBLE) AS s_shannon,
+            CAST(round(SUM(CAST(round(
+                (c * 1.0 / t.n) * (c * 1.0 / t.n), 12)
+                AS DECIMAL(20,12))), 12) AS DOUBLE) AS s_two
+        FROM cnt, tot t
+    )
+    SELECT alpha_label, round(h_nats, 6) + 0.0 AS h_nats
+    FROM (
+        SELECT 'alpha_0' AS alpha_label, ln(CAST(t.k AS DOUBLE)) AS h_nats
+        FROM tot t
+        UNION ALL
+        SELECT 'alpha_0.5', 2.0 * ln(f.s_half) FROM folds f
+        UNION ALL
+        SELECT 'alpha_1', f.s_shannon FROM folds f
+        UNION ALL
+        SELECT 'alpha_2', -ln(f.s_two) FROM folds f
+        UNION ALL
+        SELECT 'alpha_inf', -ln(t.mx * 1.0 / t.n) FROM tot t
+    ) ORDER BY alpha_label
+    """,
+)
+def renyi_entropy_spectrum(spark, sf_dir):
+    """Renyi entropy spectrum H_alpha of the event-type distribution at
+    alpha in {0, 1/2, 1, 2, inf}: H_0 = ln(support) (Hartley), H_1 =
+    Shannon (the limit), H_2 = collision entropy (-ln of the Simpson
+    index the registry already reports), H_inf = min-entropy (the
+    worst-case guessing bound, what a privacy/leakage audit actually
+    wants). One distribution, five operationally different "effective
+    diversity" readings — the spectrum's spread itself measures how
+    skewed the type mix is. Counts are exact; each per-type term is
+    one IEEE expression rounded at 1e-12 folded in DECIMAL over the
+    5-row domain; each H is a scalar expression of those folds. Plan:
+    one 5-row rollup, one fold, a 5-row literal union."""
+    e = t(spark, sf_dir, "events")
+    cnt = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = cnt.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("c").cast("bigint").alias("mx"),
+    )
+    p = F.col("c") * 1.0 / F.col("n")
+    folds = cnt.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            F.sum(F.round(F.sqrt(p), 12).cast("decimal(20,12)")), 12
+        )
+        .cast("double")
+        .alias("s_half"),
+        F.round(
+            F.sum(F.round(-p * F.log(p), 12).cast("decimal(20,12)")), 12
+        )
+        .cast("double")
+        .alias("s_shannon"),
+        F.round(
+            F.sum(F.round(p * p, 12).cast("decimal(20,12)")), 12
+        )
+        .cast("double")
+        .alias("s_two"),
+    )
+    both = tot.crossJoin(F.broadcast(folds))
+    rows = [
+        both.select(
+            F.lit("alpha_0").alias("alpha_label"),
+            F.log(F.col("k").cast("double")).alias("h_nats"),
+        ),
+        both.select(
+            F.lit("alpha_0.5").alias("alpha_label"),
+            (2.0 * F.log(F.col("s_half"))).alias("h_nats"),
+        ),
+        both.select(
+            F.lit("alpha_1").alias("alpha_label"),
+            F.col("s_shannon").alias("h_nats"),
+        ),
+        both.select(
+            F.lit("alpha_2").alias("alpha_label"),
+            (-F.log(F.col("s_two"))).alias("h_nats"),
+        ),
+        both.select(
+            F.lit("alpha_inf").alias("alpha_label"),
+            (-F.log(F.col("mx") * 1.0 / F.col("n"))).alias("h_nats"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.select(
+        "alpha_label", (F.round("h_nats", 6) + 0.0).alias("h_nats")
+    ).orderBy("alpha_label")
+
+
+# --------------------------------------------------------------------------
+# Taylor's power law: variance ~ a * mean^b across (type x dow) cells
+# --------------------------------------------------------------------------
+@register(
+    "taylors_power_law",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                   AS dow,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2, 3
+    ),
+    cell AS (
+        SELECT event_type, dow,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM daily GROUP BY 1, 2
+    ),
+    lncell AS (
+        SELECT CAST(round(ln(s1 * 1.0 / nd), 9) AS DECIMAL(18,9)) AS lm,
+               CAST(round(ln((s2 - s1 * s1 * 1.0 / nd)
+                             / (nd - 1.0)), 9) AS DECIMAL(18,9)) AS lv
+        FROM cell
+        WHERE nd > 1 AND s2 * nd > s1 * s1
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(lm) AS DECIMAL(28,9)) AS sx,
+               CAST(SUM(lv) AS DECIMAL(28,9)) AS sy,
+               CAST(SUM(lm * lm) AS DECIMAL(38,18)) AS sxx,
+               CAST(SUM(lm * lv) AS DECIMAL(38,18)) AS sxy,
+               CAST(SUM(lv * lv) AS DECIMAL(38,18)) AS syy
+        FROM lncell
+    )
+    SELECT k AS n_cells,
+           round((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sy AS DOUBLE))
+                 / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)), 6) + 0.0 AS slope_b,
+           round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * ((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                      * CAST(sy AS DOUBLE))
+                     / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE)))) / k, 6) + 0.0
+               AS intercept_ln_a,
+           round((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sy AS DOUBLE))
+                 * (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE))
+                 / ((k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE))
+                    * (k * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                       * CAST(sy AS DOUBLE))), 6) + 0.0 AS r2
+    FROM fold
+    """,
+)
+def taylors_power_law(spark, sf_dir):
+    """Taylor's power law (ecology's most-replicated empirical law):
+    across populations, variance of abundance scales as a power of the
+    mean, Var = a * Mean^b — b near 1 means Poisson-like arrivals, b
+    near 2 means clumped/bursty. Populations here are the 35
+    (event_type x weekday) cells, abundance is the daily event count
+    within the cell; the law is fit by OLS of ln(var) on ln(mean).
+    A regime diagnostic for load modeling: b tells you whether traffic
+    burstiness grows faster than volume. Daily counts and the power
+    sums s1/s2 are exact integers; ln(mean)/ln(var) are per-cell IEEE
+    terms rounded at 1e-9; the five OLS folds are exact DECIMAL over
+    the 35-row domain and the slope/intercept/r2 are scalar
+    expressions with identical association in both engines. Plan: one
+    (type, day) rollup, one 35-cell rollup, one fold."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+    daily = e.groupBy(
+        "event_type",
+        day.alias("day"),
+        ((day + 4) % 7).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cell = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    lncell = cell.where(
+        (F.col("nd") > 1)
+        & (F.col("s2") * F.col("nd") > F.col("s1") * F.col("s1"))
+    ).select(
+        F.round(F.log(F.col("s1") * 1.0 / F.col("nd")), 9)
+        .cast("decimal(18,9)")
+        .alias("lm"),
+        F.round(
+            F.log(
+                (F.col("s2") - F.col("s1") * F.col("s1") * 1.0 / F.col("nd"))
+                / (F.col("nd") - 1.0)
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("lv"),
+    )
+    fold = lncell.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("lm").cast("decimal(28,9)").alias("sx"),
+        F.sum("lv").cast("decimal(28,9)").alias("sy"),
+        F.sum(F.col("lm") * F.col("lm")).cast("decimal(38,18)").alias("sxx"),
+        F.sum(F.col("lm") * F.col("lv")).cast("decimal(38,18)").alias("sxy"),
+        F.sum(F.col("lv") * F.col("lv")).cast("decimal(38,18)").alias("syy"),
+    )
+    k = F.col("k").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return fold.select(
+        F.col("k").alias("n_cells"),
+        (F.round(slope, 6) + 0.0).alias("slope_b"),
+        (F.round((sy - sx * slope) / k, 6) + 0.0).alias("intercept_ln_a"),
+        (
+            F.round(
+                (k * sxy - sx * sy)
+                * (k * sxy - sx * sy)
+                / ((k * sxx - sx * sx) * (k * syy - sy * sy)),
+                6,
+            )
+            + 0.0
+        ).alias("r2"),
+    )
