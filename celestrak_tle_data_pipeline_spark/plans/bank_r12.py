@@ -1486,3 +1486,669 @@ def taylors_power_law(spark, sf_dir):
             + 0.0
         ).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stuart-Maxwell marginal homogeneity test (3x3 paired categorical)
+# --------------------------------------------------------------------------
+@register(
+    "stuart_maxwell_test",
+    oracle="""
+    WITH bucketed AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) // 86400000000
+                         < 19723 + 15 THEN 0 ELSE 1 END AS half,
+               CASE WHEN event_type IN ('click', 'view') THEN 'engage'
+                    WHEN event_type IN ('purchase', 'signup') THEN 'convert'
+                    ELSE 'error' END AS b,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2, 3
+    ),
+    modal AS (
+        SELECT user_id, half, b,
+               ROW_NUMBER() OVER (PARTITION BY user_id, half
+                                  ORDER BY c DESC, b ASC) AS rn
+        FROM bucketed
+    ),
+    paired AS (
+        SELECT a.b AS before_b, z.b AS after_b
+        FROM (SELECT user_id, b FROM modal WHERE half = 0 AND rn = 1) a
+        JOIN (SELECT user_id, b FROM modal WHERE half = 1 AND rn = 1) z
+          ON a.user_id = z.user_id
+    ),
+    cnt AS (
+        SELECT before_b, after_b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM paired GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT
+          CAST(COALESCE(SUM(CASE WHEN before_b='engage' THEN n END),0)
+               AS BIGINT) AS r1,
+          CAST(COALESCE(SUM(CASE WHEN before_b='convert' THEN n END),0)
+               AS BIGINT) AS r2,
+          CAST(COALESCE(SUM(CASE WHEN after_b='engage' THEN n END),0)
+               AS BIGINT) AS c1,
+          CAST(COALESCE(SUM(CASE WHEN after_b='convert' THEN n END),0)
+               AS BIGINT) AS c2,
+          CAST(COALESCE(SUM(CASE WHEN before_b='engage'
+                            AND after_b='engage' THEN n END),0)
+               AS BIGINT) AS n11,
+          CAST(COALESCE(SUM(CASE WHEN before_b='convert'
+                            AND after_b='convert' THEN n END),0)
+               AS BIGINT) AS n22,
+          CAST(COALESCE(SUM(CASE WHEN before_b='engage'
+                            AND after_b='convert' THEN n END),0)
+               AS BIGINT) AS n12,
+          CAST(COALESCE(SUM(CASE WHEN before_b='convert'
+                            AND after_b='engage' THEN n END),0)
+               AS BIGINT) AS n21,
+          CAST(SUM(n) AS BIGINT) AS n
+        FROM cnt
+    )
+    SELECT n AS n_users,
+           r1 - c1 AS d1, r2 - c2 AS d2,
+           CASE WHEN (r1 + c1 - 2 * n11) * (r2 + c2 - 2 * n22)
+                     - (n12 + n21) * (n12 + n21) = 0 THEN NULL
+           ELSE
+           round(((r2 + c2 - 2.0 * n22) * (r1 - c1) * (r1 - c1)
+                  + 2.0 * (n12 + n21) * (r1 - c1) * (r2 - c2)
+                  + (r1 + c1 - 2.0 * n11) * (r2 - c2) * (r2 - c2))
+                 / ((r1 + c1 - 2.0 * n11) * (r2 + c2 - 2.0 * n22)
+                    - (n12 + n21) * (n12 + n21) + 0.0), 6) + 0.0
+           END AS chi2_stat
+    FROM cells
+    """,
+)
+def stuart_maxwell_test(spark, sf_dir):
+    """Stuart-Maxwell test of marginal homogeneity for a 3x3 paired
+    categorical: each user's MODAL behavior bucket (engage / convert /
+    error, ties broken by bucket name) in the first half of the month
+    vs the second half; the test asks whether the marginal bucket mix
+    shifted — the k-category generalization of the McNemar 2x2 the
+    registry already has. chi2 = d' S^{-1} d over the first two
+    marginal differences, with the 2x2 covariance inverted in closed
+    form (adjugate / determinant), so every term is an exact integer
+    and the statistic is one rational expression rounded at the end.
+    Day 19738 = 2024-01-16 splits the 30-day window. Plan: user-grain
+    rollup -> per-user modal pick via a user-partitioned rank ->
+    self-join on user -> 9-cell rollup -> scalar."""
+    e = t(spark, sf_dir, "events")
+    bucketed = e.groupBy(
+        "user_id",
+        F.when(
+            F.floor(F.unix_micros("ts") / 86_400_000_000) < 19723 + 15, 0
+        )
+        .otherwise(1)
+        .alias("half"),
+        F.when(
+            F.col("event_type").isin("click", "view"), "engage"
+        )
+        .when(F.col("event_type").isin("purchase", "signup"), "convert")
+        .otherwise("error")
+        .alias("b"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    modal = bucketed.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "half").orderBy(
+                F.col("c").desc(), F.col("b").asc()
+            )
+        ),
+    ).where(F.col("rn") == 1)
+    before = modal.where(F.col("half") == 0).select(
+        "user_id", F.col("b").alias("before_b")
+    )
+    after = modal.where(F.col("half") == 1).select(
+        "user_id", F.col("b").alias("after_b")
+    )
+    cnt = (
+        before.join(after, "user_id")
+        .groupBy("before_b", "after_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cells = cnt.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("before_b") == "engage", F.col("n"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("r1"),
+        F.coalesce(
+            F.sum(F.when(F.col("before_b") == "convert", F.col("n"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("r2"),
+        F.coalesce(
+            F.sum(F.when(F.col("after_b") == "engage", F.col("n"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("c1"),
+        F.coalesce(
+            F.sum(F.when(F.col("after_b") == "convert", F.col("n"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("c2"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("before_b") == "engage")
+                    & (F.col("after_b") == "engage"),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n11"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("before_b") == "convert")
+                    & (F.col("after_b") == "convert"),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n22"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("before_b") == "engage")
+                    & (F.col("after_b") == "convert"),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n12"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("before_b") == "convert")
+                    & (F.col("after_b") == "engage"),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n21"),
+        F.sum("n").cast("bigint").alias("n"),
+    )
+    d1 = F.col("r1") - F.col("c1")
+    d2 = F.col("r2") - F.col("c2")
+    s11 = F.col("r1") + F.col("c1") - 2 * F.col("n11")
+    s22 = F.col("r2") + F.col("c2") - 2 * F.col("n22")
+    s12 = F.col("n12") + F.col("n21")
+    # double-promote each quadratic term BEFORE the d-multiplies, same
+    # association as the oracle's `(... - 2.0*nii) * d * d` (and immune
+    # to int64 overflow in the cubic products at large user counts)
+    chi2 = (
+        (s22 * 1.0) * d1 * d1
+        + 2.0 * s12 * d1 * d2
+        + (s11 * 1.0) * d2 * d2
+    ) / (s11 * s22 - s12 * s12 + 0.0)
+    det = s11 * s22 - s12 * s12
+    return cells.select(
+        F.col("n").alias("n_users"),
+        d1.alias("d1"),
+        d2.alias("d2"),
+        # det = 0 (degenerate table, e.g. one bucket dominates at tiny
+        # SF) -> NULL in both engines instead of an ANSI divide error
+        F.when(det != 0, F.round(chi2, 6) + 0.0).alias("chi2_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Krippendorff's alpha (nominal, binary) over the day x type grid
+# --------------------------------------------------------------------------
+@register(
+    "krippendorff_alpha_binary",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.day, ty.event_type, COALESCE(x.c, 0) AS c
+        FROM (SELECT DISTINCT day FROM daily) d
+        CROSS JOIN (SELECT DISTINCT event_type FROM daily) ty
+        LEFT JOIN daily x
+          ON x.day = d.day AND x.event_type = ty.event_type
+    ),
+    tym AS (
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM grid GROUP BY event_type
+    ),
+    coded AS (
+        SELECT g.day,
+               CASE WHEN g.c * t.nd > t.s THEN 1 ELSE 0 END AS v
+        FROM grid g JOIN tym t ON g.event_type = t.event_type
+    ),
+    unit AS (
+        SELECT day,
+               CAST(SUM(v) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(v) AS BIGINT) AS n0
+        FROM coded GROUP BY day
+    ),
+    s AS (
+        SELECT CAST(SUM(n0 + n1) AS BIGINT) AS n,
+               CAST(SUM(n0) AS BIGINT) AS t0,
+               CAST(SUM(n1) AS BIGINT) AS t1,
+               CAST(SUM(n0 * n1) AS BIGINT) AS dsum
+        FROM unit
+    )
+    SELECT n AS n_values,
+           t1 AS n_busy,
+           round(1.0 - (n - 1.0) * dsum / (4.0 * t0 * t1), 9) + 0.0
+               AS alpha
+    FROM s
+    """,
+)
+def krippendorff_alpha_binary(spark, sf_dir):
+    """Krippendorff's alpha (nominal metric, binary categories) treating
+    the five event types as five CODERS who each label every day busy
+    (daily count above that type's own mean) or quiet: do the five
+    traffic streams agree on which days are busy? The
+    missing-data-tolerant generalization of the Fleiss kappa already in
+    the registry, computed from the coincidence-matrix identity for
+    binary nominal data: alpha = 1 - (n-1) * sum_u n_u0*n_u1 /
+    ((m-1) * n_0 * n_1) with m = 5 coders per unit. Zero-event
+    (day, type) cells are materialized as count 0 via the bounded
+    domain grid, so every unit has exactly 5 codings at every SF. All
+    inputs are exact integers; one terminal division. Plan: one
+    (day, type) rollup, a broadcast domain grid fill, a per-type mean
+    broadcast, then two bounded folds."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c")).persist()
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    tym = daily.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    ndays = days.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    coded = (
+        grid.join(F.broadcast(tym), "event_type")
+        .crossJoin(F.broadcast(ndays))
+        .select(
+            "day",
+            F.when(F.col("c") * F.col("nd") > F.col("s"), 1)
+            .otherwise(0)
+            .alias("v"),
+        )
+    )
+    unit = coded.groupBy("day").agg(
+        F.sum("v").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("v")).cast("bigint").alias("n0"),
+    )
+    s = unit.agg(
+        F.sum(F.col("n0") + F.col("n1")).cast("bigint").alias("n"),
+        F.sum("n0").cast("bigint").alias("t0"),
+        F.sum("n1").cast("bigint").alias("t1"),
+        F.sum(F.col("n0") * F.col("n1")).cast("bigint").alias("dsum"),
+    )
+    return s.select(
+        F.col("n").alias("n_values"),
+        F.col("t1").alias("n_busy"),
+        (
+            F.round(
+                1.0
+                - (F.col("n") - 1.0)
+                * F.col("dsum")
+                / (4.0 * F.col("t0") * F.col("t1")),
+                9,
+            )
+            + 0.0
+        ).alias("alpha"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Instrumental-variable Wald estimator (weekend instrument, day grain)
+# --------------------------------------------------------------------------
+@register(
+    "iv_wald_weekend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 >= 5
+                    THEN 1 ELSE 0 END AS z,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT z, CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy
+        FROM daily GROUP BY z
+    ),
+    wide AS (
+        SELECT
+          CAST(SUM(nd) AS BIGINT) AS n_days,
+          SUM(CASE WHEN z = 1 THEN sx * 1.0 / nd END) AS x1,
+          SUM(CASE WHEN z = 0 THEN sx * 1.0 / nd END) AS x0,
+          SUM(CASE WHEN z = 1 THEN sy * 1.0 / nd END) AS y1,
+          SUM(CASE WHEN z = 0 THEN sy * 1.0 / nd END) AS y0
+        FROM g
+    )
+    SELECT n_days,
+           round(x1 - x0, 9) + 0.0 AS first_stage_events,
+           round((y1 - y0) / 100.0, 6) + 0.0 AS reduced_form_value,
+           round((y1 - y0) / (x1 - x0) / 100.0, 6) + 0.0
+               AS wald_value_per_event
+    FROM wide
+    """,
+)
+def iv_wald_weekend(spark, sf_dir):
+    """Instrumental-variable Wald estimator on the daily panel: the
+    weekend indicator instruments daily event VOLUME to estimate the
+    causal value-per-event — wald = (E[y|z=1]-E[y|z=0]) /
+    (E[x|z=1]-E[x|z=0]). Where the registry's weekend_effect_ols
+    regresses value on the weekend directly (the reduced form), the
+    Wald ratio divides through by the first stage, the simplest 2SLS —
+    and the three numbers together expose exclusion-restriction
+    reasoning (valid only if the weekend moves value ONLY through
+    volume). Group means are integer-sum ratios (exact cents/counts,
+    two day-count divisions); the Wald ratio is one more division;
+    everything rounds at the end. Plan: one day-grain rollup, one
+    2-row rollup, one conditional-pivot fold."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+    daily = e.groupBy(
+        day.alias("day"),
+        F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("z"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum((dec("value", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    g = daily.groupBy("z").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    wide = g.agg(
+        F.sum("nd").cast("bigint").alias("n_days"),
+        F.sum(
+            F.when(F.col("z") == 1, F.col("sx") * 1.0 / F.col("nd"))
+        ).alias("x1"),
+        F.sum(
+            F.when(F.col("z") == 0, F.col("sx") * 1.0 / F.col("nd"))
+        ).alias("x0"),
+        F.sum(
+            F.when(F.col("z") == 1, F.col("sy") * 1.0 / F.col("nd"))
+        ).alias("y1"),
+        F.sum(
+            F.when(F.col("z") == 0, F.col("sy") * 1.0 / F.col("nd"))
+        ).alias("y0"),
+    )
+    return wide.select(
+        "n_days",
+        (F.round(F.col("x1") - F.col("x0"), 9) + 0.0).alias(
+            "first_stage_events"
+        ),
+        (
+            F.round((F.col("y1") - F.col("y0")) / 100.0, 6) + 0.0
+        ).alias("reduced_form_value"),
+        (
+            F.round(
+                (F.col("y1") - F.col("y0"))
+                / (F.col("x1") - F.col("x0"))
+                / 100.0,
+                6,
+            )
+            + 0.0
+        ).alias("wald_value_per_event"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shewhart X-bar / R control chart over daily type-mean subgroups
+# --------------------------------------------------------------------------
+@register(
+    "shewhart_xbar_r_chart",
+    oracle="""
+    WITH cell AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               event_type,
+               round(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) / (100.0 * COUNT(*)), 9)
+                   AS m
+        FROM events GROUP BY 1, 2
+    ),
+    sub AS (
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               round(SUM(CAST(m AS DECIMAL(18,9))) / COUNT(*), 9)
+                   AS xbar,
+               round(MAX(m) - MIN(m), 9) AS r
+        FROM cell GROUP BY day HAVING COUNT(*) = 5
+    ),
+    lim AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sub,
+               CAST(round(SUM(CAST(xbar AS DECIMAL(18,9)))
+                          / COUNT(*), 9) AS DOUBLE) AS cl,
+               CAST(round(SUM(CAST(r AS DECIMAL(18,9)))
+                          / COUNT(*), 9) AS DOUBLE) AS rbar
+        FROM sub
+    )
+    SELECT l.n_sub AS n_subgroups,
+           round(l.cl, 6) AS xbar_cl,
+           round(l.cl + 0.577 * l.rbar, 6) AS xbar_ucl,
+           round(l.cl - 0.577 * l.rbar, 6) + 0.0 AS xbar_lcl,
+           round(l.rbar, 6) AS r_cl,
+           round(2.114 * l.rbar, 6) AS r_ucl,
+           CAST(SUM(CASE WHEN s.xbar > l.cl + 0.577 * l.rbar
+                         OR s.xbar < l.cl - 0.577 * l.rbar
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_xbar_violations,
+           CAST(SUM(CASE WHEN s.r > 2.114 * l.rbar
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_r_violations
+    FROM sub s, lim l
+    GROUP BY l.n_sub, l.cl, l.rbar
+    """,
+)
+def shewhart_xbar_r_chart(spark, sf_dir):
+    """Shewhart X-bar / R control chart: each day is a rational
+    subgroup whose five measurements are the per-event-type mean
+    values that day; chart limits use the classic range-based
+    constants for n=5 (A2 = 0.577, D4 = 2.114, D3 = 0), and the
+    output counts limit violations on both charts. The
+    assignable-cause-detection complement to the EWMA control chart
+    already in the registry (Shewhart reacts to big isolated shifts,
+    EWMA to small sustained ones). Type-means are integer-cent ratios
+    rounded at 1e-9 BEFORE the subgroup fold, so xbar / R / the grand
+    folds are exact DECIMAL arithmetic on identical inputs in both
+    engines; limit comparisons happen on rounded values only. Days
+    with missing types (possible at tiny SF) are dropped by the k=5
+    HAVING guard — subgroup size is part of the chart's constants.
+    Plan: one (day, type) rollup, one day fold, one broadcast
+    limit-frame compare; no row-grain window anywhere."""
+    e = t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day"),
+        "event_type",
+    ).agg(
+        F.round(
+            F.sum((dec("value", 18, 2) * 100).cast("bigint"))
+            / (100.0 * F.count(F.lit(1))),
+            9,
+        ).alias("m")
+    )
+    sub = (
+        cell.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.round(
+                F.sum(F.col("m").cast("decimal(18,9)"))
+                / F.count(F.lit(1)),
+                9,
+            ).alias("xbar"),
+            F.round(F.max("m") - F.min("m"), 9).alias("r"),
+        )
+        .where(F.col("k") == 5)
+        .persist()
+    )
+    lim = sub.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sub"),
+        F.round(
+            F.sum(F.col("xbar").cast("decimal(18,9)"))
+            / F.count(F.lit(1)),
+            9,
+        )
+        .cast("double")
+        .alias("cl"),
+        F.round(
+            F.sum(F.col("r").cast("decimal(18,9)")) / F.count(F.lit(1)),
+            9,
+        )
+        .cast("double")
+        .alias("rbar"),
+    )
+    ucl = F.col("cl") + 0.577 * F.col("rbar")
+    lcl = F.col("cl") - 0.577 * F.col("rbar")
+    return (
+        sub.crossJoin(F.broadcast(lim))
+        .groupBy("n_sub", "cl", "rbar")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("xbar") > ucl) | (F.col("xbar") < lcl), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_xbar_violations"),
+            F.sum(
+                F.when(F.col("r") > 2.114 * F.col("rbar"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_r_violations"),
+        )
+        .select(
+            F.col("n_sub").alias("n_subgroups"),
+            F.round(F.col("cl"), 6).alias("xbar_cl"),
+            F.round(ucl, 6).alias("xbar_ucl"),
+            (F.round(lcl, 6) + 0.0).alias("xbar_lcl"),
+            F.round(F.col("rbar"), 6).alias("r_cl"),
+            F.round(2.114 * F.col("rbar"), 6).alias("r_ucl"),
+            "n_xbar_violations",
+            "n_r_violations",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Process capability (Cp / Cpk) of lineitem quantity against spec limits
+# --------------------------------------------------------------------------
+@register(
+    "process_capability_cpk",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS x
+        FROM lineitem
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s1,
+               CAST(SUM(x * x) AS DECIMAL(38,0)) AS s2,
+               CAST(SUM(CASE WHEN x < 200 OR x > 4900 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oos
+        FROM q
+    )
+    SELECT n AS n_items,
+           round(s1 / (100.0 * n), 6) AS mean_qty,
+           round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                      / (n - 1.0)) / 100.0, 6) AS std_qty,
+           round((4900 - 200)
+                 / (6.0 * sqrt((CAST(s2 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * s1 / n)
+                               / (n - 1.0))), 6) AS cp,
+           round(LEAST(4900 - s1 * 1.0 / n, s1 * 1.0 / n - 200)
+                 / (3.0 * sqrt((CAST(s2 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * s1 / n)
+                               / (n - 1.0))), 6) + 0.0 AS cpk,
+           round(n_oos * 1000000.0 / n, 3) AS ppm_out_of_spec
+    FROM s
+    """,
+)
+def process_capability_cpk(spark, sf_dir):
+    """Process capability indices for lineitem quantity against spec
+    limits LSL=2, USL=49 (in cents-of-quantity: 200 / 4900): Cp =
+    (USL-LSL)/6sigma measures potential capability, Cpk =
+    min(USL-mu, mu-LSL)/3sigma penalizes off-center processes, plus
+    the observed out-of-spec PPM. The manufacturing-QC sibling of the
+    control charts: charts ask "is the process stable", capability
+    asks "does it fit the spec". Mean and variance come from exact
+    integer power sums (the registry's stats_moments discipline; s2
+    widens through DECIMAL(38,0) since x^2 sums can pass int64 at
+    scale); sigma is one sqrt of a rational, every output one
+    terminal expression. Plan: one scan, one fold — scan-bound."""
+    li = t(spark, sf_dir, "lineitem")
+    q = li.select(
+        (dec("l_quantity", 12, 2) * 100).cast("bigint").alias("x")
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum(
+            F.when((F.col("x") < 200) | (F.col("x") > 4900), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_oos"),
+    )
+    n = F.col("n")
+    s1 = F.col("s1")
+    var = (
+        F.col("s2").cast("double") - s1.cast("double") * s1 / n
+    ) / (n - 1.0)
+    sigma = F.sqrt(var)
+    mu = s1 * 1.0 / n
+    return s.select(
+        n.alias("n_items"),
+        F.round(s1 / (100.0 * n), 6).alias("mean_qty"),
+        F.round(sigma / 100.0, 6).alias("std_qty"),
+        F.round((4900 - 200) / (6.0 * sigma), 6).alias("cp"),
+        (
+            F.round(
+                F.least(4900 - mu, mu - 200) / (3.0 * sigma), 6
+            )
+            + 0.0
+        ).alias("cpk"),
+        F.round(F.col("n_oos") * 1000000.0 / n, 3).alias(
+            "ppm_out_of_spec"
+        ),
+    )
