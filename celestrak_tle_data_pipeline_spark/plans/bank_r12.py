@@ -2152,3 +2152,533 @@ def process_capability_cpk(spark, sf_dir):
             "ppm_out_of_spec"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Hosmer-Lemeshow calibration chi2 over document quality-score bins
+# --------------------------------------------------------------------------
+@register(
+    "hosmer_lemeshow_calibration",
+    oracle="""
+    WITH b AS (
+        SELECT LEAST(n_chars // 60, 9) AS bin,
+               n_chars,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    g AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS s,
+               CAST(SUM(y) AS BIGINT) AS o
+        FROM b GROUP BY bin
+    ),
+    terms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(round(SUM(CAST(round(
+                   (600 * o - s) * 1.0 * (600 * o - s) * n
+                       / (s * 1.0 * (600 * n - s)), 9)
+                   AS DECIMAL(28,9))), 9) AS DOUBLE) AS chi2
+        FROM g WHERE s > 0 AND 600 * n > s
+    )
+    SELECT n_bins, n_docs, round(chi2, 6) AS hl_chi2 FROM terms
+    """,
+)
+def hosmer_lemeshow_calibration(spark, sf_dir):
+    """Hosmer-Lemeshow goodness-of-calibration chi2 for the document
+    quality score (score = n_chars/600 as P(lang='en'), the same
+    pseudo-model score_calibration_bins plots): over 10 score bins,
+    chi2 = sum (O_g - E_g)^2 / (E_g (1 - E_g/n_g)). Where the
+    reliability diagram SHOWS miscalibration, HL TESTS it — the
+    standard pre-deployment gate before scores are used as sampling
+    probabilities. Exactness: with score a ratio of integers, each
+    bin's term reduces to (600*O - S)^2 * n / (S * (600n - S)) — an
+    integer-valued numerator and denominator promoted to double in
+    the SAME association order in both engines, rounded at 1e-9 and
+    folded in DECIMAL over <= 10 bin rows. Bins where E=0 or E=n
+    (degenerate variance) are excluded by construction. Plan: one
+    hash rollup to 10 bins, one fold."""
+    d = t(spark, sf_dir, "documents")
+    b = d.select(
+        F.expr("least(n_chars div 60, 9)").alias("bin"),
+        "n_chars",
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.sum("y").cast("bigint").alias("o"),
+    )
+    num = 600 * F.col("o") - F.col("s")
+    term = (
+        num * 1.0 * num * F.col("n")
+        / (F.col("s") * 1.0 * (600 * F.col("n") - F.col("s")))
+    )
+    terms = g.where(
+        (F.col("s") > 0) & (600 * F.col("n") > F.col("s"))
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.round(F.sum(F.round(term, 9).cast("decimal(28,9)")), 9)
+        .cast("double")
+        .alias("chi2"),
+    )
+    return terms.select(
+        "n_bins", "n_docs", F.round("chi2", 6).alias("hl_chi2")
+    )
+
+
+# --------------------------------------------------------------------------
+# Coleman-Liau + ARI readability panel (syllable-free indices)
+# --------------------------------------------------------------------------
+@register(
+    "coleman_liau_ari_panel",
+    oracle="""
+    WITH d AS (
+        SELECT lang,
+               CAST(length(text)
+                    - (length(text) - length(replace(text, ' ', '')))
+                    AS BIGINT) AS letters,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(letters) AS BIGINT) AS l,
+               CAST(SUM(words) AS BIGINT) AS w
+        FROM d GROUP BY lang
+    )
+    SELECT lang, n_docs,
+           round(0.0588 * (100.0 * l / w)
+                 - 0.296 * (100.0 * n_docs / w) - 15.8, 6) + 0.0
+               AS coleman_liau,
+           round(4.71 * (l * 1.0 / w)
+                 + 0.5 * (w * 1.0 / n_docs) - 21.43, 6) + 0.0 AS ari
+    FROM g ORDER BY lang
+    """,
+)
+def coleman_liau_ari_panel(spark, sf_dir):
+    """Coleman-Liau index and Automated Readability Index per language
+    — the two classic SYLLABLE-FREE readability formulas (both were
+    designed for machine scoring: they need only letter / word /
+    sentence counts, no phonetics), complementing the registry's
+    Flesch score which needs the syllable heuristic. Each document is
+    one sentence in this corpus (no terminal punctuation), letters =
+    chars minus spaces, words = spaces + 1 — all exact integer
+    aggregates; each index is one closed-form expression with
+    literal-constant coefficients, identically associated in both
+    engines. Plan: one scan-side length projection, one 5-row lang
+    rollup."""
+    d = t(spark, sf_dir, "documents")
+    spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
+    rows = d.select(
+        "lang",
+        (F.length("text") - spaces).cast("bigint").alias("letters"),
+        (spaces + 1).cast("bigint").alias("words"),
+    )
+    g = rows.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("letters").cast("bigint").alias("l"),
+        F.sum("words").cast("bigint").alias("w"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        (
+            F.round(
+                0.0588 * (100.0 * F.col("l") / F.col("w"))
+                - 0.296 * (100.0 * F.col("n_docs") / F.col("w"))
+                - 15.8,
+                6,
+            )
+            + 0.0
+        ).alias("coleman_liau"),
+        (
+            F.round(
+                4.71 * (F.col("l") * 1.0 / F.col("w"))
+                + 0.5 * (F.col("w") * 1.0 / F.col("n_docs"))
+                - 21.43,
+                6,
+            )
+            + 0.0
+        ).alias("ari"),
+    ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# Juilland's dispersion D for the top corpus terms across sources
+# --------------------------------------------------------------------------
+@register(
+    "juilland_dispersion_terms",
+    oracle="""
+    WITH tc AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    nsrc AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS k FROM tc),
+    term AS (
+        SELECT w,
+               CAST(SUM(c) AS BIGINT) AS total,
+               CAST(SUM(c * c) AS BIGINT) AS c2
+        FROM tc GROUP BY w
+    ),
+    top AS (
+        SELECT w, total, c2 FROM term
+        ORDER BY total DESC, w ASC LIMIT 20
+    )
+    SELECT w AS term, total AS n_occurrences,
+           round(1.0 - sqrt((k * 1.0 * c2 - total * 1.0 * total)
+                            / (total * 1.0 * total))
+                       / sqrt(k - 1.0), 6) + 0.0 AS juilland_d
+    FROM top, nsrc
+    ORDER BY n_occurrences DESC, term ASC
+    """,
+)
+def juilland_dispersion_terms(spark, sf_dir):
+    """Juilland's dispersion coefficient D for the 20 most frequent
+    terms: D = 1 - CV/sqrt(k-1) where CV is the coefficient of
+    variation of the term's counts across the k sources (sources with
+    zero occurrences included — the identity CV^2 = (k*Sum(c^2) -
+    Sum(c)^2) / Sum(c)^2 counts them implicitly). D near 1 means the
+    term is evenly spread (a function word), near 0 means it is
+    concentrated in one source (a topic/boilerplate marker) — THE
+    corpus-linguistics complement to raw frequency, and a cheap
+    domain-balance diagnostic for mixture planning. All folds are
+    exact integer power sums; one sqrt ratio per term at the end;
+    top-k carries the (total, term) total order. Plan: one
+    (source, term) hash agg, one term rollup, TakeOrdered 20,
+    broadcast source count."""
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ).persist()
+    nsrc = tc.agg(
+        F.countDistinct("source").cast("bigint").alias("k")
+    )
+    term = tc.groupBy("w").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("c2"),
+    )
+    top = term.orderBy(
+        F.col("total").desc(), F.col("w").asc()
+    ).limit(20)
+    cv = F.sqrt(
+        (
+            F.col("k") * 1.0 * F.col("c2")
+            - F.col("total") * 1.0 * F.col("total")
+        )
+        / (F.col("total") * 1.0 * F.col("total"))
+    )
+    return (
+        top.crossJoin(F.broadcast(nsrc))
+        .select(
+            F.col("w").alias("term"),
+            F.col("total").alias("n_occurrences"),
+            (
+                F.round(1.0 - cv / F.sqrt(F.col("k") - 1.0), 6) + 0.0
+            ).alias("juilland_d"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Character-entropy token scan (secret/garbage detector shape)
+# --------------------------------------------------------------------------
+@register(
+    "token_char_entropy_topk",
+    oracle="""
+    WITH vocab AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    chars AS (
+        SELECT w, n_occ, substr(w, CAST(i AS INTEGER), 1) AS ch
+        FROM vocab, UNNEST(range(1, length(w) + 1)) AS u(i)
+    ),
+    cc AS (
+        SELECT w, n_occ, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM chars GROUP BY 1, 2, 3
+    ),
+    ent AS (
+        SELECT w, n_occ,
+               CAST(SUM(c) AS BIGINT) AS len,
+               CAST(round(SUM(CAST(round(c * ln(c * 1.0), 12)
+                   AS DECIMAL(20,12))), 12) AS DOUBLE) AS clnc
+        FROM cc GROUP BY 1, 2
+    )
+    SELECT w AS token, n_occ AS n_occurrences,
+           len AS token_len,
+           round(ln(len * 1.0) - clnc / len, 6) + 0.0
+               AS char_entropy_nats
+    FROM ent
+    ORDER BY char_entropy_nats DESC, token ASC LIMIT 20
+    """,
+)
+def token_char_entropy_topk(spark, sf_dir):
+    """Character-entropy scan over the vocabulary: per distinct token,
+    Shannon entropy of its character distribution via the exact-count
+    identity H = ln(L) - (1/L) * sum c*ln(c) — the detector shape a
+    training-data pipeline uses to flag embedded secrets / API keys /
+    base64 blobs (high-entropy tokens) before publication; here it
+    ranks the top 20. Character counts are exact integers; each
+    c*ln(c) term rounds at 1e-12 and folds in DECIMAL; one terminal
+    expression per token; the top-k carries the (entropy, token)
+    total order. Plan: vocabulary rollup first (token domain is tiny
+    relative to the corpus), then a bounded char explode over
+    DISTINCT tokens only — the scan never explodes row-grain text."""
+    d = t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    )
+    chars = vocab.select(
+        "w",
+        "n_occ",
+        F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"),
+    ).select(
+        "w", "n_occ", F.expr("substr(w, i, 1)").alias("ch")
+    )
+    cc = chars.groupBy("w", "n_occ", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ent = cc.groupBy("w", "n_occ").agg(
+        F.sum("c").cast("bigint").alias("len"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("c") * F.log(F.col("c") * 1.0), 12
+                ).cast("decimal(20,12)")
+            ),
+            12,
+        )
+        .cast("double")
+        .alias("clnc"),
+    )
+    return (
+        ent.select(
+            F.col("w").alias("token"),
+            F.col("n_occ").alias("n_occurrences"),
+            F.col("len").alias("token_len"),
+            (
+                F.round(
+                    F.log(F.col("len") * 1.0)
+                    - F.col("clnc") / F.col("len"),
+                    6,
+                )
+                + 0.0
+            ).alias("char_entropy_nats"),
+        )
+        .orderBy(F.col("char_entropy_nats").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Hellinger / total-variation / Bhattacharyya panel over source pairs
+# --------------------------------------------------------------------------
+@register(
+    "hellinger_affinity_panel",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT s.source, l.lang, COALESCE(c.c, 0) AS c
+        FROM (SELECT DISTINCT source FROM cnt) s
+        CROSS JOIN (SELECT DISTINCT lang FROM cnt) l
+        LEFT JOIN cnt c ON c.source = s.source AND c.lang = l.lang
+    ),
+    tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n
+        FROM grid GROUP BY source
+    ),
+    p AS (
+        SELECT g.source, g.lang, g.c, t.n
+        FROM grid g JOIN tot t ON g.source = t.source
+    ),
+    pair AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(round(SUM(CAST(round(abs(a.c * 1.0 / a.n
+                                            - b.c * 1.0 / b.n), 12)
+                   AS DECIMAL(20,12))), 12) AS DOUBLE) AS l1,
+               CAST(round(SUM(CAST(round(sqrt((a.c * 1.0 / a.n)
+                                        * (b.c * 1.0 / b.n)), 12)
+                   AS DECIMAL(20,12))), 12) AS DOUBLE) AS bc
+        FROM p a JOIN p b ON a.lang = b.lang AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           round(l1 / 2.0, 6) AS tv_distance,
+           round(bc, 6) AS bhattacharyya_coeff,
+           round(sqrt(GREATEST(1.0 - bc, 0.0)), 6) AS hellinger
+    FROM pair ORDER BY src_a, src_b
+    """,
+)
+def hellinger_affinity_panel(spark, sf_dir):
+    """Total-variation distance, Bhattacharyya coefficient, and
+    Hellinger distance between every source pair's LANGUAGE
+    distribution: three metrically different answers to "how similar
+    are two sources' language mixes" (TV = max probability gap any
+    event can see, the mixing-coefficient bound; Hellinger = the
+    L2-of-sqrt geometry that tensorizes; BC their common kernel).
+    Complements the registry's KL/JSD panels (those diverge on
+    disjoint support — these stay bounded). Zero-count (source, lang)
+    cells enter via the bounded domain grid so supports align
+    exactly. Per-lang terms round at 1e-12 and fold in DECIMAL over
+    the 5-row lang domain per pair (190 pairs); GREATEST guards the
+    1-BC floating floor at 0. Plan: one (source, lang) rollup, a
+    domain grid fill, one bounded triangular self-join on lang."""
+    d = t(spark, sf_dir, "documents")
+    cnt = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    grid = (
+        cnt.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(cnt.select("lang").distinct()))
+        .join(cnt, ["source", "lang"], "left")
+        .select(
+            "source", "lang", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    tot = grid.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    p = grid.join(F.broadcast(tot), "source")
+    a = p.select(
+        F.col("source").alias("src_a"),
+        "lang",
+        (F.col("c") * 1.0 / F.col("n")).alias("pa"),
+    )
+    b = p.select(
+        F.col("source").alias("src_b"),
+        "lang",
+        (F.col("c") * 1.0 / F.col("n")).alias("pb"),
+    )
+    pair = (
+        a.join(b, "lang")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.abs(F.col("pa") - F.col("pb")), 12).cast(
+                        "decimal(20,12)"
+                    )
+                ),
+                12,
+            )
+            .cast("double")
+            .alias("l1"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.sqrt(F.col("pa") * F.col("pb")), 12
+                    ).cast("decimal(20,12)")
+                ),
+                12,
+            )
+            .cast("double")
+            .alias("bc"),
+        )
+    )
+    return pair.select(
+        "src_a",
+        "src_b",
+        F.round(F.col("l1") / 2.0, 6).alias("tv_distance"),
+        F.round(F.col("bc"), 6).alias("bhattacharyya_coeff"),
+        F.round(
+            F.sqrt(F.greatest(1.0 - F.col("bc"), F.lit(0.0))), 6
+        ).alias("hellinger"),
+    ).orderBy("src_a", "src_b")
+
+
+# --------------------------------------------------------------------------
+# Jackknife species-richness estimators for the corpus vocabulary
+# --------------------------------------------------------------------------
+@register(
+    "jackknife_richness_panel",
+    oracle="""
+    WITH docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    dc AS (
+        SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS q1,
+               CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS q2
+        FROM dc
+    )
+    SELECT v AS vocab_observed, q1 AS uniques, q2 AS duplicates,
+           docs.n AS n_docs,
+           round(v + q1 * (docs.n - 1.0) / docs.n, 6) AS jackknife1,
+           round(v + q1 * (2.0 * docs.n - 3.0) / docs.n
+                 - q2 * (docs.n - 2.0) * (docs.n - 2.0)
+                   / (docs.n * (docs.n - 1.0)), 6) AS jackknife2
+    FROM s, docs
+    """,
+)
+def jackknife_richness_panel(spark, sf_dir):
+    """First- and second-order jackknife estimators of total
+    vocabulary size from incidence counts (in how many DOCUMENTS does
+    each type occur): jack1 = V + Q1*(n-1)/n, jack2 = V +
+    Q1*(2n-3)/n - Q2*(n-2)^2/(n(n-1)) where Q1/Q2 are the counts of
+    types seen in exactly one / two documents. The
+    sampling-theory-grounded siblings of the registry's Chao1
+    (abundance-based) and Good-Turing (unseen mass) estimators —
+    together the three bracket how much vocabulary a bigger crawl
+    would add. Incidence counts are exact integers; the estimators
+    are single closed-form expressions. Plan: one doc-token distinct
+    rollup, one incidence fold, broadcast doc count."""
+    d = t(spark, sf_dir, "documents")
+    docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dc = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    s = dc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("q1"),
+        F.sum(F.when(F.col("d") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("q2"),
+    )
+    n = F.col("n")
+    return s.crossJoin(F.broadcast(docs)).select(
+        F.col("v").alias("vocab_observed"),
+        F.col("q1").alias("uniques"),
+        F.col("q2").alias("duplicates"),
+        n.alias("n_docs"),
+        F.round(
+            F.col("v") + F.col("q1") * (n - 1.0) / n, 6
+        ).alias("jackknife1"),
+        F.round(
+            F.col("v")
+            + F.col("q1") * (2.0 * n - 3.0) / n
+            - F.col("q2") * (n - 2.0) * (n - 2.0) / (n * (n - 1.0)),
+            6,
+        ).alias("jackknife2"),
+    )
