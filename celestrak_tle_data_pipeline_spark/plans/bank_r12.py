@@ -2682,3 +2682,587 @@ def jackknife_richness_panel(spark, sf_dir):
             6,
         ).alias("jackknife2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact Shapley-value channel attribution over touchset coalitions
+# --------------------------------------------------------------------------
+@register(
+    "shapley_channel_attribution",
+    oracle="""
+    WITH flags AS (
+        SELECT user_id,
+               CAST(bit_or(CASE event_type
+                           WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                           WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                           ELSE 0 END) AS BIGINT) AS mask,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        FROM events GROUP BY user_id
+    ),
+    bymask AS (
+        SELECT mask, CAST(SUM(conv) AS BIGINT) AS c
+        FROM flags GROUP BY mask
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM flags),
+    coal AS (SELECT CAST(UNNEST(range(16)) AS BIGINT) AS s),
+    v AS (
+        SELECT coal.s,
+               CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS cv
+        FROM coal LEFT JOIN bymask b ON (b.mask & ~coal.s) = 0
+        GROUP BY coal.s
+    ),
+    ch AS (
+        SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+                              ('error', CAST(2 AS BIGINT)),
+                              ('signup', CAST(4 AS BIGINT)),
+                              ('view', CAST(8 AS BIGINT)))
+                      AS t(channel, bit)
+    ),
+    phi AS (
+        SELECT ch.channel,
+               CAST(SUM((CASE bit_count(v0.s)
+                         WHEN 0 THEN 6 WHEN 1 THEN 2
+                         WHEN 2 THEN 2 WHEN 3 THEN 6 END)
+                        * (v1.cv - v0.cv)) AS BIGINT) AS num
+        FROM ch
+        JOIN v v0 ON (v0.s & ch.bit) = 0
+        JOIN v v1 ON v1.s = (v0.s | ch.bit)
+        GROUP BY ch.channel
+    )
+    SELECT channel,
+           round(num / (24.0 * tot.n), 9) + 0.0 AS shapley_value,
+           round(num / 24.0, 6) + 0.0 AS shapley_conversions
+    FROM phi, tot
+    ORDER BY channel
+    """,
+)
+def shapley_channel_attribution(spark, sf_dir):
+    """EXACT Shapley-value attribution of conversion reach to the four
+    non-purchase channels: the coalition value v(S) is the share of
+    users who converted AND whose touchset is contained in S, and each
+    channel's Shapley value phi_c = sum_S |S|!(3-|S|)!/4! *
+    (v(S+c) - v(S)) fairly splits total conversion reach by marginal
+    contribution over all 2^4 coalitions — the game-theoretic answer
+    the registry's first/last-touch and linear attribution queries
+    approximate heuristically. Every quantity is an exact integer
+    (bitmask touchsets via bit_or, subset sums via a bounded
+    mask-containment join, factorial weights scaled x24) until the two
+    terminal divisions. Plan: one user rollup -> 16-row mask rollup ->
+    16x16 bounded containment join -> 4x8 coalition walk; nothing
+    touches row grain after the first aggregation."""
+    e = t(spark, sf_dir, "events")
+    flags = e.groupBy("user_id").agg(
+        F.expr(
+            "bit_or(CASE event_type WHEN 'click' THEN 1"
+            " WHEN 'error' THEN 2 WHEN 'signup' THEN 4"
+            " WHEN 'view' THEN 8 ELSE 0 END)"
+        )
+        .cast("bigint")
+        .alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conv"),
+    )
+    bymask = flags.groupBy("mask").agg(
+        F.sum("conv").cast("bigint").alias("c")
+    )
+    tot = flags.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    coal = spark.range(16).select(F.col("id").cast("bigint").alias("s"))
+    v = (
+        coal.join(
+            F.broadcast(bymask),
+            F.expr("(mask & ~s) = 0"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("cv"))
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit long",
+    )
+    v0 = v.select(F.col("s").alias("s0"), F.col("cv").alias("cv0"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("cv").alias("cv1"))
+    phi = (
+        ch.join(F.broadcast(v0), F.expr("(s0 & bit) = 0"))
+        .join(F.broadcast(v1), F.expr("s1 = (s0 | bit)"))
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE bit_count(s0) WHEN 0 THEN 6 WHEN 1 THEN 2"
+                    " WHEN 2 THEN 2 WHEN 3 THEN 6 END"
+                )
+                * (F.col("cv1") - F.col("cv0"))
+            )
+            .cast("bigint")
+            .alias("num")
+        )
+    )
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            (
+                F.round(F.col("num") / (24.0 * F.col("n")), 9) + 0.0
+            ).alias("shapley_value"),
+            (F.round(F.col("num") / 24.0, 6) + 0.0).alias(
+                "shapley_conversions"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# Qini uplift curve at score deciles (deterministic pseudo-experiment)
+# --------------------------------------------------------------------------
+_QINI_QS = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "qini_uplift_deciles",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS trt,
+               CAST(COUNT(*) AS BIGINT) AS score,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    b AS (SELECT {qcols} FROM u),
+    assigned AS (
+        SELECT CAST(11 - (1 + {gtsum}) AS BIGINT) AS decile, trt, y
+        FROM u, b
+    ),
+    g AS (
+        SELECT decile,
+               CAST(SUM(trt) AS BIGINT) AS n_t,
+               CAST(COUNT(*) - SUM(trt) AS BIGINT) AS n_c,
+               CAST(SUM(trt * y) AS BIGINT) AS y_t,
+               CAST(SUM((1 - trt) * y) AS BIGINT) AS y_c
+        FROM assigned GROUP BY decile
+    )
+    SELECT decile,
+           CAST(SUM(n_t) OVER w AS BIGINT) AS cum_n_t,
+           CAST(SUM(n_c) OVER w AS BIGINT) AS cum_n_c,
+           round(SUM(y_t) OVER w
+                 - SUM(y_c) OVER w
+                   * (SUM(n_t) OVER w / CAST(SUM(n_c) OVER w
+                                             AS DOUBLE)), 6) + 0.0
+               AS qini_value
+    FROM g
+    WINDOW w AS (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY decile
+    """.format(
+        qcols=", ".join(
+            f"quantile_cont(score, {q}) AS b{i}"
+            for i, q in enumerate(_QINI_QS)
+        ),
+        gtsum=" + ".join(
+            f"CASE WHEN score > b{i} THEN 1 ELSE 0 END"
+            for i in range(len(_QINI_QS))
+        ),
+    ),
+)
+def qini_uplift_deciles(spark, sf_dir):
+    """Qini uplift curve at targeting-score deciles: treatment is the
+    deterministic user_id parity split (the registry's standard
+    pseudo-experiment device), outcome is conversion, score is the
+    user's event volume. Cumulative qini(d) = Y_t(d) - Y_c(d) *
+    N_t(d)/N_c(d) — incremental conversions captured by targeting the
+    top d deciles, the uplift-modeling counterpart of the gains chart
+    already in the registry (which grades pure response, not
+    incrementality). Decile bounds are exact percentiles broadcast
+    into the scan (boundary-broadcast pattern — no ntile, no global
+    sort; heavy score ties collapse into shared deciles by the same >
+    rule in both engines); counts are exact integers and the qini
+    value is one terminal expression per decile row. Plan: user
+    rollup -> broadcast bounds -> 10-row decile rollup -> cumulative
+    window on the bounded decile frame."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("bigint").alias("trt"),
+        F.count(F.lit(1)).cast("bigint").alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    # grouping by user_id already fixes trt; re-aggregate to drop the key
+    u = u.select("trt", "score", "y")
+    b = u.agg(
+        *[
+            F.expr(f"percentile(score, {q})").alias(f"b{i}")
+            for i, q in enumerate(_QINI_QS)
+        ]
+    )
+    decile = 11 - (
+        1
+        + sum(
+            F.when(F.col("score") > F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(len(_QINI_QS))
+        )
+    )
+    assigned = u.crossJoin(F.broadcast(b)).select(
+        decile.cast("bigint").alias("decile"), "trt", "y"
+    )
+    g = assigned.groupBy("decile").agg(
+        F.sum("trt").cast("bigint").alias("n_t"),
+        (F.count(F.lit(1)) - F.sum("trt")).cast("bigint").alias("n_c"),
+        F.sum(F.col("trt") * F.col("y")).cast("bigint").alias("y_t"),
+        F.sum((1 - F.col("trt")) * F.col("y"))
+        .cast("bigint")
+        .alias("y_c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        "decile",
+        F.sum("n_t").over(w).cast("bigint").alias("cum_n_t"),
+        F.sum("n_c").over(w).cast("bigint").alias("cum_n_c"),
+        (
+            F.round(
+                F.sum("y_t").over(w)
+                - F.sum("y_c").over(w)
+                * (
+                    F.sum("n_t").over(w)
+                    / F.sum("n_c").over(w).cast("double")
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("qini_value"),
+    ).orderBy("decile")
+
+
+# --------------------------------------------------------------------------
+# Accounts-receivable aging buckets for open orders
+# --------------------------------------------------------------------------
+@register(
+    "ar_aging_buckets",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS asof FROM orders),
+    aged AS (
+        SELECT CASE
+                 WHEN date_diff('day', o_orderdate, mx.asof) <= 180
+                     THEN '0_current_180'
+                 WHEN date_diff('day', o_orderdate, mx.asof) <= 365
+                     THEN '1_aging_365'
+                 WHEN date_diff('day', o_orderdate, mx.asof) <= 730
+                     THEN '2_overdue_730'
+                 ELSE '3_delinquent' END AS bucket,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+        FROM orders, mx WHERE o_orderstatus = 'O'
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS s FROM aged)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(SUM(cents) / 100.0, 2) AS open_value,
+           round(SUM(cents) * 100.0 / tot.s, 4) AS pct_of_open
+    FROM aged, tot
+    GROUP BY bucket, tot.s ORDER BY bucket
+    """,
+)
+def ar_aging_buckets(spark, sf_dir):
+    """Accounts-receivable aging schedule: open ('O') orders bucketed
+    by age against the book's as-of date (the max order date) into
+    current / aging / overdue / delinquent bands, with order counts,
+    open value, and share of the receivables book. THE working-
+    capital report every finance stack runs nightly — and a pushdown
+    showcase: the status filter prunes at the scan, the as-of date is
+    one broadcast scalar, and the rest is a 4-bucket hash rollup of
+    exact integer cents. Age is integer day arithmetic on date-grain
+    timestamps (identical in both engines); shares divide the exact
+    cent totals once."""
+    allo = t(spark, sf_dir, "orders")
+    o = allo.where(F.col("o_orderstatus") == "O")
+    # as-of is the BOOK's high-water date (all orders), not the open
+    # subset's — the oracle pins the same choice
+    mx = allo.agg(F.max("o_orderdate").alias("asof"))
+    age_days = F.datediff(F.col("asof"), F.col("o_orderdate"))
+    aged = o.crossJoin(F.broadcast(mx)).select(
+        F.when(age_days <= 180, "0_current_180")
+        .when(age_days <= 365, "1_aging_365")
+        .when(age_days <= 730, "2_overdue_730")
+        .otherwise("3_delinquent")
+        .alias("bucket"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("cents"),
+    )
+    tot = aged.agg(F.sum("cents").cast("bigint").alias("s"))
+    return (
+        aged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_orders",
+            F.round(F.col("cents") / 100.0, 2).alias("open_value"),
+            F.round(F.col("cents") * 100.0 / F.col("s"), 4).alias(
+                "pct_of_open"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Empirical-Bayes beta-binomial shrinkage of per-customer return rates
+# --------------------------------------------------------------------------
+@register(
+    "eb_beta_binomial_shrinkage",
+    oracle="""
+    WITH cust AS (
+        SELECT o.o_custkey AS custkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(k) AS BIGINT) AS sk,
+               CAST(SUM(n) AS BIGINT) AS sn,
+               CAST(round(SUM(CAST(round(k * 1.0 / n, 12)
+                   AS DECIMAL(28,12))), 12) AS DOUBLE) AS sr,
+               CAST(round(SUM(CAST(round(k * 1.0 / n * (k * 1.0 / n),
+                                         12)
+                   AS DECIMAL(28,12))), 12) AS DOUBLE) AS sr2
+        FROM cust
+    ),
+    prior AS (
+        SELECT c, sk, sn,
+               sr / c AS mu,
+               CASE WHEN (sr2 - sr * sr / c) / (c - 1.0)
+                         >= (sr / c) * (1.0 - sr / c) OR c < 2
+                    THEN 1.0
+                    ELSE GREATEST(
+                        (sr / c) * (1.0 - sr / c)
+                        / ((sr2 - sr * sr / c) / (c - 1.0)) - 1.0,
+                        1.0) END AS m
+        FROM mom
+    )
+    SELECT custkey, n AS n_lineitems, k AS n_returned,
+           round(k * 1.0 / n, 6) AS raw_rate,
+           round((k + p.mu * p.m) / (n + p.m), 6) AS shrunk_rate
+    FROM cust, prior p
+    ORDER BY shrunk_rate DESC, custkey ASC LIMIT 20
+    """,
+)
+def eb_beta_binomial_shrinkage(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-customer RETURN
+    rates: a method-of-moments beta prior (mu from the mean observed
+    rate, concentration m from the variance ratio, floored at 1 and
+    falling back to 1 when the rate variance exceeds the binomial
+    bound) shrinks each customer's k/n toward the population mean by
+    exactly their evidence weight — the top-20 list then ranks
+    customers the way a risk queue SHOULD: a 3/3 returner no longer
+    outranks a 40/60 one. The parametric counterpart of the
+    registry's target_encoding_loo / james-stein tier. Per-customer
+    rates round at 1e-12 and fold in DECIMAL; the prior is one scalar
+    expression; the final top-k carries the (shrunk_rate, custkey)
+    total order. Plan: one fact join + customer rollup, one scalar
+    fold, broadcast prior, TakeOrdered 20."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = (
+        li.join(
+            o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+        )
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("k"),
+        )
+        .persist()
+    )
+    r = F.col("k") * 1.0 / F.col("n")
+    mom = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum("n").cast("bigint").alias("sn"),
+        F.round(
+            F.sum(F.round(r, 12).cast("decimal(28,12)")), 12
+        )
+        .cast("double")
+        .alias("sr"),
+        F.round(
+            F.sum(F.round(r * r, 12).cast("decimal(28,12)")), 12
+        )
+        .cast("double")
+        .alias("sr2"),
+    )
+    mu = F.col("sr") / F.col("c")
+    var = (F.col("sr2") - F.col("sr") * F.col("sr") / F.col("c")) / (
+        F.col("c") - 1.0
+    )
+    m = F.when(
+        (var >= mu * (1.0 - mu)) | (F.col("c") < 2), F.lit(1.0)
+    ).otherwise(F.greatest(mu * (1.0 - mu) / var - 1.0, F.lit(1.0)))
+    prior = mom.select(
+        mu.alias("mu"), m.alias("m")
+    )
+    return (
+        cust.crossJoin(F.broadcast(prior))
+        .select(
+            "custkey",
+            F.col("n").alias("n_lineitems"),
+            F.col("k").alias("n_returned"),
+            F.round(r, 6).alias("raw_rate"),
+            F.round(
+                (F.col("k") + F.col("mu") * F.col("m"))
+                / (F.col("n") + F.col("m")),
+                6,
+            ).alias("shrunk_rate"),
+        )
+        .orderBy(F.col("shrunk_rate").desc(), F.col("custkey").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# James-Stein shrinkage of per-nation mean order values
+# --------------------------------------------------------------------------
+@register(
+    "james_stein_nation_means",
+    oracle="""
+    WITH ord AS (
+        SELECT c.c_nationkey AS nk,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+        SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s1,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+                    AS DECIMAL(38,0)) AS s2
+        FROM ord GROUP BY nk
+    ),
+    top AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(s1) AS BIGINT) AS ss,
+               CAST(round(SUM(CAST(round(
+                   (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                       / 10000.0, 6) AS DECIMAL(38,6))), 6) AS DOUBLE)
+                   AS ssw,
+               CAST(round(SUM(CAST(round(
+                   (s1 / (100.0 * n)) * (s1 / (100.0 * n)) * n, 6)
+                   AS DECIMAL(38,6))), 6) AS DOUBLE) AS wsum2
+        FROM g
+    ),
+    fac AS (
+        SELECT k, nn, ss,
+               GREATEST(0.0, 1.0 - (k - 3.0)
+                   * (ssw / (nn - k))
+                   / (wsum2 - (ss / (100.0 * nn)) * (ss / (100.0 * nn))
+                      * nn)) AS b
+        FROM top
+    )
+    SELECT g.nk AS nationkey, g.n AS n_orders,
+           round(g.s1 / (100.0 * g.n), 6) AS raw_mean,
+           round(f.ss / (100.0 * f.nn)
+                 + f.b * (g.s1 / (100.0 * g.n)
+                          - f.ss / (100.0 * f.nn)), 6) AS js_mean
+    FROM g, fac f
+    ORDER BY nationkey
+    """,
+)
+def james_stein_nation_means(spark, sf_dir):
+    """James-Stein shrinkage of the 25 per-nation mean order values
+    toward the grand mean: b = max(0, 1 - (k-3) * s2_pooled /
+    sum_g n_g (xbar_g - xbar)^2) with the pooled within-nation
+    variance as the noise estimate — the estimator that DOMINATES the
+    25 raw group means in total squared error (Stein's paradox), and
+    the frequentist sibling of the EB beta-binomial query (rates
+    there, means here). All power sums are exact integers (cents^2
+    rides DECIMAL(38,0)); per-nation terms round at 1e-6 and fold in
+    DECIMAL over the 25-row domain; the shrink factor is one scalar
+    expression applied per nation. Plan: broadcast dim join, 25-row
+    rollup, one fold, broadcast factor back."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    ordd = o.join(F.broadcast(c), "o_custkey").select(
+        "nk",
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("cents"),
+    )
+    g = ordd.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    ).persist()
+    within = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / 10000.0
+    gmean = F.col("s1") / (100.0 * F.col("n"))
+    top = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s1").cast("bigint").alias("ss"),
+        F.round(
+            F.sum(F.round(within, 6).cast("decimal(38,6)")), 6
+        )
+        .cast("double")
+        .alias("ssw"),
+        F.round(
+            F.sum(
+                F.round(gmean * gmean * F.col("n"), 6).cast(
+                    "decimal(38,6)"
+                )
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("wsum2"),
+    )
+    grand = F.col("ss") / (100.0 * F.col("nn"))
+    b = F.greatest(
+        F.lit(0.0),
+        1.0
+        - (F.col("k") - 3.0)
+        * (F.col("ssw") / (F.col("nn") - F.col("k")))
+        / (F.col("wsum2") - grand * grand * F.col("nn")),
+    )
+    fac = top.select(
+        F.col("k"), F.col("nn"), F.col("ss"), b.alias("b")
+    )
+    return (
+        g.crossJoin(F.broadcast(fac))
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.col("n").alias("n_orders"),
+            F.round(gmean, 6).alias("raw_mean"),
+            F.round(
+                F.col("ss") / (100.0 * F.col("nn"))
+                + F.col("b")
+                * (gmean - F.col("ss") / (100.0 * F.col("nn"))),
+                6,
+            ).alias("js_mean"),
+        )
+        .orderBy("nationkey")
+    )
