@@ -3266,3 +3266,763 @@ def james_stein_nation_means(spark, sf_dir):
         )
         .orderBy("nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz two-sample runs test (click vs purchase values)
+# --------------------------------------------------------------------------
+@register(
+    "wald_wolfowitz_runs",
+    oracle="""
+    WITH pool AS (
+        SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    by_val AS (
+        SELECT value, CAST(SUM(1 - g1) AS BIGINT) AS c0,
+               CAST(SUM(g1) AS BIGINT) AS c1
+        FROM pool GROUP BY value
+    ),
+    seq AS (
+        SELECT c0, c1,
+               CASE WHEN c1 > 0 THEN 1 ELSE 0 END AS last_lbl,
+               LAG(CASE WHEN c1 > 0 THEN 1 ELSE 0 END)
+                   OVER (ORDER BY value) AS prev_last,
+               CASE WHEN c0 > 0 THEN 0 ELSE 1 END AS first_lbl
+        FROM by_val
+    ),
+    s AS (
+        SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+               CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(1 + SUM(CASE WHEN c0 > 0 AND c1 > 0
+                            THEN 1 ELSE 0 END)
+                      + SUM(CASE WHEN prev_last IS NOT NULL
+                                 AND prev_last <> first_lbl
+                            THEN 1 ELSE 0 END) AS BIGINT) AS r
+        FROM seq
+    )
+    SELECT n0 + n1 AS n_pool, r AS n_runs,
+           round(1.0 + 2.0 * n0 * n1 / (n0 + n1), 6) AS expected_runs,
+           round((r - (1.0 + 2.0 * n0 * n1 / (n0 + n1)))
+                 / sqrt(2.0 * n0 * n1 * (2.0 * n0 * n1 - n0 - n1)
+                        / ((n0 + n1) * 1.0 * (n0 + n1)
+                           * (n0 + n1 - 1))), 6) + 0.0 AS z_stat
+    FROM s
+    """,
+)
+def wald_wolfowitz_runs(spark, sf_dir):
+    """Wald-Wolfowitz two-sample runs test: pool click and purchase
+    values, sort, and count RUNS of same-sample labels — too few runs
+    means the two samples separate anywhere in the distribution (an
+    omnibus alternative sensitive to location AND scale AND shape,
+    the blunt-but-universal sibling of the registry's KS/CvM tier).
+    The run count collapses to distinct-value grain: within a tied
+    value all purchase rows precede all click rows (the documented
+    (value, g1) total order), so runs = 1 + within-value transitions
+    + boundary mismatches between consecutive distinct values — a lag
+    over the bounded 2-decimal value grid, never a row-grain window.
+    Counts are exact integers; the z-statistic applies the exact
+    no-ties null moments E[R] = 1 + 2 n0 n1 / N, Var[R] =
+    2 n0 n1 (2 n0 n1 - N) / (N^2 (N-1)). Plan: one value-grain
+    rollup, one lag over the value domain, one fold."""
+    e = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    by_val = (
+        e.select(
+            "value",
+            (F.col("event_type") == "click").cast("long").alias("g1"),
+        )
+        .groupBy("value")
+        .agg(
+            F.sum(1 - F.col("g1")).cast("bigint").alias("c0"),
+            F.sum("g1").cast("bigint").alias("c1"),
+        )
+    )
+    last_lbl = F.when(F.col("c1") > 0, 1).otherwise(0)
+    first_lbl = F.when(F.col("c0") > 0, 0).otherwise(1)
+    seq = by_val.select(
+        "c0",
+        "c1",
+        last_lbl.alias("last_lbl"),
+        F.lag(last_lbl).over(Window.orderBy("value")).alias("prev_last"),
+        first_lbl.alias("first_lbl"),
+    )
+    s = seq.agg(
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        (
+            1
+            + F.sum(
+                F.when((F.col("c0") > 0) & (F.col("c1") > 0), 1).otherwise(
+                    0
+                )
+            )
+            + F.sum(
+                F.when(
+                    F.col("prev_last").isNotNull()
+                    & (F.col("prev_last") != F.col("first_lbl")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    n0 = F.col("n0")
+    n1 = F.col("n1")
+    nn = n0 + n1
+    er = 1.0 + 2.0 * n0 * n1 / nn
+    vr = (
+        2.0
+        * n0
+        * n1
+        * (2.0 * n0 * n1 - n0 - n1)
+        / (nn * 1.0 * nn * (nn - 1))
+    )
+    return s.select(
+        nn.alias("n_pool"),
+        F.col("r").alias("n_runs"),
+        F.round(er, 6).alias("expected_runs"),
+        (F.round((F.col("r") - er) / F.sqrt(vr), 6) + 0.0).alias(
+            "z_stat"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Siegel-Tukey scale test (alternating extreme scores)
+# --------------------------------------------------------------------------
+@register(
+    "siegel_tukey_scale",
+    oracle="""
+    WITH pool AS (
+        SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    pos AS (
+        SELECT g1,
+               CAST(ROW_NUMBER() OVER (ORDER BY value, g1) AS BIGINT)
+                   AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM pool
+    ),
+    scored AS (
+        SELECT g1,
+               CASE WHEN 2 * i <= n + 1 THEN
+                     CASE WHEN i % 2 = 1 THEN 2 * i - 1 ELSE 2 * i END
+                    ELSE
+                     CASE WHEN (n - i + 1) % 2 = 1 THEN 2 * (n - i + 1)
+                          ELSE 2 * (n - i + 1) - 1 END
+               END AS a
+        FROM pos
+    ),
+    s AS (
+        SELECT CAST(SUM(g1) AS BIGINT) AS n1,
+               CAST(SUM(1 - g1) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN g1 = 1 THEN a ELSE 0 END) AS BIGINT)
+                   AS t1
+        FROM scored
+    )
+    SELECT n1, n0, t1 AS score_sum,
+           round((t1 - n1 * (n0 + n1 + 1) / 2.0)
+                 / sqrt(n1 * 1.0 * n0 * (n0 + n1 + 1) / 12.0), 6)
+               + 0.0 AS z_stat
+    FROM s
+    """,
+)
+def siegel_tukey_scale(spark, sf_dir):
+    """Siegel-Tukey test for scale: score the POOLED ORDER positions
+    with alternating extreme weights (lowest gets 1; the two highest
+    2, 3; the next two lowest 4, 5; ...) and run Wilcoxon on the
+    scores — if one sample is more dispersed it monopolizes the
+    extremes and its score sum drops. Completes the registry's scale
+    tier (Ansari-Bradley = linear scores, Mood = quadratic, Conover =
+    squared ranks of deviations): Siegel-Tukey is the one whose null
+    is EXACTLY the Wilcoxon null, so its moments are exact. Position
+    is a global row number over the documented (value, g1) total
+    order, built with the ranged device (range partition + broadcast
+    prefix offsets — tie blocks are contiguous by construction, so
+    each group's score multiset is deterministic); the alternating
+    score is a closed-form integer of (i, N). z uses the exact
+    Wilcoxon moments. Plan: ranged row-number, map-side score, one
+    fold."""
+    e = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pool = (
+        e.select(
+            "value",
+            (F.col("event_type") == "click").cast("long").alias("g1"),
+        )
+        .repartitionByRange(8, F.col("value").asc(), F.col("g1").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = pool.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
+    offsets = prefix_offsets(counts, {"offset": "pn"})
+    nn = pool.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    local = F.row_number().over(
+        Window.partitionBy("pid").orderBy("value", "g1")
+    )
+    pos = (
+        pool.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "g1",
+            (local.cast("bigint") + F.col("offset")).alias("i"),
+            "n",
+        )
+    )
+    i = F.col("i")
+    n = F.col("n")
+    j = n - i + 1
+    a = F.when(
+        2 * i <= n + 1,
+        F.when(i % 2 == 1, 2 * i - 1).otherwise(2 * i),
+    ).otherwise(F.when(j % 2 == 1, 2 * j).otherwise(2 * j - 1))
+    scored = pos.select("g1", a.alias("a"))
+    s = scored.agg(
+        F.sum("g1").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("g1") == 1, F.col("a")).otherwise(0))
+        .cast("bigint")
+        .alias("t1"),
+    )
+    n1 = F.col("n1")
+    n0 = F.col("n0")
+    return s.select(
+        "n1",
+        "n0",
+        F.col("t1").alias("score_sum"),
+        (
+            F.round(
+                (F.col("t1") - n1 * (n0 + n1 + 1) / 2.0)
+                / F.sqrt(n1 * 1.0 * n0 * (n0 + n1 + 1) / 12.0),
+                6,
+            )
+            + 0.0
+        ).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Conover squared-ranks test for scale (click vs purchase)
+# --------------------------------------------------------------------------
+@register(
+    "conover_squared_ranks",
+    oracle="""
+    WITH pool AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    gm AS (
+        SELECT g1 AS g, CAST(SUM(x) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM pool GROUP BY g1
+    ),
+    dev AS (
+        SELECT p.g1,
+               round(abs(p.x - gm.s * 1.0 / gm.c) / 100.0, 9) AS d
+        FROM pool p JOIN gm ON p.g1 = gm.g
+    ),
+    ranked AS (
+        SELECT g1,
+               CAST(RANK() OVER (ORDER BY d) AS BIGINT) * 2
+               + CAST(COUNT(*) OVER (PARTITION BY d) AS BIGINT) - 1
+                   AS rank2
+        FROM dev
+    ),
+    s AS (
+        SELECT CAST(SUM(g1) AS BIGINT) AS n1,
+               CAST(SUM(1 - g1) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN g1 = 1
+                        THEN CAST(rank2 AS DECIMAL(38,0)) * rank2
+                        ELSE 0 END) AS DECIMAL(38,0)) AS t4
+        FROM ranked
+    )
+    SELECT n1, n0,
+           round(CAST(t4 AS DOUBLE) / 4.0, 3) AS squared_rank_sum,
+           round((CAST(t4 AS DOUBLE) / 4.0
+                  - n1 * (n0 + n1 + 1.0) * (2 * (n0 + n1) + 1) / 6.0)
+                 / sqrt(n1 * 1.0 * n0 * (n0 + n1 + 1)
+                        * (2 * (n0 + n1) + 1)
+                        * (8 * (n0 + n1) + 11) / 180.0), 6) + 0.0
+               AS z_stat
+    FROM s
+    """,
+)
+def conover_squared_ranks(spark, sf_dir):
+    """Conover's squared-ranks test for scale: rank the pooled
+    ABSOLUTE DEVIATIONS from each sample's own mean, square the
+    (mid)ranks, and compare sample 1's sum to its Wilcoxon-style null
+    moments E[T] = n1(N+1)(2N+1)/6, Var[T] =
+    n1 n0 (N+1)(2N+1)(8N+11)/180 (no-ties convention, documented as
+    in the Mood twin). Unlike Siegel-Tukey/Ansari-Bradley it does not
+    require equal medians — deviations are centered per group first —
+    which is why Conover is the scale test practitioners default to.
+    Deviations are |integer cents - rational group mean| rounded at
+    1e-9 (identical IEEE inputs in both engines), midranks come from
+    the ranged global-rank device as exact 2x-scaled integers, and
+    the squared-rank fold rides DECIMAL(38,0) (rank2^2 sums pass
+    int64 at sf100). Plan: one 2-row group-mean broadcast, ranged
+    midranks, one fold."""
+    e = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pool = e.select(
+        (dec("value", 18, 2) * 100).cast("bigint").alias("x"),
+        (F.col("event_type") == "click").cast("long").alias("g1"),
+    )
+    gm = pool.groupBy(F.col("g1").alias("g")).agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    dev = (
+        pool.join(F.broadcast(gm), pool.g1 == gm.g)
+        .select(
+            "g1",
+            F.round(
+                F.abs(F.col("x") - F.col("s") * 1.0 / F.col("c"))
+                / 100.0,
+                9,
+            ).alias("d"),
+        )
+        .repartitionByRange(8, F.col("d").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = dev.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
+    offsets = prefix_offsets(counts, {"offset": "pn"})
+    local_rank = F.rank().over(Window.partitionBy("pid").orderBy("d"))
+    rank2 = (
+        (local_rank.cast("bigint") + F.col("offset")) * 2
+        + F.count(F.lit(1))
+        .over(Window.partitionBy("pid", "d"))
+        .cast("bigint")
+        - 1
+    )
+    ranked = dev.join(F.broadcast(offsets), "pid").select(
+        "g1", rank2.alias("rank2")
+    )
+    s = ranked.agg(
+        F.sum("g1").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("n0"),
+        F.sum(
+            F.when(
+                F.col("g1") == 1,
+                F.col("rank2").cast("decimal(38,0)") * F.col("rank2"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("t4"),
+    )
+    n1 = F.col("n1")
+    n0 = F.col("n0")
+    nn = n0 + n1
+    et = n1 * (nn + 1.0) * (2 * nn + 1) / 6.0
+    vt = (
+        n1
+        * 1.0
+        * n0
+        * (nn + 1)
+        * (2 * nn + 1)
+        * (8 * nn + 11)
+        / 180.0
+    )
+    return s.select(
+        "n1",
+        "n0",
+        F.round(F.col("t4").cast("double") / 4.0, 3).alias(
+            "squared_rank_sum"
+        ),
+        (
+            F.round(
+                (F.col("t4").cast("double") / 4.0 - et) / F.sqrt(vt), 6
+            )
+            + 0.0
+        ).alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Expected Reciprocal Rank (cascade model) over per-brand price rankings
+# --------------------------------------------------------------------------
+# The cascade product PI(1 - R_j) stays EXACT as integers: grades map to
+# stop probabilities R in {0, 1/8, 3/8, 7/8}, so 8*(1-R) in {8, 7, 5, 1}
+# and the product is 8^a * 7^b * 5^c looked up from bounded-count CASE
+# tables (a, b, c <= 9) — no float pow, no cross-engine libm dependence.
+_ERR_POW = {
+    "p8": [8**i for i in range(10)],
+    "p7": [7**i for i in range(10)],
+    "p5": [5**i for i in range(10)],
+}
+
+
+def _case_sql(col: str, vals: list[int]) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN {v}" for i, v in enumerate(vals)
+    )
+    return f"CASE {col} {whens} END"
+
+
+@register(
+    "err_cascade_ranking",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT p_brand,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey ASC)
+                   AS BIGINT) AS i,
+               LEAST(p_size // 13, 3) AS g
+        FROM part
+    ),
+    top10 AS (SELECT * FROM ranked WHERE i <= 10),
+    cum AS (
+        SELECT p_brand, i, g,
+               CAST(COALESCE(SUM(CASE WHEN g = 0 THEN 1 END) OVER w, 0)
+                    AS BIGINT) AS a,
+               CAST(COALESCE(SUM(CASE WHEN g = 1 THEN 1 END) OVER w, 0)
+                    AS BIGINT) AS b,
+               CAST(COALESCE(SUM(CASE WHEN g = 2 THEN 1 END) OVER w, 0)
+                    AS BIGINT) AS c
+        FROM top10
+        WINDOW w AS (PARTITION BY p_brand ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    terms AS (
+        SELECT p_brand,
+               (CASE g WHEN 0 THEN 0 WHEN 1 THEN 1
+                       WHEN 2 THEN 3 ELSE 7 END
+                * {_case_sql('a', _ERR_POW['p8'])}
+                * {_case_sql('b', _ERR_POW['p7'])}
+                * {_case_sql('c', _ERR_POW['p5'])}) * 1.0
+               / (i * {_case_sql('i - 1', [8 * v for v in _ERR_POW['p8']])})
+                   AS term
+        FROM cum
+    )
+    SELECT p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_ranked,
+           round(CAST(round(SUM(CAST(round(term, 12)
+                 AS DECIMAL(20,12))), 12) AS DOUBLE), 9) + 0.0 AS err
+    FROM terms GROUP BY p_brand ORDER BY brand
+    """,
+)
+def err_cascade_ranking(spark, sf_dir):
+    """Expected Reciprocal Rank under the cascade click model for each
+    brand's top-10 price ranking: a simulated searcher scans down the
+    list, stops at position i with probability R_i = (2^g - 1)/2^3
+    (graded relevance g = size tier 0-3), and ERR = sum 1/i * R_i *
+    prod_j<i (1 - R_j). The diminishing-returns ranking metric the
+    registry's NDCG/MRR/AP tier lacks: a relevant result below a
+    near-perfect one is worth almost nothing (cascade), which NDCG's
+    positional discount cannot express. The cascade product stays an
+    exact integer via the {{8,7,5,1}} factor encoding and bounded-count
+    CASE power tables (module comment) — no float pow anywhere; each
+    term is one exact-integer ratio rounded at 1e-12 and folded in
+    DECIMAL over <= 10 rows per brand. Plan: per-brand top-10 via
+    partitioned rank (the top_orders_per_status shape), two bounded
+    windows on the 250-row frame, one rollup."""
+    p = t(spark, sf_dir, "part")
+    ranked = p.select(
+        "p_brand",
+        F.row_number()
+        .over(
+            Window.partitionBy("p_brand").orderBy(
+                F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+            )
+        )
+        .cast("bigint")
+        .alias("i"),
+        F.expr("least(p_size div 13, 3)").alias("g"),
+    ).where(F.col("i") <= 10)
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = ranked.select(
+        "p_brand",
+        "i",
+        "g",
+        F.coalesce(
+            F.sum(F.when(F.col("g") == 0, 1)).over(w), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("a"),
+        F.coalesce(
+            F.sum(F.when(F.col("g") == 1, 1)).over(w), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.coalesce(
+            F.sum(F.when(F.col("g") == 2, 1)).over(w), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    r8 = (
+        F.when(F.col("g") == 0, 0)
+        .when(F.col("g") == 1, 1)
+        .when(F.col("g") == 2, 3)
+        .otherwise(7)
+    )
+    term = (
+        (
+            r8
+            * F.expr(_case_sql("a", _ERR_POW["p8"]))
+            * F.expr(_case_sql("b", _ERR_POW["p7"]))
+            * F.expr(_case_sql("c", _ERR_POW["p5"]))
+        )
+        * 1.0
+        / (
+            F.col("i")
+            * F.expr(_case_sql("i - 1", [8 * v for v in _ERR_POW["p8"]]))
+        )
+    )
+    terms = cum.select("p_brand", term.alias("term"))
+    return (
+        terms.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+            (
+                F.round(
+                    F.round(
+                        F.sum(
+                            F.round(F.col("term"), 12).cast(
+                                "decimal(20,12)"
+                            )
+                        ),
+                        12,
+                    ).cast("double"),
+                    9,
+                )
+                + 0.0
+            ).alias("err"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# Restricted mean survival time (RMST) from the session KM curve
+# --------------------------------------------------------------------------
+@register(
+    "rmst_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE
+                 OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    grouped AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    bounds AS (SELECT MAX(ts) AS mx FROM events),
+    sessions AS (
+        SELECT date_diff('minute', MIN(ts), MAX(ts)) AS dur,
+               MAX(ts) <= (SELECT mx FROM bounds) - INTERVAL 30 MINUTE
+                   AS completed
+        FROM grouped GROUP BY user_id, session_id
+    ),
+    by_dur AS (
+        SELECT dur,
+               SUM(CASE WHEN completed THEN 1 ELSE 0 END) AS d_events,
+               COUNT(*) AS n_ending
+        FROM sessions GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d_events,
+               SUM(n_ending) OVER (
+                   ORDER BY dur DESC ROWS UNBOUNDED PRECEDING
+               ) AS n_at_risk
+        FROM by_dur
+    ),
+    km AS (
+        SELECT dur, d_events, n_at_risk,
+               SUM(CASE WHEN d_events < n_at_risk
+                        THEN ln(1.0 - d_events / CAST(n_at_risk AS DOUBLE))
+                        ELSE 0.0 END) OVER (
+                   ORDER BY dur ROWS UNBOUNDED PRECEDING
+               ) AS log_s
+        FROM risk WHERE d_events > 0
+    ),
+    steps AS (
+        SELECT CAST(dur AS BIGINT) AS t_i,
+               CASE WHEN d_events = n_at_risk THEN 0.0
+                    ELSE round(exp(log_s), 9) END AS s_i,
+               LAG(CASE WHEN d_events = n_at_risk THEN 0.0
+                        ELSE round(exp(log_s), 9) END, 1, 1.0)
+                   OVER (ORDER BY dur) AS s_prev,
+               COALESCE(CAST(LAG(dur) OVER (ORDER BY dur) AS BIGINT), 0)
+                   AS t_prev
+        FROM km
+    ),
+    parts AS (
+        SELECT CAST(round(SUM(CAST(round(
+                   s_prev * (LEAST(t_i, 120) - LEAST(t_prev, 120)), 9)
+                   AS DECIMAL(28,9))), 9) AS DOUBLE) AS auc_steps
+        FROM steps
+    ),
+    tail AS (
+        SELECT round(s_i * (120 - t_i), 9) AS tl
+        FROM steps WHERE t_i < 120
+        ORDER BY t_i DESC LIMIT 1
+    )
+    SELECT CAST(120 AS INTEGER) AS tau_minutes,
+           round(auc_steps
+                 + COALESCE((SELECT tl FROM tail), 0.0), 6)
+               AS rmst_minutes
+    FROM parts
+    """,
+)
+def rmst_sessions(spark, sf_dir):
+    """Restricted mean survival time of sessions at tau = 120 minutes:
+    the area under the Kaplan-Meier curve up to tau — "expected
+    session minutes within the first two hours", the censoring-aware
+    scalar summary regulators and A/B dashboards prefer over median
+    survival (defined even when the curve never crosses 0.5). Builds
+    on kaplan_meier_sessions' exact construction (same sessionization,
+    censoring, and product-limit ln-cumsum discipline) and integrates
+    the step function: sum S(t_prev) * (t_i - t_prev) clipped at tau,
+    plus the tail rectangle after the last pre-tau death. Step
+    survival values are the same 1e-9-rounded KM numbers; rectangle
+    areas round at 1e-9 and fold in DECIMAL over the bounded duration
+    domain. Plan: the KM plan + two lags and a fold on the duration
+    frame."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wu)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        (
+            prev.isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+                > 30 * 60 * 1_000_000
+            )
+        )
+        .cast("int")
+        .alias("new_session"),
+    )
+    grouped = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    bounds = e.agg(F.max("ts").alias("mx"))
+    sessions = (
+        grouped.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                (
+                    F.unix_micros(F.date_trunc("minute", "e_ts"))
+                    - F.unix_micros(F.date_trunc("minute", "s_ts"))
+                )
+                / 60_000_000
+            )
+            .cast("long")
+            .alias("dur"),
+            (
+                F.col("e_ts")
+                <= F.col("mx") - F.expr("INTERVAL 30 MINUTES")
+            ).alias("completed"),
+        )
+    )
+    by_dur = sessions.groupBy("dur").agg(
+        F.sum(F.when(F.col("completed"), 1).otherwise(0)).alias(
+            "d_events"
+        ),
+        F.count(F.lit(1)).alias("n_ending"),
+    )
+    risk = by_dur.select(
+        "dur",
+        "d_events",
+        F.sum("n_ending")
+        .over(
+            Window.orderBy(F.col("dur").desc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("n_at_risk"),
+    ).where(F.col("d_events") > 0)
+    log_s = F.sum(
+        F.when(
+            F.col("d_events") < F.col("n_at_risk"),
+            F.log(
+                1.0
+                - F.col("d_events") / F.col("n_at_risk").cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+    ).over(
+        Window.orderBy("dur").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    s_i = F.when(
+        F.col("d_events") == F.col("n_at_risk"), F.lit(0.0)
+    ).otherwise(F.round(F.exp(log_s), 9))
+    km = risk.select(
+        F.col("dur").cast("bigint").alias("t_i"), s_i.alias("s_i")
+    )
+    wo = Window.orderBy("t_i")
+    steps = km.select(
+        "t_i",
+        "s_i",
+        F.lag("s_i", 1, 1.0).over(wo).alias("s_prev"),
+        F.coalesce(
+            F.lag("t_i").over(wo), F.lit(0).cast("bigint")
+        ).alias("t_prev"),
+    )
+    auc = steps.agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("s_prev")
+                    * (
+                        F.least(F.col("t_i"), F.lit(120))
+                        - F.least(F.col("t_prev"), F.lit(120))
+                    ),
+                    9,
+                ).cast("decimal(28,9)")
+            ),
+            9,
+        )
+        .cast("double")
+        .alias("auc_steps")
+    )
+    tail = (
+        steps.where(F.col("t_i") < 120)
+        .orderBy(F.col("t_i").desc())
+        .limit(1)
+        .select(
+            F.round(F.col("s_i") * (120 - F.col("t_i")), 9).alias("tail")
+        )
+    )
+    return (
+        auc.join(tail, F.lit(True), "left")
+        .select(
+            F.lit(120).cast("int").alias("tau_minutes"),
+            F.round(
+                F.col("auc_steps") + F.coalesce(F.col("tail"), F.lit(0.0)),
+                6,
+            ).alias("rmst_minutes"),
+        )
+    )
