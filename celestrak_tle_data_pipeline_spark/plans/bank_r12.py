@@ -4026,3 +4026,953 @@ def rmst_sessions(spark, sf_dir):
             ).alias("rmst_minutes"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Newey-West (HAC) standard error for the daily revenue trend slope
+# --------------------------------------------------------------------------
+@register(
+    "newey_west_trend_se",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS day,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    xd AS (
+        SELECT day - (SELECT MIN(day) FROM daily) AS x, y / 100.0 AS y
+        FROM daily
+    ),
+    f AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               SUM(CAST(round(y, 2) AS DECIMAL(28,2))) AS sy,
+               SUM(x * CAST(round(y, 2) AS DECIMAL(28,2))) AS sxy
+        FROM xd
+    ),
+    beta AS (
+        SELECT n, sx, sxx,
+               (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                   AS b,
+               (CAST(sy AS DOUBLE) - sx
+                * ((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                   / (n * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * sx))) / n AS a,
+               CAST(sx AS DOUBLE) / n AS xbar
+        FROM f
+    ),
+    v AS (
+        SELECT x,
+               round((x - b.xbar) * (y - b.a - b.b * x), 6) AS vt
+        FROM xd, beta b
+    ),
+    lagged AS (
+        SELECT x, vt,
+               LAG(vt, 1) OVER (ORDER BY x) AS v1,
+               LAG(vt, 2) OVER (ORDER BY x) AS v2,
+               LAG(vt, 3) OVER (ORDER BY x) AS v3,
+               LAG(vt, 4) OVER (ORDER BY x) AS v4,
+               LAG(vt, 5) OVER (ORDER BY x) AS v5
+        FROM v
+    ),
+    meat AS (
+        SELECT
+          CAST(round(SUM(CAST(round(vt * vt, 6) AS DECIMAL(38,6))), 6)
+               AS DOUBLE) AS g0,
+          CAST(round(SUM(CAST(round(vt * v1, 6) AS DECIMAL(38,6))), 6)
+               AS DOUBLE) AS g1,
+          CAST(round(SUM(CAST(round(vt * v2, 6) AS DECIMAL(38,6))), 6)
+               AS DOUBLE) AS g2,
+          CAST(round(SUM(CAST(round(vt * v3, 6) AS DECIMAL(38,6))), 6)
+               AS DOUBLE) AS g3,
+          CAST(round(SUM(CAST(round(vt * v4, 6) AS DECIMAL(38,6))), 6)
+               AS DOUBLE) AS g4,
+          CAST(round(SUM(CAST(round(vt * v5, 6) AS DECIMAL(38,6))), 6)
+               AS DOUBLE) AS g5
+        FROM lagged
+    )
+    SELECT b.n AS n_days,
+           round(b.b, 6) + 0.0 AS slope_per_day,
+           round(sqrt(m.g0
+                      / (CAST(b.sxx AS DOUBLE) - b.n * b.xbar * b.xbar))
+                 / sqrt(CAST(b.sxx AS DOUBLE) - b.n * b.xbar * b.xbar)
+                 * sqrt(b.n / (b.n - 2.0)), 6) AS se_ols,
+           round(sqrt((m.g0
+                       + 2.0 * ((1.0 - 1.0 / 6.0) * m.g1
+                                + (1.0 - 2.0 / 6.0) * m.g2
+                                + (1.0 - 3.0 / 6.0) * m.g3
+                                + (1.0 - 4.0 / 6.0) * m.g4
+                                + (1.0 - 5.0 / 6.0) * m.g5))
+                      / ((CAST(b.sxx AS DOUBLE) - b.n * b.xbar * b.xbar)
+                         * (CAST(b.sxx AS DOUBLE)
+                            - b.n * b.xbar * b.xbar))), 6) AS se_nw
+    FROM beta b, meat m
+    """,
+)
+def newey_west_trend_se(spark, sf_dir):
+    """Newey-West HAC standard error (Bartlett kernel, L = 5 lags) for
+    the daily-revenue trend slope, next to the homoskedastic OLS SE:
+    when daily revenues autocorrelate — and the registry's
+    durbin_watson / acf queries show they do — the OLS SE understates
+    uncertainty, and the NW sandwich sum_l w_l sum_t v_t v_{t-l} with
+    v_t = (x_t - xbar) e_t is the standard repair. The se_nw / se_ols
+    gap IS the autocorrelation tax on the trend estimate. Slope comes
+    from exact integer/DECIMAL folds; v_t rounds at 1e-6 before the
+    autocovariance folds (DECIMAL(38,6) over the bounded day frame);
+    the five lags ride one window over the ~2.4k-day calendar. Plan:
+    one day rollup, one OLS fold, one lag window on the day frame,
+    one fold."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("ycents")
+    )
+    mn = daily.agg(F.min("day").alias("d0"))
+    xd = daily.crossJoin(F.broadcast(mn)).select(
+        (F.col("day") - F.col("d0")).alias("x"),
+        (F.col("ycents") / 100.0).alias("y"),
+    ).persist()
+    f = xd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.round(F.col("y"), 2).cast("decimal(28,2)")).alias("sy"),
+        F.sum(
+            F.col("x") * F.round(F.col("y"), 2).cast("decimal(28,2)")
+        ).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx")
+    b_expr = (
+        n * F.col("sxy").cast("double") - sx * F.col("sy").cast("double")
+    ) / (n * F.col("sxx").cast("double") - sx.cast("double") * sx)
+    beta = f.select(
+        "n",
+        "sx",
+        "sxx",
+        b_expr.alias("b"),
+        (
+            (F.col("sy").cast("double") - sx * b_expr) / n
+        ).alias("a"),
+        (sx.cast("double") / n).alias("xbar"),
+    )
+    v = xd.crossJoin(F.broadcast(beta)).select(
+        "x",
+        F.round(
+            (F.col("x") - F.col("xbar"))
+            * (F.col("y") - F.col("a") - F.col("b") * F.col("x")),
+            6,
+        ).alias("vt"),
+    )
+    wo = Window.orderBy("x")
+    lagged = v.select(
+        "vt",
+        *[F.lag("vt", i).over(wo).alias(f"v{i}") for i in range(1, 6)],
+    )
+    meat = lagged.agg(
+        F.round(
+            F.sum(
+                F.round(F.col("vt") * F.col("vt"), 6).cast(
+                    "decimal(38,6)"
+                )
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("g0"),
+        *[
+            F.round(
+                F.sum(
+                    F.round(F.col("vt") * F.col(f"v{i}"), 6).cast(
+                        "decimal(38,6)"
+                    )
+                ),
+                6,
+            )
+            .cast("double")
+            .alias(f"g{i}")
+            for i in range(1, 6)
+        ],
+    )
+    both = beta.crossJoin(F.broadcast(meat))
+    sxx_c = F.col("sxx").cast("double") - F.col("n") * F.col(
+        "xbar"
+    ) * F.col("xbar")
+    nw_meat = F.col("g0") + 2.0 * (
+        (1.0 - 1.0 / 6.0) * F.col("g1")
+        + (1.0 - 2.0 / 6.0) * F.col("g2")
+        + (1.0 - 3.0 / 6.0) * F.col("g3")
+        + (1.0 - 4.0 / 6.0) * F.col("g4")
+        + (1.0 - 5.0 / 6.0) * F.col("g5")
+    )
+    return both.select(
+        F.col("n").alias("n_days"),
+        (F.round(F.col("b"), 6) + 0.0).alias("slope_per_day"),
+        F.round(
+            F.sqrt(F.col("g0") / sxx_c)
+            / F.sqrt(sxx_c)
+            * F.sqrt(F.col("n") / (F.col("n") - 2.0)),
+            6,
+        ).alias("se_ols"),
+        F.round(F.sqrt(nw_meat / (sxx_c * sxx_c)), 6).alias("se_nw"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Siegel repeated-medians robust trend (daily revenue)
+# --------------------------------------------------------------------------
+@register(
+    "siegel_repeated_medians_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS x,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    slopes AS (
+        SELECT a.x,
+               round((b.y - a.y) / (100.0 * (b.x - a.x)), 9) AS s
+        FROM daily a JOIN daily b ON a.x <> b.x
+    ),
+    permed AS (
+        SELECT x, quantile_cont(s, 0.5) AS ms
+        FROM slopes GROUP BY x
+    ),
+    sl AS (
+        SELECT round(quantile_cont(round(ms, 9), 0.5), 9) AS slope
+        FROM permed
+    ),
+    icept AS (
+        SELECT round(quantile_cont(
+                   round(d.y / 100.0 - sl.slope * d.x, 6), 0.5), 6)
+                   AS intercept
+        FROM daily d, sl
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           round(sl.slope, 6) + 0.0 AS slope_per_day,
+           round(icept.intercept, 2) + 0.0 AS intercept
+    FROM sl, icept
+    """,
+)
+def siegel_repeated_medians_trend(spark, sf_dir):
+    """Siegel's repeated-medians trend for daily revenue: slope =
+    median over days i of (median over j of pairwise slope s_ij) —
+    the 50%-breakdown-point robust regression (Theil-Sen, already in
+    the registry for TLE decay, breaks down at 29%; Siegel survives
+    when HALF the days are corrupted). Pairwise slopes are exact
+    cent/day rationals rounded at 1e-9; both median layers are the
+    engines' bit-compatible interpolated percentile on those rounded
+    values; the intercept is the median residual at the chosen slope.
+    The O(d^2) pair frame is calendar-bounded (days don't grow with
+    data volume — the day-grain discipline every bank module pins),
+    so the triangular join is a ~2.4k-row self-join, not a data-scale
+    blowup. Plan: one day rollup, one bounded self-join, two
+    percentile folds."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("x")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    ).persist()
+    a = daily.select(F.col("x"), F.col("y"))
+    b = daily.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    slopes = a.join(
+        F.broadcast(b), F.col("x") != F.col("x2")
+    ).select(
+        "x",
+        F.round(
+            (F.col("y2") - F.col("y"))
+            / (100.0 * (F.col("x2") - F.col("x"))),
+            9,
+        ).alias("s"),
+    )
+    permed = slopes.groupBy("x").agg(
+        F.expr("percentile(s, 0.5)").alias("ms")
+    )
+    sl = permed.agg(
+        F.round(
+            F.expr("percentile(round(ms, 9), 0.5)"), 9
+        ).alias("slope")
+    )
+    icept = daily.crossJoin(F.broadcast(sl)).agg(
+        F.round(
+            F.expr(
+                "percentile(round(y / 100.0 - slope * x, 6), 0.5)"
+            ),
+            6,
+        ).alias("intercept")
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (
+        nd.crossJoin(F.broadcast(sl))
+        .crossJoin(F.broadcast(icept))
+        .select(
+            "n_days",
+            (F.round(F.col("slope"), 6) + 0.0).alias("slope_per_day"),
+            (F.round(F.col("intercept"), 2) + 0.0).alias("intercept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hoeffding's D independence statistic (daily count vs daily value)
+# --------------------------------------------------------------------------
+@register(
+    "hoeffding_d_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    rk AS (
+        SELECT day,
+               CAST(ROW_NUMBER() OVER (ORDER BY c, day) AS BIGINT) AS r,
+               CAST(ROW_NUMBER() OVER (ORDER BY v, day) AS BIGINT) AS s
+        FROM daily
+    ),
+    q AS (
+        SELECT a.r, a.s,
+               CAST(COUNT(CASE WHEN b.r < a.r AND b.s < a.s
+                          THEN 1 END) AS BIGINT) AS qi
+        FROM rk a LEFT JOIN rk b ON b.day <> a.day
+        GROUP BY a.r, a.s
+    ),
+    f AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qi * (qi - 1)) AS BIGINT) AS d1,
+               CAST(SUM((r - 1) * (r - 2) * (s - 1) * (s - 2))
+                    AS BIGINT) AS d2,
+               CAST(SUM((r - 2) * (s - 2) * qi) AS BIGINT) AS d3
+        FROM q
+    )
+    SELECT n AS n_days,
+           round(30.0 * ((n - 2) * (n - 3) * d1 + d2
+                         - 2.0 * (n - 2) * d3)
+                 / (n * (n - 1.0) * (n - 2) * (n - 3) * (n - 4)),
+                 9) + 0.0 AS hoeffding_d
+    FROM f
+    """,
+)
+def hoeffding_d_daily(spark, sf_dir):
+    """Hoeffding's D statistic for independence between daily event
+    COUNT and daily total VALUE: D = 30 * ((n-2)(n-3)D1 + D2 -
+    2(n-2)D3) / (n(n-1)(n-2)(n-3)(n-4)) with D1 = sum Q(Q-1), D2 =
+    sum (R-1)(R-2)(S-1)(S-2), D3 = sum (R-2)(S-2)Q, where Q_i counts
+    days dominated in BOTH coordinates. The 1948 nonparametric that
+    detects ANY dependence (including non-monotone, where Spearman
+    and Kendall read 0) with a tractable null — the classical
+    counterpart of the Chatterjee xi also in this bank. Ranks are
+    unique by the (metric, day) total order, so D1/D2/D3 are exact
+    BIGINTs; the dominance count is a triangular join over the
+    bounded calendar frame. Plan: one day rollup, two rank windows,
+    one bounded dominance join, one fold."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum((dec("value", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v"),
+    )
+    rk = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("c", "day")).cast("bigint")
+        .alias("r"),
+        F.row_number().over(Window.orderBy("v", "day")).cast("bigint")
+        .alias("s"),
+    ).persist()
+    other = rk.select(
+        F.col("day").alias("day2"),
+        F.col("r").alias("r2"),
+        F.col("s").alias("s2"),
+    )
+    q = (
+        rk.join(F.broadcast(other), F.col("day2") != F.col("day"), "left")
+        .groupBy("r", "s")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("r2") < F.col("r"))
+                    & (F.col("s2") < F.col("s")),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("qi")
+        )
+    )
+    f = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("qi") * (F.col("qi") - 1))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(
+            (F.col("r") - 1)
+            * (F.col("r") - 2)
+            * (F.col("s") - 1)
+            * (F.col("s") - 2)
+        )
+        .cast("bigint")
+        .alias("d2"),
+        F.sum((F.col("r") - 2) * (F.col("s") - 2) * F.col("qi"))
+        .cast("bigint")
+        .alias("d3"),
+    )
+    n = F.col("n")
+    return f.select(
+        n.alias("n_days"),
+        (
+            F.round(
+                30.0
+                * (
+                    (n - 2) * (n - 3) * F.col("d1")
+                    + F.col("d2")
+                    - 2.0 * (n - 2) * F.col("d3")
+                )
+                / (n * (n - 1.0) * (n - 2) * (n - 3) * (n - 4)),
+                9,
+            )
+            + 0.0
+        ).alias("hoeffding_d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash-randomization test for the weekend mean gap
+# --------------------------------------------------------------------------
+@register(
+    "hash_permutation_mean_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 >= 5
+                    THEN 1 ELSE 0 END AS we,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    obs AS (
+        SELECT abs(SUM(CASE WHEN we = 1 THEN y END) * 1.0
+                   / SUM(CASE WHEN we = 1 THEN 1 END)
+                   - SUM(CASE WHEN we = 0 THEN y END) * 1.0
+                     / SUM(CASE WHEN we = 0 THEN 1 END)) AS stat
+        FROM daily
+    ),
+    perms AS (
+        SELECT d.day, d.y, k.k,
+               CAST(((d.day * 2654435761 + k.k * 40503)
+                     % 4294967296) % 2 AS BIGINT) AS z
+        FROM daily d,
+             (SELECT UNNEST(range(1, 200)) AS k) k
+    ),
+    pstat AS (
+        SELECT k,
+               CASE WHEN SUM(z) = 0 OR SUM(1 - z) = 0 THEN NULL
+                    ELSE abs(SUM(CASE WHEN z = 1 THEN y END) * 1.0
+                             / SUM(z)
+                             - SUM(CASE WHEN z = 0 THEN y END) * 1.0
+                               / SUM(1 - z)) END AS stat
+        FROM perms GROUP BY k
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pstat
+            WHERE stat IS NOT NULL) AS n_permutations,
+           round(o.stat / 100.0, 6) AS observed_gap,
+           round((1.0 + (SELECT COUNT(*) FROM pstat
+                         WHERE stat >= o.stat))
+                 / (1.0 + (SELECT COUNT(*) FROM pstat
+                           WHERE stat IS NOT NULL)), 6) AS p_value
+    FROM obs o
+    """,
+)
+def hash_permutation_mean_test(spark, sf_dir):
+    """Randomization test for the weekend-vs-weekday daily-revenue gap
+    with DETERMINISTIC pseudo-permutations: 199 relabelings of the
+    day panel via the Knuth multiplicative hash (day * 2654435761 +
+    k * 40503) mod 2^32 mod 2 — the registry's dataset_split_assign
+    device lifted to inference. p = (1 + #{perm stat >= observed}) /
+    (1 + #valid perms), the standard add-one randomization p-value;
+    degenerate relabelings (a side empty) are excluded by the same
+    rule in both engines. This is how a scale-out engine does
+    permutation inference WITHOUT an RNG: hashes are exact int64
+    arithmetic, group means are integer-cent ratios, and the compare
+    is on identical IEEE doubles. Plan: one day rollup, a bounded
+    199x-day grid join (~6k rows), one rollup per permutation."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+    daily = e.groupBy(
+        day.alias("day"),
+        F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("we"),
+    ).agg(
+        F.sum((dec("value", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    ).persist()
+    obs = daily.agg(
+        F.abs(
+            F.sum(F.when(F.col("we") == 1, F.col("y"))) * 1.0
+            / F.sum(F.when(F.col("we") == 1, 1))
+            - F.sum(F.when(F.col("we") == 0, F.col("y"))) * 1.0
+            / F.sum(F.when(F.col("we") == 0, 1))
+        ).alias("stat")
+    )
+    ks = spark.range(1, 200).select(F.col("id").alias("k"))
+    perms = daily.crossJoin(F.broadcast(ks)).select(
+        "y",
+        "k",
+        (
+            ((F.col("day") * 2654435761 + F.col("k") * 40503)
+             % 4294967296) % 2
+        )
+        .cast("bigint")
+        .alias("z"),
+    )
+    pstat = perms.groupBy("k").agg(
+        F.when(
+            (F.sum("z") == 0) | (F.sum(1 - F.col("z")) == 0), None
+        )
+        .otherwise(
+            F.abs(
+                F.sum(F.when(F.col("z") == 1, F.col("y"))) * 1.0
+                / F.sum("z")
+                - F.sum(F.when(F.col("z") == 0, F.col("y"))) * 1.0
+                / F.sum(1 - F.col("z"))
+            )
+        )
+        .alias("stat")
+    ).persist()
+    nvalid = pstat.where(F.col("stat").isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_permutations")
+    )
+    nge = (
+        pstat.crossJoin(F.broadcast(obs.select(F.col("stat").alias("ostat"))))
+        .where(F.col("stat") >= F.col("ostat"))
+        .agg(F.count(F.lit(1)).alias("n_ge"))
+    )
+    return (
+        nvalid.crossJoin(F.broadcast(obs))
+        .crossJoin(F.broadcast(nge))
+        .select(
+            "n_permutations",
+            F.round(F.col("stat") / 100.0, 6).alias("observed_gap"),
+            F.round(
+                (1.0 + F.col("n_ge"))
+                / (1.0 + F.col("n_permutations")),
+                6,
+            ).alias("p_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Likelihood-ratio test for equal exponential rates (weekend gaps)
+# --------------------------------------------------------------------------
+@register(
+    "exp_rate_lr_gaps",
+    oracle="""
+    WITH seq AS (
+        SELECT epoch_us(ts)
+               - LAG(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)
+                   AS gap_us,
+               CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 >= 5
+                    THEN 1 ELSE 0 END AS we
+        FROM events
+    ),
+    g AS (
+        SELECT we, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(gap_us) AS BIGINT) AS s
+        FROM seq WHERE gap_us IS NOT NULL AND gap_us > 0
+        GROUP BY we
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS s
+        FROM g
+    ),
+    lr AS (
+        SELECT t.n AS n_gaps,
+               CAST(round(SUM(CAST(round(
+                   g.n * ln((g.s * 1.0 / g.n)), 9)
+                   AS DECIMAL(28,9))), 9) AS DOUBLE) AS part
+        FROM g, tot t GROUP BY t.n
+    )
+    SELECT l.n_gaps,
+           round(SUM(CASE WHEN g.we = 1
+                     THEN g.s / (g.n * 3600.0e6) END), 6)
+               AS mean_gap_weekend_h,
+           round(SUM(CASE WHEN g.we = 0
+                     THEN g.s / (g.n * 3600.0e6) END), 6)
+               AS mean_gap_weekday_h,
+           round(2.0 * (t.n * ln(t.s * 1.0 / t.n) - l.part), 6) + 0.0
+               AS lr_chi2
+    FROM lr l, tot t, g
+    GROUP BY l.n_gaps, t.n, t.s, l.part
+    """,
+)
+def exp_rate_lr_gaps(spark, sf_dir):
+    """Likelihood-ratio test for equal exponential inter-event rates on
+    weekends vs weekdays: for exponential samples the LR statistic
+    collapses to -2 ln L = 2 [ N ln(pooled mean) - sum_g n_g ln(mean_g) ]
+    — a pure function of the integer microsecond gap sums, asymptotically
+    chi2(1). The parametric counterpart of the registry's
+    poisson_rate_ratio_weekend (counts there, waiting times here; the
+    two disagreeing flags non-Poisson clustering). Gaps are exact
+    integer microseconds from the per-user lag (zero gaps dropped —
+    exponential support); each group's n*ln(mean) rounds at 1e-9 and
+    folds in DECIMAL over the 2-row group frame. Plan: one
+    user-partitioned lag, a 2-row rollup, scalar folds."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    day = F.floor(us / 86_400_000_000)
+    seq = e.select(
+        (us - F.lag(us).over(wu)).alias("gap_us"),
+        F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("we"),
+    ).where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    g = seq.groupBy("we").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("gap_us").cast("bigint").alias("s"),
+    ).persist()
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("s").cast("bigint").alias("ts_"),
+    )
+    lr = g.crossJoin(F.broadcast(tot)).agg(
+        F.max("tn").alias("n_gaps"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("n") * F.log(F.col("s") * 1.0 / F.col("n")),
+                    9,
+                ).cast("decimal(28,9)")
+            ),
+            9,
+        )
+        .cast("double")
+        .alias("part"),
+    )
+    means = g.agg(
+        F.sum(
+            F.when(
+                F.col("we") == 1,
+                F.col("s") / (F.col("n") * 3600.0e6),
+            )
+        ).alias("mw"),
+        F.sum(
+            F.when(
+                F.col("we") == 0,
+                F.col("s") / (F.col("n") * 3600.0e6),
+            )
+        ).alias("md"),
+    )
+    return (
+        lr.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(means))
+        .select(
+            F.col("n_gaps"),
+            F.round(F.col("mw"), 6).alias("mean_gap_weekend_h"),
+            F.round(F.col("md"), 6).alias("mean_gap_weekday_h"),
+            (
+                F.round(
+                    2.0
+                    * (
+                        F.col("tn")
+                        * F.log(F.col("ts_") * 1.0 / F.col("tn"))
+                        - F.col("part")
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("lr_chi2"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# One-sample KS test of inter-event gaps against a fitted exponential
+# --------------------------------------------------------------------------
+@register(
+    "ks_exponential_gaps",
+    oracle="""
+    WITH seq AS (
+        SELECT epoch_us(ts)
+               - LAG(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)
+                   AS gap
+        FROM events
+    ),
+    by_val AS (
+        SELECT gap, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE gap IS NOT NULL AND gap > 0
+        GROUP BY gap
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(gap * c) AS BIGINT) AS s
+        FROM by_val
+    ),
+    cum AS (
+        SELECT gap,
+               SUM(c) OVER (ORDER BY gap ROWS UNBOUNDED PRECEDING)
+                   AS f
+        FROM by_val
+    ),
+    d AS (
+        SELECT MAX(GREATEST(
+                   abs(f * 1.0 / t.n
+                       - round(1.0 - exp(-(gap * t.n * 1.0 / t.s)),
+                               12)),
+                   abs((f - c2) * 1.0 / t.n
+                       - round(1.0 - exp(-(gap * t.n * 1.0 / t.s)),
+                               12)))) AS ks
+        FROM (SELECT cum.gap, cum.f, b.c AS c2
+              FROM cum JOIN by_val b ON cum.gap = b.gap), tot t
+    )
+    SELECT t.n AS n_gaps,
+           round(t.s / (t.n * 3600.0e6), 6) AS mean_gap_h,
+           round(d.ks, 9) AS ks_d
+    FROM tot t, d
+    """,
+)
+def ks_exponential_gaps(spark, sf_dir):
+    """One-sample Kolmogorov-Smirnov distance between the inter-event
+    gap distribution and the exponential fitted by its MLE (the mean
+    gap): D = sup |ECDF - (1 - e^{-x/mean})|, evaluated just above
+    and just below every distinct gap (where the sup of a step-vs-
+    continuous comparison lives). The memorylessness check underneath
+    the Poisson-arrival assumptions the registry's rate tests make —
+    a big D says arrivals cluster (sessions), so exponential-based
+    capacity math is wrong. ECDF counts are exact integers from the
+    ranged cumulative device over the distinct-gap grid; the fitted
+    CDF is one IEEE expression on the exact (n, s) integers rounded
+    at 1e-12; D is a MAX fold (order-free). Plan: per-user lag,
+    distinct-gap rollup, ranged cumsum, one fold."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = e.select((us - F.lag(us).over(wu)).alias("gap")).where(
+        F.col("gap").isNotNull() & (F.col("gap") > 0)
+    )
+    by_val = (
+        seq.groupBy("gap")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .repartitionByRange(8, F.col("gap").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    tot = by_val.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("gap") * F.col("c")).cast("bigint").alias("s"),
+    )
+    counts = by_val.groupBy("pid").agg(F.sum("c").alias("pn"))
+    offsets = prefix_offsets(counts, {"offset": "pn"})
+    local_cum = F.sum("c").over(
+        Window.partitionBy("pid")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = by_val.join(F.broadcast(offsets), "pid").select(
+        "gap",
+        "c",
+        (local_cum + F.col("offset")).cast("bigint").alias("f"),
+    )
+    cdf = F.round(
+        1.0
+        - F.exp(
+            -(F.col("gap") * F.col("n") * 1.0 / F.col("s"))
+        ),
+        12,
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.greatest(
+                F.abs(F.col("f") * 1.0 / F.col("n") - cdf),
+                F.abs(
+                    (F.col("f") - F.col("c")) * 1.0 / F.col("n") - cdf
+                ),
+            )
+        ).alias("ks")
+    )
+    return tot.crossJoin(F.broadcast(d)).select(
+        F.col("n").alias("n_gaps"),
+        F.round(F.col("s") / (F.col("n") * 3600.0e6), 6).alias(
+            "mean_gap_h"
+        ),
+        F.round(F.col("ks"), 9).alias("ks_d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Yuen's trimmed-means test (weekend vs weekday event values)
+# --------------------------------------------------------------------------
+@register(
+    "yuen_trimmed_t",
+    oracle="""
+    WITH v AS (
+        SELECT CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 >= 5
+                    THEN 1 ELSE 0 END AS we,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM events
+    ),
+    q AS (
+        SELECT we AS g,
+               quantile_cont(x, 0.2) AS q1,
+               quantile_cont(x, 0.8) AS q3,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v GROUP BY we
+    ),
+    w AS (
+        SELECT v.we, q.n, q.q1, q.q3,
+               CASE WHEN v.x >= q.q1 AND v.x <= q.q3 THEN 1 ELSE 0 END
+                   AS inside,
+               LEAST(GREATEST(v.x * 1.0, q.q1), q.q3) AS xw
+        FROM v JOIN q ON v.we = q.g
+    ),
+    f AS (
+        SELECT we,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(inside) AS BIGINT) AS h,
+               SUM(CAST(round(xw, 4) AS DECIMAL(28,4))) AS sw,
+               SUM(CASE WHEN inside = 1
+                   THEN CAST(round(xw, 4) AS DECIMAL(28,4)) END) AS st,
+               SUM(CAST(round(xw * xw, 4) AS DECIMAL(38,4))) AS sww
+        FROM w GROUP BY we
+    ),
+    y AS (
+        SELECT we, n, h,
+               CAST(st AS DOUBLE) / (100.0 * h) AS mt,
+               (CAST(sww AS DOUBLE)
+                - CAST(sw AS DOUBLE) * sw / n) / 10000.0
+                   / (n - 1.0) AS s2w
+        FROM f
+    )
+    SELECT MAX(CASE WHEN we = 1 THEN h END) AS h_weekend,
+           MAX(CASE WHEN we = 0 THEN h END) AS h_weekday,
+           round(MAX(CASE WHEN we = 1 THEN mt END)
+                 - MAX(CASE WHEN we = 0 THEN mt END), 6) + 0.0
+               AS trimmed_mean_gap,
+           round((MAX(CASE WHEN we = 1 THEN mt END)
+                  - MAX(CASE WHEN we = 0 THEN mt END))
+                 / sqrt(MAX(CASE WHEN we = 1
+                            THEN (n - 1.0) * s2w / (h * (h - 1.0)) END)
+                        + MAX(CASE WHEN we = 0
+                              THEN (n - 1.0) * s2w
+                                   / (h * (h - 1.0)) END)), 6) + 0.0
+               AS yuen_t
+    FROM y
+    """,
+)
+def yuen_trimmed_t(spark, sf_dir):
+    """Yuen's trimmed-means t (percentile-winsorized convention,
+    documented): compare 20%-trimmed weekend vs weekday event values,
+    with the winsorized variance supplying the denominator d_g =
+    (n-1) s2w / (h (h-1)) — the robust two-sample location test that
+    keeps its nominal level under the heavy tails and outliers that
+    invalidate Student's t (the registry's MWU tests stochastic
+    dominance, a different null). Trim boundaries are the engines'
+    bit-compatible interpolated 20/80 percentiles of exact integer
+    cents broadcast into the scan; winsorized values clamp to those
+    boundaries, round at 1e-4 cents, and fold in DECIMAL, so every
+    moment is order-independent. Plan: one 2-row percentile fold
+    broadcast back, one group fold — two scans, zero windows."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000)
+    v = e.select(
+        F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("we"),
+        (dec("value", 18, 2) * 100).cast("bigint").alias("x"),
+    )
+    q = v.groupBy(F.col("we").alias("g")).agg(
+        F.expr("percentile(x, 0.2)").alias("q1"),
+        F.expr("percentile(x, 0.8)").alias("q3"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = v.join(F.broadcast(q), v.we == q.g).select(
+        "we",
+        "n",
+        F.when(
+            (F.col("x") >= F.col("q1")) & (F.col("x") <= F.col("q3")),
+            1,
+        )
+        .otherwise(0)
+        .alias("inside"),
+        F.least(
+            F.greatest(F.col("x") * 1.0, F.col("q1")), F.col("q3")
+        ).alias("xw"),
+    )
+    f = w.groupBy("we").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("inside").cast("bigint").alias("h"),
+        F.sum(F.round(F.col("xw"), 4).cast("decimal(28,4)")).alias("sw"),
+        F.sum(
+            F.when(
+                F.col("inside") == 1,
+                F.round(F.col("xw"), 4).cast("decimal(28,4)"),
+            )
+        ).alias("st"),
+        F.sum(
+            F.round(F.col("xw") * F.col("xw"), 4).cast("decimal(38,4)")
+        ).alias("sww"),
+    )
+    y = f.select(
+        "we",
+        "n",
+        "h",
+        (F.col("st").cast("double") / (100.0 * F.col("h"))).alias("mt"),
+        (
+            (
+                F.col("sww").cast("double")
+                - F.col("sw").cast("double") * F.col("sw") / F.col("n")
+            )
+            / 10000.0
+            / (F.col("n") - 1.0)
+        ).alias("s2w"),
+    )
+    dterm = (F.col("n") - 1.0) * F.col("s2w") / (
+        F.col("h") * (F.col("h") - 1.0)
+    )
+    agg = y.agg(
+        F.max(F.when(F.col("we") == 1, F.col("h"))).alias("h_weekend"),
+        F.max(F.when(F.col("we") == 0, F.col("h"))).alias("h_weekday"),
+        F.max(F.when(F.col("we") == 1, F.col("mt"))).alias("mt1"),
+        F.max(F.when(F.col("we") == 0, F.col("mt"))).alias("mt0"),
+        F.max(F.when(F.col("we") == 1, dterm)).alias("d1"),
+        F.max(F.when(F.col("we") == 0, dterm)).alias("d0"),
+    )
+    return agg.select(
+        "h_weekend",
+        "h_weekday",
+        (
+            F.round(F.col("mt1") - F.col("mt0"), 6) + 0.0
+        ).alias("trimmed_mean_gap"),
+        (
+            F.round(
+                (F.col("mt1") - F.col("mt0"))
+                / F.sqrt(F.col("d1") + F.col("d0")),
+                6,
+            )
+            + 0.0
+        ).alias("yuen_t"),
+    )
