@@ -4976,3 +4976,1127 @@ def yuen_trimmed_t(spark, sf_dir):
             + 0.0
         ).alias("yuen_t"),
     )
+
+
+# --------------------------------------------------------------------------
+# Breslow-Day test of odds-ratio homogeneity across regions
+# --------------------------------------------------------------------------
+@register(
+    "breslow_day_homogeneity",
+    oracle="""
+    WITH tab AS (
+        SELECT r.r_regionkey AS rk,
+               CASE WHEN (epoch_us(o.o_orderdate) // 86400000000 + 4)
+                         % 7 >= 5 THEN 1 ELSE 0 END AS exposed,
+               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END
+                   AS outc,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation na ON c.c_nationkey = na.n_nationkey
+        JOIN region r ON na.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2, 3
+    ),
+    cells AS (
+        SELECT rk,
+               CAST(COALESCE(SUM(CASE WHEN exposed=1 AND outc=1
+                                 THEN n END),0) AS BIGINT) AS a,
+               CAST(COALESCE(SUM(CASE WHEN exposed=1 AND outc=0
+                                 THEN n END),0) AS BIGINT) AS b,
+               CAST(COALESCE(SUM(CASE WHEN exposed=0 AND outc=1
+                                 THEN n END),0) AS BIGINT) AS c,
+               CAST(COALESCE(SUM(CASE WHEN exposed=0 AND outc=0
+                                 THEN n END),0) AS BIGINT) AS d
+        FROM tab GROUP BY rk
+    ),
+    mh AS (
+        SELECT round(
+            CAST(round(SUM(CAST(round(a * 1.0 * d / (a + b + c + d), 9)
+                AS DECIMAL(28,9))), 9) AS DOUBLE)
+            / CAST(round(SUM(CAST(round(b * 1.0 * c / (a + b + c + d), 9)
+                AS DECIMAL(28,9))), 9) AS DOUBLE), 9) AS orx
+        FROM cells
+    ),
+    solved AS (
+        SELECT rk, a, b, c, d, m.orx,
+               (b + c) * 1.0 + m.orx * (a + d) AS qb,
+               (1.0 - m.orx) AS qa,
+               -(m.orx * (a + b) * 1.0 * (a + c)) AS qc
+        FROM cells, mh m
+    ),
+    ea AS (
+        SELECT rk, a, b, c, d, orx,
+               CASE WHEN abs(qa) < 1e-12 THEN (a + b) * 1.0 * (a + c)
+                                              / (a + b + c + d)
+                    ELSE (-qb + sqrt(qb * qb - 4.0 * qa * qc))
+                         / (2.0 * qa) END AS e
+        FROM solved
+    ),
+    terms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(round(SUM(CAST(round(
+                   (a - e) * (a - e)
+                   * (1.0 / e + 1.0 / (a + b - e)
+                      + 1.0 / (a + c - e)
+                      + 1.0 / (d - a + e)), 9)
+                   AS DECIMAL(28,9))), 9) AS DOUBLE) AS chi2
+        FROM ea
+    )
+    SELECT k AS n_strata, round(m.orx, 6) AS or_mh,
+           round(t.chi2, 6) + 0.0 AS bd_chi2
+    FROM terms t, mh m
+    """,
+)
+def breslow_day_homogeneity(spark, sf_dir):
+    """Breslow-Day test that the weekend -> order-failure odds ratio is
+    HOMOGENEOUS across the five regions: the Mantel-Haenszel query
+    already in the registry pools strata assuming one common OR — this
+    is the test of that assumption (reject means report per-region ORs
+    instead of the pooled one). Per stratum the expected exposed-case
+    count under the common MH OR solves the quadratic
+    (1-OR)E^2 + (b+c+OR(a+d))E - OR(a+b)(a+c) = 0 (positive root;
+    linear fallback when OR = 1), and chi2 = sum (a-E)^2 * sum of
+    reciprocal expected cells. The MH OR is rounded at 1e-9 FIRST so
+    both engines solve the identical quadratic; cell counts are exact
+    integers; per-stratum terms round at 1e-9 and fold in DECIMAL over
+    the 5-row region frame. Plan: three broadcast dim hops, one 20-cell
+    rollup, scalar OR fold, 5-row closed-form solve."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    na = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+    )
+    day = F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+    tab = (
+        o.join(F.broadcast(c), "o_custkey")
+        .join(F.broadcast(na), "c_nationkey")
+        .groupBy(
+            F.col("n_regionkey").alias("rk"),
+            F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("exposed"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("outc"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    def cell(e_, o_):
+        return F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("exposed") == e_) & (F.col("outc") == o_),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint")
+    cells = tab.groupBy("rk").agg(
+        cell(1, 1).alias("a"),
+        cell(1, 0).alias("b"),
+        cell(0, 1).alias("c"),
+        cell(0, 0).alias("d"),
+    ).persist()
+    nn = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    mh = cells.agg(
+        F.round(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("a") * 1.0 * F.col("d") / nn, 9
+                    ).cast("decimal(28,9)")
+                ),
+                9,
+            ).cast("double")
+            / F.round(
+                F.sum(
+                    F.round(
+                        F.col("b") * 1.0 * F.col("c") / nn, 9
+                    ).cast("decimal(28,9)")
+                ),
+                9,
+            ).cast("double"),
+            9,
+        ).alias("orx")
+    )
+    s = cells.crossJoin(F.broadcast(mh))
+    qa = 1.0 - F.col("orx")
+    qb = (F.col("b") + F.col("c")) * 1.0 + F.col("orx") * (
+        F.col("a") + F.col("d")
+    )
+    qc = -(
+        F.col("orx")
+        * (F.col("a") + F.col("b"))
+        * 1.0
+        * (F.col("a") + F.col("c"))
+    )
+    e_lin = (
+        (F.col("a") + F.col("b"))
+        * 1.0
+        * (F.col("a") + F.col("c"))
+        / nn
+    )
+    e_quad = (-qb + F.sqrt(qb * qb - 4.0 * qa * qc)) / (2.0 * qa)
+    ea = s.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(F.abs(qa) < 1e-12, e_lin).otherwise(e_quad).alias("e"),
+    )
+    e_ = F.col("e")
+    term = (F.col("a") - e_) * (F.col("a") - e_) * (
+        1.0 / e_
+        + 1.0 / (F.col("a") + F.col("b") - e_)
+        + 1.0 / (F.col("a") + F.col("c") - e_)
+        + 1.0 / (F.col("d") - F.col("a") + e_)
+    )
+    terms = ea.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.round(
+            F.sum(F.round(term, 9).cast("decimal(28,9)")), 9
+        )
+        .cast("double")
+        .alias("chi2"),
+    )
+    return terms.crossJoin(F.broadcast(mh)).select(
+        F.col("k").alias("n_strata"),
+        F.round(F.col("orx"), 6).alias("or_mh"),
+        (F.round(F.col("chi2"), 6) + 0.0).alias("bd_chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Negative-binomial method-of-moments fit of per-user event counts
+# --------------------------------------------------------------------------
+@register(
+    "negbin_mom_fit",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM u
+    ),
+    fit AS (
+        SELECT n, s1,
+               s1 * 1.0 / n AS mu,
+               (s2 - s1 * 1.0 * s1 / n) / (n - 1.0) AS v
+        FROM m
+    )
+    SELECT n AS n_users,
+           round(mu, 6) AS mean_count,
+           round(v, 6) AS var_count,
+           round(v / mu, 6) AS dispersion_index,
+           CASE WHEN v <= mu THEN NULL
+                ELSE round(mu * mu / (v - mu), 6) END AS nb_r,
+           CASE WHEN v <= mu THEN NULL
+                ELSE round(mu / v, 6) END AS nb_p
+    FROM fit
+    """,
+)
+def negbin_mom_fit(spark, sf_dir):
+    """Method-of-moments negative-binomial fit of per-user event
+    counts: r = mu^2/(var - mu), p = mu/var — the standard
+    overdispersion model (Poisson forces var = mean; user activity
+    never obeys that, and the registry's poisson_dispersion_index
+    query MEASURES the violation this query MODELS). NULL r/p when
+    the sample is underdispersed (the NB family is empty there — the
+    guard is the same expression in both engines). Counts and power
+    sums are exact integers; mu and v are single divisions; every
+    output is one terminal expression. Plan: one user rollup, one
+    3-fold scalar aggregate — scan-bound."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    mu = F.col("s1") * 1.0 / F.col("n")
+    v = (
+        F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("n")
+    ) / (F.col("n") - 1.0)
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(mu, 6).alias("mean_count"),
+        F.round(v, 6).alias("var_count"),
+        F.round(v / mu, 6).alias("dispersion_index"),
+        F.when(v <= mu, F.lit(None).cast("double"))
+        .otherwise(F.round(mu * mu / (v - mu), 6))
+        .alias("nb_r"),
+        F.when(v <= mu, F.lit(None).cast("double"))
+        .otherwise(F.round(mu / v, 6))
+        .alias("nb_p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Naive Bayes (dow, value-bucket) -> event_type with Laplace smoothing
+# --------------------------------------------------------------------------
+@register(
+    "naive_bayes_dow_type",
+    oracle="""
+    WITH base AS (
+        SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                   AS dow,
+               LEAST(CAST(floor(value) AS BIGINT) // 50, 9) AS vb,
+               event_type AS ty
+        FROM events
+    ),
+    cell AS (
+        SELECT dow, vb, ty, CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY 1, 2, 3
+    ),
+    tyc AS (SELECT ty, CAST(SUM(n) AS BIGINT) AS nt FROM cell GROUP BY ty),
+    dow_t AS (
+        SELECT dow, ty, CAST(SUM(n) AS BIGINT) AS ndt
+        FROM cell GROUP BY 1, 2
+    ),
+    vb_t AS (
+        SELECT vb, ty, CAST(SUM(n) AS BIGINT) AS nbt
+        FROM cell GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS n FROM tyc),
+    scored AS (
+        SELECT g.dow, g.vb, t.ty,
+               round(((COALESCE(dt.ndt, 0) + 1.0) / (t.nt + 7))
+                     * ((COALESCE(bt.nbt, 0) + 1.0) / (t.nt + 10))
+                     * ((t.nt + 1.0) / (tot.n + 5)), 15) AS score
+        FROM (SELECT DISTINCT dow, vb FROM cell) g
+        CROSS JOIN tyc t
+        LEFT JOIN dow_t dt ON dt.dow = g.dow AND dt.ty = t.ty
+        LEFT JOIN vb_t bt ON bt.vb = g.vb AND bt.ty = t.ty
+        CROSS JOIN tot
+    ),
+    pred AS (
+        SELECT dow, vb, ty AS pred_ty,
+               ROW_NUMBER() OVER (PARTITION BY dow, vb
+                                  ORDER BY score DESC, ty ASC) AS rn
+        FROM scored
+    ),
+    conf AS (
+        SELECT c.ty, CAST(SUM(c.n) AS BIGINT) AS n_actual,
+               CAST(SUM(CASE WHEN p.pred_ty = c.ty THEN c.n ELSE 0 END)
+                    AS BIGINT) AS n_correct
+        FROM cell c JOIN pred p
+          ON p.dow = c.dow AND p.vb = c.vb AND p.rn = 1
+        GROUP BY c.ty
+    )
+    SELECT ty AS event_type, n_actual, n_correct,
+           round(n_correct * 1.0 / n_actual, 6) AS recall
+    FROM conf ORDER BY ty
+    """,
+)
+def naive_bayes_dow_type(spark, sf_dir):
+    """Naive Bayes classifier (features: weekday, 50-unit value
+    bucket; Laplace alpha = 1) predicting the event type, scored by
+    per-type recall on the training data — the generative sibling of
+    the registry's centroid / token-vote classifiers, and the
+    standard cheap baseline a pipeline fits before anything learned.
+    Scores are products of smoothed integer-count ratios rounded at
+    1e-15 so both engines pick the identical argmax (ties then break
+    on type name); the whole model lives on the bounded 70-cell
+    feature grid, so training is one rollup and scoring is a 350-row
+    cross join. Plan: one (dow, vb, type) rollup; three marginal
+    rollups; bounded grid score + rank; confusion rollup."""
+    e = t(spark, sf_dir, "events")
+    base = e.select(
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("bigint")
+        .alias("dow"),
+        F.expr("least(CAST(floor(value) AS BIGINT) div 50, 9)").alias("vb"),
+        F.col("event_type").alias("ty"),
+    )
+    cell = base.groupBy("dow", "vb", "ty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).persist()
+    tyc = cell.groupBy("ty").agg(F.sum("n").cast("bigint").alias("nt"))
+    dow_t = cell.groupBy("dow", "ty").agg(
+        F.sum("n").cast("bigint").alias("ndt")
+    )
+    vb_t = cell.groupBy("vb", "ty").agg(
+        F.sum("n").cast("bigint").alias("nbt")
+    )
+    tot = tyc.agg(F.sum("nt").cast("bigint").alias("n_all"))
+    g = cell.select("dow", "vb").distinct()
+    scored = (
+        g.crossJoin(F.broadcast(tyc))
+        .join(F.broadcast(dow_t), ["dow", "ty"], "left")
+        .join(F.broadcast(vb_t), ["vb", "ty"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "vb",
+            "ty",
+            F.round(
+                (
+                    (F.coalesce(F.col("ndt"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + 7)
+                )
+                * (
+                    (F.coalesce(F.col("nbt"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + 10)
+                )
+                * ((F.col("nt") + 1.0) / (F.col("n_all") + 5)),
+                15,
+            ).alias("score"),
+        )
+    )
+    pred = scored.select(
+        "dow",
+        "vb",
+        F.col("ty").alias("pred_ty"),
+        F.row_number()
+        .over(
+            Window.partitionBy("dow", "vb").orderBy(
+                F.col("score").desc(), F.col("ty").asc()
+            )
+        )
+        .alias("rn"),
+    ).where(F.col("rn") == 1)
+    conf = (
+        cell.join(F.broadcast(pred), ["dow", "vb"])
+        .groupBy("ty")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_actual"),
+            F.sum(
+                F.when(F.col("pred_ty") == F.col("ty"), F.col("n"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+    )
+    return conf.select(
+        F.col("ty").alias("event_type"),
+        "n_actual",
+        "n_correct",
+        F.round(
+            F.col("n_correct") * 1.0 / F.col("n_actual"), 6
+        ).alias("recall"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter match weights with frequency-based u-probabilities
+# --------------------------------------------------------------------------
+@register(
+    "fellegi_sunter_match_weights",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey AS k, c_nationkey AS nk, c_mktsegment AS seg,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS balc
+        FROM customer
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    u_nk AS (
+        SELECT CAST(round(SUM(CAST(round(cnt * 1.0 * cnt / (n.n * n.n),
+                                         12) AS DECIMAL(20,12))), 12)
+                    AS DOUBLE) AS u
+        FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY nk), n
+        GROUP BY n.n
+    ),
+    u_seg AS (
+        SELECT CAST(round(SUM(CAST(round(cnt * 1.0 * cnt / (n.n * n.n),
+                                         12) AS DECIMAL(20,12))), 12)
+                    AS DOUBLE) AS u
+        FROM (SELECT COUNT(*) AS cnt FROM c GROUP BY seg), n
+        GROUP BY n.n
+    ),
+    pairs AS (
+        SELECT a.k AS key_a, b.k AS key_b,
+               CASE WHEN a.nk = b.nk THEN 1 ELSE 0 END AS ag_nk,
+               CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS ag_seg
+        FROM c a JOIN c b ON a.balc = b.balc AND a.k < b.k
+    )
+    SELECT key_a, key_b, ag_nk = 1 AS nation_agrees,
+           ag_seg = 1 AS segment_agrees,
+           round((CASE WHEN ag_nk = 1 THEN ln(0.9 / un.u)
+                       ELSE ln(0.1 / (1.0 - un.u)) END)
+                 + (CASE WHEN ag_seg = 1 THEN ln(0.9 / us.u)
+                         ELSE ln(0.1 / (1.0 - us.u)) END), 6) + 0.0
+               AS match_weight
+    FROM pairs, u_nk un, u_seg us
+    ORDER BY match_weight DESC, key_a ASC, key_b ASC
+    LIMIT 20
+    """,
+)
+def fellegi_sunter_match_weights(spark, sf_dir):
+    """Fellegi-Sunter record-linkage scoring over candidate customer
+    pairs: block on EXACT balance cents (the blocking key that stays
+    selective at any scale — same-cent collisions, not coarse
+    buckets), then score each pair's agreement pattern on nation and
+    market segment with log-likelihood weights ln(m/u) / ln((1-m)/
+    (1-u)), where m = 0.9 is the standard literature prior and each
+    field's u-probability is estimated from the data as the
+    random-agreement mass sum p_v^2 (the frequency-based u that makes
+    agreeing on a RARE value worth more). The scoring half of the ER
+    pipeline whose candidate-generation half (sorted-neighborhood,
+    q-gram) the registry already has. u folds round at 1e-12 in
+    DECIMAL; weights are single expressions on those scalars; top-20
+    carries the full (weight, key_a, key_b) total order. Plan: one
+    dim scan, two marginal rollups, one blocked self-join (equi-join
+    on cents), TakeOrdered."""
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        (dec("c_acctbal", 12, 2) * 100).cast("bigint").alias("balc"),
+    ).persist()
+    n = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    def u_of(col):
+        cnts = cust.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        return (
+            cnts.crossJoin(F.broadcast(n))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(
+                            F.col("cnt")
+                            * 1.0
+                            * F.col("cnt")
+                            / (F.col("n") * F.col("n")),
+                            12,
+                        ).cast("decimal(20,12)")
+                    ),
+                    12,
+                )
+                .cast("double")
+                .alias("u")
+            )
+        )
+    u_nk = u_of("nk").select(F.col("u").alias("u_nk"))
+    u_seg = u_of("seg").select(F.col("u").alias("u_seg"))
+    b = cust.select(
+        F.col("k").alias("key_b"),
+        F.col("nk").alias("nk_b"),
+        F.col("seg").alias("seg_b"),
+        F.col("balc").alias("balc_b"),
+    )
+    pairs = cust.join(
+        b,
+        (F.col("balc") == F.col("balc_b")) & (F.col("k") < F.col("key_b")),
+    ).select(
+        F.col("k").alias("key_a"),
+        "key_b",
+        (F.col("nk") == F.col("nk_b")).alias("nation_agrees"),
+        (F.col("seg") == F.col("seg_b")).alias("segment_agrees"),
+    )
+    w_nk = F.when(
+        F.col("nation_agrees"), F.log(0.9 / F.col("u_nk"))
+    ).otherwise(F.log(0.1 / (1.0 - F.col("u_nk"))))
+    w_seg = F.when(
+        F.col("segment_agrees"), F.log(0.9 / F.col("u_seg"))
+    ).otherwise(F.log(0.1 / (1.0 - F.col("u_seg"))))
+    return (
+        pairs.crossJoin(F.broadcast(u_nk))
+        .crossJoin(F.broadcast(u_seg))
+        .select(
+            "key_a",
+            "key_b",
+            "nation_agrees",
+            "segment_agrees",
+            (F.round(w_nk + w_seg, 6) + 0.0).alias("match_weight"),
+        )
+        .orderBy(
+            F.col("match_weight").desc(),
+            F.col("key_a").asc(),
+            F.col("key_b").asc(),
+        )
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Cluster validity panel: Calinski-Harabasz + Davies-Bouldin on labels
+# --------------------------------------------------------------------------
+def _emb_el(spark, sf_dir):
+    from .common import t as _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.col("xf").cast("decimal(18,9)").alias("x"),
+    )
+
+
+_EMB_EL_SQL = """
+    el AS (
+        SELECT vec_id, label, CAST(u.i - 1 AS BIGINT) AS dim,
+               CAST(embedding[CAST(u.i AS INTEGER)] AS DECIMAL(18,9))
+                   AS x
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    cent AS (
+        SELECT label, dim,
+               round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 9) AS c,
+               CAST(COUNT(*) AS BIGINT) AS nk
+        FROM el GROUP BY label, dim
+    ),
+    gcent AS (
+        SELECT dim, round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 9) AS g
+        FROM el GROUP BY dim
+    )
+"""
+
+
+@register(
+    "cluster_validity_panel",
+    oracle=f"""
+    WITH {_EMB_EL_SQL},
+    wk AS (
+        SELECT e.label,
+               CAST(MAX(c.nk) AS BIGINT) AS nk,
+               CAST(round(SUM(CAST(round(
+                   (CAST(e.x AS DOUBLE) - c.c)
+                   * (CAST(e.x AS DOUBLE) - c.c), 12)
+                   AS DECIMAL(28,12))), 12) AS DOUBLE) AS w
+        FROM el e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+        GROUP BY e.label
+    ),
+    bk AS (
+        SELECT c.label,
+               CAST(round(SUM(CAST(round((c.c - g.g) * (c.c - g.g), 12)
+                   AS DECIMAL(28,12))), 12) AS DOUBLE) AS b2
+        FROM cent c JOIN gcent g ON c.dim = g.dim
+        GROUP BY c.label
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(wk.nk) AS BIGINT) AS n,
+               CAST(round(SUM(CAST(round(wk.w, 9)
+                   AS DECIMAL(28,9))), 9) AS DOUBLE) AS w_tot,
+               CAST(round(SUM(CAST(round(bk.b2 * wk.nk, 9)
+                   AS DECIMAL(28,9))), 9) AS DOUBLE) AS b_tot
+        FROM wk JOIN bk ON wk.label = bk.label
+    ),
+    s AS (
+        SELECT label, nk, round(sqrt(w / nk), 9) AS si
+        FROM wk
+    ),
+    dmat AS (
+        SELECT a.label AS la,
+               MAX((a.si + b.si)
+                   / sqrt((SELECT CAST(round(SUM(CAST(round(
+                         (ca.c - cb.c) * (ca.c - cb.c), 12)
+                         AS DECIMAL(28,12))), 12) AS DOUBLE)
+                       FROM cent ca JOIN cent cb
+                         ON ca.dim = cb.dim
+                        AND ca.label = a.label
+                        AND cb.label = b.label))) AS r
+        FROM s a JOIN s b ON a.label <> b.label
+        GROUP BY a.label
+    )
+    SELECT agg.k AS n_clusters, agg.n AS n_vectors,
+           round((agg.b_tot / (agg.k - 1.0))
+                 / (agg.w_tot / (agg.n - agg.k)), 6)
+               AS calinski_harabasz,
+           round((SELECT SUM(r) FROM dmat) / agg.k, 6)
+               AS davies_bouldin
+    FROM agg
+    """,
+)
+def cluster_validity_panel(spark, sf_dir):
+    """Calinski-Harabasz and Davies-Bouldin indices for the labeled
+    embedding clustering: CH = (B/(k-1))/(W/(n-k)) rewards tight,
+    well-separated clusters with an F-statistic shape; DB averages
+    each cluster's worst (s_i + s_j)/d_ij neighbor ratio. The two
+    standard internal validity numbers a vector pipeline checks
+    before trusting labels as strata — complementing the silhouette
+    twin (per-point view) in this bank. All centroid folds are exact
+    DECIMAL sums of float32-cast-to-DECIMAL(18,9) values (the
+    embedding tier's doctrine); centroids round at 1e-9 BEFORE
+    distance terms, which round at 1e-12 and fold in DECIMAL;
+    cluster-pair distances live on the bounded 10x10 label grid.
+    Plan: one explode + (label, dim) rollup (map-side partials), one
+    point-to-centroid join keyed on (label, dim), bounded centroid
+    self-join."""
+    el = _emb_el(spark, sf_dir).persist()
+    cent = el.groupBy("label", "dim").agg(
+        F.round(
+            F.sum("x").cast("double") / F.count(F.lit(1)), 9
+        ).alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+    ).persist()
+    gcent = el.groupBy("dim").agg(
+        F.round(
+            F.sum("x").cast("double") / F.count(F.lit(1)), 9
+        ).alias("g")
+    )
+    wk = (
+        el.join(cent, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.max("nk").cast("bigint").alias("nk"),
+            F.round(
+                F.sum(
+                    F.round(
+                        (F.col("x").cast("double") - F.col("c"))
+                        * (F.col("x").cast("double") - F.col("c")),
+                        12,
+                    ).cast("decimal(28,12)")
+                ),
+                12,
+            )
+            .cast("double")
+            .alias("w"),
+        )
+    ).persist()
+    bk = (
+        cent.join(F.broadcast(gcent), "dim")
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        (F.col("c") - F.col("g"))
+                        * (F.col("c") - F.col("g")),
+                        12,
+                    ).cast("decimal(28,12)")
+                ),
+                12,
+            )
+            .cast("double")
+            .alias("b2")
+        )
+    )
+    agg = wk.join(bk, "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("nk").cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("w"), 9).cast("decimal(28,9)")), 9
+        )
+        .cast("double")
+        .alias("w_tot"),
+        F.round(
+            F.sum(
+                F.round(F.col("b2") * F.col("nk"), 9).cast(
+                    "decimal(28,9)"
+                )
+            ),
+            9,
+        )
+        .cast("double")
+        .alias("b_tot"),
+    )
+    s = wk.select(
+        "label",
+        F.round(F.sqrt(F.col("w") / F.col("nk")), 9).alias("si"),
+    )
+    ca = cent.select(
+        F.col("label").alias("la"), "dim", F.col("c").alias("c_a")
+    )
+    cb = cent.select(
+        F.col("label").alias("lb"), "dim", F.col("c").alias("c_b")
+    )
+    cdist = (
+        ca.join(cb, "dim")
+        .where(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        (F.col("c_a") - F.col("c_b"))
+                        * (F.col("c_a") - F.col("c_b")),
+                        12,
+                    ).cast("decimal(28,12)")
+                ),
+                12,
+            )
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    sa = s.select(F.col("label").alias("la"), F.col("si").alias("si_a"))
+    sb = s.select(F.col("label").alias("lb"), F.col("si").alias("si_b"))
+    dmat = (
+        cdist.join(F.broadcast(sa), "la")
+        .join(F.broadcast(sb), "lb")
+        .groupBy("la")
+        .agg(
+            F.max(
+                (F.col("si_a") + F.col("si_b")) / F.sqrt(F.col("d2"))
+            ).alias("r")
+        )
+    )
+    db = dmat.agg(F.sum("r").alias("rsum"))
+    return agg.crossJoin(F.broadcast(db)).select(
+        F.col("k").alias("n_clusters"),
+        F.col("n").alias("n_vectors"),
+        F.round(
+            (F.col("b_tot") / (F.col("k") - 1.0))
+            / (F.col("w_tot") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("calinski_harabasz"),
+        F.round(F.col("rsum") / F.col("k"), 6).alias("davies_bouldin"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Simplified silhouette (centroid-based) per embedding label
+# --------------------------------------------------------------------------
+@register(
+    "simplified_silhouette_labels",
+    oracle=f"""
+    WITH {_EMB_EL_SQL},
+    pdist AS (
+        SELECT e.vec_id, MAX(e.label) AS label, c.label AS clabel,
+               round(sqrt(SUM(CAST(round(
+                   (CAST(e.x AS DOUBLE) - c.c)
+                   * (CAST(e.x AS DOUBLE) - c.c), 12)
+                   AS DECIMAL(28,12)))), 9) AS d
+        FROM el e JOIN cent c ON e.dim = c.dim
+        GROUP BY e.vec_id, c.label
+    ),
+    ab AS (
+        SELECT vec_id, MAX(label) AS label,
+               MAX(CASE WHEN clabel = label THEN d END) AS a,
+               MIN(CASE WHEN clabel <> label THEN d END) AS b
+        FROM pdist GROUP BY vec_id
+    ),
+    si AS (
+        SELECT label,
+               round((b - a) / GREATEST(a, b), 9) AS s
+        FROM ab
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           round(CAST(round(SUM(CAST(round(s, 9) AS DECIMAL(20,9))), 9)
+                      AS DOUBLE) / COUNT(*), 6) + 0.0
+               AS mean_silhouette
+    FROM si GROUP BY label ORDER BY label
+    """,
+)
+def simplified_silhouette_labels(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per embedding label:
+    for each vector, a = distance to its own label centroid, b = the
+    nearest OTHER centroid, s = (b-a)/max(a,b); the per-label mean
+    says which labels are coherent strata and which bleed into
+    neighbors. The O(n*k) refinement of the full O(n^2) silhouette —
+    the version that survives 100 TB, since each point meets only k
+    broadcast centroids. Same exactness doctrine as the validity-
+    panel twin: exact DECIMAL centroid folds with one double
+    division rounded at 1e-9, per-dim squared terms rounded at 1e-12
+    and folded in DECIMAL, distances rounded at 1e-9 before the
+    a/b compare, s rounded before the label fold. Plan: one explode
+    + (label, dim) rollup, one point x centroid join keyed on dim
+    collapsing per (vec_id, centroid), two bounded rollups."""
+    el = _emb_el(spark, sf_dir).persist()
+    cent = el.groupBy("label", "dim").agg(
+        F.round(
+            F.sum("x").cast("double") / F.count(F.lit(1)), 9
+        ).alias("c")
+    )
+    cc = cent.select(
+        F.col("label").alias("clabel"), "dim", "c"
+    )
+    pdist = (
+        el.join(F.broadcast(cc), "dim")
+        .groupBy("vec_id", "clabel")
+        .agg(
+            F.max("label").alias("label"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(
+                            (F.col("x").cast("double") - F.col("c"))
+                            * (F.col("x").cast("double") - F.col("c")),
+                            12,
+                        ).cast("decimal(28,12)")
+                    )
+                ),
+                9,
+            ).alias("d"),
+        )
+    )
+    ab = pdist.groupBy("vec_id").agg(
+        F.max("label").alias("label"),
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("d"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("d"))
+        ).alias("b"),
+    )
+    si = ab.select(
+        "label",
+        F.round(
+            (F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b")),
+            9,
+        ).alias("s"),
+    )
+    return (
+        si.groupBy(F.col("label").cast("bigint").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            (
+                F.round(
+                    F.round(
+                        F.sum(
+                            F.round(F.col("s"), 9).cast("decimal(20,9)")
+                        ),
+                        9,
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + 0.0
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities on the customer -> part purchase bipartite graph
+# --------------------------------------------------------------------------
+@register(
+    "hits_hubs_authorities",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    a1 AS (
+        SELECT pk, CAST(COUNT(*) AS BIGINT) AS s FROM edges GROUP BY pk
+    ),
+    h1 AS (
+        SELECT e.ck, CAST(SUM(a1.s) AS BIGINT) AS s
+        FROM edges e JOIN a1 ON e.pk = a1.pk GROUP BY e.ck
+    ),
+    a2 AS (
+        SELECT e.pk, CAST(SUM(h1.s) AS BIGINT) AS s
+        FROM edges e JOIN h1 ON e.ck = h1.ck GROUP BY e.pk
+    ),
+    h2 AS (
+        SELECT e.ck, CAST(SUM(a2.s) AS BIGINT) AS s
+        FROM edges e JOIN a2 ON e.pk = a2.pk GROUP BY e.ck
+    ),
+    na AS (SELECT CAST(SUM(s) AS DECIMAL(38,0)) AS z FROM a2),
+    nh AS (SELECT CAST(SUM(s) AS DECIMAL(38,0)) AS z FROM h2),
+    topa AS (
+        SELECT 'authority' AS role, pk AS node_key,
+               round(s / CAST(na.z AS DOUBLE), 9) AS score
+        FROM a2, na ORDER BY s DESC, pk ASC LIMIT 10
+    ),
+    toph AS (
+        SELECT 'hub' AS role, ck AS node_key,
+               round(s / CAST(nh.z AS DOUBLE), 9) AS score
+        FROM h2, nh ORDER BY s DESC, ck ASC LIMIT 10
+    )
+    SELECT * FROM topa UNION ALL SELECT * FROM toph
+    ORDER BY role, score DESC, node_key ASC
+    """,
+)
+def hits_hubs_authorities(spark, sf_dir):
+    """HITS (Kleinberg) hubs-and-authorities on the customer -> part
+    purchase bipartite graph, two full mutual-reinforcement rounds:
+    a1 = in-degree, h1 = sum of neighbor authorities, a2 = sum of
+    neighbor hubs, h2 likewise — because each step is LINEAR, the
+    per-step normalization constants factor out, so the whole
+    iteration runs in EXACT BIGINT arithmetic and normalizes once at
+    the end (sum-normalized scores, DECIMAL(38,0) for the global
+    sums). Ranks the catalog's consensus-popular parts (authorities)
+    and the customers whose baskets concentrate on them (hubs) — the
+    eigenvector complement of the registry's PageRank/degree tier.
+    Every step is an edge-keyed equi-join + hash rollup (map-side
+    partials), the shape that scales to 100 TB of order lines; top-k
+    carries (score, key) total orders. Plan: distinct-edge rollup,
+    three join+agg rounds, two TakeOrdered heads."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    edges = (
+        li.join(o, "l_orderkey")
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("l_partkey").alias("pk"),
+        )
+        .distinct()
+        .persist()
+    )
+    a1 = edges.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    h1 = (
+        edges.join(a1.withColumnRenamed("s", "as1"), "pk")
+        .groupBy("ck")
+        .agg(F.sum("as1").cast("bigint").alias("s"))
+    )
+    a2 = (
+        edges.join(h1.withColumnRenamed("s", "hs1"), "ck")
+        .groupBy("pk")
+        .agg(F.sum("hs1").cast("bigint").alias("s"))
+        .persist()
+    )
+    h2 = (
+        edges.join(a2.withColumnRenamed("s", "as2"), "pk")
+        .groupBy("ck")
+        .agg(F.sum("as2").cast("bigint").alias("s"))
+        .persist()
+    )
+    na = a2.agg(F.sum("s").cast("decimal(38,0)").alias("z"))
+    nh = h2.agg(F.sum("s").cast("decimal(38,0)").alias("z"))
+    topa = (
+        a2.crossJoin(F.broadcast(na))
+        .orderBy(F.col("s").desc(), F.col("pk").asc())
+        .limit(10)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("pk").alias("node_key"),
+            F.round(
+                F.col("s") / F.col("z").cast("double"), 9
+            ).alias("score"),
+        )
+    )
+    toph = (
+        h2.crossJoin(F.broadcast(nh))
+        .orderBy(F.col("s").desc(), F.col("ck").asc())
+        .limit(10)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("ck").alias("node_key"),
+            F.round(
+                F.col("s") / F.col("z").cast("double"), 9
+            ).alias("score"),
+        )
+    )
+    return topa.unionAll(toph).orderBy(
+        "role", F.col("score").desc(), F.col("node_key").asc()
+    )
+
+
+# --------------------------------------------------------------------------
+# Modularity of the brand partition on the co-purchase graph
+# --------------------------------------------------------------------------
+@register(
+    "modularity_brand_partition",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    deg AS (
+        SELECT pk, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT p1 AS pk FROM edges
+              UNION ALL SELECT p2 FROM edges)
+        GROUP BY pk
+    ),
+    brand AS (SELECT p_partkey AS pk, p_brand AS b FROM part),
+    ec AS (
+        SELECT br1.b,
+               CAST(COUNT(*) AS BIGINT) AS e_in
+        FROM edges e
+        JOIN brand br1 ON e.p1 = br1.pk
+        JOIN brand br2 ON e.p2 = br2.pk
+        WHERE br1.b = br2.b
+        GROUP BY br1.b
+    ),
+    dc AS (
+        SELECT br.b, CAST(SUM(deg.d) AS BIGINT) AS d_sum
+        FROM deg JOIN brand br ON deg.pk = br.pk
+        GROUP BY br.b
+    ),
+    q AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
+               CAST(round(SUM(CAST(round(
+                   COALESCE(ec.e_in, 0) * 1.0 / m.m
+                   - (dc.d_sum / (2.0 * m.m))
+                     * (dc.d_sum / (2.0 * m.m)), 12)
+                   AS DECIMAL(20,12))), 12) AS DOUBLE) AS q
+        FROM dc LEFT JOIN ec ON dc.b = ec.b, m
+        GROUP BY m.m
+    )
+    SELECT m.m AS n_edges, q.n_brands,
+           round(q.q, 6) + 0.0 AS modularity_q
+    FROM q, m
+    """,
+)
+def modularity_brand_partition(spark, sf_dir):
+    """Newman modularity Q of the BRAND partition on the co-purchase
+    graph (parts co-occurring in an order, distinct unordered pairs):
+    Q = sum_c [ e_c/m - (d_c/2m)^2 ] — does the catalog taxonomy
+    explain the purchase graph's community structure, the number that
+    says whether brand is a usable shard/mixture key for this graph.
+    Complements the registry's discovered-community tier (connected
+    components, k-core) by scoring a GIVEN partition instead. Edge
+    and degree counts are exact integers (the established bounded
+    per-order pair device — order baskets are small, so the self-join
+    fanout is k^2 per order, never all-pairs); per-brand terms round
+    at 1e-12 and fold in DECIMAL over the 25-brand frame. Plan: one
+    order-blocked self-join -> distinct edges, one degree rollup, two
+    broadcast brand joins, one bounded fold."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+        .persist()
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    deg = (
+        edges.select(F.col("p1").alias("pk"))
+        .unionAll(edges.select(F.col("p2").alias("pk")))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    brand = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), F.col("p_brand").alias("b")
+    )
+    br1 = brand.select(F.col("pk").alias("p1"), F.col("b").alias("b1"))
+    br2 = brand.select(F.col("pk").alias("p2"), F.col("b").alias("b2"))
+    ec = (
+        edges.join(F.broadcast(br1), "p1")
+        .join(F.broadcast(br2), "p2")
+        .where(F.col("b1") == F.col("b2"))
+        .groupBy(F.col("b1").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    dc = (
+        deg.join(F.broadcast(brand), "pk")
+        .groupBy("b")
+        .agg(F.sum("d").cast("bigint").alias("d_sum"))
+    )
+    term = F.round(
+        F.coalesce(F.col("e_in"), F.lit(0)) * 1.0 / F.col("m")
+        - (F.col("d_sum") / (2.0 * F.col("m")))
+        * (F.col("d_sum") / (2.0 * F.col("m"))),
+        12,
+    ).cast("decimal(20,12)")
+    q = (
+        dc.join(F.broadcast(ec), "b", "left")
+        .crossJoin(F.broadcast(m))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+            F.round(F.sum(term), 12).cast("double").alias("q"),
+        )
+    )
+    return q.select(
+        F.col("m").alias("n_edges"),
+        "n_brands",
+        (F.round(F.col("q"), 6) + 0.0).alias("modularity_q"),
+    )
