@@ -58,6 +58,7 @@ _MODULES = (
     "graph_ops",
     "round10",
     "bank_r11",
+    "bank_r12",
 )
 
 # The round whose official CORRECTNESS gate this window targets. The
@@ -66,86 +67,77 @@ _MODULES = (
 # round's own CORRECTNESS file, the window names ARE official — that is
 # the point — so tests/test_registry.py excludes rounds >= WINDOW_ROUND
 # from the recycled-name glob (the r10 verdict's era-proofing fix).
-WINDOW_ROUND = 11
+WINDOW_ROUND = 12
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries, so
 # ordering is part of the contract: the 50 names emitted first are that
 # round's official window. Everything else registered stays available after
 # them as bonus coverage. ``tests/test_registry.py`` pins this list.
 #
-# Round-11 rotation: CORRECTNESS_r10 is 50/50 green, so the whole r10 window
-# rotates out and round 11 flips the pre-staged bank (``plans/bank_r11.py``,
-# X296-X344) live — 49 first-time oracle-paired names in bank registration
-# order — and fills the last slot with ``ann_lsh_bucketed`` (MLlib LSH
-# internals, no SQL oracle by design) so the official record shows its
-# rows-only status explicitly instead of "never gated" (r10 verdict item 7).
-# The verdict also asked for ``minhash_near_dup`` in the tail, but that name
-# already HAS an official rows-only record (CORRECTNESS_r02, err=no_oracle)
-# — windowing it again would recycle an official name, so its slot went to
-# bank query X344 instead. The bank's last three queries (X345-X347)
-# deferred to the round-12 staged bank (``plans/bank_r12.py``) to keep the
-# 50-slot arithmetic exact.
-# ``tests/test_registry.py::test_window_is_all_first_time_names``
-# machine-checks that no slot recycles a name official before WINDOW_ROUND,
-# and ``test_no_new_official_debt`` keeps the registered-but-never-official
-# set empty.
+# Round-12 rotation: CORRECTNESS_r11 is 48/50 green + 1 rows-only-by-design
+# (``ann_lsh_bucketed``) + exactly ONE hash-fail — ``kendalls_w_concordance``,
+# whose oracle emitted DOUBLE where Spark emitted BIGINT (dtype only; values
+# identical — r11 verdict item 1). Round 12 fixes that oracle (``s4 // 4``)
+# and flips the pre-staged 49-query bank (``plans/bank_r12.py``, X345+) live
+# in registration order, filling the 50th slot with the kendalls_w RE-GREEN.
+# ``test_window_is_all_first_time_names`` counts only GREEN official records,
+# so the hash-failed name stays windowable — a re-green slot is exactly what
+# the rotation exists for.
 _PRIORITY = (
-    # --- round-11 bank flip (X296-X343, bank_r11.BANK_QUERIES order) ---
-    "cramer_von_mises_watson",
-    "anderson_darling_two_sample",
-    "kuiper_two_sample",
-    "mood_scale_ranks",
-    "quantile_shape_panel",
-    "sample_entropy_daily",
-    "permutation_entropy_daily",
-    "variance_ratio_daily",
-    "variogram_daily_lags",
-    "pot_gpd_pwm_fit",
-    "hapax_richness_panel",
-    "burrows_delta_sources",
-    "js_divergence_sources",
-    "kneser_ney_discounts",
-    "log_odds_dirichlet_terms",
-    "msttr_segmental_ttr",
-    "fleiss_kappa_days",
-    "did_2x2_panel",
-    "rdd_local_linear",
-    "inspection_paradox_gaps",
-    "rich_club_coefficient",
-    "embedding_anisotropy_panel",
-    "net_dollar_retention_cohort",
-    "duplicate_invoice_heuristic",
-    "harrell_c_index_sessions",
+    # --- round-12 bank flip (X345+, bank_r12.BANK_QUERIES order) ---
+    "theil_between_within_nations",
+    "wasserstein1_two_sample",
+    "energy_distance_two_sample",
+    "buishand_range_test",
+    "snht_homogeneity_scan",
+    "von_neumann_ratio_test",
+    "bartels_rank_test",
+    "cox_stuart_trend_test",
+    "chatterjee_xi_daily",
+    "bowker_symmetry_transitions",
+    "goodman_kruskal_lambda",
+    "renyi_entropy_spectrum",
+    "taylors_power_law",
+    "stuart_maxwell_test",
+    "krippendorff_alpha_binary",
+    "iv_wald_weekend",
+    "shewhart_xbar_r_chart",
+    "process_capability_cpk",
+    "hosmer_lemeshow_calibration",
+    "coleman_liau_ari_panel",
+    "juilland_dispersion_terms",
+    "token_char_entropy_topk",
+    "hellinger_affinity_panel",
+    "jackknife_richness_panel",
+    "shapley_channel_attribution",
+    "qini_uplift_deciles",
+    "ar_aging_buckets",
+    "eb_beta_binomial_shrinkage",
+    "james_stein_nation_means",
+    "wald_wolfowitz_runs",
+    "siegel_tukey_scale",
+    "conover_squared_ranks",
+    "err_cascade_ranking",
+    "rmst_sessions",
+    "newey_west_trend_se",
+    "siegel_repeated_medians_trend",
+    "hoeffding_d_daily",
+    "hash_permutation_mean_test",
+    "exp_rate_lr_gaps",
+    "ks_exponential_gaps",
+    "yuen_trimmed_t",
+    "breslow_day_homogeneity",
+    "negbin_mom_fit",
+    "naive_bayes_dow_type",
+    "fellegi_sunter_match_weights",
+    "cluster_validity_panel",
+    "simplified_silhouette_labels",
+    "hits_hubs_authorities",
+    "modularity_brand_partition",
+    # --- re-green (r11 official hash-fail, oracle dtype fixed this round;
+    # the only non-first-time name, permitted because its sole official
+    # record is RED) ---
     "kendalls_w_concordance",
-    "quade_test",
-    "seasonal_strength_panel",
-    "pattern_vshape_daily",
-    "record_counts_test",
-    "transfer_entropy_daily",
-    "huber_one_step_location",
-    "simpsons_paradox_audit",
-    "poisson_rate_ratio_weekend",
-    "markov_entropy_rate_events",
-    "pinball_loss_backtest",
-    "intermittent_demand_sbc",
-    "ks_uniform_dayofmonth",
-    "dimension_participation_ratio",
-    "anderson_darling_k_sample",
-    "seasonal_mann_kendall",
-    "heldout_unigram_crossent",
-    "upper_tail_dependence_daily",
-    "topk_churn_monthly",
-    "chao1_vocabulary_estimate",
-    "prr_error_by_weekday",
-    "split_half_reliability_users",
-    "categorical_association_matrix",
-    "retention_half_life_cohorts",
-    # --- rows-only tail (r10 verdict item 7): no SQL oracle by design;
-    # the driver records the weaker rows-only check for this one.
-    # (minhash_near_dup, its twin, already has its official rows-only
-    # record from CORRECTNESS_r02 — recycling it would break the
-    # first-time-names invariant.) ---
-    "ann_lsh_bucketed",
 )
 
 # Registry names that are rows-only BY DESIGN (registered without a DuckDB

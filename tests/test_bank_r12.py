@@ -1,13 +1,14 @@
-"""Round-12 bank verification (plans/bank_r12.py — STAGED, not live).
+"""Round-12 bank verification (plans/bank_r12.py — LIVE since round 12).
 
-Each pre-staged query runs against its DuckDB oracle with EXACTLY the
+Each bank query runs against its DuckDB oracle with EXACTLY the
 driver-gate compare (`tools/check.py` norm/canon: row count, column
-set, order-insensitive value hash), at two scale factors — so when
-round 12 flips the bank into the live registry the queries are already
-gate-green, and the no-new-debt invariant never sees them unverified.
+set, order-insensitive value hash), at two scale factors — the same
+pre-flip discipline that verified it while staged, kept running
+post-flip so the whole set stays pinned independently of the registry
+window (the bank_r11 protocol).
 
 Seeded with the three round-10 bank queries (X345-X347) that could not
-fit the round-11 window; round-11 fresh work appends after them.
+fit the round-11 window; round-12 authored the other 41 fresh.
 """
 
 from __future__ import annotations
@@ -51,16 +52,19 @@ def test_bank_is_fully_oracle_paired():
     assert len(bank_r12.BANK_QUERIES) >= 3
 
 
-def test_bank_is_not_in_the_live_registry():
-    # Pre-flip discipline: a staged name must not collide with (or
-    # leak into) the live registry until round 12 flips the module
-    # into plans._MODULES — otherwise test_no_new_official_debt would
-    # see an oracle-paired name without an official correctness row.
+def test_bank_is_live_and_fully_windowed():
+    # Post-flip invariants (round 12): every bank name registers live
+    # through plans.register, the module is in plans._MODULES, and the
+    # round-12 window is exactly the 49 bank names in registration
+    # order plus the kendalls_w_concordance re-green slot.
     from celestrak_tle_data_pipeline_spark import plans
 
     live = set(plans.all_queries())
-    assert not live & set(bank_r12.BANK_QUERIES)
-    assert "bank_r12" not in plans._MODULES
+    assert set(bank_r12.BANK_QUERIES) <= live
+    assert "bank_r12" in plans._MODULES
+    assert list(plans._PRIORITY[:49]) == list(bank_r12.BANK_QUERIES)
+    assert plans._PRIORITY[49] == "kendalls_w_concordance"
+    assert len(bank_r12.BANK_QUERIES) == 49
 
 
 def test_bank_outputs_are_scalar(spark):

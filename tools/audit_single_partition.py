@@ -165,6 +165,35 @@ ALLOWED: dict[str, str] = {
         "kaplan_meier_sessions / nelson_aalen_hazard; event-grain "
         "work is one duration rollup before the window)"
     ),
+    # --- round-12 bank flip ---
+    "chatterjee_xi_daily": (
+        "rank/lead windows over the calendar-day frame (~30 rows at "
+        "any SF — the cusum_changepoint_scan class; event-grain work "
+        "is one day rollup before the windows)"
+    ),
+    "hoeffding_d_daily": (
+        "two rank windows over the calendar-day frame (domain-bounded; "
+        "the dominance count is a bounded day x day join)"
+    ),
+    "newey_west_trend_se": (
+        "residual-lag window over the calendar-day frame (~2.4k rows — "
+        "the kpss_level_stationarity class; order-grain work is one "
+        "day rollup before the window)"
+    ),
+    "qini_uplift_deciles": (
+        "cumulative window over the 10-row decile frame (the "
+        "gains_chart_deciles class; deciles come from broadcast "
+        "percentile bounds, never a global sort)"
+    ),
+    "rmst_sessions": (
+        "KM risk/survival/step windows over the session-duration "
+        "minutes grid (the kaplan_meier_sessions class)"
+    ),
+    "wald_wolfowitz_runs": (
+        "block-boundary lag over the distinct-value-cents grid "
+        "(price-domain-bounded — the ansari_bradley_scale class; "
+        "event-grain work is one value rollup before the lag)"
+    ),
 }
 
 

@@ -7,7 +7,7 @@ int64-overflow bugs in power sums only show up at sf0.1+, so bank
 queries get the sf0.1 sweep BEFORE they flip into the live registry.
 
 Usage: python tools/bank_check.py [--module MOD] [name ...]
-(default module: bank_r12 — the currently-staged bank; pass
+(default module: bank_r12 — the most recently flipped bank; pass
 ``--module bank_r11`` / ``--module next_window`` to re-sweep the
 flipped rounds' bank dicts)
 """
