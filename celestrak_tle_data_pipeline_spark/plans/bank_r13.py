@@ -158,7 +158,7 @@ def var_cvar_historical(spark, sf_dir):
         QUALIFY loss IS NOT NULL
     ),
     split AS (
-        SELECT CAST(quantile_cont(day, 0.5) AS BIGINT) AS mid FROM chg
+        SELECT CAST(floor(quantile_cont(day, 0.5)) AS BIGINT) AS mid FROM chg
     ),
     est AS (
         SELECT round(quantile_cont(loss, 0.95), 2) AS var95
@@ -203,7 +203,7 @@ def kupiec_pof_backtest(spark, sf_dir):
         ).alias("loss"),
     ).where(F.col("loss").isNotNull()).persist()
     split = chg.agg(
-        F.expr("percentile(day, 0.5)").cast("bigint").alias("mid")
+        F.floor(F.expr("percentile(day, 0.5)")).cast("bigint").alias("mid")
     )
     est = (
         chg.crossJoin(F.broadcast(split))
@@ -257,8 +257,7 @@ def kupiec_pof_backtest(spark, sf_dir):
     f AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
                SUM(CAST(r AS DECIMAL(28,9))) AS s1,
-               SUM(CAST(r AS DECIMAL(28,9)) * CAST(r AS DECIMAL(28,9)))
-                   AS s2
+               SUM(CAST(round(r * r, 15) AS DECIMAL(28,15))) AS s2
         FROM ret
     )
     SELECT n AS n_returns,
@@ -298,8 +297,7 @@ def gbm_drift_vol_fit(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("r").cast("decimal(28,9)")).alias("s1"),
         F.sum(
-            F.col("r").cast("decimal(28,9)")
-            * F.col("r").cast("decimal(28,9)")
+            F.round(F.col("r") * F.col("r"), 15).cast("decimal(28,15)")
         ).alias("s2"),
     )
     n = F.col("n")
