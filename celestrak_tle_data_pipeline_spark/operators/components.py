@@ -27,10 +27,21 @@ def connected_components(
     a: str = "a",
     b: str = "b",
     max_iter: int = 20,
+    with_rounds: bool = False,
 ) -> DataFrame:
     """(a,b) undirected edges → (node, component) with component = the
     minimum node id reachable from ``node``. Deterministic by
-    construction (min is order-free)."""
+    construction (min is order-free).
+
+    ``with_rounds=True`` appends a constant ``rounds_to_fixpoint``
+    column — the number of propagation rounds executed before the
+    convergence probe came back empty — so the bounded-iteration
+    contract is SELF-DESCRIBING at larger scale factors (r11 verdict
+    item 7): a caller watching that number approach ``max_iter`` knows
+    the component diameter is outgrowing the bound long before the
+    loud RuntimeError fires. Registry queries keep the default (their
+    oracle-pinned schemas must not change); diagnostics and tests opt
+    in."""
     sym = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
@@ -44,8 +55,9 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
+    rounds = 0
     try:
-        for _ in range(max_iter):
+        for rounds in range(1, max_iter + 1):
             neighbor_min = (
                 sym.join(labels, sym.dst == labels.node)
                 .groupBy("src")
@@ -80,6 +92,10 @@ def connected_components(
                 f"connected_components did not converge in {max_iter} "
                 "iterations (component diameter exceeds max_iter); "
                 "raise max_iter"
+            )
+        if with_rounds:
+            labels = labels.withColumn(
+                "rounds_to_fixpoint", F.lit(rounds).cast("int")
             )
         return labels
     finally:

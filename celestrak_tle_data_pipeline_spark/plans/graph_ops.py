@@ -319,6 +319,39 @@ def copurchase_kcore_peel(spark, sf_dir):
     )
 
 
+def kcore_rounds_to_fixpoint(
+    spark, sf_dir, k: int = 3, max_rounds: int = _KCORE_ROUNDS
+) -> int:
+    """Diagnostic companion to ``copurchase_kcore_peel`` (r11 verdict
+    item 7): run the identical peel WITH convergence detection and
+    return the round at which the alive set stops shrinking — the
+    number that certifies the registered query's fixed ``_KCORE_ROUNDS``
+    bound actually covers the data at a given SF. Not registered (the
+    gated query's oracle-pinned schema must stay unchanged); pinned by
+    ``tests/test_ops_composition.py`` at the test SFs and available as
+    a scale-up preflight. Each round is one alive-count action — the
+    same join+agg shape, plus a count."""
+    half = _half_edges(spark, sf_dir, 2)
+    edges = _sym(half).localCheckpoint()
+    alive = edges.select(F.col("u").alias("node")).distinct().persist()
+    n_prev = alive.count()
+    for rounds in range(1, max_rounds + 1):
+        alive = (
+            edges.join(alive.withColumnRenamed("node", "u"), "u")
+            .join(alive.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select(F.col("u").alias("node"))
+            .localCheckpoint()
+        )
+        n = alive.count()
+        if n == n_prev:
+            return rounds
+        n_prev = n
+    return max_rounds + 1  # did NOT reach fixpoint within the bound
+
+
 # --------------------------------------------------------------------------
 # X250: seeded (personalized) PageRank over the co-purchase graph
 # --------------------------------------------------------------------------

@@ -161,3 +161,41 @@ def test_ingest_to_maintenance_loop(spark, tmp_path):
     assert {r[0] for r in after} == (
         {500, 501, 502, 503, 504, 505, 600, 601} | {700, 701, 702, 703}
     )
+
+
+def test_rounds_to_fixpoint_self_description(spark):
+    # r11 verdict item 7: bounded-iteration contracts self-describe.
+    # (a) connected_components(with_rounds=True) appends the constant
+    # rounds column and converges well under the bound on a chain
+    # graph of diameter 4; (b) the k-core diagnostic returns a round
+    # count within the registered query's fixed _KCORE_ROUNDS bound.
+    from celestrak_tle_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from celestrak_tle_data_pipeline_spark.plans.graph_ops import (
+        _KCORE_ROUNDS,
+        kcore_rounds_to_fixpoint,
+    )
+
+    from conftest import SF_DIR
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "a long, b long"
+    )
+    out = connected_components(chain, with_rounds=True)
+    assert "rounds_to_fixpoint" in out.columns
+    rows = out.collect()
+    rounds = {r.rounds_to_fixpoint for r in rows}
+    assert len(rounds) == 1  # constant column
+    assert rounds.pop() <= 20
+    comps = {r.node: r.component for r in rows}
+    assert comps[5] == 1 and comps[11] == 10
+
+    # the plain call's schema is untouched (oracle-pinned queries)
+    assert "rounds_to_fixpoint" not in connected_components(chain).columns
+
+    kr = kcore_rounds_to_fixpoint(spark, SF_DIR)
+    assert kr <= _KCORE_ROUNDS, (
+        f"k-core fixpoint took {kr} rounds; registered bound is "
+        f"{_KCORE_ROUNDS} — raise _KCORE_ROUNDS before the next SF jump"
+    )
