@@ -112,7 +112,7 @@ def theil_between_within_nations(spark, sf_dir):
     T_total = T_between + T_within exactly (Theil's additive
     decomposability — the property Gini famously lacks and the reason
     development economics uses Theil for group accounting): how much
-    spend inequality is across-country差 vs within-country. Uses the
+    spend inequality is across-country vs within-country. Uses the
     identity T = Σx·ln(x)/S − ln(S/N) so the whole statistic needs
     only three folds (N, S, Σx·ln x) globally and per group.
     Extends customer_inequality_panel (corpus-wide scalars) with the

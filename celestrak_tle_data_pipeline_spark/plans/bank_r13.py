@@ -577,3 +577,815 @@ def page_hinkley_drift(spark, sf_dir):
         ),
         "argmax_day",
     )
+
+
+# --------------------------------------------------------------------------
+# Integrated autocorrelation time of the daily revenue series
+# --------------------------------------------------------------------------
+@register(
+    "integrated_autocorr_time",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s
+        FROM daily
+    ),
+    d AS (
+        SELECT day,
+               round(y - m.s * 1.0 / m.n, 6) AS e
+        FROM daily, m
+    ),
+    lagged AS (
+        SELECT e,
+               LAG(e, 1) OVER (ORDER BY day) AS e1,
+               LAG(e, 2) OVER (ORDER BY day) AS e2,
+               LAG(e, 3) OVER (ORDER BY day) AS e3,
+               LAG(e, 4) OVER (ORDER BY day) AS e4,
+               LAG(e, 5) OVER (ORDER BY day) AS e5
+        FROM d
+    ),
+    g AS (
+        SELECT
+          CAST(round(SUM(CAST(round(e * e / 1.0e6, 9)
+              AS DECIMAL(38,9))), 9) AS DOUBLE) AS g0,
+          CAST(round(SUM(CAST(round(e * e1 / 1.0e6, 9)
+              AS DECIMAL(38,9))), 9) AS DOUBLE) AS g1,
+          CAST(round(SUM(CAST(round(e * e2 / 1.0e6, 9)
+              AS DECIMAL(38,9))), 9) AS DOUBLE) AS g2,
+          CAST(round(SUM(CAST(round(e * e3 / 1.0e6, 9)
+              AS DECIMAL(38,9))), 9) AS DOUBLE) AS g3,
+          CAST(round(SUM(CAST(round(e * e4 / 1.0e6, 9)
+              AS DECIMAL(38,9))), 9) AS DOUBLE) AS g4,
+          CAST(round(SUM(CAST(round(e * e5 / 1.0e6, 9)
+              AS DECIMAL(38,9))), 9) AS DOUBLE) AS g5
+        FROM lagged
+    )
+    SELECT (SELECT n FROM m) AS n_days,
+           round(g1 / g0, 6) + 0.0 AS rho_1,
+           round(g2 / g0, 6) + 0.0 AS rho_2,
+           round(g3 / g0, 6) + 0.0 AS rho_3,
+           round(g4 / g0, 6) + 0.0 AS rho_4,
+           round(g5 / g0, 6) + 0.0 AS rho_5,
+           round(1.0 + 2.0 * (g1 / g0 + g2 / g0 + g3 / g0
+                              + g4 / g0 + g5 / g0), 6) + 0.0
+               AS tau_integrated
+    FROM g
+    """,
+)
+def integrated_autocorr_time(spark, sf_dir):
+    """Integrated autocorrelation time tau = 1 + 2*sum rho_k (k <= 5)
+    of the daily revenue series, with the first five autocorrelations:
+    the effective-sample-size deflator (n_eff = n / tau) that says how
+    much the day-to-day dependence the registry's Durbin-Watson / ACF
+    queries DETECT actually costs in estimator precision — the number
+    an A/B power calculation on daily metrics must divide by.
+    Deviations from the pinned (1e-6-rounded) mean fold as rounded
+    lag products in DECIMAL (scaled by 1e6 cents^2 to keep the folds
+    in range); each rho is one division of those folds. Plan: day
+    rollup, one 5-lag window over the calendar frame, one fold."""
+    daily = _daily(spark, sf_dir)
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    d = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n",
+        F.round(F.col("y") - F.col("s") * 1.0 / F.col("n"), 6).alias(
+            "e"
+        ),
+    )
+    wo = Window.orderBy("day")
+    lagged = d.select(
+        "n",
+        "e",
+        *[F.lag("e", i).over(wo).alias(f"e{i}") for i in range(1, 6)],
+    )
+    def fold(col):
+        return (
+            F.round(
+                F.sum(
+                    F.round(F.col("e") * col / 1.0e6, 9).cast(
+                        "decimal(38,9)"
+                    )
+                ),
+                9,
+            )
+            .cast("double")
+        )
+    g = lagged.agg(
+        F.max("n").alias("n"),
+        fold(F.col("e")).alias("g0"),
+        *[fold(F.col(f"e{i}")).alias(f"g{i}") for i in range(1, 6)],
+    )
+    rhos = [F.col(f"g{i}") / F.col("g0") for i in range(1, 6)]
+    return g.select(
+        F.col("n").alias("n_days"),
+        *[
+            (F.round(r, 6) + 0.0).alias(f"rho_{i}")
+            for i, r in enumerate(rhos, 1)
+        ],
+        (
+            F.round(
+                1.0
+                + 2.0
+                * (rhos[0] + rhos[1] + rhos[2] + rhos[3] + rhos[4]),
+                6,
+            )
+            + 0.0
+        ).alias("tau_integrated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gwet's AC1 agreement coefficient over the day x type busy grid
+# --------------------------------------------------------------------------
+@register(
+    "gwet_ac1_agreement",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.day, ty.event_type, COALESCE(x.c, 0) AS c
+        FROM (SELECT DISTINCT day FROM daily) d
+        CROSS JOIN (SELECT DISTINCT event_type FROM daily) ty
+        LEFT JOIN daily x
+          ON x.day = d.day AND x.event_type = ty.event_type
+    ),
+    tym AS (
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM grid GROUP BY event_type
+    ),
+    unit AS (
+        SELECT g.day,
+               CAST(SUM(CASE WHEN g.c * t.nd > t.s
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN g.c * t.nd > t.s
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n0
+        FROM grid g JOIN tym t ON g.event_type = t.event_type
+        GROUP BY g.day
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS u,
+               CAST(SUM(n1) AS BIGINT) AS t1,
+               CAST(SUM(n0 + n1) AS BIGINT) AS n,
+               CAST(SUM(n1 * (n1 - 1) + n0 * (n0 - 1)) AS BIGINT)
+                   AS agree
+        FROM unit
+    )
+    SELECT u AS n_units,
+           round(agree / (u * 20.0), 9) AS pa,
+           round((agree / (u * 20.0)
+                  - 2.0 * (t1 * 1.0 / n) * (1.0 - t1 * 1.0 / n))
+                 / (1.0 - 2.0 * (t1 * 1.0 / n)
+                          * (1.0 - t1 * 1.0 / n)), 6) + 0.0
+               AS gwet_ac1
+    FROM s
+    """,
+)
+def gwet_ac1_agreement(spark, sf_dir):
+    """Gwet's AC1 agreement coefficient on the binary day x type busy
+    grid (the krippendorff_alpha_binary construction, m = 5 coders per
+    unit): Pa = mean within-unit pairwise agreement, and AC1's chance
+    correction Pe = 2*pi*(1-pi) — designed to avoid the kappa paradox
+    (kappa collapsing when the busy/quiet marginal is skewed, exactly
+    when agreement is easiest). Alongside the registry's Fleiss kappa
+    and the bank's Krippendorff alpha this completes the
+    chance-corrected-agreement triad whose DISAGREEMENT is itself the
+    diagnostic (all three close: trust any; AC1 >> kappa: marginal
+    skew, not rater quality). Agreement pair counts are exact integers
+    (n1(n1-1) + n0(n0-1) over 20 ordered pairs per unit); Pa and AC1
+    are terminal expressions. Plan: one (day, type) rollup, domain
+    grid fill, two bounded folds."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c")).persist()
+    grid = (
+        daily.select("day")
+        .distinct()
+        .crossJoin(F.broadcast(daily.select("event_type").distinct()))
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    tym = daily.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("s")
+    )
+    nd = daily.select("day").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd")
+    )
+    busy = (
+        grid.join(F.broadcast(tym), "event_type")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "day",
+            F.when(F.col("c") * F.col("nd") > F.col("s"), 1)
+            .otherwise(0)
+            .alias("v"),
+        )
+    )
+    unit = busy.groupBy("day").agg(
+        F.sum("v").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("v")).cast("bigint").alias("n0"),
+    )
+    s = unit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("u"),
+        F.sum("n1").cast("bigint").alias("t1"),
+        F.sum(F.col("n0") + F.col("n1")).cast("bigint").alias("n"),
+        F.sum(
+            F.col("n1") * (F.col("n1") - 1)
+            + F.col("n0") * (F.col("n0") - 1)
+        )
+        .cast("bigint")
+        .alias("agree"),
+    )
+    pa = F.col("agree") / (F.col("u") * 20.0)
+    pi = F.col("t1") * 1.0 / F.col("n")
+    pe = 2.0 * pi * (1.0 - pi)
+    return s.select(
+        F.col("u").alias("n_units"),
+        F.round(pa, 9).alias("pa"),
+        (F.round((pa - pe) / (1.0 - pe), 6) + 0.0).alias("gwet_ac1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Goh-Barabasi burstiness + memory coefficient per event type
+# --------------------------------------------------------------------------
+@register(
+    "burstiness_memory_panel",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type, user_id, ts, event_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY event_type, user_id
+                   ORDER BY ts, event_id) AS gap
+        FROM events
+    ),
+    seq AS (
+        SELECT event_type, gap,
+               LAG(gap) OVER (
+                   PARTITION BY event_type, user_id
+                   ORDER BY ts, event_id) AS prev_gap
+        FROM gaps
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(gap) AS BIGINT) AS s1,
+               CAST(SUM(CAST(gap AS DECIMAL(38,0)) * gap)
+                    AS DECIMAL(38,0)) AS s2
+        FROM seq WHERE gap IS NOT NULL GROUP BY event_type
+    ),
+    p AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(SUM(gap) AS BIGINT) AS sx,
+               CAST(SUM(prev_gap) AS BIGINT) AS sy,
+               CAST(SUM(CAST(gap AS DECIMAL(38,0)) * prev_gap)
+                    AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(gap AS DECIMAL(38,0)) * gap)
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(prev_gap AS DECIMAL(38,0)) * prev_gap)
+                    AS DECIMAL(38,0)) AS syy
+        FROM seq WHERE gap IS NOT NULL AND prev_gap IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT g.event_type,
+           g.n AS n_gaps,
+           round((sqrt((CAST(g.s2 AS DOUBLE)
+                        - CAST(g.s1 AS DOUBLE) * g.s1 / g.n) / g.n)
+                  - g.s1 * 1.0 / g.n)
+                 / (sqrt((CAST(g.s2 AS DOUBLE)
+                          - CAST(g.s1 AS DOUBLE) * g.s1 / g.n) / g.n)
+                    + g.s1 * 1.0 / g.n), 6) + 0.0 AS burstiness_b,
+           round((p.np * CAST(p.sxy AS DOUBLE)
+                  - CAST(p.sx AS DOUBLE) * p.sy)
+                 / (sqrt(p.np * CAST(p.sxx AS DOUBLE)
+                         - CAST(p.sx AS DOUBLE) * p.sx)
+                    * sqrt(p.np * CAST(p.syy AS DOUBLE)
+                           - CAST(p.sy AS DOUBLE) * p.sy)), 6) + 0.0
+               AS memory_m
+    FROM g JOIN p ON g.event_type = p.event_type
+    ORDER BY g.event_type
+    """,
+)
+def burstiness_memory_panel(spark, sf_dir):
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) and memory
+    coefficient M (lag-1 Pearson of consecutive gaps) per event type,
+    over per-user inter-event times: the (B, M) plane is THE standard
+    classification of point-process character — Poisson sits at (0, 0),
+    human activity at B > 0 (heavy-tailed gaps), periodic heartbeats
+    at B < 0 — and it decides whether rate-based capacity models
+    (poisson_rate_ratio, exp_rate_lr) are even admissible. Gaps are
+    exact integer microseconds; all five moment folds are exact
+    (gap^2 sums ride DECIMAL(38,0)); B and M are terminal expressions
+    with population-sigma and Pearson conventions documented. Plan:
+    two stacked lags in one user-partitioned window pass, two 5-row
+    rollups, one bounded join."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    us = F.unix_micros(F.col("ts"))
+    gaps = e.select(
+        "event_type",
+        "user_id",
+        "ts",
+        "event_id",
+        (us - F.lag(us).over(wu)).alias("gap"),
+    )
+    seq = gaps.select(
+        "event_type",
+        "gap",
+        F.lag("gap").over(wu).alias("prev_gap"),
+    ).persist()
+    g = seq.where(F.col("gap").isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("s1"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    p = (
+        seq.where(
+            F.col("gap").isNotNull() & F.col("prev_gap").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("np"),
+            F.sum("gap").cast("bigint").alias("sx"),
+            F.sum("prev_gap").cast("bigint").alias("sy"),
+            F.sum(
+                F.col("gap").cast("decimal(38,0)") * F.col("prev_gap")
+            )
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+            F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap"))
+            .cast("decimal(38,0)")
+            .alias("sxx"),
+            F.sum(
+                F.col("prev_gap").cast("decimal(38,0)")
+                * F.col("prev_gap")
+            )
+            .cast("decimal(38,0)")
+            .alias("syy"),
+        )
+    )
+    sigma = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+        )
+        / F.col("n")
+    )
+    mu = F.col("s1") * 1.0 / F.col("n")
+    mem = (
+        F.col("np") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.sqrt(
+            F.col("np") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * F.sqrt(
+            F.col("np") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return (
+        g.join(p, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_gaps"),
+            (
+                F.round((sigma - mu) / (sigma + mu), 6) + 0.0
+            ).alias("burstiness_b"),
+            (F.round(mem, 6) + 0.0).alias("memory_m"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Expected / maximum calibration error from the document score bins
+# --------------------------------------------------------------------------
+@register(
+    "ece_mce_calibration",
+    oracle="""
+    WITH b AS (
+        SELECT LEAST(n_chars // 60, 9) AS bin,
+               n_chars,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    g AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS s,
+               CAST(SUM(y) AS BIGINT) AS o
+        FROM b GROUP BY bin
+    ),
+    f AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(n) AS BIGINT) AS nd,
+               CAST(SUM(abs(s - 600 * o)) AS BIGINT) AS gapsum,
+               MAX(round(abs(s - 600 * o) * 1.0 / (600 * n), 9))
+                   AS mce
+        FROM g
+    )
+    SELECT n_bins, nd AS n_docs,
+           round(gapsum * 1.0 / (600 * nd), 9) AS ece,
+           mce + 0.0 AS mce
+    FROM f
+    """,
+)
+def ece_mce_calibration(spark, sf_dir):
+    """Expected and maximum calibration error of the document quality
+    score (same bins and pseudo-model as score_calibration_bins /
+    hosmer_lemeshow_calibration): ECE = sum_b (n_b/N)|conf_b - acc_b|,
+    MCE = max_b — the two numbers a model card reports where the
+    reliability diagram shows the curve and HL tests it. With score =
+    n_chars/600, the per-bin gap reduces EXACTLY: (n_b/N)|conf-acc| =
+    |S_b - 600 O_b| / (600 N), so ECE is one integer fold divided
+    once, and MCE is a max of per-bin rationals rounded at 1e-9 —
+    zero float accumulation anywhere. Plan: one 10-bin hash rollup,
+    one fold."""
+    d = t(spark, sf_dir, "documents")
+    b = d.select(
+        F.expr("least(n_chars div 60, 9)").alias("bin"),
+        "n_chars",
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.sum("y").cast("bigint").alias("o"),
+    )
+    gap = F.abs(F.col("s") - 600 * F.col("o"))
+    f = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("n").cast("bigint").alias("nd"),
+        F.sum(gap).cast("bigint").alias("gapsum"),
+        F.max(
+            F.round(gap * 1.0 / (600 * F.col("n")), 9)
+        ).alias("mce"),
+    )
+    return f.select(
+        "n_bins",
+        F.col("nd").alias("n_docs"),
+        F.round(
+            F.col("gapsum") * 1.0 / (600 * F.col("nd")), 9
+        ).alias("ece"),
+        (F.col("mce") + 0.0).alias("mce"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohen's q: weekend vs weekday daily count-value correlation gap
+# --------------------------------------------------------------------------
+@register(
+    "cohens_q_correlations",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 >= 5
+                    THEN 1 ELSE 0 END AS we,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT we, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * y)
+                    AS DECIMAL(38,0)) AS syy
+        FROM daily GROUP BY we
+    ),
+    r AS (
+        SELECT we, n,
+               round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     / (sqrt(n * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * sx)
+                        * sqrt(n * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * sy)), 9) AS rr
+        FROM g
+    )
+    SELECT MAX(CASE WHEN we = 1 THEN n END) AS n_weekend_days,
+           MAX(CASE WHEN we = 0 THEN n END) AS n_weekday_days,
+           MAX(CASE WHEN we = 1 THEN rr END) + 0.0 AS r_weekend,
+           MAX(CASE WHEN we = 0 THEN rr END) + 0.0 AS r_weekday,
+           round(0.5 * ln((1.0 + MAX(CASE WHEN we = 1 THEN rr END))
+                          / (1.0 - MAX(CASE WHEN we = 1 THEN rr END)))
+                 - 0.5 * ln((1.0 + MAX(CASE WHEN we = 0 THEN rr END))
+                            / (1.0 - MAX(CASE WHEN we = 0 THEN rr END))),
+                 6) + 0.0 AS cohens_q
+    FROM r
+    """,
+)
+def cohens_q_correlations(spark, sf_dir):
+    """Cohen's q — the effect size for COMPARING two correlations:
+    Fisher-z-transform the weekend and weekday daily count-value
+    Pearson correlations and difference them (q ~ 0.1/0.3/0.5 small/
+    medium/large). Answers "does volume couple to revenue differently
+    on weekends" in a metric that is variance-stabilized, where a raw
+    r gap is not comparable across base levels. Correlations come from
+    exact integer power sums (y^2 rides DECIMAL(38,0)) rounded at
+    1e-9; atanh is expressed as 0.5*ln((1+r)/(1-r)) — ln only, the
+    engine's safe transcendental set. Plan: one day rollup, one 2-row
+    moment fold, one pivot fold."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+    daily = e.groupBy(
+        day.alias("day"),
+        F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("we"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum((dec("value", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    g = daily.groupBy("we").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    rr = F.round(
+        (n * F.col("sxy").cast("double") - F.col("sx").cast("double")
+         * F.col("sy"))
+        / (
+            F.sqrt(
+                n * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            * F.sqrt(
+                n * F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy")
+            )
+        ),
+        9,
+    )
+    r = g.select("we", "n", rr.alias("rr"))
+    agg = r.agg(
+        F.max(F.when(F.col("we") == 1, F.col("n"))).alias(
+            "n_weekend_days"
+        ),
+        F.max(F.when(F.col("we") == 0, F.col("n"))).alias(
+            "n_weekday_days"
+        ),
+        F.max(F.when(F.col("we") == 1, F.col("rr"))).alias("r1"),
+        F.max(F.when(F.col("we") == 0, F.col("rr"))).alias("r0"),
+    )
+    def fisher_z(c):
+        return 0.5 * F.log((1.0 + c) / (1.0 - c))
+    return agg.select(
+        "n_weekend_days",
+        "n_weekday_days",
+        (F.col("r1") + 0.0).alias("r_weekend"),
+        (F.col("r0") + 0.0).alias("r_weekday"),
+        (
+            F.round(
+                fisher_z(F.col("r1")) - fisher_z(F.col("r0")), 6
+            )
+            + 0.0
+        ).alias("cohens_q"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini inequality of the co-purchase degree distribution
+# --------------------------------------------------------------------------
+@register(
+    "degree_gini_inequality",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT pk, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT p1 AS pk FROM edges
+              UNION ALL SELECT p2 FROM edges)
+        GROUP BY pk
+    ),
+    dist AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY d
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(d * c) AS BIGINT) AS s
+        FROM dist
+    ),
+    pairs AS (
+        SELECT CAST(SUM(a.c * b.c * (b.d - a.d)) AS BIGINT) AS absdiff
+        FROM dist a JOIN dist b ON a.d < b.d
+    )
+    SELECT tot.n AS n_nodes,
+           round(tot.s * 1.0 / tot.n, 6) AS mean_degree,
+           round(2.0 * pairs.absdiff
+                 / (2.0 * tot.n * tot.s), 6) + 0.0 AS degree_gini
+    FROM tot, pairs
+    """,
+)
+def degree_gini_inequality(spark, sf_dir):
+    """Gini coefficient of the co-purchase graph's degree distribution:
+    how concentrated product connectivity is (0 = every part equally
+    connected, ->1 = a few hub products hold all the affinity). The
+    graph-structural complement of the registry's revenue Gini /
+    power-law tiers — and the number that predicts whether hub-salting
+    is needed before any per-neighbor fan-out at scale. Uses the
+    grouped pairwise identity sum|di-dj| = 2*sum_{d<e} c_d c_e (e-d)
+    over the DISTINCT-DEGREE grid (bounded by the degree support, not
+    the node count), so everything is exact integer arithmetic with
+    one terminal division. Plan: order-blocked edge build, degree
+    rollup, distinct-degree rollup, bounded triangular join."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("p1").alias("pk"))
+        .unionAll(edges.select(F.col("p2").alias("pk")))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    dist = deg.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    tot = dist.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("d") * F.col("c")).cast("bigint").alias("s"),
+    )
+    db = dist.select(
+        F.col("d").alias("d2"), F.col("c").alias("c2")
+    )
+    pairs = (
+        dist.join(F.broadcast(db), F.col("d") < F.col("d2"))
+        .agg(
+            F.sum(
+                F.col("c") * F.col("c2") * (F.col("d2") - F.col("d"))
+            )
+            .cast("bigint")
+            .alias("absdiff")
+        )
+    )
+    return tot.crossJoin(F.broadcast(pairs)).select(
+        F.col("n").alias("n_nodes"),
+        F.round(F.col("s") * 1.0 / F.col("n"), 6).alias("mean_degree"),
+        (
+            F.round(
+                2.0 * F.col("absdiff") / (2.0 * F.col("n") * F.col("s")),
+                6,
+            )
+            + 0.0
+        ).alias("degree_gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford second-digit MAD conformity of order totals
+# --------------------------------------------------------------------------
+@register(
+    "benford_second_digit_mad",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS x
+        FROM orders
+    ),
+    d2 AS (
+        SELECT CAST(substr(CAST(x AS VARCHAR), 2, 1) AS BIGINT) AS dig
+        FROM cents WHERE x >= 10
+    ),
+    obs AS (
+        SELECT dig, CAST(COUNT(*) AS BIGINT) AS c FROM d2 GROUP BY dig
+    ),
+    grid AS (
+        SELECT g.dig, COALESCE(o.c, 0) AS c,
+               CASE g.dig
+                 WHEN 0 THEN 0.119679269 WHEN 1 THEN 0.113890103
+                 WHEN 2 THEN 0.108821499 WHEN 3 THEN 0.10432956
+                 WHEN 4 THEN 0.100308202 WHEN 5 THEN 0.096677236
+                 WHEN 6 THEN 0.093374736 WHEN 7 THEN 0.090351989
+                 WHEN 8 THEN 0.087570054 ELSE 0.084997352 END AS p
+        FROM (SELECT UNNEST(range(10)) AS dig) g
+        LEFT JOIN obs o ON o.dig = g.dig
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM grid)
+    SELECT n.n AS n_values,
+           round(CAST(round(SUM(CAST(round(
+                 abs(g.c * 1.0 / n.n - g.p), 12) AS DECIMAL(20,12))),
+                 12) AS DOUBLE) / 10.0, 9) AS mad,
+           CASE
+             WHEN CAST(round(SUM(CAST(round(abs(g.c * 1.0 / n.n - g.p),
+                  12) AS DECIMAL(20,12))), 12) AS DOUBLE) / 10.0
+                  < 0.008 THEN 'close'
+             WHEN CAST(round(SUM(CAST(round(abs(g.c * 1.0 / n.n - g.p),
+                  12) AS DECIMAL(20,12))), 12) AS DOUBLE) / 10.0
+                  < 0.01 THEN 'acceptable'
+             WHEN CAST(round(SUM(CAST(round(abs(g.c * 1.0 / n.n - g.p),
+                  12) AS DECIMAL(20,12))), 12) AS DOUBLE) / 10.0
+                  < 0.012 THEN 'marginal'
+             ELSE 'nonconforming' END AS nigrini_verdict
+    FROM grid g, n GROUP BY n.n
+    """,
+)
+def benford_second_digit_mad(spark, sf_dir):
+    """Benford SECOND-digit MAD conformity of order totals (in exact
+    cents): observed second-significant-digit shares against the
+    Benford-2 expectation p_d = sum_k log10(1 + 1/(10k+d)) (embedded
+    as literal constants so no cross-engine log10), summarized by
+    Nigrini's mean-absolute-deviation with his published conformity
+    bands. The second digit is THE forensic-accounting screen for
+    psychological pricing and invented numbers (first digits pass
+    while second digits pile on 0/5) — complementing the registry's
+    first-digit chi2. Digits come from the integer's STRING form
+    (both engines render BIGINT identically — no float log10
+    boundary); per-digit gaps round at 1e-12 and fold in DECIMAL over
+    the 10-row digit domain. Plan: one scan projection, one 10-row
+    rollup, domain-grid fill, one fold."""
+    o = t(spark, sf_dir, "orders")
+    cents = o.select(
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("x")
+    )
+    d2 = cents.where(F.col("x") >= 10).select(
+        F.expr("CAST(substr(CAST(x AS STRING), 2, 1) AS BIGINT)").alias(
+            "dig"
+        )
+    )
+    obs = d2.groupBy("dig").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    probs = [
+        0.119679269, 0.113890103, 0.108821499, 0.10432956,
+        0.100308202, 0.096677236, 0.093374736, 0.090351989,
+        0.087570054, 0.084997352,
+    ]
+    p_expr = F.element_at(
+        F.array(*[F.lit(p) for p in probs]), F.col("dig").cast("int") + 1
+    )
+    grid = (
+        spark.range(10)
+        .select(F.col("id").cast("bigint").alias("dig"))
+        .join(F.broadcast(obs), "dig", "left")
+        .select(
+            "dig",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            p_expr.alias("p"),
+        )
+    )
+    n = grid.agg(F.sum("c").cast("bigint").alias("n"))
+    mad = (
+        F.round(
+            F.sum(
+                F.round(
+                    F.abs(F.col("c") * 1.0 / F.col("n") - F.col("p")),
+                    12,
+                ).cast("decimal(20,12)")
+            ),
+            12,
+        ).cast("double")
+        / 10.0
+    )
+    f = grid.crossJoin(F.broadcast(n)).groupBy("n").agg(
+        mad.alias("mad_raw")
+    )
+    return f.select(
+        F.col("n").alias("n_values"),
+        F.round(F.col("mad_raw"), 9).alias("mad"),
+        F.when(F.col("mad_raw") < 0.008, "close")
+        .when(F.col("mad_raw") < 0.01, "acceptable")
+        .when(F.col("mad_raw") < 0.012, "marginal")
+        .otherwise("nonconforming")
+        .alias("nigrini_verdict"),
+    )
