@@ -1389,3 +1389,579 @@ def benford_second_digit_mad(spark, sf_dir):
         .otherwise("nonconforming")
         .alias("nigrini_verdict"),
     )
+
+
+# --------------------------------------------------------------------------
+# Elementary price indices (Carli / Dutot / Jevons) by ship month
+# --------------------------------------------------------------------------
+@register(
+    "elementary_price_indices",
+    oracle="""
+    WITH pm AS (
+        SELECT l_partkey AS pk,
+               CAST(epoch_us(date_trunc('month', l_shipdate))
+                    // 86400000000 AS BIGINT) AS mo,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS sp,
+               CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS sq
+        FROM lineitem GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT pk, sp AS sp0, sq AS sq0
+        FROM pm WHERE mo = (SELECT MIN(mo) FROM pm)
+    ),
+    matched AS (
+        SELECT pm.mo,
+               round(pm.sp * 1.0 / pm.sq
+                     / (b.sp0 * 1.0 / b.sq0), 9) AS rel,
+               pm.sp * 1.0 / pm.sq AS pt,
+               b.sp0 * 1.0 / b.sq0 AS p0
+        FROM pm JOIN base b ON pm.pk = b.pk
+    )
+    SELECT mo AS month_day,
+           CAST(COUNT(*) AS BIGINT) AS n_matched_parts,
+           round(CAST(round(SUM(CAST(round(rel, 9) AS DECIMAL(28,9))),
+                 9) AS DOUBLE) / COUNT(*), 6) AS carli,
+           round(CAST(round(SUM(CAST(round(pt, 6) AS DECIMAL(28,6))),
+                 6) AS DOUBLE)
+                 / CAST(round(SUM(CAST(round(p0, 6) AS DECIMAL(28,6))),
+                   6) AS DOUBLE), 6) AS dutot,
+           round(exp(CAST(round(SUM(CAST(round(ln(rel), 9)
+                 AS DECIMAL(28,9))), 9) AS DOUBLE) / COUNT(*)), 6)
+               AS jevons
+    FROM matched GROUP BY mo ORDER BY mo
+    """,
+)
+def elementary_price_indices(spark, sf_dir):
+    """The three classical ELEMENTARY price indices per ship month
+    against the first month as base, over matched parts: Carli
+    (arithmetic mean of price relatives — upward-biased, famously
+    banned from RPI), Dutot (ratio of average prices — quantity-proxy
+    sensitive), and Jevons (geometric mean — the CPI standard since
+    the Boskin report). Their SPREAD is the index-number-problem
+    diagnostic the registry's Fisher index (aggregate level) cannot
+    show. Unit prices are ratios of exact integer folds (cents /
+    integral quantities, floor-cast); relatives and ln-relatives
+    round at 1e-9 and fold in DECIMAL per month. Plan: one
+    (part, month) rollup, a base-month broadcast join, one month
+    rollup — all hash aggs, no windows."""
+    li = t(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.floor(
+            F.unix_micros(F.date_trunc("month", "l_shipdate"))
+            / 86_400_000_000
+        )
+        .cast("bigint")
+        .alias("mo"),
+    ).agg(
+        F.sum((dec("l_extendedprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sp"),
+        F.sum(F.floor("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("sq"),
+    ).persist()
+    m0 = pm.agg(F.min("mo").alias("mo0"))
+    base = (
+        pm.crossJoin(F.broadcast(m0))
+        .where(F.col("mo") == F.col("mo0"))
+        .select(
+            "pk",
+            F.col("sp").alias("sp0"),
+            F.col("sq").alias("sq0"),
+        )
+    )
+    pt = F.col("sp") * 1.0 / F.col("sq")
+    p0 = F.col("sp0") * 1.0 / F.col("sq0")
+    matched = pm.join(base, "pk").select(
+        "mo",
+        F.round(pt / p0, 9).alias("rel"),
+        pt.alias("pt"),
+        p0.alias("p0"),
+    )
+    return (
+        matched.groupBy(F.col("mo").alias("month_day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched_parts"),
+            F.round(
+                F.round(
+                    F.sum(
+                        F.round(F.col("rel"), 9).cast("decimal(28,9)")
+                    ),
+                    9,
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("carli"),
+            F.round(
+                F.round(
+                    F.sum(
+                        F.round(F.col("pt"), 6).cast("decimal(28,6)")
+                    ),
+                    6,
+                ).cast("double")
+                / F.round(
+                    F.sum(
+                        F.round(F.col("p0"), 6).cast("decimal(28,6)")
+                    ),
+                    6,
+                ).cast("double"),
+                6,
+            ).alias("dutot"),
+            F.round(
+                F.exp(
+                    F.round(
+                        F.sum(
+                            F.round(F.log("rel"), 9).cast(
+                                "decimal(28,9)"
+                            )
+                        ),
+                        9,
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                6,
+            ).alias("jevons"),
+        )
+        .orderBy("month_day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Oaxaca-Blinder decomposition of the weekend value gap
+# --------------------------------------------------------------------------
+@register(
+    "oaxaca_blinder_gap",
+    oracle="""
+    WITH cell AS (
+        SELECT CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 >= 5
+                    THEN 1 ELSE 0 END AS we,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT we, CAST(SUM(n) AS BIGINT) AS ng FROM cell GROUP BY we
+    ),
+    terms AS (
+        SELECT c1.event_type,
+               c1.n * 1.0 / g1.ng AS w1,
+               c0.n * 1.0 / g0.ng AS w0,
+               c1.s * 1.0 / (100.0 * c1.n) AS m1,
+               c0.s * 1.0 / (100.0 * c0.n) AS m0
+        FROM cell c1
+        JOIN cell c0 ON c1.event_type = c0.event_type
+        JOIN g g1 ON g1.we = 1 JOIN g g0 ON g0.we = 0
+        WHERE c1.we = 1 AND c0.we = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           round(CAST(round(SUM(CAST(round(w1 * m1 - w0 * m0, 9)
+                 AS DECIMAL(28,9))), 9) AS DOUBLE), 6) + 0.0
+               AS total_gap,
+           round(CAST(round(SUM(CAST(round((w1 - w0) * m0, 9)
+                 AS DECIMAL(28,9))), 9) AS DOUBLE), 6) + 0.0
+               AS composition_effect,
+           round(CAST(round(SUM(CAST(round(w0 * (m1 - m0), 9)
+                 AS DECIMAL(28,9))), 9) AS DOUBLE), 6) + 0.0
+               AS rate_effect,
+           round(CAST(round(SUM(CAST(round((w1 - w0) * (m1 - m0), 9)
+                 AS DECIMAL(28,9))), 9) AS DOUBLE), 6) + 0.0
+               AS interaction_effect
+    FROM terms
+    """,
+)
+def oaxaca_blinder_gap(spark, sf_dir):
+    """Oaxaca-Blinder (Kitagawa) decomposition of the weekend-vs-
+    weekday mean event value gap over event types: gap = composition
+    (weekend does MORE of the pricey event types, at weekday rates) +
+    rate (each type pays differently on weekends, at weekday mix) +
+    interaction — the accounting that tells a growth team whether a
+    weekend premium is mix-shift or true per-event lift. The identity
+    total = composition + rate + interaction holds exactly by
+    construction. Weights and means are exact integer-count/cent
+    ratios; the four folds run on 1e-9-rounded terms in DECIMAL over
+    the 5-type domain. Plan: one (we, type) rollup, broadcast group
+    totals, one 5-row fold."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000)
+    cell = e.groupBy(
+        F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("we"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((dec("value", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("s"),
+    ).persist()
+    g = cell.groupBy("we").agg(F.sum("n").cast("bigint").alias("ng"))
+    c1 = cell.where(F.col("we") == 1).select(
+        "event_type", F.col("n").alias("n1"), F.col("s").alias("s1")
+    )
+    c0 = cell.where(F.col("we") == 0).select(
+        "event_type", F.col("n").alias("n0"), F.col("s").alias("s0")
+    )
+    g1 = g.where(F.col("we") == 1).select(F.col("ng").alias("ng1"))
+    g0 = g.where(F.col("we") == 0).select(F.col("ng").alias("ng0"))
+    terms = (
+        c1.join(c0, "event_type")
+        .crossJoin(F.broadcast(g1))
+        .crossJoin(F.broadcast(g0))
+        .select(
+            (F.col("n1") * 1.0 / F.col("ng1")).alias("w1"),
+            (F.col("n0") * 1.0 / F.col("ng0")).alias("w0"),
+            (F.col("s1") * 1.0 / (100.0 * F.col("n1"))).alias("m1"),
+            (F.col("s0") * 1.0 / (100.0 * F.col("n0"))).alias("m0"),
+        )
+    )
+    def fold(expr):
+        return (
+            F.round(
+                F.round(
+                    F.sum(F.round(expr, 9).cast("decimal(28,9)")), 9
+                ).cast("double"),
+                6,
+            )
+            + 0.0
+        )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        fold(
+            F.col("w1") * F.col("m1") - F.col("w0") * F.col("m0")
+        ).alias("total_gap"),
+        fold((F.col("w1") - F.col("w0")) * F.col("m0")).alias(
+            "composition_effect"
+        ),
+        fold(F.col("w0") * (F.col("m1") - F.col("m0"))).alias(
+            "rate_effect"
+        ),
+        fold(
+            (F.col("w1") - F.col("w0")) * (F.col("m1") - F.col("m0"))
+        ).alias("interaction_effect"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Indirectly standardized failure ratios (SIR) by region
+# --------------------------------------------------------------------------
+@register(
+    "indirect_standardization_sir",
+    oracle="""
+    WITH tab AS (
+        SELECT r.r_regionkey AS rk,
+               CAST((epoch_us(o.o_orderdate) // 86400000000 + 4) % 7
+                    AS BIGINT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o.o_orderstatus = 'F'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS f
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation na ON c.c_nationkey = na.n_nationkey
+        JOIN region r ON na.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    ),
+    rate AS (
+        SELECT dow,
+               CAST(SUM(f) AS BIGINT) AS tf,
+               CAST(SUM(n) AS BIGINT) AS tn
+        FROM tab GROUP BY dow
+    ),
+    reg AS (
+        SELECT t.rk,
+               CAST(SUM(t.n) AS BIGINT) AS n,
+               CAST(SUM(t.f) AS BIGINT) AS observed,
+               CAST(round(SUM(CAST(round(t.n * (r.tf * 1.0 / r.tn), 9)
+                   AS DECIMAL(28,9))), 9) AS DOUBLE) AS expected
+        FROM tab t JOIN rate r ON t.dow = r.dow
+        GROUP BY t.rk
+    )
+    SELECT rk AS regionkey, n AS n_orders, observed,
+           round(expected, 4) AS expected,
+           round(observed / expected, 6) AS sir
+    FROM reg ORDER BY rk
+    """,
+)
+def indirect_standardization_sir(spark, sf_dir):
+    """Indirectly standardized failure ratios by region: expected
+    failures per region under the GLOBAL weekday-specific failure
+    rates applied to each region's own weekday mix, and SIR =
+    observed/expected — the epidemiology-standard adjustment (SMR)
+    that separates "this region fails more" from "this region just
+    orders on bad weekdays". The grouped-data companion of the
+    registry's Mantel-Haenszel / Breslow-Day strata tier. Counts are
+    exact integers; expected folds 1e-9-rounded n*rate terms in
+    DECIMAL over the 7-row dow domain per region; SIR is one terminal
+    division. Plan: three broadcast dim hops, one 35-cell rollup, a
+    7-row rate broadcast, one 5-row fold."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    na = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+    )
+    day = F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+    tab = (
+        o.join(F.broadcast(c), "o_custkey")
+        .join(F.broadcast(na), "c_nationkey")
+        .groupBy(
+            F.col("n_regionkey").alias("rk"),
+            ((day + 4) % 7).cast("bigint").alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("f"),
+        )
+        .persist()
+    )
+    rate = tab.groupBy("dow").agg(
+        F.sum("f").cast("bigint").alias("tf"),
+        F.sum("n").cast("bigint").alias("tn"),
+    )
+    reg = (
+        tab.join(F.broadcast(rate), "dow")
+        .groupBy("rk")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("f").cast("bigint").alias("observed"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("n")
+                        * (F.col("tf") * 1.0 / F.col("tn")),
+                        9,
+                    ).cast("decimal(28,9)")
+                ),
+                9,
+            )
+            .cast("double")
+            .alias("expected"),
+        )
+    )
+    return reg.select(
+        F.col("rk").alias("regionkey"),
+        F.col("n").alias("n_orders"),
+        "observed",
+        F.round(F.col("expected"), 4).alias("expected"),
+        F.round(F.col("observed") / F.col("expected"), 6).alias("sir"),
+    ).orderBy("regionkey")
+
+
+# --------------------------------------------------------------------------
+# Newsvendor optimal stock quantile + expected mismatch cost
+# --------------------------------------------------------------------------
+@register(
+    "newsvendor_quantile",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    dem AS (
+        SELECT day, round(y / 100.0, 2) AS d FROM daily
+    ),
+    q AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               round(quantile_cont(d, 0.75), 2) AS qstar
+        FROM dem
+    ),
+    cost AS (
+        SELECT
+          CAST(round(SUM(CASE WHEN dem.d < q.qstar
+                         THEN CAST(round(q.qstar - dem.d, 2)
+                              AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+              AS over_sum,
+          CAST(round(SUM(CASE WHEN dem.d > q.qstar
+                         THEN CAST(round(dem.d - q.qstar, 2)
+                              AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+              AS under_sum
+        FROM dem, q
+    )
+    SELECT q.n AS n_days,
+           q.qstar AS q_star,
+           round(COALESCE(c.over_sum, 0.0) / q.n, 2) AS expected_overage,
+           round(COALESCE(c.under_sum, 0.0) / q.n, 2)
+               AS expected_underage,
+           round((1.0 * COALESCE(c.over_sum, 0.0)
+                  + 3.0 * COALESCE(c.under_sum, 0.0)) / q.n, 2)
+               AS expected_cost
+    FROM q, cost c
+    """,
+)
+def newsvendor_quantile(spark, sf_dir):
+    """Newsvendor solution for daily revenue-capacity planning:
+    with underage cost cu = 3 and overage cost co = 1 the optimal
+    stock level is the critical-fractile quantile q* = F^-1(cu/(cu+co))
+    = the 75th percentile of daily demand, reported with the expected
+    overage, underage, and total mismatch cost at q*. The one-line
+    stochastic-inventory result every capacity planner actually uses —
+    and a quantile-decision complement to the registry's forecast-
+    accuracy tier (pinball loss EVALUATES quantile forecasts; the
+    newsvendor SETS the quantile). Demand is exact cents rounded to
+    2; q* is the engines' interpolated percentile; partial
+    expectations fold DECIMAL cents over each side of q*. Plan: day
+    rollup, one percentile fold, one conditional fold."""
+    daily = _daily(spark, sf_dir)
+    dem = daily.select(
+        F.round(F.col("y") / 100.0, 2).alias("d")
+    ).persist()
+    q = dem.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.expr("percentile(d, 0.75)"), 2).alias("qstar"),
+    )
+    cost = dem.crossJoin(F.broadcast(q)).agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("d") < F.col("qstar"),
+                    F.round(F.col("qstar") - F.col("d"), 2).cast(
+                        "decimal(18,2)"
+                    ),
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("over_sum"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("d") > F.col("qstar"),
+                    F.round(F.col("d") - F.col("qstar"), 2).cast(
+                        "decimal(18,2)"
+                    ),
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("under_sum"),
+    )
+    return q.crossJoin(F.broadcast(cost)).select(
+        F.col("n").alias("n_days"),
+        F.col("qstar").alias("q_star"),
+        F.round(
+            F.coalesce(F.col("over_sum"), F.lit(0.0)) / F.col("n"), 2
+        ).alias("expected_overage"),
+        F.round(
+            F.coalesce(F.col("under_sum"), F.lit(0.0)) / F.col("n"), 2
+        ).alias("expected_underage"),
+        F.round(
+            (
+                1.0 * F.coalesce(F.col("over_sum"), F.lit(0.0))
+                + 3.0 * F.coalesce(F.col("under_sum"), F.lit(0.0))
+            )
+            / F.col("n"),
+            2,
+        ).alias("expected_cost"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tracking-signal monitor for the seasonal-naive revenue forecast
+# --------------------------------------------------------------------------
+@register(
+    "tracking_signal_monitor",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    fc AS (
+        SELECT day, y,
+               LAG(y, 7) OVER (ORDER BY day) AS yhat
+        FROM daily
+        QUALIFY yhat IS NOT NULL
+    ),
+    e AS (
+        SELECT day,
+               CAST(y - yhat AS BIGINT) AS err,
+               CAST(abs(y - yhat) AS BIGINT) AS aerr,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+        FROM fc
+    ),
+    ts AS (
+        SELECT day, i,
+               SUM(err) OVER w AS cume,
+               SUM(aerr) OVER w AS cuma
+        FROM e
+        WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    sig AS (
+        SELECT day, i,
+               round(cume * 1.0 * i / cuma, 6) AS tsig
+        FROM ts WHERE cuma > 0
+    )
+    SELECT CAST(MAX(i) AS BIGINT) AS n_forecasts,
+           round(MAX(CASE WHEN i = (SELECT MAX(i) FROM sig)
+                     THEN tsig END), 6) + 0.0 AS ts_final,
+           round(MAX(abs(tsig)), 6) AS ts_max_abs,
+           CAST(SUM(CASE WHEN abs(tsig) > 4.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signal_breaches
+    FROM sig
+    """,
+)
+def tracking_signal_monitor(spark, sf_dir):
+    """Tracking signal for the seasonal-naive (same-weekday-last-week)
+    revenue forecast: TS_t = cumulative error / (cumulative |error| / t)
+    — cumulative bias in MAD units, with the classic |TS| > 4 alarm
+    band, reported as the final value, the worst excursion, and the
+    breach count. The BIAS monitor that belongs next to the accuracy
+    metrics the registry already has (MASE/pinball/Theil's U measure
+    size of error; the tracking signal detects one-sided drift that
+    accuracy metrics average away). Errors are exact integer cents;
+    cumulative sums are exact integer windows over the calendar frame;
+    TS is one rational per day rounded at 1e-6. Plan: day rollup, a
+    lag-7 forecast window, two cumulative windows over the bounded
+    day frame, one fold."""
+    daily = _daily(spark, sf_dir)
+    wo = Window.orderBy("day")
+    fc = daily.select(
+        "day", "y", F.lag("y", 7).over(wo).alias("yhat")
+    ).where(F.col("yhat").isNotNull())
+    e = fc.select(
+        "day",
+        (F.col("y") - F.col("yhat")).cast("bigint").alias("err"),
+        F.abs(F.col("y") - F.col("yhat")).cast("bigint").alias("aerr"),
+        F.row_number().over(wo).cast("bigint").alias("i"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ts = e.select(
+        "day",
+        "i",
+        F.sum("err").over(wcum).alias("cume"),
+        F.sum("aerr").over(wcum).alias("cuma"),
+    )
+    sig = ts.where(F.col("cuma") > 0).select(
+        "i",
+        F.round(
+            F.col("cume") * 1.0 * F.col("i") / F.col("cuma"), 6
+        ).alias("tsig"),
+    ).persist()
+    last = sig.agg(F.max("i").alias("imax"))
+    return (
+        sig.crossJoin(F.broadcast(last))
+        .agg(
+            F.max("i").cast("bigint").alias("n_forecasts"),
+            (
+                F.round(
+                    F.max(
+                        F.when(
+                            F.col("i") == F.col("imax"), F.col("tsig")
+                        )
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("ts_final"),
+            F.round(F.max(F.abs(F.col("tsig"))), 6).alias("ts_max_abs"),
+            F.sum(
+                F.when(F.abs(F.col("tsig")) > 4.0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_signal_breaches"),
+        )
+    )
