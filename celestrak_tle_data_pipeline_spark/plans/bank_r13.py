@@ -1965,3 +1965,406 @@ def tracking_signal_monitor(spark, sf_dir):
             .alias("n_signal_breaches"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dunn's post-hoc pairwise tests after Kruskal-Wallis (all 5 types)
+# --------------------------------------------------------------------------
+@register(
+    "dunns_posthoc_pairs",
+    oracle="""
+    WITH by_val AS (
+        SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    vg AS (
+        SELECT value, CAST(SUM(c) AS BIGINT) AS h FROM by_val
+        GROUP BY value
+    ),
+    cum AS (
+        SELECT value, h,
+               SUM(h) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+                   - h AS below
+        FROM vg
+    ),
+    ranked AS (
+        SELECT b.event_type, b.c,
+               (2 * cum.below + cum.h + 1) AS rank2
+        FROM by_val b JOIN cum ON b.value = cum.value
+    ),
+    grp AS (
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * rank2) AS BIGINT) AS rs2
+        FROM ranked GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn FROM grp
+    ),
+    ties AS (
+        SELECT CAST(SUM(h * h * h - h) AS BIGINT) AS tsum FROM vg
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round((a.rs2 * 1.0 / (2 * a.n)
+                  - b.rs2 * 1.0 / (2 * b.n))
+                 / sqrt((tot.nn * (tot.nn + 1.0) / 12.0
+                         - ties.tsum / (12.0 * (tot.nn - 1)))
+                        * (1.0 / a.n + 1.0 / b.n)), 6) + 0.0
+               AS dunn_z
+    FROM grp a JOIN grp b ON a.event_type < b.event_type,
+         tot, ties
+    ORDER BY type_a, type_b
+    """,
+)
+def dunns_posthoc_pairs(spark, sf_dir):
+    """Dunn's post-hoc pairwise z statistics for all C(5,2) event-type
+    pairs after Kruskal-Wallis (which the registry already runs on
+    this panel): z_ij = (Rbar_i - Rbar_j) / sqrt((N(N+1)/12 -
+    T/(12(N-1))) (1/n_i + 1/n_j)) with the full tie correction T =
+    sum(t^3 - t) over the tied-value groups — the test that says WHICH
+    types differ once KW rejects, with the rank-variance shrunk for
+    the 2-decimal grid's heavy ties. Everything lives at distinct-
+    value grain: midrank x2 is an exact integer from the cumulative
+    head count, group rank sums and the tie fold are exact BIGINTs,
+    and each z is one terminal expression. Plan: one (value, type)
+    rollup, one cumulative over the bounded value grid, a 5-row group
+    fold, a bounded triangular pair join."""
+    e = t(spark, sf_dir, "events")
+    by_val = e.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    vg = by_val.groupBy("value").agg(
+        F.sum("c").cast("bigint").alias("h")
+    )
+    cum = vg.select(
+        "value",
+        "h",
+        (
+            F.sum("h").over(
+                Window.orderBy("value").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("h")
+        ).alias("below"),
+    )
+    ranked = by_val.join(cum, "value").select(
+        "event_type",
+        "c",
+        (2 * F.col("below") + F.col("h") + 1).alias("rank2"),
+    )
+    grp = ranked.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("rank2")).cast("bigint").alias("rs2"),
+    )
+    tot = grp.agg(F.sum("n").cast("bigint").alias("nn"))
+    ties = vg.agg(
+        F.sum(F.col("h") * F.col("h") * F.col("h") - F.col("h"))
+        .cast("bigint")
+        .alias("tsum")
+    )
+    a = grp.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("rs2").alias("rsa"),
+    )
+    b = grp.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("rs2").alias("rsb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+    )
+    z = (
+        F.col("rsa") * 1.0 / (2 * F.col("na"))
+        - F.col("rsb") * 1.0 / (2 * F.col("nb"))
+    ) / F.sqrt(
+        (
+            F.col("nn") * (F.col("nn") + 1.0) / 12.0
+            - F.col("tsum") / (12.0 * (F.col("nn") - 1))
+        )
+        * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        (F.round(z, 6) + 0.0).alias("dunn_z"),
+    ).orderBy("type_a", "type_b")
+
+
+# --------------------------------------------------------------------------
+# Cucconi location-scale omnibus test (click vs purchase)
+# --------------------------------------------------------------------------
+@register(
+    "cucconi_test",
+    oracle="""
+    WITH pool AS (
+        SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                   AS g1
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    by_val AS (
+        SELECT value,
+               CAST(SUM(g1) AS BIGINT) AS c1,
+               CAST(SUM(1 - g1) AS BIGINT) AS c0
+        FROM pool GROUP BY value
+    ),
+    cum AS (
+        SELECT value, c1, c0, c1 + c0 AS h,
+               SUM(c1 + c0) OVER (ORDER BY value
+                                  ROWS UNBOUNDED PRECEDING)
+                   - (c1 + c0) AS below
+        FROM by_val
+    ),
+    tots AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c0) AS BIGINT) AS n0
+        FROM by_val
+    ),
+    folds AS (
+        SELECT
+          CAST(SUM(c1 * CAST((2 * below + h + 1) AS DECIMAL(38,0))
+                   * (2 * below + h + 1)) AS DECIMAL(38,0)) AS sr2x4,
+          CAST(SUM(c1 * CAST((2 * (t.n1 + t.n0 + 1)
+                              - (2 * below + h + 1)) AS DECIMAL(38,0))
+                   * (2 * (t.n1 + t.n0 + 1) - (2 * below + h + 1)))
+               AS DECIMAL(38,0)) AS sc2x4
+        FROM cum, tots t
+    )
+    SELECT t.n1, t.n0,
+           round((6.0 * (CAST(f.sr2x4 AS DOUBLE) / 4.0)
+                  - t.n1 * (t.n1 + t.n0 + 1.0)
+                    * (2.0 * (t.n1 + t.n0) + 1))
+                 / sqrt(t.n1 * 1.0 * t.n0 * (t.n1 + t.n0 + 1)
+                        * (2.0 * (t.n1 + t.n0) + 1)
+                        * (8.0 * (t.n1 + t.n0) + 11) / 5.0), 9) + 0.0
+               AS u_stat,
+           round((6.0 * (CAST(f.sc2x4 AS DOUBLE) / 4.0)
+                  - t.n1 * (t.n1 + t.n0 + 1.0)
+                    * (2.0 * (t.n1 + t.n0) + 1))
+                 / sqrt(t.n1 * 1.0 * t.n0 * (t.n1 + t.n0 + 1)
+                        * (2.0 * (t.n1 + t.n0) + 1)
+                        * (8.0 * (t.n1 + t.n0) + 11) / 5.0), 9) + 0.0
+               AS v_stat,
+           round(((t.n1 + t.n0) * (t.n1 + t.n0) - 4.0)
+                 / ((2.0 * (t.n1 + t.n0) + 1)
+                    * (8.0 * (t.n1 + t.n0) + 11)) * 2.0 - 1.0, 9)
+               AS rho
+    FROM folds f, tots t
+    """,
+)
+def cucconi_test(spark, sf_dir):
+    """Cucconi's location-scale components U and V (click vs purchase
+    values): U standardizes the sum of SQUARED pooled midranks of
+    sample 1, V the sum of squared CONTRARY ranks (N+1-R) — U moves
+    with scale, V with location-and-scale, and the omnibus C =
+    (U^2 + V^2 - 2 rho U V)/(2(1 - rho^2)) with rho = 2(N^2-4)/
+    ((2N+1)(8N+11)) - 1 (reported as the third column so the
+    one-line C is auditable) predates and often beats Lepage as the
+    joint location-scale test. Midranks x2 are exact integers at
+    distinct-value grain; both squared-rank folds ride DECIMAL(38,0);
+    U, V, rho are terminal expressions with the no-ties moments
+    (documented convention, as in the Mood/Conover twins). Plan: one
+    value-grain rollup, one cumulative over the bounded value grid,
+    one fold."""
+    e = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    by_val = (
+        e.select(
+            "value",
+            (F.col("event_type") == "click").cast("long").alias("g1"),
+        )
+        .groupBy("value")
+        .agg(
+            F.sum("g1").cast("bigint").alias("c1"),
+            F.sum(1 - F.col("g1")).cast("bigint").alias("c0"),
+        )
+    ).persist()
+    h = F.col("c1") + F.col("c0")
+    cum = by_val.select(
+        "c1",
+        "c0",
+        h.alias("h"),
+        (
+            F.sum(h).over(
+                Window.orderBy("value").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - h
+        ).alias("below"),
+    )
+    tots = by_val.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c0").cast("bigint").alias("n0"),
+    )
+    rank2 = 2 * F.col("below") + F.col("h") + 1
+    contra2 = 2 * (F.col("n1") + F.col("n0") + 1) - rank2
+    folds = cum.crossJoin(F.broadcast(tots)).agg(
+        F.sum(
+            F.col("c1") * rank2.cast("decimal(38,0)") * rank2
+        )
+        .cast("decimal(38,0)")
+        .alias("sr2x4"),
+        F.sum(
+            F.col("c1") * contra2.cast("decimal(38,0)") * contra2
+        )
+        .cast("decimal(38,0)")
+        .alias("sc2x4"),
+    )
+    out = folds.crossJoin(F.broadcast(tots))
+    n1 = F.col("n1")
+    n0 = F.col("n0")
+    nn = n1 + n0
+    denom = F.sqrt(
+        n1 * 1.0 * n0 * (nn + 1) * (2.0 * nn + 1) * (8.0 * nn + 11)
+        / 5.0
+    )
+    u = (
+        6.0 * (F.col("sr2x4").cast("double") / 4.0)
+        - n1 * (nn + 1.0) * (2.0 * nn + 1)
+    ) / denom
+    v = (
+        6.0 * (F.col("sc2x4").cast("double") / 4.0)
+        - n1 * (nn + 1.0) * (2.0 * nn + 1)
+    ) / denom
+    rho = (nn * nn - 4.0) / ((2.0 * nn + 1) * (8.0 * nn + 11)) * 2.0 - 1.0
+    return out.select(
+        "n1",
+        "n0",
+        (F.round(u, 9) + 0.0).alias("u_stat"),
+        (F.round(v, 9) + 0.0).alias("v_stat"),
+        F.round(rho, 9).alias("rho"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stochastic superiority p-hat with Brunner-Munzel/DeLong variance z
+# --------------------------------------------------------------------------
+@register(
+    "stochastic_superiority_bm",
+    oracle="""
+    WITH pool AS (
+        SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                   AS g1
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    by_val AS (
+        SELECT value,
+               CAST(SUM(g1) AS BIGINT) AS c1,
+               CAST(SUM(1 - g1) AS BIGINT) AS c0
+        FROM pool GROUP BY value
+    ),
+    cum AS (
+        SELECT c1, c0,
+               SUM(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+                   - c1 AS b1,
+               SUM(c0) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+                   - c0 AS b0
+        FROM by_val
+    ),
+    tots AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c0) AS BIGINT) AS n0
+        FROM cum
+    ),
+    folds AS (
+        SELECT
+          CAST(SUM(c0 * (2 * b1 + c1)) AS BIGINT) AS a0,
+          CAST(SUM(c0 * CAST((2 * b1 + c1) AS DECIMAL(38,0))
+                   * (2 * b1 + c1)) AS DECIMAL(38,0)) AS bb0,
+          CAST(SUM(c1 * (2 * b0 + c0)) AS BIGINT) AS a1,
+          CAST(SUM(c1 * CAST((2 * b0 + c0) AS DECIMAL(38,0))
+                   * (2 * b0 + c0)) AS DECIMAL(38,0)) AS bb1
+        FROM cum
+    )
+    SELECT t.n1, t.n0,
+           round(f.a0 * 1.0 / (2.0 * t.n1 * t.n0), 9) AS p_hat,
+           round((f.a0 * 1.0 / (2.0 * t.n1 * t.n0) - 0.5)
+                 / sqrt(((CAST(f.bb0 AS DOUBLE) - f.a0 * 1.0 * f.a0
+                          / t.n0) / (4.0 * (t.n0 - 1)))
+                        / (t.n0 * 1.0 * t.n1 * t.n1)
+                        + ((CAST(f.bb1 AS DOUBLE) - f.a1 * 1.0 * f.a1
+                            / t.n1) / (4.0 * (t.n1 - 1)))
+                          / (t.n1 * 1.0 * t.n0 * t.n0)), 6) + 0.0
+               AS z_stat
+    FROM folds f, tots t
+    """,
+)
+def stochastic_superiority_bm(spark, sf_dir):
+    """Stochastic superiority p-hat = P(click < purchase) + 1/2
+    P(tie) with the Brunner-Munzel-style studentization: the variance
+    is estimated from the empirical PLACEMENT variances of each
+    sample (the DeLong/BM sandwich S0^2/(n0 n1^2) + S1^2/(n1 n0^2)),
+    so unlike Mann-Whitney (also in the registry) the z remains valid
+    when the two samples have UNEQUAL variances — the
+    Behrens-Fisher-robust effect-size test, and p_hat doubles as the
+    AUC between the two distributions. Placements are exact
+    half-integers at distinct-value grain (2P = 2*other-below +
+    other-tied), placement power sums ride BIGINT/DECIMAL(38,0), and
+    p_hat / z are terminal expressions. Plan: one value-grain rollup,
+    one cumulative pair over the bounded value grid, one fold."""
+    e = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    by_val = (
+        e.select(
+            "value",
+            (F.col("event_type") == "click").cast("long").alias("g1"),
+        )
+        .groupBy("value")
+        .agg(
+            F.sum("g1").cast("bigint").alias("c1"),
+            F.sum(1 - F.col("g1")).cast("bigint").alias("c0"),
+        )
+    )
+    wv = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = by_val.select(
+        "c1",
+        "c0",
+        (F.sum("c1").over(wv) - F.col("c1")).alias("b1"),
+        (F.sum("c0").over(wv) - F.col("c0")).alias("b0"),
+    ).persist()
+    tots = cum.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c0").cast("bigint").alias("n0"),
+    )
+    p0x2 = 2 * F.col("b1") + F.col("c1")
+    q1x2 = 2 * F.col("b0") + F.col("c0")
+    folds = cum.agg(
+        F.sum(F.col("c0") * p0x2).cast("bigint").alias("a0"),
+        F.sum(F.col("c0") * p0x2.cast("decimal(38,0)") * p0x2)
+        .cast("decimal(38,0)")
+        .alias("bb0"),
+        F.sum(F.col("c1") * q1x2).cast("bigint").alias("a1"),
+        F.sum(F.col("c1") * q1x2.cast("decimal(38,0)") * q1x2)
+        .cast("decimal(38,0)")
+        .alias("bb1"),
+    )
+    out = folds.crossJoin(F.broadcast(tots))
+    n1 = F.col("n1")
+    n0 = F.col("n0")
+    phat = F.col("a0") * 1.0 / (2.0 * n1 * n0)
+    s0 = (
+        F.col("bb0").cast("double")
+        - F.col("a0") * 1.0 * F.col("a0") / n0
+    ) / (4.0 * (n0 - 1))
+    s1 = (
+        F.col("bb1").cast("double")
+        - F.col("a1") * 1.0 * F.col("a1") / n1
+    ) / (4.0 * (n1 - 1))
+    z = (phat - 0.5) / F.sqrt(
+        s0 / (n0 * 1.0 * n1 * n1) + s1 / (n1 * 1.0 * n0 * n0)
+    )
+    return out.select(
+        "n1",
+        "n0",
+        F.round(phat, 9).alias("p_hat"),
+        (F.round(z, 6) + 0.0).alias("z_stat"),
+    )
