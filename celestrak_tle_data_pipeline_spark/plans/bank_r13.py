@@ -2368,3 +2368,443 @@ def stochastic_superiority_bm(spark, sf_dir):
         F.round(phat, 9).alias("p_hat"),
         (F.round(z, 6) + 0.0).alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bland-Altman agreement limits: click-mean vs view-mean by day
+# --------------------------------------------------------------------------
+@register(
+    "bland_altman_limits",
+    oracle="""
+    WITH cell AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               event_type,
+               round(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) / (100.0 * COUNT(*)), 9)
+                   AS m
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT a.day,
+               round(a.m - b.m, 9) AS diff,
+               round((a.m + b.m) / 2.0, 9) AS avg
+        FROM cell a JOIN cell b
+          ON a.day = b.day
+         AND a.event_type = 'click' AND b.event_type = 'view'
+    ),
+    f AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(diff AS DECIMAL(28,9))) AS s1,
+               SUM(CAST(round(diff * diff, 9) AS DECIMAL(38,9))) AS s2
+        FROM paired
+    )
+    SELECT n AS n_days,
+           round(CAST(s1 AS DOUBLE) / n, 6) + 0.0 AS bias,
+           round(CAST(s1 AS DOUBLE) / n
+                 - 1.96 * sqrt((CAST(s2 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE)
+                                  * CAST(s1 AS DOUBLE) / n)
+                               / (n - 1.0)), 6) + 0.0 AS loa_lower,
+           round(CAST(s1 AS DOUBLE) / n
+                 + 1.96 * sqrt((CAST(s2 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE)
+                                  * CAST(s1 AS DOUBLE) / n)
+                               / (n - 1.0)), 6) + 0.0 AS loa_upper
+    FROM f
+    """,
+)
+def bland_altman_limits(spark, sf_dir):
+    """Bland-Altman agreement analysis treating the daily mean CLICK
+    value and daily mean VIEW value as two measurement methods of the
+    same underlying engagement level: the bias (mean difference) and
+    the 95% limits of agreement (bias +- 1.96 sd of differences) — the
+    method-comparison framework that replaced correlation for
+    instrument agreement (two methods can correlate at 0.99 and still
+    disagree by a constant the correlation never shows; the LoA show
+    it immediately). Daily means are exact cent ratios rounded at
+    1e-9; difference moments fold in DECIMAL; the limits are terminal
+    expressions. Plan: one (day, type) rollup, a day-keyed pair join,
+    one fold."""
+    e = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    cell = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day"),
+        "event_type",
+    ).agg(
+        F.round(
+            F.sum((dec("value", 18, 2) * 100).cast("bigint"))
+            / (100.0 * F.count(F.lit(1))),
+            9,
+        ).alias("m")
+    )
+    a = cell.where(F.col("event_type") == "click").select(
+        "day", F.col("m").alias("ma")
+    )
+    b = cell.where(F.col("event_type") == "view").select(
+        "day", F.col("m").alias("mb")
+    )
+    paired = a.join(b, "day").select(
+        F.round(F.col("ma") - F.col("mb"), 9).alias("diff")
+    )
+    f = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("diff").cast("decimal(28,9)")).alias("s1"),
+        F.sum(
+            F.round(F.col("diff") * F.col("diff"), 9).cast(
+                "decimal(38,9)"
+            )
+        ).alias("s2"),
+    )
+    n = F.col("n")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    sd = F.sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+    return f.select(
+        n.alias("n_days"),
+        (F.round(s1 / n, 6) + 0.0).alias("bias"),
+        (F.round(s1 / n - 1.96 * sd, 6) + 0.0).alias("loa_lower"),
+        (F.round(s1 / n + 1.96 * sd, 6) + 0.0).alias("loa_upper"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Spearman footrule distance between the two largest sources' rankings
+# --------------------------------------------------------------------------
+@register(
+    "spearman_footrule_sources",
+    oracle="""
+    WITH tc AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    top2 AS (
+        SELECT source,
+               ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, source ASC)
+                   AS rn
+        FROM tc GROUP BY source QUALIFY rn <= 2
+    ),
+    sa AS (SELECT source FROM top2 WHERE rn = 1),
+    sb AS (SELECT source FROM top2 WHERE rn = 2),
+    shared AS (
+        SELECT a.w,
+               CAST(ROW_NUMBER() OVER (ORDER BY a.c DESC, a.w ASC)
+                    AS BIGINT) AS ra,
+               CAST(ROW_NUMBER() OVER (ORDER BY b.c DESC, b.w ASC)
+                    AS BIGINT) AS rb
+        FROM (SELECT w, c FROM tc WHERE source = (SELECT * FROM sa)) a
+        JOIN (SELECT w, c FROM tc WHERE source = (SELECT * FROM sb)) b
+          ON a.w = b.w
+    ),
+    f AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(abs(ra - rb)) AS BIGINT) AS fr
+        FROM shared
+    )
+    SELECT k AS n_shared_terms, fr AS footrule,
+           round(1.0 - 2.0 * fr
+                 / (CAST(k AS DOUBLE) * k - (k % 2)), 9) + 0.0
+               AS footrule_similarity
+    FROM f
+    """,
+)
+def spearman_footrule_sources(spark, sf_dir):
+    """Spearman's footrule distance F = sum |rank_A(w) - rank_B(w)|
+    between the two largest sources' term-frequency rankings over
+    their shared vocabulary, normalized by the maximum (k^2 - [k odd])
+    / 2 into a [-1, 1]-style similarity. The L1 companion of the
+    registry's rank-biased overlap and Kendall tau: Diaconis-Graham
+    proved F is within a factor 2 of Kendall distance, but F is
+    computable in one pass with NO pairwise machinery — the cheap
+    ranking-drift monitor for vocabulary shift between corpus slices.
+    Ranks are unique by the (count desc, term) total order; the fold
+    is an exact integer; one terminal normalization. Plan: one
+    (source, term) rollup, two top-source scalar picks, one term
+    equi-join, rank windows over the shared-vocabulary frame
+    (vocabulary-domain-bounded), one fold."""
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ).persist()
+    ranked_src = (
+        tc.groupBy("source")
+        .agg(F.sum("c").alias("tot"))
+        .select(
+            "source",
+            F.row_number()
+            .over(Window.orderBy(F.col("tot").desc(), F.col("source")))
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= 2)
+    )
+    sa = ranked_src.where(F.col("rn") == 1).select(
+        F.col("source").alias("src_a")
+    )
+    sb = ranked_src.where(F.col("rn") == 2).select(
+        F.col("source").alias("src_b")
+    )
+    a = tc.join(
+        F.broadcast(sa), tc.source == F.col("src_a")
+    ).select(F.col("w"), F.col("c").alias("ca"))
+    b = tc.join(
+        F.broadcast(sb), tc.source == F.col("src_b")
+    ).select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    shared = a.join(b, a.w == b.wb).select(
+        "w",
+        F.row_number()
+        .over(Window.orderBy(F.col("ca").desc(), F.col("w").asc()))
+        .cast("bigint")
+        .alias("ra"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cb").desc(), F.col("w").asc()))
+        .cast("bigint")
+        .alias("rb"),
+    )
+    f = shared.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.abs(F.col("ra") - F.col("rb")))
+        .cast("bigint")
+        .alias("fr"),
+    )
+    return f.select(
+        F.col("k").alias("n_shared_terms"),
+        F.col("fr").alias("footrule"),
+        (
+            F.round(
+                1.0
+                - 2.0
+                * F.col("fr")
+                / (
+                    F.col("k").cast("double") * F.col("k")
+                    - (F.col("k") % 2)
+                ),
+                9,
+            )
+            + 0.0
+        ).alias("footrule_similarity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sharpe / Sortino / Omega ratio panel of daily revenue log-returns
+# --------------------------------------------------------------------------
+@register(
+    "sharpe_sortino_omega",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    ret AS (
+        SELECT round(ln(y * 1.0 / LAG(y) OVER (ORDER BY day)), 9) AS r
+        FROM daily
+        QUALIFY r IS NOT NULL
+    ),
+    f AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(r AS DECIMAL(28,9))) AS s1,
+               SUM(CAST(round(r * r, 15) AS DECIMAL(28,15))) AS s2,
+               SUM(CASE WHEN r < 0
+                   THEN CAST(round(r * r, 15) AS DECIMAL(28,15)) END)
+                   AS sd2,
+               SUM(CASE WHEN r > 0
+                   THEN CAST(r AS DECIMAL(28,9)) END) AS sup,
+               SUM(CASE WHEN r < 0
+                   THEN CAST(-r AS DECIMAL(28,9)) END) AS sdn
+        FROM ret
+    )
+    SELECT n AS n_returns,
+           round((CAST(s1 AS DOUBLE) / n)
+                 / sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                        / (n - 1.0)), 6) + 0.0 AS sharpe_daily,
+           round((CAST(s1 AS DOUBLE) / n)
+                 / sqrt(CAST(sd2 AS DOUBLE) / n), 6) + 0.0
+               AS sortino_daily,
+           round(CAST(sup AS DOUBLE) / CAST(sdn AS DOUBLE), 6)
+               AS omega_at_zero
+    FROM f
+    """,
+)
+def sharpe_sortino_omega(spark, sf_dir):
+    """Risk-adjusted return panel of the daily revenue log-returns at
+    a zero threshold: Sharpe (mean / full sd), Sortino (mean /
+    downside deviation — only sub-threshold returns count as risk),
+    and the Omega ratio (upside partial sum / downside partial sum —
+    the whole-distribution gain/loss measure that needs no moment
+    assumptions). Three answers to "is the growth worth the
+    volatility" that disagree exactly when the return distribution is
+    skewed — which the registry's GBM fit (this bank) assumes away.
+    Returns are 1e-9-rounded; all five folds are exact DECIMAL; each
+    ratio is a terminal expression. Plan: day rollup, one lag, one
+    fold."""
+    daily = _daily(spark, sf_dir)
+    ret = daily.select(
+        F.round(
+            F.log(
+                F.col("y") * 1.0 / F.lag("y").over(Window.orderBy("day"))
+            ),
+            9,
+        ).alias("r")
+    ).where(F.col("r").isNotNull())
+    f = ret.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r").cast("decimal(28,9)")).alias("s1"),
+        F.sum(
+            F.round(F.col("r") * F.col("r"), 15).cast("decimal(28,15)")
+        ).alias("s2"),
+        F.sum(
+            F.when(
+                F.col("r") < 0,
+                F.round(F.col("r") * F.col("r"), 15).cast(
+                    "decimal(28,15)"
+                ),
+            )
+        ).alias("sd2"),
+        F.sum(
+            F.when(F.col("r") > 0, F.col("r").cast("decimal(28,9)"))
+        ).alias("sup"),
+        F.sum(
+            F.when(F.col("r") < 0, (-F.col("r")).cast("decimal(28,9)"))
+        ).alias("sdn"),
+    )
+    n = F.col("n")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    sharpe = (s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+    sortino = (s1 / n) / F.sqrt(F.col("sd2").cast("double") / n)
+    omega = F.col("sup").cast("double") / F.col("sdn").cast("double")
+    return f.select(
+        n.alias("n_returns"),
+        (F.round(sharpe, 6) + 0.0).alias("sharpe_daily"),
+        (F.round(sortino, 6) + 0.0).alias("sortino_daily"),
+        F.round(omega, 6).alias("omega_at_zero"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ulcer index / Martin ratio of the daily revenue level series
+# --------------------------------------------------------------------------
+@register(
+    "ulcer_index_martin",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    dd AS (
+        SELECT day, y,
+               MAX(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS peak
+        FROM daily
+    ),
+    pct AS (
+        SELECT round(100.0 * (peak - y) / peak, 9) AS drawdown_pct
+        FROM dd
+    ),
+    f AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(round(SUM(CAST(round(
+                   drawdown_pct * drawdown_pct, 9)
+                   AS DECIMAL(38,9))), 9) AS DOUBLE) AS sq,
+               round(MAX(drawdown_pct), 6) AS max_dd
+        FROM pct
+    ),
+    mu AS (
+        SELECT round(CAST(SUM(CAST(round(
+                   100.0 * ln(b.y * 1.0 / a.y) / (SELECT COUNT(*) - 1
+                                                  FROM daily), 9)
+                   AS DECIMAL(28,9)) ) AS DOUBLE), 9) AS mean_ret
+        FROM (SELECT MIN(day) AS d0 FROM daily) s,
+             daily a, daily b,
+             (SELECT MAX(day) AS d1 FROM daily) e2
+        WHERE a.day = s.d0 AND b.day = e2.d1
+    )
+    SELECT f.n AS n_days,
+           f.max_dd AS max_drawdown_pct,
+           round(sqrt(f.sq / f.n), 6) AS ulcer_index,
+           round(mu.mean_ret / sqrt(f.sq / f.n), 6) + 0.0
+               AS martin_ratio
+    FROM f, mu
+    """,
+)
+def ulcer_index_martin(spark, sf_dir):
+    """Ulcer index of the daily revenue level — sqrt of the mean
+    SQUARED percent drawdown from the running peak — with the worst
+    drawdown and the Martin ratio (mean daily log-return, in percent,
+    per unit of ulcer). Unlike standard deviation (which penalizes
+    upside equally) the ulcer index measures only the depth AND
+    duration of being underwater, which is what revenue-stream pain
+    actually is; the registry's per-user drawdown query gives the
+    path, this gives the portfolio-grade summary. The running peak is
+    an exact integer cumulative max over the calendar frame; percent
+    drawdowns round at 1e-9 and their squares fold in DECIMAL. Plan:
+    day rollup, one running-max window, one fold."""
+    daily = _daily(spark, sf_dir).persist()
+    wo = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dd = daily.select(
+        "day", "y", F.max("y").over(wo).alias("peak")
+    )
+    pct = dd.select(
+        F.round(
+            100.0 * (F.col("peak") - F.col("y")) / F.col("peak"), 9
+        ).alias("drawdown_pct")
+    )
+    f = pct.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("drawdown_pct") * F.col("drawdown_pct"), 9
+                ).cast("decimal(38,9)")
+            ),
+            9,
+        )
+        .cast("double")
+        .alias("sq"),
+        F.round(F.max("drawdown_pct"), 6).alias("max_dd"),
+    )
+    nd = daily.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+    )
+    first = daily.select(
+        F.col("day").alias("d0"), F.col("y").alias("y0")
+    )
+    last = daily.select(
+        F.col("day").alias("d1"), F.col("y").alias("y1")
+    )
+    mu = (
+        nd.join(F.broadcast(first), "d0")
+        .join(F.broadcast(last), "d1")
+        .select(
+            F.round(
+                F.round(
+                    (
+                        100.0
+                        * F.log(F.col("y1") * 1.0 / F.col("y0"))
+                        / (F.col("cnt") - 1)
+                    ),
+                    9,
+                ).cast("decimal(28,9)").cast("double"),
+                9,
+            ).alias("mean_ret")
+        )
+    )
+    return f.crossJoin(F.broadcast(mu)).select(
+        F.col("n").alias("n_days"),
+        F.col("max_dd").alias("max_drawdown_pct"),
+        F.round(F.sqrt(F.col("sq") / F.col("n")), 6).alias(
+            "ulcer_index"
+        ),
+        (
+            F.round(
+                F.col("mean_ret") / F.sqrt(F.col("sq") / F.col("n")), 6
+            )
+            + 0.0
+        ).alias("martin_ratio"),
+    )
