@@ -3430,3 +3430,559 @@ def rousseeuw_sn_scale(spark, sf_dir):
         F.col("n").alias("n_days"),
         F.round(1.1926 * F.col("mm"), 4).alias("sn_scale"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM-of-squares variance-stability scan (Brown-Durbin-Evans)
+# --------------------------------------------------------------------------
+@register(
+    "cusum_squares_variance",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s
+        FROM daily
+    ),
+    e AS (
+        SELECT day,
+               CAST(round((y - m.s * 1.0 / m.n)
+                          * (y - m.s * 1.0 / m.n) / 1.0e8, 9)
+                    AS DECIMAL(38,9)) AS e2,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+               m.n
+        FROM daily, m
+    ),
+    cs AS (
+        SELECT day, i, n,
+               SUM(e2) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS cum,
+               SUM(e2) OVER () AS tot
+        FROM e
+    ),
+    dev AS (
+        SELECT day, n,
+               round(abs(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                         - i * 1.0 / n), 9) AS d
+        FROM cs
+    ),
+    mx AS (SELECT MAX(d) AS mxd FROM dev)
+    SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM dev) AS n_days,
+           round(mx.mxd, 6) AS cusumsq_stat,
+           CAST((SELECT MIN(day) FROM dev, mx
+                 WHERE dev.d = mx.mxd) AS BIGINT) AS argmax_day
+    FROM mx
+    """,
+)
+def cusum_squares_variance(spark, sf_dir):
+    """CUSUM-of-squares (Brown-Durbin-Evans) variance-stability scan
+    on daily revenue: S_r = cumulative squared deviation share vs the
+    uniform line r/n, reporting max |S_r - r/n| and the day attaining
+    it — the VARIANCE-change companion of the registry's level-change
+    scans (CUSUM/Pettitt/SNHT detect mean shifts; CUSUMSQ detects
+    volatility-regime breaks those miss entirely). Squared deviations
+    from the pinned mean are rounded at 1e-9 (scaled by 1e8 cents^2)
+    and folded in DECIMAL, so the cumulative shares are
+    identical-input divisions; the argmax day tie-breaks by MIN(day).
+    Plan: day rollup, two windows over the calendar frame, one max
+    fold."""
+    daily = _daily(spark, sf_dir)
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    dev_ = F.col("y") - F.col("s") * 1.0 / F.col("n")
+    e = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n",
+        F.round(dev_ * dev_ / 1.0e8, 9)
+        .cast("decimal(38,9)")
+        .alias("e2"),
+        F.row_number().over(Window.orderBy("day")).cast("bigint")
+        .alias("i"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cs = e.select(
+        "day",
+        "i",
+        "n",
+        F.sum("e2").over(wcum).alias("cum"),
+        F.sum("e2").over(wall).alias("tot"),
+    )
+    dev = cs.select(
+        "day",
+        "n",
+        F.round(
+            F.abs(
+                F.col("cum").cast("double") / F.col("tot").cast("double")
+                - F.col("i") * 1.0 / F.col("n")
+            ),
+            9,
+        ).alias("d"),
+    ).persist()
+    mx = dev.agg(F.max("d").alias("mxd"))
+    arg = (
+        dev.crossJoin(F.broadcast(mx))
+        .where(F.col("d") == F.col("mxd"))
+        .agg(
+            F.max("n").cast("bigint").alias("n_days"),
+            F.min("day").cast("bigint").alias("argmax_day"),
+        )
+    )
+    return arg.crossJoin(F.broadcast(mx)).select(
+        "n_days",
+        F.round(F.col("mxd"), 6).alias("cusumsq_stat"),
+        "argmax_day",
+    )
+
+
+# --------------------------------------------------------------------------
+# Zhang's clumpiness index of per-user event timing
+# --------------------------------------------------------------------------
+@register(
+    "clumpiness_index_users",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - COALESCE(LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id),
+                   (SELECT t0 FROM bounds)) AS gap,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_ev
+        FROM events
+    ),
+    tail AS (
+        SELECT user_id,
+               (SELECT t1 FROM bounds) - MAX(epoch_us(ts)) AS gap,
+               CAST(MAX(cnt) AS BIGINT) AS n_ev
+        FROM (SELECT user_id, ts,
+                     COUNT(*) OVER (PARTITION BY user_id) AS cnt
+              FROM events) GROUP BY user_id
+    ),
+    allgaps AS (
+        SELECT user_id, gap, n_ev FROM gaps
+        UNION ALL
+        SELECT user_id, gap, n_ev FROM tail
+    ),
+    hp AS (
+        SELECT user_id,
+               CAST(MAX(n_ev) AS BIGINT) AS n_ev,
+               round(1.0
+                     + CAST(round(SUM(CASE WHEN gap > 0 THEN
+                       CAST(round((gap / ((SELECT t1 FROM bounds)
+                                          - (SELECT t0 FROM bounds)
+                                          * 1.0))
+                            * ln(gap / ((SELECT t1 FROM bounds)
+                                        - (SELECT t0 FROM bounds)
+                                        * 1.0)), 12)
+                            AS DECIMAL(20,12)) ELSE NULL END), 12)
+                       AS DOUBLE)
+                       / ln(MAX(n_ev) + 1.0), 9) AS c
+        FROM allgaps
+        GROUP BY user_id
+        HAVING MAX(n_ev) >= 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(CAST(round(SUM(CAST(round(c, 9) AS DECIMAL(28,9))), 9)
+                 AS DOUBLE) / COUNT(*), 6) AS mean_clumpiness,
+           round(quantile_cont(c, 0.9), 6) AS p90_clumpiness
+    FROM hp
+    """,
+)
+def clumpiness_index_users(spark, sf_dir):
+    """Zhang-Bradlow-Small clumpiness index per user: with the n+1
+    normalized inter-event gaps over the corpus window (boundary gaps
+    included), Hp = 1 + sum x ln x / ln(n+1) — 0 for perfectly even
+    visits, ->1 for one burst; reported as the user mean and p90. The
+    CRM literature's third behavioral axis after recency/frequency
+    (RFM is in the registry): two users with identical R and F but
+    different clumpiness have measurably different churn risk. Gaps
+    are exact integer microseconds against broadcast corpus bounds;
+    x ln x terms round at 1e-12 and fold in DECIMAL per user; the
+    corpus summary folds rounded per-user indices. Plan: one
+    user-partitioned lag pass + one boundary-gap rollup, a user fold,
+    one percentile fold."""
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = e.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        (us - F.coalesce(F.lag(us).over(wu), F.col("t0"))).alias(
+            "gap"
+        ),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .alias("n_ev"),
+        "t0",
+        "t1",
+    )
+    tail = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(us).alias("mx"),
+            F.count(F.lit(1)).alias("n_ev"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            (F.col("t1") - F.col("mx")).alias("gap"),
+            "n_ev",
+            "t0",
+            "t1",
+        )
+    )
+    allgaps = gaps.unionByName(tail)
+    span = F.col("t1") - F.col("t0") * 1.0
+    x = F.col("gap") / span
+    hp = (
+        allgaps.groupBy("user_id")
+        .agg(
+            F.max("n_ev").cast("bigint").alias("n_ev"),
+            F.round(
+                1.0
+                + F.round(
+                    F.sum(
+                        F.when(
+                            F.col("gap") > 0,
+                            F.round(x * F.log(x), 12).cast(
+                                "decimal(20,12)"
+                            ),
+                        )
+                    ),
+                    12,
+                ).cast("double")
+                / F.log(F.max("n_ev") + 1.0),
+                9,
+            ).alias("c"),
+        )
+        .where(F.col("n_ev") >= 2)
+    )
+    return hp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(
+            F.round(
+                F.sum(F.round(F.col("c"), 9).cast("decimal(28,9)")), 9
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_clumpiness"),
+        F.round(F.expr("percentile(c, 0.9)"), 6).alias(
+            "p90_clumpiness"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gries' deviation of proportions (DP) dispersion for top terms
+# --------------------------------------------------------------------------
+@register(
+    "gries_dp_dispersion",
+    oracle="""
+    WITH tc AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    srcsz AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS s FROM tc
+        GROUP BY source
+    ),
+    corpus AS (SELECT CAST(SUM(s) AS BIGINT) AS tot FROM srcsz),
+    term AS (
+        SELECT w, CAST(SUM(c) AS BIGINT) AS f FROM tc GROUP BY w
+    ),
+    top AS (
+        SELECT w, f FROM term ORDER BY f DESC, w ASC LIMIT 20
+    ),
+    grid AS (
+        SELECT top.w, top.f, sz.source, sz.s,
+               COALESCE(tc.c, 0) AS v
+        FROM top CROSS JOIN srcsz sz
+        LEFT JOIN tc ON tc.w = top.w AND tc.source = sz.source
+    )
+    SELECT w AS term, f AS n_occurrences,
+           round(CAST(round(SUM(CAST(round(
+                 abs(v * 1.0 / f - s * 1.0 / corpus.tot), 12)
+                 AS DECIMAL(20,12))), 12) AS DOUBLE) / 2.0, 6)
+               AS gries_dp
+    FROM grid, corpus
+    GROUP BY w, f, corpus.tot
+    ORDER BY n_occurrences DESC, term ASC
+    """,
+)
+def gries_dp_dispersion(spark, sf_dir):
+    """Gries' Deviation of Proportions (DP) for the top-20 corpus
+    terms: DP = 1/2 sum_s |term share in source s - source s's size
+    share| — 0 when the term distributes exactly like the corpus
+    (function word), ->1 when it concentrates in one source. The
+    modern corpus-linguistics dispersion standard (Gries 2008) that
+    fixed Juilland's D's known insensitivity to unequal corpus-part
+    sizes — this bank carries both precisely because they disagree on
+    size-skewed corpora, and the data's sources ARE size-skewed.
+    Zero-count (term, source) cells enter via the bounded grid; every
+    share is a ratio of exact integers rounded at 1e-12 and folded in
+    DECIMAL over the source domain; top-k rides the (freq, term)
+    total order. Plan: one (source, term) rollup, TakeOrdered 20,
+    bounded grid join, one fold per term."""
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ).persist()
+    srcsz = tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("s")
+    )
+    corpus = srcsz.agg(F.sum("s").cast("bigint").alias("tot"))
+    term = tc.groupBy("w").agg(F.sum("c").cast("bigint").alias("f"))
+    top = term.orderBy(F.col("f").desc(), F.col("w").asc()).limit(20)
+    grid = (
+        top.crossJoin(F.broadcast(srcsz))
+        .join(tc, ["w", "source"], "left")
+        .select(
+            "w",
+            "f",
+            "s",
+            F.coalesce(F.col("c"), F.lit(0)).alias("v"),
+        )
+    )
+    return (
+        grid.crossJoin(F.broadcast(corpus))
+        .groupBy(F.col("w").alias("term"), F.col("f").alias("n_occurrences"))
+        .agg(
+            F.round(
+                F.round(
+                    F.sum(
+                        F.round(
+                            F.abs(
+                                F.col("v") * 1.0 / F.col("f")
+                                - F.col("s") * 1.0 / F.col("tot")
+                            ),
+                            12,
+                        ).cast("decimal(20,12)")
+                    ),
+                    12,
+                ).cast("double")
+                / 2.0,
+                6,
+            ).alias("gries_dp")
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Pickands tail-index estimator for order totals
+# --------------------------------------------------------------------------
+@register(
+    "pickands_tail_estimator",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS x
+        FROM orders
+    ),
+    q AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               round(quantile_cont(x, 0.875) / 100.0, 4) AS q875,
+               round(quantile_cont(x, 0.75) / 100.0, 4) AS q75,
+               round(quantile_cont(x, 0.5) / 100.0, 4) AS q50
+        FROM v
+    )
+    SELECT n AS n_orders, q875, q75, q50,
+           round(ln((q875 - q75) / (q75 - q50)) / ln(2.0), 6) + 0.0
+               AS pickands_xi
+    FROM q
+    """,
+)
+def pickands_tail_estimator(spark, sf_dir):
+    """Pickands' estimator of the extreme-value tail index xi for
+    order totals: xi = ln((Q(7/8) - Q(3/4)) / (Q(3/4) - Q(1/2))) /
+    ln 2 — quantile-spacing based, so unlike the registry's Hill
+    estimator it is valid for ALL three EVT domains (xi > 0 heavy,
+    = 0 light, < 0 bounded tails), and Hill-vs-Pickands disagreement
+    is itself the "is the tail really Pareto?" diagnostic. The three
+    quantiles are the engines' interpolated percentiles on exact
+    integer cents, rounded at 1e-4 before the single ln ratio. Plan:
+    one scan projection, one percentile fold, one scalar select."""
+    o = t(spark, sf_dir, "orders")
+    v = o.select(
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("x")
+    )
+    q = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.expr("percentile(x, 0.875)") / 100.0, 4).alias(
+            "q875"
+        ),
+        F.round(F.expr("percentile(x, 0.75)") / 100.0, 4).alias("q75"),
+        F.round(F.expr("percentile(x, 0.5)") / 100.0, 4).alias("q50"),
+    )
+    return q.select(
+        F.col("n").alias("n_orders"),
+        "q875",
+        "q75",
+        "q50",
+        (
+            F.round(
+                F.log(
+                    (F.col("q875") - F.col("q75"))
+                    / (F.col("q75") - F.col("q50"))
+                )
+                / F.log(F.lit(2.0)),
+                6,
+            )
+            + 0.0
+        ).alias("pickands_xi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Acerbi-Szekely expected-shortfall backtest (split-sample)
+# --------------------------------------------------------------------------
+@register(
+    "es_backtest_acerbi",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    chg AS (
+        SELECT day,
+               round((LAG(y) OVER (ORDER BY day) - y) / 100.0, 2)
+                   AS loss
+        FROM daily
+        QUALIFY loss IS NOT NULL
+    ),
+    split AS (
+        SELECT CAST(floor(quantile_cont(day, 0.5)) AS BIGINT) AS mid
+        FROM chg
+    ),
+    est AS (
+        SELECT round(quantile_cont(loss, 0.95), 2) AS var95
+        FROM chg, split WHERE day <= split.mid
+    ),
+    es AS (
+        SELECT round(CAST(round(SUM(CAST(loss AS DECIMAL(18,2))), 2)
+                     AS DOUBLE) / COUNT(*), 4) AS es95
+        FROM chg, split, est
+        WHERE day <= split.mid AND loss >= est.var95
+    ),
+    test AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN c.loss > est.var95
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(round(SUM(CASE WHEN c.loss > est.var95
+                          THEN CAST(c.loss AS DECIMAL(18,2)) END), 2)
+                    AS DOUBLE) AS viol_sum
+        FROM chg c, split, est WHERE c.day > split.mid
+        GROUP BY est.var95
+    )
+    SELECT t.n AS n_test_days, t.x AS n_violations,
+           e.es95 AS es_estimate,
+           CASE WHEN t.x = 0 THEN NULL
+                ELSE round(COALESCE(t.viol_sum, 0.0)
+                           / (t.n * 0.05 * e.es95) - 1.0, 6) + 0.0
+           END AS acerbi_z2
+    FROM test t, es e
+    """,
+)
+def es_backtest_acerbi(spark, sf_dir):
+    """Acerbi-Szekely Z2 backtest of the expected-shortfall estimate:
+    ES95 is fitted as the mean beyond VaR95 on the first half of the
+    loss series, and Z2 = sum(test-half losses beyond VaR) /
+    (n * alpha * ES) - 1 should sit near 0 when the tail SEVERITY
+    model is right — the Basel-FRTB companion of the Kupiec POF test
+    (this bank), which only checks violation FREQUENCY; together they
+    separate "too many exceptions" from "exceptions too deep". All
+    losses are exact 2-rounded cents differences; ES and the
+    violation sum are DECIMAL folds; Z2 is one terminal expression
+    (NULL when the test half has no violations — same rule both
+    engines). Plan: day rollup, lag, split percentile, two tail
+    folds."""
+    daily = _daily(spark, sf_dir)
+    chg = daily.select(
+        "day",
+        F.round(
+            (F.lag("y").over(Window.orderBy("day")) - F.col("y"))
+            / 100.0,
+            2,
+        ).alias("loss"),
+    ).where(F.col("loss").isNotNull()).persist()
+    split = chg.agg(
+        F.floor(F.expr("percentile(day, 0.5)"))
+        .cast("bigint")
+        .alias("mid")
+    )
+    est = (
+        chg.crossJoin(F.broadcast(split))
+        .where(F.col("day") <= F.col("mid"))
+        .agg(F.round(F.expr("percentile(loss, 0.95)"), 2).alias("var95"))
+    )
+    es = (
+        chg.crossJoin(F.broadcast(split))
+        .crossJoin(F.broadcast(est))
+        .where(
+            (F.col("day") <= F.col("mid"))
+            & (F.col("loss") >= F.col("var95"))
+        )
+        .agg(
+            F.round(
+                F.round(
+                    F.sum(F.col("loss").cast("decimal(18,2)")), 2
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("es95")
+        )
+    )
+    test = (
+        chg.crossJoin(F.broadcast(split))
+        .crossJoin(F.broadcast(est))
+        .where(F.col("day") > F.col("mid"))
+        .groupBy("var95")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("loss") > F.col("var95"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("loss") > F.col("var95"),
+                        F.col("loss").cast("decimal(18,2)"),
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("viol_sum"),
+        )
+    )
+    return test.crossJoin(F.broadcast(es)).select(
+        F.col("n").alias("n_test_days"),
+        F.col("x").alias("n_violations"),
+        F.col("es95").alias("es_estimate"),
+        F.when(F.col("x") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.coalesce(F.col("viol_sum"), F.lit(0.0))
+                / (F.col("n") * 0.05 * F.col("es95"))
+                - 1.0,
+                6,
+            )
+            + 0.0
+        )
+        .alias("acerbi_z2"),
+    )
