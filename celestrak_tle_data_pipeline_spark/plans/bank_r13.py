@@ -3986,3 +3986,1562 @@ def es_backtest_acerbi(spark, sf_dir):
         )
         .alias("acerbi_z2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf-Mandelbrot fit of the corpus rank-frequency curve
+# --------------------------------------------------------------------------
+_ZM_QS = list(range(11))  # Mandelbrot offset grid
+
+
+@register(
+    "zipf_mandelbrot_fit",
+    oracle=f"""
+    WITH tc AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY w
+    ),
+    rk AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY f DESC, w ASC)
+                    AS BIGINT) AS r,
+               round(ln(f * 1.0), 9) AS lf
+        FROM tc
+    ),
+    grid AS (
+        SELECT q.q, rk.r, rk.lf,
+               round(ln(rk.r + q.q * 1.0), 9) AS lx
+        FROM rk, (SELECT UNNEST(range({len(_ZM_QS)})) AS q) q
+    ),
+    fit AS (
+        SELECT q,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(lx AS DECIMAL(28,9))) AS sx,
+               SUM(CAST(lf AS DECIMAL(28,9))) AS sy,
+               SUM(CAST(round(lx * lx, 9) AS DECIMAL(38,9))) AS sxx,
+               SUM(CAST(round(lx * lf, 9) AS DECIMAL(38,9))) AS sxy,
+               SUM(CAST(round(lf * lf, 9) AS DECIMAL(38,9))) AS syy
+        FROM grid GROUP BY q
+    ),
+    scored AS (
+        SELECT q,
+               round((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                     9) AS slope,
+               round((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (n * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / ((n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE)
+                             * CAST(sy AS DOUBLE))), 9) AS r2
+        FROM fit
+    )
+    SELECT CAST(q AS BIGINT) AS q_offset,
+           -slope + 0.0 AS s_exponent,
+           r2 + 0.0 AS r2
+    FROM scored
+    ORDER BY r2 DESC, q ASC LIMIT 1
+    """,
+)
+def zipf_mandelbrot_fit(spark, sf_dir):
+    """Zipf-Mandelbrot fit of the rank-frequency curve: ln f = ln C -
+    s ln(r + q), with the Mandelbrot offset q chosen from the 0..10
+    grid by best OLS R^2 (q = 0 recovers pure Zipf, which the
+    registry's zipf_slope_tokens fits). The offset is what actually
+    models the FLAT HEAD of real rank-frequency curves — a corpus
+    whose best q is large has a function-word plateau pure Zipf
+    misfits, which biases any vocabulary-size extrapolation made from
+    the slope. Ranks ride the (freq desc, term) total order on the
+    bounded vocabulary; ln terms round at 1e-9; the 11 OLS fits fold
+    exact DECIMAL moments per q; the winner carries the (r2, q) total
+    order. Plan: vocab rollup, bounded rank window, an 11x grid
+    cross, one fold per q, TakeOrdered 1."""
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    rk = tc.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), F.col("w").asc()))
+        .cast("bigint")
+        .alias("r"),
+        F.round(F.log(F.col("f") * 1.0), 9).alias("lf"),
+    )
+    qs = spark.range(len(_ZM_QS)).select(F.col("id").alias("q"))
+    grid = rk.crossJoin(F.broadcast(qs)).select(
+        "q",
+        "lf",
+        F.round(F.log(F.col("r") + F.col("q") * 1.0), 9).alias("lx"),
+    )
+    fit = grid.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("lx").cast("decimal(28,9)")).alias("sx"),
+        F.sum(F.col("lf").cast("decimal(28,9)")).alias("sy"),
+        F.sum(
+            F.round(F.col("lx") * F.col("lx"), 9).cast("decimal(38,9)")
+        ).alias("sxx"),
+        F.sum(
+            F.round(F.col("lx") * F.col("lf"), 9).cast("decimal(38,9)")
+        ).alias("sxy"),
+        F.sum(
+            F.round(F.col("lf") * F.col("lf"), 9).cast("decimal(38,9)")
+        ).alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    scored = fit.select(
+        "q",
+        F.round(num / (n * sxx - sx * sx), 9).alias("slope"),
+        F.round(
+            num * num / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9
+        ).alias("r2"),
+    )
+    return (
+        scored.orderBy(F.col("r2").desc(), F.col("q").asc())
+        .limit(1)
+        .select(
+            F.col("q").cast("bigint").alias("q_offset"),
+            (-F.col("slope") + 0.0).alias("s_exponent"),
+            (F.col("r2") + 0.0).alias("r2"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Church-Gale term burstiness (Fano factor over documents)
+# --------------------------------------------------------------------------
+@register(
+    "term_burstiness_fano",
+    oracle="""
+    WITH dc AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    term AS (
+        SELECT w,
+               CAST(SUM(c) AS BIGINT) AS f,
+               CAST(SUM(c * c) AS BIGINT) AS f2,
+               CAST(COUNT(*) AS BIGINT) AS df
+        FROM dc GROUP BY w
+    ),
+    top AS (
+        SELECT w, f, f2, df FROM term
+        ORDER BY f DESC, w ASC LIMIT 20
+    )
+    SELECT w AS term, f AS n_occurrences, df AS doc_freq,
+           round(((f2 - f * 1.0 * f / nd.n) / (nd.n - 1.0))
+                 / (f * 1.0 / nd.n), 6) AS fano_factor,
+           round(f * 1.0 / df, 6) AS mean_burst_size
+    FROM top, nd
+    ORDER BY n_occurrences DESC, term ASC
+    """,
+)
+def term_burstiness_fano(spark, sf_dir):
+    """Church-Gale burstiness for the top-20 terms: the Fano factor
+    (variance/mean of the term's per-DOCUMENT count, zeros included
+    via the moment identity — no zero rows materialized) and the mean
+    burst size f/df. Fano ~ 1 means the term arrives Poisson-like
+    (function word); Fano >> 1 means it clumps into few documents
+    (content word) — the lexical analogue of the event-timing
+    burstiness panel, and the statistic underneath why tf-idf works.
+    All moments are exact integers (f, f^2-sum, df, N); each output
+    is one terminal expression. Plan: one (doc, term) rollup, one
+    term rollup, TakeOrdered 20, broadcast doc count."""
+    d = t(spark, sf_dir, "documents")
+    dc = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    term = dc.groupBy("w").agg(
+        F.sum("c").cast("bigint").alias("f"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    top = term.orderBy(F.col("f").desc(), F.col("w").asc()).limit(20)
+    n = F.col("n")
+    fano = (
+        (F.col("f2") - F.col("f") * 1.0 * F.col("f") / n) / (n - 1.0)
+    ) / (F.col("f") * 1.0 / n)
+    return (
+        top.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("w").alias("term"),
+            F.col("f").alias("n_occurrences"),
+            F.col("df").alias("doc_freq"),
+            F.round(fano, 6).alias("fano_factor"),
+            F.round(F.col("f") * 1.0 / F.col("df"), 6).alias(
+                "mean_burst_size"
+            ),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Morisita-Horn abundance overlap between source pairs
+# --------------------------------------------------------------------------
+@register(
+    "morisita_horn_sources",
+    oracle="""
+    WITH tc AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    sz AS (
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * c) AS BIGINT) AS c2
+        FROM tc GROUP BY source
+    ),
+    cross_ AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(SUM(a.c * b.c) AS BIGINT) AS xy
+        FROM tc a JOIN tc b
+          ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT c.src_a, c.src_b,
+           round(2.0 * c.xy
+                 / ((sa.c2 * 1.0 / (sa.n * 1.0 * sa.n)
+                     + sb.c2 * 1.0 / (sb.n * 1.0 * sb.n))
+                    * sa.n * sb.n), 9) AS morisita_horn
+    FROM cross_ c
+    JOIN sz sa ON c.src_a = sa.source
+    JOIN sz sb ON c.src_b = sb.source
+    ORDER BY src_a, src_b
+    """,
+)
+def morisita_horn_sources(spark, sf_dir):
+    """Morisita-Horn abundance overlap for every source pair: CMH =
+    2 sum(x_i y_i) / ((sum x^2/X^2 + sum y^2/Y^2) X Y) — ecology's
+    sample-size-robust community-overlap index, here over term
+    abundances. Unlike Jaccard (presence-only, in the registry) it
+    weights by frequency, and unlike cosine it is nearly unbiased
+    under unequal sample sizes — which is exactly the regime of this
+    corpus's skewed sources; the standard pick for "are these two
+    crawl slices the same distribution of content". Every fold is an
+    exact integer (cross products via a token-keyed equi-join, never
+    all-pairs); the index is one terminal expression per pair. Plan:
+    one (source, term) rollup, a token-keyed triangular join, one
+    190-row fold."""
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ).persist()
+    sz = tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("c2"),
+    )
+    a = tc.select(
+        F.col("source").alias("src_a"), "w", F.col("c").alias("ca")
+    )
+    b = tc.select(
+        F.col("source").alias("src_b"),
+        F.col("w").alias("wb"),
+        F.col("c").alias("cb"),
+    )
+    crossed = (
+        a.join(b, (a.w == b.wb) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("xy")
+        )
+    )
+    sa = sz.select(
+        F.col("source").alias("src_a"),
+        F.col("n").alias("na"),
+        F.col("c2").alias("c2a"),
+    )
+    sb = sz.select(
+        F.col("source").alias("src_b"),
+        F.col("n").alias("nb"),
+        F.col("c2").alias("c2b"),
+    )
+    mh = 2.0 * F.col("xy") / (
+        (
+            F.col("c2a") * 1.0 / (F.col("na") * 1.0 * F.col("na"))
+            + F.col("c2b") * 1.0 / (F.col("nb") * 1.0 * F.col("nb"))
+        )
+        * F.col("na")
+        * F.col("nb")
+    )
+    return (
+        crossed.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(mh, 9).alias("morisita_horn"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Directed vocabulary containment (Broder) for the top source pairs
+# --------------------------------------------------------------------------
+@register(
+    "vocab_containment_topk",
+    oracle="""
+    WITH tv AS (
+        SELECT DISTINCT source, w
+        FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w
+              FROM documents)
+    ),
+    sz AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM tv
+        GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS i
+        FROM tv a JOIN tv b ON a.w = b.w AND a.source <> b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b,
+           sa.v AS vocab_a,
+           round(i.i * 1.0 / sa.v, 9) AS containment_a_in_b
+    FROM inter i
+    JOIN sz sa ON i.src_a = sa.source
+    ORDER BY containment_a_in_b DESC, src_a ASC, src_b ASC
+    LIMIT 20
+    """,
+)
+def vocab_containment_topk(spark, sf_dir):
+    """Broder's directed containment C(A, B) = |A intersect B| / |A|
+    over source vocabularies, top-20 most-contained ordered pairs:
+    the ASYMMETRIC near-duplicate measure — a small source fully
+    swallowed by a big one has Jaccard near 0 (the registry's
+    symmetric vocab overlap misses it) but containment 1, which is
+    exactly the subset-scrape signature a dedup pipeline must rank
+    by direction. Type sets are exact distinct rollups; the
+    intersection is a token-keyed equi-join (never all-pairs);
+    containment is one integer ratio; top-k carries the full
+    (value, pair) total order. Plan: one distinct rollup, one
+    token-keyed join, 380-row directed fold, TakeOrdered 20."""
+    d = t(spark, sf_dir, "documents")
+    tv = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    ).persist()
+    sz = tv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    a = tv.select(F.col("source").alias("src_a"), "w")
+    b = tv.select(
+        F.col("source").alias("src_b"), F.col("w").alias("wb")
+    )
+    inter = (
+        a.join(
+            b, (a.w == b.wb) & (F.col("src_a") != F.col("src_b"))
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    sa = sz.select(
+        F.col("source").alias("src_a"), F.col("v").alias("vocab_a")
+    )
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .select(
+            "src_a",
+            "src_b",
+            "vocab_a",
+            F.round(F.col("i") * 1.0 / F.col("vocab_a"), 9).alias(
+                "containment_a_in_b"
+            ),
+        )
+        .orderBy(
+            F.col("containment_a_in_b").desc(),
+            F.col("src_a").asc(),
+            F.col("src_b").asc(),
+        )
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Hawkes branching-ratio moment estimate from hourly count overdispersion
+# --------------------------------------------------------------------------
+@register(
+    "hawkes_branching_moment",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT CAST(MIN(hr) AS BIGINT) AS h0,
+               CAST(MAX(hr) AS BIGINT) AS h1
+        FROM hourly
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS nz,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM hourly GROUP BY event_type
+    ),
+    f AS (
+        SELECT g.event_type, g.s1,
+               (sp.h1 - sp.h0 + 1) AS nh,
+               round(((g.s2 - g.s1 * 1.0 * g.s1 / (sp.h1 - sp.h0 + 1))
+                      / (sp.h1 - sp.h0 + 0.0))
+                     / (g.s1 * 1.0 / (sp.h1 - sp.h0 + 1)), 9)
+                   AS fano
+        FROM g, span sp
+    )
+    SELECT event_type,
+           CAST(nh AS BIGINT) AS n_hours,
+           s1 AS n_events,
+           fano + 0.0 AS fano_factor,
+           CASE WHEN fano <= 1.0 THEN 0.0
+                ELSE round(1.0 - 1.0 / sqrt(fano), 6) END
+               AS branching_ratio
+    FROM f ORDER BY event_type
+    """,
+)
+def hawkes_branching_moment(spark, sf_dir):
+    """Moment-based Hawkes branching-ratio estimate per event type
+    from hourly count overdispersion: for a Hawkes process with
+    Poisson immigration, the large-window Fano factor satisfies F =
+    1/(1-n)^2, so n = 1 - 1/sqrt(F) (floored at 0 when counts are
+    under-dispersed). n is the fraction of events CAUSED BY OTHER
+    EVENTS rather than exogenous arrivals — the self-excitation
+    number that says whether load is driven by cascades (n near 1:
+    retries/virality, capacity must handle bursts) or by outside
+    demand (n near 0). Hour bins are exact integer floors including
+    empty hours via the span identity (zero bins enter the variance
+    through the moment formula, not materialized rows); Fano is one
+    rational of exact integer power sums. Plan: one (type, hour)
+    rollup, one 5-row fold, broadcast span."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 3_600_000_000)
+        .cast("bigint")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c")).persist()
+    span = hourly.agg(
+        F.min("hr").cast("bigint").alias("h0"),
+        F.max("hr").cast("bigint").alias("h1"),
+    )
+    g = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nz"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    nh = F.col("h1") - F.col("h0") + 1
+    fano = F.round(
+        (
+            (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / nh)
+            / (F.col("h1") - F.col("h0") + 0.0)
+        )
+        / (F.col("s1") * 1.0 / nh),
+        9,
+    )
+    f = g.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "s1",
+        nh.cast("bigint").alias("n_hours"),
+        fano.alias("fano"),
+    )
+    return f.select(
+        "event_type",
+        "n_hours",
+        F.col("s1").alias("n_events"),
+        (F.col("fano") + 0.0).alias("fano_factor"),
+        F.when(F.col("fano") <= 1.0, F.lit(0.0))
+        .otherwise(
+            F.round(1.0 - 1.0 / F.sqrt(F.col("fano")), 6)
+        )
+        .alias("branching_ratio"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Doksum shift function at deciles (click -> purchase)
+# --------------------------------------------------------------------------
+_SHIFT_PS = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "doksum_shift_function",
+    oracle="""
+    WITH q AS (
+        SELECT round(quantile_cont(CASE WHEN event_type = 'click' THEN value END, 0.1), 4) AS c1, round(quantile_cont(CASE WHEN event_type = 'click' THEN value END, 0.2), 4) AS c2, round(quantile_cont(CASE WHEN event_type = 'click' THEN value END, 0.3), 4) AS c3, round(quantile_cont(CASE WHEN event_type = 'click' THEN value END, 0.4), 4) AS c4, round(quantile_cont(CASE WHEN event_type = 'click' THEN value END, 0.5), 4) AS c5, round(quantile_cont(CASE WHEN event_type = 'click' THEN value END, 0.6), 4) AS c6, round(quantile_cont(CASE WHEN event_type = 'click' THEN value END, 0.7), 4) AS c7, round(quantile_cont(CASE WHEN event_type = 'click' THEN value END, 0.8), 4) AS c8, round(quantile_cont(CASE WHEN event_type = 'click' THEN value END, 0.9), 4) AS c9,
+               round(quantile_cont(CASE WHEN event_type = 'purchase' THEN value END, 0.1), 4) AS p1, round(quantile_cont(CASE WHEN event_type = 'purchase' THEN value END, 0.2), 4) AS p2, round(quantile_cont(CASE WHEN event_type = 'purchase' THEN value END, 0.3), 4) AS p3, round(quantile_cont(CASE WHEN event_type = 'purchase' THEN value END, 0.4), 4) AS p4, round(quantile_cont(CASE WHEN event_type = 'purchase' THEN value END, 0.5), 4) AS p5, round(quantile_cont(CASE WHEN event_type = 'purchase' THEN value END, 0.6), 4) AS p6, round(quantile_cont(CASE WHEN event_type = 'purchase' THEN value END, 0.7), 4) AS p7, round(quantile_cont(CASE WHEN event_type = 'purchase' THEN value END, 0.8), 4) AS p8, round(quantile_cont(CASE WHEN event_type = 'purchase' THEN value END, 0.9), 4) AS p9
+        FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT CAST(10 AS BIGINT) AS pctile, c1 AS q_click, p1 AS q_purchase, round(p1 - c1, 4) + 0.0 AS shift FROM q
+    UNION ALL
+    SELECT CAST(20 AS BIGINT) AS pctile, c2 AS q_click, p2 AS q_purchase, round(p2 - c2, 4) + 0.0 AS shift FROM q
+    UNION ALL
+    SELECT CAST(30 AS BIGINT) AS pctile, c3 AS q_click, p3 AS q_purchase, round(p3 - c3, 4) + 0.0 AS shift FROM q
+    UNION ALL
+    SELECT CAST(40 AS BIGINT) AS pctile, c4 AS q_click, p4 AS q_purchase, round(p4 - c4, 4) + 0.0 AS shift FROM q
+    UNION ALL
+    SELECT CAST(50 AS BIGINT) AS pctile, c5 AS q_click, p5 AS q_purchase, round(p5 - c5, 4) + 0.0 AS shift FROM q
+    UNION ALL
+    SELECT CAST(60 AS BIGINT) AS pctile, c6 AS q_click, p6 AS q_purchase, round(p6 - c6, 4) + 0.0 AS shift FROM q
+    UNION ALL
+    SELECT CAST(70 AS BIGINT) AS pctile, c7 AS q_click, p7 AS q_purchase, round(p7 - c7, 4) + 0.0 AS shift FROM q
+    UNION ALL
+    SELECT CAST(80 AS BIGINT) AS pctile, c8 AS q_click, p8 AS q_purchase, round(p8 - c8, 4) + 0.0 AS shift FROM q
+    UNION ALL
+    SELECT CAST(90 AS BIGINT) AS pctile, c9 AS q_click, p9 AS q_purchase, round(p9 - c9, 4) + 0.0 AS shift FROM q
+    ORDER BY pctile
+    """,
+)
+def doksum_shift_function(spark, sf_dir):
+    """Doksum's shift function at the nine deciles: Delta(p) =
+    Q_purchase(p) - Q_click(p) — the quantile-by-quantile answer to
+    "HOW do the two value distributions differ" that a single
+    location test compresses away (a pure shift gives a flat Delta;
+    a scale difference gives a monotone one; a crossing Delta means
+    no stochastic ordering, invalidating a one-number summary). The
+    robust-statistics companion of this bank's Lepage/Cucconi
+    omnibus tests, which only say THAT they differ. Quantiles are
+    the engines' bit-compatible interpolated percentiles rounded at
+    1e-4; the output is the bounded 9-row decile frame. Plan: two
+    filtered percentile folds, one 9-row literal grid."""
+    e = t(spark, sf_dir, "events")
+    c = e.where(F.col("event_type") == "click")
+    p = e.where(F.col("event_type") == "purchase")
+    qc = c.agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 4).alias(
+                f"c{i}"
+            )
+            for i, q in enumerate(_SHIFT_PS, 1)
+        ]
+    )
+    qp = p.agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 4).alias(
+                f"p{i}"
+            )
+            for i, q in enumerate(_SHIFT_PS, 1)
+        ]
+    )
+    both = qc.crossJoin(F.broadcast(qp))
+    rows = None
+    for i in range(1, 10):
+        r = both.select(
+            F.lit(i * 10).cast("bigint").alias("pctile"),
+            F.col(f"c{i}").alias("q_click"),
+            F.col(f"p{i}").alias("q_purchase"),
+            (
+                F.round(F.col(f"p{i}") - F.col(f"c{i}"), 4) + 0.0
+            ).alias("shift"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows
+
+
+# --------------------------------------------------------------------------
+# Mincer-Zarnowitz forecast-rationality regression (seasonal naive)
+# --------------------------------------------------------------------------
+@register(
+    "mincer_zarnowitz_rationality",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    fc AS (
+        SELECT round(y / 100.0, 2) AS y,
+               round(LAG(y, 7) OVER (ORDER BY day) / 100.0, 2) AS x
+        FROM daily
+        QUALIFY x IS NOT NULL
+    ),
+    f AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(x AS DECIMAL(28,2))) AS sx,
+               SUM(CAST(y AS DECIMAL(28,2))) AS sy,
+               SUM(CAST(round(x * x, 4) AS DECIMAL(38,4))) AS sxx,
+               SUM(CAST(round(x * y, 4) AS DECIMAL(38,4))) AS sxy,
+               SUM(CAST(round(y * y, 4) AS DECIMAL(38,4))) AS syy
+        FROM fc
+    ),
+    ols AS (
+        SELECT n,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+               CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+               CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+               CAST(syy AS DOUBLE) AS syy
+        FROM f
+    ),
+    fit AS (
+        SELECT n, b, sx,
+               (sy - b * sx) / n AS a,
+               (syy - 2.0 * ((sy - b * sx) / n) * sy
+                - 2.0 * b * sxy
+                + n * ((sy - b * sx) / n) * ((sy - b * sx) / n)
+                + 2.0 * ((sy - b * sx) / n) * b * sx
+                + b * b * sxx) / (n - 2.0) AS s2,
+               sxx - sx * sx / n AS sxx_c
+        FROM ols
+    )
+    SELECT n AS n_forecasts,
+           round(a, 4) + 0.0 AS alpha,
+           round(b, 6) AS beta,
+           round(a / sqrt(s2 * (1.0 / n
+                                + (sx / n) * (sx / n) / sxx_c)), 6)
+               + 0.0 AS t_alpha_zero,
+           round((b - 1.0) / sqrt(s2 / sxx_c), 6) + 0.0 AS t_beta_one
+    FROM fit
+    """,
+)
+def mincer_zarnowitz_rationality(spark, sf_dir):
+    """Mincer-Zarnowitz forecast-rationality regression: realized
+    daily revenue on the seasonal-naive forecast, y = a + b*x. A
+    rational (unbiased, efficient) forecast has a = 0 AND b = 1 —
+    the t statistics for both restrictions are the test; b < 1 with
+    a > 0 is the classic over-reaction signature. THE standard
+    forecast-evaluation regression, complementing the accuracy
+    metrics (MASE/pinball) and the bias monitor (tracking signal,
+    this bank) with a calibration decomposition. Moments fold exact
+    DECIMAL on 2-rounded values; a, b, the residual variance, and
+    both classical t statistics are terminal expressions in
+    identical association. Plan: day rollup, lag-7 window, one
+    moment fold."""
+    daily = _daily(spark, sf_dir)
+    wo = Window.orderBy("day")
+    fc = daily.select(
+        F.round(F.col("y") / 100.0, 2).alias("y"),
+        F.round(F.lag("y", 7).over(wo) / 100.0, 2).alias("x"),
+    ).where(F.col("x").isNotNull())
+    f = fc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,2)")).alias("sx_d"),
+        F.sum(F.col("y").cast("decimal(28,2)")).alias("sy_d"),
+        F.sum(
+            F.round(F.col("x") * F.col("x"), 4).cast("decimal(38,4)")
+        ).alias("sxx_d"),
+        F.sum(
+            F.round(F.col("x") * F.col("y"), 4).cast("decimal(38,4)")
+        ).alias("sxy_d"),
+        F.sum(
+            F.round(F.col("y") * F.col("y"), 4).cast("decimal(38,4)")
+        ).alias("syy_d"),
+    )
+    n = F.col("n")
+    sx = F.col("sx_d").cast("double")
+    sy = F.col("sy_d").cast("double")
+    sxx = F.col("sxx_d").cast("double")
+    sxy = F.col("sxy_d").cast("double")
+    syy = F.col("syy_d").cast("double")
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    s2 = (
+        syy
+        - 2.0 * a * sy
+        - 2.0 * b * sxy
+        + n * a * a
+        + 2.0 * a * b * sx
+        + b * b * sxx
+    ) / (n - 2.0)
+    sxx_c = sxx - sx * sx / n
+    return f.select(
+        n.alias("n_forecasts"),
+        (F.round(a, 4) + 0.0).alias("alpha"),
+        F.round(b, 6).alias("beta"),
+        (
+            F.round(
+                a
+                / F.sqrt(
+                    s2 * (1.0 / n + (sx / n) * (sx / n) / sxx_c)
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("t_alpha_zero"),
+        (F.round((b - 1.0) / F.sqrt(s2 / sxx_c), 6) + 0.0).alias(
+            "t_beta_one"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Western Electric runs rules on the daily revenue X chart
+# --------------------------------------------------------------------------
+@register(
+    "western_electric_rules",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * y)
+                    AS DECIMAL(38,0)) AS s2
+        FROM daily
+    ),
+    z AS (
+        SELECT day,
+               round((y - m.s * 1.0 / m.n)
+                     / sqrt((CAST(m.s2 AS DOUBLE)
+                             - CAST(m.s AS DOUBLE) * m.s / m.n)
+                            / (m.n - 1.0)), 9) AS zi
+        FROM daily, m
+    ),
+    flags AS (
+        SELECT day, zi,
+               CASE WHEN zi > 2.0 THEN 1 ELSE 0 END AS hi2,
+               CASE WHEN zi < -2.0 THEN 1 ELSE 0 END AS lo2,
+               CASE WHEN zi > 1.0 THEN 1 ELSE 0 END AS hi1,
+               CASE WHEN zi < -1.0 THEN 1 ELSE 0 END AS lo1,
+               CASE WHEN zi > 0.0 THEN 1 ELSE 0 END AS hi0,
+               CASE WHEN zi < 0.0 THEN 1 ELSE 0 END AS lo0
+        FROM z
+    ),
+    runs AS (
+        SELECT day, zi,
+               SUM(hi2) OVER w3 AS h2, SUM(lo2) OVER w3 AS l2,
+               SUM(hi1) OVER w5 AS h1, SUM(lo1) OVER w5 AS l1,
+               SUM(hi0) OVER w8 AS h0, SUM(lo0) OVER w8 AS l0,
+               COUNT(*) OVER w3 AS c3,
+               COUNT(*) OVER w5 AS c5,
+               COUNT(*) OVER w8 AS c8
+        FROM flags
+        WINDOW w3 AS (ORDER BY day ROWS BETWEEN 2 PRECEDING
+                      AND CURRENT ROW),
+               w5 AS (ORDER BY day ROWS BETWEEN 4 PRECEDING
+                      AND CURRENT ROW),
+               w8 AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
+                      AND CURRENT ROW)
+    )
+    SELECT (SELECT n FROM m) AS n_days,
+           CAST(SUM(CASE WHEN abs(zi) > 3.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rule1_beyond_3s,
+           CAST(SUM(CASE WHEN c3 = 3 AND (h2 >= 2 OR l2 >= 2)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rule2_2of3_2s,
+           CAST(SUM(CASE WHEN c5 = 5 AND (h1 >= 4 OR l1 >= 4)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rule3_4of5_1s,
+           CAST(SUM(CASE WHEN c8 = 8 AND (h0 = 8 OR l0 = 8)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rule4_8_same_side
+    FROM runs
+    """,
+)
+def western_electric_rules(spark, sf_dir):
+    """Western Electric runs-rule scan of the daily revenue X chart:
+    days triggering rule 1 (beyond 3 sigma), rule 2 (2 of 3
+    consecutive beyond 2 sigma on the SAME side), rule 3 (4 of 5
+    beyond 1 sigma same side), and rule 4 (8 consecutive on one side
+    of center). A Shewhart chart (this bank's X-bar/R) only fires on
+    rule 1; the runs rules detect the small sustained shifts and
+    stratification patterns long before a 3-sigma point — at the cost
+    of a known false-alarm budget, which is why the COUNTS per rule,
+    not just rule 1, are the audit. z-scores use the exact power-sum
+    mean/sd rounded at 1e-9; the rolling side counts are exact
+    integer window sums over the calendar frame with full-window
+    guards so warm-up rows cannot trigger. Plan: day rollup, one
+    moment fold, three bounded rolling windows, one fold."""
+    daily = _daily(spark, sf_dir)
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        / (F.col("n") - 1.0)
+    )
+    z = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n",
+        F.round(
+            (F.col("y") - F.col("s") * 1.0 / F.col("n")) / sd, 9
+        ).alias("zi"),
+    )
+    zi = F.col("zi")
+    flags = z.select(
+        "day",
+        "n",
+        "zi",
+        (zi > 2.0).cast("int").alias("hi2"),
+        (zi < -2.0).cast("int").alias("lo2"),
+        (zi > 1.0).cast("int").alias("hi1"),
+        (zi < -1.0).cast("int").alias("lo1"),
+        (zi > 0.0).cast("int").alias("hi0"),
+        (zi < 0.0).cast("int").alias("lo0"),
+    )
+    w3 = Window.orderBy("day").rowsBetween(-2, 0)
+    w5 = Window.orderBy("day").rowsBetween(-4, 0)
+    w8 = Window.orderBy("day").rowsBetween(-7, 0)
+    runs = flags.select(
+        "n",
+        "zi",
+        F.sum("hi2").over(w3).alias("h2"),
+        F.sum("lo2").over(w3).alias("l2"),
+        F.sum("hi1").over(w5).alias("h1"),
+        F.sum("lo1").over(w5).alias("l1"),
+        F.sum("hi0").over(w8).alias("h0"),
+        F.sum("lo0").over(w8).alias("l0"),
+        F.count(F.lit(1)).over(w3).alias("c3"),
+        F.count(F.lit(1)).over(w5).alias("c5"),
+        F.count(F.lit(1)).over(w8).alias("c8"),
+    )
+    return runs.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.sum(F.when(F.abs(F.col("zi")) > 3.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("rule1_beyond_3s"),
+        F.sum(
+            F.when(
+                (F.col("c3") == 3)
+                & ((F.col("h2") >= 2) | (F.col("l2") >= 2)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rule2_2of3_2s"),
+        F.sum(
+            F.when(
+                (F.col("c5") == 5)
+                & ((F.col("h1") >= 4) | (F.col("l1") >= 4)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rule3_4of5_1s"),
+        F.sum(
+            F.when(
+                (F.col("c8") == 8)
+                & ((F.col("h0") == 8) | (F.col("l0") == 8)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rule4_8_same_side"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lorenz asymmetry coefficient of customer spend
+# --------------------------------------------------------------------------
+@register(
+    "lorenz_asymmetry_coefficient",
+    oracle="""
+    WITH cust AS (
+        SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s
+        FROM cust
+    ),
+    below AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(COALESCE(SUM(c.x), 0) AS BIGINT) AS lm,
+               CAST(MAX(c.x) AS BIGINT) AS xm
+        FROM cust c, tot t WHERE c.x * t.n < t.s
+    ),
+    above AS (
+        SELECT CAST(MIN(c.x) AS BIGINT) AS xm1
+        FROM cust c, tot t WHERE c.x * t.n >= t.s
+    )
+    SELECT t.n AS n_customers,
+           round((b.m + (t.s * 1.0 / t.n - b.xm)
+                        / (a.xm1 - b.xm)) / t.n
+                 + (b.lm + (t.s * 1.0 / t.n - b.xm)
+                           / (a.xm1 - b.xm) * a.xm1) * 1.0 / t.s,
+                 6) AS lorenz_asymmetry
+    FROM tot t, below b, above a
+    """,
+)
+def lorenz_asymmetry_coefficient(spark, sf_dir):
+    """Lorenz asymmetry coefficient S = F(mu) + L(mu) of customer
+    lifetime spend: where on the Lorenz curve the mean sits. S = 1
+    means the curve is symmetric; S < 1 says inequality comes from
+    many SMALL customers, S > 1 from a few GIANT ones — two
+    concentration regimes with identical Gini that demand opposite
+    commercial responses, which is why Damgaard-Weiner argue the
+    coefficient must accompany any Gini. F and L interpolate linearly
+    at the mean crossing (delta = (mu - x_below)/(x_above - x_below))
+    per the published estimator; the mean comparison x*n < s is exact
+    integer arithmetic, order statistics are conditional MIN/MAX, and
+    S is one terminal expression. Plan: customer rollup, one scalar
+    fold, two conditional folds — no windows, no sort."""
+    o = t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    ).persist()
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    wt = cust.crossJoin(F.broadcast(tot))
+    below = wt.where(F.col("x") * F.col("n") < F.col("s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.coalesce(F.sum("x"), F.lit(0)).cast("bigint").alias("lm"),
+        F.max("x").cast("bigint").alias("xm"),
+    )
+    above = wt.where(F.col("x") * F.col("n") >= F.col("s")).agg(
+        F.min("x").cast("bigint").alias("xm1")
+    )
+    mu = F.col("s") * 1.0 / F.col("n")
+    delta = (mu - F.col("xm")) / (F.col("xm1") - F.col("xm"))
+    return (
+        tot.crossJoin(F.broadcast(below))
+        .crossJoin(F.broadcast(above))
+        .select(
+            F.col("n").alias("n_customers"),
+            F.round(
+                (F.col("m") + delta) / F.col("n")
+                + (F.col("lm") + delta * F.col("xm1"))
+                * 1.0
+                / F.col("s"),
+                6,
+            ).alias("lorenz_asymmetry"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Mean residual life panel (POT threshold diagnostic)
+# --------------------------------------------------------------------------
+_MRL_PS = [0.5, 0.75, 0.9, 0.95, 0.99]
+
+
+@register(
+    "mean_residual_life_panel",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS x
+        FROM orders
+    ),
+    q AS (
+        SELECT {", ".join(
+            f"CAST(floor(quantile_cont(x, {p})) AS BIGINT) AS u{i}"
+            for i, p in enumerate(_MRL_PS)
+        )}
+        FROM v
+    )
+    {" UNION ALL ".join(
+        f'''SELECT CAST({p} AS DOUBLE) AS pctile,
+                   round(q.u{i} / 100.0, 2) AS threshold,
+                   CAST(COUNT(CASE WHEN v.x > q.u{i} THEN 1 END)
+                        AS BIGINT) AS n_exceed,
+                   round(SUM(CASE WHEN v.x > q.u{i}
+                             THEN v.x - q.u{i} END)
+                         / (100.0 * COUNT(CASE WHEN v.x > q.u{i}
+                                          THEN 1 END)), 4)
+                       AS mean_excess
+            FROM v, q GROUP BY q.u{i}'''
+        for i, p in enumerate(_MRL_PS)
+    )}
+    ORDER BY pctile
+    """,
+)
+def mean_residual_life_panel(spark, sf_dir):
+    """Mean residual life (mean excess) of order totals at five
+    threshold quantiles: e(u) = E[X - u | X > u]. THE
+    peaks-over-threshold diagnostic — for a GPD tail e(u) is LINEAR
+    in u with slope xi/(1-xi), so the panel's shape validates (or
+    refutes) the threshold the registry's GPD-PWM fit assumed, and
+    its growth rate cross-checks both the Hill and Pickands (this
+    bank) tail indices. Thresholds are floor-cast interpolated
+    percentiles in exact cents (floor so the exceedance compare is
+    integer-exact); excess sums are exact integer folds; each row is
+    one terminal division. Plan: one scan projection, one percentile
+    fold, five conditional folds over the broadcast thresholds."""
+    o = t(spark, sf_dir, "orders")
+    v = o.select(
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("x")
+    ).persist()
+    q = v.agg(
+        *[
+            F.floor(F.expr(f"percentile(x, {p})"))
+            .cast("bigint")
+            .alias(f"u{i}")
+            for i, p in enumerate(_MRL_PS)
+        ]
+    )
+    wt = v.crossJoin(F.broadcast(q))
+    rows = None
+    for i, p in enumerate(_MRL_PS):
+        u = F.col(f"u{i}")
+        r = wt.groupBy(u.alias("u")).agg(
+            F.count(F.when(F.col("x") > u, 1))
+            .cast("bigint")
+            .alias("n_exceed"),
+            F.sum(F.when(F.col("x") > u, F.col("x") - u)).alias(
+                "excess_sum"
+            ),
+        ).select(
+            F.lit(p).alias("pctile"),
+            F.round(F.col("u") / 100.0, 2).alias("threshold"),
+            "n_exceed",
+            F.round(
+                F.col("excess_sum") / (100.0 * F.col("n_exceed")), 4
+            ).alias("mean_excess"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows.orderBy("pctile")
+
+
+# --------------------------------------------------------------------------
+# Effective rank (spectral entropy) of the embedding variance profile
+# --------------------------------------------------------------------------
+@register(
+    "effective_rank_entropy",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+               CAST(embedding[CAST(u.i AS INTEGER)] AS DECIMAL(18,9))
+                   AS x
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    dimvar AS (
+        SELECT dim,
+               round((CAST(SUM(x * x) AS DOUBLE)
+                      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                        / COUNT(*)) / (COUNT(*) - 1.0), 12) AS v
+        FROM el GROUP BY dim
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS d,
+               CAST(round(SUM(CAST(round(v, 12) AS DECIMAL(28,12))),
+                    12) AS DOUBLE) AS vs,
+               round(MAX(v), 12) AS vmax
+        FROM dimvar
+    ),
+    ent AS (
+        SELECT CAST(round(SUM(CAST(round(
+                   -(dv.v / t.vs) * ln(dv.v / t.vs), 12)
+                   AS DECIMAL(28,12))), 12) AS DOUBLE) AS h
+        FROM dimvar dv, tot t WHERE dv.v > 0
+        GROUP BY t.vs
+    )
+    SELECT t.d AS n_dims,
+           round(exp(e.h), 6) AS effective_rank,
+           round(t.vmax / t.vs, 9) AS top_dim_share
+    FROM tot t, ent e
+    """,
+)
+def effective_rank_entropy(spark, sf_dir):
+    """Effective rank of the embedding space via spectral entropy of
+    the per-dimension variance profile: erank = exp(-sum p ln p) with
+    p = var_d / sum var — "how many dimensions are really carrying
+    signal", the entropy-based cousin of the participation ratio the
+    registry gated in r11 (PR = (sum v)^2 / sum v^2 weights the head
+    quadratically; erank weights the whole profile logarithmically,
+    so PR >> erank flags a heavy-tail variance profile). Diagonal
+    variances stand in for eigenvalues (the exact-arithmetic choice,
+    documented; full PCA needs iterative methods). Variance folds are
+    exact DECIMAL sums of float32-cast values; entropy terms round at
+    1e-12 and fold in DECIMAL over the 64-dim domain. Plan: one
+    explode + dim rollup (map-side partials), two bounded folds."""
+    emb = t(spark, sf_dir, "embeddings")
+    el = emb.select(
+        F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "dim", F.col("xf").cast("decimal(18,9)").alias("x")
+    )
+    dimvar = el.groupBy("dim").agg(
+        F.round(
+            (
+                F.sum(F.col("x") * F.col("x")).cast("double")
+                - F.sum("x").cast("double")
+                * F.sum("x").cast("double")
+                / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1.0),
+            12,
+        ).alias("v")
+    ).persist()
+    tot = dimvar.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.round(
+            F.sum(F.round(F.col("v"), 12).cast("decimal(28,12)")), 12
+        )
+        .cast("double")
+        .alias("vs"),
+        F.round(F.max("v"), 12).alias("vmax"),
+    )
+    p = F.col("v") / F.col("vs")
+    ent = (
+        dimvar.crossJoin(F.broadcast(tot))
+        .where(F.col("v") > 0)
+        .groupBy("vs")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(-p * F.log(p), 12).cast("decimal(28,12)")
+                ),
+                12,
+            )
+            .cast("double")
+            .alias("h")
+        )
+    )
+    return tot.join(
+        F.broadcast(ent.select("h")), F.lit(True), "left"
+    ).select(
+        F.col("d").alias("n_dims"),
+        F.round(F.exp(F.col("h")), 6).alias("effective_rank"),
+        F.round(F.col("vmax") / F.col("vs"), 9).alias(
+            "top_dim_share"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bounce rate by session entry event type
+# --------------------------------------------------------------------------
+@register(
+    "bounce_rate_by_entry",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE
+                 OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    grouped AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    numbered AS (
+        SELECT user_id, session_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM grouped
+    ),
+    counts AS (
+        SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM grouped GROUP BY user_id, session_id
+    ),
+    sess AS (
+        SELECT n.event_type AS entry_type, c.n_events
+        FROM numbered n JOIN counts c
+          ON n.user_id = c.user_id AND n.session_id = c.session_id
+        WHERE n.rn = 1
+    )
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces,
+           round(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS bounce_rate
+    FROM sess GROUP BY entry_type ORDER BY entry_type
+    """,
+)
+def bounce_rate_by_entry(spark, sf_dir):
+    """Bounce rate by session ENTRY event type: sessionize with the
+    registry's standard 30-minute gap rule, take each session's first
+    event type (by the (ts, event_id) total order), and report the
+    share of single-event sessions per entry — the landing-page
+    triage number: an entry type whose sessions die immediately is a
+    funnel leak the aggregate bounce rate hides. Sessionization is
+    the session_windows lag/cumsum construction; the entry pick is the
+    rn = 1 row of a per-session row_number over the exact total
+    order; counts are exact integers and the rate one terminal
+    division. Plan: one user-partitioned window
+    pass, a session rollup, a 5-row entry rollup."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wu)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (
+            prev.isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+                > 30 * 60 * 1_000_000
+            )
+        )
+        .cast("int")
+        .alias("new_session"),
+    )
+    grouped = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    numbered = grouped.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", "session_id").orderBy(
+                "ts", "event_id"
+            )
+        )
+        .alias("rn"),
+    ).where(F.col("rn") == 1)
+    counts = grouped.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    sess = numbered.join(counts, ["user_id", "session_id"]).select(
+        F.col("event_type").alias("entry_type"), "n_events"
+    )
+    return (
+        sess.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+        )
+        .select(
+            "entry_type",
+            "n_sessions",
+            "n_bounces",
+            F.round(
+                F.col("n_bounces") * 1.0 / F.col("n_sessions"), 6
+            ).alias("bounce_rate"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Odds ratio with Haldane-Anscombe correction and Woolf CI
+# --------------------------------------------------------------------------
+@register(
+    "odds_ratio_haldane_ci",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7
+                             >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS we_active,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT CAST(SUM(we_active * conv) AS BIGINT) AS a,
+               CAST(SUM(we_active * (1 - conv)) AS BIGINT) AS b,
+               CAST(SUM((1 - we_active) * conv) AS BIGINT) AS c,
+               CAST(SUM((1 - we_active) * (1 - conv)) AS BIGINT) AS d
+        FROM u
+    )
+    SELECT a + b + c + d AS n_users, a, b, c, d,
+           round(((a + 0.5) * (d + 0.5))
+                 / ((b + 0.5) * (c + 0.5)), 6) AS odds_ratio,
+           round(exp(ln(((a + 0.5) * (d + 0.5))
+                        / ((b + 0.5) * (c + 0.5)))
+                     - 1.96 * sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+                                   + 1.0 / (c + 0.5)
+                                   + 1.0 / (d + 0.5))), 6) AS ci_lower,
+           round(exp(ln(((a + 0.5) * (d + 0.5))
+                        / ((b + 0.5) * (c + 0.5)))
+                     + 1.96 * sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+                                   + 1.0 / (c + 0.5)
+                                   + 1.0 / (d + 0.5))), 6) AS ci_upper
+    FROM cells
+    """,
+)
+def odds_ratio_haldane_ci(spark, sf_dir):
+    """User-grain 2x2 odds ratio — weekend activity vs conversion —
+    with the Haldane-Anscombe +0.5 continuity correction (defined
+    even with an empty cell) and the Woolf logit 95% CI. The base-case
+    single-table OR the registry's stratified machinery
+    (Mantel-Haenszel pooling, Breslow-Day homogeneity) builds on; CI
+    excluding 1 is the one-line verdict. Cell counts are exact
+    integer user rollups; the OR and both CI bounds are terminal
+    ln/exp/sqrt expressions in identical association. Plan: one user
+    rollup, one 4-cell fold, one scalar select."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000)
+    u = e.groupBy("user_id").agg(
+        F.max(F.when((day + 4) % 7 >= 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("we_active"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conv"),
+    )
+    cells = u.agg(
+        F.sum(F.col("we_active") * F.col("conv"))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.col("we_active") * (1 - F.col("conv")))
+        .cast("bigint")
+        .alias("b"),
+        F.sum((1 - F.col("we_active")) * F.col("conv"))
+        .cast("bigint")
+        .alias("c"),
+        F.sum((1 - F.col("we_active")) * (1 - F.col("conv")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    orr = ((a + 0.5) * (d + 0.5)) / ((b + 0.5) * (c + 0.5))
+    se = F.sqrt(
+        1.0 / (a + 0.5)
+        + 1.0 / (b + 0.5)
+        + 1.0 / (c + 0.5)
+        + 1.0 / (d + 0.5)
+    )
+    return cells.select(
+        (a + b + c + d).alias("n_users"),
+        a.alias("a"),
+        b.alias("b"),
+        c.alias("c"),
+        d.alias("d"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(orr) - 1.96 * se), 6).alias("ci_lower"),
+        F.round(F.exp(F.log(orr) + 1.96 * se), 6).alias("ci_upper"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bias-corrected Cramer's V (Bergsma 2013) for type x dow
+# --------------------------------------------------------------------------
+@register(
+    "cramers_v_bias_corrected",
+    oracle="""
+    WITH cell AS (
+        SELECT event_type,
+               CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                   AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS r
+           FROM cell GROUP BY event_type),
+    ct AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS c
+           FROM cell GROUP BY dow),
+    nn AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                  CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS r,
+                  CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS k
+           FROM cell),
+    chi2 AS (
+        SELECT CAST(round(SUM(CAST(round(
+                   (cell.n - rt.r * 1.0 * ct.c / nn.n)
+                   * (cell.n - rt.r * 1.0 * ct.c / nn.n)
+                   / (rt.r * 1.0 * ct.c / nn.n), 9)
+                   AS DECIMAL(28,9))), 9) AS DOUBLE) AS x2
+        FROM cell
+        JOIN rt ON cell.event_type = rt.event_type
+        JOIN ct ON cell.dow = ct.dow, nn
+    )
+    SELECT nn.n AS n_events,
+           round(sqrt(c2.x2 / nn.n
+                      / LEAST(nn.r - 1.0, nn.k - 1.0)), 6)
+               AS cramers_v,
+           round(sqrt(GREATEST(c2.x2 / nn.n
+                               - (nn.r - 1.0) * (nn.k - 1.0)
+                                 / (nn.n - 1.0), 0.0)
+                      / LEAST(nn.r - (nn.r - 1.0) * (nn.r - 1.0)
+                                     / (nn.n - 1.0) - 1.0,
+                              nn.k - (nn.k - 1.0) * (nn.k - 1.0)
+                                     / (nn.n - 1.0) - 1.0)), 6)
+               AS cramers_v_corrected
+    FROM chi2 c2, nn
+    """,
+)
+def cramers_v_bias_corrected(spark, sf_dir):
+    """Cramer's V for type x weekday with Bergsma's 2013 bias
+    correction: phi2+ = max(0, phi2 - (r-1)(k-1)/(n-1)) and
+    dimension-shrunk r~, k~ — raw V is biased UPWARD under
+    independence (E[chi2] = df even with zero association), and the
+    corrected V~ is the estimator that reads ~0 when there is nothing
+    there. The registry's categorical_association_matrix reports raw
+    V across pairs; this pins the corrected-vs-raw gap on the densest
+    panel, which IS the small-effect honesty check. Expected counts
+    are exact rationals; chi2 terms round at 1e-9 and fold in DECIMAL
+    over the 35-cell grid; both V's are terminal expressions. Plan:
+    one 35-cell rollup, two marginal rollups, one fold."""
+    e = t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        "event_type",
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("bigint")
+        .alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n")).persist()
+    rt = cell.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("r")
+    )
+    ct = cell.groupBy("dow").agg(F.sum("n").cast("bigint").alias("c"))
+    nn = (
+        cell.agg(F.sum("n").cast("bigint").alias("n_tot"))
+        .crossJoin(
+            F.broadcast(
+                rt.agg(F.count(F.lit(1)).cast("bigint").alias("r_dim"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                ct.agg(F.count(F.lit(1)).cast("bigint").alias("k_dim"))
+            )
+        )
+    )
+    exp_ = F.col("r") * 1.0 * F.col("c") / F.col("n_tot")
+    chi2 = (
+        cell.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(nn))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        (F.col("n") - exp_) * (F.col("n") - exp_)
+                        / exp_,
+                        9,
+                    ).cast("decimal(28,9)")
+                ),
+                9,
+            )
+            .cast("double")
+            .alias("x2")
+        )
+    )
+    out = chi2.crossJoin(F.broadcast(nn))
+    n = F.col("n_tot")
+    r = F.col("r_dim")
+    k = F.col("k_dim")
+    phi2 = F.col("x2") / n
+    phi2p = F.greatest(
+        phi2 - (r - 1.0) * (k - 1.0) / (n - 1.0), F.lit(0.0)
+    )
+    rsh = r - (r - 1.0) * (r - 1.0) / (n - 1.0)
+    ksh = k - (k - 1.0) * (k - 1.0) / (n - 1.0)
+    return out.select(
+        n.alias("n_events"),
+        F.round(
+            F.sqrt(phi2 / F.least(r - 1.0, k - 1.0)), 6
+        ).alias("cramers_v"),
+        F.round(
+            F.sqrt(phi2p / F.least(rsh - 1.0, ksh - 1.0)), 6
+        ).alias("cramers_v_corrected"),
+    )
+
+
+# Pre-adjudicated single-partition-audit notes for the round-13 flip:
+# every flagged window/sort below runs over a BOUNDED frame (the same
+# classes the live allowlist documents). At flip time merge this dict
+# into tools/audit_single_partition.ALLOWED verbatim (the bank_r12
+# protocol — entries cannot land earlier or the two-direction CI check
+# would see them as stale).
+PLAN_AUDIT_NOTES: dict[str, str] = {
+    "cucconi_test": (
+        "cumulative over the distinct-value-cents grid "
+        "(price-domain-bounded — the ansari_bradley_scale class)"
+    ),
+    "cusum_squares_variance": (
+        "cumulative/total windows over the calendar-day frame "
+        "(the kpss_level_stationarity class)"
+    ),
+    "dunns_posthoc_pairs": (
+        "cumulative head-count over the distinct-value grid "
+        "(the moods_median_test class)"
+    ),
+    "es_backtest_acerbi": (
+        "loss lag + split windows over the calendar-day frame "
+        "(the cusum class; multiple scalar subplans re-scan the "
+        "bounded day frame)"
+    ),
+    "friedman_aligned_ranks": (
+        "rank window over the 35-cell (dow x type) aligned frame "
+        "(domain-bounded)"
+    ),
+    "gbm_drift_vol_fit": (
+        "return lag over the calendar-day frame (the cusum class)"
+    ),
+    "integrated_autocorr_time": (
+        "5-lag window over the calendar-day frame (the "
+        "newey_west_trend_se class)"
+    ),
+    "kupiec_pof_backtest": (
+        "loss lag + split windows over the calendar-day frame"
+    ),
+    "lepage_test": (
+        "cumulative over the distinct-value-cents grid "
+        "(price-domain-bounded)"
+    ),
+    "mincer_zarnowitz_rationality": (
+        "lag-7 forecast window over the calendar-day frame"
+    ),
+    "page_hinkley_drift": (
+        "two cumulative windows over the calendar-day frame "
+        "(the cusum class)"
+    ),
+    "sharpe_sortino_omega": (
+        "return lag over the calendar-day frame"
+    ),
+    "spearman_footrule_sources": (
+        "rank windows over the shared-vocabulary frame "
+        "(vocabulary-domain-bounded)"
+    ),
+    "stochastic_superiority_bm": (
+        "cumulative pair over the distinct-value-cents grid "
+        "(price-domain-bounded)"
+    ),
+    "tracking_signal_monitor": (
+        "forecast lag + cumulative error windows over the "
+        "calendar-day frame"
+    ),
+    "ulcer_index_martin": (
+        "running-max window over the calendar-day frame"
+    ),
+    "var_cvar_historical": (
+        "loss lag over the calendar-day frame"
+    ),
+    "western_electric_rules": (
+        "three bounded rolling windows (3/5/8 rows) over the "
+        "calendar-day frame"
+    ),
+    "zipf_mandelbrot_fit": (
+        "rank window over the bounded vocabulary frame "
+        "(the chi2_discriminative_terms class)"
+    ),
+}

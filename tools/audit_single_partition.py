@@ -212,6 +212,7 @@ def audit(spark, names=None):
     from celestrak_tle_data_pipeline_spark.plans import (
         bank_r11,
         bank_r12,
+        bank_r13,
         next_window,
     )
 
@@ -220,6 +221,7 @@ def audit(spark, names=None):
         qs = {
             **bank_r11.BANK_QUERIES,
             **bank_r12.BANK_QUERIES,
+            **bank_r13.BANK_QUERIES,
             **next_window.NEXT_QUERIES,
             **qs,
         }
