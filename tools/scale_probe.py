@@ -133,7 +133,12 @@ def main(argv) -> int:
     n = int(argv[0]) if argv else 8
     names = tuple(argv[1:]) or QUERIES
     from celestrak_tle_data_pipeline_spark import plans
-    from celestrak_tle_data_pipeline_spark.plans import bank_r11, next_window
+    from celestrak_tle_data_pipeline_spark.plans import (
+        bank_r11,
+        bank_r13,
+        bank_r14,
+        next_window,
+    )
     from celestrak_tle_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="scale_probe")
@@ -143,6 +148,8 @@ def main(argv) -> int:
         build_scaled(spark, n, out_dir)
 
     qs = dict(bank_r11.BANK_QUERIES)
+    qs.update(bank_r13.BANK_QUERIES)
+    qs.update(bank_r14.BANK_QUERIES)
     qs.update(next_window.NEXT_QUERIES)
     qs.update(plans.all_queries())
     report = {}
