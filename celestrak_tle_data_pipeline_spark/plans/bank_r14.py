@@ -351,3 +351,278 @@ def poisson_bootstrap_se(spark, sf_dir):
         F.col("b").alias("n_replicates"),
         F.round(se, 6).alias("bootstrap_se"),
     )
+
+
+# --------------------------------------------------------------------------
+# AIC / Akaike-weight ranking of nested daily-revenue models
+# --------------------------------------------------------------------------
+@register(
+    "aic_model_weights",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    xd AS (
+        SELECT day - (SELECT MIN(day) FROM daily) AS x,
+               CASE WHEN (day + 4) % 7 >= 5 THEN 1 ELSE 0 END AS w,
+               y / 100.0 AS y
+        FROM daily
+    ),
+    f AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(w) AS BIGINT) AS sw,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * w) AS BIGINT) AS sxw,
+               SUM(CAST(round(y, 2) AS DECIMAL(28,2))) AS sy,
+               SUM(x * CAST(round(y, 2) AS DECIMAL(28,2))) AS sxy,
+               SUM(w * CAST(round(y, 2) AS DECIMAL(28,2))) AS swy,
+               SUM(CAST(round(y * y, 4) AS DECIMAL(38,4))) AS syy
+        FROM xd
+    ),
+    c AS (
+        SELECT n,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n
+                   AS tss,
+               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n
+                   AS cxx,
+               CAST(sxw AS DOUBLE) - CAST(sx AS DOUBLE) * sw / n
+                   AS cxw,
+               CAST(sw AS DOUBLE) - CAST(sw AS DOUBLE) * sw / n
+                   AS cww,
+               CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / n AS cxy,
+               CAST(swy AS DOUBLE) - CAST(sw AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / n AS cwy
+        FROM f
+    ),
+    rss AS (
+        SELECT n, tss AS rss0,
+               tss - cxy * cxy / cxx AS rss1,
+               tss - (cww * cxy * cxy - 2.0 * cxw * cxy * cwy
+                      + cxx * cwy * cwy)
+                     / (cxx * cww - cxw * cxw) AS rss2
+        FROM c
+    ),
+    aic AS (
+        SELECT n,
+               round(n * ln(rss0 / n) + 2.0 * 2, 6) AS aic0,
+               round(n * ln(rss1 / n) + 2.0 * 3, 6) AS aic1,
+               round(n * ln(rss2 / n) + 2.0 * 4, 6) AS aic2
+        FROM rss
+    )
+    SELECT n AS n_days, aic0, aic1, aic2,
+           round(exp(-(aic2 - LEAST(aic0, aic1, aic2)) / 2.0)
+                 / (exp(-(aic0 - LEAST(aic0, aic1, aic2)) / 2.0)
+                    + exp(-(aic1 - LEAST(aic0, aic1, aic2)) / 2.0)
+                    + exp(-(aic2 - LEAST(aic0, aic1, aic2)) / 2.0)),
+                 6) AS akaike_weight_full
+    FROM aic
+    """,
+)
+def aic_model_weights(spark, sf_dir):
+    """AIC comparison of three nested daily-revenue models — constant,
+    constant + linear trend, constant + trend + weekend dummy — with
+    the Akaike weight of the full model: the information-criterion
+    answer to "is the weekend effect worth a parameter", where the
+    registry's weekend_effect_ols answers with a t test. RSS for each
+    model comes from the closed-form normal equations on exact
+    DECIMAL moment folds (the two-regressor case via the centered 2x2
+    solve — no iteration); AICs and weights are ln/exp terminal
+    expressions with the min-AIC shift for overflow safety. Plan: day
+    rollup, one moment fold, scalar algebra."""
+    daily = _daily(spark, sf_dir)
+    mn = daily.agg(F.min("day").alias("d0"))
+    day = F.col("day")
+    xd = daily.crossJoin(F.broadcast(mn)).select(
+        (day - F.col("d0")).alias("x"),
+        F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("w"),
+        (F.col("y") / 100.0).alias("y"),
+    )
+    f = xd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("w")).cast("bigint").alias("sxw"),
+        F.sum(F.round(F.col("y"), 2).cast("decimal(28,2)")).alias(
+            "sy"
+        ),
+        F.sum(
+            F.col("x") * F.round(F.col("y"), 2).cast("decimal(28,2)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("w") * F.round(F.col("y"), 2).cast("decimal(28,2)")
+        ).alias("swy"),
+        F.sum(
+            F.round(F.col("y") * F.col("y"), 4).cast("decimal(38,4)")
+        ).alias("syy"),
+    )
+    n = F.col("n")
+    tss = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ) / n
+    cxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ) / n
+    cxw = F.col("sxw").cast("double") - F.col("sx").cast("double") * F.col(
+        "sw"
+    ) / n
+    cww = F.col("sw").cast("double") - F.col("sw").cast("double") * F.col(
+        "sw"
+    ) / n
+    cxy = F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double") / n
+    cwy = F.col("swy").cast("double") - F.col("sw").cast(
+        "double"
+    ) * F.col("sy").cast("double") / n
+    rss0 = tss
+    rss1 = tss - cxy * cxy / cxx
+    rss2 = tss - (
+        cww * cxy * cxy - 2.0 * cxw * cxy * cwy + cxx * cwy * cwy
+    ) / (cxx * cww - cxw * cxw)
+    aic0 = F.round(n * F.log(rss0 / n) + 2.0 * 2, 6)
+    aic1 = F.round(n * F.log(rss1 / n) + 2.0 * 3, 6)
+    aic2 = F.round(n * F.log(rss2 / n) + 2.0 * 4, 6)
+    out = f.select(
+        n.alias("n_days"),
+        aic0.alias("aic0"),
+        aic1.alias("aic1"),
+        aic2.alias("aic2"),
+    )
+    amin = F.least(F.col("aic0"), F.col("aic1"), F.col("aic2"))
+    def ew(c):
+        return F.exp(-(c - amin) / 2.0)
+    return out.select(
+        "n_days",
+        "aic0",
+        "aic1",
+        "aic2",
+        F.round(
+            ew(F.col("aic2"))
+            / (ew(F.col("aic0")) + ew(F.col("aic1")) + ew(F.col("aic2"))),
+            6,
+        ).alias("akaike_weight_full"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cluster design effect for user-clustered sampling of event values
+# --------------------------------------------------------------------------
+@register(
+    "cluster_design_effect_users",
+    oracle="""
+    WITH v AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS s
+        FROM v GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(m) AS BIGINT) AS n,
+               CAST(SUM(s) AS BIGINT) AS st,
+               CAST(SUM(m * m) AS BIGINT) AS m2,
+               CAST(round(SUM(CAST(round(s * 1.0 * s / m, 6)
+                   AS DECIMAL(38,6))), 6) AS DOUBLE) AS ssb_raw
+        FROM u
+    ),
+    sq AS (
+        SELECT CAST(SUM(CAST(x AS DECIMAL(38,0)) * x)
+                    AS DECIMAL(38,0)) AS sxx
+        FROM v
+    ),
+    comp AS (
+        SELECT t.k, t.n,
+               (t.ssb_raw - CAST(t.st AS DOUBLE) * t.st / t.n)
+                   / (t.k - 1.0) AS msb,
+               (CAST(sq.sxx AS DOUBLE) - t.ssb_raw) / (t.n - t.k)
+                   AS msw,
+               (t.n - t.m2 * 1.0 / t.n) / (t.k - 1.0) AS m0
+        FROM tot t, sq
+    )
+    SELECT k AS n_users, n AS n_events,
+           round(m0, 6) AS kish_cluster_size,
+           round((msb - msw) / (msb + (m0 - 1.0) * msw), 9) + 0.0
+               AS icc,
+           round(1.0 + (m0 - 1.0)
+                 * ((msb - msw) / (msb + (m0 - 1.0) * msw)), 6) + 0.0
+               AS design_effect,
+           round(n / (1.0 + (m0 - 1.0)
+                      * ((msb - msw)
+                         / (msb + (m0 - 1.0) * msw))), 2) + 0.0
+               AS effective_n
+    FROM comp
+    """,
+)
+def cluster_design_effect_users(spark, sf_dir):
+    """Design effect of USER-clustered sampling for event values:
+    one-way ANOVA intraclass correlation with Kish's unequal-cluster
+    size m0 = (N - sum m^2/N)/(k-1), DEFF = 1 + (m0-1)*ICC, and the
+    effective sample size N/DEFF. THE number a training-data sampler
+    needs before subsampling by user/document/domain instead of by
+    row: if values cluster within users (ICC > 0), a user-clustered
+    sample of N rows carries only N/DEFF rows of information, and
+    every registry estimator's nominal SE is optimistic by
+    sqrt(DEFF). All sums of squares are exact integer/DECIMAL folds
+    (between-cluster SS via s^2/m terms rounded at 1e-6); ICC and
+    DEFF are terminal expressions. Plan: one user rollup, two scalar
+    folds."""
+    e = t(spark, sf_dir, "events")
+    v = e.select(
+        "user_id",
+        (dec("value", 18, 2) * 100).cast("bigint").alias("x"),
+    )
+    u = v.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("m2"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("s") * 1.0 * F.col("s") / F.col("m"), 6
+                ).cast("decimal(38,6)")
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("ssb_raw"),
+    )
+    sq = v.agg(
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx")
+    )
+    comp = tot.crossJoin(F.broadcast(sq))
+    msb = (
+        F.col("ssb_raw")
+        - F.col("st").cast("double") * F.col("st") / F.col("n")
+    ) / (F.col("k") - 1.0)
+    msw = (F.col("sxx").cast("double") - F.col("ssb_raw")) / (
+        F.col("n") - F.col("k")
+    )
+    m0 = (F.col("n") - F.col("m2") * 1.0 / F.col("n")) / (
+        F.col("k") - 1.0
+    )
+    icc = (msb - msw) / (msb + (m0 - 1.0) * msw)
+    return comp.select(
+        F.col("k").alias("n_users"),
+        F.col("n").alias("n_events"),
+        F.round(m0, 6).alias("kish_cluster_size"),
+        (F.round(icc, 9) + 0.0).alias("icc"),
+        (F.round(1.0 + (m0 - 1.0) * icc, 6) + 0.0).alias(
+            "design_effect"
+        ),
+        (
+            F.round(F.col("n") / (1.0 + (m0 - 1.0) * icc), 2) + 0.0
+        ).alias("effective_n"),
+    )

@@ -64,14 +64,17 @@ def test_registry_oracle_dtype_families(spark):
 def test_staged_bank_oracle_dtype_families(spark):
     # Any pre-staged bank must clear the same sweep BEFORE its flip —
     # the r11 failure shipped precisely because pre-flip verification
-    # was structurally unable to see this class.
+    # was structurally unable to see this class. Sweeps every staged
+    # bank generation that exists (the next ~4 rounds' worth of names).
     import importlib
 
-    try:
-        bank = importlib.import_module(
-            "celestrak_tle_data_pipeline_spark.plans.bank_r13"
-        )
-    except ModuleNotFoundError:
-        return
-    clashes = _sweep(spark, bank.BANK_QUERIES, bank.BANK_ORACLES)
+    clashes = []
+    for rnd in range(13, 18):
+        try:
+            bank = importlib.import_module(
+                f"celestrak_tle_data_pipeline_spark.plans.bank_r{rnd}"
+            )
+        except ModuleNotFoundError:
+            continue
+        clashes += _sweep(spark, bank.BANK_QUERIES, bank.BANK_ORACLES)
     assert not clashes, f"staged-bank dtype clashes: {clashes}"
