@@ -626,3 +626,473 @@ def cluster_design_effect_users(spark, sf_dir):
             F.round(F.col("n") / (1.0 + (m0 - 1.0) * icc), 2) + 0.0
         ).alias("effective_n"),
     )
+
+
+# --------------------------------------------------------------------------
+# McNemar paired comparison of two single-feature classifiers
+# --------------------------------------------------------------------------
+@register(
+    "mcnemar_classifier_pair",
+    oracle="""
+    WITH base AS (
+        SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                   AS dow,
+               LEAST(CAST(floor(value) AS BIGINT) // 50, 9) AS vb,
+               event_type AS ty
+        FROM events
+    ),
+    cell AS (
+        SELECT dow, vb, ty, CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY 1, 2, 3
+    ),
+    pred_dow AS (
+        SELECT dow, ty AS p_dow,
+               ROW_NUMBER() OVER (PARTITION BY dow
+                                  ORDER BY SUM(n) DESC, ty ASC) AS rn
+        FROM cell GROUP BY dow, ty QUALIFY rn = 1
+    ),
+    pred_vb AS (
+        SELECT vb, ty AS p_vb,
+               ROW_NUMBER() OVER (PARTITION BY vb
+                                  ORDER BY SUM(n) DESC, ty ASC) AS rn
+        FROM cell GROUP BY vb, ty QUALIFY rn = 1
+    ),
+    paired AS (
+        SELECT c.n,
+               CASE WHEN pd.p_dow = c.ty THEN 1 ELSE 0 END AS a_right,
+               CASE WHEN pv.p_vb = c.ty THEN 1 ELSE 0 END AS b_right
+        FROM cell c
+        JOIN pred_dow pd ON c.dow = pd.dow
+        JOIN pred_vb pv ON c.vb = pv.vb
+    ),
+    s AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a_right = 1 AND b_right = 0
+                        THEN n ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN a_right = 0 AND b_right = 1
+                        THEN n ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(a_right * n) AS BIGINT) AS ra,
+               CAST(SUM(b_right * n) AS BIGINT) AS rb
+        FROM paired
+    )
+    SELECT n AS n_events,
+           round(ra * 1.0 / n, 6) AS acc_dow_model,
+           round(rb * 1.0 / n, 6) AS acc_value_model,
+           b AS n_only_dow_right, c AS n_only_value_right,
+           CASE WHEN b + c = 0 THEN NULL
+                ELSE round((b - c) * 1.0 * (b - c) / (b + c), 6) + 0.0
+           END AS mcnemar_chi2
+    FROM s
+    """,
+)
+def mcnemar_classifier_pair(spark, sf_dir):
+    """McNemar paired comparison of two single-feature event-type
+    classifiers — predict-by-weekday-mode vs predict-by-value-bucket-
+    mode: chi2 = (b-c)^2/(b+c) over the DISAGREEMENT counts only,
+    which is the correct test for "is model A better than B" on the
+    SAME data (comparing two accuracies with an unpaired test, the
+    common mistake, throws away the pairing and loses power). The
+    model-selection companion of this bank's naive-Bayes sibling in
+    bank_r12. Modal predictions tie-break on type name; every count
+    is an exact integer on the bounded 70-cell grid (per-event
+    correctness aggregates by cell, never row grain); chi2 is one
+    terminal expression (NULL when the models never disagree). Plan:
+    one 350-cell rollup, two modal rank windows on bounded frames,
+    one fold."""
+    e = t(spark, sf_dir, "events")
+    base = e.select(
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("bigint")
+        .alias("dow"),
+        F.expr("least(CAST(floor(value) AS BIGINT) div 50, 9)").alias(
+            "vb"
+        ),
+        F.col("event_type").alias("ty"),
+    )
+    cell = base.groupBy("dow", "vb", "ty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).persist()
+    pred_dow = (
+        cell.groupBy("dow", "ty")
+        .agg(F.sum("n").alias("cn"))
+        .select(
+            "dow",
+            F.col("ty").alias("p_dow"),
+            F.row_number()
+            .over(
+                Window.partitionBy("dow").orderBy(
+                    F.col("cn").desc(), F.col("ty").asc()
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    pred_vb = (
+        cell.groupBy("vb", "ty")
+        .agg(F.sum("n").alias("cn"))
+        .select(
+            "vb",
+            F.col("ty").alias("p_vb"),
+            F.row_number()
+            .over(
+                Window.partitionBy("vb").orderBy(
+                    F.col("cn").desc(), F.col("ty").asc()
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    paired = (
+        cell.join(F.broadcast(pred_dow), "dow")
+        .join(F.broadcast(pred_vb), "vb")
+        .select(
+            "n",
+            (F.col("p_dow") == F.col("ty")).cast("int").alias("a_right"),
+            (F.col("p_vb") == F.col("ty")).cast("int").alias("b_right"),
+        )
+    )
+    s = paired.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("a_right") == 1) & (F.col("b_right") == 0),
+                F.col("n"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            F.when(
+                (F.col("a_right") == 0) & (F.col("b_right") == 1),
+                F.col("n"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.col("a_right") * F.col("n")).cast("bigint").alias("ra"),
+        F.sum(F.col("b_right") * F.col("n")).cast("bigint").alias("rb"),
+    )
+    b = F.col("b")
+    c = F.col("c")
+    return s.select(
+        F.col("n").alias("n_events"),
+        F.round(F.col("ra") * 1.0 / F.col("n"), 6).alias(
+            "acc_dow_model"
+        ),
+        F.round(F.col("rb") * 1.0 / F.col("n"), 6).alias(
+            "acc_value_model"
+        ),
+        b.alias("n_only_dow_right"),
+        c.alias("n_only_value_right"),
+        F.when(b + c == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round((b - c) * 1.0 * (b - c) / (b + c), 6) + 0.0
+        )
+        .alias("mcnemar_chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Empirical-Bernstein vs Hoeffding confidence radius for the mean
+# --------------------------------------------------------------------------
+@register(
+    "empirical_bernstein_ci",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM events
+    ),
+    f AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s1,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x)
+                    AS DECIMAL(38,0)) AS s2,
+               CAST(MAX(x) AS BIGINT) AS mx,
+               CAST(MIN(x) AS BIGINT) AS mn
+        FROM v
+    )
+    SELECT n AS n_events,
+           round(s1 / (100.0 * n), 6) AS mean_value,
+           round((mx - mn) / 100.0
+                 * sqrt(ln(2.0 / 0.05) / (2.0 * n)), 6)
+               AS hoeffding_radius,
+           round(sqrt(2.0 * ((CAST(s2 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * s1 / n)
+                             / (n - 1.0)) * ln(3.0 / 0.05) / n)
+                 / 100.0
+                 + 3.0 * (mx - mn) * ln(3.0 / 0.05) / (100.0 * n),
+                 6) AS bernstein_radius
+    FROM f
+    """,
+)
+def empirical_bernstein_ci(spark, sf_dir):
+    """Empirical-Bernstein vs Hoeffding 95% confidence radius for the
+    mean event value: Hoeffding's radius scales with the RANGE
+    (R sqrt(ln(2/d)/2n)) while Maurer-Pontil's empirical Bernstein
+    scales with the sample STANDARD DEVIATION plus an O(R/n) term —
+    on low-variance-wide-range data (exactly the heavy-tail shape of
+    commerce values) Bernstein is dramatically tighter, which is why
+    bandit/off-policy systems use it for their confidence bounds. The
+    two radii side by side quantify the variance-adaptivity gain on
+    THIS data. All moments are exact integer/DECIMAL power sums;
+    radii are terminal ln/sqrt expressions. Plan: one scan
+    projection, one fold."""
+    e = t(spark, sf_dir, "events")
+    v = e.select(
+        (dec("value", 18, 2) * 100).cast("bigint").alias("x")
+    )
+    f = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.max("x").cast("bigint").alias("mx"),
+        F.min("x").cast("bigint").alias("mn"),
+    )
+    n = F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / n
+    ) / (n - 1.0)
+    rng = F.col("mx") - F.col("mn")
+    return f.select(
+        n.alias("n_events"),
+        F.round(F.col("s1") / (100.0 * n), 6).alias("mean_value"),
+        F.round(
+            rng / 100.0 * F.sqrt(F.log(2.0 / F.lit(0.05)) / (2.0 * n)),
+            6,
+        ).alias("hoeffding_radius"),
+        F.round(
+            F.sqrt(2.0 * var * F.log(3.0 / F.lit(0.05)) / n) / 100.0
+            + 3.0 * rng * F.log(3.0 / F.lit(0.05)) / (100.0 * n),
+            6,
+        ).alias("bernstein_radius"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Anytime-valid betting e-process for the daily revenue mean
+# --------------------------------------------------------------------------
+@register(
+    "betting_evalue_mean_test",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    split AS (
+        SELECT CAST(floor(quantile_cont(day, 0.5)) AS BIGINT) AS mid
+        FROM daily
+    ),
+    mu0 AS (
+        SELECT round(SUM(d.y) / (100.0 * COUNT(*)), 2) AS mu,
+               round(MAX(d.y / 100.0) - MIN(d.y / 100.0), 2) AS rng
+        FROM daily d, split WHERE d.day <= split.mid
+    ),
+    bets AS (
+        SELECT d.day,
+               round(ln(GREATEST(1.0e-12,
+                   1.0 + 0.5 * (d.y / 100.0 - m.mu) / m.rng)), 9)
+                   AS lnb
+        FROM daily d, split, mu0 m WHERE d.day > split.mid
+    ),
+    wealth AS (
+        SELECT day,
+               SUM(CAST(lnb AS DECIMAL(28,9)))
+                   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS lnw
+        FROM bets
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bets,
+           round(exp(CAST(MAX(lnw) AS DOUBLE)), 6) AS max_evalue,
+           round(exp(CAST((SELECT lnw FROM wealth
+                           ORDER BY day DESC LIMIT 1) AS DOUBLE)), 6)
+               AS final_evalue,
+           CAST(SUM(CASE WHEN CAST(lnw AS DOUBLE) > ln(20.0)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_days_above_20
+    FROM wealth
+    """,
+)
+def betting_evalue_mean_test(spark, sf_dir):
+    """Anytime-valid betting e-process for 'the second half's daily
+    revenue mean equals the first half's': wealth W_t = prod(1 +
+    lambda (x_t - mu0)/range) with the fixed fraction lambda = 0.5 —
+    an e-process under H0 by construction, so by Ville's inequality
+    sup W >= 20 is a valid 5% sequential rejection NO MATTER WHEN you
+    look (the modern always-valid A/B monitor; the registry's SPRT
+    needs a pre-specified alternative, betting e-values do not). mu0
+    and the range are pinned from the first half at 2 decimals;
+    per-day log-bets round at 1e-9 (floored at 1e-12 against a
+    total-loss bet) and accumulate in exact DECIMAL over the calendar
+    frame; the max/final wealth and the days-above-20 count are
+    terminal expressions. Plan: day rollup, split fold, one
+    cumulative window over the bounded day frame."""
+    daily = _daily(spark, sf_dir).persist()
+    split = daily.agg(
+        F.floor(F.expr("percentile(day, 0.5)"))
+        .cast("bigint")
+        .alias("mid")
+    )
+    mu0 = (
+        daily.crossJoin(F.broadcast(split))
+        .where(F.col("day") <= F.col("mid"))
+        .agg(
+            F.round(
+                F.sum("y") / (100.0 * F.count(F.lit(1))), 2
+            ).alias("mu"),
+            F.round(
+                F.max(F.col("y") / 100.0) - F.min(F.col("y") / 100.0),
+                2,
+            ).alias("rng"),
+        )
+    )
+    bets = (
+        daily.crossJoin(F.broadcast(split))
+        .crossJoin(F.broadcast(mu0))
+        .where(F.col("day") > F.col("mid"))
+        .select(
+            "day",
+            F.round(
+                F.log(
+                    F.greatest(
+                        F.lit(1.0e-12),
+                        1.0
+                        + 0.5
+                        * (F.col("y") / 100.0 - F.col("mu"))
+                        / F.col("rng"),
+                    )
+                ),
+                9,
+            ).alias("lnb"),
+        )
+    )
+    wealth = bets.select(
+        "day",
+        F.sum(F.col("lnb").cast("decimal(28,9)"))
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("lnw"),
+    ).persist()
+    final = (
+        wealth.orderBy(F.col("day").desc())
+        .limit(1)
+        .select(F.col("lnw").alias("lnw_final"))
+    )
+    return wealth.crossJoin(F.broadcast(final)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bets"),
+        F.round(
+            F.exp(F.max("lnw").cast("double")), 6
+        ).alias("max_evalue"),
+        F.round(
+            F.exp(F.max(F.col("lnw_final")).cast("double")), 6
+        ).alias("final_evalue"),
+        F.sum(
+            F.when(
+                F.col("lnw").cast("double") > F.log(F.lit(20.0)), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_days_above_20"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Horvitz-Thompson total estimate from the deterministic PPS sample
+# --------------------------------------------------------------------------
+@register(
+    "horvitz_thompson_estimate",
+    oracle="""
+    WITH v AS (
+        SELECT o_orderkey AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS x
+        FROM orders
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s
+        FROM v
+    ),
+    samp AS (
+        SELECT v.x, t.s,
+               LEAST(1.0, 500.0 * v.x / t.s) AS pi
+        FROM v, tot t
+        WHERE ((v.k * 2654435761 + 12345) % 4294967296)
+              / 4294967296.0 < LEAST(1.0, 500.0 * v.x / t.s)
+    ),
+    est AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(round(SUM(CAST(round(x / pi / 100.0, 6)
+                   AS DECIMAL(38,6))), 6) AS DOUBLE) AS ht
+        FROM samp
+    )
+    SELECT t.n AS n_orders, e.n_sampled,
+           round(t.s / 100.0, 2) AS true_total,
+           round(e.ht, 2) AS ht_estimate,
+           round((e.ht - t.s / 100.0) * 100.0 / (t.s / 100.0), 4)
+               + 0.0 AS pct_error
+    FROM tot t, est e
+    """,
+)
+def horvitz_thompson_estimate(spark, sf_dir):
+    """Horvitz-Thompson estimator of total revenue from a
+    DETERMINISTIC Poisson-PPS sample (inclusion probability pi_i
+    proportional to size, expected n = 500; inclusion decided by the
+    Knuth hash, so the 'random' sample is replayable): HT = sum over
+    the sample of x_i/pi_i, reported against the true total with the
+    percent error. The unbiasedness-under-unequal-probabilities
+    machinery every audit-sampling and sketch-validation pipeline
+    rests on — and the consumer of the registry's systematic-PPS
+    sampler, which generates exactly such samples. pi is a ratio of
+    exact integers capped at 1; per-row HT terms round at 1e-6 and
+    fold in DECIMAL; the comparison is exact. Plan: one scan, one
+    scalar fold, one hash-filtered fold."""
+    o = t(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderkey").alias("k"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("x"),
+    )
+    tot = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    pi = F.least(F.lit(1.0), 500.0 * F.col("x") / F.col("s"))
+    u = (
+        ((F.col("k") * 2654435761 + 12345) % 4294967296)
+        / 4294967296.0
+    )
+    samp = v.crossJoin(F.broadcast(tot)).where(u < pi)
+    est = samp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.round(
+            F.sum(
+                F.round(F.col("x") / pi / 100.0, 6).cast(
+                    "decimal(38,6)"
+                )
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("ht"),
+    )
+    return tot.crossJoin(F.broadcast(est)).select(
+        F.col("n").alias("n_orders"),
+        "n_sampled",
+        F.round(F.col("s") / 100.0, 2).alias("true_total"),
+        F.round(F.col("ht"), 2).alias("ht_estimate"),
+        (
+            F.round(
+                (F.col("ht") - F.col("s") / 100.0)
+                * 100.0
+                / (F.col("s") / 100.0),
+                4,
+            )
+            + 0.0
+        ).alias("pct_error"),
+    )
