@@ -1096,3 +1096,295 @@ def horvitz_thompson_estimate(spark, sf_dir):
             + 0.0
         ).alias("pct_error"),
     )
+
+
+# --------------------------------------------------------------------------
+# IPW (Hajek) and doubly-robust AIPW treatment-effect estimates
+# --------------------------------------------------------------------------
+@register(
+    "aipw_doubly_robust",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'signup'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS trt,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS y,
+               LEAST(CAST(COUNT(*) AS BIGINT) // 5, 3) AS stratum
+        FROM events GROUP BY user_id
+    ),
+    strat AS (
+        SELECT stratum,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(trt) AS BIGINT) AS nt,
+               CAST(SUM(trt * y) AS BIGINT) AS syt,
+               CAST(SUM((1 - trt) * y) AS BIGINT) AS syc
+        FROM u GROUP BY stratum
+        HAVING SUM(trt) > 0 AND SUM(trt) < COUNT(*)
+    ),
+    terms AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(round(SUM(CAST(round(
+                   syt * 1.0 * n / nt, 9) AS DECIMAL(28,9))), 9)
+                   AS DOUBLE) AS ipw_t,
+               CAST(round(SUM(CAST(round(
+                   syc * 1.0 * n / (n - nt), 9) AS DECIMAL(28,9))), 9)
+                   AS DOUBLE) AS ipw_c,
+               CAST(round(SUM(CAST(round(
+                   n * (syt * 1.0 / nt - syc * 1.0 / (n - nt)), 9)
+                   AS DECIMAL(28,9))), 9) AS DOUBLE) AS strat_sum
+        FROM strat
+    )
+    SELECT n AS n_users,
+           round((ipw_t - ipw_c) / n, 6) + 0.0 AS ipw_ate,
+           round(strat_sum / n, 6) + 0.0 AS stratified_ate
+    FROM terms
+    """,
+)
+def aipw_doubly_robust(spark, sf_dir):
+    """Stratified IPW and direct-standardization ATE estimates for the
+    effect of SIGNUP on conversion, with activity-volume strata
+    (event count // 5 capped at 3) as the confounder model: the IPW
+    column weights outcomes by the inverse of the exact within-
+    stratum treatment propensity nt/n; the stratified column averages
+    within-stratum mean differences weighted by stratum size. With a
+    saturated (stratum-indicator) model the two coincide
+    asymptotically — their gap on finite data is the practical
+    positivity/overlap diagnostic, and degenerate strata (no treated
+    or no control) are excluded by the same HAVING rule in both
+    engines. All propensities are exact integer ratios; stratum terms
+    round at 1e-9 and fold in DECIMAL over the 4-row stratum frame.
+    Plan: one user rollup, one 4-row stratum rollup, one fold."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("trt"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+        F.expr("least(count(*) div 5, 3)").cast("bigint").alias(
+            "stratum"
+        ),
+    )
+    strat = (
+        u.groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("trt").cast("bigint").alias("nt"),
+            F.sum(F.col("trt") * F.col("y"))
+            .cast("bigint")
+            .alias("syt"),
+            F.sum((1 - F.col("trt")) * F.col("y"))
+            .cast("bigint")
+            .alias("syc"),
+        )
+        .where(
+            (F.col("nt") > 0) & (F.col("nt") < F.col("n"))
+        )
+    )
+    terms = strat.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("syt") * 1.0 * F.col("n") / F.col("nt"), 9
+                ).cast("decimal(28,9)")
+            ),
+            9,
+        )
+        .cast("double")
+        .alias("ipw_t"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("syc")
+                    * 1.0
+                    * F.col("n")
+                    / (F.col("n") - F.col("nt")),
+                    9,
+                ).cast("decimal(28,9)")
+            ),
+            9,
+        )
+        .cast("double")
+        .alias("ipw_c"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("n")
+                    * (
+                        F.col("syt") * 1.0 / F.col("nt")
+                        - F.col("syc")
+                        * 1.0
+                        / (F.col("n") - F.col("nt"))
+                    ),
+                    9,
+                ).cast("decimal(28,9)")
+            ),
+            9,
+        )
+        .cast("double")
+        .alias("strat_sum"),
+    )
+    return terms.select(
+        F.col("n").alias("n_users"),
+        (
+            F.round((F.col("ipw_t") - F.col("ipw_c")) / F.col("n"), 6)
+            + 0.0
+        ).alias("ipw_ate"),
+        (F.round(F.col("strat_sum") / F.col("n"), 6) + 0.0).alias(
+            "stratified_ate"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Off-policy evaluation: IPS and SNIPS value of a counterfactual policy
+# --------------------------------------------------------------------------
+@register(
+    "offpolicy_ips_snips",
+    oracle="""
+    WITH base AS (
+        SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                   AS dow,
+               event_type AS a,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
+        FROM events
+    ),
+    beh AS (
+        SELECT dow, a,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(r) AS BIGINT) AS sr
+        FROM base GROUP BY dow, a
+    ),
+    dowtot AS (
+        SELECT dow, CAST(SUM(c) AS BIGINT) AS nd FROM beh GROUP BY dow
+    ),
+    target AS (
+        SELECT dow, a AS pi_a,
+               ROW_NUMBER() OVER (PARTITION BY dow
+                                  ORDER BY sr * 1.0 / c DESC, a ASC)
+                   AS rn
+        FROM beh QUALIFY rn = 1
+    ),
+    matched AS (
+        SELECT b.dow, b.c, b.sr, d.nd
+        FROM beh b
+        JOIN target t ON b.dow = t.dow AND b.a = t.pi_a
+        JOIN dowtot d ON b.dow = d.dow
+    ),
+    f AS (
+        SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM beh) AS n,
+               (SELECT CAST(round(SUM(CAST(round(
+                    sr * 1.0 / 100.0 * nd / c, 6)
+                    AS DECIMAL(38,6))), 6) AS DOUBLE)
+                FROM matched) AS ips_sum,
+               (SELECT CAST(round(SUM(CAST(round(nd * 1.0, 6)
+                    AS DECIMAL(38,6))), 6) AS DOUBLE)
+                FROM matched) AS w_sum,
+               (SELECT CAST(SUM(sr) AS BIGINT) FROM beh) AS logged_sr
+    )
+    SELECT n AS n_events,
+           round(logged_sr / (100.0 * n), 6) AS logged_mean_reward,
+           round(ips_sum / n, 6) AS ips_value,
+           round(ips_sum / w_sum * 100.0 / 100.0, 6) AS snips_value
+    FROM f
+    """,
+)
+def offpolicy_ips_snips(spark, sf_dir):
+    """Off-policy evaluation of a counterfactual recommendation policy
+    from logged data: the target policy deterministically plays each
+    weekday's highest-mean-value event type; the behavior policy's
+    propensities are the empirical P(type | dow). IPS value =
+    mean(1[a = pi(x)] r / p(a|x)) and the self-normalized SNIPS
+    divides by the summed importance weights instead of n — the
+    variance-bias trade every counterfactual-learning system (ad
+    ranking, recsys) reports side by side, next to the logged mean.
+    Because both policies and propensities live on the bounded
+    (dow, type) grid, the whole estimate reduces to exact grid
+    arithmetic: weights nd/c are ratios of exact integers, grid terms
+    round at 1e-6 and fold in DECIMAL, and no row-grain importance
+    weighting ever materializes. Plan: one 35-cell rollup, a modal
+    rank on the bounded grid, one fold."""
+    e = t(spark, sf_dir, "events")
+    base = e.select(
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("bigint")
+        .alias("dow"),
+        F.col("event_type").alias("a"),
+        (dec("value", 18, 2) * 100).cast("bigint").alias("r"),
+    )
+    beh = base.groupBy("dow", "a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("r").cast("bigint").alias("sr"),
+    ).persist()
+    dowtot = beh.groupBy("dow").agg(
+        F.sum("c").cast("bigint").alias("nd")
+    )
+    target = beh.select(
+        "dow",
+        F.col("a").alias("pi_a"),
+        F.row_number()
+        .over(
+            Window.partitionBy("dow").orderBy(
+                (F.col("sr") * 1.0 / F.col("c")).desc(),
+                F.col("a").asc(),
+            )
+        )
+        .alias("rn"),
+    ).where(F.col("rn") == 1)
+    tgt = target.select(
+        F.col("dow").alias("tdow"), F.col("pi_a").alias("ta")
+    )
+    matched = (
+        beh.join(
+            F.broadcast(tgt),
+            (F.col("dow") == F.col("tdow")) & (F.col("a") == F.col("ta")),
+        )
+        .select("dow", "c", "sr")
+        .join(F.broadcast(dowtot), "dow")
+    )
+    tot = beh.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("sr").cast("bigint").alias("logged_sr"),
+    )
+    f = matched.agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("sr")
+                    * 1.0
+                    / 100.0
+                    * F.col("nd")
+                    / F.col("c"),
+                    6,
+                ).cast("decimal(38,6)")
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("ips_sum"),
+        F.round(
+            F.sum(
+                F.round(F.col("nd") * 1.0, 6).cast("decimal(38,6)")
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("w_sum"),
+    )
+    return tot.crossJoin(F.broadcast(f)).select(
+        F.col("n").alias("n_events"),
+        F.round(
+            F.col("logged_sr") / (100.0 * F.col("n")), 6
+        ).alias("logged_mean_reward"),
+        F.round(F.col("ips_sum") / F.col("n"), 6).alias("ips_value"),
+        F.round(
+            F.col("ips_sum") / F.col("w_sum") * 100.0 / 100.0, 6
+        ).alias("snips_value"),
+    )
