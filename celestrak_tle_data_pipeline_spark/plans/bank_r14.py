@@ -1388,3 +1388,344 @@ def offpolicy_ips_snips(spark, sf_dir):
             F.col("ips_sum") / F.col("w_sum") * 100.0 / 100.0, 6
         ).alias("snips_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ledoit-Wolf shrinkage intensity for the embedding covariance (8 dims)
+# --------------------------------------------------------------------------
+@register(
+    "ledoit_wolf_shrinkage",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+               CAST(embedding[CAST(u.i AS INTEGER)] AS DECIMAL(18,9))
+                   AS x
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        WHERE u.i <= 8
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM el),
+    pair AS (
+        SELECT a.dim AS i, b.dim AS j,
+               round(CAST(SUM(a.x * b.x) AS DOUBLE)
+                     / (SELECT n FROM n), 9) AS s,
+               CAST(round(SUM(CAST(round(
+                   CAST(a.x * b.x AS DOUBLE)
+                   * CAST(a.x * b.x AS DOUBLE), 9)
+                   AS DECIMAL(38,9))), 9) AS DOUBLE) AS q
+        FROM el a JOIN el b ON a.vec_id = b.vec_id
+        GROUP BY a.dim, b.dim
+    ),
+    m AS (
+        SELECT round(SUM(CASE WHEN i = j THEN s END) / 8.0, 9) AS mu
+        FROM pair
+    ),
+    d2 AS (
+        SELECT CAST(round(SUM(CAST(round(
+                   (s - CASE WHEN i = j THEN m.mu ELSE 0.0 END)
+                   * (s - CASE WHEN i = j THEN m.mu ELSE 0.0 END),
+                   12) AS DECIMAL(28,12))), 12) AS DOUBLE) / 8.0 AS d2
+        FROM pair, m
+    ),
+    b2raw AS (
+        SELECT CAST(round(SUM(CAST(round(
+                   (q / nn.n - s * s) / nn.n, 12)
+                   AS DECIMAL(28,12))), 12) AS DOUBLE) / 8.0 AS b2r
+        FROM pair, n nn
+    )
+    SELECT (SELECT n FROM n) AS n_vectors,
+           round(m.mu, 6) AS grand_mean_var,
+           round(d2.d2, 9) AS dispersion_d2,
+           round(LEAST(b2raw.b2r, d2.d2), 9) AS noise_b2,
+           round(LEAST(b2raw.b2r, d2.d2) / d2.d2, 6)
+               AS shrinkage_lambda
+    FROM m, d2, b2raw
+    """,
+)
+def ledoit_wolf_shrinkage(spark, sf_dir):
+    """Ledoit-Wolf optimal shrinkage intensity toward the scaled
+    identity for the embedding covariance (dims 1-8, the registry's
+    covariance-block convention): mu = tr(S)/p, d^2 = ||S - mu I||^2/p,
+    b^2 = min(d^2, (1/n) avg ||x x' - S||^2/p), lambda = b^2/d^2 —
+    the closed-form answer to "how much should I trust this sample
+    covariance", which any Mahalanobis/whitening stage at scale should
+    apply before inverting. lambda near 1 says the 8x8 S is mostly
+    noise at this n. Second and fourth moments fold exactly
+    (DECIMAL-cast float32 products; the (xx')^2 fold rounds at 1e-9
+    per row-pair); S entries are pinned at 1e-9 before the Frobenius
+    folds; MLE (1/n) covariance convention documented. Plan: one
+    8-way explode, one vec-keyed 64-cell pair rollup, three bounded
+    folds."""
+    emb = t(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "xf")
+    ).where(F.col("p") < 8).select(
+        "vec_id",
+        F.col("p").cast("bigint").alias("dim"),
+        F.col("xf").cast("decimal(18,9)").alias("x"),
+    ).persist()
+    n = el.agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n")
+    )
+    a = el.select("vec_id", F.col("dim").alias("i"), F.col("x").alias("xa"))
+    b = el.select(
+        F.col("vec_id").alias("vid2"),
+        F.col("dim").alias("j"),
+        F.col("x").alias("xb"),
+    )
+    prod = F.col("xa") * F.col("xb")
+    pair = (
+        a.join(b, F.col("vec_id") == F.col("vid2"))
+        .crossJoin(F.broadcast(n))
+        .groupBy("i", "j")
+        .agg(
+            F.round(
+                F.sum(prod).cast("double") / F.max("n"), 9
+            ).alias("s"),
+            F.round(
+                F.sum(
+                    F.round(
+                        prod.cast("double") * prod.cast("double"), 9
+                    ).cast("decimal(38,9)")
+                ),
+                9,
+            )
+            .cast("double")
+            .alias("q"),
+        )
+        .persist()
+    )
+    m = pair.agg(
+        F.round(
+            F.sum(F.when(F.col("i") == F.col("j"), F.col("s"))) / 8.0,
+            9,
+        ).alias("mu")
+    )
+    d2 = pair.crossJoin(F.broadcast(m)).agg(
+        (
+            F.round(
+                F.sum(
+                    F.round(
+                        (
+                            F.col("s")
+                            - F.when(
+                                F.col("i") == F.col("j"), F.col("mu")
+                            ).otherwise(F.lit(0.0))
+                        )
+                        * (
+                            F.col("s")
+                            - F.when(
+                                F.col("i") == F.col("j"), F.col("mu")
+                            ).otherwise(F.lit(0.0))
+                        ),
+                        12,
+                    ).cast("decimal(28,12)")
+                ),
+                12,
+            ).cast("double")
+            / 8.0
+        ).alias("d2")
+    )
+    b2raw = pair.crossJoin(F.broadcast(n)).agg(
+        (
+            F.round(
+                F.sum(
+                    F.round(
+                        (
+                            F.col("q") / F.col("n")
+                            - F.col("s") * F.col("s")
+                        )
+                        / F.col("n"),
+                        12,
+                    ).cast("decimal(28,12)")
+                ),
+                12,
+            ).cast("double")
+            / 8.0
+        ).alias("b2r")
+    )
+    return (
+        n.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(d2))
+        .crossJoin(F.broadcast(b2raw))
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.round(F.col("mu"), 6).alias("grand_mean_var"),
+            F.round(F.col("d2"), 9).alias("dispersion_d2"),
+            F.round(
+                F.least(F.col("b2r"), F.col("d2")), 9
+            ).alias("noise_b2"),
+            F.round(
+                F.least(F.col("b2r"), F.col("d2")) / F.col("d2"), 6
+            ).alias("shrinkage_lambda"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Group-sequential monitoring: Pocock vs O'Brien-Fleming at 5 looks
+# --------------------------------------------------------------------------
+# Two-sided alpha = 0.05, K = 5 equally-spaced looks: the published
+# critical values (Pocock constant boundary; OBF decaying boundary).
+_POCOCK_5 = 2.413
+_OBF_5 = [4.562, 3.226, 2.634, 2.281, 2.040]
+
+
+@register(
+    "group_sequential_looks",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 >= 5
+                    THEN 1 ELSE 0 END AS we,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT day, we, y,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS nd
+        FROM daily
+    ),
+    looks AS (SELECT UNNEST(range(1, 6)) AS k),
+    cum AS (
+        SELECT l.k,
+               CAST(SUM(CASE WHEN d.we = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN d.we = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN d.we = 1 THEN d.y ELSE 0 END)
+                    AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN d.we = 0 THEN d.y ELSE 0 END)
+                    AS BIGINT) AS s0,
+               SUM(CASE WHEN d.we = 1
+                   THEN CAST(d.y AS DECIMAL(38,0)) * d.y END) AS q1,
+               SUM(CASE WHEN d.we = 0
+                   THEN CAST(d.y AS DECIMAL(38,0)) * d.y END) AS q0
+        FROM idx d JOIN looks l ON d.i * 5 <= d.nd * l.k
+        GROUP BY l.k
+    ),
+    z AS (
+        SELECT k, n1, n0,
+               round((s1 * 1.0 / n1 - s0 * 1.0 / n0)
+                     / sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                             * s1 / n1) / (n1 - 1.0) / n1
+                            + (CAST(q0 AS DOUBLE)
+                               - CAST(s0 AS DOUBLE) * s0 / n0)
+                              / (n0 - 1.0) / n0), 6) + 0.0 AS z
+        FROM cum WHERE n1 > 1 AND n0 > 1
+    )
+    SELECT CAST(k AS BIGINT) AS look, n1 + n0 AS n_days, z,
+           abs(z) > {_POCOCK_5} AS crosses_pocock,
+           abs(z) > (CASE k WHEN 1 THEN {_OBF_5[0]}
+                            WHEN 2 THEN {_OBF_5[1]}
+                            WHEN 3 THEN {_OBF_5[2]}
+                            WHEN 4 THEN {_OBF_5[3]}
+                            ELSE {_OBF_5[4]} END) AS crosses_obf
+    FROM z ORDER BY look
+    """,
+)
+def group_sequential_looks(spark, sf_dir):
+    """Group-sequential monitoring of the weekend-vs-weekday daily
+    revenue gap at five equally-spaced interim looks, against the two
+    canonical alpha-spending boundaries: Pocock (constant 2.413 —
+    spends alpha early, stops fast) and O'Brien-Fleming (4.562 ->
+    2.040 — nearly un-rejectable early, full power at the end). The
+    five (z_k, crossed?) rows ARE the dashboard every peeking-aware
+    experiment platform renders; the betting e-process in this bank is
+    the modern continuous-time alternative. Look membership is exact
+    integer arithmetic (i*5 <= nd*k); Welch z at each look comes from
+    exact cumulative power sums (y^2 through DECIMAL(38,0)); boundary
+    constants are published literals. Plan: day rollup, one bounded
+    rank window, a 5-look bounded join, per-look folds."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+    daily = e.groupBy(
+        day.alias("day"),
+        F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("we"),
+    ).agg(
+        F.sum((dec("value", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    idx = daily.select(
+        "we",
+        "y",
+        F.row_number().over(Window.orderBy("day")).cast("bigint")
+        .alias("i"),
+        F.count(F.lit(1))
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("nd"),
+    )
+    looks = spark.range(1, 6).select(F.col("id").alias("k"))
+    cum = (
+        idx.join(
+            F.broadcast(looks),
+            F.col("i") * 5 <= F.col("nd") * F.col("k"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("we") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(F.when(F.col("we") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n0"),
+            F.sum(F.when(F.col("we") == 1, F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("s1"),
+            F.sum(F.when(F.col("we") == 0, F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("s0"),
+            F.sum(
+                F.when(
+                    F.col("we") == 1,
+                    F.col("y").cast("decimal(38,0)") * F.col("y"),
+                )
+            ).alias("q1"),
+            F.sum(
+                F.when(
+                    F.col("we") == 0,
+                    F.col("y").cast("decimal(38,0)") * F.col("y"),
+                )
+            ).alias("q0"),
+        )
+    )
+    n1 = F.col("n1")
+    n0 = F.col("n0")
+    var1 = (
+        F.col("q1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / n1
+    ) / (n1 - 1.0) / n1
+    var0 = (
+        F.col("q0").cast("double")
+        - F.col("s0").cast("double") * F.col("s0") / n0
+    ) / (n0 - 1.0) / n0
+    z = (
+        F.col("s1") * 1.0 / n1 - F.col("s0") * 1.0 / n0
+    ) / F.sqrt(var1 + var0)
+    zt = cum.where((n1 > 1) & (n0 > 1)).select(
+        F.col("k").cast("bigint").alias("look"),
+        (n1 + n0).alias("n_days"),
+        (F.round(z, 6) + 0.0).alias("z"),
+    )
+    obf = (
+        F.when(F.col("look") == 1, F.lit(_OBF_5[0]))
+        .when(F.col("look") == 2, F.lit(_OBF_5[1]))
+        .when(F.col("look") == 3, F.lit(_OBF_5[2]))
+        .when(F.col("look") == 4, F.lit(_OBF_5[3]))
+        .otherwise(F.lit(_OBF_5[4]))
+    )
+    return zt.select(
+        "look",
+        "n_days",
+        "z",
+        (F.abs(F.col("z")) > _POCOCK_5).alias("crosses_pocock"),
+        (F.abs(F.col("z")) > obf).alias("crosses_obf"),
+    ).orderBy("look")
