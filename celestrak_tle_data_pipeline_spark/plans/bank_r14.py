@@ -1407,7 +1407,9 @@ def offpolicy_ips_snips(spark, sf_dir):
     n AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM el),
     pair AS (
         SELECT a.dim AS i, b.dim AS j,
-               round(CAST(SUM(a.x * b.x) AS DOUBLE)
+               round(CAST(round(SUM(CAST(round(
+                         CAST(a.x * b.x AS DOUBLE), 12)
+                         AS DECIMAL(28,12))), 12) AS DOUBLE)
                      / (SELECT n FROM n), 9) AS s,
                CAST(round(SUM(CAST(round(
                    CAST(a.x * b.x AS DOUBLE)
@@ -1437,8 +1439,8 @@ def offpolicy_ips_snips(spark, sf_dir):
            round(m.mu, 6) AS grand_mean_var,
            round(d2.d2, 9) AS dispersion_d2,
            round(LEAST(b2raw.b2r, d2.d2), 9) AS noise_b2,
-           round(LEAST(b2raw.b2r, d2.d2) / d2.d2, 6)
-               AS shrinkage_lambda
+           round(round(LEAST(b2raw.b2r, d2.d2), 9)
+                 / round(d2.d2, 9), 6) AS shrinkage_lambda
     FROM m, d2, b2raw
     """,
 )
@@ -1480,7 +1482,16 @@ def ledoit_wolf_shrinkage(spark, sf_dir):
         .groupBy("i", "j")
         .agg(
             F.round(
-                F.sum(prod).cast("double") / F.max("n"), 9
+                F.round(
+                    F.sum(
+                        F.round(prod.cast("double"), 12).cast(
+                            "decimal(28,12)"
+                        )
+                    ),
+                    12,
+                ).cast("double")
+                / F.max("n"),
+                9,
             ).alias("s"),
             F.round(
                 F.sum(
@@ -1556,7 +1567,9 @@ def ledoit_wolf_shrinkage(spark, sf_dir):
                 F.least(F.col("b2r"), F.col("d2")), 9
             ).alias("noise_b2"),
             F.round(
-                F.least(F.col("b2r"), F.col("d2")) / F.col("d2"), 6
+                F.round(F.least(F.col("b2r"), F.col("d2")), 9)
+                / F.round(F.col("d2"), 9),
+                6,
             ).alias("shrinkage_lambda"),
         )
     )
