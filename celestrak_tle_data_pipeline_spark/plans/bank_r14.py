@@ -1742,3 +1742,249 @@ def group_sequential_looks(spark, sf_dir):
         (F.abs(F.col("z")) > _POCOCK_5).alias("crosses_pocock"),
         (F.abs(F.col("z")) > obf).alias("crosses_obf"),
     ).orderBy("look")
+
+
+# --------------------------------------------------------------------------
+# Winkler interval score for the conformal seasonal-naive band
+# --------------------------------------------------------------------------
+@register(
+    "winkler_interval_score",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    fc AS (
+        SELECT day, y,
+               LAG(y, 7) OVER (ORDER BY day) AS yhat
+        FROM daily
+        QUALIFY yhat IS NOT NULL
+    ),
+    split AS (
+        SELECT CAST(floor(quantile_cont(day, 0.5)) AS BIGINT) AS mid
+        FROM fc
+    ),
+    cal AS (
+        SELECT round(abs(y - yhat) / 100.0, 2) AS score
+        FROM fc, split WHERE day <= split.mid
+    ),
+    by_score AS (
+        SELECT score, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cal GROUP BY score
+    ),
+    cum AS (
+        SELECT score,
+               SUM(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+                   AS cc
+        FROM by_score
+    ),
+    nk AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_cal,
+               CAST((9 * (SUM(c) + 1) + 9) // 10 AS BIGINT) AS k
+        FROM by_score
+    ),
+    qhat AS (
+        SELECT MIN(CASE WHEN cum.cc >= LEAST(nk.k, nk.n_cal)
+                   THEN cum.score END) AS q
+        FROM cum, nk
+    ),
+    terms AS (
+        SELECT round(2.0 * qh.q
+                     + (20.0 / 1.0)
+                       * GREATEST((f.yhat - qh.q * 100.0 - f.y)
+                                  / 100.0, 0.0)
+                     + (20.0 / 1.0)
+                       * GREATEST((f.y - f.yhat - qh.q * 100.0)
+                                  / 100.0, 0.0), 6) AS ws
+        FROM fc f, split, qhat qh WHERE f.day > split.mid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           round(CAST(round(SUM(CAST(ws AS DECIMAL(28,6))), 6)
+                 AS DOUBLE) / COUNT(*), 4) AS mean_winkler_score
+    FROM terms
+    """,
+)
+def winkler_interval_score(spark, sf_dir):
+    """Mean Winkler (interval) score of the split-conformal 90% band
+    around the seasonal-naive forecast on the test half: WS = width +
+    (2/alpha) * overshoot for observations outside the band — the
+    PROPER scoring rule for interval forecasts, so unlike raw coverage
+    (the conformal twin's output) it cannot be gamed by inflating the
+    band; together the pair grades calibration AND sharpness. The
+    band half-width q reuses the conformal twin's exact
+    order-statistic construction; per-day scores are terminal
+    expressions on exact cents rounded at 1e-6 and folded in DECIMAL.
+    Plan: day rollup, lag-7 window, the conformal quantile device,
+    one test-half fold."""
+    daily = _daily(spark, sf_dir)
+    fc = daily.select(
+        "day",
+        "y",
+        F.lag("y", 7).over(Window.orderBy("day")).alias("yhat"),
+    ).where(F.col("yhat").isNotNull()).persist()
+    split = fc.agg(
+        F.floor(F.expr("percentile(day, 0.5)"))
+        .cast("bigint")
+        .alias("mid")
+    )
+    cal = (
+        fc.crossJoin(F.broadcast(split))
+        .where(F.col("day") <= F.col("mid"))
+        .select(
+            F.round(
+                F.abs(F.col("y") - F.col("yhat")) / 100.0, 2
+            ).alias("score")
+        )
+    )
+    by_score = cal.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = by_score.select(
+        "score",
+        F.sum("c")
+        .over(
+            Window.orderBy("score").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+    )
+    nk = by_score.agg(
+        F.sum("c").cast("bigint").alias("n_cal"),
+        ((9 * (F.sum("c") + 1) + 9) / 10).cast("bigint").alias("k"),
+    )
+    qhat = (
+        cum.crossJoin(F.broadcast(nk))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cc") >= F.least(F.col("k"), F.col("n_cal")),
+                    F.col("score"),
+                )
+            ).alias("q")
+        )
+    )
+    ws = F.round(
+        2.0 * F.col("q")
+        + 20.0
+        * F.greatest(
+            (F.col("yhat") - F.col("q") * 100.0 - F.col("y")) / 100.0,
+            F.lit(0.0),
+        )
+        + 20.0
+        * F.greatest(
+            (F.col("y") - F.col("yhat") - F.col("q") * 100.0) / 100.0,
+            F.lit(0.0),
+        ),
+        6,
+    )
+    terms = (
+        fc.crossJoin(F.broadcast(split))
+        .crossJoin(F.broadcast(qhat))
+        .where(F.col("day") > F.col("mid"))
+        .select(ws.alias("ws"))
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.round(
+            F.round(
+                F.sum(F.col("ws").cast("decimal(28,6)")), 6
+            ).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_winkler_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PIT uniformity check for the climatological forecast (LOO ranks)
+# --------------------------------------------------------------------------
+@register(
+    "pit_uniformity_check",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    rk AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY y, day) AS BIGINT)
+                   AS r,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ),
+    pit AS (
+        SELECT LEAST(CAST(floor(10.0 * (r - 1.0) / (n - 1.0))
+                          AS BIGINT), 9) AS bin,
+               n
+        FROM rk
+    ),
+    g AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM pit GROUP BY bin
+    ),
+    nn AS (SELECT CAST(MAX(n) AS BIGINT) AS n FROM pit)
+    SELECT nn.n AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           round(CAST(round(SUM(CAST(round(
+                 (g.c - nn.n * 0.1) * (g.c - nn.n * 0.1)
+                 / (nn.n * 0.1), 9) AS DECIMAL(28,9))), 9) AS DOUBLE),
+                 6) AS pit_chi2
+    FROM g, nn GROUP BY nn.n
+    """,
+)
+def pit_uniformity_check(spark, sf_dir):
+    """Probability-integral-transform uniformity check for the
+    climatological forecast of daily revenue: each day\'s PIT value is
+    its leave-one-out empirical CDF position (r-1)/(n-1) under unique
+    (y, day) ranks; a calibrated probabilistic forecast makes PIT
+    uniform, and the 10-bin chi2 against n/10 quantifies the failure
+    (U-shape = underdispersed forecasts, hump = overdispersed — the
+    standard verification histogram read as one number). The
+    probabilistic-calibration sibling of the interval pair in this
+    bank (conformal = coverage, Winkler = sharpness, PIT = full
+    distribution). Ranks are exact via the total order over the
+    calendar frame; bin counts are exact integers; chi2 terms round at
+    1e-9 and fold in DECIMAL over 10 rows. Plan: day rollup, one rank
+    window over the bounded frame, one 10-bin rollup, one fold."""
+    daily = _daily(spark, sf_dir)
+    rk = daily.select(
+        F.row_number().over(Window.orderBy("y", "day")).cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(
+            Window.orderBy("y", "day").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("n"),
+    )
+    pit = rk.select(
+        F.least(
+            F.floor(
+                10.0 * (F.col("r") - 1.0) / (F.col("n") - 1.0)
+            ).cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("bin"),
+        "n",
+    )
+    g = pit.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    nn = pit.agg(F.max("n").cast("bigint").alias("n"))
+    term = (
+        (F.col("c") - F.col("n") * 0.1)
+        * (F.col("c") - F.col("n") * 0.1)
+        / (F.col("n") * 0.1)
+    )
+    return (
+        g.crossJoin(F.broadcast(nn))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.round(
+                F.round(
+                    F.sum(F.round(term, 9).cast("decimal(28,9)")), 9
+                ).cast("double"),
+                6,
+            ).alias("pit_chi2"),
+        )
+        .select(
+            F.col("n").alias("n_days"),
+            "n_bins",
+            "pit_chi2",
+        )
+    )
