@@ -1,0 +1,45 @@
+"""CI guard for the driver's bench contract.
+
+The driver runs ``python bench.py`` per round and parses the LAST
+stdout line as the headline JSON; a headline name dropping out of the
+registry (rotation refactors touch registration order every round)
+would surface only as a driver-side rc!=0. Pin the cheap invariants
+here: every headline name resolves in the live registry, and the
+sf-dir default exists.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", REPO / "bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_headline_names_resolve_in_registry():
+    from celestrak_tle_data_pipeline_spark import plans
+
+    bench = _load_bench()
+    qs = plans.all_queries()
+    missing = [n for n in bench.QUERIES if n not in qs]
+    assert not missing, f"bench headline names not registered: {missing}"
+    # headline set stays de-duplicated and non-trivial
+    assert len(set(bench.QUERIES)) == len(bench.QUERIES)
+    assert len(bench.QUERIES) >= 12
+
+
+def test_bench_default_sf_dir_exists():
+    bench = _load_bench()
+    assert os.path.isdir(bench.SF_DIR), bench.SF_DIR
