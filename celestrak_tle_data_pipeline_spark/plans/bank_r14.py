@@ -1988,3 +1988,125 @@ def pit_uniformity_check(spark, sf_dir):
             "pit_chi2",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen slope with the distribution-free (Kendall-based) CI
+# --------------------------------------------------------------------------
+@register(
+    "sen_slope_confidence_band",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    slopes AS (
+        SELECT round((b.y - a.y) / (100.0 * (b.x - a.x)), 6) AS sl
+        FROM (SELECT day AS x, y FROM daily) a
+        JOIN (SELECT day AS x, y FROM daily) b ON a.x < b.x
+    ),
+    by_sl AS (
+        SELECT sl, CAST(COUNT(*) AS BIGINT) AS c
+        FROM slopes GROUP BY sl
+    ),
+    cum AS (
+        SELECT sl,
+               SUM(c) OVER (ORDER BY sl ROWS UNBOUNDED PRECEDING)
+                   AS cc
+        FROM by_sl
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    ranks AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS np,
+               CAST(floor((SUM(c)
+                    - 1.96 * sqrt(nd.n * (nd.n - 1.0)
+                                  * (2 * nd.n + 5) / 18.0)) / 2.0)
+                    AS BIGINT) AS r_lo,
+               CAST(ceil((SUM(c)
+                    + 1.96 * sqrt(nd.n * (nd.n - 1.0)
+                                  * (2 * nd.n + 5) / 18.0)) / 2.0)
+                    AS BIGINT) AS r_hi
+        FROM by_sl, nd GROUP BY nd.n
+    )
+    SELECT r.np AS n_pairs,
+           (SELECT MIN(CASE WHEN cc >= (r.np + 1) // 2
+                       THEN sl END) FROM cum) AS sen_slope_lo_median,
+           (SELECT MIN(CASE WHEN cc >= GREATEST(r.r_lo, 1)
+                       THEN sl END) FROM cum) AS ci_lower,
+           (SELECT MIN(CASE WHEN cc >= LEAST(r.r_hi, r.np)
+                       THEN sl END) FROM cum) AS ci_upper
+    FROM ranks r
+    """,
+)
+def sen_slope_confidence_band(spark, sf_dir):
+    """Theil-Sen slope of daily revenue with the classical
+    distribution-free confidence band: the median pairwise slope
+    (lower-median convention — the exact order statistic at rank
+    ceil(N/2), no interpolation) bracketed by the order statistics at
+    ranks (N -+ 1.96 sqrt(n(n-1)(2n+5)/18))/2 — Sen's 1968 CI, valid
+    with NO normality or homoskedasticity assumption because it
+    inverts Kendall's S. Completes the robust-trend tier (Siegel
+    repeated medians and the plain Sen estimator are elsewhere in the
+    banks) with the UNCERTAINTY statement those point estimates lack.
+    Pairwise slopes are exact cent/day rationals rounded at 1e-6; the
+    three order statistics come from one cumulative count over the
+    distinct-slope grid (the ranged-rank device class — never a
+    row-grain sort); rank arithmetic is exact integers with the
+    normal-approximation constant as a literal. The O(d^2) pair frame
+    is calendar-bounded. Plan: day rollup, bounded triangular join,
+    one grid cumulative, three order-stat picks."""
+    daily = _daily(spark, sf_dir).persist()
+    a = daily.select(F.col("day").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(
+        F.broadcast(b), F.col("xa") < F.col("xb")
+    ).select(
+        F.round(
+            (F.col("yb") - F.col("ya"))
+            / (100.0 * (F.col("xb") - F.col("xa"))),
+            6,
+        ).alias("sl")
+    )
+    by_sl = slopes.groupBy("sl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = by_sl.select(
+        "sl",
+        F.sum("c")
+        .over(
+            Window.orderBy("sl").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+    ).persist()
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    halfw = 1.96 * F.sqrt(
+        F.col("n") * (F.col("n") - 1.0) * (2 * F.col("n") + 5) / 18.0
+    )
+    ranks = (
+        by_sl.crossJoin(F.broadcast(nd))
+        .groupBy("n")
+        .agg(F.sum("c").cast("bigint").alias("np"))
+        .select(
+            "np",
+            F.floor((F.col("np") - halfw) / 2.0)
+            .cast("bigint")
+            .alias("r_lo"),
+            F.ceil((F.col("np") + halfw) / 2.0)
+            .cast("bigint")
+            .alias("r_hi"),
+        )
+    )
+    j = cum.crossJoin(F.broadcast(ranks))
+    def pick(rank_expr, name):
+        return F.min(
+            F.when(F.col("cc") >= rank_expr, F.col("sl"))
+        ).alias(name)
+    return j.groupBy("np").agg(
+        pick(F.floor((F.col("np") + 1) / 2).cast("bigint"), "med_raw"),
+        pick(F.greatest(F.col("r_lo"), F.lit(1)), "ci_lower"),
+        pick(F.least(F.col("r_hi"), F.col("np")), "ci_upper"),
+    ).select(
+        F.col("np").alias("n_pairs"),
+        F.col("med_raw").alias("sen_slope_lo_median"),
+        "ci_lower",
+        "ci_upper",
+    )
