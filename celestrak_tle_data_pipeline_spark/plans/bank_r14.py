@@ -2110,3 +2110,252 @@ def sen_slope_confidence_band(spark, sf_dir):
         "ci_lower",
         "ci_upper",
     )
+
+
+# --------------------------------------------------------------------------
+# Categorical (brand) assortativity of the co-purchase graph
+# --------------------------------------------------------------------------
+@register(
+    "assortativity_by_brand",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    brand AS (SELECT p_partkey AS pk, p_brand AS b FROM part),
+    mix AS (
+        SELECT br1.b AS b1, br2.b AS b2, CAST(COUNT(*) AS BIGINT) AS m
+        FROM edges e
+        JOIN brand br1 ON e.p1 = br1.pk
+        JOIN brand br2 ON e.p2 = br2.pk
+        GROUP BY br1.b, br2.b
+    ),
+    tot AS (SELECT CAST(SUM(m) AS BIGINT) AS mm FROM mix),
+    marg AS (
+        SELECT b, CAST(SUM(m) AS BIGINT) AS d
+        FROM (SELECT b1 AS b, m FROM mix
+              UNION ALL SELECT b2 AS b, m FROM mix)
+        GROUP BY b
+    ),
+    terms AS (
+        SELECT
+          (SELECT CAST(SUM(m) AS BIGINT) FROM mix WHERE b1 = b2)
+              AS same,
+          (SELECT CAST(SUM(CAST(d AS DECIMAL(38,0)) * d) AS
+                  DECIMAL(38,0)) FROM marg) AS sum_d2,
+          tot.mm
+        FROM tot
+    )
+    SELECT mm AS n_edges,
+           round(same * 1.0 / mm, 6) AS same_brand_share,
+           round((same * 1.0 / mm
+                  - CAST(sum_d2 AS DOUBLE) / (4.0 * mm * mm))
+                 / (1.0 - CAST(sum_d2 AS DOUBLE) / (4.0 * mm * mm)),
+                 6) + 0.0 AS assortativity_r
+    FROM terms
+    """,
+)
+def assortativity_by_brand(spark, sf_dir):
+    """Newman's categorical assortativity coefficient for the BRAND
+    attribute on the co-purchase graph: r = (tr(e) - sum a_i b_i) /
+    (1 - sum a_i b_i) from the brand-mixing matrix — do products
+    co-sell within their own brand (r > 0, brand loyalty baskets) or
+    across brands (r < 0, complementary-goods baskets)? The discrete-
+    attribute sibling of the degree assortativity already in the
+    registry, and the one-number justification for (or against)
+    brand-keyed partitioning of the affinity graph. Edge endpoints
+    are unordered, so marginals a = b and sum a_i b_i = sum d_i^2 /
+    (2m)^2 with d from both-endpoint stacking — all exact integers
+    (d^2 through DECIMAL(38,0)); r is one terminal expression. Plan:
+    the order-blocked edge build, two broadcast brand joins, a
+    625-cell mixing rollup, bounded folds."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    brand = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), F.col("p_brand").alias("b")
+    )
+    br1 = brand.select(F.col("pk").alias("p1"), F.col("b").alias("b1"))
+    br2 = brand.select(F.col("pk").alias("p2"), F.col("b").alias("b2"))
+    mix = (
+        edges.join(F.broadcast(br1), "p1")
+        .join(F.broadcast(br2), "p2")
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .persist()
+    )
+    tot = mix.agg(F.sum("m").cast("bigint").alias("mm"))
+    same = mix.where(F.col("b1") == F.col("b2")).agg(
+        F.coalesce(F.sum("m"), F.lit(0)).cast("bigint").alias("same")
+    )
+    marg = (
+        mix.select(F.col("b1").alias("b"), "m")
+        .unionAll(mix.select(F.col("b2").alias("b"), "m"))
+        .groupBy("b")
+        .agg(F.sum("m").cast("bigint").alias("d"))
+    )
+    sum_d2 = marg.agg(
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d"))
+        .cast("decimal(38,0)")
+        .alias("sum_d2")
+    )
+    out = (
+        tot.crossJoin(F.broadcast(same))
+        .crossJoin(F.broadcast(sum_d2))
+    )
+    mm = F.col("mm")
+    e_same = F.col("same") * 1.0 / mm
+    e_rand = F.col("sum_d2").cast("double") / (4.0 * mm * mm)
+    return out.select(
+        mm.alias("n_edges"),
+        F.round(e_same, 6).alias("same_brand_share"),
+        (
+            F.round((e_same - e_rand) / (1.0 - e_rand), 6) + 0.0
+        ).alias("assortativity_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dunning log-likelihood-ratio collocations (top bigrams)
+# --------------------------------------------------------------------------
+@register(
+    "dunning_llr_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               lst[CAST(u.i AS INTEGER)] AS w,
+               CAST(u.i AS BIGINT) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS lst
+              FROM documents),
+             UNNEST(range(1, len(lst) + 1)) AS u(i)
+    ),
+    bg AS (
+        SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS o11
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        GROUP BY a.w, b.w
+    ),
+    tot AS (SELECT CAST(SUM(o11) AS BIGINT) AS n FROM bg),
+    m1 AS (SELECT w1, CAST(SUM(o11) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+    m2 AS (SELECT w2, CAST(SUM(o11) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+    cells AS (
+        SELECT bg.w1, bg.w2, bg.o11,
+               m1.c1 - bg.o11 AS o12,
+               m2.c2 - bg.o11 AS o21,
+               tot.n - m1.c1 - m2.c2 + bg.o11 AS o22,
+               m1.c1, m2.c2, tot.n
+        FROM bg JOIN m1 ON bg.w1 = m1.w1
+        JOIN m2 ON bg.w2 = m2.w2, tot
+    ),
+    llr AS (
+        SELECT w1, w2, o11,
+               round(2.0 * (
+                 (CASE WHEN o11 > 0 THEN o11 * ln(o11 * 1.0 * n
+                       / (c1 * 1.0 * c2)) ELSE 0.0 END)
+                 + (CASE WHEN o12 > 0 THEN o12 * ln(o12 * 1.0 * n
+                        / (c1 * 1.0 * (n - c2))) ELSE 0.0 END)
+                 + (CASE WHEN o21 > 0 THEN o21 * ln(o21 * 1.0 * n
+                        / ((n - c1) * 1.0 * c2)) ELSE 0.0 END)
+                 + (CASE WHEN o22 > 0 THEN o22 * ln(o22 * 1.0 * n
+                        / ((n - c1) * 1.0 * (n - c2))) ELSE 0.0 END)
+               ), 6) AS g2
+        FROM cells
+    )
+    SELECT w1 || ' ' || w2 AS bigram, o11 AS n_occurrences,
+           g2 + 0.0 AS llr_g2
+    FROM llr
+    ORDER BY llr_g2 DESC, bigram ASC LIMIT 20
+    """,
+)
+def dunning_llr_collocations(spark, sf_dir):
+    """Dunning's log-likelihood-ratio collocation test for the top-20
+    bigrams: G2 = 2 sum O ln(O/E) over the bigram's 2x2 contingency
+    table against independence of the two token positions — the 1993
+    statistic that replaced PMI for collocation ranking because it is
+    valid at LOW counts (PMI, also in the registry, explodes for rare
+    pairs; G2 correctly shrinks them). Adjacency comes from per-doc
+    token positions (posexplode ordinals — text order is the one
+    total order the corpus carries; no window needed); all four cells and margins
+    are exact integers; each ln term guards its zero cell identically
+    in both engines; top-k rides the (G2, bigram) total order. Plan:
+    one tokenize + position window per doc, one adjacency self-join
+    keyed on (doc, position), bigram/margin rollups, TakeOrdered."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    ).select(
+        "doc_id",
+        "w",
+        (F.col("pos") + 1).cast("bigint").alias("i"),
+    )
+    a = toks.select("doc_id", F.col("w").alias("w1"), "i")
+    b = toks.select(
+        F.col("doc_id").alias("d2"),
+        F.col("w").alias("w2"),
+        F.col("i").alias("i2"),
+    )
+    bg = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("d2"))
+            & (F.col("i2") == F.col("i") + 1),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o11"))
+        .persist()
+    )
+    tot = bg.agg(F.sum("o11").cast("bigint").alias("n"))
+    m1 = bg.groupBy("w1").agg(F.sum("o11").cast("bigint").alias("c1"))
+    m2 = bg.groupBy("w2").agg(F.sum("o11").cast("bigint").alias("c2"))
+    cells = (
+        bg.join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "o11",
+            (F.col("c1") - F.col("o11")).alias("o12"),
+            (F.col("c2") - F.col("o11")).alias("o21"),
+            (
+                F.col("n") - F.col("c1") - F.col("c2") + F.col("o11")
+            ).alias("o22"),
+            "c1",
+            "c2",
+            "n",
+        )
+    )
+    n = F.col("n")
+    c1 = F.col("c1")
+    c2 = F.col("c2")
+    def term(o, num_e, den_e):
+        return F.when(
+            o > 0, o * F.log(o * 1.0 * num_e / den_e)
+        ).otherwise(F.lit(0.0))
+    g2 = F.round(
+        2.0
+        * (
+            term(F.col("o11"), n, c1 * 1.0 * c2)
+            + term(F.col("o12"), n, c1 * 1.0 * (n - c2))
+            + term(F.col("o21"), n, (n - c1) * 1.0 * c2)
+            + term(F.col("o22"), n, (n - c1) * 1.0 * (n - c2))
+        ),
+        6,
+    )
+    return (
+        cells.select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("o11").alias("n_occurrences"),
+            (g2 + 0.0).alias("llr_g2"),
+        )
+        .orderBy(F.col("llr_g2").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
