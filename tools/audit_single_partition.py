@@ -213,6 +213,7 @@ def audit(spark, names=None):
         bank_r11,
         bank_r12,
         bank_r13,
+        bank_r14,
         next_window,
     )
 
@@ -222,6 +223,7 @@ def audit(spark, names=None):
             **bank_r11.BANK_QUERIES,
             **bank_r12.BANK_QUERIES,
             **bank_r13.BANK_QUERIES,
+            **bank_r14.BANK_QUERIES,
             **next_window.NEXT_QUERIES,
             **qs,
         }
