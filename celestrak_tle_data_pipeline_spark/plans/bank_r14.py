@@ -2391,3 +2391,166 @@ PLAN_AUDIT_NOTES: dict[str, str] = {
         "conformal-quantile device over bounded frames)"
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Multiclass MCC (Gorodkin's R_K) for the naive-Bayes-style classifier
+# --------------------------------------------------------------------------
+@register(
+    "rk_multiclass_mcc",
+    oracle="""
+    WITH base AS (
+        SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                   AS dow,
+               LEAST(CAST(floor(value) AS BIGINT) // 50, 9) AS vb,
+               event_type AS ty
+        FROM events
+    ),
+    cell AS (
+        SELECT dow, vb, ty, CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT dow, vb, ty AS p,
+               ROW_NUMBER() OVER (PARTITION BY dow, vb
+                                  ORDER BY SUM(n) DESC, ty ASC) AS rn
+        FROM cell GROUP BY dow, vb, ty QUALIFY rn = 1
+    ),
+    conf AS (
+        SELECT c.ty AS truth, pr.p AS predicted,
+               CAST(SUM(c.n) AS BIGINT) AS n
+        FROM cell c JOIN pred pr ON c.dow = pr.dow AND c.vb = pr.vb
+        GROUP BY c.ty, pr.p
+    ),
+    marg AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN truth = predicted THEN n
+                        ELSE 0 END) AS BIGINT) AS c,
+               (SELECT CAST(SUM(CAST(tk AS DECIMAL(38,0)) * tk)
+                       AS DECIMAL(38,0))
+                FROM (SELECT SUM(n) AS tk FROM conf GROUP BY truth))
+                   AS sum_t2,
+               (SELECT CAST(SUM(CAST(pk AS DECIMAL(38,0)) * pk)
+                       AS DECIMAL(38,0))
+                FROM (SELECT SUM(n) AS pk FROM conf
+                      GROUP BY predicted)) AS sum_p2,
+               (SELECT CAST(SUM(CAST(tp.tk AS DECIMAL(38,0)) * tp.pk)
+                       AS DECIMAL(38,0))
+                FROM (SELECT t1.truth AS kk, t1.tk, t2.pk
+                      FROM (SELECT truth, SUM(n) AS tk FROM conf
+                            GROUP BY truth) t1
+                      JOIN (SELECT predicted, SUM(n) AS pk FROM conf
+                            GROUP BY predicted) t2
+                        ON t1.truth = t2.predicted) tp) AS sum_tp
+        FROM conf
+    )
+    SELECT s AS n_events,
+           round(c * 1.0 / s, 6) AS accuracy,
+           round((c * 1.0 * s - CAST(sum_tp AS DOUBLE))
+                 / (sqrt(s * 1.0 * s - CAST(sum_p2 AS DOUBLE))
+                    * sqrt(s * 1.0 * s - CAST(sum_t2 AS DOUBLE))),
+                 6) + 0.0 AS rk_mcc
+    FROM marg
+    """,
+)
+def rk_multiclass_mcc(spark, sf_dir):
+    """Gorodkin's R_K — the multiclass Matthews correlation — for the
+    cell-modal (dow, value-bucket) -> event-type classifier: R_K =
+    (c*s - sum_k t_k p_k) / (sqrt(s^2 - sum p_k^2) sqrt(s^2 - sum
+    t_k^2)). Accuracy rewards majority-class collapse; R_K reads 0
+    for it — the single honest scalar for an imbalanced multiclass
+    confusion, generalizing the binary MCC panel already in the
+    registry. The confusion matrix aggregates per bounded grid cell
+    (never row grain); marginal products ride DECIMAL(38,0) (t_k p_k
+    sums pass int64 at sf100); R_K is one terminal expression with
+    both engines promoting c*s to double in the same association.
+    Plan: one 350-cell rollup, a modal rank on the bounded grid, a
+    25-cell confusion rollup, bounded folds."""
+    e = t(spark, sf_dir, "events")
+    base = e.select(
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("bigint")
+        .alias("dow"),
+        F.expr("least(CAST(floor(value) AS BIGINT) div 50, 9)").alias(
+            "vb"
+        ),
+        F.col("event_type").alias("ty"),
+    )
+    cell = base.groupBy("dow", "vb", "ty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).persist()
+    pred = (
+        cell.groupBy("dow", "vb", "ty")
+        .agg(F.sum("n").alias("cn"))
+        .select(
+            "dow",
+            "vb",
+            F.col("ty").alias("p"),
+            F.row_number()
+            .over(
+                Window.partitionBy("dow", "vb").orderBy(
+                    F.col("cn").desc(), F.col("ty").asc()
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    conf = (
+        cell.join(F.broadcast(pred), ["dow", "vb"])
+        .groupBy(F.col("ty").alias("truth"), F.col("p").alias("predicted"))
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .persist()
+    )
+    s_c = conf.agg(
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(
+            F.when(F.col("truth") == F.col("predicted"), F.col("n"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    tmarg = conf.groupBy("truth").agg(
+        F.sum("n").cast("bigint").alias("tk")
+    )
+    pmarg = conf.groupBy("predicted").agg(
+        F.sum("n").cast("bigint").alias("pk")
+    )
+    sum_t2 = tmarg.agg(
+        F.sum(F.col("tk").cast("decimal(38,0)") * F.col("tk"))
+        .cast("decimal(38,0)")
+        .alias("sum_t2")
+    )
+    sum_p2 = pmarg.agg(
+        F.sum(F.col("pk").cast("decimal(38,0)") * F.col("pk"))
+        .cast("decimal(38,0)")
+        .alias("sum_p2")
+    )
+    sum_tp = (
+        tmarg.join(
+            pmarg, F.col("truth") == F.col("predicted")
+        )
+        .agg(
+            F.sum(F.col("tk").cast("decimal(38,0)") * F.col("pk"))
+            .cast("decimal(38,0)")
+            .alias("sum_tp")
+        )
+    )
+    out = (
+        s_c.crossJoin(F.broadcast(sum_t2))
+        .crossJoin(F.broadcast(sum_p2))
+        .crossJoin(F.broadcast(sum_tp))
+    )
+    s = F.col("s")
+    c = F.col("c")
+    rk = (c * 1.0 * s - F.col("sum_tp").cast("double")) / (
+        F.sqrt(s * 1.0 * s - F.col("sum_p2").cast("double"))
+        * F.sqrt(s * 1.0 * s - F.col("sum_t2").cast("double"))
+    )
+    return out.select(
+        s.alias("n_events"),
+        F.round(c * 1.0 / s, 6).alias("accuracy"),
+        (F.round(rk, 6) + 0.0).alias("rk_mcc"),
+    )
