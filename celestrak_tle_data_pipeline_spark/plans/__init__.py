@@ -59,6 +59,7 @@ _MODULES = (
     "round10",
     "bank_r11",
     "bank_r12",
+    "bank_r13",
 )
 
 # The round whose official CORRECTNESS gate this window targets. The
@@ -67,77 +68,74 @@ _MODULES = (
 # round's own CORRECTNESS file, the window names ARE official — that is
 # the point — so tests/test_registry.py excludes rounds >= WINDOW_ROUND
 # from the recycled-name glob (the r10 verdict's era-proofing fix).
-WINDOW_ROUND = 12
+WINDOW_ROUND = 13
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries, so
 # ordering is part of the contract: the 50 names emitted first are that
 # round's official window. Everything else registered stays available after
 # them as bonus coverage. ``tests/test_registry.py`` pins this list.
 #
-# Round-12 rotation: CORRECTNESS_r11 is 48/50 green + 1 rows-only-by-design
-# (``ann_lsh_bucketed``) + exactly ONE hash-fail — ``kendalls_w_concordance``,
-# whose oracle emitted DOUBLE where Spark emitted BIGINT (dtype only; values
-# identical — r11 verdict item 1). Round 12 fixes that oracle (``s4 // 4``)
-# and flips the pre-staged 49-query bank (``plans/bank_r12.py``, X345+) live
-# in registration order, filling the 50th slot with the kendalls_w RE-GREEN.
-# ``test_window_is_all_first_time_names`` counts only GREEN official records,
-# so the hash-failed name stays windowable — a re-green slot is exactly what
-# the rotation exists for.
+# Round-13 rotation: CORRECTNESS_r12 is 50/50 green — nothing to re-green,
+# so the whole window turns over to first-time names: the pre-staged
+# 49-query bank (``plans/bank_r13.py``, X394+) flips live in registration
+# order, and the 50th slot is ``split_conformal_interval``, promoted from
+# the round-14 seed (VERDICT r12 item 1 directed the promotion over
+# burning the slot on a rows-only name).
 _PRIORITY = (
-    # --- round-12 bank flip (X345+, bank_r12.BANK_QUERIES order) ---
-    "theil_between_within_nations",
-    "wasserstein1_two_sample",
-    "energy_distance_two_sample",
-    "buishand_range_test",
-    "snht_homogeneity_scan",
-    "von_neumann_ratio_test",
-    "bartels_rank_test",
-    "cox_stuart_trend_test",
-    "chatterjee_xi_daily",
-    "bowker_symmetry_transitions",
-    "goodman_kruskal_lambda",
-    "renyi_entropy_spectrum",
-    "taylors_power_law",
-    "stuart_maxwell_test",
-    "krippendorff_alpha_binary",
-    "iv_wald_weekend",
-    "shewhart_xbar_r_chart",
-    "process_capability_cpk",
-    "hosmer_lemeshow_calibration",
-    "coleman_liau_ari_panel",
-    "juilland_dispersion_terms",
-    "token_char_entropy_topk",
-    "hellinger_affinity_panel",
-    "jackknife_richness_panel",
-    "shapley_channel_attribution",
-    "qini_uplift_deciles",
-    "ar_aging_buckets",
-    "eb_beta_binomial_shrinkage",
-    "james_stein_nation_means",
-    "wald_wolfowitz_runs",
-    "siegel_tukey_scale",
-    "conover_squared_ranks",
-    "err_cascade_ranking",
-    "rmst_sessions",
-    "newey_west_trend_se",
-    "siegel_repeated_medians_trend",
-    "hoeffding_d_daily",
-    "hash_permutation_mean_test",
-    "exp_rate_lr_gaps",
-    "ks_exponential_gaps",
-    "yuen_trimmed_t",
-    "breslow_day_homogeneity",
-    "negbin_mom_fit",
-    "naive_bayes_dow_type",
-    "fellegi_sunter_match_weights",
-    "cluster_validity_panel",
-    "simplified_silhouette_labels",
-    "hits_hubs_authorities",
-    "modularity_brand_partition",
-    # --- re-green (r11 official hash-fail, oracle dtype fixed this round;
-    # the only non-first-time name, permitted because its sole official
-    # record is RED) ---
-    "kendalls_w_concordance",
+    # --- round-13 bank flip (X394+, bank_r13.BANK_QUERIES order;
+    # the 50th name is split_conformal_interval, promoted from the
+    # round-14 seed — VERDICT r12 item 1: no red name was left to
+    # re-green, so the slot goes to first-time staged work) ---
+    "var_cvar_historical",
+    "kupiec_pof_backtest",
+    "gbm_drift_vol_fit",
+    "dixon_q_extremes",
+    "cochran_c_variance",
+    "page_hinkley_drift",
+    "integrated_autocorr_time",
+    "gwet_ac1_agreement",
+    "burstiness_memory_panel",
+    "ece_mce_calibration",
+    "cohens_q_correlations",
+    "degree_gini_inequality",
+    "benford_second_digit_mad",
+    "elementary_price_indices",
+    "oaxaca_blinder_gap",
+    "indirect_standardization_sir",
+    "newsvendor_quantile",
+    "tracking_signal_monitor",
+    "dunns_posthoc_pairs",
+    "cucconi_test",
+    "stochastic_superiority_bm",
+    "bland_altman_limits",
+    "spearman_footrule_sources",
+    "sharpe_sortino_omega",
+    "ulcer_index_martin",
+    "lepage_test",
+    "friedman_aligned_ranks",
+    "winsorized_correlation",
+    "biweight_midvariance",
+    "rousseeuw_sn_scale",
+    "cusum_squares_variance",
+    "clumpiness_index_users",
+    "gries_dp_dispersion",
+    "pickands_tail_estimator",
+    "es_backtest_acerbi",
+    "zipf_mandelbrot_fit",
+    "term_burstiness_fano",
+    "morisita_horn_sources",
+    "vocab_containment_topk",
+    "hawkes_branching_moment",
+    "doksum_shift_function",
+    "mincer_zarnowitz_rationality",
+    "western_electric_rules",
+    "lorenz_asymmetry_coefficient",
+    "mean_residual_life_panel",
+    "effective_rank_entropy",
+    "bounce_rate_by_entry",
+    "odds_ratio_haldane_ci",
+    "cramers_v_bias_corrected",
+    "split_conformal_interval",
 )
 
 # Registry names that are rows-only BY DESIGN (registered without a DuckDB

@@ -1,15 +1,16 @@
-"""Round-13 pre-staged bank (candidate X394+): STAGED, not in the live
-registry, under the same no-new-debt discipline every flipped bank
-(next_window, bank_r11, bank_r12) went through: a stage-only decorator,
-the two-SF driver-gate mirror in ``tests/test_bank_r13.py``, the sf0.1
-sweep via ``tools/bank_check.py --module bank_r13``, the
+"""Round-13 bank (X394+), LIVE since round 13: pre-staged during
+round 12 under the same no-new-debt discipline every flipped bank
+(next_window, bank_r11, bank_r12) went through: a stage-only decorator
+pre-flip, the two-SF driver-gate mirror in ``tests/test_bank_r13.py``,
+the sf0.1 sweep via ``tools/bank_check.py --module bank_r13``, the
 single-partition plan audit, and the Spark-schema-vs-DuckDB dtype-family
 sweep (``tests/test_oracle_dtypes.py`` picks this module up by name) —
 the r11 ``kendalls_w`` lesson says dtype families are part of the gate.
 
-Seeded in round 12 with a risk/agreement/price-index/post-hoc batch;
-round-13 fresh work appends below and the round-13 flip follows the
-bank_r12 protocol.
+Seeded in round 12 with a risk/agreement/price-index/post-hoc batch and
+completed to 49 there; the round-13 flip (bank_r12 protocol) fills the
+50th window slot with ``split_conformal_interval``, promoted from the
+round-14 seed (VERDICT r12 item 1).
 
 Determinism disciplines inherited unchanged (see bank_r11/bank_r12
 docstrings): exact integer/DECIMAL folds, round-before-fold for float
@@ -23,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from . import register as _live_register
 from .common import dec, t
 
 BANK_QUERIES: dict = {}
@@ -30,15 +32,18 @@ BANK_ORACLES: dict = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Stage-only decorator: records the query in the bank dicts and
-    deliberately does NOT touch the live registry (pre-flip
-    discipline — ``tests/test_bank_r13.py`` asserts the separation)."""
+    """Registers live via ``plans.register`` AND records the name in
+    the bank dicts so ``tests/test_bank_r13.py`` keeps gate-mirroring
+    the whole flipped set independently of the registry (the same flip
+    protocol bank_r11/bank_r12 used)."""
+
+    live = _live_register(name, oracle)
 
     def deco(fn):
         BANK_QUERIES[name] = fn
         if oracle is not None:
             BANK_ORACLES[name] = oracle
-        return fn
+        return live(fn)
 
     return deco
 
@@ -5544,4 +5549,163 @@ PLAN_AUDIT_NOTES: dict[str, str] = {
         "rank window over the bounded vocabulary frame "
         "(the chi2_discriminative_terms class)"
     ),
+    "split_conformal_interval": (
+        "lag-7 + score-grid cumulative windows over calendar-bounded "
+        "frames; the flag count is inflated by scalar subplans "
+        "re-scanning the bounded day frame (the es_backtest class)"
+    ),
 }
+
+# --------------------------------------------------------------------------
+# Promoted from the round-14 seed (VERDICT r12 item 1): fills the round-13
+# window's 50th slot. Uses this module's _DAILY_SQL/_daily (identical to the
+# r14 copy it was authored against).
+# --------------------------------------------------------------------------
+# Split-conformal prediction interval for the seasonal-naive forecast
+# --------------------------------------------------------------------------
+@register(
+    "split_conformal_interval",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    fc AS (
+        SELECT day, y,
+               LAG(y, 7) OVER (ORDER BY day) AS yhat
+        FROM daily
+        QUALIFY yhat IS NOT NULL
+    ),
+    split AS (
+        SELECT CAST(floor(quantile_cont(day, 0.5)) AS BIGINT) AS mid
+        FROM fc
+    ),
+    cal AS (
+        SELECT round(abs(y - yhat) / 100.0, 2) AS score
+        FROM fc, split WHERE day <= split.mid
+    ),
+    by_score AS (
+        SELECT score, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cal GROUP BY score
+    ),
+    cum AS (
+        SELECT score,
+               SUM(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+                   AS cc
+        FROM by_score
+    ),
+    nk AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_cal,
+               CAST((9 * (SUM(c) + 1) + 9) // 10 AS BIGINT) AS k
+        FROM by_score
+    ),
+    qhat AS (
+        SELECT nk.n_cal,
+               MIN(CASE WHEN cum.cc >= LEAST(nk.k, nk.n_cal)
+                   THEN cum.score END) AS q
+        FROM cum, nk GROUP BY nk.n_cal
+    ),
+    test AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN abs(f.y - f.yhat) / 100.0 <= qh.q
+                        THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        FROM fc f, split, qhat qh WHERE f.day > split.mid
+        GROUP BY qh.q
+    )
+    SELECT qh.n_cal, t.n_test,
+           qh.q AS interval_half_width,
+           round(t.covered * 1.0 / t.n_test, 6) AS test_coverage
+    FROM qhat qh, test t
+    """,
+)
+def split_conformal_interval(spark, sf_dir):
+    """Split-conformal 90% prediction interval for the seasonal-naive
+    daily-revenue forecast: the calibration half's absolute residuals
+    give the conformity scores, q-hat is the ceil(0.9*(n+1))-th smallest
+    score — the EXACT order statistic the conformal guarantee is
+    stated for (clamped at the max score), found by a cumulative count
+    over the bounded distinct-score grid, no interpolation —
+    and the test half reports the achieved coverage of yhat +- q-hat.
+    Distribution-free, finite-sample-guaranteed intervals from ANY
+    forecaster — the modern uncertainty wrapper a pipeline puts around
+    point models, next to the registry's parametric interval
+    machinery. Scores are exact 2-rounded cent ratios; coverage is an
+    exact integer ratio. Plan: day rollup, lag-7
+    window, split percentile, one calibration fold, one test fold."""
+    daily = _daily(spark, sf_dir)
+    fc = daily.select(
+        "day",
+        "y",
+        F.lag("y", 7).over(Window.orderBy("day")).alias("yhat"),
+    ).where(F.col("yhat").isNotNull()).persist()
+    split = fc.agg(
+        F.floor(F.expr("percentile(day, 0.5)"))
+        .cast("bigint")
+        .alias("mid")
+    )
+    cal = (
+        fc.crossJoin(F.broadcast(split))
+        .where(F.col("day") <= F.col("mid"))
+        .select(
+            F.round(
+                F.abs(F.col("y") - F.col("yhat")) / 100.0, 2
+            ).alias("score")
+        )
+    )
+    by_score = cal.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = by_score.select(
+        "score",
+        F.sum("c")
+        .over(
+            Window.orderBy("score").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+    )
+    nk = by_score.agg(
+        F.sum("c").cast("bigint").alias("n_cal"),
+        ((9 * (F.sum("c") + 1) + 9) / 10)
+        .cast("bigint")
+        .alias("k"),
+    )
+    qhat = (
+        cum.crossJoin(F.broadcast(nk))
+        .groupBy("n_cal")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cc") >= F.least(F.col("k"), F.col("n_cal")),
+                    F.col("score"),
+                )
+            ).alias("q")
+        )
+    )
+    test = (
+        fc.crossJoin(F.broadcast(split))
+        .crossJoin(F.broadcast(qhat.select("q")))
+        .where(F.col("day") > F.col("mid"))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("y") - F.col("yhat")) / 100.0
+                    <= F.col("q"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    return qhat.join(
+        test.withColumnRenamed("q", "q2"),
+        F.col("q") == F.col("q2"),
+    ).select(
+        "n_cal",
+        "n_test",
+        F.col("q").alias("interval_half_width"),
+        F.round(
+            F.col("covered") * 1.0 / F.col("n_test"), 6
+        ).alias("test_coverage"),
+    )

@@ -69,155 +69,6 @@ def _daily(spark, sf_dir):
     )
 
 
-# --------------------------------------------------------------------------
-# Split-conformal prediction interval for the seasonal-naive forecast
-# --------------------------------------------------------------------------
-@register(
-    "split_conformal_interval",
-    oracle=f"""
-    WITH {_DAILY_SQL},
-    fc AS (
-        SELECT day, y,
-               LAG(y, 7) OVER (ORDER BY day) AS yhat
-        FROM daily
-        QUALIFY yhat IS NOT NULL
-    ),
-    split AS (
-        SELECT CAST(floor(quantile_cont(day, 0.5)) AS BIGINT) AS mid
-        FROM fc
-    ),
-    cal AS (
-        SELECT round(abs(y - yhat) / 100.0, 2) AS score
-        FROM fc, split WHERE day <= split.mid
-    ),
-    by_score AS (
-        SELECT score, CAST(COUNT(*) AS BIGINT) AS c
-        FROM cal GROUP BY score
-    ),
-    cum AS (
-        SELECT score,
-               SUM(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
-                   AS cc
-        FROM by_score
-    ),
-    nk AS (
-        SELECT CAST(SUM(c) AS BIGINT) AS n_cal,
-               CAST((9 * (SUM(c) + 1) + 9) // 10 AS BIGINT) AS k
-        FROM by_score
-    ),
-    qhat AS (
-        SELECT nk.n_cal,
-               MIN(CASE WHEN cum.cc >= LEAST(nk.k, nk.n_cal)
-                   THEN cum.score END) AS q
-        FROM cum, nk GROUP BY nk.n_cal
-    ),
-    test AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
-               CAST(SUM(CASE WHEN abs(f.y - f.yhat) / 100.0 <= qh.q
-                        THEN 1 ELSE 0 END) AS BIGINT) AS covered
-        FROM fc f, split, qhat qh WHERE f.day > split.mid
-        GROUP BY qh.q
-    )
-    SELECT qh.n_cal, t.n_test,
-           qh.q AS interval_half_width,
-           round(t.covered * 1.0 / t.n_test, 6) AS test_coverage
-    FROM qhat qh, test t
-    """,
-)
-def split_conformal_interval(spark, sf_dir):
-    """Split-conformal 90% prediction interval for the seasonal-naive
-    daily-revenue forecast: the calibration half's absolute residuals
-    give the conformity scores, q-hat is the ceil(0.9*(n+1))-th smallest
-    score — the EXACT order statistic the conformal guarantee is
-    stated for (clamped at the max score), found by a cumulative count
-    over the bounded distinct-score grid, no interpolation —
-    and the test half reports the achieved coverage of yhat +- q-hat.
-    Distribution-free, finite-sample-guaranteed intervals from ANY
-    forecaster — the modern uncertainty wrapper a pipeline puts around
-    point models, next to the registry's parametric interval
-    machinery. Scores are exact 2-rounded cent ratios; coverage is an
-    exact integer ratio. Plan: day rollup, lag-7
-    window, split percentile, one calibration fold, one test fold."""
-    daily = _daily(spark, sf_dir)
-    fc = daily.select(
-        "day",
-        "y",
-        F.lag("y", 7).over(Window.orderBy("day")).alias("yhat"),
-    ).where(F.col("yhat").isNotNull()).persist()
-    split = fc.agg(
-        F.floor(F.expr("percentile(day, 0.5)"))
-        .cast("bigint")
-        .alias("mid")
-    )
-    cal = (
-        fc.crossJoin(F.broadcast(split))
-        .where(F.col("day") <= F.col("mid"))
-        .select(
-            F.round(
-                F.abs(F.col("y") - F.col("yhat")) / 100.0, 2
-            ).alias("score")
-        )
-    )
-    by_score = cal.groupBy("score").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    cum = by_score.select(
-        "score",
-        F.sum("c")
-        .over(
-            Window.orderBy("score").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        )
-        .alias("cc"),
-    )
-    nk = by_score.agg(
-        F.sum("c").cast("bigint").alias("n_cal"),
-        ((9 * (F.sum("c") + 1) + 9) / 10)
-        .cast("bigint")
-        .alias("k"),
-    )
-    qhat = (
-        cum.crossJoin(F.broadcast(nk))
-        .groupBy("n_cal")
-        .agg(
-            F.min(
-                F.when(
-                    F.col("cc") >= F.least(F.col("k"), F.col("n_cal")),
-                    F.col("score"),
-                )
-            ).alias("q")
-        )
-    )
-    test = (
-        fc.crossJoin(F.broadcast(split))
-        .crossJoin(F.broadcast(qhat.select("q")))
-        .where(F.col("day") > F.col("mid"))
-        .groupBy("q")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_test"),
-            F.sum(
-                F.when(
-                    F.abs(F.col("y") - F.col("yhat")) / 100.0
-                    <= F.col("q"),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("covered"),
-        )
-    )
-    return qhat.join(
-        test.withColumnRenamed("q", "q2"),
-        F.col("q") == F.col("q2"),
-    ).select(
-        "n_cal",
-        "n_test",
-        F.col("q").alias("interval_half_width"),
-        F.round(
-            F.col("covered") * 1.0 / F.col("n_test"), 6
-        ).alias("test_coverage"),
-    )
 
 
 # --------------------------------------------------------------------------
@@ -2381,14 +2232,10 @@ PLAN_AUDIT_NOTES: dict[str, str] = {
         "cumulative count over the distinct-slope grid of the "
         "calendar-bounded day-pair frame (the ansari_bradley class)"
     ),
-    "split_conformal_interval": (
-        "lag-7 + score-grid cumulative windows over calendar-bounded "
-        "frames; the flag count is inflated by scalar subplans "
-        "re-scanning the bounded day frame (the es_backtest class)"
-    ),
     "winkler_interval_score": (
-        "same construction as split_conformal_interval (shared "
-        "conformal-quantile device over bounded frames)"
+        "same construction as split_conformal_interval (promoted to "
+        "bank_r13 in round 13; shared conformal-quantile device over "
+        "bounded frames)"
     ),
 }
 

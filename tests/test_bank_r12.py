@@ -52,18 +52,22 @@ def test_bank_is_fully_oracle_paired():
     assert len(bank_r12.BANK_QUERIES) >= 3
 
 
-def test_bank_is_live_and_fully_windowed():
-    # Post-flip invariants (round 12): every bank name registers live
-    # through plans.register, the module is in plans._MODULES, and the
-    # round-12 window is exactly the 49 bank names in registration
-    # order plus the kendalls_w_concordance re-green slot.
+def test_bank_is_live_and_was_windowed_in_r12():
+    # Round-12 flip, era-proofed after the r13 rotation (the same fix
+    # test_bank_r11 / test_r9_window_flipped_the_bank got): every bank
+    # name registers live, the module is in plans._MODULES, and every
+    # flipped name has an OFFICIAL record in CORRECTNESS_r12.json —
+    # checked against the recorded gate output, not today's _PRIORITY,
+    # which rotates every round.
+    import json
+
     from celestrak_tle_data_pipeline_spark import plans
 
     live = set(plans.all_queries())
     assert set(bank_r12.BANK_QUERIES) <= live
     assert "bank_r12" in plans._MODULES
-    assert list(plans._PRIORITY[:49]) == list(bank_r12.BANK_QUERIES)
-    assert plans._PRIORITY[49] == "kendalls_w_concordance"
+    r12 = set(json.load(open("CORRECTNESS_r12.json")))
+    assert set(bank_r12.BANK_QUERIES) <= r12
     assert len(bank_r12.BANK_QUERIES) == 49
 
 

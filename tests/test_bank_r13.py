@@ -1,14 +1,16 @@
-"""Round-13 bank verification (plans/bank_r13.py — STAGED, not live).
+"""Round-13 bank verification (plans/bank_r13.py — LIVE since round 13).
 
-Each pre-staged query runs against its DuckDB oracle with EXACTLY the
+Each bank query runs against its DuckDB oracle with EXACTLY the
 driver-gate compare (`tools/check.py` norm/canon: row count, column
 set, order-insensitive value hash — including the float-marker norm
-that closes the r11 dtype blind spot), at two scale factors — so when
-round 13 flips the bank into the live registry the queries are already
-gate-green, and the no-new-debt invariant never sees them unverified.
+that closes the r11 dtype blind spot), at two scale factors — the same
+pre-flip discipline that verified it while staged, kept running
+post-flip so the whole set stays pinned independently of the registry
+window (the bank_r11/bank_r12 protocol).
 
-Seeded in round 12 with the risk/SPC/drift batch; round-13 fresh work
-appends after them.
+Seeded in round 12 with the risk/SPC/drift batch and completed to 49
+there; the 50th name is ``split_conformal_interval``, promoted from
+the round-14 seed at flip time.
 """
 
 from __future__ import annotations
@@ -50,16 +52,20 @@ def test_bank_is_fully_oracle_paired():
     assert len(bank_r13.BANK_QUERIES) >= 3
 
 
-def test_bank_is_not_in_the_live_registry():
-    # Pre-flip discipline: a staged name must not collide with (or
-    # leak into) the live registry until round 13 flips the module
-    # into plans._MODULES — otherwise test_no_new_official_debt would
-    # see an oracle-paired name without an official correctness row.
+def test_bank_is_live_and_fully_windowed():
+    # Post-flip invariants (round 13): every bank name registers live
+    # through plans.register, the module is in plans._MODULES, and the
+    # round-13 window is exactly the 50 bank names in registration
+    # order (49 authored in this bank + the promoted
+    # split_conformal_interval appended at flip time).
     from celestrak_tle_data_pipeline_spark import plans
 
     live = set(plans.all_queries())
-    assert not live & set(bank_r13.BANK_QUERIES)
-    assert "bank_r13" not in plans._MODULES
+    assert set(bank_r13.BANK_QUERIES) <= live
+    assert "bank_r13" in plans._MODULES
+    assert list(plans._PRIORITY) == list(bank_r13.BANK_QUERIES)
+    assert plans._PRIORITY[49] == "split_conformal_interval"
+    assert len(bank_r13.BANK_QUERIES) == 50
 
 
 def test_bank_outputs_are_scalar(spark):

@@ -194,6 +194,85 @@ ALLOWED: dict[str, str] = {
         "(price-domain-bounded — the ansari_bradley_scale class; "
         "event-grain work is one value rollup before the lag)"
     ),
+    # --- round-13 bank flip (adjudicated in bank_r13.PLAN_AUDIT_NOTES
+    #     at staging time; merged here at flip per the bank protocol) ---
+    "cucconi_test": (
+        "cumulative over the distinct-value-cents grid (price- "
+        "domain-bounded — the ansari_bradley_scale class)"
+    ),
+    "cusum_squares_variance": (
+        "cumulative/total windows over the calendar-day frame (the "
+        "kpss_level_stationarity class)"
+    ),
+    "dunns_posthoc_pairs": (
+        "cumulative head-count over the distinct-value grid (the "
+        "moods_median_test class)"
+    ),
+    "es_backtest_acerbi": (
+        "loss lag + split windows over the calendar-day frame (the "
+        "cusum class; multiple scalar subplans re-scan the bounded "
+        "day frame)"
+    ),
+    "friedman_aligned_ranks": (
+        "rank window over the 35-cell (dow x type) aligned frame "
+        "(domain-bounded)"
+    ),
+    "gbm_drift_vol_fit": (
+        "return lag over the calendar-day frame (the cusum class)"
+    ),
+    "integrated_autocorr_time": (
+        "5-lag window over the calendar-day frame (the "
+        "newey_west_trend_se class)"
+    ),
+    "kupiec_pof_backtest": (
+        "loss lag + split windows over the calendar-day frame"
+    ),
+    "lepage_test": (
+        "cumulative over the distinct-value-cents grid (price- "
+        "domain-bounded)"
+    ),
+    "mincer_zarnowitz_rationality": (
+        "lag-7 forecast window over the calendar-day frame"
+    ),
+    "page_hinkley_drift": (
+        "two cumulative windows over the calendar-day frame (the "
+        "cusum class)"
+    ),
+    "sharpe_sortino_omega": (
+        "return lag over the calendar-day frame"
+    ),
+    "spearman_footrule_sources": (
+        "rank windows over the shared-vocabulary frame (vocabulary- "
+        "domain-bounded)"
+    ),
+    "split_conformal_interval": (
+        "lag-7 + score-grid cumulative windows over calendar- "
+        "bounded frames; the flag count is inflated by scalar "
+        "subplans re-scanning the bounded day frame (the "
+        "es_backtest class)"
+    ),
+    "stochastic_superiority_bm": (
+        "cumulative pair over the distinct-value-cents grid (price- "
+        "domain-bounded)"
+    ),
+    "tracking_signal_monitor": (
+        "forecast lag + cumulative error windows over the calendar- "
+        "day frame"
+    ),
+    "ulcer_index_martin": (
+        "running-max window over the calendar-day frame"
+    ),
+    "var_cvar_historical": (
+        "loss lag over the calendar-day frame"
+    ),
+    "western_electric_rules": (
+        "three bounded rolling windows (3/5/8 rows) over the "
+        "calendar-day frame"
+    ),
+    "zipf_mandelbrot_fit": (
+        "rank window over the bounded vocabulary frame (the "
+        "chi2_discriminative_terms class)"
+    ),
 }
 
 

@@ -7,8 +7,8 @@ int64-overflow bugs in power sums only show up at sf0.1+, so bank
 queries get the sf0.1 sweep BEFORE they flip into the live registry.
 
 Usage: python tools/bank_check.py [--module MOD] [name ...]
-(default module: bank_r12 — the most recently flipped bank; pass
-``--module bank_r11`` / ``--module next_window`` to re-sweep the
+(default module: bank_r13 — the most recently flipped bank; pass
+``--module bank_r12`` / ``--module bank_r11`` to re-sweep the
 flipped rounds' bank dicts)
 """
 
@@ -32,7 +32,7 @@ def main(argv) -> int:
 
     from celestrak_tle_data_pipeline_spark.session import get_spark
 
-    mod_name = "bank_r12"
+    mod_name = "bank_r13"
     if argv and argv[0] == "--module":
         mod_name = argv[1]
         argv = argv[2:]
