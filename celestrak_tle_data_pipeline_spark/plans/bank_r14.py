@@ -2401,3 +2401,567 @@ def rk_multiclass_mcc(spark, sf_dir):
         F.round(c * 1.0 / s, 6).alias("accuracy"),
         (F.round(rk, 6) + 0.0).alias("rk_mcc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-13 growth: forecast-evaluation family on the daily revenue series
+# --------------------------------------------------------------------------
+@register(
+    "diebold_mariano_forecast",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    fc AS (
+        SELECT day, y,
+               LAG(y, 1) OVER (ORDER BY day) AS n1,
+               LAG(y, 7) OVER (ORDER BY day) AS n7
+        FROM daily
+        QUALIFY n1 IS NOT NULL AND n7 IS NOT NULL
+    ),
+    loss AS (
+        SELECT day,
+               round((round((y - n1) / 100.0, 2) * round((y - n1) / 100.0, 2)
+                      - round((y - n7) / 100.0, 2) * round((y - n7) / 100.0, 2))
+                     / 1000000.0, 6) AS d
+        FROM fc
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS dbar
+        FROM loss
+    ),
+    e AS (
+        SELECT day, round(d - m.dbar, 6) AS e FROM loss, m
+    ),
+    g AS (
+        SELECT k.k,
+               round(CAST(SUM(CAST(round(a.e * b.e, 2) AS DECIMAL(38,2)))
+                          AS DOUBLE) / m.n, 6) AS gk
+        FROM e a, range(0, 8) AS k(k), e b, m
+        WHERE b.day = a.day - k.k
+        GROUP BY k.k, m.n
+    ),
+    hac AS (
+        SELECT round(SUM(CASE WHEN k = 0 THEN gk
+                         ELSE 2.0 * (1.0 - k / 8.0) * gk END), 6) AS v
+        FROM g
+    )
+    SELECT m.n AS n_days,
+           m.dbar AS mean_loss_diff,
+           round(m.dbar / sqrt(hac.v / m.n), 6) + 0.0 AS dm_stat,
+           CAST(CASE WHEN abs(m.dbar / sqrt(hac.v / m.n)) > 1.96
+                THEN 1 ELSE 0 END AS BIGINT) AS rejects_equal_accuracy,
+           CASE WHEN m.dbar > 0 THEN 'seasonal_naive' ELSE 'naive'
+               END AS favored
+    FROM m, hac
+    """,
+)
+def diebold_mariano_forecast(spark, sf_dir):
+    """Diebold-Mariano equal-predictive-accuracy test between the
+    naive (lag-1) and seasonal-naive (lag-7) daily-revenue forecasts
+    under squared-dollar loss, with a Bartlett-kernel HAC variance at
+    bandwidth 7 (the forecast horizon's induced MA order). The modern
+    forecast-selection gate a pipeline runs before swapping point
+    models. Exactness: dollar errors are 2-rounded (so their squares
+    are exact at 4 dp), the loss differential is rescaled to
+    millions-of-dollars-squared (so its DECIMAL(38,6) fold's scaled
+    integer stays under 2^53 — the DuckDB wide-decimal double-round
+    class), centered products round at 1e-2 before their
+    DECIMAL(38,2) folds, and the lag-k autocovariances come from an
+    equi-join of the centered frame against itself on day-k (k = 0..7
+    exploded grid) — no windowed correlation, bounded by the calendar
+    day frame. Plan: day rollup, two lag windows, k-grid self
+    equi-join, two scalar folds."""
+    daily = _daily(spark, sf_dir)
+    w = Window.orderBy("day")
+    fc = daily.select(
+        "day",
+        "y",
+        F.lag("y", 1).over(w).alias("n1"),
+        F.lag("y", 7).over(w).alias("n7"),
+    ).where(F.col("n1").isNotNull() & F.col("n7").isNotNull())
+    err1 = F.round((F.col("y") - F.col("n1")) / 100.0, 2)
+    err7 = F.round((F.col("y") - F.col("n7")) / 100.0, 2)
+    loss = fc.select(
+        "day",
+        F.round((err1 * err1 - err7 * err7) / 1000000.0, 6).alias("d"),
+    )
+    m = loss.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("d").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dbar"),
+    )
+    e = loss.crossJoin(F.broadcast(m)).select(
+        "day", "n", F.round(F.col("d") - F.col("dbar"), 6).alias("e")
+    )
+    a = e.select(
+        F.col("day"),
+        F.col("n"),
+        F.col("e"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k"),
+    ).withColumn("daymk", F.col("day") - F.col("k"))
+    b = e.select(
+        F.col("day").alias("bday"), F.col("e").alias("eb")
+    )
+    g = (
+        a.join(b, F.col("daymk") == F.col("bday"))
+        .groupBy("k", "n")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("e") * F.col("eb"), 2).cast(
+                        "decimal(38,2)"
+                    )
+                ).cast("double")
+                / F.col("n"),
+                6,
+            ).alias("gk")
+        )
+    )
+    hac = g.agg(
+        F.round(
+            F.sum(
+                F.when(F.col("k") == 0, F.col("gk")).otherwise(
+                    2.0 * (1.0 - F.col("k") / 8.0) * F.col("gk")
+                )
+            ),
+            6,
+        ).alias("v")
+    )
+    out = m.crossJoin(F.broadcast(hac))
+    dm = F.col("dbar") / F.sqrt(F.col("v") / F.col("n"))
+    return out.select(
+        F.col("n").alias("n_days"),
+        F.col("dbar").alias("mean_loss_diff"),
+        (F.round(dm, 6) + 0.0).alias("dm_stat"),
+        F.when(F.abs(dm) > 1.96, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rejects_equal_accuracy"),
+        F.when(F.col("dbar") > 0, "seasonal_naive")
+        .otherwise("naive")
+        .alias("favored"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pesaran-Timmermann directional accuracy of the seasonal-naive signal
+# --------------------------------------------------------------------------
+@register(
+    "pesaran_timmermann_direction",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    fc AS (
+        SELECT day, y,
+               LAG(y, 1) OVER (ORDER BY day) AS n1,
+               LAG(y, 7) OVER (ORDER BY day) AS n7
+        FROM daily
+        QUALIFY n1 IS NOT NULL AND n7 IS NOT NULL
+    ),
+    d AS (
+        SELECT CASE WHEN y > n1 THEN 1 ELSE 0 END AS a,
+               CASE WHEN n7 > n1 THEN 1 ELSE 0 END AS p
+        FROM fc
+    ),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a = p THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hits,
+               CAST(SUM(a) AS BIGINT) AS na,
+               CAST(SUM(p) AS BIGINT) AS np
+        FROM d
+    ),
+    s AS (
+        SELECT n, hits,
+               hits * 1.0 / n AS ph,
+               na * 1.0 / n AS py,
+               np * 1.0 / n AS px
+        FROM c
+    ),
+    v AS (
+        SELECT n, hits, ph,
+               py * px + (1.0 - py) * (1.0 - px) AS pstar,
+               (py * px + (1.0 - py) * (1.0 - px))
+                   * (1.0 - py * px - (1.0 - py) * (1.0 - px)) / n
+                   AS vp,
+               ((2.0 * py - 1.0) * (2.0 * py - 1.0) * px * (1.0 - px)
+                + (2.0 * px - 1.0) * (2.0 * px - 1.0) * py * (1.0 - py)
+                + 4.0 * py * px * (1.0 - py) * (1.0 - px) / n) / n
+                   AS vpstar
+        FROM s
+    )
+    SELECT n AS n_days,
+           round(ph, 6) AS hit_rate,
+           round(pstar, 6) AS expected_rate,
+           round((ph - pstar) / sqrt(vp - vpstar), 6) + 0.0 AS pt_stat,
+           CAST(CASE WHEN (ph - pstar) / sqrt(vp - vpstar) > 1.645
+                THEN 1 ELSE 0 END AS BIGINT) AS directional_skill
+    FROM v
+    """,
+)
+def pesaran_timmermann_direction(spark, sf_dir):
+    """Pesaran-Timmermann test of directional forecast skill: does the
+    seasonal-naive signal (sign of y_{{t-7}} - y_{{t-1}}) predict the sign
+    of the actual daily-revenue change better than independence of the
+    two sign processes would? The success-rate z-statistic compares
+    the hit rate against p* = Py*Px + (1-Py)(1-Px) with the exact
+    Pesaran-Timmermann variance correction. Everything derives from
+    four BIGINT counts — exact integer ratios in doubles, one terminal
+    round. The direction-skill gate a pipeline applies to trading- or
+    demand-style signals where only the sign is actionable. Plan: day
+    rollup, two lag windows, one scalar fold."""
+    daily = _daily(spark, sf_dir)
+    w = Window.orderBy("day")
+    fc = daily.select(
+        "day",
+        "y",
+        F.lag("y", 1).over(w).alias("n1"),
+        F.lag("y", 7).over(w).alias("n7"),
+    ).where(F.col("n1").isNotNull() & F.col("n7").isNotNull())
+    d = fc.select(
+        F.when(F.col("y") > F.col("n1"), 1).otherwise(0).alias("a"),
+        F.when(F.col("n7") > F.col("n1"), 1).otherwise(0).alias("p"),
+    )
+    c = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("p"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits"),
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("p").cast("bigint").alias("np"),
+    )
+    n = F.col("n")
+    ph = F.col("hits") * 1.0 / n
+    py = F.col("na") * 1.0 / n
+    px = F.col("np") * 1.0 / n
+    pstar = py * px + (1.0 - py) * (1.0 - px)
+    vp = pstar * (1.0 - pstar) / n
+    vpstar = (
+        (2.0 * py - 1.0) * (2.0 * py - 1.0) * px * (1.0 - px)
+        + (2.0 * px - 1.0) * (2.0 * px - 1.0) * py * (1.0 - py)
+        + 4.0 * py * px * (1.0 - py) * (1.0 - px) / n
+    ) / n
+    pt = (ph - pstar) / F.sqrt(vp - vpstar)
+    return c.select(
+        n.alias("n_days"),
+        F.round(ph, 6).alias("hit_rate"),
+        F.round(pstar, 6).alias("expected_rate"),
+        (F.round(pt, 6) + 0.0).alias("pt_stat"),
+        F.when(pt > 1.645, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("directional_skill"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CRPS of the climatological ensemble forecast (calibration-half empirical
+# distribution scored on the test half)
+# --------------------------------------------------------------------------
+@register(
+    "crps_ensemble_daily",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    v AS (
+        SELECT day, round(y / 100.0, 2) AS x FROM daily
+    ),
+    split AS (
+        SELECT CAST(floor(quantile_cont(day, 0.5)) AS BIGINT) AS mid
+        FROM v
+    ),
+    cal AS (
+        SELECT round(x / 1000.0, 5) AS x FROM v, split
+        WHERE day <= split.mid
+    ),
+    grid AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM cal GROUP BY x
+    ),
+    nc AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_cal FROM grid
+    ),
+    within AS (
+        SELECT round(CAST(SUM(CAST(round(a.c * b.c * abs(a.x - b.x), 5)
+                                   AS DECIMAL(38,5))) AS DOUBLE)
+                     / (nc.n_cal * 1.0 * nc.n_cal), 6) AS eabs
+        FROM grid a, grid b, nc
+        GROUP BY nc.n_cal
+    ),
+    test AS (
+        SELECT day, round(x / 1000.0, 5) AS x FROM v, split
+        WHERE day > split.mid
+    ),
+    per AS (
+        SELECT t.day,
+               round(CAST(SUM(CAST(round(g.c * abs(g.x - t.x), 5)
+                                   AS DECIMAL(38,5))) AS DOUBLE)
+                     / nc.n_cal, 6) AS eay
+        FROM test t, grid g, nc
+        GROUP BY t.day, nc.n_cal
+    )
+    SELECT nc.n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           round(CAST(SUM(CAST(round(p.eay - 0.5 * w.eabs, 6)
+                               AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS crps_mean,
+           round(w.eabs, 6) AS ensemble_spread
+    FROM per p, within w, nc
+    GROUP BY nc.n_cal, w.eabs
+    """,
+)
+def crps_ensemble_daily(spark, sf_dir):
+    """Continuous ranked probability score of the climatological
+    ensemble: the calibration half's empirical daily-revenue
+    distribution is the probabilistic forecast, scored on the test
+    half with the exact ensemble identity CRPS(F,y) = E|X-y| -
+    0.5*E|X-X'|. THE proper score for distributional forecasts — the
+    pipeline's gate on probabilistic models, complementing the
+    point-forecast DM test and the interval-scoring Winkler entry.
+    Values are rescaled to thousands-of-dollars at 5 dp so every
+    pairwise product fold stays under the 2^53 DECIMAL->DOUBLE bound.
+    Both expectation terms reduce over the distinct-value grid of the
+    CALENDAR-BOUNDED day frame (grid x grid and test x grid joins are
+    domain-bounded — the day count, not data volume). Plan: day
+    rollup, split percentile, two bounded grid joins, scalar folds."""
+    daily = _daily(spark, sf_dir)
+    v = daily.select(
+        "day", F.round(F.col("y") / 100.0, 2).alias("x0")
+    )
+    split = v.agg(
+        F.floor(F.expr("percentile(day, 0.5)"))
+        .cast("bigint")
+        .alias("mid")
+    )
+    vs = v.crossJoin(F.broadcast(split))
+    cal = vs.where(F.col("day") <= F.col("mid")).select(
+        F.round(F.col("x0") / 1000.0, 5).alias("x")
+    )
+    grid = cal.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    nc = grid.agg(F.sum("c").cast("bigint").alias("n_cal"))
+    ga = grid.select(
+        F.col("x").alias("xa"), F.col("c").alias("ca")
+    )
+    gb = grid.select(
+        F.col("x").alias("xb"), F.col("c").alias("cb")
+    )
+    within = (
+        ga.crossJoin(gb)
+        .crossJoin(F.broadcast(nc))
+        .groupBy("n_cal")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("ca")
+                        * F.col("cb")
+                        * F.abs(F.col("xa") - F.col("xb")),
+                        5,
+                    ).cast("decimal(38,5)")
+                ).cast("double")
+                / (F.col("n_cal") * 1.0 * F.col("n_cal")),
+                6,
+            ).alias("eabs")
+        )
+    )
+    test = vs.where(F.col("day") > F.col("mid")).select(
+        "day", F.round(F.col("x0") / 1000.0, 5).alias("xt")
+    )
+    per = (
+        test.crossJoin(grid)
+        .crossJoin(F.broadcast(nc))
+        .groupBy("day", "n_cal")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("c") * F.abs(F.col("x") - F.col("xt")),
+                        5,
+                    ).cast("decimal(38,5)")
+                ).cast("double")
+                / F.col("n_cal"),
+                6,
+            ).alias("eay")
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(within.select("eabs")))
+        .groupBy("n_cal", "eabs")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("eay") - 0.5 * F.col("eabs"), 6
+                    ).cast("decimal(38,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("crps_mean"),
+        )
+        .select(
+            "n_cal",
+            "n_test",
+            "crps_mean",
+            F.round(F.col("eabs"), 6).alias("ensemble_spread"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# First-harmonic fit of the weekly revenue profile (literal DFT basis)
+# --------------------------------------------------------------------------
+# cos/sin of 2*pi*k/7, k = 0..6, rounded to 10 dp: both engines share the
+# identical literal table, so no libm trig enters the data path (the same
+# shared-literal-constant device as the Poisson inverse-CDF table above).
+_COS7 = [
+    1.0, 0.6234898019, -0.2225209340, -0.9009688679,
+    -0.9009688679, -0.2225209340, 0.6234898019,
+]
+_SIN7 = [
+    0.0, 0.7818314825, 0.9749279122, 0.4338837391,
+    -0.4338837391, -0.9749279122, -0.7818314825,
+]
+
+
+def _case7(col: str, table: list) -> str:
+    whens = " ".join(
+        f"WHEN {col} = {k} THEN {v}" for k, v in enumerate(table)
+    )
+    return f"CASE {whens} END"
+
+
+@register(
+    "harmonic_weekly_regression",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    dowm AS (
+        SELECT CAST(day % 7 AS BIGINT) AS dow,
+               round(CAST(SUM(y) AS DOUBLE) / COUNT(*) / 100.0, 6)
+                   AS md
+        FROM daily GROUP BY 1
+    ),
+    basis AS (
+        SELECT dow, md,
+               {_case7("dow", _COS7)} AS ck,
+               {_case7("dow", _SIN7)} AS sk
+        FROM dowm
+    ),
+    fit AS (
+        SELECT round(2.0 / 7.0
+                     * SUM(CAST(round(md * ck, 6) AS DECIMAL(38,6))),
+                     6) AS a1,
+               round(2.0 / 7.0
+                     * SUM(CAST(round(md * sk, 6) AS DECIMAL(38,6))),
+                     6) AS b1,
+               round(CAST(SUM(CAST(round(md, 6) AS DECIMAL(38,6)))
+                          AS DOUBLE) / 7.0, 6) AS grand
+        FROM basis
+    ),
+    resid AS (
+        SELECT round(SUM(CAST(round((b.md - f.grand) * (b.md - f.grand),
+                                    4) AS DECIMAL(38,4))) + 0,
+                     4) AS ss_tot,
+               round(SUM(CAST(round(
+                   (b.md - f.grand - f.a1 * b.ck - f.b1 * b.sk)
+                   * (b.md - f.grand - f.a1 * b.ck - f.b1 * b.sk), 4)
+                   AS DECIMAL(38,4))) + 0, 4) AS ss_res
+        FROM basis b, fit f
+    )
+    SELECT f.a1, f.b1,
+           round(sqrt(f.a1 * f.a1 + f.b1 * f.b1), 6) AS amplitude,
+           round(1.0 - r.ss_res / r.ss_tot, 6) + 0.0 AS harmonic_r2,
+           f.grand AS grand_mean
+    FROM fit f, resid r
+    """,
+)
+def harmonic_weekly_regression(spark, sf_dir):
+    """First-harmonic (weekly fundamental) fit of the day-of-week
+    revenue profile: DFT coefficients a1 = (2/7) sum md*cos(2pik/7),
+    b1 likewise over sin, evaluated against a shared 10-dp literal
+    trig table — no libm trig in either engine (the Poisson-CDF-table
+    device). The harmonic R^2 is computed residually against the
+    fitted profile grand + a1*cos + b1*sin, so literal rounding can
+    never push it past 1. Detects/quantifies weekly seasonality with
+    two coefficients instead of seven free dow means — the compressed
+    seasonal feature a forecasting pipeline feeds downstream models.
+    Work collapses to the 7-row dow domain after one day rollup.
+    Plan: day rollup, 7-row basis attach, two scalar folds."""
+    daily = _daily(spark, sf_dir)
+    dowm = daily.groupBy(
+        (F.col("day") % 7).cast("bigint").alias("dow")
+    ).agg(
+        F.round(
+            F.sum("y").cast("double") / F.count(F.lit(1)) / 100.0, 6
+        ).alias("md")
+    )
+    ck = F.lit(None).cast("double")
+    sk = F.lit(None).cast("double")
+    for k in range(6, -1, -1):
+        ck = F.when(F.col("dow") == k, F.lit(_COS7[k])).otherwise(ck)
+        sk = F.when(F.col("dow") == k, F.lit(_SIN7[k])).otherwise(sk)
+    basis = dowm.select(
+        "dow", "md", ck.alias("ck"), sk.alias("sk")
+    )
+    fit = basis.agg(
+        F.round(
+            2.0
+            / 7.0
+            * F.sum(
+                F.round(F.col("md") * F.col("ck"), 6).cast(
+                    "decimal(38,6)"
+                )
+            ),
+            6,
+        ).alias("a1"),
+        F.round(
+            2.0
+            / 7.0
+            * F.sum(
+                F.round(F.col("md") * F.col("sk"), 6).cast(
+                    "decimal(38,6)"
+                )
+            ),
+            6,
+        ).alias("b1"),
+        F.round(
+            F.sum(F.round(F.col("md"), 6).cast("decimal(38,6)"))
+            .cast("double")
+            / 7.0,
+            6,
+        ).alias("grand"),
+    )
+    b = basis.crossJoin(F.broadcast(fit))
+    dev = F.col("md") - F.col("grand")
+    res = (
+        F.col("md")
+        - F.col("grand")
+        - F.col("a1") * F.col("ck")
+        - F.col("b1") * F.col("sk")
+    )
+    resid = b.agg(
+        F.round(
+            F.sum(F.round(dev * dev, 4).cast("decimal(38,4)")) + 0, 4
+        ).alias("ss_tot"),
+        F.round(
+            F.sum(F.round(res * res, 4).cast("decimal(38,4)")) + 0, 4
+        ).alias("ss_res"),
+    )
+    return fit.crossJoin(F.broadcast(resid)).select(
+        F.col("a1").cast("double").alias("a1"),
+        F.col("b1").cast("double").alias("b1"),
+        F.round(
+            F.sqrt(
+                F.col("a1").cast("double") * F.col("a1")
+                + F.col("b1").cast("double") * F.col("b1")
+            ),
+            6,
+        ).alias("amplitude"),
+        (
+            F.round(1.0 - F.col("ss_res") / F.col("ss_tot"), 6) + 0.0
+        ).alias("harmonic_r2"),
+        F.col("grand").cast("double").alias("grand_mean"),
+    )
