@@ -2965,3 +2965,720 @@ def harmonic_weekly_regression(spark, sf_dir):
         ).alias("harmonic_r2"),
         F.col("grand").cast("double").alias("grand_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Goldfeld-Quandt heteroskedasticity test on the daily revenue trend
+# --------------------------------------------------------------------------
+_TREND_SQL = """
+    tb AS (
+        SELECT MIN(day) AS d0,
+               CAST(floor(quantile_cont(day, 1.0/3.0)) AS BIGINT) AS c1,
+               CAST(floor(quantile_cont(day, 2.0/3.0)) AS BIGINT) AS c2
+        FROM daily
+    ),
+    xy AS (
+        SELECT day, tb.c1, tb.c2,
+               round((day - tb.d0) / 1000.0, 3) AS u,
+               round(y / 100000.0, 5) AS w
+        FROM daily, tb
+    )
+"""
+
+
+def _trend_xy(daily, spark):
+    tb = daily.agg(
+        F.min("day").alias("d0"),
+        F.floor(F.expr("percentile(day, 1.0/3.0)"))
+        .cast("bigint")
+        .alias("c1"),
+        F.floor(F.expr("percentile(day, 2.0/3.0)"))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    return daily.crossJoin(F.broadcast(tb)).select(
+        "day",
+        "c1",
+        "c2",
+        F.round((F.col("day") - F.col("d0")) / 1000.0, 3).alias("u"),
+        F.round(F.col("y") / 100000.0, 5).alias("w"),
+    )
+
+
+@register(
+    "goldfeld_quandt_test",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    {_TREND_SQL},
+    seg AS (
+        SELECT CASE WHEN day <= c1 THEN 1
+                    WHEN day > c2 THEN 2 END AS s,
+               u, w
+        FROM xy WHERE day <= c1 OR day > c2
+    ),
+    mo AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(u AS DECIMAL(38,3))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(u * u, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(w AS DECIMAL(38,5))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(u * w, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(round(w * w, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS syy
+        FROM seg GROUP BY s
+    ),
+    rss AS (
+        SELECT s, n,
+               (syy - sy * sy / n)
+               - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                 / (sxx - sx * sx / n) AS r
+        FROM mo
+    )
+    SELECT a.n AS n_early, b.n AS n_late,
+           round((b.r / (b.n - 2)) / (a.r / (a.n - 2)), 6) + 0.0
+               AS gq_f,
+           CAST(CASE WHEN (b.r / (b.n - 2)) / (a.r / (a.n - 2)) > 1.4
+                     OR (a.r / (a.n - 2)) / (b.r / (b.n - 2)) > 1.4
+                THEN 1 ELSE 0 END AS BIGINT) AS variance_shift
+    FROM rss a, rss b WHERE a.s = 1 AND b.s = 2
+    """,
+)
+def goldfeld_quandt_test(spark, sf_dir):
+    """Goldfeld-Quandt heteroskedasticity test: fit the linear daily
+    revenue trend separately on the first and last thirds of the
+    calendar (middle third dropped), and compare residual variances
+    via their F-ratio. The classic split-sample variance-stability
+    diagnostic next to the registry's cusum_squares scan. Units are
+    rescaled (days/1000, revenue/1e5) so every moment fold's scaled
+    integer stays far below 2^53; segment RSS uses the exact
+    centered-moment identity Syy - Sxy^2/Sxx on DECIMAL-folded raw
+    sums. The 1.4 flag threshold is the F critical region's
+    round-number stand-in (both engines share the literal). Plan: day
+    rollup, percentile split, one grouped fold, 2x2 scalar join."""
+    daily = _daily(spark, sf_dir)
+    xy = _trend_xy(daily, spark)
+    seg = xy.where(
+        (F.col("day") <= F.col("c1")) | (F.col("day") > F.col("c2"))
+    ).select(
+        F.when(F.col("day") <= F.col("c1"), 1)
+        .otherwise(2)
+        .alias("s"),
+        "u",
+        "w",
+    )
+    mo = seg.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("u").cast("decimal(38,3)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.round(F.col("u") * F.col("u"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("w").cast("decimal(38,5)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.round(F.col("u") * F.col("w"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("w") * F.col("w"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    rss = mo.select(
+        "s",
+        "n",
+        (
+            (F.col("syy") - F.col("sy") * F.col("sy") / n)
+            - (F.col("sxy") - F.col("sx") * F.col("sy") / n)
+            * (F.col("sxy") - F.col("sx") * F.col("sy") / n)
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        ).alias("r"),
+    )
+    a = rss.where(F.col("s") == 1).select(
+        F.col("n").alias("n_early"), F.col("r").alias("ra")
+    )
+    b = rss.where(F.col("s") == 2).select(
+        F.col("n").alias("n_late"), F.col("r").alias("rb")
+    )
+    out = a.crossJoin(F.broadcast(b))
+    fwd = (F.col("rb") / (F.col("n_late") - 2)) / (
+        F.col("ra") / (F.col("n_early") - 2)
+    )
+    return out.select(
+        "n_early",
+        "n_late",
+        (F.round(fwd, 6) + 0.0).alias("gq_f"),
+        F.when((fwd > 1.4) | (1.0 / fwd > 1.4), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("variance_shift"),
+    )
+
+
+# --------------------------------------------------------------------------
+# White heteroskedasticity test (auxiliary regression via correlation algebra)
+# --------------------------------------------------------------------------
+@register(
+    "white_heteroskedasticity_test",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    {_TREND_SQL},
+    mo AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(u AS DECIMAL(38,3))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(u * u, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(w AS DECIMAL(38,5))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(u * w, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sxy
+        FROM xy
+    ),
+    fit AS (
+        SELECT n,
+               (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b,
+               sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                   * sx / n AS a
+        FROM mo
+    ),
+    aux AS (
+        SELECT round((w - f.a - f.b * u) * (w - f.a - f.b * u), 8)
+                   AS e2,
+               u,
+               round(u * u, 6) AS v
+        FROM xy, fit f
+    ),
+    am AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(e2, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS se,
+               CAST(SUM(CAST(round(e2 * e2, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS see,
+               CAST(SUM(CAST(u AS DECIMAL(38,3))) AS DOUBLE) AS su,
+               CAST(SUM(CAST(round(u * u, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS suu,
+               CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+               CAST(SUM(CAST(round(v * v, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS svv,
+               CAST(SUM(CAST(round(u * v, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS suv,
+               CAST(SUM(CAST(round(e2 * u, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS seu,
+               CAST(SUM(CAST(round(e2 * v, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sev
+        FROM aux
+    ),
+    rr AS (
+        SELECT n,
+               (seu - se * su / n)
+                   / sqrt((see - se * se / n) * (suu - su * su / n))
+                   AS r1,
+               (sev - se * sv / n)
+                   / sqrt((see - se * se / n) * (svv - sv * sv / n))
+                   AS r2,
+               (suv - su * sv / n)
+                   / sqrt((suu - su * su / n) * (svv - sv * sv / n))
+                   AS r12
+        FROM am
+    )
+    SELECT n AS n_days,
+           round((r1 * r1 + r2 * r2 - 2.0 * r1 * r2 * r12)
+                 / (1.0 - r12 * r12), 6) + 0.0 AS aux_r2,
+           round(n * (r1 * r1 + r2 * r2 - 2.0 * r1 * r2 * r12)
+                 / (1.0 - r12 * r12), 4) + 0.0 AS white_lm,
+           CAST(CASE WHEN n * (r1 * r1 + r2 * r2
+                               - 2.0 * r1 * r2 * r12)
+                          / (1.0 - r12 * r12) > 5.991
+                THEN 1 ELSE 0 END AS BIGINT) AS heteroskedastic
+    FROM rr
+    """,
+)
+def white_heteroskedasticity_test(spark, sf_dir):
+    """White's general heteroskedasticity test on the daily revenue
+    trend: squared OLS residuals regressed on (u, u^2), LM = n*R^2 of
+    the auxiliary fit, chi2(2) 5% literal 5.991. The auxiliary R^2
+    comes from the two-regressor correlation identity R^2 = (r1^2 +
+    r2^2 - 2 r1 r2 r12)/(1 - r12^2) — no matrix solve, just three
+    Pearson correlations from exact DECIMAL moment folds in rescaled
+    units (days/1000, revenue/1e5 keep every scaled integer far under
+    2^53). Complements goldfeld_quandt (split-sample) with the
+    regression-form test. Plan: day rollup, OLS scalar, one wide
+    fold, terminal expression."""
+    daily = _daily(spark, sf_dir)
+    xy = _trend_xy(daily, spark)
+    mo = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("u").cast("decimal(38,3)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.round(F.col("u") * F.col("u"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("w").cast("decimal(38,5)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.round(F.col("u") * F.col("w"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    bcoef = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    )
+    fit = mo.select(
+        "n",
+        bcoef.alias("b"),
+        (F.col("sy") / n - bcoef * F.col("sx") / n).alias("a"),
+    )
+    e = F.col("w") - F.col("a") - F.col("b") * F.col("u")
+    aux = xy.crossJoin(F.broadcast(fit)).select(
+        F.round(e * e, 8).alias("e2"),
+        "u",
+        F.round(F.col("u") * F.col("u"), 6).alias("v"),
+    )
+
+    def dfold(expr, scale):
+        return (
+            F.sum(F.round(expr, scale).cast(f"decimal(38,{scale})"))
+            .cast("double")
+        )
+
+    am = aux.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dfold(F.col("e2"), 8).alias("se"),
+        dfold(F.col("e2") * F.col("e2"), 8).alias("see"),
+        F.sum(F.col("u").cast("decimal(38,3)"))
+        .cast("double")
+        .alias("su"),
+        dfold(F.col("u") * F.col("u"), 6).alias("suu"),
+        F.sum(F.col("v").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sv"),
+        dfold(F.col("v") * F.col("v"), 8).alias("svv"),
+        dfold(F.col("u") * F.col("v"), 8).alias("suv"),
+        dfold(F.col("e2") * F.col("u"), 8).alias("seu"),
+        dfold(F.col("e2") * F.col("v"), 8).alias("sev"),
+    )
+    r1 = (F.col("seu") - F.col("se") * F.col("su") / n) / F.sqrt(
+        (F.col("see") - F.col("se") * F.col("se") / n)
+        * (F.col("suu") - F.col("su") * F.col("su") / n)
+    )
+    r2 = (F.col("sev") - F.col("se") * F.col("sv") / n) / F.sqrt(
+        (F.col("see") - F.col("se") * F.col("se") / n)
+        * (F.col("svv") - F.col("sv") * F.col("sv") / n)
+    )
+    r12 = (F.col("suv") - F.col("su") * F.col("sv") / n) / F.sqrt(
+        (F.col("suu") - F.col("su") * F.col("su") / n)
+        * (F.col("svv") - F.col("sv") * F.col("sv") / n)
+    )
+    r2aux = (r1 * r1 + r2 * r2 - 2.0 * r1 * r2 * r12) / (
+        1.0 - r12 * r12
+    )
+    return am.select(
+        n.alias("n_days"),
+        (F.round(r2aux, 6) + 0.0).alias("aux_r2"),
+        (F.round(n * r2aux, 4) + 0.0).alias("white_lm"),
+        F.when(n * r2aux > 5.991, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("heteroskedastic"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quandt-Andrews sup-F structural break scan (prefix-moment Chow at every
+# admissible breakpoint)
+# --------------------------------------------------------------------------
+@register(
+    "quandt_andrews_supf",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    t0 AS (
+        SELECT MIN(day) AS d0, CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily
+    ),
+    xy AS (
+        SELECT day, t0.n,
+               round((day - t0.d0) / 1000.0, 3) AS u,
+               round(y / 1000000000.0, 6) AS w
+        FROM daily, t0
+    ),
+    cum AS (
+        SELECT day, n,
+               ROW_NUMBER() OVER (ORDER BY day) AS i,
+               CAST(SUM(CAST(u AS DECIMAL(38,3)))
+                    OVER win AS DOUBLE) AS cu,
+               CAST(SUM(CAST(round(u * u, 6) AS DECIMAL(38,6)))
+                    OVER win AS DOUBLE) AS cuu,
+               CAST(SUM(CAST(w AS DECIMAL(38,6)))
+                    OVER win AS DOUBLE) AS cw,
+               CAST(SUM(CAST(round(u * w, 8) AS DECIMAL(38,8)))
+                    OVER win AS DOUBLE) AS cuw,
+               CAST(SUM(CAST(round(w * w, 8) AS DECIMAL(38,8)))
+                    OVER win AS DOUBLE) AS cww
+        FROM xy
+        WINDOW win AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(u AS DECIMAL(38,3))) AS DOUBLE) AS tu,
+               CAST(SUM(CAST(round(u * u, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS tuu,
+               CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS tw,
+               CAST(SUM(CAST(round(u * w, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS tuw,
+               CAST(SUM(CAST(round(w * w, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS tww
+        FROM xy
+    ),
+    f AS (
+        SELECT c.day, c.n,
+               round((((t.tww - t.tw * t.tw / c.n)
+                       - (t.tuw - t.tu * t.tw / c.n)
+                         * (t.tuw - t.tu * t.tw / c.n)
+                         / (t.tuu - t.tu * t.tu / c.n))
+                      - ((c.cww - c.cw * c.cw / c.i)
+                         - (c.cuw - c.cu * c.cw / c.i)
+                           * (c.cuw - c.cu * c.cw / c.i)
+                           / (c.cuu - c.cu * c.cu / c.i))
+                      - (((t.tww - c.cww)
+                          - (t.tw - c.cw) * (t.tw - c.cw)
+                            / (c.n - c.i))
+                         - ((t.tuw - c.cuw)
+                            - (t.tu - c.cu) * (t.tw - c.cw)
+                              / (c.n - c.i))
+                           * ((t.tuw - c.cuw)
+                              - (t.tu - c.cu) * (t.tw - c.cw)
+                                / (c.n - c.i))
+                           / ((t.tuu - c.cuu)
+                              - (t.tu - c.cu) * (t.tu - c.cu)
+                                / (c.n - c.i)))) / 2.0
+                     / ((((c.cww - c.cw * c.cw / c.i)
+                          - (c.cuw - c.cu * c.cw / c.i)
+                            * (c.cuw - c.cu * c.cw / c.i)
+                            / (c.cuu - c.cu * c.cu / c.i))
+                         + (((t.tww - c.cww)
+                             - (t.tw - c.cw) * (t.tw - c.cw)
+                               / (c.n - c.i))
+                            - ((t.tuw - c.cuw)
+                               - (t.tu - c.cu) * (t.tw - c.cw)
+                                 / (c.n - c.i))
+                              * ((t.tuw - c.cuw)
+                                 - (t.tu - c.cu) * (t.tw - c.cw)
+                                   / (c.n - c.i))
+                              / ((t.tuu - c.cuu)
+                                 - (t.tu - c.cu) * (t.tu - c.cu)
+                                   / (c.n - c.i))))
+                        / (c.n - 4)), 6) AS fstat
+        FROM cum c, tot t
+        WHERE c.i >= GREATEST(8, CAST(ceil(0.15 * c.n) AS BIGINT))
+          AND c.n - c.i >= GREATEST(8, CAST(ceil(0.15 * c.n)
+                                            AS BIGINT))
+    )
+    SELECT n AS n_days,
+           fstat + 0.0 AS sup_f,
+           day AS break_day,
+           CAST(CASE WHEN fstat > 11.79 THEN 1 ELSE 0 END AS BIGINT)
+               AS break_detected
+    FROM f ORDER BY fstat DESC, day ASC LIMIT 1
+    """,
+)
+def quandt_andrews_supf(spark, sf_dir):
+    """Quandt-Andrews sup-F structural-break scan of the daily revenue
+    trend: a Chow F statistic at EVERY admissible breakpoint (15%
+    trim, min segment 8) via the prefix-moment identity — segment RSS
+    on each side of tau derives from cumulative DECIMAL power sums, so
+    the whole scan is ONE pass over the calendar-day frame instead of
+    |tau| regressions (the closed form that makes sup-F linear in
+    days). Literal 11.79 is Andrews' 5% critical value for k=2 at 15%
+    trim. Units (days/1000, revenue/1e9 at 6 dp) keep every prefix
+    fold's scaled integer far under 2^53 at any SF. Deterministic
+    argmax: F rounded to 1e-6 BEFORE ranking, day ascending tiebreak.
+    Plan: day rollup, five cumulative windows over the calendar
+    frame, scalar totals attach, total-order top-1."""
+    daily = _daily(spark, sf_dir)
+    t0 = daily.agg(
+        F.min("day").alias("d0"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    xy = daily.crossJoin(F.broadcast(t0)).select(
+        "day",
+        "n",
+        F.round((F.col("day") - F.col("d0")) / 1000.0, 3).alias("u"),
+        F.round(F.col("y") / 1000000000.0, 6).alias("w"),
+    )
+    win = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = xy.select(
+        "day",
+        "n",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.sum(F.col("u").cast("decimal(38,3)"))
+        .over(win)
+        .cast("double")
+        .alias("cu"),
+        F.sum(F.round(F.col("u") * F.col("u"), 6).cast("decimal(38,6)"))
+        .over(win)
+        .cast("double")
+        .alias("cuu"),
+        F.sum(F.col("w").cast("decimal(38,6)"))
+        .over(win)
+        .cast("double")
+        .alias("cw"),
+        F.sum(F.round(F.col("u") * F.col("w"), 8).cast("decimal(38,8)"))
+        .over(win)
+        .cast("double")
+        .alias("cuw"),
+        F.sum(F.round(F.col("w") * F.col("w"), 8).cast("decimal(38,8)"))
+        .over(win)
+        .cast("double")
+        .alias("cww"),
+    )
+    tot = xy.agg(
+        F.sum(F.col("u").cast("decimal(38,3)"))
+        .cast("double")
+        .alias("tu"),
+        F.sum(F.round(F.col("u") * F.col("u"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("tuu"),
+        F.sum(F.col("w").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("tw"),
+        F.sum(F.round(F.col("u") * F.col("w"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("tuw"),
+        F.sum(F.round(F.col("w") * F.col("w"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("tww"),
+    )
+    c = cum.crossJoin(F.broadcast(tot))
+    i = F.col("i")
+    n = F.col("n")
+    n2 = n - i
+
+    def rss(sww, sw, suw, su, suu, cnt):
+        return (sww - sw * sw / cnt) - (suw - su * sw / cnt) * (
+            suw - su * sw / cnt
+        ) / (suu - su * su / cnt)
+
+    rss1 = rss(
+        F.col("cww"), F.col("cw"), F.col("cuw"), F.col("cu"),
+        F.col("cuu"), i,
+    )
+    rss2 = rss(
+        F.col("tww") - F.col("cww"),
+        F.col("tw") - F.col("cw"),
+        F.col("tuw") - F.col("cuw"),
+        F.col("tu") - F.col("cu"),
+        F.col("tuu") - F.col("cuu"),
+        n2,
+    )
+    rssr = rss(
+        F.col("tww"), F.col("tw"), F.col("tuw"), F.col("tu"),
+        F.col("tuu"), n,
+    )
+    fstat = F.round(
+        (rssr - rss1 - rss2) / 2.0 / ((rss1 + rss2) / (n - 4)), 6
+    )
+    trim = F.greatest(F.lit(8), F.ceil(0.15 * n).cast("bigint"))
+    f = c.where((i >= trim) & (n2 >= trim)).select(
+        "day", "n", fstat.alias("fstat")
+    )
+    return (
+        f.orderBy(F.col("fstat").desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("n").alias("n_days"),
+            (F.col("fstat") + 0.0).alias("sup_f"),
+            F.col("day").alias("break_day"),
+            F.when(F.col("fstat") > 11.79, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("break_detected"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Engle-Granger cointegration of cumulative click / view activity
+# --------------------------------------------------------------------------
+@register(
+    "engle_granger_cointegration",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               event_type AS ty
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    grid AS (SELECT DISTINCT day FROM ev),
+    cnt AS (
+        SELECT g.day,
+               CAST(COALESCE(SUM(CASE WHEN e.ty = 'click'
+                             THEN 1 END), 0) AS BIGINT) AS kc,
+               CAST(COALESCE(SUM(CASE WHEN e.ty = 'view'
+                             THEN 1 END), 0) AS BIGINT) AS kv
+        FROM grid g LEFT JOIN ev e ON e.day = g.day
+        GROUP BY g.day
+    ),
+    cumc AS (
+        SELECT day,
+               SUM(kc) OVER win AS c1,
+               SUM(kv) OVER win AS c2
+        FROM cnt WINDOW win AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    mo AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c1) AS BIGINT) AS s1,
+               CAST(SUM(c2) AS BIGINT) AS s2,
+               CAST(SUM(c1 * c1) AS BIGINT) AS s11,
+               CAST(SUM(c1 * c2) AS BIGINT) AS s12
+        FROM cumc
+    ),
+    fit AS (
+        SELECT n,
+               (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n)
+               / (CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                   AS b,
+               CAST(s2 AS DOUBLE) / n
+               - (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 / n)
+                 / (CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                 * s1 / n AS a
+        FROM mo
+    ),
+    res AS (
+        SELECT day, round(c2 - f.a - f.b * c1, 4) AS e
+        FROM cumc, fit f
+    ),
+    pair AS (
+        SELECT LAG(e) OVER (ORDER BY day) AS el,
+               e - LAG(e) OVER (ORDER BY day) AS de
+        FROM res QUALIFY el IS NOT NULL
+    ),
+    df AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(CAST(round(el * el, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS see,
+               CAST(SUM(CAST(round(el * de, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS sed,
+               CAST(SUM(CAST(round(de * de, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS sdd
+        FROM pair
+    )
+    SELECT f.n AS n_days,
+           round(f.b, 6) AS beta,
+           round((d.sed / d.see)
+                 / sqrt(((d.sdd - d.sed * d.sed / d.see) / (d.m - 2))
+                        / d.see), 6) + 0.0 AS adf_t,
+           CAST(CASE WHEN (d.sed / d.see)
+                          / sqrt(((d.sdd - d.sed * d.sed / d.see)
+                                  / (d.m - 2)) / d.see) < -3.37
+                THEN 1 ELSE 0 END AS BIGINT) AS cointegrated
+    FROM fit f, df d
+    """,
+)
+def engle_granger_cointegration(spark, sf_dir):
+    """Engle-Granger two-step cointegration test between cumulative
+    click and view activity (two I(1) series sharing the traffic
+    trend): static OLS of cumulative views on cumulative clicks, then
+    a no-constant Dickey-Fuller regression on the residuals, with
+    Engle-Granger's 5% critical value -3.37 (two-variable case) as
+    the shared literal. Cumulative counts are EXACT BIGINTs (their
+    power sums stay under 2^53 as doubles through sf1); residuals
+    round at 1e-4 before their DECIMAL(38,4) folds. The
+    spurious-regression guard a pipeline needs before regressing one
+    trending KPI on another. Plan: day rollup + zero-filled grid, two
+    cumulative/lag windows over the calendar frame, three scalar
+    folds."""
+    e = t(spark, sf_dir, "events")
+    ev = e.where(F.col("event_type").isin("click", "view")).select(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day"),
+        F.col("event_type").alias("ty"),
+    )
+    cnt = ev.groupBy("day").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ty") == "click", 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("kc"),
+        F.coalesce(
+            F.sum(F.when(F.col("ty") == "view", 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("kv"),
+    )
+    win = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cumc = cnt.select(
+        "day",
+        F.sum("kc").over(win).alias("c1"),
+        F.sum("kv").over(win).alias("c2"),
+    )
+    mo = cumc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c1").cast("bigint").alias("s1"),
+        F.sum("c2").cast("bigint").alias("s2"),
+        F.sum(F.col("c1") * F.col("c1")).cast("bigint").alias("s11"),
+        F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("s12"),
+    )
+    n = F.col("n")
+    bnum = F.col("s12").cast("double") - F.col("s1").cast(
+        "double"
+    ) * F.col("s2") / n
+    bden = F.col("s11").cast("double") - F.col("s1").cast(
+        "double"
+    ) * F.col("s1") / n
+    fit = mo.select(
+        "n",
+        (bnum / bden).alias("b"),
+        (
+            F.col("s2").cast("double") / n
+            - bnum / bden * F.col("s1") / n
+        ).alias("a"),
+    )
+    res = cumc.crossJoin(F.broadcast(fit)).select(
+        "day",
+        "n",
+        F.round(
+            F.col("c2") - F.col("a") - F.col("b") * F.col("c1"), 4
+        ).alias("e"),
+        F.col("b"),
+    )
+    wl = Window.orderBy("day")
+    pair = res.select(
+        "n",
+        "b",
+        F.lag("e").over(wl).alias("el"),
+        (F.col("e") - F.lag("e").over(wl)).alias("de"),
+    ).where(F.col("el").isNotNull())
+
+    def fold4(expr):
+        return (
+            F.sum(F.round(expr, 4).cast("decimal(38,4)"))
+            .cast("double")
+        )
+
+    df = pair.groupBy("n", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        fold4(F.col("el") * F.col("el")).alias("see"),
+        fold4(F.col("el") * F.col("de")).alias("sed"),
+        fold4(F.col("de") * F.col("de")).alias("sdd"),
+    )
+    rho = F.col("sed") / F.col("see")
+    tstat = rho / F.sqrt(
+        ((F.col("sdd") - F.col("sed") * F.col("sed") / F.col("see"))
+         / (F.col("m") - 2))
+        / F.col("see")
+    )
+    return df.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("b"), 6).alias("beta"),
+        (F.round(tstat, 6) + 0.0).alias("adf_t"),
+        F.when(tstat < -3.37, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("cointegrated"),
+    )
