@@ -3682,3 +3682,721 @@ def engle_granger_cointegration(spark, sf_dir):
         .cast("bigint")
         .alias("cointegrated"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fligner-Policello robust rank-order test (click vs view values)
+# --------------------------------------------------------------------------
+@register(
+    "fligner_policello_test",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS x,
+               event_type AS ty
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    grid AS (
+        SELECT x,
+               CAST(SUM(CASE WHEN ty = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cx,
+               CAST(SUM(CASE WHEN ty = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cy
+        FROM v GROUP BY x
+    ),
+    cum AS (
+        SELECT x, cx, cy,
+               COALESCE(SUM(cx) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS cxl,
+               COALESCE(SUM(cy) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS cyl
+        FROM grid
+    ),
+    pl AS (
+        -- doubled placements stay integral under midrank ties
+        SELECT x, cx, cy,
+               2 * cyl + cy AS px2,
+               2 * cxl + cx AS py2
+        FROM cum
+    ),
+    m AS (
+        SELECT CAST(SUM(cx) AS BIGINT) AS nx,
+               CAST(SUM(cy) AS BIGINT) AS ny,
+               CAST(SUM(cx * px2) AS DECIMAL(38,0)) AS spx2,
+               CAST(SUM(cy * py2) AS DECIMAL(38,0)) AS spy2,
+               CAST(SUM(CAST(cx AS DECIMAL(38,0)) * px2 * px2)
+                    AS DECIMAL(38,0)) AS sqx2,
+               CAST(SUM(CAST(cy AS DECIMAL(38,0)) * py2 * py2)
+                    AS DECIMAL(38,0)) AS sqy2
+        FROM pl
+    )
+    SELECT nx AS n_click, ny AS n_view,
+           round((CAST(spy2 AS DOUBLE) / 2 - CAST(spx2 AS DOUBLE) / 2)
+                 / (2.0 * sqrt(
+                     (CAST(sqx2 AS DOUBLE) / 4
+                      - CAST(spx2 AS DOUBLE) * spx2 / 4 / nx)
+                     + (CAST(sqy2 AS DOUBLE) / 4
+                        - CAST(spy2 AS DOUBLE) * spy2 / 4 / ny)
+                     + (CAST(spx2 AS DOUBLE) / 2 / nx)
+                       * (CAST(spy2 AS DOUBLE) / 2 / ny))), 6)
+               + 0.0 AS fp_z,
+           CAST(CASE WHEN abs(
+               (CAST(spy2 AS DOUBLE) / 2 - CAST(spx2 AS DOUBLE) / 2)
+               / (2.0 * sqrt(
+                   (CAST(sqx2 AS DOUBLE) / 4
+                    - CAST(spx2 AS DOUBLE) * spx2 / 4 / nx)
+                   + (CAST(sqy2 AS DOUBLE) / 4
+                      - CAST(spy2 AS DOUBLE) * spy2 / 4 / ny)
+                   + (CAST(spx2 AS DOUBLE) / 2 / nx)
+                     * (CAST(spy2 AS DOUBLE) / 2 / ny)))) > 1.96
+                THEN 1 ELSE 0 END AS BIGINT) AS rejects_equal_medians
+    FROM m
+    """,
+)
+def fligner_policello_test(spark, sf_dir):
+    """Fligner-Policello robust rank-order test for click-vs-view
+    value medians: the placement-based U^ statistic that, unlike
+    Mann-Whitney, needs NO equal-variance/shape assumption — only
+    symmetry of each placement distribution. Placements (counts of
+    the other sample strictly below, + half the ties) are DOUBLED so
+    midrank ties stay integral: every fold is an exact BIGINT /
+    DECIMAL(38,0) sum over the distinct-value-cents grid, and the
+    single terminal expression divides doubles. z vs the 1.96 normal
+    gate. Plan: one value-grid rollup, two exclusive-prefix windows
+    over the price-domain grid, one scalar fold."""
+    e = t(spark, sf_dir, "events")
+    v = e.where(F.col("event_type").isin("click", "view")).select(
+        (dec("value", 18, 2) * 100).cast("bigint").alias("x"),
+        F.col("event_type").alias("ty"),
+    )
+    grid = v.groupBy("x").agg(
+        F.sum(F.when(F.col("ty") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cx"),
+        F.sum(F.when(F.col("ty") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    wexcl = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pl = grid.select(
+        "x",
+        "cx",
+        "cy",
+        (
+            2 * F.coalesce(F.sum("cy").over(wexcl), F.lit(0))
+            + F.col("cy")
+        ).alias("px2"),
+        (
+            2 * F.coalesce(F.sum("cx").over(wexcl), F.lit(0))
+            + F.col("cx")
+        ).alias("py2"),
+    )
+    m = pl.agg(
+        F.sum("cx").cast("bigint").alias("nx"),
+        F.sum("cy").cast("bigint").alias("ny"),
+        F.sum(F.col("cx") * F.col("px2"))
+        .cast("decimal(38,0)")
+        .alias("spx2"),
+        F.sum(F.col("cy") * F.col("py2"))
+        .cast("decimal(38,0)")
+        .alias("spy2"),
+        F.sum(
+            F.col("cx").cast("decimal(38,0)")
+            * F.col("px2")
+            * F.col("px2")
+        )
+        .cast("decimal(38,0)")
+        .alias("sqx2"),
+        F.sum(
+            F.col("cy").cast("decimal(38,0)")
+            * F.col("py2")
+            * F.col("py2")
+        )
+        .cast("decimal(38,0)")
+        .alias("sqy2"),
+    )
+    nx = F.col("nx")
+    ny = F.col("ny")
+    spx = F.col("spx2").cast("double") / 2
+    spy = F.col("spy2").cast("double") / 2
+    ssx = (
+        F.col("sqx2").cast("double") / 4
+        - F.col("spx2").cast("double") * F.col("spx2") / 4 / nx
+    )
+    ssy = (
+        F.col("sqy2").cast("double") / 4
+        - F.col("spy2").cast("double") * F.col("spy2") / 4 / ny
+    )
+    z = (spy - spx) / (
+        2.0 * F.sqrt(ssx + ssy + (spx / nx) * (spy / ny))
+    )
+    return m.select(
+        nx.alias("n_click"),
+        ny.alias("n_view"),
+        (F.round(z, 6) + 0.0).alias("fp_z"),
+        F.when(F.abs(z) > 1.96, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rejects_equal_medians"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Baumgartner-Weiss-Schindler two-sample test (click vs view values)
+# --------------------------------------------------------------------------
+@register(
+    "baumgartner_weiss_schindler",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS x,
+               event_type AS ty
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    grid AS (
+        SELECT x,
+               CAST(SUM(CASE WHEN ty = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cx,
+               CAST(SUM(CASE WHEN ty = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cy
+        FROM v GROUP BY x
+    ),
+    cum AS (
+        SELECT x, cx, cy,
+               COALESCE(SUM(cx) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS cxl,
+               COALESCE(SUM(cy) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS cyl
+        FROM grid
+    ),
+    nn AS (
+        SELECT CAST(SUM(cx) AS BIGINT) AS m,
+               CAST(SUM(cy) AS BIGINT) AS n
+        FROM grid
+    ),
+    -- per-observation sample index i (exploded inside each tied
+    -- block); doubled pooled midrank 2R is block-constant
+    obsx AS (
+        SELECT u.i,
+               2 * (c.cxl + c.cyl) + c.cx + c.cy + 1 AS r2
+        FROM cum c, LATERAL UNNEST(range(CAST(c.cxl + 1 AS BIGINT),
+                   CAST(c.cxl + c.cx + 1 AS BIGINT))) AS u(i)
+        WHERE c.cx > 0
+    ),
+    obsy AS (
+        SELECT u.i,
+               2 * (c.cxl + c.cyl) + c.cx + c.cy + 1 AS r2
+        FROM cum c, LATERAL UNNEST(range(CAST(c.cyl + 1 AS BIGINT),
+                   CAST(c.cyl + c.cy + 1 AS BIGINT))) AS u(i)
+        WHERE c.cy > 0
+    ),
+    bx AS (
+        SELECT round(CAST(SUM(CAST(round(
+                   (o.r2 / 2.0 - (nn.m + nn.n) * 1.0 * o.i / nn.m)
+                   * (o.r2 / 2.0 - (nn.m + nn.n) * 1.0 * o.i / nn.m)
+                   / ((o.i / (nn.m + 1.0))
+                      * (1.0 - o.i / (nn.m + 1.0))
+                      * nn.n * (nn.m + nn.n) / nn.m), 2)
+                   AS DECIMAL(38,2))) AS DOUBLE) / nn.m, 6) AS b
+        FROM obsx o, nn GROUP BY nn.m
+    ),
+    by_ AS (
+        SELECT round(CAST(SUM(CAST(round(
+                   (o.r2 / 2.0 - (nn.m + nn.n) * 1.0 * o.i / nn.n)
+                   * (o.r2 / 2.0 - (nn.m + nn.n) * 1.0 * o.i / nn.n)
+                   / ((o.i / (nn.n + 1.0))
+                      * (1.0 - o.i / (nn.n + 1.0))
+                      * nn.m * (nn.m + nn.n) / nn.n), 2)
+                   AS DECIMAL(38,2))) AS DOUBLE) / nn.n, 6) AS b
+        FROM obsy o, nn GROUP BY nn.n
+    )
+    SELECT nn.m AS n_click, nn.n AS n_view,
+           round((bx.b + by_.b) / 2.0, 6) AS bws_b,
+           CAST(CASE WHEN (bx.b + by_.b) / 2.0 > 3.88
+                THEN 1 ELSE 0 END AS BIGINT) AS rejects_equality
+    FROM nn, bx, by_
+    """,
+)
+def baumgartner_weiss_schindler(spark, sf_dir):
+    """Baumgartner-Weiss-Schindler two-sample test on click-vs-view
+    values: the weighted squared rank-ECDF discrepancy B = (B_X +
+    B_Y)/2, more powerful than KS/CvM in the tails. Per-observation
+    sample indices i come from exploding each tied value block's
+    index range off the distinct-cents grid (a flat map — no
+    per-observation sort or window anywhere); pooled midranks are
+    DOUBLED so ties stay integral. Weighted terms round at 1e-2
+    before DECIMAL(38,2) folds. 3.88 is the 5% asymptotic critical
+    value of the BWS limit distribution (shared literal). Plan: one
+    value-grid rollup, two prefix windows on the grid, index-range
+    explode, two scalar folds."""
+    e = t(spark, sf_dir, "events")
+    v = e.where(F.col("event_type").isin("click", "view")).select(
+        (dec("value", 18, 2) * 100).cast("bigint").alias("x"),
+        F.col("event_type").alias("ty"),
+    )
+    grid = v.groupBy("x").agg(
+        F.sum(F.when(F.col("ty") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cx"),
+        F.sum(F.when(F.col("ty") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    wexcl = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = grid.select(
+        "x",
+        "cx",
+        "cy",
+        F.coalesce(F.sum("cx").over(wexcl), F.lit(0)).alias("cxl"),
+        F.coalesce(F.sum("cy").over(wexcl), F.lit(0)).alias("cyl"),
+    )
+    nn = grid.agg(
+        F.sum("cx").cast("bigint").alias("m"),
+        F.sum("cy").cast("bigint").alias("n"),
+    )
+    r2 = (
+        2 * (F.col("cxl") + F.col("cyl"))
+        + F.col("cx")
+        + F.col("cy")
+        + 1
+    ).alias("r2")
+
+    def obs(cnt_col, lo_col):
+        return (
+            cum.where(F.col(cnt_col) > 0)
+            .select(
+                r2,
+                F.explode(
+                    F.sequence(
+                        F.col(lo_col) + 1,
+                        F.col(lo_col) + F.col(cnt_col),
+                    )
+                ).alias("i"),
+            )
+        )
+
+    def bstat(o, own, other):
+        own_c = F.col(own)
+        oth_c = F.col(other)
+        term = (
+            (F.col("r2") / 2.0 - (own_c + oth_c) * 1.0 * F.col("i") / own_c)
+            * (F.col("r2") / 2.0 - (own_c + oth_c) * 1.0 * F.col("i") / own_c)
+            / (
+                (F.col("i") / (own_c + 1.0))
+                * (1.0 - F.col("i") / (own_c + 1.0))
+                * oth_c
+                * (own_c + oth_c)
+                / own_c
+            )
+        )
+        return (
+            o.crossJoin(F.broadcast(nn))
+            .groupBy(own)
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(term, 2).cast("decimal(38,2)")
+                    ).cast("double")
+                    / own_c,
+                    6,
+                ).alias("b")
+            )
+            .select("b")
+        )
+
+    bx = bstat(obs("cx", "cxl"), "m", "n")
+    by = bstat(obs("cy", "cyl"), "n", "m").withColumnRenamed(
+        "b", "b2"
+    )
+    out = (
+        nn.crossJoin(F.broadcast(bx)).crossJoin(F.broadcast(by))
+    )
+    bws = (F.col("b") + F.col("b2")) / 2.0
+    return out.select(
+        F.col("m").alias("n_click"),
+        F.col("n").alias("n_view"),
+        F.round(bws, 6).alias("bws_b"),
+        F.when(bws > 3.88, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rejects_equality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cressie-Read power-divergence panel on the weekday x type contingency
+# --------------------------------------------------------------------------
+@register(
+    "cressie_read_divergence_panel",
+    oracle="""
+    WITH cell AS (
+        SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                   AS dow,
+               event_type AS ty,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT c.dow, c.ty, c.o,
+               r.ro * 1.0 * k.co / n.n AS e
+        FROM cell c,
+             (SELECT dow, CAST(SUM(o) AS BIGINT) AS ro
+              FROM cell GROUP BY dow) r,
+             (SELECT ty, CAST(SUM(o) AS BIGINT) AS co
+              FROM cell GROUP BY ty) k,
+             (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cell) n
+        WHERE c.dow = r.dow AND c.ty = k.ty
+    ),
+    s AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n,
+               round(SUM(CAST(round((o - e) * (o - e) / e, 8)
+                              AS DECIMAL(38,8))), 6) AS chi2,
+               round(2.0 * SUM(CAST(round(o * ln(o / e), 8)
+                                    AS DECIMAL(38,8))), 6) AS g,
+               round(4.0 * SUM(CAST(round(
+                   (sqrt(o) - sqrt(e)) * (sqrt(o) - sqrt(e)), 8)
+                   AS DECIMAL(38,8))), 6) AS ft,
+               round(2.0 * SUM(CAST(round(e * ln(e / o), 8)
+                                    AS DECIMAL(38,8))), 6) AS mg
+        FROM marg
+    )
+    SELECT n AS n_events,
+           CAST(chi2 AS DOUBLE) AS pearson_chi2,
+           CAST(g AS DOUBLE) AS g_statistic,
+           CAST(ft AS DOUBLE) AS freeman_tukey,
+           CAST(mg AS DOUBLE) AS modified_g,
+           CAST(CASE WHEN chi2 > 36.415 THEN 1 ELSE 0 END AS BIGINT)
+               AS rejects_independence
+    FROM s
+    """,
+)
+def cressie_read_divergence_panel(spark, sf_dir):
+    """Cressie-Read power-divergence family on the weekday x
+    event-type contingency table: Pearson chi2 (lambda=1), the
+    likelihood-ratio G (lambda->0), Freeman-Tukey (lambda=-1/2), and
+    modified-G (lambda=-1) — the four rational/sqrt/ln members of the
+    family, skipping the cbrt member whose fractional pow is not
+    cross-engine-stable. One statistic family unifying the registry's
+    independence tests; divergent members diverging flags
+    miscalibrated sparse cells. All four reduce over the bounded
+    35-cell frame; per-cell terms round at 1e-8 before DECIMAL folds
+    (the established post-ln rounding device). chi2(24) 5% literal
+    36.415. Plan: one contingency rollup, broadcast marginals, one
+    scalar fold."""
+    e = t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("bigint")
+        .alias("dow"),
+        F.col("event_type").alias("ty"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    rowm = cell.groupBy("dow").agg(
+        F.sum("o").cast("bigint").alias("ro")
+    )
+    colm = cell.groupBy("ty").agg(
+        F.sum("o").cast("bigint").alias("co")
+    )
+    n = cell.agg(F.sum("o").cast("bigint").alias("n"))
+    marg = (
+        cell.join(F.broadcast(rowm), "dow")
+        .join(F.broadcast(colm), "ty")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o",
+            (F.col("ro") * 1.0 * F.col("co") / F.col("n")).alias(
+                "e"
+            ),
+        )
+    )
+    o = F.col("o")
+    ee = F.col("e")
+
+    def fold8(expr):
+        return F.sum(F.round(expr, 8).cast("decimal(38,8)"))
+
+    s = marg.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.round(fold8((o - ee) * (o - ee) / ee), 6).alias("chi2"),
+        F.round(2.0 * fold8(o * F.log(o / ee)), 6).alias("g"),
+        F.round(
+            4.0
+            * fold8(
+                (F.sqrt(o) - F.sqrt(ee)) * (F.sqrt(o) - F.sqrt(ee))
+            ),
+            6,
+        ).alias("ft"),
+        F.round(2.0 * fold8(ee * F.log(ee / o)), 6).alias("mg"),
+    )
+    return s.select(
+        F.col("n").alias("n_events"),
+        F.col("chi2").cast("double").alias("pearson_chi2"),
+        F.col("g").cast("double").alias("g_statistic"),
+        F.col("ft").cast("double").alias("freeman_tukey"),
+        F.col("mg").cast("double").alias("modified_g"),
+        F.when(F.col("chi2") > 36.415, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rejects_independence"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stuart's tau-c on the weekday x value-decile contingency
+# --------------------------------------------------------------------------
+@register(
+    "stuart_tau_c_association",
+    oracle="""
+    WITH cell AS (
+        SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                   AS i,
+               LEAST(CAST(floor(value) AS BIGINT) // 50, 9) AS j,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    cd AS (
+        SELECT CAST(SUM(CASE WHEN b.i > a.i AND b.j > a.j
+                        THEN a.c * b.c ELSE 0 END)
+                    AS DECIMAL(38,0)) AS conc,
+               CAST(SUM(CASE WHEN b.i > a.i AND b.j < a.j
+                        THEN a.c * b.c ELSE 0 END)
+                    AS DECIMAL(38,0)) AS disc
+        FROM cell a, cell b
+    ),
+    nn AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(LEAST(COUNT(DISTINCT i), COUNT(DISTINCT j))
+                    AS BIGINT) AS m
+        FROM cell
+    )
+    SELECT nn.n AS n_events,
+           CAST(cd.conc AS BIGINT) AS concordant,
+           CAST(cd.disc AS BIGINT) AS discordant,
+           round(2.0 * nn.m * (CAST(cd.conc AS DOUBLE) - CAST(cd.disc
+                 AS DOUBLE))
+                 / (CAST(nn.n AS DOUBLE) * nn.n * (nn.m - 1)), 6)
+               + 0.0 AS tau_c
+    FROM cd, nn
+    """,
+)
+def stuart_tau_c_association(spark, sf_dir):
+    """Stuart's tau-c between weekday and value decile: the
+    rectangular-table correction of Kendall's tau (tau-c = 2m(C-D) /
+    (n^2(m-1)), m = min(rows, cols)) that, unlike the registry's
+    kendall_tau_b_bucketed, attains +-1 on non-square tables — the
+    companion the two-axes-of-different-arity case needs. C and D are
+    exact DECIMAL(38,0) products over the bounded 70-cell frame's
+    self-join; one terminal double division. Plan: one contingency
+    rollup, 70x70 broadcast self-join, scalar fold."""
+    e = t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("bigint")
+        .alias("i"),
+        F.least(
+            F.floor(F.col("value")).cast("bigint") / F.lit(50), F.lit(9)
+        )
+        .cast("bigint")
+        .alias("j"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = cell.select(
+        F.col("i").alias("ai"),
+        F.col("j").alias("aj"),
+        F.col("c").alias("ac"),
+    )
+    b = cell.select(
+        F.col("i").alias("bi"),
+        F.col("j").alias("bj"),
+        F.col("c").alias("bc"),
+    )
+    cd = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                (F.col("bi") > F.col("ai"))
+                & (F.col("bj") > F.col("aj")),
+                F.col("ac") * F.col("bc"),
+            ).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("bi") > F.col("ai"))
+                & (F.col("bj") < F.col("aj")),
+                F.col("ac") * F.col("bc"),
+            ).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("disc"),
+    )
+    nn = cell.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.least(
+            F.countDistinct("i"), F.countDistinct("j")
+        )
+        .cast("bigint")
+        .alias("m"),
+    )
+    out = cd.crossJoin(F.broadcast(nn))
+    tau = (
+        2.0
+        * F.col("m")
+        * (F.col("conc").cast("double") - F.col("disc").cast("double"))
+        / (
+            F.col("n").cast("double")
+            * F.col("n")
+            * (F.col("m") - 1)
+        )
+    )
+    return out.select(
+        F.col("n").alias("n_events"),
+        F.col("conc").cast("bigint").alias("concordant"),
+        F.col("disc").cast("bigint").alias("discordant"),
+        (F.round(tau, 6) + 0.0).alias("tau_c"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deming regression between daily click and view mean values
+# --------------------------------------------------------------------------
+@register(
+    "deming_regression",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               round(CAST(SUM(CASE WHEN event_type = 'click'
+                   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                        AS BIGINT) END) AS DOUBLE)
+                   / NULLIF(SUM(CASE WHEN event_type = 'click'
+                                THEN 1 END), 0) / 100.0, 6) AS mx,
+               round(CAST(SUM(CASE WHEN event_type = 'view'
+                   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                        AS BIGINT) END) AS DOUBLE)
+                   / NULLIF(SUM(CASE WHEN event_type = 'view'
+                                THEN 1 END), 0) / 100.0, 6) AS my
+        FROM events GROUP BY 1
+        HAVING mx IS NOT NULL AND my IS NOT NULL
+    ),
+    mo AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(mx AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(my AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(mx * mx, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(my * my, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS syy,
+               CAST(SUM(CAST(round(mx * my, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxy
+        FROM d
+    ),
+    c AS (
+        SELECT n,
+               sxx - sx * sx / n AS vx,
+               syy - sy * sy / n AS vy,
+               sxy - sx * sy / n AS vxy,
+               sx / n AS mx, sy / n AS my
+        FROM mo
+    )
+    SELECT n AS n_days,
+           round((vy - vx + sqrt((vy - vx) * (vy - vx)
+                                 + 4.0 * vxy * vxy))
+                 / (2.0 * vxy), 6) + 0.0 AS deming_slope,
+           round(my - (vy - vx + sqrt((vy - vx) * (vy - vx)
+                                      + 4.0 * vxy * vxy))
+                      / (2.0 * vxy) * mx, 6) + 0.0 AS deming_intercept,
+           round(vxy / sqrt(vx * vy), 6) + 0.0 AS pearson_r
+    FROM c
+    """,
+)
+def deming_regression(spark, sf_dir):
+    """Deming (errors-in-variables, lambda = 1) regression of daily
+    mean view value on daily mean click value: the orthogonal-fit
+    slope (Vy - Vx + sqrt((Vy-Vx)^2 + 4Vxy^2)) / 2Vxy that stays
+    consistent when BOTH axes are noisy day-level estimates — where
+    OLS attenuates toward zero. The method-comparison workhorse
+    (clinical/instrument calibration) next to the registry's OLS and
+    Theil-Sen trends. Daily means are exact-cents ratios rounded at
+    1e-6; moments fold through DECIMAL(38,6); slope/intercept/r are
+    terminal expressions. Plan: one day rollup, one scalar fold."""
+    e = t(spark, sf_dir, "events")
+    cents = (dec("value", 18, 2) * 100).cast("bigint")
+    d = (
+        e.groupBy(
+            F.floor(F.unix_micros("ts") / 86_400_000_000)
+            .cast("bigint")
+            .alias("day")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "click", cents)
+                ).cast("double")
+                / F.nullif(
+                    F.sum(
+                        F.when(F.col("event_type") == "click", 1)
+                    ),
+                    F.lit(0),
+                )
+                / 100.0,
+                6,
+            ).alias("mx"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "view", cents)
+                ).cast("double")
+                / F.nullif(
+                    F.sum(
+                        F.when(F.col("event_type") == "view", 1)
+                    ),
+                    F.lit(0),
+                )
+                / 100.0,
+                6,
+            ).alias("my"),
+        )
+        .where(F.col("mx").isNotNull() & F.col("my").isNotNull())
+    )
+
+    def fold6(expr):
+        return (
+            F.sum(F.round(expr, 6).cast("decimal(38,6)"))
+            .cast("double")
+        )
+
+    mo = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("mx").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.col("my").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sy"),
+        fold6(F.col("mx") * F.col("mx")).alias("sxx"),
+        fold6(F.col("my") * F.col("my")).alias("syy"),
+        fold6(F.col("mx") * F.col("my")).alias("sxy"),
+    )
+    n = F.col("n")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    vxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    slope = (
+        vy - vx + F.sqrt((vy - vx) * (vy - vx) + 4.0 * vxy * vxy)
+    ) / (2.0 * vxy)
+    return mo.select(
+        n.alias("n_days"),
+        (F.round(slope, 6) + 0.0).alias("deming_slope"),
+        (
+            F.round(
+                F.col("sy") / n - slope * F.col("sx") / n, 6
+            )
+            + 0.0
+        ).alias("deming_intercept"),
+        (F.round(vxy / F.sqrt(vx * vy), 6) + 0.0).alias("pearson_r"),
+    )
