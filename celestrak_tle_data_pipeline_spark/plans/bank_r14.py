@@ -4400,3 +4400,642 @@ def deming_regression(spark, sf_dir):
         ).alias("deming_intercept"),
         (F.round(vxy / F.sqrt(vx * vy), 6) + 0.0).alias("pearson_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# Atkinson / Hoover inequality panel on order values
+# --------------------------------------------------------------------------
+@register(
+    "atkinson_inequality_panel",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS x
+        FROM orders
+    ),
+    mu AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s
+        FROM v
+    ),
+    f AS (
+        SELECT mu.n, mu.s,
+               CAST(SUM(CAST(round(sqrt(v.x * 1.0 * mu.n / mu.s), 8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS shalf,
+               CAST(SUM(CAST(round(ln(v.x * 1.0 * mu.n / mu.s), 8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS slog,
+               CAST(SUM(CAST(round(CAST(mu.s AS DOUBLE)
+                                   / mu.n / v.x, 8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS sinv,
+               CAST(SUM(CAST(round(abs(v.x - CAST(mu.s AS DOUBLE)
+                                       / mu.n)
+                                   / (CAST(mu.s AS DOUBLE) / mu.n),
+                                   8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS sad
+        FROM v, mu GROUP BY mu.n, mu.s
+    )
+    SELECT n AS n_orders,
+           round(1.0 - (shalf / n) * (shalf / n), 6) + 0.0
+               AS atkinson_eps05,
+           round(1.0 - exp(slog / n), 6) + 0.0 AS atkinson_eps1,
+           round(1.0 - 1.0 / (sinv / n), 6) + 0.0 AS atkinson_eps2,
+           round(sad / (2.0 * n), 6) + 0.0 AS hoover_index
+    FROM f
+    """,
+)
+def atkinson_inequality_panel(spark, sf_dir):
+    """Atkinson inequality indices at the three closed-form aversion
+    levels — eps = 0.5 (sqrt member), eps = 1 (geometric-mean member,
+    the single exp/ln pair), eps = 2 (harmonic-mean member, purely
+    rational) — plus the Hoover/Robin-Hood index (half the relative
+    mean absolute deviation: the share of total value that must move
+    to equalize). The welfare-theoretic complements to the registry's
+    Gini/Theil/Lorenz set: each Atkinson level states HOW MUCH the
+    society (or: budget allocator) dislikes the observed tail
+    concentration. Ratios x/mu are exact-integer-scaled; per-row
+    terms round at 1e-8 before DECIMAL folds; eps = 1's terminal exp
+    follows the post-ln rounding device. Plan: one scan, one scalar
+    fold."""
+    o = t(spark, sf_dir, "orders")
+    v = o.select(
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("x")
+    )
+    mu = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    j = v.crossJoin(F.broadcast(mu))
+    ratio = F.col("x") * 1.0 * F.col("n") / F.col("s")
+    mud = F.col("s").cast("double") / F.col("n")
+
+    def fold8(expr):
+        return (
+            F.sum(F.round(expr, 8).cast("decimal(38,8)"))
+            .cast("double")
+        )
+
+    f = j.groupBy("n", "s").agg(
+        fold8(F.sqrt(ratio)).alias("shalf"),
+        fold8(F.log(ratio)).alias("slog"),
+        fold8(mud / F.col("x")).alias("sinv"),
+        fold8(F.abs(F.col("x") - mud) / mud).alias("sad"),
+    )
+    n = F.col("n")
+    return f.select(
+        n.alias("n_orders"),
+        (
+            F.round(
+                1.0 - (F.col("shalf") / n) * (F.col("shalf") / n), 6
+            )
+            + 0.0
+        ).alias("atkinson_eps05"),
+        (F.round(1.0 - F.exp(F.col("slog") / n), 6) + 0.0).alias(
+            "atkinson_eps1"
+        ),
+        (F.round(1.0 - 1.0 / (F.col("sinv") / n), 6) + 0.0).alias(
+            "atkinson_eps2"
+        ),
+        (F.round(F.col("sad") / (2.0 * n), 6) + 0.0).alias(
+            "hoover_index"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Duncan dissimilarity (segregation) of urgent vs routine order flow
+# --------------------------------------------------------------------------
+@register(
+    "duncan_segregation_index",
+    oracle="""
+    WITH o AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END AS urgent,
+               c.c_nationkey AS nk
+        FROM orders JOIN customer c ON o_custkey = c.c_custkey
+    ),
+    bynat AS (
+        SELECT n.n_regionkey AS rk, o.nk,
+               CAST(SUM(urgent) AS BIGINT) AS a,
+               CAST(SUM(1 - urgent) AS BIGINT) AS b
+        FROM o JOIN nation n ON o.nk = n.n_nationkey
+        GROUP BY n.n_regionkey, o.nk
+    ),
+    tot AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS ta,
+               CAST(SUM(b) AS BIGINT) AS tb
+        FROM bynat
+    ),
+    dn AS (
+        SELECT round(SUM(CAST(round(abs(g.a * 1.0 / t.ta
+                                       - g.b * 1.0 / t.tb), 8)
+                              AS DECIMAL(38,8))) / 2.0, 6)
+                   AS d_nation
+        FROM bynat g, tot t GROUP BY t.ta, t.tb
+    ),
+    dr AS (
+        SELECT round(SUM(CAST(round(abs(g.a * 1.0 / t.ta
+                                       - g.b * 1.0 / t.tb), 8)
+                              AS DECIMAL(38,8))) / 2.0, 6)
+                   AS d_region
+        FROM (SELECT rk, CAST(SUM(a) AS BIGINT) AS a,
+                     CAST(SUM(b) AS BIGINT) AS b
+              FROM bynat GROUP BY rk) g,
+             tot t
+        GROUP BY t.ta, t.tb
+    )
+    SELECT t.ta AS n_urgent, t.tb AS n_routine,
+           CAST(dn.d_nation AS DOUBLE) + 0.0 AS duncan_d_nation,
+           CAST(dr.d_region AS DOUBLE) + 0.0 AS duncan_d_region
+    FROM tot t, dn, dr
+    """,
+)
+def duncan_segregation_index(spark, sf_dir):
+    """Duncan-Duncan dissimilarity index of urgent (1-URGENT/2-HIGH)
+    vs routine order flow across geography, at both the nation (25
+    units) and region (5 units) grain: D = half the L1 distance
+    between the two flows' spatial distributions = the share of
+    urgent orders that would have to relocate to equalize. The
+    classic segregation/imbalance measure — for a pipeline, the
+    drift detector between two populations' routing distributions.
+    Shares are exact-count ratios; absolute gaps round at 1e-8 into
+    DECIMAL folds over the bounded geography domains; the region
+    grain re-aggregates the SAME nation rollup (one fact-table
+    pass). Plan: one broadcast-dim join + nation rollup, two
+    domain-bounded folds."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    base = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                n.select("n_nationkey", "n_regionkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.when(
+                F.col("o_orderpriority").isin(
+                    "1-URGENT", "2-HIGH"
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("urgent"),
+            F.col("n_regionkey").alias("rk"),
+            F.col("c_nationkey").alias("nk"),
+        )
+    )
+    bynat = base.groupBy("rk", "nk").agg(
+        F.sum("urgent").cast("bigint").alias("a"),
+        F.sum(1 - F.col("urgent")).cast("bigint").alias("b"),
+    )
+    tot = bynat.agg(
+        F.sum("a").cast("bigint").alias("ta"),
+        F.sum("b").cast("bigint").alias("tb"),
+    )
+
+    def dindex(df):
+        gap = F.abs(
+            F.col("a") * 1.0 / F.col("ta")
+            - F.col("b") * 1.0 / F.col("tb")
+        )
+        return (
+            df.crossJoin(F.broadcast(tot))
+            .groupBy("ta", "tb")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(gap, 8).cast("decimal(38,8)")
+                    )
+                    / 2.0,
+                    6,
+                ).alias("d")
+            )
+        )
+
+    dn = dindex(bynat).select(F.col("d").alias("dn"))
+    byreg = bynat.groupBy("rk").agg(
+        F.sum("a").cast("bigint").alias("a"),
+        F.sum("b").cast("bigint").alias("b"),
+    )
+    dr = dindex(byreg).select(F.col("d").alias("dr"))
+    return (
+        tot.crossJoin(F.broadcast(dn))
+        .crossJoin(F.broadcast(dr))
+        .select(
+            F.col("ta").alias("n_urgent"),
+            F.col("tb").alias("n_routine"),
+            (F.col("dn").cast("double") + 0.0).alias(
+                "duncan_d_nation"
+            ),
+            (F.col("dr").cast("double") + 0.0).alias(
+                "duncan_d_region"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Location quotients of priority-class revenue concentration by region
+# --------------------------------------------------------------------------
+@register(
+    "location_quotient_regions",
+    oracle="""
+    WITH f AS (
+        SELECT r.r_name AS region, o.o_orderpriority AS seg,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, o.o_orderpriority
+    ),
+    rt AS (SELECT region, CAST(SUM(rev) AS BIGINT) AS rr
+           FROM f GROUP BY region),
+    st AS (SELECT seg, CAST(SUM(rev) AS BIGINT) AS sr
+           FROM f GROUP BY seg),
+    tt AS (SELECT CAST(SUM(rev) AS BIGINT) AS tr FROM f)
+    SELECT f.region, f.seg,
+           round(f.rev / 100.0, 2) AS revenue,
+           round((f.rev * 1.0 / rt.rr) / (st.sr * 1.0 / tt.tr), 6)
+               AS location_quotient
+    FROM f, rt, st, tt
+    WHERE f.region = rt.region AND f.seg = st.seg
+    ORDER BY f.region, f.seg
+    """,
+)
+def location_quotient_regions(spark, sf_dir):
+    """Location quotient of each order-priority class's revenue in
+    each region: LQ = (regional class share) / (global class share) —
+    LQ > 1 marks a region over-indexing on a priority class. The
+    regional-economics specialization measure; for a corpus pipeline,
+    the per-shard topic-concentration diagnostic. Revenue sums are
+    exact cents BIGINTs; LQ is one terminal rational expression over
+    the bounded 25-cell (region x priority) frame. Plan: three
+    broadcast-dim joins, one rollup, three bounded marginal
+    attaches."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    f = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("o_orderpriority").alias("seg"),
+        )
+        .agg(
+            F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    rt = f.groupBy("region").agg(
+        F.sum("rev").cast("bigint").alias("rr")
+    )
+    st = f.groupBy("seg").agg(
+        F.sum("rev").cast("bigint").alias("sr")
+    )
+    tt = f.agg(F.sum("rev").cast("bigint").alias("tr"))
+    return (
+        f.join(F.broadcast(rt), "region")
+        .join(F.broadcast(st), "seg")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "region",
+            "seg",
+            F.round(F.col("rev") / 100.0, 2).alias("revenue"),
+            F.round(
+                (F.col("rev") * 1.0 / F.col("rr"))
+                / (F.col("sr") * 1.0 / F.col("tr")),
+                6,
+            ).alias("location_quotient"),
+        )
+        .orderBy("region", "seg")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shift-share decomposition of half-to-half revenue growth by region
+# --------------------------------------------------------------------------
+@register(
+    "shift_share_decomposition",
+    oracle="""
+    WITH o AS (
+        SELECT r.r_name AS region, o.o_orderpriority AS seg,
+               CAST(epoch_us(o.o_orderdate) // 86400000000
+                    AS BIGINT) AS day,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    split AS (
+        SELECT CAST(floor(quantile_cont(day, 0.5)) AS BIGINT) AS mid
+        FROM (SELECT DISTINCT day FROM o)
+    ),
+    cell AS (
+        SELECT region, seg,
+               CAST(SUM(CASE WHEN day <= s.mid THEN rev ELSE 0 END)
+                    AS BIGINT) AS base,
+               CAST(SUM(CASE WHEN day > s.mid THEN rev ELSE 0 END)
+                    AS BIGINT) AS cur
+        FROM o, split s GROUP BY region, seg
+    ),
+    segg AS (
+        SELECT seg,
+               CAST(SUM(base) AS BIGINT) AS sb,
+               CAST(SUM(cur) AS BIGINT) AS sc
+        FROM cell GROUP BY seg
+    ),
+    nat AS (
+        SELECT CAST(SUM(base) AS BIGINT) AS nb,
+               CAST(SUM(cur) AS BIGINT) AS nc
+        FROM cell
+    )
+    SELECT c.region,
+           round(SUM(c.base) / 100.0, 2) AS base_revenue,
+           round(SUM(c.cur - c.base) / 100.0, 2) AS total_change,
+           round(CAST(SUM(CAST(round(
+               c.base * (n.nc * 1.0 / n.nb - 1.0), 4)
+               AS DECIMAL(38,4))) AS DOUBLE) / 100.0, 2) + 0.0
+               AS national_share,
+           round(CAST(SUM(CAST(round(
+               c.base * (g.sc * 1.0 / g.sb - n.nc * 1.0 / n.nb), 4)
+               AS DECIMAL(38,4))) AS DOUBLE) / 100.0, 2) + 0.0
+               AS industry_mix,
+           round(CAST(SUM(CAST(round(
+               c.base * (c.cur * 1.0 / c.base - g.sc * 1.0 / g.sb),
+               4) AS DECIMAL(38,4))) AS DOUBLE) / 100.0, 2) + 0.0
+               AS competitive_shift
+    FROM cell c, segg g, nat n
+    WHERE c.seg = g.seg AND c.base > 0
+    GROUP BY c.region
+    ORDER BY c.region
+    """,
+)
+def shift_share_decomposition(spark, sf_dir):
+    """Shift-share decomposition of each region's half-to-half
+    revenue growth into national-share (the growth it would have had
+    at the economy-wide rate), industry-mix (its priority-class
+    composition's deviation from that rate), and competitive-shift
+    (the region's own out/under-performance within classes) — the
+    three terms sum to the actual change by construction. The
+    regional-growth attribution standard; for a pipeline, the
+    source x segment drift attribution between two time windows.
+    Revenue is exact cents; growth-rate products round at 1e-4
+    before DECIMAL folds over the bounded 25-cell frame. Plan: three
+    broadcast-dim joins, one split rollup, bounded marginal joins,
+    5-row output."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    base = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("o_orderpriority").alias("seg"),
+            F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+            .cast("bigint")
+            .alias("day"),
+            (dec("o_totalprice", 18, 2) * 100)
+            .cast("bigint")
+            .alias("rev"),
+        )
+    )
+    split = (
+        base.select("day")
+        .distinct()
+        .agg(
+            F.floor(F.expr("percentile(day, 0.5)"))
+            .cast("bigint")
+            .alias("mid")
+        )
+    )
+    cell = (
+        base.crossJoin(F.broadcast(split))
+        .groupBy("region", "seg")
+        .agg(
+            F.sum(
+                F.when(F.col("day") <= F.col("mid"), F.col("rev"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("base"),
+            F.sum(
+                F.when(F.col("day") > F.col("mid"), F.col("rev"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("cur"),
+        )
+    )
+    segg = cell.groupBy("seg").agg(
+        F.sum("base").cast("bigint").alias("sb"),
+        F.sum("cur").cast("bigint").alias("sc"),
+    )
+    nat = cell.agg(
+        F.sum("base").cast("bigint").alias("nb"),
+        F.sum("cur").cast("bigint").alias("nc"),
+    )
+    j = (
+        cell.where(F.col("base") > 0)
+        .join(F.broadcast(segg), "seg")
+        .crossJoin(F.broadcast(nat))
+    )
+    gnat = F.col("nc") * 1.0 / F.col("nb")
+    gseg = F.col("sc") * 1.0 / F.col("sb")
+    gcell = F.col("cur") * 1.0 / F.col("base")
+
+    def fold4(expr):
+        return (
+            F.sum(F.round(expr, 4).cast("decimal(38,4)"))
+            .cast("double")
+        )
+
+    return (
+        j.groupBy("region")
+        .agg(
+            F.round(F.sum("base") / 100.0, 2).alias("base_revenue"),
+            F.round(
+                F.sum(F.col("cur") - F.col("base")) / 100.0, 2
+            ).alias("total_change"),
+            (
+                F.round(
+                    fold4(F.col("base") * (gnat - 1.0)) / 100.0, 2
+                )
+                + 0.0
+            ).alias("national_share"),
+            (
+                F.round(
+                    fold4(F.col("base") * (gseg - gnat)) / 100.0, 2
+                )
+                + 0.0
+            ).alias("industry_mix"),
+            (
+                F.round(
+                    fold4(F.col("base") * (gcell - gseg)) / 100.0, 2
+                )
+                + 0.0
+            ).alias("competitive_shift"),
+        )
+        .orderBy("region")
+    )
+
+
+# --------------------------------------------------------------------------
+# Little's law audit on 30-minute-gap sessions
+# --------------------------------------------------------------------------
+@register(
+    "littles_law_audit",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE
+                 OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    grouped AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    sess AS (
+        SELECT user_id, session_id,
+               CAST(epoch_us(MIN(ts)) AS BIGINT) AS s0,
+               CAST(epoch_us(MAX(ts)) AS BIGINT) AS s1
+        FROM grouped GROUP BY user_id, session_id
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS ns,
+               CAST(SUM(s1 - s0) AS BIGINT) AS busy_us,
+               CAST(MAX(s1) - MIN(s0) AS BIGINT) AS span_us,
+               CAST(SUM(s1 // 86400000000 - s0 // 86400000000)
+                    AS BIGINT) AS crossings,
+               CAST(MAX(s1) // 86400000000
+                    - MIN(s0) // 86400000000 AS BIGINT) AS n_ticks
+        FROM sess
+    )
+    SELECT ns AS n_sessions,
+           round(ns * 86400000000.0 / span_us, 6) AS lambda_per_day,
+           round(busy_us / 60000000.0 / ns, 6) AS w_mean_minutes,
+           round(busy_us * 1.0 / span_us, 8) AS l_time_avg,
+           round(crossings * 1.0 / n_ticks, 8) AS l_midnight_sampled
+    FROM agg
+    """,
+)
+def littles_law_audit(spark, sf_dir):
+    """Little's law audit on the registry's standard 30-minute-gap
+    sessions: arrival rate lambda (sessions/day over the observation
+    span), mean session duration W, the time-average concurrency L =
+    total busy time / span (which equals lambda*W exactly — Little's
+    identity in its integral form), and an INDEPENDENT midnight-
+    sampled concurrency estimate (sessions straddling each midnight
+    tick / number of ticks). The gap between l_time_avg and
+    l_midnight_sampled measures intraday non-stationarity — how far
+    the queueing steady-state assumption is from holding, which is
+    what capacity planning actually needs to know. All quantities
+    are exact integer-microsecond ratios. Plan: the standard
+    session lag/cumsum pass, one session rollup, one scalar fold."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wu)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            prev.isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(prev)
+                > 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    grouped = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_id"),
+    )
+    sess = grouped.groupBy("user_id", "session_id").agg(
+        F.unix_micros(F.min("ts")).cast("bigint").alias("s0"),
+        F.unix_micros(F.max("ts")).cast("bigint").alias("s1"),
+    )
+    agg = sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum(F.col("s1") - F.col("s0"))
+        .cast("bigint")
+        .alias("busy_us"),
+        (F.max("s1") - F.min("s0")).cast("bigint").alias("span_us"),
+        F.sum(
+            F.floor(F.col("s1") / 86_400_000_000)
+            - F.floor(F.col("s0") / 86_400_000_000)
+        )
+        .cast("bigint")
+        .alias("crossings"),
+        (
+            F.floor(F.max("s1") / 86_400_000_000)
+            - F.floor(F.min("s0") / 86_400_000_000)
+        )
+        .cast("bigint")
+        .alias("n_ticks"),
+    )
+    return agg.select(
+        F.col("ns").alias("n_sessions"),
+        F.round(
+            F.col("ns") * 86_400_000_000.0 / F.col("span_us"), 6
+        ).alias("lambda_per_day"),
+        F.round(
+            F.col("busy_us") / 60_000_000.0 / F.col("ns"), 6
+        ).alias("w_mean_minutes"),
+        F.round(
+            F.col("busy_us") * 1.0 / F.col("span_us"), 8
+        ).alias("l_time_avg"),
+        F.round(
+            F.col("crossings") * 1.0 / F.col("n_ticks"), 8
+        ).alias("l_midnight_sampled"),
+    )
