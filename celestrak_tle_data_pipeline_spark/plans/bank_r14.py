@@ -5039,3 +5039,656 @@ def littles_law_audit(spark, sf_dir):
             F.col("crossings") * 1.0 / F.col("n_ticks"), 8
         ).alias("l_midnight_sampled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Moran's I spatial autocorrelation of nation-mean account balances
+# (region-block contiguity weights)
+# --------------------------------------------------------------------------
+_NATZ_SQL = """
+    natz AS (
+        SELECT c_nationkey AS nk,
+               n.n_regionkey AS rk,
+               round(CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS DOUBLE)
+                     / COUNT(*) / 100.0, 6) AS z
+        FROM customer JOIN nation n ON c_nationkey = n.n_nationkey
+        GROUP BY c_nationkey, n.n_regionkey
+    )
+"""
+
+
+def _natz(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey")),
+            c.c_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("n_regionkey").alias("rk"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (dec("c_acctbal", 18, 2) * 100).cast("bigint")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 100.0,
+                6,
+            ).alias("z")
+        )
+    )
+
+
+@register(
+    "morans_i_nations",
+    oracle=f"""
+    WITH {_NATZ_SQL},
+    mu AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(z AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*) AS zbar
+        FROM natz
+    ),
+    dev AS (
+        SELECT nk, rk, round(z - mu.zbar, 6) AS d FROM natz, mu
+    ),
+    cross_ AS (
+        SELECT CAST(SUM(CASE WHEN a.nk <> b.nk
+                        THEN round(a.d * b.d, 6) ELSE 0 END)
+                    AS DOUBLE) AS num,
+               CAST(SUM(CASE WHEN a.nk <> b.nk THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s0
+        FROM dev a JOIN dev b ON a.rk = b.rk
+    ),
+    deg AS (
+        SELECT CAST(SUM(CAST(k * k AS BIGINT)) AS BIGINT) AS sdeg2
+        FROM (SELECT CAST(COUNT(*) - 1 AS BIGINT) AS k
+              FROM natz a JOIN natz b ON a.rk = b.rk
+              GROUP BY a.nk) q
+    ),
+    den AS (
+        SELECT CAST(SUM(CAST(round(d * d, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS ss
+        FROM dev
+    )
+    SELECT mu.n AS n_nations,
+           round(mu.n * c.num / (c.s0 * d.ss), 6) + 0.0 AS morans_i,
+           round(-1.0 / (mu.n - 1), 6) AS expected_i,
+           round((mu.n * c.num / (c.s0 * d.ss) + 1.0 / (mu.n - 1))
+                 / sqrt((mu.n * 1.0 * mu.n * (2.0 * c.s0)
+                         - mu.n * 4.0 * g.sdeg2
+                         + 3.0 * c.s0 * c.s0)
+                        / ((mu.n * 1.0 * mu.n - 1.0) * c.s0 * c.s0)
+                        - 1.0 / ((mu.n - 1.0) * (mu.n - 1.0))),
+                 6) + 0.0 AS z_score
+    FROM mu, cross_ c, den d, deg g
+    """,
+)
+def morans_i_nations(spark, sf_dir):
+    """Moran's I spatial autocorrelation of nation-level mean customer
+    account balances under region-block contiguity weights (w_ij = 1
+    iff nations i != j share a region): do rich-balance nations
+    cluster within regions? Includes the exact normality null moments
+    — E[I] = -1/(n-1) and the S0/S1/S2 variance (for binary symmetric
+    block weights S1 = 2*S0 and S2 = 4*sum(deg^2), folded in
+    exactly) — giving a z-score, the standard first screen before
+    any spatial model. The weight graph is the bounded 25-node
+    region-block union; every join is domain-sized. Plan: one
+    customer rollup to nations, block self-join, three scalar
+    folds."""
+    natz = _natz(spark, sf_dir)
+    mu = natz.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.col("z").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("zbar"),
+    )
+    dev = natz.crossJoin(F.broadcast(mu)).select(
+        "nk",
+        "rk",
+        "n",
+        F.round(F.col("z") - F.col("zbar"), 6).alias("d"),
+    )
+    a = dev.select(
+        F.col("nk").alias("ank"),
+        F.col("rk").alias("ark"),
+        F.col("d").alias("ad"),
+    )
+    b = dev.select(
+        F.col("nk").alias("bnk"),
+        F.col("rk").alias("brk"),
+        F.col("d").alias("bd"),
+    )
+    cross = (
+        a.join(F.broadcast(b), F.col("ark") == F.col("brk"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ank") != F.col("bnk"),
+                    F.round(F.col("ad") * F.col("bd"), 6),
+                ).otherwise(0.0)
+            )
+            .cast("double")
+            .alias("num"),
+            F.sum(
+                F.when(F.col("ank") != F.col("bnk"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s0"),
+        )
+    )
+    deg = (
+        a.join(F.broadcast(b), F.col("ark") == F.col("brk"))
+        .groupBy("ank")
+        .agg((F.count(F.lit(1)) - 1).cast("bigint").alias("k"))
+        .agg(
+            F.sum(F.col("k") * F.col("k"))
+            .cast("bigint")
+            .alias("sdeg2")
+        )
+    )
+    den = dev.agg(
+        F.sum(
+            F.round(F.col("d") * F.col("d"), 6).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("ss")
+    )
+    out = (
+        mu.crossJoin(F.broadcast(cross))
+        .crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(deg))
+    )
+    n = F.col("n")
+    i_stat = n * F.col("num") / (F.col("s0") * F.col("ss"))
+    ei = -1.0 / (n - 1)
+    vari = (
+        n * 1.0 * n * (2.0 * F.col("s0"))
+        - n * 4.0 * F.col("sdeg2")
+        + 3.0 * F.col("s0") * F.col("s0")
+    ) / ((n * 1.0 * n - 1.0) * F.col("s0") * F.col("s0")) - 1.0 / (
+        (n - 1.0) * (n - 1.0)
+    )
+    return out.select(
+        n.alias("n_nations"),
+        (F.round(i_stat, 6) + 0.0).alias("morans_i"),
+        F.round(ei, 6).alias("expected_i"),
+        (F.round((i_stat - ei) / F.sqrt(vari), 6) + 0.0).alias(
+            "z_score"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Geary's C (local-contrast companion to Moran's I)
+# --------------------------------------------------------------------------
+@register(
+    "geary_c_nations",
+    oracle=f"""
+    WITH {_NATZ_SQL},
+    mu AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(z AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*) AS zbar
+        FROM natz
+    ),
+    pair AS (
+        SELECT CAST(SUM(CASE WHEN a.nk <> b.nk
+                        THEN round((a.z - b.z) * (a.z - b.z), 6)
+                        ELSE 0 END) AS DOUBLE) AS sq,
+               CAST(SUM(CASE WHEN a.nk <> b.nk THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s0
+        FROM natz a JOIN natz b ON a.rk = b.rk
+    ),
+    den AS (
+        SELECT CAST(SUM(CAST(round((natz.z - mu.zbar)
+                                   * (natz.z - mu.zbar), 6)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS ss
+        FROM natz, mu
+    )
+    SELECT mu.n AS n_nations,
+           round((mu.n - 1.0) * p.sq / (2.0 * p.s0 * d.ss), 6)
+               + 0.0 AS gearys_c,
+           1.0 AS expected_c,
+           CAST(CASE WHEN (mu.n - 1.0) * p.sq
+                          / (2.0 * p.s0 * d.ss) < 1.0
+                THEN 1 ELSE 0 END AS BIGINT)
+               AS positive_autocorrelation
+    FROM mu, pair p, den d
+    """,
+)
+def geary_c_nations(spark, sf_dir):
+    """Geary's C on the same nation-balance surface and region-block
+    weights as morans_i_nations: C = (n-1) sum w_ij (z_i-z_j)^2 /
+    (2 S0 sum (z_i-zbar)^2). Where Moran's I is a global
+    cross-product (dominated by large deviations pairing up), Geary's
+    C is a LOCAL squared-contrast measure — more sensitive to
+    neighborhood-scale heterogeneity; C < 1 marks positive spatial
+    autocorrelation. Running both is the standard practice because
+    they disagree exactly when the spatial pattern is scale-mixed.
+    Same bounded 25-node block graph, exact rounded folds. Plan: one
+    customer rollup, block self-join, two scalar folds."""
+    natz = _natz(spark, sf_dir)
+    mu = natz.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.col("z").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("zbar"),
+    )
+    a = natz.select(
+        F.col("nk").alias("ank"),
+        F.col("rk").alias("ark"),
+        F.col("z").alias("az"),
+    )
+    b = natz.select(
+        F.col("nk").alias("bnk"),
+        F.col("rk").alias("brk"),
+        F.col("z").alias("bz"),
+    )
+    pair = (
+        a.join(F.broadcast(b), F.col("ark") == F.col("brk"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ank") != F.col("bnk"),
+                    F.round(
+                        (F.col("az") - F.col("bz"))
+                        * (F.col("az") - F.col("bz")),
+                        6,
+                    ),
+                ).otherwise(0.0)
+            )
+            .cast("double")
+            .alias("sq"),
+            F.sum(
+                F.when(F.col("ank") != F.col("bnk"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s0"),
+        )
+    )
+    den = (
+        natz.crossJoin(F.broadcast(mu))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("z") - F.col("zbar"))
+                    * (F.col("z") - F.col("zbar")),
+                    6,
+                ).cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("ss")
+        )
+    )
+    out = (
+        mu.crossJoin(F.broadcast(pair)).crossJoin(F.broadcast(den))
+    )
+    cstat = (
+        (F.col("n") - 1.0)
+        * F.col("sq")
+        / (2.0 * F.col("s0") * F.col("ss"))
+    )
+    return out.select(
+        F.col("n").alias("n_nations"),
+        (F.round(cstat, 6) + 0.0).alias("gearys_c"),
+        F.lit(1.0).alias("expected_c"),
+        F.when(cstat < 1.0, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("positive_autocorrelation"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-cycle IPF raking of the weekday x type table to uniform margins
+# --------------------------------------------------------------------------
+@register(
+    "raking_ipf_margins",
+    oracle="""
+    WITH cell AS (
+        SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                   AS dow,
+               event_type AS ty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cell),
+    w1 AS (  -- cycle 1, row fit to N/7
+        SELECT c.dow, c.ty, c.n,
+               round(c.n * (t.nn / 7.0)
+                     / SUM(c.n) OVER (PARTITION BY c.dow), 6) AS w
+        FROM cell c, tot t
+    ),
+    w2 AS (  -- cycle 1, column fit to N/5
+        SELECT w1.dow, w1.ty, w1.n,
+               round(w1.w * (t.nn / 5.0)
+                     / SUM(w1.w) OVER (PARTITION BY w1.ty), 6) AS w
+        FROM w1, tot t
+    ),
+    w3 AS (  -- cycle 2, row fit
+        SELECT w2.dow, w2.ty, w2.n,
+               round(w2.w * (t.nn / 7.0)
+                     / SUM(w2.w) OVER (PARTITION BY w2.dow), 6) AS w
+        FROM w2, tot t
+    ),
+    w4 AS (  -- cycle 2, column fit
+        SELECT w3.dow, w3.ty, w3.n,
+               round(w3.w * (t.nn / 5.0)
+                     / SUM(w3.w) OVER (PARTITION BY w3.ty), 6) AS w
+        FROM w3, tot t
+    )
+    SELECT dow, ty, n AS n_obs,
+           round(w, 4) AS raked_weight,
+           round(w / n, 6) AS weight_ratio
+    FROM w4 ORDER BY dow, ty
+    """,
+)
+def raking_ipf_margins(spark, sf_dir):
+    """Two full IPF (raking) cycles adjusting the weekday x type
+    contingency to UNIFORM target margins (N/7 per weekday, N/5 per
+    type): the post-stratification weighting step every survey/
+    training-data pipeline runs to undo collection-time imbalance
+    when only margins are known. Each of the four scaling passes is
+    a window-normalized rational product rounded at 1e-6 — a FIXED
+    iteration count, so the whole plan is a static four-stage
+    dataflow (no driver loop), and both engines replay the identical
+    rounded trajectory. The per-cell weight_ratio is the design
+    factor a downstream variance estimate needs. All windows
+    partition the bounded 35-cell frame. Plan: one contingency
+    rollup, four bounded window-scaling passes."""
+    e = t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("bigint")
+        .alias("dow"),
+        F.col("event_type").alias("ty"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cell.agg(F.sum("n").cast("bigint").alias("nn"))
+    base = cell.crossJoin(F.broadcast(tot))
+    wd = Window.partitionBy("dow")
+    wt = Window.partitionBy("ty")
+    w = F.col("n") * 1.0
+    w = F.round(
+        F.col("n") * (F.col("nn") / 7.0) / F.sum("n").over(wd), 6
+    )
+    step1 = base.select("dow", "ty", "n", "nn", w.alias("w"))
+    step2 = step1.select(
+        "dow",
+        "ty",
+        "n",
+        "nn",
+        F.round(
+            F.col("w") * (F.col("nn") / 5.0) / F.sum("w").over(wt), 6
+        ).alias("w"),
+    )
+    step3 = step2.select(
+        "dow",
+        "ty",
+        "n",
+        "nn",
+        F.round(
+            F.col("w") * (F.col("nn") / 7.0) / F.sum("w").over(wd), 6
+        ).alias("w"),
+    )
+    step4 = step3.select(
+        "dow",
+        "ty",
+        "n",
+        F.round(
+            F.col("w") * (F.col("nn") / 5.0) / F.sum("w").over(wt), 6
+        ).alias("w"),
+    )
+    return step4.select(
+        "dow",
+        "ty",
+        F.col("n").alias("n_obs"),
+        F.round(F.col("w"), 4).alias("raked_weight"),
+        F.round(F.col("w") / F.col("n"), 6).alias("weight_ratio"),
+    ).orderBy("dow", "ty")
+
+
+# --------------------------------------------------------------------------
+# Wilson / Agresti-Coull / Wald interval panel for regional urgent-order rates
+# --------------------------------------------------------------------------
+@register(
+    "wilson_agresti_coull_panel",
+    oracle="""
+    WITH f AS (
+        SELECT r.r_name AS region,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN
+                            ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+        JOIN region r ON nt.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    )
+    SELECT region, n, k,
+           round(k * 1.0 / n, 6) AS p_hat,
+           round(k * 1.0 / n - 1.96 * sqrt(k * 1.0 / n
+                 * (1.0 - k * 1.0 / n) / n), 6) + 0.0 AS wald_lo,
+           round(k * 1.0 / n + 1.96 * sqrt(k * 1.0 / n
+                 * (1.0 - k * 1.0 / n) / n), 6) AS wald_hi,
+           round((k * 1.0 / n + 1.96 * 1.96 / (2.0 * n)
+                  - 1.96 * sqrt(k * 1.0 / n * (1.0 - k * 1.0 / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1.0 + 1.96 * 1.96 / n), 6) + 0.0 AS wilson_lo,
+           round((k * 1.0 / n + 1.96 * 1.96 / (2.0 * n)
+                  + 1.96 * sqrt(k * 1.0 / n * (1.0 - k * 1.0 / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi,
+           round((k + 1.96 * 1.96 / 2.0) / (n + 1.96 * 1.96)
+                 - 1.96 * sqrt((k + 1.96 * 1.96 / 2.0)
+                               / (n + 1.96 * 1.96)
+                               * (1.0 - (k + 1.96 * 1.96 / 2.0)
+                                  / (n + 1.96 * 1.96))
+                               / (n + 1.96 * 1.96)), 6) + 0.0
+               AS ac_lo,
+           round((k + 1.96 * 1.96 / 2.0) / (n + 1.96 * 1.96)
+                 + 1.96 * sqrt((k + 1.96 * 1.96 / 2.0)
+                               / (n + 1.96 * 1.96)
+                               * (1.0 - (k + 1.96 * 1.96 / 2.0)
+                                  / (n + 1.96 * 1.96))
+                               / (n + 1.96 * 1.96)), 6) AS ac_hi
+    FROM f ORDER BY region
+    """,
+)
+def wilson_agresti_coull_panel(spark, sf_dir):
+    """Binomial confidence-interval panel for each region's
+    urgent-order share: the Wald interval (the one that fails near
+    the boundary), the Wilson score interval (the inversion that
+    doesn't), and Agresti-Coull (Wilson's add-z^2/2-successes
+    approximation) side by side at z = 1.96. Reporting all three is
+    the standard robustness display; a pipeline alerting on rate
+    thresholds should be gating on Wilson, and this panel shows by
+    how much Wald would mislead it. Everything is closed-form
+    rational/sqrt arithmetic from two BIGINT counts per region over
+    the bounded 5-row frame. Plan: three broadcast-dim joins, one
+    rollup, terminal expressions."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    nt = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    f = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nt.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin(
+                        "1-URGENT", "2-HIGH"
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    n = F.col("n")
+    k = F.col("k")
+    p = k * 1.0 / n
+    z = 1.96
+    z2 = z * z
+    wald_r = z * F.sqrt(p * (1.0 - p) / n)
+    wil_c = (p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+    wil_r = (
+        z
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        / (1.0 + z2 / n)
+    )
+    pt = (k + z2 / 2.0) / (n + z2)
+    ac_r = z * F.sqrt(pt * (1.0 - pt) / (n + z2))
+    return f.select(
+        "region",
+        n,
+        k,
+        F.round(p, 6).alias("p_hat"),
+        (F.round(p - wald_r, 6) + 0.0).alias("wald_lo"),
+        F.round(p + wald_r, 6).alias("wald_hi"),
+        (F.round(wil_c - wil_r, 6) + 0.0).alias("wilson_lo"),
+        F.round(wil_c + wil_r, 6).alias("wilson_hi"),
+        (F.round(pt - ac_r, 6) + 0.0).alias("ac_lo"),
+        F.round(pt + ac_r, 6).alias("ac_hi"),
+    ).orderBy("region")
+
+
+# --------------------------------------------------------------------------
+# Balanced repeated replication (Hadamard H8) variance of mean order value
+# --------------------------------------------------------------------------
+@register(
+    "brr_hadamard_variance",
+    oracle="""
+    WITH v AS (
+        SELECT o_custkey AS key,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS x,
+               CAST((o_custkey * 2654435761) % 4294967296 % 7
+                    AS BIGINT) AS s,
+               CAST((o_custkey * 40503) % 4294967296 % 2
+                    AS BIGINT) AS psu
+        FROM orders
+    ),
+    kept AS (
+        SELECT r.r AS rep, v.x
+        FROM v, (SELECT UNNEST(range(0, 8)) AS r) r
+        WHERE (bit_count(r.r & (v.s + 1)) % 2 = 0 AND v.psu = 0)
+           OR (bit_count(r.r & (v.s + 1)) % 2 = 1 AND v.psu = 1)
+    ),
+    th AS (
+        SELECT rep,
+               round(CAST(SUM(x) AS DOUBLE) / COUNT(*) / 100.0, 6)
+                   AS theta
+        FROM kept GROUP BY rep
+    ),
+    full_ AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(x) AS DOUBLE) / COUNT(*) / 100.0, 6)
+                   AS theta0
+        FROM v
+    )
+    SELECT f.n AS n_orders,
+           f.theta0 AS mean_order_value,
+           round(sqrt(SUM(CAST(round((t.theta - f.theta0)
+                                     * (t.theta - f.theta0), 8)
+                               AS DECIMAL(38,8))) / 8.0), 6)
+               AS brr_se,
+           MIN(t.theta) AS replicate_min,
+           MAX(t.theta) AS replicate_max
+    FROM th t, full_ f
+    GROUP BY f.n, f.theta0
+    """,
+)
+def brr_hadamard_variance(spark, sf_dir):
+    """Balanced repeated replication variance of the mean order
+    value: customers hash (Knuth multiplicative, the registry's
+    replayable-randomness device) into 7 strata x 2 half-sample
+    PSUs; the 8 replicates select half-samples by the Sylvester H8
+    Hadamard pattern, computed ARITHMETICALLY as the parity of
+    bit_count(r AND (s+1)) — no sign table to transcribe, identical
+    integer expression in both engines. BRR variance = mean squared
+    replicate deviation (full-orthogonality means no Fay factor
+    needed at 8 replicates for 7 strata). THE design-based variance
+    machinery for cluster samples where no closed-form SE exists —
+    here validated against a mean whose SE IS known. Plan: one scan
+    with hash columns, 8x replicate explode via bounded range join,
+    two rollups."""
+    o = t(spark, sf_dir, "orders")
+    v = o.select(
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("x"),
+        ((F.col("o_custkey") * 2654435761) % 4294967296 % 7)
+        .cast("bigint")
+        .alias("s"),
+        ((F.col("o_custkey") * 40503) % 4294967296 % 2)
+        .cast("bigint")
+        .alias("psu"),
+    )
+    reps = spark.range(8).select(F.col("id").alias("rep"))
+    parity = F.bit_count(
+        F.col("rep").bitwiseAND(F.col("s") + 1)
+    ) % 2
+    kept = (
+        v.crossJoin(F.broadcast(reps))
+        .where(
+            ((parity == 0) & (F.col("psu") == 0))
+            | ((parity == 1) & (F.col("psu") == 1))
+        )
+        .groupBy("rep")
+        .agg(
+            F.round(
+                F.sum("x").cast("double")
+                / F.count(F.lit(1))
+                / 100.0,
+                6,
+            ).alias("theta")
+        )
+    )
+    full = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum("x").cast("double") / F.count(F.lit(1)) / 100.0, 6
+        ).alias("theta0"),
+    )
+    j = kept.crossJoin(F.broadcast(full))
+    devsq = F.round(
+        (F.col("theta") - F.col("theta0"))
+        * (F.col("theta") - F.col("theta0")),
+        8,
+    )
+    return j.groupBy("n", "theta0").agg(
+        F.round(
+            F.sqrt(
+                F.sum(devsq.cast("decimal(38,8)")) / 8.0
+            ),
+            6,
+        ).alias("brr_se"),
+        F.min("theta").alias("replicate_min"),
+        F.max("theta").alias("replicate_max"),
+    ).select(
+        F.col("n").alias("n_orders"),
+        F.col("theta0").alias("mean_order_value"),
+        "brr_se",
+        "replicate_min",
+        "replicate_max",
+    )
