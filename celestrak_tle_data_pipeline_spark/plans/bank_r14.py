@@ -5692,3 +5692,413 @@ def brr_hadamard_variance(spark, sf_dir):
         "replicate_min",
         "replicate_max",
     )
+
+
+# --------------------------------------------------------------------------
+# Weibull shape/scale by Benard median-rank regression on inter-event gaps
+# --------------------------------------------------------------------------
+@register(
+    "weibull_median_rank_fit",
+    oracle="""
+    WITH gaps AS (
+        SELECT CAST((epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)))
+                   // 1000000 AS BIGINT) AS g
+        FROM events
+        QUALIFY g IS NOT NULL AND g > 0
+    ),
+    grid AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM gaps GROUP BY g
+    ),
+    cum AS (
+        SELECT g, c,
+               SUM(c) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING)
+                   AS hi,
+               CAST(SUM(SUM(c)) OVER () AS BIGINT) AS n
+        FROM grid GROUP BY g, c
+    ),
+    pts AS (
+        SELECT c,
+               round(ln(g), 8) AS x,
+               round(ln(-ln(1.0 - ((hi - (c - 1) / 2.0) - 0.3)
+                              / (n + 0.4))), 8) AS y
+        FROM cum
+    ),
+    mo AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(c * x, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(c * x * x, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(c * y, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(c * y * y, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS syy,
+               CAST(SUM(CAST(round(c * x * y, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sxy
+        FROM pts
+    )
+    SELECT n AS n_gaps,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+               AS weibull_shape,
+           round(exp(-(sy / n - (sxy - sx * sy / n)
+                       / (sxx - sx * sx / n) * sx / n)
+                     / ((sxy - sx * sy / n) / (sxx - sx * sx / n)))
+                 / 3600.0, 6) AS weibull_scale_hours,
+           round((sxy - sx * sy / n) * (sxy - sx * sy / n)
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+               + 0.0 AS fit_r2
+    FROM mo
+    """,
+)
+def weibull_median_rank_fit(spark, sf_dir):
+    """Weibull shape and scale for per-user inter-event gaps by
+    Benard median-rank regression: grouped plotting positions F =
+    (i_mid - 0.3)/(n + 0.4) on the distinct-gap-seconds grid (tied
+    blocks use their midpoint rank — the grouped form of the classic
+    reliability fit), then OLS of ln(-ln(1-F)) on ln(gap). Shape < 1
+    marks bursty (decreasing-hazard) usage, > 1 wear-out-like
+    regularity; scale converts to hours via the closed-form
+    intercept. The reliability-engineering standard when MLE's
+    iteration is unwanted — and a one-pass, grid-bounded plan: ranks
+    come from ONE cumulative window over the value grid, never a
+    per-observation sort. Post-ln terms round at 1e-8 before
+    weighted DECIMAL folds. Plan: lag pass, value-grid rollup, one
+    cumulative window, one scalar fold."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            F.floor(
+                (
+                    F.unix_micros("ts")
+                    - F.unix_micros(F.lag("ts").over(wu))
+                )
+                / 1_000_000
+            )
+            .cast("bigint")
+            .alias("g")
+        )
+        .where(F.col("g").isNotNull() & (F.col("g") > 0))
+    )
+    grid = gaps.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wcum = Window.orderBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    cum = grid.select(
+        "g",
+        "c",
+        F.sum("c").over(wcum).alias("hi"),
+        F.sum("c").over(tot).cast("bigint").alias("n"),
+    )
+    fmid = (
+        (F.col("hi") - (F.col("c") - 1) / 2.0) - 0.3
+    ) / (F.col("n") + 0.4)
+    pts = cum.select(
+        "c",
+        "n",
+        F.round(F.log(F.col("g")), 8).alias("x"),
+        F.round(F.log(-F.log(1.0 - fmid)), 8).alias("y"),
+    )
+
+    def fold8(expr):
+        return (
+            F.sum(F.round(expr, 8).cast("decimal(38,8)"))
+            .cast("double")
+        )
+
+    mo = pts.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        fold8(F.col("c") * F.col("x")).alias("sx"),
+        fold8(F.col("c") * F.col("x") * F.col("x")).alias("sxx"),
+        fold8(F.col("c") * F.col("y")).alias("sy"),
+        fold8(F.col("c") * F.col("y") * F.col("y")).alias("syy"),
+        fold8(F.col("c") * F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    sxc = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    sxxc = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    syyc = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = sxc / sxxc
+    intercept = F.col("sy") / n - slope * F.col("sx") / n
+    return mo.select(
+        n.alias("n_gaps"),
+        F.round(slope, 6).alias("weibull_shape"),
+        F.round(F.exp(-intercept / slope) / 3600.0, 6).alias(
+            "weibull_scale_hours"
+        ),
+        (F.round(sxc * sxc / (sxxc * syyc), 6) + 0.0).alias(
+            "fit_r2"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Allan variance of hourly event rates across dyadic averaging windows
+# --------------------------------------------------------------------------
+@register(
+    "allan_variance_rates",
+    oracle="""
+    WITH hours AS (
+        SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h
+        FROM events
+    ),
+    span AS (
+        SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hours
+    ),
+    grid AS (
+        SELECT CAST(u.g AS BIGINT) AS h
+        FROM span, LATERAL UNNEST(range(span.h0, span.h1 + 1))
+             AS u(g)
+    ),
+    cnt AS (
+        SELECT g.h - s.h0 AS i,
+               CAST(COALESCE(c.k, 0) AS BIGINT) AS k
+        FROM grid g
+        LEFT JOIN (SELECT h, CAST(COUNT(*) AS BIGINT) AS k
+                   FROM hours GROUP BY h) c ON c.h = g.h,
+             span s
+    ),
+    ms AS (SELECT UNNEST([1, 2, 4, 8, 16]) AS m),
+    blocks AS (
+        SELECT ms.m, cnt.i // ms.m AS b,
+               CAST(SUM(cnt.k) AS BIGINT) AS bk,
+               CAST(COUNT(*) AS BIGINT) AS bn
+        FROM cnt, ms GROUP BY ms.m, cnt.i // ms.m
+    ),
+    fullb AS (
+        SELECT m, b, bk * 1.0 / bn AS ybar
+        FROM blocks WHERE bn = m
+    ),
+    diffs AS (
+        SELECT m,
+               round((ybar - LAG(ybar) OVER (
+                          PARTITION BY m ORDER BY b))
+                     * (ybar - LAG(ybar) OVER (
+                          PARTITION BY m ORDER BY b)), 8) AS d2
+        FROM fullb
+        QUALIFY LAG(ybar) OVER (PARTITION BY m ORDER BY b)
+                IS NOT NULL
+          AND b = 1 + LAG(b) OVER (PARTITION BY m ORDER BY b)
+    ),
+    av AS (
+        SELECT m,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               round(CAST(SUM(CAST(d2 AS DECIMAL(38,8))) AS DOUBLE)
+                     / (2.0 * COUNT(*)), 8) AS avar
+        FROM diffs GROUP BY m
+    )
+    SELECT a.m AS m_hours, a.n_pairs,
+           a.avar AS allan_variance,
+           round(a.avar * a.m / a1.avar, 6) AS white_noise_ratio
+    FROM av a, (SELECT avar FROM av WHERE m = 1) a1
+    ORDER BY a.m
+    """,
+)
+def allan_variance_rates(spark, sf_dir):
+    """Allan variance of the hourly event-count rate at dyadic
+    averaging windows m = 1..16 hours: AVAR(m) = mean squared
+    adjacent-block-mean difference / 2, on the ZERO-FILLED hour grid
+    (missing hours are real zero-rate observations). The clock-
+    stability statistic repurposed as a rate-stability spectrum: for
+    white (Poisson-like) noise AVAR scales as 1/m, so the
+    white_noise_ratio column (normalized to m = 1) reads flat = 1
+    under pure shot noise and rises where drift/flicker enters —
+    pinpointing the timescale at which the arrival process stops
+    being memoryless. Adjacent-pair diffs come from a lag window per
+    m over the calendar-bounded block frame. Plan: hour rollup,
+    bounded grid fill, 5-way block rollup, lag windows, final
+    5-row join."""
+    e = t(spark, sf_dir, "events")
+    hours = e.select(
+        F.floor(F.unix_micros("ts") / 3_600_000_000)
+        .cast("bigint")
+        .alias("h")
+    )
+    span = hours.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"))
+        ).alias("h"),
+        "h0",
+    )
+    counts = hours.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    cnt = (
+        grid.join(counts, "h", "left")
+        .select(
+            (F.col("h") - F.col("h0")).alias("i"),
+            F.coalesce(F.col("k"), F.lit(0))
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    ms = spark.range(5).select(
+        F.expr("shiftleft(1, cast(id AS int))")
+        .cast("bigint")
+        .alias("m")
+    )
+    blocks = (
+        cnt.crossJoin(F.broadcast(ms))
+        .groupBy(
+            "m",
+            F.floor(F.col("i") / F.col("m")).cast("bigint").alias("b"),
+        )
+        .agg(
+            F.sum("k").cast("bigint").alias("bk"),
+            F.count(F.lit(1)).cast("bigint").alias("bn"),
+        )
+        .where(F.col("bn") == F.col("m"))
+        .select("m", "b", (F.col("bk") * 1.0 / F.col("bn")).alias("ybar"))
+    )
+    wm = Window.partitionBy("m").orderBy("b")
+    diffs = (
+        blocks.select(
+            "m",
+            "b",
+            F.lag("ybar").over(wm).alias("prev"),
+            F.lag("b").over(wm).alias("pb"),
+            "ybar",
+        )
+        .where(
+            F.col("prev").isNotNull()
+            & (F.col("b") == F.col("pb") + 1)
+        )
+        .select(
+            "m",
+            F.round(
+                (F.col("ybar") - F.col("prev"))
+                * (F.col("ybar") - F.col("prev")),
+                8,
+            ).alias("d2"),
+        )
+    )
+    av = diffs.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("d2").cast("decimal(38,8)")).cast("double")
+            / (2.0 * F.count(F.lit(1))),
+            8,
+        ).alias("avar"),
+    )
+    a1 = av.where(F.col("m") == 1).select(
+        F.col("avar").alias("avar1")
+    )
+    return (
+        av.crossJoin(F.broadcast(a1))
+        .select(
+            F.col("m").cast("bigint").alias("m_hours"),
+            "n_pairs",
+            F.col("avar").alias("allan_variance"),
+            F.round(
+                F.col("avar") * F.col("m") / F.col("avar1"), 6
+            ).alias("white_noise_ratio"),
+        )
+        .orderBy("m_hours")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rayleigh test of hour-of-day uniformity for purchases (literal 24-angle
+# trig table — the _COS7/_SIN7 device at circadian resolution)
+# --------------------------------------------------------------------------
+_COS24 = [
+    1.0, 0.9659258263, 0.8660254038, 0.7071067812, 0.5,
+    0.2588190451, 0.0, -0.2588190451, -0.5, -0.7071067812,
+    -0.8660254038, -0.9659258263, -1.0, -0.9659258263,
+    -0.8660254038, -0.7071067812, -0.5, -0.2588190451, 0.0,
+    0.2588190451, 0.5, 0.7071067812, 0.8660254038, 0.9659258263,
+]
+_SIN24 = [
+    0.0, 0.2588190451, 0.5, 0.7071067812, 0.8660254038,
+    0.9659258263, 1.0, 0.9659258263, 0.8660254038, 0.7071067812,
+    0.5, 0.2588190451, 0.0, -0.2588190451, -0.5, -0.7071067812,
+    -0.8660254038, -0.9659258263, -1.0, -0.9659258263,
+    -0.8660254038, -0.7071067812, -0.5, -0.2588190451,
+]
+
+
+def _case24(col: str, table: list) -> str:
+    whens = " ".join(
+        f"WHEN {col} = {k} THEN {v}" for k, v in enumerate(table)
+    )
+    return f"CASE {whens} END"
+
+
+@register(
+    "rayleigh_circular_hours",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(c * {_case24("hr", _COS24)}, 8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS cs,
+               CAST(SUM(CAST(round(c * {_case24("hr", _SIN24)}, 8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS ss
+        FROM h
+    )
+    SELECT n AS n_purchases,
+           round(sqrt(cs * cs + ss * ss) / n, 8) AS resultant_length,
+           round((cs * cs + ss * ss) / n, 6) AS rayleigh_z,
+           CAST(CASE WHEN (cs * cs + ss * ss) / n > 2.996
+                THEN 1 ELSE 0 END AS BIGINT) AS rejects_uniformity
+    FROM s
+    """,
+)
+def rayleigh_circular_hours(spark, sf_dir):
+    """Rayleigh test of circular uniformity for purchase hour-of-day:
+    the mean resultant length R of the 24 hourly unit vectors
+    (weighted by purchase counts) and z = n*R^2, against the 5%
+    critical value -ln(0.05) = 2.996. The circular-statistics gate
+    that catches diurnal concentration which a flat chi2 over hours
+    underweights (it rewards ADJACENT-hour clustering, not just
+    non-uniformity). Trig enters ONLY through the shared 10-dp
+    24-angle literal table (the _COS7 device) — no libm trig in the
+    data path; vector components fold exactly over the bounded
+    24-row frame. Plan: one hour rollup, one 24-row fold."""
+    e = t(spark, sf_dir, "events")
+    h = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.floor(F.unix_micros("ts") / 3_600_000_000) % 24)
+            .cast("bigint")
+            .alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ck = F.lit(None).cast("double")
+    sk = F.lit(None).cast("double")
+    for k in range(23, -1, -1):
+        ck = F.when(F.col("hr") == k, F.lit(_COS24[k])).otherwise(ck)
+        sk = F.when(F.col("hr") == k, F.lit(_SIN24[k])).otherwise(sk)
+    s = h.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("c") * ck, 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("cs"),
+        F.sum(F.round(F.col("c") * sk, 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    n = F.col("n")
+    r2sum = F.col("cs") * F.col("cs") + F.col("ss") * F.col("ss")
+    return s.select(
+        n.alias("n_purchases"),
+        F.round(F.sqrt(r2sum) / n, 8).alias("resultant_length"),
+        F.round(r2sum / n, 6).alias("rayleigh_z"),
+        F.when(r2sum / n > 2.996, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rejects_uniformity"),
+    )
