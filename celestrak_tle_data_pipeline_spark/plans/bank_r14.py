@@ -6102,3 +6102,749 @@ def rayleigh_circular_hours(spark, sf_dir):
         .cast("bigint")
         .alias("rejects_uniformity"),
     )
+
+
+# --------------------------------------------------------------------------
+# ARR / RRR / NNT effect panel: weekend exposure vs error outcome
+# --------------------------------------------------------------------------
+@register(
+    "arr_nnt_epidemiology_panel",
+    oracle="""
+    WITH b AS (
+        SELECT CASE WHEN CAST((epoch_us(ts) // 86400000000 + 4) % 7
+                        AS BIGINT) >= 5 THEN 1 ELSE 0 END AS exposed,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                   AS outcome
+        FROM events
+    ),
+    c AS (
+        SELECT CAST(SUM(exposed) AS BIGINT) AS n1,
+               CAST(SUM(1 - exposed) AS BIGINT) AS n0,
+               CAST(SUM(exposed * outcome) AS BIGINT) AS k1,
+               CAST(SUM((1 - exposed) * outcome) AS BIGINT) AS k0
+        FROM b
+    )
+    SELECT n1 AS n_weekend, n0 AS n_weekday,
+           round(k1 * 1.0 / n1, 6) AS risk_weekend,
+           round(k0 * 1.0 / n0, 6) AS risk_weekday,
+           round(k1 * 1.0 / n1 - k0 * 1.0 / n0, 6) + 0.0
+               AS risk_difference,
+           round((k1 * 1.0 / n1 - k0 * 1.0 / n0)
+                 / (k0 * 1.0 / n0), 6) + 0.0 AS rrr,
+           round(1.0 / abs(k1 * 1.0 / n1 - k0 * 1.0 / n0), 2)
+               AS nnt,
+           round((k1 * 1.0 / n1) / (k0 * 1.0 / n0), 6)
+               AS relative_risk,
+           round((k1 * 1.0 * (n0 - k0)) / (k0 * 1.0 * (n1 - k1)), 6)
+               AS odds_ratio,
+           round((k1 * 1.0 / n1 - k0 * 1.0 / n0)
+                 - 1.96 * sqrt(k1 * 1.0 / n1 * (1.0 - k1 * 1.0 / n1)
+                               / n1
+                               + k0 * 1.0 / n0
+                                 * (1.0 - k0 * 1.0 / n0) / n0), 6)
+               + 0.0 AS rd_lo,
+           round((k1 * 1.0 / n1 - k0 * 1.0 / n0)
+                 + 1.96 * sqrt(k1 * 1.0 / n1 * (1.0 - k1 * 1.0 / n1)
+                               / n1
+                               + k0 * 1.0 / n0
+                                 * (1.0 - k0 * 1.0 / n0) / n0), 6)
+               + 0.0 AS rd_hi
+    FROM c
+    """,
+)
+def arr_nnt_epidemiology_panel(spark, sf_dir):
+    """Absolute/relative effect panel for weekend exposure on error
+    outcomes: risk difference (the 'ARR' when negative), relative
+    risk reduction, number-needed-to-treat (1/|RD| — the
+    decision-facing translation of a rate effect), relative risk,
+    odds ratio, and the Wald CI on the risk difference. The
+    epidemiology reporting battery applied to ops data: NNT answers
+    'how many weekend events until one extra error', which a raw OR
+    never communicates. Four BIGINT counts in, closed-form rational/
+    sqrt expressions out. Plan: one scan, one scalar fold."""
+    e = t(spark, sf_dir, "events")
+    b = e.select(
+        F.when(
+            ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+            >= 5,
+            1,
+        )
+        .otherwise(0)
+        .alias("exposed"),
+        F.when(F.col("event_type") == "error", 1)
+        .otherwise(0)
+        .alias("outcome"),
+    )
+    c = b.agg(
+        F.sum("exposed").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("exposed")).cast("bigint").alias("n0"),
+        F.sum(F.col("exposed") * F.col("outcome"))
+        .cast("bigint")
+        .alias("k1"),
+        F.sum((1 - F.col("exposed")) * F.col("outcome"))
+        .cast("bigint")
+        .alias("k0"),
+    )
+    n1, n0, k1, k0 = (
+        F.col("n1"),
+        F.col("n0"),
+        F.col("k1"),
+        F.col("k0"),
+    )
+    r1 = k1 * 1.0 / n1
+    r0 = k0 * 1.0 / n0
+    rd = r1 - r0
+    se = F.sqrt(r1 * (1.0 - r1) / n1 + r0 * (1.0 - r0) / n0)
+    return c.select(
+        n1.alias("n_weekend"),
+        n0.alias("n_weekday"),
+        F.round(r1, 6).alias("risk_weekend"),
+        F.round(r0, 6).alias("risk_weekday"),
+        (F.round(rd, 6) + 0.0).alias("risk_difference"),
+        (F.round(rd / r0, 6) + 0.0).alias("rrr"),
+        F.round(1.0 / F.abs(rd), 2).alias("nnt"),
+        F.round(r1 / r0, 6).alias("relative_risk"),
+        F.round(
+            (k1 * 1.0 * (n0 - k0)) / (k0 * 1.0 * (n1 - k1)), 6
+        ).alias("odds_ratio"),
+        (F.round(rd - 1.96 * se, 6) + 0.0).alias("rd_lo"),
+        (F.round(rd + 1.96 * se, 6) + 0.0).alias("rd_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Diagnostic likelihood ratios for the length->language screen
+# --------------------------------------------------------------------------
+@register(
+    "diagnostic_likelihood_ratios",
+    oracle="""
+    WITH med AS (
+        SELECT CAST(floor(quantile_cont(n_chars, 0.5)) AS BIGINT)
+                   AS m
+        FROM documents
+    ),
+    lab AS (
+        SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS cond,
+               CASE WHEN d.n_chars > med.m THEN 1 ELSE 0 END AS pos
+        FROM documents d, med
+    ),
+    c AS (
+        SELECT CAST(SUM(cond * pos) AS BIGINT) AS tp,
+               CAST(SUM(cond * (1 - pos)) AS BIGINT) AS fn,
+               CAST(SUM((1 - cond) * pos) AS BIGINT) AS fp,
+               CAST(SUM((1 - cond) * (1 - pos)) AS BIGINT) AS tn
+        FROM lab
+    )
+    SELECT tp, fn, fp, tn,
+           round(tp * 1.0 / (tp + fn), 6) AS sensitivity,
+           round(tn * 1.0 / (tn + fp), 6) AS specificity,
+           round((tp * 1.0 / (tp + fn))
+                 / (1.0 - tn * 1.0 / (tn + fp)), 6) AS lr_positive,
+           round((1.0 - tp * 1.0 / (tp + fn))
+                 / (tn * 1.0 / (tn + fp)), 6) AS lr_negative,
+           round((tp * 1.0 * tn) / (fp * 1.0 * fn), 6)
+               AS diagnostic_or,
+           round((tp + tn) * 1.0 / (tp + fn + fp + tn), 6)
+               AS accuracy
+    FROM c
+    """,
+)
+def diagnostic_likelihood_ratios(spark, sf_dir):
+    """Diagnostic likelihood ratios for the above-median-length
+    screen as a predictor of English documents: sensitivity,
+    specificity, LR+ = sens/(1-spec), LR- = (1-sens)/spec, and the
+    diagnostic odds ratio LR+/LR-. LRs are the prevalence-FREE way
+    to report a screen's strength (they transfer to any base rate
+    via Bayes' odds update, unlike precision/accuracy) — what a
+    triage filter's card should show before it ships into a corpus
+    with different language mix. Four BIGINT confusion counts,
+    terminal rationals. Plan: one median scalar, one scan, one
+    fold."""
+    d = t(spark, sf_dir, "documents")
+    med = d.agg(
+        F.floor(F.expr("percentile(n_chars, 0.5)"))
+        .cast("bigint")
+        .alias("m")
+    )
+    lab = d.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("cond"),
+        F.when(F.col("n_chars") > F.col("m"), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    c = lab.agg(
+        F.sum(F.col("cond") * F.col("pos"))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.col("cond") * (1 - F.col("pos")))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum((1 - F.col("cond")) * F.col("pos"))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum((1 - F.col("cond")) * (1 - F.col("pos")))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    tp, fn, fp, tn = (
+        F.col("tp"),
+        F.col("fn"),
+        F.col("fp"),
+        F.col("tn"),
+    )
+    sens = tp * 1.0 / (tp + fn)
+    spec = tn * 1.0 / (tn + fp)
+    return c.select(
+        tp,
+        fn,
+        fp,
+        tn,
+        F.round(sens, 6).alias("sensitivity"),
+        F.round(spec, 6).alias("specificity"),
+        F.round(sens / (1.0 - spec), 6).alias("lr_positive"),
+        F.round((1.0 - sens) / spec, 6).alias("lr_negative"),
+        F.round((tp * 1.0 * tn) / (fp * 1.0 * fn), 6).alias(
+            "diagnostic_or"
+        ),
+        F.round(
+            (tp + tn) * 1.0 / (tp + fn + fp + tn), 6
+        ).alias("accuracy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# V-measure (homogeneity / completeness) between event type and value decile
+# --------------------------------------------------------------------------
+@register(
+    "v_measure_clusters",
+    oracle="""
+    WITH cell AS (
+        SELECT event_type AS a,
+               LEAST(CAST(floor(value) AS BIGINT) // 50, 9) AS b,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cell),
+    ha AS (
+        SELECT CAST(SUM(CAST(round(-1.0 * q.cn / t.nn
+                   * ln(q.cn * 1.0 / t.nn), 8) AS DECIMAL(38,8)))
+                   AS DOUBLE) AS h
+        FROM (SELECT a, CAST(SUM(n) AS BIGINT) AS cn
+              FROM cell GROUP BY a) q, tot t
+    ),
+    hb AS (
+        SELECT CAST(SUM(CAST(round(-1.0 * q.cn / t.nn
+                   * ln(q.cn * 1.0 / t.nn), 8) AS DECIMAL(38,8)))
+                   AS DOUBLE) AS h
+        FROM (SELECT b, CAST(SUM(n) AS BIGINT) AS cn
+              FROM cell GROUP BY b) q, tot t
+    ),
+    hab AS (
+        SELECT CAST(SUM(CAST(round(-1.0 * c.n / t.nn
+                   * ln(c.n * 1.0 / bq.cn), 8) AS DECIMAL(38,8)))
+                   AS DOUBLE) AS h
+        FROM cell c,
+             (SELECT b, CAST(SUM(n) AS BIGINT) AS cn
+              FROM cell GROUP BY b) bq,
+             tot t
+        WHERE c.b = bq.b
+    ),
+    hba AS (
+        SELECT CAST(SUM(CAST(round(-1.0 * c.n / t.nn
+                   * ln(c.n * 1.0 / aq.cn), 8) AS DECIMAL(38,8)))
+                   AS DOUBLE) AS h
+        FROM cell c,
+             (SELECT a, CAST(SUM(n) AS BIGINT) AS cn
+              FROM cell GROUP BY a) aq,
+             tot t
+        WHERE c.a = aq.a
+    )
+    SELECT t.nn AS n_events,
+           round(1.0 - hab.h / ha.h, 6) AS homogeneity,
+           round(1.0 - hba.h / hb.h, 6) AS completeness,
+           round(2.0 * (1.0 - hab.h / ha.h) * (1.0 - hba.h / hb.h)
+                 / ((1.0 - hab.h / ha.h) + (1.0 - hba.h / hb.h)),
+                 6) + 0.0 AS v_measure
+    FROM tot t, ha, hb, hab, hba
+    """,
+)
+def v_measure_clusters(spark, sf_dir):
+    """V-measure between the event-type partition and the value-
+    decile partition: homogeneity = 1 - H(type|decile)/H(type),
+    completeness = 1 - H(decile|type)/H(decile), V = their harmonic
+    mean — the entropy-based partition-agreement score that, unlike
+    raw purity, punishes both over- and under-splitting. THE
+    clustering-evaluation triple a labeling pipeline reports when
+    comparing an unsupervised bucketing against reference classes.
+    All entropies fold over the bounded 50-cell contingency with
+    the post-ln 1e-8 rounding device. Plan: one contingency rollup,
+    bounded marginal joins, four scalar folds."""
+    e = t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        F.col("event_type").alias("a"),
+        F.least(
+            F.floor(F.col("value")).cast("bigint") / F.lit(50),
+            F.lit(9),
+        )
+        .cast("bigint")
+        .alias("b"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cell.agg(F.sum("n").cast("bigint").alias("nn"))
+    am = cell.groupBy("a").agg(
+        F.sum("n").cast("bigint").alias("an")
+    )
+    bm = cell.groupBy("b").agg(
+        F.sum("n").cast("bigint").alias("bn")
+    )
+
+    def entfold(df, cnt, denom):
+        return (
+            F.sum(
+                F.round(
+                    -1.0
+                    * F.col(cnt)
+                    / F.col("nn")
+                    * F.log(F.col(cnt) * 1.0 / F.col(denom)),
+                    8,
+                ).cast("decimal(38,8)")
+            )
+            .cast("double")
+        )
+
+    ha = (
+        am.crossJoin(F.broadcast(tot))
+        .agg(entfold(None, "an", "nn").alias("h"))
+        .select(F.col("h").alias("ha"))
+    )
+    hb = (
+        bm.crossJoin(F.broadcast(tot))
+        .agg(entfold(None, "bn", "nn").alias("h"))
+        .select(F.col("h").alias("hb"))
+    )
+    hab = (
+        cell.join(F.broadcast(bm), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(entfold(None, "n", "bn").alias("h"))
+        .select(F.col("h").alias("hab"))
+    )
+    hba = (
+        cell.join(F.broadcast(am), "a")
+        .crossJoin(F.broadcast(tot))
+        .agg(entfold(None, "n", "an").alias("h"))
+        .select(F.col("h").alias("hba"))
+    )
+    out = (
+        tot.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .crossJoin(F.broadcast(hab))
+        .crossJoin(F.broadcast(hba))
+    )
+    hom = 1.0 - F.col("hab") / F.col("ha")
+    com = 1.0 - F.col("hba") / F.col("hb")
+    return out.select(
+        F.col("nn").alias("n_events"),
+        F.round(hom, 6).alias("homogeneity"),
+        F.round(com, 6).alias("completeness"),
+        (F.round(2.0 * hom * com / (hom + com), 6) + 0.0).alias(
+            "v_measure"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brand-graph machinery for the two graph queries below: strong-tie brand
+# adjacency = co-purchase pair counts above the 75th percentile
+# --------------------------------------------------------------------------
+_BRAND_EDGE_SQL = """
+    pedges AS (
+        SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2,
+               a.l_orderkey AS ok
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    bpair AS (
+        SELECT LEAST(br1.p_brand, br2.p_brand) AS u,
+               GREATEST(br1.p_brand, br2.p_brand) AS v,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM pedges e
+        JOIN part br1 ON e.p1 = br1.p_partkey
+        JOIN part br2 ON e.p2 = br2.p_partkey
+        WHERE br1.p_brand <> br2.p_brand
+        GROUP BY 1, 2
+    ),
+    thr AS (
+        SELECT CAST(floor(quantile_cont(w, 0.75)) AS BIGINT) AS q
+        FROM bpair
+    ),
+    bedges AS (
+        SELECT u, v FROM bpair, thr WHERE w > thr.q
+    ),
+    sym AS (
+        SELECT u, v FROM bedges
+        UNION ALL SELECT v AS u, u AS v FROM bedges
+    )
+"""
+
+
+def _brand_sym(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
+    )
+    pedges = (
+        a.join(b, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .select("p1", "p2", "ok")
+        .distinct()
+    )
+    br = p.select(
+        F.col("p_partkey").alias("pk"), F.col("p_brand").alias("b")
+    )
+    bpair = (
+        pedges.join(
+            F.broadcast(br.withColumnRenamed("pk", "p1k")),
+            F.col("p1") == F.col("p1k"),
+        )
+        .withColumnRenamed("b", "b1")
+        .join(
+            F.broadcast(
+                br.select(
+                    F.col("pk").alias("p2k"), F.col("b").alias("b2")
+                )
+            ),
+            F.col("p2") == F.col("p2k"),
+        )
+        .where(F.col("b1") != F.col("b2"))
+        .groupBy(
+            F.least("b1", "b2").alias("u"),
+            F.greatest("b1", "b2").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    thr = bpair.agg(
+        F.floor(F.expr("percentile(w, 0.75)"))
+        .cast("bigint")
+        .alias("q")
+    )
+    bedges = (
+        bpair.crossJoin(F.broadcast(thr))
+        .where(F.col("w") > F.col("q"))
+        .select("u", "v")
+    )
+    return bedges.unionAll(
+        bedges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+@register(
+    "katz_centrality_brands",
+    oracle=f"""
+    WITH {_BRAND_EDGE_SQL},
+    d1 AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS k1 FROM sym GROUP BY u
+    ),
+    d2 AS (
+        SELECT s.u, CAST(SUM(d1.k1) AS BIGINT) AS k2
+        FROM sym s JOIN d1 ON s.v = d1.u GROUP BY s.u
+    ),
+    d3 AS (
+        SELECT s.u, CAST(SUM(d2.k2) AS BIGINT) AS k3
+        FROM sym s JOIN d2 ON s.v = d2.u GROUP BY s.u
+    )
+    SELECT d1.u AS brand,
+           d1.k1 AS walks_1,
+           COALESCE(d2.k2, 0) AS walks_2,
+           COALESCE(d3.k3, 0) AS walks_3,
+           round(0.02 * CAST(d1.k1 AS DOUBLE)
+                 + 0.0004 * COALESCE(d2.k2, 0)
+                 + 0.000008 * COALESCE(d3.k3, 0), 8) AS katz
+    FROM d1 LEFT JOIN d2 ON d1.u = d2.u
+            LEFT JOIN d3 ON d1.u = d3.u
+    ORDER BY d1.u
+    """,
+)
+def katz_centrality_brands(spark, sf_dir):
+    """Katz centrality (truncated at walk length 3, alpha = 0.02) on
+    the strong-tie brand co-purchase graph — pairs above the 75th
+    percentile of co-purchase weight, so the graph stays sparse at
+    every SF. Walk counts A^k * 1 are EXACT BIGINTs from k bounded
+    join-aggregate rounds over the <=25-node symmetric edge list
+    (the bounded-iteration contract: a fixed 3-term Neumann series,
+    alpha * max-degree < 0.5 guarantees the tail is negligible);
+    the Katz score is one terminal literal-weighted expression. The
+    influence ranking that sees 2- and 3-hop reach where degree
+    sees only 1-hop. Plan: order-blocked pair rollup, percentile
+    gate, three bounded join-aggs."""
+    sym = _brand_sym(spark, sf_dir).persist()
+    d1 = sym.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k1")
+    )
+    d2 = (
+        sym.join(
+            d1.select(F.col("u").alias("v"), "k1"), "v"
+        )
+        .groupBy("u")
+        .agg(F.sum("k1").cast("bigint").alias("k2"))
+    )
+    d3 = (
+        sym.join(
+            d2.select(F.col("u").alias("v"), "k2"), "v"
+        )
+        .groupBy("u")
+        .agg(F.sum("k2").cast("bigint").alias("k3"))
+    )
+    return (
+        d1.join(d2, "u", "left")
+        .join(d3, "u", "left")
+        .select(
+            F.col("u").alias("brand"),
+            F.col("k1").alias("walks_1"),
+            F.coalesce(F.col("k2"), F.lit(0))
+            .cast("bigint")
+            .alias("walks_2"),
+            F.coalesce(F.col("k3"), F.lit(0))
+            .cast("bigint")
+            .alias("walks_3"),
+            F.round(
+                0.02 * F.col("k1")
+                + 0.0004 * F.coalesce(F.col("k2"), F.lit(0))
+                + 0.000008 * F.coalesce(F.col("k3"), F.lit(0)),
+                8,
+            ).alias("katz"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction on the strong-tie brand graph
+# --------------------------------------------------------------------------
+@register(
+    "adamic_adar_link_prediction",
+    oracle=f"""
+    WITH {_BRAND_EDGE_SQL},
+    deg AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+    ),
+    cand AS (
+        SELECT a.u AS x, b.u AS y, a.v AS w
+        FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+        WHERE NOT EXISTS (SELECT 1 FROM bedges e
+                          WHERE e.u = a.u AND e.v = b.u)
+    ),
+    aa AS (
+        SELECT c.x, c.y,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               round(CAST(SUM(CAST(round(1.0 / ln(deg.d), 8)
+                                   AS DECIMAL(38,8))) AS DOUBLE), 6)
+                   AS aa_score
+        FROM cand c JOIN deg ON c.w = deg.u
+        WHERE deg.d > 1
+        GROUP BY c.x, c.y
+    )
+    SELECT x AS brand_a, y AS brand_b, common_neighbors, aa_score
+    FROM aa
+    ORDER BY aa_score DESC, x ASC, y ASC LIMIT 10
+    """,
+)
+def adamic_adar_link_prediction(spark, sf_dir):
+    """Adamic-Adar link prediction on the strong-tie brand graph:
+    for brand pairs NOT strongly tied, sum 1/ln(degree) over common
+    strong-tie neighbors — rare well-connected intermediaries count
+    more than hubs. The top-10 candidates are the next strong ties
+    the co-purchase structure implies (assortment/bundling
+    candidates; in a dedup pipeline, the same scoring predicts
+    missing duplicate links across blocks). Everything lives on the
+    bounded <=25-node graph: candidate pairs from one wedge
+    self-join, an anti-join against existing edges, post-ln 1e-8
+    rounded folds, and a total-order (score desc, pair asc) top-10.
+    Plan: pair rollup, percentile gate, wedge join + anti-join,
+    bounded fold, top-10."""
+    sym = _brand_sym(spark, sf_dir).persist()
+    bedges = sym.where(F.col("u") < F.col("v"))
+    deg = sym.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    a = sym.select(F.col("u").alias("x"), F.col("v").alias("w"))
+    b = sym.select(F.col("u").alias("y"), F.col("v").alias("w"))
+    cand = (
+        a.join(b, "w")
+        .where(F.col("x") < F.col("y"))
+        .join(
+            bedges.select(
+                F.col("u").alias("x"), F.col("v").alias("y")
+            ),
+            ["x", "y"],
+            "left_anti",
+        )
+    )
+    aa = (
+        cand.join(
+            deg.select(F.col("u").alias("w"), "d"), "w"
+        )
+        .where(F.col("d") > 1)
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias(
+                "common_neighbors"
+            ),
+            F.round(
+                F.sum(
+                    F.round(1.0 / F.log(F.col("d")), 8).cast(
+                        "decimal(38,8)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("aa_score"),
+        )
+    )
+    return (
+        aa.orderBy(
+            F.col("aa_score").desc(),
+            F.col("x").asc(),
+            F.col("y").asc(),
+        )
+        .limit(10)
+        .select(
+            F.col("x").alias("brand_a"),
+            F.col("y").alias("brand_b"),
+            "common_neighbors",
+            "aa_score",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dunn validity index (centroid variant) for the labeled embeddings
+# --------------------------------------------------------------------------
+from .bank_r12 import _EMB_EL_SQL  # noqa: E402 — shared embedding CTEs
+
+
+@register(
+    "dunn_validity_index",
+    oracle=f"""
+    WITH {_EMB_EL_SQL},
+    pd AS (
+        SELECT el.vec_id, el.label,
+               round(sqrt(CAST(SUM(CAST(round(
+                   (CAST(el.x AS DOUBLE) - cent.c)
+                   * (CAST(el.x AS DOUBLE) - cent.c), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE)), 9) AS r
+        FROM el JOIN cent
+          ON el.label = cent.label AND el.dim = cent.dim
+        GROUP BY el.vec_id, el.label
+    ),
+    diam AS (
+        SELECT CAST(MAX(r) * 2.0 AS DOUBLE) AS dmax FROM pd
+    ),
+    cd AS (
+        SELECT a.label AS la, b.label AS lb,
+               round(sqrt(CAST(SUM(CAST(round(
+                   (a.c - b.c) * (a.c - b.c), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE)), 9) AS d
+        FROM cent a JOIN cent b
+          ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+    ),
+    sep AS (
+        SELECT MIN(d) AS dmin,
+               CAST(COUNT(DISTINCT la) + 1 AS BIGINT) AS k
+        FROM cd
+    )
+    SELECT sep.k AS n_clusters,
+           round(sep.dmin, 6) AS min_centroid_separation,
+           round(diam.dmax, 6) AS max_cluster_diameter,
+           round(sep.dmin / diam.dmax, 6) AS dunn_index
+    FROM sep, diam
+    """,
+)
+def dunn_validity_index(spark, sf_dir):
+    """Dunn validity index (centroid variant) for the labeled
+    embedding clustering: minimum pairwise centroid separation
+    divided by the maximum cluster diameter (2x the largest
+    point-to-own-centroid radius — the bounding-ball surrogate that
+    keeps the numerator/denominator both O(n*d + k^2*d) instead of
+    the O(n^2) pointwise original). Higher = compact, well-separated;
+    the worst-case counterpart to the averaging CH/DB panel
+    (`cluster_validity_panel`): Dunn collapses if ANY single cluster
+    sprawls or ANY pair of centroids crowds, which is exactly the
+    failure mode stratified sampling cares about. Same exact
+    DECIMAL(18,9) embedding doctrine as the r12 validity queries;
+    distance terms round at 1e-12 into DECIMAL(28,12) folds. Plan:
+    one explode rollup, one point-to-centroid join, bounded 10x10
+    centroid self-join."""
+    from .bank_r12 import _emb_el
+
+    el = _emb_el(spark, sf_dir).persist()
+    cent = el.groupBy("label", "dim").agg(
+        F.round(
+            F.sum("x").cast("double") / F.count(F.lit(1)), 9
+        ).alias("c")
+    )
+    pd_ = (
+        el.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(
+                            (F.col("x").cast("double") - F.col("c"))
+                            * (
+                                F.col("x").cast("double")
+                                - F.col("c")
+                            ),
+                            12,
+                        ).cast("decimal(28,12)")
+                    ).cast("double")
+                ),
+                9,
+            ).alias("r")
+        )
+    )
+    diam = pd_.agg(
+        (F.max("r") * 2.0).cast("double").alias("dmax")
+    )
+    ca = cent.select(
+        F.col("label").alias("la"), "dim", F.col("c").alias("cva")
+    )
+    cb = cent.select(
+        F.col("label").alias("lb"),
+        "dim",
+        F.col("c").alias("cvb"),
+    )
+    cd = (
+        ca.join(cb, "dim")
+        .where(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(
+                            (F.col("cva") - F.col("cvb"))
+                            * (F.col("cva") - F.col("cvb")),
+                            12,
+                        ).cast("decimal(28,12)")
+                    ).cast("double")
+                ),
+                9,
+            ).alias("d")
+        )
+    )
+    sep = cd.agg(
+        F.min("d").alias("dmin"),
+        (F.countDistinct("la") + 1).cast("bigint").alias("k"),
+    )
+    return sep.crossJoin(F.broadcast(diam)).select(
+        F.col("k").alias("n_clusters"),
+        F.round(F.col("dmin"), 6).alias("min_centroid_separation"),
+        F.round(F.col("dmax"), 6).alias("max_cluster_diameter"),
+        F.round(F.col("dmin") / F.col("dmax"), 6).alias(
+            "dunn_index"
+        ),
+    )
