@@ -2237,6 +2237,34 @@ PLAN_AUDIT_NOTES: dict[str, str] = {
         "bank_r13 in round 13; shared conformal-quantile device over "
         "bounded frames)"
     ),
+    "baumgartner_weiss_schindler": (
+        "two exclusive-prefix windows over the distinct-value-cents "
+        "grid (price-domain-bounded — the ansari_bradley class)"
+    ),
+    "diebold_mariano_forecast": (
+        "two lag windows over the calendar-day frame; the flag count "
+        "is inflated by scalar subplans re-scanning the bounded day "
+        "frame (the es_backtest class)"
+    ),
+    "engle_granger_cointegration": (
+        "cumulative + residual-lag windows over the calendar-day "
+        "frame (the cusum class)"
+    ),
+    "fligner_policello_test": (
+        "exclusive-prefix placement windows over the "
+        "distinct-value-cents grid (price-domain-bounded)"
+    ),
+    "pesaran_timmermann_direction": (
+        "two lag windows over the calendar-day frame"
+    ),
+    "quandt_andrews_supf": (
+        "five cumulative prefix-moment windows + row_number over the "
+        "calendar-day frame (the one-pass sup-F device)"
+    ),
+    "weibull_median_rank_fit": (
+        "cumulative rank window over the distinct-gap-seconds grid "
+        "(gap-value-domain-bounded — the ansari_bradley class)"
+    ),
 }
 
 
