@@ -1969,18 +1969,21 @@ def sen_slope_confidence_band(spark, sf_dir):
 @register(
     "assortativity_by_brand",
     oracle="""
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
     brand AS (SELECT p_partkey AS pk, p_brand AS b FROM part),
-    mix AS (
-        SELECT br1.b AS b1, br2.b AS b2, CAST(COUNT(*) AS BIGINT) AS m
-        FROM edges e
-        JOIN brand br1 ON e.p1 = br1.pk
-        JOIN brand br2 ON e.p2 = br2.pk
-        GROUP BY br1.b, br2.b
+    -- staged part-joins + MATERIALIZED mix (see _BRAND_EDGE_SQL note)
+    e1 AS (
+        SELECT e.p2, br1.b AS b1
+        FROM edges e JOIN brand br1 ON e.p1 = br1.pk
+    ),
+    mix AS MATERIALIZED (
+        SELECT e1.b1, br2.b AS b2, CAST(COUNT(*) AS BIGINT) AS m
+        FROM e1 JOIN brand br2 ON e1.p2 = br2.pk
+        GROUP BY e1.b1, br2.b
     ),
     tot AS (SELECT CAST(SUM(m) AS BIGINT) AS mm FROM mix),
     marg AS (
@@ -6484,27 +6487,34 @@ def v_measure_clusters(spark, sf_dir):
 # adjacency = co-purchase pair counts above the 75th percentile
 # --------------------------------------------------------------------------
 _BRAND_EDGE_SQL = """
-    pedges AS (
+    pedges AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2,
                a.l_orderkey AS ok
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
-    bpair AS (
-        SELECT LEAST(br1.p_brand, br2.p_brand) AS u,
-               GREATEST(br1.p_brand, br2.p_brand) AS v,
+    -- the two part-joins are STAGED (p1 first, then p2) and bpair is
+    -- MATERIALIZED: with both joins in one block DuckDB's optimizer
+    -- may pair part x part on the non-equi brand predicate first
+    -- (~|part|^2 intermediate, spills at sf0.1), and CTE inlining
+    -- would re-run it once per downstream reference
+    e1 AS (
+        SELECT e.p2, br1.p_brand AS b1
+        FROM pedges e JOIN part br1 ON e.p1 = br1.p_partkey
+    ),
+    bpair AS MATERIALIZED (
+        SELECT LEAST(e1.b1, br2.p_brand) AS u,
+               GREATEST(e1.b1, br2.p_brand) AS v,
                CAST(COUNT(*) AS BIGINT) AS w
-        FROM pedges e
-        JOIN part br1 ON e.p1 = br1.p_partkey
-        JOIN part br2 ON e.p2 = br2.p_partkey
-        WHERE br1.p_brand <> br2.p_brand
+        FROM e1 JOIN part br2 ON e1.p2 = br2.p_partkey
+        WHERE e1.b1 <> br2.p_brand
         GROUP BY 1, 2
     ),
     thr AS (
         SELECT CAST(floor(quantile_cont(w, 0.75)) AS BIGINT) AS q
         FROM bpair
     ),
-    bedges AS (
+    bedges AS MATERIALIZED (
         SELECT u, v FROM bpair, thr WHERE w > thr.q
     ),
     sym AS (

@@ -293,6 +293,7 @@ def audit(spark, names=None):
         bank_r12,
         bank_r13,
         bank_r14,
+        bank_r15,
         next_window,
     )
 
@@ -303,6 +304,7 @@ def audit(spark, names=None):
             **bank_r12.BANK_QUERIES,
             **bank_r13.BANK_QUERIES,
             **bank_r14.BANK_QUERIES,
+            **bank_r15.BANK_QUERIES,
             **next_window.NEXT_QUERIES,
             **qs,
         }

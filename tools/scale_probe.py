@@ -137,6 +137,7 @@ def main(argv) -> int:
         bank_r11,
         bank_r13,
         bank_r14,
+        bank_r15,
         next_window,
     )
     from celestrak_tle_data_pipeline_spark.session import get_spark
@@ -150,6 +151,7 @@ def main(argv) -> int:
     qs = dict(bank_r11.BANK_QUERIES)
     qs.update(bank_r13.BANK_QUERIES)
     qs.update(bank_r14.BANK_QUERIES)
+    qs.update(bank_r15.BANK_QUERIES)
     qs.update(next_window.NEXT_QUERIES)
     qs.update(plans.all_queries())
     report = {}
