@@ -818,3 +818,1180 @@ PLAN_AUDIT_NOTES: dict[str, str] = {
         "(bounded domain — the cusum class)"
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# Lomb-Scargle periodogram on the irregularly-sampled error-rate series
+# --------------------------------------------------------------------------
+_COS24 = [
+    1.0, 0.9659258263, 0.8660254038, 0.7071067812, 0.5,
+    0.2588190451, 0.0, -0.2588190451, -0.5, -0.7071067812,
+    -0.8660254038, -0.9659258263, -1.0, -0.9659258263,
+    -0.8660254038, -0.7071067812, -0.5, -0.2588190451, 0.0,
+    0.2588190451, 0.5, 0.7071067812, 0.8660254038, 0.9659258263,
+]
+_SIN24 = [
+    0.0, 0.2588190451, 0.5, 0.7071067812, 0.8660254038,
+    0.9659258263, 1.0, 0.9659258263,
+    0.8660254038, 0.7071067812, 0.5, 0.2588190451, 0.0,
+    -0.2588190451, -0.5, -0.7071067812, -0.8660254038,
+    -0.9659258263, -1.0, -0.9659258263, -0.8660254038,
+    -0.7071067812, -0.5, -0.2588190451,
+]
+
+
+def _case24(col: str, table: list) -> str:
+    whens = " ".join(
+        f"WHEN {col} = {k} THEN {v}" for k, v in enumerate(table)
+    )
+    return f"CASE {whens} END"
+
+
+def _lut24(col, table):
+    out = F.lit(None).cast("double")
+    for k in range(24):
+        out = F.when(col == k, F.lit(table[k])).otherwise(out)
+    return out
+
+
+def _ls_power_sql(i1: str, i2: str):
+    """SQL fragments for one Lomb-Scargle frequency: the five folded
+    sums over angle indexes i1 (wt mod 2pi, in 24ths) and i2 (2wt)."""
+    c1, s1 = _case24(i1, _COS24), _case24(i1, _SIN24)
+    c2, s2 = _case24(i2, _COS24), _case24(i2, _SIN24)
+    return {
+        "yc": f"CAST(SUM(CAST(round(ydev * {c1}, 8) AS DECIMAL(38,8))) AS DOUBLE)",
+        "ys": f"CAST(SUM(CAST(round(ydev * {s1}, 8) AS DECIMAL(38,8))) AS DOUBLE)",
+        "cc": f"CAST(SUM(CAST(round({c1} * {c1}, 8) AS DECIMAL(38,8))) AS DOUBLE)",
+        "ss": f"CAST(SUM(CAST(round({s1} * {s1}, 8) AS DECIMAL(38,8))) AS DOUBLE)",
+        "cs": f"CAST(SUM(CAST(round({c1} * {s1}, 8) AS DECIMAL(38,8))) AS DOUBLE)",
+        "c2": f"CAST(SUM(CAST(round({c2}, 8) AS DECIMAL(38,8))) AS DOUBLE)",
+        "s2": f"CAST(SUM(CAST(round({s2}, 8) AS DECIMAL(38,8))) AS DOUBLE)",
+    }
+
+
+@register(
+    "lomb_scargle_uneven",
+    oracle=f"""
+    WITH hh AS (
+        SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1
+    ),
+    gm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(y) AS BIGINT) AS ntot
+        FROM hh
+    ),
+    dev AS (
+        SELECT h, round(y - CAST(gm.ntot AS DOUBLE) / gm.m, 8) AS ydev,
+               CAST(h % 24 AS BIGINT) AS i1,
+               CAST((2 * h) % 24 AS BIGINT) AS i2,
+               CAST((4 * h) % 24 AS BIGINT) AS i4
+        FROM hh, gm
+    ),
+    sums AS (
+        SELECT
+            {_ls_power_sql("i1", "i2")["yc"]} AS yc24,
+            {_ls_power_sql("i1", "i2")["ys"]} AS ys24,
+            {_ls_power_sql("i1", "i2")["cc"]} AS cc24,
+            {_ls_power_sql("i1", "i2")["ss"]} AS ss24,
+            {_ls_power_sql("i1", "i2")["cs"]} AS cs24,
+            {_ls_power_sql("i1", "i2")["c2"]} AS c224,
+            {_ls_power_sql("i1", "i2")["s2"]} AS s224,
+            {_ls_power_sql("i2", "i4")["yc"]} AS yc12,
+            {_ls_power_sql("i2", "i4")["ys"]} AS ys12,
+            {_ls_power_sql("i2", "i4")["cc"]} AS cc12,
+            {_ls_power_sql("i2", "i4")["ss"]} AS ss12,
+            {_ls_power_sql("i2", "i4")["cs"]} AS cs12,
+            {_ls_power_sql("i2", "i4")["c2"]} AS c212,
+            {_ls_power_sql("i2", "i4")["s2"]} AS s212,
+            CAST(SUM(CAST(round(ydev * ydev, 8) AS DECIMAL(38,8)))
+                 AS DOUBLE) AS sdev2
+        FROM dev
+    ),
+    tau AS (
+        SELECT s.*, gm.m, gm.ntot,
+               sdev2 / (gm.m - 1) AS vary,
+               sqrt(greatest(0.0, (1.0 + c224
+                    / NULLIF(sqrt(c224 * c224 + s224 * s224), 0))
+                    / 2.0)) AS cq24,
+               (CASE WHEN s224 >= 0 THEN 1.0 ELSE -1.0 END)
+               * sqrt(greatest(0.0, (1.0 - c224
+                      / NULLIF(sqrt(c224 * c224 + s224 * s224), 0))
+                      / 2.0)) AS sq24,
+               sqrt(greatest(0.0, (1.0 + c212
+                    / NULLIF(sqrt(c212 * c212 + s212 * s212), 0))
+                    / 2.0)) AS cq12,
+               (CASE WHEN s212 >= 0 THEN 1.0 ELSE -1.0 END)
+               * sqrt(greatest(0.0, (1.0 - c212
+                      / NULLIF(sqrt(c212 * c212 + s212 * s212), 0))
+                      / 2.0)) AS sq12
+        FROM sums s, gm
+    ),
+    pw AS (
+        SELECT m, ntot,
+            (  (cq24 * yc24 + sq24 * ys24) * (cq24 * yc24 + sq24 * ys24)
+               / NULLIF(cq24 * cq24 * cc24 + 2 * cq24 * sq24 * cs24
+                        + sq24 * sq24 * ss24, 0)
+             + (cq24 * ys24 - sq24 * yc24) * (cq24 * ys24 - sq24 * yc24)
+               / NULLIF(cq24 * cq24 * ss24 - 2 * cq24 * sq24 * cs24
+                        + sq24 * sq24 * cc24, 0)
+            ) / (2.0 * vary) AS p24,
+            (  (cq12 * yc12 + sq12 * ys12) * (cq12 * yc12 + sq12 * ys12)
+               / NULLIF(cq12 * cq12 * cc12 + 2 * cq12 * sq12 * cs12
+                        + sq12 * sq12 * ss12, 0)
+             + (cq12 * ys12 - sq12 * yc12) * (cq12 * ys12 - sq12 * yc12)
+               / NULLIF(cq12 * cq12 * ss12 - 2 * cq12 * sq12 * cs12
+                        + sq12 * sq12 * cc12, 0)
+            ) / (2.0 * vary) AS p12
+        FROM tau
+    )
+    SELECT m AS m_hours, ntot AS n_errors,
+           round(p24, 6) + 0.0 AS power_24h,
+           round(p12, 6) + 0.0 AS power_12h,
+           CAST(CASE WHEN p24 >= p12 THEN 24 ELSE 12 END AS INT)
+               AS dominant_period_h
+    FROM pw
+    """,
+)
+def lomb_scargle_uneven(spark, sf_dir):
+    """Lomb-Scargle periodogram of the error-event rate at candidate
+    periods 24 h and 12 h — the spectral tool for IRREGULARLY sampled
+    series (the registry's DFT periodogram X236 needs an evenly spaced
+    grid; the hours that happen to contain errors do not form one).
+    Classical Scargle form with the per-frequency phase offset tau
+    that diagonalizes the normal equations; power normalized by 2 x
+    the sample variance of the observed series.
+
+    Trig discipline: every angle is w*t or 2w*t with t an INTEGER
+    epoch hour and w in {{2pi/24, 2pi/12}}, so all angles live on the
+    24-point unit-circle grid — the shared 10-dp literal table
+    (`rayleigh_circular_hours` device) replaces libm trig entirely.
+    cos/sin(w*tau) come from the HALF-ANGLE identity on the folded
+    doubled-angle sums (pure sqrt algebra — no atan2/cos of
+    data-dependent arguments anywhere). All folds are 8-dp-rounded
+    DECIMAL(38,8) (order-independent); the power is one terminal
+    double expression. Plan: one hour rollup of the filtered scan,
+    one scalar aggregate over the observed-hour frame."""
+    e = t(spark, sf_dir, "events")
+    hh = (
+        e.where(F.col("event_type") == "error")
+        .groupBy(
+            F.floor(F.unix_micros("ts") / 3_600_000_000)
+            .cast("bigint")
+            .alias("h")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    gm = hh.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("y").cast("bigint").alias("ntot"),
+    )
+    dev = hh.crossJoin(F.broadcast(gm)).select(
+        "m",
+        "ntot",
+        F.round(
+            F.col("y") - F.col("ntot").cast("double") / F.col("m"), 8
+        ).alias("ydev"),
+        (F.col("h") % 24).cast("bigint").alias("i1"),
+        ((2 * F.col("h")) % 24).cast("bigint").alias("i2"),
+        ((4 * F.col("h")) % 24).cast("bigint").alias("i4"),
+    )
+    r8 = lambda c: F.round(c, 8).cast("decimal(38,8)")  # noqa: E731
+
+    def fold(expr):
+        return F.sum(r8(expr)).cast("double")
+
+    def sums_for(i1, i2, tag):
+        c1, s1 = _lut24(F.col(i1), _COS24), _lut24(F.col(i1), _SIN24)
+        c2, s2 = _lut24(F.col(i2), _COS24), _lut24(F.col(i2), _SIN24)
+        return [
+            fold(F.col("ydev") * c1).alias(f"yc{tag}"),
+            fold(F.col("ydev") * s1).alias(f"ys{tag}"),
+            fold(c1 * c1).alias(f"cc{tag}"),
+            fold(s1 * s1).alias(f"ss{tag}"),
+            fold(c1 * s1).alias(f"cs{tag}"),
+            fold(c2).alias(f"c2{tag}"),
+            fold(s2).alias(f"s2{tag}"),
+        ]
+
+    sums = dev.groupBy("m", "ntot").agg(
+        *sums_for("i1", "i2", "24"),
+        *sums_for("i2", "i4", "12"),
+        fold(F.col("ydev") * F.col("ydev")).alias("sdev2"),
+    )
+
+    def halfangle(tag):
+        c2x, s2x = F.col(f"c2{tag}"), F.col(f"s2{tag}")
+        rr = F.nullif(F.sqrt(c2x * c2x + s2x * s2x), F.lit(0.0))
+        cq = F.sqrt(F.greatest(F.lit(0.0), (1.0 + c2x / rr) / 2.0))
+        sq = F.when(s2x >= 0, F.lit(1.0)).otherwise(-1.0) * F.sqrt(
+            F.greatest(F.lit(0.0), (1.0 - c2x / rr) / 2.0)
+        )
+        return cq, sq
+
+    def power(tag, cq, sq, varyc):
+        yc, ys = F.col(f"yc{tag}"), F.col(f"ys{tag}")
+        cc, ss, cs = (
+            F.col(f"cc{tag}"),
+            F.col(f"ss{tag}"),
+            F.col(f"cs{tag}"),
+        )
+        a = cq * yc + sq * ys
+        b = cq * ys - sq * yc
+        d1 = F.nullif(cc * cq * cq + 2 * cq * sq * cs + sq * sq * ss, F.lit(0.0))
+        d2 = F.nullif(ss * cq * cq - 2 * cq * sq * cs + sq * sq * cc, F.lit(0.0))
+        return (a * a / d1 + b * b / d2) / (2.0 * varyc)
+
+    varyc = F.col("sdev2") / (F.col("m") - 1)
+    cq24, sq24 = halfangle("24")
+    cq12, sq12 = halfangle("12")
+    p24 = power("24", cq24, sq24, varyc)
+    p12 = power("12", cq12, sq12, varyc)
+    return sums.select(
+        F.col("m").alias("m_hours"),
+        F.col("ntot").alias("n_errors"),
+        (F.round(p24, 6) + 0.0).alias("power_24h"),
+        (F.round(p12, 6) + 0.0).alias("power_12h"),
+        F.when(p24 >= p12, F.lit(24))
+        .otherwise(F.lit(12))
+        .cast("int")
+        .alias("dominant_period_h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Detrended fluctuation analysis (DFA-1) of daily revenue
+# --------------------------------------------------------------------------
+@register(
+    "dfa_alpha_longmemory",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS day,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    gs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s
+        FROM daily
+    ),
+    prof AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k,
+               CAST(CAST(gs.n AS DECIMAL(38,0))
+                    * SUM(y) OVER (ORDER BY day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)
+                    - CAST(ROW_NUMBER() OVER (ORDER BY day)
+                           AS DECIMAL(38,0)) * gs.s
+                    AS DECIMAL(19,0)) AS p,
+               gs.n
+        FROM daily, gs
+    ),
+    boxed AS (
+        SELECT b.b, (prof.k - 1) // b.b AS box,
+               prof.k AS k, prof.p AS p
+        FROM prof CROSS JOIN (VALUES (8), (16), (32)) b(b)
+        WHERE prof.k <= b.b * (prof.n // b.b)
+    ),
+    bm AS (
+        SELECT b, box,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(k) AS BIGINT) AS sx,
+               CAST(SUM(k * k) AS BIGINT) AS sxx,
+               CAST(SUM(p) AS DECIMAL(38,0)) AS sp,
+               CAST(SUM(CAST(k AS DECIMAL(18,0)) * p) AS DECIMAL(38,0))
+                   AS skp,
+               CAST(SUM(p * p) AS DECIMAL(38,0)) AS spp
+        FROM boxed GROUP BY 1, 2
+    ),
+    ssr AS (
+        SELECT b,
+               CAST(COUNT(*) AS BIGINT) AS nboxes,
+               CAST(SUM(
+                   (CAST(spp AS DOUBLE)
+                    - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / m)
+                   - (CAST(skp AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sp AS DOUBLE) / m)
+                     * (CAST(skp AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sp AS DOUBLE) / m)
+                     / (CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sx / m)
+               ) AS DOUBLE) AS sumssr
+        FROM bm GROUP BY 1
+    ),
+    f AS (
+        SELECT b, nboxes,
+               sqrt(sumssr / (nboxes * b)) AS fb
+        FROM ssr
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN b = 8 THEN fb END) AS f8,
+               MAX(CASE WHEN b = 16 THEN fb END) AS f16,
+               MAX(CASE WHEN b = 32 THEN fb END) AS f32,
+               MAX(CASE WHEN b = 8 THEN nboxes END) AS nb8
+        FROM f
+    )
+    SELECT gs.n AS n_days,
+           wide.nb8 AS n_boxes_8,
+           round(wide.f8 / gs.n / 100.0, 6) + 0.0 AS f8_usd,
+           round(wide.f16 / gs.n / 100.0, 6) + 0.0 AS f16_usd,
+           round(wide.f32 / gs.n / 100.0, 6) + 0.0 AS f32_usd,
+           round(ln(wide.f32 / wide.f8) / (2.0 * ln(2.0)), 6) + 0.0
+               AS dfa_alpha
+    FROM gs, wide
+    """,
+)
+def dfa_alpha_longmemory(spark, sf_dir):
+    """Detrended fluctuation analysis (DFA-1) of daily revenue at box
+    sizes 8/16/32 days — the long-memory diagnostic that, unlike the
+    registry's Hurst R/S (X223), is unbiased under nonstationary
+    level shifts because each box removes its own linear trend. alpha
+    ~ 0.5 is short-memory, >0.5 persistent, approaching 1 is 1/f.
+
+    Exactness device: the cumulative profile is kept as the n-scaled
+    EXACT integer P_k = n*C_k - k*S in DECIMAL(19,0) (the mosum/
+    grubbs class — at 100 TB cents scale n*C_k needs >63 bits, and
+    19 digits keeps the P*P power sum inside DECIMAL(38,0) in BOTH
+    engines' static typing); per-box OLS residual sums fold through
+    exact decimal power sums, and the detrended variance is a
+    terminal double expression per box. alpha is the closed-form OLS
+    slope over the three log-equispaced scales, which reduces to
+    ln(F32/F8)/(2 ln 2) (the n-scaling cancels in the ratio). Plan:
+    one day rollup; row_number + running sum on the calendar-day
+    frame (bounded domain); the 3x box explode is day-grid-sized."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    gs = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    wspec = Window.orderBy("day")
+    prof = (
+        daily.select(
+            F.row_number().over(wspec).cast("bigint").alias("k"),
+            F.sum("y")
+            .over(wspec.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint")
+            .alias("c"),
+        )
+        .crossJoin(F.broadcast(gs))
+        .select(
+            "k",
+            "n",
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("c")
+                - F.col("k").cast("decimal(38,0)") * F.col("s")
+            )
+            .cast("decimal(19,0)")
+            .alias("p"),
+        )
+    )
+    boxed = prof.select(
+        "k",
+        "p",
+        "n",
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("b"),
+    ).where(F.col("k") <= F.col("b") * F.floor(F.col("n") / F.col("b")))
+    kd = F.col("k").cast("decimal(18,0)")
+    bm = boxed.groupBy(
+        "b", F.floor((F.col("k") - 1) / F.col("b")).alias("box")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("k").cast("bigint").alias("sx"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("sxx"),
+        F.sum("p").cast("decimal(38,0)").alias("sp"),
+        F.sum(kd * F.col("p")).cast("decimal(38,0)").alias("skp"),
+        F.sum(F.col("p") * F.col("p")).cast("decimal(38,0)").alias("spp"),
+    )
+    spd = F.col("sp").cast("double")
+    skpd = F.col("skp").cast("double")
+    sppd = F.col("spp").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    m = F.col("m")
+    ssr_expr = (sppd - spd * spd / m) - (skpd - sxd * spd / m) * (
+        skpd - sxd * spd / m
+    ) / (sxxd - sxd * F.col("sx") / m)
+    ssr = bm.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nboxes"),
+        F.sum(ssr_expr).cast("double").alias("sumssr"),
+    )
+    f = ssr.select(
+        "b",
+        "nboxes",
+        F.sqrt(F.col("sumssr") / (F.col("nboxes") * F.col("b"))).alias(
+            "fb"
+        ),
+    )
+    wide = f.agg(
+        F.max(F.when(F.col("b") == 8, F.col("fb"))).alias("f8"),
+        F.max(F.when(F.col("b") == 16, F.col("fb"))).alias("f16"),
+        F.max(F.when(F.col("b") == 32, F.col("fb"))).alias("f32"),
+        F.max(F.when(F.col("b") == 8, F.col("nboxes"))).alias("nb8"),
+    )
+    return wide.crossJoin(F.broadcast(gs)).select(
+        F.col("n").alias("n_days"),
+        F.col("nb8").alias("n_boxes_8"),
+        (F.round(F.col("f8") / F.col("n") / 100.0, 6) + 0.0).alias(
+            "f8_usd"
+        ),
+        (F.round(F.col("f16") / F.col("n") / 100.0, 6) + 0.0).alias(
+            "f16_usd"
+        ),
+        (F.round(F.col("f32") / F.col("n") / 100.0, 6) + 0.0).alias(
+            "f32_usd"
+        ),
+        (
+            F.round(
+                F.log(F.col("f32") / F.col("f8"))
+                / (2.0 * F.log(F.lit(2.0))),
+                6,
+            )
+            + 0.0
+        ).alias("dfa_alpha"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cochrane-Orcutt AR(1) feasible-GLS trend repair
+# --------------------------------------------------------------------------
+@register(
+    "cochrane_orcutt_ar1",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    m1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(d * d) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(d AS DECIMAL(19,0)) * y) AS DECIMAL(38,0))
+                   AS sxy
+        FROM daily
+    ),
+    fit1 AS (
+        SELECT n, sx, sy,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                   AS b1,
+               (CAST(sy AS DOUBLE)
+                - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                  * sx) / n AS a1
+        FROM m1
+    ),
+    res AS (
+        SELECT daily.d, daily.y,
+               round(daily.y - fit1.a1 - fit1.b1 * daily.d, 4) AS e,
+               LAG(round(daily.y - fit1.a1 - fit1.b1 * daily.d, 4))
+                   OVER (ORDER BY daily.d) AS elag,
+               LAG(daily.y) OVER (ORDER BY daily.d) AS ylag,
+               LAG(daily.d) OVER (ORDER BY daily.d) AS dlag
+        FROM daily, fit1
+    ),
+    rho_ AS (
+        SELECT round(
+                   CAST(SUM(CAST(round(e * elag, 2) AS DECIMAL(38,2)))
+                        AS DOUBLE)
+                   / CAST(SUM(CAST(round(elag * elag, 2)
+                                   AS DECIMAL(38,2))) AS DOUBLE), 8)
+                   AS rho,
+               CAST(SUM(CAST(round((e - elag) * (e - elag), 2)
+                             AS DECIMAL(38,2))) AS DOUBLE) AS sdiff,
+               CAST(SUM(CAST(round(e * e, 2) AS DECIMAL(38,2)))
+                    AS DOUBLE) AS se2all
+        FROM res WHERE elag IS NOT NULL
+    ),
+    dw1 AS (
+        SELECT r.rho, r.sdiff
+               / CAST((SELECT SUM(CAST(round(e * e, 2)
+                                       AS DECIMAL(38,2))) FROM res)
+                      AS DOUBLE) AS dw_before
+        FROM rho_ r
+    ),
+    star AS (
+        SELECT round(res.y - rho_.rho * res.ylag, 4) AS ys,
+               round(res.d - rho_.rho * res.dlag, 8) AS xs,
+               res.d
+        FROM res, rho_ WHERE res.ylag IS NOT NULL
+    ),
+    m2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+               CAST(SUM(CAST(round(xs, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sx2,
+               CAST(SUM(CAST(round(ys, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS sy2,
+               CAST(SUM(CAST(round(xs * xs, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sxx2,
+               CAST(SUM(CAST(round(xs * ys, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS sxy2
+        FROM star
+    ),
+    fit2 AS (
+        SELECT n2,
+               (n2 * sxy2 - sx2 * sy2) / (n2 * sxx2 - sx2 * sx2) AS b2,
+               (sy2 - (n2 * sxy2 - sx2 * sy2)
+                      / (n2 * sxx2 - sx2 * sx2) * sx2) / n2 AS a2
+        FROM m2
+    ),
+    res2 AS (
+        SELECT round(star.ys - fit2.a2 - fit2.b2 * star.xs, 4) AS e2,
+               LAG(round(star.ys - fit2.a2 - fit2.b2 * star.xs, 4))
+                   OVER (ORDER BY star.d) AS e2lag
+        FROM star, fit2
+    ),
+    dw2 AS (
+        SELECT CAST(SUM(CASE WHEN e2lag IS NOT NULL THEN
+                   CAST(round((e2 - e2lag) * (e2 - e2lag), 2)
+                        AS DECIMAL(38,2)) END) AS DOUBLE)
+               / CAST(SUM(CAST(round(e2 * e2, 2) AS DECIMAL(38,2)))
+                      AS DOUBLE) AS dw_after
+        FROM res2
+    )
+    SELECT m1.n AS n_days,
+           round(rho_.rho, 6) + 0.0 AS rho_hat,
+           round(fit1.b1 / 100.0, 6) + 0.0 AS beta_ols_usd_day,
+           round(fit2.b2 / 100.0, 6) + 0.0 AS beta_co_usd_day,
+           round(dw1.dw_before, 6) + 0.0 AS dw_before,
+           round(dw2.dw_after, 6) + 0.0 AS dw_after
+    FROM m1, rho_, fit1, fit2, dw1, dw2
+    """,
+)
+def cochrane_orcutt_ar1(spark, sf_dir):
+    """Cochrane-Orcutt one-step AR(1) feasible GLS on the daily
+    revenue trend — the repair for what the registry's Durbin-Watson
+    (X214) only DIAGNOSES: serially correlated residuals make the OLS
+    slope's
+    nominal inference invalid, so rho-hat is estimated from the
+    lag-1 residual regression, the model is quasi-differenced
+    (y_k - rho*y_{k-1} on d_k - rho*d_{k-1}), and the slope is re-fit
+    once (the classical single-step variant — a FIXED dataflow, no
+    convergence loop). DW is reported before and after the transform;
+    a repaired series moves DW toward 2.
+
+    Determinism: stage-1 moments are exact (BIGINT/DECIMAL folds of
+    integer day x cents products); residuals are identical-tree
+    doubles rounded at 4 dp before every product fold (DECIMAL(38,2));
+    rho is rounded at 8 dp BEFORE the quasi-difference so both
+    engines transform identical series; stage-2 moments fold the
+    8/4-dp-rounded transformed values. Lags are observation-order
+    (day asc) over the calendar-day frame — bounded domain. Plan:
+    one day rollup, three window passes on the day grid, two scalar
+    folds."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    m1 = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sxx"),
+        F.sum(F.col("d").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    b1 = (
+        n * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        n * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit1 = m1.select(
+        "n",
+        b1.alias("b1"),
+        ((F.col("sy").cast("double") - b1 * F.col("sx")) / n).alias("a1"),
+    )
+    wd = Window.orderBy("d")
+    e = F.round(
+        F.col("y") - F.col("a1") - F.col("b1") * F.col("d"), 4
+    )
+    res = daily.crossJoin(F.broadcast(fit1)).select(
+        "d",
+        "y",
+        "n",
+        "b1",
+        "a1",
+        e.alias("e"),
+        F.lag(e).over(wd).alias("elag"),
+        F.lag("y").over(wd).alias("ylag"),
+        F.lag("d").over(wd).alias("dlag"),
+    )
+    r2 = lambda c: F.round(c, 2).cast("decimal(38,2)")  # noqa: E731
+    rho_ = res.where(F.col("elag").isNotNull()).agg(
+        F.round(
+            F.sum(r2(F.col("e") * F.col("elag"))).cast("double")
+            / F.sum(r2(F.col("elag") * F.col("elag"))).cast("double"),
+            8,
+        ).alias("rho"),
+        F.sum(r2((F.col("e") - F.col("elag")) * (F.col("e") - F.col("elag"))))
+        .cast("double")
+        .alias("sdiff"),
+    )
+    se_all = res.agg(
+        F.sum(r2(F.col("e") * F.col("e"))).cast("double").alias("se2")
+    )
+    star = (
+        res.crossJoin(F.broadcast(rho_))
+        .where(F.col("ylag").isNotNull())
+        .select(
+            "d",
+            F.round(F.col("y") - F.col("rho") * F.col("ylag"), 4).alias(
+                "ys"
+            ),
+            F.round(F.col("d") - F.col("rho") * F.col("dlag"), 8).alias(
+                "xs"
+            ),
+        )
+    )
+    m2 = star.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n2"),
+        F.sum(F.round("xs", 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sx2"),
+        F.sum(F.round("ys", 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sy2"),
+        F.sum(F.round(F.col("xs") * F.col("xs"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxx2"),
+        F.sum(F.round(F.col("xs") * F.col("ys"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxy2"),
+    )
+    n2 = F.col("n2")
+    b2 = (n2 * F.col("sxy2") - F.col("sx2") * F.col("sy2")) / (
+        n2 * F.col("sxx2") - F.col("sx2") * F.col("sx2")
+    )
+    fit2 = m2.select(
+        "n2",
+        b2.alias("b2"),
+        ((F.col("sy2") - b2 * F.col("sx2")) / n2).alias("a2"),
+    )
+    e2 = F.round(
+        F.col("ys") - F.col("a2") - F.col("b2") * F.col("xs"), 4
+    )
+    res2 = star.crossJoin(F.broadcast(fit2)).select(
+        e2.alias("e2"), F.lag(e2).over(wd).alias("e2lag")
+    )
+    dw2 = res2.agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("e2lag").isNotNull(),
+                    r2(
+                        (F.col("e2") - F.col("e2lag"))
+                        * (F.col("e2") - F.col("e2lag"))
+                    ),
+                )
+            ).cast("double")
+            / F.sum(r2(F.col("e2") * F.col("e2"))).cast("double")
+        ).alias("dw_after")
+    )
+    return (
+        rho_.crossJoin(F.broadcast(m1.select("n")))
+        .crossJoin(F.broadcast(fit1.select("b1")))
+        .crossJoin(F.broadcast(fit2.select("b2")))
+        .crossJoin(F.broadcast(se_all))
+        .crossJoin(F.broadcast(dw2))
+        .select(
+            F.col("n").alias("n_days"),
+            (F.round("rho", 6) + 0.0).alias("rho_hat"),
+            (F.round(F.col("b1") / 100.0, 6) + 0.0).alias(
+                "beta_ols_usd_day"
+            ),
+            (F.round(F.col("b2") / 100.0, 6) + 0.0).alias(
+                "beta_co_usd_day"
+            ),
+            (F.round(F.col("sdiff") / F.col("se2"), 6) + 0.0).alias(
+                "dw_before"
+            ),
+            (F.round("dw_after", 6) + 0.0).alias("dw_after"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Holm / Hochberg / Sidak familywise-error panel
+# --------------------------------------------------------------------------
+from .stats_tests import _p_two_sided_sql  # noqa: E402  (A-S erfc tree)
+
+_CELL_P_SQL = f"""
+    obs AS (
+        SELECT event_type,
+               CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INT) AS dow,
+               CAST(COUNT(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, dow, o,
+               SUM(o) OVER (PARTITION BY event_type) AS r,
+               SUM(o) OVER (PARTITION BY dow) AS c,
+               SUM(o) OVER () AS n
+        FROM obs
+    ),
+    zz AS (
+        SELECT event_type, dow,
+               (o - r * c / n)
+               / sqrt((r * c / n) * (1 - r / n) * (1 - c / n)) AS z
+        FROM tot
+    ),
+    pp AS (
+        SELECT event_type, dow,
+               {_p_two_sided_sql('z')} AS p
+        FROM zz
+    ),
+    ranked AS (
+        SELECT event_type, dow, p,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY p, event_type, dow
+               ) AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM pp
+    )
+"""
+
+
+@register(
+    "holm_hochberg_sidak_panel",
+    oracle=f"""
+    WITH {_CELL_P_SQL},
+    adj AS (
+        SELECT event_type, dow, p, i, m,
+               least(1.0, MAX((m - i + 1) * p) OVER (
+                   ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )) AS holm_adj,
+               least(1.0, MIN((m - i + 1) * p) OVER (
+                   ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               )) AS hochberg_adj,
+               least(1.0, m * p) AS bonf_adj,
+               1.0 - exp(m * ln(1.0 - p)) AS sidak_adj
+        FROM ranked
+    )
+    SELECT event_type, dow,
+           round(p, 9) AS p_value,
+           round(bonf_adj, 9) AS bonferroni_adj,
+           round(holm_adj, 9) AS holm_adj,
+           round(hochberg_adj, 9) AS hochberg_adj,
+           round(sidak_adj, 9) AS sidak_adj,
+           CAST(CASE WHEN holm_adj <= 0.05 THEN 1 ELSE 0 END AS INT)
+               AS rej_holm,
+           CAST(CASE WHEN hochberg_adj <= 0.05 THEN 1 ELSE 0 END AS INT)
+               AS rej_hochberg
+    FROM adj
+    """,
+)
+def holm_hochberg_sidak_panel(spark, sf_dir):
+    """Holm step-down, Hochberg step-up, Bonferroni, and Sidak
+    adjusted p-values over the same 35-cell contingency-residual test
+    family as the registry's BH-FDR query (X179) — the FAMILYWISE
+    error control panel (FWER, stricter than FDR) an experimentation
+    readout publishes next to BH: Holm's adjusted p is the running
+    MAX of (m-i+1)p over the p-sorted prefix (step-down), Hochberg's
+    the running MIN over the suffix (step-up, valid under
+    nonnegative dependence), both clipped at 1; Sidak is the
+    single-step exact-independence bound 1-(1-p)^m written as
+    exp(m*ln(1-p)) so both engines share the tree (no pow-vs-power
+    libm divergence).
+
+    p-values come from the shared Abramowitz-Stegun erfc polynomial
+    (identical Horner tree on IEEE doubles — bit-reproducible); the
+    cumulative max/min windows run on the 35-row TEST-FAMILY frame
+    (bounded domain), ordered by the deterministic (p, event_type,
+    dow) total order. The event-grain work is one contingency
+    rollup."""
+    e = t(spark, sf_dir, "events")
+    dow = ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7).cast(
+        "int"
+    )
+    obs = e.groupBy("event_type", dow.alias("dow")).agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    tot = (
+        obs.withColumn(
+            "r", F.sum("o").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("c", F.sum("o").over(Window.partitionBy("dow")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    ex = F.col("r") * F.col("c") / F.col("n")
+    z = (F.col("o") - ex) / F.sqrt(
+        ex * (1 - F.col("r") / F.col("n")) * (1 - F.col("c") / F.col("n"))
+    )
+    x = F.abs(z) / 1.4142135623730951
+    tpoly = 1.0 / (1.0 + 0.3275911 * x)
+    p = (
+        (
+            (
+                ((1.061405429 * tpoly - 1.453152027) * tpoly + 1.421413741)
+                * tpoly
+                - 0.284496736
+            )
+            * tpoly
+            + 0.254829592
+        )
+        * tpoly
+    ) * F.exp(-x * x)
+    pp = tot.select("event_type", "dow", p.alias("p"))
+    wrank = Window.orderBy("p", "event_type", "dow")
+    ranked = pp.select(
+        "event_type",
+        "dow",
+        "p",
+        F.row_number().over(wrank).cast("bigint").alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("m"),
+    )
+    raw = (F.col("m") - F.col("i") + 1) * F.col("p")
+    wup = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    wdn = Window.orderBy("i").rowsBetween(0, Window.unboundedFollowing)
+    adj = ranked.select(
+        "event_type",
+        "dow",
+        "p",
+        F.least(F.lit(1.0), F.max(raw).over(wup)).alias("holm_adj"),
+        F.least(F.lit(1.0), F.min(raw).over(wdn)).alias("hochberg_adj"),
+        F.least(F.lit(1.0), F.col("m") * F.col("p")).alias("bonf_adj"),
+        (1.0 - F.exp(F.col("m") * F.log(1.0 - F.col("p")))).alias(
+            "sidak_adj"
+        ),
+    )
+    return adj.select(
+        "event_type",
+        "dow",
+        F.round("p", 9).alias("p_value"),
+        F.round("bonf_adj", 9).alias("bonferroni_adj"),
+        F.round("holm_adj", 9).alias("holm_adj"),
+        F.round("hochberg_adj", 9).alias("hochberg_adj"),
+        F.round("sidak_adj", 9).alias("sidak_adj"),
+        (F.col("holm_adj") <= 0.05).cast("int").alias("rej_holm"),
+        (F.col("hochberg_adj") <= 0.05).cast("int").alias("rej_hochberg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Holland-Leinhardt dyad census + reciprocity of the trade-flow graph
+# --------------------------------------------------------------------------
+@register(
+    "dyad_census_reciprocity",
+    oracle="""
+    WITH flow AS MATERIALIZED (
+        SELECT c.c_nationkey AS ci, s.s_nationkey AS sj,
+               CAST(COUNT(*) AS BIGINT) AS f
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM nation
+    ),
+    tot AS (
+        SELECT CAST(SUM(f) AS BIGINT) AS tf FROM flow
+    ),
+    edges AS MATERIALIZED (
+        -- above-mean off-diagonal flows; exact integer compare
+        SELECT ci, sj FROM flow, nn, tot
+        WHERE f * (nn.nv * (nn.nv - 1)) > tot.tf
+    ),
+    pairs AS (
+        SELECT a.n_nationkey AS i, b.n_nationkey AS j
+        FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    ),
+    census AS (
+        SELECT
+            CAST(SUM(CASE WHEN e1.ci IS NOT NULL AND e2.ci IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS m_mutual,
+            CAST(SUM(CASE WHEN (e1.ci IS NOT NULL)
+                               <> (e2.ci IS NOT NULL)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS a_asym,
+            CAST(SUM(CASE WHEN e1.ci IS NULL AND e2.ci IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        FROM pairs p
+        LEFT JOIN edges e1 ON e1.ci = p.i AND e1.sj = p.j
+        LEFT JOIN edges e2 ON e2.ci = p.j AND e2.sj = p.i
+    )
+    SELECT nn.nv AS n_nations,
+           2 * c.m_mutual + c.a_asym AS n_edges,
+           c.m_mutual, c.a_asym, c.n_null,
+           round(2.0 * c.m_mutual
+                 / NULLIF(2 * c.m_mutual + c.a_asym, 0), 6) + 0.0
+               AS reciprocity,
+           round((2.0 * c.m_mutual + c.a_asym)
+                 / (nn.nv * (nn.nv - 1.0)), 6) AS density,
+           round((2.0 * c.m_mutual
+                  / NULLIF(2 * c.m_mutual + c.a_asym, 0)
+                  - (2.0 * c.m_mutual + c.a_asym)
+                    / (nn.nv * (nn.nv - 1.0)))
+                 / NULLIF(1.0 - (2.0 * c.m_mutual + c.a_asym)
+                          / (nn.nv * (nn.nv - 1.0)), 0), 6) + 0.0
+               AS rho_garlaschelli
+    FROM census c, nn
+    """,
+)
+def dyad_census_reciprocity(spark, sf_dir):
+    """Holland-Leinhardt dyad census (Mutual / Asymmetric / Null) and
+    reciprocity of the DIRECTED nation-level trade graph — customer
+    nation i buys from supplier nation j; the directed companion to
+    the registry's undirected brand-graph metrics (modularity,
+    assortativity): an edge is an above-mean off-diagonal flow
+    (exact integer compare f * n(n-1) > total, no float threshold),
+    reciprocity r = 2M/(2M+A) is the fraction of directed edges
+    returned, and Garlaschelli-Loffredo rho = (r - d)/(1 - d)
+    centers it on the density-d null (rho > 0 means reciprocation
+    beyond chance).
+
+    Plan: the only data-grain work is the lineitem⋈orders⋈customer⋈
+    supplier equi-join chain collapsed to the <=600-cell
+    (nation, nation) flow rollup (map-side combinable; AQE broadcasts
+    the dim sides at bench SF, shuffles at 100 TB); the census is a
+    left-join pair classification on the bounded 300-pair frame. All
+    counts exact BIGINTs; ratios terminal."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    flow = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("ci"),
+            F.col("s_nationkey").alias("sj"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    nn = nat.agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    tot = flow.agg(F.sum("f").cast("bigint").alias("tf"))
+    edges = (
+        flow.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(tot))
+        .where(
+            F.col("f") * (F.col("nv") * (F.col("nv") - 1)) > F.col("tf")
+        )
+        .select("ci", "sj")
+    )
+    na, nb = nat.alias("na"), nat.alias("nb")
+    pairs = na.join(
+        nb, F.col("na.n_nationkey") < F.col("nb.n_nationkey")
+    ).select(
+        F.col("na.n_nationkey").alias("i"),
+        F.col("nb.n_nationkey").alias("j"),
+    )
+    e1 = edges.select(
+        F.col("ci").alias("e1i"), F.col("sj").alias("e1j"), F.lit(1).alias("h1")
+    )
+    e2 = edges.select(
+        F.col("ci").alias("e2i"), F.col("sj").alias("e2j"), F.lit(1).alias("h2")
+    )
+    cls = (
+        pairs.join(
+            e1,
+            (F.col("e1i") == F.col("i")) & (F.col("e1j") == F.col("j")),
+            "left",
+        )
+        .join(
+            e2,
+            (F.col("e2i") == F.col("j")) & (F.col("e2j") == F.col("i")),
+            "left",
+        )
+    )
+    census = cls.agg(
+        F.sum(
+            F.when(
+                F.col("h1").isNotNull() & F.col("h2").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("m_mutual"),
+        F.sum(
+            F.when(
+                F.col("h1").isNotNull() != F.col("h2").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("a_asym"),
+        F.sum(
+            F.when(
+                F.col("h1").isNull() & F.col("h2").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_null"),
+    )
+    mm, aa = F.col("m_mutual"), F.col("a_asym")
+    ne = 2 * mm + aa
+    rec = 2.0 * mm / F.nullif(ne.cast("double"), F.lit(0.0))
+    den = ne.cast("double") / (F.col("nv") * (F.col("nv") - 1.0))
+    return census.crossJoin(F.broadcast(nn)).select(
+        F.col("nv").alias("n_nations"),
+        ne.cast("bigint").alias("n_edges"),
+        "m_mutual",
+        "a_asym",
+        "n_null",
+        (F.round(rec, 6) + 0.0).alias("reciprocity"),
+        F.round(den, 6).alias("density"),
+        (
+            F.round(
+                (rec - den) / F.nullif(1.0 - den, F.lit(0.0)), 6
+            )
+            + 0.0
+        ).alias("rho_garlaschelli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Isotonic (PAVA) calibration repair over the document score bins
+# --------------------------------------------------------------------------
+@register(
+    "isotonic_calibration_bins",
+    oracle="""
+    WITH b AS (
+        SELECT LEAST(n_chars // 60, 9) AS bin,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    g AS MATERIALIZED (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS o
+        FROM b GROUP BY bin
+    ),
+    iv AS MATERIALIZED (
+        -- every contiguous bin interval [j..k] and its pooled rate
+        SELECT j.bin AS j, k.bin AS k,
+               CAST(SUM(g.o) AS DOUBLE) / SUM(g.n) AS avgr
+        FROM g j JOIN g k ON j.bin <= k.bin
+        JOIN g ON g.bin BETWEEN j.bin AND k.bin
+        GROUP BY 1, 2
+    ),
+    mn AS (
+        -- for each (i, j<=i): the min pooled rate over k >= i
+        SELECT g.bin AS i, iv.j, MIN(iv.avgr) AS mnr
+        FROM g JOIN iv ON iv.j <= g.bin AND iv.k >= g.bin
+        GROUP BY 1, 2
+    ),
+    iso AS (
+        SELECT i AS bin, MAX(mnr) AS iso_rate FROM mn GROUP BY 1
+    )
+    SELECT g.bin, g.n AS n_docs, g.o AS n_pos,
+           round(g.o * 1.0 / g.n, 9) AS raw_rate,
+           round(iso.iso_rate, 9) AS iso_rate,
+           CAST(CASE WHEN round(g.o * 1.0 / g.n, 9)
+                          <> round(iso.iso_rate, 9)
+                THEN 1 ELSE 0 END AS INT) AS pooled
+    FROM g JOIN iso ON g.bin = iso.bin
+    ORDER BY g.bin
+    """,
+)
+def isotonic_calibration_bins(spark, sf_dir):
+    """Isotonic regression (PAVA) calibration repair of the document
+    quality score — the REPAIR step after the registry's reliability
+    diagnostics (score_calibration_bins X125, Hosmer-Lemeshow X363,
+    ECE/MCE X403 — same 10 bins, same lang='en' outcome): the
+    monotone fit every production calibrator (isotonic calibration)
+    ships. Instead of the sequential pool-adjacent-violators sweep,
+    the fit uses PAVA's CLOSED-FORM minimax identity — iso(i) =
+    max_{{j<=i}} min_{{k>=i}} pooledRate(j..k) — which is exactly
+    expressible as two grouped folds over the <=55 contiguous bin
+    intervals (bounded frame; no iteration, no order dependence).
+
+    Pooled rates are ratios of exact BIGINT fold pairs (identical
+    doubles both engines; min/max on identical doubles is
+    deterministic); outputs rounded at 1e-9, with the pooled flag
+    compared on ROUNDED values. Plan: one 10-bin hash rollup of the
+    documents scan; every join after it is on the bin domain."""
+    d = t(spark, sf_dir, "documents")
+    b = d.select(
+        F.expr("least(n_chars div 60, 9)").alias("bin"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("o"),
+    )
+    gj = g.select(F.col("bin").alias("j"))
+    gk = g.select(F.col("bin").alias("k"))
+    gi = g.select(
+        F.col("bin").alias("ib"), F.col("n").alias("nn"), F.col("o").alias("oo")
+    )
+    iv = (
+        gj.join(gk, F.col("j") <= F.col("k"))
+        .join(gi, F.col("ib").between(F.col("j"), F.col("k")))
+        .groupBy("j", "k")
+        .agg(
+            (F.sum("oo").cast("double") / F.sum("nn")).alias("avgr")
+        )
+    )
+    mn = (
+        g.select(F.col("bin").alias("i"))
+        .join(iv, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("avgr").alias("mnr"))
+    )
+    iso = mn.groupBy("i").agg(F.max("mnr").alias("iso_rate"))
+    raw = F.round(F.col("o") * 1.0 / F.col("n"), 9)
+    return (
+        g.join(iso, g.bin == iso.i)
+        .select(
+            "bin",
+            F.col("n").alias("n_docs"),
+            F.col("o").alias("n_pos"),
+            raw.alias("raw_rate"),
+            F.round("iso_rate", 9).alias("iso_rate"),
+            (raw != F.round("iso_rate", 9)).cast("int").alias("pooled"),
+        )
+        .orderBy("bin")
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "dfa_alpha_longmemory": (
+            "row_number + running-sum windows over the calendar-day "
+            "frame (bounded domain — the cusum class)"
+        ),
+        "cochrane_orcutt_ar1": (
+            "three lag windows over the calendar-day frame (bounded "
+            "domain — the durbin_watson class)"
+        ),
+        "holm_hochberg_sidak_panel": (
+            "rank + cumulative max/min windows over the 35-cell "
+            "test-family frame (bounded domain — the bh_fdr class)"
+        ),
+    }
+)
