@@ -2983,3 +2983,730 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Bivariate (clicks, views) day frame split weekend/weekday — shared by
+# the multivariate pair below
+# --------------------------------------------------------------------------
+_WEDAY_SQL = """
+    dayv AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 >= 5
+                    THEN 1 ELSE 0 END AS we,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                        END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                        END) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    gm AS (
+        SELECT we,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM dayv GROUP BY 1
+    ),
+    cov AS (
+        SELECT we, n,
+               CAST(sx AS DOUBLE) / n AS mx,
+               CAST(sy AS DOUBLE) / n AS my,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                   / (n - 1) AS a11,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                   / (n - 1) AS a22,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                   / (n - 1) AS a12
+        FROM gm
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN we = 1 THEN n END) AS n1,
+            MAX(CASE WHEN we = 0 THEN n END) AS n2,
+            MAX(CASE WHEN we = 1 THEN mx END) AS mx1,
+            MAX(CASE WHEN we = 0 THEN mx END) AS mx2,
+            MAX(CASE WHEN we = 1 THEN my END) AS my1,
+            MAX(CASE WHEN we = 0 THEN my END) AS my2,
+            MAX(CASE WHEN we = 1 THEN a11 END) AS s1_11,
+            MAX(CASE WHEN we = 1 THEN a22 END) AS s1_22,
+            MAX(CASE WHEN we = 1 THEN a12 END) AS s1_12,
+            MAX(CASE WHEN we = 0 THEN a11 END) AS s2_11,
+            MAX(CASE WHEN we = 0 THEN a22 END) AS s2_22,
+            MAX(CASE WHEN we = 0 THEN a12 END) AS s2_12
+        FROM cov
+    ),
+    pooled AS (
+        SELECT w.*,
+               ((n1 - 1) * s1_11 + (n2 - 1) * s2_11) / (n1 + n2 - 2)
+                   AS p11,
+               ((n1 - 1) * s1_22 + (n2 - 1) * s2_22) / (n1 + n2 - 2)
+                   AS p22,
+               ((n1 - 1) * s1_12 + (n2 - 1) * s2_12) / (n1 + n2 - 2)
+                   AS p12
+        FROM wide w
+    )
+"""
+
+
+def _weday(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+    dayv = e.groupBy(
+        day.alias("day"), (((day + 4) % 7) >= 5).cast("int").alias("we")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    gm = dayv.groupBy("we").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n")
+    cov = gm.select(
+        "we",
+        "n",
+        (F.col("sx").cast("double") / n).alias("mx"),
+        (F.col("sy").cast("double") / n).alias("my"),
+        (
+            (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n)
+            / (n - 1)
+        ).alias("a11"),
+        (
+            (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n)
+            / (n - 1)
+        ).alias("a22"),
+        (
+            (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n)
+            / (n - 1)
+        ).alias("a12"),
+    )
+
+    def pick(cond, col):
+        return F.max(F.when(cond, F.col(col)))
+
+    we1, we0 = F.col("we") == 1, F.col("we") == 0
+    wide = cov.agg(
+        pick(we1, "n").alias("n1"),
+        pick(we0, "n").alias("n2"),
+        pick(we1, "mx").alias("mx1"),
+        pick(we0, "mx").alias("mx2"),
+        pick(we1, "my").alias("my1"),
+        pick(we0, "my").alias("my2"),
+        pick(we1, "a11").alias("s1_11"),
+        pick(we1, "a22").alias("s1_22"),
+        pick(we1, "a12").alias("s1_12"),
+        pick(we0, "a11").alias("s2_11"),
+        pick(we0, "a22").alias("s2_22"),
+        pick(we0, "a12").alias("s2_12"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    return wide.select(
+        "*",
+        (
+            ((n1 - 1) * F.col("s1_11") + (n2 - 1) * F.col("s2_11"))
+            / (n1 + n2 - 2)
+        ).alias("p11"),
+        (
+            ((n1 - 1) * F.col("s1_22") + (n2 - 1) * F.col("s2_22"))
+            / (n1 + n2 - 2)
+        ).alias("p22"),
+        (
+            ((n1 - 1) * F.col("s1_12") + (n2 - 1) * F.col("s2_12"))
+            / (n1 + n2 - 2)
+        ).alias("p12"),
+    )
+
+
+@register(
+    "hotelling_t2_twosample",
+    oracle=f"""
+    WITH {_WEDAY_SQL}
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           round(mx1 - mx2, 6) + 0.0 AS dmean_clicks,
+           round(my1 - my2, 6) + 0.0 AS dmean_views,
+           round(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)
+                 * ((mx1 - mx2) * (p22 * (mx1 - mx2)
+                                   - p12 * (my1 - my2))
+                    + (my1 - my2) * (p11 * (my1 - my2)
+                                     - p12 * (mx1 - mx2)))
+                 / (p11 * p22 - p12 * p12), 6) + 0.0 AS t2_stat,
+           round(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)
+                 * ((mx1 - mx2) * (p22 * (mx1 - mx2)
+                                   - p12 * (my1 - my2))
+                    + (my1 - my2) * (p11 * (my1 - my2)
+                                     - p12 * (mx1 - mx2)))
+                 / (p11 * p22 - p12 * p12)
+                 * (n1 + n2 - 3)
+                 / (CAST(2 AS DOUBLE) * (n1 + n2 - 2)), 6) + 0.0
+               AS f_stat
+    FROM pooled
+    """,
+)
+def hotelling_t2_twosample(spark, sf_dir):
+    """Hotelling's T² two-sample test of the weekend-vs-weekday daily
+    (clicks, views) MEAN VECTOR — the multivariate generalization the
+    registry's per-metric t-tests can't express (two correlated
+    count series tested jointly, with the correlation priced in):
+    T² = (n1 n2/(n1+n2)) d' S_pooled^{-1} d with the 2x2 pooled
+    covariance inverted in closed form (the mahalanobis_outliers_2d
+    device), and F = T²(n1+n2-3)/(2(n1+n2-2)) exactly F(2, n1+n2-3).
+
+    All group moments are exact BIGINT folds of integer day counts;
+    means, covariances, the inverse, T² and F are one terminal
+    double expression tree (identical both engines). Plan: one day
+    rollup of the events scan, one 2-group rollup, scalar algebra —
+    no windows, no joins on data grain."""
+    wide = _weday(spark, sf_dir)
+    n1, n2 = F.col("n1"), F.col("n2")
+    dx = F.col("mx1") - F.col("mx2")
+    dy = F.col("my1") - F.col("my2")
+    p11, p22, p12 = F.col("p11"), F.col("p22"), F.col("p12")
+    t2 = (
+        n1.cast("double")
+        * n2
+        / (n1 + n2)
+        * (dx * (p22 * dx - p12 * dy) + dy * (p11 * dy - p12 * dx))
+        / (p11 * p22 - p12 * p12)
+    )
+    fstat = t2 * (n1 + n2 - 3) / (F.lit(2).cast("double") * (n1 + n2 - 2))
+    return wide.select(
+        n1.alias("n_weekend"),
+        n2.alias("n_weekday"),
+        (F.round(dx, 6) + 0.0).alias("dmean_clicks"),
+        (F.round(dy, 6) + 0.0).alias("dmean_views"),
+        (F.round(t2, 6) + 0.0).alias("t2_stat"),
+        (F.round(fstat, 6) + 0.0).alias("f_stat"),
+    )
+
+
+@register(
+    "box_m_covariance_test",
+    oracle=f"""
+    WITH {_WEDAY_SQL}
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           round(ln(s1_11 * s1_22 - s1_12 * s1_12), 6) + 0.0
+               AS ln_det_s1,
+           round(ln(s2_11 * s2_22 - s2_12 * s2_12), 6) + 0.0
+               AS ln_det_s2,
+           round((n1 + n2 - 2) * ln(p11 * p22 - p12 * p12)
+                 - (n1 - 1) * ln(s1_11 * s1_22 - s1_12 * s1_12)
+                 - (n2 - 1) * ln(s2_11 * s2_22 - s2_12 * s2_12), 6)
+               + 0.0 AS box_m,
+           round(((n1 + n2 - 2) * ln(p11 * p22 - p12 * p12)
+                  - (n1 - 1) * ln(s1_11 * s1_22 - s1_12 * s1_12)
+                  - (n2 - 1) * ln(s2_11 * s2_22 - s2_12 * s2_12))
+                 * (CAST(1 AS DOUBLE)
+                    - (CAST(13 AS DOUBLE) / 18)
+                      * (CAST(1 AS DOUBLE) / (n1 - 1)
+                         + CAST(1 AS DOUBLE) / (n2 - 1)
+                         - CAST(1 AS DOUBLE) / (n1 + n2 - 2))), 6)
+               + 0.0 AS chi2_approx
+    FROM pooled
+    """,
+)
+def box_m_covariance_test(spark, sf_dir):
+    """Box's M test of covariance-matrix EQUALITY between the weekend
+    and weekday daily (clicks, views) distributions — the
+    precondition check for pooled-covariance procedures (the
+    Hotelling T² above, LDA-style classifiers): M = (N-g)ln|S_p| -
+    SUM (n_g-1)ln|S_g|, with the Box chi2 scaling factor 1 - c where
+    c = (2p^2+3p-1)/(6(p+1)(g-1)) * (SUM 1/(n_g-1) - 1/(N-g)) =
+    (13/18)*(...) at p=2, g=2; df = p(p+1)(g-1)/2 = 3. The
+    registry's univariate Bartlett (X203) is the p=1 special case.
+
+    2x2 determinants in closed form from the same exact-BIGINT group
+    moments as the T² query (shared frame); M and the scaled chi2
+    are terminal double trees with every literal ratio written
+    CAST-to-DOUBLE so neither engine builds DECIMAL literal chains.
+    Plan: identical to hotelling_t2_twosample."""
+    wide = _weday(spark, sf_dir)
+    n1, n2 = F.col("n1"), F.col("n2")
+    det1 = F.col("s1_11") * F.col("s1_22") - F.col("s1_12") * F.col("s1_12")
+    det2 = F.col("s2_11") * F.col("s2_22") - F.col("s2_12") * F.col("s2_12")
+    detp = F.col("p11") * F.col("p22") - F.col("p12") * F.col("p12")
+    m = (
+        (n1 + n2 - 2) * F.log(detp)
+        - (n1 - 1) * F.log(det1)
+        - (n2 - 1) * F.log(det2)
+    )
+    c = (F.lit(13).cast("double") / 18) * (
+        F.lit(1).cast("double") / (n1 - 1)
+        + F.lit(1).cast("double") / (n2 - 1)
+        - F.lit(1).cast("double") / (n1 + n2 - 2)
+    )
+    return wide.select(
+        n1.alias("n_weekend"),
+        n2.alias("n_weekday"),
+        (F.round(F.log(det1), 6) + 0.0).alias("ln_det_s1"),
+        (F.round(F.log(det2), 6) + 0.0).alias("ln_det_s2"),
+        (F.round(m, 6) + 0.0).alias("box_m"),
+        (F.round(m * (F.lit(1).cast("double") - c), 6) + 0.0).alias(
+            "chi2_approx"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# First/second canonical correlations: engagement block vs outcome block
+# --------------------------------------------------------------------------
+@register(
+    "canonical_correlation_pairs",
+    oracle="""
+    WITH dayv AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                        END) AS BIGINT) AS x1,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                        END) AS BIGINT) AS x2,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS y1,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS y2
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS sx1,
+               CAST(SUM(x2) AS BIGINT) AS sx2,
+               CAST(SUM(y1) AS BIGINT) AS sy1,
+               CAST(SUM(y2) AS BIGINT) AS sy2,
+               CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+               CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+               CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+               CAST(SUM(CAST(y1 AS DECIMAL(19,0)) * y1)
+                    AS DECIMAL(38,0)) AS t11,
+               CAST(SUM(CAST(y1 AS DECIMAL(19,0)) * y2)
+                    AS DECIMAL(38,0)) AS t12,
+               CAST(SUM(CAST(y2 AS DECIMAL(19,0)) * y2)
+                    AS DECIMAL(38,0)) AS t22,
+               CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * y1)
+                    AS DECIMAL(38,0)) AS c11,
+               CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * y2)
+                    AS DECIMAL(38,0)) AS c12,
+               CAST(SUM(CAST(x2 AS DECIMAL(19,0)) * y1)
+                    AS DECIMAL(38,0)) AS c21,
+               CAST(SUM(CAST(x2 AS DECIMAL(19,0)) * y2)
+                    AS DECIMAL(38,0)) AS c22
+        FROM dayv
+    ),
+    cv AS (
+        SELECT n,
+               CAST(s11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n AS a11,
+               CAST(s12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx2 / n AS a12,
+               CAST(s22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n AS a22,
+               CAST(t11 AS DOUBLE) - CAST(sy1 AS DOUBLE) * sy1 / n AS b11,
+               CAST(t12 AS DOUBLE) - CAST(sy1 AS DOUBLE) * sy2 / n AS b12,
+               CAST(t22 AS DOUBLE) - CAST(sy2 AS DOUBLE) * sy2 / n AS b22,
+               CAST(c11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy1 / n AS g11,
+               CAST(c12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy2 / n AS g12,
+               CAST(c21 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy1 / n AS g21,
+               CAST(c22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy2 / n AS g22
+        FROM m
+    ),
+    bc AS (
+        -- B = Sxx^-1 Sxy ; C = Syy^-1 Syx ; M = B C (2x2 each)
+        SELECT n,
+               (a22 * g11 - a12 * g21) / (a11 * a22 - a12 * a12) AS b11_,
+               (a22 * g12 - a12 * g22) / (a11 * a22 - a12 * a12) AS b12_,
+               (a11 * g21 - a12 * g11) / (a11 * a22 - a12 * a12) AS b21_,
+               (a11 * g22 - a12 * g12) / (a11 * a22 - a12 * a12) AS b22_,
+               (b22 * g11 - b12 * g12) / (b11 * b22 - b12 * b12) AS c11_,
+               (b22 * g21 - b12 * g22) / (b11 * b22 - b12 * b12) AS c12_,
+               (b11 * g12 - b12 * g11) / (b11 * b22 - b12 * b12) AS c21_,
+               (b11 * g22 - b12 * g21) / (b11 * b22 - b12 * b12) AS c22_
+        FROM cv
+    ),
+    mm AS (
+        SELECT n,
+               b11_ * c11_ + b12_ * c21_ AS m11,
+               b11_ * c12_ + b12_ * c22_ AS m12,
+               b21_ * c11_ + b22_ * c21_ AS m21,
+               b21_ * c12_ + b22_ * c22_ AS m22
+        FROM bc
+    ),
+    eig AS (
+        SELECT n,
+               (m11 + m22
+                + sqrt(greatest(0.0, (m11 + m22) * (m11 + m22)
+                                - CAST(4 AS DOUBLE)
+                                  * (m11 * m22 - m12 * m21))))
+               / CAST(2 AS DOUBLE) AS l1,
+               (m11 + m22
+                - sqrt(greatest(0.0, (m11 + m22) * (m11 + m22)
+                                - CAST(4 AS DOUBLE)
+                                  * (m11 * m22 - m12 * m21))))
+               / CAST(2 AS DOUBLE) AS l2
+        FROM mm
+    )
+    SELECT n AS n_days,
+           round(sqrt(greatest(0.0, l1)), 6) + 0.0 AS rho1,
+           round(sqrt(greatest(0.0, l2)), 6) + 0.0 AS rho2,
+           round((CAST(1 AS DOUBLE) - l1) * (CAST(1 AS DOUBLE) - l2),
+                 6) + 0.0 AS wilks_lambda,
+           round(-(n - CAST(7 AS DOUBLE) / 2)
+                 * ln((CAST(1 AS DOUBLE) - l1)
+                      * (CAST(1 AS DOUBLE) - l2)), 6) + 0.0
+               AS bartlett_chi2
+    FROM eig
+    """,
+)
+def canonical_correlation_pairs(spark, sf_dir):
+    """Canonical correlation analysis between the daily ENGAGEMENT
+    block (clicks, views) and OUTCOME block (purchase count, purchase
+    revenue) — the multivariate association summary that one Pearson
+    per pair can't give: rho1/rho2 are the singular correlations of
+    the best-aligned linear combinations, Wilks' Lambda =
+    prod(1 - lambda_i) tests joint independence with Bartlett's chi2
+    = -(n - (p+q+3)/2) ln Lambda on pq = 4 df. Completes the
+    multivariate tier beside Hotelling T2 (mean vectors), Box M
+    (covariances), and the closed-form 2x2 PCA (X235).
+
+    The 2x2x2x2 eigenproblem M = Sxx^-1 Sxy Syy^-1 Syx is solved in
+    closed form (two adjugate inverses, one 2x2 product, the
+    trace/det quadratic, greatest(0,.)-guarded roots). All 14
+    moments are exact BIGINT/DECIMAL folds from one day rollup
+    (DECIMAL(19,0) operands keep the cents cross-products exact at
+    any SF); everything after is one scalar double tree. Plan: one
+    events scan, one day rollup, one fold — no windows, no joins."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+    cents = (dec("value", 18, 2) * 100).cast("bigint")
+    dayv = e.groupBy(day.alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x2"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y1"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y2"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    m = dayv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("sx1"),
+        F.sum("x2").cast("bigint").alias("sx2"),
+        F.sum("y1").cast("bigint").alias("sy1"),
+        F.sum("y2").cast("bigint").alias("sy2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(d19("y1") * F.col("y1")).cast("decimal(38,0)").alias("t11"),
+        F.sum(d19("y1") * F.col("y2")).cast("decimal(38,0)").alias("t12"),
+        F.sum(d19("y2") * F.col("y2")).cast("decimal(38,0)").alias("t22"),
+        F.sum(d19("x1") * F.col("y1")).cast("decimal(38,0)").alias("c11"),
+        F.sum(d19("x1") * F.col("y2")).cast("decimal(38,0)").alias("c12"),
+        F.sum(d19("x2") * F.col("y1")).cast("decimal(38,0)").alias("c21"),
+        F.sum(d19("x2") * F.col("y2")).cast("decimal(38,0)").alias("c22"),
+    )
+    n = F.col("n")
+
+    def ctr(tot, a, b):
+        return (
+            F.col(tot).cast("double")
+            - F.col(a).cast("double") * F.col(b) / n
+        )
+
+    cv = m.select(
+        "n",
+        ctr("s11", "sx1", "sx1").alias("a11"),
+        ctr("s12", "sx1", "sx2").alias("a12"),
+        ctr("s22", "sx2", "sx2").alias("a22"),
+        ctr("t11", "sy1", "sy1").alias("b11"),
+        ctr("t12", "sy1", "sy2").alias("b12"),
+        ctr("t22", "sy2", "sy2").alias("b22"),
+        ctr("c11", "sx1", "sy1").alias("g11"),
+        ctr("c12", "sx1", "sy2").alias("g12"),
+        ctr("c21", "sx2", "sy1").alias("g21"),
+        ctr("c22", "sx2", "sy2").alias("g22"),
+    )
+    deta = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    detb = F.col("b11") * F.col("b22") - F.col("b12") * F.col("b12")
+    bc = cv.select(
+        "n",
+        ((F.col("a22") * F.col("g11") - F.col("a12") * F.col("g21")) / deta).alias("b11_"),
+        ((F.col("a22") * F.col("g12") - F.col("a12") * F.col("g22")) / deta).alias("b12_"),
+        ((F.col("a11") * F.col("g21") - F.col("a12") * F.col("g11")) / deta).alias("b21_"),
+        ((F.col("a11") * F.col("g22") - F.col("a12") * F.col("g12")) / deta).alias("b22_"),
+        ((F.col("b22") * F.col("g11") - F.col("b12") * F.col("g12")) / detb).alias("c11_"),
+        ((F.col("b22") * F.col("g21") - F.col("b12") * F.col("g22")) / detb).alias("c12_"),
+        ((F.col("b11") * F.col("g12") - F.col("b12") * F.col("g11")) / detb).alias("c21_"),
+        ((F.col("b11") * F.col("g22") - F.col("b12") * F.col("g21")) / detb).alias("c22_"),
+    )
+    mm = bc.select(
+        "n",
+        (F.col("b11_") * F.col("c11_") + F.col("b12_") * F.col("c21_")).alias("m11"),
+        (F.col("b11_") * F.col("c12_") + F.col("b12_") * F.col("c22_")).alias("m12"),
+        (F.col("b21_") * F.col("c11_") + F.col("b22_") * F.col("c21_")).alias("m21"),
+        (F.col("b21_") * F.col("c12_") + F.col("b22_") * F.col("c22_")).alias("m22"),
+    )
+    tr = F.col("m11") + F.col("m22")
+    det = F.col("m11") * F.col("m22") - F.col("m12") * F.col("m21")
+    disc = F.sqrt(
+        F.greatest(
+            F.lit(0.0), tr * tr - F.lit(4).cast("double") * det
+        )
+    )
+    eig = mm.select(
+        "n",
+        ((tr + disc) / F.lit(2).cast("double")).alias("l1"),
+        ((tr - disc) / F.lit(2).cast("double")).alias("l2"),
+    )
+    one = F.lit(1).cast("double")
+    wilks = (one - F.col("l1")) * (one - F.col("l2"))
+    return eig.select(
+        F.col("n").alias("n_days"),
+        (F.round(F.sqrt(F.greatest(F.lit(0.0), F.col("l1"))), 6) + 0.0).alias("rho1"),
+        (F.round(F.sqrt(F.greatest(F.lit(0.0), F.col("l2"))), 6) + 0.0).alias("rho2"),
+        (F.round(wilks, 6) + 0.0).alias("wilks_lambda"),
+        (
+            F.round(
+                -(F.col("n") - F.lit(7).cast("double") / 2) * F.log(wilks),
+                6,
+            )
+            + 0.0
+        ).alias("bartlett_chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mardia's multivariate skewness / kurtosis normality test
+# --------------------------------------------------------------------------
+@register(
+    "mardia_multivariate_normality",
+    oracle="""
+    WITH dayv AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                        END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                        END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM dayv
+    ),
+    inv AS (
+        -- MLE covariance (divide n) inverted in closed form; entries
+        -- rounded at 10 dp so both engines standardize identically
+        SELECT n,
+               round((CAST(syy AS DOUBLE) / n
+                      - (CAST(sy AS DOUBLE) / n) * (sy * 1.0 / n))
+                     / ((CAST(sxx AS DOUBLE) / n
+                         - (CAST(sx AS DOUBLE) / n) * (sx * 1.0 / n))
+                        * (CAST(syy AS DOUBLE) / n
+                           - (CAST(sy AS DOUBLE) / n) * (sy * 1.0 / n))
+                        - (CAST(sxy AS DOUBLE) / n
+                           - (CAST(sx AS DOUBLE) / n) * (sy * 1.0 / n))
+                          * (CAST(sxy AS DOUBLE) / n
+                             - (CAST(sx AS DOUBLE) / n)
+                               * (sy * 1.0 / n))), 10) AS i11,
+               round(-(CAST(sxy AS DOUBLE) / n
+                       - (CAST(sx AS DOUBLE) / n) * (sy * 1.0 / n))
+                     / ((CAST(sxx AS DOUBLE) / n
+                         - (CAST(sx AS DOUBLE) / n) * (sx * 1.0 / n))
+                        * (CAST(syy AS DOUBLE) / n
+                           - (CAST(sy AS DOUBLE) / n) * (sy * 1.0 / n))
+                        - (CAST(sxy AS DOUBLE) / n
+                           - (CAST(sx AS DOUBLE) / n) * (sy * 1.0 / n))
+                          * (CAST(sxy AS DOUBLE) / n
+                             - (CAST(sx AS DOUBLE) / n)
+                               * (sy * 1.0 / n))), 10) AS i12,
+               round((CAST(sxx AS DOUBLE) / n
+                      - (CAST(sx AS DOUBLE) / n) * (sx * 1.0 / n))
+                     / ((CAST(sxx AS DOUBLE) / n
+                         - (CAST(sx AS DOUBLE) / n) * (sx * 1.0 / n))
+                        * (CAST(syy AS DOUBLE) / n
+                           - (CAST(sy AS DOUBLE) / n) * (sy * 1.0 / n))
+                        - (CAST(sxy AS DOUBLE) / n
+                           - (CAST(sx AS DOUBLE) / n) * (sy * 1.0 / n))
+                          * (CAST(sxy AS DOUBLE) / n
+                             - (CAST(sx AS DOUBLE) / n)
+                               * (sy * 1.0 / n))), 10) AS i22,
+               round(CAST(sx AS DOUBLE) / n, 8) AS mx,
+               round(CAST(sy AS DOUBLE) / n, 8) AS my
+        FROM m
+    ),
+    dev AS (
+        SELECT d.day,
+               round(d.x - i.mx, 8) AS dx,
+               round(d.y - i.my, 8) AS dy
+        FROM dayv d, inv i
+    ),
+    b2 AS (
+        SELECT CAST(SUM(CAST(round(
+                   (dx * (i.i11 * dx + i.i12 * dy)
+                    + dy * (i.i12 * dx + i.i22 * dy))
+                   * (dx * (i.i11 * dx + i.i12 * dy)
+                      + dy * (i.i12 * dx + i.i22 * dy)), 6)
+                   AS DECIMAL(38,6))) AS DOUBLE) AS sb2
+        FROM dev, inv i
+    ),
+    b1 AS (
+        SELECT CAST(SUM(CAST(round(
+                   (a.dx * (i.i11 * b.dx + i.i12 * b.dy)
+                    + a.dy * (i.i12 * b.dx + i.i22 * b.dy))
+                   * (a.dx * (i.i11 * b.dx + i.i12 * b.dy)
+                      + a.dy * (i.i12 * b.dx + i.i22 * b.dy))
+                   * (a.dx * (i.i11 * b.dx + i.i12 * b.dy)
+                      + a.dy * (i.i12 * b.dx + i.i22 * b.dy)), 6)
+                   AS DECIMAL(38,6))) AS DOUBLE) AS sb1
+        FROM dev a, dev b, inv i
+    )
+    SELECT i.n AS n_days,
+           round(b1.sb1 / (CAST(i.n AS DOUBLE) * i.n), 6) + 0.0
+               AS mardia_b1,
+           round(b2.sb2 / i.n, 6) + 0.0 AS mardia_b2,
+           round(i.n * (b1.sb1 / (CAST(i.n AS DOUBLE) * i.n)) / 6.0, 6)
+               + 0.0 AS skew_chi2_df4,
+           round((b2.sb2 / i.n - 8.0) / sqrt(64.0 / i.n), 6) + 0.0
+               AS kurt_z
+    FROM inv i, b1, b2
+    """,
+)
+def mardia_multivariate_normality(spark, sf_dir):
+    """Mardia's multivariate skewness b1,p and kurtosis b2,p of the
+    daily (clicks, views) vector — the JOINT normality certificate
+    behind Hotelling/Box/CCA's distributional assumptions (univariate
+    D'Agostino per margin cannot see dependence-structure
+    non-normality): b1 = (1/n²) Σ_ij (d_i' S⁻¹ d_j)³ with n·b1/6 ~
+    χ²(4), b2 = (1/n) Σ_i (d_i' S⁻¹ d_i)² with (b2−8)/√(64/n) ~ N(0,1)
+    at p = 2.
+
+    The pairwise b1 double sum runs as a self-join of the
+    CALENDAR-DAY deviation frame — n² pairs of a DOMAIN-bounded grid
+    (5.8M at ten years of days), never data-grain²; S⁻¹ entries and
+    the means are rounded at 10/8 dp before broadcast so both engines
+    standardize identical doubles, and every Mahalanobis kernel term
+    is rounded at 6 dp before its DECIMAL(38,6) fold
+    (order-independent). Plan: one day rollup, one closed-form 2x2
+    inverse, one bounded self-join + two folds."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+    dayv = e.groupBy(day.alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = dayv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    v11 = F.col("sxx").cast("double") / n - mx * (F.col("sx") * 1.0 / n)
+    v22 = F.col("syy").cast("double") / n - my * (F.col("sy") * 1.0 / n)
+    v12 = F.col("sxy").cast("double") / n - mx * (F.col("sy") * 1.0 / n)
+    det = v11 * v22 - v12 * v12
+    inv = m.select(
+        "n",
+        F.round(v22 / det, 10).alias("i11"),
+        F.round(-v12 / det, 10).alias("i12"),
+        F.round(v11 / det, 10).alias("i22"),
+        F.round(mx, 8).alias("mx"),
+        F.round(my, 8).alias("my"),
+    )
+    dev = dayv.crossJoin(F.broadcast(inv)).select(
+        "day",
+        "n",
+        "i11",
+        "i12",
+        "i22",
+        F.round(F.col("x") - F.col("mx"), 8).alias("dx"),
+        F.round(F.col("y") - F.col("my"), 8).alias("dy"),
+    )
+    r6 = lambda c: F.round(c, 6).cast("decimal(38,6)")  # noqa: E731
+    q = F.col("dx") * (
+        F.col("i11") * F.col("dx") + F.col("i12") * F.col("dy")
+    ) + F.col("dy") * (
+        F.col("i12") * F.col("dx") + F.col("i22") * F.col("dy")
+    )
+    b2 = dev.agg(F.sum(r6(q * q)).cast("double").alias("sb2"))
+    da = dev.select(
+        F.col("day").alias("da_day"),
+        F.col("dx").alias("adx"),
+        F.col("dy").alias("ady"),
+    )
+    db = dev.select(
+        F.col("day").alias("db_day"),
+        F.col("dx").alias("bdx"),
+        F.col("dy").alias("bdy"),
+        "i11",
+        "i12",
+        "i22",
+    )
+    cross = da.crossJoin(db)
+    kern = F.col("adx") * (
+        F.col("i11") * F.col("bdx") + F.col("i12") * F.col("bdy")
+    ) + F.col("ady") * (
+        F.col("i12") * F.col("bdx") + F.col("i22") * F.col("bdy")
+    )
+    b1 = cross.agg(
+        F.sum(r6(kern * kern * kern)).cast("double").alias("sb1")
+    )
+    nd = n.cast("double")
+    return (
+        inv.crossJoin(F.broadcast(b1))
+        .crossJoin(F.broadcast(b2))
+        .select(
+            n.alias("n_days"),
+            (F.round(F.col("sb1") / (nd * n), 6) + 0.0).alias(
+                "mardia_b1"
+            ),
+            (F.round(F.col("sb2") / n, 6) + 0.0).alias("mardia_b2"),
+            (
+                F.round(n * (F.col("sb1") / (nd * n)) / 6.0, 6) + 0.0
+            ).alias("skew_chi2_df4"),
+            (
+                F.round(
+                    (F.col("sb2") / n - 8.0) / F.sqrt(64.0 / n), 6
+                )
+                + 0.0
+            ).alias("kurt_z"),
+        )
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "mardia_multivariate_normality": (
+            "calendar-day-frame self-join (bounded n_days^2 pair "
+            "frame — the distance_correlation class); the crossJoin "
+            "is the b1 double sum over the day domain, never "
+            "data-grain"
+        ),
+    }
+)
