@@ -1676,7 +1676,10 @@ def quantile_treatment_effect(spark, sf_dir):
     per_user = e.groupBy("user_id").agg(
         F.sum(dec("value", 18, 2)).cast("double").alias("tv")
     ).select(
-        ((F.col("user_id") * _KNUTH) % _M32 % 2).alias("arm"), "tv"
+        ((F.col("user_id").cast("decimal(38,0)") * _KNUTH) % _M32 % 2)
+        .cast("bigint")
+        .alias("arm"),
+        "tv",
     )
     a = per_user.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),

@@ -149,12 +149,17 @@ def poisson_bootstrap_se(spark, sf_dir):
     )
     reps = spark.range(1, 51).select(F.col("id").alias("rep"))
     u = (
-        ((F.col("k") * 2654435761 + F.col("rep") * 40503) % 4294967296)
+        (
+            (F.col("k").cast("decimal(38,0)") * 2654435761
+             + F.col("rep") * 40503)
+            % 4294967296
+        ).cast("double")
         / 4294967296.0
     )
     w = F.expr(
         _pois_case(
-            "((k * 2654435761 + rep * 40503) % 4294967296)"
+            "(CAST((CAST(k AS DECIMAL(38,0)) * 2654435761"
+            " + rep * 40503) % 4294967296 AS DOUBLE))"
             " / 4294967296.0"
         )
     )
@@ -915,7 +920,10 @@ def horvitz_thompson_estimate(spark, sf_dir):
     )
     pi = F.least(F.lit(1.0), 500.0 * F.col("x") / F.col("s"))
     u = (
-        ((F.col("k") * 2654435761 + 12345) % 4294967296)
+        (
+            (F.col("k").cast("decimal(38,0)") * 2654435761 + 12345)
+            % 4294967296
+        ).cast("double")
         / 4294967296.0
     )
     samp = v.crossJoin(F.broadcast(tot)).where(u < pi)
@@ -5668,10 +5676,12 @@ def brr_hadamard_variance(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     v = o.select(
         (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("x"),
-        ((F.col("o_custkey") * 2654435761) % 4294967296 % 7)
+        ((F.col("o_custkey").cast("decimal(38,0)") * 2654435761)
+         % 4294967296 % 7)
         .cast("bigint")
         .alias("s"),
-        ((F.col("o_custkey") * 40503) % 4294967296 % 2)
+        ((F.col("o_custkey").cast("decimal(38,0)") * 40503)
+         % 4294967296 % 2)
         .cast("bigint")
         .alias("psu"),
     )

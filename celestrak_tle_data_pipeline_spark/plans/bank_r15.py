@@ -3710,3 +3710,240 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Aalen-Johansen cumulative incidence under competing risks
+# --------------------------------------------------------------------------
+@register(
+    "aalen_johansen_competing",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+               CAST(min(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS BIGINT) AS tp,
+               CAST(min(CASE WHEN event_type = 'error'
+                        THEN epoch_us(ts) END) AS BIGINT) AS te,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS tend
+        FROM events GROUP BY user_id
+    ),
+    obs AS (
+        SELECT user_id,
+               CASE
+                   WHEN tp IS NOT NULL
+                        AND (te IS NULL OR tp <= te)
+                       THEN (tp - t0) // 3600000000
+                   WHEN te IS NOT NULL THEN (te - t0) // 3600000000
+                   ELSE (tend - t0) // 3600000000
+               END AS traw,
+               CASE
+                   WHEN tp IS NOT NULL
+                        AND (te IS NULL OR tp <= te) THEN 1
+                   WHEN te IS NOT NULL THEN 2
+                   ELSE 0
+               END AS cause
+        FROM per_user
+    ),
+    capped AS (
+        SELECT CASE WHEN traw > 336 THEN 337 ELSE traw END AS tt,
+               CASE WHEN traw > 336 THEN 0 ELSE cause END AS cause
+        FROM obs
+    ),
+    grid AS (
+        SELECT tt,
+               CAST(COUNT(*) AS BIGINT) AS c_all,
+               CAST(SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d1,
+               CAST(SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d2
+        FROM capped GROUP BY tt
+    ),
+    risk AS (
+        SELECT tt, d1, d2,
+               CAST(SUM(c_all) OVER (ORDER BY tt
+                                     ROWS BETWEEN CURRENT ROW
+                                     AND UNBOUNDED FOLLOWING)
+                    AS BIGINT) AS n_at
+        FROM grid
+    ),
+    km AS (
+        SELECT tt, d1, d2, n_at,
+               exp(COALESCE(SUM(round(ln(
+                       CAST(n_at - d1 - d2 AS DOUBLE) / n_at), 10))
+                   OVER (ORDER BY tt
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0.0)) AS s_minus
+        FROM risk
+    ),
+    cif AS (
+        SELECT tt,
+               SUM(round(s_minus * d1 / n_at, 10))
+                   OVER (ORDER BY tt
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cif1,
+               SUM(round(s_minus * d2 / n_at, 10))
+                   OVER (ORDER BY tt
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cif2
+        FROM km
+    ),
+    hz AS (SELECT CAST(h AS BIGINT) AS h
+           FROM (VALUES (24), (72), (168), (336)) t(h)),
+    at_h AS (
+        SELECT hz.h,
+               MAX(cif.cif1) AS c1,
+               MAX(cif.cif2) AS c2
+        FROM hz LEFT JOIN cif ON cif.tt <= hz.h
+        GROUP BY hz.h
+    )
+    SELECT h AS horizon_hours,
+           round(COALESCE(c1, 0.0), 6) + 0.0 AS cif_purchase,
+           round(COALESCE(c2, 0.0), 6) + 0.0 AS cif_error,
+           round(1.0 - COALESCE(c1, 0.0) - COALESCE(c2, 0.0), 6)
+               AS event_free
+    FROM at_h
+    ORDER BY h
+    """,
+)
+def aalen_johansen_competing(spark, sf_dir):
+    """Aalen-Johansen cumulative incidence functions under COMPETING
+    risks: from each user's first observed event, the probability of
+    a first PURCHASE (cause 1) vs a first ERROR (cause 2) by horizon
+    h — where one minus the per-cause Kaplan-Meier (X100) famously
+    OVERSTATES incidence when the other cause removes users first.
+    CIF_k(t) = sum_{{u<=t}} S(u-) d_k(u)/n(u) with S the all-cause KM;
+    the identity CIF_1 + CIF_2 + S = 1 makes event_free a built-in
+    self-check. Ties (tp = te) break to purchase; times past the
+    336 h horizon are censored at 337 (deterministic cap that keeps
+    the risk grid <= 338 rows).
+
+    The KM product is the registry's exp-of-ln-sum device: each
+    hazard term ln((n-d)/n) is an exact-rational double rounded at
+    10 dp before the EXCLUSIVE-prefix fold, so S(u-) is identical in
+    both engines; CIF increments are rounded at 10 dp before their
+    cumulative fold. Plan: one user rollup (data-grain, map-side
+    combinable), one grid rollup; the three cumulative windows run
+    on the capped HOUR-GRID frame (bounded domain)."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    per_user = e.groupBy("user_id").agg(
+        F.min(us).cast("bigint").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", us))
+        .cast("bigint")
+        .alias("tp"),
+        F.min(F.when(F.col("event_type") == "error", us))
+        .cast("bigint")
+        .alias("te"),
+        F.max(us).cast("bigint").alias("tend"),
+    )
+    pfirst = F.col("tp").isNotNull() & (
+        F.col("te").isNull() | (F.col("tp") <= F.col("te"))
+    )
+    traw = (
+        F.when(pfirst, F.floor((F.col("tp") - F.col("t0")) / 3_600_000_000))
+        .when(
+            F.col("te").isNotNull(),
+            F.floor((F.col("te") - F.col("t0")) / 3_600_000_000),
+        )
+        .otherwise(F.floor((F.col("tend") - F.col("t0")) / 3_600_000_000))
+    ).cast("bigint")
+    cause = (
+        F.when(pfirst, 1)
+        .when(F.col("te").isNotNull(), 2)
+        .otherwise(0)
+    )
+    obs = per_user.select(traw.alias("traw"), cause.alias("cause"))
+    capped = obs.select(
+        F.when(F.col("traw") > 336, 337)
+        .otherwise(F.col("traw"))
+        .cast("bigint")
+        .alias("tt"),
+        F.when(F.col("traw") > 336, 0).otherwise(F.col("cause")).alias(
+            "cause"
+        ),
+    )
+    grid = capped.groupBy("tt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum(F.when(F.col("cause") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("cause") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d2"),
+    )
+    wtt = Window.orderBy("tt")
+    risk = grid.select(
+        "tt",
+        "d1",
+        "d2",
+        F.sum("c_all")
+        .over(wtt.rowsBetween(0, Window.unboundedFollowing))
+        .cast("bigint")
+        .alias("n_at"),
+    )
+    hterm = F.round(
+        F.log(
+            (F.col("n_at") - F.col("d1") - F.col("d2")).cast("double")
+            / F.col("n_at")
+        ),
+        10,
+    )
+    km = risk.select(
+        "tt",
+        "d1",
+        "d2",
+        "n_at",
+        F.exp(
+            F.coalesce(
+                F.sum(hterm).over(
+                    wtt.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            )
+        ).alias("s_minus"),
+    )
+    cif = km.select(
+        "tt",
+        F.sum(
+            F.round(F.col("s_minus") * F.col("d1") / F.col("n_at"), 10)
+        )
+        .over(wtt.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cif1"),
+        F.sum(
+            F.round(F.col("s_minus") * F.col("d2") / F.col("n_at"), 10)
+        )
+        .over(wtt.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cif2"),
+    )
+    hz = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(24), F.lit(72), F.lit(168), F.lit(336))
+        )
+        .cast("bigint")
+        .alias("h")
+    )
+    at_h = (
+        hz.join(cif, cif.tt <= hz.h, "left")
+        .groupBy("h")
+        .agg(F.max("cif1").alias("c1"), F.max("cif2").alias("c2"))
+    )
+    c1 = F.coalesce(F.col("c1"), F.lit(0.0))
+    c2 = F.coalesce(F.col("c2"), F.lit(0.0))
+    return at_h.select(
+        F.col("h").alias("horizon_hours"),
+        (F.round(c1, 6) + 0.0).alias("cif_purchase"),
+        (F.round(c2, 6) + 0.0).alias("cif_error"),
+        F.round(1.0 - c1 - c2, 6).alias("event_free"),
+    ).orderBy("h")
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "aalen_johansen_competing": (
+            "reverse-cumulative + two prefix windows over the capped "
+            "337-row hour grid (bounded domain — the kaplan_meier "
+            "class)"
+        ),
+    }
+)

@@ -90,7 +90,11 @@ def split_label(id_col) -> "F.Column":
     runs, partitionings, and appends. Python twin: ``split_label_py``.
     """
     c = id_col if isinstance(id_col, F.Column) else F.col(id_col)
-    bucket = (c * F.lit(_KNUTH)) % F.lit(_M32) % F.lit(1000)
+    # DECIMAL(38,0) widening: id*_KNUTH overflows int64 once ids pass
+    # ~3.5e9 (real at 100 TB key spaces); exact, value-identical below
+    bucket = (
+        (c.cast("decimal(38,0)") * F.lit(_KNUTH)) % F.lit(_M32) % F.lit(1000)
+    ).cast("bigint")
     return (
         F.when(bucket < 800, "train")
         .when(bucket < 900, "val")
@@ -1642,8 +1646,12 @@ def join_size_sample_estimate(spark, sf_dir):
         o.join(l, o.o_orderkey == l.l_orderkey)
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_size"))
     )
-    keep = (F.col("o_orderkey") * _KNUTH) % _M32 % 100 < 10
-    keep_l = (F.col("l_orderkey") * _KNUTH) % _M32 % 100 < 10
+    keep = (
+        F.col("o_orderkey").cast("decimal(38,0)") * _KNUTH
+    ) % _M32 % 100 < 10
+    keep_l = (
+        F.col("l_orderkey").cast("decimal(38,0)") * _KNUTH
+    ) % _M32 % 100 < 10
     samp = (
         o.where(keep)
         .join(l.where(keep_l), o.o_orderkey == l.l_orderkey)

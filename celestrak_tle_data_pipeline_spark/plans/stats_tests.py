@@ -427,7 +427,9 @@ def ab_experiment_readout(spark, sf_dir):
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("converted"),
     ).select(
-        ((F.col("user_id") * _KNUTH) % _M32 % 2).alias("arm"),
+        ((F.col("user_id").cast("decimal(38,0)") * _KNUTH) % _M32 % 2)
+        .cast("bigint")
+        .alias("arm"),
         "tv",
         "converted",
     )
@@ -879,7 +881,7 @@ def cuped_adjusted_ab(spark, sf_dir):
             # uses (ab_experiment_readout, srm_guardrail_check, …) — the
             # SRM guardrail audits exactly the assignment CUPED reads,
             # so a flag there indicts this readout too (r6 advisor)
-            ((F.col("user_id") * _KNUTH) % _M32 % 2)
+            ((F.col("user_id").cast("decimal(38,0)") * _KNUTH) % _M32 % 2)
             .cast("int")
             .alias("arm"),
         )
@@ -1304,7 +1306,9 @@ def srm_guardrail_check(spark, sf_dir):
     from .ext_pipeline import _KNUTH, _M32
 
     e = t(spark, sf_dir, "events")
-    arm = (F.col("user_id") * _KNUTH) % _M32 % 2
+    arm = (
+        (F.col("user_id").cast("decimal(38,0)") * _KNUTH) % _M32 % 2
+    ).cast("bigint")
     per_type = (
         e.groupBy("event_type", "user_id")
         .agg(F.lit(1))
@@ -1422,7 +1426,10 @@ def ab_difference_newcombe(spark, sf_dir):
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("converted")
     ).select(
-        ((F.col("user_id") * _KNUTH) % _M32 % 2).alias("arm"), "converted"
+        ((F.col("user_id").cast("decimal(38,0)") * _KNUTH) % _M32 % 2)
+        .cast("bigint")
+        .alias("arm"),
+        "converted",
     )
     arms = per_user.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
@@ -1557,7 +1564,7 @@ def cem_matched_att(spark, sf_dir):
         days.crossJoin(F.broadcast(bounds))
         .groupBy(
             "user_id",
-            ((F.col("user_id") * _KNUTH) % _M32 % 2)
+            ((F.col("user_id").cast("decimal(38,0)") * _KNUTH) % _M32 % 2)
             .cast("int")
             .alias("arm"),
         )
