@@ -3768,9 +3768,14 @@ PLAN_AUDIT_NOTES.update(
         FROM grid
     ),
     km AS (
+        -- n_at = d1+d2 (zero survivors) can only happen at the LAST
+        -- grid row, whose hazard term feeds no later exclusive
+        -- prefix: NULL it out (SUM skips NULLs) instead of ln(0)
         SELECT tt, d1, d2, n_at,
-               exp(COALESCE(SUM(round(ln(
-                       CAST(n_at - d1 - d2 AS DOUBLE) / n_at), 10))
+               exp(COALESCE(SUM(CASE WHEN n_at - d1 - d2 > 0
+                       THEN round(ln(
+                           CAST(n_at - d1 - d2 AS DOUBLE) / n_at), 10)
+                       END)
                    OVER (ORDER BY tt
                          ROWS BETWEEN UNBOUNDED PRECEDING
                          AND 1 PRECEDING), 0.0)) AS s_minus
@@ -3800,7 +3805,7 @@ PLAN_AUDIT_NOTES.update(
     SELECT h AS horizon_hours,
            round(COALESCE(c1, 0.0), 6) + 0.0 AS cif_purchase,
            round(COALESCE(c2, 0.0), 6) + 0.0 AS cif_error,
-           round(1.0 - COALESCE(c1, 0.0) - COALESCE(c2, 0.0), 6)
+           round(1.0 - COALESCE(c1, 0.0) - COALESCE(c2, 0.0), 6) + 0.0
                AS event_free
     FROM at_h
     ORDER BY h
@@ -3882,12 +3887,15 @@ def aalen_johansen_competing(spark, sf_dir):
         .cast("bigint")
         .alias("n_at"),
     )
-    hterm = F.round(
-        F.log(
-            (F.col("n_at") - F.col("d1") - F.col("d2")).cast("double")
-            / F.col("n_at")
+    hterm = F.when(
+        F.col("n_at") - F.col("d1") - F.col("d2") > 0,
+        F.round(
+            F.log(
+                (F.col("n_at") - F.col("d1") - F.col("d2")).cast("double")
+                / F.col("n_at")
+            ),
+            10,
         ),
-        10,
     )
     km = risk.select(
         "tt",
@@ -3919,10 +3927,8 @@ def aalen_johansen_competing(spark, sf_dir):
     hz = spark.range(1).select(
         F.explode(
             F.array(F.lit(24), F.lit(72), F.lit(168), F.lit(336))
-        )
-        .cast("bigint")
-        .alias("h")
-    )
+        ).alias("h0")
+    ).select(F.col("h0").cast("bigint").alias("h"))
     at_h = (
         hz.join(cif, cif.tt <= hz.h, "left")
         .groupBy("h")
@@ -3934,7 +3940,7 @@ def aalen_johansen_competing(spark, sf_dir):
         F.col("h").alias("horizon_hours"),
         (F.round(c1, 6) + 0.0).alias("cif_purchase"),
         (F.round(c2, 6) + 0.0).alias("cif_error"),
-        F.round(1.0 - c1 - c2, 6).alias("event_free"),
+        (F.round(1.0 - c1 - c2, 6) + 0.0).alias("event_free"),
     ).orderBy("h")
 
 
@@ -3947,3 +3953,248 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Poisson overdispersion / zero-inflation panel on hourly purchases
+# --------------------------------------------------------------------------
+@register(
+    "poisson_dispersion_panel",
+    oracle="""
+    WITH hours AS (
+        SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h
+        FROM events WHERE event_type = 'purchase'
+    ),
+    span AS (
+        SELECT CAST(min(h) AS BIGINT) AS h0, CAST(max(h) AS BIGINT) AS h1
+        FROM hours
+    ),
+    grid AS (
+        SELECT CAST(u.g AS BIGINT) AS h
+        FROM span, LATERAL UNNEST(range(span.h0, span.h1 + 1)) AS u(g)
+    ),
+    counts AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS k FROM hours GROUP BY h
+    ),
+    filled AS (
+        SELECT g.h, COALESCE(c.k, 0) AS k
+        FROM grid g LEFT JOIN counts c ON g.h = c.h
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS kk,
+               CAST(SUM(k * k) AS BIGINT) AS kk2,
+               CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0
+        FROM filled
+    ),
+    s AS (
+        SELECT n, kk, n0,
+               CAST(kk AS DOUBLE) / n AS lam,
+               (CAST(kk2 AS DOUBLE) - CAST(kk AS DOUBLE) * kk / n)
+                   / (n - 1) AS s2
+        FROM m
+    )
+    SELECT n AS n_hours, n0 AS n_zero_hours,
+           round(lam, 6) + 0.0 AS lambda_hat,
+           round(s2 / lam, 6) + 0.0 AS var_mean_ratio,
+           round(sqrt(CAST(2 AS DOUBLE) * (n - 1) * s2 / lam)
+                 - sqrt(CAST(2 AS DOUBLE) * (n - 1) - 1), 6) + 0.0
+               AS dispersion_z,
+           round(CASE WHEN s2 > lam THEN lam * lam / (s2 - lam) END, 6)
+               + 0.0 AS nb_k_hat,
+           round((n0 - n * exp(-lam)) * (n0 - n * exp(-lam))
+                 / (n * exp(-lam) * (CAST(1 AS DOUBLE) - exp(-lam))
+                    - n * lam * exp(-lam) * exp(-lam)), 6) + 0.0
+               AS zip_score_chi2
+    FROM s
+    """,
+)
+def poisson_dispersion_panel(spark, sf_dir):
+    """Poisson adequacy panel for the hourly purchase-arrival counts
+    on the ZERO-FILLED hour grid (the allan_variance device — empty
+    hours are real observations, not missing data): the index of
+    dispersion D = (n-1)s²/λ̂ with its Wilson-Hilferty-style normal
+    deviate √(2D) − √(2(n−1)−1), the method-of-moments negative-
+    binomial size k̂ = λ̂²/(s²−λ̂) (NULL when under-dispersed — the
+    repair parameter if Poisson fails), and van den Broek's score
+    test for ZERO-INFLATION (n₀ − n·e^{−λ̂})²/(n·e^{−λ̂}(1−e^{−λ̂}) −
+    n·λ̂·e^{−2λ̂}) ~ χ²(1) — the three questions (overdispersed?
+    how much? excess zeros?) asked before any count model ships.
+
+    Exact BIGINT folds of the integer counts; every statistic is a
+    terminal double tree. Plan: one filtered scan → hour rollup, one
+    bounded grid fill (hour domain), one fold — no windows."""
+    e = t(spark, sf_dir, "events")
+    hours = e.where(F.col("event_type") == "purchase").select(
+        F.floor(F.unix_micros("ts") / 3_600_000_000)
+        .cast("bigint")
+        .alias("h")
+    )
+    span = hours.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    counts = hours.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    filled = grid.join(counts, "h", "left").select(
+        F.coalesce(F.col("k"), F.lit(0)).cast("bigint").alias("k")
+    )
+    m = filled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("kk"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("kk2"),
+        F.sum(F.when(F.col("k") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+    )
+    n = F.col("n")
+    lam = F.col("kk").cast("double") / n
+    s2 = (
+        F.col("kk2").cast("double") - F.col("kk").cast("double") * F.col("kk") / n
+    ) / (n - 1)
+    s = m.select("n", "n0", lam.alias("lam"), s2.alias("s2"))
+    lamc, s2c, n0 = F.col("lam"), F.col("s2"), F.col("n0")
+    two = F.lit(2).cast("double")
+    zip_num = (n0 - n * F.exp(-lamc)) * (n0 - n * F.exp(-lamc))
+    zip_den = n * F.exp(-lamc) * (
+        F.lit(1).cast("double") - F.exp(-lamc)
+    ) - n * lamc * F.exp(-lamc) * F.exp(-lamc)
+    return s.select(
+        n.alias("n_hours"),
+        n0.alias("n_zero_hours"),
+        (F.round(lamc, 6) + 0.0).alias("lambda_hat"),
+        (F.round(s2c / lamc, 6) + 0.0).alias("var_mean_ratio"),
+        (
+            F.round(
+                F.sqrt(two * (n - 1) * s2c / lamc)
+                - F.sqrt(two * (n - 1) - 1),
+                6,
+            )
+            + 0.0
+        ).alias("dispersion_z"),
+        (
+            F.round(
+                F.when(s2c > lamc, lamc * lamc / (s2c - lamc)), 6
+            )
+            + 0.0
+        ).alias("nb_k_hat"),
+        (F.round(zip_num / zip_den, 6) + 0.0).alias("zip_score_chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Games-Howell unequal-variance post-hoc pairwise comparisons
+# --------------------------------------------------------------------------
+@register(
+    "games_howell_pairwise",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority AS p,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                  * 100 AS BIGINT) AS DECIMAL(38,0))
+                        * CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                    * 100 AS BIGINT) AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS ss
+        FROM orders GROUP BY 1
+    ),
+    stats AS (
+        SELECT p, n,
+               CAST(s AS DOUBLE) / n / 100.0 AS mean_usd,
+               (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                   / (n - 1) / 10000.0 AS var_usd
+        FROM g
+    ),
+    pairs AS (
+        SELECT a.p AS pa, b.p AS pb,
+               a.mean_usd - b.mean_usd AS diff,
+               a.var_usd / a.n AS va, b.var_usd / b.n AS vb,
+               a.n AS na, b.n AS nb
+        FROM stats a JOIN stats b ON a.p < b.p
+    )
+    SELECT pa, pb,
+           round(diff, 6) + 0.0 AS mean_diff_usd,
+           round(diff / sqrt(va + vb), 6) + 0.0 AS t_stat,
+           round((va + vb) * (va + vb)
+                 / (va * va / (na - 1) + vb * vb / (nb - 1)), 2) + 0.0
+               AS welch_df,
+           CAST(CASE WHEN abs(diff / sqrt(va + vb))
+                          > CAST(2.7287 AS DOUBLE)
+                THEN 1 ELSE 0 END AS INT) AS sig_qinf_05
+    FROM pairs
+    ORDER BY pa, pb
+    """,
+)
+def games_howell_pairwise(spark, sf_dir):
+    """Games-Howell post-hoc pairwise comparisons of mean order value
+    across the five priority classes — the UNEQUAL-VARIANCE,
+    unequal-n companion to the registry's Tukey-Kramer HSD (X243,
+    which pools): per pair t = Δ/√(v_a/n_a + v_b/n_b) with the
+    Welch-Satterthwaite df, flagged against the conservative
+    df=∞ studentized-range bound q(0.05, 5, ∞)/√2 = 2.7287 (finite-df
+    critical values only grow, so a flag here is honest evidence and
+    the df column lets the reader refine).
+
+    Group moments are exact cents power sums (one hash rollup); the
+    10 pairs live on the 5-row priority domain (bounded self-join);
+    t/df are terminal doubles. Plan: one scan, one rollup, one
+    bounded join."""
+    o = t(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice", 18, 2) * 100).cast("bigint")
+    cd = cents.cast("decimal(38,0)")
+    g = o.groupBy(F.col("o_orderpriority").alias("p")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("s"),
+        F.sum(cd * cd).cast("decimal(38,0)").alias("ss"),
+    )
+    n = F.col("n")
+    stats = g.select(
+        "p",
+        "n",
+        (F.col("s").cast("double") / n / 100.0).alias("mean_usd"),
+        (
+            (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / n)
+            / (n - 1)
+            / 10000.0
+        ).alias("var_usd"),
+    )
+    a = stats.select(
+        F.col("p").alias("pa"),
+        F.col("n").alias("na"),
+        F.col("mean_usd").alias("ma"),
+        F.col("var_usd").alias("va_full"),
+    )
+    b = stats.select(
+        F.col("p").alias("pb"),
+        F.col("n").alias("nb"),
+        F.col("mean_usd").alias("mb"),
+        F.col("var_usd").alias("vb_full"),
+    )
+    pairs = a.join(b, F.col("pa") < F.col("pb")).select(
+        "pa",
+        "pb",
+        (F.col("ma") - F.col("mb")).alias("diff"),
+        (F.col("va_full") / F.col("na")).alias("va"),
+        (F.col("vb_full") / F.col("nb")).alias("vb"),
+        "na",
+        "nb",
+    )
+    va, vb = F.col("va"), F.col("vb")
+    tstat = F.col("diff") / F.sqrt(va + vb)
+    df = (va + vb) * (va + vb) / (
+        va * va / (F.col("na") - 1) + vb * vb / (F.col("nb") - 1)
+    )
+    return pairs.select(
+        "pa",
+        "pb",
+        (F.round("diff", 6) + 0.0).alias("mean_diff_usd"),
+        (F.round(tstat, 6) + 0.0).alias("t_stat"),
+        (F.round(df, 2) + 0.0).alias("welch_df"),
+        (F.abs(tstat) > F.lit(2.7287).cast("double"))
+        .cast("int")
+        .alias("sig_qinf_05"),
+    ).orderBy("pa", "pb")
