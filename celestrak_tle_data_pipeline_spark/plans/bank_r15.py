@@ -4198,3 +4198,388 @@ def games_howell_pairwise(spark, sf_dir):
         .cast("int")
         .alias("sig_qinf_05"),
     ).orderBy("pa", "pb")
+
+
+# --------------------------------------------------------------------------
+# Bass diffusion model fit on cumulative signups
+# --------------------------------------------------------------------------
+@register(
+    "bass_diffusion_fit",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'signup'
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT d, y,
+               CAST(COALESCE(SUM(y) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS nprev
+        FROM daily
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(nprev) AS DECIMAL(38,0)) AS s1,
+               CAST(SUM(CAST(nprev AS DECIMAL(19,0)) * nprev)
+                    AS DECIMAL(38,0)) AS s2,
+               CAST(SUM(CAST(nprev AS DECIMAL(19,0)) * nprev
+                        * CAST(nprev AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS s3,
+               CAST(SUM(CAST(nprev AS DECIMAL(19,0)) * nprev
+                        * CAST(nprev AS DECIMAL(19,0)) * nprev)
+                    AS DECIMAL(38,0)) AS s4,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * nprev)
+                    AS DECIMAL(38,0)) AS sy1,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * nprev
+                        * CAST(nprev AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sy2
+        FROM cum
+    ),
+    d_ AS (
+        SELECT n,
+               CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+               CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4,
+               CAST(sy AS DOUBLE) AS sy, CAST(sy1 AS DOUBLE) AS sy1,
+               CAST(sy2 AS DOUBLE) AS sy2
+        FROM m
+    ),
+    cr AS (
+        SELECT n,
+               n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+                   + s2 * (s1 * s3 - s2 * s2) AS det,
+               sy * (s2 * s4 - s3 * s3) - s1 * (sy1 * s4 - sy2 * s3)
+                   + s2 * (sy1 * s3 - sy2 * s2) AS deta,
+               n * (sy1 * s4 - sy2 * s3) - sy * (s1 * s4 - s3 * s2)
+                   + s2 * (s1 * sy2 - s2 * sy1) AS detb,
+               n * (s2 * sy2 - s3 * sy1) - s1 * (s1 * sy2 - s3 * sy)
+                   + sy * (s1 * s3 - s2 * s2) AS detc
+        FROM d_
+    ),
+    abc AS (
+        SELECT n, deta / det AS a, detb / det AS b, detc / det AS c
+        FROM cr
+    ),
+    bass AS (
+        SELECT n, a, b, c,
+               (-b - sqrt(greatest(0.0, b * b
+                          - CAST(4 AS DOUBLE) * a * c)))
+               / NULLIF(CAST(2 AS DOUBLE) * c, 0) AS mm
+        FROM abc
+    )
+    SELECT n AS n_days,
+           round(a, 6) + 0.0 AS coef_a,
+           round(b, 8) + 0.0 AS coef_b,
+           round(c, 12) + 0.0 AS coef_c,
+           round(mm, 2) + 0.0 AS m_market_size,
+           round(a / NULLIF(mm, 0), 8) + 0.0 AS p_innovation,
+           round(-c * mm, 8) + 0.0 AS q_imitation,
+           round(CASE WHEN -c * mm > 0 AND a / NULLIF(mm, 0) > 0
+                      THEN ln((-c * mm) / (a / mm))
+                           / NULLIF(a / mm + (-c * mm), 0)
+                 END, 2) + 0.0 AS peak_day_t
+    FROM bass
+    """,
+)
+def bass_diffusion_fit(spark, sf_dir):
+    """Bass (1969) diffusion-model fit on daily signup adoption via
+    the classic DISCRETE OLS: n_t = a + b·N_{t-1} + c·N²_{t-1}, then
+    (m, p, q) from the root of c·m² + b·m + a = 0 — market size m,
+    innovation coefficient p = a/m, imitation coefficient q = −c·m,
+    and the peak-adoption time ln(q/p)/(p+q). The growth-curve
+    forecast behind every product-adoption readout, and a
+    three-regressor closed form the registry's two-regressor device
+    can't cover: the 3x3 normal equations are solved by CRAMER's
+    rule with all eight moments folded as EXACT DECIMAL(38,0) power
+    sums (N³/N⁴ cross-products overflow int64 at scale; DECIMAL(19,0)
+    operands keep both engines' static typing inside 38 digits).
+
+    Determinants and roots are terminal double trees with
+    greatest/NULLIF guards. Plan: one filtered scan → day rollup;
+    the exclusive-prefix cumulative window runs on the calendar-day
+    frame (bounded domain); one fold."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy(
+            F.floor(F.unix_micros("ts") / 86_400_000_000)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    wd = Window.orderBy("d")
+    cum = daily.select(
+        "d",
+        "y",
+        F.coalesce(
+            F.sum("y").over(
+                wd.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("nprev"),
+    )
+    np_ = F.col("nprev").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    m = cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("nprev").cast("decimal(38,0)").alias("s1"),
+        F.sum(np_ * F.col("nprev")).cast("decimal(38,0)").alias("s2"),
+        F.sum(np_ * F.col("nprev") * np_).cast("decimal(38,0)").alias("s3"),
+        F.sum(np_ * F.col("nprev") * np_ * F.col("nprev"))
+        .cast("decimal(38,0)")
+        .alias("s4"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(yd * F.col("nprev")).cast("decimal(38,0)").alias("sy1"),
+        F.sum(yd * F.col("nprev") * np_)
+        .cast("decimal(38,0)")
+        .alias("sy2"),
+    )
+    n = F.col("n")
+    s1, s2, s3, s4 = (
+        F.col("s1").cast("double"),
+        F.col("s2").cast("double"),
+        F.col("s3").cast("double"),
+        F.col("s4").cast("double"),
+    )
+    sy, sy1, sy2 = (
+        F.col("sy").cast("double"),
+        F.col("sy1").cast("double"),
+        F.col("sy2").cast("double"),
+    )
+    det = (
+        n * (s2 * s4 - s3 * s3)
+        - s1 * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * s3 - s2 * s2)
+    )
+    deta = (
+        sy * (s2 * s4 - s3 * s3)
+        - s1 * (sy1 * s4 - sy2 * s3)
+        + s2 * (sy1 * s3 - sy2 * s2)
+    )
+    detb = (
+        n * (sy1 * s4 - sy2 * s3)
+        - sy * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * sy2 - s2 * sy1)
+    )
+    detc = (
+        n * (s2 * sy2 - s3 * sy1)
+        - s1 * (s1 * sy2 - s3 * sy)
+        + sy * (s1 * s3 - s2 * s2)
+    )
+    abc = m.select(
+        "n",
+        (deta / det).alias("a"),
+        (detb / det).alias("b"),
+        (detc / det).alias("c"),
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    mm = (
+        -b
+        - F.sqrt(
+            F.greatest(
+                F.lit(0.0), b * b - F.lit(4).cast("double") * a * c
+            )
+        )
+    ) / F.nullif(F.lit(2).cast("double") * c, F.lit(0.0))
+    bass = abc.select("n", "a", "b", "c", mm.alias("mm"))
+    p = a / F.nullif(F.col("mm"), F.lit(0.0))
+    q = -c * F.col("mm")
+    return bass.select(
+        n.alias("n_days"),
+        (F.round(a, 6) + 0.0).alias("coef_a"),
+        (F.round(b, 8) + 0.0).alias("coef_b"),
+        (F.round(c, 12) + 0.0).alias("coef_c"),
+        (F.round("mm", 2) + 0.0).alias("m_market_size"),
+        (F.round(p, 8) + 0.0).alias("p_innovation"),
+        (F.round(q, 8) + 0.0).alias("q_imitation"),
+        (
+            F.round(
+                F.when(
+                    (q > 0) & (p > 0),
+                    F.log(q / p) / F.nullif(p + q, F.lit(0.0)),
+                ),
+                2,
+            )
+            + 0.0
+        ).alias("peak_day_t"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Erlang-C staffing curve from the measured arrival rate
+# --------------------------------------------------------------------------
+_FACT16 = [
+    1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0, 5040.0, 40320.0,
+    362880.0, 3628800.0, 39916800.0, 479001600.0, 6227020800.0,
+    87178291200.0, 1307674368000.0, 20922789888000.0,
+]
+
+
+def _case17(col: str, table: list) -> str:
+    whens = " ".join(
+        f"WHEN {col} = {k} THEN {v}" for k, v in enumerate(table)
+    )
+    return f"CASE {whens} END"
+
+
+@register(
+    "erlang_c_staffing",
+    oracle=f"""
+    WITH span AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(max(epoch_us(ts)) // 86400000000
+                    - min(epoch_us(ts)) // 86400000000 + 1 AS BIGINT)
+                   AS days
+        FROM events WHERE event_type = 'purchase'
+    ),
+    lam AS (
+        SELECT round(CAST(k AS DOUBLE) / days, 8) AS l,
+               round(CAST(k AS DOUBLE) / days, 8)
+                   / CAST(2.0 AS DOUBLE) AS a
+        FROM span
+    ),
+    cg AS (SELECT CAST(c AS BIGINT) AS c
+           FROM (VALUES (1), (2), (4), (8), (16)) t(c)),
+    terms AS (
+        SELECT cg.c, kk.g AS kidx, lam.a, lam.l,
+               CASE WHEN kk.g = 0 THEN CAST(1.0 AS DOUBLE)
+                    ELSE exp(kk.g * ln(lam.a)) END
+               / ({_case17("kk.g", _FACT16)}) AS term
+        FROM cg, LATERAL UNNEST(range(0, 17)) AS kk(g), lam
+        WHERE kk.g < cg.c
+    ),
+    sums AS (
+        SELECT c, a, l,
+               CAST(SUM(CAST(round(term, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS s
+        FROM terms GROUP BY c, a, l
+    ),
+    ec AS (
+        SELECT c, a, l, s,
+               (exp(c * ln(a)) / ({_case17("c", _FACT16)}))
+               * (c / NULLIF(c - a, 0)) AS tail
+        FROM sums
+    )
+    SELECT c AS servers,
+           round(a / c, 6) + 0.0 AS utilization_rho,
+           round(CASE WHEN a < c THEN tail / (s + tail) END, 6) + 0.0
+               AS p_wait_erlang_c,
+           round(CASE WHEN a < c
+                      THEN tail / (s + tail)
+                           / (c * CAST(2.0 AS DOUBLE) - l) * 24.0
+                 END, 4) + 0.0 AS avg_wait_hours
+    FROM ec
+    ORDER BY c
+    """,
+)
+def erlang_c_staffing(spark, sf_dir):
+    """Erlang-C staffing curve for the measured purchase-arrival
+    process: with lambda = arrivals/day estimated from the data and a
+    literal service rate mu = 2.0/day, the probability an arrival
+    must WAIT, P_wait = (A^c/c!)(c/(c−A)) / (Σ_{{k<c}} A^k/k! +
+    (A^c/c!)(c/(c−A))), and the mean wait A/(...) across the literal
+    server grid c ∈ {{1,2,4,8,16}} (NULL where the system is
+    unstable, c ≤ A) — the queueing-theory staffing readout beside
+    the registry's Little's-law audit (X478), which measures L and W
+    but cannot answer "how many servers".
+
+    A^k/k! is exp(k ln A) over the EXACT 17-entry factorial literal
+    table (no libm gamma — neither engine ships lgamma in a shared
+    form); lambda is rounded at 8 dp before any power so both
+    engines exponentiate identical doubles; the k-sum folds 12-dp
+    rounded terms through DECIMAL(38,12). Plan: one filtered scan →
+    one scalar aggregate; the (c, k) grid is 31 literal rows."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    span = e.where(F.col("event_type") == "purchase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (
+            F.floor(F.max(us) / 86_400_000_000)
+            - F.floor(F.min(us) / 86_400_000_000)
+            + 1
+        )
+        .cast("bigint")
+        .alias("days"),
+    )
+    lam = span.select(
+        F.round(F.col("k").cast("double") / F.col("days"), 8).alias("l"),
+        (
+            F.round(F.col("k").cast("double") / F.col("days"), 8)
+            / F.lit(2.0).cast("double")
+        ).alias("a"),
+    )
+    cg = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8), F.lit(16))
+        ).alias("c0")
+    ).select(F.col("c0").cast("bigint").alias("c"))
+    pairs = cg.select(
+        "c", F.explode(F.sequence(F.lit(0), F.col("c") - 1)).alias("g")
+    ).crossJoin(F.broadcast(lam))
+    factl = F.lit(None).cast("double")
+    for kk in range(17):
+        factl = F.when(F.col("g") == kk, F.lit(_FACT16[kk])).otherwise(
+            factl
+        )
+    term = (
+        F.when(F.col("g") == 0, F.lit(1.0).cast("double")).otherwise(
+            F.exp(F.col("g") * F.log("a"))
+        )
+        / factl
+    )
+    sums = (
+        pairs.select("c", "a", "l", term.alias("term"))
+        .groupBy("c", "a", "l")
+        .agg(
+            F.sum(F.round("term", 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("s")
+        )
+    )
+    factc = F.lit(None).cast("double")
+    for kk in range(17):
+        factc = F.when(F.col("c") == kk, F.lit(_FACT16[kk])).otherwise(
+            factc
+        )
+    tail = (
+        F.exp(F.col("c") * F.log("a"))
+        / factc
+        * (F.col("c") / F.nullif((F.col("c") - F.col("a")), F.lit(0.0)))
+    )
+    ec = sums.select("c", "a", "l", "s", tail.alias("tail"))
+    pw = F.when(
+        F.col("a") < F.col("c"),
+        F.col("tail") / (F.col("s") + F.col("tail")),
+    )
+    return ec.select(
+        F.col("c").alias("servers"),
+        (F.round(F.col("a") / F.col("c"), 6) + 0.0).alias(
+            "utilization_rho"
+        ),
+        (F.round(pw, 6) + 0.0).alias("p_wait_erlang_c"),
+        (
+            F.round(
+                pw
+                / (F.col("c") * F.lit(2.0).cast("double") - F.col("l"))
+                * 24.0,
+                4,
+            )
+            + 0.0
+        ).alias("avg_wait_hours"),
+    ).orderBy("servers")
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "bass_diffusion_fit": (
+            "exclusive-prefix cumulative window over the calendar-day "
+            "adoption frame (bounded domain — the cusum class; "
+            "event-grain work is one day rollup before the window)"
+        ),
+    }
+)
