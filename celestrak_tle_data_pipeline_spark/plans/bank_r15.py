@@ -4583,3 +4583,652 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+def _p_two_sided_col(z):
+    """Two-sided normal tail of |z| as a Column: the shared
+    Abramowitz-Stegun 7.1.26 erfc polynomial (identical Horner tree
+    to ``stats_tests._p_two_sided_sql`` — bit-reproducible IEEE
+    doubles across both engines)."""
+    x = F.abs(z) / 1.4142135623730951
+    tp = 1.0 / (1.0 + 0.3275911 * x)
+    return (
+        (
+            ((1.061405429 * tp - 1.453152027) * tp + 1.421413741) * tp
+            - 0.284496736
+        )
+        * tp
+        + 0.254829592
+    ) * tp * F.exp(-x * x)
+
+
+# --------------------------------------------------------------------------
+# Cuzick's test for trend across the five ordered priority groups
+# --------------------------------------------------------------------------
+@register(
+    "cuzick_trend_test",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(substr(o.o_orderpriority, 1, 1) AS INT) AS z,
+               CAST(l.l_quantity AS BIGINT) AS v
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    by_vz AS (
+        SELECT v, z, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pts GROUP BY v, z
+    ),
+    vg AS (
+        SELECT v, CAST(SUM(c) AS BIGINT) AS h FROM by_vz GROUP BY v
+    ),
+    cum AS (
+        SELECT v, h,
+               CAST(SUM(h) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - h AS BIGINT) AS below
+        FROM vg
+    ),
+    fold AS (
+        SELECT CAST(SUM(b.c) AS BIGINT) AS nn,
+               CAST(SUM(CAST(b.z * b.c AS DECIMAL(19,0))
+                        * (2 * m.below + m.h + 1))
+                    AS DECIMAL(38,0)) AS t2,
+               CAST(SUM(CAST(b.z AS BIGINT) * b.c) AS BIGINT) AS ll,
+               CAST(SUM(CAST(b.z AS BIGINT) * b.z * b.c) AS BIGINT)
+                   AS qq
+        FROM by_vz b JOIN cum m ON b.v = m.v
+    ),
+    ties AS (
+        SELECT CAST(SUM(CAST(h AS DECIMAL(19,0)) * h
+                        * CAST(h AS DECIMAL(19,0)) - h)
+                    AS DECIMAL(38,0)) AS tsum
+        FROM vg
+    ),
+    stat AS (
+        SELECT nn,
+               CAST(t2 AS DOUBLE) / 2.0
+                   - 0.5 * (nn + 1.0) * CAST(ll AS DOUBLE) AS tme,
+               (nn + 1.0)
+               * (CAST(nn AS DOUBLE) * qq
+                  - CAST(ll AS DOUBLE) * ll) / 12.0
+               * (1.0 - round(CAST(tsum AS DOUBLE)
+                              / (CAST(nn AS DOUBLE) * nn * nn - nn),
+                              12)) AS vt
+        FROM fold, ties
+    ),
+    zed AS (SELECT nn, tme, vt, tme / sqrt(vt) AS zc FROM stat)
+    SELECT nn AS n_items,
+           round(tme, 4) + 0.0 AS t_minus_e,
+           round(vt, 4) + 0.0 AS var_t,
+           round(zc, 6) + 0.0 AS z_cuzick,
+           round((((((1.061405429 * (1.0 / (1.0 + 0.3275911
+                 * (abs(zc) / 1.4142135623730951)))
+                 - 1.453152027) * (1.0 / (1.0 + 0.3275911
+                 * (abs(zc) / 1.4142135623730951))) + 1.421413741)
+                 * (1.0 / (1.0 + 0.3275911
+                 * (abs(zc) / 1.4142135623730951))) - 0.284496736)
+                 * (1.0 / (1.0 + 0.3275911
+                 * (abs(zc) / 1.4142135623730951))) + 0.254829592)
+                 * (1.0 / (1.0 + 0.3275911
+                 * (abs(zc) / 1.4142135623730951))))
+                 * exp(-(abs(zc) / 1.4142135623730951)
+                       * (abs(zc) / 1.4142135623730951)), 8) + 0.0
+               AS p_value
+    FROM zed
+    """,
+)
+def cuzick_trend_test(spark, sf_dir):
+    """Cuzick's (1985) Wilcoxon-type test for TREND across ordered
+    groups: are line-item quantities monotonically associated with
+    order priority 1-URGENT..5-LOW? T = sum(z_i R_i) over global
+    midranks with E(T) = (N+1)L/2, Var(T) = (N+1)(N Q - L^2)/12 and
+    the full tie correction 1 - sum(t^3-t)/(N^3-N) — the dose-
+    response companion to `jonckheere_terpstra_trend` (which tests
+    the same alternative through pairwise U statistics; Cuzick is
+    the rank-regression form that extends to unequal spacing).
+
+    Exactness: everything lives at distinct-quantity grain (the
+    1..50 integer grid — truly bounded): midrank x2 is an exact
+    integer from the cumulative head count, T x2 / L / Q fold as
+    DECIMAL(38,0)/BIGINT (z*c products stay in int64 BEFORE the
+    DECIMAL(19,0) widen — the bass_diffusion power-sum idiom), and
+    the tie cube folds through DECIMAL(19,0) operands. The variance
+    ratio tsum/(N^3-N) is rounded at 12 dp so both engines multiply
+    identical doubles. Plan: one join rollup to (v, z), one
+    cumulative over the 50-row grid, one fold."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    pts = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("z"),
+        F.col("l_quantity").cast("bigint").alias("v"),
+    )
+    by_vz = pts.groupBy("v", "z").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    vg = by_vz.groupBy("v").agg(F.sum("c").cast("bigint").alias("h"))
+    cum = vg.select(
+        "v",
+        "h",
+        (
+            F.sum("h").over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("h")
+        )
+        .cast("bigint")
+        .alias("below"),
+    )
+    fold = by_vz.join(cum, "v").agg(
+        F.sum("c").cast("bigint").alias("nn"),
+        F.sum(
+            (F.col("z") * F.col("c")).cast("decimal(19,0)")
+            * (2 * F.col("below") + F.col("h") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("t2"),
+        F.sum(F.col("z").cast("bigint") * F.col("c"))
+        .cast("bigint")
+        .alias("ll"),
+        F.sum(F.col("z").cast("bigint") * F.col("z") * F.col("c"))
+        .cast("bigint")
+        .alias("qq"),
+    )
+    ties = vg.agg(
+        F.sum(
+            F.col("h").cast("decimal(19,0)")
+            * F.col("h")
+            * F.col("h").cast("decimal(19,0)")
+            - F.col("h")
+        )
+        .cast("decimal(38,0)")
+        .alias("tsum")
+    )
+    nn = F.col("nn")
+    tme = F.col("t2").cast("double") / 2.0 - 0.5 * (nn + 1.0) * F.col(
+        "ll"
+    ).cast("double")
+    vt = (
+        (nn + 1.0)
+        * (
+            nn.cast("double") * F.col("qq")
+            - F.col("ll").cast("double") * F.col("ll")
+        )
+        / 12.0
+        * (
+            1.0
+            - F.round(
+                F.col("tsum").cast("double")
+                / (nn.cast("double") * nn * nn - nn),
+                12,
+            )
+        )
+    )
+    stat = fold.crossJoin(F.broadcast(ties)).select(
+        nn.alias("nn"), tme.alias("tme"), vt.alias("vt")
+    )
+    zc = F.col("tme") / F.sqrt(F.col("vt"))
+    zed = stat.select("nn", "tme", "vt", zc.alias("zc"))
+    return zed.select(
+        F.col("nn").alias("n_items"),
+        (F.round("tme", 4) + 0.0).alias("t_minus_e"),
+        (F.round("vt", 4) + 0.0).alias("var_t"),
+        (F.round("zc", 6) + 0.0).alias("z_cuzick"),
+        (F.round(_p_two_sided_col(F.col("zc")), 8) + 0.0).alias(
+            "p_value"
+        ),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "cuzick_trend_test": (
+            "cumulative head-count over the 50-row integer quantity "
+            "grid (truly bounded domain — the moods_median_test class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Taguchi signal-to-noise ratio panel per order priority
+# --------------------------------------------------------------------------
+@register(
+    "taguchi_sn_ratios",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderpriority AS pri,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+               round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) / 100000.0, 8) AS y
+        FROM orders
+    ),
+    g AS (
+        SELECT pri,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(CAST(cents AS DECIMAL(19,0)) * cents)
+                    AS DECIMAL(38,0)) AS ss,
+               CAST(SUM(CAST(round(y * y, 10) AS DECIMAL(38,10)))
+                    AS DOUBLE) AS sy2,
+               CAST(SUM(CAST(round(1.0 / (y * y), 14)
+                             AS DECIMAL(38,14))) AS DOUBLE) AS siy2
+        FROM pts GROUP BY pri
+    ),
+    stat AS (
+        SELECT pri, n,
+               CAST(s AS DOUBLE) / n / 100000.0 AS mu,
+               (CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * s / n) / (n - 1)
+                   / 10000000000.0 AS v,
+               sy2 / n AS msq,
+               siy2 / n AS misq
+        FROM g
+    )
+    SELECT pri AS priority, n AS n_orders,
+           round(-10.0 * ln(misq) / ln(10.0), 6) + 0.0
+               AS sn_larger_db,
+           round(-10.0 * ln(msq) / ln(10.0), 6) + 0.0
+               AS sn_smaller_db,
+           round(10.0 * ln(mu * mu / v) / ln(10.0), 6) + 0.0
+               AS sn_nominal_db
+    FROM stat ORDER BY priority
+    """,
+)
+def taguchi_sn_ratios(spark, sf_dir):
+    """Taguchi signal-to-noise panel per order priority on the order
+    value in k$: larger-is-better SN = -10 log10(mean(1/y^2)),
+    smaller-is-better SN = -10 log10(mean(y^2)), and nominal-is-best
+    SN_T = 10 log10(ybar^2/s^2) — the robust-design triple that
+    summarizes each group's location-vs-dispersion trade in decibels
+    (nominal-best is a log inverse-CV^2, directly comparable across
+    groups; the panel complements `levene_brown_forsythe`, which
+    only tests dispersion equality, by QUANTIFYING it on the dB
+    scale).
+
+    Exactness: ybar and s^2 fold from exact cents power sums
+    (DECIMAL(19,0) widen before the square); the mean-square and
+    mean-inverse-square fold 10/14-dp rounded doubles through
+    DECIMAL(38,*) so both engines sum identical terms; y itself is
+    rounded at 8 dp from the exact cents BEFORE any reciprocal.
+    log10 = ln/ln(10) keeps a shared-libm-only tree. Plan: one scan,
+    one 5-group fold — no windows, no joins."""
+    o = t(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice", 18, 2) * 100).cast("bigint")
+    pts = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        cents.alias("cents"),
+        F.round(cents / 100000.0, 8).alias("y"),
+    )
+    g = pts.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+        F.sum(
+            F.round(F.col("y") * F.col("y"), 10).cast("decimal(38,10)")
+        )
+        .cast("double")
+        .alias("sy2"),
+        F.sum(
+            F.round(1.0 / (F.col("y") * F.col("y")), 14).cast(
+                "decimal(38,14)"
+            )
+        )
+        .cast("double")
+        .alias("siy2"),
+    )
+    n = F.col("n")
+    mu = F.col("s").cast("double") / n / 100000.0
+    v = (
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / n)
+        / (n - 1)
+        / 10000000000.0
+    )
+    msq = F.col("sy2") / n
+    misq = F.col("siy2") / n
+    ln10 = 2.302585092994046
+    return g.select(
+        F.col("pri").alias("priority"),
+        n.alias("n_orders"),
+        (F.round(-10.0 * F.log(misq) / ln10, 6) + 0.0).alias(
+            "sn_larger_db"
+        ),
+        (F.round(-10.0 * F.log(msq) / ln10, 6) + 0.0).alias(
+            "sn_smaller_db"
+        ),
+        (F.round(10.0 * F.log(mu * mu / v) / ln10, 6) + 0.0).alias(
+            "sn_nominal_db"
+        ),
+    ).orderBy("priority")
+
+
+# --------------------------------------------------------------------------
+# Blomqvist's beta (medial correlation) between order value and balance
+# --------------------------------------------------------------------------
+@register(
+    "blomqvist_beta_quadrant",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS x,
+               CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    gx AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM pts GROUP BY x),
+    cx AS (
+        SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cc,
+               SUM(c) OVER () AS n
+        FROM gx
+    ),
+    mx AS (SELECT CAST(MIN(v) AS BIGINT) AS med FROM cx
+           WHERE 2 * cc >= n),
+    gy AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM pts GROUP BY y),
+    cy AS (
+        SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cc,
+               SUM(c) OVER () AS n
+        FROM gy
+    ),
+    my AS (SELECT CAST(MIN(v) AS BIGINT) AS med FROM cy
+           WHERE 2 * cc >= n),
+    quad AS (
+        SELECT
+            CAST(SUM(CASE WHEN (x > mx.med AND y > my.med)
+                       OR (x < mx.med AND y < my.med)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+            CAST(SUM(CASE WHEN (x > mx.med AND y < my.med)
+                       OR (x < mx.med AND y > my.med)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+            CAST(SUM(CASE WHEN x = mx.med OR y = my.med
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_drop
+        FROM pts, mx, my
+    )
+    SELECT n_conc AS n_concordant, n_disc AS n_discordant,
+           n_drop AS n_on_medians,
+           round((n_conc - n_disc) * 1.0 / (n_conc + n_disc), 6) + 0.0
+               AS blomqvist_beta,
+           round((n_conc - n_disc) * 1.0 / (n_conc + n_disc)
+                 * sqrt((n_conc + n_disc) * 1.0), 6) + 0.0 AS z_beta
+    FROM quad
+    """,
+)
+def blomqvist_beta_quadrant(spark, sf_dir):
+    """Blomqvist's beta (the MEDIAL correlation): split the (order
+    value, customer balance) cloud at the two marginal medians and
+    score quadrant concordance, beta = (n_conc - n_disc)/(n_conc +
+    n_disc), z = beta sqrt(m) — the crudest and most outlier-proof
+    of the dependence coefficients (exactly sign-based, so immune to
+    any monotone marginal transform), the medial companion to the
+    registry's `kendall_tau_b_bucketed` / `chatterjee_xi_daily` /
+    `hoeffding_d_daily` dependence family. Points ON either median
+    are dropped (the classical treatment) and reported.
+
+    Exactness: both medians are exact LOWER medians on the cents
+    grids (the moods_median_test device); quadrant counts are exact
+    BIGINTs; beta and z are terminal ratios of exact integers.
+    Plan: one join scan, two bounded cents-grid cumulatives, one
+    broadcast of the two scalar medians, one fold."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    pts = o.join(c, o.o_custkey == c.c_custkey).select(
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("x"),
+        (dec("c_acctbal", 18, 2) * 100).cast("bigint").alias("y"),
+    )
+
+    def lower_median(col):
+        g = pts.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        cum = g.select(
+            "v",
+            F.sum("c")
+            .over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("cc"),
+            F.sum("c").over(Window.partitionBy()).alias("n"),
+        )
+        return cum.where(2 * F.col("cc") >= F.col("n")).agg(
+            F.min("v").cast("bigint").alias("med")
+        )
+
+    mx = lower_median("x").select(F.col("med").alias("mx"))
+    my = lower_median("y").select(F.col("med").alias("my"))
+    quad = (
+        pts.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(my))
+        .agg(
+            F.sum(
+                F.when(
+                    ((F.col("x") > F.col("mx")) & (F.col("y") > F.col("my")))
+                    | ((F.col("x") < F.col("mx")) & (F.col("y") < F.col("my"))),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_conc"),
+            F.sum(
+                F.when(
+                    ((F.col("x") > F.col("mx")) & (F.col("y") < F.col("my")))
+                    | ((F.col("x") < F.col("mx")) & (F.col("y") > F.col("my"))),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_disc"),
+            F.sum(
+                F.when(
+                    (F.col("x") == F.col("mx")) | (F.col("y") == F.col("my")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_drop"),
+        )
+    )
+    m = (F.col("n_conc") + F.col("n_disc")).cast("double")
+    beta = (F.col("n_conc") - F.col("n_disc")) / m
+    return quad.select(
+        F.col("n_conc").alias("n_concordant"),
+        F.col("n_disc").alias("n_discordant"),
+        F.col("n_drop").alias("n_on_medians"),
+        (F.round(beta, 6) + 0.0).alias("blomqvist_beta"),
+        (F.round(beta * F.sqrt(m), 6) + 0.0).alias("z_beta"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "blomqvist_beta_quadrant": (
+            "two cumulative head-counts over the cents value grids "
+            "(price-/balance-domain-bounded — the moods_median_test "
+            "class); the quadrant fold itself is windowless"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Higuchi fractal dimension of the daily order-count series
+# --------------------------------------------------------------------------
+@register(
+    "higuchi_fractal_dimension",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+            AS d
+        FROM orders
+    ),
+    span AS (SELECT CAST(min(d) AS BIGINT) AS d0,
+                    CAST(max(d) AS BIGINT) AS d1 FROM days),
+    grid AS (
+        SELECT CAST(u.g - span.d0 AS BIGINT) AS i
+        FROM span, LATERAL UNNEST(range(span.d0, span.d1 + 1)) AS u(g)
+    ),
+    counts AS (
+        SELECT CAST(d - span.d0 AS BIGINT) AS i,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM days, span GROUP BY 1
+    ),
+    filled AS (
+        SELECT g.i, COALESCE(c.y, 0) AS y
+        FROM grid g LEFT JOIN counts c ON g.i = c.i
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM filled),
+    ks AS (SELECT CAST(k AS BIGINT) AS k, CAST(u AS BIGINT) AS u
+           FROM (VALUES (1, 0), (2, 1), (4, 2), (8, 3)) t(k, u)),
+    diffs AS (
+        SELECT ks.k, ks.u, b.i % ks.k AS m,
+               CAST(SUM(abs(a.y - b.y)) AS BIGINT) AS sad,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM filled a JOIN ks ON TRUE
+        JOIN filled b ON a.i = b.i + ks.k
+        GROUP BY 1, 2, 3
+    ),
+    lm AS (
+        SELECT k, u,
+               CAST(SUM(CAST(round(CAST(sad AS DOUBLE) * (nd.n - 1)
+                         / (cnt * 1.0 * k * k), 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) / k AS lk
+        FROM diffs, nd GROUP BY k, u, nd.n
+    ),
+    fit AS (
+        SELECT CAST(SUM(CAST(round((u - 1.5) * ln(lk), 10)
+                             AS DECIMAL(38,10))) AS DOUBLE)
+                   / 5.0 AS slope_u,
+               MAX(CASE WHEN k = 1 THEN lk END) AS l1,
+               MAX(CASE WHEN k = 2 THEN lk END) AS l2,
+               MAX(CASE WHEN k = 4 THEN lk END) AS l4,
+               MAX(CASE WHEN k = 8 THEN lk END) AS l8
+        FROM lm
+    )
+    SELECT nd.n AS n_days,
+           round(l1, 6) + 0.0 AS curve_len_k1,
+           round(l2, 6) + 0.0 AS curve_len_k2,
+           round(l4, 6) + 0.0 AS curve_len_k4,
+           round(l8, 6) + 0.0 AS curve_len_k8,
+           round(-slope_u / 0.6931471805599453, 6) + 0.0
+               AS higuchi_fd
+    FROM fit, nd
+    """,
+)
+def higuchi_fractal_dimension(spark, sf_dir):
+    """Higuchi (1988) fractal dimension of the daily order-count
+    series on the ZERO-FILLED calendar-day grid: for k in {1,2,4,8}
+    build the k-decimated curve lengths L_m(k) = sum|y_(m+jk) -
+    y_(m+(j-1)k)| * (N-1)/(n_mk k^2), average over the k offsets,
+    and read D as minus the slope of ln L(k) on ln k — D near 1.5
+    is a random walk, near 2.0 white noise; the roughness
+    certification that complements `dfa_alpha_longmemory` (same
+    question, detrended-variance route) and `hurst_rs_exponent`
+    (range route): three estimators should tell one story.
+
+    Exactness: absolute differences of integer counts fold as exact
+    BIGINTs per (k, offset); each L_m(k) is rounded at 8 dp and the
+    offset mean folds through DECIMAL(38,8); the ln-ln slope uses
+    the EXACT regressor u = log2(k) in {0,1,2,3} (sum (u-1.5)v / 5 —
+    a closed form, no matrix), each term rounded at 10 dp into a
+    DECIMAL fold so the 4-term sum is order-free. Plan: bounded
+    day-grid fill, one 4-way lag equi-join on the grid (day-domain
+    bounded), two folds — no windows."""
+    o = t(spark, sf_dir, "orders")
+    days = o.select(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    )
+    span = days.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("g"),
+        F.col("d0"),
+    ).select((F.col("g") - F.col("d0")).cast("bigint").alias("i"))
+    counts = (
+        days.crossJoin(F.broadcast(span))
+        .groupBy((F.col("d") - F.col("d0")).cast("bigint").alias("i"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    filled = grid.join(counts, "i", "left").select(
+        "i", F.coalesce("y", F.lit(0)).cast("bigint").alias("y")
+    )
+    nd = filled.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ks = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("k"), F.lit(0).alias("u")),
+                F.struct(F.lit(2).alias("k"), F.lit(1).alias("u")),
+                F.struct(F.lit(4).alias("k"), F.lit(2).alias("u")),
+                F.struct(F.lit(8).alias("k"), F.lit(3).alias("u")),
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.k").cast("bigint").alias("k"),
+        F.col("s.u").cast("bigint").alias("u"),
+    )
+    b = filled.crossJoin(F.broadcast(ks)).select(
+        F.col("k"),
+        F.col("u"),
+        F.col("i").alias("bi"),
+        F.col("y").alias("by"),
+        (F.col("i") + F.col("k")).alias("ai"),
+    )
+    a = filled.select(F.col("i").alias("ai"), F.col("y").alias("ay"))
+    diffs = (
+        b.join(a, "ai")
+        .groupBy("k", "u", (F.col("bi") % F.col("k")).alias("m"))
+        .agg(
+            F.sum(F.abs(F.col("ay") - F.col("by")))
+            .cast("bigint")
+            .alias("sad"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    lm = (
+        diffs.crossJoin(F.broadcast(nd))
+        .groupBy("k", "u", "n")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("sad").cast("double")
+                        * (F.col("n") - 1)
+                        / (F.col("cnt") * 1.0 * F.col("k") * F.col("k")),
+                        8,
+                    ).cast("decimal(38,8)")
+                ).cast("double")
+                / F.col("k")
+            ).alias("lk")
+        )
+    )
+    fit = lm.agg(
+        (
+            F.sum(
+                F.round(
+                    (F.col("u") - 1.5) * F.log("lk"), 10
+                ).cast("decimal(38,10)")
+            ).cast("double")
+            / 5.0
+        ).alias("slope_u"),
+        F.max(F.when(F.col("k") == 1, F.col("lk"))).alias("l1"),
+        F.max(F.when(F.col("k") == 2, F.col("lk"))).alias("l2"),
+        F.max(F.when(F.col("k") == 4, F.col("lk"))).alias("l4"),
+        F.max(F.when(F.col("k") == 8, F.col("lk"))).alias("l8"),
+    )
+    return fit.crossJoin(F.broadcast(nd)).select(
+        F.col("n").alias("n_days"),
+        (F.round("l1", 6) + 0.0).alias("curve_len_k1"),
+        (F.round("l2", 6) + 0.0).alias("curve_len_k2"),
+        (F.round("l4", 6) + 0.0).alias("curve_len_k4"),
+        (F.round("l8", 6) + 0.0).alias("curve_len_k8"),
+        (F.round(-F.col("slope_u") / 0.6931471805599453, 6) + 0.0).alias(
+            "higuchi_fd"
+        ),
+    )
