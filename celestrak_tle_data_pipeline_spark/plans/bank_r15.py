@@ -6021,3 +6021,615 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Shared survival frame: 30-minute-gap sessions with censoring + cohort
+# --------------------------------------------------------------------------
+_SESS_SURV_SQL = """
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE
+                 OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    grouped AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    bounds AS (SELECT MAX(ts) AS mx FROM events),
+    sessions AS (
+        SELECT date_diff('minute', MIN(ts), MAX(ts)) AS dur,
+               CASE WHEN MAX(ts) <= (SELECT mx FROM bounds)
+                                    - INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS completed,
+               CASE WHEN CAST(epoch_us(MIN(ts)) // 86400000000 + 3 AS
+                             BIGINT) % 7 >= 5
+                    THEN 1 ELSE 0 END AS wkend
+        FROM grouped GROUP BY user_id, session_id
+    )
+"""
+
+
+def _surv_sessions(spark, sf_dir):
+    """Shared survival frame (the log_rank_sessions contract): one
+    row per 30-minute-gap session with minute-BOUNDARY duration
+    (DuckDB date_diff semantics — not floored elapsed), the
+    window-edge censoring flag, and the weekend-start cohort flag."""
+    e = t(spark, sf_dir, "events")
+    wsess = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagts = F.lag("ts").over(wsess)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            lagts.isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(lagts)
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+        "event_id",
+    )
+    grouped = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_id"),
+    )
+    mx = e.agg(F.max("ts").alias("mx"))
+    return (
+        grouped.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (
+                (
+                    F.unix_micros(F.date_trunc("minute", "t1"))
+                    - F.unix_micros(F.date_trunc("minute", "t0"))
+                )
+                / 60_000_000
+            )
+            .cast("bigint")
+            .alias("dur"),
+            F.when(
+                F.unix_micros("t1")
+                <= F.unix_micros("mx") - 30 * 60 * 1_000_000,
+                1,
+            )
+            .otherwise(0)
+            .alias("completed"),
+            F.when(
+                (
+                    F.floor(F.unix_micros("t0") / 86_400_000_000) + 3
+                ).cast("bigint")
+                % 7
+                >= 5,
+                1,
+            )
+            .otherwise(0)
+            .alias("wkend"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gehan-Breslow-Wilcoxon test (n-weighted log-rank) on session cohorts
+# --------------------------------------------------------------------------
+@register(
+    "gehan_breslow_wilcoxon",
+    oracle=f"""
+    WITH {_SESS_SURV_SQL},
+    grid AS (
+        SELECT dur,
+               CAST(SUM(CASE WHEN wkend = 1 AND completed = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+               CAST(SUM(completed) AS BIGINT) AS d,
+               CAST(SUM(wkend) AS BIGINT) AS e1,
+               CAST(COUNT(*) AS BIGINT) AS e
+        FROM sessions GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d1, d,
+               CAST(SUM(e1) OVER (ORDER BY dur DESC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS n1,
+               CAST(SUM(e) OVER (ORDER BY dur DESC
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+        FROM grid
+    ),
+    fold AS (
+        SELECT SUM(CAST(round(n * (d1 - d * CAST(n1 AS DOUBLE) / n),
+                              6) AS DECIMAL(38,6))) AS u,
+               SUM(CAST(round(
+                   CASE WHEN n > 1 THEN
+                       CAST(n AS DOUBLE) * n
+                         * d * (CAST(n1 AS DOUBLE) / n)
+                         * (1.0 - CAST(n1 AS DOUBLE) / n)
+                         * (n - d) / (n - 1)
+                   ELSE 0 END, 6) AS DECIMAL(38,6))) AS v,
+               CAST(SUM(d1) AS BIGINT) AS deaths_wkend,
+               CAST(SUM(d) AS BIGINT) AS deaths_total
+        FROM risk WHERE d > 0
+    )
+    SELECT deaths_wkend, deaths_total,
+           round(CAST(u AS DOUBLE), 4) + 0.0 AS gehan_u,
+           round(CAST(u AS DOUBLE) / sqrt(CAST(v AS DOUBLE)), 6) + 0.0
+               AS gehan_z
+    FROM fold
+    """,
+)
+def gehan_breslow_wilcoxon(spark, sf_dir):
+    """Gehan-Breslow-Wilcoxon test between the weekend- and weekday-
+    started session cohorts: the log-rank's O-E terms weighted by
+    the at-risk count n_t (U = sum n_t (d1 - d n1/n), Var = sum
+    n_t^2 V_hypergeom) — EARLY departures dominate, so Gehan
+    disagreeing with `log_rank_sessions` (which weights all times
+    equally) localizes WHERE two survival curves split: early churn
+    vs late tail. Session grain, 30-minute gap, minute-boundary
+    duration, censoring rule, and cohort flag are IDENTICAL to the
+    KM/log-rank queries — one survival surface, three readouts.
+
+    Exactness: death/at-risk counts are exact BIGINTs from the
+    reverse prefix sums over the bounded duration grid; each
+    weighted term is rounded at 6 dp and folded through
+    DECIMAL(38,6) (order-free); U and z are terminal ratios. Plan:
+    the sessionization windows (user-partitioned), one duration
+    rollup, one reverse prefix over the bounded minutes grid, one
+    fold."""
+    sessions = _surv_sessions(spark, sf_dir)
+    grid = sessions.groupBy("dur").agg(
+        F.sum(
+            F.when((F.col("wkend") == 1) & (F.col("completed") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("completed").cast("bigint").alias("d"),
+        F.sum("wkend").cast("bigint").alias("e1"),
+        F.count(F.lit(1)).cast("bigint").alias("e"),
+    )
+    wrev = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.select(
+        "dur",
+        "d1",
+        "d",
+        F.sum("e1").over(wrev).cast("bigint").alias("n1"),
+        F.sum("e").over(wrev).cast("bigint").alias("n"),
+    )
+    nn = F.col("n")
+    frac = F.col("n1").cast("double") / nn
+    fold = risk.where(F.col("d") > 0).agg(
+        F.sum(
+            F.round(
+                nn * (F.col("d1") - F.col("d") * frac), 6
+            ).cast("decimal(38,6)")
+        ).alias("u"),
+        F.sum(
+            F.round(
+                F.when(
+                    nn > 1,
+                    nn.cast("double")
+                    * nn
+                    * F.col("d")
+                    * frac
+                    * (1.0 - frac)
+                    * (nn - F.col("d"))
+                    / (nn - 1),
+                ).otherwise(0.0),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("v"),
+        F.sum("d1").cast("bigint").alias("deaths_wkend"),
+        F.sum("d").cast("bigint").alias("deaths_total"),
+    )
+    return fold.select(
+        "deaths_wkend",
+        "deaths_total",
+        (F.round(F.col("u").cast("double"), 4) + 0.0).alias("gehan_u"),
+        (
+            F.round(
+                F.col("u").cast("double")
+                / F.sqrt(F.col("v").cast("double")),
+                6,
+            )
+            + 0.0
+        ).alias("gehan_z"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "gehan_breslow_wilcoxon": (
+            "reverse prefix at-risk sums over the session-duration "
+            "minutes grid (the log_rank_sessions / kaplan_meier class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Actuarial (interval-grouped) life table of session durations
+# --------------------------------------------------------------------------
+@register(
+    "actuarial_life_table",
+    oracle=f"""
+    WITH {_SESS_SURV_SQL},
+    iv AS (
+        SELECT CAST(dur // 10 AS BIGINT) AS j,
+               CAST(SUM(completed) AS BIGINT) AS d,
+               CAST(SUM(1 - completed) AS BIGINT) AS w
+        FROM sessions GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM sessions),
+    risk AS (
+        SELECT j, d, w,
+               CAST(tot.n_all
+                    - COALESCE(SUM(d + w) OVER (ORDER BY j
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS nj
+        FROM iv, tot
+    ),
+    q AS (
+        SELECT j, d, w, nj,
+               round(d / (nj - w / 2.0), 12) AS qj
+        FROM risk
+    ),
+    s AS (
+        SELECT j, d, w, nj, qj,
+               exp(CAST(COALESCE(SUM(CAST(round(
+                       CASE WHEN 1.0 - qj > 0
+                            THEN ln(1.0 - qj) ELSE 0.0 END, 12)
+                       AS DECIMAL(38,12))) OVER (ORDER BY j
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS DOUBLE)) AS sj
+        FROM q
+    )
+    SELECT j * 10 AS interval_start_min,
+           nj AS n_at_risk, d AS n_deaths, w AS n_censored,
+           round(qj, 6) + 0.0 AS q_hat,
+           round(sj, 6) + 0.0 AS s_start,
+           round(CASE WHEN nj - w / 2.0 - d / 2.0 > 0
+                      THEN d / (10.0 * (nj - w / 2.0 - d / 2.0))
+                 END, 6) + 0.0 AS central_hazard_per_min
+    FROM s ORDER BY j
+    """,
+)
+def actuarial_life_table(spark, sf_dir):
+    """Actuarial (interval-grouped) life table of session durations
+    in 10-minute bands with the classical HALF-CENSORING adjustment:
+    effective exposure n'_j = n_j - w_j/2, conditional mortality
+    q_j = d_j/n'_j, survival-at-interval-start S_j as the running
+    product of (1-q_i), and the central hazard rate d_j/(10 (n'_j -
+    d_j/2)) per minute — the grouped-data counterpart of
+    `kaplan_meier_sessions` (exact event times) that every
+    churn-reporting surface publishes, with censored sessions
+    (alive at the observation edge) treated as half-exposed in
+    their band rather than dropped. Same session/censoring contract
+    as the KM/log-rank/Gehan family.
+
+    Exactness: d/w/n_j fold as exact BIGINTs (the at-risk count is
+    an exclusive prefix sum over the bounded 10-minute band grid);
+    the survival product uses the exp-of-ln-sum device with 12-dp
+    rounded log terms folded through DECIMAL(38,12) (order-free);
+    q=1 cannot poison the EXCLUSIVE prefix (a band that exhausts
+    the risk set has no later rows by construction) and the ln
+    guard is identical in both engines. Plan: sessionization, one
+    band rollup, two prefix windows on the bounded band grid."""
+    sessions = _surv_sessions(spark, sf_dir)
+    iv = sessions.groupBy(
+        F.floor(F.col("dur") / 10).cast("bigint").alias("j")
+    ).agg(
+        F.sum("completed").cast("bigint").alias("d"),
+        F.sum(1 - F.col("completed")).cast("bigint").alias("w"),
+    )
+    tot = sessions.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    wexc = Window.orderBy("j").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = iv.crossJoin(F.broadcast(tot)).select(
+        "j",
+        "d",
+        "w",
+        (
+            F.col("n_all")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("w")).over(wexc), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("nj"),
+    )
+    q = risk.select(
+        "j",
+        "d",
+        "w",
+        "nj",
+        F.round(F.col("d") / (F.col("nj") - F.col("w") / 2.0), 12).alias(
+            "qj"
+        ),
+    )
+    lnterm = F.round(
+        F.when(1.0 - F.col("qj") > 0, F.log(1.0 - F.col("qj"))).otherwise(
+            0.0
+        ),
+        12,
+    ).cast("decimal(38,12)")
+    s = q.select(
+        "j",
+        "d",
+        "w",
+        "nj",
+        "qj",
+        F.exp(
+            F.coalesce(F.sum(lnterm).over(wexc), F.lit(0)).cast("double")
+        ).alias("sj"),
+    )
+    haz = F.when(
+        F.col("nj") - F.col("w") / 2.0 - F.col("d") / 2.0 > 0,
+        F.col("d")
+        / (10.0 * (F.col("nj") - F.col("w") / 2.0 - F.col("d") / 2.0)),
+    )
+    return s.select(
+        (F.col("j") * 10).cast("bigint").alias("interval_start_min"),
+        F.col("nj").alias("n_at_risk"),
+        F.col("d").alias("n_deaths"),
+        F.col("w").alias("n_censored"),
+        (F.round("qj", 6) + 0.0).alias("q_hat"),
+        (F.round("sj", 6) + 0.0).alias("s_start"),
+        (F.round(haz, 6) + 0.0).alias("central_hazard_per_min"),
+    ).orderBy("j")
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "actuarial_life_table": (
+            "two exclusive prefix sums over the bounded 10-minute "
+            "band grid (the kaplan_meier_sessions class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Acceptance-sampling OC readout (n=20, c=2 single plan) per priority
+# --------------------------------------------------------------------------
+@register(
+    "acceptance_sampling_oc",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority AS pri,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               round(SUM(CASE WHEN o_orderstatus = 'P'
+                              THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 8) AS p
+        FROM orders GROUP BY 1
+    ),
+    oc AS (
+        SELECT pri, n, p,
+               exp(20.0 * ln(1.0 - p))
+               + 20.0 * p * exp(19.0 * ln(1.0 - p))
+               + 190.0 * p * p * exp(18.0 * ln(1.0 - p)) AS pa
+        FROM g
+    )
+    SELECT pri AS priority, n AS n_orders,
+           p + 0.0 AS p_defect,
+           round(pa, 6) + 0.0 AS pa_accept,
+           round(p * pa * 980.0 / 1000.0, 6) + 0.0 AS aoq,
+           round(20.0 + (1.0 - pa) * 980.0, 4) + 0.0 AS ati
+    FROM oc ORDER BY priority
+    """,
+)
+def acceptance_sampling_oc(spark, sf_dir):
+    """Acceptance-sampling operating-characteristic readout of the
+    single plan (n=20, c=2) evaluated AT each priority's measured
+    defect rate (orders in status 'P'): P(accept) = sum_{{k<=2}}
+    C(20,k) p^k (1-p)^(20-k) with the literal binomial coefficients
+    1/20/190, the average outgoing quality AOQ = p Pa (N-n)/N and
+    the average total inspection ATI = n + (1-Pa)(N-n) for a lot of
+    N=1000 — the quality-control dual of `process_capability_cpk`
+    (which certifies a continuous characteristic; this prices the
+    INSPECTION of an attribute one). High measured p simply reads
+    as a rejecting plan — the curve's informative region is its
+    low-p tail, which the per-priority spread exercises.
+
+    Exactness: p is an exact count ratio rounded at 8 dp BEFORE any
+    power; powers are exp(k ln(1-p)) with identical literal trees
+    in both engines (the erlang_c factorial-table discipline — no
+    pow()); Pa/AOQ/ATI are terminal doubles. Plan: one scan, one
+    5-group fold — no joins, no windows."""
+    o = t(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)
+            )
+            * 1.0
+            / F.count(F.lit(1)),
+            8,
+        ).alias("p"),
+    )
+    p = F.col("p")
+    lq = F.log(1.0 - p)
+    pa = (
+        F.exp(20.0 * lq)
+        + 20.0 * p * F.exp(19.0 * lq)
+        + 190.0 * p * p * F.exp(18.0 * lq)
+    )
+    oc = g.select("pri", "n", "p", pa.alias("pa"))
+    return oc.select(
+        F.col("pri").alias("priority"),
+        F.col("n").alias("n_orders"),
+        (F.col("p") + 0.0).alias("p_defect"),
+        (F.round("pa", 6) + 0.0).alias("pa_accept"),
+        (F.round(F.col("p") * F.col("pa") * 980.0 / 1000.0, 6) + 0.0).alias(
+            "aoq"
+        ),
+        (F.round(20.0 + (1.0 - F.col("pa")) * 980.0, 4) + 0.0).alias(
+            "ati"
+        ),
+    ).orderBy("priority")
+
+
+# --------------------------------------------------------------------------
+# Normal two-sided tolerance interval (Howe) with empirical coverage
+# --------------------------------------------------------------------------
+@register(
+    "normal_tolerance_interval",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderpriority AS pri,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+        FROM orders
+    ),
+    g AS (
+        SELECT pri,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(CAST(cents AS DECIMAL(19,0)) * cents)
+                    AS DECIMAL(38,0)) AS ss
+        FROM pts GROUP BY pri
+    ),
+    ms AS (
+        SELECT pri, n,
+               round(CAST(s AS DOUBLE) / n / 100000.0, 8) AS m,
+               round(sqrt((CAST(ss AS DOUBLE)
+                           - CAST(s AS DOUBLE) * s / n) / (n - 1))
+                     / 100000.0, 8) AS sd
+        FROM g
+    ),
+    kf AS (
+        SELECT pri, n, m, sd,
+               round(2.5758293035489004
+                     * sqrt((n - 1.0) * (1.0 + 1.0 / n)
+                            / ((n - 1.0)
+                               * pow(1.0 - 2.0 / (9.0 * (n - 1.0))
+                                     - 1.6448536269514722
+                                       * sqrt(2.0 / (9.0 * (n - 1.0))),
+                                     3))), 8) AS k
+        FROM ms
+    ),
+    lim AS (
+        SELECT pri, n, k,
+               round(m - k * sd, 8) AS lo,
+               round(m + k * sd, 8) AS hi
+        FROM kf
+    )
+    SELECT lim.pri AS priority, lim.n AS n_orders,
+           round(k, 6) + 0.0 AS k_factor,
+           round(lo, 4) + 0.0 AS tol_lower,
+           round(hi, 4) + 0.0 AS tol_upper,
+           round(SUM(CASE WHEN p.cents / 100000.0 >= lo
+                           AND p.cents / 100000.0 <= hi
+                     THEN 1 ELSE 0 END) * 1.0 / lim.n, 6) + 0.0
+               AS empirical_coverage
+    FROM lim JOIN pts p ON p.pri = lim.pri
+    GROUP BY lim.pri, lim.n, k, lo, hi
+    ORDER BY priority
+    """,
+)
+def normal_tolerance_interval(spark, sf_dir):
+    """Two-sided normal TOLERANCE interval per priority (99% content
+    at 95% confidence, Howe's method): k = z_0.995 sqrt(nu (1+1/n) /
+    chi2_{0.05,nu}) with the chi-squared quantile from the Wilson-
+    Hilferty cube — the interval that bounds INDIVIDUAL order
+    values, not the mean (confidence intervals shrink with n;
+    tolerance intervals do not), plus the EMPIRICAL coverage of the
+    interval as the normality self-check (heavy tails read as
+    coverage off 0.99). The Wilson-Hilferty chi-squared device is
+    shared with `poisson_dispersion_panel`'s deviate.
+
+    Exactness: mean/sd from exact cents power sums (DECIMAL(19,0)
+    widen), both rounded at 8 dp; k and the limits are terminal
+    double trees of literals rounded at 8 dp BEFORE the coverage
+    comparison, so both engines compare cents against identical
+    limit doubles. Plan: one scan, one 5-group fold, one broadcast
+    join back for coverage — no windows."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("cents"),
+    )
+    g = pts.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    n = F.col("n")
+    m = F.round(F.col("s").cast("double") / n / 100000.0, 8)
+    sd = F.round(
+        F.sqrt(
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s") / n
+            )
+            / (n - 1)
+        )
+        / 100000.0,
+        8,
+    )
+    nu = n - 1.0
+    wh = nu * F.pow(
+        1.0
+        - 2.0 / (9.0 * nu)
+        - 1.6448536269514722 * F.sqrt(2.0 / (9.0 * nu)),
+        3,
+    )
+    k = F.round(
+        2.5758293035489004 * F.sqrt(nu * (1.0 + 1.0 / n) / wh), 8
+    )
+    lim = g.select(
+        "pri",
+        "n",
+        k.alias("k"),
+        F.round(m - k * sd, 8).alias("lo"),
+        F.round(m + k * sd, 8).alias("hi"),
+    )
+    cov = (
+        pts.join(F.broadcast(lim), "pri")
+        .groupBy("pri", "n", "k", "lo", "hi")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("cents") / 100000.0 >= F.col("lo"))
+                        & (F.col("cents") / 100000.0 <= F.col("hi")),
+                        1,
+                    ).otherwise(0)
+                )
+                * 1.0
+                / F.col("n"),
+                6,
+            ).alias("cv")
+        )
+    )
+    return cov.select(
+        F.col("pri").alias("priority"),
+        F.col("n").alias("n_orders"),
+        (F.round("k", 6) + 0.0).alias("k_factor"),
+        (F.round("lo", 4) + 0.0).alias("tol_lower"),
+        (F.round("hi", 4) + 0.0).alias("tol_upper"),
+        (F.col("cv") + 0.0).alias("empirical_coverage"),
+    ).orderBy("priority")
