@@ -6633,3 +6633,796 @@ def normal_tolerance_interval(spark, sf_dir):
         (F.round("hi", 4) + 0.0).alias("tol_upper"),
         (F.col("cv") + 0.0).alias("empirical_coverage"),
     ).orderBy("priority")
+
+
+# --------------------------------------------------------------------------
+# L-moments panel of daily revenue (lambda_1..4, L-CV, L-skew, L-kurt)
+# --------------------------------------------------------------------------
+@register(
+    "l_moments_panel",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT x,
+               CAST(ROW_NUMBER() OVER (ORDER BY x, d) AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ),
+    fold AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s0,
+               CAST(SUM(CAST(i - 1 AS DECIMAL(19,0)) * x)
+                    AS DECIMAL(38,0)) AS s1,
+               CAST(SUM(CAST((i - 1) * (i - 2) AS DECIMAL(19,0)) * x)
+                    AS DECIMAL(38,0)) AS s2,
+               CAST(SUM(CAST((i - 1) * (i - 2) * (i - 3)
+                             AS DECIMAL(19,0)) * x)
+                    AS DECIMAL(38,0)) AS s3
+        FROM ranked
+    ),
+    b AS (
+        SELECT n,
+               CAST(s0 AS DOUBLE) / n / 100000.0 AS b0,
+               CAST(s1 AS DOUBLE) / (n * (n - 1.0)) / 100000.0 AS b1,
+               CAST(s2 AS DOUBLE) / (n * (n - 1.0) * (n - 2.0))
+                   / 100000.0 AS b2,
+               CAST(s3 AS DOUBLE)
+                   / (n * (n - 1.0) * (n - 2.0) * (n - 3.0))
+                   / 100000.0 AS b3
+        FROM fold
+    ),
+    lam AS (
+        SELECT n, b0 AS l1,
+               2.0 * b1 - b0 AS l2,
+               6.0 * b2 - 6.0 * b1 + b0 AS l3,
+               20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0 AS l4
+        FROM b
+    )
+    SELECT n AS n_days,
+           round(l1, 6) + 0.0 AS l1_kusd,
+           round(l2, 6) + 0.0 AS l2_kusd,
+           round(l3, 6) + 0.0 AS l3_kusd,
+           round(l4, 6) + 0.0 AS l4_kusd,
+           round(l2 / l1, 8) + 0.0 AS l_cv,
+           round(l3 / l2, 8) + 0.0 AS l_skewness,
+           round(l4 / l2, 8) + 0.0 AS l_kurtosis
+    FROM lam
+    """,
+)
+def l_moments_panel(spark, sf_dir):
+    """Hosking L-moments of the daily-revenue distribution: lambda_1
+    (location), lambda_2 (L-scale), and the DIMENSIONLESS ratios
+    L-CV, L-skewness = l3/l2, L-kurtosis = l4/l2, from the direct
+    unbiased order-statistic estimators b_r = sum C(i-1,r) x_(i) /
+    (n C(n-1,r)) — the linear-in-data moment system that exists
+    whenever the mean does (classical skewness/kurtosis explode on
+    heavy tails; the registry's `cohens_d_panel`/EVT fits get their
+    robust companion). L-skew/L-kurt pairs are the standard
+    regional-frequency-analysis distribution fingerprint
+    (Gumbel: 0.1699/0.1504).
+
+    Exactness: daily revenues are exact cents BIGINTs; the
+    falling-factorial weights (i-1)(i-2)(i-3) are exact integers on
+    the bounded day frame and the four weighted sums widen through
+    DECIMAL(19,0) operands into DECIMAL(38,0) folds (the weight x
+    cents product passes int64 at the 64x octave); b_r / lambda_r
+    are terminal double trees. Plan: one day rollup, one rank over
+    the bounded day frame, one fold."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    ranked = daily.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy("x", "d"))
+        .cast("bigint")
+        .alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    i1 = F.col("i") - 1
+    fold = ranked.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s0"),
+        F.sum(i1.cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(
+            (i1 * (F.col("i") - 2)).cast("decimal(19,0)") * F.col("x")
+        )
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum(
+            (i1 * (F.col("i") - 2) * (F.col("i") - 3)).cast(
+                "decimal(19,0)"
+            )
+            * F.col("x")
+        )
+        .cast("decimal(38,0)")
+        .alias("s3"),
+    )
+    n = F.col("n")
+    b0 = F.col("s0").cast("double") / n / 100000.0
+    b1 = F.col("s1").cast("double") / (n * (n - 1.0)) / 100000.0
+    b2 = (
+        F.col("s2").cast("double")
+        / (n * (n - 1.0) * (n - 2.0))
+        / 100000.0
+    )
+    b3 = (
+        F.col("s3").cast("double")
+        / (n * (n - 1.0) * (n - 2.0) * (n - 3.0))
+        / 100000.0
+    )
+    lam = fold.select(
+        n.alias("n"),
+        b0.alias("l1"),
+        (2.0 * b1 - b0).alias("l2"),
+        (6.0 * b2 - 6.0 * b1 + b0).alias("l3"),
+        (20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0).alias("l4"),
+    )
+    return lam.select(
+        F.col("n").alias("n_days"),
+        (F.round("l1", 6) + 0.0).alias("l1_kusd"),
+        (F.round("l2", 6) + 0.0).alias("l2_kusd"),
+        (F.round("l3", 6) + 0.0).alias("l3_kusd"),
+        (F.round("l4", 6) + 0.0).alias("l4_kusd"),
+        (F.round(F.col("l2") / F.col("l1"), 8) + 0.0).alias("l_cv"),
+        (F.round(F.col("l3") / F.col("l2"), 8) + 0.0).alias(
+            "l_skewness"
+        ),
+        (F.round(F.col("l4") / F.col("l2"), 8) + 0.0).alias(
+            "l_kurtosis"
+        ),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "l_moments_panel": (
+            "row_number rank over the calendar-day revenue frame "
+            "(bounded domain — the lorenz/gini class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Von Mises concentration of purchase hour-of-day
+# --------------------------------------------------------------------------
+@register(
+    "von_mises_concentration",
+    oracle=f"""
+    WITH hh AS (
+        SELECT CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS hr
+        FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+        SELECT hr, CAST(COUNT(*) AS BIGINT) AS c FROM hh GROUP BY hr
+    ),
+    fold AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CAST(c AS DECIMAL(28,10))
+                        * ({_case24('hr', _COS24)}))
+                    AS DOUBLE) AS cs,
+               CAST(SUM(CAST(c AS DECIMAL(28,10))
+                        * ({_case24('hr', _SIN24)}))
+                    AS DOUBLE) AS sn
+        FROM g
+    ),
+    r AS (
+        SELECT n,
+               round(cs / n, 10) AS cbar,
+               round(sn / n, 10) AS sbar,
+               round(sqrt((cs / n) * (cs / n)
+                          + (sn / n) * (sn / n)), 10) AS rbar
+        FROM fold
+    )
+    SELECT n AS n_purchases,
+           cbar + 0.0 AS cos_mean,
+           sbar + 0.0 AS sin_mean,
+           round(rbar, 6) + 0.0 AS resultant_rbar,
+           round(1.0 - rbar, 6) + 0.0 AS circular_variance,
+           round(sqrt(-2.0 * ln(rbar)), 6) + 0.0 AS circular_sd,
+           round(CASE
+                   WHEN rbar < 0.53
+                   THEN rbar * (2.0 - rbar * rbar)
+                        / (1.0 - rbar * rbar)
+                   WHEN rbar < 0.85
+                   THEN -0.4 + 1.39 * rbar + 0.43 / (1.0 - rbar)
+                   ELSE 1.0 / (rbar * rbar * rbar
+                               - 4.0 * rbar * rbar + 3.0 * rbar)
+                 END, 6) + 0.0 AS kappa_mle
+    FROM r
+    """,
+)
+def von_mises_concentration(spark, sf_dir):
+    """Von Mises concentration of the purchase HOUR-OF-DAY clock:
+    mean resultant length Rbar from the exact 24-direction trig
+    tables, circular variance 1-Rbar and circular SD sqrt(-2 ln
+    Rbar), and the concentration parameter kappa via the standard
+    Fisher (1993) three-regime approximation to the A-inverse
+    function — the parametric follow-up to `rayleigh_circular_hours`
+    (which only asks IS there a preferred hour; kappa says HOW
+    concentrated, feeding von Mises confidence cones). Branch cuts
+    at 0.53/0.85 are literals identical in both engines.
+
+    Exactness: hour counts are exact BIGINTs; C and S fold count x
+    10-dp-literal-cosine products through DECIMAL(28,10) (exact,
+    order-free — the lomb_scargle trig-table discipline); cbar/sbar/
+    Rbar are rounded at 10 dp before the kappa tree so both engines
+    branch on identical doubles. Plan: one filtered scan, one
+    24-row rollup, one fold — no windows."""
+    e = t(spark, sf_dir, "events")
+    g = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.floor(F.unix_micros("ts") / 3_600_000_000) % 24)
+            .cast("bigint")
+            .alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    fold = g.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(
+            F.col("c").cast("decimal(28,10)") * _lut24(F.col("hr"), _COS24)
+        )
+        .cast("double")
+        .alias("cs"),
+        F.sum(
+            F.col("c").cast("decimal(28,10)") * _lut24(F.col("hr"), _SIN24)
+        )
+        .cast("double")
+        .alias("sn"),
+    )
+    n = F.col("n")
+    cbar = F.round(F.col("cs") / n, 10)
+    sbar = F.round(F.col("sn") / n, 10)
+    rbar_raw = F.sqrt(
+        (F.col("cs") / n) * (F.col("cs") / n)
+        + (F.col("sn") / n) * (F.col("sn") / n)
+    )
+    r = fold.select(
+        n.alias("n"),
+        cbar.alias("cbar"),
+        sbar.alias("sbar"),
+        F.round(rbar_raw, 10).alias("rbar"),
+    )
+    rb = F.col("rbar")
+    kappa = (
+        F.when(rb < 0.53, rb * (2.0 - rb * rb) / (1.0 - rb * rb))
+        .when(rb < 0.85, -0.4 + 1.39 * rb + 0.43 / (1.0 - rb))
+        .otherwise(1.0 / (rb * rb * rb - 4.0 * rb * rb + 3.0 * rb))
+    )
+    return r.select(
+        F.col("n").alias("n_purchases"),
+        (F.col("cbar") + 0.0).alias("cos_mean"),
+        (F.col("sbar") + 0.0).alias("sin_mean"),
+        (F.round(rb, 6) + 0.0).alias("resultant_rbar"),
+        (F.round(1.0 - rb, 6) + 0.0).alias("circular_variance"),
+        (F.round(F.sqrt(-2.0 * F.log(rb)), 6) + 0.0).alias(
+            "circular_sd"
+        ),
+        (F.round(kappa, 6) + 0.0).alias("kappa_mle"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Acklam inverse-normal device + Shapiro-Francia / PPCC normality test
+# --------------------------------------------------------------------------
+# Peter Acklam's rational approximation to the standard normal
+# quantile (|relative error| < 1.15e-9 over (0,1)) — pure arithmetic
+# plus ln/sqrt, so an IDENTICAL Horner tree is bit-reproducible
+# across both engines (the erfc-tree discipline, inverted).
+_ACK_A = (
+    "-3.969683028665376e+01", "2.209460984245205e+02",
+    "-2.759285104469687e+02", "1.383577518672690e+02",
+    "-3.066479806614716e+01", "2.506628277459239e+00",
+)
+_ACK_B = (
+    "-5.447609879822406e+01", "1.615858368580409e+02",
+    "-1.556989798598866e+02", "6.680131188771972e+01",
+    "-1.328068155288572e+01",
+)
+_ACK_C = (
+    "-7.784894002430293e-03", "-3.223964580411365e-01",
+    "-2.400758277161838e+00", "-2.549732539343734e+00",
+    "4.374664141464968e+00", "2.938163982698783e+00",
+)
+_ACK_D = (
+    "7.784695709041462e-03", "3.224671290700398e-01",
+    "2.445134137142996e+00", "3.754408661907416e+00",
+)
+
+
+def _acklam_sql(p: str) -> str:
+    a, b, c, d = _ACK_A, _ACK_B, _ACK_C, _ACK_D
+    qlo = f"sqrt(-2.0 * ln({p}))"
+    qhi = f"sqrt(-2.0 * ln(1.0 - ({p})))"
+
+    def tail(q):
+        num = (f"((((({c[0]} * {q} + {c[1]}) * {q} + {c[2]}) * {q} "
+               f"+ {c[3]}) * {q} + {c[4]}) * {q} + {c[5]})")
+        den = (f"(((({d[0]} * {q} + {d[1]}) * {q} + {d[2]}) * {q} "
+               f"+ {d[3]}) * {q} + 1.0)")
+        return f"({num} / {den})"
+
+    qc = f"(({p}) - 0.5)"
+    rc = f"({qc} * {qc})"
+    numc = (f"((((({a[0]} * {rc} + {a[1]}) * {rc} + {a[2]}) * {rc} "
+            f"+ {a[3]}) * {rc} + {a[4]}) * {rc} + {a[5]})")
+    denc = (f"((((({b[0]} * {rc} + {b[1]}) * {rc} + {b[2]}) * {rc} "
+            f"+ {b[3]}) * {rc} + {b[4]}) * {rc} + 1.0)")
+    return (f"(CASE WHEN ({p}) < 0.02425 THEN {tail(qlo)} "
+            f"WHEN ({p}) > 0.97575 THEN -{tail(qhi)} "
+            f"ELSE {numc} * {qc} / {denc} END)")
+
+
+def _acklam_col(p):
+    a = tuple(float(x) for x in _ACK_A)
+    b = tuple(float(x) for x in _ACK_B)
+    c = tuple(float(x) for x in _ACK_C)
+    d = tuple(float(x) for x in _ACK_D)
+
+    def tail(q):
+        num = (
+            (((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]
+        ) * q + c[5]
+        den = (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1.0
+        return num / den
+
+    qlo = F.sqrt(-2.0 * F.log(p))
+    qhi = F.sqrt(-2.0 * F.log(1.0 - p))
+    qc = p - 0.5
+    rc = qc * qc
+    numc = (
+        (((a[0] * rc + a[1]) * rc + a[2]) * rc + a[3]) * rc + a[4]
+    ) * rc + a[5]
+    denc = (
+        (((b[0] * rc + b[1]) * rc + b[2]) * rc + b[3]) * rc + b[4]
+    ) * rc + 1.0
+    return (
+        F.when(p < 0.02425, tail(qlo))
+        .when(p > 0.97575, -tail(qhi))
+        .otherwise(numc * qc / denc)
+    )
+
+
+@register(
+    "shapiro_francia_ppcc",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT x,
+               CAST(ROW_NUMBER() OVER (ORDER BY x, d) AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ),
+    scored AS (
+        SELECT x, n,
+               round({_acklam_sql('(i - 0.375) / (n + 0.25)')}, 10)
+                   AS m
+        FROM ranked
+    ),
+    fold AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * x)
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(m AS DECIMAL(28,10))) AS DOUBLE) AS sm,
+               CAST(SUM(CAST(round(m * m, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS smm,
+               CAST(SUM(CAST(round(x * m, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS sxm
+        FROM scored
+    ),
+    corr_ AS (
+        SELECT n,
+               (n * sxm - CAST(sx AS DOUBLE) * sm)
+               / sqrt((n * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * sx)
+                      * (n * smm - sm * sm)) AS r
+        FROM fold
+    ),
+    sf AS (
+        SELECT n, r, r * r AS w,
+               (ln(1.0 - r * r)
+                - (-1.2725 + 1.0521 * (ln(ln(n * 1.0)) - ln(n * 1.0))))
+               / (1.0308 - 0.26758 * (ln(ln(n * 1.0))
+                                      + 2.0 / ln(n * 1.0))) AS z
+        FROM corr_
+    )
+    SELECT n AS n_days,
+           round(r, 8) + 0.0 AS ppcc_r,
+           round(w, 8) + 0.0 AS w_prime,
+           round(z, 6) + 0.0 AS z_royston,
+           round(CASE WHEN z > 0
+                 THEN (((((1.061405429 * (1.0 / (1.0 + 0.3275911
+                     * (abs(z) / 1.4142135623730951)))
+                     - 1.453152027) * (1.0 / (1.0 + 0.3275911
+                     * (abs(z) / 1.4142135623730951))) + 1.421413741)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(z) / 1.4142135623730951))) - 0.284496736)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(z) / 1.4142135623730951))) + 0.254829592)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(z) / 1.4142135623730951))))
+                     * exp(-(abs(z) / 1.4142135623730951)
+                           * (abs(z) / 1.4142135623730951)) / 2.0
+                 ELSE 1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911
+                     * (abs(z) / 1.4142135623730951)))
+                     - 1.453152027) * (1.0 / (1.0 + 0.3275911
+                     * (abs(z) / 1.4142135623730951))) + 1.421413741)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(z) / 1.4142135623730951))) - 0.284496736)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(z) / 1.4142135623730951))) + 0.254829592)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(z) / 1.4142135623730951))))
+                     * exp(-(abs(z) / 1.4142135623730951)
+                           * (abs(z) / 1.4142135623730951)) / 2.0
+                 END, 8) + 0.0 AS p_upper
+    FROM sf
+    """,
+)
+def shapiro_francia_ppcc(spark, sf_dir):
+    """Shapiro-Francia normality test of daily revenue: W' is the
+    squared correlation between the ordered sample and the Blom
+    normal scores Phi^-1((i - 3/8)/(n + 1/4)) — equivalently the
+    squared PPCC of the normal probability plot — with Royston's
+    (1993) ln(1-W') normalization to an upper-tail z. The
+    complement to `lilliefors_normal_fit` (ECDF-distance route) and
+    `dagostino_k2_panel` (moment route): three normality machines,
+    three failure signatures. Phi^-1 is a NEW shared device:
+    Acklam's rational approximation (|rel err| < 1.15e-9), pure
+    arithmetic + ln/sqrt Horner trees identical in both engines —
+    the inverse of the Abramowitz-Stegun erfc tree the p-values
+    already share.
+
+    Exactness: ranks are deterministic (value, day) row_numbers on
+    the bounded day frame; normal scores are rounded at 10 dp; the
+    five correlation folds are exact cents BIGINT/DECIMAL or
+    rounded-term DECIMAL sums (order-free); W'/z/p are terminal
+    trees (p splits the shared two-sided erfc tree by the sign of
+    z). Plan: one day rollup, one rank over the bounded day frame,
+    one fold."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    ranked = daily.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy("x", "d"))
+        .cast("bigint")
+        .alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    scored = ranked.select(
+        "x",
+        "n",
+        F.round(
+            _acklam_col((F.col("i") - 0.375) / (F.col("n") + 0.25)), 10
+        ).alias("m"),
+    )
+    fold = scored.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("m").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sm"),
+        F.sum(
+            F.round(F.col("m") * F.col("m"), 12).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("smm"),
+        F.sum(
+            F.round(F.col("x") * F.col("m"), 4).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("sxm"),
+    )
+    n = F.col("n")
+    r = (n * F.col("sxm") - F.col("sx").cast("double") * F.col("sm")) / F.sqrt(
+        (
+            n * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * (n * F.col("smm") - F.col("sm") * F.col("sm"))
+    )
+    lnn = F.log(n * 1.0)
+    z = (
+        F.log(1.0 - r * r) - (-1.2725 + 1.0521 * (F.log(lnn) - lnn))
+    ) / (1.0308 - 0.26758 * (F.log(lnn) + 2.0 / lnn))
+    sf = fold.select(n.alias("n"), r.alias("r"), z.alias("z"))
+    zz = F.col("z")
+    p_up = F.when(zz > 0, _p_two_sided_col(zz) / 2.0).otherwise(
+        1.0 - _p_two_sided_col(zz) / 2.0
+    )
+    return sf.select(
+        F.col("n").alias("n_days"),
+        (F.round("r", 8) + 0.0).alias("ppcc_r"),
+        (F.round(F.col("r") * F.col("r"), 8) + 0.0).alias("w_prime"),
+        (F.round("z", 6) + 0.0).alias("z_royston"),
+        (F.round(p_up, 8) + 0.0).alias("p_upper"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "shapiro_francia_ppcc": (
+            "row_number rank over the calendar-day revenue frame "
+            "(bounded domain — the l_moments_panel class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Bradley-Terry brand strengths: two unrolled MM iterations
+# --------------------------------------------------------------------------
+@register(
+    "bradley_terry_two_step",
+    oracle="""
+    WITH ob AS (
+        SELECT l.l_orderkey AS ok, p.p_brand AS b,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    games AS (
+        SELECT a.b AS wb, c.b AS lb
+        FROM ob a JOIN ob c
+          ON a.ok = c.ok AND a.b <> c.b AND a.q > c.q
+    ),
+    pair AS (
+        SELECT wb AS i, lb AS j, CAST(COUNT(*) AS BIGINT) AS w
+        FROM games GROUP BY 1, 2
+    ),
+    nij AS (
+        SELECT i, j,
+               CAST(w + COALESCE((SELECT w FROM pair p2
+                                  WHERE p2.i = pair.j
+                                    AND p2.j = pair.i), 0)
+                    AS BIGINT) AS n
+        FROM pair
+        UNION
+        SELECT j AS i, i AS j,
+               CAST(w + COALESCE((SELECT w FROM pair p2
+                                  WHERE p2.i = pair.j
+                                    AND p2.j = pair.i), 0)
+                    AS BIGINT) AS n
+        FROM pair
+    ),
+    wins AS (
+        SELECT i, CAST(SUM(w) AS BIGINT) AS wi FROM pair GROUP BY i
+    ),
+    brands AS (
+        SELECT DISTINCT i AS b FROM nij
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM brands),
+    it1 AS (
+        SELECT n.i AS b,
+               w.wi / SUM(n.n / 2.0) AS pi_raw
+        FROM nij n JOIN wins w ON n.i = w.i
+        GROUP BY n.i, w.wi
+    ),
+    nrm1 AS (
+        SELECT CAST(SUM(CAST(round(pi_raw, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS s
+        FROM it1
+    ),
+    pi1 AS (
+        SELECT b, round(round(pi_raw, 10) / nrm1.s * nb.k, 10) AS pi
+        FROM it1, nrm1, nb
+    ),
+    it2 AS (
+        SELECT n.i AS b,
+               w.wi / SUM(n.n / (pa.pi + pb.pi)) AS pi_raw
+        FROM nij n
+        JOIN wins w ON n.i = w.i
+        JOIN pi1 pa ON pa.b = n.i
+        JOIN pi1 pb ON pb.b = n.j
+        GROUP BY n.i, w.wi
+    ),
+    nrm2 AS (
+        SELECT CAST(SUM(CAST(round(pi_raw, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS s
+        FROM it2
+    ),
+    pi2 AS (
+        SELECT b, round(round(pi_raw, 10) / nrm2.s * nb.k, 10) AS pi
+        FROM it2, nrm2, nb
+    ),
+    tot AS (
+        SELECT i AS b, CAST(SUM(n) AS BIGINT) AS games
+        FROM nij GROUP BY i
+    )
+    SELECT t.b AS brand, t.games,
+           COALESCE(w.wi, 0) AS wins,
+           round(COALESCE(w.wi, 0) * 1.0 / t.games, 6) + 0.0
+               AS win_rate,
+           round(p.pi, 6) + 0.0 AS bt_strength
+    FROM tot t
+    LEFT JOIN wins w ON t.b = w.i
+    JOIN pi2 p ON t.b = p.b
+    ORDER BY brand
+    """,
+)
+def bradley_terry_two_step(spark, sf_dir):
+    """Bradley-Terry strength ratings for the 25 part brands from
+    within-order "matchups" (two brands in one order compete; the
+    larger total quantity wins; ties are no-contests), fit by TWO
+    UNROLLED iterations of Hunter's (2004) MM update pi_i <- W_i /
+    sum_j n_ij/(pi_i + pi_j) from the uniform start, renormalized
+    to mean 1 after each step — the pairwise-comparison ranking
+    model behind chess ratings and LLM preference leaderboards,
+    expressed as two bounded closed-form passes instead of an
+    opaque fixpoint loop (the k_core_decomposition unrolling
+    doctrine: fixed iteration count, deterministic state between
+    steps). Strengths are transitive where raw `win_rate` is not —
+    the two columns disagreeing flags intransitive matchup graphs.
+
+    Exactness: matchup/win counts are exact BIGINTs from the
+    order-grain self-join (per-order brand sets are domain-bounded,
+    so the join is equi-key with bounded fanout); each iteration's
+    strengths are rounded at 10 dp before and after the mean-1
+    normalization (DECIMAL(28,10) fold) so both engines iterate
+    identical doubles. Plan: one join rollup, one order-key
+    self-join, two bounded 25-row MM passes."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    ob = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    a = ob.select(
+        F.col("ok"), F.col("b").alias("wb"), F.col("q").alias("qa")
+    )
+    c = ob.select(
+        F.col("ok"), F.col("b").alias("lb"), F.col("q").alias("qc")
+    )
+    games = a.join(c, "ok").where(
+        (F.col("wb") != F.col("lb")) & (F.col("qa") > F.col("qc"))
+    )
+    pair = games.groupBy(
+        F.col("wb").alias("i"), F.col("lb").alias("j")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("w")).persist()
+    rev = pair.select(
+        F.col("i").alias("j2"), F.col("j").alias("i2"), F.col("w").alias("wr")
+    )
+    nij_half = pair.join(
+        rev,
+        (pair.i == F.col("i2")) & (pair.j == F.col("j2")),
+        "left",
+    ).select(
+        "i",
+        "j",
+        (F.col("w") + F.coalesce(F.col("wr"), F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+    )
+    nij = nij_half.unionByName(
+        nij_half.select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("n")
+        )
+    ).distinct().persist()
+    wins = pair.groupBy("i").agg(F.sum("w").cast("bigint").alias("wi"))
+    nb = nij.select("i").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    it1 = (
+        nij.join(wins, "i")
+        .groupBy("i", "wi")
+        .agg((F.col("wi") / F.sum(F.col("n") / 2.0)).alias("pi_raw"))
+        .select(F.col("i").alias("b"), "pi_raw")
+    )
+    nrm1 = it1.agg(
+        F.sum(F.round("pi_raw", 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("s")
+    )
+    pi1 = (
+        it1.crossJoin(F.broadcast(nrm1))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "b",
+            F.round(
+                F.round("pi_raw", 10) / F.col("s") * F.col("k"), 10
+            ).alias("pi"),
+        )
+    )
+    pa = pi1.select(F.col("b").alias("i"), F.col("pi").alias("pia"))
+    pb = pi1.select(F.col("b").alias("j"), F.col("pi").alias("pib"))
+    it2 = (
+        nij.join(wins, "i")
+        .join(F.broadcast(pa), "i")
+        .join(F.broadcast(pb), "j")
+        .groupBy("i", "wi")
+        .agg(
+            (
+                F.col("wi")
+                / F.sum(F.col("n") / (F.col("pia") + F.col("pib")))
+            ).alias("pi_raw")
+        )
+        .select(F.col("i").alias("b"), "pi_raw")
+    )
+    nrm2 = it2.agg(
+        F.sum(F.round("pi_raw", 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("s")
+    )
+    pi2 = (
+        it2.crossJoin(F.broadcast(nrm2))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "b",
+            F.round(
+                F.round("pi_raw", 10) / F.col("s") * F.col("k"), 10
+            ).alias("pi"),
+        )
+    )
+    tot = nij.groupBy(F.col("i").alias("b")).agg(
+        F.sum("n").cast("bigint").alias("games")
+    )
+    return (
+        tot.join(
+            wins.select(F.col("i").alias("b"), "wi"), "b", "left"
+        )
+        .join(pi2, "b")
+        .select(
+            F.col("b").alias("brand"),
+            "games",
+            F.coalesce("wi", F.lit(0)).cast("bigint").alias("wins"),
+            (
+                F.round(
+                    F.coalesce("wi", F.lit(0)) * 1.0 / F.col("games"), 6
+                )
+                + 0.0
+            ).alias("win_rate"),
+            (F.round("pi", 6) + 0.0).alias("bt_strength"),
+        )
+        .orderBy("brand")
+    )
