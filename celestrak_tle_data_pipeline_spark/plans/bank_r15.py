@@ -7426,3 +7426,1681 @@ def bradley_terry_two_step(spark, sf_dir):
         )
         .orderBy("brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Poker test of randomness on the four terminal price digits
+# --------------------------------------------------------------------------
+@register(
+    "poker_test_digits",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) % 10000 AS g
+        FROM orders
+    ),
+    digs AS (
+        SELECT g // 1000 AS d1, (g // 100) % 10 AS d2,
+               (g // 10) % 10 AS d3, g % 10 AS d4
+        FROM d
+    ),
+    m AS (
+        SELECT (CASE WHEN d1 = d2 THEN 1 ELSE 0 END
+                + CASE WHEN d1 = d3 THEN 1 ELSE 0 END
+                + CASE WHEN d1 = d4 THEN 1 ELSE 0 END
+                + CASE WHEN d2 = d3 THEN 1 ELSE 0 END
+                + CASE WHEN d2 = d4 THEN 1 ELSE 0 END
+                + CASE WHEN d3 = d4 THEN 1 ELSE 0 END) AS eq
+        FROM digs
+    ),
+    cat AS (
+        SELECT CASE eq WHEN 0 THEN 'all_different'
+                       WHEN 1 THEN 'one_pair'
+                       WHEN 2 THEN 'two_pairs'
+                       WHEN 3 THEN 'three_of_a_kind'
+                       ELSE 'four_of_a_kind' END AS pattern,
+               CAST(CASE eq WHEN 0 THEN 0.504 WHEN 1 THEN 0.432
+                             WHEN 2 THEN 0.027 WHEN 3 THEN 0.036
+                             ELSE 0.001 END AS DOUBLE) AS p
+        FROM m
+    ),
+    g2 AS (
+        SELECT pattern, p, CAST(COUNT(*) AS BIGINT) AS o
+        FROM cat GROUP BY pattern, p
+    ),
+    n_ AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM g2),
+    chi AS (
+        SELECT CAST(SUM(CAST(round(
+                   (o - n_.n * p) * (o - n_.n * p) / (n_.n * p), 9)
+                   AS DECIMAL(38,9))) AS DOUBLE) AS chi2
+        FROM g2, n_
+    )
+    SELECT g2.pattern, g2.o AS observed,
+           round(n_.n * g2.p, 4) + 0.0 AS expected,
+           round(chi.chi2, 6) + 0.0 AS chi2_total,
+           CAST(4 AS BIGINT) AS dof
+    FROM g2, n_, chi
+    ORDER BY pattern
+    """,
+)
+def poker_test_digits(spark, sf_dir):
+    """Knuth's POKER TEST on the four terminal digits of the order
+    price (cents mod 10000): classify each 4-digit hand by its
+    pairwise-equality count (0 collisions = all different, 1 = one
+    pair, 2 = two pairs, 3 = three of a kind, 6 = four of a kind —
+    the collision count IDENTIFIES the partition for 4 symbols) and
+    chi-square the five categories against the exact multinomial
+    null 0.504/0.432/0.027/0.036/0.001 — the classical PRNG battery
+    member beside the registry's `runs_test_randomness` /
+    `benford_second_digit` (Benford checks LEADING digits, which
+    carry scale information; terminal digits should be uniform and
+    poker-pattern-consistent, the fraud-analytics cross-check).
+
+    Exactness: digits and collision counts are exact integer
+    arithmetic; category counts fold as BIGINTs; chi-square terms
+    are rounded at 9 dp into a DECIMAL(38,9) fold. The five
+    category probabilities are literals (they sum to 1 exactly in
+    decimal). Plan: one scan, one 5-group rollup, one fold — no
+    joins past the scalar broadcasts, no windows."""
+    o = t(spark, sf_dir, "orders")
+    g = o.select(
+        ((dec("o_totalprice", 18, 2) * 100).cast("bigint") % 10000).alias(
+            "g"
+        )
+    )
+    digs = g.select(
+        (F.col("g") / 1000).cast("bigint").alias("d1"),
+        ((F.col("g") / 100).cast("bigint") % 10).alias("d2"),
+        ((F.col("g") / 10).cast("bigint") % 10).alias("d3"),
+        (F.col("g") % 10).alias("d4"),
+    )
+    eq = (
+        F.when(F.col("d1") == F.col("d2"), 1).otherwise(0)
+        + F.when(F.col("d1") == F.col("d3"), 1).otherwise(0)
+        + F.when(F.col("d1") == F.col("d4"), 1).otherwise(0)
+        + F.when(F.col("d2") == F.col("d3"), 1).otherwise(0)
+        + F.when(F.col("d2") == F.col("d4"), 1).otherwise(0)
+        + F.when(F.col("d3") == F.col("d4"), 1).otherwise(0)
+    )
+    cat = digs.select(
+        F.when(eq == 0, "all_different")
+        .when(eq == 1, "one_pair")
+        .when(eq == 2, "two_pairs")
+        .when(eq == 3, "three_of_a_kind")
+        .otherwise("four_of_a_kind")
+        .alias("pattern"),
+        F.when(eq == 0, 0.504)
+        .when(eq == 1, 0.432)
+        .when(eq == 2, 0.027)
+        .when(eq == 3, 0.036)
+        .otherwise(0.001)
+        .alias("p"),
+    )
+    g2 = cat.groupBy("pattern", "p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    n_ = g2.agg(F.sum("o").cast("bigint").alias("n"))
+    chi = (
+        g2.crossJoin(F.broadcast(n_))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("o") - F.col("n") * F.col("p"))
+                    * (F.col("o") - F.col("n") * F.col("p"))
+                    / (F.col("n") * F.col("p")),
+                    9,
+                ).cast("decimal(38,9)")
+            )
+            .cast("double")
+            .alias("chi2")
+        )
+    )
+    return (
+        g2.crossJoin(F.broadcast(n_))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "pattern",
+            F.col("o").alias("observed"),
+            (F.round(F.col("n") * F.col("p"), 4) + 0.0).alias(
+                "expected"
+            ),
+            (F.round("chi2", 6) + 0.0).alias("chi2_total"),
+            F.lit(4).cast("bigint").alias("dof"),
+        )
+        .orderBy("pattern")
+    )
+
+
+# --------------------------------------------------------------------------
+# TOST equivalence test: weekend vs weekday purchase share
+# --------------------------------------------------------------------------
+@register(
+    "tost_equivalence_proportions",
+    oracle="""
+    WITH lab AS (
+        SELECT CASE WHEN CAST(epoch_us(ts) // 86400000000 + 4 AS
+                          BIGINT) % 7 >= 5
+                    THEN 1 ELSE 0 END AS wkend,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS hit
+        FROM events
+    ),
+    g AS (
+        SELECT wkend, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(hit) AS BIGINT) AS k
+        FROM lab GROUP BY wkend
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN wkend = 1 THEN n END) AS n1,
+            MAX(CASE WHEN wkend = 1 THEN k END) AS k1,
+            MAX(CASE WHEN wkend = 0 THEN n END) AS n2,
+            MAX(CASE WHEN wkend = 0 THEN k END) AS k2
+        FROM g
+    ),
+    st AS (
+        SELECT n1, n2,
+               round(k1 * 1.0 / n1, 10) AS p1,
+               round(k2 * 1.0 / n2, 10) AS p2,
+               sqrt(round(k1 * 1.0 / n1, 10)
+                    * (1.0 - round(k1 * 1.0 / n1, 10)) / n1
+                    + round(k2 * 1.0 / n2, 10)
+                      * (1.0 - round(k2 * 1.0 / n2, 10)) / n2) AS se
+        FROM wide
+    ),
+    zz AS (
+        SELECT n1, n2, p1, p2, se,
+               (p1 - p2 + 0.02) / se AS zlo,
+               (p1 - p2 - 0.02) / se AS zhi
+        FROM st
+    ),
+    pp AS (
+        SELECT n1, n2, p1, p2, zlo, zhi,
+               CASE WHEN zlo > 0
+                 THEN (((((1.061405429 * (1.0 / (1.0 + 0.3275911
+                     * (abs(zlo) / 1.4142135623730951)))
+                     - 1.453152027) * (1.0 / (1.0 + 0.3275911
+                     * (abs(zlo) / 1.4142135623730951))) + 1.421413741)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(zlo) / 1.4142135623730951))) - 0.284496736)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(zlo) / 1.4142135623730951))) + 0.254829592)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(zlo) / 1.4142135623730951))))
+                     * exp(-(abs(zlo) / 1.4142135623730951)
+                           * (abs(zlo) / 1.4142135623730951)) / 2.0
+                 ELSE 1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911
+                     * (abs(zlo) / 1.4142135623730951)))
+                     - 1.453152027) * (1.0 / (1.0 + 0.3275911
+                     * (abs(zlo) / 1.4142135623730951))) + 1.421413741)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(zlo) / 1.4142135623730951))) - 0.284496736)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(zlo) / 1.4142135623730951))) + 0.254829592)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(zlo) / 1.4142135623730951))))
+                     * exp(-(abs(zlo) / 1.4142135623730951)
+                           * (abs(zlo) / 1.4142135623730951)) / 2.0
+                 END AS p_lower,
+               CASE WHEN zhi < 0
+                 THEN (((((1.061405429 * (1.0 / (1.0 + 0.3275911
+                     * (abs(zhi) / 1.4142135623730951)))
+                     - 1.453152027) * (1.0 / (1.0 + 0.3275911
+                     * (abs(zhi) / 1.4142135623730951))) + 1.421413741)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(zhi) / 1.4142135623730951))) - 0.284496736)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(zhi) / 1.4142135623730951))) + 0.254829592)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(zhi) / 1.4142135623730951))))
+                     * exp(-(abs(zhi) / 1.4142135623730951)
+                           * (abs(zhi) / 1.4142135623730951)) / 2.0
+                 ELSE 1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911
+                     * (abs(zhi) / 1.4142135623730951)))
+                     - 1.453152027) * (1.0 / (1.0 + 0.3275911
+                     * (abs(zhi) / 1.4142135623730951))) + 1.421413741)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(zhi) / 1.4142135623730951))) - 0.284496736)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(zhi) / 1.4142135623730951))) + 0.254829592)
+                     * (1.0 / (1.0 + 0.3275911
+                     * (abs(zhi) / 1.4142135623730951))))
+                     * exp(-(abs(zhi) / 1.4142135623730951)
+                           * (abs(zhi) / 1.4142135623730951)) / 2.0
+                 END AS p_upper
+        FROM zz
+    )
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           round(p1, 8) + 0.0 AS p_weekend,
+           round(p2, 8) + 0.0 AS p_weekday,
+           round(p1 - p2, 8) + 0.0 AS diff,
+           round(zlo, 6) + 0.0 AS z_lower,
+           round(zhi, 6) + 0.0 AS z_upper,
+           round(CASE WHEN p_lower > p_upper THEN p_lower
+                      ELSE p_upper END, 8) + 0.0 AS p_tost,
+           CAST(CASE WHEN p_lower < 0.05 AND p_upper < 0.05
+                     THEN 1 ELSE 0 END AS INT) AS equivalent_05
+    FROM pp
+    """,
+)
+def tost_equivalence_proportions(spark, sf_dir):
+    """TOST (two one-sided tests) EQUIVALENCE test of the weekend vs
+    weekday purchase share with margin delta = 0.02: z_lower tests
+    diff > -delta, z_upper tests diff < +delta, and equivalence is
+    declared iff BOTH one-sided p's clear 0.05 (p_tost = the max) —
+    the inferential inverse of every difference test in the
+    registry: absence of evidence of a difference (`two_proportion
+    z`) is not evidence of absence; TOST is. The Schuirmann
+    procedure behind bioequivalence and A/A-test certification.
+
+    Exactness: event/purchase counts are exact BIGINTs; the two
+    proportions are rounded at 10 dp BEFORE the pooled-unpooled
+    Wald se so both engines divide identical doubles; the one-sided
+    p's split the shared Abramowitz-Stegun erfc tree by the sign of
+    z (identical CASE trees). Plan: one scan, one 2-group fold —
+    no joins, no windows."""
+    e = t(spark, sf_dir, "events")
+    lab = e.select(
+        F.when(
+            (F.floor(F.unix_micros("ts") / 86_400_000_000) + 4).cast(
+                "bigint"
+            )
+            % 7
+            >= 5,
+            1,
+        )
+        .otherwise(0)
+        .alias("wkend"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("hit"),
+    )
+    g = lab.groupBy("wkend").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("hit").cast("bigint").alias("k"),
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("wkend") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("wkend") == 1, F.col("k"))).alias("k1"),
+        F.max(F.when(F.col("wkend") == 0, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("wkend") == 0, F.col("k"))).alias("k2"),
+    )
+    p1 = F.round(F.col("k1") * 1.0 / F.col("n1"), 10)
+    p2 = F.round(F.col("k2") * 1.0 / F.col("n2"), 10)
+    se = F.sqrt(
+        p1 * (1.0 - p1) / F.col("n1") + p2 * (1.0 - p2) / F.col("n2")
+    )
+    st = wide.select(
+        "n1",
+        "n2",
+        p1.alias("p1"),
+        p2.alias("p2"),
+        ((p1 - p2 + 0.02) / se).alias("zlo"),
+        ((p1 - p2 - 0.02) / se).alias("zhi"),
+    )
+    zlo, zhi = F.col("zlo"), F.col("zhi")
+    p_lower = F.when(zlo > 0, _p_two_sided_col(zlo) / 2.0).otherwise(
+        1.0 - _p_two_sided_col(zlo) / 2.0
+    )
+    p_upper = F.when(zhi < 0, _p_two_sided_col(zhi) / 2.0).otherwise(
+        1.0 - _p_two_sided_col(zhi) / 2.0
+    )
+    pp = st.select(
+        "n1", "n2", "p1", "p2", "zlo", "zhi",
+        p_lower.alias("p_lower"), p_upper.alias("p_upper"),
+    )
+    return pp.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        (F.round("p1", 8) + 0.0).alias("p_weekend"),
+        (F.round("p2", 8) + 0.0).alias("p_weekday"),
+        (F.round(F.col("p1") - F.col("p2"), 8) + 0.0).alias("diff"),
+        (F.round("zlo", 6) + 0.0).alias("z_lower"),
+        (F.round("zhi", 6) + 0.0).alias("z_upper"),
+        (
+            F.round(
+                F.when(
+                    F.col("p_lower") > F.col("p_upper"), F.col("p_lower")
+                ).otherwise(F.col("p_upper")),
+                8,
+            )
+            + 0.0
+        ).alias("p_tost"),
+        F.when((F.col("p_lower") < 0.05) & (F.col("p_upper") < 0.05), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("equivalent_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Theil forecast-error decomposition of the seasonal-naive forecast
+# --------------------------------------------------------------------------
+@register(
+    "theil_forecast_decomposition",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    span AS (SELECT CAST(min(d) AS BIGINT) AS d0,
+                    CAST(max(d) AS BIGINT) AS d1 FROM days),
+    grid AS (
+        SELECT CAST(u.g AS BIGINT) AS d
+        FROM span, LATERAL UNNEST(range(span.d0, span.d1 + 1)) AS u(g)
+    ),
+    filled AS (
+        SELECT g.d, COALESCE(days.y, 0) AS y
+        FROM grid g LEFT JOIN days ON g.d = days.d
+    ),
+    pairs AS (
+        SELECT a.y AS y, b.y AS f
+        FROM filled a JOIN filled b ON a.d = b.d + 7
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(f) AS BIGINT) AS sf,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(CAST(f AS DECIMAL(19,0)) * f)
+                    AS DECIMAL(38,0)) AS sff,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * f)
+                    AS DECIMAL(38,0)) AS syf
+        FROM pairs
+    ),
+    st AS (
+        SELECT n,
+               (CAST(syy AS DOUBLE) - 2.0 * CAST(syf AS DOUBLE)
+                + CAST(sff AS DOUBLE)) / n / 10000000000.0 AS mse,
+               (CAST(sy AS DOUBLE) / n - CAST(sf AS DOUBLE) / n)
+                   / 100000.0 AS mdiff,
+               sqrt((CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * sy / n) / n)
+                   / 100000.0 AS sdy,
+               sqrt((CAST(sff AS DOUBLE)
+                     - CAST(sf AS DOUBLE) * sf / n) / n)
+                   / 100000.0 AS sdf,
+               (CAST(syf AS DOUBLE) - CAST(sy AS DOUBLE) * sf / n)
+               / sqrt((CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * sy / n)
+                      * (CAST(sff AS DOUBLE)
+                         - CAST(sf AS DOUBLE) * sf / n)) AS r
+        FROM mom
+    )
+    SELECT n AS n_pairs,
+           round(mse, 6) + 0.0 AS mse_kusd2,
+           round(mdiff * mdiff / mse, 8) + 0.0 AS um_bias,
+           round((sdy - sdf) * (sdy - sdf) / mse, 8) + 0.0
+               AS us_variance,
+           round(2.0 * (1.0 - r) * sdy * sdf / mse, 8) + 0.0
+               AS uc_covariance,
+           round(mdiff * mdiff / mse
+                 + (sdy - sdf) * (sdy - sdf) / mse
+                 + 2.0 * (1.0 - r) * sdy * sdf / mse, 8) + 0.0
+               AS sum_check
+    FROM st
+    """,
+)
+def theil_forecast_decomposition(spark, sf_dir):
+    """Theil's U decomposition of the SEASONAL-NAIVE (lag-7) daily-
+    revenue forecast error: MSE splits exactly into the BIAS share
+    UM = (ybar - fbar)^2/MSE, the VARIANCE share US = (s_y -
+    s_f)^2/MSE, and the COVARIANCE share UC = 2(1-r)s_y s_f/MSE —
+    UM+US+UC = 1 is an algebraic identity (emitted as `sum_check`,
+    the built-in self-verification), and the split DIAGNOSES the
+    `seasonal_naive_mase` error the registry already sizes: bias
+    reads as level drift, variance as amplitude mismatch,
+    covariance as irreducible phase noise. Population (1/n) moments
+    throughout, the convention under which the identity is exact.
+
+    Exactness: the day grid is zero-filled (an absent day is a real
+    zero-revenue observation); all five cross-moments fold exact
+    cents through DECIMAL(19,0) widens; every output is a terminal
+    double tree of exact integers — sum_check certifies the trees.
+    Plan: one day rollup, bounded grid fill, one lag-7 equi-join on
+    the grid, one fold — no windows."""
+    o = t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    span = days.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    filled = grid.join(days, "d", "left").select(
+        "d", F.coalesce("y", F.lit(0)).cast("bigint").alias("y")
+    )
+    a = filled.select(F.col("d"), F.col("y"))
+    b = filled.select(
+        (F.col("d") + 7).alias("d"), F.col("y").alias("f")
+    )
+    pairs = a.join(b, "d")
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("f").cast("bigint").alias("sf"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("f").cast("decimal(19,0)") * F.col("f"))
+        .cast("decimal(38,0)")
+        .alias("sff"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("f"))
+        .cast("decimal(38,0)")
+        .alias("syf"),
+    )
+    n = F.col("n")
+    syy = F.col("syy").cast("double")
+    sff = F.col("sff").cast("double")
+    syf = F.col("syf").cast("double")
+    sy = F.col("sy").cast("double")
+    sf_ = F.col("sf").cast("double")
+    mse = (syy - 2.0 * syf + sff) / n / 1e10
+    mdiff = (sy / n - sf_ / n) / 100000.0
+    sdy = F.sqrt((syy - sy * sy / n) / n) / 100000.0
+    sdf = F.sqrt((sff - sf_ * sf_ / n) / n) / 100000.0
+    r = (syf - sy * sf_ / n) / F.sqrt(
+        (syy - sy * sy / n) * (sff - sf_ * sf_ / n)
+    )
+    st = mom.select(
+        n.alias("n"),
+        mse.alias("mse"),
+        mdiff.alias("mdiff"),
+        sdy.alias("sdy"),
+        sdf.alias("sdf"),
+        r.alias("r"),
+    )
+    um = F.col("mdiff") * F.col("mdiff") / F.col("mse")
+    us = (
+        (F.col("sdy") - F.col("sdf"))
+        * (F.col("sdy") - F.col("sdf"))
+        / F.col("mse")
+    )
+    uc = (
+        2.0
+        * (1.0 - F.col("r"))
+        * F.col("sdy")
+        * F.col("sdf")
+        / F.col("mse")
+    )
+    return st.select(
+        F.col("n").alias("n_pairs"),
+        (F.round("mse", 6) + 0.0).alias("mse_kusd2"),
+        (F.round(um, 8) + 0.0).alias("um_bias"),
+        (F.round(us, 8) + 0.0).alias("us_variance"),
+        (F.round(uc, 8) + 0.0).alias("uc_covariance"),
+        (F.round(um + us + uc, 8) + 0.0).alias("sum_check"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mean cumulative function of recurrent purchases by user age
+# --------------------------------------------------------------------------
+@register(
+    "mean_cumulative_function",
+    oracle="""
+    WITH uw AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk,
+               event_type
+        FROM events
+    ),
+    entry AS (
+        SELECT user_id, CAST(MIN(wk) AS BIGINT) AS w0
+        FROM uw GROUP BY user_id
+    ),
+    horizon AS (SELECT CAST(MAX(wk) AS BIGINT) AS wmax FROM uw),
+    ages AS (
+        SELECT CAST(horizon.wmax - entry.w0 AS BIGINT) AS amax
+        FROM entry, horizon
+    ),
+    risk AS (
+        SELECT amax, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ages GROUP BY amax
+    ),
+    ev AS (
+        SELECT CAST(uw.wk - e.w0 AS BIGINT) AS age,
+               CAST(COUNT(*) AS BIGINT) AS d
+        FROM uw JOIN entry e ON uw.user_id = e.user_id
+        WHERE uw.event_type = 'purchase'
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM entry),
+    agegrid AS (
+        SELECT CAST(u.g AS BIGINT) AS age
+        FROM (SELECT CAST(MAX(amax) AS BIGINT) AS am FROM ages) m,
+             LATERAL UNNEST(range(0, m.am + 1)) AS u(g)
+    ),
+    atrisk AS (
+        SELECT g.age,
+               CAST(tot.n_users
+                    - COALESCE(SUM(r.cnt) OVER (ORDER BY g.age
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS nr
+        FROM agegrid g LEFT JOIN risk r ON g.age = r.amax + 1, tot
+    ),
+    inc AS (
+        SELECT a.age, a.nr, COALESCE(ev.d, 0) AS d,
+               round(COALESCE(ev.d, 0) * 1.0 / a.nr, 9) AS dm
+        FROM atrisk a LEFT JOIN ev ON a.age = ev.age
+        WHERE a.nr > 0
+    )
+    SELECT age AS age_weeks, nr AS n_at_risk, d AS n_events,
+           dm + 0.0 AS increment,
+           round(CAST(SUM(CAST(dm AS DECIMAL(28,9)))
+                      OVER (ORDER BY age
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6)
+               + 0.0 AS mcf
+    FROM inc ORDER BY age
+    """,
+)
+def mean_cumulative_function(spark, sf_dir):
+    """Nelson-Aalen MEAN CUMULATIVE FUNCTION of recurrent purchases
+    by user AGE in weeks (entry = the user's first event week;
+    everyone is followed to the observation horizon, so the risk
+    set at age a is the users whose horizon-age reaches a):
+    MCF(a) = sum_{s<=a} d_s / n_risk(s) — the expected cumulative
+    purchases per user after a weeks of life, the recurrent-events
+    generalization of `kaplan_meier_sessions` (which handles one
+    terminal event; purchases RECUR, and naive per-age averages are
+    biased by the staggered-entry risk sets this estimator
+    corrects). The retention/LTV curve every cohort dashboard
+    approximates, done right.
+
+    Exactness: event and risk counts are exact BIGINTs (the risk
+    set is total users minus an exclusive prefix of horizon-age
+    exits over the bounded age grid); increments are rounded at 9
+    dp and the MCF prefix-folds them through DECIMAL(28,9). Plan:
+    two user rollups, one bounded age-grid fill, two prefix windows
+    on the grid."""
+    e = t(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 604_800_000_000)
+        .cast("bigint")
+        .alias("wk"),
+        "event_type",
+    )
+    entry = uw.groupBy("user_id").agg(
+        F.min("wk").cast("bigint").alias("w0")
+    )
+    horizon = uw.agg(F.max("wk").cast("bigint").alias("wmax"))
+    ages = entry.crossJoin(F.broadcast(horizon)).select(
+        (F.col("wmax") - F.col("w0")).cast("bigint").alias("amax")
+    )
+    risk = ages.groupBy("amax").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    ev = (
+        uw.where(F.col("event_type") == "purchase")
+        .join(entry, "user_id")
+        .groupBy((F.col("wk") - F.col("w0")).cast("bigint").alias("age"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    tot = entry.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    am = ages.agg(F.max("amax").alias("am"))
+    agegrid = am.select(
+        F.explode(F.sequence(F.lit(0), F.col("am"))).alias("age")
+    )
+    atrisk = (
+        agegrid.join(
+            risk.select((F.col("amax") + 1).alias("age"), "cnt"),
+            "age",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "age",
+            (
+                F.col("n_users")
+                - F.coalesce(
+                    F.sum("cnt").over(
+                        Window.orderBy("age").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                )
+            )
+            .cast("bigint")
+            .alias("nr"),
+        )
+    )
+    inc = (
+        atrisk.join(ev, "age", "left")
+        .where(F.col("nr") > 0)
+        .select(
+            "age",
+            "nr",
+            F.coalesce("d", F.lit(0)).cast("bigint").alias("d"),
+            F.round(
+                F.coalesce("d", F.lit(0)) * 1.0 / F.col("nr"), 9
+            ).alias("dm"),
+        )
+    )
+    return inc.select(
+        F.col("age").alias("age_weeks"),
+        F.col("nr").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        (F.col("dm") + 0.0).alias("increment"),
+        (
+            F.round(
+                F.sum(F.col("dm").cast("decimal(28,9)"))
+                .over(
+                    Window.orderBy("age").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                .cast("double"),
+                6,
+            )
+            + 0.0
+        ).alias("mcf"),
+    ).orderBy("age_weeks")
+
+
+# --------------------------------------------------------------------------
+# Ramsey RESET misspecification test on the daily revenue trend
+# --------------------------------------------------------------------------
+_TREND_MOM_SQL = """
+    days AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    span AS (SELECT CAST(min(d) AS BIGINT) AS d0,
+                    CAST(max(d) AS BIGINT) AS d1 FROM days),
+    grid AS (
+        SELECT CAST(u.g - span.d0 AS BIGINT) AS i
+        FROM span, LATERAL UNNEST(range(span.d0, span.d1 + 1)) AS u(g)
+    ),
+    filled AS (
+        SELECT g.i, COALESCE(days.y, 0) AS y
+        FROM grid g LEFT JOIN days
+          ON g.i = days.d - (SELECT d0 FROM span)
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(i) AS BIGINT) AS s1,
+               CAST(SUM(i * i) AS BIGINT) AS s2,
+               CAST(SUM(i * i * i) AS BIGINT) AS s3,
+               CAST(SUM(i * i * i * i) AS BIGINT) AS s4,
+               CAST(SUM(y) AS BIGINT) AS t0,
+               CAST(SUM(CAST(i AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS t1,
+               CAST(SUM(CAST(i * i AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS t2,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS q
+        FROM filled
+    ),
+    ols AS (
+        SELECT n, s1, s2, s3, s4, t0, t1, t2, q,
+               round((n * CAST(t1 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * t0)
+                     / (n * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * s1), 10) AS b1
+        FROM mom
+    ),
+    ols2 AS (
+        SELECT *,
+               round((t0 - b1 * s1) / n, 10) AS b0
+        FROM ols
+    )
+"""
+
+
+@register(
+    "ramsey_reset_test",
+    oracle=f"""
+    WITH {_TREND_MOM_SQL},
+    aug AS (
+        SELECT n, t0, t1, q, b0, b1,
+               CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+               CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4,
+               n * b0 * b0 + 2.0 * b0 * b1 * s1 + b1 * b1 * s2 AS sw,
+               b0 * b0 * s1 + 2.0 * b0 * b1 * s2 + b1 * b1 * s3
+                   AS siw,
+               b0 * b0 * b0 * b0 * n
+                 + 4.0 * b0 * b0 * b0 * b1 * s1
+                 + 6.0 * b0 * b0 * b1 * b1 * s2
+                 + 4.0 * b0 * b1 * b1 * b1 * s3
+                 + b1 * b1 * b1 * b1 * s4 AS sww,
+               b0 * b0 * CAST(t0 AS DOUBLE)
+                 + 2.0 * b0 * b1 * CAST(t1 AS DOUBLE)
+                 + b1 * b1 * CAST(t2 AS DOUBLE) AS swy
+        FROM ols2
+    ),
+    cr AS (
+        SELECT n, t0, t1, q, b0, b1, sw, siw, sww, swy,
+               n * (s2 * sww - siw * siw)
+                 - s1 * (s1 * sww - siw * sw)
+                 + sw * (s1 * siw - s2 * sw) AS det,
+               CAST(t0 AS DOUBLE) * (s2 * sww - siw * siw)
+                 - s1 * (CAST(t1 AS DOUBLE) * sww - swy * siw)
+                 + sw * (CAST(t1 AS DOUBLE) * siw - swy * s2) AS det0,
+               n * (CAST(t1 AS DOUBLE) * sww - swy * siw)
+                 - CAST(t0 AS DOUBLE) * (s1 * sww - siw * sw)
+                 + sw * (s1 * swy - CAST(t1 AS DOUBLE) * sw) AS det1,
+               n * (s2 * swy - siw * CAST(t1 AS DOUBLE))
+                 - s1 * (s1 * swy - sw * CAST(t1 AS DOUBLE))
+                 + CAST(t0 AS DOUBLE) * (s1 * siw - s2 * sw) AS det2
+        FROM aug
+    ),
+    ssr AS (
+        SELECT n, b1,
+               CAST(q AS DOUBLE)
+                 - (det0 / det) * t0
+                 - (det1 / det) * CAST(t1 AS DOUBLE)
+                 - (det2 / det) * swy AS ssr_u,
+               CAST(q AS DOUBLE) - b0 * t0
+                 - b1 * CAST(t1 AS DOUBLE) AS ssr_r
+        FROM cr
+    )
+    SELECT n AS n_days,
+           round(b1 / 100000.0, 8) + 0.0 AS slope_kusd_per_day,
+           round((ssr_r - ssr_u) / (ssr_u / (n - 3.0)), 6) + 0.0
+               AS reset_f,
+           CAST(1 AS BIGINT) AS dof1,
+           CAST(n - 3 AS BIGINT) AS dof2
+    FROM ssr
+    """,
+)
+def ramsey_reset_test(spark, sf_dir):
+    """Ramsey RESET misspecification test of the linear daily-revenue
+    trend: augment y = a + b i with the squared FITTED value
+    yhat^2 and F-test its contribution — the omnibus "is a line
+    even the right shape" check that complements
+    `rainbow_linearity_test` (subsample route) and the residual
+    batteries. The augmented regressor is yhat^2 = (b0+b1 i)^2, a
+    POLYNOMIAL in i, so the entire 3-regressor normal-equations
+    system reduces ANALYTICALLY to the exact power sums S1..S4 /
+    T0..T2 — no second data pass, no fitted-value column: Cramer's
+    rule on moments (the bass_diffusion 3x3 idiom), with stage-1
+    (b0, b1) rounded at 10 dp so both engines build identical
+    augmented moments.
+
+    Exactness: all nine moments fold exactly (BIGINT grid powers on
+    the calendar-bounded day index, DECIMAL(19,0)-widened y
+    products); every downstream quantity is one terminal double
+    tree. Plan: one day rollup, bounded grid fill, ONE fold —
+    no windows, no self-joins."""
+    o = t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    span = days.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("g"),
+        F.col("d0"),
+    ).select((F.col("g") - F.col("d0")).cast("bigint").alias("i"))
+    dd = days.crossJoin(F.broadcast(span)).select(
+        (F.col("d") - F.col("d0")).cast("bigint").alias("i"), "y"
+    )
+    filled = grid.join(dd, "i", "left").select(
+        "i", F.coalesce("y", F.lit(0)).cast("bigint").alias("y")
+    )
+    i, y = F.col("i"), F.col("y")
+    mom = filled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(i).cast("bigint").alias("s1"),
+        F.sum(i * i).cast("bigint").alias("s2"),
+        F.sum(i * i * i).cast("bigint").alias("s3"),
+        F.sum(i * i * i * i).cast("bigint").alias("s4"),
+        F.sum(y).cast("bigint").alias("t0"),
+        F.sum(i.cast("decimal(19,0)") * y)
+        .cast("decimal(38,0)")
+        .alias("t1"),
+        F.sum((i * i).cast("decimal(19,0)") * y)
+        .cast("decimal(38,0)")
+        .alias("t2"),
+        F.sum(y.cast("decimal(19,0)") * y)
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    n = F.col("n")
+    b1 = F.round(
+        (n * F.col("t1").cast("double") - F.col("s1").cast("double") * F.col("t0"))
+        / (n * F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1")),
+        10,
+    )
+    ols = mom.select("*", b1.alias("b1"))
+    b0 = F.round((F.col("t0") - F.col("b1") * F.col("s1")) / n, 10)
+    ols2 = ols.select("*", b0.alias("b0"))
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s3d, s4d = F.col("s3").cast("double"), F.col("s4").cast("double")
+    b0c, b1c = F.col("b0"), F.col("b1")
+    t0d = F.col("t0").cast("double")
+    t1d = F.col("t1").cast("double")
+    t2d = F.col("t2").cast("double")
+    aug = ols2.select(
+        "n",
+        "t0",
+        "t1",
+        "q",
+        "b0",
+        "b1",
+        s1d.alias("s1"),
+        s2d.alias("s2"),
+        s3d.alias("s3"),
+        s4d.alias("s4"),
+        (n * b0c * b0c + 2.0 * b0c * b1c * s1d + b1c * b1c * s2d).alias(
+            "sw"
+        ),
+        (
+            b0c * b0c * s1d + 2.0 * b0c * b1c * s2d + b1c * b1c * s3d
+        ).alias("siw"),
+        (
+            b0c * b0c * b0c * b0c * n
+            + 4.0 * b0c * b0c * b0c * b1c * s1d
+            + 6.0 * b0c * b0c * b1c * b1c * s2d
+            + 4.0 * b0c * b1c * b1c * b1c * s3d
+            + b1c * b1c * b1c * b1c * s4d
+        ).alias("sww"),
+        (b0c * b0c * t0d + 2.0 * b0c * b1c * t1d + b1c * b1c * t2d).alias(
+            "swy"
+        ),
+    )
+    s1c, s2c = F.col("s1"), F.col("s2")
+    sw, siw, sww, swy = (
+        F.col("sw"),
+        F.col("siw"),
+        F.col("sww"),
+        F.col("swy"),
+    )
+    t0c = F.col("t0").cast("double")
+    t1c = F.col("t1").cast("double")
+    det = (
+        n * (s2c * sww - siw * siw)
+        - s1c * (s1c * sww - siw * sw)
+        + sw * (s1c * siw - s2c * sw)
+    )
+    det0 = (
+        t0c * (s2c * sww - siw * siw)
+        - s1c * (t1c * sww - swy * siw)
+        + sw * (t1c * siw - swy * s2c)
+    )
+    det1 = (
+        n * (t1c * sww - swy * siw)
+        - t0c * (s1c * sww - siw * sw)
+        + sw * (s1c * swy - t1c * sw)
+    )
+    det2 = (
+        n * (s2c * swy - siw * t1c)
+        - s1c * (s1c * swy - sw * t1c)
+        + t0c * (s1c * siw - s2c * sw)
+    )
+    cr = aug.select(
+        "n",
+        "b0",
+        "b1",
+        "q",
+        "t0",
+        "t1",
+        "swy",
+        det.alias("det"),
+        det0.alias("det0"),
+        det1.alias("det1"),
+        det2.alias("det2"),
+    )
+    ssr_u = (
+        F.col("q").cast("double")
+        - (F.col("det0") / F.col("det")) * F.col("t0")
+        - (F.col("det1") / F.col("det")) * F.col("t1").cast("double")
+        - (F.col("det2") / F.col("det")) * F.col("swy")
+    )
+    ssr_r = (
+        F.col("q").cast("double")
+        - F.col("b0") * F.col("t0")
+        - F.col("b1") * F.col("t1").cast("double")
+    )
+    ssr = cr.select(
+        "n",
+        "b1",
+        ssr_u.alias("ssr_u"),
+        ssr_r.alias("ssr_r"),
+    )
+    return ssr.select(
+        F.col("n").alias("n_days"),
+        (F.round(F.col("b1") / 100000.0, 8) + 0.0).alias(
+            "slope_kusd_per_day"
+        ),
+        (
+            F.round(
+                (F.col("ssr_r") - F.col("ssr_u"))
+                / (F.col("ssr_u") / (F.col("n") - 3.0)),
+                6,
+            )
+            + 0.0
+        ).alias("reset_f"),
+        F.lit(1).cast("bigint").alias("dof1"),
+        (F.col("n") - 3).cast("bigint").alias("dof2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Breusch-Godfrey LM test for AR(1) serial correlation in trend errors
+# --------------------------------------------------------------------------
+@register(
+    "breusch_godfrey_lm",
+    oracle=f"""
+    WITH {_TREND_MOM_SQL},
+    resid AS (
+        SELECT f.i,
+               round(f.y - o.b0 - o.b1 * f.i, 4) AS e
+        FROM filled f, ols2 o
+    ),
+    lagged AS (
+        SELECT i, e,
+               COALESCE(LAG(e) OVER (ORDER BY i), 0.0) AS l
+        FROM resid
+    ),
+    am AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(i) AS BIGINT) AS s1,
+               CAST(SUM(i * i) AS BIGINT) AS s2,
+               CAST(SUM(CAST(round(l, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS sl,
+               CAST(SUM(CAST(round(l * l, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS sll,
+               CAST(SUM(CAST(round(i * l, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS sil,
+               CAST(SUM(CAST(round(e, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS se,
+               CAST(SUM(CAST(round(i * e, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS sie,
+               CAST(SUM(CAST(round(l * e, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS sle,
+               CAST(SUM(CAST(round(e * e, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS see
+        FROM lagged
+    ),
+    cr AS (
+        SELECT n, sl, sll, sil, se, sie, sle, see,
+               CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+               n * (CAST(s2 AS DOUBLE) * sll - sil * sil)
+                 - CAST(s1 AS DOUBLE)
+                   * (CAST(s1 AS DOUBLE) * sll - sil * sl)
+                 + sl * (CAST(s1 AS DOUBLE) * sil
+                         - CAST(s2 AS DOUBLE) * sl) AS det
+        FROM am
+    ),
+    gg AS (
+        SELECT n, se, sie, sle, see,
+               (se * (s2 * sll - sil * sil)
+                - s1 * (sie * sll - sle * sil)
+                + sl * (sie * sil - sle * s2)) / det AS g0,
+               (n * (sie * sll - sle * sil)
+                - se * (s1 * sll - sil * sl)
+                + sl * (s1 * sle - sie * sl)) / det AS g1,
+               (n * (s2 * sle - sil * sie)
+                - s1 * (s1 * sle - sl * sie)
+                + se * (s1 * sil - s2 * sl)) / det AS g2
+        FROM cr
+    ),
+    lm AS (
+        SELECT n, g2,
+               n * (1.0 - (see - g0 * se - g1 * sie - g2 * sle)
+                          / (see - se * se / n)) AS stat
+        FROM gg
+    )
+    SELECT n AS n_days,
+           round(g2, 6) + 0.0 AS rho1_hat,
+           round(stat, 6) + 0.0 AS lm_stat,
+           round((((((1.061405429 * (1.0 / (1.0 + 0.3275911
+                 * (abs(sqrt(stat)) / 1.4142135623730951)))
+                 - 1.453152027) * (1.0 / (1.0 + 0.3275911
+                 * (abs(sqrt(stat)) / 1.4142135623730951)))
+                 + 1.421413741)
+                 * (1.0 / (1.0 + 0.3275911
+                 * (abs(sqrt(stat)) / 1.4142135623730951)))
+                 - 0.284496736)
+                 * (1.0 / (1.0 + 0.3275911
+                 * (abs(sqrt(stat)) / 1.4142135623730951)))
+                 + 0.254829592)
+                 * (1.0 / (1.0 + 0.3275911
+                 * (abs(sqrt(stat)) / 1.4142135623730951))))
+                 * exp(-(abs(sqrt(stat)) / 1.4142135623730951)
+                       * (abs(sqrt(stat)) / 1.4142135623730951)), 8)
+               + 0.0 AS p_value
+    FROM lm
+    """,
+)
+def breusch_godfrey_lm(spark, sf_dir):
+    """Breusch-Godfrey LM test for AR(1) serial correlation in the
+    daily-revenue trend residuals: the auxiliary regression of e_t
+    on (1, t, e_(t-1)) with the PRE-SAMPLE ZERO convention
+    (statsmodels' default), LM = n R^2 ~ chi2(1) — the
+    regression-based generalization of `durbin_watson_trend_
+    residuals` that stays valid with lagged regressors and
+    arbitrary lag order, closing the serial-correlation battery
+    beside `cochrane_orcutt_ar1` (which REPAIRS what BG detects).
+    chi2(1) tail = two-sided normal tail of sqrt(LM), so the
+    p-value reuses the shared erfc tree.
+
+    Exactness: residuals are rounded at 4 dp from the 10-dp-rounded
+    stage-1 fit (identical doubles both engines); all nine
+    auxiliary moments fold 4-dp rounded terms through DECIMAL(38,4)
+    (order-free); the 3x3 solve is the bass_diffusion Cramer idiom
+    on those folds. Plan: one day rollup, bounded grid fill, one
+    lag window on the bounded grid, one fold."""
+    o = t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    span = days.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("g"),
+        F.col("d0"),
+    ).select((F.col("g") - F.col("d0")).cast("bigint").alias("i"))
+    dd = days.crossJoin(F.broadcast(span)).select(
+        (F.col("d") - F.col("d0")).cast("bigint").alias("i"), "y"
+    )
+    filled = grid.join(dd, "i", "left").select(
+        "i", F.coalesce("y", F.lit(0)).cast("bigint").alias("y")
+    )
+    i, y = F.col("i"), F.col("y")
+    mom = filled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(i).cast("bigint").alias("s1"),
+        F.sum(i * i).cast("bigint").alias("s2"),
+        F.sum(y).cast("bigint").alias("t0"),
+        F.sum(i.cast("decimal(19,0)") * y)
+        .cast("decimal(38,0)")
+        .alias("t1"),
+    )
+    n = F.col("n")
+    b1 = F.round(
+        (n * F.col("t1").cast("double") - F.col("s1").cast("double") * F.col("t0"))
+        / (n * F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1")),
+        10,
+    )
+    ols = mom.select("n", "s1", "s2", "t0", "t1", b1.alias("b1"))
+    b0 = F.round((F.col("t0") - F.col("b1") * F.col("s1")) / n, 10)
+    ols2 = ols.select("*", b0.alias("b0"))
+    resid = filled.crossJoin(F.broadcast(ols2.select("b0", "b1"))).select(
+        "i",
+        F.round(
+            F.col("y") - F.col("b0") - F.col("b1") * F.col("i"), 4
+        ).alias("e"),
+    )
+    lagged = resid.select(
+        "i",
+        "e",
+        F.coalesce(
+            F.lag("e").over(Window.orderBy("i")), F.lit(0.0)
+        ).alias("l"),
+    )
+
+    def dfold(expr, name):
+        return (
+            F.sum(F.round(expr, 4).cast("decimal(38,4)"))
+            .cast("double")
+            .alias(name)
+        )
+
+    ic, ec, lc = F.col("i"), F.col("e"), F.col("l")
+    am = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(ic).cast("bigint").alias("s1"),
+        F.sum(ic * ic).cast("bigint").alias("s2"),
+        dfold(lc, "sl"),
+        dfold(lc * lc, "sll"),
+        dfold(ic * lc, "sil"),
+        dfold(ec, "se"),
+        dfold(ic * ec, "sie"),
+        dfold(lc * ec, "sle"),
+        dfold(ec * ec, "see"),
+    )
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    sl, sll, sil = F.col("sl"), F.col("sll"), F.col("sil")
+    se, sie, sle, see = (
+        F.col("se"),
+        F.col("sie"),
+        F.col("sle"),
+        F.col("see"),
+    )
+    det = (
+        n * (s2d * sll - sil * sil)
+        - s1d * (s1d * sll - sil * sl)
+        + sl * (s1d * sil - s2d * sl)
+    )
+    g0 = (
+        se * (s2d * sll - sil * sil)
+        - s1d * (sie * sll - sle * sil)
+        + sl * (sie * sil - sle * s2d)
+    ) / det
+    g1 = (
+        n * (sie * sll - sle * sil)
+        - se * (s1d * sll - sil * sl)
+        + sl * (s1d * sle - sie * sl)
+    ) / det
+    g2 = (
+        n * (s2d * sle - sil * sie)
+        - s1d * (s1d * sle - sl * sie)
+        + se * (s1d * sil - s2d * sl)
+    ) / det
+    gg = am.select(
+        "n",
+        "se",
+        "sie",
+        "sle",
+        "see",
+        g0.alias("g0"),
+        g1.alias("g1"),
+        g2.alias("g2"),
+    )
+    stat = F.col("n") * (
+        1.0
+        - (
+            F.col("see")
+            - F.col("g0") * F.col("se")
+            - F.col("g1") * F.col("sie")
+            - F.col("g2") * F.col("sle")
+        )
+        / (F.col("see") - F.col("se") * F.col("se") / F.col("n"))
+    )
+    lm = gg.select("n", "g2", stat.alias("stat"))
+    return lm.select(
+        F.col("n").alias("n_days"),
+        (F.round("g2", 6) + 0.0).alias("rho1_hat"),
+        (F.round("stat", 6) + 0.0).alias("lm_stat"),
+        (
+            F.round(_p_two_sided_col(F.sqrt(F.col("stat"))), 8) + 0.0
+        ).alias("p_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lo's modified rescaled-range statistic for long-range dependence
+# --------------------------------------------------------------------------
+@register(
+    "lo_modified_rs",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    span AS (SELECT CAST(min(d) AS BIGINT) AS d0,
+                    CAST(max(d) AS BIGINT) AS d1 FROM days),
+    grid AS (
+        SELECT CAST(u.g - span.d0 AS BIGINT) AS i
+        FROM span, LATERAL UNNEST(range(span.d0, span.d1 + 1)) AS u(g)
+    ),
+    filled AS (
+        SELECT g.i, COALESCE(days.y, 0) AS y
+        FROM grid g LEFT JOIN days
+          ON g.i = days.d - (SELECT d0 FROM span)
+    ),
+    mu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS t0 FROM filled),
+    dev AS (
+        SELECT i,
+               round(y - CAST(mu.t0 AS DOUBLE) / mu.n, 4) AS e
+        FROM filled, mu
+    ),
+    lagd AS (
+        SELECT i, e,
+               LAG(e, 1) OVER (ORDER BY i) AS e1,
+               LAG(e, 2) OVER (ORDER BY i) AS e2,
+               LAG(e, 3) OVER (ORDER BY i) AS e3,
+               LAG(e, 4) OVER (ORDER BY i) AS e4,
+               LAG(e, 5) OVER (ORDER BY i) AS e5,
+               SUM(CAST(round(e, 4) AS DECIMAL(38,4)))
+                   OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS z
+        FROM dev
+    ),
+    fold AS (
+        SELECT CAST(MAX(z) AS DOUBLE) - CAST(MIN(z) AS DOUBLE) AS r,
+               CAST(SUM(CAST(round(e * e, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS g0,
+               CAST(SUM(CAST(round(e * COALESCE(e1, 0.0), 4)
+                             AS DECIMAL(38,4))) AS DOUBLE) AS g1,
+               CAST(SUM(CAST(round(e * COALESCE(e2, 0.0), 4)
+                             AS DECIMAL(38,4))) AS DOUBLE) AS g2,
+               CAST(SUM(CAST(round(e * COALESCE(e3, 0.0), 4)
+                             AS DECIMAL(38,4))) AS DOUBLE) AS g3,
+               CAST(SUM(CAST(round(e * COALESCE(e4, 0.0), 4)
+                             AS DECIMAL(38,4))) AS DOUBLE) AS g4,
+               CAST(SUM(CAST(round(e * COALESCE(e5, 0.0), 4)
+                             AS DECIMAL(38,4))) AS DOUBLE) AS g5
+        FROM lagd
+    ),
+    st AS (
+        SELECT mu.n, r,
+               g0 / mu.n AS gam0,
+               (g0 + 2.0 * ((1.0 - 1.0 / 6.0) * g1
+                            + (1.0 - 2.0 / 6.0) * g2
+                            + (1.0 - 3.0 / 6.0) * g3
+                            + (1.0 - 4.0 / 6.0) * g4
+                            + (1.0 - 5.0 / 6.0) * g5)) / mu.n
+                   AS sq2
+        FROM fold, mu
+    )
+    SELECT n AS n_days,
+           round(r / 100000.0, 4) + 0.0 AS range_kusd,
+           round(sqrt(sq2) / 100000.0, 6) + 0.0 AS sigma_q_kusd,
+           round(r / sqrt(gam0) / sqrt(n * 1.0), 6) + 0.0
+               AS v_classic,
+           round(r / sqrt(sq2) / sqrt(n * 1.0), 6) + 0.0 AS v_lo,
+           CAST(CASE WHEN r / sqrt(sq2) / sqrt(n * 1.0) > 0.809
+                      AND r / sqrt(sq2) / sqrt(n * 1.0) < 1.862
+                     THEN 1 ELSE 0 END AS INT) AS inside_95
+    FROM st
+    """,
+)
+def lo_modified_rs(spark, sf_dir):
+    """Lo's (1991) MODIFIED rescaled-range test for long-range
+    dependence in daily revenue: the classic R/S range of cumulative
+    deviations, but studentized by the Newey-West long-run variance
+    sigma_q^2 = gamma_0 + 2 sum (1-j/(q+1)) gamma_j with q=5 Bartlett
+    weights instead of the plain standard deviation — short-memory
+    autocorrelation inflates classic R/S (`hurst_rs_exponent`) into
+    false long-memory findings; Lo's correction absorbs it, and
+    V_lo outside [0.809, 1.862] rejects short-range dependence at
+    5%. v_classic ships beside v_lo so the CORRECTION SIZE is the
+    readout (the dfa_alpha_longmemory cross-check).
+
+    Exactness: deviations are rounded at 4 dp from the exact cents
+    mean; the cumulative Z, gamma_0, and the five lag
+    cross-products fold 4-dp rounded terms through DECIMAL(38,4)
+    (order-free); R and both V's are terminal trees. Lo's
+    1/n (not 1/(n-j)) autocovariance convention throughout. Plan:
+    one day rollup, bounded grid fill, one 6-output window pass
+    over the bounded grid, one fold."""
+    o = t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    span = days.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("g"),
+        F.col("d0"),
+    ).select((F.col("g") - F.col("d0")).cast("bigint").alias("i"))
+    dd = days.crossJoin(F.broadcast(span)).select(
+        (F.col("d") - F.col("d0")).cast("bigint").alias("i"), "y"
+    )
+    filled = grid.join(dd, "i", "left").select(
+        "i", F.coalesce("y", F.lit(0)).cast("bigint").alias("y")
+    )
+    mu = filled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("t0"),
+    )
+    dev = filled.crossJoin(F.broadcast(mu)).select(
+        "i",
+        "n",
+        F.round(
+            F.col("y") - F.col("t0").cast("double") / F.col("n"), 4
+        ).alias("e"),
+    )
+    wo = Window.orderBy("i")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lagd = dev.select(
+        "i",
+        "n",
+        "e",
+        F.lag("e", 1).over(wo).alias("e1"),
+        F.lag("e", 2).over(wo).alias("e2"),
+        F.lag("e", 3).over(wo).alias("e3"),
+        F.lag("e", 4).over(wo).alias("e4"),
+        F.lag("e", 5).over(wo).alias("e5"),
+        F.sum(F.round(F.col("e"), 4).cast("decimal(38,4)"))
+        .over(wcum)
+        .alias("z"),
+    )
+
+    def gfold(k):
+        src = F.col("e") * F.coalesce(F.col(f"e{k}"), F.lit(0.0))
+        return (
+            F.sum(F.round(src, 4).cast("decimal(38,4)"))
+            .cast("double")
+            .alias(f"g{k}")
+        )
+
+    fold = lagd.agg(
+        F.max("n").cast("bigint").alias("n"),
+        (F.max("z").cast("double") - F.min("z").cast("double")).alias(
+            "r"
+        ),
+        F.sum(
+            F.round(F.col("e") * F.col("e"), 4).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("g0"),
+        gfold(1),
+        gfold(2),
+        gfold(3),
+        gfold(4),
+        gfold(5),
+    )
+    n = F.col("n")
+    gam0 = F.col("g0") / n
+    sq2 = (
+        F.col("g0")
+        + 2.0
+        * (
+            (1.0 - 1.0 / 6.0) * F.col("g1")
+            + (1.0 - 2.0 / 6.0) * F.col("g2")
+            + (1.0 - 3.0 / 6.0) * F.col("g3")
+            + (1.0 - 4.0 / 6.0) * F.col("g4")
+            + (1.0 - 5.0 / 6.0) * F.col("g5")
+        )
+    ) / n
+    st = fold.select(
+        n.alias("n"),
+        F.col("r"),
+        gam0.alias("gam0"),
+        sq2.alias("sq2"),
+    )
+    vlo = F.col("r") / F.sqrt(F.col("sq2")) / F.sqrt(F.col("n") * 1.0)
+    return st.select(
+        F.col("n").alias("n_days"),
+        (F.round(F.col("r") / 100000.0, 4) + 0.0).alias("range_kusd"),
+        (F.round(F.sqrt(F.col("sq2")) / 100000.0, 6) + 0.0).alias(
+            "sigma_q_kusd"
+        ),
+        (
+            F.round(
+                F.col("r")
+                / F.sqrt(F.col("gam0"))
+                / F.sqrt(F.col("n") * 1.0),
+                6,
+            )
+            + 0.0
+        ).alias("v_classic"),
+        (F.round(vlo, 6) + 0.0).alias("v_lo"),
+        F.when((vlo > 0.809) & (vlo < 1.862), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("inside_95"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Passing-Bablok method-comparison regression: clicks vs views per day
+# --------------------------------------------------------------------------
+@register(
+    "passing_bablok_regression",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'view'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ev),
+    slopes AS (
+        SELECT (b.y - a.y) * 1.0 / (b.x - a.x) AS s,
+               a.d AS di, b.d AS dj
+        FROM ev a JOIN ev b ON a.d < b.d
+        WHERE b.x <> a.x
+          AND (b.y - a.y) * 1.0 / (b.x - a.x) <> -1.0
+    ),
+    ranked AS (
+        SELECT s,
+               CAST(ROW_NUMBER() OVER (ORDER BY s, di, dj) AS BIGINT)
+                   AS r,
+               CAST(COUNT(*) OVER () AS BIGINT) AS nn,
+               CAST(SUM(CASE WHEN s < -1.0 THEN 1 ELSE 0 END)
+                    OVER () AS BIGINT) AS k
+        FROM slopes
+    ),
+    bsel AS (
+        SELECT nn, k,
+               round((MAX(CASE WHEN r = (nn + 1) // 2 + k
+                          THEN s END)
+                      + MAX(CASE WHEN r = (nn + 2) // 2 + k
+                            THEN s END)) / 2.0, 10) AS b
+        FROM ranked GROUP BY nn, k
+    ),
+    ci AS (
+        SELECT nn, k, b,
+               CAST(GREATEST(1, LEAST(nn,
+                   CAST(floor((nn - 1.959963985
+                       * sqrt(nd.m * (nd.m - 1.0) * (2.0 * nd.m + 5.0)
+                              / 18.0)) / 2.0) AS BIGINT) + k))
+                   AS BIGINT) AS rlo,
+               CAST(GREATEST(1, LEAST(nn,
+                   nn - CAST(floor((nn - 1.959963985
+                       * sqrt(nd.m * (nd.m - 1.0) * (2.0 * nd.m + 5.0)
+                              / 18.0)) / 2.0) AS BIGINT) + 1 + k))
+                   AS BIGINT) AS rhi
+        FROM bsel, nd
+    ),
+    bci AS (
+        SELECT ci.nn, ci.k, ci.b,
+               MAX(CASE WHEN r.r = ci.rlo THEN r.s END) AS blo,
+               MAX(CASE WHEN r.r = ci.rhi THEN r.s END) AS bhi
+        FROM ci JOIN ranked r ON r.r = ci.rlo OR r.r = ci.rhi
+        GROUP BY ci.nn, ci.k, ci.b
+    ),
+    resid AS (
+        SELECT ev.y - bci.b * ev.x AS v, ev.d,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY ev.y - bci.b * ev.x, ev.d) AS BIGINT)
+                   AS r,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM ev, bci
+    ),
+    aint AS (
+        SELECT round((MAX(CASE WHEN r = (m + 1) // 2 THEN v END)
+                      + MAX(CASE WHEN r = (m + 2) // 2 THEN v END))
+                     / 2.0, 10) AS a
+        FROM resid
+    )
+    SELECT nd.m AS n_days, bci.nn AS n_slopes,
+           bci.k AS k_offset,
+           round(bci.b, 8) + 0.0 AS slope_pb,
+           round(bci.blo, 8) + 0.0 AS slope_ci_lo,
+           round(bci.bhi, 8) + 0.0 AS slope_ci_hi,
+           round(aint.a, 6) + 0.0 AS intercept_pb
+    FROM bci, aint, nd
+    """,
+)
+def passing_bablok_regression(spark, sf_dir):
+    """Passing-Bablok method-comparison regression between two
+    "measurement methods" of daily activity — click counts (x) vs
+    view counts (y): the slope is the K-SHIFTED median of all
+    pairwise slopes (K = #slopes < -1 restores symmetry under
+    axis swap; slopes exactly -1 and vertical ties are excluded,
+    the mcr-package convention documented here), the intercept the
+    median of y - bx, and the slope CI the Kendall-variance rank
+    offsets floor((N - 1.96 sqrt(m(m-1)(2m+5)/18))/2) — the
+    regression BOTH of whose variables carry error, scale-invariant
+    and outlier-resistant where OLS (`cooks_distance_trend` family)
+    and even `deming_regression` (needs a known error ratio) are
+    not. b in [CI] including 1 and a including 0 reads as "the two
+    methods agree".
+
+    Exactness: slopes are ratios of exact BIGINT count differences
+    with a deterministic (slope, day_i, day_j) total order; medians
+    are midpoint order statistics at explicit integer ranks (odd =
+    same rank twice); b is rounded at 10 dp before the intercept
+    residuals. Plan: one day rollup, one bounded day-grid pair
+    self-join (calendar^2 domain, constant in data volume), two
+    rank passes."""
+    e = t(spark, sf_dir, "events")
+    ev = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    ).persist()
+    nd = ev.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    a_ = ev.select(
+        F.col("d").alias("di"), F.col("x").alias("xi"), F.col("y").alias("yi")
+    )
+    b_ = ev.select(
+        F.col("d").alias("dj"), F.col("x").alias("xj"), F.col("y").alias("yj")
+    )
+    s = (F.col("yj") - F.col("yi")) * 1.0 / (F.col("xj") - F.col("xi"))
+    slopes = (
+        a_.join(b_, F.col("di") < F.col("dj"))
+        .where((F.col("xj") != F.col("xi")) & (s != -1.0))
+        .select(s.alias("s"), "di", "dj")
+    )
+    ranked = slopes.select(
+        "s",
+        F.row_number()
+        .over(Window.orderBy("s", "di", "dj"))
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("nn"),
+        F.sum(F.when(F.col("s") < -1.0, 1).otherwise(0))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("k"),
+    ).persist()
+    nn, k = F.col("nn"), F.col("k")
+    bsel = ranked.groupBy("nn", "k").agg(
+        F.round(
+            (
+                F.max(
+                    F.when(
+                        F.col("r") == F.floor((nn + 1) / 2) + k, F.col("s")
+                    )
+                )
+                + F.max(
+                    F.when(
+                        F.col("r") == F.floor((nn + 2) / 2) + k, F.col("s")
+                    )
+                )
+            )
+            / 2.0,
+            10,
+        ).alias("b")
+    )
+    cw = 1.959963985 * F.sqrt(
+        F.col("m") * (F.col("m") - 1.0) * (2.0 * F.col("m") + 5.0) / 18.0
+    )
+    m1 = F.floor((nn - cw) / 2.0).cast("bigint")
+    ci = bsel.crossJoin(F.broadcast(nd)).select(
+        "nn",
+        "k",
+        "b",
+        F.greatest(F.lit(1), F.least(nn, m1 + k))
+        .cast("bigint")
+        .alias("rlo"),
+        F.greatest(F.lit(1), F.least(nn, nn - m1 + 1 + k))
+        .cast("bigint")
+        .alias("rhi"),
+    )
+    bci = (
+        ci.join(
+            ranked.select("r", "s"),
+            (F.col("r") == F.col("rlo")) | (F.col("r") == F.col("rhi")),
+        )
+        .groupBy("nn", "k", "b")
+        .agg(
+            F.max(
+                F.when(F.col("r") == F.col("rlo"), F.col("s"))
+            ).alias("blo"),
+            F.max(
+                F.when(F.col("r") == F.col("rhi"), F.col("s"))
+            ).alias("bhi"),
+        )
+    )
+    resid = ev.crossJoin(F.broadcast(bci)).select(
+        (F.col("y") - F.col("b") * F.col("x")).alias("v"),
+        "d",
+    )
+    rr = resid.select(
+        "v",
+        F.row_number()
+        .over(Window.orderBy("v", "d"))
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("m"),
+    )
+    aint = rr.agg(
+        F.round(
+            (
+                F.max(
+                    F.when(
+                        F.col("r") == F.floor((F.col("m") + 1) / 2),
+                        F.col("v"),
+                    )
+                )
+                + F.max(
+                    F.when(
+                        F.col("r") == F.floor((F.col("m") + 2) / 2),
+                        F.col("v"),
+                    )
+                )
+            )
+            / 2.0,
+            10,
+        ).alias("a")
+    )
+    return (
+        bci.crossJoin(F.broadcast(aint))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("m").alias("n_days"),
+            F.col("nn").alias("n_slopes"),
+            F.col("k").alias("k_offset"),
+            (F.round("b", 8) + 0.0).alias("slope_pb"),
+            (F.round("blo", 8) + 0.0).alias("slope_ci_lo"),
+            (F.round("bhi", 8) + 0.0).alias("slope_ci_hi"),
+            (F.round("a", 6) + 0.0).alias("intercept_pb"),
+        )
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "passing_bablok_regression": (
+            "rank passes over the bounded day-grid slope-pair frame "
+            "(calendar^2 domain, constant in data volume — the "
+            "theil_sen / sorted-pairs class)"
+        ),
+    }
+)
