@@ -2366,16 +2366,14 @@ def rk_multiclass_mcc(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n")
     ).persist()
     pred = (
-        cell.groupBy("dow", "vb", "ty")
-        .agg(F.sum("n").alias("cn"))
-        .select(
+        cell.select(
             "dow",
             "vb",
             F.col("ty").alias("p"),
             F.row_number()
             .over(
                 Window.partitionBy("dow", "vb").orderBy(
-                    F.col("cn").desc(), F.col("ty").asc()
+                    F.col("n").desc(), F.col("ty").asc()
                 )
             )
             .alias("rn"),

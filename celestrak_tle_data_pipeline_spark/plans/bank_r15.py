@@ -4003,10 +4003,14 @@ PLAN_AUDIT_NOTES.update(
                AS dispersion_z,
            round(CASE WHEN s2 > lam THEN lam * lam / (s2 - lam) END, 6)
                + 0.0 AS nb_k_hat,
-           round((n0 - n * exp(-lam)) * (n0 - n * exp(-lam))
-                 / (n * exp(-lam) * (CAST(1 AS DOUBLE) - exp(-lam))
-                    - n * lam * exp(-lam) * exp(-lam)), 6) + 0.0
-               AS zip_score_chi2
+           round(CASE WHEN n * exp(-lam) * (CAST(1 AS DOUBLE)
+                               - exp(-lam))
+                           - n * lam * exp(-lam) * exp(-lam) > 0
+                      THEN (n0 - n * exp(-lam)) * (n0 - n * exp(-lam))
+                           / (n * exp(-lam) * (CAST(1 AS DOUBLE)
+                                               - exp(-lam))
+                              - n * lam * exp(-lam) * exp(-lam))
+                 END, 6) + 0.0 AS zip_score_chi2
     FROM s
     """,
 )
@@ -4021,6 +4025,10 @@ def poisson_dispersion_panel(spark, sf_dir):
     test for ZERO-INFLATION (n₀ − n·e^{−λ̂})²/(n·e^{−λ̂}(1−e^{−λ̂}) −
     n·λ̂·e^{−2λ̂}) ~ χ²(1) — the three questions (overdispersed?
     how much? excess zeros?) asked before any count model ships.
+    The zero-inflation score is NULL when its denominator underflows
+    (e^-lambda -> 0 at high arrival rates: no zeros are expected and
+    the score is undefined — caught by the 64x key-shifted probe,
+    where ANSI division raised on the 0/0).
 
     Exact BIGINT folds of the integer counts; every statistic is a
     terminal double tree. Plan: one filtered scan → hour rollup, one
@@ -4080,7 +4088,9 @@ def poisson_dispersion_panel(spark, sf_dir):
             )
             + 0.0
         ).alias("nb_k_hat"),
-        (F.round(zip_num / zip_den, 6) + 0.0).alias("zip_score_chi2"),
+        (
+            F.round(F.when(zip_den > 0, zip_num / zip_den), 6) + 0.0
+        ).alias("zip_score_chi2"),
     )
 
 
@@ -4447,9 +4457,11 @@ def _case17(col: str, table: list) -> str:
            FROM (VALUES (1), (2), (4), (8), (16)) t(c)),
     terms AS (
         SELECT cg.c, kk.g AS kidx, lam.a, lam.l,
-               CASE WHEN kk.g = 0 THEN CAST(1.0 AS DOUBLE)
-                    ELSE exp(kk.g * ln(lam.a)) END
-               / ({_case17("kk.g", _FACT16)}) AS term
+               CASE WHEN lam.a < cg.c THEN
+                   (CASE WHEN kk.g = 0 THEN CAST(1.0 AS DOUBLE)
+                         ELSE exp(kk.g * ln(lam.a)) END
+                    / ({_case17("kk.g", _FACT16)}))
+               END AS term
         FROM cg, LATERAL UNNEST(range(0, 17)) AS kk(g), lam
         WHERE kk.g < cg.c
     ),
@@ -4488,8 +4500,12 @@ def erlang_c_staffing(spark, sf_dir):
     the registry's Little's-law audit (X478), which measures L and W
     but cannot answer "how many servers".
 
-    A^k/k! is exp(k ln A) over the EXACT 17-entry factorial literal
-    table (no libm gamma — neither engine ships lgamma in a shared
+    Rows with c <= A are UNSTABLE queues: every output is NULL and
+    the k-sum terms are guarded to NULL too (unguarded, A^k at
+    64x-probe arrival rates overflows the DECIMAL(38,12) term fold
+    for servers the load has already saturated — the 64x octave
+    caught exactly this). A^k/k! is exp(k ln A) over the EXACT
+    17-entry factorial literal table (no libm gamma — neither engine ships lgamma in a shared
     form); lambda is rounded at 8 dp before any power so both
     engines exponentiate identical doubles; the k-sum folds 12-dp
     rounded terms through DECIMAL(38,12). Plan: one filtered scan →
@@ -4526,11 +4542,12 @@ def erlang_c_staffing(spark, sf_dir):
         factl = F.when(F.col("g") == kk, F.lit(_FACT16[kk])).otherwise(
             factl
         )
-    term = (
+    term = F.when(
+        F.col("a") < F.col("c"),
         F.when(F.col("g") == 0, F.lit(1.0).cast("double")).otherwise(
             F.exp(F.col("g") * F.log("a"))
         )
-        / factl
+        / factl,
     )
     sums = (
         pairs.select("c", "a", "l", term.alias("term"))

@@ -294,6 +294,7 @@ def audit(spark, names=None):
         bank_r13,
         bank_r14,
         bank_r15,
+        bank_r16,
         next_window,
     )
 
@@ -305,6 +306,7 @@ def audit(spark, names=None):
             **bank_r13.BANK_QUERIES,
             **bank_r14.BANK_QUERIES,
             **bank_r15.BANK_QUERIES,
+            **bank_r16.BANK_QUERIES,
             **next_window.NEXT_QUERIES,
             **qs,
         }

@@ -138,6 +138,7 @@ def main(argv) -> int:
         bank_r13,
         bank_r14,
         bank_r15,
+        bank_r16,
         next_window,
     )
     from celestrak_tle_data_pipeline_spark.session import get_spark
@@ -152,6 +153,7 @@ def main(argv) -> int:
     qs.update(bank_r13.BANK_QUERIES)
     qs.update(bank_r14.BANK_QUERIES)
     qs.update(bank_r15.BANK_QUERIES)
+    qs.update(bank_r16.BANK_QUERIES)
     qs.update(next_window.NEXT_QUERIES)
     qs.update(plans.all_queries())
     report = {}
