@@ -954,3 +954,343 @@ def granger_causality_f(spark, sf_dir):
         (F.round(f2, 6) + 0.0).alias("f_purchases_to_clicks"),
         (F.col("n") - 3).cast("bigint").alias("dof2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-correlation function clicks -> purchases at lags -7..7
+# --------------------------------------------------------------------------
+@register(
+    "ccf_peak_lag",
+    oracle="""
+    WITH ev2 AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    span2 AS (SELECT CAST(min(d) AS BIGINT) AS d0,
+                     CAST(max(d) AS BIGINT) AS d1 FROM ev2),
+    fill2 AS (
+        SELECT CAST(u.g AS BIGINT) AS d,
+               COALESCE(e.x, 0) AS x, COALESCE(e.y, 0) AS y
+        FROM span2,
+             LATERAL UNNEST(range(span2.d0, span2.d1 + 1)) AS u(g)
+        LEFT JOIN ev2 e ON u.g = e.d
+    ),
+    ks AS (SELECT CAST(u.g AS BIGINT) AS k
+           FROM LATERAL UNNEST(range(-7, 8)) AS u(g)),
+    pairs AS (
+        SELECT ks.k, a.x, b.y
+        FROM fill2 a JOIN ks ON TRUE
+        JOIN fill2 b ON b.d = a.d + ks.k
+    ),
+    mom AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * x)
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS sxy
+        FROM pairs GROUP BY k
+    ),
+    ccf AS (
+        SELECT k, n,
+               round((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((n * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * sx)
+                            * (n * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * sy)), 10)
+                   AS r
+        FROM mom
+    ),
+    peak AS (
+        SELECT k AS kstar FROM ccf
+        ORDER BY abs(r) DESC, k ASC LIMIT 1
+    )
+    SELECT ccf.k AS lag_days, ccf.n AS n_pairs,
+           round(ccf.r, 6) + 0.0 AS ccf_r,
+           round(1.959963985 / sqrt(ccf.n * 1.0), 6) + 0.0
+               AS white_noise_band,
+           CAST(CASE WHEN ccf.k = peak.kstar THEN 1 ELSE 0 END
+                AS INT) AS is_peak
+    FROM ccf, peak ORDER BY ccf.k
+    """,
+)
+def ccf_peak_lag(spark, sf_dir):
+    """Cross-correlation function between daily clicks (x) and daily
+    purchases (y) at lags -7..+7: r_k = corr(x_t, y_(t+k)) on the
+    zero-filled grid, each lag over its own aligned window, with the
+    +/-1.96/sqrt(n) white-noise band and the |r|-argmax peak flag
+    (ties to the smallest lag) — the WHERE of the lead-lag story
+    `granger_causality_f` tests at lag 1: a peak at k>0 reads
+    "clicks lead purchases by k days", the marketing-latency
+    readout. Per-lag n shrinks with |k| (no padding — real aligned
+    pairs only).
+
+    Exactness: per-lag moments fold exact BIGINT counts through
+    DECIMAL(19,0) widens in one grouped pass over the bounded
+    (day x 15-lag) join; each r is rounded at 10 dp before the
+    argmax so both engines rank identical doubles; the peak is a
+    total-order top-1. Plan: one day rollup, bounded grid fill, one
+    15-lag equi-join, one grouped fold, one 15-row argmax."""
+    e = t(spark, sf_dir, "events")
+    ev2 = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    span = ev2.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    fill = grid.join(ev2, "d", "left").select(
+        "d",
+        F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+        F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+    ).persist()
+    ks = spark.range(-7, 8).select(F.col("id").cast("bigint").alias("k"))
+    a = fill.select("d", "x")
+    b = fill.select(F.col("d").alias("bd"), F.col("y").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(ks))
+        .withColumn("bd", F.col("d") + F.col("k"))
+        .join(b, "bd")
+    )
+    mom = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    r = F.round(
+        (n * F.col("sxy").cast("double")
+         - F.col("sx").cast("double") * F.col("sy"))
+        / F.sqrt(
+            (n * F.col("sxx").cast("double")
+             - F.col("sx").cast("double") * F.col("sx"))
+            * (n * F.col("syy").cast("double")
+               - F.col("sy").cast("double") * F.col("sy"))
+        ),
+        10,
+    )
+    ccf = mom.select("k", "n", r.alias("r")).persist()
+    peak = (
+        ccf.orderBy(F.abs(F.col("r")).desc(), F.col("k").asc())
+        .limit(1)
+        .select(F.col("k").alias("kstar"))
+    )
+    return (
+        ccf.crossJoin(F.broadcast(peak))
+        .select(
+            F.col("k").alias("lag_days"),
+            F.col("n").alias("n_pairs"),
+            (F.round("r", 6) + 0.0).alias("ccf_r"),
+            (F.round(1.959963985 / F.sqrt(n * 1.0), 6) + 0.0).alias(
+                "white_noise_band"
+            ),
+            F.when(F.col("k") == F.col("kstar"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_peak"),
+        )
+        .orderBy("lag_days")
+    )
+
+
+# --------------------------------------------------------------------------
+# Knox space-time interaction test on orders
+# --------------------------------------------------------------------------
+@register(
+    "knox_spacetime",
+    oracle="""
+    WITH o2 AS (
+        SELECT CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               c.c_nationkey AS nk
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    n_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o2),
+    byday AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM o2 GROUP BY d
+    ),
+    bynat AS (
+        SELECT nk, CAST(COUNT(*) AS BIGINT) AS c FROM o2 GROUP BY nk
+    ),
+    bynd AS (
+        SELECT nk, d, CAST(COUNT(*) AS BIGINT) AS c
+        FROM o2 GROUP BY nk, d
+    ),
+    pt AS (
+        SELECT CAST(SUM(CAST(c AS DECIMAL(19,0)) * (c - 1))
+                    AS DECIMAL(38,0)) // 2
+               + (SELECT CAST(SUM(CAST(a.c AS DECIMAL(19,0)) * b.c)
+                              AS DECIMAL(38,0))
+                  FROM byday a JOIN byday b
+                    ON b.d > a.d AND b.d <= a.d + 3) AS np
+        FROM byday
+    ),
+    ps AS (
+        SELECT CAST(SUM(CAST(c AS DECIMAL(19,0)) * (c - 1))
+                    AS DECIMAL(38,0)) // 2 AS np
+        FROM bynat
+    ),
+    pb AS (
+        SELECT CAST(SUM(CAST(c AS DECIMAL(19,0)) * (c - 1))
+                    AS DECIMAL(38,0)) // 2
+               + (SELECT CAST(SUM(CAST(a.c AS DECIMAL(19,0)) * b.c)
+                              AS DECIMAL(38,0))
+                  FROM bynd a JOIN bynd b
+                    ON a.nk = b.nk AND b.d > a.d AND b.d <= a.d + 3)
+                   AS np
+        FROM bynd
+    ),
+    stat AS (
+        SELECT n_.n,
+               CAST(pt.np AS DOUBLE) AS nt,
+               CAST(ps.np AS DOUBLE) AS ns,
+               CAST(pb.np AS DOUBLE) AS x,
+               CAST(pt.np AS DOUBLE) * CAST(ps.np AS DOUBLE)
+                   / (CAST(n_.n AS DOUBLE) * (n_.n - 1) / 2.0) AS ex
+        FROM n_, pt, ps, pb
+    )
+    SELECT n AS n_orders,
+           CAST(nt AS BIGINT) AS pairs_time_close,
+           CAST(ns AS BIGINT) AS pairs_space_close,
+           CAST(x AS BIGINT) AS pairs_both_close,
+           round(ex, 4) + 0.0 AS expected_both,
+           round((x - ex) / sqrt(ex), 6) + 0.0 AS knox_z
+    FROM stat
+    """,
+)
+def knox_spacetime(spark, sf_dir):
+    """Knox space-time interaction test on orders: X = pairs of
+    orders CLOSE IN BOTH time (<= 3 days apart) and space (same
+    customer nation), against E[X] = N_T N_S / N_pairs under
+    independence, z = (X-E)/sqrt(E) (Knox's Poisson approximation)
+    — the classic outbreak/fraud-burst detector: orders clustering
+    in time AND geography beyond what their marginal clusterings
+    imply. The spatial-epidemiology member of the spatial family
+    (`morans_i_nations` / `getis_ord_general_g` are cross-sectional;
+    Knox is the INTERACTION of the two closeness relations).
+
+    Exactness: all three pair counts are exact — same-cell C(c,2)
+    folds plus 3-offset day-band equi-joins at (day), (nation), and
+    (nation, day) grain, every product DECIMAL(19,0)-widened (day
+    cell counts squared pass int64 at the 64x octave); E and z are
+    terminal ratios. The pair counting never touches order-pair
+    grain: everything is rollup-of-rollups on bounded (nation x
+    day) frames. Plan: one join scan, three rollups, three bounded
+    band self-joins, one fold."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    o2 = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    n_ = o2.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    byday = o2.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    bynat = o2.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    bynd = o2.groupBy("nk", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+
+    def same_cell_pairs(df):
+        return df.agg(
+            (
+                F.sum(
+                    F.col("c").cast("decimal(19,0)") * (F.col("c") - 1)
+                ).cast("decimal(38,0)")
+                / 2
+            )
+            .cast("decimal(38,0)")
+            .alias("p")
+        )
+
+    tband = (
+        byday.alias("a")
+        .join(
+            byday.alias("b"),
+            (F.col("b.d") > F.col("a.d"))
+            & (F.col("b.d") <= F.col("a.d") + 3),
+        )
+        .agg(
+            F.sum(
+                F.col("a.c").cast("decimal(19,0)") * F.col("b.c")
+            )
+            .cast("decimal(38,0)")
+            .alias("p")
+        )
+    )
+    sband = (
+        bynd.alias("a")
+        .join(
+            bynd.alias("b"),
+            (F.col("a.nk") == F.col("b.nk"))
+            & (F.col("b.d") > F.col("a.d"))
+            & (F.col("b.d") <= F.col("a.d") + 3),
+        )
+        .agg(
+            F.sum(
+                F.col("a.c").cast("decimal(19,0)") * F.col("b.c")
+            )
+            .cast("decimal(38,0)")
+            .alias("p")
+        )
+    )
+    pt = (
+        same_cell_pairs(byday)
+        .crossJoin(F.broadcast(tband.select(F.col("p").alias("pb_"))))
+        .select((F.col("p") + F.col("pb_")).alias("nt"))
+    )
+    ps = same_cell_pairs(bynat).select(F.col("p").alias("ns"))
+    pb = (
+        same_cell_pairs(bynd)
+        .crossJoin(F.broadcast(sband.select(F.col("p").alias("pb_"))))
+        .select((F.col("p") + F.col("pb_")).alias("x"))
+    )
+    stat = (
+        n_.crossJoin(F.broadcast(pt))
+        .crossJoin(F.broadcast(ps))
+        .crossJoin(F.broadcast(pb))
+    )
+    n = F.col("n").cast("double")
+    nt = F.col("nt").cast("double")
+    ns = F.col("ns").cast("double")
+    x = F.col("x").cast("double")
+    ex = nt * ns / (n * (F.col("n") - 1) / 2.0)
+    return stat.select(
+        F.col("n").alias("n_orders"),
+        F.col("nt").cast("bigint").alias("pairs_time_close"),
+        F.col("ns").cast("bigint").alias("pairs_space_close"),
+        F.col("x").cast("bigint").alias("pairs_both_close"),
+        (F.round(ex, 4) + 0.0).alias("expected_both"),
+        (F.round((x - ex) / F.sqrt(ex), 6) + 0.0).alias("knox_z"),
+    )
