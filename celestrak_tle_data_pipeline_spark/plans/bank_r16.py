@@ -2090,3 +2090,705 @@ def association_rules_panel(spark, sf_dir):
         ).alias("conviction"),
     ).orderBy(F.col("n_together").desc(), "brand_a", "brand_b")
 
+
+
+# --------------------------------------------------------------------------
+# Van der Waerden k-sample normal-scores test across priorities
+# --------------------------------------------------------------------------
+from .bank_r15 import _acklam_col, _acklam_sql  # noqa: E402
+
+
+@register(
+    "van_der_waerden_test",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    cells AS (
+        SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pts GROUP BY v, g
+    ),
+    vg AS (
+        SELECT v, CAST(SUM(c) AS BIGINT) AS h FROM cells GROUP BY v
+    ),
+    cum AS (
+        SELECT v, h,
+               CAST(SUM(h) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) - h AS BIGINT) AS below,
+               CAST(SUM(h) OVER () AS BIGINT) AS n
+        FROM vg
+    ),
+    scored AS (
+        SELECT v, h, n,
+               round({_acklam_sql(
+                   '((2 * below + h + 1) / 2.0) / (n + 1.0)')}, 10)
+                   AS s
+        FROM cum
+    ),
+    grp AS (
+        SELECT c.g,
+               CAST(SUM(c.c) AS BIGINT) AS nj,
+               CAST(SUM(CAST(round(c.c * s.s, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS aj
+        FROM cells c JOIN scored s ON c.v = s.v
+        GROUP BY c.g
+    ),
+    vtot AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(h * s * s, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS ss
+        FROM scored
+    ),
+    stat AS (
+        SELECT vtot.n,
+               SUM(round(aj * aj / nj, 9)) / (vtot.ss / (vtot.n - 1))
+                   AS t
+        FROM grp, vtot GROUP BY vtot.n, vtot.ss
+    )
+    SELECT n AS n_orders,
+           round(t, 6) + 0.0 AS vdw_t,
+           CAST(4 AS BIGINT) AS dof,
+           round((exp(ln(t / 4.0) / 3.0)
+                  - (1.0 - 2.0 / 36.0)) / sqrt(2.0 / 36.0), 6) + 0.0
+               AS z_wilson_hilferty
+    FROM stat
+    """,
+)
+def van_der_waerden_test(spark, sf_dir):
+    """Van der Waerden k-sample NORMAL-SCORES test across the five
+    priorities: replace each order value by Phi^-1(midrank/(n+1))
+    (the Acklam device) and ANOVA the scores — T = sum A_j^2/n_j /
+    s^2 ~ chi2(4) — asymptotically as efficient as the F test under
+    normality AND rank-robust under anything else, the best-of-both
+    location test that `kruskal_wallis_values` (rank-sum scores)
+    only approximates. The Wilson-Hilferty cube-root z accompanies
+    T as the closed-form tail readout (chi2 CDF has no shared
+    device; WH is the documented approximation, exp(ln/3) keeps the
+    cube root libm-shared).
+
+    Exactness: midranks x2 are exact integers on the cents grid;
+    scores round at 10 dp; group folds and the score variance fold
+    6-dp rounded products through DECIMAL(38,6); T is a terminal
+    ratio. Plan: one rollup to the value grid, one cumulative, one
+    scored pass, one 5-group fold."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+    cells = pts.groupBy("v", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    vg = cells.groupBy("v").agg(F.sum("c").cast("bigint").alias("h"))
+    cum = vg.select(
+        "v",
+        "h",
+        (
+            F.sum("h").over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("h")
+        )
+        .cast("bigint")
+        .alias("below"),
+        F.sum("h")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    scored = cum.select(
+        "v",
+        "h",
+        "n",
+        F.round(
+            _acklam_col(
+                ((2 * F.col("below") + F.col("h") + 1) / 2.0)
+                / (F.col("n") + 1.0)
+            ),
+            10,
+        ).alias("s"),
+    ).persist()
+    grp = (
+        cells.join(scored.select("v", "s"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("bigint").alias("nj"),
+            F.sum(
+                F.round(F.col("c") * F.col("s"), 6).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("aj"),
+        )
+    )
+    vtot = scored.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(
+            F.round(F.col("h") * F.col("s") * F.col("s"), 6).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("ss"),
+    )
+    stat = (
+        grp.crossJoin(F.broadcast(vtot))
+        .groupBy("n", "ss")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("aj") * F.col("aj") / F.col("nj"), 9
+                    )
+                )
+                / (F.col("ss") / (F.col("n") - 1))
+            ).alias("t")
+        )
+    )
+    tt = F.col("t")
+    wh = (
+        F.exp(F.log(tt / 4.0) / 3.0) - (1.0 - 2.0 / 36.0)
+    ) / F.sqrt(F.lit(2.0 / 36.0))
+    return stat.select(
+        F.col("n").alias("n_orders"),
+        (F.round(tt, 6) + 0.0).alias("vdw_t"),
+        F.lit(4).cast("bigint").alias("dof"),
+        (F.round(wh, 6) + 0.0).alias("z_wilson_hilferty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Klotz two-sample normal-scores SCALE test: weekend vs weekday
+# --------------------------------------------------------------------------
+@register(
+    "klotz_scale_test",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CASE WHEN CAST(epoch_us(o_orderdate) // 86400000000
+                         + 4 AS BIGINT) % 7 >= 5
+                    THEN 1 ELSE 0 END AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    cells AS (
+        SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pts GROUP BY v, g
+    ),
+    vg AS (
+        SELECT v, CAST(SUM(c) AS BIGINT) AS h FROM cells GROUP BY v
+    ),
+    cum AS (
+        SELECT v, h,
+               CAST(SUM(h) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) - h AS BIGINT) AS below,
+               CAST(SUM(h) OVER () AS BIGINT) AS n
+        FROM vg
+    ),
+    scored AS (
+        SELECT v, h, n,
+               round(pow({_acklam_sql(
+                   '((2 * below + h + 1) / 2.0) / (n + 1.0)')}, 2),
+                   10) AS s
+        FROM cum
+    ),
+    fold AS (
+        SELECT CAST(MAX(sc.n) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN c.g = 1 THEN c.c ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN c.g = 1
+                        THEN CAST(round(c.c * sc.s, 6)
+                                  AS DECIMAL(38,6)) END)
+                    AS DOUBLE) AS t1,
+               CAST(SUM(CAST(round(c.c * sc.s, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS st,
+               CAST(SUM(CAST(round(c.c * sc.s * sc.s, 6)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS st2
+        FROM cells c JOIN scored sc ON c.v = sc.v
+    ),
+    stat AS (
+        SELECT n, n1, t1,
+               n1 * st / n AS et,
+               CAST(n1 AS DOUBLE) * (n - n1) / (n * (n - 1.0))
+               * (st2 - st * st / n) AS vt
+        FROM fold
+    )
+    SELECT n AS n_orders, n1 AS n_weekend,
+           round(t1, 4) + 0.0 AS klotz_t,
+           round(et, 4) + 0.0 AS e_t,
+           round((t1 - et) / sqrt(vt), 6) + 0.0 AS z_klotz
+    FROM stat
+    """,
+)
+def klotz_scale_test(spark, sf_dir):
+    """Klotz two-sample SCALE test (weekend vs weekday order values):
+    T = sum over the weekend group of SQUARED normal scores
+    [Phi^-1(midrank/(n+1))]^2, with the exact permutation moments
+    E = n1 sbar and Var = n1 n2 (sum s^2 - n sbar^2)/(n(n-1)) — the
+    locally-most-powerful scale test under normality, sharpening
+    the rank-based `siegel_tukey_scale` / `mood_scale_ranks` /
+    `ansari_bradley_scale` family exactly as van der Waerden
+    sharpens Kruskal-Wallis; the squared-Acklam scores weight the
+    TAILS, where scale differences live.
+
+    Exactness: the same cents-grid midrank machinery; squared
+    scores round at 10 dp; the three folds carry 6-dp rounded
+    products through DECIMAL(38,6); z is a terminal ratio. Plan:
+    one value-grid rollup, one cumulative, one fold."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.when(
+            (
+                F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+                + 4
+            ).cast("bigint")
+            % 7
+            >= 5,
+            1,
+        )
+        .otherwise(0)
+        .alias("g"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+    cells = pts.groupBy("v", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    vg = cells.groupBy("v").agg(F.sum("c").cast("bigint").alias("h"))
+    cum = vg.select(
+        "v",
+        "h",
+        (
+            F.sum("h").over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("h")
+        )
+        .cast("bigint")
+        .alias("below"),
+        F.sum("h")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    raw = _acklam_col(
+        ((2 * F.col("below") + F.col("h") + 1) / 2.0)
+        / (F.col("n") + 1.0)
+    )
+    scored = cum.select(
+        "v", "h", "n", F.round(raw * raw, 10).alias("s")
+    )
+    j = cells.join(scored.select("v", "s", "n"), "v")
+    fold = j.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("g") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(
+            F.when(
+                F.col("g") == 1,
+                F.round(F.col("c") * F.col("s"), 6).cast(
+                    "decimal(38,6)"
+                ),
+            )
+        )
+        .cast("double")
+        .alias("t1"),
+        F.sum(
+            F.round(F.col("c") * F.col("s"), 6).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("st"),
+        F.sum(
+            F.round(F.col("c") * F.col("s") * F.col("s"), 6).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("st2"),
+    )
+    n = F.col("n")
+    n1 = F.col("n1")
+    et = n1 * F.col("st") / n
+    vt = (
+        n1.cast("double")
+        * (n - n1)
+        / (n * (n - 1.0))
+        * (F.col("st2") - F.col("st") * F.col("st") / n)
+    )
+    return fold.select(
+        n.alias("n_orders"),
+        n1.alias("n_weekend"),
+        (F.round("t1", 4) + 0.0).alias("klotz_t"),
+        (F.round(et, 4) + 0.0).alias("e_t"),
+        (
+            F.round((F.col("t1") - et) / F.sqrt(vt), 6) + 0.0
+        ).alias("z_klotz"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "van_der_waerden_test": (
+            "cumulative midrank pass over the cents value grid "
+            "(price-domain-bounded — the ansari_bradley_scale class)"
+        ),
+        "klotz_scale_test": (
+            "the same cents-grid cumulative midrank pass "
+            "(ansari_bradley_scale class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Fligner-Killeen k-sample scale test across priorities
+# --------------------------------------------------------------------------
+@register(
+    "fligner_killeen_scale",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    gg AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pts GROUP BY g, v
+    ),
+    gcum AS (
+        SELECT g, v,
+               SUM(c) OVER (PARTITION BY g ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cc,
+               SUM(c) OVER (PARTITION BY g) AS ng
+        FROM gg
+    ),
+    med AS (
+        SELECT g, CAST(MIN(v) AS BIGINT) AS med
+        FROM gcum WHERE 2 * cc >= ng GROUP BY g
+    ),
+    devs AS (
+        SELECT p.g, abs(p.v - m.med) AS w
+        FROM pts p JOIN med m ON p.g = m.g
+    ),
+    cells AS (
+        SELECT w, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM devs GROUP BY w, g
+    ),
+    wg AS (
+        SELECT w, CAST(SUM(c) AS BIGINT) AS h FROM cells GROUP BY w
+    ),
+    cum AS (
+        SELECT w, h,
+               CAST(SUM(h) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) - h AS BIGINT) AS below,
+               CAST(SUM(h) OVER () AS BIGINT) AS n
+        FROM wg
+    ),
+    scored AS (
+        SELECT w, h, n,
+               round({_acklam_sql(
+                   '0.5 + ((2 * below + h + 1) / 2.0)'
+                   ' / (2.0 * (n + 1.0))')}, 10) AS a
+        FROM cum
+    ),
+    grp AS (
+        SELECT c.g,
+               CAST(SUM(c.c) AS BIGINT) AS nj,
+               CAST(SUM(CAST(round(c.c * s.a, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS aj
+        FROM cells c JOIN scored s ON c.w = s.w
+        GROUP BY c.g
+    ),
+    tot AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(h * a, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sa,
+               CAST(SUM(CAST(round(h * a * a, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS saa
+        FROM scored
+    ),
+    stat AS (
+        SELECT tot.n,
+               SUM(round(nj * pow(aj / nj - tot.sa / tot.n, 2), 9))
+               / ((tot.saa - tot.sa * tot.sa / tot.n) / (tot.n - 1))
+                   AS x2
+        FROM grp, tot GROUP BY tot.n, tot.sa, tot.saa
+    )
+    SELECT n AS n_orders,
+           round(x2, 6) + 0.0 AS fk_chi2,
+           CAST(4 AS BIGINT) AS dof,
+           round((exp(ln(x2 / 4.0) / 3.0)
+                  - (1.0 - 2.0 / 36.0)) / sqrt(2.0 / 36.0), 6) + 0.0
+               AS z_wilson_hilferty
+    FROM stat
+    """,
+)
+def fligner_killeen_scale(spark, sf_dir):
+    """Fligner-Killeen k-sample SCALE test across the five priorities
+    — the variance-equality test of record (R's var.test default for
+    k groups) because it is the most ROBUST to non-normality of the
+    classical scale family: rank the absolute deviations |x - group
+    median| (exact lower medians per group), score them with the
+    folded normal scores Phi^-1(1/2 + r/(2(n+1))) (the Acklam
+    device), and chi-square the group mean scores — the omnibus
+    companion to the pairwise `levene_brown_forsythe` /
+    `bartlett_variance_test` (Bartlett dies under heavy tails;
+    Levene loses power; FK holds both ends).
+
+    Exactness: group medians are exact grid elements; |dev|
+    midranks x2 are exact integers on the deviation grid (cents
+    domain); scores round at 10 dp, folds carry 6-dp rounded
+    products through DECIMAL(38,6); X^2 is a terminal ratio with
+    the Wilson-Hilferty z beside it. Plan: per-group grid
+    cumulative (partitioned), one pooled deviation-grid cumulative,
+    one 5-group fold."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+    gg = pts.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    gcum = gg.select(
+        "g",
+        "v",
+        F.sum("c")
+        .over(
+            Window.partitionBy("g")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy("g")).alias("ng"),
+    )
+    med = (
+        gcum.where(2 * F.col("cc") >= F.col("ng"))
+        .groupBy("g")
+        .agg(F.min("v").cast("bigint").alias("med"))
+    )
+    devs = pts.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("w")
+    )
+    cells = devs.groupBy("w", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wg = cells.groupBy("w").agg(F.sum("c").cast("bigint").alias("h"))
+    cum = wg.select(
+        "w",
+        "h",
+        (
+            F.sum("h").over(
+                Window.orderBy("w").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("h")
+        )
+        .cast("bigint")
+        .alias("below"),
+        F.sum("h")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    scored = cum.select(
+        "w",
+        "h",
+        "n",
+        F.round(
+            _acklam_col(
+                0.5
+                + ((2 * F.col("below") + F.col("h") + 1) / 2.0)
+                / (2.0 * (F.col("n") + 1.0))
+            ),
+            10,
+        ).alias("a"),
+    ).persist()
+    grp = (
+        cells.join(scored.select("w", "a"), "w")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("bigint").alias("nj"),
+            F.sum(
+                F.round(F.col("c") * F.col("a"), 6).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("aj"),
+        )
+    )
+    tot = scored.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(
+            F.round(F.col("h") * F.col("a"), 6).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("sa"),
+        F.sum(
+            F.round(F.col("h") * F.col("a") * F.col("a"), 6).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("saa"),
+    )
+    stat = (
+        grp.crossJoin(F.broadcast(tot))
+        .groupBy("n", "sa", "saa")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("nj")
+                        * F.pow(
+                            F.col("aj") / F.col("nj")
+                            - F.col("sa") / F.col("n"),
+                            2,
+                        ),
+                        9,
+                    )
+                )
+                / (
+                    (
+                        F.col("saa")
+                        - F.col("sa") * F.col("sa") / F.col("n")
+                    )
+                    / (F.col("n") - 1)
+                )
+            ).alias("x2")
+        )
+    )
+    x2 = F.col("x2")
+    wh = (
+        F.exp(F.log(x2 / 4.0) / 3.0) - (1.0 - 2.0 / 36.0)
+    ) / F.sqrt(F.lit(2.0 / 36.0))
+    return stat.select(
+        F.col("n").alias("n_orders"),
+        (F.round(x2, 6) + 0.0).alias("fk_chi2"),
+        F.lit(4).cast("bigint").alias("dof"),
+        (F.round(wh, 6) + 0.0).alias("z_wilson_hilferty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hodges-Ajne half-circle test of hour-of-day uniformity
+# --------------------------------------------------------------------------
+@register(
+    "hodges_ajne_circular",
+    oracle="""
+    WITH hh AS (
+        SELECT CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    grid AS (
+        SELECT CAST(k.g AS BIGINT) AS k, CAST(j.g AS BIGINT) AS j
+        FROM UNNEST(range(0, 24)) k(g), UNNEST(range(0, 12)) j(g)
+    ),
+    halves AS (
+        SELECT g.k,
+               CAST(SUM(COALESCE(h.c, 0)) AS BIGINT) AS half
+        FROM grid g LEFT JOIN hh h ON h.hr = (g.k + g.j) % 24
+        GROUP BY g.k
+    ),
+    n_ AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hh),
+    mm AS (
+        SELECT k,
+               CAST(LEAST(half, n_.n - half) AS BIGINT) AS m
+        FROM halves, n_
+    ),
+    best AS (SELECT k AS kstar, m FROM mm ORDER BY m ASC, k ASC
+             LIMIT 1)
+    SELECT n_.n AS n_purchases,
+           best.m AS m_min_halfplane,
+           best.kstar AS rotation_hour,
+           round((n_.n - 2.0 * best.m) / sqrt(n_.n * 1.0), 6) + 0.0
+               AS z_hodges_ajne
+    FROM best, n_
+    """,
+)
+def hodges_ajne_circular(spark, sf_dir):
+    """Hodges-Ajne half-plane test of hour-of-day uniformity for
+    purchases: m = the minimum, over all 24 half-circle rotations,
+    of the smaller side's count — a perfectly uniform clock leaves
+    every half-circle near n/2; concentration ANYWHERE drives m
+    down. The sign-test of circular statistics: assumption-free
+    where `rayleigh_circular_hours` (resultant length) has power
+    only against UNIMODAL departure — a bimodal 9am/9pm clock fools
+    Rayleigh but not Hodges-Ajne. Emits the achieving rotation and
+    the (n-2m)/sqrt(n) normal deviate as the readout.
+
+    Exactness: half-circle counts are exact BIGINTs from the
+    24x12 modular grid join (bounded); m is a total-order top-1
+    (min m, then min rotation). Plan: one filtered rollup to 24
+    hours, one 288-row grid join, one top-1."""
+    e = t(spark, sf_dir, "events")
+    hh = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.floor(F.unix_micros("ts") / 3_600_000_000) % 24)
+            .cast("bigint")
+            .alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ks = spark.range(24).select(F.col("id").cast("bigint").alias("k"))
+    js = spark.range(12).select(F.col("id").cast("bigint").alias("j"))
+    grid = ks.crossJoin(js).select(
+        "k", ((F.col("k") + F.col("j")) % 24).alias("hr")
+    )
+    halves = (
+        grid.join(F.broadcast(hh), "hr", "left")
+        .groupBy("k")
+        .agg(
+            F.sum(F.coalesce("c", F.lit(0))).cast("bigint").alias("half")
+        )
+    )
+    n_ = hh.agg(F.sum("c").cast("bigint").alias("n"))
+    mm = halves.crossJoin(F.broadcast(n_)).select(
+        "k",
+        F.least(F.col("half"), F.col("n") - F.col("half"))
+        .cast("bigint")
+        .alias("m"),
+    )
+    best = (
+        mm.orderBy(F.col("m").asc(), F.col("k").asc())
+        .limit(1)
+        .select(F.col("k").alias("kstar"), "m")
+    )
+    return best.crossJoin(F.broadcast(n_)).select(
+        F.col("n").alias("n_purchases"),
+        F.col("m").alias("m_min_halfplane"),
+        F.col("kstar").alias("rotation_hour"),
+        (
+            F.round(
+                (F.col("n") - 2.0 * F.col("m"))
+                / F.sqrt(F.col("n") * 1.0),
+                6,
+            )
+            + 0.0
+        ).alias("z_hodges_ajne"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "fligner_killeen_scale": (
+            "pooled |deviation|-grid cumulative midrank pass "
+            "(cents-domain-bounded — the ansari_bradley_scale class; "
+            "the per-group median windows are g-partitioned)"
+        ),
+    }
+)
