@@ -2792,3 +2792,434 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Geary's kurtosis ratio test of normality
+# --------------------------------------------------------------------------
+@register(
+    "geary_kurtosis_ratio",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s,
+               CAST(SUM(CAST(v AS DECIMAL(19,0)) * v)
+                    AS DECIMAL(38,0)) AS ss
+        FROM pts
+    ),
+    dev AS (
+        SELECT CAST(SUM(CAST(round(
+                   abs(v - CAST(m.s AS DOUBLE) / m.n), 4)
+                   AS DECIMAL(38,4))) AS DOUBLE) AS sad
+        FROM pts, m
+    ),
+    stat AS (
+        SELECT m.n,
+               (dev.sad / m.n)
+               / sqrt((CAST(m.ss AS DOUBLE)
+                       - CAST(m.s AS DOUBLE) * m.s / m.n) / m.n)
+                   AS a
+        FROM m, dev
+    )
+    SELECT n AS n_orders,
+           round(a, 8) + 0.0 AS geary_a,
+           CAST(0.79788456 AS DOUBLE) AS e_a_normal,
+           round((a - 0.7978845608028654)
+                 / (0.2660879594339754 / sqrt(n * 1.0)), 6) + 0.0
+               AS z_geary
+    FROM stat
+    """,
+)
+def geary_kurtosis_ratio(spark, sf_dir):
+    """Geary's a-ratio normality test on order values: a = (mean
+    absolute deviation)/(population SD), which equals sqrt(2/pi) =
+    0.79788 under normality — BELOW it for heavy tails (MAD grows
+    slower than SD under outliers), ABOVE it for light. The
+    L1-vs-L2 normality angle that the moment route
+    (`dagostino_k2_panel`, `jarque_bera_normality`) and the
+    ECDF/PPCC routes (`lilliefors_normal_fit`,
+    `shapiro_francia_ppcc`) both miss: Geary's a is the most
+    POWERFUL of the classical tests against symmetric kurtosis
+    departures. z uses the classical asymptotic SD 0.26609/sqrt(n)
+    (both constants literal).
+
+    Exactness: mean and SD fold from exact cents power sums; the
+    absolute-deviation pass rounds each |v - mean| at 4 dp into a
+    DECIMAL(38,4) fold (order-free); a and z are terminal trees.
+    Plan: two scans (moments, then deviations vs the broadcast
+    mean), one fold each — no windows."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v")
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    dev = pts.crossJoin(F.broadcast(m)).agg(
+        F.sum(
+            F.round(
+                F.abs(
+                    F.col("v") - F.col("s").cast("double") / F.col("n")
+                ),
+                4,
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("sad"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.max("ss").alias("ss"),
+    )
+    n = F.col("n")
+    a = (F.col("sad") / n) / F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / n
+        )
+        / n
+    )
+    stat = dev.select(n.alias("n"), a.alias("a"))
+    return stat.select(
+        F.col("n").alias("n_orders"),
+        (F.round("a", 8) + 0.0).alias("geary_a"),
+        F.lit(0.79788456).cast("double").alias("e_a_normal"),
+        (
+            F.round(
+                (F.col("a") - 0.7978845608028654)
+                / (0.2660879594339754 / F.sqrt(F.col("n") * 1.0)),
+                6,
+            )
+            + 0.0
+        ).alias("z_geary"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Palma ratio and quintile income-share panel on customer spend
+# --------------------------------------------------------------------------
+@register(
+    "palma_quintile_shares",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey AS u,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS m
+        FROM orders GROUP BY o_custkey
+    ),
+    grid AS (
+        SELECT m AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(m) AS BIGINT) AS tot_v
+        FROM spend GROUP BY m
+    ),
+    cum AS (
+        SELECT v, c, tot_v,
+               CAST(SUM(c) OVER w AS BIGINT) AS cc,
+               CAST(SUM(tot_v) OVER w AS BIGINT) AS cv,
+               CAST(SUM(c) OVER () AS BIGINT) AS n,
+               CAST(SUM(tot_v) OVER () AS BIGINT) AS total
+        FROM grid
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    marks AS (
+        SELECT
+            CAST(MAX(CASE WHEN 10 * cc <= 4 * n THEN cv ELSE 0 END)
+                 AS BIGINT) AS bot40,
+            CAST(MAX(CASE WHEN 10 * cc <= 9 * n THEN cv ELSE 0 END)
+                 AS BIGINT) AS bot90,
+            CAST(MAX(CASE WHEN 5 * cc <= 1 * n THEN cv ELSE 0 END)
+                 AS BIGINT) AS bot20,
+            CAST(MAX(CASE WHEN 5 * cc <= 4 * n THEN cv ELSE 0 END)
+                 AS BIGINT) AS bot80,
+            CAST(MAX(total) AS BIGINT) AS total,
+            CAST(MAX(n) AS BIGINT) AS n
+        FROM cum
+    )
+    SELECT n AS n_customers,
+           round(CAST(bot40 AS DOUBLE) / total, 8) + 0.0
+               AS share_bottom40,
+           round(CAST(total - bot90 AS DOUBLE) / total, 8) + 0.0
+               AS share_top10,
+           round(CAST(total - bot90 AS DOUBLE) / bot40, 6) + 0.0
+               AS palma_ratio,
+           round(CAST(total - bot80 AS DOUBLE)
+                 / NULLIF(bot20, 0), 6) + 0.0 AS s80_s20_ratio
+    FROM marks
+    """,
+)
+def palma_quintile_shares(spark, sf_dir):
+    """Palma ratio and quintile-share inequality panel on customer
+    lifetime spend: top-10% share / bottom-40% share (Palma) and
+    the S80/S20 quintile ratio — the two DISTRIBUTION-TAIL
+    inequality readouts policy reporting actually uses, where the
+    registry's Gini/Lorenz/Atkinson/Theil family compresses the
+    whole curve into one number (two spend distributions with one
+    Gini can have very different Palmas; the panel disambiguates).
+    Customers on a decile boundary resolve by the WHOLE-GRID-CELL
+    rule (a spend value is in the bottom-k% iff its full cumulative
+    head count fits), the deterministic tie treatment.
+
+    Exactness: per-customer spend and all cumulative counts/values
+    are exact BIGINTs on the spend-cents grid; shares and ratios
+    are terminal trees of exact integers. Plan: one customer
+    rollup, one grid cumulative, one fold."""
+    o = t(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("u")).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("m")
+    )
+    grid = spend.groupBy(F.col("m").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("m").cast("bigint").alias("tot_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select(
+        "v",
+        F.sum("c").over(w).cast("bigint").alias("cc"),
+        F.sum("tot_v").over(w).cast("bigint").alias("cv"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
+        F.sum("tot_v")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("total"),
+    )
+    marks = cum.agg(
+        F.max(
+            F.when(10 * F.col("cc") <= 4 * F.col("n"), F.col("cv")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bot40"),
+        F.max(
+            F.when(10 * F.col("cc") <= 9 * F.col("n"), F.col("cv")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bot90"),
+        F.max(
+            F.when(5 * F.col("cc") <= 1 * F.col("n"), F.col("cv")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bot20"),
+        F.max(
+            F.when(5 * F.col("cc") <= 4 * F.col("n"), F.col("cv")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bot80"),
+        F.max("total").cast("bigint").alias("total"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    total = F.col("total")
+    return marks.select(
+        F.col("n").alias("n_customers"),
+        (
+            F.round(F.col("bot40").cast("double") / total, 8) + 0.0
+        ).alias("share_bottom40"),
+        (
+            F.round(
+                (total - F.col("bot90")).cast("double") / total, 8
+            )
+            + 0.0
+        ).alias("share_top10"),
+        (
+            F.round(
+                (total - F.col("bot90")).cast("double")
+                / F.col("bot40"),
+                6,
+            )
+            + 0.0
+        ).alias("palma_ratio"),
+        (
+            F.round(
+                (total - F.col("bot80")).cast("double")
+                / F.nullif(F.col("bot20"), F.lit(0)),
+                6,
+            )
+            + 0.0
+        ).alias("s80_s20_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ramsey-Rothman time-reversibility statistic on daily revenue
+# --------------------------------------------------------------------------
+@register(
+    "time_reversibility_trev",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    span AS (SELECT CAST(min(d) AS BIGINT) AS d0,
+                    CAST(max(d) AS BIGINT) AS d1 FROM days),
+    fill AS (
+        SELECT CAST(u.g AS BIGINT) AS d, COALESCE(days.y, 0) AS y
+        FROM span, LATERAL UNNEST(range(span.d0, span.d1 + 1)) AS u(g)
+        LEFT JOIN days ON u.g = days.d
+    ),
+    sc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS ss
+        FROM fill
+    ),
+    ks AS (SELECT CAST(u.g AS BIGINT) AS k
+           FROM LATERAL UNNEST(range(1, 6)) AS u(g)),
+    lagd AS (
+        SELECT ks.k,
+               round((a.y - CAST(sc.s AS DOUBLE) / sc.n) / 100000.0,
+                     8) AS ya,
+               round((b.y - CAST(sc.s AS DOUBLE) / sc.n) / 100000.0,
+                     8) AS yb
+        FROM fill a JOIN ks ON TRUE
+        JOIN fill b ON a.d = b.d + ks.k, sc
+    ),
+    fold AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(CAST(round(ya * ya * yb - ya * yb * yb, 8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS num,
+               CAST(SUM(CAST(round(ya * yb, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS cross_
+        FROM lagd GROUP BY k
+    ),
+    sc2 AS (
+        SELECT sqrt((CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * s / n) / n) / 100000.0
+                   AS sd
+        FROM sc
+    )
+    SELECT k AS lag_days, m AS n_pairs,
+           round(num / m / (sc2.sd * sc2.sd * sc2.sd), 6) + 0.0
+               AS trev_normalized,
+           round(cross_ / m / (sc2.sd * sc2.sd), 6) + 0.0
+               AS acf_at_lag
+    FROM fold, sc2 ORDER BY k
+    """,
+)
+def time_reversibility_trev(spark, sf_dir):
+    """Ramsey-Rothman TIME-REVERSIBILITY statistic on daily revenue
+    at lags 1..5: TREV(k) = E[y_t^2 y_(t-k) - y_t y_(t-k)^2] / sd^3
+    — identically ZERO for any time-reversible process (all
+    Gaussian linear models are reversible), so TREV != 0 is direct
+    evidence of NONLINEAR dynamics or asymmetric cycles (sharp
+    rises with slow decays), which no autocorrelation can see: the
+    registry's whole ACF/periodogram panel is blind to the arrow of
+    time by construction. The matched-lag ACF ships beside it to
+    show exactly that contrast.
+
+    Exactness: day means/SDs from exact cents power sums;
+    deviations round at 8 dp in k$; the cubic cross terms round at
+    8 dp into DECIMAL(38,8) folds per lag (order-free). Plan: one
+    day rollup, bounded grid fill, one 5-lag equi-join, one grouped
+    fold."""
+    o = t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    span = days.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    fill = grid.join(days, "d", "left").select(
+        "d", F.coalesce("y", F.lit(0)).cast("bigint").alias("y")
+    ).persist()
+    sc = fill.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    ks = spark.range(1, 6).select(F.col("id").cast("bigint").alias("k"))
+    a = fill.select("d", F.col("y").alias("ya0"))
+    b = fill.select(F.col("d").alias("bd"), F.col("y").alias("yb0"))
+    lagd = (
+        a.crossJoin(F.broadcast(ks))
+        .withColumn("bd", F.col("d") - F.col("k"))
+        .join(b, "bd")
+        .crossJoin(F.broadcast(sc))
+        .select(
+            "k",
+            F.round(
+                (F.col("ya0") - F.col("s").cast("double") / F.col("n"))
+                / 100000.0,
+                8,
+            ).alias("ya"),
+            F.round(
+                (F.col("yb0") - F.col("s").cast("double") / F.col("n"))
+                / 100000.0,
+                8,
+            ).alias("yb"),
+        )
+    )
+    fold = lagd.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(
+            F.round(
+                F.col("ya") * F.col("ya") * F.col("yb")
+                - F.col("ya") * F.col("yb") * F.col("yb"),
+                8,
+            ).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("num"),
+        F.sum(
+            F.round(F.col("ya") * F.col("yb"), 8).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("cross_"),
+    )
+    sc2 = sc.select(
+        (
+            F.sqrt(
+                (
+                    F.col("ss").cast("double")
+                    - F.col("s").cast("double") * F.col("s") / F.col("n")
+                )
+                / F.col("n")
+            )
+            / 100000.0
+        ).alias("sd")
+    )
+    sd = F.col("sd")
+    return fold.crossJoin(F.broadcast(sc2)).select(
+        F.col("k").alias("lag_days"),
+        F.col("m").alias("n_pairs"),
+        (
+            F.round(F.col("num") / F.col("m") / (sd * sd * sd), 6)
+            + 0.0
+        ).alias("trev_normalized"),
+        (
+            F.round(F.col("cross_") / F.col("m") / (sd * sd), 6) + 0.0
+        ).alias("acf_at_lag"),
+    ).orderBy("lag_days")
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "palma_quintile_shares": (
+            "one cumulative over the spend-cents grid "
+            "(domain-bounded — the lorenz/gini class)"
+        ),
+    }
+)
