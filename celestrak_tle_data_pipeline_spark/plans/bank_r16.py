@@ -3223,3 +3223,482 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# German tank (serial-number) estimate of the user-id space
+# --------------------------------------------------------------------------
+@register(
+    "german_tank_estimate",
+    oracle="""
+    WITH ids AS (SELECT DISTINCT user_id FROM events),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(MAX(user_id) AS BIGINT) AS m
+        FROM ids
+    )
+    SELECT k AS k_observed, m AS max_serial,
+           round(m * (1.0 + 1.0 / k) - 1.0, 4) + 0.0 AS mvue_n,
+           round((m - 1.0) * (k - 1.0) / (k - 2.0), 4) + 0.0
+               AS bayes_mean_n,
+           round(m * exp(-ln(0.05) / k), 4) + 0.0 AS upper95_n
+    FROM s
+    """,
+)
+def german_tank_estimate(spark, sf_dir):
+    """German tank (serial-number) estimation of the user-id SPACE
+    from the ids actually observed in events: the frequentist MVUE
+    N = m(1 + 1/k) - 1 (max + mean gap), the Bayesian posterior
+    mean (m-1)(k-1)/(k-2) under the improper uniform prior, and the
+    exact 95% upper bound m (1/0.05)^(1/k) from P(max <= m) =
+    (m/N)^k — the estimate-the-population-from-identifiers trick
+    (tanks, invoices, IDs) that complements the capture-recapture
+    pair (`capture_recapture_lincoln`, `schnabel_capture_recapture`
+    estimate ACTIVE population from overlap; this estimates the
+    ALLOCATED id space from magnitudes — the two disagreeing
+    measures dormancy).
+
+    Exactness: k and m are exact BIGINTs; all three estimators are
+    terminal double trees (the bound's k-th root is exp(-ln a / k),
+    libm-shared). Plan: one distinct rollup, one fold — nothing
+    else."""
+    e = t(spark, sf_dir, "events")
+    s = e.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("user_id").cast("bigint").alias("m"),
+    )
+    k, m = F.col("k"), F.col("m")
+    return s.select(
+        k.alias("k_observed"),
+        m.alias("max_serial"),
+        (F.round(m * (1.0 + 1.0 / k) - 1.0, 4) + 0.0).alias("mvue_n"),
+        (
+            F.round((m - 1.0) * (k - 1.0) / (k - 2.0), 4) + 0.0
+        ).alias("bayes_mean_n"),
+        (
+            F.round(m * F.exp(-F.log(F.lit(0.05)) / k), 4) + 0.0
+        ).alias("upper95_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Longest run of above-median revenue days (gaps-and-islands)
+# --------------------------------------------------------------------------
+@register(
+    "longest_run_above_median",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    grid AS (
+        SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM days GROUP BY y
+    ),
+    cum AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cc,
+               SUM(c) OVER () AS n
+        FROM grid
+    ),
+    med AS (SELECT CAST(MIN(v) AS BIGINT) AS med FROM cum
+            WHERE 2 * cc >= n),
+    above AS (
+        SELECT d,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn
+        FROM days, med WHERE days.y > med.med
+    ),
+    islands AS (
+        SELECT d - rn AS island, CAST(COUNT(*) AS BIGINT) AS len
+        FROM above GROUP BY d - rn
+    ),
+    fold AS (
+        SELECT CAST(MAX(len) AS BIGINT) AS maxrun,
+               CAST(COUNT(*) AS BIGINT) AS n_runs,
+               CAST(SUM(len) AS BIGINT) AS n_above
+        FROM islands
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM days)
+    SELECT nn.n_days, fold.n_above, fold.n_runs,
+           fold.maxrun AS longest_run,
+           round(ln(nn.n_days * 1.0) / 0.6931471805599453, 4) + 0.0
+               AS log2_n_reference
+    FROM fold, nn
+    """,
+)
+def longest_run_above_median(spark, sf_dir):
+    """Longest streak of ABOVE-MEDIAN revenue days, by the gaps-and-
+    islands device (day - row_number groups consecutive runs): under
+    independence the longest run in n fair trials concentrates
+    tightly around log2(n), so a streak far above the emitted
+    log2(n) reference reads as regime persistence — the extreme-run
+    companion to `runs_test_randomness` (which counts ALL runs; a
+    few long streaks can hide in a normal total count) and
+    `wald_wolfowitz_runs`. The median split uses the exact lower
+    median of the daily-revenue grid.
+
+    Exactness: the median is an exact grid element; islands are
+    exact integer arithmetic on the bounded day frame; outputs are
+    exact counts plus one literal-log reference. Plan: one day
+    rollup, one value-grid cumulative, one row_number over the
+    bounded above-median day frame, one fold."""
+    o = t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    ).persist()
+    grid = days.groupBy(F.col("y").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = grid.select(
+        "v",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    med = cum.where(2 * F.col("cc") >= F.col("n")).agg(
+        F.min("v").cast("bigint").alias("med")
+    )
+    above = (
+        days.crossJoin(F.broadcast(med))
+        .where(F.col("y") > F.col("med"))
+        .select(
+            "d",
+            F.row_number()
+            .over(Window.orderBy("d"))
+            .cast("bigint")
+            .alias("rn"),
+        )
+    )
+    islands = above.groupBy(
+        (F.col("d") - F.col("rn")).alias("island")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    fold = islands.agg(
+        F.max("len").cast("bigint").alias("longest_run"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.sum("len").cast("bigint").alias("n_above"),
+    )
+    nn = days.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return fold.crossJoin(F.broadcast(nn)).select(
+        "n_days",
+        "n_above",
+        "n_runs",
+        "longest_run",
+        (
+            F.round(
+                F.log(F.col("n_days") * 1.0) / 0.6931471805599453, 4
+            )
+            + 0.0
+        ).alias("log2_n_reference"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PRESS / predicted R^2 for the daily revenue trend
+# --------------------------------------------------------------------------
+@register(
+    "press_predicted_r2",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    span AS (SELECT CAST(min(d) AS BIGINT) AS d0,
+                    CAST(max(d) AS BIGINT) AS d1 FROM days),
+    fill AS (
+        SELECT CAST(u.g - span.d0 AS BIGINT) AS i,
+               COALESCE(days.y, 0) AS y
+        FROM span, LATERAL UNNEST(range(span.d0, span.d1 + 1)) AS u(g)
+        LEFT JOIN days ON u.g = days.d
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(i) AS BIGINT) AS s1,
+               CAST(SUM(i * i) AS BIGINT) AS s2,
+               CAST(SUM(y) AS BIGINT) AS t0,
+               CAST(SUM(CAST(i AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS t1,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS q
+        FROM fill
+    ),
+    ols AS (
+        SELECT n, s1, s2, t0, t1, q,
+               round((n * CAST(t1 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * t0)
+                     / (n * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * s1), 10) AS b1
+        FROM mom
+    ),
+    ols2 AS (SELECT *, round((t0 - b1 * s1) / n, 10) AS b0 FROM ols),
+    press AS (
+        SELECT CAST(SUM(CAST(round(
+                   pow((f.y - o.b0 - o.b1 * f.i)
+                       / (1.0 - (1.0 / o.n
+                          + pow(f.i - CAST(o.s1 AS DOUBLE) / o.n, 2)
+                            / (CAST(o.s2 AS DOUBLE)
+                               - CAST(o.s1 AS DOUBLE) * o.s1 / o.n))),
+                       2) / 10000000000.0, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS pr
+        FROM fill f, ols2 o
+    )
+    SELECT o.n AS n_days,
+           round(1.0 - (CAST(o.q AS DOUBLE) - o.b0 * o.t0
+                        - o.b1 * CAST(o.t1 AS DOUBLE))
+                 / (CAST(o.q AS DOUBLE)
+                    - CAST(o.t0 AS DOUBLE) * o.t0 / o.n), 8) + 0.0
+               AS r2_ols,
+           round(press.pr, 4) + 0.0 AS press_kusd2,
+           round(1.0 - press.pr
+                 / ((CAST(o.q AS DOUBLE)
+                     - CAST(o.t0 AS DOUBLE) * o.t0 / o.n)
+                    / 10000000000.0), 8) + 0.0 AS r2_predicted
+    FROM ols2 o, press
+    """,
+)
+def press_predicted_r2(spark, sf_dir):
+    """PRESS (prediction sum of squares) and PREDICTED R^2 for the
+    daily-revenue linear trend: each day's leave-one-out residual is
+    the closed form e_i/(1 - h_i) with leverage h_i = 1/n +
+    (i - ibar)^2/S_xx — no refitting — and R2_pred = 1 - PRESS/SST
+    sits beside ordinary R^2 as the overfit detector: R^2 high with
+    R2_pred collapsing is the regression-is-memorizing signature.
+    Completes the trend-diagnostics family (`cooks_distance_trend`
+    flags WHO is influential; PRESS prices what influence COSTS in
+    out-of-sample terms).
+
+    Exactness: stage-1 (b0, b1) round at 10 dp from exact moments
+    (the ramsey_reset idiom); each LOO residual squared (in k$^2)
+    rounds at 6 dp into a DECIMAL(38,6) fold; both R^2 are terminal
+    ratios. Plan: one day rollup, bounded grid fill, one moment
+    fold, one broadcast-fit residual pass."""
+    o = t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    span = days.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("g"),
+        F.col("d0"),
+    ).select((F.col("g") - F.col("d0")).cast("bigint").alias("i"))
+    dd = days.crossJoin(F.broadcast(span)).select(
+        (F.col("d") - F.col("d0")).cast("bigint").alias("i"), "y"
+    )
+    fill = grid.join(dd, "i", "left").select(
+        "i", F.coalesce("y", F.lit(0)).cast("bigint").alias("y")
+    ).persist()
+    i, y = F.col("i"), F.col("y")
+    mom = fill.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(i).cast("bigint").alias("s1"),
+        F.sum(i * i).cast("bigint").alias("s2"),
+        F.sum(y).cast("bigint").alias("t0"),
+        F.sum(i.cast("decimal(19,0)") * y)
+        .cast("decimal(38,0)")
+        .alias("t1"),
+        F.sum(y.cast("decimal(19,0)") * y)
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    n = F.col("n")
+    b1 = F.round(
+        (n * F.col("t1").cast("double") - F.col("s1").cast("double") * F.col("t0"))
+        / (n * F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1")),
+        10,
+    )
+    ols = mom.select("*", b1.alias("b1"))
+    ols2 = ols.select(
+        "*", F.round((F.col("t0") - F.col("b1") * F.col("s1")) / n, 10).alias("b0")
+    )
+    jf = fill.crossJoin(F.broadcast(ols2))
+    sxx = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    )
+    h = 1.0 / F.col("n") + F.pow(
+        F.col("i") - F.col("s1").cast("double") / F.col("n"), 2
+    ) / sxx
+    loo = (F.col("y") - F.col("b0") - F.col("b1") * F.col("i")) / (
+        1.0 - h
+    )
+    press = jf.agg(
+        F.sum(
+            F.round(F.pow(loo, 2) / 1e10, 6).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("pr")
+    )
+    sst = (
+        F.col("q").cast("double")
+        - F.col("t0").cast("double") * F.col("t0") / F.col("n")
+    )
+    ssr = (
+        F.col("q").cast("double")
+        - F.col("b0") * F.col("t0")
+        - F.col("b1") * F.col("t1").cast("double")
+    )
+    return ols2.crossJoin(F.broadcast(press)).select(
+        n.alias("n_days"),
+        (F.round(1.0 - ssr / sst, 8) + 0.0).alias("r2_ols"),
+        (F.round(F.col("pr"), 4) + 0.0).alias("press_kusd2"),
+        (
+            F.round(1.0 - F.col("pr") / (sst / 1e10), 8) + 0.0
+        ).alias("r2_predicted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Empirical-Bayes Gamma-Poisson shrinkage of nation purchase rates
+# --------------------------------------------------------------------------
+@register(
+    "eb_gamma_poisson_rates",
+    oracle="""
+    WITH o2 AS (
+        SELECT c.c_nationkey AS nk,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    expo AS (
+        SELECT CAST(max(epoch_us(o_orderdate)) // 86400000000
+                    - min(epoch_us(o_orderdate)) // 86400000000 + 1
+                    AS BIGINT) AS days
+        FROM orders
+    ),
+    mv AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS g,
+               CAST(SUM(k) AS BIGINT) AS s,
+               CAST(SUM(CAST(k AS DECIMAL(19,0)) * k)
+                    AS DECIMAL(38,0)) AS ss
+        FROM o2
+    ),
+    ab AS (
+        SELECT g, days,
+               CAST(s AS DOUBLE) / g AS m,
+               (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / g)
+                   / (g - 1) AS v
+        FROM mv, expo
+    ),
+    prior AS (
+        SELECT g, days, m, v,
+               round(CASE WHEN v > m THEN m * m / (v - m) END, 8)
+                   AS alpha,
+               round(CASE WHEN v > m THEN m / (v - m) END, 8)
+                   AS beta
+        FROM ab
+    )
+    SELECT o2.nk AS nationkey, o2.k AS n_orders,
+           round(CAST(o2.k AS DOUBLE) / p.days, 6) + 0.0
+               AS raw_rate_per_day,
+           round((o2.k + p.alpha) / (1.0 + p.beta) / p.days, 6) + 0.0
+               AS shrunk_rate_per_day,
+           round(p.alpha, 4) + 0.0 AS prior_alpha,
+           round(p.beta, 4) + 0.0 AS prior_beta
+    FROM o2, prior p ORDER BY nationkey
+    """,
+)
+def eb_gamma_poisson_rates(spark, sf_dir):
+    """Empirical-Bayes GAMMA-POISSON shrinkage of per-nation order
+    counts: fit the Gamma prior by method of moments on the 25
+    observed counts (alpha = m^2/(v-m), beta = m/(v-m), NULL when
+    under-dispersed — no shrinkage target exists) and report each
+    nation's posterior-mean rate (k + alpha)/(1 + beta) per
+    exposure day — the COUNT-data member of the shrinkage trio the
+    bank already carries: `james_stein_nation_means` (Gaussian),
+    `eb_beta_binomial_shrinkage` (proportions), and now rates; small
+    nations move toward the grand rate, big ones barely — the
+    standard fix for per-segment rate league tables.
+
+    Exactness: counts and the count power sums are exact
+    (DECIMAL(19,0) widen); alpha/beta round at 8 dp before the
+    posterior so both engines shrink with identical priors; rates
+    are terminal ratios. Plan: one join rollup to 25 nations, one
+    fold, one broadcast back — no windows."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    o2 = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    expo = o.agg(
+        (
+            F.floor(F.max(F.unix_micros("o_orderdate")) / 86_400_000_000)
+            - F.floor(
+                F.min(F.unix_micros("o_orderdate")) / 86_400_000_000
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("days")
+    )
+    mv = o2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+        F.sum("k").cast("bigint").alias("s"),
+        F.sum(F.col("k").cast("decimal(19,0)") * F.col("k"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    g = F.col("g")
+    m = F.col("s").cast("double") / g
+    v = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / g
+    ) / (g - 1)
+    prior = mv.crossJoin(F.broadcast(expo)).select(
+        "days",
+        F.round(F.when(v > m, m * m / (v - m)), 8).alias("alpha"),
+        F.round(F.when(v > m, m / (v - m)), 8).alias("beta"),
+    )
+    return o2.crossJoin(F.broadcast(prior)).select(
+        F.col("nk").alias("nationkey"),
+        F.col("k").alias("n_orders"),
+        (
+            F.round(F.col("k").cast("double") / F.col("days"), 6) + 0.0
+        ).alias("raw_rate_per_day"),
+        (
+            F.round(
+                (F.col("k") + F.col("alpha"))
+                / (1.0 + F.col("beta"))
+                / F.col("days"),
+                6,
+            )
+            + 0.0
+        ).alias("shrunk_rate_per_day"),
+        (F.round("alpha", 4) + 0.0).alias("prior_alpha"),
+        (F.round("beta", 4) + 0.0).alias("prior_beta"),
+    ).orderBy("nationkey")
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "longest_run_above_median": (
+            "value-grid cumulative for the exact median + row_number "
+            "islands over the above-median day frame (bounded domain "
+            "— the moods_median / runs_test class)"
+        ),
+    }
+)
