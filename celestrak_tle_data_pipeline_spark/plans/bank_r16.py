@@ -3702,3 +3702,243 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Honore / Sichel / Brunet lexical-richness panel on unigram tokens
+# --------------------------------------------------------------------------
+@register(
+    "honore_sichel_richness",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE w <> '' GROUP BY w
+    ),
+    fold AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v2
+        FROM tf
+    )
+    SELECT n AS n_tokens, v AS vocab_size,
+           v1 AS hapax_count, v2 AS dis_count,
+           round(100.0 * ln(n * 1.0)
+                 / (1.0 - CAST(v1 AS DOUBLE) / v), 4) + 0.0
+               AS honore_h,
+           round(CAST(v2 AS DOUBLE) / v, 8) + 0.0 AS sichel_s,
+           round(exp(exp(-0.165 * ln(v * 1.0)) * ln(n * 1.0)), 4)
+               + 0.0 AS brunet_w
+    FROM fold
+    """,
+)
+def honore_sichel_richness(spark, sf_dir):
+    """Honore / Sichel / Brunet lexical-richness panel on whitespace
+    unigrams over the document corpus: Honore's H = 100 ln N /
+    (1 - V1/V) (driven by the HAPAX share — the open-vocabulary
+    signal), Sichel's S = V2/V (dis-legomena share, famously stable
+    across text sizes), and Brunet's W = N^(V^-0.165) (the
+    length-insensitive richness constant) — three classical
+    vocabulary-richness constants with DIFFERENT sample-size
+    sensitivities, complementing `yule_k_lexical_richness` (repeat
+    concentration) and `heaps_law_fit` (growth curve): five
+    instruments, one vocabulary-health dashboard for corpus
+    curation. Brunet's fractional power is exp(exp(-a ln V) ln N) —
+    the shared-libm tree, no pow().
+
+    Exactness: all four counts are exact BIGINTs from one token
+    rollup; the three constants are terminal double trees. Plan:
+    one explode + rollup, one frequency-of-frequencies fold."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    tf = tok.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    fold = tf.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v2"),
+    )
+    n, v = F.col("n"), F.col("v")
+    return fold.select(
+        n.alias("n_tokens"),
+        v.alias("vocab_size"),
+        F.col("v1").alias("hapax_count"),
+        F.col("v2").alias("dis_count"),
+        (
+            F.round(
+                100.0
+                * F.log(n * 1.0)
+                / (1.0 - F.col("v1").cast("double") / v),
+                4,
+            )
+            + 0.0
+        ).alias("honore_h"),
+        (
+            F.round(F.col("v2").cast("double") / v, 8) + 0.0
+        ).alias("sichel_s"),
+        (
+            F.round(
+                F.exp(
+                    F.exp(-0.165 * F.log(v * 1.0)) * F.log(n * 1.0)
+                ),
+                4,
+            )
+            + 0.0
+        ).alias("brunet_w"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding hubness: in-degree skew of the exact 5-NN graph
+# --------------------------------------------------------------------------
+from .ext_vectors import _dot, _dot_sql  # noqa: E402
+
+
+@register(
+    "embedding_hubness_skew",
+    oracle=f"""
+    WITH d AS (
+        SELECT vec_id, embedding,
+               sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+               {_dot_sql('q.embedding', 'd.embedding')}
+                   / (q.nrm * d.nrm) AS cosine
+        FROM d q JOIN d ON q.vec_id <> d.vec_id
+    ),
+    top5 AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY cosine DESC, n_id ASC) AS r
+            FROM pairs
+        ) WHERE r <= 5
+    ),
+    indeg AS (
+        SELECT d.vec_id,
+               CAST(COUNT(t.q_id) AS BIGINT) AS k
+        FROM d LEFT JOIN top5 t ON d.vec_id = t.n_id
+        GROUP BY d.vec_id
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS s,
+               CAST(SUM(k * k) AS BIGINT) AS s2,
+               CAST(SUM(k * k * k) AS BIGINT) AS s3,
+               CAST(MAX(k) AS BIGINT) AS mx,
+               CAST(SUM(CASE WHEN k >= 10 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hubs,
+               CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS antihubs
+        FROM indeg
+    )
+    SELECT n AS n_vectors, mx AS max_indegree,
+           hubs AS n_hubs_ge_2k, antihubs AS n_antihubs,
+           round((CAST(s3 AS DOUBLE) / n
+                  - 3.0 * (CAST(s AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) / n)
+                  + 2.0 * pow(CAST(s AS DOUBLE) / n, 3))
+                 / pow(CAST(s2 AS DOUBLE) / n
+                       - pow(CAST(s AS DOUBLE) / n, 2), 1.5), 6)
+               + 0.0 AS indegree_skewness
+    FROM mom
+    """,
+)
+def embedding_hubness_skew(spark, sf_dir):
+    """HUBNESS audit of the embedding space: build the exact 5-NN
+    cosine graph and read the IN-DEGREE distribution — its skewness
+    is the standard hubness measure (high-dimensional spaces grow
+    "hubs" that appear in everyone's neighbor lists and "antihubs"
+    that appear in none, silently corrupting k-NN retrieval,
+    dedup, and RAG quality). Emits skewness, the max in-degree, hub
+    count (in-degree >= 2k) and antihub count — the retrieval-
+    quality companion to `embedding_anisotropy_panel` (geometry) and
+    `ann_ivf_topk` (recall): anisotropy says vectors cluster
+    directionally; hubness says what that DOES to neighbor graphs.
+    The all-pairs pass is the certified-exact baseline on the
+    bounded embeddings table (the cosine_topk_exact class); the
+    registry's IVF/LSH bucketed paths are the 100 TB route.
+
+    Exactness: cosines are the order-pinned sequential-fold dot
+    products shared with `cosine_topk_exact` (identical ranking in
+    both engines); in-degrees and their power sums are exact
+    BIGINTs; skewness is a terminal moment tree. Plan: one
+    normalized scan, one self-join + per-query top-5, one in-degree
+    rollup, one fold."""
+    emb = t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias(
+            "nrm"
+        ),
+    ).persist()
+    q = d.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = (
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (F.col("q_nrm") * F.col("nrm"))
+    ).alias("cosine")
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("n_id")
+    )
+    top5 = (
+        d.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), cos)
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 5)
+        .select("q_id", "n_id")
+    )
+    indeg = (
+        d.select("vec_id")
+        .join(top5, d.vec_id == top5.n_id, "left")
+        .groupBy("vec_id")
+        .agg(F.count("q_id").cast("bigint").alias("k"))
+    )
+    k = F.col("k")
+    mom = indeg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(k).cast("bigint").alias("s"),
+        F.sum(k * k).cast("bigint").alias("s2"),
+        F.sum(k * k * k).cast("bigint").alias("s3"),
+        F.max(k).cast("bigint").alias("mx"),
+        F.sum(F.when(k >= 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hubs"),
+        F.sum(F.when(k == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("antihubs"),
+    )
+    n = F.col("n")
+    m1 = F.col("s").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    skew = (m3 - 3.0 * m1 * m2 + 2.0 * F.pow(m1, 3)) / F.pow(
+        m2 - F.pow(m1, 2), 1.5
+    )
+    return mom.select(
+        n.alias("n_vectors"),
+        F.col("mx").alias("max_indegree"),
+        F.col("hubs").alias("n_hubs_ge_2k"),
+        F.col("antihubs").alias("n_antihubs"),
+        (F.round(skew, 6) + 0.0).alias("indegree_skewness"),
+    )
+
