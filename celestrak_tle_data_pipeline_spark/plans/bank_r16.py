@@ -3942,3 +3942,620 @@ def embedding_hubness_skew(spark, sf_dir):
         (F.round(skew, 6) + 0.0).alias("indegree_skewness"),
     )
 
+
+
+# --------------------------------------------------------------------------
+# Sobel mediation test: clicks -> views -> purchases (daily)
+# --------------------------------------------------------------------------
+@register(
+    "sobel_mediation_test",
+    oracle="""
+    WITH ev3 AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'view'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS mm,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    span AS (SELECT CAST(min(d) AS BIGINT) AS d0,
+                    CAST(max(d) AS BIGINT) AS d1 FROM ev3),
+    fill AS (
+        SELECT CAST(u.g AS BIGINT) AS d,
+               COALESCE(e.x, 0) AS x, COALESCE(e.mm, 0) AS m,
+               COALESCE(e.y, 0) AS y
+        FROM span, LATERAL UNNEST(range(span.d0, span.d1 + 1)) AS u(g)
+        LEFT JOIN ev3 e ON u.g = e.d
+    ),
+    mo AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(m) AS BIGINT) AS sm,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * x)
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(m AS DECIMAL(19,0)) * m)
+                    AS DECIMAL(38,0)) AS smm,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * m)
+                    AS DECIMAL(38,0)) AS sxm,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(m AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS smy
+        FROM fill
+    ),
+    cen AS (
+        SELECT n,
+               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n
+                   AS cxx,
+               CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm / n
+                   AS cmm,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n
+                   AS cyy,
+               CAST(sxm AS DOUBLE) - CAST(sx AS DOUBLE) * sm / n
+                   AS cxm,
+               CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n
+                   AS cxy,
+               CAST(smy AS DOUBLE) - CAST(sm AS DOUBLE) * sy / n
+                   AS cmy
+        FROM mo
+    ),
+    paths AS (
+        SELECT n,
+               round(cxm / cxx, 10) AS a,
+               round((cxx * cmy - cxm * cxy)
+                     / (cxx * cmm - cxm * cxm), 10) AS b,
+               round((cmm * cxy - cxm * cmy)
+                     / (cxx * cmm - cxm * cxm), 10) AS cprime,
+               cxx, cmm, cxm, cyy, cxy, cmy
+        FROM cen
+    ),
+    ses AS (
+        SELECT n, a, b, cprime,
+               (cmm - cxm * cxm / cxx) * (1.0 / (n - 2.0)) / cxx
+                   AS se_a2,
+               ((cyy - (cmm * cxy - cxm * cmy) * cxy
+                     / (cxx * cmm - cxm * cxm)
+                 - (cxx * cmy - cxm * cxy) * cmy
+                     / (cxx * cmm - cxm * cxm)) / (n - 3.0))
+               * cxx / (cxx * cmm - cxm * cxm) AS se_b2
+        FROM paths
+    )
+    SELECT n AS n_days,
+           round(a, 6) + 0.0 AS path_a,
+           round(b, 6) + 0.0 AS path_b,
+           round(cprime, 6) + 0.0 AS direct_cprime,
+           round(a * b, 6) + 0.0 AS indirect_ab,
+           round(a * b / sqrt(b * b * se_a2 + a * a * se_b2), 6)
+               + 0.0 AS sobel_z
+    FROM ses
+    """,
+)
+def sobel_mediation_test(spark, sf_dir):
+    """Sobel MEDIATION test on the daily funnel: does the click ->
+    purchase association run THROUGH views? Path a (M ~ X), path b
+    and direct c' (Y ~ X + M, closed-form centered 2-regressor
+    solve), indirect effect ab, and Sobel z = ab / sqrt(b^2 se_a^2 +
+    a^2 se_b^2) — the classical decomposition behind every "did the
+    intermediate metric carry the lift" product question;
+    `granger_causality_f` answers WHETHER X leads Y, this answers
+    HOW MUCH routes via M. se_b^2 is the exact OLS (X'X)^-1 diagonal
+    element (cxx / det) times the 3-parameter residual variance.
+
+    Exactness: the nine moments of (x, m, y) fold exact BIGINT
+    counts through DECIMAL(19,0) widens in one pass over the
+    zero-filled grid; paths round at 10 dp; the z is a terminal
+    tree. Plan: one day rollup, bounded grid fill, one fold."""
+    e = t(spark, sf_dir, "events")
+    ev3 = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("m"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    span = ev3.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    fill = grid.join(ev3, "d", "left").select(
+        "d",
+        F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+        F.coalesce("m", F.lit(0)).cast("bigint").alias("m"),
+        F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+    )
+
+    def dsum(a_, b_, name):
+        return (
+            F.sum(F.col(a_).cast("decimal(19,0)") * F.col(b_))
+            .cast("decimal(38,0)")
+            .alias(name)
+        )
+
+    mo = fill.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("m").cast("bigint").alias("sm"),
+        F.sum("y").cast("bigint").alias("sy"),
+        dsum("x", "x", "sxx"),
+        dsum("m", "m", "smm"),
+        dsum("y", "y", "syy"),
+        dsum("x", "m", "sxm"),
+        dsum("x", "y", "sxy"),
+        dsum("m", "y", "smy"),
+    )
+    n = F.col("n")
+    cxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n
+    cmm = F.col("smm").cast("double") - F.col("sm").cast("double") * F.col("sm") / n
+    cyy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n
+    cxm = F.col("sxm").cast("double") - F.col("sx").cast("double") * F.col("sm") / n
+    cxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n
+    cmy = F.col("smy").cast("double") - F.col("sm").cast("double") * F.col("sy") / n
+    det = cxx * cmm - cxm * cxm
+    a = F.round(cxm / cxx, 10)
+    b = F.round((cxx * cmy - cxm * cxy) / det, 10)
+    cprime = F.round((cmm * cxy - cxm * cmy) / det, 10)
+    se_a2 = (cmm - cxm * cxm / cxx) * (1.0 / (n - 2.0)) / cxx
+    se_b2 = (
+        (
+            cyy
+            - (cmm * cxy - cxm * cmy) * cxy / det
+            - (cxx * cmy - cxm * cxy) * cmy / det
+        )
+        / (n - 3.0)
+    ) * cxx / det
+    st = mo.select(
+        n.alias("n"),
+        a.alias("a"),
+        b.alias("b"),
+        cprime.alias("cprime"),
+        se_a2.alias("se_a2"),
+        se_b2.alias("se_b2"),
+    )
+    ab = F.col("a") * F.col("b")
+    return st.select(
+        F.col("n").alias("n_days"),
+        (F.round("a", 6) + 0.0).alias("path_a"),
+        (F.round("b", 6) + 0.0).alias("path_b"),
+        (F.round("cprime", 6) + 0.0).alias("direct_cprime"),
+        (F.round(ab, 6) + 0.0).alias("indirect_ab"),
+        (
+            F.round(
+                ab
+                / F.sqrt(
+                    F.col("b") * F.col("b") * F.col("se_a2")
+                    + F.col("a") * F.col("a") * F.col("se_b2")
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("sobel_z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Slope-equality moderation test: does weekend moderate clicks->purchases?
+# --------------------------------------------------------------------------
+@register(
+    "slope_equality_moderation",
+    oracle="""
+    WITH ev2 AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    lab AS (
+        SELECT d, x, y,
+               CASE WHEN (d + 4) % 7 >= 5 THEN 1 ELSE 0 END AS w
+        FROM ev2
+    ),
+    g AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * x)
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS sxy
+        FROM lab GROUP BY w
+    ),
+    cen AS (
+        SELECT w, n,
+               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n
+                   AS cxx,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n
+                   AS cyy,
+               CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n
+                   AS cxy
+        FROM g
+    ),
+    wide AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               SUM(cxx) AS txx, SUM(cyy) AS tyy, SUM(cxy) AS txy,
+               SUM(cyy - cxy * cxy / cxx) AS ssr_full,
+               MAX(CASE WHEN w = 1 THEN round(cxy / cxx, 10) END)
+                   AS b_wkend,
+               MAX(CASE WHEN w = 0 THEN round(cxy / cxx, 10) END)
+                   AS b_wkday
+        FROM cen
+    )
+    SELECT n AS n_days, b_wkend, b_wkday,
+           round((tyy - 2.0 * (txy / txx) * txy
+                  + (txy / txx) * (txy / txx) * txx - ssr_full)
+                 * (n - 4.0) / ssr_full, 6) + 0.0 AS f_slope_equality,
+           CAST(1 AS BIGINT) AS dof1,
+           CAST(n - 4 AS BIGINT) AS dof2
+    FROM wide
+    """,
+)
+def slope_equality_moderation(spark, sf_dir):
+    """MODERATION test: does the weekend change the clicks->purchases
+    conversion SLOPE? Fit the per-cohort regressions (separate
+    intercepts and slopes — the interaction model) against the
+    common-slope/separate-intercepts reduction, F = (SSR_reduced -
+    SSR_full)(n-4)/SSR_full with the closed forms: per-group
+    centered moments give each slope and SSR directly, and the
+    common slope is (sum cxy)/(sum cxx) over WITHIN-GROUP centered
+    moments (which is exactly the separate-intercepts constraint —
+    no dummy-variable matrix needed). The interaction-term question
+    every segmented funnel report implies, tested properly; the
+    slope pair ships so the DIRECTION of moderation is visible.
+
+    Exactness: per-cohort moments fold exact BIGINT counts through
+    DECIMAL(19,0) widens; slopes round at 10 dp; F is a terminal
+    tree. Plan: one day rollup, one 2-group fold, one scalar
+    combine — no grid fill needed (only observed days carry
+    counts; absent days are zero in BOTH series and belong to a
+    cohort by calendar, so the zero-filled variant differs — the
+    OBSERVED-day frame is the documented choice)."""
+    e = t(spark, sf_dir, "events")
+    ev2 = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    lab = ev2.select(
+        "x",
+        "y",
+        F.when((F.col("d") + 4) % 7 >= 5, 1).otherwise(0).alias("w"),
+    )
+    g = lab.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    cxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n
+    cyy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n
+    cxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n
+    cen = g.select(
+        "w",
+        n.alias("n"),
+        cxx.alias("cxx"),
+        cyy.alias("cyy"),
+        cxy.alias("cxy"),
+    )
+    wide = cen.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("cxx").alias("txx"),
+        F.sum("cyy").alias("tyy"),
+        F.sum("cxy").alias("txy"),
+        F.sum(
+            F.col("cyy") - F.col("cxy") * F.col("cxy") / F.col("cxx")
+        ).alias("ssr_full"),
+        F.max(
+            F.when(
+                F.col("w") == 1,
+                F.round(F.col("cxy") / F.col("cxx"), 10),
+            )
+        ).alias("b_wkend"),
+        F.max(
+            F.when(
+                F.col("w") == 0,
+                F.round(F.col("cxy") / F.col("cxx"), 10),
+            )
+        ).alias("b_wkday"),
+    )
+    bc = F.col("txy") / F.col("txx")
+    ssr_red = (
+        F.col("tyy")
+        - 2.0 * bc * F.col("txy")
+        + bc * bc * F.col("txx")
+    )
+    return wide.select(
+        F.col("n").alias("n_days"),
+        "b_wkend",
+        "b_wkday",
+        (
+            F.round(
+                (ssr_red - F.col("ssr_full"))
+                * (F.col("n") - 4.0)
+                / F.col("ssr_full"),
+                6,
+            )
+            + 0.0
+        ).alias("f_slope_equality"),
+        F.lit(1).cast("bigint").alias("dof1"),
+        (F.col("n") - 4).cast("bigint").alias("dof2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scheirer-Ray-Hare two-way rank ANOVA: priority x weekend
+# --------------------------------------------------------------------------
+@register(
+    "scheirer_ray_hare_twoway",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS ga,
+               CASE WHEN CAST(epoch_us(o_orderdate) // 86400000000
+                         + 4 AS BIGINT) % 7 >= 5
+                    THEN 1 ELSE 0 END AS gb,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    cells AS (
+        SELECT v, ga, gb, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pts GROUP BY v, ga, gb
+    ),
+    vg AS (
+        SELECT v, CAST(SUM(c) AS BIGINT) AS h FROM cells GROUP BY v
+    ),
+    cum AS (
+        SELECT v, h,
+               CAST(2 * (SUM(h) OVER (ORDER BY v ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) - h)
+                   + h + 1 AS BIGINT) AS rank2
+        FROM vg
+    ),
+    ranked AS (
+        SELECT c.ga, c.gb, c.c, m.rank2
+        FROM cells c JOIN cum m ON c.v = m.v
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CAST(c AS DECIMAL(19,0)) * rank2)
+                    AS DECIMAL(38,0)) AS sr2,
+               CAST(SUM(CAST(c AS DECIMAL(19,0)) * rank2
+                        * CAST(rank2 AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sr2sq
+        FROM ranked
+    ),
+    bya AS (
+        SELECT ga, CAST(SUM(c) AS BIGINT) AS na,
+               CAST(SUM(CAST(c AS DECIMAL(19,0)) * rank2)
+                    AS DECIMAL(38,0)) AS ra
+        FROM ranked GROUP BY ga
+    ),
+    byb AS (
+        SELECT gb, CAST(SUM(c) AS BIGINT) AS nb,
+               CAST(SUM(CAST(c AS DECIMAL(19,0)) * rank2)
+                    AS DECIMAL(38,0)) AS rb
+        FROM ranked GROUP BY gb
+    ),
+    bycell AS (
+        SELECT ga, gb, CAST(SUM(c) AS BIGINT) AS nc,
+               CAST(SUM(CAST(c AS DECIMAL(19,0)) * rank2)
+                    AS DECIMAL(38,0)) AS rc
+        FROM ranked GROUP BY ga, gb
+    ),
+    ssa AS (
+        SELECT SUM(round(CAST(ra AS DOUBLE) * CAST(ra AS DOUBLE)
+                         / na, 6)) AS s
+        FROM bya
+    ),
+    ssb AS (
+        SELECT SUM(round(CAST(rb AS DOUBLE) * CAST(rb AS DOUBLE)
+                         / nb, 6)) AS s
+        FROM byb
+    ),
+    ssc AS (
+        SELECT SUM(round(CAST(rc AS DOUBLE) * CAST(rc AS DOUBLE)
+                         / nc, 6)) AS s
+        FROM bycell
+    ),
+    ms AS (
+        SELECT tot.n,
+               (CAST(tot.sr2sq AS DOUBLE) / 4.0
+                - tot.n * (tot.n + 1.0) * (tot.n + 1.0) / 4.0)
+                   / (tot.n - 1.0) AS mstot,
+               CAST(tot.sr2 AS DOUBLE) * CAST(tot.sr2 AS DOUBLE)
+                   / tot.n / 4.0 AS corr
+        FROM tot
+    )
+    SELECT ms.n AS n_orders,
+           round((ssa.s / 4.0 - ms.corr) / ms.mstot, 6) + 0.0
+               AS h_priority,
+           CAST(4 AS BIGINT) AS dof_priority,
+           round((ssb.s / 4.0 - ms.corr) / ms.mstot, 6) + 0.0
+               AS h_weekend,
+           CAST(1 AS BIGINT) AS dof_weekend,
+           round(((ssc.s - ssa.s - ssb.s) / 4.0 + ms.corr)
+                 / ms.mstot, 6) + 0.0 AS h_interaction,
+           CAST(4 AS BIGINT) AS dof_interaction
+    FROM ms, ssa, ssb, ssc
+    """,
+)
+def scheirer_ray_hare_twoway(spark, sf_dir):
+    """Scheirer-Ray-Hare TWO-WAY rank ANOVA of order values on
+    (priority x weekend): global midranks replace the values, and
+    each factor's rank sum-of-squares over the tie-corrected total
+    rank variance gives H ~ chi2 — main effects AND the interaction,
+    which no one-way rank test in the registry
+    (`kruskal_wallis_values`, `friedman_blocked_ranks`) can see:
+    KW on priorities cannot say whether the priority effect CHANGES
+    at weekends. SS_AB = SS_cells - SS_A - SS_B (the balanced-rank
+    decomposition SRH prescribes; emitted with its own dof).
+
+    Exactness: midranks x2 are exact integers from one cents-grid
+    cumulative; every rank sum and the squared-rank total fold
+    through DECIMAL(19,0)-widened products; the SS terms round at 6
+    dp before the 5-/2-/10-term sums; H ratios are terminal trees
+    (correction term N(N+1)^2/4 uses the exact identity sum of
+    midranks = N(N+1)/2, which ties never change). Plan: one
+    rollup to the (value, a, b) grain, one grid cumulative, three
+    bounded group folds."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("ga"),
+        F.when(
+            (
+                F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+                + 4
+            ).cast("bigint")
+            % 7
+            >= 5,
+            1,
+        )
+        .otherwise(0)
+        .alias("gb"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+    cells = pts.groupBy("v", "ga", "gb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    vg = cells.groupBy("v").agg(F.sum("c").cast("bigint").alias("h"))
+    cum = vg.select(
+        "v",
+        (
+            2
+            * (
+                F.sum("h").over(
+                    Window.orderBy("v").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                - F.col("h")
+            )
+            + F.col("h")
+            + 1
+        )
+        .cast("bigint")
+        .alias("rank2"),
+    )
+    ranked = cells.join(cum, "v").select(
+        "ga", "gb", "c", "rank2"
+    ).persist()
+
+    def rsum(name):
+        return (
+            F.sum(F.col("c").cast("decimal(19,0)") * F.col("rank2"))
+            .cast("decimal(38,0)")
+            .alias(name)
+        )
+
+    tot = ranked.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        rsum("sr2"),
+        F.sum(
+            F.col("c").cast("decimal(19,0)")
+            * F.col("rank2")
+            * F.col("rank2").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sr2sq"),
+    )
+
+    def groupss(keys, nname, rname):
+        g = ranked.groupBy(*keys).agg(
+            F.sum("c").cast("bigint").alias(nname), rsum(rname)
+        )
+        return g.agg(
+            F.sum(
+                F.round(
+                    F.col(rname).cast("double")
+                    * F.col(rname).cast("double")
+                    / F.col(nname),
+                    6,
+                )
+            ).alias("s")
+        )
+
+    ssa = groupss(["ga"], "na", "ra").select(F.col("s").alias("sa"))
+    ssb = groupss(["gb"], "nb", "rb").select(F.col("s").alias("sb"))
+    ssc = groupss(["ga", "gb"], "nc", "rc").select(
+        F.col("s").alias("sc")
+    )
+    j = (
+        tot.crossJoin(F.broadcast(ssa))
+        .crossJoin(F.broadcast(ssb))
+        .crossJoin(F.broadcast(ssc))
+    )
+    n = F.col("n")
+    mstot = (
+        F.col("sr2sq").cast("double") / 4.0
+        - n * (n + 1.0) * (n + 1.0) / 4.0
+    ) / (n - 1.0)
+    corr = (
+        F.col("sr2").cast("double")
+        * F.col("sr2").cast("double")
+        / n
+        / 4.0
+    )
+    return j.select(
+        n.alias("n_orders"),
+        (
+            F.round((F.col("sa") / 4.0 - corr) / mstot, 6) + 0.0
+        ).alias("h_priority"),
+        F.lit(4).cast("bigint").alias("dof_priority"),
+        (
+            F.round((F.col("sb") / 4.0 - corr) / mstot, 6) + 0.0
+        ).alias("h_weekend"),
+        F.lit(1).cast("bigint").alias("dof_weekend"),
+        (
+            F.round(
+                (
+                    (F.col("sc") - F.col("sa") - F.col("sb")) / 4.0
+                    + corr
+                )
+                / mstot,
+                6,
+            )
+            + 0.0
+        ).alias("h_interaction"),
+        F.lit(4).cast("bigint").alias("dof_interaction"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "scheirer_ray_hare_twoway": (
+            "one cumulative midrank pass over the cents value grid "
+            "(price-domain-bounded — the ansari_bradley_scale class)"
+        ),
+    }
+)
