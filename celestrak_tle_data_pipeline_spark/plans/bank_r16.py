@@ -4559,3 +4559,592 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Q-Q ventile fit: weekend vs weekday order-value distributions
+# --------------------------------------------------------------------------
+@register(
+    "qq_ventile_fit",
+    oracle="""
+    WITH pts AS (
+        SELECT CASE WHEN CAST(epoch_us(o_orderdate) // 86400000000
+                         + 4 AS BIGINT) % 7 >= 5
+                    THEN 1 ELSE 0 END AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    grid AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pts GROUP BY g, v
+    ),
+    cum AS (
+        SELECT g, v,
+               SUM(c) OVER (PARTITION BY g ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cc,
+               SUM(c) OVER (PARTITION BY g) AS ng
+        FROM grid
+    ),
+    ks AS (SELECT CAST(u.g AS BIGINT) AS k
+           FROM LATERAL UNNEST(range(1, 20)) AS u(g)),
+    venti AS (
+        SELECT ks.k,
+               CAST(MIN(CASE WHEN cum.g = 1
+                        AND 20 * cum.cc >= ks.k * cum.ng
+                        THEN cum.v END) AS DOUBLE) / 100000.0 AS qy,
+               CAST(MIN(CASE WHEN cum.g = 0
+                        AND 20 * cum.cc >= ks.k * cum.ng
+                        THEN cum.v END) AS DOUBLE) / 100000.0 AS qx
+        FROM cum, ks GROUP BY ks.k
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(CAST(round(qx, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(qy, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(qx * qx, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(qy * qy, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS syy,
+               CAST(SUM(CAST(round(qx * qy, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS sxy
+        FROM venti
+    )
+    SELECT m AS n_ventiles,
+           round((m * sxy - sx * sy) / (m * sxx - sx * sx), 8) + 0.0
+               AS qq_slope_scale,
+           round((sy - (m * sxy - sx * sy)
+                  / (m * sxx - sx * sx) * sx) / m, 6) + 0.0
+               AS qq_intercept_kusd,
+           round(pow((m * sxy - sx * sy), 2)
+                 / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 8)
+               + 0.0 AS qq_r2
+    FROM mom
+    """,
+)
+def qq_ventile_fit(spark, sf_dir):
+    """Q-Q VENTILE fit between the weekend (y) and weekday (x)
+    order-value distributions: match the 19 exact lower ventiles of
+    each and fit the quantile-quantile line — slope away from 1
+    reads as a SCALE difference, intercept away from 0 as a SHIFT,
+    r^2 away from 1 as a SHAPE difference — decomposing what a bare
+    two-sample test (`ks_two_sample_values`, `cucconi_test`) only
+    flags into the location/scale/shape story, robustly (ventiles,
+    not moments). The graphical-QQ readout as three numbers.
+
+    Exactness: ventiles are exact lower order statistics from
+    per-group cents-grid cumulatives (20 cc >= k ng in exact
+    integers); the 19-point regression folds 8-dp rounded terms
+    through DECIMAL(28,8). Plan: one (group, value) rollup, one
+    partitioned cumulative, one 19-row fold."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.when(
+            (
+                F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+                + 4
+            ).cast("bigint")
+            % 7
+            >= 5,
+            1,
+        )
+        .otherwise(0)
+        .alias("g"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+    grid = pts.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = grid.select(
+        "g",
+        "v",
+        F.sum("c")
+        .over(
+            Window.partitionBy("g")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy("g")).alias("ng"),
+    )
+    ks = spark.range(1, 20).select(
+        F.col("id").cast("bigint").alias("k")
+    )
+    venti = (
+        cum.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        (F.col("g") == 1)
+                        & (20 * F.col("cc") >= F.col("k") * F.col("ng")),
+                        F.col("v"),
+                    )
+                ).cast("double")
+                / 100000.0
+            ).alias("qy"),
+            (
+                F.min(
+                    F.when(
+                        (F.col("g") == 0)
+                        & (20 * F.col("cc") >= F.col("k") * F.col("ng")),
+                        F.col("v"),
+                    )
+                ).cast("double")
+                / 100000.0
+            ).alias("qx"),
+        )
+    )
+
+    def dfold(expr, name):
+        return (
+            F.sum(F.round(expr, 8).cast("decimal(28,8)"))
+            .cast("double")
+            .alias(name)
+        )
+
+    mom = venti.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        dfold(F.col("qx"), "sx"),
+        dfold(F.col("qy"), "sy"),
+        dfold(F.col("qx") * F.col("qx"), "sxx"),
+        dfold(F.col("qy") * F.col("qy"), "syy"),
+        dfold(F.col("qx") * F.col("qy"), "sxy"),
+    )
+    m = F.col("m")
+    slope = (m * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        m * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        m.alias("n_ventiles"),
+        (F.round(slope, 8) + 0.0).alias("qq_slope_scale"),
+        (
+            F.round((F.col("sy") - slope * F.col("sx")) / m, 6) + 0.0
+        ).alias("qq_intercept_kusd"),
+        (
+            F.round(
+                F.pow(m * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+                / (
+                    (m * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * (m * F.col("syy") - F.col("sy") * F.col("sy"))
+                ),
+                8,
+            )
+            + 0.0
+        ).alias("qq_r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Proper scoring-rule panel for the cell-proportion classifier
+# --------------------------------------------------------------------------
+@register(
+    "proper_scoring_panel",
+    oracle="""
+    WITH cell AS (
+        SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                   AS dow,
+               CAST(LEAST(CAST(floor(value) AS BIGINT) // 50, 9)
+                    AS BIGINT) AS vb,
+               event_type AS ty,
+               CAST(COUNT(*) AS BIGINT) AS nk
+        FROM events GROUP BY 1, 2, 3
+    ),
+    mtot AS (
+        SELECT dow, vb, CAST(SUM(nk) AS BIGINT) AS m,
+               CAST(SUM(CAST(nk AS DECIMAL(19,0)) * nk)
+                    AS DECIMAL(38,0)) AS sk2
+        FROM cell GROUP BY dow, vb
+    ),
+    terms AS (
+        SELECT c.nk, m.m, m.sk2,
+               round(CAST(c.nk AS DOUBLE) / m.m, 10) AS p
+        FROM cell c JOIN mtot m USING (dow, vb)
+    ),
+    fold AS (
+        SELECT CAST(SUM(nk) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(nk * ln(p), 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS slog,
+               CAST(SUM(CAST(round(nk * p, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sp,
+               CAST(SUM(CAST(round(
+                   nk * (CAST(sk2 AS DOUBLE) / m / m), 6)
+                   AS DECIMAL(38,6))) AS DOUBLE) AS sp2,
+               CAST(SUM(CAST(round(
+                   nk * p / sqrt(CAST(sk2 AS DOUBLE) / m / m), 6)
+                   AS DECIMAL(38,6))) AS DOUBLE) AS ssph
+        FROM terms
+    )
+    SELECT n AS n_events,
+           round(slog / n, 8) + 0.0 AS mean_log_score,
+           round((sp2 - 2.0 * sp) / n + 1.0, 8) + 0.0
+               AS brier_multiclass,
+           round(ssph / n, 8) + 0.0 AS spherical_score
+    FROM fold
+    """,
+)
+def proper_scoring_panel(spark, sf_dir):
+    """PROPER SCORING-RULE panel for the (weekday x value-bucket)
+    cell-proportion classifier of event type: mean LOG score
+    (local, unbounded penalty for confident misses), multiclass
+    BRIER (quadratic, bounded), and SPHERICAL score (the
+    third classical strictly proper rule, p_true/||p||_2) — three
+    rules that rank the SAME calibrated forecaster identically but
+    diverge under miscalibration, which is exactly the diagnosis:
+    `hosmer_lemeshow_calibration` and `isotonic_calibration_bins`
+    test calibration; this panel prices it. In-sample readout (the
+    cell proportions score their own events), computed entirely at
+    CELL grain: sum_events ln p_true = sum_k n_k ln(n_k/m) etc. —
+    no per-event pass.
+
+    Exactness: cell counts and the within-cell squared-count sums
+    are exact (DECIMAL(19,0) widen); p rounds at 10 dp; each
+    grain-term rounds at 6 dp into DECIMAL(38,6) folds. Plan: one
+    rollup to 350 cells, one margin join, one fold."""
+    e = t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("bigint")
+        .alias("dow"),
+        F.least(
+            (F.floor(F.col("value")).cast("bigint") / 50).cast(
+                "bigint"
+            ),
+            F.lit(9).cast("bigint"),
+        ).alias("vb"),
+        F.col("event_type").alias("ty"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("nk"))
+    mtot = cell.groupBy("dow", "vb").agg(
+        F.sum("nk").cast("bigint").alias("m"),
+        F.sum(F.col("nk").cast("decimal(19,0)") * F.col("nk"))
+        .cast("decimal(38,0)")
+        .alias("sk2"),
+    )
+    terms = cell.join(F.broadcast(mtot), ["dow", "vb"]).select(
+        "nk",
+        "m",
+        "sk2",
+        F.round(F.col("nk").cast("double") / F.col("m"), 10).alias("p"),
+    )
+
+    def dfold(expr, name):
+        return (
+            F.sum(F.round(expr, 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias(name)
+        )
+
+    sk2m = F.col("sk2").cast("double") / F.col("m") / F.col("m")
+    fold = terms.agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        dfold(F.col("nk") * F.log("p"), "slog"),
+        dfold(F.col("nk") * F.col("p"), "sp"),
+        dfold(F.col("nk") * sk2m, "sp2"),
+        dfold(F.col("nk") * F.col("p") / F.sqrt(sk2m), "ssph"),
+    )
+    n = F.col("n")
+    return fold.select(
+        n.alias("n_events"),
+        (F.round(F.col("slog") / n, 8) + 0.0).alias("mean_log_score"),
+        (
+            F.round((F.col("sp2") - 2.0 * F.col("sp")) / n + 1.0, 8)
+            + 0.0
+        ).alias("brier_multiclass"),
+        (F.round(F.col("ssph") / n, 8) + 0.0).alias(
+            "spherical_score"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tukey one-degree-of-freedom test for non-additivity (dow x type)
+# --------------------------------------------------------------------------
+@register(
+    "tukey_nonadditivity",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                   AS dow,
+               event_type AS ty,
+               round(ln(CAST(COUNT(*) AS DOUBLE)), 10) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT dow, ty, y,
+               AVG(y) OVER (PARTITION BY dow) AS rm,
+               AVG(y) OVER (PARTITION BY ty) AS cm,
+               AVG(y) OVER () AS gm
+        FROM cells
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS ncell,
+               CAST(SUM(CAST(round((rm - gm) * (cm - gm) * y, 12)
+                             AS DECIMAL(28,12))) AS DOUBLE) AS sab,
+               CAST(SUM(CAST(round((rm - gm) * (rm - gm), 12)
+                             AS DECIMAL(28,12))) AS DOUBLE) / 5.0
+                   AS sa2,
+               CAST(SUM(CAST(round((cm - gm) * (cm - gm), 12)
+                             AS DECIMAL(28,12))) AS DOUBLE) / 7.0
+                   AS sb2,
+               CAST(SUM(CAST(round(
+                   pow(y - rm - cm + gm, 2), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS ssres,
+               MAX(gm) AS gm
+        FROM marg
+    ),
+    stat AS (
+        SELECT ncell, gm,
+               sab * sab / (sa2 * sb2) AS ssn,
+               ssres,
+               sab / (sa2 * sb2) AS lam
+        FROM fold
+    )
+    SELECT ncell AS n_cells,
+           round(ssn, 8) + 0.0 AS ss_nonadditivity,
+           round(ssn / ((ssres - ssn) / 23.0), 6) + 0.0
+               AS f_nonadditivity,
+           CAST(23 AS BIGINT) AS dof2,
+           round(1.0 - lam * gm, 4) + 0.0 AS suggested_power
+    FROM stat
+    """,
+)
+def tukey_nonadditivity(spark, sf_dir):
+    """Tukey's one-degree-of-freedom test for NON-ADDITIVITY on the
+    (weekday x event-type) table of log cell counts: SS_N =
+    [sum a_i b_j y_ij]^2 / (sum a^2 sum b^2) against the remaining
+    interaction residual, F ~ F(1, (r-1)(c-1)-1) — the test that
+    says whether `median_polish_dow_type`'s additive decomposition
+    is even the right MODEL, plus Tukey's transformation ladder
+    readout p = 1 - lambda*grand (p near 1: stay additive; near 0:
+    log it; the table is already logged, so p != 1 reads as
+    multiplicative-beyond-log structure). The one interaction test
+    available WITHOUT replication.
+
+    Exactness: cell values are 10-dp-rounded logs of exact counts;
+    row/col/grand means are exact averages of those (7- and 5-cell
+    partitions); all four quadratic folds round at 12 dp into
+    DECIMAL(28,12). sum_i a_i^2 is recovered from the cell-grain
+    fold by /5 (each a_i appears in 5 cells; b_j in 7). Plan: one
+    35-cell rollup, bounded margin windows, one fold."""
+    e = t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("bigint")
+        .alias("dow"),
+        F.col("event_type").alias("ty"),
+    ).agg(
+        F.round(F.log(F.count(F.lit(1)).cast("double")), 10).alias("y")
+    )
+    marg = (
+        cells.withColumn(
+            "rm", F.avg("y").over(Window.partitionBy("dow"))
+        )
+        .withColumn("cm", F.avg("y").over(Window.partitionBy("ty")))
+        .withColumn("gm", F.avg("y").over(Window.partitionBy()))
+    )
+    a = F.col("rm") - F.col("gm")
+    b = F.col("cm") - F.col("gm")
+
+    def dfold(expr, name):
+        return (
+            F.sum(F.round(expr, 12).cast("decimal(28,12)"))
+            .cast("double")
+            .alias(name)
+        )
+
+    fold = marg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ncell"),
+        dfold(a * b * F.col("y"), "sab"),
+        dfold(a * a, "sa2x5"),
+        dfold(b * b, "sb2x7"),
+        dfold(
+            F.pow(F.col("y") - F.col("rm") - F.col("cm") + F.col("gm"), 2),
+            "ssres",
+        ),
+        F.max("gm").alias("gm"),
+    )
+    sa2 = F.col("sa2x5") / 5.0
+    sb2 = F.col("sb2x7") / 7.0
+    ssn = F.col("sab") * F.col("sab") / (sa2 * sb2)
+    lam = F.col("sab") / (sa2 * sb2)
+    return fold.select(
+        F.col("ncell").alias("n_cells"),
+        (F.round(ssn, 8) + 0.0).alias("ss_nonadditivity"),
+        (
+            F.round(ssn / ((F.col("ssres") - ssn) / 23.0), 6) + 0.0
+        ).alias("f_nonadditivity"),
+        F.lit(23).cast("bigint").alias("dof2"),
+        (F.round(1.0 - lam * F.col("gm"), 4) + 0.0).alias(
+            "suggested_power"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ridit analysis of priority ordinals: weekend vs weekday
+# --------------------------------------------------------------------------
+@register(
+    "ridit_analysis",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS cat,
+               CASE WHEN CAST(epoch_us(o_orderdate) // 86400000000
+                         + 4 AS BIGINT) % 7 >= 5
+                    THEN 1 ELSE 0 END AS g
+        FROM orders
+    ),
+    ref AS (
+        SELECT cat, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pts GROUP BY cat
+    ),
+    rid AS (
+        SELECT cat, c,
+               round((CAST(COALESCE(SUM(c) OVER (ORDER BY cat
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS DOUBLE)
+                      + c / 2.0)
+                     / (SELECT SUM(c) FROM ref), 10) AS r
+        FROM ref
+    ),
+    grp AS (
+        SELECT g, cat, CAST(COUNT(*) AS BIGINT) AS gc
+        FROM pts GROUP BY g, cat
+    ),
+    mean_r AS (
+        SELECT grp.g,
+               CAST(SUM(grp.gc) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(grp.gc * rid.r, 6)
+                             AS DECIMAL(38,6))) AS DOUBLE)
+                   / SUM(grp.gc) AS rbar
+        FROM grp JOIN rid ON grp.cat = rid.cat
+        GROUP BY grp.g
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN g = 1 THEN n END) AS n1,
+               MAX(CASE WHEN g = 1 THEN rbar END) AS r1,
+               MAX(CASE WHEN g = 0 THEN n END) AS n0,
+               MAX(CASE WHEN g = 0 THEN rbar END) AS r0
+        FROM mean_r
+    )
+    SELECT n1 AS n_weekend, n0 AS n_weekday,
+           round(r1, 8) + 0.0 AS mean_ridit_weekend,
+           round(r0, 8) + 0.0 AS mean_ridit_weekday,
+           round((r1 - r0)
+                 / sqrt((1.0 / n1 + 1.0 / n0) / 12.0), 6) + 0.0
+               AS z_ridit
+    FROM wide
+    """,
+)
+def ridit_analysis(spark, sf_dir):
+    """RIDIT analysis of the ordered priority scale between weekend
+    and weekday orders: score each priority category by its ridit —
+    the reference-distribution mid-cumulative probability (Relative
+    to an Identified DIstribution) — and compare group mean ridits;
+    r-bar_1 - r-bar_0 is exactly P(weekend order outranks weekday) -
+    1/2, the ordinal effect size behind `brunner_munzel` /
+    `cliffs_delta_bucketed`, computed HERE on a 5-category ordinal
+    where rank machinery degenerates; z uses Bross's
+    sqrt((1/n1+1/n0)/12) null SE. The epidemiology-standard ordinal
+    severity comparison.
+
+    Exactness: category counts are exact; ridits are exact
+    mid-cumulative ratios rounded at 10 dp on the 5-row grid; group
+    means fold 6-dp rounded products through DECIMAL(38,6). Plan:
+    two 5-category rollups, one bounded prefix, one fold."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("cat"),
+        F.when(
+            (
+                F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+                + 4
+            ).cast("bigint")
+            % 7
+            >= 5,
+            1,
+        )
+        .otherwise(0)
+        .alias("g"),
+    )
+    ref = pts.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = ref.agg(F.sum("c").cast("bigint").alias("nt"))
+    rid = (
+        ref.crossJoin(F.broadcast(tot))
+        .select(
+            "cat",
+            F.round(
+                (
+                    F.coalesce(
+                        F.sum("c").over(
+                            Window.orderBy("cat").rowsBetween(
+                                Window.unboundedPreceding, -1
+                            )
+                        ),
+                        F.lit(0),
+                    ).cast("double")
+                    + F.col("c") / 2.0
+                )
+                / F.col("nt"),
+                10,
+            ).alias("r"),
+        )
+    )
+    grp = pts.groupBy("g", "cat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gc")
+    )
+    mean_r = (
+        grp.join(F.broadcast(rid), "cat")
+        .groupBy("g")
+        .agg(
+            F.sum("gc").cast("bigint").alias("n"),
+            (
+                F.sum(
+                    F.round(F.col("gc") * F.col("r"), 6).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double")
+                / F.sum("gc")
+            ).alias("rbar"),
+        )
+    )
+    wide = mean_r.agg(
+        F.max(F.when(F.col("g") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("g") == 1, F.col("rbar"))).alias("r1"),
+        F.max(F.when(F.col("g") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("g") == 0, F.col("rbar"))).alias("r0"),
+    )
+    return wide.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n0").alias("n_weekday"),
+        (F.round("r1", 8) + 0.0).alias("mean_ridit_weekend"),
+        (F.round("r0", 8) + 0.0).alias("mean_ridit_weekday"),
+        (
+            F.round(
+                (F.col("r1") - F.col("r0"))
+                / F.sqrt(
+                    (1.0 / F.col("n1") + 1.0 / F.col("n0")) / 12.0
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("z_ridit"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "tukey_nonadditivity": (
+            "grand-mean window over the 35-cell (dow x type) frame "
+            "(domain-bounded — the chi2_independence class)"
+        ),
+        "ridit_analysis": (
+            "exclusive prefix over the 5-category priority grid "
+            "(domain-bounded)"
+        ),
+    }
+)
