@@ -5894,3 +5894,581 @@ def vanderweele_evalue(spark, sf_dir):
             + 0.0
         ).alias("evalue_ci"),
     )
+
+
+# --------------------------------------------------------------------------
+# Leik ordinal consensus of priority mix per weekday
+# --------------------------------------------------------------------------
+@register(
+    "leik_ordinal_consensus",
+    oracle="""
+    WITH g AS (
+        SELECT CAST((epoch_us(o_orderdate) // 86400000000 + 4) % 7
+                    AS BIGINT) AS dow,
+               CAST(substr(o_orderpriority, 1, 1) AS INT) AS cat,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT dow, cat, c,
+               CAST(SUM(c) OVER (PARTITION BY dow ORDER BY cat
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+               CAST(SUM(c) OVER (PARTITION BY dow) AS BIGINT) AS n
+        FROM g
+    ),
+    dterm AS (
+        SELECT dow, n,
+               CASE WHEN 2 * cc <= n
+                    THEN CAST(cc AS DOUBLE) / n
+                    ELSE 1.0 - CAST(cc AS DOUBLE) / n END AS dk
+        FROM cum WHERE cat < 5
+    )
+    SELECT dow, CAST(MAX(n) AS BIGINT) AS n_orders,
+           round(SUM(round(dk, 10)) * 2.0 / 4.0, 8) + 0.0
+               AS leik_d
+    FROM dterm GROUP BY dow ORDER BY dow
+    """,
+)
+def leik_ordinal_consensus(spark, sf_dir):
+    """Leik's ordinal CONSENSUS/DISPERSION measure D of the priority
+    mix per weekday: for each of the K-1 interior cumulative shares
+    take min(F_k, 1-F_k) and scale by 2/(K-1) — D = 0 is perfect
+    consensus (every order one priority), D = 1 perfect
+    polarization (half 1-URGENT, half 5-LOW) — the ORDINAL
+    dispersion that entropy and Gini get wrong: both read
+    bimodal-at-the-extremes and uniform as similar, while for an
+    ordered scale polarization is the more dispersed state. The
+    day-of-week panel reads as "which days have contested
+    priorities".
+
+    Exactness: category cumulative counts are exact BIGINTs per
+    dow; each D term is an exact ratio rounded at 10 dp; the 4-term
+    fold is bounded. Plan: one rollup to 35 cells, one
+    dow-partitioned prefix, one 7-group fold."""
+    o = t(spark, sf_dir, "orders")
+    g = o.groupBy(
+        ((F.floor(F.unix_micros("o_orderdate") / 86_400_000_000) + 4) % 7)
+        .cast("bigint")
+        .alias("dow"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("cat"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cum = g.select(
+        "dow",
+        "cat",
+        F.sum("c")
+        .over(
+            Window.partitionBy("dow")
+            .orderBy("cat")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("bigint")
+        .alias("cc"),
+        F.sum("c")
+        .over(Window.partitionBy("dow"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    dterm = cum.where(F.col("cat") < 5).select(
+        "dow",
+        "n",
+        F.when(
+            2 * F.col("cc") <= F.col("n"),
+            F.col("cc").cast("double") / F.col("n"),
+        )
+        .otherwise(1.0 - F.col("cc").cast("double") / F.col("n"))
+        .alias("dk"),
+    )
+    return (
+        dterm.groupBy("dow")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            (
+                F.round(F.sum(F.round("dk", 10)) * 2.0 / 4.0, 8) + 0.0
+            ).alias("leik_d"),
+        )
+        .orderBy("dow")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pooled Greenwood spacing statistic over per-user event timelines
+# --------------------------------------------------------------------------
+@register(
+    "greenwood_spacing_uniformity",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, epoch_us(ts) AS tu,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id, CAST(tu - prev AS BIGINT) AS gap
+        FROM seq WHERE prev IS NOT NULL
+    ),
+    peruser AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(gap) AS BIGINT) AS span,
+               CAST(SUM(CAST(gap AS DECIMAL(19,0)) * gap)
+                    AS DECIMAL(38,0)) AS g2
+        FROM gaps GROUP BY user_id
+        HAVING COUNT(*) >= 2 AND SUM(gap) > 0
+    ),
+    terms AS (
+        SELECT round(CAST(g2 AS DOUBLE)
+                     / (CAST(span AS DOUBLE) * span), 10) AS g,
+               2.0 / (m + 1.0) AS eg,
+               (24.0 + 4.0 * (m - 1.0))
+                   / ((m + 1.0) * (m + 2.0) * (m + 3.0))
+               - 4.0 / ((m + 1.0) * (m + 1.0)) AS vg
+        FROM peruser
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS u,
+               CAST(SUM(CAST(round(g, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS sg,
+               CAST(SUM(CAST(round(eg, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS se_,
+               CAST(SUM(CAST(round(vg, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS sv
+        FROM terms
+    )
+    SELECT u AS n_users,
+           round(sg, 6) + 0.0 AS greenwood_sum,
+           round(se_, 6) + 0.0 AS expected_sum,
+           round((sg - se_) / sqrt(sv), 6) + 0.0 AS z_pooled
+    FROM fold
+    """,
+)
+def greenwood_spacing_uniformity(spark, sf_dir):
+    """Pooled GREENWOOD spacing statistic over per-user event
+    timelines: each user's normalized squared spacings G_u =
+    sum(gap^2)/span^2 against the exact Dirichlet null moments
+    E[G] = 2/(m+1) and Var[G] = (24+4(m-1))/((m+1)(m+2)(m+3)) -
+    4/(m+1)^2 (m = the user's gap count), summed across users into
+    one z — G above expectation reads as BURSTY timelines (a few
+    huge gaps dominate), below as overly-regular, metronomic ones;
+    the spacings-based uniformity lens beside `ks_exponential_gaps`
+    (ECDF lens) and `burstiness_memory_panel` (CV lens). The
+    per-user moments are the EXACT flat-Dirichlet formulas (a!b!
+    (m-1)!/(m-1+a+b)! products), not asymptotics.
+
+    Exactness: gaps and spans are exact micros BIGINTs; per-user
+    squared-gap sums widen through DECIMAL(19,0); each G/E/Var term
+    rounds at 10-12 dp into DECIMAL folds (order-free across
+    users). Plan: user-partitioned lag, one per-user rollup, one
+    fold — no global sorts."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = e.select(
+        "user_id", (us - F.lag(us).over(wu)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    peruser = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum("gap").cast("bigint").alias("span"),
+            F.sum(F.col("gap").cast("decimal(19,0)") * F.col("gap"))
+            .cast("decimal(38,0)")
+            .alias("g2"),
+        )
+        .where((F.col("m") >= 2) & (F.col("span") > 0))
+    )
+    m = F.col("m").cast("double")
+    g = F.round(
+        F.col("g2").cast("double")
+        / (F.col("span").cast("double") * F.col("span")),
+        10,
+    )
+    eg = 2.0 / (m + 1.0)
+    vg = (24.0 + 4.0 * (m - 1.0)) / (
+        (m + 1.0) * (m + 2.0) * (m + 3.0)
+    ) - 4.0 / ((m + 1.0) * (m + 1.0))
+    terms = peruser.select(
+        g.alias("g"), eg.alias("eg"), vg.alias("vg")
+    )
+    fold = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("u"),
+        F.sum(F.round("g", 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sg"),
+        F.sum(F.round("eg", 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("se_"),
+        F.sum(F.round("vg", 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sv"),
+    )
+    return fold.select(
+        F.col("u").alias("n_users"),
+        (F.round("sg", 6) + 0.0).alias("greenwood_sum"),
+        (F.round("se_", 6) + 0.0).alias("expected_sum"),
+        (
+            F.round(
+                (F.col("sg") - F.col("se_")) / F.sqrt(F.col("sv")), 6
+            )
+            + 0.0
+        ).alias("z_pooled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brand systematic beta vs the total daily revenue "market"
+# --------------------------------------------------------------------------
+@register(
+    "brand_beta_systematic",
+    oracle="""
+    WITH bd AS (
+        SELECT p.p_brand AS b,
+               CAST(epoch_us(l.l_shipdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    mkt AS (
+        SELECT d, CAST(SUM(y) AS BIGINT) AS m FROM bd GROUP BY d
+    ),
+    j AS (
+        SELECT bd.b, bd.y, mkt.m
+        FROM bd JOIN mkt ON bd.d = mkt.d
+    ),
+    mom AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(m) AS BIGINT) AS sm,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(CAST(m AS DECIMAL(19,0)) * m)
+                    AS DECIMAL(38,0)) AS smm,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * m)
+                    AS DECIMAL(38,0)) AS sym
+        FROM j GROUP BY b
+    ),
+    st AS (
+        SELECT b, n,
+               (n * CAST(sym AS DOUBLE)
+                - CAST(sy AS DOUBLE) * sm)
+               / (n * CAST(smm AS DOUBLE)
+                  - CAST(sm AS DOUBLE) * sm) AS beta,
+               pow(n * CAST(sym AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * sm, 2)
+               / ((n * CAST(smm AS DOUBLE)
+                   - CAST(sm AS DOUBLE) * sm)
+                  * (n * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * sy)) AS r2
+        FROM mom
+    )
+    SELECT b AS brand, n AS n_days,
+           round(beta, 8) + 0.0 AS beta_systematic,
+           round(r2, 8) + 0.0 AS r2_systematic,
+           round(1.0 - r2, 8) + 0.0 AS idiosyncratic_share
+    FROM st ORDER BY brand
+    """,
+)
+def brand_beta_systematic(spark, sf_dir):
+    """Per-brand SYSTEMATIC BETA of daily shipped revenue against the
+    total-market daily revenue: the portfolio decomposition applied
+    to a product catalog — beta > 1 brands amplify market-wide
+    demand swings, beta < 1 brands damp them, and 1 - R^2 is each
+    brand's IDIOSYNCRATIC share (the part hedged away by the rest
+    of the catalog) — the demand-planning covariance readout that
+    per-brand trend fits can't see because it is a CROSS-SERIES
+    property. 25 regressions, one grouped moment fold.
+
+    Exactness: per-(brand, day) revenues are exact cents; the
+    market join is day-grain; all five moments per brand fold
+    DECIMAL(19,0)-widened products; beta/R^2 are terminal trees
+    (a brand's own revenue is part of the market index — the
+    textbook single-index convention, documented). Plan: one join
+    rollup, one day rollup, one day-grain equi-join, one 25-group
+    fold."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    bd = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("b"),
+            F.floor(F.unix_micros("l_shipdate") / 86_400_000_000)
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(
+                (dec("l_extendedprice", 18, 2) * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+        .persist()
+    )
+    mkt = bd.groupBy("d").agg(F.sum("y").cast("bigint").alias("m"))
+    j = bd.join(mkt, "d").select("b", "y", "m")
+    mom = j.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("m").cast("bigint").alias("sm"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("m").cast("decimal(19,0)") * F.col("m"))
+        .cast("decimal(38,0)")
+        .alias("smm"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("m"))
+        .cast("decimal(38,0)")
+        .alias("sym"),
+    )
+    n = F.col("n")
+    num = n * F.col("sym").cast("double") - F.col("sy").cast("double") * F.col("sm")
+    den = n * F.col("smm").cast("double") - F.col("sm").cast("double") * F.col("sm")
+    deny = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")
+    return mom.select(
+        F.col("b").alias("brand"),
+        n.alias("n_days"),
+        (F.round(num / den, 8) + 0.0).alias("beta_systematic"),
+        (F.round(num * num / (den * deny), 8) + 0.0).alias(
+            "r2_systematic"
+        ),
+        (F.round(1.0 - num * num / (den * deny), 8) + 0.0).alias(
+            "idiosyncratic_share"
+        ),
+    ).orderBy("brand")
+
+
+# --------------------------------------------------------------------------
+# Lognormal vs exponential model shootout on order values
+# --------------------------------------------------------------------------
+@register(
+    "lognormal_vs_exponential_fit",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v,
+               round(ln(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT) / 100000.0), 10) AS l
+        FROM orders
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS sv,
+               CAST(SUM(CAST(round(l, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS sl,
+               CAST(SUM(CAST(round(l * l, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS sll
+        FROM pts
+    ),
+    fit AS (
+        SELECT n,
+               CAST(sv AS DOUBLE) / n / 100000.0 AS mean_k,
+               sl / n AS mu,
+               (sll - sl * sl / n) / n AS sig2
+        FROM mom
+    ),
+    ll AS (
+        SELECT n, mean_k, mu, sig2,
+               -n * (ln(mean_k) + 1.0) AS ll_exp,
+               -n * 0.5 * (ln(2.0 * 3.141592653589793 * sig2) + 1.0)
+                   - n * mu AS ll_lognorm
+        FROM fit
+    )
+    SELECT n AS n_orders,
+           round(mu, 6) + 0.0 AS lognorm_mu,
+           round(sqrt(sig2), 6) + 0.0 AS lognorm_sigma,
+           round(mean_k, 6) + 0.0 AS exp_mean_kusd,
+           round(ll_lognorm / n, 8) + 0.0 AS mean_ll_lognormal,
+           round(ll_exp / n, 8) + 0.0 AS mean_ll_exponential,
+           round(2.0 * (ll_lognorm - ll_exp) - 2.0, 4) + 0.0
+               AS aic_delta_pro_lognormal
+    FROM ll
+    """,
+)
+def lognormal_vs_exponential_fit(spark, sf_dir):
+    """Model SHOOTOUT for the order-value distribution: lognormal
+    (MLE mu/sigma from log moments) vs exponential (MLE = mean),
+    compared by their maximized log-likelihoods in closed form —
+    exponential: -n(ln xbar + 1); lognormal: -n/2 ln(2 pi sig^2) -
+    n/2 - n mu (the sum-of-logs Jacobian term) — and the AIC delta
+    (lognormal pays one extra parameter). The parametric-choice
+    question under every capacity/LTV simulation; `weibull_median_
+    rank_fit` and the EVT fits cover tails, this decides the BODY.
+    Values in k$ so both likelihoods share a scale (the delta is
+    scale-invariant; the per-point means are not).
+
+    Exactness: cents are exact; log terms round at 10 dp into
+    DECIMAL(28,10) folds; both likelihoods are terminal
+    closed-form trees — no density evaluation pass. Plan: one scan,
+    one fold."""
+    o = t(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice", 18, 2) * 100).cast("bigint")
+    pts = o.select(
+        cents.alias("v"),
+        F.round(F.log(cents / 100000.0), 10).alias("l"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.round("l", 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sl"),
+        F.sum(
+            F.round(F.col("l") * F.col("l"), 10).cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("sll"),
+    )
+    n = F.col("n")
+    mean_k = F.col("sv").cast("double") / n / 100000.0
+    mu = F.col("sl") / n
+    sig2 = (F.col("sll") - F.col("sl") * F.col("sl") / n) / n
+    ll_exp = -n * (F.log(mean_k) + 1.0)
+    ll_ln = (
+        -n * 0.5 * (F.log(2.0 * 3.141592653589793 * sig2) + 1.0)
+        - n * mu
+    )
+    fit = mom.select(
+        n.alias("n"),
+        mean_k.alias("mean_k"),
+        mu.alias("mu"),
+        sig2.alias("sig2"),
+        ll_exp.alias("ll_exp"),
+        ll_ln.alias("ll_ln"),
+    )
+    return fit.select(
+        F.col("n").alias("n_orders"),
+        (F.round("mu", 6) + 0.0).alias("lognorm_mu"),
+        (F.round(F.sqrt("sig2"), 6) + 0.0).alias("lognorm_sigma"),
+        (F.round("mean_k", 6) + 0.0).alias("exp_mean_kusd"),
+        (F.round(F.col("ll_ln") / F.col("n"), 8) + 0.0).alias(
+            "mean_ll_lognormal"
+        ),
+        (F.round(F.col("ll_exp") / F.col("n"), 8) + 0.0).alias(
+            "mean_ll_exponential"
+        ),
+        (
+            F.round(
+                2.0 * (F.col("ll_ln") - F.col("ll_exp")) - 2.0, 4
+            )
+            + 0.0
+        ).alias("aic_delta_pro_lognormal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Supplier price dispersion: law-of-one-price audit per part
+# --------------------------------------------------------------------------
+@register(
+    "supplier_price_dispersion",
+    oracle="""
+    WITH unit AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               round(CAST(SUM(CAST(CAST(l_extendedprice
+                                        AS DECIMAL(18,2)) * 100
+                                   AS BIGINT)) AS DOUBLE)
+                     / SUM(CAST(l_quantity AS BIGINT)) / 100.0, 6)
+                   AS p
+        FROM lineitem GROUP BY 1, 2
+    ),
+    disp AS (
+        SELECT pk,
+               CAST(COUNT(*) AS BIGINT) AS n_supp,
+               CAST(SUM(CAST(round(p, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sp,
+               CAST(SUM(CAST(round(p * p, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS spp,
+               MIN(p) AS pmin, MAX(p) AS pmax
+        FROM unit GROUP BY pk HAVING COUNT(*) >= 3
+    ),
+    cv AS (
+        SELECT pk, n_supp,
+               round(sqrt((spp - sp * sp / n_supp)
+                          / (n_supp - 1.0))
+                     / (sp / n_supp), 8) AS cvr,
+               round(pmax / pmin, 6) AS range_ratio
+        FROM disp
+    )
+    SELECT pk AS partkey, n_supp AS n_suppliers,
+           cvr + 0.0 AS price_cv,
+           range_ratio + 0.0 AS max_over_min
+    FROM cv
+    ORDER BY cvr DESC, pk ASC LIMIT 10
+    """,
+)
+def supplier_price_dispersion(spark, sf_dir):
+    """LAW-OF-ONE-PRICE audit: per-part unit-price dispersion ACROSS
+    SUPPLIERS — the coefficient of variation and max/min ratio of
+    each part's per-supplier average unit price, top-10 most
+    dispersed (parts sold by >= 3 suppliers) — the procurement
+    arbitrage readout (identical part, different supplier, 2x the
+    price) that per-part averages hide completely; economics reads
+    price dispersion as search-cost measure, purchasing reads it as
+    savings pipeline. Complements `tpch_q2_min_cost_supplier`
+    (which finds THE cheapest; this measures how much being wrong
+    costs).
+
+    Exactness: per-(part, supplier) unit prices are exact-cents
+    ratios rounded at 6 dp; the dispersion moments fold 6-dp
+    rounded terms through DECIMAL(28,6); the top-10 is a total
+    order (cv desc, partkey). Plan: one rollup, one per-part fold,
+    one top-10."""
+    li = t(spark, sf_dir, "lineitem")
+    unit = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.round(
+            F.sum(
+                (dec("l_extendedprice", 18, 2) * 100).cast("bigint")
+            ).cast("double")
+            / F.sum(F.col("l_quantity").cast("bigint"))
+            / 100.0,
+            6,
+        ).alias("p")
+    )
+    disp = (
+        unit.groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_supp"),
+            F.sum(F.round("p", 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sp"),
+            F.sum(
+                F.round(F.col("p") * F.col("p"), 6).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("double")
+            .alias("spp"),
+            F.min("p").alias("pmin"),
+            F.max("p").alias("pmax"),
+        )
+        .where(F.col("n_supp") >= 3)
+    )
+    n = F.col("n_supp")
+    cvr = F.round(
+        F.sqrt(
+            (F.col("spp") - F.col("sp") * F.col("sp") / n) / (n - 1.0)
+        )
+        / (F.col("sp") / n),
+        8,
+    )
+    cv = disp.select(
+        "pk",
+        "n_supp",
+        cvr.alias("cvr"),
+        F.round(F.col("pmax") / F.col("pmin"), 6).alias("range_ratio"),
+    )
+    return (
+        cv.orderBy(F.col("cvr").desc(), F.col("pk").asc())
+        .limit(10)
+        .select(
+            F.col("pk").alias("partkey"),
+            F.col("n_supp").alias("n_suppliers"),
+            (F.col("cvr") + 0.0).alias("price_cv"),
+            (F.col("range_ratio") + 0.0).alias("max_over_min"),
+        )
+    )
