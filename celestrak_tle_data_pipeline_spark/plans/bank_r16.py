@@ -6472,3 +6472,879 @@ def supplier_price_dispersion(spark, sf_dir):
             (F.col("range_ratio") + 0.0).alias("max_over_min"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exceedance correlation: clicks->purchases coupling, up vs down days
+# --------------------------------------------------------------------------
+@register(
+    "exceedance_correlation",
+    oracle="""
+    WITH ev2 AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    grid AS (
+        SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ev2 GROUP BY x
+    ),
+    cum AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cc,
+               SUM(c) OVER () AS n
+        FROM grid
+    ),
+    med AS (SELECT CAST(MIN(v) AS BIGINT) AS med FROM cum
+            WHERE 2 * cc >= n),
+    lab AS (
+        SELECT CASE WHEN ev2.x > med.med THEN 1 ELSE 0 END AS up,
+               x, y
+        FROM ev2, med
+    ),
+    mom AS (
+        SELECT up, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * x)
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS sxy
+        FROM lab GROUP BY up
+    ),
+    rr AS (
+        SELECT up, n,
+               round((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((n * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * sx)
+                            * (n * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * sy)), 8) AS r
+        FROM mom
+    )
+    SELECT MAX(CASE WHEN up = 1 THEN n END) AS n_up_days,
+           MAX(CASE WHEN up = 1 THEN r END) + 0.0 AS r_up,
+           MAX(CASE WHEN up = 0 THEN n END) AS n_down_days,
+           MAX(CASE WHEN up = 0 THEN r END) + 0.0 AS r_down,
+           round(MAX(CASE WHEN up = 1 THEN r END)
+                 - MAX(CASE WHEN up = 0 THEN r END), 8) + 0.0
+               AS exceedance_asymmetry
+    FROM rr
+    """,
+)
+def exceedance_correlation(spark, sf_dir):
+    """EXCEEDANCE correlation of the daily clicks->purchases
+    coupling: Pearson r computed separately on the days where click
+    volume EXCEEDS its median vs the days below — dependence that
+    strengthens in one tail (r_up >> r_down) is invisible to the
+    single global correlation and is the standard early warning in
+    risk ("assets correlate when everything falls"); in funnel
+    terms, conversion coupling that only holds on busy days is a
+    capacity story, not a demand story. The median split uses the
+    exact lower median of the click grid.
+
+    Exactness: per-regime moments fold exact BIGINT counts through
+    DECIMAL(19,0) widens; each r rounds at 8 dp; the asymmetry is a
+    terminal difference. Plan: one day rollup, one value-grid
+    cumulative for the median, one 2-group fold."""
+    e = t(spark, sf_dir, "events")
+    ev2 = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    ).persist()
+    grid = ev2.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = grid.select(
+        "v",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    med = cum.where(2 * F.col("cc") >= F.col("n")).agg(
+        F.min("v").cast("bigint").alias("med")
+    )
+    lab = ev2.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("x") > F.col("med"), 1).otherwise(0).alias("up"),
+        "x",
+        "y",
+    )
+    mom = lab.groupBy("up").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    r = F.round(
+        (n * F.col("sxy").cast("double")
+         - F.col("sx").cast("double") * F.col("sy"))
+        / F.sqrt(
+            (n * F.col("sxx").cast("double")
+             - F.col("sx").cast("double") * F.col("sx"))
+            * (n * F.col("syy").cast("double")
+               - F.col("sy").cast("double") * F.col("sy"))
+        ),
+        8,
+    )
+    rr = mom.select("up", "n", r.alias("r"))
+    return rr.agg(
+        F.max(F.when(F.col("up") == 1, F.col("n"))).alias("n_up_days"),
+        (F.max(F.when(F.col("up") == 1, F.col("r"))) + 0.0).alias(
+            "r_up"
+        ),
+        F.max(F.when(F.col("up") == 0, F.col("n"))).alias(
+            "n_down_days"
+        ),
+        (F.max(F.when(F.col("up") == 0, F.col("r"))) + 0.0).alias(
+            "r_down"
+        ),
+        (
+            F.round(
+                F.max(F.when(F.col("up") == 1, F.col("r")))
+                - F.max(F.when(F.col("up") == 0, F.col("r"))),
+                8,
+            )
+            + 0.0
+        ).alias("exceedance_asymmetry"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini correlation pair (clicks, purchases) on the day frame
+# --------------------------------------------------------------------------
+@register(
+    "gini_correlation_pair",
+    oracle="""
+    WITH ev2 AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    xg AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM ev2 GROUP BY x),
+    xr AS (
+        SELECT v,
+               CAST(2 * (SUM(c) OVER (ORDER BY v ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+                   + c + 1 AS BIGINT) AS rank2
+        FROM xg
+    ),
+    yg AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c
+           FROM ev2 GROUP BY y),
+    yr AS (
+        SELECT v,
+               CAST(2 * (SUM(c) OVER (ORDER BY v ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+                   + c + 1 AS BIGINT) AS rank2
+        FROM yg
+    ),
+    j AS (
+        SELECT e.x, e.y, xr.rank2 AS rx2, yr.rank2 AS ry2
+        FROM ev2 e JOIN xr ON e.x = xr.v JOIN yr ON e.y = yr.v
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(rx2) AS BIGINT) AS srx,
+               CAST(SUM(ry2) AS BIGINT) AS sry,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * ry2)
+                    AS DECIMAL(38,0)) AS sxry,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * rx2)
+                    AS DECIMAL(38,0)) AS syrx,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * rx2)
+                    AS DECIMAL(38,0)) AS sxrx,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * ry2)
+                    AS DECIMAL(38,0)) AS syry
+        FROM j
+    )
+    SELECT n AS n_days,
+           round((n * CAST(sxry AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sry)
+                 / (n * CAST(sxrx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * srx), 8) + 0.0
+               AS gini_corr_x_given_y,
+           round((n * CAST(syrx AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * srx)
+                 / (n * CAST(syry AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * sry), 8) + 0.0
+               AS gini_corr_y_given_x
+    FROM mom
+    """,
+)
+def gini_correlation_pair(spark, sf_dir):
+    """GINI correlations between daily clicks (x) and purchases (y),
+    both directions: Gamma(x;y) = cov(x, F(y))/cov(x, F(x)) — the
+    value-of-one against the RANKS-of-the-other hybrid that sits
+    exactly between Pearson (value-value: efficient, fragile) and
+    Spearman (rank-rank: robust, lossy): it keeps x's magnitudes
+    while immunizing against y's outliers, and its ASYMMETRY
+    (Gamma(x;y) != Gamma(y;x)) is itself a diagnostic — large gaps
+    flag that one marginal's tail drives the dependence. The
+    missing member of the registry's dependence bench (pearson /
+    spearman / kendall / chatterjee / hoeffding / blomqvist).
+
+    Exactness: midranks x2 are exact integers on the bounded count
+    grids; all value-rank cross sums fold DECIMAL(19,0)-widened
+    products; both Gammas are terminal ratios. Plan: one day
+    rollup, two grid cumulatives, two equi-joins back, one fold."""
+    e = t(spark, sf_dir, "events")
+    ev2 = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    ).persist()
+
+    def rank2(col):
+        g = ev2.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        return g.select(
+            "v",
+            (
+                2
+                * (
+                    F.sum("c").over(
+                        Window.orderBy("v").rowsBetween(
+                            Window.unboundedPreceding,
+                            Window.currentRow,
+                        )
+                    )
+                    - F.col("c")
+                )
+                + F.col("c")
+                + 1
+            )
+            .cast("bigint")
+            .alias("rank2"),
+        )
+
+    xr = rank2("x").select(
+        F.col("v").alias("x"), F.col("rank2").alias("rx2")
+    )
+    yr = rank2("y").select(
+        F.col("v").alias("y"), F.col("rank2").alias("ry2")
+    )
+    j = ev2.join(xr, "x").join(yr, "y")
+
+    def dsum(a_, b_, name):
+        return (
+            F.sum(F.col(a_).cast("decimal(19,0)") * F.col(b_))
+            .cast("decimal(38,0)")
+            .alias(name)
+        )
+
+    mom = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("rx2").cast("bigint").alias("srx"),
+        F.sum("ry2").cast("bigint").alias("sry"),
+        dsum("x", "ry2", "sxry"),
+        dsum("y", "rx2", "syrx"),
+        dsum("x", "rx2", "sxrx"),
+        dsum("y", "ry2", "syry"),
+    )
+    n = F.col("n")
+    gxy = (
+        n * F.col("sxry").cast("double")
+        - F.col("sx").cast("double") * F.col("sry")
+    ) / (
+        n * F.col("sxrx").cast("double")
+        - F.col("sx").cast("double") * F.col("srx")
+    )
+    gyx = (
+        n * F.col("syrx").cast("double")
+        - F.col("sy").cast("double") * F.col("srx")
+    ) / (
+        n * F.col("syry").cast("double")
+        - F.col("sy").cast("double") * F.col("sry")
+    )
+    return mom.select(
+        n.alias("n_days"),
+        (F.round(gxy, 8) + 0.0).alias("gini_corr_x_given_y"),
+        (F.round(gyx, 8) + 0.0).alias("gini_corr_y_given_x"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Partial AUC at FPR <= 0.1 with McClish standardization
+# --------------------------------------------------------------------------
+@register(
+    "partial_auc_low_fpr",
+    oracle="""
+    WITH scored AS (
+        SELECT n_chars AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    grid AS (
+        SELECT s, CAST(SUM(pos) AS BIGINT) AS p,
+               CAST(SUM(1 - pos) AS BIGINT) AS q
+        FROM scored GROUP BY s
+    ),
+    cum AS (
+        SELECT s,
+               CAST(SUM(p) OVER w AS BIGINT) AS cp,
+               CAST(SUM(q) OVER w AS BIGINT) AS cq,
+               CAST(SUM(p) OVER () AS BIGINT) AS np,
+               CAST(SUM(q) OVER () AS BIGINT) AS nq
+        FROM grid
+        WINDOW w AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW)
+    ),
+    pts AS (
+        SELECT CAST(cq AS DOUBLE) / nq AS fpr,
+               CAST(cp AS DOUBLE) / np AS tpr,
+               COALESCE(CAST(LAG(cq) OVER (ORDER BY s DESC)
+                             AS DOUBLE) / nq, 0.0) AS fpr0,
+               COALESCE(CAST(LAG(cp) OVER (ORDER BY s DESC)
+                             AS DOUBLE) / np, 0.0) AS tpr0
+        FROM cum
+    ),
+    seg AS (
+        SELECT fpr0, fpr, tpr0, tpr,
+               CASE
+                 WHEN fpr <= 0.1 THEN
+                   (fpr - fpr0) * (tpr0 + tpr) / 2.0
+                 WHEN fpr0 < 0.1 THEN
+                   (0.1 - fpr0)
+                   * (tpr0 + (tpr0 + (tpr - tpr0)
+                      * (0.1 - fpr0) / (fpr - fpr0))) / 2.0
+                 ELSE 0.0
+               END AS a
+        FROM pts WHERE fpr > fpr0
+    ),
+    pauc AS (
+        SELECT CAST(SUM(CAST(round(a, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS p
+        FROM seg
+    )
+    SELECT round(p, 8) + 0.0 AS pauc_01,
+           round(0.5 * (1.0 + (p - 0.005) / (0.1 - 0.005)), 8)
+               + 0.0 AS mcclish_standardized
+    FROM pauc
+    """,
+)
+def partial_auc_low_fpr(spark, sf_dir):
+    """PARTIAL AUC of the document-length -> lang='en' classifier,
+    restricted to the FPR <= 0.1 operating region, with McClish
+    standardization 0.5(1 + (pAUC - A_min)/(A_max - A_min)) — the
+    region a production quality filter actually RUNS in: a model
+    can win on full AUC (`auc_rank_score`, same score and label
+    frame) while losing exactly where the threshold will sit; pAUC
+    is the deployment-honest ranking metric. Trapezoid integration
+    over the tie-grouped ROC steps, with the boundary segment
+    linearly interpolated to FPR = 0.1 exactly.
+
+    Exactness: cumulative TP/FP counts are exact BIGINTs on the
+    bounded score grid (descending — the auc_rank_score class);
+    segment areas round at 12 dp into a DECIMAL(28,12) fold;
+    A_min = c^2/2 and A_max = c are literals. Plan: one rollup to
+    the score grid, one reverse cumulative + lag, one fold."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        F.col("n_chars").alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    grid = scored.groupBy("s").agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("q"),
+    )
+    wdesc = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select(
+        "s",
+        F.sum("p").over(wdesc).cast("bigint").alias("cp"),
+        F.sum("q").over(wdesc).cast("bigint").alias("cq"),
+        F.sum("p").over(Window.partitionBy()).cast("bigint").alias("np"),
+        F.sum("q").over(Window.partitionBy()).cast("bigint").alias("nq"),
+    )
+    wlag = Window.orderBy(F.col("s").desc())
+    pts = cum.select(
+        (F.col("cq").cast("double") / F.col("nq")).alias("fpr"),
+        (F.col("cp").cast("double") / F.col("np")).alias("tpr"),
+        F.coalesce(
+            F.lag("cq").over(wlag).cast("double") / F.col("nq"),
+            F.lit(0.0),
+        ).alias("fpr0"),
+        F.coalesce(
+            F.lag("cp").over(wlag).cast("double") / F.col("np"),
+            F.lit(0.0),
+        ).alias("tpr0"),
+    )
+    fpr, tpr = F.col("fpr"), F.col("tpr")
+    fpr0, tpr0 = F.col("fpr0"), F.col("tpr0")
+    interp = tpr0 + (tpr - tpr0) * (0.1 - fpr0) / (fpr - fpr0)
+    a = (
+        F.when(fpr <= 0.1, (fpr - fpr0) * (tpr0 + tpr) / 2.0)
+        .when(fpr0 < 0.1, (0.1 - fpr0) * (tpr0 + interp) / 2.0)
+        .otherwise(0.0)
+    )
+    seg = pts.where(fpr > fpr0).select(a.alias("a"))
+    pauc = seg.agg(
+        F.sum(F.round("a", 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("p")
+    )
+    return pauc.select(
+        (F.round("p", 8) + 0.0).alias("pauc_01"),
+        (
+            F.round(
+                0.5 * (1.0 + (F.col("p") - 0.005) / (0.1 - 0.005)), 8
+            )
+            + 0.0
+        ).alias("mcclish_standardized"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Direct priority-standardized P-status rates per nation
+# --------------------------------------------------------------------------
+@register(
+    "direct_standardized_rates",
+    oracle="""
+    WITH lab AS (
+        SELECT c.c_nationkey AS nk, o.o_orderpriority AS pri,
+               CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END
+                   AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    std AS (
+        SELECT pri, CAST(COUNT(*) AS BIGINT) AS w,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS wt
+        FROM lab GROUP BY pri
+    ),
+    cell AS (
+        SELECT nk, pri, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS k
+        FROM lab GROUP BY nk, pri
+    ),
+    rates AS (
+        SELECT c.nk,
+               CAST(SUM(c.n) AS BIGINT) AS n_orders,
+               CAST(SUM(c.k) AS BIGINT) AS n_p,
+               CAST(SUM(CAST(round(
+                   (CAST(c.k AS DOUBLE) / c.n)
+                   * (CAST(s.w AS DOUBLE) / s.wt), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS std_rate
+        FROM cell c JOIN std s ON c.pri = s.pri
+        GROUP BY c.nk
+    )
+    SELECT nk AS nationkey, n_orders,
+           round(CAST(n_p AS DOUBLE) / n_orders, 8) + 0.0
+               AS crude_rate,
+           round(std_rate, 8) + 0.0 AS standardized_rate,
+           round(std_rate / (CAST(n_p AS DOUBLE) / n_orders), 6)
+               + 0.0 AS std_over_crude
+    FROM rates ORDER BY nationkey
+    """,
+)
+def direct_standardized_rates(spark, sf_dir):
+    """DIRECT priority-standardization of each nation's problem-
+    status rate: re-weight the nation's per-priority rates by the
+    GLOBAL priority mix — the league-table correction that makes
+    nations with different order-priority case-mixes comparable,
+    and the DIRECT counterpart of the registry's
+    `indirect_standardization_sir` (SIR asks "given your mix, how
+    many cases were expected"; direct asks "what would your rate be
+    on the standard mix" — direct is comparable BETWEEN nations,
+    SIR only against the reference). std/crude far from 1 flags
+    exactly the nations whose raw ranking is a case-mix artifact.
+
+    Exactness: all cell counts are exact BIGINTs; each weighted
+    term rounds at 12 dp into a DECIMAL(28,12) fold (5 terms per
+    nation, order-free); rates are terminal ratios. Plan: one join
+    scan, one 5-row standard-mix rollup, one 125-cell rollup, one
+    broadcast join + 25-group fold."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    lab = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("o_orderpriority").alias("pri"),
+        F.when(F.col("o_orderstatus") == "P", 1).otherwise(0).alias("y"),
+    )
+    std = lab.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    std = std.crossJoin(
+        F.broadcast(std.agg(F.sum("w").cast("bigint").alias("wt")))
+    )
+    cell = lab.groupBy("nk", "pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("k"),
+    )
+    rates = (
+        cell.join(F.broadcast(std), "pri")
+        .groupBy("nk")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.sum("k").cast("bigint").alias("n_p"),
+            F.sum(
+                F.round(
+                    (F.col("k").cast("double") / F.col("n"))
+                    * (F.col("w").cast("double") / F.col("wt")),
+                    12,
+                ).cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("std_rate"),
+        )
+    )
+    crude = F.col("n_p").cast("double") / F.col("n_orders")
+    return rates.select(
+        F.col("nk").alias("nationkey"),
+        "n_orders",
+        (F.round(crude, 8) + 0.0).alias("crude_rate"),
+        (F.round("std_rate", 8) + 0.0).alias("standardized_rate"),
+        (F.round(F.col("std_rate") / crude, 6) + 0.0).alias(
+            "std_over_crude"
+        ),
+    ).orderBy("nationkey")
+
+
+# --------------------------------------------------------------------------
+# Compound (frequency x severity) variance decomposition of revenue
+# --------------------------------------------------------------------------
+@register(
+    "frequency_severity_decomposition",
+    oracle="""
+    WITH ords AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    xmom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s,
+               CAST(SUM(CAST(v AS DECIMAL(19,0)) * v)
+                    AS DECIMAL(38,0)) AS ss
+        FROM ords
+    ),
+    days AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS nn,
+               CAST(SUM(v) AS BIGINT) AS sv
+        FROM ords GROUP BY d
+    ),
+    span AS (SELECT CAST(min(d) AS BIGINT) AS d0,
+                    CAST(max(d) AS BIGINT) AS d1 FROM days),
+    fill AS (
+        SELECT COALESCE(days.nn, 0) AS nn, COALESCE(days.sv, 0) AS sv
+        FROM span,
+             LATERAL UNNEST(range(span.d0, span.d1 + 1)) AS u(g)
+        LEFT JOIN days ON u.g = days.d
+    ),
+    dmom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(nn) AS BIGINT) AS sn,
+               CAST(SUM(CAST(nn AS DECIMAL(19,0)) * nn)
+                    AS DECIMAL(38,0)) AS snn,
+               CAST(SUM(sv) AS BIGINT) AS ssv,
+               CAST(SUM(CAST(sv AS DECIMAL(19,0)) * sv)
+                    AS DECIMAL(38,0)) AS ssvv
+        FROM fill
+    ),
+    stat AS (
+        SELECT m,
+               (CAST(ssvv AS DOUBLE)
+                - CAST(ssv AS DOUBLE) * ssv / m) / (m - 1)
+                   / 10000000000.0 AS var_actual,
+               CAST(sn AS DOUBLE) / m AS en,
+               (CAST(snn AS DOUBLE)
+                - CAST(sn AS DOUBLE) * sn / m) / (m - 1) AS vn,
+               CAST(xmom.s AS DOUBLE) / xmom.n / 100000.0 AS ex,
+               (CAST(xmom.ss AS DOUBLE)
+                - CAST(xmom.s AS DOUBLE) * xmom.s / xmom.n)
+                   / (xmom.n - 1) / 10000000000.0 AS vx
+        FROM dmom, xmom
+    )
+    SELECT m AS n_days,
+           round(var_actual, 4) + 0.0 AS var_daily_actual_kusd2,
+           round(en * vx + ex * ex * vn, 4) + 0.0
+               AS var_compound_model_kusd2,
+           round(en * vx, 4) + 0.0 AS severity_component,
+           round(ex * ex * vn, 4) + 0.0 AS frequency_component,
+           round(var_actual / (en * vx + ex * ex * vn), 6) + 0.0
+               AS actual_over_model
+    FROM stat
+    """,
+)
+def frequency_severity_decomposition(spark, sf_dir):
+    """COMPOUND-SUM variance decomposition of daily revenue: under
+    the collective-risk model S = sum of N iid order values, Var(S)
+    = E[N] Var(X) + E[X]^2 Var(N) — the severity component (value
+    volatility at fixed traffic) vs the frequency component (count
+    volatility at fixed prices). actual/model near 1 certifies the
+    independence assumptions every revenue-forecast simulation
+    makes; above 1 flags count-value coupling (busy days ALSO have
+    bigger orders) or serial structure — the pricing-vs-traffic
+    attribution a plain revenue variance cannot give. Zero-filled
+    day grid (an absent day is a real N=0 observation).
+
+    Exactness: order-grain and day-grain moments fold exact cents
+    and counts through DECIMAL(19,0) widens; all five outputs are
+    terminal trees in k$^2. Plan: one scan, one day rollup +
+    bounded grid fill, two folds."""
+    o = t(spark, sf_dir, "orders")
+    ords = o.select(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+    xmom = ords.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    days = ords.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum("v").cast("bigint").alias("sv"),
+    )
+    span = days.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    fill = grid.join(days, "d", "left").select(
+        F.coalesce("nn", F.lit(0)).cast("bigint").alias("nn"),
+        F.coalesce("sv", F.lit(0)).cast("bigint").alias("sv"),
+    )
+    dmom = fill.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("nn").cast("bigint").alias("sn"),
+        F.sum(F.col("nn").cast("decimal(19,0)") * F.col("nn"))
+        .cast("decimal(38,0)")
+        .alias("snn"),
+        F.sum("sv").cast("bigint").alias("ssv"),
+        F.sum(F.col("sv").cast("decimal(19,0)") * F.col("sv"))
+        .cast("decimal(38,0)")
+        .alias("ssvv"),
+    )
+    j = dmom.crossJoin(F.broadcast(xmom))
+    m = F.col("m")
+    var_actual = (
+        (
+            F.col("ssvv").cast("double")
+            - F.col("ssv").cast("double") * F.col("ssv") / m
+        )
+        / (m - 1)
+        / 1e10
+    )
+    en = F.col("sn").cast("double") / m
+    vn = (
+        F.col("snn").cast("double")
+        - F.col("sn").cast("double") * F.col("sn") / m
+    ) / (m - 1)
+    ex = F.col("s").cast("double") / F.col("n") / 100000.0
+    vx = (
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        / (F.col("n") - 1)
+        / 1e10
+    )
+    model = en * vx + ex * ex * vn
+    return j.select(
+        m.alias("n_days"),
+        (F.round(var_actual, 4) + 0.0).alias(
+            "var_daily_actual_kusd2"
+        ),
+        (F.round(model, 4) + 0.0).alias("var_compound_model_kusd2"),
+        (F.round(en * vx, 4) + 0.0).alias("severity_component"),
+        (F.round(ex * ex * vn, 4) + 0.0).alias("frequency_component"),
+        (F.round(var_actual / model, 6) + 0.0).alias(
+            "actual_over_model"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dekkers-Einmahl-de Haan moment estimator of the tail index
+# --------------------------------------------------------------------------
+@register(
+    "dekkers_moment_tail",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    grid AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cc,
+               SUM(c) OVER () AS n
+        FROM grid
+    ),
+    u AS (SELECT CAST(MIN(v) AS BIGINT) AS u FROM cum
+          WHERE 40 * cc >= 39 * n),
+    tail AS (
+        SELECT round(ln(CAST(p.v AS DOUBLE) / u.u), 10) AS l
+        FROM pts p, u WHERE p.v > u.u
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(round(l, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS s1,
+               CAST(SUM(CAST(round(l * l, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS s2
+        FROM tail
+    ),
+    stat AS (
+        SELECT k, s1 / k AS m1, s2 / k AS m2, u.u
+        FROM mom, u
+    )
+    SELECT k AS k_tail, round(u / 100000.0, 6) + 0.0 AS u_kusd,
+           round(m1, 8) + 0.0 AS hill_gamma,
+           round(m1 + 1.0
+                 - 0.5 / (1.0 - m1 * m1 / m2), 8) + 0.0
+               AS dedh_gamma
+    FROM stat
+    """,
+)
+def dekkers_moment_tail(spark, sf_dir):
+    """Dekkers-Einmahl-de Haan MOMENT estimator of the order-value
+    tail index over the top 2.5% exceedances: gamma = M1 + 1 -
+    (1/2)/(1 - M1^2/M2) from the first two log-excess moments —
+    valid for ALL three extreme-value domains (gamma < 0 bounded
+    tails included), where the registry's `hill_tail_exponent`
+    (= M1, emitted beside it) is consistent only for heavy tails
+    and `pickands_xi_estimate` pays a big variance premium. Hill
+    and DEdH agreeing certifies heavy-tailedness; DEdH pulling
+    negative flags a bounded tail and retires the Pareto story.
+
+    Exactness: the threshold is the exact lower 97.5% order
+    statistic from the cents-grid cumulative; log-excesses round at
+    10 dp into DECIMAL(28,10) folds; both estimators are terminal
+    trees. Plan: one value-grid cumulative, one filtered scan
+    against the broadcast threshold, one fold."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v")
+    )
+    grid = pts.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = grid.select(
+        "v",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    u = cum.where(40 * F.col("cc") >= 39 * F.col("n")).agg(
+        F.min("v").cast("bigint").alias("u")
+    )
+    tail = (
+        pts.crossJoin(F.broadcast(u))
+        .where(F.col("v") > F.col("u"))
+        .select(
+            F.round(
+                F.log(F.col("v").cast("double") / F.col("u")), 10
+            ).alias("l")
+        )
+    )
+    mom = tail.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.round("l", 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            F.round(F.col("l") * F.col("l"), 10).cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    stat = mom.crossJoin(F.broadcast(u)).select(
+        "k",
+        (F.col("s1") / F.col("k")).alias("m1"),
+        (F.col("s2") / F.col("k")).alias("m2"),
+        "u",
+    )
+    return stat.select(
+        F.col("k").alias("k_tail"),
+        (F.round(F.col("u") / 100000.0, 6) + 0.0).alias("u_kusd"),
+        (F.round("m1", 8) + 0.0).alias("hill_gamma"),
+        (
+            F.round(
+                F.col("m1")
+                + 1.0
+                - 0.5 / (1.0 - F.col("m1") * F.col("m1") / F.col("m2")),
+                8,
+            )
+            + 0.0
+        ).alias("dedh_gamma"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "exceedance_correlation": (
+            "value-grid cumulative for the exact click median "
+            "(count-domain-bounded — the moods_median class)"
+        ),
+        "gini_correlation_pair": (
+            "two cumulative midrank passes over the daily count "
+            "grids (count-domain-bounded — the ansari class)"
+        ),
+        "partial_auc_low_fpr": (
+            "reverse cumulative + lag over the bounded score grid "
+            "(the auc_rank_score class)"
+        ),
+        "dekkers_moment_tail": (
+            "one cumulative over the cents value grid for the exact "
+            "tail threshold (the hill/pickands class)"
+        ),
+    }
+)
