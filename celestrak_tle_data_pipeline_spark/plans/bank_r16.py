@@ -6,13 +6,23 @@ sweeps via ``tools/bank_check.py --module bank_r16``, the dtype-family
 sweep (``tests/test_oracle_dtypes.py`` auto-discovers bank_r13..r17),
 and plan-audit notes pre-adjudicated at authoring time.
 
-Seed theme: STRUCTURE AND DEPENDENCE CERTIFICATION — the matrix-level
-and information-theoretic checks a feature pipeline runs before
-modeling: correlation-matrix sphericity (Bartlett) and sampling
-adequacy (KMO/MSA), stratified rare-event pooling (Peto), asymmetric
-categorical association (Goodman-Kruskal tau, Theil's uncertainty
-coefficient), lead-lag structure (cross-correlation peak, Granger F),
-and multiple-testing geometry (higher criticism, Storey pi0).
+Theme: STRUCTURE, DEPENDENCE, AND DECISION CERTIFICATION — the
+checks a feature pipeline runs before and after modeling. Tiers:
+matrix structure (Bartlett sphericity, KMO/MSA), asymmetric and
+robust dependence (GK tau, uncertainty coefficient, Gini correlation,
+circular-linear R2, exceedance asymmetry), lead-lag and causal
+structure (Granger F, CCF peak, Sobel mediation, moderation F,
+Knox space-time), multiple testing (higher criticism, Storey pi0),
+normal-scores tests on the Acklam device (van der Waerden, Klotz,
+Fligner-Killeen), robust location/scale (Qn, shorth/LMS, Bowley-free
+quantile shapes via Geary/Leik), rates and league tables (Peto OR,
+EB Gamma-Poisson, direct standardization, E-value, SMD balance),
+model selection and evaluation (lognormal-vs-exponential, proper
+scoring rules, partial AUC, PRESS, Q-Q ventile fit, Tukey 1-df,
+Scheirer-Ray-Hare), tails and spacings (DEdH moment, Greenwood,
+longest run, German tank, frequency-severity), markets (Fisher/
+Tornqvist, association rules, brand beta, price dispersion), and
+corpus/embedding health (Honore/Sichel/Brunet, 5-NN hubness).
 
 Determinism disciplines inherited unchanged (bank_r11..r15
 docstrings): exact integer/DECIMAL folds, round-before-fold on every
