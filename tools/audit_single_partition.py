@@ -295,6 +295,7 @@ def audit(spark, names=None):
         bank_r14,
         bank_r15,
         bank_r16,
+        bank_r17,
         next_window,
     )
 
@@ -307,6 +308,7 @@ def audit(spark, names=None):
             **bank_r14.BANK_QUERIES,
             **bank_r15.BANK_QUERIES,
             **bank_r16.BANK_QUERIES,
+            **bank_r17.BANK_QUERIES,
             **next_window.NEXT_QUERIES,
             **qs,
         }
