@@ -478,5 +478,301 @@ PLAN_AUDIT_NOTES.update(
             "two step-up cutoff scans over the same 35-cell family "
             "(bh_fdr class)"
         ),
+        "rank_turbulence_divergence": (
+            "two revenue ranks + a top-1 over the bounded 25-brand "
+            "frames (domain-bounded; plan-text repeats the rank "
+            "subplan per consumer)"
+        ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Rank-turbulence divergence between half-period brand rankings
+# --------------------------------------------------------------------------
+@register(
+    "rank_turbulence_divergence",
+    oracle="""
+    WITH bd AS (
+        SELECT p.p_brand AS b,
+               CASE WHEN epoch_us(l.l_shipdate) // 86400000000
+                         <= (SELECT (min(epoch_us(l_shipdate))
+                                     // 86400000000
+                                     + max(epoch_us(l_shipdate))
+                                     // 86400000000) // 2
+                             FROM lineitem)
+                    THEN 1 ELSE 2 END AS half,
+               CAST(SUM(CAST(CAST(l.l_extendedprice
+                                  AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    r1 AS (
+        SELECT b, CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, b)
+                       AS BIGINT) AS r
+        FROM bd WHERE half = 1
+    ),
+    r2 AS (
+        SELECT b, CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, b)
+                       AS BIGINT) AS r
+        FROM bd WHERE half = 2
+    ),
+    pair_ AS (
+        SELECT r1.b, r1.r AS ra, r2.r AS rb
+        FROM r1 JOIN r2 ON r1.b = r2.b
+    ),
+    terms AS (
+        SELECT b, ra, rb,
+               round(abs(1.0 / ra - 1.0 / rb), 12) AS d
+        FROM pair_
+    ),
+    norm AS (
+        SELECT CAST(SUM(CAST(round(abs(1.0 / a.r - 1.0 / (b.n + a.r)),
+                             12) AS DECIMAL(28,12))) AS DOUBLE)
+                   AS z
+        FROM r1 a, (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r1) b
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(d AS DECIMAL(28,12))) AS DOUBLE) AS sd
+        FROM terms
+    )
+    SELECT fold.k AS n_brands,
+           round(fold.sd, 8) + 0.0 AS rtd_raw,
+           round(fold.sd / (2.0 * norm.z), 8) + 0.0
+               AS rtd_normalized,
+           (SELECT b FROM terms ORDER BY d DESC, b ASC LIMIT 1)
+               AS biggest_mover
+    FROM fold, norm
+    """,
+)
+def rank_turbulence_divergence(spark, sf_dir):
+    """RANK-TURBULENCE DIVERGENCE (Dodds et al. 2023, alpha = 1)
+    between the first-half and second-half brand revenue RANKINGS:
+    sum |1/r1 - 1/r2| over brands, normalized by the maximal-
+    disarray constant — the rank-stability monitor built for
+    heavy-tailed rank data, where `rank_biased_overlap_parts`
+    (top-weighted set overlap) and Kendall distance (uniform pair
+    weights) both misread churn deep in the tail; the 1/r weighting
+    makes podium swaps expensive and tail shuffles cheap, which is
+    what a revenue leaderboard actually cares about. Emits the
+    single biggest mover for the narrative.
+
+    Exactness: half-period revenues are exact cents; ranks are
+    deterministic (rev desc, brand) row_numbers over the bounded
+    25-brand frames; divergence terms round at 12 dp into
+    DECIMAL(28,12) folds; the normalizer is the standard
+    disjoint-support bound sum |1/r - 1/(n+r)| x2. Plan: one join
+    rollup, two 25-row ranks, one fold."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    half_cut = li.agg(
+        (
+            (
+                F.floor(F.min(F.unix_micros("l_shipdate")) / 86_400_000_000)
+                + F.floor(
+                    F.max(F.unix_micros("l_shipdate")) / 86_400_000_000
+                )
+            )
+            / 2
+        )
+        .cast("bigint")
+        .alias("cut")
+    )
+    bd = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .crossJoin(F.broadcast(half_cut))
+        .groupBy(
+            F.col("p_brand").alias("b"),
+            F.when(
+                F.floor(F.unix_micros("l_shipdate") / 86_400_000_000)
+                <= F.col("cut"),
+                1,
+            )
+            .otherwise(2)
+            .alias("half"),
+        )
+        .agg(
+            F.sum(
+                (dec("l_extendedprice", 18, 2) * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev")
+        )
+        .persist()
+    )
+
+    def rank_half(h, out):
+        return bd.where(F.col("half") == h).select(
+            "b",
+            F.row_number()
+            .over(Window.orderBy(F.col("rev").desc(), F.col("b")))
+            .cast("bigint")
+            .alias(out),
+        )
+
+    r1 = rank_half(1, "ra")
+    r2 = rank_half(2, "rb")
+    pair_ = r1.join(r2, "b")
+    terms = pair_.select(
+        "b",
+        "ra",
+        "rb",
+        F.round(F.abs(1.0 / F.col("ra") - 1.0 / F.col("rb")), 12).alias(
+            "d"
+        ),
+    ).persist()
+    nn = r1.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    norm = (
+        r1.crossJoin(F.broadcast(nn))
+        .agg(
+            F.sum(
+                F.round(
+                    F.abs(
+                        1.0 / F.col("ra")
+                        - 1.0 / (F.col("n") + F.col("ra"))
+                    ),
+                    12,
+                ).cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("z")
+        )
+    )
+    fold = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("d").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sd"),
+    )
+    mover = (
+        terms.orderBy(F.col("d").desc(), F.col("b").asc())
+        .limit(1)
+        .select(F.col("b").alias("biggest_mover"))
+    )
+    return (
+        fold.crossJoin(F.broadcast(norm))
+        .crossJoin(F.broadcast(mover))
+        .select(
+            F.col("k").alias("n_brands"),
+            (F.round("sd", 8) + 0.0).alias("rtd_raw"),
+            (
+                F.round(F.col("sd") / (2.0 * F.col("z")), 8) + 0.0
+            ).alias("rtd_normalized"),
+            "biggest_mover",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Population attributable fraction (Levin) for the weekend exposure
+# --------------------------------------------------------------------------
+@register(
+    "attributable_fraction_levin",
+    oracle="""
+    WITH lab AS (
+        SELECT CASE WHEN CAST(epoch_us(o_orderdate) // 86400000000
+                         + 4 AS BIGINT) % 7 >= 5
+                    THEN 1 ELSE 0 END AS g,
+               CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    c AS (
+        SELECT CAST(SUM(CASE WHEN g = 1 THEN y ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(SUM(g) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN g = 0 THEN y ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(SUM(1 - g) AS BIGINT) AS n0,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lab
+    ),
+    st AS (
+        SELECT a, n1, b, n0, n,
+               round(CAST(n1 AS DOUBLE) / n, 10) AS pe,
+               round((CAST(a AS DOUBLE) / n1)
+                     / (CAST(b AS DOUBLE) / n0), 10) AS rr
+        FROM c
+    )
+    SELECT n1 AS n_exposed, n0 AS n_unexposed,
+           round(rr, 6) + 0.0 AS risk_ratio,
+           round(pe, 6) + 0.0 AS exposure_prevalence,
+           round(pe * (rr - 1.0) / (1.0 + pe * (rr - 1.0)), 8)
+               + 0.0 AS paf_levin,
+           round((rr - 1.0) / rr, 8) + 0.0
+               AS attributable_fraction_exposed
+    FROM st
+    """,
+)
+def attributable_fraction_levin(spark, sf_dir):
+    """Levin's POPULATION ATTRIBUTABLE FRACTION for the weekend ->
+    problem-status association: PAF = p_e(RR-1)/(1 + p_e(RR-1)) —
+    the share of ALL problem orders that would disappear if the
+    weekend exposure were removed (assuming causality) — plus the
+    attributable fraction among the exposed (RR-1)/RR. The public-
+    health "how much does this matter at the population level"
+    number that the RR alone (`vanderweele_evalue`'s input)
+    cannot convey: a huge RR on a rare exposure can carry a tiny
+    PAF, and the pairing of PAF with the E-value is exactly the
+    claim-size-vs-robustness readout.
+
+    Exactness: 2x2 margins exact; prevalence and RR round at 10 dp
+    before the PAF tree; all outputs terminal. Plan: one scan, one
+    fold."""
+    o = t(spark, sf_dir, "orders")
+    lab = o.select(
+        F.when(
+            (
+                F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+                + 4
+            ).cast("bigint")
+            % 7
+            >= 5,
+            1,
+        )
+        .otherwise(0)
+        .alias("g"),
+        F.when(F.col("o_orderstatus") == "P", 1).otherwise(0).alias("y"),
+    )
+    c = lab.agg(
+        F.sum(F.when(F.col("g") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum("g").cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("g") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(1 - F.col("g")).cast("bigint").alias("n0"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    pe = F.round(F.col("n1").cast("double") / F.col("n"), 10)
+    rr = F.round(
+        (F.col("a").cast("double") / F.col("n1"))
+        / (F.col("b").cast("double") / F.col("n0")),
+        10,
+    )
+    st = c.select(
+        "n1", "n0", pe.alias("pe"), rr.alias("rr")
+    )
+    return st.select(
+        F.col("n1").alias("n_exposed"),
+        F.col("n0").alias("n_unexposed"),
+        (F.round("rr", 6) + 0.0).alias("risk_ratio"),
+        (F.round("pe", 6) + 0.0).alias("exposure_prevalence"),
+        (
+            F.round(
+                F.col("pe")
+                * (F.col("rr") - 1.0)
+                / (1.0 + F.col("pe") * (F.col("rr") - 1.0)),
+                8,
+            )
+            + 0.0
+        ).alias("paf_levin"),
+        (
+            F.round((F.col("rr") - 1.0) / F.col("rr"), 8) + 0.0
+        ).alias("attributable_fraction_exposed"),
+    )
