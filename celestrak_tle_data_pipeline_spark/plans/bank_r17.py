@@ -478,6 +478,15 @@ PLAN_AUDIT_NOTES.update(
             "two step-up cutoff scans over the same 35-cell family "
             "(bh_fdr class)"
         ),
+        "net_reclassification_index": (
+            "row_number rank over the n_chars grid for the exact "
+            "median threshold (score-domain-bounded — the "
+            "auc_rank_score class)"
+        ),
+        "decision_curve_net_benefit": (
+            "cumulative head-count over the n_chars score grid for "
+            "the exact decile bins (the auc_rank_score class)"
+        ),
         "rank_turbulence_divergence": (
             "two revenue ranks + a top-1 over the bounded 25-brand "
             "frames (domain-bounded; plan-text repeats the rank "
@@ -776,3 +785,311 @@ def attributable_fraction_levin(spark, sf_dir):
             F.round((F.col("rr") - 1.0) / F.col("rr"), 8) + 0.0
         ).alias("attributable_fraction_exposed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Net reclassification improvement: source rule vs length rule
+# --------------------------------------------------------------------------
+@register(
+    "net_reclassification_index",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, n_chars, source,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    medl AS (
+        SELECT n_chars AS v FROM (
+            SELECT n_chars,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS r,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM docs
+        ) q WHERE 2 * r >= n + 1 ORDER BY v LIMIT 1
+    ),
+    prev AS (
+        SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS p FROM docs
+    ),
+    srate AS (
+        SELECT source, CAST(SUM(y) AS DOUBLE) / COUNT(*) AS sr
+        FROM docs GROUP BY source
+    ),
+    cls AS (
+        SELECT d.y,
+               CASE WHEN d.n_chars > medl.v THEN 1 ELSE 0 END AS a,
+               CASE WHEN srate.sr > prev.p THEN 1 ELSE 0 END AS b
+        FROM docs d
+        JOIN srate ON d.source = srate.source, medl, prev
+    ),
+    fold AS (
+        SELECT
+            CAST(SUM(y) AS BIGINT) AS ne,
+            CAST(SUM(1 - y) AS BIGINT) AS nn,
+            CAST(SUM(CASE WHEN y = 1 AND a = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tpa,
+            CAST(SUM(CASE WHEN y = 1 AND b = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tpb,
+            CAST(SUM(CASE WHEN y = 0 AND a = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fpa,
+            CAST(SUM(CASE WHEN y = 0 AND b = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fpb
+        FROM cls
+    )
+    SELECT ne AS n_events, nn AS n_nonevents,
+           round(CAST(tpb - tpa AS DOUBLE) / ne, 8) + 0.0
+               AS nri_events,
+           round(CAST(fpa - fpb AS DOUBLE) / nn, 8) + 0.0
+               AS nri_nonevents,
+           round(CAST(tpb - tpa AS DOUBLE) / ne
+                 + CAST(fpa - fpb AS DOUBLE) / nn, 8) + 0.0
+               AS nri_total
+    FROM fold
+    """,
+)
+def net_reclassification_index(spark, sf_dir):
+    """NET RECLASSIFICATION IMPROVEMENT from the length rule
+    (n_chars above the exact corpus median predicts lang='en') to
+    the source rule (source-level en-rate above prevalence):
+    NRI_events = delta-TPR, NRI_nonevents = -delta-FPR, total = the
+    sum — the model-UPGRADE metric that answers "who moved in the
+    right direction", which AUC deltas famously obscure (two
+    models with equal AUC can reclassify half the corpus in
+    opposite directions). The document-routing decision behind
+    every heuristic-filter replacement, judged properly.
+
+    Exactness: the median threshold is an exact order statistic;
+    source rates are exact count ratios; all reclassification cells
+    are exact BIGINTs; NRIs are terminal ratios. Plan: one rank for
+    the median, one source rollup, one broadcast join, one fold."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).persist()
+    ranked = d.select(
+        "n_chars",
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    medl = (
+        ranked.where(2 * F.col("r") >= F.col("n") + 1)
+        .agg(F.min("n_chars").alias("v"))
+    )
+    prev = d.agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("p")
+    )
+    srate = d.groupBy("source").agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("sr")
+    )
+    cls = (
+        d.join(F.broadcast(srate), "source")
+        .crossJoin(F.broadcast(medl))
+        .crossJoin(F.broadcast(prev))
+        .select(
+            "y",
+            F.when(F.col("n_chars") > F.col("v"), 1)
+            .otherwise(0)
+            .alias("a"),
+            F.when(F.col("sr") > F.col("p"), 1).otherwise(0).alias("b"),
+        )
+    )
+    fold = cls.agg(
+        F.sum("y").cast("bigint").alias("ne"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("nn"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("a") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tpa"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tpb"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("a") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fpa"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fpb"),
+    )
+    nri_e = (F.col("tpb") - F.col("tpa")).cast("double") / F.col("ne")
+    nri_n = (F.col("fpa") - F.col("fpb")).cast("double") / F.col("nn")
+    return fold.select(
+        F.col("ne").alias("n_events"),
+        F.col("nn").alias("n_nonevents"),
+        (F.round(nri_e, 8) + 0.0).alias("nri_events"),
+        (F.round(nri_n, 8) + 0.0).alias("nri_nonevents"),
+        (F.round(nri_e + nri_n, 8) + 0.0).alias("nri_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Decision-curve net benefit of the length-decile classifier
+# --------------------------------------------------------------------------
+@register(
+    "decision_curve_net_benefit",
+    oracle="""
+    WITH docs AS (
+        SELECT n_chars,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    grid AS (
+        SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(y) AS BIGINT) AS k
+        FROM docs GROUP BY n_chars
+    ),
+    cum AS (
+        SELECT v, c, k,
+               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cc,
+               SUM(c) OVER () AS n
+        FROM grid
+    ),
+    binned AS (
+        SELECT LEAST(CAST(10 * (cc - c) AS BIGINT) // n, 9) AS bin,
+               c, k
+        FROM cum
+    ),
+    bins AS (
+        SELECT bin, CAST(SUM(c) AS BIGINT) AS nb,
+               CAST(SUM(k) AS BIGINT) AS kb,
+               round(CAST(SUM(k) AS DOUBLE) / SUM(c), 10) AS pb
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(nb) AS BIGINT) AS n,
+               CAST(SUM(kb) AS BIGINT) AS k
+        FROM bins
+    ),
+    pts AS (SELECT CAST(u.g AS DOUBLE) / 10.0 AS pt
+            FROM LATERAL UNNEST(range(1, 6)) AS u(g)),
+    nb AS (
+        SELECT pts.pt,
+               CAST(SUM(CASE WHEN bins.pb >= pts.pt
+                        THEN bins.kb ELSE 0 END) AS DOUBLE)
+                   / tot.n
+               - CAST(SUM(CASE WHEN bins.pb >= pts.pt
+                          THEN bins.nb - bins.kb ELSE 0 END)
+                      AS DOUBLE) / tot.n
+                 * pts.pt / (1.0 - pts.pt) AS nb_model,
+               CAST(tot.k AS DOUBLE) / tot.n
+               - (1.0 - CAST(tot.k AS DOUBLE) / tot.n)
+                 * pts.pt / (1.0 - pts.pt) AS nb_all
+        FROM bins, pts, tot
+        GROUP BY pts.pt, tot.n, tot.k
+    )
+    SELECT round(pt, 1) + 0.0 AS threshold_prob,
+           round(nb_model, 8) + 0.0 AS net_benefit_model,
+           round(nb_all, 8) + 0.0 AS net_benefit_treat_all,
+           CAST(CASE WHEN nb_model >= nb_all AND nb_model >= 0.0
+                     THEN 1 ELSE 0 END AS INT) AS model_wins
+    FROM nb ORDER BY threshold_prob
+    """,
+)
+def decision_curve_net_benefit(spark, sf_dir):
+    """DECISION-CURVE analysis of the length-decile lang='en'
+    classifier: at each threshold probability pt in {0.1..0.5},
+    net benefit = TP/n - FP/n * pt/(1-pt) for the policy "treat
+    documents whose decile en-rate >= pt", against the treat-all
+    and treat-none baselines — the Vickrey-Elkin answer to "is this
+    model worth USING at my cost ratio", which neither AUC
+    (`auc_rank_score`) nor calibration (`hosmer_lemeshow`) can
+    give, because both ignore the decision cost pt/(1-pt).
+    model_wins flags the thresholds where the model beats BOTH
+    baselines — the deployable region.
+
+    Exactness: decile bins come from the exact cumulative head
+    count on the n_chars grid (ties share a bin); bin rates round
+    at 10 dp; per-threshold folds are exact-count ratios. Plan: one
+    grid cumulative, one 10-bin rollup, one literal 5-threshold
+    cross, one fold."""
+    d = t(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    grid = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("k"),
+    )
+    cum = grid.select(
+        "v",
+        "c",
+        "k",
+        (
+            F.sum("c").over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("c")
+        ).alias("head"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    binned = cum.select(
+        F.least(
+            (10 * F.col("head") / F.col("n")).cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("bin"),
+        "c",
+        "k",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.sum("c").cast("bigint").alias("nb"),
+        F.sum("k").cast("bigint").alias("kb"),
+        F.round(F.sum("k").cast("double") / F.sum("c"), 10).alias("pb"),
+    )
+    tot = bins.agg(
+        F.sum("nb").cast("bigint").alias("n"),
+        F.sum("kb").cast("bigint").alias("k"),
+    )
+    pts = spark.range(1, 6).select(
+        (F.col("id").cast("double") / 10.0).alias("pt")
+    )
+    nb = (
+        bins.crossJoin(F.broadcast(pts))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("pt", "n", "k")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("pb") >= F.col("pt"), F.col("kb")).otherwise(
+                        0
+                    )
+                ).cast("double")
+                / F.col("n")
+                - F.sum(
+                    F.when(
+                        F.col("pb") >= F.col("pt"),
+                        F.col("nb") - F.col("kb"),
+                    ).otherwise(0)
+                ).cast("double")
+                / F.col("n")
+                * F.col("pt")
+                / (1.0 - F.col("pt"))
+            ).alias("nb_model"),
+            (
+                F.max(F.col("k").cast("double") / F.col("n"))
+                - (1.0 - F.max(F.col("k").cast("double") / F.col("n")))
+                * F.max(F.col("pt"))
+                / (1.0 - F.max(F.col("pt")))
+            ).alias("nb_all"),
+        )
+    )
+    return nb.select(
+        (F.round("pt", 1) + 0.0).alias("threshold_prob"),
+        (F.round("nb_model", 8) + 0.0).alias("net_benefit_model"),
+        (F.round("nb_all", 8) + 0.0).alias("net_benefit_treat_all"),
+        F.when(
+            (F.col("nb_model") >= F.col("nb_all"))
+            & (F.col("nb_model") >= 0.0),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("model_wins"),
+    ).orderBy("threshold_prob")
