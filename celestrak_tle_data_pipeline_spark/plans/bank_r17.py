@@ -487,6 +487,10 @@ PLAN_AUDIT_NOTES.update(
             "cumulative head-count over the n_chars score grid for "
             "the exact decile bins (the auc_rank_score class)"
         ),
+        "msprt_always_valid_p": (
+            "cumulative 2x2 prefix over the bounded (day x cohort) "
+            "frame (the cusum / sprt class)"
+        ),
         "rank_turbulence_divergence": (
             "two revenue ranks + a top-1 over the bounded 25-brand "
             "frames (domain-bounded; plan-text repeats the rank "
@@ -1093,3 +1097,441 @@ def decision_curve_net_benefit(spark, sf_dir):
         .cast("int")
         .alias("model_wins"),
     ).orderBy("threshold_prob")
+
+
+# --------------------------------------------------------------------------
+# Mixture SPRT always-valid p for the weekend conversion difference
+# --------------------------------------------------------------------------
+@register(
+    "msprt_always_valid_p",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CASE WHEN CAST(epoch_us(ts) // 86400000000 + 4
+                             AS BIGINT) % 7 >= 5
+                    THEN 1 ELSE 0 END AS w
+        FROM events GROUP BY 1, 4
+    ),
+    cum AS (
+        SELECT d,
+               CAST(SUM(CASE WHEN w = 1 THEN k ELSE 0 END)
+                    OVER o AS BIGINT) AS k1,
+               CAST(SUM(CASE WHEN w = 1 THEN n ELSE 0 END)
+                    OVER o AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN w = 0 THEN k ELSE 0 END)
+                    OVER o AS BIGINT) AS k0,
+               CAST(SUM(CASE WHEN w = 0 THEN n ELSE 0 END)
+                    OVER o AS BIGINT) AS n0
+        FROM daily
+        WINDOW o AS (ORDER BY d ROWS UNBOUNDED PRECEDING)
+    ),
+    lam AS (
+        SELECT d, n1, n0,
+               round(CAST(k1 AS DOUBLE) / n1
+                     - CAST(k0 AS DOUBLE) / n0, 10) AS diff,
+               round((CAST(k1 + k0 AS DOUBLE) / (n1 + n0))
+                     * (1.0 - CAST(k1 + k0 AS DOUBLE) / (n1 + n0))
+                     * (1.0 / n1 + 1.0 / n0), 12) AS v
+        FROM cum WHERE n1 > 0 AND n0 > 0
+    ),
+    trace AS (
+        SELECT d, diff, v,
+               round(0.5 * ln(v / (v + 0.01))
+                     + diff * diff * 0.01
+                       / (2.0 * v * (v + 0.01)), 10) AS log_lambda
+        FROM lam WHERE v > 0
+    ),
+    best AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               MAX(log_lambda) AS max_ll
+        FROM trace
+    )
+    SELECT n_days,
+           round(max_ll, 6) + 0.0 AS max_log_lambda,
+           round(LEAST(1.0, exp(-GREATEST(max_ll, 0.0))), 8) + 0.0
+               AS always_valid_p,
+           CAST(CASE WHEN exp(-GREATEST(max_ll, 0.0)) < 0.05
+                     THEN 1 ELSE 0 END AS INT) AS rejects_at_05
+    FROM best
+    """,
+)
+def msprt_always_valid_p(spark, sf_dir):
+    """MIXTURE SPRT always-valid p-value for the weekend-vs-weekday
+    purchase-rate difference, replayed over the cumulative daily
+    trace: with the Gaussian mixture prior tau^2 = 0.01 over the
+    effect, log Lambda_t = (1/2) ln(V_t/(V_t+tau^2)) + delta_t^2
+    tau^2 / (2 V_t (V_t+tau^2)) in closed form, and p_AV = min(1,
+    exp(-max_t log Lambda_t)) is valid at EVERY look — the
+    peeking-proof inference that classical z-tests
+    (`tost_equivalence_proportions`'s machinery) lose the moment a
+    dashboard refreshes daily; the mixture form is the
+    always-valid twin of the bank's `betting_evalue_mean_test`
+    (e-process route) and `sprt_purchase_rate_monitor` (simple-
+    alternative route). The max over the trace IS the sequential
+    test.
+
+    Exactness: cumulative 2x2 counts are exact prefix sums over the
+    bounded (day x cohort) frame; delta and V round at 10/12 dp;
+    each log Lambda is a terminal tree and the max fold is
+    order-free. Plan: one rollup, one prefix window on the day
+    grid, one fold."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d"),
+        F.when(
+            (F.floor(F.unix_micros("ts") / 86_400_000_000) + 4).cast(
+                "bigint"
+            )
+            % 7
+            >= 5,
+            1,
+        )
+        .otherwise(0)
+        .alias("w"),
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    wo = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "d",
+        F.sum(F.when(F.col("w") == 1, F.col("k")).otherwise(0))
+        .over(wo)
+        .cast("bigint")
+        .alias("k1"),
+        F.sum(F.when(F.col("w") == 1, F.col("n")).otherwise(0))
+        .over(wo)
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("w") == 0, F.col("k")).otherwise(0))
+        .over(wo)
+        .cast("bigint")
+        .alias("k0"),
+        F.sum(F.when(F.col("w") == 0, F.col("n")).otherwise(0))
+        .over(wo)
+        .cast("bigint")
+        .alias("n0"),
+    )
+    ok = cum.where((F.col("n1") > 0) & (F.col("n0") > 0))
+    pool = (F.col("k1") + F.col("k0")).cast("double") / (
+        F.col("n1") + F.col("n0")
+    )
+    lam = ok.select(
+        "d",
+        F.round(
+            F.col("k1").cast("double") / F.col("n1")
+            - F.col("k0").cast("double") / F.col("n0"),
+            10,
+        ).alias("diff"),
+        F.round(
+            pool * (1.0 - pool) * (1.0 / F.col("n1") + 1.0 / F.col("n0")),
+            12,
+        ).alias("v"),
+    ).where(F.col("v") > 0)
+    tau2 = 0.01
+    ll = F.round(
+        0.5 * F.log(F.col("v") / (F.col("v") + tau2))
+        + F.col("diff")
+        * F.col("diff")
+        * tau2
+        / (2.0 * F.col("v") * (F.col("v") + tau2)),
+        10,
+    )
+    trace = lam.select("d", ll.alias("log_lambda"))
+    best = trace.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("log_lambda").alias("max_ll"),
+    )
+    pav = F.least(
+        F.lit(1.0),
+        F.exp(-F.greatest(F.col("max_ll"), F.lit(0.0))),
+    )
+    return best.select(
+        "n_days",
+        (F.round("max_ll", 6) + 0.0).alias("max_log_lambda"),
+        (F.round(pav, 8) + 0.0).alias("always_valid_p"),
+        F.when(pav < 0.05, 1).otherwise(0).cast("int").alias(
+            "rejects_at_05"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-component Poisson mixture: two unrolled EM iterations
+# --------------------------------------------------------------------------
+@register(
+    "poisson_mixture_em2",
+    oracle="""
+    WITH hours AS (
+        SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h
+        FROM events WHERE event_type = 'purchase'
+    ),
+    span AS (SELECT CAST(min(h) AS BIGINT) AS h0,
+                    CAST(max(h) AS BIGINT) AS h1 FROM hours),
+    counts AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS k FROM hours GROUP BY h
+    ),
+    filled AS (
+        SELECT COALESCE(c.k, 0) AS k
+        FROM span, LATERAL UNNEST(range(span.h0, span.h1 + 1)) u(g)
+        LEFT JOIN counts c ON u.g = c.h
+    ),
+    kg AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS nk FROM filled GROUP BY k
+    ),
+    tots AS (
+        SELECT CAST(SUM(nk) AS BIGINT) AS n,
+               CAST(SUM(CAST(k AS DECIMAL(19,0)) * nk)
+                    AS DECIMAL(38,0)) AS sk
+        FROM kg
+    ),
+    init AS (
+        SELECT MAX(tots.n) AS n,
+               round(GREATEST(
+                   SUM(CASE WHEN kg.k * tots.n
+                            <= CAST(tots.sk AS DOUBLE)
+                       THEN CAST(kg.k AS DOUBLE) * kg.nk
+                       ELSE 0.0 END)
+                   / NULLIF(SUM(CASE WHEN kg.k * tots.n
+                                <= CAST(tots.sk AS DOUBLE)
+                            THEN kg.nk ELSE 0 END), 0),
+                   0.05), 8) AS l1,
+               round(GREATEST(
+                   SUM(CASE WHEN kg.k * tots.n
+                            > CAST(tots.sk AS DOUBLE)
+                       THEN CAST(kg.k AS DOUBLE) * kg.nk
+                       ELSE 0.0 END)
+                   / NULLIF(SUM(CASE WHEN kg.k * tots.n
+                                > CAST(tots.sk AS DOUBLE)
+                            THEN kg.nk ELSE 0 END), 0),
+                   0.1), 8) AS l2,
+               round(CAST(SUM(CASE WHEN kg.k * tots.n
+                              > CAST(tots.sk AS DOUBLE)
+                          THEN kg.nk ELSE 0 END) AS DOUBLE)
+                     / MAX(tots.n), 8) AS pi
+        FROM kg, tots
+    ),
+    e1 AS (
+        SELECT kg.k, kg.nk, init.n, init.l1, init.l2, init.pi,
+               round(1.0 / (1.0 + (1.0 - init.pi) / init.pi
+                     * exp(init.l2 - init.l1
+                           + kg.k * ln(init.l1 / init.l2))), 10)
+                   AS r
+        FROM kg, init
+    ),
+    m1 AS (
+        SELECT MAX(n) AS n,
+               round(CAST(SUM(CAST(round(r * nk, 6)
+                   AS DECIMAL(38,6))) AS DOUBLE) / MAX(n), 8)
+                   AS pi,
+               round(CAST(SUM(CAST(round(r * nk * k, 6)
+                   AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(round(r * nk, 6)
+                   AS DECIMAL(38,6))) AS DOUBLE), 8) AS l2,
+               round(CAST(SUM(CAST(round((1.0 - r) * nk * k, 6)
+                   AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(round((1.0 - r) * nk, 6)
+                   AS DECIMAL(38,6))) AS DOUBLE), 8) AS l1
+        FROM e1
+    ),
+    e2 AS (
+        SELECT kg.k, kg.nk, m1.n, m1.l1, m1.l2, m1.pi,
+               round(1.0 / (1.0 + (1.0 - m1.pi) / m1.pi
+                     * exp(m1.l2 - m1.l1
+                           + kg.k * ln(m1.l1 / m1.l2))), 10) AS r
+        FROM kg, m1
+    ),
+    m2 AS (
+        SELECT MAX(n) AS n,
+               round(CAST(SUM(CAST(round(r * nk, 6)
+                   AS DECIMAL(38,6))) AS DOUBLE) / MAX(n), 8)
+                   AS pi,
+               round(CAST(SUM(CAST(round(r * nk * k, 6)
+                   AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(round(r * nk, 6)
+                   AS DECIMAL(38,6))) AS DOUBLE), 8) AS l2,
+               round(CAST(SUM(CAST(round((1.0 - r) * nk * k, 6)
+                   AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(round((1.0 - r) * nk, 6)
+                   AS DECIMAL(38,6))) AS DOUBLE), 8) AS l1
+        FROM e2
+    )
+    SELECT CAST(n AS BIGINT) AS n_hours,
+           round(l1, 6) + 0.0 AS lambda_low,
+           round(l2, 6) + 0.0 AS lambda_high,
+           round(pi, 6) + 0.0 AS pi_high,
+           round(pi * l2 + (1.0 - pi) * l1, 6) + 0.0 AS mixture_mean
+    FROM m2
+    """,
+)
+def poisson_mixture_em2(spark, sf_dir):
+    """TWO-COMPONENT POISSON MIXTURE for the hourly purchase counts,
+    fit by TWO UNROLLED EM iterations from the deterministic
+    mean-split start (the bradley_terry unrolling doctrine) — the
+    REPAIR model for what `poisson_dispersion_panel` diagnoses:
+    overdispersion that a quiet-regime/busy-regime mixture explains
+    (lambda_low, lambda_high, pi_high are directly the regime
+    rates and busy share). The responsibility ratio needs NO
+    factorials — they cancel: r(k) = 1/(1 + ((1-pi)/pi)
+    exp(l2-l1) (l1/l2)^k), with the power as exp(k ln(l1/l2)),
+    libm-shared — so the whole EM lives on the bounded COUNT GRID.
+
+    Exactness: the zero-filled hour grid and count rollup are
+    exact; responsibilities round at 10 dp, every M-step fold
+    carries 6-dp rounded products through DECIMAL(38,6);
+    lambda/pi round at 8 dp between iterations so both engines
+    iterate identical doubles. Plan: bounded grid fill, one count
+    rollup, two bounded EM passes."""
+    e = t(spark, sf_dir, "events")
+    hours = e.where(F.col("event_type") == "purchase").select(
+        F.floor(F.unix_micros("ts") / 3_600_000_000)
+        .cast("bigint")
+        .alias("h")
+    )
+    span = hours.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    counts = hours.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    filled = grid.join(counts, "h", "left").select(
+        F.coalesce("k", F.lit(0)).cast("bigint").alias("k")
+    )
+    kg = filled.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk")
+    ).persist()
+    tots = kg.agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum(F.col("k").cast("decimal(19,0)") * F.col("nk"))
+        .cast("decimal(38,0)")
+        .alias("sk"),
+    )
+    init = (
+        kg.crossJoin(F.broadcast(tots))
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.round(
+                F.greatest(
+                    F.sum(
+                        F.when(
+                            F.col("k") * F.col("n")
+                            <= F.col("sk").cast("double"),
+                            F.col("k").cast("double") * F.col("nk"),
+                        ).otherwise(0.0)
+                    )
+                    / F.nullif(
+                        F.sum(
+                            F.when(
+                                F.col("k") * F.col("n")
+                                <= F.col("sk").cast("double"),
+                                F.col("nk"),
+                            ).otherwise(0)
+                        ),
+                        F.lit(0),
+                    ),
+                    F.lit(0.05),
+                ),
+                8,
+            ).alias("l1"),
+            F.round(
+                F.greatest(
+                    F.sum(
+                        F.when(
+                            F.col("k") * F.col("n")
+                            > F.col("sk").cast("double"),
+                            F.col("k").cast("double") * F.col("nk"),
+                        ).otherwise(0.0)
+                    )
+                    / F.nullif(
+                        F.sum(
+                            F.when(
+                                F.col("k") * F.col("n")
+                                > F.col("sk").cast("double"),
+                                F.col("nk"),
+                            ).otherwise(0)
+                        ),
+                        F.lit(0),
+                    ),
+                    F.lit(0.1),
+                ),
+                8,
+            ).alias("l2"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("k") * F.col("n")
+                        > F.col("sk").cast("double"),
+                        F.col("nk"),
+                    ).otherwise(0)
+                ).cast("double")
+                / F.max("n"),
+                8,
+            ).alias("pi"),
+        )
+    )
+
+    def em_step(params):
+        r = F.round(
+            1.0
+            / (
+                1.0
+                + (1.0 - F.col("pi"))
+                / F.col("pi")
+                * F.exp(
+                    F.col("l2")
+                    - F.col("l1")
+                    + F.col("k") * F.log(F.col("l1") / F.col("l2"))
+                )
+            ),
+            10,
+        )
+        est = kg.crossJoin(F.broadcast(params)).select(
+            "k", "nk", "n", r.alias("r")
+        )
+
+        def dfold(expr, name):
+            return (
+                F.sum(F.round(expr, 6).cast("decimal(38,6)"))
+                .cast("double")
+                .alias(name)
+            )
+
+        return est.agg(
+            F.max("n").cast("bigint").alias("n"),
+            dfold(F.col("r") * F.col("nk"), "srn"),
+            dfold(F.col("r") * F.col("nk") * F.col("k"), "srnk"),
+            dfold((1.0 - F.col("r")) * F.col("nk"), "s1rn"),
+            dfold((1.0 - F.col("r")) * F.col("nk") * F.col("k"), "s1rnk"),
+        ).select(
+            "n",
+            F.round(F.col("srn") / F.col("n"), 8).alias("pi"),
+            F.round(F.col("srnk") / F.col("srn"), 8).alias("l2"),
+            F.round(F.col("s1rnk") / F.col("s1rn"), 8).alias("l1"),
+        )
+
+    m1 = em_step(init)
+    m2 = em_step(m1)
+    return m2.select(
+        F.col("n").alias("n_hours"),
+        (F.round("l1", 6) + 0.0).alias("lambda_low"),
+        (F.round("l2", 6) + 0.0).alias("lambda_high"),
+        (F.round("pi", 6) + 0.0).alias("pi_high"),
+        (
+            F.round(
+                F.col("pi") * F.col("l2")
+                + (1.0 - F.col("pi")) * F.col("l1"),
+                6,
+            )
+            + 0.0
+        ).alias("mixture_mean"),
+    )
