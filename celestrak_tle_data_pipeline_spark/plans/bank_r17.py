@@ -491,6 +491,10 @@ PLAN_AUDIT_NOTES.update(
             "cumulative 2x2 prefix over the bounded (day x cohort) "
             "frame (the cusum / sprt class)"
         ),
+        "hampel_filter_days": (
+            "rolling-median window + top-1 over the bounded "
+            "calendar-day frame (the cusum / xmr class)"
+        ),
         "rank_turbulence_divergence": (
             "two revenue ranks + a top-1 over the bounded 25-brand "
             "frames (domain-bounded; plan-text repeats the rank "
@@ -1534,4 +1538,246 @@ def poisson_mixture_em2(spark, sf_dir):
             )
             + 0.0
         ).alias("mixture_mean"),
+    )
+
+
+# --------------------------------------------------------------------------
+# k-truss decomposition (2 unrolled pruning rounds) on the brand graph
+# --------------------------------------------------------------------------
+from .bank_r14 import _BRAND_EDGE_SQL, _brand_sym  # noqa: E402
+
+
+@register(
+    "k_truss_brand_graph",
+    oracle=f"""
+    WITH {_BRAND_EDGE_SQL},
+    t0 AS (SELECT u, v FROM bedges),
+    ts0 AS (
+        SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS sup
+        FROM t0 e
+        JOIN sym a ON a.u = e.u
+        JOIN sym b ON b.u = e.v AND b.v = a.v
+        GROUP BY e.u, e.v
+    ),
+    t0s AS (
+        SELECT t0.u, t0.v,
+               CAST(COALESCE(ts0.sup, 0) AS BIGINT) AS sup
+        FROM t0 LEFT JOIN ts0 ON t0.u = ts0.u AND t0.v = ts0.v
+    ),
+    t1 AS (SELECT u, v FROM t0s WHERE sup >= 2),
+    tsym1 AS (SELECT u, v FROM t1
+              UNION ALL SELECT v AS u, u AS v FROM t1),
+    ts1 AS (
+        SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS sup
+        FROM t1 e
+        JOIN tsym1 a ON a.u = e.u
+        JOIN tsym1 b ON b.u = e.v AND b.v = a.v
+        GROUP BY e.u, e.v
+    ),
+    t2 AS (
+        SELECT t1.u, t1.v,
+               CAST(COALESCE(ts1.sup, 0) AS BIGINT) AS sup
+        FROM t1 LEFT JOIN ts1 ON t1.u = ts1.u AND t1.v = ts1.v
+    ),
+    t2k AS (SELECT u, v FROM t2 WHERE sup >= 2)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t0)
+               AS n_edges_initial,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t0s
+            WHERE sup >= 1) AS edges_in_3truss_r1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t1)
+               AS edges_4truss_round1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t2k)
+               AS edges_4truss_round2,
+           CAST(CASE WHEN (SELECT COUNT(*) FROM t1)
+                          = (SELECT COUNT(*) FROM t2k)
+                     THEN 1 ELSE 0 END AS INT)
+               AS converged_round2
+    FROM (SELECT 1) q
+    """,
+)
+def k_truss_brand_graph(spark, sf_dir):
+    """k-TRUSS decomposition of the strong-tie brand co-purchase
+    graph (the `katz_centrality_brands` / `adamic_adar` edge set),
+    TWO unrolled support-pruning rounds: an edge is in the 4-truss
+    iff it survives repeated removal of edges in fewer than 2
+    triangles — the cohesion concept BETWEEN triangles (too local)
+    and k-core (too permissive: a 2-core can be a cycle with zero
+    triangles); trusses are the standard dense-community backbone.
+    `converged_round2` = 1 certifies the unrolled fixpoint on this
+    graph (the k_core unrolling doctrine: fixed rounds, emitted
+    convergence, never a loop).
+
+    Exactness: supports are exact triangle counts from wedge
+    equi-joins on the bounded 25-node symmetric adjacency; every
+    count is a BIGINT. Plan: the staged brand-edge rollup, then
+    two rounds of (wedge join -> support -> filter) on frames of
+    at most a few hundred rows."""
+    bedges = _brand_sym(spark, sf_dir).persist()
+    e0 = bedges.where(F.col("u") < F.col("v")).select("u", "v").persist()
+
+    def support(edges, symf):
+        a = symf.select(F.col("u").alias("eu"), F.col("v").alias("w1"))
+        b = symf.select(F.col("u").alias("ev"), F.col("v").alias("w2"))
+        return (
+            edges.join(a, edges.u == F.col("eu"))
+            .join(
+                b,
+                (edges.v == F.col("ev")) & (F.col("w1") == F.col("w2")),
+            )
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        )
+
+    sym0 = bedges
+    s0 = support(e0, sym0)
+    e0s = e0.join(s0, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("sup", F.lit(0)).cast("bigint").alias("sup")
+    ).persist()
+    e1 = e0s.where(F.col("sup") >= 2).select("u", "v").persist()
+    sym1 = e1.unionByName(
+        e1.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    s1 = support(e1, sym1)
+    e2 = e1.join(s1, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("sup", F.lit(0)).cast("bigint").alias("sup")
+    )
+    e2k = e2.where(F.col("sup") >= 2)
+    n0 = e0.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges_initial"))
+    n3 = e0s.where(F.col("sup") >= 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("edges_in_3truss_r1")
+    )
+    n41 = e1.agg(
+        F.count(F.lit(1)).cast("bigint").alias("edges_4truss_round1")
+    )
+    n42 = e2k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("edges_4truss_round2")
+    )
+    return (
+        n0.crossJoin(F.broadcast(n3))
+        .crossJoin(F.broadcast(n41))
+        .crossJoin(F.broadcast(n42))
+        .select(
+            "n_edges_initial",
+            "edges_in_3truss_r1",
+            "edges_4truss_round1",
+            "edges_4truss_round2",
+            F.when(
+                F.col("edges_4truss_round1")
+                == F.col("edges_4truss_round2"),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("converged_round2"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hampel filter over the daily revenue series (rolling median, global MAD)
+# --------------------------------------------------------------------------
+@register(
+    "hampel_filter_days",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    roll AS (
+        SELECT d, y,
+               quantile_cont(y, 0.5) OVER (ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING) AS rm
+        FROM days
+    ),
+    gmed AS (
+        SELECT quantile_cont(y, 0.5) AS m FROM days
+    ),
+    gmad AS (
+        SELECT quantile_cont(abs(days.y - gmed.m), 0.5) AS mad
+        FROM days, gmed
+    ),
+    z AS (
+        SELECT d, y, rm,
+               round(abs(y - rm) / (1.4826 * gmad.mad), 8) AS hz
+        FROM roll, gmad
+    ),
+    worst AS (
+        SELECT d AS wd, hz AS wz FROM z
+        ORDER BY hz DESC, d ASC LIMIT 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN hz > 3.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           MAX(worst.wd) AS worst_day_epoch,
+           round(MAX(worst.wz), 6) + 0.0 AS worst_hampel_z
+    FROM z, worst
+    """,
+)
+def hampel_filter_days(spark, sf_dir):
+    """HAMPEL FILTER over the daily revenue series: each day is
+    scored |y - rolling 15-day median| / (1.4826 MAD) with the
+    GLOBAL MAD as the scale (the documented variant: a global
+    robust scale keeps the score a pure location filter; the
+    rolling-MAD variant needs a per-row second pass), days above 3
+    flagged — the despiking pass every forecasting pipeline runs
+    before model fitting, robust where `seasonal_esd_outliers`
+    (moment-based ESD) is itself outlier-corrupted during bursts.
+    Window medians over ODD 15-day frames are exact elements
+    (boundary frames may be even: the interpolated midpoint of two
+    exact cents integers is an exact .5 — still bit-identical).
+
+    Exactness: cents exact; rolling and global medians are
+    quantile_cont/percentile over identical frames; z rounds at 8
+    dp; the worst day is a total-order top-1. Plan: one day rollup,
+    one +/-7-row window over the bounded day frame, two scalar
+    medians, one fold."""
+    o = t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    ).persist()
+    roll = days.select(
+        "d",
+        "y",
+        F.percentile("y", F.lit(0.5))
+        .over(Window.orderBy("d").rowsBetween(-7, 7))
+        .alias("rm"),
+    )
+    gmed = days.agg(F.percentile("y", F.lit(0.5)).alias("m"))
+    gmad = days.crossJoin(F.broadcast(gmed)).agg(
+        F.percentile(F.abs(F.col("y") - F.col("m")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    z = roll.crossJoin(F.broadcast(gmad)).select(
+        "d",
+        F.round(
+            F.abs(F.col("y") - F.col("rm")) / (1.4826 * F.col("mad")),
+            8,
+        ).alias("hz"),
+    ).persist()
+    worst = (
+        z.orderBy(F.col("hz").desc(), F.col("d").asc())
+        .limit(1)
+        .select(F.col("d").alias("wd"), F.col("hz").alias("wz"))
+    )
+    fold = z.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("hz") > 3.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+    )
+    return fold.crossJoin(F.broadcast(worst)).select(
+        "n_days",
+        "n_flagged",
+        F.col("wd").alias("worst_day_epoch"),
+        (F.round("wz", 6) + 0.0).alias("worst_hampel_z"),
     )
