@@ -1781,3 +1781,341 @@ def hampel_filter_days(spark, sf_dir):
         F.col("wd").alias("worst_day_epoch"),
         (F.round("wz", 6) + 0.0).alias("worst_hampel_z"),
     )
+
+
+# --------------------------------------------------------------------------
+# SAX symbolic motifs of the daily revenue series
+# --------------------------------------------------------------------------
+@register(
+    "sax_motif_counts",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    span AS (SELECT CAST(min(d) AS BIGINT) AS d0 FROM days),
+    paa AS (
+        SELECT CAST((days.d - span.d0) // 3 AS BIGINT) AS seg,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM days, span GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(CAST(sy AS DOUBLE) / c, 4)
+                             AS DECIMAL(38,4))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(round(pow(CAST(sy AS DOUBLE) / c, 2), 4)
+                             AS DECIMAL(38,4))) AS DOUBLE) AS ss
+        FROM paa
+    ),
+    sym AS (
+        SELECT seg,
+               CASE WHEN (CAST(sy AS DOUBLE) / c - mom.s / mom.n)
+                         / sqrt((mom.ss - mom.s * mom.s / mom.n)
+                                / mom.n) < -0.4307272992954576
+                    THEN 'a'
+                    WHEN (CAST(sy AS DOUBLE) / c - mom.s / mom.n)
+                         / sqrt((mom.ss - mom.s * mom.s / mom.n)
+                                / mom.n) < 0.4307272992954576
+                    THEN 'b'
+                    ELSE 'c' END AS s
+        FROM paa, mom
+    ),
+    words AS (
+        SELECT sym.s
+               || LEAD(sym.s, 1) OVER (ORDER BY seg)
+               || LEAD(sym.s, 2) OVER (ORDER BY seg) AS w
+        FROM sym
+    ),
+    counts AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM words WHERE w IS NOT NULL GROUP BY w
+    )
+    SELECT w AS motif, c AS n_occurrences,
+           round(CAST(c AS DOUBLE)
+                 / (SELECT SUM(c) FROM counts), 6) + 0.0 AS share
+    FROM counts ORDER BY c DESC, w ASC LIMIT 5
+    """,
+)
+def sax_motif_counts(spark, sf_dir):
+    """SAX symbolic MOTIF mining on daily revenue: PAA-compress to
+    3-day segment means, z-normalize, discretize into the exact
+    3-symbol Gaussian-equiprobable alphabet (breakpoints
+    +/-0.43072730, the N(0,1) tertiles), and count the 3-symbol
+    words — the top motifs are the series' recurring local SHAPES
+    ('abc' = steady rise, 'cac' = dip-recover), the time-series-
+    mining primitive behind anomaly dictionaries and seasonality
+    fingerprints that no spectral or autocorrelation readout
+    exposes. Top-5 by (count desc, word).
+
+    Exactness: segment sums are exact cents; PAA means round at 4
+    dp into DECIMAL folds for the z-normalization moments; the
+    breakpoint is the literal N(0,1) tertile; words come from two
+    lag windows over the bounded segment grid. Plan: one day
+    rollup, one segment rollup, one windowed word pass, one top-5."""
+    o = t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    span = days.agg(F.min("d").alias("d0"))
+    paa = (
+        days.crossJoin(F.broadcast(span))
+        .groupBy(
+            F.floor((F.col("d") - F.col("d0")) / 3)
+            .cast("bigint")
+            .alias("seg")
+        )
+        .agg(
+            F.sum("y").cast("bigint").alias("sy"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+        .persist()
+    )
+    mean_seg = F.col("sy").cast("double") / F.col("c")
+    mom = paa.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(mean_seg, 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("s"),
+        F.sum(F.round(F.pow(mean_seg, 2), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    bp = 0.4307272992954576
+    z = (mean_seg - F.col("s") / F.col("n")) / F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    )
+    sym = paa.crossJoin(F.broadcast(mom)).select(
+        "seg",
+        F.when(z < -bp, "a").when(z < bp, "b").otherwise("c").alias("s"),
+    )
+    wo = Window.orderBy("seg")
+    words = sym.select(
+        F.concat(
+            F.col("s"),
+            F.lead("s", 1).over(wo),
+            F.lead("s", 2).over(wo),
+        ).alias("w")
+    ).where(F.col("w").isNotNull())
+    counts = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    tot = counts.agg(F.sum("c").cast("bigint").alias("tc"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(5)
+        .select(
+            F.col("w").alias("motif"),
+            F.col("c").alias("n_occurrences"),
+            (
+                F.round(F.col("c").cast("double") / F.col("tc"), 6)
+                + 0.0
+            ).alias("share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Inverse-MSE forecast combination, trained first half, tested second
+# --------------------------------------------------------------------------
+@register(
+    "forecast_combination_imse",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    span AS (SELECT CAST(min(d) AS BIGINT) AS d0,
+                    CAST(max(d) AS BIGINT) AS d1 FROM days),
+    fill AS (
+        SELECT CAST(u.g AS BIGINT) AS d, COALESCE(days.y, 0) AS y
+        FROM span, LATERAL UNNEST(range(span.d0, span.d1 + 1)) u(g)
+        LEFT JOIN days ON u.g = days.d
+    ),
+    fc AS (
+        SELECT f.d, f.y,
+               LAG(f.y, 1) OVER (ORDER BY f.d) AS f_naive,
+               LAG(f.y, 7) OVER (ORDER BY f.d) AS f_seasonal,
+               CASE WHEN f.d <= (span.d0 + span.d1) // 2
+                    THEN 1 ELSE 0 END AS train
+        FROM fill f, span
+    ),
+    ok AS (
+        SELECT * FROM fc
+        WHERE f_naive IS NOT NULL AND f_seasonal IS NOT NULL
+    ),
+    mse AS (
+        SELECT
+            CAST(SUM(CAST(round(pow((y - f_naive) / 100000.0, 2), 6)
+                          AS DECIMAL(38,6))) AS DOUBLE)
+                / COUNT(*) AS m1,
+            CAST(SUM(CAST(round(pow((y - f_seasonal) / 100000.0, 2),
+                          6) AS DECIMAL(38,6))) AS DOUBLE)
+                / COUNT(*) AS m2
+        FROM ok WHERE train = 1
+    ),
+    wts AS (
+        SELECT round((1.0 / m1) / (1.0 / m1 + 1.0 / m2), 8) AS w1,
+               round((1.0 / m2) / (1.0 / m1 + 1.0 / m2), 8) AS w2
+        FROM mse
+    ),
+    test AS (
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n_test,
+            CAST(SUM(CAST(round(pow((y - f_naive) / 100000.0, 2), 6)
+                          AS DECIMAL(38,6))) AS DOUBLE)
+                / COUNT(*) AS t1,
+            CAST(SUM(CAST(round(pow((y - f_seasonal) / 100000.0, 2),
+                          6) AS DECIMAL(38,6))) AS DOUBLE)
+                / COUNT(*) AS t2,
+            CAST(SUM(CAST(round(pow((y - (wts.w1 * f_naive
+                                          + wts.w2 * f_seasonal))
+                                    / 100000.0, 2), 6)
+                          AS DECIMAL(38,6))) AS DOUBLE)
+                / COUNT(*) AS tc,
+            CAST(SUM(CAST(round(pow((y - (0.5 * f_naive
+                                          + 0.5 * f_seasonal))
+                                    / 100000.0, 2), 6)
+                          AS DECIMAL(38,6))) AS DOUBLE)
+                / COUNT(*) AS te
+        FROM ok, wts WHERE train = 0
+        GROUP BY wts.w1, wts.w2
+    )
+    SELECT test.n_test, round(wts.w1, 6) + 0.0 AS weight_naive,
+           round(test.t1, 4) + 0.0 AS mse_naive,
+           round(test.t2, 4) + 0.0 AS mse_seasonal,
+           round(test.te, 4) + 0.0 AS mse_equal_weights,
+           round(test.tc, 4) + 0.0 AS mse_inverse_mse_weights
+    FROM test, wts
+    """,
+)
+def forecast_combination_imse(spark, sf_dir):
+    """FORECAST COMBINATION on daily revenue: weight the naive
+    (lag-1) and seasonal-naive (lag-7) forecasters by inverse
+    training-half MSE and evaluate all four policies — each base
+    model, equal weights, and inverse-MSE weights — on the held-out
+    second half. The Bates-Granger result under test: the
+    combination usually beats both parents, and EQUAL weights
+    usually run the optimized weights close (the "forecast
+    combination puzzle") — this query measures both effects on this
+    series, completing the forecasting bench
+    (`diebold_mariano_forecast` compares two models; this SHIPS the
+    merge). Honest split: weights learned on half 1 only.
+
+    Exactness: forecasts are exact lagged cents on the zero-filled
+    grid; squared errors in k$ round at 6 dp into DECIMAL(38,6)
+    folds; weights round at 8 dp before the test pass. Plan: one
+    day rollup, grid fill, two lag windows, two folds."""
+    o = t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    span = days.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    fill = grid.join(days, "d", "left").select(
+        "d", F.coalesce("y", F.lit(0)).cast("bigint").alias("y")
+    )
+    wo = Window.orderBy("d")
+    fc = fill.crossJoin(F.broadcast(span)).select(
+        "d",
+        "y",
+        F.lag("y", 1).over(wo).alias("f_naive"),
+        F.lag("y", 7).over(wo).alias("f_seasonal"),
+        F.when(
+            F.col("d")
+            <= F.floor((F.col("d0") + F.col("d1")) / 2).cast("bigint"),
+            1,
+        )
+        .otherwise(0)
+        .alias("train"),
+    )
+    ok = fc.where(
+        F.col("f_naive").isNotNull() & F.col("f_seasonal").isNotNull()
+    ).persist()
+
+    def msefold(err_expr, name):
+        return (
+            F.sum(
+                F.round(F.pow(err_expr / 100000.0, 2), 6).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias(name)
+
+    mse = ok.where(F.col("train") == 1).agg(
+        msefold(F.col("y") - F.col("f_naive"), "m1"),
+        msefold(F.col("y") - F.col("f_seasonal"), "m2"),
+    )
+    wts = mse.select(
+        F.round(
+            (1.0 / F.col("m1")) / (1.0 / F.col("m1") + 1.0 / F.col("m2")),
+            8,
+        ).alias("w1"),
+        F.round(
+            (1.0 / F.col("m2")) / (1.0 / F.col("m1") + 1.0 / F.col("m2")),
+            8,
+        ).alias("w2"),
+    )
+    test = (
+        ok.where(F.col("train") == 0)
+        .crossJoin(F.broadcast(wts))
+        .groupBy("w1", "w2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            msefold(F.col("y") - F.col("f_naive"), "t1"),
+            msefold(F.col("y") - F.col("f_seasonal"), "t2"),
+            msefold(
+                F.col("y")
+                - (
+                    F.col("w1") * F.col("f_naive")
+                    + F.col("w2") * F.col("f_seasonal")
+                ),
+                "tc",
+            ),
+            msefold(
+                F.col("y")
+                - (0.5 * F.col("f_naive") + 0.5 * F.col("f_seasonal")),
+                "te",
+            ),
+        )
+    )
+    return test.select(
+        "n_test",
+        (F.round("w1", 6) + 0.0).alias("weight_naive"),
+        (F.round("t1", 4) + 0.0).alias("mse_naive"),
+        (F.round("t2", 4) + 0.0).alias("mse_seasonal"),
+        (F.round("te", 4) + 0.0).alias("mse_equal_weights"),
+        (F.round("tc", 4) + 0.0).alias("mse_inverse_mse_weights"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "sax_motif_counts": (
+            "lag windows + top-5 over the bounded 3-day segment grid "
+            "(calendar class)"
+        ),
+    }
+)
