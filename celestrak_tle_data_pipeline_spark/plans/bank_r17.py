@@ -2119,3 +2119,468 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# ACE (abundance-based coverage) vocabulary richness estimator
+# --------------------------------------------------------------------------
+@register(
+    "ace_richness_estimator",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                       for i in range(1, len(s) - 1)]) AS w
+        FROM (SELECT string_split(text, ' ') AS s FROM documents)
+    ),
+    tf AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY w
+    ),
+    fold AS (
+        SELECT
+            CAST(SUM(CASE WHEN c > 10 THEN 1 ELSE 0 END) AS BIGINT)
+                AS s_abund,
+            CAST(SUM(CASE WHEN c <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                AS s_rare,
+            CAST(SUM(CASE WHEN c <= 10 THEN c ELSE 0 END) AS BIGINT)
+                AS n_rare,
+            CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS f1,
+            CAST(SUM(CASE WHEN c <= 10
+                     THEN CAST(c AS DECIMAL(19,0)) * (c - 1)
+                     ELSE 0 END) AS DECIMAL(38,0)) AS sii
+        FROM tf
+    ),
+    st AS (
+        SELECT s_abund, s_rare, n_rare, f1,
+               CASE WHEN n_rare > 0
+                    THEN round(1.0 - CAST(f1 AS DOUBLE) / n_rare, 10)
+               END AS cace
+        FROM fold
+    ),
+    g2 AS (
+        SELECT st.*,
+               CASE WHEN st.n_rare > 1 AND st.cace > 0
+                    THEN round(GREATEST(
+                        (st.s_rare / st.cace)
+                        * CAST(fold.sii AS DOUBLE)
+                        / (CAST(st.n_rare AS DOUBLE)
+                           * (st.n_rare - 1))
+                        - 1.0, 0.0), 10)
+               END AS gamma2
+        FROM st, fold
+    )
+    SELECT s_abund AS s_abundant, s_rare AS s_rare,
+           f1 AS hapax_f1,
+           round(cace, 8) + 0.0 AS coverage_ace,
+           round(gamma2, 8) + 0.0 AS gamma_sq_cv,
+           round(CASE WHEN s_rare = 0 THEN CAST(s_abund AS DOUBLE)
+                      WHEN cace > 0 AND gamma2 IS NOT NULL
+                      THEN s_abund + s_rare / cace
+                           + f1 * gamma2 / cace
+                 END, 4) + 0.0 AS ace_richness
+    FROM g2
+    """,
+)
+def ace_richness_estimator(spark, sf_dir):
+    """ACE (Abundance-based Coverage Estimator) of the TRUE
+    vocabulary size: split types at the classical rare/abundant cut
+    (count <= 10), estimate sample coverage C = 1 - F1/N_rare from
+    the hapax share, inflate the rare types by 1/C, and correct
+    with the squared CV of rare abundances — ACE = S_abund +
+    S_rare/C + F1 gamma^2/C. The third member of the unseen-species
+    bench: `chao1_vocabulary_estimate` uses only F1/F2,
+    `good_turing_vocab` estimates unseen MASS; ACE uses the whole
+    rare-abundance profile and dominates Chao1 when doubletons are
+    noisy — three estimators converging is the coverage
+    certification a corpus-dedup pipeline wants before claiming
+    "we have seen the vocabulary". TRIGRAM types (the
+    good_turing_vocab tokenization — the synthetic corpus's unigram
+    vocabulary saturates at tiny SFs, leaving no rare spectrum);
+    degenerate spectra (no rare types, or all-hapax rare) emit the
+    documented NULL/S_abund fallbacks behind identical guards.
+
+    Exactness: frequency-of-frequency counts are exact; the
+    i(i-1) fold widens through DECIMAL(19,0); C and gamma^2 round
+    at 10 dp. Plan: one token rollup, one fold."""
+    d = t(spark, sf_dir, "documents")
+    tri = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2), i -> "
+        "concat_ws(' ', split(text, ' ')[i - 1], "
+        "split(text, ' ')[i], split(text, ' ')[i + 1]))"
+    )
+    tok = d.select(F.explode(tri).alias("w"))
+    tf = tok.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    fold = tf.agg(
+        F.sum(F.when(F.col("c") > 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("s_abund"),
+        F.sum(F.when(F.col("c") <= 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("s_rare"),
+        F.sum(F.when(F.col("c") <= 10, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rare"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(
+            F.when(
+                F.col("c") <= 10,
+                F.col("c").cast("decimal(19,0)") * (F.col("c") - 1),
+            ).otherwise(F.lit(0).cast("decimal(19,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("sii"),
+    )
+    cace = F.when(
+        F.col("n_rare") > 0,
+        F.round(
+            1.0 - F.col("f1").cast("double") / F.col("n_rare"), 10
+        ),
+    )
+    st = fold.select("*", cace.alias("cace"))
+    gamma2 = F.when(
+        (F.col("n_rare") > 1) & (F.col("cace") > 0),
+        F.round(
+            F.greatest(
+                (F.col("s_rare") / F.col("cace"))
+                * F.col("sii").cast("double")
+                / (
+                    F.col("n_rare").cast("double")
+                    * (F.col("n_rare") - 1)
+                )
+                - 1.0,
+                F.lit(0.0),
+            ),
+            10,
+        ),
+    )
+    g2 = st.select("*", gamma2.alias("gamma2"))
+    return g2.select(
+        F.col("s_abund").alias("s_abundant"),
+        F.col("s_rare").alias("s_rare"),
+        F.col("f1").alias("hapax_f1"),
+        (F.round("cace", 8) + 0.0).alias("coverage_ace"),
+        (F.round("gamma2", 8) + 0.0).alias("gamma_sq_cv"),
+        (
+            F.round(
+                F.when(
+                    F.col("s_rare") == 0,
+                    F.col("s_abund").cast("double"),
+                ).when(
+                    (F.col("cace") > 0)
+                    & F.col("gamma2").isNotNull(),
+                    F.col("s_abund")
+                    + F.col("s_rare") / F.col("cace")
+                    + F.col("f1") * F.col("gamma2") / F.col("cace"),
+                ),
+                4,
+            )
+            + 0.0
+        ).alias("ace_richness"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Beta diversity of token vocabularies across document sources
+# --------------------------------------------------------------------------
+@register(
+    "beta_diversity_sources",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    st AS (
+        SELECT DISTINCT source, w FROM tok WHERE w <> ''
+    ),
+    alpha AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS a
+        FROM st GROUP BY source
+    ),
+    gam AS (
+        SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS g FROM st
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(a) AS BIGINT) AS sa,
+               CAST(MIN(a) AS BIGINT) AS amin,
+               CAST(MAX(a) AS BIGINT) AS amax
+        FROM alpha
+    )
+    SELECT fold.k AS n_sources, gam.g AS gamma_vocab,
+           round(CAST(fold.sa AS DOUBLE) / fold.k, 4) + 0.0
+               AS mean_alpha_vocab,
+           round(CAST(gam.g AS DOUBLE) / (fold.sa * 1.0 / fold.k),
+                 6) + 0.0 AS whittaker_beta,
+           round((CAST(gam.g AS DOUBLE) / (fold.sa * 1.0 / fold.k)
+                  - 1.0) / (fold.k - 1.0), 6) + 0.0
+               AS harrison_beta_norm,
+           round(1.0 - CAST(gam.g AS DOUBLE) / fold.sa, 6) + 0.0
+               AS vocab_overlap_share
+    FROM fold, gam
+    """,
+)
+def beta_diversity_sources(spark, sf_dir):
+    """BETA DIVERSITY of token vocabularies across document sources
+    (sources as "sites", word types as "species"): Whittaker's
+    beta = gamma/mean-alpha (1 = every source shares one
+    vocabulary; k = fully disjoint vocabularies), Harrison's
+    (0..1)-normalized form, and the overlap share 1 - gamma/sum
+    alpha — the corpus-heterogeneity readout that decides whether
+    per-source dedup/quality thresholds are even meaningful:
+    `js_divergence_sources` compares frequency SHAPES; beta
+    diversity counts vocabulary turnover itself. Presence grain
+    (DISTINCT token per source).
+
+    Exactness: all alpha/gamma counts are exact BIGINTs from one
+    distinct rollup; ratios are terminal trees. Plan: one explode +
+    distinct, two rollups, one fold."""
+    d = t(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+        .persist()
+    )
+    alpha = st.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    gam = st.agg(F.countDistinct("w").cast("bigint").alias("g"))
+    fold = alpha.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("a").cast("bigint").alias("sa"),
+    )
+    j = fold.crossJoin(F.broadcast(gam))
+    k = F.col("k")
+    mean_a = F.col("sa") * 1.0 / k
+    wb = F.col("g").cast("double") / mean_a
+    return j.select(
+        k.alias("n_sources"),
+        F.col("g").alias("gamma_vocab"),
+        (F.round(F.col("sa").cast("double") / k, 4) + 0.0).alias(
+            "mean_alpha_vocab"
+        ),
+        (F.round(wb, 6) + 0.0).alias("whittaker_beta"),
+        (F.round((wb - 1.0) / (k - 1.0), 6) + 0.0).alias(
+            "harrison_beta_norm"
+        ),
+        (
+            F.round(1.0 - F.col("g").cast("double") / F.col("sa"), 6)
+            + 0.0
+        ).alias("vocab_overlap_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shorrocks mobility index of customer spend quintiles, half vs half
+# --------------------------------------------------------------------------
+@register(
+    "shorrocks_mobility_index",
+    oracle="""
+    WITH lab AS (
+        SELECT o_custkey AS u,
+               CASE WHEN epoch_us(o_orderdate) // 86400000000
+                    <= (SELECT (min(epoch_us(o_orderdate))
+                                // 86400000000
+                                + max(epoch_us(o_orderdate))
+                                // 86400000000) // 2 FROM orders)
+                    THEN 1 ELSE 2 END AS half,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+        FROM orders
+    ),
+    spend AS (
+        SELECT u, half, CAST(SUM(cents) AS BIGINT) AS m
+        FROM lab GROUP BY u, half
+    ),
+    grid AS (
+        SELECT half, m AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM spend GROUP BY half, m
+    ),
+    cum AS (
+        SELECT half, v,
+               CAST(SUM(c) OVER (PARTITION BY half ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS BIGINT) AS below,
+               CAST(SUM(c) OVER (PARTITION BY half) AS BIGINT) AS n
+        FROM (SELECT half, v, c FROM grid) g
+    ),
+    scored AS (
+        SELECT s.u, s.half,
+               CAST(LEAST(5, 1 + (5 * COALESCE(cum.below, 0))
+                    // cum.n) AS BIGINT) AS q
+        FROM spend s JOIN cum ON s.half = cum.half AND s.m = cum.v
+    ),
+    pairs AS (
+        SELECT a.q AS q1, b.q AS q2
+        FROM scored a JOIN scored b
+          ON a.u = b.u AND a.half = 1 AND b.half = 2
+    ),
+    tm AS (
+        SELECT q1, q2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pairs GROUP BY q1, q2
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tm),
+    rowm AS (
+        SELECT q1, CAST(SUM(c) AS BIGINT) AS rc FROM tm GROUP BY q1
+    ),
+    stat AS (
+        SELECT
+            CAST(SUM(CASE WHEN tm.q1 = tm.q2 THEN tm.c ELSE 0 END)
+                 AS DOUBLE) AS diag_w,
+            CAST(SUM(CAST(round(
+                (CAST(tm.c AS DOUBLE) / rowm.rc)
+                * (CAST(rowm.rc AS DOUBLE) / tot.n)
+                * abs(tm.q1 - tm.q2), 10) AS DECIMAL(28,10)))
+                 AS DOUBLE) AS bart,
+            CAST(SUM(CAST(round(CAST(tm.c AS DOUBLE) / rowm.rc, 10)
+                 AS DECIMAL(28,10)) * CASE WHEN tm.q1 = tm.q2
+                 THEN 1 ELSE 0 END) AS DOUBLE) AS trace_p
+        FROM tm JOIN rowm ON tm.q1 = rowm.q1, tot
+    )
+    SELECT tot.n AS n_matched_customers,
+           round(stat.diag_w / tot.n, 6) + 0.0 AS immobile_share,
+           round((5.0 - stat.trace_p) / 4.0, 6) + 0.0
+               AS shorrocks_m,
+           round(stat.bart, 6) + 0.0 AS bartholomew_b
+    FROM stat, tot
+    """,
+)
+def shorrocks_mobility_index(spark, sf_dir):
+    """SHORROCKS MOBILITY of customer spend quintiles between the
+    first and second half of the order history: the 5x5 quintile
+    transition matrix's trace gives M = (k - tr P)/(k - 1) (0 =
+    everyone stays in their quintile, 1 = average full turnover)
+    and Bartholomew's B adds HOW FAR movers move — the
+    league-table-stability readout that static inequality
+    (`palma_quintile_shares`, Gini) cannot see: two economies with
+    one Gini can differ entirely in whether the same customers stay
+    rich. Quintiles use the grid-rank rule per half (ties share a
+    score); only customers active in BOTH halves enter P.
+
+    Exactness: per-(half, customer) spends are exact cents;
+    quintile scores are exact integer grid ranks; P's rows
+    round at 10 dp into DECIMAL folds. Plan: one rollup, two
+    half-partitioned grid passes, one self-join on customer, one
+    25-cell fold."""
+    o = t(spark, sf_dir, "orders")
+    cut = o.agg(
+        (
+            (
+                F.floor(F.min(F.unix_micros("o_orderdate")) / 86_400_000_000)
+                + F.floor(
+                    F.max(F.unix_micros("o_orderdate")) / 86_400_000_000
+                )
+            )
+            / 2
+        )
+        .cast("bigint")
+        .alias("cut")
+    )
+    lab = o.crossJoin(F.broadcast(cut)).select(
+        F.col("o_custkey").alias("u"),
+        F.when(
+            F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+            <= F.col("cut"),
+            1,
+        )
+        .otherwise(2)
+        .alias("half"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("cents"),
+    )
+    spend = lab.groupBy("u", "half").agg(
+        F.sum("cents").cast("bigint").alias("m")
+    ).persist()
+    grid = spend.groupBy("half", F.col("m").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = grid.select(
+        "half",
+        "v",
+        F.coalesce(
+            F.sum("c").over(
+                Window.partitionBy("half")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("below"),
+        F.sum("c")
+        .over(Window.partitionBy("half"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    cum2 = cum.select(
+        F.col("half").alias("ch"),
+        F.col("v").alias("cv"),
+        "below",
+        "n",
+    )
+    scored = spend.join(
+        cum2,
+        (F.col("half") == F.col("ch")) & (F.col("m") == F.col("cv")),
+    ).select(
+        "u",
+        F.col("half").alias("h"),
+        F.least(
+            F.lit(5),
+            (1 + F.floor(5 * F.col("below") / F.col("n"))).cast(
+                "bigint"
+            ),
+        ).alias("q"),
+    )
+    a = scored.where(F.col("h") == 1).select(
+        "u", F.col("q").alias("q1")
+    )
+    b = scored.where(F.col("h") == 2).select(
+        "u", F.col("q").alias("q2")
+    )
+    tm = a.join(b, "u").groupBy("q1", "q2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    tot = tm.agg(F.sum("c").cast("bigint").alias("n"))
+    rowm = tm.groupBy("q1").agg(F.sum("c").cast("bigint").alias("rc"))
+    j = tm.join(F.broadcast(rowm), "q1").crossJoin(F.broadcast(tot))
+    stat = j.agg(
+        F.sum(
+            F.when(F.col("q1") == F.col("q2"), F.col("c")).otherwise(0)
+        )
+        .cast("double")
+        .alias("diag_w"),
+        F.sum(
+            F.round(
+                (F.col("c").cast("double") / F.col("rc"))
+                * (F.col("rc").cast("double") / F.col("n"))
+                * F.abs(F.col("q1") - F.col("q2")),
+                10,
+            ).cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("bart"),
+        F.sum(
+            F.round(
+                F.col("c").cast("double") / F.col("rc"), 10
+            ).cast("decimal(28,10)")
+            * F.when(F.col("q1") == F.col("q2"), 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("trace_p"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    return stat.select(
+        F.col("n").alias("n_matched_customers"),
+        (F.round(F.col("diag_w") / F.col("n"), 6) + 0.0).alias(
+            "immobile_share"
+        ),
+        (
+            F.round((5.0 - F.col("trace_p")) / 4.0, 6) + 0.0
+        ).alias("shorrocks_m"),
+        (F.round("bart", 6) + 0.0).alias("bartholomew_b"),
+    )
+
