@@ -2584,3 +2584,452 @@ def shorrocks_mobility_index(spark, sf_dir):
         (F.round("bart", 6) + 0.0).alias("bartholomew_b"),
     )
 
+
+
+# --------------------------------------------------------------------------
+# Pairs-trading distance: most co-moving brand revenue paths
+# --------------------------------------------------------------------------
+@register(
+    "pairs_trading_distance",
+    oracle="""
+    WITH bd AS (
+        SELECT p.p_brand AS b,
+               CAST(epoch_us(l.l_shipdate) // 86400000000 // 7
+                    AS BIGINT) AS wk,
+               CAST(SUM(CAST(CAST(l.l_extendedprice
+                                  AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT b, CAST(SUM(rev) AS BIGINT) AS trev FROM bd GROUP BY b
+    ),
+    path AS (
+        SELECT bd.b, bd.wk,
+               round(CAST(SUM(bd.rev) OVER (PARTITION BY bd.b
+                     ORDER BY bd.wk ROWS UNBOUNDED PRECEDING)
+                     AS DOUBLE) / tot.trev, 10) AS cum
+        FROM bd JOIN tot ON bd.b = tot.b
+    ),
+    pairs AS (
+        SELECT a.b AS ba, c.b AS bb,
+               CAST(COUNT(*) AS BIGINT) AS n_weeks,
+               CAST(SUM(CAST(round(pow(a.cum - c.cum, 2), 12)
+                             AS DECIMAL(28,12))) AS DOUBLE) AS ssd
+        FROM path a JOIN path c
+          ON a.wk = c.wk AND a.b < c.b
+        GROUP BY a.b, c.b
+    )
+    SELECT ba AS brand_a, bb AS brand_b, n_weeks,
+           round(ssd, 8) + 0.0 AS path_ssd
+    FROM pairs ORDER BY ssd ASC, ba, bb LIMIT 5
+    """,
+)
+def pairs_trading_distance(spark, sf_dir):
+    """PAIRS-TRADING distance screen over brand revenue paths: each
+    brand's cumulative weekly revenue normalized to its own total (a
+    0->1 "price path"), then the sum of squared weekly differences
+    for every brand pair — the Gatev-Goetzmann-Rouwenhorst distance
+    rule that finds the most CO-MOVING pairs, whose spread is the
+    mean-reverting trading/substitution signal;
+    `item_cooccurrence_cosine` finds brands bought TOGETHER, this
+    finds brands that move ALIKE over time — different relations
+    (complements vs parallel demand). Top-5 closest pairs.
+
+    Exactness: weekly revenues are exact cents; cumulative paths
+    round at 10 dp off exact prefix sums (brand-partitioned
+    windows); squared gaps round at 12 dp into DECIMAL folds; the
+    top-5 is a total order. Plan: one join rollup, brand-partitioned
+    prefix, one week-grain equi-join over the bounded 25x25 pair
+    space, one top-5."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    bd = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("b"),
+            F.floor(
+                F.floor(F.unix_micros("l_shipdate") / 86_400_000_000) / 7
+            )
+            .cast("bigint")
+            .alias("wk"),
+        )
+        .agg(
+            F.sum(
+                (dec("l_extendedprice", 18, 2) * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    tot = bd.groupBy("b").agg(
+        F.sum("rev").cast("bigint").alias("trev")
+    )
+    path = bd.join(tot, "b").select(
+        "b",
+        "wk",
+        F.round(
+            F.sum("rev")
+            .over(
+                Window.partitionBy("b")
+                .orderBy("wk")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("double")
+            / F.col("trev"),
+            10,
+        ).alias("cum"),
+    ).persist()
+    a = path.select(
+        F.col("b").alias("ba"), F.col("wk"), F.col("cum").alias("ca")
+    )
+    c = path.select(
+        F.col("b").alias("bb"), F.col("wk"), F.col("cum").alias("cb")
+    )
+    pairs = (
+        a.join(c, "wk")
+        .where(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+            F.sum(
+                F.round(
+                    F.pow(F.col("ca") - F.col("cb"), 2), 12
+                ).cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("ssd"),
+        )
+    )
+    return (
+        pairs.orderBy(F.col("ssd").asc(), F.col("ba"), F.col("bb"))
+        .limit(5)
+        .select(
+            F.col("ba").alias("brand_a"),
+            F.col("bb").alias("brand_b"),
+            "n_weeks",
+            (F.round("ssd", 8) + 0.0).alias("path_ssd"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hedonic size gradient of part unit prices
+# --------------------------------------------------------------------------
+@register(
+    "hedonic_size_gradient",
+    oracle="""
+    WITH unit AS (
+        SELECT p.p_size AS sz,
+               round(ln(p.p_retailprice), 10) AS lp
+        FROM part p
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(sz) AS BIGINT) AS sx,
+               CAST(SUM(CAST(sz AS BIGINT) * sz) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(round(lp, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(lp * lp, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS syy,
+               CAST(SUM(CAST(round(sz * lp, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS sxy
+        FROM unit
+    )
+    SELECT n AS n_parts,
+           round((n * sxy - sx * sy)
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * sx), 10) + 0.0 AS size_gradient_logprice,
+           round(exp((n * sxy - sx * sy)
+                     / (n * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sx)) - 1.0, 8) + 0.0
+               AS pct_per_size_unit,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * sx)
+                    * (n * syy - sy * sy)), 8) + 0.0 AS r2
+    FROM mom
+    """,
+)
+def hedonic_size_gradient(spark, sf_dir):
+    """HEDONIC size gradient of catalog prices: the semi-log
+    regression ln(retail price) ~ size over the part catalog —
+    exp(slope) - 1 is the PERCENT price premium per size unit, the
+    one-characteristic hedonic model behind quality-adjusted price
+    measurement (the `fisher_tornqvist_index` family measures price
+    LEVELS between periods; hedonics explain prices by
+    characteristics, the adjustment CPI programs apply before
+    those indices). r2 says how much of catalog price variation
+    size alone carries.
+
+    Exactness: sizes are small exact integers; log prices round at
+    10 dp into DECIMAL folds; slope/r2 are terminal moment trees.
+    Plan: one dimension-table scan, one fold."""
+    p = t(spark, sf_dir, "part")
+    unit = p.select(
+        F.col("p_size").alias("sz"),
+        F.round(F.log("p_retailprice"), 10).alias("lp"),
+    )
+    mom = unit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sz").cast("bigint").alias("sx"),
+        F.sum(F.col("sz").cast("bigint") * F.col("sz"))
+        .cast("bigint")
+        .alias("sxx"),
+        F.sum(F.round("lp", 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(
+            F.round(F.col("lp") * F.col("lp"), 10).cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("syy"),
+        F.sum(
+            F.round(F.col("sz") * F.col("lp"), 10).cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    return mom.select(
+        n.alias("n_parts"),
+        (F.round(num / den, 10) + 0.0).alias(
+            "size_gradient_logprice"
+        ),
+        (F.round(F.exp(num / den) - 1.0, 8) + 0.0).alias(
+            "pct_per_size_unit"
+        ),
+        (
+            F.round(
+                F.pow(num, 2)
+                / (den * (n * F.col("syy") - F.col("sy") * F.col("sy"))),
+                8,
+            )
+            + 0.0
+        ).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Price-point heaping: psychological endings vs uniform cents
+# --------------------------------------------------------------------------
+@register(
+    "price_point_heaping",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) % 100 AS e
+        FROM orders
+    ),
+    g AS (
+        SELECT e, CAST(COUNT(*) AS BIGINT) AS c FROM cents GROUP BY e
+    ),
+    n_ AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+    chi AS (
+        SELECT CAST(SUM(CAST(round(
+                   pow(c - n_.n / 100.0, 2) / (n_.n / 100.0), 9)
+                   AS DECIMAL(38,9))) AS DOUBLE) AS chi2
+        FROM g, n_
+    ),
+    marks AS (
+        SELECT
+            CAST(COALESCE(MAX(CASE WHEN e = 99 THEN c END), 0)
+                 AS BIGINT) AS c99,
+            CAST(COALESCE(MAX(CASE WHEN e = 0 THEN c END), 0)
+                 AS BIGINT) AS c00,
+            CAST(COALESCE(MAX(CASE WHEN e = 50 THEN c END), 0)
+                 AS BIGINT) AS c50
+        FROM g
+    )
+    SELECT n_.n AS n_orders,
+           round(CAST(marks.c99 AS DOUBLE) / n_.n * 100.0, 6) + 0.0
+               AS pct_ending_99,
+           round(CAST(marks.c00 AS DOUBLE) / n_.n * 100.0, 6) + 0.0
+               AS pct_ending_00,
+           round(CAST(marks.c50 AS DOUBLE) / n_.n * 100.0, 6) + 0.0
+               AS pct_ending_50,
+           round(chi.chi2, 4) + 0.0 AS chi2_uniform_endings,
+           CAST(99 AS BIGINT) AS dof
+    FROM n_, chi, marks
+    """,
+)
+def price_point_heaping(spark, sf_dir):
+    """PRICE-POINT HEAPING audit of order totals: the distribution
+    of the cents ending (00-99) against uniformity — human-set
+    prices pile on .99/.00/.50 (psychological price points,
+    charm-pricing), machine-generated or aggregated totals do not,
+    so the chi-square over the 100 endings plus the three marquee
+    shares is simultaneously a pricing-psychology readout and a
+    synthetic-data fingerprint (this corpus SHOULD look uniform —
+    heaping here flags generator artifacts), complementing
+    `poker_test_digits` (digit patterns) and the Benford pair
+    (leading digits).
+
+    Exactness: ending counts are exact BIGINTs on the 100-value
+    grid; chi-square terms round at 9 dp into a DECIMAL fold.
+    Plan: one scan, one 100-row rollup, two folds."""
+    o = t(spark, sf_dir, "orders")
+    cents = o.select(
+        ((dec("o_totalprice", 18, 2) * 100).cast("bigint") % 100).alias(
+            "e"
+        )
+    )
+    g = cents.groupBy("e").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    n_ = g.agg(F.sum("c").cast("bigint").alias("n"))
+    chi = g.crossJoin(F.broadcast(n_)).agg(
+        F.sum(
+            F.round(
+                F.pow(F.col("c") - F.col("n") / 100.0, 2)
+                / (F.col("n") / 100.0),
+                9,
+            ).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("chi2")
+    )
+    marks = g.agg(
+        F.coalesce(F.max(F.when(F.col("e") == 99, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("c99"),
+        F.coalesce(F.max(F.when(F.col("e") == 0, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("c00"),
+        F.coalesce(F.max(F.when(F.col("e") == 50, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("c50"),
+    )
+    return (
+        n_.crossJoin(F.broadcast(chi))
+        .crossJoin(F.broadcast(marks))
+        .select(
+            F.col("n").alias("n_orders"),
+            (
+                F.round(F.col("c99").cast("double") / F.col("n") * 100.0, 6)
+                + 0.0
+            ).alias("pct_ending_99"),
+            (
+                F.round(F.col("c00").cast("double") / F.col("n") * 100.0, 6)
+                + 0.0
+            ).alias("pct_ending_00"),
+            (
+                F.round(F.col("c50").cast("double") / F.col("n") * 100.0, 6)
+                + 0.0
+            ).alias("pct_ending_50"),
+            (F.round("chi2", 4) + 0.0).alias("chi2_uniform_endings"),
+            F.lit(99).cast("bigint").alias("dof"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel-plot control limits for per-brand return rates
+# --------------------------------------------------------------------------
+@register(
+    "funnel_plot_control_limits",
+    oracle="""
+    WITH li AS (
+        SELECT p.p_brand AS b,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    g AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r) AS BIGINT) AS k
+        FROM li GROUP BY b
+    ),
+    grand AS (
+        SELECT round(CAST(SUM(k) AS DOUBLE) / SUM(n), 10) AS p0
+        FROM g
+    ),
+    z AS (
+        SELECT g.b, g.n, g.k, grand.p0,
+               round((CAST(g.k AS DOUBLE) / g.n - grand.p0)
+                     / sqrt(grand.p0 * (1.0 - grand.p0) / g.n), 6)
+                   AS zb
+        FROM g, grand
+    )
+    SELECT b AS brand, n AS n_lineitems,
+           round(CAST(k AS DOUBLE) / n, 8) + 0.0 AS return_rate,
+           round(p0, 8) + 0.0 AS grand_rate,
+           zb + 0.0 AS z_score,
+           CAST(CASE WHEN abs(zb) > 1.959963985
+                     THEN 1 ELSE 0 END AS INT) AS outside_95,
+           CAST(CASE WHEN abs(zb) > 3.090232306
+                     THEN 1 ELSE 0 END AS INT) AS outside_998
+    FROM z ORDER BY brand
+    """,
+)
+def funnel_plot_control_limits(spark, sf_dir):
+    """FUNNEL-PLOT control limits for per-brand RETURN RATES: each
+    brand's rate against the grand rate with exact binomial z's and
+    the 95% / 99.8% control flags — the institutional-comparison
+    device (hospital mortality, school results) that kills false
+    league tables: small brands swing wide by chance and belong
+    INSIDE the widening funnel, so only the outside_998 flags are
+    actionable signals. The frequentist complement to the EB
+    shrinkage trio (`eb_gamma_poisson_rates` moves small units
+    toward the mean; the funnel leaves them alone and widens the
+    limits instead — same problem, the two standard answers).
+
+    Exactness: per-brand counts are exact BIGINTs; the grand rate
+    rounds at 10 dp before every z; flags compare against literal
+    normal quantiles. Plan: one join rollup to 25 brands, one
+    scalar fold, one broadcast back."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    g = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    grand = g.agg(
+        F.round(
+            F.sum("k").cast("double") / F.sum("n"), 10
+        ).alias("p0")
+    )
+    z = g.crossJoin(F.broadcast(grand)).select(
+        "b",
+        "n",
+        "k",
+        "p0",
+        F.round(
+            (F.col("k").cast("double") / F.col("n") - F.col("p0"))
+            / F.sqrt(F.col("p0") * (1.0 - F.col("p0")) / F.col("n")),
+            6,
+        ).alias("zb"),
+    )
+    return z.select(
+        F.col("b").alias("brand"),
+        F.col("n").alias("n_lineitems"),
+        (F.round(F.col("k").cast("double") / F.col("n"), 8) + 0.0).alias(
+            "return_rate"
+        ),
+        (F.round("p0", 8) + 0.0).alias("grand_rate"),
+        (F.col("zb") + 0.0).alias("z_score"),
+        F.when(F.abs(F.col("zb")) > 1.959963985, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("outside_95"),
+        F.when(F.abs(F.col("zb")) > 3.090232306, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("outside_998"),
+    ).orderBy("brand")
