@@ -3033,3 +3033,258 @@ def funnel_plot_control_limits(spark, sf_dir):
         .cast("int")
         .alias("outside_998"),
     ).orderBy("brand")
+
+
+# --------------------------------------------------------------------------
+# Chao-Mh heterogeneity-robust population bound from capture spectra
+# --------------------------------------------------------------------------
+@register(
+    "chao_mh_population",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+        FROM events
+    ),
+    freq AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k
+        FROM uw GROUP BY user_id
+    ),
+    spec AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS f1,
+               CAST(SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS f2
+        FROM freq
+    )
+    SELECT m AS users_observed, f1 AS captured_once,
+           f2 AS captured_twice,
+           round(m + CAST(f1 AS DOUBLE) * (f1 - 1.0)
+                 / (2.0 * (f2 + 1.0)), 4) + 0.0 AS chao_mh_n,
+           round(CAST(f1 AS DOUBLE) * (f1 - 1.0)
+                 / (2.0 * (f2 + 1.0)), 4) + 0.0 AS unseen_estimate
+    FROM spec
+    """,
+)
+def chao_mh_population(spark, sf_dir):
+    """CHAO's heterogeneity-robust population bound from the weekly
+    CAPTURE-FREQUENCY spectrum (the BIAS-CORRECTED form
+    N >= M + f1(f1-1)/(2(f2+1)), defined even when no user is
+    captured exactly twice), using only
+    the users captured in exactly one and exactly two weeks — valid
+    under ARBITRARY per-user capture heterogeneity, which is
+    exactly where `schnabel_capture_recapture` (equal-catchability
+    model) biases LOW: Chao far above Schnabel is the
+    heterogeneity diagnosis itself (heavy/light user mix), and the
+    unseen-user estimate f1^2/(2 f2) is the dormant-population
+    readout. The user-base member of the Chao family
+    (`chao1_vocabulary_estimate` is the same bound on tokens).
+
+    Exactness: the spectrum counts are exact BIGINTs from one
+    distinct rollup and one per-user count; the bound is a
+    terminal ratio. Plan: one distinct rollup, two folds."""
+    e = t(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 604_800_000_000)
+        .cast("bigint")
+        .alias("wk"),
+    ).distinct()
+    freq = uw.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    spec = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("k") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    unseen = (
+        F.col("f1").cast("double")
+        * (F.col("f1") - 1.0)
+        / (2.0 * (F.col("f2") + 1.0))
+    )
+    return spec.select(
+        F.col("m").alias("users_observed"),
+        F.col("f1").alias("captured_once"),
+        F.col("f2").alias("captured_twice"),
+        (F.round(F.col("m") + unseen, 4) + 0.0).alias("chao_mh_n"),
+        (F.round(unseen, 4) + 0.0).alias("unseen_estimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-filter agreement matrix: three document rules, pairwise kappa
+# --------------------------------------------------------------------------
+@register(
+    "filter_agreement_matrix",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, n_chars, source,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f_lang
+        FROM documents
+    ),
+    qs AS (
+        SELECT n_chars AS v FROM (
+            SELECT n_chars,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS r,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM docs
+        ) q WHERE 4 * r >= n + 1 ORDER BY v LIMIT 1
+    ),
+    srate AS (
+        SELECT source,
+               CAST(SUM(f_lang) AS DOUBLE) / COUNT(*) AS sr
+        FROM docs GROUP BY source
+    ),
+    prev AS (
+        SELECT CAST(SUM(f_lang) AS DOUBLE) / COUNT(*) AS p FROM docs
+    ),
+    flags AS (
+        SELECT d.f_lang,
+               CASE WHEN d.n_chars > qs.v THEN 1 ELSE 0 END
+                   AS f_len,
+               CASE WHEN srate.sr > prev.p THEN 1 ELSE 0 END
+                   AS f_src
+        FROM docs d JOIN srate ON d.source = srate.source, qs, prev
+    ),
+    longp AS (
+        SELECT 'lang_vs_len' AS pair, f_lang AS a, f_len AS b
+        FROM flags
+        UNION ALL
+        SELECT 'lang_vs_src', f_lang, f_src FROM flags
+        UNION ALL
+        SELECT 'len_vs_src', f_len, f_src FROM flags
+    ),
+    cells AS (
+        SELECT pair,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n11,
+               CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n00,
+               CAST(SUM(a) AS BIGINT) AS na,
+               CAST(SUM(b) AS BIGINT) AS nb
+        FROM longp GROUP BY pair
+    ),
+    kap AS (
+        SELECT pair, n,
+               CAST(n11 + n00 AS DOUBLE) / n AS po,
+               (CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
+               + (1.0 - CAST(na AS DOUBLE) / n)
+                 * (1.0 - CAST(nb AS DOUBLE) / n) AS pe
+        FROM cells
+    )
+    SELECT pair AS filter_pair, n AS n_docs,
+           round(po, 8) + 0.0 AS raw_agreement,
+           round((po - pe) / (1.0 - pe), 8) + 0.0 AS cohens_kappa
+    FROM kap ORDER BY filter_pair
+    """,
+)
+def filter_agreement_matrix(spark, sf_dir):
+    """QUALITY-FILTER AGREEMENT matrix for three document-keep rules
+    — language (lang='en'), length (n_chars above the exact upper
+    quartile), and source trust (source en-rate above prevalence) —
+    pairwise raw agreement and Cohen's kappa: the curation-ops
+    question behind every multi-filter pipeline ("are my filters
+    redundant or complementary?"): kappa near 1 means the second
+    filter deletes nothing new; near 0 means each removes a
+    DIFFERENT slice and the intersection policy is load-bearing.
+    The meta-level application of `cohens_kappa_agreement`'s
+    machinery to the pipeline's own components.
+
+    Exactness: thresholds are exact order statistics / count
+    ratios; all 2x2 cells are exact BIGINTs; kappa is a terminal
+    tree per pair. Plan: one rank, two rollups, one broadcast
+    flag pass, one 3-pair fold."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("f_lang"),
+    ).persist()
+    ranked = d.select(
+        "n_chars",
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    qs = (
+        ranked.where(4 * F.col("r") >= F.col("n") + 1)
+        .agg(F.min("n_chars").alias("v"))
+    )
+    srate = d.groupBy("source").agg(
+        (F.sum("f_lang").cast("double") / F.count(F.lit(1))).alias("sr")
+    )
+    prev = d.agg(
+        (F.sum("f_lang").cast("double") / F.count(F.lit(1))).alias("p")
+    )
+    flags = (
+        d.join(F.broadcast(srate), "source")
+        .crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(prev))
+        .select(
+            "f_lang",
+            F.when(F.col("n_chars") > F.col("v"), 1)
+            .otherwise(0)
+            .alias("f_len"),
+            F.when(F.col("sr") > F.col("p"), 1).otherwise(0).alias("f_src"),
+        )
+        .persist()
+    )
+    longp = None
+    for name, a, b in (
+        ("lang_vs_len", "f_lang", "f_len"),
+        ("lang_vs_src", "f_lang", "f_src"),
+        ("len_vs_src", "f_len", "f_src"),
+    ):
+        part = flags.select(
+            F.lit(name).alias("pair"),
+            F.col(a).alias("a"),
+            F.col(b).alias("b"),
+        )
+        longp = part if longp is None else longp.unionByName(part)
+    cells = longp.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+    )
+    n = F.col("n")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pa = F.col("na").cast("double") / n
+    pb = F.col("nb").cast("double") / n
+    pe = pa * pb + (1.0 - pa) * (1.0 - pb)
+    return cells.select(
+        F.col("pair").alias("filter_pair"),
+        n.alias("n_docs"),
+        (F.round(po, 8) + 0.0).alias("raw_agreement"),
+        (F.round((po - pe) / (1.0 - pe), 8) + 0.0).alias(
+            "cohens_kappa"
+        ),
+    ).orderBy("filter_pair")
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "filter_agreement_matrix": (
+            "row_number rank over the n_chars score grid for the "
+            "exact quartile threshold (the auc_rank_score class)"
+        ),
+    }
+)
