@@ -3288,3 +3288,345 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# LMDI (log-mean Divisia) decomposition of revenue growth
+# --------------------------------------------------------------------------
+@register(
+    "lmdi_decomposition",
+    oracle="""
+    WITH bd AS (
+        SELECT p.p_brand AS b,
+               CASE WHEN epoch_us(l.l_shipdate) // 86400000000
+                    <= (SELECT (min(epoch_us(l_shipdate))
+                                // 86400000000
+                                + max(epoch_us(l_shipdate))
+                                // 86400000000) // 2 FROM lineitem)
+                    THEN 0 ELSE 1 END AS per,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+               CAST(SUM(CAST(CAST(l.l_extendedprice
+                                  AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT b,
+               MAX(CASE WHEN per = 0 THEN q END) AS q0,
+               MAX(CASE WHEN per = 1 THEN q END) AS q1,
+               MAX(CASE WHEN per = 0 THEN r END) AS r0,
+               MAX(CASE WHEN per = 1 THEN r END) AS r1
+        FROM bd GROUP BY b
+        HAVING MAX(CASE WHEN per = 0 THEN q END) IS NOT NULL
+           AND MAX(CASE WHEN per = 1 THEN q END) IS NOT NULL
+    ),
+    terms AS (
+        SELECT b,
+               (r1 - r0) / 100000.0 AS dr,
+               CASE WHEN r1 = r0 THEN r1 / 100000.0
+                    ELSE (r1 - r0) / 100000.0
+                         / (ln(r1 * 1.0) - ln(r0 * 1.0)) END AS lm,
+               round(ln(CAST(q1 AS DOUBLE) / q0), 10) AS dlq,
+               round(ln((CAST(r1 AS DOUBLE) / q1)
+                        / (CAST(r0 AS DOUBLE) / q0)), 10) AS dlp
+        FROM wide
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(round(dr, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS total,
+               CAST(SUM(CAST(round(lm * dlq, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS vol_eff,
+               CAST(SUM(CAST(round(lm * dlp, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS price_eff
+        FROM terms
+    )
+    SELECT k AS n_brands_matched,
+           round(total, 4) + 0.0 AS revenue_change_kusd,
+           round(vol_eff, 4) + 0.0 AS volume_effect_kusd,
+           round(price_eff, 4) + 0.0 AS price_effect_kusd,
+           round(total - vol_eff - price_eff, 4) + 0.0
+               AS identity_residual
+    FROM fold
+    """,
+)
+def lmdi_decomposition(spark, sf_dir):
+    """LMDI-I (log-mean Divisia) decomposition of half-over-half
+    revenue growth into VOLUME and PRICE effects per brand, summed:
+    each brand contributes L(R1,R0) ln(q1/q0) + L(R1,R0) ln(p1/p0)
+    with the logarithmic mean L(a,b) = (a-b)/(ln a - ln b) — the
+    Ang-standard index decomposition whose defining property is the
+    EXACT additive identity (volume + price = total change, no
+    residual by construction); `identity_residual` emits the
+    rounding-noise-sized check, the built-in self-verification.
+    Where `shift_share_decomposition` splits growth by STRUCTURE
+    (mix vs within), LMDI splits it by price-vs-quantity — the
+    revenue bridge every quarterly review draws.
+
+    Exactness: per-(brand, half) quantities and cents are exact;
+    the log-mean handles R1=R0 by its limit (= R); every term
+    rounds at 6-10 dp into DECIMAL folds. Plan: one join rollup,
+    one 25-brand pivot, one fold."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    cut = li.agg(
+        (
+            (
+                F.floor(F.min(F.unix_micros("l_shipdate")) / 86_400_000_000)
+                + F.floor(
+                    F.max(F.unix_micros("l_shipdate")) / 86_400_000_000
+                )
+            )
+            / 2
+        )
+        .cast("bigint")
+        .alias("cut")
+    )
+    bd = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .crossJoin(F.broadcast(cut))
+        .groupBy(
+            F.col("p_brand").alias("b"),
+            F.when(
+                F.floor(F.unix_micros("l_shipdate") / 86_400_000_000)
+                <= F.col("cut"),
+                0,
+            )
+            .otherwise(1)
+            .alias("per"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q"),
+            F.sum(
+                (dec("l_extendedprice", 18, 2) * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    wide = (
+        bd.groupBy("b")
+        .agg(
+            F.max(F.when(F.col("per") == 0, F.col("q"))).alias("q0"),
+            F.max(F.when(F.col("per") == 1, F.col("q"))).alias("q1"),
+            F.max(F.when(F.col("per") == 0, F.col("r"))).alias("r0"),
+            F.max(F.when(F.col("per") == 1, F.col("r"))).alias("r1"),
+        )
+        .where(F.col("q0").isNotNull() & F.col("q1").isNotNull())
+    )
+    dr = (F.col("r1") - F.col("r0")) / 100000.0
+    lm = F.when(
+        F.col("r1") == F.col("r0"), F.col("r1") / 100000.0
+    ).otherwise(
+        dr / (F.log(F.col("r1") * 1.0) - F.log(F.col("r0") * 1.0))
+    )
+    dlq = F.round(
+        F.log(F.col("q1").cast("double") / F.col("q0")), 10
+    )
+    dlp = F.round(
+        F.log(
+            (F.col("r1").cast("double") / F.col("q1"))
+            / (F.col("r0").cast("double") / F.col("q0"))
+        ),
+        10,
+    )
+    terms = wide.select(
+        dr.alias("dr"), lm.alias("lm"), dlq.alias("dlq"), dlp.alias("dlp")
+    )
+
+    def dfold(expr, name):
+        return (
+            F.sum(F.round(expr, 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias(name)
+        )
+
+    fold = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        dfold(F.col("dr"), "total"),
+        dfold(F.col("lm") * F.col("dlq"), "vol_eff"),
+        dfold(F.col("lm") * F.col("dlp"), "price_eff"),
+    )
+    return fold.select(
+        F.col("k").alias("n_brands_matched"),
+        (F.round("total", 4) + 0.0).alias("revenue_change_kusd"),
+        (F.round("vol_eff", 4) + 0.0).alias("volume_effect_kusd"),
+        (F.round("price_eff", 4) + 0.0).alias("price_effect_kusd"),
+        (
+            F.round(
+                F.col("total") - F.col("vol_eff") - F.col("price_eff"),
+                4,
+            )
+            + 0.0
+        ).alias("identity_residual"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Heidke / Peirce / Gilbert skill scores for the length classifier
+# --------------------------------------------------------------------------
+@register(
+    "skill_score_panel",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    med AS (
+        SELECT n_chars AS v FROM (
+            SELECT n_chars,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS r,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM docs
+        ) q WHERE 2 * r >= n + 1 ORDER BY v LIMIT 1
+    ),
+    cells AS (
+        SELECT
+            CAST(SUM(CASE WHEN y = 1 AND n_chars > med.v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN y = 0 AND n_chars > med.v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN y = 1 AND n_chars <= med.v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN y = 0 AND n_chars <= med.v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM docs, med
+    ),
+    st AS (
+        SELECT a, b, c, d,
+               CAST(a + b + c + d AS DOUBLE) AS n,
+               (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c)
+                   / (a + b + c + d) AS a_rand
+        FROM cells
+    )
+    SELECT a AS hits, b AS false_alarms, c AS misses,
+           d AS correct_negatives,
+           round(CAST(a AS DOUBLE) / (a + c)
+                 - CAST(b AS DOUBLE) / (b + d), 8) + 0.0
+               AS peirce_pss,
+           round(2.0 * (CAST(a AS DOUBLE) * d
+                        - CAST(b AS DOUBLE) * c)
+                 / ((CAST(a AS DOUBLE) + c) * (c + d)
+                    + (CAST(a AS DOUBLE) + b) * (b + d)), 8) + 0.0
+               AS heidke_hss,
+           round((a - a_rand) / (CAST(a AS DOUBLE) + b + c
+                                 - a_rand), 8) + 0.0
+               AS gilbert_ets
+    FROM st
+    """,
+)
+def skill_score_panel(spark, sf_dir):
+    """FORECAST-VERIFICATION skill panel for the median-length
+    lang='en' rule: Peirce PSS = TPR - FPR (equitable, base-rate
+    free — the verification twin of `youden_j_threshold_scan`'s
+    optimand), Heidke HSS (accuracy above chance, kappa's
+    verification alias), and Gilbert ETS (hits above random hits —
+    the convention in rare-event verification, punishing
+    overforecasting exactly where raw accuracy rewards it). Three
+    WMO-standard 2x2 scores with different chance corrections —
+    the meteorology lens on the same confusion matrix the ML panel
+    (`rk_multiclass_mcc`, `brier_murphy_decomposition`) reads.
+
+    Exactness: the median threshold is an exact order statistic;
+    the 2x2 is exact BIGINTs; all three scores are terminal trees.
+    Plan: one rank, one fold."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    ranked = d.select(
+        "n_chars",
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    med = (
+        ranked.where(2 * F.col("r") >= F.col("n") + 1)
+        .agg(F.min("n_chars").alias("v"))
+    )
+    cells = d.crossJoin(F.broadcast(med)).agg(
+        F.sum(
+            F.when((F.col("y") == 1) & (F.col("n_chars") > F.col("v")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("a"),
+        F.sum(
+            F.when((F.col("y") == 0) & (F.col("n_chars") > F.col("v")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            F.when(
+                (F.col("y") == 1) & (F.col("n_chars") <= F.col("v")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+        F.sum(
+            F.when(
+                (F.col("y") == 0) & (F.col("n_chars") <= F.col("v")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    a, b, c, dd = (F.col(x) for x in ("a", "b", "c", "d"))
+    n = (a + b + c + dd).cast("double")
+    a_rand = (a.cast("double") + b) * (a.cast("double") + c) / n
+    return cells.select(
+        a.alias("hits"),
+        b.alias("false_alarms"),
+        c.alias("misses"),
+        dd.alias("correct_negatives"),
+        (
+            F.round(
+                a.cast("double") / (a + c) - b.cast("double") / (b + dd),
+                8,
+            )
+            + 0.0
+        ).alias("peirce_pss"),
+        (
+            F.round(
+                2.0
+                * (a.cast("double") * dd - b.cast("double") * c)
+                / (
+                    (a.cast("double") + c) * (c + dd)
+                    + (a.cast("double") + b) * (b + dd)
+                ),
+                8,
+            )
+            + 0.0
+        ).alias("heidke_hss"),
+        (
+            F.round(
+                (a - a_rand) / (a.cast("double") + b + c - a_rand), 8
+            )
+            + 0.0
+        ).alias("gilbert_ets"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "skill_score_panel": (
+            "row_number rank over the n_chars score grid for the "
+            "exact median threshold (the auc_rank_score class)"
+        ),
+    }
+)
