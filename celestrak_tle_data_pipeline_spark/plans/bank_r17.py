@@ -3630,3 +3630,318 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Van Elteren stratified rank-sum test: weekend effect within priority
+# --------------------------------------------------------------------------
+@register(
+    "van_elteren_stratified",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS s,
+               CASE WHEN CAST(epoch_us(o_orderdate) // 86400000000
+                         + 4 AS BIGINT) % 7 >= 5
+                    THEN 1 ELSE 0 END AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    cells AS (
+        SELECT s, v, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pts GROUP BY s, v, g
+    ),
+    vg AS (
+        SELECT s, v, CAST(SUM(c) AS BIGINT) AS h
+        FROM cells GROUP BY s, v
+    ),
+    cum AS (
+        SELECT s, v, h,
+               CAST(2 * (SUM(h) OVER (PARTITION BY s ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) - h) + h + 1
+                   AS BIGINT) AS rank2
+        FROM vg
+    ),
+    strat AS (
+        SELECT c.s,
+               CAST(SUM(c.c) AS BIGINT) AS ns,
+               CAST(SUM(CASE WHEN c.g = 1 THEN c.c ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN c.g = 1
+                        THEN CAST(c.c AS DECIMAL(19,0)) * m.rank2
+                        END) AS DECIMAL(38,0)) AS w2,
+               CAST(SUM(CAST(c.c AS DECIMAL(19,0)) * m.rank2
+                        * CAST(m.rank2 AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS sr2sq
+        FROM cells c JOIN cum m ON c.s = m.s AND c.v = m.v
+        GROUP BY c.s
+    ),
+    terms AS (
+        SELECT s, ns, n1,
+               round(CAST(w2 AS DOUBLE) / 2.0 / (ns + 1.0), 8) AS tw,
+               round(n1 * (ns + 1.0) / 2.0 / (ns + 1.0), 8) AS ew,
+               round((CAST(n1 AS DOUBLE) * (ns - n1)
+                      / (CAST(ns AS DOUBLE) * (ns - 1)))
+                     * (CAST(sr2sq AS DOUBLE) / 4.0
+                        - ns * (ns + 1.0) * (ns + 1.0) / 4.0)
+                     / ((ns + 1.0) * (ns + 1.0)), 10) AS vw
+        FROM strat
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(tw AS DECIMAL(28,8))) AS DOUBLE) AS t,
+               CAST(SUM(CAST(ew AS DECIMAL(28,8))) AS DOUBLE) AS e,
+               CAST(SUM(CAST(vw AS DECIMAL(28,10))) AS DOUBLE) AS v
+        FROM terms
+    )
+    SELECT k AS n_strata,
+           round(t, 6) + 0.0 AS van_elteren_t,
+           round(e, 6) + 0.0 AS expected_t,
+           round((t - e) / sqrt(v), 6) + 0.0 AS z_van_elteren
+    FROM fold
+    """,
+)
+def van_elteren_stratified(spark, sf_dir):
+    """VAN ELTEREN stratified rank-sum test of the weekend effect on
+    order values WITHIN priority strata: each stratum's Wilcoxon
+    rank sum enters with the locally-most-powerful weight
+    1/(n_s+1), with the exact tie-corrected per-stratum variance
+    folded from the squared-midrank sums — the confounder-proof
+    version of the plain two-sample test: if priority mix differs
+    by weekday, a pooled Wilcoxon confounds the two effects; van
+    Elteren compares LIKE WITH LIKE and pools only the evidence.
+    The rank-world sibling of `mantel_haenszel_weekday_strata`
+    (binary outcome) and `peto_odds_ratio` (rare binary) — this one
+    for continuous outcomes.
+
+    Exactness: per-stratum midranks x2 are exact integers on the
+    stratum-PARTITIONED cents grids; rank sums and squared-rank
+    sums widen through DECIMAL(19,0); stratum terms round at 8-10
+    dp into DECIMAL folds. Plan: one (stratum, value, group)
+    rollup, stratum-partitioned cumulatives, one 5-stratum fold."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("s"),
+        F.when(
+            (
+                F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+                + 4
+            ).cast("bigint")
+            % 7
+            >= 5,
+            1,
+        )
+        .otherwise(0)
+        .alias("g"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+    cells = pts.groupBy("s", "v", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    vg = cells.groupBy("s", "v").agg(
+        F.sum("c").cast("bigint").alias("h")
+    )
+    cum = vg.select(
+        "s",
+        "v",
+        (
+            2
+            * (
+                F.sum("h").over(
+                    Window.partitionBy("s")
+                    .orderBy("v")
+                    .rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                - F.col("h")
+            )
+            + F.col("h")
+            + 1
+        )
+        .cast("bigint")
+        .alias("rank2"),
+    )
+    strat = (
+        cells.join(cum, ["s", "v"])
+        .groupBy("s")
+        .agg(
+            F.sum("c").cast("bigint").alias("ns"),
+            F.sum(F.when(F.col("g") == 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(
+                F.when(
+                    F.col("g") == 1,
+                    F.col("c").cast("decimal(19,0)") * F.col("rank2"),
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("w2"),
+            F.sum(
+                F.col("c").cast("decimal(19,0)")
+                * F.col("rank2")
+                * F.col("rank2").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("sr2sq"),
+        )
+    )
+    ns = F.col("ns")
+    n1 = F.col("n1")
+    tw = F.round(
+        F.col("w2").cast("double") / 2.0 / (ns + 1.0), 8
+    )
+    ew = F.round(n1 * (ns + 1.0) / 2.0 / (ns + 1.0), 8)
+    vw = F.round(
+        (
+            n1.cast("double")
+            * (ns - n1)
+            / (ns.cast("double") * (ns - 1))
+        )
+        * (
+            F.col("sr2sq").cast("double") / 4.0
+            - ns * (ns + 1.0) * (ns + 1.0) / 4.0
+        )
+        / ((ns + 1.0) * (ns + 1.0)),
+        10,
+    )
+    terms = strat.select(
+        tw.alias("tw"), ew.alias("ew"), vw.alias("vw")
+    )
+    fold = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("tw").cast("decimal(28,8)"))
+        .cast("double")
+        .alias("t"),
+        F.sum(F.col("ew").cast("decimal(28,8)"))
+        .cast("double")
+        .alias("e"),
+        F.sum(F.col("vw").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("v"),
+    )
+    return fold.select(
+        F.col("k").alias("n_strata"),
+        (F.round("t", 6) + 0.0).alias("van_elteren_t"),
+        (F.round("e", 6) + 0.0).alias("expected_t"),
+        (
+            F.round(
+                (F.col("t") - F.col("e")) / F.sqrt(F.col("v")), 6
+            )
+            + 0.0
+        ).alias("z_van_elteren"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov order-0 vs order-1 likelihood-ratio test on event sequences
+# --------------------------------------------------------------------------
+@register(
+    "markov_order_lr_test",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS b,
+               LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS a
+        FROM events
+    ),
+    big AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE a IS NOT NULL GROUP BY a, b
+    ),
+    marg AS (
+        SELECT big.a, big.b, big.n,
+               SUM(big.n) OVER (PARTITION BY big.a) AS ra,
+               SUM(big.n) OVER (PARTITION BY big.b) AS cb,
+               SUM(big.n) OVER () AS nn
+        FROM big
+    ),
+    g AS (
+        SELECT CAST(SUM(CAST(round(
+                   2.0 * n * ln(CAST(n AS DOUBLE) * nn
+                                / (CAST(ra AS DOUBLE) * cb)), 8)
+                   AS DECIMAL(38,8))) AS DOUBLE) AS g2,
+               CAST(MAX(nn) AS BIGINT) AS n_pairs
+        FROM marg
+    )
+    SELECT n_pairs,
+           round(g2, 6) + 0.0 AS lr_g2,
+           CAST(16 AS BIGINT) AS dof,
+           round((exp(ln(g2 / 16.0) / 3.0)
+                  - (1.0 - 2.0 / 144.0)) / sqrt(2.0 / 144.0), 6)
+               + 0.0 AS z_wilson_hilferty
+    FROM g
+    """,
+)
+def markov_order_lr_test(spark, sf_dir):
+    """MARKOV ORDER likelihood-ratio test on per-user event-type
+    sequences: order-0 (types independent of the previous type) vs
+    order-1 (a genuine transition structure), G^2 = 2 sum n_ij
+    ln(n_ij N / (r_i c_j)) ~ chi2((k-1)^2) over the 5x5 bigram
+    table — the INFERENTIAL companion to
+    `markov_entropy_rate_events` (which reports the entropy rate
+    that only MEANS something if order >= 1 holds) and
+    `event_transition_matrix` (which prints P without testing it):
+    G^2 = 2N x the mutual information of consecutive types, so
+    this is also the sequence-memory detector. Wilson-Hilferty z
+    for the chi2(16) tail.
+
+    Exactness: bigram counts are exact BIGINTs from user-
+    partitioned lags; each G term rounds at 8 dp into a
+    DECIMAL(38,8) fold (zero cells contribute nothing — lim x ln x
+    = 0 — and never enter the sum). Plan: one user-partitioned lag,
+    one 25-cell rollup, margin windows on the bounded table, one
+    fold."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("b"),
+        F.lag("event_type").over(wu).alias("a"),
+    ).where(F.col("a").isNotNull())
+    big = seq.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    marg = (
+        big.withColumn("ra", F.sum("n").over(Window.partitionBy("a")))
+        .withColumn("cb", F.sum("n").over(Window.partitionBy("b")))
+        .withColumn("nn", F.sum("n").over(Window.partitionBy()))
+    )
+    g = marg.agg(
+        F.sum(
+            F.round(
+                2.0
+                * F.col("n")
+                * F.log(
+                    F.col("n").cast("double")
+                    * F.col("nn")
+                    / (F.col("ra").cast("double") * F.col("cb"))
+                ),
+                8,
+            ).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("g2"),
+        F.max("nn").cast("bigint").alias("n_pairs"),
+    )
+    g2 = F.col("g2")
+    wh = (
+        F.exp(F.log(g2 / 16.0) / 3.0) - (1.0 - 2.0 / 144.0)
+    ) / F.sqrt(F.lit(2.0 / 144.0))
+    return g.select(
+        "n_pairs",
+        (F.round(g2, 6) + 0.0).alias("lr_g2"),
+        F.lit(16).cast("bigint").alias("dof"),
+        (F.round(wh, 6) + 0.0).alias("z_wilson_hilferty"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "markov_order_lr_test": (
+            "margin windows over the bounded 25-cell bigram table "
+            "(the chi2_independence class; the lag is user-"
+            "partitioned)"
+        ),
+    }
+)
