@@ -4313,3 +4313,271 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Kendall partial tau: clicks-purchases dependence controlling views
+# --------------------------------------------------------------------------
+@register(
+    "kendall_partial_tau",
+    oracle="""
+    WITH ev3 AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y,
+               CAST(SUM(CASE WHEN event_type = 'view'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS z
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CAST(SUM(SIGN(b.x - a.x) * SIGN(b.y - a.y))
+                    AS BIGINT) AS sxy,
+               CAST(SUM(SIGN(b.x - a.x) * SIGN(b.z - a.z))
+                    AS BIGINT) AS sxz,
+               CAST(SUM(SIGN(b.y - a.y) * SIGN(b.z - a.z))
+                    AS BIGINT) AS syz,
+               CAST(SUM(ABS(SIGN(b.x - a.x) * SIGN(b.y - a.y)))
+                    AS BIGINT) AS nxy,
+               CAST(SUM(ABS(SIGN(b.x - a.x) * SIGN(b.z - a.z)))
+                    AS BIGINT) AS nxz,
+               CAST(SUM(ABS(SIGN(b.y - a.y) * SIGN(b.z - a.z)))
+                    AS BIGINT) AS nyz
+        FROM ev3 a JOIN ev3 b ON a.d < b.d
+    ),
+    taus AS (
+        SELECT round(CAST(sxy AS DOUBLE) / nxy, 10) AS txy,
+               round(CAST(sxz AS DOUBLE) / nxz, 10) AS txz,
+               round(CAST(syz AS DOUBLE) / nyz, 10) AS tyz
+        FROM pairs
+    )
+    SELECT round(txy, 6) + 0.0 AS tau_clicks_purchases,
+           round(txz, 6) + 0.0 AS tau_clicks_views,
+           round(tyz, 6) + 0.0 AS tau_purchases_views,
+           round((txy - txz * tyz)
+                 / sqrt((1.0 - txz * txz) * (1.0 - tyz * tyz)), 6)
+               + 0.0 AS partial_tau_given_views
+    FROM taus
+    """,
+)
+def kendall_partial_tau(spark, sf_dir):
+    """KENDALL PARTIAL tau of the daily clicks-purchases dependence
+    CONTROLLING for views: tau_xy.z = (tau_xy - tau_xz tau_yz) /
+    sqrt((1-tau_xz^2)(1-tau_yz^2)) from the three pairwise
+    tie-adjusted taus (concordant-minus-discordant over comparable
+    pairs) — the RANK-world partial correlation: where
+    `partial_correlation_controls` removes LINEAR common drive,
+    this removes MONOTONE common drive (the busy-day confounder
+    affects all three series monotonically but not linearly, which
+    is exactly when the Pearson partial under-corrects). Partial
+    tau surviving near tau says the funnel coupling is not just
+    shared traffic.
+
+    Exactness: concordance sums are exact BIGINT sign folds over
+    the bounded calendar^2 pair frame (tie pairs drop from both
+    numerator and the comparable-pair denominators); taus round at
+    10 dp before the partial tree. Plan: one day rollup, one
+    bounded pair self-join, two folds."""
+    e = t(spark, sf_dir, "events")
+    ev3 = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("z"),
+    ).persist()
+    a = ev3.select(
+        F.col("d").alias("da"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.col("z").alias("za"),
+    )
+    b = ev3.select(
+        F.col("d").alias("db"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("z").alias("zb"),
+    )
+    sx = F.signum((F.col("xb") - F.col("xa")).cast("double"))
+    sy = F.signum((F.col("yb") - F.col("ya")).cast("double"))
+    sz = F.signum((F.col("zb") - F.col("za")).cast("double"))
+    pairs = a.join(b, F.col("da") < F.col("db")).agg(
+        F.sum(sx * sy).cast("bigint").alias("sxy"),
+        F.sum(sx * sz).cast("bigint").alias("sxz"),
+        F.sum(sy * sz).cast("bigint").alias("syz"),
+        F.sum(F.abs(sx * sy)).cast("bigint").alias("nxy"),
+        F.sum(F.abs(sx * sz)).cast("bigint").alias("nxz"),
+        F.sum(F.abs(sy * sz)).cast("bigint").alias("nyz"),
+    )
+    txy = F.round(F.col("sxy").cast("double") / F.col("nxy"), 10)
+    txz = F.round(F.col("sxz").cast("double") / F.col("nxz"), 10)
+    tyz = F.round(F.col("syz").cast("double") / F.col("nyz"), 10)
+    taus = pairs.select(
+        txy.alias("txy"), txz.alias("txz"), tyz.alias("tyz")
+    )
+    return taus.select(
+        (F.round("txy", 6) + 0.0).alias("tau_clicks_purchases"),
+        (F.round("txz", 6) + 0.0).alias("tau_clicks_views"),
+        (F.round("tyz", 6) + 0.0).alias("tau_purchases_views"),
+        (
+            F.round(
+                (F.col("txy") - F.col("txz") * F.col("tyz"))
+                / F.sqrt(
+                    (1.0 - F.col("txz") * F.col("txz"))
+                    * (1.0 - F.col("tyz") * F.col("tyz"))
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("partial_tau_given_views"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Spectral radius of the brand graph: three unrolled power iterations
+# --------------------------------------------------------------------------
+@register(
+    "spectral_radius_power3",
+    oracle=f"""
+    WITH {_BRAND_EDGE_SQL},
+    nodes AS (SELECT DISTINCT u AS b FROM sym),
+    v0 AS (SELECT b, 1.0 AS x FROM nodes),
+    v1r AS (
+        SELECT sym.u AS b, CAST(SUM(CAST(round(v0.x, 10)
+                   AS DECIMAL(28,10))) AS DOUBLE) AS x
+        FROM sym JOIN v0 ON sym.v = v0.b GROUP BY sym.u
+    ),
+    n1 AS (SELECT sqrt(SUM(CAST(round(x * x, 8)
+               AS DECIMAL(38,8)))) AS nrm FROM v1r),
+    v1 AS (SELECT b, round(x / n1.nrm, 10) AS x FROM v1r, n1),
+    v2r AS (
+        SELECT sym.u AS b, CAST(SUM(CAST(round(v1.x, 10)
+                   AS DECIMAL(28,10))) AS DOUBLE) AS x
+        FROM sym JOIN v1 ON sym.v = v1.b GROUP BY sym.u
+    ),
+    n2 AS (SELECT sqrt(SUM(CAST(round(x * x, 8)
+               AS DECIMAL(38,8)))) AS nrm FROM v2r),
+    v2 AS (SELECT b, round(x / n2.nrm, 10) AS x FROM v2r, n2),
+    v3r AS (
+        SELECT sym.u AS b, CAST(SUM(CAST(round(v2.x, 10)
+                   AS DECIMAL(28,10))) AS DOUBLE) AS x
+        FROM sym JOIN v2 ON sym.v = v2.b GROUP BY sym.u
+    ),
+    ray AS (
+        SELECT CAST(SUM(CAST(round(v3r.x * v2.x, 10)
+                   AS DECIMAL(28,10))) AS DOUBLE) AS lam
+        FROM v3r JOIN v2 ON v3r.b = v2.b
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM nodes),
+    me AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM sym)
+    SELECT nn.k AS n_nodes,
+           CAST(me.m // 2 AS BIGINT) AS n_edges,
+           round(ray.lam, 6) + 0.0 AS spectral_radius_rayleigh,
+           round(CAST(me.m AS DOUBLE) / nn.k, 6) + 0.0
+               AS mean_degree,
+           round(ray.lam / (CAST(me.m AS DOUBLE) / nn.k), 6) + 0.0
+               AS radius_over_mean_degree
+    FROM ray, nn, me
+    """,
+)
+def spectral_radius_power3(spark, sf_dir):
+    """SPECTRAL RADIUS of the strong-tie brand graph by THREE
+    unrolled power iterations from the uniform vector, read off as
+    the Rayleigh quotient v2' A v2 (v2 unit-normalized) — the
+    single number that governs spreading processes on the graph
+    (epidemic/cascade threshold = 1/lambda_max) and bounds the
+    Katz attenuation the registry's `katz_centrality_brands`
+    already uses (alpha < 1/lambda_max is its convergence
+    contract — this query MEASURES that contract's boundary).
+    lambda_max/mean-degree > 1 quantifies degree heterogeneity.
+    The k_core/k_truss unrolling doctrine: fixed passes, bounded
+    frames, deterministic rounding between steps.
+
+    Exactness: each matrix-vector product folds 10-dp rounded
+    vector entries through DECIMAL(28,10) over the bounded 25-node
+    adjacency; normalizations round at 10 dp so both engines
+    iterate identical vectors. Plan: the staged brand-edge rollup,
+    three bounded join-aggregate passes, one Rayleigh fold."""
+    bedges = _brand_sym(spark, sf_dir).persist()
+    nodes = bedges.select(F.col("u").alias("b")).distinct()
+    v0 = nodes.select("b", F.lit(1.0).alias("x"))
+
+    def matvec(vec):
+        return (
+            bedges.join(vec, bedges.v == vec.b)
+            .groupBy(bedges.u.alias("nb"))
+            .agg(
+                F.sum(
+                    F.round("x", 10).cast("decimal(28,10)")
+                )
+                .cast("double")
+                .alias("x")
+            )
+            .select(F.col("nb").alias("b"), "x")
+        )
+
+    def normalize(vec):
+        nrm = vec.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("x") * F.col("x"), 8).cast(
+                        "decimal(38,8)"
+                    )
+                )
+            ).alias("nrm")
+        )
+        return vec.crossJoin(F.broadcast(nrm)).select(
+            "b", F.round(F.col("x") / F.col("nrm"), 10).alias("x")
+        )
+
+    v1 = normalize(matvec(v0)).persist()
+    v2 = normalize(matvec(v1)).persist()
+    v3r = matvec(v2)
+    ray = (
+        v3r.join(
+            v2.select(F.col("b"), F.col("x").alias("x2")), "b"
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("x") * F.col("x2"), 10).cast(
+                    "decimal(28,10)"
+                )
+            )
+            .cast("double")
+            .alias("lam")
+        )
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    me = bedges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    return (
+        ray.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(me))
+        .select(
+            F.col("k").alias("n_nodes"),
+            (F.col("m") / F.lit(2)).cast("bigint").alias("n_edges"),
+            (F.round("lam", 6) + 0.0).alias(
+                "spectral_radius_rayleigh"
+            ),
+            (
+                F.round(F.col("m").cast("double") / F.col("k"), 6)
+                + 0.0
+            ).alias("mean_degree"),
+            (
+                F.round(
+                    F.col("lam")
+                    / (F.col("m").cast("double") / F.col("k")),
+                    6,
+                )
+                + 0.0
+            ).alias("radius_over_mean_degree"),
+        )
+    )
