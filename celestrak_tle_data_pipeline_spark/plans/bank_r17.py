@@ -4891,3 +4891,244 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Christoffersen conditional-coverage VaR backtest
+# --------------------------------------------------------------------------
+@register(
+    "christoffersen_independence",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS day,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    chg AS (
+        SELECT day,
+               round((LAG(y) OVER (ORDER BY day) - y) / 100.0, 2)
+                   AS loss
+        FROM daily
+    ),
+    ok AS (SELECT day, loss FROM chg WHERE loss IS NOT NULL),
+    split AS (
+        SELECT CAST(floor(quantile_cont(day, 0.5)) AS BIGINT) AS mid
+        FROM ok
+    ),
+    var95 AS (
+        SELECT quantile_cont(loss, 0.95) AS v
+        FROM ok, split WHERE day <= split.mid
+    ),
+    hits AS (
+        SELECT day,
+               CASE WHEN loss > var95.v THEN 1 ELSE 0 END AS h
+        FROM ok, var95, split WHERE day > split.mid
+    ),
+    trans AS (
+        SELECT LAG(h) OVER (ORDER BY day) AS a, h AS b
+        FROM hits
+    ),
+    cnt AS (
+        SELECT
+            CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n00,
+            CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n01,
+            CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n10,
+            CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n11
+        FROM trans WHERE a IS NOT NULL
+    ),
+    probs AS (
+        SELECT n00, n01, n10, n11,
+               CAST(n00 + n01 + n10 + n11 AS BIGINT) AS n,
+               round(CAST(n01 AS DOUBLE)
+                     / NULLIF(n00 + n01, 0), 10) AS p01,
+               round(CAST(n11 AS DOUBLE)
+                     / NULLIF(n10 + n11, 0), 10) AS p11,
+               round(CAST(n01 + n11 AS DOUBLE)
+                     / (n00 + n01 + n10 + n11), 10) AS p
+        FROM cnt
+    ),
+    lr AS (
+        SELECT n, n00, n01, n10, n11, p01, p11, p,
+               2.0 * ((CASE WHEN n00 > 0
+                       THEN n00 * ln(1.0 - p01) ELSE 0.0 END
+                       + CASE WHEN n01 > 0
+                         THEN n01 * ln(p01) ELSE 0.0 END
+                       + CASE WHEN n10 > 0
+                         THEN n10 * ln(1.0 - p11) ELSE 0.0 END
+                       + CASE WHEN n11 > 0
+                         THEN n11 * ln(p11) ELSE 0.0 END)
+                      - (CASE WHEN n00 + n10 > 0
+                         THEN (n00 + n10) * ln(1.0 - p)
+                         ELSE 0.0 END
+                         + CASE WHEN n01 + n11 > 0
+                           THEN (n01 + n11) * ln(p)
+                           ELSE 0.0 END)) AS lr_ind,
+               2.0 * ((CASE WHEN n01 + n11 > 0
+                       THEN (n01 + n11) * ln(p / 0.05)
+                       ELSE 0.0 END)
+                      + (CASE WHEN n00 + n10 > 0
+                         THEN (n00 + n10)
+                              * ln((1.0 - p) / 0.95)
+                         ELSE 0.0 END)) AS lr_uc
+        FROM probs
+    )
+    SELECT n AS n_test_days, n01 + n11 AS violations,
+           round(p, 8) + 0.0 AS hit_rate,
+           round(p01, 8) + 0.0 AS p_hit_after_calm,
+           round(p11, 8) + 0.0 AS p_hit_after_hit,
+           round(lr_ind, 6) + 0.0 AS lr_independence,
+           round(lr_uc, 6) + 0.0 AS lr_unconditional,
+           round(lr_ind + lr_uc, 6) + 0.0 AS lr_conditional_cov
+    FROM lr
+    """,
+)
+def christoffersen_independence(spark, sf_dir):
+    """CHRISTOFFERSEN conditional-coverage backtest of the
+    first-half-estimated VaR95 on second-half losses (the
+    kupiec_pof_backtest frame): the Markov LR for INDEPENDENCE of
+    violations (p_hit-after-hit = p_hit-after-calm?) plus the
+    unconditional Kupiec LR, summing to the LR_cc ~ chi2(2) —
+    clustering of exceptions is exactly what Kupiec cannot see (a
+    model can hit 5% violations overall while failing every crisis
+    week back-to-back), and p11 >> p01 is that failure printed as
+    two probabilities. Completes the VaR bench: Kupiec (rate),
+    Acerbi (size), Christoffersen (timing). Degenerate cells use
+    the x ln x -> 0 convention behind identical CASE guards.
+
+    Exactness: losses, the split, and VaR are the kupiec twin's
+    exact constructions (percentile over identical frames);
+    transition counts are exact BIGINTs from one lag over the
+    bounded test-half day frame; both LRs are terminal trees of
+    10-dp rounded probabilities. Plan: day rollup, two lags on the
+    day grid, two percentile folds, one fold."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    wd = Window.orderBy("day")
+    chg = daily.select(
+        "day",
+        F.round(
+            (F.lag("y").over(wd) - F.col("y")) / 100.0, 2
+        ).alias("loss"),
+    ).where(F.col("loss").isNotNull()).persist()
+    split = chg.agg(
+        F.floor(F.percentile("day", F.lit(0.5)))
+        .cast("bigint")
+        .alias("mid")
+    )
+    var95 = (
+        chg.crossJoin(F.broadcast(split))
+        .where(F.col("day") <= F.col("mid"))
+        .agg(F.percentile("loss", F.lit(0.95)).alias("v"))
+    )
+    hits = (
+        chg.crossJoin(F.broadcast(split))
+        .crossJoin(F.broadcast(var95))
+        .where(F.col("day") > F.col("mid"))
+        .select(
+            "day",
+            F.when(F.col("loss") > F.col("v"), 1).otherwise(0).alias("h"),
+        )
+    )
+    trans = hits.select(
+        F.lag("h").over(Window.orderBy("day")).alias("a"),
+        F.col("h").alias("b"),
+    ).where(F.col("a").isNotNull())
+    cnt = trans.agg(
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+    )
+    n = (
+        F.col("n00") + F.col("n01") + F.col("n10") + F.col("n11")
+    ).cast("bigint")
+    p01 = F.round(
+        F.col("n01").cast("double")
+        / F.nullif(F.col("n00") + F.col("n01"), F.lit(0)),
+        10,
+    )
+    p11 = F.round(
+        F.col("n11").cast("double")
+        / F.nullif(F.col("n10") + F.col("n11"), F.lit(0)),
+        10,
+    )
+    p = F.round(
+        (F.col("n01") + F.col("n11")).cast("double") / n, 10
+    )
+    probs = cnt.select(
+        "*", n.alias("n"), p01.alias("p01"), p11.alias("p11"), p.alias("p")
+    )
+
+    def xlnx(cnt_col, ln_arg):
+        return F.when(cnt_col > 0, cnt_col * F.log(ln_arg)).otherwise(
+            F.lit(0.0)
+        )
+
+    lr_ind = 2.0 * (
+        (
+            xlnx(F.col("n00"), 1.0 - F.col("p01"))
+            + xlnx(F.col("n01"), F.col("p01"))
+            + xlnx(F.col("n10"), 1.0 - F.col("p11"))
+            + xlnx(F.col("n11"), F.col("p11"))
+        )
+        - (
+            xlnx(F.col("n00") + F.col("n10"), 1.0 - F.col("p"))
+            + xlnx(F.col("n01") + F.col("n11"), F.col("p"))
+        )
+    )
+    lr_uc = 2.0 * (
+        xlnx(F.col("n01") + F.col("n11"), F.col("p") / 0.05)
+        + xlnx(
+            F.col("n00") + F.col("n10"), (1.0 - F.col("p")) / 0.95
+        )
+    )
+    lr = probs.select(
+        "n", "n01", "n11", "p", "p01", "p11",
+        lr_ind.alias("lr_ind"), lr_uc.alias("lr_uc"),
+    )
+    return lr.select(
+        F.col("n").alias("n_test_days"),
+        (F.col("n01") + F.col("n11")).cast("bigint").alias(
+            "violations"
+        ),
+        (F.round("p", 8) + 0.0).alias("hit_rate"),
+        (F.round("p01", 8) + 0.0).alias("p_hit_after_calm"),
+        (F.round("p11", 8) + 0.0).alias("p_hit_after_hit"),
+        (F.round("lr_ind", 6) + 0.0).alias("lr_independence"),
+        (F.round("lr_uc", 6) + 0.0).alias("lr_unconditional"),
+        (
+            F.round(F.col("lr_ind") + F.col("lr_uc"), 6) + 0.0
+        ).alias("lr_conditional_cov"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "christoffersen_independence": (
+            "loss lag + hit-transition lag over the calendar-day "
+            "frame (the kupiec_pof / cusum class)"
+        ),
+    }
+)
