@@ -5132,3 +5132,245 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Poisson c-chart on daily purchase counts
+# --------------------------------------------------------------------------
+@register(
+    "c_chart_poisson_limits",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+        FROM events WHERE event_type = 'purchase'
+    ),
+    span AS (SELECT CAST(min(d) AS BIGINT) AS d0,
+                    CAST(max(d) AS BIGINT) AS d1 FROM days),
+    counts AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM days GROUP BY d
+    ),
+    fill AS (
+        SELECT COALESCE(counts.c, 0) AS c
+        FROM span, LATERAL UNNEST(range(span.d0, span.d1 + 1)) u(g)
+        LEFT JOIN counts ON u.g = counts.d
+    ),
+    cbar AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(c) AS DOUBLE) / COUNT(*), 8) AS cb
+        FROM fill
+    ),
+    lim AS (
+        SELECT n, cb,
+               round(cb + 3.0 * sqrt(cb), 8) AS ucl,
+               round(GREATEST(cb - 3.0 * sqrt(cb), 0.0), 8) AS lcl
+        FROM cbar
+    )
+    SELECT lim.n AS n_days,
+           round(lim.cb, 4) + 0.0 AS c_bar,
+           round(lim.ucl, 4) + 0.0 AS ucl_3sigma,
+           round(lim.lcl, 4) + 0.0 AS lcl_3sigma,
+           CAST((SELECT COUNT(*) FROM fill, lim
+                 WHERE fill.c > lim.ucl) AS BIGINT)
+               AS n_above_ucl,
+           CAST((SELECT COUNT(*) FROM fill, lim
+                 WHERE fill.c < lim.lcl) AS BIGINT)
+               AS n_below_lcl
+    FROM lim
+    """,
+)
+def c_chart_poisson_limits(spark, sf_dir):
+    """POISSON c-CHART on daily purchase counts: center line c-bar
+    with the +/-3 sqrt(c-bar) Shewhart limits (LCL floored at 0)
+    and the out-of-control day counts on each side — the COUNT-data
+    member of the SPC bench (`xmr_individuals_chart` handles
+    continuous individuals, `shewhart_xbar_r_chart` subgrouped
+    means; attribute counts get the c-chart), and the chart whose
+    in-control premise `poisson_dispersion_panel` tests: if that
+    panel shows overdispersion, the c-chart's limits are too tight
+    and n_above_ucl inflates — the two queries read together.
+    Zero-filled day grid (an absent day is a real zero).
+
+    Exactness: counts exact; c-bar and limits round at 8 dp; the
+    two exceedance counts compare exact integers against identical
+    limit doubles. Plan: one filtered rollup, bounded grid fill,
+    one fold, one broadcast count pass."""
+    e = t(spark, sf_dir, "events")
+    days = e.where(F.col("event_type") == "purchase").select(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    )
+    span = days.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    counts = days.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grid = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    fill = grid.join(counts, "d", "left").select(
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
+    ).persist()
+    cbar = fill.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum("c").cast("double") / F.count(F.lit(1)), 8
+        ).alias("cb"),
+    )
+    lim = cbar.select(
+        "n",
+        "cb",
+        F.round(F.col("cb") + 3.0 * F.sqrt(F.col("cb")), 8).alias("ucl"),
+        F.round(
+            F.greatest(
+                F.col("cb") - 3.0 * F.sqrt(F.col("cb")), F.lit(0.0)
+            ),
+            8,
+        ).alias("lcl"),
+    )
+    exc = fill.crossJoin(F.broadcast(lim)).agg(
+        F.sum(F.when(F.col("c") > F.col("ucl"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above_ucl"),
+        F.sum(F.when(F.col("c") < F.col("lcl"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below_lcl"),
+        F.max("n").alias("n"),
+        F.max("cb").alias("cb"),
+        F.max("ucl").alias("ucl"),
+        F.max("lcl").alias("lcl"),
+    )
+    return exc.select(
+        F.col("n").alias("n_days"),
+        (F.round("cb", 4) + 0.0).alias("c_bar"),
+        (F.round("ucl", 4) + 0.0).alias("ucl_3sigma"),
+        (F.round("lcl", 4) + 0.0).alias("lcl_3sigma"),
+        "n_above_ucl",
+        "n_below_lcl",
+    )
+
+
+# --------------------------------------------------------------------------
+# Assortment churn: part-catalog turnover between halves
+# --------------------------------------------------------------------------
+@register(
+    "assortment_churn_rates",
+    oracle="""
+    WITH cut AS (
+        SELECT (min(epoch_us(l_shipdate)) // 86400000000
+                + max(epoch_us(l_shipdate)) // 86400000000) // 2
+                   AS c
+        FROM lineitem
+    ),
+    act AS (
+        SELECT l_partkey AS pk,
+               MAX(CASE WHEN epoch_us(l_shipdate) // 86400000000
+                        <= cut.c THEN 1 ELSE 0 END) AS h1,
+               MAX(CASE WHEN epoch_us(l_shipdate) // 86400000000
+                        > cut.c THEN 1 ELSE 0 END) AS h2
+        FROM lineitem, cut GROUP BY l_partkey, cut.c
+    ),
+    fold AS (
+        SELECT CAST(SUM(h1) AS BIGINT) AS n1,
+               CAST(SUM(h2) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN h1 = 1 AND h2 = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS nboth,
+               CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS ndisc,
+               CAST(SUM(CASE WHEN h1 = 0 AND h2 = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS nnew
+        FROM act
+    )
+    SELECT n1 AS active_first_half, n2 AS active_second_half,
+           nboth AS active_both,
+           round(CAST(ndisc AS DOUBLE) / n1, 8) + 0.0
+               AS discontinuation_rate,
+           round(CAST(nnew AS DOUBLE) / n2, 8) + 0.0
+               AS introduction_rate,
+           round(CAST(nboth AS DOUBLE)
+                 / (n1 + n2 - nboth), 8) + 0.0
+               AS jaccard_persistence
+    FROM fold
+    """,
+)
+def assortment_churn_rates(spark, sf_dir):
+    """ASSORTMENT CHURN of the sold part catalog between the first
+    and second half of the shipping history: discontinuation rate
+    (active then, silent now), introduction rate (new actives), and
+    the Jaccard persistence of the active sets — the SKU-turnover
+    health metric behind range reviews, and the SET-level
+    complement of `rank_turbulence_divergence` (which measures
+    movement WITHIN the surviving leaderboard; this measures the
+    membership churn itself) and `shorrocks_mobility_index`
+    (customers' version). Presence grain per part per half.
+
+    Exactness: per-part half flags are exact MAX indicators; all
+    rates are terminal ratios of exact BIGINTs. Plan: one rollup
+    over lineitem with the broadcast midpoint, one fold."""
+    li = t(spark, sf_dir, "lineitem")
+    cut = li.agg(
+        (
+            (
+                F.floor(F.min(F.unix_micros("l_shipdate")) / 86_400_000_000)
+                + F.floor(
+                    F.max(F.unix_micros("l_shipdate")) / 86_400_000_000
+                )
+            )
+            / 2
+        )
+        .cast("bigint")
+        .alias("c")
+    )
+    act = (
+        li.crossJoin(F.broadcast(cut))
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.max(
+                F.when(
+                    F.floor(F.unix_micros("l_shipdate") / 86_400_000_000)
+                    <= F.col("c"),
+                    1,
+                ).otherwise(0)
+            ).alias("h1"),
+            F.max(
+                F.when(
+                    F.floor(F.unix_micros("l_shipdate") / 86_400_000_000)
+                    > F.col("c"),
+                    1,
+                ).otherwise(0)
+            ).alias("h2"),
+        )
+    )
+    fold = act.agg(
+        F.sum("h1").cast("bigint").alias("n1"),
+        F.sum("h2").cast("bigint").alias("n2"),
+        F.sum(F.when((F.col("h1") == 1) & (F.col("h2") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nboth"),
+        F.sum(F.when((F.col("h1") == 1) & (F.col("h2") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ndisc"),
+        F.sum(F.when((F.col("h1") == 0) & (F.col("h2") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nnew"),
+    )
+    return fold.select(
+        F.col("n1").alias("active_first_half"),
+        F.col("n2").alias("active_second_half"),
+        F.col("nboth").alias("active_both"),
+        (
+            F.round(F.col("ndisc").cast("double") / F.col("n1"), 8)
+            + 0.0
+        ).alias("discontinuation_rate"),
+        (
+            F.round(F.col("nnew").cast("double") / F.col("n2"), 8)
+            + 0.0
+        ).alias("introduction_rate"),
+        (
+            F.round(
+                F.col("nboth").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("nboth")),
+                8,
+            )
+            + 0.0
+        ).alias("jaccard_persistence"),
+    )
