@@ -5374,3 +5374,235 @@ def assortment_churn_rates(spark, sf_dir):
             + 0.0
         ).alias("jaccard_persistence"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sojourn statistics of daily revenue above its mean
+# --------------------------------------------------------------------------
+@register(
+    "mean_sojourn_above_mean",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    mu AS (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS m,
+                  CAST(COUNT(*) AS BIGINT) AS n FROM days),
+    above AS (
+        SELECT d,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn
+        FROM days, mu WHERE days.y > mu.m
+    ),
+    islands AS (
+        SELECT d - rn AS isl, CAST(COUNT(*) AS BIGINT) AS len
+        FROM above GROUP BY d - rn
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sojourns,
+               CAST(SUM(len) AS BIGINT) AS days_above,
+               CAST(MAX(len) AS BIGINT) AS longest,
+               round(CAST(SUM(len) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_len
+        FROM islands
+    )
+    SELECT mu.n AS n_days, fold.days_above, fold.n_sojourns,
+           round(fold.mean_len, 6) + 0.0 AS mean_sojourn_days,
+           fold.longest AS longest_sojourn_days,
+           round(2.0 * fold.n_sojourns / mu.n, 8) + 0.0
+               AS crossing_rate_per_day
+    FROM mu, fold
+    """,
+)
+def mean_sojourn_above_mean(spark, sf_dir):
+    """SOJOURN statistics of daily revenue above its mean: the
+    number, mean length, and longest of the consecutive-day
+    excursions above the mean (gaps-and-islands), plus the level-
+    crossing rate 2 x sojourns / n — the time-series TEXTURE
+    readout: an iid series crosses its mean roughly every other
+    day (long sojourns read as regime persistence, exactly what
+    `hurst_rs_exponent` and `dfa_alpha_longmemory` measure
+    spectrally, here in units a planner understands: "high-revenue
+    spells last 4.2 days"). The mean-level companion of
+    `longest_run_above_median` (median split, extreme-run lens).
+
+    Exactness: the mean is an exact cents ratio; islands are exact
+    integer arithmetic on the bounded day frame; all outputs are
+    counts and exact ratios. Plan: one day rollup, one fold, one
+    row_number over the above-mean days, one island rollup."""
+    o = t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    ).persist()
+    mu = days.agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    above = (
+        days.crossJoin(F.broadcast(mu))
+        .where(F.col("y") > F.col("m"))
+        .select(
+            "d",
+            F.row_number()
+            .over(Window.orderBy("d"))
+            .cast("bigint")
+            .alias("rn"),
+        )
+    )
+    islands = above.groupBy(
+        (F.col("d") - F.col("rn")).alias("isl")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    fold = islands.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sojourns"),
+        F.sum("len").cast("bigint").alias("days_above"),
+        F.max("len").cast("bigint").alias("longest"),
+        F.round(
+            F.sum("len").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_len"),
+    )
+    return fold.crossJoin(F.broadcast(mu)).select(
+        F.col("n").alias("n_days"),
+        "days_above",
+        "n_sojourns",
+        (F.round("mean_len", 6) + 0.0).alias("mean_sojourn_days"),
+        F.col("longest").alias("longest_sojourn_days"),
+        (
+            F.round(2.0 * F.col("n_sojourns") / F.col("n"), 8) + 0.0
+        ).alias("crossing_rate_per_day"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Day-of-month (payday) effect with exact exposure correction
+# --------------------------------------------------------------------------
+@register(
+    "day_of_month_effect",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(day(o_orderdate) AS BIGINT) AS dom,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2
+    ),
+    expo AS (
+        SELECT dom, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS BIGINT) AS n_orders
+        FROM days GROUP BY dom
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_days) AS BIGINT) AS td,
+               CAST(SUM(n_orders) AS BIGINT) AS torders
+        FROM expo
+    ),
+    chi AS (
+        SELECT CAST(SUM(CAST(round(
+                   pow(n_orders - n_days
+                       * (CAST(tot.torders AS DOUBLE) / tot.td), 2)
+                   / (n_days * (CAST(tot.torders AS DOUBLE)
+                                / tot.td)), 9)
+                   AS DECIMAL(38,9))) AS DOUBLE) AS chi2,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM expo, tot
+    ),
+    peak AS (
+        SELECT dom,
+               round(CAST(n_orders AS DOUBLE) / n_days
+                     / (CAST(tot.torders AS DOUBLE) / tot.td), 8)
+                   AS rate_idx
+        FROM expo, tot
+        ORDER BY rate_idx DESC, dom ASC LIMIT 1
+    )
+    SELECT chi.k AS n_dom_values,
+           round(chi.chi2, 4) + 0.0 AS chi2_exposure_adjusted,
+           CAST(chi.k - 1 AS BIGINT) AS dof,
+           peak.dom AS peak_day_of_month,
+           peak.rate_idx + 0.0 AS peak_rate_index
+    FROM chi, peak
+    """,
+)
+def day_of_month_effect(spark, sf_dir):
+    """DAY-OF-MONTH (payday) effect on order volume with EXACT
+    exposure correction: each day-of-month's order count is tested
+    against its own calendar exposure (the 31st occurs in only 7
+    of 12 months, the 29th misses most Februaries — naive dom
+    histograms manufacture a fake month-end dip), chi2 over the 31
+    cells with E_dom = (days of that dom in span) x the grand
+    per-day rate, plus the peak dom and its rate index — the
+    MONTHLY seasonality lens the dow family
+    (`seasonal_dow_decompose`, `median_polish_dow_type`) does not
+    cover. Exposure counts come from the observed day grid itself.
+
+    Exactness: per-dom day and order counts are exact BIGINTs; the
+    grand rate and chi2 terms round at 9 dp into a DECIMAL fold;
+    the peak is a total-order top-1. Plan: one rollup to (day,
+    dom), one 31-row rollup, two folds, one top-1."""
+    o = t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    expo = days.groupBy("dom").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("n_orders"),
+    ).persist()
+    tot = expo.agg(
+        F.sum("n_days").cast("bigint").alias("td"),
+        F.sum("n_orders").cast("bigint").alias("torders"),
+    )
+    j = expo.crossJoin(F.broadcast(tot))
+    rate = F.col("torders").cast("double") / F.col("td")
+    chi = j.agg(
+        F.sum(
+            F.round(
+                F.pow(
+                    F.col("n_orders") - F.col("n_days") * rate, 2
+                )
+                / (F.col("n_days") * rate),
+                9,
+            ).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("chi2"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    peak = (
+        j.select(
+            "dom",
+            F.round(
+                F.col("n_orders").cast("double")
+                / F.col("n_days")
+                / rate,
+                8,
+            ).alias("rate_idx"),
+        )
+        .orderBy(F.col("rate_idx").desc(), F.col("dom").asc())
+        .limit(1)
+    )
+    return chi.crossJoin(F.broadcast(peak)).select(
+        F.col("k").alias("n_dom_values"),
+        (F.round("chi2", 4) + 0.0).alias("chi2_exposure_adjusted"),
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+        F.col("dom").alias("peak_day_of_month"),
+        (F.col("rate_idx") + 0.0).alias("peak_rate_index"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "mean_sojourn_above_mean": (
+            "row_number islands over the above-mean day frame "
+            "(bounded domain — the longest_run class)"
+        ),
+    }
+)
