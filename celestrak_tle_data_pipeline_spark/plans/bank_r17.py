@@ -5606,3 +5606,400 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Blau / IQV qualitative diversity of event-type mix per weekday
+# --------------------------------------------------------------------------
+@register(
+    "blau_iqv_diversity",
+    oracle="""
+    WITH g AS (
+        SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                   AS dow,
+               event_type AS ty, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT dow, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CAST(c AS DECIMAL(19,0)) * c)
+                    AS DECIMAL(38,0)) AS c2
+        FROM g GROUP BY dow
+    )
+    SELECT dow, n AS n_events,
+           round(1.0 - CAST(c2 AS DOUBLE) / (CAST(n AS DOUBLE) * n),
+                 8) + 0.0 AS blau_index,
+           round((1.0 - CAST(c2 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * n)) * 5.0 / 4.0, 8) + 0.0
+               AS iqv_normalized
+    FROM marg ORDER BY dow
+    """,
+)
+def blau_iqv_diversity(spark, sf_dir):
+    """BLAU index (1 - sum p^2, Simpson's D for nominal categories)
+    and its IQV normalization k/(k-1) x Blau of the event-type mix
+    per weekday — the sociology-standard qualitative-variation
+    panel: IQV = 1 means each day's traffic is perfectly balanced
+    across the five types, 0 means single-type days; the NOMINAL
+    counterpart of `leik_ordinal_consensus` (which needs an
+    ordered scale) and the readable twin of the entropy family.
+    Blau is also exactly the probability two random events differ
+    in type — the collision framing retrieval people know.
+
+    Exactness: cell counts and the sum-of-squares fold exactly
+    (DECIMAL(19,0) widen); both indices are terminal ratios.
+    Plan: one rollup to 35 cells, one 7-group fold."""
+    e = t(spark, sf_dir, "events")
+    g = e.groupBy(
+        ((F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7)
+        .cast("bigint")
+        .alias("dow"),
+        F.col("event_type").alias("ty"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    marg = g.groupBy("dow").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("c2"),
+    )
+    n = F.col("n")
+    blau = 1.0 - F.col("c2").cast("double") / (n.cast("double") * n)
+    return marg.select(
+        "dow",
+        n.alias("n_events"),
+        (F.round(blau, 8) + 0.0).alias("blau_index"),
+        (F.round(blau * 5.0 / 4.0, 8) + 0.0).alias("iqv_normalized"),
+    ).orderBy("dow")
+
+
+# --------------------------------------------------------------------------
+# Rao quadratic entropy of the priority mix under ordinal distances
+# --------------------------------------------------------------------------
+@register(
+    "rao_quadratic_entropy",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS cat,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ),
+    n_ AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+    q AS (
+        SELECT CAST(SUM(CAST(round(
+                   (CAST(a.c AS DOUBLE) / n_.n)
+                   * (CAST(b.c AS DOUBLE) / n_.n)
+                   * abs(a.cat - b.cat), 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS rao,
+               CAST(SUM(CASE WHEN a.cat = b.cat
+                        THEN CAST(round(
+                            (CAST(a.c AS DOUBLE) / n_.n)
+                            * (CAST(b.c AS DOUBLE) / n_.n), 12)
+                            AS DECIMAL(28,12)) ELSE 0 END)
+                    AS DOUBLE) AS simpson
+        FROM g a, g b, n_
+    )
+    SELECT (SELECT n FROM n_) AS n_orders,
+           round(q.rao, 8) + 0.0 AS rao_quadratic_entropy,
+           round(1.0 - q.simpson, 8) + 0.0 AS gini_simpson,
+           round(q.rao / (1.0 - q.simpson), 6) + 0.0
+               AS mean_dist_given_different
+    FROM q
+    """,
+)
+def rao_quadratic_entropy(spark, sf_dir):
+    """RAO QUADRATIC ENTROPY of the priority mix under the ordinal
+    distance |i - j|: Q = sum p_i p_j d_ij — the diversity measure
+    that knows 1-URGENT and 5-LOW are FARTHER apart than 1 and 2,
+    which Gini-Simpson (emitted beside it; Rao with d = 1-delta)
+    and entropy cannot express; Q/(1 - Simpson) reads as the mean
+    ordinal distance between two orders GIVEN they differ — the
+    "how polarized, in priority units" number, the distance-aware
+    sibling of `leik_ordinal_consensus`. Ecology's trait-diversity
+    measure applied to workload mix.
+
+    Exactness: category shares are exact count ratios; the 25-term
+    double sum folds 12-dp rounded terms through DECIMAL(28,12).
+    Plan: one 5-category rollup, one bounded pair cross, one
+    fold."""
+    o = t(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("cat")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n_ = g.agg(F.sum("c").cast("bigint").alias("n"))
+    a = g.select(F.col("cat").alias("ca"), F.col("c").alias("cca"))
+    b = g.select(F.col("cat").alias("cb"), F.col("c").alias("ccb"))
+    q = (
+        a.crossJoin(b)
+        .crossJoin(F.broadcast(n_))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("cca").cast("double") / F.col("n"))
+                    * (F.col("ccb").cast("double") / F.col("n"))
+                    * F.abs(F.col("ca") - F.col("cb")),
+                    12,
+                ).cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("rao"),
+            F.sum(
+                F.when(
+                    F.col("ca") == F.col("cb"),
+                    F.round(
+                        (F.col("cca").cast("double") / F.col("n"))
+                        * (F.col("ccb").cast("double") / F.col("n")),
+                        12,
+                    ).cast("decimal(28,12)"),
+                ).otherwise(F.lit(0).cast("decimal(28,12)"))
+            )
+            .cast("double")
+            .alias("simpson"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+    return q.select(
+        F.col("n").alias("n_orders"),
+        (F.round("rao", 8) + 0.0).alias("rao_quadratic_entropy"),
+        (F.round(1.0 - F.col("simpson"), 8) + 0.0).alias(
+            "gini_simpson"
+        ),
+        (
+            F.round(F.col("rao") / (1.0 - F.col("simpson")), 6) + 0.0
+        ).alias("mean_dist_given_different"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini mean difference of daily revenue (rank-weighted exact form)
+# --------------------------------------------------------------------------
+@register(
+    "gini_mean_difference",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT y,
+               CAST(ROW_NUMBER() OVER (ORDER BY y, d) AS BIGINT) AS r,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM days
+    ),
+    fold AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s,
+               CAST(SUM(CAST(2 * r - n - 1
+                             AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS w,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS ss
+        FROM ranked
+    )
+    SELECT n AS n_days,
+           round(2.0 * CAST(w AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)) / 100000.0, 6)
+               + 0.0 AS gmd_kusd,
+           round(sqrt((CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * s / n) / (n - 1))
+                 * 2.0 / sqrt(3.141592653589793) / 100000.0, 6)
+               + 0.0 AS gmd_if_normal_kusd,
+           round((2.0 * CAST(w AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (n - 1)))
+                 / (2.0 * CAST(s AS DOUBLE) / n), 8) + 0.0
+               AS gini_coefficient
+    FROM fold
+    """,
+)
+def gini_mean_difference(spark, sf_dir):
+    """GINI MEAN DIFFERENCE of daily revenue via the exact
+    rank-weighted form GMD = 2 sum (2r - n - 1) x_(r) / (n(n-1)) —
+    the E|X - X'| dispersion measure that is more efficient than
+    MAD under near-normal tails yet far more robust than SD, with
+    its normal-theory reference 2 sigma/sqrt(pi) emitted beside it
+    (GMD above the reference reads as heavy tails in the same
+    units) and the Gini coefficient GMD/(2 mean) closing the loop
+    to the inequality family. The location-free scale trio
+    completes: Qn (pairwise order statistic), Sn, now GMD (pairwise
+    mean).
+
+    Exactness: the rank weights 2r-n-1 are exact integers on the
+    bounded day frame; the weighted fold widens through
+    DECIMAL(19,0); sd from exact cents power sums. Plan: one day
+    rollup, one rank pass, one fold."""
+    o = t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    ranked = days.select(
+        "y",
+        F.row_number()
+        .over(Window.orderBy("y", "d"))
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    fold = ranked.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(
+            (2 * F.col("r") - F.col("n") - 1).cast("decimal(19,0)")
+            * F.col("y")
+        )
+        .cast("decimal(38,0)")
+        .alias("w"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    n = F.col("n")
+    gmd = (
+        2.0
+        * F.col("w").cast("double")
+        / (n.cast("double") * (n - 1))
+    )
+    sd = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / n
+        )
+        / (n - 1)
+    )
+    return fold.select(
+        n.alias("n_days"),
+        (F.round(gmd / 100000.0, 6) + 0.0).alias("gmd_kusd"),
+        (
+            F.round(
+                sd * 2.0 / F.sqrt(F.lit(3.141592653589793)) / 100000.0,
+                6,
+            )
+            + 0.0
+        ).alias("gmd_if_normal_kusd"),
+        (
+            F.round(
+                gmd / (2.0 * F.col("s").cast("double") / n), 8
+            )
+            + 0.0
+        ).alias("gini_coefficient"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hill-number diversity profile of brand revenue shares
+# --------------------------------------------------------------------------
+@register(
+    "hill_numbers_diversity",
+    oracle="""
+    WITH g AS (
+        SELECT p.p_brand AS b,
+               CAST(SUM(CAST(CAST(l.l_extendedprice
+                                  AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+    ),
+    n_ AS (SELECT CAST(SUM(r) AS BIGINT) AS tot,
+                  CAST(COUNT(*) AS BIGINT) AS k FROM g),
+    terms AS (
+        SELECT round(CAST(r AS DOUBLE) / n_.tot, 12) AS p
+        FROM g, n_
+    ),
+    fold AS (
+        SELECT CAST(SUM(CAST(round(-p * ln(p), 12)
+                             AS DECIMAL(28,12))) AS DOUBLE) AS h1,
+               CAST(SUM(CAST(round(p * p, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS sp2
+        FROM terms WHERE p > 0
+    )
+    SELECT n_.k AS hill_q0_richness,
+           round(exp(fold.h1), 6) + 0.0 AS hill_q1_exp_shannon,
+           round(1.0 / fold.sp2, 6) + 0.0 AS hill_q2_inv_simpson,
+           round((1.0 / fold.sp2) / n_.k, 8) + 0.0
+               AS evenness_q2_over_q0
+    FROM n_, fold
+    """,
+)
+def hill_numbers_diversity(spark, sf_dir):
+    """HILL-NUMBER diversity profile of brand revenue shares: q=0
+    (richness — brands present), q=1 (exp Shannon — the effective
+    number of "typical" brands), q=2 (inverse Simpson — effective
+    number of DOMINANT brands), plus the q2/q0 evenness ratio —
+    the effective-number language that makes concentration
+    comparable across catalogs where raw entropies are not
+    (doubling every share leaves all Hill numbers fixed). The
+    q0>>q1>>q2 profile IS the revenue-concentration fingerprint:
+    `market_concentration_hhi` is 1/q2 in disguise, and the Hill
+    frame unifies it with the entropy bench.
+
+    Exactness: revenue shares round at 12 dp from exact cents;
+    both folds carry 12-dp rounded terms through DECIMAL(28,12)
+    over the bounded 25-brand frame. Plan: one join rollup, one
+    fold."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    g = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("b"))
+        .agg(
+            F.sum(
+                (dec("l_extendedprice", 18, 2) * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    n_ = g.agg(
+        F.sum("r").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    terms = g.crossJoin(F.broadcast(n_)).select(
+        F.round(F.col("r").cast("double") / F.col("tot"), 12).alias("p")
+    ).where(F.col("p") > 0)
+    fold = terms.agg(
+        F.sum(
+            F.round(-F.col("p") * F.log("p"), 12).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("h1"),
+        F.sum(
+            F.round(F.col("p") * F.col("p"), 12).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("sp2"),
+    )
+    return n_.crossJoin(F.broadcast(fold)).select(
+        F.col("k").alias("hill_q0_richness"),
+        (F.round(F.exp(F.col("h1")), 6) + 0.0).alias(
+            "hill_q1_exp_shannon"
+        ),
+        (F.round(1.0 / F.col("sp2"), 6) + 0.0).alias(
+            "hill_q2_inv_simpson"
+        ),
+        (
+            F.round((1.0 / F.col("sp2")) / F.col("k"), 8) + 0.0
+        ).alias("evenness_q2_over_q0"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "gini_mean_difference": (
+            "rank over the bounded calendar-day revenue frame "
+            "(the l_moments / lorenz class)"
+        ),
+    }
+)
