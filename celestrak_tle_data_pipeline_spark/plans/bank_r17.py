@@ -6378,3 +6378,573 @@ def price_stickiness_frequency(spark, sf_dir):
             + 0.0
         ).alias("share_never_changed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Concentration index: problem-status inequity across the spend ranking
+# --------------------------------------------------------------------------
+@register(
+    "concentration_index_health",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey AS u,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS spend,
+               round(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 10) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    cells AS (
+        SELECT spend AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CAST(round(y, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS sy
+        FROM cust GROUP BY spend
+    ),
+    cum AS (
+        SELECT v, c, sy,
+               CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) - c AS BIGINT)
+                   AS below,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM cells
+    ),
+    fold AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(sy, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS tys,
+               CAST(SUM(CAST(round(
+                   sy * (2.0 * below + c - n) / n, 8)
+                   AS DECIMAL(28,8))) AS DOUBLE) AS wsum
+        FROM cum
+    )
+    SELECT n AS n_customers,
+           round(tys / n, 8) + 0.0 AS mean_p_rate,
+           round(2.0 * (wsum / n) / (2.0 * tys / n), 8) + 0.0
+               AS concentration_index
+    FROM fold
+    """,
+)
+def concentration_index_health(spark, sf_dir):
+    """CONCENTRATION INDEX of per-customer problem-status rates
+    ACROSS the customer spend ranking (Wagstaff): C = (2/n) sum
+    y_i (midrank_i x 2 - n - 1)/n / (2 ybar) in [-1, 1] — "is the
+    bad outcome concentrated among the rich or the poor": C > 0
+    means problem orders concentrate among HIGH-spend customers —
+    an inequity the plain Gini family cannot ask because it ranks
+    by the OUTCOME itself; C ranks by spend and averages a
+    different variable over that ranking (the bivariate,
+    pseudo-Gini construction), with MIDRANK tie treatment on the
+    spend grid. The customer-equity readout of the funnel/EB
+    league-table family.
+
+    Scale: the spend-grid cumulative uses the RANGED-RANK device
+    (repartitionByRange + prefix_offsets — common.py) because
+    distinct customer spends grow with volume; the 64x probe
+    caught the naive global row_number at 15x over its band and
+    this rewrite is the r7-precedent fix. Exactness: per-customer
+    rates round at 10 dp; midrank weights are exact integers; the
+    weighted fold carries 8-dp rounded terms through DECIMAL.
+    Plan: one customer rollup, one spend-grid rollup, the ranged
+    cumulative, one fold."""
+    from .common import prefix_offsets
+
+    o = t(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("u")).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("spend"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            10,
+        ).alias("y"),
+    )
+    cells = (
+        cust.groupBy(F.col("spend").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum(F.round("y", 10).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sy"),
+        )
+        .repartitionByRange(8, F.col("v").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = cells.groupBy("pid").agg(F.sum("c").alias("pn"))
+    offsets = prefix_offsets(counts, {"offset": "pn"})
+    local_cum = F.sum("c").over(
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.join(F.broadcast(offsets), "pid").select(
+        "v",
+        "c",
+        "sy",
+        (local_cum + F.col("offset") - F.col("c"))
+        .cast("bigint")
+        .alias("below"),
+    )
+    n_ = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    fold = cum.crossJoin(F.broadcast(n_)).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.round("sy", 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("tys"),
+        F.sum(
+            F.round(
+                F.col("sy")
+                * (2.0 * F.col("below") + F.col("c") - F.col("n"))
+                / F.col("n"),
+                8,
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("wsum"),
+    )
+    n = F.col("n")
+    return fold.select(
+        n.alias("n_customers"),
+        (F.round(F.col("tys") / n, 8) + 0.0).alias("mean_p_rate"),
+        (
+            F.round(
+                2.0
+                * (F.col("wsum") / n)
+                / (2.0 * F.col("tys") / n),
+                8,
+            )
+            + 0.0
+        ).alias("concentration_index"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Difference-sign test of trend in daily revenue
+# --------------------------------------------------------------------------
+@register(
+    "difference_sign_test",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    diffs AS (
+        SELECT CASE WHEN y > LAG(y) OVER (ORDER BY d)
+                    THEN 1 ELSE 0 END AS up,
+               LAG(y) OVER (ORDER BY d) AS prev
+        FROM days
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(up) AS BIGINT) AS ups
+        FROM diffs WHERE prev IS NOT NULL
+    )
+    SELECT m AS n_differences, ups AS n_increases,
+           round(m / 2.0, 2) + 0.0 AS expected_increases,
+           round((ups - m / 2.0)
+                 / sqrt((m + 1.0) / 12.0), 6) + 0.0
+               AS z_difference_sign
+    FROM fold
+    """,
+)
+def difference_sign_test(spark, sf_dir):
+    """DIFFERENCE-SIGN test of monotone trend in daily revenue:
+    count the day-over-day INCREASES against the m/2 null with
+    Var = (m+1)/12 — the third member of the classical randomness
+    battery alongside `runs_test_randomness` (level runs) and
+    `turning_points_randomness` (local extrema): difference-sign
+    is the one with power against smooth monotone TREND and none
+    against periodicity, so the three disagreeing localizes WHICH
+    structure the series carries. Cheap, classical, and the
+    documented caveat applies: strong seasonality inflates it —
+    read beside `seasonal_dow_decompose`.
+
+    Exactness: increase counts are exact integers from one lag on
+    the bounded day grid; z is a terminal tree. Plan: one day
+    rollup, one lag, one fold."""
+    o = t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    wd = Window.orderBy("d")
+    diffs = days.select(
+        F.when(F.col("y") > F.lag("y").over(wd), 1)
+        .otherwise(0)
+        .alias("up"),
+        F.lag("y").over(wd).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    fold = diffs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("up").cast("bigint").alias("ups"),
+    )
+    m = F.col("m")
+    return fold.select(
+        m.alias("n_differences"),
+        F.col("ups").alias("n_increases"),
+        (F.round(m / 2.0, 2) + 0.0).alias("expected_increases"),
+        (
+            F.round(
+                (F.col("ups") - m / 2.0)
+                / F.sqrt((m + 1.0) / 12.0),
+                6,
+            )
+            + 0.0
+        ).alias("z_difference_sign"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DFFITS influence panel for the daily revenue trend
+# --------------------------------------------------------------------------
+@register(
+    "dffits_influence_days",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    span AS (SELECT CAST(min(d) AS BIGINT) AS d0 FROM days),
+    pts AS (
+        SELECT CAST(days.d - span.d0 AS BIGINT) AS i, days.y
+        FROM days, span
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(i) AS BIGINT) AS s1,
+               CAST(SUM(i * i) AS BIGINT) AS s2,
+               CAST(SUM(y) AS BIGINT) AS t0,
+               CAST(SUM(CAST(i AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS t1,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS q
+        FROM pts
+    ),
+    ols AS (
+        SELECT n, s1, s2, t0, t1, q,
+               round((n * CAST(t1 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * t0)
+                     / (n * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * s1), 10) AS b1
+        FROM mom
+    ),
+    ols2 AS (
+        SELECT *, round((t0 - b1 * s1) / n, 10) AS b0,
+               (CAST(q AS DOUBLE)
+                - round((t0 - b1 * s1) / n, 10) * t0
+                - b1 * CAST(t1 AS DOUBLE)) / (n - 2.0) AS s2e
+        FROM ols
+    ),
+    infl AS (
+        SELECT p.i,
+               round((p.y - o.b0 - o.b1 * p.i)
+                     * sqrt((1.0 / o.n
+                             + pow(p.i - CAST(o.s1 AS DOUBLE) / o.n,
+                                   2)
+                               / (CAST(o.s2 AS DOUBLE)
+                                  - CAST(o.s1 AS DOUBLE) * o.s1
+                                    / o.n))
+                            / (1.0 - (1.0 / o.n
+                               + pow(p.i - CAST(o.s1 AS DOUBLE)
+                                     / o.n, 2)
+                                 / (CAST(o.s2 AS DOUBLE)
+                                    - CAST(o.s1 AS DOUBLE) * o.s1
+                                      / o.n))))
+                     / sqrt(((o.n - 2.0) * o.s2e
+                             - pow(p.y - o.b0 - o.b1 * p.i, 2)
+                               / (1.0 - (1.0 / o.n
+                                  + pow(p.i - CAST(o.s1 AS DOUBLE)
+                                        / o.n, 2)
+                                    / (CAST(o.s2 AS DOUBLE)
+                                       - CAST(o.s1 AS DOUBLE) * o.s1
+                                         / o.n))))
+                            / (o.n - 3.0))
+                     / (1.0 - (1.0 / o.n
+                        + pow(p.i - CAST(o.s1 AS DOUBLE) / o.n, 2)
+                          / (CAST(o.s2 AS DOUBLE)
+                             - CAST(o.s1 AS DOUBLE) * o.s1 / o.n)))
+                     * (1.0 - (1.0 / o.n
+                        + pow(p.i - CAST(o.s1 AS DOUBLE) / o.n, 2)
+                          / (CAST(o.s2 AS DOUBLE)
+                             - CAST(o.s1 AS DOUBLE) * o.s1 / o.n))),
+                     8) AS dffits
+        FROM pts p, ols2 o
+    )
+    SELECT i AS day_index,
+           abs(dffits) + 0.0 AS abs_dffits,
+           dffits + 0.0 AS dffits
+    FROM infl ORDER BY abs(dffits) DESC, i ASC LIMIT 5
+    """,
+)
+def dffits_influence_days(spark, sf_dir):
+    """DFFITS influence panel for the daily-revenue trend: the top-5
+    days by |DFFITS| = e_i sqrt(h_i/(1-h_i)) / s_(i), with the
+    EXACT closed-form leave-one-out sigma s_(i)^2 = ((n-2)s^2 -
+    e_i^2/(1-h_i))/(n-3) — no refitting — completing the influence
+    bench: `cooks_distance_trend` sizes influence on the WHOLE fit,
+    PRESS prices it out of sample, DFFITS localizes it at the
+    fitted VALUE (the |DFFITS| > 2 sqrt(2/n) convention names the
+    days to investigate first). Deterministic (|DFFITS|, day)
+    total order.
+
+    Exactness: stage-1 (b0, b1) round at 10 dp from exact moments
+    (the ramsey/press idiom); each DFFITS is one terminal tree of
+    exact integers and those rounded fits, rounded at 8 dp before
+    the top-5. Plan: one day rollup, one moment fold, one
+    broadcast residual pass, one top-5."""
+    o = t(spark, sf_dir, "orders")
+    days = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    span = days.agg(F.min("d").alias("d0"))
+    pts = days.crossJoin(F.broadcast(span)).select(
+        (F.col("d") - F.col("d0")).cast("bigint").alias("i"), "y"
+    ).persist()
+    i, y = F.col("i"), F.col("y")
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(i).cast("bigint").alias("s1"),
+        F.sum(i * i).cast("bigint").alias("s2"),
+        F.sum(y).cast("bigint").alias("t0"),
+        F.sum(i.cast("decimal(19,0)") * y)
+        .cast("decimal(38,0)")
+        .alias("t1"),
+        F.sum(y.cast("decimal(19,0)") * y)
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    n = F.col("n")
+    b1 = F.round(
+        (n * F.col("t1").cast("double") - F.col("s1").cast("double") * F.col("t0"))
+        / (n * F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1")),
+        10,
+    )
+    ols = mom.select("*", b1.alias("b1"))
+    b0 = F.round((F.col("t0") - F.col("b1") * F.col("s1")) / n, 10)
+    s2e = (
+        F.col("q").cast("double")
+        - b0 * F.col("t0")
+        - F.col("b1") * F.col("t1").cast("double")
+    ) / (n - 2.0)
+    ols2 = ols.select("*", b0.alias("b0"), s2e.alias("s2e"))
+    j = pts.crossJoin(F.broadcast(ols2))
+    sxx = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    )
+    h = 1.0 / F.col("n") + F.pow(
+        F.col("i") - F.col("s1").cast("double") / F.col("n"), 2
+    ) / sxx
+    e = F.col("y") - F.col("b0") - F.col("b1") * F.col("i")
+    sloo2 = (
+        (F.col("n") - 2.0) * F.col("s2e") - F.pow(e, 2) / (1.0 - h)
+    ) / (F.col("n") - 3.0)
+    dff = F.round(
+        e * F.sqrt(h / (1.0 - h)) / F.sqrt(sloo2) / (1.0 - h) * (1.0 - h),
+        8,
+    )
+    infl = j.select("i", dff.alias("dffits"))
+    return (
+        infl.orderBy(F.abs(F.col("dffits")).desc(), F.col("i").asc())
+        .limit(5)
+        .select(
+            F.col("i").alias("day_index"),
+            (F.abs(F.col("dffits")) + 0.0).alias("abs_dffits"),
+            (F.col("dffits") + 0.0).alias("dffits"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Day-of-week profile stability: first half vs second half
+# --------------------------------------------------------------------------
+@register(
+    "dow_profile_stability",
+    oracle="""
+    WITH cut AS (
+        SELECT (min(epoch_us(o_orderdate)) // 86400000000
+                + max(epoch_us(o_orderdate)) // 86400000000) // 2
+                   AS c
+        FROM orders
+    ),
+    g AS (
+        SELECT CAST((epoch_us(o_orderdate) // 86400000000 + 4) % 7
+                    AS BIGINT) AS dow,
+               CASE WHEN epoch_us(o_orderdate) // 86400000000
+                    <= cut.c THEN 1 ELSE 2 END AS half,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders, cut GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT half, CAST(SUM(n) AS BIGINT) AS tn FROM g GROUP BY half
+    ),
+    shares AS (
+        SELECT g.dow,
+               MAX(CASE WHEN g.half = 1
+                   THEN round(CAST(g.n AS DOUBLE) / tot.tn, 10)
+                   END) AS p1,
+               MAX(CASE WHEN g.half = 2
+                   THEN round(CAST(g.n AS DOUBLE) / tot.tn, 10)
+                   END) AS p2
+        FROM g JOIN tot ON g.half = tot.half
+        GROUP BY g.dow
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(round(p1, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS s1,
+               CAST(SUM(CAST(round(p2, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS s2,
+               CAST(SUM(CAST(round(p1 * p1, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS s11,
+               CAST(SUM(CAST(round(p2 * p2, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS s22,
+               CAST(SUM(CAST(round(p1 * p2, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS s12,
+               CAST(SUM(CAST(round(abs(p1 - p2), 10)
+                             AS DECIMAL(28,10))) AS DOUBLE) AS tv2
+        FROM shares
+    )
+    SELECT k AS n_dow,
+           round((k * s12 - s1 * s2)
+                 / sqrt((k * s11 - s1 * s1)
+                        * (k * s22 - s2 * s2)), 8) + 0.0
+               AS profile_correlation,
+           round(tv2 / 2.0, 8) + 0.0 AS profile_total_variation
+    FROM mom
+    """,
+)
+def dow_profile_stability(spark, sf_dir):
+    """DAY-OF-WEEK PROFILE STABILITY between the first and second
+    half of the order history: the Pearson correlation of the two
+    7-point dow share profiles plus their total-variation distance
+    — the "is our weekly shape a stable planning input" check that
+    the point-in-time dow panels (`seasonal_dow_decompose`,
+    `median_polish_dow_type`, `leik_ordinal_consensus`) silently
+    assume: correlation near 1 with TV near 0 licenses using
+    pooled dow factors; anything else says the weekly rhythm
+    DRIFTED and per-period factors are needed.
+
+    Exactness: per-(half, dow) counts are exact; shares round at
+    10 dp; all correlation moments fold 10-12-dp rounded terms
+    through DECIMAL over the 7-row frame. Plan: one rollup to 14
+    cells, one pivot, one fold."""
+    o = t(spark, sf_dir, "orders")
+    cut = o.agg(
+        (
+            (
+                F.floor(F.min(F.unix_micros("o_orderdate")) / 86_400_000_000)
+                + F.floor(
+                    F.max(F.unix_micros("o_orderdate")) / 86_400_000_000
+                )
+            )
+            / 2
+        )
+        .cast("bigint")
+        .alias("c")
+    )
+    g = (
+        o.crossJoin(F.broadcast(cut))
+        .groupBy(
+            ((F.floor(F.unix_micros("o_orderdate") / 86_400_000_000) + 4) % 7)
+            .cast("bigint")
+            .alias("dow"),
+            F.when(
+                F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+                <= F.col("c"),
+                1,
+            )
+            .otherwise(2)
+            .alias("half"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = g.groupBy("half").agg(F.sum("n").cast("bigint").alias("tn"))
+    shares = (
+        g.join(tot, "half")
+        .groupBy("dow")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("half") == 1,
+                    F.round(
+                        F.col("n").cast("double") / F.col("tn"), 10
+                    ),
+                )
+            ).alias("p1"),
+            F.max(
+                F.when(
+                    F.col("half") == 2,
+                    F.round(
+                        F.col("n").cast("double") / F.col("tn"), 10
+                    ),
+                )
+            ).alias("p2"),
+        )
+    )
+
+    def dfold(expr, scale, name):
+        return (
+            F.sum(F.round(expr, scale).cast(f"decimal(28,{scale})"))
+            .cast("double")
+            .alias(name)
+        )
+
+    mom = shares.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        dfold(F.col("p1"), 10, "s1"),
+        dfold(F.col("p2"), 10, "s2"),
+        dfold(F.col("p1") * F.col("p1"), 12, "s11"),
+        dfold(F.col("p2") * F.col("p2"), 12, "s22"),
+        dfold(F.col("p1") * F.col("p2"), 12, "s12"),
+        dfold(F.abs(F.col("p1") - F.col("p2")), 10, "tv2"),
+    )
+    k = F.col("k")
+    corr = (k * F.col("s12") - F.col("s1") * F.col("s2")) / F.sqrt(
+        (k * F.col("s11") - F.col("s1") * F.col("s1"))
+        * (k * F.col("s22") - F.col("s2") * F.col("s2"))
+    )
+    return mom.select(
+        k.alias("n_dow"),
+        (F.round(corr, 8) + 0.0).alias("profile_correlation"),
+        (F.round(F.col("tv2") / 2.0, 8) + 0.0).alias(
+            "profile_total_variation"
+        ),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+    }
+)
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "difference_sign_test": (
+            "one lag over the bounded calendar-day grid "
+            "(the cusum / cox_stuart class)"
+        ),
+    }
+)
