@@ -6,12 +6,20 @@ sweeps via ``tools/bank_check.py --module bank_r17``, the dtype-family
 sweep (``tests/test_oracle_dtypes.py`` auto-discovers bank_r13..r17),
 and plan-audit notes pre-adjudicated at authoring time.
 
-Seed theme: GLOBAL-NULL AND EVIDENCE COMBINATION — what a monitoring
-surface does with a FAMILY of p-values beyond per-cell FDR: Fisher and
-Stouffer combinations, the Simes global test, the harmonic-mean
-p-value, and the BKY adaptive two-stage FDR, all on the shared 35-cell
-contingency family; plus consumption-structure econometrics (Engel
-curve) off the customer-spend frame.
+Theme: EVIDENCE, DECISIONS, AND OPERATIONS — global-null machinery
+(Fisher/Stouffer, Simes + HMP, BKY, mSPRT, combination identities),
+decision-grade model evaluation (NRI, decision curves, skill scores,
+Spiegelhalter out-of-sample calibration), operations and economics
+(LMDI bridge, forecast combination, pairs trading, hedonics, price
+stickiness/heaping, funnel plots, assortment churn, c-chart,
+CUSUM+ARL), population and diversity bounds (Chao-Mh, ACE, beta
+diversity, Hill numbers, Blau/Rao/Leik-adjacent panels), robust and
+rank machinery (van Elteren, GMD, medcouple boxplot, Kendall partial
+tau, concentration index on the ranged-rank device), sequence and
+graph structure (Markov order LR, SAX motifs, sojourns, variogram,
+k-truss, spectral radius), and influence/effect panels (DFFITS,
+PAF, difference-sign, day-of-month, dow stability, Feltz-Miller,
+OVL, Christoffersen).
 
 Determinism disciplines inherited unchanged (bank_r11..r16
 docstrings): exact integer/DECIMAL folds, round-before-fold on every
