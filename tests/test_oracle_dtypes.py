@@ -65,11 +65,11 @@ def test_staged_bank_oracle_dtype_families(spark):
     # Any pre-staged bank must clear the same sweep BEFORE its flip —
     # the r11 failure shipped precisely because pre-flip verification
     # was structurally unable to see this class. Sweeps every staged
-    # bank generation that exists (the next ~4 rounds' worth of names).
+    # bank generation that exists (several rounds' worth of names).
     import importlib
 
     clashes = []
-    for rnd in range(13, 18):
+    for rnd in range(13, 20):
         try:
             bank = importlib.import_module(
                 f"celestrak_tle_data_pipeline_spark.plans.bank_r{rnd}"

@@ -296,6 +296,7 @@ def audit(spark, names=None):
         bank_r15,
         bank_r16,
         bank_r17,
+        bank_r18,
         next_window,
     )
 
@@ -309,6 +310,7 @@ def audit(spark, names=None):
             **bank_r15.BANK_QUERIES,
             **bank_r16.BANK_QUERIES,
             **bank_r17.BANK_QUERIES,
+            **bank_r18.BANK_QUERIES,
             **next_window.NEXT_QUERIES,
             **qs,
         }

@@ -140,6 +140,7 @@ def main(argv) -> int:
         bank_r15,
         bank_r16,
         bank_r17,
+        bank_r18,
         next_window,
     )
     from celestrak_tle_data_pipeline_spark.session import get_spark
@@ -156,6 +157,7 @@ def main(argv) -> int:
     qs.update(bank_r15.BANK_QUERIES)
     qs.update(bank_r16.BANK_QUERIES)
     qs.update(bank_r17.BANK_QUERIES)
+    qs.update(bank_r18.BANK_QUERIES)
     qs.update(next_window.NEXT_QUERIES)
     qs.update(plans.all_queries())
     report = {}
