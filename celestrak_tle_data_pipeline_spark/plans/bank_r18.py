@@ -404,3 +404,207 @@ def lorenz_dominance_check(spark, sf_dir):
         .alias("dominant_half"),
     )
 
+
+
+# --------------------------------------------------------------------------
+# DKW finite-sample band check of the fitted lognormal
+# --------------------------------------------------------------------------
+from .stats_tests import _p_two_sided_sql  # noqa: E402
+
+
+@register(
+    "dkw_band_lognormal_check",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v,
+               round(ln(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT) / 100000.0), 10) AS l
+        FROM orders
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(CAST(round(l, 10) AS DECIMAL(28,10)))
+                          AS DOUBLE) / COUNT(*), 10) AS mu,
+               round(sqrt((CAST(SUM(CAST(round(l * l, 10)
+                                AS DECIMAL(28,10))) AS DOUBLE)
+                           - pow(CAST(SUM(CAST(round(l, 10)
+                                 AS DECIMAL(28,10))) AS DOUBLE), 2)
+                             / COUNT(*)) / COUNT(*)), 10) AS sig
+        FROM pts
+    ),
+    grid AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS BIGINT) AS f,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM grid
+    ),
+    dist AS (
+        SELECT cum.v, cum.f, cum.n, mom.mu, mom.sig,
+               round(1.0 - ({_p_two_sided_sql(
+                   '(ln(cum.v / 100000.0) - mom.mu) / mom.sig')})
+                     / 2.0, 12) AS cdf_hi,
+               round(({_p_two_sided_sql(
+                   '(ln(cum.v / 100000.0) - mom.mu) / mom.sig')})
+                     / 2.0, 12) AS cdf_lo
+        FROM cum, mom
+    ),
+    gap2 AS (
+        SELECT MAX(GREATEST(
+                   ABS(CAST(d.f AS DOUBLE) / d.n
+                       - CASE WHEN ln(d.v / 100000.0) >= d.mu
+                              THEN d.cdf_hi ELSE d.cdf_lo END),
+                   ABS(CAST(d.f - 1 AS DOUBLE) / d.n
+                       - CASE WHEN ln(d.v / 100000.0) >= d.mu
+                              THEN d.cdf_hi ELSE d.cdf_lo END)))
+                   AS supgap
+        FROM dist d
+    )
+    SELECT mom.n AS n_orders,
+           round(gap2.supgap, 8) + 0.0 AS sup_ecdf_gap,
+           round(sqrt(ln(2.0 / 0.05) / (2.0 * mom.n)), 8) + 0.0
+               AS dkw_epsilon_95,
+           CAST(CASE WHEN gap2.supgap
+                          <= sqrt(ln(2.0 / 0.05) / (2.0 * mom.n))
+                     THEN 1 ELSE 0 END AS INT) AS inside_dkw_band
+    FROM mom, gap2
+    """,
+)
+def dkw_band_lognormal_check(spark, sf_dir):
+    """DKW FINITE-SAMPLE band check of the fitted lognormal: the sup
+    gap between the order-value ECDF (evaluated above and below
+    every distinct value) and the MLE lognormal CDF, against the
+    Dvoretzky-Kiefer-Wolfowitz 95% envelope sqrt(ln(2/alpha)/(2n))
+    — unlike the asymptotic tests (`lilliefors_normal_fit`,
+    `ks_exponential_gaps`), DKW is a NON-asymptotic guarantee: the
+    band holds at every n with no critical-value table, so
+    inside_dkw_band = 1 is a finite-sample certificate that the
+    lognormal (the `lognormal_vs_exponential_fit` winner) is
+    indistinguishable from the data at 95% — the model-acceptance
+    complement to that query's model-SELECTION verdict. The
+    lognormal CDF splits the shared erfc tree by the sign of the
+    standardized log (identical CASE both engines).
+
+    Exactness: mu/sigma are 10-dp rounded log-moment folds; ECDF
+    counts are exact on the cents grid; the sup is an order-free
+    MAX of 12-dp rounded terms. Plan: one fold, one grid
+    cumulative, one fold."""
+    o = t(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice", 18, 2) * 100).cast("bigint")
+    pts = o.select(
+        cents.alias("v"),
+        F.round(F.log(cents / 100000.0), 10).alias("l"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.round("l", 10).cast("decimal(28,10)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            10,
+        ).alias("mu"),
+        F.round(
+            F.sqrt(
+                (
+                    F.sum(
+                        F.round(F.col("l") * F.col("l"), 10).cast(
+                            "decimal(28,10)"
+                        )
+                    ).cast("double")
+                    - F.pow(
+                        F.sum(
+                            F.round("l", 10).cast("decimal(28,10)")
+                        ).cast("double"),
+                        2,
+                    )
+                    / F.count(F.lit(1))
+                )
+                / F.count(F.lit(1))
+            ),
+            10,
+        ).alias("sig"),
+    )
+    grid = pts.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = grid.select(
+        "v",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint")
+        .alias("f"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    z = (F.log(F.col("v") / 100000.0) - F.col("mu")) / F.col("sig")
+    x = F.abs(z) / 1.4142135623730951
+    tp = 1.0 / (1.0 + 0.3275911 * x)
+    ptwo = (
+        (
+            ((1.061405429 * tp - 1.453152027) * tp + 1.421413741) * tp
+            - 0.284496736
+        )
+        * tp
+        + 0.254829592
+    ) * tp * F.exp(-x * x)
+    cdf_hi = F.round(1.0 - ptwo / 2.0, 12)
+    cdf_lo = F.round(ptwo / 2.0, 12)
+    dist = cum.crossJoin(F.broadcast(mom)).select(
+        "v",
+        "f",
+        cum.n.alias("nn"),
+        "mu",
+        "sig",
+        cdf_hi.alias("cdf_hi"),
+        cdf_lo.alias("cdf_lo"),
+    )
+    cdf = F.when(
+        F.log(F.col("v") / 100000.0) >= F.col("mu"), F.col("cdf_hi")
+    ).otherwise(F.col("cdf_lo"))
+    gap2 = dist.agg(
+        F.max(
+            F.greatest(
+                F.abs(F.col("f").cast("double") / F.col("nn") - cdf),
+                F.abs(
+                    (F.col("f") - 1).cast("double") / F.col("nn") - cdf
+                ),
+            )
+        ).alias("supgap")
+    )
+    return mom.crossJoin(F.broadcast(gap2)).select(
+        F.col("n").alias("n_orders"),
+        (F.round("supgap", 8) + 0.0).alias("sup_ecdf_gap"),
+        (
+            F.round(
+                F.sqrt(F.log(F.lit(2.0 / 0.05)) / (2.0 * F.col("n"))),
+                8,
+            )
+            + 0.0
+        ).alias("dkw_epsilon_95"),
+        F.when(
+            F.col("supgap")
+            <= F.sqrt(F.log(F.lit(2.0 / 0.05)) / (2.0 * F.col("n"))),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("inside_dkw_band"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "dkw_band_lognormal_check": (
+            "one cumulative over the cents value grid for the exact "
+            "ECDF (the lilliefors / moods class)"
+        ),
+    }
+)
