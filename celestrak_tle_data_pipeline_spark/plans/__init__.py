@@ -60,6 +60,7 @@ _MODULES = (
     "bank_r11",
     "bank_r12",
     "bank_r13",
+    "bank_r14",
 )
 
 # The round whose official CORRECTNESS gate this window targets. The
@@ -68,74 +69,74 @@ _MODULES = (
 # round's own CORRECTNESS file, the window names ARE official — that is
 # the point — so tests/test_registry.py excludes rounds >= WINDOW_ROUND
 # from the recycled-name glob (the r10 verdict's era-proofing fix).
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries, so
 # ordering is part of the contract: the 50 names emitted first are that
 # round's official window. Everything else registered stays available after
 # them as bonus coverage. ``tests/test_registry.py`` pins this list.
 #
-# Round-13 rotation: CORRECTNESS_r12 is 50/50 green — nothing to re-green,
-# so the whole window turns over to first-time names: the pre-staged
-# 49-query bank (``plans/bank_r13.py``, X394+) flips live in registration
-# order, and the 50th slot is ``split_conformal_interval``, promoted from
-# the round-14 seed (VERDICT r12 item 1 directed the promotion over
-# burning the slot on a rows-only name).
+# Round-14 rotation: CORRECTNESS_r13 is 50/50 green — nothing to re-green,
+# so the whole window turns over to first-time names again: the pre-staged
+# 49-query bank (``plans/bank_r14.py``, X444+) flips live in registration
+# order, and the 50th slot is ``dersimonian_laird_meta``, promoted from
+# the round-15 bank (VERDICT r13 item 1 directed the promotion — the
+# split_conformal precedent).
 _PRIORITY = (
-    # --- round-13 bank flip (X394+, bank_r13.BANK_QUERIES order;
-    # the 50th name is split_conformal_interval, promoted from the
-    # round-14 seed — VERDICT r12 item 1: no red name was left to
+    # --- round-14 bank flip (X444+, bank_r14.BANK_QUERIES order;
+    # the 50th name is dersimonian_laird_meta, promoted from the
+    # round-15 bank — VERDICT r13 item 1: no red name was left to
     # re-green, so the slot goes to first-time staged work) ---
-    "var_cvar_historical",
-    "kupiec_pof_backtest",
-    "gbm_drift_vol_fit",
-    "dixon_q_extremes",
-    "cochran_c_variance",
-    "page_hinkley_drift",
-    "integrated_autocorr_time",
-    "gwet_ac1_agreement",
-    "burstiness_memory_panel",
-    "ece_mce_calibration",
-    "cohens_q_correlations",
-    "degree_gini_inequality",
-    "benford_second_digit_mad",
-    "elementary_price_indices",
-    "oaxaca_blinder_gap",
-    "indirect_standardization_sir",
-    "newsvendor_quantile",
-    "tracking_signal_monitor",
-    "dunns_posthoc_pairs",
-    "cucconi_test",
-    "stochastic_superiority_bm",
-    "bland_altman_limits",
-    "spearman_footrule_sources",
-    "sharpe_sortino_omega",
-    "ulcer_index_martin",
-    "lepage_test",
-    "friedman_aligned_ranks",
-    "winsorized_correlation",
-    "biweight_midvariance",
-    "rousseeuw_sn_scale",
-    "cusum_squares_variance",
-    "clumpiness_index_users",
-    "gries_dp_dispersion",
-    "pickands_tail_estimator",
-    "es_backtest_acerbi",
-    "zipf_mandelbrot_fit",
-    "term_burstiness_fano",
-    "morisita_horn_sources",
-    "vocab_containment_topk",
-    "hawkes_branching_moment",
-    "doksum_shift_function",
-    "mincer_zarnowitz_rationality",
-    "western_electric_rules",
-    "lorenz_asymmetry_coefficient",
-    "mean_residual_life_panel",
-    "effective_rank_entropy",
-    "bounce_rate_by_entry",
-    "odds_ratio_haldane_ci",
-    "cramers_v_bias_corrected",
-    "split_conformal_interval",
+    "poisson_bootstrap_se",
+    "aic_model_weights",
+    "cluster_design_effect_users",
+    "mcnemar_classifier_pair",
+    "empirical_bernstein_ci",
+    "betting_evalue_mean_test",
+    "horvitz_thompson_estimate",
+    "aipw_doubly_robust",
+    "offpolicy_ips_snips",
+    "ledoit_wolf_shrinkage",
+    "group_sequential_looks",
+    "winkler_interval_score",
+    "pit_uniformity_check",
+    "sen_slope_confidence_band",
+    "assortativity_by_brand",
+    "dunning_llr_collocations",
+    "rk_multiclass_mcc",
+    "diebold_mariano_forecast",
+    "pesaran_timmermann_direction",
+    "crps_ensemble_daily",
+    "harmonic_weekly_regression",
+    "goldfeld_quandt_test",
+    "white_heteroskedasticity_test",
+    "quandt_andrews_supf",
+    "engle_granger_cointegration",
+    "fligner_policello_test",
+    "baumgartner_weiss_schindler",
+    "cressie_read_divergence_panel",
+    "stuart_tau_c_association",
+    "deming_regression",
+    "atkinson_inequality_panel",
+    "duncan_segregation_index",
+    "location_quotient_regions",
+    "shift_share_decomposition",
+    "littles_law_audit",
+    "morans_i_nations",
+    "geary_c_nations",
+    "raking_ipf_margins",
+    "wilson_agresti_coull_panel",
+    "brr_hadamard_variance",
+    "weibull_median_rank_fit",
+    "allan_variance_rates",
+    "rayleigh_circular_hours",
+    "arr_nnt_epidemiology_panel",
+    "diagnostic_likelihood_ratios",
+    "v_measure_clusters",
+    "katz_centrality_brands",
+    "adamic_adar_link_prediction",
+    "dunn_validity_index",
+    "dersimonian_laird_meta",
 )
 
 # Registry names that are rows-only BY DESIGN (registered without a DuckDB

@@ -5664,7 +5664,10 @@ def split_conformal_interval(spark, sf_dir):
     )
     nk = by_score.agg(
         F.sum("c").cast("bigint").alias("n_cal"),
-        ((9 * (F.sum("c") + 1) + 9) / 10)
+        # ADVICE r13: exact integer floor-division (DIV), matching the
+        # oracle's `//` — the double-division + cast form could diverge
+        # past 2^53 and broke the exact-integer-fold discipline.
+        F.expr("(9 * (sum(c) + 1) + 9) div 10")
         .cast("bigint")
         .alias("k"),
     )

@@ -1,10 +1,16 @@
-"""Round-14 pre-staged bank (candidate X443+): STAGED, not in the live
-registry — the third bank generation staged ahead (bank_r13 carries
-round 13's flip; this module seeds round 14's), under the identical
-no-new-debt discipline: stage-only decorator, two-SF gate mirror in
-``tests/test_bank_r14.py``, sf0.1 sweeps via ``tools/bank_check.py
---module bank_r14``, the dtype-family sweep, and plan-audit notes at
+"""Round-14 bank (X444+), LIVE since round 14: pre-staged during
+rounds 12-13 under the same no-new-debt discipline every flipped bank
+(next_window, bank_r11..r13) went through: a stage-only decorator
+pre-flip, the two-SF gate mirror in ``tests/test_bank_r14.py``, sf0.1
+sweeps via ``tools/bank_check.py --module bank_r14``, the dtype-family
+sweep, the authoring-time 64x probe octave (SCALING.md), and
+plan-audit notes merged into ``tools/audit_single_partition.py`` at
 flip time.
+
+Completed to 49 in round 13; the round-14 flip (bank_r13 protocol)
+fills the 50th window slot with ``dersimonian_laird_meta``, promoted
+from the round-15 bank (VERDICT r13 item 1 — no red name was left to
+re-green after the 50/50 r13 window).
 
 Seed theme: MODERN inference at scale — split-conformal intervals,
 the Poisson bootstrap (the distributed-bootstrap standard: per-row
@@ -26,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from . import register as _live_register
 from .common import dec, t
 
 BANK_QUERIES: dict = {}
@@ -33,14 +40,18 @@ BANK_ORACLES: dict = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Stage-only decorator (see bank_r13): records the query in the
-    bank dicts and does NOT touch the live registry."""
+    """Registers live via ``plans.register`` AND records the name in
+    the bank dicts so ``tests/test_bank_r14.py`` keeps gate-mirroring
+    the whole flipped set independently of the registry (the same flip
+    protocol bank_r11/bank_r12/bank_r13 used)."""
+
+    live = _live_register(name, oracle)
 
     def deco(fn):
         BANK_QUERIES[name] = fn
         if oracle is not None:
             BANK_ORACLES[name] = oracle
-        return fn
+        return live(fn)
 
     return deco
 
@@ -6893,4 +6904,240 @@ def dunn_validity_index(spark, sf_dir):
         F.round(F.col("dmin") / F.col("dmax"), 6).alias(
             "dunn_index"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Promoted from the round-15 bank (VERDICT r13 item 1): fills the round-14
+# window's 50th slot. The per-nation effect frame below is an identical
+# copy of bank_r15's _EFFECTS_SQL/_effects (which stays there because
+# egger_funnel_asymmetry shares it) — the split_conformal precedent.
+# --------------------------------------------------------------------------
+# Per-nation effect frame shared by the meta-analysis pair
+# --------------------------------------------------------------------------
+# Each of the 25 nations is a "study": the effect is the urgent-minus-
+# routine mean order value in THOUSANDS of dollars (k$ keeps every
+# folded weight term O(0.1..100) at every SF, so fixed-dp
+# round-before-fold loses nothing), its variance the Welch two-sample
+# variance of that mean difference. Exact cents power sums per
+# (nation, arm); y and v are rounded at 8 dp BEFORE any reciprocal so
+# both engines weight identical doubles.
+_EFFECTS_SQL = """
+    arm AS (
+        SELECT c.c_nationkey AS nk,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS urgent,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                                  * 100 AS BIGINT)
+                             AS DECIMAL(38,0))
+                        * CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                                    * 100 AS BIGINT)
+                               AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS ss
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    eff AS (
+        SELECT u.nk,
+               round((CAST(u.s AS DOUBLE) / u.n
+                      - CAST(r.s AS DOUBLE) / r.n) / 100000.0, 8) AS y,
+               round(((CAST(u.ss AS DOUBLE)
+                       - CAST(u.s AS DOUBLE) * u.s / u.n)
+                      / (u.n - 1) / u.n
+                      + (CAST(r.ss AS DOUBLE)
+                         - CAST(r.s AS DOUBLE) * r.s / r.n)
+                        / (r.n - 1) / r.n) / 10000000000.0, 8) AS v
+        FROM arm u JOIN arm r ON u.nk = r.nk
+        WHERE u.urgent = 1 AND r.urgent = 0 AND u.n > 1 AND r.n > 1
+    )
+"""
+
+
+def _effects(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    cents = (dec("o_totalprice", 18, 2) * 100).cast("bigint")
+    arm = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(0)
+            .alias("urgent"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("s"),
+            F.sum(
+                cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("ss"),
+        )
+    )
+    u = arm.where((F.col("urgent") == 1) & (F.col("n") > 1)).select(
+        "nk",
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("ss").alias("ss1"),
+    )
+    r = arm.where((F.col("urgent") == 0) & (F.col("n") > 1)).select(
+        "nk",
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("ss").alias("ss2"),
+    )
+    n1, s1, ss1 = F.col("n1"), F.col("s1"), F.col("ss1")
+    n2, s2, ss2 = F.col("n2"), F.col("s2"), F.col("ss2")
+    return u.join(r, "nk").select(
+        "nk",
+        F.round(
+            (s1.cast("double") / n1 - s2.cast("double") / n2) / 100000.0,
+            8,
+        ).alias("y"),
+        F.round(
+            (
+                (ss1.cast("double") - s1.cast("double") * s1 / n1)
+                / (n1 - 1)
+                / n1
+                + (ss2.cast("double") - s2.cast("double") * s2 / n2)
+                / (n2 - 1)
+                / n2
+            )
+            / 10000000000.0,
+            8,
+        ).alias("v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DerSimonian-Laird random-effects meta-analysis
+# --------------------------------------------------------------------------
+@register(
+    "dersimonian_laird_meta",
+    oracle=f"""
+    WITH {_EFFECTS_SQL},
+    s1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(round(1.0 / v, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sw,
+               CAST(SUM(CAST(round(y / v, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS swy,
+               CAST(SUM(CAST(round(y * y / v, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS swyy,
+               CAST(SUM(CAST(round(1.0 / v / v, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sww
+        FROM eff
+    ),
+    het AS (
+        SELECT k, sw, swy,
+               swyy - swy * swy / sw AS q,
+               round(greatest(0.0, (swyy - swy * swy / sw - (k - 1))
+                                   / (sw - sww / sw)), 8) AS tau2
+        FROM s1
+    ),
+    s2 AS (
+        SELECT het.k, het.q, het.tau2, het.swy, het.sw,
+               CAST(SUM(CAST(round(1.0 / round(eff.v + het.tau2, 8), 8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS swr,
+               CAST(SUM(CAST(round(eff.y / round(eff.v + het.tau2, 8), 8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS swry
+        FROM eff, het
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT k AS k_studies,
+           round(q, 6) + 0.0 AS q_heterogeneity,
+           round(100.0 * greatest(0.0, (q - (k - 1)) / q), 6) + 0.0
+               AS i2_pct,
+           round(tau2, 6) + 0.0 AS tau2_kusd2,
+           round(swy / sw, 6) + 0.0 AS mu_fixed_kusd,
+           round(swry / swr, 6) + 0.0 AS mu_random_kusd,
+           round(swry / swr - 1.959963984540054 / sqrt(swr), 6) + 0.0
+               AS ci95_lo,
+           round(swry / swr + 1.959963984540054 / sqrt(swr), 6) + 0.0
+               AS ci95_hi
+    FROM s2
+    """,
+)
+def dersimonian_laird_meta(spark, sf_dir):
+    """DerSimonian-Laird random-effects pooling of the per-nation
+    urgent-vs-routine order-value effect — the meta-analysis readout a
+    segmented experiment actually ships: 25 nations are 25 "studies"
+    with effect y_i (k$) and Welch variance v_i, Cochran's Q folds in
+    ONE pass via Q = Σwy² − (Σwy)²/Σw, I² = max(0, (Q−df)/Q), the DL
+    moment estimator τ² = max(0, (Q−df)/(Σw − Σw²/Σw)), and the
+    random-effects pooled mean re-weights by 1/(v_i+τ²) with a 95%
+    Wald CI. τ² is rounded at 8 dp before the second weighting so both
+    engines re-weight identical doubles; every weight term is rounded
+    at 8 dp and folded through DECIMAL(38,8) (order-independent).
+
+    Scale: the study frame is the 25-nation domain — the only
+    data-grain work is one orders⋈customer equi-join feeding a
+    (nation, arm) hash rollup with exact cents power sums; both meta
+    passes run on 25 rows. 100 TB: the rollup is map-side combinable,
+    the join shuffles on custkey with AQE; nothing downstream scales
+    with volume."""
+    eff = _effects(spark, sf_dir)
+    r8 = lambda c: F.round(c, 8).cast("decimal(38,8)")  # noqa: E731
+    s1 = eff.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(r8(1.0 / F.col("v"))).cast("double").alias("sw"),
+        F.sum(r8(F.col("y") / F.col("v"))).cast("double").alias("swy"),
+        F.sum(r8(F.col("y") * F.col("y") / F.col("v")))
+        .cast("double")
+        .alias("swyy"),
+        F.sum(r8(1.0 / F.col("v") / F.col("v")))
+        .cast("double")
+        .alias("sww"),
+    )
+    q = F.col("swyy") - F.col("swy") * F.col("swy") / F.col("sw")
+    het = s1.select(
+        "k",
+        "sw",
+        "swy",
+        q.alias("q"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                (q - (F.col("k") - 1))
+                / (F.col("sw") - F.col("sww") / F.col("sw")),
+            ),
+            8,
+        ).alias("tau2"),
+    )
+    vstar = F.round(F.col("v") + F.col("tau2"), 8)
+    s2 = eff.crossJoin(F.broadcast(het)).groupBy(
+        "k", "q", "tau2", "swy", "sw"
+    ).agg(
+        F.sum(r8(1.0 / vstar)).cast("double").alias("swr"),
+        F.sum(r8(F.col("y") / vstar)).cast("double").alias("swry"),
+    )
+    mu_re = F.col("swry") / F.col("swr")
+    half = 1.959963984540054 / F.sqrt(F.col("swr"))
+    return s2.select(
+        F.col("k").alias("k_studies"),
+        (F.round("q", 6) + 0.0).alias("q_heterogeneity"),
+        (
+            F.round(
+                100.0
+                * F.greatest(
+                    F.lit(0.0),
+                    (F.col("q") - (F.col("k") - 1)) / F.col("q"),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("i2_pct"),
+        (F.round("tau2", 6) + 0.0).alias("tau2_kusd2"),
+        (F.round(F.col("swy") / F.col("sw"), 6) + 0.0).alias(
+            "mu_fixed_kusd"
+        ),
+        (F.round(mu_re, 6) + 0.0).alias("mu_random_kusd"),
+        (F.round(mu_re - half, 6) + 0.0).alias("ci95_lo"),
+        (F.round(mu_re + half, 6) + 0.0).alias("ci95_hi"),
     )

@@ -1,10 +1,16 @@
-"""Round-15 pre-staged bank (candidate X493+): STAGED, not in the live
-registry — the next bank generation behind ``bank_r14`` (round 14's
-flip), under the identical no-new-debt discipline: stage-only
+"""Round-15 pre-staged bank (candidate X494+): STAGED, not in the live
+registry — the next bank generation behind ``bank_r14`` (flipped live
+in round 14), under the identical no-new-debt discipline: stage-only
 decorator, two-SF gate mirror in ``tests/test_bank_r15.py``, sf0.1
 sweeps via ``tools/bank_check.py --module bank_r15``, the dtype-family
-sweep (``tests/test_oracle_dtypes.py`` auto-discovers bank_r13..r17),
+sweep (``tests/test_oracle_dtypes.py`` auto-discovers bank_r13..r19),
 and plan-audit notes pre-adjudicated at authoring time.
+
+At the round-14 flip the oldest query here (``dersimonian_laird_meta``,
+the original seed) was promoted into bank_r14's 50th window slot (the
+split_conformal precedent, VERDICT r13 item 1); its ``_EFFECTS_SQL`` /
+``_effects`` study frame stays here because ``egger_funnel_asymmetry``
+shares it (bank_r14 carries an identical copy).
 
 Seed theme: the AUDIT BENCH — the statistics a 100 TB pipeline runs on
 its own per-segment readouts rather than on raw rows: meta-analytic
@@ -150,134 +156,6 @@ def _effects(spark, sf_dir):
             / 10000000000.0,
             8,
         ).alias("v"),
-    )
-
-
-# --------------------------------------------------------------------------
-# DerSimonian-Laird random-effects meta-analysis
-# --------------------------------------------------------------------------
-@register(
-    "dersimonian_laird_meta",
-    oracle=f"""
-    WITH {_EFFECTS_SQL},
-    s1 AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS k,
-               CAST(SUM(CAST(round(1.0 / v, 8) AS DECIMAL(38,8)))
-                    AS DOUBLE) AS sw,
-               CAST(SUM(CAST(round(y / v, 8) AS DECIMAL(38,8)))
-                    AS DOUBLE) AS swy,
-               CAST(SUM(CAST(round(y * y / v, 8) AS DECIMAL(38,8)))
-                    AS DOUBLE) AS swyy,
-               CAST(SUM(CAST(round(1.0 / v / v, 8) AS DECIMAL(38,8)))
-                    AS DOUBLE) AS sww
-        FROM eff
-    ),
-    het AS (
-        SELECT k, sw, swy,
-               swyy - swy * swy / sw AS q,
-               round(greatest(0.0, (swyy - swy * swy / sw - (k - 1))
-                                   / (sw - sww / sw)), 8) AS tau2
-        FROM s1
-    ),
-    s2 AS (
-        SELECT het.k, het.q, het.tau2, het.swy, het.sw,
-               CAST(SUM(CAST(round(1.0 / round(eff.v + het.tau2, 8), 8)
-                             AS DECIMAL(38,8))) AS DOUBLE) AS swr,
-               CAST(SUM(CAST(round(eff.y / round(eff.v + het.tau2, 8), 8)
-                             AS DECIMAL(38,8))) AS DOUBLE) AS swry
-        FROM eff, het
-        GROUP BY 1, 2, 3, 4, 5
-    )
-    SELECT k AS k_studies,
-           round(q, 6) + 0.0 AS q_heterogeneity,
-           round(100.0 * greatest(0.0, (q - (k - 1)) / q), 6) + 0.0
-               AS i2_pct,
-           round(tau2, 6) + 0.0 AS tau2_kusd2,
-           round(swy / sw, 6) + 0.0 AS mu_fixed_kusd,
-           round(swry / swr, 6) + 0.0 AS mu_random_kusd,
-           round(swry / swr - 1.959963984540054 / sqrt(swr), 6) + 0.0
-               AS ci95_lo,
-           round(swry / swr + 1.959963984540054 / sqrt(swr), 6) + 0.0
-               AS ci95_hi
-    FROM s2
-    """,
-)
-def dersimonian_laird_meta(spark, sf_dir):
-    """DerSimonian-Laird random-effects pooling of the per-nation
-    urgent-vs-routine order-value effect — the meta-analysis readout a
-    segmented experiment actually ships: 25 nations are 25 "studies"
-    with effect y_i (k$) and Welch variance v_i, Cochran's Q folds in
-    ONE pass via Q = Σwy² − (Σwy)²/Σw, I² = max(0, (Q−df)/Q), the DL
-    moment estimator τ² = max(0, (Q−df)/(Σw − Σw²/Σw)), and the
-    random-effects pooled mean re-weights by 1/(v_i+τ²) with a 95%
-    Wald CI. τ² is rounded at 8 dp before the second weighting so both
-    engines re-weight identical doubles; every weight term is rounded
-    at 8 dp and folded through DECIMAL(38,8) (order-independent).
-
-    Scale: the study frame is the 25-nation domain — the only
-    data-grain work is one orders⋈customer equi-join feeding a
-    (nation, arm) hash rollup with exact cents power sums; both meta
-    passes run on 25 rows. 100 TB: the rollup is map-side combinable,
-    the join shuffles on custkey with AQE; nothing downstream scales
-    with volume."""
-    eff = _effects(spark, sf_dir)
-    r8 = lambda c: F.round(c, 8).cast("decimal(38,8)")  # noqa: E731
-    s1 = eff.agg(
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum(r8(1.0 / F.col("v"))).cast("double").alias("sw"),
-        F.sum(r8(F.col("y") / F.col("v"))).cast("double").alias("swy"),
-        F.sum(r8(F.col("y") * F.col("y") / F.col("v")))
-        .cast("double")
-        .alias("swyy"),
-        F.sum(r8(1.0 / F.col("v") / F.col("v")))
-        .cast("double")
-        .alias("sww"),
-    )
-    q = F.col("swyy") - F.col("swy") * F.col("swy") / F.col("sw")
-    het = s1.select(
-        "k",
-        "sw",
-        "swy",
-        q.alias("q"),
-        F.round(
-            F.greatest(
-                F.lit(0.0),
-                (q - (F.col("k") - 1))
-                / (F.col("sw") - F.col("sww") / F.col("sw")),
-            ),
-            8,
-        ).alias("tau2"),
-    )
-    vstar = F.round(F.col("v") + F.col("tau2"), 8)
-    s2 = eff.crossJoin(F.broadcast(het)).groupBy(
-        "k", "q", "tau2", "swy", "sw"
-    ).agg(
-        F.sum(r8(1.0 / vstar)).cast("double").alias("swr"),
-        F.sum(r8(F.col("y") / vstar)).cast("double").alias("swry"),
-    )
-    mu_re = F.col("swry") / F.col("swr")
-    half = 1.959963984540054 / F.sqrt(F.col("swr"))
-    return s2.select(
-        F.col("k").alias("k_studies"),
-        (F.round("q", 6) + 0.0).alias("q_heterogeneity"),
-        (
-            F.round(
-                100.0
-                * F.greatest(
-                    F.lit(0.0),
-                    (F.col("q") - (F.col("k") - 1)) / F.col("q"),
-                ),
-                6,
-            )
-            + 0.0
-        ).alias("i2_pct"),
-        (F.round("tau2", 6) + 0.0).alias("tau2_kusd2"),
-        (F.round(F.col("swy") / F.col("sw"), 6) + 0.0).alias(
-            "mu_fixed_kusd"
-        ),
-        (F.round(mu_re, 6) + 0.0).alias("mu_random_kusd"),
-        (F.round(mu_re - half, 6) + 0.0).alias("ci95_lo"),
-        (F.round(mu_re + half, 6) + 0.0).alias("ci95_hi"),
     )
 
 

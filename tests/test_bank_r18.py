@@ -1,4 +1,4 @@
-"""Round-17 bank verification (plans/bank_r18.py — STAGED, not live).
+"""Round-18 bank verification (plans/bank_r18.py — STAGED, not live).
 
 Each pre-staged query runs against its DuckDB oracle with EXACTLY the
 driver-gate compare (`tools/check.py` norm/canon: row count, column

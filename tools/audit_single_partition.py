@@ -273,6 +273,56 @@ ALLOWED: dict[str, str] = {
         "rank window over the bounded vocabulary frame (the "
         "chi2_discriminative_terms class)"
     ),
+    # --- round-14 bank flip (adjudicated in bank_r14.PLAN_AUDIT_NOTES
+    #     at staging time; merged here at flip per the bank protocol) ---
+    "betting_evalue_mean_test": (
+        "cumulative log-wealth window over the calendar-day frame "
+        "(the cusum class)"
+    ),
+    "group_sequential_looks": (
+        "one rank window over the calendar-day frame; looks join is "
+        "a bounded 5-row broadcast"
+    ),
+    "pit_uniformity_check": (
+        "rank/count windows over the calendar-day frame"
+    ),
+    "sen_slope_confidence_band": (
+        "cumulative count over the distinct-slope grid of the "
+        "calendar-bounded day-pair frame (the ansari_bradley class)"
+    ),
+    "winkler_interval_score": (
+        "same construction as split_conformal_interval (promoted to "
+        "bank_r13 in round 13; shared conformal-quantile device over "
+        "bounded frames)"
+    ),
+    "baumgartner_weiss_schindler": (
+        "two exclusive-prefix windows over the distinct-value-cents "
+        "grid (price-domain-bounded — the ansari_bradley class)"
+    ),
+    "diebold_mariano_forecast": (
+        "two lag windows over the calendar-day frame; the flag count "
+        "is inflated by scalar subplans re-scanning the bounded day "
+        "frame (the es_backtest class)"
+    ),
+    "engle_granger_cointegration": (
+        "cumulative + residual-lag windows over the calendar-day "
+        "frame (the cusum class)"
+    ),
+    "fligner_policello_test": (
+        "exclusive-prefix placement windows over the "
+        "distinct-value-cents grid (price-domain-bounded)"
+    ),
+    "pesaran_timmermann_direction": (
+        "two lag windows over the calendar-day frame"
+    ),
+    "quandt_andrews_supf": (
+        "five cumulative prefix-moment windows + row_number over the "
+        "calendar-day frame (the one-pass sup-F device)"
+    ),
+    "weibull_median_rank_fit": (
+        "cumulative rank window over the distinct-gap-seconds grid "
+        "(gap-value-domain-bounded — the ansari_bradley class)"
+    ),
 }
 
 

@@ -1,11 +1,21 @@
-"""Dev loop for bank_r16 authoring: driver-gate compare at sf0.001 +
-sf0.01 (same canon as tools/check.py / tests/test_bank_r16.py).
+"""Dev loop for staged-bank authoring: driver-gate compare at sf0.001
++ sf0.01 (same canon as tools/check.py / tests/test_bank_rN.py), for
+ANY bank module — replaces the per-generation r15_dev.py..r18_dev.py
+wrappers (VERDICT r13 item 5: they were 4x79 near-identical lines,
+growing by 79 per generation).
 
-Usage: python tools/r16_dev.py [name ...]
+Usage:
+    python tools/bank_dev.py --module bank_r18 [name ...]
+
+With no names, runs every query in the module's BANK_QUERIES. Exit
+status is non-zero iff any compare fails — the same two-SF gate the
+bank's pytest mirror runs, usable one query at a time while authoring.
 """
 
 from __future__ import annotations
 
+import argparse
+import importlib
 import os
 import sys
 import time
@@ -20,11 +30,20 @@ def main(argv) -> int:
 
     from check import TABLES, canon
 
-    from celestrak_tle_data_pipeline_spark.plans import bank_r16 as bank
     from celestrak_tle_data_pipeline_spark.session import get_spark
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--module", required=True,
+                    help="bank module name, e.g. bank_r18")
+    ap.add_argument("names", nargs="*",
+                    help="query names (default: the whole bank)")
+    args = ap.parse_args(argv)
+
+    bank = importlib.import_module(
+        f"celestrak_tle_data_pipeline_spark.plans.{args.module}"
+    )
     spark = get_spark()
-    names = argv or list(bank.BANK_QUERIES)
+    names = args.names or list(bank.BANK_QUERIES)
     fails = 0
     for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         con = duckdb.connect()

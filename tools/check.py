@@ -100,10 +100,14 @@ def main(argv):
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(rows)} rows ({time.time()-t0:.1f}s)")
+            # ADVICE r13: no compare ran, so rows/schema/hash are null
+            # (not true/false) plus an explicit status — a consumer
+            # keying on the booleans must not count these as verified.
             record[name] = {
-                "rows_match": True, "schema_match": True,
-                "hash_match": False, "spark_rows": len(rows),
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(rows),
                 "oracle_rows": None, "err": "no_oracle",
+                "status": "rows_only",
             }
             n_rowsonly += 1
             continue
