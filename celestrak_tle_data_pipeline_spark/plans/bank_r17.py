@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from .bank_r15 import _acklam_col, _acklam_sql  # noqa: E402
 from .bank_r16 import _CELLP_SQL, _cellp  # noqa: E402
-from .common import dec, t
+from .common import dec, prefix_offsets, t
 
 BANK_QUERIES: dict = {}
 BANK_ORACLES: dict = {}
@@ -4665,8 +4665,18 @@ def spiegelhalter_z_calibration(spark, sf_dir):
 
     Exactness: decile bins come from the exact training-half grid;
     bin rates round at 10 dp; both folds carry 10-dp rounded terms
-    through DECIMAL(28,10). Plan: one half-split, one grid
-    cumulative, two joins, one fold."""
+    through DECIMAL(28,10). Plan: one half-split, one RANGED grid
+    cumulative, two joins, one fold.
+
+    Scale (r14 rewrite): the training n_chars grid grows with volume
+    until the length domain saturates, and the original global
+    Window.orderBy cumulative over it re-probed at 9.73x per 64x
+    (SCALING.md r13 close 5.01, r14 re-probe 9.73 — a repeat mover).
+    The exclusive prefix count now rides the ranged-cumulative device
+    (repartitionByRange on v + per-partition window + prefix_offsets
+    broadcast, the ks_exponential_gaps pattern), and the grid total n
+    is a scalar agg broadcast instead of a global window — no
+    single-partition exchange anywhere in the plan."""
     d = t(spark, sf_dir, "documents")
     cut = d.agg(
         ((F.min("doc_id") + F.max("doc_id")) / 2)
@@ -4681,20 +4691,35 @@ def spiegelhalter_z_calibration(spark, sf_dir):
         .otherwise(0)
         .alias("train"),
     ).persist()
-    grid = docs.where(F.col("train") == 1).groupBy(
-        F.col("n_chars").alias("v")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    cum = grid.select(
-        "v",
-        (
-            F.sum("c").over(
-                Window.orderBy("v").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            )
-            - F.col("c")
-        ).alias("head"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
+    grid = (
+        docs.where(F.col("train") == 1)
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .repartitionByRange(8, F.col("v").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = grid.groupBy("pid").agg(
+        F.sum("c").cast("bigint").alias("pn")
+    )
+    offsets = prefix_offsets(counts, {"offset": "pn"})
+    tot = grid.agg(F.sum("c").cast("bigint").alias("n"))
+    local_head = (
+        F.sum("c").over(
+            Window.partitionBy("pid")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col("c")
+    )
+    cum = (
+        grid.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            (local_head + F.col("offset")).alias("head"),
+            "n",
+        )
     )
     binned = cum.select(
         "v",

@@ -4,7 +4,13 @@ flip), under the identical no-new-debt discipline: stage-only
 decorator, two-SF gate mirror in ``tests/test_bank_r18.py``, sf0.1
 sweeps via ``tools/bank_check.py --module bank_r18``, the dtype-family
 sweep (``tests/test_oracle_dtypes.py`` auto-discovers bank_r13..r19),
-and plan-audit notes pre-adjudicated at authoring time.
+plan-audit notes pre-adjudicated at authoring time, and — a HARD gate
+since round 14 — the authoring-time 64x probe: every batch runs
+``python tools/scale_probe.py 64 <names>`` in the session it is
+authored and appends the names (+ ratios) to ``SCALING_PROBES.json``;
+``tests/test_flip_readiness.py`` fails any staged name without a
+ledger row (the r13 seed commits skipped the probe and became VERDICT
+r13 item 2 — never again).
 
 Seed theme: TAIL GEOMETRY AND DOMINANCE — the mean-excess plot that
 diagnoses WHICH extreme-value regime the data sits in, exponential-
