@@ -614,3 +614,721 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Shared frames: per-customer spend (cents) and the order-value grid
+# --------------------------------------------------------------------------
+_SPEND_SQL = """
+    spend AS (
+        SELECT o_custkey AS u,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS m
+        FROM orders GROUP BY o_custkey
+    )
+"""
+
+_SPEND_GRID_SQL = f"""
+    {_SPEND_SQL},
+    grid AS (
+        SELECT m AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(m) AS BIGINT) AS tv
+        FROM spend GROUP BY m
+    )
+"""
+
+
+def _spend(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("u")).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("m")
+    )
+
+
+def _spend_grid(spark, sf_dir):
+    return (
+        _spend(spark, sf_dir)
+        .groupBy(F.col("m").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("m").cast("bigint").alias("tv"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Hoover / Pietra / Schutz index of customer-spend inequality
+# --------------------------------------------------------------------------
+@register(
+    "hoover_pietra_index",
+    oracle=f"""
+    WITH {_SPEND_SQL},
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(m) AS BIGINT) AS s
+        FROM spend
+    ),
+    fold AS (
+        SELECT tot.n, tot.s,
+               CAST(SUM(abs(CAST(spend.m AS DECIMAL(38,0)) * tot.n
+                            - CAST(tot.s AS DECIMAL(38,0))))
+                    AS DECIMAL(38,0)) AS num
+        FROM spend, tot GROUP BY tot.n, tot.s
+    )
+    SELECT n AS n_customers,
+           round(CAST(num AS DOUBLE)
+                 / (2.0 * CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 8)
+               + 0.0 AS hoover_index,
+           round(CAST(num AS DOUBLE) / CAST(n AS DOUBLE)
+                 / CAST(n AS DOUBLE) / 100000.0, 6) + 0.0
+               AS mad_kusd
+    FROM fold
+    """,
+)
+def hoover_pietra_index(spark, sf_dir):
+    """HOOVER (= Pietra = Schutz = Robin Hood) index of customer-spend
+    inequality: H = sum|x_i - mu| / (2*sum x) — the share of total
+    spend that would have to move to equalize everyone, and exactly
+    the maximum vertical gap between the Lorenz curve and the
+    diagonal. Completes the inequality bench alongside Gini
+    (`customer_inequality_panel`), Atkinson, Palma and Theil: H is
+    the L1 member of the family and the one with the direct
+    mass-transfer reading a mixture-budget planner uses.
+
+    Exactness: |n*x_i - S| folds entirely in DECIMAL(38,0) integers
+    (n*x_i <= ~1e9 * 1e9 cents at extreme scale, the summed fold
+    stays < 1e38); only the final two readouts divide in doubles.
+    Plan: one custkey rollup, one broadcast scalar join, one fold —
+    map-side combinable everywhere, nothing at data grain below the
+    rollup."""
+    spend = _spend(spark, sf_dir)
+    tot = spend.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("m").cast("bigint").alias("s"),
+    )
+    fold = (
+        spend.crossJoin(F.broadcast(tot))
+        .groupBy("n", "s")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("m").cast("decimal(38,0)") * F.col("n")
+                    - F.col("s").cast("decimal(38,0)")
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("num")
+        )
+    )
+    return fold.select(
+        F.col("n").alias("n_customers"),
+        (
+            F.round(
+                F.col("num").cast("double")
+                / (
+                    2.0
+                    * F.col("n").cast("double")
+                    * F.col("s").cast("double")
+                ),
+                8,
+            )
+            + 0.0
+        ).alias("hoover_index"),
+        (
+            F.round(
+                F.col("num").cast("double")
+                / F.col("n").cast("double")
+                / F.col("n").cast("double")
+                / 100000.0,
+                6,
+            )
+            + 0.0
+        ).alias("mad_kusd"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gastwirth / trimean / midhinge robust-location panel
+# --------------------------------------------------------------------------
+@register(
+    "gastwirth_trimean_panel",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    grid AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cc,
+               SUM(c) OVER () AS n
+        FROM grid
+    ),
+    ps AS (
+        SELECT CAST(u.k AS BIGINT) AS k,
+               CASE u.k WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 3 THEN 2
+                        WHEN 4 THEN 1 WHEN 5 THEN 3 END AS num,
+               CASE u.k WHEN 1 THEN 3 WHEN 2 THEN 2 WHEN 3 THEN 3
+                        WHEN 4 THEN 4 WHEN 5 THEN 4 END AS den
+        FROM LATERAL UNNEST(range(1, 6)) AS u(k)
+    ),
+    qs AS (
+        SELECT ps.k,
+               (SELECT CAST(MIN(v) AS BIGINT) FROM cum
+                WHERE ps.den * cc >= ps.num * n) AS q
+        FROM ps
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN k = 1 THEN q END) AS q13,
+               MAX(CASE WHEN k = 2 THEN q END) AS q50,
+               MAX(CASE WHEN k = 3 THEN q END) AS q23,
+               MAX(CASE WHEN k = 4 THEN q END) AS q25,
+               MAX(CASE WHEN k = 5 THEN q END) AS q75
+        FROM qs
+    )
+    SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM cum) AS n_orders,
+           round((0.3 * q13 + 0.4 * q50 + 0.3 * q23) / 100.0, 2)
+               + 0.0 AS gastwirth_usd,
+           round((q25 + 2 * q50 + q75) / 400.0, 2) + 0.0
+               AS trimean_usd,
+           round((q25 + q75) / 200.0, 2) + 0.0 AS midhinge_usd,
+           round((q75 - q25) / 100.0, 2) + 0.0 AS iqr_usd
+    FROM wide
+    """,
+)
+def gastwirth_trimean_panel(spark, sf_dir):
+    """GASTWIRTH estimator (0.3*Q(1/3) + 0.4*Q(1/2) + 0.3*Q(2/3)),
+    Tukey TRIMEAN ((Q1 + 2*median + Q3)/4), MIDHINGE and IQR of the
+    order-value distribution — the classical high-efficiency robust
+    location estimators built purely from order statistics (Gastwirth
+    is minimax over a wide contamination class; the trimean is the
+    EDA standard). Complements `huber_one_step_location` (M-estimator
+    family) and `shorth_lms_location` (mode family) with the
+    L-estimator family the registry lacked.
+
+    Exactness: every quantile is an exact LOWER order statistic from
+    the cents-grid cumulative via integer threshold compares
+    (den*cc >= num*n); the fixed-weight blends are exact decimal
+    literals over integer cents. Plan: one value rollup, one
+    domain-bounded grid cumulative, one 5-row broadcast threshold
+    join."""
+    o = t(spark, sf_dir, "orders")
+    grid = (
+        o.select(
+            (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cum = grid.select(
+        "v",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    ).persist()
+    ps = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 2), (3, 2, 3), (4, 1, 4), (5, 3, 4)],
+        "k long, num long, den long",
+    )
+    qs = (
+        cum.crossJoin(F.broadcast(ps))
+        .where(F.col("den") * F.col("cc") >= F.col("num") * F.col("n"))
+        .groupBy("k")
+        .agg(F.min("v").cast("bigint").alias("q"))
+    )
+    wide = qs.agg(
+        F.max(F.when(F.col("k") == 1, F.col("q"))).alias("q13"),
+        F.max(F.when(F.col("k") == 2, F.col("q"))).alias("q50"),
+        F.max(F.when(F.col("k") == 3, F.col("q"))).alias("q23"),
+        F.max(F.when(F.col("k") == 4, F.col("q"))).alias("q25"),
+        F.max(F.when(F.col("k") == 5, F.col("q"))).alias("q75"),
+    )
+    n = cum.agg(F.max("n").cast("bigint").alias("n_orders"))
+    return wide.crossJoin(F.broadcast(n)).select(
+        "n_orders",
+        (
+            F.round(
+                (
+                    0.3 * F.col("q13")
+                    + 0.4 * F.col("q50")
+                    + 0.3 * F.col("q23")
+                )
+                / 100.0,
+                2,
+            )
+            + 0.0
+        ).alias("gastwirth_usd"),
+        (
+            F.round(
+                (F.col("q25") + 2 * F.col("q50") + F.col("q75"))
+                / 400.0,
+                2,
+            )
+            + 0.0
+        ).alias("trimean_usd"),
+        (
+            F.round((F.col("q25") + F.col("q75")) / 200.0, 2) + 0.0
+        ).alias("midhinge_usd"),
+        (
+            F.round((F.col("q75") - F.col("q25")) / 100.0, 2) + 0.0
+        ).alias("iqr_usd"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Foster-Greer-Thorbecke poverty panel at half-median poverty line
+# --------------------------------------------------------------------------
+@register(
+    "fgt_poverty_panel",
+    oracle=f"""
+    WITH {_SPEND_GRID_SQL},
+    cum AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cc,
+               SUM(c) OVER () AS n
+        FROM grid
+    ),
+    med AS (
+        SELECT CAST(MIN(v) AS BIGINT) AS m,
+               CAST(MAX(n) AS BIGINT) AS n
+        FROM cum WHERE 2 * cc >= n
+    ),
+    fold AS (
+        SELECT med.n, med.m,
+               CAST(SUM(CASE WHEN 2 * g.v < med.m THEN g.c
+                             ELSE 0 END) AS BIGINT) AS q,
+               CAST(SUM(CASE WHEN 2 * g.v < med.m
+                             THEN CAST(g.c AS DECIMAL(38,0))
+                                  * (med.m - 2 * g.v)
+                             ELSE 0 END) AS DECIMAL(38,0)) AS gap1,
+               CAST(SUM(CASE WHEN 2 * g.v < med.m
+                             THEN CAST(g.c AS DECIMAL(38,0))
+                                  * CAST(med.m - 2 * g.v
+                                         AS DECIMAL(38,0))
+                                  * (med.m - 2 * g.v)
+                             ELSE 0 END) AS DECIMAL(38,0)) AS gap2
+        FROM grid g, med GROUP BY med.n, med.m
+    )
+    SELECT n AS n_customers,
+           round(m / 200.0, 2) + 0.0 AS poverty_line_usd,
+           round(CAST(q AS DOUBLE) / n, 8) + 0.0 AS headcount_ratio,
+           round(CAST(gap1 AS DOUBLE) / CAST(m AS DOUBLE) / n, 8)
+               + 0.0 AS poverty_gap_index,
+           round(CAST(gap2 AS DOUBLE) / CAST(m AS DOUBLE)
+                 / CAST(m AS DOUBLE) / n, 8) + 0.0
+               AS poverty_severity
+    FROM fold
+    """,
+)
+def fgt_poverty_panel(spark, sf_dir):
+    """FOSTER-GREER-THORBECKE poverty indices FGT(0/1/2) of customer
+    spend against the relative poverty line z = half the median
+    spend (the OECD convention): headcount ratio, poverty-gap index
+    (mean normalized shortfall) and squared-gap severity — the
+    decomposable poverty family, here reading "low-engagement
+    customers" the way `palma_quintile_shares` reads the top end.
+    FGT2's squared weighting is what distinguishes many-slightly-
+    below from few-far-below — invisible to the headcount.
+
+    Exactness: the median is an exact lower order statistic from the
+    spend grid; the line is kept 2x-scaled (2v < m) so no division
+    ever happens before the fold; gap sums are exact DECIMAL(38,0)
+    integers (c * (m-2v)^2 <= 1e9 * 1e18 * n stays < 1e38 for any
+    realistic customer count). Plan: one custkey rollup, one
+    domain-bounded grid cumulative, one broadcast scalar, one fold."""
+    grid = _spend_grid(spark, sf_dir).persist()
+    cum = grid.select(
+        "v",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    med = cum.where(2 * F.col("cc") >= F.col("n")).agg(
+        F.min("v").cast("bigint").alias("m"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    poor = 2 * F.col("v") < F.col("m")
+    g1 = F.col("m") - 2 * F.col("v")
+    fold = (
+        grid.crossJoin(F.broadcast(med))
+        .groupBy("n", "m")
+        .agg(
+            F.sum(F.when(poor, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("q"),
+            F.sum(
+                F.when(
+                    poor, F.col("c").cast("decimal(38,0)") * g1
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            )
+            .cast("decimal(38,0)")
+            .alias("gap1"),
+            F.sum(
+                F.when(
+                    poor,
+                    F.col("c").cast("decimal(38,0)")
+                    * g1.cast("decimal(38,0)")
+                    * g1,
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            )
+            .cast("decimal(38,0)")
+            .alias("gap2"),
+        )
+    )
+    return fold.select(
+        F.col("n").alias("n_customers"),
+        (F.round(F.col("m") / 200.0, 2) + 0.0).alias(
+            "poverty_line_usd"
+        ),
+        (
+            F.round(F.col("q").cast("double") / F.col("n"), 8) + 0.0
+        ).alias("headcount_ratio"),
+        (
+            F.round(
+                F.col("gap1").cast("double")
+                / F.col("m").cast("double")
+                / F.col("n"),
+                8,
+            )
+            + 0.0
+        ).alias("poverty_gap_index"),
+        (
+            F.round(
+                F.col("gap2").cast("double")
+                / F.col("m").cast("double")
+                / F.col("m").cast("double")
+                / F.col("n"),
+                8,
+            )
+            + 0.0
+        ).alias("poverty_severity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Watts index + Sen poverty index (with Gini among the poor)
+# --------------------------------------------------------------------------
+@register(
+    "watts_sen_poverty",
+    oracle=f"""
+    WITH {_SPEND_GRID_SQL},
+    cum AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cc,
+               SUM(c) OVER () AS n
+        FROM grid
+    ),
+    med AS (
+        SELECT CAST(MIN(v) AS BIGINT) AS m,
+               CAST(MAX(n) AS BIGINT) AS n
+        FROM cum WHERE 2 * cc >= n
+    ),
+    poor AS (
+        SELECT g.v, g.c, med.m, med.n,
+               SUM(g.c) OVER (ORDER BY g.v ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING) AS head
+        FROM grid g, med WHERE 2 * g.v < med.m
+    ),
+    fold AS (
+        SELECT MAX(m) AS m, MAX(n) AS n,
+               CAST(SUM(c) AS BIGINT) AS q,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * v)
+                    AS DECIMAL(38,0)) AS tpoor,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * v
+                        * (2 * COALESCE(head, 0) + c + 1))
+                    AS DECIMAL(38,0)) AS two_ix,
+               CAST(SUM(CAST(round(ln(CAST(m AS DOUBLE)
+                                      / (2.0 * v)), 6)
+                             AS DECIMAL(28,6)) * c) AS DOUBLE)
+                   AS watts_sum
+        FROM poor
+    )
+    SELECT n AS n_customers, q AS n_poor,
+           round(watts_sum / n, 6) + 0.0 AS watts_index,
+           round(1.0 - 2.0 * CAST(tpoor AS DOUBLE)
+                 / (CAST(q AS DOUBLE) * m), 8) + 0.0
+               AS income_gap_ratio,
+           round((CAST(two_ix AS DOUBLE)
+                  - (q + 1) * CAST(tpoor AS DOUBLE))
+                 / (CAST(q AS DOUBLE)
+                    * CAST(tpoor AS DOUBLE)), 8) + 0.0
+               AS gini_poor,
+           round(CAST(q AS DOUBLE) / n
+                 * ((1.0 - 2.0 * CAST(tpoor AS DOUBLE)
+                     / (CAST(q AS DOUBLE) * m))
+                    + (1.0 - (1.0 - 2.0 * CAST(tpoor AS DOUBLE)
+                              / (CAST(q AS DOUBLE) * m)))
+                      * (CAST(two_ix AS DOUBLE)
+                         - (q + 1) * CAST(tpoor AS DOUBLE))
+                      / (CAST(q AS DOUBLE)
+                         * CAST(tpoor AS DOUBLE))), 8) + 0.0
+               AS sen_index
+    FROM fold
+    """,
+)
+def watts_sen_poverty(spark, sf_dir):
+    """WATTS index (mean log shortfall of the poor, the only poverty
+    measure satisfying all of Zheng's axioms) and SEN's composite
+    poverty index S = H*(I + (1-I)*G_p) over the half-median line z =
+    m/2: H from `fgt_poverty_panel`'s headcount, I the income-gap
+    ratio among the poor, and G_p the GINI AMONG THE POOR via the
+    exact tie-aware rank identity 2*sum(i*x_(i)) = sum_g v*c*(2*head
+    + c + 1) on the grid — distribution-sensitivity that FGT1 lacks
+    and FGT2 buys with a different (squared) functional form.
+
+    Exactness: the poor-grid exclusive-prefix cumulative and all rank
+    sums are exact DECIMAL(38,0) integers; ln(z/x) of exact rationals
+    PINS at 6 dp before folding (an 8-dp pin flipped a term at a
+    rounding boundary across the two libms at sf0.01 — the
+    ledoit_wolf pin lesson) and Watts reads at 6 dp; z stays
+    2x-scaled everywhere.
+    Plan: one custkey rollup, two domain-bounded grid cumulatives,
+    one fold."""
+    grid = _spend_grid(spark, sf_dir).persist()
+    cum = grid.select(
+        "v",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    med = cum.where(2 * F.col("cc") >= F.col("n")).agg(
+        F.min("v").cast("bigint").alias("m"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    poor = (
+        grid.crossJoin(F.broadcast(med))
+        .where(2 * F.col("v") < F.col("m"))
+        .select(
+            "v",
+            "c",
+            "m",
+            "n",
+            F.sum("c")
+            .over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .alias("head"),
+        )
+    )
+    fold = poor.agg(
+        F.max("m").alias("m"),
+        F.max("n").alias("n"),
+        F.sum("c").cast("bigint").alias("q"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("tpoor"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * F.col("v")
+            * (2 * F.coalesce(F.col("head"), F.lit(0)) + F.col("c") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("two_ix"),
+        F.sum(
+            F.round(
+                F.log(F.col("m").cast("double") / (2.0 * F.col("v"))),
+                6,
+            ).cast("decimal(28,6)")
+            * F.col("c")
+        )
+        .cast("double")
+        .alias("watts_sum"),
+    )
+    igr = 1.0 - 2.0 * F.col("tpoor").cast("double") / (
+        F.col("q").cast("double") * F.col("m")
+    )
+    gp = (
+        F.col("two_ix").cast("double")
+        - (F.col("q") + 1) * F.col("tpoor").cast("double")
+    ) / (F.col("q").cast("double") * F.col("tpoor").cast("double"))
+    return fold.select(
+        F.col("n").alias("n_customers"),
+        F.col("q").alias("n_poor"),
+        (F.round(F.col("watts_sum") / F.col("n"), 6) + 0.0).alias(
+            "watts_index"
+        ),
+        (F.round(igr, 8) + 0.0).alias("income_gap_ratio"),
+        (F.round(gp, 8) + 0.0).alias("gini_poor"),
+        (
+            F.round(
+                F.col("q").cast("double")
+                / F.col("n")
+                * (igr + (1.0 - igr) * gp),
+                8,
+            )
+            + 0.0
+        ).alias("sen_index"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Max-to-sum ratio diagnostics for the first four moments
+# --------------------------------------------------------------------------
+@register(
+    "max_to_sum_ratios",
+    oracle="""
+    WITH grid AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    AS DECIMAL(10,2)) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ),
+    pows AS (
+        SELECT v, c,
+               CAST(round(v * v, 2) AS DECIMAL(20,2)) AS v2
+        FROM grid
+    ),
+    pows3 AS (
+        SELECT v, c, v2,
+               CAST(round(v2 * v, 2) AS DECIMAL(20,2)) AS v3
+        FROM pows
+    ),
+    pows4 AS (
+        SELECT v, c, v2, v3,
+               CAST(round(v3 * v, 2) AS DECIMAL(25,2)) AS v4
+        FROM pows3
+    ),
+    fold AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(MAX(v) AS DOUBLE) AS m1,
+               CAST(MAX(v2) AS DOUBLE) AS m2,
+               CAST(MAX(v3) AS DOUBLE) AS m3,
+               CAST(MAX(v4) AS DOUBLE) AS m4,
+               CAST(SUM(CAST(c AS DECIMAL(12,0)) * v) AS DOUBLE)
+                   AS s1,
+               CAST(SUM(CAST(c AS DECIMAL(12,0)) * v2) AS DOUBLE)
+                   AS s2,
+               CAST(SUM(CAST(c AS DECIMAL(12,0)) * v3) AS DOUBLE)
+                   AS s3,
+               CAST(SUM(CAST(c AS DECIMAL(12,0)) * v4) AS DOUBLE)
+                   AS s4
+        FROM pows4
+    )
+    SELECT n AS n_orders,
+           round(m1 / s1, 10) + 0.0 AS r1,
+           round(m2 / s2, 10) + 0.0 AS r2,
+           round(m3 / s3, 10) + 0.0 AS r3,
+           round(m4 / s4, 10) + 0.0 AS r4,
+           CAST(CASE WHEN round(m4 / s4, 10) > 0.05 THEN 4
+                     WHEN round(m3 / s3, 10) > 0.05 THEN 3
+                     WHEN round(m2 / s2, 10) > 0.05 THEN 2
+                     WHEN round(m1 / s1, 10) > 0.05 THEN 1
+                     ELSE 0 END AS INT) AS first_divergent_moment
+    FROM fold
+    """,
+)
+def max_to_sum_ratios(spark, sf_dir):
+    """MAX-TO-SUM ratio diagnostic R_n(p) = max(X^p)/sum(X^p) for
+    p = 1..4 (Embrechts-Kluppelberg-Mikosch): R_n(p) -> 0 iff
+    E[X^p] < infinity, so the first p whose ratio stays away from 0
+    names the first DIVERGENT moment — the zero-assumption
+    companion to `mean_excess_slope` and the L-moment panel (a
+    sample with finite mean but infinite variance shows r1 ~ 0,
+    r2 >> 0). On heavy-tailed web data this is the single cheapest
+    "can I even trust a variance?" certificate.
+
+    Exactness: dollar values are exact DECIMAL(10,2); each power is
+    the exact decimal product ROUNDED at 2 dp then re-bounded
+    (DECIMAL(14/18/25,2)) so every DuckDB multiply stays under the
+    38-digit precision cap even with the count multiplier (the raw
+    p1+p2 precision rule overflows at v^3); both engines carry the
+    identical 2-dp powers, sums fold exactly, and the ratios read at
+    10 dp where a 2-dp power is noise-free. Plan: one value rollup,
+    one fold — no window, no join."""
+    o = t(spark, sf_dir, "orders")
+    grid = (
+        o.select(dec("o_totalprice", 10, 2).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    v = F.col("v")
+    pows = grid.select(
+        "v", "c", F.round(v * v, 2).cast("decimal(20,2)").alias("v2")
+    )
+    pows = pows.select(
+        "v",
+        "c",
+        "v2",
+        F.round(F.col("v2") * v, 2).cast("decimal(20,2)").alias("v3"),
+    )
+    pows = pows.select(
+        "v",
+        "c",
+        "v2",
+        "v3",
+        F.round(F.col("v3") * v, 2).cast("decimal(25,2)").alias("v4"),
+    )
+    cc = F.col("c").cast("decimal(12,0)")
+    fold = pows.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.max(v).cast("double").alias("m1"),
+        F.max("v2").cast("double").alias("m2"),
+        F.max("v3").cast("double").alias("m3"),
+        F.max("v4").cast("double").alias("m4"),
+        F.sum(cc * v).cast("double").alias("s1"),
+        F.sum(cc * F.col("v2")).cast("double").alias("s2"),
+        F.sum(cc * F.col("v3")).cast("double").alias("s3"),
+        F.sum(cc * F.col("v4")).cast("double").alias("s4"),
+    )
+    r1 = F.round(F.col("m1") / F.col("s1"), 10)
+    r2 = F.round(F.col("m2") / F.col("s2"), 10)
+    r3 = F.round(F.col("m3") / F.col("s3"), 10)
+    r4 = F.round(F.col("m4") / F.col("s4"), 10)
+    return fold.select(
+        F.col("n").alias("n_orders"),
+        (r1 + 0.0).alias("r1"),
+        (r2 + 0.0).alias("r2"),
+        (r3 + 0.0).alias("r3"),
+        (r4 + 0.0).alias("r4"),
+        F.when(r4 > 0.05, 4)
+        .when(r3 > 0.05, 3)
+        .when(r2 > 0.05, 2)
+        .when(r1 > 0.05, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("first_divergent_moment"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "gastwirth_trimean_panel": (
+            "one cumulative over the cents value grid + a 5-row "
+            "broadcast threshold join (the mean_excess_slope class)"
+        ),
+        "fgt_poverty_panel": (
+            "one cumulative over the customer-spend value grid "
+            "(domain-bounded — the lorenz_dominance class)"
+        ),
+        "watts_sen_poverty": (
+            "median cumulative + exclusive-prefix rank cumulative "
+            "over the poor half of the spend grid (the "
+            "lorenz_dominance class)"
+        ),
+    }
+)
