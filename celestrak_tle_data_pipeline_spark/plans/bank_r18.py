@@ -1332,3 +1332,765 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Zenga curve + Bonferroni index at the 19 ventile ordinates
+# --------------------------------------------------------------------------
+@register(
+    "zenga_bonferroni_ordinates",
+    oracle=f"""
+    WITH {_SPEND_GRID_SQL},
+    cum AS (
+        SELECT v,
+               SUM(c) OVER w AS cc,
+               SUM(tv) OVER w AS cv,
+               SUM(c) OVER () AS n,
+               SUM(tv) OVER () AS tot
+        FROM grid
+        WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    ks AS (SELECT CAST(u.g AS BIGINT) AS k
+           FROM LATERAL UNNEST(range(1, 20)) AS u(g)),
+    lorenz AS (
+        SELECT ks.k,
+               COALESCE(MAX(CASE WHEN 20 * cum.cc <= ks.k * cum.n
+                       THEN round(CAST(cv AS DOUBLE) / tot, 10)
+                       END), 0.0) AS l
+        FROM cum CROSS JOIN ks
+        GROUP BY ks.k
+    ),
+    zen AS (
+        SELECT k, l,
+               round(1.0 - l * (20 - k) / (k * (1.0 - l)), 8) AS z
+        FROM lorenz
+    ),
+    fold AS (
+        SELECT CAST(SUM(CAST(round(z, 8) AS DECIMAL(18,8)))
+                    AS DOUBLE) / 19 AS zbar,
+               1.0 - CAST(SUM(CAST(round(20.0 * l / k, 10)
+                                   AS DECIMAL(18,10)))
+                          AS DOUBLE) / 19 AS bonf
+        FROM zen
+    )
+    SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM cum) AS n_customers,
+           (SELECT round(z, 6) + 0.0 FROM zen WHERE k = 5) AS z25,
+           (SELECT round(z, 6) + 0.0 FROM zen WHERE k = 10) AS z50,
+           (SELECT round(z, 6) + 0.0 FROM zen WHERE k = 15) AS z75,
+           round(zbar, 6) + 0.0 AS zenga_mean_19,
+           round(bonf, 6) + 0.0 AS bonferroni_19
+    FROM fold
+    """,
+)
+def zenga_bonferroni_ordinates(spark, sf_dir):
+    """ZENGA-07 curve Z(p) = 1 - [L(p)/p]*[(1-p)/(1-L(p))] (the ratio
+    of the lower-group mean to the upper-group mean, subtracted from
+    one) at the 19 ventile ordinates, with its mean as the Zenga
+    index, plus the BONFERRONI index 1 - mean(L(p)/p) on the same
+    grid — the two modern inequality indices that weight the LOW end
+    of the distribution far more than Gini does (Bonferroni's kernel
+    is 1/p), completing the inequality bench's sensitivity spectrum:
+    Gini (middle), Palma/top-share (top), Zenga/Bonferroni (bottom).
+
+    Exactness: L(p) at each ordinate is the exact grid Lorenz
+    ordinate (integer compare 20*cc <= k*n, cv/tot rounded at 10 dp
+    — the lorenz_dominance_check convention); the 19-term means fold
+    rounded terms through DECIMAL. Plan: one custkey rollup, one
+    domain-bounded grid cumulative, one 19-row broadcast, two
+    folds."""
+    grid = _spend_grid(spark, sf_dir)
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select(
+        "v",
+        F.sum("c").over(w).alias("cc"),
+        F.sum("tv").over(w).alias("cv"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+        F.sum("tv").over(Window.partitionBy()).alias("tot"),
+    ).persist()
+    ks = spark.range(1, 20).select(
+        F.col("id").cast("bigint").alias("k")
+    )
+    lorenz = (
+        cum.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        20 * F.col("cc") <= F.col("k") * F.col("n"),
+                        F.round(
+                            F.col("cv").cast("double") / F.col("tot"),
+                            10,
+                        ),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("l")
+        )
+    )
+    zen = lorenz.select(
+        "k",
+        "l",
+        F.round(
+            1.0
+            - F.col("l")
+            * (20 - F.col("k"))
+            / (F.col("k") * (1.0 - F.col("l"))),
+            8,
+        ).alias("z"),
+    ).persist()
+    fold = zen.agg(
+        (
+            F.sum(F.round("z", 8).cast("decimal(18,8)")).cast("double")
+            / 19
+        ).alias("zbar"),
+        (
+            1.0
+            - F.sum(
+                F.round(20.0 * F.col("l") / F.col("k"), 10).cast(
+                    "decimal(18,10)"
+                )
+            ).cast("double")
+            / 19
+        ).alias("bonf"),
+    )
+    n = cum.agg(F.max("n").cast("bigint").alias("n_customers"))
+    z25 = zen.where(F.col("k") == 5).select(
+        (F.round("z", 6) + 0.0).alias("z25")
+    )
+    z50 = zen.where(F.col("k") == 10).select(
+        (F.round("z", 6) + 0.0).alias("z50")
+    )
+    z75 = zen.where(F.col("k") == 15).select(
+        (F.round("z", 6) + 0.0).alias("z75")
+    )
+    return (
+        n.crossJoin(F.broadcast(z25))
+        .crossJoin(F.broadcast(z50))
+        .crossJoin(F.broadcast(z75))
+        .crossJoin(F.broadcast(fold))
+        .select(
+            "n_customers",
+            "z25",
+            "z50",
+            "z75",
+            (F.round("zbar", 6) + 0.0).alias("zenga_mean_19"),
+            (F.round("bonf", 6) + 0.0).alias("bonferroni_19"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Wolfson bipolarization index of customer spend
+# --------------------------------------------------------------------------
+@register(
+    "wolfson_polarization",
+    oracle=f"""
+    WITH {_SPEND_GRID_SQL},
+    cum AS (
+        SELECT v, c,
+               SUM(c) OVER w AS cc,
+               SUM(tv) OVER w AS cv,
+               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING) AS head,
+               SUM(c) OVER () AS n,
+               SUM(tv) OVER () AS tot
+        FROM grid
+        WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    med AS (
+        SELECT CAST(MIN(v) AS BIGINT) AS m FROM cum
+        WHERE 2 * cc >= n
+    ),
+    l50 AS (
+        SELECT COALESCE(MAX(round(CAST(cv AS DOUBLE) / tot, 10)),
+                        0.0) AS l
+        FROM cum WHERE 2 * cc <= n
+    ),
+    gfold AS (
+        SELECT MAX(n) AS n, MAX(tot) AS tot,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * v
+                        * (2 * COALESCE(head, 0) + c + 1))
+                    AS DECIMAL(38,0)) AS two_ix
+        FROM cum
+    )
+    SELECT g.n AS n_customers,
+           round((CAST(g.two_ix AS DOUBLE)
+                  - (g.n + 1) * CAST(g.tot AS DOUBLE))
+                 / (CAST(g.n AS DOUBLE)
+                    * CAST(g.tot AS DOUBLE)), 8) + 0.0 AS gini,
+           round(0.5 - l50.l, 8) + 0.0 AS median_share_deficit,
+           round(med.m / 100000.0, 6) + 0.0 AS median_kusd,
+           round(2.0 * (CAST(g.tot AS DOUBLE) / g.n / med.m)
+                 * ((0.5 - l50.l)
+                    - (CAST(g.two_ix AS DOUBLE)
+                       - (g.n + 1) * CAST(g.tot AS DOUBLE))
+                      / (2.0 * CAST(g.n AS DOUBLE)
+                         * CAST(g.tot AS DOUBLE))), 8) + 0.0
+               AS wolfson_w
+    FROM gfold g, med, l50
+    """,
+)
+def wolfson_polarization(spark, sf_dir):
+    """WOLFSON bipolarization index W = (2*mu/m) * (T - G/2) with
+    T = 0.5 - L(0.5) — the hollowing-middle statistic: W grows when
+    mass moves AWAY from the median toward both tails even while
+    Gini is flat (polarization and inequality are different axes;
+    Wolfson's construction is literally twice the area between the
+    Lorenz curve and its tangent at the median). Completes the
+    shape bench next to `lorenz_asymmetry_coefficient` (which way
+    the skew leans) and the dominance checks.
+
+    Exactness: the full-population Gini uses the same exact
+    tie-aware rank identity as `watts_sen_poverty` (DECIMAL(38,0)
+    integers); the median is an exact lower order statistic; L(0.5)
+    is the exact grid Lorenz ordinate at 10 dp. Plan: one custkey
+    rollup, one domain-bounded grid cumulative, three scalar
+    broadcasts."""
+    grid = _spend_grid(spark, sf_dir)
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select(
+        "v",
+        "c",
+        F.sum("c").over(w).alias("cc"),
+        F.sum("tv").over(w).alias("cv"),
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("head"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+        F.sum("tv").over(Window.partitionBy()).alias("tot"),
+    ).persist()
+    med = cum.where(2 * F.col("cc") >= F.col("n")).agg(
+        F.min("v").cast("bigint").alias("m")
+    )
+    l50 = cum.where(2 * F.col("cc") <= F.col("n")).agg(
+        F.coalesce(
+            F.max(
+                F.round(F.col("cv").cast("double") / F.col("tot"), 10)
+            ),
+            F.lit(0.0),
+        ).alias("l")
+    )
+    gfold = cum.agg(
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * F.col("v")
+            * (2 * F.coalesce(F.col("head"), F.lit(0)) + F.col("c") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("two_ix"),
+    )
+    gini = (
+        F.col("two_ix").cast("double")
+        - (F.col("n") + 1) * F.col("tot").cast("double")
+    ) / (F.col("n").cast("double") * F.col("tot").cast("double"))
+    tdef = 0.5 - F.col("l")
+    return (
+        gfold.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(l50))
+        .select(
+            F.col("n").alias("n_customers"),
+            (F.round(gini, 8) + 0.0).alias("gini"),
+            (F.round(tdef, 8) + 0.0).alias("median_share_deficit"),
+            (F.round(F.col("m") / 100000.0, 6) + 0.0).alias(
+                "median_kusd"
+            ),
+            (
+                F.round(
+                    2.0
+                    * (
+                        F.col("tot").cast("double")
+                        / F.col("n")
+                        / F.col("m")
+                    )
+                    * (tdef - gini / 2.0),
+                    8,
+                )
+                + 0.0
+            ).alias("wolfson_w"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Generalized entropy inequality panel GE(0) / GE(1) / GE(2)
+# --------------------------------------------------------------------------
+@register(
+    "generalized_entropy_panel",
+    oracle=f"""
+    WITH {_SPEND_GRID_SQL},
+    fold AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(tv) AS BIGINT) AS s,
+               CAST(SUM(CAST(round(ln(CAST(v AS DOUBLE)), 6)
+                             AS DECIMAL(28,6)) * c) AS DOUBLE)
+                   AS sum_lnx,
+               CAST(SUM(CAST(round(ln(CAST(v AS DOUBLE)), 6)
+                             AS DECIMAL(28,6))
+                        * CAST(c AS DECIMAL(38,0)) * v) AS DOUBLE)
+                   AS sum_xlnx,
+               CAST(SUM(CAST(c AS DECIMAL(38,0))
+                        * CAST(v AS DECIMAL(38,0)) * v)
+                    AS DECIMAL(38,0)) AS sxx
+        FROM grid
+    )
+    SELECT n AS n_customers,
+           round(round(ln(CAST(s AS DOUBLE) / n), 6)
+                 - sum_lnx / n, 6) + 0.0 AS mld_ge0,
+           round(sum_xlnx / CAST(s AS DOUBLE)
+                 - round(ln(CAST(s AS DOUBLE) / n), 6), 6) + 0.0
+               AS theil_ge1,
+           round((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  / CAST(s AS DOUBLE) / CAST(s AS DOUBLE) - 1.0)
+                 / 2.0, 8) + 0.0 AS half_cv2_ge2
+    FROM fold
+    """,
+)
+def generalized_entropy_panel(spark, sf_dir):
+    """GENERALIZED ENTROPY inequality family at the three canonical
+    sensitivities: GE(0) = mean log deviation (bottom-sensitive),
+    GE(1) = Theil T (share-weighted), GE(2) = half the squared CV
+    (top-sensitive) — the only inequality family that decomposes
+    additively by subgroups, which is why a pipeline's per-segment
+    readouts standardize on it; this query gives the whole-corpus
+    anchors the registry's `theil_between_within_nations`
+    decomposition sums to.
+
+    Exactness: GE(2) is fully exact (integer power sums through
+    DECIMAL(38,0)); the two log folds pin ln at 6 dp per distinct
+    value before count-weighted DECIMAL folding (the
+    watts_sen_poverty pin), and ln(mu) is pinned at 6 dp in both
+    engines. Plan: one custkey rollup, one fold — no window."""
+    grid = _spend_grid(spark, sf_dir)
+    ln6 = F.round(F.log(F.col("v").cast("double")), 6).cast(
+        "decimal(28,6)"
+    )
+    fold = grid.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("tv").cast("bigint").alias("s"),
+        F.sum(ln6 * F.col("c")).cast("double").alias("sum_lnx"),
+        F.sum(ln6 * F.col("c").cast("decimal(38,0)") * F.col("v"))
+        .cast("double")
+        .alias("sum_xlnx"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * F.col("v").cast("decimal(38,0)")
+            * F.col("v")
+        )
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    lnmu = F.round(
+        F.log(F.col("s").cast("double") / F.col("n")), 6
+    )
+    return fold.select(
+        F.col("n").alias("n_customers"),
+        (F.round(lnmu - F.col("sum_lnx") / F.col("n"), 6) + 0.0).alias(
+            "mld_ge0"
+        ),
+        (
+            F.round(
+                F.col("sum_xlnx") / F.col("s").cast("double") - lnmu, 6
+            )
+            + 0.0
+        ).alias("theil_ge1"),
+        (
+            F.round(
+                (
+                    F.col("n").cast("double")
+                    * F.col("sxx").cast("double")
+                    / F.col("s").cast("double")
+                    / F.col("s").cast("double")
+                    - 1.0
+                )
+                / 2.0,
+                8,
+            )
+            + 0.0
+        ).alias("half_cv2_ge2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Generalized (mean-scaled) Lorenz dominance: half 1 vs half 2
+# --------------------------------------------------------------------------
+@register(
+    "generalized_lorenz_dominance",
+    oracle="""
+    WITH lab AS (
+        SELECT o_custkey AS u,
+               CASE WHEN epoch_us(o_orderdate) // 86400000000
+                    <= (SELECT (min(epoch_us(o_orderdate))
+                                // 86400000000
+                                + max(epoch_us(o_orderdate))
+                                // 86400000000) // 2 FROM orders)
+                    THEN 1 ELSE 2 END AS half,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+        FROM orders
+    ),
+    spend AS (
+        SELECT half, u, CAST(SUM(cents) AS BIGINT) AS m
+        FROM lab GROUP BY half, u
+    ),
+    grid AS (
+        SELECT half, m AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(m) AS BIGINT) AS tv
+        FROM spend GROUP BY half, m
+    ),
+    cum AS (
+        SELECT half, v,
+               CAST(SUM(c) OVER w AS BIGINT) AS cc,
+               CAST(SUM(tv) OVER w AS BIGINT) AS cv,
+               CAST(SUM(c) OVER (PARTITION BY half) AS BIGINT) AS n,
+               CAST(SUM(tv) OVER (PARTITION BY half) AS BIGINT)
+                   AS tot
+        FROM grid
+        WINDOW w AS (PARTITION BY half ORDER BY v
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    ks AS (SELECT CAST(u.g AS BIGINT) AS k
+           FROM LATERAL UNNEST(range(1, 20)) AS u(g)),
+    gl AS (
+        SELECT ks.k, cum.half,
+               COALESCE(MAX(CASE WHEN 20 * cum.cc <= ks.k * cum.n
+                   THEN round(CAST(cv AS DOUBLE) / n / 100000.0, 8)
+                   END), 0.0) AS glval
+        FROM cum CROSS JOIN ks
+        GROUP BY ks.k, cum.half
+    ),
+    wide AS (
+        SELECT k,
+               MAX(CASE WHEN half = 1 THEN glval END) AS g1,
+               MAX(CASE WHEN half = 2 THEN glval END) AS g2
+        FROM gl GROUP BY k
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+               CAST(SUM(CASE WHEN g1 > g2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_h1_above,
+               CAST(SUM(CASE WHEN g2 > g1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_h2_above,
+               round(MAX(ABS(g1 - g2)), 8) AS max_gap
+        FROM wide
+    )
+    SELECT kk AS n_ventiles, n_h1_above, n_h2_above,
+           max_gap + 0.0 AS max_gl_gap_kusd,
+           CAST(CASE WHEN n_h2_above = 0 AND n_h1_above > 0
+                     THEN 1
+                     WHEN n_h1_above = 0 AND n_h2_above > 0
+                     THEN 2 ELSE 0 END AS INT)
+               AS ssd_dominant_half
+    FROM fold
+    """,
+)
+def generalized_lorenz_dominance(spark, sf_dir):
+    """GENERALIZED Lorenz dominance (Shorrocks 1983) between the
+    first- and second-half customer-spend distributions: GL(p) =
+    L(p) * mu — cumulative mean spend up to each ventile, in k$.
+    GL dominance is SECOND-ORDER stochastic dominance: it orders
+    distributions by every increasing-concave welfare function,
+    i.e. it trades mean against inequality, where the plain
+    `lorenz_dominance_check` (scale-free) can only rank inequality.
+    A half can Lorenz-dominate yet GL-lose if its mean is lower —
+    exactly the call a mixture-budget rebalance needs.
+
+    Exactness: identical grid construction to lorenz_dominance_check
+    (per-half cumulative over the spend grid, integer ordinate
+    compares); GL ordinates divide exact BIGINT cumulative cents by
+    the exact half count at 8 dp. Plan: one custkey rollup, one
+    per-half domain-bounded grid cumulative, one 19-row broadcast,
+    one fold."""
+    o = t(spark, sf_dir, "orders")
+    day = F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+    cut = o.agg(
+        F.floor((F.min(day) + F.max(day)) / 2)
+        .cast("bigint")
+        .alias("cut")
+    )
+    lab = o.crossJoin(F.broadcast(cut)).select(
+        F.col("o_custkey").alias("u"),
+        F.when(day <= F.col("cut"), 1).otherwise(2).alias("half"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    spend = lab.groupBy("half", "u").agg(
+        F.sum("cents").cast("bigint").alias("m")
+    )
+    grid = spend.groupBy("half", F.col("m").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("m").cast("bigint").alias("tv"),
+    )
+    w = (
+        Window.partitionBy("half")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "half",
+        "v",
+        F.sum("c").over(w).cast("bigint").alias("cc"),
+        F.sum("tv").over(w).cast("bigint").alias("cv"),
+        F.sum("c")
+        .over(Window.partitionBy("half"))
+        .cast("bigint")
+        .alias("n"),
+        F.sum("tv")
+        .over(Window.partitionBy("half"))
+        .cast("bigint")
+        .alias("tot"),
+    )
+    ks = spark.range(1, 20).select(
+        F.col("id").cast("bigint").alias("k")
+    )
+    gl = (
+        cum.crossJoin(F.broadcast(ks))
+        .groupBy("k", "half")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        20 * F.col("cc") <= F.col("k") * F.col("n"),
+                        F.round(
+                            F.col("cv").cast("double")
+                            / F.col("n")
+                            / 100000.0,
+                            8,
+                        ),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("glval")
+        )
+    )
+    wide = gl.groupBy("k").agg(
+        F.max(F.when(F.col("half") == 1, F.col("glval"))).alias("g1"),
+        F.max(F.when(F.col("half") == 2, F.col("glval"))).alias("g2"),
+    )
+    fold = wide.agg(
+        F.count(F.lit(1)).cast("bigint").alias("kk"),
+        F.sum(F.when(F.col("g1") > F.col("g2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_h1_above"),
+        F.sum(F.when(F.col("g2") > F.col("g1"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_h2_above"),
+        F.round(F.max(F.abs(F.col("g1") - F.col("g2"))), 8).alias(
+            "max_gap"
+        ),
+    )
+    return fold.select(
+        F.col("kk").alias("n_ventiles"),
+        "n_h1_above",
+        "n_h2_above",
+        (F.col("max_gap") + 0.0).alias("max_gl_gap_kusd"),
+        F.when(
+            (F.col("n_h2_above") == 0) & (F.col("n_h1_above") > 0), 1
+        )
+        .when(
+            (F.col("n_h1_above") == 0) & (F.col("n_h2_above") > 0), 2
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("ssd_dominant_half"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Relative distribution polarization (MRP) of half-2 spend vs half-1
+# --------------------------------------------------------------------------
+@register(
+    "relative_distribution_mrp",
+    oracle="""
+    WITH lab AS (
+        SELECT o_custkey AS u,
+               CASE WHEN epoch_us(o_orderdate) // 86400000000
+                    <= (SELECT (min(epoch_us(o_orderdate))
+                                // 86400000000
+                                + max(epoch_us(o_orderdate))
+                                // 86400000000) // 2 FROM orders)
+                    THEN 1 ELSE 2 END AS half,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+        FROM orders
+    ),
+    spend AS (
+        SELECT half, u, CAST(SUM(cents) AS BIGINT) AS m
+        FROM lab GROUP BY half, u
+    ),
+    grid AS (
+        SELECT m AS v,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM spend GROUP BY m
+    ),
+    cum AS (
+        SELECT v, c2,
+               CAST(SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED
+                                  PRECEDING) AS BIGINT) AS cr1,
+               CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+               CAST(SUM(c2) OVER () AS BIGINT) AS n2
+        FROM grid
+    ),
+    fold AS (
+        SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+               CAST(SUM(CAST(c2 AS DECIMAL(38,0))
+                        * abs(2 * cr1 - n1)) AS DECIMAL(38,0))
+                   AS s_abs,
+               CAST(SUM(CAST(c2 AS DECIMAL(38,0))
+                        * greatest(2 * cr1 - n1, 0))
+                    AS DECIMAL(38,0)) AS s_up,
+               CAST(SUM(CAST(c2 AS DECIMAL(38,0))
+                        * greatest(n1 - 2 * cr1, 0))
+                    AS DECIMAL(38,0)) AS s_dn
+        FROM cum
+    )
+    SELECT n1 AS n_ref_customers, n2 AS n_cmp_customers,
+           round(2.0 * CAST(s_abs AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * n2) - 1.0, 8) + 0.0
+               AS mrp,
+           round(4.0 * CAST(s_up AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * n2) - 1.0, 8) + 0.0
+               AS srp_upper,
+           round(4.0 * CAST(s_dn AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * n2) - 1.0, 8) + 0.0
+               AS srp_lower
+    FROM fold
+    """,
+)
+def relative_distribution_mrp(spark, sf_dir):
+    """MEDIAN RELATIVE POLARIZATION (Handcock-Morris relative
+    distribution methods): place each second-half customer's spend
+    at its first-half ECDF position r = F1(x) and measure how far
+    the relative ranks pile toward the tails — MRP = 4*E|r - 1/2|
+    - 1 (0 = no reshaping, +1 = total polarization, negative =
+    convergence toward the reference median), split into upper/
+    lower contributions SRP_U/SRP_L (which tail gained). The
+    distribution-free complement to `wolfson_polarization` (within-
+    period) — this one reads CHANGE between periods; (SRP_U +
+    SRP_L)/2 = MRP is an exact identity the panel exposes.
+
+    Exactness: F1 placements use the merged spend grid's exact
+    half-1 cumulative (ECDF convention F1(x) = #{h1 <= x}/n1); all
+    three folds are exact DECIMAL(38,0) integer sums; ranks never
+    materialize at unit grain. Plan: one custkey rollup, one merged
+    domain-bounded grid cumulative, one fold."""
+    o = t(spark, sf_dir, "orders")
+    day = F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+    cut = o.agg(
+        F.floor((F.min(day) + F.max(day)) / 2)
+        .cast("bigint")
+        .alias("cut")
+    )
+    spend = (
+        o.crossJoin(F.broadcast(cut))
+        .select(
+            F.col("o_custkey").alias("u"),
+            F.when(day <= F.col("cut"), 1).otherwise(2).alias("half"),
+            (dec("o_totalprice", 18, 2) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("half", "u")
+        .agg(F.sum("cents").cast("bigint").alias("m"))
+    )
+    grid = spend.groupBy(F.col("m").alias("v")).agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    cum = grid.select(
+        "v",
+        "c2",
+        F.sum("c1")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint")
+        .alias("cr1"),
+        F.sum("c1").over(Window.partitionBy()).cast("bigint").alias(
+            "n1"
+        ),
+        F.sum("c2").over(Window.partitionBy()).cast("bigint").alias(
+            "n2"
+        ),
+    )
+    fold = cum.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(
+            F.col("c2").cast("decimal(38,0)")
+            * F.abs(2 * F.col("cr1") - F.col("n1"))
+        )
+        .cast("decimal(38,0)")
+        .alias("s_abs"),
+        F.sum(
+            F.col("c2").cast("decimal(38,0)")
+            * F.greatest(2 * F.col("cr1") - F.col("n1"), F.lit(0))
+        )
+        .cast("decimal(38,0)")
+        .alias("s_up"),
+        F.sum(
+            F.col("c2").cast("decimal(38,0)")
+            * F.greatest(F.col("n1") - 2 * F.col("cr1"), F.lit(0))
+        )
+        .cast("decimal(38,0)")
+        .alias("s_dn"),
+    )
+    nn = F.col("n1").cast("double") * F.col("n2")
+    return fold.select(
+        F.col("n1").alias("n_ref_customers"),
+        F.col("n2").alias("n_cmp_customers"),
+        (
+            F.round(2.0 * F.col("s_abs").cast("double") / nn - 1.0, 8)
+            + 0.0
+        ).alias("mrp"),
+        (
+            F.round(4.0 * F.col("s_up").cast("double") / nn - 1.0, 8)
+            + 0.0
+        ).alias("srp_upper"),
+        (
+            F.round(4.0 * F.col("s_dn").cast("double") / nn - 1.0, 8)
+            + 0.0
+        ).alias("srp_lower"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "zenga_bonferroni_ordinates": (
+            "one cumulative over the spend grid + 19-ordinate "
+            "broadcast (the lorenz_dominance class)"
+        ),
+        "wolfson_polarization": (
+            "cumulative + exclusive-prefix rank windows over the "
+            "spend grid (the watts_sen_poverty class)"
+        ),
+        "generalized_lorenz_dominance": (
+            "per-half cumulative over the spend grid + 19-ordinate "
+            "broadcast (the lorenz_dominance class)"
+        ),
+        "relative_distribution_mrp": (
+            "one merged-grid cumulative for the reference-half ECDF "
+            "(the lorenz_dominance class)"
+        ),
+    }
+)
