@@ -617,8 +617,33 @@ PLAN_AUDIT_NOTES.update(
 
 
 # --------------------------------------------------------------------------
-# Shared frames: per-customer spend (cents) and the order-value grid
+# Shared frames: daily revenue series (the bank_r13/r14 _DAILY_SQL copy),
+# per-customer spend (cents) and the order-value grid
 # --------------------------------------------------------------------------
+_DAILY_SQL = """
+    daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS day,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    )
+"""
+
+
+def _daily(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+
+
 _SPEND_SQL = """
     spend AS (
         SELECT o_custkey AS u,
@@ -2091,6 +2116,1016 @@ PLAN_AUDIT_NOTES.update(
         "relative_distribution_mrp": (
             "one merged-grid cumulative for the reference-half ECDF "
             "(the lorenz_dominance class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Kakwani progressivity of line-item discounts against gross price
+# --------------------------------------------------------------------------
+@register(
+    "kakwani_discount_progressivity",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS x,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)
+               * CAST(CAST(l_discount AS DECIMAL(6,2)) * 100
+                      AS BIGINT) AS d
+        FROM lineitem
+    ),
+    grid AS (
+        SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(x) AS BIGINT) AS tx,
+               CAST(SUM(d) AS BIGINT) AS td
+        FROM pts GROUP BY x
+    ),
+    cum AS (
+        SELECT v, c, tx, td,
+               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING) AS head,
+               SUM(c) OVER () AS n,
+               SUM(tx) OVER () AS sx,
+               SUM(td) OVER () AS sd
+        FROM grid
+    ),
+    fold AS (
+        SELECT MAX(n) AS n, MAX(sx) AS sx, MAX(sd) AS sd,
+               CAST(SUM(CAST(tx AS DECIMAL(38,0))
+                        * (2 * COALESCE(head, 0) + c + 1))
+                    AS DECIMAL(38,0)) AS two_ix,
+               CAST(SUM(CAST(td AS DECIMAL(38,0))
+                        * (2 * COALESCE(head, 0) + c + 1))
+                    AS DECIMAL(38,0)) AS two_id
+        FROM cum
+    )
+    SELECT n AS n_lines,
+           round((CAST(two_ix AS DOUBLE)
+                  - (n + 1) * CAST(sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
+               + 0.0 AS gini_gross_price,
+           round((CAST(two_id AS DOUBLE)
+                  - (n + 1) * CAST(sd AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sd AS DOUBLE)), 8)
+               + 0.0 AS conc_discount_by_price,
+           round((CAST(two_id AS DOUBLE)
+                  - (n + 1) * CAST(sd AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sd AS DOUBLE))
+                 - (CAST(two_ix AS DOUBLE)
+                    - (n + 1) * CAST(sx AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
+               + 0.0 AS kakwani_k,
+           round(CAST(sd AS DOUBLE) / CAST(sx AS DOUBLE) / 10000.0,
+                 8) + 0.0 AS avg_discount_rate
+    FROM fold
+    """,
+)
+def kakwani_discount_progressivity(spark, sf_dir):
+    """KAKWANI progressivity index of line-item discounts treated as
+    a levy on gross price: K = C_d - G_x, the concentration index of
+    discount amounts ranked BY GROSS PRICE minus the Gini of gross
+    price itself. K > 0 means discounts fall disproportionately on
+    expensive lines (a progressive schedule), K < 0 regressive —
+    the standard fiscal-incidence readout, here auditing whether
+    the discount policy targets big-ticket lines. Pairs with
+    `reynolds_smolensky_redistribution` exactly as the two do in the
+    public-finance literature (K sizes departure-from-
+    proportionality, RS the achieved redistribution).
+
+    Exactness: both indices use the tie-aware midrank identity
+    (2*sum w_g*(2*head+c+1) folds in DECIMAL(38,0)); discount
+    amounts stay in exact cent-basis-point integers (cents * bp, no
+    division anywhere); ranks never materialize at line grain.
+    Plan: one price-grid rollup, one domain-bounded grid
+    cumulative, one fold."""
+    li = t(spark, sf_dir, "lineitem")
+    x = (dec("l_extendedprice", 18, 2) * 100).cast("bigint")
+    bp = (dec("l_discount", 6, 2) * 100).cast("bigint")
+    grid = (
+        li.select(x.alias("x"), (x * bp).alias("d"))
+        .groupBy(F.col("x").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("x").cast("bigint").alias("tx"),
+            F.sum("d").cast("bigint").alias("td"),
+        )
+    )
+    cum = grid.select(
+        "v",
+        "c",
+        "tx",
+        "td",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("head"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+        F.sum("tx").over(Window.partitionBy()).alias("sx"),
+        F.sum("td").over(Window.partitionBy()).alias("sd"),
+    )
+    r2 = 2 * F.coalesce(F.col("head"), F.lit(0)) + F.col("c") + 1
+    fold = cum.agg(
+        F.max("n").alias("n"),
+        F.max("sx").alias("sx"),
+        F.max("sd").alias("sd"),
+        F.sum(F.col("tx").cast("decimal(38,0)") * r2)
+        .cast("decimal(38,0)")
+        .alias("two_ix"),
+        F.sum(F.col("td").cast("decimal(38,0)") * r2)
+        .cast("decimal(38,0)")
+        .alias("two_id"),
+    )
+    gx = (
+        F.col("two_ix").cast("double")
+        - (F.col("n") + 1) * F.col("sx").cast("double")
+    ) / (F.col("n").cast("double") * F.col("sx").cast("double"))
+    cd = (
+        F.col("two_id").cast("double")
+        - (F.col("n") + 1) * F.col("sd").cast("double")
+    ) / (F.col("n").cast("double") * F.col("sd").cast("double"))
+    return fold.select(
+        F.col("n").alias("n_lines"),
+        (F.round(gx, 8) + 0.0).alias("gini_gross_price"),
+        (F.round(cd, 8) + 0.0).alias("conc_discount_by_price"),
+        (F.round(cd - gx, 8) + 0.0).alias("kakwani_k"),
+        (
+            F.round(
+                F.col("sd").cast("double")
+                / F.col("sx").cast("double")
+                / 10000.0,
+                8,
+            )
+            + 0.0
+        ).alias("avg_discount_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Reynolds-Smolensky redistribution of the discount schedule
+# --------------------------------------------------------------------------
+@register(
+    "reynolds_smolensky_redistribution",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) * 10000 AS pre,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)
+               * (10000 - CAST(CAST(l_discount AS DECIMAL(6,2)) * 100
+                               AS BIGINT)) AS post
+        FROM lineitem
+    ),
+    pre_grid AS (
+        SELECT pre AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(pre) AS BIGINT) AS tpre,
+               CAST(SUM(post) AS BIGINT) AS tpost
+        FROM pts GROUP BY pre
+    ),
+    pre_cum AS (
+        SELECT v, c, tpre, tpost,
+               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING) AS head,
+               SUM(c) OVER () AS n,
+               SUM(tpre) OVER () AS s_pre,
+               SUM(tpost) OVER () AS s_post
+        FROM pre_grid
+    ),
+    pre_fold AS (
+        SELECT MAX(n) AS n, MAX(s_pre) AS s_pre,
+               MAX(s_post) AS s_post,
+               CAST(SUM(CAST(tpre AS DECIMAL(38,0))
+                        * (2 * COALESCE(head, 0) + c + 1))
+                    AS DECIMAL(38,0)) AS two_ipre,
+               CAST(SUM(CAST(tpost AS DECIMAL(38,0))
+                        * (2 * COALESCE(head, 0) + c + 1))
+                    AS DECIMAL(38,0)) AS two_ipost_bypre
+        FROM pre_cum
+    ),
+    post_grid AS (
+        SELECT post AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(post) AS BIGINT) AS tpost
+        FROM pts GROUP BY post
+    ),
+    post_cum AS (
+        SELECT v, c, tpost,
+               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING) AS head
+        FROM post_grid
+    ),
+    post_fold AS (
+        SELECT CAST(SUM(CAST(tpost AS DECIMAL(38,0))
+                        * (2 * COALESCE(head, 0) + c + 1))
+                    AS DECIMAL(38,0)) AS two_ipost
+        FROM post_cum
+    )
+    SELECT pf.n AS n_lines,
+           round((CAST(pf.two_ipre AS DOUBLE)
+                  - (pf.n + 1) * CAST(pf.s_pre AS DOUBLE))
+                 / (CAST(pf.n AS DOUBLE)
+                    * CAST(pf.s_pre AS DOUBLE)), 8) + 0.0
+               AS gini_pre,
+           round((CAST(qf.two_ipost AS DOUBLE)
+                  - (pf.n + 1) * CAST(pf.s_post AS DOUBLE))
+                 / (CAST(pf.n AS DOUBLE)
+                    * CAST(pf.s_post AS DOUBLE)), 8) + 0.0
+               AS gini_post,
+           round((CAST(pf.two_ipost_bypre AS DOUBLE)
+                  - (pf.n + 1) * CAST(pf.s_post AS DOUBLE))
+                 / (CAST(pf.n AS DOUBLE)
+                    * CAST(pf.s_post AS DOUBLE)), 8) + 0.0
+               AS conc_post_by_pre,
+           round((CAST(pf.two_ipre AS DOUBLE)
+                  - (pf.n + 1) * CAST(pf.s_pre AS DOUBLE))
+                 / (CAST(pf.n AS DOUBLE)
+                    * CAST(pf.s_pre AS DOUBLE))
+                 - (CAST(pf.two_ipost_bypre AS DOUBLE)
+                    - (pf.n + 1) * CAST(pf.s_post AS DOUBLE))
+                   / (CAST(pf.n AS DOUBLE)
+                      * CAST(pf.s_post AS DOUBLE)), 8) + 0.0
+               AS vertical_effect,
+           round((CAST(qf.two_ipost AS DOUBLE)
+                  - (pf.n + 1) * CAST(pf.s_post AS DOUBLE))
+                 / (CAST(pf.n AS DOUBLE)
+                    * CAST(pf.s_post AS DOUBLE))
+                 - (CAST(pf.two_ipost_bypre AS DOUBLE)
+                    - (pf.n + 1) * CAST(pf.s_post AS DOUBLE))
+                   / (CAST(pf.n AS DOUBLE)
+                      * CAST(pf.s_post AS DOUBLE)), 8) + 0.0
+               AS reranking_effect,
+           round((CAST(pf.two_ipre AS DOUBLE)
+                  - (pf.n + 1) * CAST(pf.s_pre AS DOUBLE))
+                 / (CAST(pf.n AS DOUBLE)
+                    * CAST(pf.s_pre AS DOUBLE))
+                 - (CAST(qf.two_ipost AS DOUBLE)
+                    - (pf.n + 1) * CAST(pf.s_post AS DOUBLE))
+                   / (CAST(pf.n AS DOUBLE)
+                      * CAST(pf.s_post AS DOUBLE)), 8) + 0.0
+               AS rs_redistribution
+    FROM pre_fold pf, post_fold qf
+    """,
+)
+def reynolds_smolensky_redistribution(spark, sf_dir):
+    """REYNOLDS-SMOLENSKY redistribution of the discount schedule:
+    RS = G_pre - G_post (Gini of gross vs net line price), split by
+    the Aronson-Johnson-Lambert identity RS = V - R into the
+    VERTICAL effect V = G_pre - C_post|pre (what the schedule would
+    redistribute if it never reordered anyone) and the RERANKING
+    loss R = G_post - C_post|pre (paid whenever two lines swap
+    order on the way from gross to net). R > 0 flags a schedule
+    that redistributes wastefully — the exact audit a pricing
+    engine wants on its discount rules.
+
+    Exactness: net price stays in exact cent-basis-point integers
+    (cents * (10000-bp)); all three index numerators use the
+    tie-aware midrank identity in DECIMAL(38,0); C_post|pre ranks
+    post amounts by the PRE grid (ties in pre share a midrank, the
+    concentration-index convention). Plan: two grid rollups, two
+    domain-bounded grid cumulatives, two folds, one broadcast
+    join."""
+    li = t(spark, sf_dir, "lineitem")
+    cents = (dec("l_extendedprice", 18, 2) * 100).cast("bigint")
+    bp = (dec("l_discount", 6, 2) * 100).cast("bigint")
+    pts = li.select(
+        (cents * 10000).alias("pre"),
+        (cents * (10000 - bp)).alias("post"),
+    ).persist()
+    ew = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pre_grid = pts.groupBy(F.col("pre").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("pre").cast("bigint").alias("tpre"),
+        F.sum("post").cast("bigint").alias("tpost"),
+    )
+    pre_cum = pre_grid.select(
+        "v",
+        "c",
+        "tpre",
+        "tpost",
+        F.sum("c").over(ew).alias("head"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+        F.sum("tpre").over(Window.partitionBy()).alias("s_pre"),
+        F.sum("tpost").over(Window.partitionBy()).alias("s_post"),
+    )
+    r2 = 2 * F.coalesce(F.col("head"), F.lit(0)) + F.col("c") + 1
+    pre_fold = pre_cum.agg(
+        F.max("n").alias("n"),
+        F.max("s_pre").alias("s_pre"),
+        F.max("s_post").alias("s_post"),
+        F.sum(F.col("tpre").cast("decimal(38,0)") * r2)
+        .cast("decimal(38,0)")
+        .alias("two_ipre"),
+        F.sum(F.col("tpost").cast("decimal(38,0)") * r2)
+        .cast("decimal(38,0)")
+        .alias("two_ipost_bypre"),
+    )
+    post_grid = pts.groupBy(F.col("post").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("post").cast("bigint").alias("tpost"),
+    )
+    post_cum = post_grid.select(
+        "c",
+        "tpost",
+        F.sum("c").over(ew).alias("head"),
+    )
+    post_fold = post_cum.agg(
+        F.sum(F.col("tpost").cast("decimal(38,0)") * r2)
+        .cast("decimal(38,0)")
+        .alias("two_ipost"),
+    )
+    j = pre_fold.crossJoin(F.broadcast(post_fold))
+    nn = F.col("n").cast("double")
+    g_pre = (
+        F.col("two_ipre").cast("double")
+        - (F.col("n") + 1) * F.col("s_pre").cast("double")
+    ) / (nn * F.col("s_pre").cast("double"))
+    g_post = (
+        F.col("two_ipost").cast("double")
+        - (F.col("n") + 1) * F.col("s_post").cast("double")
+    ) / (nn * F.col("s_post").cast("double"))
+    c_pp = (
+        F.col("two_ipost_bypre").cast("double")
+        - (F.col("n") + 1) * F.col("s_post").cast("double")
+    ) / (nn * F.col("s_post").cast("double"))
+    return j.select(
+        F.col("n").alias("n_lines"),
+        (F.round(g_pre, 8) + 0.0).alias("gini_pre"),
+        (F.round(g_post, 8) + 0.0).alias("gini_post"),
+        (F.round(c_pp, 8) + 0.0).alias("conc_post_by_pre"),
+        (F.round(g_pre - c_pp, 8) + 0.0).alias("vertical_effect"),
+        (F.round(g_post - c_pp, 8) + 0.0).alias("reranking_effect"),
+        (F.round(g_pre - g_post, 8) + 0.0).alias("rs_redistribution"),
+    )
+
+
+# --------------------------------------------------------------------------
+# QQ (Kratz-Resnick) tail-index estimator over the top-100 order values
+# --------------------------------------------------------------------------
+@register(
+    "qq_tail_estimator",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    grid AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v DESC ROWS UNBOUNDED
+                            PRECEDING) AS tail_cc,
+               SUM(c) OVER () AS n
+        FROM grid
+    ),
+    js AS (SELECT CAST(u.g AS BIGINT) AS j
+           FROM LATERAL UNNEST(range(1, 101)) AS u(g)),
+    ostats AS (
+        SELECT js.j,
+               (SELECT CAST(MAX(n) AS BIGINT) FROM cum) AS n,
+               (SELECT CAST(MAX(v) AS BIGINT) FROM cum
+                WHERE tail_cc >= js.j) AS vj
+        FROM js
+    ),
+    xy AS (
+        SELECT j, n,
+               round(ln((n + 1.0) / j), 6) AS xq,
+               round(ln(CAST(vj AS DOUBLE) / 100000.0), 6) AS yq
+        FROM ostats
+    ),
+    fit AS (
+        SELECT MAX(n) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(xq AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(yq AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(xq * xq, 8) AS DECIMAL(18,8)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(xq * yq, 8) AS DECIMAL(18,8)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(round(yq * yq, 8) AS DECIMAL(18,8)))
+                    AS DOUBLE) AS syy
+        FROM xy
+    )
+    SELECT n AS n_orders, k AS k_tail,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 8)
+               + 0.0 AS xi_qq_slope,
+           round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx)
+                       * sx) / k, 6) + 0.0 AS intercept_lnkusd,
+           round((k * sxy - sx * sy) * (k * sxy - sx * sy)
+                 / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 8)
+               + 0.0 AS r2_loglog
+    FROM fit
+    """,
+)
+def qq_tail_estimator(spark, sf_dir):
+    """KRATZ-RESNICK QQ tail-index estimator: regress the log of the
+    j-th largest order value on ln((n+1)/j) for j = 1..100 — on a
+    Pareto tail the plot is linear with slope xi = 1/alpha, so the
+    OLS slope is a tail-index estimator that uses the WHOLE qq line
+    where Hill (`hill_tail_exponent`) averages only log-spacings and
+    Pickands uses three quantiles; the r2 column doubles as the
+    "is the tail actually power-law" linearity certificate.
+
+    Exactness: each of the 100 upper order statistics is exact (the
+    descending grid cumulative + a 100-row broadcast threshold
+    join); both logs pin at 6 dp; the 100-point OLS folds rounded
+    terms through DECIMAL. Plan: one value rollup, one
+    domain-bounded grid cumulative, one 100-row broadcast, one
+    fold."""
+    o = t(spark, sf_dir, "orders")
+    grid = (
+        o.select(
+            (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cum = grid.select(
+        "v",
+        F.sum("c")
+        .over(
+            Window.orderBy(F.col("v").desc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("tail_cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    ).persist()
+    js = spark.range(1, 101).select(
+        F.col("id").cast("bigint").alias("j")
+    )
+    ostats = (
+        cum.crossJoin(F.broadcast(js))
+        .where(F.col("tail_cc") >= F.col("j"))
+        .groupBy("j")
+        .agg(
+            F.max("v").cast("bigint").alias("vj"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+    xy = ostats.select(
+        "j",
+        "n",
+        F.round(F.log((F.col("n") + 1.0) / F.col("j")), 6).alias("xq"),
+        F.round(
+            F.log(F.col("vj").cast("double") / 100000.0), 6
+        ).alias("yq"),
+    )
+    fit = xy.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("xq").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.col("yq").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(
+            F.round(F.col("xq") * F.col("xq"), 8).cast("decimal(18,8)")
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.round(F.col("xq") * F.col("yq"), 8).cast("decimal(18,8)")
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            F.round(F.col("yq") * F.col("yq"), 8).cast("decimal(18,8)")
+        )
+        .cast("double")
+        .alias("syy"),
+    )
+    b = (
+        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return fit.select(
+        F.col("n").alias("n_orders"),
+        F.col("k").alias("k_tail"),
+        (F.round(b, 8) + 0.0).alias("xi_qq_slope"),
+        (
+            F.round((F.col("sy") - b * F.col("sx")) / F.col("k"), 6)
+            + 0.0
+        ).alias("intercept_lnkusd"),
+        (
+            F.round(
+                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * (
+                    F.col("k") * F.col("sxy")
+                    - F.col("sx") * F.col("sy")
+                )
+                / (
+                    (
+                        F.col("k") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    )
+                    * (
+                        F.col("k") * F.col("syy")
+                        - F.col("sy") * F.col("sy")
+                    )
+                ),
+                8,
+            )
+            + 0.0
+        ).alias("r2_loglog"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Extremal index (runs estimator) of daily-revenue exceedances
+# --------------------------------------------------------------------------
+@register(
+    "extremal_index_runs",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    dgrid AS (
+        SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM daily GROUP BY y
+    ),
+    dcum AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cc,
+               SUM(c) OVER () AS nd
+        FROM dgrid
+    ),
+    thr AS (
+        SELECT CAST(MIN(v) AS BIGINT) AS u FROM dcum
+        WHERE 10 * cc >= 9 * nd
+    ),
+    exc AS (
+        SELECT d.day,
+               LAG(d.day) OVER (ORDER BY d.day) AS prev_day
+        FROM daily d, thr WHERE d.y > thr.u
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exc,
+               CAST(SUM(CASE WHEN prev_day IS NULL
+                             OR day - prev_day > 2
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clusters
+        FROM exc
+    )
+    SELECT (SELECT CAST(MAX(nd) AS BIGINT) FROM dcum) AS n_days,
+           (SELECT round(u / 100000.0, 6) FROM thr)
+               AS threshold_kusd,
+           n_exc AS n_exceedances,
+           n_clusters,
+           round(CAST(n_clusters AS DOUBLE) / n_exc, 8) + 0.0
+               AS theta_runs
+    FROM fold
+    """,
+)
+def extremal_index_runs(spark, sf_dir):
+    """EXTREMAL INDEX theta via the runs estimator: exceedances of
+    daily revenue over its exact 90th-percentile day, declustered
+    with run length r = 2 (a new cluster starts when the previous
+    exceedance is more than 2 days back); theta = clusters /
+    exceedances estimates the reciprocal mean cluster size — the
+    quantity that separates "heavy tail" from "clustered tail"
+    (iid extremes have theta = 1; theta < 1 means extreme days
+    arrive in bursts, so block maxima and POT fits like
+    `gumbel_block_maxima` / `pot_gpd_pwm_fit` must be declustered
+    before use: this query IS that pre-flight check).
+
+    Exactness: the threshold is an exact lower order statistic of
+    the daily grid; clustering is integer day arithmetic over a lag
+    on the calendar-bounded exceedance frame. Plan: one day rollup,
+    one domain-bounded grid cumulative, one calendar-frame lag, one
+    fold."""
+    daily = _daily(spark, sf_dir)
+    dgrid = daily.groupBy(F.col("y").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    dcum = dgrid.select(
+        "v",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("nd"),
+    ).persist()
+    thr = dcum.where(10 * F.col("cc") >= 9 * F.col("nd")).agg(
+        F.min("v").cast("bigint").alias("u")
+    )
+    exc = (
+        daily.crossJoin(F.broadcast(thr))
+        .where(F.col("y") > F.col("u"))
+        .select(
+            "day",
+            F.lag("day").over(Window.orderBy("day")).alias("prev_day"),
+        )
+    )
+    fold = exc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exc"),
+        F.sum(
+            F.when(
+                F.col("prev_day").isNull()
+                | (F.col("day") - F.col("prev_day") > 2),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clusters"),
+    )
+    nd = dcum.agg(F.max("nd").cast("bigint").alias("n_days"))
+    thr_k = thr.select(
+        F.round(F.col("u") / 100000.0, 6).alias("threshold_kusd")
+    )
+    return (
+        nd.crossJoin(F.broadcast(thr_k))
+        .crossJoin(F.broadcast(fold))
+        .select(
+            "n_days",
+            "threshold_kusd",
+            F.col("n_exc").alias("n_exceedances"),
+            "n_clusters",
+            (
+                F.round(
+                    F.col("n_clusters").cast("double") / F.col("n_exc"),
+                    8,
+                )
+                + 0.0
+            ).alias("theta_runs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dagum Gini decomposition by region: within / net-between / transvariation
+# --------------------------------------------------------------------------
+@register(
+    "dagum_gini_decomposition",
+    oracle="""
+    WITH spend AS (
+        SELECT n.n_regionkey AS r, o.o_custkey AS u,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS m
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    rgrid AS (
+        SELECT r, m AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(m) AS BIGINT) AS tv
+        FROM spend GROUP BY r, m
+    ),
+    vgrid AS (SELECT DISTINCT v FROM rgrid),
+    regs AS (SELECT DISTINCT r FROM rgrid),
+    full_g AS (
+        SELECT g.v, rr.r,
+               COALESCE(x.c, 0) AS c0, COALESCE(x.tv, 0) AS tv0
+        FROM vgrid g CROSS JOIN regs rr
+        LEFT JOIN rgrid x ON x.v = g.v AND x.r = rr.r
+    ),
+    cume AS (
+        SELECT v, r,
+               CAST(COALESCE(SUM(c0) OVER w, 0) AS BIGINT) AS ce,
+               CAST(COALESCE(SUM(tv0) OVER w, 0) AS BIGINT) AS cve
+        FROM full_g
+        WINDOW w AS (PARTITION BY r ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+    ),
+    splus AS (
+        SELECT h.r AS rh, k.r AS rk,
+               CAST(SUM(CAST(h.c AS DECIMAL(38,0))
+                        * (CAST(h.v AS DECIMAL(38,0)) * k.ce
+                           - k.cve)) AS DECIMAL(38,0)) AS sp
+        FROM rgrid h JOIN cume k ON h.v = k.v
+        GROUP BY h.r, k.r
+    ),
+    rtot AS (
+        SELECT r, CAST(SUM(c) AS BIGINT) AS nr,
+               CAST(SUM(tv) AS BIGINT) AS sr
+        FROM rgrid GROUP BY r
+    ),
+    tot AS (
+        SELECT CAST(SUM(nr) AS BIGINT) AS n,
+               CAST(SUM(sr) AS BIGINT) AS s
+        FROM rtot
+    ),
+    within AS (
+        SELECT CAST(SUM(CAST(sp AS DOUBLE)
+                        / (CAST(a.nr AS DOUBLE) * a.sr)
+                        * (CAST(a.nr AS DOUBLE) / tot.n)
+                        * (CAST(a.sr AS DOUBLE) / tot.s))
+                    AS DOUBLE) AS g_w
+        FROM splus j
+        JOIN rtot a ON j.rh = a.r, tot
+        WHERE j.rh = j.rk
+    ),
+    pairterms AS (
+        SELECT j1.rh AS a, j1.rk AS b,
+               CAST(j1.sp AS DOUBLE) AS s_ab,
+               CAST(j2.sp AS DOUBLE) AS s_ba,
+               ra.nr AS na, ra.sr AS sa, rb.nr AS nb, rb.sr AS sb,
+               tot.n, tot.s
+        FROM splus j1
+        JOIN splus j2 ON j1.rh = j2.rk AND j1.rk = j2.rh
+        JOIN rtot ra ON j1.rh = ra.r
+        JOIN rtot rb ON j1.rk = rb.r, tot
+        WHERE j1.rh < j1.rk
+    ),
+    between_f AS (
+        SELECT CAST(SUM((s_ab + s_ba)
+                        / (CAST(nb AS DOUBLE) * sa
+                           + CAST(na AS DOUBLE) * sb)
+                        * ((CAST(na AS DOUBLE) * sb
+                            + CAST(nb AS DOUBLE) * sa)
+                           / (CAST(n AS DOUBLE) * s))
+                        * abs(s_ab - s_ba) / (s_ab + s_ba))
+                    AS DOUBLE) AS g_nb,
+               CAST(SUM((s_ab + s_ba)
+                        / (CAST(nb AS DOUBLE) * sa
+                           + CAST(na AS DOUBLE) * sb)
+                        * ((CAST(na AS DOUBLE) * sb
+                            + CAST(nb AS DOUBLE) * sa)
+                           / (CAST(n AS DOUBLE) * s))
+                        * (1.0 - abs(s_ab - s_ba) / (s_ab + s_ba)))
+                    AS DOUBLE) AS g_t
+        FROM pairterms
+    ),
+    overall AS (
+        SELECT CAST(SUM(CAST(sp AS DOUBLE)) AS DOUBLE)
+               / (SELECT CAST(n AS DOUBLE) * s FROM tot) AS g
+        FROM splus
+    )
+    SELECT (SELECT n FROM tot) AS n_customers,
+           round(o.g, 8) + 0.0 AS gini_total,
+           round(w.g_w, 8) + 0.0 AS gini_within,
+           round(b.g_nb, 8) + 0.0 AS gini_net_between,
+           round(b.g_t, 8) + 0.0 AS gini_transvariation,
+           round(o.g - w.g_w - b.g_nb - b.g_t, 10) + 0.0
+               AS identity_residual
+    FROM overall o, within w, between_f b
+    """,
+)
+def dagum_gini_decomposition(spark, sf_dir):
+    """DAGUM (1997) three-way Gini decomposition of customer spend by
+    REGION: G = G_w (within regions) + G_nb (net between-region
+    affluence) + G_t (transvariation — the between-pair overlap
+    where a poorer region's member out-spends a richer region's),
+    the only Gini decomposition that is exact WITHOUT a residual.
+    The identity_residual column certifies it at 10 dp. This is the
+    between-segment inequality audit `theil_between_within_nations`
+    gives for GE(1), now for Gini — and transvariation is the
+    segment-overlap readout no entropy index exposes.
+
+    Device: every pairwise sum_(x>y)(x-y) folds from ONE merged
+    value grid — s_plus(h,k) = sum_v c_h(v)*(v*Ce_k(v) - CVe_k(v))
+    with Ce/CVe the exclusive cumulative count/value of region k at
+    v — so all 25 ordered-pair absolute-difference sums cost one
+    |grid|x5 frame and one equi-join, never an O(n^2) pair join;
+    G_h = s_plus(h,h)/(n_h*S_h) and G = sum_all s_plus/(n*S) drop
+    out of the same frame. All sums exact DECIMAL(38,0).
+
+    Scale: the per-region exclusive cumulative rides the RANGED
+    device (repartitionByRange on v + per-(pid, region) local
+    windows + per-region triangular prefix offsets) because the
+    spend grid grows with customers — the spiegelhalter r14
+    lesson applied at authoring time."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("r"),
+            F.col("o_custkey").alias("u"),
+        )
+        .agg(
+            F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("m")
+        )
+    )
+    rgrid = (
+        spend.groupBy("r", F.col("m").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("m").cast("bigint").alias("tv"),
+        )
+        .persist()
+    )
+    vgrid = rgrid.select("v").distinct()
+    regs = rgrid.select("r").distinct()
+    full_g = (
+        vgrid.crossJoin(F.broadcast(regs))
+        .join(rgrid, ["v", "r"], "left")
+        .select(
+            "v",
+            "r",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c0"),
+            F.coalesce(F.col("tv"), F.lit(0)).alias("tv0"),
+        )
+        .repartitionByRange(8, F.col("v").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = full_g.groupBy("pid", "r").agg(
+        F.sum("c0").cast("bigint").alias("pc"),
+        F.sum("tv0").cast("bigint").alias("pv"),
+    )
+    prior = psums.select(
+        F.col("pid").alias("bpid"),
+        F.col("r").alias("br"),
+        "pc",
+        "pv",
+    )
+    offsets = (
+        psums.select("pid", "r")
+        .join(
+            prior,
+            (F.col("br") == F.col("r"))
+            & (F.col("bpid") < F.col("pid")),
+            "left",
+        )
+        .groupBy("pid", "r")
+        .agg(
+            F.coalesce(F.sum("pc"), F.lit(0)).alias("off_c"),
+            F.coalesce(F.sum("pv"), F.lit(0)).alias("off_v"),
+        )
+    )
+    lw = (
+        Window.partitionBy("pid", "r")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cume = (
+        full_g.join(F.broadcast(offsets), ["pid", "r"])
+        .select(
+            "v",
+            "r",
+            (
+                F.coalesce(F.sum("c0").over(lw), F.lit(0))
+                + F.col("off_c")
+            )
+            .cast("bigint")
+            .alias("ce"),
+            (
+                F.coalesce(F.sum("tv0").over(lw), F.lit(0))
+                + F.col("off_v")
+            )
+            .cast("bigint")
+            .alias("cve"),
+        )
+    )
+    splus = (
+        rgrid.alias("h")
+        .join(cume.alias("k"), F.col("h.v") == F.col("k.v"))
+        .groupBy(
+            F.col("h.r").alias("rh"), F.col("k.r").alias("rk")
+        )
+        .agg(
+            F.sum(
+                F.col("h.c").cast("decimal(38,0)")
+                * (
+                    F.col("h.v").cast("decimal(38,0)") * F.col("k.ce")
+                    - F.col("k.cve")
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("sp")
+        )
+        .persist()
+    )
+    rtot = rgrid.groupBy("r").agg(
+        F.sum("c").cast("bigint").alias("nr"),
+        F.sum("tv").cast("bigint").alias("sr"),
+    )
+    tot = rtot.agg(
+        F.sum("nr").cast("bigint").alias("n"),
+        F.sum("sr").cast("bigint").alias("s"),
+    )
+    within = (
+        splus.where(F.col("rh") == F.col("rk"))
+        .join(F.broadcast(rtot), F.col("rh") == F.col("r"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("sp").cast("double")
+                / (F.col("nr").cast("double") * F.col("sr"))
+                * (F.col("nr").cast("double") / F.col("n"))
+                * (F.col("sr").cast("double") / F.col("s"))
+            ).alias("g_w")
+        )
+    )
+    j2 = splus.select(
+        F.col("rh").alias("j2h"),
+        F.col("rk").alias("j2k"),
+        F.col("sp").alias("sp2"),
+    )
+    ra = rtot.select(
+        F.col("r").alias("ar"),
+        F.col("nr").alias("na"),
+        F.col("sr").alias("sa"),
+    )
+    rb = rtot.select(
+        F.col("r").alias("br2"),
+        F.col("nr").alias("nb"),
+        F.col("sr").alias("sb"),
+    )
+    pairterms = (
+        splus.where(F.col("rh") < F.col("rk"))
+        .join(
+            j2,
+            (F.col("j2k") == F.col("rh"))
+            & (F.col("j2h") == F.col("rk")),
+        )
+        .join(F.broadcast(ra), F.col("rh") == F.col("ar"))
+        .join(F.broadcast(rb), F.col("rk") == F.col("br2"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sp").cast("double").alias("s_ab"),
+            F.col("sp2").cast("double").alias("s_ba"),
+            "na",
+            "sa",
+            "nb",
+            "sb",
+            "n",
+            "s",
+        )
+    )
+    gjk = (F.col("s_ab") + F.col("s_ba")) / (
+        F.col("nb").cast("double") * F.col("sa")
+        + F.col("na").cast("double") * F.col("sb")
+    )
+    wjk = (
+        F.col("na").cast("double") * F.col("sb")
+        + F.col("nb").cast("double") * F.col("sa")
+    ) / (F.col("n").cast("double") * F.col("s"))
+    djk = F.abs(F.col("s_ab") - F.col("s_ba")) / (
+        F.col("s_ab") + F.col("s_ba")
+    )
+    between_f = pairterms.agg(
+        F.sum(gjk * wjk * djk).alias("g_nb"),
+        F.sum(gjk * wjk * (1.0 - djk)).alias("g_t"),
+    )
+    overall = splus.crossJoin(F.broadcast(tot)).agg(
+        (
+            F.sum(F.col("sp").cast("double"))
+            / F.max(F.col("n").cast("double") * F.col("s"))
+        ).alias("g")
+    )
+    return (
+        tot.crossJoin(F.broadcast(overall))
+        .crossJoin(F.broadcast(within))
+        .crossJoin(F.broadcast(between_f))
+        .select(
+            F.col("n").alias("n_customers"),
+            (F.round("g", 8) + 0.0).alias("gini_total"),
+            (F.round("g_w", 8) + 0.0).alias("gini_within"),
+            (F.round("g_nb", 8) + 0.0).alias("gini_net_between"),
+            (F.round("g_t", 8) + 0.0).alias("gini_transvariation"),
+            (
+                F.round(
+                    F.col("g")
+                    - F.col("g_w")
+                    - F.col("g_nb")
+                    - F.col("g_t"),
+                    10,
+                )
+                + 0.0
+            ).alias("identity_residual"),
+        )
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "kakwani_discount_progressivity": (
+            "one exclusive-prefix midrank cumulative over the price "
+            "grid (the watts_sen_poverty class)"
+        ),
+        "reynolds_smolensky_redistribution": (
+            "two exclusive-prefix midrank cumulatives (pre and post "
+            "grids — the kakwani class)"
+        ),
+        "qq_tail_estimator": (
+            "one descending cumulative over the cents grid + 100-row "
+            "broadcast order-statistic join (the mean_excess class)"
+        ),
+        "extremal_index_runs": (
+            "daily-grid cumulative for the exact q90 threshold + one "
+            "lag over the calendar-bounded exceedance frame (the "
+            "cusum class)"
+        ),
+        "dagum_gini_decomposition": (
+            "per-(pid, region) local exclusive windows on the ranged "
+            "device — no global sort; residual flags are the bounded "
+            "5x5 pair-frame scalar re-scans (the es_backtest class)"
         ),
     }
 )
