@@ -3129,3 +3129,781 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Rachev ratio: 5% gain tail vs 5% loss tail of daily revenue changes
+# --------------------------------------------------------------------------
+@register(
+    "rachev_ratio_tails",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    chg AS (
+        SELECT y - LAG(y) OVER (ORDER BY day) AS g
+        FROM daily QUALIFY g IS NOT NULL
+    ),
+    grid AS (
+        SELECT g AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(g) AS BIGINT) AS tv
+        FROM chg GROUP BY g
+    ),
+    cum AS (
+        SELECT v, c, tv,
+               SUM(c) OVER (ORDER BY v DESC ROWS UNBOUNDED
+                            PRECEDING) AS tail_cc,
+               SUM(c) OVER (ORDER BY v ASC ROWS UNBOUNDED
+                            PRECEDING) AS cc,
+               SUM(c) OVER () AS n
+        FROM grid
+    ),
+    k AS (SELECT CAST((MAX(n) * 5 + 99) // 100 AS BIGINT) AS k,
+                 CAST(MAX(n) AS BIGINT) AS n FROM cum),
+    up AS (
+        SELECT k.k,
+               (SELECT CAST(MIN(v) AS BIGINT) FROM cum
+                WHERE tail_cc >= k.k) AS t
+        FROM k
+    ),
+    dn AS (
+        SELECT k.k,
+               (SELECT CAST(MAX(v) AS BIGINT) FROM cum
+                WHERE cc >= k.k) AS t
+        FROM k
+    ),
+    gain AS (
+        SELECT up.k,
+               CAST(SUM(CASE WHEN g.v > up.t THEN g.tv ELSE 0 END)
+                    AS BIGINT) AS s_above,
+               CAST(SUM(CASE WHEN g.v > up.t THEN g.c ELSE 0 END)
+                    AS BIGINT) AS c_above,
+               MAX(up.t) AS t
+        FROM grid g, up GROUP BY up.k
+    ),
+    loss AS (
+        SELECT dn.k,
+               CAST(SUM(CASE WHEN g.v < dn.t THEN g.tv ELSE 0 END)
+                    AS BIGINT) AS s_below,
+               CAST(SUM(CASE WHEN g.v < dn.t THEN g.c ELSE 0 END)
+                    AS BIGINT) AS c_below,
+               MAX(dn.t) AS t
+        FROM grid g, dn GROUP BY dn.k
+    )
+    SELECT (SELECT n FROM k) AS n_days,
+           (SELECT k FROM k) AS k_tail,
+           round((ga.s_above + (ga.k - ga.c_above) * ga.t)
+                 / CAST(ga.k AS DOUBLE) / 100000.0, 6) + 0.0
+               AS cvar_gain_kusd,
+           round(-(lo.s_below + (lo.k - lo.c_below) * lo.t)
+                 / CAST(lo.k AS DOUBLE) / 100000.0, 6) + 0.0
+               AS cvar_loss_kusd,
+           round((ga.s_above + (ga.k - ga.c_above) * ga.t) * -1.0
+                 / (lo.s_below + (lo.k - lo.c_below) * lo.t), 8)
+               + 0.0 AS rachev_ratio
+    FROM gain ga, loss lo
+    """,
+)
+def rachev_ratio_tails(spark, sf_dir):
+    """RACHEV RATIO of day-over-day revenue changes: mean of the best
+    5% of days divided by the mean magnitude of the worst 5% — the
+    tail-vs-tail reward/risk measure (a ratio of two CVaRs) that is
+    finite and meaningful on heavy tails where Sharpe's variance
+    denominator misleads; complements `var_cvar_historical` (one
+    tail) and `sharpe_sortino_omega` (moments/threshold family).
+
+    Exactness: both tail means are EXACT order-statistic averages —
+    threshold from the change-grid cumulative, then mean-of-k-
+    extremes = (sum beyond threshold + (k - count_beyond) *
+    threshold)/k, which handles ties at the threshold exactly (no
+    interpolated percentile). Plan: one day rollup, one calendar
+    lag, one change-grid double cumulative, two scalar folds."""
+    daily = _daily(spark, sf_dir)
+    chg = daily.select(
+        (F.col("y") - F.lag("y").over(Window.orderBy("day"))).alias(
+            "g"
+        )
+    ).where(F.col("g").isNotNull())
+    grid = chg.groupBy(F.col("g").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("g").cast("bigint").alias("tv"),
+    ).persist()
+    cum = grid.select(
+        "v",
+        "c",
+        "tv",
+        F.sum("c")
+        .over(
+            Window.orderBy(F.col("v").desc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("tail_cc"),
+        F.sum("c")
+        .over(
+            Window.orderBy(F.col("v").asc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    ).persist()
+    k = cum.agg(
+        F.floor((F.max("n") * 5 + 99) / 100).cast("bigint").alias("k"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    up = (
+        cum.crossJoin(F.broadcast(k))
+        .where(F.col("tail_cc") >= F.col("k"))
+        .groupBy("k")
+        .agg(F.min("v").cast("bigint").alias("t"))
+    )
+    dn = (
+        cum.crossJoin(F.broadcast(k))
+        .where(F.col("cc") >= F.col("k"))
+        .groupBy("k")
+        .agg(F.max("v").cast("bigint").alias("t"))
+    )
+    gain = (
+        grid.crossJoin(F.broadcast(up))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("v") > F.col("t"), F.col("tv")).otherwise(0))
+            .cast("bigint")
+            .alias("s_above"),
+            F.sum(F.when(F.col("v") > F.col("t"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("c_above"),
+            F.max("t").alias("t"),
+        )
+    )
+    loss = (
+        grid.crossJoin(F.broadcast(dn))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("t"), F.col("tv")).otherwise(0))
+            .cast("bigint")
+            .alias("s_below"),
+            F.sum(F.when(F.col("v") < F.col("t"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("c_below"),
+            F.max("t").alias("t"),
+        )
+    )
+    ga = gain.select(
+        F.col("k").alias("gk"),
+        (
+            F.col("s_above") + (F.col("k") - F.col("c_above")) * F.col("t")
+        ).alias("gain_sum"),
+    )
+    lo = loss.select(
+        F.col("k").alias("lk"),
+        (
+            F.col("s_below") + (F.col("k") - F.col("c_below")) * F.col("t")
+        ).alias("loss_sum"),
+    )
+    nk = k.select("n", "k")
+    return (
+        nk.crossJoin(F.broadcast(ga))
+        .crossJoin(F.broadcast(lo))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("k").alias("k_tail"),
+            (
+                F.round(
+                    F.col("gain_sum") / F.col("gk").cast("double") / 100000.0,
+                    6,
+                )
+                + 0.0
+            ).alias("cvar_gain_kusd"),
+            (
+                F.round(
+                    -F.col("loss_sum")
+                    / F.col("lk").cast("double")
+                    / 100000.0,
+                    6,
+                )
+                + 0.0
+            ).alias("cvar_loss_kusd"),
+            (
+                F.round(
+                    F.col("gain_sum") * -1.0 / F.col("loss_sum"), 8
+                )
+                + 0.0
+            ).alias("rachev_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Calmar / average-drawdown panel of the daily revenue series
+# --------------------------------------------------------------------------
+@register(
+    "calmar_sterling_panel",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    dd AS (
+        SELECT day, y,
+               MAX(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   - y AS draw,
+               FIRST_VALUE(y) OVER (ORDER BY day ROWS UNBOUNDED
+                                    PRECEDING) AS y0,
+               LAST_VALUE(y) OVER (ORDER BY day ROWS BETWEEN
+                                   UNBOUNDED PRECEDING AND
+                                   UNBOUNDED FOLLOWING) AS ylast
+        FROM daily
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(draw) AS BIGINT) AS mdd,
+               CAST(SUM(draw) AS BIGINT) AS sdraw,
+               MAX(ylast) - MAX(y0) AS net
+        FROM dd
+    )
+    SELECT n AS n_days,
+           round(mdd / 100000.0, 6) + 0.0 AS max_drawdown_kusd,
+           round(CAST(sdraw AS DOUBLE) / n / 100000.0, 6) + 0.0
+               AS avg_drawdown_kusd,
+           round(CAST(net AS DOUBLE) / (n - 1) / 100000.0, 6) + 0.0
+               AS mean_daily_change_kusd,
+           round(CAST(net AS DOUBLE) / (n - 1) / mdd, 8) + 0.0
+               AS calmar_ratio,
+           round(CAST(net AS DOUBLE) / (n - 1) * n
+                 / CAST(sdraw AS DOUBLE), 8) + 0.0
+               AS sterling_ratio
+    FROM fold
+    """,
+)
+def calmar_sterling_panel(spark, sf_dir):
+    """CALMAR and STERLING ratios of the daily-revenue path: mean
+    daily change divided by the maximum (Calmar) or average
+    (Sterling variant) peak-to-trough drawdown of the running-max
+    envelope — the path-dependent risk normalizations that a
+    volatility denominator (Sharpe) cannot see: two series with
+    identical variance but different drawdown geometry get very
+    different Calmars. Completes the drawdown bench next to
+    `ulcer_index_martin` (RMS drawdown) and `user_value_drawdown`
+    (per-entity paths).
+
+    Exactness: drawdowns are exact integer cents off the running
+    max over the calendar-bounded day frame; all folds exact
+    BIGINTs; ratios divide in doubles at the end. Plan: one day
+    rollup, two calendar-frame windows, one fold."""
+    daily = _daily(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dd = daily.select(
+        "y",
+        (F.max("y").over(w) - F.col("y")).alias("draw"),
+        F.first("y").over(w).alias("y0"),
+        F.last("y").over(wall).alias("ylast"),
+    )
+    fold = dd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("draw").cast("bigint").alias("mdd"),
+        F.sum("draw").cast("bigint").alias("sdraw"),
+        (F.max("ylast") - F.max("y0")).alias("net"),
+    )
+    return fold.select(
+        F.col("n").alias("n_days"),
+        (F.round(F.col("mdd") / 100000.0, 6) + 0.0).alias(
+            "max_drawdown_kusd"
+        ),
+        (
+            F.round(
+                F.col("sdraw").cast("double") / F.col("n") / 100000.0, 6
+            )
+            + 0.0
+        ).alias("avg_drawdown_kusd"),
+        (
+            F.round(
+                F.col("net").cast("double")
+                / (F.col("n") - 1)
+                / 100000.0,
+                6,
+            )
+            + 0.0
+        ).alias("mean_daily_change_kusd"),
+        (
+            F.round(
+                F.col("net").cast("double")
+                / (F.col("n") - 1)
+                / F.col("mdd"),
+                8,
+            )
+            + 0.0
+        ).alias("calmar_ratio"),
+        (
+            F.round(
+                F.col("net").cast("double")
+                / (F.col("n") - 1)
+                * F.col("n")
+                / F.col("sdraw").cast("double"),
+                8,
+            )
+            + 0.0
+        ).alias("sterling_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kelly criterion panel on daily revenue changes
+# --------------------------------------------------------------------------
+@register(
+    "kelly_fraction_daily",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    chg AS (
+        SELECT y - LAG(y) OVER (ORDER BY day) AS g
+        FROM daily QUALIFY g IS NOT NULL
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_up,
+               CAST(SUM(CASE WHEN g > 0 THEN g ELSE 0 END)
+                    AS BIGINT) AS s_up,
+               CAST(SUM(CASE WHEN g < 0 THEN -g ELSE 0 END)
+                    AS BIGINT) AS s_dn,
+               CAST(SUM(CASE WHEN g < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dn,
+               CAST(SUM(g) AS BIGINT) AS s,
+               CAST(SUM(CAST(g AS DECIMAL(38,0)) * g)
+                    AS DECIMAL(38,0)) AS ss
+        FROM chg
+    )
+    SELECT n AS n_days,
+           round(CAST(n_up AS DOUBLE) / n, 8) + 0.0 AS p_up,
+           round((CAST(s_up AS DOUBLE) / n_up)
+                 / (CAST(s_dn AS DOUBLE) / n_dn), 8) + 0.0
+               AS payoff_ratio_b,
+           round(CAST(n_up AS DOUBLE) / n
+                 - (1.0 - CAST(n_up AS DOUBLE) / n)
+                   / ((CAST(s_up AS DOUBLE) / n_up)
+                      / (CAST(s_dn AS DOUBLE) / n_dn)), 8) + 0.0
+               AS kelly_discrete_f,
+           round(CAST(s AS DOUBLE) / n * 100000.0
+                 / (CAST(ss AS DOUBLE) / n
+                    - CAST(s AS DOUBLE) * s / n / n), 8) + 0.0
+               AS kelly_continuous_per_kusd
+    FROM fold
+    """,
+)
+def kelly_fraction_daily(spark, sf_dir):
+    """KELLY criterion panel on day-over-day revenue changes: the
+    discrete win/loss form f* = p - q/b (p = up-day share, b = mean
+    gain / mean loss) and the continuous approximation f* = mu /
+    sigma^2 (per k$) — the growth-optimal sizing numbers whose
+    INPUTS (p, b, mu, sigma) this pipeline already certifies
+    elsewhere; the panel is the composition a treasury dashboard
+    actually displays next to `sharpe_sortino_omega`.
+
+    Exactness: every moment is an exact integer fold (gain/loss
+    sums BIGINT, squared sum DECIMAL(38,0)); the four readouts
+    divide in doubles at 8 dp. Plan: one day rollup, one calendar
+    lag, one fold."""
+    daily = _daily(spark, sf_dir)
+    chg = daily.select(
+        (F.col("y") - F.lag("y").over(Window.orderBy("day"))).alias(
+            "g"
+        )
+    ).where(F.col("g").isNotNull())
+    g = F.col("g")
+    fold = chg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(g > 0, 1).otherwise(0)).cast("bigint").alias(
+            "n_up"
+        ),
+        F.sum(F.when(g > 0, g).otherwise(0)).cast("bigint").alias(
+            "s_up"
+        ),
+        F.sum(F.when(g < 0, -g).otherwise(0)).cast("bigint").alias(
+            "s_dn"
+        ),
+        F.sum(F.when(g < 0, 1).otherwise(0)).cast("bigint").alias(
+            "n_dn"
+        ),
+        F.sum(g).cast("bigint").alias("s"),
+        F.sum(g.cast("decimal(38,0)") * g)
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    p = F.col("n_up").cast("double") / F.col("n")
+    b = (F.col("s_up").cast("double") / F.col("n_up")) / (
+        F.col("s_dn").cast("double") / F.col("n_dn")
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - F.col("s").cast(
+        "double"
+    ) * F.col("s") / F.col("n") / F.col("n")
+    return fold.select(
+        F.col("n").alias("n_days"),
+        (F.round(p, 8) + 0.0).alias("p_up"),
+        (F.round(b, 8) + 0.0).alias("payoff_ratio_b"),
+        (F.round(p - (1.0 - p) / b, 8) + 0.0).alias(
+            "kelly_discrete_f"
+        ),
+        (F.round(mu * 100000.0 / var, 8) + 0.0).alias(
+            "kelly_continuous_per_kusd"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exponential spectral risk measure of daily revenue losses
+# --------------------------------------------------------------------------
+@register(
+    "spectral_risk_exponential",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    chg AS (
+        SELECT LAG(y) OVER (ORDER BY day) - y AS loss
+        FROM daily QUALIFY loss IS NOT NULL
+    ),
+    grid AS (
+        SELECT loss AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM chg GROUP BY loss
+    ),
+    cum AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cc,
+               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING) AS head,
+               SUM(c) OVER () AS n
+        FROM grid
+    ),
+    terms AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(v / 100000.0
+                   * (round(exp(-5.0 * (1.0 - CAST(cc AS DOUBLE)
+                                              / n)), 8)
+                      - round(exp(-5.0 * (1.0
+                            - CAST(COALESCE(head, 0) AS DOUBLE)
+                              / n)), 8)), 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS w5,
+               CAST(SUM(CAST(round(v / 100000.0
+                   * (round(exp(-10.0 * (1.0 - CAST(cc AS DOUBLE)
+                                               / n)), 8)
+                      - round(exp(-10.0 * (1.0
+                            - CAST(COALESCE(head, 0) AS DOUBLE)
+                              / n)), 8)), 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS w10
+        FROM cum
+    )
+    SELECT n AS n_days,
+           round(w5 / (1.0 - round(exp(-5.0), 8)), 6) + 0.0
+               AS srm_k5_kusd,
+           round(w10 / (1.0 - round(exp(-10.0), 8)), 6) + 0.0
+               AS srm_k10_kusd
+    FROM terms
+    """,
+)
+def spectral_risk_exponential(spark, sf_dir):
+    """EXPONENTIAL-UTILITY spectral risk measure of daily revenue
+    losses at risk aversions k = 5 and 10: SRM = integral of the
+    quantile function against the admissible spectrum phi(p) =
+    k*e^(-k(1-p))/(1-e^(-k)) — the coherent risk family that
+    WEIGHTS every loss quantile by risk aversion instead of
+    truncating at one alpha like CVaR (`var_cvar_historical` is
+    the k->infinity boundary of this family, the mean is k->0).
+    The step-ECDF integral is EXACT: each grid row contributes its
+    loss times the exact integral of phi over its own probability
+    interval [head/n, cc/n].
+
+    Exactness: interval masses are exact integer ratios; the two
+    exponentials pin at 8 dp before differencing (the watts ln
+    pin); terms fold through DECIMAL(28,8). Plan: one day rollup,
+    one calendar lag, one domain-bounded grid cumulative, one
+    fold."""
+    daily = _daily(spark, sf_dir)
+    chg = daily.select(
+        (F.lag("y").over(Window.orderBy("day")) - F.col("y")).alias(
+            "loss"
+        )
+    ).where(F.col("loss").isNotNull())
+    grid = chg.groupBy(F.col("loss").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = grid.select(
+        "v",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("head"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+
+    def wterm(kk: float):
+        hi = F.round(
+            F.exp(
+                -kk * (1.0 - F.col("cc").cast("double") / F.col("n"))
+            ),
+            8,
+        )
+        lo = F.round(
+            F.exp(
+                -kk
+                * (
+                    1.0
+                    - F.coalesce(F.col("head"), F.lit(0)).cast(
+                        "double"
+                    )
+                    / F.col("n")
+                )
+            ),
+            8,
+        )
+        return F.sum(
+            F.round(F.col("v") / 100000.0 * (hi - lo), 8).cast(
+                "decimal(28,8)"
+            )
+        ).cast("double")
+
+    terms = cum.agg(
+        F.max("n").cast("bigint").alias("n"),
+        wterm(5.0).alias("w5"),
+        wterm(10.0).alias("w10"),
+    )
+    return terms.select(
+        F.col("n").alias("n_days"),
+        (
+            F.round(
+                F.col("w5")
+                / (1.0 - F.round(F.exp(F.lit(-5.0)), 8)),
+                6,
+            )
+            + 0.0
+        ).alias("srm_k5_kusd"),
+        (
+            F.round(
+                F.col("w10")
+                / (1.0 - F.round(F.exp(F.lit(-10.0)), 8)),
+                6,
+            )
+            + 0.0
+        ).alias("srm_k10_kusd"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov / Chebyshev / Cantelli moment-bound certificates
+# --------------------------------------------------------------------------
+@register(
+    "moment_bound_certificates",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    grid AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY v
+    ),
+    mom AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * v)
+                    AS DECIMAL(38,0)) AS s,
+               CAST(SUM(CAST(c AS DECIMAL(38,0))
+                        * CAST(v AS DECIMAL(38,0)) * v)
+                    AS DECIMAL(38,0)) AS ss
+        FROM grid
+    ),
+    fold AS (
+        SELECT mom.n,
+               CAST(SUM(CASE WHEN g.v * mom.n >= 2 * mom.s
+                             THEN g.c ELSE 0 END) AS BIGINT) AS ge2mu,
+               CAST(SUM(CASE WHEN g.v * mom.n >= 3 * mom.s
+                             THEN g.c ELSE 0 END) AS BIGINT) AS ge3mu,
+               CAST(SUM(CASE WHEN (CAST(g.v AS DECIMAL(38,0)) * mom.n
+                                   - mom.s)
+                                  * (CAST(g.v AS DECIMAL(38,0))
+                                     * mom.n - mom.s)
+                                  >= 4 * (mom.n * mom.ss
+                                          - mom.s * mom.s)
+                             THEN g.c ELSE 0 END) AS BIGINT)
+                   AS dev2,
+               CAST(SUM(CASE WHEN (CAST(g.v AS DECIMAL(38,0)) * mom.n
+                                   - mom.s)
+                                  * (CAST(g.v AS DECIMAL(38,0))
+                                     * mom.n - mom.s)
+                                  >= 9 * (mom.n * mom.ss
+                                          - mom.s * mom.s)
+                             THEN g.c ELSE 0 END) AS BIGINT)
+                   AS dev3,
+               CAST(SUM(CASE WHEN CAST(g.v AS DECIMAL(38,0)) * mom.n
+                                  > mom.s
+                             AND (CAST(g.v AS DECIMAL(38,0)) * mom.n
+                                  - mom.s)
+                                 * (CAST(g.v AS DECIMAL(38,0))
+                                    * mom.n - mom.s)
+                                 >= 4 * (mom.n * mom.ss
+                                         - mom.s * mom.s)
+                             THEN g.c ELSE 0 END) AS BIGINT)
+                   AS updev2
+        FROM grid g, mom GROUP BY mom.n
+    )
+    SELECT n AS n_orders,
+           round(CAST(ge2mu AS DOUBLE) / n, 8) + 0.0 AS p_ge_2mu,
+           round(CAST(ge3mu AS DOUBLE) / n, 8) + 0.0 AS p_ge_3mu,
+           round(CAST(dev2 AS DOUBLE) / n, 8) + 0.0
+               AS p_absdev_ge_2sig,
+           round(CAST(dev3 AS DOUBLE) / n, 8) + 0.0
+               AS p_absdev_ge_3sig,
+           round(0.5 - CAST(ge2mu AS DOUBLE) / n, 8) + 0.0
+               AS slack_markov_2mu,
+           round(0.25 - CAST(dev2 AS DOUBLE) / n, 8) + 0.0
+               AS slack_chebyshev_2sig,
+           round(0.2 - CAST(updev2 AS DOUBLE) / n, 8) + 0.0
+               AS slack_cantelli_2sig
+    FROM fold
+    """,
+)
+def moment_bound_certificates(spark, sf_dir):
+    """MOMENT-BOUND certificates on the order-value distribution:
+    empirical tail masses P(X >= k*mu), P(|X - mu| >= k*sigma) and
+    the upper one-sided P(X - mu >= k*sigma) against their Markov
+    (1/k), Chebyshev (1/k^2) and Cantelli (1/(1+k^2)) guarantees —
+    the distribution-free sanity bracket every downstream consumer
+    of this pipeline's mean/variance readouts is entitled to, and
+    the observed-vs-guaranteed slack is the "how non-adversarial is
+    this distribution" certificate.
+
+    Exactness: EVERY comparison is an exact integer inequality —
+    x >= k*mu becomes v*n >= k*S and |x-mu| >= k*sigma becomes
+    (v*n - S)^2 >= k^2*(n*SS - S^2), all in DECIMAL(38,0), so no
+    rounded mean or sqrt ever decides a boundary case. Plan: one
+    value rollup, one moment fold, one broadcast, one count fold."""
+    o = t(spark, sf_dir, "orders")
+    grid = (
+        o.select(
+            (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    mom = grid.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * F.col("v").cast("decimal(38,0)")
+            * F.col("v")
+        )
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    dev = F.col("v").cast("decimal(38,0)") * F.col("n") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    fold = (
+        grid.crossJoin(F.broadcast(mom))
+        .groupBy("n")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") * F.col("n") >= 2 * F.col("s"),
+                    F.col("c"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("ge2mu"),
+            F.sum(
+                F.when(
+                    F.col("v") * F.col("n") >= 3 * F.col("s"),
+                    F.col("c"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("ge3mu"),
+            F.sum(
+                F.when(dev * dev >= 4 * var_n2, F.col("c")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dev2"),
+            F.sum(
+                F.when(dev * dev >= 9 * var_n2, F.col("c")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dev3"),
+            F.sum(
+                F.when(
+                    (dev > 0) & (dev * dev >= 4 * var_n2), F.col("c")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("updev2"),
+        )
+    )
+    return fold.select(
+        F.col("n").alias("n_orders"),
+        (
+            F.round(F.col("ge2mu").cast("double") / F.col("n"), 8)
+            + 0.0
+        ).alias("p_ge_2mu"),
+        (
+            F.round(F.col("ge3mu").cast("double") / F.col("n"), 8)
+            + 0.0
+        ).alias("p_ge_3mu"),
+        (
+            F.round(F.col("dev2").cast("double") / F.col("n"), 8)
+            + 0.0
+        ).alias("p_absdev_ge_2sig"),
+        (
+            F.round(F.col("dev3").cast("double") / F.col("n"), 8)
+            + 0.0
+        ).alias("p_absdev_ge_3sig"),
+        (
+            F.round(
+                0.5 - F.col("ge2mu").cast("double") / F.col("n"), 8
+            )
+            + 0.0
+        ).alias("slack_markov_2mu"),
+        (
+            F.round(
+                0.25 - F.col("dev2").cast("double") / F.col("n"), 8
+            )
+            + 0.0
+        ).alias("slack_chebyshev_2sig"),
+        (
+            F.round(
+                0.2 - F.col("updev2").cast("double") / F.col("n"), 8
+            )
+            + 0.0
+        ).alias("slack_cantelli_2sig"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "rachev_ratio_tails": (
+            "ascending+descending cumulatives over the day-change "
+            "grid (calendar-bounded — the var_cvar class)"
+        ),
+        "calmar_sterling_panel": (
+            "running-max + first/last windows over the calendar-day "
+            "frame (the ulcer_index class)"
+        ),
+        "kelly_fraction_daily": (
+            "one lag over the calendar-day frame"
+        ),
+        "spectral_risk_exponential": (
+            "inclusive+exclusive cumulatives over the day-change "
+            "grid (calendar-bounded)"
+        ),
+    }
+)
