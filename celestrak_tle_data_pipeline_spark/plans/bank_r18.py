@@ -3907,3 +3907,598 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Laplace (centroid) trend test for the purchase point process
+# --------------------------------------------------------------------------
+@register(
+    "laplace_trend_test",
+    oracle="""
+    WITH win AS (
+        SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS t0,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS t1
+        FROM events
+    ),
+    pur AS (
+        SELECT CAST(epoch_us(e.ts) AS BIGINT) - win.t0 AS x,
+               win.t1 - win.t0 AS tspan
+        FROM events e, win
+        WHERE e.event_type = 'purchase'
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(tspan) AS tspan,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sx
+        FROM pur
+    )
+    SELECT n AS n_purchases,
+           round(CAST(sx AS DOUBLE) / n / tspan, 8) + 0.0
+               AS mean_relative_position,
+           round((CAST(sx AS DOUBLE) / n / tspan - 0.5)
+                 * sqrt(12.0 * n), 6) + 0.0 AS laplace_u
+    FROM fold
+    """,
+)
+def laplace_trend_test(spark, sf_dir):
+    """LAPLACE (centroid) trend test on the purchase point process:
+    conditional on n events in the observation window, an HPP's
+    arrival times are iid uniform, so U = (mean relative position -
+    1/2) * sqrt(12n) is standard normal; U > 0 says purchases are
+    drifting LATE in the window (an intensifying process), U < 0
+    early — the first-line reliability-growth / demand-trend check
+    that `mann_kendall_trend` answers at day grain but this answers
+    at the exact event-timestamp grain with no binning at all.
+
+    Exactness: positions are exact integer microseconds; the
+    position sum folds in DECIMAL(38,0); one division and one sqrt
+    at the end. Plan: one scalar window fold, one filtered fold —
+    no window functions, no join beyond a broadcast scalar."""
+    e = t(spark, sf_dir, "events")
+    win = e.agg(
+        F.min(F.unix_micros("ts")).cast("bigint").alias("t0"),
+        F.max(F.unix_micros("ts")).cast("bigint").alias("t1"),
+    )
+    pur = (
+        e.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(win))
+        .select(
+            (F.unix_micros("ts").cast("bigint") - F.col("t0")).alias(
+                "x"
+            ),
+            (F.col("t1") - F.col("t0")).alias("tspan"),
+        )
+    )
+    fold = pur.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("tspan").alias("tspan"),
+        F.sum(F.col("x").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sx"),
+    )
+    pos = F.col("sx").cast("double") / F.col("n") / F.col("tspan")
+    return fold.select(
+        F.col("n").alias("n_purchases"),
+        (F.round(pos, 8) + 0.0).alias("mean_relative_position"),
+        (
+            F.round((pos - 0.5) * F.sqrt(12.0 * F.col("n")), 6) + 0.0
+        ).alias("laplace_u"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Crow-AMSAA (power-law NHPP) reliability-growth fit
+# --------------------------------------------------------------------------
+@register(
+    "crow_amsaa_growth",
+    oracle="""
+    WITH win AS (
+        SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS t0,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS t1
+        FROM events
+    ),
+    pur AS (
+        SELECT CAST(epoch_us(e.ts) AS BIGINT) - win.t0 AS x,
+               win.t1 - win.t0 AS tspan
+        FROM events e, win
+        WHERE e.event_type = 'purchase'
+          AND CAST(epoch_us(e.ts) AS BIGINT) > win.t0
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(tspan) AS tspan,
+               CAST(SUM(CAST(round(ln(CAST(tspan AS DOUBLE) / x), 6)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS slog
+        FROM pur
+    )
+    SELECT n AS n_purchases,
+           round(n / slog, 8) + 0.0 AS beta_hat,
+           round(2.0 * slog, 4) + 0.0 AS mil_hdbk_chi2,
+           CAST(2 * n AS BIGINT) AS chi2_df,
+           round((n / slog) * n / CAST(tspan AS DOUBLE)
+                 * 86400000000.0, 6) + 0.0
+               AS intensity_now_per_day
+    FROM fold
+    """,
+)
+def crow_amsaa_growth(spark, sf_dir):
+    """CROW-AMSAA (power-law NHPP) growth fit of the purchase
+    process: the MLE shape beta = n / sum ln(T/t_i) (beta > 1 =
+    intensifying, beta < 1 = decaying, beta = 1 = HPP), the
+    MIL-HDBK-189 statistic 2*sum ln(T/t_i) ~ chi2(2n) under HPP
+    (its own exactly-known null), and the fitted current intensity
+    beta*n/T per day — the parametric complement to the
+    distribution-free `laplace_trend_test` on the same arrivals.
+
+    Exactness: relative times are exact integer microseconds; each
+    ln(T/t) pins at 6 dp before the DECIMAL fold (the watts pin);
+    the first event (t = 0, where ln diverges) is excluded by
+    construction. Plan: one scalar window fold, one filtered fold."""
+    e = t(spark, sf_dir, "events")
+    win = e.agg(
+        F.min(F.unix_micros("ts")).cast("bigint").alias("t0"),
+        F.max(F.unix_micros("ts")).cast("bigint").alias("t1"),
+    )
+    pur = (
+        e.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(win))
+        .where(F.unix_micros("ts").cast("bigint") > F.col("t0"))
+        .select(
+            (F.unix_micros("ts").cast("bigint") - F.col("t0")).alias(
+                "x"
+            ),
+            (F.col("t1") - F.col("t0")).alias("tspan"),
+        )
+    )
+    fold = pur.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("tspan").alias("tspan"),
+        F.sum(
+            F.round(
+                F.log(F.col("tspan").cast("double") / F.col("x")), 6
+            ).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("slog"),
+    )
+    beta = F.col("n") / F.col("slog")
+    return fold.select(
+        F.col("n").alias("n_purchases"),
+        (F.round(beta, 8) + 0.0).alias("beta_hat"),
+        (F.round(2.0 * F.col("slog"), 4) + 0.0).alias(
+            "mil_hdbk_chi2"
+        ),
+        (2 * F.col("n")).cast("bigint").alias("chi2_df"),
+        (
+            F.round(
+                beta
+                * F.col("n")
+                / F.col("tspan").cast("double")
+                * 86400000000.0,
+                6,
+            )
+            + 0.0
+        ).alias("intensity_now_per_day"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Barlow-Proschan TTT test for exponentiality of interpurchase gaps
+# --------------------------------------------------------------------------
+@register(
+    "ttt_barlow_proschan",
+    oracle="""
+    WITH pur AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus
+        FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+        SELECT (tus - LAG(tus) OVER (PARTITION BY user_id
+                                     ORDER BY tus))
+               // 1000000 AS gap
+        FROM pur QUALIFY gap IS NOT NULL AND gap > 0
+    ),
+    grid AS (
+        SELECT gap AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(gap) AS BIGINT) AS tv
+        FROM gaps GROUP BY gap
+    ),
+    cum AS (
+        SELECT v, c,
+               CAST(COALESCE(SUM(c) OVER ew, 0) AS BIGINT) AS head,
+               CAST(COALESCE(SUM(tv) OVER ew, 0) AS BIGINT)
+                   AS cv_prev,
+               SUM(c) OVER () AS n,
+               SUM(tv) OVER () AS s
+        FROM grid
+        WINDOW ew AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING)
+    ),
+    fold AS (
+        SELECT MAX(n) AS n, MAX(s) AS s,
+               CAST(SUM(CAST(c AS DECIMAL(38,0))
+                        * (CAST(cv_prev AS DECIMAL(38,0))
+                           + CAST(v AS DECIMAL(38,0)) * (n - head)))
+                    AS DECIMAL(38,0)) AS sum_ttt
+        FROM cum
+    )
+    SELECT n AS n_gaps,
+           round((CAST(sum_ttt AS DOUBLE) / s - 1.0)
+                 / (n - 1), 8) + 0.0 AS ttt_mean_scaled,
+           round(((CAST(sum_ttt AS DOUBLE) / s - 1.0)
+                  - (n - 1) / 2.0)
+                 / sqrt((n - 1) / 12.0), 6) + 0.0
+               AS barlow_proschan_z
+    FROM fold
+    """,
+)
+def ttt_barlow_proschan(spark, sf_dir):
+    """BARLOW-PROSCHAN total-time-on-test statistic on pooled
+    interpurchase gaps: W = sum_(i<n) TTT_i / TTT_n is a sum of
+    n-1 iid uniforms under exponentiality, so z = (W-(n-1)/2) /
+    sqrt((n-1)/12) reads aging directly — z > 0 means IFR (gaps
+    cluster then stretch: NBU wear-out), z < 0 DFR (burstiness) —
+    the aging-direction certificate that `exp_rate_lr_gaps` /
+    `greenwood_spacing_uniformity` test only for flat exponential.
+
+    Device: within a tie group of the sorted-gap grid TTT_i =
+    CV_prev + v*(n - head) is CONSTANT over the group, so
+    sum_i TTT_i = sum_g c*(CV_prev + v*(n-head)) folds exactly on
+    the grid with no unit-grain rank ever materializing. Per-user
+    lags partition on user_id (data-parallel); the gap grid
+    cumulative is value-domain-bounded. All folds DECIMAL(38,0)."""
+    e = t(spark, sf_dir, "events")
+    pur = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").cast("bigint").alias("tus")
+    )
+    gaps = pur.select(
+        (
+            (
+                F.col("tus")
+                - F.lag("tus").over(
+                    Window.partitionBy("user_id").orderBy("tus")
+                )
+            )
+            / 1_000_000
+        )
+        .cast("bigint")
+        .alias("gap")
+    ).where(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    grid = gaps.groupBy(F.col("gap").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("gap").cast("bigint").alias("tv"),
+    )
+    ew = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = grid.select(
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(ew), F.lit(0))
+        .cast("bigint")
+        .alias("head"),
+        F.coalesce(F.sum("tv").over(ew), F.lit(0))
+        .cast("bigint")
+        .alias("cv_prev"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+        F.sum("tv").over(Window.partitionBy()).alias("s"),
+    )
+    fold = cum.agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * (
+                F.col("cv_prev").cast("decimal(38,0)")
+                + F.col("v").cast("decimal(38,0)")
+                * (F.col("n") - F.col("head"))
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("sum_ttt"),
+    )
+    w = F.col("sum_ttt").cast("double") / F.col("s") - 1.0
+    return fold.select(
+        F.col("n").alias("n_gaps"),
+        (F.round(w / (F.col("n") - 1), 8) + 0.0).alias(
+            "ttt_mean_scaled"
+        ),
+        (
+            F.round(
+                (w - (F.col("n") - 1) / 2.0)
+                / F.sqrt((F.col("n") - 1) / 12.0),
+                6,
+            )
+            + 0.0
+        ).alias("barlow_proschan_z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Foster-Stuart records test on the daily revenue series
+# --------------------------------------------------------------------------
+@register(
+    "foster_stuart_records",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    rec AS (
+        SELECT day, y,
+               ROW_NUMBER() OVER (ORDER BY day) AS i,
+               MAX(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING) AS prevmax,
+               MIN(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING) AS prevmin
+        FROM daily
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN i > 1 AND y > prevmax
+                             THEN 1 ELSE 0 END) AS BIGINT) AS u,
+               CAST(SUM(CASE WHEN i > 1 AND y < prevmin
+                             THEN 1 ELSE 0 END) AS BIGINT) AS l,
+               CAST(SUM(CASE WHEN i > 1
+                             THEN CAST(round(1.0 / i, 10)
+                                       AS DECIMAL(18,10))
+                             ELSE 0 END) AS DOUBLE) AS hsum
+        FROM rec
+    )
+    SELECT n AS n_days,
+           u AS n_upper_records,
+           l AS n_lower_records,
+           CAST(u - l AS BIGINT) AS d_stat,
+           round(hsum, 6) + 0.0 AS expected_records_each,
+           round((u - l) / sqrt(2.0 * hsum), 6) + 0.0
+               AS foster_stuart_z
+    FROM fold
+    """,
+)
+def foster_stuart_records(spark, sf_dir):
+    """FOSTER-STUART records test on daily revenue: count upper and
+    lower records (days beating every previous max / min); under
+    exchangeability E[U] = E[L] = sum_(k=2..n) 1/k and the trend
+    statistic d = U - L has variance 2*sum 1/k, giving z = d /
+    sqrt(2*H) — the third member of the distribution-free trend
+    trio (`turning_points_randomness` counts direction changes,
+    `difference_sign_test` counts rises, records count extremes —
+    each powerful against a different alternative, records
+    especially against variance growth).
+
+    Exactness: record flags are exact integer comparisons against
+    running max/min over the calendar-bounded day frame; the
+    harmonic sum folds 10-dp-rounded reciprocals of the exact day
+    index through DECIMAL. Plan: one day rollup, three
+    calendar-frame windows, one fold."""
+    daily = _daily(spark, sf_dir)
+    ew = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rec = daily.select(
+        "y",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.max("y").over(ew).alias("prevmax"),
+        F.min("y").over(ew).alias("prevmin"),
+    )
+    fold = rec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("i") > 1) & (F.col("y") > F.col("prevmax")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("u"),
+        F.sum(
+            F.when(
+                (F.col("i") > 1) & (F.col("y") < F.col("prevmin")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("l"),
+        F.sum(
+            F.when(
+                F.col("i") > 1,
+                F.round(1.0 / F.col("i"), 10).cast("decimal(18,10)"),
+            ).otherwise(F.lit(0).cast("decimal(18,10)"))
+        )
+        .cast("double")
+        .alias("hsum"),
+    )
+    return fold.select(
+        F.col("n").alias("n_days"),
+        F.col("u").alias("n_upper_records"),
+        F.col("l").alias("n_lower_records"),
+        (F.col("u") - F.col("l")).cast("bigint").alias("d_stat"),
+        (F.round("hsum", 6) + 0.0).alias("expected_records_each"),
+        (
+            F.round(
+                (F.col("u") - F.col("l"))
+                / F.sqrt(2.0 * F.col("hsum")),
+                6,
+            )
+            + 0.0
+        ).alias("foster_stuart_z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shared user-week purchase-count frame (zeros = active but no purchase)
+# --------------------------------------------------------------------------
+_UWEEK_SQL = """
+    uweek AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    )
+"""
+
+
+def _uweek(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 604_800_000_000)
+        .cast("bigint")
+        .alias("wk"),
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+
+
+# --------------------------------------------------------------------------
+# van den Broek score test for zero inflation (ZIP vs Poisson)
+# --------------------------------------------------------------------------
+@register(
+    "zip_score_test",
+    oracle=f"""
+    WITH {_UWEEK_SQL},
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n0
+        FROM uweek
+    )
+    SELECT n AS n_user_weeks,
+           round(CAST(s AS DOUBLE) / n, 8) + 0.0 AS lambda_hat,
+           n0 AS n_zeros,
+           round(n * round(exp(-CAST(s AS DOUBLE) / n), 8), 4)
+               + 0.0 AS expected_zeros_poisson,
+           round((n0 / round(exp(-CAST(s AS DOUBLE) / n), 8) - n)
+                 * (n0 / round(exp(-CAST(s AS DOUBLE) / n), 8) - n)
+                 / (n * (1.0 / round(exp(-CAST(s AS DOUBLE) / n), 8)
+                         - 1.0)
+                    - CAST(s AS DOUBLE)), 6) + 0.0
+               AS zip_score_chi2
+    FROM fold
+    """,
+)
+def zip_score_test(spark, sf_dir):
+    """VAN DEN BROEK score test for ZERO INFLATION of weekly purchase
+    counts per active user-week (cells = (user, week) pairs with any
+    activity; y = purchases, zeros = browsed-but-never-bought): S =
+    (n0/p0 - n)^2 / (n(1/p0 - 1) - n*ybar) ~ chi2(1) under Poisson,
+    with p0 = e^(-lambda_hat) — THE first question about count data
+    ("are the zeros structural or sampling?") that decides between
+    Poisson machinery (`poisson_dispersion_panel`, `eb_gamma_poisson
+    _rates`) and a two-regime model, asked before any fit happens.
+
+    Exactness: counts and the zero count are exact integers; the
+    single e^(-lambda) pins at 8 dp (the watts/spectral pin) and
+    every readout derives from the same pinned value in both
+    engines. Plan: one (user, week) rollup, one fold — fully
+    map-side combinable, zeros come free from the activity frame
+    (no user x week cross join)."""
+    fold = _uweek(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+    )
+    lam = F.col("s").cast("double") / F.col("n")
+    p0 = F.round(F.exp(-lam), 8)
+    num = F.col("n0") / p0 - F.col("n")
+    den = F.col("n") * (1.0 / p0 - 1.0) - F.col("s").cast("double")
+    return fold.select(
+        F.col("n").alias("n_user_weeks"),
+        (F.round(lam, 8) + 0.0).alias("lambda_hat"),
+        F.col("n0").alias("n_zeros"),
+        (F.round(F.col("n") * p0, 4) + 0.0).alias(
+            "expected_zeros_poisson"
+        ),
+        (F.round(num * num / den, 6) + 0.0).alias("zip_score_chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dean's PB score test for overdispersion (NB vs Poisson)
+# --------------------------------------------------------------------------
+@register(
+    "dean_overdispersion_test",
+    oracle=f"""
+    WITH {_UWEEK_SQL},
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * y)
+                    AS DECIMAL(38,0)) AS ss
+        FROM uweek
+    )
+    SELECT n AS n_user_weeks,
+           round(CAST(s AS DOUBLE) / n, 8) + 0.0 AS mean_count,
+           round((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                  - CAST(s AS DOUBLE) * s)
+                 / (CAST(n AS DOUBLE) - 1.0)
+                 / CAST(s AS DOUBLE), 8) + 0.0
+               AS dispersion_index,
+           round((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                  - CAST(s AS DOUBLE) * s
+                  - CAST(n AS DOUBLE) * s)
+                 / CAST(n AS DOUBLE)
+                 / (CAST(s AS DOUBLE) / n * sqrt(2.0 * n)), 6)
+               + 0.0 AS dean_pb_z
+    FROM fold
+    """,
+)
+def dean_overdispersion_test(spark, sf_dir):
+    """DEAN'S PB score test for overdispersion of weekly purchase
+    counts against the Poisson null: PB = sum((y - ybar)^2 - y) /
+    (ybar * sqrt(2n)) ~ N(0,1), the locally-most-powerful test
+    toward negative binomial — the directional companion to
+    `poisson_dispersion_panel`'s chi2 index (PB gives a SIGNED z:
+    positive = clumped repeat buyers, negative = under-dispersed
+    quota-like behavior) and the gate before `negbin_mom_fit` is
+    worth fitting. Shares the activity frame with `zip_score_test`
+    so the two score tests read the same population.
+
+    Exactness: the numerator n*SS - S^2 - n*S is exact DECIMAL(38,0)
+    integer arithmetic; one division and one sqrt at the end. Plan:
+    one (user, week) rollup, one fold."""
+    fold = _uweek(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    nn = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    return fold.select(
+        F.col("n").alias("n_user_weeks"),
+        (F.round(s / F.col("n"), 8) + 0.0).alias("mean_count"),
+        (
+            F.round((nn * ss - s * s) / (nn - 1.0) / s, 8) + 0.0
+        ).alias("dispersion_index"),
+        (
+            F.round(
+                (nn * ss - s * s - nn * s)
+                / nn
+                / (s / F.col("n") * F.sqrt(2.0 * nn)),
+                6,
+            )
+            + 0.0
+        ).alias("dean_pb_z"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "ttt_barlow_proschan": (
+            "per-user lag (data-parallel) + one cumulative over the "
+            "gap-seconds grid (gap-value-domain-bounded — the "
+            "weibull_median_rank class)"
+        ),
+        "foster_stuart_records": (
+            "running max/min + row_number over the calendar-day "
+            "frame (the western_electric class)"
+        ),
+    }
+)
