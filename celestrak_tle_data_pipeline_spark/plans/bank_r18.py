@@ -4502,3 +4502,576 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Shared contingency: embedding label vs deterministic octant clustering
+# --------------------------------------------------------------------------
+_CONT_SQL = """
+    asg AS (
+        SELECT label AS a,
+               CAST(4 * CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                    + 2 * CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END
+                    + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS b
+        FROM embeddings
+    ),
+    cell AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nij
+        FROM asg GROUP BY a, b
+    ),
+    rowm AS (SELECT a, CAST(SUM(nij) AS BIGINT) AS ai
+             FROM cell GROUP BY a),
+    colm AS (SELECT b, CAST(SUM(nij) AS BIGINT) AS bj
+             FROM cell GROUP BY b),
+    tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cell)
+"""
+
+
+def _contingency(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    b = (
+        4 * F.when(F.element_at("embedding", 1) > 0, 1).otherwise(0)
+        + 2 * F.when(F.element_at("embedding", 2) > 0, 1).otherwise(0)
+        + F.when(F.element_at("embedding", 3) > 0, 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        emb.select(F.col("label").alias("a"), b.alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Adjusted Rand index between label and octant clusterings
+# --------------------------------------------------------------------------
+@register(
+    "adjusted_rand_index",
+    oracle=f"""
+    WITH {_CONT_SQL},
+    sums AS (
+        SELECT (SELECT n FROM tot) AS n,
+               (SELECT CAST(SUM(CAST(nij AS DECIMAL(38,0))
+                                * (nij - 1) / 2) AS DECIMAL(38,0))
+                FROM cell) AS sij,
+               (SELECT CAST(SUM(CAST(ai AS DECIMAL(38,0))
+                                * (ai - 1) / 2) AS DECIMAL(38,0))
+                FROM rowm) AS sa,
+               (SELECT CAST(SUM(CAST(bj AS DECIMAL(38,0))
+                                * (bj - 1) / 2) AS DECIMAL(38,0))
+                FROM colm) AS sb
+    )
+    SELECT n AS n_vectors,
+           round(CAST(sij AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1) / 2.0), 8) + 0.0
+               AS rand_agree_frac,
+           round((CAST(sij AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (n - 1) / 2.0))
+                 / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+                    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (n - 1) / 2.0)), 8)
+               + 0.0 AS adjusted_rand_index
+    FROM sums
+    """,
+)
+def adjusted_rand_index(spark, sf_dir):
+    """ADJUSTED RAND INDEX between the embedding LABEL partition and
+    a deterministic sign-octant clustering (first three coordinates'
+    signs): the chance-corrected pair-counting agreement ARI =
+    (sum C(nij,2) - E) / ((sum C(ai,2) + sum C(bj,2))/2 - E) — the
+    classic external clustering validity measure the registry's
+    information-theoretic `v_measure_clusters` complements from the
+    entropy side; pair-counting and NMI disagree exactly when
+    cluster sizes are skewed, which is why both belong on the
+    bench.
+
+    Exactness: every pair count C(k,2) = k(k-1)/2 is an exact
+    DECIMAL(38,0) integer (k even or odd, the /2 stays integral);
+    the expected-index products stay under 1e36. Plan: one
+    contingency rollup, three marginal folds, one scalar assembly
+    — no window, no data-grain join."""
+    cell = _contingency(spark, sf_dir).persist()
+    c2 = lambda c: (c.cast("decimal(38,0)") * (c - 1) / 2).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    sij = cell.agg(
+        F.sum(c2(F.col("nij"))).cast("decimal(38,0)").alias("sij"),
+        F.sum("nij").cast("bigint").alias("n"),
+    )
+    sa = (
+        cell.groupBy("a")
+        .agg(F.sum("nij").cast("bigint").alias("ai"))
+        .agg(F.sum(c2(F.col("ai"))).cast("decimal(38,0)").alias("sa"))
+    )
+    sb = (
+        cell.groupBy("b")
+        .agg(F.sum("nij").cast("bigint").alias("bj"))
+        .agg(F.sum(c2(F.col("bj"))).cast("decimal(38,0)").alias("sb"))
+    )
+    j = sij.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    tpairs = F.col("n").cast("double") * (F.col("n") - 1) / 2.0
+    e = F.col("sa").cast("double") * F.col("sb").cast("double") / tpairs
+    return j.select(
+        F.col("n").alias("n_vectors"),
+        (
+            F.round(F.col("sij").cast("double") / tpairs, 8) + 0.0
+        ).alias("rand_agree_frac"),
+        (
+            F.round(
+                (F.col("sij").cast("double") - e)
+                / (
+                    (
+                        F.col("sa").cast("double")
+                        + F.col("sb").cast("double")
+                    )
+                    / 2.0
+                    - e
+                ),
+                8,
+            )
+            + 0.0
+        ).alias("adjusted_rand_index"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fowlkes-Mallows + B-cubed precision/recall on the same contingency
+# --------------------------------------------------------------------------
+@register(
+    "fowlkes_mallows_bcubed",
+    oracle=f"""
+    WITH {_CONT_SQL},
+    pairsums AS (
+        SELECT (SELECT n FROM tot) AS n,
+               (SELECT CAST(SUM(CAST(nij AS DECIMAL(38,0))
+                                * (nij - 1) / 2) AS DECIMAL(38,0))
+                FROM cell) AS sij,
+               (SELECT CAST(SUM(CAST(ai AS DECIMAL(38,0))
+                                * (ai - 1) / 2) AS DECIMAL(38,0))
+                FROM rowm) AS sa,
+               (SELECT CAST(SUM(CAST(bj AS DECIMAL(38,0))
+                                * (bj - 1) / 2) AS DECIMAL(38,0))
+                FROM colm) AS sb
+    ),
+    bc AS (
+        SELECT CAST(SUM(CAST(round(CAST(c.nij AS DOUBLE) * c.nij
+                                   / cm.bj, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS bp,
+               CAST(SUM(CAST(round(CAST(c.nij AS DOUBLE) * c.nij
+                                   / rm.ai, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS br
+        FROM cell c
+        JOIN colm cm ON c.b = cm.b
+        JOIN rowm rm ON c.a = rm.a
+    )
+    SELECT p.n AS n_vectors,
+           round(CAST(p.sij AS DOUBLE)
+                 / sqrt(CAST(p.sa AS DOUBLE)
+                        * CAST(p.sb AS DOUBLE)), 8) + 0.0
+               AS fowlkes_mallows,
+           round(bc.bp / p.n, 8) + 0.0 AS bcubed_precision,
+           round(bc.br / p.n, 8) + 0.0 AS bcubed_recall,
+           round(2.0 * (bc.bp / p.n) * (bc.br / p.n)
+                 / (bc.bp / p.n + bc.br / p.n), 8) + 0.0
+               AS bcubed_f1
+    FROM pairsums p, bc
+    """,
+)
+def fowlkes_mallows_bcubed(spark, sf_dir):
+    """FOWLKES-MALLOWS index (geometric mean of pairwise precision
+    and recall) and B-CUBED precision/recall/F1 between the label
+    partition and the sign-octant clustering — the two families
+    entity-resolution evaluation actually uses (B-cubed weights
+    per-ITEM, so a giant wrong cluster hurts proportionally to its
+    size, where pair-counting lets big clusters dominate
+    quadratically); together with `adjusted_rand_index` and
+    `v_measure_clusters` this completes the external-validity bench
+    (pair / item / information axes).
+
+    Exactness: pair sums are exact DECIMAL(38,0); B-cubed per-cell
+    terms nij^2/marginal round at 8 dp before DECIMAL folding (the
+    cell frame is label x octant bounded). Plan: one contingency
+    rollup, two broadcast marginal joins, two folds."""
+    cell = _contingency(spark, sf_dir).persist()
+    c2 = lambda c: (c.cast("decimal(38,0)") * (c - 1) / 2).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    rowm = cell.groupBy("a").agg(
+        F.sum("nij").cast("bigint").alias("ai")
+    )
+    colm = cell.groupBy("b").agg(
+        F.sum("nij").cast("bigint").alias("bj")
+    )
+    pairsums = (
+        cell.agg(
+            F.sum(c2(F.col("nij"))).cast("decimal(38,0)").alias("sij"),
+            F.sum("nij").cast("bigint").alias("n"),
+        )
+        .crossJoin(
+            F.broadcast(
+                rowm.agg(
+                    F.sum(c2(F.col("ai")))
+                    .cast("decimal(38,0)")
+                    .alias("sa")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                colm.agg(
+                    F.sum(c2(F.col("bj")))
+                    .cast("decimal(38,0)")
+                    .alias("sb")
+                )
+            )
+        )
+    )
+    bc = (
+        cell.join(F.broadcast(colm), "b")
+        .join(F.broadcast(rowm), "a")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("nij").cast("double")
+                    * F.col("nij")
+                    / F.col("bj"),
+                    8,
+                ).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("bp"),
+            F.sum(
+                F.round(
+                    F.col("nij").cast("double")
+                    * F.col("nij")
+                    / F.col("ai"),
+                    8,
+                ).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("br"),
+        )
+    )
+    j = pairsums.crossJoin(F.broadcast(bc))
+    bp = F.col("bp") / F.col("n")
+    br = F.col("br") / F.col("n")
+    return j.select(
+        F.col("n").alias("n_vectors"),
+        (
+            F.round(
+                F.col("sij").cast("double")
+                / F.sqrt(
+                    F.col("sa").cast("double")
+                    * F.col("sb").cast("double")
+                ),
+                8,
+            )
+            + 0.0
+        ).alias("fowlkes_mallows"),
+        (F.round(bp, 8) + 0.0).alias("bcubed_precision"),
+        (F.round(br, 8) + 0.0).alias("bcubed_recall"),
+        (F.round(2.0 * bp * br / (bp + br), 8) + 0.0).alias(
+            "bcubed_f1"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Variation of information between the two clusterings
+# --------------------------------------------------------------------------
+@register(
+    "variation_of_information",
+    oracle=f"""
+    WITH {_CONT_SQL},
+    terms AS (
+        SELECT CAST(SUM(CAST(round(CAST(c.nij AS DOUBLE)
+                   * round(ln(CAST(c.nij AS DOUBLE) * tot.n
+                              / (CAST(rm.ai AS DOUBLE) * cm.bj)), 5),
+                   4) AS DECIMAL(28,4))) AS DOUBLE) AS mi_n,
+               MAX(tot.n) AS n
+        FROM cell c
+        JOIN rowm rm ON c.a = rm.a
+        JOIN colm cm ON c.b = cm.b, tot
+    ),
+    ents AS (
+        SELECT (SELECT CAST(SUM(CAST(round(CAST(ai AS DOUBLE)
+                    * round(ln(CAST(t.n AS DOUBLE) / ai), 5), 4)
+                    AS DECIMAL(28,4))) AS DOUBLE)
+                FROM rowm, tot t) AS ha_n,
+               (SELECT CAST(SUM(CAST(round(CAST(bj AS DOUBLE)
+                    * round(ln(CAST(t.n AS DOUBLE) / bj), 5), 4)
+                    AS DECIMAL(28,4))) AS DOUBLE)
+                FROM colm, tot t) AS hb_n
+    )
+    SELECT t.n AS n_vectors,
+           round(e.ha_n / t.n, 5) + 0.0 AS h_label_nats,
+           round(e.hb_n / t.n, 5) + 0.0 AS h_octant_nats,
+           round(t.mi_n / t.n, 5) + 0.0 AS mutual_info_nats,
+           round((e.ha_n + e.hb_n - 2.0 * t.mi_n) / t.n, 5) + 0.0
+               AS variation_of_information,
+           round((e.ha_n + e.hb_n - 2.0 * t.mi_n) / t.n
+                 / round(ln(CAST(t.n AS DOUBLE)), 5), 7) + 0.0
+               AS vi_normalized
+    FROM terms t, ents e
+    """,
+)
+def variation_of_information(spark, sf_dir):
+    """VARIATION OF INFORMATION (Meila's metric) between the label
+    partition and the sign-octant clustering: VI = H(A) + H(B) -
+    2*I(A;B) — the only clustering-comparison measure that is a
+    TRUE METRIC on partition space (triangle inequality holds), so
+    fleet-wide clustering drift can be tracked additively; reported
+    with both entropies, the mutual information, and VI/ln(n)
+    normalization. Completes the external-validity bench's third
+    axis next to `adjusted_rand_index` (pairs) and
+    `fowlkes_mallows_bcubed` (items).
+
+    Exactness: all cell/marginal counts exact; each ln pins at 5 dp
+    (a 6-dp pin flipped h_octant's last digit across the two libms
+    at sf0.1 — the watts lesson one decade coarser), each count*ln
+    term rounds at 4 dp before the DECIMAL fold, readouts at 5 dp. Plan:
+    one contingency rollup, two broadcast marginal joins, three
+    folds."""
+    cell = _contingency(spark, sf_dir).persist()
+    rowm = cell.groupBy("a").agg(
+        F.sum("nij").cast("bigint").alias("ai")
+    )
+    colm = cell.groupBy("b").agg(
+        F.sum("nij").cast("bigint").alias("bj")
+    )
+    tot = cell.agg(F.sum("nij").cast("bigint").alias("n"))
+    terms = (
+        cell.join(F.broadcast(rowm), "a")
+        .join(F.broadcast(colm), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("nij").cast("double")
+                    * F.round(
+                        F.log(
+                            F.col("nij").cast("double")
+                            * F.col("n")
+                            / (
+                                F.col("ai").cast("double")
+                                * F.col("bj")
+                            )
+                        ),
+                        5,
+                    ),
+                    4,
+                ).cast("decimal(28,4)")
+            )
+            .cast("double")
+            .alias("mi_n"),
+            F.max("n").alias("n"),
+        )
+    )
+    ha = (
+        rowm.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("ai").cast("double")
+                    * F.round(
+                        F.log(
+                            F.col("n").cast("double") / F.col("ai")
+                        ),
+                        5,
+                    ),
+                    4,
+                ).cast("decimal(28,4)")
+            )
+            .cast("double")
+            .alias("ha_n")
+        )
+    )
+    hb = (
+        colm.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("bj").cast("double")
+                    * F.round(
+                        F.log(
+                            F.col("n").cast("double") / F.col("bj")
+                        ),
+                        5,
+                    ),
+                    4,
+                ).cast("decimal(28,4)")
+            )
+            .cast("double")
+            .alias("hb_n")
+        )
+    )
+    j = terms.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    vi = (F.col("ha_n") + F.col("hb_n") - 2.0 * F.col("mi_n")) / F.col(
+        "n"
+    )
+    return j.select(
+        F.col("n").alias("n_vectors"),
+        (F.round(F.col("ha_n") / F.col("n"), 5) + 0.0).alias(
+            "h_label_nats"
+        ),
+        (F.round(F.col("hb_n") / F.col("n"), 5) + 0.0).alias(
+            "h_octant_nats"
+        ),
+        (F.round(F.col("mi_n") / F.col("n"), 5) + 0.0).alias(
+            "mutual_info_nats"
+        ),
+        (F.round(vi, 5) + 0.0).alias("variation_of_information"),
+        (
+            F.round(
+                vi / F.round(F.log(F.col("n").cast("double")), 5), 7
+            )
+            + 0.0
+        ).alias("vi_normalized"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PABAK / Scott's pi / prevalence + bias indices for two quality filters
+# --------------------------------------------------------------------------
+@register(
+    "pabak_prevalence_bias",
+    oracle="""
+    WITH grid AS (
+        SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cc,
+               SUM(c) OVER () AS n
+        FROM grid
+    ),
+    med AS (
+        SELECT CAST(MIN(v) AS BIGINT) AS m FROM cum
+        WHERE 2 * cc >= n
+    ),
+    cells AS (
+        SELECT CAST(SUM(CASE WHEN d.n_chars > med.m
+                             AND d.lang = 'en'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN d.n_chars > med.m
+                             AND d.lang <> 'en'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN d.n_chars <= med.m
+                             AND d.lang = 'en'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN d.n_chars <= med.m
+                             AND d.lang <> 'en'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM documents d, med
+    )
+    SELECT a + b + c + d AS n_docs,
+           round((a + d) * 1.0 / (a + b + c + d), 8) + 0.0
+               AS observed_agreement,
+           round(2.0 * (a + d) / (a + b + c + d) - 1.0, 8) + 0.0
+               AS pabak,
+           round(((a + d) * 1.0 / (a + b + c + d)
+                  - (((2.0 * a + b + c) / (2.0 * (a + b + c + d)))
+                     * ((2.0 * a + b + c) / (2.0 * (a + b + c + d)))
+                     + ((2.0 * d + b + c) / (2.0 * (a + b + c + d)))
+                       * ((2.0 * d + b + c)
+                          / (2.0 * (a + b + c + d)))))
+                 / (1.0
+                    - (((2.0 * a + b + c) / (2.0 * (a + b + c + d)))
+                       * ((2.0 * a + b + c)
+                          / (2.0 * (a + b + c + d)))
+                       + ((2.0 * d + b + c)
+                          / (2.0 * (a + b + c + d)))
+                         * ((2.0 * d + b + c)
+                            / (2.0 * (a + b + c + d))))), 8) + 0.0
+               AS scotts_pi,
+           round(abs(a - d) * 1.0 / (a + b + c + d), 8) + 0.0
+               AS prevalence_index,
+           round(abs(b - c) * 1.0 / (a + b + c + d), 8) + 0.0
+               AS bias_index
+    FROM cells
+    """,
+)
+def pabak_prevalence_bias(spark, sf_dir):
+    """PABAK (prevalence-adjusted bias-adjusted kappa = 2*po - 1),
+    SCOTT'S PI, and the PREVALENCE / BIAS indices for two binary
+    document-quality raters (rater A: length above the exact median
+    n_chars; rater B: lang = 'en') — the Byrt-Bishop-Carlin
+    diagnostic quartet that explains WHY a kappa is low: the
+    prevalence index |a-d|/n sizes the trait-imbalance penalty, the
+    bias index |b-c|/n the marginal-disagreement penalty, and PABAK
+    shows what kappa would be with both removed. Completes the
+    agreement bench (`cohens_kappa_agreement`, `gwet_ac1_agreement`,
+    `krippendorff_alpha_binary` report coefficients; this panel
+    explains their disagreements).
+
+    Exactness: the median is an exact lower order statistic of the
+    n_chars grid; all four cells are exact integer counts; every
+    readout is a ratio of integers at 8 dp. Plan: one char-grid
+    cumulative, one broadcast scalar, one cell fold."""
+    d = t(spark, sf_dir, "documents")
+    grid = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = grid.select(
+        "v",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    med = cum.where(2 * F.col("cc") >= F.col("n")).agg(
+        F.min("v").cast("bigint").alias("m")
+    )
+    long_ = F.col("n_chars") > F.col("m")
+    en = F.col("lang") == "en"
+    cells = d.crossJoin(F.broadcast(med)).agg(
+        F.sum(F.when(long_ & en, 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(long_ & ~en, 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(~long_ & en, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(~long_ & ~en, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    po = (F.col("a") + F.col("d")) * 1.0 / n
+    pbar = (2.0 * F.col("a") + F.col("b") + F.col("c")) / (2.0 * n)
+    qbar = (2.0 * F.col("d") + F.col("b") + F.col("c")) / (2.0 * n)
+    pe = pbar * pbar + qbar * qbar
+    return cells.select(
+        n.cast("bigint").alias("n_docs"),
+        (F.round(po, 8) + 0.0).alias("observed_agreement"),
+        (F.round(2.0 * po - 1.0, 8) + 0.0).alias("pabak"),
+        (F.round((po - pe) / (1.0 - pe), 8) + 0.0).alias(
+            "scotts_pi"
+        ),
+        (
+            F.round(F.abs(F.col("a") - F.col("d")) * 1.0 / n, 8) + 0.0
+        ).alias("prevalence_index"),
+        (
+            F.round(F.abs(F.col("b") - F.col("c")) * 1.0 / n, 8) + 0.0
+        ).alias("bias_index"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "pabak_prevalence_bias": (
+            "one cumulative over the n_chars grid for the exact "
+            "median (the spiegelhalter grid family; chars-domain-"
+            "bounded at this population, watch-listed with it)"
+        ),
+    }
+)
