@@ -5075,3 +5075,611 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Forecast-accuracy panel (sMAPE / WAPE / MAPE / bias) for seasonal naive
+# --------------------------------------------------------------------------
+@register(
+    "smape_wape_panel",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    fc AS (
+        SELECT day, y, LAG(y, 7) OVER (ORDER BY day) AS yhat
+        FROM daily QUALIFY yhat IS NOT NULL
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(abs(y - yhat)) AS BIGINT) AS sae,
+               CAST(SUM(y - yhat) AS BIGINT) AS se,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(round(2.0 * abs(y - yhat)
+                                   / (y + yhat), 8)
+                             AS DECIMAL(28,8))) AS DOUBLE) AS ssm,
+               CAST(SUM(CAST(round(abs(y - yhat) * 1.0 / y, 8)
+                             AS DECIMAL(28,8))) AS DOUBLE) AS sap
+        FROM fc
+    )
+    SELECT n AS n_days,
+           round(ssm / n, 8) + 0.0 AS smape,
+           round(CAST(sae AS DOUBLE) / sy, 8) + 0.0 AS wape,
+           round(sap / n, 8) + 0.0 AS mape,
+           round(CAST(se AS DOUBLE) / sy, 8) + 0.0 AS bias_ratio
+    FROM fold
+    """,
+)
+def smape_wape_panel(spark, sf_dir):
+    """FORECAST-ACCURACY panel for the lag-7 seasonal-naive forecast:
+    sMAPE (symmetric, bounded [0,2]), WAPE (volume-weighted — the
+    retail standard, immune to near-zero days), MAPE (the classic,
+    reported because everyone asks) and the signed bias ratio —
+    the four headline error metrics that `seasonal_naive_mase`
+    (scaled) and `pinball_loss_backtest` (quantile) don't cover;
+    together the five-metric suite matches what a forecast-ops
+    dashboard actually shows.
+
+    Exactness: absolute/signed error sums are exact integer cents;
+    the two per-day ratio metrics round at 8 dp before DECIMAL
+    folding. Plan: one day rollup, one calendar lag, one fold."""
+    daily = _daily(spark, sf_dir)
+    fc = daily.select(
+        "y",
+        F.lag("y", 7).over(Window.orderBy("day")).alias("yhat"),
+    ).where(F.col("yhat").isNotNull())
+    e = F.col("y") - F.col("yhat")
+    fold = fc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.abs(e)).cast("bigint").alias("sae"),
+        F.sum(e).cast("bigint").alias("se"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(
+            F.round(
+                2.0 * F.abs(e) / (F.col("y") + F.col("yhat")), 8
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("ssm"),
+        F.sum(
+            F.round(F.abs(e) * 1.0 / F.col("y"), 8).cast(
+                "decimal(28,8)"
+            )
+        )
+        .cast("double")
+        .alias("sap"),
+    )
+    return fold.select(
+        F.col("n").alias("n_days"),
+        (F.round(F.col("ssm") / F.col("n"), 8) + 0.0).alias("smape"),
+        (
+            F.round(F.col("sae").cast("double") / F.col("sy"), 8)
+            + 0.0
+        ).alias("wape"),
+        (F.round(F.col("sap") / F.col("n"), 8) + 0.0).alias("mape"),
+        (
+            F.round(F.col("se").cast("double") / F.col("sy"), 8)
+            + 0.0
+        ).alias("bias_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Leverage effect: corr(|change_t|, change_(t-1)) on daily revenue
+# --------------------------------------------------------------------------
+@register(
+    "leverage_effect_corr",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    chg AS (
+        SELECT day, y - LAG(y) OVER (ORDER BY day) AS g
+        FROM daily QUALIFY g IS NOT NULL
+    ),
+    pair AS (
+        SELECT abs(g) AS a, LAG(g) OVER (ORDER BY day) AS p
+        FROM chg QUALIFY p IS NOT NULL
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(a AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sa,
+               CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sp,
+               CAST(SUM(CAST(a AS DECIMAL(38,0)) * a)
+                    AS DECIMAL(38,0)) AS saa,
+               CAST(SUM(CAST(p AS DECIMAL(38,0)) * p)
+                    AS DECIMAL(38,0)) AS spp,
+               CAST(SUM(CAST(a AS DECIMAL(38,0)) * p)
+                    AS DECIMAL(38,0)) AS sap
+        FROM pair
+    )
+    SELECT n AS n_days,
+           round((CAST(n AS DOUBLE) * CAST(sap AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sp AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                           - CAST(sp AS DOUBLE)
+                             * CAST(sp AS DOUBLE))), 8) + 0.0
+               AS leverage_corr,
+           round(CAST(sa AS DOUBLE) / n / 100000.0, 6) + 0.0
+               AS mean_abs_change_kusd
+    FROM fold
+    """,
+)
+def leverage_effect_corr(spark, sf_dir):
+    """LEVERAGE EFFECT of the daily revenue series: the correlation
+    of today's change MAGNITUDE with yesterday's SIGNED change —
+    negative correlation ("down days breed volatility") is the
+    classic asymmetric-volatility signature that symmetric
+    vol-clustering diagnostics (`arch_effect_mcleod_li`,
+    `acf_ljung_box` on squares) cannot distinguish from its mirror
+    image; the sign of this one statistic decides GARCH vs EGARCH-
+    class modeling downstream.
+
+    Exactness: changes and their absolutes are exact integer cents;
+    all five Pearson power sums fold in DECIMAL(38,0); one division
+    and sqrt at the end. Plan: one day rollup, two calendar lags,
+    one fold."""
+    daily = _daily(spark, sf_dir)
+    chg = daily.select(
+        "day",
+        (F.col("y") - F.lag("y").over(Window.orderBy("day"))).alias(
+            "g"
+        ),
+    ).where(F.col("g").isNotNull())
+    pair = chg.select(
+        F.abs("g").alias("a"),
+        F.lag("g").over(Window.orderBy("day")).alias("p"),
+    ).where(F.col("p").isNotNull())
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    fold = pair.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d38("a")).cast("decimal(38,0)").alias("sa"),
+        F.sum(d38("p")).cast("decimal(38,0)").alias("sp"),
+        F.sum(d38("a") * F.col("a")).cast("decimal(38,0)").alias("saa"),
+        F.sum(d38("p") * F.col("p")).cast("decimal(38,0)").alias("spp"),
+        F.sum(d38("a") * F.col("p")).cast("decimal(38,0)").alias("sap"),
+    )
+    nn = F.col("n").cast("double")
+    num = nn * F.col("sap").cast("double") - F.col("sa").cast(
+        "double"
+    ) * F.col("sp").cast("double")
+    den = F.sqrt(
+        (
+            nn * F.col("saa").cast("double")
+            - F.col("sa").cast("double") * F.col("sa").cast("double")
+        )
+        * (
+            nn * F.col("spp").cast("double")
+            - F.col("sp").cast("double") * F.col("sp").cast("double")
+        )
+    )
+    return fold.select(
+        F.col("n").alias("n_days"),
+        (F.round(num / den, 8) + 0.0).alias("leverage_corr"),
+        (
+            F.round(
+                F.col("sa").cast("double") / F.col("n") / 100000.0, 6
+            )
+            + 0.0
+        ).alias("mean_abs_change_kusd"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fano factor across time scales (1 / 7 / 28 days) for event arrivals
+# --------------------------------------------------------------------------
+@register(
+    "fano_factor_timescales",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ),
+    scales AS (SELECT CAST(u.s AS BIGINT) AS s
+               FROM LATERAL UNNEST([1, 7, 28]) AS u(s)),
+    bins AS (
+        SELECT sc.s, b.day // sc.s AS bin,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM base b CROSS JOIN scales sc
+        GROUP BY sc.s, b.day // sc.s
+    ),
+    ff AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * y)
+                    AS DECIMAL(38,0)) AS syy
+        FROM bins GROUP BY s
+    ),
+    pts AS (
+        SELECT s, nb,
+               round((CAST(nb AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * sy)
+                     / (CAST(nb AS DOUBLE) - 1.0)
+                     / CAST(sy AS DOUBLE), 8) AS fano
+        FROM ff
+    ),
+    fit AS (
+        SELECT CAST(SUM(CAST(round(round(ln(CAST(s AS DOUBLE)), 6)
+                   * round(ln(fano), 6), 8) AS DECIMAL(18,8)))
+                   AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(round(ln(CAST(s AS DOUBLE)), 6)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(ln(fano), 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS sy2,
+               CAST(SUM(CAST(round(round(ln(CAST(s AS DOUBLE)), 6)
+                   * round(ln(CAST(s AS DOUBLE)), 6), 8)
+                   AS DECIMAL(18,8))) AS DOUBLE) AS sxx,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM pts
+    )
+    SELECT (SELECT nb FROM pts WHERE s = 1) AS n_days,
+           (SELECT fano + 0.0 FROM pts WHERE s = 1) AS fano_1d,
+           (SELECT fano + 0.0 FROM pts WHERE s = 7) AS fano_7d,
+           (SELECT fano + 0.0 FROM pts WHERE s = 28) AS fano_28d,
+           round((k * sxy - sx * sy2) / (k * sxx - sx * sx), 6)
+               + 0.0 AS fano_scaling_slope
+    FROM fit
+    """,
+)
+def fano_factor_timescales(spark, sf_dir):
+    """FANO FACTOR curve of event arrivals across 1/7/28-day
+    counting windows: F(T) = Var(N_T)/E(N_T) per scale plus the
+    log-log slope — a Poisson stream is flat at 1 on every scale,
+    long-range-dependent arrivals GROW like T^(2H-1): the slope is
+    an arrivals-side Hurst diagnostic complementing
+    `term_burstiness_fano` (term side) and `dfa_alpha_longmemory` /
+    `hurst_rs_exponent` (amplitude side), and tells capacity
+    planners on which horizon the variance burden actually lives.
+
+    Exactness: bin counts are exact integers per (scale, bin);
+    variance numerators nb*SS - S^2 fold in DECIMAL(38,0); the
+    3-point slope pins each ln at 6 dp. Plan: one 3-scale broadcast
+    cross, one (scale, bin) rollup, two folds."""
+    e = t(spark, sf_dir, "events")
+    base = e.select(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    )
+    scales = spark.createDataFrame([(1,), (7,), (28,)], "s long")
+    bins = (
+        base.crossJoin(F.broadcast(scales))
+        .groupBy("s", F.floor(F.col("day") / F.col("s")).alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    ff = bins.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    pts = ff.select(
+        "s",
+        "nb",
+        F.round(
+            (
+                F.col("nb").cast("double") * F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy")
+            )
+            / (F.col("nb").cast("double") - 1.0)
+            / F.col("sy").cast("double"),
+            8,
+        ).alias("fano"),
+    ).persist()
+    lnx = F.round(F.log(F.col("s").cast("double")), 6)
+    lny = F.round(F.log("fano"), 6)
+    fit = pts.agg(
+        F.sum(F.round(lnx * lny, 8).cast("decimal(18,8)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(lnx.cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(lny.cast("decimal(18,6)")).cast("double").alias("sy2"),
+        F.sum(F.round(lnx * lnx, 8).cast("decimal(18,8)"))
+        .cast("double")
+        .alias("sxx"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    w1 = pts.where(F.col("s") == 1).select(
+        F.col("nb").alias("n_days"),
+        (F.col("fano") + 0.0).alias("fano_1d"),
+    )
+    w7 = pts.where(F.col("s") == 7).select(
+        (F.col("fano") + 0.0).alias("fano_7d")
+    )
+    w28 = pts.where(F.col("s") == 28).select(
+        (F.col("fano") + 0.0).alias("fano_28d")
+    )
+    return (
+        w1.crossJoin(F.broadcast(w7))
+        .crossJoin(F.broadcast(w28))
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "n_days",
+            "fano_1d",
+            "fano_7d",
+            "fano_28d",
+            (
+                F.round(
+                    (
+                        F.col("k") * F.col("sxy")
+                        - F.col("sx") * F.col("sy2")
+                    )
+                    / (
+                        F.col("k") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ),
+                    6,
+                )
+                + 0.0
+            ).alias("fano_scaling_slope"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregated-variance Hurst estimator on daily revenue
+# --------------------------------------------------------------------------
+@register(
+    "aggvar_hurst",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    ms AS (SELECT CAST(u.m AS BIGINT) AS m
+           FROM LATERAL UNNEST([1, 2, 4, 8]) AS u(m)),
+    blocks AS (
+        SELECT ms.m, d.day // ms.m AS blk,
+               CAST(SUM(d.y) AS BIGINT) AS b,
+               CAST(COUNT(*) AS BIGINT) AS cdays
+        FROM daily d CROSS JOIN ms
+        GROUP BY ms.m, d.day // ms.m
+    ),
+    fullb AS (SELECT * FROM blocks WHERE cdays = m),
+    var_m AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM(b) AS BIGINT) AS sb,
+               CAST(SUM(CAST(b AS DECIMAL(38,0)) * b)
+                    AS DECIMAL(38,0)) AS sbb
+        FROM fullb GROUP BY m
+    ),
+    pts AS (
+        SELECT m, nb,
+               round((CAST(nb AS DOUBLE) * CAST(sbb AS DOUBLE)
+                      - CAST(sb AS DOUBLE) * sb)
+                     / CAST(nb AS DOUBLE) / nb
+                     / (CAST(m AS DOUBLE) * m)
+                     / 10000000000.0, 8) AS v
+        FROM var_m
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(round(ln(CAST(m AS DOUBLE)), 6)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(ln(v), 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(round(ln(CAST(m AS DOUBLE)), 6)
+                   * round(ln(CAST(m AS DOUBLE)), 6), 8)
+                   AS DECIMAL(18,8))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(round(ln(CAST(m AS DOUBLE)), 6)
+                   * round(ln(v), 6), 8) AS DECIMAL(18,8)))
+                   AS DOUBLE) AS sxy
+        FROM pts
+    )
+    SELECT (SELECT nb FROM pts WHERE m = 1) AS n_days,
+           (SELECT round(v, 6) + 0.0 FROM pts WHERE m = 1)
+               AS var_mean_1d_kusd2,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+               + 0.0 AS aggvar_slope,
+           round(1.0 + (k * sxy - sx * sy)
+                       / (k * sxx - sx * sx) / 2.0, 6) + 0.0
+               AS hurst_aggvar
+    FROM fit
+    """,
+)
+def aggvar_hurst(spark, sf_dir):
+    """AGGREGATED-VARIANCE Hurst estimator: the variance of m-day
+    BLOCK MEANS of daily revenue scales like m^(2H-2), so the
+    log-log slope over m = 1/2/4/8 gives H = 1 + slope/2 — the
+    third, method-independent long-memory estimator beside
+    `hurst_rs_exponent` (rescaled range) and `dfa_alpha_longmemory`
+    (detrended fluctuation); three estimators agreeing is the
+    actual long-memory certificate, any one alone is famously
+    biased.
+
+    Exactness: block sums are exact integer cents (incomplete
+    trailing blocks dropped by the exact cdays = m filter);
+    variance numerators fold in DECIMAL(38,0); block-mean scaling
+    and the k$^2 normalization divide in doubles; the 4-point OLS
+    pins each ln at 6 dp. Plan: one day rollup, one 4-scale
+    broadcast cross, three folds."""
+    daily = _daily(spark, sf_dir)
+    ms = spark.createDataFrame([(1,), (2,), (4,), (8,)], "m long")
+    blocks = (
+        daily.crossJoin(F.broadcast(ms))
+        .groupBy("m", F.floor(F.col("day") / F.col("m")).alias("blk"))
+        .agg(
+            F.sum("y").cast("bigint").alias("b"),
+            F.count(F.lit(1)).cast("bigint").alias("cdays"),
+        )
+        .where(F.col("cdays") == F.col("m"))
+    )
+    var_m = blocks.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum(F.col("b").cast("decimal(38,0)") * F.col("b"))
+        .cast("decimal(38,0)")
+        .alias("sbb"),
+    )
+    pts = var_m.select(
+        "m",
+        "nb",
+        F.round(
+            (
+                F.col("nb").cast("double") * F.col("sbb").cast("double")
+                - F.col("sb").cast("double") * F.col("sb")
+            )
+            / F.col("nb").cast("double")
+            / F.col("nb")
+            / (F.col("m").cast("double") * F.col("m"))
+            / 10000000000.0,
+            8,
+        ).alias("v"),
+    ).persist()
+    lnx = F.round(F.log(F.col("m").cast("double")), 6)
+    lny = F.round(F.log("v"), 6)
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(lnx.cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(lny.cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum(F.round(lnx * lnx, 8).cast("decimal(18,8)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(lnx * lny, 8).cast("decimal(18,8)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    p1 = pts.where(F.col("m") == 1).select(
+        F.col("nb").alias("n_days"),
+        (F.round("v", 6) + 0.0).alias("var_mean_1d_kusd2"),
+    )
+    slope = (
+        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return p1.crossJoin(F.broadcast(fit)).select(
+        "n_days",
+        "var_mean_1d_kusd2",
+        (F.round(slope, 6) + 0.0).alias("aggvar_slope"),
+        (F.round(1.0 + slope / 2.0, 6) + 0.0).alias("hurst_aggvar"),
+    )
+
+
+# --------------------------------------------------------------------------
+# First-passage profile of cumulative revenue through its own deciles
+# --------------------------------------------------------------------------
+@register(
+    "first_passage_time_panel",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    cum AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS i,
+               SUM(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS cy,
+               SUM(y) OVER () AS tot,
+               COUNT(*) OVER () AS nd
+        FROM daily
+    ),
+    ks AS (SELECT CAST(u.g AS BIGINT) AS k
+           FROM LATERAL UNNEST(range(1, 10)) AS u(g)),
+    pass AS (
+        SELECT ks.k,
+               CAST(MIN(cum.i) AS BIGINT) AS ti,
+               CAST(MAX(cum.nd) AS BIGINT) AS nd
+        FROM cum JOIN ks ON 10 * cum.cy >= ks.k * cum.tot
+        GROUP BY ks.k
+    ),
+    fold AS (
+        SELECT MAX(nd) AS nd,
+               CAST(SUM(CAST(round(CAST(ti AS DOUBLE) / nd, 8)
+                             AS DECIMAL(18,8))) AS DOUBLE) / 9
+                   AS mean_rel
+        FROM pass
+    )
+    SELECT (SELECT nd FROM fold) AS n_days,
+           (SELECT ti FROM pass WHERE k = 1) AS t10_days,
+           (SELECT ti FROM pass WHERE k = 5) AS t50_days,
+           (SELECT ti FROM pass WHERE k = 9) AS t90_days,
+           (SELECT round(mean_rel, 8) + 0.0 FROM fold)
+               AS mean_relative_passage,
+           (SELECT round(0.5 - mean_rel, 8) + 0.0 FROM fold)
+               AS front_loading_index
+    """,
+)
+def first_passage_time_panel(spark, sf_dir):
+    """FIRST-PASSAGE profile of cumulative revenue through its own
+    decile levels: the day index at which the running total first
+    crosses k/10 of the final total, for k = 1..9, summarized by
+    the mean relative passage time and the front-loading index
+    (0.5 - mean; positive = revenue arrives early, negative =
+    back-loaded) — the temporal-concentration readout that is to
+    TIME what the Lorenz curve is to CUSTOMERS, and the exact
+    first-crossing complement to `retention_half_life_cohorts`.
+
+    Exactness: crossings are exact integer comparisons 10*cum >=
+    k*total on the calendar-day cumulative; passage times are exact
+    day indices; only the 9-point mean divides. Plan: one day
+    rollup, one calendar cumulative, one 9-row broadcast, one
+    fold."""
+    daily = _daily(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.sum("y").over(w).alias("cy"),
+        F.sum("y").over(Window.partitionBy()).alias("tot"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
+    )
+    ks = spark.range(1, 10).select(
+        F.col("id").cast("bigint").alias("k")
+    )
+    pas = (
+        cum.crossJoin(F.broadcast(ks))
+        .where(10 * F.col("cy") >= F.col("k") * F.col("tot"))
+        .groupBy("k")
+        .agg(
+            F.min("i").cast("bigint").alias("ti"),
+            F.max("nd").cast("bigint").alias("nd"),
+        )
+        .persist()
+    )
+    fold = pas.agg(
+        F.max("nd").alias("nd"),
+        (
+            F.sum(
+                F.round(
+                    F.col("ti").cast("double") / F.col("nd"), 8
+                ).cast("decimal(18,8)")
+            ).cast("double")
+            / 9
+        ).alias("mean_rel"),
+    )
+    t10 = pas.where(F.col("k") == 1).select(
+        F.col("ti").alias("t10_days")
+    )
+    t50 = pas.where(F.col("k") == 5).select(
+        F.col("ti").alias("t50_days")
+    )
+    t90 = pas.where(F.col("k") == 9).select(
+        F.col("ti").alias("t90_days")
+    )
+    return (
+        fold.crossJoin(F.broadcast(t10))
+        .crossJoin(F.broadcast(t50))
+        .crossJoin(F.broadcast(t90))
+        .select(
+            F.col("nd").alias("n_days"),
+            "t10_days",
+            "t50_days",
+            "t90_days",
+            (F.round("mean_rel", 8) + 0.0).alias(
+                "mean_relative_passage"
+            ),
+            (F.round(0.5 - F.col("mean_rel"), 8) + 0.0).alias(
+                "front_loading_index"
+            ),
+        )
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "smape_wape_panel": ("lag-7 window over the calendar-day frame"),
+        "leverage_effect_corr": (
+            "two lags over the calendar-day frame (the "
+            "pesaran_timmermann class)"
+        ),
+        "first_passage_time_panel": (
+            "cumulative + row_number over the calendar-day frame "
+            "(the cusum class)"
+        ),
+    }
+)
