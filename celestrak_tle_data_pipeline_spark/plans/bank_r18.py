@@ -5683,3 +5683,579 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Westenberg interquartile-range test: weekend vs weekday order values
+# --------------------------------------------------------------------------
+@register(
+    "westenberg_iqr_test",
+    oracle="""
+    WITH pts AS (
+        SELECT CASE WHEN CAST(epoch_us(o_orderdate) // 86400000000
+                         + 4 AS BIGINT) % 7 >= 5
+                    THEN 1 ELSE 0 END AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    grid AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cc,
+               SUM(c) OVER () AS n
+        FROM grid
+    ),
+    q AS (
+        SELECT (SELECT CAST(MIN(v) AS BIGINT) FROM cum
+                WHERE 4 * cc >= n) AS q1,
+               (SELECT CAST(MIN(v) AS BIGINT) FROM cum
+                WHERE 4 * cc >= 3 * n) AS q3
+    ),
+    cells AS (
+        SELECT CAST(SUM(CASE WHEN p.g = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN p.g = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN p.g = 1
+                             AND (p.v < q.q1 OR p.v > q.q3)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+               CAST(SUM(CASE WHEN p.g = 0
+                             AND (p.v < q.q1 OR p.v > q.q3)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS o0
+        FROM pts p, q
+    )
+    SELECT n1 AS n_weekend, n0 AS n_weekday,
+           o1 AS n_weekend_outside, o0 AS n_weekday_outside,
+           round(o1 * 1.0 / n1 - o0 * 1.0 / n0, 8) + 0.0
+               AS outside_rate_diff,
+           round((n1 + n0)
+                 * (abs(CAST(o1 AS DOUBLE) * (n0 - o0)
+                        - CAST(o0 AS DOUBLE) * (n1 - o1))
+                    - (n1 + n0) / 2.0)
+                 * (abs(CAST(o1 AS DOUBLE) * (n0 - o0)
+                        - CAST(o0 AS DOUBLE) * (n1 - o1))
+                    - (n1 + n0) / 2.0)
+                 / (CAST(n1 AS DOUBLE) * n0 * (o1 + o0)
+                    * (n1 + n0 - o1 - o0)), 6) + 0.0
+               AS westenberg_chi2_yates
+    FROM cells
+    """,
+)
+def westenberg_iqr_test(spark, sf_dir):
+    """WESTENBERG'S interquartile-range test for scale: pool weekend
+    and weekday order values, take the POOLED exact quartiles, and
+    test whether one group lands outside [Q1, Q3] more often than
+    the other (Yates-corrected 2x2 chi2) — the oldest and simplest
+    distribution-free dispersion test, robust to location shifts
+    the way `ansari_bradley_scale` / `siegel_tukey_scale` are but
+    readable as a plain rate difference (the outside_rate_diff
+    column) by non-statisticians.
+
+    Exactness: quartiles are exact lower order statistics (integer
+    compare 4*cc >= k*n); cells are exact integer counts; the
+    Yates chi2 divides integers in doubles at the end. Plan: one
+    value-grid cumulative, one broadcast scalar, one cell fold."""
+    o = t(spark, sf_dir, "orders")
+    day = F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+    pts = o.select(
+        F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("g"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
+    ).persist()
+    grid = pts.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = grid.select(
+        "v",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    ).persist()
+    q1 = cum.where(4 * F.col("cc") >= F.col("n")).agg(
+        F.min("v").cast("bigint").alias("q1")
+    )
+    q3 = cum.where(4 * F.col("cc") >= 3 * F.col("n")).agg(
+        F.min("v").cast("bigint").alias("q3")
+    )
+    q = q1.crossJoin(F.broadcast(q3))
+    outside = (F.col("v") < F.col("q1")) | (F.col("v") > F.col("q3"))
+    cells = pts.crossJoin(F.broadcast(q)).agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when((F.col("g") == 1) & outside, 1).otherwise(0))
+        .cast("bigint")
+        .alias("o1"),
+        F.sum(F.when((F.col("g") == 0) & outside, 1).otherwise(0))
+        .cast("bigint")
+        .alias("o0"),
+    )
+    ad_bc = F.abs(
+        F.col("o1").cast("double") * (F.col("n0") - F.col("o0"))
+        - F.col("o0").cast("double") * (F.col("n1") - F.col("o1"))
+    )
+    ntot = F.col("n1") + F.col("n0")
+    return cells.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n0").alias("n_weekday"),
+        F.col("o1").alias("n_weekend_outside"),
+        F.col("o0").alias("n_weekday_outside"),
+        (
+            F.round(
+                F.col("o1") * 1.0 / F.col("n1")
+                - F.col("o0") * 1.0 / F.col("n0"),
+                8,
+            )
+            + 0.0
+        ).alias("outside_rate_diff"),
+        (
+            F.round(
+                ntot
+                * (ad_bc - ntot / 2.0)
+                * (ad_bc - ntot / 2.0)
+                / (
+                    F.col("n1").cast("double")
+                    * F.col("n0")
+                    * (F.col("o1") + F.col("o0"))
+                    * (ntot - F.col("o1") - F.col("o0"))
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("westenberg_chi2_yates"),
+    )
+
+
+# --------------------------------------------------------------------------
+# AUC with Hanley-McNeil confidence interval (value -> purchase)
+# --------------------------------------------------------------------------
+@register(
+    "auc_hanley_mcneil_ci",
+    oracle="""
+    WITH pts AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS pos,
+               CAST(floor(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    grid AS (
+        SELECT v,
+               CAST(SUM(pos) AS BIGINT) AS c1,
+               CAST(SUM(1 - pos) AS BIGINT) AS c0
+        FROM pts GROUP BY v
+    ),
+    cum AS (
+        SELECT v, c1, c0,
+               CAST(COALESCE(SUM(c0) OVER (ORDER BY v ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS c0_below,
+               CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+               CAST(SUM(c0) OVER () AS BIGINT) AS n0
+        FROM grid
+    ),
+    fold AS (
+        SELECT MAX(n1) AS n1, MAX(n0) AS n0,
+               CAST(SUM(CAST(c1 AS DECIMAL(38,0))
+                        * (2 * c0_below + c0)) AS DECIMAL(38,0))
+                   AS u2
+        FROM cum
+    )
+    SELECT n1 AS n_positive, n0 AS n_negative,
+           round(CAST(u2 AS DOUBLE) / 2.0 / n1 / n0, 8) + 0.0
+               AS auc_midrank,
+           round(sqrt((CAST(u2 AS DOUBLE) / 2 / n1 / n0
+                       * (1.0 - CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                       + (n1 - 1)
+                         * ((CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                            / (2.0 - CAST(u2 AS DOUBLE) / 2 / n1
+                                     / n0)
+                            - (CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                              * (CAST(u2 AS DOUBLE) / 2 / n1 / n0))
+                       + (n0 - 1)
+                         * (2.0 * (CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                              * (CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                            / (1.0 + CAST(u2 AS DOUBLE) / 2 / n1
+                                     / n0)
+                            - (CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                              * (CAST(u2 AS DOUBLE) / 2 / n1 / n0)))
+                      / (CAST(n1 AS DOUBLE) * n0)), 8) + 0.0
+               AS hanley_mcneil_se,
+           round(CAST(u2 AS DOUBLE) / 2 / n1 / n0
+                 - 1.959963984540054
+                   * sqrt((CAST(u2 AS DOUBLE) / 2 / n1 / n0
+                       * (1.0 - CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                       + (n1 - 1)
+                         * ((CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                            / (2.0 - CAST(u2 AS DOUBLE) / 2 / n1
+                                     / n0)
+                            - (CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                              * (CAST(u2 AS DOUBLE) / 2 / n1 / n0))
+                       + (n0 - 1)
+                         * (2.0 * (CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                              * (CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                            / (1.0 + CAST(u2 AS DOUBLE) / 2 / n1
+                                     / n0)
+                            - (CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                              * (CAST(u2 AS DOUBLE) / 2 / n1 / n0)))
+                      / (CAST(n1 AS DOUBLE) * n0)), 8) + 0.0
+               AS ci95_lo,
+           round(CAST(u2 AS DOUBLE) / 2 / n1 / n0
+                 + 1.959963984540054
+                   * sqrt((CAST(u2 AS DOUBLE) / 2 / n1 / n0
+                       * (1.0 - CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                       + (n1 - 1)
+                         * ((CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                            / (2.0 - CAST(u2 AS DOUBLE) / 2 / n1
+                                     / n0)
+                            - (CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                              * (CAST(u2 AS DOUBLE) / 2 / n1 / n0))
+                       + (n0 - 1)
+                         * (2.0 * (CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                              * (CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                            / (1.0 + CAST(u2 AS DOUBLE) / 2 / n1
+                                     / n0)
+                            - (CAST(u2 AS DOUBLE) / 2 / n1 / n0)
+                              * (CAST(u2 AS DOUBLE) / 2 / n1 / n0)))
+                      / (CAST(n1 AS DOUBLE) * n0)), 8) + 0.0
+               AS ci95_hi
+    FROM fold
+    """,
+)
+def auc_hanley_mcneil_ci(spark, sf_dir):
+    """AUC of the event-value score for predicting purchases, with
+    the HANLEY-McNEIL standard error and 95% CI: SE^2 = (A(1-A) +
+    (n1-1)(Q1-A^2) + (n0-1)(Q2-A^2)) / (n1*n0) with Q1 = A/(2-A),
+    Q2 = 2A^2/(1+A) — the closed-form exponential-model SE that
+    turns the registry's point AUC (`auc_rank_score`) into an
+    interval, which is what any model-comparison gate actually
+    needs (two AUCs without SEs cannot be compared).
+
+    Exactness: the midrank AUC is exact — 2*U = sum c1*(2*c0_below
+    + c0_tied) folds in DECIMAL(38,0) on the value-cents grid (ties
+    count half by construction); SE/CI derive from the same exact
+    rational A in doubles. Plan: one value-grid exclusive
+    cumulative, one fold."""
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("pos"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    grid = pts.groupBy("v").agg(
+        F.sum("pos").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("c0"),
+    )
+    cum = grid.select(
+        "c1",
+        "c0",
+        F.coalesce(
+            F.sum("c0").over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("c0_below"),
+        F.sum("c1").over(Window.partitionBy()).cast("bigint").alias(
+            "n1"
+        ),
+        F.sum("c0").over(Window.partitionBy()).cast("bigint").alias(
+            "n0"
+        ),
+    )
+    fold = cum.agg(
+        F.max("n1").alias("n1"),
+        F.max("n0").alias("n0"),
+        F.sum(
+            F.col("c1").cast("decimal(38,0)")
+            * (2 * F.col("c0_below") + F.col("c0"))
+        )
+        .cast("decimal(38,0)")
+        .alias("u2"),
+    )
+    a = F.col("u2").cast("double") / 2.0 / F.col("n1") / F.col("n0")
+    q1 = a / (2.0 - a)
+    q2 = 2.0 * a * a / (1.0 + a)
+    se = F.sqrt(
+        (
+            a * (1.0 - a)
+            + (F.col("n1") - 1) * (q1 - a * a)
+            + (F.col("n0") - 1) * (q2 - a * a)
+        )
+        / (F.col("n1").cast("double") * F.col("n0"))
+    )
+    z = 1.959963984540054
+    return fold.select(
+        F.col("n1").alias("n_positive"),
+        F.col("n0").alias("n_negative"),
+        (F.round(a, 8) + 0.0).alias("auc_midrank"),
+        (F.round(se, 8) + 0.0).alias("hanley_mcneil_se"),
+        (F.round(a - z * se, 8) + 0.0).alias("ci95_lo"),
+        (F.round(a + z * se, 8) + 0.0).alias("ci95_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ratio-estimator panel: plain / mean-of-ratios / Hartley-Ross
+# --------------------------------------------------------------------------
+@register(
+    "ratio_regression_estimators",
+    oracle="""
+    WITH day_xy AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS day,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(round(CAST(y AS DOUBLE) / x / 100000.0,
+                                   8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS sr
+        FROM day_xy
+    )
+    SELECT n AS n_days,
+           round(CAST(sy AS DOUBLE) / sx / 100000.0, 8) + 0.0
+               AS ratio_of_means_kusd,
+           round(sr / n, 8) + 0.0 AS mean_of_ratios_kusd,
+           round(sr / n
+                 + CAST(n AS DOUBLE) / (n - 1)
+                   * (CAST(sy AS DOUBLE) / n / 100000.0
+                      - sr / n * (CAST(sx AS DOUBLE) / n))
+                   / (CAST(sx AS DOUBLE) / n), 8) + 0.0
+               AS hartley_ross_kusd,
+           round((CAST(sy AS DOUBLE) / sx - sr / n * 100000.0)
+                 / 100000.0, 8) + 0.0
+               AS ratio_bias_gap_kusd
+    FROM fold
+    """,
+)
+def ratio_regression_estimators(spark, sf_dir):
+    """RATIO-ESTIMATOR panel for mean order value from the day-grain
+    (orders, revenue) pairs: the ratio of means sum(y)/sum(x), the
+    mean of daily ratios (biased upward when small days run rich),
+    and the HARTLEY-ROSS unbiased correction r_HR = rbar + n(ybar -
+    rbar*xbar) / ((n-1)*xbar) — the exactly-unbiased-under-SRS
+    estimator whose gap to the plain ratio (the ratio_bias_gap
+    column) SIZES the day-level ratio bias that `jackknife_ratio_se`
+    only puts an SE on. The survey-sampling companion to
+    `horvitz_thompson_estimate` / `raking_ipf_margins`.
+
+    Exactness: day sums exact integers; daily ratios round at 8 dp
+    in k$ before the DECIMAL fold; the HR identity combines exact
+    totals with that fold in doubles. Plan: one day rollup, one
+    fold."""
+    o = t(spark, sf_dir, "orders")
+    day_xy = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    fold = day_xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(
+            F.round(
+                F.col("y").cast("double") / F.col("x") / 100000.0, 8
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("sr"),
+    )
+    rom = F.col("sy").cast("double") / F.col("sx") / 100000.0
+    rbar = F.col("sr") / F.col("n")
+    xbar = F.col("sx").cast("double") / F.col("n")
+    ybar_k = F.col("sy").cast("double") / F.col("n") / 100000.0
+    hr = rbar + F.col("n").cast("double") / (F.col("n") - 1) * (
+        ybar_k - rbar * xbar
+    ) / xbar
+    return fold.select(
+        F.col("n").alias("n_days"),
+        (F.round(rom, 8) + 0.0).alias("ratio_of_means_kusd"),
+        (F.round(rbar, 8) + 0.0).alias("mean_of_ratios_kusd"),
+        (F.round(hr, 8) + 0.0).alias("hartley_ross_kusd"),
+        (F.round(rom - rbar, 8) + 0.0).alias("ratio_bias_gap_kusd"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ord plot: count-distribution family identification for weekly purchases
+# --------------------------------------------------------------------------
+@register(
+    "ord_plot_family",
+    oracle=f"""
+    WITH {_UWEEK_SQL},
+    freq AS (
+        SELECT y AS k, CAST(COUNT(*) AS BIGINT) AS f
+        FROM uweek GROUP BY y
+    ),
+    ratio AS (
+        SELECT k,
+               round(CAST(k AS DOUBLE) * f
+                     / LAG(f) OVER (ORDER BY k), 8) AS u,
+               f, LAG(f) OVER (ORDER BY k) AS fprev,
+               LAG(k) OVER (ORDER BY k) AS kprev
+        FROM freq
+        QUALIFY fprev IS NOT NULL AND kprev = k - 1
+                AND f >= 5 AND fprev >= 5
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(CAST(k AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(u, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS su,
+               CAST(SUM(CAST(k AS DECIMAL(18,0)) * k) AS DOUBLE)
+                   AS sxx,
+               CAST(SUM(CAST(round(k * u, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS sxu
+        FROM ratio
+    ),
+    ab AS (
+        SELECT m,
+               round((m * sxu - sx * su) / (m * sxx - sx * sx), 6)
+                   AS b,
+               round(su / m - (m * sxu - sx * su)
+                              / (m * sxx - sx * sx) * sx / m, 6)
+                   AS a
+        FROM fit
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uweek)
+               AS n_user_weeks,
+           m AS k_points, a + 0.0 AS ord_intercept,
+           b + 0.0 AS ord_slope,
+           CASE WHEN abs(b) <= 0.05 THEN 'poisson'
+                WHEN b > 0.05 AND a > 0 THEN 'negative_binomial'
+                WHEN b < -0.05 THEN 'binomial'
+                ELSE 'logarithmic' END AS implied_family
+    FROM ab
+    """,
+)
+def ord_plot_family(spark, sf_dir):
+    """ORD PLOT count-distribution identification on weekly purchase
+    counts: the frequency ratio u_k = k*f_k/f_(k-1) is LINEAR in k
+    for the whole power-series family, and its (slope, intercept)
+    signs name the member — flat = Poisson, rising with positive
+    intercept = negative binomial, falling = binomial, rising
+    through the origin = log-series. This is the model-CHOICE
+    diagnostic that decides whether `poisson_dispersion_panel` or
+    `negbin_mom_fit` machinery applies, from nothing but the
+    frequency table (cells with f >= 5 on both sides enter, the
+    textbook stability rule).
+
+    Exactness: frequencies are exact integers on the bounded count
+    grid; u_k rounds at 8 dp before the OLS fold; the family call
+    reads 6-dp-rounded (a, b) through fixed literal thresholds.
+    Plan: one (user, week) rollup, one count-grid lag, two folds."""
+    freq = (
+        _uweek(spark, sf_dir)
+        .groupBy(F.col("y").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    lagw = Window.orderBy("k")
+    ratio = (
+        freq.select(
+            "k",
+            "f",
+            F.lag("f").over(lagw).alias("fprev"),
+            F.lag("k").over(lagw).alias("kprev"),
+        )
+        .where(
+            F.col("fprev").isNotNull()
+            & (F.col("kprev") == F.col("k") - 1)
+            & (F.col("f") >= 5)
+            & (F.col("fprev") >= 5)
+        )
+        .select(
+            "k",
+            F.round(
+                F.col("k").cast("double") * F.col("f") / F.col("fprev"),
+                8,
+            ).alias("u"),
+        )
+    )
+    fit = ratio.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("k").cast("decimal(18,0)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.round("u", 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("su"),
+        F.sum(F.col("k").cast("decimal(18,0)") * F.col("k"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.round(F.col("k") * F.col("u"), 8).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("sxu"),
+    )
+    b = F.round(
+        (F.col("m") * F.col("sxu") - F.col("sx") * F.col("su"))
+        / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    a = F.round(
+        F.col("su") / F.col("m")
+        - (F.col("m") * F.col("sxu") - F.col("sx") * F.col("su"))
+        / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.col("sx")
+        / F.col("m"),
+        6,
+    )
+    ncells = _uweek(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_user_weeks")
+    )
+    return ncells.crossJoin(F.broadcast(fit)).select(
+        "n_user_weeks",
+        F.col("m").alias("k_points"),
+        (a + 0.0).alias("ord_intercept"),
+        (b + 0.0).alias("ord_slope"),
+        F.when(F.abs(b) <= 0.05, "poisson")
+        .when((b > 0.05) & (a > 0), "negative_binomial")
+        .when(b < -0.05, "binomial")
+        .otherwise("logarithmic")
+        .alias("implied_family"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "westenberg_iqr_test": (
+            "one cumulative over the cents value grid for the exact "
+            "pooled quartiles (the gastwirth class)"
+        ),
+        "auc_hanley_mcneil_ci": (
+            "one exclusive-prefix cumulative over the value-cents "
+            "grid (the fligner_policello placement class)"
+        ),
+        "ord_plot_family": (
+            "one lag over the bounded purchase-count grid (the "
+            "negbin frequency class)"
+        ),
+    }
+)
