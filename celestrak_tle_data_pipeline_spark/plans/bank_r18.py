@@ -6259,3 +6259,504 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# DCCA cross-correlation of daily revenue vs daily event volume
+# --------------------------------------------------------------------------
+@register(
+    "dcca_coefficient",
+    oracle="""
+    WITH eday AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    joint AS (
+        SELECT day, y, x,
+               ROW_NUMBER() OVER (ORDER BY day) - 1 AS i
+        FROM eday
+    ),
+    boxes AS (
+        SELECT i // 8 AS blk, i % 8 AS tt, x, y
+        FROM joint
+    ),
+    bs AS (
+        SELECT blk, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(tt * x) AS BIGINT) AS stx,
+               CAST(SUM(tt * y) AS BIGINT) AS sty,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * y)
+                    AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x)
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * y)
+                    AS DECIMAL(38,0)) AS syy
+        FROM boxes GROUP BY blk
+        HAVING COUNT(*) = 8
+    ),
+    resid AS (
+        SELECT CAST(SUM(42 * (8 * sxy - CAST(sx AS DECIMAL(38,0))
+                              * sy)
+                        - (8 * stx - 28 * CAST(sx AS DECIMAL(38,0)))
+                          * (8 * sty - 28 * sy))
+                    AS DECIMAL(38,0)) AS fxy,
+               CAST(SUM(42 * (8 * sxx - CAST(sx AS DECIMAL(38,0))
+                              * sx)
+                        - (8 * stx - 28 * CAST(sx AS DECIMAL(38,0)))
+                          * (8 * stx - 28 * sx))
+                    AS DECIMAL(38,0)) AS fxx,
+               CAST(SUM(42 * (8 * syy - CAST(sy AS DECIMAL(38,0))
+                              * sy)
+                        - (8 * sty - 28 * CAST(sy AS DECIMAL(38,0)))
+                          * (8 * sty - 28 * sy))
+                    AS DECIMAL(38,0)) AS fyy,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM bs
+    )
+    SELECT nb AS n_boxes,
+           round(CAST(fxy AS DOUBLE)
+                 / sqrt(CAST(fxx AS DOUBLE)
+                        * CAST(fyy AS DOUBLE)), 8) + 0.0
+               AS dcca_rho_s8
+    FROM resid
+    """,
+)
+def dcca_coefficient(spark, sf_dir):
+    """DCCA cross-correlation coefficient (Zebende's rho_DCCA) of
+    daily event VOLUME against daily event VALUE at box size s = 8
+    (both series share the events calendar — the orders calendar is
+    disjoint from it, which this query's first draft learned the
+    hard way):
+    both series are linearly detrended INSIDE each 8-day box and
+    the coefficient is the ratio of detrended cross-covariance to
+    the geometric mean of detrended variances — the dependence
+    measure that survives common trends and non-stationarity, which
+    plain `cross_correlation_daily` conflates with real coupling.
+
+    Device: with box time t = 0..7, Stt = 42 and Sum(t) = 28 are
+    LITERALS, so each box's detrended products have the exact
+    integer closed form 42*(8*Sab - Sa*Sb) - A_a*A_b with A = 8*St.
+    - 28*S. — the scale factor cancels in the ratio, so the whole
+    statistic folds in DECIMAL(38,0) with no per-point residual
+    ever materializing. Incomplete trailing boxes drop via the
+    exact cnt = 8 filter; one division and sqrt at the end."""
+    e = t(spark, sf_dir, "events")
+    eday = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum((dec("value", 12, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    joint = eday.select(
+        "x",
+        "y",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("i"),
+    )
+    boxes = joint.select(
+        F.floor(F.col("i") / 8).alias("blk"),
+        (F.col("i") % 8).alias("tt"),
+        "x",
+        "y",
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    bs = (
+        boxes.groupBy("blk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("tt") * F.col("x")).cast("bigint").alias("stx"),
+            F.sum(F.col("tt") * F.col("y")).cast("bigint").alias("sty"),
+            F.sum(d38("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+            F.sum(d38("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+            F.sum(d38("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        )
+        .where(F.col("cnt") == 8)
+    )
+    ax = 8 * F.col("stx") - 28 * F.col("sx").cast("decimal(38,0)")
+    ay = 8 * F.col("sty") - 28 * F.col("sy").cast("decimal(38,0)")
+    resid = bs.agg(
+        F.sum(
+            42
+            * (
+                8 * F.col("sxy")
+                - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+            )
+            - ax * ay
+        )
+        .cast("decimal(38,0)")
+        .alias("fxy"),
+        F.sum(
+            42
+            * (
+                8 * F.col("sxx")
+                - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+            )
+            - ax * ax
+        )
+        .cast("decimal(38,0)")
+        .alias("fxx"),
+        F.sum(
+            42
+            * (
+                8 * F.col("syy")
+                - F.col("sy").cast("decimal(38,0)") * F.col("sy")
+            )
+            - ay * ay
+        )
+        .cast("decimal(38,0)")
+        .alias("fyy"),
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+    )
+    return resid.select(
+        F.col("nb").alias("n_boxes"),
+        (
+            F.round(
+                F.col("fxy").cast("double")
+                / F.sqrt(
+                    F.col("fxx").cast("double")
+                    * F.col("fyy").cast("double")
+                ),
+                8,
+            )
+            + 0.0
+        ).alias("dcca_rho_s8"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Schweizer-Wolff sigma: copula distance of (revenue, volume) days
+# --------------------------------------------------------------------------
+@register(
+    "schweizer_wolff_sigma",
+    oracle="""
+    WITH joint AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM events
+        GROUP BY epoch_us(ts) // 86400000000
+    ),
+    ranked AS (
+        SELECT RANK() OVER (ORDER BY x) + COUNT(*) OVER
+                   (PARTITION BY x) - 1 AS rx,
+               RANK() OVER (ORDER BY y) + COUNT(*) OVER
+                   (PARTITION BY y) - 1 AS ry,
+               COUNT(*) OVER () AS n
+        FROM joint
+    ),
+    binned AS (
+        SELECT LEAST(CAST((20 * rx + n - 1) // n AS BIGINT), 20)
+                   AS bx,
+               LEAST(CAST((20 * ry + n - 1) // n AS BIGINT), 20)
+                   AS by2,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS h
+        FROM ranked GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT i.i, j.j, MAX(b.n) AS n,
+               CAST(SUM(CASE WHEN b.bx <= i.i AND b.by2 <= j.j
+                             THEN b.h ELSE 0 END) AS BIGINT) AS cnt
+        FROM binned b
+        CROSS JOIN (SELECT CAST(u.g AS BIGINT) AS i
+                    FROM LATERAL UNNEST(range(1, 20)) AS u(g)) i
+        CROSS JOIN (SELECT CAST(u.g AS BIGINT) AS j
+                    FROM LATERAL UNNEST(range(1, 20)) AS u(g)) j
+        GROUP BY i.i, j.j
+    ),
+    fold AS (
+        SELECT MAX(n) AS n,
+               CAST(SUM(CAST(abs(400 * cnt - i * j * n)
+                             AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sdev,
+               CAST(MAX(abs(400 * cnt - i * j * n)) AS BIGINT)
+                   AS maxdev
+        FROM cells
+    )
+    SELECT n AS n_days,
+           round(12.0 * CAST(sdev AS DOUBLE)
+                 / (361.0 * 400.0 * n), 8) + 0.0
+               AS schweizer_wolff_sigma,
+           round(CAST(maxdev AS DOUBLE) / (400.0 * n), 8) + 0.0
+               AS max_copula_deviation
+    FROM fold
+    """,
+)
+def schweizer_wolff_sigma(spark, sf_dir):
+    """SCHWEIZER-WOLFF sigma between daily event volume and daily
+    event value (the shared events calendar), on the 19x19 ventile
+    grid of the empirical copula:
+    sigma = 12 * mean |C(u,v) - uv| — the L1 copula distance from
+    independence that detects NON-MONOTONE dependence (V-shapes,
+    regimes) to which `spearman_rank_corr` and `kendall_tau`, being
+    signed concordance averages, are exactly blind (their positive
+    and negative regions cancel; sigma takes absolute values). The
+    max_copula_deviation column doubles as a 2D KS-from-
+    independence.
+
+    Exactness: ranks are max-ranks with exact tie handling
+    (RANK + tiecount - 1); bins are exact ceil(20*r/n); each cell's
+    deviation |400*cnt - i*j*n| is a pure integer; the 361-cell
+    fold stays DECIMAL(38,0). Plan: one day join, two rank windows
+    over the calendar-bounded day frame, one 19x19 broadcast, two
+    folds."""
+    e = t(spark, sf_dir, "events")
+    joint = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum((dec("value", 12, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+    ).select("x", "y")
+    ranked = joint.select(
+        (
+            F.rank().over(Window.orderBy("x"))
+            + F.count(F.lit(1)).over(Window.partitionBy("x"))
+            - 1
+        ).alias("rx"),
+        (
+            F.rank().over(Window.orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        ).alias("ry"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    binned = ranked.groupBy(
+        F.least(
+            F.floor((20 * F.col("rx") + F.col("n") - 1) / F.col("n"))
+            .cast("bigint"),
+            F.lit(20).cast("bigint"),
+        ).alias("bx"),
+        F.least(
+            F.floor((20 * F.col("ry") + F.col("n") - 1) / F.col("n"))
+            .cast("bigint"),
+            F.lit(20).cast("bigint"),
+        ).alias("by2"),
+    ).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("h"),
+    )
+    ij = (
+        spark.range(1, 20)
+        .select(F.col("id").cast("bigint").alias("i"))
+        .crossJoin(
+            spark.range(1, 20).select(
+                F.col("id").cast("bigint").alias("j")
+            )
+        )
+    )
+    cells = (
+        binned.crossJoin(F.broadcast(ij))
+        .groupBy("i", "j")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("bx") <= F.col("i"))
+                    & (F.col("by2") <= F.col("j")),
+                    F.col("h"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("cnt"),
+        )
+    )
+    devexpr = F.abs(
+        400 * F.col("cnt") - F.col("i") * F.col("j") * F.col("n")
+    )
+    fold = cells.agg(
+        F.max("n").alias("n"),
+        F.sum(devexpr.cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sdev"),
+        F.max(devexpr).cast("bigint").alias("maxdev"),
+    )
+    return fold.select(
+        F.col("n").alias("n_days"),
+        (
+            F.round(
+                12.0
+                * F.col("sdev").cast("double")
+                / (361.0 * 400.0 * F.col("n")),
+                8,
+            )
+            + 0.0
+        ).alias("schweizer_wolff_sigma"),
+        (
+            F.round(
+                F.col("maxdev").cast("double") / (400.0 * F.col("n")),
+                8,
+            )
+            + 0.0
+        ).alias("max_copula_deviation"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Monthly brand-HHI concentration trend
+# --------------------------------------------------------------------------
+@register(
+    "hhi_concentration_trend",
+    oracle="""
+    WITH rev AS (
+        SELECT CAST(date_part('year', l_shipdate) * 12
+                    + date_part('month', l_shipdate) AS BIGINT)
+                   AS ym,
+               p.p_brand AS brand,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    hhi AS (
+        SELECT ym,
+               round(10000.0
+                     * CAST(SUM(CAST(r AS DECIMAL(38,0)) * r)
+                            AS DOUBLE)
+                     / (CAST(SUM(r) AS DOUBLE) * SUM(r)), 6)
+                   AS h
+        FROM rev GROUP BY ym
+    ),
+    idx AS (
+        SELECT h, ym - MIN(ym) OVER () AS i,
+               abs(h - LAG(h) OVER (ORDER BY ym)) AS jump
+        FROM hhi
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(CAST(i AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(h, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sh,
+               CAST(SUM(CAST(i AS DECIMAL(18,0)) * i) AS DOUBLE)
+                   AS sxx,
+               CAST(SUM(CAST(round(i * h, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sxh,
+               round(MAX(jump), 6) AS maxjump,
+               MIN(CASE WHEN i = 0 THEN h END) AS h_first
+        FROM idx
+    )
+    SELECT m AS n_months,
+           round(h_first, 4) + 0.0 AS hhi_first_bp,
+           round(sh / m, 4) + 0.0 AS hhi_mean_bp,
+           round((m * sxh - sx * sh) / (m * sxx - sx * sx), 6)
+               + 0.0 AS hhi_slope_bp_per_month,
+           maxjump + 0.0 AS max_monthly_jump_bp
+    FROM fit
+    """,
+)
+def hhi_concentration_trend(spark, sf_dir):
+    """MONTHLY brand-concentration trend: the Herfindahl-Hirschman
+    index of brand revenue shares per calendar month (in basis
+    points, the antitrust convention), its OLS slope per month, and
+    the largest month-over-month jump — the market-structure DRIFT
+    readout that the static `market_concentration_hhi` snapshot
+    cannot see; a positive slope is consolidation, a spike month is
+    an assortment shock (cross-checked by `assortment_churn_rates`).
+
+    Exactness: per-(month, brand) revenue is exact integer cents;
+    each month's HHI numerator folds r^2 in DECIMAL(38,0) and reads
+    at 6 dp; the trend OLS folds rounded terms over the bounded
+    month frame. Plan: one lineitem-part equi-join (part broadcast
+    at dimension scale), one (month, brand) rollup, one month
+    rollup, one lag + fold over the bounded month frame."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("ym"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            F.sum((dec("l_extendedprice", 18, 2) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    hhi = rev.groupBy("ym").agg(
+        F.round(
+            10000.0
+            * F.sum(F.col("r").cast("decimal(38,0)") * F.col("r"))
+            .cast("double")
+            / (F.sum("r").cast("double") * F.sum("r")),
+            6,
+        ).alias("h")
+    )
+    idx = hhi.select(
+        "h",
+        (F.col("ym") - F.min("ym").over(Window.partitionBy())).alias(
+            "i"
+        ),
+        F.abs(
+            F.col("h") - F.lag("h").over(Window.orderBy("ym"))
+        ).alias("jump"),
+    )
+    fit = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("i").cast("decimal(18,0)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.round("h", 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sh"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("i"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.round(F.col("i") * F.col("h"), 6).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("sxh"),
+        F.round(F.max("jump"), 6).alias("maxjump"),
+        F.min(F.when(F.col("i") == 0, F.col("h"))).alias("h_first"),
+    )
+    return fit.select(
+        F.col("m").alias("n_months"),
+        (F.round("h_first", 4) + 0.0).alias("hhi_first_bp"),
+        (F.round(F.col("sh") / F.col("m"), 4) + 0.0).alias(
+            "hhi_mean_bp"
+        ),
+        (
+            F.round(
+                (F.col("m") * F.col("sxh") - F.col("sx") * F.col("sh"))
+                / (
+                    F.col("m") * F.col("sxx")
+                    - F.col("sx") * F.col("sx")
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("hhi_slope_bp_per_month"),
+        (F.col("maxjump") + 0.0).alias("max_monthly_jump_bp"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "dcca_coefficient": (
+            "row_number over the events-calendar day frame (bounded "
+            "domain — the cusum class)"
+        ),
+        "schweizer_wolff_sigma": (
+            "two rank windows over the events-calendar day frame "
+            "(bounded domain) + a 361-cell broadcast fold"
+        ),
+        "hhi_concentration_trend": (
+            "min/lag windows over the bounded month frame"
+        ),
+    }
+)
