@@ -12,9 +12,20 @@ authored and appends the names (+ ratios) to ``SCALING_PROBES.json``;
 ledger row (the r13 seed commits skipped the probe and became VERDICT
 r13 item 2 — never again).
 
-Seed theme: TAIL GEOMETRY AND DOMINANCE — the mean-excess plot that
-diagnoses WHICH extreme-value regime the data sits in, exponential-
-scores rank testing, and pointwise Lorenz dominance between periods.
+Theme (COMPLETE at 49 in round 14): TAIL GEOMETRY, DOMINANCE AND
+DISTRIBUTION-FREE CERTIFICATES — the full inequality/poverty/
+redistribution bench (Hoover, Zenga/Bonferroni, Wolfson, FGT,
+Watts+Sen, GE family, Kakwani, Reynolds-Smolensky, Dagum's
+zero-residual Gini decomposition, generalized-Lorenz SSD, relative-
+distribution MRP), tail geometry (mean-excess slope, QQ and GPD-
+stability estimators, extremal index, max-to-sum, spectral risk,
+Rachev/Calmar/Kelly), reliability growth and aging (Laplace,
+Crow-AMSAA, Barlow-Proschan TTT, Foster-Stuart records), count-model
+score tests (van den Broek ZIP, Dean PB, Ord plot), clustering/
+agreement (ARI, FM+B-cubed, VI, PABAK), long-memory and dependence
+(aggvar Hurst, Fano timescales, DCCA, Schweizer-Wolff), and the
+certificate family (DKW, moment bounds, Berry-Esseen, Lorenz
+dominance) a 100 TB pipeline runs on its own readouts.
 
 Determinism disciplines inherited unchanged (bank_r11..r17
 docstrings): exact integer/DECIMAL folds, round-before-fold on every
@@ -6757,6 +6768,777 @@ PLAN_AUDIT_NOTES.update(
         ),
         "hhi_concentration_trend": (
             "min/lag windows over the bounded month frame"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# GPD shape stability: PWM fits over three thresholds
+# --------------------------------------------------------------------------
+@register(
+    "gpd_shape_stability",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    grid AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cc,
+               SUM(c) OVER () AS n
+        FROM grid
+    ),
+    qs AS (
+        SELECT CAST(u.g AS BIGINT) AS k,
+               (SELECT CAST(MIN(v) AS BIGINT) FROM cum
+                WHERE 100 * cc >= (87 + u.g * 3) * n) AS thr
+        FROM LATERAL UNNEST(range(1, 4)) AS u(g)
+    ),
+    exc AS (
+        SELECT qs.k, g.v - qs.thr AS e, g.c,
+               SUM(g.c) OVER (PARTITION BY qs.k ORDER BY g.v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS head,
+               SUM(g.c) OVER (PARTITION BY qs.k) AS m
+        FROM grid g JOIN qs ON g.v > qs.thr
+    ),
+    pwm AS (
+        SELECT k, MAX(m) AS m,
+               CAST(SUM(CAST(e AS DECIMAL(38,0)) * c)
+                    AS DECIMAL(38,0)) AS s0,
+               CAST(SUM(CAST(e AS DECIMAL(38,0)) * c
+                        * (2 * (m - COALESCE(head, 0)) - c - 1))
+                    AS DECIMAL(38,0)) AS s1x2
+        FROM exc GROUP BY k
+    ),
+    xi AS (
+        SELECT k, m,
+               round(2.0 - (CAST(s0 AS DOUBLE) / m)
+                     / (CAST(s0 AS DOUBLE) / m
+                        - CAST(s1x2 AS DOUBLE) / m / (m - 1)), 8)
+                   AS xi_hat
+        FROM pwm
+    )
+    SELECT (SELECT m FROM xi WHERE k = 1) AS n_excess_q90,
+           (SELECT xi_hat + 0.0 FROM xi WHERE k = 1) AS xi_q90,
+           (SELECT xi_hat + 0.0 FROM xi WHERE k = 2) AS xi_q93,
+           (SELECT xi_hat + 0.0 FROM xi WHERE k = 3) AS xi_q96,
+           (SELECT round(MAX(xi_hat) - MIN(xi_hat), 8) + 0.0
+            FROM xi) AS xi_spread
+    """,
+)
+def gpd_shape_stability(spark, sf_dir):
+    """GPD SHAPE-PARAMETER STABILITY: probability-weighted-moment
+    fits of the generalized Pareto shape xi to order-value excesses
+    over the exact 90/93/96-percentile thresholds, plus the spread
+    across the three fits — the threshold-stability plot in table
+    form: a genuine GPD tail gives the SAME xi at every admissible
+    threshold, so a small spread certifies that
+    `pot_gpd_pwm_fit`'s single-threshold estimate is trustworthy
+    and a large one says the asymptotic regime hasn't started
+    (`mean_excess_slope` names the regime; this names the safe
+    threshold).
+
+    Exactness: thresholds are exact order statistics; both PWMs are
+    exact integer folds — the order-weighted moment uses the tie-
+    group identity 2*sum e_(i)*(m-i) = sum_g e*c*(2*(m-head)-c-1)
+    in DECIMAL(38,0), the same device as `ttt_barlow_proschan`.
+    Plan: one value-grid cumulative, a 3-threshold broadcast join,
+    one per-threshold exclusive cumulative (price-domain-bounded),
+    two folds."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v")
+    )
+    grid = pts.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    cum = grid.select(
+        "v",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    ks = spark.range(1, 4).select(
+        F.col("id").cast("bigint").alias("k")
+    )
+    qs = (
+        cum.crossJoin(F.broadcast(ks))
+        .where(
+            100 * F.col("cc") >= (87 + F.col("k") * 3) * F.col("n")
+        )
+        .groupBy("k")
+        .agg(F.min("v").cast("bigint").alias("thr"))
+    )
+    exc = (
+        grid.crossJoin(F.broadcast(qs))
+        .where(F.col("v") > F.col("thr"))
+        .select(
+            "k",
+            (F.col("v") - F.col("thr")).alias("e"),
+            "c",
+            F.sum("c")
+            .over(
+                Window.partitionBy("k")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            .alias("head"),
+            F.sum("c").over(Window.partitionBy("k")).alias("m"),
+        )
+    )
+    pwm = exc.groupBy("k").agg(
+        F.max("m").alias("m"),
+        F.sum(F.col("e").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("s0"),
+        F.sum(
+            F.col("e").cast("decimal(38,0)")
+            * F.col("c")
+            * (
+                2 * (F.col("m") - F.coalesce(F.col("head"), F.lit(0)))
+                - F.col("c")
+                - 1
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("s1x2"),
+    )
+    b0 = F.col("s0").cast("double") / F.col("m")
+    b1x2 = F.col("s1x2").cast("double") / F.col("m") / (F.col("m") - 1)
+    xi = pwm.select(
+        "k",
+        "m",
+        F.round(2.0 - b0 / (b0 - b1x2), 8).alias("xi_hat"),
+    ).persist()
+    w1 = xi.where(F.col("k") == 1).select(
+        F.col("m").alias("n_excess_q90"),
+        (F.col("xi_hat") + 0.0).alias("xi_q90"),
+    )
+    w2 = xi.where(F.col("k") == 2).select(
+        (F.col("xi_hat") + 0.0).alias("xi_q93")
+    )
+    w3 = xi.where(F.col("k") == 3).select(
+        (F.col("xi_hat") + 0.0).alias("xi_q96")
+    )
+    spread = xi.agg(
+        (F.round(F.max("xi_hat") - F.min("xi_hat"), 8) + 0.0).alias(
+            "xi_spread"
+        )
+    )
+    return (
+        w1.crossJoin(F.broadcast(w2))
+        .crossJoin(F.broadcast(w3))
+        .crossJoin(F.broadcast(spread))
+        .select(
+            "n_excess_q90", "xi_q90", "xi_q93", "xi_q96", "xi_spread"
+        )
+    )
+
+
+
+# Poisson(1) inverse-CDF literal table (the poisson_bootstrap_se device:
+# both engines share these literals, so no RNG and no libm).
+_POIS_CDF_R18 = [
+    0.3678794412, 0.7357588824, 0.9196986030,
+    0.9810118431, 0.9963401532, 0.9994058152, 0.9999167589,
+]
+
+_pois_whens = " ".join(
+    f"WHEN __u < {c} THEN {k}" for k, c in enumerate(_POIS_CDF_R18)
+)
+_pois_case_sql = (
+    "CASE " + _pois_whens + " ELSE 7 END"
+).replace(
+    "__u",
+    "(((b.blk * 2654435761 + r.rep * 40503) % 4294967296)"
+    " / 4294967296.0)",
+)
+
+
+# --------------------------------------------------------------------------
+# Circular block bootstrap SE of mean daily revenue (7-day blocks)
+# --------------------------------------------------------------------------
+@register(
+    "block_bootstrap_se",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    idx AS (
+        SELECT y, (ROW_NUMBER() OVER (ORDER BY day) - 1) // 7
+                   AS blk
+        FROM daily
+    ),
+    bsum AS (
+        SELECT blk, CAST(SUM(y) AS BIGINT) AS by2,
+               CAST(COUNT(*) AS BIGINT) AS bd
+        FROM idx GROUP BY blk HAVING COUNT(*) = 7
+    ),
+    reps AS (
+        SELECT b.blk, b.by2, r.rep,
+               {_pois_case_sql}
+                   AS w
+        FROM bsum b, (SELECT UNNEST(range(1, 33)) AS rep) r
+    ),
+    stat AS (
+        SELECT rep,
+               round(SUM(w * by2) / (7.0 * SUM(w)) / 100000.0, 8)
+                   AS m
+        FROM reps GROUP BY rep HAVING SUM(w) > 0
+    ),
+    iid AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(SUM(by2) AS BIGINT) AS sb,
+               CAST(SUM(CAST(by2 AS DECIMAL(38,0)) * by2)
+                    AS DECIMAL(38,0)) AS sbb
+        FROM bsum
+    ),
+    f AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS b,
+               SUM(CAST(round(m - round(CAST(iid.sb AS DOUBLE)
+                       / iid.nb / 7.0 / 100000.0, 8), 8)
+                       AS DECIMAL(28,8))) AS s1,
+               SUM(CAST(round((m - round(CAST(iid.sb AS DOUBLE)
+                       / iid.nb / 7.0 / 100000.0, 8))
+                       * (m - round(CAST(iid.sb AS DOUBLE)
+                          / iid.nb / 7.0 / 100000.0, 8)), 12)
+                       AS DECIMAL(38,12))) AS s2
+        FROM stat, iid
+    )
+    SELECT iid.nb AS n_blocks, f.b AS n_replicates,
+           round(CAST(iid.sb AS DOUBLE) / iid.nb / 7.0 / 100000.0,
+                 6) + 0.0 AS mean_daily_kusd,
+           round(sqrt(greatest(0.0, (CAST(f.s2 AS DOUBLE)
+                       - CAST(f.s1 AS DOUBLE) * CAST(f.s1 AS DOUBLE)
+                         / f.b) / (f.b - 1.0))), 8) + 0.0
+               AS block_bootstrap_se_kusd,
+           round(sqrt((CAST(iid.nb AS DOUBLE)
+                       * CAST(iid.sbb AS DOUBLE)
+                       - CAST(iid.sb AS DOUBLE) * iid.sb)
+                      / iid.nb / (iid.nb - 1.0))
+                 / iid.nb / 7.0 / 100000.0, 8) + 0.0
+               AS iid_block_se_kusd
+    FROM f, iid
+    """,
+)
+def block_bootstrap_se(spark, sf_dir):
+    """BLOCK BOOTSTRAP standard error of mean daily revenue with
+    7-day blocks and deterministic Poisson(1) block weights (the
+    `poisson_bootstrap_se` device lifted from rows to BLOCKS): by
+    resampling whole weeks the SE keeps the within-week serial
+    dependence that the row-level bootstrap destroys — the ratio of
+    this SE to the closed-form iid block SE (also reported) is the
+    dependence-inflation factor a naive confidence interval is
+    missing. 32 replicates, weights from the shared literal
+    Poisson(1) inverse-CDF table (no RNG, no libm).
+
+    Exactness: block sums exact integer cents (trailing partial
+    week dropped by the exact bd = 7 filter); the weight hash is
+    pure integer arithmetic on SMALL block ids (immune by
+    construction to the r13 Knuth-overflow at shifted keys);
+    replicate means CENTER on the base mean before squaring (the
+    uncentered m^2 fold cancels catastrophically — a 344 k$ mean
+    with 1e-4 spread lost the whole signal to the 8-dp round at
+    sf0.001), deviations round at 8 dp and their squares at 12 dp.
+    Plan: one day rollup, one row_number over the calendar frame,
+    a 32-replicate broadcast cross over the bounded block frame,
+    three folds."""
+    daily = _daily(spark, sf_dir)
+    idx = daily.select(
+        "y",
+        F.floor(
+            (F.row_number().over(Window.orderBy("day")) - 1) / 7
+        ).alias("blk"),
+    )
+    bsum = (
+        idx.groupBy("blk")
+        .agg(
+            F.sum("y").cast("bigint").alias("by2"),
+            F.count(F.lit(1)).cast("bigint").alias("bd"),
+        )
+        .where(F.col("bd") == 7)
+        .persist()
+    )
+    reps_k = spark.range(1, 33).select(
+        F.col("id").cast("bigint").alias("rep")
+    )
+    u = (
+        (F.col("blk") * 2654435761 + F.col("rep") * 40503)
+        % 4294967296
+    ) / 4294967296.0
+    w = F.when(u < _POIS_CDF_R18[0], 0)
+    for kk, cdf in enumerate(_POIS_CDF_R18[1:], start=1):
+        w = w.when(u < cdf, kk)
+    w = w.otherwise(7)
+    reps = bsum.crossJoin(F.broadcast(reps_k)).select(
+        "by2", "rep", w.alias("w")
+    )
+    stat = (
+        reps.groupBy("rep")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("by2"))
+                / (7.0 * F.sum("w"))
+                / 100000.0,
+                8,
+            ).alias("m"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+    )
+    iid = bsum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("by2").cast("bigint").alias("sb"),
+        F.sum(F.col("by2").cast("decimal(38,0)") * F.col("by2"))
+        .cast("decimal(38,0)")
+        .alias("sbb"),
+    )
+    base = F.round(
+        F.col("sb").cast("double") / F.col("nb") / 7.0 / 100000.0, 8
+    )
+    d = F.round(F.col("m") - base, 8)
+    f = stat.crossJoin(F.broadcast(iid)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+        F.sum(d.cast("decimal(28,8)")).alias("s1"),
+        F.sum(F.round(d * d, 12).cast("decimal(38,12)")).alias("s2"),
+    )
+    j = f.crossJoin(F.broadcast(iid))
+    return j.select(
+        F.col("nb").alias("n_blocks"),
+        F.col("b").alias("n_replicates"),
+        (
+            F.round(
+                F.col("sb").cast("double")
+                / F.col("nb")
+                / 7.0
+                / 100000.0,
+                6,
+            )
+            + 0.0
+        ).alias("mean_daily_kusd"),
+        (
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        (
+                            F.col("s2").cast("double")
+                            - F.col("s1").cast("double")
+                            * F.col("s1").cast("double")
+                            / F.col("b")
+                        )
+                        / (F.col("b") - 1.0),
+                    )
+                ),
+                8,
+            )
+            + 0.0
+        ).alias("block_bootstrap_se_kusd"),
+        (
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("nb").cast("double")
+                        * F.col("sbb").cast("double")
+                        - F.col("sb").cast("double") * F.col("sb")
+                    )
+                    / F.col("nb")
+                    / (F.col("nb") - 1.0)
+                )
+                / F.col("nb")
+                / 7.0
+                / 100000.0,
+                8,
+            )
+            + 0.0
+        ).alias("iid_block_se_kusd"),
+    )
+
+
+def _phi_col(z):
+    """Standard normal CDF as a Column via the shared Abramowitz-
+    Stegun 7.1.26 erfc tree (the bank_r15 `_p_two_sided_col` device,
+    split by sign): Phi(z) = 1 - p2(z)/2 for z >= 0, p2(z)/2 below."""
+    x = F.abs(z) / 1.4142135623730951
+    tp = 1.0 / (1.0 + 0.3275911 * x)
+    p2 = (
+        (
+            ((1.061405429 * tp - 1.453152027) * tp + 1.421413741) * tp
+            - 0.284496736
+        )
+        * tp
+        + 0.254829592
+    ) * tp * F.exp(-x * x)
+    return F.when(z >= 0, 1.0 - p2 / 2.0).otherwise(p2 / 2.0)
+
+
+_PHI_SQL_TMPL = (
+    "(CASE WHEN (__z) >= 0 THEN 1.0 - (__P) / 2.0"
+    " ELSE (__P) / 2.0 END)"
+)
+
+
+def _phi_sql(z_expr: str) -> str:
+    from .stats_tests import _p_two_sided_sql
+
+    return _PHI_SQL_TMPL.replace(
+        "__P", _p_two_sided_sql(z_expr)
+    ).replace("__z", z_expr)
+
+
+# --------------------------------------------------------------------------
+# Berry-Esseen CLT certificate for daily mean order values
+# --------------------------------------------------------------------------
+@register(
+    "berry_esseen_certificate",
+    oracle=f"""
+    WITH dm AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               round(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                              * 100 AS BIGINT))
+                     / COUNT(*) / 100000.0, 4) AS m
+        FROM orders GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(CAST(m AS DECIMAL(28,4))) AS DOUBLE) AS sm,
+               CAST(SUM(CAST(round(m * m, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS smm
+        FROM dm
+    ),
+    mgrid AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS c FROM dm GROUP BY m
+    ),
+    mcum AS (
+        SELECT m,
+               SUM(c) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+                   AS cc
+        FROM mgrid
+    ),
+    ks AS (SELECT CAST(u.g AS BIGINT) AS k
+           FROM LATERAL UNNEST(range(1, 20)) AS u(g)),
+    qk AS (
+        SELECT ks.k,
+               (SELECT MIN(m) FROM mcum, mom
+                WHERE 20 * cc >= ks.k * mom.nd) AS q
+        FROM ks
+    ),
+    gaps AS (
+        SELECT CAST(MAX(abs(ks.k / 20.0
+                   - {_phi_sql("((qk.q - mom.sm / mom.nd) "
+                               "/ sqrt(mom.smm / mom.nd "
+                               "- mom.sm * mom.sm / mom.nd "
+                               "/ mom.nd))")}
+                   )) AS DOUBLE) AS maxgap
+        FROM qk JOIN ks ON qk.k = ks.k, mom
+    ),
+    rho AS (
+        SELECT CAST(SUM(CAST(round(abs(d.m - mom.sm / mom.nd)
+                   * abs(d.m - mom.sm / mom.nd)
+                   * abs(d.m - mom.sm / mom.nd), 8)
+                   AS DECIMAL(38,8))) AS DOUBLE) / MAX(mom.nd)
+                   AS rho3,
+               MAX(mom.smm / mom.nd
+                   - mom.sm * mom.sm / mom.nd / mom.nd) AS var
+        FROM dm d, mom
+    ),
+    mc AS (
+        SELECT CAST(MIN(cnt) AS BIGINT) AS minc FROM dm
+    )
+    SELECT (SELECT nd FROM mom) AS n_days,
+           (SELECT minc FROM mc) AS min_orders_per_day,
+           round(g.maxgap, 6) + 0.0 AS max_ventile_gap_vs_normal,
+           round(0.4748 * r.rho3 / (r.var * sqrt(r.var))
+                 / sqrt((SELECT minc FROM mc)), 6) + 0.0
+               AS berry_esseen_bound,
+           CAST(CASE WHEN g.maxgap <= 0.4748 * r.rho3
+                          / (r.var * sqrt(r.var))
+                          / sqrt((SELECT minc FROM mc))
+                     THEN 1 ELSE 0 END AS INT) AS inside_be_bound
+    FROM gaps g, rho r
+    """,
+)
+def berry_esseen_certificate(spark, sf_dir):
+    """BERRY-ESSEEN CLT certificate for daily mean order values:
+    compares the observed ventile-grid KS distance between the
+    standardized daily means and the standard normal against the
+    Berry-Esseen envelope 0.4748 * rho3/sigma^3 / sqrt(min_n) built
+    from the daily means' own third absolute central moment and the
+    SMALLEST per-day sample size (the most conservative day). Every
+    downstream normal-theory interval on "mean of a day's orders"
+    silently assumes this certificate passes; here it is stated,
+    with the observed gap and the bound side by side — the CLT
+    companion to `dkw_band_lognormal_check` (which certifies a
+    parametric fit the same way).
+
+    Exactness: daily means pin at 4 dp k$ before everything; the
+    ventile quantiles are exact order statistics of the pinned-mean
+    grid; Phi comes from the shared Abramowitz-Stegun erfc tree
+    (identical Horner literals both engines); the cubed-deviation
+    fold rounds at 8 dp. Plan: one day rollup, one mean-grid
+    cumulative (calendar-bounded), a 19-ordinate broadcast, three
+    folds."""
+    o = t(spark, sf_dir, "orders")
+    dm = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.round(
+            F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+            / F.count(F.lit(1))
+            / 100000.0,
+            4,
+        ).alias("m"),
+    ).persist()
+    mom = dm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum(F.col("m").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sm"),
+        F.sum(F.round(F.col("m") * F.col("m"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("smm"),
+    )
+    mgrid = dm.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    mcum = mgrid.select(
+        "m",
+        F.sum("c")
+        .over(
+            Window.orderBy("m").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+    )
+    ks = spark.range(1, 20).select(
+        F.col("id").cast("bigint").alias("k")
+    )
+    qk = (
+        mcum.crossJoin(F.broadcast(mom))
+        .crossJoin(F.broadcast(ks))
+        .where(20 * F.col("cc") >= F.col("k") * F.col("nd"))
+        .groupBy("k")
+        .agg(F.min("m").alias("q"))
+    )
+    mu = F.col("sm") / F.col("nd")
+    var = F.col("smm") / F.col("nd") - F.col("sm") * F.col("sm") / F.col(
+        "nd"
+    ) / F.col("nd")
+    zq = (F.col("q") - mu) / F.sqrt(var)
+    gaps = (
+        qk.crossJoin(F.broadcast(mom))
+        .agg(
+            F.max(
+                F.abs(F.col("k") / 20.0 - _phi_col(zq))
+            ).alias("maxgap")
+        )
+    )
+    rho = dm.crossJoin(F.broadcast(mom)).agg(
+        (
+            F.sum(
+                F.round(
+                    F.abs(F.col("m") - mu)
+                    * F.abs(F.col("m") - mu)
+                    * F.abs(F.col("m") - mu),
+                    8,
+                ).cast("decimal(38,8)")
+            ).cast("double")
+            / F.max("nd")
+        ).alias("rho3"),
+        F.max(var).alias("var"),
+    )
+    mc = dm.agg(F.min("cnt").cast("bigint").alias("minc"))
+    nd = dm.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    j = (
+        nd.crossJoin(F.broadcast(mc))
+        .crossJoin(F.broadcast(gaps))
+        .crossJoin(F.broadcast(rho))
+    )
+    bound = (
+        0.4748
+        * F.col("rho3")
+        / (F.col("var") * F.sqrt(F.col("var")))
+        / F.sqrt(F.col("minc"))
+    )
+    return j.select(
+        "n_days",
+        F.col("minc").alias("min_orders_per_day"),
+        (F.round("maxgap", 6) + 0.0).alias(
+            "max_ventile_gap_vs_normal"
+        ),
+        (F.round(bound, 6) + 0.0).alias("berry_esseen_bound"),
+        F.when(F.col("maxgap") <= bound, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("inside_be_bound"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Moses test of extreme reactions: weekend vs weekday order values
+# --------------------------------------------------------------------------
+@register(
+    "moses_extreme_reactions",
+    oracle="""
+    WITH pts AS (
+        SELECT CASE WHEN CAST(epoch_us(o_orderdate) // 86400000000
+                         + 4 AS BIGINT) % 7 >= 5
+                    THEN 1 ELSE 0 END AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    grid AS (
+        SELECT v,
+               CAST(SUM(g) AS BIGINT) AS ca,
+               CAST(COUNT(*) AS BIGINT) AS cp
+        FROM pts GROUP BY v
+    ),
+    cum AS (
+        SELECT v, ca, cp,
+               CAST(SUM(ca) OVER w AS BIGINT) AS cca,
+               CAST(COALESCE(SUM(cp) OVER ew, 0) AS BIGINT)
+                   AS p_below,
+               CAST(SUM(cp) OVER w AS BIGINT) AS p_le,
+               CAST(SUM(ca) OVER () AS BIGINT) AS na,
+               CAST(SUM(cp) OVER () AS BIGINT) AS np
+        FROM grid
+        WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING),
+               ew AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING)
+    ),
+    alo AS (
+        SELECT CAST(MIN(p_below) + 1 AS BIGINT) AS lo_rank,
+               CAST(MIN(na) AS BIGINT) AS na,
+               CAST(MIN(np) AS BIGINT) AS np
+        FROM cum WHERE cca >= 3
+    ),
+    ahi AS (
+        SELECT CAST(MIN(p_le) AS BIGINT) AS hi_rank
+        FROM cum WHERE cca >= na - 2
+    )
+    SELECT alo.na AS n_weekend, alo.np - alo.na AS n_weekday,
+           alo.lo_rank AS trimmed_low_rank,
+           ahi.hi_rank AS trimmed_high_rank,
+           CAST(ahi.hi_rank - alo.lo_rank + 1 AS BIGINT)
+               AS moses_span_h2,
+           CAST(alo.na - 4 AS BIGINT) AS minimal_span_h2,
+           CAST(ahi.hi_rank - alo.lo_rank + 1 - (alo.na - 4)
+                AS BIGINT) AS span_excess_h2,
+           round((ahi.hi_rank - alo.lo_rank + 1.0) / alo.np, 8)
+               + 0.0 AS span_share_of_pool
+    FROM alo, ahi
+    """,
+)
+def moses_extreme_reactions(spark, sf_dir):
+    """MOSES TEST OF EXTREME REACTIONS (h = 2): pool weekend and
+    weekday order values, trim the 2 most extreme weekend
+    observations from each end, and measure the pooled-rank SPAN of
+    what remains — a dispersion test that reacts when the treatment
+    group produces extremes in BOTH directions simultaneously
+    (bimodal "extreme reactions"), the one alternative
+    `ansari_bradley_scale` / `westenberg_iqr_test` are weakest
+    against. The span excess over its theoretical minimum (n_a - 2h)
+    is the test statistic.
+
+    Determinism with ties: the trimmed endpoints are the exact 3rd-
+    smallest / 3rd-largest weekend order statistics from the grid;
+    the low rank places the endpoint BEFORE its ties (count of
+    strictly-smaller pooled units + 1) and the high rank AFTER its
+    ties (count of <= pooled units) — the outermost-tie convention,
+    stated, and identical integer arithmetic in both engines. Plan:
+    one value-grid cumulative (price-domain-bounded), two scalar
+    folds."""
+    o = t(spark, sf_dir, "orders")
+    day = F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+    pts = o.select(
+        F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("g"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+    grid = pts.groupBy("v").agg(
+        F.sum("g").cast("bigint").alias("ca"),
+        F.count(F.lit(1)).cast("bigint").alias("cp"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ew = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = grid.select(
+        "v",
+        F.sum("ca").over(w).cast("bigint").alias("cca"),
+        F.coalesce(F.sum("cp").over(ew), F.lit(0))
+        .cast("bigint")
+        .alias("p_below"),
+        F.sum("cp").over(w).cast("bigint").alias("p_le"),
+        F.sum("ca").over(Window.partitionBy()).cast("bigint").alias(
+            "na"
+        ),
+        F.sum("cp").over(Window.partitionBy()).cast("bigint").alias(
+            "np"
+        ),
+    ).persist()
+    alo = cum.where(F.col("cca") >= 3).agg(
+        (F.min("p_below") + 1).cast("bigint").alias("lo_rank"),
+        F.min("na").cast("bigint").alias("na"),
+        F.min("np").cast("bigint").alias("np"),
+    )
+    ahi = cum.where(F.col("cca") >= F.col("na") - 2).agg(
+        F.min("p_le").cast("bigint").alias("hi_rank")
+    )
+    j = alo.crossJoin(F.broadcast(ahi))
+    span = F.col("hi_rank") - F.col("lo_rank") + 1
+    return j.select(
+        F.col("na").alias("n_weekend"),
+        (F.col("np") - F.col("na")).alias("n_weekday"),
+        F.col("lo_rank").alias("trimmed_low_rank"),
+        F.col("hi_rank").alias("trimmed_high_rank"),
+        span.cast("bigint").alias("moses_span_h2"),
+        (F.col("na") - 4).cast("bigint").alias("minimal_span_h2"),
+        (span - (F.col("na") - 4)).cast("bigint").alias(
+            "span_excess_h2"
+        ),
+        (
+            F.round(span.cast("double") / F.col("np"), 8) + 0.0
+        ).alias("span_share_of_pool"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "gpd_shape_stability": (
+            "value-grid cumulative + per-threshold exclusive "
+            "cumulative (price-domain-bounded — the "
+            "mean_excess_slope class)"
+        ),
+        "block_bootstrap_se": (
+            "row_number over the calendar-day frame; replicate "
+            "cross is a bounded 32-row broadcast"
+        ),
+        "berry_esseen_certificate": (
+            "one cumulative over the pinned daily-mean grid "
+            "(calendar-bounded) + 19-ordinate broadcast"
+        ),
+        "moses_extreme_reactions": (
+            "inclusive+exclusive cumulatives over the cents value "
+            "grid (price-domain-bounded — the ansari_bradley class)"
         ),
     }
 )
