@@ -8999,3 +8999,261 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Cluster-robust (Liang-Zeger) OLS SE for the daily revenue trend
+# (added in round 14 to restore the bank to 49 after the
+# dersimonian_laird_meta promotion into bank_r14's 50th slot)
+# --------------------------------------------------------------------------
+@register(
+    "cluster_robust_ols_se",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS day,
+               CAST(date_part('year', o_orderdate) * 12
+                    + date_part('month', o_orderdate) AS BIGINT)
+                   AS ym,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    gs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(day) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(day AS DECIMAL(38,0)) * day)
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(day AS DECIMAL(38,0)) * y)
+                    AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * y)
+                    AS DECIMAL(38,0)) AS syy
+        FROM daily
+    ),
+    fit AS (
+        SELECT n,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sx), 8) AS b,
+               round(CAST(sx AS DOUBLE) / n, 6) AS xbar,
+               round(CAST(sy AS DOUBLE) / n, 4) AS ybar,
+               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * sx) / n AS sxxc,
+               (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * sy) / n
+               - round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sy)
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * sx), 8)
+                 * round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * sy)
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * sx), 8)
+                 * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * sx) / n AS ssr
+        FROM gs
+    ),
+    cg AS (
+        SELECT d.ym,
+               CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(d.day) AS BIGINT) AS gx,
+               CAST(SUM(d.y) AS BIGINT) AS gy,
+               CAST(SUM(CAST(d.day AS DECIMAL(38,0)) * d.y)
+                    AS DECIMAL(38,0)) AS gxy,
+               CAST(SUM(CAST(d.day AS DECIMAL(38,0)) * d.day)
+                    AS DECIMAL(38,0)) AS gxx
+        FROM daily d GROUP BY d.ym
+    ),
+    scores AS (
+        SELECT round(CAST(gxy AS DOUBLE) - f.xbar * gy
+                     - (f.ybar - f.b * f.xbar) * (gx - f.xbar * ng)
+                     - f.b * (CAST(gxx AS DOUBLE) - f.xbar * gx), 4)
+                   AS h,
+               f.n, f.b, f.sxxc, f.ssr
+        FROM cg, fit f
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS g,
+               MAX(n) AS n, MAX(b) AS b, MAX(sxxc) AS sxxc,
+               MAX(ssr) AS ssr,
+               CAST(SUM(CAST(round(h / 100000.0 * (h / 100000.0), 6)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS shh
+        FROM scores
+    )
+    SELECT n AS n_days, g AS n_month_clusters,
+           round(b / 1000.0, 8) + 0.0 AS slope_usd_per_day,
+           round(sqrt(ssr / (n - 2) / sxxc) / 1000.0, 8) + 0.0
+               AS se_iid_usd,
+           round(sqrt(CAST(g AS DOUBLE) / (g - 1) * (n - 1) / (n - 2)
+                      * shh * 10000000000.0 / (sxxc * sxxc))
+                 / 1000.0, 8) + 0.0 AS se_cluster_cr1_usd,
+           round(sqrt(CAST(g AS DOUBLE) / (g - 1) * (n - 1) / (n - 2)
+                      * shh * 10000000000.0 / (sxxc * sxxc))
+                 / sqrt(ssr / (n - 2) / sxxc), 6) + 0.0
+               AS cluster_inflation_ratio
+    FROM fold
+    """,
+)
+def cluster_robust_ols_se(spark, sf_dir):
+    """CLUSTER-ROBUST (Liang-Zeger CR1) standard error for the daily
+    revenue trend slope, clustered by CALENDAR MONTH: the sandwich
+    variance (X'X)^-1 [sum_g (sum_i in g x~_i e_i)^2] (X'X)^-1 with
+    the G/(G-1)*(n-1)/(n-2) small-sample factor — the third member
+    of the trend-inference triptych: `weekend_effect_ols` assumes
+    iid errors, `newey_west_trend_se` buys a kernel bandwidth,
+    clustering buys a grouping; the cluster_inflation_ratio column
+    is the audit number (how wrong the iid SE is when whole months
+    move together).
+
+    Exactness: all global and per-month power sums are exact
+    DECIMAL(38,0) integers; the OLS slope pins at 8 dp, xbar at 6,
+    intercept-part at 4, so every month's score h_g combines exact
+    integer sums with identically-pinned scalars; h^2 folds at 6 dp
+    in k$^2. Plan: one (day, month) rollup, one global fold, one
+    month fold, two broadcast scalars — no window at all."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("ym"),
+    ).agg(
+        F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    ).persist()
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    gs = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("day").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(d38("day") * F.col("day"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(d38("day") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(d38("y") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    nn = F.col("n").cast("double")
+    braw = (
+        nn * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        nn * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = gs.select(
+        "n",
+        F.round(braw, 8).alias("b"),
+        F.round(F.col("sx").cast("double") / F.col("n"), 6).alias(
+            "xbar"
+        ),
+        F.round(F.col("sy").cast("double") / F.col("n"), 4).alias(
+            "ybar"
+        ),
+        (
+            (
+                nn * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            / F.col("n")
+        ).alias("sxxc"),
+        (
+            (
+                nn * F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy")
+            )
+            / F.col("n")
+            - F.round(braw, 8)
+            * F.round(braw, 8)
+            * (
+                nn * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            / F.col("n")
+        ).alias("ssr"),
+    )
+    cg = daily.groupBy("ym").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("day").cast("bigint").alias("gx"),
+        F.sum("y").cast("bigint").alias("gy"),
+        F.sum(d38("day") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("gxy"),
+        F.sum(d38("day") * F.col("day"))
+        .cast("decimal(38,0)")
+        .alias("gxx"),
+    )
+    h = F.round(
+        F.col("gxy").cast("double")
+        - F.col("xbar") * F.col("gy")
+        - (F.col("ybar") - F.col("b") * F.col("xbar"))
+        * (F.col("gx") - F.col("xbar") * F.col("ng"))
+        - F.col("b")
+        * (F.col("gxx").cast("double") - F.col("xbar") * F.col("gx")),
+        4,
+    )
+    scores = cg.crossJoin(F.broadcast(fit)).select(
+        h.alias("h"), "n", "b", "sxxc", "ssr"
+    )
+    fold = scores.agg(
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+        F.max("n").alias("n"),
+        F.max("b").alias("b"),
+        F.max("sxxc").alias("sxxc"),
+        F.max("ssr").alias("ssr"),
+        F.sum(
+            F.round(
+                F.col("h") / 100000.0 * (F.col("h") / 100000.0), 6
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("shh"),
+    )
+    cr1 = (
+        F.col("g").cast("double")
+        / (F.col("g") - 1)
+        * (F.col("n") - 1)
+        / (F.col("n") - 2)
+    )
+    se_cl = F.sqrt(
+        cr1
+        * F.col("shh")
+        * 10000000000.0
+        / (F.col("sxxc") * F.col("sxxc"))
+    )
+    se_iid = F.sqrt(
+        F.col("ssr") / (F.col("n") - 2) / F.col("sxxc")
+    )
+    return fold.select(
+        F.col("n").alias("n_days"),
+        F.col("g").alias("n_month_clusters"),
+        (F.round(F.col("b") / 1000.0, 8) + 0.0).alias(
+            "slope_usd_per_day"
+        ),
+        (F.round(se_iid / 1000.0, 8) + 0.0).alias("se_iid_usd"),
+        (F.round(se_cl / 1000.0, 8) + 0.0).alias(
+            "se_cluster_cr1_usd"
+        ),
+        (F.round(se_cl / se_iid, 6) + 0.0).alias(
+            "cluster_inflation_ratio"
+        ),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "cluster_robust_ols_se": (
+            "no window at all — two rollups and broadcast scalars "
+            "(added r14 to restore the bank to 49 after the "
+            "dersimonian promotion)"
+        ),
+    }
+)
