@@ -347,6 +347,7 @@ def audit(spark, names=None):
         bank_r16,
         bank_r17,
         bank_r18,
+        bank_r19,
         next_window,
     )
 
@@ -361,6 +362,7 @@ def audit(spark, names=None):
             **bank_r16.BANK_QUERIES,
             **bank_r17.BANK_QUERIES,
             **bank_r18.BANK_QUERIES,
+            **bank_r19.BANK_QUERIES,
             **next_window.NEXT_QUERIES,
             **qs,
         }

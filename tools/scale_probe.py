@@ -141,6 +141,7 @@ def main(argv) -> int:
         bank_r16,
         bank_r17,
         bank_r18,
+        bank_r19,
         next_window,
     )
     from celestrak_tle_data_pipeline_spark.session import get_spark
@@ -158,6 +159,7 @@ def main(argv) -> int:
     qs.update(bank_r16.BANK_QUERIES)
     qs.update(bank_r17.BANK_QUERIES)
     qs.update(bank_r18.BANK_QUERIES)
+    qs.update(bank_r19.BANK_QUERIES)
     qs.update(next_window.NEXT_QUERIES)
     qs.update(plans.all_queries())
     report = {}
