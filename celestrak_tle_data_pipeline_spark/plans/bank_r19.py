@@ -825,3 +825,523 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Brown-Mood median line for the daily revenue trend
+# --------------------------------------------------------------------------
+@register(
+    "brown_mood_median_line",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    lab AS (
+        SELECT day, y,
+               CASE WHEN day <= (SELECT (MIN(day) + MAX(day)) // 2
+                                 FROM daily)
+                    THEN 1 ELSE 2 END AS half
+        FROM daily
+    ),
+    med AS (
+        SELECT half,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(quantile_disc(day, 0.5) AS BIGINT) AS mx,
+               CAST(quantile_disc(y, 0.5) AS BIGINT) AS my
+        FROM lab GROUP BY half
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN half = 1 THEN n END) AS n1,
+               MAX(CASE WHEN half = 1 THEN mx END) AS x1,
+               MAX(CASE WHEN half = 1 THEN my END) AS y1,
+               MAX(CASE WHEN half = 2 THEN n END) AS n2,
+               MAX(CASE WHEN half = 2 THEN mx END) AS x2,
+               MAX(CASE WHEN half = 2 THEN my END) AS y2
+        FROM med
+    ),
+    resid AS (
+        SELECT l.half,
+               CAST(SUM(CASE WHEN l.y - w.y1
+                                  - CAST(w.y2 - w.y1 AS DOUBLE)
+                                    / (w.x2 - w.x1)
+                                    * (l.day - w.x1) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS above,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lab l, w GROUP BY l.half
+    )
+    SELECT w.n1 + w.n2 AS n_days,
+           round(CAST(w.y2 - w.y1 AS DOUBLE) / (w.x2 - w.x1)
+                 / 1000.0, 8) + 0.0 AS bm_slope_usd_per_day,
+           round((w.y1 - CAST(w.y2 - w.y1 AS DOUBLE)
+                         / (w.x2 - w.x1) * w.x1) / 100000.0, 4)
+               + 0.0 AS bm_intercept_kusd,
+           (SELECT round(CAST(above AS DOUBLE) / n, 6) + 0.0
+            FROM resid WHERE half = 1) AS frac_above_h1,
+           (SELECT round(CAST(above AS DOUBLE) / n, 6) + 0.0
+            FROM resid WHERE half = 2) AS frac_above_h2
+    FROM w
+    """,
+)
+def brown_mood_median_line(spark, sf_dir):
+    """BROWN-MOOD median line for the daily revenue trend: split the
+    calendar at its midpoint, join the two half-sample (median day,
+    median revenue) points — a line whose slope is immune to ANY
+    fraction of revenue-spike outliers short of half a half-sample,
+    the blunt-instrument second opinion to the OLS trend
+    (`weekend_effect_ols` family) and `sen_slope_confidence_band`
+    (pairwise-median): three trend estimators agreeing is the trend
+    certificate. The per-half fractions of days above the line
+    double as the Brown-Mood fit check (both should be ~1/2).
+
+    Exactness: half medians are exact discrete order statistics
+    (quantile_disc / the lower-median convention both engines
+    share); the line and residual signs evaluate in doubles from
+    exact integers. Plan: one day rollup, two half folds, one
+    broadcast residual count."""
+    daily = _daily(spark, sf_dir)
+    cut = daily.agg(
+        F.floor((F.min("day") + F.max("day")) / 2)
+        .cast("bigint")
+        .alias("cut")
+    )
+    lab = daily.crossJoin(F.broadcast(cut)).select(
+        "day",
+        "y",
+        F.when(F.col("day") <= F.col("cut"), 1).otherwise(2).alias(
+            "half"
+        ),
+    ).persist()
+    med = lab.groupBy("half").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY day)")
+        .cast("bigint")
+        .alias("mx"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY y)")
+        .cast("bigint")
+        .alias("my"),
+    )
+    w = med.agg(
+        F.max(F.when(F.col("half") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("half") == 1, F.col("mx"))).alias("x1"),
+        F.max(F.when(F.col("half") == 1, F.col("my"))).alias("y1"),
+        F.max(F.when(F.col("half") == 2, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("half") == 2, F.col("mx"))).alias("x2"),
+        F.max(F.when(F.col("half") == 2, F.col("my"))).alias("y2"),
+    )
+    slope = (F.col("y2") - F.col("y1")).cast("double") / (
+        F.col("x2") - F.col("x1")
+    )
+    resid = (
+        lab.crossJoin(F.broadcast(w))
+        .groupBy("half")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("y")
+                    - F.col("y1")
+                    - slope * (F.col("day") - F.col("x1"))
+                    > 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("above"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    fr = resid.agg(
+        F.max(
+            F.when(
+                F.col("half") == 1,
+                F.round(F.col("above").cast("double") / F.col("n"), 6)
+                + 0.0,
+            )
+        ).alias("frac_above_h1"),
+        F.max(
+            F.when(
+                F.col("half") == 2,
+                F.round(F.col("above").cast("double") / F.col("n"), 6)
+                + 0.0,
+            )
+        ).alias("frac_above_h2"),
+    )
+    return w.crossJoin(F.broadcast(fr)).select(
+        (F.col("n1") + F.col("n2")).alias("n_days"),
+        (F.round(slope / 1000.0, 8) + 0.0).alias(
+            "bm_slope_usd_per_day"
+        ),
+        (
+            F.round(
+                (F.col("y1") - slope * F.col("x1")) / 100000.0, 4
+            )
+            + 0.0
+        ).alias("bm_intercept_kusd"),
+        "frac_above_h1",
+        "frac_above_h2",
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust dispersion panel: QCD, decile ratio, midspread share
+# --------------------------------------------------------------------------
+@register(
+    "robust_dispersion_panel",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    grid AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(v) AS BIGINT) AS tv
+        FROM pts GROUP BY v
+    ),
+    cum AS (
+        SELECT v, c, tv,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS cc,
+               SUM(c) OVER () AS n,
+               SUM(tv) OVER () AS s
+        FROM grid
+    ),
+    qs AS (
+        SELECT (SELECT CAST(MIN(v) AS BIGINT) FROM cum
+                WHERE 10 * cc >= n) AS p10,
+               (SELECT CAST(MIN(v) AS BIGINT) FROM cum
+                WHERE 4 * cc >= n) AS q1,
+               (SELECT CAST(MIN(v) AS BIGINT) FROM cum
+                WHERE 4 * cc >= 3 * n) AS q3,
+               (SELECT CAST(MIN(v) AS BIGINT) FROM cum
+                WHERE 10 * cc >= 9 * n) AS p90,
+               (SELECT CAST(MAX(n) AS BIGINT) FROM cum) AS n,
+               (SELECT CAST(MAX(s) AS BIGINT) FROM cum) AS s
+    ),
+    mid AS (
+        SELECT CAST(SUM(CASE WHEN g.v >= qs.q1 AND g.v <= qs.q3
+                             THEN g.tv ELSE 0 END) AS BIGINT)
+                   AS mid_v
+        FROM grid g, qs
+    )
+    SELECT qs.n AS n_orders,
+           round(CAST(qs.q3 - qs.q1 AS DOUBLE)
+                 / (qs.q3 + qs.q1), 8) + 0.0
+               AS quartile_coeff_dispersion,
+           round(CAST(qs.p90 AS DOUBLE) / qs.p10, 6) + 0.0
+               AS decile_ratio_p90_p10,
+           round(CAST(mid.mid_v AS DOUBLE) / qs.s, 8) + 0.0
+               AS midspread_value_share
+    FROM qs, mid
+    """,
+)
+def robust_dispersion_panel(spark, sf_dir):
+    """ROBUST DISPERSION panel for order values: the quartile
+    coefficient of dispersion (Q3-Q1)/(Q3+Q1), the P90/P10 decile
+    ratio, and the share of total VALUE carried by the interquartile
+    midspread — the outlier-immune second opinions to the moment CV
+    (`feltz_miller_cv_test`) and the robust-scale estimators
+    (`qn_scale_estimator`, `rousseeuw_sn_scale` answer "how wide";
+    these answer "how wide relative to location", which is what
+    cross-SF and cross-period comparisons need).
+
+    Exactness: all four quantiles are exact lower order statistics
+    (integer threshold compares); the midspread value share is an
+    exact integer-cents ratio. Plan: one value-grid cumulative,
+    two scalar folds."""
+    o = t(spark, sf_dir, "orders")
+    grid = (
+        o.select(
+            (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v")
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("v").cast("bigint").alias("tv"),
+        )
+        .persist()
+    )
+    cum = grid.select(
+        "v",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+        F.sum("tv").over(Window.partitionBy()).alias("s"),
+    ).persist()
+
+    def orderstat(num, den):
+        return (
+            cum.where(den * F.col("cc") >= num * F.col("n"))
+            .agg(F.min("v").cast("bigint").alias("q"))
+        )
+
+    p10 = orderstat(1, 10).select(F.col("q").alias("p10"))
+    q1 = orderstat(1, 4).select(F.col("q").alias("q1"))
+    q3 = orderstat(3, 4).select(F.col("q").alias("q3"))
+    p90 = orderstat(9, 10).select(F.col("q").alias("p90"))
+    ns = cum.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("s").cast("bigint").alias("s"),
+    )
+    qs = (
+        p10.crossJoin(F.broadcast(q1))
+        .crossJoin(F.broadcast(q3))
+        .crossJoin(F.broadcast(p90))
+        .crossJoin(F.broadcast(ns))
+    )
+    mid = (
+        grid.crossJoin(F.broadcast(qs))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("v") >= F.col("q1"))
+                    & (F.col("v") <= F.col("q3")),
+                    F.col("tv"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("mid_v")
+        )
+    )
+    return qs.crossJoin(F.broadcast(mid)).select(
+        F.col("n").alias("n_orders"),
+        (
+            F.round(
+                (F.col("q3") - F.col("q1")).cast("double")
+                / (F.col("q3") + F.col("q1")),
+                8,
+            )
+            + 0.0
+        ).alias("quartile_coeff_dispersion"),
+        (
+            F.round(F.col("p90").cast("double") / F.col("p10"), 6)
+            + 0.0
+        ).alias("decile_ratio_p90_p10"),
+        (
+            F.round(F.col("mid_v").cast("double") / F.col("s"), 8)
+            + 0.0
+        ).alias("midspread_value_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DeLong variance for the value->purchase AUC
+# --------------------------------------------------------------------------
+@register(
+    "auc_delong_se",
+    oracle="""
+    WITH pts AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS pos,
+               CAST(floor(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    grid AS (
+        SELECT v,
+               CAST(SUM(pos) AS BIGINT) AS c1,
+               CAST(SUM(1 - pos) AS BIGINT) AS c0
+        FROM pts GROUP BY v
+    ),
+    cum AS (
+        SELECT v, c1, c0,
+               CAST(COALESCE(SUM(c0) OVER ew, 0) AS BIGINT)
+                   AS c0_below,
+               CAST(COALESCE(SUM(c1) OVER ew, 0) AS BIGINT)
+                   AS c1_below,
+               CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+               CAST(SUM(c0) OVER () AS BIGINT) AS n0
+        FROM grid
+        WINDOW ew AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING)
+    ),
+    afold AS (
+        SELECT MAX(n1) AS n1, MAX(n0) AS n0,
+               CAST(SUM(CAST(c1 AS DECIMAL(38,0))
+                        * (2 * c0_below + c0)) AS DECIMAL(38,0))
+                   AS u2
+        FROM cum
+    ),
+    placef AS (
+        SELECT a.n1, a.n0,
+               CAST(a.u2 AS DOUBLE) / 2 / a.n1 / a.n0 AS auc,
+               CAST(SUM(CAST(round(c.c1
+                   * ((c.c0_below + c.c0 / 2.0) / a.n0
+                      - CAST(a.u2 AS DOUBLE) / 2 / a.n1 / a.n0)
+                   * ((c.c0_below + c.c0 / 2.0) / a.n0
+                      - CAST(a.u2 AS DOUBLE) / 2 / a.n1 / a.n0), 10)
+                   AS DECIMAL(38,10))) AS DOUBLE) AS s10,
+               CAST(SUM(CAST(round(c.c0
+                   * ((a.n1 - c.c1_below - c.c1 / 2.0) / a.n1
+                      - CAST(a.u2 AS DOUBLE) / 2 / a.n1 / a.n0)
+                   * ((a.n1 - c.c1_below - c.c1 / 2.0) / a.n1
+                      - CAST(a.u2 AS DOUBLE) / 2 / a.n1 / a.n0), 10)
+                   AS DECIMAL(38,10))) AS DOUBLE) AS s01
+        FROM cum c, afold a
+        GROUP BY a.n1, a.n0, a.u2
+    )
+    SELECT n1 AS n_positive, n0 AS n_negative,
+           round(auc, 8) + 0.0 AS auc_midrank,
+           round(sqrt(s10 / (n1 - 1.0) / n1
+                      + s01 / (n0 - 1.0) / n0), 8) + 0.0
+               AS delong_se,
+           round(auc - 1.959963984540054
+                 * sqrt(s10 / (n1 - 1.0) / n1
+                        + s01 / (n0 - 1.0) / n0), 8) + 0.0
+               AS ci95_lo,
+           round(auc + 1.959963984540054
+                 * sqrt(s10 / (n1 - 1.0) / n1
+                        + s01 / (n0 - 1.0) / n0), 8) + 0.0
+               AS ci95_hi
+    FROM placef
+    """,
+)
+def auc_delong_se(spark, sf_dir):
+    """DELONG variance for the value->purchase AUC: the structural-
+    components estimator — per-positive placements V10 = F0(x) and
+    per-negative placements V01 = 1 - F1(y) (midrank convention at
+    ties), SE^2 = S10/(n1 m... ) = var(V10)/n1 + var(V01)/n0 — the
+    assumption-free second opinion to `auc_hanley_mcneil_ci`'s
+    exponential-model SE: when the two intervals disagree, the
+    Hanley-McNeil model assumption is the thing that broke, which
+    is exactly what a model-comparison gate needs to know before
+    trusting either.
+
+    Device: placements collapse onto the value grid — every
+    positive at value v has the SAME placement (c0_below +
+    c0_tied/2)/n0, so the placement variance folds as c1 * (place
+    - AUC)^2 per grid row with no per-event vector; both exclusive
+    cumulatives ride one window over the value-cents grid. Terms
+    round at 10 dp into DECIMAL(38,10). Plan: one grid rollup, one
+    double exclusive cumulative, two folds."""
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("pos"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    grid = pts.groupBy("v").agg(
+        F.sum("pos").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("c0"),
+    )
+    ew = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = grid.select(
+        "c1",
+        "c0",
+        F.coalesce(F.sum("c0").over(ew), F.lit(0))
+        .cast("bigint")
+        .alias("c0_below"),
+        F.coalesce(F.sum("c1").over(ew), F.lit(0))
+        .cast("bigint")
+        .alias("c1_below"),
+        F.sum("c1").over(Window.partitionBy()).cast("bigint").alias(
+            "n1"
+        ),
+        F.sum("c0").over(Window.partitionBy()).cast("bigint").alias(
+            "n0"
+        ),
+    ).persist()
+    afold = cum.agg(
+        F.max("n1").alias("n1"),
+        F.max("n0").alias("n0"),
+        F.sum(
+            F.col("c1").cast("decimal(38,0)")
+            * (2 * F.col("c0_below") + F.col("c0"))
+        )
+        .cast("decimal(38,0)")
+        .alias("u2"),
+    )
+    placef = (
+        cum.crossJoin(F.broadcast(afold.select(F.col("u2"))))
+        .groupBy("n1", "n0", "u2")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("c1")
+                    * (
+                        (F.col("c0_below") + F.col("c0") / 2.0)
+                        / F.col("n0")
+                        - F.col("u2").cast("double")
+                        / 2
+                        / F.col("n1")
+                        / F.col("n0")
+                    )
+                    * (
+                        (F.col("c0_below") + F.col("c0") / 2.0)
+                        / F.col("n0")
+                        - F.col("u2").cast("double")
+                        / 2
+                        / F.col("n1")
+                        / F.col("n0")
+                    ),
+                    10,
+                ).cast("decimal(38,10)")
+            )
+            .cast("double")
+            .alias("s10"),
+            F.sum(
+                F.round(
+                    F.col("c0")
+                    * (
+                        (
+                            F.col("n1")
+                            - F.col("c1_below")
+                            - F.col("c1") / 2.0
+                        )
+                        / F.col("n1")
+                        - F.col("u2").cast("double")
+                        / 2
+                        / F.col("n1")
+                        / F.col("n0")
+                    )
+                    * (
+                        (
+                            F.col("n1")
+                            - F.col("c1_below")
+                            - F.col("c1") / 2.0
+                        )
+                        / F.col("n1")
+                        - F.col("u2").cast("double")
+                        / 2
+                        / F.col("n1")
+                        / F.col("n0")
+                    ),
+                    10,
+                ).cast("decimal(38,10)")
+            )
+            .cast("double")
+            .alias("s01"),
+        )
+    )
+    auc = F.col("u2").cast("double") / 2 / F.col("n1") / F.col("n0")
+    se = F.sqrt(
+        F.col("s10") / (F.col("n1") - 1.0) / F.col("n1")
+        + F.col("s01") / (F.col("n0") - 1.0) / F.col("n0")
+    )
+    z = 1.959963984540054
+    return placef.select(
+        F.col("n1").alias("n_positive"),
+        F.col("n0").alias("n_negative"),
+        (F.round(auc, 8) + 0.0).alias("auc_midrank"),
+        (F.round(se, 8) + 0.0).alias("delong_se"),
+        (F.round(auc - z * se, 8) + 0.0).alias("ci95_lo"),
+        (F.round(auc + z * se, 8) + 0.0).alias("ci95_hi"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "robust_dispersion_panel": (
+            "one cumulative over the cents value grid + threshold "
+            "scalars (the gastwirth class)"
+        ),
+        "auc_delong_se": (
+            "one double exclusive-prefix cumulative over the "
+            "value-cents grid (the auc_hanley_mcneil class)"
+        ),
+    }
+)
