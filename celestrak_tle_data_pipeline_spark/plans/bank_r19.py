@@ -1345,3 +1345,273 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Closed-form MMD (quadratic kernel): weekend vs weekday order values
+# --------------------------------------------------------------------------
+@register(
+    "mmd_poly2_two_sample",
+    oracle="""
+    WITH pts AS (
+        SELECT CASE WHEN CAST(epoch_us(o_orderdate) // 86400000000
+                         + 4 AS BIGINT) % 7 >= 5
+                    THEN 1 ELSE 0 END AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    AS DECIMAL(10,2)) AS x
+        FROM orders
+    ),
+    arm AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(30,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(round(x * x, 2) AS DECIMAL(30,2)))
+                    AS DOUBLE) AS s2
+        FROM pts GROUP BY g
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN g = 1 THEN n END) AS na,
+               MAX(CASE WHEN g = 1 THEN s1 END) AS a1,
+               MAX(CASE WHEN g = 1 THEN s2 END) AS a2,
+               MAX(CASE WHEN g = 0 THEN n END) AS nb,
+               MAX(CASE WHEN g = 0 THEN s1 END) AS b1,
+               MAX(CASE WHEN g = 0 THEN s2 END) AS b2
+        FROM arm
+    ),
+    mm AS (
+        SELECT na, nb,
+               a1 / na / 100000.0 AS ma1,
+               a2 / na / 10000000000.0 AS ma2,
+               b1 / nb / 100000.0 AS mb1,
+               b2 / nb / 10000000000.0 AS mb2
+        FROM w
+    )
+    SELECT na AS n_weekend, nb AS n_weekday,
+           round((ma1 - mb1) * (ma1 - mb1), 10) + 0.0
+               AS mmd2_linear_kusd2,
+           round(2.0 * (ma1 - mb1) * (ma1 - mb1)
+                 + (ma2 - mb2) * (ma2 - mb2), 10) + 0.0
+               AS mmd2_poly2_kusd,
+           round(ma2 - ma1 * ma1 - (mb2 - mb1 * mb1), 8) + 0.0
+               AS variance_gap_kusd2
+    FROM mm
+    """,
+)
+def mmd_poly2_two_sample(spark, sf_dir):
+    """CLOSED-FORM MAXIMUM MEAN DISCREPANCY between weekend and
+    weekday order values under the quadratic polynomial kernel
+    k(x,y) = (xy + c)^2: for polynomial kernels the mean embedding
+    is a finite moment vector, so MMD^2 = 2c*(mu_a - mu_b)^2 +
+    (E[x^2]_a - E[x^2]_b)^2 (c = 1 k$^2 here) computes EXACTLY from
+    first and second moments — no kernel matrix, no sampling. The
+    moment-space second opinion to `energy_distance_two_sample` and
+    `ks_two_sample_values`: MMD-poly2 isolates WHICH moments moved
+    (the variance_gap column is the second component), where KS
+    says only "something moved".
+
+    Exactness: both arms' moment sums are exact decimals (values at
+    2 dp, squares rounded at 2 dp into DECIMAL(30,2) — the
+    max_to_sum staging); the k$ normalizations and the final
+    quadratic form run in doubles at 10 dp. Plan: one arm rollup,
+    one fold — no window, no join."""
+    o = t(spark, sf_dir, "orders")
+    day = F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+    pts = o.select(
+        F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("g"),
+        dec("o_totalprice", 10, 2).alias("x"),
+    )
+    arm = pts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            F.round(F.col("x") * F.col("x"), 2).cast("decimal(30,2)")
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    w = arm.agg(
+        F.max(F.when(F.col("g") == 1, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("g") == 1, F.col("s1"))).alias("a1"),
+        F.max(F.when(F.col("g") == 1, F.col("s2"))).alias("a2"),
+        F.max(F.when(F.col("g") == 0, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("g") == 0, F.col("s1"))).alias("b1"),
+        F.max(F.when(F.col("g") == 0, F.col("s2"))).alias("b2"),
+    )
+    ma1 = F.col("a1") / F.col("na") / 100000.0
+    ma2 = F.col("a2") / F.col("na") / 10000000000.0
+    mb1 = F.col("b1") / F.col("nb") / 100000.0
+    mb2 = F.col("b2") / F.col("nb") / 10000000000.0
+    return w.select(
+        F.col("na").alias("n_weekend"),
+        F.col("nb").alias("n_weekday"),
+        (F.round((ma1 - mb1) * (ma1 - mb1), 10) + 0.0).alias(
+            "mmd2_linear_kusd2"
+        ),
+        (
+            F.round(
+                2.0 * (ma1 - mb1) * (ma1 - mb1)
+                + (ma2 - mb2) * (ma2 - mb2),
+                10,
+            )
+            + 0.0
+        ).alias("mmd2_poly2_kusd"),
+        (
+            F.round(ma2 - ma1 * ma1 - (mb2 - mb1 * mb1), 8) + 0.0
+        ).alias("variance_gap_kusd2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sarle's bimodality coefficient for daily revenue
+# --------------------------------------------------------------------------
+@register(
+    "bimodality_coefficient",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * y)
+                    AS DECIMAL(38,0)) AS s2,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * y * y)
+                    AS DECIMAL(38,0)) AS s3,
+               CAST(SUM(CAST(round(((y / 100000.0)
+                                    * (y / 100000.0))
+                                   * ((y / 100000.0)
+                                      * (y / 100000.0)), 2)
+                             AS DECIMAL(36,2))) AS DOUBLE) AS s4k
+        FROM daily
+    ),
+    km AS (
+        SELECT n,
+               (CAST(s2 AS DOUBLE) / n / 10000000000.0
+                - (CAST(s AS DOUBLE) / n / 100000.0)
+                  * (CAST(s AS DOUBLE) / n / 100000.0)) AS m2,
+               (CAST(s3 AS DOUBLE) / n / 1000000000000000.0
+                - 3.0 * (CAST(s AS DOUBLE) / n / 100000.0)
+                  * (CAST(s2 AS DOUBLE) / n / 10000000000.0)
+                + 2.0 * (CAST(s AS DOUBLE) / n / 100000.0)
+                  * (CAST(s AS DOUBLE) / n / 100000.0)
+                  * (CAST(s AS DOUBLE) / n / 100000.0)) AS m3,
+               (s4k / n
+                - 4.0 * (CAST(s AS DOUBLE) / n / 100000.0)
+                  * (CAST(s3 AS DOUBLE) / n / 1000000000000000.0)
+                + 6.0 * (CAST(s AS DOUBLE) / n / 100000.0)
+                  * (CAST(s AS DOUBLE) / n / 100000.0)
+                  * (CAST(s2 AS DOUBLE) / n / 10000000000.0)
+                - 3.0 * (CAST(s AS DOUBLE) / n / 100000.0)
+                  * (CAST(s AS DOUBLE) / n / 100000.0)
+                  * (CAST(s AS DOUBLE) / n / 100000.0)
+                  * (CAST(s AS DOUBLE) / n / 100000.0)) AS m4
+        FROM mom
+    ),
+    gk AS (
+        SELECT n,
+               round(m3 / sqrt(m2 * m2 * m2)
+                     * sqrt(CAST(n AS DOUBLE) * (n - 1)) / (n - 2),
+                     8) AS g1,
+               round((CAST(n AS DOUBLE) - 1)
+                     / ((n - 2.0) * (n - 3.0))
+                     * ((n + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0),
+                     8) AS g2
+        FROM km
+    )
+    SELECT n AS n_days,
+           g1 + 0.0 AS sample_skewness_g1,
+           g2 + 0.0 AS excess_kurtosis_g2,
+           round((g1 * g1 + 1.0)
+                 / (g2 + 3.0 * (CAST(n AS DOUBLE) - 1) * (n - 1)
+                           / ((n - 2.0) * (n - 3.0))), 8) + 0.0
+               AS bimodality_coefficient,
+           CAST(CASE WHEN (g1 * g1 + 1.0)
+                          / (g2 + 3.0 * (CAST(n AS DOUBLE) - 1)
+                                * (n - 1)
+                                / ((n - 2.0) * (n - 3.0)))
+                          > 0.5555555555555556
+                     THEN 1 ELSE 0 END AS INT)
+               AS exceeds_uniform_bc
+    FROM gk
+    """,
+)
+def bimodality_coefficient(spark, sf_dir):
+    """SARLE'S BIMODALITY COEFFICIENT for daily revenue: BC = (g1^2 +
+    1) / (g2 + 3(n-1)^2/((n-2)(n-3))) from bias-corrected sample
+    skewness and kurtosis — BC above the uniform benchmark 5/9
+    flags a bimodal/multimodal regime (two operating modes of the
+    business) that every location/scale summary silently averages
+    over; the cheap moment-space screen that says when
+    `shorth_lms_location` / mixture machinery (`poisson_mixture_
+    em2`) is worth running. The distribution-shape second opinion
+    to `dagostino_k2_panel` (which tests normality, not
+    unimodality).
+
+    Exactness: the first three raw power sums are exact
+    DECIMAL(38,0) integers; the fourth power (cents^4 overflows a
+    38-digit SUM at sf0.1 scale — caught by the sf0.1 sweep) is
+    computed per day in k$ as identical-IEEE double products,
+    rounded at 2 dp, and folded order-independently through
+    DECIMAL(36,2); all central moments assemble in k$ units;
+    g1/g2 pin at 8 dp before BC. Plan: one day
+    rollup, one fold — no window."""
+    daily = _daily(spark, sf_dir)
+    y38 = F.col("y").cast("decimal(38,0)")
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(y38 * F.col("y")).cast("decimal(38,0)").alias("s2"),
+        F.sum(y38 * F.col("y") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("s3"),
+        F.sum(
+            F.round(
+                ((F.col("y") / 100000.0) * (F.col("y") / 100000.0))
+                * ((F.col("y") / 100000.0) * (F.col("y") / 100000.0)),
+                2,
+            ).cast("decimal(36,2)")
+        )
+        .cast("double")
+        .alias("s4k"),
+    )
+    nn = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / F.col("n") / 100000.0
+    mm2 = F.col("s2").cast("double") / F.col("n") / 10000000000.0
+    mm3 = (
+        F.col("s3").cast("double") / F.col("n") / 1000000000000000.0
+    )
+    m2 = mm2 - mu * mu
+    m3 = mm3 - 3.0 * mu * mm2 + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("s4k") / F.col("n")
+        - 4.0 * mu * mm3
+        + 6.0 * mu * mu * mm2
+        - 3.0 * mu * mu * mu * mu
+    )
+    g1 = F.round(
+        m3 / F.sqrt(m2 * m2 * m2) * F.sqrt(nn * (F.col("n") - 1))
+        / (F.col("n") - 2),
+        8,
+    )
+    g2 = F.round(
+        (nn - 1)
+        / ((F.col("n") - 2.0) * (F.col("n") - 3.0))
+        * ((F.col("n") + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0),
+        8,
+    )
+    denom_adj = (
+        3.0
+        * (nn - 1)
+        * (F.col("n") - 1)
+        / ((F.col("n") - 2.0) * (F.col("n") - 3.0))
+    )
+    bc = (g1 * g1 + 1.0) / (g2 + denom_adj)
+    return mom.select(
+        F.col("n").alias("n_days"),
+        (g1 + 0.0).alias("sample_skewness_g1"),
+        (g2 + 0.0).alias("excess_kurtosis_g2"),
+        (F.round(bc, 8) + 0.0).alias("bimodality_coefficient"),
+        F.when(bc > 0.5555555555555556, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("exceeds_uniform_bc"),
+    )
