@@ -1615,3 +1615,492 @@ def bimodality_coefficient(spark, sf_dir):
         .cast("int")
         .alias("exceeds_uniform_bc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Watson U^2 circular-uniformity test on second-of-day event phases
+# --------------------------------------------------------------------------
+@register(
+    "watson_u2_hours",
+    oracle="""
+    WITH phases AS (
+        SELECT CAST((epoch_us(ts) % 86400000000) // 1000000
+                    AS BIGINT) AS s
+        FROM events
+    ),
+    grid AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM phases GROUP BY s
+    ),
+    cum AS (
+        SELECT s, c,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY s ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS head,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM grid
+    ),
+    terms AS (
+        SELECT MAX(n) AS n,
+               CAST(SUM(CAST(round(
+                   c * ((s + 0.5) / 86400.0) * ((s + 0.5) / 86400.0)
+                   - ((s + 0.5) / 86400.0) * c * (2.0 * head + c) / n
+                   + (4.0 * ((CAST(head AS DECIMAL(38,0)) + c)
+                             * (head + c) * (2 * head + 2 * c + 1)
+                             / 6
+                             - CAST(head AS DECIMAL(38,0)) * head
+                               * (2 * head + 1) / 6)
+                      - 4.0 * (CAST(c AS DECIMAL(38,0)) * head
+                               + CAST(c AS DECIMAL(38,0)) * (c + 1)
+                                 / 2)
+                      + c)
+                     / (4.0 * CAST(n AS DOUBLE) * n), 10)
+                   AS DECIMAL(38,10))) AS DOUBLE) AS s_cvm,
+               CAST(SUM(CAST(round(c * ((s + 0.5) / 86400.0), 8)
+                             AS DECIMAL(28,8))) AS DOUBLE) AS s_u
+        FROM cum GROUP BY n
+    )
+    SELECT n AS n_events,
+           round(s_u / n, 8) + 0.0 AS mean_phase,
+           round(1.0 / (12.0 * n) + s_cvm, 6) + 0.0 AS cvm_w2,
+           round(1.0 / (12.0 * n) + s_cvm
+                 - n * (s_u / n - 0.5) * (s_u / n - 0.5), 6) + 0.0
+               AS watson_u2,
+           CAST(CASE WHEN 1.0 / (12.0 * n) + s_cvm
+                          - n * (s_u / n - 0.5) * (s_u / n - 0.5)
+                          > 0.187 THEN 1 ELSE 0 END AS INT)
+               AS reject_uniform_5pct
+    FROM terms
+    """,
+)
+def watson_u2_hours(spark, sf_dir):
+    """WATSON'S U^2 circular-uniformity test on second-of-day event
+    phases: U^2 = W^2 - n*(ubar - 1/2)^2 — the rotation-INVARIANT
+    repair of Cramer-von Mises for circular data (a KS/CvM verdict
+    on hours depends on where midnight cuts the circle; Watson's
+    does not) — the quantitative second opinion to
+    `hodges_ajne_circular` (a sign test, ignores magnitudes) and
+    `rayleigh_circular_hours` (first-harmonic only: U^2 also sees
+    bimodal 12-hour patterns Rayleigh is blind to). Asymptotic 5%
+    critical value 0.187.
+
+    Device: phases discretize to the bounded 86400-point second-of-
+    day grid (stated); the per-unit CvM sum collapses onto it via
+    the `cvm_lognormal_gof` tie-group identity (exact square-
+    pyramidal partial sums in DECIMAL(38,0)); F is the literal
+    midpoint (s+0.5)/86400. Plan: one phase rollup, one bounded
+    grid cumulative, one fold."""
+    e = t(spark, sf_dir, "events")
+    phases = e.select(
+        F.floor(
+            (F.unix_micros("ts") % 86_400_000_000) / 1_000_000
+        )
+        .cast("bigint")
+        .alias("s")
+    )
+    grid = phases.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = grid.select(
+        "s",
+        "c",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("s").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("head"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias(
+            "n"
+        ),
+    )
+    ff = (F.col("s") + 0.5) / 86400.0
+    h38 = F.col("head").cast("decimal(38,0)")
+    c38 = F.col("c").cast("decimal(38,0)")
+    s2hi = (
+        (h38 + F.col("c"))
+        * (F.col("head") + F.col("c"))
+        * (2 * F.col("head") + 2 * F.col("c") + 1)
+        / 6
+    )
+    s2lo = h38 * F.col("head") * (2 * F.col("head") + 1) / 6
+    s1 = c38 * F.col("head") + c38 * (F.col("c") + 1) / 2
+    odd2 = 4.0 * (s2hi - s2lo) - 4.0 * s1 + F.col("c")
+    term = F.round(
+        F.col("c") * ff * ff
+        - ff * F.col("c") * (2.0 * F.col("head") + F.col("c")) / F.col("n")
+        + odd2 / (4.0 * F.col("n").cast("double") * F.col("n")),
+        10,
+    ).cast("decimal(38,10)")
+    uterm = F.round(F.col("c") * ff, 8).cast("decimal(28,8)")
+    terms = cum.groupBy("n").agg(
+        F.sum(term).cast("double").alias("s_cvm"),
+        F.sum(uterm).cast("double").alias("s_u"),
+    )
+    ubar = F.col("s_u") / F.col("n")
+    w2 = 1.0 / (12.0 * F.col("n")) + F.col("s_cvm")
+    u2 = w2 - F.col("n") * (ubar - 0.5) * (ubar - 0.5)
+    return terms.select(
+        F.col("n").alias("n_events"),
+        (F.round(ubar, 8) + 0.0).alias("mean_phase"),
+        (F.round(w2, 6) + 0.0).alias("cvm_w2"),
+        (F.round(u2, 6) + 0.0).alias("watson_u2"),
+        F.when(u2 > 0.187, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("reject_uniform_5pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-two-digits forensic test on order amounts
+# --------------------------------------------------------------------------
+@register(
+    "benford_first_two_digits",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(substr(CAST(CAST(CAST(o_totalprice
+                   AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR),
+                   1, 2) AS BIGINT) AS d
+        FROM orders
+    ),
+    obs AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS o
+        FROM pts WHERE d >= 10 GROUP BY d
+    ),
+    digits AS (
+        SELECT CAST(u.g AS BIGINT) AS d,
+               round(ln(1.0 + 1.0 / u.g)
+                     / 2.302585092994046, 10) AS p
+        FROM LATERAL UNNEST(range(10, 100)) AS u(g)
+    ),
+    fold AS (
+        SELECT CAST(SUM(COALESCE(o.o, 0)) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(
+                   (COALESCE(o.o, 0) * 1.0) * COALESCE(o.o, 0), 2)
+                   AS DECIMAL(38,2)) / dg.p) AS DOUBLE) AS s_oo_p,
+               CAST(SUM(CAST(round(abs(COALESCE(o.o, 0) * 1.0
+                   / (SELECT SUM(o) FROM obs) - dg.p), 10)
+                   AS DECIMAL(18,10))) AS DOUBLE) AS sad
+        FROM digits dg LEFT JOIN obs o ON dg.d = o.d
+    )
+    SELECT n AS n_orders,
+           round(s_oo_p / n - n, 4) + 0.0 AS benford_ft_chi2,
+           round(sad / 90.0, 8) + 0.0 AS mad_first_two,
+           CASE WHEN round(sad / 90.0, 8) <= 0.0012
+                    THEN 'close'
+                WHEN round(sad / 90.0, 8) <= 0.0018
+                    THEN 'acceptable'
+                WHEN round(sad / 90.0, 8) <= 0.0022
+                    THEN 'marginal'
+                ELSE 'nonconforming' END AS nigrini_conformity
+    FROM fold
+    """,
+)
+def benford_first_two_digits(spark, sf_dir):
+    """BENFORD FIRST-TWO-DIGITS test on order amounts (Nigrini's
+    forensic standard): the 90-cell chi2 against log10(1+1/d) via
+    the identity chi2 = sum(o_d^2/(n p_d)) - n, and the mean
+    absolute deviation with Nigrini's published conformity bands
+    (0.0012 / 0.0018 / 0.0022) — the high-resolution escalation of
+    `benford_first_digit` / `benford_second_digit_mad`: fabricated
+    or threshold-gamed amounts that pass both single-digit screens
+    still light up specific first-two cells (the classic "just
+    under an approval limit" spike). Digits extract by STRING
+    prefix of the exact integer cents — no log10, no float
+    boundary.
+
+    Exactness: cell counts exact; expected probabilities pin at 10
+    dp from ln literals (1/ln10 literal); the chi2 identity needs
+    one o^2/p fold. Plan: one digit rollup, one 90-row broadcast
+    left join, one fold."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.substring(
+            (dec("o_totalprice", 18, 2) * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            2,
+        )
+        .cast("bigint")
+        .alias("d")
+    ).where(F.col("d") >= 10)
+    obs = pts.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    digits = spark.range(10, 100).select(
+        F.col("id").cast("bigint").alias("d"),
+        F.round(
+            F.log(1.0 + 1.0 / F.col("id")) / 2.302585092994046, 10
+        ).alias("p"),
+    )
+    ntot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    joined = (
+        digits.join(obs, "d", "left")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            "p",
+            "n",
+        )
+    )
+    fold = joined.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.round(F.col("o") * 1.0 * F.col("o"), 2).cast(
+                "decimal(38,2)"
+            )
+            / F.col("p")
+        )
+        .cast("double")
+        .alias("s_oo_p"),
+        F.sum(
+            F.round(
+                F.abs(F.col("o") * 1.0 / F.col("n") - F.col("p")), 10
+            ).cast("decimal(18,10)")
+        )
+        .cast("double")
+        .alias("sad"),
+    )
+    mad = F.round(F.col("sad") / 90.0, 8)
+    return fold.select(
+        F.col("n").alias("n_orders"),
+        (
+            F.round(F.col("s_oo_p") / F.col("n") - F.col("n"), 4)
+            + 0.0
+        ).alias("benford_ft_chi2"),
+        (mad + 0.0).alias("mad_first_two"),
+        F.when(mad <= 0.0012, "close")
+        .when(mad <= 0.0018, "acceptable")
+        .when(mad <= 0.0022, "marginal")
+        .otherwise("nonconforming")
+        .alias("nigrini_conformity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# GEV shape from monthly block maxima via L-moments
+# --------------------------------------------------------------------------
+@register(
+    "gev_lmoment_blockmax",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    bm AS (
+        SELECT CAST(day // 30 AS BIGINT) AS blk,
+               CAST(MAX(y) AS BIGINT) AS m,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM daily GROUP BY 1 HAVING COUNT(*) = 30
+    ),
+    ranked AS (
+        SELECT m, ROW_NUMBER() OVER (ORDER BY m, blk) AS i,
+               COUNT(*) OVER () AS n
+        FROM bm
+    ),
+    pwm AS (
+        SELECT MAX(n) AS n,
+               CAST(SUM(CAST(m AS DECIMAL(38,0))) AS DOUBLE) AS b0n,
+               CAST(SUM(CAST(m AS DECIMAL(38,0)) * (i - 1))
+                    AS DOUBLE) AS b1nn,
+               CAST(SUM(CAST(m AS DECIMAL(38,0)) * (i - 1)
+                        * (i - 2)) AS DOUBLE) AS b2nnn
+        FROM ranked
+    ),
+    lmom AS (
+        SELECT n,
+               b0n / n / 100000.0 AS l1,
+               (2.0 * b1nn / (n - 1.0) - b0n) / n / 100000.0 AS l2,
+               (6.0 * b2nnn / ((n - 1.0) * (n - 2.0))
+                - 6.0 * b1nn / (n - 1.0) + b0n) / n / 100000.0
+                   AS l3
+        FROM pwm
+    )
+    SELECT n AS n_blocks,
+           round(l1, 6) + 0.0 AS l1_kusd,
+           round(l2, 6) + 0.0 AS l2_kusd,
+           round(l3 / l2, 8) + 0.0 AS tau3,
+           round(-(7.8590 * (2.0 / (3.0 + l3 / l2)
+                            - 0.6309297535714574)
+                   + 2.9554 * (2.0 / (3.0 + l3 / l2)
+                               - 0.6309297535714574)
+                     * (2.0 / (3.0 + l3 / l2)
+                        - 0.6309297535714574)), 8) + 0.0
+               AS xi_gev
+    FROM lmom
+    """,
+)
+def gev_lmoment_blockmax(spark, sf_dir):
+    """GEV SHAPE from 30-day block maxima of daily revenue via the
+    Hosking L-moment estimator: c = 2/(3+tau3) - ln2/ln3, k =
+    7.8590c + 2.9554c^2, xi = -k — the BLOCK-MAXIMA route to the
+    same tail-shape parameter the threshold route estimates in
+    `gpd_shape_stability` / `pot_gpd_pwm_fit`: EVT says the two xi's
+    must agree if either regime is real, so their gap is the
+    sharpest tail-model audit available (and `gumbel_block_maxima`
+    is the xi = 0 special case this generalizes).
+
+    Exactness: block maxima are exact integer cents over exact
+    30-day blocks (partial blocks dropped); the PWM weights
+    (i-1), (i-1)(i-2) are exact integers on the bounded block frame
+    (row_number with the blk tiebreak = the standard unbiased PWM
+    ordering); ln2/ln3 and the Hosking coefficients are shared
+    literals. Plan: one day rollup, one bounded block rollup, one
+    rank window over the ~85-row block frame, one fold."""
+    daily = _daily(spark, sf_dir)
+    bm = (
+        daily.groupBy(F.floor(F.col("day") / 30).alias("blk"))
+        .agg(
+            F.max("y").cast("bigint").alias("m"),
+            F.count(F.lit(1)).cast("bigint").alias("nd"),
+        )
+        .where(F.col("nd") == 30)
+    )
+    ranked = bm.select(
+        "m",
+        F.row_number().over(Window.orderBy("m", "blk")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    pwm = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("m").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("b0n"),
+        F.sum(F.col("m").cast("decimal(38,0)") * (F.col("i") - 1))
+        .cast("double")
+        .alias("b1nn"),
+        F.sum(
+            F.col("m").cast("decimal(38,0)")
+            * (F.col("i") - 1)
+            * (F.col("i") - 2)
+        )
+        .cast("double")
+        .alias("b2nnn"),
+    )
+    nn = F.col("n").cast("double")
+    l1 = F.col("b0n") / F.col("n") / 100000.0
+    l2 = (
+        (2.0 * F.col("b1nn") / (nn - 1.0) - F.col("b0n"))
+        / F.col("n")
+        / 100000.0
+    )
+    l3 = (
+        (
+            6.0 * F.col("b2nnn") / ((nn - 1.0) * (nn - 2.0))
+            - 6.0 * F.col("b1nn") / (nn - 1.0)
+            + F.col("b0n")
+        )
+        / F.col("n")
+        / 100000.0
+    )
+    c = 2.0 / (3.0 + l3 / l2) - 0.6309297535714574
+    return pwm.select(
+        F.col("n").alias("n_blocks"),
+        (F.round(l1, 6) + 0.0).alias("l1_kusd"),
+        (F.round(l2, 6) + 0.0).alias("l2_kusd"),
+        (F.round(l3 / l2, 8) + 0.0).alias("tau3"),
+        (F.round(-(7.8590 * c + 2.9554 * c * c), 8) + 0.0).alias(
+            "xi_gev"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Theil U1 forecast accuracy for the seasonal naive
+# --------------------------------------------------------------------------
+@register(
+    "theil_u1_forecast",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    fc AS (
+        SELECT y, LAG(y, 7) OVER (ORDER BY day) AS yhat
+        FROM daily QUALIFY yhat IS NOT NULL
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(y - yhat AS DECIMAL(38,0))
+                        * (y - yhat)) AS DECIMAL(38,0)) AS sse,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * y)
+                    AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(CAST(yhat AS DECIMAL(38,0)) * yhat)
+                    AS DECIMAL(38,0)) AS shh
+        FROM fc
+    )
+    SELECT n AS n_days,
+           round(sqrt(CAST(sse AS DOUBLE) / n) / 100000.0, 6)
+               + 0.0 AS rmse_kusd,
+           round(sqrt(CAST(sse AS DOUBLE) / n)
+                 / (sqrt(CAST(syy AS DOUBLE) / n)
+                    + sqrt(CAST(shh AS DOUBLE) / n)), 8) + 0.0
+               AS theil_u1
+    FROM fold
+    """,
+)
+def theil_u1_forecast(spark, sf_dir):
+    """THEIL'S U1 accuracy coefficient for the lag-7 seasonal-naive
+    forecast: RMSE normalized by the sum of the root mean squares of
+    actuals and forecasts — bounded in [0,1] with 0 = perfect, so it
+    is comparable ACROSS series of different scales, which neither
+    RMSE nor `smape_wape_panel`'s percentage metrics achieve on
+    near-zero series; completes the Theil pair with
+    `theil_u2_forecast_skill` (U2 benchmarks against the naive; U1
+    grades absolute accuracy).
+
+    Exactness: squared-error and squared-level sums are exact
+    DECIMAL(38,0) integer folds; three square roots at the end.
+    Plan: one day rollup, one calendar lag, one fold."""
+    daily = _daily(spark, sf_dir)
+    fc = daily.select(
+        "y",
+        F.lag("y", 7).over(Window.orderBy("day")).alias("yhat"),
+    ).where(F.col("yhat").isNotNull())
+    e = (F.col("y") - F.col("yhat")).cast("decimal(38,0)")
+    fold = fc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(e * (F.col("y") - F.col("yhat")))
+        .cast("decimal(38,0)")
+        .alias("sse"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("yhat").cast("decimal(38,0)") * F.col("yhat"))
+        .cast("decimal(38,0)")
+        .alias("shh"),
+    )
+    rmse = F.sqrt(F.col("sse").cast("double") / F.col("n"))
+    return fold.select(
+        F.col("n").alias("n_days"),
+        (F.round(rmse / 100000.0, 6) + 0.0).alias("rmse_kusd"),
+        (
+            F.round(
+                rmse
+                / (
+                    F.sqrt(F.col("syy").cast("double") / F.col("n"))
+                    + F.sqrt(F.col("shh").cast("double") / F.col("n"))
+                ),
+                8,
+            )
+            + 0.0
+        ).alias("theil_u1"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "watson_u2_hours": (
+            "one cumulative over the bounded 86400-point second-of-"
+            "day grid (the cvm_lognormal class)"
+        ),
+        "gev_lmoment_blockmax": (
+            "row_number over the bounded ~85-row block-maxima frame"
+        ),
+        "theil_u1_forecast": ("lag-7 window over the calendar-day frame"),
+        "brown_mood_median_line": (
+            "half medians via percentile_disc over the calendar-day "
+            "frame (bounded domain)"
+        ),
+    }
+)
