@@ -2104,3 +2104,423 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Delete-one-nation jackknife SE for the customer-spend Gini
+# --------------------------------------------------------------------------
+@register(
+    "gini_jackknife_se",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_nationkey AS g, o.o_custkey AS u,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS m
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ggrid AS (
+        SELECT g, m AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(m) AS BIGINT) AS tv
+        FROM spend GROUP BY g, m
+    ),
+    vgrid AS (SELECT DISTINCT v FROM ggrid),
+    gl AS (SELECT DISTINCT g FROM ggrid),
+    full_g AS (
+        SELECT vg.v, gg.g,
+               COALESCE(x.c, 0) AS c0, COALESCE(x.tv, 0) AS tv0
+        FROM vgrid vg CROSS JOIN gl gg
+        LEFT JOIN ggrid x ON x.v = vg.v AND x.g = gg.g
+    ),
+    cume AS (
+        SELECT v, g,
+               CAST(COALESCE(SUM(c0) OVER w, 0) AS BIGINT) AS ce,
+               CAST(COALESCE(SUM(tv0) OVER w, 0) AS BIGINT) AS cve
+        FROM full_g
+        WINDOW w AS (PARTITION BY g ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+    ),
+    splus AS (
+        SELECT h.g AS gh, k.g AS gk,
+               CAST(SUM(CAST(h.c AS DECIMAL(38,0))
+                        * (CAST(h.v AS DECIMAL(38,0)) * k.ce
+                           - k.cve)) AS DECIMAL(38,0)) AS sp
+        FROM ggrid h JOIN cume k ON h.v = k.v
+        GROUP BY h.g, k.g
+    ),
+    gtot AS (
+        SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+               CAST(SUM(tv) AS BIGINT) AS sg
+        FROM ggrid GROUP BY g
+    ),
+    tot AS (
+        SELECT CAST(SUM(ng) AS BIGINT) AS n,
+               CAST(SUM(sg) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS ngrp
+        FROM gtot
+    ),
+    tall AS (SELECT CAST(SUM(CAST(sp AS DOUBLE)) AS DOUBLE) AS tt
+             FROM splus),
+    loo AS (
+        SELECT gt.g,
+               round((tall.tt
+                      - (SELECT SUM(CAST(sp AS DOUBLE)) FROM splus
+                         WHERE gh = gt.g)
+                      - (SELECT SUM(CAST(sp AS DOUBLE)) FROM splus
+                         WHERE gk = gt.g)
+                      + (SELECT SUM(CAST(sp AS DOUBLE)) FROM splus
+                         WHERE gh = gt.g AND gk = gt.g))
+                     / ((tot.n - gt.ng)
+                        * (CAST(tot.s AS DOUBLE) - gt.sg)), 10)
+                   AS g_loo
+        FROM gtot gt, tot, tall
+    ),
+    jk AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS ngrp,
+               CAST(SUM(CAST(g_loo AS DECIMAL(18,10)))
+                    AS DOUBLE) AS sgl,
+               CAST(SUM(CAST(round(g_loo * g_loo, 12)
+                             AS DECIMAL(18,12))) AS DOUBLE) AS sgl2
+        FROM loo
+    )
+    SELECT (SELECT n FROM tot) AS n_customers,
+           (SELECT ngrp FROM tot) AS n_nations,
+           (SELECT round(tall.tt
+                         / (CAST(tot.n AS DOUBLE) * tot.s), 8) + 0.0
+            FROM tall, tot) AS gini,
+           round(sqrt((jk.ngrp - 1.0) / jk.ngrp
+                      * (jk.sgl2 - jk.sgl * jk.sgl / jk.ngrp)), 8)
+               + 0.0 AS gini_jackknife_se
+    FROM jk
+    """,
+)
+def gini_jackknife_se(spark, sf_dir):
+    """DELETE-ONE-NATION grouped jackknife standard error for the
+    customer-spend Gini: each leave-one-nation-out Gini recomputes
+    from PAIR-SUM ARITHMETIC alone — G_(-g) = (T - row_g - col_g +
+    s+(g,g)) / ((n-n_g)(S-S_g)) over the 25x25 ordered-pair sums
+    s+(h,k) built once on the merged grid (the
+    `dagum_gini_decomposition` device pointed at nations) — so 25
+    full Gini recomputations cost one frame and 625 bounded rows.
+    This is the PRECISION statement every inequality readout in the
+    registry (`customer_inequality_panel`, `wolfson_polarization`,
+    the Dagum decomposition) was missing: a Gini without an SE
+    cannot be compared across rounds.
+
+    Exactness: all pair sums exact DECIMAL(38,0) on the ranged-
+    window-free construction; leave-out Ginis pin at 10 dp before
+    the jackknife spread fold (12-dp squares). Grouped-jackknife
+    caveat (25 groups) documented. Plan: one merged-grid frame, one
+    pair rollup, bounded 25-row jackknife fold."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("g"),
+            F.col("o_custkey").alias("u"),
+        )
+        .agg(
+            F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("m")
+        )
+    )
+    ggrid = (
+        spend.groupBy("g", F.col("m").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("m").cast("bigint").alias("tv"),
+        )
+        .persist()
+    )
+    vgrid = ggrid.select("v").distinct()
+    gl = ggrid.select("g").distinct()
+    full_g = (
+        vgrid.crossJoin(F.broadcast(gl))
+        .join(ggrid, ["v", "g"], "left")
+        .select(
+            "v",
+            "g",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c0"),
+            F.coalesce(F.col("tv"), F.lit(0)).alias("tv0"),
+        )
+        .repartitionByRange(8, F.col("v").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = full_g.groupBy("pid", "g").agg(
+        F.sum("c0").cast("bigint").alias("pc"),
+        F.sum("tv0").cast("bigint").alias("pv"),
+    )
+    prior = psums.select(
+        F.col("pid").alias("bpid"),
+        F.col("g").alias("bg"),
+        "pc",
+        "pv",
+    )
+    offsets = (
+        psums.select("pid", "g")
+        .join(
+            prior,
+            (F.col("bg") == F.col("g"))
+            & (F.col("bpid") < F.col("pid")),
+            "left",
+        )
+        .groupBy("pid", "g")
+        .agg(
+            F.coalesce(F.sum("pc"), F.lit(0)).alias("off_c"),
+            F.coalesce(F.sum("pv"), F.lit(0)).alias("off_v"),
+        )
+    )
+    lw = (
+        Window.partitionBy("pid", "g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cume = full_g.join(F.broadcast(offsets), ["pid", "g"]).select(
+        "v",
+        "g",
+        (F.coalesce(F.sum("c0").over(lw), F.lit(0)) + F.col("off_c"))
+        .cast("bigint")
+        .alias("ce"),
+        (F.coalesce(F.sum("tv0").over(lw), F.lit(0)) + F.col("off_v"))
+        .cast("bigint")
+        .alias("cve"),
+    )
+    splus = (
+        ggrid.alias("h")
+        .join(cume.alias("k"), F.col("h.v") == F.col("k.v"))
+        .groupBy(F.col("h.g").alias("gh"), F.col("k.g").alias("gk"))
+        .agg(
+            F.sum(
+                F.col("h.c").cast("decimal(38,0)")
+                * (
+                    F.col("h.v").cast("decimal(38,0)") * F.col("k.ce")
+                    - F.col("k.cve")
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("sp")
+        )
+        .persist()
+    )
+    gtot = ggrid.groupBy("g").agg(
+        F.sum("c").cast("bigint").alias("ng"),
+        F.sum("tv").cast("bigint").alias("sg"),
+    )
+    tot = gtot.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sg").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("ngrp"),
+    )
+    tall = splus.agg(
+        F.sum(F.col("sp").cast("double")).alias("tt")
+    )
+    rowg = splus.groupBy("gh").agg(
+        F.sum(F.col("sp").cast("double")).alias("row_s")
+    )
+    colg = splus.groupBy("gk").agg(
+        F.sum(F.col("sp").cast("double")).alias("col_s")
+    )
+    diag = splus.where(F.col("gh") == F.col("gk")).select(
+        F.col("gh").alias("g"), F.col("sp").cast("double").alias("dg")
+    )
+    loo = (
+        gtot.join(F.broadcast(rowg), gtot.g == rowg.gh)
+        .join(F.broadcast(colg), gtot.g == colg.gk)
+        .join(F.broadcast(diag.withColumnRenamed("g", "dgk")),
+              gtot.g == F.col("dgk"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tall))
+        .select(
+            F.round(
+                (
+                    F.col("tt")
+                    - F.col("row_s")
+                    - F.col("col_s")
+                    + F.col("dg")
+                )
+                / (
+                    (F.col("n") - F.col("ng"))
+                    * (F.col("s").cast("double") - F.col("sg"))
+                ),
+                10,
+            ).alias("g_loo")
+        )
+    )
+    jk = loo.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ngrp"),
+        F.sum(F.col("g_loo").cast("decimal(18,10)"))
+        .cast("double")
+        .alias("sgl"),
+        F.sum(
+            F.round(F.col("g_loo") * F.col("g_loo"), 12).cast(
+                "decimal(18,12)"
+            )
+        )
+        .cast("double")
+        .alias("sgl2"),
+    )
+    gini = tall.crossJoin(F.broadcast(tot)).select(
+        (
+            F.round(
+                F.col("tt")
+                / (F.col("n").cast("double") * F.col("s")),
+                8,
+            )
+            + 0.0
+        ).alias("gini"),
+        F.col("n").alias("n_customers"),
+        F.col("ngrp").alias("n_nations"),
+    )
+    return gini.crossJoin(F.broadcast(jk)).select(
+        "n_customers",
+        "n_nations",
+        "gini",
+        (
+            F.round(
+                F.sqrt(
+                    (F.col("ngrp") - 1.0)
+                    / F.col("ngrp")
+                    * (
+                        F.col("sgl2")
+                        - F.col("sgl") * F.col("sgl") / F.col("ngrp")
+                    )
+                ),
+                8,
+            )
+            + 0.0
+        ).alias("gini_jackknife_se"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "gini_jackknife_se": (
+            "per-(pid, nation) local exclusive windows on the ranged "
+            "device (the dagum_gini class); jackknife runs on the "
+            "bounded 25-row nation frame"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Lexis ratio: overdispersion of the daily purchase share
+# --------------------------------------------------------------------------
+@register(
+    "lexis_ratio_proportions",
+    oracle="""
+    WITH dday AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS kd
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS d,
+               CAST(SUM(nd) AS BIGINT) AS n,
+               CAST(SUM(kd) AS BIGINT) AS k
+        FROM dday
+    ),
+    fold AS (
+        SELECT tot.d, tot.n, tot.k,
+               CAST(SUM(CAST(round(
+                   (kd * CAST(tot.n AS DOUBLE) - CAST(tot.k
+                        AS DOUBLE) * nd)
+                   * (kd * CAST(tot.n AS DOUBLE) - CAST(tot.k
+                        AS DOUBLE) * nd)
+                   / nd / CAST(tot.n AS DOUBLE) / tot.n, 8)
+                   AS DECIMAL(28,8))) AS DOUBLE) AS q_num
+        FROM dday, tot GROUP BY tot.d, tot.n, tot.k
+    )
+    SELECT d AS n_days, k AS n_purchases,
+           round(CAST(k AS DOUBLE) / n, 8) + 0.0 AS pooled_share,
+           round(q_num / (CAST(k AS DOUBLE) / n
+                          * (1.0 - CAST(k AS DOUBLE) / n)), 4)
+               + 0.0 AS lexis_chi2,
+           round(q_num / (CAST(k AS DOUBLE) / n
+                          * (1.0 - CAST(k AS DOUBLE) / n))
+                 / (d - 1.0), 6) + 0.0 AS lexis_ratio,
+           round((q_num / (CAST(k AS DOUBLE) / n
+                           * (1.0 - CAST(k AS DOUBLE) / n))
+                  - (d - 1.0)) / sqrt(2.0 * (d - 1.0)), 6) + 0.0
+               AS overdispersion_z
+    FROM fold
+    """,
+)
+def lexis_ratio_proportions(spark, sf_dir):
+    """LEXIS RATIO for the daily purchase share: Q = sum n_d (p_d -
+    pbar)^2 / (pbar(1-pbar)) ~ chi2(D-1) under a constant binomial
+    share, and L = Q/(D-1) reads directly as the variance inflation
+    of daily proportions over binomial sampling noise — the
+    PROPORTIONS-side second opinion to `dean_overdispersion_test`
+    (counts) and the day-to-day stability certificate behind every
+    pooled conversion-rate readout (`srm_guardrail_check` tests ONE
+    day's split; Lexis tests all of them jointly).
+
+    Exactness: the per-day term (k_d*N - K*n_d)^2/(n_d*N^2) is an
+    exact rational of integers rounded at 8 dp before the DECIMAL
+    fold; the pooled-share denominator divides once at the end.
+    Plan: one day rollup, one broadcast scalar, one fold."""
+    e = t(spark, sf_dir, "events")
+    dday = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("kd"),
+    )
+    tot = dday.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.sum("nd").cast("bigint").alias("n"),
+        F.sum("kd").cast("bigint").alias("k"),
+    )
+    num = F.col("kd") * F.col("n").cast("double") - F.col("k").cast(
+        "double"
+    ) * F.col("nd")
+    fold = (
+        dday.crossJoin(F.broadcast(tot))
+        .groupBy("d", "n", "k")
+        .agg(
+            F.sum(
+                F.round(
+                    num
+                    * num
+                    / F.col("nd")
+                    / F.col("n").cast("double")
+                    / F.col("n"),
+                    8,
+                ).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("q_num")
+        )
+    )
+    pbar = F.col("k").cast("double") / F.col("n")
+    q = F.col("q_num") / (pbar * (1.0 - pbar))
+    return fold.select(
+        F.col("d").alias("n_days"),
+        F.col("k").alias("n_purchases"),
+        (F.round(pbar, 8) + 0.0).alias("pooled_share"),
+        (F.round(q, 4) + 0.0).alias("lexis_chi2"),
+        (F.round(q / (F.col("d") - 1.0), 6) + 0.0).alias(
+            "lexis_ratio"
+        ),
+        (
+            F.round(
+                (q - (F.col("d") - 1.0))
+                / F.sqrt(2.0 * (F.col("d") - 1.0)),
+                6,
+            )
+            + 0.0
+        ).alias("overdispersion_z"),
+    )
