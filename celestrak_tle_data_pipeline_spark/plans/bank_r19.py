@@ -2524,3 +2524,2830 @@ def lexis_ratio_proportions(spark, sf_dir):
             + 0.0
         ).alias("overdispersion_z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Anderson-Hauck equivalence test for the weekend effect
+# --------------------------------------------------------------------------
+_AH_STAT_SQL = """
+    pts AS (
+        SELECT CASE WHEN CAST(epoch_us(o_orderdate) // 86400000000
+                         + 4 AS BIGINT) % 7 >= 5
+                    THEN 1 ELSE 0 END AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    arm AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s,
+               CAST(SUM(CAST(v AS DECIMAL(38,0)) * v)
+                    AS DECIMAL(38,0)) AS ss
+        FROM pts GROUP BY g
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN g = 1 THEN n END) AS n1,
+               MAX(CASE WHEN g = 1 THEN s END) AS s1,
+               MAX(CASE WHEN g = 1 THEN ss END) AS ss1,
+               MAX(CASE WHEN g = 0 THEN n END) AS n0,
+               MAX(CASE WHEN g = 0 THEN s END) AS s0,
+               MAX(CASE WHEN g = 0 THEN ss END) AS ss0
+        FROM arm
+    ),
+    stat AS (
+        SELECT n1, n0,
+               (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                   / 100000.0 AS d,
+               0.01 * (CAST(s1 AS DOUBLE) + s0) / (n1 + n0)
+                   / 100000.0 AS margin,
+               sqrt(((CAST(ss1 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)
+                     / n1
+                     + (CAST(ss0 AS DOUBLE)
+                        - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)
+                       / n0)) / 100000.0 AS se
+        FROM w
+    )
+"""
+
+
+@register(
+    "anderson_hauck_equivalence",
+    oracle=f"""
+    WITH {_AH_STAT_SQL},
+    z AS (
+        SELECT n1, n0,
+               round(d / se, 8) AS w_stat,
+               round(margin / se, 8) AS delta_nc
+        FROM stat
+    )
+    SELECT n1 AS n_weekend, n0 AS n_weekday,
+           w_stat + 0.0 AS ah_w_stat,
+           delta_nc + 0.0 AS ah_noncentrality,
+           round(round({_phi_sql_r19(
+               "(round(abs(w_stat) - delta_nc, 8))")}, 10)
+                 - round({_phi_sql_r19(
+               "(round(-abs(w_stat) - delta_nc, 8))")}, 10), 8)
+               + 0.0 AS ah_p_value,
+           CAST(CASE WHEN round({_phi_sql_r19(
+               "(round(abs(w_stat) - delta_nc, 8))")}, 10)
+                      - round({_phi_sql_r19(
+               "(round(-abs(w_stat) - delta_nc, 8))")}, 10)
+                     <= 0.05 THEN 1 ELSE 0 END AS INT)
+               AS ah_equivalent_at_5pct,
+           CAST(CASE WHEN w_stat + delta_nc >= 1.6448536269514722
+                      AND w_stat - delta_nc <= -1.6448536269514722
+                     THEN 1 ELSE 0 END AS INT)
+               AS tost_equivalent_at_5pct
+    FROM z
+    """,
+)
+def anderson_hauck_equivalence(spark, sf_dir):
+    """ANDERSON-HAUCK equivalence test for weekend vs weekday mean
+    order value on exactly the `tost_equivalence_means` frame (same
+    +/-1%-of-pooled-mean margin, same Welch SE): the AH procedure
+    compares W = d/se against a noncentral folded reference, p =
+    Phi(|W| - delta) - Phi(-|W| - delta) with delta = margin/se —
+    the single-p-value second opinion to TOST's intersection of two
+    one-sided tests. AH is known to be slightly LIBERAL where TOST
+    is conservative (near |d| = margin with small se the two can
+    disagree), so the pair brackets the equivalence decision; both
+    verdict bits ship side by side.
+
+    Exactness: identical exact DECIMAL(38,0) arm folds as the TOST
+    query; W and delta round at 8 dp before the shared
+    Abramowitz-Stegun Phi tree (decade-escalation: Phi pins at 10,
+    the p readout at 8). Plan: one arm rollup, two scalar folds —
+    no window, no join."""
+    o = t(spark, sf_dir, "orders")
+    day = F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+    pts = o.select(
+        F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("g"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+    arm = pts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    w = arm.agg(
+        F.max(F.when(F.col("g") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("g") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("g") == 1, F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("g") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("g") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("g") == 0, F.col("ss"))).alias("ss0"),
+    )
+    d = (
+        F.col("s1").cast("double") / F.col("n1")
+        - F.col("s0").cast("double") / F.col("n0")
+    ) / 100000.0
+    margin = (
+        0.01
+        * (F.col("s1").cast("double") + F.col("s0"))
+        / (F.col("n1") + F.col("n0"))
+        / 100000.0
+    )
+    se = (
+        F.sqrt(
+            (
+                F.col("ss1").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+            )
+            / (F.col("n1") - 1)
+            / F.col("n1")
+            + (
+                F.col("ss0").cast("double")
+                - F.col("s0").cast("double") * F.col("s0") / F.col("n0")
+            )
+            / (F.col("n0") - 1)
+            / F.col("n0")
+        )
+        / 100000.0
+    )
+    z = w.select(
+        "n1",
+        "n0",
+        F.round(d / se, 8).alias("w_stat"),
+        F.round(margin / se, 8).alias("delta_nc"),
+    )
+    p_hi = F.round(
+        _phi_col_r19(
+            F.round(F.abs(F.col("w_stat")) - F.col("delta_nc"), 8)
+        ),
+        10,
+    )
+    p_lo = F.round(
+        _phi_col_r19(
+            F.round(-F.abs(F.col("w_stat")) - F.col("delta_nc"), 8)
+        ),
+        10,
+    )
+    zc = 1.6448536269514722
+    return z.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n0").alias("n_weekday"),
+        (F.col("w_stat") + 0.0).alias("ah_w_stat"),
+        (F.col("delta_nc") + 0.0).alias("ah_noncentrality"),
+        (F.round(p_hi - p_lo, 8) + 0.0).alias("ah_p_value"),
+        F.when(p_hi - p_lo <= 0.05, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("ah_equivalent_at_5pct"),
+        F.when(
+            (F.col("w_stat") + F.col("delta_nc") >= zc)
+            & (F.col("w_stat") - F.col("delta_nc") <= -zc),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("tost_equivalent_at_5pct"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "anderson_hauck_equivalence": (
+            "no window — one arm rollup + scalar folds (the "
+            "tost_equivalence_means frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Fieller CI for the per-arm revenue-per-event ratio metric
+# --------------------------------------------------------------------------
+@register(
+    "fieller_ratio_ci",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS grp,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                   AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS syy,
+               SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS sxy
+        FROM per_user GROUP BY grp
+    ),
+    v AS (
+        SELECT grp, n,
+               CAST(sx AS DOUBLE) / n AS xb,
+               CAST(sy AS DOUBLE) / n AS yb,
+               (CAST(round(sxx, 0) AS DOUBLE)
+                - CAST(sx AS DOUBLE) * sx / n) / (n - 1) / n AS vxx,
+               (CAST(round(syy, 0) AS DOUBLE)
+                - CAST(sy AS DOUBLE) * sy / n) / (n - 1) / n AS vyy,
+               (CAST(round(sxy, 0) AS DOUBLE)
+                - CAST(sx AS DOUBLE) * sy / n) / (n - 1) / n AS vxy
+        FROM g
+    ),
+    f AS (
+        SELECT grp, n, xb, yb, vxx, vyy, vxy,
+               xb * xb - 3.8414588932247 * vxx AS qa,
+               xb * yb - 3.8414588932247 * vxy AS qb,
+               yb * yb - 3.8414588932247 * vyy AS qc
+        FROM v
+    )
+    SELECT grp AS arm,
+           n AS n_users,
+           round(yb / xb, 6) + 0.0 AS ratio_cents_per_event,
+           round(3.8414588932247 * vxx / (xb * xb), 8) + 0.0
+               AS g_fieller,
+           round((qb - sqrt(qb * qb - qa * qc)) / qa, 6) + 0.0
+               AS fieller_lo,
+           round((qb + sqrt(qb * qb - qa * qc)) / qa, 6) + 0.0
+               AS fieller_hi,
+           round(yb / xb - 1.959964
+                 * sqrt((vyy - 2.0 * (yb / xb) * vxy
+                         + (yb / xb) * (yb / xb) * vxx)
+                        / (xb * xb)), 6) + 0.0 AS delta_lo,
+           round(yb / xb + 1.959964
+                 * sqrt((vyy - 2.0 * (yb / xb) * vxy
+                         + (yb / xb) * (yb / xb) * vxx)
+                        / (xb * xb)), 6) + 0.0 AS delta_hi
+    FROM f
+    ORDER BY grp
+    """,
+)
+def fieller_ratio_ci(spark, sf_dir):
+    """FIELLER'S THEOREM confidence interval for the per-arm
+    revenue-per-event ratio R = ybar/xbar on exactly the
+    `delta_method_ratio_ci` per-user frame (user_id-parity arms,
+    user-level clustering): the exact-pivot second opinion to the
+    delta method — Fieller inverts the quadratic pivot (ybar -
+    R*xbar)^2 <= z^2 Var(ybar - R*xbar), whose roots (qb -/+
+    sqrt(qb^2 - qa*qc))/qa are asymmetric about R and remain valid
+    when the denominator mean is noisy, where the delta interval is
+    symmetric by construction and silently degrades. `g_fieller` =
+    z^2 Var(xbar)/xbar^2 is the published closeness-to-singularity
+    diagnostic (g -> 1 means the denominator cannot be bounded away
+    from zero and the Fieller set becomes a half-line; at these
+    event counts g is tiny and the two intervals nearly coincide —
+    THAT agreement is the certificate).
+
+    Exactness: per-user x/y exact integers; per-arm n/sx/sy and
+    DECIMAL(38,0) power sums fold exactly; xb/yb, the three
+    variance terms, the quadratic coefficients, and both interval
+    forms are identical IEEE trees in both engines (z^2 =
+    3.8414588932247 and z = 1.959964 are shared literals), rounded
+    once. Plan: event scan -> user rollup -> 2-group rollup -> per-
+    group scalar algebra; no window, no join."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        (F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("y"),
+    ).select((F.col("user_id") % 2).alias("grp"), "x", "y")
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    g = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    xb = F.col("sx").cast("double") / n
+    yb = F.col("sy").cast("double") / n
+    vxx = (
+        F.round(F.col("sxx"), 0).cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / n
+    ) / (n - 1) / n
+    vyy = (
+        F.round(F.col("syy"), 0).cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / n
+    ) / (n - 1) / n
+    vxy = (
+        F.round(F.col("sxy"), 0).cast("double")
+        - F.col("sx").cast("double") * F.col("sy") / n
+    ) / (n - 1) / n
+    z2 = 3.8414588932247
+    zc = 1.959964
+    qa = xb * xb - z2 * vxx
+    qb = xb * yb - z2 * vxy
+    qc = yb * yb - z2 * vyy
+    r = yb / xb
+    se_d = F.sqrt((vyy - 2.0 * r * vxy + r * r * vxx) / (xb * xb))
+    return g.select(
+        F.col("grp").alias("arm"),
+        F.col("n").alias("n_users"),
+        (F.round(r, 6) + 0.0).alias("ratio_cents_per_event"),
+        (F.round(z2 * vxx / (xb * xb), 8) + 0.0).alias("g_fieller"),
+        (F.round((qb - F.sqrt(qb * qb - qa * qc)) / qa, 6) + 0.0)
+        .alias("fieller_lo"),
+        (F.round((qb + F.sqrt(qb * qb - qa * qc)) / qa, 6) + 0.0)
+        .alias("fieller_hi"),
+        (F.round(r - zc * se_d, 6) + 0.0).alias("delta_lo"),
+        (F.round(r + zc * se_d, 6) + 0.0).alias("delta_hi"),
+    ).orderBy("arm")
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "fieller_ratio_ci": (
+            "no window — user rollup + 2-group rollup + scalar "
+            "algebra (the delta_method_ratio_ci frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Agresti-Caffo add-one interval for the conversion difference
+# --------------------------------------------------------------------------
+@register(
+    "agresti_caffo_diff_ci",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               (user_id * 2654435761) % 4294967296 % 2 AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS conv
+        FROM per_user GROUP BY arm
+    ),
+    x AS (
+        SELECT MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 1 THEN conv END) AS c1,
+               MAX(CASE WHEN arm = 0 THEN conv END) AS c0
+        FROM arms
+    ),
+    ac AS (
+        SELECT n1, n0, c1, c0,
+               (c1 + 1.0) / (n1 + 2.0) AS q1,
+               (c0 + 1.0) / (n0 + 2.0) AS q0
+        FROM x
+    )
+    SELECT n1 AS n_treat, n0 AS n_ctrl,
+           round(CAST(c1 AS DOUBLE) / n1, 9) AS p_treat,
+           round(CAST(c0 AS DOUBLE) / n0, 9) AS p_ctrl,
+           round(q1 - q0, 9) + 0.0 AS ac_diff,
+           round(q1 - q0 - 1.959964
+                 * sqrt(q1 * (1.0 - q1) / (n1 + 2.0)
+                        + q0 * (1.0 - q0) / (n0 + 2.0)), 9) + 0.0
+               AS ac_lo,
+           round(q1 - q0 + 1.959964
+                 * sqrt(q1 * (1.0 - q1) / (n1 + 2.0)
+                        + q0 * (1.0 - q0) / (n0 + 2.0)), 9) + 0.0
+               AS ac_hi,
+           NOT (q1 - q0 - 1.959964
+                * sqrt(q1 * (1.0 - q1) / (n1 + 2.0)
+                       + q0 * (1.0 - q0) / (n0 + 2.0)) <= 0.0
+                AND 0.0 <=
+                q1 - q0 + 1.959964
+                * sqrt(q1 * (1.0 - q1) / (n1 + 2.0)
+                       + q0 * (1.0 - q0) / (n0 + 2.0)))
+               AS significant
+    FROM ac
+    """,
+)
+def agresti_caffo_diff_ci(spark, sf_dir):
+    """AGRESTI-CAFFO "add one success and one failure per arm"
+    interval for the conversion-rate difference on exactly the
+    `ab_difference_newcombe` frame (same Knuth-hash arm assignment,
+    same per-user purchase conversion): ptilde_i = (x_i+1)/(n_i+2)
+    with a plain Wald interval on the smoothed difference — the
+    pseudo-count second opinion to Newcombe's hybrid score
+    interval. Agresti & Caffo (2000) showed the +1/+1 smoothing
+    recovers near-nominal coverage where the raw Wald interval
+    collapses (extreme p, small arms), via a different mechanism
+    than Wilson score inversion; the two intervals agreeing on the
+    significance bit is the robust ship/no-ship certificate, and
+    their widths diverging flags the boundary regime.
+
+    Exactness: arm n/conv are exact integers off the same user-
+    grain rollup as the Newcombe query; the smoothed proportions
+    and Wald margin are identical IEEE trees in both engines
+    (z = 1.959964 shared literal), rounded once at 1e-9. Plan: one
+    user-grain shuffle, a 2-row arm rollup, scalar algebra — no
+    window, no join."""
+    from .ext_pipeline import _KNUTH, _M32
+
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        ((F.col("user_id").cast("decimal(38,0)") * _KNUTH) % _M32 % 2)
+        .cast("bigint")
+        .alias("arm"),
+        "converted",
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    x = arms.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+    )
+    q1 = (F.col("c1") + 1.0) / (F.col("n1") + 2.0)
+    q0 = (F.col("c0") + 1.0) / (F.col("n0") + 2.0)
+    se = F.sqrt(
+        q1 * (1.0 - q1) / (F.col("n1") + 2.0)
+        + q0 * (1.0 - q0) / (F.col("n0") + 2.0)
+    )
+    lo = q1 - q0 - 1.959964 * se
+    hi = q1 - q0 + 1.959964 * se
+    return x.select(
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_ctrl"),
+        F.round(F.col("c1").cast("double") / F.col("n1"), 9)
+        .alias("p_treat"),
+        F.round(F.col("c0").cast("double") / F.col("n0"), 9)
+        .alias("p_ctrl"),
+        (F.round(q1 - q0, 9) + 0.0).alias("ac_diff"),
+        (F.round(lo, 9) + 0.0).alias("ac_lo"),
+        (F.round(hi, 9) + 0.0).alias("ac_hi"),
+        (~((lo <= 0.0) & (F.lit(0.0) <= hi))).alias("significant"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "agresti_caffo_diff_ci": (
+            "no window — user rollup + 2-row arm rollup (the "
+            "ab_difference_newcombe frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Variance CI pair: normal-theory chi2 vs kurtosis-robust (ADF)
+# --------------------------------------------------------------------------
+@register(
+    "variance_ci_kurtosis_robust",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    m1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(v) AS DOUBLE) / COUNT(*) / 100000.0, 8)
+                   AS mu
+        FROM pts
+    ),
+    devs AS (
+        SELECT m1.n, m1.mu,
+               CAST(SUM(CAST(round((CAST(pts.v AS DOUBLE) / 100000.0
+                        - m1.mu) * (CAST(pts.v AS DOUBLE) / 100000.0
+                        - m1.mu), 8) AS DECIMAL(38,8))) AS DOUBLE)
+                   AS sd2,
+               CAST(SUM(CAST(round((CAST(pts.v AS DOUBLE) / 100000.0
+                        - m1.mu) * (CAST(pts.v AS DOUBLE) / 100000.0
+                        - m1.mu) * (CAST(pts.v AS DOUBLE) / 100000.0
+                        - m1.mu) * (CAST(pts.v AS DOUBLE) / 100000.0
+                        - m1.mu), 6) AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sd4
+        FROM pts, m1
+        GROUP BY m1.n, m1.mu
+    ),
+    stat AS (
+        SELECT n,
+               sd2 / (n - 1) AS s2,
+               sd4 / n AS m4,
+               (n - 1.0) * power(1.0 - 2.0 / (9.0 * (n - 1.0))
+                   + 1.959964 * sqrt(2.0 / (9.0 * (n - 1.0))), 3)
+                   AS q975,
+               (n - 1.0) * power(1.0 - 2.0 / (9.0 * (n - 1.0))
+                   - 1.959964 * sqrt(2.0 / (9.0 * (n - 1.0))), 3)
+                   AS q025
+        FROM devs
+    ),
+    ci AS (
+        SELECT n, s2, m4, q975, q025,
+               (n - 1.0) * s2 / q975 AS c_lo,
+               (n - 1.0) * s2 / q025 AS c_hi,
+               sqrt(m4 / n - s2 * s2 * (n - 3.0) / (n * (n - 1.0)))
+                   AS se_adf
+        FROM stat
+    )
+    SELECT n AS n_orders,
+           round(s2, 4) + 0.0 AS var_kusd2,
+           round(m4 / (s2 * s2) - 3.0, 6) + 0.0 AS excess_kurtosis,
+           round(c_lo, 4) + 0.0 AS chi2_ci_lo,
+           round(c_hi, 4) + 0.0 AS chi2_ci_hi,
+           round(s2 - 1.959964 * se_adf, 4) + 0.0 AS adf_ci_lo,
+           round(s2 + 1.959964 * se_adf, 4) + 0.0 AS adf_ci_hi,
+           round(2.0 * 1.959964 * se_adf / (c_hi - c_lo), 6) + 0.0
+               AS width_ratio_adf_vs_chi2
+    FROM ci
+    """,
+)
+def variance_ci_kurtosis_robust(spark, sf_dir):
+    """VARIANCE confidence-interval pair for order value (kUSD^2):
+    the normal-theory chi-square interval (n-1)s^2/chi2_{.975,.025}
+    — with the chi-square quantiles from the Wilson-Hilferty cube
+    approximation k(1 - 2/(9k) +/- z*sqrt(2/(9k)))^3, Abramowitz-
+    Stegun 26.4.17 — beside the asymptotically-distribution-free
+    interval s^2 +/- z*sqrt(mu4/n - sigma^4 (n-3)/(n(n-1))) that
+    replaces the normality assumption with the measured fourth
+    moment. On a heavy-tailed revenue distribution the chi2
+    interval is known to under-cover badly (its width ignores
+    kurtosis entirely); `width_ratio_adf_vs_chi2` >> 1 QUANTIFIES
+    how optimistic every normal-theory variance readout in the
+    registry is, and `excess_kurtosis` names the cause — the
+    second opinion the bare `stats_moments_by_flag` numbers need.
+
+    Exactness: two-pass central moments — the exact-integer mean
+    (cents BIGINT fold) is pinned at 8 dp, then deviation powers
+    round at 8/6 dp into DECIMAL(38,x) folds (order-independent;
+    dev^4 <= 6.25e10 kUSD^4 keeps the 64x fold far from the
+    DECIMAL(38,6) rail — the r13 erlang lesson). Both intervals are
+    identical IEEE trees over (n, s2, m4). Plan: two scans of
+    orders (mean fold, then broadcast-scalar deviation fold) — no
+    window, no shuffle beyond two 1-row aggs."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v")
+    )
+    m1 = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum("v").cast("double") / F.count(F.lit(1)) / 100000.0, 8
+        ).alias("mu"),
+    )
+    dv = F.col("v").cast("double") / 100000.0 - F.col("mu")
+    devs = (
+        pts.crossJoin(F.broadcast(m1))
+        .groupBy("n", "mu")
+        .agg(
+            F.sum(F.round(dv * dv, 8).cast("decimal(38,8)"))
+            .cast("double")
+            .alias("sd2"),
+            F.sum(F.round(dv * dv * dv * dv, 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sd4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    s2 = F.col("sd2") / (n - 1)
+    m4 = F.col("sd4") / n
+    k = n - 1.0
+    zc = 1.959964
+    q975 = k * F.pow(
+        1.0 - 2.0 / (9.0 * k) + zc * F.sqrt(2.0 / (9.0 * k)), 3
+    )
+    q025 = k * F.pow(
+        1.0 - 2.0 / (9.0 * k) - zc * F.sqrt(2.0 / (9.0 * k)), 3
+    )
+    c_lo = k * s2 / q975
+    c_hi = k * s2 / q025
+    se_adf = F.sqrt(m4 / n - s2 * s2 * (n - 3.0) / (n * (n - 1.0)))
+    return devs.select(
+        F.col("n").alias("n_orders"),
+        (F.round(s2, 4) + 0.0).alias("var_kusd2"),
+        (F.round(m4 / (s2 * s2) - 3.0, 6) + 0.0)
+        .alias("excess_kurtosis"),
+        (F.round(c_lo, 4) + 0.0).alias("chi2_ci_lo"),
+        (F.round(c_hi, 4) + 0.0).alias("chi2_ci_hi"),
+        (F.round(s2 - zc * se_adf, 4) + 0.0).alias("adf_ci_lo"),
+        (F.round(s2 + zc * se_adf, 4) + 0.0).alias("adf_ci_hi"),
+        (F.round(2.0 * zc * se_adf / (c_hi - c_lo), 6) + 0.0)
+        .alias("width_ratio_adf_vs_chi2"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "variance_ci_kurtosis_robust": (
+            "crossJoin is a broadcast 1-row scalar attach (two-pass "
+            "central moments); no window"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Pooled Quesenberry-Miller spacing statistic over per-user timelines
+# --------------------------------------------------------------------------
+@register(
+    "quesenberry_miller_spacings",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tu,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id, event_id, tu,
+               CAST(tu - prev AS BIGINT) AS gap
+        FROM seq WHERE prev IS NOT NULL
+    ),
+    prods AS (
+        SELECT user_id, gap,
+               LAG(gap) OVER (PARTITION BY user_id
+                   ORDER BY tu, event_id) AS pgap
+        FROM gaps
+    ),
+    peruser AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(gap) AS BIGINT) AS span,
+               CAST(SUM(CAST(gap AS DECIMAL(19,0)) * gap)
+                    AS DECIMAL(38,0)) AS g2,
+               CAST(SUM(CAST(gap AS DECIMAL(19,0)) * pgap)
+                    AS DECIMAL(38,0)) AS gc
+        FROM prods GROUP BY user_id
+        HAVING COUNT(*) >= 2 AND SUM(gap) > 0
+    ),
+    terms AS (
+        SELECT round((CAST(g2 AS DOUBLE) + CAST(gc AS DOUBLE))
+                     / (CAST(span AS DOUBLE) * span), 10) AS q,
+               round((3.0 * m - 1.0) / (m * (m + 1.0)), 10) AS eq,
+               round((9.0 * m * m + 35.0 * m - 22.0)
+                     / (m * (m + 1.0) * (m + 2.0) * (m + 3.0))
+                     - ((3.0 * m - 1.0) / (m * (m + 1.0)))
+                       * ((3.0 * m - 1.0) / (m * (m + 1.0))), 12)
+                   AS vq
+        FROM peruser
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS u,
+               CAST(SUM(CAST(q AS DECIMAL(28,10))) AS DOUBLE) AS sq,
+               CAST(SUM(CAST(eq AS DECIMAL(28,10))) AS DOUBLE) AS se_,
+               CAST(SUM(CAST(vq AS DECIMAL(28,12))) AS DOUBLE) AS sv
+        FROM terms
+    )
+    SELECT u AS n_users,
+           round(sq, 6) + 0.0 AS qm_sum,
+           round(se_, 6) + 0.0 AS expected_sum,
+           round((sq - se_) / sqrt(sv), 6) + 0.0 AS z_pooled
+    FROM fold
+    """,
+)
+def quesenberry_miller_spacings(spark, sf_dir):
+    """Pooled QUESENBERRY-MILLER spacing statistic over per-user
+    event timelines — the adjacent-product second opinion to
+    `greenwood_spacing_uniformity` on the identical gaps frame:
+    Q_u = sum(D_i^2) + sum(D_i D_{i+1}) over the user's normalized
+    spacings adds the lag-1 cross term Greenwood ignores, which
+    Quesenberry & Miller (1977) showed buys power against
+    ALTERNATING alternatives (short-long-short gap weaves read the
+    same G but a smaller Q). Null moments are the EXACT flat-
+    Dirichlet rationals E[Q] = (3m-1)/(m(m+1)) and E[Q^2] =
+    (9m^2+35m-22)/(m(m+1)(m+2)(m+3)) (derived from the factorial-
+    moment product rule E[prod D^k] = (m-1)! prod k_i!/(m-1+K)!
+    and MC-verified at m=3/5/12 before authoring), summed across
+    users into one pooled z beside Greenwood's.
+
+    Exactness: gaps/spans exact micros BIGINTs; squared-gap and
+    adjacent-product sums widen through DECIMAL(19,0); per-user
+    Q/E/Var round at 10-12 dp into DECIMAL folds (order-free
+    across users). Plan: two user-partitioned lags, one per-user
+    rollup, one fold — no global sorts."""
+    e = t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = e.select(
+        "user_id",
+        "event_id",
+        us.alias("tu"),
+        (us - F.lag(us).over(wu)).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    wg = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    prods = gaps.select(
+        "user_id", "gap", F.lag("gap").over(wg).alias("pgap")
+    )
+    peruser = (
+        prods.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum("gap").cast("bigint").alias("span"),
+            F.sum(F.col("gap").cast("decimal(19,0)") * F.col("gap"))
+            .cast("decimal(38,0)")
+            .alias("g2"),
+            F.sum(F.col("gap").cast("decimal(19,0)") * F.col("pgap"))
+            .cast("decimal(38,0)")
+            .alias("gc"),
+        )
+        .where((F.col("m") >= 2) & (F.col("span") > 0))
+    )
+    m = F.col("m").cast("double")
+    q = F.round(
+        (F.col("g2").cast("double") + F.col("gc").cast("double"))
+        / (F.col("span").cast("double") * F.col("span")),
+        10,
+    )
+    eq_expr = (3.0 * m - 1.0) / (m * (m + 1.0))
+    vq = F.round(
+        (9.0 * m * m + 35.0 * m - 22.0)
+        / (m * (m + 1.0) * (m + 2.0) * (m + 3.0))
+        - eq_expr * eq_expr,
+        12,
+    )
+    terms = peruser.select(
+        q.alias("q"),
+        F.round(eq_expr, 10).alias("eq"),
+        vq.alias("vq"),
+    )
+    fold = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("u"),
+        F.sum(F.col("q").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sq"),
+        F.sum(F.col("eq").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("se_"),
+        F.sum(F.col("vq").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sv"),
+    )
+    return fold.select(
+        F.col("u").alias("n_users"),
+        (F.round("sq", 6) + 0.0).alias("qm_sum"),
+        (F.round("se_", 6) + 0.0).alias("expected_sum"),
+        (
+            F.round(
+                (F.col("sq") - F.col("se_")) / F.sqrt(F.col("sv")), 6
+            )
+            + 0.0
+        ).alias("z_pooled"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "quesenberry_miller_spacings": (
+            "two user-partitioned lags + per-user rollup (the "
+            "greenwood_spacing_uniformity frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Engle ARCH-LM regression test on squared trend residuals
+# --------------------------------------------------------------------------
+@register(
+    "engle_arch_lm",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d) AS BIGINT) AS sd,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(d AS DECIMAL(38,0)) * y) AS sdy,
+               SUM(CAST(d AS DECIMAL(38,0)) * d) AS sdd,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        FROM daily
+    ),
+    beta AS (
+        SELECT n,
+               (n * CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * sy)
+                 / (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd)
+                   AS b,
+               (CAST(sy AS DOUBLE)
+                - (n * CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * sy)
+                  / (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd)
+                  * sd) / n AS a,
+               ((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                - (n * CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * sy)
+                  * (n * CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * sy)
+                  / (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd))
+                 / n AS sse
+        FROM fit
+    ),
+    z AS (
+        SELECT d,
+               round((y - (a + b * d)) * (y - (a + b * d))
+                     / (sse / (n - 2)), 9) AS s
+        FROM daily, beta
+    ),
+    trip AS (
+        SELECT a.s AS s0, b.s AS s1, c.s AS s2
+        FROM z a JOIN z b ON b.d = a.d - 1
+                 JOIN z c ON c.d = a.d - 2
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(round(SUM(CAST(round(s0, 9) AS DECIMAL(28,9))), 9)
+                    AS DOUBLE) AS t0,
+               CAST(round(SUM(CAST(round(s1, 9) AS DECIMAL(28,9))), 9)
+                    AS DOUBLE) AS t1,
+               CAST(round(SUM(CAST(round(s2, 9) AS DECIMAL(28,9))), 9)
+                    AS DOUBLE) AS t2,
+               CAST(round(SUM(CAST(round(s0 * s0, 6)
+                    AS DECIMAL(32,6))), 6) AS DOUBLE) AS t00,
+               CAST(round(SUM(CAST(round(s1 * s1, 6)
+                    AS DECIMAL(32,6))), 6) AS DOUBLE) AS t11,
+               CAST(round(SUM(CAST(round(s2 * s2, 6)
+                    AS DECIMAL(32,6))), 6) AS DOUBLE) AS t22,
+               CAST(round(SUM(CAST(round(s0 * s1, 6)
+                    AS DECIMAL(32,6))), 6) AS DOUBLE) AS t01,
+               CAST(round(SUM(CAST(round(s0 * s2, 6)
+                    AS DECIMAL(32,6))), 6) AS DOUBLE) AS t02,
+               CAST(round(SUM(CAST(round(s1 * s2, 6)
+                    AS DECIMAL(32,6))), 6) AS DOUBLE) AS t12
+        FROM trip
+    ),
+    cen AS (
+        SELECT m,
+               m * t11 - t1 * t1 AS c11,
+               m * t22 - t2 * t2 AS c22,
+               m * t12 - t1 * t2 AS c12,
+               m * t01 - t0 * t1 AS cy1,
+               m * t02 - t0 * t2 AS cy2,
+               m * t00 - t0 * t0 AS cyy
+        FROM fold
+    ),
+    r2 AS (
+        SELECT m,
+               cy1 * cy1 / (c11 * cyy) AS r2_1,
+               ((cy1 * c22 - cy2 * c12) * cy1
+                + (cy2 * c11 - cy1 * c12) * cy2)
+               / ((c11 * c22 - c12 * c12) * cyy) AS r2_2
+        FROM cen
+    )
+    SELECT m AS n_days_common,
+           round(r2_1, 8) + 0.0 AS r2_p1,
+           round(m * r2_1, 6) + 0.0 AS lm_p1,
+           CAST(CASE WHEN m * r2_1 > 3.841459 THEN 1 ELSE 0 END
+                AS INT) AS arch_p1_at_5pct,
+           round(r2_2, 8) + 0.0 AS r2_p2,
+           round(m * r2_2, 6) + 0.0 AS lm_p2,
+           CAST(CASE WHEN m * r2_2 > 5.991465 THEN 1 ELSE 0 END
+                AS INT) AS arch_p2_at_5pct
+    FROM r2
+    """,
+)
+def engle_arch_lm(spark, sf_dir):
+    """ENGLE'S ARCH-LM test on the squared studentized trend
+    residuals of daily revenue: regress s_t on (1, s_{t-1}) and on
+    (1, s_{t-1}, s_{t-2}); LM_p = n*R^2_p ~ chi2_p under
+    homoskedasticity — the REGRESSION-form second opinion to
+    `arch_effect_mcleod_li` (portmanteau form): McLeod-Li sums
+    squared-residual autocorrelations symmetrically, Engle's LM is
+    the score test in the actual AR(p)-in-variance model, so a lag
+    pattern that cancels in the portmanteau still registers here
+    (and p=1 vs p=2 localizes WHERE the volatility memory sits).
+    Both p's are fit on the common t >= 3 support so the nested
+    R^2s are comparable. Residual studentization s = e^2/(sse/(n-2))
+    reuses the McLeod-Li scale-invariance device verbatim.
+
+    Exactness: the trend fit comes from exact DECIMAL(38,0) power
+    sums (the shared `_trend_fit` tree); s rounds at 9 dp before
+    the triple frame; all nine fold sums are rounded-term DECIMAL
+    folds; the 2x2 normal equations solve by Cramer in identical
+    IEEE trees (chi2 criticals 3.841459/5.991465 shared literals).
+    Plan: day rollup -> two bounded calendar-grid equi-joins (d-1,
+    d-2) -> one fold; no window anywhere."""
+    from .round10 import _daily_orders, _trend_fit
+
+    daily = _daily_orders(spark, sf_dir).select("d", "y")
+    beta = _trend_fit(daily)
+    nL = F.col("n").cast("double")
+    sexpr = F.round(
+        (F.col("y") - (F.col("a") + F.col("b") * F.col("d")))
+        * (F.col("y") - (F.col("a") + F.col("b") * F.col("d")))
+        / (F.col("sse") / (nL - 2)),
+        9,
+    )
+    z = (
+        daily.crossJoin(F.broadcast(beta))
+        .select("d", sexpr.alias("s"))
+        .persist()
+    )
+    za, zb, zc = z.alias("za"), z.alias("zb"), z.alias("zc")
+    trip = (
+        za.join(zb, F.col("zb.d") == F.col("za.d") - 1)
+        .join(zc, F.col("zc.d") == F.col("za.d") - 2)
+        .select(
+            F.col("za.s").alias("s0"),
+            F.col("zb.s").alias("s1"),
+            F.col("zc.s").alias("s2"),
+        )
+    )
+
+    def dfold(expr, scale, prec):
+        return (
+            F.round(
+                F.sum(F.round(expr, scale).cast(f"decimal({prec},{scale})")),
+                scale,
+            )
+            .cast("double")
+        )
+
+    s0, s1, s2 = F.col("s0"), F.col("s1"), F.col("s2")
+    fold = trip.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        dfold(s0, 9, 28).alias("t0"),
+        dfold(s1, 9, 28).alias("t1"),
+        dfold(s2, 9, 28).alias("t2"),
+        dfold(s0 * s0, 6, 32).alias("t00"),
+        dfold(s1 * s1, 6, 32).alias("t11"),
+        dfold(s2 * s2, 6, 32).alias("t22"),
+        dfold(s0 * s1, 6, 32).alias("t01"),
+        dfold(s0 * s2, 6, 32).alias("t02"),
+        dfold(s1 * s2, 6, 32).alias("t12"),
+    )
+    m = F.col("m").cast("double")
+    c11 = m * F.col("t11") - F.col("t1") * F.col("t1")
+    c22 = m * F.col("t22") - F.col("t2") * F.col("t2")
+    c12 = m * F.col("t12") - F.col("t1") * F.col("t2")
+    cy1 = m * F.col("t01") - F.col("t0") * F.col("t1")
+    cy2 = m * F.col("t02") - F.col("t0") * F.col("t2")
+    cyy = m * F.col("t00") - F.col("t0") * F.col("t0")
+    r2_1 = cy1 * cy1 / (c11 * cyy)
+    det = c11 * c22 - c12 * c12
+    r2_2 = (
+        (cy1 * c22 - cy2 * c12) * cy1 + (cy2 * c11 - cy1 * c12) * cy2
+    ) / (det * cyy)
+    return fold.select(
+        F.col("m").alias("n_days_common"),
+        (F.round(r2_1, 8) + 0.0).alias("r2_p1"),
+        (F.round(m * r2_1, 6) + 0.0).alias("lm_p1"),
+        F.when(m * r2_1 > 3.841459, 1).otherwise(0).cast("int")
+        .alias("arch_p1_at_5pct"),
+        (F.round(r2_2, 8) + 0.0).alias("r2_p2"),
+        (F.round(m * r2_2, 6) + 0.0).alias("lm_p2"),
+        F.when(m * r2_2 > 5.991465, 1).otherwise(0).cast("int")
+        .alias("arch_p2_at_5pct"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "engle_arch_lm": (
+            "no window — bounded calendar-grid lag equi-joins + one "
+            "fold (the arch_effect_mcleod_li frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Monti PACF portmanteau (with the Ljung-Box twin on identical support)
+# --------------------------------------------------------------------------
+@register(
+    "monti_pacf_portmanteau",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s
+        FROM daily
+    ),
+    num AS (
+        SELECT (y.d - x.d) AS lag,
+               SUM(CAST((x.v * t.n - t.s) AS DECIMAL(38,0))
+                   * CAST((y.v * t.n - t.s) AS DECIMAL(38,0))) AS nk
+        FROM daily x
+        JOIN daily y ON y.d - x.d BETWEEN 1 AND 3
+        CROSS JOIN tot t
+        GROUP BY 1
+    ),
+    den AS (
+        SELECT SUM(CAST((v * t.n - t.s) AS DECIMAL(38,0))
+                   * CAST((v * t.n - t.s) AS DECIMAL(38,0))) AS d0
+        FROM daily, tot t
+    ),
+    rho AS (
+        SELECT t.n,
+            round(CAST(MAX(CASE WHEN lag = 1 THEN nk END) AS DOUBLE)
+                  / CAST(den.d0 AS DOUBLE), 9) AS r1,
+            round(CAST(MAX(CASE WHEN lag = 2 THEN nk END) AS DOUBLE)
+                  / CAST(den.d0 AS DOUBLE), 9) AS r2,
+            round(CAST(MAX(CASE WHEN lag = 3 THEN nk END) AS DOUBLE)
+                  / CAST(den.d0 AS DOUBLE), 9) AS r3
+        FROM num, den, tot t GROUP BY den.d0, t.n
+    ),
+    phi AS (
+        SELECT n, r1, r2, r3,
+               round(r1, 9) AS p11,
+               round((r2 - r1 * r1) / (1.0 - r1 * r1), 9) AS p22,
+               round((r3 - (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * r2
+                      - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1)
+                     / (1.0 - (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * r1
+                        - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2), 9)
+                   AS p33
+        FROM rho
+    )
+    SELECT n AS n_days,
+           round(n * (n + 2.0) * (p11 * p11 / (n - 1.0)
+                 + p22 * p22 / (n - 2.0)
+                 + p33 * p33 / (n - 3.0)), 6) + 0.0 AS monti_q3,
+           round(n * (n + 2.0) * (r1 * r1 / (n - 1.0)
+                 + r2 * r2 / (n - 2.0)
+                 + r3 * r3 / (n - 3.0)), 6) + 0.0 AS ljung_box_q3,
+           CAST(CASE WHEN n * (n + 2.0) * (p11 * p11 / (n - 1.0)
+                      + p22 * p22 / (n - 2.0)
+                      + p33 * p33 / (n - 3.0)) > 7.814728
+                     THEN 1 ELSE 0 END AS INT) AS monti_reject_5pct,
+           CAST(CASE WHEN n * (n + 2.0) * (r1 * r1 / (n - 1.0)
+                      + r2 * r2 / (n - 2.0)
+                      + r3 * r3 / (n - 3.0)) > 7.814728
+                     THEN 1 ELSE 0 END AS INT) AS lb_reject_5pct
+    FROM phi
+    """,
+)
+def monti_pacf_portmanteau(spark, sf_dir):
+    """MONTI'S portmanteau on daily event revenue: Q_M = n(n+2)
+    sum_k phi_kk^2/(n-k) over the first 3 PARTIAL autocorrelations
+    (closed-form Durbin-Levinson, the `pacf_durbin_levinson` tree
+    verbatim), beside the classic Ljung-Box Q on the same 3 raw
+    autocorrelations and the same support — the PACF-form second
+    opinion to `acf_ljung_box`: Monti (1994) showed the partial-
+    autocorrelation portmanteau is more powerful when the
+    misspecified part is the MA side (an MA(q) signature decays in
+    the ACF but cuts off in neither, and near-cancelling rho
+    patterns leave LB blind while the phi_kk sequence still
+    registers). Both Qs reference chi2_3 (7.814728, shared
+    literal); the pair disagreeing localizes AR-vs-MA structure.
+
+    Exactness: the rho_k numerators/denominator are exact
+    DECIMAL(38,0) folds of n-scaled integer deviations (the ACF
+    device); rho_k round at 9 dp before the recursion, phi_kk at 9
+    dp before squaring; the two Qs are identical IEEE trees. Plan:
+    day rollup -> bounded lag-3 calendar self-join -> 1-row pivot;
+    no window anywhere."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg((F.sum(dec("value", 18, 2)) * 100).cast("bigint").alias("v"))
+    daily = daily.persist()
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+    x, y = daily.alias("x"), daily.alias("y")
+    ux = (F.col("x.v") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    uy = (F.col("y.v") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    num = (
+        x.join(
+            F.broadcast(y),
+            (F.col("y.d") - F.col("x.d")).between(1, 3),
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy((F.col("y.d") - F.col("x.d")).alias("lag"))
+        .agg(F.sum(ux * uy).alias("nk"))
+    )
+    uv = (F.col("v") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    den = daily.crossJoin(F.broadcast(tot)).agg(
+        F.sum(uv * uv).alias("d0")
+    )
+    rho = (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("d0", "n")
+        .agg(
+            *[
+                F.round(
+                    F.max(
+                        F.when(F.col("lag") == k, F.col("nk"))
+                    ).cast("double")
+                    / F.col("d0").cast("double"),
+                    9,
+                ).alias(f"r{k}")
+                for k in (1, 2, 3)
+            ]
+        )
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p11 = F.round(r1, 9)
+    p22_raw = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    p21_raw = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    p22 = F.round(p22_raw, 9)
+    p33 = F.round(
+        (r3 - p21_raw * r2 - p22_raw * r1)
+        / (1.0 - p21_raw * r1 - p22_raw * r2),
+        9,
+    )
+    n = F.col("n").cast("double")
+    qm = n * (n + 2.0) * (
+        p11 * p11 / (n - 1.0)
+        + p22 * p22 / (n - 2.0)
+        + p33 * p33 / (n - 3.0)
+    )
+    qlb = n * (n + 2.0) * (
+        r1 * r1 / (n - 1.0)
+        + r2 * r2 / (n - 2.0)
+        + r3 * r3 / (n - 3.0)
+    )
+    return rho.select(
+        F.col("n").alias("n_days"),
+        (F.round(qm, 6) + 0.0).alias("monti_q3"),
+        (F.round(qlb, 6) + 0.0).alias("ljung_box_q3"),
+        F.when(qm > 7.814728, 1).otherwise(0).cast("int")
+        .alias("monti_reject_5pct"),
+        F.when(qlb > 7.814728, 1).otherwise(0).cast("int")
+        .alias("lb_reject_5pct"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "monti_pacf_portmanteau": (
+            "no window — bounded lag-3 calendar self-join + 1-row "
+            "pivot (the pacf_durbin_levinson frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Approximate entropy (ApEn, m=2) of daily revenue
+# --------------------------------------------------------------------------
+@register(
+    "approximate_entropy_daily",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    tol AS (
+        SELECT CAST(floor(0.2 * sqrt(
+                   CAST(COUNT(*) * SUM(CAST(y AS DECIMAL(38,0)) * y)
+                        - SUM(CAST(y AS DECIMAL(38,0)))
+                          * SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+                   / (COUNT(*) * CAST(COUNT(*) - 1 AS DOUBLE))))
+               AS BIGINT) AS r
+        FROM daily
+    ),
+    t2 AS (
+        SELECT a.day, a.y AS y0, b.y AS y1, c.y AS y2
+        FROM daily a
+        JOIN daily b ON b.day = a.day + 1
+        LEFT JOIN daily c ON c.day = a.day + 2
+    ),
+    c2 AS (
+        SELECT i.day,
+               CAST(SUM(CASE WHEN ABS(i.y0 - j.y0) <= r.r
+                              AND ABS(i.y1 - j.y1) <= r.r
+                         THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM t2 i JOIN t2 j ON true, tol r
+        GROUP BY i.day
+    ),
+    c3 AS (
+        SELECT i.day,
+               CAST(SUM(CASE WHEN ABS(i.y0 - j.y0) <= r.r
+                              AND ABS(i.y1 - j.y1) <= r.r
+                              AND ABS(i.y2 - j.y2) <= r.r
+                         THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM t2 i JOIN t2 j ON j.y2 IS NOT NULL, tol r
+        WHERE i.y2 IS NOT NULL
+        GROUP BY i.day
+    ),
+    phi2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+               CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE)), 8)
+                    AS DECIMAL(28,8))) AS DOUBLE) AS slc
+        FROM c2
+    ),
+    phi3 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n3,
+               CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE)), 8)
+                    AS DECIMAL(28,8))) AS DOUBLE) AS slc
+        FROM c3
+    )
+    SELECT p2.n2 AS n_templates_m2,
+           p3.n3 AS n_templates_m3,
+           r.r AS r_cents,
+           round((p2.slc / p2.n2 - ln(CAST(p2.n2 AS DOUBLE)))
+                 - (p3.slc / p3.n3 - ln(CAST(p3.n3 AS DOUBLE))), 6)
+               + 0.0 AS apen_m2
+    FROM phi2 p2, phi3 p3, tol r
+    """,
+)
+def approximate_entropy_daily(spark, sf_dir):
+    """APPROXIMATE ENTROPY (ApEn, m=2, r = floor(0.2*sd)) of the
+    daily-revenue series — Pincus's original regularity statistic
+    and the second opinion to `sample_entropy_daily`: ApEn keeps
+    the SELF-MATCH (every template count >= 1, so it is defined
+    even where SampEn's A=0 breaks) and averages per-template LOG
+    counts, Phi^m = mean_i ln(C_i^m / N_m), instead of SampEn's
+    log of the pooled ratio — so ApEn is biased toward regularity
+    but finite-sample-robust, and the (ApEn, SampEn) pair moving
+    apart flags exactly the short-series bias regime where neither
+    alone is trustworthy. Same integer tolerance, same calendar
+    templates.
+
+    Exactness: integer-cents templates and INTEGER tolerance make
+    every match comparison exact; per-template counts are exact
+    BIGINTs; ln(count) rounds at 8 dp into a DECIMAL(28,8) fold
+    (readout at 6 — decade escalation); the template self-join is
+    the domain-bounded SampEn device (~2.4k-row calendar frame;
+    pair count is a calendar constant, not data-volume-scaled).
+    Plan: day rollup -> two bounded self-joins -> two folds."""
+    daily = _daily(spark, sf_dir).persist()
+    tol = daily.agg(
+        F.floor(
+            0.2
+            * F.sqrt(
+                (
+                    F.count(F.lit(1))
+                    * F.sum(
+                        F.col("y").cast("decimal(38,0)") * F.col("y")
+                    )
+                    - F.sum(F.col("y").cast("decimal(38,0)"))
+                    * F.sum(F.col("y").cast("decimal(38,0)"))
+                ).cast("double")
+                / (
+                    F.count(F.lit(1))
+                    * (F.count(F.lit(1)) - 1).cast("double")
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("r")
+    )
+    b1 = daily.select(
+        (F.col("day") - 1).alias("day"), F.col("y").alias("y1")
+    )
+    c2s = daily.select(
+        (F.col("day") - 2).alias("day"), F.col("y").alias("y2")
+    )
+    t2 = (
+        daily.withColumnRenamed("y", "y0")
+        .join(b1, "day")
+        .join(c2s, "day", "left")
+        .crossJoin(F.broadcast(tol))
+        .persist()
+    )
+    i = t2.select(
+        F.col("day").alias("di"),
+        F.col("y0").alias("i0"),
+        F.col("y1").alias("i1"),
+        F.col("y2").alias("i2"),
+        "r",
+    )
+    j = t2.select(
+        F.col("day").alias("dj"),
+        F.col("y0").alias("j0"),
+        F.col("y1").alias("j1"),
+        F.col("y2").alias("j2"),
+    )
+    m2 = (F.abs(F.col("i0") - F.col("j0")) <= F.col("r")) & (
+        F.abs(F.col("i1") - F.col("j1")) <= F.col("r")
+    )
+    c2 = (
+        i.join(j, F.lit(True))
+        .groupBy("di")
+        .agg(F.sum(m2.cast("long")).cast("bigint").alias("c"))
+    )
+    m3 = m2 & (F.abs(F.col("i2") - F.col("j2")) <= F.col("r"))
+    c3 = (
+        i.where(F.col("i2").isNotNull())
+        .join(j.where(F.col("j2").isNotNull()), F.lit(True))
+        .groupBy("di")
+        .agg(F.sum(m3.cast("long")).cast("bigint").alias("c"))
+    )
+
+    def phi(cdf):
+        return cdf.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.round(F.log(F.col("c").cast("double")), 8).cast(
+                    "decimal(28,8)"
+                )
+            )
+            .cast("double")
+            .alias("slc"),
+        )
+
+    p2 = phi(c2).select(
+        F.col("n").alias("n2"), F.col("slc").alias("slc2")
+    )
+    p3 = phi(c3).select(
+        F.col("n").alias("n3"), F.col("slc").alias("slc3")
+    )
+    out = p2.crossJoin(F.broadcast(p3)).crossJoin(F.broadcast(tol))
+    apen = (
+        F.col("slc2") / F.col("n2")
+        - F.log(F.col("n2").cast("double"))
+    ) - (
+        F.col("slc3") / F.col("n3")
+        - F.log(F.col("n3").cast("double"))
+    )
+    return out.select(
+        F.col("n2").alias("n_templates_m2"),
+        F.col("n3").alias("n_templates_m3"),
+        F.col("r").alias("r_cents"),
+        (F.round(apen, 6) + 0.0).alias("apen_m2"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "approximate_entropy_daily": (
+            "bounded-domain template self-joins on the ~2.4k-row "
+            "calendar frame (the sample_entropy_daily device)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Hjorth parameters + Petrosian fractal dimension of daily revenue
+# --------------------------------------------------------------------------
+@register(
+    "hjorth_parameters_daily",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    trip AS (
+        SELECT a.y AS y0, b.y AS y1, c.y AS y2
+        FROM daily a
+        JOIN daily b ON b.day = a.day - 1
+        JOIN daily c ON c.day = a.day - 2
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(y0) AS BIGINT) AS sx,
+               CAST(SUM(CAST(y0 AS DECIMAL(19,0)) * y0)
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(y0 - y1) AS BIGINT) AS s1,
+               CAST(SUM(CAST(y0 - y1 AS DECIMAL(19,0)) * (y0 - y1))
+                    AS DECIMAL(38,0)) AS s11,
+               CAST(SUM(y0 - 2 * y1 + y2) AS BIGINT) AS s2,
+               CAST(SUM(CAST(y0 - 2 * y1 + y2 AS DECIMAL(19,0))
+                        * (y0 - 2 * y1 + y2))
+                    AS DECIMAL(38,0)) AS s22,
+               CAST(SUM(CASE WHEN CAST(y0 - y1 AS DECIMAL(19,0))
+                                  * (y1 - y2) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nsc
+        FROM trip
+    ),
+    vars_ AS (
+        SELECT m, nsc,
+               (m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                   / (CAST(m AS DOUBLE) * m) AS v0,
+               (m * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                   / (CAST(m AS DOUBLE) * m) AS v1,
+               (m * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2)
+                   / (CAST(m AS DOUBLE) * m) AS v2
+        FROM fold
+    )
+    SELECT m AS n_days_common,
+           round(v0 / 1e10, 4) + 0.0 AS activity_kusd2,
+           round(sqrt(v1 / v0), 8) + 0.0 AS mobility,
+           round(sqrt(v2 / v1) / sqrt(v1 / v0), 8) + 0.0
+               AS complexity,
+           nsc AS n_sign_changes,
+           round(log10(CAST(m AS DOUBLE))
+                 / (log10(CAST(m AS DOUBLE))
+                    + log10(m / (m + 0.4 * nsc))), 8) + 0.0
+               AS petrosian_fd
+    FROM vars_
+    """,
+)
+def hjorth_parameters_daily(spark, sf_dir):
+    """HJORTH PARAMETERS (activity, mobility, complexity) of the
+    daily-revenue series plus the PETROSIAN fractal dimension — the
+    time-domain second opinion to `spectral_entropy_daily` /
+    `periodogram_dft_peaks`: Hjorth mobility is exactly the
+    normalized second spectral moment (dominant frequency proxy)
+    and complexity the bandwidth proxy, computed from variances of
+    the series and its first/second calendar differences with NO
+    transform — where the periodogram needs the full DFT grid, the
+    Hjorth triple is three variance folds, which is the form a
+    streaming monitor actually maintains. Petrosian's FD
+    (log10 n / (log10 n + log10(n/(n+0.4*NSC))), NSC = strict sign
+    changes of the first difference) adds the complexity-class
+    reading `higuchi_fractal_dimension` estimates by regression.
+    All on the common t>=3 triple support so the three variances
+    are comparable (documented convention).
+
+    Exactness: first/second differences are exact BIGINTs on the
+    calendar triple frame; all power sums widen through
+    DECIMAL(19,0)->DECIMAL(38,0) (at 64x sf0.1 the d2 fold peaks
+    ~1e25, 13 digits off the rail); variances, the two ratios, and
+    the FD are identical IEEE trees (population-variance
+    convention). Plan: day rollup -> two calendar equi-joins -> one
+    fold; no window anywhere."""
+    daily = _daily(spark, sf_dir)
+    b1 = daily.select(
+        (F.col("day") + 1).alias("day"), F.col("y").alias("y1")
+    )
+    c2 = daily.select(
+        (F.col("day") + 2).alias("day"), F.col("y").alias("y2")
+    )
+    trip = (
+        daily.withColumnRenamed("y", "y0")
+        .join(b1, "day")
+        .join(c2, "day")
+    )
+    d1 = F.col("y0") - F.col("y1")
+    d2 = F.col("y0") - 2 * F.col("y1") + F.col("y2")
+    fold = trip.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("y0").cast("bigint").alias("sx"),
+        F.sum(F.col("y0").cast("decimal(19,0)") * F.col("y0"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(d1).cast("bigint").alias("s1"),
+        F.sum(d1.cast("decimal(19,0)") * d1)
+        .cast("decimal(38,0)")
+        .alias("s11"),
+        F.sum(d2).cast("bigint").alias("s2"),
+        F.sum(d2.cast("decimal(19,0)") * d2)
+        .cast("decimal(38,0)")
+        .alias("s22"),
+        F.sum(
+            F.when(
+                d1.cast("decimal(19,0)") * (F.col("y1") - F.col("y2"))
+                < 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("nsc"),
+    )
+    m = F.col("m").cast("double")
+    v0 = (
+        m * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) / (m * m)
+    v1 = (
+        m * F.col("s11").cast("double")
+        - F.col("s1").cast("double") * F.col("s1")
+    ) / (m * m)
+    v2 = (
+        m * F.col("s22").cast("double")
+        - F.col("s2").cast("double") * F.col("s2")
+    ) / (m * m)
+    lg = F.log10(m)
+    return fold.select(
+        F.col("m").alias("n_days_common"),
+        (F.round(v0 / 1e10, 4) + 0.0).alias("activity_kusd2"),
+        (F.round(F.sqrt(v1 / v0), 8) + 0.0).alias("mobility"),
+        (F.round(F.sqrt(v2 / v1) / F.sqrt(v1 / v0), 8) + 0.0)
+        .alias("complexity"),
+        F.col("nsc").alias("n_sign_changes"),
+        (
+            F.round(
+                lg / (lg + F.log10(m / (m + 0.4 * F.col("nsc")))), 8
+            )
+            + 0.0
+        ).alias("petrosian_fd"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "hjorth_parameters_daily": (
+            "no window — calendar-grid difference equi-joins + one "
+            "fold"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Theta-method 28-day holdout forecast, MASE-scored vs naive
+# --------------------------------------------------------------------------
+@register(
+    "theta_method_mase",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    idxd AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS i,
+               CAST(y AS DOUBLE) / 100000.0 AS yk
+        FROM daily
+    ),
+    nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) - 28 AS BIGINT) AS th
+        FROM idxd
+    ),
+    head AS (
+        SELECT i, yk, th FROM idxd, nn WHERE i <= th
+    ),
+    slope AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(i) AS BIGINT) AS si,
+               CAST(SUM(CAST(round(yk, 5) AS DECIMAL(28,5)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(i AS DECIMAL(38,0)) * i) AS DECIMAL(38,0))
+                   AS sii,
+               CAST(SUM(CAST(round(i * yk, 5) AS DECIMAL(32,5)))
+                    AS DOUBLE) AS siy
+        FROM head
+    ),
+    lvl AS (
+        SELECT CAST(SUM(CAST(round(
+                   CASE WHEN i = 1
+                        THEN round(power(0.8, th - 1), 12) * yk
+                        ELSE 0.2 * round(power(0.8, th - i), 12) * yk
+                   END, 8) AS DECIMAL(28,8))) AS DOUBLE) AS l_ses
+        FROM head
+    ),
+    ylast AS (
+        SELECT yk AS y_last FROM head, nn WHERE i = nn.th
+    ),
+    insnaive AS (
+        SELECT CAST(SUM(CAST(round(ABS(yk - pyk), 8)
+                    AS DECIMAL(28,8))) AS DOUBLE)
+                   / (MAX(th) - 1.0) AS mae_d
+        FROM (SELECT i, yk, th,
+                     LAG(yk) OVER (ORDER BY i) AS pyk
+              FROM head)
+        WHERE pyk IS NOT NULL
+    ),
+    bexpr AS (
+        SELECT (m * siy - si * sy)
+               / (m * CAST(sii AS DOUBLE) - CAST(si AS DOUBLE) * si)
+                   AS b
+        FROM slope
+    ),
+    hold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nh,
+               CAST(SUM(CAST(round(ABS(d.yk
+                   - (l.l_ses + (b.b / 2.0)
+                      * ((d.i - n.th) - 1.0 + 5.0))), 8)
+                   AS DECIMAL(28,8))) AS DOUBLE) AS sae_theta,
+               CAST(SUM(CAST(round(ABS(d.yk - y.y_last), 8)
+                   AS DECIMAL(28,8))) AS DOUBLE) AS sae_naive
+        FROM idxd d, nn n, lvl l, bexpr b, ylast y
+        WHERE d.i > n.th
+    )
+    SELECT s.m AS n_head_days,
+           h.nh AS n_holdout_days,
+           round(h.sae_theta / h.nh, 6) + 0.0 AS theta_mae_kusd,
+           round(h.sae_naive / h.nh, 6) + 0.0 AS naive_mae_kusd,
+           round(h.sae_theta / h.nh / i.mae_d, 6) + 0.0
+               AS theta_mase,
+           round(h.sae_naive / h.nh / i.mae_d, 6) + 0.0
+               AS naive_mase
+    FROM slope s, hold h, insnaive i
+    """,
+)
+def theta_method_mase(spark, sf_dir):
+    """THETA-METHOD (theta=2) 28-day holdout forecast of daily
+    revenue, MASE-scored beside the last-value naive — the
+    decomposition-free second opinion to `holt_linear_forecast` /
+    `seasonal_naive_mase`: by Hyndman & Billah (2003) the Theta(2)
+    forecast is EXACTLY simple exponential smoothing plus a drift
+    of half the OLS slope, yhat(h) = L_T + (b/2)(h - 1 + 1/alpha),
+    so the whole method reduces to one geometric-weight fold
+    (pinned alpha = 0.2, L_1 = y_1 init) and the shared exact-OLS
+    slope — no recursion state, which is why the M3-winning method
+    fits a distributed engine. MASE denominators use the in-sample
+    one-step naive MAE (Hyndman & Koehler), making theta_mase vs
+    naive_mase directly comparable to the seasonal-naive readout.
+
+    Exactness: the sequence index is a row_number over the
+    ~2.4k-row calendar frame (bounded-domain window, the
+    updown_runs class); geometric weights round at 12 dp before the
+    8-dp product fold (0.8^k underflows the pin beyond k~130, an
+    exact-zero tail in both engines); slope from exact
+    integer-index folds; all absolute-error folds are rounded-term
+    DECIMAL sums. Plan: day rollup -> one bounded window -> four
+    scalar folds + broadcast-scalar holdout scoring."""
+    daily = _daily(spark, sf_dir)
+    wday = Window.orderBy("day")
+    idxd = daily.select(
+        F.row_number().over(wday).cast("bigint").alias("i"),
+        (F.col("y").cast("double") / 100000.0).alias("yk"),
+    ).persist()
+    nn = idxd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.count(F.lit(1)) - 28).cast("bigint").alias("th"),
+    )
+    head = idxd.crossJoin(F.broadcast(nn)).where(
+        F.col("i") <= F.col("th")
+    )
+    slope = head.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("i").cast("bigint").alias("si"),
+        F.sum(F.round("yk", 5).cast("decimal(28,5)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("i"))
+        .cast("decimal(38,0)")
+        .alias("sii"),
+        F.sum(F.round(F.col("i") * F.col("yk"), 5).cast("decimal(32,5)"))
+        .cast("double")
+        .alias("siy"),
+    )
+    wgt = F.when(
+        F.col("i") == 1,
+        F.round(F.pow(0.8, F.col("th") - 1), 12) * F.col("yk"),
+    ).otherwise(
+        0.2 * F.round(F.pow(0.8, F.col("th") - F.col("i")), 12)
+        * F.col("yk")
+    )
+    lvl = head.agg(
+        F.sum(F.round(wgt, 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("l_ses")
+    )
+    ylast = head.where(F.col("i") == F.col("th")).select(
+        F.col("yk").alias("y_last")
+    )
+    lagh = head.select(
+        "i", "yk", "th", F.lag("yk").over(Window.orderBy("i")).alias("pyk")
+    ).where(F.col("pyk").isNotNull())
+    insnaive = lagh.agg(
+        (
+            F.sum(
+                F.round(F.abs(F.col("yk") - F.col("pyk")), 8).cast(
+                    "decimal(28,8)"
+                )
+            ).cast("double")
+            / (F.max("th") - 1.0)
+        ).alias("mae_d")
+    )
+    b = (
+        (
+            F.col("m") * F.col("siy")
+            - F.col("si").cast("double") * F.col("sy")
+        )
+        / (
+            F.col("m") * F.col("sii").cast("double")
+            - F.col("si").cast("double") * F.col("si")
+        )
+    )
+    bexpr = slope.select(F.col("m"), b.alias("b"))
+    hold = (
+        idxd.crossJoin(F.broadcast(nn))
+        .where(F.col("i") > F.col("th"))
+        .crossJoin(F.broadcast(lvl))
+        .crossJoin(F.broadcast(bexpr))
+        .crossJoin(F.broadcast(ylast))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nh"),
+            F.sum(
+                F.round(
+                    F.abs(
+                        F.col("yk")
+                        - (
+                            F.col("l_ses")
+                            + (F.col("b") / 2.0)
+                            * (
+                                (F.col("i") - F.col("th")).cast("double")
+                                - 1.0
+                                + 5.0
+                            )
+                        )
+                    ),
+                    8,
+                ).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("sae_theta"),
+            F.sum(
+                F.round(F.abs(F.col("yk") - F.col("y_last")), 8).cast(
+                    "decimal(28,8)"
+                )
+            )
+            .cast("double")
+            .alias("sae_naive"),
+            F.max("m").alias("m"),
+        )
+    )
+    return hold.crossJoin(F.broadcast(insnaive)).select(
+        F.col("m").alias("n_head_days"),
+        F.col("nh").alias("n_holdout_days"),
+        (F.round(F.col("sae_theta") / F.col("nh"), 6) + 0.0)
+        .alias("theta_mae_kusd"),
+        (F.round(F.col("sae_naive") / F.col("nh"), 6) + 0.0)
+        .alias("naive_mae_kusd"),
+        (
+            F.round(
+                F.col("sae_theta") / F.col("nh") / F.col("mae_d"), 6
+            )
+            + 0.0
+        ).alias("theta_mase"),
+        (
+            F.round(
+                F.col("sae_naive") / F.col("nh") / F.col("mae_d"), 6
+            )
+            + 0.0
+        ).alias("naive_mase"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "theta_method_mase": (
+            "bounded calendar-frame windows (row_number + one lag "
+            "over ~2.4k rows, the updown_runs class); scalar "
+            "broadcasts elsewhere"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Sato-Vartia and Walsh price indices (the Fisher/Tornqvist second pair)
+# --------------------------------------------------------------------------
+_MATCHED_BRANDS_SQL = """
+    per AS (
+        SELECT CAST(epoch_us(l_shipdate) // 86400000000 // 30
+                    AS BIGINT) AS m30,
+               p.p_brand AS b,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    lims AS (SELECT CAST(min(m30) AS BIGINT) AS m0,
+                    CAST(max(m30) AS BIGINT) AS m1 FROM per),
+    base AS (
+        SELECT b, q AS q0, r AS r0,
+               round(CAST(r AS DOUBLE) / q / 100.0, 8) AS p0
+        FROM per, lims WHERE per.m30 = lims.m0
+    ),
+    curr AS (
+        SELECT b, q AS q1, r AS r1,
+               round(CAST(r AS DOUBLE) / q / 100.0, 8) AS p1
+        FROM per, lims WHERE per.m30 = lims.m1
+    ),
+    matched AS (
+        SELECT base.b, q0, r0, p0, q1, r1, p1
+        FROM base JOIN curr ON base.b = curr.b
+    )
+"""
+
+
+@register(
+    "sato_vartia_walsh_index",
+    oracle=f"""
+    WITH {_MATCHED_BRANDS_SQL},
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(r0) AS BIGINT) AS sr0,
+               CAST(SUM(r1) AS BIGINT) AS sr1,
+               CAST(SUM(CAST(round(p1 * sqrt(CAST(q0 AS DOUBLE) * q1),
+                    6) AS DECIMAL(38,6))) AS DOUBLE) AS wn,
+               CAST(SUM(CAST(round(p0 * sqrt(CAST(q0 AS DOUBLE) * q1),
+                    6) AS DECIMAL(38,6))) AS DOUBLE) AS wd,
+               CAST(SUM(CAST(round(p1 * q0, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS p1q0,
+               CAST(SUM(CAST(round(p0 * q0, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS p0q0,
+               CAST(SUM(CAST(round(p1 * q1, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS p1q1,
+               CAST(SUM(CAST(round(p0 * q1, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS p0q1
+        FROM matched
+    ),
+    lw AS (
+        SELECT CAST(SUM(CAST(round(
+                   CASE WHEN round(CAST(m.r1 AS DOUBLE) / t.sr1, 10)
+                             = round(CAST(m.r0 AS DOUBLE) / t.sr0, 10)
+                        THEN round(CAST(m.r0 AS DOUBLE) / t.sr0, 10)
+                        ELSE (round(CAST(m.r1 AS DOUBLE) / t.sr1, 10)
+                              - round(CAST(m.r0 AS DOUBLE) / t.sr0, 10))
+                             / (ln(round(CAST(m.r1 AS DOUBLE) / t.sr1,
+                                         10))
+                                - ln(round(CAST(m.r0 AS DOUBLE) / t.sr0,
+                                           10)))
+                   END, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sl,
+               CAST(SUM(CAST(round(
+                   CASE WHEN round(CAST(m.r1 AS DOUBLE) / t.sr1, 10)
+                             = round(CAST(m.r0 AS DOUBLE) / t.sr0, 10)
+                        THEN round(CAST(m.r0 AS DOUBLE) / t.sr0, 10)
+                        ELSE (round(CAST(m.r1 AS DOUBLE) / t.sr1, 10)
+                              - round(CAST(m.r0 AS DOUBLE) / t.sr0, 10))
+                             / (ln(round(CAST(m.r1 AS DOUBLE) / t.sr1,
+                                         10))
+                                - ln(round(CAST(m.r0 AS DOUBLE) / t.sr0,
+                                           10)))
+                   END * round(ln(m.p1 / m.p0), 10), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS slp
+        FROM matched m, tot t
+    )
+    SELECT t.k AS n_brands_matched,
+           round(exp(lw.slp / lw.sl), 6) + 0.0 AS sato_vartia,
+           round(t.wn / t.wd, 6) + 0.0 AS walsh,
+           round(sqrt((t.p1q0 / t.p0q0) * (t.p1q1 / t.p0q1)), 6)
+               + 0.0 AS fisher_ideal,
+           round(abs(lw.slp / lw.sl
+                     - 0.5 * (ln(t.p1q0 / t.p0q0)
+                              + ln(t.p1q1 / t.p0q1))), 8) + 0.0
+               AS sv_vs_fisher_abs_log_gap
+    FROM tot t, lw
+    """,
+)
+def sato_vartia_walsh_index(spark, sf_dir):
+    """SATO-VARTIA and WALSH price indices between the first and
+    last 30-day shipping period on exactly the
+    `fisher_tornqvist_index` matched-brands frame — the other two
+    superlative-class forms: Sato-Vartia weights log price
+    relatives by NORMALIZED LOGARITHMIC MEANS of the period revenue
+    shares, L(w1,w0) = (w1-w0)/(ln w1 - ln w0) (the unique index
+    that is exact for CES preferences and passes the factor
+    reversal test in log form), and Walsh uses the
+    geometric-mean basket sqrt(q0*q1). All superlative indices
+    agree to second order; `sv_vs_fisher_abs_log_gap` MEASURES the
+    third-order disagreement, which blows up exactly when
+    between-period substitution is violent — the hidden-regime
+    screen the Fisher number alone cannot provide.
+
+    Exactness: per-(brand, period) cents/quantities exact; unit
+    prices pin at 8 dp; revenue shares pin at 10 dp before the
+    logarithmic-mean branch (the w1 = w0 tie falls back to w
+    exactly, same CASE in both engines); L and L*ln-relative terms
+    round at 12 dp into DECIMAL folds; Walsh basket terms at 6 dp.
+    Plan: lineitem+part rollup -> two period slices joined on brand
+    (bounded brand grid) -> two folds; no window."""
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part")
+    per = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            F.floor(
+                F.floor(F.unix_micros("l_shipdate") / 86_400_000_000)
+                / 30
+            )
+            .cast("bigint")
+            .alias("m30"),
+            F.col("p_brand").alias("b"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q"),
+            (F.sum(dec("l_extendedprice", 18, 2)) * 100)
+            .cast("bigint")
+            .alias("r"),
+        )
+        .persist()
+    )
+    lims = per.agg(
+        F.min("m30").cast("bigint").alias("m0"),
+        F.max("m30").cast("bigint").alias("m1"),
+    )
+    wl = per.crossJoin(F.broadcast(lims))
+    price = F.round(
+        F.col("r").cast("double") / F.col("q") / 100.0, 8
+    )
+    base = wl.where(F.col("m30") == F.col("m0")).select(
+        "b",
+        F.col("q").alias("q0"),
+        F.col("r").alias("r0"),
+        price.alias("p0"),
+    )
+    curr = wl.where(F.col("m30") == F.col("m1")).select(
+        "b",
+        F.col("q").alias("q1"),
+        F.col("r").alias("r1"),
+        price.alias("p1"),
+    )
+    matched = base.join(curr, "b").persist()
+    tot = matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("r0").cast("bigint").alias("sr0"),
+        F.sum("r1").cast("bigint").alias("sr1"),
+        F.sum(
+            F.round(
+                F.col("p1")
+                * F.sqrt(F.col("q0").cast("double") * F.col("q1")),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("wn"),
+        F.sum(
+            F.round(
+                F.col("p0")
+                * F.sqrt(F.col("q0").cast("double") * F.col("q1")),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("wd"),
+        F.sum(F.round(F.col("p1") * F.col("q0"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("p1q0"),
+        F.sum(F.round(F.col("p0") * F.col("q0"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("p0q0"),
+        F.sum(F.round(F.col("p1") * F.col("q1"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("p1q1"),
+        F.sum(F.round(F.col("p0") * F.col("q1"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("p0q1"),
+    )
+    mt = matched.crossJoin(F.broadcast(tot))
+    w1 = F.round(F.col("r1").cast("double") / F.col("sr1"), 10)
+    w0 = F.round(F.col("r0").cast("double") / F.col("sr0"), 10)
+    lmean = F.when(w1 == w0, w0).otherwise(
+        (w1 - w0) / (F.log(w1) - F.log(w0))
+    )
+    lw = mt.agg(
+        F.sum(F.round(lmean, 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sl"),
+        F.sum(
+            F.round(
+                lmean * F.round(F.log(F.col("p1") / F.col("p0")), 10),
+                12,
+            ).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("slp"),
+    )
+    out = tot.crossJoin(F.broadcast(lw))
+    lasp = F.col("p1q0") / F.col("p0q0")
+    paas = F.col("p1q1") / F.col("p0q1")
+    svlog = F.col("slp") / F.col("sl")
+    return out.select(
+        F.col("k").alias("n_brands_matched"),
+        (F.round(F.exp(svlog), 6) + 0.0).alias("sato_vartia"),
+        (F.round(F.col("wn") / F.col("wd"), 6) + 0.0).alias("walsh"),
+        (F.round(F.sqrt(lasp * paas), 6) + 0.0).alias("fisher_ideal"),
+        (
+            F.round(
+                F.abs(svlog - 0.5 * (F.log(lasp) + F.log(paas))), 8
+            )
+            + 0.0
+        ).alias("sv_vs_fisher_abs_log_gap"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "sato_vartia_walsh_index": (
+            "no window — brand-grid period slices + two folds (the "
+            "fisher_tornqvist_index frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Bennet additive price/quantity decomposition (the LMDI second opinion)
+# --------------------------------------------------------------------------
+@register(
+    "bennet_price_quantity_decomp",
+    oracle=f"""
+    WITH {_MATCHED_BRANDS_SQL},
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(r1) AS BIGINT) - CAST(SUM(r0) AS BIGINT)
+                   AS dv_cents,
+               CAST(SUM(CAST(round(
+                   0.5 * (CAST(q0 AS DOUBLE) + q1) * (p1 - p0) * 100.0,
+                   6) AS DECIMAL(38,6))) AS DOUBLE) AS price_cents,
+               CAST(SUM(CAST(round(
+                   0.5 * (p0 + p1) * (CAST(q1 AS DOUBLE) - q0) * 100.0,
+                   6) AS DECIMAL(38,6))) AS DOUBLE) AS qty_cents
+        FROM matched
+    )
+    SELECT k AS n_brands_matched,
+           round(dv_cents / 100000.0, 4) + 0.0 AS value_change_kusd,
+           round(price_cents / 100000.0, 4) + 0.0
+               AS bennet_price_kusd,
+           round(qty_cents / 100000.0, 4) + 0.0
+               AS bennet_quantity_kusd,
+           round((price_cents + qty_cents - dv_cents) / 100000.0, 4)
+               + 0.0 AS identity_gap_kusd
+    FROM fold
+    """,
+)
+def bennet_price_quantity_decomp(spark, sf_dir):
+    """BENNET indicator decomposition of the matched-brand revenue
+    change between the first and last 30-day shipping period:
+    price indicator sum 0.5(q0+q1)(p1-p0) and quantity indicator
+    sum 0.5(p0+p1)(q1-q0), which satisfy the EXACT ADDITIVE
+    identity price + quantity = value change (Bennet 1920; the
+    Shapley/symmetric-weights decomposition in difference form) —
+    the additive-dollars second opinion to `lmdi_decomposition`'s
+    multiplicative log-mean bridge: LMDI answers "what multiplied
+    revenue", Bennet answers "how many DOLLARS came from price vs
+    volume", and the two closing on the same matched frame is the
+    decomposition-consistency certificate. `identity_gap_kusd`
+    ships the identity residual (zero up to the declared 6-dp term
+    rounds) as a self-check column.
+
+    Exactness: the value change is an exact integer cents
+    difference; each Bennet term is one IEEE expression over exact
+    q0/q1 BIGINTs and 8-dp-pinned unit prices, rounded at 6 dp
+    into DECIMAL(38,6) folds (both engines identical trees). Plan:
+    the matched-brands frame (lineitem+part rollup -> two period
+    slices -> brand join) -> one fold; no window."""
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part")
+    per = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            F.floor(
+                F.floor(F.unix_micros("l_shipdate") / 86_400_000_000)
+                / 30
+            )
+            .cast("bigint")
+            .alias("m30"),
+            F.col("p_brand").alias("b"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q"),
+            (F.sum(dec("l_extendedprice", 18, 2)) * 100)
+            .cast("bigint")
+            .alias("r"),
+        )
+        .persist()
+    )
+    lims = per.agg(
+        F.min("m30").cast("bigint").alias("m0"),
+        F.max("m30").cast("bigint").alias("m1"),
+    )
+    wl = per.crossJoin(F.broadcast(lims))
+    price = F.round(
+        F.col("r").cast("double") / F.col("q") / 100.0, 8
+    )
+    base = wl.where(F.col("m30") == F.col("m0")).select(
+        "b",
+        F.col("q").alias("q0"),
+        F.col("r").alias("r0"),
+        price.alias("p0"),
+    )
+    curr = wl.where(F.col("m30") == F.col("m1")).select(
+        "b",
+        F.col("q").alias("q1"),
+        F.col("r").alias("r1"),
+        price.alias("p1"),
+    )
+    matched = base.join(curr, "b")
+    pterm = (
+        0.5
+        * (F.col("q0").cast("double") + F.col("q1"))
+        * (F.col("p1") - F.col("p0"))
+        * 100.0
+    )
+    qterm = (
+        0.5
+        * (F.col("p0") + F.col("p1"))
+        * (F.col("q1").cast("double") - F.col("q0"))
+        * 100.0
+    )
+    fold = matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (
+            F.sum("r1").cast("bigint") - F.sum("r0").cast("bigint")
+        ).alias("dv_cents"),
+        F.sum(F.round(pterm, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("price_cents"),
+        F.sum(F.round(qterm, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("qty_cents"),
+    )
+    return fold.select(
+        F.col("k").alias("n_brands_matched"),
+        (F.round(F.col("dv_cents") / 100000.0, 4) + 0.0)
+        .alias("value_change_kusd"),
+        (F.round(F.col("price_cents") / 100000.0, 4) + 0.0)
+        .alias("bennet_price_kusd"),
+        (F.round(F.col("qty_cents") / 100000.0, 4) + 0.0)
+        .alias("bennet_quantity_kusd"),
+        (
+            F.round(
+                (
+                    F.col("price_cents")
+                    + F.col("qty_cents")
+                    - F.col("dv_cents")
+                )
+                / 100000.0,
+                4,
+            )
+            + 0.0
+        ).alias("identity_gap_kusd"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "bennet_price_quantity_decomp": (
+            "no window — brand-grid period slices + one fold (the "
+            "fisher_tornqvist_index frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Kitagawa rate decomposition of the fulfilled-order rate across halves
+# --------------------------------------------------------------------------
+@register(
+    "kitagawa_rate_decomposition",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_nationkey AS nk,
+               CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+                   AS day,
+               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS f
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    mid AS (
+        SELECT CAST((min(day) + max(day) + 1) // 2 AS BIGINT) AS m
+        FROM base
+    ),
+    cell AS (
+        SELECT nk,
+               CASE WHEN day < m THEN 0 ELSE 1 END AS p,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(f) AS BIGINT) AS nf
+        FROM base, mid GROUP BY 1, 2
+    ),
+    ptot AS (
+        SELECT p, CAST(SUM(n) AS BIGINT) AS tn FROM cell GROUP BY p
+    ),
+    wide AS (
+        SELECT COALESCE(a.nk, b.nk) AS nk,
+               COALESCE(round(CAST(a.n AS DOUBLE)
+                   / (SELECT tn FROM ptot WHERE p = 0), 10), 0.0)
+                   AS s0,
+               COALESCE(round(CAST(b.n AS DOUBLE)
+                   / (SELECT tn FROM ptot WHERE p = 1), 10), 0.0)
+                   AS s1,
+               COALESCE(round(CAST(a.nf AS DOUBLE) / a.n, 10),
+                        round(CAST(b.nf AS DOUBLE) / b.n, 10)) AS r0,
+               COALESCE(round(CAST(b.nf AS DOUBLE) / b.n, 10),
+                        round(CAST(a.nf AS DOUBLE) / a.n, 10)) AS r1
+        FROM (SELECT * FROM cell WHERE p = 0) a
+        FULL OUTER JOIN (SELECT * FROM cell WHERE p = 1) b
+            ON a.nk = b.nk
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(round(s0 * r0, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS rate0,
+               CAST(SUM(CAST(round(s1 * r1, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS rate1,
+               CAST(SUM(CAST(round(0.5 * (s0 + s1) * (r1 - r0), 12)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS rate_eff,
+               CAST(SUM(CAST(round(0.5 * (r0 + r1) * (s1 - s0), 12)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS comp_eff
+        FROM wide
+    )
+    SELECT k AS n_nations,
+           round(rate0, 8) + 0.0 AS fulfilled_rate_h1,
+           round(rate1, 8) + 0.0 AS fulfilled_rate_h2,
+           round(rate1 - rate0, 8) + 0.0 AS rate_diff,
+           round(rate_eff, 8) + 0.0 AS rate_effect,
+           round(comp_eff, 8) + 0.0 AS composition_effect,
+           round(rate_eff + comp_eff - (rate1 - rate0), 10) + 0.0
+               AS identity_gap
+    FROM fold
+    """,
+)
+def kitagawa_rate_decomposition(spark, sf_dir):
+    """KITAGAWA (1955) decomposition of the fulfilled-order ('F'
+    status) rate change between the first and second calendar half,
+    stratified by customer nation: rate effect sum 0.5(s0+s1)(r1-r0)
+    vs composition effect sum 0.5(r0+r1)(s1-s0), closing EXACTLY to
+    the crude-rate difference — the categorical-rates second
+    opinion to `oaxaca_blinder_gap` (which decomposes a continuous
+    mean via regression): Kitagawa answers "did fulfillment change
+    because nations got better, or because the order MIX shifted
+    toward good nations" with no model at all; it is also the
+    demography-standard dual of `direct_standardized_rates`.
+    Nations absent from one half carry the other half's rate
+    (standard convention: their rate term vanishes, the composition
+    term prices the appearance/disappearance). `identity_gap` ships
+    the exact-identity residual as a self-check column.
+
+    Exactness: cell counts exact BIGINTs off one rollup; shares and
+    rates pin at 10 dp; symmetric-weight terms round at 12 dp into
+    DECIMAL folds. Plan: orders+customer broadcast join -> (nation,
+    half) rollup -> 25-row full outer join -> one fold; no
+    window."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    base = o.join(
+        c.select("c_custkey", "c_nationkey"),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        F.col("c_nationkey").alias("nk"),
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("f"),
+    )
+    mid = base.agg(
+        F.floor((F.min("day") + F.max("day") + 1) / 2)
+        .cast("bigint")
+        .alias("m")
+    )
+    cell = (
+        base.crossJoin(F.broadcast(mid))
+        .groupBy(
+            "nk",
+            F.when(F.col("day") < F.col("m"), 0).otherwise(1).alias("p"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("f").cast("bigint").alias("nf"),
+        )
+        .persist()
+    )
+    ptot = cell.groupBy("p").agg(F.sum("n").cast("bigint").alias("tn"))
+    t0 = ptot.where(F.col("p") == 0).select(F.col("tn").alias("tn0"))
+    t1 = ptot.where(F.col("p") == 1).select(F.col("tn").alias("tn1"))
+    a = cell.where(F.col("p") == 0).select(
+        "nk", F.col("n").alias("n0"), F.col("nf").alias("nf0")
+    )
+    b = cell.where(F.col("p") == 1).select(
+        F.col("nk").alias("nkb"),
+        F.col("n").alias("n1"),
+        F.col("nf").alias("nf1"),
+    )
+    wide = (
+        a.join(b, a.nk == b.nkb, "full_outer")
+        .crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+        .select(
+            F.coalesce(
+                F.round(
+                    F.col("n0").cast("double") / F.col("tn0"), 10
+                ),
+                F.lit(0.0),
+            ).alias("s0"),
+            F.coalesce(
+                F.round(
+                    F.col("n1").cast("double") / F.col("tn1"), 10
+                ),
+                F.lit(0.0),
+            ).alias("s1"),
+            F.coalesce(
+                F.round(
+                    F.col("nf0").cast("double") / F.col("n0"), 10
+                ),
+                F.round(
+                    F.col("nf1").cast("double") / F.col("n1"), 10
+                ),
+            ).alias("r0"),
+            F.coalesce(
+                F.round(
+                    F.col("nf1").cast("double") / F.col("n1"), 10
+                ),
+                F.round(
+                    F.col("nf0").cast("double") / F.col("n0"), 10
+                ),
+            ).alias("r1"),
+        )
+    )
+    fold = wide.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.round(F.col("s0") * F.col("r0"), 12).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("rate0"),
+        F.sum(
+            F.round(F.col("s1") * F.col("r1"), 12).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("rate1"),
+        F.sum(
+            F.round(
+                0.5
+                * (F.col("s0") + F.col("s1"))
+                * (F.col("r1") - F.col("r0")),
+                12,
+            ).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("rate_eff"),
+        F.sum(
+            F.round(
+                0.5
+                * (F.col("r0") + F.col("r1"))
+                * (F.col("s1") - F.col("s0")),
+                12,
+            ).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("comp_eff"),
+    )
+    return fold.select(
+        F.col("k").alias("n_nations"),
+        (F.round("rate0", 8) + 0.0).alias("fulfilled_rate_h1"),
+        (F.round("rate1", 8) + 0.0).alias("fulfilled_rate_h2"),
+        (F.round(F.col("rate1") - F.col("rate0"), 8) + 0.0)
+        .alias("rate_diff"),
+        (F.round("rate_eff", 8) + 0.0).alias("rate_effect"),
+        (F.round("comp_eff", 8) + 0.0).alias("composition_effect"),
+        (
+            F.round(
+                F.col("rate_eff")
+                + F.col("comp_eff")
+                - (F.col("rate1") - F.col("rate0")),
+                10,
+            )
+            + 0.0
+        ).alias("identity_gap"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "kitagawa_rate_decomposition": (
+            "no window — (nation, half) rollup + 25-row outer join "
+            "+ one fold"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Concentration-ratio panel: CR4/CR8, Rosenbluth, numbers-equivalents
+# --------------------------------------------------------------------------
+@register(
+    "concentration_ratio_panel",
+    oracle="""
+    WITH br AS (
+        SELECT p.p_brand AS b,
+               CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+    ),
+    rk AS (
+        SELECT b, r,
+               ROW_NUMBER() OVER (ORDER BY r DESC, b) AS i
+        FROM br
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(r) AS BIGINT) AS tr,
+               CAST(SUM(CASE WHEN i <= 4 THEN r ELSE 0 END)
+                    AS BIGINT) AS r4,
+               CAST(SUM(CASE WHEN i <= 8 THEN r ELSE 0 END)
+                    AS BIGINT) AS r8,
+               CAST(SUM(CAST(i AS DECIMAL(38,0)) * r)
+                    AS DECIMAL(38,0)) AS sir
+        FROM rk
+    ),
+    ent AS (
+        SELECT CAST(SUM(CAST(round(
+                   -(CAST(rk.r AS DOUBLE) / f.tr)
+                   * ln(CAST(rk.r AS DOUBLE) / f.tr), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS h,
+               CAST(SUM(CAST(round(
+                   (CAST(rk.r AS DOUBLE) / f.tr)
+                   * (CAST(rk.r AS DOUBLE) / f.tr), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS hhi
+        FROM rk, fold f
+    )
+    SELECT f.k AS n_brands,
+           round(CAST(f.r4 AS DOUBLE) / f.tr, 8) + 0.0 AS cr4,
+           round(CAST(f.r8 AS DOUBLE) / f.tr, 8) + 0.0 AS cr8,
+           round(e.hhi, 8) + 0.0 AS hhi,
+           round(1.0 / e.hhi, 6) + 0.0 AS numbers_equiv_hhi,
+           round(1.0 / (2.0 * CAST(f.sir AS DOUBLE) / f.tr - 1.0), 8)
+               + 0.0 AS rosenbluth_index,
+           round(exp(e.h), 6) + 0.0 AS numbers_equiv_entropy
+    FROM fold f, ent e
+    """,
+)
+def concentration_ratio_panel(spark, sf_dir):
+    """CONCENTRATION-RATIO panel over brand revenue shares — the
+    structural second opinions to `market_concentration_hhi` /
+    `hhi_concentration_trend`: CR4/CR8 (the merger-guidelines
+    discrete cutoffs, exact integer cents ratios), the ROSENBLUTH /
+    Hall-Tideman index 1/(2*sum(i*s_i)-1) that weights by RANK and
+    so reacts to the long tail HHI squares away, and the two
+    NUMBERS-EQUIVALENT readouts (1/HHI and exp(Shannon)) that
+    convert both concentration notions into "how many equal-size
+    brands is this market worth", directly comparable units the raw
+    indices lack. The four moving together certifies concentration;
+    Rosenbluth rising while HHI is flat isolates tail consolidation.
+
+    Exactness: brand revenue is exact integer cents; CR4/CR8 and
+    the rank-weighted sum are exact integer/DECIMAL(38,0) folds
+    (row_number ties broken by brand for cross-engine identity —
+    the sum is tie-invariant anyway since swapped ranks carry equal
+    r); entropy/HHI terms round at 12 dp into DECIMAL folds. Plan:
+    lineitem+part rollup -> row_number over the ~25-row brand grid
+    (bounded-domain window) -> two folds; no data-scaled window."""
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part")
+    br = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.col("p_brand").alias("b"))
+        .agg(
+            (F.sum(dec("l_extendedprice", 18, 2)) * 100)
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    rk = br.select(
+        "b",
+        "r",
+        F.row_number()
+        .over(Window.orderBy(F.col("r").desc(), F.col("b")))
+        .cast("bigint")
+        .alias("i"),
+    ).persist()
+    fold = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("r").cast("bigint").alias("tr"),
+        F.sum(F.when(F.col("i") <= 4, F.col("r")).otherwise(0))
+        .cast("bigint")
+        .alias("r4"),
+        F.sum(F.when(F.col("i") <= 8, F.col("r")).otherwise(0))
+        .cast("bigint")
+        .alias("r8"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("r"))
+        .cast("decimal(38,0)")
+        .alias("sir"),
+    )
+    sh = F.col("r").cast("double") / F.col("tr")
+    ent = rk.crossJoin(F.broadcast(fold)).agg(
+        F.sum(F.round(-sh * F.log(sh), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("h"),
+        F.sum(F.round(sh * sh, 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("hhi"),
+    )
+    out = fold.crossJoin(F.broadcast(ent))
+    return out.select(
+        F.col("k").alias("n_brands"),
+        (F.round(F.col("r4").cast("double") / F.col("tr"), 8) + 0.0)
+        .alias("cr4"),
+        (F.round(F.col("r8").cast("double") / F.col("tr"), 8) + 0.0)
+        .alias("cr8"),
+        (F.round("hhi", 8) + 0.0).alias("hhi"),
+        (F.round(1.0 / F.col("hhi"), 6) + 0.0)
+        .alias("numbers_equiv_hhi"),
+        (
+            F.round(
+                1.0
+                / (
+                    2.0 * F.col("sir").cast("double") / F.col("tr")
+                    - 1.0
+                ),
+                8,
+            )
+            + 0.0
+        ).alias("rosenbluth_index"),
+        (F.round(F.exp(F.col("h")), 6) + 0.0)
+        .alias("numbers_equiv_entropy"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "concentration_ratio_panel": (
+            "row_number over the ~25-row brand grid (bounded-domain "
+            "window, the blau_iqv class)"
+        ),
+    }
+)
+
+# --------------------------------------------------------------------------
+# Erlang-B blocking curve (the loss-system second opinion to Erlang C)
+# --------------------------------------------------------------------------
+@register(
+    "erlang_b_blocking",
+    oracle="""
+    WITH span AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(max(epoch_us(ts)) // 86400000000
+                    - min(epoch_us(ts)) // 86400000000 + 1 AS BIGINT)
+                   AS days
+        FROM events WHERE event_type = 'purchase'
+    ),
+    lam AS (
+        SELECT round(CAST(k AS DOUBLE) / days, 8)
+                   / CAST(2.0 AS DOUBLE) AS a
+        FROM span
+    ),
+    cg AS (SELECT CAST(c AS BIGINT) AS c
+           FROM (VALUES (1), (2), (4), (8), (16)) t(c)),
+    terms AS (
+        SELECT cg.c, kk.g, lam.a,
+               CASE WHEN lam.a <= 1.0 THEN
+                   (CASE WHEN kk.g = 0 THEN CAST(1.0 AS DOUBLE)
+                         ELSE exp(kk.g * ln(lam.a)) END)
+                   / (CASE WHEN kk.g = 0 THEN 1.0 WHEN kk.g = 1 THEN 1.0 WHEN kk.g = 2 THEN 2.0 WHEN kk.g = 3 THEN 6.0 WHEN kk.g = 4 THEN 24.0 WHEN kk.g = 5 THEN 120.0 WHEN kk.g = 6 THEN 720.0 WHEN kk.g = 7 THEN 5040.0 WHEN kk.g = 8 THEN 40320.0 WHEN kk.g = 9 THEN 362880.0 WHEN kk.g = 10 THEN 3628800.0 WHEN kk.g = 11 THEN 39916800.0 WHEN kk.g = 12 THEN 479001600.0 WHEN kk.g = 13 THEN 6227020800.0 WHEN kk.g = 14 THEN 87178291200.0 WHEN kk.g = 15 THEN 1307674368000.0 WHEN kk.g = 16 THEN 20922789888000.0 END)
+               ELSE
+                   (CASE WHEN cg.c = 0 THEN 1.0 WHEN cg.c = 1 THEN 1.0 WHEN cg.c = 2 THEN 2.0 WHEN cg.c = 3 THEN 6.0 WHEN cg.c = 4 THEN 24.0 WHEN cg.c = 5 THEN 120.0 WHEN cg.c = 6 THEN 720.0 WHEN cg.c = 7 THEN 5040.0 WHEN cg.c = 8 THEN 40320.0 WHEN cg.c = 9 THEN 362880.0 WHEN cg.c = 10 THEN 3628800.0 WHEN cg.c = 11 THEN 39916800.0 WHEN cg.c = 12 THEN 479001600.0 WHEN cg.c = 13 THEN 6227020800.0 WHEN cg.c = 14 THEN 87178291200.0 WHEN cg.c = 15 THEN 1307674368000.0 WHEN cg.c = 16 THEN 20922789888000.0 END) / (CASE WHEN kk.g = 0 THEN 1.0 WHEN kk.g = 1 THEN 1.0 WHEN kk.g = 2 THEN 2.0 WHEN kk.g = 3 THEN 6.0 WHEN kk.g = 4 THEN 24.0 WHEN kk.g = 5 THEN 120.0 WHEN kk.g = 6 THEN 720.0 WHEN kk.g = 7 THEN 5040.0 WHEN kk.g = 8 THEN 40320.0 WHEN kk.g = 9 THEN 362880.0 WHEN kk.g = 10 THEN 3628800.0 WHEN kk.g = 11 THEN 39916800.0 WHEN kk.g = 12 THEN 479001600.0 WHEN kk.g = 13 THEN 6227020800.0 WHEN kk.g = 14 THEN 87178291200.0 WHEN kk.g = 15 THEN 1307674368000.0 WHEN kk.g = 16 THEN 20922789888000.0 END)
+                   * (CASE WHEN kk.g = cg.c THEN CAST(1.0 AS DOUBLE)
+                           ELSE exp((kk.g - cg.c) * ln(lam.a)) END)
+               END AS term
+        FROM cg, LATERAL UNNEST(range(0, 17)) AS kk(g), lam
+        WHERE kk.g <= cg.c
+    ),
+    sums AS (
+        SELECT c, a,
+               CAST(SUM(CAST(round(term, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS s,
+               CAST(SUM(CASE WHEN g = c THEN round(term, 12) END)
+                    AS DOUBLE) AS tc
+        FROM terms GROUP BY c, a
+    ),
+    eb AS (
+        SELECT c, a, tc / s AS b
+        FROM sums
+    )
+    SELECT c AS servers,
+           round(a, 6) + 0.0 AS offered_load,
+           round(b, 8) + 0.0 AS erlang_b_blocking,
+           round(a * (1.0 - b), 6) + 0.0 AS carried_load,
+           round(CASE WHEN a < c
+                      THEN b / (1.0 - (a / c) * (1.0 - b)) END, 6)
+               + 0.0 AS erlang_c_from_b
+    FROM eb
+    ORDER BY c
+
+    """,
+)
+def erlang_b_blocking(spark, sf_dir):
+    """ERLANG-B blocking probability for the measured purchase-
+    arrival process across the same literal server grid c in
+    {1,2,4,8,16} as `erlang_c_staffing` (same lambda estimate, same
+    mu = 2.0/day literal): B(c, A) = (A^c/c!) / sum_{k<=c} A^k/k!
+    is the LOSS-system model (blocked arrivals vanish) where
+    Erlang C is the QUEUEING model (blocked arrivals wait) — the
+    pair brackets reality for any real admission policy, B is
+    defined for OVERLOADED systems where C's stability condition
+    fails, and `erlang_c_from_b` re-derives C through the published
+    identity C = B / (1 - rho(1-B)) as the cross-check against the
+    direct Erlang-C numbers (NULL where unstable). `carried_load`
+    A(1-B) is the throughput readout a capacity planner prices.
+
+    Exactness/overflow: terms branch on A (the r13 erlang lesson,
+    applied at authoring): for A <= 1 the plain A^k/k! terms are
+    all <= 1; for A > 1 every term is normalized by the c-th,
+    (c!/k!) A^(k-c) <= c^c/c! < 2e6 at c=16 — both branches keep
+    the DECIMAL(38,12) fold orders of magnitude off the rail at ANY
+    arrival rate (the unnormalized A^k form overflows at 64x).
+    c!/k! comes from the exact 17-entry factorial literal table
+    (no libm gamma); A pins at 8 dp before any power. Plan: one
+    filtered scan -> scalar -> 36-literal-row (c,k) grid; no
+    window."""
+    from .bank_r15 import _FACT16
+
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    span = e.where(F.col("event_type") == "purchase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (
+            F.floor(F.max(us) / 86_400_000_000)
+            - F.floor(F.min(us) / 86_400_000_000)
+            + 1
+        )
+        .cast("bigint")
+        .alias("days"),
+    )
+    lam = span.select(
+        (
+            F.round(F.col("k").cast("double") / F.col("days"), 8)
+            / F.lit(2.0).cast("double")
+        ).alias("a")
+    )
+    cg = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8), F.lit(16))
+        ).alias("c0")
+    ).select(F.col("c0").cast("bigint").alias("c"))
+    pairs = cg.select(
+        "c", F.explode(F.sequence(F.lit(0), F.col("c"))).alias("g")
+    ).crossJoin(F.broadcast(lam))
+
+    def factl(col):
+        out = F.lit(None).cast("double")
+        for kk in range(17):
+            out = F.when(F.col(col) == kk, F.lit(_FACT16[kk])).otherwise(
+                out
+            )
+        return out
+
+    low = F.when(
+        F.col("g") == 0, F.lit(1.0).cast("double")
+    ).otherwise(F.exp(F.col("g") * F.log("a"))) / factl("g")
+    high = (
+        factl("c")
+        / factl("g")
+        * F.when(
+            F.col("g") == F.col("c"), F.lit(1.0).cast("double")
+        ).otherwise(F.exp((F.col("g") - F.col("c")) * F.log("a")))
+    )
+    term = F.when(F.col("a") <= 1.0, low).otherwise(high)
+    sums = (
+        pairs.select("c", "a", "g", term.alias("term"))
+        .groupBy("c", "a")
+        .agg(
+            F.sum(F.round("term", 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("s"),
+            F.sum(
+                F.when(
+                    F.col("g") == F.col("c"), F.round("term", 12)
+                )
+            )
+            .cast("double")
+            .alias("tc"),
+        )
+    )
+    b = F.col("tc") / F.col("s")
+    return sums.select(
+        F.col("c").alias("servers"),
+        (F.round("a", 6) + 0.0).alias("offered_load"),
+        (F.round(b, 8) + 0.0).alias("erlang_b_blocking"),
+        (F.round(F.col("a") * (1.0 - b), 6) + 0.0)
+        .alias("carried_load"),
+        (
+            F.round(
+                F.when(
+                    F.col("a") < F.col("c"),
+                    b
+                    / (
+                        1.0
+                        - (F.col("a") / F.col("c")) * (1.0 - b)
+                    ),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("erlang_c_from_b"),
+    ).orderBy("servers")
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "erlang_b_blocking": (
+            "no window — scalar arrival fold + 36-literal-row (c,k) "
+            "grid (the erlang_c_staffing frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# EOQ + safety-stock panel per brand (the newsvendor second opinion)
+# --------------------------------------------------------------------------
+@register(
+    "eoq_safety_stock_panel",
+    oracle="""
+    WITH bd AS (
+        SELECT p.p_brand AS b,
+               CAST(epoch_us(l.l_shipdate) // 86400000000 AS BIGINT)
+                   AS day,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q,
+               CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT CAST(max(day) - min(day) + 1 AS BIGINT) AS nd FROM bd
+    ),
+    per AS (
+        SELECT b,
+               CAST(SUM(q) AS BIGINT) AS tq,
+               CAST(SUM(r) AS BIGINT) AS tr,
+               CAST(SUM(CAST(q AS DECIMAL(19,0)) * q)
+                    AS DECIMAL(38,0)) AS qq
+        FROM bd GROUP BY b
+    ),
+    stat AS (
+        SELECT per.b, s.nd, per.tq,
+               CAST(per.tq AS DOUBLE) * 365.0 / s.nd AS d_annual,
+               round(CAST(per.tr AS DOUBLE) / per.tq / 100.0, 8)
+                   AS unit_price,
+               CAST(per.tq AS DOUBLE) / s.nd AS mu_d,
+               sqrt((s.nd * CAST(per.qq AS DOUBLE)
+                     - CAST(per.tq AS DOUBLE) * per.tq)
+                    / (CAST(s.nd AS DOUBLE) * (s.nd - 1))) AS sig_d
+        FROM per, span s
+    )
+    SELECT b AS brand,
+           round(d_annual, 2) + 0.0 AS annual_demand_units,
+           round(sqrt(2.0 * d_annual * 100.0
+                      / (0.2 * unit_price)), 4) + 0.0 AS eoq_units,
+           round(sig_d, 6) + 0.0 AS sigma_daily_units,
+           round(1.6448536269514722 * sig_d * sqrt(7.0), 4) + 0.0
+               AS safety_stock_units,
+           round(mu_d * 7.0
+                 + 1.6448536269514722 * sig_d * sqrt(7.0), 4) + 0.0
+               AS reorder_point_units
+    FROM stat
+    ORDER BY b
+    """,
+)
+def eoq_safety_stock_panel(spark, sf_dir):
+    """EOQ + SAFETY-STOCK panel per brand — the deterministic-cost
+    second opinion to `newsvendor_quantile`: the newsvendor prices
+    ONE period's over/under-age tradeoff from the demand quantile;
+    the EOQ sqrt(2DK/h) prices the order-frequency tradeoff
+    (ordering cost K = $100/order, holding h = 20%/yr of the
+    brand's unit price — shared literals) and the z*sigma*sqrt(L)
+    safety stock (z = 1.6448536269514722 for a 95% cycle service
+    level, lead time L = 7 days) prices demand variability into a
+    reorder point. A brand whose newsvendor quantile and reorder
+    point diverge flags non-normal demand — exactly the case the
+    classical panel understates.
+
+    Daily demand variance counts the FULL calendar span (days with
+    no sales contribute exact zeros through the power-sum identity
+    (nd*sum(q^2) - (sum q)^2)/(nd(nd-1)) — no gap-fill scan needed;
+    documented convention). Exactness: per-(brand, day) quantities
+    exact BIGINTs; squared-quantity sums widen through
+    DECIMAL(19,0); unit price pins at 8 dp; all outputs are
+    identical IEEE trees rounded once. Plan: lineitem+part rollup
+    -> brand rollup + scalar span -> 25-row panel; no window."""
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part")
+    bd = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("b"),
+            F.floor(F.unix_micros("l_shipdate") / 86_400_000_000)
+            .cast("bigint")
+            .alias("day"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q"),
+            (F.sum(dec("l_extendedprice", 18, 2)) * 100)
+            .cast("bigint")
+            .alias("r"),
+        )
+        .persist()
+    )
+    span = bd.agg(
+        (F.max("day") - F.min("day") + 1).cast("bigint").alias("nd")
+    )
+    per = bd.groupBy("b").agg(
+        F.sum("q").cast("bigint").alias("tq"),
+        F.sum("r").cast("bigint").alias("tr"),
+        F.sum(F.col("q").cast("decimal(19,0)") * F.col("q"))
+        .cast("decimal(38,0)")
+        .alias("qq"),
+    )
+    stat = per.crossJoin(F.broadcast(span))
+    nd = F.col("nd").cast("double")
+    d_annual = F.col("tq").cast("double") * 365.0 / F.col("nd")
+    unit_price = F.round(
+        F.col("tr").cast("double") / F.col("tq") / 100.0, 8
+    )
+    mu_d = F.col("tq").cast("double") / F.col("nd")
+    sig_d = F.sqrt(
+        (
+            F.col("nd") * F.col("qq").cast("double")
+            - F.col("tq").cast("double") * F.col("tq")
+        )
+        / (nd * (nd - 1))
+    )
+    zc = 1.6448536269514722
+    ss = zc * sig_d * F.sqrt(F.lit(7.0))
+    return stat.select(
+        F.col("b").alias("brand"),
+        (F.round(d_annual, 2) + 0.0).alias("annual_demand_units"),
+        (
+            F.round(
+                F.sqrt(2.0 * d_annual * 100.0 / (0.2 * unit_price)), 4
+            )
+            + 0.0
+        ).alias("eoq_units"),
+        (F.round(sig_d, 6) + 0.0).alias("sigma_daily_units"),
+        (F.round(ss, 4) + 0.0).alias("safety_stock_units"),
+        (F.round(mu_d * 7.0 + ss, 4) + 0.0)
+        .alias("reorder_point_units"),
+    ).orderBy("brand")
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "eoq_safety_stock_panel": (
+            "no window — (brand, day) rollup + brand rollup + "
+            "scalar span broadcast"
+        ),
+    }
+)
