@@ -9,13 +9,25 @@ authoring-time 64x probe gate (``SCALING_PROBES.json`` +
 ``tests/test_flip_readiness.py`` — every batch probes in the session it
 is authored, no exceptions since round 14).
 
-Seed theme: SECOND OPINIONS — alternative-form tests for questions the
+Theme: SECOND OPINIONS — alternative-form tests for questions the
 registry already answers once, because two estimators agreeing is the
-actual certificate: monotone-run randomness (vs above-median runs),
-rank autocorrelation at the seasonal lag (vs value ACF), TOST
-equivalence for means (vs the proportions TOST), coverage-corrected
-entropy (vs plug-in), and one-sample Cramer-von Mises against the
-fitted lognormal (vs the DKW band).
+actual certificate. COMPLETE at 49 (round 14): the randomness/series
+seeds (monotone runs, rank ACF, TOST means, Chao-Shen entropy, CvM
+lognormal, Brown-Mood, robust dispersion, DeLong, MMD, bimodality,
+Watson U^2, Benford first-two, GEV L-moments, Theil U1, Gini
+jackknife, Lexis), the CI/equivalence batch (Anderson-Hauck vs TOST,
+Fieller vs delta, Agresti-Caffo vs Newcombe, WH-chi2-vs-ADF variance
+pair, Quesenberry-Miller vs Greenwood), the series batch (Engle
+ARCH-LM vs McLeod-Li, Monti vs Ljung-Box, ApEn vs SampEn,
+Hjorth/Petrosian vs the spectral panel, Theta MASE vs naive), the
+econ/ops batch (Sato-Vartia/Walsh vs Fisher, Bennet vs LMDI, Kitagawa
+vs Oaxaca, concentration ratios vs HHI, Erlang B vs C, EOQ vs
+newsvendor), the inference batch (Bhapkar vs Stuart-Maxwell, Woolf vs
+Breslow-Day, two-way vs one-way ICC, Anderson-Rubin vs Wald IV,
+post-stratification vs CUPED, IDI vs NRI), and the text/GoF closers
+(Herdan/Guiraud constants, CSN power-law MLE, Benford sum-invariance,
+Whipple heaping, Gini cograduation, Savage scores, AD + energy
+lognormal GoF, Prais-Winsten vs CO, sBG churn, Cpm/Ppk).
 
 Determinism disciplines inherited unchanged (bank_r11..r18
 docstrings): exact integer/DECIMAL folds, round-before-fold with the
@@ -5348,6 +5360,3043 @@ PLAN_AUDIT_NOTES.update(
         "eoq_safety_stock_panel": (
             "no window — (brand, day) rollup + brand rollup + "
             "scalar span broadcast"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Bhapkar test of marginal homogeneity (the Stuart-Maxwell second opinion)
+# --------------------------------------------------------------------------
+@register(
+    "bhapkar_marginal_homogeneity",
+    oracle="""
+    WITH bucketed AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) // 86400000000
+                         < 19723 + 15 THEN 0 ELSE 1 END AS half,
+               CASE WHEN event_type IN ('click', 'view') THEN 'engage'
+                    WHEN event_type IN ('purchase', 'signup') THEN 'convert'
+                    ELSE 'error' END AS b,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2, 3
+    ),
+    modal AS (
+        SELECT user_id, half, b,
+               ROW_NUMBER() OVER (PARTITION BY user_id, half
+                                  ORDER BY c DESC, b ASC) AS rn
+        FROM bucketed
+    ),
+    paired AS (
+        SELECT a.b AS before_b, z.b AS after_b
+        FROM (SELECT user_id, b FROM modal WHERE half = 0 AND rn = 1) a
+        JOIN (SELECT user_id, b FROM modal WHERE half = 1 AND rn = 1) z
+          ON a.user_id = z.user_id
+    ),
+    cnt AS (
+        SELECT before_b, after_b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM paired GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT
+          CAST(COALESCE(SUM(CASE WHEN before_b='engage' THEN n END),0)
+               AS BIGINT) AS r1,
+          CAST(COALESCE(SUM(CASE WHEN before_b='convert' THEN n END),0)
+               AS BIGINT) AS r2,
+          CAST(COALESCE(SUM(CASE WHEN after_b='engage' THEN n END),0)
+               AS BIGINT) AS c1,
+          CAST(COALESCE(SUM(CASE WHEN after_b='convert' THEN n END),0)
+               AS BIGINT) AS c2,
+          CAST(COALESCE(SUM(CASE WHEN before_b='engage'
+                            AND after_b='engage' THEN n END),0)
+               AS BIGINT) AS n11,
+          CAST(COALESCE(SUM(CASE WHEN before_b='convert'
+                            AND after_b='convert' THEN n END),0)
+               AS BIGINT) AS n22,
+          CAST(COALESCE(SUM(CASE WHEN before_b='engage'
+                            AND after_b='convert' THEN n END),0)
+               AS BIGINT) AS n12,
+          CAST(COALESCE(SUM(CASE WHEN before_b='convert'
+                            AND after_b='engage' THEN n END),0)
+               AS BIGINT) AS n21,
+          CAST(SUM(n) AS BIGINT) AS n
+        FROM cnt
+    ),
+    mats AS (
+        SELECT n,
+               CAST(r1 - c1 AS DOUBLE) AS d1,
+               CAST(r2 - c2 AS DOUBLE) AS d2,
+               (r1 + c1 - 2.0 * n11)
+                   - CAST(r1 - c1 AS DOUBLE) * (r1 - c1) / n AS s11,
+               (r2 + c2 - 2.0 * n22)
+                   - CAST(r2 - c2 AS DOUBLE) * (r2 - c2) / n AS s22,
+               -(n12 + n21)
+                   - CAST(r1 - c1 AS DOUBLE) * (r2 - c2) / n AS s12,
+               (r2 + c2 - 2.0 * n22) * CAST(r1 - c1 AS DOUBLE)
+                   * (r1 - c1)
+                 + 2.0 * (n12 + n21) * CAST(r1 - c1 AS DOUBLE)
+                   * (r2 - c2)
+                 + (r1 + c1 - 2.0 * n11) * CAST(r2 - c2 AS DOUBLE)
+                   * (r2 - c2) AS sm_num,
+               (r1 + c1 - 2.0 * n11) * (r2 + c2 - 2.0 * n22)
+                 - CAST(n12 + n21 AS DOUBLE) * (n12 + n21) AS sm_den
+        FROM cells
+    )
+    SELECT n AS n_users,
+           CASE WHEN sm_den = 0 THEN NULL
+                ELSE round(sm_num / sm_den, 6) + 0.0 END
+               AS stuart_maxwell_chi2,
+           CASE WHEN s11 * s22 - s12 * s12 = 0 THEN NULL
+                ELSE round((s22 * d1 * d1 - 2.0 * s12 * d1 * d2
+                            + s11 * d2 * d2)
+                           / (s11 * s22 - s12 * s12), 6) + 0.0 END
+               AS bhapkar_v,
+           CAST(CASE WHEN s11 * s22 - s12 * s12 = 0 THEN 0
+                     WHEN (s22 * d1 * d1 - 2.0 * s12 * d1 * d2
+                           + s11 * d2 * d2)
+                          / (s11 * s22 - s12 * s12) > 5.991465
+                     THEN 1 ELSE 0 END AS INT) AS bhapkar_reject_5pct
+    FROM mats
+    """,
+)
+def bhapkar_marginal_homogeneity(spark, sf_dir):
+    """BHAPKAR'S V test of marginal homogeneity on exactly the
+    `stuart_maxwell_test` 3x3 paired-modal-bucket frame: same d =
+    (r_i - c_i) marginal differences, but the covariance is the
+    UNRESTRICTED multinomial one, S_ij = (r+c-2n_ii) - d_i d_j / n
+    off the Stuart-Maxwell null-restricted form — Bhapkar is the
+    Wald test where Stuart-Maxwell is the score test, V =
+    W/(1 - W/n) exactly, so V >= W always and the gap measures how
+    far the data sit from the null (the two agreeing near the chi2_2
+    critical value is the robust call; V rejecting while W does not
+    is the classic boundary case this pair exists to expose). Both
+    statistics ship from the same exact 9-cell integer rollup.
+
+    Exactness: all cells/marginals exact BIGINTs off the same
+    user-grain modal pick (user-partitioned rank, ties by bucket
+    name); both quadratic forms are closed-form 2x2 adjugate
+    inversions — single rational IEEE expressions rounded once at
+    1e-6. Plan: user rollup -> modal rank -> user self-join ->
+    9-cell rollup -> scalar; the only window is user-partitioned."""
+    e = t(spark, sf_dir, "events")
+    bucketed = e.groupBy(
+        "user_id",
+        F.when(
+            F.floor(F.unix_micros("ts") / 86_400_000_000) < 19723 + 15,
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+        F.when(F.col("event_type").isin("click", "view"), "engage")
+        .when(F.col("event_type").isin("purchase", "signup"), "convert")
+        .otherwise("error")
+        .alias("b"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    modal = bucketed.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "half").orderBy(
+                F.col("c").desc(), F.col("b").asc()
+            )
+        ),
+    ).where(F.col("rn") == 1)
+    before = modal.where(F.col("half") == 0).select(
+        "user_id", F.col("b").alias("before_b")
+    )
+    after = modal.where(F.col("half") == 1).select(
+        "user_id", F.col("b").alias("after_b")
+    )
+    cnt = (
+        before.join(after, "user_id")
+        .groupBy("before_b", "after_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+    def csum(cond):
+        return (
+            F.coalesce(F.sum(F.when(cond, F.col("n"))), F.lit(0))
+            .cast("bigint")
+        )
+
+    cells = cnt.agg(
+        csum(F.col("before_b") == "engage").alias("r1"),
+        csum(F.col("before_b") == "convert").alias("r2"),
+        csum(F.col("after_b") == "engage").alias("c1"),
+        csum(F.col("after_b") == "convert").alias("c2"),
+        csum(
+            (F.col("before_b") == "engage")
+            & (F.col("after_b") == "engage")
+        ).alias("n11"),
+        csum(
+            (F.col("before_b") == "convert")
+            & (F.col("after_b") == "convert")
+        ).alias("n22"),
+        csum(
+            (F.col("before_b") == "engage")
+            & (F.col("after_b") == "convert")
+        ).alias("n12"),
+        csum(
+            (F.col("before_b") == "convert")
+            & (F.col("after_b") == "engage")
+        ).alias("n21"),
+        F.sum("n").cast("bigint").alias("n"),
+    )
+    n = F.col("n").cast("double")
+    d1 = (F.col("r1") - F.col("c1")).cast("double")
+    d2 = (F.col("r2") - F.col("c2")).cast("double")
+    s11 = (
+        (F.col("r1") + F.col("c1") - 2.0 * F.col("n11"))
+        - d1 * d1 / n
+    )
+    s22 = (
+        (F.col("r2") + F.col("c2") - 2.0 * F.col("n22"))
+        - d2 * d2 / n
+    )
+    s12 = -(F.col("n12") + F.col("n21")).cast("double") - d1 * d2 / n
+    sm_num = (
+        (F.col("r2") + F.col("c2") - 2.0 * F.col("n22")) * d1 * d1
+        + 2.0 * (F.col("n12") + F.col("n21")) * d1 * d2
+        + (F.col("r1") + F.col("c1") - 2.0 * F.col("n11")) * d2 * d2
+    )
+    sm_den = (
+        (F.col("r1") + F.col("c1") - 2.0 * F.col("n11"))
+        * (F.col("r2") + F.col("c2") - 2.0 * F.col("n22"))
+        - (F.col("n12") + F.col("n21")).cast("double")
+        * (F.col("n12") + F.col("n21"))
+    )
+    vden = s11 * s22 - s12 * s12
+    v = F.when(
+        vden != 0,
+        (s22 * d1 * d1 - 2.0 * s12 * d1 * d2 + s11 * d2 * d2) / vden,
+    )
+    sm = F.when(sm_den != 0, sm_num / sm_den)
+    return cells.select(
+        F.col("n").alias("n_users"),
+        (F.round(sm, 6) + 0.0).alias("stuart_maxwell_chi2"),
+        (F.round(v, 6) + 0.0).alias("bhapkar_v"),
+        F.when(v > 5.991465, 1).otherwise(0).cast("int")
+        .alias("bhapkar_reject_5pct"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "bhapkar_marginal_homogeneity": (
+            "user-partitioned modal rank only (the "
+            "stuart_maxwell_test frame); no global window"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Woolf test of odds-ratio homogeneity (the Breslow-Day second opinion)
+# --------------------------------------------------------------------------
+@register(
+    "woolf_or_homogeneity",
+    oracle="""
+    WITH tab AS (
+        SELECT r.r_regionkey AS rk,
+               CASE WHEN (epoch_us(o.o_orderdate) // 86400000000 + 4)
+                         % 7 >= 5 THEN 1 ELSE 0 END AS exposed,
+               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END
+                   AS outc,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation na ON c.c_nationkey = na.n_nationkey
+        JOIN region r ON na.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2, 3
+    ),
+    cells AS (
+        SELECT rk,
+               CAST(COALESCE(SUM(CASE WHEN exposed=1 AND outc=1
+                                 THEN n END),0) AS BIGINT) AS a,
+               CAST(COALESCE(SUM(CASE WHEN exposed=1 AND outc=0
+                                 THEN n END),0) AS BIGINT) AS b,
+               CAST(COALESCE(SUM(CASE WHEN exposed=0 AND outc=1
+                                 THEN n END),0) AS BIGINT) AS c,
+               CAST(COALESCE(SUM(CASE WHEN exposed=0 AND outc=0
+                                 THEN n END),0) AS BIGINT) AS d
+        FROM tab GROUP BY rk
+    ),
+    wl AS (
+        SELECT rk,
+               round(ln((a + 0.5) * (d + 0.5)
+                        / ((b + 0.5) * (c + 0.5))), 10) AS lor,
+               round(1.0 / (1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+                            + 1.0 / (c + 0.5) + 1.0 / (d + 0.5)),
+                     10) AS w
+        FROM cells
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(round(w, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS sw,
+               CAST(SUM(CAST(round(w * lor, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS swl,
+               CAST(SUM(CAST(round(w * lor * lor, 12)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS swll
+        FROM wl
+    )
+    SELECT k AS n_strata,
+           round(exp(swl / sw), 6) + 0.0 AS or_woolf_pooled,
+           round(swll - swl * swl / sw, 6) + 0.0 AS woolf_chi2,
+           CAST(CASE WHEN swll - swl * swl / sw > 9.487729
+                     THEN 1 ELSE 0 END AS INT)
+               AS heterogeneous_at_5pct
+    FROM fold
+    """,
+)
+def woolf_or_homogeneity(spark, sf_dir):
+    """WOOLF'S test of weekend->failure odds-ratio homogeneity
+    across the five regions on exactly the
+    `breslow_day_homogeneity` strata frame: per-stratum log odds
+    ratios with the Haldane-Anscombe +0.5 correction, inverse-
+    variance weights w = 1/(sum of reciprocal corrected cells), and
+    chi2 = sum w (lnOR_i - lnOR_bar)^2 via the one-pass identity
+    sum(w*l^2) - (sum w*l)^2/sum(w) ~ chi2_{k-1} (crit 9.487729 at
+    k=5, shared literal) — the inverse-variance second opinion to
+    Breslow-Day's expected-cell form: BD conditions on the
+    Mantel-Haenszel pooled OR (quadratic solve per stratum), Woolf
+    weights each stratum by its own information and is the form
+    meta-analysis uses (`dersimonian_laird_meta`'s fixed-effect Q
+    on 2x2s); the pair disagreeing flags sparse-cell strata where
+    the +0.5 correction is doing real work. `or_woolf_pooled` ships
+    beside the MH OR for the same-pooled-target check.
+
+    Exactness: cells are exact BIGINTs off one rollup; lnOR and w
+    pin at 10 dp; the three weighted folds round at 10-12 dp into
+    DECIMAL sums; the chi2 identity is one IEEE expression. Plan:
+    orders + three broadcast dims -> (region, exposure, outcome)
+    rollup -> 5-row stratum frame -> one fold; no window."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    na = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    tab = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == c.c_custkey,
+        )
+        .join(
+            F.broadcast(na.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_regionkey").alias("rk"),
+            F.when(
+                (
+                    F.floor(
+                        F.unix_micros("o_orderdate") / 86_400_000_000
+                    )
+                    + 4
+                )
+                % 7
+                >= 5,
+                1,
+            )
+            .otherwise(0)
+            .alias("exposed"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("outc"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+    def csum(e, o_):
+        return (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("exposed") == e) & (F.col("outc") == o_),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+        )
+
+    cells = tab.groupBy("rk").agg(
+        csum(1, 1).alias("a"),
+        csum(1, 0).alias("b"),
+        csum(0, 1).alias("c"),
+        csum(0, 0).alias("d"),
+    )
+    lor = F.round(
+        F.log(
+            (F.col("a") + 0.5)
+            * (F.col("d") + 0.5)
+            / ((F.col("b") + 0.5) * (F.col("c") + 0.5))
+        ),
+        10,
+    )
+    w = F.round(
+        1.0
+        / (
+            1.0 / (F.col("a") + 0.5)
+            + 1.0 / (F.col("b") + 0.5)
+            + 1.0 / (F.col("c") + 0.5)
+            + 1.0 / (F.col("d") + 0.5)
+        ),
+        10,
+    )
+    wl = cells.select(lor.alias("lor"), w.alias("w"))
+    fold = wl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.round("w", 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sw"),
+        F.sum(
+            F.round(F.col("w") * F.col("lor"), 12).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("swl"),
+        F.sum(
+            F.round(
+                F.col("w") * F.col("lor") * F.col("lor"), 12
+            ).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("swll"),
+    )
+    chi2 = F.col("swll") - F.col("swl") * F.col("swl") / F.col("sw")
+    return fold.select(
+        F.col("k").alias("n_strata"),
+        (F.round(F.exp(F.col("swl") / F.col("sw")), 6) + 0.0)
+        .alias("or_woolf_pooled"),
+        (F.round(chi2, 6) + 0.0).alias("woolf_chi2"),
+        F.when(chi2 > 9.487729, 1).otherwise(0).cast("int")
+        .alias("heterogeneous_at_5pct"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "woolf_or_homogeneity": (
+            "no window — stratum rollup + one fold (the "
+            "breslow_day_homogeneity frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Two-way ICC(2,1)/(3,1): dow revenue profile agreement across regions
+# --------------------------------------------------------------------------
+@register(
+    "icc_twoway_mixed",
+    oracle="""
+    WITH cell AS (
+        SELECT CAST((epoch_us(o.o_orderdate) // 86400000000 + 4) % 7
+                    AS BIGINT) AS dow,
+               r.r_regionkey AS rk,
+               round(CAST(SUM(CAST(CAST(o.o_totalprice
+                        AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+                     / COUNT(*) / 100000.0, 6) AS m
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation na ON c.c_nationkey = na.n_nationkey
+        JOIN region r ON na.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    ),
+    dims AS (
+        SELECT CAST(COUNT(DISTINCT dow) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT rk) AS BIGINT) AS k,
+               CAST(SUM(CAST(round(m, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS s,
+               CAST(SUM(CAST(round(m * m, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS ss
+        FROM cell
+    ),
+    rows_ AS (
+        SELECT CAST(SUM(CAST(round(rs * rs, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS srr
+        FROM (SELECT dow, CAST(SUM(CAST(round(m, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS rs
+              FROM cell GROUP BY dow)
+    ),
+    cols_ AS (
+        SELECT CAST(SUM(CAST(round(cs * cs, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS scc
+        FROM (SELECT rk, CAST(SUM(CAST(round(m, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS cs
+              FROM cell GROUP BY rk)
+    ),
+    anova AS (
+        SELECT d.n, d.k,
+               (r.srr / d.k - d.s * d.s / (d.n * d.k)) / (d.n - 1)
+                   AS msr,
+               (c.scc / d.n - d.s * d.s / (d.n * d.k)) / (d.k - 1)
+                   AS msc,
+               (d.ss - r.srr / d.k - c.scc / d.n
+                + d.s * d.s / (d.n * d.k))
+                   / ((d.n - 1) * (d.k - 1)) AS mse
+        FROM dims d, rows_ r, cols_ c
+    )
+    SELECT n AS n_dow, k AS n_regions,
+           round(msr, 8) + 0.0 AS ms_rows,
+           round(msc, 8) + 0.0 AS ms_cols,
+           round(mse, 8) + 0.0 AS ms_error,
+           round((msr - mse) / (msr + (k - 1.0) * mse
+                 + k * (msc - mse) / n), 8) + 0.0 AS icc_2_1,
+           round((msr - mse) / (msr + (k - 1.0) * mse), 8) + 0.0
+               AS icc_3_1
+    FROM anova
+    """,
+)
+def icc_twoway_mixed(spark, sf_dir):
+    """TWO-WAY intraclass correlations ICC(2,1) and ICC(3,1) on the
+    7x5 day-of-week x region grid of mean order value — the crossed-
+    design second opinions to `icc_oneway_suppliers` (which cannot
+    separate rater bias from noise) and the ICC-form dual of
+    `cronbachs_alpha_dow`: treating regions as "raters" scoring the
+    weekly profile, ICC(2,1) (random raters, absolute agreement)
+    charges region-level mean shifts against agreement while
+    ICC(3,1) (fixed raters, consistency) forgives them — the gap
+    between the two IS the regional level-bias reading, and
+    Shrout-Fleiss is explicit that reporting the wrong one is the
+    classic reliability mistake. Two-way ANOVA without replication
+    on the complete 35-cell grid of exact-fold means.
+
+    Exactness: cell means come from exact cents/count integer folds
+    pinned at 6 dp; all squared sums round at 10 dp into DECIMAL
+    folds over the 35-row grid; the three mean squares and both ICC
+    forms are single IEEE expressions. Plan: orders + three
+    broadcast dims -> 35-cell rollup -> three grid folds; no
+    window."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    na = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    cell = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == c.c_custkey,
+        )
+        .join(
+            F.broadcast(na.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            (
+                (
+                    F.floor(
+                        F.unix_micros("o_orderdate") / 86_400_000_000
+                    )
+                    + 4
+                )
+                % 7
+            )
+            .cast("bigint")
+            .alias("dow"),
+            F.col("r_regionkey").alias("rk"),
+        )
+        .agg(
+            F.round(
+                (F.sum(dec("o_totalprice", 18, 2)) * 100)
+                .cast("bigint")
+                .cast("double")
+                / F.count(F.lit(1))
+                / 100000.0,
+                6,
+            ).alias("m")
+        )
+        .persist()
+    )
+    dims = cell.agg(
+        F.countDistinct("dow").cast("bigint").alias("n"),
+        F.countDistinct("rk").cast("bigint").alias("k"),
+        F.sum(F.round("m", 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("s"),
+        F.sum(F.round(F.col("m") * F.col("m"), 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    rows_ = (
+        cell.groupBy("dow")
+        .agg(
+            F.sum(F.round("m", 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("rs")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("rs") * F.col("rs"), 10).cast(
+                    "decimal(28,10)"
+                )
+            )
+            .cast("double")
+            .alias("srr")
+        )
+    )
+    cols_ = (
+        cell.groupBy("rk")
+        .agg(
+            F.sum(F.round("m", 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("cs")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("cs") * F.col("cs"), 10).cast(
+                    "decimal(28,10)"
+                )
+            )
+            .cast("double")
+            .alias("scc")
+        )
+    )
+    a = dims.crossJoin(F.broadcast(rows_)).crossJoin(F.broadcast(cols_))
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    corr = F.col("s") * F.col("s") / (n * k)
+    msr = (F.col("srr") / k - corr) / (n - 1)
+    msc = (F.col("scc") / n - corr) / (k - 1)
+    mse = (
+        F.col("ss") - F.col("srr") / k - F.col("scc") / n + corr
+    ) / ((n - 1) * (k - 1))
+    return a.select(
+        F.col("n").alias("n_dow"),
+        F.col("k").alias("n_regions"),
+        (F.round(msr, 8) + 0.0).alias("ms_rows"),
+        (F.round(msc, 8) + 0.0).alias("ms_cols"),
+        (F.round(mse, 8) + 0.0).alias("ms_error"),
+        (
+            F.round(
+                (msr - mse)
+                / (msr + (k - 1.0) * mse + k * (msc - mse) / n),
+                8,
+            )
+            + 0.0
+        ).alias("icc_2_1"),
+        (F.round((msr - mse) / (msr + (k - 1.0) * mse), 8) + 0.0)
+        .alias("icc_3_1"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "icc_twoway_mixed": (
+            "no window — 35-cell rollup + three grid folds"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Anderson-Rubin weak-instrument-robust CI for the Wald IV estimate
+# --------------------------------------------------------------------------
+@register(
+    "anderson_rubin_iv_ci",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 >= 5
+                    THEN 1 ELSE 0 END AS z,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT z, CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+        FROM daily GROUP BY z
+    ),
+    v AS (
+        SELECT z, nd,
+               CAST(sx AS DOUBLE) / nd AS xb,
+               CAST(sy AS DOUBLE) / nd AS yb,
+               (nd * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                   / (CAST(nd AS DOUBLE) * nd * (nd - 1)) AS vx,
+               (nd * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                   / (CAST(nd AS DOUBLE) * nd * (nd - 1)) AS vy,
+               (nd * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(nd AS DOUBLE) * nd * (nd - 1)) AS vxy
+        FROM g
+    ),
+    wide AS (
+        SELECT CAST(SUM(nd) AS BIGINT) AS n_days,
+               SUM(CASE WHEN z = 1 THEN yb END)
+                 - SUM(CASE WHEN z = 0 THEN yb END) AS aa,
+               SUM(CASE WHEN z = 1 THEN xb END)
+                 - SUM(CASE WHEN z = 0 THEN xb END) AS bb,
+               SUM(vx) AS svx, SUM(vy) AS svy, SUM(vxy) AS svxy
+        FROM v
+    ),
+    quad AS (
+        SELECT n_days, aa, bb, svx, svy, svxy,
+               bb * bb - 3.8414588932247 * svx AS qa,
+               -2.0 * aa * bb + 2.0 * 3.8414588932247 * svxy AS qg,
+               aa * aa - 3.8414588932247 * svy AS qd
+        FROM wide
+    )
+    SELECT n_days,
+           round(aa / bb / 100.0, 6) + 0.0 AS wald_value_per_event,
+           round(bb / sqrt(svx), 6) + 0.0 AS first_stage_z,
+           CAST(CASE WHEN qa > 0 THEN 1 ELSE 0 END AS INT)
+               AS ar_ci_bounded,
+           round(CASE WHEN qa > 0 AND qg * qg - 4.0 * qa * qd >= 0
+                 THEN (-qg - sqrt(qg * qg - 4.0 * qa * qd))
+                      / (2.0 * qa) / 100.0 END, 6) + 0.0 AS ar_lo,
+           round(CASE WHEN qa > 0 AND qg * qg - 4.0 * qa * qd >= 0
+                 THEN (-qg + sqrt(qg * qg - 4.0 * qa * qd))
+                      / (2.0 * qa) / 100.0 END, 6) + 0.0 AS ar_hi
+    FROM quad
+    """,
+)
+def anderson_rubin_iv_ci(spark, sf_dir):
+    """ANDERSON-RUBIN weak-instrument-robust confidence interval for
+    the `iv_wald_weekend` estimand (weekend instruments daily event
+    volume to price value-per-event): the AR set is {beta:
+    |z-stat of (y - beta*x) between instrument groups| <= 1.96},
+    which for a binary instrument closes to a QUADRATIC in beta —
+    roots (-g -/+ sqrt(g^2-4ad))/(2a) — and is the test-inversion
+    second opinion to the Wald point + delta-method habit: AR keeps
+    exact coverage NO MATTER HOW WEAK the instrument, and the
+    geometry is self-diagnosing — the interval is bounded iff the
+    first-stage z^2 exceeds the critical value (qa > 0), going
+    half-line/all-of-R exactly when the weekend barely moves volume
+    (the Dufour impossibility result, visible in one bit:
+    `ar_ci_bounded`).
+
+    Exactness: per-group day counts and power sums are exact
+    integer/DECIMAL(38,0) folds; group means, the three pooled
+    mean-variances, quadratic coefficients (z^2 = 3.8414588932247
+    shared literal), and roots are identical IEEE trees, rounded
+    once; cents scale solves the quadratic, readouts divide by 100.
+    Plan: day rollup -> 2-row group rollup -> scalar pivot +
+    quadratic; no window."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+    daily = e.groupBy(
+        day.alias("day"),
+        F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("z"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum((dec("value", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    g = daily.groupBy("z").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    nd = F.col("nd").cast("double")
+    v = g.select(
+        "z",
+        "nd",
+        (F.col("sx").cast("double") / F.col("nd")).alias("xb"),
+        (F.col("sy").cast("double") / F.col("nd")).alias("yb"),
+        (
+            (
+                F.col("nd") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            / (nd * nd * (nd - 1))
+        ).alias("vx"),
+        (
+            (
+                F.col("nd") * F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy")
+            )
+            / (nd * nd * (nd - 1))
+        ).alias("vy"),
+        (
+            (
+                F.col("nd") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / (nd * nd * (nd - 1))
+        ).alias("vxy"),
+    )
+    wide = v.agg(
+        F.sum("nd").cast("bigint").alias("n_days"),
+        (
+            F.sum(F.when(F.col("z") == 1, F.col("yb")))
+            - F.sum(F.when(F.col("z") == 0, F.col("yb")))
+        ).alias("aa"),
+        (
+            F.sum(F.when(F.col("z") == 1, F.col("xb")))
+            - F.sum(F.when(F.col("z") == 0, F.col("xb")))
+        ).alias("bb"),
+        F.sum("vx").alias("svx"),
+        F.sum("vy").alias("svy"),
+        F.sum("vxy").alias("svxy"),
+    )
+    z2 = 3.8414588932247
+    qa = F.col("bb") * F.col("bb") - z2 * F.col("svx")
+    qg = -2.0 * F.col("aa") * F.col("bb") + 2.0 * z2 * F.col("svxy")
+    qd = F.col("aa") * F.col("aa") - z2 * F.col("svy")
+    disc = qg * qg - 4.0 * qa * qd
+    ok = (qa > 0) & (disc >= 0)
+    return wide.select(
+        "n_days",
+        (F.round(F.col("aa") / F.col("bb") / 100.0, 6) + 0.0)
+        .alias("wald_value_per_event"),
+        (F.round(F.col("bb") / F.sqrt(F.col("svx")), 6) + 0.0)
+        .alias("first_stage_z"),
+        F.when(qa > 0, 1).otherwise(0).cast("int")
+        .alias("ar_ci_bounded"),
+        (
+            F.round(
+                F.when(ok, (-qg - F.sqrt(disc)) / (2.0 * qa) / 100.0),
+                6,
+            )
+            + 0.0
+        ).alias("ar_lo"),
+        (
+            F.round(
+                F.when(ok, (-qg + F.sqrt(disc)) / (2.0 * qa) / 100.0),
+                6,
+            )
+            + 0.0
+        ).alias("ar_hi"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "anderson_rubin_iv_ci": (
+            "no window — day rollup + 2-row group rollup + scalar "
+            "quadratic (the iv_wald_weekend frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Post-stratified A/B estimate (the CUPED second opinion)
+# --------------------------------------------------------------------------
+@register(
+    "post_stratified_ab_estimate",
+    oracle="""
+    WITH days AS (
+        SELECT user_id,
+               epoch_us(ts) // 86400000000 AS d,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+    ),
+    bounds AS (
+        SELECT (MIN(d) + MAX(d) + 1) // 2 AS split_d FROM days
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST((user_id * 2654435761) % 4294967296 % 2 AS INT)
+                   AS arm,
+               COALESCE(SUM(CASE WHEN d < split_d THEN v END),
+                        CAST(0 AS DECIMAL(18,2))) AS x,
+               COALESCE(SUM(CASE WHEN d >= split_d THEN v END),
+                        CAST(0 AS DECIMAL(18,2))) AS y
+        FROM days, bounds
+        GROUP BY 1, 2
+    ),
+    strat AS (
+        SELECT CASE WHEN x <= 0 THEN 0
+                    ELSE LEAST(CAST(1 + floor(ln(CAST(x AS DOUBLE))
+                               / ln(2.0)) AS BIGINT), 12) END AS s,
+               arm, y
+        FROM per_user
+    ),
+    cellst AS (
+        SELECT s, arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE)
+                   AS syy
+        FROM strat GROUP BY s, arm
+    ),
+    wide AS (
+        SELECT a.s,
+               a.n AS n1, a.sy AS sy1, a.syy AS syy1,
+               b.n AS n0, b.sy AS sy0, b.syy AS syy0
+        FROM (SELECT * FROM cellst WHERE arm = 1) a
+        JOIN (SELECT * FROM cellst WHERE arm = 0) b ON a.s = b.s
+        WHERE a.n >= 2 AND b.n >= 2
+    ),
+    tot AS (
+        SELECT CAST(SUM(n1 + n0) AS BIGINT) AS nt,
+               CAST(COUNT(*) AS BIGINT) AS ks
+        FROM wide
+    ),
+    fold AS (
+        SELECT t.nt, t.ks,
+               CAST(SUM(CAST(round(
+                   (CAST(w.n1 + w.n0 AS DOUBLE) / t.nt)
+                   * (w.sy1 / w.n1 - w.sy0 / w.n0), 9)
+                   AS DECIMAL(28,9))) AS DOUBLE) AS ps_diff,
+               CAST(SUM(CAST(round(
+                   (CAST(w.n1 + w.n0 AS DOUBLE) / t.nt)
+                   * (CAST(w.n1 + w.n0 AS DOUBLE) / t.nt)
+                   * ((w.syy1 - w.sy1 * w.sy1 / w.n1)
+                      / (w.n1 - 1.0) / w.n1
+                      + (w.syy0 - w.sy0 * w.sy0 / w.n0)
+                        / (w.n0 - 1.0) / w.n0), 9)
+                   AS DECIMAL(28,9))) AS DOUBLE) AS ps_var,
+               CAST(SUM(w.n1) AS BIGINT) AS tn1,
+               CAST(SUM(w.n0) AS BIGINT) AS tn0,
+               SUM(w.sy1) AS tsy1, SUM(w.sy0) AS tsy0,
+               SUM(w.syy1) AS tsyy1, SUM(w.syy0) AS tsyy0
+        FROM wide w, tot t GROUP BY t.nt, t.ks
+    )
+    SELECT ks AS n_strata_used,
+           nt AS n_users_used,
+           round(tsy1 / tn1 - tsy0 / tn0, 6) + 0.0 AS raw_diff,
+           round(ps_diff, 6) + 0.0 AS ps_diff,
+           round(sqrt(ps_var), 6) + 0.0 AS ps_se,
+           round(1.0 - ps_var
+                 / ((tsyy1 - tsy1 * tsy1 / tn1) / (tn1 - 1.0) / tn1
+                    + (tsyy0 - tsy0 * tsy0 / tn0) / (tn0 - 1.0)
+                      / tn0), 6) + 0.0 AS var_reduction_vs_raw
+    FROM fold
+    """,
+)
+def post_stratified_ab_estimate(spark, sf_dir):
+    """POST-STRATIFIED A/B treatment effect on exactly the
+    `cuped_adjusted_ab` frame (same Knuth-hash arms, same pre/post
+    calendar split): users stratify into pre-period SPEND OCTAVES
+    (s = 1+floor(log2 x), zero-spenders their own stratum, capped
+    at 12), the effect is the stratum-share-weighted difference of
+    arm means and its exact stratified variance — the
+    nonparametric second opinion to CUPED's linear adjustment:
+    CUPED removes only the LINEARLY-explained pre-period variance,
+    post-stratification removes any variance explained by the
+    octave binning (Miratrix-Sekhon-Yu show it matches the linear
+    adjustment asymptotically when the relation is linear, beats it
+    when it is not — so `var_reduction_vs_raw` vs CUPED's
+    `var_reduction` localizes nonlinearity in the pre-post
+    relation). Strata need both arms with n >= 2 (weights
+    renormalized over used strata, documented convention).
+
+    Exactness: per-user x/y are exact DECIMAL(18,2) sums; cell
+    count/sum/sum-square folds are exact; stratum terms round at 9
+    dp into DECIMAL folds; the bounded octave grid (<= 13 strata)
+    makes the join trivially broadcastable. Plan: user rollup ->
+    (stratum, arm) rollup -> 13-row join + two folds; no window."""
+    from .ext_pipeline import _KNUTH, _M32
+
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 86_400_000_000).alias("d"),
+        dec("value", 18, 2).alias("v"),
+    )
+    bounds = days.agg(
+        F.floor((F.min("d") + F.max("d") + 1) / 2).alias("split_d")
+    )
+    per_user = (
+        days.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("d") < F.col("split_d"), F.col("v"))
+                ),
+                F.lit(0).cast("decimal(18,2)"),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("d") >= F.col("split_d"), F.col("v"))
+                ),
+                F.lit(0).cast("decimal(18,2)"),
+            ).alias("y"),
+        )
+        .select(
+            ((F.col("user_id").cast("decimal(38,0)") * _KNUTH) % _M32 % 2)
+            .cast("int")
+            .alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    strat = per_user.select(
+        F.when(F.col("x") <= 0, 0)
+        .otherwise(
+            F.least(
+                (
+                    1
+                    + F.floor(
+                        F.log(F.col("x").cast("double"))
+                        / F.log(F.lit(2.0))
+                    )
+                ).cast("bigint"),
+                F.lit(12).cast("bigint"),
+            )
+        )
+        .alias("s"),
+        "arm",
+        "y",
+    )
+    cellst = strat.groupBy("s", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    a = cellst.where(F.col("arm") == 1).select(
+        "s",
+        F.col("n").alias("n1"),
+        F.col("sy").alias("sy1"),
+        F.col("syy").alias("syy1"),
+    )
+    b = cellst.where(F.col("arm") == 0).select(
+        F.col("s").alias("sb"),
+        F.col("n").alias("n0"),
+        F.col("sy").alias("sy0"),
+        F.col("syy").alias("syy0"),
+    )
+    wide = (
+        a.join(b, a.s == b.sb)
+        .where((F.col("n1") >= 2) & (F.col("n0") >= 2))
+        .persist()
+    )
+    tot = wide.agg(
+        F.sum(F.col("n1") + F.col("n0")).cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("ks"),
+    )
+    wt = wide.crossJoin(F.broadcast(tot))
+    share = (F.col("n1") + F.col("n0")).cast("double") / F.col("nt")
+    dmean = F.col("sy1") / F.col("n1") - F.col("sy0") / F.col("n0")
+    vterm = (
+        F.col("syy1") - F.col("sy1") * F.col("sy1") / F.col("n1")
+    ) / (F.col("n1") - 1.0) / F.col("n1") + (
+        F.col("syy0") - F.col("sy0") * F.col("sy0") / F.col("n0")
+    ) / (F.col("n0") - 1.0) / F.col("n0")
+    fold = wt.groupBy("nt", "ks").agg(
+        F.sum(F.round(share * dmean, 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("ps_diff"),
+        F.sum(F.round(share * share * vterm, 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("ps_var"),
+        F.sum("n1").cast("bigint").alias("tn1"),
+        F.sum("n0").cast("bigint").alias("tn0"),
+        F.sum("sy1").alias("tsy1"),
+        F.sum("sy0").alias("tsy0"),
+        F.sum("syy1").alias("tsyy1"),
+        F.sum("syy0").alias("tsyy0"),
+    )
+    raw_var = (
+        F.col("tsyy1") - F.col("tsy1") * F.col("tsy1") / F.col("tn1")
+    ) / (F.col("tn1") - 1.0) / F.col("tn1") + (
+        F.col("tsyy0") - F.col("tsy0") * F.col("tsy0") / F.col("tn0")
+    ) / (F.col("tn0") - 1.0) / F.col("tn0")
+    return fold.select(
+        F.col("ks").alias("n_strata_used"),
+        F.col("nt").alias("n_users_used"),
+        (
+            F.round(
+                F.col("tsy1") / F.col("tn1")
+                - F.col("tsy0") / F.col("tn0"),
+                6,
+            )
+            + 0.0
+        ).alias("raw_diff"),
+        (F.round("ps_diff", 6) + 0.0).alias("ps_diff"),
+        (F.round(F.sqrt(F.col("ps_var")), 6) + 0.0).alias("ps_se"),
+        (F.round(1.0 - F.col("ps_var") / raw_var, 6) + 0.0)
+        .alias("var_reduction_vs_raw"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "post_stratified_ab_estimate": (
+            "no window — user rollup + (stratum, arm) rollup + "
+            "13-row join (the cuped_adjusted_ab frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Integrated discrimination improvement (the NRI second opinion)
+# --------------------------------------------------------------------------
+@register(
+    "idi_discrimination_improvement",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, n_chars, source,
+               CAST(floor(ln(CAST(n_chars AS DOUBLE)) / ln(2.0))
+                    AS BIGINT) AS oct,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents WHERE n_chars > 0
+    ),
+    orate AS (
+        SELECT oct, round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 10)
+                   AS pa
+        FROM docs GROUP BY oct
+    ),
+    srate AS (
+        SELECT source, round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 10)
+                   AS pb
+        FROM docs GROUP BY source
+    ),
+    scored AS (
+        SELECT d.y, orate.pa, srate.pb
+        FROM docs d
+        JOIN orate ON d.oct = orate.oct
+        JOIN srate ON d.source = srate.source
+    ),
+    fold AS (
+        SELECT CAST(SUM(y) AS BIGINT) AS ne,
+               CAST(SUM(1 - y) AS BIGINT) AS nn,
+               CAST(SUM(CASE WHEN y = 1 THEN CAST(round(pa, 10)
+                    AS DECIMAL(28,10)) END) AS DOUBLE) AS sa1,
+               CAST(SUM(CASE WHEN y = 0 THEN CAST(round(pa, 10)
+                    AS DECIMAL(28,10)) END) AS DOUBLE) AS sa0,
+               CAST(SUM(CASE WHEN y = 1 THEN CAST(round(pb, 10)
+                    AS DECIMAL(28,10)) END) AS DOUBLE) AS sb1,
+               CAST(SUM(CASE WHEN y = 0 THEN CAST(round(pb, 10)
+                    AS DECIMAL(28,10)) END) AS DOUBLE) AS sb0
+        FROM scored
+    )
+    SELECT ne AS n_events, nn AS n_nonevents,
+           round(sa1 / ne - sa0 / nn, 8) + 0.0
+               AS slope_length_model,
+           round(sb1 / ne - sb0 / nn, 8) + 0.0
+               AS slope_source_model,
+           round((sb1 / ne - sb0 / nn) - (sa1 / ne - sa0 / nn), 8)
+               + 0.0 AS idi
+    FROM fold
+    """,
+)
+def idi_discrimination_improvement(spark, sf_dir):
+    """INTEGRATED DISCRIMINATION IMPROVEMENT between the length
+    model and the source model for predicting lang='en' — the
+    continuous-score second opinion to
+    `net_reclassification_index` on the same documents/labels: NRI
+    dichotomizes both models at one threshold and counts crossings;
+    IDI integrates over ALL thresholds, reducing to the difference
+    of YATES DISCRIMINATION SLOPES (mean score among events minus
+    mean among non-events, new model minus old; Pencina et al.
+    2008). Scores are within-sample calibrated rates — the length
+    model scores a document by its length-OCTAVE en-rate
+    (deterministic floor(log2 n_chars) bins, no quantile pass), the
+    source model by its source en-rate (the same score NRI
+    thresholds). NRI moving while IDI is flat flags a
+    single-threshold artifact; both moving together is real
+    discrimination gain.
+
+    Exactness: octave/source rates are exact integer ratios pinned
+    at 10 dp; the four conditional score sums fold through
+    DECIMAL(28,10); slopes and IDI are closing IEEE expressions.
+    Plan: doc scan -> two bounded-grid rate rollups -> broadcast
+    joins back -> one fold; no window."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.floor(
+                F.log(F.col("n_chars").cast("double"))
+                / F.log(F.lit(2.0))
+            )
+            .cast("bigint")
+            .alias("oct"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+    )
+    orate = d.groupBy("oct").agg(
+        F.round(
+            F.sum("y").cast("double") / F.count(F.lit(1)), 10
+        ).alias("pa")
+    )
+    srate = d.groupBy("source").agg(
+        F.round(
+            F.sum("y").cast("double") / F.count(F.lit(1)), 10
+        ).alias("pb")
+    )
+    scored = d.join(F.broadcast(orate), "oct").join(
+        F.broadcast(srate), "source"
+    )
+    fold = scored.agg(
+        F.sum("y").cast("bigint").alias("ne"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("nn"),
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                F.round("pa", 10).cast("decimal(28,10)"),
+            )
+        )
+        .cast("double")
+        .alias("sa1"),
+        F.sum(
+            F.when(
+                F.col("y") == 0,
+                F.round("pa", 10).cast("decimal(28,10)"),
+            )
+        )
+        .cast("double")
+        .alias("sa0"),
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                F.round("pb", 10).cast("decimal(28,10)"),
+            )
+        )
+        .cast("double")
+        .alias("sb1"),
+        F.sum(
+            F.when(
+                F.col("y") == 0,
+                F.round("pb", 10).cast("decimal(28,10)"),
+            )
+        )
+        .cast("double")
+        .alias("sb0"),
+    )
+    slope_a = F.col("sa1") / F.col("ne") - F.col("sa0") / F.col("nn")
+    slope_b = F.col("sb1") / F.col("ne") - F.col("sb0") / F.col("nn")
+    return fold.select(
+        F.col("ne").alias("n_events"),
+        F.col("nn").alias("n_nonevents"),
+        (F.round(slope_a, 8) + 0.0).alias("slope_length_model"),
+        (F.round(slope_b, 8) + 0.0).alias("slope_source_model"),
+        (F.round(slope_b - slope_a, 8) + 0.0).alias("idi"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "idi_discrimination_improvement": (
+            "no window — two bounded-grid rate rollups + broadcast "
+            "joins + one fold (the net_reclassification frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Herdan / Guiraud / Dugast / Maas richness-constant panel
+# --------------------------------------------------------------------------
+@register(
+    "herdan_guiraud_richness",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE w <> '' GROUP BY w
+    ),
+    fold AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM tf
+    )
+    SELECT n AS n_tokens, v AS vocab_size,
+           round(ln(v * 1.0) / ln(n * 1.0), 8) + 0.0 AS herdan_c,
+           round(CAST(v AS DOUBLE) / sqrt(n * 1.0), 6) + 0.0
+               AS guiraud_r,
+           round(CAST(v AS DOUBLE) / sqrt(2.0 * n), 6) + 0.0
+               AS cttr,
+           round(ln(n * 1.0) * ln(n * 1.0)
+                 / (ln(n * 1.0) - ln(v * 1.0)), 4) + 0.0 AS dugast_u,
+           round((ln(n * 1.0) - ln(v * 1.0))
+                 / (ln(n * 1.0) * ln(n * 1.0)), 8) + 0.0
+               AS maas_a2
+    FROM fold
+    """,
+)
+def herdan_guiraud_richness(spark, sf_dir):
+    """HERDAN / GUIRAUD / DUGAST / MAAS lexical-richness constants
+    on the same whitespace-unigram frame as
+    `honore_sichel_richness` — the (N, V)-only second opinions to
+    the hapax-driven panel: Herdan's C = lnV/lnN (the type-token
+    log slope, the pointwise reading of `heaps_law_fit`'s fitted
+    exponent — the two disagreeing flags curvature in vocabulary
+    growth), Guiraud's R = V/sqrt(N) and the corrected CTTR
+    V/sqrt(2N) (the root-normalized TTRs), Dugast's U = ln^2 N /
+    (lnN - lnV) and Maas a^2 = its reciprocal-form companion (the
+    most size-stable of the classical constants, LOW = richer).
+    Where Honore/Sichel react to the frequency SPECTRUM, these five
+    move only with total vocabulary yield — a spectrum shift with
+    stable (N, V) separates the panels, which is exactly the
+    dedup-vs-topic-drift diagnostic a corpus monitor wants.
+
+    Exactness: N and V are exact BIGINTs off one token rollup; all
+    five constants are terminal double trees over (lnN, lnV).
+    Plan: one explode + rollup, one fold — no window."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    tf = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    fold = tf.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    lnn = F.log(F.col("n").cast("double"))
+    lnv = F.log(F.col("v").cast("double"))
+    return fold.select(
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("vocab_size"),
+        (F.round(lnv / lnn, 8) + 0.0).alias("herdan_c"),
+        (
+            F.round(
+                F.col("v").cast("double")
+                / F.sqrt(F.col("n").cast("double")),
+                6,
+            )
+            + 0.0
+        ).alias("guiraud_r"),
+        (
+            F.round(
+                F.col("v").cast("double")
+                / F.sqrt(2.0 * F.col("n").cast("double")),
+                6,
+            )
+            + 0.0
+        ).alias("cttr"),
+        (F.round(lnn * lnn / (lnn - lnv), 4) + 0.0).alias("dugast_u"),
+        (F.round((lnn - lnv) / (lnn * lnn), 8) + 0.0)
+        .alias("maas_a2"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "herdan_guiraud_richness": (
+            "no window — one explode + token rollup + one fold (the "
+            "honore_sichel frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Clauset-Shalizi-Newman discrete power-law MLE on token frequencies
+# --------------------------------------------------------------------------
+@register(
+    "token_powerlaw_clauset",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE w <> '' GROUP BY w
+    ),
+    tail AS (
+        SELECT c FROM tf WHERE c >= 5
+    ),
+    mle AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(ln(c / 4.5), 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS sl
+        FROM tail
+    ),
+    fof AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS m
+        FROM tail GROUP BY c
+    ),
+    cum AS (
+        SELECT c, m,
+               CAST(SUM(m) OVER (ORDER BY c DESC) AS BIGINT) AS geq
+        FROM fof
+    ),
+    ks AS (
+        SELECT MAX(round(abs(
+                   CAST(geq AS DOUBLE) / mle.n
+                   - exp((1.0 - (1.0 + mle.n / mle.sl))
+                         * round(ln((c - 0.5) / 4.5), 8))), 8))
+                   AS kd
+        FROM cum, mle
+    )
+    SELECT mle.n AS n_tail_types,
+           round(1.0 + mle.n / mle.sl, 6) + 0.0 AS alpha_mle,
+           round((1.0 + mle.n / mle.sl - 1.0) / sqrt(mle.n * 1.0), 8)
+               + 0.0 AS alpha_se,
+           round(ks.kd, 8) + 0.0 AS ks_distance
+    FROM mle, ks
+    """,
+)
+def token_powerlaw_clauset(spark, sf_dir):
+    """CLAUSET-SHALIZI-NEWMAN power-law MLE on the token frequency
+    tail (counts >= kmin = 5, pinned): alpha = 1 + n / sum ln(c /
+    (kmin - 0.5)) with SE (alpha-1)/sqrt(n), plus the KS distance
+    between the empirical tail CCDF and the fitted continuous-
+    approximation CCDF ((c-0.5)/(kmin-0.5))^(1-alpha) — the
+    likelihood-theory second opinion to `zipf_slope_tokens` /
+    `zipf_mandelbrot_fit` (rank-frequency regressions): CSN showed
+    log-log regression slopes are biased and their R^2 meaningless
+    for heavy tails, so MLE-alpha disagreeing with the regression
+    slope by more than a few SE is evidence the rank fit is being
+    bent by the (Mandelbrot) head, and `ks_distance` is the
+    goodness criterion CSN's recipe actually thresholds.
+
+    Exactness: tail counts exact BIGINTs; ln(c/4.5) rounds at 8 dp
+    into a DECIMAL(28,8) fold; the tail CCDF comes from a
+    descending cumulative over the frequency-of-frequencies grid
+    (count-value-domain-bounded, ~hundreds of rows at any SF); the
+    fitted CCDF is exp((1-alpha) ln(...)) on the shared-libm tree.
+    Plan: explode + token rollup -> tail filter -> scalar MLE fold
+    + bounded-grid cumulative + top-1; no data-scaled window."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    tf = tok.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tail = tf.where(F.col("c") >= 5).select("c").persist()
+    mle = tail.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.round(F.log(F.col("c") / 4.5), 8).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("sl"),
+    )
+    fof = tail.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    cum = fof.select(
+        "c",
+        F.sum("m")
+        .over(
+            Window.orderBy(F.col("c").desc()).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("bigint")
+        .alias("geq"),
+    )
+    alpha = 1.0 + F.col("n") / F.col("sl")
+    ks = cum.crossJoin(F.broadcast(mle)).agg(
+        F.max(
+            F.round(
+                F.abs(
+                    F.col("geq").cast("double") / F.col("n")
+                    - F.exp(
+                        (1.0 - alpha)
+                        * F.round(F.log((F.col("c") - 0.5) / 4.5), 8)
+                    )
+                ),
+                8,
+            )
+        ).alias("kd")
+    )
+    return mle.crossJoin(F.broadcast(ks)).select(
+        F.col("n").alias("n_tail_types"),
+        (F.round(alpha, 6) + 0.0).alias("alpha_mle"),
+        (
+            F.round(
+                (alpha - 1.0) / F.sqrt(F.col("n").cast("double")), 8
+            )
+            + 0.0
+        ).alias("alpha_se"),
+        (F.round("kd", 8) + 0.0).alias("ks_distance"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "token_powerlaw_clauset": (
+            "descending cumulative over the count-value fof grid "
+            "(value-domain-bounded — the ansari_bradley class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Benford sum-invariance test (Nigrini's second-moment forensics lens)
+# --------------------------------------------------------------------------
+@register(
+    "benford_sum_invariance",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v
+        FROM orders WHERE o_totalprice > 0
+    ),
+    mant AS (
+        SELECT CAST(substr(CAST(CAST(v * 100 AS BIGINT) AS VARCHAR),
+                    1, 1) AS BIGINT) AS d,
+               round(v / exp(floor(round(ln(v) / ln(10.0), 10))
+                             * ln(10.0)), 8) AS m
+        FROM pts
+    ),
+    dig AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(m, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS sm
+        FROM mant GROUP BY d
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS tn,
+               CAST(SUM(CAST(round(sm, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS tsm
+        FROM dig
+    )
+    SELECT dig.d AS first_digit,
+           dig.n AS n_orders,
+           round(dig.sm, 4) + 0.0 AS mantissa_sum,
+           round(dig.sm / tot.tsm, 8) + 0.0 AS sum_share,
+           round(dig.sm / tot.tsm - 1.0 / 9.0, 8) + 0.0
+               AS excess_vs_ninth,
+           round(CAST(dig.n AS DOUBLE) / tot.tn
+                 - ln(1.0 + 1.0 / dig.d) / ln(10.0), 8) + 0.0
+               AS count_excess_vs_benford
+    FROM dig, tot
+    ORDER BY dig.d
+    """,
+)
+def benford_sum_invariance(spark, sf_dir):
+    """BENFORD SUM-INVARIANCE test on order totals — Nigrini's
+    second-moment forensics lens beside the registry's digit-
+    frequency battery (`benford_first_digit`, `benford_second_
+    digit_mad`, `benford_first_two_digits`): for Benford-conforming
+    data the SUM of significands m = v/10^floor(log10 v) is the
+    same for every leading digit (each sum_share -> 1/9), a
+    property frequency tests cannot see — a handful of large
+    fabricated amounts barely moves digit counts but torques the
+    sum shares of their leading digit, which is why the sum test is
+    the standard escalation when MAD conformity is marginal. Both
+    excess columns ship so the count lens and the sum lens read
+    side by side per digit.
+
+    Exactness: the leading digit comes from the exact integer-cents
+    string prefix (the benford_first_two device, no float log for
+    the digit); the significand's floor(log10 v) pins the ln-ratio
+    at 10 dp before floor (the decade-escalation rule — a power-of-
+    ten boundary value straddling 1ulp of libm ln would otherwise
+    flip a digit bucket); mantissas round at 8 dp into DECIMAL
+    folds. Plan: one scan -> 9-row digit rollup -> scalar total;
+    no window."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.where(F.col("o_totalprice") > 0).select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    digit = F.substring(
+        (F.col("v") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    mant = pts.select(
+        digit.alias("d"),
+        F.round(
+            F.col("v")
+            / F.exp(
+                F.floor(F.round(F.log("v") / F.log(F.lit(10.0)), 10))
+                * F.log(F.lit(10.0))
+            ),
+            8,
+        ).alias("m"),
+    )
+    dig = mant.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("m", 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sm"),
+    )
+    tot = dig.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum(F.round("sm", 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("tsm"),
+    )
+    out = dig.crossJoin(F.broadcast(tot))
+    return out.select(
+        F.col("d").alias("first_digit"),
+        F.col("n").alias("n_orders"),
+        (F.round("sm", 4) + 0.0).alias("mantissa_sum"),
+        (F.round(F.col("sm") / F.col("tsm"), 8) + 0.0)
+        .alias("sum_share"),
+        (F.round(F.col("sm") / F.col("tsm") - 1.0 / 9.0, 8) + 0.0)
+        .alias("excess_vs_ninth"),
+        (
+            F.round(
+                F.col("n").cast("double") / F.col("tn")
+                - F.log(1.0 + 1.0 / F.col("d"))
+                / F.log(F.lit(10.0)),
+                8,
+            )
+            + 0.0
+        ).alias("count_excess_vs_benford"),
+    ).orderBy("first_digit")
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "benford_sum_invariance": (
+            "no window — 9-row digit rollup + scalar total"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Whipple terminal-digit heaping index on dollar amounts
+# --------------------------------------------------------------------------
+@register(
+    "whipple_terminal_heaping",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS BIGINT) % 10 AS td
+        FROM orders
+    ),
+    dig AS (
+        SELECT td, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts GROUP BY td
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM dig),
+    ex AS (
+        SELECT dig.td, dig.n,
+               CAST(dig.n AS DOUBLE) / tot.tn - 0.1 AS e
+        FROM dig, tot
+    ),
+    summ AS (
+        SELECT CAST(MAX(tot.tn) AS BIGINT) AS tn,
+               round(500.0 * SUM(CASE WHEN td IN (0, 5)
+                                      THEN CAST(n AS DOUBLE) END)
+                     / MAX(tot.tn), 6) AS whipple,
+               round(0.5 * CAST(SUM(CAST(round(abs(e), 10)
+                     AS DECIMAL(28,10))) AS DOUBLE), 8) AS tvd
+        FROM ex, tot GROUP BY 1.0
+    ),
+    mx AS (
+        SELECT td AS max_d, round(e, 8) AS max_e
+        FROM ex ORDER BY e DESC, td ASC LIMIT 1
+    )
+    SELECT s.tn AS n_orders,
+           s.whipple + 0.0 AS whipple_index,
+           s.tvd + 0.0 AS tvd_from_uniform,
+           m.max_d AS max_excess_digit,
+           m.max_e + 0.0 AS max_excess_share
+    FROM summ s, mx m
+    """,
+)
+def whipple_terminal_heaping(spark, sf_dir):
+    """WHIPPLE-style terminal-digit heaping audit on the integer
+    DOLLAR part of order totals — the demography-standard second
+    opinion to `price_point_heaping` (which hunts psychological
+    .99/.95 CENT points): Whipple's index W = 500*(share of
+    terminal digits 0 or 5) reads 100 under no preference and >105
+    is the UN's "rough data" cutoff — round-number heaping in the
+    DOLLARS is the invoice-fabrication / manual-entry signature the
+    cent-point lens misses. The panel adds the total-variation
+    distance of the 10-digit distribution from uniform (the
+    all-digit generalization Whipple's 0/5 focus misses) and the
+    argmax digit with its excess share (deterministic tie-break by
+    digit).
+
+    Exactness: terminal digits are exact integer mod-10 off the
+    DECIMAL(18,2) cast; counts are exact; TVD terms round at 10 dp
+    into a DECIMAL fold; the argmax is an ORDER BY ... LIMIT 1 on
+    the 10-row digit frame (TakeOrdered, not a sort). Plan: one
+    scan -> 10-row digit rollup -> two scalar folds; no window."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        (F.floor(dec("o_totalprice", 18, 2)).cast("bigint") % 10)
+        .alias("td")
+    )
+    dig = pts.groupBy("td").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = dig.agg(F.sum("n").cast("bigint").alias("tn"))
+    ex = dig.crossJoin(F.broadcast(tot)).select(
+        "td",
+        "n",
+        "tn",
+        (F.col("n").cast("double") / F.col("tn") - 0.1).alias("e"),
+    ).persist()
+    summ = ex.agg(
+        F.max("tn").cast("bigint").alias("tn"),
+        F.round(
+            500.0
+            * F.sum(
+                F.when(
+                    F.col("td").isin(0, 5), F.col("n").cast("double")
+                )
+            )
+            / F.max("tn"),
+            6,
+        ).alias("whipple"),
+        F.round(
+            0.5
+            * F.sum(
+                F.round(F.abs(F.col("e")), 10).cast("decimal(28,10)")
+            ),
+            8,
+        ).cast("double").alias("tvd"),
+    )
+    mx = (
+        ex.orderBy(F.col("e").desc(), F.col("td").asc())
+        .limit(1)
+        .select(
+            F.col("td").alias("max_d"),
+            F.round("e", 8).alias("max_e"),
+        )
+    )
+    return summ.crossJoin(F.broadcast(mx)).select(
+        F.col("tn").alias("n_orders"),
+        (F.col("whipple") + 0.0).alias("whipple_index"),
+        (F.col("tvd") + 0.0).alias("tvd_from_uniform"),
+        F.col("max_d").alias("max_excess_digit"),
+        (F.col("max_e") + 0.0).alias("max_excess_share"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "whipple_terminal_heaping": (
+            "no window — 10-row digit rollup + TakeOrdered top-1"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Gini cograduation index between the two largest sources' term ranks
+# --------------------------------------------------------------------------
+@register(
+    "gini_cograduation_index",
+    oracle="""
+    WITH tc AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    top2 AS (
+        SELECT source,
+               ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, source ASC)
+                   AS rn
+        FROM tc GROUP BY source QUALIFY rn <= 2
+    ),
+    sa AS (SELECT source FROM top2 WHERE rn = 1),
+    sb AS (SELECT source FROM top2 WHERE rn = 2),
+    shared AS (
+        SELECT a.w,
+               CAST(ROW_NUMBER() OVER (ORDER BY a.c DESC, a.w ASC)
+                    AS BIGINT) AS ra,
+               CAST(ROW_NUMBER() OVER (ORDER BY b.c DESC, b.w ASC)
+                    AS BIGINT) AS rb
+        FROM (SELECT w, c FROM tc WHERE source = (SELECT * FROM sa)) a
+        JOIN (SELECT w, c FROM tc WHERE source = (SELECT * FROM sb)) b
+          ON a.w = b.w
+    ),
+    sk AS (
+        SELECT ra, rb, CAST(COUNT(*) OVER () AS BIGINT) AS k
+        FROM shared
+    ),
+    f AS (
+        SELECT k,
+               CAST(SUM(abs(ra - rb)) AS BIGINT) AS fr,
+               CAST(SUM(abs(k + 1 - ra - rb)) AS BIGINT) AS co
+        FROM sk GROUP BY k
+    )
+    SELECT k AS n_shared_terms,
+           fr AS footrule_distance,
+           co AS cograduation_sum,
+           round(CAST(co - fr AS DOUBLE) / ((k * k) // 2), 9) + 0.0
+               AS gini_gamma
+    FROM f
+    """,
+)
+def gini_cograduation_index(spark, sf_dir):
+    """GINI'S COGRADUATION INDEX gamma between the two largest
+    sources' term-frequency rankings on exactly the
+    `spearman_footrule_sources` shared-vocabulary frame: gamma =
+    [sum|n+1-ra-rb| - sum|ra-rb|] / floor(n^2/2) opposes the
+    ANTI-rank distance to the footrule distance, giving a
+    [-1,1] coefficient that is the L1 analogue of Spearman's rho
+    the way the footrule is the L1 analogue of Spearman's D — and
+    unlike the footrule similarity (distance-only), gamma
+    DISTINGUISHES independence (near 0) from active rank reversal
+    (near -1), the reading a drift monitor needs when two corpora
+    start anti-correlating rather than merely diverging. Salvemini's
+    normalization makes the two sums exactly comparable integers.
+
+    Exactness: both rank sets are the same deterministic
+    row_numbers as the footrule query (count desc, term asc); both
+    L1 sums are exact BIGINTs; gamma is one integer-ratio division.
+    Plan: token rollup -> two source slices joined on term ->
+    vocabulary-domain-bounded rank windows -> one fold."""
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    top2 = (
+        tc.groupBy("source")
+        .agg(F.sum("c").alias("tot"))
+        .select(
+            "source",
+            F.row_number()
+            .over(Window.orderBy(F.col("tot").desc(), F.col("source")))
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= 2)
+    )
+    sa = top2.where(F.col("rn") == 1).select(
+        F.col("source").alias("src_a")
+    )
+    sb = top2.where(F.col("rn") == 2).select(
+        F.col("source").alias("src_b")
+    )
+    a = tc.join(F.broadcast(sa), tc.source == F.col("src_a")).select(
+        F.col("w").alias("wa"), F.col("c").alias("ca")
+    )
+    b = tc.join(F.broadcast(sb), tc.source == F.col("src_b")).select(
+        F.col("w").alias("wb"), F.col("c").alias("cb")
+    )
+    shared = a.join(b, F.col("wa") == F.col("wb")).select(
+        F.col("wa").alias("w"), "ca", "cb"
+    )
+    ranked = shared.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("ca").desc(), F.col("w").asc()))
+        .cast("bigint")
+        .alias("ra"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cb").desc(), F.col("w").asc()))
+        .cast("bigint")
+        .alias("rb"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint")
+        .alias("k"),
+    )
+    f = ranked.groupBy("k").agg(
+        F.sum(F.abs(F.col("ra") - F.col("rb")))
+        .cast("bigint")
+        .alias("fr"),
+        F.sum(
+            F.abs(F.col("k") + 1 - F.col("ra") - F.col("rb"))
+        )
+        .cast("bigint")
+        .alias("co"),
+    )
+    return f.select(
+        F.col("k").alias("n_shared_terms"),
+        F.col("fr").alias("footrule_distance"),
+        F.col("co").alias("cograduation_sum"),
+        (
+            F.round(
+                (F.col("co") - F.col("fr")).cast("double")
+                / F.floor(F.col("k") * F.col("k") / 2),
+                9,
+            )
+            + 0.0
+        ).alias("gini_gamma"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "gini_cograduation_index": (
+            "rank windows over the shared two-source vocabulary "
+            "(vocabulary-domain-bounded — the spearman_footrule "
+            "class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Savage (exponential-scores) two-sample location test
+# --------------------------------------------------------------------------
+_H20 = [0.0, 1.0, 1.5, 1.8333333333333333, 2.0833333333333335, 2.283333333333333, 2.45, 2.592857142857143, 2.717857142857143, 2.828968253968254, 2.9289682539682538, 3.019877344877345, 3.103210678210678, 3.180133755133755, 3.2515623265623264, 3.3182289932289932, 3.3807289932289932, 3.4395525226407577, 3.4951080781963135, 3.547739657143682, 3.597739657143682]
+
+
+def _harmonic_col(k):
+    """H_k as a Column: exact 21-entry literal table for k <= 20,
+    the Euler-Maclaurin series ln k + gamma + 1/(2k) - 1/(12k^2)
+    + 1/(120k^4) beyond (error < 1e-12 at k > 20; identical
+    expression trees in both engines — the erlang factorial-table
+    pattern applied to harmonic numbers)."""
+    kd = k.cast("double")
+    out = (
+        F.log(kd)
+        + 0.5772156649015329
+        + 1.0 / (2.0 * kd)
+        - 1.0 / (12.0 * kd * kd)
+        + 1.0 / (120.0 * kd * kd * kd * kd)
+    )
+    for i in range(20, -1, -1):
+        out = F.when(k == i, F.lit(_H20[i])).otherwise(out)
+    return out
+
+
+@register(
+    "savage_scores_location",
+    oracle="""
+    WITH pts AS (
+        SELECT CASE WHEN CAST(epoch_us(o_orderdate) // 86400000000
+                         + 4 AS BIGINT) % 7 >= 5
+                    THEN 1 ELSE 0 END AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    cells AS (
+        SELECT v,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(g) AS BIGINT) AS c1
+        FROM pts GROUP BY v
+    ),
+    cum AS (
+        SELECT v, c, c1,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS h,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM cells
+    ),
+    hterm AS (
+        SELECT v, c, c1, h, n,
+               round(c * (CASE WHEN n = 0 THEN 0.0 WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 1.5 WHEN n = 3 THEN 1.8333333333333333 WHEN n = 4 THEN 2.0833333333333335 WHEN n = 5 THEN 2.283333333333333 WHEN n = 6 THEN 2.45 WHEN n = 7 THEN 2.592857142857143 WHEN n = 8 THEN 2.717857142857143 WHEN n = 9 THEN 2.828968253968254 WHEN n = 10 THEN 2.9289682539682538 WHEN n = 11 THEN 3.019877344877345 WHEN n = 12 THEN 3.103210678210678 WHEN n = 13 THEN 3.180133755133755 WHEN n = 14 THEN 3.2515623265623264 WHEN n = 15 THEN 3.3182289932289932 WHEN n = 16 THEN 3.3807289932289932 WHEN n = 17 THEN 3.4395525226407577 WHEN n = 18 THEN 3.4951080781963135 WHEN n = 19 THEN 3.547739657143682 WHEN n = 20 THEN 3.597739657143682 ELSE ln(CAST(n AS DOUBLE)) + 0.5772156649015329 + 1.0 / (2.0 * n) - 1.0 / (12.0 * n * n) + 1.0 / (120.0 * n * n * n * n) END)
+                 - (CASE WHEN n - h - 1 <= 0 THEN 0.0
+                         ELSE (n - h) * round(
+                             (CASE WHEN (n - h - 1) = 0 THEN 0.0 WHEN (n - h - 1) = 1 THEN 1.0 WHEN (n - h - 1) = 2 THEN 1.5 WHEN (n - h - 1) = 3 THEN 1.8333333333333333 WHEN (n - h - 1) = 4 THEN 2.0833333333333335 WHEN (n - h - 1) = 5 THEN 2.283333333333333 WHEN (n - h - 1) = 6 THEN 2.45 WHEN (n - h - 1) = 7 THEN 2.592857142857143 WHEN (n - h - 1) = 8 THEN 2.717857142857143 WHEN (n - h - 1) = 9 THEN 2.828968253968254 WHEN (n - h - 1) = 10 THEN 2.9289682539682538 WHEN (n - h - 1) = 11 THEN 3.019877344877345 WHEN (n - h - 1) = 12 THEN 3.103210678210678 WHEN (n - h - 1) = 13 THEN 3.180133755133755 WHEN (n - h - 1) = 14 THEN 3.2515623265623264 WHEN (n - h - 1) = 15 THEN 3.3182289932289932 WHEN (n - h - 1) = 16 THEN 3.3807289932289932 WHEN (n - h - 1) = 17 THEN 3.4395525226407577 WHEN (n - h - 1) = 18 THEN 3.4951080781963135 WHEN (n - h - 1) = 19 THEN 3.547739657143682 WHEN (n - h - 1) = 20 THEN 3.597739657143682 ELSE ln(CAST((n - h - 1) AS DOUBLE)) + 0.5772156649015329 + 1.0 / (2.0 * (n - h - 1)) - 1.0 / (12.0 * (n - h - 1) * (n - h - 1)) + 1.0 / (120.0 * (n - h - 1) * (n - h - 1) * (n - h - 1) * (n - h - 1)) END),
+                             10) - (n - h - 1.0) END
+                    - CASE WHEN n - h - c - 1 <= 0 THEN 0.0
+                           ELSE (n - h - c) * round(
+                               (CASE WHEN (n - h - c - 1) = 0 THEN 0.0 WHEN (n - h - c - 1) = 1 THEN 1.0 WHEN (n - h - c - 1) = 2 THEN 1.5 WHEN (n - h - c - 1) = 3 THEN 1.8333333333333333 WHEN (n - h - c - 1) = 4 THEN 2.0833333333333335 WHEN (n - h - c - 1) = 5 THEN 2.283333333333333 WHEN (n - h - c - 1) = 6 THEN 2.45 WHEN (n - h - c - 1) = 7 THEN 2.592857142857143 WHEN (n - h - c - 1) = 8 THEN 2.717857142857143 WHEN (n - h - c - 1) = 9 THEN 2.828968253968254 WHEN (n - h - c - 1) = 10 THEN 2.9289682539682538 WHEN (n - h - c - 1) = 11 THEN 3.019877344877345 WHEN (n - h - c - 1) = 12 THEN 3.103210678210678 WHEN (n - h - c - 1) = 13 THEN 3.180133755133755 WHEN (n - h - c - 1) = 14 THEN 3.2515623265623264 WHEN (n - h - c - 1) = 15 THEN 3.3182289932289932 WHEN (n - h - c - 1) = 16 THEN 3.3807289932289932 WHEN (n - h - c - 1) = 17 THEN 3.4395525226407577 WHEN (n - h - c - 1) = 18 THEN 3.4951080781963135 WHEN (n - h - c - 1) = 19 THEN 3.547739657143682 WHEN (n - h - c - 1) = 20 THEN 3.597739657143682 ELSE ln(CAST((n - h - c - 1) AS DOUBLE)) + 0.5772156649015329 + 1.0 / (2.0 * (n - h - c - 1)) - 1.0 / (12.0 * (n - h - c - 1) * (n - h - c - 1)) + 1.0 / (120.0 * (n - h - c - 1) * (n - h - c - 1) * (n - h - c - 1) * (n - h - c - 1)) END),
+                               10) - (n - h - c - 1.0) END), 8)
+                   AS ag
+        FROM cum
+    ),
+    fold AS (
+        SELECT MAX(n) AS n,
+               CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(CAST(round(ag, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS sa,
+               CAST(SUM(CAST(round(CAST(c1 AS DOUBLE) / c * ag, 8)
+                    AS DECIMAL(28,8))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(round(ag * ag / c, 8)
+                    AS DECIMAL(28,8))) AS DOUBLE) AS sa2
+        FROM hterm
+    )
+    SELECT n AS n_orders,
+           n1 AS n_weekend,
+           round(s1, 4) + 0.0 AS savage_sum_weekend,
+           round(CAST(n1 AS DOUBLE) * sa / n, 4) + 0.0
+               AS expected_sum,
+           round((s1 - CAST(n1 AS DOUBLE) * sa / n)
+                 / sqrt(CAST(n1 AS DOUBLE) * (n - n1) / (n * (n - 1.0))
+                        * (sa2 - sa * sa / n)), 6) + 0.0
+               AS savage_z
+    FROM fold
+""",
+)
+def savage_scores_location(spark, sf_dir):
+    """SAVAGE (exponential-scores) two-sample test of weekend vs
+    weekday order value: each observation takes the expected
+    exponential order statistic a_i = H_n - H_(n-i) (ties get the
+    group-average score), and the weekend score sum is z-scored
+    with the exact finite-population moments — the SCALE-SENSITIVE-
+    IN-THE-TAIL rank test the location battery lacks: Wilcoxon
+    weights all ranks linearly and `van_der_waerden_test` normal-
+    scores the middle, but Savage scores grow like ln n in the
+    upper tail, making this the locally-most-powerful rank test
+    for proportional-hazards/exponential-scale alternatives — it
+    is literally the uncensored log-rank, so its verdict beside
+    `log_rank_sessions` ties the revenue battery to the survival
+    battery. Tie-group score sums close via the harmonic identity
+    sum H_m = (b+1)H_b - b, so NO per-row score materializes — one
+    bounded-grid pass.
+
+    Exactness: counts/heads are exact integers on the cents grid
+    (exclusive-prefix cumulative, the ansari_bradley device); H
+    comes from the hybrid exact-table/series device pinned at 10
+    dp; per-group score sums round at 8 dp into DECIMAL folds; the
+    z closes in one IEEE expression. Plan: one rollup to the value
+    grid, one cumulative, one fold."""
+    o = t(spark, sf_dir, "orders")
+    day = F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+    pts = o.select(
+        F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("g"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+    cells = pts.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("g").cast("bigint").alias("c1"),
+    )
+    cum = cells.select(
+        "v",
+        "c",
+        "c1",
+        (
+            F.sum("c").over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("c")
+        )
+        .cast("bigint")
+        .alias("h"),
+        F.sum("c")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+
+    def sh(b):
+        # S_H(b) = sum_{m=1..b} H_m = (b+1) H_b - b, 0 for b <= 0
+        return F.when(b <= 0, F.lit(0.0)).otherwise(
+            (b + 1).cast("double")
+            * F.round(_harmonic_col(b), 10)
+            - b.cast("double")
+        )
+
+    b_hi = F.col("n") - F.col("h") - 1
+    b_lo = F.col("n") - F.col("h") - F.col("c") - 1
+    ag = F.round(
+        F.col("c") * _harmonic_col(F.col("n"))
+        - (sh(b_hi) - sh(b_lo)),
+        8,
+    )
+    hterm = cum.select("c", "c1", "n", ag.alias("ag"))
+    fold = hterm.agg(
+        F.max("n").alias("n"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.round("ag", 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sa"),
+        F.sum(
+            F.round(
+                F.col("c1").cast("double") / F.col("c") * F.col("ag"),
+                8,
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            F.round(
+                F.col("ag") * F.col("ag") / F.col("c"), 8
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("sa2"),
+    )
+    n = F.col("n").cast("double")
+    n1 = F.col("n1").cast("double")
+    esum = n1 * F.col("sa") / n
+    vars = (
+        n1
+        * (n - n1)
+        / (n * (n - 1.0))
+        * (F.col("sa2") - F.col("sa") * F.col("sa") / n)
+    )
+    return fold.select(
+        F.col("n").alias("n_orders"),
+        F.col("n1").alias("n_weekend"),
+        (F.round("s1", 4) + 0.0).alias("savage_sum_weekend"),
+        (F.round(esum, 4) + 0.0).alias("expected_sum"),
+        (F.round((F.col("s1") - esum) / F.sqrt(vars), 6) + 0.0)
+        .alias("savage_z"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "savage_scores_location": (
+            "exclusive-prefix cumulative over the distinct-value-"
+            "cents grid (price-domain-bounded — the ansari_bradley "
+            "class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Anderson-Darling GoF against the moment-fitted lognormal
+# --------------------------------------------------------------------------
+@register(
+    "anderson_darling_lognormal",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS x
+        FROM orders
+    ),
+    grid AS (
+        SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pts GROUP BY x
+    ),
+    lmom AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(c * round(ln(CAST(v AS DOUBLE)
+                   / 100000.0), 8), 6) AS DECIMAL(38,6)))
+                   AS DOUBLE) AS sl,
+               CAST(SUM(CAST(round(c * round(ln(CAST(v AS DOUBLE)
+                   / 100000.0), 8)
+                   * round(ln(CAST(v AS DOUBLE) / 100000.0), 8), 6)
+                   AS DECIMAL(38,6))) AS DOUBLE) AS sll
+        FROM grid
+    ),
+    fitp AS (
+        SELECT n, round(sl / n, 8) AS mu,
+               round(sqrt(sll / n - (sl / n) * (sl / n)), 8) AS sig
+        FROM lmom
+    ),
+    cum AS (
+        SELECT g.v, g.c, f.n, f.mu, f.sig,
+               CAST(COALESCE(SUM(g.c) OVER (ORDER BY g.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                   PRECEDING), 0) AS BIGINT) AS head
+        FROM grid g, fitp f
+    ),
+    scored AS (
+        SELECT v, c, n, head,
+               GREATEST(LEAST(round({_phi_sql_r19(
+                   "((round(ln(CAST(v AS DOUBLE) / 100000.0), 8)"
+                   " - mu) / sig)")}, 10), 1.0 - 1e-10), 1e-10)
+                   AS ff
+        FROM cum
+    ),
+    fold AS (
+        SELECT MAX(n) AS n,
+               CAST(SUM(CAST(round(
+                   c * (2.0 * head + c) * round(ln(ff), 10), 4)
+                   AS DECIMAL(38,4))) AS DOUBLE) AS t1,
+               CAST(SUM(CAST(round(
+                   c * (2.0 * (n - head) - c)
+                   * round(ln(1.0 - ff), 10), 4)
+                   AS DECIMAL(38,4))) AS DOUBLE) AS t2
+        FROM scored
+    )
+    SELECT f.n AS n_orders,
+           p.mu AS mu_hat, p.sig AS sigma_hat,
+           round(-CAST(f.n AS DOUBLE) - (f.t1 + f.t2) / f.n, 6)
+               + 0.0 AS ad_a2,
+           round((-CAST(f.n AS DOUBLE) - (f.t1 + f.t2) / f.n)
+                 * (1.0 + 0.75 / f.n + 2.25 / (f.n * 1.0 * f.n)), 6)
+               + 0.0 AS ad_a2_adjusted
+    FROM fold f, fitp p
+    """,
+)
+def anderson_darling_lognormal(spark, sf_dir):
+    """ANDERSON-DARLING goodness of fit of order values against the
+    moment-fitted lognormal, on exactly the `cvm_lognormal_gof`
+    frame (same mu/sigma fit from 8-dp-pinned log moments, same
+    cents grid, same shared Phi tree) — the TAIL-WEIGHTED member of
+    the lognormal GoF battery: CvM weights squared CDF error
+    uniformly, the DKW band checks the worst single point, AD's
+    1/(F(1-F)) weight amplifies both tails, which for a revenue
+    distribution is exactly where lognormality decides EVT
+    escalation (`pot_gpd_pwm_fit`) vs closed-form quantiles. Tie
+    groups close via the exact index identities sum(2i-1) = c(2h+c)
+    and its reflected form c(2(n-h)-c), so no per-row rank
+    materializes; `ad_a2_adjusted` carries the D'Agostino-Stephens
+    small-n factor (1 + 0.75/n + 2.25/n^2) for the estimated-
+    parameters case.
+
+    Exactness: heads/counts exact integers (exclusive-prefix over
+    the cents grid, the ansari_bradley device); F pins at 10 dp and
+    clamps to [1e-10, 1-1e-10] before ln (identical clamp both
+    engines); ln terms pin at 10 dp, weighted terms round at 4 dp
+    into DECIMAL(38,4) folds (|term| <= n^2 ln n ~ 1e16 at 64x
+    sf0.1 — 18 digits off the rail). Plan: one grid rollup, one
+    cumulative, one fold."""
+    o = t(spark, sf_dir, "orders")
+    grid = (
+        o.select(
+            (dec("o_totalprice", 18, 2) * 100)
+            .cast("bigint")
+            .alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    lnv = F.round(F.log(F.col("v").cast("double") / 100000.0), 8)
+    lmom = grid.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("c") * lnv, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sl"),
+        F.sum(F.round(F.col("c") * lnv * lnv, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sll"),
+    )
+    fitp = lmom.select(
+        "n",
+        F.round(F.col("sl") / F.col("n"), 8).alias("mu"),
+        F.round(
+            F.sqrt(
+                F.col("sll") / F.col("n")
+                - (F.col("sl") / F.col("n"))
+                * (F.col("sl") / F.col("n"))
+            ),
+            8,
+        ).alias("sig"),
+    )
+    cum = grid.crossJoin(F.broadcast(fitp)).select(
+        "v",
+        "c",
+        "n",
+        "mu",
+        "sig",
+        (
+            F.sum("c").over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("c")
+        )
+        .cast("bigint")
+        .alias("head"),
+    )
+    ff = F.greatest(
+        F.least(
+            F.round(
+                _phi_col_r19((lnv - F.col("mu")) / F.col("sig")), 10
+            ),
+            F.lit(1.0 - 1e-10),
+        ),
+        F.lit(1e-10),
+    )
+    scored = cum.select("c", "n", "head", ff.alias("ff"))
+    fold = scored.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.round(
+                F.col("c")
+                * (2.0 * F.col("head") + F.col("c"))
+                * F.round(F.log("ff"), 10),
+                4,
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("t1"),
+        F.sum(
+            F.round(
+                F.col("c")
+                * (2.0 * (F.col("n") - F.col("head")) - F.col("c"))
+                * F.round(F.log(1.0 - F.col("ff")), 10),
+                4,
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("t2"),
+    )
+    n = F.col("n").cast("double")
+    a2 = -n - (F.col("t1") + F.col("t2")) / F.col("n")
+    return fold.crossJoin(F.broadcast(fitp.select("mu", "sig"))).select(
+        F.col("n").alias("n_orders"),
+        F.col("mu").alias("mu_hat"),
+        F.col("sig").alias("sigma_hat"),
+        (F.round(a2, 6) + 0.0).alias("ad_a2"),
+        (
+            F.round(
+                a2 * (1.0 + 0.75 / n + 2.25 / (n * n)), 6
+            )
+            + 0.0
+        ).alias("ad_a2_adjusted"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "anderson_darling_lognormal": (
+            "exclusive-prefix cumulative over the distinct-value-"
+            "cents grid (the cvm_lognormal_gof frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Szekely-Rizzo energy test of (log)normality
+# --------------------------------------------------------------------------
+@register(
+    "energy_normality_test",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS x
+        FROM orders
+    ),
+    grid AS (
+        SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pts GROUP BY x
+    ),
+    lmom AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(c * round(ln(CAST(v AS DOUBLE)
+                   / 100000.0), 8), 6) AS DECIMAL(38,6)))
+                   AS DOUBLE) AS sl,
+               CAST(SUM(CAST(round(c * round(ln(CAST(v AS DOUBLE)
+                   / 100000.0), 8)
+                   * round(ln(CAST(v AS DOUBLE) / 100000.0), 8), 6)
+                   AS DECIMAL(38,6))) AS DOUBLE) AS sll
+        FROM grid
+    ),
+    fitp AS (
+        SELECT n, round(sl / n, 8) AS mu,
+               round(sqrt(sll / n - (sl / n) * (sl / n)), 8) AS sig
+        FROM lmom
+    ),
+    cum AS (
+        SELECT g.v, g.c, f.n,
+               round((round(ln(CAST(g.v AS DOUBLE) / 100000.0), 8)
+                      - f.mu) / f.sig, 8) AS y,
+               CAST(COALESCE(SUM(g.c) OVER (ORDER BY g.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                   PRECEDING), 0) AS BIGINT) AS head
+        FROM grid g, fitp f
+    ),
+    fold AS (
+        SELECT MAX(n) AS n,
+               CAST(SUM(CAST(round(c * (2.0 * exp(-y * y / 2.0)
+                   / 2.5066282746310002
+                   + y * (2.0 * round({_phi_sql_r19("(y)")}, 10)
+                          - 1.0)), 8) AS DECIMAL(38,8))) AS DOUBLE)
+                   AS sez,
+               CAST(SUM(CAST(round(y * c
+                   * (2.0 * head + c - n), 6) AS DECIMAL(38,6)))
+                   AS DOUBLE) AS dsum
+        FROM cum
+    )
+    SELECT n AS n_orders,
+           round(sez / n, 8) + 0.0 AS mean_e_abs_y_z,
+           round(dsum / (CAST(n AS DOUBLE) * n), 8) + 0.0
+               AS mean_pairwise_abs,
+           round(n * (2.0 * sez / n - 1.1283791670955126
+                 - dsum / (CAST(n AS DOUBLE) * n)), 6) + 0.0
+               AS energy_stat
+    FROM fold
+    """,
+)
+def energy_normality_test(spark, sf_dir):
+    """SZEKELY-RIZZO ENERGY test of normality on the standardized
+    log order values (the same 8-dp-pinned moment fit as
+    `cvm_lognormal_gof` / `anderson_darling_lognormal`): E = n(2
+    mean E|y_i - Z| - E|Z - Z'| - mean|y_i - y_j|), with E|y - Z| =
+    2 phi(y) + y(2 Phi(y) - 1) in closed form, E|Z - Z'| = 2/sqrt(pi)
+    (1.1283791670955126, shared literal), and the pairwise mean
+    via the SORTED identity sum|y_i - y_j| = 2 sum_i (2i-1-n) y_(i)
+    folded per tie group as c(2h + c - n) y_g — the
+    CHARACTERISTIC-DISTANCE member of the lognormal battery: EDF
+    tests (CvM/AD/DKW) see only the CDF gap at each point; the
+    energy statistic is a weighted L2 distance between
+    characteristic functions (Szekely-Rizzo 2005), consistent
+    against ALL alternatives, and famously sensitive to the
+    multimodality/short-tail shapes AD's tail weighting discounts.
+    No quadratic pair pass exists anywhere — the identity removes
+    it.
+
+    Exactness: standardized y pins at 8 dp on the cents grid; the
+    closed-form E|y-Z| rounds at 8 dp into DECIMAL(38,8) folds
+    (phi's exp and the shared Phi tree are identical in both
+    engines); the rank-weighted pair fold rounds at 6 dp into
+    DECIMAL(38,6) (|term| <= n|y| ~ 1e9 at 64x sf0.1). Plan: one
+    grid rollup, one cumulative, one fold."""
+    o = t(spark, sf_dir, "orders")
+    grid = (
+        o.select(
+            (dec("o_totalprice", 18, 2) * 100)
+            .cast("bigint")
+            .alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    lnv = F.round(F.log(F.col("v").cast("double") / 100000.0), 8)
+    lmom = grid.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("c") * lnv, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sl"),
+        F.sum(F.round(F.col("c") * lnv * lnv, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sll"),
+    )
+    fitp = lmom.select(
+        "n",
+        F.round(F.col("sl") / F.col("n"), 8).alias("mu"),
+        F.round(
+            F.sqrt(
+                F.col("sll") / F.col("n")
+                - (F.col("sl") / F.col("n"))
+                * (F.col("sl") / F.col("n"))
+            ),
+            8,
+        ).alias("sig"),
+    )
+    cum = grid.crossJoin(F.broadcast(fitp)).select(
+        "c",
+        "n",
+        F.round((lnv - F.col("mu")) / F.col("sig"), 8).alias("y"),
+        (
+            F.sum("c").over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("c")
+        )
+        .cast("bigint")
+        .alias("head"),
+    )
+    y = F.col("y")
+    ez = 2.0 * F.exp(-y * y / 2.0) / 2.5066282746310002 + y * (
+        2.0 * F.round(_phi_col_r19(y), 10) - 1.0
+    )
+    fold = cum.agg(
+        F.max("n").alias("n"),
+        F.sum(F.round(F.col("c") * ez, 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sez"),
+        F.sum(
+            F.round(
+                y
+                * F.col("c")
+                * (2.0 * F.col("head") + F.col("c") - F.col("n")),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("dsum"),
+    )
+    n = F.col("n").cast("double")
+    return fold.select(
+        F.col("n").alias("n_orders"),
+        (F.round(F.col("sez") / n, 8) + 0.0).alias("mean_e_abs_y_z"),
+        (F.round(F.col("dsum") / (n * n), 8) + 0.0)
+        .alias("mean_pairwise_abs"),
+        (
+            F.round(
+                n
+                * (
+                    2.0 * F.col("sez") / n
+                    - 1.1283791670955126
+                    - F.col("dsum") / (n * n)
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("energy_stat"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "energy_normality_test": (
+            "exclusive-prefix cumulative over the distinct-value-"
+            "cents grid (the cvm_lognormal_gof frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Prais-Winsten AR(1) GLS trend (the Cochrane-Orcutt second opinion)
+# --------------------------------------------------------------------------
+@register(
+    "prais_winsten_ar1",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    m1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(day) AS BIGINT) AS d0,
+               CAST(SUM(day) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(day * day) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(day AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS sxy
+        FROM daily
+    ),
+    fit1 AS (
+        SELECT n, d0,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                   AS b1,
+               (CAST(sy AS DOUBLE)
+                - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                  * sx) / n AS a1
+        FROM m1
+    ),
+    res AS (
+        SELECT daily.day AS d, daily.y, fit1.d0,
+               round(daily.y - fit1.a1 - fit1.b1 * daily.day, 4) AS e,
+               LAG(round(daily.y - fit1.a1 - fit1.b1 * daily.day, 4))
+                   OVER (ORDER BY daily.day) AS elag,
+               LAG(daily.y) OVER (ORDER BY daily.day) AS ylag,
+               LAG(daily.day) OVER (ORDER BY daily.day) AS dlag
+        FROM daily, fit1
+    ),
+    rho_ AS (
+        SELECT round(
+                   CAST(SUM(CAST(round(e * elag, 2) AS DECIMAL(38,2)))
+                        AS DOUBLE)
+                   / CAST(SUM(CAST(round(elag * elag, 2)
+                                   AS DECIMAL(38,2))) AS DOUBLE), 8)
+                   AS rho
+        FROM res WHERE elag IS NOT NULL
+    ),
+    star AS (
+        SELECT CASE WHEN res.ylag IS NULL
+                    THEN round(sqrt(1.0 - rho_.rho * rho_.rho), 8)
+                    ELSE 1.0 - rho_.rho END AS cs,
+               CASE WHEN res.ylag IS NULL
+                    THEN round(sqrt(1.0 - rho_.rho * rho_.rho)
+                               * res.y, 4)
+                    ELSE round(res.y - rho_.rho * res.ylag, 4)
+               END AS ys,
+               CASE WHEN res.ylag IS NULL
+                    THEN round(sqrt(1.0 - rho_.rho * rho_.rho)
+                               * res.d, 8)
+                    ELSE round(res.d - rho_.rho * res.dlag, 8)
+               END AS xs,
+               CASE WHEN res.ylag IS NULL THEN 0 ELSE 1 END AS co_row
+        FROM res, rho_
+    ),
+    m2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+               CAST(SUM(CAST(round(cs * cs, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS scc,
+               CAST(SUM(CAST(round(cs * xs, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS scx,
+               CAST(SUM(CAST(round(xs * xs, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sxx2,
+               CAST(SUM(CAST(round(cs * ys, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS scy,
+               CAST(SUM(CAST(round(xs * ys, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS sxy2
+        FROM star
+    ),
+    mco AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+               CAST(SUM(CAST(round(xs, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sx3,
+               CAST(SUM(CAST(round(ys, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS sy3,
+               CAST(SUM(CAST(round(xs * xs, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sxx3,
+               CAST(SUM(CAST(round(xs * ys, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS sxy3
+        FROM star WHERE co_row = 1
+    )
+    SELECT m2.n2 AS n_days,
+           rho_.rho + 0.0 AS rho_hat,
+           round((m2.scc * m2.sxy2 - m2.scx * m2.scy)
+                 / (m2.scc * m2.sxx2 - m2.scx * m2.scx) / 1000.0, 6)
+               + 0.0 AS pw_slope_kusd_per_day,
+           round((mco.nc * mco.sxy3 - mco.sx3 * mco.sy3)
+                 / (mco.nc * mco.sxx3 - mco.sx3 * mco.sx3) / 1000.0,
+                 6) + 0.0 AS co_slope_kusd_per_day,
+           round(((m2.scc * m2.sxy2 - m2.scx * m2.scy)
+                  / (m2.scc * m2.sxx2 - m2.scx * m2.scx)
+                  - (mco.nc * mco.sxy3 - mco.sx3 * mco.sy3)
+                    / (mco.nc * mco.sxx3 - mco.sx3 * mco.sx3))
+                 / 1000.0, 6) + 0.0 AS pw_minus_co_kusd
+    FROM m2, mco, rho_
+    """,
+)
+def prais_winsten_ar1(spark, sf_dir):
+    """PRAIS-WINSTEN AR(1) GLS trend for daily revenue — the
+    keep-the-first-observation second opinion to
+    `cochrane_orcutt_ar1`: same OLS residual rho-hat, same
+    quasi-differencing y_t - rho y_{{t-1}}, but the first row enters
+    weighted by sqrt(1 - rho^2) (its exact GLS weight) with the
+    intercept column transformed likewise, solved by 2x2 normal
+    equations — PW is FULLY efficient GLS where CO silently drops
+    one observation, and with trending regressors that one dropped
+    point famously moves the slope (the Park-Mitchell critique);
+    `pw_minus_co_kusd` ships the gap as the sensitivity readout.
+
+    Exactness: the rho pipeline copies the CO rounds verbatim
+    (residuals at 4 dp, rho at 8); transformed rows round at 4/8
+    dp; the five cross-product folds widen through DECIMAL(38,x);
+    both slopes and the gap are closing IEEE trees (kUSD/day
+    readout = cents/100000... /1000 here as the day-slope is in
+    cents). Plan: day rollup -> OLS fold -> one calendar lag ->
+    transform -> two folds; the only window is the bounded
+    calendar-frame lag (the cochrane_orcutt class)."""
+    daily = _daily(spark, sf_dir)
+    m1 = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("day").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("day") * F.col("day")).cast("bigint").alias("sxx"),
+        F.sum(F.col("day").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    b1 = (
+        nn * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        nn * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit1 = m1.select(
+        b1.alias("b1"),
+        (
+            (F.col("sy").cast("double") - b1 * F.col("sx")) / nn
+        ).alias("a1"),
+    )
+    wd = Window.orderBy("day")
+    eexpr = F.round(
+        F.col("y") - F.col("a1") - F.col("b1") * F.col("day"), 4
+    )
+    res = daily.crossJoin(F.broadcast(fit1)).select(
+        F.col("day").alias("d"),
+        "y",
+        eexpr.alias("e"),
+        F.lag(eexpr).over(wd).alias("elag"),
+        F.lag("y").over(wd).alias("ylag"),
+        F.lag("day").over(wd).alias("dlag"),
+    )
+    rho_ = res.where(F.col("elag").isNotNull()).agg(
+        F.round(
+            F.sum(
+                F.round(F.col("e") * F.col("elag"), 2).cast(
+                    "decimal(38,2)"
+                )
+            ).cast("double")
+            / F.sum(
+                F.round(F.col("elag") * F.col("elag"), 2).cast(
+                    "decimal(38,2)"
+                )
+            ).cast("double"),
+            8,
+        ).alias("rho")
+    )
+    first = F.col("ylag").isNull()
+    w0 = F.round(F.sqrt(1.0 - F.col("rho") * F.col("rho")), 8)
+    star = res.crossJoin(F.broadcast(rho_)).select(
+        F.when(first, w0).otherwise(1.0 - F.col("rho")).alias("cs"),
+        F.when(first, F.round(w0 * F.col("y"), 4))
+        .otherwise(F.round(F.col("y") - F.col("rho") * F.col("ylag"), 4))
+        .alias("ys"),
+        F.when(first, F.round(w0 * F.col("d"), 8))
+        .otherwise(F.round(F.col("d") - F.col("rho") * F.col("dlag"), 8))
+        .alias("xs"),
+        F.when(first, 0).otherwise(1).alias("co_row"),
+    ).persist()
+    m2 = star.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n2"),
+        F.sum(
+            F.round(F.col("cs") * F.col("cs"), 10).cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("scc"),
+        F.sum(
+            F.round(F.col("cs") * F.col("xs"), 8).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("scx"),
+        F.sum(
+            F.round(F.col("xs") * F.col("xs"), 8).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("sxx2"),
+        F.sum(
+            F.round(F.col("cs") * F.col("ys"), 4).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("scy"),
+        F.sum(
+            F.round(F.col("xs") * F.col("ys"), 4).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("sxy2"),
+    )
+    mco = star.where(F.col("co_row") == 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc"),
+        F.sum(F.round("xs", 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sx3"),
+        F.sum(F.round("ys", 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sy3"),
+        F.sum(
+            F.round(F.col("xs") * F.col("xs"), 8).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("sxx3"),
+        F.sum(
+            F.round(F.col("xs") * F.col("ys"), 4).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("sxy3"),
+    )
+    out = m2.crossJoin(F.broadcast(mco)).crossJoin(F.broadcast(rho_))
+    b_pw = (
+        F.col("scc") * F.col("sxy2") - F.col("scx") * F.col("scy")
+    ) / (
+        F.col("scc") * F.col("sxx2") - F.col("scx") * F.col("scx")
+    )
+    b_co = (
+        F.col("nc") * F.col("sxy3") - F.col("sx3") * F.col("sy3")
+    ) / (
+        F.col("nc") * F.col("sxx3") - F.col("sx3") * F.col("sx3")
+    )
+    return out.select(
+        F.col("n2").alias("n_days"),
+        (F.col("rho") + 0.0).alias("rho_hat"),
+        (F.round(b_pw / 1000.0, 6) + 0.0)
+        .alias("pw_slope_kusd_per_day"),
+        (F.round(b_co / 1000.0, 6) + 0.0)
+        .alias("co_slope_kusd_per_day"),
+        (F.round((b_pw - b_co) / 1000.0, 6) + 0.0)
+        .alias("pw_minus_co_kusd"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "prais_winsten_ar1": (
+            "bounded calendar-frame lags (the cochrane_orcutt "
+            "class); scalar broadcasts elsewhere"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Shifted-beta-geometric churn fit and projection (Fader-Hardie)
+# --------------------------------------------------------------------------
+@register(
+    "sbg_churn_projection",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               CAST((epoch_us(ts) // 86400000000
+                     - (SELECT MIN(epoch_us(ts) // 86400000000)
+                        FROM events)) // 30 AS BIGINT) AS blk
+        FROM events GROUP BY 1, 2
+    ),
+    cohort AS (
+        SELECT DISTINCT user_id FROM ev WHERE blk = 0
+    ),
+    act AS (
+        SELECT ev.blk, CAST(COUNT(DISTINCT ev.user_id) AS BIGINT)
+                   AS a
+        FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+        WHERE ev.blk BETWEEN 0 AND 5
+        GROUP BY ev.blk
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN blk = 0 THEN a END) AS s0,
+               MAX(CASE WHEN blk = 1 THEN a END) AS s1,
+               MAX(CASE WHEN blk = 2 THEN a END) AS s2,
+               MAX(CASE WHEN blk = 3 THEN a END) AS s3,
+               MAX(CASE WHEN blk = 4 THEN a END) AS s4,
+               MAX(CASE WHEN blk = 5 THEN a END) AS s5
+        FROM act
+    ),
+    rr AS (
+        SELECT s0,
+               round(CAST(s1 AS DOUBLE) / s0, 10) AS r1,
+               round(CAST(s2 AS DOUBLE) / s1, 10) AS r2,
+               round(CAST(s3 AS DOUBLE) / s2, 10) AS r3,
+               round(CAST(s4 AS DOUBLE) / s3, 10) AS r4,
+               round(CAST(s5 AS DOUBLE) / s4, 10) AS r5
+        FROM wide
+    ),
+    fit AS (
+        SELECT s0, r1, r2, r3, r4, r5,
+               CASE WHEN r2 > r1
+                    THEN (1.0 - r2) / (r2 - r1) END AS s,
+               CASE WHEN r2 > r1
+                    THEN r1 * (1.0 - r2) / (r2 - r1) END AS beta
+        FROM rr
+    ),
+    proj AS (
+        SELECT s0, r3, r4, r5,
+               s - beta AS alpha, beta, s,
+               (beta + 2.0) / (s + 2.0) AS p3,
+               (beta + 3.0) / (s + 3.0) AS p4,
+               (beta + 4.0) / (s + 4.0) AS p5
+        FROM fit
+    )
+    SELECT s0 AS n_cohort_users,
+           round(alpha, 6) + 0.0 AS sbg_alpha,
+           round(beta, 6) + 0.0 AS sbg_beta,
+           r3 + 0.0 AS r3_observed,
+           round(p3, 6) + 0.0 AS r3_projected,
+           r4 + 0.0 AS r4_observed,
+           round(p4, 6) + 0.0 AS r4_projected,
+           r5 + 0.0 AS r5_observed,
+           round(p5, 6) + 0.0 AS r5_projected,
+           round((abs(r3 - p3) + abs(r4 - p4) + abs(r5 - p5)) / 3.0,
+                 6) + 0.0 AS mae_projection
+    FROM proj
+    """,
+)
+def sbg_churn_projection(spark, sf_dir):
+    """SHIFTED-BETA-GEOMETRIC churn model (Fader-Hardie 2007) fit by
+    method of moments on the first cohort's 30-day-block retention:
+    under sBG the period retention is r_t = (beta+t-1)/(alpha+beta+
+    t-1), so the first two observed ratios r1, r2 IDENTIFY the
+    heterogeneity exactly — alpha+beta = (1-r2)/(r2-r1), beta = r1*
+    (alpha+beta) — with r2 > r1 (retention RISING over tenure, the
+    sorting-out-of-churners signature) as the model's own
+    falsifiable precondition (NULL fit when violated). Blocks 3-5
+    are then pure out-of-sample projections beside the observed
+    ratios — the generative second opinion to
+    `retention_powerlaw_fit` / `retention_half_life_cohorts`
+    (curve fits that describe but do not predict): sBG disagreeing
+    with the power-law on the tail is exactly the
+    heterogeneity-vs-aging question LTV models must answer.
+
+    Exactness: block activity counts are exact distinct-user
+    integers; ratios pin at 10 dp; the closed-form fit and
+    projections are terminal IEEE trees. Plan: user-block rollup ->
+    cohort semi-join -> 6-row block rollup -> scalar pivot; no
+    window."""
+    e = t(spark, sf_dir, "events")
+    dmin = e.agg(
+        F.min(F.floor(F.unix_micros("ts") / 86_400_000_000)).alias(
+            "d0"
+        )
+    )
+    ev = (
+        e.crossJoin(F.broadcast(dmin))
+        .select(
+            "user_id",
+            F.floor(
+                (
+                    F.floor(F.unix_micros("ts") / 86_400_000_000)
+                    - F.col("d0")
+                )
+                / 30
+            )
+            .cast("bigint")
+            .alias("blk"),
+        )
+        .distinct()
+        .persist()
+    )
+    cohort = ev.where(F.col("blk") == 0).select("user_id").distinct()
+    act = (
+        ev.join(cohort, "user_id")
+        .where(F.col("blk").between(0, 5))
+        .groupBy("blk")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("a"))
+    )
+    wide = act.agg(
+        *[
+            F.max(F.when(F.col("blk") == k, F.col("a"))).alias(f"s{k}")
+            for k in range(6)
+        ]
+    )
+    r = {
+        k: F.round(
+            F.col(f"s{k}").cast("double") / F.col(f"s{k-1}"), 10
+        )
+        for k in range(1, 6)
+    }
+    valid = r[2] > r[1]
+    s = F.when(valid, (1.0 - r[2]) / (r[2] - r[1]))
+    beta = F.when(valid, r[1] * (1.0 - r[2]) / (r[2] - r[1]))
+    p3 = (beta + 2.0) / (s + 2.0)
+    p4 = (beta + 3.0) / (s + 3.0)
+    p5 = (beta + 4.0) / (s + 4.0)
+    return wide.select(
+        F.col("s0").alias("n_cohort_users"),
+        (F.round(s - beta, 6) + 0.0).alias("sbg_alpha"),
+        (F.round(beta, 6) + 0.0).alias("sbg_beta"),
+        (r[3] + 0.0).alias("r3_observed"),
+        (F.round(p3, 6) + 0.0).alias("r3_projected"),
+        (r[4] + 0.0).alias("r4_observed"),
+        (F.round(p4, 6) + 0.0).alias("r4_projected"),
+        (r[5] + 0.0).alias("r5_observed"),
+        (F.round(p5, 6) + 0.0).alias("r5_projected"),
+        (
+            F.round(
+                (
+                    F.abs(r[3] - p3)
+                    + F.abs(r[4] - p4)
+                    + F.abs(r[5] - p5)
+                )
+                / 3.0,
+                6,
+            )
+            + 0.0
+        ).alias("mae_projection"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "sbg_churn_projection": (
+            "no window — user-block rollup + cohort join + 6-row "
+            "pivot"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Cpm / within-vs-overall capability panel (the Cpk second opinion)
+# --------------------------------------------------------------------------
+@register(
+    "capability_cpm_ppk_panel",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT)
+                   AS day,
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS x
+        FROM lineitem
+    ),
+    byday AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(x) AS BIGINT) AS sd,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * x)
+                    AS DECIMAL(38,0)) AS ssd
+        FROM q GROUP BY day
+    ),
+    w AS (
+        SELECT CAST(SUM(nd) AS BIGINT) AS n,
+               CAST(SUM(sd) AS BIGINT) AS s1,
+               CAST(SUM(CAST(round(CAST(ssd AS DOUBLE)
+                   - CAST(sd AS DOUBLE) * sd / nd, 6)
+                   AS DECIMAL(38,6))) AS DOUBLE) AS ssw,
+               CAST(SUM(nd - 1) AS BIGINT) AS dfw,
+               CAST(SUM(CAST(ssd AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS s2
+        FROM byday WHERE nd >= 1
+    ),
+    stat AS (
+        SELECT n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               sqrt(ssw / dfw) AS sw,
+               sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1.0))
+                   AS so
+        FROM w
+    )
+    SELECT n AS n_items,
+           round(sw / 100.0, 6) + 0.0 AS sigma_within_qty,
+           round(so / 100.0, 6) + 0.0 AS sigma_overall_qty,
+           round(LEAST(4900.0 - mu, mu - 200.0) / (3.0 * sw), 6)
+               + 0.0 AS cpk_within,
+           round(LEAST(4900.0 - mu, mu - 200.0) / (3.0 * so), 6)
+               + 0.0 AS ppk_overall,
+           round((4900.0 - 200.0)
+                 / (6.0 * sqrt(so * so
+                               + (mu - 2550.0) * (mu - 2550.0))), 6)
+               + 0.0 AS cpm_taguchi,
+           round(sw / so, 8) + 0.0 AS stability_ratio
+    FROM stat
+    """,
+)
+def capability_cpm_ppk_panel(spark, sf_dir):
+    """CAPABILITY second-opinion panel for lineitem quantity on the
+    `process_capability_cpk` spec (LSL=2, USL=49, target T at the
+    25.50 midpoint): the Cpk/Ppk DISTINCTION the single-sigma query
+    blurs — sigma_WITHIN pools within-day variance (the short-term,
+    AIAG-standard subgroup sigma; Cpk_within is true capability)
+    while sigma_OVERALL is the long-term total sigma (Ppk is
+    PERFORMANCE, what customers actually received) — plus TAGUCHI'S
+    Cpm, which charges deviation from target through sqrt(sigma^2 +
+    (mu-T)^2) and so keeps falling as the process drifts off-center
+    even when Cp is constant. `stability_ratio` = sw/so < 1 reads
+    as between-day drift, the one-number link back to the
+    `shewhart_xbar_r_chart` stability verdict.
+
+    Exactness: per-day counts/sums/square-sums are exact
+    integer/DECIMAL(19->38,0) folds; per-day within-SS rounds at 6
+    dp into a DECIMAL(38,6) fold (order-free across days); the four
+    indices are terminal IEEE trees over five scalars. Plan: one
+    (day) rollup -> one fold; scan-bound."""
+    li = t(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.floor(F.unix_micros("l_shipdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("day"),
+        (dec("l_quantity", 12, 2) * 100).cast("bigint").alias("x"),
+    )
+    byday = q.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("x").cast("bigint").alias("sd"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("ssd"),
+    )
+    w = byday.agg(
+        F.sum("nd").cast("bigint").alias("n"),
+        F.sum("sd").cast("bigint").alias("s1"),
+        F.sum(
+            F.round(
+                F.col("ssd").cast("double")
+                - F.col("sd").cast("double") * F.col("sd")
+                / F.col("nd"),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("ssw"),
+        F.sum(F.col("nd") - 1).cast("bigint").alias("dfw"),
+        F.sum(F.col("ssd").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sw = F.sqrt(F.col("ssw") / F.col("dfw"))
+    so = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+        )
+        / (F.col("n") - 1.0)
+    )
+    near = F.least(4900.0 - mu, mu - 200.0)
+    return w.select(
+        F.col("n").alias("n_items"),
+        (F.round(sw / 100.0, 6) + 0.0).alias("sigma_within_qty"),
+        (F.round(so / 100.0, 6) + 0.0).alias("sigma_overall_qty"),
+        (F.round(near / (3.0 * sw), 6) + 0.0).alias("cpk_within"),
+        (F.round(near / (3.0 * so), 6) + 0.0).alias("ppk_overall"),
+        (
+            F.round(
+                (4900.0 - 200.0)
+                / (
+                    6.0
+                    * F.sqrt(
+                        so * so + (mu - 2550.0) * (mu - 2550.0)
+                    )
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("cpm_taguchi"),
+        (F.round(sw / so, 8) + 0.0).alias("stability_ratio"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "capability_cpm_ppk_panel": (
+            "no window — (day) rollup + one fold"
         ),
     }
 )
