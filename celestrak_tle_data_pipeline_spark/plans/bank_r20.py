@@ -721,3 +721,713 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Kuiper one-sample test of day-of-month uniformity
+# --------------------------------------------------------------------------
+@register(
+    "kuiper_uniform_daymonth",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(date_part('day', o_orderdate) AS BIGINT) AS dom
+        FROM orders
+        WHERE CAST(date_part('day', o_orderdate) AS BIGINT) <= 28
+    ),
+    grid AS (
+        SELECT dom, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pts GROUP BY dom
+    ),
+    cum AS (
+        SELECT dom, c,
+               CAST(SUM(c) OVER (ORDER BY dom) AS BIGINT) AS upto,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM grid
+    ),
+    dev AS (
+        SELECT MAX(n) AS n,
+               MAX(round(CAST(upto AS DOUBLE) / n - dom / 28.0, 10))
+                   AS dplus,
+               MAX(round((dom - 1) / 28.0
+                         - (CAST(upto AS DOUBLE) - c) / n, 10))
+                   AS dminus
+        FROM cum
+    )
+    SELECT n AS n_orders,
+           round(dplus, 8) + 0.0 AS d_plus,
+           round(dminus, 8) + 0.0 AS d_minus,
+           round(dplus + dminus, 8) + 0.0 AS kuiper_v,
+           round((dplus + dminus)
+                 * (sqrt(n * 1.0) + 0.155 + 0.24 / sqrt(n * 1.0)),
+                 6) + 0.0 AS kuiper_v_star
+    FROM dev
+    """,
+)
+def kuiper_uniform_daymonth(spark, sf_dir):
+    """KUIPER one-sample test of day-of-month uniformity (days 1-28,
+    the ks_uniform_dayofmonth truncation): V = D+ + D- over the
+    lattice CDF — the CYCLIC-INVARIANT second opinion to
+    `ks_uniform_dayofmonth`: KS's D is largest for deviations near
+    mid-month and nearly blind to mass shifted from the month's
+    start to its end (a rotation), while V weights all phases
+    equally — exactly the right lens for billing-cycle heaping that
+    wraps around month boundaries. Lattice convention documented:
+    D+ = max(F_n(d) - d/28), D- = max((d-1)/28 - F_n(d-)) over the
+    28-point support. `kuiper_v_star` is Stephens' finite-n
+    modification V(sqrt(n) + 0.155 + 0.24/sqrt(n)) whose 5%
+    critical value 1.747 is n-free.
+
+    Exactness: day-of-month and cumulative counts are exact
+    integers on the 28-row grid (bounded-domain windows); the
+    deviations pin at 10 dp; V and V* are terminal IEEE trees.
+    Plan: one scan -> 28-row grid rollup -> grid cumulative -> one
+    fold."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom")
+    ).where(F.col("dom") <= 28)
+    grid = pts.groupBy("dom").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = grid.select(
+        "dom",
+        "c",
+        F.sum("c")
+        .over(
+            Window.orderBy("dom").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint")
+        .alias("upto"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    dev = cum.agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.round(
+                F.col("upto").cast("double") / F.col("n")
+                - F.col("dom") / 28.0,
+                10,
+            )
+        ).alias("dplus"),
+        F.max(
+            F.round(
+                (F.col("dom") - 1) / 28.0
+                - (F.col("upto").cast("double") - F.col("c"))
+                / F.col("n"),
+                10,
+            )
+        ).alias("dminus"),
+    )
+    n = F.col("n").cast("double")
+    v = F.col("dplus") + F.col("dminus")
+    return dev.select(
+        F.col("n").alias("n_orders"),
+        (F.round("dplus", 8) + 0.0).alias("d_plus"),
+        (F.round("dminus", 8) + 0.0).alias("d_minus"),
+        (F.round(v, 8) + 0.0).alias("kuiper_v"),
+        (
+            F.round(
+                v * (F.sqrt(n) + 0.155 + 0.24 / F.sqrt(n)), 6
+            )
+            + 0.0
+        ).alias("kuiper_v_star"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "kuiper_uniform_daymonth": (
+            "28-row day-of-month grid cumulative (bounded-domain "
+            "window)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Watson two-sample U^2: weekend vs weekday intraday phase
+# --------------------------------------------------------------------------
+@register(
+    "watson_u2_two_sample",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(epoch_us(ts) % 86400000000 // 1000000 AS BIGINT)
+                   AS sec,
+               CASE WHEN CAST(epoch_us(ts) // 86400000000 + 4
+                         AS BIGINT) % 7 >= 5
+                    THEN 1 ELSE 0 END AS g
+        FROM events
+    ),
+    grid AS (
+        SELECT sec,
+               CAST(SUM(g) AS BIGINT) AS a,
+               CAST(SUM(1 - g) AS BIGINT) AS b
+        FROM pts GROUP BY sec
+    ),
+    cum AS (
+        SELECT sec, a + b AS c,
+               CAST(SUM(a) OVER (ORDER BY sec) AS BIGINT) AS ca,
+               CAST(SUM(b) OVER (ORDER BY sec) AS BIGINT) AS cb,
+               CAST(SUM(a) OVER () AS BIGINT) AS n1,
+               CAST(SUM(b) OVER () AS BIGINT) AS n2
+        FROM grid
+    ),
+    dsum AS (
+        SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+               MAX(n1 + n2) AS nn,
+               CAST(SUM(CAST(round(c * (CAST(ca AS DOUBLE) / n1
+                   - CAST(cb AS DOUBLE) / n2), 10)
+                   AS DECIMAL(28,10))) AS DOUBLE) AS scd,
+               CAST(SUM(CAST(round(c * (CAST(ca AS DOUBLE) / n1
+                   - CAST(cb AS DOUBLE) / n2)
+                   * (CAST(ca AS DOUBLE) / n1
+                      - CAST(cb AS DOUBLE) / n2), 10)
+                   AS DECIMAL(28,10))) AS DOUBLE) AS scd2
+        FROM cum
+    )
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           round((CAST(n1 AS DOUBLE) * n2 / (CAST(nn AS DOUBLE) * nn))
+                 * (scd2 - scd * scd / nn), 8) + 0.0
+               AS watson_u2,
+           CAST(CASE WHEN (CAST(n1 AS DOUBLE) * n2
+                           / (CAST(nn AS DOUBLE) * nn))
+                          * (scd2 - scd * scd / nn) > 0.187
+                     THEN 1 ELSE 0 END AS INT) AS reject_5pct
+    FROM dsum
+    """,
+)
+def watson_u2_two_sample(spark, sf_dir):
+    """WATSON TWO-SAMPLE U^2 comparing the weekend vs weekday
+    INTRADAY PHASE distribution of events (second-of-day support):
+    U^2 = (n1 n2 / N^2) sum_k c_k (d_k - dbar)^2 with d = F1 - F2
+    on the merged grid and dbar its merged-weighted mean — the
+    ROTATION-INVARIANT two-sample test: `ks_two_sample_values`'s D
+    depends on where midnight is cut (a pure phase shift of the
+    same daily shape moves D arbitrarily), while U^2 is invariant
+    to rotating the clock face, so it isolates SHAPE differences in
+    the daily activity profile from timezone-like rotations. The
+    two-sample side of `watson_u2_hours` (one-sample uniformity),
+    and the 0.187 asymptotic 5% critical value is the shared
+    literal.
+
+    Exactness: second-of-day and both cumulative counts are exact
+    integers on the bounded 86400-value grid; d pins at 10 dp
+    inside weighted DECIMAL folds; the centered sum closes via
+    sum(c d^2) - (sum c d)^2/N in one pass. Plan: one scan ->
+    seconds-grid rollup -> grid cumulatives -> one fold."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    pts = e.select(
+        F.floor((us % 86_400_000_000) / 1_000_000)
+        .cast("bigint")
+        .alias("sec"),
+        F.when(
+            (F.floor(us / 86_400_000_000) + 4) % 7 >= 5, 1
+        )
+        .otherwise(0)
+        .alias("g"),
+    )
+    grid = pts.groupBy("sec").agg(
+        F.sum("g").cast("bigint").alias("a"),
+        F.sum(1 - F.col("g")).cast("bigint").alias("b"),
+    )
+    wv = Window.orderBy("sec").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select(
+        (F.col("a") + F.col("b")).alias("c"),
+        F.sum("a").over(wv).cast("bigint").alias("ca"),
+        F.sum("b").over(wv).cast("bigint").alias("cb"),
+        F.sum("a").over(Window.partitionBy()).cast("bigint").alias("n1"),
+        F.sum("b").over(Window.partitionBy()).cast("bigint").alias("n2"),
+    )
+    d = (
+        F.col("ca").cast("double") / F.col("n1")
+        - F.col("cb").cast("double") / F.col("n2")
+    )
+    dsum = cum.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(F.col("n1") + F.col("n2")).alias("nn"),
+        F.sum(F.round(F.col("c") * d, 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("scd"),
+        F.sum(F.round(F.col("c") * d * d, 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("scd2"),
+    )
+    nn = F.col("nn").cast("double")
+    u2 = (
+        F.col("n1").cast("double") * F.col("n2") / (nn * nn)
+    ) * (F.col("scd2") - F.col("scd") * F.col("scd") / nn)
+    return dsum.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        (F.round(u2, 8) + 0.0).alias("watson_u2"),
+        F.when(u2 > 0.187, 1).otherwise(0).cast("int")
+        .alias("reject_5pct"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "watson_u2_two_sample": (
+            "cumulatives over the bounded 86400-second grid (the "
+            "watson_u2_hours class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Neyman-Ledwina smooth test of day-of-month uniformity
+# --------------------------------------------------------------------------
+@register(
+    "neyman_smooth_uniformity",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(date_part('day', o_orderdate) AS BIGINT) AS dom
+        FROM orders
+        WHERE CAST(date_part('day', o_orderdate) AS BIGINT) <= 28
+    ),
+    grid AS (
+        SELECT dom, CAST(COUNT(*) AS BIGINT) AS c,
+               (dom - 0.5) / 28.0 AS u
+        FROM pts GROUP BY dom
+    ),
+    comp AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(c * 1.7320508075688772
+                   * (2.0 * u - 1.0), 10) AS DECIMAL(28,10)))
+                   AS DOUBLE) AS s1,
+               CAST(SUM(CAST(round(c * 2.23606797749979
+                   * (6.0 * u * u - 6.0 * u + 1.0), 10)
+                   AS DECIMAL(28,10))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(round(c * 2.6457513110645907
+                   * (20.0 * u * u * u - 30.0 * u * u + 12.0 * u
+                      - 1.0), 10) AS DECIMAL(28,10))) AS DOUBLE)
+                   AS s3,
+               CAST(SUM(CAST(round(c * 3.0
+                   * (70.0 * u * u * u * u - 140.0 * u * u * u
+                      + 90.0 * u * u - 20.0 * u + 1.0), 10)
+                   AS DECIMAL(28,10))) AS DOUBLE) AS s4
+        FROM grid
+    ),
+    vs AS (
+        SELECT n,
+               s1 * s1 / n AS v1,
+               s2 * s2 / n AS v2,
+               s3 * s3 / n AS v3,
+               s4 * s4 / n AS v4
+        FROM comp
+    ),
+    sel AS (
+        SELECT n, v1, v2, v3, v4,
+               v1 + v2 + v3 + v4 AS psi4,
+               CASE GREATEST(v1 - ln(n * 1.0),
+                             v1 + v2 - 2.0 * ln(n * 1.0),
+                             v1 + v2 + v3 - 3.0 * ln(n * 1.0),
+                             v1 + v2 + v3 + v4 - 4.0 * ln(n * 1.0))
+                    WHEN v1 - ln(n * 1.0) THEN 1
+                    WHEN v1 + v2 - 2.0 * ln(n * 1.0) THEN 2
+                    WHEN v1 + v2 + v3 - 3.0 * ln(n * 1.0) THEN 3
+                    ELSE 4 END AS kstar
+        FROM vs
+    )
+    SELECT n AS n_orders,
+           round(v1, 6) + 0.0 AS v1_sq,
+           round(v2, 6) + 0.0 AS v2_sq,
+           round(v3, 6) + 0.0 AS v3_sq,
+           round(v4, 6) + 0.0 AS v4_sq,
+           round(psi4, 6) + 0.0 AS neyman_psi4,
+           CAST(kstar AS BIGINT) AS ledwina_k_star,
+           round(CASE kstar WHEN 1 THEN v1
+                 WHEN 2 THEN v1 + v2
+                 WHEN 3 THEN v1 + v2 + v3
+                 ELSE psi4 END, 6) + 0.0 AS ledwina_stat
+    FROM sel
+    """,
+)
+def neyman_smooth_uniformity(spark, sf_dir):
+    """NEYMAN SMOOTH test of day-of-month uniformity with LEDWINA'S
+    data-driven order selection: the first four normalized Legendre
+    components V_j = (1/sqrt n) sum pi_j(u_i) on u = (dom-0.5)/28
+    give Psi4 = sum V_j^2 ~ chi2_4, and Schwarz selection k* =
+    argmax_k (sum_{j<=k} V_j^2 - k ln n) picks the dimension before
+    testing (Ledwina 1994) — the DIRECTED second opinion to
+    `ks_uniform_dayofmonth` / `kuiper_uniform_daymonth` /
+    `chi2`-style bins: the omnibus EDF tests say "not uniform", the
+    component decomposition says HOW — V1 = start-vs-end drift, V2
+    = mid-month bulge, V3/V4 = finer waves — and Ledwina's k* makes
+    the power adaptive instead of diluted across dimensions. Ties
+    to `day_of_month_effect` (which models the same signal).
+
+    Exactness: day counts exact on the 28-row grid; u is an exact
+    28th-grid rational; each polynomial term pins at 10 dp into
+    DECIMAL folds (sqrt(3)/sqrt(5)/sqrt(7)/3 shared literals); the
+    selection CASE compares identical IEEE penalized sums. Plan:
+    one scan -> 28-row rollup -> one fold; no window at all."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom")
+    ).where(F.col("dom") <= 28)
+    grid = pts.groupBy("dom").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    u = (F.col("dom") - 0.5) / 28.0
+    p1 = 1.7320508075688772 * (2.0 * u - 1.0)
+    p2 = 2.23606797749979 * (6.0 * u * u - 6.0 * u + 1.0)
+    p3 = 2.6457513110645907 * (
+        20.0 * u * u * u - 30.0 * u * u + 12.0 * u - 1.0
+    )
+    p4 = 3.0 * (
+        70.0 * u * u * u * u
+        - 140.0 * u * u * u
+        + 90.0 * u * u
+        - 20.0 * u
+        + 1.0
+    )
+    comp = grid.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        *[
+            F.sum(
+                F.round(F.col("c") * p, 10).cast("decimal(28,10)")
+            )
+            .cast("double")
+            .alias(f"s{j}")
+            for j, p in ((1, p1), (2, p2), (3, p3), (4, p4))
+        ],
+    )
+    n = F.col("n").cast("double")
+    v = {j: F.col(f"s{j}") * F.col(f"s{j}") / n for j in range(1, 5)}
+    ln_n = F.log(n)
+    pen = {
+        1: v[1] - ln_n,
+        2: v[1] + v[2] - 2.0 * ln_n,
+        3: v[1] + v[2] + v[3] - 3.0 * ln_n,
+        4: v[1] + v[2] + v[3] + v[4] - 4.0 * ln_n,
+    }
+    best = F.greatest(pen[1], pen[2], pen[3], pen[4])
+    kstar = (
+        F.when(pen[1] == best, 1)
+        .when(pen[2] == best, 2)
+        .when(pen[3] == best, 3)
+        .otherwise(4)
+    )
+    cum_v = {
+        1: v[1],
+        2: v[1] + v[2],
+        3: v[1] + v[2] + v[3],
+        4: v[1] + v[2] + v[3] + v[4],
+    }
+    led = (
+        F.when(kstar == 1, cum_v[1])
+        .when(kstar == 2, cum_v[2])
+        .when(kstar == 3, cum_v[3])
+        .otherwise(cum_v[4])
+    )
+    return comp.select(
+        F.col("n").alias("n_orders"),
+        (F.round(v[1], 6) + 0.0).alias("v1_sq"),
+        (F.round(v[2], 6) + 0.0).alias("v2_sq"),
+        (F.round(v[3], 6) + 0.0).alias("v3_sq"),
+        (F.round(v[4], 6) + 0.0).alias("v4_sq"),
+        (F.round(cum_v[4], 6) + 0.0).alias("neyman_psi4"),
+        kstar.cast("bigint").alias("ledwina_k_star"),
+        (F.round(led, 6) + 0.0).alias("ledwina_stat"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "neyman_smooth_uniformity": (
+            "no window — 28-row grid rollup + one fold"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Tarone's Z for beta-binomial overdispersion of daily purchase shares
+# --------------------------------------------------------------------------
+@register(
+    "tarone_overdispersion_z",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS tn,
+               CAST(SUM(x) AS BIGINT) AS tx,
+               CAST(SUM(CAST(n AS DECIMAL(38,0)) * (n - 1))
+                    AS DECIMAL(38,0)) AS snn1
+        FROM daily
+    ),
+    s AS (
+        SELECT t.tn, t.tx, t.snn1,
+               CAST(SUM(CAST(round(
+                   (daily.x - daily.n
+                       * (CAST(t.tx AS DOUBLE) / t.tn))
+                   * (daily.x - daily.n
+                       * (CAST(t.tx AS DOUBLE) / t.tn))
+                   / ((CAST(t.tx AS DOUBLE) / t.tn)
+                      * (1.0 - CAST(t.tx AS DOUBLE) / t.tn)), 8)
+                   AS DECIMAL(28,8))) AS DOUBLE) AS ss
+        FROM daily, tot t
+        GROUP BY t.tn, t.tx, t.snn1
+    )
+    SELECT tn AS n_events, tx AS n_purchases,
+           round(ss, 4) + 0.0 AS tarone_s,
+           round(CAST(tn AS DOUBLE), 1) + 0.0 AS expected_s,
+           round((ss - tn)
+                 / sqrt(2.0 * CAST(snn1 AS DOUBLE)), 6) + 0.0
+               AS tarone_z
+    FROM s
+    """,
+)
+def tarone_overdispersion_z(spark, sf_dir):
+    """TARONE'S Z test for BETA-BINOMIAL overdispersion of the daily
+    purchase share: S = sum_d (x_d - n_d p)^2 / (p(1-p)) with the
+    pooled p, and Z = (S - sum n_d)/sqrt(2 sum n_d(n_d - 1)) — the
+    C(alpha)-optimal score test AGAINST the beta-binomial
+    alternative specifically (Tarone 1979), where
+    `lexis_ratio_proportions` is the generic chi2 dispersion ratio
+    and `dean_overdispersion_test` is its Poisson-side sibling:
+    three score tests, three alternatives (generic, beta-binomial,
+    negative-binomial) on matching day-grain frames — which one
+    fires fastest is itself the diagnosis of HOW the daily
+    conversion rate drifts.
+
+    Exactness: daily (n, x) are exact integers; sum n(n-1) widens
+    through DECIMAL(38,0); the pooled p is one exact-integer ratio;
+    S terms round at 8 dp into a DECIMAL fold; Z is a terminal IEEE
+    tree. Plan: day rollup -> scalar total -> broadcast fold; no
+    window."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+    )
+    tot = daily.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("x").cast("bigint").alias("tx"),
+        F.sum(F.col("n").cast("decimal(38,0)") * (F.col("n") - 1))
+        .cast("decimal(38,0)")
+        .alias("snn1"),
+    )
+    p = F.col("tx").cast("double") / F.col("tn")
+    term = F.round(
+        (F.col("x") - F.col("n") * p)
+        * (F.col("x") - F.col("n") * p)
+        / (p * (1.0 - p)),
+        8,
+    )
+    s = (
+        daily.crossJoin(F.broadcast(tot))
+        .groupBy("tn", "tx", "snn1")
+        .agg(
+            F.sum(term.cast("decimal(28,8)"))
+            .cast("double")
+            .alias("ss")
+        )
+    )
+    return s.select(
+        F.col("tn").alias("n_events"),
+        F.col("tx").alias("n_purchases"),
+        (F.round("ss", 4) + 0.0).alias("tarone_s"),
+        (F.round(F.col("tn").cast("double"), 1) + 0.0)
+        .alias("expected_s"),
+        (
+            F.round(
+                (F.col("ss") - F.col("tn"))
+                / F.sqrt(2.0 * F.col("snn1").cast("double")),
+                6,
+            )
+            + 0.0
+        ).alias("tarone_z"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "tarone_overdispersion_z": (
+            "no window — day rollup + scalar broadcast fold (the "
+            "lexis_ratio class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# G-test (likelihood-ratio) of event-type x day-of-week independence
+# --------------------------------------------------------------------------
+@register(
+    "g_test_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type AS et,
+               CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                   AS dow,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rows_ AS (
+        SELECT et, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY et
+    ),
+    cols_ AS (
+        SELECT dow, CAST(SUM(o) AS BIGINT) AS k FROM cells GROUP BY dow
+    ),
+    tot AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT et) AS BIGINT) AS nr,
+               CAST(COUNT(DISTINCT dow) AS BIGINT) AS nc
+        FROM cells
+    ),
+    g AS (
+        SELECT t.n, t.nr, t.nc,
+               CAST(SUM(CAST(round(2.0 * c.o
+                   * ln(CAST(c.o AS DOUBLE) * t.n
+                        / (CAST(r.r AS DOUBLE) * k.k)), 8)
+                   AS DECIMAL(28,8))) AS DOUBLE) AS gstat,
+               CAST(SUM(CAST(round(
+                   (c.o - CAST(r.r AS DOUBLE) * k.k / t.n)
+                   * (c.o - CAST(r.r AS DOUBLE) * k.k / t.n)
+                   / (CAST(r.r AS DOUBLE) * k.k / t.n), 8)
+                   AS DECIMAL(28,8))) AS DOUBLE) AS chi2
+        FROM cells c
+        JOIN rows_ r ON c.et = r.et
+        JOIN cols_ k ON c.dow = k.dow
+        CROSS JOIN tot t
+        GROUP BY t.n, t.nr, t.nc
+    ),
+    wq AS (
+        SELECT n, nr, nc, gstat, chi2,
+               1.0 + ((n * (SELECT CAST(SUM(1.0 / r) AS DOUBLE)
+                            FROM rows_) - 1.0)
+                      * (n * (SELECT CAST(SUM(1.0 / k) AS DOUBLE)
+                              FROM cols_) - 1.0))
+                     / (6.0 * n * (nr - 1.0) * (nc - 1.0)) AS q
+        FROM g
+    )
+    SELECT n AS n_events,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
+           round(gstat, 6) + 0.0 AS g_stat,
+           round(q, 10) + 0.0 AS williams_q,
+           round(gstat / q, 6) + 0.0 AS g_williams,
+           round(chi2, 6) + 0.0 AS pearson_chi2
+    FROM wq
+    """,
+)
+def g_test_independence(spark, sf_dir):
+    """G-TEST (likelihood-ratio chi-square) of event-type x
+    day-of-week independence with WILLIAMS' correction — the
+    information-theoretic second opinion to
+    `chi2_independence_type_dow` on the identical contingency
+    frame: G = 2 sum O ln(O n/(R C)) is additive under table
+    collapsing (Pearson's X2 is not), equals 2n * the mutual
+    information `mutual_information_type_dow` already reports (the
+    three readouts triangulate), and diverges from X2 exactly when
+    cells are sparse — where Williams' q = 1 + (n sum 1/R - 1)(n
+    sum 1/C - 1)/(6n(r-1)(c-1)) is the published small-cell
+    deflator. Pearson X2 ships in the same row so the G-vs-X2 gap
+    is a one-row sparse-table diagnostic.
+
+    Exactness: cell/margin counts exact integers off one rollup;
+    G and X2 terms pin at 8 dp into DECIMAL folds; q is a terminal
+    rational over exact margins. Plan: (type, dow) rollup -> two
+    bounded margin rollups -> broadcast joins -> one fold; no
+    window."""
+    e = t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.col("event_type").alias("et"),
+        (
+            (F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7
+        )
+        .cast("bigint")
+        .alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o")).persist()
+    rows_ = cells.groupBy("et").agg(
+        F.sum("o").cast("bigint").alias("r")
+    )
+    cols_ = cells.groupBy("dow").agg(
+        F.sum("o").cast("bigint").alias("k")
+    )
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("et").cast("bigint").alias("nr"),
+        F.countDistinct("dow").cast("bigint").alias("nc"),
+    )
+    rinv = rows_.agg(
+        F.sum(1.0 / F.col("r")).cast("double").alias("sri")
+    )
+    cinv = cols_.agg(
+        F.sum(1.0 / F.col("k")).cast("double").alias("sci")
+    )
+    ex = F.col("r").cast("double") * F.col("k") / F.col("n")
+    j = (
+        cells.join(F.broadcast(rows_), "et")
+        .join(F.broadcast(cols_), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    g = j.groupBy("n", "nr", "nc").agg(
+        F.sum(
+            F.round(
+                2.0
+                * F.col("o")
+                * F.log(
+                    F.col("o").cast("double")
+                    * F.col("n")
+                    / (F.col("r").cast("double") * F.col("k"))
+                ),
+                8,
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("gstat"),
+        F.sum(
+            F.round(
+                (F.col("o") - ex) * (F.col("o") - ex) / ex, 8
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("chi2"),
+    )
+    out = g.crossJoin(F.broadcast(rinv)).crossJoin(F.broadcast(cinv))
+    n = F.col("n").cast("double")
+    q = 1.0 + (
+        (n * F.col("sri") - 1.0) * (n * F.col("sci") - 1.0)
+    ) / (6.0 * n * (F.col("nr") - 1.0) * (F.col("nc") - 1.0))
+    return out.select(
+        F.col("n").alias("n_events"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1))
+        .cast("bigint")
+        .alias("df"),
+        (F.round("gstat", 6) + 0.0).alias("g_stat"),
+        (F.round(q, 10) + 0.0).alias("williams_q"),
+        (F.round(F.col("gstat") / q, 6) + 0.0).alias("g_williams"),
+        (F.round("chi2", 6) + 0.0).alias("pearson_chi2"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "g_test_independence": (
+            "no window — contingency rollup + bounded margin "
+            "rollups + one fold (the chi2_independence frame)"
+        ),
+    }
+)
