@@ -1431,3 +1431,942 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Abelson-Tukey maximin contrast for ordered priority groups
+# --------------------------------------------------------------------------
+@register(
+    "abelson_tukey_ordered",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    grp AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s,
+               CAST(SUM(CAST(v AS DECIMAL(38,0)) * v)
+                    AS DECIMAL(38,0)) AS ss
+        FROM pts GROUP BY g
+    ),
+    sc AS (
+        SELECT g, n, s, ss,
+               CASE g WHEN 1 THEN -0.894427191
+                      WHEN 2 THEN -0.201017924
+                      WHEN 3 THEN 0.0
+                      WHEN 4 THEN 0.201017924
+                      ELSE 0.894427191 END AS c
+        FROM grp
+    ),
+    fold AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(round(c * (CAST(s AS DOUBLE) / n)
+                   / 100000.0, 10) AS DECIMAL(28,10))) AS DOUBLE)
+                   AS contrast,
+               CAST(SUM(CAST(round(c * c / n, 14)
+                   AS DECIMAL(28,14))) AS DOUBLE) AS wsum,
+               CAST(SUM(CAST(round((CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * s / n) / 1e10, 6)
+                   AS DECIMAL(38,6))) AS DOUBLE) AS sse
+        FROM sc
+    )
+    SELECT nt AS n_orders, k AS n_groups,
+           round(contrast, 6) + 0.0 AS at_contrast_kusd,
+           round(contrast
+                 / sqrt(sse / (nt - k) * wsum), 6) + 0.0
+               AS at_z
+    FROM fold
+    """,
+)
+def abelson_tukey_ordered(spark, sf_dir):
+    """ABELSON-TUKEY maximin linear contrast across the five ORDERED
+    order priorities: scores c_i = sqrt((i-1)(1-(i-1)/k)) -
+    sqrt(i(1-i/k)) (the contrast whose minimum power over all
+    monotone alternatives is maximal; exact literals for k = 5),
+    z = sum c_i xbar_i / sqrt(MSE sum c_i^2/n_i) with the pooled
+    within-group MSE — the PARAMETRIC second opinion to
+    `jonckheere_terpstra_trend` / `cuzick_trend_test` (rank forms)
+    and the ordered complement to `anova_value_by_dow`'s omnibus F:
+    the rank tests protect against outliers, the maximin contrast
+    extracts every drop of efficiency when values are usable, and
+    their agreement pattern separates a location trend from a
+    spread artifact. End-weighted scores (-0.894, -0.201, 0, ...)
+    are exactly where a monotone dose-response concentrates.
+
+    Exactness: per-group counts and DECIMAL(38,0) power sums are
+    exact; group means scale to kUSD; contrast terms pin at 10 dp,
+    weights at 14 dp, within-group SS at 6 dp (1e10 = kUSD^2
+    rescale) into DECIMAL folds; z is a terminal IEEE tree. Plan:
+    one scan -> 5-group rollup -> one fold; no window."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("g"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+    grp = pts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    c = (
+        F.when(F.col("g") == 1, -0.894427191)
+        .when(F.col("g") == 2, -0.201017924)
+        .when(F.col("g") == 3, 0.0)
+        .when(F.col("g") == 4, 0.201017924)
+        .otherwise(0.894427191)
+    )
+    fold = grp.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.round(
+                c * (F.col("s").cast("double") / F.col("n")) / 100000.0,
+                10,
+            ).cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("contrast"),
+        F.sum(F.round(c * c / F.col("n"), 14).cast("decimal(28,14)"))
+        .cast("double")
+        .alias("wsum"),
+        F.sum(
+            F.round(
+                (
+                    F.col("ss").cast("double")
+                    - F.col("s").cast("double") * F.col("s")
+                    / F.col("n")
+                )
+                / 1e10,
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("sse"),
+    )
+    return fold.select(
+        F.col("nt").alias("n_orders"),
+        F.col("k").alias("n_groups"),
+        (F.round("contrast", 6) + 0.0).alias("at_contrast_kusd"),
+        (
+            F.round(
+                F.col("contrast")
+                / F.sqrt(
+                    F.col("sse")
+                    / (F.col("nt") - F.col("k"))
+                    * F.col("wsum")
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("at_z"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "abelson_tukey_ordered": (
+            "no window — 5-group rollup + one fold"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Delete-one jackknife SE for skewness and excess kurtosis
+# --------------------------------------------------------------------------
+@register(
+    "jackknife_moment_se",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    grid AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(v AS DOUBLE) / 100000.0 AS x
+        FROM pts GROUP BY v
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(c * x, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s1,
+               CAST(SUM(CAST(round(c * x * x, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s2,
+               CAST(SUM(CAST(round(c * x * x * x, 6)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(round(c * x * x * x * x, 4)
+                    AS DECIMAL(38,4))) AS DOUBLE) AS s4
+        FROM grid
+    ),
+    pseudo AS (
+        SELECT g.c, t.n,
+               round((t.s3 - g.x * g.x * g.x) / (t.n - 1.0)
+                     - 3.0 * ((t.s1 - g.x) / (t.n - 1.0))
+                       * ((t.s2 - g.x * g.x) / (t.n - 1.0))
+                     + 2.0 * ((t.s1 - g.x) / (t.n - 1.0))
+                       * ((t.s1 - g.x) / (t.n - 1.0))
+                       * ((t.s1 - g.x) / (t.n - 1.0)), 10) AS m3d,
+               round((t.s2 - g.x * g.x) / (t.n - 1.0)
+                     - ((t.s1 - g.x) / (t.n - 1.0))
+                       * ((t.s1 - g.x) / (t.n - 1.0)), 10) AS m2d,
+               round((t.s4 - g.x * g.x * g.x * g.x) / (t.n - 1.0)
+                     - 4.0 * ((t.s1 - g.x) / (t.n - 1.0))
+                       * ((t.s3 - g.x * g.x * g.x) / (t.n - 1.0))
+                     + 6.0 * ((t.s1 - g.x) / (t.n - 1.0))
+                       * ((t.s1 - g.x) / (t.n - 1.0))
+                       * ((t.s2 - g.x * g.x) / (t.n - 1.0))
+                     - 3.0 * ((t.s1 - g.x) / (t.n - 1.0))
+                       * ((t.s1 - g.x) / (t.n - 1.0))
+                       * ((t.s1 - g.x) / (t.n - 1.0))
+                       * ((t.s1 - g.x) / (t.n - 1.0)), 10) AS m4d
+        FROM grid g, tot t
+    ),
+    gvals AS (
+        SELECT c, n,
+               round(m3d / (m2d * sqrt(m2d)), 10) AS g1d,
+               round(m4d / (m2d * m2d) - 3.0, 10) AS g2d
+        FROM pseudo
+    ),
+    fold AS (
+        SELECT MAX(n) AS n,
+               CAST(SUM(CAST(round(c * g1d, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS sg1,
+               CAST(SUM(CAST(round(c * g1d * g1d, 10)
+                    AS DECIMAL(28,10))) AS DOUBLE) AS sg1b,
+               CAST(SUM(CAST(round(c * g2d, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS sg2,
+               CAST(SUM(CAST(round(c * g2d * g2d, 10)
+                    AS DECIMAL(28,10))) AS DOUBLE) AS sg2b
+        FROM gvals
+    )
+    SELECT n AS n_orders,
+           round(sqrt((n - 1.0) / n
+                 * (sg1b - sg1 * sg1 / n)), 7) + 0.0
+               AS skewness_se_jack,
+           round(sqrt((n - 1.0) / n
+                 * (sg2b - sg2 * sg2 / n)), 7) + 0.0
+               AS kurtosis_se_jack,
+           round(sqrt(6.0 * n * (n - 1.0)
+                 / ((n - 2.0) * (n + 1.0) * (n + 3.0))), 8) + 0.0
+               AS skewness_se_normal,
+           round(sqrt(24.0 * n * (n - 1.0) * (n - 1.0)
+                 / ((n - 3.0) * (n - 2.0) * (n + 3.0)
+                    * (n + 5.0))), 8) + 0.0 AS kurtosis_se_normal
+    FROM fold
+    """,
+)
+def jackknife_moment_se(spark, sf_dir):
+    """DELETE-ONE JACKKNIFE standard errors for the skewness and
+    excess kurtosis of order value (kUSD) — the distribution-free
+    second opinion to the NORMAL-THEORY moment SEs that
+    `dagostino_k2_panel` / `jarque_bera_normality` standardize
+    with (sqrt(6/n), sqrt(24/n) families, shipped alongside): on a
+    heavy-tailed revenue distribution the normal-theory skewness SE
+    is famously optimistic by multiples, so every "skewness = X
+    (+/- se)" readout inherits a silent normality assumption THIS
+    query prices. The delete-one replicate for every row with value
+    v is identical, so the n pseudovalues collapse to one per
+    DISTINCT VALUE weighted by its multiplicity — the jackknife
+    runs on the cents grid with no per-row pass (the
+    gini_jackknife_se device at value grain).
+
+    Exactness: kUSD power sums S1..S4 round at 6/4 dp into
+    DECIMAL(38,x) folds (S4 <= ~6e12 at 64x sf0.1 — far off the
+    rail); each deleted-moment tree is one IEEE expression over
+    (S_k - x^k)/(n-1) pinned at 10 dp; the pseudovalue variance
+    folds c-weighted squares; the jackknife SE readouts pin at 7 dp
+    (decade escalation — the centered fold straddled an 8-dp boundary
+    at sf0.01). Plan: one grid rollup -> scalar
+    totals -> broadcast grid pass -> one fold; no window."""
+    o = t(spark, sf_dir, "orders")
+    grid = (
+        o.select(
+            (dec("o_totalprice", 18, 2) * 100)
+            .cast("bigint")
+            .alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            "c", (F.col("v").cast("double") / 100000.0).alias("x")
+        )
+    )
+    tot = grid.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("c") * F.col("x"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            F.round(F.col("c") * F.col("x") * F.col("x"), 6).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("s2"),
+        F.sum(
+            F.round(
+                F.col("c") * F.col("x") * F.col("x") * F.col("x"), 6
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("s3"),
+        F.sum(
+            F.round(
+                F.col("c")
+                * F.col("x")
+                * F.col("x")
+                * F.col("x")
+                * F.col("x"),
+                4,
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("s4"),
+    )
+    j = grid.crossJoin(F.broadcast(tot))
+    nm1 = F.col("n") - 1.0
+    x = F.col("x")
+    mu = (F.col("s1") - x) / nm1
+    r2 = (F.col("s2") - x * x) / nm1
+    r3 = (F.col("s3") - x * x * x) / nm1
+    r4 = (F.col("s4") - x * x * x * x) / nm1
+    m2d = F.round(r2 - mu * mu, 10)
+    m3d = F.round(r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu, 10)
+    m4d = F.round(
+        r4
+        - 4.0 * mu * r3
+        + 6.0 * mu * mu * r2
+        - 3.0 * mu * mu * mu * mu,
+        10,
+    )
+    g1d = F.round(m3d / (m2d * F.sqrt(m2d)), 10)
+    g2d = F.round(m4d / (m2d * m2d) - 3.0, 10)
+    gvals = j.select("c", "n", g1d.alias("g1d"), g2d.alias("g2d"))
+    fold = gvals.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.round(F.col("c") * F.col("g1d"), 10).cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("sg1"),
+        F.sum(
+            F.round(
+                F.col("c") * F.col("g1d") * F.col("g1d"), 10
+            ).cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("sg1b"),
+        F.sum(
+            F.round(F.col("c") * F.col("g2d"), 10).cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("sg2"),
+        F.sum(
+            F.round(
+                F.col("c") * F.col("g2d") * F.col("g2d"), 10
+            ).cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("sg2b"),
+    )
+    n = F.col("n").cast("double")
+    return fold.select(
+        F.col("n").alias("n_orders"),
+        (
+            F.round(
+                F.sqrt(
+                    (n - 1.0)
+                    / n
+                    * (
+                        F.col("sg1b")
+                        - F.col("sg1") * F.col("sg1") / n
+                    )
+                ),
+                7,
+            )
+            + 0.0
+        ).alias("skewness_se_jack"),
+        (
+            F.round(
+                F.sqrt(
+                    (n - 1.0)
+                    / n
+                    * (
+                        F.col("sg2b")
+                        - F.col("sg2") * F.col("sg2") / n
+                    )
+                ),
+                7,
+            )
+            + 0.0
+        ).alias("kurtosis_se_jack"),
+        (
+            F.round(
+                F.sqrt(
+                    6.0
+                    * n
+                    * (n - 1.0)
+                    / ((n - 2.0) * (n + 1.0) * (n + 3.0))
+                ),
+                8,
+            )
+            + 0.0
+        ).alias("skewness_se_normal"),
+        (
+            F.round(
+                F.sqrt(
+                    24.0
+                    * n
+                    * (n - 1.0)
+                    * (n - 1.0)
+                    / (
+                        (n - 3.0)
+                        * (n - 2.0)
+                        * (n + 3.0)
+                        * (n + 5.0)
+                    )
+                ),
+                8,
+            )
+            + 0.0
+        ).alias("kurtosis_se_normal"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "jackknife_moment_se": (
+            "no window — cents-grid rollup + broadcast totals + one "
+            "fold (the gini_jackknife device at value grain)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Delete-one jackknife SE for the daily volume-revenue correlation
+# --------------------------------------------------------------------------
+@register(
+    "correlation_jackknife_se",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    kd AS (
+        SELECT d, CAST(x AS DOUBLE) AS x,
+               CAST(y AS DOUBLE) / 100000.0 AS y
+        FROM daily
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(x, 1) AS DECIMAL(28,1)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(y, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(x * x, 1) AS DECIMAL(28,1)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS syy,
+               CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sxy
+        FROM kd
+    ),
+    pseudo AS (
+        SELECT t.n,
+               round(((t.n - 1.0) * (t.sxy - k.x * k.y)
+                      - (t.sx - k.x) * (t.sy - k.y))
+                     / sqrt(((t.n - 1.0) * (t.sxx - k.x * k.x)
+                             - (t.sx - k.x) * (t.sx - k.x))
+                            * ((t.n - 1.0) * (t.syy - k.y * k.y)
+                               - (t.sy - k.y) * (t.sy - k.y))), 10)
+                   AS rd
+        FROM kd k, tot t
+    ),
+    fold AS (
+        SELECT MAX(n) AS n,
+               CAST(SUM(CAST(rd AS DECIMAL(28,10))) AS DOUBLE) AS sr,
+               CAST(SUM(CAST(round(rd * rd, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS srr
+        FROM pseudo
+    ),
+    rfull AS (
+        SELECT round((t.n * t.sxy - t.sx * t.sy)
+                     / sqrt((t.n * t.sxx - t.sx * t.sx)
+                            * (t.n * t.syy - t.sy * t.sy)), 8) AS r
+        FROM tot t
+    )
+    SELECT f.n AS n_days,
+           rf.r + 0.0 AS pearson_r,
+           round(sqrt((f.n - 1.0) / f.n
+                 * (f.srr - f.sr * f.sr / f.n)), 7) + 0.0
+               AS r_se_jackknife,
+           round((1.0 - rf.r * rf.r) / sqrt(f.n - 1.0), 7) + 0.0
+               AS r_se_asymptotic,
+           round(1.0 / sqrt(f.n - 3.0), 7) + 0.0
+               AS fisher_z_se
+    FROM fold f, rfull rf
+    """,
+)
+def correlation_jackknife_se(spark, sf_dir):
+    """DELETE-ONE JACKKNIFE standard error for the daily
+    volume-revenue Pearson correlation — the resampling second
+    opinion to the two textbook SEs shipped beside it: the
+    asymptotic (1-r^2)/sqrt(n-1) and Fisher's z-scale 1/sqrt(n-3),
+    BOTH of which assume bivariate normality that daily revenue
+    does not have — under heavy tails the jackknife SE runs larger,
+    and the ratio prices exactly how much every correlation CI in
+    the registry (`cross_correlation_daily`, `winsorized_
+    correlation`'s raw leg) understates its uncertainty. Each
+    deleted-day correlation is one closed-form expression over the
+    six totals minus the day's own terms, so the jackknife is a
+    single broadcast pass over the ~2.4k-row calendar frame — no
+    resampling loop exists anywhere.
+
+    Exactness: daily x/y fold exactly (counts at 1 dp, kUSD at 6
+    dp, into DECIMAL sums); each deleted r pins at 10 dp; the
+    pseudovalue variance folds 12-dp squares; jackknife readouts
+    pin at 7 dp (decade escalation). Plan: day rollup -> scalar
+    totals -> broadcast calendar pass -> one fold; no window."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("xc"),
+        (F.sum(dec("o_totalprice", 18, 2)) * 100)
+        .cast("bigint")
+        .alias("yc"),
+    )
+    kd = daily.select(
+        F.col("xc").cast("double").alias("x"),
+        (F.col("yc").cast("double") / 100000.0).alias("y"),
+    )
+    tot = kd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("x", 1).cast("decimal(28,1)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.round("y", 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 1).cast("decimal(28,1)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    j = kd.crossJoin(F.broadcast(tot))
+    nm1 = F.col("n") - 1.0
+    cxy = nm1 * (F.col("sxy") - F.col("x") * F.col("y")) - (
+        F.col("sx") - F.col("x")
+    ) * (F.col("sy") - F.col("y"))
+    cxx = nm1 * (F.col("sxx") - F.col("x") * F.col("x")) - (
+        F.col("sx") - F.col("x")
+    ) * (F.col("sx") - F.col("x"))
+    cyy = nm1 * (F.col("syy") - F.col("y") * F.col("y")) - (
+        F.col("sy") - F.col("y")
+    ) * (F.col("sy") - F.col("y"))
+    rd = F.round(cxy / F.sqrt(cxx * cyy), 10)
+    pseudo = j.select("n", rd.alias("rd"))
+    fold = pseudo.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("rd").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sr"),
+        F.sum(
+            F.round(F.col("rd") * F.col("rd"), 12).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("srr"),
+    )
+    nn = F.col("n").cast("double")
+    rfull = tot.select(
+        F.round(
+            (
+                F.col("n") * F.col("sxy")
+                - F.col("sx") * F.col("sy")
+            )
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("sxx")
+                    - F.col("sx") * F.col("sx")
+                )
+                * (
+                    F.col("n") * F.col("syy")
+                    - F.col("sy") * F.col("sy")
+                )
+            ),
+            8,
+        ).alias("r")
+    )
+    return fold.crossJoin(F.broadcast(rfull)).select(
+        F.col("n").alias("n_days"),
+        (F.col("r") + 0.0).alias("pearson_r"),
+        (
+            F.round(
+                F.sqrt(
+                    (nn - 1.0)
+                    / nn
+                    * (F.col("srr") - F.col("sr") * F.col("sr") / nn)
+                ),
+                7,
+            )
+            + 0.0
+        ).alias("r_se_jackknife"),
+        (
+            F.round(
+                (1.0 - F.col("r") * F.col("r")) / F.sqrt(nn - 1.0), 7
+            )
+            + 0.0
+        ).alias("r_se_asymptotic"),
+        (F.round(1.0 / F.sqrt(nn - 3.0), 7) + 0.0)
+        .alias("fisher_z_se"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "correlation_jackknife_se": (
+            "no window — day rollup + broadcast totals + one fold "
+            "(the jackknife_moment device at day grain)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Hartley's Fmax across day-of-week variance cells
+# --------------------------------------------------------------------------
+@register(
+    "hartley_fmax_variance",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST((epoch_us(o_orderdate) // 86400000000 + 4) % 7
+                    AS BIGINT) AS dow,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    grp AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s,
+               CAST(SUM(CAST(v AS DECIMAL(38,0)) * v)
+                    AS DECIMAL(38,0)) AS ss
+        FROM pts GROUP BY dow
+    ),
+    vars_ AS (
+        SELECT dow, n,
+               round((CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * s / n) / (n - 1.0)
+                     / 1e10, 8) AS v2
+        FROM grp
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(MIN(n) AS BIGINT) AS nmin,
+               CAST(MAX(n) AS BIGINT) AS nmax,
+               MAX(v2) AS vmax, MIN(v2) AS vmin
+        FROM vars_
+    )
+    SELECT k AS n_groups,
+           nmin AS n_min, nmax AS n_max,
+           round(vmax, 6) + 0.0 AS var_max_kusd2,
+           round(vmin, 6) + 0.0 AS var_min_kusd2,
+           round(vmax / vmin, 6) + 0.0 AS hartley_fmax,
+           round(ln(vmax / vmin)
+                 / sqrt(2.0 / (nmin - 1.0) + 2.0 / (nmax - 1.0)),
+                 6) + 0.0 AS z_ln_fmax
+    FROM fold
+    """,
+)
+def hartley_fmax_variance(spark, sf_dir):
+    """HARTLEY'S Fmax across the seven day-of-week variance cells of
+    order value — the extremes-only second opinion to the pooled
+    variance-homogeneity battery (`bartlett_variance_test` averages
+    all cells, `levene_brown_forsythe` robustifies,
+    `cochran_c_variance` takes max-over-sum): Fmax = s2_max/s2_min
+    is the classic quick screen whose verdict depends ONLY on the
+    two extreme cells, so Bartlett firing while Fmax is quiet
+    localizes mild broad heterogeneity, and Fmax firing alone
+    points at one rogue weekday. z_ln_fmax is the large-n normal
+    reading of ln Fmax with the two extreme cells' df (a
+    conservative reference since the pair is selected post hoc —
+    documented).
+
+    Exactness: per-dow counts and DECIMAL(38,0) power sums are
+    exact; variances rescale to kUSD^2 and pin at 8 dp before the
+    extremes; Fmax and its log reading are terminal IEEE trees.
+    Plan: one scan -> 7-group rollup -> one fold; no window."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        (
+            (F.floor(F.unix_micros("o_orderdate") / 86_400_000_000) + 4)
+            % 7
+        )
+        .cast("bigint")
+        .alias("dow"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+    grp = pts.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    v2 = F.round(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        / (F.col("n") - 1.0)
+        / 1e10,
+        8,
+    )
+    vars_ = grp.select("dow", "n", v2.alias("v2"))
+    fold = vars_.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.min("n").cast("bigint").alias("nmin"),
+        F.max("n").cast("bigint").alias("nmax"),
+        F.max("v2").alias("vmax"),
+        F.min("v2").alias("vmin"),
+    )
+    fmax = F.col("vmax") / F.col("vmin")
+    return fold.select(
+        F.col("k").alias("n_groups"),
+        F.col("nmin").alias("n_min"),
+        F.col("nmax").alias("n_max"),
+        (F.round("vmax", 6) + 0.0).alias("var_max_kusd2"),
+        (F.round("vmin", 6) + 0.0).alias("var_min_kusd2"),
+        (F.round(fmax, 6) + 0.0).alias("hartley_fmax"),
+        (
+            F.round(
+                F.log(fmax)
+                / F.sqrt(
+                    2.0 / (F.col("nmin") - 1.0)
+                    + 2.0 / (F.col("nmax") - 1.0)
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("z_ln_fmax"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "hartley_fmax_variance": (
+            "no window — 7-group rollup + one fold"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Partial Spearman rho: daily volume vs revenue controlling day-of-week
+# --------------------------------------------------------------------------
+@register(
+    "partial_spearman_rho",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT (d + 4) % 7 AS dow,
+               CAST(RANK() OVER (ORDER BY x)
+                    + COUNT(*) OVER (PARTITION BY x) - 1
+                    AS BIGINT) AS rx,
+               CAST(RANK() OVER (ORDER BY y)
+                    + COUNT(*) OVER (PARTITION BY y) - 1
+                    AS BIGINT) AS ry
+        FROM daily
+    ),
+    bydow AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(rx) AS BIGINT) AS srx,
+               CAST(SUM(ry) AS BIGINT) AS sry
+        FROM ranked GROUP BY dow
+    ),
+    tots AS (
+        SELECT CAST(SUM(m) AS BIGINT) AS n FROM bydow
+    ),
+    within AS (
+        SELECT
+            CAST(SUM(CAST(r.rx AS DECIMAL(38,0)) * r.rx)
+                 AS DECIMAL(38,0)) AS sxx,
+            CAST(SUM(CAST(r.ry AS DECIMAL(38,0)) * r.ry)
+                 AS DECIMAL(38,0)) AS syy,
+            CAST(SUM(CAST(r.rx AS DECIMAL(38,0)) * r.ry)
+                 AS DECIMAL(38,0)) AS sxy
+        FROM ranked r
+    ),
+    gsum AS (
+        SELECT
+            CAST(SUM(CAST(round(CAST(srx AS DOUBLE) * srx / m, 4)
+                 AS DECIMAL(38,4))) AS DOUBLE) AS gxx,
+            CAST(SUM(CAST(round(CAST(sry AS DOUBLE) * sry / m, 4)
+                 AS DECIMAL(38,4))) AS DOUBLE) AS gyy,
+            CAST(SUM(CAST(round(CAST(srx AS DOUBLE) * sry / m, 4)
+                 AS DECIMAL(38,4))) AS DOUBLE) AS gxy
+        FROM bydow
+    )
+    SELECT t.n AS n_days,
+           round((CAST(w.sxy AS DOUBLE) - g.gxy)
+                 / sqrt((CAST(w.sxx AS DOUBLE) - g.gxx)
+                        * (CAST(w.syy AS DOUBLE) - g.gyy)), 8) + 0.0
+               AS partial_spearman_rho,
+           round(sqrt(CAST(t.n AS DOUBLE) - 2 - 7)
+                 * ((CAST(w.sxy AS DOUBLE) - g.gxy)
+                    / sqrt((CAST(w.sxx AS DOUBLE) - g.gxx)
+                           * (CAST(w.syy AS DOUBLE) - g.gyy)))
+                 / sqrt(1.0
+                        - ((CAST(w.sxy AS DOUBLE) - g.gxy)
+                           / sqrt((CAST(w.sxx AS DOUBLE) - g.gxx)
+                                  * (CAST(w.syy AS DOUBLE) - g.gyy)))
+                          * ((CAST(w.sxy AS DOUBLE) - g.gxy)
+                             / sqrt((CAST(w.sxx AS DOUBLE) - g.gxx)
+                                    * (CAST(w.syy AS DOUBLE)
+                                       - g.gyy)))), 6) + 0.0
+               AS t_stat
+    FROM within w, gsum g, tots t
+    """,
+)
+def partial_spearman_rho(spark, sf_dir):
+    """PARTIAL SPEARMAN correlation between daily order volume and
+    revenue CONTROLLING day-of-week: Pearson on 2x-midranks with
+    the dow group means partialled out through the exact ANCOVA
+    identity (within-SS = total rank cross-products minus
+    sum(group-sum products / group size)) — the rank-scale second
+    opinion to `kendall_partial_tau` (concordance scale) and
+    `partial_correlation_controls` (value scale): all three ask
+    "does volume move revenue BEYOND the weekly rhythm both share",
+    and rank-vs-value disagreement isolates whether the link lives
+    in the bulk or is dragged by heavy days. t_stat uses the
+    partial-correlation reference with 7 control levels (6 dummies
+    + intercept, documented).
+
+    Exactness: 2x-midranks are exact integers (the
+    rank_autocorrelation device over the calendar frame); total
+    cross-products fold through DECIMAL(38,0); group-sum products
+    divide once per dow cell and pin at 4 dp into DECIMAL folds;
+    rho and t are terminal IEEE trees. Plan: day rollup -> bounded
+    rank windows -> dow rollup + one joined fold."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        (F.sum(dec("o_totalprice", 18, 2)) * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    rx = (
+        F.rank().over(Window.orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("x"))
+        - 1
+    ).cast("bigint")
+    ry = (
+        F.rank().over(Window.orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("y"))
+        - 1
+    ).cast("bigint")
+    ranked = daily.select(
+        ((F.col("d") + 4) % 7).alias("dow"),
+        rx.alias("rx"),
+        ry.alias("ry"),
+    ).persist()
+    bydow = ranked.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("rx").cast("bigint").alias("srx"),
+        F.sum("ry").cast("bigint").alias("sry"),
+    )
+    tots = bydow.agg(F.sum("m").cast("bigint").alias("n"))
+    within = ranked.agg(
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("rx"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("ry").cast("decimal(38,0)") * F.col("ry"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("ry"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    gsum = bydow.agg(
+        F.sum(
+            F.round(
+                F.col("srx").cast("double") * F.col("srx") / F.col("m"),
+                4,
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("gxx"),
+        F.sum(
+            F.round(
+                F.col("sry").cast("double") * F.col("sry") / F.col("m"),
+                4,
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("gyy"),
+        F.sum(
+            F.round(
+                F.col("srx").cast("double") * F.col("sry") / F.col("m"),
+                4,
+            ).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("gxy"),
+    )
+    out = (
+        within.crossJoin(F.broadcast(gsum)).crossJoin(F.broadcast(tots))
+    )
+    rho = (F.col("sxy").cast("double") - F.col("gxy")) / F.sqrt(
+        (F.col("sxx").cast("double") - F.col("gxx"))
+        * (F.col("syy").cast("double") - F.col("gyy"))
+    )
+    n = F.col("n").cast("double")
+    return out.select(
+        F.col("n").alias("n_days"),
+        (F.round(rho, 8) + 0.0).alias("partial_spearman_rho"),
+        (
+            F.round(
+                F.sqrt(n - 2 - 7) * rho / F.sqrt(1.0 - rho * rho), 6
+            )
+            + 0.0
+        ).alias("t_stat"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "partial_spearman_rho": (
+            "bounded calendar-frame rank windows (the "
+            "rank_autocorrelation class)"
+        ),
+    }
+)
