@@ -2370,3 +2370,658 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Closed-form Gaussian divergence panel: weekend vs weekday order value
+# --------------------------------------------------------------------------
+@register(
+    "gaussian_divergence_panel",
+    oracle="""
+    WITH pts AS (
+        SELECT CASE WHEN CAST(epoch_us(o_orderdate) // 86400000000
+                         + 4 AS BIGINT) % 7 >= 5
+                    THEN 1 ELSE 0 END AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    arm AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s,
+               CAST(SUM(CAST(v AS DECIMAL(38,0)) * v)
+                    AS DECIMAL(38,0)) AS ss
+        FROM pts GROUP BY g
+    ),
+    w AS (
+        SELECT
+          MAX(CASE WHEN g = 1 THEN CAST(s AS DOUBLE) / n END)
+              / 100000.0 AS m1,
+          MAX(CASE WHEN g = 0 THEN CAST(s AS DOUBLE) / n END)
+              / 100000.0 AS m0,
+          MAX(CASE WHEN g = 1 THEN
+              (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+              / (n - 1.0) END) / 1e10 AS v1,
+          MAX(CASE WHEN g = 0 THEN
+              (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+              / (n - 1.0) END) / 1e10 AS v0,
+          CAST(SUM(n) AS BIGINT) AS n
+        FROM arm
+    )
+    SELECT n AS n_orders,
+           round((m1 - m0) * (m1 - m0) / (4.0 * (v1 + v0))
+                 + 0.5 * ln((v1 + v0)
+                            / (2.0 * sqrt(v1) * sqrt(v0))), 8) + 0.0
+               AS bhattacharyya_d,
+           round(1.0 - sqrt(2.0 * sqrt(v1) * sqrt(v0) / (v1 + v0))
+                 * exp(-(m1 - m0) * (m1 - m0)
+                       / (4.0 * (v1 + v0))), 8) + 0.0
+               AS hellinger_sq,
+           round(0.5 * (v1 / v0 + v0 / v1 - 2.0)
+                 + 0.5 * (m1 - m0) * (m1 - m0)
+                   * (1.0 / v1 + 1.0 / v0), 8) + 0.0
+               AS sym_kl
+    FROM w
+    """,
+)
+def gaussian_divergence_panel(spark, sf_dir):
+    """CLOSED-FORM GAUSSIAN divergence panel between weekend and
+    weekday order value (kUSD): Bhattacharyya distance, squared
+    Hellinger, and symmetrized KL, each evaluated at the fitted
+    per-arm (mu, sigma^2) — the PARAMETRIC second opinions to the
+    nonparametric two-sample distances (`wasserstein1_two_sample`,
+    `energy_distance_two_sample`, `mmd_poly2_two_sample`,
+    `hellinger_affinity_panel`'s binned form): the Gaussian
+    closed forms decompose every divergence into a MEAN term and a
+    VARIANCE term analytically, so the nonparametric distance
+    exceeding its Gaussian counterpart isolates non-Gaussian shape
+    difference (tail/skew) from the first two moments — the
+    decomposition no empirical distance can give by itself.
+
+    Exactness: per-arm counts and DECIMAL(38,0) power sums are
+    exact; means/variances rescale to kUSD and close in identical
+    IEEE trees (sqrt/ln/exp shared-libm); all three divergences are
+    terminal expressions rounded once. Plan: one arm rollup -> one
+    pivot; no window, no join."""
+    o = t(spark, sf_dir, "orders")
+    day = F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+    pts = o.select(
+        F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("g"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
+    )
+    arm = pts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    mean_ = F.col("s").cast("double") / F.col("n")
+    var_ = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1.0)
+    w = arm.agg(
+        (F.max(F.when(F.col("g") == 1, mean_)) / 100000.0).alias("m1"),
+        (F.max(F.when(F.col("g") == 0, mean_)) / 100000.0).alias("m0"),
+        (F.max(F.when(F.col("g") == 1, var_)) / 1e10).alias("v1"),
+        (F.max(F.when(F.col("g") == 0, var_)) / 1e10).alias("v0"),
+        F.sum("n").cast("bigint").alias("n"),
+    )
+    dm = F.col("m1") - F.col("m0")
+    v1, v0 = F.col("v1"), F.col("v0")
+    bd = dm * dm / (4.0 * (v1 + v0)) + 0.5 * F.log(
+        (v1 + v0) / (2.0 * F.sqrt(v1) * F.sqrt(v0))
+    )
+    h2 = 1.0 - F.sqrt(
+        2.0 * F.sqrt(v1) * F.sqrt(v0) / (v1 + v0)
+    ) * F.exp(-dm * dm / (4.0 * (v1 + v0)))
+    skl = 0.5 * (v1 / v0 + v0 / v1 - 2.0) + 0.5 * dm * dm * (
+        1.0 / v1 + 1.0 / v0
+    )
+    return w.select(
+        F.col("n").alias("n_orders"),
+        (F.round(bd, 8) + 0.0).alias("bhattacharyya_d"),
+        (F.round(h2, 8) + 0.0).alias("hellinger_sq"),
+        (F.round(skl, 8) + 0.0).alias("sym_kl"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "gaussian_divergence_panel": (
+            "no window — one arm rollup + pivot (the "
+            "tost_equivalence frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Berkson minimum-logit-chi2 grouped fit of the fulfilled rate
+# --------------------------------------------------------------------------
+@register(
+    "berkson_logit_wls",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(date_part('day', o_orderdate) AS BIGINT) AS dom,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM orders
+        WHERE CAST(date_part('day', o_orderdate) AS BIGINT) <= 28
+        GROUP BY 1
+    ),
+    el AS (
+        SELECT dom, n, x,
+               round(ln((x + 0.5) / (n - x + 0.5)), 10) AS l,
+               round(CAST(n AS DOUBLE)
+                     * (CAST(x AS DOUBLE) / n)
+                     * (1.0 - CAST(x AS DOUBLE) / n), 8) AS w
+        FROM cells
+    ),
+    fold AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(CAST(round(w, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS sw,
+               CAST(SUM(CAST(round(w * dom, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS swx,
+               CAST(SUM(CAST(round(w * dom * dom, 6)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS swxx,
+               CAST(SUM(CAST(round(w * l, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS swl,
+               CAST(SUM(CAST(round(w * dom * l, 8)
+                    AS DECIMAL(28,8))) AS DOUBLE) AS swxl
+        FROM el
+    )
+    SELECT nt AS n_orders,
+           round((sw * swxl - swx * swl)
+                 / (sw * swxx - swx * swx), 8) + 0.0
+               AS logit_slope_per_day,
+           round((swl - (sw * swxl - swx * swl)
+                        / (sw * swxx - swx * swx) * swx) / sw, 8)
+               + 0.0 AS logit_intercept,
+           round(((sw * swxl - swx * swl)
+                  / (sw * swxx - swx * swx))
+                 / sqrt(sw / (sw * swxx - swx * swx)), 6) + 0.0
+               AS slope_z
+    FROM fold
+    """,
+)
+def berkson_logit_wls(spark, sf_dir):
+    """BERKSON MINIMUM-LOGIT-CHI-SQUARE fit of the fulfilled-order
+    rate over day-of-month (days 1-28): weighted least squares of
+    the +0.5-corrected empirical logits l_d = ln((x+.5)/(n-x+.5))
+    on the day index, with the classic information weights w_d =
+    n_d p_d(1-p_d) — Berkson's 1944 estimator, asymptotically
+    equivalent to the logistic MLE on grouped data but entirely
+    CLOSED FORM (no IRLS iteration exists anywhere), which is why
+    it remains the distributed-systems way to fit a grouped logit.
+    The log-odds-scale second opinion to
+    `cochran_armitage_trend` (linear-probability trend on the same
+    kind of grouped binomials) and the model behind what
+    `day_of_month_effect` reads descriptively: slope_z is the
+    WLS slope over its exact weighted-LS standard error
+    sqrt(sw/(sw*swxx - swx^2) * ... ) = sqrt(1/Sxx_w).
+
+    Exactness: cell (n, x) exact integers on the 28-row grid;
+    logits pin at 10 dp, weights at 8 dp; the five weighted folds
+    round into DECIMAL sums; slope/intercept/z are terminal IEEE
+    trees. Plan: one scan -> 28-row rollup -> one fold; no
+    window."""
+    o = t(spark, sf_dir, "orders")
+    cells = (
+        o.select(
+            F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("f"),
+        )
+        .where(F.col("dom") <= 28)
+        .groupBy("dom")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("f").cast("bigint").alias("x"),
+        )
+    )
+    p = F.col("x").cast("double") / F.col("n")
+    el = cells.select(
+        "dom",
+        "n",
+        F.round(
+            F.log(
+                (F.col("x") + 0.5) / (F.col("n") - F.col("x") + 0.5)
+            ),
+            10,
+        ).alias("l"),
+        F.round(F.col("n") * p * (1.0 - p), 8).alias("w"),
+    )
+    fold = el.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(F.round("w", 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sw"),
+        F.sum(
+            F.round(F.col("w") * F.col("dom"), 8).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("swx"),
+        F.sum(
+            F.round(
+                F.col("w") * F.col("dom") * F.col("dom"), 6
+            ).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("swxx"),
+        F.sum(
+            F.round(F.col("w") * F.col("l"), 8).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("swl"),
+        F.sum(
+            F.round(
+                F.col("w") * F.col("dom") * F.col("l"), 8
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("swxl"),
+    )
+    sxx_w = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+    b = (
+        F.col("sw") * F.col("swxl") - F.col("swx") * F.col("swl")
+    ) / sxx_w
+    a = (F.col("swl") - b * F.col("swx")) / F.col("sw")
+    se_b = F.sqrt(F.col("sw") / sxx_w)
+    return fold.select(
+        F.col("nt").alias("n_orders"),
+        (F.round(b, 8) + 0.0).alias("logit_slope_per_day"),
+        (F.round(a, 8) + 0.0).alias("logit_intercept"),
+        (F.round(b / se_b, 6) + 0.0).alias("slope_z"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "berkson_logit_wls": (
+            "no window — 28-row grid rollup + one fold"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Copula inversion: Gumbel/Clayton tail dependence implied by Kendall tau
+# --------------------------------------------------------------------------
+@register(
+    "copula_inversion_tail_panel",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+               CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+               CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tx,
+               CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ty,
+               CAST(COUNT(*) AS BIGINT) AS n0
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    tau AS (
+        SELECT n0, conc, disc,
+               round((conc - disc)
+                     / sqrt((CAST(n0 AS DOUBLE) - tx)
+                            * (CAST(n0 AS DOUBLE) - ty)), 10) AS tb
+        FROM pairs
+    )
+    SELECT n0 AS n_day_pairs,
+           round(tb, 8) + 0.0 AS kendall_tau_b,
+           round(CASE WHEN tb > 0 AND tb < 1
+                      THEN 1.0 / (1.0 - tb) END, 6) + 0.0
+               AS gumbel_theta,
+           round(CASE WHEN tb > 0 AND tb < 1
+                      THEN 2.0 - exp((1.0 - tb)
+                                     * 0.6931471805599453) END, 8)
+               + 0.0 AS lambda_upper_gumbel,
+           round(CASE WHEN tb > 0 AND tb < 1
+                      THEN 2.0 * tb / (1.0 - tb) END, 6) + 0.0
+               AS clayton_theta,
+           round(CASE WHEN tb > 0 AND tb < 1
+                      THEN exp(-(1.0 - tb) / (2.0 * tb)
+                               * 0.6931471805599453) END, 8) + 0.0
+               AS lambda_lower_clayton
+    FROM tau
+    """,
+)
+def copula_inversion_tail_panel(spark, sf_dir):
+    """COPULA-INVERSION tail-dependence panel for daily (order
+    volume, revenue): Kendall's tau-b from the exact pairwise count
+    over the calendar frame inverts to the GUMBEL parameter theta =
+    1/(1-tau) with implied UPPER tail dependence lambda_U = 2 -
+    2^(1-tau), and to the CLAYTON theta = 2tau/(1-tau) with implied
+    LOWER tail dependence lambda_L = 2^(-(1-tau)/(2tau)) — the
+    MODEL-IMPLIED second opinions to the model-free trio
+    (`cfg_pickands_dependence`, `f_madogram_extremal`,
+    `chibar_tail_independence`): if the measured chi sits near the
+    Gumbel-implied lambda_U the whole dependence is one-parameter
+    Archimedean; measured chi far BELOW it is the classic
+    "tau is body, not tail" warning that rank correlation
+    overstates joint extremes. NULL panel when tau <= 0 (neither
+    family applies; documented).
+
+    Exactness: concordance counts are exact integers from the
+    bounded ~2.4k-day pairwise self-join (pair count is a calendar
+    constant — the sample_entropy device); tau pins at 10 dp;
+    2^x closes as exp(x ln 2) with the shared literal. Plan: day
+    rollup -> bounded self-join -> one fold; no window."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        (F.sum(dec("o_totalprice", 18, 2)) * 100)
+        .cast("bigint")
+        .alias("y"),
+    ).persist()
+    a = daily.select(
+        F.col("d").alias("da"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = daily.select(
+        F.col("d").alias("db"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    prod = (F.col("xa") - F.col("xb")).cast("decimal(19,0)") * (
+        F.col("ya") - F.col("yb")
+    )
+    pairs = a.join(b, F.col("da") < F.col("db")).agg(
+        F.sum(F.when(prod > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("conc"),
+        F.sum(F.when(prod < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("disc"),
+        F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tx"),
+        F.sum(F.when(F.col("ya") == F.col("yb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ty"),
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+    )
+    tb = F.round(
+        (F.col("conc") - F.col("disc"))
+        / F.sqrt(
+            (F.col("n0").cast("double") - F.col("tx"))
+            * (F.col("n0").cast("double") - F.col("ty"))
+        ),
+        10,
+    )
+    tau = pairs.select("n0", tb.alias("tb"))
+    ok = (F.col("tb") > 0) & (F.col("tb") < 1)
+    ln2 = 0.6931471805599453
+    return tau.select(
+        F.col("n0").alias("n_day_pairs"),
+        (F.round("tb", 8) + 0.0).alias("kendall_tau_b"),
+        (F.round(F.when(ok, 1.0 / (1.0 - F.col("tb"))), 6) + 0.0)
+        .alias("gumbel_theta"),
+        (
+            F.round(
+                F.when(
+                    ok, 2.0 - F.exp((1.0 - F.col("tb")) * ln2)
+                ),
+                8,
+            )
+            + 0.0
+        ).alias("lambda_upper_gumbel"),
+        (
+            F.round(
+                F.when(ok, 2.0 * F.col("tb") / (1.0 - F.col("tb"))),
+                6,
+            )
+            + 0.0
+        ).alias("clayton_theta"),
+        (
+            F.round(
+                F.when(
+                    ok,
+                    F.exp(
+                        -(1.0 - F.col("tb"))
+                        / (2.0 * F.col("tb"))
+                        * ln2
+                    ),
+                ),
+                8,
+            )
+            + 0.0
+        ).alias("lambda_lower_clayton"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "copula_inversion_tail_panel": (
+            "bounded ~2.4k-day pairwise self-join (calendar-"
+            "constant pair count — the sample_entropy device)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Szroeter rank test + Glejser |e| regression for ordered heteroskedasticity
+# --------------------------------------------------------------------------
+@register(
+    "szroeter_glejser_het",
+    oracle=f"""
+    WITH {'daily AS ('}
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d) AS BIGINT) AS sd,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(d AS DECIMAL(38,0)) * y) AS sdy,
+               SUM(CAST(d AS DECIMAL(38,0)) * d) AS sdd
+        FROM daily
+    ),
+    beta AS (
+        SELECT n,
+               (n * CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * sy)
+                 / (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd)
+                   AS b,
+               (CAST(sy AS DOUBLE)
+                - (n * CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * sy)
+                  / (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd)
+                  * sd) / n AS a
+        FROM fit
+    ),
+    res AS (
+        SELECT d,
+               ROW_NUMBER() OVER (ORDER BY d) AS i,
+               round((y - (a + b * d)) / 100000.0, 6) AS e
+        FROM daily, beta
+    ),
+    folds AS (
+        SELECT MAX(beta.n) AS n,
+               CAST(SUM(CAST(round(res.i * res.e * res.e, 6)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS sie2,
+               CAST(SUM(CAST(round(res.e * res.e, 8)
+                    AS DECIMAL(38,8))) AS DOUBLE) AS se2,
+               CAST(SUM(res.i) AS BIGINT) AS si,
+               CAST(SUM(CAST(res.i AS DECIMAL(38,0)) * res.i)
+                    AS DECIMAL(38,0)) AS sii,
+               CAST(SUM(CAST(round(res.i * abs(res.e), 6)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS siae,
+               CAST(SUM(CAST(round(abs(res.e), 8)
+                    AS DECIMAL(38,8))) AS DOUBLE) AS sae,
+               CAST(SUM(CAST(round(abs(res.e) * abs(res.e), 8)
+                    AS DECIMAL(38,8))) AS DOUBLE) AS saa
+        FROM res, beta
+    )
+    SELECT n AS n_days,
+           round(sie2 / se2, 6) + 0.0 AS szroeter_h,
+           round((sie2 / se2 - (n + 1.0) / 2.0)
+                 * sqrt(6.0 * n / (CAST(n AS DOUBLE) * n - 1.0)),
+                 6) + 0.0 AS szroeter_z,
+           round((n * siae - CAST(si AS DOUBLE) * sae)
+                 / (n * CAST(sii AS DOUBLE)
+                    - CAST(si AS DOUBLE) * si), 10) + 0.0
+               AS glejser_slope,
+           round(((n * siae - CAST(si AS DOUBLE) * sae)
+                  / (n * CAST(sii AS DOUBLE)
+                     - CAST(si AS DOUBLE) * si))
+                 / sqrt(((n * saa - sae * sae)
+                         - (n * siae - CAST(si AS DOUBLE) * sae)
+                           * (n * siae - CAST(si AS DOUBLE) * sae)
+                           / (n * CAST(sii AS DOUBLE)
+                              - CAST(si AS DOUBLE) * si))
+                        / (n - 2.0)
+                        * n
+                        / (n * CAST(sii AS DOUBLE)
+                           - CAST(si AS DOUBLE) * si)), 6) + 0.0
+               AS glejser_t
+    FROM folds
+    """,
+)
+def szroeter_glejser_het(spark, sf_dir):
+    """SZROETER'S rank test and GLEJSER'S |e| regression for
+    heteroskedasticity ORDERED BY TIME on the daily-revenue trend
+    residuals — the monotone-variance second opinions to the
+    registry's het battery: `breusch_pagan_koenker` and
+    `white_heteroskedasticity_test` regress e^2 on the REGRESSOR
+    (they see level-linked variance), `goldfeld_quandt_test` splits
+    the sample once; Szroeter's h = sum(i e_i^2)/sum(e_i^2) with
+    z = (h - (n+1)/2) sqrt(6n/(n^2-1)) weights by the time INDEX
+    itself and so detects variance drifting with time regardless of
+    level, and Glejser regresses |e| on the index — robust to the
+    kurtosis that inflates every e^2-based test (Glejser 1969's
+    point). The pair disagreeing with BP/White separates
+    time-drift from level-link.
+
+    Exactness: the trend fit is the shared exact-DECIMAL tree;
+    residuals scale to kUSD and pin at 6 dp; the index is a
+    row_number over the bounded calendar frame; all seven folds are
+    rounded-term DECIMAL sums; h, z, slope, and t close in IEEE
+    trees. Plan: day rollup -> OLS fold -> one bounded window ->
+    one fold."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            (F.sum(dec("o_totalprice", 18, 2)) * 100)
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    fit = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("y")).alias(
+            "sdy"
+        ),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias(
+            "sdd"
+        ),
+    )
+    nn = F.col("n").cast("double")
+    b = (
+        nn * F.col("sdy").cast("double")
+        - F.col("sd").cast("double") * F.col("sy")
+    ) / (
+        nn * F.col("sdd").cast("double")
+        - F.col("sd").cast("double") * F.col("sd")
+    )
+    beta = fit.select(
+        "n",
+        b.alias("b"),
+        ((F.col("sy").cast("double") - b * F.col("sd")) / nn).alias(
+            "a"
+        ),
+    )
+    res = daily.crossJoin(F.broadcast(beta)).select(
+        "n",
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+        F.round(
+            (F.col("y") - (F.col("a") + F.col("b") * F.col("d")))
+            / 100000.0,
+            6,
+        ).alias("e"),
+    )
+    e, i = F.col("e"), F.col("i")
+    folds = res.agg(
+        F.max("n").alias("n"),
+        F.sum(F.round(i * e * e, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sie2"),
+        F.sum(F.round(e * e, 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("se2"),
+        F.sum(i).cast("bigint").alias("si"),
+        F.sum(i.cast("decimal(38,0)") * i)
+        .cast("decimal(38,0)")
+        .alias("sii"),
+        F.sum(F.round(i * F.abs(e), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("siae"),
+        F.sum(F.round(F.abs(e), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sae"),
+        F.sum(F.round(F.abs(e) * F.abs(e), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("saa"),
+    )
+    n = F.col("n").cast("double")
+    h = F.col("sie2") / F.col("se2")
+    sxx = n * F.col("sii").cast("double") - F.col("si").cast(
+        "double"
+    ) * F.col("si")
+    sxy = n * F.col("siae") - F.col("si").cast("double") * F.col("sae")
+    syy = n * F.col("saa") - F.col("sae") * F.col("sae")
+    gb = sxy / sxx
+    se_gb = F.sqrt((syy - sxy * sxy / sxx) / (n - 2.0) * n / sxx)
+    return folds.select(
+        F.col("n").alias("n_days"),
+        (F.round(h, 6) + 0.0).alias("szroeter_h"),
+        (
+            F.round(
+                (h - (n + 1.0) / 2.0)
+                * F.sqrt(6.0 * n / (n * n - 1.0)),
+                6,
+            )
+            + 0.0
+        ).alias("szroeter_z"),
+        (F.round(gb, 10) + 0.0).alias("glejser_slope"),
+        (F.round(gb / se_gb, 6) + 0.0).alias("glejser_t"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "szroeter_glejser_het": (
+            "one bounded calendar-frame row_number (the "
+            "theta_method class); scalar folds elsewhere"
+        ),
+    }
+)
