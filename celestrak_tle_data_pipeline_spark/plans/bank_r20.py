@@ -3834,3 +3834,921 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# BCa Poisson-bootstrap confidence interval for the mean order value
+# --------------------------------------------------------------------------
+@register(
+    "bca_bootstrap_mean_ci",
+    oracle="""
+    WITH v AS (
+        SELECT o_orderkey AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS x
+        FROM orders
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(x / 100000.0, 6)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(round((x / 100000.0) * (x / 100000.0), 6)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(round((x / 100000.0) * (x / 100000.0)
+                    * (x / 100000.0), 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s3
+        FROM v
+    ),
+    acc AS (
+        SELECT n, round(s1 / n, 6) AS mfull,
+               (s3 - 3.0 * s1 * s2 / n + 2.0 * s1 * s1 * s1 / (n * 1.0 * n))
+               / (6.0 * sqrt(s2 - s1 * s1 / n)
+                  * (s2 - s1 * s1 / n)) AS a
+        FROM mom
+    ),
+    reps AS (
+        SELECT r.rep,
+               round(SUM((CASE WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.3678794412 THEN 0 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.7357588824 THEN 1 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.919698603 THEN 2 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.9810118431 THEN 3 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.9963401532 THEN 4 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.9994058152 THEN 5 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.9999167589 THEN 6 ELSE 7 END) * v.x)
+                     / (100000.0 * SUM(CASE WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.3678794412 THEN 0 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.7357588824 THEN 1 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.919698603 THEN 2 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.9810118431 THEN 3 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.9963401532 THEN 4 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.9994058152 THEN 5 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.9999167589 THEN 6 ELSE 7 END)), 6) AS m
+        FROM v, (SELECT UNNEST(range(1, 100)) AS rep) r
+        GROUP BY r.rep
+        HAVING SUM(CASE WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.3678794412 THEN 0 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.7357588824 THEN 1 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.919698603 THEN 2 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.9810118431 THEN 3 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.9963401532 THEN 4 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.9994058152 THEN 5 WHEN ((v.k * 2654435761 + r.rep * 40503) % 4294967296) / 4294967296.0 < 0.9999167589 THEN 6 ELSE 7 END) > 0
+    ),
+    fz AS (
+        SELECT GREATEST(LEAST(
+                   CAST(SUM(CASE WHEN reps.m < acc.mfull
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 1.0 - 0.5 / COUNT(*)),
+                   0.5 / COUNT(*)) AS frac,
+               CAST(COUNT(*) AS BIGINT) AS b
+        FROM reps, acc GROUP BY acc.mfull
+    ),
+    sc AS (
+        SELECT round((CASE WHEN (fz.frac) < 0.02425 THEN ((((((-7.784894002430293e-03 * sqrt(-2.0 * ln(fz.frac)) + -3.223964580411365e-01) * sqrt(-2.0 * ln(fz.frac)) + -2.400758277161838e+00) * sqrt(-2.0 * ln(fz.frac)) + -2.549732539343734e+00) * sqrt(-2.0 * ln(fz.frac)) + 4.374664141464968e+00) * sqrt(-2.0 * ln(fz.frac)) + 2.938163982698783e+00) / ((((7.784695709041462e-03 * sqrt(-2.0 * ln(fz.frac)) + 3.224671290700398e-01) * sqrt(-2.0 * ln(fz.frac)) + 2.445134137142996e+00) * sqrt(-2.0 * ln(fz.frac)) + 3.754408661907416e+00) * sqrt(-2.0 * ln(fz.frac)) + 1.0)) WHEN (fz.frac) > 0.97575 THEN -((((((-7.784894002430293e-03 * sqrt(-2.0 * ln(1.0 - (fz.frac))) + -3.223964580411365e-01) * sqrt(-2.0 * ln(1.0 - (fz.frac))) + -2.400758277161838e+00) * sqrt(-2.0 * ln(1.0 - (fz.frac))) + -2.549732539343734e+00) * sqrt(-2.0 * ln(1.0 - (fz.frac))) + 4.374664141464968e+00) * sqrt(-2.0 * ln(1.0 - (fz.frac))) + 2.938163982698783e+00) / ((((7.784695709041462e-03 * sqrt(-2.0 * ln(1.0 - (fz.frac))) + 3.224671290700398e-01) * sqrt(-2.0 * ln(1.0 - (fz.frac))) + 2.445134137142996e+00) * sqrt(-2.0 * ln(1.0 - (fz.frac))) + 3.754408661907416e+00) * sqrt(-2.0 * ln(1.0 - (fz.frac))) + 1.0)) ELSE (((((-3.969683028665376e+01 * (((fz.frac) - 0.5) * ((fz.frac) - 0.5)) + 2.209460984245205e+02) * (((fz.frac) - 0.5) * ((fz.frac) - 0.5)) + -2.759285104469687e+02) * (((fz.frac) - 0.5) * ((fz.frac) - 0.5)) + 1.383577518672690e+02) * (((fz.frac) - 0.5) * ((fz.frac) - 0.5)) + -3.066479806614716e+01) * (((fz.frac) - 0.5) * ((fz.frac) - 0.5)) + 2.506628277459239e+00) * ((fz.frac) - 0.5) / (((((-5.447609879822406e+01 * (((fz.frac) - 0.5) * ((fz.frac) - 0.5)) + 1.615858368580409e+02) * (((fz.frac) - 0.5) * ((fz.frac) - 0.5)) + -1.556989798598866e+02) * (((fz.frac) - 0.5) * ((fz.frac) - 0.5)) + 6.680131188771972e+01) * (((fz.frac) - 0.5) * ((fz.frac) - 0.5)) + -1.328068155288572e+01) * (((fz.frac) - 0.5) * ((fz.frac) - 0.5)) + 1.0) END), 8) AS z0, fz.b, acc.a, acc.mfull, acc.n
+        FROM fz, acc
+    ),
+    lv AS (
+        SELECT s.n, s.b, s.mfull, s.z0, round(s.a, 8) AS a,
+               round((CASE WHEN ((s.z0 + (s.z0 - 1.959964) / (1.0 - s.a * (s.z0 - 1.959964)))) >= 0 THEN 1.0 - ((((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 - 1.959964) / (1.0 - s.a * (s.z0 - 1.959964)))) / 1.4142135623730951))) - 1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 - 1.959964) / (1.0 - s.a * (s.z0 - 1.959964)))) / 1.4142135623730951))) + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 - 1.959964) / (1.0 - s.a * (s.z0 - 1.959964)))) / 1.4142135623730951))) - 0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 - 1.959964) / (1.0 - s.a * (s.z0 - 1.959964)))) / 1.4142135623730951))) + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 - 1.959964) / (1.0 - s.a * (s.z0 - 1.959964)))) / 1.4142135623730951)))) * exp(-(abs((s.z0 + (s.z0 - 1.959964) / (1.0 - s.a * (s.z0 - 1.959964)))) / 1.4142135623730951) * (abs((s.z0 + (s.z0 - 1.959964) / (1.0 - s.a * (s.z0 - 1.959964)))) / 1.4142135623730951))) / 2.0 ELSE ((((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 - 1.959964) / (1.0 - s.a * (s.z0 - 1.959964)))) / 1.4142135623730951))) - 1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 - 1.959964) / (1.0 - s.a * (s.z0 - 1.959964)))) / 1.4142135623730951))) + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 - 1.959964) / (1.0 - s.a * (s.z0 - 1.959964)))) / 1.4142135623730951))) - 0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 - 1.959964) / (1.0 - s.a * (s.z0 - 1.959964)))) / 1.4142135623730951))) + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 - 1.959964) / (1.0 - s.a * (s.z0 - 1.959964)))) / 1.4142135623730951)))) * exp(-(abs((s.z0 + (s.z0 - 1.959964) / (1.0 - s.a * (s.z0 - 1.959964)))) / 1.4142135623730951) * (abs((s.z0 + (s.z0 - 1.959964) / (1.0 - s.a * (s.z0 - 1.959964)))) / 1.4142135623730951))) / 2.0 END), 10) AS a1,
+               round((CASE WHEN ((s.z0 + (s.z0 + 1.959964) / (1.0 - s.a * (s.z0 + 1.959964)))) >= 0 THEN 1.0 - ((((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 + 1.959964) / (1.0 - s.a * (s.z0 + 1.959964)))) / 1.4142135623730951))) - 1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 + 1.959964) / (1.0 - s.a * (s.z0 + 1.959964)))) / 1.4142135623730951))) + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 + 1.959964) / (1.0 - s.a * (s.z0 + 1.959964)))) / 1.4142135623730951))) - 0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 + 1.959964) / (1.0 - s.a * (s.z0 + 1.959964)))) / 1.4142135623730951))) + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 + 1.959964) / (1.0 - s.a * (s.z0 + 1.959964)))) / 1.4142135623730951)))) * exp(-(abs((s.z0 + (s.z0 + 1.959964) / (1.0 - s.a * (s.z0 + 1.959964)))) / 1.4142135623730951) * (abs((s.z0 + (s.z0 + 1.959964) / (1.0 - s.a * (s.z0 + 1.959964)))) / 1.4142135623730951))) / 2.0 ELSE ((((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 + 1.959964) / (1.0 - s.a * (s.z0 + 1.959964)))) / 1.4142135623730951))) - 1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 + 1.959964) / (1.0 - s.a * (s.z0 + 1.959964)))) / 1.4142135623730951))) + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 + 1.959964) / (1.0 - s.a * (s.z0 + 1.959964)))) / 1.4142135623730951))) - 0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 + 1.959964) / (1.0 - s.a * (s.z0 + 1.959964)))) / 1.4142135623730951))) + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs((s.z0 + (s.z0 + 1.959964) / (1.0 - s.a * (s.z0 + 1.959964)))) / 1.4142135623730951)))) * exp(-(abs((s.z0 + (s.z0 + 1.959964) / (1.0 - s.a * (s.z0 + 1.959964)))) / 1.4142135623730951) * (abs((s.z0 + (s.z0 + 1.959964) / (1.0 - s.a * (s.z0 + 1.959964)))) / 1.4142135623730951))) / 2.0 END), 10) AS a2
+        FROM sc s
+    ),
+    ranked AS (
+        SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM reps
+    ),
+    pick AS (
+        SELECT lv.n, lv.b, lv.mfull, lv.z0, lv.a, lv.a1, lv.a2,
+               MAX(CASE WHEN ranked.rn = GREATEST(LEAST(
+                   CAST(ceil(lv.a1 * lv.b) AS BIGINT), lv.b), 1)
+                   THEN ranked.m END) AS lo,
+               MAX(CASE WHEN ranked.rn = GREATEST(LEAST(
+                   CAST(ceil(lv.a2 * lv.b) AS BIGINT), lv.b), 1)
+                   THEN ranked.m END) AS hi,
+               MAX(CASE WHEN ranked.rn = GREATEST(LEAST(
+                   CAST(ceil(0.025 * lv.b) AS BIGINT), lv.b), 1)
+                   THEN ranked.m END) AS plo,
+               MAX(CASE WHEN ranked.rn = GREATEST(LEAST(
+                   CAST(ceil(0.975 * lv.b) AS BIGINT), lv.b), 1)
+                   THEN ranked.m END) AS phi_
+        FROM lv, ranked
+        GROUP BY lv.n, lv.b, lv.mfull, lv.z0, lv.a, lv.a1, lv.a2
+    )
+    SELECT n AS n_orders, b AS b_replicates,
+           mfull + 0.0 AS mean_kusd,
+           round(a, 8) + 0.0 AS acceleration,
+           z0 + 0.0 AS bias_z0,
+           lo + 0.0 AS bca_lo_kusd,
+           hi + 0.0 AS bca_hi_kusd,
+           plo + 0.0 AS pct_lo_kusd,
+           phi_ + 0.0 AS pct_hi_kusd
+    FROM pick
+""",
+)
+def bca_bootstrap_mean_ci(spark, sf_dir):
+    """BCa (bias-corrected and accelerated) bootstrap interval for
+    the mean order value (kUSD), fully DETERMINISTIC: 99 Poisson(1)
+    hash-weight replicates (the `poisson_bootstrap_se` production
+    device — no RNG, no global resample), bias correction z0 =
+    Phi^-1(frac of replicate means below the full mean; Acklam
+    tree, frac clamped to [1/(2B), 1-1/(2B)]), and the EXACT
+    closed-form jackknife acceleration for the mean, a =
+    sum(x-xbar)^3 / (6 (sum(x-xbar)^2)^(3/2)) (the (n-1) powers
+    cancel, so no leave-one-out pass exists) — Efron's
+    second-order-correct interval beside the first-order readouts:
+    `poisson_bootstrap_se`'s +/-z SE interval and
+    `empirical_bernstein_ci`'s concentration bound. On a skewed
+    revenue distribution the BCa endpoints shift RIGHT of the
+    percentile interval (also shipped) by design — that asymmetry
+    is the skew pricing every symmetric CI silently drops.
+
+    Exactness: kUSD power sums fold at 6 dp (exact DECIMAL);
+    replicate means are exact weighted-integer ratios rounded at 6
+    dp; z0 pins at 8 dp off the Acklam tree; adjusted levels pin at
+    10 dp off the shared Phi tree; endpoints are nearest-rank order
+    statistics (ceil(alpha B), clamped) on the 99-row replicate
+    frame (bounded window). Plan: one scan x 99 broadcast replicate
+    ids (map-side fan-out) -> 99-group rollup -> scalar folds ->
+    bounded rank pick."""
+    from .bank_r14 import _pois_case as _pc
+    from .bank_r15 import _acklam_col
+    from .bank_r19 import _phi_col_r19 as _phi
+
+    o = t(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderkey").alias("k"),
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("x"),
+    )
+    xk = F.col("x") / 100000.0
+    mom = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(xk, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(F.round(xk * xk, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s2"),
+        F.sum(F.round(xk * xk * xk, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s3"),
+    )
+    n = F.col("n").cast("double")
+    m2 = F.col("s2") - F.col("s1") * F.col("s1") / n
+    m3 = (
+        F.col("s3")
+        - 3.0 * F.col("s1") * F.col("s2") / n
+        + 2.0 * F.col("s1") * F.col("s1") * F.col("s1") / (n * n)
+    )
+    acc = mom.select(
+        "n",
+        F.round(F.col("s1") / n, 6).alias("mfull"),
+        (m3 / (6.0 * F.sqrt(m2) * m2)).alias("a"),
+    )
+    reps = spark.range(1, 100).select(F.col("id").alias("rep"))
+    w = F.expr(
+        _pc(
+            "(CAST((CAST(k AS DECIMAL(38,0)) * 2654435761"
+            " + rep * 40503) % 4294967296 AS DOUBLE))"
+            " / 4294967296.0"
+        )
+    )
+    weighted = v.crossJoin(F.broadcast(reps)).select(
+        "rep", "x", w.alias("w")
+    )
+    stat = (
+        weighted.groupBy("rep")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).alias("sw"),
+            F.sum("w").alias("wsum"),
+        )
+        .where(F.col("wsum") > 0)
+        .select(
+            F.round(
+                F.col("sw") / (100000.0 * F.col("wsum")), 6
+            ).alias("m")
+        )
+        .persist()
+    )
+    fz = stat.crossJoin(F.broadcast(acc)).agg(
+        F.greatest(
+            F.least(
+                F.sum(
+                    F.when(F.col("m") < F.col("mfull"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                1.0 - 0.5 / F.count(F.lit(1)),
+            ),
+            0.5 / F.count(F.lit(1)),
+        ).alias("frac"),
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+    )
+    sc = fz.crossJoin(F.broadcast(acc)).select(
+        "n",
+        "b",
+        "mfull",
+        F.round(F.col("a"), 8).alias("a"),
+        F.round(_acklam_col(F.col("frac")), 8).alias("z0"),
+    )
+    za = 1.959964
+    lo_arg = F.col("z0") + (F.col("z0") - za) / (
+        1.0 - F.col("a") * (F.col("z0") - za)
+    )
+    hi_arg = F.col("z0") + (F.col("z0") + za) / (
+        1.0 - F.col("a") * (F.col("z0") + za)
+    )
+    lv = sc.select(
+        "n",
+        "b",
+        "mfull",
+        "a",
+        "z0",
+        F.round(_phi(lo_arg), 10).alias("a1"),
+        F.round(_phi(hi_arg), 10).alias("a2"),
+    )
+    ranked = stat.select(
+        "m", F.row_number().over(Window.orderBy("m")).alias("rn")
+    )
+
+    def pick(alpha):
+        idx = F.greatest(
+            F.least(F.ceil(alpha * F.col("b")).cast("bigint"),
+                    F.col("b")),
+            F.lit(1).cast("bigint"),
+        )
+        return F.max(F.when(F.col("rn") == idx, F.col("m")))
+
+    out = ranked.crossJoin(F.broadcast(lv)).groupBy(
+        "n", "b", "mfull", "a", "z0", "a1", "a2"
+    ).agg(
+        pick(F.col("a1")).alias("lo"),
+        pick(F.col("a2")).alias("hi"),
+        pick(F.lit(0.025)).alias("plo"),
+        pick(F.lit(0.975)).alias("phi_"),
+    )
+    return out.select(
+        F.col("n").alias("n_orders"),
+        F.col("b").alias("b_replicates"),
+        (F.col("mfull") + 0.0).alias("mean_kusd"),
+        (F.round("a", 8) + 0.0).alias("acceleration"),
+        (F.col("z0") + 0.0).alias("bias_z0"),
+        (F.col("lo") + 0.0).alias("bca_lo_kusd"),
+        (F.col("hi") + 0.0).alias("bca_hi_kusd"),
+        (F.col("plo") + 0.0).alias("pct_lo_kusd"),
+        (F.col("phi_") + 0.0).alias("pct_hi_kusd"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "bca_bootstrap_mean_ci": (
+            "99-replicate map-side fan-out + bounded 99-row rank "
+            "window (the poisson_bootstrap_se device)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# TOST equivalence for a correlation (Fisher-z scale)
+# --------------------------------------------------------------------------
+@register(
+    "corr_equivalence_tost",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST((epoch_us(o_orderdate) // 86400000000 + 4) % 7
+                    AS BIGINT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    wd AS (
+        SELECT CAST(x AS DOUBLE) AS x,
+               CAST(y AS DOUBLE) / x / 100000.0 AS ybar
+        FROM daily
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(x, 1) AS DECIMAL(28,1)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(ybar, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(x * x, 1) AS DECIMAL(28,1)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(ybar * ybar, 8)
+                    AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(round(x * ybar, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sxy
+        FROM wd
+    ),
+    rz AS (
+        SELECT n,
+               round((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx)
+                            * (n * syy - sy * sy)), 8) AS r
+        FROM fold
+    )
+    SELECT n AS n_days,
+           r + 0.0 AS pearson_r,
+           round(0.5 * ln((1.0 + r) / (1.0 - r)), 8) + 0.0
+               AS fisher_z,
+           round((0.5 * ln((1.0 + r) / (1.0 - r))
+                  + 0.10033534773107558) * sqrt(n - 3.0), 6) + 0.0
+               AS tost_z_lower,
+           round((0.5 * ln((1.0 + r) / (1.0 - r))
+                  - 0.10033534773107558) * sqrt(n - 3.0), 6) + 0.0
+               AS tost_z_upper,
+           CAST(CASE WHEN (0.5 * ln((1.0 + r) / (1.0 - r))
+                           + 0.10033534773107558) * sqrt(n - 3.0)
+                          >= 1.6448536269514722
+                      AND (0.5 * ln((1.0 + r) / (1.0 - r))
+                           - 0.10033534773107558) * sqrt(n - 3.0)
+                          <= -1.6448536269514722
+                     THEN 1 ELSE 0 END AS INT)
+               AS equivalent_to_zero_5pct
+    FROM rz
+    """,
+)
+def corr_equivalence_tost(spark, sf_dir):
+    """TOST EQUIVALENCE test that the daily volume <-> mean-order-
+    value correlation is ZERO within |rho| < 0.1: both one-sided
+    Fisher-z statistics (z(r) -/+ z(0.1)) sqrt(n-3) must clear
+    z_0.95 (Goertzen-Cribbie correlation equivalence; z(0.1) =
+    0.10033534773107558 exact literal) — the third member of the
+    equivalence trio (`tost_equivalence_means`, `tost_equivalence_
+    proportions`) and the POSITIVE independence certificate the
+    correlation battery lacks: a non-significant r is absence of
+    evidence, TOST is evidence of absence, and "volume does not
+    move ticket size" is exactly the claim a pricing pipeline
+    needs certified before pooling. Note the metric is mean order
+    VALUE per day (not revenue, which correlates with volume by
+    construction).
+
+    Exactness: daily (x, ybar) fold exactly (counts at 1 dp, kUSD
+    means at 8 dp into DECIMAL sums); r pins at 8 dp; the two TOST
+    z's and the verdict bit are terminal IEEE trees with shared
+    literals. Plan: day rollup -> one fold; no window."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("xc"),
+        (F.sum(dec("o_totalprice", 18, 2)) * 100)
+        .cast("bigint")
+        .alias("yc"),
+    )
+    wd = daily.select(
+        F.col("xc").cast("double").alias("x"),
+        (
+            F.col("yc").cast("double") / F.col("xc") / 100000.0
+        ).alias("ybar"),
+    )
+    fold = wd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("x", 1).cast("decimal(28,1)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.round("ybar", 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 1).cast("decimal(28,1)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.round(F.col("ybar") * F.col("ybar"), 8).cast(
+                "decimal(28,8)"
+            )
+        )
+        .cast("double")
+        .alias("syy"),
+        F.sum(
+            F.round(F.col("x") * F.col("ybar"), 6).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    r = F.round(
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(
+            (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
+        8,
+    )
+    rz = fold.select("n", r.alias("r"))
+    zf = 0.5 * F.log((1.0 + F.col("r")) / (1.0 - F.col("r")))
+    zm = 0.10033534773107558
+    zc = 1.6448536269514722
+    nn = F.col("n").cast("double")
+    zlo = (zf + zm) * F.sqrt(nn - 3.0)
+    zhi = (zf - zm) * F.sqrt(nn - 3.0)
+    return rz.select(
+        F.col("n").alias("n_days"),
+        (F.col("r") + 0.0).alias("pearson_r"),
+        (F.round(zf, 8) + 0.0).alias("fisher_z"),
+        (F.round(zlo, 6) + 0.0).alias("tost_z_lower"),
+        (F.round(zhi, 6) + 0.0).alias("tost_z_upper"),
+        F.when((zlo >= zc) & (zhi <= -zc), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("equivalent_to_zero_5pct"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "corr_equivalence_tost": (
+            "no window — day rollup + one fold"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# DeLong correlated AUC difference: length model vs source model
+# --------------------------------------------------------------------------
+@register(
+    "delong_auc_difference",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, source,
+               CAST(floor(ln(CAST(n_chars AS DOUBLE)) / ln(2.0))
+                    AS BIGINT) AS oct,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents WHERE n_chars > 0
+    ),
+    orate AS (
+        SELECT oct, round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 10)
+                   AS pa
+        FROM docs GROUP BY oct
+    ),
+    srate AS (
+        SELECT source, round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 10)
+                   AS pb
+        FROM docs GROUP BY source
+    ),
+    cells AS (
+        SELECT orate.pa, srate.pb, d.y,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM docs d
+        JOIN orate ON d.oct = orate.oct
+        JOIN srate ON d.source = srate.source
+        GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT CAST(SUM(CASE WHEN y = 1 THEN c END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN y = 0 THEN c END) AS BIGINT) AS n0
+        FROM cells
+    ),
+    ma AS (
+        SELECT pa,
+               CAST(COALESCE(SUM(CASE WHEN y = 0 THEN c END), 0)
+                    AS BIGINT) AS c0,
+               CAST(COALESCE(SUM(CASE WHEN y = 1 THEN c END), 0)
+                    AS BIGINT) AS c1
+        FROM cells GROUP BY pa
+    ),
+    cma AS (
+        SELECT pa,
+               round((CAST(COALESCE(SUM(c0) OVER (ORDER BY pa
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                      PRECEDING), 0) AS DOUBLE) + 0.5 * c0)
+                     / tot.n0, 10) AS v10,
+               round((tot.n1
+                      - CAST(COALESCE(SUM(c1) OVER (ORDER BY pa
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                        PRECEDING), 0) AS DOUBLE) - 0.5 * c1)
+                     / tot.n1, 10) AS v01
+        FROM ma, tot
+    ),
+    mb AS (
+        SELECT pb,
+               CAST(COALESCE(SUM(CASE WHEN y = 0 THEN c END), 0)
+                    AS BIGINT) AS c0,
+               CAST(COALESCE(SUM(CASE WHEN y = 1 THEN c END), 0)
+                    AS BIGINT) AS c1
+        FROM cells GROUP BY pb
+    ),
+    cmb AS (
+        SELECT pb,
+               round((CAST(COALESCE(SUM(c0) OVER (ORDER BY pb
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                      PRECEDING), 0) AS DOUBLE) + 0.5 * c0)
+                     / tot.n0, 10) AS v10,
+               round((tot.n1
+                      - CAST(COALESCE(SUM(c1) OVER (ORDER BY pb
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                        PRECEDING), 0) AS DOUBLE) - 0.5 * c1)
+                     / tot.n1, 10) AS v01
+        FROM mb, tot
+    ),
+    ev AS (
+        SELECT t.n1, t.n0,
+               CAST(SUM(CAST(round(c.c * a.v10, 10)
+                    AS DECIMAL(28,10))) AS DOUBLE) AS sa,
+               CAST(SUM(CAST(round(c.c * b.v10, 10)
+                    AS DECIMAL(28,10))) AS DOUBLE) AS sb,
+               CAST(SUM(CAST(round(c.c * a.v10 * a.v10, 12)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS saa,
+               CAST(SUM(CAST(round(c.c * b.v10 * b.v10, 12)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS sbb,
+               CAST(SUM(CAST(round(c.c * a.v10 * b.v10, 12)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS sab
+        FROM cells c
+        JOIN cma a ON c.pa = a.pa
+        JOIN cmb b ON c.pb = b.pb
+        CROSS JOIN tot t
+        WHERE c.y = 1
+        GROUP BY t.n1, t.n0
+    ),
+    nv AS (
+        SELECT CAST(SUM(CAST(round(c.c * a.v01, 10)
+                    AS DECIMAL(28,10))) AS DOUBLE) AS sa,
+               CAST(SUM(CAST(round(c.c * b.v01, 10)
+                    AS DECIMAL(28,10))) AS DOUBLE) AS sb,
+               CAST(SUM(CAST(round(c.c * a.v01 * a.v01, 12)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS saa,
+               CAST(SUM(CAST(round(c.c * b.v01 * b.v01, 12)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS sbb,
+               CAST(SUM(CAST(round(c.c * a.v01 * b.v01, 12)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS sab
+        FROM cells c
+        JOIN cma a ON c.pa = a.pa
+        JOIN cmb b ON c.pb = b.pb
+        WHERE c.y = 0
+    ),
+    stat AS (
+        SELECT ev.n1, ev.n0,
+               ev.sa / ev.n1 AS auca, ev.sb / ev.n1 AS aucb,
+               ((ev.saa - ev.sa * ev.sa / ev.n1)
+                + (ev.sbb - ev.sb * ev.sb / ev.n1)
+                - 2.0 * (ev.sab - ev.sa * ev.sb / ev.n1))
+               / (ev.n1 - 1.0) / ev.n1
+               + ((nv.saa - nv.sa * nv.sa / ev.n0)
+                  + (nv.sbb - nv.sb * nv.sb / ev.n0)
+                  - 2.0 * (nv.sab - nv.sa * nv.sb / ev.n0))
+                 / (ev.n0 - 1.0) / ev.n0 AS vd
+        FROM ev, nv
+    )
+    SELECT n1 AS n_events, n0 AS n_nonevents,
+           round(auca, 8) + 0.0 AS auc_length_model,
+           round(aucb, 8) + 0.0 AS auc_source_model,
+           round(aucb - auca, 8) + 0.0 AS auc_diff,
+           round(sqrt(vd), 8) + 0.0 AS delong_se_diff,
+           round((aucb - auca) / sqrt(vd), 6) + 0.0 AS delong_z
+    FROM stat
+    """,
+)
+def delong_auc_difference(spark, sf_dir):
+    """DELONG CORRELATED-AUC DIFFERENCE test between the length-
+    octave model and the source model for predicting lang='en' (the
+    `idi_discrimination_improvement` / `net_reclassification_index`
+    model pair, completing the discrimination trinity): both AUCs
+    from tie-corrected structural components V10/V01 on the bounded
+    joint score grid, with Var(AUC_b - AUC_a) = [S10_aa + S10_bb -
+    2 S10_ab]/n1 + [S01_aa + S01_bb - 2 S01_ab]/n0 — the COVARIANCE
+    term is what the pair of single-model `auc_delong_se` readouts
+    cannot give: the two models score the SAME documents, so naive
+    independent-SE comparison overstates Var(diff) and misses real
+    improvements. IDI moving with a flat DeLong z localizes
+    calibration-only gains; both moving is rank-order improvement.
+
+    Exactness: both score domains are bounded grids (length octaves
+    x sources, <= ~130 joint cells), so every structural component
+    is a grid-level cumulative (exclusive-prefix over the score
+    values, the auc_delong device) pinned at 10 dp; all covariance
+    folds are c-weighted DECIMAL sums over the joint cells; the z
+    closes in one IEEE tree. Plan: doc scan -> two rate rollups ->
+    joint-cell rollup -> two bounded marginal cumulatives ->
+    broadcast joins -> two folds; no data-scaled window."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            "source",
+            F.floor(
+                F.log(F.col("n_chars").cast("double"))
+                / F.log(F.lit(2.0))
+            )
+            .cast("bigint")
+            .alias("oct"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+    )
+    orate = d.groupBy("oct").agg(
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 10)
+        .alias("pa")
+    )
+    srate = d.groupBy("source").agg(
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 10)
+        .alias("pb")
+    )
+    cells = (
+        d.join(F.broadcast(orate), "oct")
+        .join(F.broadcast(srate), "source")
+        .groupBy("pa", "pb", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    tot = cells.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("c")))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("y") == 0, F.col("c")))
+        .cast("bigint")
+        .alias("n0"),
+    )
+
+    def marg(key):
+        m = cells.groupBy(key).agg(
+            F.coalesce(
+                F.sum(F.when(F.col("y") == 0, F.col("c"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("c0"),
+            F.coalesce(
+                F.sum(F.when(F.col("y") == 1, F.col("c"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("c1"),
+        )
+        wv = Window.orderBy(key).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            m.crossJoin(F.broadcast(tot))
+            .select(
+                key,
+                F.round(
+                    (
+                        (F.sum("c0").over(wv) - F.col("c0")).cast(
+                            "double"
+                        )
+                        + 0.5 * F.col("c0")
+                    )
+                    / F.col("n0"),
+                    10,
+                ).alias("v10"),
+                F.round(
+                    (
+                        F.col("n1")
+                        - (F.sum("c1").over(wv) - F.col("c1")).cast(
+                            "double"
+                        )
+                        - 0.5 * F.col("c1")
+                    )
+                    / F.col("n1"),
+                    10,
+                ).alias("v01"),
+            )
+        )
+
+    cma = marg("pa").select(
+        "pa", F.col("v10").alias("va10"), F.col("v01").alias("va01")
+    )
+    cmb = marg("pb").select(
+        "pb", F.col("v10").alias("vb10"), F.col("v01").alias("vb01")
+    )
+    joined = (
+        cells.join(F.broadcast(cma), "pa")
+        .join(F.broadcast(cmb), "pb")
+        .crossJoin(F.broadcast(tot))
+        .persist()
+    )
+
+    def fold(df, va, vb):
+        c = F.col("c")
+        return df.agg(
+            F.max("n1").alias("n1"),
+            F.max("n0").alias("n0"),
+            F.sum(F.round(c * va, 10).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sa"),
+            F.sum(F.round(c * vb, 10).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sb"),
+            F.sum(F.round(c * va * va, 12).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("saa"),
+            F.sum(F.round(c * vb * vb, 12).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sbb"),
+            F.sum(F.round(c * va * vb, 12).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("sab"),
+        )
+
+    ev = fold(
+        joined.where(F.col("y") == 1), F.col("va10"), F.col("vb10")
+    )
+    nv = fold(
+        joined.where(F.col("y") == 0), F.col("va01"), F.col("vb01")
+    ).select(
+        F.col("sa").alias("nsa"),
+        F.col("sb").alias("nsb"),
+        F.col("saa").alias("nsaa"),
+        F.col("sbb").alias("nsbb"),
+        F.col("sab").alias("nsab"),
+    )
+    st = ev.crossJoin(F.broadcast(nv))
+    n1 = F.col("n1").cast("double")
+    n0 = F.col("n0").cast("double")
+    auca = F.col("sa") / n1
+    aucb = F.col("sb") / n1
+    vd = (
+        (
+            (F.col("saa") - F.col("sa") * F.col("sa") / n1)
+            + (F.col("sbb") - F.col("sb") * F.col("sb") / n1)
+            - 2.0 * (F.col("sab") - F.col("sa") * F.col("sb") / n1)
+        )
+        / (n1 - 1.0)
+        / n1
+        + (
+            (F.col("nsaa") - F.col("nsa") * F.col("nsa") / n0)
+            + (F.col("nsbb") - F.col("nsb") * F.col("nsb") / n0)
+            - 2.0
+            * (F.col("nsab") - F.col("nsa") * F.col("nsb") / n0)
+        )
+        / (n0 - 1.0)
+        / n0
+    )
+    return st.select(
+        F.col("n1").alias("n_events"),
+        F.col("n0").alias("n_nonevents"),
+        (F.round(auca, 8) + 0.0).alias("auc_length_model"),
+        (F.round(aucb, 8) + 0.0).alias("auc_source_model"),
+        (F.round(aucb - auca, 8) + 0.0).alias("auc_diff"),
+        (F.round(F.sqrt(vd), 8) + 0.0).alias("delong_se_diff"),
+        (F.round((aucb - auca) / F.sqrt(vd), 6) + 0.0)
+        .alias("delong_z"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "delong_auc_difference": (
+            "bounded score-grid marginal cumulatives (the "
+            "auc_delong_se class); joint grid <= ~130 cells"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Bangdiwala's B agreement statistic on the paired modal buckets
+# --------------------------------------------------------------------------
+@register(
+    "bangdiwala_b_agreement",
+    oracle="""
+    WITH bucketed AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) // 86400000000
+                         < 19723 + 15 THEN 0 ELSE 1 END AS half,
+               CASE WHEN event_type IN ('click', 'view') THEN 'engage'
+                    WHEN event_type IN ('purchase', 'signup') THEN 'convert'
+                    ELSE 'error' END AS b,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2, 3
+    ),
+    modal AS (
+        SELECT user_id, half, b,
+               ROW_NUMBER() OVER (PARTITION BY user_id, half
+                                  ORDER BY c DESC, b ASC) AS rn
+        FROM bucketed
+    ),
+    paired AS (
+        SELECT a.b AS before_b, z.b AS after_b
+        FROM (SELECT user_id, b FROM modal WHERE half = 0 AND rn = 1) a
+        JOIN (SELECT user_id, b FROM modal WHERE half = 1 AND rn = 1) z
+          ON a.user_id = z.user_id
+    ),
+    cnt AS (
+        SELECT before_b, after_b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM paired GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT cat,
+               CAST(COALESCE(SUM(CASE WHEN side = 'r' THEN n END), 0)
+                    AS BIGINT) AS r,
+               CAST(COALESCE(SUM(CASE WHEN side = 'c' THEN n END), 0)
+                    AS BIGINT) AS k,
+               CAST(COALESCE(SUM(CASE WHEN side = 'd' THEN n END), 0)
+                    AS BIGINT) AS d
+        FROM (
+            SELECT before_b AS cat, 'r' AS side, n FROM cnt
+            UNION ALL
+            SELECT after_b, 'c', n FROM cnt
+            UNION ALL
+            SELECT before_b, 'd', n FROM cnt WHERE before_b = after_b
+        ) GROUP BY cat
+    ),
+    fold AS (
+        SELECT CAST(SUM(r) AS BIGINT) AS n,
+               CAST(SUM(CAST(d AS DECIMAL(38,0)) * d)
+                    AS DECIMAL(38,0)) AS sdd,
+               CAST(SUM(CAST(r AS DECIMAL(38,0)) * k)
+                    AS DECIMAL(38,0)) AS srk,
+               CAST(SUM(d) AS BIGINT) AS sd
+        FROM marg
+    )
+    SELECT n AS n_users,
+           round(CAST(sd AS DOUBLE) / n, 8) + 0.0
+               AS raw_agreement,
+           round(CAST(sdd AS DOUBLE) / CAST(srk AS DOUBLE), 8)
+               + 0.0 AS bangdiwala_b
+    FROM fold
+    """,
+)
+def bangdiwala_b_agreement(spark, sf_dir):
+    """BANGDIWALA'S B agreement statistic on the `stuart_maxwell_
+    test` paired modal-bucket frame: B = sum n_ii^2 / sum (R_i C_i)
+    — the area of the observed agreement squares over the area of
+    the maximum-agreement rectangles in the Bangdiwala agreement
+    chart — the GEOMETRIC second opinion to the chance-corrected
+    kappa family (`cohens_kappa_agreement`, `gwet_ac1_agreement`,
+    `krippendorff_alpha_binary`): B needs NO chance model at all
+    (the kappa paradox — high raw agreement with low kappa under
+    skewed margins — cannot touch it), while raw agreement ships
+    beside it as the naive floor; Bangdiwala-vs-kappa disagreement
+    is precisely the margin-imbalance diagnostic. Completes the
+    marginal-homogeneity story on this frame (Stuart-Maxwell and
+    Bhapkar test the MARGINS; B measures the DIAGONAL).
+
+    Exactness: all 9 cells, margins, and diagonal counts are exact
+    BIGINTs off the shared user-grain modal pick; the two quadratic
+    sums widen through DECIMAL(38,0); B is one integer-ratio
+    division. Plan: user rollup -> modal rank (user-partitioned) ->
+    user self-join -> 3-row margin rollup -> scalar; no global
+    window."""
+    e = t(spark, sf_dir, "events")
+    bucketed = e.groupBy(
+        "user_id",
+        F.when(
+            F.floor(F.unix_micros("ts") / 86_400_000_000) < 19723 + 15,
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+        F.when(F.col("event_type").isin("click", "view"), "engage")
+        .when(F.col("event_type").isin("purchase", "signup"), "convert")
+        .otherwise("error")
+        .alias("b"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    modal = bucketed.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "half").orderBy(
+                F.col("c").desc(), F.col("b").asc()
+            )
+        ),
+    ).where(F.col("rn") == 1)
+    before = modal.where(F.col("half") == 0).select(
+        "user_id", F.col("b").alias("before_b")
+    )
+    after = modal.where(F.col("half") == 1).select(
+        "user_id", F.col("b").alias("after_b")
+    )
+    cnt = (
+        before.join(after, "user_id")
+        .groupBy("before_b", "after_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    r = cnt.groupBy(F.col("before_b").alias("cat")).agg(
+        F.sum("n").cast("bigint").alias("r")
+    )
+    k = cnt.groupBy(F.col("after_b").alias("cat")).agg(
+        F.sum("n").cast("bigint").alias("k")
+    )
+    dg = (
+        cnt.where(F.col("before_b") == F.col("after_b"))
+        .groupBy(F.col("before_b").alias("cat"))
+        .agg(F.sum("n").cast("bigint").alias("d"))
+    )
+    marg = (
+        r.join(k, "cat", "full_outer")
+        .join(dg, "cat", "full_outer")
+        .select(
+            F.coalesce(F.col("r"), F.lit(0)).alias("r"),
+            F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+            F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+        )
+    )
+    fold = marg.agg(
+        F.sum("r").cast("bigint").alias("n"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d"))
+        .cast("decimal(38,0)")
+        .alias("sdd"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("k"))
+        .cast("decimal(38,0)")
+        .alias("srk"),
+        F.sum("d").cast("bigint").alias("sd"),
+    )
+    return fold.select(
+        F.col("n").alias("n_users"),
+        (
+            F.round(F.col("sd").cast("double") / F.col("n"), 8) + 0.0
+        ).alias("raw_agreement"),
+        (
+            F.round(
+                F.col("sdd").cast("double")
+                / F.col("srk").cast("double"),
+                8,
+            )
+            + 0.0
+        ).alias("bangdiwala_b"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "bangdiwala_b_agreement": (
+            "user-partitioned modal rank only (the "
+            "stuart_maxwell_test frame); 3-row margin rollup"
+        ),
+    }
+)
