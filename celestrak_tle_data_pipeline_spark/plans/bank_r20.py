@@ -4752,3 +4752,674 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Zero-truncated Poisson: unseen-user estimate from the count identity
+# --------------------------------------------------------------------------
+@register(
+    "ztp_unseen_users",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY user_id
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS u,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * (x - 1))
+                    AS DECIMAL(38,0)) AS sxx1
+        FROM pu
+    ),
+    lam AS (
+        SELECT u, sx,
+               round(CAST(sxx1 AS DOUBLE) / sx, 8) AS l
+        FROM fold
+    )
+    SELECT u AS n_observed_users,
+           round(l, 6) + 0.0 AS lambda_hat,
+           round(CAST(u AS DOUBLE) / (1.0 - exp(-l)), 4) + 0.0
+               AS n_total_users_est,
+           round(CAST(u AS DOUBLE) / (1.0 - exp(-l)) - u, 4) + 0.0
+               AS n_unseen_users_est,
+           round(exp(-l), 8) + 0.0 AS p_zero_hat,
+           round(CAST(sx AS DOUBLE) / u, 6) + 0.0
+               AS mean_events_observed
+    FROM lam
+    """,
+)
+def ztp_unseen_users(spark, sf_dir):
+    """ZERO-TRUNCATED POISSON estimate of the UNSEEN user population:
+    users appear in the events table only if they fired >= 1 event —
+    a real zero-truncation — and under Poisson activity the factorial
+    -moment identity E[X(X-1)]/E[X] = lambda holds UNALTERED by the
+    truncation (the zero class contributes nothing to either moment),
+    so lambda_hat = sum x(x-1)/sum x needs no iteration; N_hat =
+    U/(1 - e^-lambda) then prices the invisible zero class — the
+    PARAMETRIC second opinion to `capture_recapture_lincoln` /
+    `schnabel_capture_recapture` (which need repeat windows) and the
+    user-side dual of `good_turing_vocab`'s unseen-mass estimate
+    (which is distribution-free): parametric-vs-nonparametric unseen
+    estimates disagreeing flags activity overdispersion, which
+    `eb_gamma_poisson_rates` then models.
+
+    Exactness: per-user counts exact; sum x(x-1) widens through
+    DECIMAL(38,0); lambda pins at 8 dp before the shared exp; all
+    readouts are terminal IEEE trees. Plan: one user rollup -> one
+    fold; no window, no join."""
+    e = t(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    fold = pu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("u"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * (F.col("x") - 1))
+        .cast("decimal(38,0)")
+        .alias("sxx1"),
+    )
+    lam = F.round(
+        F.col("sxx1").cast("double") / F.col("sx"), 8
+    )
+    nhat = F.col("u").cast("double") / (1.0 - F.exp(-lam))
+    return fold.select(
+        F.col("u").alias("n_observed_users"),
+        (F.round(lam, 6) + 0.0).alias("lambda_hat"),
+        (F.round(nhat, 4) + 0.0).alias("n_total_users_est"),
+        (F.round(nhat - F.col("u"), 4) + 0.0)
+        .alias("n_unseen_users_est"),
+        (F.round(F.exp(-lam), 8) + 0.0).alias("p_zero_hat"),
+        (
+            F.round(F.col("sx").cast("double") / F.col("u"), 6) + 0.0
+        ).alias("mean_events_observed"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "ztp_unseen_users": (
+            "no window — user rollup + one fold"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Lin's interacted regression adjustment for the A/B effect
+# --------------------------------------------------------------------------
+@register(
+    "lin_interacted_adjustment",
+    oracle="""
+    WITH days AS (
+        SELECT user_id,
+               epoch_us(ts) // 86400000000 AS d,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+    ),
+    bounds AS (
+        SELECT (MIN(d) + MAX(d) + 1) // 2 AS split_d FROM days
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST((user_id * 2654435761) % 4294967296 % 2 AS INT)
+                   AS arm,
+               CAST(COALESCE(SUM(CASE WHEN d < split_d THEN v END),
+                    CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS x,
+               CAST(COALESCE(SUM(CASE WHEN d >= split_d THEN v END),
+                    CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS y
+        FROM days, bounds
+        GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(x, 2) AS DECIMAL(28,2)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(y, 2) AS DECIMAL(28,2)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(x * x, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(y * y, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS syy,
+               CAST(SUM(CAST(round(x * y, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS sxy
+        FROM per_user GROUP BY arm
+    ),
+    xbar AS (
+        SELECT CAST(SUM(sx) AS DOUBLE) / SUM(n) AS xb FROM g
+    ),
+    fit AS (
+        SELECT arm, n,
+               sy / n AS ym, sx / n AS xm,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+               ((n * syy - sy * sy)
+                - (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                  / (n * sxx - sx * sx))
+               / (n * 1.0 * n) / (n - 2.0) * n AS mse_over_n
+        FROM g
+    ),
+    wide AS (
+        SELECT
+          MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+          MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+          MAX(CASE WHEN arm = 1 THEN ym - b * (xm - xbar.xb) END)
+              AS adj1,
+          MAX(CASE WHEN arm = 0 THEN ym - b * (xm - xbar.xb) END)
+              AS adj0,
+          MAX(CASE WHEN arm = 1 THEN ym END) AS ym1,
+          MAX(CASE WHEN arm = 0 THEN ym END) AS ym0,
+          MAX(CASE WHEN arm = 1 THEN mse_over_n / n END) AS v1,
+          MAX(CASE WHEN arm = 0 THEN mse_over_n / n END) AS v0
+        FROM fit, xbar GROUP BY xbar.xb
+    )
+    SELECT CAST(n1 + n0 AS BIGINT) AS n_users,
+           round(ym1 - ym0, 6) + 0.0 AS raw_diff,
+           round(adj1 - adj0, 6) + 0.0 AS lin_adj_diff,
+           round(sqrt(v1 + v0), 6) + 0.0 AS lin_se,
+           round((adj1 - adj0) / sqrt(v1 + v0), 6) + 0.0 AS lin_z
+    FROM wide
+    """,
+)
+def lin_interacted_adjustment(spark, sf_dir):
+    """LIN'S INTERACTED regression adjustment for the A/B effect on
+    the `cuped_adjusted_ab` frame: fit y on the centered pre-period
+    covariate SEPARATELY per arm and read the effect at the pooled
+    covariate mean, tau = [ybar1 - b1(xbar1 - xbar)] - [ybar0 -
+    b0(xbar0 - xbar)] — Lin (2013) showed the single-slope
+    adjustment (CUPED's theta) can HURT precision under
+    heterogeneous slopes while the interacted form never does
+    asymptotically; b1 != b0 here is directly visible as
+    adjustment-by-arm, and `post_stratified_ab_estimate` brackets
+    it nonparametrically. SE is the large-n per-arm residual form
+    sqrt(mse1/n1 + mse0/n0) (documented).
+
+    Exactness: per-user x/y are exact DECIMAL(18,2) sums read as
+    doubles; per-arm power sums round at 2/4 dp into DECIMAL folds;
+    both arm fits and the combined estimate close in IEEE trees.
+    Plan: user rollup -> 2-arm rollup -> scalar pivot; no
+    window."""
+    from .ext_pipeline import _KNUTH, _M32
+
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 86_400_000_000).alias("d"),
+        dec("value", 18, 2).alias("v"),
+    )
+    bounds = days.agg(
+        F.floor((F.min("d") + F.max("d") + 1) / 2).alias("split_d")
+    )
+    per_user = (
+        days.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("d") < F.col("split_d"), F.col("v"))
+                ),
+                F.lit(0).cast("decimal(18,2)"),
+            )
+            .cast("double")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("d") >= F.col("split_d"), F.col("v"))
+                ),
+                F.lit(0).cast("decimal(18,2)"),
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .select(
+            ((F.col("user_id").cast("decimal(38,0)") * _KNUTH) % _M32 % 2)
+            .cast("int")
+            .alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    g = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("x", 2).cast("decimal(28,2)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.round("y", 2).cast("decimal(28,2)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxy"),
+    ).persist()
+    xbar = g.agg(
+        (F.sum("sx") / F.sum("n")).alias("xb")
+    )
+    n = F.col("n").cast("double")
+    b = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    mse_over_n = (
+        (
+            (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            - (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        )
+        / (n * n)
+        / (n - 2.0)
+        * n
+    )
+    fit = g.select(
+        "arm",
+        "n",
+        (F.col("sy") / n).alias("ym"),
+        (F.col("sx") / n).alias("xm"),
+        b.alias("b"),
+        mse_over_n.alias("mse_over_n"),
+    )
+    wide = fit.crossJoin(F.broadcast(xbar)).groupBy("xb").agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(
+            F.when(
+                F.col("arm") == 1,
+                F.col("ym") - F.col("b") * (F.col("xm") - F.col("xb")),
+            )
+        ).alias("adj1"),
+        F.max(
+            F.when(
+                F.col("arm") == 0,
+                F.col("ym") - F.col("b") * (F.col("xm") - F.col("xb")),
+            )
+        ).alias("adj0"),
+        F.max(F.when(F.col("arm") == 1, F.col("ym"))).alias("ym1"),
+        F.max(F.when(F.col("arm") == 0, F.col("ym"))).alias("ym0"),
+        F.max(
+            F.when(
+                F.col("arm") == 1, F.col("mse_over_n") / F.col("n")
+            )
+        ).alias("v1"),
+        F.max(
+            F.when(
+                F.col("arm") == 0, F.col("mse_over_n") / F.col("n")
+            )
+        ).alias("v0"),
+    )
+    se = F.sqrt(F.col("v1") + F.col("v0"))
+    return wide.select(
+        (F.col("n1") + F.col("n0")).cast("bigint").alias("n_users"),
+        (F.round(F.col("ym1") - F.col("ym0"), 6) + 0.0)
+        .alias("raw_diff"),
+        (F.round(F.col("adj1") - F.col("adj0"), 6) + 0.0)
+        .alias("lin_adj_diff"),
+        (F.round(se, 6) + 0.0).alias("lin_se"),
+        (
+            F.round((F.col("adj1") - F.col("adj0")) / se, 6) + 0.0
+        ).alias("lin_z"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "lin_interacted_adjustment": (
+            "no window — user rollup + 2-arm rollup + scalar pivot "
+            "(the cuped_adjusted_ab frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# BDS independence test (m = 2) on daily revenue
+# --------------------------------------------------------------------------
+@register(
+    "bds_independence_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    emb AS (
+        SELECT a.d, a.y AS y0, b.y AS y1
+        FROM daily a JOIN daily b ON b.d = a.d + 1
+    ),
+    eps AS (
+        SELECT CAST(floor(0.5 * sqrt(
+                   (COUNT(*) * CAST(SUM(CAST(y0 AS DECIMAL(38,0))
+                        * y0) AS DOUBLE)
+                    - CAST(SUM(y0) AS DOUBLE) * SUM(y0))
+                   / (COUNT(*) * (COUNT(*) - 1.0)))) AS BIGINT) AS e,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM emb
+    ),
+    rowc AS (
+        SELECT i.d,
+               CAST(SUM(CASE WHEN ABS(i.y0 - j.y0) <= eps.e
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+               CAST(SUM(CASE WHEN ABS(i.y0 - j.y0) <= eps.e
+                              AND ABS(i.y1 - j.y1) <= eps.e
+                             THEN 1 ELSE 0 END) AS BIGINT) AS mt
+        FROM emb i JOIN emb j ON i.d <> j.d, eps
+        GROUP BY i.d
+    ),
+    fold AS (
+        SELECT MAX(eps.n) AS n, MAX(eps.e) AS e,
+               CAST(SUM(nt) AS BIGINT) AS snt,
+               CAST(SUM(mt) AS BIGINT) AS smt,
+               CAST(SUM(CAST(nt AS DECIMAL(38,0)) * (nt - 1))
+                    AS DECIMAL(38,0)) AS snn1
+        FROM rowc, eps
+    ),
+    stat AS (
+        SELECT n, e,
+               CAST(snt AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))
+                   AS c1,
+               CAST(smt AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))
+                   AS c2,
+               CAST(snn1 AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (n - 1.0) * (n - 2.0)) AS k
+        FROM fold
+    )
+    SELECT n AS n_embedded_days,
+           e AS epsilon_cents,
+           round(c1, 8) + 0.0 AS c1_corr_integral,
+           round(c2, 8) + 0.0 AS c2_corr_integral,
+           round(c2 - c1 * c1, 8) + 0.0 AS bds_numerator,
+           round(sqrt(n * 1.0) * (c2 - c1 * c1)
+                 / sqrt(4.0 * (k * k - 2.0 * k * c1 * c1
+                               + c1 * c1 * c1 * c1)), 6) + 0.0
+               AS bds_w
+    FROM stat
+    """,
+)
+def bds_independence_daily(spark, sf_dir):
+    """BDS INDEPENDENCE test (embedding m = 2, epsilon = half the
+    series sd, exact integer cents) on daily revenue: W = sqrt(N)
+    (C2 - C1^2) / sigma with the correlation integrals C1, C2 from
+    the bounded day-pair frame and sigma^2 = 4(k^2 - 2k C1^2 +
+    C1^4) from the triple-closeness constant k = sum n_t(n_t-1) /
+    (N(N-1)(N-2)) (n_t = the day's neighbor count, so NO triple
+    join exists) — the residual-NONLINEARITY omnibus the series
+    battery lacks: linear structure is removed by the lag tests,
+    ARCH by McLeod-Li/Engle, but BDS rejects for ANY departure from
+    iid (chaos, regime switching, nonlinear MA), which is exactly
+    the "is there anything left" question after a pipeline
+    deseasonalizes. Normalization MC-verified (W sd 1.04 at N =
+    1200 under iid; the m = 2 variance simplifies to 4(k - C1^2)^2
+    and the check pinned it).
+
+    Exactness: epsilon is an exact integer floor of 0.5 sd from
+    DECIMAL power sums, so every closeness comparison is
+    integer-exact; row counts fold exactly, sum n(n-1) widens
+    through DECIMAL(38,0); C1/C2/k/W close in IEEE trees. Plan:
+    day rollup -> successor join -> bounded ~2.4k-row pairwise
+    self-join (calendar-constant pair count, the sample_entropy
+    device) -> per-day counts -> one fold."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            (F.sum(dec("o_totalprice", 18, 2)) * 100)
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    b1 = daily.select(
+        (F.col("d") - 1).alias("d"), F.col("y").alias("y1")
+    )
+    emb = (
+        daily.withColumnRenamed("y", "y0").join(b1, "d").persist()
+    )
+    eps = emb.agg(
+        F.floor(
+            0.5
+            * F.sqrt(
+                (
+                    F.count(F.lit(1))
+                    * F.sum(
+                        F.col("y0").cast("decimal(38,0)") * F.col("y0")
+                    ).cast("double")
+                    - F.sum("y0").cast("double") * F.sum("y0")
+                )
+                / (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1.0))
+            )
+        )
+        .cast("bigint")
+        .alias("e"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    i = emb.select(
+        F.col("d").alias("di"),
+        F.col("y0").alias("i0"),
+        F.col("y1").alias("i1"),
+    )
+    j = emb.select(
+        F.col("d").alias("dj"),
+        F.col("y0").alias("j0"),
+        F.col("y1").alias("j1"),
+    )
+    close0 = F.abs(F.col("i0") - F.col("j0")) <= F.col("e")
+    close1 = F.abs(F.col("i1") - F.col("j1")) <= F.col("e")
+    rowc = (
+        i.join(j, F.col("di") != F.col("dj"))
+        .crossJoin(F.broadcast(eps))
+        .groupBy("di")
+        .agg(
+            F.sum(close0.cast("long")).cast("bigint").alias("nt"),
+            F.sum((close0 & close1).cast("long"))
+            .cast("bigint")
+            .alias("mt"),
+        )
+    )
+    fold = rowc.crossJoin(F.broadcast(eps)).agg(
+        F.max("n").alias("n"),
+        F.max("e").alias("e"),
+        F.sum("nt").cast("bigint").alias("snt"),
+        F.sum("mt").cast("bigint").alias("smt"),
+        F.sum(F.col("nt").cast("decimal(38,0)") * (F.col("nt") - 1))
+        .cast("decimal(38,0)")
+        .alias("snn1"),
+    )
+    n = F.col("n").cast("double")
+    c1 = F.col("snt").cast("double") / (n * (n - 1))
+    c2 = F.col("smt").cast("double") / (n * (n - 1))
+    k = F.col("snn1").cast("double") / (n * (n - 1.0) * (n - 2.0))
+    w = (
+        F.sqrt(n)
+        * (c2 - c1 * c1)
+        / F.sqrt(
+            4.0 * (k * k - 2.0 * k * c1 * c1 + c1 * c1 * c1 * c1)
+        )
+    )
+    return fold.select(
+        F.col("n").alias("n_embedded_days"),
+        F.col("e").alias("epsilon_cents"),
+        (F.round(c1, 8) + 0.0).alias("c1_corr_integral"),
+        (F.round(c2, 8) + 0.0).alias("c2_corr_integral"),
+        (F.round(c2 - c1 * c1, 8) + 0.0).alias("bds_numerator"),
+        (F.round(w, 6) + 0.0).alias("bds_w"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "bds_independence_daily": (
+            "bounded ~2.4k-row embedded pairwise self-join "
+            "(calendar-constant — the sample_entropy device)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Vasicek m-spacing entropy test of normality on daily revenue
+# --------------------------------------------------------------------------
+@register(
+    "vasicek_entropy_normality",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    srt AS (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY y, d) AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ),
+    sp AS (
+        SELECT n, i,
+               GREATEST(COALESCE(LEAD(y, 50) OVER (ORDER BY i),
+                        MAX(y) OVER ())
+                        - COALESCE(LAG(y, 50) OVER (ORDER BY i),
+                          MIN(y) OVER ()), 1) AS diff
+        FROM srt
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s1,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * y)
+                    AS DECIMAL(38,0)) AS s2
+        FROM daily
+    ),
+    hfold AS (
+        SELECT MAX(sp.n) AS n,
+               CAST(SUM(CAST(round(ln(CAST(sp.diff AS DOUBLE)
+                   / 100000.0 * sp.n / 100.0), 8)
+                   AS DECIMAL(28,8))) AS DOUBLE) AS slh
+        FROM sp
+    )
+    SELECT h.n AS n_days,
+           round(h.slh / h.n, 6) + 0.0 AS vasicek_h_nats,
+           round(exp(h.slh / h.n)
+                 / sqrt((CAST(m.s2 AS DOUBLE)
+                         - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
+                        / m.n) * 100000.0, 6) + 0.0 AS vasicek_k,
+           round(exp(h.slh / h.n)
+                 / sqrt((CAST(m.s2 AS DOUBLE)
+                         - CAST(m.s1 AS DOUBLE) * m.s1 / m.n)
+                        / m.n) * 100000.0
+                 / 4.132731354122493, 6) + 0.0
+               AS k_over_normal_max
+    FROM hfold h, mom m
+    """,
+)
+def vasicek_entropy_normality(spark, sf_dir):
+    """VASICEK m-SPACING entropy test of normality for daily revenue
+    (m = 50): H = mean ln((n/2m)(x_(i+m) - x_(i-m))) over the
+    value-sorted series (clamped endpoints, >= 1-cent spacing
+    floor), K = exp(H)/sigma-hat — the MAXIMUM-ENTROPY
+    characterization route: the normal uniquely maximizes entropy
+    at fixed variance, so K <= sqrt(2*pi*e) = 4.132731354122493
+    with equality ONLY at the normal, making `k_over_normal_max` a
+    directly interpretable [0,1] normality score (Vasicek 1976) —
+    beside the moment (JB), L-statistic (D'Agostino D),
+    characterization (Lin-Mudholkar), EDF, energy, and correlation
+    (Shapiro-Francia, same daily frame) routes, this is the
+    seventh and final classical route, and H itself is the
+    registry's first NONPARAMETRIC DIFFERENTIAL entropy reading
+    (the discrete entropy battery cannot price a continuous law).
+
+    Exactness: the sort/lead/lag run over the ~2.4k-row bounded
+    calendar frame (the theta_method class); spacings are exact
+    integer cents with a 1-cent floor (ties cannot produce ln 0);
+    ln terms pin at 8 dp into a DECIMAL fold; sigma from exact
+    DECIMAL power sums (population convention); kUSD rescale
+    cancels in K. Plan: day rollup -> bounded sort windows -> two
+    folds."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            (F.sum(dec("o_totalprice", 18, 2)) * 100)
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    srt = daily.select(
+        "y",
+        F.row_number().over(Window.orderBy("y", "d")).alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    wi = Window.orderBy("i")
+    wall = Window.partitionBy()
+    diff = F.greatest(
+        F.coalesce(F.lead("y", 50).over(wi), F.max("y").over(wall))
+        - F.coalesce(F.lag("y", 50).over(wi), F.min("y").over(wall)),
+        F.lit(1).cast("bigint"),
+    )
+    sp = srt.select("n", diff.alias("diff"))
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nm"),
+        F.sum("y").cast("bigint").alias("s1"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    hfold = sp.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.round(
+                F.log(
+                    F.col("diff").cast("double")
+                    / 100000.0
+                    * F.col("n")
+                    / 100.0
+                ),
+                8,
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("slh"),
+    )
+    out = hfold.crossJoin(F.broadcast(mom))
+    h = F.col("slh") / F.col("n")
+    sd_k = (
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1")
+                / F.col("nm")
+            )
+            / F.col("nm")
+        )
+        / 100000.0
+    )
+    k = F.exp(h) / sd_k
+    return out.select(
+        F.col("n").alias("n_days"),
+        (F.round(h, 6) + 0.0).alias("vasicek_h_nats"),
+        (F.round(k, 6) + 0.0).alias("vasicek_k"),
+        (F.round(k / 4.132731354122493, 6) + 0.0)
+        .alias("k_over_normal_max"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "vasicek_entropy_normality": (
+            "bounded calendar-frame sort/lead/lag windows (the "
+            "theta_method class)"
+        ),
+    }
+)
