@@ -5423,3 +5423,915 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+# --------------------------------------------------------------------------
+# Begg-Mazumdar rank-correlation publication-bias test
+# --------------------------------------------------------------------------
+@register(
+    "begg_mazumdar_bias",
+    oracle="""
+    WITH 
+    arm AS (
+        SELECT c.c_nationkey AS nk,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS urgent,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                                  * 100 AS BIGINT)
+                             AS DECIMAL(38,0))
+                        * CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                                    * 100 AS BIGINT)
+                               AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS ss
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    eff AS (
+        SELECT u.nk,
+               round((CAST(u.s AS DOUBLE) / u.n
+                      - CAST(r.s AS DOUBLE) / r.n) / 100000.0, 8) AS y,
+               round(((CAST(u.ss AS DOUBLE)
+                       - CAST(u.s AS DOUBLE) * u.s / u.n)
+                      / (u.n - 1) / u.n
+                      + (CAST(r.ss AS DOUBLE)
+                         - CAST(r.s AS DOUBLE) * r.s / r.n)
+                        / (r.n - 1) / r.n) / 10000000000.0, 8) AS v
+        FROM arm u JOIN arm r ON u.nk = r.nk
+        WHERE u.urgent = 1 AND r.urgent = 0 AND u.n > 1 AND r.n > 1
+    )
+,
+    s1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(round(1.0 / v, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sw,
+               CAST(SUM(CAST(round(y / v, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS swy
+        FROM eff
+    ),
+    dev AS (
+        SELECT eff.nk, eff.v,
+               round((eff.y - s1.swy / s1.sw)
+                     / sqrt(eff.v - 1.0 / s1.sw), 8) AS td
+        FROM eff, s1
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN (a.td - b.td) * (a.v - b.v) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+               CAST(SUM(CASE WHEN (a.td - b.td) * (a.v - b.v) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS disc
+        FROM dev a JOIN dev b ON a.nk < b.nk
+    )
+    SELECT s1.k AS k_studies,
+           round(CAST(p.conc - p.disc AS DOUBLE)
+                 / (s1.k * (s1.k - 1.0) / 2.0), 8) + 0.0
+               AS begg_tau,
+           round((p.conc - p.disc)
+                 / sqrt(s1.k * (s1.k - 1.0) * (2.0 * s1.k + 5.0)
+                        / 18.0), 6) + 0.0 AS begg_z
+    FROM pairs p, s1
+""",
+)
+def begg_mazumdar_bias(spark, sf_dir):
+    """BEGG-MAZUMDAR rank-correlation test for small-study bias on
+    the 25-nation urgent-vs-routine effect frame (the
+    `dersimonian_laird_meta` studies): Kendall correlation between
+    the variance-stabilized deviates t_i = (y_i - mu_fixed)/
+    sqrt(v_i - 1/sum w) and the variances v_i, z = (C - D)/
+    sqrt(k(k-1)(2k+5)/18) — the NONPARAMETRIC second opinion to
+    `egger_funnel_asymmetry`'s weighted regression intercept:
+    Egger detects LINEAR funnel tilt and is fooled by a single
+    high-variance study, Begg's rank form survives any monotone
+    distortion; the pair agreeing is the funnel verdict, Egger
+    firing alone points at influence rather than bias (which
+    `meta_loo_sensitivity` then names).
+
+    Exactness: effects/variances are the shared exact-fold frame
+    (8-dp pins); the fixed-effect correction uses exact weighted
+    folds; the deviate pins at 8 dp before the bounded 25-study
+    pairwise count; tau and z are terminal IEEE trees. Plan: the
+    effects frame -> scalar fold -> 300-pair bounded self-join ->
+    one fold; no window."""
+    from .bank_r14 import _effects
+
+    eff = _effects(spark, sf_dir).persist()
+    s1 = eff.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.round(1.0 / F.col("v"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sw"),
+        F.sum(
+            F.round(F.col("y") / F.col("v"), 8).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("swy"),
+    )
+    dev = eff.crossJoin(F.broadcast(s1)).select(
+        "nk",
+        "v",
+        F.round(
+            (F.col("y") - F.col("swy") / F.col("sw"))
+            / F.sqrt(F.col("v") - 1.0 / F.col("sw")),
+            8,
+        ).alias("td"),
+        "k",
+    )
+    a = dev.select(
+        F.col("nk").alias("na"),
+        F.col("td").alias("ta"),
+        F.col("v").alias("va"),
+        "k",
+    )
+    b = dev.select(
+        F.col("nk").alias("nb"),
+        F.col("td").alias("tb"),
+        F.col("v").alias("vb"),
+    )
+    prod = (F.col("ta") - F.col("tb")) * (F.col("va") - F.col("vb"))
+    pairs = a.join(b, F.col("na") < F.col("nb")).agg(
+        F.max("k").alias("k"),
+        F.sum(F.when(prod > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("conc"),
+        F.sum(F.when(prod < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("disc"),
+    )
+    kk = F.col("k").cast("double")
+    cd = (F.col("conc") - F.col("disc")).cast("double")
+    return pairs.select(
+        F.col("k").alias("k_studies"),
+        (F.round(cd / (kk * (kk - 1.0) / 2.0), 8) + 0.0)
+        .alias("begg_tau"),
+        (
+            F.round(
+                cd
+                / F.sqrt(kk * (kk - 1.0) * (2.0 * kk + 5.0) / 18.0),
+                6,
+            )
+            + 0.0
+        ).alias("begg_z"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "begg_mazumdar_bias": (
+            "no window — effects frame + 300-pair bounded "
+            "self-join (the dersimonian_laird frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out meta-analysis sensitivity
+# --------------------------------------------------------------------------
+@register(
+    "meta_loo_sensitivity",
+    oracle="""
+    WITH 
+    arm AS (
+        SELECT c.c_nationkey AS nk,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS urgent,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                                  * 100 AS BIGINT)
+                             AS DECIMAL(38,0))
+                        * CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                                    * 100 AS BIGINT)
+                               AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS ss
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    eff AS (
+        SELECT u.nk,
+               round((CAST(u.s AS DOUBLE) / u.n
+                      - CAST(r.s AS DOUBLE) / r.n) / 100000.0, 8) AS y,
+               round(((CAST(u.ss AS DOUBLE)
+                       - CAST(u.s AS DOUBLE) * u.s / u.n)
+                      / (u.n - 1) / u.n
+                      + (CAST(r.ss AS DOUBLE)
+                         - CAST(r.s AS DOUBLE) * r.s / r.n)
+                        / (r.n - 1) / r.n) / 10000000000.0, 8) AS v
+        FROM arm u JOIN arm r ON u.nk = r.nk
+        WHERE u.urgent = 1 AND r.urgent = 0 AND u.n > 1 AND r.n > 1
+    )
+,
+    s1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(round(1.0 / v, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sw,
+               CAST(SUM(CAST(round(y / v, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS swy
+        FROM eff
+    ),
+    loo AS (
+        SELECT eff.nk,
+               round((s1.swy - round(eff.y / eff.v, 8))
+                     / (s1.sw - round(1.0 / eff.v, 8)), 8) AS mu_loo
+        FROM eff, s1
+    ),
+    ext AS (
+        SELECT MAX(s1.k) AS k,
+               MAX(s1.swy / s1.sw) AS mu_all,
+               MIN(loo.mu_loo) AS mu_min,
+               MAX(loo.mu_loo) AS mu_max
+        FROM loo, s1
+    ),
+    who AS (
+        SELECT
+            (SELECT MIN(nk) FROM loo, ext
+             WHERE loo.mu_loo = ext.mu_min) AS nk_min,
+            (SELECT MIN(nk) FROM loo, ext
+             WHERE loo.mu_loo = ext.mu_max) AS nk_max
+    )
+    SELECT e.k AS k_studies,
+           round(e.mu_all, 6) + 0.0 AS mu_fixed_kusd,
+           round(e.mu_min, 6) + 0.0 AS mu_loo_min_kusd,
+           round(e.mu_max, 6) + 0.0 AS mu_loo_max_kusd,
+           round(e.mu_max - e.mu_min, 6) + 0.0 AS loo_range_kusd,
+           CAST(w.nk_min AS BIGINT) AS nation_at_min,
+           CAST(w.nk_max AS BIGINT) AS nation_at_max
+    FROM ext e, who w
+    """,
+)
+def meta_loo_sensitivity(spark, sf_dir):
+    """LEAVE-ONE-OUT sensitivity of the fixed-effect pooled
+    urgent-vs-routine effect: mu_(-i) = (sum wy - w_i y_i)/(sum w -
+    w_i) for each of the 25 nations, with the extremes, their range,
+    and WHICH nation sits at each end (min-nk tie-break) — the
+    influence second opinion to `dersimonian_laird_meta`'s pooled
+    numbers and the resolver for `egger_funnel_asymmetry` /
+    `begg_mazumdar_bias` disagreement: a LOO range that collapses
+    when one nation drops out is single-study leverage, not
+    systematic bias. Every deleted pool is closed-form off the two
+    weighted totals, so the whole sensitivity analysis is one
+    broadcast pass over 25 rows.
+
+    Exactness: the shared exact-fold effects frame; weighted totals
+    at 8-dp pins; each mu_loo subtracts the SAME 8-dp-rounded terms
+    that entered the totals (exact cancellation by construction);
+    extremes and argmins are exact. Plan: effects frame -> scalar
+    fold -> 25-row broadcast pass -> two folds; no window."""
+    from .bank_r14 import _effects
+
+    eff = _effects(spark, sf_dir).persist()
+    s1 = eff.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.round(1.0 / F.col("v"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sw"),
+        F.sum(
+            F.round(F.col("y") / F.col("v"), 8).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("swy"),
+    )
+    loo = eff.crossJoin(F.broadcast(s1)).select(
+        "nk",
+        "k",
+        (F.col("swy") / F.col("sw")).alias("mu_all"),
+        F.round(
+            (F.col("swy") - F.round(F.col("y") / F.col("v"), 8))
+            / (F.col("sw") - F.round(1.0 / F.col("v"), 8)),
+            8,
+        ).alias("mu_loo"),
+    ).persist()
+    ext = loo.agg(
+        F.max("k").alias("k"),
+        F.max("mu_all").alias("mu_all"),
+        F.min("mu_loo").alias("mu_min"),
+        F.max("mu_loo").alias("mu_max"),
+    )
+    j = loo.crossJoin(F.broadcast(ext))
+    who = j.agg(
+        F.min(
+            F.when(F.col("mu_loo") == F.col("mu_min"), F.col("nk"))
+        ).alias("nk_min"),
+        F.min(
+            F.when(F.col("mu_loo") == F.col("mu_max"), F.col("nk"))
+        ).alias("nk_max"),
+    )
+    return ext.crossJoin(F.broadcast(who)).select(
+        F.col("k").alias("k_studies"),
+        (F.round("mu_all", 6) + 0.0).alias("mu_fixed_kusd"),
+        (F.round("mu_min", 6) + 0.0).alias("mu_loo_min_kusd"),
+        (F.round("mu_max", 6) + 0.0).alias("mu_loo_max_kusd"),
+        (F.round(F.col("mu_max") - F.col("mu_min"), 6) + 0.0)
+        .alias("loo_range_kusd"),
+        F.col("nk_min").cast("bigint").alias("nation_at_min"),
+        F.col("nk_max").cast("bigint").alias("nation_at_max"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "meta_loo_sensitivity": (
+            "no window — effects frame + 25-row broadcast LOO pass"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Hausman specification test: OLS vs the weekend-IV estimate
+# --------------------------------------------------------------------------
+@register(
+    "hausman_ols_vs_iv",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 >= 5
+                    THEN 1 ELSE 0 END AS z,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    ols AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+        FROM daily
+    ),
+    bols AS (
+        SELECT n,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                   AS b,
+               ((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                  * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                  / (n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * sx)) / n / (n - 2.0)
+               / ((n * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * sx) / n) AS vb
+        FROM ols
+    ),
+    g AS (
+        SELECT z, CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+        FROM daily GROUP BY z
+    ),
+    v AS (
+        SELECT z, nd,
+               CAST(sx AS DOUBLE) / nd AS xb,
+               CAST(sy AS DOUBLE) / nd AS yb,
+               (nd * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                   / (CAST(nd AS DOUBLE) * nd * (nd - 1)) AS vx,
+               (nd * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
+                   / (CAST(nd AS DOUBLE) * nd * (nd - 1)) AS vy,
+               (nd * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(nd AS DOUBLE) * nd * (nd - 1)) AS vxy
+        FROM g
+    ),
+    wide AS (
+        SELECT SUM(CASE WHEN z = 1 THEN yb END)
+                 - SUM(CASE WHEN z = 0 THEN yb END) AS aa,
+               SUM(CASE WHEN z = 1 THEN xb END)
+                 - SUM(CASE WHEN z = 0 THEN xb END) AS bb,
+               SUM(vx) AS svx, SUM(vy) AS svy, SUM(vxy) AS svxy
+        FROM v
+    ),
+    iv AS (
+        SELECT aa / bb AS biv,
+               (svy - 2.0 * (aa / bb) * svxy
+                + (aa / bb) * (aa / bb) * svx) / (bb * bb) AS viv
+        FROM wide
+    )
+    SELECT bols.n AS n_days,
+           round(bols.b / 100.0, 6) + 0.0 AS ols_value_per_event,
+           round(iv.biv / 100.0, 6) + 0.0 AS iv_value_per_event,
+           round((iv.biv - bols.b) / 100.0, 6) + 0.0 AS estimate_gap,
+           round(CASE WHEN iv.viv > bols.vb
+                 THEN (iv.biv - bols.b) * (iv.biv - bols.b)
+                      / (iv.viv - bols.vb) END, 6) + 0.0
+               AS hausman_chi2,
+           CAST(CASE WHEN iv.viv > bols.vb
+                      AND (iv.biv - bols.b) * (iv.biv - bols.b)
+                          / (iv.viv - bols.vb) > 3.841459
+                     THEN 1 ELSE 0 END AS INT)
+               AS endogeneity_at_5pct
+    FROM bols, iv
+    """,
+)
+def hausman_ols_vs_iv(spark, sf_dir):
+    """HAUSMAN specification test between the OLS value-per-event
+    slope (daily revenue on daily volume) and the weekend-IV
+    estimate (`iv_wald_weekend`'s estimand with a delta-method
+    variance): H = (b_IV - b_OLS)^2 / (V_IV - V_OLS) ~ chi2_1 under
+    exogeneity — the test that DECIDES between the two registry
+    estimators instead of leaving them side by side: OLS is
+    efficient if volume is exogenous, the IV is consistent either
+    way, so H rejecting says the OLS slope is contaminated
+    (demand shocks moving both volume and ticket size) and the IV
+    column is the one to ship. NULL when V_IV <= V_OLS (the
+    finite-sample Hausman pathology, documented — also itself a
+    near-exogeneity signal).
+
+    Exactness: both estimators come from the same exact
+    integer/DECIMAL(38,0) daily folds (the iv_wald /
+    anderson_rubin trees); the delta-method IV variance uses the
+    pooled group mean-variances; H closes in one guarded IEEE
+    expression. Plan: day rollup -> one scalar OLS fold + one
+    2-group fold -> scalar algebra; no window."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+    daily = e.groupBy(
+        day.alias("day"),
+        F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("z"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum((dec("value", 18, 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+    ).persist()
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    ols = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cxx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    cyy = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    cxy = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    b = cxy / cxx
+    vb = (cyy - cxy * cxy / cxx) / n / (n - 2.0) / (cxx / n)
+    bols = ols.select("n", b.alias("b"), vb.alias("vb"))
+    g = daily.groupBy("z").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    nd = F.col("nd").cast("double")
+    v = g.select(
+        "z",
+        (F.col("sx").cast("double") / F.col("nd")).alias("xb"),
+        (F.col("sy").cast("double") / F.col("nd")).alias("yb"),
+        (
+            (
+                F.col("nd") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            / (nd * nd * (nd - 1))
+        ).alias("vx"),
+        (
+            (
+                F.col("nd") * F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy")
+            )
+            / (nd * nd * (nd - 1))
+        ).alias("vy"),
+        (
+            (
+                F.col("nd") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / (nd * nd * (nd - 1))
+        ).alias("vxy"),
+    )
+    wide = v.agg(
+        (
+            F.sum(F.when(F.col("z") == 1, F.col("yb")))
+            - F.sum(F.when(F.col("z") == 0, F.col("yb")))
+        ).alias("aa"),
+        (
+            F.sum(F.when(F.col("z") == 1, F.col("xb")))
+            - F.sum(F.when(F.col("z") == 0, F.col("xb")))
+        ).alias("bb"),
+        F.sum("vx").alias("svx"),
+        F.sum("vy").alias("svy"),
+        F.sum("vxy").alias("svxy"),
+    )
+    biv = F.col("aa") / F.col("bb")
+    viv = (
+        F.col("svy") - 2.0 * biv * F.col("svxy") + biv * biv * F.col("svx")
+    ) / (F.col("bb") * F.col("bb"))
+    iv = wide.select(biv.alias("biv"), viv.alias("viv"))
+    out = bols.crossJoin(F.broadcast(iv))
+    gap = F.col("biv") - F.col("b")
+    h = F.when(
+        F.col("viv") > F.col("vb"),
+        gap * gap / (F.col("viv") - F.col("vb")),
+    )
+    return out.select(
+        F.col("n").alias("n_days"),
+        (F.round(F.col("b") / 100.0, 6) + 0.0)
+        .alias("ols_value_per_event"),
+        (F.round(F.col("biv") / 100.0, 6) + 0.0)
+        .alias("iv_value_per_event"),
+        (F.round(gap / 100.0, 6) + 0.0).alias("estimate_gap"),
+        (F.round(h, 6) + 0.0).alias("hausman_chi2"),
+        F.when(h > 3.841459, 1).otherwise(0).cast("int")
+        .alias("endogeneity_at_5pct"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "hausman_ols_vs_iv": (
+            "no window — day rollup + scalar OLS/IV folds (the "
+            "iv_wald_weekend frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Duan smearing retransformation of the log-linear revenue trend
+# --------------------------------------------------------------------------
+@register(
+    "duan_smearing_retransform",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS day,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    lnf AS (
+        SELECT day, y,
+               round(ln(CAST(y AS DOUBLE) / 100000.0), 8) AS ly
+        FROM daily
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(day) AS BIGINT) AS sd,
+               CAST(SUM(CAST(round(ly, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS sl,
+               CAST(SUM(day * day) AS BIGINT) AS sdd,
+               CAST(SUM(CAST(round(day * ly, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sdl,
+               CAST(SUM(CAST(round(ly * ly, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS sll
+        FROM lnf
+    ),
+    beta AS (
+        SELECT n,
+               (n * sdl - sd * sl)
+                 / (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd)
+                   AS b,
+               (sl - (n * sdl - sd * sl)
+                     / (n * CAST(sdd AS DOUBLE)
+                        - CAST(sd AS DOUBLE) * sd) * sd) / n AS a,
+               ((n * sll - sl * sl)
+                - (n * sdl - sd * sl) * (n * sdl - sd * sl)
+                  / (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd))
+                 / n / (n - 2.0) AS s2
+        FROM fit
+    ),
+    sm AS (
+        SELECT b.n, b.s2,
+               CAST(SUM(CAST(round(exp(round(l.ly
+                   - (b.a + b.b * l.day), 8)), 8)
+                   AS DECIMAL(28,8))) AS DOUBLE) AS ssm,
+               CAST(SUM(CAST(round(exp(round(b.a + b.b * l.day, 8)),
+                   6) AS DECIMAL(38,6))) AS DOUBLE) AS spred,
+               CAST(SUM(CAST(round(CAST(l.y AS DOUBLE) / 100000.0,
+                   6) AS DECIMAL(38,6))) AS DOUBLE) AS sact
+        FROM lnf l, beta b
+        GROUP BY b.n, b.s2
+    )
+    SELECT n AS n_days,
+           round(ssm / n, 8) + 0.0 AS duan_smearing_factor,
+           round(exp(s2 / 2.0), 8) + 0.0 AS normal_theory_factor,
+           round(spred * (ssm / n) / sact, 8) + 0.0
+               AS pred_over_actual_duan,
+           round(spred * exp(s2 / 2.0) / sact, 8) + 0.0
+               AS pred_over_actual_normal,
+           round(spred / sact, 8) + 0.0
+               AS pred_over_actual_naive
+    FROM sm
+    """,
+)
+def duan_smearing_retransform(spark, sf_dir):
+    """DUAN'S SMEARING retransformation audit for the log-linear
+    daily-revenue trend: fit ln y = a + b day, then compare the
+    three back-transformations of the fitted GEOMETRIC mean — naive
+    exp(a + b d) (biased low), the lognormal-theory correction
+    exp(s^2/2), and Duan's nonparametric smearing factor S = mean
+    exp(e_i) (consistent under ANY error law) — each scored as
+    total predicted / total actual revenue. The retransformation
+    bias every exp(ln-model) silently carries is priced by
+    `pred_over_actual_naive` < 1, and Duan-vs-normal disagreement
+    measures residual non-lognormality — the modeling-side second
+    opinion to the lognormal GoF battery (CvM/AD/energy tell you IT
+    ISN'T lognormal; this tells you how many DOLLARS that costs a
+    forecast).
+
+    Exactness: ln y pins at 8 dp; the OLS fit is the shared exact
+    fold tree; residuals pin at 8 dp before exp; the smearing,
+    prediction, and actual folds are rounded-term DECIMAL sums.
+    Plan: day rollup -> OLS fold -> broadcast-scalar residual pass
+    -> one fold; no window."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+            .cast("bigint")
+            .alias("day")
+        )
+        .agg(
+            (F.sum(dec("o_totalprice", 18, 2)) * 100)
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    lnf = daily.select(
+        "day",
+        "y",
+        F.round(
+            F.log(F.col("y").cast("double") / 100000.0), 8
+        ).alias("ly"),
+    )
+    fit = lnf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("day").cast("bigint").alias("sd"),
+        F.sum(F.round("ly", 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sl"),
+        F.sum(F.col("day") * F.col("day")).cast("bigint").alias("sdd"),
+        F.sum(
+            F.round(F.col("day") * F.col("ly"), 6).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("sdl"),
+        F.sum(
+            F.round(F.col("ly") * F.col("ly"), 8).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("sll"),
+    )
+    n = F.col("n").cast("double")
+    cdd = n * F.col("sdd").cast("double") - F.col("sd").cast(
+        "double"
+    ) * F.col("sd")
+    cdl = n * F.col("sdl") - F.col("sd").cast("double") * F.col("sl")
+    cll = n * F.col("sll") - F.col("sl") * F.col("sl")
+    b = cdl / cdd
+    beta = fit.select(
+        "n",
+        b.alias("b"),
+        ((F.col("sl") - b * F.col("sd")) / n).alias("a"),
+        ((cll - cdl * cdl / cdd) / n / (n - 2.0)).alias("s2"),
+    )
+    j = lnf.crossJoin(F.broadcast(beta))
+    resid = F.round(
+        F.col("ly") - (F.col("a") + F.col("b") * F.col("day")), 8
+    )
+    pred = F.round(F.exp(F.round(F.col("a") + F.col("b") * F.col("day"), 8)), 6)
+    sm = j.groupBy("n", "s2").agg(
+        F.sum(F.round(F.exp(resid), 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("ssm"),
+        F.sum(pred.cast("decimal(38,6)"))
+        .cast("double")
+        .alias("spred"),
+        F.sum(
+            F.round(F.col("y").cast("double") / 100000.0, 6).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("sact"),
+    )
+    nn = F.col("n").cast("double")
+    duan = F.col("ssm") / nn
+    norm = F.exp(F.col("s2") / 2.0)
+    return sm.select(
+        F.col("n").alias("n_days"),
+        (F.round(duan, 8) + 0.0).alias("duan_smearing_factor"),
+        (F.round(norm, 8) + 0.0).alias("normal_theory_factor"),
+        (
+            F.round(F.col("spred") * duan / F.col("sact"), 8) + 0.0
+        ).alias("pred_over_actual_duan"),
+        (
+            F.round(F.col("spred") * norm / F.col("sact"), 8) + 0.0
+        ).alias("pred_over_actual_normal"),
+        (F.round(F.col("spred") / F.col("sact"), 8) + 0.0)
+        .alias("pred_over_actual_naive"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "duan_smearing_retransform": (
+            "no window — day rollup + OLS fold + broadcast residual "
+            "pass"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Cox calibration slope/intercept via out-of-sample grouped WLS
+# --------------------------------------------------------------------------
+@register(
+    "cox_calibration_wls",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, source,
+               CAST(floor(ln(CAST(n_chars AS DOUBLE)) / ln(2.0))
+                    AS BIGINT) AS oct,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               CAST(doc_id % 2 AS INT) AS fold
+        FROM documents WHERE n_chars > 0
+    ),
+    train AS (
+        SELECT oct,
+               round((SUM(y) + 0.5) / (COUNT(*) + 1.0), 10) AS p
+        FROM docs WHERE fold = 0 GROUP BY oct
+    ),
+    ev AS (
+        SELECT d.oct, train.p,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(d.y) AS BIGINT) AS x
+        FROM docs d JOIN train ON d.oct = train.oct
+        WHERE d.fold = 1
+        GROUP BY d.oct, train.p
+    ),
+    el AS (
+        SELECT round(ln(p / (1.0 - p)), 10) AS lp,
+               round(ln((x + 0.5) / (n - x + 0.5)), 10) AS lo,
+               round(CAST(n AS DOUBLE) * (CAST(x AS DOUBLE) / n)
+                     * (1.0 - CAST(x AS DOUBLE) / n)
+                     + 0.000001, 8) AS w,
+               n
+        FROM ev
+    ),
+    fold_ AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(CAST(round(w, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS sw,
+               CAST(SUM(CAST(round(w * lp, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS swx,
+               CAST(SUM(CAST(round(w * lp * lp, 8)
+                    AS DECIMAL(28,8))) AS DOUBLE) AS swxx,
+               CAST(SUM(CAST(round(w * lo, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS swl,
+               CAST(SUM(CAST(round(w * lp * lo, 8)
+                    AS DECIMAL(28,8))) AS DOUBLE) AS swxl
+        FROM el
+    )
+    SELECT nt AS n_eval_docs,
+           round((sw * swxl - swx * swl)
+                 / (sw * swxx - swx * swx), 8) + 0.0
+               AS calibration_slope,
+           round((swl - (sw * swxl - swx * swl)
+                        / (sw * swxx - swx * swx) * swx) / sw, 8)
+               + 0.0 AS calibration_intercept,
+           round(((sw * swxl - swx * swl)
+                  / (sw * swxx - swx * swx) - 1.0)
+                 / sqrt(sw / (sw * swxx - swx * swx)), 6) + 0.0
+               AS slope_vs_one_z
+    FROM fold_
+    """,
+)
+def cox_calibration_wls(spark, sf_dir):
+    """COX CALIBRATION slope and intercept for the length-octave
+    language model, OUT OF SAMPLE: octave en-rates train on even
+    doc_ids (+0.5/+1 smoothing), and the odd half's observed
+    empirical logits regress on the predicted logits by grouped WLS
+    (the `berkson_logit_wls` device, information weights + 1e-6
+    floor) — Cox (1958) recalibration, slope 1 / intercept 0 =
+    calibrated, slope < 1 = the overfitting signature
+    (predictions too extreme). The REGRESSION-form second opinion
+    to `hosmer_lemeshow_calibration` (binned chi2),
+    `spiegelhalter_z_calibration` (score z), and
+    `ece_mce_calibration` (bin gaps): those say WHETHER calibration
+    fails; the Cox pair says in WHICH DIRECTION and by how much,
+    and the parity split makes it the only out-of-sample member of
+    the battery. `slope_vs_one_z` tests slope = 1 with the exact
+    WLS standard error.
+
+    Exactness: train rates and both logits pin at 10 dp on the
+    bounded octave grid; weights at 8 dp; the five WLS folds are
+    rounded-term DECIMAL sums; slope/intercept/z close in IEEE
+    trees. Plan: doc scan -> per-fold octave rollups -> broadcast
+    join -> one fold; no window."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            F.floor(
+                F.log(F.col("n_chars").cast("double"))
+                / F.log(F.lit(2.0))
+            )
+            .cast("bigint")
+            .alias("oct"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            (F.col("doc_id") % 2).cast("int").alias("fold"),
+        )
+    )
+    train = (
+        d.where(F.col("fold") == 0)
+        .groupBy("oct")
+        .agg(
+            F.round(
+                (F.sum("y") + 0.5) / (F.count(F.lit(1)) + 1.0), 10
+            ).alias("p")
+        )
+    )
+    ev = (
+        d.where(F.col("fold") == 1)
+        .join(F.broadcast(train), "oct")
+        .groupBy("oct", "p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("x"),
+        )
+    )
+    pr = F.col("x").cast("double") / F.col("n")
+    el = ev.select(
+        F.round(F.log(F.col("p") / (1.0 - F.col("p"))), 10).alias("lp"),
+        F.round(
+            F.log(
+                (F.col("x") + 0.5) / (F.col("n") - F.col("x") + 0.5)
+            ),
+            10,
+        ).alias("lo"),
+        F.round(
+            F.col("n") * pr * (1.0 - pr) + 0.000001, 8
+        ).alias("w"),
+        "n",
+    )
+    fold_ = el.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(F.round("w", 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sw"),
+        F.sum(
+            F.round(F.col("w") * F.col("lp"), 8).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("swx"),
+        F.sum(
+            F.round(
+                F.col("w") * F.col("lp") * F.col("lp"), 8
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("swxx"),
+        F.sum(
+            F.round(F.col("w") * F.col("lo"), 8).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("swl"),
+        F.sum(
+            F.round(
+                F.col("w") * F.col("lp") * F.col("lo"), 8
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("swxl"),
+    )
+    sxx_w = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+    b = (
+        F.col("sw") * F.col("swxl") - F.col("swx") * F.col("swl")
+    ) / sxx_w
+    a = (F.col("swl") - b * F.col("swx")) / F.col("sw")
+    se_b = F.sqrt(F.col("sw") / sxx_w)
+    return fold_.select(
+        F.col("nt").alias("n_eval_docs"),
+        (F.round(b, 8) + 0.0).alias("calibration_slope"),
+        (F.round(a, 8) + 0.0).alias("calibration_intercept"),
+        (F.round((b - 1.0) / se_b, 6) + 0.0).alias("slope_vs_one_z"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "cox_calibration_wls": (
+            "no window — per-fold octave rollups + broadcast join "
+            "(the berkson_logit device)"
+        ),
+    }
+)
