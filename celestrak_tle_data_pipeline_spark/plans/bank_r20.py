@@ -6335,3 +6335,694 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Local Moran (LISA) per nation under region-block weights
+# --------------------------------------------------------------------------
+@register(
+    "local_moran_lisa",
+    oracle="""
+    WITH natz AS (
+        SELECT c_nationkey AS nk,
+               n.n_regionkey AS rk,
+               round(CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS DOUBLE)
+                     / COUNT(*) / 100.0, 6) AS z
+        FROM customer JOIN nation n ON c_nationkey = n.n_nationkey
+        GROUP BY c_nationkey, n.n_regionkey
+    ),
+    mu AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(z AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*) AS zbar
+        FROM natz
+    ),
+    dev AS (
+        SELECT nk, rk, n,
+               round(z - zbar, 6) AS d
+        FROM natz, mu
+    ),
+    m2 AS (
+        SELECT CAST(SUM(CAST(round(d * d, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) / MAX(n) AS m2v
+        FROM dev
+    ),
+    lag_ AS (
+        SELECT a.nk, a.d, a.n,
+               CAST(COUNT(b.nk) AS BIGINT) AS deg,
+               CAST(SUM(CAST(round(b.d, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS lagsum
+        FROM dev a JOIN dev b
+          ON a.rk = b.rk AND a.nk <> b.nk
+        GROUP BY a.nk, a.d, a.n
+    )
+    SELECT l.nk AS nation,
+           round(l.d, 4) + 0.0 AS deviation_usd,
+           round(l.lagsum / l.deg, 4) + 0.0 AS spatial_lag_usd,
+           round(l.d * l.lagsum / m2.m2v, 6) + 0.0 AS local_i,
+           round(-CAST(l.deg AS DOUBLE) / (l.n - 1), 6) + 0.0
+               AS expected_null,
+           CASE WHEN l.d >= 0 AND l.lagsum >= 0 THEN 'HH'
+                WHEN l.d < 0 AND l.lagsum < 0 THEN 'LL'
+                WHEN l.d >= 0 THEN 'HL' ELSE 'LH' END AS quadrant
+    FROM lag_ l, m2
+    ORDER BY nation
+    """,
+)
+def local_moran_lisa(spark, sf_dir):
+    """LOCAL MORAN (Anselin's LISA) per nation under the region-
+    block contiguity weights of `morans_i_nations`: I_i = d_i *
+    sum_j w_ij d_j / m2 with the Moran scatter quadrant (HH/LL =
+    cluster, HL/LH = outlier) and the conditional null expectation
+    -deg_i/(n-1) — the WHERE answer to the global statistic's
+    WHETHER: a significant global I driven by one HH region is a
+    different business fact from diffuse clustering, and Anselin's
+    decomposition identity (sum of local I's proportional to the
+    global) ties the 25 rows back to the one-number readout
+    exactly. The spatial lag ships in dollars beside each
+    deviation so the quadrant is auditable by eye.
+
+    Exactness: nation means are the shared exact-fold frame (6-dp
+    pins); deviations, the m2 fold, and per-nation lag sums are
+    rounded-term DECIMAL sums over the bounded 25-node block graph;
+    local I closes per row. Plan: customer rollup -> 25-row block
+    self-join -> per-nation fold; no window."""
+    from .bank_r14 import _natz
+
+    natz = _natz(spark, sf_dir)
+    mu = natz.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.col("z").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("zbar"),
+    )
+    dev = natz.crossJoin(F.broadcast(mu)).select(
+        "nk",
+        "rk",
+        "n",
+        F.round(F.col("z") - F.col("zbar"), 6).alias("d"),
+    ).persist()
+    m2 = dev.agg(
+        (
+            F.sum(
+                F.round(F.col("d") * F.col("d"), 6).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double")
+            / F.max("n")
+        ).alias("m2v")
+    )
+    a = dev.select(
+        F.col("nk").alias("ank"),
+        F.col("rk").alias("ark"),
+        F.col("d").alias("ad"),
+        F.col("n").alias("an"),
+    )
+    b = dev.select(
+        F.col("nk").alias("bnk"),
+        F.col("rk").alias("brk"),
+        F.col("d").alias("bd"),
+    )
+    lag_ = (
+        a.join(
+            F.broadcast(b),
+            (F.col("ark") == F.col("brk"))
+            & (F.col("ank") != F.col("bnk")),
+        )
+        .groupBy("ank", "ad", "an")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg"),
+            F.sum(F.round("bd", 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("lagsum"),
+        )
+    )
+    out = lag_.crossJoin(F.broadcast(m2))
+    return out.select(
+        F.col("ank").alias("nation"),
+        (F.round("ad", 4) + 0.0).alias("deviation_usd"),
+        (F.round(F.col("lagsum") / F.col("deg"), 4) + 0.0)
+        .alias("spatial_lag_usd"),
+        (
+            F.round(
+                F.col("ad") * F.col("lagsum") / F.col("m2v"), 6
+            )
+            + 0.0
+        ).alias("local_i"),
+        (
+            F.round(
+                -F.col("deg").cast("double") / (F.col("an") - 1), 6
+            )
+            + 0.0
+        ).alias("expected_null"),
+        F.when(
+            (F.col("ad") >= 0) & (F.col("lagsum") >= 0), "HH"
+        )
+        .when((F.col("ad") < 0) & (F.col("lagsum") < 0), "LL")
+        .when(F.col("ad") >= 0, "HL")
+        .otherwise("LH")
+        .alias("quadrant"),
+    ).orderBy("nation")
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "local_moran_lisa": (
+            "no window — 25-node block self-join (the "
+            "morans_i_nations frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Sargan overidentification J test for the two-instrument 2SLS
+# --------------------------------------------------------------------------
+@register(
+    "sargan_overid_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 >= 5
+                    THEN 1 ELSE 0 END AS z1,
+               CASE WHEN date_part('day', MIN(ts)) <= 15
+                    THEN 1 ELSE 0 END AS z2,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(z1) AS BIGINT) AS s1,
+               CAST(SUM(z2) AS BIGINT) AS s2_,
+               CAST(SUM(z1 * z2) AS BIGINT) AS s12,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(z1 * x) AS BIGINT) AS s1x,
+               CAST(SUM(z2 * x) AS BIGINT) AS s2x,
+               SUM(CAST(z1 AS DECIMAL(38,0)) * y) AS s1y,
+               SUM(CAST(z2 AS DECIMAL(38,0)) * y) AS s2y,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+        FROM daily
+    ),
+    cen AS (
+        SELECT n,
+               s1 - CAST(s1 AS DOUBLE) * s1 / n AS a11,
+               s12 - CAST(s1 AS DOUBLE) * s2_ / n AS a12,
+               s2_ - CAST(s2_ AS DOUBLE) * s2_ / n AS a22,
+               s1x - CAST(s1 AS DOUBLE) * sx / n AS b1x,
+               s2x - CAST(s2_ AS DOUBLE) * sx / n AS b2x,
+               CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy / n
+                   AS b1y,
+               CAST(s2y AS DOUBLE) - CAST(s2_ AS DOUBLE) * sy / n
+                   AS b2y,
+               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n
+                   AS cxx,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n
+                   AS cyy,
+               CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n
+                   AS cxy
+        FROM fold
+    ),
+    q AS (
+        SELECT n, cxx, cyy, cxy, a11, a12, a22, b1x, b2x, b1y, b2y,
+               a11 * a22 - a12 * a12 AS det,
+               (b1x * (a22 * b1x - a12 * b2x)
+                + b2x * (a11 * b2x - a12 * b1x))
+               / (a11 * a22 - a12 * a12) AS qxx,
+               (b1x * (a22 * b1y - a12 * b2y)
+                + b2x * (a11 * b2y - a12 * b1y))
+               / (a11 * a22 - a12 * a12) AS qxy
+        FROM cen
+    ),
+    st AS (
+        SELECT n, det, qxx, cxx,
+               qxy / qxx AS b,
+               cyy - 2.0 * (qxy / qxx) * cxy
+                   + (qxy / qxx) * (qxy / qxx) * cxx AS suu,
+               b1y - (qxy / qxx) * b1x AS u1,
+               b2y - (qxy / qxx) * b2x AS u2,
+               a11, a12, a22
+        FROM q
+    )
+    SELECT n AS n_days,
+           round(b / 100.0, 6) + 0.0 AS b_2sls_value_per_event,
+           round(n * (u1 * (a22 * u1 - a12 * u2)
+                      + u2 * (a11 * u2 - a12 * u1))
+                 / det / suu, 6) + 0.0 AS sargan_j,
+           CAST(CASE WHEN n * (u1 * (a22 * u1 - a12 * u2)
+                               + u2 * (a11 * u2 - a12 * u1))
+                          / det / suu > 3.841459
+                     THEN 1 ELSE 0 END AS INT)
+               AS overid_reject_5pct,
+           round(qxx / 2.0 / ((cxx - qxx) / (n - 3.0)), 4) + 0.0
+               AS first_stage_f
+    FROM st
+    """,
+)
+def sargan_overid_test(spark, sf_dir):
+    """SARGAN overidentification J test for the two-instrument 2SLS
+    of daily revenue on daily volume (instruments: the weekend
+    indicator and the first-half-of-month indicator): b_2SLS =
+    (C_zx' C_zz^-1 C_zy)/(C_zx' C_zz^-1 C_zx) by 2x2 Cramer, and
+    J = n R^2 of the 2SLS residuals on the instruments ~ chi2_1 —
+    the VALIDITY test the just-identified IV battery
+    (`iv_wald_weekend`, `anderson_rubin_iv_ci`,
+    `hausman_ols_vs_iv`) cannot run at all: with two instruments
+    the model is falsifiable, and J rejecting says at least one
+    instrument leaks into revenue other than through volume —
+    the exclusion restriction finally gets a test instead of a
+    docstring caveat. `first_stage_f` ships the joint instrument
+    strength (the Stock-Yogo screen).
+
+    Exactness: all centered moments come from exact
+    integer/DECIMAL(38,0) daily folds (binary instruments make
+    C_zz count algebra); both Cramer solves and J are terminal IEEE
+    trees. Plan: day rollup -> one scalar fold -> 2x2 algebra; no
+    window."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    day = F.floor(us / 86_400_000_000).cast("bigint")
+    daily = (
+        e.groupBy(day.alias("day"))
+        .agg(
+            F.min("ts").alias("ts0"),
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.sum((dec("value", 18, 2) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select(
+            "day",
+            F.when((F.col("day") + 4) % 7 >= 5, 1)
+            .otherwise(0)
+            .alias("z1"),
+            F.when(F.dayofmonth("ts0") <= 15, 1)
+            .otherwise(0)
+            .alias("z2"),
+            "x",
+            "y",
+        )
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    z1d = F.col("z1").cast("decimal(38,0)")
+    z2d = F.col("z2").cast("decimal(38,0)")
+    fold = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z1").cast("bigint").alias("s1"),
+        F.sum("z2").cast("bigint").alias("s2_"),
+        F.sum(F.col("z1") * F.col("z2")).cast("bigint").alias("s12"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("z1") * F.col("x")).cast("bigint").alias("s1x"),
+        F.sum(F.col("z2") * F.col("x")).cast("bigint").alias("s2x"),
+        F.sum(z1d * yd).alias("s1y"),
+        F.sum(z2d * yd).alias("s2y"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    a11 = F.col("s1") - F.col("s1").cast("double") * F.col("s1") / n
+    a12 = F.col("s12") - F.col("s1").cast("double") * F.col("s2_") / n
+    a22 = F.col("s2_") - F.col("s2_").cast("double") * F.col("s2_") / n
+    b1x = F.col("s1x") - F.col("s1").cast("double") * F.col("sx") / n
+    b2x = F.col("s2x") - F.col("s2_").cast("double") * F.col("sx") / n
+    b1y = (
+        F.col("s1y").cast("double")
+        - F.col("s1").cast("double") * F.col("sy") / n
+    )
+    b2y = (
+        F.col("s2y").cast("double")
+        - F.col("s2_").cast("double") * F.col("sy") / n
+    )
+    cxx = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / n
+    )
+    cyy = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / n
+    )
+    cxy = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy") / n
+    )
+    det = a11 * a22 - a12 * a12
+    qxx = (
+        b1x * (a22 * b1x - a12 * b2x)
+        + b2x * (a11 * b2x - a12 * b1x)
+    ) / det
+    qxy = (
+        b1x * (a22 * b1y - a12 * b2y)
+        + b2x * (a11 * b2y - a12 * b1y)
+    ) / det
+    b = qxy / qxx
+    suu = cyy - 2.0 * b * cxy + b * b * cxx
+    u1 = b1y - b * b1x
+    u2 = b2y - b * b2x
+    j = (
+        n
+        * (u1 * (a22 * u1 - a12 * u2) + u2 * (a11 * u2 - a12 * u1))
+        / det
+        / suu
+    )
+    return fold.select(
+        F.col("n").alias("n_days"),
+        (F.round(b / 100.0, 6) + 0.0)
+        .alias("b_2sls_value_per_event"),
+        (F.round(j, 6) + 0.0).alias("sargan_j"),
+        F.when(j > 3.841459, 1).otherwise(0).cast("int")
+        .alias("overid_reject_5pct"),
+        (
+            F.round(qxx / 2.0 / ((cxx - qxx) / (n - 3.0)), 4) + 0.0
+        ).alias("first_stage_f"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "sargan_overid_test": (
+            "no window — day rollup + one scalar fold + 2x2 Cramer "
+            "(the iv_wald_weekend frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Aitchison compositional panel: dow revenue mix across regions
+# --------------------------------------------------------------------------
+@register(
+    "aitchison_composition_panel",
+    oracle="""
+    WITH cell AS (
+        SELECT r.r_regionkey AS rk,
+               CAST((epoch_us(o.o_orderdate) // 86400000000 + 4) % 7
+                    AS BIGINT) AS dow,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT)) AS BIGINT) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation na ON c.c_nationkey = na.n_nationkey
+        JOIN region r ON na.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    ),
+    lr AS (
+        SELECT rk, dow, round(ln(CAST(rev AS DOUBLE)), 10) AS lv
+        FROM cell
+    ),
+    clr AS (
+        SELECT rk, dow,
+               round(lv - AVG(lv) OVER (PARTITION BY rk), 10) AS c
+        FROM lr
+    ),
+    gmean AS (
+        SELECT dow, AVG(c) AS gc FROM clr GROUP BY dow
+    ),
+    totvar AS (
+        SELECT CAST(SUM(CAST(round((clr.c - gmean.gc)
+                   * (clr.c - gmean.gc), 12) AS DECIMAL(28,12)))
+                   AS DOUBLE)
+                   / (SELECT COUNT(DISTINCT rk) FROM clr) AS tv
+        FROM clr JOIN gmean ON clr.dow = gmean.dow
+    ),
+    dists AS (
+        SELECT a.rk AS ra, b.rk AS rb,
+               round(sqrt(SUM(CAST(round((a.c - b.c) * (a.c - b.c),
+                   12) AS DECIMAL(28,12)))), 8) AS ad
+        FROM clr a JOIN clr b
+          ON a.dow = b.dow AND a.rk < b.rk
+        GROUP BY a.rk, b.rk
+    )
+    SELECT d.ra AS region_a, d.rb AS region_b,
+           d.ad + 0.0 AS aitchison_distance,
+           round(t.tv, 8) + 0.0 AS total_variance
+    FROM dists d, totvar t
+    ORDER BY d.ra, d.rb
+    """,
+)
+def aitchison_composition_panel(spark, sf_dir):
+    """AITCHISON compositional analysis of each region's
+    day-of-week revenue MIX: centered log-ratio (CLR) transform of
+    the 7-part compositions, pairwise Aitchison distances between
+    the five regions, and the total compositional variance — the
+    SIMPLEX-correct geometry for share data that every euclidean
+    treatment of percentages violates (shares are constrained to
+    sum to 1, so raw distances and correlations between them are
+    artifacts; Aitchison 1986): this is the registry's first
+    compositional-data reading, the right lens for "do regions
+    WEEK-SHAPE differently" as opposed to "do they differ in
+    level" (`icc_twoway_mixed` answers the level question on the
+    same grid). Scale-invariance is built in — cents vs dollars
+    cannot move any output.
+
+    Exactness: cell revenues are exact integer cents; ln pins at
+    10 dp; CLR centering is an exact 7-part mean per region;
+    squared-difference folds round at 12 dp into DECIMAL sums over
+    the 35-cell grid; distances pin at 8 dp. Plan: orders + three
+    broadcast dims -> 35-cell rollup -> bounded CLR windows ->
+    10-pair self-join; all frames are dimension grids."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    na = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    cell = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == c.c_custkey,
+        )
+        .join(
+            F.broadcast(na.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_regionkey").alias("rk"),
+            (
+                (
+                    F.floor(
+                        F.unix_micros("o_orderdate") / 86_400_000_000
+                    )
+                    + 4
+                )
+                % 7
+            )
+            .cast("bigint")
+            .alias("dow"),
+        )
+        .agg(
+            (F.sum(dec("o_totalprice", 18, 2)) * 100)
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    lr = cell.select(
+        "rk",
+        "dow",
+        F.round(F.log(F.col("rev").cast("double")), 10).alias("lv"),
+    )
+    clr = lr.select(
+        "rk",
+        "dow",
+        F.round(
+            F.col("lv")
+            - F.avg("lv").over(Window.partitionBy("rk")),
+            10,
+        ).alias("c"),
+    ).persist()
+    gmean = clr.groupBy("dow").agg(F.avg("c").alias("gc"))
+    nreg = clr.select("rk").distinct().count()
+    totvar = (
+        clr.join(F.broadcast(gmean), "dow")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("c") - F.col("gc"))
+                        * (F.col("c") - F.col("gc")),
+                        12,
+                    ).cast("decimal(28,12)")
+                ).cast("double")
+                / F.lit(nreg)
+            ).alias("tv")
+        )
+    )
+    a = clr.select(
+        F.col("rk").alias("ra"),
+        F.col("dow").alias("da"),
+        F.col("c").alias("ca"),
+    )
+    b = clr.select(
+        F.col("rk").alias("rb"),
+        F.col("dow").alias("db"),
+        F.col("c").alias("cb"),
+    )
+    dists = (
+        a.join(
+            F.broadcast(b),
+            (F.col("da") == F.col("db")) & (F.col("ra") < F.col("rb")),
+        )
+        .groupBy("ra", "rb")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(
+                            (F.col("ca") - F.col("cb"))
+                            * (F.col("ca") - F.col("cb")),
+                            12,
+                        ).cast("decimal(28,12)")
+                    ).cast("double")
+                ),
+                8,
+            ).alias("ad")
+        )
+    )
+    return (
+        dists.crossJoin(F.broadcast(totvar))
+        .select(
+            F.col("ra").alias("region_a"),
+            F.col("rb").alias("region_b"),
+            (F.col("ad") + 0.0).alias("aitchison_distance"),
+            (F.round("tv", 8) + 0.0).alias("total_variance"),
+        )
+        .orderBy("region_a", "region_b")
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "aitchison_composition_panel": (
+            "bounded CLR windows over the 35-cell region x dow grid "
+            "+ 10-pair self-join; driver-side count() is a 5-row "
+            "dimension inventory"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# u-chart: daily error rate per event with varying exposure limits
+# --------------------------------------------------------------------------
+@register(
+    "u_chart_error_rate",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'error'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    cl AS (
+        SELECT CAST(SUM(x) AS DOUBLE) / SUM(n) AS ubar,
+               CAST(COUNT(*) AS BIGINT) AS days
+        FROM daily
+    ),
+    flags AS (
+        SELECT d.d, d.n, d.x, cl.ubar, cl.days,
+               CASE WHEN CAST(d.x AS DOUBLE) / d.n
+                         > cl.ubar + 3.0 * sqrt(cl.ubar / d.n)
+                    THEN 1
+                    WHEN CAST(d.x AS DOUBLE) / d.n
+                         < GREATEST(cl.ubar
+                                    - 3.0 * sqrt(cl.ubar / d.n), 0.0)
+                     AND cl.ubar - 3.0 * sqrt(cl.ubar / d.n) > 0
+                    THEN -1 ELSE 0 END AS ooc
+        FROM daily d, cl
+    )
+    SELECT MAX(days) AS n_days,
+           round(MAX(ubar), 8) + 0.0 AS u_bar,
+           CAST(SUM(CASE WHEN ooc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above_ucl,
+           CAST(SUM(CASE WHEN ooc = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below_lcl,
+           round(MAX(CASE WHEN ooc = 1
+                     THEN (CAST(x AS DOUBLE) / n - ubar)
+                          / sqrt(ubar / n) END), 6) + 0.0
+               AS worst_sigma_above
+    FROM flags
+    """,
+)
+def u_chart_error_rate(spark, sf_dir):
+    """u-CHART for the daily ERROR rate per event with
+    VARYING-EXPOSURE control limits u_bar +/- 3 sqrt(u_bar/n_d) —
+    the attributes-chart completion beside `c_chart_poisson_limits`
+    (which assumes constant exposure and silently flags busy days)
+    and `xmr_individuals_chart` (which treats the rate as a
+    continuous individual and over-widens on quiet days): the
+    u-chart's per-day limits narrow exactly as traffic grows, which
+    is the difference between "error BURST" and "busy day" — the
+    on-call question. Ships the out-of-limit day counts both sides
+    and the worst standardized excursion.
+
+    Exactness: daily (n, x) exact integers; the center line is one
+    exact integer ratio; per-day limits and flags are identical
+    IEEE trees; the fold is exact counting plus one max. Plan: day
+    rollup -> scalar center line -> broadcast flag pass -> one
+    fold; no window."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+    )
+    cl = daily.agg(
+        (F.sum("x").cast("double") / F.sum("n")).alias("ubar"),
+        F.count(F.lit(1)).cast("bigint").alias("days"),
+    )
+    j = daily.crossJoin(F.broadcast(cl))
+    rate = F.col("x").cast("double") / F.col("n")
+    sig = F.sqrt(F.col("ubar") / F.col("n"))
+    lcl = F.col("ubar") - 3.0 * sig
+    ooc = (
+        F.when(rate > F.col("ubar") + 3.0 * sig, 1)
+        .when((rate < F.greatest(lcl, F.lit(0.0))) & (lcl > 0), -1)
+        .otherwise(0)
+    )
+    flags = j.select(
+        "days", "ubar", "n", "x", ooc.alias("ooc"),
+        ((rate - F.col("ubar")) / sig).alias("zdev"),
+    )
+    return flags.agg(
+        F.max("days").alias("n_days"),
+        (F.round(F.max("ubar"), 8) + 0.0).alias("u_bar"),
+        F.sum(F.when(F.col("ooc") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above_ucl"),
+        F.sum(F.when(F.col("ooc") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below_lcl"),
+        (
+            F.round(
+                F.max(F.when(F.col("ooc") == 1, F.col("zdev"))), 6
+            )
+            + 0.0
+        ).alias("worst_sigma_above"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "u_chart_error_rate": (
+            "no window — day rollup + scalar center line + one fold"
+        ),
+    }
+)
