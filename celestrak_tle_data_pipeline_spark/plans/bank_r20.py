@@ -8,16 +8,24 @@ plan-audit notes pre-adjudicated at authoring time, and the HARD
 authoring-time 64x probe gate (``SCALING_PROBES.json`` +
 ``tests/test_flip_readiness.py``).
 
-Seed theme: SPACINGS & EXTREMAL DEPENDENCE — the log-spacings Moran
-test (the information-theoretic third opinion beside Greenwood's
-quadratic and Quesenberry-Miller's adjacent-product forms, with exact
-digamma/trigamma moments via the harmonic devices), the Gnedenko F
-test of exponentiality on normalized order-statistic spacings, and
-the bivariate extreme-dependence pair the tail battery lacks: the CFG
-Pickands-function estimator and the F-madogram extremal coefficient,
-plus the chi-bar tail-INDEPENDENCE discriminator (Coles-Heffernan-
-Tawn) that says whether the chi-style readouts are even the right
-object.
+Theme: COMPLETE at 49 (round 14). The spacings & extremal-dependence
+seeds (Moran log-spacings with exact digamma/trigamma moments,
+Gnedenko F via the TTT identity, CFG Pickands, F-madogram, chi-bar),
+then the full widening: uniformity/independence (Kuiper, two-sample
+Watson U^2, Neyman-Ledwina, Tarone Z, Williams-corrected G),
+contrasts and jackknives (Abelson-Tukey, moment/correlation
+delete-one SEs, Hartley Fmax, partial Spearman), parametric seconds
+(Gaussian divergences, Berkson logit + pseudo-R^2 panel, copula
+inversion, Szroeter/Glejser), resampling and evidence (BCa on the
+deterministic Poisson bootstrap, correlation TOST, DeLong delta-AUC,
+Bangdiwala B, BIC Bayes factor), new capabilities (ZTP unseen users,
+Lin interacted adjustment, BDS nonlinearity, Vasicek differential
+entropy), meta/model audits (Begg-Mazumdar, LOO sensitivity, Hausman,
+Duan smearing, Cox calibration, ACAT, Freeman-Tukey pooling), unit
+roots and forecasts (Phillips-Perron, Chow-Denning, HLN
+encompassing), SPC (u-chart, Poisson CUSUM), spatial/IV/compositional
+(local Moran LISA, Sargan J, Aitchison panel), and the Fisher
+index-axioms tripwire.
 
 Determinism disciplines inherited unchanged (bank_r11..r19
 docstrings): exact integer/DECIMAL folds, round-before-fold with the
@@ -7023,6 +7031,1343 @@ PLAN_AUDIT_NOTES.update(
     {
         "u_chart_error_rate": (
             "no window — day rollup + scalar center line + one fold"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# ACAT Cauchy combination of the per-nation effect p-values
+# --------------------------------------------------------------------------
+@register(
+    "acat_cauchy_combination",
+    oracle="""
+    WITH 
+    arm AS (
+        SELECT c.c_nationkey AS nk,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS urgent,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                                  * 100 AS BIGINT)
+                             AS DECIMAL(38,0))
+                        * CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                                    * 100 AS BIGINT)
+                               AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS ss
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    eff AS (
+        SELECT u.nk,
+               round((CAST(u.s AS DOUBLE) / u.n
+                      - CAST(r.s AS DOUBLE) / r.n) / 100000.0, 8) AS y,
+               round(((CAST(u.ss AS DOUBLE)
+                       - CAST(u.s AS DOUBLE) * u.s / u.n)
+                      / (u.n - 1) / u.n
+                      + (CAST(r.ss AS DOUBLE)
+                         - CAST(r.s AS DOUBLE) * r.s / r.n)
+                        / (r.n - 1) / r.n) / 10000000000.0, 8) AS v
+        FROM arm u JOIN arm r ON u.nk = r.nk
+        WHERE u.urgent = 1 AND r.urgent = 0 AND u.n > 1 AND r.n > 1
+    )
+,
+    pv AS (
+        SELECT eff.nk,
+               GREATEST(LEAST(round(2.0 * (1.0 - round((CASE WHEN ((abs(eff.y) / sqrt(eff.v))) >= 0 THEN 1.0 - ((((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs((abs(eff.y) / sqrt(eff.v))) / 1.4142135623730951))) - 1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs((abs(eff.y) / sqrt(eff.v))) / 1.4142135623730951))) + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs((abs(eff.y) / sqrt(eff.v))) / 1.4142135623730951))) - 0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs((abs(eff.y) / sqrt(eff.v))) / 1.4142135623730951))) + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs((abs(eff.y) / sqrt(eff.v))) / 1.4142135623730951)))) * exp(-(abs((abs(eff.y) / sqrt(eff.v))) / 1.4142135623730951) * (abs((abs(eff.y) / sqrt(eff.v))) / 1.4142135623730951))) / 2.0 ELSE ((((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs((abs(eff.y) / sqrt(eff.v))) / 1.4142135623730951))) - 1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs((abs(eff.y) / sqrt(eff.v))) / 1.4142135623730951))) + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs((abs(eff.y) / sqrt(eff.v))) / 1.4142135623730951))) - 0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs((abs(eff.y) / sqrt(eff.v))) / 1.4142135623730951))) + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs((abs(eff.y) / sqrt(eff.v))) / 1.4142135623730951)))) * exp(-(abs((abs(eff.y) / sqrt(eff.v))) / 1.4142135623730951) * (abs((abs(eff.y) / sqrt(eff.v))) / 1.4142135623730951))) / 2.0 END), 10)),
+                   10), 1.0 - 1e-12), 1e-12) AS p
+        FROM eff
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(round(tan((0.5 - p)
+                   * 3.141592653589793), 6) AS DECIMAL(38,6)))
+                   AS DOUBLE) AS st,
+               MIN(p) AS pmin
+        FROM pv
+    )
+    SELECT k AS k_studies,
+           round(st / k, 6) + 0.0 AS acat_stat,
+           round(0.5 - atan(st / k) / 3.141592653589793, 10) + 0.0
+               AS acat_p,
+           round(pmin, 10) + 0.0 AS min_p,
+           round(LEAST(1.0, k * pmin), 10) + 0.0 AS bonferroni_p
+    FROM fold
+""",
+)
+def acat_cauchy_combination(spark, sf_dir):
+    """ACAT (Cauchy combination, Liu-Xie 2020) of the 25 per-nation
+    urgent-vs-routine two-sided p-values: T = mean tan((1/2 - p_i)
+    pi) is Cauchy under EACH null regardless of the dependence
+    among nations (the heavy-tail trick: a Cauchy mean is Cauchy),
+    so p_ACAT = 1/2 - arctan(T)/pi needs NO independence assumption
+    — the modern second opinion to `fisher_stouffer_combined`
+    (whose chi2/normal references silently assume independent
+    studies that shared-calendar nations are not) and to the
+    Bonferroni bound shipped beside it: ACAT tracking min-p under
+    sparse signals and Stouffer under dense ones is the published
+    signature, readable directly off this row.
+
+    Exactness: per-nation z's come from the shared exact-fold
+    effects frame through the shared Phi tree (10-dp pins, p
+    clamped to [1e-12, 1-1e-12]); tangent terms round at 6 dp into
+    a DECIMAL fold; the arctan readout closes at 10 dp. Plan:
+    effects frame -> 25-row p pass -> one fold; no window."""
+    import math
+
+    from .bank_r14 import _effects
+    from .bank_r19 import _phi_col_r19
+
+    eff = _effects(spark, sf_dir)
+    z = F.abs(F.col("y")) / F.sqrt(F.col("v"))
+    p = F.greatest(
+        F.least(
+            F.round(2.0 * (1.0 - F.round(_phi_col_r19(z), 10)), 10),
+            F.lit(1.0 - 1e-12),
+        ),
+        F.lit(1e-12),
+    )
+    pv = eff.select("nk", p.alias("p"))
+    fold = pv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.round(
+                F.tan((0.5 - F.col("p")) * math.pi), 6
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("st"),
+        F.min("p").alias("pmin"),
+    )
+    kk = F.col("k").cast("double")
+    tbar = F.col("st") / kk
+    return fold.select(
+        F.col("k").alias("k_studies"),
+        (F.round(tbar, 6) + 0.0).alias("acat_stat"),
+        (F.round(0.5 - F.atan(tbar) / math.pi, 10) + 0.0)
+        .alias("acat_p"),
+        (F.round("pmin", 10) + 0.0).alias("min_p"),
+        (F.round(F.least(F.lit(1.0), kk * F.col("pmin")), 10) + 0.0)
+        .alias("bonferroni_p"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "acat_cauchy_combination": (
+            "no window — effects frame + 25-row p pass + one fold"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Pseudo-R^2 panel for the Berkson grouped logit
+# --------------------------------------------------------------------------
+@register(
+    "logit_pseudo_r2_panel",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(date_part('day', o_orderdate) AS BIGINT) AS dom,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM orders
+        WHERE CAST(date_part('day', o_orderdate) AS BIGINT) <= 28
+        GROUP BY 1
+    ),
+    el AS (
+        SELECT dom, n, x,
+               round(ln((x + 0.5) / (n - x + 0.5)), 10) AS l,
+               round(CAST(n AS DOUBLE) * (CAST(x AS DOUBLE) / n)
+                     * (1.0 - CAST(x AS DOUBLE) / n), 8) AS w
+        FROM cells
+    ),
+    wls AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(x) AS BIGINT) AS xt,
+               CAST(SUM(CAST(round(w, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS sw,
+               CAST(SUM(CAST(round(w * dom, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS swx,
+               CAST(SUM(CAST(round(w * dom * dom, 6)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS swxx,
+               CAST(SUM(CAST(round(w * l, 8) AS DECIMAL(28,8)))
+                    AS DOUBLE) AS swl,
+               CAST(SUM(CAST(round(w * dom * l, 8)
+                    AS DECIMAL(28,8))) AS DOUBLE) AS swxl
+        FROM el
+    ),
+    ab AS (
+        SELECT nt, xt,
+               (sw * swxl - swx * swl) / (sw * swxx - swx * swx)
+                   AS b,
+               (swl - (sw * swxl - swx * swl)
+                      / (sw * swxx - swx * swx) * swx) / sw AS a
+        FROM wls
+    ),
+    lls AS (
+        SELECT ab.nt, ab.xt,
+               CAST(SUM(CAST(round(
+                   c.x * round(-ln(1.0 + exp(-(ab.a + ab.b * c.dom))),
+                               10)
+                   + (c.n - c.x)
+                     * round(-ln(1.0 + exp(ab.a + ab.b * c.dom)), 10),
+                   6) AS DECIMAL(38,6))) AS DOUBLE) AS ll1
+        FROM cells c, ab
+        GROUP BY ab.nt, ab.xt
+    ),
+    ll0_ AS (
+        SELECT l.nt, l.ll1,
+               l.xt * ln(CAST(l.xt AS DOUBLE) / l.nt)
+               + (l.nt - l.xt)
+                 * ln(1.0 - CAST(l.xt AS DOUBLE) / l.nt) AS ll0
+        FROM lls l
+    )
+    SELECT nt AS n_orders,
+           round(ll1 - ll0, 6) + 0.0 AS loglik_gain,
+           round(1.0 - ll1 / ll0, 8) + 0.0 AS mcfadden_r2,
+           round(1.0 - exp(2.0 * (ll0 - ll1) / nt), 8) + 0.0
+               AS cox_snell_r2,
+           round((1.0 - exp(2.0 * (ll0 - ll1) / nt))
+                 / (1.0 - exp(2.0 * ll0 / nt)), 8) + 0.0
+               AS nagelkerke_r2
+    FROM ll0_
+    """,
+)
+def logit_pseudo_r2_panel(spark, sf_dir):
+    """PSEUDO-R^2 panel for the `berkson_logit_wls` day-of-month
+    logit of the fulfilled rate: McFadden (1 - ll1/ll0), Cox-Snell
+    (1 - exp(2(ll0-ll1)/n)), and Nagelkerke (Cox-Snell rescaled to
+    attainable [0,1]) — the three standard-but-DIFFERENT effect
+    sizes for a logistic fit, which famously disagree by multiples
+    on the same model (McFadden reads like a likelihood share,
+    Cox-Snell is bounded below 1 for binary outcomes, Nagelkerke
+    corrects the bound): shipping all three beside the Berkson
+    slope is the effect-size discipline the bare slope_z lacks, and
+    the panel prices how much day-of-month actually explains (the
+    `day_of_month_effect` descriptive signal, in likelihood units).
+    Log-likelihoods use the stable -ln(1 + exp(+/-eta)) form.
+
+    Exactness: the WLS fit is the shared berkson tree; per-cell
+    log-likelihood terms pin at 10 dp (softplus form, no overflow)
+    and fold at 6 dp through DECIMAL sums; the null likelihood is
+    one exact-ratio expression; the three R^2s close in IEEE trees.
+    Plan: 28-row grid -> WLS fold -> broadcast likelihood pass ->
+    scalar; no window."""
+    o = t(spark, sf_dir, "orders")
+    cells = (
+        o.select(
+            F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("f"),
+        )
+        .where(F.col("dom") <= 28)
+        .groupBy("dom")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("f").cast("bigint").alias("x"),
+        )
+        .persist()
+    )
+    p = F.col("x").cast("double") / F.col("n")
+    el = cells.select(
+        "dom",
+        "n",
+        "x",
+        F.round(
+            F.log((F.col("x") + 0.5) / (F.col("n") - F.col("x") + 0.5)),
+            10,
+        ).alias("l"),
+        F.round(F.col("n") * p * (1.0 - p), 8).alias("w"),
+    )
+    wls = el.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("x").cast("bigint").alias("xt"),
+        F.sum(F.round("w", 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sw"),
+        F.sum(
+            F.round(F.col("w") * F.col("dom"), 8).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("swx"),
+        F.sum(
+            F.round(
+                F.col("w") * F.col("dom") * F.col("dom"), 6
+            ).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("swxx"),
+        F.sum(
+            F.round(F.col("w") * F.col("l"), 8).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("swl"),
+        F.sum(
+            F.round(
+                F.col("w") * F.col("dom") * F.col("l"), 8
+            ).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("swxl"),
+    )
+    sxx_w = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+    b = (
+        F.col("sw") * F.col("swxl") - F.col("swx") * F.col("swl")
+    ) / sxx_w
+    ab = wls.select(
+        "nt",
+        "xt",
+        b.alias("b"),
+        ((F.col("swl") - b * F.col("swx")) / F.col("sw")).alias("a"),
+    )
+    jl = cells.crossJoin(F.broadcast(ab))
+    eta = F.col("a") + F.col("b") * F.col("dom")
+    term = (
+        F.col("x") * F.round(-F.log(1.0 + F.exp(-eta)), 10)
+        + (F.col("n") - F.col("x"))
+        * F.round(-F.log(1.0 + F.exp(eta)), 10)
+    )
+    lls = jl.groupBy("nt", "xt").agg(
+        F.sum(F.round(term, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("ll1")
+    )
+    nt = F.col("nt").cast("double")
+    pbar = F.col("xt").cast("double") / nt
+    ll0 = F.col("xt") * F.log(pbar) + (
+        F.col("nt") - F.col("xt")
+    ) * F.log(1.0 - pbar)
+    cs = 1.0 - F.exp(2.0 * (ll0 - F.col("ll1")) / nt)
+    return lls.select(
+        F.col("nt").alias("n_orders"),
+        (F.round(F.col("ll1") - ll0, 6) + 0.0).alias("loglik_gain"),
+        (F.round(1.0 - F.col("ll1") / ll0, 8) + 0.0)
+        .alias("mcfadden_r2"),
+        (F.round(cs, 8) + 0.0).alias("cox_snell_r2"),
+        (F.round(cs / (1.0 - F.exp(2.0 * ll0 / nt)), 8) + 0.0)
+        .alias("nagelkerke_r2"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "logit_pseudo_r2_panel": (
+            "no window — 28-row grid WLS + broadcast likelihood "
+            "pass (the berkson_logit device)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Chow-Denning maximum variance-ratio test over q = 2, 4, 8, 16
+# --------------------------------------------------------------------------
+from .bank_r19 import _DAILY_SQL, _daily  # noqa: E402
+
+
+@register(
+    "chow_denning_max_vr",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    x AS (
+        SELECT day AS d, CAST(round(ln(y), 9) AS DECIMAL(18,9)) AS x
+        FROM daily
+    ),
+    d1 AS (
+        SELECT b.x - a.x AS dx FROM x a JOIN x b ON b.d = a.d + 1
+    ),
+    m1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dx) AS DECIMAL(38,9)) AS s,
+               CAST(SUM(dx * dx) AS DECIMAL(38,18)) AS q
+        FROM d1
+    ),
+    dq AS (
+        SELECT qs.q, b.x - a.x AS dx
+        FROM (SELECT UNNEST([2, 4, 8, 16]) AS q) qs
+        JOIN x a ON true
+        JOIN x b ON b.d = a.d + qs.q
+    ),
+    mq AS (
+        SELECT q, CAST(COUNT(*) AS BIGINT) AS nq,
+               CAST(SUM(dx) AS DECIMAL(38,9)) AS s,
+               CAST(SUM(dx * dx) AS DECIMAL(38,18)) AS qq
+        FROM dq GROUP BY q
+    ),
+    vr AS (
+        SELECT mq.q, mq.nq,
+               round(((CAST(mq.qq AS DOUBLE)
+                       - CAST(mq.s AS DOUBLE) * CAST(mq.s AS DOUBLE)
+                         / mq.nq) / (mq.nq - 1))
+                     / (mq.q * ((CAST(m1.q AS DOUBLE)
+                                 - CAST(m1.s AS DOUBLE)
+                                   * CAST(m1.s AS DOUBLE) / m1.n)
+                                / (m1.n - 1))), 6) AS v,
+               round((((CAST(mq.qq AS DOUBLE)
+                        - CAST(mq.s AS DOUBLE) * CAST(mq.s AS DOUBLE)
+                          / mq.nq) / (mq.nq - 1))
+                      / (mq.q * ((CAST(m1.q AS DOUBLE)
+                                  - CAST(m1.s AS DOUBLE)
+                                    * CAST(m1.s AS DOUBLE) / m1.n)
+                                 / (m1.n - 1))) - 1.0)
+                     / sqrt(2.0 * (2 * mq.q - 1) * (mq.q - 1)
+                            / (3.0 * mq.q * mq.nq)), 6) AS z
+        FROM mq, m1
+    ),
+    summ AS (
+        SELECT MAX(abs(z)) AS mz FROM vr
+    )
+    SELECT CAST(vr.q AS BIGINT) AS q_days,
+           vr.nq AS n_overlaps,
+           vr.v + 0.0 AS variance_ratio,
+           vr.z + 0.0 AS z_iid,
+           round(summ.mz, 6) + 0.0 AS max_abs_z,
+           CAST(CASE WHEN summ.mz > 2.491 THEN 1 ELSE 0 END AS INT)
+               AS cd_reject_5pct
+    FROM vr, summ
+    ORDER BY q_days
+    """,
+)
+def chow_denning_max_vr(spark, sf_dir):
+    """CHOW-DENNING joint variance-ratio test on daily log revenue
+    over q = 2, 4, 8, 16: the max |z_iid(q)| compared against the
+    Studentized-Maximum-Modulus 5% point 2.491 (m = 4) — the
+    MULTIPLE-COMPARISON-correct version of `variance_ratio_daily`'s
+    single-lag readout: testing four horizons and reporting the
+    best one inflates the single-lag test's size to ~17%, which is
+    exactly the cherry-picking the CD bound removes; the per-q rows
+    ship alongside so the horizon PROFILE (mean reversion at short
+    lags flipping to momentum at long) stays readable. Same
+    9-dp-pinned log increments and exact DECIMAL folds as the
+    single-lag query.
+
+    Exactness: increments are differences of 9-dp DECIMAL logs on
+    calendar lag joins (exact); all per-q power sums are DECIMAL
+    folds; VR/z close in IEEE trees; the SMM critical 2.491 is a
+    shared literal. Plan: day rollup -> 1+4 bounded calendar lag
+    joins -> per-q folds -> one summary fold; no window."""
+    daily = _daily(spark, sf_dir)
+    x = daily.select(
+        F.col("day").alias("d"),
+        F.round(F.log(F.col("y").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+    ).persist()
+    a1 = x.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b1 = x.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    d1 = a1.join(b1, F.col("db") == F.col("da") + 1).select(
+        (F.col("xb") - F.col("xa")).alias("dx")
+    )
+    m1 = d1.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dx").cast("decimal(38,9)").alias("s"),
+        F.sum(F.col("dx") * F.col("dx"))
+        .cast("decimal(38,18)")
+        .alias("q"),
+    )
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(2), F.lit(4), F.lit(8), F.lit(16))
+        ).alias("q")
+    )
+    dq = (
+        a1.crossJoin(F.broadcast(qs))
+        .join(b1, F.col("db") == F.col("da") + F.col("q"))
+        .select("q", (F.col("xb") - F.col("xa")).alias("dx"))
+    )
+    mq = dq.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nq"),
+        F.sum("dx").cast("decimal(38,9)").alias("s"),
+        F.sum(F.col("dx") * F.col("dx"))
+        .cast("decimal(38,18)")
+        .alias("qq"),
+    )
+    j = mq.crossJoin(
+        F.broadcast(
+            m1.select(
+                F.col("n").alias("n1"),
+                F.col("s").alias("s1"),
+                F.col("q").alias("q1"),
+            )
+        )
+    )
+    var1 = (
+        F.col("q1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+        / F.col("n1")
+    ) / (F.col("n1") - 1)
+    varq = (
+        F.col("qq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("nq")
+    ) / (F.col("nq") - 1)
+    v = F.round(varq / (F.col("q") * var1), 6)
+    z = F.round(
+        (varq / (F.col("q") * var1) - 1.0)
+        / F.sqrt(
+            2.0
+            * (2 * F.col("q") - 1)
+            * (F.col("q") - 1)
+            / (3.0 * F.col("q") * F.col("nq"))
+        ),
+        6,
+    )
+    vr = j.select(
+        "q", "nq", v.alias("v"), z.alias("z")
+    ).persist()
+    summ = vr.agg(F.max(F.abs(F.col("z"))).alias("mz"))
+    return (
+        vr.crossJoin(F.broadcast(summ))
+        .select(
+            F.col("q").cast("bigint").alias("q_days"),
+            F.col("nq").alias("n_overlaps"),
+            (F.col("v") + 0.0).alias("variance_ratio"),
+            (F.col("z") + 0.0).alias("z_iid"),
+            (F.round("mz", 6) + 0.0).alias("max_abs_z"),
+            F.when(F.col("mz") > 2.491, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("cd_reject_5pct"),
+        )
+        .orderBy("q_days")
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "chow_denning_max_vr": (
+            "no window — calendar lag joins + per-q folds (the "
+            "variance_ratio_daily frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Phillips-Perron unit-root test with Bartlett long-run variance
+# --------------------------------------------------------------------------
+@register(
+    "phillips_perron_unit_root",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    pairs AS (
+        SELECT a.day AS d,
+               CAST(a.y AS DOUBLE) / 100000.0 AS w,
+               CAST(b.y - a.y AS DOUBLE) / 100000.0 AS z
+        FROM daily a JOIN daily b ON b.day = a.day + 1
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(w, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sw,
+               CAST(SUM(CAST(round(z, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sz,
+               CAST(SUM(CAST(round(w * w, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS sww,
+               CAST(SUM(CAST(round(z * z, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS szz,
+               CAST(SUM(CAST(round(w * z, 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS swz
+        FROM pairs
+    ),
+    fit AS (
+        SELECT n,
+               (n * swz - sw * sz) / (n * sww - sw * sw) AS rho,
+               (sz - (n * swz - sw * sz) / (n * sww - sw * sw) * sw)
+                   / n AS a,
+               ((n * szz - sz * sz)
+                - (n * swz - sw * sz) * (n * swz - sw * sz)
+                  / (n * sww - sw * sw)) / n AS sse_n,
+               (n * sww - sw * sw) / n AS cww_n
+        FROM m
+    ),
+    res AS (
+        SELECT p.d,
+               round(p.z - f.a - f.rho * p.w, 8) AS e
+        FROM pairs p, fit f
+    ),
+    g0 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(e * e, 10) AS DECIMAL(38,10)))
+                    AS DOUBLE) AS se2
+        FROM res
+    ),
+    gj AS (
+        SELECT lags.j,
+               CAST(SUM(CAST(round(a.e * b.e, 10)
+                    AS DECIMAL(38,10))) AS DOUBLE) AS sp
+        FROM (SELECT UNNEST([1, 2, 3, 4]) AS j) lags
+        JOIN res a ON true
+        JOIN res b ON b.d = a.d + lags.j
+        GROUP BY lags.j
+    ),
+    lam AS (
+        SELECT g0.n, g0.se2 / g0.n AS gamma0,
+               g0.se2 / g0.n
+               + 2.0 * CAST(SUM(CAST(round(
+                     (1.0 - gj.j / 5.0) * gj.sp / g0.n, 12)
+                     AS DECIMAL(28,12))) AS DOUBLE) AS lam2
+        FROM gj, g0 GROUP BY g0.n, g0.se2
+    )
+    SELECT l.n AS n_days,
+           round(f.rho, 8) + 0.0 AS rho_coeff,
+           round(f.rho / sqrt((f.sse_n * l.n / (l.n - 2.0))
+                              / (l.n * f.cww_n)), 6) + 0.0 AS t_df,
+           round(l.gamma0, 8) + 0.0 AS gamma0,
+           round(l.lam2, 8) + 0.0 AS lambda2,
+           round(sqrt(l.gamma0 / l.lam2)
+                 * (f.rho / sqrt((f.sse_n * l.n / (l.n - 2.0))
+                                 / (l.n * f.cww_n)))
+                 - (l.lam2 - l.gamma0)
+                   / (2.0 * sqrt(l.lam2))
+                   * l.n
+                   * sqrt((f.sse_n * l.n / (l.n - 2.0))
+                          / (l.n * f.cww_n))
+                   / sqrt(f.sse_n * l.n / (l.n - 2.0)), 6) + 0.0
+               AS z_t_pp,
+           CAST(CASE WHEN sqrt(l.gamma0 / l.lam2)
+                 * (f.rho / sqrt((f.sse_n * l.n / (l.n - 2.0))
+                                 / (l.n * f.cww_n)))
+                 - (l.lam2 - l.gamma0)
+                   / (2.0 * sqrt(l.lam2))
+                   * l.n
+                   * sqrt((f.sse_n * l.n / (l.n - 2.0))
+                          / (l.n * f.cww_n))
+                   / sqrt(f.sse_n * l.n / (l.n - 2.0)) < -2.86
+                     THEN 1 ELSE 0 END AS INT)
+               AS reject_unit_root_5pct
+    FROM lam l, fit f
+    """,
+)
+def phillips_perron_unit_root(spark, sf_dir):
+    """PHILLIPS-PERRON unit-root test on daily revenue (kUSD):
+    the Dickey-Fuller regression delta-y on (1, y_lag) kept AS IS,
+    with the t statistic corrected NONPARAMETRICALLY through the
+    Bartlett long-run variance lambda^2 = gamma0 + 2 sum (1 -
+    j/5) gamma_j (L = 4 lags; Hamilton 1994 eq. 17.6.12 form,
+    s^2 = SSE/(n-2)) — the serial-correlation-robust second opinion
+    to `dickey_fuller_unit_root` (which assumes iid errors) and the
+    lag-free alternative to an augmented-DF lag hunt: PP and DF
+    disagreeing by more than the correction term localizes the
+    error autocorrelation `breusch_godfrey_lm` then models, and
+    `kpss_level_stationarity` closes the triangle from the
+    stationary null. The -2.86 constant-case critical value is the
+    shared literal.
+
+    Exactness: the DF regression comes from 4/6-dp-pinned kUSD
+    folds; residuals pin at 8 dp; gamma_j from calendar lag joins
+    (the mcleod_li device) with 10-dp product folds; the correction
+    closes in one IEEE tree. Plan: day rollup -> successor join ->
+    OLS fold -> broadcast residual pass -> 4 lag joins -> scalar;
+    no window."""
+    daily = _daily(spark, sf_dir)
+    b1 = daily.select(
+        (F.col("day") - 1).alias("day"), F.col("y").alias("ynext")
+    )
+    pairs = daily.join(b1, "day").select(
+        F.col("day").alias("d"),
+        (F.col("y").cast("double") / 100000.0).alias("w"),
+        (
+            (F.col("ynext") - F.col("y")).cast("double") / 100000.0
+        ).alias("z"),
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round("w", 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sw"),
+        F.sum(F.round("z", 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sz"),
+        F.sum(F.round(F.col("w") * F.col("w"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sww"),
+        F.sum(F.round(F.col("z") * F.col("z"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("szz"),
+        F.sum(F.round(F.col("w") * F.col("z"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("swz"),
+    )
+    n = F.col("n").cast("double")
+    cww = n * F.col("sww") - F.col("sw") * F.col("sw")
+    cwz = n * F.col("swz") - F.col("sw") * F.col("sz")
+    czz = n * F.col("szz") - F.col("sz") * F.col("sz")
+    rho = cwz / cww
+    fit = m.select(
+        "n",
+        rho.alias("rho"),
+        ((F.col("sz") - rho * F.col("sw")) / n).alias("a"),
+        ((czz - cwz * cwz / cww) / n).alias("sse_n"),
+        (cww / n).alias("cww_n"),
+    )
+    res = pairs.crossJoin(F.broadcast(fit)).select(
+        "d",
+        F.round(
+            F.col("z") - F.col("a") - F.col("rho") * F.col("w"), 8
+        ).alias("e"),
+    ).persist()
+    g0 = res.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum(F.round(F.col("e") * F.col("e"), 10).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("se2"),
+    )
+    lags = spark.range(1, 5).select(F.col("id").alias("j"))
+    ra = res.select(F.col("d").alias("da"), F.col("e").alias("ea"))
+    rb = res.select(F.col("d").alias("db"), F.col("e").alias("eb"))
+    gj = (
+        ra.crossJoin(F.broadcast(lags))
+        .join(rb, F.col("db") == F.col("da") + F.col("j"))
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.round(F.col("ea") * F.col("eb"), 10).cast(
+                    "decimal(38,10)"
+                )
+            )
+            .cast("double")
+            .alias("sp")
+        )
+    )
+    lam = gj.crossJoin(F.broadcast(g0)).agg(
+        F.max("ng").alias("n"),
+        F.max(F.col("se2") / F.col("ng")).alias("gamma0"),
+        (
+            F.max(F.col("se2") / F.col("ng"))
+            + 2.0
+            * F.sum(
+                F.round(
+                    (1.0 - F.col("j") / 5.0)
+                    * F.col("sp")
+                    / F.col("ng"),
+                    12,
+                ).cast("decimal(28,12)")
+            ).cast("double")
+        ).alias("lam2"),
+    )
+    out = lam.crossJoin(F.broadcast(fit.drop("n")))
+    nn = F.col("n").cast("double")
+    s2 = F.col("sse_n") * nn / (nn - 2.0)
+    se_rho = F.sqrt(s2 / (nn * F.col("cww_n")))
+    t_df = F.col("rho") / se_rho
+    zpp = (
+        F.sqrt(F.col("gamma0") / F.col("lam2")) * t_df
+        - (F.col("lam2") - F.col("gamma0"))
+        / (2.0 * F.sqrt(F.col("lam2")))
+        * nn
+        * se_rho
+        / F.sqrt(s2)
+    )
+    return out.select(
+        F.col("n").alias("n_days"),
+        (F.round("rho", 8) + 0.0).alias("rho_coeff"),
+        (F.round(t_df, 6) + 0.0).alias("t_df"),
+        (F.round("gamma0", 8) + 0.0).alias("gamma0"),
+        (F.round("lam2", 8) + 0.0).alias("lambda2"),
+        (F.round(zpp, 6) + 0.0).alias("z_t_pp"),
+        F.when(zpp < -2.86, 1).otherwise(0).cast("int")
+        .alias("reject_unit_root_5pct"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "phillips_perron_unit_root": (
+            "no window — successor/lag calendar joins + scalar "
+            "folds (the dickey_fuller / mcleod_li frames)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Forecast encompassing test: naive vs seasonal-naive daily forecasts
+# --------------------------------------------------------------------------
+@register(
+    "forecast_encompassing_hln",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    err AS (
+        SELECT a.day,
+               CAST(a.y - b.y AS DOUBLE) / 100000.0 AS e1,
+               CAST(a.y - c.y AS DOUBLE) / 100000.0 AS e2
+        FROM daily a
+        JOIN daily b ON b.day = a.day - 1
+        JOIN daily c ON c.day = a.day - 7
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(e1 * (e1 - e2), 6)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS s1d,
+               CAST(SUM(CAST(round(e2 * (e2 - e1), 6)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS s2d,
+               CAST(SUM(CAST(round((e1 - e2) * (e1 - e2), 6)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS sdd,
+               CAST(SUM(CAST(round(e1 * e1, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s11,
+               CAST(SUM(CAST(round(e2 * e2, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s22
+        FROM err
+    )
+    SELECT n AS n_days,
+           round(s1d / sdd, 8) + 0.0 AS lambda_naive_on_seasonal,
+           round((s1d / sdd)
+                 / sqrt((s11 - s1d * s1d / sdd)
+                        / (n - 1.0) / sdd), 6) + 0.0
+               AS t_enc_naive,
+           round(s2d / sdd, 8) + 0.0 AS lambda_seasonal_on_naive,
+           round((s2d / sdd)
+                 / sqrt((s22 - s2d * s2d / sdd)
+                        / (n - 1.0) / sdd), 6) + 0.0
+               AS t_enc_seasonal,
+           round(s11 / s22, 6) + 0.0 AS mse_ratio_naive_over_seas
+    FROM fold
+    """,
+)
+def forecast_encompassing_hln(spark, sf_dir):
+    """FORECAST ENCOMPASSING test (Harvey-Leybourne-Newbold form)
+    between the two baseline daily-revenue forecasts — naive
+    (yesterday) and seasonal-naive (a week ago): regress e1 on
+    (e1 - e2) through the origin; lambda = 0 means the naive
+    forecast ENCOMPASSES the seasonal one (no combination helps),
+    lambda in (0,1) with a significant t says a convex combination
+    strictly beats both — which is the question
+    `diebold_mariano_forecast` (who is MORE accurate) and
+    `forecast_combination_imse` (what weights) leave open between
+    them: DM can be insignificant while encompassing rejects BOTH
+    directions, the textbook case for combining. Both directions
+    and the raw MSE ratio ship in one row.
+
+    Exactness: forecast errors are exact integer-cent differences
+    in kUSD; all five cross-product folds round at 6 dp into
+    DECIMAL sums; lambdas and t's close in IEEE trees
+    (through-the-origin OLS t with n-1 df, documented). Plan: day
+    rollup -> two calendar lag joins -> one fold; no window."""
+    daily = _daily(spark, sf_dir)
+    b1 = daily.select(
+        (F.col("day") + 1).alias("day"), F.col("y").alias("y1")
+    )
+    c7 = daily.select(
+        (F.col("day") + 7).alias("day"), F.col("y").alias("y7")
+    )
+    err = (
+        daily.join(b1, "day")
+        .join(c7, "day")
+        .select(
+            ((F.col("y") - F.col("y1")).cast("double") / 100000.0)
+            .alias("e1"),
+            ((F.col("y") - F.col("y7")).cast("double") / 100000.0)
+            .alias("e2"),
+        )
+    )
+    e1, e2 = F.col("e1"), F.col("e2")
+    fold = err.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(e1 * (e1 - e2), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s1d"),
+        F.sum(F.round(e2 * (e2 - e1), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s2d"),
+        F.sum(F.round((e1 - e2) * (e1 - e2), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sdd"),
+        F.sum(F.round(e1 * e1, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s11"),
+        F.sum(F.round(e2 * e2, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s22"),
+    )
+    n = F.col("n").cast("double")
+    l1 = F.col("s1d") / F.col("sdd")
+    l2 = F.col("s2d") / F.col("sdd")
+    t1 = l1 / F.sqrt(
+        (F.col("s11") - F.col("s1d") * F.col("s1d") / F.col("sdd"))
+        / (n - 1.0)
+        / F.col("sdd")
+    )
+    t2 = l2 / F.sqrt(
+        (F.col("s22") - F.col("s2d") * F.col("s2d") / F.col("sdd"))
+        / (n - 1.0)
+        / F.col("sdd")
+    )
+    return fold.select(
+        F.col("n").alias("n_days"),
+        (F.round(l1, 8) + 0.0).alias("lambda_naive_on_seasonal"),
+        (F.round(t1, 6) + 0.0).alias("t_enc_naive"),
+        (F.round(l2, 8) + 0.0).alias("lambda_seasonal_on_naive"),
+        (F.round(t2, 6) + 0.0).alias("t_enc_seasonal"),
+        (F.round(F.col("s11") / F.col("s22"), 6) + 0.0)
+        .alias("mse_ratio_naive_over_seas"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "forecast_encompassing_hln": (
+            "no window — two calendar lag joins + one fold (the "
+            "diebold_mariano frame)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Poisson CUSUM (Lucas) on daily error counts
+# --------------------------------------------------------------------------
+@register(
+    "poisson_cusum_lucas",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN event_type = 'error'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    lam AS (
+        SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) AS l0,
+               1.5 * CAST(SUM(x) AS DOUBLE) / COUNT(*) AS l1,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM daily
+    ),
+    kref AS (
+        SELECT nd, l0, l1,
+               round((l1 - l0) / (ln(l1) - ln(l0)), 8) AS k
+        FROM lam
+    ),
+    m AS (
+        SELECT d.d, k.nd, k.k, k.l0,
+               SUM(round(d.x - k.k, 8))
+                   OVER (ORDER BY d.d) AS mt
+        FROM daily d, kref k
+    ),
+    soft AS (
+        SELECT d, nd, k, l0, mt,
+               mt - LEAST(0.0,
+                   MIN(mt) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)) AS st
+        FROM m
+    )
+    SELECT MAX(nd) AS n_days,
+           round(MAX(k), 6) + 0.0 AS reference_k,
+           round(MAX(l0), 6) + 0.0 AS lambda0,
+           round(MAX(st), 4) + 0.0 AS max_cusum,
+           CAST(SUM(CASE WHEN st > 5.0 * sqrt(l0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signal_days,
+           CAST(MIN(CASE WHEN st > 5.0 * sqrt(l0) THEN d END)
+                AS BIGINT) AS first_signal_day
+    FROM soft
+    """,
+)
+def poisson_cusum_lucas(spark, sf_dir):
+    """POISSON CUSUM (Lucas 1985) on daily error counts, tuned to
+    detect a 1.5x rate increase: the likelihood-optimal reference
+    value is k = (lambda1 - lambda0)/(ln lambda1 - ln lambda0) —
+    NOT the midpoint the normal CUSUM would use, which is exactly
+    why a Gaussian chart on counts under-detects — with decision
+    interval h = 5 sqrt(lambda0). The reset recursion S_t =
+    max(0, S_{t-1} + x_t - k) computes exactly via the
+    prefix-minus-running-min identity (the
+    `cusum_chart_arl_siegmund` device, no sequential state), making
+    this the count-data completion of the CUSUM family beside
+    `c_chart_poisson_limits` (memoryless) and `u_chart_error_rate`
+    (exposure-adjusted memoryless): the CUSUM accumulates small
+    persistent drifts that per-day limits never flag.
+
+    Exactness: counts are exact integers; k pins at 8 dp; the
+    prefix sums fold 8-dp rounded terms; the running min and the
+    signal fold are order-free on the bounded day grid (windows
+    are the cusum class, calendar-bounded). Plan: day rollup ->
+    scalar rates -> two prefix windows -> one fold."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+    )
+    lam = daily.agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("l0"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    kref = lam.select(
+        "nd",
+        "l0",
+        F.round(
+            (1.5 * F.col("l0") - F.col("l0"))
+            / (F.log(1.5 * F.col("l0")) - F.log(F.col("l0"))),
+            8,
+        ).alias("k"),
+    )
+    wd = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    m = daily.crossJoin(F.broadcast(kref)).select(
+        "d",
+        "nd",
+        "k",
+        "l0",
+        F.sum(F.round(F.col("x") - F.col("k"), 8)).over(wd).alias("mt"),
+    )
+    soft = m.select(
+        "d",
+        "nd",
+        "k",
+        "l0",
+        (
+            F.col("mt")
+            - F.least(F.lit(0.0), F.min("mt").over(wd))
+        ).alias("st"),
+    )
+    h = 5.0 * F.sqrt(F.col("l0"))
+    return soft.agg(
+        F.max("nd").alias("n_days"),
+        (F.round(F.max("k"), 6) + 0.0).alias("reference_k"),
+        (F.round(F.max("l0"), 6) + 0.0).alias("lambda0"),
+        (F.round(F.max("st"), 4) + 0.0).alias("max_cusum"),
+        F.sum(F.when(F.col("st") > h, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_signal_days"),
+        F.min(F.when(F.col("st") > h, F.col("d")))
+        .cast("bigint")
+        .alias("first_signal_day"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "poisson_cusum_lucas": (
+            "prefix + running-min windows over the bounded calendar "
+            "frame (the cusum_chart class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Freeman-Tukey double-arcsine pooling of nation fulfillment rates
+# --------------------------------------------------------------------------
+@register(
+    "freeman_tukey_pooled_rate",
+    oracle="""
+    WITH cell AS (
+        SELECT c.c_nationkey AS nk,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o.o_orderstatus = 'F'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    ft AS (
+        SELECT nk, n, x,
+               round(asin(sqrt(CAST(x AS DOUBLE) / (n + 1.0)))
+                     + asin(sqrt((x + 1.0) / (n + 1.0))), 10) AS t,
+               CAST(n AS DOUBLE) + 0.5 AS w
+        FROM cell
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(x) AS BIGINT) AS xt,
+               CAST(SUM(CAST(round(w * t, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS swt,
+               CAST(SUM(CAST(round(w, 1) AS DECIMAL(38,1)))
+                    AS DOUBLE) AS sw,
+               CAST(SUM(CAST(round(w * t * t, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS swtt
+        FROM ft
+    ),
+    bt AS (
+        SELECT k, nt, xt, sw, swt, swtt,
+               swt / sw AS tbar,
+               1.0 / (sw / k) AS inv_nbar
+        FROM fold
+    )
+    SELECT k AS k_nations, nt AS n_orders,
+           round(CAST(xt AS DOUBLE) / nt, 8) + 0.0 AS raw_pooled_rate,
+           round(tbar, 8) + 0.0 AS ft_pooled_transform,
+           round(0.5 * (1.0 - SIGN(cos(tbar))
+                 * sqrt(GREATEST(0.0, 1.0
+                        - (sin(tbar) + (sin(tbar)
+                           - 1.0 / sin(tbar)) * inv_nbar)
+                          * (sin(tbar) + (sin(tbar)
+                             - 1.0 / sin(tbar)) * inv_nbar)))), 8)
+               + 0.0 AS ft_backtransformed_rate,
+           round((swtt - swt * swt / sw) / (k - 1.0), 8) + 0.0
+               AS between_nation_q
+    FROM bt
+    """,
+)
+def freeman_tukey_pooled_rate(spark, sf_dir):
+    """FREEMAN-TUKEY double-arcsine pooling of the 25 per-nation
+    fulfilled-order rates: t_i = asin sqrt(x/(n+1)) + asin
+    sqrt((x+1)/(n+1)) stabilizes the binomial variance to
+    1/(n + 1/2) EXACTLY where the raw and logit scales leave it
+    rate-dependent, the inverse-variance pool is then a plain
+    weighted mean, and Miller's (1978) closed-form inverse maps the
+    pooled transform back to a rate — the variance-stabilized
+    second opinion to the raw pooled ratio (shipped beside it):
+    the two diverge exactly when small-nation extreme rates exist,
+    which is the meta-analytic moment the FT scale was built for,
+    and `between_nation_q` is the heterogeneity reading on the
+    stabilized scale (the `dersimonian_laird_meta` Q for rates).
+
+    Exactness: per-nation (n, x) exact integers; the double
+    arcsine pins at 10 dp; weighted folds at 8 dp through DECIMAL
+    sums; Miller's inverse (guarded under the sqrt) closes in one
+    IEEE tree. Plan: orders + broadcast customer -> 25-row nation
+    rollup -> one fold; no window."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    cell = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    tcol = F.round(
+        F.asin(F.sqrt(F.col("x").cast("double") / (F.col("n") + 1.0)))
+        + F.asin(F.sqrt((F.col("x") + 1.0) / (F.col("n") + 1.0))),
+        10,
+    )
+    ft = cell.select(
+        "n", "x", tcol.alias("t"), (F.col("n") + 0.5).alias("w")
+    )
+    fold = ft.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("x").cast("bigint").alias("xt"),
+        F.sum(F.round(F.col("w") * F.col("t"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("swt"),
+        F.sum(F.round("w", 1).cast("decimal(38,1)"))
+        .cast("double")
+        .alias("sw"),
+        F.sum(
+            F.round(
+                F.col("w") * F.col("t") * F.col("t"), 8
+            ).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("swtt"),
+    )
+    kk = F.col("k").cast("double")
+    tbar = F.col("swt") / F.col("sw")
+    inv_nbar = 1.0 / (F.col("sw") / kk)
+    sinb = F.sin(tbar)
+    inner = sinb + (sinb - 1.0 / sinb) * inv_nbar
+    back = 0.5 * (
+        1.0
+        - F.signum(F.cos(tbar))
+        * F.sqrt(F.greatest(F.lit(0.0), 1.0 - inner * inner))
+    )
+    return fold.select(
+        F.col("k").alias("k_nations"),
+        F.col("nt").alias("n_orders"),
+        (
+            F.round(F.col("xt").cast("double") / F.col("nt"), 8) + 0.0
+        ).alias("raw_pooled_rate"),
+        (F.round(tbar, 8) + 0.0).alias("ft_pooled_transform"),
+        (F.round(back, 8) + 0.0).alias("ft_backtransformed_rate"),
+        (
+            F.round(
+                (
+                    F.col("swtt")
+                    - F.col("swt") * F.col("swt") / F.col("sw")
+                )
+                / (kk - 1.0),
+                8,
+            )
+            + 0.0
+        ).alias("between_nation_q"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "freeman_tukey_pooled_rate": (
+            "no window — 25-row nation rollup + one fold"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Index-number axiom audit: time- and factor-reversal for Fisher
+# --------------------------------------------------------------------------
+from .bank_r19 import _MATCHED_BRANDS_SQL  # noqa: E402
+
+
+@register(
+    "fisher_index_axioms_audit",
+    oracle=f"""
+    WITH {_MATCHED_BRANDS_SQL},
+    fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(r0) AS BIGINT) AS v0,
+               CAST(SUM(r1) AS BIGINT) AS v1,
+               CAST(SUM(CAST(round(p1 * q0, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS p1q0,
+               CAST(SUM(CAST(round(p0 * q0, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS p0q0,
+               CAST(SUM(CAST(round(p1 * q1, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS p1q1,
+               CAST(SUM(CAST(round(p0 * q1, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS p0q1
+        FROM matched
+    )
+    SELECT k AS n_brands_matched,
+           round(sqrt((p1q0 / p0q0) * (p1q1 / p0q1)), 8) + 0.0
+               AS fisher_price,
+           round(sqrt((p1q0 / p0q0) * (p1q1 / p0q1))
+                 * sqrt((p0q1 / p1q1) * (p0q0 / p1q0)), 10) + 0.0
+               AS fisher_time_reversal_product,
+           round((p1q0 / p0q0) * (p0q1 / p1q1), 8) + 0.0
+               AS laspeyres_time_reversal_product,
+           round(sqrt((p1q0 / p0q0) * (p1q1 / p0q1))
+                 * sqrt((p0q1 / p0q0) * (p1q1 / p1q0))
+                 / (CAST(v1 AS DOUBLE) / v0), 10) + 0.0
+               AS fisher_factor_reversal_ratio,
+           round(CAST(v1 AS DOUBLE) / v0, 8) + 0.0 AS value_ratio
+    FROM fold
+    """,
+)
+def fisher_index_axioms_audit(spark, sf_dir):
+    """INDEX-NUMBER AXIOM audit on the matched-brands frame
+    (Diewert's test approach, computed rather than assumed):
+    Fisher's price index times its own REVERSED-period price index
+    must equal 1 exactly (time reversal), and Fisher price x Fisher
+    quantity must reproduce the value ratio exactly (factor
+    reversal; here as the ratio that must print 1) — while the
+    Laspeyres time-reversal product L(0,1) x L(1,0) >= 1 with the
+    gap measuring substitution bias, the number that justifies
+    every superlative-index choice in the registry
+    (`fisher_tornqvist_index`, `sato_vartia_walsh_index`). The
+    identities hold ALGEBRAICALLY, so any drift from 1 beyond the
+    declared 6-dp term rounds is an arithmetic-regression tripwire
+    for the whole price-index family — a self-check query in the
+    identity-gap tradition of `bennet_price_quantity_decomp` and
+    `lmdi_decomposition`.
+
+    Exactness: the shared matched-brands folds (8-dp prices, 6-dp
+    basket terms through DECIMAL sums); all indices and both
+    identity products are terminal IEEE trees; exact value ratio
+    from integer cents. Plan: the matched frame -> one fold; no
+    window."""
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part")
+    per = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            F.floor(
+                F.floor(F.unix_micros("l_shipdate") / 86_400_000_000)
+                / 30
+            )
+            .cast("bigint")
+            .alias("m30"),
+            F.col("p_brand").alias("b"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q"),
+            (F.sum(dec("l_extendedprice", 18, 2)) * 100)
+            .cast("bigint")
+            .alias("r"),
+        )
+        .persist()
+    )
+    lims = per.agg(
+        F.min("m30").cast("bigint").alias("m0"),
+        F.max("m30").cast("bigint").alias("m1"),
+    )
+    wl = per.crossJoin(F.broadcast(lims))
+    price = F.round(
+        F.col("r").cast("double") / F.col("q") / 100.0, 8
+    )
+    base = wl.where(F.col("m30") == F.col("m0")).select(
+        "b",
+        F.col("q").alias("q0"),
+        F.col("r").alias("r0"),
+        price.alias("p0"),
+    )
+    curr = wl.where(F.col("m30") == F.col("m1")).select(
+        "b",
+        F.col("q").alias("q1"),
+        F.col("r").alias("r1"),
+        price.alias("p1"),
+    )
+    matched = base.join(curr, "b")
+    fold = matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("r0").cast("bigint").alias("v0"),
+        F.sum("r1").cast("bigint").alias("v1"),
+        F.sum(F.round(F.col("p1") * F.col("q0"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("p1q0"),
+        F.sum(F.round(F.col("p0") * F.col("q0"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("p0q0"),
+        F.sum(F.round(F.col("p1") * F.col("q1"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("p1q1"),
+        F.sum(F.round(F.col("p0") * F.col("q1"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("p0q1"),
+    )
+    lasp = F.col("p1q0") / F.col("p0q0")
+    paas = F.col("p1q1") / F.col("p0q1")
+    pf = F.sqrt(lasp * paas)
+    # reversed-period Fisher price index (period 1 -> 0)
+    lasp_r = F.col("p0q1") / F.col("p1q1")
+    paas_r = F.col("p0q0") / F.col("p1q0")
+    pf_r = F.sqrt(lasp_r * paas_r)
+    # Fisher quantity index (0 -> 1)
+    qf = F.sqrt(
+        (F.col("p0q1") / F.col("p0q0"))
+        * (F.col("p1q1") / F.col("p1q0"))
+    )
+    vr = F.col("v1").cast("double") / F.col("v0")
+    return fold.select(
+        F.col("k").alias("n_brands_matched"),
+        (F.round(pf, 8) + 0.0).alias("fisher_price"),
+        (F.round(pf * pf_r, 10) + 0.0)
+        .alias("fisher_time_reversal_product"),
+        (F.round(lasp * (F.col("p0q1") / F.col("p1q1")), 8) + 0.0)
+        .alias("laspeyres_time_reversal_product"),
+        (F.round(pf * qf / vr, 10) + 0.0)
+        .alias("fisher_factor_reversal_ratio"),
+        (F.round(vr, 8) + 0.0).alias("value_ratio"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "fisher_index_axioms_audit": (
+            "no window — matched-brands frame + one fold (the "
+            "fisher_tornqvist frame)"
         ),
     }
 )

@@ -348,6 +348,7 @@ def audit(spark, names=None):
         bank_r17,
         bank_r18,
         bank_r19,
+        bank_r20,
         next_window,
     )
 
@@ -363,6 +364,7 @@ def audit(spark, names=None):
             **bank_r17.BANK_QUERIES,
             **bank_r18.BANK_QUERIES,
             **bank_r19.BANK_QUERIES,
+            **bank_r20.BANK_QUERIES,
             **next_window.NEXT_QUERIES,
             **qs,
         }
