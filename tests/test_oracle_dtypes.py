@@ -69,7 +69,7 @@ def test_staged_bank_oracle_dtype_families(spark):
     import importlib
 
     clashes = []
-    for rnd in range(13, 21):
+    for rnd in range(13, 22):
         try:
             bank = importlib.import_module(
                 f"celestrak_tle_data_pipeline_spark.plans.bank_r{rnd}"

@@ -349,6 +349,7 @@ def audit(spark, names=None):
         bank_r18,
         bank_r19,
         bank_r20,
+        bank_r21,
         next_window,
     )
 
@@ -365,6 +366,7 @@ def audit(spark, names=None):
             **bank_r18.BANK_QUERIES,
             **bank_r19.BANK_QUERIES,
             **bank_r20.BANK_QUERIES,
+            **bank_r21.BANK_QUERIES,
             **next_window.NEXT_QUERIES,
             **qs,
         }

@@ -143,6 +143,7 @@ def main(argv) -> int:
         bank_r18,
         bank_r19,
         bank_r20,
+        bank_r21,
         next_window,
     )
     from celestrak_tle_data_pipeline_spark.session import get_spark
@@ -162,6 +163,7 @@ def main(argv) -> int:
     qs.update(bank_r18.BANK_QUERIES)
     qs.update(bank_r19.BANK_QUERIES)
     qs.update(bank_r20.BANK_QUERIES)
+    qs.update(bank_r21.BANK_QUERIES)
     qs.update(next_window.NEXT_QUERIES)
     qs.update(plans.all_queries())
     report = {}
