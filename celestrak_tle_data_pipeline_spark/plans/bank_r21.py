@@ -454,3 +454,243 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# McKay-Vangel confidence interval for the coefficient of variation
+# --------------------------------------------------------------------------
+@register(
+    "vangel_cv_ci",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s,
+               CAST(SUM(CAST(v AS DECIMAL(38,0)) * v)
+                    AS DECIMAL(38,0)) AS ss
+        FROM pts
+    ),
+    kv AS (
+        SELECT n,
+               sqrt((CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * s / n) / (n - 1.0))
+               / (CAST(s AS DOUBLE) / n) AS k,
+               (n - 1.0) * power(1.0 - 2.0 / (9.0 * (n - 1.0))
+                   + 1.959964 * sqrt(2.0 / (9.0 * (n - 1.0))), 3)
+                   AS q975,
+               (n - 1.0) * power(1.0 - 2.0 / (9.0 * (n - 1.0))
+                   - 1.959964 * sqrt(2.0 / (9.0 * (n - 1.0))), 3)
+                   AS q025
+        FROM mom
+    )
+    SELECT n AS n_orders,
+           round(k, 8) + 0.0 AS cv_hat,
+           round(k / sqrt(((q975 + 2.0) / n - 1.0) * k * k
+                          + q975 / (n - 1.0)), 8) + 0.0
+               AS vangel_ci_lo,
+           round(k / sqrt(((q025 + 2.0) / n - 1.0) * k * k
+                          + q025 / (n - 1.0)), 8) + 0.0
+               AS vangel_ci_hi,
+           round(k / sqrt(2.0 * n)
+                 * sqrt(1.0 + 2.0 * k * k), 8) + 0.0
+               AS cv_se_asymptotic
+    FROM kv
+    """,
+)
+def vangel_cv_ci(spark, sf_dir):
+    """McKAY-VANGEL confidence interval for the coefficient of
+    variation of order value: Vangel's (1996) modified McKay bounds
+    k / sqrt(((chi2_q + 2)/n - 1) k^2 + chi2_q/(n-1)) with the
+    Wilson-Hilferty chi-square quantiles — the INTERVAL companion
+    to `feltz_miller_cv_test` (which tests CV equality across
+    groups but prices no single CV) and the scale-free complement
+    to `variance_ci_kurtosis_robust`: CV is the number a pricing
+    team quotes ("orders vary by X% of the mean"), and Vangel
+    showed the naive k/sqrt(2n) SE (shipped beside it) understates
+    near-nominal coverage exactly when k is large — which heavy
+    revenue tails make the operative regime.
+
+    Exactness: exact integer/DECIMAL power sums; the WH quantiles
+    and both bounds are identical IEEE trees (z = 1.959964 shared
+    literal); CV is scale-invariant so the cents scale cancels.
+    Plan: one scan -> one fold; no window, no join."""
+    o = t(spark, sf_dir, "orders")
+    mom = o.select(
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    k = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / n
+        )
+        / (n - 1.0)
+    ) / (F.col("s").cast("double") / n)
+    kdf = n - 1.0
+    zc = 1.959964
+
+    def wh(sign):
+        return kdf * F.pow(
+            1.0 - 2.0 / (9.0 * kdf)
+            + sign * zc * F.sqrt(2.0 / (9.0 * kdf)),
+            3,
+        )
+
+    q975 = wh(1.0)
+    q025 = wh(-1.0)
+
+    def bound(q):
+        return k / F.sqrt(
+            ((q + 2.0) / n - 1.0) * k * k + q / (n - 1.0)
+        )
+
+    return mom.select(
+        F.col("n").alias("n_orders"),
+        (F.round(k, 8) + 0.0).alias("cv_hat"),
+        (F.round(bound(q975), 8) + 0.0).alias("vangel_ci_lo"),
+        (F.round(bound(q025), 8) + 0.0).alias("vangel_ci_hi"),
+        (
+            F.round(
+                k / F.sqrt(2.0 * n) * F.sqrt(1.0 + 2.0 * k * k), 8
+            )
+            + 0.0
+        ).alias("cv_se_asymptotic"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "vangel_cv_ci": ("no window — one scan, one fold"),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Conditional Poisson C-test: weekend vs weekday error rates
+# --------------------------------------------------------------------------
+@register(
+    "conditional_poisson_ctest",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 >= 5
+                    THEN 1 ELSE 0 END AS we,
+               CAST(SUM(CASE WHEN event_type = 'error'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    arm AS (
+        SELECT we, CAST(COUNT(*) AS BIGINT) AS days,
+               CAST(SUM(x) AS BIGINT) AS x
+        FROM daily GROUP BY we
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN we = 1 THEN x END) AS x1,
+               MAX(CASE WHEN we = 0 THEN x END) AS x0,
+               MAX(CASE WHEN we = 1 THEN days END) AS d1,
+               MAX(CASE WHEN we = 0 THEN days END) AS d0
+        FROM arm
+    ),
+    ct AS (
+        SELECT x1, x0, d1, d0,
+               CAST(d1 AS DOUBLE) / (d1 + d0) AS p0,
+               CAST(x1 + x0 AS BIGINT) AS m
+        FROM w
+    )
+    SELECT m AS total_errors,
+           round(CAST(x1 AS DOUBLE) / d1
+                 / (CAST(x0 AS DOUBLE) / d0), 6) + 0.0
+               AS rate_ratio,
+           round(p0, 8) + 0.0 AS null_binomial_p,
+           round((x1 - m * p0)
+                 / sqrt(m * p0 * (1.0 - p0)), 6) + 0.0
+               AS ctest_z,
+           round((abs(x1 - m * p0) - 0.5)
+                 / sqrt(m * p0 * (1.0 - p0)), 6) + 0.0
+               AS ctest_z_cc
+    FROM ct
+    """,
+)
+def conditional_poisson_ctest(spark, sf_dir):
+    """CONDITIONAL POISSON C-TEST (Przyborowski-Wilenski) of the
+    weekend vs weekday error RATE: conditioning on the total error
+    count m, the weekend count is Binomial(m, p0 = weekend-days /
+    total-days) under equal rates — the nuisance-free second
+    opinion to `poisson_rate_ratio_weekend`'s Wald-on-log-ratio
+    form: the conditional test is EXACT in principle (no rate
+    plug-in anywhere; p0 is a pure exposure ratio), its normal
+    reading needs only m moderately large, and the
+    continuity-corrected z rides beside the plain one (the Yates
+    bracket). The Wald and conditional forms disagreeing at small
+    m is the textbook signal to trust the conditional one.
+
+    Exactness: arm counts and exposure days are exact integers; p0
+    is one exact ratio; both z forms are terminal IEEE trees.
+    Plan: (day, weekend) rollup -> 2-row arm rollup -> scalar
+    pivot; no window."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+    daily = e.groupBy(
+        day.alias("d"),
+        F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("we"),
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    arm = daily.groupBy("we").agg(
+        F.count(F.lit(1)).cast("bigint").alias("days"),
+        F.sum("x").cast("bigint").alias("x"),
+    )
+    w = arm.agg(
+        F.max(F.when(F.col("we") == 1, F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("we") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("we") == 1, F.col("days"))).alias("d1"),
+        F.max(F.when(F.col("we") == 0, F.col("days"))).alias("d0"),
+    )
+    p0 = F.col("d1").cast("double") / (F.col("d1") + F.col("d0"))
+    m = (F.col("x1") + F.col("x0")).cast("bigint")
+    md = m.cast("double")
+    se = F.sqrt(md * p0 * (1.0 - p0))
+    return w.select(
+        m.alias("total_errors"),
+        (
+            F.round(
+                F.col("x1").cast("double")
+                / F.col("d1")
+                / (F.col("x0").cast("double") / F.col("d0")),
+                6,
+            )
+            + 0.0
+        ).alias("rate_ratio"),
+        (F.round(p0, 8) + 0.0).alias("null_binomial_p"),
+        (F.round((F.col("x1") - md * p0) / se, 6) + 0.0)
+        .alias("ctest_z"),
+        (
+            F.round(
+                (F.abs(F.col("x1") - md * p0) - 0.5) / se, 6
+            )
+            + 0.0
+        ).alias("ctest_z_cc"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "conditional_poisson_ctest": (
+            "no window — (day, weekend) rollup + 2-row arm pivot"
+        ),
+    }
+)
