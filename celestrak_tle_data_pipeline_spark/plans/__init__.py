@@ -61,6 +61,7 @@ _MODULES = (
     "bank_r12",
     "bank_r13",
     "bank_r14",
+    "bank_r15",
 )
 
 # The round whose official CORRECTNESS gate this window targets. The
@@ -69,74 +70,74 @@ _MODULES = (
 # round's own CORRECTNESS file, the window names ARE official — that is
 # the point — so tests/test_registry.py excludes rounds >= WINDOW_ROUND
 # from the recycled-name glob (the r10 verdict's era-proofing fix).
-WINDOW_ROUND = 14
+WINDOW_ROUND = 15
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries, so
 # ordering is part of the contract: the 50 names emitted first are that
 # round's official window. Everything else registered stays available after
 # them as bonus coverage. ``tests/test_registry.py`` pins this list.
 #
-# Round-14 rotation: CORRECTNESS_r13 is 50/50 green — nothing to re-green,
+# Round-15 rotation: CORRECTNESS_r14 is 50/50 green — nothing to re-green,
 # so the whole window turns over to first-time names again: the pre-staged
-# 49-query bank (``plans/bank_r14.py``, X444+) flips live in registration
-# order, and the 50th slot is ``dersimonian_laird_meta``, promoted from
-# the round-15 bank (VERDICT r13 item 1 directed the promotion — the
-# split_conformal precedent).
+# 49-query bank (``plans/bank_r15.py``, X494+) flips live in registration
+# order, and the 50th slot is ``bartlett_sphericity``, promoted from
+# the round-16 bank (VERDICT r14 item 1 directed the promotion — the
+# dersimonian_laird_meta / split_conformal precedent).
 _PRIORITY = (
-    # --- round-14 bank flip (X444+, bank_r14.BANK_QUERIES order;
-    # the 50th name is dersimonian_laird_meta, promoted from the
-    # round-15 bank — VERDICT r13 item 1: no red name was left to
+    # --- round-15 bank flip (X494+, bank_r15.BANK_QUERIES order;
+    # the 50th name is bartlett_sphericity, promoted from the
+    # round-16 bank — VERDICT r14 item 1: no red name was left to
     # re-green, so the slot goes to first-time staged work) ---
-    "poisson_bootstrap_se",
-    "aic_model_weights",
-    "cluster_design_effect_users",
-    "mcnemar_classifier_pair",
-    "empirical_bernstein_ci",
-    "betting_evalue_mean_test",
-    "horvitz_thompson_estimate",
-    "aipw_doubly_robust",
-    "offpolicy_ips_snips",
-    "ledoit_wolf_shrinkage",
-    "group_sequential_looks",
-    "winkler_interval_score",
-    "pit_uniformity_check",
-    "sen_slope_confidence_band",
-    "assortativity_by_brand",
-    "dunning_llr_collocations",
-    "rk_multiclass_mcc",
-    "diebold_mariano_forecast",
-    "pesaran_timmermann_direction",
-    "crps_ensemble_daily",
-    "harmonic_weekly_regression",
-    "goldfeld_quandt_test",
-    "white_heteroskedasticity_test",
-    "quandt_andrews_supf",
-    "engle_granger_cointegration",
-    "fligner_policello_test",
-    "baumgartner_weiss_schindler",
-    "cressie_read_divergence_panel",
-    "stuart_tau_c_association",
-    "deming_regression",
-    "atkinson_inequality_panel",
-    "duncan_segregation_index",
-    "location_quotient_regions",
-    "shift_share_decomposition",
-    "littles_law_audit",
-    "morans_i_nations",
-    "geary_c_nations",
-    "raking_ipf_margins",
-    "wilson_agresti_coull_panel",
-    "brr_hadamard_variance",
-    "weibull_median_rank_fit",
-    "allan_variance_rates",
-    "rayleigh_circular_hours",
-    "arr_nnt_epidemiology_panel",
-    "diagnostic_likelihood_ratios",
-    "v_measure_clusters",
-    "katz_centrality_brands",
-    "adamic_adar_link_prediction",
-    "dunn_validity_index",
-    "dersimonian_laird_meta",
+    "egger_funnel_asymmetry",
+    "dagostino_k2_panel",
+    "mosum_break_monitor",
+    "lomb_scargle_uneven",
+    "dfa_alpha_longmemory",
+    "cochrane_orcutt_ar1",
+    "holm_hochberg_sidak_panel",
+    "dyad_census_reciprocity",
+    "isotonic_calibration_bins",
+    "box_cox_lambda_grid",
+    "cornish_fisher_var",
+    "lilliefors_normal_fit",
+    "rainbow_linearity_test",
+    "xmr_individuals_chart",
+    "nyblom_hansen_stability",
+    "hotelling_t2_twosample",
+    "box_m_covariance_test",
+    "canonical_correlation_pairs",
+    "mardia_multivariate_normality",
+    "aalen_johansen_competing",
+    "poisson_dispersion_panel",
+    "games_howell_pairwise",
+    "bass_diffusion_fit",
+    "erlang_c_staffing",
+    "cuzick_trend_test",
+    "taguchi_sn_ratios",
+    "blomqvist_beta_quadrant",
+    "higuchi_fractal_dimension",
+    "getis_ord_general_g",
+    "join_count_statistics",
+    "median_polish_dow_type",
+    "schnabel_capture_recapture",
+    "gehan_breslow_wilcoxon",
+    "actuarial_life_table",
+    "acceptance_sampling_oc",
+    "normal_tolerance_interval",
+    "l_moments_panel",
+    "von_mises_concentration",
+    "shapiro_francia_ppcc",
+    "bradley_terry_two_step",
+    "poker_test_digits",
+    "tost_equivalence_proportions",
+    "theil_forecast_decomposition",
+    "mean_cumulative_function",
+    "ramsey_reset_test",
+    "breusch_godfrey_lm",
+    "lo_modified_rs",
+    "passing_bablok_regression",
+    "cluster_robust_ols_se",
+    "bartlett_sphericity",
 )
 
 # Registry names that are rows-only BY DESIGN (registered without a DuckDB

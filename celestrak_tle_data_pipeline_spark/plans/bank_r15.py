@@ -1,16 +1,23 @@
-"""Round-15 pre-staged bank (candidate X494+): STAGED, not in the live
-registry — the next bank generation behind ``bank_r14`` (flipped live
-in round 14), under the identical no-new-debt discipline: stage-only
-decorator, two-SF gate mirror in ``tests/test_bank_r15.py``, sf0.1
+"""Round-15 bank (X494+), LIVE since round 15: pre-staged during
+rounds 13-14 under the same no-new-debt discipline every flipped bank
+(next_window, bank_r11..r14) went through: a stage-only decorator
+pre-flip, the two-SF gate mirror in ``tests/test_bank_r15.py``, sf0.1
 sweeps via ``tools/bank_check.py --module bank_r15``, the dtype-family
-sweep (``tests/test_oracle_dtypes.py`` auto-discovers bank_r13..r19),
-and plan-audit notes pre-adjudicated at authoring time.
+sweep, the authoring-time 64x probe octave (SCALING_PROBES.json /
+SCALING.md), and plan-audit notes merged into
+``tools/audit_single_partition.py`` at flip time.
 
 At the round-14 flip the oldest query here (``dersimonian_laird_meta``,
 the original seed) was promoted into bank_r14's 50th window slot (the
 split_conformal precedent, VERDICT r13 item 1); its ``_EFFECTS_SQL`` /
 ``_effects`` study frame stays here because ``egger_funnel_asymmetry``
-shares it (bank_r14 carries an identical copy).
+shares it (bank_r14 carries an identical copy). The bank was restored
+to 49 the same round (``cluster_robust_ols_se``). At the round-15 flip
+this bank's own 50th window slot is ``bartlett_sphericity``, promoted
+from the round-16 bank (same protocol — no red name was left to
+re-green after the 50/50 r14 window); its shared daily-activity
+correlation frame is carried here as an identical copy because
+``kmo_adequacy`` still uses the bank_r16 original.
 
 Seed theme: the AUDIT BENCH — the statistics a 100 TB pipeline runs on
 its own per-segment readouts rather than on raw rows: meta-analytic
@@ -37,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from . import register as _live_register
 from .common import dec, t
 
 BANK_QUERIES: dict = {}
@@ -44,14 +52,18 @@ BANK_ORACLES: dict = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Stage-only decorator (see bank_r13/r14): records the query in
-    the bank dicts and does NOT touch the live registry."""
+    """Registers live via ``plans.register`` AND records the name in
+    the bank dicts so ``tests/test_bank_r15.py`` keeps gate-mirroring
+    the whole flipped set independently of the registry (the same flip
+    protocol bank_r11..r14 used)."""
+
+    live = _live_register(name, oracle)
 
     def deco(fn):
         BANK_QUERIES[name] = fn
         if oracle is not None:
             BANK_ORACLES[name] = oracle
-        return fn
+        return live(fn)
 
     return deco
 
@@ -9257,3 +9269,187 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Promoted at the round-15 flip: Bartlett's test of sphericity
+# (moved from the round-16 bank as the 50th window slot — the
+# dersimonian_laird_meta precedent). The shared daily-activity
+# correlation frame below is an identical copy of bank_r16's
+# _DAY3_SQL/_corr3, kept there too because kmo_adequacy shares it.
+# --------------------------------------------------------------------------
+_DAY3_SQL = """
+    day3 AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y,
+               CAST(SUM(CASE WHEN event_type = 'error'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS z
+        FROM events GROUP BY 1
+    ),
+    mom3 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(z) AS BIGINT) AS sz,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * x)
+                    AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(CAST(z AS DECIMAL(19,0)) * z)
+                    AS DECIMAL(38,0)) AS szz,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * y)
+                    AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(19,0)) * z)
+                    AS DECIMAL(38,0)) AS sxz,
+               CAST(SUM(CAST(y AS DECIMAL(19,0)) * z)
+                    AS DECIMAL(38,0)) AS syz
+        FROM day3
+    ),
+    corr3 AS (
+        SELECT n,
+               round((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((n * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * sx)
+                            * (n * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * sy)), 10)
+                   AS r12,
+               round((n * CAST(sxz AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * sz)
+                     / sqrt((n * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * sx)
+                            * (n * CAST(szz AS DOUBLE)
+                               - CAST(sz AS DOUBLE) * sz)), 10)
+                   AS r13,
+               round((n * CAST(syz AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * sz)
+                     / sqrt((n * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * sy)
+                            * (n * CAST(szz AS DOUBLE)
+                               - CAST(sz AS DOUBLE) * sz)), 10)
+                   AS r23
+        FROM mom3
+    )
+"""
+
+
+def _corr3(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    day3 = e.groupBy(
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("z"),
+    )
+
+    def dsum(a, b, name):
+        return (
+            F.sum(F.col(a).cast("decimal(19,0)") * F.col(b))
+            .cast("decimal(38,0)")
+            .alias(name)
+        )
+
+    mom = day3.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("z").cast("bigint").alias("sz"),
+        dsum("x", "x", "sxx"),
+        dsum("y", "y", "syy"),
+        dsum("z", "z", "szz"),
+        dsum("x", "y", "sxy"),
+        dsum("x", "z", "sxz"),
+        dsum("y", "z", "syz"),
+    )
+    n = F.col("n")
+
+    def r(sab, sa, sb, saa, sbb):
+        return F.round(
+            (n * F.col(sab).cast("double")
+             - F.col(sa).cast("double") * F.col(sb))
+            / F.sqrt(
+                (n * F.col(saa).cast("double")
+                 - F.col(sa).cast("double") * F.col(sa))
+                * (n * F.col(sbb).cast("double")
+                   - F.col(sb).cast("double") * F.col(sb))
+            ),
+            10,
+        )
+
+    return mom.select(
+        n.alias("n"),
+        r("sxy", "sx", "sy", "sxx", "syy").alias("r12"),
+        r("sxz", "sx", "sz", "sxx", "szz").alias("r13"),
+        r("syz", "sy", "sz", "syy", "szz").alias("r23"),
+    )
+
+
+@register(
+    "bartlett_sphericity",
+    oracle=f"""
+    WITH {_DAY3_SQL}
+    SELECT n AS n_days,
+           round(r12, 6) + 0.0 AS r_purchase_click,
+           round(r13, 6) + 0.0 AS r_purchase_error,
+           round(r23, 6) + 0.0 AS r_click_error,
+           round(1.0 - r12 * r12 - r13 * r13 - r23 * r23
+                 + 2.0 * r12 * r13 * r23, 8) + 0.0 AS det_r,
+           round(-(n - 1.0 - (2.0 * 3.0 + 5.0) / 6.0)
+                 * ln(1.0 - r12 * r12 - r13 * r13 - r23 * r23
+                      + 2.0 * r12 * r13 * r23), 6) + 0.0
+               AS bartlett_chi2,
+           CAST(3 AS BIGINT) AS dof
+    FROM corr3
+    """,
+)
+def bartlett_sphericity(spark, sf_dir):
+    """Bartlett's test of SPHERICITY on the 3x3 correlation matrix of
+    the daily (purchase, click, error) activity series: chi2 =
+    -(n-1-(2p+5)/6) ln|R| ~ chi2(p(p-1)/2) against R = I — the
+    gatekeeper run before any factor/PCA step (`canonical_
+    correlation_pairs`, `effective_rank_entropy`): if sphericity is
+    NOT rejected the correlation structure is noise and every
+    downstream rotation is fiction. |R| for p=3 is the closed form
+    1 - r12^2 - r13^2 - r23^2 + 2 r12 r13 r23.
+
+    Exactness: the three correlations come from one pass of exact
+    BIGINT count power sums (DECIMAL(19,0) widens), each rounded at
+    10 dp before the determinant tree, so both engines take ln of
+    identical doubles. Plan: one day rollup, one fold — no joins,
+    no windows."""
+    c = _corr3(spark, sf_dir)
+    r12, r13, r23 = F.col("r12"), F.col("r13"), F.col("r23")
+    det = (
+        1.0
+        - r12 * r12
+        - r13 * r13
+        - r23 * r23
+        + 2.0 * r12 * r13 * r23
+    )
+    n = F.col("n")
+    return c.select(
+        n.alias("n_days"),
+        (F.round(r12, 6) + 0.0).alias("r_purchase_click"),
+        (F.round(r13, 6) + 0.0).alias("r_purchase_error"),
+        (F.round(r23, 6) + 0.0).alias("r_click_error"),
+        (F.round(det, 8) + 0.0).alias("det_r"),
+        (
+            F.round(
+                -(n - 1.0 - (2.0 * 3.0 + 5.0) / 6.0) * F.log(det), 6
+            )
+            + 0.0
+        ).alias("bartlett_chi2"),
+        F.lit(3).cast("bigint").alias("dof"),
+    )

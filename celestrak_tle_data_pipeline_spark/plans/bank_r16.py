@@ -183,66 +183,10 @@ def _corr3(spark, sf_dir):
     )
 
 
-# --------------------------------------------------------------------------
-# Bartlett's test of sphericity on the 3x3 activity correlation matrix
-# --------------------------------------------------------------------------
-@register(
-    "bartlett_sphericity",
-    oracle=f"""
-    WITH {_DAY3_SQL}
-    SELECT n AS n_days,
-           round(r12, 6) + 0.0 AS r_purchase_click,
-           round(r13, 6) + 0.0 AS r_purchase_error,
-           round(r23, 6) + 0.0 AS r_click_error,
-           round(1.0 - r12 * r12 - r13 * r13 - r23 * r23
-                 + 2.0 * r12 * r13 * r23, 8) + 0.0 AS det_r,
-           round(-(n - 1.0 - (2.0 * 3.0 + 5.0) / 6.0)
-                 * ln(1.0 - r12 * r12 - r13 * r13 - r23 * r23
-                      + 2.0 * r12 * r13 * r23), 6) + 0.0
-               AS bartlett_chi2,
-           CAST(3 AS BIGINT) AS dof
-    FROM corr3
-    """,
-)
-def bartlett_sphericity(spark, sf_dir):
-    """Bartlett's test of SPHERICITY on the 3x3 correlation matrix of
-    the daily (purchase, click, error) activity series: chi2 =
-    -(n-1-(2p+5)/6) ln|R| ~ chi2(p(p-1)/2) against R = I — the
-    gatekeeper run before any factor/PCA step (`canonical_
-    correlation_pairs`, `effective_rank_entropy`): if sphericity is
-    NOT rejected the correlation structure is noise and every
-    downstream rotation is fiction. |R| for p=3 is the closed form
-    1 - r12^2 - r13^2 - r23^2 + 2 r12 r13 r23.
-
-    Exactness: the three correlations come from one pass of exact
-    BIGINT count power sums (DECIMAL(19,0) widens), each rounded at
-    10 dp before the determinant tree, so both engines take ln of
-    identical doubles. Plan: one day rollup, one fold — no joins,
-    no windows."""
-    c = _corr3(spark, sf_dir)
-    r12, r13, r23 = F.col("r12"), F.col("r13"), F.col("r23")
-    det = (
-        1.0
-        - r12 * r12
-        - r13 * r13
-        - r23 * r23
-        + 2.0 * r12 * r13 * r23
-    )
-    n = F.col("n")
-    return c.select(
-        n.alias("n_days"),
-        (F.round(r12, 6) + 0.0).alias("r_purchase_click"),
-        (F.round(r13, 6) + 0.0).alias("r_purchase_error"),
-        (F.round(r23, 6) + 0.0).alias("r_click_error"),
-        (F.round(det, 8) + 0.0).alias("det_r"),
-        (
-            F.round(
-                -(n - 1.0 - (2.0 * 3.0 + 5.0) / 6.0) * F.log(det), 6
-            )
-            + 0.0
-        ).alias("bartlett_chi2"),
-        F.lit(3).cast("bigint").alias("dof"),
-    )
+# bartlett_sphericity was authored here (the bank seed) and PROMOTED to
+# bank_r15's 50th window slot at the round-15 flip (the
+# dersimonian_laird_meta precedent); bank_r15 carries an identical copy
+# of the _DAY3_SQL/_corr3 frame above, which stays here for kmo_adequacy.
 
 
 # --------------------------------------------------------------------------

@@ -52,19 +52,22 @@ def test_bank_is_fully_oracle_paired():
     assert len(bank_r14.BANK_QUERIES) >= 3
 
 
-def test_bank_is_live_and_fully_windowed():
-    # Post-flip invariants (round 14): every bank name registers live
-    # through plans.register, the module is in plans._MODULES, and the
-    # round-14 window is exactly the 50 bank names in registration
-    # order (49 authored in this bank + the promoted
-    # dersimonian_laird_meta appended at flip time).
+def test_bank_is_live_and_was_windowed_in_r14():
+    # Round-14 flip, era-proofed after the r15 rotation (the same fix
+    # test_bank_r11..r13 got): every bank name registers live, the
+    # module is in plans._MODULES, and every flipped name has an
+    # OFFICIAL record in CORRECTNESS_r14.json — checked against the
+    # recorded gate output, not today's _PRIORITY, which rotates
+    # every round.
+    import json
+
     from celestrak_tle_data_pipeline_spark import plans
 
     live = set(plans.all_queries())
     assert set(bank_r14.BANK_QUERIES) <= live
     assert "bank_r14" in plans._MODULES
-    assert list(plans._PRIORITY) == list(bank_r14.BANK_QUERIES)
-    assert plans._PRIORITY[49] == "dersimonian_laird_meta"
+    r14 = set(json.load(open("CORRECTNESS_r14.json")))
+    assert set(bank_r14.BANK_QUERIES) <= r14
     assert len(bank_r14.BANK_QUERIES) == 50
 
 

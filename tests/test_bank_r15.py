@@ -1,14 +1,17 @@
-"""Round-15 bank verification (plans/bank_r15.py — STAGED, not live).
+"""Round-15 bank verification (plans/bank_r15.py — LIVE since round 15).
 
-Each pre-staged query runs against its DuckDB oracle with EXACTLY the
+Each bank query runs against its DuckDB oracle with EXACTLY the
 driver-gate compare (`tools/check.py` norm/canon: row count, column
 set, order-insensitive value hash — including the float-marker norm
-that closes the r11 dtype blind spot), at two scale factors — so when
-round 15 flips the bank into the live registry the queries are already
-gate-green, and the no-new-debt invariant never sees them unverified.
+that closes the r11 dtype blind spot), at two scale factors — the same
+pre-flip discipline that verified it while staged, kept running
+post-flip so the whole set stays pinned independently of the registry
+window (the bank_r11..r14 protocol).
 
 Seeded in round 13 with the audit-bench batch (meta-analysis,
-D'Agostino K², MOSUM, ...); round-14/15 fresh work appends after them.
+D'Agostino K², MOSUM, ...) and restored to 49 in round 14 after the
+dersimonian_laird_meta promotion; the 50th name is
+``bartlett_sphericity``, promoted from the round-16 bank at flip time.
 """
 
 from __future__ import annotations
@@ -50,16 +53,20 @@ def test_bank_is_fully_oracle_paired():
     assert len(bank_r15.BANK_QUERIES) >= 3
 
 
-def test_bank_is_not_in_the_live_registry():
-    # Pre-flip discipline: a staged name must not collide with (or
-    # leak into) the live registry until round 15 flips the module
-    # into plans._MODULES — otherwise test_no_new_official_debt would
-    # see an oracle-paired name without an official correctness row.
+def test_bank_is_live_and_fully_windowed():
+    # Post-flip invariants (round 15): every bank name registers live
+    # through plans.register, the module is in plans._MODULES, and the
+    # round-15 window is exactly the 50 bank names in registration
+    # order (49 staged in this bank + the promoted
+    # bartlett_sphericity appended at flip time).
     from celestrak_tle_data_pipeline_spark import plans
 
     live = set(plans.all_queries())
-    assert not live & set(bank_r15.BANK_QUERIES)
-    assert "bank_r15" not in plans._MODULES
+    assert set(bank_r15.BANK_QUERIES) <= live
+    assert "bank_r15" in plans._MODULES
+    assert list(plans._PRIORITY) == list(bank_r15.BANK_QUERIES)
+    assert plans._PRIORITY[49] == "bartlett_sphericity"
+    assert len(bank_r15.BANK_QUERIES) == 50
 
 
 def test_bank_outputs_are_scalar(spark):

@@ -323,6 +323,89 @@ ALLOWED: dict[str, str] = {
         "cumulative rank window over the distinct-gap-seconds grid "
         "(gap-value-domain-bounded — the ansari_bradley class)"
     ),
+    # --- round-15 bank flip (adjudicated in bank_r15.PLAN_AUDIT_NOTES
+    #     at staging time; merged here at flip per the bank protocol) ---
+    "mosum_break_monitor": (
+        "ROWS window + row_number over the calendar-day frame (bounded "
+        "domain — the cusum class)"
+    ),
+    "dfa_alpha_longmemory": (
+        "row_number + running-sum windows over the calendar-day frame "
+        "(bounded domain — the cusum class)"
+    ),
+    "cochrane_orcutt_ar1": (
+        "three lag windows over the calendar-day frame (bounded domain "
+        "— the durbin_watson class)"
+    ),
+    "holm_hochberg_sidak_panel": (
+        "rank + cumulative max/min windows over the 35-cell test-family "
+        "frame (bounded domain — the bh_fdr class)"
+    ),
+    "cornish_fisher_var": (
+        "lag + rank windows over the calendar-day frame (bounded domain "
+        "— the cusum class)"
+    ),
+    "lilliefors_normal_fit": (
+        "ECDF cumulative window over the distinct daily-value grid "
+        "(calendar-day-domain-bounded)"
+    ),
+    "rainbow_linearity_test": (
+        "row_number window over the calendar-day frame (bounded domain)"
+    ),
+    "xmr_individuals_chart": (
+        "lag window over the calendar-day frame (bounded domain)"
+    ),
+    "nyblom_hansen_stability": (
+        "running-sum + row_number windows over the calendar-day frame "
+        "(bounded domain — the dfa class)"
+    ),
+    "aalen_johansen_competing": (
+        "reverse-cumulative + two prefix windows over the capped "
+        "337-row hour grid (bounded domain — the kaplan_meier class)"
+    ),
+    "bass_diffusion_fit": (
+        "exclusive-prefix cumulative window over the calendar-day "
+        "adoption frame (bounded domain — the cusum class; event-grain "
+        "work is one day rollup before the window)"
+    ),
+    "cuzick_trend_test": (
+        "cumulative head-count over the 50-row integer quantity grid "
+        "(truly bounded domain — the moods_median_test class)"
+    ),
+    "blomqvist_beta_quadrant": (
+        "two cumulative head-counts over the cents value grids "
+        "(price-/balance-domain-bounded — the moods_median_test class); "
+        "the quadrant fold itself is windowless"
+    ),
+    "join_count_statistics": (
+        "row_number rank over the 25-row nation frame for the exact "
+        "median label threshold (domain-bounded)"
+    ),
+    "schnabel_capture_recapture": (
+        "exclusive prefix sum of first-captures over the calendar-week "
+        "grid (bounded domain — the cusum class)"
+    ),
+    "gehan_breslow_wilcoxon": (
+        "reverse prefix at-risk sums over the session-duration minutes "
+        "grid (the log_rank_sessions / kaplan_meier class)"
+    ),
+    "actuarial_life_table": (
+        "two exclusive prefix sums over the bounded 10-minute band grid "
+        "(the kaplan_meier_sessions class)"
+    ),
+    "l_moments_panel": (
+        "row_number rank over the calendar-day revenue frame (bounded "
+        "domain — the lorenz/gini class)"
+    ),
+    "shapiro_francia_ppcc": (
+        "row_number rank over the calendar-day revenue frame (bounded "
+        "domain — the l_moments_panel class)"
+    ),
+    "passing_bablok_regression": (
+        "rank passes over the bounded day-grid slope-pair frame "
+        "(calendar^2 domain, constant in data volume — the theil_sen / "
+        "sorted-pairs class)"
+    ),
 }
 
 
