@@ -187,6 +187,102 @@ def _corr3(spark, sf_dir):
 # bank_r15's 50th window slot at the round-15 flip (the
 # dersimonian_laird_meta precedent); bank_r15 carries an identical copy
 # of the _DAY3_SQL/_corr3 frame above, which stays here for kmo_adequacy.
+# The bank was restored to 49 the same round with
+# williams_dependent_corr below (the cluster_robust_ols_se precedent).
+
+
+# --------------------------------------------------------------------------
+# Williams-Steiger test of two DEPENDENT correlations sharing a variable
+# --------------------------------------------------------------------------
+@register(
+    "williams_dependent_corr",
+    oracle=f"""
+    WITH {_DAY3_SQL}
+    SELECT n AS n_days,
+           round(r12, 6) + 0.0 AS r_purchase_click,
+           round(r13, 6) + 0.0 AS r_purchase_error,
+           round(r23, 6) + 0.0 AS r_click_error,
+           round((r12 - r13)
+                 * sqrt((n - 1.0) * (1.0 + r23)
+                        / (2.0 * ((n - 1.0) / (n - 3.0))
+                             * (1.0 - r12 * r12 - r13 * r13
+                                - r23 * r23
+                                + 2.0 * r12 * r13 * r23)
+                           + ((r12 + r13) / 2.0)
+                             * ((r12 + r13) / 2.0)
+                             * (1.0 - r23) * (1.0 - r23)
+                             * (1.0 - r23))), 6) + 0.0
+               AS williams_t,
+           CAST(n - 3 AS BIGINT) AS dof,
+           round((0.5 * ln((1.0 + r12) / (1.0 - r12))
+                  - 0.5 * ln((1.0 + r13) / (1.0 - r13)))
+                 / sqrt(2.0 / (n - 3.0)), 6) + 0.0
+               AS naive_fisher_z
+    FROM corr3
+    """,
+)
+def williams_dependent_corr(spark, sf_dir):
+    """WILLIAMS-STEIGER test of two DEPENDENT correlations sharing a
+    variable: does daily purchase count correlate more with clicks
+    than with errors, given that clicks and errors are themselves
+    correlated? H0: rho(purchase,click) = rho(purchase,error);
+    Williams' t = (r12-r13) sqrt((n-1)(1+r23) / (2|R|(n-1)/(n-3)
+    + rbar^2 (1-r23)^3)) ~ t(n-3), with |R| the closed-form 3x3
+    determinant (Steiger 1980's recommended form) — the question
+    every feature-selection pass actually asks ("which of two
+    signals tracks the target better?"), answered on the SAME rows,
+    beside the naive independent-samples Fisher-z difference it
+    corrects (the naive z ignores r23 and overstates evidence
+    whenever the two predictors co-move).
+
+    Exactness: the three correlations come from the shared exact
+    BIGINT power-sum fold (rounded 10 dp), so both engines evaluate
+    the identical terminal double tree; outputs rounded at 6 dp
+    with the +0.0 negative-zero guard. Plan: one day rollup, one
+    fold, scalar tree — no joins, no windows."""
+    c = _corr3(spark, sf_dir)
+    r12, r13, r23 = F.col("r12"), F.col("r13"), F.col("r23")
+    n = F.col("n")
+    det = (
+        1.0
+        - r12 * r12
+        - r13 * r13
+        - r23 * r23
+        + 2.0 * r12 * r13 * r23
+    )
+    rbar = (r12 + r13) / 2.0
+    wt = (r12 - r13) * F.sqrt(
+        (n - 1.0)
+        * (1.0 + r23)
+        / (
+            2.0 * ((n - 1.0) / (n - 3.0)) * det
+            + rbar * rbar * (1.0 - r23) * (1.0 - r23) * (1.0 - r23)
+        )
+    )
+    zn = (
+        0.5 * F.log((1.0 + r12) / (1.0 - r12))
+        - 0.5 * F.log((1.0 + r13) / (1.0 - r13))
+    ) / F.sqrt(2.0 / (n - 3.0))
+    return c.select(
+        n.alias("n_days"),
+        (F.round(r12, 6) + 0.0).alias("r_purchase_click"),
+        (F.round(r13, 6) + 0.0).alias("r_purchase_error"),
+        (F.round(r23, 6) + 0.0).alias("r_click_error"),
+        (F.round(wt, 6) + 0.0).alias("williams_t"),
+        (n - 3).cast("bigint").alias("dof"),
+        (F.round(zn, 6) + 0.0).alias("naive_fisher_z"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "williams_dependent_corr": (
+            "no window at all — one day rollup and a scalar fold "
+            "(added r15 to restore the bank to 49 after the "
+            "bartlett_sphericity promotion)"
+        ),
+    }
+)
 
 
 # --------------------------------------------------------------------------
