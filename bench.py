@@ -33,6 +33,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Idle-box reference bracket (VERDICT r14 item 1 / "What's missing" 1):
+# the most recent pair of back-to-back bench runs on an IDLE box,
+# updated at each round's session close (SCALING.md carries the run
+# narrative). Emitted in the summary line so BENCH_rN is
+# self-annotating about box noise: an official warm total inside or
+# near this envelope with loadavg_start high is contention, not a
+# regression — without cross-reading SCALING.md.
+IDLE_BRACKET = {
+    "round": 14,
+    "warm_sec": [2.40, 2.48],
+    "cold_sec": [32.8, 34.8],
+}
+
 # Headline set: the flagship + one representative per operator family
 # (scan/agg, star join, window, set op, TLE parse, text dedup/analysis,
 # vector search). Kept to ~a dozen so the bench stays a feedback loop.
@@ -76,6 +89,11 @@ def main() -> int:
     from celestrak_tle_data_pipeline_spark import plans
     from celestrak_tle_data_pipeline_spark.session import get_spark
     from celestrak_tle_data_pipeline_spark.sources.tables import load_table
+
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg
+        load_start = None
 
     spark = get_spark(app_name="bench")
     qs = plans.all_queries()
@@ -163,6 +181,10 @@ def main() -> int:
         "floor_subtracted": floor_sub,
         "constant_dominated": constant_dominated,
     }
+    try:
+        load_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_end = None
     summary = {
         "metric": "total_query_sec",
         "value": round(sum(times.values()), 3),
@@ -174,6 +196,15 @@ def main() -> int:
         "floor_subtracted_total_sec": round(sum(floor_sub.values()), 3),
         "constant_dominated_n": len(constant_dominated),
         "warm_stat": "median_of_3",
+        # box-noise self-annotation: the idle-box reference envelope
+        # (updated at each round's session close) + 1-min loadavg
+        # observed around THIS run — a warm total above the bracket
+        # with loadavg >> CPUs-in-use is contention, not regression.
+        "idle_bracket_round": IDLE_BRACKET["round"],
+        "idle_bracket_warm_sec": IDLE_BRACKET["warm_sec"],
+        "idle_bracket_cold_sec": IDLE_BRACKET["cold_sec"],
+        "loadavg_1m_start": load_start,
+        "loadavg_1m_end": load_end,
     }
     sys.stdout.flush()
     print(json.dumps(detail, separators=(",", ":")), flush=True)

