@@ -32,6 +32,14 @@ explicit ``floor()`` before any double->integer bucket, DOUBLE-cast
 literals where DuckDB would infer DECIMAL, the shared
 Abramowitz-Stegun erfc tree for normal tails, and the Acklam
 inverse-normal device (bank_r15) where quantiles are needed.
+
+Cohort naming (ADVICE r14): the binary day split used across these
+banks, ``(epoch_day + 4) % 7 >= 5``, selects FRIDAY+SATURDAY under the
+Sun=0..Sat=6 mapping — it is named ``fri_sat`` (complement
+``sun_thu``) here. The LIVE r12-r15 banks keep their officially
+recorded 'weekend' naming for the same split; bank_r11's weekend
+queries use the true Sat/Sun ``isin(0, 6)`` split. 'weekday' in
+per-day-of-week panels means the 7-value day-of-week domain.
 """
 
 from __future__ import annotations
@@ -448,7 +456,7 @@ def kmo_adequacy(spark, sf_dir):
     """,
 )
 def peto_odds_ratio(spark, sf_dir):
-    """Peto one-step odds ratio for the weekend -> problem-status
+    """Peto one-step odds ratio for the Fri/Sat -> problem-status
     association, pooled across the five priority STRATA: log OR =
     sum(O-E)/sum(V) with the per-stratum hypergeometric moments
     E = n1 m1/N, V = n1 n0 m1 m0/(N^2(N-1)) — the rare-event
@@ -2321,7 +2329,7 @@ def van_der_waerden_test(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Klotz two-sample normal-scores SCALE test: weekend vs weekday
+# Klotz two-sample normal-scores SCALE test: Fri/Sat vs Sun-Thu
 # --------------------------------------------------------------------------
 @register(
     "klotz_scale_test",
@@ -2376,7 +2384,7 @@ def van_der_waerden_test(spark, sf_dir):
                * (st2 - st * st / n) AS vt
         FROM fold
     )
-    SELECT n AS n_orders, n1 AS n_weekend,
+    SELECT n AS n_orders, n1 AS n_fri_sat,
            round(t1, 4) + 0.0 AS klotz_t,
            round(et, 4) + 0.0 AS e_t,
            round((t1 - et) / sqrt(vt), 6) + 0.0 AS z_klotz
@@ -2384,8 +2392,8 @@ def van_der_waerden_test(spark, sf_dir):
     """,
 )
 def klotz_scale_test(spark, sf_dir):
-    """Klotz two-sample SCALE test (weekend vs weekday order values):
-    T = sum over the weekend group of SQUARED normal scores
+    """Klotz two-sample SCALE test (Fri/Sat vs Sun-Thu order values):
+    T = sum over the Fri/Sat group of SQUARED normal scores
     [Phi^-1(midrank/(n+1))]^2, with the exact permutation moments
     E = n1 sbar and Var = n1 n2 (sum s^2 - n sbar^2)/(n(n-1)) — the
     locally-most-powerful scale test under normality, sharpening
@@ -2482,7 +2490,7 @@ def klotz_scale_test(spark, sf_dir):
     )
     return fold.select(
         n.alias("n_orders"),
-        n1.alias("n_weekend"),
+        n1.alias("n_fri_sat"),
         (F.round("t1", 4) + 0.0).alias("klotz_t"),
         (F.round(et, 4) + 0.0).alias("e_t"),
         (
@@ -4203,7 +4211,7 @@ def sobel_mediation_test(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Slope-equality moderation test: does weekend moderate clicks->purchases?
+# Slope-equality moderation test: does Fri/Sat moderate clicks->purchases?
 # --------------------------------------------------------------------------
 @register(
     "slope_equality_moderation",
@@ -4263,7 +4271,7 @@ def sobel_mediation_test(spark, sf_dir):
     """,
 )
 def slope_equality_moderation(spark, sf_dir):
-    """MODERATION test: does the weekend change the clicks->purchases
+    """MODERATION test: does the Fri/Sat change the clicks->purchases
     conversion SLOPE? Fit the per-cohort regressions (separate
     intercepts and slopes — the interaction model) against the
     common-slope/separate-intercepts reduction, F = (SSR_reduced -
@@ -4371,7 +4379,7 @@ def slope_equality_moderation(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Scheirer-Ray-Hare two-way rank ANOVA: priority x weekend
+# Scheirer-Ray-Hare two-way rank ANOVA: priority x Fri/Sat
 # --------------------------------------------------------------------------
 @register(
     "scheirer_ray_hare_twoway",
@@ -4459,8 +4467,8 @@ def slope_equality_moderation(spark, sf_dir):
                AS h_priority,
            CAST(4 AS BIGINT) AS dof_priority,
            round((ssb.s / 4.0 - ms.corr) / ms.mstot, 6) + 0.0
-               AS h_weekend,
-           CAST(1 AS BIGINT) AS dof_weekend,
+               AS h_fri_sat,
+           CAST(1 AS BIGINT) AS dof_fri_sat,
            round(((ssc.s - ssa.s - ssb.s) / 4.0 + ms.corr)
                  / ms.mstot, 6) + 0.0 AS h_interaction,
            CAST(4 AS BIGINT) AS dof_interaction
@@ -4469,13 +4477,13 @@ def slope_equality_moderation(spark, sf_dir):
 )
 def scheirer_ray_hare_twoway(spark, sf_dir):
     """Scheirer-Ray-Hare TWO-WAY rank ANOVA of order values on
-    (priority x weekend): global midranks replace the values, and
+    (priority x Fri/Sat): global midranks replace the values, and
     each factor's rank sum-of-squares over the tie-corrected total
     rank variance gives H ~ chi2 — main effects AND the interaction,
     which no one-way rank test in the registry
     (`kruskal_wallis_values`, `friedman_blocked_ranks`) can see:
     KW on priorities cannot say whether the priority effect CHANGES
-    at weekends. SS_AB = SS_cells - SS_A - SS_B (the balanced-rank
+    at Fri/Sat days. SS_AB = SS_cells - SS_A - SS_B (the balanced-rank
     decomposition SRH prescribes; emitted with its own dof).
 
     Exactness: midranks x2 are exact integers from one cents-grid
@@ -4591,8 +4599,8 @@ def scheirer_ray_hare_twoway(spark, sf_dir):
         F.lit(4).cast("bigint").alias("dof_priority"),
         (
             F.round((F.col("sb") / 4.0 - corr) / mstot, 6) + 0.0
-        ).alias("h_weekend"),
-        F.lit(1).cast("bigint").alias("dof_weekend"),
+        ).alias("h_fri_sat"),
+        F.lit(1).cast("bigint").alias("dof_fri_sat"),
         (
             F.round(
                 (
@@ -4619,7 +4627,7 @@ PLAN_AUDIT_NOTES.update(
 
 
 # --------------------------------------------------------------------------
-# Q-Q ventile fit: weekend vs weekday order-value distributions
+# Q-Q ventile fit: Fri/Sat vs Sun-Thu order-value distributions
 # --------------------------------------------------------------------------
 @register(
     "qq_ventile_fit",
@@ -4682,7 +4690,7 @@ PLAN_AUDIT_NOTES.update(
     """,
 )
 def qq_ventile_fit(spark, sf_dir):
-    """Q-Q VENTILE fit between the weekend (y) and weekday (x)
+    """Q-Q VENTILE fit between the Fri/Sat (y) and Sun-Thu (x)
     order-value distributions: match the 19 exact lower ventiles of
     each and fit the quantile-quantile line — slope away from 1
     reads as a SCALE difference, intercept away from 0 as a SHIFT,
@@ -5041,7 +5049,7 @@ def tukey_nonadditivity(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Ridit analysis of priority ordinals: weekend vs weekday
+# Ridit analysis of priority ordinals: Fri/Sat vs Sun-Thu
 # --------------------------------------------------------------------------
 @register(
     "ridit_analysis",
@@ -5086,9 +5094,9 @@ def tukey_nonadditivity(spark, sf_dir):
                MAX(CASE WHEN g = 0 THEN rbar END) AS r0
         FROM mean_r
     )
-    SELECT n1 AS n_weekend, n0 AS n_weekday,
-           round(r1, 8) + 0.0 AS mean_ridit_weekend,
-           round(r0, 8) + 0.0 AS mean_ridit_weekday,
+    SELECT n1 AS n_fri_sat, n0 AS n_sun_thu,
+           round(r1, 8) + 0.0 AS mean_ridit_fri_sat,
+           round(r0, 8) + 0.0 AS mean_ridit_sun_thu,
            round((r1 - r0)
                  / sqrt((1.0 / n1 + 1.0 / n0) / 12.0), 6) + 0.0
                AS z_ridit
@@ -5096,11 +5104,11 @@ def tukey_nonadditivity(spark, sf_dir):
     """,
 )
 def ridit_analysis(spark, sf_dir):
-    """RIDIT analysis of the ordered priority scale between weekend
-    and weekday orders: score each priority category by its ridit —
+    """RIDIT analysis of the ordered priority scale between Fri/Sat
+    and Sun-Thu orders: score each priority category by its ridit —
     the reference-distribution mid-cumulative probability (Relative
     to an Identified DIstribution) — and compare group mean ridits;
-    r-bar_1 - r-bar_0 is exactly P(weekend order outranks weekday) -
+    r-bar_1 - r-bar_0 is exactly P(Fri/Sat order outranks Sun-Thu) -
     1/2, the ordinal effect size behind `brunner_munzel` /
     `cliffs_delta_bucketed`, computed HERE on a 5-category ordinal
     where rank machinery degenerates; z uses Bross's
@@ -5176,10 +5184,10 @@ def ridit_analysis(spark, sf_dir):
         F.max(F.when(F.col("g") == 0, F.col("rbar"))).alias("r0"),
     )
     return wide.select(
-        F.col("n1").alias("n_weekend"),
-        F.col("n0").alias("n_weekday"),
-        (F.round("r1", 8) + 0.0).alias("mean_ridit_weekend"),
-        (F.round("r0", 8) + 0.0).alias("mean_ridit_weekday"),
+        F.col("n1").alias("n_fri_sat"),
+        F.col("n0").alias("n_sun_thu"),
+        (F.round("r1", 8) + 0.0).alias("mean_ridit_fri_sat"),
+        (F.round("r0", 8) + 0.0).alias("mean_ridit_sun_thu"),
         (
             F.round(
                 (F.col("r1") - F.col("r0"))
@@ -5651,7 +5659,7 @@ def circular_linear_correlation(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Covariate-balance SMD panel: weekend vs weekday orders
+# Covariate-balance SMD panel: Fri/Sat vs Sun-Thu orders
 # --------------------------------------------------------------------------
 @register(
     "covariate_balance_smd",
@@ -5697,7 +5705,7 @@ def circular_linear_correlation(spark, sf_dir):
                MAX(CASE WHEN g = 0 THEN v END) AS v0
         FROM st_ GROUP BY cov
     )
-    SELECT cov AS covariate, n1 AS n_weekend, n0 AS n_weekday,
+    SELECT cov AS covariate, n1 AS n_fri_sat, n0 AS n_sun_thu,
            round((m1 - m0) / sqrt((v1 + v0) / 2.0), 6) + 0.0
                AS smd,
            round(v1 / v0, 6) + 0.0 AS variance_ratio,
@@ -5708,7 +5716,7 @@ def circular_linear_correlation(spark, sf_dir):
     """,
 )
 def covariate_balance_smd(spark, sf_dir):
-    """COVARIATE-BALANCE table for the weekend "treatment": the
+    """COVARIATE-BALANCE table for the Fri/Sat "treatment": the
     standardized mean difference (m1-m0)/sqrt((v1+v0)/2) and
     variance ratio for order value, priority ordinal, and
     problem-status flag, with the conventional |SMD| < 0.1 balance
@@ -5788,8 +5796,8 @@ def covariate_balance_smd(spark, sf_dir):
     )
     return wide.select(
         F.col("cov").alias("covariate"),
-        F.col("n1").alias("n_weekend"),
-        F.col("n0").alias("n_weekday"),
+        F.col("n1").alias("n_fri_sat"),
+        F.col("n0").alias("n_sun_thu"),
         (F.round(smd, 6) + 0.0).alias("smd"),
         (F.round(F.col("v1") / F.col("v0"), 6) + 0.0).alias(
             "variance_ratio"
@@ -5802,7 +5810,7 @@ def covariate_balance_smd(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# VanderWeele E-value sensitivity for the weekend -> P-status RR
+# VanderWeele E-value sensitivity for the Fri/Sat -> P-status RR
 # --------------------------------------------------------------------------
 @register(
     "vanderweele_evalue",
@@ -5839,8 +5847,8 @@ def covariate_balance_smd(spark, sf_dir):
                END AS rci
         FROM rr
     )
-    SELECT a AS weekend_p, n1 AS n_weekend,
-           b AS weekday_p, n0 AS n_weekday,
+    SELECT a AS fri_sat_p, n1 AS n_fri_sat,
+           b AS sun_thu_p, n0 AS n_sun_thu,
            round(r, 6) + 0.0 AS risk_ratio,
            round(rstar + sqrt(rstar * (rstar - 1.0)), 6) + 0.0
                AS evalue_point,
@@ -5851,7 +5859,7 @@ def covariate_balance_smd(spark, sf_dir):
     """,
 )
 def vanderweele_evalue(spark, sf_dir):
-    """VanderWeele-Ding E-VALUE sensitivity analysis for the weekend
+    """VanderWeele-Ding E-VALUE sensitivity analysis for the Fri/Sat
     -> problem-status risk ratio: E = RR* + sqrt(RR*(RR*-1)) (RR*
     the ratio oriented away from 1) is the MINIMUM strength of
     unmeasured confounding — on both the confounder-exposure and
@@ -5919,10 +5927,10 @@ def vanderweele_evalue(spark, sf_dir):
         rstar.alias("rstar"), rci.alias("rci"),
     )
     return d.select(
-        F.col("a").alias("weekend_p"),
-        F.col("n1").alias("n_weekend"),
-        F.col("b").alias("weekday_p"),
-        F.col("n0").alias("n_weekday"),
+        F.col("a").alias("fri_sat_p"),
+        F.col("n1").alias("n_fri_sat"),
+        F.col("b").alias("sun_thu_p"),
+        F.col("n0").alias("n_sun_thu"),
         (F.round("r", 6) + 0.0).alias("risk_ratio"),
         (
             F.round(

@@ -27,6 +27,14 @@ float aggregate, ``+ 0.0`` on possibly-negative-zero outputs,
 total-order top-k/argmax tiebreaks, bounded-domain windows only, the
 shared Abramowitz-Stegun erfc tree, and the Acklam inverse-normal
 device (bank_r15).
+
+Cohort naming (ADVICE r14): the binary day split used across these
+banks, ``(epoch_day + 4) % 7 >= 5``, selects FRIDAY+SATURDAY under the
+Sun=0..Sat=6 mapping — it is named ``fri_sat`` (complement
+``sun_thu``) here. The LIVE r12-r15 banks keep their officially
+recorded 'weekend' naming for the same split; bank_r11's weekend
+queries use the true Sat/Sun ``isin(0, 6)`` split. 'weekday' in
+per-day-of-week panels means the 7-value day-of-week domain.
 """
 
 from __future__ import annotations
@@ -694,7 +702,7 @@ def rank_turbulence_divergence(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Population attributable fraction (Levin) for the weekend exposure
+# Population attributable fraction (Levin) for the Fri/Sat exposure
 # --------------------------------------------------------------------------
 @register(
     "attributable_fraction_levin",
@@ -734,10 +742,10 @@ def rank_turbulence_divergence(spark, sf_dir):
     """,
 )
 def attributable_fraction_levin(spark, sf_dir):
-    """Levin's POPULATION ATTRIBUTABLE FRACTION for the weekend ->
+    """Levin's POPULATION ATTRIBUTABLE FRACTION for the Fri/Sat ->
     problem-status association: PAF = p_e(RR-1)/(1 + p_e(RR-1)) —
     the share of ALL problem orders that would disappear if the
-    weekend exposure were removed (assuming causality) — plus the
+    Fri/Sat exposure were removed (assuming causality) — plus the
     attributable fraction among the exposed (RR-1)/RR. The public-
     health "how much does this matter at the population level"
     number that the RR alone (`vanderweele_evalue`'s input)
@@ -1112,7 +1120,7 @@ def decision_curve_net_benefit(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Mixture SPRT always-valid p for the weekend conversion difference
+# Mixture SPRT always-valid p for the Fri/Sat conversion difference
 # --------------------------------------------------------------------------
 @register(
     "msprt_always_valid_p",
@@ -1171,7 +1179,7 @@ def decision_curve_net_benefit(spark, sf_dir):
     """,
 )
 def msprt_always_valid_p(spark, sf_dir):
-    """MIXTURE SPRT always-valid p-value for the weekend-vs-weekday
+    """MIXTURE SPRT always-valid p-value for the Fri/Sat-vs-Sun-Thu
     purchase-rate difference, replayed over the cumulative daily
     trace: with the Gaussian mixture prior tau^2 = 0.01 over the
     effect, log Lambda_t = (1/2) ln(V_t/(V_t+tau^2)) + delta_t^2
@@ -3641,7 +3649,7 @@ PLAN_AUDIT_NOTES.update(
 
 
 # --------------------------------------------------------------------------
-# Van Elteren stratified rank-sum test: weekend effect within priority
+# Van Elteren stratified rank-sum test: Fri/Sat effect within priority
 # --------------------------------------------------------------------------
 @register(
     "van_elteren_stratified",
@@ -3710,13 +3718,13 @@ PLAN_AUDIT_NOTES.update(
     """,
 )
 def van_elteren_stratified(spark, sf_dir):
-    """VAN ELTEREN stratified rank-sum test of the weekend effect on
+    """VAN ELTEREN stratified rank-sum test of the Fri/Sat effect on
     order values WITHIN priority strata: each stratum's Wilcoxon
     rank sum enters with the locally-most-powerful weight
     1/(n_s+1), with the exact tie-corrected per-stratum variance
     folded from the squared-midrank sums — the confounder-proof
     version of the plain two-sample test: if priority mix differs
-    by weekday, a pooled Wilcoxon confounds the two effects; van
+    by Sun-Thu, a pooled Wilcoxon confounds the two effects; van
     Elteren compares LIKE WITH LIKE and pools only the evidence.
     The rank-world sibling of `mantel_haenszel_weekday_strata`
     (binary outcome) and `peto_odds_ratio` (rare binary) — this one
@@ -4776,7 +4784,7 @@ def spiegelhalter_z_calibration(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Overlapping coefficient (OVL) of weekend vs weekday spend
+# Overlapping coefficient (OVL) of Fri/Sat vs Sun-Thu spend
 # --------------------------------------------------------------------------
 @register(
     "overlapping_coefficient_ovl",
@@ -4819,15 +4827,15 @@ def spiegelhalter_z_calibration(spark, sf_dir):
                    AS DECIMAL(28,10))) AS DOUBLE) AS tvx2
         FROM cells, tots
     )
-    SELECT (SELECT n1 FROM tots) AS n_weekend,
-           (SELECT n0 FROM tots) AS n_weekday,
+    SELECT (SELECT n1 FROM tots) AS n_fri_sat,
+           (SELECT n0 FROM tots) AS n_sun_thu,
            round(ovl, 8) + 0.0 AS ovl_coefficient,
            round(tvx2 / 2.0, 8) + 0.0 AS total_variation
     FROM fold
     """,
 )
 def overlapping_coefficient_ovl(spark, sf_dir):
-    """OVERLAPPING COEFFICIENT of the weekend and weekday order-value
+    """OVERLAPPING COEFFICIENT of the Fri/Sat and Sun-Thu order-value
     distributions over a common 20-bin histogram: OVL = sum min(p_i,
     q_i) — the literal "% of probability mass the two share", the
     one distribution-distance a non-statistician reads instantly
@@ -4907,8 +4915,8 @@ def overlapping_coefficient_ovl(spark, sf_dir):
         F.max("n0").alias("n0"),
     )
     return fold.select(
-        F.col("n1").alias("n_weekend"),
-        F.col("n0").alias("n_weekday"),
+        F.col("n1").alias("n_fri_sat"),
+        F.col("n0").alias("n_sun_thu"),
         (F.round("ovl", 8) + 0.0).alias("ovl_coefficient"),
         (F.round(F.col("tvx2") / 2.0, 8) + 0.0).alias(
             "total_variation"

@@ -33,6 +33,14 @@ float aggregate, ``+ 0.0`` on possibly-negative-zero outputs,
 total-order top-k/argmax tiebreaks, bounded-domain windows or the
 ranged-rank device, the shared Abramowitz-Stegun erfc tree, and the
 Acklam inverse-normal device.
+
+Cohort naming (ADVICE r14): the binary day split used across these
+banks, ``(epoch_day + 4) % 7 >= 5``, selects FRIDAY+SATURDAY under the
+Sun=0..Sat=6 mapping — it is named ``fri_sat`` (complement
+``sun_thu``) here. The LIVE r12-r15 banks keep their officially
+recorded 'weekend' naming for the same split; bank_r11's weekend
+queries use the true Sat/Sun ``isin(0, 6)`` split. 'weekday' in
+per-day-of-week panels means the 7-value day-of-week domain.
 """
 
 from __future__ import annotations
@@ -5697,7 +5705,7 @@ PLAN_AUDIT_NOTES.update(
 
 
 # --------------------------------------------------------------------------
-# Westenberg interquartile-range test: weekend vs weekday order values
+# Westenberg interquartile-range test: Fri/Sat vs Sun-Thu order values
 # --------------------------------------------------------------------------
 @register(
     "westenberg_iqr_test",
@@ -5739,8 +5747,8 @@ PLAN_AUDIT_NOTES.update(
                              THEN 1 ELSE 0 END) AS BIGINT) AS o0
         FROM pts p, q
     )
-    SELECT n1 AS n_weekend, n0 AS n_weekday,
-           o1 AS n_weekend_outside, o0 AS n_weekday_outside,
+    SELECT n1 AS n_fri_sat, n0 AS n_sun_thu,
+           o1 AS n_fri_sat_outside, o0 AS n_sun_thu_outside,
            round(o1 * 1.0 / n1 - o0 * 1.0 / n0, 8) + 0.0
                AS outside_rate_diff,
            round((n1 + n0)
@@ -5757,8 +5765,8 @@ PLAN_AUDIT_NOTES.update(
     """,
 )
 def westenberg_iqr_test(spark, sf_dir):
-    """WESTENBERG'S interquartile-range test for scale: pool weekend
-    and weekday order values, take the POOLED exact quartiles, and
+    """WESTENBERG'S interquartile-range test for scale: pool Fri/Sat
+    and Sun-Thu order values, take the POOLED exact quartiles, and
     test whether one group lands outside [Q1, Q3] more often than
     the other (Yates-corrected 2x2 chi2) — the oldest and simplest
     distribution-free dispersion test, robust to location shifts
@@ -5818,10 +5826,10 @@ def westenberg_iqr_test(spark, sf_dir):
     )
     ntot = F.col("n1") + F.col("n0")
     return cells.select(
-        F.col("n1").alias("n_weekend"),
-        F.col("n0").alias("n_weekday"),
-        F.col("o1").alias("n_weekend_outside"),
-        F.col("o0").alias("n_weekday_outside"),
+        F.col("n1").alias("n_fri_sat"),
+        F.col("n0").alias("n_sun_thu"),
+        F.col("o1").alias("n_fri_sat_outside"),
+        F.col("o0").alias("n_sun_thu_outside"),
         (
             F.round(
                 F.col("o1") * 1.0 / F.col("n1")
@@ -7391,7 +7399,7 @@ def berry_esseen_certificate(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Moses test of extreme reactions: weekend vs weekday order values
+# Moses test of extreme reactions: Fri/Sat vs Sun-Thu order values
 # --------------------------------------------------------------------------
 @register(
     "moses_extreme_reactions",
@@ -7433,7 +7441,7 @@ def berry_esseen_certificate(spark, sf_dir):
         SELECT CAST(MIN(p_le) AS BIGINT) AS hi_rank
         FROM cum WHERE cca >= na - 2
     )
-    SELECT alo.na AS n_weekend, alo.np - alo.na AS n_weekday,
+    SELECT alo.na AS n_fri_sat, alo.np - alo.na AS n_sun_thu,
            alo.lo_rank AS trimmed_low_rank,
            ahi.hi_rank AS trimmed_high_rank,
            CAST(ahi.hi_rank - alo.lo_rank + 1 AS BIGINT)
@@ -7447,8 +7455,8 @@ def berry_esseen_certificate(spark, sf_dir):
     """,
 )
 def moses_extreme_reactions(spark, sf_dir):
-    """MOSES TEST OF EXTREME REACTIONS (h = 2): pool weekend and
-    weekday order values, trim the 2 most extreme weekend
+    """MOSES TEST OF EXTREME REACTIONS (h = 2): pool Fri/Sat and
+    Sun-Thu order values, trim the 2 most extreme Fri/Sat
     observations from each end, and measure the pooled-rank SPAN of
     what remains — a dispersion test that reacts when the treatment
     group produces extremes in BOTH directions simultaneously
@@ -7458,7 +7466,7 @@ def moses_extreme_reactions(spark, sf_dir):
     is the test statistic.
 
     Determinism with ties: the trimmed endpoints are the exact 3rd-
-    smallest / 3rd-largest weekend order statistics from the grid;
+    smallest / 3rd-largest Fri/Sat order statistics from the grid;
     the low rank places the endpoint BEFORE its ties (count of
     strictly-smaller pooled units + 1) and the high rank AFTER its
     ties (count of <= pooled units) — the outermost-tie convention,
@@ -7506,8 +7514,8 @@ def moses_extreme_reactions(spark, sf_dir):
     j = alo.crossJoin(F.broadcast(ahi))
     span = F.col("hi_rank") - F.col("lo_rank") + 1
     return j.select(
-        F.col("na").alias("n_weekend"),
-        (F.col("np") - F.col("na")).alias("n_weekday"),
+        F.col("na").alias("n_fri_sat"),
+        (F.col("np") - F.col("na")).alias("n_sun_thu"),
         F.col("lo_rank").alias("trimmed_low_rank"),
         F.col("hi_rank").alias("trimmed_high_rank"),
         span.cast("bigint").alias("moses_span_h2"),

@@ -36,6 +36,14 @@ than the readout; r14's watts/VI lesson), ``+ 0.0`` on possibly-
 negative-zero outputs, total-order tiebreaks, bounded-domain windows
 or the ranged device, the shared Abramowitz-Stegun erfc tree, explicit
 ``floor()`` before double->integer buckets.
+
+Cohort naming (ADVICE r14): the binary day split used across these
+banks, ``(epoch_day + 4) % 7 >= 5``, selects FRIDAY+SATURDAY under the
+Sun=0..Sat=6 mapping — it is named ``fri_sat`` (complement
+``sun_thu``) here. The LIVE r12-r15 banks keep their officially
+recorded 'weekend' naming for the same split; bank_r11's weekend
+queries use the true Sat/Sun ``isin(0, 6)`` split. 'weekday' in
+per-day-of-week panels means the 7-value day-of-week domain.
 """
 
 from __future__ import annotations
@@ -330,7 +338,7 @@ def rank_autocorrelation_lag7(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# TOST equivalence test for weekend vs weekday mean order value
+# TOST equivalence test for Fri/Sat vs Sun-Thu mean order value
 # --------------------------------------------------------------------------
 @register(
     "tost_equivalence_means",
@@ -373,7 +381,7 @@ def rank_autocorrelation_lag7(spark, sf_dir):
                        / n0)) / 100000.0 AS se
         FROM w
     )
-    SELECT n1 AS n_weekend, n0 AS n_weekday,
+    SELECT n1 AS n_fri_sat, n0 AS n_sun_thu,
            round(d, 6) + 0.0 AS mean_diff_kusd,
            round(margin, 6) + 0.0 AS margin_kusd,
            round(se, 6) + 0.0 AS se_welch_kusd,
@@ -387,15 +395,15 @@ def rank_autocorrelation_lag7(spark, sf_dir):
     """,
 )
 def tost_equivalence_means(spark, sf_dir):
-    """TOST (two one-sided tests) EQUIVALENCE of weekend vs weekday
+    """TOST (two one-sided tests) EQUIVALENCE of Fri/Sat vs Sun-Thu
     MEAN order value with a +/-1%-of-pooled-mean margin: both
     one-sided Welch statistics must clear z_0.95 for the means to be
     declared equivalent — the means-scale second opinion to
     `tost_equivalence_proportions`, and the only way to POSITIVELY
-    certify "no weekend effect" (a non-significant
+    certify "no Fri/Sat effect" (a non-significant
     `weekend_effect_ols` t is absence of evidence; TOST is evidence
     of absence, the call a seasonality-aware pipeline actually
-    needs before pooling weekday and weekend data).
+    needs before pooling Sun-Thu and Fri/Sat data).
 
     Exactness: per-arm counts and power sums are exact DECIMAL(38,0)
     integers; the margin is an exact 1% of the pooled mean; z
@@ -452,8 +460,8 @@ def tost_equivalence_means(spark, sf_dir):
     )
     zc = 1.6448536269514722
     return w.select(
-        F.col("n1").alias("n_weekend"),
-        F.col("n0").alias("n_weekday"),
+        F.col("n1").alias("n_fri_sat"),
+        F.col("n0").alias("n_sun_thu"),
         (F.round(d, 6) + 0.0).alias("mean_diff_kusd"),
         (F.round(margin, 6) + 0.0).alias("margin_kusd"),
         (F.round(se, 6) + 0.0).alias("se_welch_kusd"),
@@ -1360,7 +1368,7 @@ PLAN_AUDIT_NOTES.update(
 
 
 # --------------------------------------------------------------------------
-# Closed-form MMD (quadratic kernel): weekend vs weekday order values
+# Closed-form MMD (quadratic kernel): Fri/Sat vs Sun-Thu order values
 # --------------------------------------------------------------------------
 @register(
     "mmd_poly2_two_sample",
@@ -1397,7 +1405,7 @@ PLAN_AUDIT_NOTES.update(
                b2 / nb / 10000000000.0 AS mb2
         FROM w
     )
-    SELECT na AS n_weekend, nb AS n_weekday,
+    SELECT na AS n_fri_sat, nb AS n_sun_thu,
            round((ma1 - mb1) * (ma1 - mb1), 10) + 0.0
                AS mmd2_linear_kusd2,
            round(2.0 * (ma1 - mb1) * (ma1 - mb1)
@@ -1409,8 +1417,8 @@ PLAN_AUDIT_NOTES.update(
     """,
 )
 def mmd_poly2_two_sample(spark, sf_dir):
-    """CLOSED-FORM MAXIMUM MEAN DISCREPANCY between weekend and
-    weekday order values under the quadratic polynomial kernel
+    """CLOSED-FORM MAXIMUM MEAN DISCREPANCY between Fri/Sat and
+    Sun-Thu order values under the quadratic polynomial kernel
     k(x,y) = (xy + c)^2: for polynomial kernels the mean embedding
     is a finite moment vector, so MMD^2 = 2c*(mu_a - mu_b)^2 +
     (E[x^2]_a - E[x^2]_b)^2 (c = 1 k$^2 here) computes EXACTLY from
@@ -1455,8 +1463,8 @@ def mmd_poly2_two_sample(spark, sf_dir):
     mb1 = F.col("b1") / F.col("nb") / 100000.0
     mb2 = F.col("b2") / F.col("nb") / 10000000000.0
     return w.select(
-        F.col("na").alias("n_weekend"),
-        F.col("nb").alias("n_weekday"),
+        F.col("na").alias("n_fri_sat"),
+        F.col("nb").alias("n_sun_thu"),
         (F.round((ma1 - mb1) * (ma1 - mb1), 10) + 0.0).alias(
             "mmd2_linear_kusd2"
         ),
@@ -2539,7 +2547,7 @@ def lexis_ratio_proportions(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Anderson-Hauck equivalence test for the weekend effect
+# Anderson-Hauck equivalence test for the Fri/Sat effect
 # --------------------------------------------------------------------------
 _AH_STAT_SQL = """
     pts AS (
@@ -2593,7 +2601,7 @@ _AH_STAT_SQL = """
                round(margin / se, 8) AS delta_nc
         FROM stat
     )
-    SELECT n1 AS n_weekend, n0 AS n_weekday,
+    SELECT n1 AS n_fri_sat, n0 AS n_sun_thu,
            w_stat + 0.0 AS ah_w_stat,
            delta_nc + 0.0 AS ah_noncentrality,
            round(round({_phi_sql_r19(
@@ -2615,7 +2623,7 @@ _AH_STAT_SQL = """
     """,
 )
 def anderson_hauck_equivalence(spark, sf_dir):
-    """ANDERSON-HAUCK equivalence test for weekend vs weekday mean
+    """ANDERSON-HAUCK equivalence test for Fri/Sat vs Sun-Thu mean
     order value on exactly the `tost_equivalence_means` frame (same
     +/-1%-of-pooled-mean margin, same Welch SE): the AH procedure
     compares W = d/se against a noncentral folded reference, p =
@@ -2699,8 +2707,8 @@ def anderson_hauck_equivalence(spark, sf_dir):
     )
     zc = 1.6448536269514722
     return z.select(
-        F.col("n1").alias("n_weekend"),
-        F.col("n0").alias("n_weekday"),
+        F.col("n1").alias("n_fri_sat"),
+        F.col("n0").alias("n_sun_thu"),
         (F.col("w_stat") + 0.0).alias("ah_w_stat"),
         (F.col("delta_nc") + 0.0).alias("ah_noncentrality"),
         (F.round(p_hi - p_lo, 8) + 0.0).alias("ah_p_value"),
@@ -5649,7 +5657,7 @@ PLAN_AUDIT_NOTES.update(
     """,
 )
 def woolf_or_homogeneity(spark, sf_dir):
-    """WOOLF'S test of weekend->failure odds-ratio homogeneity
+    """WOOLF'S test of Fri/Sat->failure odds-ratio homogeneity
     across the five regions on exactly the
     `breslow_day_homogeneity` strata frame: per-stratum log odds
     ratios with the Haldane-Anscombe +0.5 correction, inverse-
@@ -6063,7 +6071,7 @@ PLAN_AUDIT_NOTES.update(
 )
 def anderson_rubin_iv_ci(spark, sf_dir):
     """ANDERSON-RUBIN weak-instrument-robust confidence interval for
-    the `iv_wald_weekend` estimand (weekend instruments daily event
+    the `iv_wald_weekend` estimand (Fri/Sat instruments daily event
     volume to price value-per-event): the AR set is {beta:
     |z-stat of (y - beta*x) between instrument groups| <= 1.96},
     which for a binary instrument closes to a QUADRATIC in beta —
@@ -6072,7 +6080,7 @@ def anderson_rubin_iv_ci(spark, sf_dir):
     exact coverage NO MATTER HOW WEAK the instrument, and the
     geometry is self-diagnosing — the interval is bounded iff the
     first-stage z^2 exceeds the critical value (qa > 0), going
-    half-line/all-of-R exactly when the weekend barely moves volume
+    half-line/all-of-R exactly when the Fri/Sat barely moves volume
     (the Dufour impossibility result, visible in one bit:
     `ar_ci_bounded`).
 
@@ -7297,8 +7305,8 @@ def _harmonic_col(k):
         FROM hterm
     )
     SELECT n AS n_orders,
-           n1 AS n_weekend,
-           round(s1, 4) + 0.0 AS savage_sum_weekend,
+           n1 AS n_fri_sat,
+           round(s1, 4) + 0.0 AS savage_sum_fri_sat,
            round(CAST(n1 AS DOUBLE) * sa / n, 4) + 0.0
                AS expected_sum,
            round((s1 - CAST(n1 AS DOUBLE) * sa / n)
@@ -7309,10 +7317,10 @@ def _harmonic_col(k):
 """,
 )
 def savage_scores_location(spark, sf_dir):
-    """SAVAGE (exponential-scores) two-sample test of weekend vs
-    weekday order value: each observation takes the expected
+    """SAVAGE (exponential-scores) two-sample test of Fri/Sat vs
+    Sun-Thu order value: each observation takes the expected
     exponential order statistic a_i = H_n - H_(n-i) (ties get the
-    group-average score), and the weekend score sum is z-scored
+    group-average score), and the Fri/Sat score sum is z-scored
     with the exact finite-population moments — the SCALE-SENSITIVE-
     IN-THE-TAIL rank test the location battery lacks: Wilcoxon
     weights all ranks linearly and `van_der_waerden_test` normal-
@@ -7410,8 +7418,8 @@ def savage_scores_location(spark, sf_dir):
     )
     return fold.select(
         F.col("n").alias("n_orders"),
-        F.col("n1").alias("n_weekend"),
-        (F.round("s1", 4) + 0.0).alias("savage_sum_weekend"),
+        F.col("n1").alias("n_fri_sat"),
+        (F.round("s1", 4) + 0.0).alias("savage_sum_fri_sat"),
         (F.round(esum, 4) + 0.0).alias("expected_sum"),
         (F.round((F.col("s1") - esum) / F.sqrt(vars), 6) + 0.0)
         .alias("savage_z"),

@@ -33,6 +33,14 @@ DECADE-ESCALATION rule for libm pins, ``+ 0.0`` on possibly-negative-
 zero outputs, total-order tiebreaks, bounded-domain windows or the
 ranged device, the shared erfc/harmonic trees, explicit ``floor()``
 before double->integer buckets.
+
+Cohort naming (ADVICE r14): the binary day split used across these
+banks, ``(epoch_day + 4) % 7 >= 5``, selects FRIDAY+SATURDAY under the
+Sun=0..Sat=6 mapping — it is named ``fri_sat`` (complement
+``sun_thu``) here. The LIVE r12-r15 banks keep their officially
+recorded 'weekend' naming for the same split; bank_r11's weekend
+queries use the true Sat/Sun ``isin(0, 6)`` split. 'weekday' in
+per-day-of-week panels means the 7-value day-of-week domain.
 """
 
 from __future__ import annotations
@@ -855,7 +863,7 @@ PLAN_AUDIT_NOTES.update(
 
 
 # --------------------------------------------------------------------------
-# Watson two-sample U^2: weekend vs weekday intraday phase
+# Watson two-sample U^2: Fri/Sat vs Sun-Thu intraday phase
 # --------------------------------------------------------------------------
 @register(
     "watson_u2_two_sample",
@@ -895,7 +903,7 @@ PLAN_AUDIT_NOTES.update(
                    AS DECIMAL(28,10))) AS DOUBLE) AS scd2
         FROM cum
     )
-    SELECT n1 AS n_weekend, n2 AS n_weekday,
+    SELECT n1 AS n_fri_sat, n2 AS n_sun_thu,
            round((CAST(n1 AS DOUBLE) * n2 / (CAST(nn AS DOUBLE) * nn))
                  * (scd2 - scd * scd / nn), 8) + 0.0
                AS watson_u2,
@@ -907,7 +915,7 @@ PLAN_AUDIT_NOTES.update(
     """,
 )
 def watson_u2_two_sample(spark, sf_dir):
-    """WATSON TWO-SAMPLE U^2 comparing the weekend vs weekday
+    """WATSON TWO-SAMPLE U^2 comparing the Fri/Sat vs Sun-Thu
     INTRADAY PHASE distribution of events (second-of-day support):
     U^2 = (n1 n2 / N^2) sum_k c_k (d_k - dbar)^2 with d = F1 - F2
     on the merged grid and dbar its merged-weighted mean — the
@@ -971,8 +979,8 @@ def watson_u2_two_sample(spark, sf_dir):
         F.col("n1").cast("double") * F.col("n2") / (nn * nn)
     ) * (F.col("scd2") - F.col("scd") * F.col("scd") / nn)
     return dsum.select(
-        F.col("n1").alias("n_weekend"),
-        F.col("n2").alias("n_weekday"),
+        F.col("n1").alias("n_fri_sat"),
+        F.col("n2").alias("n_sun_thu"),
         (F.round(u2, 8) + 0.0).alias("watson_u2"),
         F.when(u2 > 0.187, 1).otherwise(0).cast("int")
         .alias("reject_5pct"),
@@ -2381,7 +2389,7 @@ PLAN_AUDIT_NOTES.update(
 
 
 # --------------------------------------------------------------------------
-# Closed-form Gaussian divergence panel: weekend vs weekday order value
+# Closed-form Gaussian divergence panel: Fri/Sat vs Sun-Thu order value
 # --------------------------------------------------------------------------
 @register(
     "gaussian_divergence_panel",
@@ -2433,8 +2441,8 @@ PLAN_AUDIT_NOTES.update(
     """,
 )
 def gaussian_divergence_panel(spark, sf_dir):
-    """CLOSED-FORM GAUSSIAN divergence panel between weekend and
-    weekday order value (kUSD): Bhattacharyya distance, squared
+    """CLOSED-FORM GAUSSIAN divergence panel between Fri/Sat and
+    Sun-Thu order value (kUSD): Bhattacharyya distance, squared
     Hellinger, and symmetrized KL, each evaluated at the fitted
     per-arm (mu, sigma^2) — the PARAMETRIC second opinions to the
     nonparametric two-sample distances (`wasserstein1_two_sample`,
@@ -5748,7 +5756,7 @@ PLAN_AUDIT_NOTES.update(
 
 
 # --------------------------------------------------------------------------
-# Hausman specification test: OLS vs the weekend-IV estimate
+# Hausman specification test: OLS vs the Fri/Sat-IV estimate
 # --------------------------------------------------------------------------
 @register(
     "hausman_ols_vs_iv",
@@ -5838,7 +5846,7 @@ PLAN_AUDIT_NOTES.update(
 )
 def hausman_ols_vs_iv(spark, sf_dir):
     """HAUSMAN specification test between the OLS value-per-event
-    slope (daily revenue on daily volume) and the weekend-IV
+    slope (daily revenue on daily volume) and the Fri/Sat-IV
     estimate (`iv_wald_weekend`'s estimand with a delta-method
     variance): H = (b_IV - b_OLS)^2 / (V_IV - V_OLS) ~ chi2_1 under
     exogeneity — the test that DECIDES between the two registry
@@ -6595,7 +6603,7 @@ PLAN_AUDIT_NOTES.update(
 )
 def sargan_overid_test(spark, sf_dir):
     """SARGAN overidentification J test for the two-instrument 2SLS
-    of daily revenue on daily volume (instruments: the weekend
+    of daily revenue on daily volume (instruments: the Fri/Sat
     indicator and the first-half-of-month indicator): b_2SLS =
     (C_zx' C_zz^-1 C_zy)/(C_zx' C_zz^-1 C_zx) by 2x2 Cramer, and
     J = n R^2 of the 2SLS residuals on the instruments ~ chi2_1 —

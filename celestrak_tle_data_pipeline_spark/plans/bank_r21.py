@@ -21,6 +21,14 @@ docstrings): exact integer/DECIMAL folds, round-before-fold with the
 DECADE-ESCALATION rule for libm pins, ``+ 0.0`` on possibly-negative-
 zero outputs, total-order tiebreaks, bounded-domain windows or the
 ranged device, explicit ``floor()`` before double->integer buckets.
+
+Cohort naming (ADVICE r14): the binary day split used across these
+banks, ``(epoch_day + 4) % 7 >= 5``, selects FRIDAY+SATURDAY under the
+Sun=0..Sat=6 mapping — it is named ``fri_sat`` (complement
+``sun_thu``) here. The LIVE r12-r15 banks keep their officially
+recorded 'weekend' naming for the same split; bank_r11's weekend
+queries use the true Sat/Sun ``isin(0, 6)`` split. 'weekday' in
+per-day-of-week panels means the 7-value day-of-week domain.
 """
 
 from __future__ import annotations
@@ -576,7 +584,7 @@ PLAN_AUDIT_NOTES.update(
 
 
 # --------------------------------------------------------------------------
-# Conditional Poisson C-test: weekend vs weekday error rates
+# Conditional Poisson C-test: Fri/Sat vs Sun-Thu error rates
 # --------------------------------------------------------------------------
 @register(
     "conditional_poisson_ctest",
@@ -623,8 +631,8 @@ PLAN_AUDIT_NOTES.update(
 )
 def conditional_poisson_ctest(spark, sf_dir):
     """CONDITIONAL POISSON C-TEST (Przyborowski-Wilenski) of the
-    weekend vs weekday error RATE: conditioning on the total error
-    count m, the weekend count is Binomial(m, p0 = weekend-days /
+    Fri/Sat vs Sun-Thu error RATE: conditioning on the total error
+    count m, the Fri/Sat count is Binomial(m, p0 = Fri/Sat-days /
     total-days) under equal rates — the nuisance-free second
     opinion to `poisson_rate_ratio_weekend`'s Wald-on-log-ratio
     form: the conditional test is EXACT in principle (no rate
@@ -636,7 +644,7 @@ def conditional_poisson_ctest(spark, sf_dir):
 
     Exactness: arm counts and exposure days are exact integers; p0
     is one exact ratio; both z forms are terminal IEEE trees.
-    Plan: (day, weekend) rollup -> 2-row arm rollup -> scalar
+    Plan: (day, Fri/Sat) rollup -> 2-row arm rollup -> scalar
     pivot; no window."""
     e = t(spark, sf_dir, "events")
     day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
@@ -690,7 +698,7 @@ def conditional_poisson_ctest(spark, sf_dir):
 PLAN_AUDIT_NOTES.update(
     {
         "conditional_poisson_ctest": (
-            "no window — (day, weekend) rollup + 2-row arm pivot"
+            "no window — (day, Fri/Sat) rollup + 2-row arm pivot"
         ),
     }
 )
