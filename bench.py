@@ -41,9 +41,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # near this envelope with loadavg_start high is contention, not a
 # regression — without cross-reading SCALING.md.
 IDLE_BRACKET = {
-    "round": 14,
-    "warm_sec": [2.40, 2.48],
-    "cold_sec": [32.8, 34.8],
+    "round": 15,
+    "warm_sec": [2.62, 2.74],
+    "cold_sec": [35.8, 36.6],
 }
 
 # Headline set: the flagship + one representative per operator family

@@ -9,6 +9,9 @@ gate-green, and the no-new-debt invariant never sees them unverified.
 
 Seeded in round 13 with the structure-and-dependence batch (Bartlett
 sphericity, KMO, ...); round-14/15/16 fresh work appends after them.
+At the round-15 flip the seed (`bartlett_sphericity`) was promoted into
+bank_r15's 50th window slot and the bank was restored to 49 with
+`williams_dependent_corr`.
 """
 
 from __future__ import annotations
