@@ -18,7 +18,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
-from audit_single_partition import ALLOWED, audit  # noqa: E402
+from audit_single_partition import ALLOWED, allowed, audit  # noqa: E402
 
 
 def test_registry_single_partition_flags_match_allowlist(spark):
@@ -26,11 +26,38 @@ def test_registry_single_partition_flags_match_allowlist(spark):
     errors = sorted(n for n, k in hits.items() if k < 0)
     assert not errors, f"plan build failed for: {errors}"
     flagged = set(hits)
-    new = sorted(flagged - set(ALLOWED))
+    new = sorted(flagged - set(allowed()))
     assert not new, (
         "new window/sort over Exchange SinglePartition — either rewrite "
         "with the range-partition + prefix_offsets pattern or add an "
         f"annotated allowlist entry: {new}"
     )
+    # stale gate: STATIC entries only — live-bank PLAN_AUDIT_NOTES merge
+    # dynamically and may be informational by design (see allowed()).
     stale = sorted(set(ALLOWED) - flagged)
     assert not stale, f"stale allowlist entries (query no longer flags): {stale}"
+
+
+def test_live_bank_notes_name_real_queries():
+    # The live-bank counterpart of test_flip_readiness's staged-note
+    # check: a typo'd note key in a LIVE bank would silently allowlist
+    # nothing. Every PLAN_AUDIT_NOTES key in a live bank module must be
+    # a registered query name.
+    import importlib
+
+    from celestrak_tle_data_pipeline_spark import plans
+
+    registered = set(plans.all_queries())
+    bad = []
+    for mod_name in plans._MODULES:
+        if not mod_name.startswith("bank_r"):
+            continue
+        mod = importlib.import_module(
+            f"celestrak_tle_data_pipeline_spark.plans.{mod_name}"
+        )
+        bad += [
+            f"{mod_name}.{k}"
+            for k in getattr(mod, "PLAN_AUDIT_NOTES", {})
+            if k not in registered
+        ]
+    assert not bad, f"live-bank audit notes naming unknown queries: {bad}"

@@ -194,219 +194,39 @@ ALLOWED: dict[str, str] = {
         "(price-domain-bounded — the ansari_bradley_scale class; "
         "event-grain work is one value rollup before the lag)"
     ),
-    # --- round-13 bank flip (adjudicated in bank_r13.PLAN_AUDIT_NOTES
-    #     at staging time; merged here at flip per the bank protocol) ---
-    "cucconi_test": (
-        "cumulative over the distinct-value-cents grid (price- "
-        "domain-bounded — the ansari_bradley_scale class)"
-    ),
-    "cusum_squares_variance": (
-        "cumulative/total windows over the calendar-day frame (the "
-        "kpss_level_stationarity class)"
-    ),
-    "dunns_posthoc_pairs": (
-        "cumulative head-count over the distinct-value grid (the "
-        "moods_median_test class)"
-    ),
-    "es_backtest_acerbi": (
-        "loss lag + split windows over the calendar-day frame (the "
-        "cusum class; multiple scalar subplans re-scan the bounded "
-        "day frame)"
-    ),
-    "friedman_aligned_ranks": (
-        "rank window over the 35-cell (dow x type) aligned frame "
-        "(domain-bounded)"
-    ),
-    "gbm_drift_vol_fit": (
-        "return lag over the calendar-day frame (the cusum class)"
-    ),
-    "integrated_autocorr_time": (
-        "5-lag window over the calendar-day frame (the "
-        "newey_west_trend_se class)"
-    ),
-    "kupiec_pof_backtest": (
-        "loss lag + split windows over the calendar-day frame"
-    ),
-    "lepage_test": (
-        "cumulative over the distinct-value-cents grid (price- "
-        "domain-bounded)"
-    ),
-    "mincer_zarnowitz_rationality": (
-        "lag-7 forecast window over the calendar-day frame"
-    ),
-    "page_hinkley_drift": (
-        "two cumulative windows over the calendar-day frame (the "
-        "cusum class)"
-    ),
-    "sharpe_sortino_omega": (
-        "return lag over the calendar-day frame"
-    ),
-    "spearman_footrule_sources": (
-        "rank windows over the shared-vocabulary frame (vocabulary- "
-        "domain-bounded)"
-    ),
-    "split_conformal_interval": (
-        "lag-7 + score-grid cumulative windows over calendar- "
-        "bounded frames; the flag count is inflated by scalar "
-        "subplans re-scanning the bounded day frame (the "
-        "es_backtest class)"
-    ),
-    "stochastic_superiority_bm": (
-        "cumulative pair over the distinct-value-cents grid (price- "
-        "domain-bounded)"
-    ),
-    "tracking_signal_monitor": (
-        "forecast lag + cumulative error windows over the calendar- "
-        "day frame"
-    ),
-    "ulcer_index_martin": (
-        "running-max window over the calendar-day frame"
-    ),
-    "var_cvar_historical": (
-        "loss lag over the calendar-day frame"
-    ),
-    "western_electric_rules": (
-        "three bounded rolling windows (3/5/8 rows) over the "
-        "calendar-day frame"
-    ),
-    "zipf_mandelbrot_fit": (
-        "rank window over the bounded vocabulary frame (the "
-        "chi2_discriminative_terms class)"
-    ),
-    # --- round-14 bank flip (adjudicated in bank_r14.PLAN_AUDIT_NOTES
-    #     at staging time; merged here at flip per the bank protocol) ---
-    "betting_evalue_mean_test": (
-        "cumulative log-wealth window over the calendar-day frame "
-        "(the cusum class)"
-    ),
-    "group_sequential_looks": (
-        "one rank window over the calendar-day frame; looks join is "
-        "a bounded 5-row broadcast"
-    ),
-    "pit_uniformity_check": (
-        "rank/count windows over the calendar-day frame"
-    ),
-    "sen_slope_confidence_band": (
-        "cumulative count over the distinct-slope grid of the "
-        "calendar-bounded day-pair frame (the ansari_bradley class)"
-    ),
-    "winkler_interval_score": (
-        "same construction as split_conformal_interval (promoted to "
-        "bank_r13 in round 13; shared conformal-quantile device over "
-        "bounded frames)"
-    ),
-    "baumgartner_weiss_schindler": (
-        "two exclusive-prefix windows over the distinct-value-cents "
-        "grid (price-domain-bounded — the ansari_bradley class)"
-    ),
-    "diebold_mariano_forecast": (
-        "two lag windows over the calendar-day frame; the flag count "
-        "is inflated by scalar subplans re-scanning the bounded day "
-        "frame (the es_backtest class)"
-    ),
-    "engle_granger_cointegration": (
-        "cumulative + residual-lag windows over the calendar-day "
-        "frame (the cusum class)"
-    ),
-    "fligner_policello_test": (
-        "exclusive-prefix placement windows over the "
-        "distinct-value-cents grid (price-domain-bounded)"
-    ),
-    "pesaran_timmermann_direction": (
-        "two lag windows over the calendar-day frame"
-    ),
-    "quandt_andrews_supf": (
-        "five cumulative prefix-moment windows + row_number over the "
-        "calendar-day frame (the one-pass sup-F device)"
-    ),
-    "weibull_median_rank_fit": (
-        "cumulative rank window over the distinct-gap-seconds grid "
-        "(gap-value-domain-bounded — the ansari_bradley class)"
-    ),
-    # --- round-15 bank flip (adjudicated in bank_r15.PLAN_AUDIT_NOTES
-    #     at staging time; merged here at flip per the bank protocol) ---
-    "mosum_break_monitor": (
-        "ROWS window + row_number over the calendar-day frame (bounded "
-        "domain — the cusum class)"
-    ),
-    "dfa_alpha_longmemory": (
-        "row_number + running-sum windows over the calendar-day frame "
-        "(bounded domain — the cusum class)"
-    ),
-    "cochrane_orcutt_ar1": (
-        "three lag windows over the calendar-day frame (bounded domain "
-        "— the durbin_watson class)"
-    ),
-    "holm_hochberg_sidak_panel": (
-        "rank + cumulative max/min windows over the 35-cell test-family "
-        "frame (bounded domain — the bh_fdr class)"
-    ),
-    "cornish_fisher_var": (
-        "lag + rank windows over the calendar-day frame (bounded domain "
-        "— the cusum class)"
-    ),
-    "lilliefors_normal_fit": (
-        "ECDF cumulative window over the distinct daily-value grid "
-        "(calendar-day-domain-bounded)"
-    ),
-    "rainbow_linearity_test": (
-        "row_number window over the calendar-day frame (bounded domain)"
-    ),
-    "xmr_individuals_chart": (
-        "lag window over the calendar-day frame (bounded domain)"
-    ),
-    "nyblom_hansen_stability": (
-        "running-sum + row_number windows over the calendar-day frame "
-        "(bounded domain — the dfa class)"
-    ),
-    "aalen_johansen_competing": (
-        "reverse-cumulative + two prefix windows over the capped "
-        "337-row hour grid (bounded domain — the kaplan_meier class)"
-    ),
-    "bass_diffusion_fit": (
-        "exclusive-prefix cumulative window over the calendar-day "
-        "adoption frame (bounded domain — the cusum class; event-grain "
-        "work is one day rollup before the window)"
-    ),
-    "cuzick_trend_test": (
-        "cumulative head-count over the 50-row integer quantity grid "
-        "(truly bounded domain — the moods_median_test class)"
-    ),
-    "blomqvist_beta_quadrant": (
-        "two cumulative head-counts over the cents value grids "
-        "(price-/balance-domain-bounded — the moods_median_test class); "
-        "the quadrant fold itself is windowless"
-    ),
-    "join_count_statistics": (
-        "row_number rank over the 25-row nation frame for the exact "
-        "median label threshold (domain-bounded)"
-    ),
-    "schnabel_capture_recapture": (
-        "exclusive prefix sum of first-captures over the calendar-week "
-        "grid (bounded domain — the cusum class)"
-    ),
-    "gehan_breslow_wilcoxon": (
-        "reverse prefix at-risk sums over the session-duration minutes "
-        "grid (the log_rank_sessions / kaplan_meier class)"
-    ),
-    "actuarial_life_table": (
-        "two exclusive prefix sums over the bounded 10-minute band grid "
-        "(the kaplan_meier_sessions class)"
-    ),
-    "l_moments_panel": (
-        "row_number rank over the calendar-day revenue frame (bounded "
-        "domain — the lorenz/gini class)"
-    ),
-    "shapiro_francia_ppcc": (
-        "row_number rank over the calendar-day revenue frame (bounded "
-        "domain — the l_moments_panel class)"
-    ),
-    "passing_bablok_regression": (
-        "rank passes over the bounded day-grid slope-pair frame "
-        "(calendar^2 domain, constant in data volume — the theil_sen / "
-        "sorted-pairs class)"
-    ),
 }
+
+
+def allowed() -> dict[str, str]:
+    """The effective allowlist: the hand-curated static ``ALLOWED``
+    above plus every LIVE bank module's ``PLAN_AUDIT_NOTES`` (modules
+    named ``bank_r*`` in ``plans._MODULES``), merged dynamically.
+
+    Mechanizes the flip-protocol step that used to hand-copy each
+    flipped bank's notes into this file (and stumbled in round 15 on
+    the flagging-vs-informational distinction): a flip now makes a
+    bank's pre-adjudicated notes live automatically, with zero edits
+    here. Notes are allowed to be informational (adjudications of
+    plans that don't actually flag, e.g. "no window at all") — the
+    stale-entry gate applies ONLY to the static dict, whose entries
+    must all still flag; staged-bank note hygiene (keys name real
+    queries) is enforced separately by tests/test_flip_readiness.py,
+    and live-bank note keys cannot rot because official queries are
+    never deleted.
+    """
+    import importlib
+
+    from celestrak_tle_data_pipeline_spark import plans
+
+    merged = dict(ALLOWED)
+    for mod_name in plans._MODULES:
+        if not mod_name.startswith("bank_r"):
+            continue
+        mod = importlib.import_module(
+            f"celestrak_tle_data_pipeline_spark.plans.{mod_name}"
+        )
+        merged.update(getattr(mod, "PLAN_AUDIT_NOTES", {}))
+    return merged
 
 
 def flagged_contexts(plan: str) -> int:
@@ -477,16 +297,19 @@ def main(argv):
 
     spark = get_spark(app_name="sp-audit")
     full_sweep = not argv
+    allow = allowed()
     hits = audit(spark, argv or None)
     new = []
     for name, k in sorted(hits.items()):
-        status = "allow" if name in ALLOWED else "FLAG "
+        status = "allow" if name in allow else "FLAG "
         print(f"{status} {name}: {k} window/sort-over-SinglePartition")
-        if name not in ALLOWED:
+        if name not in allow:
             new.append(name)
     print(f"{len(hits)} flagged of {len(argv) if argv else 'all'} audited"
           f" ({len(new)} outside allowlist)")
     if full_sweep:
+        # stale gate: STATIC entries only — dynamically merged bank
+        # notes may be informational by design (see allowed()).
         stale = sorted(set(ALLOWED) - set(hits))
         if stale:
             print(f"STALE allowlist entries (no longer flag): {stale}")
