@@ -52,9 +52,19 @@ def test_bench_carries_idle_bracket_annotation():
     # SCALING.md to tell contention from regression. Pin the bracket's
     # shape (a stale or malformed bracket would silently annotate
     # nothing).
+    from celestrak_tle_data_pipeline_spark import plans
+
     bench = _load_bench()
     br = bench.IDLE_BRACKET
     assert isinstance(br["round"], int) and br["round"] >= 14
     for key in ("warm_sec", "cold_sec"):
         lo, hi = br[key]
         assert 0 < lo <= hi, (key, br[key])
+    # freshness: the bracket is re-measured at each round's session
+    # close, so it may lag the just-flipped window by at most one
+    # round — a bracket older than that is rot, not annotation.
+    assert br["round"] >= plans.WINDOW_ROUND - 1, (
+        f"IDLE_BRACKET measured in round {br['round']} but the window "
+        f"is round {plans.WINDOW_ROUND} — re-run the session-close "
+        "idle bracket and update bench.IDLE_BRACKET"
+    )
