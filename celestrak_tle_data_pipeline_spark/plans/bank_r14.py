@@ -2239,6 +2239,12 @@ def dunning_llr_collocations(spark, sf_dir):
 # verbatim at flip time; landing earlier would read as stale entries in
 # the two-direction CI check). Every flagged window/sort is bounded:
 PLAN_AUDIT_NOTES: dict[str, str] = {
+    "allan_variance_rates": (
+        "per-m lag windows over the calendar-bounded dyadic "
+        "hour-block frame + the 5-row output sort (bounded domain; "
+        "found by the round-16 structural tree-walk detector — the "
+        "old 500-char context heuristic missed it)"
+    ),
     "betting_evalue_mean_test": (
         "cumulative log-wealth window over the calendar-day frame "
         "(the cusum class)"

@@ -3593,7 +3593,7 @@ def mardia_multivariate_normality(spark, sf_dir):
 PLAN_AUDIT_NOTES.update(
     {
         "mardia_multivariate_normality": (
-            "calendar-day-frame self-join (bounded n_days^2 pair "
+            "INFO: calendar-day-frame self-join (bounded n_days^2 pair "
             "frame — the distance_correlation class); the crossJoin "
             "is the b1 double sum over the day domain, never "
             "data-grain"
@@ -9004,6 +9004,22 @@ def passing_bablok_regression(spark, sf_dir):
 
 PLAN_AUDIT_NOTES.update(
     {
+        "breusch_godfrey_lm": (
+            "lag window over the bounded calendar-day grid (the "
+            "durbin_watson / cochrane_orcutt class; found by the "
+            "round-16 structural tree-walk detector — the old "
+            "500-char context heuristic missed it)"
+        ),
+        "lo_modified_rs": (
+            "one 6-output window pass over the bounded calendar-day "
+            "grid (the dfa/cusum class; found by the round-16 "
+            "structural detector)"
+        ),
+        "mean_cumulative_function": (
+            "two prefix windows over the bounded age-in-weeks grid "
+            "(the kaplan_meier class; found by the round-16 "
+            "structural detector)"
+        ),
         "passing_bablok_regression": (
             "rank passes over the bounded day-grid slope-pair frame "
             "(calendar^2 domain, constant in data volume — the "
@@ -9263,7 +9279,7 @@ def cluster_robust_ols_se(spark, sf_dir):
 PLAN_AUDIT_NOTES.update(
     {
         "cluster_robust_ols_se": (
-            "no window at all — two rollups and broadcast scalars "
+            "INFO: no window at all — two rollups and broadcast scalars "
             "(added r14 to restore the bank to 49 after the "
             "dersimonian promotion)"
         ),

@@ -18,7 +18,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
-from audit_single_partition import ALLOWED, allowed, audit  # noqa: E402
+from audit_single_partition import allowed, audit  # noqa: E402
 
 
 def test_registry_single_partition_flags_match_allowlist(spark):
@@ -32,9 +32,10 @@ def test_registry_single_partition_flags_match_allowlist(spark):
         "with the range-partition + prefix_offsets pattern or add an "
         f"annotated allowlist entry: {new}"
     )
-    # stale gate: STATIC entries only — live-bank PLAN_AUDIT_NOTES merge
-    # dynamically and may be informational by design (see allowed()).
-    stale = sorted(set(ALLOWED) - flagged)
+    # stale gate: the FULL effective allowlist — INFO-tagged
+    # informational notes are excluded by allowed() (ADVICE r15), so
+    # every remaining entry, static or merged, must still flag.
+    stale = sorted(set(allowed()) - flagged)
     assert not stale, f"stale allowlist entries (query no longer flags): {stale}"
 
 

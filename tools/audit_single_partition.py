@@ -4,8 +4,11 @@ For every registered query, builds the physical plan at sf0.001 and
 flags `Exchange SinglePartition` nodes that feed a Window or Sort
 (TakeOrderedAndProject excluded) — the pattern that serializes an
 unbounded frame through one task at scale. Scalar-aggregate merges
-(one-row results) also use SinglePartition and are fine; the heuristic
-separates the two by context.
+(one-row results) also use SinglePartition and are fine; the detector
+separates the two STRUCTURALLY, walking the plan-tree ancestor chain
+by indentation (round 16 — the original 500-char textual-context
+heuristic was order-dependent via plan-string expression-id widths and
+missed real single-partition windows; see flagged_contexts).
 
 Since round 7 this is a REGRESSION GATE, not just a report:
 ``ALLOWED`` below is the complete adjudicated allowlist — every entry
@@ -206,13 +209,17 @@ def allowed() -> dict[str, str]:
     flipped bank's notes into this file (and stumbled in round 15 on
     the flagging-vs-informational distinction): a flip now makes a
     bank's pre-adjudicated notes live automatically, with zero edits
-    here. Notes are allowed to be informational (adjudications of
-    plans that don't actually flag, e.g. "no window at all") — the
-    stale-entry gate applies ONLY to the static dict, whose entries
-    must all still flag; staged-bank note hygiene (keys name real
-    queries) is enforced separately by tests/test_flip_readiness.py,
-    and live-bank note keys cannot rot because official queries are
-    never deleted.
+    here. Informational notes — adjudications of plans that do NOT
+    flag (e.g. "no window at all") — are tagged with an explicit
+    ``INFO:`` prefix and EXCLUDED from the effective allowlist
+    (ADVICE r15: an untagged merged note for a non-flagging query
+    would silently excuse a later regression that adds a
+    SinglePartition window). With the informational notes excluded,
+    every merged entry must flag, so the stale-entry gate covers the
+    merged set too, not just the static dict. Staged-bank note
+    hygiene (keys name real queries) is enforced separately by
+    tests/test_flip_readiness.py, and live-bank note keys cannot rot
+    because official queries are never deleted.
     """
     import importlib
 
@@ -225,16 +232,64 @@ def allowed() -> dict[str, str]:
         mod = importlib.import_module(
             f"celestrak_tle_data_pipeline_spark.plans.{mod_name}"
         )
-        merged.update(getattr(mod, "PLAN_AUDIT_NOTES", {}))
+        merged.update(
+            {
+                k: v
+                for k, v in getattr(mod, "PLAN_AUDIT_NOTES", {}).items()
+                if not v.startswith("INFO:")
+            }
+        )
     return merged
 
 
+_SCAFFOLD = re.compile(r"^((?:[ :+](?:  |- ))*)(.*)$")
+_CODEGEN = re.compile(r"^\*\(\d+\) ")
+
+# Partitioning does NOT propagate upward past these: a repartition
+# resets the distribution, a broadcast side never carries the probe
+# partitioning, and a Union's output is multi-partition.
+_STOP = ("Exchange", "ShuffleQueryStage", "AQEShuffleRead", "Union")
+
+
 def flagged_contexts(plan: str) -> int:
+    """Count Exchange SinglePartition nodes whose single-partition
+    output feeds a Window or a Sort (TakeOrderedAndProject excluded),
+    by walking the plan-tree ANCESTOR chain via indentation depth.
+
+    Replaces the round-7 500-char textual-context heuristic, which was
+    order-dependent: plan-string expression ids grow with session age,
+    so the same query flagged or not depending on how many queries ran
+    before it in the sweep (round 16 caught breusch_godfrey_lm /
+    lo_modified_rs flagging in the full sweep but not in named mode,
+    and mardia the other way). The tree walk is offset-free: from each
+    SinglePartition exchange, follow parents — single-partition-ness
+    propagates through every narrow operator and the probe side of
+    broadcast joins — until another Exchange / ShuffleQueryStage /
+    AQEShuffleRead / Union resets the distribution; flag if a Window
+    or Sort is reached first.
+    """
     n = 0
-    for m in re.finditer(r"Exchange SinglePartition", plan):
-        ctx = plan[max(0, m.start() - 500):m.start()]
-        if "Window" in ctx or ("Sort " in ctx and "TakeOrdered" not in ctx):
-            n += 1
+    stack: list[tuple[int, str]] = []  # (depth, node text) ancestors
+    for line in plan.splitlines():
+        m = _SCAFFOLD.match(line)
+        prefix, content = m.group(1), m.group(2)
+        if not content.strip():
+            continue
+        depth = len(prefix) // 3
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if "Exchange SinglePartition" in content:
+            for _, anc in reversed(stack):
+                name = _CODEGEN.sub("", anc)
+                if name.startswith("Window"):
+                    n += 1
+                    break
+                if name.startswith("Sort ") and "TakeOrdered" not in name:
+                    n += 1
+                    break
+                if any(s in name for s in _STOP):
+                    break
+        stack.append((depth, content))
     return n
 
 
@@ -308,9 +363,10 @@ def main(argv):
     print(f"{len(hits)} flagged of {len(argv) if argv else 'all'} audited"
           f" ({len(new)} outside allowlist)")
     if full_sweep:
-        # stale gate: STATIC entries only — dynamically merged bank
-        # notes may be informational by design (see allowed()).
-        stale = sorted(set(ALLOWED) - set(hits))
+        # stale gate: the FULL effective allowlist — INFO-tagged
+        # informational notes are already excluded by allowed(), so
+        # every remaining entry (static or merged) must still flag.
+        stale = sorted(set(allow) - set(hits))
         if stale:
             print(f"STALE allowlist entries (no longer flag): {stale}")
         return 1 if new or stale else 0
