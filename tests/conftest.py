@@ -40,3 +40,26 @@ def spark():
         extra_conf=extra,
     )
     yield s
+
+
+def official_green(name: str, first_round: int) -> bool:
+    """True if ``name`` has a GREEN official record (hash_match, or a
+    by-design no-oracle row) in CORRECTNESS_r{first_round}.json or any
+    LATER official round file — the re-green protocol: a name that
+    hash-failed in its flip round is re-run in a later round's window,
+    and that later record is its official green (kendalls_w_concordance,
+    red in r11, green in r12, is the precedent). Mere key presence is
+    not enough (ADVICE r15): a FAILED row must not satisfy era tests.
+    """
+    import glob
+    import json
+    import re
+
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) < first_round:
+            continue
+        rec = json.load(open(path)).get(name)
+        if rec and (rec.get("hash_match") or rec.get("err") == "no_oracle"):
+            return True
+    return False

@@ -59,15 +59,20 @@ def test_bank_is_live_and_was_windowed_in_r13():
     # has an OFFICIAL record in CORRECTNESS_r13.json — checked against
     # the recorded gate output, not today's _PRIORITY, which rotates
     # every round.
-    import json
-
     from celestrak_tle_data_pipeline_spark import plans
 
     live = set(plans.all_queries())
     assert set(bank_r13.BANK_QUERIES) <= live
     assert "bank_r13" in plans._MODULES
-    r13 = set(json.load(open("CORRECTNESS_r13.json")))
-    assert set(bank_r13.BANK_QUERIES) <= r13
+    # Green-only (ADVICE r15), honoring the re-green protocol:
+    # a name red in its flip round is official once a LATER
+    # round's record is green (conftest.official_green).
+    from conftest import official_green
+
+    not_green = [
+        q for q in bank_r13.BANK_QUERIES if not official_green(q, 13)
+    ]
+    assert not not_green, f"r13 names without a green record: {not_green}"
     assert len(bank_r13.BANK_QUERIES) == 50
 
 

@@ -52,22 +52,27 @@ def test_bank_is_fully_oracle_paired():
     assert len(bank_r14.BANK_QUERIES) >= 3
 
 
-def test_bank_is_live_and_was_windowed_in_r14():
+def test_bank_is_live_and_was_windowed_green_in_r14():
     # Round-14 flip, era-proofed after the r15 rotation (the same fix
     # test_bank_r11..r13 got): every bank name registers live, the
-    # module is in plans._MODULES, and every flipped name has an
-    # OFFICIAL record in CORRECTNESS_r14.json — checked against the
-    # recorded gate output, not today's _PRIORITY, which rotates
-    # every round.
-    import json
-
+    # module is in plans._MODULES, and every flipped name has a GREEN
+    # official record in CORRECTNESS_r14.json — hash_match true (or a
+    # by-design no-oracle row), not mere key presence, per ADVICE r15:
+    # presence alone would also accept a hash-FAILED row.
     from celestrak_tle_data_pipeline_spark import plans
 
     live = set(plans.all_queries())
     assert set(bank_r14.BANK_QUERIES) <= live
     assert "bank_r14" in plans._MODULES
-    r14 = set(json.load(open("CORRECTNESS_r14.json")))
-    assert set(bank_r14.BANK_QUERIES) <= r14
+    # Green-only (ADVICE r15), honoring the re-green protocol:
+    # a name red in its flip round is official once a LATER
+    # round's record is green (conftest.official_green).
+    from conftest import official_green
+
+    not_green = [
+        q for q in bank_r14.BANK_QUERIES if not official_green(q, 14)
+    ]
+    assert not not_green, f"r14 names without a green record: {not_green}"
     assert len(bank_r14.BANK_QUERIES) == 50
 
 
