@@ -62,6 +62,7 @@ _MODULES = (
     "bank_r13",
     "bank_r14",
     "bank_r15",
+    "bank_r16",
 )
 
 # The round whose official CORRECTNESS gate this window targets. The
@@ -70,74 +71,74 @@ _MODULES = (
 # round's own CORRECTNESS file, the window names ARE official — that is
 # the point — so tests/test_registry.py excludes rounds >= WINDOW_ROUND
 # from the recycled-name glob (the r10 verdict's era-proofing fix).
-WINDOW_ROUND = 15
+WINDOW_ROUND = 16
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries, so
 # ordering is part of the contract: the 50 names emitted first are that
 # round's official window. Everything else registered stays available after
 # them as bonus coverage. ``tests/test_registry.py`` pins this list.
 #
-# Round-15 rotation: CORRECTNESS_r14 is 50/50 green — nothing to re-green,
+# Round-16 rotation: CORRECTNESS_r15 is 50/50 green — nothing to re-green,
 # so the whole window turns over to first-time names again: the pre-staged
-# 49-query bank (``plans/bank_r15.py``, X494+) flips live in registration
-# order, and the 50th slot is ``bartlett_sphericity``, promoted from
-# the round-16 bank (VERDICT r14 item 1 directed the promotion — the
-# dersimonian_laird_meta / split_conformal precedent).
+# 49-query bank (``plans/bank_r16.py``, X543+) flips live in registration
+# order, and the 50th slot is ``fisher_stouffer_combined``, promoted from
+# the round-17 bank (VERDICT r15 item 1 directed the promotion — the
+# bartlett_sphericity / dersimonian_laird_meta precedent).
 _PRIORITY = (
-    # --- round-15 bank flip (X494+, bank_r15.BANK_QUERIES order;
-    # the 50th name is bartlett_sphericity, promoted from the
-    # round-16 bank — VERDICT r14 item 1: no red name was left to
+    # --- round-16 bank flip (X543+, bank_r16.BANK_QUERIES order;
+    # the 50th name is fisher_stouffer_combined, promoted from the
+    # round-17 bank — VERDICT r15 item 1: no red name was left to
     # re-green, so the slot goes to first-time staged work) ---
-    "egger_funnel_asymmetry",
-    "dagostino_k2_panel",
-    "mosum_break_monitor",
-    "lomb_scargle_uneven",
-    "dfa_alpha_longmemory",
-    "cochrane_orcutt_ar1",
-    "holm_hochberg_sidak_panel",
-    "dyad_census_reciprocity",
-    "isotonic_calibration_bins",
-    "box_cox_lambda_grid",
-    "cornish_fisher_var",
-    "lilliefors_normal_fit",
-    "rainbow_linearity_test",
-    "xmr_individuals_chart",
-    "nyblom_hansen_stability",
-    "hotelling_t2_twosample",
-    "box_m_covariance_test",
-    "canonical_correlation_pairs",
-    "mardia_multivariate_normality",
-    "aalen_johansen_competing",
-    "poisson_dispersion_panel",
-    "games_howell_pairwise",
-    "bass_diffusion_fit",
-    "erlang_c_staffing",
-    "cuzick_trend_test",
-    "taguchi_sn_ratios",
-    "blomqvist_beta_quadrant",
-    "higuchi_fractal_dimension",
-    "getis_ord_general_g",
-    "join_count_statistics",
-    "median_polish_dow_type",
-    "schnabel_capture_recapture",
-    "gehan_breslow_wilcoxon",
-    "actuarial_life_table",
-    "acceptance_sampling_oc",
-    "normal_tolerance_interval",
-    "l_moments_panel",
-    "von_mises_concentration",
-    "shapiro_francia_ppcc",
-    "bradley_terry_two_step",
-    "poker_test_digits",
-    "tost_equivalence_proportions",
-    "theil_forecast_decomposition",
-    "mean_cumulative_function",
-    "ramsey_reset_test",
-    "breusch_godfrey_lm",
-    "lo_modified_rs",
-    "passing_bablok_regression",
-    "cluster_robust_ols_se",
-    "bartlett_sphericity",
+    "williams_dependent_corr",
+    "kmo_adequacy",
+    "peto_odds_ratio",
+    "goodman_kruskal_tau",
+    "uncertainty_coefficient",
+    "granger_causality_f",
+    "ccf_peak_lag",
+    "knox_spacetime",
+    "higher_criticism_panel",
+    "storey_pi0_qvalues",
+    "mack_wolfe_umbrella",
+    "fisher_tornqvist_index",
+    "association_rules_panel",
+    "van_der_waerden_test",
+    "klotz_scale_test",
+    "fligner_killeen_scale",
+    "hodges_ajne_circular",
+    "geary_kurtosis_ratio",
+    "palma_quintile_shares",
+    "time_reversibility_trev",
+    "german_tank_estimate",
+    "longest_run_above_median",
+    "press_predicted_r2",
+    "eb_gamma_poisson_rates",
+    "honore_sichel_richness",
+    "embedding_hubness_skew",
+    "sobel_mediation_test",
+    "slope_equality_moderation",
+    "scheirer_ray_hare_twoway",
+    "qq_ventile_fit",
+    "proper_scoring_panel",
+    "tukey_nonadditivity",
+    "ridit_analysis",
+    "qn_scale_estimator",
+    "shorth_lms_location",
+    "circular_linear_correlation",
+    "covariate_balance_smd",
+    "vanderweele_evalue",
+    "leik_ordinal_consensus",
+    "greenwood_spacing_uniformity",
+    "brand_beta_systematic",
+    "lognormal_vs_exponential_fit",
+    "supplier_price_dispersion",
+    "exceedance_correlation",
+    "gini_correlation_pair",
+    "partial_auc_low_fpr",
+    "direct_standardized_rates",
+    "frequency_severity_decomposition",
+    "dekkers_moment_tail",
+    "fisher_stouffer_combined",
 )
 
 # Registry names that are rows-only BY DESIGN (registered without a DuckDB

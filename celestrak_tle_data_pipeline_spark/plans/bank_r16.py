@@ -1,10 +1,22 @@
-"""Round-16 pre-staged bank (candidate X542+): STAGED, not in the live
-registry — the next bank generation behind ``bank_r15`` (round 15's
-flip), under the identical no-new-debt discipline: stage-only
-decorator, two-SF gate mirror in ``tests/test_bank_r16.py``, sf0.1
+"""Round-16 bank (X543+), LIVE since round 16: pre-staged during
+rounds 13-15 under the same no-new-debt discipline every flipped bank
+(next_window, bank_r11..r15) went through: a stage-only decorator
+pre-flip, the two-SF gate mirror in ``tests/test_bank_r16.py``, sf0.1
 sweeps via ``tools/bank_check.py --module bank_r16``, the dtype-family
-sweep (``tests/test_oracle_dtypes.py`` auto-discovers bank_r13..r17),
-and plan-audit notes pre-adjudicated at authoring time.
+sweep, the authoring-time 64x probe octave (SCALING_PROBES.json /
+SCALING.md), and plan-audit notes merged into the effective audit
+allowlist automatically at flip time
+(``tools/audit_single_partition.py::allowed()``).
+
+At the round-15 flip the seed query here (``bartlett_sphericity``,
+X542) was promoted into bank_r15's 50th window slot (the
+dersimonian_laird_meta precedent); the bank was restored to 49 the
+same round (``williams_dependent_corr``, X795). At the round-16 flip
+this bank's own 50th window slot is ``fisher_stouffer_combined``
+(X591), promoted from the round-17 bank — its shared 35-cell
+contingency p-value frame (``_CELLP_SQL``/``_cellp``) is DEFINED in
+this module, so the promotion needs no frame copy (unlike the
+bartlett move, which carried ``_DAY3_SQL``/``_corr3`` into bank_r15).
 
 Theme: STRUCTURE, DEPENDENCE, AND DECISION CERTIFICATION — the
 checks a feature pipeline runs before and after modeling. Tiers:
@@ -47,6 +59,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from . import register as _live_register
 from .common import dec, t
 
 BANK_QUERIES: dict = {}
@@ -55,14 +68,18 @@ PLAN_AUDIT_NOTES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Stage-only decorator (see bank_r13/r14/r15): records the query
-    in the bank dicts and does NOT touch the live registry."""
+    """Registers live via ``plans.register`` AND records the name in
+    the bank dicts so ``tests/test_bank_r16.py`` keeps gate-mirroring
+    the whole flipped set independently of the registry (the same flip
+    protocol bank_r11..r15 used)."""
+
+    live = _live_register(name, oracle)
 
     def deco(fn):
         BANK_QUERIES[name] = fn
         if oracle is not None:
             BANK_ORACLES[name] = oracle
-        return fn
+        return live(fn)
 
     return deco
 
@@ -285,7 +302,7 @@ def williams_dependent_corr(spark, sf_dir):
 PLAN_AUDIT_NOTES.update(
     {
         "williams_dependent_corr": (
-            "no window at all — one day rollup and a scalar fold "
+            "INFO: no window at all — one day rollup and a scalar fold "
             "(added r15 to restore the bank to 49 after the "
             "bartlett_sphericity promotion)"
         ),
@@ -7403,6 +7420,95 @@ PLAN_AUDIT_NOTES.update(
         "dekkers_moment_tail": (
             "one cumulative over the cents value grid for the exact "
             "tail threshold (the hill/pickands class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Promoted at the round-16 flip: Fisher + Stouffer combined evidence
+# (moved from the round-17 bank as the 50th window slot — the
+# bartlett_sphericity / dersimonian_laird_meta precedent). Its shared
+# 35-cell contingency p-value frame (_CELLP_SQL/_cellp) is defined in
+# THIS module, and the Acklam device is already imported from
+# bank_r15 above, so the move carries no frame copy.
+# --------------------------------------------------------------------------
+@register(
+    "fisher_stouffer_combined",
+    oracle=f"""
+    WITH {_CELLP_SQL},
+    fold AS (
+        SELECT CAST(MAX(m) AS BIGINT) AS m,
+               CAST(SUM(CAST(round(-2.0 * ln(p), 10)
+                             AS DECIMAL(28,10))) AS DOUBLE) AS fsum,
+               CAST(SUM(CAST(round({_acklam_sql('1.0 - p / 2.0')},
+                             10) AS DECIMAL(28,10))) AS DOUBLE)
+                   AS zsum
+        FROM ranked WHERE p > 0 AND p < 1
+    )
+    SELECT m AS m_tests,
+           round(fsum, 6) + 0.0 AS fisher_chi2,
+           CAST(2 * m AS BIGINT) AS fisher_dof,
+           round((exp(ln(fsum / (2.0 * m)) / 3.0)
+                  - (1.0 - 1.0 / (9.0 * m)))
+                 / sqrt(1.0 / (9.0 * m)), 6) + 0.0
+               AS fisher_z_wilson_hilferty,
+           round(zsum / sqrt(m * 1.0), 6) + 0.0 AS stouffer_z
+    FROM fold
+    """,
+)
+def fisher_stouffer_combined(spark, sf_dir):
+    """FISHER and STOUFFER combined evidence over the 35-cell
+    contingency p-value family: Fisher's -2 sum ln p ~ chi2(2m)
+    (sensitive to a FEW very small p's) and Stouffer's sum z /
+    sqrt(m) with z = Phi^-1(1 - p/2) via the Acklam device
+    (sensitive to MANY mildly small p's) — the two classical
+    evidence-pooling geometries; they disagree exactly when the
+    signal is sparse-vs-diffuse, which is the same axis
+    `higher_criticism_panel` resolves pointwise. Fisher's tail
+    ships as the Wilson-Hilferty cube-root z (dof = 2m).
+
+    Exactness: the shared cell p's (12-dp rounded erfc trees); each
+    -2 ln p and z term rounds at 10 dp into DECIMAL(28,10) folds
+    (order-free). Plan: the 35-cell frame, one fold."""
+    ranked = _cellp(spark, sf_dir)
+    ok = ranked.where((F.col("p") > 0) & (F.col("p") < 1))
+    fold = ok.agg(
+        F.max("m").cast("bigint").alias("m"),
+        F.sum(
+            F.round(-2.0 * F.log("p"), 10).cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("fsum"),
+        F.sum(
+            F.round(
+                _acklam_col(1.0 - F.col("p") / 2.0), 10
+            ).cast("decimal(28,10)")
+        )
+        .cast("double")
+        .alias("zsum"),
+    )
+    m = F.col("m")
+    wh = (
+        F.exp(F.log(F.col("fsum") / (2.0 * m)) / 3.0)
+        - (1.0 - 1.0 / (9.0 * m))
+    ) / F.sqrt(1.0 / (9.0 * m))
+    return fold.select(
+        m.alias("m_tests"),
+        (F.round("fsum", 6) + 0.0).alias("fisher_chi2"),
+        (2 * m).cast("bigint").alias("fisher_dof"),
+        (F.round(wh, 6) + 0.0).alias("fisher_z_wilson_hilferty"),
+        (
+            F.round(F.col("zsum") / F.sqrt(m * 1.0), 6) + 0.0
+        ).alias("stouffer_z"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "fisher_stouffer_combined": (
+            "rank over the 35-cell contingency p family "
+            "(domain-bounded — the bh_fdr_correction class)"
         ),
     }
 )

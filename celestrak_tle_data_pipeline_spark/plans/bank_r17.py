@@ -1,10 +1,18 @@
-"""Round-17 pre-staged bank (candidate X591+): STAGED, not in the live
+"""Round-17 pre-staged bank (candidate X592+): STAGED, not in the live
 registry — the next bank generation behind ``bank_r16`` (round 16's
 flip), under the identical no-new-debt discipline: stage-only
 decorator, two-SF gate mirror in ``tests/test_bank_r17.py``, sf0.1
 sweeps via ``tools/bank_check.py --module bank_r17``, the dtype-family
 sweep (``tests/test_oracle_dtypes.py`` auto-discovers bank_r13..r17),
 and plan-audit notes pre-adjudicated at authoring time.
+
+At the round-16 flip the seed query here (``fisher_stouffer_combined``,
+X591) was promoted into bank_r16's 50th window slot (the
+bartlett_sphericity / dersimonian_laird_meta precedent); its shared
+35-cell contingency p-value frame lives in bank_r16
+(``_CELLP_SQL``/``_cellp``, imported below), so the move carried no
+frame copy. The bank is restored to 49 in the same round under the
+full authoring gate.
 
 Theme: EVIDENCE, DECISIONS, AND OPERATIONS — global-null machinery
 (Fisher/Stouffer, Simes + HMP, BKY, mSPRT, combination identities),
@@ -62,80 +70,6 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
-
-
-# --------------------------------------------------------------------------
-# Fisher and Stouffer combined evidence over the 35-cell p family
-# --------------------------------------------------------------------------
-@register(
-    "fisher_stouffer_combined",
-    oracle=f"""
-    WITH {_CELLP_SQL},
-    fold AS (
-        SELECT CAST(MAX(m) AS BIGINT) AS m,
-               CAST(SUM(CAST(round(-2.0 * ln(p), 10)
-                             AS DECIMAL(28,10))) AS DOUBLE) AS fsum,
-               CAST(SUM(CAST(round({_acklam_sql('1.0 - p / 2.0')},
-                             10) AS DECIMAL(28,10))) AS DOUBLE)
-                   AS zsum
-        FROM ranked WHERE p > 0 AND p < 1
-    )
-    SELECT m AS m_tests,
-           round(fsum, 6) + 0.0 AS fisher_chi2,
-           CAST(2 * m AS BIGINT) AS fisher_dof,
-           round((exp(ln(fsum / (2.0 * m)) / 3.0)
-                  - (1.0 - 1.0 / (9.0 * m)))
-                 / sqrt(1.0 / (9.0 * m)), 6) + 0.0
-               AS fisher_z_wilson_hilferty,
-           round(zsum / sqrt(m * 1.0), 6) + 0.0 AS stouffer_z
-    FROM fold
-    """,
-)
-def fisher_stouffer_combined(spark, sf_dir):
-    """FISHER and STOUFFER combined evidence over the 35-cell
-    contingency p-value family: Fisher's -2 sum ln p ~ chi2(2m)
-    (sensitive to a FEW very small p's) and Stouffer's sum z /
-    sqrt(m) with z = Phi^-1(1 - p/2) via the Acklam device
-    (sensitive to MANY mildly small p's) — the two classical
-    evidence-pooling geometries; they disagree exactly when the
-    signal is sparse-vs-diffuse, which is the same axis
-    `higher_criticism_panel` resolves pointwise. Fisher's tail
-    ships as the Wilson-Hilferty cube-root z (dof = 2m).
-
-    Exactness: the shared cell p's (12-dp rounded erfc trees); each
-    -2 ln p and z term rounds at 10 dp into DECIMAL(28,10) folds
-    (order-free). Plan: the 35-cell frame, one fold."""
-    ranked = _cellp(spark, sf_dir)
-    ok = ranked.where((F.col("p") > 0) & (F.col("p") < 1))
-    fold = ok.agg(
-        F.max("m").cast("bigint").alias("m"),
-        F.sum(
-            F.round(-2.0 * F.log("p"), 10).cast("decimal(28,10)")
-        )
-        .cast("double")
-        .alias("fsum"),
-        F.sum(
-            F.round(
-                _acklam_col(1.0 - F.col("p") / 2.0), 10
-            ).cast("decimal(28,10)")
-        )
-        .cast("double")
-        .alias("zsum"),
-    )
-    m = F.col("m")
-    wh = (
-        F.exp(F.log(F.col("fsum") / (2.0 * m)) / 3.0)
-        - (1.0 - 1.0 / (9.0 * m))
-    ) / F.sqrt(1.0 / (9.0 * m))
-    return fold.select(
-        m.alias("m_tests"),
-        (F.round("fsum", 6) + 0.0).alias("fisher_chi2"),
-        (2 * m).cast("bigint").alias("fisher_dof"),
-        (F.round(wh, 6) + 0.0).alias("fisher_z_wilson_hilferty"),
-        (
-            F.round(F.col("zsum") / F.sqrt(m * 1.0), 6) + 0.0
-        ).alias("stouffer_z"),
-    )
 
 
 # --------------------------------------------------------------------------
@@ -483,10 +417,6 @@ def engel_curve_loglog(spark, sf_dir):
 
 PLAN_AUDIT_NOTES.update(
     {
-        "fisher_stouffer_combined": (
-            "rank over the 35-cell contingency p family "
-            "(domain-bounded — the bh_fdr_correction class)"
-        ),
         "simes_harmonic_global": (
             "rank over the same 35-cell family (bh_fdr class)"
         ),

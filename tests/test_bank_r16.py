@@ -1,17 +1,20 @@
-"""Round-16 bank verification (plans/bank_r16.py — STAGED, not live).
+"""Round-16 bank verification (plans/bank_r16.py — LIVE since round 16).
 
-Each pre-staged query runs against its DuckDB oracle with EXACTLY the
+Each bank query runs against its DuckDB oracle with EXACTLY the
 driver-gate compare (`tools/check.py` norm/canon: row count, column
 set, order-insensitive value hash — including the float-marker norm
-that closes the r11 dtype blind spot), at two scale factors — so when
-round 16 flips the bank into the live registry the queries are already
-gate-green, and the no-new-debt invariant never sees them unverified.
+that closes the r11 dtype blind spot), at two scale factors — the same
+pre-flip discipline that verified it while staged, kept running
+post-flip so the whole set stays pinned independently of the registry
+window (the bank_r11..r15 protocol).
 
 Seeded in round 13 with the structure-and-dependence batch (Bartlett
-sphericity, KMO, ...); round-14/15/16 fresh work appends after them.
+sphericity, KMO, ...); round-14/15 fresh work appended after them.
 At the round-15 flip the seed (`bartlett_sphericity`) was promoted into
 bank_r15's 50th window slot and the bank was restored to 49 with
-`williams_dependent_corr`.
+`williams_dependent_corr`; the 50th name here is
+``fisher_stouffer_combined``, promoted from the round-17 bank at the
+round-16 flip.
 """
 
 from __future__ import annotations
@@ -53,16 +56,20 @@ def test_bank_is_fully_oracle_paired():
     assert len(bank_r16.BANK_QUERIES) >= 2
 
 
-def test_bank_is_not_in_the_live_registry():
-    # Pre-flip discipline: a staged name must not collide with (or
-    # leak into) the live registry until round 16 flips the module
-    # into plans._MODULES — otherwise test_no_new_official_debt would
-    # see an oracle-paired name without an official correctness row.
+def test_bank_is_live_and_fully_windowed():
+    # Post-flip invariants (round 16): every bank name registers live
+    # through plans.register, the module is in plans._MODULES, and the
+    # round-16 window is exactly the 50 bank names in registration
+    # order (49 staged in this bank + the promoted
+    # fisher_stouffer_combined appended at flip time).
     from celestrak_tle_data_pipeline_spark import plans
 
     live = set(plans.all_queries())
-    assert not live & set(bank_r16.BANK_QUERIES)
-    assert "bank_r16" not in plans._MODULES
+    assert set(bank_r16.BANK_QUERIES) <= live
+    assert "bank_r16" in plans._MODULES
+    assert list(plans._PRIORITY) == list(bank_r16.BANK_QUERIES)
+    assert plans._PRIORITY[49] == "fisher_stouffer_combined"
+    assert len(bank_r16.BANK_QUERIES) == 50
 
 
 def test_bank_does_not_collide_with_other_staged_banks():
