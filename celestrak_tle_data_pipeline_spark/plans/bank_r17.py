@@ -6919,3 +6919,232 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Round-16 restoration (X796): Taylor's law fluctuation scaling
+# (added to restore the bank to 49 after the fisher_stouffer_combined
+# promotion — the cluster_robust_ols_se / williams_dependent_corr
+# precedent).
+# --------------------------------------------------------------------------
+@register(
+    "taylor_law_fluctuation",
+    oracle="""
+    WITH od AS (
+        SELECT c.c_nationkey AS nk,
+               CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+                   AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS nd FROM od
+    ),
+    nat AS (
+        SELECT nk,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(CAST(c AS DECIMAL(19,0)) * c)
+                    AS DECIMAL(38,0)) AS ssq
+        FROM od GROUP BY nk
+    ),
+    xy AS (
+        SELECT round(ln(CAST(s AS DOUBLE) / nd), 10) AS x,
+               round(ln((nd * CAST(ssq AS DOUBLE)
+                         - CAST(s AS DOUBLE) * s)
+                        / (CAST(nd AS DOUBLE) * nd)), 10) AS y
+        FROM nat CROSS JOIN span
+        WHERE s > 0
+          AND CAST(nd AS DECIMAL(38,0)) * ssq
+              - CAST(s AS DECIMAL(19,0)) * s > 0
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(x, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(y, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(x * x, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(y * y, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS syy,
+               CAST(SUM(CAST(round(x * y, 10) AS DECIMAL(28,10)))
+                    AS DOUBLE) AS sxy
+        FROM xy
+    ),
+    fit AS (
+        SELECT n, sx, sy, sxx, syy, sxy,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+               sxx - sx * sx / n AS sxxc,
+               syy - sy * sy / n AS syyc,
+               sxy - sx * sy / n AS sxyc
+        FROM mom WHERE n >= 3 AND n * sxx - sx * sx > 0
+    )
+    SELECT n AS n_nations,
+           round(b, 8) + 0.0 AS taylor_slope,
+           round((sy - b * sx) / n, 6) + 0.0 AS taylor_intercept,
+           round(CASE WHEN syyc > 0
+                      THEN sxyc * sxyc / (sxxc * syyc) END, 8) + 0.0
+               AS r2,
+           round(CASE WHEN syyc - b * sxyc > 0
+                      THEN (b - 1.0)
+                           / sqrt((syyc - b * sxyc)
+                                  / (n - 2) / sxxc) END, 6) + 0.0
+               AS t_vs_poisson
+    FROM fit
+    """,
+)
+def taylor_law_fluctuation(spark, sf_dir):
+    """TAYLOR'S LAW (fluctuation scaling) of daily order counts
+    across customer nations: the power law Var(N_u) = a *
+    Mean(N_u)^b fitted as the log-log OLS of per-nation
+    variance-vs-mean of the zero-filled daily count series — the
+    ecology-born scaling diagnostic that operations monitoring
+    reads as a dispersion regime: b = 1 is Poisson (shot-noise)
+    arrivals, b -> 2 is clustered/bursty demand, and the t of
+    (b - 1) prices the departure. The intercept ln(a) anchors the
+    overall noise level; r2 certifies the law actually holds
+    before the exponent is quoted (Taylor 1961; Eisler et al.
+    2008 for the fluctuation-scaling reading).
+
+    Exactness: per-(nation, day) counts are exact BIGINTs; the
+    zero-filled variance needs NO grid fill — with D the calendar
+    span, Var = (D*ssq - s^2)/D^2 from the two exact folds, and
+    the positivity guard compares the exact DECIMAL numerator.
+    ln(mean)/ln(var) round at 10 dp; the five regression moments
+    fold 10-dp rounded terms through DECIMAL(28,10) (order-free);
+    slope/intercept/r2/t are terminal trees on the fold. Plan:
+    fact-dim equi-join, one (nation, day) rollup with map-side
+    partial aggregation, one 25-row nation rollup, broadcast
+    scalar span attach, one fold — no windows, nothing scales
+    past the rollup."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    od = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    span = od.agg(
+        (F.max("d") - F.min("d") + 1).cast("bigint").alias("nd")
+    )
+    nat = od.groupBy("nk").agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("ssq"),
+    )
+    nd = F.col("nd")
+    s = F.col("s")
+    xy = (
+        nat.crossJoin(F.broadcast(span))
+        .where(
+            (s > 0)
+            & (
+                nd.cast("decimal(38,0)") * F.col("ssq")
+                - s.cast("decimal(19,0)") * s
+                > 0
+            )
+        )
+        .select(
+            F.round(F.log(s.cast("double") / nd), 10).alias("x"),
+            F.round(
+                F.log(
+                    (nd * F.col("ssq").cast("double")
+                     - s.cast("double") * s)
+                    / (nd.cast("double") * nd)
+                ),
+                10,
+            ).alias("y"),
+        )
+    )
+
+    def dfold(expr, name):
+        return (
+            F.sum(F.round(expr, 10).cast("decimal(28,10)"))
+            .cast("double")
+            .alias(name)
+        )
+
+    mom = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dfold(F.col("x"), "sx"),
+        dfold(F.col("y"), "sy"),
+        dfold(F.col("x") * F.col("x"), "sxx"),
+        dfold(F.col("y") * F.col("y"), "syy"),
+        dfold(F.col("x") * F.col("y"), "sxy"),
+    )
+    n = F.col("n")
+    fit = mom.where(
+        (n >= 3) & (n * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+    ).select(
+        n.alias("n"),
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        (
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("b"),
+        (F.col("sxx") - F.col("sx") * F.col("sx") / n).alias("sxxc"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / n).alias("syyc"),
+        (F.col("sxy") - F.col("sx") * F.col("sy") / n).alias("sxyc"),
+    )
+    b = F.col("b")
+    return fit.select(
+        F.col("n").alias("n_nations"),
+        (F.round(b, 8) + 0.0).alias("taylor_slope"),
+        (
+            F.round((F.col("sy") - b * F.col("sx")) / F.col("n"), 6)
+            + 0.0
+        ).alias("taylor_intercept"),
+        (
+            F.round(
+                F.when(
+                    F.col("syyc") > 0,
+                    F.col("sxyc")
+                    * F.col("sxyc")
+                    / (F.col("sxxc") * F.col("syyc")),
+                ),
+                8,
+            )
+            + 0.0
+        ).alias("r2"),
+        (
+            F.round(
+                F.when(
+                    F.col("syyc") - b * F.col("sxyc") > 0,
+                    (b - 1.0)
+                    / F.sqrt(
+                        (F.col("syyc") - b * F.col("sxyc"))
+                        / (F.col("n") - 2)
+                        / F.col("sxxc")
+                    ),
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("t_vs_poisson"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "taylor_law_fluctuation": (
+            "INFO: no window at all — a fact-dim join, two rollups, "
+            "a broadcast scalar attach, and a scalar fold (added r16 "
+            "to restore the bank to 49 after the "
+            "fisher_stouffer_combined promotion)"
+        ),
+    }
+)
