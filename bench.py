@@ -24,6 +24,7 @@ constant-dominated entries compare as ~0 across rounds.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -83,6 +84,35 @@ QUERIES = [
     "spearman_rank_corr",       # double ranged-rank machinery (r8)
     "bpe_pair_merge_step",      # pair explode + hash agg + TakeOrdered (r8)
 ]
+
+
+def testdata_inventory(sf_dir: str) -> dict:
+    """Per-table parquet layout at the benched SF: [files, bytes,
+    row_groups, rows]. The driver regenerates /root/testdata each
+    round, and the round-15 idle-bracket drift (~0.2 s warm on zero
+    bench-path code change) could only be ATTRIBUTED to a layout
+    shift by argument, not by data (VERDICT r15, missing item 1) —
+    this records the layout beside every bracket so an envelope
+    shift on unchanged code is explained by the artifact itself.
+    Metadata-only reads; adds no measurable time."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    inv: dict[str, list[int]] = {}
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.basename(path).removesuffix(".parquet")
+        try:
+            md = pq.ParquetFile(path).metadata
+            inv[name] = [
+                1,
+                os.path.getsize(path),
+                md.num_row_groups,
+                md.num_rows,
+            ]
+        except Exception:  # noqa: BLE001 — inventory is best-effort
+            inv[name] = [1, os.path.getsize(path), -1, -1]
+    return inv
 
 
 def main() -> int:
@@ -173,6 +203,7 @@ def main() -> int:
     # single ~4.5 KB payload line in rounds 6–7 (`parsed: null`), so
     # the LAST line is a compact, fully self-contained summary that
     # fits the capture on its own.
+    inv = testdata_inventory(SF_DIR)
     detail = {
         "metric": "total_query_sec_detail",
         "cold_sec": round(sum(cold.values()), 3),
@@ -180,6 +211,10 @@ def main() -> int:
         "rows": rows,
         "floor_subtracted": floor_sub,
         "constant_dominated": constant_dominated,
+        # per-table [files, bytes, row_groups, rows] of the benched
+        # SF dir — attributes idle-bracket envelope shifts to testdata
+        # layout changes (see testdata_inventory).
+        "testdata_inventory": inv,
     }
     try:
         load_end = round(os.getloadavg()[0], 2)
@@ -205,6 +240,15 @@ def main() -> int:
         "idle_bracket_cold_sec": IDLE_BRACKET["cold_sec"],
         "loadavg_1m_start": load_start,
         "loadavg_1m_end": load_end,
+        # compact layout fingerprint of the benched SF dir (full
+        # per-table inventory is in the detail line): total bytes +
+        # a short stable digest — if the bracket moves on unchanged
+        # code but this signature moved too, the cause is the
+        # driver's testdata regeneration, not the engine.
+        "testdata_bytes": sum(v[1] for v in inv.values()),
+        "testdata_sig": hashlib.sha256(
+            json.dumps(inv, sort_keys=True).encode()
+        ).hexdigest()[:12],
     }
     sys.stdout.flush()
     print(json.dumps(detail, separators=(",", ":")), flush=True)
