@@ -22,6 +22,14 @@ from audit_single_partition import allowed, audit  # noqa: E402
 
 
 def test_registry_single_partition_flags_match_allowlist(spark):
+    # Hermetic cache state: the suite shares one session, and frames
+    # persisted by EARLIER tests substitute InMemoryTableScan fragments
+    # into audit-built plans, shifting flag sets vs the standalone tool
+    # (whose session starts cold) — the audit must grade the plans a
+    # fresh engine would produce, with only the audit loop's own
+    # internal persists accumulating, in registry order, exactly like
+    # tools/audit_single_partition.py main().
+    spark.catalog.clearCache()
     hits = audit(spark)
     errors = sorted(n for n, k in hits.items() if k < 0)
     assert not errors, f"plan build failed for: {errors}"
