@@ -42,9 +42,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # near this envelope with loadavg_start high is contention, not a
 # regression — without cross-reading SCALING.md.
 IDLE_BRACKET = {
-    "round": 15,
-    "warm_sec": [2.62, 2.74],
-    "cold_sec": [35.8, 36.6],
+    "round": 16,
+    "warm_sec": [2.78, 3.10],
+    "cold_sec": [38.3, 42.4],
 }
 
 # Headline set: the flagship + one representative per operator family
