@@ -94,24 +94,48 @@ def testdata_inventory(sf_dir: str) -> dict:
     shift by argument, not by data (VERDICT r15, missing item 1) —
     this records the layout beside every bracket so an envelope
     shift on unchanged code is explained by the artifact itself.
-    Metadata-only reads; adds no measurable time."""
+    Metadata-only reads; adds no measurable time. Best-effort by
+    contract (ADVICE r16): it runs AFTER the timed loop, so nothing
+    here may take the summary lines down — a broken pyarrow degrades
+    row_groups/rows to -1, any other failure returns what was
+    gathered so far. A table written as a DIRECTORY of part-files
+    (should the driver ever change layout) is aggregated recursively
+    rather than silently dropped from the signature."""
     import glob
 
-    import pyarrow.parquet as pq
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # noqa: BLE001 — inventory is best-effort
+        pq = None
 
     inv: dict[str, list[int]] = {}
-    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
-        name = os.path.basename(path).removesuffix(".parquet")
-        try:
-            md = pq.ParquetFile(path).metadata
-            inv[name] = [
-                1,
-                os.path.getsize(path),
-                md.num_row_groups,
-                md.num_rows,
-            ]
-        except Exception:  # noqa: BLE001 — inventory is best-effort
-            inv[name] = [1, os.path.getsize(path), -1, -1]
+    try:
+        for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+            name = os.path.basename(path).removesuffix(".parquet")
+            files = (
+                sorted(
+                    glob.glob(
+                        os.path.join(path, "**", "*.parquet"),
+                        recursive=True,
+                    )
+                )
+                if os.path.isdir(path)
+                else [path]
+            )
+            nbytes = sum(os.path.getsize(f) for f in files)
+            row_groups = rows = 0
+            try:
+                if pq is None:
+                    raise ImportError("pyarrow unavailable")
+                for f in files:
+                    md = pq.ParquetFile(f).metadata
+                    row_groups += md.num_row_groups
+                    rows += md.num_rows
+            except Exception:  # noqa: BLE001 — inventory is best-effort
+                row_groups = rows = -1
+            inv[name] = [len(files), nbytes, row_groups, rows]
+    except Exception:  # noqa: BLE001 — never lose the summary lines
+        pass
     return inv
 
 

@@ -1880,7 +1880,12 @@ def iv_wald_weekend(spark, sf_dir):
     Wald ratio divides through by the first stage, the simplest 2SLS —
     and the three numbers together expose exclusion-restriction
     reasoning (valid only if the weekend moves value ONLY through
-    volume). Group means are integer-sum ratios (exact cents/counts,
+    volume). Naming note (VERDICT r16): the instrument
+    ``(epoch_day + 4) % 7 >= 5`` selects FRIDAY+SATURDAY under the
+    Thursday-anchored epoch day-of-week (the split staged banks name
+    ``fri_sat``); the 'weekend' name is kept because it is a live
+    r12 official-window entry — semantics, Spark/oracle agreement,
+    and the estimator are unaffected. Group means are integer-sum ratios (exact cents/counts,
     two day-count divisions); the Wald ratio is one more division;
     everything rounds at the end. Plan: one day-grain rollup, one
     2-row rollup, one conditional-pivot fold."""

@@ -42,6 +42,29 @@ def spark():
     yield s
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _official_rounds() -> tuple[tuple[int, dict], ...]:
+    """All CORRECTNESS_r*.json files, parsed ONCE per suite run
+    (ADVICE r16: the per-name glob/open/parse loop re-read every file
+    hundreds of times across the era tests, and never closed the
+    handles)."""
+    import glob
+    import json
+    import re
+
+    out = []
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        with open(path) as fh:
+            out.append((int(m.group(1)), json.load(fh)))
+    return tuple(out)
+
+
 def official_green(name: str, first_round: int) -> bool:
     """True if ``name`` has a GREEN official record (hash_match, or a
     by-design no-oracle row) in CORRECTNESS_r{first_round}.json or any
@@ -51,15 +74,10 @@ def official_green(name: str, first_round: int) -> bool:
     red in r11, green in r12, is the precedent). Mere key presence is
     not enough (ADVICE r15): a FAILED row must not satisfy era tests.
     """
-    import glob
-    import json
-    import re
-
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m or int(m.group(1)) < first_round:
+    for rnd, records in _official_rounds():
+        if rnd < first_round:
             continue
-        rec = json.load(open(path)).get(name)
+        rec = records.get(name)
         if rec and (rec.get("hash_match") or rec.get("err") == "no_oracle"):
             return True
     return False

@@ -247,8 +247,26 @@ _CODEGEN = re.compile(r"^\*\(\d+\) ")
 
 # Partitioning does NOT propagate upward past these: a repartition
 # resets the distribution, a broadcast side never carries the probe
-# partitioning, and a Union's output is multi-partition.
-_STOP = ("Exchange", "ShuffleQueryStage", "AQEShuffleRead", "Union")
+# partitioning, a Union's output is multi-partition, and a
+# CartesianProduct's partition count is the PRODUCT of its children's
+# (single-partition-ness of one child does not propagate). Matched by
+# operator-name PREFIX on the codegen-stripped node text (ADVICE r16:
+# substring matching would stop on any node merely MENTIONING
+# Exchange) — which is why BroadcastExchange/BroadcastQueryStage,
+# previously caught by the 'Exchange' substring, are listed
+# explicitly. Hash/merge joins are deliberately NOT stop nodes: their
+# shuffled inputs already interpose an Exchange/ShuffleQueryStage
+# ancestor, and the probe side of a broadcast join DOES carry its
+# partitioning upward.
+_STOP = (
+    "Exchange",
+    "BroadcastExchange",
+    "ShuffleQueryStage",
+    "BroadcastQueryStage",
+    "AQEShuffleRead",
+    "Union",
+    "CartesianProduct",
+)
 
 
 def flagged_contexts(plan: str) -> int:
@@ -287,7 +305,7 @@ def flagged_contexts(plan: str) -> int:
                 if name.startswith("Sort ") and "TakeOrdered" not in name:
                     n += 1
                     break
-                if any(s in name for s in _STOP):
+                if name.startswith(_STOP):
                     break
         stack.append((depth, content))
     return n
