@@ -63,6 +63,7 @@ _MODULES = (
     "bank_r14",
     "bank_r15",
     "bank_r16",
+    "bank_r17",
 )
 
 # The round whose official CORRECTNESS gate this window targets. The
@@ -71,74 +72,74 @@ _MODULES = (
 # round's own CORRECTNESS file, the window names ARE official — that is
 # the point — so tests/test_registry.py excludes rounds >= WINDOW_ROUND
 # from the recycled-name glob (the r10 verdict's era-proofing fix).
-WINDOW_ROUND = 16
+WINDOW_ROUND = 17
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries, so
 # ordering is part of the contract: the 50 names emitted first are that
 # round's official window. Everything else registered stays available after
 # them as bonus coverage. ``tests/test_registry.py`` pins this list.
 #
-# Round-16 rotation: CORRECTNESS_r15 is 50/50 green — nothing to re-green,
+# Round-17 rotation: CORRECTNESS_r16 is 50/50 green — nothing to re-green,
 # so the whole window turns over to first-time names again: the pre-staged
-# 49-query bank (``plans/bank_r16.py``, X543+) flips live in registration
-# order, and the 50th slot is ``fisher_stouffer_combined``, promoted from
-# the round-17 bank (VERDICT r15 item 1 directed the promotion — the
-# bartlett_sphericity / dersimonian_laird_meta precedent).
+# 49-query bank (``plans/bank_r17.py``, X592+) flips live in registration
+# order, and the 50th slot is ``mean_excess_slope``, promoted from the
+# round-18 bank (VERDICT r16 item 1 directed the promotion — the
+# fisher_stouffer_combined / bartlett_sphericity precedent).
 _PRIORITY = (
-    # --- round-16 bank flip (X543+, bank_r16.BANK_QUERIES order;
-    # the 50th name is fisher_stouffer_combined, promoted from the
-    # round-17 bank — VERDICT r15 item 1: no red name was left to
-    # re-green, so the slot goes to first-time staged work) ---
-    "williams_dependent_corr",
-    "kmo_adequacy",
-    "peto_odds_ratio",
-    "goodman_kruskal_tau",
-    "uncertainty_coefficient",
-    "granger_causality_f",
-    "ccf_peak_lag",
-    "knox_spacetime",
-    "higher_criticism_panel",
-    "storey_pi0_qvalues",
-    "mack_wolfe_umbrella",
-    "fisher_tornqvist_index",
-    "association_rules_panel",
-    "van_der_waerden_test",
-    "klotz_scale_test",
-    "fligner_killeen_scale",
-    "hodges_ajne_circular",
-    "geary_kurtosis_ratio",
-    "palma_quintile_shares",
-    "time_reversibility_trev",
-    "german_tank_estimate",
-    "longest_run_above_median",
-    "press_predicted_r2",
-    "eb_gamma_poisson_rates",
-    "honore_sichel_richness",
-    "embedding_hubness_skew",
-    "sobel_mediation_test",
-    "slope_equality_moderation",
-    "scheirer_ray_hare_twoway",
-    "qq_ventile_fit",
-    "proper_scoring_panel",
-    "tukey_nonadditivity",
-    "ridit_analysis",
-    "qn_scale_estimator",
-    "shorth_lms_location",
-    "circular_linear_correlation",
-    "covariate_balance_smd",
-    "vanderweele_evalue",
-    "leik_ordinal_consensus",
-    "greenwood_spacing_uniformity",
-    "brand_beta_systematic",
-    "lognormal_vs_exponential_fit",
-    "supplier_price_dispersion",
-    "exceedance_correlation",
-    "gini_correlation_pair",
-    "partial_auc_low_fpr",
-    "direct_standardized_rates",
-    "frequency_severity_decomposition",
-    "dekkers_moment_tail",
-    "fisher_stouffer_combined",
+    # --- round-17 bank flip (X592+, bank_r17.BANK_QUERIES order;
+    # the 50th name is mean_excess_slope, promoted from the
+    # round-18 bank — VERDICT r16 item 1: no red name was left to
+    # re-green after the 50/50 r16 window) ---
+    "simes_harmonic_global",
+    "bky_two_stage_fdr",
+    "engel_curve_loglog",
+    "rank_turbulence_divergence",
+    "attributable_fraction_levin",
+    "net_reclassification_index",
+    "decision_curve_net_benefit",
+    "msprt_always_valid_p",
+    "poisson_mixture_em2",
+    "k_truss_brand_graph",
+    "hampel_filter_days",
+    "sax_motif_counts",
+    "forecast_combination_imse",
+    "ace_richness_estimator",
+    "beta_diversity_sources",
+    "shorrocks_mobility_index",
+    "pairs_trading_distance",
+    "hedonic_size_gradient",
+    "price_point_heaping",
+    "funnel_plot_control_limits",
+    "chao_mh_population",
+    "filter_agreement_matrix",
+    "lmdi_decomposition",
+    "skill_score_panel",
+    "van_elteren_stratified",
+    "markov_order_lr_test",
+    "cusum_chart_arl_siegmund",
+    "adjusted_boxplot_medcouple",
+    "kendall_partial_tau",
+    "spectral_radius_power3",
+    "spiegelhalter_z_calibration",
+    "overlapping_coefficient_ovl",
+    "christoffersen_independence",
+    "c_chart_poisson_limits",
+    "assortment_churn_rates",
+    "mean_sojourn_above_mean",
+    "day_of_month_effect",
+    "blau_iqv_diversity",
+    "rao_quadratic_entropy",
+    "gini_mean_difference",
+    "hill_numbers_diversity",
+    "feltz_miller_cv_test",
+    "empirical_variogram_lags",
+    "price_stickiness_frequency",
+    "concentration_index_health",
+    "difference_sign_test",
+    "dffits_influence_days",
+    "dow_profile_stability",
+    "taylor_law_fluctuation",
+    "mean_excess_slope",
 )
 
 # Registry names that are rows-only BY DESIGN (registered without a DuckDB

@@ -1,18 +1,23 @@
-"""Round-17 pre-staged bank (candidate X592+): STAGED, not in the live
-registry — the next bank generation behind ``bank_r16`` (round 16's
-flip), under the identical no-new-debt discipline: stage-only
-decorator, two-SF gate mirror in ``tests/test_bank_r17.py``, sf0.1
+"""Round-17 bank (X592+), LIVE since round 17: pre-staged during
+rounds 13-16 under the same no-new-debt discipline every flipped bank
+(next_window, bank_r11..r16) went through: a stage-only decorator
+pre-flip, the two-SF gate mirror in ``tests/test_bank_r17.py``, sf0.1
 sweeps via ``tools/bank_check.py --module bank_r17``, the dtype-family
-sweep (``tests/test_oracle_dtypes.py`` auto-discovers bank_r13..r17),
-and plan-audit notes pre-adjudicated at authoring time.
+sweep, the authoring-time 64x probe octave (SCALING_PROBES.json /
+SCALING.md), and plan-audit notes merged into the effective audit
+allowlist automatically at flip time
+(``tools/audit_single_partition.py::allowed()``).
 
 At the round-16 flip the seed query here (``fisher_stouffer_combined``,
 X591) was promoted into bank_r16's 50th window slot (the
 bartlett_sphericity / dersimonian_laird_meta precedent); its shared
 35-cell contingency p-value frame lives in bank_r16
 (``_CELLP_SQL``/``_cellp``, imported below), so the move carried no
-frame copy. The bank is restored to 49 in the same round under the
-full authoring gate.
+frame copy; the bank was restored to 49 the same round
+(``taylor_law_fluctuation``, X796). At the round-17 flip this bank's
+own 50th window slot is ``mean_excess_slope`` (X640), promoted from
+the round-18 bank — self-contained (dec/t/Window/F only), so the
+promotion carries no shared frame either.
 
 Theme: EVIDENCE, DECISIONS, AND OPERATIONS — global-null machinery
 (Fisher/Stouffer, Simes + HMP, BKY, mSPRT, combination identities),
@@ -50,6 +55,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from . import register as _live_register
 from .bank_r15 import _acklam_col, _acklam_sql  # noqa: E402
 from .bank_r16 import _CELLP_SQL, _cellp  # noqa: E402
 from .common import dec, prefix_offsets, t
@@ -60,14 +66,18 @@ PLAN_AUDIT_NOTES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Stage-only decorator (see bank_r13..r16): records the query in
-    the bank dicts and does NOT touch the live registry."""
+    """Registers live via ``plans.register`` AND records the name in
+    the bank dicts so ``tests/test_bank_r17.py`` keeps gate-mirroring
+    the whole flipped set independently of the registry (the same flip
+    protocol bank_r11..r16 used)."""
+
+    live = _live_register(name, oracle)
 
     def deco(fn):
         BANK_QUERIES[name] = fn
         if oracle is not None:
             BANK_ORACLES[name] = oracle
-        return fn
+        return live(fn)
 
     return deco
 
@@ -4857,8 +4867,18 @@ def overlapping_coefficient_ovl(spark, sf_dir):
 PLAN_AUDIT_NOTES.update(
     {
         "spiegelhalter_z_calibration": (
-            "cumulative head-count over the training-half n_chars "
-            "grid (the auc_rank_score class)"
+            "INFO: no single-partition window since the r14 rewrite "
+            "— the training-half n_chars cumulative rides the "
+            "ranged-cumulative device (repartitionByRange + "
+            "per-partition window + prefix_offsets; 64x re-probe "
+            "0.59); note kept for the history, excluded from the "
+            "effective allowlist"
+        ),
+        "forecast_combination_imse": (
+            "two lag windows over the zero-filled calendar-day grid "
+            "(bounded: day count is a calendar constant at any data "
+            "volume — the allan_variance / mean_cumulative_function "
+            "class)"
         ),
     }
 )
@@ -7148,3 +7168,180 @@ PLAN_AUDIT_NOTES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Promoted at the round-17 flip: mean-excess slope over exact
+# thresholds (moved from the round-18 bank as the 50th window slot —
+# the fisher_stouffer_combined / bartlett_sphericity precedent). The
+# query is self-contained (dec/t/Window/F only; no shared frame), so
+# the move carries nothing with it.
+# --------------------------------------------------------------------------
+@register(
+    "mean_excess_slope",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ),
+    grid AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cc,
+               SUM(c) OVER () AS n
+        FROM grid
+    ),
+    qs AS (
+        SELECT CAST(u.g AS BIGINT) AS k,
+               (SELECT CAST(MIN(v) AS BIGINT) FROM cum
+                WHERE 100 * cc >= (74 + u.g * 5) * n) AS thr
+        FROM LATERAL UNNEST(range(1, 5)) AS u(g)
+    ),
+    me AS (
+        SELECT qs.k, qs.thr,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               round(CAST(SUM(p.v - qs.thr) AS DOUBLE)
+                     / COUNT(*) / 100000.0, 8) AS mean_excess
+        FROM pts p JOIN qs ON p.v > qs.thr
+        GROUP BY qs.k, qs.thr
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+               CAST(SUM(CAST(round(k, 1) AS DECIMAL(18,1)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(mean_excess, 8)
+                             AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(k * k, 1) AS DECIMAL(18,1)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(k * mean_excess, 8)
+                             AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+        FROM me
+    )
+    SELECT (SELECT m FROM me WHERE k = 1) AS n_above_q79,
+           (SELECT round(mean_excess, 6) + 0.0 FROM me
+            WHERE k = 1) AS me_at_q79,
+           (SELECT round(mean_excess, 6) + 0.0 FROM me
+            WHERE k = 4) AS me_at_q94,
+           round((fit.kk * fit.sxy - fit.sx * fit.sy)
+                 / (fit.kk * fit.sxx - fit.sx * fit.sx), 8) + 0.0
+               AS me_slope_per_step
+    FROM fit
+    """,
+)
+def mean_excess_slope(spark, sf_dir):
+    """MEAN-EXCESS plot slope of order values over the exact lower
+    79/84/89/94-percentile thresholds: e(u) = E[X - u | X > u] at
+    four thresholds plus the fitted slope — the EVT diagnostic that
+    names the tail regime BEFORE any fit: rising mean excess =
+    heavy (Pareto) tail, flat = exponential, falling = bounded —
+    exactly the qualitative call that decides between the
+    registry's `hill_tail_exponent` / `dekkers_moment_tail` /
+    `pot_gpd_pwm_fit` machinery and a plain exponential model; the
+    slope relates to the GPD shape by slope = xi/(1-xi) on a
+    linear ME plot.
+
+    Exactness: thresholds are exact order statistics from the
+    cents-grid cumulative; per-threshold excess sums are exact
+    BIGINTs; the 4-point slope folds rounded terms through
+    DECIMAL. Plan: one value-grid cumulative, one 4-threshold
+    filtered join, two folds."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v")
+    ).persist()
+    grid = pts.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = grid.select(
+        "v",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    ).persist()
+    ks = spark.range(1, 5).select(
+        F.col("id").cast("bigint").alias("k")
+    )
+    qs = (
+        cum.crossJoin(F.broadcast(ks))
+        .where(100 * F.col("cc") >= (74 + F.col("k") * 5) * F.col("n"))
+        .groupBy("k")
+        .agg(F.min("v").cast("bigint").alias("thr"))
+    )
+    me = (
+        pts.crossJoin(F.broadcast(qs))
+        .where(F.col("v") > F.col("thr"))
+        .groupBy("k", "thr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.round(
+                F.sum(F.col("v") - F.col("thr")).cast("double")
+                / F.count(F.lit(1))
+                / 100000.0,
+                8,
+            ).alias("mean_excess"),
+        )
+        .persist()
+    )
+    fit = me.agg(
+        F.count(F.lit(1)).cast("bigint").alias("kk"),
+        F.sum(F.round(F.col("k") * 1.0, 1).cast("decimal(18,1)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.round("mean_excess", 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(
+            F.round(F.col("k") * F.col("k") * 1.0, 1).cast(
+                "decimal(18,1)"
+            )
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.round(F.col("k") * F.col("mean_excess"), 8).cast(
+                "decimal(28,8)"
+            )
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    m1 = me.where(F.col("k") == 1).select(
+        F.col("m").alias("n_above_q79"),
+        (F.round("mean_excess", 6) + 0.0).alias("me_at_q79"),
+    )
+    m4 = me.where(F.col("k") == 4).select(
+        (F.round("mean_excess", 6) + 0.0).alias("me_at_q94")
+    )
+    slope = (
+        F.col("kk") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("kk") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return (
+        m1.crossJoin(F.broadcast(m4))
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "n_above_q79",
+            "me_at_q79",
+            "me_at_q94",
+            (F.round(slope, 8) + 0.0).alias("me_slope_per_step"),
+        )
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "mean_excess_slope": (
+            "one cumulative over the cents value grid for the exact "
+            "thresholds (the dekkers/hill class)"
+        ),
+    }
+)
+

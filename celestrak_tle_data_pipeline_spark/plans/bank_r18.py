@@ -12,6 +12,12 @@ authored and appends the names (+ ratios) to ``SCALING_PROBES.json``;
 ledger row (the r13 seed commits skipped the probe and became VERDICT
 r13 item 2 — never again).
 
+At the round-17 flip the seed query here (``mean_excess_slope``, X640)
+was promoted into bank_r17's 50th window slot (the
+fisher_stouffer_combined / bartlett_sphericity precedent); it was
+self-contained, so the move carried no shared frame. The bank is
+restored to 49 in the same round under the full authoring gate.
+
 Theme (COMPLETE at 49 in round 14): TAIL GEOMETRY, DOMINANCE AND
 DISTRIBUTION-FREE CERTIFICATES — the full inequality/poverty/
 redistribution bench (Hoover, Zenga/Bonferroni, Wolfson, FGT,
@@ -66,178 +72,6 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
-
-
-# --------------------------------------------------------------------------
-# Mean-excess (mean residual life of exceedances) slope over thresholds
-# --------------------------------------------------------------------------
-@register(
-    "mean_excess_slope",
-    oracle="""
-    WITH pts AS (
-        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-                    AS BIGINT) AS v
-        FROM orders
-    ),
-    grid AS (
-        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY v
-    ),
-    cum AS (
-        SELECT v,
-               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
-                            PRECEDING AND CURRENT ROW) AS cc,
-               SUM(c) OVER () AS n
-        FROM grid
-    ),
-    qs AS (
-        SELECT CAST(u.g AS BIGINT) AS k,
-               (SELECT CAST(MIN(v) AS BIGINT) FROM cum
-                WHERE 100 * cc >= (74 + u.g * 5) * n) AS thr
-        FROM LATERAL UNNEST(range(1, 5)) AS u(g)
-    ),
-    me AS (
-        SELECT qs.k, qs.thr,
-               CAST(COUNT(*) AS BIGINT) AS m,
-               round(CAST(SUM(p.v - qs.thr) AS DOUBLE)
-                     / COUNT(*) / 100000.0, 8) AS mean_excess
-        FROM pts p JOIN qs ON p.v > qs.thr
-        GROUP BY qs.k, qs.thr
-    ),
-    fit AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS kk,
-               CAST(SUM(CAST(round(k, 1) AS DECIMAL(18,1)))
-                    AS DOUBLE) AS sx,
-               CAST(SUM(CAST(round(mean_excess, 8)
-                             AS DECIMAL(28,8))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(round(k * k, 1) AS DECIMAL(18,1)))
-                    AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(round(k * mean_excess, 8)
-                             AS DECIMAL(28,8))) AS DOUBLE) AS sxy
-        FROM me
-    )
-    SELECT (SELECT m FROM me WHERE k = 1) AS n_above_q79,
-           (SELECT round(mean_excess, 6) + 0.0 FROM me
-            WHERE k = 1) AS me_at_q79,
-           (SELECT round(mean_excess, 6) + 0.0 FROM me
-            WHERE k = 4) AS me_at_q94,
-           round((fit.kk * fit.sxy - fit.sx * fit.sy)
-                 / (fit.kk * fit.sxx - fit.sx * fit.sx), 8) + 0.0
-               AS me_slope_per_step
-    FROM fit
-    """,
-)
-def mean_excess_slope(spark, sf_dir):
-    """MEAN-EXCESS plot slope of order values over the exact lower
-    79/84/89/94-percentile thresholds: e(u) = E[X - u | X > u] at
-    four thresholds plus the fitted slope — the EVT diagnostic that
-    names the tail regime BEFORE any fit: rising mean excess =
-    heavy (Pareto) tail, flat = exponential, falling = bounded —
-    exactly the qualitative call that decides between the
-    registry's `hill_tail_exponent` / `dekkers_moment_tail` /
-    `pot_gpd_pwm_fit` machinery and a plain exponential model; the
-    slope relates to the GPD shape by slope = xi/(1-xi) on a
-    linear ME plot.
-
-    Exactness: thresholds are exact order statistics from the
-    cents-grid cumulative; per-threshold excess sums are exact
-    BIGINTs; the 4-point slope folds rounded terms through
-    DECIMAL. Plan: one value-grid cumulative, one 4-threshold
-    filtered join, two folds."""
-    o = t(spark, sf_dir, "orders")
-    pts = o.select(
-        (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v")
-    ).persist()
-    grid = pts.groupBy("v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    cum = grid.select(
-        "v",
-        F.sum("c")
-        .over(
-            Window.orderBy("v").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        )
-        .alias("cc"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
-    ).persist()
-    ks = spark.range(1, 5).select(
-        F.col("id").cast("bigint").alias("k")
-    )
-    qs = (
-        cum.crossJoin(F.broadcast(ks))
-        .where(100 * F.col("cc") >= (74 + F.col("k") * 5) * F.col("n"))
-        .groupBy("k")
-        .agg(F.min("v").cast("bigint").alias("thr"))
-    )
-    me = (
-        pts.crossJoin(F.broadcast(qs))
-        .where(F.col("v") > F.col("thr"))
-        .groupBy("k", "thr")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("m"),
-            F.round(
-                F.sum(F.col("v") - F.col("thr")).cast("double")
-                / F.count(F.lit(1))
-                / 100000.0,
-                8,
-            ).alias("mean_excess"),
-        )
-        .persist()
-    )
-    fit = me.agg(
-        F.count(F.lit(1)).cast("bigint").alias("kk"),
-        F.sum(F.round(F.col("k") * 1.0, 1).cast("decimal(18,1)"))
-        .cast("double")
-        .alias("sx"),
-        F.sum(F.round("mean_excess", 8).cast("decimal(28,8)"))
-        .cast("double")
-        .alias("sy"),
-        F.sum(
-            F.round(F.col("k") * F.col("k") * 1.0, 1).cast(
-                "decimal(18,1)"
-            )
-        )
-        .cast("double")
-        .alias("sxx"),
-        F.sum(
-            F.round(F.col("k") * F.col("mean_excess"), 8).cast(
-                "decimal(28,8)"
-            )
-        )
-        .cast("double")
-        .alias("sxy"),
-    )
-    m1 = me.where(F.col("k") == 1).select(
-        F.col("m").alias("n_above_q79"),
-        (F.round("mean_excess", 6) + 0.0).alias("me_at_q79"),
-    )
-    m4 = me.where(F.col("k") == 4).select(
-        (F.round("mean_excess", 6) + 0.0).alias("me_at_q94")
-    )
-    slope = (
-        F.col("kk") * F.col("sxy") - F.col("sx") * F.col("sy")
-    ) / (F.col("kk") * F.col("sxx") - F.col("sx") * F.col("sx"))
-    return (
-        m1.crossJoin(F.broadcast(m4))
-        .crossJoin(F.broadcast(fit))
-        .select(
-            "n_above_q79",
-            "me_at_q79",
-            "me_at_q94",
-            (F.round(slope, 8) + 0.0).alias("me_slope_per_step"),
-        )
-    )
-
-
-PLAN_AUDIT_NOTES.update(
-    {
-        "mean_excess_slope": (
-            "one cumulative over the cents value grid for the exact "
-            "thresholds (the dekkers/hill class)"
-        ),
-    }
-)
 
 
 # --------------------------------------------------------------------------
@@ -7547,6 +7381,168 @@ PLAN_AUDIT_NOTES.update(
         "moses_extreme_reactions": (
             "inclusive+exclusive cumulatives over the cents value "
             "grid (price-domain-bounded — the ansari_bradley class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Restoration query (round 17, X797): Hodges-Lehmann pseudo-median of
+# weekly revenue with the exact Walsh-average signed-rank CI — added
+# under the full authoring gate to restore the bank to 49 after the
+# mean_excess_slope promotion (the taylor_law_fluctuation /
+# williams_dependent_corr precedent).
+# --------------------------------------------------------------------------
+@register(
+    "hodges_lehmann_walsh_ci",
+    oracle="""
+    WITH weekly AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 // 7
+                    AS BIGINT) AS w,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM weekly),
+    kf AS (
+        SELECT n,
+               n * (n + 1) // 2 AS m,
+               (n * (n + 1) // 2 + 1) // 2 AS k1,
+               (n * (n + 1) // 2 + 2) // 2 AS k2,
+               GREATEST(CAST(1 AS BIGINT),
+                   CAST(floor(n * (n + 1) / 4.0
+                        - 1.96 * sqrt(n * (n + 1) * (2 * n + 1)
+                                      / 24.0)) AS BIGINT)) AS klo
+        FROM base
+    ),
+    pairs AS (
+        SELECT a.v + b.v AS s FROM weekly a JOIN weekly b ON a.w <= b.w
+    ),
+    grid AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY s
+    ),
+    cum AS (
+        SELECT s, SUM(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cc
+        FROM grid
+    ),
+    pick AS (
+        SELECT MAX(kf.n) AS n, MAX(kf.m) AS m,
+               MIN(CASE WHEN cc >= kf.k1 THEN s END) AS s1,
+               MIN(CASE WHEN cc >= kf.k2 THEN s END) AS s2,
+               MIN(CASE WHEN cc >= kf.klo THEN s END) AS slo,
+               MIN(CASE WHEN cc >= kf.m + 1 - kf.klo THEN s END) AS shi
+        FROM cum, kf
+    )
+    SELECT n AS n_weeks, m AS m_walsh,
+           round((s1 + s2) / 400.0, 6) + 0.0 AS hl_weekly_revenue,
+           round(slo / 200.0, 6) + 0.0 AS hl_ci_lo,
+           round(shi / 200.0, 6) + 0.0 AS hl_ci_hi
+    FROM pick
+    """,
+)
+def hodges_lehmann_walsh_ci(spark, sf_dir):
+    """HODGES-LEHMANN pseudo-median of weekly revenue with the exact
+    WALSH-AVERAGE signed-rank confidence interval: HL = median of the
+    M = n(n+1)/2 pairwise averages (v_i + v_j)/2, i <= j — the
+    estimator behind the Wilcoxon signed-rank test (ARE 0.955 vs the
+    mean at the normal, 30% breakdown), and the distribution-free CI
+    that comes from INVERTING that test: [W_(klo), W_(M+1-klo)] with
+    klo = max(1, floor(M/2 - 1.96 sqrt(n(n+1)(2n+1)/24))) — an exact
+    order-statistic certificate (no variance estimate, no normality),
+    the location counterpart of the bank's DKW band and a robust
+    companion to `shorth_lms_location`'s mode-seeking estimate. The
+    division-free convention: both median order statistics
+    ((M+1)//2, (M+2)//2) are picked and averaged, so even/odd M give
+    identical semantics in both engines.
+
+    Exactness: weekly revenues are exact BIGINT cents; Walsh SUMS
+    v_i + v_j stay integer (the /2 happens once, at the final
+    projection); the three order statistics come from one cumulative
+    over the distinct-sum grid (min s with cum count >= k); klo is a
+    floor of the same IEEE double expression in both engines. Plan:
+    one week rollup, one bounded week-pair kernel (n <= calendar
+    weeks, so M ~ 60k at ANY data volume), one value-grid cumulative,
+    one conditional-pick fold."""
+    o = t(spark, sf_dir, "orders")
+    week = F.floor(
+        F.floor(F.unix_micros("o_orderdate") / 86_400_000_000) / 7
+    ).cast("bigint")
+    weekly = (
+        o.groupBy(week.alias("w"))
+        .agg(
+            F.sum((dec("o_totalprice", 18, 2) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+        .persist()
+    )
+    n = F.col("n")
+    m = (n * (n + 1) / 2).cast("bigint")
+    kf = weekly.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+        "n",
+        m.alias("m"),
+        ((m + 1) / 2).cast("bigint").alias("k1"),
+        ((m + 2) / 2).cast("bigint").alias("k2"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(
+                n * (n + 1) / 4.0
+                - 1.96 * F.sqrt(n * (n + 1) * (2 * n + 1) / 24.0)
+            ).cast("bigint"),
+        ).alias("klo"),
+    )
+    a = weekly.select(F.col("w").alias("w1"), F.col("v").alias("v1"))
+    b = weekly.select(F.col("w").alias("w2"), F.col("v").alias("v2"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("w1") <= F.col("w2"))
+        .select((F.col("v1") + F.col("v2")).alias("s"))
+    )
+    grid = pairs.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = grid.select(
+        "s",
+        F.sum("c")
+        .over(
+            Window.orderBy("s").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+    )
+    pick = cum.crossJoin(F.broadcast(kf)).agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.min(F.when(F.col("cc") >= F.col("k1"), F.col("s"))).alias("s1"),
+        F.min(F.when(F.col("cc") >= F.col("k2"), F.col("s"))).alias("s2"),
+        F.min(F.when(F.col("cc") >= F.col("klo"), F.col("s"))).alias(
+            "slo"
+        ),
+        F.min(
+            F.when(
+                F.col("cc") >= F.col("m") + 1 - F.col("klo"), F.col("s")
+            )
+        ).alias("shi"),
+    )
+    return pick.select(
+        F.col("n").alias("n_weeks"),
+        F.col("m").alias("m_walsh"),
+        (F.round((F.col("s1") + F.col("s2")) / 400.0, 6) + 0.0).alias(
+            "hl_weekly_revenue"
+        ),
+        (F.round(F.col("slo") / 200.0, 6) + 0.0).alias("hl_ci_lo"),
+        (F.round(F.col("shi") / 200.0, 6) + 0.0).alias("hl_ci_hi"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "hodges_lehmann_walsh_ci": (
+            "one cumulative over the Walsh-sum value grid (bounded: "
+            "week-pair kernel is calendar^2, ~60k cells at any data "
+            "volume — the mean_excess_slope / gini day-kernel class)"
         ),
     }
 )

@@ -56,19 +56,27 @@ def test_bank_is_fully_oracle_paired():
     assert len(bank_r16.BANK_QUERIES) >= 2
 
 
-def test_bank_is_live_and_fully_windowed():
-    # Post-flip invariants (round 16): every bank name registers live
-    # through plans.register, the module is in plans._MODULES, and the
-    # round-16 window is exactly the 50 bank names in registration
-    # order (49 staged in this bank + the promoted
-    # fisher_stouffer_combined appended at flip time).
+def test_bank_is_live_and_was_windowed_green_in_r16():
+    # Round-16 flip, era-proofed after the r17 rotation (the same fix
+    # test_bank_r11..r15 got): every bank name registers live, the
+    # module is in plans._MODULES, and every flipped name has a GREEN
+    # official record in CORRECTNESS_r16.json — hash_match true (or a
+    # by-design no-oracle row), not mere key presence, per ADVICE r15:
+    # presence alone would also accept a hash-FAILED row.
     from celestrak_tle_data_pipeline_spark import plans
 
     live = set(plans.all_queries())
     assert set(bank_r16.BANK_QUERIES) <= live
     assert "bank_r16" in plans._MODULES
-    assert list(plans._PRIORITY) == list(bank_r16.BANK_QUERIES)
-    assert plans._PRIORITY[49] == "fisher_stouffer_combined"
+    # Green-only (ADVICE r15), honoring the re-green protocol:
+    # a name red in its flip round is official once a LATER
+    # round's record is green (conftest.official_green).
+    from conftest import official_green
+
+    not_green = [
+        q for q in bank_r16.BANK_QUERIES if not official_green(q, 16)
+    ]
+    assert not not_green, f"r16 names without a green record: {not_green}"
     assert len(bank_r16.BANK_QUERIES) == 50
 
 

@@ -1,14 +1,20 @@
-"""Round-17 bank verification (plans/bank_r17.py — STAGED, not live).
+"""Round-17 bank verification (plans/bank_r17.py — LIVE since round 17).
 
-Each pre-staged query runs against its DuckDB oracle with EXACTLY the
+Each bank query runs against its DuckDB oracle with EXACTLY the
 driver-gate compare (`tools/check.py` norm/canon: row count, column
 set, order-insensitive value hash — including the float-marker norm
-that closes the r11 dtype blind spot), at two scale factors — so when
-round 17 flips the bank into the live registry the queries are already
-gate-green, and the no-new-debt invariant never sees them unverified.
+that closes the r11 dtype blind spot), at two scale factors — the same
+pre-flip discipline that verified it while staged, kept running
+post-flip so the whole set stays pinned independently of the registry
+window (the bank_r11..r16 protocol).
 
 Seeded in round 13 with the global-null/evidence-combination batch
-(Fisher-Stouffer, Simes/HMP, BKY, Engel); later rounds append.
+(Fisher-Stouffer, Simes/HMP, BKY, Engel); round-14/16 fresh work
+appended after them. At the round-16 flip the seed
+(`fisher_stouffer_combined`) was promoted into bank_r16's 50th window
+slot and the bank was restored to 49 with `taylor_law_fluctuation`;
+the 50th name here is ``mean_excess_slope``, promoted from the
+round-18 bank at the round-17 flip.
 """
 
 from __future__ import annotations
@@ -50,30 +56,34 @@ def test_bank_is_fully_oracle_paired():
     assert len(bank_r17.BANK_QUERIES) >= 2
 
 
-def test_bank_is_not_in_the_live_registry():
-    # Pre-flip discipline: a staged name must not collide with (or
-    # leak into) the live registry until round 17 flips the module
-    # into plans._MODULES — otherwise test_no_new_official_debt would
-    # see an oracle-paired name without an official correctness row.
+def test_bank_is_live_and_fully_windowed():
+    # Post-flip invariants (round 17): every bank name registers live
+    # through plans.register, the module is in plans._MODULES, and the
+    # round-17 window is exactly the 50 bank names in registration
+    # order (49 staged in this bank + the promoted mean_excess_slope
+    # appended at flip time).
     from celestrak_tle_data_pipeline_spark import plans
 
     live = set(plans.all_queries())
-    assert not live & set(bank_r17.BANK_QUERIES)
-    assert "bank_r17" not in plans._MODULES
+    assert set(bank_r17.BANK_QUERIES) <= live
+    assert "bank_r17" in plans._MODULES
+    assert list(plans._PRIORITY) == list(bank_r17.BANK_QUERIES)
+    assert plans._PRIORITY[49] == "mean_excess_slope"
+    assert len(bank_r17.BANK_QUERIES) == 50
 
 
 def test_bank_does_not_collide_with_other_staged_banks():
     from celestrak_tle_data_pipeline_spark.plans import (
-        bank_r14,
         bank_r15,
         bank_r16,
+        bank_r18,
         next_window,
     )
 
     mine = set(bank_r17.BANK_QUERIES)
-    assert not mine & set(bank_r14.BANK_QUERIES)
     assert not mine & set(bank_r15.BANK_QUERIES)
     assert not mine & set(bank_r16.BANK_QUERIES)
+    assert not mine & set(bank_r18.BANK_QUERIES)
     assert not mine & set(next_window.NEXT_QUERIES)
 
 
