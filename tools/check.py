@@ -64,6 +64,10 @@ def main(argv):
 
     json_path = None
     if argv and argv[0] == "--json":
+        if len(argv) < 2:
+            print("usage: check.py [--json OUT.json] [name ...]",
+                  file=sys.stderr)
+            return 2
         json_path = argv[1]
         argv = argv[2:]
 
