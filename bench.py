@@ -42,9 +42,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # near this envelope with loadavg_start high is contention, not a
 # regression — without cross-reading SCALING.md.
 IDLE_BRACKET = {
-    "round": 16,
-    "warm_sec": [2.78, 3.10],
-    "cold_sec": [38.3, 42.4],
+    "round": 17,
+    "warm_sec": [3.00, 3.23],
+    "cold_sec": [39.7, 43.0],
 }
 
 # Headline set: the flagship + one representative per operator family
