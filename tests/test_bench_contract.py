@@ -68,3 +68,26 @@ def test_bench_carries_idle_bracket_annotation():
         f"is round {plans.WINDOW_ROUND} — re-run the session-close "
         "idle bracket and update bench.IDLE_BRACKET"
     )
+
+
+def test_testdata_inventory_aggregates_directory_tables(tmp_path):
+    # ADVICE r16: a table regenerated as a DIRECTORY of part-files must
+    # aggregate into the inventory (files/bytes/rowgroups/rows summed)
+    # instead of silently vanishing from the drift signature.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bench = _load_bench()
+    tbl = pa.table({"a": [1, 2, 3]})
+    pq.write_table(tbl, tmp_path / "solo.parquet")
+    part_dir = tmp_path / "parted.parquet"
+    part_dir.mkdir()
+    pq.write_table(tbl, part_dir / "part-0.parquet")
+    pq.write_table(tbl, part_dir / "part-1.parquet")
+
+    inv = bench.testdata_inventory(str(tmp_path))
+    assert set(inv) == {"solo", "parted"}
+    files, nbytes, rowgroups, rows = inv["solo"]
+    assert (files, rowgroups, rows) == (1, 1, 3) and nbytes > 0
+    files, nbytes, rowgroups, rows = inv["parted"]
+    assert (files, rowgroups, rows) == (2, 2, 6) and nbytes > 0

@@ -70,3 +70,71 @@ def test_live_bank_notes_name_real_queries():
             if k not in registered
         ]
     assert not bad, f"live-bank audit notes naming unknown queries: {bad}"
+
+
+# ---------------------------------------------------------------------------
+# Synthetic-plan unit pins for the detector itself (ADVICE r16): the
+# stop set matches by operator-name PREFIX on the codegen-stripped
+# node text, with the multi-child distribution-changing ops included.
+# These are pure-function tests — no SparkSession.
+# ---------------------------------------------------------------------------
+from audit_single_partition import flagged_contexts  # noqa: E402
+
+
+def test_detector_flags_window_over_single_partition():
+    plan = (
+        "*(3) Window [sum(x) windowspecdefinition(...)], [s ASC]\n"
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "   +- *(2) HashAggregate(keys=[s], functions=[count(1)])\n"
+    )
+    assert flagged_contexts(plan) == 1
+
+
+def test_detector_stops_at_broadcast_exchange():
+    # BroadcastExchange was caught by the old 'Exchange' SUBSTRING; the
+    # prefix rewrite must keep it stopping the walk explicitly — a
+    # single-partition frame on the broadcast side never carries its
+    # partitioning into the probe-side Window above the join.
+    plan = (
+        "*(4) Window [rank(v)], [v ASC]\n"
+        "+- BroadcastExchange IdentityBroadcastMode, [plan_id=7]\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "      +- *(1) HashAggregate(keys=[v], functions=[])\n"
+    )
+    assert flagged_contexts(plan) == 0
+
+
+def test_detector_walks_past_nodes_merely_mentioning_exchange():
+    # The ADVICE r16 case: substring matching stopped on ANY node text
+    # mentioning Exchange (a column named ExchangeRate, say), silently
+    # missing the real Window above. Prefix matching walks through.
+    plan = (
+        "*(3) Window [sum(x)], [s ASC]\n"
+        "+- *(2) Project [ExchangeRateApplied#3L AS s#9L]\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "      +- *(1) HashAggregate(keys=[], functions=[sum(x)])\n"
+    )
+    assert flagged_contexts(plan) == 1
+
+
+def test_detector_stops_at_cartesian_product():
+    # New stop node (ADVICE r16): a CartesianProduct's partition count
+    # is the PRODUCT of its children's — single-partition-ness of one
+    # child does not propagate to the Sort above the join.
+    plan = (
+        "*(5) Sort [a ASC NULLS FIRST], false, 0\n"
+        "+- CartesianProduct\n"
+        "   :- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "   :  +- *(1) HashAggregate(keys=[], functions=[min(v)])\n"
+        "   +- *(2) Sort [b ASC NULLS FIRST], false, 0\n"
+    )
+    assert flagged_contexts(plan) == 0
+
+
+def test_detector_excludes_take_ordered_and_project():
+    plan = (
+        "TakeOrderedAndProject(limit=5, orderBy=[a ASC], output=[a])\n"
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "   +- *(1) HashAggregate(keys=[a], functions=[])\n"
+    )
+    assert flagged_contexts(plan) == 0
