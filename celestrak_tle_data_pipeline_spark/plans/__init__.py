@@ -64,6 +64,7 @@ _MODULES = (
     "bank_r15",
     "bank_r16",
     "bank_r17",
+    "bank_r18",
 )
 
 # The round whose official CORRECTNESS gate this window targets. The
@@ -72,74 +73,74 @@ _MODULES = (
 # round's own CORRECTNESS file, the window names ARE official — that is
 # the point — so tests/test_registry.py excludes rounds >= WINDOW_ROUND
 # from the recycled-name glob (the r10 verdict's era-proofing fix).
-WINDOW_ROUND = 17
+WINDOW_ROUND = 18
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries, so
 # ordering is part of the contract: the 50 names emitted first are that
 # round's official window. Everything else registered stays available after
 # them as bonus coverage. ``tests/test_registry.py`` pins this list.
 #
-# Round-17 rotation: CORRECTNESS_r16 is 50/50 green — nothing to re-green,
+# Round-18 rotation: CORRECTNESS_r17 is 50/50 green — nothing to re-green,
 # so the whole window turns over to first-time names again: the pre-staged
-# 49-query bank (``plans/bank_r17.py``, X592+) flips live in registration
-# order, and the 50th slot is ``mean_excess_slope``, promoted from the
-# round-18 bank (VERDICT r16 item 1 directed the promotion — the
-# fisher_stouffer_combined / bartlett_sphericity precedent).
+# 49-query bank (``plans/bank_r18.py``, X641+) flips live in registration
+# order, and the 50th slot is ``updown_runs_test``, promoted from the
+# round-19 bank (VERDICT r17 item 1 directed the promotion — the
+# mean_excess_slope / fisher_stouffer_combined precedent).
 _PRIORITY = (
-    # --- round-17 bank flip (X592+, bank_r17.BANK_QUERIES order;
-    # the 50th name is mean_excess_slope, promoted from the
-    # round-18 bank — VERDICT r16 item 1: no red name was left to
-    # re-green after the 50/50 r16 window) ---
-    "simes_harmonic_global",
-    "bky_two_stage_fdr",
-    "engel_curve_loglog",
-    "rank_turbulence_divergence",
-    "attributable_fraction_levin",
-    "net_reclassification_index",
-    "decision_curve_net_benefit",
-    "msprt_always_valid_p",
-    "poisson_mixture_em2",
-    "k_truss_brand_graph",
-    "hampel_filter_days",
-    "sax_motif_counts",
-    "forecast_combination_imse",
-    "ace_richness_estimator",
-    "beta_diversity_sources",
-    "shorrocks_mobility_index",
-    "pairs_trading_distance",
-    "hedonic_size_gradient",
-    "price_point_heaping",
-    "funnel_plot_control_limits",
-    "chao_mh_population",
-    "filter_agreement_matrix",
-    "lmdi_decomposition",
-    "skill_score_panel",
-    "van_elteren_stratified",
-    "markov_order_lr_test",
-    "cusum_chart_arl_siegmund",
-    "adjusted_boxplot_medcouple",
-    "kendall_partial_tau",
-    "spectral_radius_power3",
-    "spiegelhalter_z_calibration",
-    "overlapping_coefficient_ovl",
-    "christoffersen_independence",
-    "c_chart_poisson_limits",
-    "assortment_churn_rates",
-    "mean_sojourn_above_mean",
-    "day_of_month_effect",
-    "blau_iqv_diversity",
-    "rao_quadratic_entropy",
-    "gini_mean_difference",
-    "hill_numbers_diversity",
-    "feltz_miller_cv_test",
-    "empirical_variogram_lags",
-    "price_stickiness_frequency",
-    "concentration_index_health",
-    "difference_sign_test",
-    "dffits_influence_days",
-    "dow_profile_stability",
-    "taylor_law_fluctuation",
-    "mean_excess_slope",
+    # --- round-18 bank flip (X641+, bank_r18.BANK_QUERIES order;
+    # the 50th name is updown_runs_test, promoted from the
+    # round-19 bank — VERDICT r17 item 1: no red name was left to
+    # re-green after the 50/50 r17 window) ---
+    "lorenz_dominance_check",
+    "dkw_band_lognormal_check",
+    "hoover_pietra_index",
+    "gastwirth_trimean_panel",
+    "fgt_poverty_panel",
+    "watts_sen_poverty",
+    "max_to_sum_ratios",
+    "zenga_bonferroni_ordinates",
+    "wolfson_polarization",
+    "generalized_entropy_panel",
+    "generalized_lorenz_dominance",
+    "relative_distribution_mrp",
+    "kakwani_discount_progressivity",
+    "reynolds_smolensky_redistribution",
+    "qq_tail_estimator",
+    "extremal_index_runs",
+    "dagum_gini_decomposition",
+    "rachev_ratio_tails",
+    "calmar_sterling_panel",
+    "kelly_fraction_daily",
+    "spectral_risk_exponential",
+    "moment_bound_certificates",
+    "laplace_trend_test",
+    "crow_amsaa_growth",
+    "ttt_barlow_proschan",
+    "foster_stuart_records",
+    "zip_score_test",
+    "dean_overdispersion_test",
+    "adjusted_rand_index",
+    "fowlkes_mallows_bcubed",
+    "variation_of_information",
+    "pabak_prevalence_bias",
+    "smape_wape_panel",
+    "leverage_effect_corr",
+    "fano_factor_timescales",
+    "aggvar_hurst",
+    "first_passage_time_panel",
+    "westenberg_iqr_test",
+    "auc_hanley_mcneil_ci",
+    "ratio_regression_estimators",
+    "ord_plot_family",
+    "dcca_coefficient",
+    "schweizer_wolff_sigma",
+    "hhi_concentration_trend",
+    "gpd_shape_stability",
+    "block_bootstrap_se",
+    "berry_esseen_certificate",
+    "moses_extreme_reactions",
+    "hodges_lehmann_walsh_ci",
+    "updown_runs_test",
 )
 
 # Registry names that are rows-only BY DESIGN (registered without a DuckDB

@@ -1,22 +1,22 @@
-"""Round-18 pre-staged bank (candidate X640+): STAGED, not in the live
-registry — the next bank generation behind ``bank_r17`` (round 17's
-flip), under the identical no-new-debt discipline: stage-only
-decorator, two-SF gate mirror in ``tests/test_bank_r18.py``, sf0.1
+"""Round-18 bank (X641+), LIVE since round 18: pre-staged during
+rounds 13-17 under the same no-new-debt discipline every flipped bank
+(next_window, bank_r11..r17) went through: a stage-only decorator
+pre-flip, the two-SF gate mirror in ``tests/test_bank_r18.py``, sf0.1
 sweeps via ``tools/bank_check.py --module bank_r18``, the dtype-family
-sweep (``tests/test_oracle_dtypes.py`` auto-discovers bank_r13..r19),
-plan-audit notes pre-adjudicated at authoring time, and — a HARD gate
-since round 14 — the authoring-time 64x probe: every batch runs
-``python tools/scale_probe.py 64 <names>`` in the session it is
-authored and appends the names (+ ratios) to ``SCALING_PROBES.json``;
-``tests/test_flip_readiness.py`` fails any staged name without a
-ledger row (the r13 seed commits skipped the probe and became VERDICT
-r13 item 2 — never again).
+sweep, the authoring-time 64x probe octave (SCALING_PROBES.json /
+SCALING.md), and plan-audit notes merged into the effective audit
+allowlist automatically at flip time
+(``tools/audit_single_partition.py::allowed()``).
 
 At the round-17 flip the seed query here (``mean_excess_slope``, X640)
 was promoted into bank_r17's 50th window slot (the
 fisher_stouffer_combined / bartlett_sphericity precedent); it was
-self-contained, so the move carried no shared frame. The bank is
-restored to 49 in the same round under the full authoring gate.
+self-contained, so the move carried no shared frame, and the bank was
+restored to 49 the same round (``hodges_lehmann_walsh_ci``, X797). At
+the round-18 flip this bank's own 50th window slot is
+``updown_runs_test`` (X690), promoted from the round-19 bank — it
+re-binds to THIS module's byte-identical ``_DAILY_SQL``/``_daily``
+frame copy, so the promotion carries no shared frame either.
 
 Theme (COMPLETE at 49 in round 14): TAIL GEOMETRY, DOMINANCE AND
 DISTRIBUTION-FREE CERTIFICATES — the full inequality/poverty/
@@ -54,6 +54,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from . import register as _live_register
 from .common import dec, t
 
 BANK_QUERIES: dict = {}
@@ -62,14 +63,18 @@ PLAN_AUDIT_NOTES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Stage-only decorator (see bank_r13..r17): records the query in
-    the bank dicts and does NOT touch the live registry."""
+    """Registers live via ``plans.register`` AND records the name in
+    the bank dicts so ``tests/test_bank_r18.py`` keeps gate-mirroring
+    the whole flipped set independently of the registry (the same flip
+    protocol bank_r11..r17 used)."""
+
+    live = _live_register(name, oracle)
 
     def deco(fn):
         BANK_QUERIES[name] = fn
         if oracle is not None:
             BANK_ORACLES[name] = oracle
-        return fn
+        return live(fn)
 
     return deco
 
@@ -1394,7 +1399,7 @@ def zenga_bonferroni_ordinates(spark, sf_dir):
                     AS DECIMAL(38,0)) AS two_ix
         FROM cum
     )
-    SELECT g.n AS n_customers,
+    SELECT CAST(g.n AS BIGINT) AS n_customers,
            round((CAST(g.two_ix AS DOUBLE)
                   - (g.n + 1) * CAST(g.tot AS DOUBLE))
                  / (CAST(g.n AS DOUBLE)
@@ -1963,8 +1968,12 @@ PLAN_AUDIT_NOTES.update(
             "spend grid (the watts_sen_poverty class)"
         ),
         "generalized_lorenz_dominance": (
-            "per-half cumulative over the spend grid + 19-ordinate "
-            "broadcast (the lorenz_dominance class)"
+            "INFO: no single-partition window under the structural "
+            "detector — the per-half spend-grid cumulatives ride "
+            "partitioned (per-half) windows and the 19-ordinate frame "
+            "is broadcast; note kept for the history (authored under "
+            "the pre-r16 textual heuristic), excluded from the "
+            "effective allowlist"
         ),
         "relative_distribution_mrp": (
             "one merged-grid cumulative for the reference-half ECDF "
@@ -2014,7 +2023,7 @@ PLAN_AUDIT_NOTES.update(
                     AS DECIMAL(38,0)) AS two_id
         FROM cum
     )
-    SELECT n AS n_lines,
+    SELECT CAST(n AS BIGINT) AS n_lines,
            round((CAST(two_ix AS DOUBLE)
                   - (n + 1) * CAST(sx AS DOUBLE))
                  / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
@@ -2176,7 +2185,7 @@ def kakwani_discount_progressivity(spark, sf_dir):
                     AS DECIMAL(38,0)) AS two_ipost
         FROM post_cum
     )
-    SELECT pf.n AS n_lines,
+    SELECT CAST(pf.n AS BIGINT) AS n_lines,
            round((CAST(pf.two_ipre AS DOUBLE)
                   - (pf.n + 1) * CAST(pf.s_pre AS DOUBLE))
                  / (CAST(pf.n AS DOUBLE)
@@ -2976,9 +2985,12 @@ PLAN_AUDIT_NOTES.update(
             "cusum class)"
         ),
         "dagum_gini_decomposition": (
-            "per-(pid, region) local exclusive windows on the ranged "
-            "device — no global sort; residual flags are the bounded "
-            "5x5 pair-frame scalar re-scans (the es_backtest class)"
+            "INFO: no single-partition window under the structural "
+            "detector — per-(pid, region) local exclusive windows on "
+            "the ranged device, no global sort, and the bounded 5x5 "
+            "pair-frame re-scans resolve to broadcast exchanges; note "
+            "kept for the history (authored under the pre-r16 textual "
+            "heuristic), excluded from the effective allowlist"
         ),
     }
 )
@@ -3976,7 +3988,7 @@ def crow_amsaa_growth(spark, sf_dir):
                     AS DECIMAL(38,0)) AS sum_ttt
         FROM cum
     )
-    SELECT n AS n_gaps,
+    SELECT CAST(n AS BIGINT) AS n_gaps,
            round((CAST(sum_ttt AS DOUBLE) / s - 1.0)
                  / (n - 1), 8) + 0.0 AS ttt_mean_scaled,
            round(((CAST(sum_ttt AS DOUBLE) / s - 1.0)
@@ -6667,7 +6679,7 @@ PLAN_AUDIT_NOTES.update(
                    AS xi_hat
         FROM pwm
     )
-    SELECT (SELECT m FROM xi WHERE k = 1) AS n_excess_q90,
+    SELECT (SELECT CAST(m AS BIGINT) FROM xi WHERE k = 1) AS n_excess_q90,
            (SELECT xi_hat + 0.0 FROM xi WHERE k = 1) AS xi_q90,
            (SELECT xi_hat + 0.0 FROM xi WHERE k = 2) AS xi_q93,
            (SELECT xi_hat + 0.0 FROM xi WHERE k = 3) AS xi_q96,
@@ -7543,6 +7555,110 @@ PLAN_AUDIT_NOTES.update(
             "one cumulative over the Walsh-sum value grid (bounded: "
             "week-pair kernel is calendar^2, ~60k cells at any data "
             "volume — the mean_excess_slope / gini day-kernel class)"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Promoted at the round-18 flip: runs-up-and-down randomness test on
+# daily revenue (moved from the round-19 bank as the 50th window slot —
+# the mean_excess_slope / fisher_stouffer_combined precedent). The
+# query re-binds to THIS module's byte-identical _DAILY_SQL/_daily
+# frame copy, so the move carries no shared frame.
+# --------------------------------------------------------------------------
+@register(
+    "updown_runs_test",
+    oracle=f"""
+    WITH {_DAILY_SQL},
+    sgn AS (
+        SELECT day,
+               CASE WHEN y > LAG(y) OVER (ORDER BY day) THEN 1
+                    WHEN y < LAG(y) OVER (ORDER BY day) THEN -1
+                    ELSE 0 END AS s
+        FROM daily QUALIFY LAG(y) OVER (ORDER BY day) IS NOT NULL
+    ),
+    nz AS (
+        SELECT day, s,
+               LAG(s) OVER (ORDER BY day) AS prev
+        FROM sgn WHERE s <> 0
+    ),
+    fold AS (
+        SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN prev IS NULL OR s <> prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        FROM nz
+    )
+    SELECT n AS n_days_effective,
+           runs AS n_monotone_runs,
+           round((2.0 * n - 1.0) / 3.0, 6) + 0.0 AS expected_runs,
+           round((runs - (2.0 * n - 1.0) / 3.0)
+                 / sqrt((16.0 * n - 29.0) / 90.0), 6) + 0.0
+               AS updown_runs_z
+    FROM fold
+    """,
+)
+def updown_runs_test(spark, sf_dir):
+    """RUNS-UP-AND-DOWN test on daily revenue: count maximal monotone
+    runs of the day-over-day sign sequence (ties dropped, the
+    Wallis-Moore convention); under exchangeability E[R] = (2n-1)/3
+    and Var = (16n-29)/90 — the second opinion to
+    `runs_test_randomness` (above/below-median runs): median runs
+    catch level clustering, monotone runs catch OSCILLATION
+    (too-regular sawtooth reads z >> 0, momentum reads z << 0), and
+    together with `turning_points_randomness` / `difference_sign_
+    test` the randomness battery now covers all four classical
+    forms.
+
+    Exactness: signs and run boundaries are exact integer
+    comparisons over the calendar-day frame; the moments are
+    literal rationals of the exact effective n. Plan: one day
+    rollup, two calendar-frame lags, one fold."""
+    daily = _daily(spark, sf_dir)
+    lagw = Window.orderBy("day")
+    sgn = daily.select(
+        "day",
+        F.when(F.col("y") > F.lag("y").over(lagw), 1)
+        .when(F.col("y") < F.lag("y").over(lagw), -1)
+        .otherwise(0)
+        .alias("s"),
+        F.lag("y").over(lagw).alias("prev_y"),
+    ).where(F.col("prev_y").isNotNull())
+    nz = sgn.where(F.col("s") != 0).select(
+        "s", F.lag("s").over(Window.orderBy("day")).alias("prev")
+    )
+    fold = nz.agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("s") != F.col("prev")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    er = (2.0 * F.col("n") - 1.0) / 3.0
+    return fold.select(
+        F.col("n").alias("n_days_effective"),
+        F.col("runs").alias("n_monotone_runs"),
+        (F.round(er, 6) + 0.0).alias("expected_runs"),
+        (
+            F.round(
+                (F.col("runs") - er)
+                / F.sqrt((16.0 * F.col("n") - 29.0) / 90.0),
+                6,
+            )
+            + 0.0
+        ).alias("updown_runs_z"),
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "updown_runs_test": (
+            "two lags over the calendar-day frame (the "
+            "difference_sign class)"
         ),
     }
 )

@@ -9,6 +9,13 @@ authoring-time 64x probe gate (``SCALING_PROBES.json`` +
 ``tests/test_flip_readiness.py`` — every batch probes in the session it
 is authored, no exceptions since round 14).
 
+At the round-18 flip the seed query here (``updown_runs_test``, X690)
+was promoted into bank_r18's 50th window slot (the mean_excess_slope /
+fisher_stouffer_combined precedent); it re-bound to bank_r18's
+byte-identical ``_DAILY_SQL``/``_daily`` frame copy, so the move
+carried no shared frame. The bank is restored to 49 in the same round
+under the full authoring gate.
+
 Theme: SECOND OPINIONS — alternative-form tests for questions the
 registry already answers once, because two estimators agreeing is the
 actual certificate. COMPLETE at 49 (round 14): the randomness/series
@@ -47,6 +54,8 @@ per-day-of-week panels means the 7-value day-of-week domain.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -94,106 +103,6 @@ def _daily(spark, sf_dir):
         .cast("bigint")
         .alias("y")
     )
-
-
-# --------------------------------------------------------------------------
-# Runs-up-and-down randomness test on daily revenue
-# --------------------------------------------------------------------------
-@register(
-    "updown_runs_test",
-    oracle=f"""
-    WITH {_DAILY_SQL},
-    sgn AS (
-        SELECT day,
-               CASE WHEN y > LAG(y) OVER (ORDER BY day) THEN 1
-                    WHEN y < LAG(y) OVER (ORDER BY day) THEN -1
-                    ELSE 0 END AS s
-        FROM daily QUALIFY LAG(y) OVER (ORDER BY day) IS NOT NULL
-    ),
-    nz AS (
-        SELECT day, s,
-               LAG(s) OVER (ORDER BY day) AS prev
-        FROM sgn WHERE s <> 0
-    ),
-    fold AS (
-        SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n,
-               CAST(SUM(CASE WHEN prev IS NULL OR s <> prev
-                             THEN 1 ELSE 0 END) AS BIGINT) AS runs
-        FROM nz
-    )
-    SELECT n AS n_days_effective,
-           runs AS n_monotone_runs,
-           round((2.0 * n - 1.0) / 3.0, 6) + 0.0 AS expected_runs,
-           round((runs - (2.0 * n - 1.0) / 3.0)
-                 / sqrt((16.0 * n - 29.0) / 90.0), 6) + 0.0
-               AS updown_runs_z
-    FROM fold
-    """,
-)
-def updown_runs_test(spark, sf_dir):
-    """RUNS-UP-AND-DOWN test on daily revenue: count maximal monotone
-    runs of the day-over-day sign sequence (ties dropped, the
-    Wallis-Moore convention); under exchangeability E[R] = (2n-1)/3
-    and Var = (16n-29)/90 — the second opinion to
-    `runs_test_randomness` (above/below-median runs): median runs
-    catch level clustering, monotone runs catch OSCILLATION
-    (too-regular sawtooth reads z >> 0, momentum reads z << 0), and
-    together with `turning_points_randomness` / `difference_sign_
-    test` the randomness battery now covers all four classical
-    forms.
-
-    Exactness: signs and run boundaries are exact integer
-    comparisons over the calendar-day frame; the moments are
-    literal rationals of the exact effective n. Plan: one day
-    rollup, two calendar-frame lags, one fold."""
-    daily = _daily(spark, sf_dir)
-    lagw = Window.orderBy("day")
-    sgn = daily.select(
-        "day",
-        F.when(F.col("y") > F.lag("y").over(lagw), 1)
-        .when(F.col("y") < F.lag("y").over(lagw), -1)
-        .otherwise(0)
-        .alias("s"),
-        F.lag("y").over(lagw).alias("prev_y"),
-    ).where(F.col("prev_y").isNotNull())
-    nz = sgn.where(F.col("s") != 0).select(
-        "s", F.lag("s").over(Window.orderBy("day")).alias("prev")
-    )
-    fold = nz.agg(
-        (F.count(F.lit(1)) + 1).cast("bigint").alias("n"),
-        F.sum(
-            F.when(
-                F.col("prev").isNull() | (F.col("s") != F.col("prev")),
-                1,
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("runs"),
-    )
-    er = (2.0 * F.col("n") - 1.0) / 3.0
-    return fold.select(
-        F.col("n").alias("n_days_effective"),
-        F.col("runs").alias("n_monotone_runs"),
-        (F.round(er, 6) + 0.0).alias("expected_runs"),
-        (
-            F.round(
-                (F.col("runs") - er)
-                / F.sqrt((16.0 * F.col("n") - 29.0) / 90.0),
-                6,
-            )
-            + 0.0
-        ).alias("updown_runs_z"),
-    )
-
-
-PLAN_AUDIT_NOTES.update(
-    {
-        "updown_runs_test": (
-            "two lags over the calendar-day frame (the "
-            "difference_sign class)"
-        ),
-    }
-)
 
 
 # --------------------------------------------------------------------------
@@ -8405,6 +8314,192 @@ PLAN_AUDIT_NOTES.update(
     {
         "capability_cpm_ppk_panel": (
             "no window — (day) rollup + one fold"
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# Gel-Gastwirth robust Jarque-Bera on event values (restores the bank
+# to 49 after updown_runs_test was promoted at the round-18 flip)
+# --------------------------------------------------------------------------
+@register(
+    "robust_jarque_bera",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM events
+    ),
+    grid AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY x
+    ),
+    cum AS (
+        SELECT x,
+               SUM(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cc,
+               SUM(c) OVER () AS n
+        FROM grid
+    ),
+    med AS (
+        SELECT CAST(MIN(CASE WHEN 2 * cc >= n THEN x END)
+                    + MIN(CASE WHEN 2 * cc > n THEN x END)
+                    AS BIGINT) AS m2
+        FROM cum
+    ),
+    dev AS (
+        SELECT CAST(SUM(CAST(ABS(2 * v.x - med.m2)
+                             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS a2
+        FROM v CROSS JOIN med
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s1,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+                   AS s2,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * x)
+                    AS DECIMAL(38,0)) AS s3,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * x * x)
+                    AS DECIMAL(38,0)) AS s4
+        FROM v
+    ),
+    cm AS (
+        SELECT n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               CAST(s2 AS DOUBLE) / n AS r2,
+               CAST(s3 AS DOUBLE) / n AS r3,
+               CAST(s4 AS DOUBLE) / n AS r4,
+               CAST(med.m2 AS DOUBLE) AS m2x,
+               sqrt(pi() / 2.0) * (CAST(dev.a2 AS DOUBLE) / (2.0 * n))
+                   AS jj
+        FROM mom CROSS JOIN med CROSS JOIN dev
+    ),
+    fin AS (
+        SELECT n, m2x, jj,
+               r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+               r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                  - 3.0 * mu * mu * mu * mu AS m4
+        FROM cm
+    )
+    SELECT n AS n_events,
+           round(m2x / 200.0, 6) AS median_value,
+           round(jj / 100.0, 8) AS j_scale_value,
+           round(m3 / (jj * jj * jj), 9) + 0.0 AS robust_skew_j,
+           round(m4 / (jj * jj * jj * jj), 9) AS robust_kurt_j,
+           round(n / 6.0 * (m3 / (jj * jj * jj))
+                         * (m3 / (jj * jj * jj))
+                 + n / 64.0 * (m4 / (jj * jj * jj * jj) - 3.0)
+                            * (m4 / (jj * jj * jj * jj) - 3.0), 6)
+               AS robust_jarque_bera
+    FROM fin
+    """,
+)
+def robust_jarque_bera(spark, sf_dir):
+    """GEL-GASTWIRTH ROBUST JARQUE-BERA on event values — the robust
+    second opinion to `jarque_bera_normality` on the SAME series: the
+    classical JB standardizes the third/fourth central moments by the
+    sample sigma, so a handful of outliers inflate the denominator and
+    can MASK non-normality; RJB (Gel & Gastwirth 2008) replaces sigma
+    with J = sqrt(pi/2) * mean|x - median| (the MAAD estimate, Fisher-
+    consistent for sigma under normality) and re-weights the two terms
+    as RJB = n/6*(m3/J^3)^2 + n/64*(m4/J^4 - 3)^2 ~ chi2(2). The two
+    statistics AGREEING is the actual certificate (the bank's theme):
+    JB >> RJB says sigma inflation (outliers), RJB >> JB says the
+    center is non-Gaussian too.
+
+    Exactness: the median is the exact mid-pair order statistic from
+    one cents-grid cumulative (x_(k1) + x_(k2), carried doubled so it
+    stays integer); the absolute-deviation sum runs on 2x - m2 (exact
+    integers, DECIMAL(38,0) fold); the four power sums are the exact
+    integer folds of the JB query; all float algebra happens on the
+    1-row fold through one identical expression tree in both engines.
+    Plan: one value-grid cumulative, one broadcast-scalar deviation
+    pass, one hash aggregate, one fold."""
+    e = t(spark, sf_dir, "events")
+    x = (dec("value", 18, 2) * 100).cast("bigint")
+    pts = e.select(x.alias("x")).persist()
+    grid = pts.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = grid.select(
+        "x",
+        F.sum("c")
+        .over(
+            Window.orderBy("x").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    med = cum.agg(
+        (
+            F.min(F.when(2 * F.col("cc") >= F.col("n"), F.col("x")))
+            + F.min(F.when(2 * F.col("cc") > F.col("n"), F.col("x")))
+        )
+        .cast("bigint")
+        .alias("m2")
+    )
+    dev = (
+        pts.crossJoin(F.broadcast(med))
+        .agg(
+            F.sum(
+                F.abs(2 * F.col("x") - F.col("m2")).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("a2")
+        )
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(xd * F.col("x")).alias("s2"),
+        F.sum(xd * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(xd * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m3 = r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu
+    m4 = (
+        r4
+        - 4.0 * mu * r3
+        + 6.0 * mu * mu * r2
+        - 3.0 * mu * mu * mu * mu
+    )
+    jj = F.sqrt(F.lit(math.pi) / 2.0) * (
+        F.col("a2").cast("double") / (2.0 * n)
+    )
+    rs = m3 / (jj * jj * jj)
+    rk = m4 / (jj * jj * jj * jj)
+    return (
+        mom.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(dev))
+        .select(
+            n.alias("n_events"),
+            F.round(F.col("m2").cast("double") / 200.0, 6).alias(
+                "median_value"
+            ),
+            F.round(jj / 100.0, 8).alias("j_scale_value"),
+            (F.round(rs, 9) + 0.0).alias("robust_skew_j"),
+            F.round(rk, 9).alias("robust_kurt_j"),
+            F.round(
+                n / 6.0 * rs * rs + n / 64.0 * (rk - 3.0) * (rk - 3.0),
+                6,
+            ).alias("robust_jarque_bera"),
+        )
+    )
+
+
+PLAN_AUDIT_NOTES.update(
+    {
+        "robust_jarque_bera": (
+            "one cumulative over the cents value grid for the exact "
+            "median (the mean_excess_slope / dekkers class)"
         ),
     }
 )

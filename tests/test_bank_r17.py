@@ -56,19 +56,27 @@ def test_bank_is_fully_oracle_paired():
     assert len(bank_r17.BANK_QUERIES) >= 2
 
 
-def test_bank_is_live_and_fully_windowed():
-    # Post-flip invariants (round 17): every bank name registers live
-    # through plans.register, the module is in plans._MODULES, and the
-    # round-17 window is exactly the 50 bank names in registration
-    # order (49 staged in this bank + the promoted mean_excess_slope
-    # appended at flip time).
+def test_bank_is_live_and_was_windowed_green_in_r17():
+    # Round-17 flip, era-proofed after the r18 rotation (the same fix
+    # test_bank_r11..r16 got): every bank name registers live, the
+    # module is in plans._MODULES, and every flipped name has a GREEN
+    # official record in CORRECTNESS_r17.json — hash_match true (or a
+    # by-design no-oracle row), not mere key presence, per ADVICE r15:
+    # presence alone would also accept a hash-FAILED row.
     from celestrak_tle_data_pipeline_spark import plans
 
     live = set(plans.all_queries())
     assert set(bank_r17.BANK_QUERIES) <= live
     assert "bank_r17" in plans._MODULES
-    assert list(plans._PRIORITY) == list(bank_r17.BANK_QUERIES)
-    assert plans._PRIORITY[49] == "mean_excess_slope"
+    # Green-only (ADVICE r15), honoring the re-green protocol:
+    # a name red in its flip round is official once a LATER
+    # round's record is green (conftest.official_green).
+    from conftest import official_green
+
+    not_green = [
+        q for q in bank_r17.BANK_QUERIES if not official_green(q, 17)
+    ]
+    assert not not_green, f"r17 names without a green record: {not_green}"
     assert len(bank_r17.BANK_QUERIES) == 50
 
 

@@ -1,14 +1,18 @@
-"""Round-18 bank verification (plans/bank_r18.py — STAGED, not live).
+"""Round-18 bank verification (plans/bank_r18.py — LIVE since round 18).
 
-Each pre-staged query runs against its DuckDB oracle with EXACTLY the
+Each bank query runs against its DuckDB oracle with EXACTLY the
 driver-gate compare (`tools/check.py` norm/canon: row count, column
 set, order-insensitive value hash — including the float-marker norm
-that closes the r11 dtype blind spot), at two scale factors — so when
-round 18 flips the bank into the live registry the queries are already
-gate-green, and the no-new-debt invariant never sees them unverified.
+that closes the r11 dtype blind spot), at two scale factors — the same
+pre-flip discipline that verified it while staged, kept running
+post-flip so the whole set stays pinned independently of the registry
+window (the bank_r11..r17 protocol).
 
-Seeded in round 13 with the global-null/evidence-combination batch
-(mean-excess slope, ...); later rounds append.
+Seeded in round 13 with ``mean_excess_slope`` (promoted OUT at the
+round-17 flip into bank_r17's window; the bank was restored with
+``hodges_lehmann_walsh_ci``); the 50th name here is
+``updown_runs_test``, promoted from the round-19 bank at the round-18
+flip.
 """
 
 from __future__ import annotations
@@ -50,32 +54,34 @@ def test_bank_is_fully_oracle_paired():
     assert len(bank_r18.BANK_QUERIES) >= 2
 
 
-def test_bank_is_not_in_the_live_registry():
-    # Pre-flip discipline: a staged name must not collide with (or
-    # leak into) the live registry until round 18 flips the module
-    # into plans._MODULES — otherwise test_no_new_official_debt would
-    # see an oracle-paired name without an official correctness row.
+def test_bank_is_live_and_fully_windowed():
+    # Post-flip invariants (round 18): every bank name registers live
+    # through plans.register, the module is in plans._MODULES, and the
+    # round-18 window is exactly the 50 bank names in registration
+    # order (49 staged in this bank + the promoted updown_runs_test
+    # appended at flip time).
     from celestrak_tle_data_pipeline_spark import plans
 
     live = set(plans.all_queries())
-    assert not live & set(bank_r18.BANK_QUERIES)
-    assert "bank_r18" not in plans._MODULES
+    assert set(bank_r18.BANK_QUERIES) <= live
+    assert "bank_r18" in plans._MODULES
+    assert list(plans._PRIORITY) == list(bank_r18.BANK_QUERIES)
+    assert plans._PRIORITY[49] == "updown_runs_test"
+    assert len(bank_r18.BANK_QUERIES) == 50
 
 
 def test_bank_does_not_collide_with_other_staged_banks():
     from celestrak_tle_data_pipeline_spark.plans import (
-        bank_r14,
-        bank_r15,
         bank_r16,
         bank_r17,
+        bank_r19,
         next_window,
     )
 
     mine = set(bank_r18.BANK_QUERIES)
-    assert not mine & set(bank_r14.BANK_QUERIES)
-    assert not mine & set(bank_r15.BANK_QUERIES)
     assert not mine & set(bank_r16.BANK_QUERIES)
     assert not mine & set(bank_r17.BANK_QUERIES)
+    assert not mine & set(bank_r19.BANK_QUERIES)
     assert not mine & set(next_window.NEXT_QUERIES)
 
 

@@ -138,3 +138,38 @@ def test_detector_excludes_take_ordered_and_project():
         "   +- *(1) HashAggregate(keys=[a], functions=[])\n"
     )
     assert flagged_contexts(plan) == 0
+
+
+def test_detector_flags_cartesian_of_two_single_partitions():
+    # ADVICE r17: when BOTH children of a CartesianProduct are
+    # single-partition, the product is 1 x 1 = 1 and the Sort above
+    # genuinely rides a single partition — the walk must continue
+    # through the join instead of stopping (each of the two exchanges
+    # reaches the Sort, so the count is 2).
+    plan = (
+        "*(5) Sort [a ASC NULLS FIRST], false, 0\n"
+        "+- CartesianProduct\n"
+        "   :- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "   :  +- *(1) HashAggregate(keys=[], functions=[min(v)])\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "      +- *(2) HashAggregate(keys=[], functions=[max(v)])\n"
+    )
+    assert flagged_contexts(plan) == 2
+
+
+def test_detector_cartesian_single_side_still_stops_nested():
+    # The nested variant of the one-side case: a cartesian whose
+    # second child is itself a cartesian with one multi-partition
+    # child is NOT single-partition — the walk stops.
+    plan = (
+        "*(7) Sort [a ASC NULLS FIRST], false, 0\n"
+        "+- CartesianProduct\n"
+        "   :- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "   :  +- *(1) HashAggregate(keys=[], functions=[min(v)])\n"
+        "   +- CartesianProduct\n"
+        "      :- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "      :  +- *(2) HashAggregate(keys=[], functions=[max(v)])\n"
+        "      +- Exchange hashpartitioning(k#1L, 32)\n"
+        "         +- *(3) Project [k#1L]\n"
+    )
+    assert flagged_contexts(plan) == 0

@@ -249,15 +249,18 @@ _CODEGEN = re.compile(r"^\*\(\d+\) ")
 # resets the distribution, a broadcast side never carries the probe
 # partitioning, a Union's output is multi-partition, and a
 # CartesianProduct's partition count is the PRODUCT of its children's
-# (single-partition-ness of one child does not propagate). Matched by
-# operator-name PREFIX on the codegen-stripped node text (ADVICE r16:
-# substring matching would stop on any node merely MENTIONING
-# Exchange) — which is why BroadcastExchange/BroadcastQueryStage,
-# previously caught by the 'Exchange' substring, are listed
-# explicitly. Hash/merge joins are deliberately NOT stop nodes: their
-# shuffled inputs already interpose an Exchange/ShuffleQueryStage
-# ancestor, and the probe side of a broadcast join DOES carry its
-# partitioning upward.
+# (single-partition-ness of one child alone does not propagate — but
+# ADVICE r17: when EVERY child is single-partition the product is
+# 1 x 1 = 1 and the cartesian's output genuinely rides a single
+# partition, so the walk detects that case via _heads_single and
+# continues upward instead of stopping). Matched by operator-name
+# PREFIX on the codegen-stripped node text (ADVICE r16: substring
+# matching would stop on any node merely MENTIONING Exchange) — which
+# is why BroadcastExchange/BroadcastQueryStage, previously caught by
+# the 'Exchange' substring, are listed explicitly. Hash/merge joins
+# are deliberately NOT stop nodes: their shuffled inputs already
+# interpose an Exchange/ShuffleQueryStage ancestor, and the probe side
+# of a broadcast join DOES carry its partitioning upward.
 _STOP = (
     "Exchange",
     "BroadcastExchange",
@@ -269,10 +272,66 @@ _STOP = (
 )
 
 
+def _parse_tree(plan: str) -> list[dict]:
+    """Parse a physical-plan string into a node list with parent and
+    children links, using the same indentation-depth convention as the
+    ancestor walk (3-char scaffold cells)."""
+    nodes: list[dict] = []
+    stack: list[int] = []  # indices of open ancestors
+    for line in plan.splitlines():
+        m = _SCAFFOLD.match(line)
+        prefix, content = m.group(1), m.group(2)
+        if not content.strip():
+            continue
+        depth = len(prefix) // 3
+        while stack and nodes[stack[-1]]["depth"] >= depth:
+            stack.pop()
+        idx = len(nodes)
+        nodes.append(
+            {
+                "depth": depth,
+                "content": content,
+                "parent": stack[-1] if stack else None,
+                "children": [],
+            }
+        )
+        if stack:
+            nodes[stack[-1]]["children"].append(idx)
+        stack.append(idx)
+    return nodes
+
+
+def _heads_single(nodes: list[dict], idx: int) -> bool:
+    """Does the subtree rooted at ``idx`` OUTPUT a single partition?
+    Descend through narrow (single-child) operators to the partition-
+    determining head: Exchange SinglePartition -> True; any other
+    distribution-resetting stop node -> False; a nested
+    CartesianProduct -> True iff EVERY child heads single (the
+    1 x 1 = 1 case); a multi-child join or a leaf scan -> False
+    (conservative: joins interpose their own exchanges, scans are
+    multi-partition at any real size)."""
+    cur = idx
+    while True:
+        c = _CODEGEN.sub("", nodes[cur]["content"])
+        if "Exchange SinglePartition" in c:
+            return True
+        if c.startswith("CartesianProduct"):
+            kids = nodes[cur]["children"]
+            return bool(kids) and all(
+                _heads_single(nodes, k) for k in kids
+            )
+        if c.startswith(_STOP):
+            return False
+        kids = nodes[cur]["children"]
+        if len(kids) != 1:
+            return False
+        cur = kids[0]
+
+
 def flagged_contexts(plan: str) -> int:
     """Count Exchange SinglePartition nodes whose single-partition
     output feeds a Window or a Sort (TakeOrderedAndProject excluded),
-    by walking the plan-tree ANCESTOR chain via indentation depth.
+    by walking the plan-tree ANCESTOR chain.
 
     Replaces the round-7 500-char textual-context heuristic, which was
     order-dependent: plan-string expression ids grow with session age,
@@ -284,30 +343,33 @@ def flagged_contexts(plan: str) -> int:
     propagates through every narrow operator and the probe side of
     broadcast joins — until another Exchange / ShuffleQueryStage /
     AQEShuffleRead / Union resets the distribution; flag if a Window
-    or Sort is reached first.
+    or Sort is reached first. A CartesianProduct stops the walk UNLESS
+    every one of its children heads a single-partition subtree
+    (ADVICE r17: 1 x 1 = 1 — a Sort/Window above such a join genuinely
+    rides one partition, so the walk continues through it).
     """
+    nodes = _parse_tree(plan)
     n = 0
-    stack: list[tuple[int, str]] = []  # (depth, node text) ancestors
-    for line in plan.splitlines():
-        m = _SCAFFOLD.match(line)
-        prefix, content = m.group(1), m.group(2)
-        if not content.strip():
+    for node in nodes:
+        if "Exchange SinglePartition" not in node["content"]:
             continue
-        depth = len(prefix) // 3
-        while stack and stack[-1][0] >= depth:
-            stack.pop()
-        if "Exchange SinglePartition" in content:
-            for _, anc in reversed(stack):
-                name = _CODEGEN.sub("", anc)
-                if name.startswith("Window"):
-                    n += 1
-                    break
-                if name.startswith("Sort ") and "TakeOrdered" not in name:
-                    n += 1
-                    break
-                if name.startswith(_STOP):
-                    break
-        stack.append((depth, content))
+        anc = node["parent"]
+        while anc is not None:
+            name = _CODEGEN.sub("", nodes[anc]["content"])
+            if name.startswith("Window"):
+                n += 1
+                break
+            if name.startswith("Sort ") and "TakeOrdered" not in name:
+                n += 1
+                break
+            if name.startswith("CartesianProduct") and _heads_single(
+                nodes, anc
+            ):
+                anc = nodes[anc]["parent"]
+                continue
+            if name.startswith(_STOP):
+                break
+            anc = nodes[anc]["parent"]
     return n
 
 
