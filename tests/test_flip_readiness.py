@@ -107,3 +107,22 @@ def test_every_staged_query_has_a_survey_row(mod_name):
     assert not missing, (
         f"{mod_name} queries with no SURVEY.md row: {sorted(missing)}"
     )
+
+
+@pytest.mark.parametrize("mod_name", _staged_bank_modules())
+def test_staged_oracles_have_driver_safe_types(mod_name):
+    """Round-18 lesson: five bank_r18 oracles reached their flip round
+    with uncast window-SUM counts (DuckDB HUGEINT) because
+    ``tools/audit_oracle_types.py`` only ever audited LIVE oracles —
+    the hazard surfaced on first live contact instead of at authoring.
+    Every staged oracle must pass the same driver-canonicalizer type
+    audit (``--module`` mode) before its flip round."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(ROOT / "tools"))
+    from audit_oracle_types import main as audit_main
+
+    assert audit_main(["--module", mod_name]) == 0, (
+        f"{mod_name}: staged oracles with driver-unsafe result types "
+        f"(run python tools/audit_oracle_types.py --module {mod_name})"
+    )

@@ -103,13 +103,29 @@ SAFE = {
 def main(argv):
     import duckdb
 
-    import __spark_entry__ as e
-
     cross = "--cross" in argv
     argv = [a for a in argv if a != "--cross"]
-    oracles = e.oracle_sql()
+    if argv and argv[0] == "--module":
+        # Staged-bank sweep (round-18 lesson: five bank_r18 oracles
+        # reached their flip round with uncast window-SUM counts —
+        # HUGEINT — because this audit only ever saw LIVE oracles).
+        # ``--module bank_rN`` audits a staged bank's BANK_ORACLES so
+        # the hazard is caught at authoring time, not at the flip.
+        import importlib
+
+        mod = importlib.import_module(
+            f"celestrak_tle_data_pipeline_spark.plans.{argv[1]}"
+        )
+        oracles = dict(mod.BANK_ORACLES)
+        queries = dict(mod.BANK_QUERIES)
+        argv = argv[2:]
+    else:
+        import __spark_entry__ as e
+
+        oracles = e.oracle_sql()
+        queries = e.queries() if cross else None
     names = argv or sorted(oracles)
-    qs = e.queries() if cross else None
+    qs = queries if cross else None
     spark = None
     if cross:
         from celestrak_tle_data_pipeline_spark.session import get_spark
