@@ -41,14 +41,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # self-annotating about box noise: an official warm total inside or
 # near this envelope with loadavg_start high is contention, not a
 # regression — without cross-reading SCALING.md.
-# ADVICE r17: the bracket is rounded OUTWARD so every observed idle
-# run sits inside it (warm 2.999 / cold 39.66 were recorded in run c
-# of the r17 close; [3.00, 39.7] would read those in-family runs as
-# outside the envelope).
+# Rounded OUTWARD so every observed clean idle run sits inside it
+# (ADVICE r17). Round-18 lesson: guest loadavg is a NECESSARY but not
+# SUFFICIENT idleness signal — two r18-close runs at loadavg 0.00-0.06
+# ran 13-34% slow from hypervisor-level contention (no local process;
+# the guest can't see the host); the cold-phase total is the detector
+# (cold >> the clean 37-42 s family means the host was busy, not the
+# engine slower). See SCALING.md round-18 close for the run ledger.
 IDLE_BRACKET = {
-    "round": 17,
-    "warm_sec": [2.99, 3.24],
-    "cold_sec": [39.6, 43.0],
+    "round": 18,
+    "warm_sec": [2.77, 3.15],
+    "cold_sec": [37.3, 41.8],
 }
 
 # Headline set: the flagship + one representative per operator family
