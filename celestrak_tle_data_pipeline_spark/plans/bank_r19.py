@@ -7163,6 +7163,33 @@ def _harmonic_col(k):
     return out
 
 
+# pi^2/6, and the exact 21-entry generalized-harmonic H2 table
+# (H2_j = sum_{k<=j} 1/k^2); beyond 20 the trigamma Euler-Maclaurin
+# series psi'(j+1) = 1/x + 1/(2x^2) + 1/(6x^3) - 1/(30x^5) closes it
+# as H2_j = pi^2/6 - psi'(j+1) (the same table+series pattern as
+# _harmonic_col above). Moved here from bank_r20 at the round-18
+# close: its one consumer, moran_log_spacings, is bank_r20's OLDEST
+# query — the round-19 flip's promotion candidate — and bank_r20
+# already imports this bank's _harmonic_col, so hosting the device
+# here keeps the promotion cycle-free (the _DAILY_SQL precedent).
+_PI2_6 = 1.6449340668482264
+_H2_20 = [0.0, 1.0, 1.25, 1.3611111111111112, 1.4236111111111112, 1.4636111111111112, 1.4913888888888889, 1.511797052154195, 1.527422052154195, 1.5397677311665408, 1.5497677311665408, 1.558032193976458, 1.5649766384209025, 1.5708937981842162, 1.5759958390005426, 1.580440283444987, 1.584346533444987, 1.587806741057444, 1.5908931608105303, 1.5936632439130234, 1.5961632439130233]
+
+
+def _harmonic2_col(j):
+    """H2_j = sum_{k=1..j} 1/k^2 as a Column (table + series)."""
+    x = (j + 1).cast("double")
+    out = _PI2_6 - (
+        1.0 / x
+        + 1.0 / (2.0 * x * x)
+        + 1.0 / (6.0 * x * x * x)
+        - 1.0 / (30.0 * x * x * x * x * x)
+    )
+    for i in range(20, -1, -1):
+        out = F.when(j == i, F.lit(_H2_20[i])).otherwise(out)
+    return out
+
+
 @register(
     "savage_scores_location",
     oracle="""
