@@ -69,6 +69,11 @@ def decode_assets(assets: DataFrame) -> DataFrame:
     checksum is the md5-derived 60-bit digest. Plan shape is identical
     either way: one narrow Arrow pass over the scan.
     """
+    # mapInPandas ships EVERY input column through Arrow — Spark cannot
+    # see which columns the kernel touches, so unused ones (the meta
+    # map) would cross the Python boundary and defeat column pruning at
+    # the scan. Project to exactly the kernel's inputs first.
+    assets = assets.select("asset_id", "media_type", "payload")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -100,6 +105,10 @@ def sample_frames(
     Arrow batch out (row expansion inside the map, no shuffle, no
     explode of a materialized array of frames).
     """
+
+    # Project to the kernel's inputs before the Python boundary
+    # (mapInPandas ships all input columns; see decode_assets).
+    assets = assets.select("asset_id", "payload")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -174,6 +183,10 @@ def resize_assets(assets: DataFrame, width: int = 32, height: int = 32) -> DataF
     """
     target = width * height
 
+    # Project to the kernel's inputs before the Python boundary
+    # (mapInPandas ships all input columns; see decode_assets).
+    assets = assets.select("asset_id", "payload")
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             resized = pdf["payload"].map(
@@ -211,6 +224,10 @@ def resize_ppm_assets(
 
     Scale: one narrow Arrow pass; payloads never shuffle; chaining
     resize → decode stays a single mapInPandas pipeline stage."""
+
+    # Project to the kernel's inputs before the Python boundary
+    # (mapInPandas ships all input columns; see decode_assets).
+    assets = assets.select("asset_id", "payload")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -287,6 +304,10 @@ def decode_ppm_assets(assets: DataFrame) -> DataFrame:
     over the scan, payloads never shuffle, output is skinny scalars.
     """
 
+    # Project to the kernel's inputs before the Python boundary
+    # (mapInPandas ships all input columns; see decode_assets).
+    assets = assets.select("asset_id", "payload")
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -355,6 +376,10 @@ def decode_wav_assets(assets: DataFrame) -> DataFrame:
     Same scale contract as every kernel here: one narrow Arrow pass
     over the scan, payloads never shuffle, output is skinny scalars.
     """
+
+    # Project to the kernel's inputs before the Python boundary
+    # (mapInPandas ships all input columns; see decode_assets).
+    assets = assets.select("asset_id", "payload")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -429,6 +454,10 @@ def demux_y4m_assets(assets: DataFrame) -> DataFrame:
     Scale: one narrow Arrow pass; payloads never shuffle; output is
     skinny scalars, one row per frame.
     """
+
+    # Project to the kernel's inputs before the Python boundary
+    # (mapInPandas ships all input columns; see decode_assets).
+    assets = assets.select("asset_id", "payload")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -522,6 +551,10 @@ def y4m_scene_stats_assets(assets: DataFrame) -> DataFrame:
     previous-frame state lives inside the per-asset loop (frames of
     one asset never split across batches because each input ROW is one
     whole asset)."""
+
+    # Project to the kernel's inputs before the Python boundary
+    # (mapInPandas ships all input columns; see decode_assets).
+    assets = assets.select("asset_id", "payload")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -2379,23 +2379,66 @@ def referential_integrity_audit(spark, sf_dir):
     the events edge does NOT, which is why event queries never inner-
     join customer without saying so).
 
-    Each check is a broadcast LEFT ANTI join count (dim side is
-    small); the child tables scan ONCE per edge with only the FK
-    column read (column pruning), and the 7-row result is
-    relationship-grain. Orphan rate is reported as integer ppm —
-    no float in the comparison surface."""
-    results = []
-    for fk, child, fkcol, parent, pk in _RI_CHECKS:
-        ch = t(spark, sf_dir, child).select(F.col(fkcol).alias("__fk"))
-        pa = t(spark, sf_dir, parent).select(F.col(pk).alias("__pk"))
-        n_child = ch.count()
-        n_orphans = ch.join(
-            F.broadcast(pa), ch["__fk"] == pa["__pk"], "left_anti"
-        ).count()
-        results.append((fk, n_child, n_orphans))
-    out = spark.createDataFrame(
-        results, "fk string, n_child long, n_orphans long"
-    )
+    The whole audit is ONE lazy plan instead of 14 sequential
+    driver-blocking actions (2 per edge: COUNT + anti-join COUNT;
+    guide §5 — no driver loops in query paths), and every child table
+    scans exactly ONCE — all of its outgoing edges are checked in the
+    same pass (guide §1.2: remove whole passes; lineitem, the 100 TB
+    fact, carried three separate scans before). Per child table: scan
+    the FK columns, LEFT OUTER JOIN the broadcast DISTINCT key set of
+    each edge's parent, aggregate to (COUNT(*), COUNT(pk_i IS NULL)
+    per edge), then ``stack`` the single row back to edge grain. The
+    DISTINCT on each broadcast side makes every outer join provably
+    row-preserving for ANY data, so COUNT(pk_i IS NULL) equals the
+    NOT-EXISTS orphan count exactly (a NULL fk never matches either
+    engine's predicate → orphan in both), and COUNT(*) is unchanged
+    through the join chain. The 5 child branches union into one job
+    whose branches run concurrently (guide §2.6). Orphan rate is
+    reported as integer ppm — no float in the comparison surface."""
+    by_child: dict[str, list] = {}
+    for edge in _RI_CHECKS:
+        by_child.setdefault(edge[1], []).append(edge)
+    branches = []
+    for child, edges in by_child.items():
+        ch = t(spark, sf_dir, child).select(
+            *dict.fromkeys(e[2] for e in edges)
+        )
+        for i, (fk, _c, fkcol, parent, pk) in enumerate(edges):
+            pa = (
+                t(spark, sf_dir, parent)
+                .select(F.col(pk).alias(f"__pk_{i}"))
+                .distinct()
+            )
+            ch = ch.join(
+                F.broadcast(pa),
+                ch[fkcol] == pa[f"__pk_{i}"],
+                "left",
+            )
+        agg = ch.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            *[
+                F.count(
+                    F.when(F.col(f"__pk_{i}").isNull(), 1)
+                ).alias(f"__orph_{i}")
+                for i in range(len(edges))
+            ],
+        )
+        stack_args = ", ".join(
+            "'{}', __orph_{}".format(e[0].replace("'", ""), i)
+            for i, e in enumerate(edges)
+        )
+        branches.append(
+            agg.select(
+                F.expr(
+                    f"stack({len(edges)}, {stack_args}) "
+                    "AS (fk, n_orphans)"
+                ),
+                "n_child",
+            ).select("fk", "n_child", "n_orphans")
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
     return out.select(
         "fk",
         "n_child",

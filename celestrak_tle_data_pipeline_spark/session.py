@@ -12,6 +12,22 @@ Scale notes (100 TB design):
 - shuffle partitions default to the local core count; on a real cluster
   this is overridden to ~2-3x total cores (or left to AQE coalescing
   with a high initial value).
+- ``SPARK_GRAFT_SPARK_CONF`` (optimization round 18): scale-dependent
+  settings stay PARAMETERIZED rather than baked in as local[32]-tuned
+  constants (guide §2/§9 — a config win that only makes sense at one
+  scale is not a win). The env var carries ``key=value`` pairs
+  separated by ``;`` and is applied last, so a cluster deployment can
+  set e.g.::
+
+      SPARK_GRAFT_SPARK_CONF="spark.sql.join.preferSortMergeJoin=false;
+      spark.sql.files.maxPartitionBytes=1g;
+      spark.io.compression.codec=zstd;
+      spark.sql.adaptive.advisoryPartitionSizeInBytes=256m"
+
+  (the guide §9 cluster baseline: allow shuffled-hash joins, big
+  sequential scan splits, zstd shuffle compression, 256 MB post-AQE
+  partitions) without changing the local bench defaults the driver's
+  cross-round comparison depends on. Empty/absent = no change.
 """
 
 from __future__ import annotations
@@ -19,6 +35,19 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+
+
+def _env_conf_pairs(raw: str) -> list[tuple[str, str]]:
+    """Parse ``SPARK_GRAFT_SPARK_CONF``: ``key=value`` pairs separated
+    by ``;`` (whitespace-tolerant, malformed fragments skipped)."""
+    out = []
+    for pair in raw.split(";"):
+        pair = pair.strip()
+        if pair and "=" in pair:
+            k, _, v = pair.partition("=")
+            if k.strip():
+                out.append((k.strip(), v.strip()))
+    return out
 
 
 def get_spark(
@@ -58,6 +87,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    # Parameterized scale overrides (see module docstring): applied
+    # after every default so a cluster run can retune without a code
+    # change; absent/empty in the driver's local bench environment.
+    for k, v in _env_conf_pairs(
+        os.environ.get("SPARK_GRAFT_SPARK_CONF", "")
+    ):
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
