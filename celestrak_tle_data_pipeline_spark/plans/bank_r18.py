@@ -55,7 +55,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import register as _live_register
-from .common import dec, t
+from .common import dec, prefix_offsets, t
 
 BANK_QUERIES: dict = {}
 BANK_ORACLES: dict = {}
@@ -2060,11 +2060,33 @@ def kakwani_discount_progressivity(spark, sf_dir):
     (2*sum w_g*(2*head+c+1) folds in DECIMAL(38,0)); discount
     amounts stay in exact cent-basis-point integers (cents * bp, no
     division anywhere); ranks never materialize at line grain.
-    Plan: one price-grid rollup, one domain-bounded grid
-    cumulative, one fold."""
+    Plan: one price-grid rollup, one RANGED grid cumulative, one
+    fold.
+
+    Scale (r18 optimization): the price grid is near-unique per line
+    at bench SFs (583k distinct of 600k rows at sf0.1) and grows
+    linearly with volume until the cents domain saturates, so the
+    original global ``Window.orderBy(v)`` exclusive-prefix cumulative
+    (plus three whole-frame window sums) pushed the whole grid
+    through ONE task. The exclusive prefix count now rides a
+    FIXED-WIDTH VALUE-BUCKET cumulative: pid = v div W with W a
+    domain-derived constant (16384 cents ≈ a few hundred buckets over
+    the TPC-H price domain at saturation), per-bucket exclusive
+    window hash-partitioned on pid, earlier-bucket offsets via
+    ``prefix_offsets`` broadcast. Unlike repartitionByRange this
+    needs no boundary-sampling pass (which re-runs the rollup) and
+    no persist; unlike the global window nothing single-tasks — each
+    bucket carries ≤ W/price-step grid rows at any data volume. The
+    grid totals (n, sx, sd) are one scalar aggregate broadcast
+    instead of whole-frame windows. Identical exact integers: BIGINT
+    partial sums are order-independent, head = in-bucket exclusive
+    prefix + earlier-bucket offset reproduces the global exclusive
+    prefix bit-for-bit; measured value-identical to the window
+    formulation at sf0.1 and oracle-green at all three SFs."""
     li = t(spark, sf_dir, "lineitem")
     x = (dec("l_extendedprice", 18, 2) * 100).cast("bigint")
     bp = (dec("l_discount", 6, 2) * 100).cast("bigint")
+    bucket_w = 16384  # cents per bucket; domain-derived constant
     grid = (
         li.select(x.alias("x"), (x * bp).alias("d"))
         .groupBy(F.col("x").alias("v"))
@@ -2073,35 +2095,39 @@ def kakwani_discount_progressivity(spark, sf_dir):
             F.sum("x").cast("bigint").alias("tx"),
             F.sum("d").cast("bigint").alias("td"),
         )
+        .withColumn("pid", F.floor(F.col("v") / bucket_w))
     )
-    cum = grid.select(
-        "v",
+    counts = grid.groupBy("pid").agg(
+        F.sum("c").cast("bigint").alias("pn")
+    )
+    offsets = prefix_offsets(counts, {"offset": "pn"})
+    tot = grid.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("tx").cast("bigint").alias("sx"),
+        F.sum("td").cast("bigint").alias("sd"),
+    )
+    local_head = F.sum("c").over(
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.join(F.broadcast(offsets), "pid").select(
         "c",
         "tx",
         "td",
-        F.sum("c")
-        .over(
-            Window.orderBy("v").rowsBetween(
-                Window.unboundedPreceding, -1
-            )
-        )
-        .alias("head"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
-        F.sum("tx").over(Window.partitionBy()).alias("sx"),
-        F.sum("td").over(Window.partitionBy()).alias("sd"),
+        (F.coalesce(local_head, F.lit(0)) + F.col("offset")).alias(
+            "head"
+        ),
     )
     r2 = 2 * F.coalesce(F.col("head"), F.lit(0)) + F.col("c") + 1
     fold = cum.agg(
-        F.max("n").alias("n"),
-        F.max("sx").alias("sx"),
-        F.max("sd").alias("sd"),
         F.sum(F.col("tx").cast("decimal(38,0)") * r2)
         .cast("decimal(38,0)")
         .alias("two_ix"),
         F.sum(F.col("td").cast("decimal(38,0)") * r2)
         .cast("decimal(38,0)")
         .alias("two_id"),
-    )
+    ).crossJoin(F.broadcast(tot))
     gx = (
         F.col("two_ix").cast("double")
         - (F.col("n") + 1) * F.col("sx").cast("double")
@@ -2247,53 +2273,91 @@ def reynolds_smolensky_redistribution(spark, sf_dir):
     tie-aware midrank identity in DECIMAL(38,0); C_post|pre ranks
     post amounts by the PRE grid (ties in pre share a midrank, the
     concentration-index convention). Plan: two grid rollups, two
-    domain-bounded grid cumulatives, two folds, one broadcast
-    join."""
+    RANGED grid cumulatives, two folds, two broadcast joins.
+
+    Scale (r18 optimization, the kakwani rewrite's twin): both price
+    grids are near-unique per line at bench SFs and grow linearly
+    with volume until the cents-basis-point domain saturates, so the
+    original global ``Window.orderBy(v)`` cumulatives (plus three
+    whole-frame window sums) single-tasked the full grids. Both
+    exclusive prefix counts now ride the fixed-width value-bucket
+    cumulative (pid = v div W, in-bucket exclusive window +
+    ``prefix_offsets`` broadcast — see kakwani for the device notes;
+    W here scales by the 10^4 basis-point factor both grids carry),
+    totals are one scalar aggregate broadcast — no single-partition
+    exchange in the plan; identical exact integers
+    (order-independent BIGINT/DECIMAL sums, head = in-bucket
+    exclusive prefix + earlier-bucket offset)."""
     li = t(spark, sf_dir, "lineitem")
     cents = (dec("l_extendedprice", 18, 2) * 100).cast("bigint")
     bp = (dec("l_discount", 6, 2) * 100).cast("bigint")
+    bucket_w = 16384 * 10000  # cents-bp units per bucket
     pts = li.select(
         (cents * 10000).alias("pre"),
         (cents * (10000 - bp)).alias("post"),
     ).persist()
-    ew = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, -1
+    local_head = F.sum("c").over(
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    pre_grid = pts.groupBy(F.col("pre").alias("v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("c"),
-        F.sum("pre").cast("bigint").alias("tpre"),
-        F.sum("post").cast("bigint").alias("tpost"),
+    pre_grid = (
+        pts.groupBy(F.col("pre").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("pre").cast("bigint").alias("tpre"),
+            F.sum("post").cast("bigint").alias("tpost"),
+        )
+        .withColumn("pid", F.floor(F.col("v") / bucket_w))
     )
-    pre_cum = pre_grid.select(
-        "v",
+    pre_off = prefix_offsets(
+        pre_grid.groupBy("pid").agg(
+            F.sum("c").cast("bigint").alias("pn")
+        ),
+        {"offset": "pn"},
+    )
+    tot = pre_grid.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("tpre").cast("bigint").alias("s_pre"),
+        F.sum("tpost").cast("bigint").alias("s_post"),
+    )
+    pre_cum = pre_grid.join(F.broadcast(pre_off), "pid").select(
         "c",
         "tpre",
         "tpost",
-        F.sum("c").over(ew).alias("head"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
-        F.sum("tpre").over(Window.partitionBy()).alias("s_pre"),
-        F.sum("tpost").over(Window.partitionBy()).alias("s_post"),
+        (F.coalesce(local_head, F.lit(0)) + F.col("offset")).alias(
+            "head"
+        ),
     )
     r2 = 2 * F.coalesce(F.col("head"), F.lit(0)) + F.col("c") + 1
     pre_fold = pre_cum.agg(
-        F.max("n").alias("n"),
-        F.max("s_pre").alias("s_pre"),
-        F.max("s_post").alias("s_post"),
         F.sum(F.col("tpre").cast("decimal(38,0)") * r2)
         .cast("decimal(38,0)")
         .alias("two_ipre"),
         F.sum(F.col("tpost").cast("decimal(38,0)") * r2)
         .cast("decimal(38,0)")
         .alias("two_ipost_bypre"),
+    ).crossJoin(F.broadcast(tot))
+    post_grid = (
+        pts.groupBy(F.col("post").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum("post").cast("bigint").alias("tpost"),
+        )
+        .withColumn("pid", F.floor(F.col("v") / bucket_w))
     )
-    post_grid = pts.groupBy(F.col("post").alias("v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("c"),
-        F.sum("post").cast("bigint").alias("tpost"),
+    post_off = prefix_offsets(
+        post_grid.groupBy("pid").agg(
+            F.sum("c").cast("bigint").alias("pn")
+        ),
+        {"offset": "pn"},
     )
-    post_cum = post_grid.select(
+    post_cum = post_grid.join(F.broadcast(post_off), "pid").select(
         "c",
         "tpost",
-        F.sum("c").over(ew).alias("head"),
+        (F.coalesce(local_head, F.lit(0)) + F.col("offset")).alias(
+            "head"
+        ),
     )
     post_fold = post_cum.agg(
         F.sum(F.col("tpost").cast("decimal(38,0)") * r2)
@@ -2968,12 +3032,19 @@ def dagum_gini_decomposition(spark, sf_dir):
 PLAN_AUDIT_NOTES.update(
     {
         "kakwani_discount_progressivity": (
-            "one exclusive-prefix midrank cumulative over the price "
-            "grid (the watts_sen_poverty class)"
+            "INFO: no single-partition window since the r18 "
+            "optimization rewrite — the price-grid exclusive prefix "
+            "rides the fixed-width value-bucket device (pid = v div "
+            "W, per-bucket window + prefix_offsets broadcast) and "
+            "the grid totals are a scalar-agg broadcast; note kept "
+            "for the history, excluded from the effective allowlist"
         ),
         "reynolds_smolensky_redistribution": (
-            "two exclusive-prefix midrank cumulatives (pre and post "
-            "grids — the kakwani class)"
+            "INFO: no single-partition window since the r18 "
+            "optimization rewrite — both grid cumulatives (pre and "
+            "post) ride the fixed-width value-bucket device (the "
+            "kakwani twin); note kept for the history, excluded "
+            "from the effective allowlist"
         ),
         "qq_tail_estimator": (
             "one descending cumulative over the cents grid + 100-row "
