@@ -48,10 +48,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the guest can't see the host); the cold-phase total is the detector
 # (cold >> the clean 37-42 s family means the host was busy, not the
 # engine slower). See SCALING.md round-18 close for the run ledger.
+# Round-18 OPTIMIZATION update: the bracket below is the
+# post-optimization family (three settled runs, warm 2.33-2.45 / cold
+# 34.5-37.7, loadavg_1m_start 0.02-0.88) — the referential audit's
+# construction-time driver loop moved into the lazy plan (cold -3 s)
+# and its local-RDD warm pass became a reused-stage union pass
+# (warm -0.26 s); see OPTIMIZATION_r18.md. The pre-optimization r18
+# bracket was warm [2.77, 3.15] / cold [37.3, 41.8] on a faster box.
 IDLE_BRACKET = {
     "round": 18,
-    "warm_sec": [2.77, 3.15],
-    "cold_sec": [37.3, 41.8],
+    "warm_sec": [2.32, 2.46],
+    "cold_sec": [34.5, 37.8],
 }
 
 # Headline set: the flagship + one representative per operator family
