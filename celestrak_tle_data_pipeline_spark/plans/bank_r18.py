@@ -355,8 +355,18 @@ def dkw_band_lognormal_check(spark, sf_dir):
 
     Exactness: mu/sigma are 10-dp rounded log-moment folds; ECDF
     counts are exact on the cents grid; the sup is an order-free
-    MAX of 12-dp rounded terms. Plan: one fold, one grid
-    cumulative, one fold."""
+    MAX of 12-dp rounded terms. Plan: one fold, one RANGED grid
+    cumulative, one fold.
+
+    Scale (r18 optimization): the order-value cents grid is
+    near-unique per order and grows with volume (the kakwani mover
+    class), so the global ``Window.orderBy(v)`` ECDF cumulative +
+    whole-frame n single-tasked the grid. The inclusive prefix now
+    rides the fixed-width value-bucket device (pid = v div W, W a
+    domain constant — the o_totalprice cents domain saturates like
+    the kakwani price grid), in-bucket window + ``prefix_offsets``
+    broadcast; n is a scalar-agg broadcast. head/f values are
+    bit-identical (exact BIGINT sums, order-independent)."""
     o = t(spark, sf_dir, "orders")
     cents = (dec("o_totalprice", 18, 2) * 100).cast("bigint")
     pts = o.select(
@@ -396,17 +406,28 @@ def dkw_band_lognormal_check(spark, sf_dir):
     grid = pts.groupBy("v").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    cum = grid.select(
-        "v",
-        F.sum("c")
-        .over(
-            Window.orderBy("v").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
+    # fixed bucket width: the o_totalprice cents domain saturates like
+    # the kakwani price grid, so W is a domain-derived constant (~850
+    # buckets at saturation) and no bounds pass is needed
+    gb = grid.withColumn("pid", F.expr("v div 65536"))
+    offsets = prefix_offsets(
+        gb.groupBy("pid").agg(F.sum("c").cast("bigint").alias("pn")),
+        {"offset": "pn"},
+    )
+    tot = gb.agg(F.sum("c").cast("bigint").alias("n"))
+    local_f = F.sum("c").over(
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        gb.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            (local_f + F.col("offset")).cast("bigint").alias("f"),
+            "n",
         )
-        .cast("bigint")
-        .alias("f"),
-        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
     )
     z = (F.log(F.col("v") / 100000.0) - F.col("mu")) / F.col("sig")
     x = F.abs(z) / 1.4142135623730951
@@ -467,8 +488,11 @@ def dkw_band_lognormal_check(spark, sf_dir):
 PLAN_AUDIT_NOTES.update(
     {
         "dkw_band_lognormal_check": (
-            "one cumulative over the cents value grid for the exact "
-            "ECDF (the lilliefors / moods class)"
+            "INFO: no single-partition window since the r18 "
+            "optimization rewrite — the ECDF cumulative rides the "
+            "bounds-derived value-bucket device (kakwani twin); note "
+            "kept for the history, excluded from the effective "
+            "allowlist"
         ),
     }
 )
@@ -1898,23 +1922,45 @@ def relative_distribution_mrp(spark, sf_dir):
         .cast("bigint")
         .alias("c2"),
     )
-    cum = grid.select(
+    # r18 optimization: the merged spend grid is customer-grain (grows
+    # with the customer base), so the global Window.orderBy(v) ECDF
+    # cumulative + two whole-frame sums single-tasked it. Value-bucket
+    # device, bounds-derived width (see dkw_band_lognormal_check):
+    # identical exact integers, no single-partition exchange.
+    bounds = grid.agg(
+        F.min("v").alias("vmin"),
+        (
+            F.floor((F.max("v") - F.min("v")) / 1024) + 1
+        ).cast("bigint").alias("w"),
+    )
+    gb = grid.crossJoin(F.broadcast(bounds)).select(
         "v",
+        "c1",
         "c2",
-        F.sum("c1")
-        .over(
-            Window.orderBy("v").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
+        F.expr("(v - vmin) div w").alias("pid"),
+    )
+    offsets = prefix_offsets(
+        gb.groupBy("pid").agg(F.sum("c1").cast("bigint").alias("pn")),
+        {"offset": "pn"},
+    )
+    tot = gb.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    local_cr1 = F.sum("c1").over(
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        gb.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c2",
+            (local_cr1 + F.col("offset")).cast("bigint").alias("cr1"),
+            "n1",
+            "n2",
         )
-        .cast("bigint")
-        .alias("cr1"),
-        F.sum("c1").over(Window.partitionBy()).cast("bigint").alias(
-            "n1"
-        ),
-        F.sum("c2").over(Window.partitionBy()).cast("bigint").alias(
-            "n2"
-        ),
     )
     fold = cum.agg(
         F.max("n1").alias("n1"),
@@ -1976,8 +2022,11 @@ PLAN_AUDIT_NOTES.update(
             "effective allowlist"
         ),
         "relative_distribution_mrp": (
-            "one merged-grid cumulative for the reference-half ECDF "
-            "(the lorenz_dominance class)"
+            "INFO: no single-partition window since the r18 "
+            "optimization rewrite — the reference-half ECDF rides "
+            "the bounds-derived value-bucket device (kakwani twin); "
+            "note kept for the history, excluded from the effective "
+            "allowlist"
         ),
     }
 )
@@ -2461,9 +2510,19 @@ def qq_tail_estimator(spark, sf_dir):
     Exactness: each of the 100 upper order statistics is exact (the
     descending grid cumulative + a 100-row broadcast threshold
     join); both logs pin at 6 dp; the 100-point OLS folds rounded
-    terms through DECIMAL. Plan: one value rollup, one
-    domain-bounded grid cumulative, one 100-row broadcast, one
-    fold."""
+    terms through DECIMAL. Plan: one value rollup, one RANGED
+    descending grid cumulative, one 100-row broadcast, one fold.
+
+    Scale (r18 optimization): the order-value cents grid grows with
+    volume (the kakwani mover class), so the global descending
+    ``Window.orderBy(v DESC)`` cumulative + whole-frame n
+    single-tasked the grid. Now the DESCENDING twin of the
+    value-bucket device: pid = -(v div W) (ascending pid = descending
+    v, W a domain constant — saturating cents domain), in-bucket
+    window ordered v DESC, earlier-(higher-value)-bucket offsets via
+    ``prefix_offsets``; n is a scalar-agg broadcast. The persist on
+    the cumulative frame is dropped — it had a single consumer, so
+    it only added a materialization."""
     o = t(spark, sf_dir, "orders")
     grid = (
         o.select(
@@ -2472,17 +2531,29 @@ def qq_tail_estimator(spark, sf_dir):
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    cum = grid.select(
-        "v",
-        F.sum("c")
-        .over(
-            Window.orderBy(F.col("v").desc()).rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
+    # fixed bucket width (saturating o_totalprice cents domain, see
+    # dkw_band_lognormal_check); pid = -(v div W) makes ascending pid
+    # equal descending value order without a bounds pass
+    gb = grid.withColumn("pid", F.expr("-(v div 65536)"))
+    offsets = prefix_offsets(
+        gb.groupBy("pid").agg(F.sum("c").cast("bigint").alias("pn")),
+        {"offset": "pn"},
+    )
+    tot = gb.agg(F.sum("c").cast("bigint").alias("n"))
+    local_tail = F.sum("c").over(
+        Window.partitionBy("pid")
+        .orderBy(F.col("v").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        gb.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            (local_tail + F.col("offset")).alias("tail_cc"),
+            "n",
         )
-        .alias("tail_cc"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
-    ).persist()
+    )
     js = spark.range(1, 101).select(
         F.col("id").cast("bigint").alias("j")
     )
@@ -3047,8 +3118,12 @@ PLAN_AUDIT_NOTES.update(
             "from the effective allowlist"
         ),
         "qq_tail_estimator": (
-            "one descending cumulative over the cents grid + 100-row "
-            "broadcast order-statistic join (the mean_excess class)"
+            "INFO: no single-partition window since the r18 "
+            "optimization rewrite — the descending tail cumulative "
+            "rides the descending value-bucket device (pid = "
+            "(vmax - v) div W); the 100-row order-statistic join "
+            "stays broadcast; note kept for the history, excluded "
+            "from the effective allowlist"
         ),
         "extremal_index_runs": (
             "daily-grid cumulative for the exact q90 threshold + one "
