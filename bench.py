@@ -57,8 +57,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # bracket was warm [2.77, 3.15] / cold [37.3, 41.8] on a faster box.
 IDLE_BRACKET = {
     "round": 18,
-    "warm_sec": [2.32, 2.46],
-    "cold_sec": [34.5, 37.8],
+    "warm_sec": [2.32, 2.54],
+    "cold_sec": [34.5, 38.0],
 }
 
 # Headline set: the flagship + one representative per operator family
