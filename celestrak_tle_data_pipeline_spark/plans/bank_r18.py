@@ -55,7 +55,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import register as _live_register
-from .common import dec, prefix_offsets, t
+from .common import bucket_prefix_totals, dec, t
 
 BANK_QUERIES: dict = {}
 BANK_ORACLES: dict = {}
@@ -369,65 +369,74 @@ def dkw_band_lognormal_check(spark, sf_dir):
     bit-identical (exact BIGINT sums, order-independent)."""
     o = t(spark, sf_dir, "orders")
     cents = (dec("o_totalprice", 18, 2) * 100).cast("bigint")
-    pts = o.select(
-        cents.alias("v"),
-        F.round(F.log(cents / 100000.0), 10).alias("l"),
+    # the filter is written as the exact predicate the pid equi-join
+    # infers (isnotnull(v div W)), so every branch — including the
+    # ones with no join above them — pushes the SAME scan predicate
+    # and the whole query shares one scan subtree (a plain
+    # isnotnull(v) is weaker and does NOT elide the inferred one)
+    pts = o.select(cents.alias("v")).where(
+        F.expr("(v div 65536) is not null")
     )
-    mom = pts.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    grid = pts.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # r19: the log-moment fold rides the SAME value grid as the ECDF
+    # instead of a second row-grain pass — l is a pure function of v,
+    # so the row sum equals the grid sum of c * l(v) in exact DECIMAL
+    # (bit-identical mu/sig); one orders scan total.
+    lv = F.round(F.log(F.col("v") / 100000.0), 10)
+    nsum = F.sum("c")
+    mom = grid.agg(
+        F.sum("c").cast("bigint").alias("n"),
         F.round(
-            F.sum(F.round("l", 10).cast("decimal(28,10)")).cast(
-                "double"
-            )
-            / F.count(F.lit(1)),
+            F.sum(
+                F.round(lv, 10).cast("decimal(28,10)") * F.col("c")
+            ).cast("double")
+            / nsum,
             10,
         ).alias("mu"),
         F.round(
             F.sqrt(
                 (
                     F.sum(
-                        F.round(F.col("l") * F.col("l"), 10).cast(
-                            "decimal(28,10)"
-                        )
+                        F.round(lv * lv, 10).cast("decimal(28,10)")
+                        * F.col("c")
                     ).cast("double")
                     - F.pow(
                         F.sum(
-                            F.round("l", 10).cast("decimal(28,10)")
+                            F.round(lv, 10).cast("decimal(28,10)")
+                            * F.col("c")
                         ).cast("double"),
                         2,
                     )
-                    / F.count(F.lit(1))
+                    / nsum
                 )
-                / F.count(F.lit(1))
+                / nsum
             ),
             10,
         ).alias("sig"),
     )
-    grid = pts.groupBy("v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
     # fixed bucket width: the o_totalprice cents domain saturates like
     # the kakwani price grid, so W is a domain-derived constant (~850
-    # buckets at saturation) and no bounds pass is needed
+    # buckets at saturation) and no bounds pass is needed. r19:
+    # offsets AND n from one symmetric bucket_prefix_totals pass (see
+    # kakwani); the isnotnull(v) filter above canonicalizes every
+    # branch's scan.
     gb = grid.withColumn("pid", F.expr("v div 65536"))
-    offsets = prefix_offsets(
+    ot = bucket_prefix_totals(
         gb.groupBy("pid").agg(F.sum("c").cast("bigint").alias("pn")),
-        {"offset": "pn"},
+        {"pn": "pn"},
+        symmetric=True,
     )
-    tot = gb.agg(F.sum("c").cast("bigint").alias("n"))
     local_f = F.sum("c").over(
         Window.partitionBy("pid")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = (
-        gb.join(F.broadcast(offsets), "pid")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "v",
-            (local_f + F.col("offset")).cast("bigint").alias("f"),
-            "n",
-        )
+    cum = gb.join(F.broadcast(ot), "pid").select(
+        "v",
+        (local_f + F.col("off_pn")).cast("bigint").alias("f"),
+        F.col("tot_pn").alias("n"),
     )
     z = (F.log(F.col("v") / 100000.0) - F.col("mu")) / F.col("sig")
     x = F.abs(z) / 1.4142135623730951
@@ -1927,6 +1936,12 @@ def relative_distribution_mrp(spark, sf_dir):
     # cumulative + two whole-frame sums single-tasked it. Value-bucket
     # device, bounds-derived width (see dkw_band_lognormal_check):
     # identical exact integers, no single-partition exchange.
+    # r19: offsets AND the (n1, n2) totals from one
+    # bucket_prefix_totals pass over the per-bucket rollup (the r18
+    # formulation ran the customer-grain spend rollup once per scalar
+    # consumer — 4 final-aggregate re-executions at runtime). The
+    # bounds pass stays: w must exist before pid does, and its
+    # distinct-v subtree is the narrowest possible re-read.
     bounds = grid.agg(
         F.min("v").alias("vmin"),
         (
@@ -1939,28 +1954,23 @@ def relative_distribution_mrp(spark, sf_dir):
         "c2",
         F.expr("(v - vmin) div w").alias("pid"),
     )
-    offsets = prefix_offsets(
-        gb.groupBy("pid").agg(F.sum("c1").cast("bigint").alias("pn")),
-        {"offset": "pn"},
-    )
-    tot = gb.agg(
-        F.sum("c1").cast("bigint").alias("n1"),
-        F.sum("c2").cast("bigint").alias("n2"),
+    ot = bucket_prefix_totals(
+        gb.groupBy("pid").agg(
+            F.sum("c1").cast("bigint").alias("pn"),
+            F.sum("c2").cast("bigint").alias("pn2"),
+        ),
+        {"pn": "pn", "pn2": "pn2"},
     )
     local_cr1 = F.sum("c1").over(
         Window.partitionBy("pid")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = (
-        gb.join(F.broadcast(offsets), "pid")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "c2",
-            (local_cr1 + F.col("offset")).cast("bigint").alias("cr1"),
-            "n1",
-            "n2",
-        )
+    cum = gb.join(F.broadcast(ot), "pid").select(
+        "c2",
+        (local_cr1 + F.col("off_pn")).cast("bigint").alias("cr1"),
+        F.col("tot_pn").alias("n1"),
+        F.col("tot_pn2").alias("n2"),
     )
     fold = cum.agg(
         F.max("n1").alias("n1"),
@@ -2131,7 +2141,19 @@ def kakwani_discount_progressivity(spark, sf_dir):
     partial sums are order-independent, head = in-bucket exclusive
     prefix + earlier-bucket offset reproduces the global exclusive
     prefix bit-for-bit; measured value-identical to the window
-    formulation at sf0.1 and oracle-green at all three SFs."""
+    formulation at sf0.1 and oracle-green at all three SFs.
+
+    r19: offsets AND totals now come from ONE
+    ``bucket_prefix_totals`` pass over the per-bucket rollup instead
+    of two independent grid subtrees (the r18 runtime plan executed
+    the lineitem rollup 4x because column pruning + the join-inferred
+    isnotnull(pid) de-canonicalized the branches; the explicit
+    isnotnull(pid) filter below — a no-op on non-null prices — makes
+    every branch push the same scan predicate, so AQE materializes
+    the grid exchange once). pid moves from FLOOR(v / W) to the
+    integer ``v div W`` (identical for v >= 0, exact by
+    construction). Runtime plan: 4 lineitem scans -> 2 (grid + the
+    bucket-id distinct), ReusedExchange on the grid rollup."""
     li = t(spark, sf_dir, "lineitem")
     x = (dec("l_extendedprice", 18, 2) * 100).cast("bigint")
     bp = (dec("l_discount", 6, 2) * 100).cast("bigint")
@@ -2144,29 +2166,32 @@ def kakwani_discount_progressivity(spark, sf_dir):
             F.sum("x").cast("bigint").alias("tx"),
             F.sum("d").cast("bigint").alias("td"),
         )
-        .withColumn("pid", F.floor(F.col("v") / bucket_w))
+        .withColumn("pid", F.expr(f"v div {bucket_w}"))
+        .where(F.col("pid").isNotNull())
     )
     counts = grid.groupBy("pid").agg(
-        F.sum("c").cast("bigint").alias("pn")
+        F.sum("c").cast("bigint").alias("pn"),
+        F.sum("tx").cast("bigint").alias("ptx"),
+        F.sum("td").cast("bigint").alias("ptd"),
     )
-    offsets = prefix_offsets(counts, {"offset": "pn"})
-    tot = grid.agg(
-        F.sum("c").cast("bigint").alias("n"),
-        F.sum("tx").cast("bigint").alias("sx"),
-        F.sum("td").cast("bigint").alias("sd"),
+    ot = bucket_prefix_totals(
+        counts, {"pn": "pn", "ptx": "ptx", "ptd": "ptd"}
     )
     local_head = F.sum("c").over(
         Window.partitionBy("pid")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum = grid.join(F.broadcast(offsets), "pid").select(
+    cum = grid.join(F.broadcast(ot), "pid").select(
         "c",
         "tx",
         "td",
-        (F.coalesce(local_head, F.lit(0)) + F.col("offset")).alias(
+        (F.coalesce(local_head, F.lit(0)) + F.col("off_pn")).alias(
             "head"
         ),
+        F.col("tot_pn").alias("n"),
+        F.col("tot_ptx").alias("sx"),
+        F.col("tot_ptd").alias("sd"),
     )
     r2 = 2 * F.coalesce(F.col("head"), F.lit(0)) + F.col("c") + 1
     fold = cum.agg(
@@ -2176,7 +2201,10 @@ def kakwani_discount_progressivity(spark, sf_dir):
         F.sum(F.col("td").cast("decimal(38,0)") * r2)
         .cast("decimal(38,0)")
         .alias("two_id"),
-    ).crossJoin(F.broadcast(tot))
+        F.max("n").alias("n"),
+        F.max("sx").alias("sx"),
+        F.max("sd").alias("sd"),
+    )
     gx = (
         F.col("two_ix").cast("double")
         - (F.col("n") + 1) * F.col("sx").cast("double")
@@ -2336,7 +2364,16 @@ def reynolds_smolensky_redistribution(spark, sf_dir):
     totals are one scalar aggregate broadcast — no single-partition
     exchange in the plan; identical exact integers
     (order-independent BIGINT/DECIMAL sums, head = in-bucket
-    exclusive prefix + earlier-bucket offset)."""
+    exclusive prefix + earlier-bucket offset).
+
+    r19: offsets AND totals from one ``bucket_prefix_totals`` pass
+    per grid (see kakwani); explicit isnotnull(pid) so every branch
+    pushes the same scan predicate and AQE reuses each grid rollup;
+    pid via exact integer ``div``. The line-grain ``persist`` of the
+    (pre, post) projection is dropped — at scale caching a 2-column
+    fact-width frame costs more than the second columnar scan it
+    saves (guide §5), and the two grids share nothing downstream of
+    the scan anyway (different shuffle keys)."""
     li = t(spark, sf_dir, "lineitem")
     cents = (dec("l_extendedprice", 18, 2) * 100).cast("bigint")
     bp = (dec("l_discount", 6, 2) * 100).cast("bigint")
@@ -2344,7 +2381,7 @@ def reynolds_smolensky_redistribution(spark, sf_dir):
     pts = li.select(
         (cents * 10000).alias("pre"),
         (cents * (10000 - bp)).alias("post"),
-    ).persist()
+    )
     local_head = F.sum("c").over(
         Window.partitionBy("pid")
         .orderBy("v")
@@ -2357,26 +2394,27 @@ def reynolds_smolensky_redistribution(spark, sf_dir):
             F.sum("pre").cast("bigint").alias("tpre"),
             F.sum("post").cast("bigint").alias("tpost"),
         )
-        .withColumn("pid", F.floor(F.col("v") / bucket_w))
+        .withColumn("pid", F.expr(f"v div {bucket_w}"))
+        .where(F.col("pid").isNotNull())
     )
-    pre_off = prefix_offsets(
+    pre_ot = bucket_prefix_totals(
         pre_grid.groupBy("pid").agg(
-            F.sum("c").cast("bigint").alias("pn")
+            F.sum("c").cast("bigint").alias("pn"),
+            F.sum("tpre").cast("bigint").alias("ptpre"),
+            F.sum("tpost").cast("bigint").alias("ptpost"),
         ),
-        {"offset": "pn"},
+        {"pn": "pn", "ptpre": "ptpre", "ptpost": "ptpost"},
     )
-    tot = pre_grid.agg(
-        F.sum("c").cast("bigint").alias("n"),
-        F.sum("tpre").cast("bigint").alias("s_pre"),
-        F.sum("tpost").cast("bigint").alias("s_post"),
-    )
-    pre_cum = pre_grid.join(F.broadcast(pre_off), "pid").select(
+    pre_cum = pre_grid.join(F.broadcast(pre_ot), "pid").select(
         "c",
         "tpre",
         "tpost",
-        (F.coalesce(local_head, F.lit(0)) + F.col("offset")).alias(
+        (F.coalesce(local_head, F.lit(0)) + F.col("off_pn")).alias(
             "head"
         ),
+        F.col("tot_pn").alias("n"),
+        F.col("tot_ptpre").alias("s_pre"),
+        F.col("tot_ptpost").alias("s_post"),
     )
     r2 = 2 * F.coalesce(F.col("head"), F.lit(0)) + F.col("c") + 1
     pre_fold = pre_cum.agg(
@@ -2386,25 +2424,30 @@ def reynolds_smolensky_redistribution(spark, sf_dir):
         F.sum(F.col("tpost").cast("decimal(38,0)") * r2)
         .cast("decimal(38,0)")
         .alias("two_ipost_bypre"),
-    ).crossJoin(F.broadcast(tot))
+        F.max("n").alias("n"),
+        F.max("s_pre").alias("s_pre"),
+        F.max("s_post").alias("s_post"),
+    )
     post_grid = (
         pts.groupBy(F.col("post").alias("v"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("c"),
             F.sum("post").cast("bigint").alias("tpost"),
         )
-        .withColumn("pid", F.floor(F.col("v") / bucket_w))
+        .withColumn("pid", F.expr(f"v div {bucket_w}"))
+        .where(F.col("pid").isNotNull())
     )
-    post_off = prefix_offsets(
+    post_ot = bucket_prefix_totals(
         post_grid.groupBy("pid").agg(
             F.sum("c").cast("bigint").alias("pn")
         ),
-        {"offset": "pn"},
+        {"pn": "pn"},
+        symmetric=True,
     )
-    post_cum = post_grid.join(F.broadcast(post_off), "pid").select(
+    post_cum = post_grid.join(F.broadcast(post_ot), "pid").select(
         "c",
         "tpost",
-        (F.coalesce(local_head, F.lit(0)) + F.col("offset")).alias(
+        (F.coalesce(local_head, F.lit(0)) + F.col("off_pn")).alias(
             "head"
         ),
     )
@@ -2528,31 +2571,31 @@ def qq_tail_estimator(spark, sf_dir):
         o.select(
             (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v")
         )
+        .where(F.expr("-(v div 65536) is not null"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
     # fixed bucket width (saturating o_totalprice cents domain, see
     # dkw_band_lognormal_check); pid = -(v div W) makes ascending pid
-    # equal descending value order without a bounds pass
+    # equal descending value order without a bounds pass. r19:
+    # offsets AND n from one symmetric bucket_prefix_totals pass (see
+    # kakwani); the isnotnull(v) filter canonicalizes every branch's
+    # scan.
     gb = grid.withColumn("pid", F.expr("-(v div 65536)"))
-    offsets = prefix_offsets(
+    ot = bucket_prefix_totals(
         gb.groupBy("pid").agg(F.sum("c").cast("bigint").alias("pn")),
-        {"offset": "pn"},
+        {"pn": "pn"},
+        symmetric=True,
     )
-    tot = gb.agg(F.sum("c").cast("bigint").alias("n"))
     local_tail = F.sum("c").over(
         Window.partitionBy("pid")
         .orderBy(F.col("v").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = (
-        gb.join(F.broadcast(offsets), "pid")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "v",
-            (local_tail + F.col("offset")).alias("tail_cc"),
-            "n",
-        )
+    cum = gb.join(F.broadcast(ot), "pid").select(
+        "v",
+        (local_tail + F.col("off_pn")).alias("tail_cc"),
+        F.col("tot_pn").alias("n"),
     )
     js = spark.range(1, 101).select(
         F.col("id").cast("bigint").alias("j")
@@ -3106,9 +3149,10 @@ PLAN_AUDIT_NOTES.update(
             "INFO: no single-partition window since the r18 "
             "optimization rewrite — the price-grid exclusive prefix "
             "rides the fixed-width value-bucket device (pid = v div "
-            "W, per-bucket window + prefix_offsets broadcast) and "
-            "the grid totals are a scalar-agg broadcast; note kept "
-            "for the history, excluded from the effective allowlist"
+            "W, per-bucket window + bucket_prefix_totals broadcast) "
+            "and the grid totals ride the same broadcast (r19); note "
+            "kept for the history, excluded from the effective "
+            "allowlist"
         ),
         "reynolds_smolensky_redistribution": (
             "INFO: no single-partition window since the r18 "
@@ -3121,7 +3165,7 @@ PLAN_AUDIT_NOTES.update(
             "INFO: no single-partition window since the r18 "
             "optimization rewrite — the descending tail cumulative "
             "rides the descending value-bucket device (pid = "
-            "(vmax - v) div W); the 100-row order-statistic join "
+            "-(v div W)); the 100-row order-statistic join "
             "stays broadcast; note kept for the history, excluded "
             "from the effective allowlist"
         ),

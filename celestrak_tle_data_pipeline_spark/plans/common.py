@@ -45,6 +45,80 @@ def davg(col, precision: int = 12, scale: int = 2) -> Column:
     ).cast("double")
 
 
+def bucket_prefix_totals(
+    psums: DataFrame,
+    sums: dict[str, str],
+    pid: str = "pid",
+    symmetric: bool = False,
+) -> DataFrame:
+    """Per-bucket exclusive-prefix offsets AND whole-frame totals from
+    ONE pass over the |buckets|-row per-bucket rollup (r19).
+
+    The r18 value-bucket device computed the bucket offsets
+    (``prefix_offsets``) and the grid totals (a separate scalar
+    aggregate) as independent subtrees over the same data-grain grid;
+    column pruning de-canonicalized the branches, so at runtime each
+    one re-executed the grid rollup (no AQE stage reuse — verified in
+    the r18 runtime plans, see OPTIMIZATION_r19.md). This helper folds
+    both into one triangular cross-join aggregation over the tiny
+    per-bucket frame: for each ``out -> src`` in ``sums`` it emits
+    ``off_<out>`` = sum of src over strictly-earlier buckets (exact,
+    0 for the first bucket) and ``tot_<out>`` = sum of src over ALL
+    buckets, one row per pid. Callers attach the totals per row
+    through the same broadcast join that attaches the offsets, so no
+    scalar-aggregate subtree over the grid remains.
+
+    Like ``prefix_offsets`` this is window-free (audit-clean) and
+    exact for BIGINT/DECIMAL sums. The cross join is |buckets|^2 rows
+    — bounded by the device's domain-derived bucket count, never by
+    data volume.
+
+    ``symmetric=True`` computes the exclusive prefix as the INCLUSIVE
+    prefix minus the bucket's own value, which makes the streamed
+    (own) side consume exactly the same columns as the broadcast
+    (prior) side — the two sides then canonicalize to ONE subtree and
+    AQE materializes the per-bucket rollup once instead of collapsing
+    the own side into a separate base-table scan. Use it when every
+    entry of ``sums`` has its ``off_<out>`` consumed downstream
+    (otherwise pruning re-introduces the asymmetry); the default
+    keeps the own side at bucket-id grain, which is the cheaper shape
+    when ``sums`` carries totals-only columns.
+    """
+    prior = psums.select(
+        F.col(pid).alias("__bpid"),
+        *[F.col(src).alias(f"__b_{out}") for out, src in sums.items()],
+    )
+    aggs = []
+    for out, src in sums.items():
+        if symmetric:
+            aggs.append(
+                (
+                    F.sum(
+                        F.when(
+                            F.col("__bpid") <= F.col(pid),
+                            F.col(f"__b_{out}"),
+                        )
+                    )
+                    - F.max(F.col(src))
+                ).alias(f"off_{out}")
+            )
+        else:
+            aggs.append(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__bpid") < F.col(pid),
+                            F.col(f"__b_{out}"),
+                        )
+                    ),
+                    F.lit(0),
+                ).alias(f"off_{out}")
+            )
+        aggs.append(F.sum(f"__b_{out}").alias(f"tot_{out}"))
+    own = psums if symmetric else psums.select(pid)
+    return own.crossJoin(prior).groupBy(pid).agg(*aggs)
+
+
 def prefix_offsets(
     psums: DataFrame, sums: dict[str, str], pid: str = "pid"
 ) -> DataFrame:

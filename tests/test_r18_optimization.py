@@ -17,6 +17,8 @@ the driver-action loop, breaking the conf passthrough) fails loudly:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from celestrak_tle_data_pipeline_spark.session import _env_conf_pairs
@@ -91,9 +93,14 @@ def test_referential_audit_is_one_lazy_fused_plan(spark):
     assert "ExistingRDD" not in plan
     n_children = len({c[1] for c in _RI_CHECKS})  # 5
     n_parent_scans = len(_RI_CHECKS)  # 7 (one distinct-key build each)
-    # formatted explain lists every scan once in the tree and once in
-    # the detail section
-    assert plan.count("Scan parquet") == 2 * (n_children + n_parent_scans)
+    # count scans in the numbered detail section only — the "listed
+    # once in the tree AND once in the details" doubling is a
+    # formatted-explain rendering convention that could shift across
+    # Spark versions (ADVICE r18)
+    n_detail_scans = len(
+        re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    )
+    assert n_detail_scans == n_children + n_parent_scans
 
 
 def test_referential_audit_matches_eager_formulation(spark):

@@ -1,6 +1,6 @@
-"""Dump .explain("formatted") for bench queries to plans/r18/<name>_<tag>.txt.
+"""Dump .explain("formatted") for bench queries to plans/<round>/<name>_<tag>.txt.
 
-Usage: python tools/dump_plans.py <tag> [name ...]
+Usage: python tools/dump_plans.py [-d r19] <tag> [name ...]
 (default names = bench.QUERIES; tag is e.g. "before"/"after")
 """
 
@@ -16,11 +16,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(ROOT, "plans", "r18")
 
 
+def _parse_outdir(argv):
+    global OUT
+    if argv and argv[0] == "-d":
+        OUT = os.path.join(ROOT, "plans", argv[1])
+        argv = argv[2:]
+    return argv
+
+
 def main(argv):
     import bench
     from celestrak_tle_data_pipeline_spark import plans
     from celestrak_tle_data_pipeline_spark.session import get_spark
 
+    argv = _parse_outdir(argv)
     tag = argv[0]
     names = argv[1:] or bench.QUERIES
     os.makedirs(OUT, exist_ok=True)
