@@ -2930,11 +2930,17 @@ def dagum_gini_decomposition(spark, sf_dir):
     G_h = s_plus(h,h)/(n_h*S_h) and G = sum_all s_plus/(n*S) drop
     out of the same frame. All sums exact DECIMAL(38,0).
 
-    Scale: the per-region exclusive cumulative rides the RANGED
-    device (repartitionByRange on v + per-(pid, region) local
-    windows + per-region triangular prefix offsets) because the
-    spend grid grows with customers — the spiegelhalter r14
-    lesson applied at authoring time."""
+    Scale: the per-region exclusive cumulative rides the
+    VALUE-BUCKET device (r19: pid = (v - vmin) div w from one exact
+    bounds scalar, <= 257 buckets at any volume; per-(pid, region)
+    local windows + per-region triangular prefix offsets) because
+    the spend grid grows with customers. The r18 form used
+    repartitionByRange + spark_partition_id, which needed BOTH
+    persists for pid stability and paid a boundary-sampling pass
+    that re-ran the rollup; the deterministic pid removes the
+    persists (a customer-grain cache at 100 TB is the guide-§5
+    scale killer) and the sampling pass. The 25-row pair frame
+    stays persisted — bounded grain."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
@@ -2951,28 +2957,29 @@ def dagum_gini_decomposition(spark, sf_dir):
             .alias("m")
         )
     )
-    rgrid = (
-        spend.groupBy("r", F.col("m").alias("v"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("c"),
-            F.sum("m").cast("bigint").alias("tv"),
-        )
-        .persist()
+    rgrid = spend.groupBy("r", F.col("m").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("m").cast("bigint").alias("tv"),
     )
     vgrid = rgrid.select("v").distinct()
     regs = rgrid.select("r").distinct()
+    bounds = rgrid.agg(
+        F.min("v").alias("vmin"),
+        (F.floor((F.max("v") - F.min("v")) / 256) + 1)
+        .cast("bigint")
+        .alias("w"),
+    )
     full_g = (
         vgrid.crossJoin(F.broadcast(regs))
         .join(rgrid, ["v", "r"], "left")
+        .crossJoin(F.broadcast(bounds))
         .select(
             "v",
             "r",
             F.coalesce(F.col("c"), F.lit(0)).alias("c0"),
             F.coalesce(F.col("tv"), F.lit(0)).alias("tv0"),
+            F.expr("(v - vmin) div w").alias("pid"),
         )
-        .repartitionByRange(8, F.col("v").asc())
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
     )
     psums = full_g.groupBy("pid", "r").agg(
         F.sum("c0").cast("bigint").alias("pc"),

@@ -60,7 +60,7 @@ import math
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .common import dec, t
+from .common import bucket_prefix_totals, dec, t
 
 BANK_QUERIES: dict = {}
 BANK_ORACLES: dict = {}
@@ -661,15 +661,25 @@ def cvm_lognormal_gof(spark, sf_dir):
     per-unit rank. F pins at 10 dp (erfc tree, shared literals);
     ln pins at 8; the 5% decision uses the standard adjusted
     critical value 0.461. Plan: one value rollup, one
-    domain-bounded grid cumulative, two folds."""
+    domain-bounded grid cumulative, two folds.
+
+    r19 grain triage: the cents grid is near-unique per order on the
+    real SF ladder (14,999 -> 149,743 rows sf0.01 -> sf0.1, measured
+    through the single-partition exchange), so the global
+    Window.orderBy(v) head single-tasked a data-grain frame. It now
+    rides the fixed-width value-bucket device (pid = v div 65536,
+    in-bucket window + symmetric ``bucket_prefix_totals`` broadcast —
+    the dkw_band_lognormal_check twin); head values are bit-identical
+    exact integers. The single-consumer persist is dropped with the
+    rewrite (every branch now shares the one grid subtree)."""
     o = t(spark, sf_dir, "orders")
     grid = (
         o.select(
             (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v")
         )
+        .where(F.expr("(v div 65536) is not null"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .persist()
     )
     lnv = F.round(F.log(F.col("v").cast("double") / 100000.0), 8)
     lmom = grid.agg(
@@ -695,22 +705,30 @@ def cvm_lognormal_gof(spark, sf_dir):
             8,
         ).alias("sig"),
     )
-    cum = grid.crossJoin(F.broadcast(fitp)).select(
-        "v",
-        "c",
-        "n",
-        "mu",
-        "sig",
-        F.coalesce(
-            F.sum("c").over(
-                Window.orderBy("v").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
+    gb = grid.withColumn("pid", F.expr("v div 65536"))
+    ot = bucket_prefix_totals(
+        gb.groupBy("pid").agg(F.sum("c").cast("bigint").alias("pn")),
+        {"pn": "pn"},
+        symmetric=True,
+    )
+    local_head = F.sum("c").over(
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        gb.join(F.broadcast(ot), "pid")
+        .crossJoin(F.broadcast(fitp))
+        .select(
+            "v",
+            "c",
+            "n",
+            "mu",
+            "sig",
+            (F.coalesce(local_head, F.lit(0)) + F.col("off_pn"))
+            .cast("bigint")
+            .alias("head"),
         )
-        .cast("bigint")
-        .alias("head"),
     )
     ff = F.round(_phi_col_r19((lnv - F.col("mu")) / F.col("sig")), 10)
     h38 = F.col("head").cast("decimal(38,0)")
@@ -749,8 +767,12 @@ def cvm_lognormal_gof(spark, sf_dir):
 PLAN_AUDIT_NOTES.update(
     {
         "cvm_lognormal_gof": (
-            "one exclusive-prefix cumulative over the cents value "
-            "grid (price-domain-bounded — the dkw_band class)"
+            "INFO: no single-partition window since the r19 grain "
+            "triage — the data-grain cents-grid cumulative rides the "
+            "fixed-width value-bucket device (pid = v div 65536, "
+            "in-bucket window + symmetric bucket_prefix_totals "
+            "broadcast); note kept for the history, excluded from "
+            "the effective allowlist"
         ),
     }
 )
@@ -974,52 +996,61 @@ def robust_dispersion_panel(spark, sf_dir):
     Exactness: all four quantiles are exact lower order statistics
     (integer threshold compares); the midspread value share is an
     exact integer-cents ratio. Plan: one value-grid cumulative,
-    two scalar folds."""
+    two scalar folds.
+
+    r19 grain triage: the cents grid is data-grain (14,999 ->
+    149,743 rows sf0.01 -> sf0.1 through each of SIX single-partition
+    exchanges the two persists hid from the plan audit), so the
+    cumulative rides the fixed-width value-bucket device (the
+    cvm_lognormal_gof twin), all four order statistics fold into ONE
+    conditional aggregate over it (was four filtered passes), tv
+    collapses to the exact identity c * v, and both persists are
+    dropped — every branch now reads reused exchanges instead of a
+    data-grain cache. Values are bit-identical exact integers."""
     o = t(spark, sf_dir, "orders")
     grid = (
         o.select(
             (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v")
         )
+        .where(F.expr("(v div 65536) is not null"))
         .groupBy("v")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("c"),
-            F.sum("v").cast("bigint").alias("tv"),
-        )
-        .persist()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    cum = grid.select(
+    gb = grid.withColumn("pid", F.expr("v div 65536"))
+    ot = bucket_prefix_totals(
+        gb.groupBy("pid").agg(F.sum("c").cast("bigint").alias("pn")),
+        {"pn": "pn"},
+        symmetric=True,
+    )
+    local_incl = F.sum("c").over(
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = gb.join(F.broadcast(ot), "pid").select(
         "v",
-        F.sum("c")
-        .over(
-            Window.orderBy("v").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        )
-        .alias("cc"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
-        F.sum("tv").over(Window.partitionBy()).alias("s"),
-    ).persist()
+        (local_incl + F.col("off_pn")).alias("cc"),
+        F.col("tot_pn").alias("n"),
+    )
 
-    def orderstat(num, den):
+    def orderstat(num, den, out):
         return (
-            cum.where(den * F.col("cc") >= num * F.col("n"))
-            .agg(F.min("v").cast("bigint").alias("q"))
+            F.min(
+                F.when(
+                    den * F.col("cc") >= num * F.col("n"), F.col("v")
+                )
+            )
+            .cast("bigint")
+            .alias(out)
         )
 
-    p10 = orderstat(1, 10).select(F.col("q").alias("p10"))
-    q1 = orderstat(1, 4).select(F.col("q").alias("q1"))
-    q3 = orderstat(3, 4).select(F.col("q").alias("q3"))
-    p90 = orderstat(9, 10).select(F.col("q").alias("p90"))
-    ns = cum.agg(
-        F.max("n").cast("bigint").alias("n"),
-        F.max("s").cast("bigint").alias("s"),
+    qs = cum.agg(
+        orderstat(1, 10, "p10"),
+        orderstat(1, 4, "q1"),
+        orderstat(3, 4, "q3"),
+        orderstat(9, 10, "p90"),
     )
-    qs = (
-        p10.crossJoin(F.broadcast(q1))
-        .crossJoin(F.broadcast(q3))
-        .crossJoin(F.broadcast(p90))
-        .crossJoin(F.broadcast(ns))
-    )
+    tv = F.col("c") * F.col("v")
     mid = (
         grid.crossJoin(F.broadcast(qs))
         .agg(
@@ -1027,11 +1058,13 @@ def robust_dispersion_panel(spark, sf_dir):
                 F.when(
                     (F.col("v") >= F.col("q1"))
                     & (F.col("v") <= F.col("q3")),
-                    F.col("tv"),
+                    tv,
                 ).otherwise(0)
             )
             .cast("bigint")
-            .alias("mid_v")
+            .alias("mid_v"),
+            F.sum(tv).cast("bigint").alias("s"),
+            F.sum("c").cast("bigint").alias("n"),
         )
     )
     return qs.crossJoin(F.broadcast(mid)).select(
@@ -1265,8 +1298,12 @@ def auc_delong_se(spark, sf_dir):
 PLAN_AUDIT_NOTES.update(
     {
         "robust_dispersion_panel": (
-            "one cumulative over the cents value grid + threshold "
-            "scalars (the gastwirth class)"
+            "INFO: no single-partition window since the r19 grain "
+            "triage — the data-grain cents-grid cumulative rides the "
+            "value-bucket device, the four order statistics fold "
+            "into one conditional aggregate, and the two persists "
+            "are dropped; note kept for the history, excluded from "
+            "the effective allowlist"
         ),
         "auc_delong_se": (
             "one double exclusive-prefix cumulative over the "
@@ -7274,35 +7311,41 @@ def savage_scores_location(spark, sf_dir):
     comes from the hybrid exact-table/series device pinned at 10
     dp; per-group score sums round at 8 dp into DECIMAL folds; the
     z closes in one IEEE expression. Plan: one rollup to the value
-    grid, one cumulative, one fold."""
+    grid, one cumulative, one fold.
+
+    r19 grain triage: data-grain cents grid (14,999 -> 149,743 rows
+    sf0.01 -> sf0.1), so the rank cumulative AND the whole-frame n
+    ride the fixed-width value-bucket device (the cvm_lognormal_gof
+    twin); exact integers, bit-identical."""
     o = t(spark, sf_dir, "orders")
     day = F.floor(F.unix_micros("o_orderdate") / 86_400_000_000)
     pts = o.select(
         F.when((day + 4) % 7 >= 5, 1).otherwise(0).alias("g"),
         (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
-    )
+    ).where(F.expr("(v div 65536) is not null"))
     cells = pts.groupBy("v").agg(
         F.count(F.lit(1)).cast("bigint").alias("c"),
         F.sum("g").cast("bigint").alias("c1"),
     )
-    cum = cells.select(
+    gb = cells.withColumn("pid", F.expr("v div 65536"))
+    ot = bucket_prefix_totals(
+        gb.groupBy("pid").agg(F.sum("c").cast("bigint").alias("pn")),
+        {"pn": "pn"},
+        symmetric=True,
+    )
+    local_incl = F.sum("c").over(
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = gb.join(F.broadcast(ot), "pid").select(
         "v",
         "c",
         "c1",
-        (
-            F.sum("c").over(
-                Window.orderBy("v").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            )
-            - F.col("c")
-        )
+        (local_incl + F.col("off_pn") - F.col("c"))
         .cast("bigint")
         .alias("h"),
-        F.sum("c")
-        .over(Window.partitionBy())
-        .cast("bigint")
-        .alias("n"),
+        F.col("tot_pn").cast("bigint").alias("n"),
     )
 
     def sh(b):
@@ -7365,9 +7408,11 @@ def savage_scores_location(spark, sf_dir):
 PLAN_AUDIT_NOTES.update(
     {
         "savage_scores_location": (
-            "exclusive-prefix cumulative over the distinct-value-"
-            "cents grid (price-domain-bounded — the ansari_bradley "
-            "class)"
+            "INFO: no single-partition window since the r19 grain "
+            "triage — the data-grain cents-grid cumulative rides the "
+            "value-bucket device (the cvm_lognormal_gof twin); note "
+            "kept for the history, excluded from the effective "
+            "allowlist"
         ),
     }
 )
@@ -7462,7 +7507,13 @@ def anderson_darling_lognormal(spark, sf_dir):
     engines); ln terms pin at 10 dp, weighted terms round at 4 dp
     into DECIMAL(38,4) folds (|term| <= n^2 ln n ~ 1e16 at 64x
     sf0.1 — 18 digits off the rail). Plan: one grid rollup, one
-    cumulative, one fold."""
+    cumulative, one fold.
+
+    r19 grain triage: the cents grid is data-grain on the real SF
+    ladder (14,999 -> 149,743 rows sf0.01 -> sf0.1 through the
+    single-partition exchange), so the head cumulative now rides the
+    fixed-width value-bucket device (the cvm_lognormal_gof twin);
+    exact integers, bit-identical."""
     o = t(spark, sf_dir, "orders")
     grid = (
         o.select(
@@ -7470,6 +7521,7 @@ def anderson_darling_lognormal(spark, sf_dir):
             .cast("bigint")
             .alias("v")
         )
+        .where(F.expr("(v div 65536) is not null"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
@@ -7495,22 +7547,30 @@ def anderson_darling_lognormal(spark, sf_dir):
             8,
         ).alias("sig"),
     )
-    cum = grid.crossJoin(F.broadcast(fitp)).select(
-        "v",
-        "c",
-        "n",
-        "mu",
-        "sig",
-        (
-            F.sum("c").over(
-                Window.orderBy("v").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            )
-            - F.col("c")
+    gb = grid.withColumn("pid", F.expr("v div 65536"))
+    ot = bucket_prefix_totals(
+        gb.groupBy("pid").agg(F.sum("c").cast("bigint").alias("pn")),
+        {"pn": "pn"},
+        symmetric=True,
+    )
+    local_incl = F.sum("c").over(
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        gb.join(F.broadcast(ot), "pid")
+        .crossJoin(F.broadcast(fitp))
+        .select(
+            "v",
+            "c",
+            "n",
+            "mu",
+            "sig",
+            (local_incl + F.col("off_pn") - F.col("c"))
+            .cast("bigint")
+            .alias("head"),
         )
-        .cast("bigint")
-        .alias("head"),
     )
     ff = F.greatest(
         F.least(
@@ -7564,8 +7624,11 @@ def anderson_darling_lognormal(spark, sf_dir):
 PLAN_AUDIT_NOTES.update(
     {
         "anderson_darling_lognormal": (
-            "exclusive-prefix cumulative over the distinct-value-"
-            "cents grid (the cvm_lognormal_gof frame)"
+            "INFO: no single-partition window since the r19 grain "
+            "triage — the data-grain cents-grid cumulative rides the "
+            "value-bucket device (the cvm_lognormal_gof twin); note "
+            "kept for the history, excluded from the effective "
+            "allowlist"
         ),
     }
 )
@@ -7656,7 +7719,12 @@ def energy_normality_test(spark, sf_dir):
     (phi's exp and the shared Phi tree are identical in both
     engines); the rank-weighted pair fold rounds at 6 dp into
     DECIMAL(38,6) (|term| <= n|y| ~ 1e9 at 64x sf0.1). Plan: one
-    grid rollup, one cumulative, one fold."""
+    grid rollup, one cumulative, one fold.
+
+    r19 grain triage: data-grain cents grid (14,999 -> 149,743 rows
+    sf0.01 -> sf0.1), so the rank cumulative rides the fixed-width
+    value-bucket device (the cvm_lognormal_gof twin); exact
+    integers, bit-identical."""
     o = t(spark, sf_dir, "orders")
     grid = (
         o.select(
@@ -7664,6 +7732,7 @@ def energy_normality_test(spark, sf_dir):
             .cast("bigint")
             .alias("v")
         )
+        .where(F.expr("(v div 65536) is not null"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
@@ -7689,20 +7758,28 @@ def energy_normality_test(spark, sf_dir):
             8,
         ).alias("sig"),
     )
-    cum = grid.crossJoin(F.broadcast(fitp)).select(
-        "c",
-        "n",
-        F.round((lnv - F.col("mu")) / F.col("sig"), 8).alias("y"),
-        (
-            F.sum("c").over(
-                Window.orderBy("v").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            )
-            - F.col("c")
+    gb = grid.withColumn("pid", F.expr("v div 65536"))
+    ot = bucket_prefix_totals(
+        gb.groupBy("pid").agg(F.sum("c").cast("bigint").alias("pn")),
+        {"pn": "pn"},
+        symmetric=True,
+    )
+    local_incl = F.sum("c").over(
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        gb.join(F.broadcast(ot), "pid")
+        .crossJoin(F.broadcast(fitp))
+        .select(
+            "c",
+            "n",
+            F.round((lnv - F.col("mu")) / F.col("sig"), 8).alias("y"),
+            (local_incl + F.col("off_pn") - F.col("c"))
+            .cast("bigint")
+            .alias("head"),
         )
-        .cast("bigint")
-        .alias("head"),
     )
     y = F.col("y")
     ez = 2.0 * F.exp(-y * y / 2.0) / 2.5066282746310002 + y * (
@@ -7748,8 +7825,11 @@ def energy_normality_test(spark, sf_dir):
 PLAN_AUDIT_NOTES.update(
     {
         "energy_normality_test": (
-            "exclusive-prefix cumulative over the distinct-value-"
-            "cents grid (the cvm_lognormal_gof frame)"
+            "INFO: no single-partition window since the r19 grain "
+            "triage — the data-grain cents-grid cumulative rides the "
+            "value-bucket device (the cvm_lognormal_gof twin); note "
+            "kept for the history, excluded from the effective "
+            "allowlist"
         ),
     }
 )

@@ -49,7 +49,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .bank_r19 import _PI2_6, _harmonic2_col, _harmonic_col
-from .common import dec, t
+from .common import bucket_prefix_totals, dec, t
 
 BANK_QUERIES: dict = {}
 BANK_ORACLES: dict = {}
@@ -316,20 +316,46 @@ def gnedenko_f_exponentiality(spark, sf_dir):
     grid = gaps.groupBy(F.col("g").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    wv = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # r19 grain triage: the gap-value micros grid is data-grain
+    # (1,831 -> 18,584 rows sf0.01 -> sf0.1 — the domain is an
+    # unbounded micros axis, not a saturating one), so both
+    # cumulatives and both whole-frame totals ride the value-bucket
+    # device with a bounds-derived width (the relative_distribution_
+    # mrp mode: <= 1025 buckets at any scale; measured max 1% of
+    # distinct gap values per bucket at sf0.1). Exact integers /
+    # DECIMAL(38,0), bit-identical.
+    bounds = grid.agg(
+        F.min("v").alias("vmin"),
+        (F.floor((F.max("v") - F.min("v")) / 1024) + 1)
+        .cast("bigint")
+        .alias("w"),
+    )
+    gb = grid.crossJoin(F.broadcast(bounds)).select(
+        "v", "c", F.expr("(v - vmin) div w").alias("pid")
     )
     cv = F.col("v").cast("decimal(38,0)") * F.col("c")
-    cum = grid.select(
+    ot = bucket_prefix_totals(
+        gb.groupBy("pid").agg(
+            F.sum("c").cast("bigint").alias("pn"),
+            F.sum(cv).cast("decimal(38,0)").alias("pcv"),
+        ),
+        {"pn": "pn", "pcv": "pcv"},
+        symmetric=True,
+    )
+    wb = Window.partitionBy("pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = gb.join(F.broadcast(ot), "pid").select(
         "v",
         "c",
-        (F.sum("c").over(wv) - F.col("c")).cast("bigint").alias("head"),
-        (F.sum(cv).over(wv) - cv).cast("decimal(38,0)").alias("below"),
-        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("m"),
-        F.sum(cv)
-        .over(Window.partitionBy())
+        (F.sum("c").over(wb) + F.col("off_pn") - F.col("c"))
+        .cast("bigint")
+        .alias("head"),
+        (F.sum(cv).over(wb) + F.col("off_pcv") - cv)
         .cast("decimal(38,0)")
-        .alias("s"),
+        .alias("below"),
+        F.col("tot_pn").cast("bigint").alias("m"),
+        F.col("tot_pcv").cast("decimal(38,0)").alias("s"),
     )
     r = F.floor(F.col("m") / 2).cast("bigint")
     atr = cum.where(
@@ -371,9 +397,12 @@ def gnedenko_f_exponentiality(spark, sf_dir):
 PLAN_AUDIT_NOTES.update(
     {
         "gnedenko_f_exponentiality": (
-            "exclusive-prefix cumulatives over the gap-value grid "
-            "(gap-value-domain-bounded — the weibull_median_rank "
-            "class)"
+            "INFO: no single-partition window since the r19 grain "
+            "triage — the gap-value micros grid is data-grain (an "
+            "unbounded axis, not a saturating one), so both "
+            "cumulatives ride the value-bucket device with a "
+            "bounds-derived width; note kept for the history, "
+            "excluded from the effective allowlist"
         ),
     }
 )
@@ -3252,7 +3281,15 @@ def dagostino_d_normality(spark, sf_dir):
     6 dp (kUSD scale) into DECIMAL folds; m2 from exact
     DECIMAL(38,0) power sums (population variance, D'Agostino's
     convention), rescaled by 1e10 to kUSD^2. Plan: one grid rollup,
-    one cumulative, one fold."""
+    one cumulative, one fold.
+
+    r19 grain triage: the cents grid is data-grain on the real SF
+    ladder (14,999 -> 149,743 rows sf0.01 -> sf0.1 through the
+    single-partition exchange), so the rank cumulative AND the
+    whole-frame n ride the fixed-width value-bucket device (pid =
+    v div 65536, in-bucket window + symmetric bucket_prefix_totals
+    broadcast — the cvm_lognormal_gof twin in the live bank); exact
+    integers, bit-identical."""
     o = t(spark, sf_dir, "orders")
     grid = (
         o.select(
@@ -3260,23 +3297,28 @@ def dagostino_d_normality(spark, sf_dir):
             .cast("bigint")
             .alias("v")
         )
+        .where(F.expr("(v div 65536) is not null"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    cum = grid.select(
+    gb = grid.withColumn("pid", F.expr("v div 65536"))
+    ot = bucket_prefix_totals(
+        gb.groupBy("pid").agg(F.sum("c").cast("bigint").alias("pn")),
+        {"pn": "pn"},
+        symmetric=True,
+    )
+    local_incl = F.sum("c").over(
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = gb.join(F.broadcast(ot), "pid").select(
         "v",
         "c",
-        (
-            F.sum("c").over(
-                Window.orderBy("v").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            )
-            - F.col("c")
-        )
+        (local_incl + F.col("off_pn") - F.col("c"))
         .cast("bigint")
         .alias("head"),
-        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
+        F.col("tot_pn").cast("bigint").alias("n"),
     )
     coef = (
         F.col("c") * F.col("head")
@@ -3321,8 +3363,11 @@ def dagostino_d_normality(spark, sf_dir):
 PLAN_AUDIT_NOTES.update(
     {
         "dagostino_d_normality": (
-            "exclusive-prefix cumulative over the distinct-value-"
-            "cents grid (the ansari_bradley class)"
+            "INFO: no single-partition window since the r19 grain "
+            "triage — the data-grain cents-grid cumulative rides the "
+            "value-bucket device (the cvm_lognormal_gof twin); note "
+            "kept for the history, excluded from the effective "
+            "allowlist"
         ),
     }
 )

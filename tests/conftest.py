@@ -42,6 +42,36 @@ def spark():
     yield s
 
 
+def scalar_output_violations(spark, queries, sf_dir=SF_DIR) -> list[str]:
+    """Driver-canonicalizer contract check (no array/map/struct result
+    columns), shared by every bank's ``test_*_outputs_are_scalar``.
+
+    Schema derivation is Catalyst analysis only — no execution, no
+    shared cache state — so the per-query work threads safely; 8
+    driver threads cut the 11 bank sweeps from ~4 suite-minutes to ~1
+    (the suite must fit the driver's pytest window, VERDICT r18
+    item 4)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import types as T
+
+    def check(item):
+        name, fn = item
+        return [
+            f"{name}.{f.name}: {f.dataType.simpleString()}"
+            for f in fn(spark, sf_dir).schema.fields
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            )
+        ]
+
+    bad: list[str] = []
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for found in pool.map(check, sorted(queries.items())):
+            bad += found
+    return bad
+
+
 import functools
 
 

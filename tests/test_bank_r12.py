@@ -79,16 +79,9 @@ def test_bank_is_live_and_was_windowed_in_r12():
 def test_bank_outputs_are_scalar(spark):
     # Driver-canonicalizer contract (plans/__init__ docstring): no
     # array/map/struct columns in any result the gate will hash.
-    from pyspark.sql import types as T
+    from conftest import scalar_output_violations
 
-    from conftest import SF_DIR
-
-    bad = []
-    for name, fn in bank_r12.BANK_QUERIES.items():
-        schema = fn(spark, SF_DIR).schema
-        for f in schema.fields:
-            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
-                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    bad = scalar_output_violations(spark, dict(bank_r12.BANK_QUERIES))
     assert not bad, f"non-scalar bank outputs: {bad}"
 
 

@@ -83,16 +83,9 @@ def test_bank_does_not_collide_with_other_staged_banks():
 
 
 def test_bank_outputs_are_scalar(spark):
-    from pyspark.sql import types as T
+    from conftest import scalar_output_violations
 
-    from conftest import SF_DIR
-
-    bad = []
-    for name, fn in bank_r20.BANK_QUERIES.items():
-        schema = fn(spark, SF_DIR).schema
-        for f in schema.fields:
-            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
-                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    bad = scalar_output_violations(spark, dict(bank_r20.BANK_QUERIES))
     assert not bad, f"non-scalar bank outputs: {bad}"
 
 

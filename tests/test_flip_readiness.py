@@ -126,3 +126,50 @@ def test_staged_oracles_have_driver_safe_types(mod_name):
         f"{mod_name}: staged oracles with driver-unsafe result types "
         f"(run python tools/audit_oracle_types.py --module {mod_name})"
     )
+
+
+@pytest.mark.parametrize("mod_name", _staged_bank_modules())
+def test_staged_single_partition_windows_are_grain_probed(
+    mod_name, ledger
+):
+    """Round-19 lesson: the 64x probe corpus replicates rows, so value
+    grids saturate instantly and the DATA-GRAIN single-partition
+    window class sails through it (reynolds_smolensky probed 1.02 at
+    64x while growing 1:1 on the real SF ladder; seven staged queries
+    carried the same class into their banks). Every staged query whose
+    PLAN_AUDIT_NOTES entry justifies a FLAGGING single-partition
+    window (non-INFO note) must have a cross-SF grain-probe ledger row
+    (``window_grain`` in SCALING_PROBES.json, authored by
+    ``tools/probe_window_grain.py``) whose verdict is bounded — or an
+    explicit ``adjudicated`` bounded-domain note where the measured
+    ratio reflects a hard-capped domain still saturating (the 86400-
+    second watson class). A DATA-GRAIN verdict without adjudication
+    means: convert to the value-bucket device before the flip."""
+    mod = importlib.import_module(
+        f"celestrak_tle_data_pipeline_spark.plans.{mod_name}"
+    )
+    notes = getattr(mod, "PLAN_AUDIT_NOTES", {})
+    flagged = [
+        k for k, v in sorted(notes.items())
+        if not v.startswith("INFO:")
+    ]
+    grain = ledger.get(mod_name, {}).get("window_grain", {})
+    missing = [k for k in flagged if k not in grain]
+    assert not missing, (
+        f"{mod_name}: flagged single-partition windows with no "
+        f"cross-SF grain-probe ledger row (run python "
+        f"tools/probe_window_grain.py --staged and record the rows "
+        f"in SCALING_PROBES.json): {missing}"
+    )
+    unconverted = [
+        k
+        for k in flagged
+        if grain[k].get("verdict") == "DATA-GRAIN"
+        and "adjudicated" not in grain[k]
+    ]
+    assert not unconverted, (
+        f"{mod_name}: DATA-GRAIN single-partition windows must be "
+        f"converted to the value-bucket device (or carry an "
+        f"adjudicated bounded-domain note) before the flip: "
+        f"{unconverted}"
+    )

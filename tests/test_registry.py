@@ -148,17 +148,10 @@ def test_priority_outputs_are_scalar(spark):
     # otherwise-correct query officially RED (round 3's
     # multimodal_feature_extract). Build every priority query's plan
     # and reject nested types in its result schema.
-    from pyspark.sql import types as T
-
-    from conftest import SF_DIR
+    from conftest import scalar_output_violations
 
     qs = plans.all_queries()
-    bad = []
-    for name in _PRIORITY:
-        schema = qs[name](spark, SF_DIR).schema
-        for f in schema.fields:
-            if isinstance(
-                f.dataType, (T.ArrayType, T.MapType, T.StructType)
-            ):
-                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    bad = scalar_output_violations(
+        spark, {name: qs[name] for name in _PRIORITY}
+    )
     assert not bad, f"non-scalar output columns in priority window: {bad}"

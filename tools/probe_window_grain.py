@@ -45,78 +45,55 @@ def _iter_plan(node):
     ):
         yield from _iter_plan(node.plan())
         return
+    if name == "InMemoryTableScanExec":
+        # descend into the cached fragment — persisted frames hide
+        # their (already executed) plan here
+        yield from _iter_plan(node.relation().cachedPlan())
+        return
     if name == "ReusedExchangeExec":
         # counted where it was materialized
         return
+    try:
+        sq = node.subqueries()
+        for i in range(sq.size()):
+            yield from _iter_plan(sq.apply(i))
+    except Exception:  # noqa: BLE001 — not all nodes expose it
+        pass
     ch = node.children()
     for i in range(ch.size()):
         yield from _iter_plan(ch.apply(i))
 
 
-_TRANSPARENT = ("ShuffleQueryStage", "ResultQueryStage", "AQEShuffleRead")
-
-
 def _single_partition_window_rows(df) -> list[int]:
-    """Execute df; return rows-written for every SinglePartition
-    shuffle whose output feeds a Window or Sort. Same ancestor-walk
-    convention as audit_single_partition, except AQE stage wrappers —
-    which the executed plan interposes around every exchange — are
-    transparent (they carry their child's partitioning unchanged;
-    audit_single_partition analyzes pre-execution plans and never
-    sees them as ancestors)."""
-    import audit_single_partition as asp
+    """Execute df; return rows-written for EVERY SinglePartition
+    shuffle in the executed plan (descending into AQE stages, cached
+    fragments and subquery plans), largest first.
 
+    This deliberately over-counts relative to the audit tool's
+    Window/Sort ancestor test: scalar-aggregate merges also use
+    SinglePartition but carry at most #partitions partial rows, so
+    they read as flat tiny constants across SFs and cannot produce a
+    false DATA-GRAIN verdict — while the grain question only needs
+    the LARGEST single-partition frame's growth. Aligning live
+    metrics to the text-plan ancestor walk breaks on persisted and
+    subquery shapes, which is exactly where two staged queries hid
+    their windows."""
     df.collect()
     plan = df._jdf.queryExecution().executedPlan()
-    txt = plan.toString().split("== Initial Plan ==")[0]
-    nodes = asp._parse_tree(txt)
-    # indices (in tree order) of flagged SinglePartition exchanges
-    flagged_order = []
-    seq = 0
-    for node in nodes:
-        if "Exchange SinglePartition" not in node["content"]:
-            continue
-        seq += 1
-        anc = node["parent"]
-        while anc is not None:
-            name = asp._CODEGEN.sub("", nodes[anc]["content"])
-            if name.startswith(_TRANSPARENT):
-                anc = nodes[anc]["parent"]
-                continue
-            if name.startswith("Window"):
-                flagged_order.append(seq)
-                break
-            if name.startswith("Sort ") and "TakeOrdered" not in name:
-                flagged_order.append(seq)
-                break
-            if name.startswith("CartesianProduct") and asp._heads_single(
-                nodes, anc
-            ):
-                anc = nodes[anc]["parent"]
-                continue
-            if name.startswith(asp._STOP):
-                break
-            anc = nodes[anc]["parent"]
-    if not flagged_order:
-        return []
-    # walk the live plan in the same order, reading shuffle metrics
     rows = []
-    seq = 0
     for op in _iter_plan(plan):
         if op.getClass().getSimpleName() != "ShuffleExchangeExec":
             continue
         if "SinglePartition" not in op.outputPartitioning().toString():
             continue
-        seq += 1
-        if seq in flagged_order:
-            m = op.metrics()
-            val = -1
-            for k in ("numOutputRows", "shuffleRecordsWritten"):
-                if m.contains(k):
-                    val = int(m.apply(k).value())
-                    break
-            rows.append(val)
-    return rows
+        m = op.metrics()
+        val = -1
+        for k in ("numOutputRows", "shuffleRecordsWritten"):
+            if m.contains(k):
+                val = int(m.apply(k).value())
+                break
+        rows.append(val)
+    return sorted(rows, reverse=True)[:6]
 
 
 def main(argv):
@@ -166,13 +143,17 @@ def main(argv):
                 rows = [f"ERR:{str(ex)[:60]}"]
             per_sf.append(rows)
         ratios = []
+        big = False
         for i in range(min(len(r) for r in per_sf)):
             a, b = per_sf[0][i], per_sf[-1][i]
             if isinstance(a, int) and isinstance(b, int) and a > 0:
                 ratios.append(round(b / a, 2))
-        verdict = (
-            "DATA-GRAIN" if any(r > 4 for r in ratios) else "bounded"
-        )
+                # partial-aggregate merge exchanges carry at most
+                # #map-partitions rows; only frames past that scale
+                # can be the single-task scale killer
+                if b > 1024 and b / a > 4:
+                    big = True
+        verdict = "DATA-GRAIN" if big else "bounded"
         out[name] = {
             "rows": dict(zip(sfs, per_sf)),
             "ratios": ratios,
