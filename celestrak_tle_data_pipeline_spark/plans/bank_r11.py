@@ -54,7 +54,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import register as _live_register
-from .common import dec, prefix_offsets, t
+from .common import bucket_prefix_totals, dec, t
 
 BANK_QUERIES: dict = {}
 BANK_ORACLES: dict = {}
@@ -107,11 +107,15 @@ _POOL_SQL = """
 
 
 def _ecdf2(spark, sf_dir):
-    """(value, h, f1, f2) at distinct-value grain plus broadcast totals
+    """(value, h, f1, f2) at distinct-value grain plus per-row totals
     (n1, n2) — f1/f2 are EXACT cumulative counts of each sample through
-    the value, built with the single-partition-free ranged device
-    (range partition on value, per-partition running sums, broadcast
-    prefix offsets; the ks_two_sample_values shape)."""
+    the value. r19: the ranged device (repartitionByRange +
+    spark_partition_id, which needed a stability persist and paid a
+    boundary-sampling pass that re-ran the rollup) is replaced by the
+    deterministic value-bucket device — pid = floor(value / 4.0), a
+    domain constant (~141 buckets over the saturating 2-decimal value
+    domain), offsets AND totals from one symmetric
+    ``bucket_prefix_totals`` pass. Identical exact integers."""
     e = t(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
     )
@@ -125,30 +129,30 @@ def _ecdf2(spark, sf_dir):
             F.sum("g1").alias("c1"),
             F.sum(1 - F.col("g1")).alias("c2"),
         )
-        .repartitionByRange(8, F.col("value").asc())
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
+        .withColumn(
+            "pid", F.floor(F.col("value") / 4.0).cast("bigint")
+        )
     )
-    part_tots = by_val.groupBy("pid").agg(
-        F.sum("c1").alias("p1"), F.sum("c2").alias("p2")
+    ot = bucket_prefix_totals(
+        by_val.groupBy("pid").agg(
+            F.sum("c1").alias("p1"), F.sum("c2").alias("p2")
+        ),
+        {"f1": "p1", "f2": "p2"},
+        symmetric=True,
     )
-    offsets = prefix_offsets(part_tots, {"off1": "p1", "off2": "p2"})
     w_local = (
         Window.partitionBy("pid")
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = by_val.join(F.broadcast(offsets), "pid").select(
+    return by_val.join(F.broadcast(ot), "pid").select(
         "value",
         (F.col("c1") + F.col("c2")).alias("h"),
-        (F.sum("c1").over(w_local) + F.col("off1")).alias("f1"),
-        (F.sum("c2").over(w_local) + F.col("off2")).alias("f2"),
+        (F.sum("c1").over(w_local) + F.col("off_f1")).alias("f1"),
+        (F.sum("c2").over(w_local) + F.col("off_f2")).alias("f2"),
+        F.col("tot_f1").cast("bigint").alias("n1"),
+        F.col("tot_f2").cast("bigint").alias("n2"),
     )
-    tots = by_val.agg(
-        F.sum("c1").cast("bigint").alias("n1"),
-        F.sum("c2").cast("bigint").alias("n2"),
-    )
-    return cum.crossJoin(F.broadcast(tots))
 
 
 # --------------------------------------------------------------------------
@@ -412,40 +416,44 @@ def mood_scale_ranks(spark, sf_dir):
     Var[T] = n1·n2(N+1)(N²−4)/180 (documented convention; ties in the
     2-decimal value grid are sparse).
 
-    Plan: the ranged global-midrank device (range partition + prefix
-    offsets, the mann_whitney_u_values shape) + one integer fold."""
+    Plan: the global-midrank device (r19: deterministic value-bucket
+    pid — floor(value / 4.0), a domain constant — replaces the range
+    partition + spark_partition_id, dropping the EVENT-GRAIN stability
+    persist and the boundary-sampling pass; offsets and both sample
+    totals come from one symmetric bucket_prefix_totals pass) + one
+    integer fold. Equal values share a bucket by construction, so
+    midranks are bit-identical."""
     e = t(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
     )
-    pool = (
-        e.select(
-            "value",
-            (F.col("event_type") == "click").cast("int").alias("g1"),
-        )
-        .repartitionByRange(8, F.col("value").asc())
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
+    pool = e.select(
+        "value",
+        (F.col("event_type") == "click").cast("int").alias("g1"),
+    ).withColumn("pid", F.floor(F.col("value") / 4.0).cast("bigint"))
+    ot = bucket_prefix_totals(
+        pool.groupBy("pid").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("g1").cast("bigint").alias("p1"),
+        ),
+        {"pn": "pn", "p1": "p1"},
     )
-    counts = pool.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
-    offsets = prefix_offsets(counts, {"offset": "pn"})
     local_rank = F.rank().over(Window.partitionBy("pid").orderBy("value"))
     rank2 = (
-        (local_rank.cast("bigint") + F.col("offset")) * 2
+        (local_rank.cast("bigint") + F.col("off_pn")) * 2
         + F.count(F.lit(1))
         .over(Window.partitionBy("pid", "value"))
         .cast("bigint")
         - 1
     )
-    ranked = pool.join(F.broadcast(offsets), "pid").select(
-        "g1", rank2.alias("rank2")
-    )
-    tots = ranked.agg(
-        F.sum("g1").cast("bigint").alias("n1"),
-        F.sum(1 - F.col("g1")).cast("bigint").alias("n2"),
+    ranked = pool.join(F.broadcast(ot), "pid").select(
+        "g1",
+        rank2.alias("rank2"),
+        F.col("tot_p1").cast("bigint").alias("n1"),
+        (F.col("tot_pn") - F.col("tot_p1")).cast("bigint").alias("n2"),
     )
     nn1 = F.col("n1") + F.col("n2") + 1
     fold = (
-        ranked.crossJoin(F.broadcast(tots))
+        ranked
         .groupBy("n1", "n2")
         .agg(
             F.sum(
@@ -1584,9 +1592,12 @@ def kneser_ney_discounts(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("ts")
     )
+    # r19: token-grain persist dropped — at scale caching the exploded
+    # corpus costs more than re-exploding a columnar scan per consumer
+    # (guide §5); the bigram join shuffles token-grain either way.
     toks = d.select(
         "doc_id", F.posexplode("ts").alias("i", "w")
-    ).persist()
+    )
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     nxt = toks.select(
         "doc_id", (F.col("i") - 1).alias("i"), F.col("w").alias("w2")
@@ -2520,7 +2531,10 @@ def embedding_anisotropy_panel(spark, sf_dir):
         F.round(F.col("x").cast("double") / F.col("nv"), 9)
         .cast("decimal(18,9)")
         .alias("ui"),
-    ).persist()
+    )
+    # r19: the (vector x dimension) element-grain persist is dropped
+    # (guide §5 — data-grain cache); the bounded (label x idx)
+    # per_label persist below stays.
     self_sq = u.groupBy("label", "vec_id").agg(
         F.sum(F.col("ui") * F.col("ui")).cast("decimal(38,18)").alias("uu")
     )
@@ -2847,8 +2861,9 @@ def harrell_c_index_sessions(spark, sf_dir):
             .cast("int")
             .alias("ev"),
         )
-        .persist()
     )
+    # r19: single-consumer persist dropped — it only added a
+    # materialization (the qq_tail_estimator lesson).
     cells = sessions.groupBy("dur", "score", "ev").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
@@ -4558,7 +4573,12 @@ def anderson_darling_k_sample(spark, sf_dir):
     pooled-value ECDF device (pivoted to fixed type columns — the
     event-type domain is closed); every numerator is an exact integer
     and each distinct value contributes one 9-rounded term to the
-    DECIMAL fold. Plan: one (value) rollup + ranged cumsums + fold."""
+    DECIMAL fold. Plan: one (value) rollup + bucket cumsums + fold
+    (r19: deterministic value-bucket pid replaces the range partition
+    + spark_partition_id, dropping the stability persist and the
+    boundary-sampling pass; all five offsets AND all five totals come
+    from one symmetric bucket_prefix_totals pass — exact integers,
+    bit-identical)."""
     e = t(spark, sf_dir, "events")
     aggs = [
         F.sum((F.col("event_type") == ty).cast("long")).alias(f"c{i}")
@@ -4567,34 +4587,36 @@ def anderson_darling_k_sample(spark, sf_dir):
     by_val = (
         e.groupBy("value")
         .agg(*aggs)
-        .repartitionByRange(8, F.col("value").asc())
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
+        .withColumn(
+            "pid", F.floor(F.col("value") / 4.0).cast("bigint")
+        )
     )
-    part_tots = by_val.groupBy("pid").agg(
-        *[F.sum(f"c{i}").alias(f"p{i}") for i in range(5)]
-    )
-    offsets = prefix_offsets(
-        part_tots, {f"off{i}": f"p{i}" for i in range(5)}
+    ot = bucket_prefix_totals(
+        by_val.groupBy("pid").agg(
+            *[F.sum(f"c{i}").alias(f"p{i}") for i in range(5)]
+        ),
+        {f"f{i}": f"p{i}" for i in range(5)},
+        symmetric=True,
     )
     w_local = (
         Window.partitionBy("pid")
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = by_val.join(F.broadcast(offsets), "pid").select(
+    cum = by_val.join(F.broadcast(ot), "pid").select(
         sum(F.col(f"c{i}") for i in range(5)).alias("h"),
         *[
-            (F.sum(f"c{i}").over(w_local) + F.col(f"off{i}")).alias(
+            (F.sum(f"c{i}").over(w_local) + F.col(f"off_f{i}")).alias(
                 f"f{i}"
             )
             for i in range(5)
         ],
-    )
-    tots = by_val.agg(
-        *[F.sum(f"c{i}").cast("bigint").alias(f"n{i}") for i in range(5)],
+        *[
+            F.col(f"tot_f{i}").cast("bigint").alias(f"n{i}")
+            for i in range(5)
+        ],
         sum(
-            [F.sum(f"c{i}").cast("bigint") for i in range(5)],
+            [F.col(f"tot_f{i}").cast("bigint") for i in range(5)],
             F.lit(0).cast("bigint"),
         ).alias("n"),
     )
@@ -4609,8 +4631,7 @@ def anderson_darling_k_sample(spark, sf_dir):
         F.col("h") * inner / (hc * 1.0 * (F.col("n") - hc)), 9
     ).cast("decimal(38,9)")
     fold = (
-        cum.crossJoin(F.broadcast(tots))
-        .where(hc < F.col("n"))
+        cum.where(hc < F.col("n"))
         .groupBy("n")
         .agg(F.sum(term).alias("sd"))
     )
@@ -4785,9 +4806,13 @@ def heldout_unigram_crossent(spark, sf_dir):
     test term folds c·round(ln p, 12) into a DECIMAL sum. Plan:
     explode + two count rollups + one term-keyed left join."""
     d = t(spark, sf_dir, "documents")
+    # r19: token-grain persist dropped (guide §5) — the two consumers
+    # read DISJOINT doc_id-parity halves, so the cache was twice the
+    # bytes either one needed; re-exploding a columnar scan is cheaper
+    # at scale.
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).persist()
+    )
     train = (
         toks.where(F.col("doc_id") % 2 == 0)
         .groupBy("w")
