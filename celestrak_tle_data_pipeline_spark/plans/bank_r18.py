@@ -202,24 +202,46 @@ def lorenz_dominance_check(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("c"),
         F.sum("m").cast("bigint").alias("tv"),
     )
+    # r19: the per-half windows put the whole customer-grain grid
+    # through TWO tasks (|halves| is the parallelism ceiling at any
+    # scale). Per-(half, bucket) windows + the keyed value-bucket
+    # device (bounds-derived width, offsets AND per-half totals from
+    # one symmetric bucket_prefix_totals pass) — identical exact
+    # integers.
+    bounds = grid.agg(
+        F.min("v").alias("vmin"),
+        (F.floor((F.max("v") - F.min("v")) / 1024) + 1)
+        .cast("bigint")
+        .alias("w"),
+    )
+    gb = grid.crossJoin(F.broadcast(bounds)).select(
+        "half", "v", "c", "tv", F.expr("(v - vmin) div w").alias("pid")
+    )
+    ot = bucket_prefix_totals(
+        gb.groupBy("half", "pid").agg(
+            F.sum("c").cast("bigint").alias("pn"),
+            F.sum("tv").cast("bigint").alias("ptv"),
+        ),
+        {"pn": "pn", "ptv": "ptv"},
+        symmetric=True,
+        keys=("half",),
+    )
     w = (
-        Window.partitionBy("half")
+        Window.partitionBy("half", "pid")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = grid.select(
+    cum = gb.join(F.broadcast(ot), ["half", "pid"]).select(
         "half",
         "v",
-        F.sum("c").over(w).cast("bigint").alias("cc"),
-        F.sum("tv").over(w).cast("bigint").alias("cv"),
-        F.sum("c")
-        .over(Window.partitionBy("half"))
+        (F.sum("c").over(w) + F.col("off_pn"))
         .cast("bigint")
-        .alias("n"),
-        F.sum("tv")
-        .over(Window.partitionBy("half"))
+        .alias("cc"),
+        (F.sum("tv").over(w) + F.col("off_ptv"))
         .cast("bigint")
-        .alias("tot"),
+        .alias("cv"),
+        F.col("tot_pn").cast("bigint").alias("n"),
+        F.col("tot_ptv").cast("bigint").alias("tot"),
     )
     ks = spark.range(1, 20).select(
         F.col("id").cast("bigint").alias("k")
@@ -1748,24 +1770,46 @@ def generalized_lorenz_dominance(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("c"),
         F.sum("m").cast("bigint").alias("tv"),
     )
+    # r19: the per-half windows put the whole customer-grain grid
+    # through TWO tasks (|halves| is the parallelism ceiling at any
+    # scale). Per-(half, bucket) windows + the keyed value-bucket
+    # device (bounds-derived width, offsets AND per-half totals from
+    # one symmetric bucket_prefix_totals pass) — identical exact
+    # integers.
+    bounds = grid.agg(
+        F.min("v").alias("vmin"),
+        (F.floor((F.max("v") - F.min("v")) / 1024) + 1)
+        .cast("bigint")
+        .alias("w"),
+    )
+    gb = grid.crossJoin(F.broadcast(bounds)).select(
+        "half", "v", "c", "tv", F.expr("(v - vmin) div w").alias("pid")
+    )
+    ot = bucket_prefix_totals(
+        gb.groupBy("half", "pid").agg(
+            F.sum("c").cast("bigint").alias("pn"),
+            F.sum("tv").cast("bigint").alias("ptv"),
+        ),
+        {"pn": "pn", "ptv": "ptv"},
+        symmetric=True,
+        keys=("half",),
+    )
     w = (
-        Window.partitionBy("half")
+        Window.partitionBy("half", "pid")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = grid.select(
+    cum = gb.join(F.broadcast(ot), ["half", "pid"]).select(
         "half",
         "v",
-        F.sum("c").over(w).cast("bigint").alias("cc"),
-        F.sum("tv").over(w).cast("bigint").alias("cv"),
-        F.sum("c")
-        .over(Window.partitionBy("half"))
+        (F.sum("c").over(w) + F.col("off_pn"))
         .cast("bigint")
-        .alias("n"),
-        F.sum("tv")
-        .over(Window.partitionBy("half"))
+        .alias("cc"),
+        (F.sum("tv").over(w) + F.col("off_ptv"))
         .cast("bigint")
-        .alias("tot"),
+        .alias("cv"),
+        F.col("tot_pn").cast("bigint").alias("n"),
+        F.col("tot_ptv").cast("bigint").alias("tot"),
     )
     ks = spark.range(1, 20).select(
         F.col("id").cast("bigint").alias("k")

@@ -50,6 +50,7 @@ def bucket_prefix_totals(
     sums: dict[str, str],
     pid: str = "pid",
     symmetric: bool = False,
+    keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-bucket exclusive-prefix offsets AND whole-frame totals from
     ONE pass over the |buckets|-row per-bucket rollup (r19).
@@ -83,8 +84,18 @@ def bucket_prefix_totals(
     (otherwise pruning re-introduces the asymmetry); the default
     keeps the own side at bucket-id grain, which is the cheaper shape
     when ``sums`` carries totals-only columns.
+
+    ``keys`` restricts both the prefix and the totals to rows sharing
+    the named group columns (the dagum per-region pattern): offsets
+    accumulate strictly-earlier buckets OF THE SAME GROUP and
+    ``tot_<out>`` is the group's whole-frame sum, so per-group
+    cumulatives (e.g. per-half Lorenz ordinates) ride per-(group,
+    bucket) windows instead of one window partition per group value —
+    a |groups|-task parallelism ceiling at scale. The group equality
+    is an equi-join; the triangular part stays in the aggregate.
     """
     prior = psums.select(
+        *[F.col(k).alias(f"__bk_{k}") for k in keys],
         F.col(pid).alias("__bpid"),
         *[F.col(src).alias(f"__b_{out}") for out, src in sums.items()],
     )
@@ -115,7 +126,16 @@ def bucket_prefix_totals(
                 ).alias(f"off_{out}")
             )
         aggs.append(F.sum(f"__b_{out}").alias(f"tot_{out}"))
-    own = psums if symmetric else psums.select(pid)
+    own = (
+        psums if symmetric else psums.select(*keys, pid)
+    )
+    if keys:
+        cond = None
+        for k in keys:
+            c = F.col(f"__bk_{k}") == F.col(k)
+            cond = c if cond is None else (cond & c)
+        joined = own.join(F.broadcast(prior), cond)
+        return joined.groupBy(*keys, pid).agg(*aggs)
     return own.crossJoin(prior).groupBy(pid).agg(*aggs)
 
 

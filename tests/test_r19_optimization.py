@@ -149,3 +149,29 @@ def test_device_offsets_match_global_window(spark):
     n = sum(r["c"] for r in grid.collect())
     want = {r["v"]: (r["head"], n) for r in want_rows}
     assert got == want
+
+
+def test_bucket_prefix_totals_keyed(spark):
+    """keys=... restricts prefix and totals to the group (the lorenz
+    per-half shape): offsets accumulate earlier buckets of the SAME
+    group only, totals are per-group."""
+    psums = spark.createDataFrame(
+        [
+            Row(half=1, pid=0, pn=3),
+            Row(half=1, pid=2, pn=5),
+            Row(half=2, pid=1, pn=7),
+            Row(half=2, pid=3, pn=11),
+        ]
+    )
+    out = {
+        (r["half"], r["pid"]): (r["off_pn"], r["tot_pn"])
+        for r in bucket_prefix_totals(
+            psums, {"pn": "pn"}, symmetric=True, keys=("half",)
+        ).collect()
+    }
+    assert out == {
+        (1, 0): (0, 8),
+        (1, 2): (3, 8),
+        (2, 1): (0, 18),
+        (2, 3): (7, 18),
+    }
