@@ -60,7 +60,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import register as _live_register
-from .common import dec, t
+from .common import bucket_prefix_totals, dec, t
 
 BANK_QUERIES: dict = {}
 BANK_ORACLES: dict = {}
@@ -2638,20 +2638,35 @@ def fligner_killeen_scale(spark, sf_dir):
         F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
         (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("v"),
     )
+    # r19: the per-group and pooled cumulatives rode |groups|-task and
+    # single-task windows over DATA-GRAIN grids (the order-price cents
+    # domain and its deviation domain both grow ~10x per SF decade
+    # until saturation); both now ride the value-bucket device, and
+    # the deviation-grid persist is dropped (its consumers read the
+    # reused exchanges instead of a data-grain cache). Identical
+    # exact integers.
     gg = pts.groupBy("g", "v").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    gcum = gg.select(
+    gbk = gg.withColumn("pid", F.expr("v div 65536"))
+    got = bucket_prefix_totals(
+        gbk.groupBy("g", "pid").agg(
+            F.sum("c").cast("bigint").alias("pn")
+        ),
+        {"pn": "pn"},
+        symmetric=True,
+        keys=("g",),
+    )
+    wgk = (
+        Window.partitionBy("g", "pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gcum = gbk.join(F.broadcast(got), ["g", "pid"]).select(
         "g",
         "v",
-        F.sum("c")
-        .over(
-            Window.partitionBy("g")
-            .orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        .alias("cc"),
-        F.sum("c").over(Window.partitionBy("g")).alias("ng"),
+        (F.sum("c").over(wgk) + F.col("off_pn")).alias("cc"),
+        F.col("tot_pn").alias("ng"),
     )
     med = (
         gcum.where(2 * F.col("cc") >= F.col("ng"))
@@ -2665,23 +2680,24 @@ def fligner_killeen_scale(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
     wg = cells.groupBy("w").agg(F.sum("c").cast("bigint").alias("h"))
-    cum = wg.select(
+    wbk = wg.withColumn("pid", F.expr("w div 65536"))
+    wot = bucket_prefix_totals(
+        wbk.groupBy("pid").agg(F.sum("h").cast("bigint").alias("ph")),
+        {"ph": "ph"},
+        symmetric=True,
+    )
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy("w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = wbk.join(F.broadcast(wot), "pid").select(
         "w",
         "h",
-        (
-            F.sum("h").over(
-                Window.orderBy("w").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            )
-            - F.col("h")
-        )
+        (F.sum("h").over(wloc) + F.col("off_ph") - F.col("h"))
         .cast("bigint")
         .alias("below"),
-        F.sum("h")
-        .over(Window.partitionBy())
-        .cast("bigint")
-        .alias("n"),
+        F.col("tot_ph").cast("bigint").alias("n"),
     )
     scored = cum.select(
         "w",
@@ -2695,7 +2711,7 @@ def fligner_killeen_scale(spark, sf_dir):
             ),
             10,
         ).alias("a"),
-    ).persist()
+    )
     grp = (
         cells.join(scored.select("w", "a"), "w")
         .groupBy("g")
@@ -2868,9 +2884,13 @@ def hodges_ajne_circular(spark, sf_dir):
 PLAN_AUDIT_NOTES.update(
     {
         "fligner_killeen_scale": (
-            "pooled |deviation|-grid cumulative midrank pass "
-            "(cents-domain-bounded — the ansari_bradley_scale class; "
-            "the per-group median windows are g-partitioned)"
+            "INFO: no single-partition window since the r19 grain "
+            "triage — both the pooled |deviation|-grid midrank "
+            "cumulative and the per-group median cumulatives ride "
+            "the value-bucket device (the deviation grid is "
+            "data-grain until the cents domain saturates, and the "
+            "g-partitioned windows were a 5-task ceiling); note kept "
+            "for the history, excluded from the effective allowlist"
         ),
     }
 )
@@ -4739,17 +4759,28 @@ def qq_ventile_fit(spark, sf_dir):
     grid = pts.groupBy("g", "v").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    cum = grid.select(
+    # r19: the per-group windows pushed the data-grain cents grid
+    # through TWO tasks at any scale; per-(g, bucket) windows + the
+    # keyed symmetric bucket_prefix_totals pass (the lorenz device).
+    gbk = grid.withColumn("pid", F.expr("v div 65536"))
+    got = bucket_prefix_totals(
+        gbk.groupBy("g", "pid").agg(
+            F.sum("c").cast("bigint").alias("pn")
+        ),
+        {"pn": "pn"},
+        symmetric=True,
+        keys=("g",),
+    )
+    wgk = (
+        Window.partitionBy("g", "pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = gbk.join(F.broadcast(got), ["g", "pid"]).select(
         "g",
         "v",
-        F.sum("c")
-        .over(
-            Window.partitionBy("g")
-            .orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        .alias("cc"),
-        F.sum("c").over(Window.partitionBy("g")).alias("ng"),
+        (F.sum("c").over(wgk) + F.col("off_pn")).alias("cc"),
+        F.col("tot_pn").alias("ng"),
     )
     ks = spark.range(1, 20).select(
         F.col("id").cast("bigint").alias("k")

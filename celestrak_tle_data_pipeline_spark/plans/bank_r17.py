@@ -58,7 +58,7 @@ from pyspark.sql import functions as F
 from . import register as _live_register
 from .bank_r15 import _acklam_col, _acklam_sql  # noqa: E402
 from .bank_r16 import _CELLP_SQL, _cellp  # noqa: E402
-from .common import dec, prefix_offsets, t
+from .common import bucket_prefix_totals, dec, prefix_offsets, t
 
 BANK_QUERIES: dict = {}
 BANK_ORACLES: dict = {}
@@ -2448,29 +2448,48 @@ def shorrocks_mobility_index(spark, sf_dir):
         .alias("half"),
         (dec("o_totalprice", 18, 2) * 100).cast("bigint").alias("cents"),
     )
+    # r19: the customer-grain spend persist is dropped (guide §5 —
+    # recompute from the reused exchange beats a fact-width cache)
+    # and the per-half windows, which pushed the whole customer-grain
+    # grid through TWO tasks at any scale, ride per-(half, bucket)
+    # windows with per-half offsets AND totals from one symmetric
+    # keyed bucket_prefix_totals pass (the lorenz_dominance device).
+    # Identical exact integers.
     spend = lab.groupBy("u", "half").agg(
         F.sum("cents").cast("bigint").alias("m")
-    ).persist()
+    )
     grid = spend.groupBy("half", F.col("m").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    cum = grid.select(
+    gbounds = grid.agg(
+        F.min("v").alias("vmin"),
+        (F.floor((F.max("v") - F.min("v")) / 1024) + 1)
+        .cast("bigint")
+        .alias("w"),
+    )
+    gbk = grid.crossJoin(F.broadcast(gbounds)).select(
+        "half", "v", "c", F.expr("(v - vmin) div w").alias("pid")
+    )
+    ot = bucket_prefix_totals(
+        gbk.groupBy("half", "pid").agg(
+            F.sum("c").cast("bigint").alias("pn")
+        ),
+        {"pn": "pn"},
+        symmetric=True,
+        keys=("half",),
+    )
+    wb = (
+        Window.partitionBy("half", "pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = gbk.join(F.broadcast(ot), ["half", "pid"]).select(
         "half",
         "v",
-        F.coalesce(
-            F.sum("c").over(
-                Window.partitionBy("half")
-                .orderBy("v")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        )
+        (F.coalesce(F.sum("c").over(wb), F.lit(0)) + F.col("off_pn"))
         .cast("bigint")
         .alias("below"),
-        F.sum("c")
-        .over(Window.partitionBy("half"))
-        .cast("bigint")
-        .alias("n"),
+        F.col("tot_pn").cast("bigint").alias("n"),
     )
     cum2 = cum.select(
         F.col("half").alias("ch"),

@@ -1177,21 +1177,46 @@ def sequence_packing_chunks(spark, sf_dir):
     each doc reports its global token offset and the chunk ids it
     spans (boundary-crossing docs span >1). All integer arithmetic.
 
-    Scale shape: the running offset is a per-source window (one
-    shuffle on source, linear scan within) — the per-shard packing
-    real pipelines do, NOT a single global cumsum (an
-    Exchange SinglePartition bottleneck at 100 TB)."""
+    Scale shape: the running offset rides per-(source, doc_id-bucket)
+    windows + the keyed symmetric bucket_prefix_totals broadcast
+    (r19) — a plain per-source window is a |sources|-task ceiling
+    over the whole corpus at 100 TB, the lorenz_dominance class;
+    never a single global cumsum either (Exchange SinglePartition)."""
     from pyspark.sql import Window
+
+    from .common import bucket_prefix_totals
 
     d = _docs(spark, sf_dir).select(
         "doc_id", "source", F.size(_tokens()).cast("bigint").alias("n_tokens")
     )
+    bounds = d.agg(
+        F.min("doc_id").alias("dmin"),
+        (F.floor((F.max("doc_id") - F.min("doc_id")) / 1024) + 1)
+        .cast("bigint")
+        .alias("bw"),
+    )
+    db = d.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr("(doc_id - dmin) div bw").alias("pid"),
+    )
+    ot = bucket_prefix_totals(
+        db.groupBy("source", "pid").agg(
+            F.sum("n_tokens").cast("bigint").alias("pt")
+        ),
+        {"pt": "pt"},
+        symmetric=True,
+        keys=("source",),
+    )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "pid")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = d.withColumn("cum", F.sum("n_tokens").over(w))
+    c = db.join(F.broadcast(ot), ["source", "pid"]).withColumn(
+        "cum", F.sum("n_tokens").over(w) + F.col("off_pt")
+    )
     start = F.col("cum") - F.col("n_tokens")
     first = F.expr("(cum - n_tokens) div 512")
     last = F.expr("(cum - 1) div 512")
@@ -2176,8 +2201,14 @@ def reservoir_sample_per_source(spark, sf_dir):
 
     Scale shape: the rank window shuffles only (doc_id, source, coin)
     triples — payloads stay behind and are fetched by id afterwards if
-    needed; at extreme stratum skew the same coin supports a two-level
-    take (per-partition top-k, then global top-k of candidates)."""
+    needed. r19: the take is two-level (the docstring's own skew
+    remedy, now applied): per-(source, coin-bucket) top-20 over 32
+    uniform coin buckets, then the final rank over the <= 640
+    candidates per source — a plain per-source window ranks the whole
+    corpus through |sources| tasks at scale. Exact: every global
+    top-20 row is its bucket's top-20 (fewer than 20 rows precede it
+    anywhere), and all 20 global winners reach the candidate set, so
+    the second rank equals the global rank for every surviving row."""
     h = _docs(spark, sf_dir).select(
         "doc_id",
         "source",
@@ -2185,9 +2216,19 @@ def reservoir_sample_per_source(spark, sf_dir):
     )
     from pyspark.sql import Window
 
+    # coin is a uniform 60-bit hash; top 5 bits give 32 buckets
+    hb = h.withColumn(
+        "pid", F.expr("coin div 36028797018963968")
+    )
+    w1 = Window.partitionBy("source", "pid").orderBy("coin", "doc_id")
+    cand = (
+        hb.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= 20)
+        .drop("r1", "pid")
+    )
     w = Window.partitionBy("source").orderBy("coin", "doc_id")
     return (
-        h.withColumn("draw", F.row_number().over(w).cast("bigint"))
+        cand.withColumn("draw", F.row_number().over(w).cast("bigint"))
         .where(F.col("draw") <= 20)
     )
 
