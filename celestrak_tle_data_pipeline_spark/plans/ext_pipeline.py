@@ -520,25 +520,40 @@ def systematic_weighted_sample(spark, sf_dir):
     |partitions| rows. tests/test_plans.py pins the absence of a
     single-partition window exchange.
     """
+    # r19: the range partition + spark_partition_id needed a stability
+    # persist of the whole corpus frame and paid a boundary-sampling
+    # pass; a deterministic doc_id-bucket pid removes both, and the
+    # grand total rides the SAME bucket_prefix_totals broadcast as the
+    # offsets (one pass, no separate scalar-aggregate subtree).
+    from .common import bucket_prefix_totals
+
     d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    total = d.agg(F.sum("n_chars").alias("total"))
-    pool = (
-        d.repartitionByRange(8, F.col("doc_id").asc())
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
+    bounds = d.agg(
+        F.min("doc_id").alias("dmin"),
+        (F.floor((F.max("doc_id") - F.min("doc_id")) / 256) + 1)
+        .cast("bigint")
+        .alias("bw"),
     )
-    psums = pool.groupBy("pid").agg(F.sum("n_chars").alias("pchars"))
-    offsets = prefix_offsets(psums, {"offset": "pchars"})
+    pool = d.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("(doc_id - dmin) div bw").alias("pid"),
+    )
+    ot = bucket_prefix_totals(
+        pool.groupBy("pid").agg(F.sum("n_chars").alias("pchars")),
+        {"pchars": "pchars"},
+        symmetric=True,
+    )
     local_cum = F.sum("n_chars").over(
         Window.partitionBy("pid")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = (
-        pool.join(F.broadcast(offsets), "pid")
-        .withColumn("cum", local_cum + F.col("offset"))
-        .crossJoin(F.broadcast(total))
-        .withColumn("stride", F.expr("total DIV 100"))
+        pool.join(F.broadcast(ot), "pid")
+        .withColumn("cum", local_cum + F.col("off_pchars"))
+        .withColumn("stride", F.expr("tot_pchars DIV 100"))
     )
     picks = F.expr("cum DIV stride") - F.expr("(cum - n_chars) DIV stride")
     return (

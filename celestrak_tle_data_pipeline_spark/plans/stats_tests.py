@@ -2031,22 +2031,37 @@ def spearman_rank_corr(spark, sf_dir):
     )
 
     def rank2_of(df, col, out):
-        pool = (
-            df.repartitionByRange(8, F.col(col).asc())
-            .withColumn("pid", F.spark_partition_id())
-            .persist()
+        # r19: deterministic value-bucket pid (bounds-derived width)
+        # replaces the range partition + spark_partition_id, dropping
+        # the user-grain stability persist and the boundary-sampling
+        # pass; offsets from one symmetric bucket_prefix_totals pass.
+        # Equal values share a bucket by construction, so tie-group
+        # midranks are bit-identical.
+        from .common import bucket_prefix_totals
+
+        bounds = df.agg(
+            F.min(col).alias("vmin"),
+            (F.floor((F.max(col) - F.min(col)) / 1024) + 1)
+            .cast("bigint")
+            .alias("vw"),
         )
-        counts = pool.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
-        offsets = prefix_offsets(counts, {"offset": "pn"})
+        pool = df.crossJoin(F.broadcast(bounds)).withColumn(
+            "pid", F.expr(f"({col} - vmin) div vw")
+        )
+        ot = bucket_prefix_totals(
+            pool.groupBy("pid").agg(F.count(F.lit(1)).alias("pn")),
+            {"pn": "pn"},
+            symmetric=True,
+        )
         local_rank = F.rank().over(Window.partitionBy("pid").orderBy(col))
         r2 = (
-            (local_rank.cast("bigint") + F.col("offset")) * 2
+            (local_rank.cast("bigint") + F.col("off_pn")) * 2
             + F.count(F.lit(1))
             .over(Window.partitionBy("pid", col))
             .cast("bigint")
             - 1
         )
-        return pool.join(F.broadcast(offsets), "pid").select(
+        return pool.join(F.broadcast(ot), "pid").select(
             "user_id", r2.alias(out)
         )
 
