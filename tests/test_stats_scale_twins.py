@@ -110,13 +110,16 @@ def _no_window_or_sort_over_single_partition(plan):
 
 def test_systematic_sample_plan_has_no_global_cumsum(spark):
     # r6 verdict X22: the cumulative character axis must not be an
-    # unpartitioned running-sum window. The rewrite range-partitions
-    # on doc_id, cumsums per partition, and adds broadcast prefix
-    # offsets built with a triangular self-join — the only
-    # SinglePartition exchange left is the grand-total scalar merge
-    # (one row), never under a Window or Sort.
+    # unpartitioned running-sum window. r19: the ranged device became
+    # the deterministic doc_id-bucket device — the cumsum rides
+    # hashpartitioning(pid) windows with broadcast bucket offsets, no
+    # range partition (whose boundary sampling re-ran the rollup) and
+    # no stability persist. The only SinglePartition exchanges left
+    # are scalar merges (one row), never under a Window or Sort.
     plan = _plan(spark, "systematic_weighted_sample")
-    assert "Exchange rangepartitioning" in plan
+    assert "hashpartitioning(pid" in plan
+    assert "rangepartitioning" not in plan
+    assert "InMemoryRelation" not in plan
     _no_window_or_sort_over_single_partition(plan)
 
 
